@@ -1,0 +1,157 @@
+"""Analysis chain: char_filters* -> tokenizer -> token_filters*.
+
+Reimplements (from public knowledge of the configuration surface) the
+reference's analysis pipeline shape — `CustomAnalyzer` assembly per field
+(reference: server/src/main/java/org/elasticsearch/index/analysis/CustomAnalyzer.java)
+— as pure Python/regex functions suitable for vectorized use inside
+``Dataset.map_batches``.
+
+The flagship "code" analyzer mirrors the `word_delimiter_graph` token filter
+defaults (reference: modules/analysis-common/src/main/java/org/elasticsearch/
+analysis/common/WordDelimiterGraphTokenFilterFactory.java:78-96):
+
+    generate_word_parts=true, generate_number_parts=true,
+    split_on_case_change=true  (camelCase  -> camel, case)
+    split_on_numerics=true     (j2se       -> j, 2, se)
+    stem_english_possessive=true  (O'Neil's -> o, neil)
+    catenate_* = false, preserve_original = false
+
+composed with a standard-ish tokenizer (split on anything that is not
+[A-Za-z0-9_'] — underscores survive tokenization like UAX#29 ExtendNumLet and
+are then split by the word-delimiter step, so snake_case -> snake, case),
+`lowercase`, and the `stop` filter with Lucene's default English stop set.
+
+Deviation vs the reference: tokenization is ASCII-alphanumeric (non-ASCII
+letters are token breaks), not full UAX#29 — adequate for the target
+source-code corpus (ASCII identifiers/keywords) and far cheaper; swap
+_RAW_TOKEN_RE for a unicode class regex to widen. The stop set is
+(reference: index/analysis/StopTokenFilterFactory.java:45 uses
+EnglishAnalyzer.ENGLISH_STOP_WORDS_SET). Token length is capped at 255 chars
+like the `standard` analyzer's max_token_length (reference:
+index/analysis/StandardAnalyzerProvider.java:36-40).
+
+Positions: the stop filter preserves position increments (gaps) like Lucene's
+default `enablePositionIncrements=true`, so phrase queries do not match across
+a removed stopword... positions are the index in the post-split, pre-stop
+token stream.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (public, 33 terms) —
+# engaged by the reference at StopTokenFilterFactory.java:45.
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+MAX_TOKEN_LENGTH = 255  # standard analyzer default (StandardAnalyzerProvider.java:36)
+
+# standard-ish tokenizer for code: runs of word chars incl. _ and '
+_RAW_TOKEN_RE = re.compile(r"[A-Za-z0-9_']+")
+
+# word_delimiter_graph subword splitter:
+#  - runs of digits                       (generate_number_parts, split_on_numerics)
+#  - an upper followed by uppers not followed by lower (acronym run: HTTPRequest -> HTTP)
+#  - an upper followed by lowers          (Camel hump)
+#  - runs of lowers
+_SUBWORD_RE = re.compile(
+    r"\d+"  # number parts
+    r"|[A-Z]+(?![a-z])"  # acronym run (HTTP in HTTPRequest, or trailing ABC)
+    r"|[A-Z][a-z]+"  # capitalized hump
+    r"|[a-z]+"  # lowercase run
+)
+
+_POSSESSIVE_RE = re.compile(r"'[sS]$")
+
+# simple analyzer tokenizer: maximal runs of ascii alphanumerics on the
+# lowercased text — SQL-oracle-friendly (regexp_split in DuckDB is equivalent).
+_SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+_WHITESPACE_RE = re.compile(r"\S+")
+
+
+def _code_tokens(text: str) -> list[str]:
+    """Tokenize with word_delimiter_graph semantics; emits lowercase subwords
+    in stream order (stopwords NOT yet removed)."""
+    out: list[str] = []
+    for m in _RAW_TOKEN_RE.finditer(text):
+        raw = _POSSESSIVE_RE.sub("", m.group())
+        for sm in _SUBWORD_RE.finditer(raw):
+            out.append(sm.group().lower())
+    return out
+
+
+def analyze_code(text: str) -> list[str]:
+    """Full 'code' chain: tokenize -> word-delimiter split -> lowercase ->
+    stop filter -> length cap. Returns the term stream (positions implicit)."""
+    return [
+        t
+        for t in _code_tokens(text)
+        if t not in ENGLISH_STOP_WORDS and len(t) <= MAX_TOKEN_LENGTH
+    ]
+
+
+def analyze_code_positions(text: str) -> list[tuple[str, int]]:
+    """Like :func:`analyze_code` but with position gaps preserved across
+    removed stopwords (Lucene enablePositionIncrements semantics)."""
+    return [
+        (t, pos)
+        for pos, t in enumerate(_code_tokens(text))
+        if t not in ENGLISH_STOP_WORDS and len(t) <= MAX_TOKEN_LENGTH
+    ]
+
+
+def analyze_simple(text: str) -> list[str]:
+    """'simple' analyzer: lowercase + split on non-alphanumeric. Exactly
+    mirrors DuckDB `regexp_split_to_array(lower(text), '[^a-z0-9]+')` so SQL
+    oracles can re-derive the same token stream."""
+    return _SIMPLE_TOKEN_RE.findall(text.lower())
+
+
+def analyze_whitespace(text: str) -> list[str]:
+    """`whitespace` tokenizer (CommonAnalysisPlugin tokenizers)."""
+    return _WHITESPACE_RE.findall(text)
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """A named analyzer = callable token-stream producer.
+
+    Mirrors the reference's AnalysisRegistry lookup surface
+    (index/analysis/AnalysisRegistry.java) without the classloader machinery:
+    a plain registry of Python callables (SURVEY.md §2.13).
+    """
+
+    name: str
+    tokenize: callable = field(compare=False)
+    tokenize_positions: callable | None = field(default=None, compare=False)
+
+    def __call__(self, text: str) -> list[str]:
+        return self.tokenize(text)
+
+    def positions(self, text: str) -> list[tuple[str, int]]:
+        if self.tokenize_positions is not None:
+            return self.tokenize_positions(text)
+        return list(enumerate_positions(self.tokenize(text)))
+
+
+def enumerate_positions(tokens: list[str]) -> list[tuple[str, int]]:
+    return [(t, i) for i, t in enumerate(tokens)]
+
+
+REGISTRY: dict[str, Analyzer] = {
+    "code": Analyzer("code", analyze_code, analyze_code_positions),
+    "simple": Analyzer("simple", analyze_simple),
+    "whitespace": Analyzer("whitespace", analyze_whitespace),
+}
+
+
+def get_analyzer(name: str) -> Analyzer:
+    try:
+        return REGISTRY[name]
+    except KeyError:
+        raise ValueError(f"unknown analyzer {name!r}; known: {sorted(REGISTRY)}") from None

@@ -1,0 +1,78 @@
+"""Analyzer golden tests — modeled on the reference's declarative YAML
+conformance corpus (rest-api-spec/test/, SURVEY.md §5): input text + expected
+token stream, covering word_delimiter_graph defaults
+(WordDelimiterGraphTokenFilterFactory.java:78-96)."""
+
+from __future__ import annotations
+
+from elasticsearch_ray.analyzer import (
+    ENGLISH_STOP_WORDS,
+    analyze_code,
+    analyze_code_positions,
+    analyze_simple,
+    analyze_whitespace,
+    get_analyzer,
+)
+
+GOLDENS = [
+    # camelCase split (split_on_case_change=true)
+    ("parseHttpRequest", ["parse", "http", "request"]),
+    # acronym run then hump: HTTPRequest -> HTTP, Request
+    ("parseHTTPRequest2", ["parse", "http", "request", "2"]),
+    # snake_case: underscore survives tokenization, split by word-delimiter
+    ("snake_case_idents", ["snake", "case", "idents"]),
+    # kebab-case: '-' is a tokenizer break anyway
+    ("kebab-case", ["kebab", "case"]),
+    # split_on_numerics: j2se -> j, 2, se
+    ("j2se", ["j", "2", "se"]),
+    ("500-42", ["500", "42"]),
+    # possessive stemming (stem_english_possessive=true)
+    ("O'Neil's", ["o", "neil"]),
+    # stopword removal (Lucene English stop set)
+    ("the quick fox and the dog", ["quick", "fox", "dog"]),
+    # code line with punctuation
+    ("def get_value(self, key): return self._map[key]",
+     ["def", "get", "value", "self", "key", "return", "self", "map", "key"]),
+    ("", []),
+    ("   \n\t  ", []),
+    # stopword-only input -> empty stream
+    ("the and of to", []),
+]
+
+
+def test_analyzer_goldens():
+    for text, expected in GOLDENS:
+        assert analyze_code(text) == expected, text
+
+
+def test_token_length_cap():
+    long_tok = "a" * 300
+    assert analyze_code(long_tok) == []  # > 255 chars dropped
+    assert analyze_code("x" * 255) == ["x" * 255]
+
+
+def test_positions_preserve_stopword_gaps():
+    # Lucene stop filter keeps position increments: "quick" at 1, "fox" at 3
+    toks = analyze_code_positions("the quick the fox")
+    assert toks == [("quick", 1), ("fox", 3)]
+
+
+def test_simple_analyzer_matches_sql_semantics():
+    # must equal regexp_split_to_array(lower(text), '[^a-z0-9]+') minus empties
+    assert analyze_simple("Hello, World_99!") == ["hello", "world", "99"]
+    assert analyze_simple("snake_case") == ["snake", "case"]  # _ splits here
+    assert analyze_simple("") == []
+
+
+def test_whitespace_analyzer():
+    assert analyze_whitespace("a  b\tc\nd") == ["a", "b", "c", "d"]
+
+
+def test_registry():
+    assert get_analyzer("code")("fooBar") == ["foo", "bar"]
+    assert get_analyzer("simple").positions("a b") == [("a", 0), ("b", 1)]
+
+
+def test_stop_set_is_lucene_english():
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert "the" in ENGLISH_STOP_WORDS and "code" not in ENGLISH_STOP_WORDS
