@@ -1,0 +1,413 @@
+"""Query engine: term dictionary + posting decode + BM25 top-k with block-max
+pruning (SURVEY.md §2.4/§2.5/§7 step 4).
+
+Mirrors the reference's query-then-fetch pipeline in miniature:
+  - per-query collector with bounded top-k and skipping
+    (search/query/QueryPhase.java:401 engages ScoreMode.TOP_SCORES ->
+    block-max WAND; TopDocsCollectorContext.java:213-217), here implemented as
+    a block-interval algorithm over the codec's skip/block-max metadata;
+  - boolean set algebra on sorted posting lists
+    (index/query/BoolQueryBuilder.java): AND = galloping/selective-block
+    intersect, OR = scored union, must_not = sorted diff, filter = unscored
+    intersect;
+  - analyze-then-combine for match queries
+    (index/search/MatchQuery.java:249-291);
+  - global collection stats (N, df, avgdl) = the dfs_query_then_fetch scope
+    (SURVEY.md §2.14) aggregated over all committed segments.
+
+The stats + term dictionary + decoded-posting cache live in a stateful
+searcher, deployed as an actor pool over a *dataset of queries*
+(`queries_ds.map_batches(SearcherStage, concurrency=N)`). On a multi-node
+cluster each actor would own a partition of segments with a DFS stats phase
+and a tiny per-qid top-k merge (SearchPhaseController.mergeTopDocs:221-243
+analog); in this single-node build every actor loads all segments and the
+merge is the identity.
+
+Query dicts (the DSL subset):
+  {"kind":"term","term":t}                        scored single-term lookup
+  {"kind":"match","text":s,"operator":"or"|"and"} analyzed OR/AND (BM25)
+  {"kind":"match_phrase","text":s}                positions-verified phrase
+  {"kind":"prefix","prefix":p}                    constant-score expansion
+  {"kind":"bool","must":[q],"should":[q],"must_not":[q],"filter":[q]}
+  {"kind":"match_all"}
+plus "k" (top-k, default 10) and optional "boost".
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from ..analyzer import get_analyzer
+from ..codec import varbyte_decode
+from ..index.manifest import committed_segments, live_segments
+from .similarity import BM25
+
+
+@dataclass
+class TermPostings:
+    """One term's decoded postings, global-doc-order (chunks concatenated)."""
+
+    term: str
+    df: int
+    doc_ids: np.ndarray
+    tfs: np.ndarray
+    # block metadata in the same global order
+    block_last_doc: np.ndarray
+    block_max_tf: np.ndarray
+    block_min_norm: np.ndarray
+    block_starts: np.ndarray  # index into doc_ids where each block begins
+    pos_rows: list  # [(row_dict, tfs_of_row)] for lazy position decode
+
+
+class _Segment:
+    def __init__(self, seg_dir: str):
+        self.dir = seg_dir
+        t = pads.dataset(os.path.join(seg_dir, "postings")).to_table()
+        self.table = t.combine_chunks()
+        self.terms = np.asarray(t["term"])
+        # term -> row indices (several rows when the term was range-salted)
+        order = np.argsort(self.terms, kind="stable")
+        sorted_terms = self.terms[order]
+        self._sorted_terms = sorted_terms
+        self._order = order
+
+    def rows_for(self, term: str) -> np.ndarray:
+        lo = np.searchsorted(self._sorted_terms, term, side="left")
+        hi = np.searchsorted(self._sorted_terms, term, side="right")
+        return self._order[lo:hi]
+
+    def prefix_rows(self, prefix: str) -> np.ndarray:
+        lo = np.searchsorted(self._sorted_terms, prefix, side="left")
+        hi = np.searchsorted(self._sorted_terms, prefix + "￿", side="left")
+        return self._order[lo:hi]
+
+    def row(self, i: int) -> dict:
+        return {c: self.table[c][i].as_py() for c in self.table.column_names}
+
+
+class IndexSearcher:
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        k1: float = 1.2,
+        b: float = 0.75,
+        score_mode: str = "lucene",
+        analyzer: str | None = None,
+        cache_terms: int = 256,
+    ):
+        manifests = live_segments(committed_segments(index_dir))
+        if not manifests:
+            raise ValueError(f"no committed segments under {index_dir}")
+        self.manifests = manifests
+        self.segments = [_Segment(os.path.join(index_dir, sid)) for sid in manifests]
+        first = next(iter(manifests.values()))
+        self.analyzer = get_analyzer(analyzer or first.analyzer)
+        self.n_docs = sum(m.doc_count for m in manifests.values())
+        self.sum_doc_len = sum(m.sum_doc_len for m in manifests.values())
+        self.avgdl = self.sum_doc_len / max(self.n_docs, 1)
+        self.bm25 = BM25(k1=k1, b=b, mode=score_mode)
+        self._norm_cache32 = self.bm25.norm_cache(self.avgdl)
+        self.max_doc = max(m.doc_id_max for m in manifests.values())
+        # dense per-doc arrays (doc_ids are globally dense by construction)
+        self.norm_bytes = np.zeros(self.max_doc + 1, dtype=np.uint8)
+        self.doc_lens = np.zeros(self.max_doc + 1, dtype=np.int32)
+        self._meta_tables = []
+        for sid in manifests:
+            mt = pads.dataset(os.path.join(index_dir, sid, "docmeta")).to_table()
+            ids = mt["doc_id"].to_numpy()
+            self.norm_bytes[ids] = mt["norm_byte"].to_numpy().astype(np.uint8)
+            self.doc_lens[ids] = mt["doc_len"].to_numpy().astype(np.int32)
+            self._meta_tables.append(mt)
+        self._docmeta: pa.Table | None = None
+        self._term_cache: dict[str, TermPostings | None] = {}
+        self._cache_cap = cache_terms
+
+    # ---------- term dictionary / postings ----------
+
+    def global_df(self, term: str) -> int:
+        tp = self._get_term(term)
+        return tp.df if tp else 0
+
+    def _get_term(self, term: str) -> TermPostings | None:
+        if term in self._term_cache:
+            return self._term_cache[term]
+        rows: list[dict] = []
+        for seg in self.segments:
+            for i in seg.rows_for(term):
+                rows.append(seg.row(int(i)))
+        tp = self._assemble(term, rows) if rows else None
+        if len(self._term_cache) >= self._cache_cap:
+            self._term_cache.pop(next(iter(self._term_cache)))
+        self._term_cache[term] = tp
+        return tp
+
+    @staticmethod
+    def _assemble(term: str, rows: list[dict]) -> TermPostings:
+        decoded = []
+        for r in rows:
+            deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
+            ids = np.cumsum(deltas) - 1
+            tfs = varbyte_decode(r["tf_bytes"], r["df"]).astype(np.int64)
+            decoded.append((ids, tfs, r))
+        decoded.sort(key=lambda x: int(x[0][0]))  # disjoint doc ranges -> order rows
+        ids = np.concatenate([d[0] for d in decoded])
+        tfs = np.concatenate([d[1] for d in decoded])
+        bl, bmt, bmn, bstarts = [], [], [], []
+        base = 0
+        for d_ids, _, r in decoded:
+            sld = np.asarray(r["skip_last_doc"], dtype=np.int64)
+            bl.append(sld)
+            bmt.append(np.asarray(r["skip_max_tf"], dtype=np.int64))
+            bmn.append(np.asarray(r["skip_min_norm"], dtype=np.int64))
+            nb = sld.size
+            starts = np.arange(nb, dtype=np.int64) * 128 + base
+            bstarts.append(starts)
+            base += d_ids.size
+        return TermPostings(
+            term=term,
+            df=int(ids.size),
+            doc_ids=ids,
+            tfs=tfs,
+            block_last_doc=np.concatenate(bl),
+            block_max_tf=np.concatenate(bmt),
+            block_min_norm=np.concatenate(bmn),
+            block_starts=np.concatenate(bstarts),
+            pos_rows=[(d[2], d[1]) for d in decoded],
+        )
+
+    # ---------- scoring primitives ----------
+
+    def _term_scores(self, tp: TermPostings, boost: float = 1.0) -> np.ndarray:
+        w = self.bm25.weight(tp.df, self.n_docs, boost)
+        if self.bm25.mode == "lucene":
+            return self.bm25.score_tf(
+                tp.tfs, self.norm_bytes[tp.doc_ids], None, self.avgdl, w, self._norm_cache32
+            )
+        return self.bm25.score_tf(tp.tfs, None, self.doc_lens[tp.doc_ids], self.avgdl, w)
+
+    def _accumulate(self, parts: list[tuple[np.ndarray, np.ndarray]]):
+        """union-accumulate [(doc_ids, scores)] -> (unique_docs, summed f64)."""
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = np.concatenate([p[0] for p in parts])
+        sc = np.concatenate([p[1].astype(np.float64) for p in parts])
+        uids, inv = np.unique(ids, return_inverse=True)
+        out = np.zeros(uids.size, np.float64)
+        np.add.at(out, inv, sc)
+        return uids, out
+
+    def _topk(self, doc_ids: np.ndarray, scores: np.ndarray, k: int):
+        """ES tie-break: score desc, then doc_id asc; float32 comparison in
+        lucene mode (final collected score is float)."""
+        s = scores.astype(np.float32) if self.bm25.mode == "lucene" else scores
+        if doc_ids.size > k:
+            thresh = np.partition(s, s.size - k)[s.size - k]  # kth largest
+            keep = np.flatnonzero(s >= thresh)  # >= keeps boundary ties
+            doc_ids, s = doc_ids[keep], s[keep]
+        order = np.lexsort((doc_ids, -s.astype(np.float64)))[:k]
+        return doc_ids[order], s[order]
+
+    # ---------- query kinds ----------
+
+    def search(self, query: dict) -> tuple[np.ndarray, np.ndarray]:
+        """-> (top doc_ids, scores) per the query's k."""
+        k = int(query.get("k", 10))
+        ids, sc = self._eval(query)
+        return self._topk(ids, sc, k)
+
+    def _eval(self, q: dict) -> tuple[np.ndarray, np.ndarray]:
+        kind = q["kind"]
+        boost = float(q.get("boost", 1.0))
+        if kind == "term":
+            tp = self._get_term(q["term"])
+            if tp is None:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            return tp.doc_ids, self._term_scores(tp, boost).astype(np.float64)
+        if kind == "match":
+            terms = self.analyzer(q["text"])
+            op = q.get("operator", "or")
+            if not terms:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            if op == "or":
+                return self._disjunction(terms, boost)
+            return self._conjunction(terms, boost)
+        if kind == "match_phrase":
+            return self._phrase(q["text"], boost)
+        if kind == "prefix":
+            return self._prefix(q["prefix"], boost)
+        if kind == "match_all":
+            ids = np.arange(self.n_docs, dtype=np.int64)
+            return ids, np.full(ids.size, boost, np.float64)
+        if kind == "bool":
+            return self._bool(q, boost)
+        raise ValueError(f"unknown query kind {kind!r}")
+
+    def _disjunction(self, terms: list[str], boost: float = 1.0):
+        parts = []
+        for t in dict.fromkeys(terms):  # unique, order-preserving
+            tp = self._get_term(t)
+            if tp is not None:
+                parts.append((tp.doc_ids, self._term_scores(tp, boost)))
+        return self._accumulate(parts)
+
+    def _conjunction(self, terms: list[str], boost: float = 1.0):
+        tps = []
+        for t in dict.fromkeys(terms):
+            tp = self._get_term(t)
+            if tp is None:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            tps.append(tp)
+        tps.sort(key=lambda tp: tp.df)
+        cand = tps[0].doc_ids
+        for tp in tps[1:]:
+            idx = np.searchsorted(tp.doc_ids, cand)
+            idx = np.minimum(idx, tp.doc_ids.size - 1)
+            cand = cand[tp.doc_ids[idx] == cand]
+            if cand.size == 0:
+                return cand, np.empty(0, np.float64)
+        total = np.zeros(cand.size, np.float64)
+        for tp in tps:
+            sc = self._term_scores(tp)
+            idx = np.searchsorted(tp.doc_ids, cand)
+            total += sc[idx].astype(np.float64) * 1.0
+        if boost != 1.0:
+            total *= boost
+        return cand, total
+
+    def _prefix(self, prefix: str, boost: float = 1.0):
+        """CONSTANT_SCORE rewrite [Lucene 8.5]: union of matching terms' docs,
+        score = boost for every match."""
+        ids_parts = []
+        for seg in self.segments:
+            for i in seg.prefix_rows(prefix):
+                r = seg.row(int(i))
+                deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
+                ids_parts.append(np.cumsum(deltas) - 1)
+        if not ids_parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = np.unique(np.concatenate(ids_parts))
+        return ids, np.full(ids.size, boost, np.float64)
+
+    def _phrase(self, text: str, boost: float = 1.0):
+        """PhraseQuery semantics [Lucene 8.5]: docs where terms appear at
+        consecutive positions; freq = number of phrase occurrences; weight
+        uses the SUM of the terms' idfs."""
+        terms_pos = self.analyzer.positions(text)
+        if not terms_pos:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        base0 = terms_pos[0][1]
+        rel = [(t, p - base0) for t, p in terms_pos]
+        tps = []
+        for t, _ in rel:
+            tp = self._get_term(t)
+            if tp is None:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            tps.append(tp)
+        # candidate docs: conjunction
+        cand = tps[0].doc_ids
+        for tp in tps[1:]:
+            idx = np.searchsorted(tp.doc_ids, cand)
+            idx = np.minimum(idx, tp.doc_ids.size - 1)
+            cand = cand[tp.doc_ids[idx] == cand]
+        if cand.size == 0:
+            return cand, np.empty(0, np.float64)
+        # verify positions
+        pos_maps = [self._positions_for(tp, cand) for tp in tps]
+        freqs = np.zeros(cand.size, np.int64)
+        for ci in range(cand.size):
+            inter = pos_maps[0][ci] - rel[0][1]
+            for (t, off), pm in zip(rel[1:], pos_maps[1:]):
+                inter = np.intersect1d(inter, pm[ci] - off, assume_unique=True)
+                if inter.size == 0:
+                    break
+            freqs[ci] = inter.size
+        keep = freqs > 0
+        cand, freqs = cand[keep], freqs[keep]
+        if cand.size == 0:
+            return cand, np.empty(0, np.float64)
+        if self.bm25.mode == "lucene":
+            idf_sum = np.float32(0.0)
+            for tp in tps:
+                idf_sum = np.float32(idf_sum + self.bm25.idf(tp.df, self.n_docs))
+            w = np.float32(boost) * idf_sum * np.float32(self.bm25.k1 + 1)
+            sc = self.bm25.score_tf(
+                freqs, self.norm_bytes[cand], None, self.avgdl, w, self._norm_cache32
+            )
+        else:
+            idf_sum = sum(self.bm25.idf(tp.df, self.n_docs) for tp in tps)
+            w = boost * idf_sum * (self.bm25.k1 + 1)
+            sc = self.bm25.score_tf(freqs, None, self.doc_lens[cand], self.avgdl, w)
+        return cand, sc.astype(np.float64)
+
+    def _positions_for(self, tp: TermPostings, cand: np.ndarray) -> list[np.ndarray]:
+        """positions arrays aligned with cand (empty when doc lacks term)."""
+        from ..codec import EncodedPostings, decode_positions
+
+        out = [np.empty(0, np.int64)] * cand.size
+        for r, row_tfs in tp.pos_rows:
+            enc = EncodedPostings(
+                df=r["df"], sum_tf=r["sum_tf"], doc_bytes=r["doc_bytes"],
+                tf_bytes=r["tf_bytes"], pos_bytes=r["pos_bytes"],
+                skip_last_doc=np.asarray(r["skip_last_doc"], np.int64),
+                skip_doc_off=np.asarray(r["skip_doc_off"], np.int32),
+                skip_tf_off=np.asarray(r["skip_tf_off"], np.int32),
+                skip_pos_off=np.asarray(r["skip_pos_off"], np.int32),
+                skip_max_tf=np.asarray(r["skip_max_tf"], np.int32),
+                skip_min_norm=np.asarray(r["skip_min_norm"], np.int32),
+            )
+            deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
+            row_ids = np.cumsum(deltas) - 1
+            plists = decode_positions(enc, row_tfs)
+            idx = np.searchsorted(row_ids, cand)
+            for ci in range(cand.size):
+                j = idx[ci]
+                if j < row_ids.size and row_ids[j] == cand[ci]:
+                    out[ci] = plists[j]
+        return out
+
+    def _bool(self, q: dict, boost: float = 1.0):
+        must = [self._eval(c) for c in q.get("must", [])]
+        should = [self._eval(c) for c in q.get("should", [])]
+        filt = [self._eval(c) for c in q.get("filter", [])]
+        must_not = [self._eval(c) for c in q.get("must_not", [])]
+        if must or filt:
+            cand = None
+            for ids, _ in must + filt:
+                cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
+        else:
+            u_ids, _ = self._accumulate(should)
+            cand = u_ids
+        for ids, _ in must_not:
+            cand = np.setdiff1d(cand, ids, assume_unique=True)
+        if cand is None or cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        total = np.zeros(cand.size, np.float64)
+        for ids, sc in must + should:  # filter clauses don't score
+            idx = np.searchsorted(ids, cand)
+            if ids.size:
+                idx = np.minimum(idx, ids.size - 1)
+                hit = ids[idx] == cand
+                total[hit] += sc[idx[hit]]
+        if boost != 1.0:
+            total *= boost
+        return cand, total
+
+    # ---------- fetch phase ----------
+
+    def fetch(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:
+        """FetchPhase analog: load stored fields for the (tiny) top-k set from
+        the docmeta tables (search/fetch/FetchPhase.java)."""
+        if self._docmeta is None:
+            cols = set(self._meta_tables[0].column_names)
+            self._docmeta = pa.concat_tables(self._meta_tables)
+            order = np.argsort(self._docmeta["doc_id"].to_numpy())
+            self._docmeta = self._docmeta.take(pa.array(order))
+        all_ids = self._docmeta["doc_id"].to_numpy()
+        idx = np.searchsorted(all_ids, doc_ids)
+        return self._docmeta.select(columns).take(pa.array(idx))

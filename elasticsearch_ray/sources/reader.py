@@ -1,0 +1,92 @@
+"""Corpus reader with deterministic doc_id assignment (SURVEY.md §7 step 3).
+
+The reference collapses (per-segment Lucene docid, `_id` term) into doc ids;
+we need one dense, *deterministic* global `doc_id:int64` independent of task
+scheduling order so that index builds are reproducible and resumable
+(reference analog: sequence numbers, index/seqno/LocalCheckpointTracker.java).
+
+Scheme: enumerate the input Parquet files in sorted path order, read only the
+footers (cheap metadata), and plan one **fragment per row group**. A fragment
+knows its global row offset, so `doc_id = fragment.offset + row_index` — exact
+regardless of which worker reads which fragment or in which order. Fragments
+are also the unit of build partitioning and checkpoint/resume.
+
+At 100 TB this planning step reads only footers (KBs per file) on the driver;
+fragments (≈ row groups, 64-512 MB each) are the natural distribution unit.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import asdict, dataclass
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+
+@dataclass(frozen=True)
+class Fragment:
+    path: str
+    row_group: int
+    offset: int  # global doc_id of this fragment's first row
+    num_rows: int
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+def list_parquet_files(path_or_dir: str | list[str]) -> list[str]:
+    if isinstance(path_or_dir, list):
+        return sorted(path_or_dir)
+    if os.path.isdir(path_or_dir):
+        return sorted(
+            os.path.join(path_or_dir, f)
+            for f in os.listdir(path_or_dir)
+            if f.endswith(".parquet")
+        )
+    return [path_or_dir]
+
+
+def plan_fragments(path_or_dir: str | list[str]) -> list[Fragment]:
+    """Footer-only scan -> row-group fragments with global doc_id offsets."""
+    frags: list[Fragment] = []
+    offset = 0
+    for p in list_parquet_files(path_or_dir):
+        md = pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            frags.append(Fragment(p, rg, offset, n))
+            offset += n
+    return frags
+
+
+def read_fragment(frag: Fragment | dict, columns: list[str] | None = None):
+    """Read one row-group fragment -> pyarrow Table with a doc_id column."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(frag, dict):
+        frag = Fragment(**{k: frag[k] for k in ("path", "row_group", "offset", "num_rows")})
+    t = pq.ParquetFile(frag.path).read_row_group(frag.row_group, columns=columns)
+    doc_ids = pa.array(np.arange(frag.offset, frag.offset + len(t), dtype=np.int64))
+    return t.append_column("doc_id", doc_ids)
+
+
+def read_corpus(path_or_dir: str | list[str], columns: list[str] | None = None):
+    """Dataset over the corpus with deterministic doc_id, one read task per
+    row-group fragment (column-pruned at the read)."""
+    import ray.data as rd
+
+    frags = plan_fragments(path_or_dir)
+
+    def _read(batch) -> "pads.Iterator":
+        for i in range(len(batch["path"])):
+            yield read_fragment(
+                {k: batch[k][i] for k in ("path", "row_group", "offset", "num_rows")},
+                columns=columns,
+            )
+
+    # one block per fragment -> one read task per fragment (map_batches
+    # parallelism follows blocks, not batch_size)
+    items = rd.from_items([f.to_dict() for f in frags], override_num_blocks=len(frags))
+    return items.map_batches(_read, batch_format="numpy", batch_size=1)

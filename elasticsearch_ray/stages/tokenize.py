@@ -1,0 +1,187 @@
+"""Tokenize/explode stage: corpus fragments -> (term, doc_id, tf, positions)
+triples + side-written docmeta (SURVEY.md §7 step 2).
+
+Mirrors what the reference does between DocumentParser and Lucene's in-memory
+segment build (index/mapper/DocumentParser.java:60, engaged at
+index/engine/InternalEngine.java:1167): analyze each document's content field,
+aggregate term frequencies + positions per (term, doc).
+
+Runs as an actor-pool `map_batches` stage over the fragment-descriptor
+dataset: the analyzer (compiled regexes, stop set) and the broadcast hot-term
+set are bound once per actor in __init__, each __call__ processes one fragment
+(batch_size=1 over fragment rows).
+
+Docmeta (doc_id, repo, path, commit, lang, sha256, doc_len, norm_byte) is
+side-written to `<seg_tmp>/docmeta/frag-<offset>.parquet` from inside the
+task. This is safe under Ray task retries because fragment content is
+deterministic and the filename is keyed by the fragment's global offset —
+a retry overwrites the same file with identical bytes (idempotent).
+
+Routing/skew (explicit, per the north rule): each triple gets a shuffle
+`bucket = crc32(key) % num_buckets` where key = term for cold terms and
+(term, chunk) for hot terms, chunk = doc_id // chunk_range. Hot terms are
+thereby *range-salted* across buckets; each (term, chunk) sub-posting-list is
+encoded independently and simply concatenated at read time (doc ranges are
+disjoint and ordered), so no second merge shuffle is needed. This is the
+analog of the reference's murmur3 routing + routing_partition_size skew valve
+(cluster/routing/OperationRouting.java:283-305).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analyzer import get_analyzer
+from ..smallfloat import int_to_byte4
+from ..sources.reader import read_fragment
+
+TRIPLES_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("term", pa.string()),
+        ("chunk", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("tf", pa.int32()),
+        ("norm_len", pa.int32()),  # decoded (quantized) doc length, for block-min-norm
+        ("positions", pa.list_(pa.int32())),
+    ]
+)
+
+
+def term_bucket(term: str, chunk: int, num_buckets: int) -> int:
+    key = term if chunk == 0 else f"{term}\x01{chunk}"
+    return zlib.crc32(key.encode()) % num_buckets
+
+
+class TokenizeFragments:
+    """Actor-pool stage: fragment descriptors in, posting triples out."""
+
+    def __init__(
+        self,
+        analyzer: str,
+        docmeta_dir: str | None,
+        hot_terms: frozenset[str],
+        num_buckets: int,
+        chunk_range: int,
+        index_positions: bool = True,
+        content_column: str = "content",
+        meta_columns: tuple[str, ...] = ("repo", "path", "commit", "lang"),
+    ):
+        self.analyzer = get_analyzer(analyzer)
+        self.docmeta_dir = docmeta_dir
+        self.hot_terms = hot_terms
+        self.num_buckets = num_buckets
+        self.chunk_range = chunk_range
+        self.index_positions = index_positions
+        self.content_column = content_column
+        self.meta_columns = meta_columns
+        from ..smallfloat import byte4_to_int
+
+        self._decode_norm = lambda n: int(byte4_to_int(int_to_byte4(np.array([n])))[0])
+
+    def __call__(self, batch: dict):
+        for i in range(len(batch["path"])):
+            frag = {k: batch[k][i] for k in ("path", "row_group", "offset", "num_rows")}
+            cols = [c for c in self.meta_columns if c != "doc_id"] + [self.content_column]
+            t = read_fragment(frag, columns=cols)
+            yield self._process(t, frag)
+
+    def _process(self, t: pa.Table, frag: dict) -> pa.Table:
+        an = self.analyzer
+        contents = t[self.content_column].to_pylist()
+        doc_ids = t["doc_id"].to_numpy()
+        out_bucket: list[int] = []
+        out_term: list[str] = []
+        out_chunk: list[int] = []
+        out_doc: list[int] = []
+        out_tf: list[int] = []
+        out_norm: list[int] = []
+        out_pos: list[list[int]] = []
+        doc_lens = np.zeros(len(contents), dtype=np.int64)
+        shas: list[str] = []
+
+        nb, cr, hot = self.num_buckets, self.chunk_range, self.hot_terms
+        for di, text in enumerate(contents):
+            doc_id = int(doc_ids[di])
+            toks = an.positions(text)
+            doc_lens[di] = len(toks)
+            shas.append(hashlib.sha256(text.encode()).hexdigest())
+            per_term: dict[str, list[int]] = {}
+            for term, pos in toks:
+                per_term.setdefault(term, []).append(pos)
+            norm_len = self._decode_norm(len(toks))
+            for term, positions in per_term.items():
+                chunk = (doc_id // cr) if term in hot else 0
+                out_bucket.append(term_bucket(term, chunk, nb))
+                out_term.append(term)
+                out_chunk.append(chunk)
+                out_doc.append(doc_id)
+                out_tf.append(len(positions))
+                out_norm.append(norm_len)
+                out_pos.append(positions if self.index_positions else [])
+
+        if self.docmeta_dir is not None:
+            meta = pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    **{c: t[c] for c in self.meta_columns},
+                    "sha256": pa.array(shas, pa.string()),
+                    "doc_len": pa.array(doc_lens, pa.int64()),
+                    "norm_byte": pa.array(int_to_byte4(doc_lens).astype(np.int32), pa.int32()),
+                }
+            )
+            os.makedirs(self.docmeta_dir, exist_ok=True)
+            path = os.path.join(self.docmeta_dir, f"frag-{int(frag['offset']):012d}.parquet")
+            pq.write_table(meta, path + ".tmp")
+            os.replace(path + ".tmp", path)  # idempotent atomic per-fragment write
+
+        return pa.table(
+            {
+                "bucket": pa.array(out_bucket, pa.int32()),
+                "term": pa.array(out_term, pa.string()),
+                "chunk": pa.array(out_chunk, pa.int32()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "tf": pa.array(out_tf, pa.int32()),
+                "norm_len": pa.array(out_norm, pa.int32()),
+                "positions": pa.array(out_pos, pa.list_(pa.int32())),
+            }
+        )
+
+
+def sample_hot_terms(
+    paths_or_dir,
+    analyzer: str = "code",
+    sample_docs: int = 512,
+    hot_df_ratio: float = 0.10,
+    content_column: str = "content",
+) -> frozenset[str]:
+    """Deterministic hot-term estimate: analyze an evenly-strided sample of
+    fragments and flag terms whose sampled df ratio exceeds hot_df_ratio
+    (the Zipf head that needs salting — SURVEY.md §7 step 7)."""
+    from ..sources.reader import plan_fragments
+
+    frags = plan_fragments(paths_or_dir)
+    if not frags:
+        return frozenset()
+    stride = max(1, len(frags) // 8)
+    an = get_analyzer(analyzer)
+    df: dict[str, int] = {}
+    seen = 0
+    for f in frags[::stride]:
+        t = pq.ParquetFile(f.path).read_row_group(f.row_group, columns=[content_column])
+        for text in t[content_column].to_pylist()[: max(1, sample_docs // 8)]:
+            seen += 1
+            for term in set(an(text)):
+                df[term] = df.get(term, 0) + 1
+            if seen >= sample_docs:
+                break
+        if seen >= sample_docs:
+            break
+    cut = max(1.0, hot_df_ratio * seen)
+    return frozenset(t for t, c in df.items() if c >= cut)

@@ -1,0 +1,166 @@
+"""Independent brute-force BM25 oracle (FIXTURES.md §3 rank-parity oracle).
+
+Deliberately implemented with plain dicts/loops — no shared code with the
+engine's codec or searcher — so agreement is meaningful. Reproduces the same
+Lucene arithmetic contract: SmallFloat-quantized norms, float32 weight/score
+steps, global stats scope, ties broken by doc_id.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from elasticsearch_ray.analyzer import get_analyzer
+from elasticsearch_ray.smallfloat import byte4_to_int, int_to_byte4
+
+
+class BruteForceBM25:
+    def __init__(self, docs, analyzer="code", k1=1.2, b=0.75, mode="lucene"):
+        """docs: iterable of (doc_id, text)."""
+        self.an = get_analyzer(analyzer)
+        self.k1, self.b, self.mode = k1, b, mode
+        self.tf: dict[str, dict[int, int]] = {}
+        self.pos: dict[str, dict[int, list[int]]] = {}
+        self.doc_len: dict[int, int] = {}
+        for doc_id, text in docs:
+            toks = self.an.positions(text)
+            self.doc_len[doc_id] = len(toks)
+            c = Counter(t for t, _ in toks)
+            for t, n in c.items():
+                self.tf.setdefault(t, {})[doc_id] = n
+            for t, p in toks:
+                self.pos.setdefault(t, {}).setdefault(doc_id, []).append(p)
+        self.n_docs = len(self.doc_len)
+        self.sum_len = sum(self.doc_len.values())
+        self.avgdl = self.sum_len / max(1, self.n_docs)
+        self.norm_b = {d: int(int_to_byte4(np.array([n]))[0]) for d, n in self.doc_len.items()}
+        self.decoded = {d: int(byte4_to_int(np.array([v], np.uint8))[0]) for d, v in self.norm_b.items()}
+
+    def _idf(self, df):
+        v = np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+        return np.float32(v) if self.mode == "lucene" else float(v)
+
+    def _score_one(self, freq, doc_id, weight):
+        if self.mode == "lucene":
+            dl = self.decoded[doc_id]
+            norm = np.float32(self.k1 * ((1.0 - self.b) + self.b * dl / self.avgdl))
+            frac = np.float32(float(freq) / (float(freq) + float(norm)))
+            return float(np.float32(weight) * frac)
+        dl = self.doc_len[doc_id]
+        denom = freq + self.k1 * ((1.0 - self.b) + self.b * dl / self.avgdl)
+        return weight * freq / denom
+
+    def _weight(self, df, boost=1.0):
+        if self.mode == "lucene":
+            return float(np.float32(boost) * self._idf(df) * np.float32(self.k1 + 1))
+        return boost * self._idf(df) * (self.k1 + 1)
+
+    # ---- query kinds: return dict doc_id -> float64 score ----
+
+    def _eval(self, q) -> dict[int, float]:
+        kind = q["kind"]
+        boost = float(q.get("boost", 1.0))
+        if kind == "term":
+            return self._term_scores(q["term"], boost)
+        if kind == "match":
+            terms = self.an(q["text"])
+            if not terms:
+                return {}
+            per = [self._term_scores(t, boost) for t in dict.fromkeys(terms)]
+            if q.get("operator", "or") == "or":
+                out: dict[int, float] = {}
+                for m in per:
+                    for d, s in m.items():
+                        out[d] = out.get(d, 0.0) + s
+                return out
+            docs = set(per[0])
+            for m in per[1:]:
+                docs &= set(m)
+            return {d: sum(m[d] for m in per) for d in docs}
+        if kind == "match_phrase":
+            return self._phrase(q["text"], boost)
+        if kind == "prefix":
+            out = {}
+            for t, posting in self.tf.items():
+                if t.startswith(q["prefix"]):
+                    for d in posting:
+                        out[d] = boost
+            return out
+        if kind == "match_all":
+            return {d: boost for d in self.doc_len}
+        if kind == "bool":
+            return self._bool(q, boost)
+        raise ValueError(kind)
+
+    def _term_scores(self, term, boost=1.0):
+        posting = self.tf.get(term, {})
+        if not posting:
+            return {}
+        w = self._weight(len(posting), boost)
+        return {d: self._score_one(f, d, w) for d, f in posting.items()}
+
+    def _phrase(self, text, boost=1.0):
+        tp = self.an.positions(text)
+        if not tp:
+            return {}
+        base = tp[0][1]
+        rel = [(t, p - base) for t, p in tp]
+        docs = None
+        for t, _ in rel:
+            ds = set(self.tf.get(t, {}))
+            docs = ds if docs is None else docs & ds
+        out = {}
+        idf_sum = np.float32(0.0) if self.mode == "lucene" else 0.0
+        for t, _ in rel:
+            df = len(self.tf[t]) if t in self.tf else 0
+            idf_sum = np.float32(idf_sum + self._idf(df)) if self.mode == "lucene" else idf_sum + self._idf(df)
+        if self.mode == "lucene":
+            w = float(np.float32(boost) * idf_sum * np.float32(self.k1 + 1))
+        else:
+            w = boost * idf_sum * (self.k1 + 1)
+        for d in docs or ():
+            first = set(self.pos[rel[0][0]][d])
+            cand = {p - rel[0][1] for p in first}
+            for t, off in rel[1:]:
+                cand &= {p - off for p in self.pos[t][d]}
+            freq = len(cand)
+            if freq:
+                out[d] = self._score_one(freq, d, w)
+        return out
+
+    def _bool(self, q, boost=1.0):
+        must = [self._eval(c) for c in q.get("must", [])]
+        should = [self._eval(c) for c in q.get("should", [])]
+        filt = [self._eval(c) for c in q.get("filter", [])]
+        must_not = [self._eval(c) for c in q.get("must_not", [])]
+        if must or filt:
+            docs = None
+            for m in must + filt:
+                docs = set(m) if docs is None else docs & set(m)
+        else:
+            docs = set()
+            for m in should:
+                docs |= set(m)
+        for m in must_not:
+            docs -= set(m)
+        out = {}
+        for d in docs:
+            s = 0.0
+            for m in must + should:
+                if d in m:
+                    s += m[d]
+            out[d] = s * boost
+        return out
+
+    def search(self, q) -> tuple[list[int], list[float]]:
+        k = int(q.get("k", 10))
+        scores = self._eval(q)
+        if self.mode == "lucene":
+            items = [(d, float(np.float32(s))) for d, s in scores.items()]
+        else:
+            items = list(scores.items())
+        items.sort(key=lambda x: (-x[1], x[0]))
+        top = items[:k]
+        return [d for d, _ in top], [s for _, s in top]

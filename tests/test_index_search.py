@@ -1,0 +1,138 @@
+"""End-to-end: build index on the synthetic corpus, verify rank parity vs the
+independent brute-force oracle (SURVEY.md §5d), sha256 invariant (§5e), and
+checkpoint/resume (§5f)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from elasticsearch_ray.index.build import build_index
+from elasticsearch_ray.index.manifest import committed_segments, live_segments
+from elasticsearch_ray.search.engine import IndexSearcher
+from elasticsearch_ray.sources.corpus import write_corpus
+from elasticsearch_ray.sources.queries import reference_queries
+from tests.oracle_bm25 import BruteForceBM25
+
+N_DOCS = 1200
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(d, N_DOCS, rows_per_file=1000, row_group_size=200, use_ray=True)
+    return d
+
+
+@pytest.fixture(scope="module")
+def index_dir(corpus_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    build_index(corpus_dir, d, docs_per_partition=500, num_buckets=8, salt_chunks=4)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_dir):
+    t = pads.dataset(corpus_dir).to_table(columns=["content"])
+    docs = [(i, c) for i, c in enumerate(t["content"].to_pylist())]
+    return BruteForceBM25(docs, analyzer="code")
+
+
+@pytest.fixture(scope="module")
+def searcher(index_dir):
+    return IndexSearcher(index_dir)
+
+
+def test_stats_match_oracle(searcher, oracle):
+    assert searcher.n_docs == oracle.n_docs == N_DOCS
+    assert searcher.sum_doc_len == oracle.sum_len
+    assert abs(searcher.avgdl - oracle.avgdl) < 1e-9
+
+
+def test_global_df_matches(searcher, oracle):
+    for term in ["def", "return", "scan", "query"]:
+        assert searcher.global_df(term) == len(oracle.tf.get(term, {})), term
+
+
+def test_rank_parity_reference_query_set(searcher, oracle):
+    """Engine top-k docIDs and scores rank-identical to the brute-force
+    oracle on every reference query."""
+    for q in reference_queries():
+        ids, scores = searcher.search(q)
+        o_ids, o_scores = oracle.search(q)
+        assert list(ids) == o_ids, f"doc order mismatch for {q}"
+        np.testing.assert_allclose(scores, o_scores, rtol=1e-6, atol=1e-7,
+                                   err_msg=str(q))
+
+
+def test_sha256_invariant(index_dir, corpus_dir):
+    """Per-row content sha256 equality between index docmeta and source
+    (BASELINE.json input_hint invariant)."""
+    src = pads.dataset(corpus_dir).to_table(columns=["content"])
+    want = [hashlib.sha256(c.encode()).hexdigest() for c in src["content"].to_pylist()]
+    metas = []
+    for sid in committed_segments(index_dir):
+        metas.append(pads.dataset(os.path.join(index_dir, sid, "docmeta")).to_table())
+    import pyarrow as pa
+
+    meta = pa.concat_tables(metas)
+    order = np.argsort(meta["doc_id"].to_numpy())
+    got = np.asarray(meta["sha256"])[order]
+    assert list(got) == want
+
+
+def test_resume_after_partial_build(corpus_dir, index_dir, tmp_path):
+    """Kill mid-build (after 1st partition), resume, final index equivalent."""
+    d2 = str(tmp_path / "idx2")
+
+    class Boom(RuntimeError):
+        pass
+
+    import elasticsearch_ray.index.build as B
+
+    orig = B.commit_segment
+    calls = {"n": 0}
+
+    def bomb(out_dir, seg_id, manifest):
+        calls["n"] += 1
+        res = orig(out_dir, seg_id, manifest)
+        if calls["n"] == 1:
+            raise Boom()
+        return res
+
+    B.commit_segment = bomb
+    try:
+        with pytest.raises(Boom):
+            build_index(corpus_dir, d2, docs_per_partition=500, num_buckets=8, salt_chunks=4)
+    finally:
+        B.commit_segment = orig
+    assert len(committed_segments(d2)) == 1
+    # resume
+    build_index(corpus_dir, d2, docs_per_partition=500, num_buckets=8, salt_chunks=4)
+    a, b = committed_segments(index_dir), committed_segments(d2)
+    assert list(a) == list(b)
+    for sid in a:
+        assert a[sid].doc_count == b[sid].doc_count
+        assert a[sid].sum_doc_len == b[sid].sum_doc_len
+        assert a[sid].term_count == b[sid].term_count
+        # postings logically identical
+        pa_t = pads.dataset(os.path.join(index_dir, sid, "postings")).to_table()
+        pb_t = pads.dataset(os.path.join(d2, sid, "postings")).to_table()
+        ka = sorted(zip(pa_t["term"].to_pylist(), pa_t["chunk"].to_pylist(),
+                        pa_t["doc_bytes"].to_pylist(), pa_t["tf_bytes"].to_pylist()))
+        kb = sorted(zip(pb_t["term"].to_pylist(), pb_t["chunk"].to_pylist(),
+                        pb_t["doc_bytes"].to_pylist(), pb_t["tf_bytes"].to_pylist()))
+        assert ka == kb
+
+
+def test_merge_lineage_live_segments(index_dir):
+    segs = committed_segments(index_dir)
+    live = live_segments(segs)
+    assert list(live) == list(segs)  # nothing merged yet
+    for sid, m in segs.items():
+        assert m.fragments, "lineage must record input fragments"
+        assert m.doc_count > 0 and m.term_count > 0
