@@ -48,20 +48,107 @@ from ..index.manifest import committed_segments, live_segments
 from .similarity import BM25
 
 
-@dataclass
 class TermPostings:
-    """One term's decoded postings, global-doc-order (chunks concatenated)."""
+    """One term's postings across segments/chunks, with LAZY block decode.
 
-    term: str
-    df: int
-    doc_ids: np.ndarray
-    tfs: np.ndarray
-    # block metadata in the same global order
-    block_last_doc: np.ndarray
-    block_max_tf: np.ndarray
-    block_min_norm: np.ndarray
-    block_starts: np.ndarray  # index into doc_ids where each block begins
-    pos_rows: list  # [(row_dict, tfs_of_row)] for lazy position decode
+    Rows (one per (segment, salt-chunk)) cover disjoint, ordered doc_id
+    ranges, so their block sequences concatenate into one global block view:
+    `block_last_doc` / `block_max_tf` / `block_min_norm` index it directly —
+    the block-max WAND scorer walks these without decoding, and decodes
+    single 128-doc blocks on demand via the skip offsets."""
+
+    __slots__ = (
+        "term", "df", "rows", "block_last_doc", "block_max_tf", "block_min_norm",
+        "_row_of_block", "_block_in_row", "_full", "_block_cache",
+    )
+
+    def __init__(self, term: str, rows: list[dict]):
+        # rows: raw postings rows (dicts), any order; sort by first doc id
+        def first_doc(r):
+            buf = np.frombuffer(r["doc_bytes"], np.uint8)
+            # decode just the first varint (first delta = doc0 + 1)
+            v, shift, i = 0, 0, 0
+            while True:
+                b = int(buf[i])
+                v |= (b & 0x7F) << shift
+                if b < 128:
+                    break
+                shift += 7
+                i += 1
+            return v - 1
+
+        rows = sorted(rows, key=first_doc)
+        self.term = term
+        self.rows = rows
+        self.df = int(sum(r["df"] for r in rows))
+        bl, bmt, bmn, rob, bir = [], [], [], [], []
+        for ri, r in enumerate(rows):
+            sld = np.asarray(r["skip_last_doc"], dtype=np.int64)
+            bl.append(sld)
+            bmt.append(np.asarray(r["skip_max_tf"], dtype=np.int64))
+            bmn.append(np.asarray(r["skip_min_norm"], dtype=np.int64))
+            rob.append(np.full(sld.size, ri, dtype=np.int32))
+            bir.append(np.arange(sld.size, dtype=np.int32))
+        self.block_last_doc = np.concatenate(bl)
+        self.block_max_tf = np.concatenate(bmt)
+        self.block_min_norm = np.concatenate(bmn)
+        self._row_of_block = np.concatenate(rob)
+        self._block_in_row = np.concatenate(bir)
+        self._full: tuple[np.ndarray, np.ndarray] | None = None
+        self._block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    @property
+    def n_blocks(self) -> int:
+        return self.block_last_doc.size
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._full is None:
+            ids_l, tfs_l = [], []
+            for r in self.rows:
+                deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
+                ids_l.append(np.cumsum(deltas) - 1)
+                tfs_l.append(varbyte_decode(r["tf_bytes"], r["df"]).astype(np.int64))
+            self._full = (np.concatenate(ids_l), np.concatenate(tfs_l))
+        return self._full
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        return self.decode_all()[0]
+
+    @property
+    def tfs(self) -> np.ndarray:
+        return self.decode_all()[1]
+
+    def decode_block(self, g: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode global block g only (skip-pointer random access)."""
+        hit = self._block_cache.get(g)
+        if hit is not None:
+            return hit
+        r = self.rows[int(self._row_of_block[g])]
+        bi = int(self._block_in_row[g])
+        sdo = r["skip_doc_off"]
+        sto = r["skip_tf_off"]
+        nb = len(sdo)
+        dbuf = np.frombuffer(r["doc_bytes"], np.uint8)
+        tbuf = np.frombuffer(r["tf_bytes"], np.uint8)
+        d0, d1 = sdo[bi], (sdo[bi + 1] if bi + 1 < nb else dbuf.size)
+        t0, t1 = sto[bi], (sto[bi + 1] if bi + 1 < nb else tbuf.size)
+        deltas = varbyte_decode(dbuf[d0:d1]).astype(np.int64)
+        base = int(r["skip_last_doc"][bi - 1]) if bi else -1
+        ids = np.cumsum(deltas) + base
+        tfs = varbyte_decode(tbuf[t0:t1]).astype(np.int64)
+        if len(self._block_cache) > 64:
+            self._block_cache.clear()
+        self._block_cache[g] = (ids, tfs)
+        return ids, tfs
+
+    @property
+    def pos_rows(self) -> list:
+        out = []
+        for r in self.rows:
+            tfs = varbyte_decode(r["tf_bytes"], r["df"]).astype(np.int64)
+            out.append((r, tfs))
+        return out
 
 
 class _Segment:
@@ -141,45 +228,11 @@ class IndexSearcher:
         for seg in self.segments:
             for i in seg.rows_for(term):
                 rows.append(seg.row(int(i)))
-        tp = self._assemble(term, rows) if rows else None
+        tp = TermPostings(term, rows) if rows else None
         if len(self._term_cache) >= self._cache_cap:
             self._term_cache.pop(next(iter(self._term_cache)))
         self._term_cache[term] = tp
         return tp
-
-    @staticmethod
-    def _assemble(term: str, rows: list[dict]) -> TermPostings:
-        decoded = []
-        for r in rows:
-            deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
-            ids = np.cumsum(deltas) - 1
-            tfs = varbyte_decode(r["tf_bytes"], r["df"]).astype(np.int64)
-            decoded.append((ids, tfs, r))
-        decoded.sort(key=lambda x: int(x[0][0]))  # disjoint doc ranges -> order rows
-        ids = np.concatenate([d[0] for d in decoded])
-        tfs = np.concatenate([d[1] for d in decoded])
-        bl, bmt, bmn, bstarts = [], [], [], []
-        base = 0
-        for d_ids, _, r in decoded:
-            sld = np.asarray(r["skip_last_doc"], dtype=np.int64)
-            bl.append(sld)
-            bmt.append(np.asarray(r["skip_max_tf"], dtype=np.int64))
-            bmn.append(np.asarray(r["skip_min_norm"], dtype=np.int64))
-            nb = sld.size
-            starts = np.arange(nb, dtype=np.int64) * 128 + base
-            bstarts.append(starts)
-            base += d_ids.size
-        return TermPostings(
-            term=term,
-            df=int(ids.size),
-            doc_ids=ids,
-            tfs=tfs,
-            block_last_doc=np.concatenate(bl),
-            block_max_tf=np.concatenate(bmt),
-            block_min_norm=np.concatenate(bmn),
-            block_starts=np.concatenate(bstarts),
-            pos_rows=[(d[2], d[1]) for d in decoded],
-        )
 
     # ---------- scoring primitives ----------
 
@@ -215,9 +268,28 @@ class IndexSearcher:
 
     # ---------- query kinds ----------
 
-    def search(self, query: dict) -> tuple[np.ndarray, np.ndarray]:
-        """-> (top doc_ids, scores) per the query's k."""
+    def search(self, query: dict, use_wand: bool = True) -> tuple[np.ndarray, np.ndarray]:
+        """-> (top doc_ids, scores) per the query's k.
+
+        Scored top-level disjunctions (term / match-or) take the block-max
+        WAND path (skips non-competitive 128-doc blocks without decoding);
+        everything else evaluates exhaustively. Both paths share the same
+        scoring arithmetic and are rank-identical."""
         k = int(query.get("k", 10))
+        if use_wand:
+            kind = query["kind"]
+            boost = float(query.get("boost", 1.0))
+            if kind == "term":
+                from .wand import block_max_topk
+
+                return block_max_topk(self, [query["term"]], k, boost)
+            if kind == "match" and query.get("operator", "or") == "or":
+                terms = self.analyzer(query["text"])
+                if not terms:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                from .wand import block_max_topk
+
+                return block_max_topk(self, terms, k, boost)
         ids, sc = self._eval(query)
         return self._topk(ids, sc, k)
 

@@ -136,3 +136,21 @@ def test_merge_lineage_live_segments(index_dir):
     for sid, m in segs.items():
         assert m.fragments, "lineage must record input fragments"
         assert m.doc_count > 0 and m.term_count > 0
+
+
+def test_wand_equals_exhaustive(searcher):
+    """Block-max WAND path must be rank-identical to the exhaustive scorer
+    on every scored disjunction in the reference set + stress cases."""
+    queries = [q for q in reference_queries()
+               if q["kind"] == "term"
+               or (q["kind"] == "match" and q.get("operator", "or") == "or")]
+    queries += [
+        {"kind": "term", "term": "def", "k": 5},          # hottest term
+        {"kind": "match", "text": "def return query scan index", "k": 7},
+        {"kind": "term", "term": "def", "k": 1},
+    ]
+    for q in queries:
+        w_ids, w_sc = searcher.search(q, use_wand=True)
+        e_ids, e_sc = searcher.search(q, use_wand=False)
+        assert list(w_ids) == list(e_ids), f"WAND order mismatch: {q}"
+        np.testing.assert_array_equal(w_sc, e_sc, err_msg=str(q))

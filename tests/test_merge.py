@@ -1,0 +1,81 @@
+"""Merge correctness (SURVEY.md §5c): search results over merged segments are
+identical to results over the originals; force_merge + gc leave one live
+segment; merged manifests carry lineage."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+
+from elasticsearch_ray.index.build import build_index
+from elasticsearch_ray.index.manifest import committed_segments, live_segments
+from elasticsearch_ray.index.merge import force_merge, gc_merged, merge_segments
+from elasticsearch_ray.search.engine import IndexSearcher
+from elasticsearch_ray.sources.corpus import write_corpus
+from elasticsearch_ray.sources.queries import reference_queries
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    c = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(c, 1000, rows_per_file=1000, row_group_size=100, use_ray=True)
+    i = str(tmp_path_factory.mktemp("index"))
+    build_index(c, i, docs_per_partition=250, num_buckets=8, salt_chunks=4)
+    return c, i
+
+
+def _all_results(index_dir):
+    s = IndexSearcher(index_dir)
+    out = {}
+    for q in reference_queries():
+        ids, sc = s.search(q)
+        out[q["qid"]] = (list(ids), [float(x) for x in sc])
+    return out, s
+
+
+def test_merge_preserves_results(dirs, tmp_path):
+    _, index_dir = dirs
+    before, s0 = _all_results(index_dir)
+    n_before = len(live_segments(committed_segments(index_dir)))
+    assert n_before == 4
+
+    d2 = str(tmp_path / "copy")
+    shutil.copytree(index_dir, d2)
+    new_id = merge_segments(d2, max_merge_at_once=2)
+    assert new_id is not None
+    live = live_segments(committed_segments(d2))
+    assert n_before - 1 == len(live)
+    assert new_id in live
+
+    after, s1 = _all_results(d2)
+    assert before == after
+    assert s0.n_docs == s1.n_docs and s0.sum_doc_len == s1.sum_doc_len
+
+    # merge everything down to one segment, gc the leftovers
+    force_merge(d2, max_num_segments=1)
+    live = live_segments(committed_segments(d2))
+    assert len(live) == 1
+    m = next(iter(live.values()))
+    assert m.merged_from, "merged manifest must record lineage"
+    assert len(m.fragments) == 10  # full input lineage union
+    removed = gc_merged(d2)
+    assert removed
+    final, _ = _all_results(d2)
+    assert before == final
+
+
+def test_searcher_stage_dataset(dirs):
+    """Actor-pool query serving over a queries dataset."""
+    from elasticsearch_ray.search.stage import search_dataset
+
+    _, index_dir = dirs
+    qs = reference_queries()[:8]
+    res = search_dataset(index_dir, qs, concurrency=2).to_pandas()
+    s = IndexSearcher(index_dir)
+    for q in qs:
+        ids, sc = s.search(q)
+        got = res[res.qid == q["qid"]].sort_values("rank")
+        assert list(got.doc_id) == list(ids), q
+        np.testing.assert_allclose(got.score.to_numpy(), sc.astype(np.float64), rtol=1e-7)
