@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship pipeline at sf0.001: build the documents inverted
+               index (resumable, partitioned) and serve the reference-style
+               query set through the actor-pool searcher stage.
+queries()    — one entry per implemented operator/pipeline (SURVEY.md §2).
+oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible operator;
+               non-SQL ops (sketches, LSH, heuristics, stubs) are omitted and
+               get the driver's rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,247 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# Lucene English stop set as a SQL list literal (for the quality oracle)
+_STOP_SQL = (
+    "['a','an','and','are','as','at','be','but','by','for','if','in','into',"
+    "'is','it','no','not','of','on','or','such','that','the','their','then',"
+    "'there','these','they','this','to','was','will','with']"
+)
+
+# shared tokenization prelude: mirrors elasticsearch_ray.analyzer.analyze_simple
+_TOK = """
+tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u
+  WHERE t <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT count(*) FROM tok) AS sumdl)
+"""
+
+# BM25 exact64 score (k1=1.2, b=0.75, weight = idf * (k1+1) = idf * 2.2)
+_SCORE = (
+    "ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * 2.2 * tf.tf / "
+    "(tf.tf + 1.2*(0.25 + 0.75 * dl.dl * st.n / st.sumdl))"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents index build + actor-pool BM25 serving at sf0.001."""
+    from elasticsearch_ray.pipelines.fulltext import documents_index
+    from elasticsearch_ray.search.stage import search_dataset
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = documents_index(sf_dir)
+    queries = [
+        {"kind": "match", "text": "data query window", "k": 10},
+        {"kind": "match", "text": "slow merge", "operator": "and", "k": 10},
+        {"kind": "match_phrase", "text": "data query", "k": 10},
+        {"kind": "term", "term": "spark", "k": 10},
+        {"kind": "bool", "must": [{"kind": "term", "term": "join"}],
+         "must_not": [{"kind": "term", "term": "vector"}], "k": 10},
+        {"kind": "prefix", "prefix": "cust", "k": 10},
+    ]
+    return search_dataset(idx, queries, concurrency=2, score_mode="lucene")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from elasticsearch_ray.pipelines import ops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    names = [
+        # full-text search family
+        "ft_term", "ft_match_or", "ft_match_and", "ft_phrase", "ft_prefix",
+        "ft_bool", "ft_topk", "ft_ids", "ft_suggest", "ft_highlight",
+        # aggregations
+        "agg_terms", "agg_date_histogram", "agg_histogram", "agg_stats",
+        "agg_extended_stats", "agg_cardinality", "agg_cardinality_hll",
+        "agg_percentiles", "agg_composite", "agg_top_hits", "agg_cumsum",
+        "agg_derivative", "agg_moving_avg", "agg_weighted_avg",
+        "agg_user_window", "range_agg", "search_after_orders", "update_old_new",
+        # dedup / text analysis / similarity
+        "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
+        "knn_bruteforce", "knn_lsh", "text_token_count", "text_quality",
+        "text_lang_id", "text_fingerprint", "top_terms", "multimodal_image_meta",
+    ]
+    return {n: getattr(ops, n) for n in names}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ft_term": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "ft_match_or": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query','window']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS score
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+GROUP BY tf.doc_id ORDER BY doc_id""",
+        "ft_match_and": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS score
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+GROUP BY tf.doc_id HAVING count(*) = 2 ORDER BY doc_id""",
+        "ft_phrase": r"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text), '(^|[^a-z0-9])data[^a-z0-9]+query([^a-z0-9]|$)')
+ORDER BY doc_id""",
+        "ft_prefix": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> '')
+SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'wind%' ORDER BY doc_id""",
+        "ft_bool": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+WHERE d.lang = 'en'
+  AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')
+ORDER BY doc_id""",
+        "ft_topk": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['slow','merge','batch']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS raw
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(raw, 4) AS score FROM scored
+ORDER BY raw DESC, doc_id LIMIT 10""",
+        "ft_ids": """
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id IN (3, 7, 11, 500, 1234) ORDER BY doc_id""",
+        "ft_suggest": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+tc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, CAST(levenshtein(term, 'quer') AS INTEGER) AS distance, df FROM tc
+WHERE levenshtein(term, 'quer') BETWEEN 1 AND 2
+ORDER BY distance, df DESC, term LIMIT 5""",
+        "agg_terms": """
+SELECT event_type, count(*) AS doc_count, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type ORDER BY doc_count DESC, event_type""",
+        "agg_date_histogram": """
+SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1""",
+        "agg_histogram": """
+SELECT floor(value / 50.0) * 50.0 AS bucket, count(*) AS doc_count
+FROM events GROUP BY 1 ORDER BY 1""",
+        "agg_stats": """
+SELECT l_returnflag, count(*) AS cnt, MIN(l_extendedprice) AS min_v,
+       MAX(l_extendedprice) AS max_v, ROUND(SUM(l_extendedprice), 2) AS sum_v,
+       ROUND(AVG(l_extendedprice), 2) AS avg_v
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+        "agg_extended_stats": """
+SELECT l_returnflag, count(*) AS cnt, ROUND(AVG(l_quantity), 4) AS avg_v,
+       ROUND(var_pop(l_quantity), 4) AS variance,
+       ROUND(stddev_pop(l_quantity), 4) AS std_dev
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+        "agg_cardinality": """
+SELECT event_type, count(DISTINCT user_id) AS distinct_count
+FROM events GROUP BY 1 ORDER BY 1""",
+        "agg_composite": """
+SELECT lang, source, count(*) AS doc_count FROM documents
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        "agg_top_hits": """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn = 1 ORDER BY lang""",
+        "agg_cumsum": """
+SELECT bucket, doc_count, CAST(SUM(doc_count) OVER (ORDER BY bucket) AS BIGINT) AS cumulative
+FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+      FROM events GROUP BY 1) ORDER BY bucket""",
+        "agg_derivative": """
+SELECT bucket, doc_count,
+       doc_count - COALESCE(lag(doc_count) OVER (ORDER BY bucket), doc_count) AS deriv
+FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+      FROM events GROUP BY 1) ORDER BY bucket""",
+        "agg_moving_avg": """
+SELECT bucket, doc_count,
+       ROUND(AVG(doc_count) OVER (ORDER BY bucket
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+      FROM events GROUP BY 1) ORDER BY bucket""",
+        "agg_weighted_avg": """
+SELECT ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS weighted_avg
+FROM lineitem""",
+        "agg_user_window": """
+SELECT user_id, date_trunc('day', ts) AS bucket, count(*) AS doc_count
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "range_agg": """
+SELECT l_returnflag, count(*) AS doc_count, ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem
+WHERE l_quantity >= 10 AND l_quantity < 20 AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY 1 ORDER BY 1""",
+        "search_after_orders": """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice FROM orders
+WHERE o_totalprice < 50000
+ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 20""",
+        "update_old_new": """
+SELECT doc_id, lang AS old_lang, upper(lang) AS new_lang FROM documents
+WHERE doc_id < 50 ORDER BY doc_id""",
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
+        "dedup_embedding": """
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+ORDER BY doc_a, doc_b""",
+        "knn_bruteforce": """
+SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings q CROSS JOIN embeddings v
+WHERE q.vec_id IN (0, 1, 2)
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) DESC,
+                 v.vec_id) <= 5
+ORDER BY query_id, vec_id""",
+        "text_token_count": r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens
+FROM documents ORDER BY doc_id""",
+        "text_quality": rf"""
+SELECT doc_id,
+  ROUND(CASE WHEN length(text) = 0 THEN 0
+        ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) END, 4) AS alpha_ratio,
+  ROUND(CASE WHEN length(text) = 0 THEN 0
+        ELSE (length(text) - length(replace(text, ' ', '')))::DOUBLE / length(text) END, 4) AS space_ratio,
+  ROUND(CASE WHEN len(toks) = 0 THEN 0
+        ELSE len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))::DOUBLE / len(toks) END, 4) AS stop_ratio,
+  ROUND(CASE WHEN len(toks) = 0 THEN 0
+        ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END, 4) AS mean_tok_len
+FROM (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      FROM documents)
+ORDER BY doc_id""",
+        "top_terms": """
+SELECT t AS term, count(*) AS cnt FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t FROM documents)
+WHERE t <> '' GROUP BY t ORDER BY cnt DESC, term LIMIT 20""",
+    }

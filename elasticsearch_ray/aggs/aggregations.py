@@ -1,0 +1,213 @@
+"""Aggregations over Ray Datasets (SURVEY.md §2.6).
+
+The reference registers every agg in search/SearchModule.java:363 as a
+partial-per-shard + final-reduce pair; Ray Data's two-phase
+groupby/aggregate is the same shape, so metric and bucket aggs map onto
+`groupby().aggregate(...)` (pre-aggregated where useful) and pipeline aggs
+are driver-side post-processing on the already-tiny reduced table
+(SearchModule.java:479 family).
+
+Every function takes/returns Datasets or small pandas frames and never calls
+ray.init. Column naming matches the oracle SQL in __ray_entry__.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def terms_agg(ds, key: str, value: str | None = None, size: int | None = None):
+    """`terms` bucket agg (bucket/terms/TermsAggregator.java): doc_count per
+    key (+ optional sum of a metric), ordered by count desc then key asc.
+    Returns a small pandas frame."""
+    from ray.data.aggregate import Count, Sum
+
+    aggs = [Count(alias_name="doc_count")]
+    if value is not None:
+        aggs.append(Sum(value, alias_name=f"sum_{value}"))
+    out = ds.groupby(key).aggregate(*aggs).to_pandas()
+    out = out.sort_values(["doc_count", key], ascending=[False, True]).reset_index(drop=True)
+    if size is not None:
+        out = out.head(size)
+    return out
+
+
+def date_histogram(ds, ts_col: str, interval: str = "day", value: str | None = None):
+    """`date_histogram` (bucket/histogram/): floor timestamps to the interval
+    (common/rounding/Rounding.java analog via pc.floor_temporal), then count
+    (+ optional sum)."""
+    from ray.data.aggregate import Count, Sum
+
+    unit = {"day": "day", "hour": "hour", "month": "month", "week": "week"}[interval]
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.floor_temporal(t[ts_col], unit=unit)
+        return t.append_column("bucket", b)
+
+    aggs = [Count(alias_name="doc_count")]
+    if value is not None:
+        aggs.append(Sum(value, alias_name=f"sum_{value}"))
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def histogram(ds, col: str, width: float):
+    """numeric `histogram`: bucket = floor(v / width) * width."""
+    from ray.data.aggregate import Count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy()
+        b = np.floor(v / width) * width
+        return t.append_column("bucket", pa.array(b))
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="doc_count"))
+        .to_pandas()
+    )
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def stats_agg(ds, key: str | None, value: str):
+    """`stats` metric agg: count/min/max/sum/avg (per group when key given)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    aggs = [
+        Count(alias_name="cnt"),
+        Min(value, alias_name="min_v"),
+        Max(value, alias_name="max_v"),
+        Sum(value, alias_name="sum_v"),
+        Mean(value, alias_name="avg_v"),
+    ]
+    if key:
+        out = ds.groupby(key).aggregate(*aggs).to_pandas()
+        out = out.sort_values(key).reset_index(drop=True)
+    else:
+        out = pd.DataFrame([ds.aggregate(*aggs)])
+    return out
+
+
+def extended_stats(ds, key: str, value: str):
+    """`extended_stats`: stats + sum_of_squares/variance/std via mergeable
+    (count, sum, sum2) partials computed batch-side then reduced — the
+    pre-aggregation pattern (partial per map_batches, tiny final groupby)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.select([key, value]).to_pandas()
+        g = df.groupby(key)[value].agg(cnt="count", s="sum", s2=lambda x: float((x**2).sum()))
+        g = g.reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    red = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("s", alias_name="s"),
+                   Sum("s2", alias_name="s2"))
+        .to_pandas()
+    )
+    red["avg_v"] = red["s"] / red["cnt"]
+    red["variance"] = red["s2"] / red["cnt"] - red["avg_v"] ** 2
+    red["std_dev"] = np.sqrt(np.maximum(red["variance"], 0))
+    return red.sort_values(key).reset_index(drop=True)
+
+
+def value_count_distinct(ds, key: str, value: str):
+    """exact `cardinality` per key: two-phase distinct-then-count (the exact
+    path; the HLL++ sketch in hll.py is the approximate path)."""
+    from ray.data.aggregate import Count
+
+    pairs = ds.select_columns([key, value]).groupby([key, value]).aggregate(
+        Count(alias_name="_c")
+    )
+    out = pairs.groupby(key).aggregate(Count(alias_name="distinct_count")).to_pandas()
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def cardinality_hll(ds, value: str, p: int = 14) -> float:
+    """approximate global cardinality via the HLL++ sketch AggregateFn."""
+    from .hll import hll_aggregate_fn
+
+    res = ds.aggregate(hll_aggregate_fn(value, alias="cardinality", p=p))
+    return float(res["cardinality"] if isinstance(res, dict) else res)
+
+
+def percentiles(ds, value: str, qs: list[float], compression: float = 100.0):
+    """`percentiles` via the T-Digest AggregateFn."""
+    from .tdigest import tdigest_aggregate_fn
+
+    res = ds.aggregate(tdigest_aggregate_fn(value, qs, compression=compression))
+    return res["percentiles"] if isinstance(res, dict) else res
+
+
+def composite_agg(ds, keys: list[str], size: int | None = None, after: tuple | None = None):
+    """`composite` agg: multi-source buckets in key order with search_after-
+    style pagination."""
+    from ray.data.aggregate import Count
+
+    out = ds.groupby(keys).aggregate(Count(alias_name="doc_count")).to_pandas()
+    out = out.sort_values(keys).reset_index(drop=True)
+    if after is not None:
+        mask = out.apply(lambda r: tuple(r[k] for k in keys) > tuple(after), axis=1)
+        out = out[mask]
+    if size is not None:
+        out = out.head(size)
+    return out.reset_index(drop=True)
+
+
+def top_hits_per_group(ds, key: str, sort_col: str, n: int = 1, descending: bool = True):
+    """`top_hits` / field-collapse analog: best n rows per key
+    (search/collapse/CollapseBuilder.java mapping: gb(key).map_groups(head))."""
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sort_col, ascending=not descending).head(n)
+
+    return ds.groupby(key).map_groups(head, batch_format="pandas")
+
+
+# ---------- pipeline aggregations (driver-side over the reduced table) ----------
+
+
+def cumulative_sum(frame: pd.DataFrame, col: str, out_col: str = "cumulative"):
+    frame = frame.copy()
+    frame[out_col] = frame[col].cumsum()
+    return frame
+
+
+def derivative(frame: pd.DataFrame, col: str, out_col: str = "deriv"):
+    frame = frame.copy()
+    frame[out_col] = frame[col].diff()
+    return frame
+
+
+def moving_avg(frame: pd.DataFrame, col: str, window: int = 3, out_col: str = "moving_avg"):
+    frame = frame.copy()
+    frame[out_col] = frame[col].rolling(window, min_periods=1).mean()
+    return frame
+
+
+def serial_diff(frame: pd.DataFrame, col: str, lag: int = 1, out_col: str = "serial_diff"):
+    frame = frame.copy()
+    frame[out_col] = frame[col].diff(lag)
+    return frame
+
+
+def bucket_selector(frame: pd.DataFrame, predicate) -> pd.DataFrame:
+    return frame[frame.apply(predicate, axis=1)].reset_index(drop=True)
+
+
+def bucket_sort(frame: pd.DataFrame, by: list[str], ascending=True, size=None):
+    out = frame.sort_values(by, ascending=ascending).reset_index(drop=True)
+    return out.head(size) if size else out

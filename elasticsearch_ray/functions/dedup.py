@@ -1,0 +1,291 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference's own near-dedup primitive is the `min_hash` token filter
+(modules/analysis-common/.../CommonAnalysisPlugin.java:271) and exact dedup
+falls out of `_id` upsert semantics / field collapse (SURVEY.md §2.8). Here
+they are first-class dataset operators:
+
+  exact_dedup        hash-partition by content hash, keep min doc_id per group
+  minhash_lsh        shingle -> minhash -> banded LSH buckets -> verified pairs
+  simhash            64-bit simhash + hamming-radius candidate pairs
+  ngram_jaccard      n-gram Jaccard verification kernel (used by both)
+  embedding_dedup    cosine-similarity near-dup over an embedding column
+
+Scale notes (explicit, per the north rule): every candidate-generation step is
+a bounded groupby — exact by hash, minhash by (band, band_hash), simhash by
+rotated prefix buckets — so no stage ever pairs all docs against all docs;
+verification runs inside the bucket groups only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..utils import round_half_away
+
+
+def _content_hash_batch(t: pa.Table, text_col: str) -> pa.Table:
+    h = [hashlib.md5(s.encode()).hexdigest() for s in t[text_col].to_pylist()]
+    return t.append_column("content_hash", pa.array(h, pa.string()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: md5(text) groupby, keep the min-id row per group.
+    Returns the deduplicated Dataset (hash + shuffle + first — SURVEY.md §2.8
+    mapping of `_id` upsert/collapse semantics)."""
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return (
+        ds.map_batches(lambda t: _content_hash_batch(t, text_col), batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+# ---------------- MinHash + LSH ----------------
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    """character k-shingle 64-bit hashes of the normalized text."""
+    s = " ".join(text.lower().split())
+    if len(s) < k:
+        s = s + " " * (k - len(s))
+    data = np.frombuffer(s.encode()[: 1 << 20], dtype=np.uint8)
+    k = min(k, data.size)
+    idx = np.arange(k)[None, :] + np.arange(data.size - k + 1)[:, None]
+    powers = np.array([pow(1000003, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64)
+    return np.unique((data[idx].astype(np.uint64) * powers[None, :]).sum(axis=1))
+
+
+_MINHASH_A = None
+_MINHASH_B = None
+
+
+def _minhash_params(num_perm: int):
+    global _MINHASH_A, _MINHASH_B
+    if _MINHASH_A is None or _MINHASH_A.size != num_perm:
+        rng = np.random.default_rng(12345)
+        _MINHASH_A = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        _MINHASH_B = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return _MINHASH_A, _MINHASH_B
+
+
+def minhash_signature(text: str, num_perm: int = 128, shingle_k: int = 5) -> np.ndarray:
+    sh = _shingles(text, shingle_k)
+    a, b = _minhash_params(num_perm)
+    # (a*x + b) over 2^64 ring; min per permutation
+    prods = sh[None, :] * a[:, None] + b[:, None]
+    return prods.min(axis=1)
+
+
+class MinHashStage:
+    """actor-pool map_batches stage: text -> banded minhash rows
+    (doc_id, band, band_hash) exploded for the LSH groupby."""
+
+    def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        assert num_perm % bands == 0
+        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+        self.rows_per_band = num_perm // bands
+        self.text_col, self.id_col = text_col, id_col
+        _minhash_params(num_perm)  # compile once per actor
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, bands, bhash = [], [], []
+        for doc_id, text in zip(t[self.id_col].to_pylist(), t[self.text_col].to_pylist()):
+            sig = minhash_signature(text, self.num_perm, self.k)
+            for b in range(self.bands):
+                seg = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                h = hashlib.md5(seg.tobytes()).hexdigest()[:16]
+                ids.append(doc_id)
+                bands.append(b)
+                bhash.append(h)
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "band_hash": pa.array(bhash, pa.string()),
+        })
+
+
+def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      concurrency=2) -> pd.DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH: docs sharing any
+    (band, band_hash) bucket. Returns a frame (doc_a, doc_b) with doc_a <
+    doc_b, deduplicated across bands."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    sig = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    cand = sig.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    df = cand.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64)})
+    return (
+        df.drop_duplicates().astype({"doc_a": np.int64, "doc_b": np.int64})
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """n-gram Jaccard verification kernel."""
+    a, b = _shingles(text_a, k), _shingles(text_b, k)
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def minhash_dedup(ds, *, threshold: float = 0.8, num_perm: int = 128, bands: int = 32,
+                  shingle_k: int = 5, text_col: str = "text", id_col: str = "doc_id",
+                  concurrency=2) -> pd.DataFrame:
+    """Full near-dedup: LSH candidates -> exact Jaccard verify >= threshold ->
+    keep-min-id per connected component (union-find over the verified pairs;
+    the candidate set is bucket-bounded, so driver-side union-find is safe).
+    Returns frame (doc_id, kept) for every doc in a duplicate group."""
+    pairs = minhash_lsh_pairs(ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                              text_col=text_col, id_col=id_col, concurrency=concurrency)
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "kept": pd.Series([], dtype=np.int64)})
+    need = sorted(set(pairs.doc_a) | set(pairs.doc_b))
+    texts = _collect_texts(ds, need, text_col, id_col)
+    verified = [
+        (a, b)
+        for a, b in zip(pairs.doc_a, pairs.doc_b)
+        if ngram_jaccard(texts[a], texts[b], shingle_k) >= threshold
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((d, find(d)) for d in parent)
+    return pd.DataFrame({"doc_id": [r[0] for r in rows], "kept": [r[1] for r in rows]})
+
+
+def _collect_texts(ds, ids, text_col, id_col) -> dict[int, str]:
+    idset = set(int(i) for i in ids)
+
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pa.array([int(i) in idset for i in t[id_col].to_pylist()])
+        return t.filter(mask)
+
+    picked = ds.map_batches(pick, batch_format="pyarrow").select_columns([id_col, text_col])
+    out = {}
+    for batch in picked.iter_batches(batch_format="pyarrow"):
+        for i, s in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            out[int(i)] = s
+    return out
+
+
+# ---------------- SimHash ----------------
+
+
+def simhash64(text: str, k: int = 5) -> int:
+    """64-bit SimHash over character shingles (Charikar, public)."""
+    sh = _shingles(text, k)
+    if sh.size == 0:
+        return 0
+    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    h = np.array([simhash64(s) for s in t[text_col].to_pylist()], dtype=np.uint64)
+    return t.append_column("simhash", pa.array(h, pa.uint64()))
+
+
+def simhash_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> pd.DataFrame:
+    """Near-dup candidates: docs whose simhashes differ in <= max_hamming bits.
+    Buckets by 16-bit quarters (pigeonhole: <=3 differing bits -> at least one
+    of 4 quarters identical), verifies hamming inside buckets."""
+    sig = ds.map_batches(lambda t: simhash_batch(t, text_col), batch_format="pyarrow")
+    sig = sig.select_columns([id_col, "simhash"]).to_pandas()
+    ids = sig[id_col].to_numpy()
+    hs = sig["simhash"].to_numpy().astype(np.uint64)
+    seen = set()
+    out_a, out_b = [], []
+    for q in range(4):
+        quarter = (hs >> np.uint64(16 * q)) & np.uint64(0xFFFF)
+        df = pd.DataFrame({"id": ids, "h": hs, "q": quarter})
+        for _, g in df.groupby("q"):
+            if len(g) < 2:
+                continue
+            gid = g["id"].to_numpy()
+            gh = g["h"].to_numpy()
+            for i in range(len(g)):
+                x = gh[i] ^ gh[i + 1 :]
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.flatnonzero(ham <= max_hamming):
+                    a, b = int(gid[i]), int(gid[i + 1 + j])
+                    key = (min(a, b), max(a, b))
+                    if key not in seen:
+                        seen.add(key)
+                        out_a.append(key[0])
+                        out_b.append(key[1])
+    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b}).sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True) if out_a else pd.DataFrame(
+        {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
+    )
+
+
+# ---------------- embedding near-dup ----------------
+
+
+def embedding_dedup_pairs(ds, *, threshold: float = 0.95, vec_col: str = "embedding",
+                          id_col: str = "vec_id", block: int = 2048,
+                          dtype=np.float64) -> pd.DataFrame:
+    """Cosine near-dup pairs over an embedding column. Blocked matmul
+    (numpy) — O(n^2 / block) per task locally; at scale, bucket by coarse
+    LSH/IVF first (see similarity.py) and run this kernel per bucket."""
+    rows = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = rows[id_col].to_numpy()
+    V = np.stack(rows[vec_col].to_numpy()).astype(dtype)
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    out_a, out_b, sims = [], [], []
+    for i0 in range(0, V.shape[0], block):
+        S = V[i0 : i0 + block] @ V.T
+        for r in range(S.shape[0]):
+            gi = i0 + r
+            cols = np.flatnonzero(S[r, gi + 1 :] >= threshold) + gi + 1
+            for c in cols:
+                out_a.append(int(ids[gi]))
+                out_b.append(int(ids[c]))
+                sims.append(float(round_half_away(float(S[r, c]), 6)))
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=np.float64)})
+    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "cosine": sims}).sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)

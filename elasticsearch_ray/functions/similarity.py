@@ -1,0 +1,138 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+Baseline: brute-force cosine top-k — each map_batches task matmuls its batch
+against a BROADCAST query matrix (`ray.put` once, fetched per actor/task, the
+small-side-broadcast pattern), emitting per-batch partial top-k; a tiny final
+reduce merges partials. Nothing materializes the full dataset.
+
+Scale path: LSH-bucketed variant — random-hyperplane signatures route vectors
+into buckets (groupby), queries probe only their own (and neighboring)
+buckets. IVF would replace the hash with k-means coarse centroids; the
+plumbing is identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..utils import round_half_away
+
+
+def _normalize(V: np.ndarray) -> np.ndarray:
+    return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+
+def knn_brute_force(ds, queries: np.ndarray, k: int = 10, *,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    dtype=np.float32) -> pd.DataFrame:
+    """Exact cosine top-k for each query row. Returns frame
+    (query_id, vec_id, cosine, rank) sorted by (query_id, rank).
+    dtype=float32 for speed; float64 when exact oracle comparison matters."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=dtype))
+    q_ref = ray.put(Q)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        ids = t[id_col].to_numpy()
+        V = np.stack(t[vec_col].to_numpy(zero_copy_only=False))
+        V = _normalize(V.astype(dtype))
+        S = Qm @ V.T  # (nq, batch)
+        nq = S.shape[0]
+        kk = min(k, S.shape[1])
+        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows = {"query_id": [], id_col: [], "cosine": []}
+        for qi in range(nq):
+            for c in top[qi]:
+                rows["query_id"].append(qi)
+                rows[id_col].append(int(ids[c]))
+                rows["cosine"].append(float(S[qi, c]))
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            id_col: pa.array(rows[id_col], pa.int64()),
+            "cosine": pa.array(rows["cosine"], pa.float64()),
+        })
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
+    df = partials.to_pandas()
+    # final reduce: per query, global top-k with (cosine desc, id asc) ties
+    df = df.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df["cosine"] = round_half_away(df["cosine"], 6)
+    return df
+
+
+class LshIndexStage:
+    """Random-hyperplane LSH bucketing: adds a bucket column (signature of
+    sign bits). Hyperplanes are deterministic (seeded) and compiled once per
+    actor; queries use the same planes to probe buckets."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 99,
+                 vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        V = np.stack(t[self.vec_col].to_numpy(zero_copy_only=False)).astype(np.float32)
+        bits = (V @ self.planes.T) > 0
+        bucket = (bits.astype(np.uint32) << np.arange(bits.shape[1], dtype=np.uint32)).sum(
+            axis=1
+        )
+        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+
+def knn_lsh(ds, queries: np.ndarray, k: int = 10, *, dim: int | None = None,
+            n_planes: int = 8, seed: int = 99, vec_col: str = "embedding",
+            id_col: str = "vec_id", probe_hamming: int = 1) -> pd.DataFrame:
+    """Approximate cosine top-k: vectors bucketed by LSH signature; each query
+    probes its bucket plus all buckets within `probe_hamming` bit flips."""
+    Q = np.asarray(queries, dtype=np.float32)
+    if dim is None:
+        dim = Q.shape[1]
+    stage = LshIndexStage(dim, n_planes, seed, vec_col)
+    bucketed = ds.map_batches(stage, batch_format="pyarrow")
+
+    qbits = (Q @ stage.planes.T) > 0
+    qbuckets = (qbits.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+    probes: dict[int, list[int]] = {}
+    for qi, b in enumerate(qbuckets):
+        cand = {int(b)}
+        if probe_hamming >= 1:
+            for j in range(n_planes):
+                cand.add(int(b) ^ (1 << j))
+        probes[qi] = sorted(cand)
+    wanted = sorted({b for bs in probes.values() for b in bs})
+
+    import pyarrow.compute as pc
+
+    wanted_arr = pa.array(wanted, pa.int64())
+    sub = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t["bucket"], value_set=wanted_arr)),
+        batch_format="pyarrow",
+    )
+    rows = sub.select_columns([id_col, vec_col, "bucket"]).to_pandas()
+    Qn = _normalize(Q)
+    out = {"query_id": [], id_col: [], "cosine": []}
+    for qi in range(Q.shape[0]):
+        cand = rows[rows.bucket.isin(probes[qi])]
+        if cand.empty:
+            continue
+        V = _normalize(np.stack(cand[vec_col].to_numpy()).astype(np.float32))
+        s = Qn[qi] @ V.T
+        kk = min(k, s.size)
+        top = np.argpartition(-s, kk - 1)[:kk]
+        ids = cand[id_col].to_numpy()
+        for c in top:
+            out["query_id"].append(qi)
+            out[id_col].append(int(ids[c]))
+            out["cosine"].append(float(round_half_away(float(s[c]), 6)))
+    df = pd.DataFrame(out)
+    df = df.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df

@@ -1,0 +1,149 @@
+"""Text analysis stages for large-scale training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All are vectorized `map_batches` transforms over the documents table
+(`doc_id, text, lang, source, n_chars`). Quality/token-count formulas are
+deliberately SQL-expressible so DuckDB oracles can verify them value-for-value
+(see __ray_entry__.oracle_sql); the n-gram language-ID heuristic and rolling-
+hash fingerprint are verified by rows-only checks + unit tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analyzer import ENGLISH_STOP_WORDS
+from ..utils import round_half_away
+
+# tiny deterministic character-trigram profiles (public-knowledge heuristic:
+# rank-order trigram profiles a la Cavnar & Trenkle). Profiles here are seeded
+# from each language's most common function words.
+_LANG_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "ent", " th", "he ", "er ", "on ", " of"],
+    "es": ["de ", " de", "la ", "os ", "ión", "ent", " la", "es ", "ado", "que"],
+    "fr": ["es ", " de", "de ", "ent", "le ", " le", "ion", "la ", "et ", " et"],
+    "zh": [],  # CJK detected by codepoint range, not trigrams
+}
+
+
+def lang_id_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic language ID: CJK codepoint ratio first, then trigram-profile
+    overlap. Adds `pred_lang:string` and `lang_score:double`."""
+    texts = t[text_col].to_pylist()
+    langs, scores = [], []
+    for s in texts:
+        sample = s[:2000]
+        if not sample:
+            langs.append("und")
+            scores.append(0.0)
+            continue
+        cjk = sum(1 for ch in sample if 0x4E00 <= ord(ch) <= 0x9FFF)
+        if cjk / len(sample) > 0.05:
+            langs.append("zh")
+            scores.append(round(cjk / len(sample), 4))
+            continue
+        low = sample.lower()
+        best, best_score = "und", 0.0
+        for lang, grams in _LANG_PROFILES.items():
+            if not grams:
+                continue
+            hits = sum(low.count(g) for g in grams)
+            sc = hits / max(1, len(low) / 100)
+            if sc > best_score:
+                best, best_score = lang, sc
+        langs.append(best)
+        scores.append(round(float(best_score), 4))
+    return t.append_column("pred_lang", pa.array(langs, pa.string())).append_column(
+        "lang_score", pa.array(scores, pa.float64())
+    )
+
+
+def quality_score_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality signals (SQL-expressible): length, alpha ratio, space ratio,
+    stopword ratio over whitespace tokens, mean token length. Adds columns
+    n_chars_q, alpha_ratio, space_ratio, stop_ratio, mean_tok_len, quality."""
+    texts = t[text_col].to_pylist()
+    n = len(texts)
+    n_chars = np.zeros(n, np.int64)
+    alpha = np.zeros(n, np.float64)
+    space = np.zeros(n, np.float64)
+    stopr = np.zeros(n, np.float64)
+    mtl = np.zeros(n, np.float64)
+    for i, s in enumerate(texts):
+        L = len(s)
+        n_chars[i] = L
+        if L == 0:
+            continue
+        a = sum(1 for c in s if c.isalpha())
+        sp = s.count(" ")
+        alpha[i] = a / L
+        space[i] = sp / L
+        toks = s.split()
+        if toks:
+            stopr[i] = sum(1 for w in toks if w.lower() in ENGLISH_STOP_WORDS) / len(toks)
+            mtl[i] = sum(len(w) for w in toks) / len(toks)
+    quality = np.clip(
+        0.4 * alpha + 0.2 * np.clip(space * 6, 0, 1) + 0.2 * (1 - stopr) +
+        0.2 * np.clip(mtl / 8, 0, 1),
+        0, 1,
+    )
+    out = t
+    for name, arr in [
+        ("n_chars_q", n_chars),
+        ("alpha_ratio", round_half_away(alpha, 4)),
+        ("space_ratio", round_half_away(space, 4)),
+        ("stop_ratio", round_half_away(stopr, 4)),
+        ("mean_tok_len", round_half_away(mtl, 4)),
+        ("quality", round_half_away(quality, 4)),
+    ]:
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+_BPEISH = None
+
+
+def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer count
+    (GPT-2-style pretokenizer pattern, public). Adds ws_tokens, bpe_tokens."""
+    global _BPEISH
+    import re
+
+    if _BPEISH is None:
+        _BPEISH = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+    texts = t[text_col].to_pylist()
+    ws = np.fromiter((len(s.split()) for s in texts), np.int64, len(texts))
+    bpe = np.fromiter((len(_BPEISH.findall(s)) for s in texts), np.int64, len(texts))
+    return t.append_column("ws_tokens", pa.array(ws)).append_column(
+        "bpe_tokens", pa.array(bpe)
+    )
+
+
+def fingerprint_batch(t: pa.Table, text_col: str = "text", window: int = 16) -> pa.Table:
+    """Document fingerprint: winnowed rolling (Karp-Rabin) hash — min hash of
+    each `window`-gram over the normalized text (public winnowing idea,
+    Schleimer et al.). Adds fingerprint:uint64 (stable content signature)."""
+    texts = t[text_col].to_pylist()
+    out = np.zeros(len(texts), np.uint64)
+    B = np.uint64(1000003)
+    MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for i, s in enumerate(texts):
+        data = np.frombuffer(" ".join(s.lower().split()).encode(), dtype=np.uint8)
+        if data.size == 0:
+            continue
+        if data.size < window:
+            h = np.uint64(0)
+            for byt in data:
+                h = (h * B + np.uint64(byt)) & MOD_MASK
+            out[i] = h
+            continue
+        # vectorized rolling hash over all windows
+        powers = np.array([pow(1000003, window - 1 - j, 1 << 64) for j in range(window)],
+                          dtype=np.uint64)
+        n_win = data.size - window + 1
+        idx = np.arange(window)[None, :] + np.arange(n_win)[:, None]
+        hashes = (data[idx].astype(np.uint64) * powers[None, :]).sum(axis=1) & MOD_MASK
+        out[i] = hashes.min()
+    return t.append_column("fingerprint", pa.array(out, pa.uint64()))

@@ -1,0 +1,153 @@
+"""Full-text pipelines over the driver's `documents` table.
+
+Builds (and caches under /tmp) an inverted index over
+`{sf_dir}/documents.parquet` with the `simple` analyzer and serves queries in
+`exact64` scoring mode — both chosen so DuckDB SQL oracles can re-derive the
+exact same token streams (regexp_split) and BM25 values (float64, exact doc
+lengths); the Lucene-quantized scoring mode is exercised by the pytest
+rank-parity suite instead (tests/test_index_search.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..index.build import build_index
+from ..utils import round_half_away
+from ..search.engine import IndexSearcher
+
+_SEARCHERS: dict[str, IndexSearcher] = {}
+
+K1, B = 1.2, 0.75  # SimilarityProviders.java:275-276 defaults
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build-or-reuse the documents index for one sf dir; returns index dir."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(f"{src}:{os.path.getmtime(src)}:simple:v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp/esray_cache", f"docidx_{tag}")
+    build_index(
+        src,
+        out,
+        analyzer="simple",
+        index_positions=True,
+        docs_per_partition=2500,
+        num_buckets=16,
+        content_column="text",
+        meta_columns=("lang", "source", "n_chars"),
+    )
+    return out
+
+
+def documents_searcher(sf_dir: str) -> IndexSearcher:
+    key = sf_dir
+    if key not in _SEARCHERS:
+        idx = documents_index(sf_dir)
+        _SEARCHERS[key] = IndexSearcher(idx, score_mode="exact64", k1=K1, b=B)
+    return _SEARCHERS[key]
+
+
+def all_matches(sf_dir: str, query: dict, with_score: bool = True,
+                round_to: int = 4) -> pa.Table:
+    """EVERY matching doc (no top-k truncation -> boundary-free oracle
+    compare), ordered by doc_id, scores rounded."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s._eval(query)
+    order = np.argsort(ids)
+    ids = ids[order]
+    if with_score:
+        sc = round_half_away(sc[order].astype(np.float64), round_to)
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)})
+    return pa.table({"doc_id": pa.array(ids)})
+
+
+def topk_matches(sf_dir: str, query: dict, round_to: int = 4) -> pa.Table:
+    """Top-k (score desc, doc_id asc) with rounded scores."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s.search(query)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "score": pa.array(round_half_away(sc.astype(np.float64), round_to)),
+        }
+    )
+
+
+def suggest_terms(sf_dir: str, text: str, max_edits: int = 2, size: int = 5) -> pa.Table:
+    """`term` suggester analog (search/suggest/): vocabulary terms within
+    levenshtein distance, ranked (distance asc, df desc, term asc)."""
+    s = documents_searcher(sf_dir)
+    # vocabulary with global dfs from the segments' term dictionaries
+    from collections import Counter
+
+    dfs: Counter = Counter()
+    for seg in s.segments:
+        terms = np.asarray(seg.table["term"])
+        df = seg.table["df"].to_numpy()
+        for t, d in zip(terms, df):
+            dfs[str(t)] += int(d)
+
+    def lev(a: str, b: str) -> int:
+        if abs(len(a) - len(b)) > max_edits:
+            return max_edits + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cands = []
+    for term, df in dfs.items():
+        d = lev(text, term)
+        if 0 < d <= max_edits:
+            cands.append((d, -df, term))
+    cands.sort()
+    out = cands[:size]
+    return pa.table(
+        {
+            "term": pa.array([c[2] for c in out], pa.string()),
+            "distance": pa.array([c[0] for c in out], pa.int32()),
+            "df": pa.array([-c[1] for c in out], pa.int64()),
+        }
+    )
+
+
+def highlight(sf_dir: str, query_text: str, k: int = 5, frag_chars: int = 60) -> pa.Table:
+    """plain-highlighter analog (search/fetch/subphase/highlight/): top-k
+    match docs with the first query-term occurrence wrapped in <em> tags."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s.search({"kind": "match", "text": query_text, "k": k})
+    terms = set(s.analyzer(query_text))
+    meta = s.fetch(ids, ["doc_id"])
+    # load the raw text for the k hits from docmeta? text not stored in
+    # docmeta; read from source parquet (fetch-phase row lookup)
+    import pyarrow.dataset as pads
+
+    src = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "text"]
+    )
+    all_ids = src["doc_id"].to_numpy()
+    idx = np.searchsorted(all_ids, ids)
+    texts = [src["text"][int(i)].as_py() for i in idx]
+    frags = []
+    for text in texts:
+        words = text.split()
+        pos = next((i for i, w in enumerate(words) if w.lower() in terms), 0)
+        lo = max(0, pos - 4)
+        snippet = " ".join(
+            f"<em>{w}</em>" if w.lower() in terms else w for w in words[lo : lo + 10]
+        )
+        frags.append(snippet[:frag_chars * 2])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "score": pa.array(round_half_away(sc.astype(np.float64), 4)),
+            "highlight": pa.array(frags, pa.string()),
+        }
+    )

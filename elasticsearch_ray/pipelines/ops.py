@@ -1,0 +1,397 @@
+"""Named operator pipelines for the driver's correctness gate.
+
+Each function takes `sf_dir` and returns a pandas/pyarrow result whose
+column names match the corresponding oracle SQL in __ray_entry__.oracle_sql.
+All are Ray-Data-first implementations (map_batches / groupby / aggregate /
+sort over Datasets) built on the engine (search), aggs and functions modules.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..aggs import aggregations as A
+from ..utils import round_half_away
+from ..functions import dedup as D
+from ..functions import similarity as S
+from ..functions import text as T
+from .fulltext import all_matches, documents_searcher, highlight, suggest_terms, topk_matches
+
+
+def _ds(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------- full-text search family ----------------
+
+
+def ft_term(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "term", "term": "data"})
+
+
+def ft_match_or(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "match", "text": "data query window"})
+
+
+def ft_match_and(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "match", "text": "data query", "operator": "and"})
+
+
+def ft_phrase(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "match_phrase", "text": "data query"}, with_score=False)
+
+
+def ft_prefix(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "prefix", "prefix": "wind"}, with_score=False)
+
+
+def ft_bool(sf_dir: str):
+    q = {
+        "kind": "bool",
+        "must": [{"kind": "term", "term": "data"}],
+        "must_not": [{"kind": "term", "term": "vector"}],
+        "filter": [{"kind": "meta_term", "field": "lang", "value": "en"}],
+    }
+    return all_matches(sf_dir, q)
+
+
+def ft_topk(sf_dir: str):
+    return topk_matches(sf_dir, {"kind": "match", "text": "slow merge batch", "k": 10})
+
+
+def ft_ids(sf_dir: str):
+    """`ids` query: fetch metadata for an explicit id set."""
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang", "source"])
+    wanted = pa.array([3, 7, 11, 500, 1234], pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["doc_id"], value_set=wanted))
+
+    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ft_suggest(sf_dir: str):
+    return suggest_terms(sf_dir, "quer", max_edits=2, size=5)
+
+
+def ft_highlight(sf_dir: str):
+    return highlight(sf_dir, "window merge", k=5)
+
+
+# ---------------- aggregations family ----------------
+
+
+def agg_terms(sf_dir: str):
+    out = A.terms_agg(_ds(sf_dir, "events"), "event_type", "value")
+    out["sum_value"] = round_half_away(out["sum_value"], 4)
+    return out
+
+
+def agg_date_histogram(sf_dir: str):
+    out = A.date_histogram(_ds(sf_dir, "events"), "ts", "day", value="value")
+    out["sum_value"] = round_half_away(out["sum_value"], 4)
+    return out
+
+
+def agg_histogram(sf_dir: str):
+    return A.histogram(_ds(sf_dir, "events"), "value", 50.0)
+
+
+def agg_stats(sf_dir: str):
+    out = A.stats_agg(_ds(sf_dir, "lineitem"), "l_returnflag", "l_extendedprice")
+    for c in ("sum_v", "avg_v"):
+        out[c] = round_half_away(out[c], 2)
+    return out
+
+
+def agg_extended_stats(sf_dir: str):
+    out = A.extended_stats(_ds(sf_dir, "lineitem"), "l_returnflag", "l_quantity")
+    for c in ("s", "s2", "avg_v", "variance", "std_dev"):
+        out[c] = round_half_away(out[c], 4)
+    return out[["l_returnflag", "cnt", "avg_v", "variance", "std_dev"]]
+
+
+def agg_cardinality(sf_dir: str):
+    return A.value_count_distinct(_ds(sf_dir, "events"), "event_type", "user_id")
+
+
+def agg_cardinality_hll(sf_dir: str):
+    est = A.cardinality_hll(_ds(sf_dir, "events"), "user_id")
+    return pd.DataFrame({"cardinality": [round(est)]})
+
+
+def agg_percentiles(sf_dir: str):
+    qs = A.percentiles(_ds(sf_dir, "events"), "value", [0.5, 0.9, 0.99])
+    return pd.DataFrame({"q": [0.5, 0.9, 0.99], "value": [float(round_half_away(v, 2)) for v in qs]})
+
+
+def agg_composite(sf_dir: str):
+    return A.composite_agg(_ds(sf_dir, "documents"), ["lang", "source"])
+
+
+def agg_top_hits(sf_dir: str):
+    """field-collapse: best doc per lang by (n_chars desc, doc_id asc)."""
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(1)
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = ds.groupby("lang").map_groups(head, batch_format="pandas").to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)[["lang", "doc_id", "n_chars"]]
+
+
+def agg_cumsum(sf_dir: str):
+    out = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    out = A.cumulative_sum(out, "doc_count")
+    return out[["bucket", "doc_count", "cumulative"]]
+
+
+def agg_derivative(sf_dir: str):
+    out = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    out = A.derivative(out, "doc_count")
+    out["deriv"] = out["deriv"].fillna(0).astype(np.int64)
+    return out[["bucket", "doc_count", "deriv"]]
+
+
+def agg_moving_avg(sf_dir: str):
+    out = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    out = A.moving_avg(out, "doc_count", window=3)
+    out["moving_avg"] = round_half_away(out["moving_avg"], 4)
+    return out[["bucket", "doc_count", "moving_avg"]]
+
+
+def agg_weighted_avg(sf_dir: str):
+    """weighted_avg metric agg: sum(price*qty)/sum(qty) via batch partials."""
+    ds = _ds(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t["l_extendedprice"].to_numpy()
+        q = t["l_quantity"].to_numpy()
+        return pa.table({"wsum": pa.array([float((p * q).sum())]),
+                         "w": pa.array([float(q.sum())])})
+
+    from ray.data.aggregate import Sum
+
+    red = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("wsum", alias_name="wsum"), Sum("w", alias_name="w")
+    )
+    return pd.DataFrame({"weighted_avg": [float(round_half_away(red["wsum"] / red["w"], 4))]})
+
+
+def agg_user_window(sf_dir: str):
+    """tumbling-window count per user (streaming-shaped workload §2.12):
+    1-day windows keyed by user_id."""
+    from ray.data.aggregate import Count
+
+    import pyarrow.compute as pc
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pc.floor_temporal(t["ts"], unit="day"))
+
+    out = (
+        _ds(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["user_id", "bucket"])
+        .aggregate(Count(alias_name="doc_count"))
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "bucket"]).reset_index(drop=True)
+
+
+def range_agg(sf_dir: str):
+    """range + filter then terms agg (bool.filter -> aggregation pattern)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _ds(sf_dir, "lineitem", ["l_quantity", "l_shipdate", "l_returnflag",
+                                  "l_extendedprice"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["l_quantity"], 10.0), pc.less(t["l_quantity"], 20.0)),
+            pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1996-01-01", "us"))),
+        )
+        return t.filter(m)
+
+    out = (
+        ds.map_batches(filt, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="doc_count"),
+                   Sum("l_extendedprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = round_half_away(out["revenue"], 2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def search_after_orders(sf_dir: str):
+    """search_after pagination: orders below cursor (50000.0, totalprice desc,
+    orderkey asc), page of 20."""
+    import pyarrow.compute as pc
+
+    ds = _ds(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_totalprice"], 50000.0))
+
+    out = (
+        ds.map_batches(filt, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    out["o_totalprice"] = round_half_away(out["o_totalprice"], 2)
+    return out
+
+
+def update_old_new(sf_dir: str):
+    """fork delta (§2.11): upsert response carrying req_old_source /
+    req_new_source — uppercase `lang` for doc_id < 50, emit old+new."""
+    import pyarrow.compute as pc
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang"])
+
+    def upd(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], 50))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "old_lang": t["lang"],
+            "new_lang": pc.utf8_upper(t["lang"]),
+        })
+
+    return ds.map_batches(upd, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------- dedup / text analysis family ----------------
+
+
+def dedup_exact(sf_dir: str):
+    out = D.exact_dedup(_ds(sf_dir, "documents", ["doc_id", "text"]))
+    ids = out.select_columns(["doc_id"]).to_pandas()
+    return ids.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_minhash(sf_dir: str):
+    return D.minhash_dedup(_ds(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8)
+
+
+def dedup_simhash(sf_dir: str):
+    return D.simhash_pairs(_ds(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+
+
+def dedup_embedding(sf_dir: str):
+    return D.embedding_dedup_pairs(_ds(sf_dir, "embeddings"), threshold=0.4)
+
+
+def knn_bruteforce(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    qids = [0, 1, 2]
+    vecs = {int(i): v for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+            if int(i) in qids}
+    Q = np.array([vecs[q] for q in qids])
+    out = S.knn_brute_force(_ds(sf_dir, "embeddings"), Q, k=5, dtype=np.float64)
+    return out[["query_id", "vec_id", "cosine"]]
+
+
+def knn_lsh(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    Q = np.array(t["embedding"].to_pylist()[:3])
+    return S.knn_lsh(_ds(sf_dir, "embeddings"), Q, k=5, n_planes=6)
+
+
+def text_token_count(sf_dir: str):
+    out = (
+        _ds(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(T.token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "ws_tokens", "bpe_tokens"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def text_quality(sf_dir: str):
+    out = (
+        _ds(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(T.quality_score_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "alpha_ratio", "space_ratio", "stop_ratio",
+                         "mean_tok_len"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def text_lang_id(sf_dir: str):
+    out = (
+        _ds(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(T.lang_id_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang", "pred_lang", "lang_score"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def text_fingerprint(sf_dir: str):
+    out = (
+        _ds(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(T.fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def top_terms(sf_dir: str):
+    """significant/terms-agg over analyzed text: global top 20 terms by
+    total occurrences (pre-aggregated per batch, tiny final groupby)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_simple
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(analyze_simple(s))
+        return pa.table({"term": list(c.keys()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    out = (
+        _ds(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = out.sort_values(["cnt", "term"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+def multimodal_image_meta(sf_dir: str):
+    """multimodal plumbing (fake decoder): binary media -> typed metadata."""
+    import ray.data as rd
+
+    from ..functions.multimodal import ImageDecodeStage, make_fake_media_table
+
+    media = make_fake_media_table(64, "image", seed=7)
+    ds = rd.from_arrow(media)
+    out = ds.map_batches(
+        ImageDecodeStage, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    out["mean_pixel"] = round_half_away(out["mean_pixel"], 3)
+    return out.sort_values("id").reset_index(drop=True)

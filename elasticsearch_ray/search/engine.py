@@ -318,7 +318,21 @@ class IndexSearcher:
             return ids, np.full(ids.size, boost, np.float64)
         if kind == "bool":
             return self._bool(q, boost)
+        if kind == "meta_term":
+            # doc-values term filter on a docmeta column (the ES analog of a
+            # `term` query on a keyword field; unscored, for filter/must use)
+            return self._meta_term(q["field"], q["value"])
         raise ValueError(f"unknown query kind {kind!r}")
+
+    def _meta_term(self, field: str, value):
+        import pyarrow.compute as _pc
+
+        parts = []
+        for mt in self._meta_tables:
+            mask = _pc.equal(mt[field], value)
+            parts.append(mt.filter(mask)["doc_id"].to_numpy())
+        ids = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        return ids, np.zeros(ids.size, np.float64)
 
     def _disjunction(self, terms: list[str], boost: float = 1.0):
         parts = []

@@ -69,6 +69,11 @@ def read_fragment(frag: Fragment | dict, columns: list[str] | None = None):
         frag = Fragment(**{k: frag[k] for k in ("path", "row_group", "offset", "num_rows")})
     t = pq.ParquetFile(frag.path).read_row_group(frag.row_group, columns=columns)
     doc_ids = pa.array(np.arange(frag.offset, frag.offset + len(t), dtype=np.int64))
+    if "doc_id" in t.column_names:
+        # input already carries a doc_id column: replace it with the
+        # deterministic fragment-offset ids (they must agree for tables like
+        # the driver's `documents`, whose doc_id IS the row index)
+        t = t.drop_columns(["doc_id"])
     return t.append_column("doc_id", doc_ids)
 
 
