@@ -1,0 +1,166 @@
+"""Benchmark harness (driver contract).
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1) with
+ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32):
+
+  1. index_build  — inverted-index build over the synthetic source-code
+                    corpus (BASELINE.json input_hint shape), sized by sf.
+                    Reports docs/sec (files/sec) and MB/sec.
+  2. query_serving— BM25 top-k over the reference query set through the
+                    searcher; reports p50/p99 per-query latency.
+  3. operators    — representative testdata pipelines (aggs, dedup, knn,
+                    text) over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the same bench in two fresh processes at 8 and 32 CPUs and
+reports throughput at both plus scaling efficiency (N vs 4N evidence per
+BASELINE.md measurement plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DOCS = {"0.001": 2_000, "0.01": 6_000, "0.1": 24_000}
+
+
+def _sf_from_dir(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else "0.1"
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_docs = SF_DOCS.get(sf, 24_000)
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import IndexSearcher
+    from elasticsearch_ray.sources.corpus import write_corpus
+    from elasticsearch_ray.sources.queries import reference_queries
+
+    timings: dict[str, float] = {}
+
+    # untimed Ray Data warmup (first pipeline pays worker start + import cost)
+    import ray.data as rd
+
+    rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    # --- corpus (cached, excluded from timing; also warms page cache) ---
+    corpus_dir = f"/tmp/esray_bench/corpus_{n_docs}"
+    write_corpus(corpus_dir, n_docs, rows_per_file=4000, row_group_size=250)
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(corpus_dir, f))
+        for f in os.listdir(corpus_dir) if f.endswith(".parquet")
+    )
+
+    # --- 1. index build (fresh dir each run) ---
+    idx_dir = f"/tmp/esray_bench/idx_{n_docs}_{ncpu}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(
+        corpus_dir, idx_dir,
+        docs_per_partition=max(4000, n_docs // 4),
+        num_buckets=max(16, ncpu * 2),
+    )
+    t_build = time.time() - t0
+    timings["index_build"] = round(t_build, 3)
+
+    # --- 2. query serving: reference query set, per-query latency ---
+    searcher = IndexSearcher(idx_dir)
+    queries = reference_queries()
+    lat = []
+    for _ in range(3):  # 3 passes for stable percentiles
+        for q in queries:
+            q0 = time.time()
+            searcher.search(q)
+            lat.append(time.time() - q0)
+    lat = np.array(lat)
+    timings["query_total"] = round(float(lat.sum()), 3)
+    timings["query_p50_ms"] = round(float(np.percentile(lat, 50) * 1e3), 3)
+    timings["query_p99_ms"] = round(float(np.percentile(lat, 99) * 1e3), 3)
+
+    # --- 3. representative operators over the driver testdata ---
+    from elasticsearch_ray.pipelines import ops as OPS
+
+    for name in ("agg_terms", "agg_date_histogram", "agg_cardinality",
+                 "dedup_exact", "knn_bruteforce", "text_quality", "top_terms"):
+        q0 = time.time()
+        getattr(OPS, name)(sf_dir)
+        timings[name] = round(time.time() - q0, 3)
+
+    total = timings["index_build"] + timings["query_total"] + sum(
+        timings[k] for k in timings if k.startswith(("agg_", "dedup_", "knn_", "text_", "top_"))
+    )
+    out = {
+        "metric": "index-build + BM25 query + operator suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "corpus_docs": n_docs,
+        "corpus_mb": round(corpus_bytes / 1e6, 1),
+        "build_docs_per_sec": round(n_docs / t_build, 1),
+        "build_mb_per_sec": round(corpus_bytes / 1e6 / t_build, 2),
+    }
+    return out
+
+
+def run_scaling() -> None:
+    lo_cpu, hi_cpu = 8, 32
+    results = {}
+    for ncpu in (lo_cpu, hi_cpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                           capture_output=True, text=True, check=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        results[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
+    lo, hi = results[lo_cpu], results[hi_cpu]
+    # throughput scaling on the parallel index-build stage (docs/sec)
+    thr_lo = lo["build_docs_per_sec"]
+    thr_hi = hi["build_docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi_cpu / lo_cpu)
+    print(json.dumps({
+        "sec_8": lo["queries"]["index_build"],
+        "sec_32": hi["queries"]["index_build"],
+        "docs_per_sec_8": thr_lo,
+        "docs_per_sec_32": thr_hi,
+        "total_sec_8": lo["value"],
+        "total_sec_32": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": hi["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        res = run_bench()
+        print(json.dumps(res))
+        import ray
+
+        ray.shutdown()

@@ -78,10 +78,18 @@ def _code_tokens(text: str) -> list[str]:
     """Tokenize with word_delimiter_graph semantics; emits lowercase subwords
     in stream order (stopwords NOT yet removed)."""
     out: list[str] = []
+    append = out.append
     for m in _RAW_TOKEN_RE.finditer(text):
-        raw = _POSSESSIVE_RE.sub("", m.group())
+        raw = m.group()
+        # fast path: pure lowercase letters = exactly one subword (the
+        # overwhelmingly common case in code+prose)
+        if raw.isalpha() and raw.islower():
+            append(raw)
+            continue
+        if "'" in raw:
+            raw = _POSSESSIVE_RE.sub("", raw)
         for sm in _SUBWORD_RE.finditer(raw):
-            out.append(sm.group().lower())
+            append(sm.group().lower())
     return out
 
 

@@ -31,7 +31,7 @@ import pyarrow.dataset as pads
 
 from ..sources.reader import Fragment, plan_fragments
 from ..stages.encode import encode_bucket
-from ..stages.tokenize import TokenizeFragments, sample_hot_terms
+from ..stages.tokenize import TokenizeFragments, make_tokenizer_fn, sample_hot_terms
 from .manifest import (
     IndexStats,
     SegmentManifest,
@@ -90,12 +90,6 @@ def build_index(
     parts = plan_partitions(frags, docs_per_partition)
     done = committed_segments(out_dir)
 
-    if tokenize_concurrency is None:
-        # default actor pool: autoscale 1..num_cpus (capped by fragment count)
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        tokenize_concurrency = (1, max(1, min(ncpu, len(frags))))
     if hot_terms is None:
         hot_terms = sample_hot_terms(
             input_path, analyzer=analyzer, hot_df_ratio=hot_df_ratio,
@@ -115,22 +109,33 @@ def build_index(
         items = rd.from_items(
             [f.to_dict() for f in seg_frags], override_num_blocks=len(seg_frags)
         )
-        triples = items.map_batches(
-            TokenizeFragments,
-            fn_constructor_kwargs=dict(
-                analyzer=analyzer,
-                docmeta_dir=docmeta_dir,
-                hot_terms=hot_terms,
-                num_buckets=num_buckets,
-                chunk_range=chunk_range,
-                index_positions=index_positions,
-                content_column=content_column,
-                meta_columns=meta_columns,
-            ),
-            batch_format="numpy",
-            batch_size=1,
-            concurrency=tokenize_concurrency,
+        tokenize_kwargs = dict(
+            analyzer=analyzer,
+            docmeta_dir=docmeta_dir,
+            hot_terms=hot_terms,
+            num_buckets=num_buckets,
+            chunk_range=chunk_range,
+            index_positions=index_positions,
+            content_column=content_column,
+            meta_columns=meta_columns,
         )
+        if tokenize_concurrency is not None:
+            # explicit actor pool (state amortized per actor)
+            triples = items.map_batches(
+                TokenizeFragments,
+                fn_constructor_kwargs=tokenize_kwargs,
+                batch_format="numpy",
+                batch_size=1,
+                concurrency=tokenize_concurrency,
+            )
+        else:
+            # default: plain tasks + per-worker-process cached tokenizer —
+            # same amortization, no actor-pool spin-up per partition
+            triples = items.map_batches(
+                make_tokenizer_fn(**tokenize_kwargs),
+                batch_format="numpy",
+                batch_size=1,
+            )
         postings = triples.groupby("bucket").map_groups(
             encode_bucket, batch_format="pyarrow"
         )

@@ -81,9 +81,7 @@ class TokenizeFragments:
         self.index_positions = index_positions
         self.content_column = content_column
         self.meta_columns = meta_columns
-        from ..smallfloat import byte4_to_int
-
-        self._decode_norm = lambda n: int(byte4_to_int(int_to_byte4(np.array([n])))[0])
+        self._bucket_cache: dict[str, int] = {}
 
     def __call__(self, batch: dict):
         for i in range(len(batch["path"])):
@@ -107,18 +105,33 @@ class TokenizeFragments:
         shas: list[str] = []
 
         nb, cr, hot = self.num_buckets, self.chunk_range, self.hot_terms
+        from ..smallfloat import byte4_to_int
+
+        bcache = self._bucket_cache
+        per_doc: list[dict[str, list[int]]] = []
         for di, text in enumerate(contents):
-            doc_id = int(doc_ids[di])
             toks = an.positions(text)
             doc_lens[di] = len(toks)
             shas.append(hashlib.sha256(text.encode()).hexdigest())
             per_term: dict[str, list[int]] = {}
             for term, pos in toks:
                 per_term.setdefault(term, []).append(pos)
-            norm_len = self._decode_norm(len(toks))
+            per_doc.append(per_term)
+        # vectorized lossy norm round-trip (quantized decoded lengths)
+        norm_lens = byte4_to_int(int_to_byte4(doc_lens))
+        for di, per_term in enumerate(per_doc):
+            doc_id = int(doc_ids[di])
+            norm_len = int(norm_lens[di])
             for term, positions in per_term.items():
-                chunk = (doc_id // cr) if term in hot else 0
-                out_bucket.append(term_bucket(term, chunk, nb))
+                if term in hot:
+                    chunk = doc_id // cr
+                    bucket = term_bucket(term, chunk, nb)
+                else:
+                    chunk = 0
+                    bucket = bcache.get(term)
+                    if bucket is None:
+                        bucket = bcache[term] = term_bucket(term, 0, nb)
+                out_bucket.append(bucket)
                 out_term.append(term)
                 out_chunk.append(chunk)
                 out_doc.append(doc_id)
@@ -154,16 +167,43 @@ class TokenizeFragments:
         )
 
 
+_TOKENIZER_CACHE: dict[tuple, "TokenizeFragments"] = {}
+
+
+def make_tokenizer_fn(**kwargs):
+    """Plain-task variant of the tokenize stage: per-worker-process cached
+    TokenizeFragments instance (module-level global), so stateless Ray tasks
+    get the same amortized setup as an actor pool without pool spin-up cost.
+    Correct because the tokenizer state is deterministic pure config."""
+    key = (
+        kwargs["analyzer"], kwargs.get("docmeta_dir"), kwargs["num_buckets"],
+        kwargs["chunk_range"], kwargs.get("index_positions", True),
+        kwargs.get("content_column", "content"), tuple(kwargs.get("meta_columns", ())),
+        hash(kwargs["hot_terms"]),
+    )
+
+    def fn(batch):
+        tok = _TOKENIZER_CACHE.get(key)
+        if tok is None:
+            if len(_TOKENIZER_CACHE) > 4:
+                _TOKENIZER_CACHE.clear()
+            tok = _TOKENIZER_CACHE[key] = TokenizeFragments(**kwargs)
+        yield from tok(batch)
+
+    return fn
+
+
 def sample_hot_terms(
     paths_or_dir,
     analyzer: str = "code",
     sample_docs: int = 512,
     hot_df_ratio: float = 0.10,
+    max_hot: int = 64,
     content_column: str = "content",
 ) -> frozenset[str]:
     """Deterministic hot-term estimate: analyze an evenly-strided sample of
-    fragments and flag terms whose sampled df ratio exceeds hot_df_ratio
-    (the Zipf head that needs salting — SURVEY.md §7 step 7)."""
+    fragments and flag the top `max_hot` terms whose sampled df ratio exceeds
+    hot_df_ratio (the Zipf head that needs salting — SURVEY.md §7 step 7)."""
     from ..sources.reader import plan_fragments
 
     frags = plan_fragments(paths_or_dir)
@@ -184,4 +224,5 @@ def sample_hot_terms(
         if seen >= sample_docs:
             break
     cut = max(1.0, hot_df_ratio * seen)
-    return frozenset(t for t, c in df.items() if c >= cut)
+    hot = sorted(((c, t) for t, c in df.items() if c >= cut), reverse=True)[:max_hot]
+    return frozenset(t for _, t in hot)

@@ -1,0 +1,182 @@
+"""Unit tests for sketches (HLL++, T-Digest), dedup operators, text analysis,
+similarity search, ingest processors, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from elasticsearch_ray.aggs.hll import HllSketch
+from elasticsearch_ray.aggs.tdigest import TDigest
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(1)
+    a = HllSketch()
+    b = HllSketch()
+    va = rng.integers(0, 10**12, 50_000)
+    vb = rng.integers(0, 10**12, 50_000)
+    a.add(va)
+    b.add(vb)
+    exact = len(set(va.tolist()) | set(vb.tolist()))
+    merged = HllSketch.from_bytes(a.to_bytes()).merge(HllSketch.from_bytes(b.to_bytes()))
+    est = merged.estimate()
+    assert abs(est - exact) / exact < 0.03  # p=14 -> ~0.8% typical
+
+
+def test_hll_small_range_linear_counting():
+    s = HllSketch()
+    s.add(np.arange(100))
+    assert abs(s.estimate() - 100) < 3
+
+
+def test_hll_strings():
+    s = HllSketch()
+    s.add(np.array([f"user-{i}" for i in range(1000)], dtype=object))
+    assert abs(s.estimate() - 1000) / 1000 < 0.05
+
+
+def test_tdigest_quantiles_and_merge():
+    rng = np.random.default_rng(2)
+    data = rng.normal(100, 15, 100_000)
+    a, b = TDigest(), TDigest()
+    a.add(data[:50_000])
+    b.add(data[50_000:])
+    m = TDigest.from_bytes(a.to_bytes()).merge(TDigest.from_bytes(b.to_bytes()))
+    for q in (0.01, 0.5, 0.9, 0.99):
+        exact = np.quantile(data, q)
+        assert abs(m.quantile(q) - exact) < 1.0, q  # well within 1 unit of 15-std data
+
+
+def test_tdigest_bounded_size():
+    td = TDigest(compression=100)
+    td.add(np.random.default_rng(3).uniform(0, 1, 200_000))
+    td._compress()
+    assert td.means.size < 250  # ~compression centroids
+
+
+def test_minhash_jaccard_estimate():
+    from elasticsearch_ray.functions.dedup import minhash_signature, ngram_jaccard
+
+    a = "the quick brown fox jumps over the lazy dog " * 20
+    b = a.replace("quick", "rapid")
+    sa = minhash_signature(a)
+    sb = minhash_signature(b)
+    est = (sa == sb).mean()
+    true_j = ngram_jaccard(a, b)
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_similar_docs_close():
+    from elasticsearch_ray.functions.dedup import simhash64
+
+    a = "def compute_result(scan, merge): return scan + merge " * 10
+    b = a.replace("merge", "merge2")
+    c = "completely different content about window aggregation pipelines " * 10
+    ham_ab = bin(simhash64(a) ^ simhash64(b)).count("1")
+    ham_ac = bin(simhash64(a) ^ simhash64(c)).count("1")
+    assert ham_ab < ham_ac
+    assert simhash64(a) == simhash64(a)  # deterministic
+
+
+def test_minhash_lsh_finds_planted_dup(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.dedup import minhash_dedup
+
+    base = "query scan filter merge batch window column vector " * 30
+    rows = [{"doc_id": i, "text": f"unique doc {i} " + "x" * 17 + f" content {i*7919}"}
+            for i in range(40)]
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base + " tiny tail"})
+    out = minhash_dedup(rd.from_items(rows), threshold=0.7)
+    groups = dict(zip(out.doc_id, out.kept))
+    assert groups.get(101) == 100  # near-dup collapsed to min id
+
+
+def test_ingest_pipeline(ray_session):
+    from elasticsearch_ray.functions import ingest as I
+
+    t = pa.table({
+        "msg": ["  Hello <b>World</b>  ", "FOO bar  "],
+        "size": ["2kb", "3mb"],
+        "js": ['{"k": 5}', "not json"],
+    })
+    pipe = I.pipeline(
+        I.trim("msg"),
+        I.html_strip("msg"),
+        I.lowercase("msg"),
+        I.bytes_human("size", "size_bytes"),
+        I.json_parse("js", "k", "k_val"),
+    )
+    out = pipe(t)
+    assert out["msg"].to_pylist() == ["hello world", "foo bar"]
+    assert out["size_bytes"].to_pylist() == [2048, 3 << 20]
+    assert out["k_val"].to_pylist() == [5, None]
+
+
+def test_ingest_dissect_and_split():
+    from elasticsearch_ray.functions import ingest as I
+
+    t = pa.table({"line": ["alice - 200", "bob - 404"]})
+    out = I.dissect("line", "%{user} - %{code}")(t)
+    assert out["user"].to_pylist() == ["alice", "bob"]
+    assert out["code"].to_pylist() == ["200", "404"]
+    t2 = I.split("line", r"\s+-\s+", out="parts")(t)
+    assert t2["parts"].to_pylist() == [["alice", "200"], ["bob", "404"]]
+
+
+def test_multimodal_stub_raises_without_fake():
+    from elasticsearch_ray.functions.multimodal import ImageDecodeStage, make_fake_media_table
+
+    t = make_fake_media_table(4)
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(fake=False)(t)
+    out = ImageDecodeStage(fake=True)(t)
+    assert out.column_names == ["id", "width", "height", "mean_pixel"]
+    assert len(out) == 4
+    # deterministic fake
+    out2 = ImageDecodeStage(fake=True)(make_fake_media_table(4))
+    assert out.equals(out2)
+
+
+def test_video_frame_sample_one_to_many():
+    from elasticsearch_ray.functions.multimodal import (
+        VideoFrameSampleStage,
+        make_fake_media_table,
+    )
+
+    out = VideoFrameSampleStage(n_frames=4, fake=True)(make_fake_media_table(3, "video"))
+    assert len(out) == 12
+    assert out["frame_index"].to_pylist()[:4] == [0, 1, 2, 3]
+
+
+def test_knn_lsh_recall_vs_brute(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.similarity import knn_brute_force, knn_lsh
+
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((400, 32)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": V[i].tolist()} for i in range(400)]
+    ds = rd.from_items(rows)
+    Q = V[:2]
+    exact = knn_brute_force(ds, Q, k=5)
+    approx = knn_lsh(ds, Q, k=5, n_planes=4, probe_hamming=1)
+    # self-hit must always be rank 1 in both
+    for qi in (0, 1):
+        assert exact[exact.query_id == qi].iloc[0].vec_id == qi
+        assert approx[approx.query_id == qi].iloc[0].vec_id == qi
+    # LSH recall vs exact top-5 should be decent on 4 planes + probing
+    got = set(map(tuple, approx[["query_id", "vec_id"]].to_numpy()))
+    want = set(map(tuple, exact[["query_id", "vec_id"]].to_numpy()))
+    assert len(got & want) >= 4
+
+
+def test_fingerprint_deterministic_and_normalized():
+    from elasticsearch_ray.functions.text import fingerprint_batch
+
+    t1 = pa.table({"text": ["hello   world  foo", "hello world foo"]})
+    out = fingerprint_batch(t1)["fingerprint"].to_pylist()
+    assert out[0] == out[1]  # whitespace-normalized
