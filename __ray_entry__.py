@@ -80,6 +80,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
         "knn_bruteforce", "knn_lsh", "text_token_count", "text_quality",
         "text_lang_id", "text_fingerprint", "top_terms", "multimodal_image_meta",
+        # extended query kinds + aggs (round 1b)
+        "ft_fuzzy", "ft_wildcard", "ft_regexp", "ft_terms_set", "ft_dis_max",
+        "ft_constant_score", "ft_boosting", "ft_function_score",
+        "ft_more_like_this", "ft_paginate", "ft_rescore", "agg_rare_terms",
+        "agg_significant_terms", "agg_filters", "terms_lookup", "ingest_extract",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -260,4 +265,151 @@ ORDER BY doc_id""",
 SELECT t AS term, count(*) AS cnt FROM (
   SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t FROM documents)
 WHERE t <> '' GROUP BY t ORDER BY cnt DESC, term LIMIT 20""",
+        "ft_fuzzy": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> '')
+SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'dataa') <= 1
+ORDER BY doc_id""",
+        "ft_wildcard": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> '')
+SELECT DISTINCT doc_id FROM tok WHERE term LIKE 's_ow' ORDER BY doc_id""",
+        "ft_regexp": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> '')
+SELECT DISTINCT doc_id FROM tok WHERE regexp_full_match(term, 'gro.p')
+ORDER BY doc_id""",
+        "ft_terms_set": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query','vector']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS score
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+GROUP BY tf.doc_id HAVING count(*) >= 2 ORDER BY doc_id""",
+        "ft_dis_max": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS doc_id, {_SCORE} AS s
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st)
+SELECT doc_id, ROUND(MAX(s) + 0.3 * (SUM(s) - MAX(s)), 4) AS score
+FROM scored GROUP BY doc_id ORDER BY doc_id""",
+        "ft_constant_score": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> '')
+SELECT DISTINCT doc_id, 1.5 AS score FROM tok WHERE term = 'vector'
+ORDER BY doc_id""",
+        "ft_boosting": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')
+SELECT tf.doc_id AS doc_id,
+       ROUND(({_SCORE}) * (CASE WHEN tf.doc_id IN (SELECT doc_id FROM neg)
+                           THEN 0.5 ELSE 1.0 END), 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "ft_function_score": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id,
+       ROUND(({_SCORE}) * ln(1 + 0.1 * d.n_chars), 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "ft_more_like_this": f"""
+WITH {_TOK},
+q AS (SELECT t AS term FROM (
+        SELECT unnest(regexp_split_to_array(
+          lower((SELECT text FROM documents WHERE doc_id = 42)), '[^a-z0-9]+')) AS t) u
+      WHERE t <> '' GROUP BY t ORDER BY count(*) DESC, t LIMIT 5),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS score
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+WHERE tf.doc_id <> 42
+GROUP BY tf.doc_id ORDER BY doc_id""",
+        "ft_paginate": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS raw
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(raw, 4) AS score FROM scored
+ORDER BY raw DESC, doc_id LIMIT 20 OFFSET 20""",
+        "ft_rescore": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+base AS (
+  SELECT tf.doc_id AS doc_id, {_SCORE} AS raw
+  FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+  ORDER BY raw DESC, doc_id LIMIT 50)
+SELECT b.doc_id AS doc_id,
+       ROUND(b.raw + (CASE WHEN regexp_matches(lower(d.text),
+             '(^|[^a-z0-9])data[^a-z0-9]+query([^a-z0-9]|$)')
+             THEN 2.0 ELSE 0.0 END), 4) AS score
+FROM base b JOIN documents d ON d.doc_id = b.doc_id
+ORDER BY doc_id""",
+        "agg_rare_terms": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> '')
+SELECT term, count(DISTINCT doc_id) AS df FROM tok
+GROUP BY term HAVING count(DISTINCT doc_id) <= 30 ORDER BY term""",
+        "agg_significant_terms": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+fg_n AS (SELECT count(*) AS n FROM documents WHERE lang = 'zh'),
+bg_n AS (SELECT count(*) AS n FROM documents),
+counts AS (
+  SELECT term,
+         count(*) FILTER (WHERE d.lang = 'zh') AS fg_df,
+         count(*) AS bg_df
+  FROM tok JOIN documents d USING (doc_id) GROUP BY term)
+SELECT term, fg_df, bg_df,
+       ROUND((fg_df::DOUBLE / fg_n.n - bg_df::DOUBLE / bg_n.n)
+             * ((fg_df::DOUBLE / fg_n.n) / (bg_df::DOUBLE / bg_n.n)), 6) AS score
+FROM counts CROSS JOIN fg_n CROSS JOIN bg_n
+WHERE fg_df >= 5
+ORDER BY score DESC, term LIMIT 10""",
+        "agg_filters": """
+SELECT * FROM (
+  SELECT 'big' AS name, count(*) FILTER (WHERE value >= 100) AS doc_count FROM events
+  UNION ALL
+  SELECT 'mid', count(*) FILTER (WHERE value >= 10 AND value < 100) FROM events
+  UNION ALL
+  SELECT 'small', count(*) FILTER (WHERE value < 10) FROM events
+) ORDER BY name""",
+        "terms_lookup": """
+SELECT user_id, count(*) AS doc_count FROM events
+WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase' AND value > 240)
+GROUP BY user_id ORDER BY user_id""",
+        "ingest_extract": r"""
+SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
+FROM events ORDER BY event_id""",
     }

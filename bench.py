@@ -29,7 +29,7 @@ import subprocess
 import sys
 import time
 
-SF_DOCS = {"0.001": 2_000, "0.01": 6_000, "0.1": 24_000}
+SF_DOCS = {"0.001": 2_000, "0.01": 10_000, "0.1": 100_000}
 
 
 def _sf_from_dir(sf_dir: str) -> str:
@@ -56,21 +56,27 @@ def run_bench() -> dict:
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.fast_build import build_index_tasks
     from elasticsearch_ray.search.engine import IndexSearcher
     from elasticsearch_ray.sources.corpus import write_corpus
     from elasticsearch_ray.sources.queries import reference_queries
 
     timings: dict[str, float] = {}
 
-    # untimed Ray Data warmup (first pipeline pays worker start + import cost)
+    # untimed warmup: spin up all workers with our modules imported
     import ray.data as rd
 
+    @ray.remote
+    def _warm():
+        import elasticsearch_ray.index.fast_build  # noqa: F401
+        return 0
+
+    ray.get([_warm.remote() for _ in range(ncpu * 2)])
     rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
     # --- corpus (cached, excluded from timing; also warms page cache) ---
     corpus_dir = f"/tmp/esray_bench/corpus_{n_docs}"
-    write_corpus(corpus_dir, n_docs, rows_per_file=4000, row_group_size=250)
+    write_corpus(corpus_dir, n_docs, rows_per_file=8000, row_group_size=500)
     corpus_bytes = sum(
         os.path.getsize(os.path.join(corpus_dir, f))
         for f in os.listdir(corpus_dir) if f.endswith(".parquet")
@@ -80,10 +86,10 @@ def run_bench() -> dict:
     idx_dir = f"/tmp/esray_bench/idx_{n_docs}_{ncpu}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
-    build_index(
+    build_index_tasks(
         corpus_dir, idx_dir,
-        docs_per_partition=max(4000, n_docs // 4),
-        num_buckets=max(16, ncpu * 2),
+        docs_per_partition=max(10_000, n_docs // 4),
+        num_buckets=32,
     )
     t_build = time.time() - t0
     timings["index_build"] = round(t_build, 3)

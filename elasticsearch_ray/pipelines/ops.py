@@ -395,3 +395,230 @@ def multimodal_image_meta(sf_dir: str):
     ).to_pandas()
     out["mean_pixel"] = round_half_away(out["mean_pixel"], 3)
     return out.sort_values("id").reset_index(drop=True)
+
+
+# ---------------- extended query kinds (term-level + compound) ----------------
+
+
+def ft_fuzzy(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "fuzzy", "term": "dataa", "fuzziness": 1},
+                       with_score=False)
+
+
+def ft_wildcard(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "wildcard", "pattern": "s?ow"}, with_score=False)
+
+
+def ft_regexp(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "regexp", "pattern": "gro.p"}, with_score=False)
+
+
+def ft_terms_set(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "terms_set",
+                                "terms": ["data", "query", "vector"],
+                                "minimum_should_match": 2})
+
+
+def ft_dis_max(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "dis_max", "tie_breaker": 0.3,
+                                "queries": [{"kind": "term", "term": "data"},
+                                            {"kind": "term", "term": "query"}]})
+
+
+def ft_constant_score(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "constant_score", "boost": 1.5,
+                                "filter": {"kind": "term", "term": "vector"}})
+
+
+def ft_boosting(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "boosting",
+                                "positive": {"kind": "term", "term": "data"},
+                                "negative": {"kind": "term", "term": "vector"},
+                                "negative_boost": 0.5})
+
+
+def ft_function_score(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "function_score",
+                                "query": {"kind": "term", "term": "data"},
+                                "field": "n_chars", "factor": 0.1,
+                                "modifier": "log1p"})
+
+
+def ft_more_like_this(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    like = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "text"]
+    )
+    text = like["text"][42].as_py()
+    return all_matches(sf_dir, {"kind": "more_like_this", "like": text,
+                                "max_query_terms": 5, "exclude_doc": 42})
+
+
+def ft_paginate(sf_dir: str):
+    """from/size pagination (QueryPhase.java:178-179): page 2 of 20 by
+    (score desc, doc_id asc)."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s._eval({"kind": "match", "text": "data query"})
+    order = np.lexsort((ids, -sc))[20:40]
+    return pa.table({
+        "doc_id": pa.array(ids[order]),
+        "score": pa.array(round_half_away(sc[order], 4)),
+    })
+
+
+def ft_rescore(sf_dir: str):
+    """rescore (search/rescore/QueryRescorer.java): top-50 of a term query
+    re-ranked with a +2.0 bonus when the phrase 'data query' also matches."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s._eval({"kind": "term", "term": "data"})
+    order = np.lexsort((ids, -sc))[:50]
+    ids, sc = ids[order], sc[order]
+    p_ids, _ = s._eval({"kind": "match_phrase", "text": "data query"})
+    idx = np.searchsorted(p_ids, ids)
+    if p_ids.size:
+        idx = np.minimum(idx, p_ids.size - 1)
+        bonus = (p_ids[idx] == ids).astype(np.float64) * 2.0
+    else:
+        bonus = np.zeros(ids.size)
+    final = sc + bonus
+    out_order = np.argsort(ids, kind="stable")
+    return pa.table({
+        "doc_id": pa.array(ids[out_order]),
+        "score": pa.array(round_half_away(final[out_order], 4)),
+    })
+
+
+# ---------------- extended aggregations ----------------
+
+
+def agg_rare_terms(sf_dir: str):
+    """rare_terms agg (bucket/terms/rare_terms, cuckoo-filtered in the
+    reference): terms with global df <= 3."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_simple
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for s in t["text"].to_pylist():
+            c.update(set(analyze_simple(s)))
+        return pa.table({"term": list(c.keys()),
+                         "df": pa.array(list(c.values()), pa.int64())})
+
+    out = (
+        _ds(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    out = out[out["df"] <= 30].sort_values("term").reset_index(drop=True)
+    return out
+
+
+def agg_significant_terms(sf_dir: str):
+    """significant_terms with the JLH heuristic
+    (bucket/significant/heuristics/JLHScore.java): foreground = lang='zh',
+    background = all docs; score = (fg% - bg%) * (fg% / bg%)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_simple
+
+    def partial(t: pa.Table) -> pa.Table:
+        fg, bg = Counter(), Counter()
+        for lang, s in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            terms = set(analyze_simple(s))
+            bg.update(terms)
+            if lang == "zh":
+                fg.update(terms)
+        allt = sorted(bg)
+        return pa.table({"term": allt,
+                         "fg_df": pa.array([fg.get(t, 0) for t in allt], pa.int64()),
+                         "bg_df": pa.array([bg[t] for t in allt], pa.int64())})
+
+    ds = _ds(sf_dir, "documents", ["lang", "text"])
+    red = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("fg_df", alias_name="fg_df"), Sum("bg_df", alias_name="bg_df"))
+        .to_pandas()
+    )
+    import pyarrow.dataset as pads
+
+    meta = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(columns=["lang"])
+    fg_n = int((np.asarray(meta["lang"]) == "zh").sum())
+    bg_n = len(meta)
+    red = red[red.fg_df >= 5].copy()
+    fgp = red.fg_df / fg_n
+    bgp = red.bg_df / bg_n
+    red["score"] = round_half_away((fgp - bgp) * (fgp / bgp), 6)
+    red = red.sort_values(["score", "term"], ascending=[False, True]).head(10)
+    return red[["term", "fg_df", "bg_df", "score"]].reset_index(drop=True)
+
+
+def agg_filters(sf_dir: str):
+    """filters agg (bucket/filters): named predicate buckets in one pass via
+    per-batch partial counts."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        return pa.table({
+            "name": ["big", "small", "mid"],
+            "doc_count": pa.array([int((v >= 100).sum()), int((v < 10).sum()),
+                                   int(((v >= 10) & (v < 100)).sum())], pa.int64()),
+        })
+
+    out = (
+        _ds(sf_dir, "events", ["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("name")
+        .aggregate(Sum("doc_count", alias_name="doc_count"))
+        .to_pandas()
+    )
+    return out.sort_values("name").reset_index(drop=True)
+
+
+def terms_lookup(sf_dir: str):
+    """terms-lookup semi-join (TermsQueryBuilder.java:439-474): fetch the
+    small key set (high-value purchasers), broadcast it, filter + count."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    ds = _ds(sf_dir, "events", ["user_id", "event_type", "value"])
+    small = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["event_type"], "purchase"),
+                                   pc.greater(t["value"], 240.0))),
+        batch_format="pyarrow",
+    ).select_columns(["user_id"]).to_pandas()  # genuinely small side -> driver
+    keys = pa.array(sorted(set(small["user_id"])), pa.int64())
+
+    out = (
+        ds.map_batches(lambda t: t.filter(pc.is_in(t["user_id"], value_set=keys)),
+                       batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="doc_count"))
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def ingest_extract(sf_dir: str):
+    """ingest `json` processor over the events props column -> typed field."""
+    from ..functions import ingest as I
+
+    ds = _ds(sf_dir, "events", ["event_id", "props"])
+    pipe = I.pipeline(I.json_parse("props", "k", "k_val"))
+    out = (
+        ds.map_batches(pipe, batch_format="pyarrow")
+        .select_columns(["event_id", "k_val"])
+        .to_pandas()
+    )
+    out["k_val"] = out["k_val"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)

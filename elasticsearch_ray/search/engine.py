@@ -322,7 +322,165 @@ class IndexSearcher:
             # doc-values term filter on a docmeta column (the ES analog of a
             # `term` query on a keyword field; unscored, for filter/must use)
             return self._meta_term(q["field"], q["value"])
+        if kind == "ids":
+            wanted = np.array(sorted(q["values"]), dtype=np.int64)
+            wanted = wanted[(wanted >= 0) & (wanted <= self.max_doc)]
+            mask = self.doc_lens[wanted] >= 0  # all dense ids exist
+            return wanted[mask], np.full(int(mask.sum()), boost, np.float64)
+        if kind == "fuzzy":
+            # FuzzyQuery (index/query/FuzzyQueryBuilder) with CONSTANT_SCORE
+            # rewrite: union of docs of terms within `fuzziness` edits
+            terms = self._expand_fuzzy(q["term"], int(q.get("fuzziness", 1)))
+            return self._constant_union(terms, boost)
+        if kind == "wildcard":
+            # WildcardQueryBuilder: * and ? over the term dictionary
+            import fnmatch
+            import re as _re
+
+            pat = _re.compile(fnmatch.translate(q["pattern"]))
+            terms = [t for t in self._vocab() if pat.match(t)]
+            return self._constant_union(terms, boost)
+        if kind == "regexp":
+            import re as _re
+
+            pat = _re.compile(q["pattern"])
+            terms = [t for t in self._vocab() if pat.fullmatch(t)]
+            return self._constant_union(terms, boost)
+        if kind == "terms_set":
+            # TermsSetQueryBuilder: match docs containing at least
+            # minimum_should_match of the terms; score = sum of matched
+            return self._terms_set(q["terms"], int(q.get("minimum_should_match", 1)), boost)
+        if kind == "dis_max":
+            return self._dis_max(q["queries"], float(q.get("tie_breaker", 0.0)), boost)
+        if kind == "constant_score":
+            ids, _ = self._eval(q["filter"])
+            return ids, np.full(ids.size, boost, np.float64)
+        if kind == "boosting":
+            pos_ids, pos_sc = self._eval(q["positive"])
+            neg_ids, _ = self._eval(q["negative"])
+            nb = float(q.get("negative_boost", 0.5))
+            idx = np.searchsorted(neg_ids, pos_ids)
+            if neg_ids.size:
+                idx = np.minimum(idx, neg_ids.size - 1)
+                in_neg = neg_ids[idx] == pos_ids
+            else:
+                in_neg = np.zeros(pos_ids.size, bool)
+            sc = pos_sc * np.where(in_neg, nb, 1.0) * boost
+            return pos_ids, sc
+        if kind == "function_score":
+            # field_value_factor flavor (FunctionScoreQueryBuilder):
+            # score = inner_score * (factor * field_value) with modifier
+            ids, sc = self._eval(q["query"])
+            field = q.get("field", "n_chars")
+            factor = float(q.get("factor", 1.0))
+            modifier = q.get("modifier", "none")
+            vals = self._meta_values(field, ids).astype(np.float64) * factor
+            if modifier == "log1p":
+                vals = np.log1p(vals)
+            elif modifier == "sqrt":
+                vals = np.sqrt(vals)
+            return ids, sc * vals * boost
+        if kind == "more_like_this":
+            return self._more_like_this(
+                q["like"], int(q.get("max_query_terms", 5)),
+                q.get("exclude_doc"), boost,
+            )
         raise ValueError(f"unknown query kind {kind!r}")
+
+    # ---- expanded-term and compound helpers ----
+
+    def _vocab(self) -> list[str]:
+        if not hasattr(self, "_vocab_cache"):
+            terms: set[str] = set()
+            for seg in self.segments:
+                terms.update(map(str, seg._sorted_terms))
+            self._vocab_cache = sorted(terms)
+        return self._vocab_cache
+
+    def _expand_fuzzy(self, term: str, fuzziness: int) -> list[str]:
+        def lev_le(a: str, b: str, k: int) -> bool:
+            if abs(len(a) - len(b)) > k:
+                return False
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+                if min(prev) > k:
+                    return False
+            return prev[-1] <= k
+
+        return [t for t in self._vocab() if lev_le(term, t, fuzziness)]
+
+    def _constant_union(self, terms: list[str], boost: float):
+        parts = [self._get_term(t).doc_ids for t in terms if self._get_term(t) is not None]
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = np.unique(np.concatenate(parts))
+        return ids, np.full(ids.size, boost, np.float64)
+
+    def _terms_set(self, terms: list[str], min_match: int, boost: float):
+        parts = []
+        counts_parts = []
+        for t in dict.fromkeys(terms):
+            tp = self._get_term(t)
+            if tp is not None:
+                parts.append((tp.doc_ids, self._term_scores(tp)))
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids, sc = self._accumulate(parts)
+        cnt = np.zeros(ids.size, np.int64)
+        for p_ids, _ in parts:
+            idx = np.searchsorted(p_ids, ids)
+            idx = np.minimum(idx, p_ids.size - 1)
+            cnt += (p_ids[idx] == ids).astype(np.int64)
+        keep = cnt >= min_match
+        return ids[keep], sc[keep] * boost
+
+    def _dis_max(self, subqueries: list[dict], tie_breaker: float, boost: float):
+        """DisMaxQueryBuilder: max of clause scores + tie_breaker * others."""
+        evaled = [self._eval(sq) for sq in subqueries]
+        all_ids = np.unique(np.concatenate([e[0] for e in evaled])) if evaled else np.empty(0, np.int64)
+        if all_ids.size == 0:
+            return all_ids, np.empty(0, np.float64)
+        best = np.zeros(all_ids.size, np.float64)
+        total = np.zeros(all_ids.size, np.float64)
+        for ids, sc in evaled:
+            if ids.size == 0:
+                continue
+            idx = np.searchsorted(ids, all_ids)
+            idx = np.minimum(idx, ids.size - 1)
+            hit = ids[idx] == all_ids
+            v = np.where(hit, sc[idx], 0.0)
+            np.maximum(best, v, out=best)
+            total += v
+        return all_ids, (best + tie_breaker * (total - best)) * boost
+
+    def _meta_values(self, field: str, doc_ids: np.ndarray) -> np.ndarray:
+        key = f"_meta_dense_{field}"
+        arr = getattr(self, key, None)
+        if arr is None:
+            arr = np.zeros(self.max_doc + 1, dtype=np.float64)
+            for mt in self._meta_tables:
+                arr[mt["doc_id"].to_numpy()] = mt[field].to_numpy().astype(np.float64)
+            setattr(self, key, arr)
+        return arr[doc_ids]
+
+    def _more_like_this(self, like_text: str, max_terms: int,
+                        exclude_doc: int | None, boost: float):
+        """MoreLikeThisQueryBuilder essence ("like" text form): analyze the
+        example text, keep its top `max_query_terms` terms by (tf desc, term
+        asc), OR them with BM25; optionally exclude the source doc itself."""
+        from collections import Counter
+
+        counts = Counter(self.analyzer(like_text))
+        chosen = [t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_terms]]
+        ids, sc = self._disjunction(chosen, boost)
+        if exclude_doc is not None:
+            keep = ids != int(exclude_doc)
+            ids, sc = ids[keep], sc[keep]
+        return ids, sc
 
     def _meta_term(self, field: str, value):
         import pyarrow.compute as _pc
@@ -432,29 +590,27 @@ class IndexSearcher:
         return cand, sc.astype(np.float64)
 
     def _positions_for(self, tp: TermPostings, cand: np.ndarray) -> list[np.ndarray]:
-        """positions arrays aligned with cand (empty when doc lacks term)."""
-        from ..codec import EncodedPostings, decode_positions
-
+        """positions arrays aligned with cand (empty when doc lacks term).
+        Fully vectorized: varbyte-decode the row's position stream once,
+        absolutize with a segmented cumsum, slice only the candidate docs."""
         out = [np.empty(0, np.int64)] * cand.size
         for r, row_tfs in tp.pos_rows:
-            enc = EncodedPostings(
-                df=r["df"], sum_tf=r["sum_tf"], doc_bytes=r["doc_bytes"],
-                tf_bytes=r["tf_bytes"], pos_bytes=r["pos_bytes"],
-                skip_last_doc=np.asarray(r["skip_last_doc"], np.int64),
-                skip_doc_off=np.asarray(r["skip_doc_off"], np.int32),
-                skip_tf_off=np.asarray(r["skip_tf_off"], np.int32),
-                skip_pos_off=np.asarray(r["skip_pos_off"], np.int32),
-                skip_max_tf=np.asarray(r["skip_max_tf"], np.int32),
-                skip_min_norm=np.asarray(r["skip_min_norm"], np.int32),
-            )
+            if not r["pos_bytes"]:
+                continue
             deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
             row_ids = np.cumsum(deltas) - 1
-            plists = decode_positions(enc, row_tfs)
+            flat = varbyte_decode(r["pos_bytes"]).astype(np.int64)
+            cuts = np.cumsum(row_tfs)
+            total = np.cumsum(flat)
+            if row_tfs.size > 1:
+                corr_vals = np.concatenate([[0], total[cuts[:-1] - 1]])
+                total = total - np.repeat(corr_vals, row_tfs)
+            starts = np.concatenate([[0], cuts[:-1]])
             idx = np.searchsorted(row_ids, cand)
             for ci in range(cand.size):
                 j = idx[ci]
                 if j < row_ids.size and row_ids[j] == cand[ci]:
-                    out[ci] = plists[j]
+                    out[ci] = total[starts[j] : cuts[j]]
         return out
 
     def _bool(self, q: dict, boost: float = 1.0):

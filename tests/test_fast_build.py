@@ -1,0 +1,81 @@
+"""The task-shuffle build path must produce logically identical segments to
+the Dataset-groupby path (same tokenize/encode kernels, different exchange)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from elasticsearch_ray.index.build import build_index
+from elasticsearch_ray.index.fast_build import build_index_tasks
+from elasticsearch_ray.index.manifest import committed_segments
+from elasticsearch_ray.search.engine import IndexSearcher
+from elasticsearch_ray.sources.corpus import write_corpus
+from elasticsearch_ray.sources.queries import reference_queries
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(d, 800, rows_per_file=1000, row_group_size=100, use_ray=True)
+    return d
+
+
+def _postings_key_set(index_dir):
+    out = {}
+    for sid in committed_segments(index_dir):
+        t = pads.dataset(os.path.join(index_dir, sid, "postings")).to_table()
+        rows = sorted(zip(t["term"].to_pylist(), t["chunk"].to_pylist(),
+                          t["doc_bytes"].to_pylist(), t["tf_bytes"].to_pylist(),
+                          t["pos_bytes"].to_pylist()))
+        out[sid] = rows
+    return out
+
+
+def test_task_build_equals_dataset_build(corpus_dir, tmp_path):
+    hot = frozenset(["def", "return", "int", "get"])
+    kw = dict(docs_per_partition=300, num_buckets=8, salt_chunks=4, hot_terms=hot)
+    d1, d2 = str(tmp_path / "ds"), str(tmp_path / "tasks")
+    build_index(corpus_dir, d1, **kw)
+    build_index_tasks(corpus_dir, d2, **kw)
+
+    a, b = _postings_key_set(d1), _postings_key_set(d2)
+    assert list(a) == list(b)
+    for sid in a:
+        assert a[sid] == b[sid], f"postings differ in {sid}"
+
+    ma, mb = committed_segments(d1), committed_segments(d2)
+    for sid in ma:
+        assert ma[sid].doc_count == mb[sid].doc_count
+        assert ma[sid].sum_doc_len == mb[sid].sum_doc_len
+        assert ma[sid].term_count == mb[sid].term_count
+        assert ma[sid].doc_id_min == mb[sid].doc_id_min
+        assert ma[sid].doc_id_max == mb[sid].doc_id_max
+
+    sa, sb = IndexSearcher(d1), IndexSearcher(d2)
+    for q in reference_queries()[:12]:
+        ia, ca = sa.search(q)
+        ib, cb = sb.search(q)
+        assert list(ia) == list(ib)
+        np.testing.assert_array_equal(ca, cb)
+
+
+def test_task_build_resume(corpus_dir, tmp_path):
+    hot = frozenset(["def"])
+    kw = dict(docs_per_partition=300, num_buckets=4, hot_terms=hot)
+    d = str(tmp_path / "resume")
+    build_index_tasks(corpus_dir, d, **kw)
+    segs = committed_segments(d)
+    assert len(segs) == 3  # 800 docs / 300
+    # drop one segment, rebuild -> only that one is rebuilt, results identical
+    import shutil
+
+    victim = list(segs)[1]
+    before = _postings_key_set(d)
+    shutil.rmtree(os.path.join(d, victim))
+    build_index_tasks(corpus_dir, d, **kw)
+    after = _postings_key_set(d)
+    assert before == after
