@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_constant_score", "ft_boosting", "ft_function_score",
         "ft_more_like_this", "ft_paginate", "ft_rescore", "agg_rare_terms",
         "agg_significant_terms", "agg_filters", "terms_lookup", "ingest_extract",
+        "ft_span_near", "ft_phrase_prefix", "ft_query_string",
+        "agg_adjacency_matrix", "agg_date_range", "agg_matrix_stats",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -412,4 +414,43 @@ GROUP BY user_id ORDER BY user_id""",
         "ingest_extract": r"""
 SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
 FROM events ORDER BY event_id""",
+        "ft_span_near": """
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text),
+  '(^|[^a-z0-9])data([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+query([^a-z0-9]|$)')
+ORDER BY doc_id""",
+        "ft_phrase_prefix": """
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text), '(^|[^a-z0-9])data[^a-z0-9]+quer[a-z0-9]*')
+ORDER BY doc_id""",
+        "ft_query_string": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS score
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+WHERE tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')
+GROUP BY tf.doc_id ORDER BY doc_id""",
+        "agg_adjacency_matrix": """
+SELECT * FROM (
+  SELECT 'big' AS key, count(*) FILTER (WHERE value >= 100) AS doc_count FROM events
+  UNION ALL
+  SELECT 'big&click', count(*) FILTER (WHERE value >= 100 AND event_type = 'click') FROM events
+  UNION ALL
+  SELECT 'click', count(*) FILTER (WHERE event_type = 'click') FROM events
+) ORDER BY key""",
+        "agg_date_range": """
+SELECT * FROM (
+  SELECT 'early' AS range_key, count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-10') AS doc_count FROM events
+  UNION ALL
+  SELECT 'late', count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-20') FROM events
+  UNION ALL
+  SELECT 'mid', count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20') FROM events
+) ORDER BY range_key""",
+        "agg_matrix_stats": """
+SELECT ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covariance,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS correlation
+FROM lineitem""",
     }

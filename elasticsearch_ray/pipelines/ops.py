@@ -622,3 +622,102 @@ def ingest_extract(sf_dir: str):
     )
     out["k_val"] = out["k_val"].astype(np.int64)
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ---------------- span / prefix-phrase / query-string / matrix ----------------
+
+
+def ft_span_near(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "span_near", "terms": ["data", "query"],
+                                "slop": 2, "in_order": True}, with_score=False)
+
+
+def ft_phrase_prefix(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "match_phrase_prefix", "text": "data quer"},
+                       with_score=False)
+
+
+def ft_query_string(sf_dir: str):
+    return all_matches(sf_dir, {"kind": "simple_query_string",
+                                "query": "data query -vector"})
+
+
+def agg_adjacency_matrix(sf_dir: str):
+    """adjacency_matrix agg (bucket/adjacency): counts for each filter and
+    each pairwise intersection."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        et = np.asarray(t["event_type"])
+        a = v >= 100
+        b = et == "click"
+        return pa.table({
+            "key": ["big", "big&click", "click"],
+            "doc_count": pa.array([int(a.sum()), int((a & b).sum()), int(b.sum())],
+                                  pa.int64()),
+        })
+
+    out = (
+        _ds(sf_dir, "events", ["value", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("doc_count", alias_name="doc_count"))
+        .to_pandas()
+    )
+    return out.sort_values("key").reset_index(drop=True)
+
+
+def agg_date_range(sf_dir: str):
+    """date_range agg: named half-open ranges over ts."""
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64("2024-01-10", "us")
+    hi = np.datetime64("2024-01-20", "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy()
+        return pa.table({
+            "range_key": ["early", "late", "mid"],
+            "doc_count": pa.array([int((ts < lo).sum()), int((ts >= hi).sum()),
+                                   int(((ts >= lo) & (ts < hi)).sum())], pa.int64()),
+        })
+
+    out = (
+        _ds(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("range_key")
+        .aggregate(Sum("doc_count", alias_name="doc_count"))
+        .to_pandas()
+    )
+    return out.sort_values("range_key").reset_index(drop=True)
+
+
+def agg_matrix_stats(sf_dir: str):
+    """matrix_stats (modules/aggs-matrix-stats): covariance + correlation of
+    (l_quantity, l_extendedprice) via mergeable moment partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy().astype(np.float64)
+        y = t["l_extendedprice"].to_numpy().astype(np.float64)
+        return pa.table({
+            "n": pa.array([float(x.size)]), "sx": pa.array([x.sum()]),
+            "sy": pa.array([y.sum()]), "sxx": pa.array([(x * x).sum()]),
+            "syy": pa.array([(y * y).sum()]), "sxy": pa.array([(x * y).sum()]),
+        })
+
+    r = (
+        _ds(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    )
+    n = r["n"]
+    cov = r["sxy"] / n - (r["sx"] / n) * (r["sy"] / n)
+    vx = r["sxx"] / n - (r["sx"] / n) ** 2
+    vy = r["syy"] / n - (r["sy"] / n) ** 2
+    corr = cov / np.sqrt(vx * vy)
+    return pd.DataFrame({
+        "covariance": [float(round_half_away(cov, 4))],
+        "correlation": [float(round_half_away(corr, 6))],
+    })

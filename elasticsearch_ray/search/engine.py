@@ -151,6 +151,26 @@ class TermPostings:
         return out
 
 
+def parse_simple_query_string(s: str) -> dict:
+    """simple_query_string mini-parser (SimpleQueryStringBuilder subset):
+    whitespace-separated clauses, `-` prefix negates, quoted phrases; default
+    operator OR -> a bool(should/must_not) tree."""
+    import re
+
+    parts = re.findall(r'-?"[^"]*"|\S+', s)
+    should, must_not = [], []
+    for p in parts:
+        neg = p.startswith("-")
+        if neg:
+            p = p[1:]
+        if p.startswith('"') and p.endswith('"') and len(p) >= 2:
+            q: dict = {"kind": "match_phrase", "text": p[1:-1]}
+        else:
+            q = {"kind": "match", "text": p}
+        (must_not if neg else should).append(q)
+    return {"kind": "bool", "should": should, "must_not": must_not}
+
+
 class _Segment:
     def __init__(self, seg_dir: str):
         self.dir = seg_dir
@@ -385,7 +405,92 @@ class IndexSearcher:
                 q["like"], int(q.get("max_query_terms", 5)),
                 q.get("exclude_doc"), boost,
             )
+        if kind == "span_near":
+            return self._span_near(
+                q["terms"], int(q.get("slop", 0)), bool(q.get("in_order", True)), boost
+            )
+        if kind == "match_phrase_prefix":
+            return self._phrase_prefix(q["text"], int(q.get("max_expansions", 50)), boost)
+        if kind == "simple_query_string":
+            return self._eval(parse_simple_query_string(q["query"]))
         raise ValueError(f"unknown query kind {kind!r}")
+
+    def _span_near(self, terms: list[str], slop: int, in_order: bool, boost: float):
+        """span_near (SpanNearQueryBuilder): terms within `slop` intervening
+        positions, optionally in order. Constant-scored here (span scoring in
+        Lucene is sloppy-freq-based; the doc-set semantics are what the
+        compound queries need)."""
+        tps = []
+        for t in terms:
+            tp = self._get_term(t)
+            if tp is None:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            tps.append(tp)
+        cand = tps[0].doc_ids
+        for tp in tps[1:]:
+            idx = np.searchsorted(tp.doc_ids, cand)
+            idx = np.minimum(idx, tp.doc_ids.size - 1)
+            cand = cand[tp.doc_ids[idx] == cand]
+        if cand.size == 0:
+            return cand, np.empty(0, np.float64)
+        pos_maps = [self._positions_for(tp, cand) for tp in tps]
+        window = slop + len(terms) - 1  # max span width in positions
+        keep = np.zeros(cand.size, dtype=bool)
+        for ci in range(cand.size):
+            if in_order and len(terms) == 2:
+                p1, p2 = pos_maps[0][ci], pos_maps[1][ci]
+                j = np.searchsorted(p2, p1, side="right")
+                ok = (j < p2.size) & (p2[np.minimum(j, p2.size - 1)] - p1 <= slop + 1)
+                keep[ci] = bool(np.any(ok & (j < p2.size)))
+            else:
+                # general case: sliding window over the merged position list
+                merged = []
+                for ti, pm in enumerate(pos_maps):
+                    merged.append(np.stack([pm[ci], np.full(pm[ci].size, ti)], axis=1))
+                m = np.concatenate(merged)
+                m = m[np.argsort(m[:, 0], kind="stable")]
+                n_t = len(terms)
+                for s0 in range(m.shape[0]):
+                    hi = s0
+                    seen = set()
+                    order_ok = True
+                    last_ti = -1
+                    while hi < m.shape[0] and m[hi, 0] - m[s0, 0] <= window:
+                        ti = int(m[hi, 1])
+                        if in_order:
+                            if ti == len(seen):
+                                seen.add(ti)
+                        else:
+                            seen.add(ti)
+                        if len(seen) == n_t:
+                            keep[ci] = True
+                            break
+                        hi += 1
+                    if keep[ci]:
+                        break
+        ids = cand[keep]
+        return ids, np.full(ids.size, boost, np.float64)
+
+    def _phrase_prefix(self, text: str, max_expansions: int, boost: float):
+        """match_phrase_prefix (MatchPhrasePrefixQueryBuilder): phrase whose
+        last term is a prefix, expanded against the term dictionary."""
+        terms = self.analyzer(text)
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        prefix = terms[-1]
+        expansions = [t for t in self._vocab() if t.startswith(prefix)][:max_expansions]
+        if not expansions:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        parts = []
+        for exp in expansions:
+            full = terms[:-1] + [exp]
+            ids, _ = self._phrase(" ".join(full), 1.0) if len(full) > 1 else (
+                (self._get_term(exp).doc_ids, None) if self._get_term(exp) else
+                (np.empty(0, np.int64), None)
+            )
+            parts.append(ids)
+        ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        return ids, np.full(ids.size, boost, np.float64)
 
     # ---- expanded-term and compound helpers ----
 
