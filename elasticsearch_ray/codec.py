@@ -29,12 +29,12 @@ BLOCK_SIZE = 128
 _THRESHOLDS = [1 << (7 * k) for k in range(1, 9)]
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array as concatenated varints (7 data bits/byte,
-    high bit = continuation)."""
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a uint64 array as concatenated varints; also return the
+    per-value byte lengths (for bulk slicing by downstream callers)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += v >= np.uint64(t)
@@ -47,6 +47,13 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[starts[mask] + j] = byte.astype(np.uint8) | cont
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as concatenated varints (7 data bits/byte,
+    high bit = continuation)."""
+    out, _ = varbyte_encode_with_lengths(values)
     return out.tobytes()
 
 

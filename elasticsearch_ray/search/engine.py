@@ -23,14 +23,13 @@ and a tiny per-qid top-k merge (SearchPhaseController.mergeTopDocs:221-243
 analog); in this single-node build every actor loads all segments and the
 merge is the identity.
 
-Query dicts (the DSL subset):
-  {"kind":"term","term":t}                        scored single-term lookup
-  {"kind":"match","text":s,"operator":"or"|"and"} analyzed OR/AND (BM25)
-  {"kind":"match_phrase","text":s}                positions-verified phrase
-  {"kind":"prefix","prefix":p}                    constant-score expansion
-  {"kind":"bool","must":[q],"should":[q],"must_not":[q],"filter":[q]}
-  {"kind":"match_all"}
-plus "k" (top-k, default 10) and optional "boost".
+Query dicts (the DSL, mirroring SearchModule.java:780 registrations):
+  term, match (or/and), match_phrase, match_phrase_prefix, prefix, wildcard,
+  regexp, fuzzy, ids, terms_set, span_near, match_all, meta_term (doc-values
+  keyword filter), bool (must/should/must_not/filter), dis_max,
+  constant_score, boosting, function_score (field_value_factor),
+  more_like_this, simple_query_string
+plus "k" (top-k, default 10) and optional "boost" per clause.
 """
 
 from __future__ import annotations
@@ -207,11 +206,17 @@ class IndexSearcher:
         score_mode: str = "lucene",
         analyzer: str | None = None,
         cache_terms: int = 256,
+        segments: list[str] | None = None,
+        wand_min_postings: int = 1 << 18,
     ):
         manifests = live_segments(committed_segments(index_dir))
+        if segments is not None:
+            manifests = {k: v for k, v in manifests.items() if k in set(segments)}
         if not manifests:
             raise ValueError(f"no committed segments under {index_dir}")
         self.manifests = manifests
+        self._df_override: dict[str, int] | None = None
+        self.wand_min_postings = wand_min_postings
         self.segments = [_Segment(os.path.join(index_dir, sid)) for sid in manifests]
         first = next(iter(manifests.values()))
         self.analyzer = get_analyzer(analyzer or first.analyzer)
@@ -224,12 +229,14 @@ class IndexSearcher:
         # dense per-doc arrays (doc_ids are globally dense by construction)
         self.norm_bytes = np.zeros(self.max_doc + 1, dtype=np.uint8)
         self.doc_lens = np.zeros(self.max_doc + 1, dtype=np.int32)
+        self._has_doc = np.zeros(self.max_doc + 1, dtype=bool)
         self._meta_tables = []
         for sid in manifests:
             mt = pads.dataset(os.path.join(index_dir, sid, "docmeta")).to_table()
             ids = mt["doc_id"].to_numpy()
             self.norm_bytes[ids] = mt["norm_byte"].to_numpy().astype(np.uint8)
             self.doc_lens[ids] = mt["doc_len"].to_numpy().astype(np.int32)
+            self._has_doc[ids] = True
             self._meta_tables.append(mt)
         self._docmeta: pa.Table | None = None
         self._term_cache: dict[str, TermPostings | None] = {}
@@ -256,8 +263,35 @@ class IndexSearcher:
 
     # ---------- scoring primitives ----------
 
+    def _df(self, tp: TermPostings) -> int:
+        """Effective df: the global override when this searcher only holds a
+        partition of segments (DFS phase analog — SURVEY.md §2.14 stats
+        scope; action/search/SearchDfsQueryThenFetchAsyncAction.java)."""
+        if self._df_override is not None:
+            return self._df_override.get(tp.term, tp.df)
+        return tp.df
+
+    def set_global_stats(self, n_docs: int, sum_doc_len: int,
+                         df_map: dict[str, int] | None = None) -> None:
+        """Install collection-wide stats (DFS phase result) so a
+        partition-holding searcher scores identically to a global one."""
+        self.n_docs = n_docs
+        self.sum_doc_len = sum_doc_len
+        self.avgdl = sum_doc_len / max(n_docs, 1)
+        self._norm_cache32 = self.bm25.norm_cache(self.avgdl)
+        self._df_override = df_map
+
+    def local_term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """DFS phase contribution: this searcher's local df per term."""
+        out = {}
+        for t in terms:
+            tp = self._get_term(t)
+            if tp is not None:
+                out[t] = tp.df
+        return out
+
     def _term_scores(self, tp: TermPostings, boost: float = 1.0) -> np.ndarray:
-        w = self.bm25.weight(tp.df, self.n_docs, boost)
+        w = self.bm25.weight(self._df(tp), self.n_docs, boost)
         if self.bm25.mode == "lucene":
             return self.bm25.score_tf(
                 tp.tfs, self.norm_bytes[tp.doc_ids], None, self.avgdl, w, self._norm_cache32
@@ -299,17 +333,25 @@ class IndexSearcher:
         if use_wand:
             kind = query["kind"]
             boost = float(query.get("boost", 1.0))
+            terms = None
             if kind == "term":
-                from .wand import block_max_topk
-
-                return block_max_topk(self, [query["term"]], k, boost)
-            if kind == "match" and query.get("operator", "or") == "or":
+                terms = [query["term"]]
+            elif kind == "match" and query.get("operator", "or") == "or":
                 terms = self.analyzer(query["text"])
                 if not terms:
                     return np.empty(0, np.int64), np.empty(0, np.float64)
-                from .wand import block_max_topk
+            if terms is not None:
+                # hybrid collector: below this many total postings the fully
+                # vectorized exhaustive scorer beats block-at-a-time WAND
+                # (one big unique/argsort vs thousands of small ones); above
+                # it, block-max skipping wins. Both are rank-identical.
+                total_df = sum(self.global_df(t) for t in dict.fromkeys(terms))
+                if total_df > self.wand_min_postings:
+                    from .wand import block_max_topk
 
-                return block_max_topk(self, terms, k, boost)
+                    return block_max_topk(self, terms, k, boost)
+                ids, sc = self._disjunction(terms, boost)
+                return self._topk(ids, sc, k)
         ids, sc = self._eval(query)
         return self._topk(ids, sc, k)
 
@@ -334,7 +376,11 @@ class IndexSearcher:
         if kind == "prefix":
             return self._prefix(q["prefix"], boost)
         if kind == "match_all":
-            ids = np.arange(self.n_docs, dtype=np.int64)
+            # enumerate THIS searcher's docs (a partition holds a subset;
+            # n_docs may be the global override after the DFS phase)
+            ids = np.sort(np.concatenate(
+                [mt["doc_id"].to_numpy() for mt in self._meta_tables]
+            )).astype(np.int64)
             return ids, np.full(ids.size, boost, np.float64)
         if kind == "bool":
             return self._bool(q, boost)
@@ -345,7 +391,7 @@ class IndexSearcher:
         if kind == "ids":
             wanted = np.array(sorted(q["values"]), dtype=np.int64)
             wanted = wanted[(wanted >= 0) & (wanted <= self.max_doc)]
-            mask = self.doc_lens[wanted] >= 0  # all dense ids exist
+            mask = self._has_doc[wanted]  # only docs this searcher holds
             return wanted[mask], np.full(int(mask.sum()), boost, np.float64)
         if kind == "fuzzy":
             # FuzzyQuery (index/query/FuzzyQueryBuilder) with CONSTANT_SCORE
@@ -666,30 +712,38 @@ class IndexSearcher:
             cand = cand[tp.doc_ids[idx] == cand]
         if cand.size == 0:
             return cand, np.empty(0, np.float64)
-        # verify positions
+        # verify positions — vectorized across ALL candidates at once:
+        # encode (candidate_index, aligned_position) as a single int64 key and
+        # intersect the key sets term-by-term (positions per doc are unique,
+        # so keys are unique); phrase freq = per-candidate surviving keys.
         pos_maps = [self._positions_for(tp, cand) for tp in tps]
-        freqs = np.zeros(cand.size, np.int64)
-        for ci in range(cand.size):
-            inter = pos_maps[0][ci] - rel[0][1]
-            for (t, off), pm in zip(rel[1:], pos_maps[1:]):
-                inter = np.intersect1d(inter, pm[ci] - off, assume_unique=True)
-                if inter.size == 0:
-                    break
-            freqs[ci] = inter.size
-        keep = freqs > 0
-        cand, freqs = cand[keep], freqs[keep]
+        inter = None
+        for (t, off), pm in zip(rel, pos_maps):
+            lens = np.fromiter((p.size for p in pm), np.int64, cand.size)
+            flat = np.concatenate(pm) if lens.sum() else np.empty(0, np.int64)
+            ci = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+            aligned = flat - off
+            ok = aligned >= 0
+            keys = np.sort((ci[ok] << np.int64(32)) | aligned[ok])
+            inter = keys if inter is None else np.intersect1d(inter, keys, assume_unique=True)
+            if inter.size == 0:
+                break
+        if inter is None or inter.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs_idx, freqs = np.unique(inter >> np.int64(32), return_counts=True)
+        cand = cand[docs_idx]
         if cand.size == 0:
             return cand, np.empty(0, np.float64)
         if self.bm25.mode == "lucene":
             idf_sum = np.float32(0.0)
             for tp in tps:
-                idf_sum = np.float32(idf_sum + self.bm25.idf(tp.df, self.n_docs))
+                idf_sum = np.float32(idf_sum + self.bm25.idf(self._df(tp), self.n_docs))
             w = np.float32(boost) * idf_sum * np.float32(self.bm25.k1 + 1)
             sc = self.bm25.score_tf(
                 freqs, self.norm_bytes[cand], None, self.avgdl, w, self._norm_cache32
             )
         else:
-            idf_sum = sum(self.bm25.idf(tp.df, self.n_docs) for tp in tps)
+            idf_sum = sum(self.bm25.idf(self._df(tp), self.n_docs) for tp in tps)
             w = boost * idf_sum * (self.bm25.k1 + 1)
             sc = self.bm25.score_tf(freqs, None, self.doc_lens[cand], self.avgdl, w)
         return cand, sc.astype(np.float64)
@@ -712,10 +766,11 @@ class IndexSearcher:
                 total = total - np.repeat(corr_vals, row_tfs)
             starts = np.concatenate([[0], cuts[:-1]])
             idx = np.searchsorted(row_ids, cand)
-            for ci in range(cand.size):
+            safe = np.minimum(idx, row_ids.size - 1)
+            hit = np.flatnonzero(row_ids[safe] == cand)  # each cand hits <=1 row
+            for ci in hit:
                 j = idx[ci]
-                if j < row_ids.size and row_ids[j] == cand[ci]:
-                    out[ci] = total[starts[j] : cuts[j]]
+                out[ci] = total[starts[j] : cuts[j]]
         return out
 
     def _bool(self, q: dict, boost: float = 1.0):

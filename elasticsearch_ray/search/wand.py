@@ -40,7 +40,7 @@ def block_max_topk(searcher, terms: list[str], k: int, boost: float = 1.0):
         tp = searcher._get_term(t)
         if tp is None:
             continue
-        w = bm25.weight(tp.df, searcher.n_docs, boost)
+        w = bm25.weight(searcher._df(tp), searcher.n_docs, boost)
         tps.append(tp)
         weights.append(w)
         ubs.append(
@@ -50,7 +50,6 @@ def block_max_topk(searcher, terms: list[str], k: int, boost: float = 1.0):
         return np.empty(0, np.int64), np.empty(0, np.float32 if f32 else np.float64)
 
     n_t = len(tps)
-    cur = np.zeros(n_t, dtype=np.int64)  # current global block per term
     n_blocks = np.array([tp.n_blocks for tp in tps])
     # per-term decoded/scored current-block cache
     blk: list[tuple[np.ndarray, np.ndarray] | None] = [None] * n_t
@@ -62,7 +61,7 @@ def block_max_topk(searcher, terms: list[str], k: int, boost: float = 1.0):
     full = False
 
     def _score_block(ti: int) -> tuple[np.ndarray, np.ndarray]:
-        ids, tfs = tps[ti].decode_block(int(cur[ti]))
+        ids, tfs = tps[ti].decode_block(cur_l[ti])
         if f32:
             sc = bm25.score_tf(
                 tfs, searcher.norm_bytes[ids], None, searcher.avgdl,
@@ -91,16 +90,22 @@ def block_max_topk(searcher, terms: list[str], k: int, boost: float = 1.0):
             full = True
         buf_ids, buf_sc, buf_n = [ids], [sc], ids.size
 
-    active = np.ones(n_t, dtype=bool)
+    # hot loop runs on plain python ints/lists (numpy scalar boxing costs
+    # ~10x per block otherwise); numpy is used only to decode+score blocks
+    last_lists = [tp.block_last_doc.tolist() for tp in tps]
+    ub_lists = [u.tolist() for u in ubs]
+    nb_list = n_blocks.tolist()
+    cur_l = [0] * n_t
+    cur_last = [last_lists[i][0] for i in range(n_t)]
+    cur_ub = [ub_lists[i][0] for i in range(n_t)]
+    active_set = set(range(n_t))
     prev_end = -1
-    while active.any():
-        act = np.flatnonzero(active)
-        lasts = np.array([tps[i].block_last_doc[cur[i]] for i in act])
-        end = int(lasts.min())
-        ub = float(sum(ubs[i][cur[i]] for i in act))
+    while active_set:
+        end = min(cur_last[i] for i in active_set)
+        ub = sum(cur_ub[i] for i in active_set)
         if (not full) or ub >= thresh:
             parts_i, parts_s = [], []
-            for i in act:
+            for i in active_set:
                 if blk[i] is None:
                     blk[i] = _score_block(i)
                 ids_b, sc_b = blk[i]
@@ -123,12 +128,19 @@ def block_max_topk(searcher, terms: list[str], k: int, boost: float = 1.0):
                 if buf_n > max(4 * k, 4096):
                     _compact()
         # advance every term whose current block ends at `end`
-        for i in act:
-            if tps[i].block_last_doc[cur[i]] == end:
-                cur[i] += 1
+        done = []
+        for i in active_set:
+            if cur_last[i] == end:
+                c = cur_l[i] + 1
+                cur_l[i] = c
                 blk[i] = None
-                if cur[i] >= n_blocks[i]:
-                    active[i] = False
+                if c >= nb_list[i]:
+                    done.append(i)
+                else:
+                    cur_last[i] = last_lists[i][c]
+                    cur_ub[i] = ub_lists[i][c]
+        for i in done:
+            active_set.discard(i)
         prev_end = end
 
     if not buf_ids:

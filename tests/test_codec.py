@@ -125,3 +125,46 @@ def test_positions_roundtrip():
     assert len(out) == 300
     for got, want in zip(out, pos_lists):
         assert np.array_equal(got, want)
+
+
+def test_bulk_encoder_matches_rowwise():
+    """The vectorized bucket encoder must produce byte-identical output to the
+    row-wise reference encoder on a realistic mixed bucket."""
+    import pyarrow as pa
+
+    from elasticsearch_ray.stages.encode import encode_bucket, encode_bucket_rowwise
+
+    rng = np.random.default_rng(11)
+    rows = {"bucket": [], "term": [], "chunk": [], "doc_id": [], "tf": [],
+            "norm_len": [], "positions": []}
+    for term_i in range(40):
+        term = f"t{term_i:03d}"
+        n_chunks = 3 if term_i < 3 else 1  # a few salted "hot" terms
+        for chunk in range(n_chunks):
+            df = int(rng.integers(1, 400))
+            ids = np.sort(rng.choice(100_000, df, replace=False)) + chunk * 1_000_000
+            for d in ids:
+                tf = int(rng.integers(1, 6))
+                pos = np.sort(rng.choice(5000, tf, replace=False)).tolist()
+                rows["bucket"].append(0)
+                rows["term"].append(term)
+                rows["chunk"].append(chunk)
+                rows["doc_id"].append(int(d))
+                rows["tf"].append(tf)
+                rows["norm_len"].append(int(rng.integers(1, 3000)))
+                rows["positions"].append(pos)
+    t = pa.table({
+        "bucket": pa.array(rows["bucket"], pa.int32()),
+        "term": pa.array(rows["term"], pa.string()),
+        "chunk": pa.array(rows["chunk"], pa.int32()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "tf": pa.array(rows["tf"], pa.int32()),
+        "norm_len": pa.array(rows["norm_len"], pa.int32()),
+        "positions": pa.array(rows["positions"], pa.list_(pa.int32())),
+    })
+    a = encode_bucket(t)
+    b = encode_bucket_rowwise(t)
+    assert a.schema.equals(b.schema)
+    assert len(a) == len(b)
+    for col in a.column_names:
+        assert a[col].to_pylist() == b[col].to_pylist(), f"column {col} differs"

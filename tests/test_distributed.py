@@ -1,0 +1,47 @@
+"""Partitioned (multi-actor) search with DFS global stats must be identical
+to a single global searcher (SURVEY.md §3.2 protocol)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from elasticsearch_ray.index.fast_build import build_index_tasks
+from elasticsearch_ray.search.distributed import DistributedSearcher
+from elasticsearch_ray.search.engine import IndexSearcher
+from elasticsearch_ray.sources.corpus import write_corpus
+from elasticsearch_ray.sources.queries import reference_queries
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, ray_session):
+    c = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(c, 1200, rows_per_file=1000, row_group_size=100, use_ray=True)
+    d = str(tmp_path_factory.mktemp("index"))
+    build_index_tasks(c, d, docs_per_partition=300, num_buckets=8, salt_chunks=4)
+    return d
+
+
+def test_distributed_equals_global(index_dir):
+    glob = IndexSearcher(index_dir)
+    dist = DistributedSearcher(index_dir, num_searchers=3)
+    assert len(dist.actors) == 3
+    for q in reference_queries():
+        g_ids, g_sc = glob.search(q)
+        d_ids, d_sc = dist.search(q)
+        assert list(g_ids) == list(d_ids), f"doc order mismatch: {q}"
+        np.testing.assert_allclose(
+            np.asarray(g_sc, np.float64), d_sc, rtol=1e-7, err_msg=str(q)
+        )
+
+
+def test_partition_stats_differ_without_dfs(index_dir):
+    """Sanity that the DFS phase matters: a lone partition's local stats
+    differ from global (so score parity above is non-trivial)."""
+    from elasticsearch_ray.index.manifest import committed_segments, live_segments
+
+    segs = sorted(live_segments(committed_segments(index_dir)))
+    part = IndexSearcher(index_dir, segments=[segs[0]])
+    glob = IndexSearcher(index_dir)
+    assert part.n_docs < glob.n_docs
+    assert part.global_df("def") < glob.global_df("def")
