@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_significant_terms", "agg_filters", "terms_lookup", "ingest_extract",
         "ft_span_near", "ft_phrase_prefix", "ft_query_string",
         "agg_adjacency_matrix", "agg_date_range", "agg_matrix_stats",
+        # nested / geo / sampler / misc (round 1c)
+        "nested_query", "geo_bounding_box", "geo_distance", "agg_sampler",
+        "agg_auto_date_histogram", "agg_percentile_ranks",
+        "agg_scripted_metric", "knn_ivf", "range_orders_pruned", "ft_explain",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -453,4 +457,37 @@ SELECT * FROM (
 SELECT ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covariance,
        ROUND(corr(l_quantity, l_extendedprice), 6) AS correlation
 FROM lineitem""",
+        "nested_query": """
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND value > 300 ORDER BY user_id""",
+        "geo_bounding_box": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+g AS (SELECT user_id,
+             ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+             ((user_id * 104729) % 360) - 180 + 0.5 AS lon FROM u)
+SELECT user_id, lat, lon FROM g
+WHERE lat BETWEEN -30 AND 30 AND lon BETWEEN -60 AND 60
+ORDER BY user_id""",
+        "geo_distance": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+g AS (SELECT user_id,
+             radians(((user_id * 7919) % 180) - 90 + 0.5) AS lat,
+             radians(((user_id * 104729) % 360) - 180 + 0.5) AS lon FROM u),
+d AS (SELECT user_id,
+             2 * 6371.0 * asin(sqrt(pow(sin(lat/2), 2)
+                 + cos(lat) * cos(0.0) * pow(sin(lon/2), 2))) AS dist FROM g)
+SELECT user_id, ROUND(dist, 2) AS distance_km FROM d
+WHERE dist <= 3000.0 ORDER BY user_id""",
+        "agg_sampler": """
+SELECT lang, count(*) AS sample_count, ROUND(AVG(n_chars), 2) AS avg_chars
+FROM (SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn <= 50 GROUP BY lang ORDER BY lang""",
+        "agg_auto_date_histogram": """
+SELECT date_trunc('day', ts) AS bucket, 'day' AS interval, count(*) AS doc_count
+FROM events GROUP BY 1 ORDER BY 1""",
+        "range_orders_pruned": """
+SELECT count(*) AS doc_count, ROUND(MIN(o_totalprice), 2) AS min_v
+FROM orders WHERE o_totalprice > 180000.0""",
     }

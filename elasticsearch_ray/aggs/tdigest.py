@@ -129,3 +129,21 @@ def tdigest_aggregate_fn(column: str, quantiles: list[float], alias: str = "perc
         finalize=lambda s: [TDigest.from_bytes(s).quantile(q) for q in quantiles],
         name=alias,
     )
+
+
+def percentile_rank(td: "TDigest", value: float) -> float:
+    """`percentile_ranks` agg: CDF(value) in percent (centroid interpolation)."""
+    td._compress()
+    m, w = td.means, td.weights
+    if m.size == 0:
+        return float("nan")
+    total = w.sum()
+    if value < m[0]:
+        return 0.0
+    if value >= m[-1]:
+        return 100.0
+    cum = np.cumsum(w) - w / 2.0
+    i = np.searchsorted(m, value, side="right") - 1
+    i = max(0, min(i, m.size - 2))
+    t = (value - m[i]) / max(m[i + 1] - m[i], 1e-12)
+    return float(100.0 * (cum[i] + t * (cum[i + 1] - cum[i])) / total)

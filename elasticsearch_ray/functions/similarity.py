@@ -136,3 +136,80 @@ def knn_lsh(ds, queries: np.ndarray, k: int = 10, *, dim: int | None = None,
     df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return df
+
+
+# ---------------- IVF (coarse-quantizer ANN, the scale path) ----------------
+
+
+def _kmeans(V: np.ndarray, k: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Deterministic seeded k-means (numpy, k-means++ init-lite)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(V.shape[0], size=k, replace=False)
+    C = V[idx].copy()
+    for _ in range(iters):
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                C[c] = V[m].mean(axis=0)
+    return C
+
+
+class IvfIndexStage:
+    """IVF coarse assignment: adds `centroid:int64` via a broadcast centroid
+    matrix (the k-means runs once on a driver-side sample; at scale this is
+    the classic IVF train-on-sample / assign-distributed split)."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
+        self.C = centroids.astype(np.float32)
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        V = np.stack(t[self.vec_col].to_numpy(zero_copy_only=False)).astype(np.float32)
+        d = ((V[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2)
+        return t.append_column("centroid", pa.array(d.argmin(axis=1).astype(np.int64)))
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, *, n_centroids: int = 16,
+            nprobe: int = 4, seed: int = 7, vec_col: str = "embedding",
+            id_col: str = "vec_id", train_sample: int = 2048) -> pd.DataFrame:
+    """IVF ANN: train centroids on a sample, assign vectors (map_batches),
+    probe the `nprobe` nearest centroid buckets per query."""
+    import pyarrow.compute as pc
+
+    sample = ds.limit(train_sample).to_pandas()
+    Vs = np.stack(sample[vec_col].to_numpy()).astype(np.float32)
+    C = _kmeans(Vs, min(n_centroids, Vs.shape[0]), seed=seed)
+    stage = IvfIndexStage(C, vec_col)
+    assigned = ds.map_batches(stage, batch_format="pyarrow")
+
+    Q = np.asarray(queries, dtype=np.float32)
+    dq = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(dq, axis=1)[:, :nprobe]
+    wanted = pa.array(sorted(set(probes.flatten().tolist())), pa.int64())
+    rows = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["centroid"], value_set=wanted)),
+        batch_format="pyarrow",
+    ).select_columns([id_col, vec_col, "centroid"]).to_pandas()
+
+    Qn = _normalize(Q.astype(np.float64))
+    out = {"query_id": [], id_col: [], "cosine": []}
+    for qi in range(Q.shape[0]):
+        cand = rows[rows.centroid.isin(probes[qi])]
+        if cand.empty:
+            continue
+        V = _normalize(np.stack(cand[vec_col].to_numpy()).astype(np.float64))
+        s = Qn[qi] @ V.T
+        kk = min(k, s.size)
+        top = np.argpartition(-s, kk - 1)[:kk]
+        ids = cand[id_col].to_numpy()
+        for c in top:
+            out["query_id"].append(qi)
+            out[id_col].append(int(ids[c]))
+            out["cosine"].append(float(round_half_away(float(s[c]), 6)))
+    df = pd.DataFrame(out)
+    df = df.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df

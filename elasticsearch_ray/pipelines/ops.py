@@ -721,3 +721,228 @@ def agg_matrix_stats(sf_dir: str):
         "covariance": [float(round_half_away(cov, 4))],
         "correlation": [float(round_half_away(corr, 6))],
     })
+
+
+# ------------- nested docs / geo / sampler / misc (round 1c) -------------
+
+
+def nested_query(sf_dir: str):
+    """nested docs (SURVEY.md §2.7, ObjectMapper/NestedQueryBuilder analog):
+    build users with a nested list<struct> events field (groupby + implode),
+    then match users having ANY nested event with (event_type='purchase' AND
+    value > 300) — per-element predicate over the list column (explode via
+    value_parent_indices)."""
+    import pyarrow.compute as pc
+
+    ds = _ds(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def implode(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [int(g.user_id.iloc[0])],
+            "events": [[{"event_type": et, "value": float(v)}
+                        for et, v in zip(g.event_type, g.value)]],
+        })
+
+    nested = ds.groupby("user_id").map_groups(implode, batch_format="pandas")
+
+    def nested_match(t: pa.Table) -> pa.Table:
+        col = t["events"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()  # struct array of all nested events
+        parents = pc.list_parent_indices(col)
+        hit = pc.and_(
+            pc.equal(pc.struct_field(flat, "event_type"), "purchase"),
+            pc.greater(pc.struct_field(flat, "value"), 300.0),
+        )
+        hit_parents = np.unique(np.asarray(parents)[np.asarray(hit)])
+        return t.select(["user_id"]).take(pa.array(hit_parents))
+
+    out = nested.map_batches(nested_match, batch_format="pyarrow").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _geo_cols(t: pa.Table) -> pa.Table:
+    """deterministic synthetic coordinates derived from user_id."""
+    uid = t["user_id"].to_numpy()
+    lat = ((uid * 7919) % 180) - 90 + 0.5
+    lon = ((uid * 104729) % 360) - 180 + 0.5
+    return t.append_column("lat", pa.array(lat.astype(np.float64))).append_column(
+        "lon", pa.array(lon.astype(np.float64))
+    )
+
+
+def geo_bounding_box(sf_dir: str):
+    """geo_bounding_box query (GeoBoundingBoxQueryBuilder): users inside
+    [-30,30]x[-60,60] on synthetic per-user coordinates."""
+    import pyarrow.compute as pc
+
+    ds = _ds(sf_dir, "events", ["user_id"]).groupby("user_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        t = _geo_cols(t)
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["lat"], -30.0), pc.less_equal(t["lat"], 30.0)),
+            pc.and_(pc.greater_equal(t["lon"], -60.0), pc.less_equal(t["lon"], 60.0)),
+        )
+        return t.filter(m).select(["user_id", "lat", "lon"])
+
+    out = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def geo_distance(sf_dir: str):
+    """geo_distance query: haversine <= 3000 km from (0, 0)."""
+    ds = _ds(sf_dir, "events", ["user_id"]).groupby("user_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        t = _geo_cols(t)
+        lat = np.radians(t["lat"].to_numpy())
+        lon = np.radians(t["lon"].to_numpy())
+        a = np.sin(lat / 2) ** 2 + np.cos(lat) * np.cos(0.0) * np.sin(lon / 2) ** 2
+        d = 2 * 6371.0 * np.arcsin(np.sqrt(a))
+        keep = d <= 3000.0
+        out = t.filter(pa.array(keep)).select(["user_id"])
+        return out.append_column("distance_km",
+                                 pa.array(round_half_away(d[keep], 2)))
+
+    out = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def agg_sampler(sf_dir: str):
+    """diversified_sampler-style agg: at most 50 docs per lang (first by
+    doc_id), then avg n_chars per lang."""
+
+    def head50(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(50)
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    sampled = ds.groupby("lang").map_groups(head50, batch_format="pandas")
+    from ray.data.aggregate import Count, Mean
+
+    out = (
+        sampled.groupby("lang")
+        .aggregate(Count(alias_name="sample_count"), Mean("n_chars", alias_name="avg_chars"))
+        .to_pandas()
+    )
+    out["avg_chars"] = round_half_away(out["avg_chars"], 2)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def agg_auto_date_histogram(sf_dir: str):
+    """auto_date_histogram: pick the smallest interval from {hour, day, week,
+    month} yielding <= 35 buckets, then histogram at that interval."""
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    span = pads.dataset(os.path.join(sf_dir, "events.parquet")).to_table(columns=["ts"])
+    ts = span["ts"].to_numpy()
+    span_s = (ts.max() - ts.min()) / np.timedelta64(1, "s")
+    for unit, secs in (("hour", 3600), ("day", 86400), ("week", 604800),
+                       ("month", 2629800)):
+        if span_s / secs <= 35:
+            break
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pc.floor_temporal(t["ts"], unit=unit))
+
+    out = (
+        _ds(sf_dir, "events", ["ts"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="doc_count"))
+        .to_pandas()
+    )
+    out["interval"] = unit
+    return out.sort_values("bucket").reset_index(drop=True)[["bucket", "interval", "doc_count"]]
+
+
+def agg_percentile_ranks(sf_dir: str):
+    """percentile_ranks via the T-Digest CDF (rows-only: sketch approx)."""
+    from ..aggs.tdigest import TDigest, percentile_rank
+
+    vals = []
+    for b in _ds(sf_dir, "events", ["value"]).iter_batches(batch_format="pyarrow"):
+        vals.append(b["value"].to_numpy())
+    td = TDigest()
+    for v in vals:
+        td.add(v)
+    marks = [10.0, 50.0, 250.0]
+    return pd.DataFrame({
+        "value": marks,
+        "rank_pct": [float(round_half_away(percentile_rank(td, m), 2)) for m in marks],
+    })
+
+
+def agg_scripted_metric(sf_dir: str):
+    """scripted_metric agg (map/combine/reduce python): log-sum -> geometric
+    mean of (1+value) — rows-only (arbitrary script)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        return pa.table({"logsum": pa.array([float(np.log1p(v).sum())]),
+                         "n": pa.array([float(v.size)])})
+
+    r = (
+        _ds(sf_dir, "events", ["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("logsum", alias_name="logsum"), Sum("n", alias_name="n"))
+    )
+    return pd.DataFrame({"geo_mean_1p": [float(round_half_away(np.exp(r["logsum"] / r["n"]), 4))]})
+
+
+def knn_ivf(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    Q = np.array(t["embedding"].to_pylist()[:3])
+    return S.knn_ivf(_ds(sf_dir, "embeddings"), Q, k=5)
+
+
+def range_orders_pruned(sf_dir: str):
+    """row-group-stat pruning at the read (index-sort early-termination
+    analog, SURVEY.md §2.5): predicate pushed into read_parquet so only
+    matching row groups are scanned."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > 180000.0),
+    )
+    r = ds.aggregate(Count(alias_name="doc_count"), Min("o_totalprice", alias_name="min_v"))
+    return pd.DataFrame({
+        "doc_count": [int(r["doc_count"])],
+        "min_v": [float(round_half_away(r["min_v"], 2))],
+    })
+
+
+def ft_explain(sf_dir: str):
+    """explain subphase (search/fetch/subphase/ExplainPhase): score breakdown
+    text for the top-3 of a term query (rows-only)."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s.search({"kind": "term", "term": "data", "k": 3})
+    tp = s._get_term("data")
+    df = s.global_df("data")
+    lines = []
+    for d, v in zip(ids, sc):
+        idx = np.searchsorted(tp.doc_ids, d)
+        tf = int(tp.tfs[idx])
+        dl = int(s.doc_lens[d])
+        lines.append(
+            f"score={v:.4f} = idf(df={df},N={s.n_docs}) * (k1+1) * "
+            f"tf({tf}) / (tf + k1*(1-b+b*dl({dl})/avgdl({s.avgdl:.2f})))"
+        )
+    return pd.DataFrame({"doc_id": ids.astype(np.int64),
+                         "explanation": lines})
