@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_query", "geo_bounding_box", "geo_distance", "agg_sampler",
         "agg_auto_date_histogram", "agg_percentile_ranks",
         "agg_scripted_metric", "knn_ivf", "range_orders_pruned", "ft_explain",
+        # parent-join / percolator / _analyze / by-query (round 1d)
+        "has_child", "has_parent", "percolate", "ft_analyze",
+        "delete_by_query", "update_by_query", "reindex_docs",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -490,4 +493,45 @@ FROM events GROUP BY 1 ORDER BY 1""",
         "range_orders_pruned": """
 SELECT count(*) AS doc_count, ROUND(MIN(o_totalprice), 2) AS min_v
 FROM orders WHERE o_totalprice > 180000.0""",
+        "has_child": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 180000)
+ORDER BY c_custkey""",
+        "has_parent": """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+ORDER BY o_orderkey""",
+        "percolate": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+m0 AS (SELECT doc_id, 0 AS query_id FROM tok WHERE term IN ('data','query')
+       GROUP BY doc_id HAVING count(*) = 2),
+m1 AS (SELECT doc_id, 1 AS query_id FROM tok WHERE term = 'vector'),
+m2 AS (SELECT doc_id, 2 AS query_id FROM tok WHERE term IN ('window','merge','batch')
+       GROUP BY doc_id HAVING count(*) = 3)
+SELECT * FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+ORDER BY doc_id, query_id""",
+        "ft_analyze": """
+WITH arr AS (SELECT list_filter(regexp_split_to_array(lower('Data-Query WINDOW window2 the'),
+             '[^a-z0-9]+'), x -> x <> '') AS a)
+SELECT CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS position, unnest(a) AS token
+FROM arr ORDER BY position""",
+        "delete_by_query": """
+WITH tok AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t = 'vector')
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM tok)
+ORDER BY doc_id""",
+        "update_by_query": """
+WITH tok AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t = 'data')
+SELECT doc_id, n_chars, n_chars > 300 AS long_doc FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tok) ORDER BY doc_id""",
+        "reindex_docs": """
+SELECT doc_id, upper(lang) AS lang, n_chars FROM documents ORDER BY doc_id""",
     }

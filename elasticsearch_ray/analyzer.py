@@ -79,8 +79,7 @@ def _code_tokens(text: str) -> list[str]:
     in stream order (stopwords NOT yet removed)."""
     out: list[str] = []
     append = out.append
-    for m in _RAW_TOKEN_RE.finditer(text):
-        raw = m.group()
+    for raw in _RAW_TOKEN_RE.findall(text):
         # fast path: pure lowercase letters = exactly one subword (the
         # overwhelmingly common case in code+prose)
         if raw.isalpha() and raw.islower():
@@ -88,8 +87,8 @@ def _code_tokens(text: str) -> list[str]:
             continue
         if "'" in raw:
             raw = _POSSESSIVE_RE.sub("", raw)
-        for sm in _SUBWORD_RE.finditer(raw):
-            append(sm.group().lower())
+        for sub in _SUBWORD_RE.findall(raw):
+            append(sub.lower())
     return out
 
 

@@ -946,3 +946,148 @@ def ft_explain(sf_dir: str):
         )
     return pd.DataFrame({"doc_id": ids.astype(np.int64),
                          "explanation": lines})
+
+
+# ------------- parent-join / percolator / _analyze / by-query (round 1d) -------------
+
+
+def has_child(sf_dir: str):
+    """has_child query (modules/parent-join HasChildQueryBuilder): customers
+    (parents) having an order (child) with o_totalprice > 180000 — semi-join
+    by co-partitioning both sides on the join key (groupby + map_groups)."""
+    import pyarrow.compute as pc
+
+    orders = _ds(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    custs = _ds(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    matching = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 180000.0)),
+        batch_format="pyarrow",
+    ).groupby("o_custkey").map_groups(lambda g: g.head(1), batch_format="pandas")
+    keys = pa.array(sorted(matching.to_pandas()["o_custkey"]), pa.int64())
+
+    out = custs.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def has_parent(sf_dir: str):
+    """has_parent query: orders whose parent customer has c_acctbal > 9000
+    (broadcast the small parent key set, filter children)."""
+    import pyarrow.compute as pc
+
+    custs = _ds(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    rich = custs.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 9000.0)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    keys = pa.array(sorted(rich["c_custkey"]), pa.int64())
+    out = (
+        _ds(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(lambda t: t.filter(pc.is_in(t["o_custkey"], value_set=keys)),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_PERCOLATE_QUERIES = [
+    (0, ["data", "query"]),    # conjunctions of analyzed terms
+    (1, ["vector"]),
+    (2, ["window", "merge", "batch"]),
+]
+
+
+def percolate(sf_dir: str):
+    """percolator (modules/percolator PercolateQueryBuilder): stored queries
+    are broadcast; each incoming doc reports which stored query matches
+    (reverse search). Vectorized per batch via token-set membership."""
+    from ..analyzer import analyze_simple
+
+    def match(t: pa.Table) -> pa.Table:
+        doc_ids, qids = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = set(analyze_simple(text))
+            for qid, terms in _PERCOLATE_QUERIES:
+                if all(x in toks for x in terms):
+                    doc_ids.append(doc_id)
+                    qids.append(qid)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "query_id": pa.array(qids, pa.int64())})
+
+    out = (
+        _ds(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(match, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "query_id"]).reset_index(drop=True)
+
+
+def ft_analyze(sf_dir: str):
+    """_analyze API analog: token stream (term, position) for a fixed text
+    with the simple analyzer."""
+    from ..analyzer import get_analyzer
+
+    toks = get_analyzer("simple").positions("Data-Query WINDOW window2 the")
+    return pd.DataFrame({"position": [p for _, p in toks],
+                         "token": [t for t, _ in toks]})
+
+
+def delete_by_query(sf_dir: str):
+    """delete_by_query (modules/reindex): documents remaining after deleting
+    every doc matching term 'vector'."""
+    s = documents_searcher(sf_dir)
+    ids, _ = s._eval({"kind": "term", "term": "vector"})
+    victims = pa.array(ids.astype(np.int64))
+    import pyarrow.compute as pc
+
+    out = (
+        _ds(sf_dir, "documents", ["doc_id"])
+        .map_batches(lambda t: t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=victims))),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def update_by_query(sf_dir: str):
+    """update_by_query: docs matching term 'data' get long_doc = n_chars > 300
+    (script analog); returns updated rows."""
+    s = documents_searcher(sf_dir)
+    ids, _ = s._eval({"kind": "term", "term": "data"})
+    wanted = pa.array(ids.astype(np.int64))
+    import pyarrow.compute as pc
+
+    def upd(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=wanted))
+        return t.append_column("long_doc", pc.greater(t["n_chars"], 300))
+
+    out = (
+        _ds(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(upd, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def reindex_docs(sf_dir: str):
+    """reindex (§3.4 bulk-by-scroll analog): read -> transform (lang upper)
+    -> write partitioned parquet -> verify count+schema of the destination."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    import shutil
+
+    dest = "/tmp/esray_cache/reindex_dest"
+    shutil.rmtree(dest, ignore_errors=True)
+    (
+        _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(lambda t: t.set_column(t.schema.get_field_index("lang"), "lang",
+                                            pc.utf8_upper(t["lang"])),
+                     batch_format="pyarrow")
+        .write_parquet(dest)
+    )
+    back = rd.read_parquet(dest)
+    df = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df
