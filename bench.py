@@ -114,6 +114,8 @@ def run_bench() -> dict:
     # --- 2. query serving: reference query set, per-query latency ---
     searcher = IndexSearcher(idx_dir)
     queries = reference_queries()
+    for q in queries:  # untimed warmup pass (posting/position cache fill)
+        searcher.search(q)
     lat = []
     for _ in range(3):  # 3 passes for stable percentiles
         for q in queries:

@@ -58,7 +58,7 @@ class TermPostings:
 
     __slots__ = (
         "term", "df", "rows", "block_last_doc", "block_max_tf", "block_min_norm",
-        "_row_of_block", "_block_in_row", "_full", "_block_cache",
+        "_row_of_block", "_block_in_row", "_full", "_block_cache", "_pos_cache",
     )
 
     def __init__(self, term: str, rows: list[dict]):
@@ -95,6 +95,7 @@ class TermPostings:
         self._block_in_row = np.concatenate(bir)
         self._full: tuple[np.ndarray, np.ndarray] | None = None
         self._block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._pos_cache: dict[int, tuple] = {}  # row idx -> decoded positions
 
     @property
     def n_blocks(self) -> int:
@@ -753,18 +754,24 @@ class IndexSearcher:
         Fully vectorized: varbyte-decode the row's position stream once,
         absolutize with a segmented cumsum, slice only the candidate docs."""
         out = [np.empty(0, np.int64)] * cand.size
-        for r, row_tfs in tp.pos_rows:
+        for ri, (r, row_tfs) in enumerate(tp.pos_rows):
             if not r["pos_bytes"]:
                 continue
-            deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
-            row_ids = np.cumsum(deltas) - 1
-            flat = varbyte_decode(r["pos_bytes"]).astype(np.int64)
-            cuts = np.cumsum(row_tfs)
-            total = np.cumsum(flat)
-            if row_tfs.size > 1:
-                corr_vals = np.concatenate([[0], total[cuts[:-1] - 1]])
-                total = total - np.repeat(corr_vals, row_tfs)
-            starts = np.concatenate([[0], cuts[:-1]])
+            cached = tp._pos_cache.get(ri)
+            if cached is None:
+                deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
+                row_ids = np.cumsum(deltas) - 1
+                flat = varbyte_decode(r["pos_bytes"]).astype(np.int64)
+                cuts = np.cumsum(row_tfs)
+                total = np.cumsum(flat)
+                if row_tfs.size > 1:
+                    corr_vals = np.concatenate([[0], total[cuts[:-1] - 1]])
+                    total = total - np.repeat(corr_vals, row_tfs)
+                starts = np.concatenate([[0], cuts[:-1]])
+                if len(tp._pos_cache) < 64:
+                    tp._pos_cache[ri] = (row_ids, total, starts, cuts)
+            else:
+                row_ids, total, starts, cuts = cached
             idx = np.searchsorted(row_ids, cand)
             safe = np.minimum(idx, row_ids.size - 1)
             hit = np.flatnonzero(row_ids[safe] == cand)  # each cand hits <=1 row
