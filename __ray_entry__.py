@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parent-join / percolator / _analyze / by-query (round 1d)
         "has_child", "has_parent", "percolate", "ft_analyze",
         "delete_by_query", "update_by_query", "reindex_docs",
+        "ft_completion", "ft_termvectors",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -534,4 +535,17 @@ SELECT doc_id, n_chars, n_chars > 300 AS long_doc FROM documents
 WHERE doc_id IN (SELECT doc_id FROM tok) ORDER BY doc_id""",
         "reindex_docs": """
 SELECT doc_id, upper(lang) AS lang, n_chars FROM documents ORDER BY doc_id""",
+        "ft_completion": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+tc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, df FROM tc WHERE term LIKE 'da%'
+ORDER BY df DESC, term LIMIT 5""",
+        "ft_termvectors": """
+SELECT t AS term, count(*) AS tf FROM (
+  SELECT unnest(regexp_split_to_array(lower((SELECT text FROM documents WHERE doc_id = 42)),
+                '[^a-z0-9]+')) AS t) WHERE t <> ''
+GROUP BY t ORDER BY term""",
     }

@@ -1091,3 +1091,37 @@ def reindex_docs(sf_dir: str):
     back = rd.read_parquet(dest)
     df = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return df
+
+
+def ft_completion(sf_dir: str):
+    """completion suggester analog (suggest/completion/CompletionSuggester):
+    prefix -> top-5 vocabulary completions by (df desc, term asc)."""
+    s = documents_searcher(sf_dir)
+    from collections import Counter
+
+    dfs: Counter = Counter()
+    for seg in s.segments:
+        terms = np.asarray(seg.table["term"])
+        df = seg.table["df"].to_numpy()
+        for t, d in zip(terms, df):
+            dfs[str(t)] += int(d)
+    cands = sorted(((-d, t) for t, d in dfs.items() if t.startswith("da")))[:5]
+    return pd.DataFrame({"term": [t for _, t in cands],
+                         "df": [-d for d, t in cands]})
+
+
+def ft_termvectors(sf_dir: str):
+    """_termvectors API analog: per-term stats for one document."""
+    import pyarrow.dataset as pads
+
+    from ..analyzer import analyze_simple
+    from collections import Counter
+
+    t = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "text"]
+    )
+    text = t["text"][42].as_py()
+    c = Counter(analyze_simple(text))
+    items = sorted(c.items())
+    return pd.DataFrame({"term": [k for k, _ in items],
+                         "tf": pd.array([v for _, v in items], dtype="int64")})
