@@ -86,8 +86,7 @@ def suggest_terms(sf_dir: str, text: str, max_edits: int = 2, size: int = 5) -> 
 
     dfs: Counter = Counter()
     for seg in s.segments:
-        terms = np.asarray(seg.table["term"])
-        df = seg.table["df"].to_numpy()
+        terms, df = seg.term_dfs()
         for t, d in zip(terms, df):
             dfs[str(t)] += int(d)
 

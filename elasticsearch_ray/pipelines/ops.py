@@ -1101,8 +1101,7 @@ def ft_completion(sf_dir: str):
 
     dfs: Counter = Counter()
     for seg in s.segments:
-        terms = np.asarray(seg.table["term"])
-        df = seg.table["df"].to_numpy()
+        terms, df = seg.term_dfs()
         for t, d in zip(terms, df):
             dfs[str(t)] += int(d)
     cands = sorted(((-d, t) for t, d in dfs.items() if t.startswith("da")))[:5]

@@ -172,16 +172,58 @@ def parse_simple_query_string(s: str) -> dict:
 
 
 class _Segment:
-    def __init__(self, seg_dir: str):
+    """Term dictionary + posting-row access for one segment.
+
+    Two residency modes (SCALE.md §9):
+      eager (default for small segments): whole postings table in memory.
+      lazy: only the term dictionary (term column + row->file/row-group map)
+        is resident — O(vocab) memory; posting rows are fetched on demand by
+        reading the covering parquet row group (LRU-cached). This is the
+        disk-resident term dictionary that lets one searcher own arbitrarily
+        large segments: memory = dictionary + hot row groups only.
+    """
+
+    _RG_CACHE_CAP = 8
+
+    def __init__(self, seg_dir: str, lazy: bool = False):
+        import pyarrow.parquet as pq
+
+        from ..sources.reader import list_parquet_files
+
         self.dir = seg_dir
-        t = pads.dataset(os.path.join(seg_dir, "postings")).to_table()
-        self.table = t.combine_chunks()
-        self.terms = np.asarray(t["term"])
-        # term -> row indices (several rows when the term was range-salted)
+        self.lazy = lazy
+        pdir = os.path.join(seg_dir, "postings")
+        self._files = list_parquet_files(pdir)
+        if not lazy:
+            t = pads.dataset(self._files).to_table()
+            self.table = t.combine_chunks()
+            self.terms = np.asarray(t["term"])
+            self._dfs = t["df"].to_numpy()
+        else:
+            self.table = None
+            # dictionary-only projected read (term column, in file/row order
+            # matching the global row index used below)
+            t = pads.dataset(self._files).to_table(columns=["term", "df"])
+            self.terms = np.asarray(t["term"])
+            self._dfs = t["df"].to_numpy()
+            # row -> (file_idx, row_group_idx, row_within_rg)
+            file_rows, rg_bounds = [], []
+            for fi, f in enumerate(self._files):
+                md = pq.ParquetFile(f).metadata
+                sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+                file_rows.append(sum(sizes))
+                rg_bounds.append(np.cumsum([0] + sizes))
+            self._file_row_start = np.cumsum([0] + file_rows)
+            self._rg_bounds = rg_bounds
+            self._pf: dict[int, "pq.ParquetFile"] = {}
+            self._rg_cache: dict[tuple[int, int], pa.Table] = {}
         order = np.argsort(self.terms, kind="stable")
-        sorted_terms = self.terms[order]
-        self._sorted_terms = sorted_terms
+        self._sorted_terms = self.terms[order]
         self._order = order
+
+    def term_dfs(self):
+        """(terms, dfs) arrays — the resident dictionary view."""
+        return self.terms, self._dfs
 
     def rows_for(self, term: str) -> np.ndarray:
         lo = np.searchsorted(self._sorted_terms, term, side="left")
@@ -194,7 +236,26 @@ class _Segment:
         return self._order[lo:hi]
 
     def row(self, i: int) -> dict:
-        return {c: self.table[c][i].as_py() for c in self.table.column_names}
+        if not self.lazy:
+            return {c: self.table[c][i].as_py() for c in self.table.column_names}
+        import pyarrow.parquet as pq
+
+        fi = int(np.searchsorted(self._file_row_start, i, side="right")) - 1
+        within_file = i - int(self._file_row_start[fi])
+        bounds = self._rg_bounds[fi]
+        rg = int(np.searchsorted(bounds, within_file, side="right")) - 1
+        within_rg = within_file - int(bounds[rg])
+        key = (fi, rg)
+        t = self._rg_cache.get(key)
+        if t is None:
+            pf = self._pf.get(fi)
+            if pf is None:
+                pf = self._pf[fi] = pq.ParquetFile(self._files[fi])
+            t = pf.read_row_group(rg)
+            if len(self._rg_cache) >= self._RG_CACHE_CAP:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+            self._rg_cache[key] = t
+        return {c: t[c][within_rg].as_py() for c in t.column_names}
 
 
 class IndexSearcher:
@@ -209,6 +270,7 @@ class IndexSearcher:
         cache_terms: int = 256,
         segments: list[str] | None = None,
         wand_min_postings: int = 1 << 18,
+        lazy: bool | None = None,
     ):
         manifests = live_segments(committed_segments(index_dir))
         if segments is not None:
@@ -218,7 +280,20 @@ class IndexSearcher:
         self.manifests = manifests
         self._df_override: dict[str, int] | None = None
         self.wand_min_postings = wand_min_postings
-        self.segments = [_Segment(os.path.join(index_dir, sid)) for sid in manifests]
+        if lazy is None:
+            # auto: go disk-resident when the postings exceed ~256 MB
+            from ..sources.reader import list_parquet_files
+
+            total = sum(
+                os.path.getsize(f)
+                for sid in manifests
+                for f in list_parquet_files(os.path.join(index_dir, sid, "postings"))
+            )
+            lazy = total > (256 << 20)
+        self.lazy = lazy
+        self.segments = [
+            _Segment(os.path.join(index_dir, sid), lazy=lazy) for sid in manifests
+        ]
         first = next(iter(manifests.values()))
         self.analyzer = get_analyzer(analyzer or first.analyzer)
         self.n_docs = sum(m.doc_count for m in manifests.values())

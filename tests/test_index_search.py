@@ -154,3 +154,15 @@ def test_wand_equals_exhaustive(searcher):
         e_ids, e_sc = searcher.search(q, use_wand=False)
         assert list(w_ids) == list(e_ids), f"WAND order mismatch: {q}"
         np.testing.assert_array_equal(w_sc, e_sc, err_msg=str(q))
+
+
+def test_lazy_segment_mode_identical(index_dir, searcher):
+    """Disk-resident term dictionary (lazy segments) must be rank-identical
+    to eager residency."""
+    lazy = IndexSearcher(index_dir, lazy=True)
+    assert lazy.lazy and not searcher.lazy
+    for q in reference_queries()[:15]:
+        a_ids, a_sc = searcher.search(q)
+        b_ids, b_sc = lazy.search(q)
+        assert list(a_ids) == list(b_ids), q
+        np.testing.assert_array_equal(a_sc, b_sc)
