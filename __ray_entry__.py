@@ -94,7 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parent-join / percolator / _analyze / by-query (round 1d)
         "has_child", "has_parent", "percolate", "ft_analyze",
         "delete_by_query", "update_by_query", "reindex_docs",
-        "ft_completion", "ft_termvectors",
+        "ft_completion", "ft_termvectors", "ft_match_msm",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -548,4 +548,13 @@ SELECT t AS term, count(*) AS tf FROM (
   SELECT unnest(regexp_split_to_array(lower((SELECT text FROM documents WHERE doc_id = 42)),
                 '[^a-z0-9]+')) AS t) WHERE t <> ''
 GROUP BY t ORDER BY term""",
+        "ft_match_msm": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query','window']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS score
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+GROUP BY tf.doc_id HAVING count(*) >= 2 ORDER BY doc_id""",
     }

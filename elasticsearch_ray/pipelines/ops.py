@@ -1124,3 +1124,9 @@ def ft_termvectors(sf_dir: str):
     items = sorted(c.items())
     return pd.DataFrame({"term": [k for k, _ in items],
                          "tf": pd.array([v for _, v in items], dtype="int64")})
+
+
+def ft_match_msm(sf_dir: str):
+    """match with minimum_should_match=2 of 3 analyzed terms."""
+    return all_matches(sf_dir, {"kind": "match", "text": "data query window",
+                                "minimum_should_match": 2})

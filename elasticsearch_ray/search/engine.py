@@ -444,6 +444,11 @@ class IndexSearcher:
             op = q.get("operator", "or")
             if not terms:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
+            msm = q.get("minimum_should_match")
+            if msm is not None and op == "or":
+                # match + minimum_should_match (MatchQueryBuilder param):
+                # same machinery as terms_set over the analyzed terms
+                return self._terms_set(terms, int(msm), boost)
             if op == "or":
                 return self._disjunction(terms, boost)
             return self._conjunction(terms, boost)

@@ -79,3 +79,29 @@ def test_task_build_resume(corpus_dir, tmp_path):
     build_index_tasks(corpus_dir, d, **kw)
     after = _postings_key_set(d)
     assert before == after
+
+
+def test_build_without_positions(corpus_dir, tmp_path):
+    """index_options=freqs (no positions): term/match/bool work, phrase
+    degrades to no-match (positions absent), postings are smaller."""
+    import os
+
+    d = str(tmp_path / "nopos")
+    build_index_tasks(corpus_dir, d, docs_per_partition=400, num_buckets=4,
+                      index_positions=False, hot_terms=frozenset(["def"]))
+    s = IndexSearcher(d)
+    ids, sc = s.search({"kind": "match", "text": "def return", "k": 5})
+    assert len(ids) > 0
+    p_ids, _ = s.search({"kind": "match_phrase", "text": "def return", "k": 5})
+    assert len(p_ids) == 0  # documented degradation without positions
+    from elasticsearch_ray.index.manifest import committed_segments
+
+    def psize(idx):
+        import glob
+        return sum(os.path.getsize(f) for f in
+                   glob.glob(os.path.join(idx, "seg_*", "postings", "*.parquet")))
+
+    d2 = str(tmp_path / "withpos")
+    build_index_tasks(corpus_dir, d2, docs_per_partition=400, num_buckets=4,
+                      index_positions=True, hot_terms=frozenset(["def"]))
+    assert psize(d) < psize(d2)
