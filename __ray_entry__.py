@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "has_child", "has_parent", "percolate", "ft_analyze",
         "delete_by_query", "update_by_query", "reindex_docs",
         "ft_completion", "ft_termvectors", "ft_match_msm",
+        "agg_stats_bucket", "agg_percentiles_bucket", "agg_bucket_script",
+        "agg_moving_fn", "agg_serial_diff", "ft_match_bool_prefix",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -557,4 +559,45 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS score
 FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
 GROUP BY tf.doc_id HAVING count(*) >= 2 ORDER BY doc_id""",
+        "agg_stats_bucket": """
+WITH h AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+           FROM events GROUP BY 1)
+SELECT count(*) AS cnt, MIN(doc_count) AS min_v, MAX(doc_count) AS max_v,
+       CAST(SUM(doc_count) AS BIGINT) AS sum_v, ROUND(AVG(doc_count), 4) AS avg_v
+FROM h""",
+        "agg_percentiles_bucket": """
+WITH h AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+           FROM events GROUP BY 1)
+SELECT 0.25 AS q, ROUND(quantile_cont(doc_count, 0.25), 4) AS value FROM h
+UNION ALL
+SELECT 0.5, ROUND(quantile_cont(doc_count, 0.5), 4) FROM h
+UNION ALL
+SELECT 0.75, ROUND(quantile_cont(doc_count, 0.75), 4) FROM h
+ORDER BY q""",
+        "agg_bucket_script": """
+SELECT bucket, doc_count, ROUND(sum_value / doc_count, 4) AS avg_per_event
+FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count,
+             SUM(value) AS sum_value FROM events GROUP BY 1)
+ORDER BY bucket""",
+        "agg_moving_fn": """
+SELECT bucket, doc_count,
+       CAST(MAX(doc_count) OVER (ORDER BY bucket
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_max
+FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+      FROM events GROUP BY 1) ORDER BY bucket""",
+        "agg_serial_diff": """
+SELECT bucket, doc_count,
+       doc_count - COALESCE(lag(doc_count, 7) OVER (ORDER BY bucket), doc_count) AS serial_diff
+FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+      FROM events GROUP BY 1) ORDER BY bucket""",
+        "ft_match_bool_prefix": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+termscore AS (
+  SELECT tf.doc_id AS doc_id, {_SCORE} AS s
+  FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
+pref AS (SELECT DISTINCT doc_id, 1.0 AS s FROM tok WHERE term LIKE 'quer%'),
+uni AS (SELECT * FROM termscore UNION ALL SELECT * FROM pref)
+SELECT doc_id, ROUND(SUM(s), 4) AS score FROM uni GROUP BY doc_id ORDER BY doc_id""",
     }

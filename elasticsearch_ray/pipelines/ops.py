@@ -1130,3 +1130,63 @@ def ft_match_msm(sf_dir: str):
     """match with minimum_should_match=2 of 3 analyzed terms."""
     return all_matches(sf_dir, {"kind": "match", "text": "data query window",
                                 "minimum_should_match": 2})
+
+
+def agg_stats_bucket(sf_dir: str):
+    """stats_bucket pipeline agg: stats over the sibling date_histogram's
+    per-bucket doc_counts."""
+    h = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    c = h["doc_count"]
+    return pd.DataFrame({
+        "cnt": [int(c.size)], "min_v": [int(c.min())], "max_v": [int(c.max())],
+        "sum_v": [int(c.sum())],
+        "avg_v": [float(round_half_away(c.mean(), 4))],
+    })
+
+
+def agg_percentiles_bucket(sf_dir: str):
+    """percentiles_bucket: exact linear-interpolated percentiles of the
+    bucket doc_counts (pipeline aggs are exact — they run on the tiny reduced
+    table, SURVEY.md §2.6)."""
+    h = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    c = h["doc_count"].to_numpy()
+    qs = [0.25, 0.5, 0.75]
+    return pd.DataFrame({
+        "q": qs,
+        "value": [float(round_half_away(np.percentile(c, q * 100), 4)) for q in qs],
+    })
+
+
+def agg_bucket_script(sf_dir: str):
+    """bucket_script: per-bucket computed metric (avg value per event)."""
+    h = A.date_histogram(_ds(sf_dir, "events"), "ts", "day", value="value")
+    h["avg_per_event"] = round_half_away(h["sum_value"] / h["doc_count"], 4)
+    out = h[["bucket", "doc_count", "avg_per_event"]]
+    return out
+
+
+def agg_moving_fn(sf_dir: str):
+    """moving_fn: sliding-window max over 3 buckets."""
+    h = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    h["window_max"] = h["doc_count"].rolling(3, min_periods=1).max().astype(np.int64)
+    return h[["bucket", "doc_count", "window_max"]]
+
+
+def agg_serial_diff(sf_dir: str):
+    """serial_diff with lag 7 (week-over-week)."""
+    h = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    h = A.serial_diff(h, "doc_count", lag=7)
+    h["serial_diff"] = h["serial_diff"].fillna(0).astype(np.int64)
+    return h[["bucket", "doc_count", "serial_diff"]]
+
+
+def ft_match_bool_prefix(sf_dir: str):
+    """match_bool_prefix (rest-api-spec/test/search/310_match_bool_prefix.yml
+    semantics): analyzed terms as scored shoulds, last term as a prefix
+    clause (constant score 1.0)."""
+    s = documents_searcher(sf_dir)
+    terms = s.analyzer("data quer")
+    q = {"kind": "bool",
+         "should": [{"kind": "term", "term": t} for t in terms[:-1]]
+         + [{"kind": "prefix", "prefix": terms[-1]}]}
+    return all_matches(sf_dir, q)
