@@ -1,0 +1,128 @@
+"""CLI entry points — the `ray job submit` surface (north rule).
+
+On a real cluster:
+    ray job submit --working-dir . -- python -m elasticsearch_ray.cli build \
+        --input s3://corpus/ --out s3://index/ --docs-per-partition 10000000
+    ray job submit --working-dir . -- python -m elasticsearch_ray.cli search \
+        --index s3://index/ --query '{"kind":"match","text":"parse http"}'
+    ray job submit --working-dir . -- python -m elasticsearch_ray.cli merge \
+        --index s3://index/ --max-segments 10
+
+In this sandbox the same commands run locally (`ray.init(address="local")`).
+This module OWNS its Ray session (unlike __ray_entry__, whose session belongs
+to the driver).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kw = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(**kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    _init_ray(args.num_cpus)
+    t0 = time.time()
+    if args.engine == "tasks":
+        from .index.fast_build import build_index_tasks as build
+    else:
+        from .index.build import build_index as build
+    stats = build(
+        args.input, args.out,
+        analyzer=args.analyzer,
+        index_positions=not args.no_positions,
+        docs_per_partition=args.docs_per_partition,
+        num_buckets=args.num_buckets,
+    )
+    print(json.dumps({
+        "doc_count": stats.doc_count, "sum_doc_len": stats.sum_doc_len,
+        "avgdl": round(stats.avgdl, 3), "seconds": round(time.time() - t0, 2),
+        "docs_per_sec": round(stats.doc_count / max(time.time() - t0, 1e-9), 1),
+    }))
+    return 0
+
+
+def cmd_search(args) -> int:
+    _init_ray(args.num_cpus)
+    from .search.engine import IndexSearcher
+
+    s = IndexSearcher(args.index, score_mode=args.score_mode)
+    q = json.loads(args.query)
+    q.setdefault("k", args.k)
+    ids, scores = s.search(q)
+    hits = [{"doc_id": int(d), "score": float(v)} for d, v in zip(ids, scores)]
+    if args.fetch:
+        meta = s.fetch(ids, args.fetch.split(","))
+        for h, row in zip(hits, meta.to_pylist()):
+            h.update(row)
+    print(json.dumps({"total": len(hits), "hits": hits}))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    _init_ray(args.num_cpus)
+    from .index.merge import force_merge, gc_merged
+
+    merged = force_merge(args.index, max_num_segments=args.max_segments)
+    removed = gc_merged(args.index) if args.gc else []
+    print(json.dumps({"merged": merged, "removed": removed}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="elasticsearch_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--analyzer", default="code")
+    b.add_argument("--engine", choices=["tasks", "dataset"], default="tasks")
+    b.add_argument("--docs-per-partition", type=int, default=250_000)
+    b.add_argument("--num-buckets", type=int, default=32)
+    b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="run one query against an index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True, help="query DSL as JSON")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--score-mode", default="lucene")
+    s.add_argument("--fetch", default=None, help="comma-separated docmeta columns")
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_search)
+
+    m = sub.add_parser("merge", help="force-merge segments")
+    m.add_argument("--index", required=True)
+    m.add_argument("--max-segments", type=int, default=1)
+    m.add_argument("--gc", action="store_true")
+    m.add_argument("--num-cpus", type=int, default=None)
+    m.set_defaults(fn=cmd_merge)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
