@@ -463,6 +463,8 @@ class IndexSearcher:
                 [mt["doc_id"].to_numpy() for mt in self._meta_tables]
             )).astype(np.int64)
             return ids, np.full(ids.size, boost, np.float64)
+        if kind == "match_none":
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         if kind == "bool":
             return self._bool(q, boost)
         if kind == "meta_term":
