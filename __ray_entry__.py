@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_completion", "ft_termvectors", "ft_match_msm",
         "agg_stats_bucket", "agg_percentiles_bucket", "agg_bucket_script",
         "agg_moving_fn", "agg_serial_diff", "ft_match_bool_prefix",
+        "ft_intervals", "ingest_pipeline_demo",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -600,4 +601,12 @@ termscore AS (
 pref AS (SELECT DISTINCT doc_id, 1.0 AS s FROM tok WHERE term LIKE 'quer%'),
 uni AS (SELECT * FROM termscore UNION ALL SELECT * FROM pref)
 SELECT doc_id, ROUND(SUM(s), 4) AS score FROM uni GROUP BY doc_id ORDER BY doc_id""",
+        "ft_intervals": r"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text),
+  '(^|[^a-z0-9])data([^a-z0-9]+[a-z0-9]+){0,1}[^a-z0-9]+query([^a-z0-9]|$)')
+ORDER BY doc_id""",
+        "ingest_pipeline_demo": r"""
+SELECT doc_id, length(regexp_replace(text, '[0-9]', '', 'g')) AS clean_len
+FROM documents ORDER BY doc_id""",
     }

@@ -1190,3 +1190,34 @@ def ft_match_bool_prefix(sf_dir: str):
          "should": [{"kind": "term", "term": t} for t in terms[:-1]]
          + [{"kind": "prefix", "prefix": terms[-1]}]}
     return all_matches(sf_dir, q)
+
+
+def ft_intervals(sf_dir: str):
+    """intervals query (IntervalsQueryBuilder): ordered all_of with
+    max_gaps=1 over (data, query)."""
+    return all_matches(sf_dir, {"kind": "intervals",
+                                "rule": {"all_of": {"terms": ["data", "query"],
+                                                    "ordered": True,
+                                                    "max_gaps": 1}}},
+                       with_score=False)
+
+
+def ingest_pipeline_demo(sf_dir: str):
+    """composed ingest pipeline over documents: strip digits (gsub), then a
+    computed clean length (script)."""
+    from ..functions import ingest as I
+    import pyarrow.compute as pc
+
+    pipe = I.pipeline(
+        I.gsub("text", r"[0-9]", ""),
+        I.script(lambda t: t.append_column("clean_len",
+                                           pc.utf8_length(t["text"]))),
+    )
+    out = (
+        _ds(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pipe, batch_format="pyarrow")
+        .select_columns(["doc_id", "clean_len"])
+        .to_pandas()
+    )
+    out["clean_len"] = out["clean_len"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -542,6 +542,32 @@ class IndexSearcher:
             return self._phrase_prefix(q["text"], int(q.get("max_expansions", 50)), boost)
         if kind == "simple_query_string":
             return self._eval(parse_simple_query_string(q["query"]))
+        if kind == "intervals":
+            # IntervalsQueryBuilder subset: all_of(ordered, max_gaps) maps to
+            # span_near (gap semantics identical for ordered runs); any_of is
+            # a constant-score union of sub-interval matches
+            rule = q["rule"]
+            if "all_of" in rule:
+                spec = rule["all_of"]
+                return self._span_near(
+                    spec["terms"], int(spec.get("max_gaps", 0)),
+                    bool(spec.get("ordered", True)), boost,
+                )
+            if "any_of" in rule:
+                parts = [
+                    self._span_near(t if isinstance(t, list) else [t], 0, True, boost)
+                    for t in rule["any_of"]["terms"]
+                ]
+                ids = (np.unique(np.concatenate([p[0] for p in parts]))
+                       if parts else np.empty(0, np.int64))
+                return ids, np.full(ids.size, boost, np.float64)
+            if "match" in rule:
+                terms = self.analyzer(rule["match"]["query"])
+                return self._span_near(
+                    terms, int(rule["match"].get("max_gaps", 0)),
+                    bool(rule["match"].get("ordered", True)), boost,
+                )
+            raise ValueError(f"unknown intervals rule {rule!r}")
         raise ValueError(f"unknown query kind {kind!r}")
 
     def _span_near(self, terms: list[str], slop: int, in_order: bool, boost: float):

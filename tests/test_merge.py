@@ -79,3 +79,21 @@ def test_searcher_stage_dataset(dirs):
         got = res[res.qid == q["qid"]].sort_values("rank")
         assert list(got.doc_id) == list(ids), q
         np.testing.assert_allclose(got.score.to_numpy(), sc.astype(np.float64), rtol=1e-7)
+
+
+def test_snapshot_restore(dirs, tmp_path):
+    """snapshot/restore analog (§2.1): the segment-dir layout IS the
+    snapshot — copy the index directory wholesale, restored searcher is
+    identical."""
+    import shutil
+
+    _, index_dir = dirs
+    snap = str(tmp_path / "snapshot")
+    shutil.copytree(index_dir, snap)
+    a = IndexSearcher(index_dir)
+    b = IndexSearcher(snap)
+    for q in reference_queries()[:10]:
+        ai, asc = a.search(q)
+        bi, bsc = b.search(q)
+        assert list(ai) == list(bi)
+        np.testing.assert_array_equal(asc, bsc)
