@@ -97,7 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_completion", "ft_termvectors", "ft_match_msm",
         "agg_stats_bucket", "agg_percentiles_bucket", "agg_bucket_script",
         "agg_moving_fn", "agg_serial_diff", "ft_match_bool_prefix",
-        "ft_intervals", "ingest_pipeline_demo",
+        "ft_intervals", "ingest_pipeline_demo", "quality_filter",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -609,4 +609,24 @@ ORDER BY doc_id""",
         "ingest_pipeline_demo": r"""
 SELECT doc_id, length(regexp_replace(text, '[0-9]', '', 'g')) AS clean_len
 FROM documents ORDER BY doc_id""",
+        "quality_filter": rf"""
+WITH q AS (
+  SELECT doc_id,
+    CASE WHEN length(text)=0 THEN 0
+         ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) END AS alpha,
+    CASE WHEN length(text)=0 THEN 0
+         ELSE (length(text) - length(replace(text, ' ', '')))::DOUBLE / length(text) END AS space,
+    CASE WHEN len(toks)=0 THEN 0
+         ELSE len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))::DOUBLE / len(toks) END AS stopr,
+    CASE WHEN len(toks)=0 THEN 0
+         ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END AS mtl
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents)),
+scored AS (
+  SELECT doc_id,
+    ROUND(LEAST(GREATEST(0.4*alpha + 0.2*LEAST(space*6, 1) + 0.2*(1 - stopr)
+                + 0.2*LEAST(mtl/8, 1), 0), 1), 4) AS quality
+  FROM q)
+SELECT doc_id, quality FROM scored WHERE quality >= 0.5 ORDER BY doc_id""",
     }

@@ -1221,3 +1221,17 @@ def ingest_pipeline_demo(sf_dir: str):
     )
     out["clean_len"] = out["clean_len"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_filter(sf_dir: str):
+    """training-data quality FILTER: keep docs whose composite quality score
+    >= 0.5 (the canonical pretraining-corpus cleaning step); returns kept
+    (doc_id, quality)."""
+    out = (
+        _ds(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(T.quality_score_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "quality"])
+        .to_pandas()
+    )
+    out = out[out["quality"] >= 0.5]
+    return out.sort_values("doc_id").reset_index(drop=True)

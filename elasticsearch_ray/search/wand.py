@@ -125,7 +125,9 @@ def block_max_topk(searcher, terms: list[str], k: int, boost: float = 1.0):
                 buf_ids.append(ids_c)
                 buf_sc.append(sc_c)
                 buf_n += ids_c.size
-                if buf_n > max(4 * k, 4096):
+                if buf_n > max(4 * k, 256):
+                    # compact early: every compaction raises the min-competitive
+                    # threshold, which is what turns block-max skipping on
                     _compact()
         # advance every term whose current block ends at `end`
         done = []

@@ -166,3 +166,57 @@ def test_lazy_segment_mode_identical(index_dir, searcher):
         b_ids, b_sc = lazy.search(q)
         assert list(a_ids) == list(b_ids), q
         np.testing.assert_array_equal(a_sc, b_sc)
+
+
+def test_wand_actually_prunes_on_skewed_tf(tmp_path, ray_session):
+    """On bursty-tf data (the realistic case), WAND must decode strictly
+    fewer blocks than the exhaustive scan — i.e. the block-max skipping does
+    real work, not just bookkeeping."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.index.fast_build import build_index_tasks
+    from elasticsearch_ray.search.engine import IndexSearcher, TermPostings
+
+    rng = np.random.default_rng(42)
+    # 6000 docs; "hot" appears everywhere with tf=1, except 30 early "bursty"
+    # docs with tf=40: once the heap fills with them (first blocks), every
+    # later tf=1 block's upper bound is non-competitive and must be skipped
+    docs = []
+    bursty = set(range(30))
+    for i in range(6000):
+        base = ["hot"] + [f"w{rng.integers(0, 500)}" for _ in range(20)]
+        if i in bursty:
+            base += ["hot"] * 39
+        docs.append(" ".join(base))
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "repo": ["r"] * 6000, "path": [f"f{i}" for i in range(6000)],
+        "commit": ["c"] * 6000, "lang": ["x"] * 6000, "content": docs,
+    }), src)
+    idx = str(tmp_path / "i")
+    build_index_tasks(src, idx, docs_per_partition=10**9, num_buckets=4,
+                      hot_terms=frozenset())
+
+    s = IndexSearcher(idx, wand_min_postings=0)  # force the WAND path
+    decoded = {"n": 0}
+    orig = TermPostings.decode_block
+
+    def counting(self, g):
+        decoded["n"] += 1
+        return orig(self, g)
+
+    TermPostings.decode_block = counting
+    try:
+        w_ids, w_sc = s.search({"kind": "term", "term": "hot", "k": 10})
+        wand_blocks = decoded["n"]
+    finally:
+        TermPostings.decode_block = orig
+    total_blocks = s._get_term("hot").n_blocks
+    e_ids, e_sc = s.search({"kind": "term", "term": "hot", "k": 10},
+                           use_wand=False)
+    assert list(w_ids) == list(e_ids)
+    np.testing.assert_array_equal(w_sc, e_sc)
+    # all 30 bursty docs have far higher scores than tf=1 docs; once the heap
+    # fills with them most blocks' upper bounds are non-competitive
+    assert wand_blocks < total_blocks * 0.25, (wand_blocks, total_blocks)
