@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_stats_bucket", "agg_percentiles_bucket", "agg_bucket_script",
         "agg_moving_fn", "agg_serial_diff", "ft_match_bool_prefix",
         "ft_intervals", "ingest_pipeline_demo", "quality_filter",
+        "source_roundtrip",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -629,4 +630,10 @@ scored AS (
                 + 0.2*LEAST(mtl/8, 1), 0), 1), 4) AS quality
   FROM q)
 SELECT doc_id, quality FROM scored WHERE quality >= 0.5 ORDER BY doc_id""",
+        "source_roundtrip": """
+SELECT 'csv' AS fmt, count(*) AS doc_count, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS langs FROM documents
+UNION ALL
+SELECT 'json', count(*), CAST(SUM(n_chars) AS BIGINT), count(DISTINCT lang) FROM documents
+ORDER BY fmt""",
     }

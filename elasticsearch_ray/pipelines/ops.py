@@ -1235,3 +1235,28 @@ def quality_filter(sf_dir: str):
     )
     out = out[out["quality"] >= 0.5]
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def source_roundtrip(sf_dir: str):
+    """_bulk NDJSON ingest analog (§2.1): export documents to NDJSON and CSV,
+    re-ingest each with ray.data.read_json / read_csv, verify the re-ingested
+    corpus aggregates identically to the parquet source."""
+    import ray.data as rd
+    import shutil
+
+    base = "/tmp/esray_cache/source_rt"
+    shutil.rmtree(base, ignore_errors=True)
+    src = _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    src.write_json(os.path.join(base, "json"))
+    src.write_csv(os.path.join(base, "csv"))
+
+    from ray.data.aggregate import Count, Sum
+
+    rows = []
+    for fmt, ds in (("csv", rd.read_csv(os.path.join(base, "csv"))),
+                    ("json", rd.read_json(os.path.join(base, "json")))):
+        r = ds.aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="chars"))
+        langs = ds.groupby("lang").aggregate(Count(alias_name="_c")).to_pandas()
+        rows.append({"fmt": fmt, "doc_count": int(r["n"]),
+                     "total_chars": int(r["chars"]), "langs": int(len(langs))})
+    return pd.DataFrame(rows).sort_values("fmt").reset_index(drop=True)
