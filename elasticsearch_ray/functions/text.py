@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
-
 from ..analyzer import ENGLISH_STOP_WORDS
 from ..utils import round_half_away
 

@@ -25,8 +25,6 @@ from __future__ import annotations
 import os
 import time
 
-import numpy as np
-import pyarrow as pa
 import pyarrow.dataset as pads
 
 from ..sources.reader import Fragment, plan_fragments

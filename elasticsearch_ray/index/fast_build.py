@@ -24,8 +24,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..sources.reader import Fragment, plan_fragments
-from ..stages.encode import POSTINGS_SCHEMA, encode_bucket
+from ..sources.reader import plan_fragments
+from ..stages.encode import encode_bucket
 from ..stages.tokenize import TokenizeFragments, sample_hot_terms
 from .build import DEFAULT_DOCS_PER_PARTITION, plan_partitions
 from .manifest import (

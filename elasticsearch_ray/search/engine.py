@@ -35,7 +35,6 @@ plus "k" (top-k, default 10) and optional "boost" per clause.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
