@@ -47,6 +47,18 @@ def _collect_query_terms(searcher_analyzer, q: dict) -> set[str]:
         for cl in ("must", "should", "must_not", "filter"):
             for sq in q.get(cl, []):
                 out |= _collect_query_terms(searcher_analyzer, sq)
+    elif kind == "simple_query_string":
+        from .engine import parse_simple_query_string
+
+        out |= _collect_query_terms(
+            searcher_analyzer, parse_simple_query_string(q["query"]))
+    elif kind == "query_string":
+        from .engine import parse_query_string
+
+        out |= _collect_query_terms(
+            searcher_analyzer, parse_query_string(q["query"]))
+    elif kind == "multi_match":
+        out.update(searcher_analyzer(q["text"]))
     return out
 
 

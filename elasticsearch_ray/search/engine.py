@@ -411,7 +411,10 @@ class IndexSearcher:
             terms = None
             if kind == "term":
                 terms = [query["term"]]
-            elif kind == "match" and query.get("operator", "or") == "or":
+            elif (kind == "match" and query.get("operator", "or") == "or"
+                  and query.get("minimum_should_match") is None):
+                # msm != None must route through _eval -> _terms_set: the
+                # disjunction fast path would return docs matching any 1 term
                 terms = self.analyzer(query["text"])
                 if not terms:
                     return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -456,11 +459,7 @@ class IndexSearcher:
         if kind == "prefix":
             return self._prefix(q["prefix"], boost)
         if kind == "match_all":
-            # enumerate THIS searcher's docs (a partition holds a subset;
-            # n_docs may be the global override after the DFS phase)
-            ids = np.sort(np.concatenate(
-                [mt["doc_id"].to_numpy() for mt in self._meta_tables]
-            )).astype(np.int64)
+            ids = self._all_doc_ids()
             return ids, np.full(ids.size, boost, np.float64)
         if kind == "match_none":
             return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -846,7 +845,7 @@ class IndexSearcher:
             idf_sum = np.float32(0.0)
             for tp in tps:
                 idf_sum = np.float32(idf_sum + self.bm25.idf(self._df(tp), self.n_docs))
-            w = np.float32(boost) * idf_sum * np.float32(self.bm25.k1 + 1)
+            w = (np.float32(boost) * (np.float32(self.bm25.k1) + np.float32(1.0))) * idf_sum
             sc = self.bm25.score_tf(
                 freqs, self.norm_bytes[cand], None, self.avgdl, w, self._norm_cache32
             )
@@ -887,22 +886,42 @@ class IndexSearcher:
                 out[ci] = total[starts[j] : cuts[j]]
         return out
 
+    def _all_doc_ids(self) -> np.ndarray:
+        """All doc ids this searcher holds (a partition holds a subset),
+        sorted ascending — the MatchAllDocsQuery doc set."""
+        ids = getattr(self, "_all_ids_cache", None)
+        if ids is None:
+            ids = np.sort(np.concatenate(
+                [mt["doc_id"].to_numpy() for mt in self._meta_tables]
+            )).astype(np.int64)
+            self._all_ids_cache = ids
+        return ids
+
     def _bool(self, q: dict, boost: float = 1.0):
         must = [self._eval(c) for c in q.get("must", [])]
         should = [self._eval(c) for c in q.get("should", [])]
         filt = [self._eval(c) for c in q.get("filter", [])]
         must_not = [self._eval(c) for c in q.get("must_not", [])]
+        pure_negative = False
         if must or filt:
             cand = None
             for ids, _ in must + filt:
                 cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
-        else:
+        elif should:
             u_ids, _ = self._accumulate(should)
             cand = u_ids
+        else:
+            # clause-less bool -> MatchAllDocsQuery; pure-negative bool ->
+            # match_all minus excluded (BoolQueryBuilder.java:313-318,
+            # adjustPureNegative default true). Constant score 1.0 per doc.
+            cand = self._all_doc_ids()
+            pure_negative = True
         for ids, _ in must_not:
             cand = np.setdiff1d(cand, ids, assume_unique=True)
         if cand is None or cand.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        if pure_negative:
+            return cand, np.full(cand.size, boost, np.float64)
         total = np.zeros(cand.size, np.float64)
         for ids, sc in must + should:  # filter clauses don't score
             idx = np.searchsorted(ids, cand)

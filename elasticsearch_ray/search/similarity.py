@@ -43,13 +43,20 @@ class BM25:
 
     def weight(self, df: int, n_docs: int, boost: float = 1.0) -> float:
         if self.mode == "lucene":
-            return np.float32(boost) * np.float32(self.idf(df, n_docs)) * np.float32(self.k1 + 1)
+            # Lucene grouping: LegacyBM25Similarity passes boost*(k1+1) into
+            # BM25Similarity.scorer, which multiplies by idf — i.e.
+            # (boost*(k1+1))*idf with float32 rounding at each step.
+            return (np.float32(boost) * (np.float32(self.k1) + np.float32(1.0))
+                    ) * np.float32(self.idf(df, n_docs))
         return boost * self.idf(df, n_docs) * (self.k1 + 1)
 
     def norm_cache(self, avgdl: float) -> np.ndarray:
-        """float32[256]: k1 * ((1-b) + b * decoded_len / avgdl) per norm byte."""
-        tbl = DECODE_TABLE.astype(np.float64)
-        return (self.k1 * ((1.0 - self.b) + self.b * tbl / avgdl)).astype(np.float32)
+        """float32[256]: k1 * ((1-b) + b * decoded_len / avgdl) per norm byte.
+        Each arithmetic op rounds to float32, mirroring the Java float
+        expression `k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl)`."""
+        tbl = DECODE_TABLE.astype(np.float32)
+        k1, b = np.float32(self.k1), np.float32(self.b)
+        return k1 * ((np.float32(1.0) - b) + b * tbl / np.float32(avgdl))
 
     def score_tf(
         self,

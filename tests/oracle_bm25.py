@@ -45,7 +45,9 @@ class BruteForceBM25:
     def _score_one(self, freq, doc_id, weight):
         if self.mode == "lucene":
             dl = self.decoded[doc_id]
-            norm = np.float32(self.k1 * ((1.0 - self.b) + self.b * dl / self.avgdl))
+            k1, b = np.float32(self.k1), np.float32(self.b)
+            # per-step float32, as the Java float expression evaluates
+            norm = k1 * ((np.float32(1.0) - b) + b * np.float32(dl) / np.float32(self.avgdl))
             frac = np.float32(float(freq) / (float(freq) + float(norm)))
             return float(np.float32(weight) * frac)
         dl = self.doc_len[doc_id]
@@ -54,7 +56,9 @@ class BruteForceBM25:
 
     def _weight(self, df, boost=1.0):
         if self.mode == "lucene":
-            return float(np.float32(boost) * self._idf(df) * np.float32(self.k1 + 1))
+            # (boost*(k1+1))*idf — LegacyBM25Similarity grouping
+            return float((np.float32(boost) * (np.float32(self.k1) + np.float32(1.0)))
+                         * self._idf(df))
         return boost * self._idf(df) * (self.k1 + 1)
 
     # ---- query kinds: return dict doc_id -> float64 score ----
@@ -117,7 +121,7 @@ class BruteForceBM25:
             df = len(self.tf[t]) if t in self.tf else 0
             idf_sum = np.float32(idf_sum + self._idf(df)) if self.mode == "lucene" else idf_sum + self._idf(df)
         if self.mode == "lucene":
-            w = float(np.float32(boost) * idf_sum * np.float32(self.k1 + 1))
+            w = float((np.float32(boost) * (np.float32(self.k1) + np.float32(1.0))) * idf_sum)
         else:
             w = boost * idf_sum * (self.k1 + 1)
         for d in docs or ():
