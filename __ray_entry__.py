@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_moving_fn", "agg_serial_diff", "ft_match_bool_prefix",
         "ft_intervals", "ingest_pipeline_demo", "quality_filter",
         "source_roundtrip",
+        # round 2: fields, exists, multi_match, full query_string grammar
+        "ft_exists", "ft_multi_match_best", "ft_multi_match_most",
+        "ft_query_string_adv",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -636,4 +639,78 @@ SELECT 'csv' AS fmt, count(*) AS doc_count, CAST(SUM(n_chars) AS BIGINT) AS tota
 UNION ALL
 SELECT 'json', count(*), CAST(SUM(n_chars) AS BIGINT), count(DISTINCT lang) FROM documents
 ORDER BY fmt""",
+        "ft_exists": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+WHERE d.lang IS NOT NULL
+ORDER BY doc_id""",
+        # per-field BM25: `source` is one token/doc -> dl = 1, avgdl = 1, so
+        # the field score reduces to its idf (matches the engine's per-field
+        # norms: score = idf * 2.2 * 1 / (1 + 1.2*(0.25 + 0.75*1/1)))
+        "ft_multi_match_best": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','src3']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ts AS (SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS s_text
+       FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+       GROUP BY tf.doc_id),
+sdf AS (SELECT count(*) AS df FROM documents WHERE source = 'src3'),
+ss AS (SELECT d.doc_id AS doc_id,
+              ln(1 + ((SELECT count(*) FROM documents) - sdf.df + 0.5)/(sdf.df + 0.5)) AS s_src
+       FROM documents d CROSS JOIN sdf WHERE d.source = 'src3'),
+u AS (SELECT COALESCE(ts.doc_id, ss.doc_id) AS doc_id,
+             COALESCE(s_text, 0) AS a, COALESCE(s_src, 0) AS b
+      FROM ts FULL OUTER JOIN ss ON ts.doc_id = ss.doc_id)
+SELECT doc_id, ROUND(GREATEST(a, b) + 0.3 * (a + b - GREATEST(a, b)), 4) AS score
+FROM u ORDER BY doc_id""",
+        "ft_multi_match_most": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','src3']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ts AS (SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS s_text
+       FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+       GROUP BY tf.doc_id),
+sdf AS (SELECT count(*) AS df FROM documents WHERE source = 'src3'),
+ss AS (SELECT d.doc_id AS doc_id,
+              ln(1 + ((SELECT count(*) FROM documents) - sdf.df + 0.5)/(sdf.df + 0.5)) AS s_src
+       FROM documents d CROSS JOIN sdf WHERE d.source = 'src3'),
+u AS (SELECT COALESCE(ts.doc_id, ss.doc_id) AS doc_id,
+             COALESCE(s_text, 0) AS a, COALESCE(s_src, 0) AS b
+      FROM ts FULL OUTER JOIN ss ON ts.doc_id = ss.doc_id)
+SELECT doc_id, ROUND(a + b, 4) AS score FROM u ORDER BY doc_id""",
+        # query_string `data AND (window OR merge) -vector quer*`:
+        # must = [data, window|merge], must_not = [vector], should = [quer*]
+        # (prefix clause is constant-score 1.0 when it matches)
+        "ft_query_string_adv": f"""
+WITH {_TOK},
+qa AS (SELECT unnest(['window','merge']) AS term),
+tfa AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM qa) GROUP BY doc_id, term),
+dfa AS (SELECT term, count(*) AS df FROM tfa GROUP BY term),
+swm AS (SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS s
+        FROM tfa tf JOIN dfa df ON df.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+        GROUP BY tf.doc_id),
+tfd AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+dfd AS (SELECT count(*) AS df FROM tfd),
+sd AS (SELECT tf.doc_id AS doc_id, {_SCORE} AS s
+       FROM tfd tf CROSS JOIN dfd df
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector'),
+pq AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'quer%')
+SELECT sd.doc_id AS doc_id,
+       ROUND(sd.s + swm.s +
+             (CASE WHEN sd.doc_id IN (SELECT doc_id FROM pq) THEN 1.0 ELSE 0 END),
+             4) AS score
+FROM sd JOIN swm USING (doc_id)
+WHERE sd.doc_id NOT IN (SELECT doc_id FROM neg)
+ORDER BY doc_id""",
     }

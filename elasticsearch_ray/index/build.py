@@ -77,6 +77,7 @@ def build_index(
     tokenize_concurrency: int | tuple[int, int] | None = None,
     content_column: str = "content",
     meta_columns: tuple[str, ...] = ("repo", "path", "commit", "lang"),
+    extra_content_columns: tuple[str, ...] = (),
     verbose: bool = False,
 ) -> IndexStats:
     """Build (or resume building) the inverted index at out_dir."""
@@ -116,6 +117,7 @@ def build_index(
             index_positions=index_positions,
             content_column=content_column,
             meta_columns=meta_columns,
+            extra_content_columns=extra_content_columns,
         )
         if tokenize_concurrency is not None:
             # explicit actor pool (state amortized per actor)

@@ -71,7 +71,12 @@ def _encode_bucket_task(out_path: str, hot_terms: frozenset, *tables: pa.Table):
     os.replace(out_path + ".tmp", out_path)
     terms = set(map(str, np.asarray(enc["term"])))
     hot_present = sorted(terms & hot_terms)
-    return len(enc), int(t["tf"].to_numpy().sum()), len(terms) - len(hot_present), hot_present
+    # sum_doc_len counts MAIN-field tokens only: extra-field postings carry
+    # field-qualified keys (\x1f separator) and have their own norms
+    tf = t["tf"].to_numpy()
+    term_arr = np.asarray(t["term"]).astype(str)
+    main_mask = np.char.find(term_arr, "\x1f") < 0
+    return len(enc), int(tf[main_mask].sum()), len(terms) - len(hot_present), hot_present
 
 
 def build_index_tasks(
@@ -88,6 +93,7 @@ def build_index_tasks(
     frags_per_task: int = 2,
     content_column: str = "content",
     meta_columns: tuple[str, ...] = ("repo", "path", "commit", "lang"),
+    extra_content_columns: tuple[str, ...] = (),
     verbose: bool = False,
 ) -> IndexStats:
     """Task-shuffle twin of build.py:build_index (same layout + manifests)."""
@@ -124,6 +130,7 @@ def build_index_tasks(
             index_positions=index_positions,
             content_column=content_column,
             meta_columns=meta_columns,
+            extra_content_columns=extra_content_columns,
         )
         per_bucket: list[list] = [[] for _ in range(num_buckets)]
         fdicts = [f.to_dict() for f in seg_frags]

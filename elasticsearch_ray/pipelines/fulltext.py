@@ -26,9 +26,12 @@ K1, B = 1.2, 0.75  # SimilarityProviders.java:275-276 defaults
 
 
 def documents_index(sf_dir: str) -> str:
-    """Build-or-reuse the documents index for one sf dir; returns index dir."""
+    """Build-or-reuse the documents index for one sf dir; returns index dir.
+
+    `source` is indexed as a second field (field-qualified terms + per-field
+    norms) so multi_match / per-field query_string clauses are real."""
     src = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.sha1(f"{src}:{os.path.getmtime(src)}:simple:v1".encode()).hexdigest()[:16]
+    tag = hashlib.sha1(f"{src}:{os.path.getmtime(src)}:simple:v2".encode()).hexdigest()[:16]
     out = os.path.join("/tmp/esray_cache", f"docidx_{tag}")
     build_index(
         src,
@@ -39,6 +42,7 @@ def documents_index(sf_dir: str) -> str:
         num_buckets=16,
         content_column="text",
         meta_columns=("lang", "source", "n_chars"),
+        extra_content_columns=("source",),
     )
     return out
 
@@ -47,7 +51,8 @@ def documents_searcher(sf_dir: str) -> IndexSearcher:
     key = sf_dir
     if key not in _SEARCHERS:
         idx = documents_index(sf_dir)
-        _SEARCHERS[key] = IndexSearcher(idx, score_mode="exact64", k1=K1, b=B)
+        _SEARCHERS[key] = IndexSearcher(idx, score_mode="exact64", k1=K1, b=B,
+                                        main_field="text")
     return _SEARCHERS[key]
 
 
@@ -79,40 +84,37 @@ def topk_matches(sf_dir: str, query: dict, round_to: int = 4) -> pa.Table:
 
 def suggest_terms(sf_dir: str, text: str, max_edits: int = 2, size: int = 5) -> pa.Table:
     """`term` suggester analog (search/suggest/): vocabulary terms within
-    levenshtein distance, ranked (distance asc, df desc, term asc)."""
-    s = documents_searcher(sf_dir)
-    # vocabulary with global dfs from the segments' term dictionaries
+    levenshtein distance, ranked (distance asc, df desc, term asc).
+
+    Candidate cut = length band around the query; distances computed with the
+    vectorized batch Levenshtein (no per-term Python DP over the vocab)."""
     from collections import Counter
 
+    from ..search.engine import FIELD_SEP, levenshtein_vec
+
+    s = documents_searcher(sf_dir)
+    # main-field vocabulary with global dfs from the segments' dictionaries
     dfs: Counter = Counter()
     for seg in s.segments:
         terms, df = seg.term_dfs()
         for t, d in zip(terms, df):
-            dfs[str(t)] += int(d)
-
-    def lev(a: str, b: str) -> int:
-        if abs(len(a) - len(b)) > max_edits:
-            return max_edits + 1
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
-            prev = cur
-        return prev[-1]
-
-    cands = []
-    for term, df in dfs.items():
-        d = lev(text, term)
-        if 0 < d <= max_edits:
-            cands.append((d, -df, term))
-    cands.sort()
-    out = cands[:size]
+            t = str(t)
+            if FIELD_SEP not in t:
+                dfs[t] += int(d)
+    vocab = np.array(sorted(dfs), dtype=object)
+    lens = np.char.str_len(vocab.astype(str))
+    band = np.abs(lens - len(text)) <= max_edits
+    cand = vocab[band]
+    dists = levenshtein_vec(text, cand)
+    keep = (dists > 0) & (dists <= max_edits)
+    rows = sorted(
+        ((int(d), -dfs[str(t)], str(t)) for t, d in zip(cand[keep], dists[keep])),
+    )[:size]
     return pa.table(
         {
-            "term": pa.array([c[2] for c in out], pa.string()),
-            "distance": pa.array([c[0] for c in out], pa.int32()),
-            "df": pa.array([-c[1] for c in out], pa.int64()),
+            "term": pa.array([r[2] for r in rows], pa.string()),
+            "distance": pa.array([r[0] for r in rows], pa.int32()),
+            "df": pa.array([-r[1] for r in rows], pa.int64()),
         }
     )
 

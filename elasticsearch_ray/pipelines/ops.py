@@ -642,6 +642,37 @@ def ft_query_string(sf_dir: str):
                                 "query": "data query -vector"})
 
 
+def ft_query_string_adv(sf_dir: str):
+    """Full query_string grammar (QueryStringQueryBuilder.java): AND upgrades
+    operands to MUST, parenthesised group, NOT/- prohibition, prefix term."""
+    return all_matches(sf_dir, {"kind": "query_string",
+                                "query": "data AND (window OR merge) -vector quer*"})
+
+
+def ft_exists(sf_dir: str):
+    """exists query (ExistsQueryBuilder.java) in filter context."""
+    q = {"kind": "bool",
+         "must": [{"kind": "term", "term": "data"}],
+         "filter": [{"kind": "exists", "field": "lang"}]}
+    return all_matches(sf_dir, q)
+
+
+def ft_multi_match_best(sf_dir: str):
+    """multi_match best_fields over the two indexed fields (text + source):
+    dis_max of per-field matches with tie_breaker
+    (index/search/MultiMatchQuery.java)."""
+    return all_matches(sf_dir, {
+        "kind": "multi_match", "text": "data src3",
+        "fields": ["text", "source"], "type": "best_fields", "tie_breaker": 0.3})
+
+
+def ft_multi_match_most(sf_dir: str):
+    """multi_match most_fields: sum of per-field match scores."""
+    return all_matches(sf_dir, {
+        "kind": "multi_match", "text": "data src3",
+        "fields": ["text", "source"], "type": "most_fields"})
+
+
 def agg_adjacency_matrix(sf_dir: str):
     """adjacency_matrix agg (bucket/adjacency): counts for each filter and
     each pairwise intersection."""
@@ -1099,12 +1130,14 @@ def ft_completion(sf_dir: str):
     s = documents_searcher(sf_dir)
     from collections import Counter
 
+    # prefix-slice each segment's SORTED dictionary (searchsorted), never a
+    # full-vocab scan; sum dfs across segments for the sliced terms only
     dfs: Counter = Counter()
     for seg in s.segments:
         terms, df = seg.term_dfs()
-        for t, d in zip(terms, df):
-            dfs[str(t)] += int(d)
-    cands = sorted(((-d, t) for t, d in dfs.items() if t.startswith("da")))[:5]
+        for i in seg.prefix_rows("da"):
+            dfs[str(terms[int(i)])] += int(df[int(i)])
+    cands = sorted((-d, t) for t, d in dfs.items())[:5]
     return pd.DataFrame({"term": [t for _, t in cands],
                          "df": [-d for d, t in cands]})
 

@@ -150,6 +150,130 @@ class TermPostings:
         return out
 
 
+# Separator between a non-default field name and its term in the unified term
+# dictionary (per-field postings, the Lucene field:term key analog). Analyzer
+# tokens never contain \x1f, so prefixed keys cannot collide with default-field
+# terms; expansion slices over the default field filter it out.
+FIELD_SEP = "\x1f"
+
+
+def parse_query_string(s: str, default_field: str | None = None) -> dict:
+    """Full query_string grammar (QueryStringQueryBuilder.java / Lucene classic
+    QueryParser semantics): field:term, AND/OR/NOT, +/- modifiers, (grouping),
+    "phrases", term^boost, wildcards (* ?), fuzzy term~N.
+
+    Lucene's parser is flat-with-modifiers per parenthesis level: AND upgrades
+    its two operands to MUST, OR leaves SHOULD, NOT/- prohibits, + requires —
+    e.g. `a AND b c` -> +a +b c. Reproduced here."""
+    import re
+
+    toks = re.findall(r'\(|\)|"[^"]*"(?:~\d+)?(?:\^[\d.]+)?|[^\s()]+', s)
+
+    def parse_level(i: int, field: str | None) -> tuple[dict, int]:
+        clauses: list[tuple[str, dict]] = []  # (occur, query)
+        pending_mod: str | None = None  # '+', '-' pending for next clause
+        pending_and = False
+
+        def add(qd: dict):
+            nonlocal pending_mod, pending_and
+            occur = "should"
+            if pending_mod == "+":
+                occur = "must"
+            elif pending_mod == "-":
+                occur = "must_not"
+            elif pending_and:
+                occur = "must"
+                # AND also upgrades the previous optional clause
+                if clauses and clauses[-1][0] == "should":
+                    clauses[-1] = ("must", clauses[-1][1])
+            clauses.append((occur, qd))
+            pending_mod = None
+            pending_and = False
+
+        while i < len(toks):
+            t = toks[i]
+            if t == ")":
+                i += 1
+                break
+            if t == "(":
+                sub, i = parse_level(i + 1, field)
+                # optional ^boost stuck to the closing paren is a separate token
+                if i < len(toks) and toks[i].startswith("^"):
+                    sub = {**sub, "boost": float(toks[i][1:])}
+                    i += 1
+                add(sub)
+                continue
+            i += 1
+            if t == "AND" or t == "&&":
+                pending_and = True
+                continue
+            if t == "OR" or t == "||":
+                continue
+            if t == "NOT" or t == "!":
+                pending_mod = "-"
+                continue
+            mod = None
+            if t and t[0] in "+-":
+                mod, t = t[0], t[1:]
+                if not t:
+                    continue
+            if mod:
+                pending_mod = mod
+            # field prefix (not inside quotes)
+            f = field
+            if not t.startswith('"') and ":" in t:
+                fname, rest = t.split(":", 1)
+                if rest == "(":  # not produced by tokenizer; fields bind terms
+                    pass
+                f, t = fname, rest
+                if t == "" and i < len(toks) and toks[i] == "(":
+                    sub, i = parse_level(i + 1, f)
+                    add(sub)
+                    continue
+                if not t:
+                    continue
+            boost = None
+            m = re.match(r"^(.*?)\^([\d.]+)$", t)
+            if m and not t.startswith('"'):
+                t, boost = m.group(1), float(m.group(2))
+            if t.startswith('"'):
+                m2 = re.match(r'^"([^"]*)"(?:~(\d+))?(?:\^([\d.]+))?$', t)
+                phrase = m2.group(1) if m2 else t.strip('"')
+                qd: dict = {"kind": "match_phrase", "text": phrase}
+                if m2 and m2.group(2):
+                    qd["slop"] = int(m2.group(2))
+                if m2 and m2.group(3):
+                    boost = float(m2.group(3))
+            else:
+                fz = re.match(r"^(.+?)~(\d*)$", t)
+                if fz:
+                    qd = {"kind": "fuzzy", "term": fz.group(1).lower(),
+                          "fuzziness": int(fz.group(2) or 2)}
+                elif "*" in t or "?" in t:
+                    if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
+                        qd = {"kind": "prefix", "prefix": t[:-1].lower()}
+                    else:
+                        qd = {"kind": "wildcard", "pattern": t.lower()}
+                else:
+                    qd = {"kind": "match", "text": t}
+            if f is not None:
+                qd["field"] = f
+            if boost is not None:
+                qd["boost"] = boost
+            add(qd)
+
+        must = [q for o, q in clauses if o == "must"]
+        should = [q for o, q in clauses if o == "should"]
+        must_not = [q for o, q in clauses if o == "must_not"]
+        if len(should) == 1 and not must and not must_not:
+            return should[0], i
+        return {"kind": "bool", "must": must, "should": should,
+                "must_not": must_not}, i
+
+    tree, _ = parse_level(0, default_field)
+    return tree
+
+
 def parse_simple_query_string(s: str) -> dict:
     """simple_query_string mini-parser (SimpleQueryStringBuilder subset):
     whitespace-separated clauses, `-` prefix negates, quoted phrases; default
@@ -168,6 +292,33 @@ def parse_simple_query_string(s: str) -> dict:
             q = {"kind": "match", "text": p}
         (must_not if neg else should).append(q)
     return {"kind": "bool", "should": should, "must_not": must_not}
+
+
+def levenshtein_vec(query: str, cands: np.ndarray) -> np.ndarray:
+    """Levenshtein distance from `query` to every string in `cands`,
+    vectorized over candidates: the DP table rows are (n_cands, maxlen+1)
+    numpy arrays, so cost is O(len(query) * maxlen) numpy ops regardless of
+    candidate count (the FuzzyQuery automaton analog for batch expansion)."""
+    n = cands.size
+    if n == 0:
+        return np.empty(0, np.int32)
+    cand_s = cands.astype(str)
+    maxlen = int(np.char.str_len(cand_s).max()) if n else 0
+    # (n, maxlen) codepoint matrix, 0-padded
+    mat = cand_s.astype(f"U{max(maxlen, 1)}").view(np.uint32).reshape(n, -1)
+    lens = np.char.str_len(cand_s)
+    prev = np.broadcast_to(np.arange(maxlen + 1, dtype=np.int32), (n, maxlen + 1)).copy()
+    for i, ch in enumerate(query, 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = prev[:, :-1] + (mat[:, :maxlen] != ord(ch))
+        dele = prev[:, 1:] + 1
+        best = np.minimum(sub, dele)
+        # insertion column dependency -> scan over maxlen (small)
+        for j in range(1, maxlen + 1):
+            cur[:, j] = np.minimum(best[:, j - 1], cur[:, j - 1] + 1)
+        prev = cur
+    return prev[np.arange(n), lens].astype(np.int32)
 
 
 class _Segment:
@@ -270,7 +421,9 @@ class IndexSearcher:
         segments: list[str] | None = None,
         wand_min_postings: int = 1 << 18,
         lazy: bool | None = None,
+        main_field: str = "content",
     ):
+        self.main_field = main_field
         manifests = live_segments(committed_segments(index_dir))
         if segments is not None:
             manifests = {k: v for k, v in manifests.items() if k in set(segments)}
@@ -316,24 +469,70 @@ class IndexSearcher:
         self._docmeta: pa.Table | None = None
         self._term_cache: dict[str, TermPostings | None] = {}
         self._cache_cap = cache_terms
+        # per-field norms/lengths for extra indexed fields (docmeta columns
+        # len_<f> / normb_<f> written by the tokenize stage) — the per-field
+        # Norms analog (Lucene stores norms per indexed field)
+        self._field_stats_cache: dict[str, tuple] = {}
+        self.extra_fields: list[str] = sorted(
+            c[len("len_"):] for c in self._meta_tables[0].column_names
+            if c.startswith("len_")
+        )
+
+    # ---------- fields ----------
+
+    def _norm_field(self, field: str | None) -> str | None:
+        """None == the searcher's main content field (unprefixed terms)."""
+        return None if field in (None, self.main_field) else field
+
+    def _fkey(self, field: str | None) -> str:
+        field = self._norm_field(field)
+        return "" if field is None else field + FIELD_SEP
+
+    def _field_stats(self, field: str | None):
+        """(norm_bytes, doc_lens, avgdl, norm_cache32) for a field."""
+        field = self._norm_field(field)
+        if field is None:
+            return self.norm_bytes, self.doc_lens, self.avgdl, self._norm_cache32
+        hit = self._field_stats_cache.get(field)
+        if hit is None:
+            if field not in self.extra_fields:
+                raise ValueError(f"field {field!r} is not indexed "
+                                 f"(have {self.extra_fields})")
+            nb = np.zeros(self.max_doc + 1, dtype=np.uint8)
+            dl = np.zeros(self.max_doc + 1, dtype=np.int32)
+            total = 0
+            for mt in self._meta_tables:
+                ids = mt["doc_id"].to_numpy()
+                lens = mt[f"len_{field}"].to_numpy(zero_copy_only=False)
+                lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+                nbv = mt[f"normb_{field}"].to_numpy(zero_copy_only=False)
+                nbv = np.nan_to_num(nbv.astype(np.float64)).astype(np.int64)
+                nb[ids] = nbv.astype(np.uint8)
+                dl[ids] = lens.astype(np.int32)
+                total += int(lens.sum())
+            avgdl = total / max(self.n_docs, 1)
+            hit = (nb, dl, avgdl, self.bm25.norm_cache(avgdl))
+            self._field_stats_cache[field] = hit
+        return hit
 
     # ---------- term dictionary / postings ----------
 
-    def global_df(self, term: str) -> int:
-        tp = self._get_term(term)
+    def global_df(self, term: str, field: str | None = None) -> int:
+        tp = self._get_term(term, field)
         return tp.df if tp else 0
 
-    def _get_term(self, term: str) -> TermPostings | None:
-        if term in self._term_cache:
-            return self._term_cache[term]
+    def _get_term(self, term: str, field: str | None = None) -> TermPostings | None:
+        key = self._fkey(field) + term
+        if key in self._term_cache:
+            return self._term_cache[key]
         rows: list[dict] = []
         for seg in self.segments:
-            for i in seg.rows_for(term):
+            for i in seg.rows_for(key):
                 rows.append(seg.row(int(i)))
-        tp = TermPostings(term, rows) if rows else None
+        tp = TermPostings(key, rows) if rows else None
         if len(self._term_cache) >= self._cache_cap:
             self._term_cache.pop(next(iter(self._term_cache)))
-        self._term_cache[term] = tp
+        self._term_cache[key] = tp
         return tp
 
     # ---------- scoring primitives ----------
@@ -365,13 +564,15 @@ class IndexSearcher:
                 out[t] = tp.df
         return out
 
-    def _term_scores(self, tp: TermPostings, boost: float = 1.0) -> np.ndarray:
+    def _term_scores(self, tp: TermPostings, boost: float = 1.0,
+                     field: str | None = None) -> np.ndarray:
         w = self.bm25.weight(self._df(tp), self.n_docs, boost)
+        norm_bytes, doc_lens, avgdl, cache32 = self._field_stats(field)
         if self.bm25.mode == "lucene":
             return self.bm25.score_tf(
-                tp.tfs, self.norm_bytes[tp.doc_ids], None, self.avgdl, w, self._norm_cache32
+                tp.tfs, norm_bytes[tp.doc_ids], None, avgdl, w, cache32
             )
-        return self.bm25.score_tf(tp.tfs, None, self.doc_lens[tp.doc_ids], self.avgdl, w)
+        return self.bm25.score_tf(tp.tfs, None, doc_lens[tp.doc_ids], avgdl, w)
 
     def _accumulate(self, parts: list[tuple[np.ndarray, np.ndarray]]):
         """union-accumulate [(doc_ids, scores)] -> (unique_docs, summed f64)."""
@@ -405,7 +606,7 @@ class IndexSearcher:
         everything else evaluates exhaustively. Both paths share the same
         scoring arithmetic and are rank-identical."""
         k = int(query.get("k", 10))
-        if use_wand:
+        if use_wand and self._norm_field(query.get("field")) is None:
             kind = query["kind"]
             boost = float(query.get("boost", 1.0))
             terms = None
@@ -436,11 +637,12 @@ class IndexSearcher:
     def _eval(self, q: dict) -> tuple[np.ndarray, np.ndarray]:
         kind = q["kind"]
         boost = float(q.get("boost", 1.0))
+        field = self._norm_field(q.get("field"))
         if kind == "term":
-            tp = self._get_term(q["term"])
+            tp = self._get_term(q["term"], field)
             if tp is None:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
-            return tp.doc_ids, self._term_scores(tp, boost).astype(np.float64)
+            return tp.doc_ids, self._term_scores(tp, boost, field).astype(np.float64)
         if kind == "match":
             terms = self.analyzer(q["text"])
             op = q.get("operator", "or")
@@ -450,14 +652,21 @@ class IndexSearcher:
             if msm is not None and op == "or":
                 # match + minimum_should_match (MatchQueryBuilder param):
                 # same machinery as terms_set over the analyzed terms
-                return self._terms_set(terms, int(msm), boost)
+                return self._terms_set(terms, int(msm), boost, field)
             if op == "or":
-                return self._disjunction(terms, boost)
-            return self._conjunction(terms, boost)
+                return self._disjunction(terms, boost, field)
+            return self._conjunction(terms, boost, field)
         if kind == "match_phrase":
-            return self._phrase(q["text"], boost)
+            slop = int(q.get("slop", 0))
+            if slop > 0:
+                # sloppy phrase approximated by an unordered span_near with the
+                # same slop budget (constant-scored; exact sloppy-freq scoring
+                # is out of scope — MatchPhraseQueryBuilder slop semantics)
+                return self._span_near(self.analyzer(q["text"]), slop, False,
+                                       boost, field)
+            return self._phrase(q["text"], boost, field)
         if kind == "prefix":
-            return self._prefix(q["prefix"], boost)
+            return self._prefix(q["prefix"], boost, field)
         if kind == "match_all":
             ids = self._all_doc_ids()
             return ids, np.full(ids.size, boost, np.float64)
@@ -477,26 +686,20 @@ class IndexSearcher:
         if kind == "fuzzy":
             # FuzzyQuery (index/query/FuzzyQueryBuilder) with CONSTANT_SCORE
             # rewrite: union of docs of terms within `fuzziness` edits
-            terms = self._expand_fuzzy(q["term"], int(q.get("fuzziness", 1)))
-            return self._constant_union(terms, boost)
+            terms = self._expand_fuzzy(q["term"], int(q.get("fuzziness", 1)), field)
+            return self._constant_union(terms, boost, field)
         if kind == "wildcard":
             # WildcardQueryBuilder: * and ? over the term dictionary
-            import fnmatch
-            import re as _re
-
-            pat = _re.compile(fnmatch.translate(q["pattern"]))
-            terms = [t for t in self._vocab() if pat.match(t)]
-            return self._constant_union(terms, boost)
+            terms = self._expand_wildcard(q["pattern"], field)
+            return self._constant_union(terms, boost, field)
         if kind == "regexp":
-            import re as _re
-
-            pat = _re.compile(q["pattern"])
-            terms = [t for t in self._vocab() if pat.fullmatch(t)]
-            return self._constant_union(terms, boost)
+            terms = self._expand_regexp(q["pattern"], field)
+            return self._constant_union(terms, boost, field)
         if kind == "terms_set":
             # TermsSetQueryBuilder: match docs containing at least
             # minimum_should_match of the terms; score = sum of matched
-            return self._terms_set(q["terms"], int(q.get("minimum_should_match", 1)), boost)
+            return self._terms_set(q["terms"], int(q.get("minimum_should_match", 1)),
+                                   boost, field)
         if kind == "dis_max":
             return self._dis_max(q["queries"], float(q.get("tie_breaker", 0.0)), boost)
         if kind == "constant_score":
@@ -534,12 +737,48 @@ class IndexSearcher:
             )
         if kind == "span_near":
             return self._span_near(
-                q["terms"], int(q.get("slop", 0)), bool(q.get("in_order", True)), boost
+                q["terms"], int(q.get("slop", 0)), bool(q.get("in_order", True)),
+                boost, field
             )
         if kind == "match_phrase_prefix":
-            return self._phrase_prefix(q["text"], int(q.get("max_expansions", 50)), boost)
+            return self._phrase_prefix(q["text"], int(q.get("max_expansions", 50)),
+                                       boost, field)
         if kind == "simple_query_string":
             return self._eval(parse_simple_query_string(q["query"]))
+        if kind == "query_string":
+            # full grammar (QueryStringQueryBuilder.java): fields, AND/OR/NOT,
+            # +/-, grouping, phrases, per-clause boosts, wildcard/fuzzy terms
+            tree = parse_query_string(q["query"], q.get("default_field"))
+            if boost != 1.0:
+                tree = {**tree, "boost": boost * float(tree.get("boost", 1.0))}
+            return self._eval(tree)
+        if kind == "exists":
+            # ExistsQueryBuilder: docs where the field has a non-null value
+            # (the _field_names presence analog, over docmeta / field lengths)
+            ids = self._exists_ids(q["field"])
+            return ids, np.full(ids.size, boost, np.float64)
+        if kind == "multi_match":
+            # MultiMatchQuery: best_fields = dis_max over per-field matches
+            # (tie_breaker), most_fields = sum of per-field matches
+            subs = []
+            for f in q["fields"]:
+                fb = 1.0
+                if "^" in f:
+                    f, fb_s = f.split("^", 1)
+                    fb = float(fb_s)
+                sub = {"kind": "match", "text": q["text"], "field": f,
+                       "boost": fb, "operator": q.get("operator", "or")}
+                if q.get("minimum_should_match") is not None:
+                    sub["minimum_should_match"] = q["minimum_should_match"]
+                subs.append(sub)
+            mtype = q.get("type", "best_fields")
+            if mtype == "best_fields":
+                return self._dis_max(subs, float(q.get("tie_breaker", 0.0)), boost)
+            if mtype == "most_fields":
+                parts = [self._eval(sq) for sq in subs]
+                ids, sc = self._accumulate([p for p in parts if p[0].size])
+                return ids, sc * boost
+            raise ValueError(f"unknown multi_match type {mtype!r}")
         if kind == "intervals":
             # IntervalsQueryBuilder subset: all_of(ordered, max_gaps) maps to
             # span_near (gap semantics identical for ordered runs); any_of is
@@ -568,14 +807,15 @@ class IndexSearcher:
             raise ValueError(f"unknown intervals rule {rule!r}")
         raise ValueError(f"unknown query kind {kind!r}")
 
-    def _span_near(self, terms: list[str], slop: int, in_order: bool, boost: float):
+    def _span_near(self, terms: list[str], slop: int, in_order: bool, boost: float,
+                   field: str | None = None):
         """span_near (SpanNearQueryBuilder): terms within `slop` intervening
         positions, optionally in order. Constant-scored here (span scoring in
         Lucene is sloppy-freq-based; the doc-set semantics are what the
         compound queries need)."""
         tps = []
         for t in terms:
-            tp = self._get_term(t)
+            tp = self._get_term(t, field)
             if tp is None:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             tps.append(tp)
@@ -624,67 +864,161 @@ class IndexSearcher:
         ids = cand[keep]
         return ids, np.full(ids.size, boost, np.float64)
 
-    def _phrase_prefix(self, text: str, max_expansions: int, boost: float):
+    def _phrase_prefix(self, text: str, max_expansions: int, boost: float,
+                       field: str | None = None):
         """match_phrase_prefix (MatchPhrasePrefixQueryBuilder): phrase whose
-        last term is a prefix, expanded against the term dictionary."""
+        last term is a prefix, expanded against the sorted term dictionary."""
         terms = self.analyzer(text)
         if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         prefix = terms[-1]
-        expansions = [t for t in self._vocab() if t.startswith(prefix)][:max_expansions]
+        expansions = list(self._terms_with_prefix(prefix, field)[:max_expansions])
         if not expansions:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         parts = []
         for exp in expansions:
             full = terms[:-1] + [exp]
-            ids, _ = self._phrase(" ".join(full), 1.0) if len(full) > 1 else (
-                (self._get_term(exp).doc_ids, None) if self._get_term(exp) else
-                (np.empty(0, np.int64), None)
-            )
+            if len(full) > 1:
+                ids, _ = self._phrase(" ".join(full), 1.0, field)
+            else:
+                tp = self._get_term(exp, field)
+                ids = tp.doc_ids if tp is not None else np.empty(0, np.int64)
             parts.append(ids)
         ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
         return ids, np.full(ids.size, boost, np.float64)
 
     # ---- expanded-term and compound helpers ----
+    #
+    # Multi-term queries (wildcard/regexp/fuzzy/prefix-expansion) never scan
+    # the whole vocabulary: each segment keeps a SORTED term array, so the
+    # candidate set is a searchsorted prefix slice (plus a length band for
+    # fuzzy), and the residual predicate runs vectorized over the slice.
 
-    def _vocab(self) -> list[str]:
-        if not hasattr(self, "_vocab_cache"):
-            terms: set[str] = set()
-            for seg in self.segments:
-                terms.update(map(str, seg._sorted_terms))
-            self._vocab_cache = sorted(terms)
-        return self._vocab_cache
+    def _term_range(self, lo: str, hi: str, field: str | None = None) -> np.ndarray:
+        """Sorted unique dictionary terms in [lo, hi) for `field` (prefixes
+        stripped). For the default field, prefixed (field-qualified) keys are
+        filtered out of the range."""
+        fk = self._fkey(field)
+        parts = []
+        for seg in self.segments:
+            st = seg._sorted_terms
+            a = np.searchsorted(st, fk + lo, side="left")
+            b = np.searchsorted(st, fk + hi, side="left")
+            if b > a:
+                parts.append(st[a:b])
+        if not parts:
+            return np.empty(0, dtype=object)
+        out = np.unique(np.concatenate(parts))
+        if fk:
+            out = np.array([t[len(fk):] for t in out], dtype=object)
+        elif out.size:
+            keep = np.char.find(out.astype(str), FIELD_SEP) < 0
+            out = out[keep]
+        return out
 
-    def _expand_fuzzy(self, term: str, fuzziness: int) -> list[str]:
-        def lev_le(a: str, b: str, k: int) -> bool:
-            if abs(len(a) - len(b)) > k:
-                return False
-            prev = list(range(len(b) + 1))
-            for i, ca in enumerate(a, 1):
-                cur = [i]
-                for j, cb in enumerate(b, 1):
-                    cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
-                prev = cur
-                if min(prev) > k:
-                    return False
-            return prev[-1] <= k
+    def _terms_with_prefix(self, prefix: str, field: str | None = None) -> np.ndarray:
+        return self._term_range(prefix, prefix + "￿", field)
 
-        return [t for t in self._vocab() if lev_le(term, t, fuzziness)]
+    @staticmethod
+    def _literal_prefix(pattern: str, meta: str) -> str:
+        out = []
+        for ch in pattern:
+            if ch in meta or ch == "\\":
+                break
+            out.append(ch)
+        return "".join(out)
 
-    def _constant_union(self, terms: list[str], boost: float):
-        parts = [self._get_term(t).doc_ids for t in terms if self._get_term(t) is not None]
+    def _expand_wildcard(self, pattern: str, field: str | None = None) -> list[str]:
+        import re as _re
+
+        lit = self._literal_prefix(pattern, "*?[")
+        cands = self._term_range(lit, lit + "￿", field) if lit else \
+            self._term_range("", "￿", field)
+        if cands.size == 0:
+            return []
+        # wildcard -> anchored regex, evaluated vectorized by Arrow's re2
+        rx = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern) + "$"
+        import pyarrow.compute as _pc
+
+        mask = _pc.match_substring_regex(pa.array(cands.astype(str)), rx)
+        return [str(t) for t in cands[np.asarray(mask)]]
+
+    def _expand_regexp(self, pattern: str, field: str | None = None) -> list[str]:
+        import re as _re
+
+        lit = self._literal_prefix(pattern, "*?+.[](){}|^$")
+        cands = self._term_range(lit, lit + "￿", field) if lit else \
+            self._term_range("", "￿", field)
+        if cands.size == 0:
+            return []
+        import pyarrow.compute as _pc
+
+        try:  # re2 (vectorized) first; fall back to Python re for exotic syntax
+            mask = np.asarray(
+                _pc.match_substring_regex(pa.array(cands.astype(str)),
+                                          f"^(?:{pattern})$"))
+        except Exception:
+            rx = _re.compile(pattern)
+            mask = np.fromiter((rx.fullmatch(str(t)) is not None for t in cands),
+                               bool, cands.size)
+        return [str(t) for t in cands[mask]]
+
+    def _expand_fuzzy(self, term: str, fuzziness: int,
+                      field: str | None = None) -> list[str]:
+        """Candidates = dictionary slice banded by length (+- fuzziness), then
+        a Levenshtein DP vectorized over ALL candidates at once (the rows of
+        the DP table are numpy vectors over candidates x positions)."""
+        cands = self._term_range("", "￿", field)
+        if cands.size == 0:
+            return []
+        cand_s = cands.astype(str)
+        lens = np.char.str_len(cand_s)
+        band = np.abs(lens - len(term)) <= fuzziness
+        cand_s = cand_s[band]
+        if cand_s.size == 0:
+            return []
+        dists = levenshtein_vec(term, cand_s)
+        return [str(t) for t in cand_s[dists <= fuzziness]]
+
+    def _exists_ids(self, field: str) -> np.ndarray:
+        """Doc ids whose `field` has a non-null value. Indexed fields check the
+        per-field length column nullness; any other docmeta column checks the
+        stored value directly (doc-values presence)."""
+        import pyarrow.compute as _pc
+
+        if field == self.main_field:
+            return self._all_doc_ids()
+        col = f"len_{field}" if field in self.extra_fields else field
+        if col not in self._meta_tables[0].column_names:
+            return np.empty(0, np.int64)
+        parts = []
+        for mt in self._meta_tables:
+            mask = _pc.is_valid(mt[col])
+            parts.append(mt.filter(mask)["doc_id"].to_numpy())
+        ids = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        return ids.astype(np.int64)
+
+    def _constant_union(self, terms: list[str], boost: float,
+                        field: str | None = None):
+        parts = []
+        for t in terms:
+            tp = self._get_term(t, field)
+            if tp is not None:
+                parts.append(tp.doc_ids)
         if not parts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         ids = np.unique(np.concatenate(parts))
         return ids, np.full(ids.size, boost, np.float64)
 
-    def _terms_set(self, terms: list[str], min_match: int, boost: float):
+    def _terms_set(self, terms: list[str], min_match: int, boost: float,
+                   field: str | None = None):
         parts = []
-        counts_parts = []
         for t in dict.fromkeys(terms):
-            tp = self._get_term(t)
+            tp = self._get_term(t, field)
             if tp is not None:
-                parts.append((tp.doc_ids, self._term_scores(tp)))
+                parts.append((tp.doc_ids, self._term_scores(tp, field=field)))
         if not parts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         ids, sc = self._accumulate(parts)
@@ -750,18 +1084,20 @@ class IndexSearcher:
         ids = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
         return ids, np.zeros(ids.size, np.float64)
 
-    def _disjunction(self, terms: list[str], boost: float = 1.0):
+    def _disjunction(self, terms: list[str], boost: float = 1.0,
+                     field: str | None = None):
         parts = []
         for t in dict.fromkeys(terms):  # unique, order-preserving
-            tp = self._get_term(t)
+            tp = self._get_term(t, field)
             if tp is not None:
-                parts.append((tp.doc_ids, self._term_scores(tp, boost)))
+                parts.append((tp.doc_ids, self._term_scores(tp, boost, field)))
         return self._accumulate(parts)
 
-    def _conjunction(self, terms: list[str], boost: float = 1.0):
+    def _conjunction(self, terms: list[str], boost: float = 1.0,
+                     field: str | None = None):
         tps = []
         for t in dict.fromkeys(terms):
-            tp = self._get_term(t)
+            tp = self._get_term(t, field)
             if tp is None:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             tps.append(tp)
@@ -775,20 +1111,23 @@ class IndexSearcher:
                 return cand, np.empty(0, np.float64)
         total = np.zeros(cand.size, np.float64)
         for tp in tps:
-            sc = self._term_scores(tp)
+            sc = self._term_scores(tp, field=field)
             idx = np.searchsorted(tp.doc_ids, cand)
             total += sc[idx].astype(np.float64) * 1.0
         if boost != 1.0:
             total *= boost
         return cand, total
 
-    def _prefix(self, prefix: str, boost: float = 1.0):
+    def _prefix(self, prefix: str, boost: float = 1.0, field: str | None = None):
         """CONSTANT_SCORE rewrite [Lucene 8.5]: union of matching terms' docs,
         score = boost for every match."""
+        fk = self._fkey(field)
         ids_parts = []
         for seg in self.segments:
-            for i in seg.prefix_rows(prefix):
+            for i in seg.prefix_rows(fk + prefix):
                 r = seg.row(int(i))
+                if not fk and FIELD_SEP in r["term"]:
+                    continue  # default field: skip field-qualified keys
                 deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
                 ids_parts.append(np.cumsum(deltas) - 1)
         if not ids_parts:
@@ -796,7 +1135,7 @@ class IndexSearcher:
         ids = np.unique(np.concatenate(ids_parts))
         return ids, np.full(ids.size, boost, np.float64)
 
-    def _phrase(self, text: str, boost: float = 1.0):
+    def _phrase(self, text: str, boost: float = 1.0, field: str | None = None):
         """PhraseQuery semantics [Lucene 8.5]: docs where terms appear at
         consecutive positions; freq = number of phrase occurrences; weight
         uses the SUM of the terms' idfs."""
@@ -807,7 +1146,7 @@ class IndexSearcher:
         rel = [(t, p - base0) for t, p in terms_pos]
         tps = []
         for t, _ in rel:
-            tp = self._get_term(t)
+            tp = self._get_term(t, field)
             if tp is None:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             tps.append(tp)
@@ -841,18 +1180,17 @@ class IndexSearcher:
         cand = cand[docs_idx]
         if cand.size == 0:
             return cand, np.empty(0, np.float64)
+        norm_bytes, doc_lens, avgdl, cache32 = self._field_stats(field)
         if self.bm25.mode == "lucene":
             idf_sum = np.float32(0.0)
             for tp in tps:
                 idf_sum = np.float32(idf_sum + self.bm25.idf(self._df(tp), self.n_docs))
             w = (np.float32(boost) * (np.float32(self.bm25.k1) + np.float32(1.0))) * idf_sum
-            sc = self.bm25.score_tf(
-                freqs, self.norm_bytes[cand], None, self.avgdl, w, self._norm_cache32
-            )
+            sc = self.bm25.score_tf(freqs, norm_bytes[cand], None, avgdl, w, cache32)
         else:
             idf_sum = sum(self.bm25.idf(self._df(tp), self.n_docs) for tp in tps)
             w = boost * idf_sum * (self.bm25.k1 + 1)
-            sc = self.bm25.score_tf(freqs, None, self.doc_lens[cand], self.avgdl, w)
+            sc = self.bm25.score_tf(freqs, None, doc_lens[cand], avgdl, w)
         return cand, sc.astype(np.float64)
 
     def _positions_for(self, tp: TermPostings, cand: np.ndarray) -> list[np.ndarray]:

@@ -72,6 +72,7 @@ class TokenizeFragments:
         index_positions: bool = True,
         content_column: str = "content",
         meta_columns: tuple[str, ...] = ("repo", "path", "commit", "lang"),
+        extra_content_columns: tuple[str, ...] = (),
     ):
         self.analyzer = get_analyzer(analyzer)
         self.docmeta_dir = docmeta_dir
@@ -81,12 +82,17 @@ class TokenizeFragments:
         self.index_positions = index_positions
         self.content_column = content_column
         self.meta_columns = meta_columns
+        # additional indexed text fields: terms keyed `<field>\x1f<term>` in
+        # the same unified dictionary; per-field lengths/norms side-written to
+        # docmeta as len_<field> / normb_<field> (Lucene per-field norms)
+        self.extra_content_columns = tuple(extra_content_columns)
         self._bucket_cache: dict[str, int] = {}
 
     def __call__(self, batch: dict):
         for i in range(len(batch["path"])):
             frag = {k: batch[k][i] for k in ("path", "row_group", "offset", "num_rows")}
             cols = [c for c in self.meta_columns if c != "doc_id"] + [self.content_column]
+            cols += [c for c in self.extra_content_columns if c not in cols]
             t = read_fragment(frag, columns=cols)
             yield self._process(t, frag)
 
@@ -139,6 +145,40 @@ class TokenizeFragments:
                 out_norm.append(norm_len)
                 out_pos.append(positions if self.index_positions else [])
 
+        # extra indexed fields: field-prefixed terms, per-field norms
+        extra_meta: dict[str, tuple[list, list]] = {}
+        for fld in self.extra_content_columns:
+            vals = t[fld].to_pylist()
+            flens: list[int | None] = []
+            fnormb: list[int | None] = []
+            for di, v in enumerate(vals):
+                if v is None:
+                    flens.append(None)
+                    fnormb.append(None)
+                    continue
+                toks = an.positions(str(v))
+                flens.append(len(toks))
+                nb_byte = int(int_to_byte4(np.array([len(toks)]))[0])
+                fnormb.append(nb_byte)
+                f_norm_len = int(byte4_to_int(np.array([nb_byte], np.uint8))[0])
+                per_term_f: dict[str, list[int]] = {}
+                for term, pos in toks:
+                    per_term_f.setdefault(term, []).append(pos)
+                doc_id = int(doc_ids[di])
+                for term, positions in per_term_f.items():
+                    key = f"{fld}\x1f{term}"
+                    bucket = bcache.get(key)
+                    if bucket is None:
+                        bucket = bcache[key] = term_bucket(key, 0, nb)
+                    out_bucket.append(bucket)
+                    out_term.append(key)
+                    out_chunk.append(0)
+                    out_doc.append(doc_id)
+                    out_tf.append(len(positions))
+                    out_norm.append(f_norm_len)
+                    out_pos.append(positions if self.index_positions else [])
+            extra_meta[fld] = (flens, fnormb)
+
         if self.docmeta_dir is not None:
             meta = pa.table(
                 {
@@ -147,6 +187,14 @@ class TokenizeFragments:
                     "sha256": pa.array(shas, pa.string()),
                     "doc_len": pa.array(doc_lens, pa.int64()),
                     "norm_byte": pa.array(int_to_byte4(doc_lens).astype(np.int32), pa.int32()),
+                    **{
+                        k: col
+                        for fld, (flens, fnormb) in extra_meta.items()
+                        for k, col in (
+                            (f"len_{fld}", pa.array(flens, pa.int64())),
+                            (f"normb_{fld}", pa.array(fnormb, pa.int32())),
+                        )
+                    },
                 }
             )
             os.makedirs(self.docmeta_dir, exist_ok=True)
@@ -179,6 +227,7 @@ def make_tokenizer_fn(**kwargs):
         kwargs["analyzer"], kwargs.get("docmeta_dir"), kwargs["num_buckets"],
         kwargs["chunk_range"], kwargs.get("index_positions", True),
         kwargs.get("content_column", "content"), tuple(kwargs.get("meta_columns", ())),
+        tuple(kwargs.get("extra_content_columns", ())),
         hash(kwargs["hot_terms"]),
     )
 

@@ -1,0 +1,196 @@
+"""Per-field indexing, exists, multi_match, the full query_string grammar,
+and bounded-time multi-term expansion over large vocabularies.
+
+Reference behaviors mirrored: per-field norms/df (Lucene per-field stats),
+ExistsQueryBuilder (non-null presence), MultiMatchQuery best/most_fields,
+QueryStringQueryBuilder flat-with-modifiers parsing."""
+
+from __future__ import annotations
+
+import time
+import types
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_ray.index.build import build_index
+from elasticsearch_ray.search.engine import (
+    IndexSearcher,
+    levenshtein_vec,
+    parse_query_string,
+)
+
+DOCS = [
+    # (text, title, lang)  — title is the extra indexed field
+    ("quick brown fox", "animal fox", "en"),
+    ("quick quick dog", "animal dog story", "en"),
+    ("lazy dog sleeps", "pets", None),
+    ("fox dog fox", None, "de"),
+]
+
+
+@pytest.fixture(scope="module")
+def fsearcher(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("fields")
+    src = str(d / "docs.parquet")
+    t = pa.table({
+        "repo": ["r"] * len(DOCS),
+        "path": [f"f{i}.py" for i in range(len(DOCS))],
+        "commit": ["c"] * len(DOCS),
+        "lang": [x[2] for x in DOCS],
+        "content": [x[0] for x in DOCS],
+        "title": [x[1] for x in DOCS],
+    })
+    pq.write_table(t, src)
+    idx = str(d / "idx")
+    build_index(src, idx, analyzer="simple", num_buckets=2,
+                hot_terms=frozenset(), extra_content_columns=("title",))
+    return IndexSearcher(idx)
+
+
+def test_field_term_isolated_postings(fsearcher):
+    # "fox" in title only in doc 0; in content in docs 0 and 3
+    ids, _ = fsearcher._eval({"kind": "term", "field": "title", "term": "fox"})
+    assert list(ids) == [0]
+    ids, _ = fsearcher._eval({"kind": "term", "term": "fox"})
+    assert list(ids) == [0, 3]
+
+
+def test_field_df_and_norms_differ(fsearcher):
+    # per-field stats: df(title:animal)=2; title lengths 2 and 3 give doc 0 a
+    # higher BM25 than doc 1 at equal tf
+    ids, sc = fsearcher._eval({"kind": "match", "field": "title", "text": "animal"})
+    assert list(ids) == [0, 1]
+    assert sc[0] > sc[1]
+
+
+def test_exists_query(fsearcher):
+    ids, _ = fsearcher._eval({"kind": "exists", "field": "title"})
+    assert list(ids) == [0, 1, 2]  # doc 3 title is null
+    ids, _ = fsearcher._eval({"kind": "exists", "field": "lang"})
+    assert list(ids) == [0, 1, 3]  # doc 2 lang is null
+    ids, _ = fsearcher._eval({"kind": "exists", "field": "content"})
+    assert list(ids) == [0, 1, 2, 3]
+
+
+def test_multi_match_best_and_most(fsearcher):
+    best_ids, best_sc = fsearcher._eval({
+        "kind": "multi_match", "text": "fox", "fields": ["content", "title"],
+        "type": "best_fields"})
+    most_ids, most_sc = fsearcher._eval({
+        "kind": "multi_match", "text": "fox", "fields": ["content", "title"],
+        "type": "most_fields"})
+    assert list(best_ids) == [0, 3] and list(most_ids) == [0, 3]
+    c_ids, c_sc = fsearcher._eval({"kind": "match", "text": "fox"})
+    t_ids, t_sc = fsearcher._eval({"kind": "match", "field": "title", "text": "fox"})
+    # doc 0: best = max(content, title), most = sum
+    assert best_sc[0] == pytest.approx(max(c_sc[0], t_sc[0]))
+    assert most_sc[0] == pytest.approx(c_sc[0] + t_sc[0])
+    # doc 3 only matches in content
+    assert best_sc[1] == pytest.approx(c_sc[list(c_ids).index(3)])
+
+
+def test_field_phrase_and_wildcard(fsearcher):
+    ids, _ = fsearcher._eval({"kind": "match_phrase", "field": "title",
+                              "text": "animal dog"})
+    assert list(ids) == [1]
+    ids, _ = fsearcher._eval({"kind": "wildcard", "field": "title",
+                              "pattern": "ani*"})
+    assert list(ids) == [0, 1]
+    # default-field wildcard must NOT leak field-qualified dictionary keys
+    ids, _ = fsearcher._eval({"kind": "wildcard", "pattern": "*"})
+    assert list(ids) == [0, 1, 2, 3]
+
+
+PARSE_CASES = [
+    ("a b", {"kind": "bool", "must": [],
+             "should": [{"kind": "match", "text": "a"},
+                        {"kind": "match", "text": "b"}], "must_not": []}),
+    ("a AND b", {"kind": "bool",
+                 "must": [{"kind": "match", "text": "a"},
+                          {"kind": "match", "text": "b"}],
+                 "should": [], "must_not": []}),
+    # Lucene flat-modifier behavior: a AND b c -> +a +b c
+    ("a AND b c", {"kind": "bool",
+                   "must": [{"kind": "match", "text": "a"},
+                            {"kind": "match", "text": "b"}],
+                   "should": [{"kind": "match", "text": "c"}], "must_not": []}),
+    ("-a b", {"kind": "bool", "must": [],
+              "should": [{"kind": "match", "text": "b"}],
+              "must_not": [{"kind": "match", "text": "a"}]}),
+    ("f:x", {"kind": "match", "text": "x", "field": "f"}),
+    ('"x y"~2^1.5', {"kind": "match_phrase", "text": "x y", "slop": 2,
+                     "boost": 1.5}),
+    ("pre*", {"kind": "prefix", "prefix": "pre"}),
+    ("w?ld*", {"kind": "wildcard", "pattern": "w?ld*"}),
+    ("fzzy~1", {"kind": "fuzzy", "term": "fzzy", "fuzziness": 1}),
+    ("x^2", {"kind": "match", "text": "x", "boost": 2.0}),
+]
+
+
+@pytest.mark.parametrize("q,expected", PARSE_CASES, ids=[c[0] for c in PARSE_CASES])
+def test_parse_query_string(q, expected):
+    assert parse_query_string(q) == expected
+
+
+def test_parse_grouping_and_eval(fsearcher):
+    tree = parse_query_string("quick AND (fox OR dog) -lazy")
+    ids, _ = fsearcher._eval(tree)
+    assert list(ids) == [0, 1]  # doc 2 excluded by lazy; doc 3 lacks quick
+    ids2, _ = fsearcher._eval({"kind": "query_string",
+                               "query": "quick AND (fox OR dog) -lazy"})
+    assert list(ids2) == [0, 1]
+
+
+def test_levenshtein_vec_matches_reference():
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(7)
+    words = ["".join(rng.choice(list("abcde"), size=rng.integers(1, 9)))
+             for _ in range(200)]
+    arr = np.array(words, dtype=object)
+    got = levenshtein_vec("abcda", arr)
+    want = [lev("abcda", w) for w in words]
+    assert list(got) == want
+
+
+def _stub_searcher(vocab: np.ndarray):
+    """Duck-typed searcher exposing only what the expansion helpers use."""
+    seg = types.SimpleNamespace(_sorted_terms=vocab)
+    s = types.SimpleNamespace(main_field="content", segments=[seg])
+    for name in ("_norm_field", "_fkey", "_term_range", "_terms_with_prefix",
+                 "_expand_fuzzy", "_expand_wildcard", "_expand_regexp"):
+        setattr(s, name, getattr(IndexSearcher, name).__get__(s))
+    s._literal_prefix = IndexSearcher._literal_prefix
+    return s
+
+
+def test_expansion_bounded_on_million_term_vocab():
+    """Wildcard/regexp/fuzzy expansion over a 1M-term dictionary must finish
+    in bounded time (no full-vocab Python loops)."""
+    n = 1_000_000
+    rng = np.random.default_rng(3)
+    # deterministic synthetic vocabulary, sorted
+    nums = rng.integers(0, 36**6, size=n)
+    words = [np.base_repr(v, 36).lower() for v in nums]
+    words += ["abc1de", "abc1dx", "xabc1de", "abc1d"]  # planted fuzzy hits
+    vocab = np.unique(np.array(words, dtype=object))
+    s = _stub_searcher(vocab)
+    t0 = time.time()
+    w = s._expand_wildcard("1a*b")
+    r = s._expand_regexp("2b.c.*")
+    f = s._expand_fuzzy("abc1de", 1)
+    took = time.time() - t0
+    assert took < 15.0, f"expansion took {took:.1f}s"
+    assert all(t.startswith("1a") for t in w)
+    assert all(t.startswith("2b") for t in r)
+    assert len(f) > 0
