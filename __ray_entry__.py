@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 2: fields, exists, multi_match, full query_string grammar
         "ft_exists", "ft_multi_match_best", "ft_multi_match_most",
         "ft_query_string_adv",
+        # round 2: missing-agg sweep
+        "agg_missing", "agg_global", "agg_mad", "agg_terms_shard_error",
+        "agg_significant_text",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -713,4 +716,56 @@ SELECT sd.doc_id AS doc_id,
 FROM sd JOIN swm USING (doc_id)
 WHERE sd.doc_id NOT IN (SELECT doc_id FROM neg)
 ORDER BY doc_id""",
+        "agg_missing": """
+SELECT source, count(*) FILTER (WHERE lang = 'zh') AS doc_count
+FROM documents GROUP BY source ORDER BY source""",
+        "agg_global": """
+SELECT * FROM (
+  SELECT 'global' AS scope, count(*) AS doc_count,
+         ROUND(AVG(n_chars), 4) AS avg_chars FROM documents
+  UNION ALL
+  SELECT 'query', count(*), ROUND(AVG(n_chars), 4) FROM documents WHERE lang = 'en'
+) ORDER BY scope""",
+        "agg_mad": """
+SELECT ROUND(median(abs(value - (SELECT median(value) FROM events))), 4) AS mad
+FROM events""",
+        "agg_terms_shard_error": """
+WITH pershard AS (
+  SELECT user_id % 4 AS shard, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY shard
+            ORDER BY cnt DESC, event_type) AS rn FROM pershard),
+kept AS (SELECT * FROM ranked WHERE rn <= 2),
+shard_last AS (SELECT shard, min(cnt) AS last_cnt FROM kept GROUP BY shard),
+terms AS (SELECT DISTINCT event_type FROM kept),
+merged AS (
+  SELECT t.event_type AS event_type,
+         CAST(COALESCE(SUM(k.cnt), 0) AS BIGINT) AS doc_count,
+         CAST(SUM(CASE WHEN k.cnt IS NULL THEN sl.last_cnt ELSE 0 END) AS BIGINT)
+           AS doc_count_error_upper_bound
+  FROM terms t CROSS JOIN shard_last sl
+  LEFT JOIN kept k ON k.shard = sl.shard AND k.event_type = t.event_type
+  GROUP BY t.event_type)
+SELECT event_type, doc_count, doc_count_error_upper_bound
+FROM merged ORDER BY doc_count DESC, event_type LIMIT 3""",
+        "agg_significant_text": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+fgdocs AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+fg_n AS (SELECT count(*) AS n FROM fgdocs),
+bg_n AS (SELECT count(*) AS n FROM documents),
+counts AS (
+  SELECT term,
+         count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM fgdocs)) AS fg_df,
+         count(*) AS bg_df
+  FROM tok GROUP BY term)
+SELECT term, fg_df, bg_df,
+       ROUND((fg_df::DOUBLE / fg_n.n - bg_df::DOUBLE / bg_n.n)
+             * ((fg_df::DOUBLE / fg_n.n) / (bg_df::DOUBLE / bg_n.n)), 6) AS score
+FROM counts CROSS JOIN fg_n CROSS JOIN bg_n
+WHERE fg_df >= 5
+ORDER BY score DESC, term LIMIT 10""",
     }

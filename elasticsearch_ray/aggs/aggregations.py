@@ -211,3 +211,60 @@ def bucket_selector(frame: pd.DataFrame, predicate) -> pd.DataFrame:
 def bucket_sort(frame: pd.DataFrame, by: list[str], ascending=True, size=None):
     out = frame.sort_values(by, ascending=ascending).reset_index(drop=True)
     return out.head(size) if size else out
+
+
+def missing_agg(ds, key: str, field: str):
+    """`missing` bucket agg (bucket/missing/MissingAggregator.java): per-key
+    count of docs with no value for `field` (null). Distributed: per-batch
+    0/1 indicator + Sum groupby."""
+    from ray.data.aggregate import Sum
+
+    def indicator(t: pa.Table) -> pa.Table:
+        miss = pc.cast(pc.is_null(t[field]), pa.int64())
+        return pa.table({key: t[key], "is_missing": miss})
+
+    out = (
+        ds.map_batches(indicator, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("is_missing", alias_name="doc_count"))
+        .to_pandas()
+    )
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def exact_quantile(ds, col: str, q: float) -> float:
+    """Exact quantile with linear interpolation (quantile_cont semantics) via
+    a DISTRIBUTED sort + positional row take: sort(col), split at the two
+    covering row indices, read only those 1-2 rows. The all-to-all sort is the
+    price of exactness; the approximate scale path is the t-digest
+    (tdigest.py). Never collects the column to the driver."""
+    n = ds.count()
+    if n == 0:
+        return float("nan")
+    pos = q * (n - 1)
+    lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+    # strip parquet/pandas schema metadata: Ray's sort-shuffle block dedup
+    # can't hash dict-valued metadata and logs per-reduce warnings otherwise
+    s = ds.map_batches(
+        lambda t: t.select([col]).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    ).sort(col)
+    mid = s.split_at_indices([lo, hi + 1])[1]
+    vals = [r[col] for r in mid.take(2)]
+    if lo == hi:
+        return float(vals[0])
+    frac = pos - lo
+    return float(vals[0]) + frac * (float(vals[1]) - float(vals[0]))
+
+
+def median_absolute_deviation(ds, col: str) -> float:
+    """`median_absolute_deviation` (metrics/MedianAbsoluteDeviationAggregator
+    .java semantics, computed EXACTLY): median(|x - median(x)|) as two
+    distributed exact-median passes (the reference uses a t-digest sketch;
+    the exact form makes the value oracle-checkable)."""
+    med = exact_quantile(ds, col, 0.5)
+
+    def dev(t: pa.Table) -> pa.Table:
+        return pa.table({"dev": pc.abs(pc.subtract(t[col], med))})
+
+    return exact_quantile(ds.map_batches(dev, batch_format="pyarrow"), "dev", 0.5)

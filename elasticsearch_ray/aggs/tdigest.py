@@ -131,6 +131,27 @@ def tdigest_aggregate_fn(column: str, quantiles: list[float], alias: str = "perc
     )
 
 
+def tdigest_rank_aggregate_fn(column: str, values: list[float], alias: str = "rank_pct",
+                              compression: float = 100.0):
+    """Ray Data AggregateFn for `percentile_ranks`: per-block t-digest
+    partials, merged across blocks, finalized to CDF(value) percent for each
+    requested mark — the fully distributed twin of tdigest_aggregate_fn."""
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate_block(state: bytes, block) -> bytes:
+        td = TDigest.from_bytes(state)
+        td.add(np.asarray(block[column]))
+        return td.to_bytes()
+
+    return AggregateFn(
+        init=lambda k: TDigest(compression).to_bytes(),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: TDigest.from_bytes(a).merge(TDigest.from_bytes(b)).to_bytes(),
+        finalize=lambda s: [percentile_rank(TDigest.from_bytes(s), v) for v in values],
+        name=alias,
+    )
+
+
 def percentile_rank(td: "TDigest", value: float) -> float:
     """`percentile_ranks` agg: CDF(value) in percent (centroid interpolation)."""
     td._compress()

@@ -223,69 +223,155 @@ def simhash_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     return t.append_column("simhash", pa.array(h, pa.uint64()))
 
 
+# byte -> set-bit-count lookup table for vectorized hamming distance
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_matrix(h: np.ndarray) -> np.ndarray:
+    """Pairwise hamming distances of a uint64 vector, fully vectorized:
+    XOR outer product -> uint8 view -> byte popcount LUT -> sum."""
+    x = h[:, None] ^ h[None, :]
+    return _POPCOUNT8[x.view(np.uint8).reshape(h.size, h.size, 8)].sum(
+        axis=2, dtype=np.int64)
+
+
 def simhash_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> pd.DataFrame:
     """Near-dup candidates: docs whose simhashes differ in <= max_hamming bits.
-    Buckets by 16-bit quarters (pigeonhole: <=3 differing bits -> at least one
-    of 4 quarters identical), verifies hamming inside buckets."""
-    sig = ds.map_batches(lambda t: simhash_batch(t, text_col), batch_format="pyarrow")
-    sig = sig.select_columns([id_col, "simhash"]).to_pandas()
-    ids = sig[id_col].to_numpy()
-    hs = sig["simhash"].to_numpy().astype(np.uint64)
-    seen = set()
-    out_a, out_b = [], []
-    for q in range(4):
-        quarter = (hs >> np.uint64(16 * q)) & np.uint64(0xFFFF)
-        df = pd.DataFrame({"id": ids, "h": hs, "q": quarter})
-        for _, g in df.groupby("q"):
-            if len(g) < 2:
-                continue
-            gid = g["id"].to_numpy()
-            gh = g["h"].to_numpy()
-            for i in range(len(g)):
-                x = gh[i] ^ gh[i + 1 :]
-                ham = np.array([bin(int(v)).count("1") for v in x])
-                for j in np.flatnonzero(ham <= max_hamming):
-                    a, b = int(gid[i]), int(gid[i + 1 + j])
-                    key = (min(a, b), max(a, b))
-                    if key not in seen:
-                        seen.add(key)
-                        out_a.append(key[0])
-                        out_b.append(key[1])
-    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b}).sort_values(
-        ["doc_a", "doc_b"]
-    ).reset_index(drop=True) if out_a else pd.DataFrame(
-        {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
+
+    Distributed end-to-end: the quarter explosion (pigeonhole — <=3 differing
+    bits leave at least one of 4 16-bit quarters identical) runs inside
+    map_batches, bucketing is a Ray groupby on (quarter, quarter_key), and the
+    in-bucket hamming verification is an XOR + byte-popcount-LUT matrix (no
+    per-pair Python). The driver only sees the emitted pairs (bounded by the
+    duplicate count), deduplicated across quarters at the end."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        hs = np.array([simhash64(s) for s in t[text_col].to_pylist()], dtype=np.uint64)
+        ids = t[id_col].to_numpy()
+        n = ids.size
+        q = np.repeat(np.arange(4, dtype=np.int32), n)
+        qkey = np.concatenate([
+            ((hs >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.int64)
+            for i in range(4)
+        ])
+        return pa.table({
+            "q": pa.array(q), "qkey": pa.array(qkey),
+            id_col: pa.array(np.tile(ids, 4)),
+            "h": pa.array(np.tile(hs, 4).astype(np.int64)),  # uint64 bits as int64
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        gid = g[id_col].to_numpy()
+        gh = g["h"].to_numpy().astype(np.uint64)
+        ham = _hamming_matrix(gh)
+        ii, jj = np.nonzero(np.triu(ham <= max_hamming, k=1))
+        a = np.minimum(gid[ii], gid[jj])
+        b = np.maximum(gid[ii], gid[jj])
+        return pd.DataFrame({"doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64)})
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["q", "qkey"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    df = pairs.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64)})
+    return (
+        df.drop_duplicates()  # a pair may collide in several quarters
+        .astype({"doc_a": np.int64, "doc_b": np.int64})
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
 
 
 # ---------------- embedding near-dup ----------------
 
 
+def _norm_block(t: pa.Table, id_col: str, vec_col: str, dtype) -> pa.Table:
+    """(id, unit-normalized vector matrix) block for the pairwise join."""
+    ids = t[id_col].to_numpy()
+    V = np.stack([np.asarray(v, dtype=dtype) for v in t[vec_col].to_pylist()])
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    return pa.table({
+        id_col: pa.array(ids),
+        vec_col: pa.array(list(V), pa.list_(pa.float64())),
+    })
+
+
+def _block_pairs(ta: pa.Table, tb: pa.Table | None, threshold: float,
+                 id_col: str, vec_col: str) -> pa.Table:
+    """Ray task body: exact cosine pairs between two normalized blocks
+    (tb None == self-join of ta). Emits only pairs over threshold."""
+    ids_a = ta[id_col].to_numpy()
+    A = np.stack([np.asarray(v) for v in ta[vec_col].to_pylist()])
+    if tb is None:
+        S = A @ A.T
+        ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+        a_ids, b_ids, sims = ids_a[ii], ids_a[jj], S[ii, jj]
+    else:
+        ids_b = tb[id_col].to_numpy()
+        B = np.stack([np.asarray(v) for v in tb[vec_col].to_pylist()])
+        S = A @ B.T
+        ii, jj = np.nonzero(S >= threshold)
+        a_ids, b_ids, sims = ids_a[ii], ids_b[jj], S[ii, jj]
+    lo = np.minimum(a_ids, b_ids)
+    hi = np.maximum(a_ids, b_ids)
+    return pa.table({
+        "doc_a": pa.array(lo.astype(np.int64)),
+        "doc_b": pa.array(hi.astype(np.int64)),
+        "cosine": pa.array(round_half_away(sims.astype(np.float64), 6)),
+    })
+
+
 def embedding_dedup_pairs(ds, *, threshold: float = 0.95, vec_col: str = "embedding",
                           id_col: str = "vec_id", block: int = 2048,
                           dtype=np.float64) -> pd.DataFrame:
-    """Cosine near-dup pairs over an embedding column. Blocked matmul
-    (numpy) — O(n^2 / block) per task locally; at scale, bucket by coarse
-    LSH/IVF first (see similarity.py) and run this kernel per bucket."""
-    rows = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = rows[id_col].to_numpy()
-    V = np.stack(rows[vec_col].to_numpy()).astype(dtype)
-    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-    out_a, out_b, sims = [], [], []
-    for i0 in range(0, V.shape[0], block):
-        S = V[i0 : i0 + block] @ V.T
-        for r in range(S.shape[0]):
-            gi = i0 + r
-            cols = np.flatnonzero(S[r, gi + 1 :] >= threshold) + gi + 1
-            for c in cols:
-                out_a.append(int(ids[gi]))
-                out_b.append(int(ids[c]))
-                sims.append(float(round_half_away(float(S[r, c]), 6)))
-    if not out_a:
+    """EXACT cosine near-dup pairs over an embedding column, as a distributed
+    blocked similarity self-join: normalize per block inside map_batches, then
+    one Ray task per block pair computes its matmul tile against zero-copy
+    object-store blocks. The driver never materializes the vectors — it holds
+    block refs and collects only the emitted pairs (bounded by the duplicate
+    count). O(n^2/block^2) tasks: this is the exact path; the approximate
+    scale path is LSH/IVF bucketing (similarity.py) + this kernel per bucket."""
+    import ray
+
+    normed = ds.map_batches(
+        lambda t: _norm_block(t, id_col, vec_col, dtype), batch_format="pyarrow",
+    ).select_columns([id_col, vec_col]).materialize()  # blocks stay in the
+    # object store; the driver only ever holds refs
+    n = normed.count()
+    num_blocks = max(1, -(-n // block))
+    normed = normed.repartition(num_blocks)
+    try:
+        refs = [b for bundle in normed.iter_internal_ref_bundles()
+                for b in bundle.block_refs]
+    except AttributeError:  # older Ray Data surface
+        refs = normed.get_internal_block_refs()
+
+    @ray.remote(num_cpus=1)
+    def tile(ta, tb, thr):
+        if isinstance(ta, pa.RecordBatch):
+            ta = pa.Table.from_batches([ta])
+        if tb is not None and isinstance(tb, pa.RecordBatch):
+            tb = pa.Table.from_batches([tb])
+        return _block_pairs(ta, tb, thr, id_col, vec_col)
+
+    tasks = []
+    for i in range(len(refs)):
+        tasks.append(tile.remote(refs[i], None, threshold))
+        for j in range(i + 1, len(refs)):
+            tasks.append(tile.remote(refs[i], refs[j], threshold))
+    parts = [t.to_pandas() for t in ray.get(tasks) if t.num_rows]
+    if not parts:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                              "doc_b": pd.Series([], dtype=np.int64),
                              "cosine": pd.Series([], dtype=np.float64)})
-    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "cosine": sims}).sort_values(
-        ["doc_a", "doc_b"]
-    ).reset_index(drop=True)
+    return (
+        pd.concat(parts, ignore_index=True)
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
 
-from ..codec import encode_postings, varbyte_decode
+from ..codec import varbyte_decode
 from ..smallfloat import DECODE_TABLE
 from .manifest import (
     SegmentManifest,
@@ -48,80 +48,101 @@ MAX_MERGE_AT_ONCE = 10  # MergePolicyConfig.java:123 (max_merge_at_once default)
 
 
 def _merge_rows_table(table: pa.Table, norm_bytes: np.ndarray) -> pa.Table:
-    """Re-encode the union of postings rows: concat per (term, chunk)."""
+    """Re-encode the union of postings rows: concat per (term, chunk).
+
+    Vectorized end to end by reusing the build path's bulk encoder
+    (stages/encode.py:encode_bucket): single-source rows pass through
+    unchanged as one `take`; rows needing a merge are bulk-DECODED with one
+    varbyte pass over the concatenated byte streams (binary-column buffers
+    are contiguous, and varbyte streams concatenate value-exactly), turned
+    back into (term, chunk, doc_id, tf, positions) triples, and re-encoded in
+    one encode_bucket call. No per-row Python dict work."""
     import pyarrow.compute as pc
 
     from ..stages.encode import POSTINGS_SCHEMA
 
     if len(table) == 0:
         return POSTINGS_SCHEMA.empty_table()
+    # sort by (term, chunk, first-doc) — doc ranges of input segments are
+    # disjoint, and skip_last_doc[-1] is each row's LAST doc id, which orders
+    # rows identically to first-doc for disjoint ranges
+    last_doc = np.array([v[-1] for v in table["skip_last_doc"].to_pylist()],
+                        dtype=np.int64)
+    table = table.append_column("_last_doc", pa.array(last_doc))
     order = pc.sort_indices(
-        table, sort_keys=[("term", "ascending"), ("chunk", "ascending")]
+        table, sort_keys=[("term", "ascending"), ("chunk", "ascending"),
+                          ("_last_doc", "ascending")]
     )
-    t = table.take(order).combine_chunks()
+    t = table.take(order).drop_columns(["_last_doc"]).combine_chunks()
     terms = np.asarray(t["term"])
     chunks = t["chunk"].to_numpy()
-    change = np.empty(len(t), dtype=bool)
+    n = len(t)
+    change = np.empty(n, dtype=bool)
     change[0] = True
-    if len(t) > 1:
+    if n > 1:
         change[1:] = (terms[1:] != terms[:-1]) | (chunks[1:] != chunks[:-1])
     starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(t))
+    ends = np.append(starts[1:], n)
+    group_lens = ends - starts
 
-    rows: dict[str, list] = {n: [] for n in POSTINGS_SCHEMA.names}
-    cols = {c: t[c].to_pylist() for c in t.column_names}
-    norms_decoded = DECODE_TABLE[norm_bytes]
-    for s, e in zip(starts, ends):
-        group = [
-            {c: cols[c][i] for c in t.column_names} for i in range(s, e)
-        ]
-        if len(group) == 1:
-            r = group[0]  # single row: pass through unchanged
-            for n in POSTINGS_SCHEMA.names:
-                rows[n].append(r[n])
-            continue
-        decoded = []
-        has_pos = any(r["pos_bytes"] for r in group)
-        for r in group:
-            deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
-            ids = np.cumsum(deltas) - 1
-            tfs = varbyte_decode(r["tf_bytes"], r["df"]).astype(np.int64)
-            pos = varbyte_decode(r["pos_bytes"]).astype(np.int64) if r["pos_bytes"] else None
-            decoded.append((ids, tfs, pos))
-        decoded.sort(key=lambda x: int(x[0][0]))
-        ids = np.concatenate([d[0] for d in decoded])
-        tfs = np.concatenate([d[1] for d in decoded])
-        positions = None
-        if has_pos:
-            # pos deltas restart at each doc, so per-row delta streams can be
-            # concatenated then re-absolutized per doc at encode time; decode
-            # to absolutes first (cheap: cumsum within doc boundaries)
-            abs_parts = []
-            for d_ids, d_tfs, pd in decoded:
-                # segmented cumsum: deltas restart at each doc boundary
-                cuts = np.cumsum(d_tfs)
-                total = np.cumsum(pd)
-                corr = np.zeros(pd.size, dtype=np.int64)
-                if d_tfs.size > 1:
-                    corr_vals = np.concatenate([[0], total[cuts[:-1] - 1]])
-                    corr = np.repeat(corr_vals, d_tfs)
-                abs_parts.append(total - corr)
-            positions = np.concatenate(abs_parts)
-        enc = encode_postings(ids, tfs, norms=norms_decoded[ids], positions=positions)
-        rows["term"].append(str(terms[s]))
-        rows["chunk"].append(int(chunks[s]))
-        rows["df"].append(enc.df)
-        rows["sum_tf"].append(enc.sum_tf)
-        rows["doc_bytes"].append(enc.doc_bytes)
-        rows["tf_bytes"].append(enc.tf_bytes)
-        rows["pos_bytes"].append(enc.pos_bytes)
-        rows["skip_last_doc"].append(enc.skip_last_doc.tolist())
-        rows["skip_doc_off"].append(enc.skip_doc_off.tolist())
-        rows["skip_tf_off"].append(enc.skip_tf_off.tolist())
-        rows["skip_pos_off"].append(enc.skip_pos_off.tolist())
-        rows["skip_max_tf"].append(enc.skip_max_tf.tolist())
-        rows["skip_min_norm"].append(enc.skip_min_norm.tolist())
-    return pa.table(rows, schema=POSTINGS_SCHEMA)
+    single = starts[group_lens == 1]
+    passthrough = t.select(POSTINGS_SCHEMA.names).take(pa.array(single)) \
+        if single.size else POSTINGS_SCHEMA.empty_table()
+
+    multi_starts = starts[group_lens > 1]
+    if multi_starts.size == 0:
+        return passthrough.cast(POSTINGS_SCHEMA)
+    multi_rows = np.concatenate([
+        np.arange(s, e) for s, e in zip(multi_starts, ends[group_lens > 1])
+    ])
+    m = t.take(pa.array(multi_rows)).combine_chunks()
+    dfs = m["df"].to_numpy().astype(np.int64)
+    sum_tfs = m["sum_tf"].to_numpy().astype(np.int64)
+
+    def _flat_binary(col) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return np.frombuffer(b"".join(col.to_pylist()), dtype=np.uint8)
+
+    # one varbyte pass per stream over ALL merged rows
+    doc_deltas = varbyte_decode(_flat_binary(m["doc_bytes"]), int(dfs.sum())).astype(np.int64)
+    tfs_flat = varbyte_decode(_flat_binary(m["tf_bytes"]), int(dfs.sum())).astype(np.int64)
+    # absolutize doc ids: delta streams restart per row (first = doc0 + 1)
+    row_cuts = np.zeros(dfs.size + 1, dtype=np.int64)
+    np.cumsum(dfs, out=row_cuts[1:])
+    tot = np.cumsum(doc_deltas)
+    corr = np.concatenate([[0], tot[row_cuts[1:-1] - 1]]) if dfs.size > 1 else np.array([0])
+    doc_ids = tot - np.repeat(corr, dfs) - 1
+
+    # positions: decode once; per-doc delta restart -> absolutize with the
+    # global per-doc cuts (tf runs)
+    pos_flat_abs = None
+    pos_bytes_flat = _flat_binary(m["pos_bytes"])
+    if pos_bytes_flat.size:
+        pos_deltas = varbyte_decode(pos_bytes_flat, int(sum_tfs.sum())).astype(np.int64)
+        doc_cuts = np.cumsum(tfs_flat)
+        ptot = np.cumsum(pos_deltas)
+        if tfs_flat.size > 1:
+            pcorr = np.concatenate([[0], ptot[doc_cuts[:-1] - 1]])
+            ptot = ptot - np.repeat(pcorr, tfs_flat)
+        pos_flat_abs = ptot
+
+    rep = np.repeat(np.arange(len(m)), dfs)
+    triples = {
+        "term": pc.take(m["term"], pa.array(rep)),
+        "chunk": pc.take(m["chunk"], pa.array(rep)),
+        "doc_id": pa.array(doc_ids),
+        "tf": pa.array(tfs_flat.astype(np.int32)),
+        "norm_len": pa.array(DECODE_TABLE[norm_bytes[doc_ids]].astype(np.int32)),
+    }
+    if pos_flat_abs is not None:
+        offsets = np.zeros(doc_ids.size + 1, dtype=np.int64)
+        np.cumsum(tfs_flat, out=offsets[1:])
+        triples["positions"] = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(pos_flat_abs.astype(np.int32)))
+    from ..stages.encode import encode_bucket
+
+    merged = encode_bucket(pa.table(triples))
+    return pa.concat_tables([passthrough.cast(POSTINGS_SCHEMA), merged])
 
 
 def merge_segments(

@@ -125,14 +125,11 @@ def highlight(sf_dir: str, query_text: str, k: int = 5, frag_chars: int = 60) ->
     s = documents_searcher(sf_dir)
     ids, sc = s.search({"kind": "match", "text": query_text, "k": k})
     terms = set(s.analyzer(query_text))
-    meta = s.fetch(ids, ["doc_id"])
-    # load the raw text for the k hits from docmeta? text not stored in
-    # docmeta; read from source parquet (fetch-phase row lookup)
-    import pyarrow.dataset as pads
+    # fetch phase: row-group-pruned point reads for the k hits only
+    from ..sources.reader import fetch_rows_by_doc_id
 
-    src = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
-        columns=["doc_id", "text"]
-    )
+    src = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                               ids, columns=["doc_id", "text"])
     all_ids = src["doc_id"].to_numpy()
     idx = np.searchsorted(all_ids, ids)
     texts = [src["text"][int(i)].as_py() for i in idx]

@@ -445,12 +445,12 @@ def ft_function_score(sf_dir: str):
 
 
 def ft_more_like_this(sf_dir: str):
-    import pyarrow.dataset as pads
+    from ..sources.reader import fetch_rows_by_doc_id
 
-    like = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
-        columns=["doc_id", "text"]
-    )
-    text = like["text"][42].as_py()
+    # row-group-pruned point fetch of the example doc (never the whole table)
+    like = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                                [42], columns=["doc_id", "text"])
+    text = like["text"][0].as_py()
     return all_matches(sf_dir, {"kind": "more_like_this", "like": text,
                                 "max_query_terms": 5, "exclude_doc": 42})
 
@@ -517,6 +517,131 @@ def agg_rare_terms(sf_dir: str):
     )
     out = out[out["df"] <= 30].sort_values("term").reset_index(drop=True)
     return out
+
+
+def agg_missing(sf_dir: str):
+    """`missing` bucket agg (bucket/missing/MissingAggregator.java): per-source
+    count of docs whose (ingest-nullified) lang is null."""
+    import pyarrow.compute as pc
+
+    def nullify(t: pa.Table) -> pa.Table:
+        lang = pc.if_else(pc.equal(t["lang"], "zh"),
+                          pa.scalar(None, pa.string()), t["lang"])
+        return pa.table({"source": t["source"], "lang": lang})
+
+    ds = _ds(sf_dir, "documents", ["source", "lang"]).map_batches(
+        nullify, batch_format="pyarrow")
+    return A.missing_agg(ds, "source", "lang")
+
+
+def agg_global(sf_dir: str):
+    """`global` agg (bucket/global/GlobalAggregator.java): an agg scoped to
+    ALL docs alongside the same agg inside the query scope (lang='en')."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean
+
+    ds = _ds(sf_dir, "documents", ["n_chars", "lang"])
+    g = ds.aggregate(Count(alias_name="doc_count"), Mean("n_chars", alias_name="avg_chars"))
+    q = (
+        ds.map_batches(lambda t: t.filter(pc.equal(t["lang"], "en")),
+                       batch_format="pyarrow")
+        .aggregate(Count(alias_name="doc_count"), Mean("n_chars", alias_name="avg_chars"))
+    )
+    return pd.DataFrame({
+        "scope": ["global", "query"],
+        "doc_count": [g["doc_count"], q["doc_count"]],
+        "avg_chars": [float(round_half_away(g["avg_chars"], 4)),
+                      float(round_half_away(q["avg_chars"], 4))],
+    })
+
+
+def agg_mad(sf_dir: str):
+    """median_absolute_deviation, computed exactly via two distributed
+    sort-based median passes (oracle: median(abs(x - median(x))))."""
+    v = A.median_absolute_deviation(_ds(sf_dir, "events", ["value"]), "value")
+    return pd.DataFrame({"mad": [float(round_half_away(v, 4))]})
+
+
+def agg_terms_shard_error(sf_dir: str):
+    """terms agg with sharded collection and doc_count_error_upper_bound
+    (bucket/terms/InternalTerms.java:47,195): each shard returns its top
+    shard_size buckets; a bucket's error bound is the sum of the smallest
+    returned count over shards that did NOT report it."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def shard_of(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "shard": pc.cast(pc.bit_wise_and(t["user_id"], 3), pa.int32()),
+            "event_type": t["event_type"],
+        })
+
+    # distributed per-shard counts; the coordinator reduce below works on the
+    # tiny (n_shards x n_terms) summary only
+    per = (
+        _ds(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(shard_of, batch_format="pyarrow")
+        .groupby(["shard", "event_type"])
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+    )
+    shard_size, size = 2, 3
+    kept = (
+        per.sort_values(["cnt", "event_type"], ascending=[False, True])
+        .groupby("shard", as_index=False).head(shard_size)
+    )
+    last = kept.groupby("shard")["cnt"].min()
+    terms = sorted(kept.event_type.unique())
+    rows = []
+    for term in terms:
+        mine = kept[kept.event_type == term]
+        have = set(mine.shard)
+        err = int(sum(last[s] for s in last.index if s not in have))
+        rows.append((term, int(mine.cnt.sum()), err))
+    out = pd.DataFrame(rows, columns=["event_type", "doc_count",
+                                      "doc_count_error_upper_bound"])
+    return (out.sort_values(["doc_count", "event_type"], ascending=[False, True])
+            .head(size).reset_index(drop=True))
+
+
+def agg_significant_text(sf_dir: str):
+    """significant_text (bucket/significant/SignificantTextAggregator.java):
+    re-analyzes the text field; foreground = docs matching the query term
+    'data'; JLH scoring over distinct-per-doc terms."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_simple
+
+    def partial(t: pa.Table) -> pa.Table:
+        fg, bg = Counter(), Counter()
+        for s in t["text"].to_pylist():
+            terms = set(analyze_simple(s))
+            bg.update(terms)
+            if "data" in terms:
+                fg.update(terms)
+        allt = sorted(bg)
+        return pa.table({"term": allt,
+                         "fg_df": pa.array([fg.get(t, 0) for t in allt], pa.int64()),
+                         "bg_df": pa.array([bg[t] for t in allt], pa.int64())})
+
+    ds = _ds(sf_dir, "documents", ["text"])
+    red = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("fg_df", alias_name="fg_df"), Sum("bg_df", alias_name="bg_df"))
+        .to_pandas()
+    )
+    # fg_n = every foreground doc contains the query term itself
+    fg_n = int(red.loc[red.term == "data", "fg_df"].iloc[0])
+    bg_n = _ds(sf_dir, "documents", ["doc_id"]).count()
+    red = red[red.fg_df >= 5].copy()
+    fgp = red.fg_df / fg_n
+    bgp = red.bg_df / bg_n
+    red["score"] = round_half_away((fgp - bgp) * (fgp / bgp), 6)
+    red = red.sort_values(["score", "term"], ascending=[False, True]).head(10)
+    return red.reset_index(drop=True)[["term", "fg_df", "bg_df", "score"]]
 
 
 def agg_significant_terms(sf_dir: str):
@@ -896,19 +1021,16 @@ def agg_auto_date_histogram(sf_dir: str):
 
 
 def agg_percentile_ranks(sf_dir: str):
-    """percentile_ranks via the T-Digest CDF (rows-only: sketch approx)."""
-    from ..aggs.tdigest import TDigest, percentile_rank
+    """percentile_ranks via the distributed T-Digest AggregateFn (per-block
+    partials + merge; rows-only gate: sketch approx). No driver collect."""
+    from ..aggs.tdigest import tdigest_rank_aggregate_fn
 
-    vals = []
-    for b in _ds(sf_dir, "events", ["value"]).iter_batches(batch_format="pyarrow"):
-        vals.append(b["value"].to_numpy())
-    td = TDigest()
-    for v in vals:
-        td.add(v)
     marks = [10.0, 50.0, 250.0]
+    r = _ds(sf_dir, "events", ["value"]).aggregate(
+        tdigest_rank_aggregate_fn("value", marks, alias="ranks"))
     return pd.DataFrame({
         "value": marks,
-        "rank_pct": [float(round_half_away(percentile_rank(td, m), 2)) for m in marks],
+        "rank_pct": [float(round_half_away(v, 2)) for v in r["ranks"]],
     })
 
 
@@ -1144,15 +1266,14 @@ def ft_completion(sf_dir: str):
 
 def ft_termvectors(sf_dir: str):
     """_termvectors API analog: per-term stats for one document."""
-    import pyarrow.dataset as pads
-
-    from ..analyzer import analyze_simple
     from collections import Counter
 
-    t = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
-        columns=["doc_id", "text"]
-    )
-    text = t["text"][42].as_py()
+    from ..analyzer import analyze_simple
+    from ..sources.reader import fetch_rows_by_doc_id
+
+    t = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                             [42], columns=["doc_id", "text"])
+    text = t["text"][0].as_py()
     c = Counter(analyze_simple(text))
     items = sorted(c.items())
     return pd.DataFrame({"term": [k for k, _ in items],

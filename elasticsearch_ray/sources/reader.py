@@ -77,6 +77,38 @@ def read_fragment(frag: Fragment | dict, columns: list[str] | None = None):
     return t.append_column("doc_id", doc_ids)
 
 
+def fetch_rows_by_doc_id(path_or_dir: str | list[str], doc_ids,
+                         columns: list[str] | None = None):
+    """Row-group-pruned point lookups for the fetch phase: doc_id = fragment
+    offset + row-within-fragment by construction, so each wanted id maps to
+    exactly one row group — only the covering row groups are read (footer scan
+    + k row-group reads, never the whole table). Returns rows sorted by
+    doc_id (FetchPhase.java stored-field lookup analog)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+
+    frags = plan_fragments(path_or_dir)
+    offsets = np.array([f.offset for f in frags], dtype=np.int64)
+    ids = np.array(sorted({int(i) for i in doc_ids}), dtype=np.int64)
+    fi = np.searchsorted(offsets, ids, side="right") - 1
+    by_frag: dict[int, list[int]] = collections.defaultdict(list)
+    for i, f in zip(ids, fi):
+        if 0 <= f < len(frags) and i < frags[f].offset + frags[f].num_rows:
+            by_frag[int(f)].append(int(i))
+    cols = None if columns is None else [c for c in columns if c != "doc_id"]
+    parts = []
+    for f, want in sorted(by_frag.items()):
+        frag = frags[f]
+        t = read_fragment(frag, columns=cols)
+        parts.append(t.take(pa.array([w - frag.offset for w in want])))
+    if not parts:
+        return None
+    out = pa.concat_tables(parts)
+    return out.select(columns) if columns is not None else out
+
+
 def read_corpus(path_or_dir: str | list[str], columns: list[str] | None = None):
     """Dataset over the corpus with deterministic doc_id, one read task per
     row-group fragment (column-pruned at the read)."""

@@ -4,6 +4,7 @@ similarity search, ingest processors, and multimodal plumbing."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -180,3 +181,50 @@ def test_fingerprint_deterministic_and_normalized():
     t1 = pa.table({"text": ["hello   world  foo", "hello world foo"]})
     out = fingerprint_batch(t1)["fingerprint"].to_pylist()
     assert out[0] == out[1]  # whitespace-normalized
+
+
+def test_hamming_matrix_vectorized():
+    from elasticsearch_ray.functions.dedup import _hamming_matrix
+
+    rng = np.random.default_rng(11)
+    h = rng.integers(0, 2**63, size=40, dtype=np.uint64)
+    got = _hamming_matrix(h)
+    for i in range(0, 40, 7):
+        for j in range(0, 40, 5):
+            assert got[i, j] == bin(int(h[i]) ^ int(h[j])).count("1")
+
+
+def test_simhash_pairs_distributed_planted(ray_session):
+    """Distributed quarter-bucketed simhash finds planted near-duplicates and
+    is invariant to the number of input blocks."""
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.dedup import simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    texts = [f"unrelated document number {i} with words {i*7} {i*13}" for i in range(40)]
+    texts[5] = base
+    texts[23] = base + "x"  # hamming(simhash) == 3
+    df = pd.DataFrame({"doc_id": range(40), "text": texts})
+    for nblocks in (1, 4):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        pairs = simhash_pairs(ds, max_hamming=3)
+        assert [5, 23] in pairs[["doc_a", "doc_b"]].values.tolist()
+
+
+def test_embedding_dedup_blocked_exact(ray_session):
+    """Blocked distributed similarity join == exact brute force, regardless
+    of tile size (no driver-side whole-matrix materialization)."""
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.dedup import embedding_dedup_pairs
+
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(120, 16))
+    V[60] = V[10] + rng.normal(scale=0.01, size=16)  # planted near-dup
+    df = pd.DataFrame({"vec_id": range(120), "embedding": list(V)})
+    ds = rd.from_pandas(df)
+    full = embedding_dedup_pairs(ds, threshold=0.9, block=200)
+    tiled = embedding_dedup_pairs(rd.from_pandas(df), threshold=0.9, block=30)
+    assert full.astype(str).equals(tiled.astype(str))
+    assert [10, 60] in full[["doc_a", "doc_b"]].values.tolist()
