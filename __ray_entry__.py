@@ -24,6 +24,16 @@ _STOP_SQL = (
     "'there','these','they','this','to','was','will','with']"
 )
 
+# positional tokenization prelude (token + 0-based position per doc)
+_PTOK = r"""
+ptok AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents))
+"""
+
 # shared tokenization prelude: mirrors elasticsearch_ray.analyzer.analyze_simple
 _TOK = """
 tok AS (
@@ -105,6 +115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 2: missing-agg sweep
         "agg_missing", "agg_global", "agg_mad", "agg_terms_shard_error",
         "agg_significant_text",
+        # round 2: scoring query kinds
+        "ft_script_score", "ft_distance_feature", "ft_rank_feature",
+        # round 2: span family
+        "ft_span_or", "ft_span_first", "ft_span_not", "ft_span_within",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -768,4 +782,62 @@ SELECT term, fg_df, bg_df,
 FROM counts CROSS JOIN fg_n CROSS JOIN bg_n
 WHERE fg_df >= 5
 ORDER BY score DESC, term LIMIT 10""",
+        "ft_script_score": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id,
+       ROUND(({_SCORE}) / (1.0 + 0.01 * d.n_chars), 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "ft_distance_feature": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id,
+       ROUND(({_SCORE}) + 2.0 * 50 / (50 + abs(d.n_chars - 300)), 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "ft_rank_feature": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id,
+       ROUND(({_SCORE}) + 1.5 * d.n_chars / (d.n_chars + 300.0), 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "ft_span_or": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> '')
+SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'vector')
+ORDER BY doc_id""",
+        "ft_span_first": f"""
+WITH {_PTOK}
+SELECT DISTINCT doc_id FROM ptok WHERE term = 'data' AND pos <= 4
+ORDER BY doc_id""",
+        "ft_span_not": f"""
+WITH {_PTOK}
+SELECT DISTINCT p.doc_id AS doc_id FROM ptok p
+WHERE p.term = 'data' AND NOT EXISTS (
+  SELECT 1 FROM ptok q
+  WHERE q.doc_id = p.doc_id AND q.term = 'query' AND q.pos = p.pos + 1)
+ORDER BY doc_id""",
+        "ft_span_within": f"""
+WITH {_PTOK}
+SELECT DISTINCT p.doc_id AS doc_id FROM ptok p
+WHERE p.term = 'query' AND EXISTS (
+  SELECT 1 FROM ptok a, ptok b
+  WHERE a.doc_id = p.doc_id AND b.doc_id = p.doc_id
+    AND a.term = 'data' AND b.term = 'table'
+    AND abs(a.pos - b.pos) BETWEEN 1 AND 5
+    AND p.pos >= least(a.pos, b.pos) AND p.pos <= greatest(a.pos, b.pos))
+ORDER BY doc_id""",
     }

@@ -25,7 +25,12 @@ from .fulltext import all_matches, documents_searcher, highlight, suggest_terms,
 def _ds(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    # parquet files carry dict-valued pandas schema metadata that Ray's
+    # shuffle block-dedup can't hash (it logs a warning per reduce task);
+    # strip it once here — this map fuses with the downstream stage
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
 
 
 # ---------------- full-text search family ----------------
@@ -444,6 +449,34 @@ def ft_function_score(sf_dir: str):
                                 "modifier": "log1p"})
 
 
+def ft_script_score(sf_dir: str):
+    """script_score (ScriptScoreQueryBuilder): rescale the inner BM25 score
+    with an expression over docmeta fields."""
+    return all_matches(sf_dir, {
+        "kind": "script_score",
+        "query": {"kind": "term", "term": "data"},
+        "script": "_score / (1.0 + 0.01 * n_chars)"})
+
+
+def ft_distance_feature(sf_dir: str):
+    """distance_feature as a bool should-clause: proximity of n_chars to an
+    origin adds boost*pivot/(pivot+|v-origin|)."""
+    return all_matches(sf_dir, {
+        "kind": "bool",
+        "must": [{"kind": "term", "term": "data"}],
+        "should": [{"kind": "distance_feature", "field": "n_chars",
+                    "origin": 300, "pivot": 50, "boost": 2.0}]})
+
+
+def ft_rank_feature(sf_dir: str):
+    """rank_feature (saturation): adds boost * v/(v+pivot) per doc."""
+    return all_matches(sf_dir, {
+        "kind": "bool",
+        "must": [{"kind": "term", "term": "data"}],
+        "should": [{"kind": "rank_feature", "field": "n_chars",
+                    "pivot": 300.0, "boost": 1.5}]})
+
+
 def ft_more_like_this(sf_dir: str):
     from ..sources.reader import fetch_rows_by_doc_id
 
@@ -755,6 +788,41 @@ def ingest_extract(sf_dir: str):
 def ft_span_near(sf_dir: str):
     return all_matches(sf_dir, {"kind": "span_near", "terms": ["data", "query"],
                                 "slop": 2, "in_order": True}, with_score=False)
+
+
+def ft_span_or(sf_dir: str):
+    """span_or (SpanOrQueryBuilder): union of sub-span matches."""
+    return all_matches(sf_dir, {"kind": "span_or", "clauses": [
+        {"kind": "span_term", "term": "spark"},
+        {"kind": "span_term", "term": "vector"}]}, with_score=False)
+
+
+def ft_span_first(sf_dir: str):
+    """span_first (SpanFirstQueryBuilder): match spans ending within the
+    first `end` positions."""
+    return all_matches(sf_dir, {"kind": "span_first",
+                                "match": {"kind": "span_term", "term": "data"},
+                                "end": 5}, with_score=False)
+
+
+def ft_span_not(sf_dir: str):
+    """span_not (SpanNotQueryBuilder): 'data' occurrences not inside a
+    "data query" phrase span."""
+    return all_matches(sf_dir, {
+        "kind": "span_not",
+        "include": {"kind": "span_term", "term": "data"},
+        "exclude": {"kind": "span_near", "terms": ["data", "query"],
+                    "slop": 0, "in_order": True}}, with_score=False)
+
+
+def ft_span_within(sf_dir: str):
+    """span_within (SpanWithinQueryBuilder): 'query' occurrences inside an
+    unordered data..table window (slop 4)."""
+    return all_matches(sf_dir, {
+        "kind": "span_within",
+        "little": {"kind": "span_term", "term": "query"},
+        "big": {"kind": "span_near", "terms": ["data", "table"],
+                "slop": 4, "in_order": False}}, with_score=False)
 
 
 def ft_phrase_prefix(sf_dir: str):

@@ -730,6 +730,48 @@ class IndexSearcher:
             elif modifier == "sqrt":
                 vals = np.sqrt(vals)
             return ids, sc * vals * boost
+        if kind == "script_score":
+            # ScriptScoreQueryBuilder: replace the inner query's score with a
+            # numeric expression over _score and docmeta fields (the Painless
+            # analog is a trusted numpy expression, same trust model)
+            ids, sc = self._eval(q["query"])
+            if ids.size == 0:
+                return ids, sc
+            env = {"_score": sc, "log": np.log, "log1p": np.log1p,
+                   "sqrt": np.sqrt, "exp": np.exp, "abs": np.abs,
+                   "minimum": np.minimum, "maximum": np.maximum}
+            import re as _re
+
+            for name in set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", q["script"])):
+                if name not in env and name in self._meta_tables[0].column_names:
+                    env[name] = self._meta_values(name, ids).astype(np.float64)
+            out = eval(q["script"], {"__builtins__": {}}, env)  # noqa: S307
+            return ids, np.asarray(out, np.float64) * boost
+        if kind == "distance_feature":
+            # DistanceFeatureQueryBuilder (numeric/date form):
+            # score = boost * pivot / (pivot + |value - origin|)
+            ids = self._exists_ids(q["field"])
+            vals = self._meta_values(q["field"], ids).astype(np.float64)
+            pivot = float(q["pivot"])
+            origin = float(q["origin"])
+            sc = boost * pivot / (pivot + np.abs(vals - origin))
+            return ids, sc
+        if kind == "rank_feature":
+            # RankFeatureQueryBuilder, saturation (default) / log / sigmoid
+            ids = self._exists_ids(q["field"])
+            v = self._meta_values(q["field"], ids).astype(np.float64)
+            fn = q.get("function", "saturation")
+            if fn == "saturation":
+                pivot = float(q["pivot"])
+                sc = boost * v / (v + pivot)
+            elif fn == "log":
+                sc = boost * np.log(float(q.get("scaling_factor", 1.0)) + v)
+            elif fn == "sigmoid":
+                pivot, ex = float(q["pivot"]), float(q["exponent"])
+                sc = boost * (v ** ex) / (v ** ex + pivot ** ex)
+            else:
+                raise ValueError(f"unknown rank_feature function {fn!r}")
+            return ids, sc
         if kind == "more_like_this":
             return self._more_like_this(
                 q["like"], int(q.get("max_query_terms", 5)),
@@ -740,6 +782,9 @@ class IndexSearcher:
                 q["terms"], int(q.get("slop", 0)), bool(q.get("in_order", True)),
                 boost, field
             )
+        if kind in ("span_or", "span_not", "span_first", "span_within",
+                    "span_containing", "span_term"):
+            return self._span_docs(q, boost, field)
         if kind == "match_phrase_prefix":
             return self._phrase_prefix(q["text"], int(q.get("max_expansions", 50)),
                                        boost, field)
@@ -828,40 +873,161 @@ class IndexSearcher:
             return cand, np.empty(0, np.float64)
         pos_maps = [self._positions_for(tp, cand) for tp in tps]
         window = slop + len(terms) - 1  # max span width in positions
+        n_t = len(terms)
         keep = np.zeros(cand.size, dtype=bool)
         for ci in range(cand.size):
-            if in_order and len(terms) == 2:
-                p1, p2 = pos_maps[0][ci], pos_maps[1][ci]
-                j = np.searchsorted(p2, p1, side="right")
-                ok = (j < p2.size) & (p2[np.minimum(j, p2.size - 1)] - p1 <= slop + 1)
-                keep[ci] = bool(np.any(ok & (j < p2.size)))
-            else:
-                # general case: sliding window over the merged position list
-                merged = []
-                for ti, pm in enumerate(pos_maps):
-                    merged.append(np.stack([pm[ci], np.full(pm[ci].size, ti)], axis=1))
-                m = np.concatenate(merged)
-                m = m[np.argsort(m[:, 0], kind="stable")]
-                n_t = len(terms)
-                for s0 in range(m.shape[0]):
-                    hi = s0
-                    seen = set()
-                    order_ok = True
-                    last_ti = -1
-                    while hi < m.shape[0] and m[hi, 0] - m[s0, 0] <= window:
-                        ti = int(m[hi, 1])
-                        if in_order:
-                            if ti == len(seen):
-                                seen.add(ti)
-                        else:
-                            seen.add(ti)
-                        if len(seen) == n_t:
-                            keep[ci] = True
-                            break
-                        hi += 1
-                    if keep[ci]:
+            if in_order:
+                # vectorized greedy chain over ALL start positions at once:
+                # for each p0 of term0, the minimal in-order completion is
+                # next-position-after via searchsorted per subsequent term
+                # (minimal end for each start => no match is missed)
+                cur = pos_maps[0][ci]
+                ok = np.ones(cur.size, dtype=bool)
+                for ti in range(1, n_t):
+                    nxt_pos = pos_maps[ti][ci]
+                    if nxt_pos.size == 0:
+                        ok[:] = False
                         break
+                    j = np.searchsorted(nxt_pos, cur, side="right")
+                    ok &= j < nxt_pos.size
+                    cur = nxt_pos[np.minimum(j, nxt_pos.size - 1)]
+                if n_t == 1:
+                    keep[ci] = cur.size > 0
+                else:
+                    span = cur - pos_maps[0][ci]  # end - start (positions)
+                    keep[ci] = bool(np.any(ok & (span <= window)))
+            else:
+                # unordered: per-term prefix counts over the merged sorted
+                # position list; window [m[i], m[i]+window] covers all terms
+                # iff every per-term prefix count increases inside it
+                parts = [pos_maps[ti][ci] for ti in range(n_t)]
+                lens = [p.size for p in parts]
+                m = np.concatenate(parts)
+                labels = np.repeat(np.arange(n_t), lens)
+                order = np.argsort(m, kind="stable")
+                m, labels = m[order], labels[order]
+                ends = np.searchsorted(m, m + window, side="right")
+                # prefix[l, i] = count of label l in m[:i]
+                prefix = np.zeros((n_t, m.size + 1), dtype=np.int32)
+                for ti in range(n_t):
+                    np.cumsum((labels == ti).astype(np.int32), out=prefix[ti, 1:])
+                idx = np.arange(m.size)
+                covered = np.ones(m.size, dtype=bool)
+                for ti in range(n_t):
+                    covered &= prefix[ti, ends] > prefix[ti, idx]
+                keep[ci] = bool(covered.any())
         ids = cand[keep]
+        return ids, np.full(ids.size, boost, np.float64)
+
+    # ---- span algebra (SpanOr/Not/First/Within/Containing QueryBuilders) ----
+    #
+    # A span query evaluates to per-doc interval lists [(start, end)), sorted
+    # by start. Doc-set semantics: a doc matches when >= 1 span survives.
+    # span_near inside the algebra is the 2-clause ordered/unordered pair
+    # enumeration (ALL satisfying pairs, so within/containing are
+    # well-defined); the n-term top-level span_near doc query keeps its own
+    # vectorized matcher (_span_near).
+
+    def _span_eval(self, q: dict, field: str | None = None):
+        """-> (cand_ids, spans) with spans[i] = (starts, ends) arrays."""
+        kind = q["kind"]
+        if kind == "span_term":
+            tp = self._get_term(q["term"], field)
+            if tp is None:
+                return np.empty(0, np.int64), []
+            cand = tp.doc_ids
+            pos = self._positions_for(tp, cand)
+            return cand, [(p, p + 1) for p in pos]
+        if kind == "span_near":
+            terms = q["terms"]
+            if len(terms) != 2:
+                raise ValueError("span_near inside span algebra supports 2 clauses")
+            slop = int(q.get("slop", 0))
+            in_order = bool(q.get("in_order", True))
+            t1, t2 = (self._get_term(t, field) for t in terms)
+            if t1 is None or t2 is None:
+                return np.empty(0, np.int64), []
+            cand = np.intersect1d(t1.doc_ids, t2.doc_ids, assume_unique=True)
+            p1 = self._positions_for(t1, cand)
+            p2 = self._positions_for(t2, cand)
+            spans = []
+            w = slop + 1
+            for a, b in zip(p1, p2):
+                # all pairs within the slop budget (ordered: a before b)
+                d = b[None, :] - a[:, None]
+                ok = (d >= 1) & (d <= w) if in_order else \
+                    (np.abs(d) <= w) & (d != 0)
+                ii, jj = np.nonzero(ok)
+                s = np.minimum(a[ii], b[jj])
+                e = np.maximum(a[ii], b[jj]) + 1
+                order = np.argsort(s, kind="stable")
+                spans.append((s[order], e[order]))
+            return cand, spans
+        if kind == "span_or":
+            parts = [self._span_eval(c, field) for c in q["clauses"]]
+            parts = [p for p in parts if p[0].size]
+            if not parts:
+                return np.empty(0, np.int64), []
+            cand = np.unique(np.concatenate([p[0] for p in parts]))
+            spans = []
+            for di, doc in enumerate(cand):
+                ss, es = [], []
+                for ids, sp in parts:
+                    k = np.searchsorted(ids, doc)
+                    if k < ids.size and ids[k] == doc:
+                        ss.append(sp[k][0])
+                        es.append(sp[k][1])
+                s = np.concatenate(ss)
+                e = np.concatenate(es)
+                order = np.argsort(s, kind="stable")
+                spans.append((s[order], e[order]))
+            return cand, spans
+        if kind == "span_not":
+            inc_ids, inc_sp = self._span_eval(q["include"], field)
+            exc_ids, exc_sp = self._span_eval(q["exclude"], field)
+            spans = []
+            for di, doc in enumerate(inc_ids):
+                s, e = inc_sp[di]
+                k = np.searchsorted(exc_ids, doc)
+                if k < exc_ids.size and exc_ids[k] == doc and exc_sp[k][0].size:
+                    xs, xe = exc_sp[k]
+                    # overlap: s < xe and xs < e for any exclude span
+                    hit = (s[:, None] < xe[None, :]) & (xs[None, :] < e[:, None])
+                    keep = ~hit.any(axis=1)
+                    s, e = s[keep], e[keep]
+                spans.append((s, e))
+            return inc_ids, spans
+        if kind == "span_first":
+            ids, sp = self._span_eval(q["match"], field)
+            end = int(q["end"])
+            return ids, [(s[e <= end], e[e <= end]) for s, e in sp]
+        if kind in ("span_within", "span_containing"):
+            little_q = q["little"]
+            big_q = q["big"]
+            l_ids, l_sp = self._span_eval(little_q, field)
+            b_ids, b_sp = self._span_eval(big_q, field)
+            cand = np.intersect1d(l_ids, b_ids, assume_unique=True)
+            spans = []
+            for doc in cand:
+                li = np.searchsorted(l_ids, doc)
+                bi = np.searchsorted(b_ids, doc)
+                ls, le = l_sp[li]
+                bs, be = b_sp[bi]
+                inside = (bs[None, :] <= ls[:, None]) & (le[:, None] <= be[None, :])
+                if kind == "span_within":  # little spans inside some big span
+                    keep = inside.any(axis=1)
+                    spans.append((ls[keep], le[keep]))
+                else:  # span_containing: big spans containing some little span
+                    keep = inside.any(axis=0)
+                    spans.append((bs[keep], be[keep]))
+            return cand, spans
+        raise ValueError(f"unknown span query kind {kind!r}")
+
+    def _span_docs(self, q: dict, boost: float, field: str | None = None):
+        ids, spans = self._span_eval(q, field)
+        keep = np.fromiter((sp[0].size > 0 for sp in spans), bool, ids.size) \
+            if ids.size else np.empty(0, bool)
+        ids = ids[keep]
         return ids, np.full(ids.size, boost, np.float64)
 
     def _phrase_prefix(self, text: str, max_expansions: int, boost: float,
