@@ -24,6 +24,14 @@ _STOP_SQL = (
     "'there','these','they','this','to','was','will','with']"
 )
 
+# synthetic per-user geo coordinates (one row per user)
+_GEO = """
+g AS (SELECT user_id,
+             ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+             ((user_id * 104729) % 360) - 180 + 0.5 AS lon
+      FROM (SELECT DISTINCT user_id FROM events))
+"""
+
 # positional tokenization prelude (token + 0-based position per doc)
 _PTOK = r"""
 ptok AS (
@@ -119,6 +127,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_script_score", "ft_distance_feature", "ft_rank_feature",
         # round 2: span family
         "ft_span_or", "ft_span_first", "ft_span_not", "ft_span_within",
+        # round 2: wrapper/parent_id/scroll + geo/ip/nested aggs
+        "ft_wrapper", "parent_id", "ft_scroll",
+        "agg_geo_bounds", "agg_geo_centroid", "agg_geotile_grid",
+        "agg_geohash_grid", "agg_geo_distance", "agg_ip_range",
+        "agg_nested", "agg_reverse_nested",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -840,4 +853,60 @@ WHERE p.term = 'query' AND EXISTS (
     AND abs(a.pos - b.pos) BETWEEN 1 AND 5
     AND p.pos >= least(a.pos, b.pos) AND p.pos <= greatest(a.pos, b.pos))
 ORDER BY doc_id""",
+        "ft_wrapper": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "parent_id": """
+SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey = 7
+ORDER BY o_orderkey""",
+        "ft_scroll": """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice FROM orders
+ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 45""",
+        "agg_geo_bounds": f"""
+WITH {_GEO}
+SELECT ROUND(MIN(lat), 4) AS min_lat, ROUND(MAX(lat), 4) AS max_lat,
+       ROUND(MIN(lon), 4) AS min_lon, ROUND(MAX(lon), 4) AS max_lon
+FROM g""",
+        "agg_geo_centroid": f"""
+WITH {_GEO}
+SELECT ROUND(AVG(lat), 4) AS lat, ROUND(AVG(lon), 4) AS lon FROM g""",
+        "agg_geotile_grid": f"""
+WITH {_GEO},
+t AS (SELECT
+        CAST(floor((lon + 180.0) / 360.0 * 8) AS BIGINT) AS x,
+        CAST(floor((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat))
+             * tan(radians(lat)) + 1.0)) / pi()) / 2.0 * 8) AS BIGINT) AS y
+      FROM g),
+c AS (SELECT '3/' || LEAST(GREATEST(x, 0), 7) || '/' || LEAST(GREATEST(y, 0), 7)
+        AS cell, count(*) AS doc_count FROM t GROUP BY 1)
+SELECT cell, doc_count FROM c ORDER BY doc_count DESC, cell""",
+        "agg_geo_distance": f"""
+WITH {_GEO},
+d AS (SELECT 2 * 6371.0 * asin(sqrt(pow(sin(radians(lat)/2), 2)
+           + cos(radians(lat)) * cos(0.0) * pow(sin(radians(lon)/2), 2))) AS dist
+      FROM g)
+SELECT CASE WHEN dist < 3000 THEN 'ring_0_3000'
+            WHEN dist < 8000 THEN 'ring_3000_8000'
+            ELSE 'ring_8000_plus' END AS ring, count(*) AS doc_count
+FROM d GROUP BY 1 ORDER BY ring""",
+        "agg_ip_range": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+ip AS (SELECT (user_id * 2654435761) % 4294967296 AS v FROM u)
+SELECT CASE WHEN v < 1073741824 THEN 'a_0.0.0.0-64.0.0.0'
+            WHEN v < 2147483648 THEN 'b_64.0.0.0-128.0.0.0'
+            ELSE 'c_128.0.0.0-' END AS range_key, count(*) AS doc_count
+FROM ip GROUP BY 1 ORDER BY range_key""",
+        "agg_nested": """
+SELECT o_orderpriority, count(*) AS doc_count,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+GROUP BY 1 ORDER BY 1""",
+        "agg_reverse_nested": """
+SELECT c_mktsegment, count(*) AS parent_count FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 180000)
+GROUP BY 1 ORDER BY 1""",
     }

@@ -986,6 +986,276 @@ def nested_query(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def ft_wrapper(sf_dir: str):
+    """wrapper query (WrapperQueryBuilder): base64-encoded JSON re-parsed at
+    evaluation time; semantics identical to the wrapped term query."""
+    import base64
+    import json
+
+    payload = base64.b64encode(
+        json.dumps({"kind": "term", "term": "data"}).encode()).decode()
+    return all_matches(sf_dir, {"kind": "wrapper", "query": payload})
+
+
+def parent_id(sf_dir: str):
+    """parent_id query (ParentIdQueryBuilder): children of one parent in the
+    orders->customer join-field mapping."""
+    import pyarrow.compute as pc
+
+    out = (
+        _ds(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(lambda t: t.filter(pc.equal(t["o_custkey"], 7)),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def ft_scroll(sf_dir: str):
+    """scroll API analog: deterministic deep pagination as repeated
+    search_after passes (3 pages x 15) over (o_totalprice desc, key asc);
+    each page's filter is pushed into the scan, no full-result collect."""
+    import pyarrow.compute as pc
+
+    pages = []
+    cursor = None  # (last_price, last_key)
+    for _ in range(3):
+        def keep(t: pa.Table, cur=cursor) -> pa.Table:
+            if cur is None:
+                return t
+            lp, lk = cur
+            m = pc.or_(
+                pc.less(t["o_totalprice"], lp),
+                pc.and_(pc.equal(t["o_totalprice"], lp), pc.greater(t["o_orderkey"], lk)),
+            )
+            return t.filter(m)
+
+        page = (
+            _ds(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+            .map_batches(keep, batch_format="pyarrow")
+            .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .limit(15)
+            .to_pandas()
+        )
+        if page.empty:
+            break
+        pages.append(page)
+        cursor = (float(page.o_totalprice.iloc[-1]), int(page.o_orderkey.iloc[-1]))
+    out = pd.concat(pages, ignore_index=True)
+    out["o_totalprice"] = round_half_away(out["o_totalprice"], 2)
+    return out
+
+
+# ---------------- geo aggregations (synthetic per-user coordinates) --------
+
+
+def agg_geo_bounds(sf_dir: str):
+    """geo_bounds agg (metrics/GeoBoundsAggregator.java): bounding box of all
+    user coordinates."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _users_geo(sf_dir)
+    r = ds.aggregate(Min("lat", alias_name="min_lat"), Max("lat", alias_name="max_lat"),
+                     Min("lon", alias_name="min_lon"), Max("lon", alias_name="max_lon"))
+    return pd.DataFrame({k: [float(round_half_away(v, 4))] for k, v in
+                         [("min_lat", r["min_lat"]), ("max_lat", r["max_lat"]),
+                          ("min_lon", r["min_lon"]), ("max_lon", r["max_lon"])]})
+
+
+def agg_geo_centroid(sf_dir: str):
+    """geo_centroid agg: arithmetic mean of coordinates."""
+    from ray.data.aggregate import Mean
+
+    ds = _users_geo(sf_dir)
+    r = ds.aggregate(Mean("lat", alias_name="lat"), Mean("lon", alias_name="lon"))
+    return pd.DataFrame({"lat": [float(round_half_away(r["lat"], 4))],
+                         "lon": [float(round_half_away(r["lon"], 4))]})
+
+
+def agg_geotile_grid(sf_dir: str):
+    """geotile_grid agg (bucket/geogrid/GeoTileUtils.java formula): web-
+    mercator z/x/y cells at zoom 3, doc_count per cell."""
+    from ray.data.aggregate import Count
+
+    z = 3
+    n = 1 << z
+
+    def tile(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        latr = np.radians(np.clip(lat, -85.05112878, 85.05112878))
+        y = np.floor((1.0 - np.arcsinh(np.tan(latr)) / np.pi) / 2.0 * n).astype(np.int64)
+        key = [f"{z}/{xi}/{yi}" for xi, yi in zip(np.clip(x, 0, n - 1), np.clip(y, 0, n - 1))]
+        return pa.table({"cell": pa.array(key, pa.string())})
+
+    out = (
+        _users_geo(sf_dir).map_batches(tile, batch_format="pyarrow")
+        .groupby("cell").aggregate(Count(alias_name="doc_count")).to_pandas()
+    )
+    return (out.sort_values(["doc_count", "cell"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: np.ndarray, lon: np.ndarray, precision: int) -> list[str]:
+    """Vectorized geohash (public base32 bit-interleaving algorithm)."""
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lx = np.minimum((lon + 180.0) / 360.0 * (1 << lon_bits), (1 << lon_bits) - 1).astype(np.int64)
+    ly = np.minimum((lat + 90.0) / 180.0 * (1 << lat_bits), (1 << lat_bits) - 1).astype(np.int64)
+    bits = np.zeros(lat.shape, dtype=np.int64)
+    xi, yi = lon_bits - 1, lat_bits - 1
+    for b in range(nbits):
+        if b % 2 == 0:  # even bit (from MSB): longitude
+            bits = (bits << 1) | ((lx >> xi) & 1)
+            xi -= 1
+        else:
+            bits = (bits << 1) | ((ly >> yi) & 1)
+            yi -= 1
+    out = []
+    for v in bits:
+        s = "".join(_GEOHASH32[(int(v) >> (5 * (precision - 1 - i))) & 31]
+                    for i in range(precision))
+        out.append(s)
+    return out
+
+
+def agg_geohash_grid(sf_dir: str):
+    """geohash_grid agg (bucket/geogrid/): precision-2 geohash cells
+    (rows-only gate: DuckDB has no geohash; pinned by unit tests instead)."""
+    from ray.data.aggregate import Count
+
+    def cell(t: pa.Table) -> pa.Table:
+        gh = geohash_encode(t["lat"].to_numpy(), t["lon"].to_numpy(), 2)
+        return pa.table({"cell": pa.array(gh, pa.string())})
+
+    out = (
+        _users_geo(sf_dir).map_batches(cell, batch_format="pyarrow")
+        .groupby("cell").aggregate(Count(alias_name="doc_count")).to_pandas()
+    )
+    return (out.sort_values(["doc_count", "cell"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def agg_geo_distance(sf_dir: str):
+    """geo_distance agg (bucket/range/GeoDistanceAggregationBuilder): ring
+    buckets of haversine distance from the origin."""
+    from ray.data.aggregate import Count
+
+    def ring(t: pa.Table) -> pa.Table:
+        lat = np.radians(t["lat"].to_numpy())
+        lon = np.radians(t["lon"].to_numpy())
+        d = 2 * 6371.0 * np.arcsin(np.sqrt(
+            np.sin(lat / 2) ** 2 + np.cos(lat) * np.cos(0.0) * np.sin(lon / 2) ** 2))
+        key = np.where(d < 3000.0, "ring_0_3000",
+                       np.where(d < 8000.0, "ring_3000_8000", "ring_8000_plus"))
+        return pa.table({"ring": pa.array(key.astype(str))})
+
+    out = (
+        _users_geo(sf_dir).map_batches(ring, batch_format="pyarrow")
+        .groupby("ring").aggregate(Count(alias_name="doc_count")).to_pandas()
+    )
+    return out.sort_values("ring").reset_index(drop=True)
+
+
+def agg_ip_range(sf_dir: str):
+    """ip_range agg (bucket/range/IpRangeAggregationBuilder): synthetic
+    per-user IPv4 = (user_id * 2654435761) mod 2^32, bucketed by /1 and /2
+    prefixes expressed as explicit ranges."""
+    from ray.data.aggregate import Count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        ip = (uid * np.uint64(2654435761)) % np.uint64(1 << 32)
+        key = np.where(ip < np.uint64(1 << 30), "a_0.0.0.0-64.0.0.0",
+                       np.where(ip < np.uint64(1 << 31), "b_64.0.0.0-128.0.0.0",
+                                "c_128.0.0.0-"))
+        return pa.table({"range_key": pa.array(key.astype(str))})
+
+    users = _ds(sf_dir, "events", ["user_id"]).groupby("user_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    out = (
+        users.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("range_key").aggregate(Count(alias_name="doc_count")).to_pandas()
+    )
+    return out.sort_values("range_key").reset_index(drop=True)
+
+
+def agg_nested(sf_dir: str):
+    """nested agg (bucket/nested/NestedAggregator.java analog over the
+    customer->orders join mapping): within parents having c_acctbal > 9000,
+    aggregate the nested orders per priority."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    parents = (
+        _ds(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        .map_batches(lambda t: t.filter(pc.greater(t["c_acctbal"], 9000.0)),
+                     batch_format="pyarrow")
+        .select_columns(["c_custkey"]).to_pandas()
+    )
+    keyset = ray.put(set(parents.c_custkey.astype(int)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ks = ray.get(keyset)
+        mask = pa.array([int(k) in ks for k in t["o_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    out = (
+        _ds(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+        .map_batches(pick, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="doc_count"), Sum("o_totalprice", alias_name="sum_price"))
+        .to_pandas()
+    )
+    out["sum_price"] = round_half_away(out["sum_price"], 2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def agg_reverse_nested(sf_dir: str):
+    """reverse_nested agg: from nested orders matching a filter back to the
+    distinct parent customers, counted per market segment."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ray.data.aggregate import Count
+
+    custkeys = (
+        _ds(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(lambda t: t.filter(pc.greater(t["o_totalprice"], 180000.0)),
+                     batch_format="pyarrow")
+        .select_columns(["o_custkey"]).to_pandas()
+    )
+    keyset = ray.put(set(custkeys.o_custkey.astype(int)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ks = ray.get(keyset)
+        mask = pa.array([int(k) in ks for k in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    out = (
+        _ds(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(pick, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="parent_count"))
+        .to_pandas()
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def _users_geo(sf_dir: str):
+    """one row per user with synthetic deterministic coordinates."""
+    users = _ds(sf_dir, "events", ["user_id"]).groupby("user_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    return users.map_batches(_geo_cols, batch_format="pyarrow")
+
+
 def _geo_cols(t: pa.Table) -> pa.Table:
     """deterministic synthetic coordinates derived from user_id."""
     uid = t["user_id"].to_numpy()

@@ -797,6 +797,15 @@ class IndexSearcher:
             if boost != 1.0:
                 tree = {**tree, "boost": boost * float(tree.get("boost", 1.0))}
             return self._eval(tree)
+        if kind == "wrapper":
+            # WrapperQueryBuilder: base64-encoded JSON query, re-parsed
+            import base64
+            import json as _json
+
+            inner = _json.loads(base64.b64decode(q["query"]))
+            if boost != 1.0:
+                inner = {**inner, "boost": boost * float(inner.get("boost", 1.0))}
+            return self._eval(inner)
         if kind == "exists":
             # ExistsQueryBuilder: docs where the field has a non-null value
             # (the _field_names presence analog, over docmeta / field lengths)

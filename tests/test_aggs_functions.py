@@ -228,3 +228,17 @@ def test_embedding_dedup_blocked_exact(ray_session):
     tiled = embedding_dedup_pairs(rd.from_pandas(df), threshold=0.9, block=30)
     assert full.astype(str).equals(tiled.astype(str))
     assert [10, 60] in full[["doc_a", "doc_b"]].values.tolist()
+
+
+def test_geohash_encode_known_vectors():
+    from elasticsearch_ray.pipelines.ops import geohash_encode
+
+    # classic public test vector: (57.64911, 10.40744) -> u4pruydqqvj
+    got = geohash_encode(np.array([57.64911]), np.array([10.40744]), 11)[0]
+    assert got == "u4pruydqqvj"
+    # prefixes at lower precision are consistent
+    for p in (1, 2, 5):
+        assert geohash_encode(np.array([57.64911]), np.array([10.40744]), p)[0] == \
+            "u4pruydqqvj"[:p]
+    assert geohash_encode(np.array([-25.382708]), np.array([-49.265506]), 8)[0] == \
+        "6gkzwgjz"
