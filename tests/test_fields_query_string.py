@@ -190,7 +190,10 @@ def test_expansion_bounded_on_million_term_vocab():
     r = s._expand_regexp("2b.c.*")
     f = s._expand_fuzzy("abc1de", 1)
     took = time.time() - t0
-    assert took < 15.0, f"expansion took {took:.1f}s"
+    # generous bound: ~10s solo on this host, but the shared-suite run can see
+    # 2-3x noisy-neighbor slowdowns (BASELINE.md); a full-vocab Python loop
+    # would take minutes, which is what this guards against
+    assert took < 60.0, f"expansion took {took:.1f}s"
     assert all(t.startswith("1a") for t in w)
     assert all(t.startswith("2b") for t in r)
     assert len(f) > 0
