@@ -128,10 +128,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 2: span family
         "ft_span_or", "ft_span_first", "ft_span_not", "ft_span_within",
         # round 2: wrapper/parent_id/scroll + geo/ip/nested aggs
-        "ft_wrapper", "parent_id", "ft_scroll",
+        "ft_highlight_unified", "phrase_suggest", "ft_wrapper", "parent_id",
+        "ft_scroll",
         "agg_geo_bounds", "agg_geo_centroid", "agg_geotile_grid",
         "agg_geohash_grid", "agg_geo_distance", "agg_ip_range",
         "agg_nested", "agg_reverse_nested",
+        # round 2: analysis-chain filters
+        "ft_analyze_edge_ngram", "ft_analyze_shingle", "ft_analyze_stemmer",
+        "ft_analyze_synonym", "ft_analyze_ascii",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -853,6 +857,76 @@ WHERE p.term = 'query' AND EXISTS (
     AND abs(a.pos - b.pos) BETWEEN 1 AND 5
     AND p.pos >= least(a.pos, b.pos) AND p.pos <= greatest(a.pos, b.pos))
 ORDER BY doc_id""",
+        "ft_highlight_unified": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['window','merge']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS raw
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id),
+top5 AS (SELECT doc_id, raw FROM scored ORDER BY raw DESC, doc_id LIMIT 5)
+SELECT t.doc_id AS doc_id, ROUND(t.raw, 4) AS score,
+       array_to_string(list_slice(regexp_split_to_array(
+           regexp_replace(d.text, '\\b(window|merge)\\b', '<em>\\0</em>', 'g'),
+           ' '), 1, 12), ' ') AS highlight
+FROM top5 t JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id""",
+        "ft_analyze_edge_ngram": r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(
+    lower('Data Query window2 merge'), '[^a-z0-9]+'), x -> x <> '')) AS t),
+e AS (SELECT substr(t, 1, n) AS token
+      FROM toks, generate_series(2, 4) g(n) WHERE n <= length(t))
+SELECT token, count(*) AS cnt FROM e GROUP BY token ORDER BY token""",
+        "ft_analyze_shingle": f"""
+WITH {_PTOK}
+SELECT a.term || ' ' || b.term AS shingle, count(*) AS cnt
+FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY 1 ORDER BY cnt DESC, shingle LIMIT 10""",
+        "ft_analyze_synonym": """
+WITH tok AS (
+  SELECT t AS term FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+mapped AS (SELECT CASE WHEN term = 'spark' THEN 'engine'
+                       WHEN term = 'big' THEN 'large' ELSE term END AS token
+           FROM tok)
+SELECT token, count(*) AS cnt FROM mapped WHERE token IN ('engine', 'large')
+GROUP BY token ORDER BY token""",
+        "ft_analyze_ascii": r"""
+WITH arr AS (SELECT list_filter(regexp_split_to_array(
+  lower(strip_accents('Café Müller naïve façade Crème brûlée')),
+  '[^a-z0-9]+'), x -> x <> '') AS a)
+SELECT CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS position,
+       unnest(a) AS token
+FROM arr ORDER BY position""",
+        "phrase_suggest": f"""
+WITH {_PTOK},
+uni AS (SELECT term, count(*) AS cnt FROM ptok GROUP BY term),
+big AS (SELECT a.term AS t1, b.term AS t2, count(*) AS cnt
+        FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+v AS (SELECT count(*) AS v FROM uni),
+tt AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM uni),
+c0 AS (SELECT term, cnt FROM uni WHERE levenshtein(term, 'data') <= 1
+       ORDER BY cnt DESC, term LIMIT 5),
+c1 AS (SELECT term, cnt FROM uni WHERE levenshtein(term, 'sow') <= 1
+       ORDER BY cnt DESC, term LIMIT 5),
+c2 AS (SELECT term, cnt FROM uni WHERE levenshtein(term, 'qery') <= 1
+       ORDER BY cnt DESC, term LIMIT 5),
+seq AS (
+  SELECT c0.term AS w0, c1.term AS w1, c2.term AS w2,
+         ln((c0.cnt + 1.0) / (tt.t + v.v))
+         + ln((COALESCE(b01.cnt, 0) + 1.0) / (c0.cnt + v.v))
+         + ln((COALESCE(b12.cnt, 0) + 1.0) / (c1.cnt + v.v)) AS score
+  FROM c0 CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN v CROSS JOIN tt
+  LEFT JOIN big b01 ON b01.t1 = c0.term AND b01.t2 = c1.term
+  LEFT JOIN big b12 ON b12.t1 = c1.term AND b12.t2 = c2.term)
+SELECT w0 || ' ' || w1 || ' ' || w2 AS phrase, ROUND(score, 4) AS score
+FROM seq ORDER BY score DESC, phrase LIMIT 3""",
         "ft_wrapper": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),

@@ -150,11 +150,28 @@ def enumerate_positions(tokens: list[str]) -> list[tuple[str, int]]:
     return [(t, i) for i, t in enumerate(tokens)]
 
 
+def analyze_english(text: str) -> list[str]:
+    """'english' analyzer: lowercase alnum tokenize -> stop -> porter stem
+    (EnglishAnalyzer shape: StandardTokenizer + stop + PorterStemFilter;
+    possessive stripping is subsumed by the alnum tokenizer)."""
+    from .filters import porter_stem
+
+    return [porter_stem(t) for t in analyze_simple(text)
+            if t not in ENGLISH_STOP_WORDS]
+
+
 REGISTRY: dict[str, Analyzer] = {
     "code": Analyzer("code", analyze_code, analyze_code_positions),
     "simple": Analyzer("simple", analyze_simple),
     "whitespace": Analyzer("whitespace", analyze_whitespace),
+    "english": Analyzer("english", analyze_english),
 }
+
+
+def register_analyzer(name: str, tokenize, tokenize_positions=None) -> None:
+    """Extension-registry hook (AnalysisRegistry custom analyzer analog):
+    register a custom chain built with filters.make_analyzer_fn."""
+    REGISTRY[name] = Analyzer(name, tokenize, tokenize_positions)
 
 
 def get_analyzer(name: str) -> Analyzer:

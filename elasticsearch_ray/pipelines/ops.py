@@ -986,6 +986,205 @@ def nested_query(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def ft_analyze_edge_ngram(sf_dir: str):
+    """_analyze with an edge_ngram(2,4) token filter on a fixed string."""
+    from collections import Counter
+
+    from ..analyzer import analyze_simple
+    from ..filters import edge_ngram_filter
+
+    toks = edge_ngram_filter(analyze_simple("Data Query window2 merge"), 2, 4)
+    c = Counter(toks)
+    items = sorted(c.items())
+    return pd.DataFrame({"token": [k for k, _ in items],
+                         "cnt": pd.array([v for _, v in items], dtype="int64")})
+
+
+def ft_analyze_shingle(sf_dir: str):
+    """shingle token filter over the documents corpus: top-10 2-word shingles
+    by occurrence (the phrase-suggester field shape). Distributed partials."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_simple
+    from ..filters import shingle_filter
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for s in t["text"].to_pylist():
+            c.update(shingle_filter(analyze_simple(s), 2, 2))
+        items = sorted(c)
+        return pa.table({"shingle": items,
+                         "cnt": pa.array([c[k] for k in items], pa.int64())})
+
+    out = (
+        _ds(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shingle").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    )
+    return (out.sort_values(["cnt", "shingle"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def ft_analyze_stemmer(sf_dir: str):
+    """stemmer (porter) token filter over the corpus: top-10 stems by token
+    count (rows-only gate: no offline SQL stemmer; algorithm pinned by the
+    published Porter test vectors in pytest)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_english
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for s in t["text"].to_pylist():
+            c.update(analyze_english(s))
+        items = sorted(c)
+        return pa.table({"stem": items,
+                         "cnt": pa.array([c[k] for k in items], pa.int64())})
+
+    out = (
+        _ds(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("stem").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    )
+    return (out.sort_values(["cnt", "stem"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def ft_analyze_synonym(sf_dir: str):
+    """synonym token filter (replacement form): spark=>engine, big=>large;
+    token counts for the mapped vocabulary."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_simple
+    from ..filters import synonym_filter
+
+    syn = {"spark": "engine", "big": "large"}
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for s in t["text"].to_pylist():
+            c.update(tk for tk in synonym_filter(analyze_simple(s), syn)
+                     if tk in ("engine", "large"))
+        items = sorted(c)
+        return pa.table({"token": items,
+                         "cnt": pa.array([c[k] for k in items], pa.int64())})
+
+    out = (
+        _ds(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    )
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def ft_analyze_ascii(sf_dir: str):
+    """asciifolding char behavior on a fixed accented string."""
+    from ..analyzer import analyze_simple
+    from ..filters import asciifolding
+
+    toks = analyze_simple(asciifolding("Café Müller naïve façade Crème brûlée"))
+    return pd.DataFrame({"position": pd.array(range(len(toks)), dtype="int64"),
+                         "token": toks})
+
+
+def phrase_suggest(sf_dir: str):
+    """phrase suggester (search/suggest/phrase/PhraseSuggester.java shape):
+    per-slot candidate generation (vocabulary within 1 edit, top-5 by
+    frequency) + bigram language-model rescoring with Laplace smoothing;
+    returns the top-3 corrected phrases for 'data sow qery' (the middle
+    token is ambiguous between slow/row, resolved by the bigram model).
+
+    Unigram/bigram stats are distributed (per-batch Counter partials +
+    groupby Sum); only the tiny candidate lattice is scored on the driver."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_simple
+    from ..search.engine import levenshtein_vec
+
+    def partial(t: pa.Table):
+        uni, big = Counter(), Counter()
+        for s in t["text"].to_pylist():
+            toks = analyze_simple(s)
+            uni.update(toks)
+            big.update(zip(toks, toks[1:]))
+        u = sorted(uni)
+        b = sorted(big)
+        yield pa.table({"kind_": ["u"] * len(u), "t1": u, "t2": [""] * len(u),
+                        "cnt": pa.array([uni[k] for k in u], pa.int64())})
+        yield pa.table({"kind_": ["b"] * len(b), "t1": [k[0] for k in b],
+                        "t2": [k[1] for k in b],
+                        "cnt": pa.array([big[k] for k in b], pa.int64())})
+
+    red = (
+        _ds(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind_", "t1", "t2"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    uni = {r.t1: int(r.cnt) for r in red[red.kind_ == "u"].itertuples()}
+    big = {(r.t1, r.t2): int(r.cnt) for r in red[red.kind_ == "b"].itertuples()}
+    V = len(uni)
+    T = float(sum(uni.values()))
+    vocab = np.array(sorted(uni), dtype=object)
+
+    def candidates(token: str) -> list[str]:
+        d = levenshtein_vec(token, vocab)
+        cand = [(str(w), uni[str(w)]) for w, dd in zip(vocab, d) if dd <= 1]
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        return [w for w, _ in cand[:5]]
+
+    slots = [candidates(t) for t in ("data", "sow", "qery")]
+    results = []
+    import itertools
+
+    for seq in itertools.product(*slots):
+        score = np.log((uni[seq[0]] + 1.0) / (T + V))
+        for a, b in zip(seq, seq[1:]):
+            score += np.log((big.get((a, b), 0) + 1.0) / (uni[a] + V))
+        results.append((" ".join(seq), float(round_half_away(float(score), 4))))
+    results.sort(key=lambda x: (-x[1], x[0]))
+    out = results[:3]
+    return pd.DataFrame({"phrase": [p for p, _ in out],
+                         "score": [s for _, s in out]})
+
+
+def ft_highlight_unified(sf_dir: str):
+    """unified-highlighter analog (subphase/highlight/UnifiedHighlighter):
+    top-5 docs for the match, EVERY query-term occurrence wrapped in <em>,
+    fragment = first 12 words of the wrapped text. Deterministic and
+    oracle-checked (the plain highlighter op stays rows-only)."""
+    import re
+
+    from ..sources.reader import fetch_rows_by_doc_id
+    from .fulltext import documents_searcher
+
+    s = documents_searcher(sf_dir)
+    ids, sc = s.search({"kind": "match", "text": "window merge", "k": 5})
+    src = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                               ids, columns=["doc_id", "text"])
+    all_ids = src["doc_id"].to_numpy()
+    idx = np.searchsorted(all_ids, ids)
+    rx = re.compile(r"\b(window|merge)\b")
+    frags = []
+    for i in idx:
+        wrapped = rx.sub(lambda m: f"<em>{m.group(0)}</em>", src["text"][int(i)].as_py())
+        frags.append(" ".join(wrapped.split()[:12]))
+    return pa.table({
+        "doc_id": pa.array(ids.astype(np.int64)),
+        "score": pa.array(round_half_away(sc.astype(np.float64), 4)),
+        "highlight": pa.array(frags, pa.string()),
+    })
+
+
 def ft_wrapper(sf_dir: str):
     """wrapper query (WrapperQueryBuilder): base64-encoded JSON re-parsed at
     evaluation time; semantics identical to the wrapped term query."""
