@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 2: analysis-chain filters
         "ft_analyze_edge_ngram", "ft_analyze_shingle", "ft_analyze_stemmer",
         "ft_analyze_synonym", "ft_analyze_ascii",
+        # round 2: common terms / matched_queries / inner_hits / intervals
+        "ft_common_terms", "ft_matched_queries", "inner_hits",
+        "ft_intervals_prefix",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -874,6 +877,45 @@ SELECT t.doc_id AS doc_id, ROUND(t.raw, 4) AS score,
            ' '), 1, 12), ' ') AS highlight
 FROM top5 t JOIN documents d USING (doc_id)
 ORDER BY score DESC, doc_id""",
+        "ft_common_terms": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'dup' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+tfh AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'a' GROUP BY doc_id),
+dfh AS (SELECT count(*) AS df FROM tfh),
+low AS (SELECT tf.doc_id AS doc_id, {_SCORE} AS s
+        FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
+high AS (SELECT tf.doc_id AS doc_id, {_SCORE} AS s
+         FROM tfh tf CROSS JOIN dfh df CROSS JOIN st
+         JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT low.doc_id AS doc_id,
+       ROUND(low.s + COALESCE(high.s, 0), 4) AS score
+FROM low LEFT JOIN high ON high.doc_id = low.doc_id
+ORDER BY doc_id""",
+        "ft_matched_queries": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+m AS (SELECT doc_id, 'has_window' AS name FROM tok WHERE term = 'window'
+      UNION ALL
+      SELECT doc_id, 'has_merge' FROM tok WHERE term = 'merge')
+SELECT doc_id, string_agg(name, ',' ORDER BY name) AS matched
+FROM m GROUP BY doc_id ORDER BY doc_id""",
+        "inner_hits": """
+SELECT o_custkey, hit_rank, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS hit_rank
+  FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000))
+WHERE hit_rank <= 2 ORDER BY o_custkey, hit_rank""",
+        "ft_intervals_prefix": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> '')
+SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'wind%' ORDER BY doc_id""",
         "ft_analyze_edge_ngram": r"""
 WITH toks AS (
   SELECT unnest(list_filter(regexp_split_to_array(

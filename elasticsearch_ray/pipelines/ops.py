@@ -986,6 +986,75 @@ def nested_query(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def ft_common_terms(sf_dir: str):
+    """common terms query (CommonTermsQueryBuilder): 'a' is high-frequency at
+    cutoff 0.5 (df/N > 0.5); docs must match the low-frequency term 'dup',
+    'a' only adds score to those docs."""
+    return all_matches(sf_dir, {"kind": "common", "text": "dup a",
+                                "cutoff_frequency": 0.5})
+
+
+def ft_matched_queries(sf_dir: str):
+    """matched_queries fetch subphase (FetchPhase named-queries): each hit is
+    annotated with the names of the bool should-clauses it matched."""
+    from .fulltext import documents_searcher
+
+    s = documents_searcher(sf_dir)
+    named = {"has_window": {"kind": "term", "term": "window"},
+             "has_merge": {"kind": "term", "term": "merge"}}
+    per = {name: set(s._eval(q)[0].tolist()) for name, q in named.items()}
+    all_ids = sorted(set().union(*per.values()))
+    rows = [(d, ",".join(sorted(n for n, ids in per.items() if d in ids)))
+            for d in all_ids]
+    return pd.DataFrame({"doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+                         "matched": [r[1] for r in rows]})
+
+
+def inner_hits(sf_dir: str):
+    """inner_hits on the customer->orders join (InnerHitBuilder): for parents
+    with c_acctbal > 9000, return their top-2 orders by totalprice."""
+    import pyarrow.compute as pc
+    import ray
+
+    parents = (
+        _ds(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        .map_batches(lambda t: t.filter(pc.greater(t["c_acctbal"], 9000.0)),
+                     batch_format="pyarrow")
+        .select_columns(["c_custkey"]).to_pandas()
+    )
+    keyset = ray.put(set(parents.c_custkey.astype(int)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ks = ray.get(keyset)
+        mask = pa.array([int(k) in ks for k in t["o_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(2).copy()
+        g["hit_rank"] = range(1, len(g) + 1)
+        return g
+
+    out = (
+        _ds(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(pick, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(top2, batch_format="pandas")
+        .to_pandas()
+    )
+    out["o_totalprice"] = round_half_away(out["o_totalprice"], 2)
+    return (out.sort_values(["o_custkey", "hit_rank"])
+            .reset_index(drop=True)[["o_custkey", "hit_rank", "o_orderkey",
+                                     "o_totalprice"]])
+
+
+def ft_intervals_prefix(sf_dir: str):
+    """intervals query with a prefix rule (IntervalsSourceProvider.Prefix)."""
+    return all_matches(sf_dir, {"kind": "intervals",
+                                "rule": {"prefix": {"prefix": "wind"}}},
+                       with_score=False)
+
+
 def ft_analyze_edge_ngram(sf_dir: str):
     """_analyze with an edge_ngram(2,4) token filter on a fixed string."""
     from collections import Counter

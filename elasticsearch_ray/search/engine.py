@@ -833,11 +833,44 @@ class IndexSearcher:
                 ids, sc = self._accumulate([p for p in parts if p[0].size])
                 return ids, sc * boost
             raise ValueError(f"unknown multi_match type {mtype!r}")
+        if kind == "common":
+            # CommonTermsQueryBuilder: split analyzed terms by document
+            # frequency at cutoff_frequency * N; docs must match >= 1
+            # low-frequency term, high-frequency terms only contribute score
+            # to those docs (the stopword-free scoring trick)
+            terms = self.analyzer(q["text"])
+            if not terms:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            cutoff = float(q.get("cutoff_frequency", 0.01))
+            low, high = [], []
+            for t in dict.fromkeys(terms):
+                (high if self.global_df(t, field) > cutoff * self.n_docs
+                 else low).append(t)
+            if not low:
+                return self._disjunction(high, boost, field)
+            ids, sc = self._disjunction(low, boost, field)
+            for t in high:
+                tp = self._get_term(t, field)
+                if tp is None:
+                    continue
+                hsc = self._term_scores(tp, boost, field)
+                idx = np.searchsorted(tp.doc_ids, ids)
+                if tp.doc_ids.size:
+                    idx = np.minimum(idx, tp.doc_ids.size - 1)
+                    hit = tp.doc_ids[idx] == ids
+                    sc[hit] += hsc[idx[hit]].astype(np.float64)
+            return ids, sc
         if kind == "intervals":
             # IntervalsQueryBuilder subset: all_of(ordered, max_gaps) maps to
             # span_near (gap semantics identical for ordered runs); any_of is
-            # a constant-score union of sub-interval matches
+            # a constant-score union of sub-interval matches; prefix and
+            # wildcard rules expand against the sorted dictionary
             rule = q["rule"]
+            if "prefix" in rule:
+                return self._prefix(rule["prefix"]["prefix"], boost, field)
+            if "wildcard" in rule:
+                terms_w = self._expand_wildcard(rule["wildcard"]["pattern"], field)
+                return self._constant_union(terms_w, boost, field)
             if "all_of" in rule:
                 spec = rule["all_of"]
                 return self._span_near(
