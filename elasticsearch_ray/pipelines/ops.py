@@ -960,14 +960,21 @@ def nested_query(sf_dir: str):
 
     ds = _ds(sf_dir, "events", ["user_id", "event_type", "value"])
 
-    def implode(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "user_id": [int(g.user_id.iloc[0])],
-            "events": [[{"event_type": et, "value": float(v)}
-                        for et, v in zip(g.event_type, g.value)]],
-        })
+    def implode(t: pa.Table) -> pa.Table:
+        # Arrow-native implode: one ListArray<struct> over the whole group
+        # batch (groups arrive contiguous), no per-row Python dicts
+        ev = pa.StructArray.from_arrays(
+            [t["event_type"].combine_chunks() if isinstance(t["event_type"], pa.ChunkedArray) else t["event_type"],
+             t["value"].combine_chunks() if isinstance(t["value"], pa.ChunkedArray) else t["value"]],
+            names=["event_type", "value"],
+        )
+        uid = t["user_id"].to_numpy()
+        cuts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1,
+                               [uid.size]])
+        lst = pa.ListArray.from_arrays(pa.array(cuts, pa.int32()), ev)
+        return pa.table({"user_id": pa.array(uid[cuts[:-1]]), "events": lst})
 
-    nested = ds.groupby("user_id").map_groups(implode, batch_format="pandas")
+    nested = ds.groupby("user_id").map_groups(implode, batch_format="pyarrow")
 
     def nested_match(t: pa.Table) -> pa.Table:
         col = t["events"]

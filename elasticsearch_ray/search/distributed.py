@@ -59,6 +59,10 @@ def _collect_query_terms(searcher_analyzer, q: dict) -> set[str]:
             searcher_analyzer, parse_query_string(q["query"]))
     elif kind == "multi_match":
         out.update(searcher_analyzer(q["text"]))
+    elif kind == "common":
+        out.update(searcher_analyzer(q["text"]))
+    elif kind == "script_score":
+        out |= _collect_query_terms(searcher_analyzer, q["query"])
     return out
 
 

@@ -97,3 +97,35 @@ def test_snapshot_restore(dirs, tmp_path):
         bi, bsc = b.search(q)
         assert list(ai) == list(bi)
         np.testing.assert_array_equal(asc, bsc)
+
+
+def test_snapshot_repository_incremental(dirs, tmp_path):
+    """Incremental snapshot repo: second snapshot copies only new segments;
+    restore is search-identical; delete GCs unreferenced segments."""
+    from elasticsearch_ray.index.snapshot import (
+        create_snapshot,
+        delete_snapshot,
+        list_snapshots,
+        restore_snapshot,
+    )
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    _, idx = dirs
+    repo = str(tmp_path / "repo")
+    m1 = create_snapshot(idx, repo, "snap1")
+    assert m1["copied"] == m1["segments"]  # first snapshot copies everything
+    m2 = create_snapshot(idx, repo, "snap2")
+    assert m2["copied"] == []  # unchanged index -> fully incremental
+    assert [s["name"] for s in list_snapshots(repo)] == ["snap1", "snap2"]
+
+    dest = str(tmp_path / "restored")
+    restore_snapshot(repo, "snap1", dest)
+    q = {"kind": "match", "text": "data query", "k": 10}
+    a = IndexSearcher(idx).search(q)
+    b = IndexSearcher(dest).search(q)
+    assert list(a[0]) == list(b[0])
+    assert [float(x) for x in a[1]] == [float(x) for x in b[1]]
+
+    assert delete_snapshot(repo, "snap1") == []  # snap2 still references all
+    removed = delete_snapshot(repo, "snap2")
+    assert sorted(removed) == sorted(m1["segments"])  # GC after last ref
