@@ -139,6 +139,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 2: common terms / matched_queries / inner_hits / intervals
         "ft_common_terms", "ft_matched_queries", "inner_hits",
         "ft_intervals_prefix",
+        # round 2: real multimodal kernels (BMP / PCM-WAV / BMSQ)
+        "multimodal_image_resize", "multimodal_audio_features",
+        "multimodal_video_frames",
+        # round 2: cross_fields / ip CIDR / mapping char filter
+        "ft_multi_match_cross", "ip_cidr_filter", "ft_analyze_mapping",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -877,6 +882,40 @@ SELECT t.doc_id AS doc_id, ROUND(t.raw, 4) AS score,
            ' '), 1, 12), ' ') AS highlight
 FROM top5 t JOIN documents d USING (doc_id)
 ORDER BY score DESC, doc_id""",
+        # cross_fields degenerates to most_fields on this corpus (each term
+        # exists in exactly one field); the term-in-both-fields case is pinned
+        # by tests/test_fields_query_string.py
+        "ft_multi_match_cross": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','src3']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ts AS (SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS s_text
+       FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+       GROUP BY tf.doc_id),
+sdf AS (SELECT count(*) AS df FROM documents WHERE source = 'src3'),
+ss AS (SELECT d.doc_id AS doc_id,
+              ln(1 + ((SELECT count(*) FROM documents) - sdf.df + 0.5)/(sdf.df + 0.5)) AS s_src
+       FROM documents d CROSS JOIN sdf WHERE d.source = 'src3'),
+u AS (SELECT COALESCE(ts.doc_id, ss.doc_id) AS doc_id,
+             COALESCE(s_text, 0) AS a, COALESCE(s_src, 0) AS b
+      FROM ts FULL OUTER JOIN ss ON ts.doc_id = ss.doc_id)
+SELECT doc_id, ROUND(a + b, 4) AS score FROM u ORDER BY doc_id""",
+        "ip_cidr_filter": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+ip AS (SELECT user_id, (user_id * 2654435761) % 4294967296 AS v FROM u)
+SELECT user_id,
+       CAST(v // 16777216 AS BIGINT) || '.' || CAST((v // 65536) % 256 AS BIGINT)
+       || '.' || CAST((v // 256) % 256 AS BIGINT) || '.' || CAST(v % 256 AS BIGINT) AS ip
+FROM ip WHERE v < 536870912 ORDER BY user_id""",
+        "ft_analyze_mapping": r"""
+WITH arr AS (SELECT list_filter(regexp_split_to_array(lower(
+  replace(replace(replace('C++ and C# beat COBOL :-)', 'C++', 'cplusplus'),
+          'C#', 'csharp'), ':-)', 'smiley')), '[^a-z0-9]+'), x -> x <> '') AS a)
+SELECT CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS position,
+       unnest(a) AS token
+FROM arr ORDER BY position""",
         "ft_common_terms": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'dup' GROUP BY doc_id),

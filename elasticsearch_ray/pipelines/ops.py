@@ -387,19 +387,83 @@ def top_terms(sf_dir: str):
 
 
 def multimodal_image_meta(sf_dir: str):
-    """multimodal plumbing (fake decoder): binary media -> typed metadata."""
+    """multimodal image decode: REAL 24-bit BMP parsing (numpy-only codec)
+    over an actor-pool stage -> typed (width, height, mean_pixel) metadata."""
     import ray.data as rd
 
-    from ..functions.multimodal import ImageDecodeStage, make_fake_media_table
+    from ..functions.multimodal import ImageDecodeStage, make_media_table
 
-    media = make_fake_media_table(64, "image", seed=7)
+    media = make_media_table(64, "image", seed=7)
     ds = rd.from_arrow(media)
     out = ds.map_batches(
-        ImageDecodeStage, fn_constructor_kwargs={"fake": True},
+        ImageDecodeStage,
         batch_format="pyarrow", batch_size=16, concurrency=2,
     ).to_pandas()
     out["mean_pixel"] = round_half_away(out["mean_pixel"], 3)
     return out.sort_values("id").reset_index(drop=True)
+
+
+def multimodal_image_resize(sf_dir: str):
+    """REAL decode -> nearest-neighbor resize -> re-encode -> re-decode
+    verification of dims and payload size."""
+    import ray.data as rd
+
+    from ..functions.multimodal import (
+        ImageDecodeStage,
+        ImageResizeStage,
+        make_media_table,
+    )
+
+    ds = rd.from_arrow(make_media_table(32, "image", seed=11))
+    resized = ds.map_batches(
+        ImageResizeStage, fn_constructor_kwargs={"width": 32, "height": 24},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    )
+    meta = resized.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                               batch_size=16, concurrency=2).to_pandas()
+    meta["mean_pixel"] = round_half_away(meta["mean_pixel"], 3)
+    return meta.sort_values("id").reset_index(drop=True)
+
+
+def multimodal_audio_features(sf_dir: str):
+    """REAL PCM-WAV decode -> framed RMS energy features + duration."""
+    import ray.data as rd
+
+    from ..functions.multimodal import AudioFeatureStage, make_media_table
+
+    ds = rd.from_arrow(make_media_table(48, "audio", seed=5))
+    out = ds.map_batches(AudioFeatureStage, fn_constructor_kwargs={"frame": 512},
+                         batch_format="pyarrow",
+                         batch_size=16, concurrency=2).to_pandas()
+    out["n_feats"] = out.features.map(len)
+    out["energy"] = round_half_away(
+        out.features.map(lambda f: float(np.mean(f)) if len(f) else 0.0), 5)
+    out["duration_s"] = round_half_away(out["duration_s"], 4)
+    return (out.sort_values("id").reset_index(drop=True)
+            [["id", "n_feats", "energy", "duration_s"]])
+
+
+def multimodal_video_frames(sf_dir: str):
+    """REAL frame sampling from the BMSQ frame-sequence container: evenly
+    spaced frames sliced by header offsets, each verified BMP-decodable."""
+    import ray.data as rd
+
+    from ..functions.multimodal import (
+        VideoFrameSampleStage,
+        bmp_decode,
+        make_media_table,
+    )
+
+    ds = rd.from_arrow(make_media_table(24, "video", seed=3))
+    frames = ds.map_batches(VideoFrameSampleStage,
+                            fn_constructor_kwargs={"n_frames": 3},
+                            batch_format="pyarrow", batch_size=8,
+                            concurrency=2).to_pandas()
+    dims = [bmp_decode(b).shape for b in frames.frame]
+    frames["h"] = pd.array([d[0] for d in dims], dtype="int64")
+    frames["w"] = pd.array([d[1] for d in dims], dtype="int64")
+    return (frames.sort_values(["id", "frame_index"]).reset_index(drop=True)
+            [["id", "frame_index", "h", "w"]])
 
 
 # ---------------- extended query kinds (term-level + compound) ----------------
@@ -991,6 +1055,48 @@ def nested_query(sf_dir: str):
 
     out = nested.map_batches(nested_match, batch_format="pyarrow").to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def ft_multi_match_cross(sf_dir: str):
+    """multi_match cross_fields: term-centric — each analyzed term scores on
+    its best field, summed across terms."""
+    return all_matches(sf_dir, {
+        "kind": "multi_match", "text": "data src3",
+        "fields": ["text", "source"], "type": "cross_fields"})
+
+
+def ip_cidr_filter(sf_dir: str):
+    """CIDR term filter on an `ip`-typed field (IpFieldMapper semantics):
+    synthetic per-user IPv4, filter to 0.0.0.0/3 (v < 2^29)."""
+    def bucketize(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        ip = (uid * np.uint64(2654435761)) % np.uint64(1 << 32)
+        keep = ip < np.uint64(1 << 29)
+        octets = np.stack([(ip >> np.uint64(s)) & np.uint64(255)
+                           for s in (24, 16, 8, 0)], axis=1)
+        dotted = np.array([".".join(map(str, o)) for o in octets], dtype=object)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ip": pa.array(dotted.astype(str)),
+        }).filter(pa.array(keep))
+
+    users = _ds(sf_dir, "events", ["user_id"]).groupby("user_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    out = users.map_batches(bucketize, batch_format="pyarrow").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def ft_analyze_mapping(sf_dir: str):
+    """mapping char filter: literal replacements before tokenization."""
+    from ..analyzer import analyze_simple
+    from ..filters import mapping_char_filter
+
+    mapped = mapping_char_filter(
+        "C++ and C# beat COBOL :-)",
+        {"C++": "cplusplus", "C#": "csharp", ":-)": "smiley"})
+    toks = analyze_simple(mapped)
+    return pd.DataFrame({"position": pd.array(range(len(toks)), dtype="int64"),
+                         "token": toks})
 
 
 def ft_common_terms(sf_dir: str):

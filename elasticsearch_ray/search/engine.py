@@ -813,19 +813,32 @@ class IndexSearcher:
             return ids, np.full(ids.size, boost, np.float64)
         if kind == "multi_match":
             # MultiMatchQuery: best_fields = dis_max over per-field matches
-            # (tie_breaker), most_fields = sum of per-field matches
-            subs = []
+            # (tie_breaker), most_fields = sum of per-field matches,
+            # cross_fields = term-centric (per-TERM best field, summed)
+            field_boosts = []
             for f in q["fields"]:
                 fb = 1.0
                 if "^" in f:
                     f, fb_s = f.split("^", 1)
                     fb = float(fb_s)
+                field_boosts.append((f, fb))
+            mtype = q.get("type", "best_fields")
+            if mtype == "cross_fields":
+                terms = self.analyzer(q["text"])
+                parts = []
+                for t in dict.fromkeys(terms):
+                    subs_t = [{"kind": "term", "term": t, "field": f, "boost": fb}
+                              for f, fb in field_boosts]
+                    parts.append(self._dis_max(subs_t, 0.0, 1.0))
+                ids, sc = self._accumulate([p for p in parts if p[0].size])
+                return ids, sc * boost
+            subs = []
+            for f, fb in field_boosts:
                 sub = {"kind": "match", "text": q["text"], "field": f,
                        "boost": fb, "operator": q.get("operator", "or")}
                 if q.get("minimum_should_match") is not None:
                     sub["minimum_should_match"] = q["minimum_should_match"]
                 subs.append(sub)
-            mtype = q.get("type", "best_fields")
             if mtype == "best_fields":
                 return self._dis_max(subs, float(q.get("tie_breaker", 0.0)), boost)
             if mtype == "most_fields":

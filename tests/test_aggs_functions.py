@@ -242,3 +242,45 @@ def test_geohash_encode_known_vectors():
             "u4pruydqqvj"[:p]
     assert geohash_encode(np.array([-25.382708]), np.array([-49.265506]), 8)[0] == \
         "6gkzwgjz"
+
+
+def test_bmp_roundtrip_and_resize():
+    from elasticsearch_ray.functions.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 256, size=(21, 13, 3), dtype=np.uint8)  # odd width -> padding
+    assert np.array_equal(bmp_decode(bmp_encode(rgb)), rgb)
+    small = resize_nearest(rgb, 5, 7)
+    assert small.shape == (7, 5, 3)
+    assert np.array_equal(bmp_decode(bmp_encode(small)), small)
+
+
+def test_wav_roundtrip():
+    from elasticsearch_ray.functions.multimodal import wav_decode, wav_encode
+
+    s = (np.sin(np.linspace(0, 20, 800)) * 10000).astype(np.int16)
+    out, rate = wav_decode(wav_encode(s, 8000))
+    assert rate == 8000
+    assert np.allclose(out * 32768.0, s, atol=0.5)
+
+
+def test_video_container_sampling():
+    from elasticsearch_ray.functions.multimodal import (
+        VideoFrameSampleStage,
+        bmp_decode,
+        make_media_table,
+        video_frame_offsets,
+    )
+
+    t = make_media_table(3, "video", seed=1)
+    blob = t["media"][0].as_py()
+    offs = video_frame_offsets(blob)
+    assert len(offs) >= 4
+    out = VideoFrameSampleStage(n_frames=2)(t)
+    assert set(out["id"].to_pylist()) == {0, 1, 2}
+    for f in out["frame"].to_pylist():
+        assert bmp_decode(f).shape == (12, 16, 3)

@@ -197,3 +197,20 @@ def test_expansion_bounded_on_million_term_vocab():
     assert all(t.startswith("1a") for t in w)
     assert all(t.startswith("2b") for t in r)
     assert len(f) > 0
+
+
+def test_multi_match_cross_fields(fsearcher):
+    """cross_fields is term-centric: a term in BOTH fields takes its best
+    per-field score (dis_max per term), unlike most_fields which sums."""
+    cross_ids, cross_sc = fsearcher._eval({
+        "kind": "multi_match", "text": "fox", "fields": ["content", "title"],
+        "type": "cross_fields"})
+    c_ids, c_sc = fsearcher._eval({"kind": "match", "text": "fox"})
+    t_ids, t_sc = fsearcher._eval({"kind": "match", "field": "title", "text": "fox"})
+    assert list(cross_ids) == [0, 3]
+    # doc 0 has fox in both fields -> best-of, strictly less than the sum
+    assert cross_sc[0] == pytest.approx(max(c_sc[0], t_sc[0]))
+    most_ids, most_sc = fsearcher._eval({
+        "kind": "multi_match", "text": "fox", "fields": ["content", "title"],
+        "type": "most_fields"})
+    assert most_sc[0] > cross_sc[0]
