@@ -114,28 +114,9 @@ def knn_lsh(ds, queries: np.ndarray, k: int = 10, *, dim: int | None = None,
     sub = bucketed.map_batches(
         lambda t: t.filter(pc.is_in(t["bucket"], value_set=wanted_arr)),
         batch_format="pyarrow",
-    )
-    rows = sub.select_columns([id_col, vec_col, "bucket"]).to_pandas()
-    Qn = _normalize(Q)
-    out = {"query_id": [], id_col: [], "cosine": []}
-    for qi in range(Q.shape[0]):
-        cand = rows[rows.bucket.isin(probes[qi])]
-        if cand.empty:
-            continue
-        V = _normalize(np.stack(cand[vec_col].to_numpy()).astype(np.float32))
-        s = Qn[qi] @ V.T
-        kk = min(k, s.size)
-        top = np.argpartition(-s, kk - 1)[:kk]
-        ids = cand[id_col].to_numpy()
-        for c in top:
-            out["query_id"].append(qi)
-            out[id_col].append(int(ids[c]))
-            out["cosine"].append(float(round_half_away(float(s[c]), 6)))
-    df = pd.DataFrame(out)
-    df = df.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
-    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    return df
+    ).select_columns([id_col, vec_col, "bucket"])
+    return _bucketed_topk(sub, _normalize(Q), probes, "bucket", k,
+                          vec_col, id_col, np.float32)
 
 
 # ---------------- IVF (coarse-quantizer ANN, the scale path) ----------------
@@ -188,28 +169,68 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, *, n_centroids: int = 16,
     dq = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(dq, axis=1)[:, :nprobe]
     wanted = pa.array(sorted(set(probes.flatten().tolist())), pa.int64())
-    rows = assigned.map_batches(
+    sub = assigned.map_batches(
         lambda t: t.filter(pc.is_in(t["centroid"], value_set=wanted)),
         batch_format="pyarrow",
-    ).select_columns([id_col, vec_col, "centroid"]).to_pandas()
+    ).select_columns([id_col, vec_col, "centroid"])
+    probe_map = {qi: [int(b) for b in probes[qi]] for qi in range(Q.shape[0])}
+    return _bucketed_topk(sub, _normalize(Q.astype(np.float64)), probe_map,
+                          "centroid", k, vec_col, id_col, np.float64)
 
-    Qn = _normalize(Q.astype(np.float64))
-    out = {"query_id": [], id_col: [], "cosine": []}
-    for qi in range(Q.shape[0]):
-        cand = rows[rows.centroid.isin(probes[qi])]
-        if cand.empty:
-            continue
-        V = _normalize(np.stack(cand[vec_col].to_numpy()).astype(np.float64))
-        s = Qn[qi] @ V.T
-        kk = min(k, s.size)
-        top = np.argpartition(-s, kk - 1)[:kk]
-        ids = cand[id_col].to_numpy()
-        for c in top:
-            out["query_id"].append(qi)
-            out[id_col].append(int(ids[c]))
-            out["cosine"].append(float(round_half_away(float(s[c]), 6)))
-    df = pd.DataFrame(out)
-    df = df.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
+
+def _bucketed_topk(sub_ds, Qn: np.ndarray, probes: dict[int, list[int]],
+                   bucket_col: str, k: int, vec_col: str, id_col: str,
+                   dtype) -> pd.DataFrame:
+    """Dataset-side scoring of probed candidates: every batch scores ALL
+    queries against its rows, masks out rows whose bucket the query does not
+    probe, and emits a per-batch partial top-k — the driver only merges the
+    tiny (n_batches x n_queries x k) partial set. Nothing collects the
+    candidate vectors."""
+    import ray
+
+    inv: dict[int, list[int]] = {}
+    for qi, bs in probes.items():
+        for b in bs:
+            inv.setdefault(int(b), []).append(qi)
+    nq = Qn.shape[0]
+    shared = ray.put((Qn.astype(dtype), inv))
+
+    def partial(t: pa.Table) -> pa.Table:
+        Qm, inv_m = ray.get(shared)
+        ids = t[id_col].to_numpy()
+        buckets = t[bucket_col].to_numpy()
+        V = _normalize(np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(dtype))
+        S = Qm @ V.T  # (nq, batch)
+        mask = np.zeros((nq, ids.size), dtype=bool)
+        for b in np.unique(buckets):
+            for qi in inv_m.get(int(b), ()):
+                mask[qi, buckets == b] = True
+        S = np.where(mask, S, -np.inf)
+        rows = {"query_id": [], id_col: [], "cosine": []}
+        kk = min(k, ids.size)
+        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        for qi in range(nq):
+            for c in top[qi]:
+                if mask[qi, c]:
+                    rows["query_id"].append(qi)
+                    rows[id_col].append(int(ids[c]))
+                    rows["cosine"].append(
+                        float(round_half_away(float(S[qi, c]), 6)))
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            id_col: pa.array(rows[id_col], pa.int64()),
+            "cosine": pa.array(rows["cosine"], pa.float64()),
+        })
+
+    df = sub_ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=4096).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=np.float64),
+                             "rank": pd.Series([], dtype=np.int64)})
+    df = df.sort_values(["query_id", "cosine", id_col],
+                        ascending=[True, False, True])
     df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return df
