@@ -142,8 +142,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 2: real multimodal kernels (BMP / PCM-WAV / BMSQ)
         "multimodal_image_resize", "multimodal_audio_features",
         "multimodal_video_frames",
-        # round 2: cross_fields / ip CIDR / mapping char filter
+        # round 2: cross_fields / ip CIDR / mapping char filter / grok+kv
         "ft_multi_match_cross", "ip_cidr_filter", "ft_analyze_mapping",
+        "ingest_grok_kv",
+        # round 2: script query / span_multi / geo_polygon
+        "ft_script_query", "ft_span_multi", "geo_polygon",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -902,6 +905,25 @@ u AS (SELECT COALESCE(ts.doc_id, ss.doc_id) AS doc_id,
              COALESCE(s_text, 0) AS a, COALESCE(s_src, 0) AS b
       FROM ts FULL OUTER JOIN ss ON ts.doc_id = ss.doc_id)
 SELECT doc_id, ROUND(a + b, 4) AS score FROM u ORDER BY doc_id""",
+        "ft_script_query": """
+SELECT doc_id FROM documents WHERE n_chars > 300 AND n_chars < 400
+ORDER BY doc_id""",
+        "ft_span_multi": f"""
+WITH {_PTOK}
+SELECT DISTINCT doc_id FROM ptok WHERE term LIKE 'wind%' AND pos <= 7
+ORDER BY doc_id""",
+        "geo_polygon": f"""
+WITH {_GEO}
+SELECT user_id, lat, lon FROM g
+WHERE (60.0 - -60.0) * (lat - -40.0) - (-30.0 - -40.0) * (lon - -60.0) >= 0
+  AND (0.0 - 60.0) * (lat - -30.0) - (70.0 - -30.0) * (lon - 60.0) >= 0
+  AND (-60.0 - 0.0) * (lat - 70.0) - (-40.0 - 70.0) * (lon - 0.0) >= 0
+ORDER BY user_id""",
+        "ingest_grok_kv": """
+SELECT event_id, event_type AS kv_type,
+       CAST(user_id AS VARCHAR) AS kv_user,
+       CAST(user_id AS VARCHAR) AS uid_str
+FROM events ORDER BY event_id""",
         "ip_cidr_filter": """
 WITH u AS (SELECT DISTINCT user_id FROM events),
 ip AS (SELECT user_id, (user_id * 2654435761) % 4294967296 AS v FROM u)

@@ -199,3 +199,174 @@ def _put(t: pa.Table, col: str, arr) -> pa.Table:
     if col in t.column_names:
         return t.set_column(t.schema.get_field_index(col), col, arr)
     return t.append_column(col, arr)
+
+
+# ---------------- round 2: remaining ingest-common processors ----------------
+
+# minimal grok pattern library (the `grok` processor ships a large bank;
+# these cover the common access-log shapes — extend via the patterns arg)
+GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NUMBER": r"-?\d+(?:\.\d+)?",
+    "INT": r"-?\d+",
+    "IP": r"\d{1,3}(?:\.\d{1,3}){3}",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+}
+
+
+def grok(col: str, pattern: str, out_prefix: str = "",
+         patterns: dict[str, str] | None = None):
+    """`grok` processor: %{SYNTAX:name} named captures over a pattern bank."""
+    import re
+
+    bank = {**GROK_PATTERNS, **(patterns or {})}
+    names: list[str] = []
+
+    def sub(m):
+        syntax, name = m.group(1), m.group(2)
+        names.append(name)
+        return f"(?P<{name}>{bank[syntax]})"
+
+    regex = re.compile(re.sub(r"%\{(\w+):(\w+)\}", sub, pattern))
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in names}
+        for s in t[col].to_pylist():
+            m = regex.search(s) if s is not None else None
+            for k in names:
+                cols[k].append(m.group(k) if m else None)
+        for k in names:
+            t = _put(t, out_prefix + k, pa.array(cols[k], pa.string()))
+        return t
+
+    return f
+
+
+def kv(col: str, field_split: str = " ", value_split: str = "=",
+       out_prefix: str = "", include: list[str] | None = None):
+    """`kv` processor: parse key=value pairs into columns."""
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = include
+        rows = []
+        for s in t[col].to_pylist():
+            d = {}
+            if s:
+                for part in s.split(field_split):
+                    if value_split in part:
+                        k, v = part.split(value_split, 1)
+                        d[k] = v
+            rows.append(d)
+        if keys is None:
+            keys = sorted({k for d in rows for k in d})
+        for k in keys:
+            t = _put(t, out_prefix + k,
+                     pa.array([d.get(k) for d in rows], pa.string()))
+        return t
+
+    return f
+
+
+def csv_parse(col: str, target_fields: list[str], separator: str = ",",
+              quote: str = '"'):
+    """`csv` processor: split one CSV-formatted column into target fields."""
+    import csv as _csv
+    import io
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in target_fields}
+        for s in t[col].to_pylist():
+            vals = next(_csv.reader(io.StringIO(s or ""), delimiter=separator,
+                                    quotechar=quote), [])
+            for i, k in enumerate(target_fields):
+                cols[k].append(vals[i] if i < len(vals) else None)
+        for k in target_fields:
+            t = _put(t, k, pa.array(cols[k], pa.string()))
+        return t
+
+    return f
+
+
+def foreach(col: str, elem_fn, out: str | None = None):
+    """`foreach` processor: apply a vectorized function to every element of a
+    list column (applied once to the flattened child values)."""
+    out = out or col
+
+    def f(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        flat = elem_fn(c.flatten())
+        rebuilt = pa.ListArray.from_arrays(c.offsets, flat)
+        return _put(t, out, rebuilt)
+
+    return f
+
+
+def dot_expander(col: str):
+    """`dot_expander` processor: 'a.b' flat column -> struct column a{b}."""
+
+    def f(t: pa.Table) -> pa.Table:
+        parent, child = col.split(".", 1)
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        struct = pa.StructArray.from_arrays([c], names=[child])
+        return t.drop_columns([col]).append_column(parent, struct)
+
+    return f
+
+
+def date_index_name(col: str, prefix: str, rounding: str = "day",
+                    out: str = "_index"):
+    """`date_index_name` processor: route each doc to a time-partitioned
+    index/partition name (the write-partitioning key at scale)."""
+    unit = {"day": "day", "month": "month", "hour": "hour"}[rounding]
+    fmt = {"day": "%Y-%m-%d", "month": "%Y-%m", "hour": "%Y-%m-%d-%H"}[rounding]
+
+    def f(t: pa.Table) -> pa.Table:
+        floored = pc.floor_temporal(t[col], unit=unit)
+        names = pc.binary_join_element_wise(
+            pa.array([prefix] * len(t)), pc.strftime(floored, format=fmt), "-")
+        return _put(t, out, names)
+
+    return f
+
+
+class IngestFailure(Exception):
+    """Raised by the `fail` processor."""
+
+
+def fail_if(predicate, message: str = "ingest pipeline failed"):
+    """`fail` processor: abort the pipeline when any row matches."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = predicate(t)
+        if pc.any(mask).as_py():
+            raise IngestFailure(message)
+        return t
+
+    return f
+
+
+def sort_list(col: str, order: str = "ascending"):
+    """`sort` processor: sort each list element of a list column."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        flat = c.flatten().to_numpy(zero_copy_only=False)
+        offsets = c.offsets.to_numpy()
+        seg = np.repeat(np.arange(len(c)), np.diff(offsets))
+        # lexsort: stable sort by value within each list segment
+        key = flat if order == "ascending" else -flat
+        idx = np.lexsort((key, seg))
+        rebuilt = pa.ListArray.from_arrays(c.offsets, pa.array(flat[idx]))
+        return _put(t, col, rebuilt)
+
+    return f

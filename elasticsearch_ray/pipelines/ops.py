@@ -1057,6 +1057,71 @@ def nested_query(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def ft_script_query(sf_dir: str):
+    """script query (ScriptQueryBuilder, filter context): docs where the
+    docmeta expression is truthy."""
+    return all_matches(sf_dir, {"kind": "script",
+                                "script": "(n_chars > 300) & (n_chars < 400)"},
+                       with_score=False)
+
+
+def ft_span_multi(sf_dir: str):
+    """span_multi wrapping a prefix query, composed under span_first: a
+    wind*-prefixed term within the first 8 positions."""
+    return all_matches(sf_dir, {
+        "kind": "span_first",
+        "match": {"kind": "span_multi",
+                  "match": {"kind": "prefix", "prefix": "wind"}},
+        "end": 8}, with_score=False)
+
+
+def geo_polygon(sf_dir: str):
+    """geo_polygon query (GeoPolygonQueryBuilder): point-in-convex-polygon
+    via half-plane cross products over the synthetic user coordinates.
+    Triangle (lon,lat): A(-60,-40) B(60,-30) C(0,70), counter-clockwise."""
+    def filt(t: pa.Table) -> pa.Table:
+        g = _geo_cols(t)
+        x = g["lon"].to_numpy()
+        y = g["lat"].to_numpy()
+        ab = (60.0 - -60.0) * (y - -40.0) - (-30.0 - -40.0) * (x - -60.0)
+        bc = (0.0 - 60.0) * (y - -30.0) - (70.0 - -30.0) * (x - 60.0)
+        ca = (-60.0 - 0.0) * (y - 70.0) - (-40.0 - 70.0) * (x - 0.0)
+        keep = (ab >= 0) & (bc >= 0) & (ca >= 0)
+        return g.select(["user_id", "lat", "lon"]).filter(pa.array(keep))
+
+    users = _ds(sf_dir, "events", ["user_id"]).groupby("user_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    out = users.map_batches(filt, batch_format="pyarrow").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def ingest_grok_kv(sf_dir: str):
+    """grok + kv processors: synthesize a log line per event, parse it back
+    with the kv processor and grok-extract the numeric id."""
+    import pyarrow.compute as pc
+
+    from ..functions import ingest as I
+
+    def mk_line(t: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            "type=", t["event_type"], " user=",
+            pc.cast(t["user_id"], pa.string()), "")
+        return pa.table({"event_id": t["event_id"], "line": line})
+
+    pipe = I.pipeline(
+        I.kv("line", " ", "=", out_prefix="kv_"),
+        I.grok("line", r"user=%{INT:uid_str}"),
+    )
+    out = (
+        _ds(sf_dir, "events", ["event_id", "event_type", "user_id"])
+        .map_batches(mk_line, batch_format="pyarrow")
+        .map_batches(pipe, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out[["event_id", "kv_type", "kv_user", "uid_str"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def ft_multi_match_cross(sf_dir: str):
     """multi_match cross_fields: term-centric — each analyzed term scores on
     its best field, summed across terms."""

@@ -730,6 +730,21 @@ class IndexSearcher:
             elif modifier == "sqrt":
                 vals = np.sqrt(vals)
             return ids, sc * vals * boost
+        if kind == "script":
+            # ScriptQueryBuilder (filter context): keep docs where the numeric
+            # expression over docmeta fields is truthy; constant score
+            import re as _re
+
+            ids = self._all_doc_ids()
+            env: dict = {"log": np.log, "log1p": np.log1p, "sqrt": np.sqrt,
+                         "exp": np.exp, "abs": np.abs}
+            for name in set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", q["script"])):
+                if name not in env and name in self._meta_tables[0].column_names:
+                    env[name] = self._meta_values(name, ids).astype(np.float64)
+            mask = np.asarray(eval(q["script"], {"__builtins__": {}}, env),  # noqa: S307
+                              bool)
+            ids = ids[mask]
+            return ids, np.full(ids.size, boost, np.float64)
         if kind == "script_score":
             # ScriptScoreQueryBuilder: replace the inner query's score with a
             # numeric expression over _score and docmeta fields (the Painless
@@ -783,7 +798,7 @@ class IndexSearcher:
                 boost, field
             )
         if kind in ("span_or", "span_not", "span_first", "span_within",
-                    "span_containing", "span_term"):
+                    "span_containing", "span_term", "span_multi"):
             return self._span_docs(q, boost, field)
         if kind == "match_phrase_prefix":
             return self._phrase_prefix(q["text"], int(q.get("max_expansions", 50)),
@@ -1018,6 +1033,26 @@ class IndexSearcher:
                 order = np.argsort(s, kind="stable")
                 spans.append((s[order], e[order]))
             return cand, spans
+        if kind == "span_multi":
+            # SpanMultiTermQueryBuilder: expand the wrapped multi-term query
+            # (wildcard/prefix/fuzzy/regexp) against the dictionary, then
+            # behave as a span_or of span_terms
+            m = q["match"]
+            mk = m["kind"]
+            if mk == "prefix":
+                terms = [str(t) for t in self._terms_with_prefix(m["prefix"], field)]
+            elif mk == "wildcard":
+                terms = self._expand_wildcard(m["pattern"], field)
+            elif mk == "regexp":
+                terms = self._expand_regexp(m["pattern"], field)
+            elif mk == "fuzzy":
+                terms = self._expand_fuzzy(m["term"], int(m.get("fuzziness", 1)), field)
+            else:
+                raise ValueError(f"span_multi cannot wrap {mk!r}")
+            return self._span_eval(
+                {"kind": "span_or",
+                 "clauses": [{"kind": "span_term", "term": t} for t in terms]},
+                field)
         if kind == "span_or":
             parts = [self._span_eval(c, field) for c in q["clauses"]]
             parts = [p for p in parts if p[0].size]

@@ -284,3 +284,44 @@ def test_video_container_sampling():
     assert set(out["id"].to_pylist()) == {0, 1, 2}
     for f in out["frame"].to_pylist():
         assert bmp_decode(f).shape == (12, 16, 3)
+
+
+def test_ingest_round2_processors():
+    from elasticsearch_ray.functions import ingest as I
+
+    t = pa.table({
+        "line": ["GET /a 200 user=bob size=12", "POST /b 404 user=eve size=9"],
+        "nums": [[3, 1, 2], [9, 7, 8]],
+        "a.b": ["x", "y"],
+        "ts": pa.array([np.datetime64("2024-01-05T10:00:00"),
+                        np.datetime64("2024-02-01T00:30:00")]),
+        "csvline": ['a,"b,c",d', "e,f,g"],
+    })
+    # grok
+    g = I.grok("line", r"%{WORD:verb} %{NOTSPACE:path} %{INT:status}")(t)
+    assert g["verb"].to_pylist() == ["GET", "POST"]
+    assert g["status"].to_pylist() == ["200", "404"]
+    # kv
+    k = I.kv("line", " ", "=", out_prefix="kv_")(t)
+    assert k["kv_user"].to_pylist() == ["bob", "eve"]
+    assert k["kv_size"].to_pylist() == ["12", "9"]
+    # csv (quoted field)
+    c = I.csv_parse("csvline", ["c1", "c2", "c3"])(t)
+    assert c["c2"].to_pylist() == ["b,c", "f"]
+    # foreach (vectorized over flattened elements)
+    import pyarrow.compute as pc
+
+    fe = I.foreach("nums", lambda arr: pc.multiply(arr, 10))(t)
+    assert fe["nums"].to_pylist() == [[30, 10, 20], [90, 70, 80]]
+    # sort (list sort)
+    so = I.sort_list("nums")(t)
+    assert so["nums"].to_pylist() == [[1, 2, 3], [7, 8, 9]]
+    # dot_expander
+    de = I.dot_expander("a.b")(t)
+    assert de["a"].to_pylist() == [{"b": "x"}, {"b": "y"}]
+    # date_index_name
+    dn = I.date_index_name("ts", "logs", "month")(t)
+    assert dn["_index"].to_pylist() == ["logs-2024-01", "logs-2024-02"]
+    # fail
+    with pytest.raises(I.IngestFailure):
+        I.fail_if(lambda tb: pc.equal(tb["csvline"], "e,f,g"))(t)
