@@ -1418,12 +1418,10 @@ class IndexSearcher:
         # encode (candidate_index, aligned_position) as a single int64 key and
         # intersect the key sets term-by-term (positions per doc are unique,
         # so keys are unique); phrase freq = per-candidate surviving keys.
-        pos_maps = [self._positions_for(tp, cand) for tp in tps]
+        # Pairs come flattened from _positions_pairs (no per-candidate loop).
         inter = None
-        for (t, off), pm in zip(rel, pos_maps):
-            lens = np.fromiter((p.size for p in pm), np.int64, cand.size)
-            flat = np.concatenate(pm) if lens.sum() else np.empty(0, np.int64)
-            ci = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+        for (t, off), tp in zip(rel, tps):
+            ci, flat = self._positions_pairs(tp, cand)
             aligned = flat - off
             ok = aligned >= 0
             keys = np.sort((ci[ok] << np.int64(32)) | aligned[ok])
@@ -1448,6 +1446,50 @@ class IndexSearcher:
             w = boost * idf_sum * (self.bm25.k1 + 1)
             sc = self.bm25.score_tf(freqs, None, doc_lens[cand], avgdl, w)
         return cand, sc.astype(np.float64)
+
+    def _positions_pairs(self, tp: TermPostings, cand: np.ndarray):
+        """Flattened (cand_index, position) pairs for all candidates at once —
+        no per-candidate Python loop or array-of-arrays. Used by the phrase
+        verifier over large candidate sets; spans use _positions_for."""
+        ci_parts: list[np.ndarray] = []
+        pos_parts: list[np.ndarray] = []
+        for ri, (r, row_tfs) in enumerate(tp.pos_rows):
+            if not r["pos_bytes"]:
+                continue
+            cached = tp._pos_cache.get(ri)
+            if cached is None:
+                deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
+                row_ids = np.cumsum(deltas) - 1
+                flat = varbyte_decode(r["pos_bytes"]).astype(np.int64)
+                cuts = np.cumsum(row_tfs)
+                total = np.cumsum(flat)
+                if row_tfs.size > 1:
+                    corr_vals = np.concatenate([[0], total[cuts[:-1] - 1]])
+                    total = total - np.repeat(corr_vals, row_tfs)
+                starts = np.concatenate([[0], cuts[:-1]])
+                if len(tp._pos_cache) < 64:
+                    tp._pos_cache[ri] = (row_ids, total, starts, cuts)
+            else:
+                row_ids, total, starts, cuts = cached
+            idx = np.searchsorted(row_ids, cand)
+            safe = np.minimum(idx, row_ids.size - 1)
+            hit = np.flatnonzero(row_ids[safe] == cand)
+            if hit.size == 0:
+                continue
+            j = idx[hit]
+            lens = cuts[j] - starts[j]
+            tot = int(lens.sum())
+            if tot == 0:
+                continue
+            # flat gather: ranges [starts[j], cuts[j]) concatenated
+            prefix = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            gidx = np.repeat(starts[j] - prefix, lens) + np.arange(tot)
+            ci_parts.append(np.repeat(hit, lens))
+            pos_parts.append(total[gidx])
+        if not ci_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return (np.concatenate(ci_parts).astype(np.int64),
+                np.concatenate(pos_parts))
 
     def _positions_for(self, tp: TermPostings, cand: np.ndarray) -> list[np.ndarray]:
         """positions arrays aligned with cand (empty when doc lacks term).
