@@ -145,8 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 2: cross_fields / ip CIDR / mapping char filter / grok+kv
         "ft_multi_match_cross", "ip_cidr_filter", "ft_analyze_mapping",
         "ingest_grok_kv",
-        # round 2: script query / span_multi / geo_polygon
+        # round 2: script query / span_multi / geo_polygon / movavg models
         "ft_script_query", "ft_span_multi", "geo_polygon",
+        "agg_moving_avg_ewma", "agg_moving_avg_holt", "range_field_intersects",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -905,6 +906,41 @@ u AS (SELECT COALESCE(ts.doc_id, ss.doc_id) AS doc_id,
              COALESCE(s_text, 0) AS a, COALESCE(s_src, 0) AS b
       FROM ts FULL OUTER JOIN ss ON ts.doc_id = ss.doc_id)
 SELECT doc_id, ROUND(a + b, 4) AS score FROM u ORDER BY doc_id""",
+        "range_field_intersects": """
+SELECT event_id, ROUND(value, 2) AS r_lo, ROUND(value + 10.0, 2) AS r_hi
+FROM events WHERE value <= 110.0 AND value + 10.0 >= 100.0
+ORDER BY event_id""",
+        # ewma/holt mirror the engine's recursion EXACTLY (same float literals;
+        # 1-0.3 == 0.7 and 1-0.1 == 0.9 as doubles) via recursive CTEs
+        "agg_moving_avg_ewma": """
+WITH RECURSIVE h AS (
+  SELECT row_number() OVER (ORDER BY bucket) AS i, bucket, doc_count
+  FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+        FROM events GROUP BY 1)),
+r AS (
+  SELECT i, bucket, doc_count, CAST(doc_count AS DOUBLE) AS ewma
+  FROM h WHERE i = 1
+  UNION ALL
+  SELECT h.i, h.bucket, h.doc_count, 0.3 * h.doc_count + 0.7 * r.ewma
+  FROM h JOIN r ON h.i = r.i + 1)
+SELECT bucket, doc_count, ROUND(ewma, 4) AS ewma FROM r ORDER BY bucket""",
+        "agg_moving_avg_holt": """
+WITH RECURSIVE h AS (
+  SELECT row_number() OVER (ORDER BY bucket) AS i, bucket, doc_count
+  FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+        FROM events GROUP BY 1)),
+r AS (
+  SELECT i, bucket, doc_count, CAST(doc_count AS DOUBLE) AS level,
+         CAST(0 AS DOUBLE) AS trend, CAST(doc_count AS DOUBLE) AS holt
+  FROM h WHERE i = 1
+  UNION ALL
+  SELECT h.i, h.bucket, h.doc_count,
+         0.3 * h.doc_count + 0.7 * (r.level + r.trend),
+         0.1 * ((0.3 * h.doc_count + 0.7 * (r.level + r.trend)) - r.level)
+           + 0.9 * r.trend,
+         0.3 * h.doc_count + 0.7 * (r.level + r.trend)
+  FROM h JOIN r ON h.i = r.i + 1)
+SELECT bucket, doc_count, ROUND(holt, 4) AS holt FROM r ORDER BY bucket""",
         "ft_script_query": """
 SELECT doc_id FROM documents WHERE n_chars > 300 AND n_chars < 400
 ORDER BY doc_id""",

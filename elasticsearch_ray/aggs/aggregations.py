@@ -268,3 +268,37 @@ def median_absolute_deviation(ds, col: str) -> float:
         return pa.table({"dev": pc.abs(pc.subtract(t[col], med))})
 
     return exact_quantile(ds.map_batches(dev, batch_format="pyarrow"), "dev", 0.5)
+
+
+def moving_avg_ewma(frame: pd.DataFrame, col: str, alpha: float = 0.3,
+                    out_col: str = "ewma"):
+    """moving_avg `ewma` model (pipeline/MovAvgModel EwmaModel): s_0 = x_0,
+    s_i = alpha*x_i + (1-alpha)*s_{i-1} — over the (already tiny) reduced
+    bucket frame."""
+    frame = frame.copy()
+    x = frame[col].to_numpy(dtype=np.float64)
+    s = np.empty_like(x)
+    if x.size:
+        s[0] = x[0]
+        for i in range(1, x.size):
+            s[i] = alpha * x[i] + (1 - alpha) * s[i - 1]
+    frame[out_col] = s
+    return frame
+
+
+def moving_avg_holt(frame: pd.DataFrame, col: str, alpha: float = 0.3,
+                    beta: float = 0.1, out_col: str = "holt"):
+    """moving_avg `holt` (double-exponential) model: level + trend."""
+    frame = frame.copy()
+    x = frame[col].to_numpy(dtype=np.float64)
+    out = np.empty_like(x)
+    if x.size:
+        level, trend = x[0], 0.0
+        out[0] = x[0]
+        for i in range(1, x.size):
+            prev = level
+            level = alpha * x[i] + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+            out[i] = level
+    frame[out_col] = out
+    return frame

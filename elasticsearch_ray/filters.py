@@ -224,3 +224,56 @@ def make_analyzer_fn(*, char_filters=(), token_filters=()):
         return tokens
 
     return analyze
+
+
+# ---------------- tokenizers (CommonAnalysisPlugin tokenizer registrations) --
+
+
+def make_pattern_tokenizer(pattern: str = r"\W+", lowercase: bool = True):
+    """`pattern` tokenizer: SPLIT on the regex (Lucene PatternTokenizer
+    group=-1 default)."""
+    rx = re.compile(pattern)
+
+    def tokenize(text: str) -> list[str]:
+        if lowercase:
+            text = text.lower()
+        return [t for t in rx.split(text) if t]
+
+    return tokenize
+
+
+def keyword_tokenizer(text: str) -> list[str]:
+    """`keyword` tokenizer: the whole input as a single token."""
+    return [text] if text else []
+
+
+def make_char_group_tokenizer(chars: set[str] | str, lowercase: bool = True):
+    """`char_group` tokenizer: split on an explicit character set."""
+    cls = "[" + re.escape("".join(sorted(set(chars)))) + "]+"
+    rx = re.compile(cls)
+
+    def tokenize(text: str) -> list[str]:
+        if lowercase:
+            text = text.lower()
+        return [t for t in rx.split(text) if t]
+
+    return tokenize
+
+
+def make_ngram_tokenizer(min_gram: int = 2, max_gram: int = 3,
+                         lowercase: bool = True):
+    """`ngram` tokenizer: character n-grams over the raw text (whitespace
+    kept out, like token_chars: [letter, digit])."""
+    word_rx = re.compile(r"[a-z0-9]+")
+
+    def tokenize(text: str) -> list[str]:
+        if lowercase:
+            text = text.lower()
+        out: list[str] = []
+        for w in word_rx.findall(text):
+            for n in range(min_gram, max_gram + 1):
+                for i in range(0, len(w) - n + 1):
+                    out.append(w[i : i + n])
+        return out
+
+    return tokenize

@@ -1057,6 +1057,49 @@ def nested_query(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def range_field_intersects(sf_dir: str):
+    """range field type (RangeFieldMapper double_range) with an INTERSECTS
+    query: each event carries the range [value, value+10]; match ranges
+    intersecting the query range [100, 110]."""
+    q_lo, q_hi = 100.0, 110.0
+
+    def filt(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        r_lo, r_hi = v, v + 10.0
+        keep = (r_lo <= q_hi) & (r_hi >= q_lo)
+        return pa.table({
+            "event_id": t["event_id"],
+            "r_lo": pa.array(r_lo),
+            "r_hi": pa.array(r_hi),
+        }).filter(pa.array(keep))
+
+    out = (
+        _ds(sf_dir, "events", ["event_id", "value"])
+        .map_batches(filt, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["r_lo"] = round_half_away(out["r_lo"], 2)
+    out["r_hi"] = round_half_away(out["r_hi"], 2)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def agg_moving_avg_ewma(sf_dir: str):
+    """moving_avg `ewma` model over the daily histogram (MovAvgModel ewma:
+    s_i = a*x_i + (1-a)*s_{i-1})."""
+    base = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    out = A.moving_avg_ewma(base, "doc_count", alpha=0.3)
+    out["ewma"] = round_half_away(out["ewma"], 4)
+    return out[["bucket", "doc_count", "ewma"]]
+
+
+def agg_moving_avg_holt(sf_dir: str):
+    """moving_avg `holt` (double-exponential level+trend) model."""
+    base = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    out = A.moving_avg_holt(base, "doc_count", alpha=0.3, beta=0.1)
+    out["holt"] = round_half_away(out["holt"], 4)
+    return out[["bucket", "doc_count", "holt"]]
+
+
 def ft_script_query(sf_dir: str):
     """script query (ScriptQueryBuilder, filter context): docs where the
     docmeta expression is truthy."""

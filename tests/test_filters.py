@@ -99,3 +99,25 @@ def test_custom_analyzer_assembly():
 
     register_analyzer("my_custom", an)
     assert get_analyzer("my_custom")("C++") == ["cplusplus"]
+
+
+def test_tokenizers():
+    from elasticsearch_ray.filters import (
+        keyword_tokenizer,
+        make_char_group_tokenizer,
+        make_ngram_tokenizer,
+        make_pattern_tokenizer,
+    )
+
+    assert make_pattern_tokenizer(r",")("a,b,,c") == ["a", "b", "c"]
+    assert keyword_tokenizer("New York") == ["New York"]
+    assert keyword_tokenizer("") == []
+    assert make_char_group_tokenizer("-_ ")("foo-bar_baz qux") == \
+        ["foo", "bar", "baz", "qux"]
+    assert make_ngram_tokenizer(2, 3)("ab cde") == \
+        ["ab", "cd", "de", "cde"]
+
+    from elasticsearch_ray.analyzer import get_analyzer, register_analyzer
+
+    register_analyzer("csvish", make_pattern_tokenizer(r"[,;]"))
+    assert get_analyzer("csvish")("A,b;C") == ["a", "b", "c"]
