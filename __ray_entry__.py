@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 2: script query / span_multi / geo_polygon / movavg models
         "ft_script_query", "ft_span_multi", "geo_polygon",
         "agg_moving_avg_ewma", "agg_moving_avg_holt", "range_field_intersects",
+        "mapping_infer",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -906,6 +907,13 @@ u AS (SELECT COALESCE(ts.doc_id, ss.doc_id) AS doc_id,
              COALESCE(s_text, 0) AS a, COALESCE(s_src, 0) AS b
       FROM ts FULL OUTER JOIN ss ON ts.doc_id = ss.doc_id)
 SELECT doc_id, ROUND(a + b, 4) AS score FROM u ORDER BY doc_id""",
+        # expected dynamic mapping of the documents table: ints -> long,
+        # low-cardinality strings -> keyword, high-cardinality -> text
+        "mapping_infer": """
+SELECT * FROM (VALUES
+  ('doc_id', 'long'), ('lang', 'keyword'), ('n_chars', 'long'),
+  ('source', 'keyword'), ('text', 'text')) AS t(field, es_type)
+ORDER BY field""",
         "range_field_intersects": """
 SELECT event_id, ROUND(value, 2) AS r_lo, ROUND(value + 10.0, 2) AS r_hi
 FROM events WHERE value <= 110.0 AND value + 10.0 >= 100.0

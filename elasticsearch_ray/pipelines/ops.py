@@ -1057,6 +1057,17 @@ def nested_query(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def mapping_infer(sf_dir: str):
+    """dynamic mapping inference (_mapping API analog): Arrow schema +
+    sampled cardinality -> ES field types for the documents table."""
+    from ..sources.reader import infer_mapping
+
+    m = infer_mapping(os.path.join(sf_dir, "documents.parquet"))
+    items = sorted(m.items())
+    return pd.DataFrame({"field": [k for k, _ in items],
+                         "es_type": [v for _, v in items]})
+
+
 def range_field_intersects(sf_dir: str):
     """range field type (RangeFieldMapper double_range) with an INTERSECTS
     query: each event carries the range [value, value+10]; match ranges

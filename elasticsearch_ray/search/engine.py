@@ -422,8 +422,12 @@ class IndexSearcher:
         wand_min_postings: int = 1 << 18,
         lazy: bool | None = None,
         main_field: str = "content",
+        field_aliases: dict[str, str] | None = None,
     ):
         self.main_field = main_field
+        # alias field type (index/mapper/FieldAliasMapper.java): query-time
+        # name indirection, resolved before any field lookup
+        self.field_aliases = dict(field_aliases or {})
         manifests = live_segments(committed_segments(index_dir))
         if segments is not None:
             manifests = {k: v for k, v in manifests.items() if k in set(segments)}
@@ -481,7 +485,10 @@ class IndexSearcher:
     # ---------- fields ----------
 
     def _norm_field(self, field: str | None) -> str | None:
-        """None == the searcher's main content field (unprefixed terms)."""
+        """None == the searcher's main content field (unprefixed terms).
+        Aliases resolve first (FieldAliasMapper indirection)."""
+        if field is not None:
+            field = self.field_aliases.get(field, field)
         return None if field in (None, self.main_field) else field
 
     def _fkey(self, field: str | None) -> str:
@@ -1244,6 +1251,7 @@ class IndexSearcher:
         stored value directly (doc-values presence)."""
         import pyarrow.compute as _pc
 
+        field = self.field_aliases.get(field, field)
         if field == self.main_field:
             return self._all_doc_ids()
         col = f"len_{field}" if field in self.extra_fields else field

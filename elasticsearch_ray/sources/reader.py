@@ -77,6 +77,51 @@ def read_fragment(frag: Fragment | dict, columns: list[str] | None = None):
     return t.append_column("doc_id", doc_ids)
 
 
+def infer_mapping(path_or_dir: str | list[str], *, sample_rows: int = 1024,
+                  keyword_max_distinct_ratio: float = 0.5):
+    """Dynamic mapping inference (DocumentParser.java:511-514 dynamic-type
+    analog over Arrow schemas): Arrow type -> ES field type, with the
+    text/keyword split decided by a sampled distinct ratio (low-cardinality
+    strings map to keyword like dynamic string mapping's keyword sub-field
+    dominant use). Footer + one sampled row-group read only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    files = list_parquet_files(path_or_dir)
+    pf = pq.ParquetFile(files[0])
+    t = pf.read_row_group(0)
+    if len(t) > sample_rows:
+        t = t.slice(0, sample_rows)
+    out: dict[str, str] = {}
+    for fld in t.schema:
+        typ = fld.type
+        if pa.types.is_integer(typ):
+            es = "long"
+        elif pa.types.is_floating(typ):
+            es = "double"
+        elif pa.types.is_boolean(typ):
+            es = "boolean"
+        elif pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+            es = "date"
+        elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            n = len(t)
+            distinct = pc.count_distinct(t[fld.name]).as_py() if n else 0
+            es = "keyword" if n and distinct / n <= keyword_max_distinct_ratio \
+                else "text"
+        elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+            es = "binary"
+        elif pa.types.is_list(typ) and pa.types.is_floating(typ.value_type):
+            es = "dense_vector"
+        elif pa.types.is_list(typ):
+            es = "array"
+        elif pa.types.is_struct(typ):
+            es = "object"
+        else:
+            es = "keyword"
+        out[fld.name] = es
+    return out
+
+
 def fetch_rows_by_doc_id(path_or_dir: str | list[str], doc_ids,
                          columns: list[str] | None = None):
     """Row-group-pruned point lookups for the fetch phase: doc_id = fragment

@@ -214,3 +214,42 @@ def test_multi_match_cross_fields(fsearcher):
         "kind": "multi_match", "text": "fox", "fields": ["content", "title"],
         "type": "most_fields"})
     assert most_sc[0] > cross_sc[0]
+
+
+def test_field_alias(fsearcher):
+    """alias field type: query-time name indirection (FieldAliasMapper)."""
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    s = IndexSearcher(fsearcher.segments[0].dir.rsplit("/", 1)[0],
+                      field_aliases={"headline": "title", "body": "content"})
+    a, _ = s._eval({"kind": "term", "field": "headline", "term": "fox"})
+    b, _ = s._eval({"kind": "term", "field": "title", "term": "fox"})
+    assert list(a) == list(b) == [0]
+    c, _ = s._eval({"kind": "match", "field": "body", "text": "fox"})
+    assert list(c) == [0, 3]
+    e1, _ = s._eval({"kind": "exists", "field": "headline"})
+    assert list(e1) == [0, 1, 2]
+
+
+def test_infer_mapping(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.sources.reader import infer_mapping
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "price": pa.array([1.5, 2.5, 3.5]),
+        "flag": pa.array([True, False, True]),
+        "ts": pa.array([1, 2, 3], pa.timestamp("s")),
+        "cat": pa.array(["a", "a", "a"]),          # low distinct -> keyword
+        "body": pa.array(["x1 y", "z2 w", "q3 r"]),  # all distinct -> text
+        "blob": pa.array([b"a", b"b", b"c"], pa.binary()),
+        "emb": pa.array([[0.1], [0.2], [0.3]], pa.list_(pa.float32())),
+    })
+    p = str(tmp_path / "m.parquet")
+    pq.write_table(t, p)
+    m = infer_mapping(p)
+    assert m == {"id": "long", "price": "double", "flag": "boolean",
+                 "ts": "date", "cat": "keyword", "body": "text",
+                 "blob": "binary", "emb": "dense_vector"}
