@@ -45,3 +45,26 @@ def test_partition_stats_differ_without_dfs(index_dir):
     glob = IndexSearcher(index_dir)
     assert part.n_docs < glob.n_docs
     assert part.global_df("def") < glob.global_df("def")
+
+
+def test_distributed_round2_kinds(index_dir):
+    """Round-2 query kinds must also be partition-invariant (the DFS term
+    collection covers simple_query_string / query_string / multi_match /
+    common / script_score)."""
+    glob = IndexSearcher(index_dir)
+    dist = DistributedSearcher(index_dir, num_searchers=3)
+    queries = [
+        {"kind": "simple_query_string", "query": "def tree -zzz", "k": 10},
+        {"kind": "query_string", "query": "def AND (tree OR node) -zzzmissing", "k": 10},
+        {"kind": "common", "text": "def tree", "cutoff_frequency": 0.5, "k": 10},
+        {"kind": "script_score", "query": {"kind": "term", "term": "def"},
+         "script": "_score * 2.0", "k": 10},
+        {"kind": "exists", "field": "lang", "k": 10},
+        {"kind": "bool", "k": 10},  # clause-less -> match_all semantics
+    ]
+    for q in queries:
+        g_ids, g_sc = glob.search(q)
+        d_ids, d_sc = dist.search(q)
+        assert list(g_ids) == list(d_ids), f"doc order mismatch: {q}"
+        np.testing.assert_allclose(
+            np.asarray(g_sc, np.float64), d_sc, rtol=1e-7, err_msg=str(q))
