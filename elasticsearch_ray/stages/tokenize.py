@@ -96,87 +96,134 @@ class TokenizeFragments:
             t = read_fragment(frag, columns=cols)
             yield self._process(t, frag)
 
+    def _group_field(self, token_streams: list, doc_ids: np.ndarray,
+                     norm_lens: np.ndarray, *, key_prefix: str = "",
+                     salt_hot: bool = False) -> pa.Table | None:
+        """Vectorized (doc, term) aggregation for one field: flatten every
+        doc's (term, pos) stream, factorize terms once, ONE lexsort over
+        (doc, term_code) — positions stay in stream order because the sort is
+        stable — then run-length boundaries give (doc, term, tf, positions)
+        groups with no per-term Python dicts or per-row appends."""
+        import pyarrow.compute as _pc
+
+        nb, cr, hot = self.num_buckets, self.chunk_range, self.hot_terms
+        bcache = self._bucket_cache
+        lens = np.fromiter((len(s) for s in token_streams), np.int64,
+                           len(token_streams))
+        total = int(lens.sum())
+        if total == 0:
+            return None
+        terms_flat = np.empty(total, dtype=object)
+        pos_flat = np.empty(total, dtype=np.int32)
+        w = 0
+        for toks in token_streams:
+            for term, p in toks:
+                terms_flat[w] = term
+                pos_flat[w] = p
+                w += 1
+        doc_idx = np.repeat(np.arange(lens.size), lens)
+        import pandas as pd
+
+        codes, uniques = pd.factorize(terms_flat, sort=False)
+        # stable sort: doc-major, term-code-minor; per-group positions keep
+        # their original (ascending) stream order
+        order = np.lexsort((codes, doc_idx))
+        d_s, c_s, p_s = doc_idx[order], codes[order], pos_flat[order]
+        change = np.empty(total, dtype=bool)
+        change[0] = True
+        change[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, total))
+        g_doc = d_s[starts]
+        g_code = c_s[starts]
+
+        keys = [key_prefix + str(u) for u in uniques]
+        cold_buckets = np.empty(len(keys), np.int32)
+        for i, k in enumerate(keys):
+            b = bcache.get(k)
+            if b is None:
+                b = bcache[k] = term_bucket(k, 0, nb)
+            cold_buckets[i] = b
+        bucket = cold_buckets[g_code]
+        chunk = np.zeros(g_code.size, dtype=np.int32)
+        if salt_hot and hot:
+            hot_mask_u = np.fromiter((str(u) in hot for u in uniques), bool,
+                                     len(keys))
+            hm = hot_mask_u[g_code]
+            if hm.any():
+                hchunks = (doc_ids[g_doc[hm]] // cr).astype(np.int32)
+                chunk[hm] = hchunks
+                bucket[hm] = np.fromiter(
+                    (term_bucket(keys[c], int(ch), nb)
+                     for c, ch in zip(g_code[hm], hchunks)),
+                    np.int32, int(hm.sum()))
+
+        term_col = _pc.take(pa.array(keys, pa.string()), pa.array(g_code))
+        if self.index_positions:
+            offsets = np.zeros(g_code.size + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            pos_col = pa.ListArray.from_arrays(pa.array(offsets),
+                                               pa.array(p_s, pa.int32()))
+        else:
+            pos_col = pa.ListArray.from_arrays(
+                pa.array(np.zeros(g_code.size + 1, np.int32)),
+                pa.array([], pa.int32()))
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int32()),
+            "term": term_col,
+            "chunk": pa.array(chunk, pa.int32()),
+            "doc_id": pa.array(doc_ids[g_doc].astype(np.int64)),
+            "tf": pa.array(counts.astype(np.int32)),
+            "norm_len": pa.array(norm_lens[g_doc].astype(np.int32)),
+            "positions": pos_col,
+        })
+
     def _process(self, t: pa.Table, frag: dict) -> pa.Table:
         an = self.analyzer
         contents = t[self.content_column].to_pylist()
         doc_ids = t["doc_id"].to_numpy()
-        out_bucket: list[int] = []
-        out_term: list[str] = []
-        out_chunk: list[int] = []
-        out_doc: list[int] = []
-        out_tf: list[int] = []
-        out_norm: list[int] = []
-        out_pos: list[list[int]] = []
         doc_lens = np.zeros(len(contents), dtype=np.int64)
         shas: list[str] = []
 
-        nb, cr, hot = self.num_buckets, self.chunk_range, self.hot_terms
         from ..smallfloat import byte4_to_int
 
-        bcache = self._bucket_cache
-        per_doc: list[dict[str, list[int]]] = []
+        streams = []
         for di, text in enumerate(contents):
             toks = an.positions(text)
             doc_lens[di] = len(toks)
             shas.append(hashlib.sha256(text.encode()).hexdigest())
-            per_term: dict[str, list[int]] = {}
-            for term, pos in toks:
-                per_term.setdefault(term, []).append(pos)
-            per_doc.append(per_term)
+            streams.append(toks)
         # vectorized lossy norm round-trip (quantized decoded lengths)
         norm_lens = byte4_to_int(int_to_byte4(doc_lens))
-        for di, per_term in enumerate(per_doc):
-            doc_id = int(doc_ids[di])
-            norm_len = int(norm_lens[di])
-            for term, positions in per_term.items():
-                if term in hot:
-                    chunk = doc_id // cr
-                    bucket = term_bucket(term, chunk, nb)
-                else:
-                    chunk = 0
-                    bucket = bcache.get(term)
-                    if bucket is None:
-                        bucket = bcache[term] = term_bucket(term, 0, nb)
-                out_bucket.append(bucket)
-                out_term.append(term)
-                out_chunk.append(chunk)
-                out_doc.append(doc_id)
-                out_tf.append(len(positions))
-                out_norm.append(norm_len)
-                out_pos.append(positions if self.index_positions else [])
+        parts = []
+        main = self._group_field(streams, doc_ids, norm_lens, salt_hot=True)
+        if main is not None:
+            parts.append(main)
 
         # extra indexed fields: field-prefixed terms, per-field norms
         extra_meta: dict[str, tuple[list, list]] = {}
         for fld in self.extra_content_columns:
             vals = t[fld].to_pylist()
+            fstreams = []
             flens: list[int | None] = []
             fnormb: list[int | None] = []
+            f_norm_lens = np.zeros(len(vals), dtype=np.int64)
             for di, v in enumerate(vals):
                 if v is None:
                     flens.append(None)
                     fnormb.append(None)
+                    fstreams.append([])
                     continue
                 toks = an.positions(str(v))
                 flens.append(len(toks))
                 nb_byte = int(int_to_byte4(np.array([len(toks)]))[0])
                 fnormb.append(nb_byte)
-                f_norm_len = int(byte4_to_int(np.array([nb_byte], np.uint8))[0])
-                per_term_f: dict[str, list[int]] = {}
-                for term, pos in toks:
-                    per_term_f.setdefault(term, []).append(pos)
-                doc_id = int(doc_ids[di])
-                for term, positions in per_term_f.items():
-                    key = f"{fld}\x1f{term}"
-                    bucket = bcache.get(key)
-                    if bucket is None:
-                        bucket = bcache[key] = term_bucket(key, 0, nb)
-                    out_bucket.append(bucket)
-                    out_term.append(key)
-                    out_chunk.append(0)
-                    out_doc.append(doc_id)
-                    out_tf.append(len(positions))
-                    out_norm.append(f_norm_len)
-                    out_pos.append(positions if self.index_positions else [])
+                f_norm_lens[di] = int(byte4_to_int(np.array([nb_byte], np.uint8))[0])
+                fstreams.append(toks)
+            ft = self._group_field(fstreams, doc_ids, f_norm_lens,
+                                   key_prefix=f"{fld}\x1f")
+            if ft is not None:
+                parts.append(ft)
             extra_meta[fld] = (flens, fnormb)
 
         if self.docmeta_dir is not None:
@@ -202,17 +249,9 @@ class TokenizeFragments:
             pq.write_table(meta, path + ".tmp")
             os.replace(path + ".tmp", path)  # idempotent atomic per-fragment write
 
-        return pa.table(
-            {
-                "bucket": pa.array(out_bucket, pa.int32()),
-                "term": pa.array(out_term, pa.string()),
-                "chunk": pa.array(out_chunk, pa.int32()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "tf": pa.array(out_tf, pa.int32()),
-                "norm_len": pa.array(out_norm, pa.int32()),
-                "positions": pa.array(out_pos, pa.list_(pa.int32())),
-            }
-        )
+        if not parts:
+            return TRIPLES_SCHEMA.empty_table()
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
 
 _TOKENIZER_CACHE: dict[tuple, "TokenizeFragments"] = {}
