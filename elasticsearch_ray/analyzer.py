@@ -74,21 +74,31 @@ _SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9]+")
 _WHITESPACE_RE = re.compile(r"\S+")
 
 
+# memoized subword splits: code identifiers repeat heavily across a corpus,
+# so the regex subword pass runs once per DISTINCT raw token per worker
+_SUBWORD_CACHE: dict[str, tuple[str, ...]] = {}
+_SUBWORD_CACHE_CAP = 200_000
+
+
 def _code_tokens(text: str) -> list[str]:
     """Tokenize with word_delimiter_graph semantics; emits lowercase subwords
     in stream order (stopwords NOT yet removed)."""
     out: list[str] = []
     append = out.append
+    cache = _SUBWORD_CACHE
     for raw in _RAW_TOKEN_RE.findall(text):
         # fast path: pure lowercase letters = exactly one subword (the
         # overwhelmingly common case in code+prose)
         if raw.isalpha() and raw.islower():
             append(raw)
             continue
-        if "'" in raw:
-            raw = _POSSESSIVE_RE.sub("", raw)
-        for sub in _SUBWORD_RE.findall(raw):
-            append(sub.lower())
+        subs = cache.get(raw)
+        if subs is None:
+            r = _POSSESSIVE_RE.sub("", raw) if "'" in raw else raw
+            subs = tuple(s.lower() for s in _SUBWORD_RE.findall(r))
+            if len(cache) < _SUBWORD_CACHE_CAP:
+                cache[raw] = subs
+        out.extend(subs)
     return out
 
 
