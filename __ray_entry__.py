@@ -148,7 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 2: script query / span_multi / geo_polygon / movavg models
         "ft_script_query", "ft_span_multi", "geo_polygon",
         "agg_moving_avg_ewma", "agg_moving_avg_holt", "range_field_intersects",
-        "mapping_infer",
+        "mapping_infer", "agg_diversified_sampler",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -907,6 +907,15 @@ u AS (SELECT COALESCE(ts.doc_id, ss.doc_id) AS doc_id,
              COALESCE(s_text, 0) AS a, COALESCE(s_src, 0) AS b
       FROM ts FULL OUTER JOIN ss ON ts.doc_id = ss.doc_id)
 SELECT doc_id, ROUND(a + b, 4) AS score FROM u ORDER BY doc_id""",
+        "agg_diversified_sampler": """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS lang_rank
+  FROM documents)
+SELECT doc_id, lang, n_chars, lang_rank FROM ranked
+WHERE lang_rank <= 3
+ORDER BY n_chars DESC, doc_id LIMIT 30""",
         # expected dynamic mapping of the documents table: ints -> long,
         # low-cardinality strings -> keyword, high-cardinality -> text
         "mapping_infer": """

@@ -1057,6 +1057,26 @@ def nested_query(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def agg_diversified_sampler(sf_dir: str):
+    """diversified_sampler agg (bucket/sampler/DiversifiedAggregatorFactory):
+    top-30 docs by n_chars with AT MOST 3 per lang (the de-duplicating
+    diversity constraint the plain sampler lacks)."""
+    def rank_in_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).copy()
+        g["lang_rank"] = range(1, len(g) + 1)
+        return g.head(3)
+
+    capped = (
+        _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(rank_in_lang, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (capped.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+           .head(30).reset_index(drop=True))
+    return out[["doc_id", "lang", "n_chars", "lang_rank"]]
+
+
 def mapping_infer(sf_dir: str):
     """dynamic mapping inference (_mapping API analog): Arrow schema +
     sampled cardinality -> ES field types for the documents table."""
