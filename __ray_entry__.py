@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_script_query", "ft_span_multi", "geo_polygon",
         "agg_moving_avg_ewma", "agg_moving_avg_holt", "range_field_intersects",
         "mapping_infer", "agg_diversified_sampler",
+        # round 2: masked spans / chi2 heuristic / geo_shape / index sorting
+        "ft_span_masked", "agg_significant_chi2", "geo_shape_envelope",
+        "index_sorted_pruning",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -907,6 +910,50 @@ u AS (SELECT COALESCE(ts.doc_id, ss.doc_id) AS doc_id,
              COALESCE(s_text, 0) AS a, COALESCE(s_src, 0) AS b
       FROM ts FULL OUTER JOIN ss ON ts.doc_id = ss.doc_id)
 SELECT doc_id, ROUND(a + b, 4) AS score FROM u ORDER BY doc_id""",
+        "ft_span_masked": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> '')
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id FROM tok WHERE term = 'vector'
+  UNION ALL
+  SELECT doc_id FROM documents WHERE source = 'src3')
+ORDER BY doc_id""",
+        "agg_significant_chi2": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+fg_n AS (SELECT count(*) AS n FROM documents WHERE lang = 'zh'),
+bg_n AS (SELECT count(*) AS n FROM documents),
+counts AS (
+  SELECT term,
+         count(*) FILTER (WHERE d.lang = 'zh') AS fg_df,
+         count(*) AS bg_df
+  FROM tok JOIN documents d USING (doc_id) GROUP BY term),
+x AS (
+  SELECT term, fg_df, bg_df,
+         CAST(fg_df AS DOUBLE) AS a,
+         CAST(fg_n.n - fg_df AS DOUBLE) AS b,
+         CAST(bg_df - fg_df AS DOUBLE) AS c,
+         CAST((bg_n.n - fg_n.n) - (bg_df - fg_df) AS DOUBLE) AS d,
+         bg_n.n AS n
+  FROM counts CROSS JOIN fg_n CROSS JOIN bg_n)
+SELECT term, fg_df, bg_df,
+       ROUND(CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) > 0
+             THEN n * (a*d - b*c) * (a*d - b*c) / ((a+b)*(c+d)*(a+c)*(b+d))
+             ELSE 0 END, 6) AS chi2
+FROM x WHERE fg_df >= 5
+ORDER BY chi2 DESC, term LIMIT 10""",
+        "geo_shape_envelope": f"""
+WITH {_GEO}
+SELECT user_id, lat, lon FROM g
+WHERE lat - 2 <= 10 AND lat + 2 >= -10 AND lon - 2 <= 20 AND lon + 2 >= -20
+ORDER BY user_id""",
+        "index_sorted_pruning": """
+SELECT count(*) AS doc_count, ROUND(MIN(o_totalprice), 2) AS min_v
+FROM orders WHERE o_totalprice > 430000.0""",
         "agg_diversified_sampler": """
 WITH ranked AS (
   SELECT doc_id, lang, n_chars,

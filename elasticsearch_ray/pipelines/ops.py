@@ -1057,6 +1057,126 @@ def nested_query(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def ft_span_masked(sf_dir: str):
+    """span_field_masking: a source-field span composes with a text-field
+    span under span_or."""
+    return all_matches(sf_dir, {
+        "kind": "span_or",
+        "clauses": [
+            {"kind": "span_term", "term": "vector"},
+            {"kind": "span_field_masking", "field": "source",
+             "query": {"kind": "span_term", "term": "src3"}},
+        ]}, with_score=False)
+
+
+def agg_significant_chi2(sf_dir: str):
+    """significant_terms with the chi_square heuristic
+    (significant/heuristics/ChiSquare.java analog): standard 2x2 contingency
+    chi-square over (in-foreground, contains-term); fg = lang='zh'."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_simple
+
+    def partial(t: pa.Table) -> pa.Table:
+        fg, bg = Counter(), Counter()
+        for lang, s in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            terms = set(analyze_simple(s))
+            bg.update(terms)
+            if lang == "zh":
+                fg.update(terms)
+        allt = sorted(bg)
+        return pa.table({"term": allt,
+                         "fg_df": pa.array([fg.get(k, 0) for k in allt], pa.int64()),
+                         "bg_df": pa.array([bg[k] for k in allt], pa.int64())})
+
+    red = (
+        _ds(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("fg_df", alias_name="fg_df"), Sum("bg_df", alias_name="bg_df"))
+        .to_pandas()
+    )
+    import pyarrow.dataset as pads
+
+    meta = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["lang"])
+    fg_n = int((np.asarray(meta["lang"]) == "zh").sum())
+    bg_n = len(meta)
+    a = red.fg_df.astype(float)
+    b = fg_n - a
+    c = red.bg_df.astype(float) - a
+    d = (bg_n - fg_n) - c
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    red["chi2"] = round_half_away(
+        np.where(denom > 0, bg_n * (a * d - b * c) ** 2 / np.where(denom > 0, denom, 1), 0.0), 6)
+    red = red[red.fg_df >= 5]
+    red = red.sort_values(["chi2", "term"], ascending=[False, True]).head(10)
+    return red.reset_index(drop=True)[["term", "fg_df", "bg_df", "chi2"]]
+
+
+def geo_shape_envelope(sf_dir: str):
+    """geo_shape query (INTERSECTS relation, envelope vs per-user box
+    shapes): each user's shape is a box (lat±2, lon±2); query envelope is
+    lat [-10,10] x lon [-20,20]; rectangles intersect iff both interval
+    pairs overlap."""
+    def filt(t: pa.Table) -> pa.Table:
+        g = _geo_cols(t)
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        keep = ((lat - 2 <= 10) & (lat + 2 >= -10)
+                & (lon - 2 <= 20) & (lon + 2 >= -20))
+        return g.select(["user_id", "lat", "lon"]).filter(pa.array(keep))
+
+    users = _ds(sf_dir, "events", ["user_id"]).groupby("user_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    out = users.map_batches(filt, batch_format="pyarrow").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_SORTED_ORDERS_CACHE: dict[str, str] = {}
+
+
+def index_sorted_pruning(sf_dir: str):
+    """index sorting (index.sort.field analog): orders re-written SORTED by
+    o_totalprice with small row groups, so a range filter's parquet
+    row-group min/max stats prune most of the file at the read. Same result
+    as the unsorted scan; the pruning itself is pinned by pytest."""
+    path = _sorted_orders_path(sf_dir)
+    import ray.data as rd
+
+    ds = rd.read_parquet(path, columns=["o_orderkey", "o_totalprice"],
+                         filter=(pads_field("o_totalprice") > 430000.0))
+    out = ds.to_pandas()
+    return pd.DataFrame({
+        "doc_count": pd.array([len(out)], dtype="int64"),
+        "min_v": [float(round_half_away(out.o_totalprice.min(), 2))],
+    })
+
+
+def pads_field(name):
+    import pyarrow.dataset as pads
+
+    return pads.field(name)
+
+
+def _sorted_orders_path(sf_dir: str) -> str:
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.sha1(f"{src}:{os.path.getmtime(src)}:sorted:v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp/esray_cache", f"orders_sorted_{tag}.parquet")
+    if not os.path.exists(out):
+        os.makedirs("/tmp/esray_cache", exist_ok=True)
+        t = pq.read_table(src).sort_by([("o_totalprice", "ascending")])
+        pq.write_table(t, out + ".tmp", row_group_size=2048)
+        os.replace(out + ".tmp", out)
+    return out
+
+
 def agg_diversified_sampler(sf_dir: str):
     """diversified_sampler agg (bucket/sampler/DiversifiedAggregatorFactory):
     top-30 docs by n_chars with AT MOST 3 per lang (the de-duplicating

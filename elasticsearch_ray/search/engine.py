@@ -805,7 +805,8 @@ class IndexSearcher:
                 boost, field
             )
         if kind in ("span_or", "span_not", "span_first", "span_within",
-                    "span_containing", "span_term", "span_multi"):
+                    "span_containing", "span_term", "span_multi",
+                    "span_field_masking"):
             return self._span_docs(q, boost, field)
         if kind == "match_phrase_prefix":
             return self._phrase_prefix(q["text"], int(q.get("max_expansions", 50)),
@@ -1040,6 +1041,12 @@ class IndexSearcher:
                 order = np.argsort(s, kind="stable")
                 spans.append((s[order], e[order]))
             return cand, spans
+        if kind == "span_field_masking":
+            # SpanFieldMaskingQueryBuilder: evaluate the wrapped span against
+            # ITS field but report it under the masked name, so it composes
+            # with spans of the outer field (positions are comparable here
+            # because the algebra is field-agnostic after extraction)
+            return self._span_eval(q["query"], self._norm_field(q.get("field")))
         if kind == "span_multi":
             # SpanMultiTermQueryBuilder: expand the wrapped multi-term query
             # (wildcard/prefix/fuzzy/regexp) against the dictionary, then

@@ -325,3 +325,30 @@ def test_ingest_round2_processors():
     # fail
     with pytest.raises(I.IngestFailure):
         I.fail_if(lambda tb: pc.equal(tb["csvline"], "e,f,g"))(t)
+
+
+def test_index_sorted_pruning_reads_few_row_groups(ray_session):
+    """Index-sorted parquet: the range filter's covering row groups (by
+    min/max stats) are a small fraction of the file."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.ops import (
+        _sorted_orders_path,
+        index_sorted_pruning,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = index_sorted_pruning(sf)
+    assert int(out.doc_count.iloc[0]) > 0
+    md = pq.ParquetFile(_sorted_orders_path(sf)).metadata
+    col = None
+    needed = 0
+    for rg in range(md.num_row_groups):
+        for ci in range(md.row_group(rg).num_columns):
+            c = md.row_group(rg).column(ci)
+            if c.path_in_schema == "o_totalprice":
+                if c.statistics.max > 430000.0:
+                    needed += 1
+    assert md.num_row_groups >= 4
+    assert needed <= md.num_row_groups // 2, \
+        f"{needed}/{md.num_row_groups} row groups needed - no pruning benefit"
