@@ -151,7 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mapping_infer", "agg_diversified_sampler",
         # round 2: masked spans / chi2 heuristic / geo_shape / index sorting
         "ft_span_masked", "agg_significant_chi2", "geo_shape_envelope",
-        "index_sorted_pruning",
+        "index_sorted_pruning", "ft_search_as_you_type",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -910,6 +910,12 @@ u AS (SELECT COALESCE(ts.doc_id, ss.doc_id) AS doc_id,
              COALESCE(s_text, 0) AS a, COALESCE(s_src, 0) AS b
       FROM ts FULL OUTER JOIN ss ON ts.doc_id = ss.doc_id)
 SELECT doc_id, ROUND(a + b, 4) AS score FROM u ORDER BY doc_id""",
+        "ft_search_as_you_type": f"""
+WITH {_PTOK}
+SELECT DISTINCT a.doc_id AS doc_id
+FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE (a.term || ' ' || b.term) LIKE 'data qu%'
+ORDER BY doc_id""",
         "ft_span_masked": """
 WITH tok AS (
   SELECT doc_id, t AS term FROM (

@@ -170,11 +170,20 @@ def analyze_english(text: str) -> list[str]:
             if t not in ENGLISH_STOP_WORDS]
 
 
+def analyze_shingle2(text: str) -> list[str]:
+    """2-shingle analyzer (the search_as_you_type `_2gram` subfield shape:
+    SearchAsYouTypeFieldMapper's shingle subfields): space-joined word
+    bigrams of the simple token stream."""
+    toks = analyze_simple(text)
+    return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
 REGISTRY: dict[str, Analyzer] = {
     "code": Analyzer("code", analyze_code, analyze_code_positions),
     "simple": Analyzer("simple", analyze_simple),
     "whitespace": Analyzer("whitespace", analyze_whitespace),
     "english": Analyzer("english", analyze_english),
+    "shingle2": Analyzer("shingle2", analyze_shingle2),
 }
 
 

@@ -29,9 +29,11 @@ def documents_index(sf_dir: str) -> str:
     """Build-or-reuse the documents index for one sf dir; returns index dir.
 
     `source` is indexed as a second field (field-qualified terms + per-field
-    norms) so multi_match / per-field query_string clauses are real."""
+    norms) so multi_match / per-field query_string clauses are real, and
+    `text_2gram` is a shingle SUBFIELD of text (per-field analyzer — the
+    search_as_you_type `_2gram` shape)."""
     src = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.sha1(f"{src}:{os.path.getmtime(src)}:simple:v2".encode()).hexdigest()[:16]
+    tag = hashlib.sha1(f"{src}:{os.path.getmtime(src)}:simple:v3".encode()).hexdigest()[:16]
     out = os.path.join("/tmp/esray_cache", f"docidx_{tag}")
     build_index(
         src,
@@ -42,7 +44,7 @@ def documents_index(sf_dir: str) -> str:
         num_buckets=16,
         content_column="text",
         meta_columns=("lang", "source", "n_chars"),
-        extra_content_columns=("source",),
+        extra_content_columns=("source", ("text_2gram", "text", "shingle2")),
     )
     return out
 
@@ -52,7 +54,8 @@ def documents_searcher(sf_dir: str) -> IndexSearcher:
     if key not in _SEARCHERS:
         idx = documents_index(sf_dir)
         _SEARCHERS[key] = IndexSearcher(idx, score_mode="exact64", k1=K1, b=B,
-                                        main_field="text")
+                                        main_field="text",
+                                        field_analyzers={"text_2gram": "shingle2"})
     return _SEARCHERS[key]
 
 

@@ -1057,6 +1057,15 @@ def nested_query(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def ft_search_as_you_type(sf_dir: str):
+    """search_as_you_type (SearchAsYouTypeFieldMapper shape): the text field
+    carries a shingle `_2gram` subfield with its own analyzer; the partial
+    input 'data qu' matches via a PREFIX query against the bigram dictionary
+    (the bool_prefix completion path)."""
+    return all_matches(sf_dir, {"kind": "prefix", "field": "text_2gram",
+                                "prefix": "data qu"}, with_score=False)
+
+
 def ft_span_masked(sf_dir: str):
     """span_field_masking: a source-field span composes with a text-field
     span under span_or."""

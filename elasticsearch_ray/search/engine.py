@@ -423,11 +423,15 @@ class IndexSearcher:
         lazy: bool | None = None,
         main_field: str = "content",
         field_aliases: dict[str, str] | None = None,
+        field_analyzers: dict[str, str] | None = None,
     ):
         self.main_field = main_field
         # alias field type (index/mapper/FieldAliasMapper.java): query-time
         # name indirection, resolved before any field lookup
         self.field_aliases = dict(field_aliases or {})
+        # per-field query-time analyzers (PerFieldAnalyzerWrapper analog):
+        # field name -> analyzer name; unlisted fields use the main analyzer
+        self.field_analyzers = dict(field_analyzers or {})
         manifests = live_segments(committed_segments(index_dir))
         if segments is not None:
             manifests = {k: v for k, v in manifests.items() if k in set(segments)}
@@ -494,6 +498,11 @@ class IndexSearcher:
     def _fkey(self, field: str | None) -> str:
         field = self._norm_field(field)
         return "" if field is None else field + FIELD_SEP
+
+    def _analyzer_for(self, field: str | None):
+        field = self._norm_field(field)
+        name = self.field_analyzers.get(field) if field is not None else None
+        return get_analyzer(name) if name else self.analyzer
 
     def _field_stats(self, field: str | None):
         """(norm_bytes, doc_lens, avgdl, norm_cache32) for a field."""
@@ -651,7 +660,7 @@ class IndexSearcher:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             return tp.doc_ids, self._term_scores(tp, boost, field).astype(np.float64)
         if kind == "match":
-            terms = self.analyzer(q["text"])
+            terms = self._analyzer_for(field)(q["text"])
             op = q.get("operator", "or")
             if not terms:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -669,8 +678,8 @@ class IndexSearcher:
                 # sloppy phrase approximated by an unordered span_near with the
                 # same slop budget (constant-scored; exact sloppy-freq scoring
                 # is out of scope — MatchPhraseQueryBuilder slop semantics)
-                return self._span_near(self.analyzer(q["text"]), slop, False,
-                                       boost, field)
+                return self._span_near(self._analyzer_for(field)(q["text"]), slop,
+                                       False, boost, field)
             return self._phrase(q["text"], boost, field)
         if kind == "prefix":
             return self._prefix(q["prefix"], boost, field)
@@ -1138,7 +1147,7 @@ class IndexSearcher:
                        field: str | None = None):
         """match_phrase_prefix (MatchPhrasePrefixQueryBuilder): phrase whose
         last term is a prefix, expanded against the sorted term dictionary."""
-        terms = self.analyzer(text)
+        terms = self._analyzer_for(field)(text)
         if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         prefix = terms[-1]
@@ -1410,7 +1419,7 @@ class IndexSearcher:
         """PhraseQuery semantics [Lucene 8.5]: docs where terms appear at
         consecutive positions; freq = number of phrase occurrences; weight
         uses the SUM of the terms' idfs."""
-        terms_pos = self.analyzer.positions(text)
+        terms_pos = self._analyzer_for(field).positions(text)
         if not terms_pos:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         base0 = terms_pos[0][1]

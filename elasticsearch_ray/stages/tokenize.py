@@ -84,15 +84,26 @@ class TokenizeFragments:
         self.meta_columns = meta_columns
         # additional indexed text fields: terms keyed `<field>\x1f<term>` in
         # the same unified dictionary; per-field lengths/norms side-written to
-        # docmeta as len_<field> / normb_<field> (Lucene per-field norms)
+        # docmeta as len_<field> / normb_<field> (Lucene per-field norms).
+        # Entries are either "column" (field name == column, main analyzer) or
+        # (field_name, source_column, analyzer_name) — the subfield shape
+        # (e.g. a shingle subfield of the main text column, per-field
+        # analyzers like Lucene's PerFieldAnalyzerWrapper).
         self.extra_content_columns = tuple(extra_content_columns)
+        self._extra_fields: list[tuple[str, str, "object"]] = []
+        for entry in self.extra_content_columns:
+            if isinstance(entry, str):
+                self._extra_fields.append((entry, entry, self.analyzer))
+            else:
+                fname, col, an_name = entry
+                self._extra_fields.append((fname, col, get_analyzer(an_name)))
         self._bucket_cache: dict[str, int] = {}
 
     def __call__(self, batch: dict):
         for i in range(len(batch["path"])):
             frag = {k: batch[k][i] for k in ("path", "row_group", "offset", "num_rows")}
             cols = [c for c in self.meta_columns if c != "doc_id"] + [self.content_column]
-            cols += [c for c in self.extra_content_columns if c not in cols]
+            cols += [c for _, c, _ in self._extra_fields if c not in cols]
             t = read_fragment(frag, columns=cols)
             yield self._process(t, frag)
 
@@ -200,10 +211,11 @@ class TokenizeFragments:
         if main is not None:
             parts.append(main)
 
-        # extra indexed fields: field-prefixed terms, per-field norms
+        # extra indexed fields: field-prefixed terms, per-field norms and
+        # per-field analyzers (subfield support)
         extra_meta: dict[str, tuple[list, list]] = {}
-        for fld in self.extra_content_columns:
-            vals = t[fld].to_pylist()
+        for fld, col, f_an in self._extra_fields:
+            vals = t[col].to_pylist()
             fstreams = []
             flens: list[int | None] = []
             fnormb: list[int | None] = []
@@ -214,7 +226,7 @@ class TokenizeFragments:
                     fnormb.append(None)
                     fstreams.append([])
                     continue
-                toks = an.positions(str(v))
+                toks = f_an.positions(str(v))
                 flens.append(len(toks))
                 nb_byte = int(int_to_byte4(np.array([len(toks)]))[0])
                 fnormb.append(nb_byte)

@@ -253,3 +253,33 @@ def test_infer_mapping(tmp_path):
     assert m == {"id": "long", "price": "double", "flag": "boolean",
                  "ts": "date", "cat": "keyword", "body": "text",
                  "blob": "binary", "emb": "dense_vector"}
+
+
+def test_subfield_with_own_analyzer(tmp_path_factory, ray_session):
+    """Per-field analyzers: a shingle subfield of the main column indexes
+    bigram tokens; match on it analyzes the query with the subfield's
+    analyzer (PerFieldAnalyzerWrapper / search_as_you_type shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("subfield")
+    t = pa.table({
+        "repo": ["r"] * 3, "path": ["a", "b", "c"], "commit": ["c"] * 3,
+        "lang": ["x"] * 3,
+        "content": ["big data query", "data quick start", "other things here"],
+    })
+    src = str(d / "docs.parquet")
+    pq.write_table(t, src)
+    idx = str(d / "idx")
+    build_index(src, idx, analyzer="simple", num_buckets=2,
+                hot_terms=frozenset(),
+                extra_content_columns=(("content_2gram", "content", "shingle2"),))
+    s = IndexSearcher(idx, field_analyzers={"content_2gram": "shingle2"})
+    # prefix over the bigram dictionary: the as-you-type path
+    ids, _ = s._eval({"kind": "prefix", "field": "content_2gram",
+                      "prefix": "data qu"})
+    assert list(ids) == [0, 1]  # "data query" and "data quick"
+    # match on the subfield analyzes to shingles
+    ids, _ = s._eval({"kind": "match", "field": "content_2gram",
+                      "text": "big data query"})
+    assert list(ids) == [0]
