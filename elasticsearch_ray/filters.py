@@ -277,3 +277,98 @@ def make_ngram_tokenizer(min_gram: int = 2, max_gram: int = 3,
         return out
 
     return tokenize
+
+
+# ---------------- remaining CommonAnalysisPlugin filter registrations --------
+
+
+def unique_filter(tokens: list[str]) -> list[str]:
+    """`unique` token filter: drop duplicate tokens, keep first occurrence."""
+    seen: set[str] = set()
+    out = []
+    for t in tokens:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def trim_filter(tokens: list[str]) -> list[str]:
+    """`trim` token filter."""
+    return [t.strip() for t in tokens]
+
+
+def length_filter(tokens: list[str], min_len: int = 0, max_len: int = 255) -> list[str]:
+    """`length` token filter: keep tokens within [min, max] chars."""
+    return [t for t in tokens if min_len <= len(t) <= max_len]
+
+
+def limit_filter(tokens: list[str], max_token_count: int = 1) -> list[str]:
+    """`limit` token filter: keep only the first N tokens."""
+    return tokens[:max_token_count]
+
+
+def reverse_filter(tokens: list[str]) -> list[str]:
+    """`reverse` token filter (suffix-matching trick)."""
+    return [t[::-1] for t in tokens]
+
+
+def synonym_graph_filter(tokens: list[str],
+                         mapping: dict[str, list[str]]) -> list[str]:
+    """`synonym_graph` expand form: a token expands to multiple tokens
+    in-stream (single-token keys; the multi-word-KEY case needs the full
+    graph machinery and is out of scope)."""
+    out: list[str] = []
+    for t in tokens:
+        out.extend(mapping.get(t, [t]))
+    return out
+
+
+def min_hash_tokens(tokens: list[str], num_hashes: int = 4) -> list[str]:
+    """`min_hash` token filter: replace the stream with hex min-hash tokens
+    (one per hash function) — the near-dup signature field shape."""
+    import zlib
+
+    if not tokens:
+        return []
+    out = []
+    for i in range(num_hashes):
+        h = min(zlib.crc32(f"{i}\x00{t}".encode()) for t in set(tokens))
+        out.append(f"{h:08x}")
+    return out
+
+
+def fingerprint_analyze(text: str) -> list[str]:
+    """`fingerprint` analyzer: lowercase, dedupe, SORT, single joined token
+    (FingerprintAnalyzerProvider defaults)."""
+    toks = sorted(set(_STD_TOKEN_RE.findall(asciifolding(text).lower())))
+    return [" ".join(toks)] if toks else []
+
+
+def letter_tokenizer(text: str) -> list[str]:
+    """`letter` tokenizer: maximal runs of letters, lowercased."""
+    return re.findall(r"[a-z]+", text.lower())
+
+
+def path_hierarchy_tokenizer(text: str, delimiter: str = "/") -> list[str]:
+    """`path_hierarchy` tokenizer: /a/b/c -> [/a, /a/b, /a/b/c]."""
+    parts = [p for p in text.split(delimiter) if p]
+    lead = text.startswith(delimiter)
+    out = []
+    cur = ""
+    for p in parts:
+        cur = (cur + delimiter + p) if (cur or lead) else p
+        out.append(cur)
+    return out
+
+
+_URL_EMAIL_RE = re.compile(
+    r"[a-z0-9.+-]+@[a-z0-9.-]+\.[a-z]{2,}"     # email
+    r"|https?://[^\s]+"                         # url
+    r"|[a-z0-9]+", re.IGNORECASE)
+
+
+def uax_url_email_tokenizer(text: str) -> list[str]:
+    """`uax_url_email`-style tokenizer: emails and URLs survive as single
+    tokens; everything else splits on non-alphanumerics."""
+    return [t.lower() for t in _URL_EMAIL_RE.findall(text)]

@@ -121,3 +121,38 @@ def test_tokenizers():
 
     register_analyzer("csvish", make_pattern_tokenizer(r"[,;]"))
     assert get_analyzer("csvish")("A,b;C") == ["a", "b", "c"]
+
+
+def test_remaining_token_filters():
+    from elasticsearch_ray.filters import (
+        fingerprint_analyze,
+        length_filter,
+        letter_tokenizer,
+        limit_filter,
+        min_hash_tokens,
+        path_hierarchy_tokenizer,
+        reverse_filter,
+        synonym_graph_filter,
+        trim_filter,
+        uax_url_email_tokenizer,
+        unique_filter,
+    )
+
+    assert unique_filter(["a", "b", "a", "c", "b"]) == ["a", "b", "c"]
+    assert trim_filter([" a ", "b"]) == ["a", "b"]
+    assert length_filter(["a", "ab", "abc"], 2, 2) == ["ab"]
+    assert limit_filter(["a", "b", "c"], 2) == ["a", "b"]
+    assert reverse_filter(["abc"]) == ["cba"]
+    assert synonym_graph_filter(["ny", "pizza"], {"ny": ["new", "york"]}) == \
+        ["new", "york", "pizza"]
+    sig = min_hash_tokens(["a", "b", "c"], 4)
+    assert len(sig) == 4 and sig == min_hash_tokens(["c", "b", "a", "a"], 4)
+    assert fingerprint_analyze("The QUICK the brown") == ["brown quick the"]
+    assert letter_tokenizer("ab3cd ef") == ["ab", "cd", "ef"]
+    assert path_hierarchy_tokenizer("/usr/local/bin") == \
+        ["/usr", "/usr/local", "/usr/local/bin"]
+    assert path_hierarchy_tokenizer("a/b") == ["a", "a/b"]
+    toks = uax_url_email_tokenizer("mail bob@example.com or https://x.io/a?b=1 now")
+    assert "bob@example.com" in toks
+    assert any(t.startswith("https://x.io") for t in toks)
+    assert "mail" in toks and "now" in toks
