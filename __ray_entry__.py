@@ -84,74 +84,61 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from elasticsearch_ray.pipelines import ops
 
+    # Driver correctness window = first 50 entries. Round-3 rotation per
+    # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
+    # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
-        # full-text search family
+        # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
+        # (added as implemented)
+        # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
+        "ft_rescore", "agg_rare_terms", "agg_significant_terms",
+        "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
+        "ft_phrase_prefix", "ft_query_string", "agg_adjacency_matrix",
+        "agg_date_range", "agg_matrix_stats", "nested_query",
+        "geo_bounding_box", "geo_distance", "agg_sampler",
+        "agg_auto_date_histogram", "range_orders_pruned", "has_child",
+        "has_parent", "percolate", "ft_analyze", "delete_by_query",
+        "update_by_query", "reindex_docs", "ft_completion", "ft_termvectors",
+        "ft_match_msm", "agg_stats_bucket", "agg_percentiles_bucket",
+        "agg_bucket_script", "agg_moving_fn", "agg_serial_diff",
+        "ft_match_bool_prefix", "ft_intervals", "ingest_pipeline_demo",
+        "quality_filter", "source_roundtrip", "ft_exists",
+        "ft_multi_match_best", "ft_multi_match_most", "ft_query_string_adv",
+        "agg_missing", "agg_global", "agg_mad", "agg_terms_shard_error",
+        "agg_significant_text", "ft_script_score", "ft_distance_feature",
+        "ft_rank_feature", "ft_span_or", "ft_span_first", "ft_span_not",
+        "ft_span_within", "ft_highlight_unified", "phrase_suggest",
+        "ft_wrapper", "parent_id", "ft_scroll", "agg_geo_bounds",
+        "agg_geo_centroid", "agg_geotile_grid", "agg_geo_distance",
+        "agg_ip_range", "agg_nested", "agg_reverse_nested",
+        "ft_analyze_edge_ngram", "ft_analyze_shingle", "ft_analyze_synonym",
+        "ft_analyze_ascii", "ft_common_terms", "ft_matched_queries",
+        "inner_hits", "ft_intervals_prefix", "ft_multi_match_cross",
+        "ip_cidr_filter", "ft_analyze_mapping", "ingest_grok_kv",
+        "ft_script_query", "ft_span_multi", "geo_polygon",
+        "agg_moving_avg_ewma", "agg_moving_avg_holt",
+        "range_field_intersects", "mapping_infer", "agg_diversified_sampler",
+        "ft_span_masked", "agg_significant_chi2", "geo_shape_envelope",
+        "index_sorted_pruning", "ft_search_as_you_type",
+        # --- driver-unchecked, rows-only ---
+        "agg_percentile_ranks", "agg_scripted_metric", "knn_ivf",
+        "ft_explain", "agg_geohash_grid", "ft_analyze_stemmer",
+        "multimodal_image_resize", "multimodal_audio_features",
+        "multimodal_video_frames",
+        # --- twice-green (r01+r02 driver-verified) ---
         "ft_term", "ft_match_or", "ft_match_and", "ft_phrase", "ft_prefix",
         "ft_bool", "ft_topk", "ft_ids", "ft_suggest", "ft_highlight",
-        # aggregations
         "agg_terms", "agg_date_histogram", "agg_histogram", "agg_stats",
         "agg_extended_stats", "agg_cardinality", "agg_cardinality_hll",
         "agg_percentiles", "agg_composite", "agg_top_hits", "agg_cumsum",
         "agg_derivative", "agg_moving_avg", "agg_weighted_avg",
-        "agg_user_window", "range_agg", "search_after_orders", "update_old_new",
-        # dedup / text analysis / similarity
-        "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
-        "knn_bruteforce", "knn_lsh", "text_token_count", "text_quality",
-        "text_lang_id", "text_fingerprint", "top_terms", "multimodal_image_meta",
-        # extended query kinds + aggs (round 1b)
-        "ft_fuzzy", "ft_wildcard", "ft_regexp", "ft_terms_set", "ft_dis_max",
-        "ft_constant_score", "ft_boosting", "ft_function_score",
-        "ft_more_like_this", "ft_paginate", "ft_rescore", "agg_rare_terms",
-        "agg_significant_terms", "agg_filters", "terms_lookup", "ingest_extract",
-        "ft_span_near", "ft_phrase_prefix", "ft_query_string",
-        "agg_adjacency_matrix", "agg_date_range", "agg_matrix_stats",
-        # nested / geo / sampler / misc (round 1c)
-        "nested_query", "geo_bounding_box", "geo_distance", "agg_sampler",
-        "agg_auto_date_histogram", "agg_percentile_ranks",
-        "agg_scripted_metric", "knn_ivf", "range_orders_pruned", "ft_explain",
-        # parent-join / percolator / _analyze / by-query (round 1d)
-        "has_child", "has_parent", "percolate", "ft_analyze",
-        "delete_by_query", "update_by_query", "reindex_docs",
-        "ft_completion", "ft_termvectors", "ft_match_msm",
-        "agg_stats_bucket", "agg_percentiles_bucket", "agg_bucket_script",
-        "agg_moving_fn", "agg_serial_diff", "ft_match_bool_prefix",
-        "ft_intervals", "ingest_pipeline_demo", "quality_filter",
-        "source_roundtrip",
-        # round 2: fields, exists, multi_match, full query_string grammar
-        "ft_exists", "ft_multi_match_best", "ft_multi_match_most",
-        "ft_query_string_adv",
-        # round 2: missing-agg sweep
-        "agg_missing", "agg_global", "agg_mad", "agg_terms_shard_error",
-        "agg_significant_text",
-        # round 2: scoring query kinds
-        "ft_script_score", "ft_distance_feature", "ft_rank_feature",
-        # round 2: span family
-        "ft_span_or", "ft_span_first", "ft_span_not", "ft_span_within",
-        # round 2: wrapper/parent_id/scroll + geo/ip/nested aggs
-        "ft_highlight_unified", "phrase_suggest", "ft_wrapper", "parent_id",
-        "ft_scroll",
-        "agg_geo_bounds", "agg_geo_centroid", "agg_geotile_grid",
-        "agg_geohash_grid", "agg_geo_distance", "agg_ip_range",
-        "agg_nested", "agg_reverse_nested",
-        # round 2: analysis-chain filters
-        "ft_analyze_edge_ngram", "ft_analyze_shingle", "ft_analyze_stemmer",
-        "ft_analyze_synonym", "ft_analyze_ascii",
-        # round 2: common terms / matched_queries / inner_hits / intervals
-        "ft_common_terms", "ft_matched_queries", "inner_hits",
-        "ft_intervals_prefix",
-        # round 2: real multimodal kernels (BMP / PCM-WAV / BMSQ)
-        "multimodal_image_resize", "multimodal_audio_features",
-        "multimodal_video_frames",
-        # round 2: cross_fields / ip CIDR / mapping char filter / grok+kv
-        "ft_multi_match_cross", "ip_cidr_filter", "ft_analyze_mapping",
-        "ingest_grok_kv",
-        # round 2: script query / span_multi / geo_polygon / movavg models
-        "ft_script_query", "ft_span_multi", "geo_polygon",
-        "agg_moving_avg_ewma", "agg_moving_avg_holt", "range_field_intersects",
-        "mapping_infer", "agg_diversified_sampler",
-        # round 2: masked spans / chi2 heuristic / geo_shape / index sorting
-        "ft_span_masked", "agg_significant_chi2", "geo_shape_envelope",
-        "index_sorted_pruning", "ft_search_as_you_type",
+        "agg_user_window", "range_agg", "search_after_orders",
+        "update_old_new", "dedup_exact", "dedup_minhash", "dedup_simhash",
+        "dedup_embedding", "knn_bruteforce", "knn_lsh", "text_token_count",
+        "text_quality", "text_lang_id", "text_fingerprint", "top_terms",
+        "multimodal_image_meta", "ft_fuzzy", "ft_wildcard", "ft_regexp",
+        "ft_terms_set", "ft_dis_max", "ft_constant_score", "ft_boosting",
+        "ft_function_score", "ft_more_like_this", "ft_paginate",
     ]
     return {n: getattr(ops, n) for n in names}
 
