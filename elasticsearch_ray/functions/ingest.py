@@ -289,17 +289,41 @@ def csv_parse(col: str, target_fields: list[str], separator: str = ",",
     return f
 
 
+def _normalized_list(c):
+    """(zero-based offsets, flat values, null mask) for a list array.
+
+    `c.offsets` is the raw buffer — for a sliced array or one with null
+    entries it disagrees with `c.flatten()` (which respects slicing and skips
+    null lists), so offsets are rebuilt from per-list value lengths instead.
+    """
+    import numpy as np
+
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    lens = pc.list_value_length(c).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+    offsets = np.zeros(len(c) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    mask = pc.is_null(c) if c.null_count else None
+    return offsets, c.flatten(), mask
+
+
+def _rebuild_list(offsets, values, mask):
+    import numpy as np
+
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()), values,
+        mask=mask if mask is not None else None)
+
+
 def foreach(col: str, elem_fn, out: str | None = None):
     """`foreach` processor: apply a vectorized function to every element of a
     list column (applied once to the flattened child values)."""
     out = out or col
 
     def f(t: pa.Table) -> pa.Table:
-        c = t[col]
-        if isinstance(c, pa.ChunkedArray):
-            c = c.combine_chunks()
-        flat = elem_fn(c.flatten())
-        rebuilt = pa.ListArray.from_arrays(c.offsets, flat)
+        offsets, flat, mask = _normalized_list(t[col])
+        rebuilt = _rebuild_list(offsets, elem_fn(flat), mask)
         return _put(t, out, rebuilt)
 
     return f
@@ -357,16 +381,13 @@ def sort_list(col: str, order: str = "ascending"):
     def f(t: pa.Table) -> pa.Table:
         import numpy as np
 
-        c = t[col]
-        if isinstance(c, pa.ChunkedArray):
-            c = c.combine_chunks()
-        flat = c.flatten().to_numpy(zero_copy_only=False)
-        offsets = c.offsets.to_numpy()
-        seg = np.repeat(np.arange(len(c)), np.diff(offsets))
+        offsets, flat_arr, mask = _normalized_list(t[col])
+        flat = flat_arr.to_numpy(zero_copy_only=False)
+        seg = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
         # lexsort: stable sort by value within each list segment
         key = flat if order == "ascending" else -flat
         idx = np.lexsort((key, seg))
-        rebuilt = pa.ListArray.from_arrays(c.offsets, pa.array(flat[idx]))
+        rebuilt = _rebuild_list(offsets, pa.array(flat[idx]), mask)
         return _put(t, col, rebuilt)
 
     return f

@@ -1,0 +1,131 @@
+"""Restricted numeric-expression evaluator — the Painless-sandbox analog.
+
+The reference's `script` / `script_score` queries run Painless, which is a
+real sandbox precisely because scripts arrive inside client query dicts
+(modules/lang-painless/). Python ``eval`` with an empty ``__builtins__`` is
+NOT a sandbox (``().__class__.__bases__[0].__subclasses__()`` escapes it), so
+query-supplied expressions are parsed with ``ast`` and walked against an
+explicit whitelist instead: arithmetic / comparison / boolean-bitwise
+operators, numeric constants, whitelisted names, and calls to whitelisted
+functions only. Attribute access, subscripts, lambdas, comprehensions and
+starred/keyword call forms are rejected outright.
+"""
+
+from __future__ import annotations
+
+import ast
+from typing import Any, Mapping
+
+__all__ = ["ScriptError", "safe_eval_expr"]
+
+
+class ScriptError(ValueError):
+    """A query-supplied script failed validation or evaluation."""
+
+
+_BINOPS = {
+    ast.Add: lambda a, b: a + b,
+    ast.Sub: lambda a, b: a - b,
+    ast.Mult: lambda a, b: a * b,
+    ast.Div: lambda a, b: a / b,
+    ast.FloorDiv: lambda a, b: a // b,
+    ast.Mod: lambda a, b: a % b,
+    ast.Pow: lambda a, b: a ** b,
+    # & and | double as vectorized and/or over boolean arrays
+    ast.BitAnd: lambda a, b: a & b,
+    ast.BitOr: lambda a, b: a | b,
+    ast.BitXor: lambda a, b: a ^ b,
+}
+
+_UNARY = {
+    ast.USub: lambda a: -a,
+    ast.UAdd: lambda a: +a,
+    ast.Invert: lambda a: ~a,
+    ast.Not: lambda a: ~a if hasattr(a, "dtype") else (not a),
+}
+
+_CMPOPS = {
+    ast.Eq: lambda a, b: a == b,
+    ast.NotEq: lambda a, b: a != b,
+    ast.Lt: lambda a, b: a < b,
+    ast.LtE: lambda a, b: a <= b,
+    ast.Gt: lambda a, b: a > b,
+    ast.GtE: lambda a, b: a >= b,
+}
+
+
+def _eval_node(node: ast.AST, env: Mapping[str, Any]) -> Any:
+    if isinstance(node, ast.Expression):
+        return _eval_node(node.body, env)
+    if isinstance(node, ast.Constant):
+        if isinstance(node.value, (int, float, bool)):
+            return node.value
+        raise ScriptError(f"non-numeric constant {node.value!r}")
+    if isinstance(node, ast.Name):
+        if node.id not in env:
+            raise ScriptError(f"unknown name '{node.id}'")
+        return env[node.id]
+    if isinstance(node, ast.BinOp):
+        fn = _BINOPS.get(type(node.op))
+        if fn is None:
+            raise ScriptError(f"operator {type(node.op).__name__} not allowed")
+        return fn(_eval_node(node.left, env), _eval_node(node.right, env))
+    if isinstance(node, ast.UnaryOp):
+        fn = _UNARY.get(type(node.op))
+        if fn is None:
+            raise ScriptError(f"operator {type(node.op).__name__} not allowed")
+        return fn(_eval_node(node.operand, env))
+    if isinstance(node, ast.Compare):
+        left = _eval_node(node.left, env)
+        result = None
+        for op, comp in zip(node.ops, node.comparators):
+            fn = _CMPOPS.get(type(op))
+            if fn is None:
+                raise ScriptError(
+                    f"comparison {type(op).__name__} not allowed")
+            right = _eval_node(comp, env)
+            part = fn(left, right)
+            result = part if result is None else (result & part)
+            left = right
+        return result
+    if isinstance(node, ast.BoolOp):
+        # vectorized: and -> &, or -> | (operands are boolean arrays/scalars)
+        vals = [_eval_node(v, env) for v in node.values]
+        out = vals[0]
+        for v in vals[1:]:
+            out = (out & v) if isinstance(node.op, ast.And) else (out | v)
+        return out
+    if isinstance(node, ast.IfExp):
+        # evaluated non-lazily; fine for pure numeric expressions
+        test = _eval_node(node.test, env)
+        body = _eval_node(node.body, env)
+        orelse = _eval_node(node.orelse, env)
+        if hasattr(test, "dtype"):
+            import numpy as np
+
+            return np.where(test, body, orelse)
+        return body if test else orelse
+    if isinstance(node, ast.Call):
+        if not isinstance(node.func, ast.Name):
+            raise ScriptError("only direct calls to whitelisted functions")
+        if node.keywords:
+            raise ScriptError("keyword arguments not allowed")
+        fn = env.get(node.func.id)
+        if fn is None or not callable(fn):
+            raise ScriptError(f"unknown function '{node.func.id}'")
+        return fn(*[_eval_node(a, env) for a in node.args])
+    raise ScriptError(f"syntax {type(node).__name__} not allowed")
+
+
+def safe_eval_expr(expr: str, env: Mapping[str, Any]) -> Any:
+    """Evaluate a numeric expression against `env` under the whitelist.
+
+    `env` maps names to numpy arrays / scalars / whitelisted callables.
+    Raises ScriptError on any disallowed construct (attribute access,
+    subscripts, f-strings, comprehensions, non-numeric literals, ...).
+    """
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError as e:
+        raise ScriptError(f"invalid expression: {e}") from e
+    return _eval_node(tree, env)

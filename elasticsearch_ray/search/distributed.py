@@ -3,10 +3,14 @@
 Mirrors the reference's coordinator protocol (SURVEY.md §3.2):
   1. segment partitions assigned to long-lived searcher actors (the data-node
      role; shards -> actors);
-  2. DFS stats phase — per-term local dfs gathered and summed so every actor
-     scores with GLOBAL (N, avgdl, df) exactly like the reference's
-     dfs_query_then_fetch (action/search/SearchDfsQueryThenFetchAsyncAction.java,
-     DfsQueryPhase.java);
+  2. DFS stats phase — per-dictionary-key local dfs gathered and summed so
+     every actor scores with GLOBAL (N, avgdl, df) exactly like the
+     reference's dfs_query_then_fetch
+     (action/search/SearchDfsQueryThenFetchAsyncAction.java,
+     DfsQueryPhase.java). Keys are field-qualified (fkey+term) and collected
+     ON an actor (IndexSearcher.collect_query_keys) so per-field analyzers
+     and aliases resolve exactly as at scoring time; per-field token totals
+     ship alongside so per-field avgdl is global too.
   3. query phase fan-out — each actor returns its local top-k;
   4. reduce — k-way merge of the tiny per-actor candidate sets by
      (score desc, doc_id asc) (SearchPhaseController.mergeTopDocs:221-243).
@@ -20,52 +24,6 @@ from __future__ import annotations
 import numpy as np
 
 
-def _collect_query_terms(searcher_analyzer, q: dict) -> set[str]:
-    kind = q.get("kind")
-    out: set[str] = set()
-    if kind == "term":
-        out.add(q["term"])
-    elif kind in ("match", "match_phrase", "match_phrase_prefix"):
-        out.update(searcher_analyzer(q["text"]))
-    elif kind == "more_like_this":
-        out.update(searcher_analyzer(q["like"]))
-    elif kind == "span_near":
-        out.update(q.get("terms", []))
-    elif kind == "terms_set":
-        out.update(q.get("terms", []))
-    elif kind == "dis_max":
-        for sq in q.get("queries", []):
-            out |= _collect_query_terms(searcher_analyzer, sq)
-    elif kind in ("constant_score",):
-        out |= _collect_query_terms(searcher_analyzer, q["filter"])
-    elif kind == "boosting":
-        out |= _collect_query_terms(searcher_analyzer, q["positive"])
-        out |= _collect_query_terms(searcher_analyzer, q["negative"])
-    elif kind == "function_score":
-        out |= _collect_query_terms(searcher_analyzer, q["query"])
-    elif kind == "bool":
-        for cl in ("must", "should", "must_not", "filter"):
-            for sq in q.get(cl, []):
-                out |= _collect_query_terms(searcher_analyzer, sq)
-    elif kind == "simple_query_string":
-        from .engine import parse_simple_query_string
-
-        out |= _collect_query_terms(
-            searcher_analyzer, parse_simple_query_string(q["query"]))
-    elif kind == "query_string":
-        from .engine import parse_query_string
-
-        out |= _collect_query_terms(
-            searcher_analyzer, parse_query_string(q["query"]))
-    elif kind == "multi_match":
-        out.update(searcher_analyzer(q["text"]))
-    elif kind == "common":
-        out.update(searcher_analyzer(q["text"]))
-    elif kind == "script_score":
-        out |= _collect_query_terms(searcher_analyzer, q["query"])
-    return out
-
-
 class SearcherActor:
     """One data-node role: an IndexSearcher over a partition of segments."""
 
@@ -74,14 +32,19 @@ class SearcherActor:
 
         self.searcher = IndexSearcher(index_dir, segments=segments, **kw)
 
-    def term_dfs(self, terms: list[str]) -> dict[str, int]:
-        return self.searcher.local_term_dfs(terms)
+    def collect_keys(self, q: dict) -> list[str]:
+        return sorted(self.searcher.collect_query_keys(q))
 
-    def local_stats(self) -> tuple[int, int]:
-        return self.searcher.n_docs, self.searcher.sum_doc_len
+    def term_dfs(self, keys: list[str]) -> dict[str, int]:
+        return self.searcher.local_term_dfs(keys)
 
-    def set_stats(self, n_docs: int, sum_doc_len: int, df_map: dict) -> bool:
-        self.searcher.set_global_stats(n_docs, sum_doc_len, df_map)
+    def local_stats(self) -> tuple[int, int, dict]:
+        return (self.searcher.n_docs, self.searcher.sum_doc_len,
+                self.searcher.local_field_sums())
+
+    def set_stats(self, n_docs: int, sum_doc_len: int, df_map: dict,
+                  field_sums: dict) -> bool:
+        self.searcher.set_global_stats(n_docs, sum_doc_len, df_map, field_sums)
         return True
 
     def search(self, q: dict, use_wand: bool = True):
@@ -96,7 +59,6 @@ class DistributedSearcher:
         import ray
 
         from ..index.manifest import committed_segments, live_segments
-        from ..analyzer import get_analyzer
 
         live = live_segments(committed_segments(index_dir))
         seg_ids = sorted(live)
@@ -111,22 +73,26 @@ class DistributedSearcher:
         stats = ray.get([a.local_stats.remote() for a in self.actors])
         self.n_docs = sum(s[0] for s in stats)
         self.sum_doc_len = sum(s[1] for s in stats)
-        first = next(iter(live.values()))
-        self.analyzer = get_analyzer(kw.get("analyzer") or first.analyzer)
+        self.field_sums: dict[str, int] = {}
+        for s in stats:
+            for f, tot in s[2].items():
+                self.field_sums[f] = self.field_sums.get(f, 0) + tot
         self._ray = ray
 
     def search(self, q: dict, use_wand: bool = True):
         ray = self._ray
         k = int(q.get("k", 10))
-        # DFS phase: gather + sum per-term dfs, install global stats
-        terms = sorted(_collect_query_terms(self.analyzer, q))
-        df_parts = ray.get([a.term_dfs.remote(terms) for a in self.actors])
+        # DFS phase: field-qualified key collection on one actor (identical
+        # analyzers everywhere), then gather + sum per-key dfs, install stats
+        keys = ray.get(self.actors[0].collect_keys.remote(q))
+        df_parts = ray.get([a.term_dfs.remote(keys) for a in self.actors])
         df_map: dict[str, int] = {}
         for part in df_parts:
             for t, d in part.items():
                 df_map[t] = df_map.get(t, 0) + d
         ray.get([
-            a.set_stats.remote(self.n_docs, self.sum_doc_len, df_map)
+            a.set_stats.remote(self.n_docs, self.sum_doc_len, df_map,
+                               self.field_sums)
             for a in self.actors
         ])
         # query phase fan-out + mergeTopDocs-style reduce

@@ -156,6 +156,11 @@ class TermPostings:
 # terms; expansion slices over the default field filter it out.
 FIELD_SEP = "\x1f"
 
+# Exclusive upper-bound sentinel for dictionary prefix slices: the maximum
+# Unicode codepoint, so supplementary-plane terms (possible via keyword/pattern
+# tokenizers) still fall inside `prefix..prefix+TERM_MAX` (U+FFFF would not).
+TERM_MAX = chr(0x10FFFF)
+
 
 def parse_query_string(s: str, default_field: str | None = None) -> dict:
     """Full query_string grammar (QueryStringQueryBuilder.java / Lucene classic
@@ -167,7 +172,11 @@ def parse_query_string(s: str, default_field: str | None = None) -> dict:
     e.g. `a AND b c` -> +a +b c. Reproduced here."""
     import re
 
-    toks = re.findall(r'\(|\)|"[^"]*"(?:~\d+)?(?:\^[\d.]+)?|[^\s()]+', s)
+    # The phrase alternative admits an optional field prefix so that
+    # `title:"data query"` tokenizes as one token (split off in parse_level)
+    # rather than letting [^\s()]+ eat `title:"data`.
+    toks = re.findall(
+        r'\(|\)|(?:[\w.]+:)?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?|[^\s()]+', s)
 
     def parse_level(i: int, field: str | None) -> tuple[dict, int]:
         clauses: list[tuple[str, dict]] = []  # (occur, query)
@@ -221,7 +230,10 @@ def parse_query_string(s: str, default_field: str | None = None) -> dict:
                 pending_mod = mod
             # field prefix (not inside quotes)
             f = field
-            if not t.startswith('"') and ":" in t:
+            fm = re.match(r'^([\w.]+):(".*)$', t)
+            if fm:  # field-scoped phrase: title:"data query"~2^1.5
+                f, t = fm.group(1), fm.group(2)
+            elif not t.startswith('"') and ":" in t:
                 fname, rest = t.split(":", 1)
                 if rest == "(":  # not produced by tokenizer; fields bind terms
                     pass
@@ -382,7 +394,7 @@ class _Segment:
 
     def prefix_rows(self, prefix: str) -> np.ndarray:
         lo = np.searchsorted(self._sorted_terms, prefix, side="left")
-        hi = np.searchsorted(self._sorted_terms, prefix + "￿", side="left")
+        hi = np.searchsorted(self._sorted_terms, prefix + TERM_MAX, side="left")
         return self._order[lo:hi]
 
     def row(self, i: int) -> dict:
@@ -481,6 +493,7 @@ class IndexSearcher:
         # len_<f> / normb_<f> written by the tokenize stage) — the per-field
         # Norms analog (Lucene stores norms per indexed field)
         self._field_stats_cache: dict[str, tuple] = {}
+        self._field_sums_override: dict[str, int] | None = None
         self.extra_fields: list[str] = sorted(
             c[len("len_"):] for c in self._meta_tables[0].column_names
             if c.startswith("len_")
@@ -526,6 +539,8 @@ class IndexSearcher:
                 nb[ids] = nbv.astype(np.uint8)
                 dl[ids] = lens.astype(np.int32)
                 total += int(lens.sum())
+            if self._field_sums_override is not None:
+                total = self._field_sums_override.get(field, total)
             avgdl = total / max(self.n_docs, 1)
             hit = (nb, dl, avgdl, self.bm25.norm_cache(avgdl))
             self._field_stats_cache[field] = hit
@@ -538,7 +553,9 @@ class IndexSearcher:
         return tp.df if tp else 0
 
     def _get_term(self, term: str, field: str | None = None) -> TermPostings | None:
-        key = self._fkey(field) + term
+        return self._get_term_key(self._fkey(field) + term)
+
+    def _get_term_key(self, key: str) -> TermPostings | None:
         if key in self._term_cache:
             return self._term_cache[key]
         rows: list[dict] = []
@@ -562,22 +579,90 @@ class IndexSearcher:
         return tp.df
 
     def set_global_stats(self, n_docs: int, sum_doc_len: int,
-                         df_map: dict[str, int] | None = None) -> None:
+                         df_map: dict[str, int] | None = None,
+                         field_sums: dict[str, int] | None = None) -> None:
         """Install collection-wide stats (DFS phase result) so a
-        partition-holding searcher scores identically to a global one."""
+        partition-holding searcher scores identically to a global one.
+        `df_map` is keyed by full dictionary keys (fkey+term) so field-scoped
+        clauses get the global df; `field_sums` carries global per-field token
+        totals for per-field avgdl parity."""
         self.n_docs = n_docs
         self.sum_doc_len = sum_doc_len
         self.avgdl = sum_doc_len / max(n_docs, 1)
         self._norm_cache32 = self.bm25.norm_cache(self.avgdl)
         self._df_override = df_map
+        self._field_sums_override = field_sums
+        # per-field avgdl depends on (n_docs, field_sums): rebuild lazily
+        self._field_stats_cache.clear()
 
-    def local_term_dfs(self, terms: list[str]) -> dict[str, int]:
-        """DFS phase contribution: this searcher's local df per term."""
+    def local_field_sums(self) -> dict[str, int]:
+        """DFS phase contribution: this partition's per-field token totals."""
+        out: dict[str, int] = {}
+        for f in self.extra_fields:
+            total = 0
+            for mt in self._meta_tables:
+                lens = mt[f"len_{f}"].to_numpy(zero_copy_only=False)
+                total += int(np.nan_to_num(lens.astype(np.float64)).sum())
+            out[f] = total
+        return out
+
+    def local_term_dfs(self, keys: list[str]) -> dict[str, int]:
+        """DFS phase contribution: this searcher's local df per dictionary
+        key (fkey+term — field-qualified keys probe the right postings)."""
         out = {}
-        for t in terms:
-            tp = self._get_term(t)
+        for k in keys:
+            tp = self._get_term_key(k)
             if tp is not None:
-                out[t] = tp.df
+                out[k] = tp.df
+        return out
+
+    def collect_query_keys(self, q: dict, field: str | None = None) -> set[str]:
+        """Walk a query tree and return every dictionary key (fkey+term) whose
+        df the DFS phase must globalize — the DfsQueryPhase term-collection
+        analog, field-aware (per-field analyzers, field-qualified keys)."""
+        kind = q.get("kind")
+        f = self._norm_field(q.get("field", field))
+        fk = self._fkey(f)
+        an = self._analyzer_for(f)
+        out: set[str] = set()
+        if kind == "term":
+            out.add(fk + q["term"])
+        elif kind == "terms":
+            out.update(fk + t for t in q.get("terms", []))
+        elif kind == "terms_set":
+            out.update(fk + t for t in q.get("terms", []))
+        elif kind in ("match", "match_phrase", "match_phrase_prefix",
+                      "match_bool_prefix", "common"):
+            out.update(fk + t for t in an(q["text"]))
+        elif kind == "more_like_this":
+            out.update(fk + t for t in an(q["like"]))
+        elif kind == "span_near":
+            out.update(fk + t for t in q.get("terms", []))
+        elif kind == "multi_match":
+            for fspec in q["fields"]:
+                mf = fspec.split("^", 1)[0]
+                nmf = self._norm_field(mf)
+                out.update(self._fkey(nmf) + t
+                           for t in self._analyzer_for(nmf)(q["text"]))
+        elif kind == "dis_max":
+            for sq in q.get("queries", []):
+                out |= self.collect_query_keys(sq, f)
+        elif kind == "constant_score":
+            out |= self.collect_query_keys(q["filter"], f)
+        elif kind == "boosting":
+            out |= self.collect_query_keys(q["positive"], f)
+            out |= self.collect_query_keys(q["negative"], f)
+        elif kind in ("function_score", "script_score", "nested"):
+            out |= self.collect_query_keys(q["query"], f)
+        elif kind == "bool":
+            for cl in ("must", "should", "must_not", "filter"):
+                for sq in q.get(cl, []):
+                    out |= self.collect_query_keys(sq, f)
+        elif kind == "simple_query_string":
+            out |= self.collect_query_keys(parse_simple_query_string(q["query"]), f)
+        elif kind == "query_string":
+            out |= self.collect_query_keys(
+                parse_query_string(q["query"], q.get("default_field")), f)
         return out
 
     def _term_scores(self, tp: TermPostings, boost: float = 1.0,
@@ -757,14 +842,15 @@ class IndexSearcher:
             for name in set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", q["script"])):
                 if name not in env and name in self._meta_tables[0].column_names:
                     env[name] = self._meta_values(name, ids).astype(np.float64)
-            mask = np.asarray(eval(q["script"], {"__builtins__": {}}, env),  # noqa: S307
-                              bool)
+            from elasticsearch_ray.scripting import safe_eval_expr
+
+            mask = np.asarray(safe_eval_expr(q["script"], env), bool)
             ids = ids[mask]
             return ids, np.full(ids.size, boost, np.float64)
         if kind == "script_score":
             # ScriptScoreQueryBuilder: replace the inner query's score with a
-            # numeric expression over _score and docmeta fields (the Painless
-            # analog is a trusted numpy expression, same trust model)
+            # numeric expression over _score and docmeta fields, evaluated by
+            # the whitelisted-AST sandbox (scripting.py, the Painless analog)
             ids, sc = self._eval(q["query"])
             if ids.size == 0:
                 return ids, sc
@@ -776,7 +862,9 @@ class IndexSearcher:
             for name in set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", q["script"])):
                 if name not in env and name in self._meta_tables[0].column_names:
                     env[name] = self._meta_values(name, ids).astype(np.float64)
-            out = eval(q["script"], {"__builtins__": {}}, env)  # noqa: S307
+            from elasticsearch_ray.scripting import safe_eval_expr
+
+            out = safe_eval_expr(q["script"], env)
             return ids, np.asarray(out, np.float64) * boost
         if kind == "distance_feature":
             # DistanceFeatureQueryBuilder (numeric/date form):
@@ -1196,7 +1284,7 @@ class IndexSearcher:
         return out
 
     def _terms_with_prefix(self, prefix: str, field: str | None = None) -> np.ndarray:
-        return self._term_range(prefix, prefix + "￿", field)
+        return self._term_range(prefix, prefix + TERM_MAX, field)
 
     @staticmethod
     def _literal_prefix(pattern: str, meta: str) -> str:
@@ -1211,8 +1299,8 @@ class IndexSearcher:
         import re as _re
 
         lit = self._literal_prefix(pattern, "*?[")
-        cands = self._term_range(lit, lit + "￿", field) if lit else \
-            self._term_range("", "￿", field)
+        cands = self._term_range(lit, lit + TERM_MAX, field) if lit else \
+            self._term_range("", TERM_MAX, field)
         if cands.size == 0:
             return []
         # wildcard -> anchored regex, evaluated vectorized by Arrow's re2
@@ -1228,8 +1316,8 @@ class IndexSearcher:
         import re as _re
 
         lit = self._literal_prefix(pattern, "*?+.[](){}|^$")
-        cands = self._term_range(lit, lit + "￿", field) if lit else \
-            self._term_range("", "￿", field)
+        cands = self._term_range(lit, lit + TERM_MAX, field) if lit else \
+            self._term_range("", TERM_MAX, field)
         if cands.size == 0:
             return []
         import pyarrow.compute as _pc
@@ -1249,7 +1337,7 @@ class IndexSearcher:
         """Candidates = dictionary slice banded by length (+- fuzziness), then
         a Levenshtein DP vectorized over ALL candidates at once (the rows of
         the DP table are numpy vectors over candidates x positions)."""
-        cands = self._term_range("", "￿", field)
+        cands = self._term_range("", TERM_MAX, field)
         if cands.size == 0:
             return []
         cand_s = cands.astype(str)
