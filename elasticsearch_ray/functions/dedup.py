@@ -84,33 +84,95 @@ def minhash_signature(text: str, num_perm: int = 128, shingle_k: int = 5) -> np.
     return prods.min(axis=1)
 
 
+def minhash_signatures_batch(texts: list[str], num_perm: int = 128,
+                             shingle_k: int = 5) -> np.ndarray:
+    """(n_docs, num_perm) signature matrix for a whole batch in one pass:
+    all docs' shingle hashes are computed over one concatenated byte buffer
+    (windows crossing doc boundaries masked out by contiguous-segment
+    indexing), then each permutation chunk takes a minimum.reduceat per doc.
+    Signature-identical to minhash_signature per doc (min is unaffected by
+    duplicate shingles, so the per-doc np.unique is skipped)."""
+    k = shingle_k
+    a, b = _minhash_params(num_perm)
+    bufs, lens = [], []
+    for t in texts:
+        s = " ".join(t.lower().split())
+        if len(s) < k:
+            s = s + " " * (k - len(s))
+        e = s.encode()[: 1 << 20]
+        bufs.append(e)
+        lens.append(len(e))
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.empty((0, num_perm), np.uint64)
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    lens_a = np.asarray(lens, np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens_a)[:-1]])
+    # rolling polynomial window hashes over the whole buffer
+    n_pos = data.size - k + 1
+    idx = np.arange(k)[None, :] + np.arange(n_pos)[:, None]
+    powers = np.array([pow(1000003, k - 1 - j, 1 << 64) for j in range(k)],
+                      dtype=np.uint64)
+    whash = (data[idx].astype(np.uint64) * powers[None, :]).sum(axis=1)
+    # valid (in-doc) window positions form one contiguous run per doc
+    seg_lens = lens_a - k + 1
+    offsets = np.concatenate([[0], np.cumsum(seg_lens)])
+    flat = np.arange(offsets[-1])
+    valid = whash[flat - np.repeat(offsets[:-1], seg_lens)
+                  + np.repeat(starts, seg_lens)]
+    sig = np.empty((num_perm, n_docs), np.uint64)
+    chunk = 16  # bound peak memory at chunk x total_shingles u64
+    for p0 in range(0, num_perm, chunk):
+        prods = valid[None, :] * a[p0:p0 + chunk, None] + b[p0:p0 + chunk, None]
+        sig[p0:p0 + chunk] = np.minimum.reduceat(prods, offsets[:-1], axis=1)
+    return sig.T
+
+
+def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64 bucket keys from a signature matrix — a
+    vectorized splitmix-style fold over each band's rows (replaces the old
+    per-doc-per-band hashlib.md5; collisions are ~2^-64, immaterial for
+    bucketing)."""
+    S = sig.reshape(sig.shape[0], bands, -1)
+    h = np.full(S.shape[:2], 0x9E3779B97F4A7C15, np.uint64)
+    C1 = np.uint64(0xBF58476D1CE4E5B9)
+    C2 = np.uint64(0x94D049BB133111EB)
+    for j in range(S.shape[2]):
+        h = (h ^ S[:, :, j]) * C1
+        h = (h ^ (h >> np.uint64(31))) * C2
+    return h ^ (h >> np.uint64(33))
+
+
 class MinHashStage:
     """actor-pool map_batches stage: text -> banded minhash rows
-    (doc_id, band, band_hash) exploded for the LSH groupby."""
+    (doc_id, band, band_hash[, text]) exploded for the LSH groupby. With
+    emit_text=True the text rides into the bucket shuffle so Jaccard
+    verification can run inside the bucket groups (no driver gather)."""
 
     def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 emit_text: bool = False):
         assert num_perm % bands == 0
         self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
-        self.rows_per_band = num_perm // bands
         self.text_col, self.id_col = text_col, id_col
+        self.emit_text = emit_text
         _minhash_params(num_perm)  # compile once per actor
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, bands, bhash = [], [], []
-        for doc_id, text in zip(t[self.id_col].to_pylist(), t[self.text_col].to_pylist()):
-            sig = minhash_signature(text, self.num_perm, self.k)
-            for b in range(self.bands):
-                seg = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                h = hashlib.md5(seg.tobytes()).hexdigest()[:16]
-                ids.append(doc_id)
-                bands.append(b)
-                bhash.append(h)
-        return pa.table({
-            self.id_col: pa.array(ids, pa.int64()),
-            "band": pa.array(bands, pa.int32()),
-            "band_hash": pa.array(bhash, pa.string()),
-        })
+        texts = t[self.text_col].to_pylist()
+        ids = t[self.id_col].to_numpy()
+        sig = minhash_signatures_batch(texts, self.num_perm, self.k)
+        bh = _band_hashes(sig, self.bands)  # (n_docs, bands)
+        n = ids.size
+        cols = {
+            self.id_col: pa.array(np.repeat(ids, self.bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+        }
+        if self.emit_text:
+            cols[self.text_col] = pa.array(
+                np.repeat(np.asarray(texts, dtype=object), self.bands))
+        return pa.table(cols)
 
 
 def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
@@ -153,25 +215,70 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / union if union else 1.0
 
 
+def minhash_verified_pairs(ds, *, threshold: float = 0.8, num_perm: int = 128,
+                           bands: int = 32, shingle_k: int = 5,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           concurrency=2) -> pd.DataFrame:
+    """LSH candidates Jaccard-verified INSIDE the bucket groups: texts ride
+    the (band, band_hash) shuffle with the signatures, each bucket computes
+    its pairwise exact n-gram Jaccard in map_groups, and only pairs >=
+    threshold leave the cluster. The driver sees verified pairs only (bounded
+    by the true duplicate count), never candidate texts — the scale fix for
+    web-corpus dup rates."""
+    _empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                           "doc_b": pd.Series([], dtype=np.int64)})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates(subset=id_col).sort_values(id_col)
+        if len(sub) < 2:
+            return _empty
+        ids = sub[id_col].to_numpy()
+        sets = [_shingles(t, shingle_k) for t in sub[text_col]]
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
+                union = sets[i].size + sets[j].size - inter
+                if (inter / union if union else 1.0) >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": np.asarray(out_a, np.int64),
+                             "doc_b": np.asarray(out_b, np.int64)})
+
+    sig = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                   shingle_k=shingle_k, text_col=text_col,
+                                   id_col=id_col, emit_text=True),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    verified = sig.groupby(["band", "band_hash"]).map_groups(
+        verify, batch_format="pandas")
+    df = verified.to_pandas()
+    if df.empty:
+        return _empty
+    return (
+        df.drop_duplicates()  # a pair verifies in every shared bucket
+        .astype({"doc_a": np.int64, "doc_b": np.int64})
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+
+
 def minhash_dedup(ds, *, threshold: float = 0.8, num_perm: int = 128, bands: int = 32,
                   shingle_k: int = 5, text_col: str = "text", id_col: str = "doc_id",
                   concurrency=2) -> pd.DataFrame:
-    """Full near-dedup: LSH candidates -> exact Jaccard verify >= threshold ->
-    keep-min-id per connected component (union-find over the verified pairs;
-    the candidate set is bucket-bounded, so driver-side union-find is safe).
+    """Full near-dedup: in-bucket-verified pairs -> keep-min-id per connected
+    component (union-find over the verified pairs only; that set is bounded
+    by the true duplicate count, so driver-side union-find is safe).
     Returns frame (doc_id, kept) for every doc in a duplicate group."""
-    pairs = minhash_lsh_pairs(ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-                              text_col=text_col, id_col=id_col, concurrency=concurrency)
-    if pairs.empty:
+    verified = minhash_verified_pairs(
+        ds, threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, text_col=text_col, id_col=id_col,
+        concurrency=concurrency)
+    if verified.empty:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                              "kept": pd.Series([], dtype=np.int64)})
-    need = sorted(set(pairs.doc_a) | set(pairs.doc_b))
-    texts = _collect_texts(ds, need, text_col, id_col)
-    verified = [
-        (a, b)
-        for a, b in zip(pairs.doc_a, pairs.doc_b)
-        if ngram_jaccard(texts[a], texts[b], shingle_k) >= threshold
-    ]
     parent: dict[int, int] = {}
 
     def find(x):
@@ -180,27 +287,12 @@ def minhash_dedup(ds, *, threshold: float = 0.8, num_perm: int = 128, bands: int
             x = parent[x]
         return x
 
-    for a, b in verified:
-        ra, rb = find(a), find(b)
+    for a, b in zip(verified.doc_a, verified.doc_b):
+        ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = sorted((d, find(d)) for d in parent)
     return pd.DataFrame({"doc_id": [r[0] for r in rows], "kept": [r[1] for r in rows]})
-
-
-def _collect_texts(ds, ids, text_col, id_col) -> dict[int, str]:
-    idset = set(int(i) for i in ids)
-
-    def pick(t: pa.Table) -> pa.Table:
-        mask = pa.array([int(i) in idset for i in t[id_col].to_pylist()])
-        return t.filter(mask)
-
-    picked = ds.map_batches(pick, batch_format="pyarrow").select_columns([id_col, text_col])
-    out = {}
-    for batch in picked.iter_batches(batch_format="pyarrow"):
-        for i, s in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            out[int(i)] = s
-    return out
 
 
 # ---------------- SimHash ----------------

@@ -96,6 +96,56 @@ def test_minhash_lsh_finds_planted_dup(ray_session):
     assert groups.get(101) == 100  # near-dup collapsed to min id
 
 
+def test_minhash_batch_signatures_match_per_doc():
+    from elasticsearch_ray.functions.dedup import (
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "ab",  # shorter than shingle_k -> padded
+        "  Mixed   CASE   and \t whitespace\nnormalization  ",
+        "query scan filter merge " * 50,
+    ]
+    batch = minhash_signatures_batch(texts)
+    for i, t in enumerate(texts):
+        assert (batch[i] == minhash_signature(t)).all(), f"doc {i}"
+
+
+def test_minhash_verified_pairs_match_driver_path(ray_session):
+    """The distributed in-bucket verification must produce the same verified
+    pair set as the old driver-side path (candidates -> driver Jaccard)."""
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.dedup import (
+        minhash_lsh_pairs,
+        minhash_verified_pairs,
+        ngram_jaccard,
+    )
+
+    base = "query scan filter merge batch window column vector " * 30
+    rows = [{"doc_id": i, "text": f"unique doc {i} " + "y" * 13 + f" content {i*104729}"}
+            for i in range(30)]
+    rows += [
+        {"doc_id": 100, "text": base},
+        {"doc_id": 101, "text": base + " tiny tail"},
+        {"doc_id": 102, "text": base.replace("merge", "blend")},
+        {"doc_id": 200, "text": rows[5]["text"]},  # exact dup of doc 5
+    ]
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    threshold = 0.7
+    cand = minhash_lsh_pairs(rd.from_items(rows))
+    driver_pairs = {
+        (int(a), int(b)) for a, b in zip(cand.doc_a, cand.doc_b)
+        if ngram_jaccard(texts[int(a)], texts[int(b)]) >= threshold
+    }
+    dist = minhash_verified_pairs(rd.from_items(rows), threshold=threshold)
+    dist_pairs = {(int(a), int(b)) for a, b in zip(dist.doc_a, dist.doc_b)}
+    assert dist_pairs == driver_pairs
+    assert (100, 101) in dist_pairs and (5, 200) in dist_pairs
+
+
 def test_ingest_pipeline(ray_session):
     from elasticsearch_ray.functions import ingest as I
 
