@@ -89,7 +89,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
-        # (added as implemented)
+        "lang_stop_tokenize",
+        # --- round-3 new ops (rows-only: no offline SQL stemmer) ---
+        "ft_analyze_french", "ft_analyze_german", "ft_analyze_spanish",
+        "ft_analyze_italian", "ft_analyze_portuguese", "ft_analyze_dutch",
+        "ft_analyze_russian", "lang_stemmed_index_search",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -145,6 +149,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_stop_tokenize": """
+WITH fr AS (
+  SELECT doc_id,
+         'le chat et ' || repeat('grand arbre ', doc_id % 4) || 'la maison' AS t
+  FROM documents),
+tk AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(lower(t), '[^a-z0-9éèêëàâîïôûùç]+'),
+                          x -> x <> '') AS toks
+       FROM fr)
+SELECT doc_id,
+       len(toks) AS total_tokens,
+       len(list_filter(toks, x -> NOT list_contains(
+           ['le','la','les','et','un','une','de','des','du','dans','pour',
+            'par','sur','au','aux','ce','ces','que','qui'], x))) AS kept_tokens
+FROM tk ORDER BY doc_id""",
         "ft_term": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),

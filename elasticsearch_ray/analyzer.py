@@ -198,3 +198,10 @@ def get_analyzer(name: str) -> Analyzer:
         return REGISTRY[name]
     except KeyError:
         raise ValueError(f"unknown analyzer {name!r}; known: {sorted(REGISTRY)}") from None
+
+
+# language analyzers (Snowball stemmer + stop set + elision chains —
+# CommonAnalysisPlugin.java:180-223 registrations)
+from .lang.analyzers import register_language_analyzers as _reg_langs  # noqa: E402
+
+_reg_langs(register_analyzer)

@@ -2401,3 +2401,139 @@ def source_roundtrip(sf_dir: str):
         rows.append({"fmt": fmt, "doc_count": int(r["n"]),
                      "total_chars": int(r["chars"]), "langs": int(len(langs))})
     return pd.DataFrame(rows).sort_values("fmt").reset_index(drop=True)
+
+
+# ---------------- round 3: language analysis (CommonAnalysisPlugin language
+# analyzer registrations, :180-223; Snowball stemmers per
+# StemmerTokenFilterFactory) ----------------
+
+_LANG_SAMPLES = {
+    "french": "Les enfants jouaient dans l'école nationale des grandes villes",
+    "german": "Die Kinder spielten in den schönen Häusern der möglichen Städte",
+    "spanish": "Las niñas corrían rápidamente por el parque con generosidad",
+    "italian": "I bambini giocavano nell'acqua della fontana nazionale",
+    "portuguese": "As meninas falavam rapidamente sobre as nacionalidades",
+    "dutch": "De kinderen speelden in de mooie huizen van de mogelijkheden",
+    "russian": "Дети играли в красивых домах около важности книгами",
+}
+
+
+def _lang_analyze(lang: str):
+    """(position, token) frame for the language's sample sentence — the
+    _analyze API shape over the full chain (tokenize, elision, stop,
+    Snowball stem). Rows-only gate: no offline SQL stemmer exists; the
+    algorithms are pinned by golden vectors in tests/test_lang.py."""
+    from ..analyzer import get_analyzer
+
+    toks = get_analyzer(lang)(_LANG_SAMPLES[lang])
+    return pd.DataFrame({"position": pd.array(range(len(toks)), dtype="int64"),
+                         "token": toks})
+
+
+def ft_analyze_french(sf_dir: str):
+    return _lang_analyze("french")
+
+
+def ft_analyze_german(sf_dir: str):
+    return _lang_analyze("german")
+
+
+def ft_analyze_spanish(sf_dir: str):
+    return _lang_analyze("spanish")
+
+
+def ft_analyze_italian(sf_dir: str):
+    return _lang_analyze("italian")
+
+
+def ft_analyze_portuguese(sf_dir: str):
+    return _lang_analyze("portuguese")
+
+
+def ft_analyze_dutch(sf_dir: str):
+    return _lang_analyze("dutch")
+
+
+def ft_analyze_russian(sf_dir: str):
+    return _lang_analyze("russian")
+
+
+def lang_stop_tokenize(sf_dir: str):
+    """Stop-filter + unicode tokenization plumbing, DuckDB-oracled: a
+    deterministic French text is synthesized per doc_id (same expression in
+    the SQL oracle), tokenized, and counted before/after the French stop
+    set — verifying the non-stemming half of the language chains against an
+    independent evaluation path."""
+    import re
+
+    from ..lang.stopwords import STOP_SETS
+
+    stop = STOP_SETS["french"]
+    tok_re = re.compile(r"[^\W_]+", re.UNICODE)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        total, kept = [], []
+        for i in ids:
+            text = "le chat et " + "grand arbre " * (int(i) % 4) + "la maison"
+            toks = tok_re.findall(text.lower())
+            total.append(len(toks))
+            kept.append(sum(1 for x in toks if x not in stop))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "total_tokens": pa.array(total, pa.int64()),
+            "kept_tokens": pa.array(kept, pa.int64()),
+        })
+
+    return (
+        _ds(sf_dir, "documents", ["doc_id"])
+        .map_batches(f, batch_format="pyarrow")
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+def lang_stemmed_index_search(sf_dir: str):
+    """End-to-end per-language indexing: a deterministic German column is
+    derived from documents (doc_id-keyed vocabulary), indexed as a german
+    subfield (extra_content_columns), and an inflected-form match query
+    returns the docs whose stems match (rows-only; stemming pins it)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..index.fast_build import build_index_tasks
+    from ..search.engine import IndexSearcher
+
+    base = "/tmp/esray_cache/lang_idx"
+    shutil.rmtree(base, ignore_errors=True)
+    vocab = ["Kinder spielten", "Häuser standen", "Bücher lagen",
+             "Garten blühte"]
+
+    def add_de(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        de = ["ein Satz: " + vocab[int(i) % 4] for i in ids]
+        return t.append_column("body_de", pa.array(de))
+
+    src_dir = os.path.join(base, "src")
+    (_ds(sf_dir, "documents", ["doc_id", "text"])
+     .map_batches(add_de, batch_format="pyarrow")
+     .map_batches(lambda t: t.rename_columns(
+         ["doc_id", "content", "body_de"]), batch_format="pyarrow")
+     .map_batches(lambda t: t.append_column(
+         "repo", pa.array(["r"] * len(t))).append_column(
+         "path", pa.array([f"d{i}" for i in t["doc_id"].to_pylist()]))
+      .append_column("commit", pa.array(["c"] * len(t)))
+      .append_column("lang", pa.array(["de"] * len(t))),
+      batch_format="pyarrow")
+     .write_parquet(src_dir))
+    idx = os.path.join(base, "idx")
+    build_index_tasks(src_dir, idx, analyzer="simple", num_buckets=4,
+                      hot_terms=frozenset(),
+                      extra_content_columns=(("body_de", "body_de", "german"),))
+    s = IndexSearcher(idx, field_analyzers={"body_de": "german"})
+    rows = []
+    for q in ("Häusern", "spielte", "Gartens", "Buch"):
+        ids, _ = s._eval({"kind": "match", "field": "body_de", "text": q})
+        rows.append({"query": q, "matches": int(ids.size)})
+    return pd.DataFrame(rows)
