@@ -2142,27 +2142,15 @@ _PERCOLATE_QUERIES = [
 
 def percolate(sf_dir: str):
     """percolator (modules/percolator PercolateQueryBuilder): stored queries
-    are broadcast; each incoming doc reports which stored query matches
-    (reverse search). Vectorized per batch via token-set membership."""
-    from ..analyzer import analyze_simple
+    indexed as a term -> query inverted map at store time (the
+    QueryAnalyzer.java:56 candidate-extraction shape); docs explode to
+    unique terms once per batch and only candidate (doc, query) pairs are
+    verified — cost scales with matches, not docs x queries."""
+    from ..functions.percolate import percolate_dataset
 
-    def match(t: pa.Table) -> pa.Table:
-        doc_ids, qids = [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = set(analyze_simple(text))
-            for qid, terms in _PERCOLATE_QUERIES:
-                if all(x in toks for x in terms):
-                    doc_ids.append(doc_id)
-                    qids.append(qid)
-        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
-                         "query_id": pa.array(qids, pa.int64())})
-
-    out = (
-        _ds(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(match, batch_format="pyarrow")
-        .to_pandas()
-    )
-    return out.sort_values(["doc_id", "query_id"]).reset_index(drop=True)
+    queries = [(qid, {"terms": terms}) for qid, terms in _PERCOLATE_QUERIES]
+    return percolate_dataset(_ds(sf_dir, "documents", ["doc_id", "text"]),
+                             queries)
 
 
 def ft_analyze(sf_dir: str):

@@ -402,3 +402,64 @@ def test_index_sorted_pruning_reads_few_row_groups(ray_session):
     assert md.num_row_groups >= 4
     assert needed <= md.num_row_groups // 2, \
         f"{needed}/{md.num_row_groups} row groups needed - no pruning benefit"
+
+
+def test_percolator_matches_naive(ray_session):
+    """Inverted-map percolation == naive per-(doc,query) evaluation, and the
+    candidate-pair count is far below docs x queries (the QueryAnalyzer
+    prefilter actually prunes)."""
+    import ray.data as rd
+
+    from elasticsearch_ray.analyzer import analyze_simple
+    from elasticsearch_ray.functions.percolate import Percolator, percolate_dataset
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab, size=12))}
+            for i in range(200)]
+    # 1000+ stored queries: conjunctions and disjunctions over the vocab
+    queries = []
+    for qid in range(1100):
+        terms = list(rng.choice(vocab, size=rng.integers(1, 4), replace=False))
+        msm = 1 if qid % 3 == 0 else len(terms)
+        queries.append((qid, {"terms": terms, "minimum_should_match": msm}))
+
+    out = percolate_dataset(rd.from_items(docs), queries)
+    got = set(zip(out.doc_id, out.query_id))
+
+    expected = set()
+    for d in docs:
+        toks = set(analyze_simple(d["text"]))
+        for qid, spec in queries:
+            k = spec.get("minimum_should_match", len(spec["terms"]))
+            if sum(1 for t in spec["terms"] if t in toks) >= max(1, k):
+                expected.add((d["doc_id"], qid))
+    assert got == expected
+    assert len(expected) > 0
+
+    # structural sub-linearity: one local percolator over all docs sees far
+    # fewer candidate pairs than the naive docs x queries product
+    p = Percolator(queries)
+    import pyarrow as pa_
+
+    p(pa_.table({"doc_id": [d["doc_id"] for d in docs],
+                 "text": [d["text"] for d in docs]}))
+    assert p.candidate_pairs < 0.25 * len(docs) * len(queries)
+
+
+def test_percolator_min_should_match():
+    import pyarrow as pa_
+
+    from elasticsearch_ray.functions.percolate import Percolator
+
+    p = Percolator([
+        (0, {"terms": ["alpha", "beta"]}),                      # AND
+        (1, {"terms": ["alpha", "beta"], "minimum_should_match": 1}),  # OR
+        (2, {"terms": ["gamma"]}),
+    ])
+    t = pa_.table({"doc_id": [10, 11, 12],
+                   "text": ["alpha beta now", "alpha only", "gamma ray"]})
+    out = p(t).to_pandas()
+    pairs = set(zip(out.doc_id, out.query_id))
+    assert pairs == {(10, 0), (10, 1), (11, 1), (12, 2)}
