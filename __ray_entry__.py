@@ -89,7 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
-        "lang_stop_tokenize",
+        "lang_stop_tokenize", "ft_completion_weighted", "ft_completion_fuzzy",
         # --- round-3 new ops (rows-only: no offline SQL stemmer) ---
         "ft_analyze_french", "ft_analyze_german", "ft_analyze_spanish",
         "ft_analyze_italian", "ft_analyze_portuguese", "ft_analyze_dutch",
@@ -149,6 +149,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ft_completion_weighted": """
+WITH tok AS (
+  SELECT t AS term FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+tc AS (SELECT term, count(*) AS weight FROM tok GROUP BY term)
+SELECT term AS input, weight FROM tc WHERE term LIKE 'da%'
+ORDER BY weight DESC, input LIMIT 5""",
+        "ft_completion_fuzzy": """
+WITH tok AS (
+  SELECT t AS term FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+tc AS (SELECT term, count(*) AS weight FROM tok GROUP BY term)
+SELECT term AS input, weight FROM tc
+WHERE levenshtein(substr(term, 1, 3), 'dat') <= 1
+ORDER BY weight DESC, input LIMIT 5""",
         "lang_stop_tokenize": """
 WITH fr AS (
   SELECT doc_id,

@@ -2525,3 +2525,24 @@ def lang_stemmed_index_search(sf_dir: str):
         ids, _ = s._eval({"kind": "match", "field": "body_de", "text": q})
         rows.append({"query": q, "matches": int(ids.size)})
     return pd.DataFrame(rows)
+
+
+def ft_completion_weighted(sf_dir: str):
+    """Weighted completion suggester (CompletionSuggester.java:41): entries
+    are corpus tokens weighted by total term frequency, aggregated
+    dataset-side; top-5 completions of 'da' by (weight desc, input asc)."""
+    from ..search.suggest import completion_from_dataset
+
+    sug = completion_from_dataset(
+        _ds(sf_dir, "documents", ["text"]), text_col="text", weight="tf")
+    return sug.suggest("da", size=5)
+
+
+def ft_completion_fuzzy(sf_dir: str):
+    """Fuzzy completion (FuzzyCompletionQuery analog): entries whose own
+    3-char prefix is within edit distance 1 of 'dat', weighted ordering."""
+    from ..search.suggest import completion_from_dataset
+
+    sug = completion_from_dataset(
+        _ds(sf_dir, "documents", ["text"]), text_col="text", weight="tf")
+    return sug.suggest("dat", size=5, fuzziness=1)

@@ -1,0 +1,96 @@
+"""Completion suggester with weights, fuzzy prefix and category contexts
+(search/suggest/completion/CompletionSuggester.java:41 — the reference backs
+this with a weighted FST; a sorted input array + searchsorted prefix slices
+gives identical results: top-N by (weight desc, input asc)).
+
+Build path is distributed: entry weights aggregate via Ray groupby-sum and
+only the (vocab-sized) dictionary lands in the suggester — the FST-build
+analog. Query path is an in-memory lookup suitable for an actor pool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .engine import TERM_MAX, levenshtein_vec
+
+
+class CompletionSuggester:
+    """entries: iterable of (input, weight) or (input, weight, contexts)
+    where contexts is an iterable of category strings (CategoryContextMapping
+    analog)."""
+
+    def __init__(self, entries):
+        rows = []
+        for e in entries:
+            inp, weight = e[0], int(e[1])
+            ctxs = frozenset(e[2]) if len(e) > 2 and e[2] is not None else frozenset()
+            rows.append((inp, weight, ctxs))
+        rows.sort(key=lambda r: r[0])
+        self.inputs = np.array([r[0] for r in rows], dtype=object)
+        self.weights = np.array([r[1] for r in rows], dtype=np.int64)
+        self.contexts = [r[2] for r in rows]
+
+    def _rank(self, idx: np.ndarray, size: int) -> np.ndarray:
+        """top-`size` of candidate indices by (weight desc, input asc) —
+        CompletionSuggester's SuggestDocPriorityQueue ordering."""
+        if idx.size == 0:
+            return idx
+        order = np.lexsort((self.inputs[idx], -self.weights[idx]))
+        return idx[order[:size]]
+
+    def suggest(self, prefix: str, size: int = 5, fuzziness: int = 0,
+                context: str | None = None) -> pd.DataFrame:
+        if fuzziness <= 0:
+            lo = np.searchsorted(self.inputs, prefix, side="left")
+            hi = np.searchsorted(self.inputs, prefix + TERM_MAX, side="left")
+            idx = np.arange(lo, hi)
+        else:
+            # FuzzyCompletionQuery analog: entries whose own prefix of the
+            # query's length is within edit distance `fuzziness`
+            n = len(prefix)
+            heads = np.array([str(s)[:n] for s in self.inputs], dtype=object)
+            d = levenshtein_vec(prefix, heads.astype(str))
+            idx = np.nonzero(d <= fuzziness)[0]
+        if context is not None and idx.size:
+            mask = np.fromiter(
+                (context in self.contexts[int(i)] for i in idx), bool, idx.size)
+            idx = idx[mask]
+        top = self._rank(idx, size)
+        return pd.DataFrame({
+            "input": [str(self.inputs[int(i)]) for i in top],
+            "weight": self.weights[top].astype(np.int64)
+            if top.size else pd.Series([], dtype=np.int64),
+        })
+
+
+def completion_from_dataset(ds, text_col: str = "text",
+                            analyzer: str = "simple",
+                            weight: str = "tf") -> CompletionSuggester:
+    """Build a suggester from a text column: token -> weight aggregated
+    dataset-side (map_batches partial counts + groupby sum), only the reduced
+    vocabulary reaches the driver. weight: 'tf' (total term frequency) or
+    'df' (document frequency)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import get_analyzer
+
+    an = get_analyzer(analyzer)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t[text_col].to_pylist():
+            toks = an(s)
+            c.update(set(toks) if weight == "df" else toks)
+        items = sorted(c)
+        return pa.table({"input": items,
+                         "w": pa.array([c[k] for k in items], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("input").aggregate(Sum("w", alias_name="weight"))
+           .to_pandas())
+    return CompletionSuggester(zip(agg["input"], agg["weight"]))

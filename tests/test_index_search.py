@@ -220,3 +220,37 @@ def test_wand_actually_prunes_on_skewed_tf(tmp_path, ray_session):
     # all 30 bursty docs have far higher scores than tf=1 docs; once the heap
     # fills with them most blocks' upper bounds are non-competitive
     assert wand_blocks < total_blocks * 0.25, (wand_blocks, total_blocks)
+
+
+def test_completion_suggester_weighted_ordering():
+    from elasticsearch_ray.search.suggest import CompletionSuggester
+
+    sug = CompletionSuggester([
+        ("data", 10), ("database", 50), ("dataset", 50), ("datum", 3),
+        ("merge", 99),
+    ])
+    out = sug.suggest("dat", size=3)
+    # weight desc, input asc tie-break (database before dataset at 50)
+    assert out["input"].tolist() == ["database", "dataset", "data"]
+    assert out["weight"].tolist() == [50, 50, 10]
+
+
+def test_completion_suggester_fuzzy_prefix():
+    from elasticsearch_ray.search.suggest import CompletionSuggester
+
+    sug = CompletionSuggester([("data", 5), ("dwta", 7), ("xyz", 9)])
+    out = sug.suggest("dat", size=5, fuzziness=1)
+    assert out["input"].tolist() == ["dwta", "data"]  # dw~dat dist 1
+    out0 = sug.suggest("dat", size=5)
+    assert out0["input"].tolist() == ["data"]
+
+
+def test_completion_suggester_contexts():
+    from elasticsearch_ray.search.suggest import CompletionSuggester
+
+    sug = CompletionSuggester([
+        ("data", 5, {"en"}), ("dataset", 9, {"de"}), ("datum", 2, {"en", "de"}),
+    ])
+    assert sug.suggest("dat", context="en")["input"].tolist() == ["data", "datum"]
+    assert sug.suggest("dat", context="de")["input"].tolist() == ["dataset", "datum"]
+    assert sug.suggest("dat")["input"].tolist() == ["dataset", "data", "datum"]
