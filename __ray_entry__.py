@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "lang_stop_tokenize", "ft_completion_weighted", "ft_completion_fuzzy",
+        "geo_shape_polygon_points", "geo_shape_within", "geo_shape_disjoint",
+        "geo_shape_linestring",
         # --- round-3 new ops (rows-only: no offline SQL stemmer) ---
         "ft_analyze_french", "ft_analyze_german", "ft_analyze_spanish",
         "ft_analyze_italian", "ft_analyze_portuguese", "ft_analyze_dutch",
@@ -147,8 +149,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {n: getattr(ops, n) for n in names}
 
 
-def oracle_sql() -> dict[str, str]:
+
+
+def _geo_shape_oracle_sqls() -> dict[str, str]:
+    """Spatial-free geo_shape oracles: the pentagon's half-planes and the
+    linestring's slab-clipping constants are computed here and inlined as
+    arithmetic, so DuckDB verifies the geometry kernels through an
+    independent formulation (half-plane / Liang-Barsky vs crossing-number /
+    orientation tests on the Ray side)."""
+    pent = [(0.0, -40.0), (50.0, -10.0), (30.0, 40.0), (-30.0, 40.0),
+            (-50.0, -10.0)]  # CCW convex, (lon, lat)
+    edges = []
+    for i in range(len(pent)):
+        (x1, y1), (x2, y2) = pent[i], pent[(i + 1) % len(pent)]
+        a, b = (y2 - y1), -(x2 - x1)
+        c = a * x1 + b * y1
+        edges.append((a, b, c))
+    base = """
+g AS (SELECT user_id,
+             ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+             ((user_id * 104729) % 360) - 180 + 0.5 AS lon,
+             CAST(1 + (user_id % 3) AS DOUBLE) AS h
+      FROM (SELECT DISTINCT user_id FROM events))"""
+    pt_pred = " AND ".join(
+        f"(({a})*lon + ({b})*lat <= ({c}) + 1e-9)" for a, b, c in edges)
+    within_pred = " AND ".join(
+        f"(({a})*lon + ({b})*lat + ({abs(a)+abs(b)})*h <= ({c}) + 1e-9)"
+        for a, b, c in edges)
+    sep_terms = ["(50 < lon - h)", "(-50 > lon + h)",
+                 "(40 < lat - h)", "(-40 > lat + h)"]
+    sep_terms += [
+        f"(({a})*lon + ({b})*lat - ({abs(a)+abs(b)})*h > ({c}) + 1e-9)"
+        for a, b, c in edges]
+    disjoint_pred = " OR ".join(sep_terms)
+    line = [(-120.0, -60.0), (40.0, 20.0), (120.0, -30.0)]
+    seg_preds = []
+    for (px, py), (qx, qy) in zip(line, line[1:]):
+        dx, dy = qx - px, qy - py
+        seg_preds.append(
+            "(GREATEST(LEAST((lon - h - ({px}))/({dx}), (lon + h - ({px}))/({dx})),"
+            " LEAST((lat - h - ({py}))/({dy}), (lat + h - ({py}))/({dy})), 0.0)"
+            " <= LEAST(GREATEST((lon - h - ({px}))/({dx}), (lon + h - ({px}))/({dx})),"
+            " GREATEST((lat - h - ({py}))/({dy}), (lat + h - ({py}))/({dy})), 1.0)"
+            " + 1e-9)".format(px=px, py=py, dx=dx, dy=dy))
+    line_pred = " OR ".join(seg_preds)
+    sel = "SELECT user_id, lat, lon FROM g WHERE {} ORDER BY user_id"
     return {
+        "geo_shape_polygon_points": f"WITH {base}\n{sel.format(pt_pred)}",
+        "geo_shape_within": f"WITH {base}\n{sel.format(within_pred)}",
+        "geo_shape_disjoint": f"WITH {base}\n{sel.format(disjoint_pred)}",
+        "geo_shape_linestring": f"WITH {base}\n{sel.format(line_pred)}",
+    }
+
+def oracle_sql() -> dict[str, str]:
+    out = _geo_shape_oracle_sqls()
+    out.update({
         "ft_completion_weighted": """
 WITH tok AS (
   SELECT t AS term FROM (
@@ -1215,4 +1270,5 @@ GROUP BY 1 ORDER BY 1""",
 SELECT c_mktsegment, count(*) AS parent_count FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 180000)
 GROUP BY 1 ORDER BY 1""",
-    }
+    })
+    return out

@@ -2546,3 +2546,81 @@ def ft_completion_fuzzy(sf_dir: str):
     sug = completion_from_dataset(
         _ds(sf_dir, "documents", ["text"]), text_col="text", weight="tf")
     return sug.suggest("dat", size=5, fuzziness=1)
+
+
+# ---------------- round 3: geo_shape geometry (GeoShapeFieldMapper /
+# GeoShapeQueryBuilder relations over WKT; common/geo/ parsers) -------------
+
+# fixed convex pentagon query shape, (lon, lat) WKT order
+_GEO_SHAPE_WKT = ("POLYGON ((0 -40, 50 -10, 30 40, -30 40, -50 -10, 0 -40))")
+# fixed 2-segment linestring query
+_GEO_LINE_WKT = "LINESTRING (-120 -60, 40 20, 120 -30)"
+
+
+def _geo_shape_users(sf_dir: str):
+    """distinct users with synthetic point + per-user axis-aligned box
+    (half-size 1 + user_id % 3) — the indexed geo_shape side."""
+    return _ds(sf_dir, "events", ["user_id"]).groupby("user_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def _geo_shape_filter(sf_dir: str, relation: str, query_wkt: str):
+    from ..geo import (
+        boxes_intersect_convex,
+        boxes_within_convex,
+        parse_wkt,
+        points_in_polygon,
+        segments_intersect_boxes,
+    )
+
+    kind, geom = parse_wkt(query_wkt)
+
+    def filt(t: pa.Table) -> pa.Table:
+        g = _geo_cols(t)
+        uid = g["user_id"].to_numpy()
+        x = g["lon"].to_numpy()
+        y = g["lat"].to_numpy()
+        half = (1 + (uid % 3)).astype(np.float64)
+        blo = np.stack([x - half, y - half], axis=1)
+        bhi = np.stack([x + half, y + half], axis=1)
+        if relation == "point_intersects":
+            keep = points_in_polygon(geom, x, y)
+        elif relation == "within":
+            keep = boxes_within_convex(geom[0], blo, bhi)
+        elif relation == "intersects":
+            keep = boxes_intersect_convex(geom[0], blo, bhi)
+        elif relation == "disjoint":
+            keep = ~boxes_intersect_convex(geom[0], blo, bhi)
+        elif relation == "line_intersects":
+            keep = segments_intersect_boxes(geom, blo, bhi)
+        else:
+            raise ValueError(relation)
+        return g.select(["user_id", "lat", "lon"]).filter(pa.array(keep))
+
+    out = (_geo_shape_users(sf_dir)
+           .map_batches(filt, batch_format="pyarrow").to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def geo_shape_polygon_points(sf_dir: str):
+    """geo_shape INTERSECTS: indexed points vs a convex pentagon WKT query
+    (point-in-polygon, vectorized crossing-number)."""
+    return _geo_shape_filter(sf_dir, "point_intersects", _GEO_SHAPE_WKT)
+
+
+def geo_shape_within(sf_dir: str):
+    """geo_shape WITHIN: per-user boxes fully inside the pentagon (corner
+    half-plane tests; convex query => corner containment == containment)."""
+    return _geo_shape_filter(sf_dir, "within", _GEO_SHAPE_WKT)
+
+
+def geo_shape_disjoint(sf_dir: str):
+    """geo_shape DISJOINT: separating-axis test between each box and the
+    convex pentagon (box axes + pentagon edge normals)."""
+    return _geo_shape_filter(sf_dir, "disjoint", _GEO_SHAPE_WKT)
+
+
+def geo_shape_linestring(sf_dir: str):
+    """geo_shape INTERSECTS with a LINESTRING query: per-user boxes hit by
+    any segment (endpoint-in-box + segment/edge orientation tests)."""
+    return _geo_shape_filter(sf_dir, "line_intersects", _GEO_LINE_WKT)

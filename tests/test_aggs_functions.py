@@ -463,3 +463,40 @@ def test_percolator_min_should_match():
     out = p(t).to_pandas()
     pairs = set(zip(out.doc_id, out.query_id))
     assert pairs == {(10, 0), (10, 1), (11, 1), (12, 2)}
+
+
+def test_geo_wkt_and_relations():
+    from elasticsearch_ray.geo import (
+        boxes_intersect_convex,
+        boxes_within_convex,
+        parse_wkt,
+        points_in_polygon,
+        segments_intersect_boxes,
+    )
+
+    kind, rings = parse_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert kind == "polygon" and len(rings) == 2
+    x = np.array([5.0, 5.0, 20.0, 1.0])
+    y = np.array([1.0, 5.0, 5.0, 1.0])
+    # (5,5) falls in the hole; (20,5) outside; others inside
+    assert points_in_polygon(rings, x, y).tolist() == [True, False, False, True]
+
+    ring = parse_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")[1][0]
+    blo = np.array([[2.0, 2.0], [8.0, 8.0], [20.0, 20.0]])
+    bhi = np.array([[4.0, 4.0], [12.0, 12.0], [22.0, 22.0]])
+    assert boxes_within_convex(ring, blo, bhi).tolist() == [True, False, False]
+    assert boxes_intersect_convex(ring, blo, bhi).tolist() == [True, True, False]
+
+    kind, line = parse_wkt("LINESTRING (-5 -5, 15 15)")
+    hit = segments_intersect_boxes(line, blo, bhi)
+    # diagonal passes through the first two boxes, misses the third
+    assert hit.tolist() == [True, True, False]
+
+
+def test_geo_envelope_parse():
+    from elasticsearch_ray.geo import parse_wkt
+
+    kind, box = parse_wkt("ENVELOPE (-10, 10, 20, -20)")
+    assert kind == "envelope"
+    assert box.tolist() == [[-10.0, -20.0], [10.0, 20.0]]
