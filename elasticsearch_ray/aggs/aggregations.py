@@ -44,7 +44,10 @@ def date_histogram(ds, ts_col: str, interval: str = "day", value: str | None = N
     unit = {"day": "day", "hour": "hour", "month": "month", "week": "week"}[interval]
 
     def bucketize(t: pa.Table) -> pa.Table:
-        b = pc.floor_temporal(t[ts_col], unit=unit)
+        # int64 epoch-us keys through the shuffle (datetime keys trip Ray's
+        # numpy datetime precision coercion warning per worker); restored to
+        # timestamps on the reduced table below
+        b = pc.cast(pc.floor_temporal(t[ts_col], unit=unit), pa.int64())
         return t.append_column("bucket", b)
 
     aggs = [Count(alias_name="doc_count")]
@@ -56,6 +59,9 @@ def date_histogram(ds, ts_col: str, interval: str = "day", value: str | None = N
         .aggregate(*aggs)
         .to_pandas()
     )
+    import pandas as _pd
+
+    out["bucket"] = _pd.to_datetime(out["bucket"], unit="us")
     return out.sort_values("bucket").reset_index(drop=True)
 
 

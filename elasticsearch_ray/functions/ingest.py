@@ -391,3 +391,41 @@ def sort_list(col: str, order: str = "ascending"):
         return _put(t, col, rebuilt)
 
     return f
+
+
+def append(col: str, values):
+    """`append` processor (AppendProcessor): append value(s) to a list field,
+    creating it when absent; a scalar column is promoted to a list first."""
+    vals = list(values) if isinstance(values, (list, tuple)) else [values]
+
+    def f(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = len(t)
+        if col in t.column_names:
+            c = t[col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            if not pa.types.is_list(c.type):
+                c = pa.ListArray.from_arrays(
+                    pa.array(range(n + 1), pa.int32()), c)
+            offsets, flat, mask = _normalized_list(c)
+        else:
+            offsets = np.zeros(n + 1, np.int64)
+            flat = pa.array([], pa.string() if isinstance(vals[0], str)
+                            else pa.int64())
+            mask = None
+        k = len(vals)
+        new_offsets = offsets + np.arange(n + 1, dtype=np.int64) * k
+        tail = pa.array(vals * n, flat.type)
+        # interleave: each row's existing values then the appended ones
+        pieces = []
+        for i in range(n):
+            pieces.append(flat.slice(int(offsets[i]),
+                                     int(offsets[i + 1] - offsets[i])))
+            pieces.append(tail.slice(i * k, k))
+        combined = pa.concat_arrays(pieces) if pieces else flat
+        rebuilt = _rebuild_list(new_offsets, combined, mask)
+        return _put(t, col, rebuilt)
+
+    return f

@@ -200,7 +200,9 @@ def agg_user_window(sf_dir: str):
     import pyarrow.compute as pc
 
     def bucketize(t: pa.Table) -> pa.Table:
-        return t.append_column("bucket", pc.floor_temporal(t["ts"], unit="day"))
+        # int64 epoch keys through the shuffle (see aggs.date_histogram)
+        b = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        return t.append_column("bucket", b)
 
     out = (
         _ds(sf_dir, "events", ["user_id", "ts"])
@@ -209,6 +211,7 @@ def agg_user_window(sf_dir: str):
         .aggregate(Count(alias_name="doc_count"))
         .to_pandas()
     )
+    out["bucket"] = pd.to_datetime(out["bucket"], unit="us")
     return out.sort_values(["user_id", "bucket"]).reset_index(drop=True)
 
 
@@ -1994,7 +1997,9 @@ def agg_auto_date_histogram(sf_dir: str):
             break
 
     def bucketize(t: pa.Table) -> pa.Table:
-        return t.append_column("bucket", pc.floor_temporal(t["ts"], unit=unit))
+        # int64 epoch keys through the shuffle (see aggs.date_histogram)
+        b = pc.cast(pc.floor_temporal(t["ts"], unit=unit), pa.int64())
+        return t.append_column("bucket", b)
 
     out = (
         _ds(sf_dir, "events", ["ts"])
@@ -2003,6 +2008,7 @@ def agg_auto_date_histogram(sf_dir: str):
         .aggregate(Count(alias_name="doc_count"))
         .to_pandas()
     )
+    out["bucket"] = pd.to_datetime(out["bucket"], unit="us")
     out["interval"] = unit
     return out.sort_values("bucket").reset_index(drop=True)[["bucket", "interval", "doc_count"]]
 

@@ -500,3 +500,15 @@ def test_geo_envelope_parse():
     kind, box = parse_wkt("ENVELOPE (-10, 10, 20, -20)")
     assert kind == "envelope"
     assert box.tolist() == [[-10.0, -20.0], [10.0, 20.0]]
+
+
+def test_ingest_append():
+    from elasticsearch_ray.functions.ingest import append
+
+    t = pa.table({"tags": [["a"], [], ["b", "c"]]})
+    assert append("tags", ["x", "y"])(t)["tags"].to_pylist() == \
+        [["a", "x", "y"], ["x", "y"], ["b", "c", "x", "y"]]
+    t2 = pa.table({"tag": ["a", "b"]})  # scalar promoted to list
+    assert append("tag", "z")(t2)["tag"].to_pylist() == [["a", "z"], ["b", "z"]]
+    t3 = pa.table({"v": [1, 2]})  # absent field created
+    assert append("new", 9)(t3)["new"].to_pylist() == [[9], [9]]
