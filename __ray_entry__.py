@@ -91,7 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "lang_stop_tokenize", "ft_completion_weighted", "ft_completion_fuzzy",
         "geo_shape_polygon_points", "geo_shape_within", "geo_shape_disjoint",
-        "geo_shape_linestring",
+        "geo_shape_linestring", "agg_percentiles_hdr",
         # --- round-3 new ops (rows-only: no offline SQL stemmer) ---
         "ft_analyze_french", "ft_analyze_german", "ft_analyze_spanish",
         "ft_analyze_italian", "ft_analyze_portuguese", "ft_analyze_dutch",

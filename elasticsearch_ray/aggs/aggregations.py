@@ -166,8 +166,14 @@ def composite_agg(ds, keys: list[str], size: int | None = None, after: tuple | N
     out = ds.groupby(keys).aggregate(Count(alias_name="doc_count")).to_pandas()
     out = out.sort_values(keys).reset_index(drop=True)
     if after is not None:
-        mask = out.apply(lambda r: tuple(r[k] for k in keys) > tuple(after), axis=1)
-        out = out[mask]
+        # vectorized lexicographic tuple > after (no row-wise apply)
+        gt = np.zeros(len(out), bool)
+        eq = np.ones(len(out), bool)
+        for k, a in zip(keys, after):
+            col = out[k].to_numpy()
+            gt |= eq & (col > a)
+            eq &= col == a
+        out = out[gt]
     if size is not None:
         out = out.head(size)
     return out.reset_index(drop=True)

@@ -2630,3 +2630,17 @@ def geo_shape_linestring(sf_dir: str):
     """geo_shape INTERSECTS with a LINESTRING query: per-user boxes hit by
     any segment (endpoint-in-box + segment/edge orientation tests)."""
     return _geo_shape_filter(sf_dir, "line_intersects", _GEO_LINE_WKT)
+
+
+def agg_percentiles_hdr(sf_dir: str):
+    """percentiles via the HDR-histogram method (HDRPercentileRanks
+    aggregator analog) — distributed AggregateFn over events.value;
+    rows-only gate (fixed-precision sketch), accuracy pinned in pytest."""
+    from ..aggs.hdr import hdr_aggregate_fn
+
+    qs = [0.5, 0.9, 0.99]
+    res = _ds(sf_dir, "events", ["value"]).aggregate(
+        hdr_aggregate_fn("value", qs))
+    vals = res["percentiles_hdr"] if isinstance(res, dict) else res
+    return pd.DataFrame({"q": qs,
+                         "value": [float(round_half_away(v, 3)) for v in vals]})

@@ -512,3 +512,32 @@ def test_ingest_append():
     assert append("tag", "z")(t2)["tag"].to_pylist() == [["a", "z"], ["b", "z"]]
     t3 = pa.table({"v": [1, 2]})  # absent field created
     assert append("new", 9)(t3)["new"].to_pylist() == [[9], [9]]
+
+
+def test_hdr_percentiles_accuracy_and_merge():
+    from elasticsearch_ray.aggs.hdr import HdrSketch
+
+    rng = np.random.default_rng(3)
+    data = rng.gamma(2.0, 100.0, 100_000)
+    a, b = HdrSketch(), HdrSketch()
+    a.add(data[:50_000])
+    b.add(data[50_000:])
+    m = HdrSketch.from_bytes(a.to_bytes()).merge(HdrSketch.from_bytes(b.to_bytes()))
+    for p in (50, 90, 99, 99.9):
+        exact = np.percentile(data, p)
+        assert abs(m.percentile(p) - exact) / exact < 2e-3, p
+
+
+def test_hdr_aggregate_fn_distributed(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.aggs.hdr import hdr_aggregate_fn
+
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(0, 500, 20_000)
+    ds = rd.from_items([{"value": float(v)} for v in vals])
+    res = ds.aggregate(hdr_aggregate_fn("value", [0.5, 0.99]))
+    got = res["percentiles_hdr"] if isinstance(res, dict) else res
+    for q, g in zip((0.5, 0.99), got):
+        exact = np.quantile(vals, q)
+        assert abs(g - exact) / exact < 2e-3
