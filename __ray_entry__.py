@@ -91,7 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "lang_stop_tokenize", "ft_completion_weighted", "ft_completion_fuzzy",
         "geo_shape_polygon_points", "geo_shape_within", "geo_shape_disjoint",
-        "geo_shape_linestring", "agg_percentiles_hdr",
+        "geo_shape_linestring", "agg_percentiles_hdr", "ft_highlight_fvh",
         # --- round-3 new ops (rows-only: no offline SQL stemmer) ---
         "ft_analyze_french", "ft_analyze_german", "ft_analyze_spanish",
         "ft_analyze_italian", "ft_analyze_portuguese", "ft_analyze_dutch",
@@ -221,6 +221,17 @@ tc AS (SELECT term, count(*) AS weight FROM tok GROUP BY term)
 SELECT term AS input, weight FROM tc
 WHERE levenshtein(substr(term, 1, 3), 'dat') <= 1
 ORDER BY weight DESC, input LIMIT 5""",
+        "ft_highlight_fvh": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id, tf.tf AS n_hits, {_SCORE} AS raw
+  FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT s.doc_id AS doc_id, s.n_hits,
+       regexp_replace(d.text, '\\bdata\\b', '<em>data</em>', 'g') AS highlighted
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.raw DESC, s.doc_id LIMIT 5""",
         "lang_stop_tokenize": """
 WITH fr AS (
   SELECT doc_id,

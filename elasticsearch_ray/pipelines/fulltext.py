@@ -152,3 +152,41 @@ def highlight(sf_dir: str, query_text: str, k: int = 5, frag_chars: int = 60) ->
             "highlight": pa.array(frags, pa.string()),
         }
     )
+
+
+def highlight_fvh(sf_dir: str, term: str = "data", k: int = 5) -> pa.Table:
+    """fvh-style highlighter (FastVectorHighlighter.java): hit positions come
+    from the INDEX's stored positional postings — the doc is never
+    re-searched for terms. The fetch phase maps the stored token positions
+    of the k hit docs to character spans with one offsets pass (the
+    term-vector offsets analog; this index stores positions, not offsets)
+    and wraps them in <em> tags."""
+    import re
+
+    from ..sources.reader import fetch_rows_by_doc_id
+
+    s = documents_searcher(sf_dir)
+    ids, sc = s.search({"kind": "term", "term": term, "k": k})
+    tp = s._get_term(term)
+    pos_lists = s._positions_for(tp, ids)  # token positions per hit doc
+    src = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                               ids, columns=["doc_id", "text"])
+    all_ids = src["doc_id"].to_numpy()
+    idx = np.searchsorted(all_ids, ids)
+    token_re = re.compile(r"[a-z0-9]+")
+    out_hl, out_hits = [], []
+    for j, positions in zip(idx, pos_lists):
+        text = src["text"][int(j)].as_py()
+        spans = [m.span() for m in token_re.finditer(text.lower())]
+        chars = list(text)
+        for p in sorted((int(p) for p in positions), reverse=True):
+            if p < len(spans):
+                a, b = spans[p]
+                chars[a:b] = list("<em>" + text[a:b] + "</em>")
+        out_hl.append("".join(chars))
+        out_hits.append(int(len(positions)))
+    return pa.table({
+        "doc_id": pa.array(ids.astype(np.int64)),
+        "n_hits": pa.array(out_hits, pa.int64()),
+        "highlighted": pa.array(out_hl, pa.string()),
+    })

@@ -2644,3 +2644,11 @@ def agg_percentiles_hdr(sf_dir: str):
     vals = res["percentiles_hdr"] if isinstance(res, dict) else res
     return pd.DataFrame({"q": qs,
                          "value": [float(round_half_away(v, 3)) for v in vals]})
+
+
+def ft_highlight_fvh(sf_dir: str):
+    """fvh highlighter gate: top-5 docs for term 'data', every stored-position
+    hit wrapped in <em> (positions from the index, not re-analysis)."""
+    from .fulltext import highlight_fvh
+
+    return highlight_fvh(sf_dir, "data", 5).to_pandas()

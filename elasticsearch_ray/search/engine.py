@@ -306,6 +306,43 @@ def parse_simple_query_string(s: str) -> dict:
     return {"kind": "bool", "should": should, "must_not": must_not}
 
 
+def _sloppy_freq(lists: list[np.ndarray], slop: int) -> float:
+    """Lucene SloppyPhraseMatcher match enumeration (no-repeats case) over
+    phrase-adjusted position lists: freq = sum of 1/(1+matchLength) per
+    emitted match. [Lucene 8.5, public algorithm]"""
+    import heapq
+
+    ptr = [0] * len(lists)
+    heap = [(int(pl[0]), ti) for ti, pl in enumerate(lists)]
+    heapq.heapify(heap)
+    end = max(int(pl[0]) for pl in lists)
+    freq = 0.0
+    pos, ti = heapq.heappop(heap)
+    match_len = end - pos
+    nxt = heap[0][0] if heap else pos
+    while True:
+        if ptr[ti] + 1 < len(lists[ti]):
+            ptr[ti] += 1
+            p = int(lists[ti][ptr[ti]])
+            if p > end:
+                end = p
+            if p > nxt:
+                if match_len <= slop:
+                    freq += 1.0 / (1.0 + match_len)
+                heapq.heappush(heap, (p, ti))
+                pos, ti = heapq.heappop(heap)
+                match_len = end - pos
+                nxt = heap[0][0] if heap else pos
+            else:
+                ml2 = end - p
+                if ml2 < match_len:
+                    match_len = ml2
+        else:
+            if match_len <= slop:
+                freq += 1.0 / (1.0 + match_len)
+            return freq
+
+
 def levenshtein_vec(query: str, cands: np.ndarray) -> np.ndarray:
     """Levenshtein distance from `query` to every string in `cands`,
     vectorized over candidates: the DP table rows are (n_cands, maxlen+1)
@@ -760,11 +797,7 @@ class IndexSearcher:
         if kind == "match_phrase":
             slop = int(q.get("slop", 0))
             if slop > 0:
-                # sloppy phrase approximated by an unordered span_near with the
-                # same slop budget (constant-scored; exact sloppy-freq scoring
-                # is out of scope — MatchPhraseQueryBuilder slop semantics)
-                return self._span_near(self._analyzer_for(field)(q["text"]), slop,
-                                       False, boost, field)
+                return self._sloppy_phrase(q["text"], slop, boost, field)
             return self._phrase(q["text"], boost, field)
         if kind == "prefix":
             return self._prefix(q["prefix"], boost, field)
@@ -1544,6 +1577,64 @@ class IndexSearcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         docs_idx, freqs = np.unique(inter >> np.int64(32), return_counts=True)
         cand = cand[docs_idx]
+        if cand.size == 0:
+            return cand, np.empty(0, np.float64)
+        norm_bytes, doc_lens, avgdl, cache32 = self._field_stats(field)
+        if self.bm25.mode == "lucene":
+            idf_sum = np.float32(0.0)
+            for tp in tps:
+                idf_sum = np.float32(idf_sum + self.bm25.idf(self._df(tp), self.n_docs))
+            w = (np.float32(boost) * (np.float32(self.bm25.k1) + np.float32(1.0))) * idf_sum
+            sc = self.bm25.score_tf(freqs, norm_bytes[cand], None, avgdl, w, cache32)
+        else:
+            idf_sum = sum(self.bm25.idf(self._df(tp), self.n_docs) for tp in tps)
+            w = boost * idf_sum * (self.bm25.k1 + 1)
+            sc = self.bm25.score_tf(freqs, None, doc_lens[cand], avgdl, w)
+        return cand, sc.astype(np.float64)
+
+    def _sloppy_phrase(self, text: str, slop: int, boost: float = 1.0,
+                       field: str | None = None):
+        """Sloppy PhraseQuery, score-exact [Lucene 8.5 SloppyPhraseMatcher]:
+        freq = sum over match events of 1/(1 + matchLength), where the match
+        events come from the published min-advance algorithm (advance the
+        min-position term through its positions while they stay at or below
+        the next term's position, tracking the smallest window; emit a match
+        when it passes). Phrases with repeated terms fall back to the
+        unordered-span doc-set approximation (the repeats machinery of
+        SloppyPhraseMatcher is out of scope)."""
+        terms_pos = self._analyzer_for(field).positions(text)
+        if not terms_pos:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        if len(terms_pos) == 1:
+            return self._phrase(text, boost, field)
+        terms = [t for t, _ in terms_pos]
+        if len(set(terms)) != len(terms):
+            return self._span_near(terms, slop, False, boost, field)
+        base0 = terms_pos[0][1]
+        rel = [(t, p - base0) for t, p in terms_pos]
+        tps = []
+        for t, _ in rel:
+            tp = self._get_term(t, field)
+            if tp is None:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            tps.append(tp)
+        cand = tps[0].doc_ids
+        for tp in tps[1:]:
+            idx = np.searchsorted(tp.doc_ids, cand)
+            idx = np.minimum(idx, tp.doc_ids.size - 1)
+            cand = cand[tp.doc_ids[idx] == cand]
+        if cand.size == 0:
+            return cand, np.empty(0, np.float64)
+        # adjusted position lists per (term, candidate)
+        per_term = [self._positions_for(tp, cand) for tp in tps]
+        freqs = np.zeros(cand.size, np.float64)
+        for ci in range(cand.size):
+            lists = [per_term[ti][ci] - off for ti, (_, off) in enumerate(rel)]
+            if any(pl.size == 0 for pl in lists):
+                continue
+            freqs[ci] = _sloppy_freq(lists, slop)
+        keep = freqs > 0.0
+        cand, freqs = cand[keep], freqs[keep]
         if cand.size == 0:
             return cand, np.empty(0, np.float64)
         norm_bytes, doc_lens, avgdl, cache32 = self._field_stats(field)

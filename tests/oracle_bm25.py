@@ -84,6 +84,8 @@ class BruteForceBM25:
                 docs &= set(m)
             return {d: sum(m[d] for m in per) for d in docs}
         if kind == "match_phrase":
+            if int(q.get("slop", 0)) > 0:
+                return self._sloppy(q["text"], int(q["slop"]), boost)
             return self._phrase(q["text"], boost)
         if kind == "prefix":
             out = {}
@@ -168,3 +170,73 @@ class BruteForceBM25:
         items.sort(key=lambda x: (-x[1], x[0]))
         top = items[:k]
         return [d for d, _ in top], [s for _, s in top]
+
+
+    @staticmethod
+    def _sloppy_freq_naive(lists, slop):
+        """The published SloppyPhraseMatcher event rule simulated with plain
+        lists and explicit min scans (no heap; independent mechanics from
+        the engine implementation): advance the (value, term-index)-minimal
+        term through its positions while they stay at or below the next
+        minimum, tracking the smallest end-minus-position window; emit
+        1/(1+matchLength) when it passes or exhausts."""
+        k = len(lists)
+        cur = [0] * k
+        vals = [int(l[0]) for l in lists]
+        end = max(vals)
+        waiting = set(range(k))
+
+        def pop_min():
+            t = min(waiting, key=lambda i: (vals[i], i))
+            waiting.discard(t)
+            return t
+
+        ti = pop_min()
+        match_len = end - vals[ti]
+        nxt = min((vals[t] for t in waiting), default=vals[ti])
+        freq = 0.0
+        while True:
+            if cur[ti] + 1 < len(lists[ti]):
+                cur[ti] += 1
+                p = int(lists[ti][cur[ti]])
+                vals[ti] = p
+                end = max(end, p)
+                if p > nxt:
+                    if match_len <= slop:
+                        freq += 1.0 / (1.0 + match_len)
+                    waiting.add(ti)
+                    ti = pop_min()
+                    match_len = end - vals[ti]
+                    nxt = min((vals[t] for t in waiting), default=vals[ti])
+                else:
+                    match_len = min(match_len, end - p)
+            else:
+                if match_len <= slop:
+                    freq += 1.0 / (1.0 + match_len)
+                return freq
+
+    def _sloppy(self, text, slop, boost=1.0):
+        tp = self.an.positions(text)
+        if len(tp) <= 1:
+            return self._phrase(text, boost)
+        base = tp[0][1]
+        rel = [(t, p - base) for t, p in tp]
+        docs = None
+        for t, _ in rel:
+            ds = set(self.tf.get(t, {}))
+            docs = ds if docs is None else docs & ds
+        idf_sum = np.float32(0.0) if self.mode == "lucene" else 0.0
+        for t, _ in rel:
+            df = len(self.tf[t]) if t in self.tf else 0
+            idf_sum = np.float32(idf_sum + self._idf(df)) if self.mode == "lucene" else idf_sum + self._idf(df)
+        if self.mode == "lucene":
+            w = float((np.float32(boost) * (np.float32(self.k1) + np.float32(1.0))) * idf_sum)
+        else:
+            w = boost * idf_sum * (self.k1 + 1)
+        out = {}
+        for d in docs or ():
+            lists = [sorted(p - off for p in self.pos[t][d]) for t, off in rel]
+            freq = self._sloppy_freq_naive(lists, slop)
+            if freq > 0.0:
+                out[d] = self._score_one(freq, d, w)
+        return out
