@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stop_tokenize", "ft_completion_weighted", "ft_completion_fuzzy",
         "geo_shape_polygon_points", "geo_shape_within", "geo_shape_disjoint",
         "geo_shape_linestring", "agg_percentiles_hdr", "ft_highlight_fvh",
+        "ft_type", "msearch", "field_caps", "rank_eval",
+        "agg_extended_stats_bucket",
         # --- round-3 new ops (rows-only: no offline SQL stemmer) ---
         "ft_analyze_french", "ft_analyze_german", "ft_analyze_spanish",
         "ft_analyze_italian", "ft_analyze_portuguese", "ft_analyze_dutch",
@@ -232,6 +234,90 @@ SELECT s.doc_id AS doc_id, s.n_hits,
        regexp_replace(d.text, '\\bdata\\b', '<em>data</em>', 'g') AS highlighted
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY s.raw DESC, s.doc_id LIMIT 5""",
+        "ft_type": """
+SELECT doc_id, 1.0 AS score FROM documents WHERE source = 'src3' ORDER BY doc_id""",
+        "msearch": f"""
+WITH {_TOK},
+q1 AS (
+  SELECT 0 AS request_id, tf.doc_id AS doc_id, {_SCORE} AS raw
+  FROM (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id) tf
+  CROSS JOIN (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'data') df
+  CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+  ORDER BY raw DESC, doc_id LIMIT 3),
+q2t AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('slow', 'merge') GROUP BY doc_id, term),
+q2df AS (SELECT term, count(*) AS df FROM q2t GROUP BY term),
+q2 AS (
+  SELECT 1 AS request_id, tf.doc_id AS doc_id, SUM({_SCORE}) AS raw
+  FROM q2t tf JOIN q2df df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id ORDER BY raw DESC, doc_id LIMIT 3),
+q3p AS (
+  SELECT doc_id FROM documents
+  WHERE regexp_matches(lower(text), '(^|[^a-z0-9])data[^a-z0-9]+query([^a-z0-9]|$)')),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents)),
+ph AS (SELECT a.doc_id, count(*) AS tf
+       FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'data' AND b.term = 'query' GROUP BY a.doc_id),
+phidf AS (
+  SELECT (SELECT ln(1 + (st.n - d1.df + 0.5)/(d1.df + 0.5)) FROM
+            (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term='data') d1, st)
+       + (SELECT ln(1 + (st.n - d2.df + 0.5)/(d2.df + 0.5)) FROM
+            (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term='query') d2, st)
+       AS idf_sum),
+q3 AS (
+  SELECT 2 AS request_id, ph.doc_id AS doc_id,
+         phidf.idf_sum * 2.2 * ph.tf /
+         (ph.tf + 1.2*(0.25 + 0.75 * dl.dl * st.n / st.sumdl)) AS raw
+  FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN phidf
+  ORDER BY raw DESC, doc_id LIMIT 3)
+SELECT request_id, doc_id, ROUND(raw, 4) AS score FROM
+(SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3)
+ORDER BY request_id, score DESC, doc_id""",
+        "field_caps": """
+SELECT column_name AS field,
+       CASE data_type WHEN 'BIGINT' THEN 'long' WHEN 'INTEGER' THEN 'integer'
+            WHEN 'DOUBLE' THEN 'double' WHEN 'FLOAT' THEN 'float'
+            WHEN 'VARCHAR' THEN 'text' WHEN 'BOOLEAN' THEN 'boolean'
+            ELSE lower(data_type) END AS es_type
+FROM information_schema.columns WHERE table_name = 'documents'
+ORDER BY field""",
+        "rank_eval": f"""
+WITH {_TOK},
+t1 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('data','query') GROUP BY doc_id, term),
+d1 AS (SELECT term, count(*) AS df FROM t1 GROUP BY term),
+top1 AS (SELECT tf.doc_id AS doc_id
+         FROM t1 tf JOIN d1 df USING (term)
+         JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+         GROUP BY tf.doc_id, dl.dl, st.n, st.sumdl
+         ORDER BY SUM({_SCORE}) DESC, tf.doc_id LIMIT 5),
+p1 AS (SELECT 'q_data' AS query, ROUND(count(*)/5.0, 4) AS precision_at_5
+       FROM top1 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term='data')),
+t2 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('slow','merge') GROUP BY doc_id, term),
+d2 AS (SELECT term, count(*) AS df FROM t2 GROUP BY term),
+top2 AS (SELECT tf.doc_id AS doc_id
+         FROM t2 tf JOIN d2 df USING (term)
+         JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+         GROUP BY tf.doc_id, dl.dl, st.n, st.sumdl
+         ORDER BY SUM({_SCORE}) DESC, tf.doc_id LIMIT 5),
+p2 AS (SELECT 'q_merge' AS query, ROUND(count(*)/5.0, 4) AS precision_at_5
+       FROM top2 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term='merge'))
+SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY query""",
+        "agg_extended_stats_bucket": """
+WITH h AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+           FROM events GROUP BY 1)
+SELECT count(*) AS cnt, CAST(SUM(doc_count) AS BIGINT) AS sum_v,
+       ROUND(AVG(doc_count), 4) AS avg_v,
+       CAST(SUM(doc_count * doc_count) AS BIGINT) AS sum_sq,
+       ROUND(var_pop(doc_count), 4) AS variance,
+       ROUND(stddev_pop(doc_count), 4) AS std_dev
+FROM h""",
         "lang_stop_tokenize": """
 WITH fr AS (
   SELECT doc_id,

@@ -1386,12 +1386,8 @@ def ft_matched_queries(sf_dir: str):
     s = documents_searcher(sf_dir)
     named = {"has_window": {"kind": "term", "term": "window"},
              "has_merge": {"kind": "term", "term": "merge"}}
-    per = {name: set(s._eval(q)[0].tolist()) for name, q in named.items()}
-    all_ids = sorted(set().union(*per.values()))
-    rows = [(d, ",".join(sorted(n for n, ids in per.items() if d in ids)))
-            for d in all_ids]
-    return pd.DataFrame({"doc_id": pd.array([r[0] for r in rows], dtype="int64"),
-                         "matched": [r[1] for r in rows]})
+    out = s.matched_queries(named)
+    return out.reset_index(drop=True)
 
 
 def inner_hits(sf_dir: str):
@@ -2652,3 +2648,84 @@ def ft_highlight_fvh(sf_dir: str):
     from .fulltext import highlight_fvh
 
     return highlight_fvh(sf_dir, "data", 5).to_pandas()
+
+
+# ---------------- round 3: msearch / field_caps / rank_eval / type ---------
+
+
+def ft_type(sf_dir: str):
+    """deprecated `type` query (TypeQueryBuilder, 7.x): constant-score filter
+    on the _type-analog discriminator column (`source`)."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s._eval({"kind": "meta_term", "field": "source", "value": "src3"})
+    return pd.DataFrame({"doc_id": pd.array(ids.astype(np.int64), dtype="int64"),
+                         "score": [1.0] * ids.size})
+
+
+def msearch(sf_dir: str):
+    """_msearch (TransportMultiSearchAction.java:44): a batch of independent
+    searches executed against the SAME loaded searcher in one pass; output
+    is the concatenated per-request top-3 (request_id, doc_id, score)."""
+    s = documents_searcher(sf_dir)
+    requests = [
+        {"kind": "term", "term": "data", "k": 3},
+        {"kind": "match", "text": "slow merge", "k": 3},
+        {"kind": "match_phrase", "text": "data query", "k": 3},
+    ]
+    rows = []
+    for rid, q in enumerate(requests):
+        ids, sc = s.search(q)
+        for d, v in zip(ids.tolist(), sc.tolist()):
+            rows.append((rid, d, float(round_half_away(v, 4))))
+    return pd.DataFrame({"request_id": pd.array([r[0] for r in rows], dtype="int64"),
+                         "doc_id": pd.array([r[1] for r in rows], dtype="int64"),
+                         "score": [r[2] for r in rows]})
+
+
+def field_caps(sf_dir: str):
+    """_field_caps (action/fieldcaps/): per-field searchable capability map
+    over the documents table, types mapped to the ES type system."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(os.path.join(sf_dir, "documents.parquet"))
+    tmap = {"int64": "long", "int32": "integer", "double": "double",
+            "float": "float", "string": "text", "large_string": "text",
+            "bool": "boolean"}
+    rows = [(f.name, tmap.get(str(f.type), str(f.type))) for f in schema]
+    rows.sort()
+    return pd.DataFrame({"field": [r[0] for r in rows],
+                         "es_type": [r[1] for r in rows]})
+
+
+def rank_eval(sf_dir: str):
+    """_rank_eval (modules/rank-eval): precision@5 per query for a fixed
+    request set, with relevance defined as 'doc contains the target term'
+    (judgment lists derivable on both sides)."""
+    s = documents_searcher(sf_dir)
+    specs = [("q_data", {"kind": "match", "text": "data query", "k": 5}, "data"),
+             ("q_merge", {"kind": "match", "text": "slow merge", "k": 5}, "merge")]
+    rows = []
+    for name, q, rel_term in specs:
+        ids, _ = s.search(q)
+        rel_ids, _ = s._eval({"kind": "term", "term": rel_term})
+        rel = set(rel_ids.tolist())
+        hits = sum(1 for d in ids.tolist() if d in rel)
+        rows.append((name, float(round_half_away(hits / 5.0, 4))))
+    return pd.DataFrame({"query": [r[0] for r in rows],
+                         "precision_at_5": [r[1] for r in rows]})
+
+
+def agg_extended_stats_bucket(sf_dir: str):
+    """extended_stats_bucket pipeline agg (ExtendedStatsBucket): the
+    stats_bucket moments plus sum-of-squares, population variance and
+    std deviation over the sibling date_histogram's doc_counts."""
+    h = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    c = h["doc_count"].to_numpy().astype(np.float64)
+    return pd.DataFrame({
+        "cnt": pd.array([int(c.size)], dtype="int64"),
+        "sum_v": pd.array([int(c.sum())], dtype="int64"),
+        "avg_v": [float(round_half_away(c.mean(), 4))],
+        "sum_sq": pd.array([int((c * c).sum())], dtype="int64"),
+        "variance": [float(round_half_away(c.var(), 4))],
+        "std_dev": [float(round_half_away(c.std(), 4))],
+    })

@@ -51,6 +51,9 @@ class SearcherActor:
         ids, sc = self.searcher.search(q, use_wand=use_wand)
         return ids, np.asarray(sc, dtype=np.float64)
 
+    def matched(self, named: dict):
+        return self.searcher.matched_queries(named)
+
 
 class DistributedSearcher:
     """Coordinator: round-robin segment assignment + DFS + fan-out + merge."""
@@ -103,3 +106,13 @@ class DistributedSearcher:
             return ids.astype(np.int64), sc
         order = np.lexsort((ids, -sc))[:k]
         return ids[order].astype(np.int64), sc[order]
+
+    def matched_queries(self, named: dict):
+        """Fan-out matched_queries: each actor annotates its own partition;
+        the reduce is a concat of (doc_id, matched) rows."""
+        import pandas as pd
+
+        ray = self._ray
+        parts = ray.get([a.matched.remote(named) for a in self.actors])
+        out = pd.concat(parts, ignore_index=True)
+        return out.sort_values("doc_id").reset_index(drop=True)

@@ -1592,6 +1592,33 @@ class IndexSearcher:
             sc = self.bm25.score_tf(freqs, None, doc_lens[cand], avgdl, w)
         return cand, sc.astype(np.float64)
 
+    def matched_queries(self, named: dict[str, dict]):
+        """matched_queries fetch subphase (FetchPhase named-queries,
+        MatchedQueriesPhase): annotate every matching doc with the named
+        queries it satisfies. Runs against THIS searcher's partition only —
+        under DistributedSearcher each actor annotates its own docs and the
+        driver sees (doc_id, matched) rows bounded by the match count, not
+        per-query id sets. Vectorized: per-name id arrays label-joined with
+        one lexsort + pandas group-join."""
+        import pandas as pd
+
+        ids_parts, name_parts = [], []
+        for name in sorted(named):
+            ids, _ = self._eval(named[name])
+            if ids.size:
+                ids_parts.append(ids.astype(np.int64))
+                name_parts.append(np.full(ids.size, name, dtype=object))
+        if not ids_parts:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "matched": pd.Series([], dtype=object)})
+        frame = pd.DataFrame({
+            "doc_id": np.concatenate(ids_parts),
+            "name": np.concatenate(name_parts),
+        }).sort_values(["doc_id", "name"])
+        out = (frame.groupby("doc_id")["name"].agg(",".join)
+               .reset_index().rename(columns={"name": "matched"}))
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def _sloppy_phrase(self, text: str, slop: int, boost: float = 1.0,
                        field: str | None = None):
         """Sloppy PhraseQuery, score-exact [Lucene 8.5 SloppyPhraseMatcher]:

@@ -68,3 +68,15 @@ def test_distributed_round2_kinds(index_dir):
         assert list(g_ids) == list(d_ids), f"doc order mismatch: {q}"
         np.testing.assert_allclose(
             np.asarray(g_sc, np.float64), d_sc, rtol=1e-7, err_msg=str(q))
+
+
+def test_matched_queries_distributed(index_dir):
+    """matched_queries annotates per partition; distributed == global."""
+    glob = IndexSearcher(index_dir)
+    dist = DistributedSearcher(index_dir, num_searchers=3)
+    named = {"has_def": {"kind": "term", "term": "def"},
+             "has_tree": {"kind": "term", "term": "tree"}}
+    g = glob.matched_queries(named)
+    d = dist.matched_queries(named)
+    assert g["doc_id"].tolist() == d["doc_id"].tolist()
+    assert g["matched"].tolist() == d["matched"].tolist()
