@@ -91,13 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "lang_stop_tokenize", "ft_completion_weighted", "ft_completion_fuzzy",
         "geo_shape_polygon_points", "geo_shape_within", "geo_shape_disjoint",
-        "geo_shape_linestring", "agg_percentiles_hdr", "ft_highlight_fvh",
+        "geo_shape_linestring", "ft_highlight_fvh",
         "ft_type", "msearch", "field_caps", "rank_eval",
         "agg_extended_stats_bucket",
-        # --- round-3 new ops (rows-only: no offline SQL stemmer) ---
-        "ft_analyze_french", "ft_analyze_german", "ft_analyze_spanish",
-        "ft_analyze_italian", "ft_analyze_portuguese", "ft_analyze_dutch",
-        "ft_analyze_russian", "lang_stemmed_index_search",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -128,7 +124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_field_intersects", "mapping_infer", "agg_diversified_sampler",
         "ft_span_masked", "agg_significant_chi2", "geo_shape_envelope",
         "index_sorted_pruning", "ft_search_as_you_type",
-        # --- driver-unchecked, rows-only ---
+        # --- driver-unchecked, rows-only (incl. round-3: stemmer vectors
+        # and HDR sketch have no offline SQL oracle) ---
+        "agg_percentiles_hdr",
+        "ft_analyze_french", "ft_analyze_german", "ft_analyze_spanish",
+        "ft_analyze_italian", "ft_analyze_portuguese", "ft_analyze_dutch",
+        "ft_analyze_russian", "lang_stemmed_index_search",
         "agg_percentile_ranks", "agg_scripted_metric", "knn_ivf",
         "ft_explain", "agg_geohash_grid", "ft_analyze_stemmer",
         "multimodal_image_resize", "multimodal_audio_features",
