@@ -1031,3 +1031,169 @@ def snowball_stem(language: str, word: str) -> str:
         raise ValueError(
             f"no snowball stemmer for {language!r}; "
             f"known: {sorted(SNOWBALL_STEMMERS)}") from None
+
+
+# =========================== Swedish ===========================
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_S_END = "bcdfghjklmnoprtvy"
+
+_SV_STEP1 = ("heterna", "hetens", "heter", "heten", "anden", "arnas",
+             "ernas", "ornas", "ades", "andes", "enes", "arens", "hetens",
+             "erns", "andet", "arna", "erna", "orna", "ande", "arne",
+             "aste", "aren", "heten", "erns", "ens", "ern", "het", "ast",
+             "ade", "are", "ad", "en", "ar", "er", "or", "as", "es", "at",
+             "a", "e")
+
+
+def swedish_stem(word: str) -> str:
+    """Snowball Swedish (snowballstem.org/algorithms/swedish/stemmer.html)."""
+    w = word.lower()
+    r1, _ = _r1r2(w, _SV_VOWELS)
+    r1 = max(r1, min(3, len(w)))
+    # step 1
+    s = _longest_suffix(w, _SV_STEP1)
+    if s and len(w) - len(s) >= r1:
+        w = w[: -len(s)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 \
+            and w[-2] in _SV_S_END:
+        w = w[:-1]
+    # step 2
+    if len(w) - 1 >= r1 and w.endswith(("dd", "gd", "nn", "dt", "gt",
+                                        "kt", "tt")):
+        w = w[:-1]
+    # step 3
+    s = _longest_suffix(w, ("fullt", "löst", "lig", "els", "ig"))
+    if s:
+        cut = len(w) - len(s)
+        if cut >= r1:
+            if s == "fullt":
+                w = w[:-1]
+            elif s == "löst":
+                w = w[:-1]
+            else:
+                w = w[:cut]
+    return w
+
+
+# =========================== Norwegian ===========================
+
+_NO_VOWELS = "aeiouyæåø"
+
+_NO_STEP1 = ("hetenes", "hetene", "hetens", "heten", "heter", "endes",
+             "enes", "edes", "erte", "ande", "ende", "ane", "ene", "ede",
+             "ers", "ets", "het", "ast", "ens", "ert", "et", "es", "as",
+             "ar", "er", "en", "a", "e")
+
+
+def norwegian_stem(word: str) -> str:
+    """Snowball Norwegian (snowballstem.org/algorithms/norwegian/
+    stemmer.html)."""
+    w = word.lower()
+    r1, _ = _r1r2(w, _NO_VOWELS)
+    r1 = max(r1, min(3, len(w)))
+    s = _longest_suffix(w, _NO_STEP1)
+    if s and len(w) - len(s) >= r1:
+        if s in ("erte", "ert"):
+            w = w[: -len(s)] + "er"
+        else:
+            w = w[: -len(s)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 and (
+            w[-2] in "bcdfghjlmnoprtvyz"
+            or (w[-2] == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS))):
+        w = w[:-1]
+    # step 2
+    if len(w) - 1 >= r1 and w.endswith(("dt", "vt")):
+        w = w[:-1]
+    # step 3
+    s = _longest_suffix(w, ("hetslov", "slov", "elov", "elig", "eleg",
+                            "lov", "lig", "eig", "els", "leg", "ig"))
+    if s and len(w) - len(s) >= r1:
+        w = w[: -len(s)]
+    return w
+
+
+# =========================== Danish ===========================
+
+_DA_VOWELS = "aeiouyæåø"
+
+_DA_STEP1 = ("erendes", "erende", "hedens", "erede", "heden", "heder",
+             "endes", "ernes", "erens", "erets", "ethed", "ered", "ende",
+             "erne", "eren", "erer", "heds", "enes", "eres", "eret",
+             "hed", "ene", "ere", "ens", "ers", "ets", "en", "er", "es",
+             "et", "e")
+
+
+def danish_stem(word: str) -> str:
+    """Snowball Danish (snowballstem.org/algorithms/danish/stemmer.html)."""
+    w = word.lower()
+    r1, _ = _r1r2(w, _DA_VOWELS)
+    r1 = max(r1, min(3, len(w)))
+    s = _longest_suffix(w, _DA_STEP1)
+    if s and len(w) - len(s) >= r1:
+        w = w[: -len(s)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 \
+            and w[-2] in "abcdfghjklmnoprtvyzå":
+        w = w[:-1]
+    # step 2
+    if len(w) - 1 >= r1 and w.endswith(("gd", "dt", "gt", "kt")):
+        w = w[:-1]
+    # step 3
+    if w.endswith("igst"):
+        w = w[:-2]
+    s = _longest_suffix(w, ("elig", "løst", "lig", "els", "ig"))
+    if s:
+        cut = len(w) - len(s)
+        if s == "løst":
+            if cut >= r1 - 1:
+                w = w[:-1]
+        elif cut >= r1:
+            w = w[:cut]
+            # repeat step 2 (undouble after removal)
+            if len(w) - 1 >= r1 and w.endswith(("gd", "dt", "gt", "kt")):
+                w = w[:-1]
+    # step 4: undouble final double consonant
+    if len(w) - 1 >= r1 and len(w) >= 2 and w[-1] == w[-2] \
+            and w[-1] not in _DA_VOWELS:
+        w = w[:-1]
+    return w
+
+
+# =========================== Arabic (light10) ===========================
+
+_AR_DIACRITICS = "ًٌٍَُِّْ"
+_AR_PREFIXES = ("وال", "بال", "كال", "فال", "ال", "لل", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة", "ي")
+
+
+def arabic_stem(word: str) -> str:
+    """Arabic light10 stemmer (Larkey, Ballesteros & Connell 2002 — the
+    public algorithm behind Lucene's ArabicStemmer): orthographic
+    normalization, then one longest-prefix and repeated suffix stripping."""
+    w = word
+    # normalization (ArabicNormalizer): strip tatweel + diacritics, hamza
+    # forms -> bare alef, alef maqsura -> ya, teh marbuta -> heh
+    w = "".join(c for c in w if c not in _AR_DIACRITICS and c != "ـ")
+    w = (w.replace("أ", "ا").replace("إ", "ا").replace("آ", "ا")
+         .replace("ى", "ي").replace("ة", "ه"))
+    for p in _AR_PREFIXES:
+        if w.startswith(p) and len(w) > len(p) + 1:
+            w = w[len(p):]
+            break
+    changed = True
+    while changed:
+        changed = False
+        for s in _AR_SUFFIXES:
+            if w.endswith(s) and len(w) > len(s) + 1:
+                w = w[: -len(s)]
+                changed = True
+                break
+    return w
+
+
+SNOWBALL_STEMMERS.update({
+    "swedish": swedish_stem,
+    "norwegian": norwegian_stem,
+    "danish": danish_stem,
+    "arabic": arabic_stem,
+})

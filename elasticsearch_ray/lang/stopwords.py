@@ -127,3 +127,40 @@ a an and are as at be but by for if in into is it no not of on or such
 that the their then there these they this to was will with
 """.split()),
 }
+
+STOP_SETS.update({
+    "swedish": frozenset("""
+och det att i en jag hon som han på den med var sig för så till är men ett
+om hade de av icke mig du henne då sin nu har inte hans honom skulle hennes
+där min man ej vid kunde något från ut när efter upp vi dem vara vad över
+än dig kan sina här ha mot alla under någon eller allt mycket sedan ju
+denna själv detta åt utan varit hur ingen mitt ni bli blev oss din dessa
+några deras blir mina samma vilken er sådan vår blivit dess inom mellan
+sådant varför varje vilka ditt vem vilket sitta sådana vart dina vars vårt
+våra ert era vilkas
+""".split()),
+    "norwegian": frozenset("""
+og i jeg det at en et den til er som på de med han av ikke ikkje der så
+var meg seg men ett har om vi min mitt ha hadde hun nå over da ved fra du
+ut sin dem oss opp man kan hans hvor eller hva skal selv sjøl her alle
+vil bli ble blei bli't kunne inn når være kom noen noe ville dere som deres
+kun ja etter ned skulle denne for deg si sine sitt mot å meget hvorfor
+dette disse uten hvordan ingen din ditt blir samme hvilken hvilke sånn
+inni mellom vår hver hvem vors hvis både bare enn fordi før mange også
+slik vært bak
+""".split()),
+    "danish": frozenset("""
+og i jeg det at en den til er som på de med han af for ikke der var mig
+sig men et har om vi min havde ham hun nu over da fra du ud sin dem os op
+man hans hvor eller hvad skal selv her alle vil blev kunne ind når være
+dog noget ville jo deres efter ned skulle denne end dette mit også under
+have dig anden hende mine alt meget sit sine vor mod disse hvis din nogle
+hos blive mange ad bliver hendes været thi jer sådan
+""".split()),
+    "arabic": frozenset("""
+من في على و فى يا ما لا ان إن أن الى إلى هذا هذه ذلك تلك التي الذي عن مع
+هو هي انه أنه كان كانت قد لقد لم لن له لها به بها او أو ثم اذا إذا كل بعد
+قبل حتى عند عندما بين وهو وهي فيه منها منه اليوم كما لكن و إن يكون تكون
+وقال وقالت ايضا أيضا ولم ومن وما فيها اي أي كيف هناك
+""".split()),
+})

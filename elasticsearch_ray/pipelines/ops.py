@@ -2729,3 +2729,27 @@ def agg_extended_stats_bucket(sf_dir: str):
         "variance": [float(round_half_away(c.var(), 4))],
         "std_dev": [float(round_half_away(c.std(), 4))],
     })
+
+
+_LANG_SAMPLES.update({
+    "swedish": "Flickorna lekte i de vackra husen med möjligheterna",
+    "norwegian": "Guttene lekte i de vakre husene med mulighetene",
+    "danish": "Pigerne legede i de smukke huse med mulighederne",
+    "arabic": "الكتاب في المدرسة الكبيرة مع المدرسين",
+})
+
+
+def ft_analyze_swedish(sf_dir: str):
+    return _lang_analyze("swedish")
+
+
+def ft_analyze_norwegian(sf_dir: str):
+    return _lang_analyze("norwegian")
+
+
+def ft_analyze_danish(sf_dir: str):
+    return _lang_analyze("danish")
+
+
+def ft_analyze_arabic(sf_dir: str):
+    return _lang_analyze("arabic")

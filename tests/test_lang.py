@@ -45,6 +45,21 @@ GOLDEN = {
         ("книгами", "книг"), ("красивый", "красив"), ("играли", "игра"),
         ("бегущий", "бегущ"), ("важность", "важност"),
     ],
+    "swedish": [
+        ("flickorna", "flick"), ("hundarna", "hund"), ("bilarnas", "bil"),
+        ("möjligheterna", "möj"),
+    ],
+    "norwegian": [
+        ("guttene", "gutt"), ("husene", "hus"), ("vakkert", "vakker"),
+        ("mulighetene", "mulig"),
+    ],
+    "danish": [
+        ("pigerne", "pig"), ("husene", "hus"), ("mulighederne", "mulighed"),
+    ],
+    "arabic": [
+        ("الكتاب", "كتاب"), ("والمدرسة", "مدرس"), ("كتابها", "كتاب"),
+        ("مدرسون", "مدرس"),
+    ],
 }
 
 
@@ -64,6 +79,9 @@ def test_snowball_golden_vectors(lang):
     ("portuguese", ["menina", "meninas"]),
     ("dutch", ["speelde", "speelden"]),
     ("russian", ["книга", "книги", "книгами"]),
+    ("swedish", ["hund", "hunden", "hundarna"]),
+    ("danish", ["hus", "huset", "husene"]),
+    ("arabic", ["كتاب", "الكتاب", "كتابها"]),
 ])
 def test_inflected_variants_share_stem(lang, variants):
     stems = {SNOWBALL_STEMMERS[lang](v) for v in variants}
