@@ -397,13 +397,19 @@ def multimodal_image_meta(sf_dir: str):
     from ..functions.multimodal import ImageDecodeStage, make_media_table
 
     media = make_media_table(64, "image", seed=7)
-    ds = rd.from_arrow(media)
+    ds = _split2(rd.from_arrow(media))
     out = ds.map_batches(
         ImageDecodeStage,
-        batch_format="pyarrow", batch_size=16, concurrency=2,
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
     ).to_pandas()
     out["mean_pixel"] = round_half_away(out["mean_pixel"], 3)
     return out.sort_values("id").reset_index(drop=True)
+
+
+def _split2(ds):
+    """from_arrow yields one block; split so a 2-actor pool has work for
+    both actors (real inputs have many blocks — test-scale hygiene only)."""
+    return ds.repartition(2)
 
 
 def multimodal_image_resize(sf_dir: str):
@@ -417,13 +423,13 @@ def multimodal_image_resize(sf_dir: str):
         make_media_table,
     )
 
-    ds = rd.from_arrow(make_media_table(32, "image", seed=11))
+    ds = _split2(rd.from_arrow(make_media_table(32, "image", seed=11)))
     resized = ds.map_batches(
         ImageResizeStage, fn_constructor_kwargs={"width": 32, "height": 24},
-        batch_format="pyarrow", batch_size=16, concurrency=2,
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
     )
     meta = resized.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                               batch_size=16, concurrency=2).to_pandas()
+                               batch_size=16, concurrency=(1, 2)).to_pandas()
     meta["mean_pixel"] = round_half_away(meta["mean_pixel"], 3)
     return meta.sort_values("id").reset_index(drop=True)
 
@@ -434,10 +440,10 @@ def multimodal_audio_features(sf_dir: str):
 
     from ..functions.multimodal import AudioFeatureStage, make_media_table
 
-    ds = rd.from_arrow(make_media_table(48, "audio", seed=5))
+    ds = _split2(rd.from_arrow(make_media_table(48, "audio", seed=5)))
     out = ds.map_batches(AudioFeatureStage, fn_constructor_kwargs={"frame": 512},
                          batch_format="pyarrow",
-                         batch_size=16, concurrency=2).to_pandas()
+                         batch_size=16, concurrency=(1, 2)).to_pandas()
     out["n_feats"] = out.features.map(len)
     out["energy"] = round_half_away(
         out.features.map(lambda f: float(np.mean(f)) if len(f) else 0.0), 5)
@@ -457,11 +463,11 @@ def multimodal_video_frames(sf_dir: str):
         make_media_table,
     )
 
-    ds = rd.from_arrow(make_media_table(24, "video", seed=3))
+    ds = _split2(rd.from_arrow(make_media_table(24, "video", seed=3)))
     frames = ds.map_batches(VideoFrameSampleStage,
                             fn_constructor_kwargs={"n_frames": 3},
                             batch_format="pyarrow", batch_size=8,
-                            concurrency=2).to_pandas()
+                            concurrency=(1, 2)).to_pandas()
     dims = [bmp_decode(b).shape for b in frames.frame]
     frames["h"] = pd.array([d[0] for d in dims], dtype="int64")
     frames["w"] = pd.array([d[1] for d in dims], dtype="int64")
