@@ -131,7 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_analyze_italian", "ft_analyze_portuguese", "ft_analyze_dutch",
         "ft_analyze_russian", "lang_stemmed_index_search",
         "ft_analyze_swedish", "ft_analyze_norwegian", "ft_analyze_danish",
-        "ft_analyze_arabic",
+        "ft_analyze_arabic", "dedup_embedding_lsh",
         "agg_percentile_ranks", "agg_scripted_metric", "knn_ivf",
         "ft_explain", "agg_geohash_grid", "ft_analyze_stemmer",
         "multimodal_image_resize", "multimodal_audio_features",

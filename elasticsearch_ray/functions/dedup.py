@@ -467,3 +467,58 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95, vec_col: str = "embedd
         pd.concat(parts, ignore_index=True)
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
+
+
+def embedding_dedup_lsh(ds, *, threshold: float = 0.95, n_planes: int = 8,
+                        n_rounds: int = 4, seed: int = 99,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        dim: int | None = None) -> pd.DataFrame:
+    """Approximate embedding near-dup — the SCALE path beside the exact
+    blocked self-join (embedding_dedup_pairs): random-hyperplane LSH buckets
+    vectors (`n_rounds` independent plane sets so near-neighbors split by
+    one cut still collide in another), one groupby per round co-locates each
+    bucket, and the exact cosine kernel runs INSIDE map_groups. The driver
+    sees only over-threshold pairs, deduplicated across rounds. Work is
+    sum(bucket^2) instead of n^2 — bounded by bucket balance, not corpus
+    size."""
+    from .similarity import LshIndexStage
+
+    _empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                           "doc_b": pd.Series([], dtype=np.int64),
+                           "cosine": pd.Series([], dtype=np.float64)})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty
+        sub = g.drop_duplicates(subset=id_col)
+        ids = sub[id_col].to_numpy()
+        V = np.stack([np.asarray(v, np.float64) for v in sub[vec_col]])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = V @ V.T
+        ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+        if ii.size == 0:
+            return _empty
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame({
+            "doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64),
+            "cosine": round_half_away(S[ii, jj].astype(np.float64), 6),
+        })
+
+    parts = []
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[vec_col])
+    for r in range(n_rounds):
+        stage = LshIndexStage(dim, n_planes, seed + 1000 * r, vec_col)
+        bucketed = ds.map_batches(stage, batch_format="pyarrow")
+        pairs = (bucketed.groupby("bucket")
+                 .map_groups(bucket_pairs, batch_format="pandas")
+                 .to_pandas())
+        if len(pairs):
+            parts.append(pairs)
+    if not parts:
+        return _empty
+    return (pd.concat(parts, ignore_index=True)
+            .drop_duplicates(subset=["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))

@@ -2759,3 +2759,12 @@ def ft_analyze_danish(sf_dir: str):
 
 def ft_analyze_arabic(sf_dir: str):
     return _lang_analyze("arabic")
+
+
+def dedup_embedding_lsh(sf_dir: str):
+    """Approximate embedding near-dup (scale path): multi-round hyperplane
+    LSH buckets + in-bucket exact cosine (rows-only: recall < 1 by design;
+    pinned by the recall test vs the exact blocked self-join)."""
+    return D.embedding_dedup_lsh(
+        _ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=0.4, n_planes=4, n_rounds=4)

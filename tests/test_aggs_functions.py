@@ -541,3 +541,33 @@ def test_hdr_aggregate_fn_distributed(ray_session):
     for q, g in zip((0.5, 0.99), got):
         exact = np.quantile(vals, q)
         assert abs(g - exact) / exact < 2e-3
+
+
+def test_embedding_dedup_lsh_recall(ray_session):
+    """LSH-bucketed near-dup finds the vast majority of exact over-threshold
+    pairs (multi-round hyperplane bucketing), and every reported pair is a
+    true positive with the exact cosine."""
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.dedup import (
+        embedding_dedup_lsh,
+        embedding_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((120, 24))
+    rows = []
+    vid = 0
+    for i in range(120):
+        rows.append({"vec_id": vid, "embedding": base[i].tolist()}); vid += 1
+        if i % 4 == 0:  # planted near-dup
+            dup = base[i] + rng.normal(0, 0.02, 24)
+            rows.append({"vec_id": vid, "embedding": dup.tolist()}); vid += 1
+    ds = rd.from_items(rows)
+    exact = embedding_dedup_pairs(ds, threshold=0.95, block=64)
+    approx = embedding_dedup_lsh(ds, threshold=0.95, n_planes=6, n_rounds=4)
+    exact_pairs = set(zip(exact.doc_a, exact.doc_b))
+    approx_pairs = set(zip(approx.doc_a, approx.doc_b))
+    assert approx_pairs <= exact_pairs  # no false positives
+    recall = len(approx_pairs) / max(1, len(exact_pairs))
+    assert recall >= 0.9, recall
