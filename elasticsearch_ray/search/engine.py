@@ -1569,13 +1569,36 @@ class IndexSearcher:
             ci, flat = self._positions_pairs(tp, cand)
             aligned = flat - off
             ok = aligned >= 0
-            keys = np.sort((ci[ok] << np.int64(32)) | aligned[ok])
-            inter = keys if inter is None else np.intersect1d(inter, keys, assume_unique=True)
+            keys = (ci[ok] << np.int64(32)) | aligned[ok]
+            # pairs usually arrive doc-ascending (segments cover ascending
+            # doc ranges); only hot-term salted rows can interleave — check
+            # in O(n) and sort only then
+            if keys.size > 1 and not bool((keys[1:] >= keys[:-1]).all()):
+                keys.sort()
+            if inter is None:
+                inter = keys
+            else:
+                # sorted-unique membership intersection (no concat re-sort)
+                small, big = ((inter, keys) if inter.size <= keys.size
+                              else (keys, inter))
+                if big.size == 0 or small.size == 0:
+                    inter = np.empty(0, np.int64)
+                else:
+                    idx = np.minimum(np.searchsorted(big, small),
+                                     big.size - 1)
+                    inter = small[big[idx] == small]
             if inter.size == 0:
                 break
         if inter is None or inter.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        docs_idx, freqs = np.unique(inter >> np.int64(32), return_counts=True)
+        # inter is sorted: run-length boundaries give per-doc phrase freq
+        d_all = inter >> np.int64(32)
+        change = np.empty(d_all.size, bool)
+        change[0] = True
+        change[1:] = d_all[1:] != d_all[:-1]
+        starts = np.flatnonzero(change)
+        docs_idx = d_all[starts]
+        freqs = np.diff(np.append(starts, d_all.size))
         cand = cand[docs_idx]
         if cand.size == 0:
             return cand, np.empty(0, np.float64)
