@@ -93,7 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_shape_polygon_points", "geo_shape_within", "geo_shape_disjoint",
         "geo_shape_linestring", "ft_highlight_fvh",
         "ft_type", "msearch", "field_caps", "rank_eval",
-        "agg_extended_stats_bucket",
+        "agg_extended_stats_bucket", "agg_bucket_selector", "agg_bucket_sort",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -321,6 +321,17 @@ SELECT count(*) AS cnt, CAST(SUM(doc_count) AS BIGINT) AS sum_v,
        ROUND(var_pop(doc_count), 4) AS variance,
        ROUND(stddev_pop(doc_count), 4) AS std_dev
 FROM h""",
+        "agg_bucket_selector": """
+WITH h AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+           FROM events GROUP BY 1)
+SELECT bucket, doc_count FROM h
+WHERE doc_count > (SELECT AVG(doc_count) FROM h)
+ORDER BY bucket""",
+        "agg_bucket_sort": """
+WITH h AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+           FROM events GROUP BY 1)
+SELECT bucket, doc_count FROM h
+ORDER BY doc_count DESC, bucket LIMIT 5""",
         "lang_stop_tokenize": """
 WITH fr AS (
   SELECT doc_id,

@@ -2768,3 +2768,25 @@ def dedup_embedding_lsh(sf_dir: str):
     return D.embedding_dedup_lsh(
         _ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
         threshold=0.4, n_planes=4, n_rounds=4)
+
+
+def agg_bucket_selector(sf_dir: str):
+    """bucket_selector pipeline agg: keep date_histogram buckets whose
+    doc_count exceeds the mean (the HAVING-style bucket filter)."""
+    h = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    mean = float(h["doc_count"].mean())
+    out = A.bucket_selector(h, lambda r: r["doc_count"] > mean)
+    out = out[["bucket", "doc_count"]].copy()
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def agg_bucket_sort(sf_dir: str):
+    """bucket_sort pipeline agg: top-5 date buckets by doc_count desc
+    (tie-break bucket asc), the ORDER BY + LIMIT over sibling buckets."""
+    h = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    out = A.bucket_sort(h, ["doc_count", "bucket"],
+                        ascending=[False, True], size=5)
+    out = out[["bucket", "doc_count"]].copy()
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out
