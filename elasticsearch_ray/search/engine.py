@@ -1551,6 +1551,13 @@ class IndexSearcher:
             if tp is None:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             tps.append(tp)
+        if len(tps) == 1:
+            # a one-term phrase degenerates to a term query (freq = tf);
+            # skip the position gather entirely — same score: weight is the
+            # single term's idf under the phrase grouping
+            tp = tps[0]
+            return tp.doc_ids, self._term_scores(tp, boost, field).astype(
+                np.float64)
         # candidate docs: conjunction
         cand = tps[0].doc_ids
         for tp in tps[1:]:
