@@ -769,6 +769,12 @@ class IndexSearcher:
                     return block_max_topk(self, terms, k, boost)
                 ids, sc = self._disjunction(terms, boost)
                 return self._topk(ids, sc, k)
+            if kind == "match_phrase" and int(query.get("slop", 0)) == 0:
+                # impact-bounded phrase collector: verify positions only for
+                # candidates whose min-tf score bound can still enter the
+                # top-k (the PhraseQuery impacts analog); rank-identical to
+                # the exhaustive path (tested)
+                return self._phrase_topk(query["text"], k, boost)
         ids, sc = self._eval(query)
         return self._topk(ids, sc, k)
 
@@ -1536,56 +1542,49 @@ class IndexSearcher:
         ids = np.unique(np.concatenate(ids_parts))
         return ids, np.full(ids.size, boost, np.float64)
 
-    def _phrase(self, text: str, boost: float = 1.0, field: str | None = None):
-        """PhraseQuery semantics [Lucene 8.5]: docs where terms appear at
-        consecutive positions; freq = number of phrase occurrences; weight
-        uses the SUM of the terms' idfs."""
+    def _phrase_setup(self, text: str, field: str | None):
+        """(rel, tps, cand): analyzed phrase offsets, term postings and the
+        sorted conjunction candidates — shared by the exhaustive and
+        impact-bounded phrase paths."""
         terms_pos = self._analyzer_for(field).positions(text)
         if not terms_pos:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
+            return None
         base0 = terms_pos[0][1]
         rel = [(t, p - base0) for t, p in terms_pos]
         tps = []
         for t, _ in rel:
             tp = self._get_term(t, field)
             if tp is None:
-                return np.empty(0, np.int64), np.empty(0, np.float64)
+                return None
             tps.append(tp)
-        if len(tps) == 1:
-            # a one-term phrase degenerates to a term query (freq = tf);
-            # skip the position gather entirely — same score: weight is the
-            # single term's idf under the phrase grouping
-            tp = tps[0]
-            return tp.doc_ids, self._term_scores(tp, boost, field).astype(
-                np.float64)
-        # candidate docs: conjunction
         cand = tps[0].doc_ids
         for tp in tps[1:]:
             idx = np.searchsorted(tp.doc_ids, cand)
             idx = np.minimum(idx, tp.doc_ids.size - 1)
             cand = cand[tp.doc_ids[idx] == cand]
-        if cand.size == 0:
-            return cand, np.empty(0, np.float64)
-        # verify positions — vectorized across ALL candidates at once:
-        # encode (candidate_index, aligned_position) as a single int64 key and
-        # intersect the key sets term-by-term (positions per doc are unique,
-        # so keys are unique); phrase freq = per-candidate surviving keys.
-        # Pairs come flattened from _positions_pairs (no per-candidate loop).
+        return rel, tps, cand
+
+    def _phrase_freqs(self, rel, tps, cand):
+        """(indexes into cand, phrase freqs) for the docs where the exact
+        phrase occurs — vectorized across ALL candidates at once: encode
+        (candidate_index, aligned_position) as one int64 key per pair and
+        intersect the per-term key sets (positions per doc are unique, so
+        keys are unique). Keys usually arrive doc-ascending from
+        segment-ordered posting rows, so sorting is an O(n) check with a
+        sort fallback (hot-term salted rows can interleave); the
+        intersection is a searchsorted membership test and per-doc freqs
+        come from run-length boundaries."""
         inter = None
         for (t, off), tp in zip(rel, tps):
             ci, flat = self._positions_pairs(tp, cand)
             aligned = flat - off
             ok = aligned >= 0
             keys = (ci[ok] << np.int64(32)) | aligned[ok]
-            # pairs usually arrive doc-ascending (segments cover ascending
-            # doc ranges); only hot-term salted rows can interleave — check
-            # in O(n) and sort only then
             if keys.size > 1 and not bool((keys[1:] >= keys[:-1]).all()):
                 keys.sort()
             if inter is None:
                 inter = keys
             else:
-                # sorted-unique membership intersection (no concat re-sort)
                 small, big = ((inter, keys) if inter.size <= keys.size
                               else (keys, inter))
                 if big.size == 0 or small.size == 0:
@@ -1597,30 +1596,113 @@ class IndexSearcher:
             if inter.size == 0:
                 break
         if inter is None or inter.size == 0:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        # inter is sorted: run-length boundaries give per-doc phrase freq
+            return np.empty(0, np.int64), np.empty(0, np.int64)
         d_all = inter >> np.int64(32)
         change = np.empty(d_all.size, bool)
         change[0] = True
         change[1:] = d_all[1:] != d_all[:-1]
         starts = np.flatnonzero(change)
-        docs_idx = d_all[starts]
-        freqs = np.diff(np.append(starts, d_all.size))
-        cand = cand[docs_idx]
-        if cand.size == 0:
-            return cand, np.empty(0, np.float64)
-        norm_bytes, doc_lens, avgdl, cache32 = self._field_stats(field)
+        return d_all[starts], np.diff(np.append(starts, d_all.size))
+
+    def _phrase_weight(self, tps, boost: float):
+        """PhraseQuery weight: boost*(k1+1) times the SUM of term idfs, in
+        the similarity mode's arithmetic."""
         if self.bm25.mode == "lucene":
             idf_sum = np.float32(0.0)
             for tp in tps:
-                idf_sum = np.float32(idf_sum + self.bm25.idf(self._df(tp), self.n_docs))
-            w = (np.float32(boost) * (np.float32(self.bm25.k1) + np.float32(1.0))) * idf_sum
-            sc = self.bm25.score_tf(freqs, norm_bytes[cand], None, avgdl, w, cache32)
-        else:
-            idf_sum = sum(self.bm25.idf(self._df(tp), self.n_docs) for tp in tps)
-            w = boost * idf_sum * (self.bm25.k1 + 1)
-            sc = self.bm25.score_tf(freqs, None, doc_lens[cand], avgdl, w)
+                idf_sum = np.float32(
+                    idf_sum + self.bm25.idf(self._df(tp), self.n_docs))
+            return (np.float32(boost)
+                    * (np.float32(self.bm25.k1) + np.float32(1.0))) * idf_sum
+        idf_sum = sum(self.bm25.idf(self._df(tp), self.n_docs) for tp in tps)
+        return boost * idf_sum * (self.bm25.k1 + 1)
+
+    def _phrase_score(self, freqs, cand, w, field):
+        norm_bytes, doc_lens, avgdl, cache32 = self._field_stats(field)
+        if self.bm25.mode == "lucene":
+            return self.bm25.score_tf(freqs, norm_bytes[cand], None, avgdl,
+                                      w, cache32)
+        return self.bm25.score_tf(freqs, None, doc_lens[cand], avgdl, w)
+
+    def _phrase(self, text: str, boost: float = 1.0, field: str | None = None):
+        """PhraseQuery semantics [Lucene 8.5]: docs where terms appear at
+        consecutive positions; freq = number of phrase occurrences; weight
+        uses the SUM of the terms' idfs."""
+        setup = self._phrase_setup(text, field)
+        if setup is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        rel, tps, cand = setup
+        if len(tps) == 1:
+            # a one-term phrase degenerates to a term query (freq = tf);
+            # skip the position gather entirely
+            tp = tps[0]
+            return tp.doc_ids, self._term_scores(tp, boost, field).astype(
+                np.float64)
+        if cand.size == 0:
+            return cand, np.empty(0, np.float64)
+        docs_idx, freqs = self._phrase_freqs(rel, tps, cand)
+        cand = cand[docs_idx]
+        if cand.size == 0:
+            return cand, np.empty(0, np.float64)
+        w = self._phrase_weight(tps, boost)
+        sc = self._phrase_score(freqs, cand, w, field)
         return cand, sc.astype(np.float64)
+
+    def _phrase_topk(self, text: str, k: int, boost: float = 1.0,
+                     field: str | None = None, chunk: int = 4096):
+        """Impact-bounded top-k phrase collector (the PhraseQuery impacts
+        analog [Lucene 8.5]): phrase freq <= min over terms of tf, and BM25
+        is monotone in freq at fixed norm, so score(min_tf) upper-bounds the
+        true score. Candidates are verified in bound-descending chunks and
+        collection stops when the next chunk's best bound cannot beat the
+        kth collected score — positions are gathered for a small prefix of
+        candidates instead of all of them. Rank-identical to the exhaustive
+        path (tested)."""
+        setup = self._phrase_setup(text, field)
+        if setup is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        rel, tps, cand = setup
+        if len(tps) == 1:
+            tp = tps[0]
+            return self._topk(tp.doc_ids,
+                              self._term_scores(tp, boost, field).astype(np.float64), k)
+        if cand.size <= 4 * chunk:
+            ids, sc = self._phrase(text, boost, field)
+            return self._topk(ids, sc, k)
+        # per-candidate min tf across terms -> score upper bound
+        min_tf = None
+        for tp in tps:
+            idx = np.searchsorted(tp.doc_ids, cand)
+            tf_t = tp.tfs[np.minimum(idx, tp.doc_ids.size - 1)]
+            min_tf = tf_t if min_tf is None else np.minimum(min_tf, tf_t)
+        w = self._phrase_weight(tps, boost)
+        bounds = np.asarray(self._phrase_score(min_tf, cand, w, field),
+                            np.float64)
+        order = np.argsort(-bounds, kind="stable")
+        got_ids: list[np.ndarray] = []
+        got_sc: list[np.ndarray] = []
+        kth = -np.inf
+        n_collected = 0
+        for c0 in range(0, order.size, chunk):
+            sel = order[c0:c0 + chunk]
+            if n_collected >= k and bounds[sel[0]] < kth:
+                break
+            sub = np.sort(cand[sel])
+            docs_idx, freqs = self._phrase_freqs(rel, tps, sub)
+            if docs_idx.size:
+                ids_v = sub[docs_idx]
+                sc_v = np.asarray(self._phrase_score(freqs, ids_v, w, field),
+                                  np.float64)
+                got_ids.append(ids_v)
+                got_sc.append(sc_v)
+                n_collected += ids_v.size
+                if n_collected >= k:
+                    all_sc = np.concatenate(got_sc)
+                    kth = np.partition(all_sc, all_sc.size - k)[all_sc.size - k] \
+                        if all_sc.size >= k else -np.inf
+        if not got_ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return self._topk(np.concatenate(got_ids), np.concatenate(got_sc), k)
 
     def matched_queries(self, named: dict[str, dict]):
         """matched_queries fetch subphase (FetchPhase named-queries,

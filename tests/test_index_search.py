@@ -222,6 +222,29 @@ def test_wand_actually_prunes_on_skewed_tf(tmp_path, ray_session):
     assert wand_blocks < total_blocks * 0.25, (wand_blocks, total_blocks)
 
 
+def test_phrase_topk_equals_exhaustive(searcher):
+    """Impact-bounded phrase collector (_phrase_topk) must be rank-identical
+    to exhaustive _phrase + _topk. chunk=4 forces the bounded path even on
+    the small module corpus; chunk default exercises the small-cand
+    passthrough. Also covers the search() dispatch."""
+    phrase_qs = [q for q in reference_queries()
+                 if q["kind"] == "match_phrase" and not q.get("slop")]
+    texts = [q["text"] for q in phrase_qs] + ["def scan", "return query def"]
+    for text in texts:
+        for k in (1, 5, 10, 100):
+            e_ids, e_sc = searcher._topk(*searcher._phrase(text), k)
+            for chunk in (4, 64, 4096):
+                b_ids, b_sc = searcher._phrase_topk(text, k, chunk=chunk)
+                assert list(b_ids) == list(e_ids), (text, k, chunk)
+                np.testing.assert_array_equal(b_sc, e_sc,
+                                              err_msg=f"{text} k={k}")
+    for q in phrase_qs:
+        w_ids, w_sc = searcher.search(q, use_wand=True)
+        e_ids, e_sc = searcher.search(q, use_wand=False)
+        assert list(w_ids) == list(e_ids), q
+        np.testing.assert_array_equal(w_sc, e_sc, err_msg=str(q))
+
+
 def test_completion_suggester_weighted_ordering():
     from elasticsearch_ray.search.suggest import CompletionSuggester
 
