@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
+        "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
+        "ft_sim_ib", "ft_sim_boolean",
         "lang_stop_tokenize", "ft_completion_weighted", "ft_completion_fuzzy",
         "geo_shape_polygon_points", "geo_shape_within", "geo_shape_disjoint",
         "geo_shape_linestring", "ft_highlight_fvh",
@@ -354,6 +356,54 @@ df AS (SELECT count(*) AS df FROM tf)
 SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
 FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
 ORDER BY doc_id""",
+        # alternative similarities: the SQL re-derives each published model
+        # (Zhai&Lafferty LM, Amati&vR DFR, Clinchant&Gaussier IB) from raw
+        # token stats; F = total term freq, p_c = (F+1)/(sumdl+1)
+        "ft_sim_lm_dirichlet": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df, sum(tf) AS f FROM tf)
+SELECT tf.doc_id AS doc_id,
+       ROUND(GREATEST(0.0, ln(1 + tf.tf / (2000.0 * ((df.f + 1.0) / (st.sumdl + 1.0))))
+                           + ln(2000.0 / (dl.dl + 2000.0))), 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "ft_sim_lm_jelinek_mercer": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query','window']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df, sum(tf) AS f FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id,
+       ROUND(SUM(ln(1 + (0.9 * tf.tf / dl.dl)
+                        / (0.1 * ((df.f + 1.0) / (st.sumdl + 1.0))))), 4) AS score
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+GROUP BY tf.doc_id ORDER BY doc_id""",
+        "ft_sim_dfr": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df, sum(tf) AS f FROM tf),
+tfn AS (SELECT tf.doc_id,
+               tf.tf * (ln(1 + (st.sumdl * 1.0 / st.n) / dl.dl) / ln(2)) AS tfn
+        FROM tf CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT tfn.doc_id AS doc_id,
+       ROUND(((df.f + 1.0) / (df.df * (tfn.tfn + 1.0)))
+             * (tfn.tfn * (ln(1 + (st.n + 1.0) / (df.f + 0.5)) / ln(2))), 4) AS score
+FROM tfn CROSS JOIN df CROSS JOIN st ORDER BY doc_id""",
+        "ft_sim_ib": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+tfn AS (SELECT tf.doc_id,
+               tf.tf * (ln(1 + (st.sumdl * 1.0 / st.n) / dl.dl) / ln(2)) AS tfn
+        FROM tf CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT tfn.doc_id AS doc_id,
+       ROUND(ln(1 + tfn.tfn / (df.df * 1.0 / st.n)), 4) AS score
+FROM tfn CROSS JOIN df CROSS JOIN st ORDER BY doc_id""",
+        "ft_sim_boolean": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id)
+SELECT doc_id, CAST(2.5 AS DOUBLE) AS score FROM tf ORDER BY doc_id""",
         "ft_match_or": f"""
 WITH {_TOK},
 q AS (SELECT unnest(['data','query','window']) AS term),

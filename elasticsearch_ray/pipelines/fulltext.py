@@ -59,6 +59,35 @@ def documents_searcher(sf_dir: str) -> IndexSearcher:
     return _SEARCHERS[key]
 
 
+_ALT_SEARCHERS: dict[tuple, IndexSearcher] = {}
+
+
+def alt_searcher(sf_dir: str, sim_name: str, **params) -> IndexSearcher:
+    """Searcher over the same documents index with an alternative similarity
+    (SimilarityProviders DFR/IB/LMDirichlet/LMJelinekMercer/boolean).
+    exact64-style float64 arithmetic so DuckDB oracles can re-derive
+    scores value-for-value."""
+    key = (sf_dir, sim_name, tuple(sorted(params.items())))
+    if key not in _ALT_SEARCHERS:
+        from ..search.altsim import make_similarity
+
+        idx = documents_index(sf_dir)
+        _ALT_SEARCHERS[key] = IndexSearcher(
+            idx, score_mode="exact64", main_field="text",
+            similarity=make_similarity(sim_name, **params))
+    return _ALT_SEARCHERS[key]
+
+
+def all_matches_sim(sf_dir: str, query: dict, sim_name: str,
+                    round_to: int = 4, **params) -> pa.Table:
+    """all_matches under an alternative similarity."""
+    s = alt_searcher(sf_dir, sim_name, **params)
+    ids, sc = s._eval(query)
+    order = np.argsort(ids)
+    sc = round_half_away(sc[order].astype(np.float64), round_to)
+    return pa.table({"doc_id": pa.array(ids[order]), "score": pa.array(sc)})
+
+
 def all_matches(sf_dir: str, query: dict, with_score: bool = True,
                 round_to: int = 4) -> pa.Table:
     """EVERY matching doc (no top-k truncation -> boundary-free oracle

@@ -40,6 +40,54 @@ def ft_term(sf_dir: str):
     return all_matches(sf_dir, {"kind": "term", "term": "data"})
 
 
+def ft_sim_lm_dirichlet(sf_dir: str):
+    """LMDirichlet similarity (SimilarityProviders.java:320-330; Zhai &
+    Lafferty 2001), mu=2000: Dirichlet-smoothed query likelihood with the
+    add-one collection model, clamped at 0."""
+    from .fulltext import all_matches_sim
+
+    return all_matches_sim(sf_dir, {"kind": "term", "term": "data"},
+                           "LMDirichlet", mu=2000.0)
+
+
+def ft_sim_lm_jelinek_mercer(sf_dir: str):
+    """LMJelinekMercer similarity (SimilarityProviders.java:332-342),
+    lambda=0.1, summed across a 3-term disjunction (match OR)."""
+    from .fulltext import all_matches_sim
+
+    return all_matches_sim(
+        sf_dir, {"kind": "match", "text": "data query window"},
+        "LMJelinekMercer", lam=0.1)
+
+
+def ft_sim_dfr(sf_dir: str):
+    """DFR similarity (SimilarityProviders.java:283-305; Amati & van
+    Rijsbergen 2002): basic_model=if, after_effect=b, normalization=h2."""
+    from .fulltext import all_matches_sim
+
+    return all_matches_sim(sf_dir, {"kind": "term", "term": "data"}, "DFR",
+                           basic_model="if", after_effect="b",
+                           normalization="h2", c=1.0)
+
+
+def ft_sim_ib(sf_dir: str):
+    """IB similarity (SimilarityProviders.java:307-318; Clinchant & Gaussier
+    2010): distribution=ll, lambda=df, normalization=h2."""
+    from .fulltext import all_matches_sim
+
+    return all_matches_sim(sf_dir, {"kind": "term", "term": "data"}, "IB",
+                           distribution="ll", lamb="df", normalization="h2")
+
+
+def ft_sim_boolean(sf_dir: str):
+    """`boolean` similarity (SimilarityProviders BOOLEAN_SIMILARITY):
+    constant score = boost for every match."""
+    from .fulltext import all_matches_sim
+
+    return all_matches_sim(sf_dir, {"kind": "term", "term": "data",
+                                    "boost": 2.5}, "boolean")
+
+
 def ft_match_or(sf_dir: str):
     return all_matches(sf_dir, {"kind": "match", "text": "data query window"})
 

@@ -473,7 +473,13 @@ class IndexSearcher:
         main_field: str = "content",
         field_aliases: dict[str, str] | None = None,
         field_analyzers: dict[str, str] | None = None,
+        similarity=None,
     ):
+        # alternative similarity (SimilarityProviders DFR/IB/LM/boolean):
+        # an altsim.make_similarity object driving tf-based scoring through
+        # _term_scores; None = BM25 (the default). Positional weights keep
+        # BM25 (see altsim module docstring for the parity scope).
+        self.alt_sim = similarity
         self.main_field = main_field
         # alias field type (index/mapper/FieldAliasMapper.java): query-time
         # name indirection, resolved before any field lookup
@@ -704,8 +710,17 @@ class IndexSearcher:
 
     def _term_scores(self, tp: TermPostings, boost: float = 1.0,
                      field: str | None = None) -> np.ndarray:
-        w = self.bm25.weight(self._df(tp), self.n_docs, boost)
         norm_bytes, doc_lens, avgdl, cache32 = self._field_stats(field)
+        if self.alt_sim is not None:
+            # alternative similarity (DFR/IB/LM/boolean): float64 over exact
+            # lengths with global stats (single-searcher scope; the
+            # distributed DFS phase overrides df only, which _df handles)
+            sum_dl = (self.sum_doc_len if self._norm_field(field) is None
+                      else int(round(avgdl * self.n_docs)))
+            return self.alt_sim.score_tf(
+                tp.tfs, doc_lens[tp.doc_ids], self._df(tp),
+                int(tp.tfs.sum()), self.n_docs, sum_dl, avgdl, boost)
+        w = self.bm25.weight(self._df(tp), self.n_docs, boost)
         if self.bm25.mode == "lucene":
             return self.bm25.score_tf(
                 tp.tfs, norm_bytes[tp.doc_ids], None, avgdl, w, cache32
@@ -744,6 +759,8 @@ class IndexSearcher:
         everything else evaluates exhaustively. Both paths share the same
         scoring arithmetic and are rank-identical."""
         k = int(query.get("k", 10))
+        if self.alt_sim is not None:
+            use_wand = False  # block-max bounds are BM25-specific
         if use_wand and self._norm_field(query.get("field")) is None:
             kind = query["kind"]
             boost = float(query.get("boost", 1.0))
