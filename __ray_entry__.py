@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
-        "ft_sim_ib", "ft_sim_boolean",
+        "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "lang_stop_tokenize", "ft_completion_weighted", "ft_completion_fuzzy",
         "geo_shape_polygon_points", "geo_shape_within", "geo_shape_disjoint",
         "geo_shape_linestring", "ft_highlight_fvh",
@@ -356,6 +356,39 @@ df AS (SELECT count(*) AS df FROM tf)
 SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
 FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
 ORDER BY doc_id""",
+        # CJK bigrams: oracle reconstructs the expected stream from chr()
+        # codepoints + string concat — fullwidth 'Data' folds to 'data',
+        # the 3-char Han run yields 2 overlapping bigrams, the lone char a
+        # unigram (CJKBigramFilter semantics)
+        "ft_analyze_cjk": """
+WITH s AS (SELECT doc_id,
+                  chr(CAST(19968 + doc_id % 7 AS INTEGER)) AS c1,
+                  chr(CAST(20108 + doc_id % 5 AS INTEGER)) AS c2,
+                  chr(CAST(22823 + doc_id % 3 AS INTEGER)) AS c3,
+                  chr(CAST(26408 + doc_id % 4 AS INTEGER)) AS c4
+           FROM documents)
+SELECT doc_id, pos, term FROM (
+  SELECT doc_id, CAST(0 AS BIGINT) AS pos, 'data' AS term FROM s
+  UNION ALL SELECT doc_id, CAST(1 AS BIGINT), c1 || c2 FROM s
+  UNION ALL SELECT doc_id, CAST(2 AS BIGINT), c2 || c3 FROM s
+  UNION ALL SELECT doc_id, CAST(3 AS BIGINT), c4 FROM s)
+ORDER BY doc_id, pos""",
+        # Persian normalization: the oracle emits the expected NORMALIZED
+        # tokens (farsi yeh 1740 / keheh 1705 / heh 1607) with the stopword
+        # gap at pos 2 — an independent chr()-level formulation of the
+        # Arabic+Persian fold table
+        "ft_analyze_persian": """
+WITH s AS (SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0
+                       THEN chr(1705) || chr(1578) || chr(1575) || chr(1576)
+                       ELSE chr(1593) || chr(1604) || chr(1740) END AS w
+           FROM documents)
+SELECT doc_id, pos, term FROM (
+  SELECT doc_id, CAST(0 AS BIGINT) AS pos, w AS term FROM s
+  UNION ALL SELECT doc_id, CAST(1 AS BIGINT), chr(1607) || chr(1575) FROM s
+  UNION ALL SELECT doc_id, CAST(3 AS BIGINT),
+            chr(1605) || chr(1583) || chr(1585) || chr(1587) || chr(1607) FROM s)
+ORDER BY doc_id, pos""",
         # alternative similarities: the SQL re-derives each published model
         # (Zhai&Lafferty LM, Amati&vR DFR, Clinchant&Gaussier IB) from raw
         # token stats; F = total term freq, p_c = (F+1)/(sumdl+1)

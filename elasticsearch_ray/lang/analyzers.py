@@ -63,3 +63,9 @@ def register_language_analyzers(register) -> None:
     analyzer.register_analyzer — passed in to avoid a circular import."""
     for language in LANGUAGES:
         register(language, make_language_analyzer(language))
+    # non-stemming chains: CJK bigrams + Persian normalization (lang/extra.py)
+    from .extra import (analyze_cjk, analyze_cjk_positions, analyze_persian,
+                        analyze_persian_positions)
+
+    register("cjk", analyze_cjk, analyze_cjk_positions)
+    register("persian", analyze_persian, analyze_persian_positions)

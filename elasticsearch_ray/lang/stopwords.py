@@ -163,4 +163,13 @@ hos blive mange ad bliver hendes været thi jer sådan
 قبل حتى عند عندما بين وهو وهي فيه منها منه اليوم كما لكن و إن يكون تكون
 وقال وقالت ايضا أيضا ولم ومن وما فيها اي أي كيف هناك
 """.split()),
+    # Persian frequent-word set (the PersianAnalyzer stop list shape; this
+    # is the high-frequency subset — extend via register_analyzer for
+    # domain lists). Written in normalized form (farsi yeh/keheh), matching
+    # the stream AFTER analyze_persian's fold.
+    "persian": frozenset("""
+و در به از که این را با است برای آن یک خود تا کرد بر هم نیز گفت می شود
+وی شد دارد ما اما یا بود باید هر او دو مورد تواند کند نیست
+شده بودن بسیار چه اگر همه نه دیگر آنها یکی بی آنان
+""".split()),
 })

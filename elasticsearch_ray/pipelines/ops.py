@@ -2537,6 +2537,84 @@ def lang_stop_tokenize(sf_dir: str):
     )
 
 
+def ft_analyze_cjk(sf_dir: str):
+    """CJK analyzer (CJKAnalyzer: width fold + script-run bigrams),
+    DuckDB-oracled: a deterministic mixed Latin+Han text is synthesized per
+    doc_id — a FULLWIDTH Latin word, a 3-char Han run (2 bigrams) and a
+    lone Han char (unigram) — and the token stream with positions is
+    compared against the oracle's chr()/substr() reconstruction."""
+    from ..analyzer import get_analyzer
+
+    an = get_analyzer("cjk")
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out_id, out_pos, out_term = [], [], []
+        for i in ids:
+            i = int(i)
+            run = (chr(0x4E00 + i % 7) + chr(0x4E8C + i % 5)
+                   + chr(0x5927 + i % 3))
+            text = f"Ｄａｔａ {run} {chr(0x6728 + i % 4)}"  # fullwidth 'Data'
+            for term, pos in an.positions(text):
+                out_id.append(i)
+                out_pos.append(pos)
+                out_term.append(term)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "pos": pa.array(out_pos, pa.int64()),
+            "term": pa.array(out_term, pa.string()),
+        })
+
+    return (
+        _ds(sf_dir, "documents", ["doc_id"])
+        .map_batches(f, batch_format="pyarrow")
+        .sort(["doc_id", "pos"])
+        .to_pandas()
+    )
+
+
+def ft_analyze_persian(sf_dir: str):
+    """Persian analyzer (PersianAnalyzer: ZWNJ char filter + Arabic/Persian
+    normalization + stop, no stemmer), DuckDB-oracled: deterministic text in
+    UN-normalized form (arabic kaf/yeh, teh marbuta, tatweel, ZWNJ compound,
+    the stopword 'va') is analyzed; the oracle reconstructs the expected
+    NORMALIZED tokens + gapped positions from chr() codepoints — an
+    independent formulation of the fold table."""
+    from ..analyzer import get_analyzer
+
+    an = get_analyzer("persian")
+    ZWNJ = "‌"
+    # raw (un-normalized) words: tatweel inside arabic-kaf 'ketab';
+    # 'ali' with arabic yeh; 'madrese' with teh marbuta
+    w_even = "كـتاب"      # ك‍تاب -> کتاب
+    w_odd = "علي"                    # علي  -> علی
+    w2 = "مدرسة"           # مدرسة -> مدرسه
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out_id, out_pos, out_term = [], [], []
+        for i in ids:
+            i = int(i)
+            w = w_even if i % 2 == 0 else w_odd
+            text = f"{w}{ZWNJ}ها و {w2}"  # <w>+ZWNJ+ha va madrese
+            for term, pos in an.positions(text):
+                out_id.append(i)
+                out_pos.append(pos)
+                out_term.append(term)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "pos": pa.array(out_pos, pa.int64()),
+            "term": pa.array(out_term, pa.string()),
+        })
+
+    return (
+        _ds(sf_dir, "documents", ["doc_id"])
+        .map_batches(f, batch_format="pyarrow")
+        .sort(["doc_id", "pos"])
+        .to_pandas()
+    )
+
+
 def lang_stemmed_index_search(sf_dir: str):
     """End-to-end per-language indexing: a deterministic German column is
     derived from documents (doc_id-keyed vocabulary), indexed as a german

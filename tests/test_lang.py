@@ -168,3 +168,46 @@ def test_nonenglish_field_indexing(ray_session, tmp_path):
     assert set(ids) == {0, 1}
     ids, _ = s._eval({"kind": "match", "field": "body_de", "text": "Garten"})
     assert list(ids) == [2]
+
+
+def test_cjk_bigram_analyzer():
+    """CJKAnalyzer semantics: width fold, script-run bigrams with
+    overlapping positions, lone-char unigram, English stop filter on the
+    Latin side."""
+    from elasticsearch_ray.analyzer import get_analyzer
+
+    an = get_analyzer("cjk")
+    assert an.positions("Data 漢字情報 x 字") == [
+        ("data", 0), ("漢字", 1), ("字情", 2), ("情報", 3), ("x", 4),
+        ("字", 5)]
+    # fullwidth Latin + ideographic space fold to ASCII before tokenizing
+    assert an("ＦＵＬＬ　ｗｉｄｔｈ") == ["full", "width"]
+    # hiragana/katakana/hangul runs bigram too; script boundary breaks runs
+    assert an("これはテスト") == ["これ", "れは", "はテ", "テス", "スト"]
+    assert an("한국어") == ["한국", "국어"]
+    # stopword 'the' removed but occupies a position (gap)
+    assert an.positions("the 漢字") == [("漢字", 1)]
+
+
+def test_persian_analyzer_normalization():
+    """PersianAnalyzer: ZWNJ -> space, arabic kaf/yeh -> keheh/farsi yeh,
+    teh marbuta -> heh, tatweel + diacritics stripped, stop filter with
+    position gaps, no stemmer."""
+    from elasticsearch_ray.analyzer import get_analyzer
+
+    an = get_analyzer("persian")
+    # arabic kaf U+0643 + tatweel U+0640 -> keheh U+06A9, tatweel gone
+    assert an("كـتاب") == ["کتاب"]
+    # arabic yeh U+064A -> farsi yeh U+06CC
+    assert an("علي") == ["علی"]
+    # teh marbuta U+0629 -> heh U+0647
+    assert an("مدرسة") == [
+        "مدرسه"]
+    # ZWNJ compound splits into two tokens
+    assert len(an("کتاب‌ها")) == 2
+    # stopword 'va' removed with a position gap
+    toks = an.positions("کتاب و قلم")
+    assert toks == [("کتاب", 0),
+                    ("قلم", 2)]
+    # diacritics (harakat) stripped
+    assert an("بَد") == ["بد"]
