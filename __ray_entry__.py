@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
+        "ft_count", "agg_significant_mi", "agg_significant_percentage",
         "lang_stop_tokenize", "ft_completion_weighted", "ft_completion_fuzzy",
         "geo_shape_polygon_points", "geo_shape_within", "geo_shape_disjoint",
         "geo_shape_linestring", "ft_highlight_fvh",
@@ -1198,6 +1199,63 @@ SELECT DISTINCT doc_id FROM (
   UNION ALL
   SELECT doc_id FROM documents WHERE source = 'src3')
 ORDER BY doc_id""",
+        "ft_count": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> '')
+SELECT count(*) AS count FROM (
+  SELECT doc_id FROM tok WHERE term = 'data'
+  EXCEPT
+  SELECT doc_id FROM tok WHERE term = 'vector')""",
+        "agg_significant_mi": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+fg_n AS (SELECT count(*) AS n FROM documents WHERE lang = 'zh'),
+bg_n AS (SELECT count(*) AS n FROM documents),
+counts AS (
+  SELECT term,
+         count(*) FILTER (WHERE d.lang = 'zh') AS fg_df,
+         count(*) AS bg_df
+  FROM tok JOIN documents d USING (doc_id) GROUP BY term),
+x AS (
+  SELECT term, fg_df, bg_df,
+         CAST(fg_df AS DOUBLE) AS a,
+         CAST(fg_n.n - fg_df AS DOUBLE) AS b,
+         CAST(bg_df - fg_df AS DOUBLE) AS c,
+         CAST((bg_n.n - fg_n.n) - (bg_df - fg_df) AS DOUBLE) AS d,
+         CAST(fg_n.n AS DOUBLE) AS fgn,
+         CAST(bg_n.n AS DOUBLE) AS n
+  FROM counts CROSS JOIN fg_n CROSS JOIN bg_n),
+m AS (
+  SELECT term, fg_df, bg_df, a, b, c, d, fgn, n,
+         a + c AS tn, b + d AS ntn
+  FROM x)
+SELECT term, fg_df, bg_df,
+       ROUND((CASE WHEN a/GREATEST(tn,1) > b/GREATEST(ntn,1) THEN 1.0 ELSE -1.0 END) * (
+         (CASE WHEN a > 0 THEN (a/n) * (ln((a/n)/((fgn/n)*(tn/n)))/ln(2)) ELSE 0 END)
+       + (CASE WHEN b > 0 AND ntn > 0 THEN (b/n) * (ln((b/n)/((fgn/n)*(ntn/n)))/ln(2)) ELSE 0 END)
+       + (CASE WHEN c > 0 THEN (c/n) * (ln((c/n)/(((n-fgn)/n)*(tn/n)))/ln(2)) ELSE 0 END)
+       + (CASE WHEN d > 0 AND ntn > 0 THEN (d/n) * (ln((d/n)/(((n-fgn)/n)*(ntn/n)))/ln(2)) ELSE 0 END)
+       ), 6) AS mi
+FROM m WHERE fg_df >= 5
+ORDER BY mi DESC, term LIMIT 10""",
+        "agg_significant_percentage": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+counts AS (
+  SELECT term,
+         count(*) FILTER (WHERE d.lang = 'zh') AS fg_df,
+         count(*) AS bg_df
+  FROM tok JOIN documents d USING (doc_id) GROUP BY term)
+SELECT term, fg_df, bg_df,
+       ROUND(CAST(fg_df AS DOUBLE) / CAST(bg_df AS DOUBLE), 6) AS pct
+FROM counts WHERE fg_df >= 5
+ORDER BY pct DESC, term LIMIT 10""",
         "agg_significant_chi2": """
 WITH tok AS (
   SELECT DISTINCT doc_id, t AS term FROM (

@@ -1139,6 +1139,35 @@ def agg_significant_chi2(sf_dir: str):
     """significant_terms with the chi_square heuristic
     (significant/heuristics/ChiSquare.java analog): standard 2x2 contingency
     chi-square over (in-foreground, contains-term); fg = lang='zh'."""
+    red, fg_n, bg_n = _significant_dfs(sf_dir)
+    a = red.fg_df.astype(float)
+    b = fg_n - a
+    c = red.bg_df.astype(float) - a
+    d = (bg_n - fg_n) - c
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    red["chi2"] = round_half_away(
+        np.where(denom > 0, bg_n * (a * d - b * c) ** 2 / np.where(denom > 0, denom, 1), 0.0), 6)
+    red = red[red.fg_df >= 5]
+    red = red.sort_values(["chi2", "term"], ascending=[False, True]).head(10)
+    return red.reset_index(drop=True)[["term", "fg_df", "bg_df", "chi2"]]
+
+
+def ft_count(sf_dir: str):
+    """`_count` API analog (RestCountAction / query-level hit counting):
+    the match count of a bool query, no fetch phase."""
+    s = documents_searcher(sf_dir)
+    ids, _ = s._eval({
+        "kind": "bool",
+        "must": [{"kind": "term", "term": "data"}],
+        "must_not": [{"kind": "term", "term": "vector"}],
+    })
+    return pa.table({"count": pa.array([int(ids.size)], pa.int64())})
+
+
+def _significant_dfs(sf_dir: str):
+    """(reduced term table with fg_df/bg_df, fg_n, bg_n) shared by the
+    significance-heuristic gates — partial per-batch term-df counting +
+    one small groupby (the shard-local collect + final reduce shape)."""
     from collections import Counter
 
     from ray.data.aggregate import Sum
@@ -1169,17 +1198,53 @@ def agg_significant_chi2(sf_dir: str):
     meta = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
         columns=["lang"])
     fg_n = int((np.asarray(meta["lang"]) == "zh").sum())
-    bg_n = len(meta)
-    a = red.fg_df.astype(float)
-    b = fg_n - a
-    c = red.bg_df.astype(float) - a
-    d = (bg_n - fg_n) - c
-    denom = (a + b) * (c + d) * (a + c) * (b + d)
-    red["chi2"] = round_half_away(
-        np.where(denom > 0, bg_n * (a * d - b * c) ** 2 / np.where(denom > 0, denom, 1), 0.0), 6)
+    return red, fg_n, len(meta)
+
+
+def agg_significant_mi(sf_dir: str):
+    """significant_terms with the mutual_information heuristic
+    (significant/heuristics/MutualInformation.java analog): 2x2 pointwise
+    MI sum over (in-foreground x contains-term), log2, with the
+    includeNegatives=true convention (sign from whether the term is
+    over-represented in the foreground). fg = lang='zh'."""
+    red, fg_n, bg_n = _significant_dfs(sf_dir)
+    N = float(bg_n)
+    a = red.fg_df.astype(float)            # fg & term
+    b = float(fg_n) - a                    # fg & !term
+    c = red.bg_df.astype(float) - a        # !fg & term
+    d = (N - fg_n) - c                     # !fg & !term
+
+    def cell(nxy, nx, ny):
+        # ln/ln2 instead of np.log2 so the SQL oracle (ln(x)/ln(2))
+        # reproduces the exact float64 value
+        p = nxy / N
+        px, py = nx / N, ny / N
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = p * (np.log(p / (px * py)) / np.log(2.0))
+        return np.where((nxy > 0) & (px > 0) & (py > 0), v, 0.0)
+
+    term_n = a + c
+    noterm_n = b + d
+    mi = (cell(a, fg_n, term_n) + cell(b, fg_n, noterm_n)
+          + cell(c, N - fg_n, term_n) + cell(d, N - fg_n, noterm_n))
+    sign = np.where(a / np.maximum(term_n, 1) > b / np.maximum(noterm_n, 1),
+                    1.0, -1.0)
+    red["mi"] = round_half_away(sign * mi, 6)
     red = red[red.fg_df >= 5]
-    red = red.sort_values(["chi2", "term"], ascending=[False, True]).head(10)
-    return red.reset_index(drop=True)[["term", "fg_df", "bg_df", "chi2"]]
+    red = red.sort_values(["mi", "term"], ascending=[False, True]).head(10)
+    return red.reset_index(drop=True)[["term", "fg_df", "bg_df", "mi"]]
+
+
+def agg_significant_percentage(sf_dir: str):
+    """significant_terms with the percentage heuristic
+    (significant/heuristics/PercentageScore.java): score = subsetFreq /
+    supersetFreq — the share of a term's docs that are in the foreground."""
+    red, fg_n, bg_n = _significant_dfs(sf_dir)
+    red["pct"] = round_half_away(
+        red.fg_df.astype(float) / red.bg_df.astype(float), 6)
+    red = red[red.fg_df >= 5]
+    red = red.sort_values(["pct", "term"], ascending=[False, True]).head(10)
+    return red.reset_index(drop=True)[["term", "fg_df", "bg_df", "pct"]]
 
 
 def geo_shape_envelope(sf_dir: str):
