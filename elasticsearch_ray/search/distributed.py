@@ -35,16 +35,20 @@ class SearcherActor:
     def collect_keys(self, q: dict) -> list[str]:
         return sorted(self.searcher.collect_query_keys(q))
 
-    def term_dfs(self, keys: list[str]) -> dict[str, int]:
-        return self.searcher.local_term_dfs(keys)
+    def term_dfs(self, keys: list[str]) -> tuple[dict[str, int], dict[str, int]]:
+        """(df, ttf) per key — ttf globalizes the alternative similarities'
+        collection model (TermStatistics.totalTermFreq)."""
+        return (self.searcher.local_term_dfs(keys),
+                self.searcher.local_term_ttfs(keys))
 
     def local_stats(self) -> tuple[int, int, dict]:
         return (self.searcher.n_docs, self.searcher.sum_doc_len,
                 self.searcher.local_field_sums())
 
     def set_stats(self, n_docs: int, sum_doc_len: int, df_map: dict,
-                  field_sums: dict) -> bool:
-        self.searcher.set_global_stats(n_docs, sum_doc_len, df_map, field_sums)
+                  field_sums: dict, ttf_map: dict | None = None) -> bool:
+        self.searcher.set_global_stats(n_docs, sum_doc_len, df_map,
+                                       field_sums, ttf_map)
         return True
 
     def search(self, q: dict, use_wand: bool = True):
@@ -90,12 +94,15 @@ class DistributedSearcher:
         keys = ray.get(self.actors[0].collect_keys.remote(q))
         df_parts = ray.get([a.term_dfs.remote(keys) for a in self.actors])
         df_map: dict[str, int] = {}
-        for part in df_parts:
-            for t, d in part.items():
+        ttf_map: dict[str, int] = {}
+        for dfs, ttfs in df_parts:
+            for t, d in dfs.items():
                 df_map[t] = df_map.get(t, 0) + d
+            for t, f in ttfs.items():
+                ttf_map[t] = ttf_map.get(t, 0) + f
         ray.get([
             a.set_stats.remote(self.n_docs, self.sum_doc_len, df_map,
-                               self.field_sums)
+                               self.field_sums, ttf_map)
             for a in self.actors
         ])
         # query phase fan-out + mergeTopDocs-style reduce

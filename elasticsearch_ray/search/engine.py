@@ -494,6 +494,7 @@ class IndexSearcher:
             raise ValueError(f"no committed segments under {index_dir}")
         self.manifests = manifests
         self._df_override: dict[str, int] | None = None
+        self._ttf_override: dict[str, int] | None = None
         self.wand_min_postings = wand_min_postings
         if lazy is None:
             # auto: go disk-resident when the postings exceed ~256 MB
@@ -621,9 +622,18 @@ class IndexSearcher:
             return self._df_override.get(tp.term, tp.df)
         return tp.df
 
+    def _ttf(self, tp: TermPostings) -> int:
+        """Effective total term frequency: global override under DFS stats
+        (TermStatistics.totalTermFreq), else the local sum of tfs."""
+        if self._ttf_override is not None:
+            local = int(tp.tfs.sum())
+            return self._ttf_override.get(tp.term, local)
+        return int(tp.tfs.sum())
+
     def set_global_stats(self, n_docs: int, sum_doc_len: int,
                          df_map: dict[str, int] | None = None,
-                         field_sums: dict[str, int] | None = None) -> None:
+                         field_sums: dict[str, int] | None = None,
+                         ttf_map: dict[str, int] | None = None) -> None:
         """Install collection-wide stats (DFS phase result) so a
         partition-holding searcher scores identically to a global one.
         `df_map` is keyed by full dictionary keys (fkey+term) so field-scoped
@@ -634,6 +644,7 @@ class IndexSearcher:
         self.avgdl = sum_doc_len / max(n_docs, 1)
         self._norm_cache32 = self.bm25.norm_cache(self.avgdl)
         self._df_override = df_map
+        self._ttf_override = ttf_map
         self._field_sums_override = field_sums
         # per-field avgdl depends on (n_docs, field_sums): rebuild lazily
         self._field_stats_cache.clear()
@@ -657,6 +668,17 @@ class IndexSearcher:
             tp = self._get_term_key(k)
             if tp is not None:
                 out[k] = tp.df
+        return out
+
+    def local_term_ttfs(self, keys: list[str]) -> dict[str, int]:
+        """DFS phase contribution: local total term frequency per key
+        (Lucene TermStatistics.totalTermFreq — needed to globalize the
+        collection model of the alternative similarities)."""
+        out = {}
+        for k in keys:
+            tp = self._get_term_key(k)
+            if tp is not None:
+                out[k] = int(tp.tfs.sum())
         return out
 
     def collect_query_keys(self, q: dict, field: str | None = None) -> set[str]:
@@ -713,13 +735,15 @@ class IndexSearcher:
         norm_bytes, doc_lens, avgdl, cache32 = self._field_stats(field)
         if self.alt_sim is not None:
             # alternative similarity (DFR/IB/LM/boolean): float64 over exact
-            # lengths with global stats (single-searcher scope; the
-            # distributed DFS phase overrides df only, which _df handles)
+            # lengths with global stats — under DistributedSearcher the DFS
+            # phase globalizes df AND ttf (_df/_ttf overrides), and
+            # sum_doc_len/avgdl arrive via set_global_stats, so partitioned
+            # scoring is identical to the single searcher (tested)
             sum_dl = (self.sum_doc_len if self._norm_field(field) is None
                       else int(round(avgdl * self.n_docs)))
             return self.alt_sim.score_tf(
                 tp.tfs, doc_lens[tp.doc_ids], self._df(tp),
-                int(tp.tfs.sum()), self.n_docs, sum_dl, avgdl, boost)
+                self._ttf(tp), self.n_docs, sum_dl, avgdl, boost)
         w = self.bm25.weight(self._df(tp), self.n_docs, boost)
         if self.bm25.mode == "lucene":
             return self.bm25.score_tf(

@@ -80,3 +80,36 @@ def test_matched_queries_distributed(index_dir):
     d = dist.matched_queries(named)
     assert g["doc_id"].tolist() == d["doc_id"].tolist()
     assert g["matched"].tolist() == d["matched"].tolist()
+
+
+def test_distributed_altsim_equals_global(index_dir):
+    """Alternative similarities must be partition-invariant: the DFS phase
+    globalizes df AND total term frequency (the collection model input), so
+    a partitioned LMDirichlet / DFR / IB searcher scores identically to the
+    global one."""
+    from elasticsearch_ray.search.altsim import make_similarity
+
+    configs = [
+        ("LMDirichlet", {"mu": 2000.0}),
+        ("LMJelinekMercer", {"lam": 0.1}),
+        ("DFR", {"basic_model": "if", "after_effect": "b",
+                 "normalization": "h2"}),
+        ("IB", {"distribution": "ll", "lamb": "df", "normalization": "h2"}),
+    ]
+    queries = [
+        {"kind": "term", "term": "def", "k": 10},
+        {"kind": "term", "term": "scan", "k": 10},
+        {"kind": "match", "text": "def scan query", "k": 10},
+    ]
+    for name, params in configs:
+        glob = IndexSearcher(index_dir, score_mode="exact64",
+                             similarity=make_similarity(name, **params))
+        dist = DistributedSearcher(index_dir, num_searchers=3,
+                                   score_mode="exact64",
+                                   similarity=make_similarity(name, **params))
+        for q in queries:
+            g_ids, g_sc = glob.search(q)
+            d_ids, d_sc = dist.search(q)
+            assert list(g_ids) == list(d_ids), (name, q)
+            np.testing.assert_allclose(np.asarray(g_sc, np.float64), d_sc,
+                                       rtol=1e-12, err_msg=f"{name} {q}")
