@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_shape_linestring", "ft_highlight_fvh",
         "ft_type", "msearch", "field_caps", "rank_eval",
         "agg_extended_stats_bucket", "agg_bucket_selector", "agg_bucket_sort",
+        "ft_explain",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -136,7 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_analyze_swedish", "ft_analyze_norwegian", "ft_analyze_danish",
         "ft_analyze_arabic", "dedup_embedding_lsh",
         "agg_percentile_ranks", "agg_scripted_metric", "knn_ivf",
-        "ft_explain", "agg_geohash_grid", "ft_analyze_stemmer",
+        "agg_geohash_grid", "ft_analyze_stemmer",
         "multimodal_image_resize", "multimodal_audio_features",
         "multimodal_video_frames",
         # --- twice-green (r01+r02 driver-verified) ---
@@ -438,6 +439,18 @@ FROM tfn CROSS JOIN df CROSS JOIN st ORDER BY doc_id""",
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id)
 SELECT doc_id, CAST(2.5 AS DOUBLE) AS score FROM tf ORDER BY doc_id""",
+        "ft_explain": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id, tf.tf AS tf, dl.dl AS dl, df.df AS df,
+         st.n AS n, {_SCORE} AS raw
+  FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT doc_id, tf, dl, ROUND(raw, 4) AS score,
+       printf('tf(%d) * idf(df=%d,N=%d) / lengthNorm(dl=%d)', tf, df, n, dl)
+         AS explanation
+FROM scored ORDER BY raw DESC, doc_id LIMIT 3""",
         "ft_match_or": f"""
 WITH {_TOK},
 q AS (SELECT unnest(['data','query','window']) AS term),

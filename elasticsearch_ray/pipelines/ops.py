@@ -2190,23 +2190,30 @@ def range_orders_pruned(sf_dir: str):
 
 
 def ft_explain(sf_dir: str):
-    """explain subphase (search/fetch/subphase/ExplainPhase): score breakdown
-    text for the top-3 of a term query (rows-only)."""
+    """explain subphase (search/fetch/subphase/ExplainPhase): per-hit score
+    breakdown for the top-3 of a term query — the BM25 inputs (tf, dl, df,
+    N) as columns plus the formula rendering, all DuckDB-oracled (the
+    oracle re-derives every input and the rounded score independently)."""
     s = documents_searcher(sf_dir)
     ids, sc = s.search({"kind": "term", "term": "data", "k": 3})
     tp = s._get_term("data")
     df = s.global_df("data")
-    lines = []
-    for d, v in zip(ids, sc):
+    tfs, dls, lines = [], [], []
+    for d in ids:
         idx = np.searchsorted(tp.doc_ids, d)
         tf = int(tp.tfs[idx])
         dl = int(s.doc_lens[d])
-        lines.append(
-            f"score={v:.4f} = idf(df={df},N={s.n_docs}) * (k1+1) * "
-            f"tf({tf}) / (tf + k1*(1-b+b*dl({dl})/avgdl({s.avgdl:.2f})))"
-        )
-    return pd.DataFrame({"doc_id": ids.astype(np.int64),
-                         "explanation": lines})
+        tfs.append(tf)
+        dls.append(dl)
+        lines.append(f"tf({tf}) * idf(df={df},N={s.n_docs})"
+                     f" / lengthNorm(dl={dl})")
+    return pd.DataFrame({
+        "doc_id": ids.astype(np.int64),
+        "tf": np.asarray(tfs, np.int64),
+        "dl": np.asarray(dls, np.int64),
+        "score": round_half_away(sc.astype(np.float64), 4),
+        "explanation": lines,
+    })
 
 
 # ------------- parent-join / percolator / _analyze / by-query (round 1d) -------------
