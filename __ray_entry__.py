@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_type", "msearch", "field_caps", "rank_eval",
         "agg_extended_stats_bucket", "agg_bucket_selector", "agg_bucket_sort",
         "ft_explain",
+        "ft_terms_enum", "ft_min_score", "ft_indices_boost",
+        "ft_source_filtering", "ft_script_fields", "ft_search_template",
+        "ft_mtermvectors", "ft_alias_filter", "ft_profile",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1535,5 +1538,95 @@ GROUP BY 1 ORDER BY 1""",
 SELECT c_mktsegment, count(*) AS parent_count FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 180000)
 GROUP BY 1 ORDER BY 1""",
+    })
+    # --- small-surface search APIs (round 3c) ---
+    out.update({
+        "ft_terms_enum": f"""
+WITH {_TOK}
+SELECT term, count(DISTINCT doc_id) AS doc_count
+FROM tok WHERE term LIKE 's%'
+GROUP BY term ORDER BY term LIMIT 10""",
+        "ft_min_score": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query','window']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS raw
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(raw, 4) AS score FROM scored
+WHERE raw >= 0.75 ORDER BY doc_id""",
+        "ft_indices_boost": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id,
+       ROUND({_SCORE} * CASE d.source WHEN 'src1' THEN 2.0
+                             WHEN 'src2' THEN 1.3 ELSE 1.0 END, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "ft_source_filtering": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'query' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id, {_SCORE} AS raw
+  FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT s.doc_id AS doc_id, d.lang, d.source, d.n_chars, ROUND(s.raw, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.raw DESC, s.doc_id LIMIT 5""",
+        "ft_script_fields": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id, dl.dl AS dl, {_SCORE} AS raw
+  FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT s.doc_id AS doc_id,
+       ROUND(CAST(d.n_chars AS DOUBLE) / s.dl, 4) AS chars_per_token,
+       ROUND(s.raw, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.raw DESC, s.doc_id LIMIT 5""",
+        "ft_search_template": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS raw
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(raw, 4) AS score FROM scored
+ORDER BY raw DESC, doc_id LIMIT 5""",
+        "ft_mtermvectors": f"""
+WITH {_TOK}
+SELECT doc_id, term, count(*) AS tf FROM tok WHERE doc_id IN (7, 42)
+GROUP BY doc_id, term ORDER BY doc_id, term""",
+        "ft_alias_filter": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+WHERE d.source = 'src1' ORDER BY doc_id""",
+        "ft_profile": f"""
+WITH {_TOK},
+dd AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+ww AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')
+SELECT * FROM (
+  SELECT 'BooleanQuery' AS node, '+text:data +text:window' AS description,
+         (SELECT count(*) FROM dd JOIN ww USING (doc_id)) AS doc_count
+  UNION ALL
+  SELECT 'TermQuery', 'text:data', (SELECT count(*) FROM dd)
+  UNION ALL
+  SELECT 'TermQuery', 'text:window', (SELECT count(*) FROM ww))
+ORDER BY node, description""",
     })
     return out

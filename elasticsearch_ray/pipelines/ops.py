@@ -2988,3 +2988,178 @@ def agg_bucket_sort(sf_dir: str):
     out = out[["bucket", "doc_count"]].copy()
     out["doc_count"] = out["doc_count"].astype("int64")
     return out
+
+
+# ---------------- small-surface search APIs (round 3c) ----------------
+
+
+def ft_terms_enum(sf_dir: str):
+    """Terms-dictionary enumeration (the _terms_enum API surface; the same
+    TermsEnum seek/next walk that backs prefix expansion,
+    engine._term_range): first 10 dictionary terms with prefix 'd' plus
+    their document frequency."""
+    s = documents_searcher(sf_dir)
+    terms = s._terms_with_prefix("s").tolist()[:10]
+    return pd.DataFrame({
+        "term": terms,
+        "doc_count": pd.array([s.global_df(t) for t in terms], dtype="int64"),
+    })
+
+
+def ft_min_score(sf_dir: str):
+    """min_score search option (SearchSourceBuilder#minScore: hits scoring
+    below the cutoff are dropped after scoring): match OR query, cutoff
+    0.75, ordered by doc_id."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s._eval({"kind": "match", "text": "data query window"})
+    keep = sc >= 0.75
+    ids, sc = ids[keep], sc[keep]
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away(sc[order].astype(np.float64), 4),
+    })
+
+
+def ft_indices_boost(sf_dir: str):
+    """indices_boost (SearchSourceBuilder#indexBoosts: per-index score
+    multiplier applied to every hit from that index). The source column
+    plays the index-name role: src1 x2.0, src2 x1.3, rest x1.0."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s._eval({"kind": "term", "term": "data"})
+    src = s.fetch(ids, ["source"])["source"].to_numpy(zero_copy_only=False)
+    mult = np.where(src == "src1", 2.0, np.where(src == "src2", 1.3, 1.0))
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away((sc * mult)[order].astype(np.float64), 4),
+    })
+
+
+def ft_source_filtering(sf_dir: str):
+    """_source includes/excludes (FetchSourceContext / FetchSourcePhase):
+    only the requested stored fields are materialized in the fetch phase
+    for the top-5 hits — the text payload never leaves the fetch path."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s.search({"kind": "term", "term": "query", "k": 5})
+    includes = ["doc_id", "lang", "source", "n_chars"]
+    excludes = {"text"}
+    cols = [c for c in includes if c not in excludes]
+    out = s.fetch(ids, cols).to_pandas()
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["score"] = round_half_away(sc.astype(np.float64), 4)
+    return out
+
+
+def ft_script_fields(sf_dir: str):
+    """script_fields (SearchSourceBuilder#scriptField + the fetch-phase
+    ScriptFieldsPhase): a per-hit computed field evaluated by the
+    whitelisted-AST sandbox (scripting.py, the Painless analog) over stored
+    doc values: chars_per_token = n_chars / doc_len."""
+    from ..scripting import safe_eval_expr
+
+    s = documents_searcher(sf_dir)
+    ids, sc = s.search({"kind": "term", "term": "data", "k": 5})
+    nch = s.fetch(ids, ["n_chars"])["n_chars"].to_numpy().astype(np.float64)
+    dl = s.doc_lens[ids].astype(np.float64)
+    vals = np.asarray([
+        safe_eval_expr("n_chars / dl", {"n_chars": c, "dl": l})
+        for c, l in zip(nch.tolist(), dl.tolist())])
+    return pd.DataFrame({
+        "doc_id": ids.astype(np.int64),
+        "chars_per_token": round_half_away(vals, 4),
+        "score": round_half_away(sc.astype(np.float64), 4),
+    })
+
+
+_TEMPLATE_PARAM_RE = None
+
+
+def render_search_template(source: str, params: dict) -> dict:
+    """Mustache-lite renderer for the _search/template surface
+    (modules/lang-mustache): {{name}} placeholders are substituted from
+    params (strings verbatim inside their quotes, non-strings as JSON
+    literals), then the rendered source is parsed as a query dict."""
+    import json
+    import re as _re
+
+    global _TEMPLATE_PARAM_RE
+    if _TEMPLATE_PARAM_RE is None:
+        _TEMPLATE_PARAM_RE = _re.compile(r"\{\{(\w+)\}\}")
+
+    def sub(m):
+        v = params[m.group(1)]
+        return v if isinstance(v, str) else json.dumps(v)
+
+    return json.loads(_TEMPLATE_PARAM_RE.sub(sub, source))
+
+
+def ft_search_template(sf_dir: str):
+    """_search/template (modules/lang-mustache RestSearchTemplateAction):
+    render a stored template with params, then run the resulting query."""
+    template = '{"kind": "match", "text": "{{q}}", "k": {{size}}}'
+    q = render_search_template(template, {"q": "data query", "size": 5})
+    return topk_matches(sf_dir, q)
+
+
+def ft_mtermvectors(sf_dir: str):
+    """_mtermvectors (TransportMultiTermVectorsAction): term vectors for
+    several docs in one request — (doc_id, term, tf) rows."""
+    from collections import Counter
+
+    from ..analyzer import analyze_simple
+    from ..sources.reader import fetch_rows_by_doc_id
+
+    doc_ids = [7, 42]
+    t = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                             doc_ids, columns=["doc_id", "text"])
+    rows = []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for term, tf in sorted(Counter(analyze_simple(text)).items()):
+            rows.append((did, term, tf))
+    rows.sort()
+    return pd.DataFrame({
+        "doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+        "term": [r[1] for r in rows],
+        "tf": pd.array([r[2] for r in rows], dtype="int64"),
+    })
+
+
+def ft_alias_filter(sf_dir: str):
+    """Filtered alias (AliasMetadata#filter, applied as AliasFilter in the
+    shard search request): querying through alias src1_docs ANDs the alias
+    filter in filter context — it narrows the doc set but contributes no
+    score."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s._eval({
+        "kind": "bool",
+        "must": [{"kind": "term", "term": "data"}],
+        "filter": [{"kind": "meta_term", "field": "source", "value": "src1"}],
+    })
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away(sc[order].astype(np.float64), 4),
+    })
+
+
+def ft_profile(sf_dir: str):
+    """_search?profile=true analog (SearchProfileShardResults /
+    ProfileResult): the deterministic part of the per-node breakdown — node
+    type, Lucene-style description, and matched doc_count for a bool query
+    tree. Timing fields are host-dependent and omitted."""
+    s = documents_searcher(sf_dir)
+    d_ids, _ = s._eval({"kind": "term", "term": "data"})
+    w_ids, _ = s._eval({"kind": "term", "term": "window"})
+    b_ids, _ = s._eval({"kind": "bool", "must": [
+        {"kind": "term", "term": "data"}, {"kind": "term", "term": "window"}]})
+    rows = [
+        ("BooleanQuery", "+text:data +text:window", int(b_ids.size)),
+        ("TermQuery", "text:data", int(d_ids.size)),
+        ("TermQuery", "text:window", int(w_ids.size)),
+    ]
+    return pd.DataFrame({
+        "node": [r[0] for r in rows],
+        "description": [r[1] for r in rows],
+        "doc_count": pd.array([r[2] for r in rows], dtype="int64"),
+    })

@@ -1,0 +1,80 @@
+"""Small-surface search APIs (round 3c): search templates, filtered
+aliases, min_score, indices_boost, source filtering, terms enumeration,
+profile breakdown.
+
+Reference surfaces mirrored: modules/lang-mustache (search templates),
+AliasMetadata#filter, SearchSourceBuilder#minScore/#indexBoosts,
+FetchSourceContext, SearchProfileShardResults."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from elasticsearch_ray.pipelines import ops
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_render_search_template_params():
+    t = '{"kind": "match", "text": "{{q}}", "k": {{size}}, "boost": {{b}}}'
+    q = ops.render_search_template(t, {"q": "data query", "size": 5, "b": 1.5})
+    assert q == {"kind": "match", "text": "data query", "k": 5, "boost": 1.5}
+
+
+def test_render_search_template_missing_param_raises():
+    with pytest.raises(KeyError):
+        ops.render_search_template('{"k": {{size}}}', {})
+
+
+def test_alias_filter_subset_preserves_scores(ray_session):
+    aliased = ops.ft_alias_filter(SF)
+    full = ops.ft_term(SF).to_pandas()  # unfiltered term 'data', by doc_id
+    merged = aliased.merge(full, on="doc_id", suffixes=("_alias", "_full"))
+    # every aliased hit exists in the unfiltered result with the SAME score:
+    # the alias filter runs in filter context and never contributes scoring
+    assert len(merged) == len(aliased) > 0
+    assert np.allclose(merged["score_alias"], merged["score_full"])
+
+
+def test_min_score_cutoff(ray_session):
+    out = ops.ft_min_score(SF)
+    assert (out["score"] >= 0.75).all()
+    # and it is exactly the >=0.75 slice of the unfiltered match
+    s = ops.documents_searcher(SF)
+    ids, sc = s._eval({"kind": "match", "text": "data query window"})
+    assert len(out) == int((sc >= 0.75).sum())
+
+
+def test_indices_boost_multiplies_by_source(ray_session):
+    out = ops.ft_indices_boost(SF)
+    base = ops.ft_term(SF).to_pandas()
+    m = out.merge(base, on="doc_id", suffixes=("_boosted", "_base"))
+    s = ops.documents_searcher(SF)
+    src = s.fetch(m["doc_id"].to_numpy(), ["source"])["source"].to_numpy(
+        zero_copy_only=False)
+    mult = np.where(src == "src1", 2.0, np.where(src == "src2", 1.3, 1.0))
+    assert np.allclose(m["score_boosted"], np.round(m["score_base"] * mult, 3),
+                       atol=2e-3)
+
+
+def test_source_filtering_excludes_text(ray_session):
+    out = ops.ft_source_filtering(SF)
+    assert "text" not in out.columns
+    assert {"doc_id", "lang", "source", "n_chars", "score"} <= set(out.columns)
+    assert len(out) == 5
+
+
+def test_terms_enum_prefix_and_dfs(ray_session):
+    out = ops.ft_terms_enum(SF)
+    assert len(out) > 0
+    assert all(t.startswith("s") for t in out["term"])
+    assert (out["doc_count"] > 0).all()
+    assert list(out["term"]) == sorted(out["term"])
+
+
+def test_profile_counts_consistent(ray_session):
+    out = ops.ft_profile(SF)
+    by = dict(zip(out["description"], out["doc_count"]))
+    assert by["+text:data +text:window"] <= min(by["text:data"],
+                                                by["text:window"])
