@@ -138,7 +138,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_analyze_italian", "ft_analyze_portuguese", "ft_analyze_dutch",
         "ft_analyze_russian", "lang_stemmed_index_search",
         "ft_analyze_swedish", "ft_analyze_norwegian", "ft_analyze_danish",
-        "ft_analyze_arabic", "dedup_embedding_lsh",
+        "ft_analyze_arabic", "ft_analyze_romanian", "ft_analyze_finnish",
+        "ft_analyze_hungarian", "ft_analyze_turkish", "ft_analyze_greek",
+        "ft_analyze_hindi", "ft_analyze_czech", "ft_analyze_bulgarian",
+        "ft_analyze_latvian", "ft_analyze_indonesian", "ft_analyze_sorani",
+        "ft_analyze_brazilian", "dedup_embedding_lsh",
         "agg_percentile_ranks", "agg_scripted_metric", "knn_ivf",
         "agg_geohash_grid", "ft_analyze_stemmer",
         "multimodal_image_resize", "multimodal_audio_features",

@@ -10,13 +10,26 @@ from __future__ import annotations
 
 import re
 
+from .light import LIGHT_STEMMERS, greek_fold, turkish_lower
 from .snowball import SNOWBALL_STEMMERS
 from .stopwords import STOP_SETS
 
+# full per-language stemmer registry: Snowball algorithms + published
+# light stemmers; brazilian shares the Portuguese Snowball stem (the
+# reference's BrazilianStemmer is a distinct RSLP-style algorithm — the
+# Snowball Portuguese one is the documented substitute here)
+STEMMERS = {**SNOWBALL_STEMMERS, **LIGHT_STEMMERS,
+            "brazilian": SNOWBALL_STEMMERS["portuguese"]}
+
 # Unicode-aware standard-ish tokenizer: maximal runs of letters/digits
-# (underscore excluded), the UAX#29-lite analog of analyzer.analyze_simple
-# for non-ASCII scripts.
-_UNI_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+# (underscore excluded) PLUS combining marks — Python's \w excludes
+# category-M codepoints, which would otherwise split Devanagari matras,
+# Arabic harakat and Hebrew niqqud out of their words. The explicit
+# ranges cover the combining blocks of the registered languages.
+_COMBINING = ("̀-ͯ҃-҉֑-ׇؐ-ؚ"
+              "ً-ٰٟۖ-ۜ۟-۪ۨ-ۭ"
+              "ऀ-ःऺ-ॏ॑-ॗॢ-ॣ")
+_UNI_TOKEN_RE = re.compile(rf"(?:[^\W_]|[{_COMBINING}])+", re.UNICODE)
 
 # ElisionFilter article sets (Lucene FrenchAnalyzer.DEFAULT_ARTICLES and
 # ItalianAnalyzer.DEFAULT_ARTICLES): the article + apostrophe prefix is
@@ -36,25 +49,50 @@ def _make_elision_re(articles: tuple[str, ...]) -> re.Pattern:
     return re.compile(rf"\b(?:{alt})['’]", re.IGNORECASE | re.UNICODE)
 
 
+# Turkish ApostropheFilter analog: drop the apostrophe and everything
+# after it (İstanbul'da -> İstanbul) BEFORE tokenization, since the
+# apostrophe would otherwise split the suffix into a stray token.
+_APOSTROPHE_RE = re.compile(r"['’]\w*", re.UNICODE)
+
+# per-language case folding (TurkishLowerCaseFilter / GreekLowerCaseFilter
+# analogs); default is str.lower
+_LOWER_FNS = {"turkish": turkish_lower, "greek": greek_fold}
+
+# per-token normalizers that must run BEFORE the stop filter (the stop
+# sets are written in normalized orthography); the stemmers re-apply them
+# idempotently
+from .light import hindi_normalize, sorani_normalize  # noqa: E402
+
+_TOKEN_NORMS = {"hindi": hindi_normalize, "sorani": sorani_normalize}
+
+
 def make_language_analyzer(language: str):
     """text -> [stemmed tokens] for one language (Lucene {Lang}Analyzer
     chain shape). Pure function: regexes/stop-set/stemmer close over the
     returned callable, so per-worker compile cost is one module import."""
     stop = STOP_SETS[language]
-    stem = SNOWBALL_STEMMERS[language]
+    stem = STEMMERS[language]
+    lower = _LOWER_FNS.get(language, str.lower)
     elision_re = (_make_elision_re(_ELISION[language])
                   if language in _ELISION else None)
+    apostrophe = language == "turkish"
+
+    norm = _TOKEN_NORMS.get(language)
 
     def analyze(text: str) -> list[str]:
         if elision_re is not None:
             text = elision_re.sub(" ", text)
-        toks = _UNI_TOKEN_RE.findall(text.lower())
+        if apostrophe:
+            text = _APOSTROPHE_RE.sub("", text)
+        toks = _UNI_TOKEN_RE.findall(lower(text))
+        if norm is not None:
+            toks = [norm(t) for t in toks]
         return [stem(t) for t in toks if t not in stop]
 
     return analyze
 
 
-LANGUAGES = tuple(SNOWBALL_STEMMERS)
+LANGUAGES = tuple(STEMMERS)
 
 
 def register_language_analyzers(register) -> None:

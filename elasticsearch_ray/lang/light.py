@@ -1,0 +1,318 @@
+"""Light stemmers for the remaining reference language analyzers
+(modules/analysis-common/.../CommonAnalysisPlugin.java registrations whose
+Lucene implementation is a published *light* stemmer rather than a Snowball
+algorithm — e.g. HungarianLightStemmer, CzechStemmer, BulgarianStemmer,
+LatvianStemmer, HindiStemmer, IndonesianStemmer, SoraniStemmer, the Greek
+case-ending stemmer).
+
+Implemented from the published algorithm families (Savoy's CLEF light
+stemmers: Dolamic & Savoy 2009 for Czech; Savoy 2008 for Hungarian and
+Bulgarian; Ramanathan & Rao 2003 for Hindi; Tala 2003 for Indonesian) —
+NOT ports of any stemmer codebase. Where a rule list here is a condensed
+form of the published one, the docstring says so; behavior is pinned by
+golden vectors in tests/test_lang.py.
+
+Each stemmer is a pure str -> str function with zero per-call state, usable
+as a token filter inside map_batches.
+"""
+
+from __future__ import annotations
+
+__all__ = ["LIGHT_STEMMERS", "turkish_lower", "greek_fold",
+           "hindi_normalize", "sorani_normalize"]
+
+
+def _strip_longest(w: str, suffixes, min_stem: int) -> str:
+    """Remove the longest matching suffix, keeping >= min_stem chars."""
+    best = None
+    for s in suffixes:
+        if len(w) - len(s) >= min_stem and w.endswith(s) \
+                and (best is None or len(s) > len(best)):
+            best = s
+    return w[: len(w) - len(best)] if best else w
+
+
+# =========================== Hungarian (light) ===========================
+
+_HU_ACCENT = str.maketrans("áéíóöőúüű", "aeiooouuu")
+
+_HU_CASE = ("kent", "nak", "nek", "val", "vel", "tol", "rol", "ban", "ben",
+            "bol", "nal", "nel", "hoz", "hez", "ert", "ig", "on", "en",
+            "an", "ot", "at", "et", "ut", "ba", "be", "ra", "re", "t", "n")
+_HU_POSS = ("ainak", "einek", "aitok", "eitek", "aink", "eink", "juk",
+            "unk", "tok", "tek", "uk", "om", "em", "am", "od", "ed", "ad",
+            "ja", "je", "a", "e", "o")
+_HU_PLURAL = ("ak", "ok", "ek", "k", "ai", "ei", "i")
+
+
+def hungarian_stem(word: str) -> str:
+    """Savoy-style light Hungarian stemmer (the HungarianLightStemmer
+    family): accent folding, then case / possessive / plural ending
+    removal with a 3-char stem guard. Condensed rule list; not the
+    Snowball Hungarian algorithm."""
+    w = word.lower().translate(_HU_ACCENT)
+    # assimilated instrumental/translative: stem-final consonant doubled
+    # + al/el (hazakkal, seggel) -> strip the ending and undouble
+    if len(w) > 5 and w.endswith(("al", "el")) and len(w) >= 4 \
+            and w[-3] == w[-4] and w[-3] not in "aeiou":
+        w = w[:-3]
+    w = _strip_longest(w, _HU_CASE, 3)
+    w = _strip_longest(w, _HU_POSS, 3)
+    w = _strip_longest(w, _HU_PLURAL, 3)
+    return w
+
+
+# =========================== Turkish (light) ===========================
+
+
+def turkish_lower(text: str) -> str:
+    """TurkishLowerCaseFilter semantics: dotted capital İ lowercases to i,
+    dotless capital I to ı (must happen BEFORE str.lower(), which would
+    produce i + combining-dot for İ)."""
+    return text.replace("İ", "i").replace("I", "ı").lower()
+
+
+_TR_SUFFIXES = ("ımız", "imiz", "umuz", "ümüz", "ınız", "iniz", "unuz",
+                "ünüz", "ları", "leri", "ndan", "nden", "lar", "ler",
+                "dan", "den", "tan", "ten", "nda", "nde", "yla", "yle",
+                "nın", "nin", "nun", "nün", "sı", "si", "su", "sü",
+                "ın", "in", "un", "ün", "ım", "im", "um", "üm", "da",
+                "de", "ta", "te", "la", "le", "ya", "ye", "yı", "yi",
+                "yu", "yü", "a", "e", "ı", "i", "u", "ü", "n")
+
+
+def turkish_stem(word: str) -> str:
+    """Light Turkish stemmer: iterative removal of the most frequent
+    nominal inflection suffixes (plural, possessive, case) in both vowel
+    harmonies, 3-char stem guard, max 3 passes. The reference chain uses
+    Snowball Turkish; this is the documented light substitute — the
+    apostrophe filter + Turkish-aware lowercasing parts of the chain are
+    exact."""
+    w = word
+    for _ in range(3):
+        nxt = _strip_longest(w, _TR_SUFFIXES, 3)
+        if nxt == w:
+            break
+        w = nxt
+    return w
+
+
+# =========================== Greek (light) ===========================
+
+_EL_FOLD = str.maketrans("άέήίόύώϊϋΐΰς", "αεηιουωιυιυσ")
+
+_EL_SUFFIXES = ("ιουσ", "ουσαν", "ουσεσ", "ουμε", "ουνε", "ειτε", "ουσα",
+                "ματα", "ματοσ", "ονταν", "εται", "ουν", "ουσ", "ων",
+                "εισ", "ησ", "ασ", "οσ", "ου", "οι", "εσ", "α", "η", "ο",
+                "ι", "ε", "υ", "ω")
+
+
+def greek_fold(text: str) -> str:
+    """GreekLowerCaseFilter analog: lowercase, strip tonos/dialytika,
+    normalize final sigma."""
+    return text.lower().translate(_EL_FOLD)
+
+
+def greek_stem(word: str) -> str:
+    """Light Greek stemmer: case-ending removal over the folded form with
+    a 3-char stem guard — the inflectional core of the published Greek
+    stemmer (Ntais 2006) without its exception tables."""
+    return _strip_longest(greek_fold(word), _EL_SUFFIXES, 3)
+
+
+# =========================== Hindi (light) ===========================
+
+_HI_NUKTA = {
+    "क़": "क", "ख़": "ख", "ग़": "ग", "ज़": "ज", "ड़": "ड", "ढ़": "ढ",
+    "फ़": "फ", "य़": "य", "ऩ": "न", "ऱ": "र",
+}
+
+
+def hindi_normalize(word: str) -> str:
+    """HindiNormalizer analog: drop ZWJ/ZWNJ, decompose nukta consonants to
+    their base forms, chandrabindu -> anusvara."""
+    w = word.replace("‌", "").replace("‍", "")
+    for k, v in _HI_NUKTA.items():
+        w = w.replace(k, v)
+    return w.replace("ँ", "ं")
+
+
+_HI_SUFFIXES = (
+    "ाइयाँ", "ाइयों", "ाइयां",
+    "ियाँ", "ियों", "ियां", "ाएं", "ाओं", "ुओं", "ुएं", "ुआं",
+    "ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे",
+    "ाने", "ाना", "ाते", "ाती", "ाता",
+    "कर", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं", "ती",
+    "ता", "ाँ", "ां", "ों", "ें",
+    "ो", "े", "ू", "ु", "ी", "ि", "ा",
+)
+
+
+def hindi_stem(word: str) -> str:
+    """Lightweight Hindi stemmer (Ramanathan & Rao 2003): strip the longest
+    matching suffix from the published ending list, one pass."""
+    return _strip_longest(hindi_normalize(word), _HI_SUFFIXES, 1)
+
+
+# =========================== Czech (light) ===========================
+
+_CS_CASE_5 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ete",
+              "eti", "iho", "ího", "ími", "imu", "ách", "ata", "aty",
+              "ých", "ama", "ami", "ové", "ovi", "ými")
+_CS_CASE_4 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+              "mi", "ou")
+_CS_VOWEL_END = "aáeéěiíoóuůúyý"
+
+
+def _cs_palatalize(w: str) -> str:
+    if w.endswith(("čtě", "čti", "čtí")):
+        return w[:-3] + "ck"
+    if w.endswith(("ště", "šti", "ští")):
+        return w[:-3] + "sk"
+    if w.endswith(("ci", "ce", "či", "če", "cí", "čí")):
+        return w[:-2] + "k"
+    if w.endswith(("zi", "ze", "ži", "že", "zí", "ží")):
+        return w[:-2] + "h"
+    return w[:-1] if w else w
+
+
+def czech_stem(word: str) -> str:
+    """Light Czech stemmer (Dolamic & Savoy 2009): length-guarded case
+    ending removal, possessive removal, then palatalization recoding of
+    the exposed stem final."""
+    w = word.lower()
+    # remove case
+    if len(w) > 7 and w.endswith("atech"):
+        w = w[:-5]
+    elif len(w) > 6 and (w.endswith("ětem") or w.endswith("etem")
+                         or w.endswith("atům")):
+        w = w[:-4]
+    elif len(w) > 5 and w.endswith(_CS_CASE_5):
+        if w[-3] in "eiíě":
+            # keep the palatal vowel, then recode (digraph -> k/h/ck/sk,
+            # else the kept vowel is dropped)
+            w = _cs_palatalize(w[:-2])
+        else:
+            w = w[:-3]
+    elif len(w) > 4 and w.endswith(_CS_CASE_4):
+        w = w[:-2]
+    elif len(w) > 3 and w[-1] in _CS_VOWEL_END:
+        w = w[:-1]
+    # remove possessives
+    if len(w) > 5:
+        if w.endswith(("ov", "ův")):
+            w = w[:-2]
+        elif w.endswith("in"):
+            w = w[:-1]
+    return w
+
+
+# =========================== Bulgarian (light) ===========================
+
+_BG_ARTICLES = ("ият", "ът", "та", "то", "те", "ят")
+_BG_PLURAL = ("ове", "еве", "ища", "овци", "ета", "ия")
+
+
+def bulgarian_stem(word: str) -> str:
+    """Light Bulgarian stemmer (Savoy's CLEF family / the BulgarianStemmer
+    shape): strip the definite article, then plural endings, then a final
+    vowel, with a 3-char stem guard. Condensed rule list."""
+    w = word.lower()
+    w = _strip_longest(w, _BG_ARTICLES, 3)
+    w = _strip_longest(w, _BG_PLURAL, 3)
+    if len(w) > 3 and w[-1] in "аеиоуя":
+        w = w[:-1]
+    return w
+
+
+# =========================== Latvian (light) ===========================
+
+_LV_VOWELS = "aāeēiīouū"
+_LV_SUFFIXES = ("ajiem", "ajai", "ajam", "ajām", "ajos", "ajās", "iem",
+                "ajā", "ais", "ai", "ei", "am", "ām", "ēm", "īm", "im",
+                "um", "us", "os", "ās", "as", "es", "ij", "ie", "ē", "e",
+                "a", "i", "u", "o", "s", "š")
+
+
+def latvian_stem(word: str) -> str:
+    """Light Latvian stemmer (the Dolamic & Savoy approach behind Lucene's
+    LatvianStemmer): strip the longest declension ending such that the
+    stem keeps >= 3 chars and at least one vowel."""
+    w = word.lower()
+    best = None
+    for s in _LV_SUFFIXES:
+        stem_len = len(w) - len(s)
+        if stem_len >= 3 and w.endswith(s) \
+                and any(c in _LV_VOWELS for c in w[:stem_len]) \
+                and (best is None or len(s) > len(best)):
+            best = s
+    return w[: len(w) - len(best)] if best else w
+
+
+# =========================== Indonesian (Tala) ===========================
+
+_ID_PARTICLES = ("kah", "lah", "tah", "pun")
+_ID_POSSESSIVE = ("ku", "mu", "nya")
+_ID_PREFIX1 = ("meng", "meny", "men", "mem", "me", "peng", "peny", "pen",
+               "pem", "di", "ter", "ke")
+_ID_PREFIX2 = ("ber", "per", "be", "pe")
+_ID_SUFFIX = ("kan", "an", "i")
+
+
+def indonesian_stem(word: str) -> str:
+    """Indonesian stemmer (Tala 2003, after Nazief & Adriani): remove
+    inflectional particles and possessive pronouns, then derivational
+    prefixes (two orders) and suffixes, 3-char stem guard. Without the
+    recoding rules of the full algorithm."""
+    w = word.lower()
+    w = _strip_longest(w, _ID_PARTICLES, 3)
+    w = _strip_longest(w, _ID_POSSESSIVE, 3)
+    for p in _ID_PREFIX1:
+        if w.startswith(p) and len(w) - len(p) >= 3:
+            w = w[len(p):]
+            break
+    else:
+        for p in _ID_PREFIX2:
+            if w.startswith(p) and len(w) - len(p) >= 3:
+                w = w[len(p):]
+                break
+    w = _strip_longest(w, _ID_SUFFIX, 3)
+    return w
+
+
+# =========================== Sorani Kurdish ===========================
+
+
+def sorani_normalize(word: str) -> str:
+    """SoraniNormalizer analog: Arabic-script letter unification (yeh and
+    kaf variants), ZWNJ and tatweel removal, trailing heh -> ae."""
+    w = (word.replace("‌", "").replace("ـ", "")
+         .replace("ي", "ی").replace("ى", "ی").replace("ك", "ک"))
+    if w.endswith("ه"):
+        w = w[:-1] + "ە"
+    return w
+
+
+_CKB_SUFFIXES = ("ەکانی", "ەکانێ", "ەکان", "ەکەی", "ەکە", "کانی", "کان",
+                 "ێکی", "ێک", "یەکی", "یەک", "ەوە", "تان", "مان", "یش",
+                 "ان", "ین", "ی", "ە")
+
+
+def sorani_stem(word: str) -> str:
+    """Sorani Kurdish stemmer (the SoraniStemmer suffix family): normalize,
+    then strip the longest definite/indefinite/plural/izafe ending with a
+    2-char stem guard."""
+    return _strip_longest(sorani_normalize(word), _CKB_SUFFIXES, 2)
+
+
+LIGHT_STEMMERS = {
+    "hungarian": hungarian_stem,
+    "turkish": turkish_stem,
+    "greek": greek_stem,
+    "hindi": hindi_stem,
+    "czech": czech_stem,
+    "bulgarian": bulgarian_stem,
+    "latvian": latvian_stem,
+    "indonesian": indonesian_stem,
+    "sorani": sorani_stem,
+}

@@ -1197,3 +1197,291 @@ SNOWBALL_STEMMERS.update({
     "danish": danish_stem,
     "arabic": arabic_stem,
 })
+
+
+# =========================== Romanian ===========================
+
+_RO_VOWELS = "aăâeiîou"
+
+_RO_STEP1 = {
+    **{s: "abil" for s in ("abilitate", "abilitati", "abilităi", "abilităţi")},
+    "ibilitate": "ibil",
+    **{s: "iv" for s in ("ivitate", "ivitati", "ivităi", "ivităţi")},
+    **{s: "ic" for s in (
+        "icitate", "icitati", "icităi", "icităţi", "icator", "icatori",
+        "iciv", "iciva", "icive", "icivi", "icivă", "ical", "icala",
+        "icale", "icali", "icală")},
+    **{s: "at" for s in (
+        "ativ", "ativa", "ative", "ativi", "ativă", "aţiune", "atoare",
+        "ator", "atori", "ătoare", "ător", "ători")},
+    **{s: "it" for s in (
+        "itiv", "itiva", "itive", "itivi", "itivă", "iţiune", "itoare",
+        "itor", "itori")},
+}
+
+_RO_STEP2_DEL = (
+    "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice", "ici", "ică",
+    "iv", "iva", "ive", "ivi", "ivă", "abil", "abila", "abile", "abili",
+    "abilă", "ibil", "ibila", "ibile", "ibili", "ibilă", "oasa", "oasă",
+    "oase", "os", "osi", "oşi", "ant", "anta", "ante", "anti", "antă",
+    "ator", "atori", "itate", "itati", "ităi", "ităţi",
+)
+_RO_STEP2_IST = ("ism", "isme", "ist", "ista", "iste", "isti", "istă",
+                 "işti")
+
+_RO_VERB = (
+    "aserăţi", "iserăţi", "âserăţi", "userăţi", "aserăm", "iserăm",
+    "âserăm", "userăm", "ească", "arăţi", "urăţi", "irăţi", "ârăţi",
+    "aseşi", "iseşi", "âseşi", "useşi", "asem", "isem", "âsem", "usem",
+    "aseră", "iseră", "âseră", "useră", "indu", "ându", "ează", "eşti",
+    "eşte", "ăşti", "ăşte", "eaţi", "iaţi", "arăm", "urăm", "irăm",
+    "ârăm", "aşi", "aţi", "ează", "eze", "ezi", "esc", "ăsc", "eam",
+    "eai", "eau", "iam", "iai", "iau", "aşi", "are", "ere", "ire",
+    "âre", "ind", "ând", "eze", "ează", "am", "ai", "au", "ea", "ia",
+    "ui", "âi", "ez", "âţi", "âm", "ăm", "em", "im",
+    "serăm", "serăţi", "seră", "sese", "sesem", "seseşi", "seserăm",
+    "seserăţi", "seseră",
+)
+
+
+def romanian_stem(word: str) -> str:
+    """Snowball Romanian (snowballstem.org/algorithms/romanian/stemmer.html).
+    Comma-below forms (ș ț) are folded to the cedilla forms (ş ţ) the
+    published algorithm is written in."""
+    w = word.lower().replace("ș", "ş").replace("ț", "ţ")
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "iu" and w[i - 1] in _RO_VOWELS and w[i + 1] in _RO_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    r1, r2 = _r1r2(w.lower(), _RO_VOWELS)
+    rv = _rv_romance(w.lower(), _RO_VOWELS)
+
+    def in_r1(cut):
+        return cut >= r1
+
+    def in_r2(cut):
+        return cut >= r2
+
+    def in_rv(cut):
+        return cut >= rv
+
+    # step 0: removal of plurals (R1)
+    s = _longest_suffix(w, ("ului", "aua", "ele", "elor", "iua", "iei",
+                            "iile", "iilor", "ilor", "ile", "atei", "aţie",
+                            "aţia", "ul", "ea", "ii"))
+    if s:
+        cut = len(w) - len(s)
+        if in_r1(cut):
+            if s in ("ul", "ului"):
+                w = w[:cut]
+            elif s == "aua":
+                w = w[:cut] + "a"
+            elif s in ("ea", "ele", "elor"):
+                w = w[:cut] + "e"
+            elif s in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+                w = w[:cut] + "i"
+            elif s == "ile":
+                if not w[:cut].endswith("ab"):
+                    w = w[:cut] + "i"
+            elif s == "atei":
+                w = w[:cut] + "at"
+            elif s in ("aţie", "aţia"):
+                w = w[:cut] + "aţi"
+
+    # step 1: reduction of combining suffixes (R1, repeat)
+    step_removed = False
+    while True:
+        s = _longest_suffix(w, tuple(_RO_STEP1))
+        if s and in_r1(len(w) - len(s)):
+            w = w[: len(w) - len(s)] + _RO_STEP1[s]
+            step_removed = True
+            continue
+        break
+
+    # step 2: standard suffixes (R2)
+    s = _longest_suffix(w, _RO_STEP2_DEL + _RO_STEP2_IST + ("iune", "iuni"))
+    if s:
+        cut = len(w) - len(s)
+        if in_r2(cut):
+            if s in ("iune", "iuni"):
+                if cut > 0 and w[cut - 1] == "ţ":
+                    w = w[: cut - 1] + "t"
+                    step_removed = True
+            elif s in _RO_STEP2_IST:
+                w = w[:cut] + "ist"
+                step_removed = True
+            else:
+                w = w[:cut]
+                step_removed = True
+
+    # step 3: verb suffixes (RV) — only if steps 1-2 removed nothing
+    if not step_removed:
+        s = _longest_suffix(w, _RO_VERB)
+        if s:
+            cut = len(w) - len(s)
+            if in_rv(cut):
+                first = s[0]
+                if first in ("a", "e", "i", "â", "u") and s not in (
+                        "ui", "âi", "âm", "âţi"):
+                    # group 1: delete only if preceded by consonant or 'u'
+                    if cut > 0 and (w[cut - 1].lower() not in _RO_VOWELS
+                                    or w[cut - 1] in "uU"):
+                        w = w[:cut]
+                else:
+                    w = w[:cut]
+
+    # step 4: final vowel (RV)
+    s = _longest_suffix(w, ("ie", "a", "e", "i", "ă"))
+    if s and in_rv(len(w) - len(s)):
+        w = w[: len(w) - len(s)]
+    return w.replace("I", "i").replace("U", "u")
+
+
+# =========================== Finnish ===========================
+
+_FI_VOWELS = "aeiouyäö"
+_FI_LONG_V = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_CASES = ("siin", "tten", "seen", "lle", "ine", "ssa", "ssä", "sta",
+             "stä", "lla", "llä", "lta", "ltä", "tta", "ttä", "ksi",
+             "han", "hen", "hin", "hon", "hun", "hyn", "hän", "hön",
+             "den", "na", "nä", "ta", "tä", "a", "ä", "n")
+
+
+def finnish_stem(word: str) -> str:
+    """Snowball Finnish (snowballstem.org/algorithms/finnish/stemmer.html)."""
+    w = word.lower()
+    r1, r2 = _r1r2(w, _FI_VOWELS)
+
+    def in_r1(cut):
+        return cut >= r1
+
+    def in_r2(cut):
+        return cut >= r2
+
+    # step 1: particle etc.
+    s = _longest_suffix(w, ("kaan", "kään", "kin", "han", "hän", "ko", "kö",
+                            "pa", "pä", "sti"))
+    if s:
+        cut = len(w) - len(s)
+        if s == "sti":
+            if in_r2(cut):
+                w = w[:cut]
+        elif in_r1(cut) and cut > 0 and w[cut - 1] in ("n", "t") + tuple(_FI_VOWELS):
+            w = w[:cut]
+
+    # step 2: possessives (R1)
+    s = _longest_suffix(w, ("nsa", "nsä", "mme", "nne", "si", "ni", "an",
+                            "än", "en"))
+    if s:
+        cut = len(w) - len(s)
+        if in_r1(cut):
+            if s == "si":
+                if cut > 0 and w[cut - 1] != "k":
+                    w = w[:cut]
+            elif s == "ni":
+                w = w[:cut]
+                if w.endswith("kse"):
+                    w = w[:-1] + "i"
+            elif s in ("nsa", "nsä", "mme", "nne"):
+                w = w[:cut]
+            elif s == "an":
+                if w[:cut].endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+                    w = w[:cut]
+            elif s == "än":
+                if w[:cut].endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
+                    w = w[:cut]
+            elif s == "en":
+                if w[:cut].endswith(("lle", "ine")):
+                    w = w[:cut]
+
+    # step 3: cases (R1)
+    ending_removed = False
+    s = _longest_suffix(w, _FI_CASES)
+    if s:
+        cut = len(w) - len(s)
+        if in_r1(cut):
+            if s in ("han", "hen", "hin", "hon", "hun", "hyn", "hän", "hön"):
+                # hXn preceded by X (a-han, e-hen, ...)
+                if cut > 0 and w[cut - 1] == s[1]:
+                    w = w[:cut]
+                    ending_removed = True
+            elif s in ("siin", "den", "tten"):
+                # preceded by Vi
+                if cut >= 2 and w[cut - 1] == "i" and w[cut - 2] in _FI_VOWELS:
+                    w = w[:cut]
+                    ending_removed = True
+            elif s == "seen":
+                if w[:cut].endswith(_FI_LONG_V):
+                    w = w[:cut]
+                    ending_removed = True
+            elif s in ("a", "ä"):
+                # preceded by consonant + vowel
+                if cut >= 2 and w[cut - 1] in _FI_VOWELS \
+                        and w[cut - 2] not in _FI_VOWELS:
+                    w = w[:cut]
+                    ending_removed = True
+            elif s in ("tta", "ttä"):
+                if cut > 0 and w[cut - 1] == "e":
+                    w = w[:cut]
+                    ending_removed = True
+            elif s == "n":
+                w = w[:cut]
+                ending_removed = True
+                if w.endswith(_FI_LONG_V) or w.endswith("ie"):
+                    w = w[:-1]
+            else:
+                w = w[:cut]
+                ending_removed = True
+
+    # step 4: other endings (R2)
+    s = _longest_suffix(w, ("impi", "impa", "impä", "immi", "imma", "immä",
+                            "mpi", "mpa", "mpä", "mmi", "mma", "mmä",
+                            "eja", "ejä"))
+    if s:
+        cut = len(w) - len(s)
+        if in_r2(cut):
+            if s in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+                if not w[:cut].endswith("po"):
+                    w = w[:cut]
+            else:
+                w = w[:cut]
+
+    # step 5: plurals
+    if ending_removed:
+        if w.endswith(("i", "j")) and in_r1(len(w) - 1):
+            w = w[:-1]
+    else:
+        if w.endswith("t") and in_r1(len(w) - 1) \
+                and len(w) >= 2 and w[-2] in _FI_VOWELS:
+            w = w[:-1]
+            if w.endswith("imma") and in_r2(len(w) - 4):
+                w = w[:-4]
+            elif w.endswith("mma") and in_r2(len(w) - 3) \
+                    and not w[: len(w) - 3].endswith("po"):
+                w = w[:-3]
+
+    # step 6: tidying (all sub-steps operate inside R1)
+    if len(w) >= 2 and w.endswith(_FI_LONG_V) and len(w) - 2 >= r1:
+        w = w[:-1]
+    if len(w) >= 2 and w[-1] in "aäei" and w[-2] not in _FI_VOWELS \
+            and len(w) - 1 >= r1:
+        w = w[:-1]
+    if w.endswith(("oj", "uj")) and len(w) - 1 >= r1:
+        w = w[:-1]
+    if w.endswith("jo") and len(w) - 1 >= r1:
+        w = w[:-1]
+    # undouble final consonant (possibly followed by vowels)
+    i = len(w) - 1
+    while i >= 0 and w[i] in _FI_VOWELS:
+        i -= 1
+    if i >= 1 and w[i] not in _FI_VOWELS and w[i] == w[i - 1]:
+        w = w[:i] + w[i + 1:]
+    return w
+
+
+SNOWBALL_STEMMERS.update({
+    "romanian": romanian_stem,
+    "finnish": finnish_stem,
+})

@@ -173,3 +173,95 @@ hos blive mange ad bliver hendes været thi jer sådan
 شده بودن بسیار چه اگر همه نه دیگر آنها یکی بی آنان
 """.split()),
 })
+
+# Round-3c language additions. Each is the high-frequency core of the
+# published per-language stop list (snowball / Lucene default sets);
+# extend via register_analyzer for full domain lists.
+STOP_SETS.update({
+    "romanian": frozenset("""
+şi și în a ca pe este de la cu o un nu se sa să care mai din sau dacă
+daca pentru dar au fost fi sunt era erau lui ei el ea noi voi dupa după
+prin sub ar avea acest această aceasta aceste acestei acestui ale al
+unei unui unor le li il îl isi își iti îți imi îmi intr într fara fără
+când cand cum unde cine ce cel cea cei cele tot toate toți toti foarte
+asa așa deci ori iar însă insa între intre peste
+""".split()),
+    "finnish": frozenset("""
+ja on ei se että etta hän han oli en olla mutta niin kuin myös myos sitä
+sita tämä tama tässä tassa joka jonka mitä mita kun nyt siitä siita sen
+hänen hanen ovat ole jos vain me he ne nämä nama näitä naita mikä mika
+minä mina sinä sina te tai sekä seka vielä viela jo kanssa mukaan ilman
+jälkeen jalkeen ennen koska siis myöhemmin kaikki kaksi yksi
+""".split()),
+    "hungarian": frozenset("""
+a az és es hogy nem is egy ez de van volt már mar csak meg ha mint el
+vagy ki mi azt ő o ők ok én en te mert még meg ezt arra ebben ezek
+azok aki ami amely amelyek lesz lehet kell minden nagyon volt vannak
+voltak úgy ugy így igy most itt ott után utan előtt elott alatt felett
+között kozott által altal vele nála nala neki őket oket
+""".split()),
+    "turkish": frozenset("""
+ve bir bu da de için icin ile olarak o ki en çok cok daha ama gibi var
+ne kadar sonra olan her mi mı mu mü ya veya ise değil degil ancak diye
+üzere uzere kendi biz siz onlar ben sen şu su ilk hem yani çünkü cunku
+arasında arasinda önce once şimdi simdi böyle boyle nasıl nasil bütün
+butun bazı bazi hiç hic oldu olur olduğu oldugu
+""".split()),
+    # written in folded form (tonos stripped, final sigma -> σ): the stop
+    # filter runs AFTER greek_fold in the chain
+    "greek": frozenset("""
+ο η το οι τα του τησ των τον την τουσ τισ τεσ και κι κ ειμαι εισαι ειναι ειμαστε
+ειστε στο στον στη στην στα στουσ στισ μα αλλα απο για προσ με σε ωσ παρα αντι κατα
+μετα θα να δε δεν μη μην επι ενω εαν αν τοτε που πωσ ποιοσ ποια ποιο
+ποιοι ποιεσ ποιων ποιουσ αυτοσ αυτη αυτο αυτοι αυτων αυτουσ αυτεσ ολα
+ολοι ολεσ ολα ετσι ομωσ ισωσ οσο οτι
+""".split()),
+    "hindi": frozenset("""
+के का एक में की है यह और से हैं को पर इस होता कि जो कर मे गया करने किया
+लिये अपने ने बनी नहीं तो ही या हो था द्वारा हुआ तक साथ करना वाले बाद
+लिए सकते इसमें दो होने वह वे करते बहुत कहा वर्ग कई करें होती अपनी उनके
+थी थे यदि हुई जा ना इसे कहते जब होते कोई हुए व जैसे सभी करता उनकी तरह उस
+आदि इसका दिया जिस
+""".split()),
+    "czech": frozenset("""
+a v na je se že ze s z do o i to by si ale jako za po od pro tak co
+když kdyz už uz jsou byl být byt bylo byla jsem jsi jsme jste má ma
+mít mit ji jí všech vsech nebo ho jeho jejich její jeji než nez který
+ktery která ktera které ktere kteří kteri při pri před pred mezi pod
+nad tím tim tom ten ta ty my vy on ona ono oni kde kdy jak ani nic
+něco neco
+""".split()),
+    "bulgarian": frozenset("""
+и в на за е се от да по не с а това той тя то те са или ако но като
+ли при който която което които със из до ще би беше бяха има имат
+му ѝ ги им ни ви ме те си ние вие аз ти един една едно кой коя кое
+кои какво как къде кога защо защото че още само вече без над под
+между след преди всички всеки тук там
+""".split()),
+    "latvian": frozenset("""
+un ir es tas tā ta viņš vins viņa vina uz no ar par pie pēc pec kā ka
+kad ja bet vai arī ari lai šis sis šī si tie tās tas mēs mes jūs jus
+viņi vini būt but bija ne nav jau tikai vēl vel visi visas kas ko kam
+kur kāpēc kapec tad tur šeit seit starp pirms caur bez pret savu sava
+man tev mums jums
+""".split()),
+    "indonesian": frozenset("""
+yang dan di ke dari untuk pada adalah ini itu dengan tidak akan ada
+juga saya kamu dia mereka kami kita atau tetapi tapi karena jika kalau
+sudah telah belum bisa dapat harus oleh dalam luar atas bawah antara
+sebagai seperti begitu hanya saja lebih sangat paling ketika saat
+sebelum sesudah setelah bagaimana mengapa dimana siapa apa berapa
+bukan agar supaya namun
+""".split()),
+    # written in normalized form (farsi yeh/keheh), matching the stream
+    # after sorani_normalize
+    "sorani": frozenset("""
+و لە بە کە ئەو ئەم بۆ دە لەگەڵ هەر وە یان نە ئەگەر بەڵام چونکە دوای
+پێش لەسەر ژێر نێوان هەموو هیچ چەند یەک دوو ئێمە ئێوە ئەوان من تۆ
+ئەویش هەیە نییە بوو دەبێت کرد دەکات بکات ناو
+""".split()),
+    # Brazilian Portuguese: the Portuguese set plus Brazilian-usage forms
+    "brazilian": STOP_SETS["portuguese"] | frozenset("""
+você vocês pra pro num numa dum duma
+""".split()),
+})

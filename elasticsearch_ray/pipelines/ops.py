@@ -3163,3 +3163,69 @@ def ft_profile(sf_dir: str):
         "description": [r[1] for r in rows],
         "doc_count": pd.array([r[2] for r in rows], dtype="int64"),
     })
+
+
+# ---------------- round-3c language analyzer gates ----------------
+
+_LANG_SAMPLES.update({
+    "romanian": "Copiii se jucau în casele frumoase ale orașelor naționale",
+    "finnish": "Lapset leikkivät kauniissa taloissa mahdollisuuksien kanssa",
+    "hungarian": "A gyerekek a szép házakban játszottak a lehetőségekkel",
+    "turkish": "Çocuklar İstanbul'daki güzel evlerde oynuyorlardı",
+    "greek": "Τα παιδιά έπαιζαν στα όμορφα σπίτια με τις δυνατότητες",
+    "hindi": "बच्चे सुंदर घरों में संभावनाओं के साथ खेलते थे",
+    "czech": "Děti si hrály v krásných domech s možnostmi",
+    "bulgarian": "Децата играеха в красивите къщи с възможностите",
+    "latvian": "Bērni spēlējās skaistajās mājās ar iespējām",
+    "indonesian": "Anak-anak bermain di rumah indah dengan kemungkinannya",
+    "sorani": "منداڵەکان لە ماڵە جوانەکان یاری دەکەن",
+    "brazilian": "As crianças brincavam nas casas bonitas com as possibilidades",
+})
+
+
+def ft_analyze_romanian(sf_dir: str):
+    return _lang_analyze("romanian")
+
+
+def ft_analyze_finnish(sf_dir: str):
+    return _lang_analyze("finnish")
+
+
+def ft_analyze_hungarian(sf_dir: str):
+    return _lang_analyze("hungarian")
+
+
+def ft_analyze_turkish(sf_dir: str):
+    return _lang_analyze("turkish")
+
+
+def ft_analyze_greek(sf_dir: str):
+    return _lang_analyze("greek")
+
+
+def ft_analyze_hindi(sf_dir: str):
+    return _lang_analyze("hindi")
+
+
+def ft_analyze_czech(sf_dir: str):
+    return _lang_analyze("czech")
+
+
+def ft_analyze_bulgarian(sf_dir: str):
+    return _lang_analyze("bulgarian")
+
+
+def ft_analyze_latvian(sf_dir: str):
+    return _lang_analyze("latvian")
+
+
+def ft_analyze_indonesian(sf_dir: str):
+    return _lang_analyze("indonesian")
+
+
+def ft_analyze_sorani(sf_dir: str):
+    return _lang_analyze("sorani")
+
+
+def ft_analyze_brazilian(sf_dir: str):
+    return _lang_analyze("brazilian")

@@ -211,3 +211,131 @@ def test_persian_analyzer_normalization():
                     ("قلم", 2)]
     # diacritics (harakat) stripped
     assert an("بَد") == ["بد"]
+
+
+# --------- round-3c language additions (Snowball ro/fi + light stemmers) ---------
+
+from elasticsearch_ray.lang.analyzers import STEMMERS  # noqa: E402
+from elasticsearch_ray.lang.light import (  # noqa: E402
+    greek_fold,
+    hindi_normalize,
+    sorani_normalize,
+    turkish_lower,
+)
+
+GOLDEN_3C = {
+    "romanian": [
+        ("copiii", "copii"), ("caselor", "cas"), ("frumoasă", "frumoas"),
+        ("lucrurile", "lucrur"), ("naţionale", "naţional"),
+        ("abilitate", "abil"), ("jucau", "juc"),
+    ],
+    "finnish": [
+        ("taloissa", "talo"), ("lapset", "laps"), ("kirjoissa", "kirj"),
+        ("mahdollisuuksien", "mahdollisuuks"), ("kauniissa", "kaun"),
+        ("suurimmat", "suurim"),
+    ],
+    "hungarian": [
+        ("házakban", "haz"), ("gyerekek", "gyerek"),
+        ("lehetőségekkel", "lehetoseg"), ("szépen", "szep"),
+        ("játszottak", "jatszott"),
+    ],
+    "turkish": [
+        ("evlerinde", "evler"), ("kitaplarımız", "kitap"),
+        ("çocukların", "çocuk"), ("okullarda", "okul"),
+        ("arkadaşlarımla", "arkadaş"),
+    ],
+    "greek": [
+        ("παιδιά", "παιδι"), ("σπίτια", "σπιτι"),
+        ("δυνατότητες", "δυνατοτητ"), ("όμορφους", "ομορφ"),
+        ("βιβλίο", "βιβλι"),
+    ],
+    "hindi": [
+        ("लड़कियों", "लडक"), ("किताबें", "किताब"), ("खेलती", "खेल"),
+        ("बच्चों", "बच्च"), ("संभावनाओं", "संभावन"),
+    ],
+    "czech": [
+        ("dětech", "dět"), ("knihami", "knih"), ("možnostech", "možnost"),
+        ("velkých", "velk"), ("domech", "dom"),
+    ],
+    "bulgarian": [
+        ("децата", "дец"), ("книгите", "книг"),
+        ("възможностите", "възможност"), ("голямото", "голям"),
+        ("къщите", "къщ"),
+    ],
+    "latvian": [
+        ("bērniem", "bērn"), ("grāmatās", "grāmat"), ("iespējām", "iespēj"),
+        ("skaistajiem", "skaist"), ("mājās", "māj"),
+    ],
+    "indonesian": [
+        ("membacakan", "baca"), ("bukunya", "buku"),
+        ("kemungkinannya", "mungkin"), ("bermain", "main"),
+        ("makanan", "makan"),
+    ],
+    "sorani": [
+        ("کتێبەکان", "کتێب"), ("منداڵەکانی", "منداڵ"),
+        ("قوتابخانەکە", "قوتابخان"),
+    ],
+    "brazilian": [
+        ("crianças", "crianc"), ("brincavam", "brinc"),
+        ("possibilidades", "possibil"),
+    ],
+}
+
+
+@pytest.mark.parametrize("lang", sorted(GOLDEN_3C))
+def test_round3c_golden_vectors(lang):
+    stem = STEMMERS[lang]
+    for word, expected in GOLDEN_3C[lang]:
+        assert stem(word) == expected, f"{lang}: {word}"
+
+
+@pytest.mark.parametrize("lang,variants", [
+    ("romanian", ["casă", "caselor", "casele"]),
+    ("finnish", ["talo", "taloissa", "talon"]),
+    ("hungarian", ["ház", "házakban", "házak"]),
+    ("turkish", ["kitap", "kitaplar", "kitaplarımız"]),
+    ("czech", ["kniha", "knihami"]),
+    ("bulgarian", ["книга", "книгите", "книгата"]),
+    ("latvian", ["māja", "mājās"]),
+    ("indonesian", ["baca", "membacakan", "membaca"]),
+])
+def test_round3c_variants_share_stem(lang, variants):
+    stems = {STEMMERS[lang](v) for v in variants}
+    assert len(stems) == 1, f"{lang}: {variants} -> {stems}"
+
+
+def test_turkish_lowercase_and_apostrophe():
+    assert turkish_lower("İSTANBUL KIRMIZI") == "istanbul kırmızı"
+    tr = get_analyzer("turkish")
+    # ApostropheFilter: the suffix after ' never becomes a token
+    assert tr("İstanbul'da yaşıyor") == tr("İstanbul yaşıyor")
+
+
+def test_greek_fold_final_sigma_and_tonos():
+    assert greek_fold("ΔΥΝΑΤΌΤΗΤΕΣ") == "δυνατοτητεσ"
+    assert greek_fold("πόλης") == "πολησ"
+
+
+def test_hindi_normalizer_nukta_and_zwj():
+    assert hindi_normalize("क़िताब") == "किताब"
+    assert hindi_normalize("लड़की") == "लडकी"
+
+
+def test_sorani_normalizer_arabic_letters():
+    assert sorani_normalize("كتيب") == "کتیب"
+
+
+def test_devanagari_tokens_keep_matras():
+    hi = get_analyzer("hindi")
+    toks = hi("बच्चे खेलते")
+    # combining matras must not split words (Python \w excludes marks)
+    assert toks == ["बच्च", "खेल"]
+
+
+def test_round3c_analyzer_chain_stops_and_stems():
+    ro = get_analyzer("romanian")
+    assert ro("Copiii se jucau în casele frumoase") == \
+        ["copii", "juc", "cas", "frumoas"]
+    fi = get_analyzer("finnish")
+    assert fi("Lapset leikkivät kauniissa taloissa") == \
+        ["laps", "leikkiv", "kaun", "talo"]
