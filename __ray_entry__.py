@@ -142,7 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_analyze_hungarian", "ft_analyze_turkish", "ft_analyze_greek",
         "ft_analyze_hindi", "ft_analyze_czech", "ft_analyze_bulgarian",
         "ft_analyze_latvian", "ft_analyze_indonesian", "ft_analyze_sorani",
-        "ft_analyze_brazilian", "dedup_embedding_lsh",
+        "ft_analyze_brazilian", "ft_analyze_armenian", "ft_analyze_basque",
+        "ft_analyze_bengali", "ft_analyze_catalan", "ft_analyze_chinese",
+        "ft_analyze_estonian", "ft_analyze_galician", "ft_analyze_irish",
+        "ft_analyze_lithuanian", "ft_analyze_thai", "dedup_embedding_lsh",
         "agg_percentile_ranks", "agg_scripted_metric", "knn_ivf",
         "agg_geohash_grid", "ft_analyze_stemmer",
         "multimodal_image_resize", "multimodal_audio_features",

@@ -28,7 +28,8 @@ STEMMERS = {**SNOWBALL_STEMMERS, **LIGHT_STEMMERS,
 # ranges cover the combining blocks of the registered languages.
 _COMBINING = ("̀-ͯ҃-҉֑-ׇؐ-ؚ"
               "ً-ٰٟۖ-ۜ۟-۪ۨ-ۭ"
-              "ऀ-ःऺ-ॏ॑-ॗॢ-ॣ")
+              "ऀ-ःऺ-ॏ॑-ॗॢ-ॣ"
+              "ঁ-ঃ়া-ৄে-ৈো-্ৗৢ-ৣ")
 _UNI_TOKEN_RE = re.compile(rf"(?:[^\W_]|[{_COMBINING}])+", re.UNICODE)
 
 # ElisionFilter article sets (Lucene FrenchAnalyzer.DEFAULT_ARTICLES and
@@ -41,6 +42,9 @@ _ELISION = {
     "italian": ("c", "l", "all", "dall", "dell", "nell", "sull", "coll",
                 "pell", "gl", "agl", "dagl", "degl", "negl", "sugl", "un",
                 "m", "t", "s", "v", "d"),
+    # CatalanAnalyzer.DEFAULT_ARTICLES / IrishAnalyzer DEFAULT_ARTICLES
+    "catalan": ("d", "l", "m", "n", "s", "t"),
+    "irish": ("d", "m", "b"),
 }
 
 
@@ -61,9 +65,11 @@ _LOWER_FNS = {"turkish": turkish_lower, "greek": greek_fold}
 # per-token normalizers that must run BEFORE the stop filter (the stop
 # sets are written in normalized orthography); the stemmers re-apply them
 # idempotently
-from .light import hindi_normalize, sorani_normalize  # noqa: E402
+from .light import (bengali_normalize, hindi_normalize,  # noqa: E402
+                    sorani_normalize)
 
-_TOKEN_NORMS = {"hindi": hindi_normalize, "sorani": sorani_normalize}
+_TOKEN_NORMS = {"hindi": hindi_normalize, "sorani": sorani_normalize,
+                "bengali": bengali_normalize}
 
 
 def make_language_analyzer(language: str):
@@ -107,3 +113,13 @@ def register_language_analyzers(register) -> None:
 
     register("cjk", analyze_cjk, analyze_cjk_positions)
     register("persian", analyze_persian, analyze_persian_positions)
+    # "chinese" is Lucene's StandardAnalyzer with the English stop set
+    # (ChineseAnalyzerProvider.java — the old ChineseAnalyzer was retired
+    # upstream); "thai" is script-run tokenization + Thai stop removal
+    # (the reference's ThaiTokenizer is BreakIterator dictionary
+    # segmentation — documented substitute, lang/extra.py).
+    from .extra import (analyze_chinese, analyze_chinese_positions,
+                        analyze_thai, analyze_thai_positions)
+
+    register("chinese", analyze_chinese, analyze_chinese_positions)
+    register("thai", analyze_thai, analyze_thai_positions)

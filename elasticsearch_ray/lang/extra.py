@@ -103,3 +103,59 @@ def analyze_persian_positions(text: str) -> list[tuple[str, int]]:
 
 def analyze_persian(text: str) -> list[str]:
     return [t for t, _ in analyze_persian_positions(text)]
+
+
+# =========================== Chinese / Thai ===========================
+# "chinese" (ChineseAnalyzerProvider.java): Lucene retired the old
+# ChineseAnalyzer — the provider is StandardAnalyzer with the ENGLISH
+# stop set. Han runs therefore come out as one token per run (standard
+# tokenizer semantics for ideographs here: maximal run, no bigrams).
+#
+# "thai" (ThaiAnalyzerProvider.java -> ThaiAnalyzer): the reference
+# tokenizes Thai with a BreakIterator DICTIONARY segmenter. No dictionary
+# ships in this environment, so the documented substitute is script-run
+# tokenization (a Thai run = one token) + ThaiAnalyzer's stop removal and
+# decimal-digit handling; non-Thai spans go through the standard path.
+# Divergence: multi-word Thai runs are not split (recall over precision).
+
+_HAN_RUN_RE = re.compile(r"([一-鿿㐀-䶿]+)|([^\W_]+)",
+                         re.UNICODE)
+_THAI_RUN_RE = re.compile(r"([ก-๎๐-๙]+)|([^\W_]+)",
+                          re.UNICODE)
+
+
+def analyze_chinese_positions(text: str) -> list[tuple[str, int]]:
+    # StandardTokenizer (UAX#29) emits ONE TOKEN PER IDEOGRAPH for Han
+    # text; non-Han spans are standard word tokens.
+    stop = STOP_SETS["chinese"]
+    out, pos = [], 0
+    for m in _HAN_RUN_RE.finditer(text.lower().translate(_WIDTH_FOLD)):
+        if m.group(1) is not None:
+            for ch in m.group(1):
+                out.append((ch, pos))
+                pos += 1
+            continue
+        t = m.group(0)
+        if t not in stop:
+            out.append((t, pos))
+        pos += 1
+    return out
+
+
+def analyze_chinese(text: str) -> list[str]:
+    return [t for t, _ in analyze_chinese_positions(text)]
+
+
+def analyze_thai_positions(text: str) -> list[tuple[str, int]]:
+    stop = STOP_SETS["thai"]
+    out, pos = [], 0
+    for m in _THAI_RUN_RE.finditer(text.lower()):
+        t = m.group(0)
+        if t not in stop:
+            out.append((t, pos))
+        pos += 1
+    return out
+
+
+def analyze_thai(text: str) -> list[str]:
+    return [t for t, _ in analyze_thai_positions(text)]

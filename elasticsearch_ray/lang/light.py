@@ -19,7 +19,7 @@ as a token filter inside map_batches.
 from __future__ import annotations
 
 __all__ = ["LIGHT_STEMMERS", "turkish_lower", "greek_fold",
-           "hindi_normalize", "sorani_normalize"]
+           "hindi_normalize", "sorani_normalize", "bengali_normalize"]
 
 
 def _strip_longest(w: str, suffixes, min_stem: int) -> str:
@@ -305,6 +305,194 @@ def sorani_stem(word: str) -> str:
     return _strip_longest(sorani_normalize(word), _CKB_SUFFIXES, 2)
 
 
+# =========================== Armenian (light) ===========================
+
+_HY_SUFFIXES = ("ություններից", "ությունների", "ություններ", "ությունը",
+                "ությամբ", "ության", "ություն", "ներից", "ներում", "ներին",
+                "ներով", "երից", "երում", "երին", "երով", "ները", "ներն",
+                "երը", "յին", "ում", "ով", "ից", "ին", "ան", "ը", "յի",
+                "ի", "ու")
+_HY_SUFFIXES = tuple(s for s in _HY_SUFFIXES if s != "ան")
+
+_HY_VOWELS = "աեէըիոօ"  # ւ excluded: it closes the ու digraph (տուն)
+
+
+def armenian_stem(word: str) -> str:
+    """Light Armenian stemmer (the Snowball-Armenian ending families:
+    -ություն abstract nouns, case endings, articles) as a condensed
+    longest-suffix pass with a 3-char stem guard. The -ն article is
+    stripped only after a vowel (երեխան -> երեխա) — after a consonant or
+    ւ it is part of the root (տուն)."""
+    w = _strip_longest(word.lower(), _HY_SUFFIXES, 3)
+    if len(w) > 3 and w.endswith("ն") and w[-2] in _HY_VOWELS:
+        w = w[:-1]
+    return w
+
+
+# =========================== Basque (light) ===========================
+
+_EU_SUFFIXES = ("arentzat", "entzat", "arekin", "ekin", "aren", "agatik",
+                "etako", "etatik", "etara", "ari", "ari", "tik", "ean",
+                "era", "eko", "etan", "ak", "ek", "en", "an", "ko", "ra",
+                "az", "ez", "ei", "a")
+
+
+def basque_stem(word: str) -> str:
+    """Light Basque stemmer (the Snowball-Basque determiner/case ending
+    families: absolutive/ergative -a/-ak/-ek, genitive -en/-aren,
+    locatives -an/-etan/-eko, ablative -tik) condensed to one
+    longest-suffix pass with a 3-char stem guard."""
+    return _strip_longest(word.lower(), _EU_SUFFIXES, 3)
+
+
+# =========================== Bengali (light) ===========================
+
+_BN_NUKTA = {"ড়": "ড", "ঢ়": "ঢ", "য়": "য", "র়": "র"}
+
+
+def bengali_normalize(word: str) -> str:
+    """BengaliNormalizer analog: ZWJ/ZWNJ removal, nukta-consonant
+    decomposition to base forms, chandrabindu -> anusvara, khanda-ta ->
+    ta."""
+    w = word.replace("‌", "").replace("‍", "").replace("়", "")
+    for k, v in _BN_NUKTA.items():
+        w = w.replace(k, v)
+    return w.replace("ঁ", "ং").replace("ৎ", "ত")
+
+
+_BN_SUFFIXES = ("গুলোতে", "গুলিতে", "দেরকে", "গুলো", "গুলি", "দের", "েরা",
+                "খানা", "খানি", "টিতে", "টাতে", "েদের", "রা", "কে", "ের",
+                "টা", "টি", "তে", "ে", "র", "ও")
+
+
+def bengali_stem(word: str) -> str:
+    """Light Bengali stemmer (the BengaliStemmer suffix families:
+    plural/classifier -গুলো/-টা/-টি, case -কে/-ের/-তে, genitive -র):
+    normalize, then one longest-suffix pass with a 2-char stem guard."""
+    return _strip_longest(bengali_normalize(word), _BN_SUFFIXES, 2)
+
+
+# =========================== Catalan (light) ===========================
+
+_CA_SUFFIXES = ("aments", "ament", "acions", "ació", "ments", "ment",
+                "ables", "able", "ibles", "ible", "istes", "ista", "ismes",
+                "isme", "cions", "ció", "dors", "dora", "dores", "dor",
+                "ança", "ances", "íssim", "íssima", "ívol", "itats",
+                "itat", "ives", "iva", "ius", "iu", "oses", "osa", "osos",
+                "ós",
+                # verb endings (imperfect/gerund/participle/present)
+                "aven", "ava", "aven", "ant", "ada", "ades", "ats", "at",
+                "ar", "er", "ir", "en",
+                "es", "s", "a", "e", "í", "ï", "o")
+
+
+def catalan_stem(word: str) -> str:
+    """Light Catalan stemmer (the Snowball-Catalan standard-suffix
+    families: -ment adverbs, -ació/-ció nominalizations, -able/-ible,
+    -ista/-isme, -dor agents, plural -s/-es) condensed to one
+    longest-suffix pass with a 3-char stem guard; -ns plural restored
+    to -n (cançons -> cançon -> cançó is out of scope)."""
+    w = word.lower()
+    if len(w) > 5 and w.endswith("ns"):
+        return w[:-1]
+    return _strip_longest(w, _CA_SUFFIXES, 3)
+
+
+# =========================== Estonian (light) ===========================
+
+_ET_SUFFIXES = ("dele", "dest", "dega", "deks", "deni", "dena", "tele",
+                "test", "tega", "teks", "teni", "tena", "sse", "des",
+                "tes", "ste", "le", "lt", "st", "ga", "ks", "ni", "na",
+                "ta", "id", "te", "de", "l", "s", "t", "d", "e")
+
+
+def estonian_stem(word: str) -> str:
+    """Light Estonian stemmer: the 14-case agglutinative ending set
+    (allative -le, ablative -lt, elative -st, comitative -ga, translative
+    -ks, terminative -ni, essive -na, abessive -ta, plural -d/-te/-de)
+    as one longest-suffix pass with a 3-char stem guard."""
+    return _strip_longest(word.lower(), _ET_SUFFIXES, 3)
+
+
+# =========================== Galician (light) ===========================
+
+_GL_SUFFIXES = ("amentos", "amento", "mentos", "mento", "acións", "ación",
+                "cións", "ción", "sións", "sión", "idades", "idade",
+                "ismos", "ismo", "istas", "ista", "ables", "able", "ibles",
+                "ible", "eiras", "eira", "eiros", "eiro", "osas", "osa",
+                "osos", "oso", "ezas", "eza", "mente",
+                # verb endings (imperfect/gerund/participle/infinitive)
+                "aban", "aba", "ando", "endo", "indo", "ados", "adas",
+                "ado", "ada", "idos", "idas", "ido", "ida", "ar", "er",
+                "ir", "ou", "eu", "iu", "an", "en",
+                "es", "as", "os", "a", "o", "e", "ás", "ón")
+
+
+def galician_stem(word: str) -> str:
+    """Light Galician stemmer (the RSLP-derived family behind Lucene's
+    GalicianStemmer, Otero et al.): plural -ns -> -n, -les -> -l, then
+    one longest-suffix pass over the derivational/number endings with a
+    3-char stem guard."""
+    w = word.lower()
+    # plural recoding falls through into the suffix pass so singular and
+    # plural land on the same stem (cancións -> canción -> can == canción)
+    if len(w) > 4 and w.endswith("ns"):
+        w = w[:-1]
+    elif len(w) > 5 and w.endswith("les"):
+        w = w[:-2]
+    elif len(w) > 5 and w.endswith(("ais", "eis", "ois")):
+        w = w[:-2] + "l"
+    return _strip_longest(w, _GL_SUFFIXES, 3)
+
+
+# =========================== Irish ===========================
+
+_GA_SUFFIXES = ("íochta", "aíocht", "íocht", "eachta", "achta", "eacht",
+                "acht", "eanna", "anna", "acha", "eacha", "ógaí", "óga",
+                "aithe", "ithe", "í", "e", "a")
+
+
+def irish_stem(word: str) -> str:
+    """Irish stemmer (the Snowball-Irish shape): strip initial mutations
+    exactly — h/n/t prefix before a vowel (with or without hyphen),
+    eclipsis clusters mb/gc/nd/ng/bp/dt/bhf, lenition ts —
+    then one longest-suffix pass over the plural/abstract endings with a
+    3-char stem guard."""
+    w = word.lower()
+    # initial mutations (exact, per the published algorithm): hyphenated
+    # n-/t-/h- prefixes; unhyphenated h-prefix ("na héireann"); eclipsis
+    # clusters; "ts". Unhyphenated t/n + vowel is NOT stripped — modern
+    # orthography always hyphenates those, and plain words (tithe, nead)
+    # begin that way.
+    if w.startswith(("n-", "t-", "h-")):
+        w = w[2:]
+    elif len(w) > 2 and w[0] == "h" and w[1] in "aeiouáéíóú":
+        w = w[1:]
+    elif w.startswith("bhf"):
+        w = w[2:]  # eclipsed f: bhfuil -> fuil
+    elif w.startswith(("mb", "gc", "nd", "ng", "bp", "dt", "ts")):
+        w = w[1:]
+    return _strip_longest(w, _GA_SUFFIXES, 3)
+
+
+# =========================== Lithuanian (light) ===========================
+
+_LT_SUFFIXES = ("iausias", "iausia", "iuose", "uose", "ose", "yse", "ėse",
+                "ams", "ams", "oms", "ėms", "ims", "ums", "ais", "iais",
+                "omis", "ėmis", "imis", "umis", "uje", "yje", "ėje", "oje",
+                "ioje", "as", "is", "ys", "us", "ia", "io", "iu", "ių",
+                "ai", "ei", "ui", "ės", "ės", "ą", "ę", "į", "ų", "ė",
+                "o", "a", "e", "i", "u", "y", "s")
+
+
+def lithuanian_stem(word: str) -> str:
+    """Light Lithuanian stemmer (the Snowball-Lithuanian declension
+    ending families: nominative -as/-is/-ys/-us, locatives -e/-uose/-yje,
+    instrumentals -ais/-omis, accusative nasals -ą/-ę/-į/-ų) condensed to
+    one longest-suffix pass with a 3-char stem guard."""
+    return _strip_longest(word.lower(), _LT_SUFFIXES, 3)
+
+
 LIGHT_STEMMERS = {
     "hungarian": hungarian_stem,
     "turkish": turkish_stem,
@@ -315,4 +503,12 @@ LIGHT_STEMMERS = {
     "latvian": latvian_stem,
     "indonesian": indonesian_stem,
     "sorani": sorani_stem,
+    "armenian": armenian_stem,
+    "basque": basque_stem,
+    "bengali": bengali_stem,
+    "catalan": catalan_stem,
+    "estonian": estonian_stem,
+    "galician": galician_stem,
+    "irish": irish_stem,
+    "lithuanian": lithuanian_stem,
 }

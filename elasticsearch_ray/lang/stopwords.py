@@ -265,3 +265,66 @@ bukan agar supaya namun
 você vocês pra pro num numa dum duma
 """.split()),
 })
+
+# Round-3d language additions — the final ten of the reference's 35
+# registered language analyzers (CommonAnalysisPlugin.java:188-223). Each
+# is the high-frequency core of the published per-language stop list.
+STOP_SETS.update({
+    "armenian": frozenset("""
+եւ և է այդ այս նա որ են էր ես դու մենք դուք նրանք իր իմ քո մեր ձեր
+նրա որը որոնք ու կամ բայց եթե երբ ինչ ով այն ըստ մեջ վրա հետ համար էին էի էինք էիր
+մասին միայն նաեւ նաև ամեն այլ չի չեն չէ լինել կա կան
+""".split()),
+    "basque": frozenset("""
+eta da dira zen ziren du dute zuen zuten bat batzuk ez bai edo baina
+hau hori hura hauek horiek haiek ni hi gu zu zuek bere nire zure gure
+al ere oso baino arte gabe arabera bezala zer nor non noiz nola zein
+izan egin egiten dago daude asko gutxi beste guzti
+""".split()),
+    "bengali": frozenset("""
+এই যে ও এবং করে না হয় থেকে এর তার সে আমি তুমি আপনি আমরা তারা কি কে
+একটি একটা হবে ছিল করা হয়েছে হয়ে জন্য সঙ্গে সাথে কিন্তু আর বা যদি তবে
+তা এটা সেটা কোন কোনো সব আছে নেই দিয়ে নিয়ে পরে আগে মধ্যে উপর নিচে
+যা যার কেন কীভাবে কোথায় কখন
+""".split()),
+    "catalan": frozenset("""
+de la el els les i a en un una que es per amb no al del dels ell ella
+jo tu nosaltres vosaltres ells elles aquest aquesta aquests aquestes
+això allò com més molt poc tot tots seva seu meva meu teva teu si o
+però perquè quan on qui què hi ha han és són era eren fou ser estar
+està estan sense sobre entre fins des
+""".split()),
+    "estonian": frozenset("""
+ja on ei see ta et oli ka kui oma aga ma sa me te nad mis kes seda
+selle tema mina sina meie teie nende ning või siis nii veel juba ainult
+üle alla peale enne pärast ilma koos vastu läbi kus millal kuidas miks
+olema olen oled oleme olete olid olnud tema kõik mõni teine üks kaks
+""".split()),
+    "galician": frozenset("""
+de a o e que do da en un é se non os as para con unha por máis pero
+ao dos das como lle me te nos vos nas coas cos coa nun nunha polo pola súa seu miña meu túa teu este esta
+estes estas ese esa eses esas aquel aquela el ela eles elas nós vós eu
+ti foi era eran son ser estar está están sen sobre entre ata desde
+cando onde quen cal
+""".split()),
+    "irish": frozenset("""
+agus an na is tá bhí ar le i in do de go nach ní sé sí mé tú muid sibh
+siad a ag as ach bha beidh bheith chun dá faoi gan idir mar nó ó roimh
+seo sin siúd trí um cad cé conas cathain cén aon gach eile é í iad sna leis don den faoin tríd dár insan
+""".split()),
+    "lithuanian": frozenset("""
+ir yra buvo kad į iš su ne tai jis ji aš tu mes jūs jie jos savo mano
+tavo mūsų jūsų jo jos bet ar o kai jei kaip kur kas kodėl kada šis ši
+šie šios tas ta tie tos visi visos labai dar tik taip pat prie po per
+apie nuo iki be už prieš tarp bus būti gali galima turi
+""".split()),
+    # The reference's "chinese" analyzer is Lucene's StandardAnalyzer
+    # with the ENGLISH stop set (ChineseAnalyzerProvider.java — the old
+    # ChineseAnalyzer was retired upstream); reuse the english list.
+    "chinese": STOP_SETS["english"],
+    "thai": frozenset("""
+ที่ การ เป็น ใน ของ และ มี ได้ ว่า ให้ จะ ไม่ ก็ แล้ว ไป มา กับ นี้
+นั้น อยู่ อย่าง คือ จาก โดย หรือ เมื่อ ถ้า แต่ ต้อง ตาม ทั้ง กว่า จึง
+ด้วย เขา เรา ซึ่ง ๆ เพราะ ครั้ง อีก ถึง ขึ้น ลง แห่ง ทำ ความ
+""".split()),
+})

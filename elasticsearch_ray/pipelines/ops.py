@@ -3229,3 +3229,62 @@ def ft_analyze_sorani(sf_dir: str):
 
 def ft_analyze_brazilian(sf_dir: str):
     return _lang_analyze("brazilian")
+
+
+# Round-3d: the final ten of the reference's 35 registered language
+# analyzers (CommonAnalysisPlugin.java:188-223) — armenian..lithuanian
+# light stemmer chains, chinese = StandardAnalyzer semantics (Han
+# unigrams + english stop), thai = script-run substitute for the
+# dictionary BreakIterator tokenizer (lang/extra.py).
+_LANG_SAMPLES.update({
+    "armenian": "երեխաները խաղում էին գեղեցիկ տներում հնարավորություններով",
+    "basque": "haurrek etxe ederretan jolasten zuten aukerekin",
+    "bengali": "বাচ্চারা সুন্দর বাড়িগুলোতে সম্ভাবনার সাথে খেলছিল",
+    "catalan": "Els nens jugaven a l'escola amb les possibilitats nacionals",
+    "chinese": "孩子们在北京玩耍 the children played",
+    "estonian": "lapsed mängisid ilusates majades võimalustega",
+    "galician": "Os nenos xogaban nas casas fermosas coas posibilidades",
+    "irish": "Bhí na páistí ag imirt sna tithe áille leis na féidearthachtaí",
+    "lithuanian": "vaikai žaidė gražiuose namuose su galimybėmis",
+    "thai": "เด็ก ๆ เล่นใน บ้าน ที่ สวยงาม with possibilities",
+})
+
+
+def ft_analyze_armenian(sf_dir: str):
+    return _lang_analyze("armenian")
+
+
+def ft_analyze_basque(sf_dir: str):
+    return _lang_analyze("basque")
+
+
+def ft_analyze_bengali(sf_dir: str):
+    return _lang_analyze("bengali")
+
+
+def ft_analyze_catalan(sf_dir: str):
+    return _lang_analyze("catalan")
+
+
+def ft_analyze_chinese(sf_dir: str):
+    return _lang_analyze("chinese")
+
+
+def ft_analyze_estonian(sf_dir: str):
+    return _lang_analyze("estonian")
+
+
+def ft_analyze_galician(sf_dir: str):
+    return _lang_analyze("galician")
+
+
+def ft_analyze_irish(sf_dir: str):
+    return _lang_analyze("irish")
+
+
+def ft_analyze_lithuanian(sf_dir: str):
+    return _lang_analyze("lithuanian")
+
+
+def ft_analyze_thai(sf_dir: str):
+    return _lang_analyze("thai")

@@ -339,3 +339,93 @@ def test_round3c_analyzer_chain_stops_and_stems():
     fi = get_analyzer("finnish")
     assert fi("Lapset leikkivät kauniissa taloissa") == \
         ["laps", "leikkiv", "kaun", "talo"]
+
+
+# ----- round-3d: the final ten of the reference's 35 language analyzers -----
+
+GOLDEN_3D = {
+    "armenian": [
+        ("երեխաները", "երեխա"), ("երեխան", "երեխա"), ("տուն", "տուն"),
+        ("քաղաքում", "քաղաք"), ("հնարավորություններով", "հնարավորություն"),
+    ],
+    "basque": [
+        ("etxeetan", "etxe"), ("liburuaren", "liburu"),
+        ("aukerekin", "auker"), ("haurrek", "haurr"),
+    ],
+    "bengali": [
+        ("বাচ্চারা", "বাচ্চা"), ("বইগুলি", "বই"), ("শহরের", "শহর"),
+        ("সম্ভাবনার", "সম্ভাবনা"),
+    ],
+    "catalan": [
+        ("cases", "cas"), ("jugaven", "jug"), ("possibilitats", "possibil"),
+        ("nacionals", "nacional"), ("cançons", "cançon"),
+    ],
+    "estonian": [
+        ("majades", "maja"), ("lapsed", "lapse"),
+        ("võimalustega", "võimalus"), ("raamatutes", "raamatu"),
+    ],
+    "galician": [
+        ("nacionais", "nacional"), ("posibilidades", "posibil"),
+        ("xogaban", "xog"), ("libros", "libr"),
+    ],
+    "irish": [
+        ("bhfuil", "fuil"), ("n-athair", "athair"), ("tsráid", "sráid"),
+        ("páistí", "páist"), ("tithe", "tith"),
+    ],
+    "lithuanian": [
+        ("namuose", "nam"), ("vaikai", "vaik"), ("galimybėmis", "galimyb"),
+        ("knygose", "knyg"),
+    ],
+}
+
+
+@pytest.mark.parametrize("lang", sorted(GOLDEN_3D))
+def test_round3d_golden_vectors(lang):
+    stem = STEMMERS[lang]
+    for word, expected in GOLDEN_3D[lang]:
+        assert stem(word) == expected, f"{lang}: {word}"
+
+
+@pytest.mark.parametrize("lang,variants", [
+    ("armenian", ["երեխա", "երեխաները", "երեխային", "երեխան"]),
+    ("basque", ["etxe", "etxeetan", "etxea"]),
+    ("bengali", ["বই", "বইগুলি"]),
+    ("catalan", ["casa", "cases"]),
+    ("estonian", ["maja", "majades"]),
+    ("galician", ["canción", "cancións"]),
+    ("irish", ["páiste", "páistí"]),
+    ("lithuanian", ["namas", "namuose"]),
+])
+def test_round3d_variants_share_stem(lang, variants):
+    stems = {STEMMERS[lang](v) for v in variants}
+    assert len(stems) == 1, f"{lang}: {variants} -> {stems}"
+
+
+def test_bengali_normalizer_and_matras():
+    from elasticsearch_ray.lang.light import bengali_normalize
+    # nukta decomposition: ড় -> ড, য় -> য
+    assert bengali_normalize("বাড়ি") == "বাডি"
+    bn = get_analyzer("bengali")
+    # Bengali combining matras must not split words
+    assert bn("সুন্দর বাড়ি") == ["সুন্দ", "বাডি"]
+
+
+def test_chinese_standard_semantics():
+    zh = get_analyzer("chinese")
+    # StandardAnalyzer: one token per Han ideograph; english stop set
+    # applies to latin spans
+    assert zh("北京 the city") == ["北", "京", "city"]
+
+
+def test_thai_script_runs_and_stops():
+    th = get_analyzer("thai")
+    # script-run tokenization; Thai stop words (ที่ การ ...) removed;
+    # latin spans lowercase through the standard path
+    assert th("ที่ บ้าน Big") == ["บ้าน", "big"]
+
+
+def test_irish_mutations_do_not_overfire():
+    stem = STEMMERS["irish"]
+    # plain words beginning t/n + vowel are NOT mutation-stripped
+    assert stem("nead")[0] == "n"
+    assert stem("tithe")[0] == "t"
