@@ -119,19 +119,21 @@ class TokenizeFragments:
 
         nb, cr, hot = self.num_buckets, self.chunk_range, self.hot_terms
         bcache = self._bucket_cache
-        lens = np.fromiter((len(s) for s in token_streams), np.int64,
-                           len(token_streams))
+        # token_streams: per-doc (terms, positions) parallel lists
+        # (Analyzer.positions_split) — flattened with C-speed list.extend,
+        # no per-token Python iteration or tuple unpacking
+        lens = np.fromiter((len(terms) for terms, _ in token_streams),
+                           np.int64, len(token_streams))
         total = int(lens.sum())
         if total == 0:
             return None
-        terms_flat = np.empty(total, dtype=object)
-        pos_flat = np.empty(total, dtype=np.int32)
-        w = 0
-        for toks in token_streams:
-            for term, p in toks:
-                terms_flat[w] = term
-                pos_flat[w] = p
-                w += 1
+        all_terms: list[str] = []
+        all_pos: list[int] = []
+        for terms, poss in token_streams:
+            all_terms.extend(terms)
+            all_pos.extend(poss)
+        terms_flat = np.asarray(all_terms, dtype=object)
+        pos_flat = np.asarray(all_pos, dtype=np.int32)
         doc_idx = np.repeat(np.arange(lens.size), lens)
         import pandas as pd
 
@@ -200,10 +202,10 @@ class TokenizeFragments:
 
         streams = []
         for di, text in enumerate(contents):
-            toks = an.positions(text)
-            doc_lens[di] = len(toks)
+            pair = an.positions_split(text)
+            doc_lens[di] = len(pair[0])
             shas.append(hashlib.sha256(text.encode()).hexdigest())
-            streams.append(toks)
+            streams.append(pair)
         # vectorized lossy norm round-trip (quantized decoded lengths)
         norm_lens = byte4_to_int(int_to_byte4(doc_lens))
         parts = []
@@ -224,14 +226,15 @@ class TokenizeFragments:
                 if v is None:
                     flens.append(None)
                     fnormb.append(None)
-                    fstreams.append([])
+                    fstreams.append(([], []))
                     continue
-                toks = f_an.positions(str(v))
-                flens.append(len(toks))
-                nb_byte = int(int_to_byte4(np.array([len(toks)]))[0])
+                pair = f_an.positions_split(str(v))
+                ntoks = len(pair[0])
+                flens.append(ntoks)
+                nb_byte = int(int_to_byte4(np.array([ntoks]))[0])
                 fnormb.append(nb_byte)
                 f_norm_lens[di] = int(byte4_to_int(np.array([nb_byte], np.uint8))[0])
-                fstreams.append(toks)
+                fstreams.append(pair)
             ft = self._group_field(fstreams, doc_ids, f_norm_lens,
                                    key_prefix=f"{fld}\x1f")
             if ft is not None:
