@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_field_intersects", "mapping_infer", "agg_diversified_sampler",
         "ft_span_masked", "agg_significant_chi2", "geo_shape_envelope",
         "index_sorted_pruning", "ft_search_as_you_type",
+        "ft_analyze_common_grams", "ft_analyze_filter_chain",
         # --- driver-unchecked, rows-only (incl. round-3: stemmer vectors
         # and HDR sketch have no offline SQL oracle) ---
         "agg_percentiles_hdr",
@@ -871,6 +872,28 @@ ORDER BY doc_id, query_id""",
 WITH arr AS (SELECT list_filter(regexp_split_to_array(lower('Data-Query WINDOW window2 the'),
              '[^a-z0-9]+'), x -> x <> '') AS a)
 SELECT CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS position, unnest(a) AS token
+FROM arr ORDER BY position""",
+        "ft_analyze_common_grams": """
+WITH arr AS (SELECT list_filter(regexp_split_to_array(
+               lower('The quick fox jumps over the lazy dog'),
+               '[^a-z0-9]+'), x -> x <> '') AS a),
+idx AS (SELECT a, unnest(generate_series(1, len(a))) AS i FROM arr),
+strm AS (
+  SELECT i * 2 AS ord, a[i] AS token FROM idx
+  UNION ALL
+  SELECT i * 2 + 1, a[i] || '_' || a[i + 1] FROM idx
+  WHERE i < len(a)
+    AND (list_contains(['the', 'over'], a[i])
+         OR list_contains(['the', 'over'], a[i + 1])))
+SELECT CAST(row_number() OVER (ORDER BY ord) - 1 AS BIGINT) AS position,
+       token
+FROM strm ORDER BY position""",
+        "ft_analyze_filter_chain": """
+WITH arr AS (SELECT list_filter(regexp_split_to_array(
+               lower('Elasticsearch2 rewritten99 on RayData batches7 streaming'),
+               '[^a-z0-9]+'), x -> x <> '') AS a)
+SELECT CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS position,
+       upper(substr(regexp_replace(unnest(a), '[0-9]+', '#', 'g'), 1, 5)) AS token
 FROM arr ORDER BY position""",
         "delete_by_query": """
 WITH tok AS (

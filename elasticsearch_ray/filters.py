@@ -372,3 +372,382 @@ def uax_url_email_tokenizer(text: str) -> list[str]:
     """`uax_url_email`-style tokenizer: emails and URLs survive as single
     tokens; everything else splits on non-alphanumerics."""
     return [t.lower() for t in _URL_EMAIL_RE.findall(text)]
+
+
+# ---- round-3d filter batch: the remaining CommonAnalysisPlugin token
+# filters (CommonAnalysisPlugin.java getTokenFilters, 63 registrations).
+# Same contract as above: plain list[str] -> list[str] callables usable in
+# make_analyzer_fn / map_batches; factories return closures for the
+# parameterized ones.
+
+
+def uppercase_filter(tokens: list[str]) -> list[str]:
+    """`uppercase` token filter (UpperCaseFilter)."""
+    return [t.upper() for t in tokens]
+
+
+def make_truncate_filter(length: int = 10):
+    """`truncate` token filter (TruncateTokenFilterFactory, default 10)."""
+
+    def truncate(tokens: list[str]) -> list[str]:
+        return [t[:length] for t in tokens]
+
+    return truncate
+
+
+import unicodedata as _ud
+
+_DECIMAL_TRANS = {
+    c: ord("0") + _ud.decimal(chr(c))
+    for c in range(0x10FFFF)
+    if not ("0" <= chr(c) <= "9") and _ud.category(chr(c)) == "Nd"
+}
+
+
+def decimal_digit_filter(tokens: list[str]) -> list[str]:
+    """`decimal_digit` token filter (DecimalDigitFilter): fold any Unicode
+    decimal digit (Arabic-Indic, Devanagari, full-width, ...) to 0-9."""
+    return [t.translate(_DECIMAL_TRANS) for t in tokens]
+
+
+def apostrophe_filter(tokens: list[str]) -> list[str]:
+    """`apostrophe` token filter (ApostropheFilter): drop the apostrophe
+    and everything after it."""
+    out = []
+    for t in tokens:
+        i = t.find("'")
+        if i < 0:
+            i = t.find("’")
+        out.append(t if i < 0 else t[:i])
+    return out
+
+
+def remove_duplicates_filter(tokens: list[str]) -> list[str]:
+    """`remove_duplicates` token filter (RemoveDuplicatesTokenFilter):
+    drop a token identical to its predecessor (same-position duplicates in
+    the flat-stream model)."""
+    return [t for i, t in enumerate(tokens) if i == 0 or t != tokens[i - 1]]
+
+
+def make_keyword_marker(keywords: set[str], stem=None):
+    """`keyword_marker` + stemmer composition (KeywordMarkerFilterFactory):
+    tokens in `keywords` bypass the stemmer; everything else is stemmed.
+    In the flat-function model the marker and the stemmer fuse into one
+    filter (there is no token attribute to carry the flag)."""
+    from .analyzer import REGISTRY
+
+    stem = stem or porter_stem
+
+    def keyword_marker(tokens: list[str]) -> list[str]:
+        return [t if t in keywords else stem(t) for t in tokens]
+
+    return keyword_marker
+
+
+def make_stemmer_override(overrides: dict[str, str], stem=None):
+    """`stemmer_override` token filter (StemmerOverrideTokenFilterFactory):
+    dictionary stems win; the algorithmic stemmer handles the rest."""
+    stem = stem or porter_stem
+
+    def stemmer_override(tokens: list[str]) -> list[str]:
+        return [overrides.get(t) or stem(t) for t in tokens]
+
+    return stemmer_override
+
+
+def make_keep_filter(keep_words: set[str]):
+    """`keep` token filter (KeepWordFilterFactory): keep only listed words."""
+
+    def keep(tokens: list[str]) -> list[str]:
+        return [t for t in tokens if t in keep_words]
+
+    return keep
+
+
+def make_keep_types_filter(types: set[str], mode: str = "include"):
+    """`keep_types` token filter (KeepTypesFilterFactory). The flat model
+    has no lexer-assigned types; the standard tokenizer's two types are
+    derived: '<NUM>' for all-digit tokens, '<ALPHANUM>' otherwise."""
+
+    def _type(t: str) -> str:
+        return "<NUM>" if t.isdigit() else "<ALPHANUM>"
+
+    def keep_types(tokens: list[str]) -> list[str]:
+        if mode == "include":
+            return [t for t in tokens if _type(t) in types]
+        return [t for t in tokens if _type(t) not in types]
+
+    return keep_types
+
+
+def make_pattern_capture(patterns: list[str], preserve_original: bool = True):
+    """`pattern_capture` token filter (PatternCaptureGroupTokenFilter):
+    emit every capture group of every pattern (plus the original)."""
+    import re as _re
+
+    compiled = [_re.compile(p) for p in patterns]
+
+    def pattern_capture(tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            if preserve_original:
+                out.append(t)
+            for rx in compiled:
+                for m in rx.finditer(t):
+                    out.extend(g for g in m.groups() if g and g != t)
+        return out
+
+    return pattern_capture
+
+
+def make_pattern_replace_filter(pattern: str, replacement: str = ""):
+    """`pattern_replace` TOKEN filter (PatternReplaceTokenFilterFactory) —
+    the char-filter form is mapping_char_filter/make_analyzer_fn's
+    char_filters."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def pattern_replace(tokens: list[str]) -> list[str]:
+        return [rx.sub(replacement, t) for t in tokens]
+
+    return pattern_replace
+
+
+def make_common_grams_filter(common_words: set[str],
+                             query_mode: bool = False):
+    """`common_grams` token filter (CommonGramsFilter): emit a word_word
+    bigram wherever a common word adjoins another token; in query_mode
+    the common unigrams themselves are dropped."""
+
+    def common_grams(tokens: list[str]) -> list[str]:
+        out = []
+        for i, t in enumerate(tokens):
+            is_common = t in common_words
+            nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+            if not (query_mode and is_common):
+                out.append(t)
+            if nxt is not None and (is_common or nxt in common_words):
+                out.append(f"{t}_{nxt}")
+        return out
+
+    return common_grams
+
+
+def make_condition_filter(predicate, inner):
+    """`condition` token filter (ScriptedConditionTokenFilter): apply
+    `inner` only to tokens where `predicate` holds."""
+
+    def condition(tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            out.extend(inner([t]) if predicate(t) else [t])
+        return out
+
+    return condition
+
+
+def make_multiplexer_filter(filters: list, preserve_original: bool = True):
+    """`multiplexer` token filter (MultiplexerTokenFilterFactory): run each
+    branch filter at the same position, dedup identical outputs."""
+
+    def multiplexer(tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            seen = set()
+            if preserve_original:
+                out.append(t)
+                seen.add(t)
+            for f in filters:
+                for r in f([t]):
+                    if r not in seen:
+                        seen.add(r)
+                        out.append(r)
+        return out
+
+    return multiplexer
+
+
+def make_predicate_filter(predicate):
+    """`predicate_token_filter` (ScriptedPredicateTokenFilter): keep tokens
+    where the predicate holds."""
+
+    def predicate_filter(tokens: list[str]) -> list[str]:
+        return [t for t in tokens if predicate(t)]
+
+    return predicate_filter
+
+
+_SCANDI_FOLD = str.maketrans({"å": "a", "ä": "a", "æ": "a", "ö": "o",
+                              "ø": "o", "Å": "A", "Ä": "A", "Æ": "A",
+                              "Ö": "O", "Ø": "O"})
+
+
+def scandinavian_folding_filter(tokens: list[str]) -> list[str]:
+    """`scandinavian_folding` (ScandinavianFoldingFilter): å/ä/æ -> a,
+    ö/ø -> o (plus aa/ae/ao/oe/oo digraph collapse)."""
+    out = []
+    for t in tokens:
+        t = t.translate(_SCANDI_FOLD)
+        for dg, r in (("aa", "a"), ("ao", "a"), ("ae", "a"), ("oe", "o"),
+                      ("oo", "o")):
+            t = t.replace(dg, r)
+        out.append(t)
+    return out
+
+
+_SCANDI_NORM = str.maketrans({"æ": "ä", "ø": "ö", "Æ": "Ä", "Ø": "Ö"})
+
+
+def scandinavian_normalization_filter(tokens: list[str]) -> list[str]:
+    """`scandinavian_normalization` (ScandinavianNormalizationFilter):
+    unify the interchangeable Danish/Norwegian/Swedish spellings
+    (æ -> ä, ø -> ö, ae -> ä, oe -> ö, aa -> å)."""
+    out = []
+    for t in tokens:
+        t = t.translate(_SCANDI_NORM)
+        t = t.replace("ae", "ä").replace("oe", "ö").replace("aa", "å")
+        out.append(t)
+    return out
+
+
+_SERBIAN_CYR = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "dj", "е": "e",
+    "ж": "z", "з": "z", "и": "i", "ј": "j", "к": "k", "л": "l", "љ": "lj",
+    "м": "m", "н": "n", "њ": "nj", "о": "o", "п": "p", "р": "r", "с": "s",
+    "т": "t", "ћ": "c", "у": "u", "ф": "f", "х": "h", "ц": "c", "ч": "c",
+    "џ": "dz", "ш": "s",
+}
+
+
+def serbian_normalization_filter(tokens: list[str]) -> list[str]:
+    """`serbian_normalization` (SerbianNormalizationFilter): Cyrillic ->
+    bald Latin, diacritic Latin (č/ć/š/ž/đ) -> bald Latin."""
+    lat = str.maketrans({"č": "c", "ć": "c", "š": "s", "ž": "z", "đ": "dj"})
+    out = []
+    for t in tokens:
+        t = "".join(_SERBIAN_CYR.get(c, c) for c in t.lower())
+        out.append(t.translate(lat))
+    return out
+
+
+def german_normalization_filter(tokens: list[str]) -> list[str]:
+    """`german_normalization` (GermanNormalizationFilter): ß -> ss,
+    ä/ö/ü -> a/o/u, ae/oe/ue -> a/o/u (after a vowel-bearing prefix)."""
+    tr = str.maketrans({"ä": "a", "ö": "o", "ü": "u"})
+    out = []
+    for t in tokens:
+        t = t.replace("ß", "ss").translate(tr)
+        for dg, r in (("ae", "a"), ("oe", "o"), ("ue", "u")):
+            i = t.find(dg, 1)
+            while i > 0:
+                # Lucene exception: 'ue' is kept after q or a vowel
+                # (quelle, statue)
+                if dg == "ue" and t[i - 1] in "qaeiou":
+                    i = t.find(dg, i + 1)
+                    continue
+                t = t[:i] + r + t[i + 2:]
+                i = t.find(dg, 1)
+        out.append(t)
+    return out
+
+
+def flatten_graph_filter(tokens: list[str]) -> list[str]:
+    """`flatten_graph` (FlattenGraphFilter): identity in this engine — the
+    flat-stream model never produces multi-position graph tokens, so
+    indexing any filter chain is already safe."""
+    return tokens
+
+
+def delimited_payload_filter(tokens: list[str],
+                             delimiter: str = "|") -> list[str]:
+    """`delimited_payload` (DelimitedPayloadTokenFilter): strip the
+    payload; payloads themselves are not indexed in this engine (the
+    reference stores them per-posting; rank_feature / script fields cover
+    the use cases)."""
+    return [t.split(delimiter, 1)[0] for t in tokens]
+
+
+def make_dictionary_decompounder(word_list: set[str], min_word_size: int = 5,
+                                 min_subword_size: int = 2,
+                                 max_subword_size: int = 15,
+                                 only_longest_match: bool = False):
+    """`dictionary_decompounder` (DictionaryCompoundWordTokenFilter): emit
+    the original token plus every dictionary word found inside it. Also
+    the documented substitute for `hyphenation_decompounder` (the XML
+    hyphenation-pattern files the reference loads are not available;
+    candidate generation differs, dictionary matching is the same)."""
+
+    def decompound(tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            out.append(t)
+            if len(t) < min_word_size:
+                continue
+            found = []
+            for i in range(len(t)):
+                for j in range(i + min_subword_size,
+                               min(i + max_subword_size, len(t)) + 1):
+                    sub = t[i:j]
+                    if sub != t and sub in word_list:
+                        found.append(sub)
+            if only_longest_match and found:
+                found = [max(found, key=len)]
+            out.extend(found)
+        return out
+
+    return decompound
+
+
+def kstem_filter(tokens: list[str]) -> list[str]:
+    """`kstem` (KStemFilter): the rule-driven core of Krovetz stemming —
+    plural -ies/-es/-s, past -ed, -ing with e-restoration — WITHOUT the
+    ~30k-entry head dictionary the real KStem consults first (not
+    shipped; documented divergence). Lighter than Porter: derivational
+    suffixes are left alone."""
+    out = []
+    for t in tokens:
+        w = t
+        if len(w) > 4 and w.endswith("ies"):
+            w = w[:-3] + "y"
+        elif len(w) > 3 and w.endswith("es") and not w.endswith("ss"):
+            w = w[:-1]
+            # es-plural e was epenthetic after sibilants: boxes -> box,
+            # glasses -> glass, churches -> church
+            if len(w) > 3 and w.endswith(("che", "she", "xe", "ze", "sse")):
+                w = w[:-1]
+        elif len(w) > 3 and w.endswith("s") and not w.endswith("ss") \
+                and not w.endswith("us"):
+            w = w[:-1]
+        if len(w) > 4 and w.endswith("ing"):
+            stem = w[:-3]
+            if len(stem) >= 3:
+                if len(stem) > 1 and stem[-1] == stem[-2] and stem[-1] not in "aeiou":
+                    w = stem[:-1]
+                elif stem[-1] not in "aeiou" and stem[-2:-1] in list("aeiou"):
+                    w = stem + "e"
+                else:
+                    w = stem
+        elif len(w) > 4 and w.endswith("ed"):
+            stem = w[:-2]
+            if len(stem) > 1 and stem[-1] == stem[-2] and stem[-1] not in "aeiou":
+                w = stem[:-1]
+            elif stem.endswith(("at", "iz", "us", "id")) or (
+                    len(stem) >= 3 and stem[-1] not in "aeiouwxy"
+                    and stem[-2] in "aeiou" and stem[-3] not in "aeiou"):
+                w = stem + "e"  # CVC: hoped -> hope, not hop
+            else:
+                w = stem
+        out.append(w)
+    return out
+
+
+def word_delimiter_filter(tokens: list[str]) -> list[str]:
+    """`word_delimiter` (non-graph WordDelimiterFilter): same subword
+    splitting as the graph form the `code` analyzer uses, flat output."""
+    from .analyzer import _SUBWORD_RE
+
+    out = []
+    for t in tokens:
+        out.extend(s.lower() for s in _SUBWORD_RE.findall(t))
+    return out

@@ -3288,3 +3288,34 @@ def ft_analyze_lithuanian(sf_dir: str):
 
 def ft_analyze_thai(sf_dir: str):
     return _lang_analyze("thai")
+
+
+def ft_analyze_common_grams(sf_dir: str):
+    """common_grams token filter (CommonGramsFilter) over a fixed sentence:
+    word_word bigrams emitted beside every common-word-adjacent token.
+    Exact-oracled: the DuckDB twin rebuilds the interleaved stream with
+    array subscripts."""
+    from ..filters import make_analyzer_fn, make_common_grams_filter
+
+    an = make_analyzer_fn(token_filters=(
+        make_common_grams_filter({"the", "over"}),))
+    toks = an("The quick fox jumps over the lazy dog")
+    return pd.DataFrame({"position": pd.array(range(len(toks)), dtype="int64"),
+                         "token": toks})
+
+
+def ft_analyze_filter_chain(sf_dir: str):
+    """pattern_replace -> truncate -> uppercase token-filter chain
+    (PatternReplaceTokenFilterFactory / TruncateTokenFilterFactory /
+    UpperCaseFilter composition through make_analyzer_fn). Exact-oracled."""
+    from ..filters import (make_analyzer_fn, make_pattern_replace_filter,
+                           make_truncate_filter, uppercase_filter)
+
+    an = make_analyzer_fn(token_filters=(
+        make_pattern_replace_filter(r"\d+", "#"),
+        make_truncate_filter(5),
+        uppercase_filter,
+    ))
+    toks = an("Elasticsearch2 rewritten99 on RayData batches7 streaming")
+    return pd.DataFrame({"position": pd.array(range(len(toks)), dtype="int64"),
+                         "token": toks})

@@ -156,3 +156,76 @@ def test_remaining_token_filters():
     assert "bob@example.com" in toks
     assert any(t.startswith("https://x.io") for t in toks)
     assert "mail" in toks and "now" in toks
+
+
+def test_round3d_filter_batch():
+    """The remaining CommonAnalysisPlugin token filters
+    (CommonAnalysisPlugin.java getTokenFilters)."""
+    from elasticsearch_ray.filters import (
+        apostrophe_filter, decimal_digit_filter, delimited_payload_filter,
+        flatten_graph_filter, german_normalization_filter, kstem_filter,
+        make_common_grams_filter, make_condition_filter,
+        make_dictionary_decompounder, make_keep_filter,
+        make_keep_types_filter, make_keyword_marker, make_multiplexer_filter,
+        make_pattern_capture, make_pattern_replace_filter,
+        make_predicate_filter, make_stemmer_override, make_truncate_filter,
+        remove_duplicates_filter, reverse_filter,
+        scandinavian_folding_filter, scandinavian_normalization_filter,
+        serbian_normalization_filter, uppercase_filter,
+        word_delimiter_filter,
+    )
+
+    assert uppercase_filter(["abc"]) == ["ABC"]
+    assert make_truncate_filter(3)(["elasticsearch"]) == ["ela"]
+    # Unicode decimal digits (Arabic-Indic, Devanagari) fold to 0-9
+    assert decimal_digit_filter(["١٢٣", "a٤b", "१२३"]) == ["123", "a4b", "123"]
+    assert apostrophe_filter(["istanbul'da", "plain"]) == ["istanbul", "plain"]
+    assert remove_duplicates_filter(["a", "a", "b", "a"]) == ["a", "b", "a"]
+    assert make_keyword_marker({"running"})(["running", "jumping"]) == \
+        ["running", "jump"]
+    assert make_stemmer_override({"running": "sprint"})(
+        ["running", "jumping"]) == ["sprint", "jump"]
+    assert make_keep_filter({"a"})(["a", "b"]) == ["a"]
+    assert make_keep_types_filter({"<NUM>"})(["abc", "123"]) == ["123"]
+    assert make_keep_types_filter({"<NUM>"}, mode="exclude")(
+        ["abc", "123"]) == ["abc"]
+    assert make_pattern_capture([r"(\d+)"])(["abc123def456"]) == \
+        ["abc123def456", "123", "456"]
+    assert make_pattern_replace_filter(r"\d+", "#")(["a1b22"]) == ["a#b#"]
+    assert make_common_grams_filter({"the"})(["the", "quick", "fox"]) == \
+        ["the", "the_quick", "quick", "fox"]
+    assert make_common_grams_filter({"the"}, query_mode=True)(
+        ["the", "quick", "fox"]) == ["the_quick", "quick", "fox"]
+    assert make_condition_filter(lambda t: len(t) > 4, uppercase_filter)(
+        ["tiny", "enormous"]) == ["tiny", "ENORMOUS"]
+    assert make_multiplexer_filter([uppercase_filter, reverse_filter])(
+        ["ab"]) == ["ab", "AB", "ba"]
+    assert make_predicate_filter(str.isalpha)(["ab", "a1"]) == ["ab"]
+    assert scandinavian_folding_filter(["räksmörgås", "smørrebrød"]) == \
+        ["raksmorgas", "smorrebrod"]
+    assert scandinavian_normalization_filter(["smørrebrød", "aalborg"]) == \
+        ["smörrebröd", "ålborg"]
+    assert serbian_normalization_filter(["Жижа", "čvrst"]) == \
+        ["ziza", "cvrst"]
+    assert german_normalization_filter(["straße", "müller", "quelle"]) == \
+        ["strasse", "muller", "quelle"]
+    assert flatten_graph_filter(["a", "b"]) == ["a", "b"]
+    assert delimited_payload_filter(["the|0.5", "dog"]) == ["the", "dog"]
+    got = make_dictionary_decompounder(
+        {"fuß", "ball", "donau", "dampf", "schiff"})(["fußball"])
+    assert got == ["fußball", "fuß", "ball"]
+    assert kstem_filter(["boxes", "glasses", "churches", "cities",
+                         "running", "batted", "hoped", "dogs"]) == \
+        ["box", "glass", "church", "city", "run", "bat", "hope", "dog"]
+    assert word_delimiter_filter(["PowerShot500", "snake_case"]) == \
+        ["power", "shot", "500", "snake", "case"]
+
+
+def test_round3d_filters_compose_in_custom_analyzer():
+    from elasticsearch_ray.filters import (make_analyzer_fn, kstem_filter,
+                                           make_common_grams_filter)
+
+    an = make_analyzer_fn(token_filters=(
+        kstem_filter, make_common_grams_filter({"of"})))
+    assert an("Boxes of cities") == \
+        ["box", "box_of", "of", "of_city", "city"]
