@@ -751,3 +751,72 @@ def word_delimiter_filter(tokens: list[str]) -> list[str]:
     for t in tokens:
         out.extend(s.lower() for s in _SUBWORD_RE.findall(t))
     return out
+
+
+# ---- round-3d tokenizer batch: the remaining CommonAnalysisPlugin
+# tokenizer registrations (getTokenizers): classic, simple_pattern,
+# simple_pattern_split, lowercase, edge_ngram tokenizer form.
+
+
+def make_edge_ngram_tokenizer(min_gram: int = 1, max_gram: int = 2,
+                              lowercase: bool = True):
+    """`edge_ngram` TOKENIZER (EdgeNGramTokenizer, default 1-2): leading
+    character n-grams of each letter/digit run."""
+    word_rx = re.compile(r"[a-z0-9]+" if lowercase else r"[A-Za-z0-9]+")
+
+    def tokenize(text: str) -> list[str]:
+        if lowercase:
+            text = text.lower()
+        out: list[str] = []
+        for w in word_rx.findall(text):
+            for n in range(min_gram, min(max_gram, len(w)) + 1):
+                out.append(w[:n])
+        return out
+
+    return tokenize
+
+
+def lowercase_tokenizer(text: str) -> list[str]:
+    """`lowercase` tokenizer (LowerCaseTokenizer = letter tokenizer +
+    lowercase in one pass)."""
+    return re.findall(r"[a-z]+", text.lower())
+
+
+_CLASSIC_RX = re.compile(
+    r"[A-Za-z0-9]+(?:[.@&'][A-Za-z0-9]+)+"  # emails/hosts/acronyms (dotted)
+    r"|[A-Za-z0-9]+")
+
+
+def classic_tokenizer(text: str, lowercase: bool = True) -> list[str]:
+    """`classic` tokenizer (ClassicTokenizer): English-heuristic grammar —
+    keeps dotted acronyms, emails and host names as single tokens,
+    splits at other punctuation. Condensed rule set of the JFlex
+    grammar; behavior pinned by tests."""
+    toks = _CLASSIC_RX.findall(text)
+    return [t.lower() for t in toks] if lowercase else toks
+
+
+def make_simple_pattern_tokenizer(pattern: str, lowercase: bool = True):
+    """`simple_pattern` tokenizer (SimplePatternTokenizerFactory): the
+    pattern MATCHES become the tokens."""
+    rx = re.compile(pattern)
+
+    def tokenize(text: str) -> list[str]:
+        if lowercase:
+            text = text.lower()
+        return [t for t in rx.findall(text) if t]
+
+    return tokenize
+
+
+def make_simple_pattern_split_tokenizer(pattern: str, lowercase: bool = True):
+    """`simple_pattern_split` tokenizer (SimplePatternSplitTokenizerFactory):
+    the pattern matches are the SEPARATORS."""
+    rx = re.compile(pattern)
+
+    def tokenize(text: str) -> list[str]:
+        if lowercase:
+            text = text.lower()
+        return [t for t in rx.split(text) if t]
+
+    return tokenize

@@ -229,3 +229,20 @@ def test_round3d_filters_compose_in_custom_analyzer():
         kstem_filter, make_common_grams_filter({"of"})))
     assert an("Boxes of cities") == \
         ["box", "box_of", "of", "of_city", "city"]
+
+
+def test_round3d_tokenizer_batch():
+    from elasticsearch_ray.filters import (
+        classic_tokenizer, lowercase_tokenizer, make_edge_ngram_tokenizer,
+        make_simple_pattern_split_tokenizer, make_simple_pattern_tokenizer)
+
+    assert make_edge_ngram_tokenizer(1, 3)("Quick fox") == \
+        ["q", "qu", "qui", "f", "fo", "fox"]
+    assert lowercase_tokenizer("Ab3Cd ef") == ["ab", "cd", "ef"]
+    # classic: dotted acronyms / emails / hosts survive as one token
+    assert classic_tokenizer("mail bob@example.com from I.B.M. today") == \
+        ["mail", "bob@example.com", "from", "i.b.m", "today"]
+    assert make_simple_pattern_tokenizer(r"[0-9]{3}")("a123b456789") == \
+        ["123", "456", "789"]
+    assert make_simple_pattern_split_tokenizer("_")("an_underscored_phrase") \
+        == ["an", "underscored", "phrase"]
