@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_masked", "agg_significant_chi2", "geo_shape_envelope",
         "index_sorted_pruning", "ft_search_as_you_type",
         "ft_analyze_common_grams", "ft_analyze_filter_chain",
+        "ft_sim_scripted",
         # --- driver-unchecked, rows-only (incl. round-3: stemmer vectors
         # and HDR sketch have no offline SQL oracle) ---
         "agg_percentiles_hdr",
@@ -450,6 +451,14 @@ FROM tfn CROSS JOIN df CROSS JOIN st ORDER BY doc_id""",
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id)
 SELECT doc_id, CAST(2.5 AS DOUBLE) AS score FROM tf ORDER BY doc_id""",
+        "ft_sim_scripted": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id,
+       ROUND(ln(st.n * 1.0 / df.df) * tf.tf / dl.dl, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+ORDER BY doc_id""",
         "ft_explain": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),

@@ -88,6 +88,24 @@ def ft_sim_boolean(sf_dir: str):
                                     "boost": 2.5}, "boolean")
 
 
+def _tfidf_script(tf, dl, df, ttf, n, sum_dl, avgdl):
+    # classic ln-idf x relative-tf — the ScriptedSimilarity docs example
+    import numpy as np
+
+    return np.log(n / df) * tf / dl
+
+
+def ft_sim_scripted(sf_dir: str):
+    """scripted similarity (index/similarity/ScriptedSimilarity.java): a
+    user Python callable over (tf, dl, df, ttf, n_docs, sum_dl, avgdl)
+    replaces the similarity — here classic tf-idf, ln(N/df) * tf/dl,
+    SQL-expressible for an exact oracle."""
+    from .fulltext import all_matches_sim
+
+    return all_matches_sim(sf_dir, {"kind": "term", "term": "data"},
+                           "scripted", script=_tfidf_script)
+
+
 def ft_match_or(sf_dir: str):
     return all_matches(sf_dir, {"kind": "match", "text": "data query window"})
 

@@ -186,12 +186,39 @@ class BooleanSim:
         return np.full(len(tfs), float(boost), np.float64)
 
 
+class ScriptedSimilarity:
+    """Scripted similarity (index/similarity/ScriptedSimilarity.java): the
+    user supplies a vectorized Python callable over the same stats tuple
+    the built-in models receive — the Painless-script analog in this
+    engine's plain-callable extension model (SURVEY.md §2.13). The
+    callable gets numpy arrays (tf, dl) plus scalar corpus stats and must
+    return an array of per-doc scores; non-negative clamping mirrors the
+    reference's requirement that scripted scores be >= 0."""
+
+    name = "scripted"
+
+    def __init__(self, script):
+        if not callable(script):
+            raise TypeError("scripted similarity needs a callable "
+                            "(tf, dl, df, ttf, n_docs, sum_dl, avgdl) -> scores")
+        self.script = script
+
+    def score_tf(self, tfs, dls, df, ttf, n_docs, sum_dl, avgdl, boost=1.0):
+        raw = np.asarray(
+            self.script(tfs.astype(np.float64), dls.astype(np.float64),
+                        float(df), float(ttf), float(n_docs), float(sum_dl),
+                        float(avgdl)),
+            dtype=np.float64)
+        return boost * np.maximum(raw, 0.0)
+
+
 _FACTORIES = {
     "LMDirichlet": LMDirichlet,
     "LMJelinekMercer": LMJelinekMercer,
     "DFR": DFR,
     "IB": IB,
     "boolean": BooleanSim,
+    "scripted": ScriptedSimilarity,
 }
 
 

@@ -199,3 +199,21 @@ def test_make_similarity_rejects_unknown():
         make_similarity("DFR", basic_model="p")  # unsupported model
     with pytest.raises(ValueError):
         make_similarity("LMJelinekMercer", lam=1.5)
+
+
+def test_scripted_similarity():
+    """ScriptedSimilarity.java analog: user callable over the stats tuple,
+    vectorized, non-negative clamped, boost applied outside."""
+    import numpy as np
+    from elasticsearch_ray.search.altsim import make_similarity
+
+    s = make_similarity("scripted",
+                        script=lambda tf, dl, df, ttf, n, sdl, avg: tf / dl - 0.3)
+    got = s.score_tf(np.array([2, 8]), np.array([10, 10]), 3, 9, 100,
+                     1000, 10.0, boost=2.0)
+    # 2/10-0.3 = -0.1 -> clamped 0; 8/10-0.3 = 0.5 -> x2 boost
+    assert got.tolist() == [0.0, 1.0]
+    import pytest
+
+    with pytest.raises(TypeError):
+        make_similarity("scripted", script="not callable")
