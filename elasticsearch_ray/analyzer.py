@@ -208,6 +208,56 @@ def analyze_shingle2(text: str) -> list[str]:
     return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
 
 
+def analyze_standard(text: str) -> list[str]:
+    """`standard` analyzer (StandardAnalyzerProvider: standard tokenizer +
+    lowercase, NO stop words by default in 7.x): Unicode word runs,
+    lowercased."""
+    return re.findall(r"[^\W_]+", text.lower(), re.UNICODE)
+
+
+def analyze_stop(text: str) -> list[str]:
+    """`stop` analyzer (StopAnalyzerProvider: lowercase letter tokenizer +
+    English stop set)."""
+    return [t for t in re.findall(r"[a-z]+", text.lower())
+            if t not in ENGLISH_STOP_WORDS]
+
+
+def analyze_keyword(text: str) -> list[str]:
+    """`keyword` analyzer (KeywordAnalyzerProvider): whole input, one
+    token, unchanged."""
+    return [text]
+
+
+def analyze_pattern(text: str) -> list[str]:
+    """`pattern` analyzer (PatternAnalyzerProvider defaults: split on \\W+,
+    lowercase, English stop set)."""
+    return [t for t in re.split(r"\W+", text.lower())
+            if t and t not in ENGLISH_STOP_WORDS]
+
+
+def analyze_snowball(text: str) -> list[str]:
+    """`snowball` analyzer (SnowballAnalyzerProvider, default language
+    English): standard tokenize + lowercase + stop + Porter/Snowball-English
+    stem — identical chain to the `english` analyzer here."""
+    return analyze_english(text)
+
+
+def analyze_fingerprint(text: str) -> list[str]:
+    """`fingerprint` analyzer (FingerprintAnalyzerProvider): lowercase,
+    asciifold, dedupe, sort, join into one token (filters.fingerprint_analyze)."""
+    from .filters import fingerprint_analyze
+
+    return fingerprint_analyze(text)
+
+
+def analyze_standard_html_strip(text: str) -> list[str]:
+    """`standard_html_strip` analyzer (StandardHtmlStripAnalyzerProvider,
+    deprecated upstream but registered): html_strip char filter ->
+    standard tokenize -> lowercase -> English stop."""
+    text = re.sub(r"<[^>]*>", " ", text)
+    return [t for t in analyze_standard(text) if t not in ENGLISH_STOP_WORDS]
+
+
 REGISTRY: dict[str, Analyzer] = {
     "code": Analyzer("code", analyze_code, analyze_code_positions,
                      analyze_code_positions_split),
@@ -215,6 +265,14 @@ REGISTRY: dict[str, Analyzer] = {
     "whitespace": Analyzer("whitespace", analyze_whitespace),
     "english": Analyzer("english", analyze_english),
     "shingle2": Analyzer("shingle2", analyze_shingle2),
+    "standard": Analyzer("standard", analyze_standard),
+    "stop": Analyzer("stop", analyze_stop),
+    "keyword": Analyzer("keyword", analyze_keyword),
+    "pattern": Analyzer("pattern", analyze_pattern),
+    "snowball": Analyzer("snowball", analyze_snowball),
+    "standard_html_strip": Analyzer("standard_html_strip",
+                                    analyze_standard_html_strip),
+    "fingerprint": Analyzer("fingerprint", analyze_fingerprint),
 }
 
 

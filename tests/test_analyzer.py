@@ -76,3 +76,23 @@ def test_registry():
 def test_stop_set_is_lucene_english():
     assert len(ENGLISH_STOP_WORDS) == 33
     assert "the" in ENGLISH_STOP_WORDS and "code" not in ENGLISH_STOP_WORDS
+
+
+def test_prebuilt_analyzer_registry_complete():
+    """The reference's getAnalyzers non-language registrations
+    (CommonAnalysisPlugin.java:180-186 + server prebuilts): standard, stop,
+    keyword, pattern, snowball, fingerprint, standard_html_strip."""
+    from elasticsearch_ray.analyzer import get_analyzer
+
+    assert get_analyzer("standard")("The Quick-Brown FOX") == \
+        ["the", "quick", "brown", "fox"]
+    assert get_analyzer("stop")("The quick brown fox") == \
+        ["quick", "brown", "fox"]
+    assert get_analyzer("keyword")("one whole input") == ["one whole input"]
+    assert get_analyzer("pattern")("Foo-Bar the baz_2") == \
+        ["foo", "bar", "baz_2"]
+    assert get_analyzer("snowball")("running quickly") == ["run", "quickli"]
+    assert get_analyzer("standard_html_strip")(
+        "<b>Bold</b> move the <i>text</i>") == ["bold", "move", "text"]
+    assert get_analyzer("fingerprint")("The QUICK the brown") == \
+        ["brown quick the"]
