@@ -94,7 +94,11 @@ def run_bench() -> dict:
         t0 = time.time()
         build_index_tasks(
             corpus_dir, idx_dir,
-            docs_per_partition=max(10_000, n_docs // 4),
+            # constant partition size, NOT corpus-proportional: the round-3
+            # size probe measured fixed 10k-doc partitions 13% faster than
+            # n_docs//4 at 400k docs (BASELINE.md), and bounded per-task
+            # memory is the 100-TB-correct shape anyway
+            docs_per_partition=10_000,
             num_buckets=32,
         )
         attempts.append(time.time() - t0)

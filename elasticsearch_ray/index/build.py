@@ -41,7 +41,14 @@ from .manifest import (
     write_build_log,
 )
 
-DEFAULT_DOCS_PER_PARTITION = 250_000
+# Partition size is a MEMORY bound, not a parallelism dial: a partition's
+# in-flight triple table is ~40-60 KB per doc with positions, so 25k docs
+# keeps each tokenize task's working set near 1 GB. The round-3 size probe
+# (BASELINE.md) measured fixed 10k-doc partitions fastest on a 32-CPU /
+# 128 GB node; keep partitions CONSTANT-SIZE as the corpus grows — at
+# 10^12 files that is ~10^7-10^8 tasks, fine for Ray's scheduler when
+# submitted in streaming waves, and per-task memory never grows.
+DEFAULT_DOCS_PER_PARTITION = 25_000
 
 
 def plan_partitions(
