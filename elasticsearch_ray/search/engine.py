@@ -799,15 +799,25 @@ class IndexSearcher:
                 if not terms:
                     return np.empty(0, np.int64), np.empty(0, np.float64)
             if terms is not None:
-                # hybrid collector: below this many total postings the fully
-                # vectorized exhaustive scorer beats block-at-a-time WAND
-                # (one big unique/argsort vs thousands of small ones); above
-                # it, block-max skipping wins. Both are rank-identical.
-                total_df = sum(self.global_df(t) for t in dict.fromkeys(terms))
-                if total_df > self.wand_min_postings:
-                    from .wand import block_max_topk
+                # Collector routing, re-measured at 400k docs (round 3,
+                # BASELINE.md): block-at-a-time WAND's ~0.1 ms/block Python
+                # overhead is ~30x the vectorized per-posting cost, so it
+                # only wins when >97% of blocks are skippable — which the
+                # flat-impact synthetic corpus never reaches (every mix
+                # measured 10-30x SLOWER than exhaustive: 'def' 290 ms vs
+                # 9 ms; rare+hot 'def kaorva' 502 ms vs 47 ms). Routing:
+                # single term -> impact-ordered block collector (early-
+                # terminates when impacts are skewed, degenerates to the
+                # exhaustive cost when they are flat); multi-term -> the
+                # vectorized exhaustive disjunction. block_max_topk remains
+                # rank-identical and equivalence-tested for doc-id-
+                # clustered (index-sorted) deployments where interval
+                # skipping pays.
+                if len(dict.fromkeys(terms)) == 1 \
+                        and self.global_df(terms[0]) > 4096:
+                    from .wand import term_impact_topk
 
-                    return block_max_topk(self, terms, k, boost)
+                    return term_impact_topk(self, terms[0], k, boost)
                 ids, sc = self._disjunction(terms, boost)
                 return self._topk(ids, sc, k)
             if kind == "match_phrase" and int(query.get("slop", 0)) == 0:
