@@ -58,6 +58,7 @@ class TermPostings:
     __slots__ = (
         "term", "df", "rows", "block_last_doc", "block_max_tf", "block_min_norm",
         "_row_of_block", "_block_in_row", "_full", "_block_cache", "_pos_cache",
+        "_pos_cache_elems",
     )
 
     def __init__(self, term: str, rows: list[dict]):
@@ -95,6 +96,7 @@ class TermPostings:
         self._full: tuple[np.ndarray, np.ndarray] | None = None
         self._block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._pos_cache: dict[int, tuple] = {}  # row idx -> decoded positions
+        self._pos_cache_elems = 0  # total cached position count (budget)
 
     @property
     def n_blocks(self) -> int:
@@ -1860,8 +1862,14 @@ class IndexSearcher:
                     corr_vals = np.concatenate([[0], total[cuts[:-1] - 1]])
                     total = total - np.repeat(corr_vals, row_tfs)
                 starts = np.concatenate([[0], cuts[:-1]])
-                if len(tp._pos_cache) < 64:
+                # element-count budget, not a row cap: a hot salted term
+                # spans O(segments x chunks) rows, and a 64-row cap
+                # thrashed at 400k docs (every phrase query re-decoded
+                # ~200 ms of positions). ~16M cached positions = ~512 MB
+                # worst case across all terms of one searcher.
+                if tp._pos_cache_elems < 16_000_000:
                     tp._pos_cache[ri] = (row_ids, total, starts, cuts)
+                    tp._pos_cache_elems += total.size
             else:
                 row_ids, total, starts, cuts = cached
             idx = np.searchsorted(row_ids, cand)
@@ -1903,8 +1911,14 @@ class IndexSearcher:
                     corr_vals = np.concatenate([[0], total[cuts[:-1] - 1]])
                     total = total - np.repeat(corr_vals, row_tfs)
                 starts = np.concatenate([[0], cuts[:-1]])
-                if len(tp._pos_cache) < 64:
+                # element-count budget, not a row cap: a hot salted term
+                # spans O(segments x chunks) rows, and a 64-row cap
+                # thrashed at 400k docs (every phrase query re-decoded
+                # ~200 ms of positions). ~16M cached positions = ~512 MB
+                # worst case across all terms of one searcher.
+                if tp._pos_cache_elems < 16_000_000:
                     tp._pos_cache[ri] = (row_ids, total, starts, cuts)
+                    tp._pos_cache_elems += total.size
             else:
                 row_ids, total, starts, cuts = cached
             idx = np.searchsorted(row_ids, cand)
