@@ -139,8 +139,13 @@ def test_merge_lineage_live_segments(index_dir):
 
 
 def test_wand_equals_exhaustive(searcher):
-    """Block-max WAND path must be rank-identical to the exhaustive scorer
-    on every scored disjunction in the reference set + stress cases."""
+    """Every pruning collector must be rank-identical to the exhaustive
+    scorer: the search() routing (impact-probe single term + exhaustive
+    disjunction), AND block_max_topk directly (kept for index-sorted
+    deployments but no longer on the default routing after the round-3
+    flat-impact measurements — BASELINE.md)."""
+    from elasticsearch_ray.search.wand import block_max_topk, term_impact_topk
+
     queries = [q for q in reference_queries()
                if q["kind"] == "term"
                or (q["kind"] == "match" and q.get("operator", "or") == "or")]
@@ -152,8 +157,18 @@ def test_wand_equals_exhaustive(searcher):
     for q in queries:
         w_ids, w_sc = searcher.search(q, use_wand=True)
         e_ids, e_sc = searcher.search(q, use_wand=False)
-        assert list(w_ids) == list(e_ids), f"WAND order mismatch: {q}"
+        assert list(w_ids) == list(e_ids), f"routing order mismatch: {q}"
         np.testing.assert_array_equal(w_sc, e_sc, err_msg=str(q))
+        k = int(q.get("k", 10))
+        terms = ([q["term"]] if q["kind"] == "term"
+                 else searcher.analyzer(q["text"]))
+        b_ids, b_sc = block_max_topk(searcher, terms, k)
+        assert list(b_ids) == list(e_ids), f"block_max order mismatch: {q}"
+        np.testing.assert_array_equal(b_sc, e_sc, err_msg=str(q))
+        if len(dict.fromkeys(terms)) == 1:
+            i_ids, i_sc = term_impact_topk(searcher, terms[0], k)
+            assert list(i_ids) == list(e_ids), f"impact order mismatch: {q}"
+            np.testing.assert_array_equal(i_sc, e_sc, err_msg=str(q))
 
 
 def test_lazy_segment_mode_identical(index_dir, searcher):
@@ -198,7 +213,9 @@ def test_wand_actually_prunes_on_skewed_tf(tmp_path, ray_session):
     build_index_tasks(src, idx, docs_per_partition=10**9, num_buckets=4,
                       hot_terms=frozenset())
 
-    s = IndexSearcher(idx, wand_min_postings=0)  # force the WAND path
+    # single-term routing goes to the impact-probe collector; the skewed
+    # corpus must let it stop after the probe instead of decoding all blocks
+    s = IndexSearcher(idx, wand_min_postings=0)
     decoded = {"n": 0}
     orig = TermPostings.decode_block
 
