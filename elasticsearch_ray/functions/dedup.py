@@ -94,6 +94,20 @@ def minhash_signatures_batch(texts: list[str], num_perm: int = 128,
     duplicate shingles, so the per-doc np.unique is skipped)."""
     k = shingle_k
     a, b = _minhash_params(num_perm)
+    # bound peak memory: the permutation product below allocates
+    # chunk x total_window_positions u64 — unbounded doc batches (5k docs x
+    # 10 KB at sf0.1) made that a 6.4 GB allocation per chunk (measured
+    # 155 s/5k docs). Slice the doc list so each slice holds <= ~4M window
+    # positions (~0.5 GB per chunk product), recurse, and stack.
+    _MAX_POS = 4_000_000
+    if len(texts) > 1:
+        est = sum(min(len(t), 1 << 20) for t in texts)
+        if est > _MAX_POS:
+            mid = len(texts) // 2
+            return np.vstack([
+                minhash_signatures_batch(texts[:mid], num_perm, shingle_k),
+                minhash_signatures_batch(texts[mid:], num_perm, shingle_k),
+            ])
     bufs, lens = [], []
     for t in texts:
         s = " ".join(t.lower().split())
@@ -245,15 +259,54 @@ def minhash_verified_pairs(ds, *, threshold: float = 0.8, num_perm: int = 128,
         return pd.DataFrame({"doc_a": np.asarray(out_a, np.int64),
                              "doc_b": np.asarray(out_b, np.int64)})
 
-    sig = ds.map_batches(
+    # Pass 1 — banded LSH rows WITHOUT text: (doc_id, band, band_hash)
+    # ints only. Shuffling text for every (doc, band) row would move
+    # bands x corpus bytes through the exchange; almost all buckets are
+    # singletons, so that volume is wasted. batch_size bounds the
+    # signature kernel's working set.
+    banded = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
                                    shingle_k=shingle_k, text_col=text_col,
-                                   id_col=id_col, emit_text=True),
+                                   id_col=id_col, emit_text=False),
         batch_format="pyarrow",
+        batch_size=512,
         concurrency=concurrency,
     )
-    verified = sig.groupby(["band", "band_hash"]).map_groups(
+    # Pass 2 — hot buckets (>= 2 members) via a vectorized count (no
+    # per-group UDF), then two distributed hash joins: a semi-join keeps
+    # only hot (doc, band, band_hash) rows, and the text join ships each
+    # document's text once per HOT bucket membership only. Everything
+    # stays dataset-side; the driver never sees candidate texts.
+    counts = banded.groupby(["band", "band_hash"]).count()
+
+    def _hot_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.field("count()") >= 2)
+        # groupby upcasts key dtypes; restore banded's exact types so the
+        # hash join sees matching key schemas
+        return pa.table({
+            "band": t["band"].cast(pa.int32()),
+            "band_hash": t["band_hash"].cast(pa.int64()),
+        })
+
+    hot = counts.map_batches(_hot_keys, batch_format="pyarrow")
+    # fractional-CPU aggregators: the hash join spawns num_partitions
+    # aggregator actors, and full-CPU reservations deadlock against the
+    # map actors on small ray.init sessions (they'd also waste slots on a
+    # real cluster — aggregation is I/O-bound merge work)
+    nparts = max(4, int(concurrency) * 2)
+    agg_args = {"num_cpus": 0.25}
+    hot_rows = banded.join(hot, "inner", num_partitions=nparts,
+                           on=("band", "band_hash"),
+                           aggregator_ray_remote_args=agg_args)
+    texts = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow")
+    joined = hot_rows.join(texts, "inner", num_partitions=nparts,
+                           on=(id_col,),
+                           aggregator_ray_remote_args=agg_args)
+    verified = joined.groupby(["band", "band_hash"]).map_groups(
         verify, batch_format="pandas")
     df = verified.to_pandas()
     if df.empty:
