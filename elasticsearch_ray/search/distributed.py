@@ -55,6 +55,25 @@ class SearcherActor:
         ids, sc = self.searcher.search(q, use_wand=use_wand)
         return ids, np.asarray(sc, dtype=np.float64)
 
+    def dfs_for_query(self, q: dict):
+        """One-round DFS: collect this query's field-qualified keys locally
+        (analyzers are identical on every actor) and return local (df, ttf)
+        for them — replaces the collect_keys + term_dfs round-trip pair."""
+        keys = sorted(self.searcher.collect_query_keys(q))
+        return (self.searcher.local_term_dfs(keys),
+                self.searcher.local_term_ttfs(keys))
+
+    def search_with_stats(self, q: dict, n_docs: int, sum_doc_len: int,
+                          df_map: dict, field_sums: dict, ttf_map: dict,
+                          use_wand: bool = True):
+        """Install global stats and search in ONE round trip (the set_stats
+        + search pair fused; the stats payload is the query's own term maps,
+        a few hundred bytes)."""
+        self.searcher.set_global_stats(n_docs, sum_doc_len, df_map,
+                                       field_sums, ttf_map)
+        ids, sc = self.searcher.search(q, use_wand=use_wand)
+        return ids, np.asarray(sc, dtype=np.float64)
+
     def matched(self, named: dict):
         return self.searcher.matched_queries(named)
 
@@ -89,10 +108,12 @@ class DistributedSearcher:
     def search(self, q: dict, use_wand: bool = True):
         ray = self._ray
         k = int(q.get("k", 10))
-        # DFS phase: field-qualified key collection on one actor (identical
-        # analyzers everywhere), then gather + sum per-key dfs, install stats
-        keys = ray.get(self.actors[0].collect_keys.remote(q))
-        df_parts = ray.get([a.term_dfs.remote(keys) for a in self.actors])
+        # DFS phase, ONE round: every actor collects the query's keys
+        # itself (identical analyzers) and returns local (df, ttf); the
+        # coordinator sums. Was collect_keys -> term_dfs -> set_stats ->
+        # search = 4 round trips; now dfs_for_query -> search_with_stats
+        # = 2, halving per-query coordination latency.
+        df_parts = ray.get([a.dfs_for_query.remote(q) for a in self.actors])
         df_map: dict[str, int] = {}
         ttf_map: dict[str, int] = {}
         for dfs, ttfs in df_parts:
@@ -100,13 +121,13 @@ class DistributedSearcher:
                 df_map[t] = df_map.get(t, 0) + d
             for t, f in ttfs.items():
                 ttf_map[t] = ttf_map.get(t, 0) + f
-        ray.get([
-            a.set_stats.remote(self.n_docs, self.sum_doc_len, df_map,
-                               self.field_sums, ttf_map)
+        # query phase fan-out (stats ride along) + mergeTopDocs-style reduce
+        results = ray.get([
+            a.search_with_stats.remote(q, self.n_docs, self.sum_doc_len,
+                                       df_map, self.field_sums, ttf_map,
+                                       use_wand)
             for a in self.actors
         ])
-        # query phase fan-out + mergeTopDocs-style reduce
-        results = ray.get([a.search.remote(q, use_wand) for a in self.actors])
         ids = np.concatenate([r[0] for r in results]) if results else np.empty(0, np.int64)
         sc = np.concatenate([r[1] for r in results]) if results else np.empty(0)
         if ids.size == 0:
