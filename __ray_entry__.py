@@ -882,6 +882,41 @@ WITH arr AS (SELECT list_filter(regexp_split_to_array(lower('Data-Query WINDOW w
              '[^a-z0-9]+'), x -> x <> '') AS a)
 SELECT CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS position, unnest(a) AS token
 FROM arr ORDER BY position""",
+        "ft_highlight": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['window','merge']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         SUM(ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * 2.2 * tf.tf
+             / (tf.tf + 1.2*(0.25 + 0.75 * dl.dl * st.n / st.sumdl))) AS raw
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id),
+topk AS (SELECT doc_id, raw FROM scored ORDER BY raw DESC, doc_id LIMIT 5),
+words AS (
+  SELECT t.doc_id, t.raw,
+         list_filter(regexp_split_to_array(d.text, '\\s+'), w -> w <> '') AS w
+  FROM topk t JOIN documents d ON d.doc_id = t.doc_id),
+posd AS (
+  SELECT doc_id, raw, w,
+         least(
+           coalesce(nullif(list_position(list_transform(w, x -> lower(x)),
+                                         'window'), 0), 2147483647),
+           coalesce(nullif(list_position(list_transform(w, x -> lower(x)),
+                                         'merge'), 0), 2147483647)) AS m
+  FROM words)
+, lod AS (
+  SELECT doc_id, raw, w,
+         greatest(1, (CASE WHEN m = 2147483647 THEN 1 ELSE m END) - 4) AS lo
+  FROM posd)
+SELECT doc_id, ROUND(raw, 4) AS score,
+       substr(array_to_string(list_transform(list_slice(w, lo, lo + 9),
+         x -> CASE WHEN lower(x) IN ('window', 'merge')
+                   THEN '<em>' || x || '</em>' ELSE x END), ' '),
+              1, 120) AS highlight
+FROM lod ORDER BY raw DESC, doc_id""",
         "ft_analyze_common_grams": """
 WITH arr AS (SELECT list_filter(regexp_split_to_array(
                lower('The quick fox jumps over the lazy dog'),
