@@ -1139,6 +1139,9 @@ SELECT * FROM (
         "agg_mad": """
 SELECT ROUND(median(abs(value - (SELECT median(value) FROM events))), 4) AS mad
 FROM events""",
+        "agg_scripted_metric": """
+SELECT ROUND(exp(sum(ln(1 + value)) / count(*)), 4) AS geo_mean_1p
+FROM events""",
         "agg_terms_shard_error": """
 WITH pershard AS (
   SELECT user_id % 4 AS shard, event_type, count(*) AS cnt
