@@ -1142,6 +1142,31 @@ FROM events""",
         "agg_scripted_metric": """
 SELECT ROUND(exp(sum(ln(1 + value)) / count(*)), 4) AS geo_mean_1p
 FROM events""",
+        "text_fingerprint": """
+-- winnowed Karp-Rabin document fingerprint re-derived in SQL: 16-byte
+-- polynomial window hashes mod 2^64 over the whitespace-normalized
+-- lowercase text (ASCII corpus: codepoint == byte), min per doc
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents),
+cps AS (
+  SELECT doc_id, i, unicode(substr(s, i, 1))::HUGEINT AS cp, length(s) AS n
+  FROM norm, unnest(generate_series(1, length(s))) AS t(i)),
+pw(j, p) AS (VALUES (0, 6397295411589846571::HUGEINT), (1, 5600660903763878393::HUGEINT), (2, 14911146631531166995::HUGEINT), (3, 15642640937032856817::HUGEINT), (4, 2455841760392682171::HUGEINT), (5, 5231796974404119081::HUGEINT), (6, 3634980586811902243::HUGEINT), (7, 1460077494926286753::HUGEINT), (8, 12924618581234127435::HUGEINT), (9, 10923514805226455897::HUGEINT), (10, 14453212906556403763::HUGEINT), (11, 14003818205314896721::HUGEINT), (12, 1000009000027000027::HUGEINT), (13, 1000006000009::HUGEINT), (14, 1000003::HUGEINT), (15, 1::HUGEINT)),
+wh AS (
+  SELECT a.doc_id, a.i AS pos,
+         SUM(b.cp * pw.p) % 18446744073709551616::HUGEINT AS h
+  FROM cps a
+  JOIN cps b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 15
+  JOIN pw ON pw.j = b.i - a.i
+  WHERE a.i <= a.n - 15
+  GROUP BY a.doc_id, a.i),
+fp AS (SELECT doc_id, min(h) AS h FROM wh GROUP BY doc_id)
+SELECT doc_id,
+       (CASE WHEN h >= 9223372036854775808::HUGEINT
+             THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT
+       AS fingerprint
+FROM fp ORDER BY doc_id""",
         "agg_terms_shard_error": """
 WITH pershard AS (
   SELECT user_id % 4 AS shard, event_type, count(*) AS cnt

@@ -425,6 +425,10 @@ def text_fingerprint(sf_dir: str):
         .select_columns(["doc_id", "fingerprint"])
         .to_pandas()
     )
+    # two's-complement int64 view of the uint64 hash: the DuckDB oracle
+    # re-derives the winnowed Karp-Rabin hash in HUGEINT and emits BIGINT,
+    # so both sides compare in one signed dtype
+    out["fingerprint"] = out["fingerprint"].to_numpy().astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
