@@ -1142,6 +1142,25 @@ FROM events""",
         "agg_scripted_metric": """
 SELECT ROUND(exp(sum(ln(1 + value)) / count(*)), 4) AS geo_mean_1p
 FROM events""",
+        "text_lang_id": """
+-- trigram-profile language-ID heuristic re-derived in SQL
+-- (substring counts per profile gram; first-profile-wins ties;
+-- the CJK branch is unreachable on the ASCII corpus)
+WITH s AS (
+  SELECT doc_id, lang, lower(substr(text, 1, 2000)) AS low FROM documents),
+sc AS (
+  SELECT doc_id, lang,
+         ((length(low) - length(replace(low, 'the', ''))) / 3 + (length(low) - length(replace(low, 'and', ''))) / 3 + (length(low) - length(replace(low, 'ing', ''))) / 3 + (length(low) - length(replace(low, 'ion', ''))) / 3 + (length(low) - length(replace(low, 'ent', ''))) / 3 + (length(low) - length(replace(low, ' th', ''))) / 3 + (length(low) - length(replace(low, 'he ', ''))) / 3 + (length(low) - length(replace(low, 'er ', ''))) / 3 + (length(low) - length(replace(low, 'on ', ''))) / 3 + (length(low) - length(replace(low, ' of', ''))) / 3) / greatest(1.0, length(low) / 100.0) AS en,
+         ((length(low) - length(replace(low, 'de ', ''))) / 3 + (length(low) - length(replace(low, ' de', ''))) / 3 + (length(low) - length(replace(low, 'la ', ''))) / 3 + (length(low) - length(replace(low, 'os ', ''))) / 3 + (length(low) - length(replace(low, 'ión', ''))) / 3 + (length(low) - length(replace(low, 'ent', ''))) / 3 + (length(low) - length(replace(low, ' la', ''))) / 3 + (length(low) - length(replace(low, 'es ', ''))) / 3 + (length(low) - length(replace(low, 'ado', ''))) / 3 + (length(low) - length(replace(low, 'que', ''))) / 3) / greatest(1.0, length(low) / 100.0) AS es,
+         ((length(low) - length(replace(low, 'es ', ''))) / 3 + (length(low) - length(replace(low, ' de', ''))) / 3 + (length(low) - length(replace(low, 'de ', ''))) / 3 + (length(low) - length(replace(low, 'ent', ''))) / 3 + (length(low) - length(replace(low, 'le ', ''))) / 3 + (length(low) - length(replace(low, ' le', ''))) / 3 + (length(low) - length(replace(low, 'ion', ''))) / 3 + (length(low) - length(replace(low, 'la ', ''))) / 3 + (length(low) - length(replace(low, 'et ', ''))) / 3 + (length(low) - length(replace(low, ' et', ''))) / 3) / greatest(1.0, length(low) / 100.0) AS fr
+  FROM s)
+SELECT doc_id, lang,
+       CASE WHEN greatest(en, es, fr) <= 0 THEN 'und'
+            WHEN en >= es AND en >= fr THEN 'en'
+            WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred_lang,
+       ROUND(CASE WHEN greatest(en, es, fr) <= 0 THEN 0.0
+                  ELSE greatest(en, es, fr) END, 4) AS lang_score
+FROM sc ORDER BY doc_id""",
         "text_fingerprint": """
 -- winnowed Karp-Rabin document fingerprint re-derived in SQL: 16-byte
 -- polynomial window hashes mod 2^64 over the whitespace-normalized

@@ -18,6 +18,13 @@ from ..utils import round_half_away
 # tiny deterministic character-trigram profiles (public-knowledge heuristic:
 # rank-order trigram profiles a la Cavnar & Trenkle). Profiles here are seeded
 # from each language's most common function words.
+def _round4(x: float) -> float:
+    """round-half-away-from-zero at 4 decimals (DuckDB ROUND semantics)."""
+    import math
+
+    return math.floor(abs(x) * 1e4 + 0.5) / 1e4 * (1 if x >= 0 else -1)
+
+
 _LANG_PROFILES = {
     "en": ["the", "and", "ing", "ion", "ent", " th", "he ", "er ", "on ", " of"],
     "es": ["de ", " de", "la ", "os ", "ión", "ent", " la", "es ", "ado", "que"],
@@ -40,7 +47,7 @@ def lang_id_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
         cjk = sum(1 for ch in sample if 0x4E00 <= ord(ch) <= 0x9FFF)
         if cjk / len(sample) > 0.05:
             langs.append("zh")
-            scores.append(round(cjk / len(sample), 4))
+            scores.append(_round4(cjk / len(sample)))
             continue
         low = sample.lower()
         best, best_score = "und", 0.0
@@ -52,7 +59,9 @@ def lang_id_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
             if sc > best_score:
                 best, best_score = lang, sc
         langs.append(best)
-        scores.append(round(float(best_score), 4))
+        # half-away rounding (not Python banker's) so the DuckDB ROUND
+        # oracle reproduces boundary values exactly
+        scores.append(_round4(float(best_score)))
     return t.append_column("pred_lang", pa.array(langs, pa.string())).append_column(
         "lang_score", pa.array(scores, pa.float64())
     )
