@@ -1142,6 +1142,28 @@ FROM events""",
         "agg_scripted_metric": """
 SELECT ROUND(exp(sum(ln(1 + value)) / count(*)), 4) AS geo_mean_1p
 FROM events""",
+        "agg_geohash_grid": """
+-- precision-2 geohash re-derived in SQL: 5+5 quantized lon/lat
+-- bits interleaved arithmetically, base32-alphabet lookup
+WITH g AS (SELECT user_id,
+             ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+             ((user_id * 104729) % 360) - 180 + 0.5 AS lon
+      FROM (SELECT DISTINCT user_id FROM events)),
+b AS (
+  SELECT least(CAST(floor((lon + 180.0) / 360.0 * 32) AS INTEGER), 31) AS lx,
+         least(CAST(floor((lat + 90.0) / 180.0 * 32) AS INTEGER), 31) AS ly
+  FROM g),
+bits AS (
+  SELECT ((lx // 16) % 2) * 512 + ((ly // 16) % 2) * 256 + ((lx // 8) % 2) * 128
+       + ((ly // 8) % 2) * 64 + ((lx // 4) % 2) * 32 + ((ly // 4) % 2) * 16
+       + ((lx // 2) % 2) * 8 + ((ly // 2) % 2) * 4 + (lx % 2) * 2 + (ly % 2) AS v
+  FROM b),
+cells AS (
+  SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', (v // 32) + 1, 1) ||
+         substr('0123456789bcdefghjkmnpqrstuvwxyz', (v % 32) + 1, 1) AS cell
+  FROM bits)
+SELECT cell, CAST(count(*) AS BIGINT) AS doc_count FROM cells GROUP BY cell
+ORDER BY doc_count DESC, cell LIMIT 10""",
         "text_lang_id": """
 -- trigram-profile language-ID heuristic re-derived in SQL
 -- (substring counts per profile gram; first-profile-wins ties;
