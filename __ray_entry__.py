@@ -1772,4 +1772,16 @@ SELECT * FROM (
   SELECT 'TermQuery', 'text:window', (SELECT count(*) FROM ww))
 ORDER BY node, description""",
     })
+    # light-stemmer language analyzers: the full chain (char filters,
+    # Unicode tokenize, normalize, stop, published stemmer rules)
+    # re-derived as DuckDB SQL (lang/sql_oracle.py) over each gate's
+    # sample sentence. Snowball/Porter chains stay rows-only — those
+    # algorithms are pinned by golden vectors instead.
+    from elasticsearch_ray.lang.sql_oracle import (SQL_ORACLE_LANGS,
+                                                   lang_oracle_sql)
+    from elasticsearch_ray.pipelines.ops import _LANG_SAMPLES
+
+    for _lang in SQL_ORACLE_LANGS:
+        out[f"ft_analyze_{_lang}"] = lang_oracle_sql(_lang,
+                                                     _LANG_SAMPLES[_lang])
     return out
