@@ -27,6 +27,9 @@ SQL building blocks (all DuckDB 1.0 core):
 
 from __future__ import annotations
 
+from .snowball import (_AR_PREFIXES, _AR_SUFFIXES, _DA_STEP1, _DA_VOWELS,
+                       _NO_STEP1, _NO_VOWELS, _SV_S_END, _SV_STEP1,
+                       _SV_VOWELS)
 from .light import (_BG_ARTICLES, _BG_PLURAL, _BN_NUKTA, _BN_SUFFIXES,
                     _CA_SUFFIXES, _CKB_SUFFIXES, _CS_CASE_4, _CS_CASE_5,
                     _CS_VOWEL_END, _EL_SUFFIXES, _ET_SUFFIXES, _EU_SUFFIXES,
@@ -216,7 +219,142 @@ def _norm_bn(x: str) -> str:
     return f"replace(replace({e}, 'ঁ', 'ং'), 'ৎ', 'ত')"
 
 
+# ------------------------------------------------------------------
+# Snowball Scandinavian trio + Arabic light10 — these carry the R1
+# region (position in the ORIGINAL lowered word) as a column through
+# the step CTEs, exactly as the Snowball algorithms define it.
+
+def _r1_cte(vowels: str) -> str:
+    """CTE computing Snowball R1 with the 3-char minimum the Scandinavian
+    algorithms apply: R1 starts after the first non-vowel that follows a
+    vowel (shortest regexp prefix '.*?[v][^v]'), floored at min(3, len)."""
+    v = "".join(vowels)
+    return (f"r AS (SELECT position, w, GREATEST("
+            f"CASE WHEN m = '' OR m IS NULL THEN length(w) ELSE length(m) END, "
+            f"LEAST(3, length(w))) AS r1 "
+            f"FROM (SELECT position, w, "
+            f"regexp_extract(w, '^.*?[{v}][^{v}]') AS m FROM tok0))")
+
+
+def _longest_ms(sufs) -> str:
+    """Longest matching suffix length (no region condition — Snowball
+    picks the longest first, THEN tests the region)."""
+    return (f"list_aggregate(list_transform(list_filter({_strlist(sufs)}, "
+            f"s -> ends_with(w, s)), s -> length(s)), 'max')")
+
+
+def _undouble1(col: str, endings, r1col: str = "r1") -> str:
+    cond = " OR ".join(f"ends_with({col}, '{_q(e)}')" for e in endings)
+    return (f"CASE WHEN length({col}) - 1 >= {r1col} AND ({cond}) "
+            f"THEN substr({col}, 1, length({col}) - 1) ELSE {col} END")
+
+
+def _sv_passes():
+    s_end = _in_chars("substr(w, length(w)-1, 1)", _SV_S_END)
+    s1 = (f"s1 AS (SELECT position, r1, CASE "
+          f"WHEN ms IS NOT NULL AND length(w) - ms >= r1 THEN substr(w, 1, length(w)-ms) "
+          f"WHEN ends_with(w, 's') AND length(w) - 1 >= r1 AND length(w) >= 2 AND {s_end} "
+          f"THEN substr(w, 1, length(w)-1) ELSE w END AS w "
+          f"FROM (SELECT position, w, r1, {_longest_ms(_SV_STEP1)} AS ms FROM r))")
+    s2 = (f"s2 AS (SELECT position, r1, "
+          f"{_undouble1('w', ('dd', 'gd', 'nn', 'dt', 'gt', 'kt', 'tt'))} AS w FROM s1)")
+    s3 = (f"s3 AS (SELECT position, CASE "
+          f"WHEN ms IS NOT NULL AND length(w) - ms >= r1 THEN "
+          f"(CASE WHEN substr(w, length(w)-ms+1) IN ('fullt', 'löst') "
+          f"THEN substr(w, 1, length(w)-1) ELSE substr(w, 1, length(w)-ms) END) "
+          f"ELSE w END AS w "
+          f"FROM (SELECT position, w, r1, "
+          f"{_longest_ms(('fullt', 'löst', 'lig', 'els', 'ig'))} AS ms FROM s2))")
+    return [("case", _r1_cte(_SV_VOWELS)), ("case", s1), ("case", s2),
+            ("case", s3)]
+
+
+def _no_passes():
+    prev1 = "substr(w, length(w)-1, 1)"
+    prev2 = "substr(w, length(w)-2, 1)"
+    s_rule = (f"ends_with(w, 's') AND length(w) - 1 >= r1 AND length(w) >= 2 AND "
+              f"({_in_chars(prev1, 'bcdfghjlmnoprtvyz')} OR "
+              f"({prev1} = 'k' AND (length(w) < 3 OR NOT {_in_chars(prev2, _NO_VOWELS)})))")
+    s1 = (f"s1 AS (SELECT position, r1, CASE "
+          f"WHEN ms IS NOT NULL AND length(w) - ms >= r1 THEN "
+          f"(CASE WHEN substr(w, length(w)-ms+1) IN ('erte', 'ert') "
+          f"THEN substr(w, 1, length(w)-ms) || 'er' "
+          f"ELSE substr(w, 1, length(w)-ms) END) "
+          f"WHEN {s_rule} THEN substr(w, 1, length(w)-1) ELSE w END AS w "
+          f"FROM (SELECT position, w, r1, {_longest_ms(_NO_STEP1)} AS ms FROM r))")
+    s2 = (f"s2 AS (SELECT position, r1, "
+          f"{_undouble1('w', ('dt', 'vt'))} AS w FROM s1)")
+    step3 = ("hetslov", "slov", "elov", "elig", "eleg", "lov", "lig", "eig",
+             "els", "leg", "ig")
+    s3 = (f"s3 AS (SELECT position, CASE "
+          f"WHEN ms IS NOT NULL AND length(w) - ms >= r1 "
+          f"THEN substr(w, 1, length(w)-ms) ELSE w END AS w "
+          f"FROM (SELECT position, w, r1, {_longest_ms(step3)} AS ms FROM s2))")
+    return [("case", _r1_cte(_NO_VOWELS)), ("case", s1), ("case", s2),
+            ("case", s3)]
+
+
+def _da_passes():
+    s_end = _in_chars("substr(w, length(w)-1, 1)", "abcdfghjklmnoprtvyzå")
+    s1 = (f"s1 AS (SELECT position, r1, CASE "
+          f"WHEN ms IS NOT NULL AND length(w) - ms >= r1 THEN substr(w, 1, length(w)-ms) "
+          f"WHEN ends_with(w, 's') AND length(w) - 1 >= r1 AND length(w) >= 2 AND {s_end} "
+          f"THEN substr(w, 1, length(w)-1) ELSE w END AS w "
+          f"FROM (SELECT position, w, r1, {_longest_ms(_DA_STEP1)} AS ms FROM r))")
+    und = ("gd", "dt", "gt", "kt")
+    s2 = (f"s2 AS (SELECT position, r1, {_undouble1('w', und)} AS w FROM s1)")
+    s3a = ("s3a AS (SELECT position, r1, CASE WHEN ends_with(w, 'igst') "
+           "THEN substr(w, 1, length(w)-2) ELSE w END AS w FROM s2)")
+    u = "substr(w, 1, length(w)-ms)"
+    s3 = (f"s3 AS (SELECT position, r1, CASE "
+          f"WHEN ms IS NOT NULL AND substr(w, length(w)-ms+1) = 'løst' THEN "
+          f"(CASE WHEN length(w) - ms >= r1 - 1 THEN substr(w, 1, length(w)-1) ELSE w END) "
+          f"WHEN ms IS NOT NULL AND length(w) - ms >= r1 THEN {_undouble1(u, und)} "
+          f"ELSE w END AS w "
+          f"FROM (SELECT position, w, r1, "
+          f"{_longest_ms(('elig', 'løst', 'lig', 'els', 'ig'))} AS ms FROM s3a))")
+    s4 = (f"s4 AS (SELECT position, CASE "
+          f"WHEN length(w) - 1 >= r1 AND length(w) >= 2 "
+          f"AND substr(w, length(w), 1) = substr(w, length(w)-1, 1) "
+          f"AND NOT {_in_chars('substr(w, length(w), 1)', _DA_VOWELS)} "
+          f"THEN substr(w, 1, length(w)-1) ELSE w END AS w FROM s3)")
+    return [("case", _r1_cte(_DA_VOWELS)), ("case", s1), ("case", s2),
+            ("case", s3a), ("case", s3), ("case", s4)]
+
+
+def _ar_passes():
+    # normalization: strip harakat + shadda/sukun + tatweel, unify hamza
+    # forms to bare alef, alef maqsura -> ya, teh marbuta -> heh
+    norm = _replace_chain(
+        "translate(w, 'ًٌٍَُِّْـ', '')",
+        [("أ", "ا"), ("إ", "ا"), ("آ", "ا"), ("ى", "ي"), ("ة", "ه")])
+    n0 = f"n0 AS (SELECT position, {norm} AS w FROM tok0)"
+    pre = (f"pr AS (SELECT position, CASE WHEN len(c) > 0 "
+           f"THEN substr(w, length(c[1]) + 1) ELSE w END AS w "
+           f"FROM (SELECT position, w, list_filter({_strlist(_AR_PREFIXES)}, "
+           f"p -> starts_with(w, p) AND length(w) > length(p) + 1) AS c FROM n0))")
+    passes = [("case", n0), ("case", pre)]
+    prev = "pr"
+    # light10 strips suffixes repeatedly (first match in list order each
+    # round) until none applies; 8 unrolled rounds reach the fixed point
+    # for any word up to ~18 chars given the 1-char-per-round minimum
+    for i in range(1, 9):
+        name = f"sf{i}"
+        passes.append(("case", (
+            f"{name} AS (SELECT position, CASE WHEN len(c) > 0 "
+            f"THEN substr(w, 1, length(w) - length(c[1])) ELSE w END AS w "
+            f"FROM (SELECT position, w, list_filter({_strlist(_AR_SUFFIXES)}, "
+            f"s -> ends_with(w, s) AND length(w) > length(s) + 1) AS c "
+            f"FROM {prev}))")))
+        prev = name
+    return passes
+
+
 _SPECS: dict[str, dict] = {
+    "swedish": dict(pre=_pre_default, passes=_sv_passes),
+    "norwegian": dict(pre=_pre_default, passes=_no_passes),
+    "danish": dict(pre=_pre_default, passes=_da_passes),
+    "arabic": dict(pre=_pre_default, passes=_ar_passes),
     "hungarian": dict(
         pre=lambda t: f"translate(lower({t}), 'áéíóöőúüű', 'aeiooouuu')",
         passes=_hu_passes),

@@ -12,10 +12,10 @@ from elasticsearch_ray.analyzer import get_analyzer
 from elasticsearch_ray.lang.sql_oracle import SQL_ORACLE_LANGS, lang_oracle_sql
 from elasticsearch_ray.pipelines.ops import _LANG_SAMPLES
 
-from test_lang import GOLDEN_3C, GOLDEN_3D
+from test_lang import GOLDEN, GOLDEN_3C, GOLDEN_3D
 
 _GOLDEN_WORDS = {}
-for _src in (GOLDEN_3C, GOLDEN_3D):
+for _src in (GOLDEN, GOLDEN_3C, GOLDEN_3D):
     for _lang, _pairs in _src.items():
         _GOLDEN_WORDS.setdefault(_lang, []).extend(w for w, _ in _pairs)
 
