@@ -28,8 +28,11 @@ SQL building blocks (all DuckDB 1.0 core):
 from __future__ import annotations
 
 from .snowball import (_AR_PREFIXES, _AR_SUFFIXES, _DA_STEP1, _DA_VOWELS,
-                       _NO_STEP1, _NO_VOWELS, _SV_S_END, _SV_STEP1,
-                       _SV_VOWELS)
+                       _DE_S_END, _DE_ST_END, _DE_VOWELS, _NL_VOWELS,
+                       _NO_STEP1, _NO_VOWELS, _RU_ADJECTIVE, _RU_NOUN,
+                       _RU_PARTICIPLE_1, _RU_PARTICIPLE_2, _RU_PERFECTIVE_1,
+                       _RU_PERFECTIVE_2, _RU_VERB_1, _RU_VERB_2, _RU_VOWELS,
+                       _SV_S_END, _SV_STEP1, _SV_VOWELS)
 from .light import (_BG_ARTICLES, _BG_PLURAL, _BN_NUKTA, _BN_SUFFIXES,
                     _CA_SUFFIXES, _CKB_SUFFIXES, _CS_CASE_4, _CS_CASE_5,
                     _CS_VOWEL_END, _EL_SUFFIXES, _ET_SUFFIXES, _EU_SUFFIXES,
@@ -350,7 +353,278 @@ def _ar_passes():
     return passes
 
 
+# ------------------------------------------------------------------
+# German / Dutch / Russian Snowball
+
+def _r12_cte(vowels: str, prev: str, floor3: bool = True,
+             name: str = "r") -> str:
+    """CTE adding Snowball r1 AND r2 columns (positions in the word the
+    CTE receives — for German/Dutch that is the protection-marked form,
+    whose uppercase markers count as consonants, as Snowball requires)."""
+    v = "".join(vowels)
+    p1 = f"^.*?[{v}][^{v}]"
+    p2 = f"^.*?[{v}][^{v}].*?[{v}][^{v}]"
+    r1 = "CASE WHEN m1 = '' OR m1 IS NULL THEN length(w) ELSE length(m1) END"
+    if floor3:
+        r1 = f"GREATEST({r1}, LEAST(3, length(w)))"
+    return (f"{name} AS (SELECT position, w, {r1} AS r1, "
+            f"CASE WHEN m2 = '' OR m2 IS NULL THEN length(w) ELSE length(m2) END AS r2 "
+            f"FROM (SELECT position, w, regexp_extract(w, '{p1}') AS m1, "
+            f"regexp_extract(w, '{p2}') AS m2 FROM {prev}))")
+
+
+def _protect_cte(name: str, prev: str, char_case: str) -> str:
+    """CTE rebuilding w character-by-character (exact positional marking,
+    including overlapping neighbor contexts a global regexp would miss)."""
+    return (f"{name} AS (SELECT position, COALESCE(list_aggregate("
+            f"list_transform(range(1, length(w)+1), i -> {char_case}), "
+            f"'string_agg', ''), w) AS w FROM {prev})")
+
+
+def _de_passes():
+    vow = _in_chars("substr(w, i-1, 1)", _DE_VOWELS)
+    vow2 = _in_chars("substr(w, i+1, 1)", _DE_VOWELS)
+    prot = (f"CASE WHEN i > 1 AND i < length(w) AND substr(w, i, 1) IN ('u', 'y') "
+            f"AND {vow} AND {vow2} THEN upper(substr(w, i, 1)) "
+            f"ELSE substr(w, i, 1) END")
+    g0 = "g0 AS (SELECT position, replace(w, 'ß', 'ss') AS w FROM tok0)"
+    gp = _protect_cte("gp", "g0", prot)
+    # step 1 (cut computed from the longest suffix BEFORE the region test)
+    s_end = _in_chars("substr(w, length(w)-ms, 1)", _DE_S_END)
+    u1 = "substr(w, 1, length(w)-ms)"
+    s1 = (f"s1 AS (SELECT position, r1, r2, CASE "
+          f"WHEN ms IS NULL THEN w "
+          f"WHEN substr(w, length(w)-ms+1) = 's' THEN "
+          f"(CASE WHEN length(w)-ms >= r1 AND length(w)-ms > 0 AND {s_end} "
+          f"THEN {u1} ELSE w END) "
+          f"WHEN length(w)-ms >= r1 THEN "
+          f"(CASE WHEN substr(w, length(w)-ms+1) IN ('en', 'es', 'e') "
+          f"AND ends_with({u1}, 'niss') THEN substr(w, 1, length(w)-ms-1) "
+          f"ELSE {u1} END) ELSE w END AS w "
+          f"FROM (SELECT position, w, r1, r2, "
+          f"{_longest_ms(('em', 'ern', 'er', 'en', 'es', 'e', 's'))} AS ms FROM r))")
+    st_end = _in_chars("substr(w, length(w)-ms, 1)", _DE_ST_END)
+    s2 = (f"s2 AS (SELECT position, r1, r2, CASE "
+          f"WHEN ms IS NULL THEN w "
+          f"WHEN substr(w, length(w)-ms+1) = 'st' THEN "
+          f"(CASE WHEN length(w)-ms >= r1 AND length(w)-ms >= 3 AND {st_end} "
+          f"THEN {u1} ELSE w END) "
+          f"WHEN length(w)-ms >= r1 THEN {u1} ELSE w END AS w "
+          f"FROM (SELECT position, w, r1, r2, "
+          f"{_longest_ms(('est', 'en', 'er', 'st'))} AS ms FROM s1))")
+    # step 3 d-suffixes; u = stripped form
+    u = "substr(w, 1, length(w)-ms)"
+    endung = (f"(CASE WHEN ends_with({u}, 'ig') AND length({u})-2 >= r2 "
+              f"AND NOT ends_with({u}, 'eig') "
+              f"THEN substr({u}, 1, length({u})-2) ELSE {u} END)")
+    licheit = (f"(CASE WHEN ends_with({u}, 'er') AND length({u})-2 >= r1 "
+               f"THEN substr({u}, 1, length({u})-2) "
+               f"WHEN ends_with({u}, 'en') AND length({u})-2 >= r1 "
+               f"THEN substr({u}, 1, length({u})-2) ELSE {u} END)")
+    keit = (f"(CASE WHEN ends_with({u}, 'lich') AND length({u})-4 >= r2 "
+            f"THEN substr({u}, 1, length({u})-4) "
+            f"WHEN ends_with({u}, 'ig') AND length({u})-2 >= r2 "
+            f"THEN substr({u}, 1, length({u})-2) ELSE {u} END)")
+    s3 = (f"s3 AS (SELECT position, CASE "
+          f"WHEN ms IS NULL THEN w "
+          f"WHEN substr(w, length(w)-ms+1) IN ('end', 'ung') THEN "
+          f"(CASE WHEN length(w)-ms >= r2 THEN {endung} ELSE w END) "
+          f"WHEN substr(w, length(w)-ms+1) IN ('ig', 'ik', 'isch') THEN "
+          f"(CASE WHEN length(w)-ms >= r2 AND (length(w)-ms = 0 "
+          f"OR substr(w, length(w)-ms, 1) <> 'e') THEN {u} ELSE w END) "
+          f"WHEN substr(w, length(w)-ms+1) IN ('lich', 'heit') THEN "
+          f"(CASE WHEN length(w)-ms >= r2 THEN {licheit} ELSE w END) "
+          f"WHEN substr(w, length(w)-ms+1) = 'keit' THEN "
+          f"(CASE WHEN length(w)-ms >= r2 THEN {keit} ELSE w END) "
+          f"ELSE w END AS w "
+          f"FROM (SELECT position, w, r1, r2, "
+          f"{_longest_ms(('end', 'ung', 'isch', 'ik', 'ig', 'lich', 'heit', 'keit'))} AS ms "
+          f"FROM s2))")
+    fin = ("fin AS (SELECT position, "
+           + _replace_chain("w", [("U", "u"), ("Y", "y"), ("ä", "a"),
+                                  ("ö", "o"), ("ü", "u")])
+           + " AS w FROM s3)")
+    return [("case", g0), ("case", gp),
+            ("case", _r12_cte(_DE_VOWELS, "gp")),
+            ("case", s1), ("case", s2), ("case", s3), ("case", fin)]
+
+
+def _nl_undouble_sql(col: str) -> str:
+    return (f"(CASE WHEN ends_with({col}, 'kk') OR ends_with({col}, 'dd') "
+            f"OR ends_with({col}, 'tt') THEN substr({col}, 1, length({col})-1) "
+            f"ELSE {col} END)")
+
+
+def _nl_passes():
+    vow_prev = _in_chars("substr(w, i-1, 1)", _NL_VOWELS)
+    vow_next = _in_chars("substr(w, i+1, 1)", _NL_VOWELS)
+    prot = (f"CASE WHEN substr(w, i, 1) = 'y' AND (i = 1 OR {vow_prev}) THEN 'Y' "
+            f"WHEN substr(w, i, 1) = 'i' AND i > 1 AND i < length(w) "
+            f"AND {vow_prev} AND {vow_next} THEN 'I' "
+            f"ELSE substr(w, i, 1) END")
+    d0 = ("d0 AS (SELECT position, "
+          + _replace_chain("w", [("ä", "a"), ("ë", "e"), ("ï", "i"),
+                                 ("ö", "o"), ("ü", "u"), ("á", "a"),
+                                 ("é", "e"), ("í", "i"), ("ó", "o"),
+                                 ("ú", "u")])
+          + " AS w FROM tok0)")
+    dp = _protect_cte("dp", "d0", prot)
+    nvow = lambda col: "NOT " + _in_chars(col, _NL_VOWELS)  # noqa: E731
+    u1 = "substr(w, 1, length(w)-ms)"
+    s1 = (f"s1 AS (SELECT position, r1, r2, CASE "
+          f"WHEN ms IS NULL THEN w "
+          f"WHEN substr(w, length(w)-ms+1) = 'heden' THEN "
+          f"(CASE WHEN length(w)-ms >= r1 THEN {u1} || 'heid' ELSE w END) "
+          f"WHEN substr(w, length(w)-ms+1) IN ('ene', 'en') THEN "
+          f"(CASE WHEN length(w)-ms >= r1 AND length(w)-ms > 0 "
+          f"AND {nvow('substr(w, length(w)-ms, 1)')} "
+          f"AND substr({u1}, length({u1})-2) <> 'gem' "
+          f"THEN {_nl_undouble_sql(u1)} ELSE w END) "
+          f"WHEN substr(w, length(w)-ms+1) IN ('se', 's') THEN "
+          f"(CASE WHEN length(w)-ms >= r1 AND length(w)-ms > 0 "
+          f"AND NOT {_in_chars('substr(w, length(w)-ms, 1)', _NL_VOWELS + 'j')} "
+          f"THEN {u1} ELSE w END) ELSE w END AS w "
+          f"FROM (SELECT position, w, r1, r2, "
+          f"{_longest_ms(('heden', 'ene', 'en', 'se', 's'))} AS ms FROM r))")
+    e1 = "substr(w, 1, length(w)-1)"
+    s2 = (f"s2 AS (SELECT position, r1, r2, CASE "
+          f"WHEN ends_with(w, 'e') AND length(w)-1 >= r1 AND length(w) >= 2 "
+          f"AND {nvow('substr(w, length(w)-1, 1)')} "
+          f"THEN {_nl_undouble_sql(e1)} ELSE w END AS w, "
+          f"(ends_with(w, 'e') AND length(w)-1 >= r1 AND length(w) >= 2 "
+          f"AND {nvow('substr(w, length(w)-1, 1)')}) AS e_removed FROM s1)")
+    h4 = "substr(w, 1, length(w)-4)"
+    hen = (f"(CASE WHEN ends_with({h4}, 'en') AND length({h4})-2 >= r1 "
+           f"AND length({h4}) > 2 AND {nvow(f'substr({h4}, length({h4})-2, 1)')} "
+           f"AND substr(substr({h4}, 1, length({h4})-2), "
+           f"length(substr({h4}, 1, length({h4})-2))-2) <> 'gem' "
+           f"THEN {_nl_undouble_sql(f'substr({h4}, 1, length({h4})-2)')} "
+           f"ELSE {h4} END)")
+    s3a = (f"s3a AS (SELECT position, r1, r2, e_removed, CASE "
+           f"WHEN ends_with(w, 'heid') AND length(w)-4 >= r2 "
+           f"AND (length(w) < 5 OR substr(w, length(w)-4, 1) <> 'c') "
+           f"THEN {hen} ELSE w END AS w FROM s2)")
+    u = "substr(w, 1, length(w)-ms)"
+    endig = (f"(CASE WHEN ends_with({u}, 'ig') AND length({u})-2 >= r2 "
+             f"AND (length({u}) < 3 OR substr({u}, length({u})-2, 1) <> 'e') "
+             f"THEN substr({u}, 1, length({u})-2) "
+             f"ELSE {_nl_undouble_sql(u)} END)")
+    lijk = (f"(CASE WHEN ends_with({u}, 'e') AND length({u})-1 >= r1 "
+            f"AND length({u}) >= 2 AND {nvow(f'substr({u}, length({u})-1, 1)')} "
+            f"THEN {_nl_undouble_sql(f'substr({u}, 1, length({u})-1)')} "
+            f"ELSE {u} END)")
+    s3b = (f"s3b AS (SELECT position, CASE "
+           f"WHEN ms IS NULL THEN w "
+           f"WHEN substr(w, length(w)-ms+1) IN ('end', 'ing') THEN "
+           f"(CASE WHEN length(w)-ms >= r2 THEN {endig} ELSE w END) "
+           f"WHEN substr(w, length(w)-ms+1) = 'ig' THEN "
+           f"(CASE WHEN length(w)-ms >= r2 AND (length(w)-ms = 0 "
+           f"OR substr(w, length(w)-ms, 1) <> 'e') THEN {u} ELSE w END) "
+           f"WHEN substr(w, length(w)-ms+1) = 'lijk' THEN "
+           f"(CASE WHEN length(w)-ms >= r2 THEN {lijk} ELSE w END) "
+           f"WHEN substr(w, length(w)-ms+1) = 'baar' THEN "
+           f"(CASE WHEN length(w)-ms >= r2 THEN {u} ELSE w END) "
+           f"WHEN substr(w, length(w)-ms+1) = 'bar' THEN "
+           f"(CASE WHEN length(w)-ms >= r2 AND e_removed THEN {u} ELSE w END) "
+           f"ELSE w END AS w "
+           f"FROM (SELECT position, w, r1, r2, e_removed, "
+           f"{_longest_ms(('end', 'ing', 'ig', 'lijk', 'baar', 'bar'))} AS ms "
+           f"FROM s3a))")
+    s4 = (f"s4 AS (SELECT position, CASE "
+          f"WHEN length(w) >= 4 AND {nvow('substr(w, length(w), 1)')} "
+          f"AND substr(w, length(w), 1) <> 'I' "
+          f"AND substr(w, length(w)-1, 1) = substr(w, length(w)-2, 1) "
+          f"AND substr(w, length(w)-1, 1) IN ('a', 'e', 'o', 'u') "
+          f"AND {nvow('substr(w, length(w)-3, 1)')} "
+          f"THEN substr(w, 1, length(w)-2) || substr(w, length(w), 1) "
+          f"ELSE w END AS w FROM s3b)")
+    fin = ("fin AS (SELECT position, replace(replace(w, 'Y', 'y'), 'I', 'i') "
+           "AS w FROM s4)")
+    return [("case", d0), ("case", dp),
+            ("case", _r12_cte(_NL_VOWELS, "dp")),
+            ("case", s1), ("case", s2), ("case", s3a), ("case", s3b),
+            ("case", s4), ("case", fin)]
+
+
+def _ru_group_ml(g1, g2, rvcol: str = "rv") -> str:
+    """Longest suffix length over group2 (region-tested) and group1
+    (region + preceding а/я), -1 when neither matches."""
+    l2 = (f"COALESCE(list_aggregate(list_transform(list_filter({_strlist(g2)}, "
+          f"s -> ends_with(w, s) AND length(w)-length(s) >= {rvcol}), "
+          f"s -> length(s)), 'max'), -1)")
+    if not g1:
+        return l2
+    l1 = (f"COALESCE(list_aggregate(list_transform(list_filter({_strlist(g1)}, "
+          f"s -> ends_with(w, s) AND length(w)-length(s) >= {rvcol} "
+          f"AND length(w)-length(s) > 0 "
+          f"AND substr(w, length(w)-length(s), 1) IN ('а', 'я')), "
+          f"s -> length(s)), 'max'), -1)")
+    return f"GREATEST({l1}, {l2})"
+
+
+def _ru_passes():
+    v = "".join(_RU_VOWELS)
+    p2 = f"^.*?[{v}][^{v}].*?[{v}][^{v}]"
+    r0 = "r0 AS (SELECT position, replace(w, 'ё', 'е') AS w FROM tok0)"
+    rr = (f"rr AS (SELECT position, w, "
+          f"CASE WHEN mv = '' OR mv IS NULL THEN length(w) ELSE length(mv) END AS rv, "
+          f"CASE WHEN m2 = '' OR m2 IS NULL THEN length(w) ELSE length(m2) END AS r2 "
+          f"FROM (SELECT position, w, regexp_extract(w, '^[^{v}]*[{v}]') AS mv, "
+          f"regexp_extract(w, '{p2}') AS m2 FROM r0))")
+    s1a = (f"s1a AS (SELECT position, rv, r2, ml > 0 AS p_done, "
+           f"CASE WHEN ml > 0 THEN substr(w, 1, length(w)-ml) ELSE w END AS w "
+           f"FROM (SELECT position, w, rv, r2, "
+           f"{_ru_group_ml(_RU_PERFECTIVE_1, _RU_PERFECTIVE_2)} AS ml FROM rr))")
+    s1b = (f"s1b AS (SELECT position, rv, r2, p_done, CASE "
+           f"WHEN NOT p_done AND (ends_with(w, 'ся') OR ends_with(w, 'сь')) "
+           f"AND length(w)-2 >= rv THEN substr(w, 1, length(w)-2) "
+           f"ELSE w END AS w FROM s1a)")
+    s1c = (f"s1c AS (SELECT position, rv, r2, "
+           f"(NOT p_done AND mla > 0) AS adj_done, CASE "
+           f"WHEN p_done THEN w "
+           f"WHEN mla > 0 THEN substr(w, 1, length(w)-mla) "
+           f"WHEN mlv > 0 THEN substr(w, 1, length(w)-mlv) "
+           f"WHEN mln > 0 THEN substr(w, 1, length(w)-mln) "
+           f"ELSE w END AS w "
+           f"FROM (SELECT position, w, rv, r2, p_done, "
+           f"{_ru_group_ml((), _RU_ADJECTIVE)} AS mla, "
+           f"{_ru_group_ml(_RU_VERB_1, _RU_VERB_2)} AS mlv, "
+           f"{_ru_group_ml((), _RU_NOUN)} AS mln FROM s1b))")
+    s1d = (f"s1d AS (SELECT position, rv, r2, CASE "
+           f"WHEN adj_done AND ml > 0 THEN substr(w, 1, length(w)-ml) "
+           f"ELSE w END AS w "
+           f"FROM (SELECT position, w, rv, r2, adj_done, "
+           f"{_ru_group_ml(_RU_PARTICIPLE_1, _RU_PARTICIPLE_2)} AS ml FROM s1c))")
+    s2 = (f"s2 AS (SELECT position, rv, r2, CASE "
+          f"WHEN ends_with(w, 'и') AND length(w)-1 >= rv "
+          f"THEN substr(w, 1, length(w)-1) ELSE w END AS w FROM s1d)")
+    s3 = (f"s3 AS (SELECT position, rv, CASE "
+          f"WHEN ends_with(w, 'ость') AND length(w)-4 >= r2 "
+          f"THEN substr(w, 1, length(w)-4) "
+          f"WHEN ends_with(w, 'ост') AND length(w)-3 >= r2 "
+          f"THEN substr(w, 1, length(w)-3) ELSE w END AS w FROM s2)")
+    u = "substr(w, 1, length(w)-ms)"
+    s4 = (f"s4 AS (SELECT position, rv, CASE "
+          f"WHEN ends_with(w, 'нн') AND length(w)-1 >= rv "
+          f"THEN substr(w, 1, length(w)-1) "
+          f"WHEN ms IS NOT NULL AND length(w)-ms >= rv THEN "
+          f"(CASE WHEN ends_with({u}, 'нн') AND length({u})-1 >= rv "
+          f"THEN substr({u}, 1, length({u})-1) ELSE {u} END) "
+          f"ELSE w END AS w "
+          f"FROM (SELECT position, w, rv, "
+          f"{_longest_ms(('ейше', 'ейш'))} AS ms FROM s3))")
+    s5 = (f"s5 AS (SELECT position, CASE "
+          f"WHEN ends_with(w, 'ь') AND length(w)-1 >= rv "
+          f"THEN substr(w, 1, length(w)-1) ELSE w END AS w FROM s4)")
+    return [("case", r0), ("case", rr), ("case", s1a), ("case", s1b),
+            ("case", s1c), ("case", s1d), ("case", s2), ("case", s3),
+            ("case", s4), ("case", s5)]
+
+
 _SPECS: dict[str, dict] = {
+    "german": dict(pre=_pre_default, passes=_de_passes),
+    "dutch": dict(pre=_pre_default, passes=_nl_passes),
+    "russian": dict(pre=_pre_default, passes=_ru_passes),
     "swedish": dict(pre=_pre_default, passes=_sv_passes),
     "norwegian": dict(pre=_pre_default, passes=_no_passes),
     "danish": dict(pre=_pre_default, passes=_da_passes),
