@@ -239,11 +239,11 @@ def _r1_cte(vowels: str) -> str:
             f"regexp_extract(w, '^.*?[{v}][^{v}]') AS m FROM tok0))")
 
 
-def _longest_ms(sufs) -> str:
+def _longest_ms(sufs, col: str = "w") -> str:
     """Longest matching suffix length (no region condition — Snowball
     picks the longest first, THEN tests the region)."""
     return (f"list_aggregate(list_transform(list_filter({_strlist(sufs)}, "
-            f"s -> ends_with(w, s)), s -> length(s)), 'max')")
+            f"s -> ends_with({col}, s)), s -> length(s)), 'max')")
 
 
 def _undouble1(col: str, endings, r1col: str = "r1") -> str:
@@ -621,7 +621,334 @@ def _ru_passes():
             ("case", s4), ("case", s5)]
 
 
+# ------------------------------------------------------------------
+# Romance Snowball (Spanish / Italian / Portuguese): shared RV rule +
+# step-1 branch tables with replacement endings and follow-up chains.
+
+def _romance_r_cte(vowels: str, prev: str, name: str = "r") -> str:
+    """CTE adding r1, r2 AND the Romance RV: if the 2nd letter is a
+    consonant, RV is after the next vowel; if the first two letters are
+    vowels, after the next consonant; else (C-V) after the 3rd letter."""
+    v = "".join(vowels)
+    p1 = f"^.*?[{v}][^{v}]"
+    p2 = f"^.*?[{v}][^{v}].*?[{v}][^{v}]"
+    pa = f"^..[^{v}]*[{v}]"
+    pb = f"^..[{v}]*[^{v}]"
+    ln = "CASE WHEN {m} = '' OR {m} IS NULL THEN length(w) ELSE length({m}) END"
+    return (f"{name} AS (SELECT position, w, "
+            f"{ln.format(m='m1')} AS r1, {ln.format(m='m2')} AS r2, "
+            f"CASE WHEN length(w) < 3 THEN length(w) "
+            f"WHEN NOT {_in_chars('substr(w, 2, 1)', vowels)} THEN {ln.format(m='ma')} "
+            f"WHEN {_in_chars('substr(w, 1, 1)', vowels)} "
+            f"AND {_in_chars('substr(w, 2, 1)', vowels)} THEN {ln.format(m='mb')} "
+            f"ELSE 3 END AS rv "
+            f"FROM (SELECT position, w, regexp_extract(w, '{p1}') AS m1, "
+            f"regexp_extract(w, '{p2}') AS m2, regexp_extract(w, '{pa}') AS ma, "
+            f"regexp_extract(w, '{pb}') AS mb FROM {prev}))")
+
+
+def _first_match_strip(u: str, pres, region: str = "r2") -> str:
+    """for pre in pres: if u.endswith(pre) and len(u)-len(pre)>=region:
+    strip; break — as a first-match CASE."""
+    arms = " ".join(
+        f"WHEN ends_with({u}, '{_q(p)}') AND length({u})-{len(p)} >= {region} "
+        f"THEN substr({u}, 1, length({u})-{len(p)})" for p in pres)
+    return f"(CASE {arms} ELSE {u} END)"
+
+
+def _fixed2_strip(u: str, pres, region: str = "r2") -> str:
+    """Portuguese amente variant: condition and strip use a fixed 2."""
+    arms = " ".join(
+        f"WHEN ends_with({u}, '{_q(p)}') AND length({u})-2 >= {region} "
+        f"THEN substr({u}, 1, length({u})-2)" for p in pres)
+    return f"(CASE {arms} ELSE {u} END)"
+
+
+def _iv_at_chain(u: str, fallback: str) -> str:
+    """if u ends iv (R2): strip, then at (R2): strip; else fallback."""
+    u2 = f"substr({u}, 1, length({u})-2)"
+    u4 = f"substr({u}, 1, length({u})-4)"
+    return (f"(CASE WHEN ends_with({u}, 'iv') AND length({u})-2 >= r2 THEN "
+            f"(CASE WHEN ends_with({u2}, 'at') AND length({u2})-2 >= r2 "
+            f"THEN {u4} ELSE {u2} END) ELSE {fallback} END)")
+
+
+def _at_chain(u: str, then_ic: bool = False) -> str:
+    """if u ends at (R2): strip (Italian then retests ic)."""
+    u2 = f"substr({u}, 1, length({u})-2)"
+    if not then_ic:
+        return (f"(CASE WHEN ends_with({u}, 'at') AND length({u})-2 >= r2 "
+                f"THEN {u2} ELSE {u} END)")
+    u4 = f"substr({u}, 1, length({u})-4)"
+    return (f"(CASE WHEN ends_with({u}, 'at') AND length({u})-2 >= r2 THEN "
+            f"(CASE WHEN ends_with({u2}, 'ic') AND length({u2})-2 >= r2 "
+            f"THEN {u4} ELSE {u2} END) ELSE {u} END)")
+
+
+def _ic_chain(u: str) -> str:
+    u2 = f"substr({u}, 1, length({u})-2)"
+    return (f"(CASE WHEN ends_with({u}, 'ic') AND length({u})-2 >= r2 "
+            f"THEN {u2} ELSE {u} END)")
+
+
+def _branch_case(branches, all_sufs) -> str:
+    """Snowball step-1 dispatcher: ms = longest over the full table, then
+    branch on which group the matched suffix belongs to. `branches` is a
+    list of (group_sufs, region_col, action(u_expr) -> sql)."""
+    u = "substr(w, 1, length(w)-ms)"
+    sfx = "substr(w, length(w)-ms+1)"
+    arms = []
+    for sufs, region, action in branches:
+        in_group = sfx + " IN (" + ", ".join(f"'{_q(s)}'" for s in sufs) + ")"
+        guard = f"length(w)-ms >= {region}" if region else "TRUE"
+        extra = ""
+        if region == "rv+e":  # portuguese ira: preceded by e, region rv
+            guard = ("length(w)-ms >= rv AND length(w)-ms > 0 "
+                     "AND substr(w, length(w)-ms, 1) = 'e'")
+        arms.append(f"WHEN {in_group} THEN "
+                    f"(CASE WHEN {guard}{extra} THEN {action(u)} ELSE w END)")
+    body = " ".join(arms)
+    return (f"CASE WHEN ms IS NULL THEN w {body} ELSE w END",
+            _longest_ms(all_sufs))
+
+
+def _es_passes():
+    from .snowball import (_ES_PRE_ACC, _ES_PRE_PLAIN, _ES_PRONOUNS,
+                           _ES_VERB_SUFFIXES, _ES_VOWELS)
+    # step 0: attached pronouns
+    z0 = (f"z0 AS (SELECT position, w, r1, r2, rv, "
+          f"{_longest_ms(_ES_PRONOUNS)} AS mp FROM r)")
+    z1 = ("z1 AS (SELECT position, w, r1, r2, rv, mp, "
+          "CASE WHEN mp IS NULL THEN NULL "
+          "ELSE substr(w, 1, length(w)-mp) END AS base FROM z0)")
+    st0 = (f"st0 AS (SELECT position, r1, r2, rv, CASE "
+           f"WHEN mp IS NULL THEN w "
+           f"WHEN mla IS NOT NULL AND length(base)-mla+1 >= rv "
+           f"THEN translate(base, 'áéíóú', 'aeiou') "
+           f"WHEN mlb IS NOT NULL AND length(base)-mlb >= rv THEN base "
+           f"WHEN ends_with(base, 'yendo') AND contains(substr(base, "
+           f"GREATEST(1, length(base)-5)), 'uyendo') THEN base "
+           f"ELSE w END AS w "
+           f"FROM (SELECT *, {_longest_ms(_ES_PRE_ACC, 'base')} AS mla, "
+           f"{_longest_ms(_ES_PRE_PLAIN, 'base')} AS mlb FROM z1))")
+    # step 1 branch table (mirrors spanish_stem's elif chain)
+    g_strip = ("anza", "anzas", "ico", "ica", "icos", "icas", "ismo",
+               "ismos", "able", "ables", "ible", "ibles", "ista", "istas",
+               "oso", "osa", "osos", "osas", "amiento", "amientos",
+               "imiento", "imientos")
+    g_ador = ("adora", "ador", "ación", "adoras", "adores", "aciones",
+              "ante", "antes", "ancia", "ancias")
+    all_sufs = ("amientos", "imientos", "amiento", "imiento", "aciones",
+                "adoras", "adores", "ancias", "logías", "encias", "amente",
+                "idades", "anzas", "icos", "icas", "ismos", "ables",
+                "ibles", "istas", "osos", "osas", "ación", "adora",
+                "ancia", "logía", "ución", "encia", "mente", "anza",
+                "icas", "idad", "ivas", "ivos", "ico", "ica", "ismo",
+                "able", "ible", "ista", "oso", "osa", "ador", "ante",
+                "antes", "uciones", "iva", "ivo")
+    case1, ms1 = _branch_case([
+        (g_strip, "r2", lambda u: u),
+        (g_ador, "r2", _ic_chain),
+        (("logía", "logías"), "r2", lambda u: f"{u} || 'log'"),
+        (("ución", "uciones"), "r2", lambda u: f"{u} || 'u'"),
+        (("encia", "encias"), "r2", lambda u: f"{u} || 'ente'"),
+        (("amente",), "r1",
+         lambda u: _iv_at_chain(u, _first_match_strip(u, ("os", "ic", "ad")))),
+        (("mente",), "r2",
+         lambda u: _first_match_strip(u, ("ante", "able", "ible"))),
+        (("idad", "idades"), "r2",
+         lambda u: _first_match_strip(u, ("abil", "ic", "iv"))),
+        (("iva", "ivo", "ivas", "ivos"), "r2", _at_chain),
+    ], all_sufs)
+    st1 = (f"st1 AS (SELECT position, r1, r2, rv, wn <> w AS ch1, wn AS w "
+           f"FROM (SELECT position, w, r1, r2, rv, {case1} AS wn "
+           f"FROM (SELECT position, w, r1, r2, rv, {ms1} AS ms FROM st0)))")
+    # step 2a: y-verb suffixes preceded by u (only when step 1 left w alone)
+    ysufs = ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas", "yes",
+             "ya", "ye", "yo", "yó")
+    st2a = (f"st2a AS (SELECT position, r2, rv, "
+            f"(ch1 OR (msy IS NOT NULL AND length(w)-msy >= rv "
+            f"AND length(w)-msy > 0 AND substr(w, length(w)-msy, 1) = 'u')) AS done2, "
+            f"CASE WHEN NOT ch1 AND msy IS NOT NULL AND length(w)-msy >= rv "
+            f"AND length(w)-msy > 0 AND substr(w, length(w)-msy, 1) = 'u' "
+            f"THEN substr(w, 1, length(w)-msy) ELSE w END AS w "
+            f"FROM (SELECT position, w, r2, rv, ch1, "
+            f"{_longest_ms(ysufs)} AS msy FROM st1))")
+    verb_all = ("éis", "emos", "en", "es") + _ES_VERB_SUFFIXES
+    u = "substr(w, 1, length(w)-ms)"
+    st2b = (f"st2b AS (SELECT position, rv, CASE "
+            f"WHEN NOT done2 AND ms IS NOT NULL AND length(w)-ms >= rv THEN "
+            f"(CASE WHEN substr(w, length(w)-ms+1) IN ('en', 'es', 'éis', 'emos') "
+            f"AND ends_with({u}, 'gu') THEN substr({u}, 1, length({u})-1) "
+            f"ELSE {u} END) ELSE w END AS w "
+            f"FROM (SELECT position, w, rv, done2, "
+            f"{_longest_ms(verb_all)} AS ms FROM st2a))")
+    st3 = (f"st3 AS (SELECT position, CASE "
+           f"WHEN ms IS NOT NULL AND length(w)-ms >= rv THEN "
+           f"(CASE WHEN substr(w, length(w)-ms+1) IN ('e', 'é') "
+           f"AND ends_with({u}, 'gu') AND length({u})-1 >= rv "
+           f"THEN substr({u}, 1, length({u})-1) ELSE {u} END) "
+           f"ELSE w END AS w "
+           f"FROM (SELECT position, w, rv, "
+           f"{_longest_ms(('os', 'a', 'o', 'á', 'í', 'ó', 'e', 'é'))} AS ms "
+           f"FROM st2b))")
+    fin = ("fin AS (SELECT position, translate(w, 'áéíóúü', 'aeiouu') AS w "
+           "FROM st3)")
+    return [("case", _romance_r_cte(_ES_VOWELS, "tok0")),
+            ("case", z0), ("case", z1), ("case", st0), ("case", st1),
+            ("case", st2a), ("case", st2b), ("case", st3), ("case", fin)]
+
+
+def _it_passes():
+    from .snowball import (_IT_PRONOUNS, _IT_VERB_SUFFIXES, _IT_VOWELS)
+    vow_prev = _in_chars("substr(w, i-1, 1)", _IT_VOWELS)
+    vow_next = _in_chars("substr(w, i+1, 1)", _IT_VOWELS)
+    prot = (f"CASE WHEN i > 1 AND i < length(w) AND substr(w, i, 1) IN ('i', 'u') "
+            f"AND {vow_prev} AND {vow_next} THEN upper(substr(w, i, 1)) "
+            f"WHEN i > 1 AND substr(w, i, 1) = 'u' AND substr(w, i-1, 1) = 'q' "
+            f"THEN 'U' ELSE substr(w, i, 1) END")
+    i0 = ("i0 AS (SELECT position, translate(w, 'áéíóú', 'àèìòù') AS w "
+          "FROM tok0)")
+    ip = _protect_cte("ip", "i0", prot)
+    z0 = (f"z0 AS (SELECT position, w, r1, r2, rv, "
+          f"{_longest_ms(_IT_PRONOUNS)} AS mp FROM r)")
+    z1 = ("z1 AS (SELECT position, w, r1, r2, rv, mp, "
+          "CASE WHEN mp IS NULL THEN NULL "
+          "ELSE substr(w, 1, length(w)-mp) END AS base FROM z0)")
+    st0 = (f"st0 AS (SELECT position, r1, r2, rv, CASE "
+           f"WHEN mp IS NULL THEN w "
+           f"WHEN mlg IS NOT NULL AND length(base)-mlg >= rv THEN base "
+           f"WHEN mli IS NOT NULL AND length(base)-mli >= rv THEN base || 'e' "
+           f"ELSE w END AS w "
+           f"FROM (SELECT *, {_longest_ms(('ando', 'endo'), 'base')} AS mlg, "
+           f"{_longest_ms(('ar', 'er', 'ir'), 'base')} AS mli FROM z1))")
+    g_strip = ("anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+               "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+               "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+               "ose", "mente", "atrice", "atrici", "ante", "anti")
+    all_sufs = ("atrice", "atrici", "azione", "azioni", "uzione", "uzioni",
+                "usione", "usioni", "amento", "amenti", "imento", "imenti",
+                "amente", "abile", "abili", "ibile", "ibili", "mente",
+                "atore", "atori", "logia", "logie", "anza", "anze", "iche",
+                "ichi", "ismo", "ismi", "ista", "iste", "isti", "istà",
+                "istè", "istì", "ante", "anti", "enza", "enze", "ico",
+                "ici", "ica", "ice", "oso", "osi", "osa", "ose", "ità",
+                "ivo", "ivi", "iva", "ive")
+    case1, ms1 = _branch_case([
+        (g_strip, "r2", lambda u: u),
+        (("azione", "azioni", "atore", "atori"), "r2", _ic_chain),
+        (("logia", "logie"), "r2", lambda u: f"{u} || 'log'"),
+        (("uzione", "uzioni", "usione", "usioni"), "r2",
+         lambda u: f"{u} || 'u'"),
+        (("enza", "enze"), "r2", lambda u: f"{u} || 'ente'"),
+        (("amento", "amenti", "imento", "imenti"), "rv", lambda u: u),
+        (("amente",), "r1",
+         lambda u: _iv_at_chain(u, _first_match_strip(u, ("os", "ic", "abil")))),
+        (("ità",), "r2",
+         lambda u: _first_match_strip(u, ("abil", "ic", "iv"))),
+        (("ivo", "ivi", "iva", "ive"), "r2",
+         lambda u: _at_chain(u, then_ic=True)),
+    ], all_sufs)
+    st1 = (f"st1 AS (SELECT position, r1, r2, rv, wn <> w AS ch1, wn AS w "
+           f"FROM (SELECT position, w, r1, r2, rv, {case1} AS wn "
+           f"FROM (SELECT position, w, r1, r2, rv, {ms1} AS ms FROM st0)))")
+    st2 = (f"st2 AS (SELECT position, rv, CASE "
+           f"WHEN NOT ch1 AND ms IS NOT NULL AND length(w)-ms >= rv "
+           f"THEN substr(w, 1, length(w)-ms) ELSE w END AS w "
+           f"FROM (SELECT position, w, rv, ch1, "
+           f"{_longest_ms(_IT_VERB_SUFFIXES)} AS ms FROM st1))")
+    e1 = "substr(w, 1, length(w)-1)"
+    st3a = (f"st3a AS (SELECT position, rv, CASE "
+            f"WHEN {_in_chars('substr(w, length(w), 1)', 'aeioàèìò')} "
+            f"AND length(w)-1 >= rv THEN "
+            f"(CASE WHEN ends_with({e1}, 'i') AND length({e1})-1 >= rv "
+            f"THEN substr({e1}, 1, length({e1})-1) ELSE {e1} END) "
+            f"ELSE w END AS w FROM st2)")
+    st3b = (f"st3b AS (SELECT position, CASE "
+            f"WHEN length(w)-1 >= rv AND (ends_with(w, 'ch') OR ends_with(w, 'gh')) "
+            f"THEN substr(w, 1, length(w)-1) ELSE w END AS w FROM st3a)")
+    fin = ("fin AS (SELECT position, replace(replace(w, 'I', 'i'), 'U', 'u') "
+           "AS w FROM st3b)")
+    return [("case", i0), ("case", ip),
+            ("case", _romance_r_cte(_IT_VOWELS, "ip")),
+            ("case", z0), ("case", z1), ("case", st0), ("case", st1),
+            ("case", st2), ("case", st3a), ("case", st3b), ("case", fin)]
+
+
+def _pt_passes():
+    from .snowball import _PT_VERB_SUFFIXES, _PT_VOWELS
+    p0 = ("p0 AS (SELECT position, replace(replace(w, 'ã', 'a~'), 'õ', 'o~') "
+          "AS w FROM tok0)")
+    g_strip = ("eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+               "ável", "ível", "ista", "istas", "oso", "osa", "osos",
+               "osas", "amento", "amentos", "imento", "imentos")
+    g_ador = ("adora", "ador", "aça~o", "adoras", "adores", "aço~es",
+              "ante", "antes", "ância")
+    all_sufs = ("amentos", "imentos", "uço~es", "amento", "imento",
+                "adoras", "adores", "aço~es", "logias", "ências", "amente",
+                "idades", "ismos", "istas", "adora", "aça~o", "antes",
+                "ância", "logia", "uça~o", "ência", "mente", "idade",
+                "ezas", "icos", "icas", "ivas", "ivos", "iras", "eza",
+                "ico", "ica", "oso", "osa", "osos", "osas", "ador",
+                "ante", "ável", "ível", "ista", "ismo", "iva", "ivo",
+                "ira")
+    case1, ms1 = _branch_case([
+        (g_strip, "r2", lambda u: u),
+        (g_ador, "r2", _ic_chain),
+        (("logia", "logias"), "r2", lambda u: f"{u} || 'log'"),
+        (("uça~o", "uço~es"), "r2", lambda u: f"{u} || 'u'"),
+        (("ência", "ências"), "r2", lambda u: f"{u} || 'ente'"),
+        (("amente",), "r1",
+         lambda u: _iv_at_chain(u, _fixed2_strip(u, ("os", "ic", "ad")))),
+        (("mente",), "r2",
+         lambda u: _first_match_strip(u, ("ante", "avel", "ível"))),
+        (("idade", "idades"), "r2",
+         lambda u: _first_match_strip(u, ("abil", "ic", "iv"))),
+        (("iva", "ivo", "ivas", "ivos"), "r2", _at_chain),
+        (("ira", "iras"), "rv+e", lambda u: f"{u} || 'ir'"),
+    ], all_sufs)
+    st1 = (f"st1 AS (SELECT position, r1, r2, rv, wn <> w AS ch1, wn AS w "
+           f"FROM (SELECT position, w, r1, r2, rv, {case1} AS wn "
+           f"FROM (SELECT position, w, r1, r2, rv, {ms1} AS ms FROM r)))")
+    st2 = (f"st2 AS (SELECT position, rv, "
+           f"(ch1 OR (NOT ch1 AND ms IS NOT NULL AND length(w)-ms >= rv)) AS ch, "
+           f"CASE WHEN NOT ch1 AND ms IS NOT NULL AND length(w)-ms >= rv "
+           f"THEN substr(w, 1, length(w)-ms) ELSE w END AS w "
+           f"FROM (SELECT position, w, rv, ch1, "
+           f"{_longest_ms(_PT_VERB_SUFFIXES)} AS ms FROM st1))")
+    st34 = (f"st34 AS (SELECT position, rv, CASE "
+            f"WHEN ch THEN (CASE WHEN ends_with(w, 'i') AND length(w)-1 >= rv "
+            f"AND length(w) >= 2 AND substr(w, length(w)-1, 1) = 'c' "
+            f"THEN substr(w, 1, length(w)-1) ELSE w END) "
+            f"WHEN ms IS NOT NULL AND length(w)-ms >= rv "
+            f"THEN substr(w, 1, length(w)-ms) ELSE w END AS w "
+            f"FROM (SELECT position, w, rv, ch, "
+            f"{_longest_ms(('os', 'a', 'i', 'o', 'á', 'í', 'ó'))} AS ms "
+            f"FROM st2))")
+    e1 = "substr(w, 1, length(w)-1)"
+    e2 = f"substr({e1}, 1, length({e1})-1)"
+    st5 = (f"st5 AS (SELECT position, CASE "
+           f"WHEN {_in_chars('substr(w, length(w), 1)', 'eéê')} "
+           f"AND length(w)-1 >= rv THEN "
+           f"(CASE WHEN (ends_with({e1}, 'gu') AND length({e1})-1 >= rv) "
+           f"OR (ends_with({e1}, 'ci') AND length({e1})-1 >= rv) "
+           f"THEN {e2} ELSE {e1} END) ELSE w END AS w FROM st34)")
+    st5b = (f"st5b AS (SELECT position, CASE WHEN ends_with(w, 'ç') "
+            f"THEN substr(w, 1, length(w)-1) || 'c' ELSE w END AS w FROM st5)")
+    fin = ("fin AS (SELECT position, translate(replace(replace(w, 'a~', 'ã'), "
+           "'o~', 'õ'), 'áéíóúâêôãõà', 'aeiouaeoaoa') AS w FROM st5b)")
+    return [("case", p0), ("case", _romance_r_cte(_PT_VOWELS, "p0")),
+            ("case", st1), ("case", st2), ("case", st34), ("case", st5),
+            ("case", st5b), ("case", fin)]
+
+
 _SPECS: dict[str, dict] = {
+    "spanish": dict(pre=_pre_default, passes=_es_passes),
+    "italian": dict(pre=_pre_default, passes=_it_passes),
+    "portuguese": dict(pre=_pre_default, passes=_pt_passes),
+    # brazilian = Portuguese Snowball stem + its own stop set (the
+    # documented substitute for the reference's RSLP BrazilianStemmer)
+    "brazilian": dict(pre=_pre_default, passes=_pt_passes),
     "german": dict(pre=_pre_default, passes=_de_passes),
     "dutch": dict(pre=_pre_default, passes=_nl_passes),
     "russian": dict(pre=_pre_default, passes=_ru_passes),
