@@ -373,10 +373,11 @@ def _r12_cte(vowels: str, prev: str, floor3: bool = True,
             f"regexp_extract(w, '{p2}') AS m2 FROM {prev}))")
 
 
-def _protect_cte(name: str, prev: str, char_case: str) -> str:
+def _protect_cte(name: str, prev: str, char_case: str,
+                 carry: str = "") -> str:
     """CTE rebuilding w character-by-character (exact positional marking,
     including overlapping neighbor contexts a global regexp would miss)."""
-    return (f"{name} AS (SELECT position, COALESCE(list_aggregate("
+    return (f"{name} AS (SELECT position{carry}, COALESCE(list_aggregate("
             f"list_transform(range(1, length(w)+1), i -> {char_case}), "
             f"'string_agg', ''), w) AS w FROM {prev})")
 
@@ -942,7 +943,429 @@ def _pt_passes():
             ("case", st5b), ("case", fin)]
 
 
+# ------------------------------------------------------------------
+# French / Romanian / Finnish Snowball
+
+def _fr_passes():
+    from .snowball import (_FR_STEP2A, _FR_STEP2B_A, _FR_STEP2B_ER,
+                           _FR_VOWELS)
+    V = _FR_VOWELS
+    vs = "".join(V)
+    vow_prev = _in_chars("substr(w, i-1, 1)", V)
+    vow_next = _in_chars("substr(w, i+1, 1)", V)
+    prot = (f"CASE WHEN i > 1 AND i < length(w) AND substr(w, i, 1) IN ('i', 'u') "
+            f"AND {vow_prev} AND {vow_next} THEN upper(substr(w, i, 1)) "
+            f"WHEN i > 1 AND substr(w, i, 1) = 'u' AND substr(w, i-1, 1) = 'q' "
+            f"THEN 'U' "
+            f"WHEN substr(w, i, 1) = 'y' AND ((i > 1 AND {vow_prev}) "
+            f"OR (i < length(w) AND {vow_next})) THEN 'Y' "
+            f"ELSE substr(w, i, 1) END")
+    fp = _protect_cte("fp", "tok0", prot)
+    # r1/r2 over the protected form + the French RV special cases
+    p1 = f"^.*?[{vs}][^{vs}]"
+    p2 = f"^.*?[{vs}][^{vs}].*?[{vs}][^{vs}]"
+    pv = f"^.[^{vs}]*[{vs}]"
+    ln = "CASE WHEN {m} = '' OR {m} IS NULL THEN length(w) ELSE length({m}) END"
+    r = (f"r AS (SELECT position, w, {ln.format(m='m1')} AS r1, "
+         f"{ln.format(m='m2')} AS r2, "
+         f"CASE WHEN length(w) >= 2 AND {_in_chars('substr(w, 1, 1)', V)} "
+         f"AND {_in_chars('substr(w, 2, 1)', V)} THEN LEAST(3, length(w)) "
+         f"WHEN substr(w, 1, 3) IN ('par', 'col', 'tap') THEN LEAST(3, length(w)) "
+         f"ELSE {ln.format(m='mv')} END AS rv "
+         f"FROM (SELECT position, w, regexp_extract(w, '{p1}') AS m1, "
+         f"regexp_extract(w, '{p2}') AS m2, regexp_extract(w, '{pv}') AS mv "
+         f"FROM fp))")
+
+    def ic_or_iqU(u):
+        u2 = f"substr({u}, 1, length({u})-2)"
+        return (f"(CASE WHEN ends_with({u}, 'ic') THEN "
+                f"(CASE WHEN length({u})-2 >= r2 THEN {u2} "
+                f"ELSE {u2} || 'iqU' END) ELSE {u} END)")
+
+    def ement_chain(u):
+        u2 = f"substr({u}, 1, length({u})-2)"
+        u3 = f"substr({u}, 1, length({u})-3)"
+        u4 = f"substr({u2}, 1, length({u2})-2)"
+        return (f"(CASE WHEN ends_with({u}, 'iv') AND length({u})-2 >= r2 THEN "
+                f"(CASE WHEN ends_with({u2}, 'at') AND length({u2})-2 >= r2 "
+                f"THEN {u4} ELSE {u2} END) "
+                f"WHEN ends_with({u}, 'eus') THEN "
+                f"(CASE WHEN length({u})-3 >= r2 THEN {u3} "
+                f"WHEN length({u})-3 >= r1 THEN {u3} || 'eux' ELSE {u} END) "
+                f"WHEN (ends_with({u}, 'abl') OR ends_with({u}, 'iqU')) "
+                f"AND length({u})-3 >= r2 THEN {u3} "
+                f"WHEN (ends_with({u}, 'ièr') OR ends_with({u}, 'Ièr')) "
+                f"AND length({u})-3 >= rv THEN {u3} || 'i' "
+                f"ELSE {u} END)")
+
+    def ite_chain(u):
+        u2 = f"substr({u}, 1, length({u})-2)"
+        u4 = f"substr({u}, 1, length({u})-4)"
+        return (f"(CASE WHEN ends_with({u}, 'abil') THEN "
+                f"(CASE WHEN length({u})-4 >= r2 THEN {u4} "
+                f"ELSE {u4} || 'abl' END) "
+                f"WHEN ends_with({u}, 'ic') THEN "
+                f"(CASE WHEN length({u})-2 >= r2 THEN {u2} "
+                f"ELSE {u2} || 'iqU' END) "
+                f"WHEN ends_with({u}, 'iv') AND length({u})-2 >= r2 "
+                f"THEN {u2} ELSE {u} END)")
+
+    def if_chain(u):
+        u2 = f"substr({u}, 1, length({u})-2)"
+        return (f"(CASE WHEN ends_with({u}, 'at') AND length({u})-2 >= r2 "
+                f"THEN {ic_or_iqU(u2)} ELSE {u} END)")
+
+    all1 = ("issements", "issement", "atrices", "utions", "ements",
+            "amment", "emment", "ations", "atrice", "ateurs", "logies",
+            "usions", "ements", "ités", "ances", "iqUes", "ismes",
+            "ables", "istes", "ateur", "ation", "ement", "euses",
+            "ments", "ance", "iqUe", "isme", "able", "iste", "ence",
+            "ille", "logie", "usion", "ution", "ences", "ment", "eaux",
+            "ités", "ives", "euse", "eux", "ité", "ive", "ifs", "aux",
+            "if")
+    u = "substr(w, 1, length(w)-ms)"
+    sfx = "substr(w, length(w)-ms+1)"
+    prevc = "substr(w, length(w)-ms, 1)"
+    case1 = (
+        f"CASE WHEN ms IS NULL THEN w "
+        f"WHEN {sfx} IN ('ance', 'iqUe', 'isme', 'able', 'iste', 'eux', "
+        f"'ances', 'iqUes', 'ismes', 'ables', 'istes') THEN "
+        f"(CASE WHEN length(w)-ms >= r2 THEN {u} ELSE w END) "
+        f"WHEN {sfx} IN ('atrice', 'ateur', 'ation', 'atrices', 'ateurs', "
+        f"'ations') THEN (CASE WHEN length(w)-ms >= r2 THEN {ic_or_iqU(u)} ELSE w END) "
+        f"WHEN {sfx} IN ('logie', 'logies') THEN "
+        f"(CASE WHEN length(w)-ms >= r2 THEN {u} || 'log' ELSE w END) "
+        f"WHEN {sfx} IN ('usion', 'ution', 'usions', 'utions') THEN "
+        f"(CASE WHEN length(w)-ms >= r2 THEN {u} || 'u' ELSE w END) "
+        f"WHEN {sfx} IN ('ence', 'ences') THEN "
+        f"(CASE WHEN length(w)-ms >= r2 THEN {u} || 'ent' ELSE w END) "
+        f"WHEN {sfx} IN ('ement', 'ements') THEN "
+        f"(CASE WHEN length(w)-ms >= rv THEN {ement_chain(u)} ELSE w END) "
+        f"WHEN {sfx} IN ('ité', 'ités') THEN "
+        f"(CASE WHEN length(w)-ms >= r2 THEN {ite_chain(u)} ELSE w END) "
+        f"WHEN {sfx} IN ('if', 'ive', 'ifs', 'ives') THEN "
+        f"(CASE WHEN length(w)-ms >= r2 THEN {if_chain(u)} ELSE w END) "
+        f"WHEN {sfx} = 'eaux' THEN substr(w, 1, length(w)-1) "
+        f"WHEN {sfx} = 'aux' THEN "
+        f"(CASE WHEN length(w)-ms >= r1 THEN {u} || 'al' ELSE w END) "
+        f"WHEN {sfx} IN ('euse', 'euses') THEN "
+        f"(CASE WHEN length(w)-ms >= r2 THEN {u} "
+        f"WHEN length(w)-ms >= r1 THEN {u} || 'eux' ELSE w END) "
+        f"WHEN {sfx} IN ('issement', 'issements') THEN "
+        f"(CASE WHEN length(w)-ms >= r1 AND length(w)-ms > 0 "
+        f"AND NOT {_in_chars(prevc, V)} THEN {u} ELSE w END) "
+        f"WHEN {sfx} = 'amment' THEN "
+        f"(CASE WHEN length(w)-ms >= rv THEN {u} || 'ant' ELSE w END) "
+        f"WHEN {sfx} = 'emment' THEN "
+        f"(CASE WHEN length(w)-ms >= rv THEN {u} || 'ent' ELSE w END) "
+        f"WHEN {sfx} IN ('ment', 'ments') THEN "
+        f"(CASE WHEN length(w)-ms >= 1 AND length(w)-ms-1 >= rv "
+        f"AND {_in_chars(prevc, V)} THEN {u} ELSE w END) "
+        f"ELSE w END")
+    fm = (f"(ms IS NOT NULL AND (({sfx} = 'amment' AND length(w)-ms >= rv) "
+          f"OR ({sfx} = 'emment' AND length(w)-ms >= rv) "
+          f"OR ({sfx} IN ('ment', 'ments') AND length(w)-ms >= 1 "
+          f"AND length(w)-ms-1 >= rv AND {_in_chars(prevc, V)})))")
+    st1 = (f"st1 AS (SELECT position, r1, r2, rv, wn <> w AS ch1, fm, wn AS w "
+           f"FROM (SELECT position, w, r1, r2, rv, {case1} AS wn, {fm} AS fm "
+           f"FROM (SELECT position, w, r1, r2, rv, {_longest_ms(all1)} AS ms "
+           f"FROM r)))")
+    # step 2a (only when step 1 changed nothing, or removed a -ment form)
+    s2a_fire = (f"(NOT ch1 OR fm) AND ms IS NOT NULL AND length(w)-ms-1 >= rv "
+                f"AND NOT {_in_chars(prevc, V)}")
+    st2a = (f"st2a AS (SELECT position, r2, rv, ch1, fm, "
+            f"({s2a_fire}) AS did2a, "
+            f"CASE WHEN {s2a_fire} THEN {u} ELSE w END AS w "
+            f"FROM (SELECT position, w, r2, rv, ch1, fm, "
+            f"{_longest_ms(_FR_STEP2A)} AS ms FROM st1))")
+    all2b = _FR_STEP2B_ER + _FR_STEP2B_A + ("ions",)
+    er_in = "(" + ", ".join(f"'{_q(s)}'" for s in _FR_STEP2B_ER) + ")"
+    ue = f"substr({u}, 1, length({u})-1)"
+    case2b = (
+        f"CASE WHEN (NOT ch1 OR fm) AND NOT did2a AND ms IS NOT NULL THEN "
+        f"(CASE WHEN {sfx} = 'ions' THEN "
+        f"(CASE WHEN length(w)-ms >= r2 AND length(w)-ms >= rv THEN {u} ELSE w END) "
+        f"WHEN {sfx} IN {er_in} THEN "
+        f"(CASE WHEN length(w)-ms >= rv THEN {u} ELSE w END) "
+        f"ELSE (CASE WHEN length(w)-ms >= rv THEN "
+        f"(CASE WHEN ends_with({u}, 'e') AND length({u})-1 >= rv "
+        f"THEN {ue} ELSE {u} END) ELSE w END) END) ELSE w END")
+    st2b = (f"st2b AS (SELECT position, r2, rv, ch1, fm, did2a, wn <> w AS chb, wn AS w "
+            f"FROM (SELECT position, w, r2, rv, ch1, fm, did2a, {case2b} AS wn "
+            f"FROM (SELECT position, w, r2, rv, ch1, fm, did2a, "
+            f"{_longest_ms(all2b)} AS ms FROM st2a)))")
+    # ch2 = step-2 block changed w (2a fired, or 2b changed it)
+    st34 = (f"st34 AS (SELECT position, rv, r2, CASE "
+            f"WHEN ch1 OR did2a OR chb THEN "
+            f"(CASE WHEN ends_with(w, 'Y') THEN substr(w, 1, length(w)-1) || 'i' "
+            f"WHEN ends_with(w, 'ç') THEN substr(w, 1, length(w)-1) || 'c' "
+            f"ELSE w END) "
+            f"ELSE (CASE WHEN ends_with(w, 's') AND length(w) >= 2 "
+            f"AND NOT {_in_chars('substr(w, length(w)-1, 1)', 'aiouès')} "
+            f"THEN substr(w, 1, length(w)-1) ELSE w END) END AS w, "
+            f"(ch1 OR did2a OR chb) AS ch12 FROM st2b)")
+    sufs4 = ("ion", "ière", "Ière", "ier", "Ier", "e", "ë")
+    case4 = (
+        f"CASE WHEN ch12 OR ms IS NULL THEN w "
+        f"WHEN {sfx} = 'ion' THEN "
+        f"(CASE WHEN length(w)-ms >= r2 AND length(w)-ms >= rv "
+        f"AND length(w)-ms > 0 AND {prevc} IN ('s', 't') THEN {u} ELSE w END) "
+        f"WHEN {sfx} IN ('ière', 'Ière', 'ier', 'Ier') THEN "
+        f"(CASE WHEN length(w)-ms >= rv THEN {u} || 'i' ELSE w END) "
+        f"WHEN {sfx} = 'e' THEN "
+        f"(CASE WHEN length(w)-ms >= rv THEN {u} ELSE w END) "
+        f"WHEN {sfx} = 'ë' THEN "
+        f"(CASE WHEN substr(w, length(w)-2, 2) = 'gu' AND length(w)-ms >= rv "
+        f"THEN {u} ELSE w END) ELSE w END")
+    st4 = (f"st4 AS (SELECT position, {case4} AS w "
+           f"FROM (SELECT position, w, rv, r2, ch12, "
+           f"{_longest_ms(sufs4)} AS ms FROM st34))")
+    st5 = (f"st5 AS (SELECT position, CASE "
+           f"WHEN ends_with(w, 'eill') THEN substr(w, 1, length(w)-1) "
+           f"WHEN ends_with(w, 'enn') OR ends_with(w, 'onn') "
+           f"OR ends_with(w, 'ett') OR ends_with(w, 'ell') "
+           f"THEN substr(w, 1, length(w)-1) ELSE w END AS w FROM st4)")
+    # step 6: é/è before a final all-consonant tail -> e
+    st6 = (f"st6 AS (SELECT position, "
+           f"regexp_replace(w, '([éè])([^{vs}]+)$', 'e\\2') AS w FROM st5)")
+    fin = ("fin AS (SELECT position, replace(replace(replace(w, 'I', 'i'), "
+           "'U', 'u'), 'Y', 'y') AS w FROM st6)")
+    return [("case", fp), ("case", r), ("case", st1), ("case", st2a),
+            ("case", st2b), ("case", st34), ("case", st4), ("case", st5),
+            ("case", st6), ("case", fin)]
+
+
+def _ro_passes():
+    from .snowball import (_RO_STEP1, _RO_STEP2_DEL, _RO_STEP2_IST,
+                           _RO_VERB, _RO_VOWELS)
+    V = _RO_VOWELS
+    t0 = ("t0 AS (SELECT position, replace(replace(w, 'ș', 'ş'), 'ț', 'ţ') "
+          "AS w FROM tok0)")
+    # regions are computed over the UNPROTECTED lowered form (the stemmer
+    # lowers before measuring), so measure first, then protect
+    rr = _romance_r_cte(V, "t0")
+    vow_prev = _in_chars("substr(w, i-1, 1)", V)
+    vow_next = _in_chars("substr(w, i+1, 1)", V)
+    prot = (f"CASE WHEN i > 1 AND i < length(w) AND substr(w, i, 1) IN ('i', 'u') "
+            f"AND {vow_prev} AND {vow_next} THEN upper(substr(w, i, 1)) "
+            f"ELSE substr(w, i, 1) END")
+    rp = _protect_cte("rp", "r", prot, carry=", r1, r2, rv")
+    u = "substr(w, 1, length(w)-ms)"
+    sfx = "substr(w, length(w)-ms+1)"
+    # step 0: plurals (R1) with replacement endings
+    sufs0 = ("ului", "aua", "ele", "elor", "iua", "iei", "iile", "iilor",
+             "ilor", "ile", "atei", "aţie", "aţia", "ul", "ea", "ii")
+    case0 = (
+        f"CASE WHEN ms IS NULL OR length(w)-ms < r1 THEN w "
+        f"WHEN {sfx} IN ('ul', 'ului') THEN {u} "
+        f"WHEN {sfx} = 'aua' THEN {u} || 'a' "
+        f"WHEN {sfx} IN ('ea', 'ele', 'elor') THEN {u} || 'e' "
+        f"WHEN {sfx} IN ('ii', 'iua', 'iei', 'iile', 'iilor', 'ilor') "
+        f"THEN {u} || 'i' "
+        f"WHEN {sfx} = 'ile' THEN "
+        f"(CASE WHEN ends_with({u}, 'ab') THEN w ELSE {u} || 'i' END) "
+        f"WHEN {sfx} = 'atei' THEN {u} || 'at' "
+        f"WHEN {sfx} IN ('aţie', 'aţia') THEN {u} || 'aţi' "
+        f"ELSE w END")
+    st0 = (f"st0 AS (SELECT position, r1, r2, rv, {case0} AS w "
+           f"FROM (SELECT position, w, r1, r2, rv, {_longest_ms(sufs0)} AS ms "
+           f"FROM rp))")
+    # step 1: combining suffixes, repeated to fixed point (R1). Each
+    # replacement shortens the word, so 5 unrolled rounds converge.
+    keys = tuple(_RO_STEP1)
+    repl_arms = " ".join(
+        f"WHEN {sfx} = '{_q(k)}' THEN {u} || '{_q(v)}'"
+        for k, v in _RO_STEP1.items())
+    passes = [("case", t0), ("case", rr), ("case", rp), ("case", st0)]
+    prev = "st0"
+    for i in range(1, 6):
+        name = f"c{i}"
+        passes.append(("case", (
+            f"{name} AS (SELECT position, r1, r2, rv, "
+            f"COALESCE(ch, FALSE) OR (ms IS NOT NULL AND length(w)-ms >= r1) AS ch, "
+            f"CASE WHEN ms IS NOT NULL AND length(w)-ms >= r1 THEN "
+            f"(CASE {repl_arms} ELSE w END) ELSE w END AS w "
+            f"FROM (SELECT position, w, r1, r2, rv, "
+            f"{'FALSE' if i == 1 else 'ch'} AS ch, "
+            f"{_longest_ms(keys)} AS ms FROM {prev}))")))
+        prev = name
+    # step 2: standard suffixes (R2)
+    all2 = _RO_STEP2_DEL + _RO_STEP2_IST + ("iune", "iuni")
+    ist_in = "(" + ", ".join(f"'{_q(s)}'" for s in _RO_STEP2_IST) + ")"
+    case2 = (
+        f"CASE WHEN ms IS NULL OR length(w)-ms < r2 THEN w "
+        f"WHEN {sfx} IN ('iune', 'iuni') THEN "
+        f"(CASE WHEN length(w)-ms > 0 AND substr(w, length(w)-ms, 1) = 'ţ' "
+        f"THEN substr(w, 1, length(w)-ms-1) || 't' ELSE w END) "
+        f"WHEN {sfx} IN {ist_in} THEN {u} || 'ist' "
+        f"ELSE {u} END")
+    fired2 = (f"(ms IS NOT NULL AND length(w)-ms >= r2 AND "
+              f"(CASE WHEN {sfx} IN ('iune', 'iuni') THEN "
+              f"length(w)-ms > 0 AND substr(w, length(w)-ms, 1) = 'ţ' "
+              f"ELSE TRUE END))")
+    st2 = (f"st2 AS (SELECT position, rv, ch OR {fired2} AS ch, {case2} AS w "
+           f"FROM (SELECT position, w, r2, rv, ch, {_longest_ms(all2)} AS ms "
+           f"FROM c5))")
+    # step 3: verb suffixes (RV) only if steps 1-2 removed nothing
+    grp1_first = "substr(w, length(w)-ms+1, 1) IN ('a', 'e', 'i', 'â', 'u')"
+    grp1_exc = f"{sfx} IN ('ui', 'âi', 'âm', 'âţi')"
+    prevc = "substr(w, length(w)-ms, 1)"
+    case3 = (
+        f"CASE WHEN ch OR ms IS NULL OR length(w)-ms < rv THEN w "
+        f"WHEN {grp1_first} AND NOT {grp1_exc} THEN "
+        f"(CASE WHEN length(w)-ms > 0 AND "
+        f"(NOT {_in_chars(f'lower({prevc})', V)} OR {prevc} IN ('u', 'U')) "
+        f"THEN {u} ELSE w END) "
+        f"ELSE {u} END")
+    st3 = (f"st3 AS (SELECT position, rv, {case3} AS w "
+           f"FROM (SELECT position, w, rv, ch, {_longest_ms(_RO_VERB)} AS ms "
+           f"FROM st2))")
+    st4 = (f"st4 AS (SELECT position, CASE "
+           f"WHEN ms IS NOT NULL AND length(w)-ms >= rv THEN {u} ELSE w END AS w "
+           f"FROM (SELECT position, w, rv, "
+           f"{_longest_ms(('ie', 'a', 'e', 'i', 'ă'))} AS ms FROM st3))")
+    fin = ("fin AS (SELECT position, replace(replace(w, 'I', 'i'), 'U', 'u') "
+           "AS w FROM st4)")
+    passes += [("case", st2), ("case", st3), ("case", st4), ("case", fin)]
+    return passes
+
+
+def _fi_passes():
+    from .snowball import _FI_CASES, _FI_LONG_V, _FI_VOWELS
+    V = _FI_VOWELS
+    u = "substr(w, 1, length(w)-ms)"
+    sfx = "substr(w, length(w)-ms+1)"
+    prevc = "substr(w, length(w)-ms, 1)"
+    prev2c = "substr(w, length(w)-ms-1, 1)"
+    long_v = "(" + " OR ".join(
+        f"ends_with({{c}}, '{lv}')" for lv in _FI_LONG_V) + ")"
+    st1 = (f"s1 AS (SELECT position, r1, r2, CASE "
+           f"WHEN ms IS NULL THEN w "
+           f"WHEN {sfx} = 'sti' THEN "
+           f"(CASE WHEN length(w)-ms >= r2 THEN {u} ELSE w END) "
+           f"WHEN length(w)-ms >= r1 AND length(w)-ms > 0 "
+           f"AND {_in_chars(prevc, 'nt' + ''.join(V))} THEN {u} "
+           f"ELSE w END AS w "
+           f"FROM (SELECT position, w, r1, r2, "
+           f"{_longest_ms(('kaan', 'kään', 'kin', 'han', 'hän', 'ko', 'kö', 'pa', 'pä', 'sti'))} AS ms "
+           f"FROM r))")
+    ukse = (f"(CASE WHEN ends_with({u}, 'kse') "
+            f"THEN substr({u}, 1, length({u})-1) || 'i' ELSE {u} END)")
+    case2 = (
+        f"CASE WHEN ms IS NULL OR length(w)-ms < r1 THEN w "
+        f"WHEN {sfx} = 'si' THEN "
+        f"(CASE WHEN length(w)-ms > 0 AND {prevc} <> 'k' THEN {u} ELSE w END) "
+        f"WHEN {sfx} = 'ni' THEN {ukse} "
+        f"WHEN {sfx} IN ('nsa', 'nsä', 'mme', 'nne') THEN {u} "
+        f"WHEN {sfx} = 'an' THEN (CASE WHEN "
+        + " OR ".join(f"ends_with({u}, '{s}')"
+                      for s in ("ta", "ssa", "sta", "lla", "lta", "na"))
+        + f" THEN {u} ELSE w END) "
+        f"WHEN {sfx} = 'än' THEN (CASE WHEN "
+        + " OR ".join(f"ends_with({u}, '{s}')"
+                      for s in ("tä", "ssä", "stä", "llä", "ltä", "nä"))
+        + f" THEN {u} ELSE w END) "
+        f"WHEN {sfx} = 'en' THEN (CASE WHEN "
+        + " OR ".join(f"ends_with({u}, '{s}')" for s in ("lle", "ine"))
+        + f" THEN {u} ELSE w END) ELSE w END")
+    st2 = (f"s2 AS (SELECT position, r1, r2, {case2} AS w "
+           f"FROM (SELECT position, w, r1, r2, "
+           f"{_longest_ms(('nsa', 'nsä', 'mme', 'nne', 'si', 'ni', 'an', 'än', 'en'))} AS ms "
+           f"FROM s1))")
+    hxn = ("han", "hen", "hin", "hon", "hun", "hyn", "hän", "hön")
+    hxn_in = "(" + ", ".join(f"'{s}'" for s in hxn) + ")"
+    un1 = f"substr({u}, 1, length({u})-1)"
+    ncase = (f"(CASE WHEN {long_v.format(c=u)} OR ends_with({u}, 'ie') "
+             f"THEN {un1} ELSE {u} END)")
+    case3 = (
+        f"CASE WHEN ms IS NULL OR length(w)-ms < r1 THEN w "
+        f"WHEN {sfx} IN {hxn_in} THEN "
+        f"(CASE WHEN length(w)-ms > 0 AND {prevc} = substr({sfx}, 2, 1) "
+        f"THEN {u} ELSE w END) "
+        f"WHEN {sfx} IN ('siin', 'den', 'tten') THEN "
+        f"(CASE WHEN length(w)-ms >= 2 AND {prevc} = 'i' "
+        f"AND {_in_chars(prev2c, V)} THEN {u} ELSE w END) "
+        f"WHEN {sfx} = 'seen' THEN "
+        f"(CASE WHEN {long_v.format(c=u)} THEN {u} ELSE w END) "
+        f"WHEN {sfx} IN ('a', 'ä') THEN "
+        f"(CASE WHEN length(w)-ms >= 2 AND {_in_chars(prevc, V)} "
+        f"AND NOT {_in_chars(prev2c, V)} THEN {u} ELSE w END) "
+        f"WHEN {sfx} IN ('tta', 'ttä') THEN "
+        f"(CASE WHEN length(w)-ms > 0 AND {prevc} = 'e' THEN {u} ELSE w END) "
+        f"WHEN {sfx} = 'n' THEN {ncase} "
+        f"ELSE {u} END")
+    er3 = (
+        f"(ms IS NOT NULL AND length(w)-ms >= r1 AND "
+        f"(CASE WHEN {sfx} IN {hxn_in} THEN length(w)-ms > 0 AND {prevc} = substr({sfx}, 2, 1) "
+        f"WHEN {sfx} IN ('siin', 'den', 'tten') THEN length(w)-ms >= 2 "
+        f"AND {prevc} = 'i' AND {_in_chars(prev2c, V)} "
+        f"WHEN {sfx} = 'seen' THEN {long_v.format(c=u)} "
+        f"WHEN {sfx} IN ('a', 'ä') THEN length(w)-ms >= 2 "
+        f"AND {_in_chars(prevc, V)} AND NOT {_in_chars(prev2c, V)} "
+        f"WHEN {sfx} IN ('tta', 'ttä') THEN length(w)-ms > 0 AND {prevc} = 'e' "
+        f"ELSE TRUE END))")
+    st3 = (f"s3 AS (SELECT position, r1, r2, {er3} AS er, {case3} AS w "
+           f"FROM (SELECT position, w, r1, r2, {_longest_ms(_FI_CASES)} AS ms "
+           f"FROM s2))")
+    mp = ("mpi", "mpa", "mpä", "mmi", "mma", "mmä")
+    mp_in = "(" + ", ".join(f"'{s}'" for s in mp) + ")"
+    case4 = (
+        f"CASE WHEN ms IS NULL OR length(w)-ms < r2 THEN w "
+        f"WHEN {sfx} IN {mp_in} THEN "
+        f"(CASE WHEN ends_with({u}, 'po') THEN w ELSE {u} END) "
+        f"ELSE {u} END")
+    st4 = (f"s4 AS (SELECT position, r1, r2, er, {case4} AS w "
+           f"FROM (SELECT position, w, r1, r2, er, "
+           f"{_longest_ms(('impi', 'impa', 'impä', 'immi', 'imma', 'immä') + mp + ('eja', 'ejä'))} AS ms "
+           f"FROM s3))")
+    w1 = "substr(w, 1, length(w)-1)"
+    w4 = f"substr({w1}, 1, length({w1})-4)"
+    w3 = f"substr({w1}, 1, length({w1})-3)"
+    tchain = (
+        f"(CASE WHEN ends_with({w1}, 'imma') AND length({w1})-4 >= r2 THEN {w4} "
+        f"WHEN ends_with({w1}, 'mma') AND length({w1})-3 >= r2 "
+        f"AND NOT ends_with(substr({w1}, 1, length({w1})-3), 'po') THEN {w3} "
+        f"ELSE {w1} END)")
+    st5 = (f"s5 AS (SELECT position, r1, r2, CASE "
+           f"WHEN er THEN (CASE WHEN (ends_with(w, 'i') OR ends_with(w, 'j')) "
+           f"AND length(w)-1 >= r1 THEN {w1} ELSE w END) "
+           f"ELSE (CASE WHEN ends_with(w, 't') AND length(w)-1 >= r1 "
+           f"AND length(w) >= 2 AND {_in_chars('substr(w, length(w)-1, 1)', V)} "
+           f"THEN {tchain} ELSE w END) END AS w FROM s4)")
+    t1 = (f"t1 AS (SELECT position, r1, r2, CASE "
+          f"WHEN length(w) >= 2 AND {long_v.format(c='w')} AND length(w)-2 >= r1 "
+          f"THEN {w1} ELSE w END AS w FROM s5)")
+    t2 = (f"t2 AS (SELECT position, r1, r2, CASE "
+          f"WHEN length(w) >= 2 AND {_in_chars('substr(w, length(w), 1)', 'aäei')} "
+          f"AND NOT {_in_chars('substr(w, length(w)-1, 1)', V)} "
+          f"AND length(w)-1 >= r1 THEN {w1} ELSE w END AS w FROM t1)")
+    t3 = (f"t3 AS (SELECT position, r1, CASE "
+          f"WHEN (ends_with(w, 'oj') OR ends_with(w, 'uj')) AND length(w)-1 >= r1 "
+          f"THEN {w1} ELSE w END AS w FROM t2)")
+    t4 = (f"t4 AS (SELECT position, r1, CASE "
+          f"WHEN ends_with(w, 'jo') AND length(w)-1 >= r1 THEN {w1} "
+          f"ELSE w END AS w FROM t3)")
+    # undouble the final consonant (which may be followed by vowels):
+    # k = trailing-vowel run length, i = index of last consonant
+    und = (f"t5 AS (SELECT position, CASE "
+           f"WHEN length(w) - k >= 2 "
+           f"AND NOT {_in_chars('substr(w, length(w)-k, 1)', V)} "
+           f"AND substr(w, length(w)-k, 1) = substr(w, length(w)-k-1, 1) "
+           f"THEN substr(w, 1, length(w)-k-1) || substr(w, length(w)-k+1) "
+           f"ELSE w END AS w "
+           f"FROM (SELECT position, w, "
+           f"length(COALESCE(regexp_extract(w, '[{''.join(V)}]*$'), '')) AS k "
+           f"FROM t4))")
+    return [("case", _r12_cte(V, "tok0", floor3=False)),
+            ("case", st1), ("case", st2), ("case", st3), ("case", st4),
+            ("case", st5), ("case", t1), ("case", t2), ("case", t3),
+            ("case", t4), ("case", und)]
+
+
 _SPECS: dict[str, dict] = {
+    "french": dict(pre=_pre_default, passes=_fr_passes),
+    "romanian": dict(pre=_pre_default, passes=_ro_passes),
+    "finnish": dict(pre=_pre_default, passes=_fi_passes),
     "spanish": dict(pre=_pre_default, passes=_es_passes),
     "italian": dict(pre=_pre_default, passes=_it_passes),
     "portuguese": dict(pre=_pre_default, passes=_pt_passes),
