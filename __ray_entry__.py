@@ -1784,4 +1784,69 @@ ORDER BY node, description""",
     for _lang in SQL_ORACLE_LANGS:
         out[f"ft_analyze_{_lang}"] = lang_oracle_sql(_lang,
                                                      _LANG_SAMPLES[_lang])
+
+    # Porter over the whole corpus: the `english` analyzer chain (simple
+    # tokenize -> Lucene English stop set -> Porter 1980) re-derived in
+    # SQL via the CV-mask pipeline; top-10 stems by count.
+    from elasticsearch_ray.analyzer import ENGLISH_STOP_WORDS
+    from elasticsearch_ray.lang.sql_oracle import porter_pipeline_ctes
+
+    _pctes, _plast = porter_pipeline_ctes()
+    _pjoin = ",\n".join(_pctes)
+    _estop = "[" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + "]"
+    out["ft_analyze_stemmer"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '' AND NOT list_contains({_estop}, x)) AS a
+  FROM documents),
+tok0 AS (
+  SELECT doc_id * 1000 + generate_subscripts(a, 1) AS position,
+         unnest(a) AS w
+  FROM toks),
+{_pjoin}
+SELECT w AS stem, CAST(count(*) AS BIGINT) AS cnt
+FROM {_plast} GROUP BY w
+ORDER BY cnt DESC, stem LIMIT 10"""
+
+    # stemmed index search: the german analyzer SQL pipeline runs over
+    # BOTH the synthetic body sentences and the inflected query words;
+    # a query matches the docs of every doc_id%4 bucket whose stemmed
+    # body shares a stem with the stemmed query (the match-query doc
+    # set the built index returns).
+    from elasticsearch_ray.lang.sql_oracle import stem_pipeline
+    from elasticsearch_ray.lang.stopwords import STOP_SETS
+
+    _gctes, _glast = stem_pipeline("german")
+    _gjoin = ",\n".join(_gctes)
+    _gstop = "[" + ", ".join(
+        f"'{w}'" for w in sorted(STOP_SETS["german"])) + "]"
+    out["lang_stemmed_index_search"] = f"""
+WITH sent(sid, t) AS (VALUES
+  (0, 'ein Satz: Kinder spielten'), (1, 'ein Satz: Häuser standen'),
+  (2, 'ein Satz: Bücher lagen'), (3, 'ein Satz: Garten blühte'),
+  (10, 'Häusern'), (11, 'spielte'), (12, 'Gartens'), (13, 'Buch')),
+wl AS (
+  SELECT sid,
+         list_filter(regexp_extract_all(lower(t), '[\\pL\\pM\\pN]+'),
+                     x -> NOT list_contains({_gstop}, x)) AS a
+  FROM sent),
+tokm AS (
+  SELECT sid, unnest(a) AS w0,
+         sid * 100 + generate_subscripts(a, 1) AS position
+  FROM wl),
+tok0 AS (SELECT position, w0 AS w FROM tokm),
+{_gjoin},
+stems AS (SELECT tokm.sid, {_glast}.w AS stem
+          FROM {_glast} JOIN tokm USING (position)),
+hit AS (SELECT DISTINCT q.sid AS qsid, b.sid AS bsid
+        FROM stems q JOIN stems b ON q.stem = b.stem
+        WHERE q.sid >= 10 AND b.sid < 10),
+bc AS (SELECT CAST(doc_id % 4 AS INTEGER) AS b, count(*) AS n
+       FROM documents GROUP BY 1),
+agg AS (SELECT qsid, SUM(n) AS matches
+        FROM hit JOIN bc ON bc.b = hit.bsid GROUP BY qsid)
+SELECT s.t AS query, CAST(COALESCE(agg.matches, 0) AS BIGINT) AS matches
+FROM sent s LEFT JOIN agg ON agg.qsid = s.sid
+WHERE s.sid >= 10 ORDER BY s.sid"""
     return out

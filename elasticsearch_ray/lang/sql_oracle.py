@@ -1427,6 +1427,137 @@ _SPECS: dict[str, dict] = {
 SQL_ORACLE_LANGS = tuple(_SPECS) + ("chinese", "thai")
 
 
+def stem_pipeline(lang: str):
+    """(ctes, last_cte_name) for a language's stem pipeline. The CTEs
+    consume a `tok0(position, w)` relation — any number of word rows —
+    and the last CTE yields (position, w) with w stemmed. Lets other
+    oracles (e.g. stemmed index search) run the SQL stemmer over words
+    derived from a table instead of a literal sentence."""
+    passes = _SPECS[lang]["passes"]()
+    ctes = [p[1] for p in passes]
+    last = ctes[-1].split(" AS ")[0].strip()
+    return ctes, last
+
+
+# ------------------------------------------------------------------
+# Porter 1980 (the `english` analyzer / stemmer filter): the CV mask of
+# a word is computed once per step (translate + y-resolution rounds) and
+# every measure/has-vowel/cvc test reads a PREFIX of that mask — valid
+# because Porter's is_cons(i) depends only on chars <= i.
+
+_PORTER_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+_PORTER_CLASSES = "".join(
+    "v" if c in "aeiou" else ("y" if c == "y" else "c")
+    for c in _PORTER_ALPHABET)
+
+
+def _porter_mask(col: str) -> str:
+    m = f"translate({col}, '{_PORTER_ALPHABET}', '{_PORTER_CLASSES}')"
+    # initial y is a consonant; remaining y's resolve left-to-right
+    # (y after consonant = vowel, after vowel = consonant) — 5 rounds
+    # of the pair-replace reach the fixed point for any realistic run
+    m = f"(CASE WHEN substr({m}, 1, 1) = 'y' THEN 'c' || substr({m}, 2) ELSE {m} END)"
+    for _ in range(5):
+        m = f"replace(replace({m}, 'cy', 'cv'), 'vy', 'vc')"
+    return m
+
+
+def _mcount(maskexpr: str) -> str:
+    """Porter measure m = number of VC transitions in the mask."""
+    return f"(length({maskexpr}) - length(replace({maskexpr}, 'vc', 'c')))"
+
+
+def porter_pipeline_ctes() -> tuple[list[str], str]:
+    """Porter steps 1a-5b as CTEs over tok0(position, w); words of
+    length <= 2 pass through unchanged (the algorithm's guard)."""
+    pfx = lambda k: f"substr(mk, 1, length(w)-{k})"  # noqa: E731
+    w_ = lambda k: f"substr(w, 1, length(w)-{k})"  # noqa: E731
+    q0 = ("q0 AS (SELECT position, w AS wo, w FROM tok0)")
+    q1a = (f"q1a AS (SELECT position, wo, CASE "
+           f"WHEN ends_with(w, 'sses') THEN {w_(2)} "
+           f"WHEN ends_with(w, 'ies') THEN {w_(2)} "
+           f"WHEN ends_with(w, 'ss') THEN w "
+           f"WHEN ends_with(w, 's') THEN {w_(1)} ELSE w END AS w FROM q0)")
+    q1b = (f"q1b AS (SELECT position, wo, CASE "
+           f"WHEN ends_with(w, 'eed') THEN "
+           f"(CASE WHEN {_mcount(pfx(3))} > 0 THEN {w_(1)} ELSE w END) "
+           f"WHEN ends_with(w, 'ed') AND contains({pfx(2)}, 'v') THEN {w_(2)} "
+           f"WHEN ends_with(w, 'ing') AND contains({pfx(3)}, 'v') THEN {w_(3)} "
+           f"ELSE w END AS w, "
+           f"((ends_with(w, 'ed') AND NOT ends_with(w, 'eed') "
+           f"AND contains({pfx(2)}, 'v')) "
+           f"OR (ends_with(w, 'ing') AND contains({pfx(3)}, 'v'))) AS f "
+           f"FROM (SELECT position, wo, w, {_porter_mask('w')} AS mk FROM q1a))")
+    dbl = ("(length(w) >= 2 AND substr(w, length(w), 1) = substr(w, length(w)-1, 1) "
+           "AND ends_with(mk, 'c'))")
+    cvc = ("(ends_with(mk, 'cvc') AND NOT substr(w, length(w), 1) IN ('w', 'x', 'y'))")
+    q1f = (f"q1f AS (SELECT position, wo, CASE "
+           f"WHEN NOT f THEN w "
+           f"WHEN ends_with(w, 'at') OR ends_with(w, 'bl') OR ends_with(w, 'iz') "
+           f"THEN w || 'e' "
+           f"WHEN {dbl} AND NOT substr(w, length(w), 1) IN ('l', 's', 'z') "
+           f"THEN {w_(1)} "
+           f"WHEN {_mcount('mk')} = 1 AND {cvc} THEN w || 'e' "
+           f"ELSE w END AS w "
+           f"FROM (SELECT position, wo, w, f, {_porter_mask('w')} AS mk FROM q1b))")
+    q1c = (f"q1c AS (SELECT position, wo, CASE "
+           f"WHEN ends_with(w, 'y') AND contains({pfx(1)}, 'v') "
+           f"THEN {w_(1)} || 'i' ELSE w END AS w "
+           f"FROM (SELECT position, wo, w, {_porter_mask('w')} AS mk FROM q1f))")
+
+    def rules_case(pairs, min_m: int) -> str:
+        arms = []
+        for suf, rep in pairs:
+            k = len(suf)
+            arms.append(
+                f"WHEN ends_with(w, '{suf}') THEN "
+                f"(CASE WHEN {_mcount(pfx(k))} > {min_m - 1} "
+                f"THEN {w_(k)} || '{rep}' ELSE w END)")
+        return "CASE " + " ".join(arms) + " ELSE w END"
+
+    step2 = (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+             ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+             ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+             ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+             ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+             ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+             ("iviti", "ive"), ("biliti", "ble"))
+    step3 = (("icate", "ic"), ("ative", ""), ("alize", "al"),
+             ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", ""))
+    q2 = (f"q2 AS (SELECT position, wo, {rules_case(step2, 1)} AS w "
+          f"FROM (SELECT position, wo, w, {_porter_mask('w')} AS mk FROM q1c))")
+    q3 = (f"q3 AS (SELECT position, wo, {rules_case(step3, 1)} AS w "
+          f"FROM (SELECT position, wo, w, {_porter_mask('w')} AS mk FROM q2))")
+    step4 = ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+             "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+             "ous", "ive", "ize")
+    arms4 = []
+    for suf in step4:
+        k = len(suf)
+        cond = f"{_mcount(pfx(k))} > 1"
+        if suf == "ion":
+            cond = (f"(ends_with({w_(k)}, 's') OR ends_with({w_(k)}, 't')) "
+                    f"AND {cond}")
+        arms4.append(f"WHEN ends_with(w, '{suf}') THEN "
+                     f"(CASE WHEN {cond} THEN {w_(k)} ELSE w END)")
+    q4 = (f"q4 AS (SELECT position, wo, CASE {' '.join(arms4)} ELSE w END AS w "
+          f"FROM (SELECT position, wo, w, {_porter_mask('w')} AS mk FROM q3))")
+    cvc1 = (f"(ends_with({pfx(1)}, 'cvc') "
+            f"AND NOT substr(w, length(w)-1, 1) IN ('w', 'x', 'y'))")
+    q5a = (f"q5a AS (SELECT position, wo, CASE "
+           f"WHEN ends_with(w, 'e') AND ({_mcount(pfx(1))} > 1 "
+           f"OR ({_mcount(pfx(1))} = 1 AND NOT {cvc1})) THEN {w_(1)} "
+           f"ELSE w END AS w "
+           f"FROM (SELECT position, wo, w, {_porter_mask('w')} AS mk FROM q4))")
+    q5b = (f"q5b AS (SELECT position, wo, CASE "
+           f"WHEN {_mcount('mk')} > 1 AND {dbl} AND ends_with(w, 'l') "
+           f"THEN {w_(1)} ELSE w END AS w "
+           f"FROM (SELECT position, wo, w, {_porter_mask('w')} AS mk FROM q5a))")
+    qf = ("qf AS (SELECT position, CASE WHEN length(wo) <= 2 THEN wo "
+          "ELSE w END AS w FROM q5b)")
+    return [q0, q1a, q1b, q1f, q1c, q2, q3, q4, q5a, q5b, qf], "qf"
+
+
 def lang_oracle_sql(lang: str, text: str) -> str:
     """Standalone DuckDB statement producing the (position, token) frame of
     the language's analyze chain over `text`."""

@@ -40,6 +40,46 @@ def test_sql_oracle_matches_golden_words(lang):
     assert _sql_tokens(lang, text) == get_analyzer(lang)(text)
 
 
+def test_porter_sql_matches_python():
+    # the CV-mask Porter pipeline vs filters.porter_stem on the classic
+    # vectors plus y-run and short-word edge cases
+    from elasticsearch_ray.filters import porter_stem
+    from elasticsearch_ray.lang.sql_oracle import porter_pipeline_ctes
+
+    words = ("caresses ponies caress cats feed agreed motoring sing "
+             "hopping tanned falling happy sky relational conditional "
+             "vietnamization predication operator decisiveness formaliti "
+             "sensitiviti triplicate formative electriciti hopeful goodness "
+             "revival allowance inference adjustable defensible irritant "
+             "replacement adoption communism activate effective probate "
+             "rate cease controll roll oscillate enjoyment synergy dryly "
+             "crying flying dying lying typing yes abbey day say by y yy "
+             "queries query data window streaming").split()
+    ctes, last = porter_pipeline_ctes()
+    vals = ", ".join(f"({i}, '{w}')" for i, w in enumerate(words))
+    sql = (f"WITH tok0(position, w) AS (VALUES {vals}), "
+           + ",\n".join(ctes)
+           + f" SELECT position, w FROM {last} ORDER BY position")
+    got = list(duckdb.sql(sql).df()["w"])
+    assert got == [porter_stem(w) for w in words]
+
+
+def test_stem_pipeline_reusable_over_word_rows():
+    # stem_pipeline() consumes arbitrary (position, w) rows — the shape
+    # the lang_stemmed_index_search oracle relies on
+    from elasticsearch_ray.lang.snowball import german_stem
+    from elasticsearch_ray.lang.sql_oracle import stem_pipeline
+
+    words = ["häusern", "kindern", "spielten", "gärten", "bücher"]
+    ctes, last = stem_pipeline("german")
+    vals = ", ".join(f"({i}, '{w}')" for i, w in enumerate(words))
+    sql = (f"WITH tok0(position, w) AS (VALUES {vals}), "
+           + ",\n".join(ctes)
+           + f" SELECT position, w FROM {last} ORDER BY position")
+    got = list(duckdb.sql(sql).df()["w"])
+    assert got == [german_stem(w) for w in words]
+
+
 def test_sql_oracle_quote_escaping():
     # apostrophes in the input must survive SQL literal quoting (turkish
     # apostrophe filter + catalan/irish elision read them). Dotted capital
