@@ -264,6 +264,15 @@ def minhash_verified_pairs(ds, *, threshold: float = 0.8, num_perm: int = 128,
     # bands x corpus bytes through the exchange; almost all buckets are
     # singletons, so that volume is wasted. batch_size bounds the
     # signature kernel's working set.
+    # The int-only candidate rows materialize ONCE: `banded` feeds both
+    # the hot-bucket count and the semi-join below, and Ray Data does not
+    # common-subexpression-eliminate that diamond — left lazy, the one
+    # execution graph spawns TWO fixed MinHashStage actor pools (the
+    # signatures also compute twice), and on a small cluster the second
+    # pool's actors deadlock against the first pool + join aggregators
+    # (observed: 4/4 CPUs held, 2 actors pending forever on 4 CPUs).
+    # Size: docs x bands x ~20 B — the standard LSH candidate structure,
+    # object-store resident and spillable at corpus scale.
     banded = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
@@ -272,7 +281,7 @@ def minhash_verified_pairs(ds, *, threshold: float = 0.8, num_perm: int = 128,
         batch_format="pyarrow",
         batch_size=512,
         concurrency=concurrency,
-    )
+    ).materialize()
     # Pass 2 — hot buckets (>= 2 members) via a vectorized count (no
     # per-group UDF), then two distributed hash joins: a semi-join keeps
     # only hot (doc, band, band_hash) rows, and the text join ships each
