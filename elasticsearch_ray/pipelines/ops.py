@@ -1619,8 +1619,9 @@ def ft_analyze_shingle(sf_dir: str):
 
 def ft_analyze_stemmer(sf_dir: str):
     """stemmer (porter) token filter over the corpus: top-10 stems by token
-    count (rows-only gate: no offline SQL stemmer; algorithm pinned by the
-    published Porter test vectors in pytest)."""
+    count. Exact-oracled via the CV-mask Porter-in-SQL pipeline
+    (lang/sql_oracle.porter_pipeline_ctes); the published Porter test
+    vectors in pytest pin the algorithm independently."""
     from collections import Counter
 
     from ray.data.aggregate import Sum
@@ -2559,8 +2560,9 @@ _LANG_SAMPLES = {
 def _lang_analyze(lang: str):
     """(position, token) frame for the language's sample sentence — the
     _analyze API shape over the full chain (tokenize, elision, stop,
-    Snowball stem). Rows-only gate: no offline SQL stemmer exists; the
-    algorithms are pinned by golden vectors in tests/test_lang.py."""
+    Snowball/light stem). Exact-oracled: every chain is re-derived as
+    standalone DuckDB SQL in lang/sql_oracle.py; golden vectors in
+    tests/test_lang.py pin the algorithms independently."""
     from ..analyzer import get_analyzer
 
     toks = get_analyzer(lang)(_LANG_SAMPLES[lang])
