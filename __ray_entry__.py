@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_meta", "ft_fuzzy", "ft_wildcard", "ft_regexp",
         "ft_terms_set", "ft_dis_max", "ft_constant_score", "ft_boosting",
         "ft_function_score", "ft_more_like_this", "ft_paginate",
+        "ft_completion_context",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -231,6 +232,16 @@ WITH tok AS (
     SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
     FROM documents) u WHERE t <> ''),
 tc AS (SELECT term, count(*) AS weight FROM tok GROUP BY term)
+SELECT term AS input, weight FROM tc WHERE term LIKE 'da%'
+ORDER BY weight DESC, input LIMIT 5""",
+        "ft_completion_context": """
+WITH tok AS (
+  SELECT source, t AS term FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+tc AS (SELECT term, count(*) AS weight FROM tok
+       WHERE source = 'src1' GROUP BY term)
 SELECT term AS input, weight FROM tc WHERE term LIKE 'da%'
 ORDER BY weight DESC, input LIMIT 5""",
         "ft_completion_fuzzy": """

@@ -23,14 +23,22 @@ from .fulltext import all_matches, documents_searcher, highlight, suggest_terms,
 
 
 def _ds(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
-    # parquet files carry dict-valued pandas schema metadata that Ray's
-    # shuffle block-dedup can't hash (it logs a warning per reduce task);
-    # strip it once here — this map fuses with the downstream stage
-    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
-                          batch_format="pyarrow")
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # The driver's parquet files carry pandas schema metadata that makes
+    # pa.Schema unhashable (hash(schema) raises "unhashable type: dict"),
+    # so Ray's per-read schema dedup logs a warning per task. Passing an
+    # explicit metadata-free schema (pruned to the selected columns) makes
+    # every fragment schema identical AND hashable — no warning, no extra
+    # strip stage, and blocks downstream never see the metadata at all.
+    full = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([full.field(c) for c in columns])
+    else:
+        schema = full
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 # ---------------- full-text search family ----------------
@@ -2776,6 +2784,19 @@ def ft_completion_fuzzy(sf_dir: str):
     sug = completion_from_dataset(
         _ds(sf_dir, "documents", ["text"]), text_col="text", weight="tf")
     return sug.suggest("dat", size=5, fuzziness=1)
+
+
+def ft_completion_context(sf_dir: str):
+    """Context completion (CategoryContextMapping / ContextMappings:
+    suggest filtered to one category context): entries are built at
+    (token, source) granularity, so suggestions under context src1 rank
+    tokens by their weight within src1 only."""
+    from ..search.suggest import completion_from_dataset
+
+    sug = completion_from_dataset(
+        _ds(sf_dir, "documents", ["text", "source"]), text_col="text",
+        weight="tf", contexts_col="source")
+    return sug.suggest("da", size=5, context="src1")
 
 
 # ---------------- round 3: geo_shape geometry (GeoShapeFieldMapper /

@@ -67,11 +67,15 @@ class CompletionSuggester:
 
 def completion_from_dataset(ds, text_col: str = "text",
                             analyzer: str = "simple",
-                            weight: str = "tf") -> CompletionSuggester:
+                            weight: str = "tf",
+                            contexts_col: str | None = None) -> CompletionSuggester:
     """Build a suggester from a text column: token -> weight aggregated
     dataset-side (map_batches partial counts + groupby sum), only the reduced
     vocabulary reaches the driver. weight: 'tf' (total term frequency) or
-    'df' (document frequency)."""
+    'df' (document frequency). With `contexts_col`, entries are built at
+    (token, context) granularity — the CategoryContextMapping shape: a
+    context-filtered suggest ranks tokens by their weight WITHIN that
+    context, exactly what separate per-context entries give the reference."""
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
@@ -83,14 +87,24 @@ def completion_from_dataset(ds, text_col: str = "text",
         from collections import Counter
 
         c: Counter = Counter()
-        for s in t[text_col].to_pylist():
+        ctxs = (t[contexts_col].to_pylist() if contexts_col is not None
+                else None)
+        for ri, s in enumerate(t[text_col].to_pylist()):
             toks = an(s)
-            c.update(set(toks) if weight == "df" else toks)
+            ctx = ctxs[ri] if ctxs is not None else ""
+            keys = ((tok, ctx) for tok in
+                    (set(toks) if weight == "df" else toks))
+            c.update(keys)
         items = sorted(c)
-        return pa.table({"input": items,
+        return pa.table({"input": [k[0] for k in items],
+                         "ctx": [k[1] for k in items],
                          "w": pa.array([c[k] for k in items], pa.int64())})
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("input").aggregate(Sum("w", alias_name="weight"))
+           .groupby(["input", "ctx"]).aggregate(Sum("w", alias_name="weight"))
            .to_pandas())
-    return CompletionSuggester(zip(agg["input"], agg["weight"]))
+    if contexts_col is None:
+        return CompletionSuggester(zip(agg["input"], agg["weight"]))
+    return CompletionSuggester(
+        (i, w, (c,)) for i, c, w in
+        zip(agg["input"], agg["ctx"], agg["weight"]))
