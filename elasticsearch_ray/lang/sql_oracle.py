@@ -96,12 +96,19 @@ def _pre_default(t: str) -> str:
 
 
 def _hu_passes():
+    # the accent fold lives INSIDE hungarian_stem — i.e. after the stop
+    # filter, which checks accented forms — so it is a stem stage here,
+    # not part of the pre-tokenization lowercase (an 'áz' input must NOT
+    # fold into the stopword 'az' before the stop check)
+    h0 = ("h0 AS (SELECT position, "
+          "translate(w, 'áéíóöőúüű', 'aeiooouuu') AS w FROM tok0)")
     # assimilated instrumental: doubled stem-final consonant + al/el
     special = ("CASE WHEN length(w) > 5 AND (ends_with(w, 'al') OR ends_with(w, 'el')) "
                "AND substr(w, length(w)-2, 1) = substr(w, length(w)-3, 1) "
                "AND substr(w, length(w)-2, 1) NOT IN ('a','e','i','o','u') "
                "THEN substr(w, 1, length(w)-3) ELSE w END")
-    return [("case", _case_pass("p1", "tok0", special)),
+    return [("case", h0),
+            ("case", _case_pass("p1", "h0", special)),
             ("strip", _strip_pass("p2", "p1", _HU_CASE, 3)),
             ("strip", _strip_pass("p3", "p2", _HU_POSS, 3)),
             ("strip", _strip_pass("p4", "p3", _HU_PLURAL, 3))]
@@ -1379,9 +1386,7 @@ _SPECS: dict[str, dict] = {
     "norwegian": dict(pre=_pre_default, passes=_no_passes),
     "danish": dict(pre=_pre_default, passes=_da_passes),
     "arabic": dict(pre=_pre_default, passes=_ar_passes),
-    "hungarian": dict(
-        pre=lambda t: f"translate(lower({t}), 'áéíóöőúüű', 'aeiooouuu')",
-        passes=_hu_passes),
+    "hungarian": dict(pre=_pre_default, passes=_hu_passes),
     "turkish": dict(
         pre=lambda t: ("lower(replace(replace(regexp_replace("
                        f"{t}, '[''’][\\pL\\pM\\pN_]*', '', 'g'), "

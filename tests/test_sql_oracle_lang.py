@@ -40,6 +40,41 @@ def test_sql_oracle_matches_golden_words(lang):
     assert _sql_tokens(lang, text) == get_analyzer(lang)(text)
 
 
+@pytest.mark.parametrize("lang", sorted(SQL_ORACLE_LANGS))
+def test_sql_oracle_fuzz_random_words(lang):
+    """Seeded fuzz: 150 random words drawn from the language's own
+    alphabet must stem identically through SQL and Python. This catches
+    chain-ORDER bugs the fixed samples miss (e.g. an accent fold applied
+    before instead of after the stop filter turned 'áz' into the
+    stopword 'az' only on the SQL side)."""
+    import random
+    import unicodedata
+
+    rng = random.Random(hash(lang) & 0xFFFF)
+    alpha = sorted({c for c in _LANG_SAMPLES[lang].lower() if c.isalpha()})
+    if lang in ("chinese", "thai"):
+        # one script per word — mixed-script single words are a quirk of
+        # the substitute tokenizer, not realistic text
+        groups: dict = {}
+        for c in alpha:
+            try:
+                key = unicodedata.name(c).split()[0]
+            except ValueError:
+                key = "?"
+            groups.setdefault(key, []).append(c)
+        words = []
+        for _ in range(150):
+            g = rng.choice(list(groups.values()))
+            words.append("".join(rng.choice(g)
+                                 for _ in range(rng.randint(1, 8))))
+    else:
+        words = ["".join(rng.choice(alpha)
+                         for _ in range(rng.randint(1, 12)))
+                 for _ in range(150)]
+    text = " ".join(words)
+    assert _sql_tokens(lang, text) == get_analyzer(lang)(text)
+
+
 def test_porter_sql_matches_python():
     # the CV-mask Porter pipeline vs filters.porter_stem on the classic
     # vectors plus y-run and short-word edge cases
