@@ -166,7 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_meta", "ft_fuzzy", "ft_wildcard", "ft_regexp",
         "ft_terms_set", "ft_dis_max", "ft_constant_score", "ft_boosting",
         "ft_function_score", "ft_more_like_this", "ft_paginate",
-        "ft_completion_context",
+        "ft_completion_context", "ft_post_filter", "ft_terminate_after",
+        "ft_track_total_hits", "ft_docvalue_fields",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -1770,6 +1771,42 @@ FROM tf CROSS JOIN df CROSS JOIN st
 JOIN dl ON dl.doc_id = tf.doc_id
 JOIN documents d ON d.doc_id = tf.doc_id
 WHERE d.source = 'src1' ORDER BY doc_id""",
+        "ft_post_filter": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+tot AS (SELECT count(*) AS n FROM tf)
+SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score,
+       CAST(tot.n AS BIGINT) AS total_prefilter
+FROM tf CROSS JOIN df CROSS JOIN st CROSS JOIN tot
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+WHERE d.source = 'src1' ORDER BY doc_id""",
+        "ft_terminate_after": f"""
+WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+c AS (SELECT count(*) AS n FROM m)
+SELECT doc_id, (SELECT n > 50 FROM c) AS terminated_early
+FROM m ORDER BY doc_id LIMIT 50""",
+        "ft_track_total_hits": f"""
+WITH {_TOK},
+cd AS (SELECT count(DISTINCT doc_id) AS n FROM tok WHERE term = 'data'),
+cu AS (SELECT count(DISTINCT doc_id) AS n FROM tok WHERE term = 'dup')
+SELECT * FROM (
+  SELECT 'data' AS query, CAST(LEAST(n, 100) AS BIGINT) AS total,
+         CASE WHEN n > 100 THEN 'gte' ELSE 'eq' END AS relation FROM cd
+  UNION ALL
+  SELECT 'dup', CAST(LEAST(n, 100) AS BIGINT),
+         CASE WHEN n > 100 THEN 'gte' ELSE 'eq' END FROM cu)""",
+        "ft_docvalue_fields": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'query' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+sc AS (SELECT tf.doc_id AS doc_id, {_SCORE} AS raw
+       FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT sc.doc_id AS doc_id, ROUND(sc.raw, 4) AS score, d.source, d.n_chars
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+ORDER BY sc.raw DESC, sc.doc_id LIMIT 5""",
         "ft_profile": f"""
 WITH {_TOK},
 dd AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),

@@ -3051,6 +3051,75 @@ def ft_terms_enum(sf_dir: str):
     })
 
 
+def ft_post_filter(sf_dir: str):
+    """post_filter (SearchSourceBuilder#postFilter / QueryPhase post_filter
+    collector): the filter narrows the returned HITS only, while the total
+    hit count — the stand-in for aggregations, which run pre-filter —
+    still sees every query match. Every src1 hit of `term data`, ordered
+    by doc_id, each row carrying the pre-filter total."""
+    s = documents_searcher(sf_dir)
+    res = s.search_body(
+        {"kind": "term", "term": "data"},
+        post_filter={"kind": "meta_term", "field": "source", "value": "src1"},
+        k=10_000)
+    order = np.argsort(res["ids"])
+    return pd.DataFrame({
+        "doc_id": res["ids"][order].astype(np.int64),
+        "score": round_half_away(res["scores"][order].astype(np.float64), 4),
+        "total_prefilter": pd.array([res["total"]] * res["ids"].size,
+                                    dtype="int64"),
+    })
+
+
+def ft_terminate_after(sf_dir: str):
+    """terminate_after (SearchSourceBuilder#terminateAfter /
+    TerminateAfterChecker): collection stops after N matching docs in
+    doc-id (collection) order; terminated_early is flagged and the total
+    is the collected count."""
+    s = documents_searcher(sf_dir)
+    res = s.search_body({"kind": "term", "term": "data"},
+                        terminate_after=50, k=10_000)
+    order = np.argsort(res["ids_all"])
+    return pd.DataFrame({
+        "doc_id": res["ids_all"][order].astype(np.int64),
+        "terminated_early": pd.array([res["terminated_early"]] *
+                                     res["ids_all"].size, dtype="bool"),
+    })
+
+
+def ft_track_total_hits(sf_dir: str):
+    """track_total_hits cap (SearchSourceBuilder#trackTotalHitsUpTo;
+    TotalHits.Relation): counting stops at the cap — the reported total
+    is the cap with relation gte when more docs match, the exact count
+    with relation eq otherwise."""
+    s = documents_searcher(sf_dir)
+    capped = s.search_body({"kind": "term", "term": "data"},
+                           track_total_hits=100)
+    exact = s.search_body({"kind": "term", "term": "dup"},
+                          track_total_hits=100)
+    return pd.DataFrame({
+        "query": ["data", "dup"],
+        "total": pd.array([capped["total"], exact["total"]], dtype="int64"),
+        "relation": [capped["relation"], exact["relation"]],
+    })
+
+
+def ft_docvalue_fields(sf_dir: str):
+    """docvalue_fields (FetchDocValuesPhase): columnar field values
+    returned with each top hit — no _source parse; top-5 `term query`
+    hits with keyword + numeric doc values."""
+    s = documents_searcher(sf_dir)
+    res = s.search_body({"kind": "term", "term": "query"},
+                        docvalue_fields=["source", "n_chars"], k=5)
+    f = res["fields"].to_pandas()
+    return pd.DataFrame({
+        "doc_id": res["ids"].astype(np.int64),
+        "score": round_half_away(res["scores"].astype(np.float64), 4),
+        "source": f["source"],
+        "n_chars": f["n_chars"].astype("int64"),
+    })
+
+
 def ft_min_score(sf_dir: str):
     """min_score search option (SearchSourceBuilder#minScore: hits scoring
     below the cutoff are dropped after scoring): match OR query, cutoff

@@ -1976,6 +1976,53 @@ class IndexSearcher:
             total *= boost
         return cand, total
 
+    def search_body(self, query: dict, *, post_filter: dict | None = None,
+                    terminate_after: int | None = None,
+                    track_total_hits: int | None = None,
+                    docvalue_fields: list[str] | None = None,
+                    k: int = 10):
+        """SearchSourceBuilder options around the query phase
+        (search/builder/SearchSourceBuilder.java; collector chain order
+        per search/query/QueryPhase.java:218-244):
+
+        - `post_filter` narrows the returned HITS only — the total hit
+          count (and aggregations, which consume `ids_all`) see the
+          pre-filter doc set (SearchSourceBuilder#postFilter).
+        - `terminate_after` stops collecting after N matching docs in
+          doc-id order (the per-segment collection order) and flags
+          `terminated_early`; the reported total is then the collected
+          count with relation "eq" (TerminateAfterChecker semantics).
+        - `track_total_hits` caps total counting: beyond the cap the
+          total is the cap itself with relation "gte"
+          (Lucene TotalHits.Relation.GREATER_THAN_OR_EQUAL_TO).
+        - `docvalue_fields` fetches columnar fields for the returned
+          hits (FetchDocValuesPhase).
+
+        Returns dict(ids, scores, total, relation, terminated_early,
+        fields, ids_all, scores_all) — fields is a pa.Table aligned with
+        ids, or None."""
+        ids, sc = self._eval(query)
+        terminated = False
+        if terminate_after is not None and ids.size > int(terminate_after):
+            keep = np.sort(np.argsort(ids)[: int(terminate_after)])
+            ids, sc = ids[keep], sc[keep]
+            terminated = True
+        total = int(ids.size)
+        relation = "eq"
+        if track_total_hits is not None and total > int(track_total_hits):
+            total, relation = int(track_total_hits), "gte"
+        ids_all, sc_all = ids, sc
+        if post_filter is not None:
+            f_ids, _ = self._eval(post_filter)
+            mask = np.isin(ids, f_ids, assume_unique=True)
+            ids, sc = ids[mask], sc[mask]
+        top_ids, top_sc = self._topk(ids, sc, k)
+        fields = (self.fetch(top_ids, docvalue_fields)
+                  if docvalue_fields else None)
+        return {"ids": top_ids, "scores": top_sc, "total": total,
+                "relation": relation, "terminated_early": terminated,
+                "fields": fields, "ids_all": ids_all, "scores_all": sc_all}
+
     # ---------- fetch phase ----------
 
     def fetch(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:

@@ -78,3 +78,49 @@ def test_profile_counts_consistent(ray_session):
     by = dict(zip(out["description"], out["doc_count"]))
     assert by["+text:data +text:window"] <= min(by["text:data"],
                                                 by["text:window"])
+
+
+def test_search_body_post_filter_keeps_total(ray_session):
+    # post_filter narrows hits, NOT the total (aggs-side) count
+    from elasticsearch_ray.pipelines.fulltext import documents_searcher
+
+    s = documents_searcher(SF)
+    plain = s.search_body({"kind": "term", "term": "data"}, k=10_000)
+    filt = s.search_body(
+        {"kind": "term", "term": "data"},
+        post_filter={"kind": "meta_term", "field": "source", "value": "src1"},
+        k=10_000)
+    assert filt["total"] == plain["total"]
+    assert filt["ids"].size < plain["ids"].size
+    src = s.fetch(filt["ids"], ["source"])["source"].to_pylist()
+    assert set(src) == {"src1"}
+
+
+def test_search_body_terminate_and_track_total(ray_session):
+    from elasticsearch_ray.pipelines.fulltext import documents_searcher
+
+    s = documents_searcher(SF)
+    t = s.search_body({"kind": "term", "term": "data"}, terminate_after=7)
+    assert t["terminated_early"] and t["total"] == 7
+    assert t["ids_all"].size == 7
+    # collection order = doc-id order: the 7 smallest matching doc ids
+    full = s.search_body({"kind": "term", "term": "data"}, k=10_000)
+    import numpy as np
+
+    assert sorted(t["ids_all"]) == sorted(np.sort(full["ids_all"])[:7])
+    capped = s.search_body({"kind": "term", "term": "data"},
+                           track_total_hits=10)
+    assert (capped["total"], capped["relation"]) == (10, "gte")
+    exact = s.search_body({"kind": "term", "term": "data"},
+                          track_total_hits=10_000_000)
+    assert exact["relation"] == "eq"
+
+
+def test_search_body_docvalue_fields_aligned(ray_session):
+    from elasticsearch_ray.pipelines.fulltext import documents_searcher
+
+    s = documents_searcher(SF)
+    r = s.search_body({"kind": "term", "term": "query"},
+                      docvalue_fields=["source", "n_chars"], k=5)
+    assert r["fields"].num_rows == r["ids"].size
+    assert r["fields"].column_names == ["source", "n_chars"]
