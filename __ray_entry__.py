@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_function_score", "ft_more_like_this", "ft_paginate",
         "ft_completion_context", "ft_post_filter", "ft_terminate_after",
         "ft_track_total_hits", "ft_docvalue_fields",
+        "ft_sort_geo_distance", "ft_sort_script", "ft_sort_missing_last",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -1807,6 +1808,28 @@ sc AS (SELECT tf.doc_id AS doc_id, {_SCORE} AS raw
 SELECT sc.doc_id AS doc_id, ROUND(sc.raw, 4) AS score, d.source, d.n_chars
 FROM sc JOIN documents d ON d.doc_id = sc.doc_id
 ORDER BY sc.raw DESC, sc.doc_id LIMIT 5""",
+        "ft_sort_geo_distance": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+g AS (SELECT user_id,
+             radians(((user_id * 7919) % 180) - 90 + 0.5) AS lat,
+             radians(((user_id * 104729) % 360) - 180 + 0.5) AS lon FROM u),
+d AS (SELECT user_id,
+             2 * 6371.0 * asin(sqrt(pow(sin(lat/2), 2)
+                 + cos(lat) * cos(0.0) * pow(sin(lon/2), 2))) AS dist FROM g)
+SELECT CAST(row_number() OVER (ORDER BY dist, user_id) AS BIGINT) AS rank,
+       user_id, ROUND(dist, 2) AS distance_km
+FROM d ORDER BY dist, user_id LIMIT 10""",
+        "ft_sort_script": """
+WITH k AS (SELECT doc_id, (n_chars * 31) % 97 AS key FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, CAST(key AS BIGINT) AS key
+FROM k ORDER BY key DESC, doc_id LIMIT 20""",
+        "ft_sort_missing_last": """
+WITH k AS (SELECT doc_id, NULLIF(n_chars % 5, 0) AS key FROM documents)
+SELECT CAST(row_number() OVER
+           (ORDER BY key ASC NULLS LAST, doc_id) AS BIGINT) AS rank,
+       doc_id
+FROM k ORDER BY key ASC NULLS LAST, doc_id LIMIT 20""",
         "ft_profile": f"""
 WITH {_TOK},
 dd AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),

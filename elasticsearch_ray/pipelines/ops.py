@@ -3120,6 +3120,80 @@ def ft_docvalue_fields(sf_dir: str):
     })
 
 
+def ft_sort_geo_distance(sf_dir: str):
+    """geo_distance sort (GeoDistanceSortBuilder, SearchModule.java:604):
+    users ranked by haversine distance from (0, 0), nearest first,
+    user_id tie-break; rank column pins the ordering under the driver's
+    order-insensitive compare."""
+    ds = _ds(sf_dir, "events", ["user_id"]).groupby("user_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+    def dist(t: pa.Table) -> pa.Table:
+        t = _geo_cols(t)
+        lat = np.radians(t["lat"].to_numpy())
+        lon = np.radians(t["lon"].to_numpy())
+        a = np.sin(lat / 2) ** 2 + np.cos(lat) * np.cos(0.0) * np.sin(lon / 2) ** 2
+        d = 2 * 6371.0 * np.arcsin(np.sqrt(a))
+        return pa.table({"user_id": t["user_id"], "dist": pa.array(d)})
+
+    out = (ds.map_batches(dist, batch_format="pyarrow").to_pandas()
+           .sort_values(["dist", "user_id"]).head(10).reset_index(drop=True))
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(out) + 1), dtype="int64"),
+        "user_id": out["user_id"].astype("int64"),
+        "distance_km": round_half_away(out["dist"].to_numpy(), 2),
+    })
+
+
+def ft_sort_script(sf_dir: str):
+    """script sort (ScriptSortBuilder): the sort key is a sandboxed
+    numeric expression over doc values — evaluated with the AST
+    whitelist evaluator, never eval()."""
+    from ..scripting import safe_eval_expr
+
+    def key(t: pa.Table) -> pa.Table:
+        k = safe_eval_expr("(n_chars * 31) % 97",
+                           {"n_chars": t["n_chars"].to_numpy()})
+        return pa.table({"doc_id": t["doc_id"],
+                         "key": pa.array(k.astype(np.int64))})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+           .map_batches(key, batch_format="pyarrow").to_pandas()
+           .sort_values(["key", "doc_id"], ascending=[False, True])
+           .head(20).reset_index(drop=True))
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(out) + 1), dtype="int64"),
+        "doc_id": out["doc_id"].astype("int64"),
+        "key": out["key"].astype("int64"),
+    })
+
+
+def ft_sort_missing_last(sf_dir: str):
+    """sort with missing values (FieldSortBuilder#missing `_last`): docs
+    whose sort key is absent rank after every present key; ordering
+    pinned via the rank column."""
+
+    def key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = pc.cast(t["n_chars"], pa.int64())
+        k5 = pc.subtract(k, pc.multiply(pc.divide(k, 5), 5))  # n_chars % 5
+        key = pc.if_else(pc.equal(k5, 0), pa.scalar(None, pa.int64()), k5)
+        return pa.table({"doc_id": t["doc_id"], "key": key})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+           .map_batches(key, batch_format="pyarrow").to_pandas())
+    # +inf sentinel = deterministic NULLS LAST with doc_id tie-break even
+    # inside the missing block (pandas NaN placement alone is not keyed)
+    out = (out.assign(ks=out["key"].fillna(np.inf))
+           .sort_values(["ks", "doc_id"])
+           .head(20).reset_index(drop=True))
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(out) + 1), dtype="int64"),
+        "doc_id": out["doc_id"].astype("int64"),
+    })
+
+
 def ft_min_score(sf_dir: str):
     """min_score search option (SearchSourceBuilder#minScore: hits scoring
     below the cutoff are dropped after scoring): match OR query, cutoff
