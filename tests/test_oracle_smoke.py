@@ -1,0 +1,55 @@
+"""In-suite oracle smoke: a fast sample of queries() entries compared to
+their oracle_sql() in DuckDB with the mirror's own normalize logic, so
+gate-vs-oracle drift is caught by `pytest` between full mirror runs —
+not only when tools/check_correctness.py is invoked by hand."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+sys.path.insert(0, REPO)
+
+from check_correctness import normalize, to_pandas  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+# cheap, structurally diverse sample: BM25 scoring, bool, top-k, aggs,
+# language-analyzer SQL chains, search-body options, sorts
+SMOKE = [
+    "ft_term", "ft_bool", "ft_topk", "agg_terms", "agg_histogram",
+    "ft_analyze_french", "ft_analyze_hungarian", "ft_analyze_stemmer",
+    "ft_post_filter", "ft_track_total_hits", "ft_sort_script",
+    "ft_sort_missing_last",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_env(ray_session):
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')")
+    return entry.queries(), entry.oracle_sql(), con
+
+
+@pytest.mark.parametrize("name", SMOKE)
+def test_oracle_smoke(name, oracle_env):
+    queries, oracles, con = oracle_env
+    got = normalize(to_pandas(queries[name](SF)))
+    want = normalize(con.execute(oracles[name]).df())
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), name
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got, want, check_dtype=False,
+                           check_exact=False, atol=1e-9)
