@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_completion_context", "ft_post_filter", "ft_terminate_after",
         "ft_track_total_hits", "ft_docvalue_fields",
         "ft_sort_geo_distance", "ft_sort_script", "ft_sort_missing_last",
+        "ft_function_score_gauss", "ft_function_score_functions",
     ]
     return {n: getattr(ops, n) for n in names}
 
@@ -1808,6 +1809,38 @@ sc AS (SELECT tf.doc_id AS doc_id, {_SCORE} AS raw
 SELECT sc.doc_id AS doc_id, ROUND(sc.raw, 4) AS score, d.source, d.n_chars
 FROM sc JOIN documents d ON d.doc_id = sc.doc_id
 ORDER BY sc.raw DESC, sc.doc_id LIMIT 5""",
+        "ft_function_score_gauss": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+base AS (SELECT tf.doc_id AS doc_id, {_SCORE} AS raw
+         FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
+dec AS (SELECT b.doc_id, b.raw,
+               GREATEST(0.0, abs(d.n_chars - 800.0) - 50.0) AS dist
+        FROM base b JOIN documents d ON d.doc_id = b.doc_id)
+SELECT doc_id,
+       ROUND(raw * exp(-(dist * dist) / (2.0 * (-(300.0 * 300.0) / (2.0 * ln(0.5))))), 4) AS score
+FROM dec ORDER BY doc_id""",
+        "ft_function_score_functions": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+base AS (SELECT tf.doc_id AS doc_id, {_SCORE} AS raw
+         FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
+rnd AS (SELECT doc_id, raw,
+               -- the engine's documented random_score mix: 32-bit
+               -- knuth-mul + seed, xorshift 16, mul, xorshift 13
+               CAST((CAST(doc_id AS HUGEINT) * 2654435761 + 42) % 4294967296 AS BIGINT) AS h1
+        FROM base),
+r2 AS (SELECT doc_id, raw, xor(h1, h1 // 65536) AS h2 FROM rnd),
+r3 AS (SELECT doc_id, raw,
+       CAST((CAST(h2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS h3 FROM r2),
+r4 AS (SELECT doc_id, raw, xor(h3, h3 // 8192) AS h4 FROM r3),
+dec AS (SELECT r4.doc_id, r4.raw, r4.h4 / 4294967296.0 AS rand,
+               GREATEST(0.0, (1000.0 - GREATEST(0.0, abs(d.n_chars - 600.0))) / 1000.0) AS lin
+        FROM r4 JOIN documents d ON d.doc_id = r4.doc_id)
+SELECT doc_id, ROUND(raw * 1.5 * rand * lin, 4) AS score
+FROM dec ORDER BY doc_id""",
         "ft_sort_geo_distance": """
 WITH u AS (SELECT DISTINCT user_id FROM events),
 g AS (SELECT user_id,

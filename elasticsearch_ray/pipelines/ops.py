@@ -3120,6 +3120,50 @@ def ft_docvalue_fields(sf_dir: str):
     })
 
 
+def ft_function_score_gauss(sf_dir: str):
+    """function_score gauss decay (GaussDecayFunctionBuilder): score =
+    bm25 * exp(-max(0,|n_chars-origin|-offset)^2 / (2 sigma^2)) with
+    sigma^2 = -scale^2 / (2 ln decay); origin 800, scale 300, offset 50,
+    decay 0.5."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s._eval({
+        "kind": "function_score",
+        "query": {"kind": "term", "term": "data"},
+        "functions": [{"type": "gauss", "field": "n_chars",
+                       "origin": 800, "scale": 300, "offset": 50,
+                       "decay": 0.5}],
+    })
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away(sc[order].astype(np.float64), 4),
+    })
+
+
+def ft_function_score_functions(sf_dir: str):
+    """function_score with a functions LIST (weight x random_score x
+    linear decay, score_mode multiply, boost_mode multiply): the
+    random_score mix is the documented deterministic doc_id+seed hash
+    in [0,1), so the whole combination is exactly reproducible."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s._eval({
+        "kind": "function_score",
+        "query": {"kind": "term", "term": "data"},
+        "functions": [
+            {"type": "weight", "weight": 1.5},
+            {"type": "random_score", "seed": 42},
+            {"type": "linear", "field": "n_chars", "origin": 600,
+             "scale": 500, "decay": 0.5},
+        ],
+        "score_mode": "multiply",
+    })
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away(sc[order].astype(np.float64), 4),
+    })
+
+
 def ft_sort_geo_distance(sf_dir: str):
     """geo_distance sort (GeoDistanceSortBuilder, SearchModule.java:604):
     users ranked by haversine distance from (0, 0), nearest first,

@@ -910,6 +910,70 @@ class IndexSearcher:
                 in_neg = np.zeros(pos_ids.size, bool)
             sc = pos_sc * np.where(in_neg, nb, 1.0) * boost
             return pos_ids, sc
+        if kind == "function_score" and "functions" in q:
+            # full FunctionScoreQueryBuilder shape: a list of score
+            # functions combined by score_mode, then folded into the
+            # query score by boost_mode. Implements weight
+            # (WeightBuilder), field_value_factor, random_score
+            # (RandomScoreFunctionBuilder — a documented deterministic
+            # doc_id+seed hash mix in [0,1)) and the three decay shapes
+            # (DecayFunctionBuilder: gauss / exp / linear with
+            # origin/scale/offset/decay exactly per the published
+            # formulas).
+            ids, sc = self._eval(q["query"])
+            parts = []
+            for f in q["functions"]:
+                ft = f["type"]
+                if ft == "weight":
+                    v = np.full(ids.size, float(f["weight"]))
+                elif ft == "field_value_factor":
+                    v = (self._meta_values(f["field"], ids)
+                         .astype(np.float64) * float(f.get("factor", 1.0)))
+                    mod = f.get("modifier", "none")
+                    if mod == "log1p":
+                        v = np.log1p(v)
+                    elif mod == "sqrt":
+                        v = np.sqrt(v)
+                elif ft == "random_score":
+                    seed = np.uint64(int(f.get("seed", 0)))
+                    m32 = np.uint64(0xFFFFFFFF)
+                    h = (ids.astype(np.uint64) * np.uint64(2654435761)
+                         + seed) & m32
+                    h = h ^ (h >> np.uint64(16))
+                    h = (h * np.uint64(2246822519)) & m32
+                    h = h ^ (h >> np.uint64(13))
+                    v = h.astype(np.float64) / float(2 ** 32)
+                elif ft in ("gauss", "exp", "linear"):
+                    vals = (self._meta_values(f["field"], ids)
+                            .astype(np.float64))
+                    origin = float(f["origin"])
+                    scale = float(f["scale"])
+                    offset = float(f.get("offset", 0.0))
+                    d = float(f.get("decay", 0.5))
+                    dist = np.maximum(0.0, np.abs(vals - origin) - offset)
+                    if ft == "gauss":
+                        sigma2 = -scale * scale / (2.0 * np.log(d))
+                        v = np.exp(-dist * dist / (2.0 * sigma2))
+                    elif ft == "exp":
+                        v = np.exp(np.log(d) / scale * dist)
+                    else:
+                        s2 = scale / (1.0 - d)
+                        v = np.maximum(0.0, (s2 - dist) / s2)
+                else:
+                    raise ValueError(f"unknown score function {ft!r}")
+                parts.append(v)
+            score_mode = q.get("score_mode", "multiply")
+            comb = parts[0]
+            for v in parts[1:]:
+                comb = comb + v if score_mode == "sum" else comb * v
+            boost_mode = q.get("boost_mode", "multiply")
+            if boost_mode == "replace":
+                out = comb
+            elif boost_mode == "sum":
+                out = sc + comb
+            else:
+                out = sc * comb
+            return ids, out * boost
         if kind == "function_score":
             # field_value_factor flavor (FunctionScoreQueryBuilder):
             # score = inner_score * (factor * field_value) with modifier
