@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_terms_enum", "ft_min_score", "ft_indices_boost",
         "ft_source_filtering", "ft_script_fields", "ft_search_template",
         "ft_mtermvectors", "ft_alias_filter", "ft_profile",
+        "dedup_ngram_jaccard",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -614,6 +615,23 @@ SELECT doc_id, lang AS old_lang, upper(lang) AS new_lang FROM documents
 WHERE doc_id < 50 ORDER BY doc_id""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
+        # brute-force O(n^2) formulation of the prefix-filtered exact
+        # n-gram-Jaccard self-join (doc_id < 600 bound keeps it tractable;
+        # normalization mirrors _shingles: lower + whitespace collapse)
+        "dedup_ngram_jaccard": r"""
+WITH s AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents WHERE doc_id < 600),
+g AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS gram
+      FROM s, unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)
+      WHERE length(t) >= 5),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b, ROUND(i*1.0/(sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+WHERE i*1.0/(sa.n + sb.n - i) >= 0.5
+ORDER BY doc_a, doc_b""",
         "dedup_embedding": """
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

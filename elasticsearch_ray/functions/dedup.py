@@ -357,6 +357,155 @@ def minhash_dedup(ds, *, threshold: float = 0.8, num_perm: int = 128, bands: int
     return pd.DataFrame({"doc_id": [r[0] for r in rows], "kept": [r[1] for r in rows]})
 
 
+# ---------------- exact n-gram Jaccard (prefix-filtered all-pairs) --------
+
+
+class NgramPrefixStage:
+    """actor-pool map_batches stage: text -> exploded PREFIX gram rows
+    (gram, doc_id). Prefix-filtering lemma (Chaudhuri et al. SSJoin 2006,
+    Bayardo et al. AllPairs WWW 2007 — both public): fix any global total
+    order on grams (ascending 64-bit gram hash here; ascending global
+    frequency is the standard production refinement, one extra distributed
+    count pass) and keep each doc's first |A| - ceil(t*|A|) + 1 distinct
+    grams. Any pair with J >= t has overlap >= ceil(t*max(|A|,|B|)), so the
+    kept prefixes must intersect — grouping by kept grams is an EXACT
+    candidate generator, no false negatives."""
+
+    def __init__(self, threshold: float, shingle_k: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 hot_grams: np.ndarray | None = None):
+        self.t, self.k = threshold, shingle_k
+        self.text_col, self.id_col = text_col, id_col
+        # global order = (gram in hot set, gram hash): frequent grams sort
+        # LAST so prefixes are built from rare grams — the AllPairs
+        # frequency-order refinement. ANY broadcast hot set yields a valid
+        # total order (correctness is order-independent); a sampled top-M
+        # estimate is enough because the order only shapes group sizes.
+        self.hot = np.sort(hot_grams.astype(np.uint64)) if hot_grams is not None \
+            else np.empty(0, np.uint64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy()
+        grams, out_ids = [], []
+        for i, txt in enumerate(t[self.text_col].to_pylist()):
+            sh = _shingles(txt, self.k)  # sorted unique uint64
+            if self.hot.size:
+                is_hot = np.isin(sh, self.hot, assume_unique=True)
+                sh = np.concatenate([sh[~is_hot], sh[is_hot]])
+            plen = sh.size - int(np.ceil(self.t * sh.size)) + 1
+            grams.append(sh[:plen])
+            out_ids.append(np.full(plen, ids[i], np.int64))
+        if not grams:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64())})
+        return pa.table({
+            "gram": pa.array(np.concatenate(grams).astype(np.int64)),
+            self.id_col: pa.array(np.concatenate(out_ids)),
+        })
+
+
+def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_k: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        concurrency=2) -> pd.DataFrame:
+    """EXACT n-gram Jaccard all-pairs self-join: every pair with
+    J(k-gram sets) >= threshold, with the similarity value. Same distributed
+    shape as minhash_verified_pairs but with a lossless candidate generator
+    (prefix filtering) instead of probabilistic LSH banding:
+
+      prefix rows (int-only, materialized once — the DAG-diamond rule)
+        -> groupby(gram).count -> hot grams (>= 2 docs)
+        -> hash semi-join keeps hot prefix rows
+        -> hash join ships each text once per HOT gram membership
+        -> groupby(gram).map_groups exact Jaccard verify
+
+    The driver sees verified pairs only. The gram order is
+    frequency-refined: a bounded driver-side sample (same pattern as IVF
+    training) estimates the top-M most frequent grams, which sort to the
+    BACK of every doc's gram order so prefixes prefer rare grams. On
+    Zipfian web-corpus gram frequencies this collapses hot verify groups;
+    on the synthetic test corpus (small shared vocabulary, background
+    J ~ 0.25 between ALL pairs) groups stay large, so the in-group verify
+    is vectorized as one indicator-matrix matmul per group rather than a
+    per-pair loop. Exactness does not depend on the sample: any shared
+    total order satisfies the prefix lemma."""
+    _empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                           "doc_b": pd.Series([], dtype=np.int64),
+                           "jaccard": pd.Series([], dtype=np.float64)})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates(subset=id_col).sort_values(id_col)
+        if len(sub) < 2:
+            return _empty
+        ids = sub[id_col].to_numpy()
+        sets = [_shingles(t, shingle_k) for t in sub[text_col]]
+        # one group-local vocabulary + float32 indicator matmul gives ALL
+        # pairwise intersection sizes at once (n x v @ v x n)
+        flat = np.concatenate(sets)
+        vocab, inv = np.unique(flat, return_inverse=True)
+        n = len(ids)
+        ind = np.zeros((n, vocab.size), np.float32)
+        row = np.repeat(np.arange(n), [s.size for s in sets])
+        ind[row, inv] = 1.0
+        inter = ind @ ind.T
+        sizes = np.asarray([s.size for s in sets], np.float64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 1.0)
+        ai, bj = np.triu_indices(n, k=1)
+        keep = jac[ai, bj] >= threshold
+        ai, bj = ai[keep], bj[keep]
+        return pd.DataFrame({
+            "doc_a": ids[ai].astype(np.int64),
+            "doc_b": ids[bj].astype(np.int64),
+            "jaccard": round_half_away(jac[ai, bj], 6).astype(np.float64),
+        })
+
+    # bounded-sample top-M frequent grams, estimated on the driver from a
+    # FIXED-size doc sample (same bounded-training pattern as IVF): ~32 KB
+    # shipped to each prefix actor, independent of corpus size
+    sample_texts = [r[text_col] for r in ds.limit(2000).take(2000)]
+    flat = (np.concatenate([_shingles(x, shingle_k) for x in sample_texts])
+            if sample_texts else np.empty(0, np.uint64))
+    uniq, cnt = np.unique(flat, return_counts=True)
+    hot_grams = uniq[np.argsort(-cnt, kind="stable")[:4096]]
+
+    prefix = ds.map_batches(
+        NgramPrefixStage,
+        fn_constructor_kwargs=dict(threshold=threshold, shingle_k=shingle_k,
+                                   text_col=text_col, id_col=id_col,
+                                   hot_grams=hot_grams),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency,
+    ).materialize()
+    counts = prefix.groupby("gram").count()
+
+    def _hot_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.field("count()") >= 2)
+        return pa.table({"gram": t["gram"].cast(pa.int64())})
+
+    hot = counts.map_batches(_hot_keys, batch_format="pyarrow")
+    nparts = max(4, int(concurrency) * 2)
+    agg_args = {"num_cpus": 0.25}
+    hot_rows = prefix.join(hot, "inner", num_partitions=nparts,
+                           on=("gram",), aggregator_ray_remote_args=agg_args)
+    texts = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow")
+    joined = hot_rows.join(texts, "inner", num_partitions=nparts,
+                           on=(id_col,), aggregator_ray_remote_args=agg_args)
+    verified = joined.groupby("gram").map_groups(verify, batch_format="pandas")
+    df = verified.to_pandas()
+    if df.empty:
+        return _empty
+    return (
+        df.drop_duplicates()  # a pair verifies in every shared hot prefix gram
+        .astype({"doc_a": np.int64, "doc_b": np.int64})
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+
+
 # ---------------- SimHash ----------------
 
 

@@ -22,7 +22,7 @@ from ..functions import text as T
 from .fulltext import all_matches, documents_searcher, highlight, suggest_terms, topk_matches
 
 
-def _ds(sf_dir: str, table: str, columns=None):
+def _ds(sf_dir: str, table: str, columns=None, flt=None):
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -33,12 +33,15 @@ def _ds(sf_dir: str, table: str, columns=None):
     # explicit metadata-free schema (pruned to the selected columns) makes
     # every fragment schema identical AND hashable — no warning, no extra
     # strip stage, and blocks downstream never see the metadata at all.
+    # `flt` (a pyarrow.compute Expression) pushes row filters into the
+    # read itself (row-group pruning, no empty downstream batches).
     full = pq.read_schema(path).remove_metadata()
     if columns is not None:
         schema = pa.schema([full.field(c) for c in columns])
     else:
         schema = full
-    return rd.read_parquet(path, columns=columns, schema=schema)
+    kw = {"filter": flt} if flt is not None else {}
+    return rd.read_parquet(path, columns=columns, schema=schema, **kw)
 
 
 # ---------------- full-text search family ----------------
@@ -369,6 +372,20 @@ def dedup_minhash(sf_dir: str):
 
 def dedup_simhash(sf_dir: str):
     return D.simhash_pairs(_ds(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (J >= 0.5, k=5), prefix-filtered
+    distributed self-join (functions/dedup.py ngram_jaccard_pairs). Bounded
+    to doc_id < 600 so the O(n^2) DuckDB brute-force oracle stays tractable
+    at every sf (covers the whole table at sf0.01); the operator itself is
+    the scale path. Reference analog: the min_hash token filter's Jaccard
+    semantics (CommonAnalysisPlugin.java:271) made a first-class exact op."""
+    import pyarrow.compute as pc
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"],
+             flt=pc.field("doc_id") < 600)
+    return D.ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=5)
 
 
 def dedup_embedding(sf_dir: str):

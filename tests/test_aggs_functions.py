@@ -571,3 +571,36 @@ def test_embedding_dedup_lsh_recall(ray_session):
     assert approx_pairs <= exact_pairs  # no false positives
     recall = len(approx_pairs) / max(1, len(exact_pairs))
     assert recall >= 0.9, recall
+
+
+def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
+    """Prefix-filtered distributed all-pairs must equal brute-force O(n^2)
+    Jaccard over every pair — no false negatives (prefix lemma) and no
+    extras, with the similarity values themselves matching."""
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.dedup import ngram_jaccard, ngram_jaccard_pairs
+    from elasticsearch_ray.utils import round_half_away
+
+    base = "query scan filter merge batch window column vector " * 20
+    rows = [{"doc_id": i, "text": f"unique doc {i} " + "z" * 11 + f" body {i*7919}"}
+            for i in range(25)]
+    rows += [
+        {"doc_id": 100, "text": base},
+        {"doc_id": 101, "text": base + " tiny tail"},
+        {"doc_id": 102, "text": base.replace("merge", "blend")},
+        {"doc_id": 200, "text": rows[3]["text"]},  # exact dup
+    ]
+    threshold = 0.6
+    out = ngram_jaccard_pairs(rd.from_items(rows), threshold=threshold)
+    got = {(int(a), int(b)): j for a, b, j in zip(out.doc_a, out.doc_b, out.jaccard)}
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            jac = ngram_jaccard(a["text"], b["text"])
+            if jac >= threshold:
+                key = (min(a["doc_id"], b["doc_id"]), max(a["doc_id"], b["doc_id"]))
+                want[key] = float(round_half_away(jac, 6))
+    assert got == want
+    assert (100, 101) in got and (3, 200) in got  # planted near-dup + exact dup
