@@ -1,0 +1,137 @@
+"""Seeded random query-tree fuzz: engine vs the independent brute-force
+oracle (tests/oracle_bm25.py) over randomly composed bool trees of
+term/match/match_phrase(+slop)/prefix/match_all leaves.
+
+Complements the fixed-query parity suite (test_index_search.py): the fuzz
+explores CLAUSE INTERACTIONS — nested bools, filter-vs-must scoring, boosts
+compounding through levels, must_not under should — that enumerated gates
+cannot cover. Comparison is on the FULL doc->score map (k = corpus size),
+so float-tie reordering in top-k cannot mask or fake a mismatch.
+
+Phrases are sampled from real document windows (guaranteed-plausible
+position patterns) and restricted to distinct tokens: repeated-term sloppy
+phrases use the documented unordered-span fallback (COVERAGE.md known
+divergence) and are covered by their own fixed tests instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from elasticsearch_ray.index.build import build_index
+from elasticsearch_ray.search.engine import IndexSearcher
+from elasticsearch_ray.sources.corpus import write_corpus
+from tests.oracle_bm25 import BruteForceBM25
+
+N_DOCS = 1000
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(tmp_path_factory, ray_session):
+    cdir = str(tmp_path_factory.mktemp("fuzz_corpus"))
+    write_corpus(cdir, N_DOCS, rows_per_file=1000, row_group_size=200, use_ray=True)
+    idir = str(tmp_path_factory.mktemp("fuzz_index"))
+    build_index(cdir, idir, docs_per_partition=500, num_buckets=8, salt_chunks=4)
+    t = pads.dataset(cdir).to_table(columns=["content"])
+    texts = t["content"].to_pylist()
+    oracle = BruteForceBM25([(i, c) for i, c in enumerate(texts)], analyzer="code")
+    return IndexSearcher(idir), oracle, texts
+
+
+def _vocab_pools(oracle):
+    """terms bucketed by df so the fuzz mixes rare, mid and stop-like terms."""
+    by_df = sorted(oracle.tf.items(), key=lambda kv: len(kv[1]))
+    terms = [t for t, _ in by_df]
+    n = len(terms)
+    return terms[: n // 4], terms[n // 4 : 3 * n // 4], terms[3 * n // 4 :]
+
+
+def _phrase_from_doc(rng, oracle, texts, max_len=3):
+    """a window of DISTINCT consecutive tokens from a random real doc."""
+    for _ in range(20):
+        doc = texts[int(rng.integers(len(texts)))]
+        toks = oracle.an(doc)
+        if len(toks) < max_len:
+            continue
+        i = int(rng.integers(len(toks) - max_len))
+        w = toks[i : i + int(rng.integers(2, max_len + 1))]
+        if len(set(w)) == len(w):
+            return " ".join(w)
+    return "query scan"
+
+
+def _rand_leaf(rng, pools, oracle, texts):
+    rare, mid, common = pools
+    pick = lambda pool: pool[int(rng.integers(len(pool)))] if pool else "query"
+    kind = int(rng.integers(6))
+    boost = float(rng.choice([1.0, 1.0, 0.5, 2.0, 3.7]))
+    if kind == 0:
+        return {"kind": "term", "term": pick(mid), "boost": boost}
+    if kind == 1:  # term that may not exist
+        return {"kind": "term", "term": rng.choice([pick(rare), "zzznope"]),
+                "boost": boost}
+    if kind == 2:
+        words = [pick(mid) for _ in range(int(rng.integers(1, 4)))]
+        return {"kind": "match", "text": " ".join(words),
+                "operator": str(rng.choice(["or", "and"])), "boost": boost}
+    if kind == 3:
+        return {"kind": "match_phrase", "text": _phrase_from_doc(rng, oracle, texts),
+                "slop": int(rng.integers(0, 3)), "boost": boost}
+    if kind == 4:
+        base = pick(mid)
+        return {"kind": "prefix", "prefix": base[: max(1, int(rng.integers(2, 5)))],
+                "boost": boost}
+    return {"kind": "match_all", "boost": boost}
+
+
+def _rand_query(rng, pools, oracle, texts, depth=0):
+    if depth >= 2 or rng.random() < 0.45:
+        return _rand_leaf(rng, pools, oracle, texts)
+    q = {"kind": "bool"}
+    # always at least one positive clause: a pure-negative bool means
+    # match-all-minus in ES semantics, which the brute oracle does not model
+    n_must = int(rng.integers(0, 3))
+    n_should = int(rng.integers(0 if n_must else 1, 3))
+    n_filter = int(rng.integers(0, 2))
+    n_not = int(rng.integers(0, 2))
+    if n_must:
+        q["must"] = [_rand_query(rng, pools, oracle, texts, depth + 1)
+                     for _ in range(n_must)]
+    if n_should:
+        q["should"] = [_rand_query(rng, pools, oracle, texts, depth + 1)
+                       for _ in range(n_should)]
+    if n_filter:
+        q["filter"] = [_rand_query(rng, pools, oracle, texts, depth + 1)
+                       for _ in range(n_filter)]
+    if n_not:
+        q["must_not"] = [_rand_leaf(rng, pools, oracle, texts)
+                         for _ in range(n_not)]
+    if rng.random() < 0.3:
+        q["boost"] = float(rng.choice([0.5, 2.0]))
+    return q
+
+
+def test_fuzz_query_trees_match_oracle(fuzz_env):
+    searcher, oracle, texts = fuzz_env
+    pools = _vocab_pools(oracle)
+    rng = np.random.default_rng(20260817)
+    n_queries, n_nonempty = 250, 0
+    for qi in range(n_queries):
+        q = _rand_query(rng, pools, oracle, texts)
+        q["k"] = N_DOCS  # full result set: tie order cannot hide mismatches
+        ids, scores = searcher.search(q)
+        o_ids, o_scores = oracle.search(q)
+        got = dict(zip((int(i) for i in ids), (float(s) for s in scores)))
+        want = dict(zip(o_ids, o_scores))
+        assert set(got) == set(want), f"doc set mismatch, query #{qi}: {q}"
+        if want:
+            n_nonempty += 1
+            g = np.array([got[d] for d in sorted(got)])
+            w = np.array([want[d] for d in sorted(want)])
+            np.testing.assert_allclose(
+                g, w, rtol=1e-5, atol=1e-7,
+                err_msg=f"score mismatch, query #{qi}: {q}")
+    # the generator must actually exercise matching queries
+    assert n_nonempty > n_queries * 0.6, n_nonempty
