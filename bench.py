@@ -143,11 +143,18 @@ def run_bench() -> dict:
     # --- 3. representative operators over the driver testdata ---
     from elasticsearch_ray.pipelines import ops as OPS
 
-    for name in ("agg_terms", "agg_date_histogram", "agg_cardinality",
-                 "dedup_exact", "knn_bruteforce", "text_quality", "top_terms"):
-        q0 = time.time()
-        getattr(OPS, name)(sf_dir)
-        timings[name] = round(time.time() - q0, 3)
+    # best-of-2 per operator, same capability-number methodology as the
+    # builds/queries: the first pass pays actor-pool spin-up and any
+    # noisy-neighbor stall, the min is the repeatable number
+    op_names = ("agg_terms", "agg_date_histogram", "agg_cardinality",
+                "dedup_exact", "knn_bruteforce", "text_quality", "top_terms")
+    for name in op_names:
+        best = float("inf")
+        for _ in range(2):
+            q0 = time.time()
+            getattr(OPS, name)(sf_dir)
+            best = min(best, time.time() - q0)
+        timings[name] = round(best, 3)
 
     total = timings["index_build"] + timings["query_total"] + sum(
         timings[k] for k in timings if k.startswith(("agg_", "dedup_", "knn_", "text_", "top_"))
