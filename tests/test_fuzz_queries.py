@@ -37,7 +37,7 @@ def fuzz_env(tmp_path_factory, ray_session):
     t = pads.dataset(cdir).to_table(columns=["content"])
     texts = t["content"].to_pylist()
     oracle = BruteForceBM25([(i, c) for i, c in enumerate(texts)], analyzer="code")
-    return IndexSearcher(idir), oracle, texts
+    return IndexSearcher(idir), oracle, texts, idir
 
 
 def _vocab_pools(oracle):
@@ -114,7 +114,7 @@ def _rand_query(rng, pools, oracle, texts, depth=0):
 
 
 def test_fuzz_query_trees_match_oracle(fuzz_env):
-    searcher, oracle, texts = fuzz_env
+    searcher, oracle, texts, _ = fuzz_env
     pools = _vocab_pools(oracle)
     rng = np.random.default_rng(20260817)
     n_queries, n_nonempty = 250, 0
@@ -135,3 +135,30 @@ def test_fuzz_query_trees_match_oracle(fuzz_env):
                 err_msg=f"score mismatch, query #{qi}: {q}")
     # the generator must actually exercise matching queries
     assert n_nonempty > n_queries * 0.6, n_nonempty
+
+
+def test_fuzz_distributed_partition_invariance(fuzz_env):
+    """Random query trees must score IDENTICALLY through the partitioned
+    DistributedSearcher (DFS global stats) and the single searcher — the
+    round-2 advisory bug class (per-field df/avgdl falling back to local
+    stats under some clause shapes) generalized to arbitrary compositions."""
+    from elasticsearch_ray.search.distributed import DistributedSearcher
+
+    searcher, oracle, texts, idir = fuzz_env
+    dist = DistributedSearcher(idir, num_searchers=3)
+    pools = _vocab_pools(oracle)
+    rng = np.random.default_rng(424242)
+    for qi in range(80):
+        q = _rand_query(rng, pools, oracle, texts)
+        q["k"] = N_DOCS
+        ids_s, sc_s = searcher.search(q)
+        ids_d, sc_d = dist.search(q)
+        got = dict(zip((int(i) for i in ids_d), (float(s) for s in sc_d)))
+        want = dict(zip((int(i) for i in ids_s), (float(s) for s in sc_s)))
+        assert set(got) == set(want), f"doc set mismatch, query #{qi}: {q}"
+        if want:
+            g = np.array([got[d] for d in sorted(got)])
+            w = np.array([want[d] for d in sorted(want)])
+            np.testing.assert_allclose(
+                g, w, rtol=1e-6, atol=1e-9,
+                err_msg=f"distributed score mismatch, query #{qi}: {q}")
