@@ -105,3 +105,54 @@ def test_build_without_positions(corpus_dir, tmp_path):
     build_index_tasks(corpus_dir, d2, docs_per_partition=400, num_buckets=4,
                       index_positions=True, hot_terms=frozenset(["def"]))
     assert psize(d) < psize(d2)
+
+
+def test_fuzz_random_killpoint_resume(corpus_dir, tmp_path, ray_session):
+    """Randomized crash-recovery fuzz: kill the build at a random commit
+    (seeded), then additionally drop a random subset of committed segments,
+    resume, and require the final postings key-set to be identical to a
+    clean build — generalizes the fixed kill-point and single-victim resume
+    tests to arbitrary failure states."""
+    import shutil
+
+    import elasticsearch_ray.index.fast_build as FB
+
+    hot = frozenset(["def"])
+    kw = dict(docs_per_partition=200, num_buckets=4, hot_terms=hot)
+    clean = str(tmp_path / "clean")
+    build_index_tasks(corpus_dir, clean, **kw)
+    want = _postings_key_set(clean)
+    n_parts = len(committed_segments(clean))
+    assert n_parts == 4  # 800 docs / 200
+
+    rng = np.random.default_rng(29)
+    orig = FB.commit_segment
+    for trial in range(3):
+        kill_at = int(rng.integers(1, n_parts))  # after k-th commit
+        d = str(tmp_path / f"fuzz{trial}")
+
+        class Boom(RuntimeError):
+            pass
+
+        calls = {"n": 0}
+
+        def bomb(out_dir, seg_id, manifest):
+            res = orig(out_dir, seg_id, manifest)
+            calls["n"] += 1
+            if calls["n"] == kill_at:
+                raise Boom()
+            return res
+
+        FB.commit_segment = bomb
+        try:
+            with pytest.raises(Boom):
+                build_index_tasks(corpus_dir, d, **kw)
+        finally:
+            FB.commit_segment = orig
+        done = list(committed_segments(d))
+        assert len(done) >= kill_at  # commits up to the kill survived
+        # corrupt further: drop a random committed segment (if any)
+        if done and rng.random() < 0.7:
+            shutil.rmtree(os.path.join(d, str(rng.choice(done))))
+        build_index_tasks(corpus_dir, d, **kw)  # resume
+        assert _postings_key_set(d) == want, f"trial {trial} kill_at={kill_at}"
