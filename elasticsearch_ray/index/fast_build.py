@@ -120,10 +120,8 @@ def build_index_tasks(
     enc_task = ray.remote(num_cpus=1)(_encode_bucket_task)
 
     pending = [(sid, sf) for sid, sf in parts if sid not in done]
-    t_start = {}
-    all_enc_refs = {}
-    for seg_id, seg_frags in pending:
-        t_start[seg_id] = time.time()
+
+    def submit(seg_id, seg_frags):
         tmp = tmp_segment_dir(out_dir, seg_id)
         os.makedirs(os.path.join(tmp, "postings"), exist_ok=True)
         cfg = dict(
@@ -145,20 +143,39 @@ def build_index_tasks(
                 outs = [outs]
             for b, r in enumerate(outs):
                 per_bucket[b].append(r)
-        enc_refs = [
+        # encode tasks hold the only references to the tokenize outputs:
+        # once an encode finishes, its bucket's token triples are freed
+        return [
             enc_task.remote(
                 os.path.join(tmp, "postings", f"bucket-{b:05d}.parquet"),
                 hot_terms, *per_bucket[b]
             )
             for b in range(num_buckets)
         ]
-        all_enc_refs[seg_id] = enc_refs
 
-    # commit as each partition's encodes finish (partitions overlap freely)
+    # Bounded in-flight window (the 100-TB-critical property): submitting
+    # every partition's task graph up front parks the ENTIRE corpus's
+    # exploded token triples in the object store at once — measured at
+    # 800k docs (80 partitions, 25,600 bucket objects) the store spills
+    # and throughput collapses ~3x vs the 100k run. A sliding window of
+    # W partitions keeps cross-partition pipelining (tokenize of partition
+    # k+1 overlaps encode of partition k) while bounding live shuffle
+    # bytes to W x partition size, independent of corpus size. Commits
+    # stay FIFO so resume semantics are unchanged.
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    window = int(os.environ.get("ESRAY_INFLIGHT_PARTITIONS", "0")) or max(
+        2, min(8, (ncpu * 2) // max(1, num_buckets) + 2))
     from .manifest import SegmentManifest
 
-    for seg_id, seg_frags in pending:
-        results = ray.get(all_enc_refs[seg_id])
+    in_flight: list[tuple] = []  # (seg_id, seg_frags, enc_refs, t0)
+    next_i = 0
+    while next_i < len(pending) or in_flight:
+        while next_i < len(pending) and len(in_flight) < window:
+            sid, sf = pending[next_i]
+            in_flight.append((sid, sf, submit(sid, sf), time.time()))
+            next_i += 1
+        seg_id, seg_frags, enc_refs, t0 = in_flight.pop(0)
+        results = ray.get(enc_refs)
         tmp = tmp_segment_dir(out_dir, seg_id)
         hot_union: set[str] = set()
         for _, _, _, hp in results:
@@ -173,7 +190,7 @@ def build_index_tasks(
             doc_id_max=seg_frags[-1].offset + seg_frags[-1].num_rows - 1,
             analyzer=analyzer,
             index_positions=index_positions,
-            build_seconds=time.time() - t_start[seg_id],
+            build_seconds=time.time() - t0,
         )
         commit_segment(out_dir, seg_id, manifest)
         write_build_log(out_dir, {
