@@ -438,15 +438,29 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_k: int = 5,
             return _empty
         ids = sub[id_col].to_numpy()
         sets = [_shingles(t, shingle_k) for t in sub[text_col]]
-        # one group-local vocabulary + float32 indicator matmul gives ALL
-        # pairwise intersection sizes at once (n x v @ v x n)
+        # one group-local vocabulary + indicator matmul gives ALL pairwise
+        # intersection sizes at once (n x v @ v x n), row-tiled so the
+        # float32 product never exceeds ~256 MB; above a 1 GB indicator
+        # (pathological hot-gram group) fall back to a merge-count whose
+        # memory tracks actual co-occurrences, not n x v.
         flat = np.concatenate(sets)
         vocab, inv = np.unique(flat, return_inverse=True)
         n = len(ids)
-        ind = np.zeros((n, vocab.size), np.float32)
         row = np.repeat(np.arange(n), [s.size for s in sets])
-        ind[row, inv] = 1.0
-        inter = ind @ ind.T
+        if n * vocab.size * 4 <= (1 << 30):
+            ind = np.zeros((n, vocab.size), np.float32)
+            ind[row, inv] = 1.0
+            inter = np.empty((n, n), np.float32)
+            tile = max(1, (256 << 20) // max(1, vocab.size * 4))
+            for r0 in range(0, n, tile):
+                inter[r0:r0 + tile] = ind[r0:r0 + tile] @ ind.T
+        else:
+            co = (pd.DataFrame({"g": inv, "i": row})
+                  .merge(pd.DataFrame({"g": inv, "j": row}), on="g")
+                  .groupby(["i", "j"]).size())
+            inter = np.zeros((n, n), np.float32)
+            idx = np.array(co.index.to_list(), np.int64).reshape(-1, 2)
+            inter[idx[:, 0], idx[:, 1]] = co.to_numpy()
         sizes = np.asarray([s.size for s in sets], np.float64)
         union = sizes[:, None] + sizes[None, :] - inter
         with np.errstate(invalid="ignore"):
