@@ -150,11 +150,18 @@ def merge_segments(
     segment_ids: list[str] | None = None,
     *,
     max_merge_at_once: int = MAX_MERGE_AT_ONCE,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> str | None:
     """Merge a group of live segments into one; returns new segment id."""
     import ray
     import ray.data as rd
+
+    if num_buckets is None:
+        # the re-encode is CPU-bound per bucket group: at the old fixed 16
+        # buckets a 10x10k-doc merge ran 40.6 s on 32 CPUs (16-way parallel
+        # ceiling); 2 buckets/CPU cut it to 11.6 s. Buckets only shape
+        # parallelism — postings are re-grouped by term inside each bucket.
+        num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
     segs = live_segments(committed_segments(index_dir))
     by_range = sorted(segs.items(), key=lambda kv: kv[1].doc_id_min)
