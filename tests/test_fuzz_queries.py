@@ -162,3 +162,117 @@ def test_fuzz_distributed_partition_invariance(fuzz_env):
             np.testing.assert_allclose(
                 g, w, rtol=1e-6, atol=1e-9,
                 err_msg=f"distributed score mismatch, query #{qi}: {q}")
+
+
+# ---------------- span-family fuzz ----------------
+
+
+def _naive_spans(oracle, doc, q):
+    """independent span algebra over the oracle's position maps: plain
+    Python sets of (start, end) — no shared mechanics with the engine's
+    vectorized _span_eval."""
+    kind = q["kind"]
+    if kind == "span_term":
+        ps = oracle.pos.get(q["term"], {}).get(doc, [])
+        return {(p, p + 1) for p in ps}
+    if kind == "span_or":
+        out = set()
+        for c in q["clauses"]:
+            out |= _naive_spans(oracle, doc, c)
+        return out
+    if kind == "span_not":
+        inc = _naive_spans(oracle, doc, q["include"])
+        exc = _naive_spans(oracle, doc, q["exclude"])
+        return {(s, e) for (s, e) in inc
+                if not any(s < xe and xs < e for (xs, xe) in exc)}
+    if kind == "span_first":
+        return {(s, e) for (s, e) in _naive_spans(oracle, doc, q["match"])
+                if e <= int(q["end"])}
+    raise ValueError(kind)
+
+
+def _naive_near_match(oracle, doc, terms, slop, in_order):
+    plists = [sorted(oracle.pos.get(t, {}).get(doc, [])) for t in terms]
+    if any(not p for p in plists):
+        return False
+    window = slop + len(terms) - 1
+    if in_order:
+        for p0 in plists[0]:
+            # strictly increasing chain within the window
+            def chain(ti, prev):
+                if ti == len(plists):
+                    return True
+                for p in plists[ti]:
+                    if p > prev and p - p0 <= window:
+                        if chain(ti + 1, p):
+                            return True
+                return False
+
+            if chain(1, p0):
+                return True
+        return False
+    starts = sorted({p for pl in plists for p in pl})
+    for s in starts:
+        if all(any(s <= p <= s + window for p in pl) for pl in plists):
+            return True
+    return False
+
+
+def _rand_span_tree(rng, pools, depth=0):
+    rare, mid, common = pools
+    pick = lambda pool: pool[int(rng.integers(len(pool)))]
+    if depth >= 2 or rng.random() < 0.5:
+        return {"kind": "span_term", "term": pick(mid)}
+    kind = int(rng.integers(3))
+    if kind == 0:
+        return {"kind": "span_or",
+                "clauses": [_rand_span_tree(rng, pools, depth + 1)
+                            for _ in range(int(rng.integers(2, 4)))]}
+    if kind == 1:
+        return {"kind": "span_not",
+                "include": _rand_span_tree(rng, pools, depth + 1),
+                "exclude": _rand_span_tree(rng, pools, depth + 1)}
+    return {"kind": "span_first",
+            "match": _rand_span_tree(rng, pools, depth + 1),
+            "end": int(rng.integers(1, 40))}
+
+
+def test_fuzz_span_near_vs_bruteforce(fuzz_env):
+    """span_near over random term pairs/triples, both orders, random slop:
+    engine doc set == brute-force enumeration of position combinations."""
+    searcher, oracle, texts, _ = fuzz_env
+    pools = _vocab_pools(oracle)
+    rng = np.random.default_rng(31)
+    rare, mid, common = pools
+    for qi in range(40):
+        n_terms = int(rng.integers(2, 4))
+        terms = list(rng.choice(mid + common, size=n_terms, replace=False))
+        slop = int(rng.integers(0, 5))
+        in_order = bool(rng.random() < 0.5)
+        q = {"kind": "span_near", "terms": terms, "slop": slop,
+             "in_order": in_order, "k": N_DOCS}
+        ids, _ = searcher.search(q)
+        got = set(int(i) for i in ids)
+        want = {d for d in range(N_DOCS)
+                if _naive_near_match(oracle, d, terms, slop, in_order)}
+        assert got == want, f"#{qi} {q}: extra={got-want} missing={want-got}"
+
+
+def test_fuzz_span_trees_vs_naive_algebra(fuzz_env):
+    """random or/not/first span trees: engine doc set == docs where the
+    naive span algebra yields a non-empty span set."""
+    searcher, oracle, texts, _ = fuzz_env
+    pools = _vocab_pools(oracle)
+    rng = np.random.default_rng(37)
+    n_nonempty = 0
+    for qi in range(60):
+        q = _rand_span_tree(rng, pools)
+        if q["kind"] == "span_term":
+            q = {"kind": "span_or", "clauses": [q]}
+        q["k"] = N_DOCS
+        ids, _ = searcher.search(q)
+        got = set(int(i) for i in ids)
+        want = {d for d in range(N_DOCS) if _naive_spans(oracle, d, q)}
+        assert got == want, f"#{qi} {q}: extra={got-want} missing={want-got}"
+        n_nonempty += bool(want)
+    assert n_nonempty > 30, n_nonempty
