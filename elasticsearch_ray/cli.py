@@ -83,6 +83,26 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    from .index.snapshot import (
+        create_snapshot,
+        delete_snapshot,
+        list_snapshots,
+        restore_snapshot,
+    )
+
+    if args.action == "create":
+        out = create_snapshot(args.index, args.repo, args.name)
+    elif args.action == "restore":
+        out = {"restored_segments": restore_snapshot(args.repo, args.name, args.dest)}
+    elif args.action == "delete":
+        out = {"deleted_files": delete_snapshot(args.repo, args.name)}
+    else:
+        out = {"snapshots": list_snapshots(args.repo)}
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="elasticsearch_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -114,7 +134,23 @@ def main(argv=None) -> int:
     m.add_argument("--num-cpus", type=int, default=None)
     m.set_defaults(fn=cmd_merge)
 
+    sn = sub.add_parser("snapshot", help="snapshot repository operations "
+                        "(_snapshot API analog; content-addressed, incremental)")
+    sn.add_argument("action", choices=["create", "restore", "list", "delete"])
+    sn.add_argument("--repo", required=True)
+    sn.add_argument("--name", default=None)
+    sn.add_argument("--index", default=None, help="source index (create)")
+    sn.add_argument("--dest", default=None, help="restore destination")
+    sn.set_defaults(fn=cmd_snapshot)
+
     args = p.parse_args(argv)
+    if getattr(args, "cmd", None) == "snapshot":
+        if args.action in ("create", "restore", "delete") and not args.name:
+            p.error("--name is required for create/restore/delete")
+        if args.action == "create" and not args.index:
+            p.error("--index is required for create")
+        if args.action == "restore" and not args.dest:
+            p.error("--dest is required for restore")
     try:
         return args.fn(args)
     finally:
