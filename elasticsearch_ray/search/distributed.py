@@ -92,7 +92,13 @@ class DistributedSearcher:
         assign: list[list[str]] = [[] for _ in range(num_searchers)]
         for i, sid in enumerate(seg_ids):
             assign[i % num_searchers].append(sid)
-        Actor = ray.remote(SearcherActor)
+        # data-node failover: the durable index lives on (shared) storage and
+        # every query ships its own global stats (search_with_stats), so a
+        # restarted actor is immediately correct after __init__ reloads its
+        # segment partition — max_restarts + task retries make a searcher
+        # crash invisible to the coordinator (the reference's shard-failover
+        # analog, minus replica copies).
+        Actor = ray.remote(max_restarts=2, max_task_retries=2)(SearcherActor)
         self.actors = [
             Actor.remote(index_dir, segs, **kw) for segs in assign if segs
         ]

@@ -113,3 +113,20 @@ def test_distributed_altsim_equals_global(index_dir):
             assert list(g_ids) == list(d_ids), (name, q)
             np.testing.assert_allclose(np.asarray(g_sc, np.float64), d_sc,
                                        rtol=1e-12, err_msg=f"{name} {q}")
+
+
+def test_searcher_actor_failover(index_dir):
+    """Killing a searcher actor mid-session must be invisible to the
+    coordinator: the actor restarts (reloading its segment partition in
+    __init__), the retried task serves, and results stay identical —
+    the shard-failover property the multi-node design claims."""
+    import ray
+
+    dist = DistributedSearcher(index_dir, num_searchers=3)
+    q = {"kind": "match", "text": "def return scan", "k": 10}
+    before_ids, before_sc = dist.search(q)
+    # kill one actor WITHOUT no_restart: Ray restarts it per max_restarts
+    ray.kill(dist.actors[1], no_restart=False)
+    after_ids, after_sc = dist.search(q)
+    assert list(before_ids) == list(after_ids)
+    np.testing.assert_allclose(before_sc, after_sc, rtol=1e-12)
