@@ -101,7 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_terms_enum", "ft_min_score", "ft_indices_boost",
         "ft_source_filtering", "ft_script_fields", "ft_search_template",
         "ft_mtermvectors", "ft_alias_filter", "ft_profile",
-        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard", "dedup_minhash_exact",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -227,8 +227,67 @@ g AS (SELECT user_id,
         "geo_shape_linestring": f"WITH {base}\n{sel.format(line_pred)}",
     }
 
+def _minhash_oracle_sql(num_perm: int = 32, bands: int = 8,
+                        bound: int = 600, threshold: float = 0.8) -> str:
+    """The FULL MinHash+LSH dedup re-derived in SQL: char-5-shingle rolling
+    hashes and (a*x + b) signatures in HUGEINT with explicit mod-2^64
+    wraparound, banded-bucket candidates via 4-tuple equality, exact
+    Jaccard verification, and union-find as a recursive min-label
+    propagation. The permutation constants are the engine's published
+    rng(12345) parameters — configuration, not shared logic. MATERIALIZED
+    CTE hints matter: inlined, the recursive component re-evaluates the
+    whole signature pipeline per step (measured 104 s -> 9 s)."""
+    from elasticsearch_ray.functions.dedup import _minhash_params
+
+    M = 1 << 64
+    P = [pow(1000003, 4 - j, M) for j in range(5)]
+    a, b = _minhash_params(num_perm)
+    rpb = num_perm // bands
+    perm_rows = ",".join(
+        f"({p},{int(a[p])}::HUGEINT,{int(b[p])}::HUGEINT)" for p in range(num_perm))
+    return f"""
+WITH s AS MATERIALIZED (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+     FROM documents WHERE doc_id < {bound}),
+hd AS MATERIALIZED (SELECT DISTINCT doc_id,
+        CAST((ord(substr(t,i,1))::HUGEINT * {P[0]} + ord(substr(t,i+1,1))::HUGEINT * {P[1]}
+            + ord(substr(t,i+2,1))::HUGEINT * {P[2]} + ord(substr(t,i+3,1))::HUGEINT * {P[3]}
+            + ord(substr(t,i+4,1))::HUGEINT * {P[4]}) % {M} AS HUGEINT) AS sh
+      FROM s, unnest(generate_series(1, length(t)-4)) AS u(i)
+      WHERE length(t) >= 5),
+perms(p, pa, pb) AS (VALUES {perm_rows}),
+bands AS MATERIALIZED (
+  SELECT doc_id, p // {rpb} AS band, list(mh ORDER BY p) AS key FROM (
+    SELECT doc_id, p, MIN(CAST((sh * pa + pb) % {M} AS HUGEINT)) AS mh
+    FROM hd CROSS JOIN perms GROUP BY doc_id, p)
+  GROUP BY doc_id, p // {rpb}),
+cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+              AND x.doc_id < y.doc_id),
+g AS MATERIALIZED (SELECT DISTINCT doc_id, substr(t, i, 5) AS gram
+      FROM s, unnest(generate_series(1, length(t)-4)) AS u(i) WHERE length(t) >= 5),
+sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+verified AS MATERIALIZED (
+  SELECT da, db FROM (
+    SELECT c.da, c.db, count(*) AS i
+    FROM cand c JOIN g ga ON ga.doc_id = c.da JOIN g gb
+         ON gb.doc_id = c.db AND gb.gram = ga.gram
+    GROUP BY c.da, c.db)
+  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+  WHERE i*1.0/(sa.n + sb.n - i) >= {threshold}),
+edges AS MATERIALIZED (SELECT da AS x, db AS y FROM verified UNION ALL SELECT db, da FROM verified),
+nodes AS MATERIALIZED (SELECT DISTINCT x AS n FROM edges),
+cc AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT e.y, r.lbl FROM r JOIN edges e ON e.x = r.node WHERE r.lbl < e.y
+  ) SELECT node, MIN(lbl) AS lbl FROM r GROUP BY node)
+SELECT node AS doc_id, lbl AS kept FROM cc ORDER BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = _geo_shape_oracle_sqls()
+    out["dedup_minhash_exact"] = _minhash_oracle_sql()
     out.update({
         "ft_completion_weighted": """
 WITH tok AS (

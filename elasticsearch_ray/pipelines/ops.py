@@ -388,6 +388,21 @@ def dedup_ngram_jaccard(sf_dir: str):
     return D.ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=5)
 
 
+def dedup_minhash_exact(sf_dir: str):
+    """MinHash+LSH near-dedup with an EXACT DuckDB oracle: the full
+    shingle-hash -> (a*x+b) mod 2^64 signature -> banded-bucket candidate ->
+    Jaccard-verify -> union-find pipeline is re-derived as HUGEINT SQL in
+    __ray_entry__ (the sibling `dedup_minhash` gate runs the production
+    128-perm config unbounded as rows-only). Bounded to doc_id < 600 and
+    num_perm=32/bands=8 so the 2^64-modular SQL twin stays ~10 s per sf;
+    recall at the planted-dup J >= 0.93 is still 1 - (1-J^4)^8 ~ 1."""
+    import pyarrow.compute as pc
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"],
+             flt=pc.field("doc_id") < 600)
+    return D.minhash_dedup(ds, threshold=0.8, num_perm=32, bands=8)
+
+
 def dedup_embedding(sf_dir: str):
     return D.embedding_dedup_pairs(_ds(sf_dir, "embeddings"), threshold=0.4)
 
