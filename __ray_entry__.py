@@ -101,7 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_terms_enum", "ft_min_score", "ft_indices_boost",
         "ft_source_filtering", "ft_script_fields", "ft_search_template",
         "ft_mtermvectors", "ft_alias_filter", "ft_profile",
-        "dedup_ngram_jaccard", "dedup_minhash_exact",
+        "dedup_ngram_jaccard", "dedup_minhash_exact", "dedup_simhash_exact",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -285,9 +285,47 @@ cc AS (
 SELECT node AS doc_id, lbl AS kept FROM cc ORDER BY doc_id"""
 
 
+def _simhash_oracle_sql(bound: int = 600, max_hamming: int = 3) -> str:
+    """SimHash + hamming-radius pairs in SQL: the mod-2^64 shingle rolling
+    hash (shared prelude with the minhash oracle), per-bit sign-of-sums via
+    BIGINT shifts over 32-bit halves (HUGEINT division was 20x slower), and
+    pairwise hamming as a per-bit inequality count — quarter-pigeonhole
+    bucketing is lossless at <= 3 bits, so the distributed pair set must
+    equal this brute-force formulation."""
+    M = 1 << 64
+    P = [pow(1000003, 4 - j, M) for j in range(5)]
+    bit_rows = ",".join(f"({j})" for j in range(64))
+    return f"""
+WITH s AS MATERIALIZED (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+     FROM documents WHERE doc_id < {bound}),
+hd AS MATERIALIZED (SELECT DISTINCT doc_id,
+        CAST((ord(substr(t,i,1))::HUGEINT * {P[0]} + ord(substr(t,i+1,1))::HUGEINT * {P[1]}
+            + ord(substr(t,i+2,1))::HUGEINT * {P[2]} + ord(substr(t,i+3,1))::HUGEINT * {P[3]}
+            + ord(substr(t,i+4,1))::HUGEINT * {P[4]}) % {M} AS HUGEINT) AS sh
+      FROM s, unnest(generate_series(1, length(t)-4)) AS u(i)
+      WHERE length(t) >= 5),
+hs AS MATERIALIZED (SELECT doc_id,
+        CAST(sh % 4294967296 AS BIGINT) AS lo,
+        CAST(sh // 4294967296 AS BIGINT) AS hi FROM hd),
+bits(j) AS (VALUES {bit_rows}),
+sbit AS MATERIALIZED (
+  SELECT doc_id, j,
+         CASE WHEN SUM(CASE WHEN (CASE WHEN j < 32 THEN (lo >> j) & 1
+                                       ELSE (hi >> (j - 32)) & 1 END) = 1
+                      THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS hb
+  FROM hs CROSS JOIN bits GROUP BY doc_id, j),
+ham AS (SELECT a.doc_id AS da, b.doc_id AS db,
+               SUM(CASE WHEN a.hb <> b.hb THEN 1 ELSE 0 END) AS d
+        FROM sbit a JOIN sbit b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b FROM ham WHERE d <= {max_hamming}
+ORDER BY doc_a, doc_b"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = _geo_shape_oracle_sqls()
     out["dedup_minhash_exact"] = _minhash_oracle_sql()
+    out["dedup_simhash_exact"] = _simhash_oracle_sql()
     out.update({
         "ft_completion_weighted": """
 WITH tok AS (

@@ -403,6 +403,21 @@ def dedup_minhash_exact(sf_dir: str):
     return D.minhash_dedup(ds, threshold=0.8, num_perm=32, bands=8)
 
 
+def dedup_simhash_exact(sf_dir: str):
+    """SimHash near-dup with an EXACT DuckDB oracle: shingle hashes, the
+    64-bit sign-of-sums simhash and pairwise hamming <= 3 are re-derived in
+    SQL (BIGINT shifts over 32-bit halves of the mod-2^64 rolling hash).
+    The quarter-pigeonhole bucketing is LOSSLESS for <= 3 differing bits,
+    so the distributed path's pair set equals the brute-force pair set by
+    construction — the oracle checks exactly that. Bounded to doc_id < 600
+    (O(n^2 x 64) SQL); the sibling `dedup_simhash` runs unbounded."""
+    import pyarrow.compute as pc
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"],
+             flt=pc.field("doc_id") < 600)
+    return D.simhash_pairs(ds, max_hamming=3)
+
+
 def dedup_embedding(sf_dir: str):
     return D.embedding_dedup_pairs(_ds(sf_dir, "embeddings"), threshold=0.4)
 
