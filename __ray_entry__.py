@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_source_filtering", "ft_script_fields", "ft_search_template",
         "ft_mtermvectors", "ft_alias_filter", "ft_profile",
         "dedup_ngram_jaccard", "dedup_minhash_exact", "dedup_simhash_exact",
+        "knn_lsh_exact",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -322,10 +323,54 @@ SELECT da AS doc_a, db AS doc_b FROM ham WHERE d <= {max_hamming}
 ORDER BY doc_a, doc_b"""
 
 
+def _knn_lsh_oracle_sql(n_planes: int = 6, seed: int = 99, k: int = 5,
+                        probe_hamming: int = 1) -> str:
+    """Hyperplane-LSH ANN re-derived in SQL: signature bits from inlined
+    plane constants (the engine's seeded rng output — configuration, not
+    logic), probe set = own bucket + every 1-bit flip, cosine top-k within
+    probed buckets, ties by (rounded cosine desc, vec_id) exactly like the
+    partial-top-k merge. float64 on both sides (gate passes dtype=float64);
+    signature signs are fp32/fp64-stable because min |dot| over the table
+    is ~60x fp32 rounding error."""
+    import numpy as np
+
+    import pyarrow.parquet as pq  # dim from the table the driver reads
+
+    dim = 64
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_planes, dim)).astype(np.float32)
+    plane_lists = ",".join(
+        "(" + str(j) + ", [" + ",".join(repr(float(x)) for x in planes[j]) + "]::DOUBLE[])"
+        for j in range(n_planes))
+    flip_rows = ",".join(f"({1 << j})" for j in range(n_planes))
+    return f"""
+WITH planes(j, pv) AS (VALUES {plane_lists}),
+b AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         SUM(CASE WHEN list_inner_product(embedding::DOUBLE[], pv) > 0
+                  THEN 1 << j ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding),
+q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+                   FROM b WHERE vec_id < 3),
+flips(f) AS (VALUES (0),{flip_rows}),
+probe AS (SELECT DISTINCT query_id, qe, xor(qb, f) AS pb FROM q CROSS JOIN flips),
+cand AS (SELECT p.query_id, p.qe, v.vec_id, v.embedding
+         FROM probe p JOIN b v ON v.bucket = p.pb)
+SELECT query_id, vec_id,
+       ROUND(list_cosine_similarity(qe::DOUBLE[], embedding::DOUBLE[]), 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY ROUND(list_cosine_similarity(qe::DOUBLE[], embedding::DOUBLE[]), 6) DESC,
+                     vec_id) AS BIGINT) AS rank
+FROM cand
+QUALIFY rank <= {k}
+ORDER BY query_id, rank"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = _geo_shape_oracle_sqls()
     out["dedup_minhash_exact"] = _minhash_oracle_sql()
     out["dedup_simhash_exact"] = _simhash_oracle_sql()
+    out["knn_lsh_exact"] = _knn_lsh_oracle_sql()
     out.update({
         "ft_completion_weighted": """
 WITH tok AS (

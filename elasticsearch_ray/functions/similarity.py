@@ -88,7 +88,8 @@ class LshIndexStage:
 
 def knn_lsh(ds, queries: np.ndarray, k: int = 10, *, dim: int | None = None,
             n_planes: int = 8, seed: int = 99, vec_col: str = "embedding",
-            id_col: str = "vec_id", probe_hamming: int = 1) -> pd.DataFrame:
+            id_col: str = "vec_id", probe_hamming: int = 1,
+            dtype=np.float32) -> pd.DataFrame:
     """Approximate cosine top-k: vectors bucketed by LSH signature; each query
     probes its bucket plus all buckets within `probe_hamming` bit flips."""
     Q = np.asarray(queries, dtype=np.float32)
@@ -115,8 +116,8 @@ def knn_lsh(ds, queries: np.ndarray, k: int = 10, *, dim: int | None = None,
         lambda t: t.filter(pc.is_in(t["bucket"], value_set=wanted_arr)),
         batch_format="pyarrow",
     ).select_columns([id_col, vec_col, "bucket"])
-    return _bucketed_topk(sub, _normalize(Q), probes, "bucket", k,
-                          vec_col, id_col, np.float32)
+    return _bucketed_topk(sub, _normalize(Q.astype(dtype)), probes, "bucket", k,
+                          vec_col, id_col, dtype)
 
 
 # ---------------- IVF (coarse-quantizer ANN, the scale path) ----------------

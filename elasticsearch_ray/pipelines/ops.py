@@ -2238,6 +2238,21 @@ def agg_scripted_metric(sf_dir: str):
     return pd.DataFrame({"geo_mean_1p": [float(round_half_away(np.exp(r["logsum"] / r["n"]), 4))]})
 
 
+def knn_lsh_exact(sf_dir: str):
+    """knn_lsh with an EXACT DuckDB oracle: the hyperplane signature, the
+    hamming-1 probe set and the in-bucket cosine top-k are re-derived in SQL
+    with the plane constants inlined. Cosine runs in float64 on BOTH sides
+    (dtype kwarg); signature bits stay float32 on the Ray side — safe
+    because the minimum |dot| over this dataset is ~6e-5, 60x above fp32
+    rounding on dim-64 dots, so fp32/fp64 sign flips cannot occur."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    Q = np.array(t["embedding"].to_pylist()[:3])
+    return S.knn_lsh(_ds(sf_dir, "embeddings"), Q, k=5, n_planes=6,
+                     dtype=np.float64)
+
+
 def knn_ivf(sf_dir: str):
     import pyarrow.dataset as pads
 
