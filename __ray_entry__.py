@@ -102,7 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_source_filtering", "ft_script_fields", "ft_search_template",
         "ft_mtermvectors", "ft_alias_filter", "ft_profile",
         "dedup_ngram_jaccard", "dedup_minhash_exact", "dedup_simhash_exact",
-        "knn_lsh_exact",
+        "knn_lsh_exact", "dedup_embedding_lsh_exact",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -366,11 +366,49 @@ QUALIFY rank <= {k}
 ORDER BY query_id, rank"""
 
 
+def _embedding_lsh_dedup_oracle_sql(threshold: float = 0.4, n_planes: int = 4,
+                                    n_rounds: int = 4, seed: int = 99) -> str:
+    """Multi-round hyperplane LSH near-dup in SQL: per round, bucket every
+    vector by its sign signature (plane constants inlined — the engine's
+    seeded rng output, quantized to float32 exactly as shipped), pair
+    same-bucket vectors, then union rounds and keep cosine >= threshold.
+    Both sides compute signature dots in float64 (gate bits_dtype)."""
+    import numpy as np
+
+    dim = 64
+    rounds = []
+    for r in range(n_rounds):
+        planes = np.random.default_rng(seed + 1000 * r).standard_normal(
+            (n_planes, dim)).astype(np.float32)
+        plane_lists = ",".join(
+            f"({r},{j},[" + ",".join(repr(float(x)) for x in planes[j]) + "]::DOUBLE[])"
+            for j in range(n_planes))
+        rounds.append(plane_lists)
+    all_planes = ",".join(rounds)
+    return f"""
+WITH planes(r, j, pv) AS (VALUES {all_planes}),
+b AS MATERIALIZED (
+  SELECT r, vec_id, embedding,
+         SUM(CASE WHEN list_inner_product(embedding::DOUBLE[], pv) > 0
+                  THEN 1 << j ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings CROSS JOIN planes GROUP BY r, vec_id, embedding),
+pairs AS (SELECT DISTINCT a.vec_id AS doc_a, bb.vec_id AS doc_b,
+                 a.embedding AS ea, bb.embedding AS eb
+          FROM b a JOIN b bb ON a.r = bb.r AND a.bucket = bb.bucket
+               AND a.vec_id < bb.vec_id)
+SELECT doc_a, doc_b,
+       ROUND(list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]), 6) AS cosine
+FROM pairs
+WHERE list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]) >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = _geo_shape_oracle_sqls()
     out["dedup_minhash_exact"] = _minhash_oracle_sql()
     out["dedup_simhash_exact"] = _simhash_oracle_sql()
     out["knn_lsh_exact"] = _knn_lsh_oracle_sql()
+    out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update({
         "ft_completion_weighted": """
 WITH tok AS (

@@ -697,7 +697,8 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95, vec_col: str = "embedd
 def embedding_dedup_lsh(ds, *, threshold: float = 0.95, n_planes: int = 8,
                         n_rounds: int = 4, seed: int = 99,
                         vec_col: str = "embedding", id_col: str = "vec_id",
-                        dim: int | None = None) -> pd.DataFrame:
+                        dim: int | None = None,
+                        bits_dtype=np.float32) -> pd.DataFrame:
     """Approximate embedding near-dup — the SCALE path beside the exact
     blocked self-join (embedding_dedup_pairs): random-hyperplane LSH buckets
     vectors (`n_rounds` independent plane sets so near-neighbors split by
@@ -735,7 +736,8 @@ def embedding_dedup_lsh(ds, *, threshold: float = 0.95, n_planes: int = 8,
         first = ds.take(1)[0]
         dim = len(first[vec_col])
     for r in range(n_rounds):
-        stage = LshIndexStage(dim, n_planes, seed + 1000 * r, vec_col)
+        stage = LshIndexStage(dim, n_planes, seed + 1000 * r, vec_col,
+                              dtype=bits_dtype)
         bucketed = ds.map_batches(stage, batch_format="pyarrow")
         pairs = (bucketed.groupby("bucket")
                  .map_groups(bucket_pairs, batch_format="pandas")

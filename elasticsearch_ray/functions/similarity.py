@@ -72,13 +72,18 @@ class LshIndexStage:
     actor; queries use the same planes to probe buckets."""
 
     def __init__(self, dim: int, n_planes: int = 8, seed: int = 99,
-                 vec_col: str = "embedding"):
+                 vec_col: str = "embedding", dtype=np.float32):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
+        # planes are DRAWN in float64 and quantized to float32 first so the
+        # constants are identical across dtypes; dtype only sets the dot
+        # precision (float64 for oracle-matched gates: SQL signs agree up to
+        # ~1e-15 instead of fp32's ~5e-6, which one measured margin undercut)
+        self.planes = rng.standard_normal((n_planes, dim)).astype(np.float32).astype(dtype)
+        self.dtype = dtype
         self.vec_col = vec_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        V = np.stack(t[self.vec_col].to_numpy(zero_copy_only=False)).astype(np.float32)
+        V = np.stack(t[self.vec_col].to_numpy(zero_copy_only=False)).astype(self.dtype)
         bits = (V @ self.planes.T) > 0
         bucket = (bits.astype(np.uint32) << np.arange(bits.shape[1], dtype=np.uint32)).sum(
             axis=1

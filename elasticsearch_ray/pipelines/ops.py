@@ -3075,6 +3075,18 @@ def dedup_embedding_lsh(sf_dir: str):
         threshold=0.4, n_planes=4, n_rounds=4)
 
 
+def dedup_embedding_lsh_exact(sf_dir: str):
+    """embedding LSH near-dup with an EXACT DuckDB oracle: every round's
+    hyperplane bucketing, the in-bucket cosine >= threshold pairs and the
+    cross-round union are re-derived in SQL with the plane constants
+    inlined. Signature bits run in float64 on BOTH sides (bits_dtype): the
+    measured fp32 sign margin at sf0.1 round 1 is only 7e-6 (~fp32 dot
+    error), so float32 bits could legitimately disagree with the SQL."""
+    return D.embedding_dedup_lsh(
+        _ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=0.4, n_planes=4, n_rounds=4, bits_dtype=np.float64)
+
+
 def agg_bucket_selector(sf_dir: str):
     """bucket_selector pipeline agg: keep date_histogram buckets whose
     doc_count exceeds the mean (the HAVING-style bucket filter)."""
