@@ -403,8 +403,60 @@ WHERE list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]) >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
+def _hll_oracle_sql(p: int = 14) -> str:
+    """The HLL++ sketch reproduced EXACTLY in SQL — registers are an
+    order-independent max, so the distributed sketch is deterministic and
+    oracle-able: splitmix64 in HUGEINT (xor via BIGINT 32-bit halves,
+    multiply-mod-2^64 via split products), rho from a powers-of-two msb
+    join, then the harmonic estimator with the linear-counting small-range
+    branch. Upgrades the cardinality sketch from rows-only to exact."""
+    M64 = 18446744073709551616
+    K0 = 0x9E3779B97F4A7C15
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+
+    def xor64(a, b):
+        return (f"((xor(CAST(({a}) // 4294967296 AS BIGINT), CAST(({b}) // 4294967296 AS BIGINT))::HUGEINT * 4294967296)"
+                f" + xor(CAST(({a}) % 4294967296 AS BIGINT), CAST(({b}) % 4294967296 AS BIGINT))::HUGEINT)")
+
+    def mulmod(z, c):
+        return (f"(((({z}) % 4294967296) * {c}::HUGEINT"
+                f" + (((({z}) // 4294967296) * {c}::HUGEINT) % 4294967296) * 4294967296)"
+                f" % {M64})")
+
+    def shr(z, s):
+        return f"(({z}) // {1 << s})"
+
+    m = 1 << p
+    pow2_rows = ",".join(f"({j},{1 << j}::HUGEINT)" for j in range(64))
+    z0 = f"((u + {K0}::HUGEINT) % {M64})"
+    z1 = mulmod(xor64("z0", shr("z0", 30)), C1)
+    z2 = mulmod(xor64("z1", shr("z1", 27)), C2)
+    h = xor64("z2", shr("z2", 31))
+    return f"""
+WITH v AS (SELECT DISTINCT user_id::HUGEINT AS u FROM events),
+a0 AS (SELECT u, {z0} AS z0 FROM v),
+a1 AS (SELECT u, {z1} AS z1 FROM a0),
+a2 AS (SELECT u, {z2} AS z2 FROM a1),
+hh AS (SELECT u, {h} AS h FROM a2),
+hw AS (SELECT u, h // {1 << (64 - p)} AS idx,
+              ((h * {1 << p}) % {M64}) + {1 << (p - 1)} AS w
+       FROM hh),
+pow2(j, p2) AS (VALUES {pow2_rows}),
+msb AS (SELECT u, idx, MAX(j) AS msb FROM hw JOIN pow2 ON w >= p2 GROUP BY u, idx),
+regs AS (SELECT idx, MAX(64 - msb) AS reg FROM msb GROUP BY idx),
+st AS (SELECT SUM(POW(2.0, -reg)) AS present_inv, COUNT(*) AS n_idx FROM regs),
+est AS (SELECT (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+               / (present_inv + ({m} - n_idx) * 1.0) AS e,
+               {m} - n_idx AS zeros FROM st)
+SELECT CAST(ROUND(CASE WHEN e <= 2.5 * {m} AND zeros > 0
+            THEN {m} * ln({m} * 1.0 / zeros) ELSE e END, 0) AS BIGINT) AS cardinality
+FROM est"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = _geo_shape_oracle_sqls()
+    out["agg_cardinality_hll"] = _hll_oracle_sql()
     out["dedup_minhash_exact"] = _minhash_oracle_sql()
     out["dedup_simhash_exact"] = _simhash_oracle_sql()
     out["knn_lsh_exact"] = _knn_lsh_oracle_sql()
