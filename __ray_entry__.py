@@ -454,9 +454,62 @@ SELECT CAST(ROUND(CASE WHEN e <= 2.5 * {m} AND zeros > 0
 FROM est"""
 
 
+def _hdr_oracle_sql(scale: int = 3, sig: int = 3,
+                    qs: tuple = (0.5, 0.9, 0.99)) -> str:
+    """The HDR-histogram percentile sketch reproduced EXACTLY in SQL —
+    bucket counts merge by addition (order-independent), so the distributed
+    sketch is deterministic and oracle-able: the HdrHistogram index math
+    (msb via powers-of-two join, sub-bucket shift), the cumulative-count
+    rank walk and highest-equivalent-value reconstruction, with numpy's
+    BANKER'S rounding replicated at both .5-sensitive spots (value scaling
+    and the rank computation) — SQL ROUND is half-away and would diverge
+    on exact .5 ticks."""
+    import numpy as np
+
+    k = int(np.ceil(np.log2(2 * 10 ** sig)))
+    sh = 1 << (k - 1)
+    mask = (1 << k) - 1
+    pow2_rows = ",".join(f"({j},{1 << j}::BIGINT)" for j in range(63))
+    q_rows = ",".join(f"({q})" for q in qs)
+
+    def bankers(e):
+        return (f"(CASE WHEN ({e}) - floor({e}) = 0.5 "
+                f"THEN CAST(floor({e}) AS BIGINT) + (CAST(floor({e}) AS BIGINT) % 2) "
+                f"ELSE CAST(floor(({e}) + 0.5) AS BIGINT) END)")
+
+    return f"""
+WITH x AS MATERIALIZED (
+  SELECT {bankers(f"value * {10 ** scale}")} AS s FROM events WHERE value IS NOT NULL),
+pow2(j, p2) AS (VALUES {pow2_rows}),
+mb AS MATERIALIZED (
+  SELECT s, (SELECT MAX(j) FROM pow2 WHERE (GREATEST(s, 0) | {mask}) >= p2) AS msb
+  FROM x),
+ix AS MATERIALIZED (
+  SELECT (bucket + 1) * {sh} + ((GREATEST(s,0) >> bucket) - {sh}) AS idx FROM (
+    SELECT GREATEST(s, 0) AS s, msb - {k - 1} AS bucket FROM mb)),
+cnts AS MATERIALIZED (
+  SELECT idx, COUNT(*) AS cnt FROM ix GROUP BY idx),
+cum AS MATERIALIZED (
+  SELECT idx, SUM(cnt) OVER (ORDER BY idx) AS cum FROM cnts),
+tot AS (SELECT SUM(cnt) AS total FROM cnts),
+quant(qv) AS (VALUES {q_rows}),
+need AS (SELECT qv, GREATEST(1, {bankers("qv * total")}) AS need
+         FROM quant CROSS JOIN tot),
+sel AS (SELECT n.qv, MIN(c.idx) AS idx FROM need n JOIN cum c ON c.cum >= n.need
+        GROUP BY n.qv),
+val AS (SELECT qv, idx,
+        CASE WHEN idx // {sh} - 1 < 0
+             THEN (idx % {sh})
+             ELSE ((idx % {sh}) + {sh}) << (idx // {sh} - 1) END
+        + (1 << GREATEST(idx // {sh} - 1, 0)) - 1 AS hv
+        FROM sel)
+SELECT qv AS q, ROUND(hv / {10 ** scale}.0, 3) AS value FROM val ORDER BY q"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = _geo_shape_oracle_sqls()
     out["agg_cardinality_hll"] = _hll_oracle_sql()
+    out["agg_percentiles_hdr"] = _hdr_oracle_sql()
     out["dedup_minhash_exact"] = _minhash_oracle_sql()
     out["dedup_simhash_exact"] = _simhash_oracle_sql()
     out["knn_lsh_exact"] = _knn_lsh_oracle_sql()
