@@ -1,0 +1,92 @@
+"""Multi-seed differential fuzz sweep (beyond the fixed-seed pytest runs).
+
+Builds a fresh 1,000-doc index and runs the random query-tree and span
+fuzz generators from tests/test_fuzz_queries.py under several NEW seeds,
+comparing full doc->score maps against the independent brute-force oracle.
+The pytest suite pins one seed per harness for determinism; this sweep is
+the repeatable "does it hold under other seeds" check (it did: 3 seeds x
+(120 trees + 40 spans) = 480 cases, 0 failures, 2026-08-18).
+
+Usage:  python tools/fuzz_sweep.py [seed ...]   (default seeds: 1 99 777)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+
+def main() -> int:
+    import ray
+
+    seeds = [int(s) for s in sys.argv[1:]] or [1, 99, 777]
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import pyarrow.dataset as pads
+
+    import tests.test_fuzz_queries as F
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import IndexSearcher
+    from elasticsearch_ray.sources.corpus import write_corpus
+    from tests.oracle_bm25 import BruteForceBM25
+
+    d = tempfile.mkdtemp()
+    c, i = os.path.join(d, "c"), os.path.join(d, "i")
+    write_corpus(c, 1000, rows_per_file=1000, row_group_size=200, use_ray=True)
+    build_index(c, i, docs_per_partition=500, num_buckets=8, salt_chunks=4)
+    texts = pads.dataset(c).to_table(columns=["content"])["content"].to_pylist()
+    oracle = BruteForceBM25([(j, t) for j, t in enumerate(texts)], analyzer="code")
+    searcher = IndexSearcher(i)
+    pools = F._vocab_pools(oracle)
+    n = F.N_DOCS
+    fails = 0
+    for seed in seeds:
+        rng = np.random.default_rng(seed)
+        for qi in range(120):
+            q = F._rand_query(rng, pools, oracle, texts)
+            q["k"] = n
+            ids, scores = searcher.search(q)
+            o_ids, o_scores = oracle.search(q)
+            got = dict(zip(map(int, ids), map(float, scores)))
+            want = dict(zip(o_ids, o_scores))
+            if set(got) != set(want):
+                fails += 1
+                print(f"DOCSET MISMATCH seed={seed} #{qi}: {q}")
+                continue
+            if want:
+                g = np.array([got[x] for x in sorted(got)])
+                w = np.array([want[x] for x in sorted(want)])
+                if not np.allclose(g, w, rtol=1e-5, atol=1e-7):
+                    fails += 1
+                    print(f"SCORE MISMATCH seed={seed} #{qi}: {q}")
+        mid = pools[1] + pools[2]
+        for qi in range(40):
+            terms = list(rng.choice(mid, size=int(rng.integers(2, 4)),
+                                    replace=False))
+            slop = int(rng.integers(0, 5))
+            in_order = bool(rng.random() < 0.5)
+            q = {"kind": "span_near", "terms": terms, "slop": slop,
+                 "in_order": in_order, "k": n}
+            ids, _ = searcher.search(q)
+            got = set(map(int, ids))
+            want = {dd for dd in range(n)
+                    if F._naive_near_match(oracle, dd, terms, slop, in_order)}
+            if got != want:
+                fails += 1
+                print(f"SPAN MISMATCH seed={seed} #{qi}: {q}")
+        print(f"seed {seed}: done (cumulative fails: {fails})")
+    print(f"TOTAL: {len(seeds) * 160} cases, {fails} failures")
+    ray.shutdown()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
