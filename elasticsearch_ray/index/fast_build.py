@@ -163,8 +163,12 @@ def build_index_tasks(
     # bytes to W x partition size, independent of corpus size. Commits
     # stay FIFO so resume semantics are unchanged.
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    # measured tuning (BASELINE.md): window 4 left tail partitions starved
+    # of overlap (800k: 54 s); window 8 matches unbounded at 100k (within
+    # noise) and runs 800k at 33.4 s / 23.9k files/s — live exploded bytes
+    # stay bounded at window x partition size regardless of corpus size
     window = int(os.environ.get("ESRAY_INFLIGHT_PARTITIONS", "0")) or max(
-        2, min(8, (ncpu * 2) // max(1, num_buckets) + 2))
+        4, min(12, (ncpu * 4) // max(1, num_buckets) + 4))
     from .manifest import SegmentManifest
 
     in_flight: list[tuple] = []  # (seg_id, seg_frags, enc_refs, t0)
