@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_mtermvectors", "ft_alias_filter", "ft_profile",
         "dedup_ngram_jaccard", "dedup_minhash_exact", "dedup_simhash_exact",
         "knn_lsh_exact", "dedup_embedding_lsh_exact",
+        "ft_scroll_sliced", "ft_pit",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1955,6 +1956,54 @@ ORDER BY o_orderkey""",
         "ft_scroll": """
 SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice FROM orders
 ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 45""",
+        # sliced scroll: slice = knuth32(o_orderkey) % 3; each slice's first
+        # 2 pages x 15 = top 30 of ITS OWN ordering (SliceBuilder.java)
+        "ft_scroll_sliced": """
+WITH s AS (
+  SELECT ((o_orderkey * 2654435761) % 4294967296) % 3 AS slice_id,
+         o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY ((o_orderkey * 2654435761) % 4294967296) % 3
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+SELECT slice_id, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM s WHERE rn <= 30 ORDER BY slice_id, rn""",
+        # point-in-time: the pit view scores with the base corpus's own
+        # stats (first 60% of docs); the live view sees base+delta (80%)
+        "ft_pit": f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+lv AS (SELECT d.doc_id, d.text FROM documents d, nn
+       WHERE d.doc_id < (nn.n * 4) / 5),
+bs AS (SELECT d.doc_id, d.text FROM documents d, nn
+       WHERE d.doc_id < (nn.n * 3) / 5),
+ltok AS (SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM lv) u WHERE t <> ''),
+btok AS (SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM bs) u WHERE t <> ''),
+lhits AS (
+  SELECT 'live' AS view, tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
+  FROM (SELECT doc_id, count(*) AS tf FROM ltok WHERE term = 'data'
+        GROUP BY doc_id) tf
+  CROSS JOIN (SELECT count(*) AS df FROM
+              (SELECT DISTINCT doc_id FROM ltok WHERE term = 'data')) df
+  CROSS JOIN (SELECT (SELECT count(*) FROM lv) AS n,
+                     (SELECT count(*) FROM ltok) AS sumdl) st
+  JOIN (SELECT doc_id, count(*) AS dl FROM ltok GROUP BY doc_id) dl
+    ON dl.doc_id = tf.doc_id),
+phits AS (
+  SELECT 'pit' AS view, tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
+  FROM (SELECT doc_id, count(*) AS tf FROM btok WHERE term = 'data'
+        GROUP BY doc_id) tf
+  CROSS JOIN (SELECT count(*) AS df FROM
+              (SELECT DISTINCT doc_id FROM btok WHERE term = 'data')) df
+  CROSS JOIN (SELECT (SELECT count(*) FROM bs) AS n,
+                     (SELECT count(*) FROM btok) AS sumdl) st
+  JOIN (SELECT doc_id, count(*) AS dl FROM btok GROUP BY doc_id) dl
+    ON dl.doc_id = tf.doc_id)
+SELECT * FROM (SELECT * FROM lhits UNION ALL SELECT * FROM phits)
+ORDER BY view, doc_id""",
         "agg_geo_bounds": f"""
 WITH {_GEO}
 SELECT ROUND(MIN(lat), 4) AS min_lat, ROUND(MAX(lat), 4) AS max_lat,

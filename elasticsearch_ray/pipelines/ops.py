@@ -3625,3 +3625,119 @@ def ft_analyze_filter_chain(sf_dir: str):
     toks = an("Elasticsearch2 rewritten99 on RayData batches7 streaming")
     return pd.DataFrame({"position": pd.array(range(len(toks)), dtype="int64"),
                          "token": toks})
+
+
+# ---------------- round 3: sliced scroll + point-in-time view --------------
+
+
+def ft_scroll_sliced(sf_dir: str):
+    """sliced scroll (search/slice/SliceBuilder.java): the scroll splits
+    into max=3 independent slices, membership = hash(_id) % max.
+    DocValuesSliceQuery.java uses floorMod(BitMixer.mix(value), max); a
+    Knuth multiplicative 32-bit hash is substituted so the DuckDB oracle
+    re-derives membership in plain SQL — the disjoint-and-complete
+    partition semantics are identical. Each slice walks its OWN
+    search_after cursor (2 pages x 15 over o_totalprice desc, key asc);
+    every page is a filter-pushed scan, never a full-result collect."""
+
+    out_parts = []
+    for sid in range(3):
+        cursor = None
+        for _page in range(2):
+            def keep(t: pa.Table, cur=cursor, sid=sid) -> pa.Table:
+                keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+                h = (keys.astype(np.uint64) * np.uint64(2654435761)) \
+                    % np.uint64(1 << 32)
+                m = (h % np.uint64(3)) == np.uint64(sid)
+                if cur is not None:
+                    lp, lk = cur
+                    price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+                    m = m & ((price < lp) | ((price == lp) & (keys > lk)))
+                return t.filter(pa.array(m))
+
+            page = (
+                _ds(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+                .map_batches(keep, batch_format="pyarrow")
+                .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+                .limit(15)
+                .to_pandas()
+            )
+            if page.empty:
+                break
+            page.insert(0, "slice_id", np.int64(sid))
+            out_parts.append(page)
+            cursor = (float(page.o_totalprice.iloc[-1]),
+                      int(page.o_orderkey.iloc[-1]))
+    out = pd.concat(out_parts, ignore_index=True)
+    out["o_totalprice"] = round_half_away(out["o_totalprice"], 2)
+    return out
+
+
+_PIT_CACHE: dict[str, tuple[str, list[str]]] = {}
+
+
+def _pit_setup(sf_dir: str) -> tuple[str, list[str]]:
+    """PIT fixture: a base segment over the first 60% of documents, then a
+    DELTA commit over the next 20% through the resumable build (partition
+    ids are doc-offset-stable, so the second build_index call skips the
+    committed base segment and only adds the delta). Returns
+    (index_dir, pinned base segment ids)."""
+    hit = _PIT_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..index.build import build_index
+    from ..index.manifest import committed_segments, live_segments
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}:pit:v1".encode()).hexdigest()[:16]
+    root = os.path.join("/tmp/esray_cache", f"pit_{tag}")
+    os.makedirs(root, exist_ok=True)
+    t = pq.read_table(src, columns=["text"])
+    n = t.num_rows
+    n_base, n_all = (n * 3) // 5, (n * 4) // 5
+    base_f = os.path.join(root, "base.parquet")
+    delta_f = os.path.join(root, "delta.parquet")
+    if not (os.path.exists(base_f) and os.path.exists(delta_f)):
+        pq.write_table(t.slice(0, n_base), base_f)
+        pq.write_table(t.slice(n_base, n_all - n_base), delta_f)
+    idx = os.path.join(root, "index")
+    kw = dict(analyzer="simple", index_positions=False,
+              docs_per_partition=n_base, num_buckets=4,
+              content_column="text", meta_columns=())
+    build_index([base_f], idx, **kw)          # commit 1: the base segment
+    build_index([base_f, delta_f], idx, **kw)  # commit 2: resumed, delta only
+    segs = live_segments(committed_segments(idx))
+    pit_segs = sorted(s for s in segs if int(s.rsplit("_", 1)[1]) < n_base)
+    _PIT_CACHE[sf_dir] = (idx, pit_segs)
+    return _PIT_CACHE[sf_dir]
+
+
+def ft_pit(sf_dir: str):
+    """point-in-time search (action/search/TransportOpenPointInTimeAction,
+    SearchContextId): a PIT pins the live segment set at open time so
+    repeated searches see a frozen view while the index keeps committing.
+    The engine analog is exact: IndexSearcher(segments=[pinned ids]).
+    Global stats (N / df / avgdl) come from the pinned view only, so PIT
+    scores equal a standalone index over the base corpus — the delta docs
+    are invisible to the PIT and shift the live view's scores."""
+    from ..search.engine import IndexSearcher
+
+    idx, pit_segs = _pit_setup(sf_dir)
+    q = {"kind": "term", "term": "data"}
+    frames = []
+    for view, segs in (("live", None), ("pit", pit_segs)):
+        s = IndexSearcher(idx, score_mode="exact64", main_field="text",
+                          segments=segs)
+        ids, sc = s._eval(q)
+        order = np.argsort(ids)
+        frames.append(pd.DataFrame({
+            "view": view,
+            "doc_id": ids[order].astype("int64"),
+            "score": round_half_away(sc[order].astype(np.float64), 4),
+        }))
+    return pd.concat(frames, ignore_index=True)

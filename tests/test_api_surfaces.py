@@ -124,3 +124,42 @@ def test_search_body_docvalue_fields_aligned(ray_session):
                       docvalue_fields=["source", "n_chars"], k=5)
     assert r["fields"].num_rows == r["ids"].size
     assert r["fields"].column_names == ["source", "n_chars"]
+
+
+def test_pit_view_frozen_under_delta(ray_session):
+    """PIT semantics: the pinned view never sees the delta docs, its scores
+    are REPEATABLE (identical on re-open), and the delta commit really went
+    through the resumable-build path (exactly two live segments)."""
+    from elasticsearch_ray.index.manifest import committed_segments, live_segments
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    idx, pit_segs = ops._pit_setup(SF)
+    segs = live_segments(committed_segments(idx))
+    assert len(segs) == 2 and len(pit_segs) == 1
+    n_base = int(sorted(segs)[1].rsplit("_", 1)[1])  # delta segment offset
+
+    q = {"kind": "term", "term": "data"}
+    pit = IndexSearcher(idx, segments=pit_segs, score_mode="exact64",
+                        main_field="text")
+    live = IndexSearcher(idx, score_mode="exact64", main_field="text")
+    pit_ids, pit_sc = pit._eval(q)
+    live_ids, _ = live._eval(q)
+    assert pit_ids.size and (pit_ids < n_base).all()
+    assert (live_ids >= n_base).any()  # delta docs visible live
+    # repeatable: a re-opened PIT over the same ids scores identically
+    pit2 = IndexSearcher(idx, segments=pit_segs, score_mode="exact64",
+                         main_field="text")
+    ids2, sc2 = pit2._eval(q)
+    assert np.array_equal(np.sort(pit_ids), np.sort(ids2))
+    assert np.allclose(np.sort(pit_sc), np.sort(sc2))
+
+
+def test_sliced_scroll_disjoint_complete(ray_session):
+    """SliceBuilder partition law: the 3 slices are pairwise disjoint and
+    their union is exactly the hash-assigned top pages per slice."""
+    out = ops.ft_scroll_sliced(SF)
+    keys = out.o_orderkey.to_numpy()
+    assert len(np.unique(keys)) == len(keys)  # disjoint
+    h = (keys.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    assert np.array_equal(h % np.uint64(3),
+                          out.slice_id.to_numpy().astype(np.uint64))

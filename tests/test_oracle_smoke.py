@@ -25,7 +25,7 @@ SMOKE = [
     "ft_term", "ft_bool", "ft_topk", "agg_terms", "agg_histogram",
     "ft_analyze_french", "ft_analyze_hungarian", "ft_analyze_stemmer",
     "ft_post_filter", "ft_track_total_hits", "ft_sort_script",
-    "ft_sort_missing_last",
+    "ft_sort_missing_last", "ft_scroll_sliced", "ft_pit",
 ]
 
 
