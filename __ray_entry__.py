@@ -103,7 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_mtermvectors", "ft_alias_filter", "ft_profile",
         "dedup_ngram_jaccard", "dedup_minhash_exact", "dedup_simhash_exact",
         "knn_lsh_exact", "dedup_embedding_lsh_exact",
-        "ft_scroll_sliced", "ft_pit",
+        "ft_scroll_sliced", "ft_pit", "ft_mget", "cat_indices",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1956,6 +1956,19 @@ ORDER BY o_orderkey""",
         "ft_scroll": """
 SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice FROM orders
 ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 45""",
+        "ft_mget": """
+WITH ids AS (SELECT unnest([7, 42, 123, 314, 999999999]) AS doc_id)
+SELECT ids.doc_id AS doc_id, d.doc_id IS NOT NULL AS found,
+       COALESCE(d.lang, '') AS lang,
+       COALESCE(d.n_chars, -1) AS n_chars
+FROM ids LEFT JOIN documents d ON d.doc_id = ids.doc_id
+ORDER BY ids.doc_id""",
+        # manifest-recorded doc/token totals must equal a from-scratch
+        # recount of the raw table (build lineage exactness)
+        "cat_indices": f"""
+WITH {_TOK}
+SELECT st.n AS docs, st.sumdl AS tokens,
+       ROUND(CAST(st.sumdl AS DOUBLE) / st.n, 4) AS avgdl FROM st""",
         # sliced scroll: slice = knuth32(o_orderkey) % 3; each slice's first
         # 2 pages x 15 = top 30 of ITS OWN ordering (SliceBuilder.java)
         "ft_scroll_sliced": """

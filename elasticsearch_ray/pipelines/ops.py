@@ -3741,3 +3741,40 @@ def ft_pit(sf_dir: str):
             "score": round_half_away(sc[order].astype(np.float64), 4),
         }))
     return pd.concat(frames, ignore_index=True)
+
+
+def ft_mget(sf_dir: str):
+    """_mget (action/get/TransportMultiGetAction): batched point reads of
+    stored fields by doc id; misses come back found=false (GetResult
+    shape). The isin filter is pushed into the parquet read so only
+    matching row groups are scanned — never the whole table."""
+    import pyarrow.compute as pc
+
+    ids = [7, 42, 123, 314, 999_999_999]
+    flt = pc.field("doc_id").isin(ids)
+    got = _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"],
+              flt=flt).to_pandas()
+    req = pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
+    out = req.merge(got, on="doc_id", how="left")
+    out["found"] = out["lang"].notna()
+    out["lang"] = out["lang"].fillna("")
+    out["n_chars"] = out["n_chars"].fillna(-1).astype("int64")
+    return (out[["doc_id", "found", "lang", "n_chars"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def cat_indices(sf_dir: str):
+    """_cat/indices // index stats surface (rest/action/cat/RestIndicesAction,
+    IndexStats): doc count, indexed-token total and global avgdl read from
+    the committed segment MANIFESTS (lineage metadata), not recomputed —
+    the oracle recomputes them from the raw table, so this gate proves the
+    build's recorded lineage numbers are exact."""
+    from ..index.manifest import index_stats
+    from .fulltext import documents_index
+
+    st = index_stats(documents_index(sf_dir))
+    return pd.DataFrame({
+        "docs": pd.array([st.doc_count], dtype="int64"),
+        "tokens": pd.array([st.sum_doc_len], dtype="int64"),
+        "avgdl": [float(round_half_away(st.avgdl, 4))],
+    })
