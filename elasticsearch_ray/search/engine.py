@@ -345,6 +345,106 @@ def _sloppy_freq(lists: list[np.ndarray], slop: int) -> float:
             return freq
 
 
+def _sloppy_freq_rpts(lists: list[np.ndarray], offsets: list[int],
+                      groups: list[int], slop: int) -> float:
+    """Lucene SloppyPhraseMatcher with the repeats machinery [Lucene 8.5,
+    public algorithm]: phrase positions (pps) whose terms repeat inside the
+    phrase form repeat groups; no two pps of one group may sit on the same
+    term position (tpPos = adjusted position + offset).  On collision the
+    *lesser* pp — by (adjusted position, offset) — advances, following the
+    switching pp until its group is collision-free; a pp exhausting while
+    resolving ends the document.  Queue order is (position, offset, ord),
+    identical to Lucene's PhraseQueue comparator; the `next` watermark is
+    deliberately NOT recomputed after collision resolution moves queued pps,
+    matching the reference's stale-top behavior.  freq = sum of
+    1/(1+matchLength) per emitted match.
+
+    `lists` are phrase-adjusted position arrays per pp (repeated terms share
+    the same underlying doc positions, each adjusted by its own offset),
+    `offsets` the phrase offsets, `groups[i]` the repeat-group id of pp i or
+    -1.  Mirrors ES's use via PhraseQuery/MatchQuery slop
+    (server/src/main/java/org/elasticsearch/index/search/MatchQuery.java:158).
+    """
+    k = len(lists)
+    cur = [0] * k
+    pos = [int(l[0]) for l in lists]
+    size = [len(l) for l in lists]
+    gmembers: dict[int, list[int]] = {}
+    for i, g in enumerate(groups):
+        if g >= 0:
+            gmembers.setdefault(g, []).append(i)
+    has_rpts = bool(gmembers)
+    end = max(pos)
+
+    def advance(i: int) -> bool:
+        nonlocal end
+        cur[i] += 1
+        if cur[i] >= size[i]:
+            return False
+        p = int(lists[i][cur[i]])
+        pos[i] = p
+        if p > end:
+            end = p
+        return True
+
+    def collide(i: int) -> int:
+        tp = pos[i] + offsets[i]
+        for j in gmembers[groups[i]]:
+            if j != i and pos[j] + offsets[j] == tp:
+                return j
+        return -1
+
+    def advance_rpts(i: int) -> bool:
+        # follow the switching pp, always advancing the lesser of the pair
+        if groups[i] < 0:
+            return True
+        while True:
+            j = collide(i)
+            if j < 0:
+                return True
+            i = i if (pos[i], offsets[i]) < (pos[j], offsets[j]) else j
+            if not advance(i):
+                return False
+
+    # init: place first positions, then bring each repeat group to pairwise
+    # distinct term positions (initComplex/advanceRepeats)
+    if has_rpts:
+        for i in range(k):
+            if groups[i] >= 0 and not advance_rpts(i):
+                return 0.0
+
+    waiting = set(range(k))
+
+    def pop_min() -> int:
+        i = min(waiting, key=lambda x: (pos[x], offsets[x], x))
+        waiting.discard(i)
+        return i
+
+    freq = 0.0
+    i = pop_min()
+    match_len = end - pos[i]
+    nxt = min((pos[j] for j in waiting), default=pos[i])
+    while True:
+        if not advance(i):
+            break
+        if has_rpts and not advance_rpts(i):
+            break
+        if pos[i] > nxt:
+            if match_len <= slop:
+                freq += 1.0 / (1.0 + match_len)
+            waiting.add(i)
+            i = pop_min()
+            nxt = min((pos[j] for j in waiting), default=pos[i])
+            match_len = end - pos[i]
+        else:
+            ml2 = end - pos[i]
+            if ml2 < match_len:
+                match_len = ml2
+    if match_len <= slop:
+        freq += 1.0 / (1.0 + match_len)
+    return freq
+
+
 def levenshtein_vec(query: str, cands: np.ndarray) -> np.ndarray:
     """Levenshtein distance from `query` to every string in `cands`,
     vectorized over candidates: the DP table rows are (n_cands, maxlen+1)
@@ -1855,17 +1955,15 @@ class IndexSearcher:
         events come from the published min-advance algorithm (advance the
         min-position term through its positions while they stay at or below
         the next term's position, tracking the smallest window; emit a match
-        when it passes). Phrases with repeated terms fall back to the
-        unordered-span doc-set approximation (the repeats machinery of
-        SloppyPhraseMatcher is out of scope)."""
+        when it passes). Phrases with repeated terms run the full repeats
+        machinery (_sloppy_freq_rpts): repeat groups, collision resolution by
+        advancing the lesser pp, init-time group separation."""
         terms_pos = self._analyzer_for(field).positions(text)
         if not terms_pos:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         if len(terms_pos) == 1:
             return self._phrase(text, boost, field)
         terms = [t for t, _ in terms_pos]
-        if len(set(terms)) != len(terms):
-            return self._span_near(terms, slop, False, boost, field)
         base0 = terms_pos[0][1]
         rel = [(t, p - base0) for t, p in terms_pos]
         tps = []
@@ -1883,12 +1981,28 @@ class IndexSearcher:
             return cand, np.empty(0, np.float64)
         # adjusted position lists per (term, candidate)
         per_term = [self._positions_for(tp, cand) for tp in tps]
+        offsets = [off for _, off in rel]
+        # repeat groups: phrase slots sharing a term (Lucene repeatingTerms)
+        by_term: dict[str, list[int]] = {}
+        for i, (t, _) in enumerate(rel):
+            by_term.setdefault(t, []).append(i)
+        groups = [-1] * len(rel)
+        gid = 0
+        for t, members in by_term.items():
+            if len(members) > 1:
+                for i in members:
+                    groups[i] = gid
+                gid += 1
+        has_rpts = gid > 0
         freqs = np.zeros(cand.size, np.float64)
         for ci in range(cand.size):
             lists = [per_term[ti][ci] - off for ti, (_, off) in enumerate(rel)]
             if any(pl.size == 0 for pl in lists):
                 continue
-            freqs[ci] = _sloppy_freq(lists, slop)
+            if has_rpts:
+                freqs[ci] = _sloppy_freq_rpts(lists, offsets, groups, slop)
+            else:
+                freqs[ci] = _sloppy_freq(lists, slop)
         keep = freqs > 0.0
         cand, freqs = cand[keep], freqs[keep]
         if cand.size == 0:

@@ -215,6 +215,73 @@ class BruteForceBM25:
                     freq += 1.0 / (1.0 + match_len)
                 return freq
 
+    @staticmethod
+    def _sloppy_freq_naive_grouped(lists, offsets, groups, slop):
+        """The published SloppyPhraseMatcher with repeats, simulated with
+        plain list records (no heap, no shared engine code): each pp is a
+        dict {i, cur, pos, off, grp}; the queue is re-sorted every pop by
+        (pos, off, i); collisions inside a repeat group (equal pos+off) are
+        resolved by advancing the (pos, off)-lesser pp, following the pp
+        that moved; exhaustion mid-resolution kills the doc (init) or emits
+        the pending match (main loop)."""
+        pps = [{"i": i, "cur": 0, "pos": int(lists[i][0]), "off": offsets[i],
+                "grp": groups[i]} for i in range(len(lists))]
+        end = max(p["pos"] for p in pps)
+        has_rpts = any(p["grp"] >= 0 for p in pps)
+
+        def adv(p):
+            nonlocal end
+            p["cur"] += 1
+            if p["cur"] >= len(lists[p["i"]]):
+                return False
+            p["pos"] = int(lists[p["i"]][p["cur"]])
+            end = max(end, p["pos"])
+            return True
+
+        def resolve(p):
+            while True:
+                other = None
+                for q in pps:
+                    if (q is not p and q["grp"] == p["grp"]
+                            and q["pos"] + q["off"] == p["pos"] + p["off"]):
+                        other = q
+                        break
+                if other is None:
+                    return True
+                mover = min((p, other), key=lambda r: (r["pos"], r["off"]))
+                if not adv(mover):
+                    return False
+                p = mover
+
+        if has_rpts:
+            for p in pps:
+                if p["grp"] >= 0 and not resolve(p):
+                    return 0.0
+
+        queue = sorted(pps, key=lambda r: (r["pos"], r["off"], r["i"]))
+        freq = 0.0
+        lead = queue.pop(0)
+        match_len = end - lead["pos"]
+        nxt = queue[0]["pos"]
+        while True:
+            if not adv(lead):
+                break
+            if has_rpts and not resolve(lead):
+                break
+            if lead["pos"] > nxt:
+                if match_len <= slop:
+                    freq += 1.0 / (1.0 + match_len)
+                queue.append(lead)
+                queue.sort(key=lambda r: (r["pos"], r["off"], r["i"]))
+                lead = queue.pop(0)
+                nxt = queue[0]["pos"]
+                match_len = end - lead["pos"]
+            else:
+                match_len = min(match_len, end - lead["pos"])
+        if match_len <= slop:
+            freq += 1.0 / (1.0 + match_len)
+        return freq
+
     def _sloppy(self, text, slop, boost=1.0):
         tp = self.an.positions(text)
         if len(tp) <= 1:
@@ -233,10 +300,23 @@ class BruteForceBM25:
             w = float((np.float32(boost) * (np.float32(self.k1) + np.float32(1.0))) * idf_sum)
         else:
             w = boost * idf_sum * (self.k1 + 1)
+        members: dict[str, list[int]] = {}
+        for i, (t, _) in enumerate(rel):
+            members.setdefault(t, []).append(i)
+        groups = [-1] * len(rel)
+        for g, (_, idxs) in enumerate(sorted(members.items())):
+            if len(idxs) > 1:
+                for i in idxs:
+                    groups[i] = g
+        has_rpts = any(g >= 0 for g in groups)
+        offsets = [off for _, off in rel]
         out = {}
         for d in docs or ():
             lists = [sorted(p - off for p in self.pos[t][d]) for t, off in rel]
-            freq = self._sloppy_freq_naive(lists, slop)
+            if has_rpts:
+                freq = self._sloppy_freq_naive_grouped(lists, offsets, groups, slop)
+            else:
+                freq = self._sloppy_freq_naive(lists, slop)
             if freq > 0.0:
                 out[d] = self._score_one(freq, d, w)
         return out

@@ -9,9 +9,9 @@ cannot cover. Comparison is on the FULL doc->score map (k = corpus size),
 so float-tie reordering in top-k cannot mask or fake a mismatch.
 
 Phrases are sampled from real document windows (guaranteed-plausible
-position patterns) and restricted to distinct tokens: repeated-term sloppy
-phrases use the documented unordered-span fallback (COVERAGE.md known
-divergence) and are covered by their own fixed tests instead.
+position patterns), INCLUDING windows with repeated tokens: repeated-term
+sloppy phrases run the full SloppyPhraseMatcher repeats machinery and are
+compared score-exact like every other leaf.
 """
 
 from __future__ import annotations
@@ -49,7 +49,8 @@ def _vocab_pools(oracle):
 
 
 def _phrase_from_doc(rng, oracle, texts, max_len=3):
-    """a window of DISTINCT consecutive tokens from a random real doc."""
+    """a window of consecutive tokens from a random real doc (repeated
+    tokens allowed — exercises the repeats machinery)."""
     for _ in range(20):
         doc = texts[int(rng.integers(len(texts)))]
         toks = oracle.an(doc)
@@ -57,8 +58,7 @@ def _phrase_from_doc(rng, oracle, texts, max_len=3):
             continue
         i = int(rng.integers(len(toks) - max_len))
         w = toks[i : i + int(rng.integers(2, max_len + 1))]
-        if len(set(w)) == len(w):
-            return " ".join(w)
+        return " ".join(w)
     return "query scan"
 
 
