@@ -103,6 +103,35 @@ def cmd_snapshot(args) -> int:
     return 0
 
 
+def cmd_reshape(args) -> int:
+    from .index.reshape import clone_index, shrink_index, split_index
+
+    if args.action == "clone":
+        out = {"segments": clone_index(args.index, args.dest)}
+    elif args.action == "shrink":
+        _init_ray(args.num_cpus)
+        out = {"segments": shrink_index(args.index, args.dest, args.factor)}
+    else:  # split
+        _init_ray(args.num_cpus)
+        out = {"segments": split_index(args.index, args.dest, args.factor)}
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_rollover(args) -> int:
+    from .index.reshape import create_alias, rollover
+
+    if args.create_index:
+        out = create_alias(args.base, args.alias, args.create_index)
+    else:
+        out = rollover(
+            args.base, args.alias, max_docs=args.max_docs,
+            max_age_s=args.max_age_s, max_size_bytes=args.max_size_bytes,
+            dry_run=args.dry_run)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="elasticsearch_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -142,6 +171,28 @@ def main(argv=None) -> int:
     sn.add_argument("--index", default=None, help="source index (create)")
     sn.add_argument("--dest", default=None, help="restore destination")
     sn.set_defaults(fn=cmd_snapshot)
+
+    rs = sub.add_parser("reshape", help="clone/shrink/split an index "
+                        "(_clone/_shrink/_split resize analogs)")
+    rs.add_argument("action", choices=["clone", "shrink", "split"])
+    rs.add_argument("--index", required=True)
+    rs.add_argument("--dest", required=True)
+    rs.add_argument("--factor", type=int, default=2,
+                    help="shrink group size / split parts per segment")
+    rs.add_argument("--num-cpus", type=int, default=None)
+    rs.set_defaults(fn=cmd_reshape)
+
+    ro = sub.add_parser("rollover", help="write-alias rollover "
+                        "(max_docs/max_age/max_size conditions)")
+    ro.add_argument("--base", required=True, help="directory holding indices")
+    ro.add_argument("--alias", required=True)
+    ro.add_argument("--create-index", default=None,
+                    help="create the alias pointing at this index and exit")
+    ro.add_argument("--max-docs", type=int, default=None)
+    ro.add_argument("--max-age-s", type=float, default=None)
+    ro.add_argument("--max-size-bytes", type=int, default=None)
+    ro.add_argument("--dry-run", action="store_true")
+    ro.set_defaults(fn=cmd_rollover)
 
     args = p.parse_args(argv)
     if getattr(args, "cmd", None) == "snapshot":
