@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard", "dedup_minhash_exact", "dedup_simhash_exact",
         "knn_lsh_exact", "dedup_embedding_lsh_exact",
         "ft_scroll_sliced", "ft_pit", "ft_mget", "cat_indices",
+        "ft_validate_query",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1969,6 +1970,16 @@ ORDER BY ids.doc_id""",
 WITH {_TOK}
 SELECT st.n AS docs, st.sumdl AS tokens,
        ROUND(CAST(st.sumdl AS DOUBLE) / st.n, 4) AS avgdl FROM st""",
+        # _validate/query: the battery's validity is structural (parse-level),
+        # so the oracle pins the expected verdict per query id
+        "ft_validate_query": """
+SELECT * FROM (VALUES
+  ('bool_tree_ok', true), ('fuzzy_bad_fuzziness', false),
+  ('missing_param', false), ('qs_dangling_and', false),
+  ('qs_ok', true), ('qs_unbalanced_paren', false),
+  ('qs_unterminated_quote', false), ('term_ok', true),
+  ('unknown_kind', false), ('wildcard_ok', true)
+) AS v(query_id, valid) ORDER BY query_id""",
         # sliced scroll: slice = knuth32(o_orderkey) % 3; each slice's first
         # 2 pages x 15 = top 30 of ITS OWN ordering (SliceBuilder.java)
         "ft_scroll_sliced": """

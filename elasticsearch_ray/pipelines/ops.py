@@ -3763,6 +3763,36 @@ def ft_mget(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def ft_validate_query(sf_dir: str):
+    """_validate/query (rest/action/RestValidateQueryAction,
+    TransportValidateQueryAction): parse + rewrite WITHOUT collecting hits;
+    query_string text goes through the strict parser so malformed input
+    (unbalanced parens, unterminated quotes, dangling operators) reports
+    invalid like the reference's ParseException path."""
+    s = documents_searcher(sf_dir)
+    battery = [
+        ("bool_tree_ok", {"kind": "bool",
+                          "must": [{"kind": "match", "text": "data query"}],
+                          "must_not": [{"kind": "term", "term": "slow"}]}),
+        ("fuzzy_bad_fuzziness", {"kind": "fuzzy", "term": "data",
+                                 "fuzziness": "banana"}),
+        ("missing_param", {"kind": "term"}),
+        ("qs_dangling_and", {"kind": "query_string", "query": "data AND"}),
+        ("qs_ok", {"kind": "query_string",
+                   "query": 'data AND (query OR "slow merge")'}),
+        ("qs_unbalanced_paren", {"kind": "query_string",
+                                 "query": "data AND (query"}),
+        ("qs_unterminated_quote", {"kind": "query_string",
+                                   "query": '"data query'}),
+        ("term_ok", {"kind": "term", "term": "data"}),
+        ("unknown_kind", {"kind": "nope_kind"}),
+        ("wildcard_ok", {"kind": "wildcard", "pattern": "da*a"}),
+    ]
+    rows = [(name, s.validate(q)[0]) for name, q in battery]
+    return pd.DataFrame({"query_id": [r[0] for r in rows],
+                         "valid": [bool(r[1]) for r in rows]})
+
+
 def cat_indices(sf_dir: str):
     """_cat/indices // index stats surface (rest/action/cat/RestIndicesAction,
     IndexStats): doc count, indexed-token total and global avgdl read from

@@ -164,15 +164,45 @@ FIELD_SEP = "\x1f"
 TERM_MAX = chr(0x10FFFF)
 
 
-def parse_query_string(s: str, default_field: str | None = None) -> dict:
+class QueryParseError(ValueError):
+    """Malformed query_string input (the ParseException analog of Lucene's
+    classic QueryParser, surfaced by _validate/query)."""
+
+
+def parse_query_string(s: str, default_field: str | None = None,
+                       strict: bool = False) -> dict:
     """Full query_string grammar (QueryStringQueryBuilder.java / Lucene classic
     QueryParser semantics): field:term, AND/OR/NOT, +/- modifiers, (grouping),
     "phrases", term^boost, wildcards (* ?), fuzzy term~N.
 
     Lucene's parser is flat-with-modifiers per parenthesis level: AND upgrades
     its two operands to MUST, OR leaves SHOULD, NOT/- prohibits, + requires —
-    e.g. `a AND b c` -> +a +b c. Reproduced here."""
+    e.g. `a AND b c` -> +a +b c. Reproduced here.
+
+    With `strict=True` (the _validate/query path) malformed input raises
+    QueryParseError like the reference parser's ParseException: unbalanced
+    parentheses, an unterminated quote, or a trailing AND/OR/NOT/+/- with no
+    operand. The default stays lenient (best-effort parse) so search-path
+    behavior is unchanged."""
     import re
+
+    if strict:
+        if s.count('"') % 2 != 0:
+            raise QueryParseError(f"unterminated phrase quote in {s!r}")
+        depth = 0
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    raise QueryParseError(f"unbalanced ')' in {s!r}")
+        if depth != 0:
+            raise QueryParseError(f"unbalanced '(' in {s!r}")
+        stripped = s.rstrip()
+        if re.search(r"(?:\bAND|\bOR|\bNOT|&&|\|\|)\s*$", stripped) or \
+                stripped.endswith(("+", "-", "!")):
+            raise QueryParseError(f"dangling operator at end of {s!r}")
 
     # The phrase alternative admits an optional field prefix so that
     # `title:"data query"` tokenizes as one token (split off in parse_level)
@@ -876,6 +906,26 @@ class IndexSearcher:
         return doc_ids[order], s[order]
 
     # ---------- query kinds ----------
+
+    def validate(self, query: dict) -> tuple[bool, str]:
+        """_validate/query analog (rest/action/RestValidateQueryAction,
+        TransportValidateQueryAction): parse + rewrite the query without
+        collecting hits; returns (valid, explanation) where the explanation
+        is the normalized query tree for valid input and the parse error
+        for invalid input. query_string text goes through the STRICT parser
+        (QueryParseError on unbalanced parens / unterminated quotes /
+        dangling operators, Lucene ParseException analog)."""
+        import json as _json
+
+        try:
+            q = dict(query)
+            if q.get("kind") == "query_string":
+                q = parse_query_string(q["query"], q.get("default_field"),
+                                       strict=True)
+            self._eval(q)
+            return True, _json.dumps(q, sort_keys=True, default=str)
+        except Exception as ex:  # noqa: BLE001 — any engine rejection
+            return False, f"{type(ex).__name__}: {ex}"
 
     def search(self, query: dict, use_wand: bool = True) -> tuple[np.ndarray, np.ndarray]:
         """-> (top doc_ids, scores) per the query's k.

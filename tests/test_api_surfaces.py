@@ -163,3 +163,32 @@ def test_sliced_scroll_disjoint_complete(ray_session):
     h = (keys.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
     assert np.array_equal(h % np.uint64(3),
                           out.slice_id.to_numpy().astype(np.uint64))
+
+
+def test_validate_query_strict_parser(ray_session):
+    """_validate/query: strict parse rejects malformed query_string input
+    (unbalanced parens, unterminated quote, dangling operator) while the
+    lenient search path still best-effort-parses the same strings."""
+    from elasticsearch_ray.search.engine import (
+        QueryParseError,
+        parse_query_string,
+    )
+
+    for bad in ("data AND (query", '"data query', "data AND",
+                "a OR", "a (b))", "NOT"):
+        with pytest.raises(QueryParseError):
+            parse_query_string(bad, strict=True)
+        parse_query_string(bad)  # lenient path must not raise
+    tree = parse_query_string('a AND (b OR "c d")~oops'.replace("~oops", ""),
+                              strict=True)
+    assert tree["kind"] == "bool"
+
+    out = ops.ft_validate_query(SF)
+    assert out.valid.tolist() == [True, False, False, False, True,
+                                  False, False, True, False, True]
+    # validate() returns the parse error as the explanation
+    s = ops.documents_searcher(SF)
+    ok, expl = s.validate({"kind": "query_string", "query": "data AND ("})
+    assert not ok and "QueryParseError" in expl
+    ok, expl = s.validate({"kind": "term", "term": "data"})
+    assert ok and "term" in expl
