@@ -104,7 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard", "dedup_minhash_exact", "dedup_simhash_exact",
         "knn_lsh_exact", "dedup_embedding_lsh_exact",
         "ft_scroll_sliced", "ft_pit", "ft_mget", "cat_indices",
-        "ft_validate_query",
+        "ft_validate_query", "agg_children", "agg_parent",
+        "agg_sibling_buckets",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1970,6 +1971,28 @@ ORDER BY ids.doc_id""",
 WITH {_TOK}
 SELECT st.n AS docs, st.sumdl AS tokens,
        ROUND(CAST(st.sumdl AS DOUBLE) / st.n, 4) AS avgdl FROM st""",
+        # parent-join aggregations (modules/parent-join)
+        "agg_children": """
+SELECT c.c_mktsegment AS segment, COUNT(*) AS doc_count,
+       ROUND(SUM(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1""",
+        "agg_parent": """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS parent_count
+FROM orders GROUP BY 1 ORDER BY 1""",
+        "agg_sibling_buckets": """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS d, SUM("value") AS sv
+  FROM events GROUP BY 1)
+SELECT ROUND(AVG(sv), 4) AS avg_bucket,
+       ROUND(MIN(sv), 4) AS min_bucket,
+       (SELECT strftime(d, '%Y-%m-%d') FROM b ORDER BY sv ASC, d ASC LIMIT 1)
+         AS min_key,
+       ROUND(MAX(sv), 4) AS max_bucket,
+       (SELECT strftime(d, '%Y-%m-%d') FROM b ORDER BY sv DESC, d ASC LIMIT 1)
+         AS max_key,
+       ROUND(SUM(sv), 4) AS sum_bucket
+FROM b""",
         # _validate/query: the battery's validity is structural (parse-level),
         # so the oracle pins the expected verdict per query id
         "ft_validate_query": """

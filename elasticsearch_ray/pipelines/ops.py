@@ -3763,6 +3763,69 @@ def ft_mget(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def agg_children(sf_dir: str):
+    """children aggregation (modules/parent-join ChildrenAggregationBuilder):
+    terms buckets over the PARENT customers' c_mktsegment, stepping into the
+    child orders to count them and sum o_totalprice. The parent->segment map
+    is the small side: broadcast once via ray.put, mapped into child batches
+    (vectorized pandas hash lookup), per-batch partial aggregation, tiny
+    final combine."""
+    import ray
+
+    custs = _ds(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(pd.Series(
+        custs.c_mktsegment.to_numpy(), index=custs.c_custkey.to_numpy()))
+
+    def part(t: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        df = pd.DataFrame({
+            "segment": seg.reindex(t["o_custkey"].to_numpy()).to_numpy(),
+            "price": t["o_totalprice"].to_numpy(),
+        })
+        g = df.groupby("segment", as_index=False).agg(
+            doc_count=("price", "size"), total=("price", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = _ds(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        part, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("segment", as_index=False).agg(
+        doc_count=("doc_count", "sum"), total=("total", "sum"))
+    out["doc_count"] = out.doc_count.astype("int64")
+    out["total"] = [float(round_half_away(v, 2)) for v in out.total]
+    return out.sort_values("segment").reset_index(drop=True)
+
+
+def agg_parent(sf_dir: str):
+    """parent aggregation (modules/parent-join ParentAggregationBuilder):
+    terms buckets over the CHILD orders' o_orderpriority, stepping up to the
+    parent customer — bucket value = number of DISTINCT parents with at
+    least one child in the bucket (two-phase distinct-then-count, no driver
+    materialization)."""
+    out = A.value_count_distinct(
+        _ds(sf_dir, "orders", ["o_orderpriority", "o_custkey"]),
+        "o_orderpriority", "o_custkey")
+    return out.rename(columns={"distinct_count": "parent_count"})
+
+
+def agg_sibling_buckets(sf_dir: str):
+    """avg_bucket / min_bucket / max_bucket / sum_bucket sibling pipeline
+    aggs (pipeline/AvgBucketPipelineAggregationBuilder et al.): single-value
+    extractions over the sibling date_histogram's per-day value sums.
+    min/max also report the KEYS of the extreme buckets (the reference's
+    min_bucket/max_bucket return keys[] alongside value)."""
+    h = A.date_histogram(_ds(sf_dir, "events"), "ts", "day", value="value")
+    v = h["sum_value"].to_numpy()
+    days = h["bucket"].dt.strftime("%Y-%m-%d").to_numpy()
+    return pd.DataFrame({
+        "avg_bucket": [float(round_half_away(float(v.mean()), 4))],
+        "min_bucket": [float(round_half_away(float(v.min()), 4))],
+        "min_key": [days[int(v.argmin())]],
+        "max_bucket": [float(round_half_away(float(v.max()), 4))],
+        "max_key": [days[int(v.argmax())]],
+        "sum_bucket": [float(round_half_away(float(v.sum()), 4))],
+    })
+
+
 def ft_validate_query(sf_dir: str):
     """_validate/query (rest/action/RestValidateQueryAction,
     TransportValidateQueryAction): parse + rewrite WITHOUT collecting hits;
