@@ -153,3 +153,42 @@ def test_rollover_conditions(tmp_path, dirs):
     shutil.copytree(idx, os.path.join(base, "big-000001"))
     r = rollover(base, "big", max_size_bytes=1)
     assert r["rolled_over"]
+
+
+def test_fuzz_reshape_sequences(dirs, tmp_path):
+    """Seeded fuzz: random chains of split/shrink/clone/force_merge over the
+    same index must all preserve the full query-set results exactly (the
+    resize invariant: doc ids global, layout-only transforms)."""
+    import numpy as np
+
+    from elasticsearch_ray.index.merge import force_merge, gc_merged
+
+    _, idx = dirs
+    before, s0 = _all_results(idx)
+    rng = np.random.default_rng(7)
+    cur = idx
+    for step in range(5):
+        nxt = str(tmp_path / f"s{step}")
+        live = live_segments(committed_segments(cur))
+        n = len(live)
+        ops_pool = ["split", "clone"]
+        divisors = [f for f in (2, 3, 4) if n % f == 0 and n // f >= 1 and f <= n]
+        if divisors:
+            ops_pool.append("shrink")
+        if n >= 2:
+            ops_pool.append("merge")
+        op = ops_pool[int(rng.integers(len(ops_pool)))]
+        if op == "split":
+            split_index(cur, nxt, int(rng.integers(2, 4)))
+        elif op == "shrink":
+            shrink_index(cur, nxt, divisors[int(rng.integers(len(divisors)))])
+        elif op == "clone":
+            clone_index(cur, nxt)
+        else:
+            clone_index(cur, nxt)
+            force_merge(nxt, max_num_segments=max(1, n // 2))
+            gc_merged(nxt)
+        after, s1 = _all_results(nxt)
+        assert after == before, (step, op)
+        assert (s1.n_docs, s1.sum_doc_len) == (s0.n_docs, s0.sum_doc_len)
+        cur = nxt
