@@ -105,7 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_exact", "dedup_embedding_lsh_exact",
         "ft_scroll_sliced", "ft_pit", "ft_mget", "cat_indices",
         "ft_validate_query", "agg_children", "agg_parent",
-        "agg_sibling_buckets",
+        "agg_sibling_buckets", "ft_suggest_modes", "ft_stored_script",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1971,6 +1971,36 @@ ORDER BY ids.doc_id""",
 WITH {_TOK}
 SELECT st.n AS docs, st.sumdl AS tokens,
        ROUND(CAST(st.sumdl AS DOUBLE) / st.n, 4) AS avgdl FROM st""",
+        # term suggester suggest_mode battery (missing in-vocab contributes
+        # no rows; missing OOV falls through; popular filters by df)
+        "ft_suggest_modes": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+tc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+mq AS (SELECT term, CAST(levenshtein(term, 'quer') AS INTEGER) AS distance, df
+       FROM tc WHERE levenshtein(term, 'quer') BETWEEN 1 AND 2
+       ORDER BY distance, df DESC, term LIMIT 5),
+pp AS (SELECT term, CAST(levenshtein(term, 'part') AS INTEGER) AS distance, df
+       FROM tc WHERE levenshtein(term, 'part') BETWEEN 1 AND 2
+         AND df > (SELECT df FROM tc WHERE term = 'part')
+       ORDER BY distance, df DESC, term LIMIT 5)
+SELECT * FROM (
+  SELECT 'missing:quer' AS mode, * FROM mq
+  UNION ALL
+  SELECT 'popular:part' AS mode, * FROM pp
+) ORDER BY mode, distance, term""",
+        "ft_stored_script": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id,
+       ROUND(({_SCORE}) * sqrt(d.n_chars), 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+ORDER BY doc_id""",
         # parent-join aggregations (modules/parent-join)
         "agg_children": """
 SELECT c.c_mktsegment AS segment, COUNT(*) AS doc_count,

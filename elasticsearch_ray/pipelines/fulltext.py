@@ -114,9 +114,14 @@ def topk_matches(sf_dir: str, query: dict, round_to: int = 4) -> pa.Table:
     )
 
 
-def suggest_terms(sf_dir: str, text: str, max_edits: int = 2, size: int = 5) -> pa.Table:
-    """`term` suggester analog (search/suggest/): vocabulary terms within
-    levenshtein distance, ranked (distance asc, df desc, term asc).
+def suggest_terms(sf_dir: str, text: str, max_edits: int = 2, size: int = 5,
+                  suggest_mode: str = "always") -> pa.Table:
+    """`term` suggester analog (search/suggest/term/TermSuggestionBuilder):
+    vocabulary terms within levenshtein distance, ranked (distance asc,
+    df desc, term asc). suggest_mode per the reference's SuggestMode:
+    'missing' (suggest only when the input term is absent from the index —
+    the reference's default), 'popular' (only candidates with df strictly
+    above the input term's df), 'always'.
 
     Candidate cut = length band around the query; distances computed with the
     vectorized batch Levenshtein (no per-term Python DP over the vocab)."""
@@ -133,12 +138,21 @@ def suggest_terms(sf_dir: str, text: str, max_edits: int = 2, size: int = 5) -> 
             t = str(t)
             if FIELD_SEP not in t:
                 dfs[t] += int(d)
+    df_text = dfs.get(text, 0)
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "distance": pa.array([], pa.int32()),
+                      "df": pa.array([], pa.int64())})
+    if suggest_mode == "missing" and df_text > 0:
+        return empty
     vocab = np.array(sorted(dfs), dtype=object)
     lens = np.char.str_len(vocab.astype(str))
     band = np.abs(lens - len(text)) <= max_edits
     cand = vocab[band]
     dists = levenshtein_vec(text, cand)
     keep = (dists > 0) & (dists <= max_edits)
+    if suggest_mode == "popular":
+        cand_dfs = np.array([dfs[str(t)] for t in cand], dtype=np.int64)
+        keep &= cand_dfs > df_text
     rows = sorted(
         ((int(d), -dfs[str(t)], str(t)) for t, d in zip(cand[keep], dists[keep])),
     )[:size]

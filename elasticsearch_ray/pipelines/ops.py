@@ -3763,6 +3763,38 @@ def ft_mget(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def ft_suggest_modes(sf_dir: str):
+    """term suggester suggest_mode (SuggestMode.MISSING/POPULAR/ALWAYS):
+    'popular' keeps only candidates strictly more frequent than the input
+    term ('part', in-vocabulary); 'missing' for an out-of-vocabulary input
+    ('quer') falls through to normal suggestion; 'missing' for an
+    in-vocabulary input contributes no rows."""
+    parts = []
+    for mode, text in (("missing", "part"), ("missing", "quer"),
+                       ("popular", "part")):
+        t = suggest_terms(sf_dir, text, max_edits=2, size=5,
+                          suggest_mode=mode).to_pandas()
+        t.insert(0, "mode", f"{mode}:{text}")
+        parts.append(t)
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(["mode", "distance", "term"]).reset_index(drop=True)
+
+
+def ft_stored_script(sf_dir: str):
+    """Stored scripts (_scripts/{id}: StoredScriptSource, compile-on-store)
+    referenced from script_score by id; the id is resolved on the submitting
+    process (inline_stored_scripts / resolve_script) like the reference
+    compiles stored scripts from cluster state."""
+    from ..scripting import inline_stored_scripts, put_stored_script
+
+    put_stored_script("rescale_sqrt", "_score * sqrt(n_chars)")
+    q = inline_stored_scripts({
+        "kind": "script_score",
+        "query": {"kind": "term", "term": "data"},
+        "script": {"id": "rescale_sqrt"}})
+    return all_matches(sf_dir, q)
+
+
 def agg_children(sf_dir: str):
     """children aggregation (modules/parent-join ChildrenAggregationBuilder):
     terms buckets over the PARENT customers' c_mktsegment, stepping into the

@@ -117,6 +117,63 @@ def _eval_node(node: ast.AST, env: Mapping[str, Any]) -> Any:
     raise ScriptError(f"syntax {type(node).__name__} not allowed")
 
 
+# ---------------------------------------------------------------------------
+# stored scripts — the _scripts/{id} API analog (script/StoredScriptSource,
+# cluster-state script metadata). The registry lives in the submitting
+# process; resolve ids to sources BEFORE shipping queries to searcher actors
+# (inline_stored_scripts), mirroring how the reference compiles stored
+# scripts from cluster state that every node already holds.
+
+_STORED: dict[str, str] = {}
+
+
+def put_stored_script(script_id: str, source: str) -> None:
+    """Store a script, validating at store time like the reference's
+    compile-on-store (PutStoredScriptRequest)."""
+    ast.parse(source, mode="eval")  # syntax gate now, not at first use
+    _STORED[script_id] = source
+
+
+def get_stored_script(script_id: str) -> str | None:
+    return _STORED.get(script_id)
+
+
+def delete_stored_script(script_id: str) -> None:
+    _STORED.pop(script_id, None)
+
+
+def resolve_script(spec: Any) -> str:
+    """str | {'source': s} | {'id': i} -> expression source."""
+    if isinstance(spec, str):
+        return spec
+    if isinstance(spec, Mapping):
+        if "source" in spec:
+            return spec["source"]
+        if "id" in spec:
+            src = _STORED.get(spec["id"])
+            if src is None:
+                raise ScriptError(f"stored script [{spec['id']}] not found")
+            return src
+    raise ScriptError("script must be a string or a {source}/{id} object")
+
+
+def inline_stored_scripts(q: Any) -> Any:
+    """Recursively replace {'script': {'id': ...}} with the stored source —
+    call on the driver before shipping a query tree to searcher actors
+    (whose processes don't share this registry)."""
+    if isinstance(q, dict):
+        out = {}
+        for k, v in q.items():
+            if k == "script":
+                out[k] = resolve_script(v)
+            else:
+                out[k] = inline_stored_scripts(v)
+        return out
+    if isinstance(q, list):
+        return [inline_stored_scripts(v) for v in q]
+    return q
+
+
 def safe_eval_expr(expr: str, env: Mapping[str, Any]) -> Any:
     """Evaluate a numeric expression against `env` under the whitelist.
 

@@ -1142,15 +1142,16 @@ class IndexSearcher:
             # expression over docmeta fields is truthy; constant score
             import re as _re
 
+            from elasticsearch_ray.scripting import resolve_script, safe_eval_expr
+
+            src = resolve_script(q["script"])
             ids = self._all_doc_ids()
             env: dict = {"log": np.log, "log1p": np.log1p, "sqrt": np.sqrt,
                          "exp": np.exp, "abs": np.abs}
-            for name in set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", q["script"])):
+            for name in set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", src)):
                 if name not in env and name in self._meta_tables[0].column_names:
                     env[name] = self._meta_values(name, ids).astype(np.float64)
-            from elasticsearch_ray.scripting import safe_eval_expr
-
-            mask = np.asarray(safe_eval_expr(q["script"], env), bool)
+            mask = np.asarray(safe_eval_expr(src, env), bool)
             ids = ids[mask]
             return ids, np.full(ids.size, boost, np.float64)
         if kind == "script_score":
@@ -1160,17 +1161,18 @@ class IndexSearcher:
             ids, sc = self._eval(q["query"])
             if ids.size == 0:
                 return ids, sc
+            from elasticsearch_ray.scripting import resolve_script, safe_eval_expr
+
+            src = resolve_script(q["script"])
             env = {"_score": sc, "log": np.log, "log1p": np.log1p,
                    "sqrt": np.sqrt, "exp": np.exp, "abs": np.abs,
                    "minimum": np.minimum, "maximum": np.maximum}
             import re as _re
 
-            for name in set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", q["script"])):
+            for name in set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", src)):
                 if name not in env and name in self._meta_tables[0].column_names:
                     env[name] = self._meta_values(name, ids).astype(np.float64)
-            from elasticsearch_ray.scripting import safe_eval_expr
-
-            out = safe_eval_expr(q["script"], env)
+            out = safe_eval_expr(src, env)
             return ids, np.asarray(out, np.float64) * boost
         if kind == "distance_feature":
             # DistanceFeatureQueryBuilder (numeric/date form):

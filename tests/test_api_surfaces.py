@@ -192,3 +192,43 @@ def test_validate_query_strict_parser(ray_session):
     assert not ok and "QueryParseError" in expl
     ok, expl = s.validate({"kind": "term", "term": "data"})
     assert ok and "term" in expl
+
+
+def test_suggest_modes(ray_session):
+    """SuggestMode semantics: missing suppresses in-vocab inputs, popular
+    filters candidates to strictly-higher df, always is unconstrained."""
+    from elasticsearch_ray.pipelines.fulltext import suggest_terms
+
+    always = suggest_terms(SF, "part", suggest_mode="always").to_pandas()
+    popular = suggest_terms(SF, "part", suggest_mode="popular").to_pandas()
+    missing_in = suggest_terms(SF, "part", suggest_mode="missing").to_pandas()
+    missing_oov = suggest_terms(SF, "quer", suggest_mode="missing").to_pandas()
+    assert len(missing_in) == 0
+    assert len(missing_oov) > 0
+    assert set(popular.term) <= set(always.term)
+
+
+def test_stored_scripts_registry(ray_session):
+    from elasticsearch_ray.scripting import (
+        ScriptError,
+        delete_stored_script,
+        get_stored_script,
+        inline_stored_scripts,
+        put_stored_script,
+        resolve_script,
+    )
+
+    put_stored_script("s1", "_score * 2.0")
+    assert get_stored_script("s1") == "_score * 2.0"
+    assert resolve_script({"id": "s1"}) == "_score * 2.0"
+    assert resolve_script({"source": "x + 1"}) == "x + 1"
+    assert resolve_script("plain") == "plain"
+    q = inline_stored_scripts({"kind": "bool", "must": [
+        {"kind": "script_score", "query": {"kind": "term", "term": "a"},
+         "script": {"id": "s1"}}]})
+    assert q["must"][0]["script"] == "_score * 2.0"
+    delete_stored_script("s1")
+    with pytest.raises(ScriptError):
+        resolve_script({"id": "s1"})
+    with pytest.raises(SyntaxError):
+        put_stored_script("bad", "def x(: )")
