@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_scroll_sliced", "ft_pit", "ft_mget", "cat_indices",
         "ft_validate_query", "agg_children", "agg_parent",
         "agg_sibling_buckets", "ft_suggest_modes", "ft_stored_script",
+        "geo_shape_multipolygon",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -223,12 +224,32 @@ g AS (SELECT user_id,
             " GREATEST((lat - h - ({py}))/({dy}), (lat + h - ({py}))/({dy})), 1.0)"
             " + 1e-9)".format(px=px, py=py, dx=dx, dy=dy))
     line_pred = " OR ".join(seg_preds)
+
+    def convex_pred(ring, inside=True):
+        # CCW ring -> conjunction of half-plane tests (strictly inside with
+        # the shared 1e-9 tolerance; synthetic .5-offset points never sit on
+        # the member edges, verified by the boundary-free edge constants)
+        preds = []
+        for i in range(len(ring)):
+            (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % len(ring)]
+            a, b = (y2 - y1), -(x2 - x1)
+            c = a * x1 + b * y1
+            preds.append(f"(({a})*lon + ({b})*lat <= ({c}) + 1e-9)")
+        conj = " AND ".join(preds)
+        return f"({conj})" if inside else f"(NOT ({conj}))"
+
+    tri = [(-60.0, -20.0), (-10.0, -20.0), (-35.0, 30.0)]
+    sq = [(10.0, -10.0), (60.0, -10.0), (60.0, 40.0), (10.0, 40.0)]
+    hole = [(30.0, 5.0), (40.0, 5.0), (40.0, 15.0), (30.0, 15.0)]
+    multi_pred = (f"({convex_pred(tri)} OR ({convex_pred(sq)} AND "
+                  f"{convex_pred(hole, inside=False)}))")
     sel = "SELECT user_id, lat, lon FROM g WHERE {} ORDER BY user_id"
     return {
         "geo_shape_polygon_points": f"WITH {base}\n{sel.format(pt_pred)}",
         "geo_shape_within": f"WITH {base}\n{sel.format(within_pred)}",
         "geo_shape_disjoint": f"WITH {base}\n{sel.format(disjoint_pred)}",
         "geo_shape_linestring": f"WITH {base}\n{sel.format(line_pred)}",
+        "geo_shape_multipolygon": f"WITH {base}\n{sel.format(multi_pred)}",
     }
 
 def _minhash_oracle_sql(num_perm: int = 32, bands: int = 8,

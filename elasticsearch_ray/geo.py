@@ -55,6 +55,39 @@ def parse_wkt(wkt: str):
     if kind == "POLYGON":
         rings = [pairs(r) for r in re.findall(r"\(([^()]*)\)", body)]
         return "polygon", rings
+
+    def split_top(txt: str) -> list[str]:
+        # split on commas at paren depth 0 (WKT multi-geometry separators)
+        parts, depth, cur = [], 0, []
+        for ch in txt:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        return [p.strip() for p in parts]
+
+    if kind == "MULTIPOINT":
+        # both WKT forms: (10 40), (40 30)  and  10 40, 40 30
+        return "multipoint", pairs(body.replace("(", " ").replace(")", " "))
+    if kind == "MULTILINESTRING":
+        return "multilinestring", [
+            pairs(p.strip().strip("()")) for p in split_top(body)]
+    if kind == "MULTIPOLYGON":
+        polys = []
+        for p in split_top(body):
+            inner = p.strip()
+            if inner.startswith("(") and inner.endswith(")"):
+                inner = inner[1:-1]
+            polys.append([pairs(r) for r in re.findall(r"\(([^()]*)\)", inner)])
+        return "multipolygon", polys
+    if kind == "GEOMETRYCOLLECTION":
+        return "geometrycollection", [parse_wkt(p) for p in split_top(body)]
     raise ValueError(f"unsupported WKT kind {kind!r}")
 
 

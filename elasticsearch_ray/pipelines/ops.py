@@ -2906,6 +2906,10 @@ def _geo_shape_filter(sf_dir: str, relation: str, query_wkt: str):
             keep = ~boxes_intersect_convex(geom[0], blo, bhi)
         elif relation == "line_intersects":
             keep = segments_intersect_boxes(geom, blo, bhi)
+        elif relation == "multi_point_intersects":
+            keep = np.zeros(x.size, bool)
+            for rings in geom:  # OR over member polygons (incl. holes)
+                keep |= points_in_polygon(rings, x, y)
         else:
             raise ValueError(relation)
         return g.select(["user_id", "lat", "lon"]).filter(pa.array(keep))
@@ -2937,6 +2941,19 @@ def geo_shape_linestring(sf_dir: str):
     """geo_shape INTERSECTS with a LINESTRING query: per-user boxes hit by
     any segment (endpoint-in-box + segment/edge orientation tests)."""
     return _geo_shape_filter(sf_dir, "line_intersects", _GEO_LINE_WKT)
+
+
+_GEO_MULTI_WKT = ("MULTIPOLYGON (((-60 -20, -10 -20, -35 30, -60 -20)), "
+                  "((10 -10, 60 -10, 60 40, 10 40, 10 -10), "
+                  "(30 5, 40 5, 40 15, 30 15, 30 5)))")
+
+
+def geo_shape_multipolygon(sf_dir: str):
+    """geo_shape INTERSECTS with a MULTIPOLYGON query (common/geo/ WKT
+    multi-geometries): points inside ANY member polygon — here a triangle
+    plus a square with a hole, so member-union and hole-exclusion are both
+    exercised."""
+    return _geo_shape_filter(sf_dir, "multi_point_intersects", _GEO_MULTI_WKT)
 
 
 def agg_percentiles_hdr(sf_dir: str):

@@ -604,3 +604,31 @@ def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
                 want[key] = float(round_half_away(jac, 6))
     assert got == want
     assert (100, 101) in got and (3, 200) in got  # planted near-dup + exact dup
+
+
+def test_parse_wkt_multi_geometries():
+    """WKT multi-geometry parsing (common/geo parsers): MULTIPOINT both
+    forms, MULTILINESTRING, MULTIPOLYGON with holes, GEOMETRYCOLLECTION."""
+    import numpy as np
+
+    from elasticsearch_ray.geo import parse_wkt, points_in_polygon
+
+    k, pts = parse_wkt("MULTIPOINT (10 40, 40 30)")
+    assert k == "multipoint" and pts.shape == (2, 2)
+    k, pts2 = parse_wkt("MULTIPOINT ((10 40), (40 30))")
+    assert np.array_equal(pts, pts2)
+    k, lines = parse_wkt("MULTILINESTRING ((1 1, 2 2), (4 4, 3 3, 4 2))")
+    assert k == "multilinestring" and len(lines) == 2 and lines[1].shape == (3, 2)
+    k, polys = parse_wkt(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1)),"
+        " ((10 10, 12 10, 11 12, 10 10)))")
+    assert k == "multipolygon" and len(polys) == 2
+    assert len(polys[0]) == 2  # outer + hole
+    x = np.array([0.5, 1.5, 11.0, 20.0])
+    y = np.array([0.5, 1.5, 10.5, 20.0])
+    inside = np.zeros(4, bool)
+    for rings in polys:
+        inside |= points_in_polygon(rings, x, y)
+    assert inside.tolist() == [True, False, True, False]  # hole excluded
+    k, geoms = parse_wkt("GEOMETRYCOLLECTION (POINT (4 6), LINESTRING (4 6, 7 10))")
+    assert k == "geometrycollection" and geoms[0][0] == "point"
