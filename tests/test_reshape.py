@@ -192,3 +192,53 @@ def test_fuzz_reshape_sequences(dirs, tmp_path):
         assert after == before, (step, op)
         assert (s1.n_docs, s1.sum_doc_len) == (s0.n_docs, s0.sum_doc_len)
         cur = nxt
+
+
+def test_index_templates(dirs, tmp_path):
+    """_template analog: glob patterns, order precedence, nested merge,
+    explicit-settings override, persist/load round-trip, and create_index
+    applying the resolved settings to a real build."""
+    from elasticsearch_ray.index import templates as T
+
+    for n in ("t_base", "t_logs", "t_hot"):
+        T.delete_template(n)
+    T.put_template("t_base", ["*"], {"analyzer": "code", "num_buckets": 8},
+                   order=0)
+    T.put_template("t_logs", ["logs-*"],
+                   {"analyzer": "simple", "opts": {"a": 1}}, order=1)
+    T.put_template("t_hot", ["logs-hot-*"],
+                   {"opts": {"b": 2}, "num_buckets": 4}, order=2)
+
+    assert [t["name"] for t in T.matching_templates("logs-hot-1")] == [
+        "t_base", "t_logs", "t_hot"]
+    s = T.resolve_settings("logs-hot-1")
+    assert s["analyzer"] == "simple"          # t_logs overrides t_base
+    assert s["num_buckets"] == 4              # t_hot overrides t_base
+    assert s["opts"] == {"a": 1, "b": 2}      # nested dicts merge per key
+    s2 = T.resolve_settings("logs-hot-1", {"analyzer": "code"})
+    assert s2["analyzer"] == "code"           # request wins over templates
+    assert T.resolve_settings("other")["analyzer"] == "code"
+
+    p = str(tmp_path / "templates.json")
+    T.persist_templates(p)
+    T.delete_template("t_hot")
+    assert T.get_template("t_hot") is None
+    assert T.load_templates(p) == 3
+    assert T.get_template("t_hot")["order"] == 2
+
+    # create_index applies resolved settings to a real build
+    c, idx0 = dirs
+    out = str(tmp_path / "templated")
+    stats, applied = T.create_index(c, out, "logs-hot-7", engine="dataset",
+                                    docs_per_partition=500)
+    assert applied["analyzer"] == "simple" and applied["num_buckets"] == 4
+    assert stats.doc_count == 1000
+    import json
+
+    rec = json.load(open(os.path.join(out, "settings.json")))
+    assert rec["index"] == "logs-hot-7"
+    s = IndexSearcher(out, analyzer="simple")
+    ids, _ = s.search({"kind": "match", "text": "import", "k": 5})
+    assert len(ids) > 0
+    for n in ("t_base", "t_logs", "t_hot"):
+        T.delete_template(n)
