@@ -106,7 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_scroll_sliced", "ft_pit", "ft_mget", "cat_indices",
         "ft_validate_query", "agg_children", "agg_parent",
         "agg_sibling_buckets", "ft_suggest_modes", "ft_stored_script",
-        "geo_shape_multipolygon",
+        "geo_shape_multipolygon", "ft_highlight_options",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1992,6 +1992,32 @@ ORDER BY ids.doc_id""",
 WITH {_TOK}
 SELECT st.n AS docs, st.sumdl AS tokens,
        ROUND(CAST(st.sumdl AS DOUBLE) / st.n, 4) AS avgdl FROM st""",
+        # highlighter options: custom tags + word-chunk fragmenter in SQL
+        "ft_highlight_options": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+top3 AS (
+  SELECT tf.doc_id AS doc_id, {_SCORE} AS raw
+  FROM tf CROSS JOIN df JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+  ORDER BY raw DESC, doc_id LIMIT 3),
+w AS (SELECT t.doc_id, t.raw,
+             regexp_replace(d.text, '\\bmerge\\b', '<b>merge</b>', 'g') AS wr,
+             len(regexp_extract_all(d.text, '\\bmerge\\b')) AS n_matches
+      FROM top3 t JOIN documents d ON d.doc_id = t.doc_id),
+ws AS (SELECT doc_id, raw, n_matches, string_split(wr, ' ') AS words FROM w),
+ch AS (SELECT doc_id, raw, n_matches, i,
+              array_to_string(words[i*8+1 : i*8+8], ' ') AS chunk
+       FROM ws, LATERAL unnest(
+         generate_series(0, CAST(ceil(len(words)/8.0) AS INT) - 1)) AS t(i)),
+hit AS (SELECT doc_id, raw, n_matches, i, chunk,
+               row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        FROM ch WHERE chunk LIKE '%<b>%')
+SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches,
+       string_agg(chunk, ' ... ' ORDER BY rn) AS highlight
+FROM hit WHERE rn <= 2
+GROUP BY doc_id, raw, n_matches
+ORDER BY raw DESC, doc_id""",
         # term suggester suggest_mode battery (missing in-vocab contributes
         # no rows; missing OOV falls through; popular filters by df)
         "ft_suggest_modes": """

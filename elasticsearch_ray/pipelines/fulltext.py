@@ -197,6 +197,44 @@ def highlight(sf_dir: str, query_text: str, k: int = 5, frag_chars: int = 60) ->
     )
 
 
+def highlight_with_options(sf_dir: str, term: str = "merge", k: int = 3,
+                           pre_tag: str = "<b>", post_tag: str = "</b>",
+                           fragment_size: int = 8,
+                           number_of_fragments: int = 2) -> pa.Table:
+    """plain-highlighter OPTIONS (HighlightBuilder: pre_tags/post_tags,
+    fragment_size, number_of_fragments): every word-boundary occurrence of
+    the term wraps in the custom tags; the wrapped text splits into
+    fragment_size-word chunks and the first number_of_fragments chunks
+    containing a hit join with ' ... ' (the fragmenter analog, specified
+    word-wise so it is exactly reproducible in SQL)."""
+    import re
+
+    from ..sources.reader import fetch_rows_by_doc_id
+
+    s = documents_searcher(sf_dir)
+    ids, sc = s.search({"kind": "term", "term": term, "k": k})
+    src = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                               ids, columns=["doc_id", "text"])
+    all_ids = src["doc_id"].to_numpy()
+    idx = np.searchsorted(all_ids, ids)
+    rx = re.compile(rf"\b{re.escape(term)}\b")
+    n_matches, frags = [], []
+    for j in idx:
+        text = src["text"][int(j)].as_py()
+        wrapped = rx.sub(f"{pre_tag}{term}{post_tag}", text)
+        words = wrapped.split(" ")
+        chunks = [" ".join(words[i:i + fragment_size])
+                  for i in range(0, len(words), fragment_size)]
+        hits = [c for c in chunks if pre_tag in c][:number_of_fragments]
+        n_matches.append(len(rx.findall(text)))
+        frags.append(" ... ".join(hits))
+    return pa.table({
+        "doc_id": pa.array(ids.astype(np.int64)),
+        "n_matches": pa.array(np.asarray(n_matches, np.int64)),
+        "highlight": pa.array(frags, pa.string()),
+    })
+
+
 def highlight_fvh(sf_dir: str, term: str = "data", k: int = 5) -> pa.Table:
     """fvh-style highlighter (FastVectorHighlighter.java): hit positions come
     from the INDEX's stored positional postings — the doc is never

@@ -3780,6 +3780,17 @@ def ft_mget(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def ft_highlight_options(sf_dir: str):
+    """Highlighter options (HighlightBuilder pre_tags/post_tags,
+    fragment_size, number_of_fragments) over the plain highlighter — custom
+    tags, 8-word fragments, first 2 hit fragments joined by ' ... '."""
+    from .fulltext import highlight_with_options
+
+    return highlight_with_options(sf_dir, term="merge", k=3,
+                                  pre_tag="<b>", post_tag="</b>",
+                                  fragment_size=8, number_of_fragments=2)
+
+
 def ft_suggest_modes(sf_dir: str):
     """term suggester suggest_mode (SuggestMode.MISSING/POPULAR/ALWAYS):
     'popular' keeps only candidates strictly more frequent than the input
