@@ -106,7 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_scroll_sliced", "ft_pit", "ft_mget", "cat_indices",
         "ft_validate_query", "agg_children", "agg_parent",
         "agg_sibling_buckets", "ft_suggest_modes", "ft_stored_script",
-        "geo_shape_multipolygon", "ft_highlight_options",
+        "geo_shape_multipolygon", "ft_highlight_options", "ft_fuzzy_options",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1992,6 +1992,31 @@ ORDER BY ids.doc_id""",
 WITH {_TOK}
 SELECT st.n AS docs, st.sumdl AS tokens,
        ROUND(CAST(st.sumdl AS DOUBLE) / st.n, 4) AS avgdl FROM st""",
+        # fuzzy options: prefix_length restricts candidates, max_expansions
+        # caps by (distance, term)
+        "ft_fuzzy_options": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+tc AS (SELECT DISTINCT term FROM tok),
+cand AS (SELECT term, levenshtein(term, 'sow') AS d FROM tc
+         WHERE levenshtein(term, 'sow') <= 2),
+base_t AS (SELECT term FROM cand),
+pref_t AS (SELECT term FROM cand WHERE term LIKE 's%'),
+cap_t AS (SELECT term FROM (
+  SELECT term, row_number() OVER (ORDER BY d, term) AS rn
+  FROM cand WHERE term LIKE 's%') WHERE rn <= 1)
+SELECT * FROM (
+  SELECT 'base' AS variant, doc_id FROM
+    (SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM base_t))
+  UNION ALL
+  SELECT 'capped', doc_id FROM
+    (SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM cap_t))
+  UNION ALL
+  SELECT 'prefix', doc_id FROM
+    (SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM pref_t))
+) ORDER BY variant, doc_id""",
         # highlighter options: custom tags + word-chunk fragmenter in SQL
         "ft_highlight_options": f"""
 WITH {_TOK},

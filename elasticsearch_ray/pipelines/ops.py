@@ -3780,6 +3780,27 @@ def ft_mget(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def ft_fuzzy_options(sf_dir: str):
+    """FuzzyQuery options (FuzzyQueryBuilder prefix_length /
+    max_expansions): 'sow'~2 expands to {row, slow, sort}; prefix_length=1
+    drops 'row'; max_expansions=1 keeps only the (distance, term)-least
+    expansion 'slow'."""
+    s = documents_searcher(sf_dir)
+    variants = [
+        ("base", {"kind": "fuzzy", "term": "sow", "fuzziness": 2}),
+        ("capped", {"kind": "fuzzy", "term": "sow", "fuzziness": 2,
+                    "prefix_length": 1, "max_expansions": 1}),
+        ("prefix", {"kind": "fuzzy", "term": "sow", "fuzziness": 2,
+                    "prefix_length": 1}),
+    ]
+    parts = []
+    for name, q in variants:
+        ids, _ = s._eval(q)
+        parts.append(pd.DataFrame({"variant": name,
+                                   "doc_id": np.sort(ids).astype("int64")}))
+    return pd.concat(parts, ignore_index=True)
+
+
 def ft_highlight_options(sf_dir: str):
     """Highlighter options (HighlightBuilder pre_tags/post_tags,
     fragment_size, number_of_fragments) over the plain highlighter — custom

@@ -1029,7 +1029,10 @@ class IndexSearcher:
         if kind == "fuzzy":
             # FuzzyQuery (index/query/FuzzyQueryBuilder) with CONSTANT_SCORE
             # rewrite: union of docs of terms within `fuzziness` edits
-            terms = self._expand_fuzzy(q["term"], int(q.get("fuzziness", 1)), field)
+            terms = self._expand_fuzzy(
+                q["term"], int(q.get("fuzziness", 1)), field,
+                prefix_length=int(q.get("prefix_length", 0)),
+                max_expansions=int(q.get("max_expansions", 50)))
             return self._constant_union(terms, boost, field)
         if kind == "wildcard":
             # WildcardQueryBuilder: * and ? over the term dictionary
@@ -1641,11 +1644,20 @@ class IndexSearcher:
         return [str(t) for t in cands[mask]]
 
     def _expand_fuzzy(self, term: str, fuzziness: int,
-                      field: str | None = None) -> list[str]:
-        """Candidates = dictionary slice banded by length (+- fuzziness), then
-        a Levenshtein DP vectorized over ALL candidates at once (the rows of
-        the DP table are numpy vectors over candidates x positions)."""
-        cands = self._term_range("", TERM_MAX, field)
+                      field: str | None = None, prefix_length: int = 0,
+                      max_expansions: int | None = None) -> list[str]:
+        """Candidates = dictionary slice (optionally restricted to the
+        FuzzyQuery prefixLength shared prefix), banded by length
+        (+- fuzziness), then a Levenshtein DP vectorized over ALL candidates
+        at once (the rows of the DP table are numpy vectors over
+        candidates x positions). max_expansions keeps the top-N expansions
+        by (distance asc, term asc) — the deterministic analog of the
+        reference's top-terms rewrite cap."""
+        if prefix_length > 0:
+            pref = term[:prefix_length]
+            cands = self._term_range(pref, pref + TERM_MAX, field)
+        else:
+            cands = self._term_range("", TERM_MAX, field)
         if cands.size == 0:
             return []
         cand_s = cands.astype(str)
@@ -1655,7 +1667,12 @@ class IndexSearcher:
         if cand_s.size == 0:
             return []
         dists = levenshtein_vec(term, cand_s)
-        return [str(t) for t in cand_s[dists <= fuzziness]]
+        keep = dists <= fuzziness
+        cand_s, dists = cand_s[keep], dists[keep]
+        if max_expansions is not None and cand_s.size > max_expansions:
+            order = np.lexsort((cand_s, dists))[:max_expansions]
+            cand_s = cand_s[order]
+        return [str(t) for t in cand_s]
 
     def _exists_ids(self, field: str) -> np.ndarray:
         """Doc ids whose `field` has a non-null value. Indexed fields check the

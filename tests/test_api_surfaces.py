@@ -232,3 +232,19 @@ def test_stored_scripts_registry(ray_session):
         resolve_script({"id": "s1"})
     with pytest.raises(SyntaxError):
         put_stored_script("bad", "def x(: )")
+
+
+def test_fuzzy_prefix_length_and_max_expansions(ray_session):
+    """FuzzyQuery options: prefix_length restricts expansions to the shared
+    prefix; max_expansions caps them by (distance, term)."""
+    s = ops.documents_searcher(SF)
+    base = s._expand_fuzzy("sow", 2)
+    assert set(base) == {"row", "slow", "sort"}
+    pref = s._expand_fuzzy("sow", 2, prefix_length=1)
+    assert set(pref) == {"slow", "sort"}
+    cap = s._expand_fuzzy("sow", 2, prefix_length=1, max_expansions=1)
+    assert cap == ["slow"]  # distance 1 beats distance 2
+    ids_all, _ = s._eval({"kind": "fuzzy", "term": "sow", "fuzziness": 2})
+    ids_cap, _ = s._eval({"kind": "fuzzy", "term": "sow", "fuzziness": 2,
+                          "prefix_length": 1, "max_expansions": 1})
+    assert set(ids_cap) <= set(ids_all)
