@@ -107,7 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_validate_query", "agg_children", "agg_parent",
         "agg_sibling_buckets", "ft_suggest_modes", "ft_stored_script",
         "geo_shape_multipolygon", "ft_highlight_options", "ft_fuzzy_options",
-        "sort_geo_distance", "sort_script",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1993,31 +1992,6 @@ ORDER BY ids.doc_id""",
 WITH {_TOK}
 SELECT st.n AS docs, st.sumdl AS tokens,
        ROUND(CAST(st.sumdl AS DOUBLE) / st.n, 4) AS avgdl FROM st""",
-        # _geo_distance sort: haversine to (10, 20), full-precision ordering
-        "sort_geo_distance": """
-WITH g AS (SELECT DISTINCT user_id,
-             ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
-             ((user_id * 104729) % 360) - 180 + 0.5 AS lon
-           FROM events),
-d AS (SELECT user_id,
-        2 * 6371.0 * asin(sqrt(
-          pow(sin((radians(lat) - radians(10.0))/2), 2)
-          + cos(radians(lat)) * cos(radians(10.0))
-          * pow(sin((radians(lon) - radians(20.0))/2), 2))) AS dist
-      FROM g)
-SELECT user_id, ROUND(dist, 2) AS distance_km
-FROM d ORDER BY dist, user_id LIMIT 10""",
-        # script sort: sandboxed numeric key, desc, doc_id tiebreak
-        "sort_script": """
-WITH tok AS (
-  SELECT doc_id, t AS term FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
-    FROM documents) u WHERE t <> ''),
-sel AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
-k AS (SELECT d.doc_id, (d.n_chars % 97.0) + 0.01 * d.n_chars AS key
-      FROM documents d JOIN sel USING (doc_id))
-SELECT doc_id, ROUND(key, 4) AS sort_key FROM k
-ORDER BY key DESC, doc_id LIMIT 15""",
         # fuzzy options: prefix_length restricts candidates, max_expansions
         # caps by (distance, term)
         "ft_fuzzy_options": """

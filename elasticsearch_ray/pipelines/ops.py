@@ -3780,52 +3780,6 @@ def ft_mget(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
-def sort_geo_distance(sf_dir: str):
-    """_geo_distance sort (GeoDistanceSortBuilder): users ordered by
-    haversine distance to a fixed origin, top 10 — per-batch vectorized
-    distance, per-batch partial top-k, tiny driver merge (the same
-    partial-top-k shape the ANN path uses)."""
-    ds = _ds(sf_dir, "events", ["user_id"]).groupby("user_id").map_groups(
-        lambda g: g.head(1), batch_format="pandas")
-
-    def dist(t: pa.Table) -> pa.Table:
-        t = _geo_cols(t)
-        lat = np.radians(t["lat"].to_numpy())
-        lon = np.radians(t["lon"].to_numpy())
-        olat, olon = np.radians(10.0), np.radians(20.0)
-        a = (np.sin((lat - olat) / 2) ** 2
-             + np.cos(lat) * np.cos(olat) * np.sin((lon - olon) / 2) ** 2)
-        d = 2 * 6371.0 * np.arcsin(np.sqrt(a))
-        out = t.select(["user_id"]).append_column("distance_km", pa.array(d))
-        # per-batch partial top-k: only k candidates leave each batch
-        idx = np.lexsort((out["user_id"].to_numpy(), d))[:10]
-        return out.take(pa.array(np.sort(idx)))
-
-    parts = ds.map_batches(dist, batch_format="pyarrow").to_pandas()
-    out = parts.sort_values(["distance_km", "user_id"]).head(10)
-    out["distance_km"] = [float(round_half_away(v, 2))
-                          for v in out.distance_km]
-    return out.reset_index(drop=True)
-
-
-def sort_script(sf_dir: str):
-    """script sort (ScriptSortBuilder, number type): docs ordered by a
-    sandboxed numeric expression over docmeta, descending with doc_id
-    tiebreak, top 15."""
-    from ..scripting import safe_eval_expr
-
-    s = documents_searcher(sf_dir)
-    ids = np.sort(s._eval({"kind": "term", "term": "data"})[0])
-    n_chars = s.fetch(ids, ["n_chars"])["n_chars"].to_numpy().astype(np.float64)
-    key = np.asarray(safe_eval_expr("n_chars % 97.0 + 0.01 * n_chars",
-                                    {"n_chars": n_chars}), np.float64)
-    order = np.lexsort((ids, -key))[:15]
-    return pd.DataFrame({
-        "doc_id": ids[order].astype("int64"),
-        "sort_key": [float(round_half_away(v, 4)) for v in key[order]],
-    })
-
-
 def ft_fuzzy_options(sf_dir: str):
     """FuzzyQuery options (FuzzyQueryBuilder prefix_length /
     max_expansions): 'sow'~2 expands to {row, slow, sort}; prefix_length=1
