@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_validate_query", "agg_children", "agg_parent",
         "agg_sibling_buckets", "ft_suggest_modes", "ft_stored_script",
         "geo_shape_multipolygon", "ft_highlight_options", "ft_fuzzy_options",
+        "ft_span_containing",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1645,6 +1646,19 @@ WHERE p.term = 'query' AND EXISTS (
     AND a.term = 'data' AND b.term = 'table'
     AND abs(a.pos - b.pos) BETWEEN 1 AND 5
     AND p.pos >= least(a.pos, b.pos) AND p.pos <= greatest(a.pos, b.pos))
+ORDER BY doc_id""",
+        # span_containing under span_first: constraint binds on the BIG
+        # span's exclusive end (greatest + 1 <= 12)
+        "ft_span_containing": f"""
+WITH {_PTOK}
+SELECT DISTINCT p.doc_id AS doc_id FROM ptok p
+WHERE p.term = 'query' AND EXISTS (
+  SELECT 1 FROM ptok a, ptok b
+  WHERE a.doc_id = p.doc_id AND b.doc_id = p.doc_id
+    AND a.term = 'data' AND b.term = 'table'
+    AND abs(a.pos - b.pos) BETWEEN 1 AND 5
+    AND p.pos >= least(a.pos, b.pos) AND p.pos <= greatest(a.pos, b.pos)
+    AND greatest(a.pos, b.pos) + 1 <= 12)
 ORDER BY doc_id""",
         "ft_highlight_unified": f"""
 WITH {_TOK},

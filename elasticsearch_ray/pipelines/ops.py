@@ -1023,6 +1023,21 @@ def ft_span_within(sf_dir: str):
                 "slop": 4, "in_order": False}}, with_score=False)
 
 
+def ft_span_containing(sf_dir: str):
+    """span_containing (SpanContainingQueryBuilder) composed under
+    span_first: data..table windows (slop 4, unordered) that contain
+    'query' AND whose BIG span ends within the first 12 positions —
+    filtering on the big span's boundary distinguishes containing (returns
+    the big span) from within (returns the little span)."""
+    return all_matches(sf_dir, {
+        "kind": "span_first",
+        "match": {"kind": "span_containing",
+                  "little": {"kind": "span_term", "term": "query"},
+                  "big": {"kind": "span_near", "terms": ["data", "table"],
+                          "slop": 4, "in_order": False}},
+        "end": 12}, with_score=False)
+
+
 def ft_phrase_prefix(sf_dir: str):
     return all_matches(sf_dir, {"kind": "match_phrase_prefix", "text": "data quer"},
                        with_score=False)
