@@ -107,7 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_validate_query", "agg_children", "agg_parent",
         "agg_sibling_buckets", "ft_suggest_modes", "ft_stored_script",
         "geo_shape_multipolygon", "ft_highlight_options", "ft_fuzzy_options",
-        "ft_span_containing",
+        "ft_span_containing", "ft_search_analyzer",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1646,6 +1646,14 @@ WHERE p.term = 'query' AND EXISTS (
     AND a.term = 'data' AND b.term = 'table'
     AND abs(a.pos - b.pos) BETWEEN 1 AND 5
     AND p.pos >= least(a.pos, b.pos) AND p.pos <= greatest(a.pos, b.pos))
+ORDER BY doc_id""",
+        # search_analyzer: query-time synonym rapid=>fast scores as 'fast'
+        "ft_search_analyzer": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'fast' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
 ORDER BY doc_id""",
         # span_containing under span_first: constraint binds on the BIG
         # span's exclusive end (greatest + 1 <= 12)

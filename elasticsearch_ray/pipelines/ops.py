@@ -1023,6 +1023,33 @@ def ft_span_within(sf_dir: str):
                 "slop": 4, "in_order": False}}, with_score=False)
 
 
+def ft_search_analyzer(sf_dir: str):
+    """search_analyzer mapping option (TextFieldMapper#searchAnalyzer /
+    MappedFieldType searchAnalyzer): a QUERY-time-only analyzer override —
+    here a search-time synonym 'rapid => fast' makes the query 'rapid'
+    score documents exactly as the query 'fast' would, with the index
+    tokens untouched (the classic search-time-synonym configuration)."""
+    from functools import partial
+
+    from ..analyzer import register_analyzer
+    from ..filters import make_analyzer_fn, synonym_filter
+    from ..search.engine import IndexSearcher
+    from .fulltext import K1, B, documents_index
+
+    register_analyzer("search_syn_rapid", make_analyzer_fn(
+        token_filters=[partial(synonym_filter,
+                               mapping={"rapid": "fast"})]))
+    s = IndexSearcher(documents_index(sf_dir), score_mode="exact64",
+                      k1=K1, b=B, main_field="text",
+                      search_analyzers={None: "search_syn_rapid"})
+    ids, sc = s._eval({"kind": "match", "text": "rapid"})
+    order = np.argsort(ids)
+    return pa.table({
+        "doc_id": pa.array(ids[order]),
+        "score": pa.array(round_half_away(sc[order].astype(np.float64), 4)),
+    })
+
+
 def ft_span_containing(sf_dir: str):
     """span_containing (SpanContainingQueryBuilder) composed under
     span_first: data..table windows (slop 4, unordered) that contain

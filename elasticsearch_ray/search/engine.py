@@ -605,6 +605,7 @@ class IndexSearcher:
         main_field: str = "content",
         field_aliases: dict[str, str] | None = None,
         field_analyzers: dict[str, str] | None = None,
+        search_analyzers: dict[str | None, str] | None = None,
         similarity=None,
     ):
         # alternative similarity (SimilarityProviders DFR/IB/LM/boolean):
@@ -619,6 +620,11 @@ class IndexSearcher:
         # per-field query-time analyzers (PerFieldAnalyzerWrapper analog):
         # field name -> analyzer name; unlisted fields use the main analyzer
         self.field_analyzers = dict(field_analyzers or {})
+        # search_analyzer mapping option (TextFieldMapper#searchAnalyzer):
+        # QUERY-time override per field; key None = the main field. Index
+        # tokens are untouched — the classic index-ngram/search-plain and
+        # search-time-synonym setups
+        self.search_analyzers = dict(search_analyzers or {})
         manifests = live_segments(committed_segments(index_dir))
         if segments is not None:
             manifests = {k: v for k, v in manifests.items() if k in set(segments)}
@@ -690,7 +696,9 @@ class IndexSearcher:
 
     def _analyzer_for(self, field: str | None):
         field = self._norm_field(field)
-        name = self.field_analyzers.get(field) if field is not None else None
+        name = self.search_analyzers.get(field)
+        if name is None and field is not None:
+            name = self.field_analyzers.get(field)
         return get_analyzer(name) if name else self.analyzer
 
     def _field_stats(self, field: str | None):
@@ -947,7 +955,7 @@ class IndexSearcher:
                   and query.get("minimum_should_match") is None):
                 # msm != None must route through _eval -> _terms_set: the
                 # disjunction fast path would return docs matching any 1 term
-                terms = self.analyzer(query["text"])
+                terms = self._analyzer_for(None)(query["text"])
                 if not terms:
                     return np.empty(0, np.int64), np.empty(0, np.float64)
             if terms is not None:
@@ -1255,7 +1263,7 @@ class IndexSearcher:
                 field_boosts.append((f, fb))
             mtype = q.get("type", "best_fields")
             if mtype == "cross_fields":
-                terms = self.analyzer(q["text"])
+                terms = self._analyzer_for(None)(q["text"])
                 parts = []
                 for t in dict.fromkeys(terms):
                     subs_t = [{"kind": "term", "term": t, "field": f, "boost": fb}
@@ -1282,7 +1290,7 @@ class IndexSearcher:
             # frequency at cutoff_frequency * N; docs must match >= 1
             # low-frequency term, high-frequency terms only contribute score
             # to those docs (the stopword-free scoring trick)
-            terms = self.analyzer(q["text"])
+            terms = self._analyzer_for(None)(q["text"])
             if not terms:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             cutoff = float(q.get("cutoff_frequency", 0.01))
@@ -1330,7 +1338,7 @@ class IndexSearcher:
                        if parts else np.empty(0, np.int64))
                 return ids, np.full(ids.size, boost, np.float64)
             if "match" in rule:
-                terms = self.analyzer(rule["match"]["query"])
+                terms = self._analyzer_for(None)(rule["match"]["query"])
                 return self._span_near(
                     terms, int(rule["match"].get("max_gaps", 0)),
                     bool(rule["match"].get("ordered", True)), boost,
@@ -1759,7 +1767,7 @@ class IndexSearcher:
         asc), OR them with BM25; optionally exclude the source doc itself."""
         from collections import Counter
 
-        counts = Counter(self.analyzer(like_text))
+        counts = Counter(self._analyzer_for(None)(like_text))
         chosen = [t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_terms]]
         ids, sc = self._disjunction(chosen, boost)
         if exclude_doc is not None:

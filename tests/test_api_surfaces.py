@@ -248,3 +248,34 @@ def test_fuzzy_prefix_length_and_max_expansions(ray_session):
     ids_cap, _ = s._eval({"kind": "fuzzy", "term": "sow", "fuzziness": 2,
                           "prefix_length": 1, "max_expansions": 1})
     assert set(ids_cap) <= set(ids_all)
+
+
+def test_search_analyzer_override(ray_session):
+    """search_analyzer (TextFieldMapper#searchAnalyzer): query-time synonym
+    makes 'rapid' score exactly as 'fast'; without the override 'rapid'
+    matches nothing; index tokens untouched."""
+    from functools import partial
+
+    from elasticsearch_ray.analyzer import register_analyzer
+    from elasticsearch_ray.filters import make_analyzer_fn, synonym_filter
+    from elasticsearch_ray.pipelines.fulltext import B, K1, documents_index
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    register_analyzer("t_syn", make_analyzer_fn(
+        token_filters=[partial(synonym_filter, mapping={"rapid": "fast"})]))
+    idx = documents_index(SF)
+    plain = IndexSearcher(idx, score_mode="exact64", k1=K1, b=B,
+                          main_field="text")
+    syn = IndexSearcher(idx, score_mode="exact64", k1=K1, b=B,
+                        main_field="text",
+                        search_analyzers={None: "t_syn"})
+    ids0, _ = plain._eval({"kind": "match", "text": "rapid"})
+    assert ids0.size == 0
+    ids1, sc1 = syn._eval({"kind": "match", "text": "rapid"})
+    ids2, sc2 = plain._eval({"kind": "match", "text": "fast"})
+    assert np.array_equal(np.sort(ids1), np.sort(ids2))
+    assert np.allclose(np.sort(sc1), np.sort(sc2))
+    # the WAND top-k path honors it too
+    t1 = syn.search({"kind": "match", "text": "rapid", "k": 5})
+    t2 = plain.search({"kind": "match", "text": "fast", "k": 5})
+    assert list(t1[0]) == list(t2[0])
