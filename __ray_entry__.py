@@ -107,7 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_validate_query", "agg_children", "agg_parent",
         "agg_sibling_buckets", "ft_suggest_modes", "ft_stored_script",
         "geo_shape_multipolygon", "ft_highlight_options", "ft_fuzzy_options",
-        "ft_span_containing", "ft_search_analyzer",
+        "ft_span_containing", "ft_search_analyzer", "cat_segments",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1647,6 +1647,20 @@ WHERE p.term = 'query' AND EXISTS (
     AND abs(a.pos - b.pos) BETWEEN 1 AND 5
     AND p.pos >= least(a.pos, b.pos) AND p.pos <= greatest(a.pos, b.pos))
 ORDER BY doc_id""",
+        # _cat/segments: manifests' per-segment lineage recomputed from the
+        # raw table via the build's partition arithmetic
+        "cat_segments": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+dlen AS (SELECT doc_id, count(*) AS toks FROM tok GROUP BY doc_id)
+SELECT MIN(d.doc_id) AS doc_id_min, MAX(d.doc_id) AS doc_id_max,
+       COUNT(*) AS doc_count, SUM(COALESCE(dlen.toks, 0)) AS tokens,
+       CAST(0 AS BIGINT) AS generation
+FROM documents d LEFT JOIN dlen USING (doc_id)
+GROUP BY CAST(floor(d.doc_id / 2500) AS BIGINT)
+ORDER BY doc_id_min""",
         # search_analyzer: query-time synonym rapid=>fast scores as 'fast'
         "ft_search_analyzer": f"""
 WITH {_TOK},

@@ -3979,6 +3979,28 @@ def ft_validate_query(sf_dir: str):
                          "valid": [bool(r[1]) for r in rows]})
 
 
+def cat_segments(sf_dir: str):
+    """_cat/segments (rest/action/cat/RestSegmentsAction,
+    IndicesSegmentsAction): per-segment stats read from the committed
+    MANIFESTS — doc range, doc count, indexed-token total, merge
+    generation. The oracle recomputes every segment's numbers from the raw
+    table via the build's partition arithmetic (docs_per_partition=2500),
+    so per-segment lineage metadata is verified exactly."""
+    from ..index.manifest import committed_segments, live_segments
+    from .fulltext import documents_index
+
+    segs = live_segments(committed_segments(documents_index(sf_dir)))
+    rows = sorted((m.doc_id_min, m.doc_id_max, m.doc_count, m.sum_doc_len,
+                   m.generation) for m in segs.values())
+    return pd.DataFrame({
+        "doc_id_min": pd.array([r[0] for r in rows], dtype="int64"),
+        "doc_id_max": pd.array([r[1] for r in rows], dtype="int64"),
+        "doc_count": pd.array([r[2] for r in rows], dtype="int64"),
+        "tokens": pd.array([r[3] for r in rows], dtype="int64"),
+        "generation": pd.array([r[4] for r in rows], dtype="int64"),
+    })
+
+
 def cat_indices(sf_dir: str):
     """_cat/indices // index stats surface (rest/action/cat/RestIndicesAction,
     IndexStats): doc count, indexed-token total and global avgdl read from
