@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_sibling_buckets", "ft_suggest_modes", "ft_stored_script",
         "geo_shape_multipolygon", "ft_highlight_options", "ft_fuzzy_options",
         "ft_span_containing", "ft_search_analyzer", "cat_segments",
+        "ft_completion_geo_context",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1647,6 +1648,33 @@ WHERE p.term = 'query' AND EXISTS (
     AND abs(a.pos - b.pos) BETWEEN 1 AND 5
     AND p.pos >= least(a.pos, b.pos) AND p.pos <= greatest(a.pos, b.pos))
 ORDER BY doc_id""",
+        # geo-context completion: per-user precision-2 geohash cell (same
+        # arithmetic as agg_geohash_grid), events joined to their emitter's
+        # cell, filtered to the query point (-60,-123) -> cell '1m'
+        "ft_completion_geo_context": """
+WITH g AS (SELECT user_id,
+             ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+             ((user_id * 104729) % 360) - 180 + 0.5 AS lon
+           FROM (SELECT DISTINCT user_id FROM events)),
+b AS (SELECT user_id,
+        least(CAST(floor((lon + 180.0) / 360.0 * 32) AS INTEGER), 31) AS lx,
+        least(CAST(floor((lat + 90.0) / 180.0 * 32) AS INTEGER), 31) AS ly
+      FROM g),
+bits AS (SELECT user_id,
+        ((lx // 16) % 2) * 512 + ((ly // 16) % 2) * 256
+        + ((lx // 8) % 2) * 128 + ((ly // 8) % 2) * 64
+        + ((lx // 4) % 2) * 32 + ((ly // 4) % 2) * 16
+        + ((lx // 2) % 2) * 8 + ((ly // 2) % 2) * 4
+        + (lx % 2) * 2 + (ly % 2) AS v
+      FROM b),
+cells AS (SELECT user_id,
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (v // 32) + 1, 1) ||
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (v % 32) + 1, 1) AS cell
+      FROM bits)
+SELECT e.event_type AS input, CAST(count(*) AS BIGINT) AS weight
+FROM events e JOIN cells c USING (user_id)
+WHERE c.cell = '1m'
+GROUP BY 1 ORDER BY weight DESC, input LIMIT 5""",
         # _cat/segments: manifests' per-segment lineage recomputed from the
         # raw table via the build's partition arithmetic
         "cat_segments": """

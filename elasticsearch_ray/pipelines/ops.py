@@ -3979,6 +3979,34 @@ def ft_validate_query(sf_dir: str):
                          "valid": [bool(r[1]) for r in rows]})
 
 
+def ft_completion_geo_context(sf_dir: str):
+    """Geo-context completion (GeoContextMapping / GeoQueryContext:
+    CompletionFieldMapper contexts of type `geo` index the entry under the
+    geohash cell of its location; a suggest call filters to the query
+    point's cell). Entries = event_type strings weighted by event count
+    within each precision-2 geohash cell of the emitting user's synthetic
+    point; weights pre-aggregate per batch (partial combine) so only
+    (type, cell) partials reach the driver. Query point (-60, -123) -> cell '1m'."""
+    from ..search.suggest import CompletionSuggester
+
+    def part(t: pa.Table) -> pa.Table:
+        g = _geo_cols(t)
+        cells = geohash_encode(g["lat"].to_numpy(), g["lon"].to_numpy(), 2)
+        df = pd.DataFrame({"input": np.asarray(t["event_type"]).astype(str),
+                           "cell": cells})
+        out = df.groupby(["input", "cell"], as_index=False).size()
+        return pa.Table.from_pandas(out.rename(columns={"size": "w"}),
+                                    preserve_index=False)
+
+    parts = (_ds(sf_dir, "events", ["user_id", "event_type"])
+             .map_batches(part, batch_format="pyarrow").to_pandas())
+    agg = parts.groupby(["input", "cell"], as_index=False).agg(w=("w", "sum"))
+    sug = CompletionSuggester(
+        [(r.input, int(r.w), [r.cell]) for r in agg.itertuples()])
+    qcell = geohash_encode(np.array([-60.0]), np.array([-123.0]), 2)[0]
+    return sug.suggest("", size=5, context=qcell)
+
+
 def cat_segments(sf_dir: str):
     """_cat/segments (rest/action/cat/RestSegmentsAction,
     IndicesSegmentsAction): per-segment stats read from the committed
