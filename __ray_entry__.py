@@ -1676,7 +1676,10 @@ FROM events e JOIN cells c USING (user_id)
 WHERE c.cell = '1m'
 GROUP BY 1 ORDER BY weight DESC, input LIMIT 5""",
         # _cat/segments: manifests' per-segment lineage recomputed from the
-        # raw table via the build's partition arithmetic
+        # raw table. Build partitioning is FRAGMENT-granular and the test
+        # documents.parquet is a single row group at every sf, so the live
+        # view is exactly one flush segment spanning all docs — the oracle
+        # recomputes its doc range, count, and indexed-token total.
         "cat_segments": """
 WITH tok AS (
   SELECT doc_id, t AS term FROM (
@@ -1684,10 +1687,10 @@ WITH tok AS (
     FROM documents) u WHERE t <> ''),
 dlen AS (SELECT doc_id, count(*) AS toks FROM tok GROUP BY doc_id)
 SELECT MIN(d.doc_id) AS doc_id_min, MAX(d.doc_id) AS doc_id_max,
-       COUNT(*) AS doc_count, SUM(COALESCE(dlen.toks, 0)) AS tokens,
+       COUNT(*) AS doc_count,
+       CAST(SUM(COALESCE(dlen.toks, 0)) AS BIGINT) AS tokens,
        CAST(0 AS BIGINT) AS generation
 FROM documents d LEFT JOIN dlen USING (doc_id)
-GROUP BY CAST(floor(d.doc_id / 2500) AS BIGINT)
 ORDER BY doc_id_min""",
         # search_analyzer: query-time synonym rapid=>fast scores as 'fast'
         "ft_search_analyzer": f"""

@@ -4011,9 +4011,10 @@ def cat_segments(sf_dir: str):
     """_cat/segments (rest/action/cat/RestSegmentsAction,
     IndicesSegmentsAction): per-segment stats read from the committed
     MANIFESTS — doc range, doc count, indexed-token total, merge
-    generation. The oracle recomputes every segment's numbers from the raw
-    table via the build's partition arithmetic (docs_per_partition=2500),
-    so per-segment lineage metadata is verified exactly."""
+    generation. Partitioning is fragment-granular and the test
+    documents.parquet is one row group, so the live view is a single flush
+    segment; the oracle recomputes its doc range / count / token total from
+    the raw table, verifying the recorded lineage exactly."""
     from ..index.manifest import committed_segments, live_segments
     from .fulltext import documents_index
 
