@@ -108,7 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_sibling_buckets", "ft_suggest_modes", "ft_stored_script",
         "geo_shape_multipolygon", "ft_highlight_options", "ft_fuzzy_options",
         "ft_span_containing", "ft_search_analyzer", "cat_segments",
-        "ft_completion_geo_context",
+        "ft_completion_geo_context", "ft_zero_terms", "ft_multi_match_phrase",
+        "ft_multi_match_phrase_prefix", "ft_multi_match_bool_prefix",
+        "ft_intervals_fuzzy",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -541,6 +543,39 @@ def oracle_sql() -> dict[str, str]:
     out["knn_lsh_exact"] = _knn_lsh_oracle_sql()
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update({
+        "ft_zero_terms": """
+SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id""",
+        "ft_multi_match_phrase": r"""
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id FROM documents
+  WHERE regexp_matches(lower(text), '(^|[^a-z0-9])data[^a-z0-9]+query([^a-z0-9]|$)')
+  UNION ALL
+  SELECT doc_id FROM documents WHERE lower(source) = 'data query'
+) ORDER BY doc_id""",
+        "ft_multi_match_phrase_prefix": r"""
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id FROM documents
+  WHERE regexp_matches(lower(text), '(^|[^a-z0-9])data[^a-z0-9]+quer[a-z0-9]*')
+  UNION ALL
+  SELECT doc_id FROM documents WHERE lower(source) LIKE 'data quer%'
+) ORDER BY doc_id""",
+        "ft_multi_match_bool_prefix": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+termscore AS (
+  SELECT tf.doc_id AS doc_id, {_SCORE} AS s
+  FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
+pref AS (SELECT DISTINCT doc_id, 1.0 AS s FROM tok WHERE term LIKE 'quer%'),
+uni AS (SELECT * FROM termscore UNION ALL SELECT * FROM pref)
+SELECT doc_id, ROUND(SUM(s), 4) AS score FROM uni GROUP BY doc_id ORDER BY doc_id""",
+        "ft_intervals_fuzzy": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> '')
+SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'quary') <= 1
+ORDER BY doc_id""",
         "ft_completion_weighted": """
 WITH tok AS (
   SELECT t AS term FROM (

@@ -4045,3 +4045,51 @@ def cat_indices(sf_dir: str):
         "tokens": pd.array([st.sum_doc_len], dtype="int64"),
         "avgdl": [float(round_half_away(st.avgdl, 4))],
     })
+
+
+def ft_zero_terms(sf_dir: str):
+    """match zero_terms_query (index/search/MatchQuery.java:121
+    ZeroTermsQuery.ALL): a query whose analysis strips every token
+    (punctuation-only input) rewrites to match_all instead of matching
+    nothing; every doc comes back at the query boost (constant 1.0)."""
+    return all_matches(sf_dir, {"kind": "match", "text": "??? !!!",
+                                "zero_terms_query": "all"})
+
+
+def ft_multi_match_phrase(sf_dir: str):
+    """multi_match type=phrase (index/query/MultiMatchQueryBuilder.java
+    Type.PHRASE): a match_phrase per field combined best-fields style
+    (dis_max). The source field is single-token so its phrase side is
+    empty; the doc set is the union across fields."""
+    return all_matches(sf_dir, {
+        "kind": "multi_match", "text": "data query",
+        "fields": ["text", "source"], "type": "phrase"}, with_score=False)
+
+
+def ft_multi_match_phrase_prefix(sf_dir: str):
+    """multi_match type=phrase_prefix (Type.PHRASE_PREFIX): per-field
+    match_phrase_prefix, dis_max across fields."""
+    return all_matches(sf_dir, {
+        "kind": "multi_match", "text": "data quer",
+        "fields": ["text", "source"], "type": "phrase_prefix"},
+        with_score=False)
+
+
+def ft_multi_match_bool_prefix(sf_dir: str):
+    """multi_match type=bool_prefix (Type.BOOL_PREFIX, 7.2+): per-field
+    match_bool_prefix (scored shoulds + prefix-on-last), dis_max across
+    fields. The source side matches nothing here so scores equal the
+    single-field match_bool_prefix values."""
+    return all_matches(sf_dir, {
+        "kind": "multi_match", "text": "data quer",
+        "fields": ["text", "source"], "type": "bool_prefix"})
+
+
+def ft_intervals_fuzzy(sf_dir: str):
+    """intervals fuzzy rule (IntervalsSourceProvider.Fuzzy, added 7.6):
+    dictionary expansion within the edit budget, constant-score union of
+    the expansions' interval matches."""
+    return all_matches(sf_dir, {
+        "kind": "intervals",
+        "rule": {"fuzzy": {"term": "quary", "fuzziness": 1}}},
+        with_score=False)

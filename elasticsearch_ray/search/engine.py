@@ -1002,6 +1002,13 @@ class IndexSearcher:
             terms = self._analyzer_for(field)(q["text"])
             op = q.get("operator", "or")
             if not terms:
+                # MatchQuery.ZeroTermsQuery (index/search/MatchQuery.java:121):
+                # when analysis strips every token (stopword/punctuation-only
+                # input), 'none' (the default) matches nothing and 'all'
+                # rewrites to match_all
+                if q.get("zero_terms_query", "none") == "all":
+                    ids = self._all_doc_ids()
+                    return ids, np.full(ids.size, boost, np.float64)
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             msm = q.get("minimum_should_match")
             if msm is not None and op == "or":
@@ -1227,6 +1234,22 @@ class IndexSearcher:
         if kind == "match_phrase_prefix":
             return self._phrase_prefix(q["text"], int(q.get("max_expansions", 50)),
                                        boost, field)
+        if kind == "match_bool_prefix":
+            # MatchBoolPrefixQueryBuilder: analyzed terms as scored shoulds,
+            # the LAST term as a prefix clause (constant-score union) —
+            # rest-api-spec/test/search/310_match_bool_prefix.yml semantics
+            terms_bp = self._analyzer_for(field)(q["text"])
+            if not terms_bp:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            parts_bp = []
+            if len(terms_bp) > 1:
+                parts_bp.append(self._disjunction(terms_bp[:-1], 1.0, field))
+            parts_bp.append(self._prefix(terms_bp[-1], 1.0, field))
+            parts_bp = [p for p in parts_bp if p[0].size]
+            if not parts_bp:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            ids, sc = self._accumulate(parts_bp)
+            return ids, sc * boost
         if kind == "simple_query_string":
             return self._eval(parse_simple_query_string(q["query"]))
         if kind == "query_string":
@@ -1262,6 +1285,23 @@ class IndexSearcher:
                     fb = float(fb_s)
                 field_boosts.append((f, fb))
             mtype = q.get("type", "best_fields")
+            if mtype in ("phrase", "phrase_prefix", "bool_prefix"):
+                # MultiMatchQueryBuilder.Type PHRASE/PHRASE_PREFIX/BOOL_PREFIX
+                # (index/query/MultiMatchQueryBuilder.java): run the matching
+                # single-field query per field and combine best-fields style
+                # (dis_max with tie_breaker)
+                kind_map = {"phrase": "match_phrase",
+                            "phrase_prefix": "match_phrase_prefix",
+                            "bool_prefix": "match_bool_prefix"}
+                subs_p = []
+                for f, fb in field_boosts:
+                    sub = {"kind": kind_map[mtype], "text": q["text"],
+                           "field": f, "boost": fb}
+                    if mtype == "phrase" and q.get("slop") is not None:
+                        sub["slop"] = q["slop"]
+                    subs_p.append(sub)
+                return self._dis_max(subs_p, float(q.get("tie_breaker", 0.0)),
+                                     boost)
             if mtype == "cross_fields":
                 terms = self._analyzer_for(None)(q["text"])
                 parts = []
@@ -1323,6 +1363,15 @@ class IndexSearcher:
             if "wildcard" in rule:
                 terms_w = self._expand_wildcard(rule["wildcard"]["pattern"], field)
                 return self._constant_union(terms_w, boost, field)
+            if "fuzzy" in rule:
+                # IntervalsSourceProvider.Fuzzy (added ES 7.6): expand the
+                # term against the dictionary within the edit budget, then
+                # a constant-score union of the expansions' intervals
+                spec = rule["fuzzy"]
+                terms_f = self._expand_fuzzy(
+                    spec["term"], int(spec.get("fuzziness", 1)), field,
+                    prefix_length=int(spec.get("prefix_length", 0)))
+                return self._constant_union(terms_f, boost, field)
             if "all_of" in rule:
                 spec = rule["all_of"]
                 return self._span_near(

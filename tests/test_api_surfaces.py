@@ -279,3 +279,41 @@ def test_search_analyzer_override(ray_session):
     t1 = syn.search({"kind": "match", "text": "rapid", "k": 5})
     t2 = plain.search({"kind": "match", "text": "fast", "k": 5})
     assert list(t1[0]) == list(t2[0])
+
+
+def test_zero_terms_query_none_vs_all(ray_session):
+    s = ops.documents_searcher(SF)
+    ids_none, _ = s._eval({"kind": "match", "text": "??? !!!"})
+    assert ids_none.size == 0
+    ids_all, sc = s._eval({"kind": "match", "text": "??? !!!",
+                           "zero_terms_query": "all"})
+    assert ids_all.size == s.n_docs
+    assert np.allclose(sc, 1.0)
+
+
+def test_multi_match_bool_prefix_equals_manual_bool(ray_session):
+    s = ops.documents_searcher(SF)
+    ids_mm, sc_mm = s._eval({"kind": "multi_match", "text": "data quer",
+                             "fields": ["text"], "type": "bool_prefix"})
+    terms = s.analyzer("data quer")
+    manual = {"kind": "bool",
+              "should": [{"kind": "term", "term": t} for t in terms[:-1]]
+              + [{"kind": "prefix", "prefix": terms[-1]}]}
+    ids_b, sc_b = s._eval(manual)
+    assert np.array_equal(np.sort(ids_mm), np.sort(ids_b))
+
+
+def test_multi_match_phrase_matches_single_field_phrase(ray_session):
+    s = ops.documents_searcher(SF)
+    ids_mm, _ = s._eval({"kind": "multi_match", "text": "data query",
+                         "fields": ["text", "source"], "type": "phrase"})
+    ids_p, _ = s._eval({"kind": "match_phrase", "text": "data query"})
+    assert np.array_equal(np.sort(ids_mm), np.sort(ids_p))
+
+
+def test_intervals_fuzzy_equals_fuzzy_query_doc_set(ray_session):
+    s = ops.documents_searcher(SF)
+    ids_i, _ = s._eval({"kind": "intervals",
+                        "rule": {"fuzzy": {"term": "quary", "fuzziness": 1}}})
+    ids_f, _ = s._eval({"kind": "fuzzy", "term": "quary", "fuzziness": 1})
+    assert np.array_equal(np.sort(ids_i), np.sort(ids_f))
