@@ -110,7 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_containing", "ft_search_analyzer", "cat_segments",
         "ft_completion_geo_context", "ft_zero_terms", "ft_multi_match_phrase",
         "ft_multi_match_phrase_prefix", "ft_multi_match_bool_prefix",
-        "ft_intervals_fuzzy",
+        "ft_intervals_fuzzy", "agg_terms_options", "agg_histogram_options",
+        "agg_date_histogram_tz",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -576,6 +577,32 @@ WITH tok AS (
     FROM documents) u WHERE t <> '')
 SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'quary') <= 1
 ORDER BY doc_id""",
+        "agg_terms_options": """
+WITH b AS (
+  SELECT COALESCE(NULLIF(event_type, 'click'), '(none)') AS etype, value
+  FROM events
+  WHERE COALESCE(NULLIF(event_type, 'click'), '(none)') <> 'error'),
+g AS (SELECT etype, count(*) AS doc_count, SUM(value) AS s FROM b GROUP BY etype)
+SELECT etype, doc_count, ROUND(s, 4) AS sum_value FROM g
+ORDER BY s DESC, etype LIMIT 3""",
+        "agg_histogram_options": """
+WITH g AS (
+  SELECT CAST(floor((value - 25.0) / 50.0) AS BIGINT) AS n, count(*) AS doc_count
+  FROM events GROUP BY 1),
+bounds AS (SELECT LEAST((SELECT min(n) FROM g),
+                        CAST(floor((0.0 - 25.0) / 50.0) AS BIGINT)) AS lo,
+                  GREATEST((SELECT max(n) FROM g),
+                           CAST(floor((700.0 - 25.0) / 50.0) AS BIGINT)) AS hi),
+series AS (SELECT unnest(generate_series(lo, hi)) AS n FROM bounds)
+SELECT series.n * 50.0 + 25.0 AS bucket, COALESCE(g.doc_count, 0) AS doc_count
+FROM series LEFT JOIN g USING (n) ORDER BY bucket""",
+        "agg_date_histogram_tz": """
+WITH g AS (
+  SELECT ((epoch_us(ts) - 21600000000 + 19800000000) // 86400000000)
+         * 86400000000 - 19800000000 + 21600000000 AS us,
+         count(*) AS doc_count
+  FROM events GROUP BY 1)
+SELECT make_timestamp(us) AS bucket, doc_count FROM g ORDER BY bucket""",
         "ft_completion_weighted": """
 WITH tok AS (
   SELECT t AS term FROM (

@@ -314,3 +314,112 @@ def moving_avg_holt(frame: pd.DataFrame, col: str, alpha: float = 0.3,
             out[i] = level
     frame[out_col] = out
     return frame
+
+
+def terms_agg_options(ds, key: str, value: str | None = None, *,
+                      order: tuple[str, str] | None = None,
+                      min_doc_count: int = 1,
+                      include: str | None = None, exclude: str | None = None,
+                      missing=None, size: int | None = None):
+    """`terms` agg OPTIONS (bucket/terms/TermsAggregationBuilder +
+    support/IncludeExclude): `missing` fills null keys into their own bucket,
+    include/exclude regexes prune keys BEFORE the shuffle (the reference
+    filters ordinals at collect time — same effect, and at scale it shrinks
+    the exchange), `min_doc_count` filters the reduced table, `order` is
+    ('_key'|'_count'|<metric column>, 'asc'|'desc') with key-asc tie-break."""
+    from ray.data.aggregate import Count, Sum
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t[key]
+        if missing is not None:
+            k = pc.fill_null(k, missing)
+        cols = {key: k}
+        if value is not None:
+            cols[value] = t[value]
+        t2 = pa.table(cols)
+        m = None
+        if include is not None:
+            m = pc.match_substring_regex(k, f"^(?:{include})$")
+        if exclude is not None:
+            me = pc.invert(pc.match_substring_regex(k, f"^(?:{exclude})$"))
+            m = me if m is None else pc.and_(m, me)
+        return t2.filter(m) if m is not None else t2
+
+    aggs = [Count(alias_name="doc_count")]
+    if value is not None:
+        aggs.append(Sum(value, alias_name=f"sum_{value}"))
+    out = (ds.map_batches(bucketize, batch_format="pyarrow")
+           .groupby(key).aggregate(*aggs).to_pandas())
+    if min_doc_count > 1:
+        out = out[out["doc_count"] >= min_doc_count]
+    col, direction = order or ("_count", "desc")
+    asc = direction == "asc"
+    if col == "_key":
+        out = out.sort_values(key, ascending=asc)
+    elif col == "_count":
+        out = out.sort_values(["doc_count", key], ascending=[asc, True])
+    else:
+        out = out.sort_values([col, key], ascending=[asc, True])
+    out = out.reset_index(drop=True)
+    if size is not None:
+        out = out.head(size)
+    return out
+
+
+def histogram_options(ds, col: str, width: float, *, offset: float = 0.0,
+                      min_doc_count: int = 1,
+                      extended_bounds: tuple[float, float] | None = None):
+    """numeric `histogram` OPTIONS (HistogramAggregationBuilder): bucket =
+    floor((v - offset) / width) * width + offset; min_doc_count=0 emits
+    empty buckets over [min(data, extended_bounds.lo), max(data,
+    extended_bounds.hi)] — the empty-bucket fill happens on the tiny reduced
+    table (InternalHistogram#addEmptyBuckets is a reduce-phase step too).
+    Buckets travel the shuffle as int64 indices (exact fp-free keys)."""
+    from ray.data.aggregate import Count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy()
+        n = np.floor((v - offset) / width).astype(np.int64)
+        return pa.table({"n": pa.array(n)})
+
+    out = (ds.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("n").aggregate(Count(alias_name="doc_count")).to_pandas())
+    if min_doc_count == 0:
+        lo, hi = int(out["n"].min()), int(out["n"].max())
+        if extended_bounds is not None:
+            lo = min(lo, int(np.floor((extended_bounds[0] - offset) / width)))
+            hi = max(hi, int(np.floor((extended_bounds[1] - offset) / width)))
+        out = (out.set_index("n")
+               .reindex(range(lo, hi + 1), fill_value=0)
+               .rename_axis("n").reset_index())
+        out["doc_count"] = out["doc_count"].astype("int64")
+    elif min_doc_count > 1:
+        out = out[out["doc_count"] >= min_doc_count]
+    out["bucket"] = out["n"] * width + offset
+    return (out.sort_values("bucket").reset_index(drop=True)
+            [["bucket", "doc_count"]])
+
+
+def date_histogram_tz(ds, ts_col: str, *, interval: str = "day",
+                      tz_minutes: int = 0, offset_minutes: int = 0):
+    """`date_histogram` time_zone + offset (common/Rounding.java builder:
+    fixed-offset zone rounding with the offset subtracted before and added
+    back after): bucket = trunc_interval(ts - offset + tz) - tz + offset,
+    keys reported back in UTC. Integer epoch-micro arithmetic end to end so
+    the DuckDB oracle reproduces it exactly."""
+    from ray.data.aggregate import Count
+
+    us = {"day": 86_400_000_000, "hour": 3_600_000_000}[interval]
+    tz = tz_minutes * 60_000_000
+    off = offset_minutes * 60_000_000
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[ts_col], pa.int64()).to_numpy()
+        b = (v - off + tz) // us * us - tz + off
+        return pa.table({"bucket": pa.array(b)})
+
+    out = (ds.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Count(alias_name="doc_count"))
+           .to_pandas())
+    out["bucket"] = pd.to_datetime(out["bucket"], unit="us")
+    return out.sort_values("bucket").reset_index(drop=True)

@@ -4093,3 +4093,41 @@ def ft_intervals_fuzzy(sf_dir: str):
         "kind": "intervals",
         "rule": {"fuzzy": {"term": "quary", "fuzziness": 1}}},
         with_score=False)
+
+
+def agg_terms_options(sf_dir: str):
+    """terms agg options (TermsAggregationBuilder: missing / IncludeExclude /
+    order-by-metric / size): key is NULLIF(event_type,'click') so the
+    `missing` bucket is real; 'error' is excluded by regex BEFORE the
+    shuffle; buckets order by sum_value desc and truncate to 3."""
+    import pyarrow.compute as _pc
+
+    def derive(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        k = _pc.if_else(_pc.equal(et, "click"), pa.nulls(len(t), pa.string()), et)
+        return pa.table({"etype": k, "value": t["value"]})
+
+    ds = (_ds(sf_dir, "events", ["event_type", "value"])
+          .map_batches(derive, batch_format="pyarrow"))
+    out = A.terms_agg_options(
+        ds, "etype", "value", missing="(none)", exclude="error",
+        order=("sum_value", "desc"), size=3)
+    out["sum_value"] = round_half_away(out["sum_value"], 4)
+    return out
+
+
+def agg_histogram_options(sf_dir: str):
+    """histogram options (HistogramAggregationBuilder offset /
+    extended_bounds / min_doc_count=0): width 50 offset 25 over value with
+    empty buckets filled out to extended_bounds hi=700."""
+    return A.histogram_options(
+        _ds(sf_dir, "events", ["value"]), "value", 50.0, offset=25.0,
+        min_doc_count=0, extended_bounds=(0.0, 700.0))
+
+
+def agg_date_histogram_tz(sf_dir: str):
+    """date_histogram time_zone (+05:30) + offset (+6h) — Rounding.java
+    fixed-offset zone rounding, keys reported in UTC."""
+    return A.date_histogram_tz(
+        _ds(sf_dir, "events", ["ts"]), "ts", interval="day",
+        tz_minutes=330, offset_minutes=360)

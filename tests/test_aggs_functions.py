@@ -632,3 +632,40 @@ def test_parse_wkt_multi_geometries():
     assert inside.tolist() == [True, False, True, False]  # hole excluded
     k, geoms = parse_wkt("GEOMETRYCOLLECTION (POINT (4 6), LINESTRING (4 6, 7 10))")
     assert k == "geometrycollection" and geoms[0][0] == "point"
+
+
+def test_terms_agg_options_key_order_and_min_doc_count(ray_session):
+    import elasticsearch_ray.aggs.aggregations as A
+    from elasticsearch_ray.pipelines import ops
+
+    SF = "/root/testdata/sf0.001"
+
+    ds = ops._ds(SF, "events", ["event_type", "value"])
+    out = A.terms_agg_options(ds, "event_type", order=("_key", "asc"))
+    assert list(out["event_type"]) == sorted(out["event_type"])
+    # a threshold above every bucket's count empties the table
+    hi = int(out["doc_count"].max()) + 1
+    out2 = A.terms_agg_options(ds, "event_type", min_doc_count=hi)
+    assert len(out2) == 0
+    # include regex keeps only the named keys
+    out3 = A.terms_agg_options(ds, "event_type", include="view|click")
+    assert set(out3["event_type"]) == {"view", "click"}
+
+
+def test_histogram_options_offset_and_empty_fill(ray_session):
+    import numpy as np
+
+    import elasticsearch_ray.aggs.aggregations as A
+    from elasticsearch_ray.pipelines import ops
+
+    SF = "/root/testdata/sf0.001"
+
+    ds = ops._ds(SF, "events", ["value"])
+    out = A.histogram_options(ds, "value", 50.0, offset=25.0, min_doc_count=0,
+                              extended_bounds=(0.0, 700.0))
+    b = out["bucket"].to_numpy()
+    assert np.allclose(np.diff(b), 50.0)          # contiguous buckets
+    assert b[-1] == 675.0 and b[0] <= 0.0         # extended to bounds
+    assert (out["doc_count"].to_numpy() == 0).any()  # empty buckets real
+    # doc totals preserved by the fill
+    assert int(out["doc_count"].sum()) == ds.count()
