@@ -111,7 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_completion_geo_context", "ft_zero_terms", "ft_multi_match_phrase",
         "ft_multi_match_phrase_prefix", "ft_multi_match_bool_prefix",
         "ft_intervals_fuzzy", "agg_terms_options", "agg_histogram_options",
-        "agg_date_histogram_tz",
+        "agg_date_histogram_tz", "ft_multi_index", "ft_multi_index_boost",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -535,6 +535,46 @@ val AS (SELECT qv, idx,
 SELECT qv AS q, ROUND(hv / {10 ** scale}.0, 3) AS value FROM val ORDER BY q"""
 
 
+def _multi_index_oracle_sqls() -> dict[str, str]:
+    """Per-index BM25 re-derivation for the multi-index gates: each lang
+    partition gets its own N/df/avgdl (stats never pool across indices),
+    and per-index doc_ids are row_number()-1 over the doc_id order (the
+    deterministic ids the split-parquet build assigns)."""
+
+    def part(p: str, cond: str, name: str) -> str:
+        return f"""
+{p}_docs AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS doc_id, text
+             FROM documents WHERE {cond}),
+{p}_tok AS (SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM {p}_docs) u WHERE t <> ''),
+{p}_dl AS (SELECT doc_id, count(*) AS dl FROM {p}_tok GROUP BY doc_id),
+{p}_st AS (SELECT (SELECT count(*) FROM {p}_docs) AS n,
+                  (SELECT count(*) FROM {p}_tok) AS sumdl),
+{p}_tf AS (SELECT doc_id, count(*) AS tf FROM {p}_tok
+           WHERE term = 'data' GROUP BY doc_id),
+{p}_df AS (SELECT count(*) AS df FROM {p}_tf),
+{p}_sc AS (SELECT '{name}' AS idx, tf.doc_id AS doc_id,
+       ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * 2.2 * tf.tf /
+       (tf.tf + 1.2*(0.25 + 0.75 * dl.dl * st.n / st.sumdl)) AS raw
+   FROM {p}_tf tf CROSS JOIN {p}_df df CROSS JOIN {p}_st st
+   JOIN {p}_dl dl ON dl.doc_id = tf.doc_id)"""
+
+    ctes = ("WITH " + part("en", "lang = 'en'", "docs-en") + ","
+            + part("ot", "lang <> 'en'", "docs-other"))
+    return {
+        "ft_multi_index": ctes + """,
+u AS (SELECT * FROM en_sc UNION ALL SELECT * FROM ot_sc)
+SELECT idx AS "index", doc_id, ROUND(raw, 4) AS score FROM u
+ORDER BY idx, doc_id""",
+        "ft_multi_index_boost": ctes + """,
+u AS (SELECT idx, doc_id, raw * 1.5 AS raw FROM en_sc
+      UNION ALL SELECT idx, doc_id, raw * 0.7 FROM ot_sc)
+SELECT idx AS "index", doc_id, ROUND(raw, 4) AS score FROM u
+ORDER BY raw DESC, idx, doc_id LIMIT 10""",
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     out = _geo_shape_oracle_sqls()
     out["agg_cardinality_hll"] = _hll_oracle_sql()
@@ -543,6 +583,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_simhash_exact"] = _simhash_oracle_sql()
     out["knn_lsh_exact"] = _knn_lsh_oracle_sql()
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
+    out.update(_multi_index_oracle_sqls())
     out.update({
         "ft_zero_terms": """
 SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id""",

@@ -4131,3 +4131,69 @@ def agg_date_histogram_tz(sf_dir: str):
     return A.date_histogram_tz(
         _ds(sf_dir, "events", ["ts"]), "ts", interval="day",
         tz_minutes=330, offset_minutes=360)
+
+
+_MULTI_IDX: dict[str, "object"] = {}
+
+
+def _multi_index_searcher(sf_dir: str):
+    """Two real indices split from documents by lang ('docs-en' = lang en,
+    'docs-other' = the rest), each built separately so BM25 stats are
+    genuinely per-index. Subsets are written ordered by the original doc_id,
+    so each index's deterministic ids equal row_number()-1 over that order
+    (the oracle's mapping)."""
+    if sf_dir in _MULTI_IDX:
+        return _MULTI_IDX[sf_dir]
+    import hashlib as _h
+    import os as _os
+
+    import duckdb as _duck
+
+    from ..index.build import build_index
+    from ..search.engine import IndexSearcher
+    from ..search.multi import MultiIndexSearcher
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    tag = _h.sha1(f"{src}:{_os.path.getmtime(src)}:multi:v1".encode()).hexdigest()[:16]
+    root = _os.path.join("/tmp/esray_cache", f"multiidx_{tag}")
+    _os.makedirs(root, exist_ok=True)
+    parts = {"docs-en": "lang = 'en'", "docs-other": "lang <> 'en'"}
+    searchers = {}
+    for name, cond in parts.items():
+        sub = _os.path.join(root, f"{name}.parquet")
+        if not _os.path.exists(sub):
+            _duck.sql(
+                f"COPY (SELECT * FROM read_parquet('{src}') WHERE {cond} "
+                f"ORDER BY doc_id) TO '{sub}' (FORMAT PARQUET)")
+        idx_dir = _os.path.join(root, f"idx_{name}")
+        build_index(sub, idx_dir, analyzer="simple", index_positions=True,
+                    docs_per_partition=2500, num_buckets=8,
+                    content_column="text", meta_columns=("lang", "source"))
+        searchers[name] = IndexSearcher(idx_dir, score_mode="exact64",
+                                        main_field="text")
+    _MULTI_IDX[sf_dir] = MultiIndexSearcher(searchers)
+    return _MULTI_IDX[sf_dir]
+
+
+def ft_multi_index(sf_dir: str):
+    """Multi-index search (TransportSearchAction index resolution): the
+    wildcard expression docs-* fans one term query out to both indices;
+    every index scores with ITS OWN N/df/avgdl (stats never pool across
+    indices under query_then_fetch)."""
+    m = _multi_index_searcher(sf_dir)
+    t = m.search_all("docs-*", {"kind": "term", "term": "data"})
+    sc = round_half_away(t["score"].to_numpy(), 4)
+    return pa.table({"index": t["index"], "doc_id": t["doc_id"],
+                     "score": pa.array(sc)})
+
+
+def ft_multi_index_boost(sf_dir: str):
+    """indices_boost across indices (SearchSourceBuilder#indexBoosts): hits
+    from docs-en are multiplied by 1.5 and docs-other by 0.7 before the
+    cross-index top-k merge (score desc, index asc, doc_id asc)."""
+    m = _multi_index_searcher(sf_dir)
+    t = m.search("docs-*", {"kind": "term", "term": "data"}, k=10,
+                 indices_boost={"docs-en": 1.5, "docs-other": 0.7})
+    sc = round_half_away(t["score"].to_numpy(), 4)
+    return pa.table({"index": t["index"], "doc_id": t["doc_id"],
+                     "score": pa.array(sc)})

@@ -1,0 +1,84 @@
+"""Cross-index (multi-index) search.
+
+The reference resolves comma/wildcard index expressions on the coordinating
+node (action/search/TransportSearchAction.java index-name resolution via
+IndexNameExpressionResolver), fans the query out to every matching index's
+shards, and merges per-shard top docs (SearchPhaseController.mergeTopDocs).
+Two semantics matter for parity:
+
+- **Stats stay per-index.** Under query_then_fetch (and even dfs mode) BM25
+  N/df/avgdl are computed within each index — a cross-index search never
+  pools stats across indices, so the same doc text can score differently in
+  two indices of different sizes.
+- **indices_boost** (SearchSourceBuilder#indexBoosts) multiplies every hit's
+  score by its index's boost before the merge.
+
+Ray mapping: each index is an IndexSearcher (actor-side state at scale —
+the SearcherStage actor pool already partitions BY SEGMENT; a multi-node
+deployment gives each index its own pool and this merge is the coordinator
+reduce, k×indices rows total, driver-tiny).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+import numpy as np
+import pyarrow as pa
+
+from .engine import IndexSearcher
+
+
+class MultiIndexSearcher:
+    def __init__(self, indices: dict[str, IndexSearcher]):
+        self.indices = dict(indices)
+
+    def resolve(self, expression: str) -> list[str]:
+        """Comma-separated names/wildcards -> sorted concrete index names
+        (IndexNameExpressionResolver.WildcardExpressionResolver analog)."""
+        out: set[str] = set()
+        for pat in expression.split(","):
+            pat = pat.strip()
+            hits = fnmatch.filter(self.indices, pat)
+            if not hits and "*" not in pat and "?" not in pat:
+                raise KeyError(f"no such index: {pat}")
+            out.update(hits)
+        return sorted(out)
+
+    def search_all(self, expression: str, query: dict,
+                   indices_boost: dict[str, float] | None = None) -> pa.Table:
+        """Every match in every resolved index, per-index stats, ordered
+        (index, doc_id). Scores already carry indices_boost."""
+        names = self.resolve(expression)
+        cols_idx, cols_id, cols_sc = [], [], []
+        for name in names:
+            ids, sc = self.indices[name]._eval(query)
+            order = np.argsort(ids)
+            b = float((indices_boost or {}).get(name, 1.0))
+            cols_idx.append(np.full(ids.size, name, dtype=object))
+            cols_id.append(ids[order])
+            cols_sc.append(sc[order].astype(np.float64) * b)
+        return pa.table({
+            "index": pa.array(np.concatenate(cols_idx) if cols_idx else [],
+                              pa.string()),
+            "doc_id": pa.array(np.concatenate(cols_id) if cols_id
+                               else np.empty(0, np.int64)),
+            "score": pa.array(np.concatenate(cols_sc) if cols_sc
+                              else np.empty(0, np.float64)),
+        })
+
+    def search(self, expression: str, query: dict, k: int = 10,
+               indices_boost: dict[str, float] | None = None) -> pa.Table:
+        """Top-k merge across indices: (score desc, index asc, doc_id asc) —
+        the mergeTopDocs tie-break with index name standing in for the
+        shard ordinal."""
+        t = self.search_all(expression, query, indices_boost)
+        idx = t["index"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy()
+        sc = t["score"].to_numpy()
+        order = np.lexsort((ids, idx, -sc))[:k]
+        return pa.table({
+            "index": pa.array(idx[order], pa.string()),
+            "doc_id": pa.array(ids[order]),
+            "score": pa.array(sc[order]),
+        })

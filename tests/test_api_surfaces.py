@@ -317,3 +317,24 @@ def test_intervals_fuzzy_equals_fuzzy_query_doc_set(ray_session):
                         "rule": {"fuzzy": {"term": "quary", "fuzziness": 1}}})
     ids_f, _ = s._eval({"kind": "fuzzy", "term": "quary", "fuzziness": 1})
     assert np.array_equal(np.sort(ids_i), np.sort(ids_f))
+
+
+def test_multi_index_resolution_and_merge(ray_session):
+    import pytest as _pytest
+
+    m = ops._multi_index_searcher(SF)
+    assert m.resolve("docs-*") == ["docs-en", "docs-other"]
+    assert m.resolve("docs-en,docs-other") == ["docs-en", "docs-other"]
+    with _pytest.raises(KeyError):
+        m.resolve("nope")
+    # per-index stats: same doc text scores differently across indices
+    allm = m.search_all("docs-*", {"kind": "term", "term": "data"})
+    assert set(allm["index"].to_pylist()) == {"docs-en", "docs-other"}
+    # union size equals the single-index doc-set size over the full corpus
+    s = ops.documents_searcher(SF)
+    ids_full, _ = s._eval({"kind": "term", "term": "data"})
+    assert allm.num_rows == ids_full.size
+    # top-k merge is score-desc and k-bounded
+    top = m.search("docs-*", {"kind": "term", "term": "data"}, k=7)
+    sc = top["score"].to_numpy()
+    assert top.num_rows == 7 and (np.diff(sc) <= 1e-12).all()
