@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_multi_match_phrase_prefix", "ft_multi_match_bool_prefix",
         "ft_intervals_fuzzy", "agg_terms_options", "agg_histogram_options",
         "agg_date_histogram_tz", "ft_multi_index", "ft_multi_index_boost",
+        "ft_fuzzy_transpositions",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -617,6 +618,13 @@ WITH tok AS (
     SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
     FROM documents) u WHERE t <> '')
 SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'quary') <= 1
+ORDER BY doc_id""",
+        "ft_fuzzy_transpositions": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> '')
+SELECT DISTINCT doc_id FROM tok WHERE damerau_levenshtein(term, 'dtaa') <= 1
 ORDER BY doc_id""",
         "agg_terms_options": """
 WITH b AS (

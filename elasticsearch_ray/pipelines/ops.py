@@ -4197,3 +4197,15 @@ def ft_multi_index_boost(sf_dir: str):
     sc = round_half_away(t["score"].to_numpy(), 4)
     return pa.table({"index": t["index"], "doc_id": t["doc_id"],
                      "score": pa.array(sc)})
+
+
+def ft_fuzzy_transpositions(sf_dir: str):
+    """fuzzy transpositions=true (FuzzyQueryBuilder#transpositions, the
+    reference's DEFAULT; Lucene LevenshteinAutomata with transpositions =
+    OSA distance): an adjacent swap counts as ONE edit, so 'dtaa' reaches
+    'data' at fuzziness 1. At fuzziness 1 OSA equals unrestricted
+    Damerau-Levenshtein, making DuckDB's damerau_levenshtein an exact
+    oracle (they diverge only at distance >= 2 on re-edited pairs)."""
+    return all_matches(sf_dir, {"kind": "fuzzy", "term": "dtaa",
+                                "fuzziness": 1, "transpositions": True},
+                       with_score=False)

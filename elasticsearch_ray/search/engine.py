@@ -502,6 +502,44 @@ def levenshtein_vec(query: str, cands: np.ndarray) -> np.ndarray:
     return prev[np.arange(n), lens].astype(np.int32)
 
 
+def osa_vec(query: str, cands: np.ndarray) -> np.ndarray:
+    """Optimal-string-alignment distance (Levenshtein + adjacent
+    transposition counted as ONE edit, no re-edit of transposed pairs) —
+    Lucene FuzzyQuery's `transpositions=true` automaton semantics
+    (LevenshteinAutomata with transpositions). Vectorized like
+    levenshtein_vec; a third DP row carries the transposition source.
+
+    NOTE: OSA, not unrestricted Damerau — they agree at distance <= 1 and
+    differ only on re-edited transposed pairs at distance >= 2."""
+    n = cands.size
+    if n == 0:
+        return np.empty(0, np.int32)
+    cand_s = cands.astype(str)
+    maxlen = int(np.char.str_len(cand_s).max()) if n else 0
+    mat = cand_s.astype(f"U{max(maxlen, 1)}").view(np.uint32).reshape(n, -1)
+    lens = np.char.str_len(cand_s)
+    prev = np.broadcast_to(
+        np.arange(maxlen + 1, dtype=np.int32), (n, maxlen + 1)).copy()
+    prev2 = None
+    for i, ch in enumerate(query, 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = prev[:, :-1] + (mat[:, :maxlen] != ord(ch))
+        dele = prev[:, 1:] + 1
+        best = np.minimum(sub, dele)
+        if i >= 2 and maxlen >= 2:
+            # transposition: query[i-2:i] == cand[j-2:j] reversed
+            t_ok = (mat[:, 1:maxlen] == ord(query[i - 2])) & \
+                   (mat[:, : maxlen - 1] == ord(ch))
+            tr = prev2[:, : maxlen - 1] + 1
+            best[:, 1:] = np.where(t_ok, np.minimum(best[:, 1:], tr),
+                                   best[:, 1:])
+        for j in range(1, maxlen + 1):
+            cur[:, j] = np.minimum(best[:, j - 1], cur[:, j - 1] + 1)
+        prev2, prev = prev, cur
+    return prev[np.arange(n), lens].astype(np.int32)
+
+
 class _Segment:
     """Term dictionary + posting-row access for one segment.
 
@@ -1047,7 +1085,8 @@ class IndexSearcher:
             terms = self._expand_fuzzy(
                 q["term"], int(q.get("fuzziness", 1)), field,
                 prefix_length=int(q.get("prefix_length", 0)),
-                max_expansions=int(q.get("max_expansions", 50)))
+                max_expansions=int(q.get("max_expansions", 50)),
+                transpositions=bool(q.get("transpositions", False)))
             return self._constant_union(terms, boost, field)
         if kind == "wildcard":
             # WildcardQueryBuilder: * and ? over the term dictionary
@@ -1702,7 +1741,8 @@ class IndexSearcher:
 
     def _expand_fuzzy(self, term: str, fuzziness: int,
                       field: str | None = None, prefix_length: int = 0,
-                      max_expansions: int | None = None) -> list[str]:
+                      max_expansions: int | None = None,
+                      transpositions: bool = False) -> list[str]:
         """Candidates = dictionary slice (optionally restricted to the
         FuzzyQuery prefixLength shared prefix), banded by length
         (+- fuzziness), then a Levenshtein DP vectorized over ALL candidates
@@ -1723,7 +1763,8 @@ class IndexSearcher:
         cand_s = cand_s[band]
         if cand_s.size == 0:
             return []
-        dists = levenshtein_vec(term, cand_s)
+        dist_fn = osa_vec if transpositions else levenshtein_vec
+        dists = dist_fn(term, cand_s)
         keep = dists <= fuzziness
         cand_s, dists = cand_s[keep], dists[keep]
         if max_expansions is not None and cand_s.size > max_expansions:

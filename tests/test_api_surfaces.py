@@ -338,3 +338,16 @@ def test_multi_index_resolution_and_merge(ray_session):
     top = m.search("docs-*", {"kind": "term", "term": "data"}, k=7)
     sc = top["score"].to_numpy()
     assert top.num_rows == 7 and (np.diff(sc) <= 1e-12).all()
+
+
+def test_fuzzy_transpositions_vs_plain(ray_session):
+    s = ops.documents_searcher(SF)
+    # 'dtaa' is an adjacent swap away from 'data': OSA distance 1, plain
+    # Levenshtein 2 — only the transpositions mode reaches it at fuzz 1
+    ids_t, _ = s._eval({"kind": "fuzzy", "term": "dtaa", "fuzziness": 1,
+                        "transpositions": True})
+    ids_p, _ = s._eval({"kind": "fuzzy", "term": "dtaa", "fuzziness": 1})
+    ids_data, _ = s._eval({"kind": "term", "term": "data"})
+    assert ids_t.size >= ids_data.size
+    assert np.isin(ids_data, ids_t).all()
+    assert not np.isin(ids_data, ids_p).all() or ids_p.size == 0
