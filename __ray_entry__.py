@@ -112,7 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_multi_match_phrase_prefix", "ft_multi_match_bool_prefix",
         "ft_intervals_fuzzy", "agg_terms_options", "agg_histogram_options",
         "agg_date_histogram_tz", "ft_multi_index", "ft_multi_index_boost",
-        "ft_fuzzy_transpositions",
+        "ft_fuzzy_transpositions", "agg_significant_gnd",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1960,6 +1960,33 @@ SELECT term, fg_df, bg_df,
              ELSE 0 END, 6) AS chi2
 FROM x WHERE fg_df >= 5
 ORDER BY chi2 DESC, term LIMIT 10""",
+        "agg_significant_gnd": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+fg_n AS (SELECT count(*) AS n FROM documents WHERE lang = 'zh'),
+bg_n AS (SELECT count(*) AS n FROM documents),
+counts AS (
+  SELECT term,
+         count(*) FILTER (WHERE d.lang = 'zh') AS fg_df,
+         count(*) AS bg_df
+  FROM tok JOIN documents d USING (doc_id) GROUP BY term),
+x AS (
+  SELECT term, fg_df, bg_df,
+         CAST(bg_df AS DOUBLE) AS fx,
+         CAST(fg_n.n AS DOUBLE) AS fy,
+         CAST(fg_df AS DOUBLE) AS fxy,
+         CAST(bg_n.n AS DOUBLE) AS n
+  FROM counts CROSS JOIN fg_n CROSS JOIN bg_n)
+SELECT term, fg_df, bg_df,
+       ROUND(CASE WHEN fxy = 0 THEN 0
+                  WHEN fx = fy AND fx = fxy THEN 1
+                  ELSE exp(-( (GREATEST(ln(fx), ln(fy)) - ln(fxy))
+                            / (ln(n) - LEAST(ln(fx), ln(fy))) ))
+             END, 6) AS gnd
+FROM x WHERE fg_df >= 5
+ORDER BY gnd DESC, term LIMIT 10""",
         "geo_shape_envelope": f"""
 WITH {_GEO}
 SELECT user_id, lat, lon FROM g

@@ -4209,3 +4209,25 @@ def ft_fuzzy_transpositions(sf_dir: str):
     return all_matches(sf_dir, {"kind": "fuzzy", "term": "dtaa",
                                 "fuzziness": 1, "transpositions": True},
                        with_score=False)
+
+
+def agg_significant_gnd(sf_dir: str):
+    """significant_terms with the GND heuristic (significant/heuristics/
+    GND.java, Cilibrasi & Vitanyi's Google Normalized Distance inverted to
+    a higher-is-better score): fx = bg_df, fy = fg_n, fxy = fg_df, N = bg_n;
+    score = exp(-(max(ln fx, ln fy) - ln fxy)/(ln N - min(ln fx, ln fy))),
+    0 when fxy = 0 and 1 at perfect co-occurrence (fx = fy = fxy)."""
+    red, fg_n, bg_n = _significant_dfs(sf_dir)
+    fx = red.bg_df.astype(float)
+    fy = float(fg_n)
+    fxy = red.fg_df.astype(float)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = (np.maximum(np.log(fx), np.log(fy)) - np.log(fxy)) / \
+              (np.log(float(bg_n)) - np.minimum(np.log(fx), np.log(fy)))
+        score = np.exp(-raw)
+    score = np.where(fxy == 0, 0.0, score)
+    score = np.where((fx == fy) & (fx == fxy), 1.0, score)
+    red["gnd"] = round_half_away(score, 6)
+    red = red[red.fg_df >= 5]
+    red = red.sort_values(["gnd", "term"], ascending=[False, True]).head(10)
+    return red.reset_index(drop=True)[["term", "fg_df", "bg_df", "gnd"]]
