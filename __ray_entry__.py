@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_intervals_fuzzy", "agg_terms_options", "agg_histogram_options",
         "agg_date_histogram_tz", "ft_multi_index", "ft_multi_index_boost",
         "ft_fuzzy_transpositions", "agg_significant_gnd",
+        "ft_intervals_filter",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1239,6 +1240,14 @@ GROUP BY user_id ORDER BY user_id""",
         "ingest_extract": r"""
 SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
 FROM events ORDER BY event_id""",
+        # data..query with <=1 gap token; the gap token, when present, must
+        # not be exactly 'agg' (RE2 has no lookahead: token != 'agg' spelled
+        # as len!=3 or a per-position character mismatch)
+        "ft_intervals_filter": """
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text),
+  '(^|[^a-z0-9])data[^a-z0-9]+(([a-z0-9]{1,2}|[a-z0-9]{4,}|[b-z0-9][a-z0-9]{2}|[a-z0-9][a-fh-z0-9][a-z0-9]|[a-z0-9]{2}[a-fh-z0-9])[^a-z0-9]+)?query([^a-z0-9]|$)')
+ORDER BY doc_id""",
         "ft_span_near": """
 SELECT doc_id FROM documents
 WHERE regexp_matches(lower(text),

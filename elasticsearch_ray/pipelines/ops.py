@@ -4231,3 +4231,18 @@ def agg_significant_gnd(sf_dir: str):
     red = red[red.fg_df >= 5]
     red = red.sort_values(["gnd", "term"], ascending=[False, True]).head(10)
     return red.reset_index(drop=True)[["term", "fg_df", "bg_df", "gnd"]]
+
+
+def ft_intervals_filter(sf_dir: str):
+    """intervals `filter` rule (IntervalsSourceProvider.IntervalFilter,
+    server/.../index/query/IntervalsSourceProvider.java): match
+    'data query' (ordered, max_gaps=1) with not_containing 'agg' — minimal
+    source intervals whose span covers an 'agg' position are discarded; a
+    doc matches if at least one interval survives."""
+    return all_matches(sf_dir, {"kind": "intervals",
+                                "rule": {"match": {
+                                    "query": "data query", "max_gaps": 1,
+                                    "ordered": True,
+                                    "filter": {"not_containing": {
+                                        "match": {"query": "agg"}}}}}},
+                       with_score=False)

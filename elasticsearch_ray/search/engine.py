@@ -1397,6 +1397,15 @@ class IndexSearcher:
             # a constant-score union of sub-interval matches; prefix and
             # wildcard rules expand against the sorted dictionary
             rule = q["rule"]
+            rspec = rule[next(iter(rule))]
+            if isinstance(rspec, dict) and "filter" in rspec:
+                # filter rule needs interval geometry -> spans path
+                ids, spans = self._intervals_spans(rule, field)
+                keep = np.fromiter(
+                    (sp[0].size > 0 for sp in spans), bool, ids.size) \
+                    if ids.size else np.empty(0, bool)
+                ids = ids[keep]
+                return ids, np.full(ids.size, boost, np.float64)
             if "prefix" in rule:
                 return self._prefix(rule["prefix"]["prefix"], boost, field)
             if "wildcard" in rule:
@@ -1637,6 +1646,195 @@ class IndexSearcher:
             if ids.size else np.empty(0, bool)
         ids = ids[keep]
         return ids, np.full(ids.size, boost, np.float64)
+
+    # -- intervals with explicit interval geometry ---------------------------
+    # IntervalsSourceProvider evaluated to explicit minimal-interval sets so
+    # the `filter` rule (IntervalsSourceProvider.IntervalFilter — containing /
+    # not_containing / contained_by / not_contained_by / overlapping /
+    # not_overlapping / before / after) can compare source intervals against
+    # the filter source's intervals. Lucene intervals keep only MINIMAL
+    # intervals (no interval that contains another match).
+
+    @staticmethod
+    def _minimal_intervals(s: np.ndarray, e: np.ndarray):
+        """Prune to minimal intervals: drop any interval that strictly
+        contains another. Inputs need not be sorted."""
+        if s.size <= 1:
+            return s, e
+        order = np.lexsort((e, s))
+        s, e = s[order], e[order]
+        # equal starts: only the smallest end can be minimal
+        first = np.r_[True, s[1:] != s[:-1]]
+        s, e = s[first], e[first]
+        # starts strictly increasing: i is non-minimal iff some j>i has
+        # e[j] <= e[i] (then [s_j,e_j) nests inside [s_i,e_i))
+        suff = np.minimum.accumulate(e[::-1])[::-1]
+        keep = np.r_[suff[1:] > e[:-1], True] if e.size > 1 \
+            else np.ones(1, bool)
+        return s[keep], e[keep]
+
+    def _terms_intervals(self, terms: list[str], max_gaps: int, ordered: bool,
+                         field: str | None):
+        """Minimal intervals of a term sequence (Intervals.ordered /
+        Intervals.unordered + maxgaps). -> (cand_ids, spans)."""
+        tps = [self._get_term(t, field) for t in terms]
+        if any(tp is None for tp in tps) or not tps:
+            return np.empty(0, np.int64), []
+        cand = tps[0].doc_ids
+        for tp in tps[1:]:
+            cand = np.intersect1d(cand, tp.doc_ids, assume_unique=True)
+        plists = [self._positions_for(tp, cand) for tp in tps]
+        k = len(terms)
+        spans = []
+        for di in range(cand.size):
+            lists = [pl[di] for pl in plists]
+            if k == 1:
+                p = lists[0]
+                spans.append((p, p + 1))
+                continue
+            if ordered:
+                # vectorized greedy chain: for every start of term 1, the
+                # earliest completion of terms 2..k strictly after it
+                cur = lists[0]
+                ok = np.ones(cur.size, bool)
+                for pl in lists[1:]:
+                    j = np.searchsorted(pl, cur + 1)
+                    ok &= j < pl.size
+                    cur = pl[np.minimum(j, pl.size - 1)]
+                s, e = lists[0][ok], cur[ok] + 1
+            else:
+                # two-pointer minimal covering windows over merged positions
+                pos = np.concatenate(lists)
+                lab = np.concatenate(
+                    [np.full(l.size, i) for i, l in enumerate(lists)])
+                o = np.argsort(pos, kind="stable")
+                pos, lab = pos[o], lab[o]
+                count = np.zeros(k, np.int64)
+                have = 0
+                left = 0
+                ss, es = [], []
+                for right in range(pos.size):
+                    if count[lab[right]] == 0:
+                        have += 1
+                    count[lab[right]] += 1
+                    while have == k:
+                        if count[lab[left]] > 1:
+                            count[lab[left]] -= 1
+                            left += 1
+                        else:
+                            ss.append(pos[left])
+                            es.append(pos[right] + 1)
+                            count[lab[left]] -= 1
+                            have -= 1
+                            left += 1
+                s = np.asarray(ss, np.int64)
+                e = np.asarray(es, np.int64)
+            s, e = self._minimal_intervals(s, e)
+            width_ok = (e - s) - k <= max_gaps
+            spans.append((s[width_ok], e[width_ok]))
+        return cand, spans
+
+    def _intervals_spans(self, rule: dict, field: str | None = None):
+        """Evaluate an intervals source to (ids, spans), applying its
+        optional `filter`."""
+        rkind = next(iter(rule))
+        spec = rule[rkind]
+        if rkind == "match":
+            terms = self._analyzer_for(field)(spec["query"])
+            ids, spans = self._terms_intervals(
+                terms, int(spec.get("max_gaps", 0)),
+                bool(spec.get("ordered", True)), field)
+        elif rkind == "all_of":
+            ids, spans = self._terms_intervals(
+                spec["terms"], int(spec.get("max_gaps", 0)),
+                bool(spec.get("ordered", True)), field)
+        elif rkind == "any_of":
+            parts = [self._intervals_spans(
+                t if isinstance(t, dict) else {"match": {"query": t}}, field)
+                for t in spec["terms"]]
+            ids, spans = self._union_spans(parts)
+        elif rkind in ("prefix", "wildcard", "fuzzy"):
+            if rkind == "prefix":
+                exp = [str(t) for t in self._terms_with_prefix(
+                    spec["prefix"], field)]
+            elif rkind == "wildcard":
+                exp = self._expand_wildcard(spec["pattern"], field)
+            else:
+                exp = self._expand_fuzzy(
+                    spec["term"], int(spec.get("fuzziness", 1)), field,
+                    prefix_length=int(spec.get("prefix_length", 0)))
+            parts = []
+            for t in exp:
+                tp = self._get_term(t, field)
+                if tp is None:
+                    continue
+                pos = self._positions_for(tp, tp.doc_ids)
+                parts.append((tp.doc_ids, [(p, p + 1) for p in pos]))
+            ids, spans = self._union_spans(parts)
+        else:
+            raise ValueError(f"unknown intervals rule {rkind!r}")
+        flt = spec.get("filter") if isinstance(spec, dict) else None
+        if flt:
+            ids, spans = self._filter_intervals(ids, spans, flt, field)
+        return ids, spans
+
+    def _union_spans(self, parts):
+        """Union interval sets from several sources, minimal-pruned."""
+        parts = [p for p in parts if p[0].size]
+        if not parts:
+            return np.empty(0, np.int64), []
+        ids = np.unique(np.concatenate([p[0] for p in parts]))
+        spans = []
+        for doc in ids:
+            ss, es = [], []
+            for pids, psp in parts:
+                j = np.searchsorted(pids, doc)
+                if j < pids.size and pids[j] == doc:
+                    ss.append(psp[j][0])
+                    es.append(psp[j][1])
+            s, e = self._minimal_intervals(
+                np.concatenate(ss), np.concatenate(es))
+            spans.append((s, e))
+        return ids, spans
+
+    def _filter_intervals(self, ids, spans, flt: dict, field):
+        """IntervalsSourceProvider.IntervalFilter: keep source intervals by
+        their relation to the filter source's intervals in the same doc.
+        Ends are exclusive: containment is fs>=s & fe<=e, overlap s<fe &
+        fs<e, before e<=fs (source ends before some filter interval starts),
+        after s>=fe."""
+        (fname, fsrc), = flt.items()
+        f_ids, f_spans = self._intervals_spans(fsrc, field)
+        negative = fname.startswith("not_")
+        base = fname[4:] if negative else fname
+        out = []
+        for di, doc in enumerate(ids):
+            s, e = spans[di]
+            j = np.searchsorted(f_ids, doc)
+            if j < f_ids.size and f_ids[j] == doc and f_spans[j][0].size:
+                fs, fe = f_spans[j]
+            else:
+                fs = fe = np.empty(0, np.int64)
+            if not fs.size:
+                hit = np.zeros(s.size, bool)
+            elif base == "containing":
+                hit = ((s[:, None] <= fs[None, :])
+                       & (fe[None, :] <= e[:, None])).any(axis=1)
+            elif base == "contained_by":
+                hit = ((fs[None, :] <= s[:, None])
+                       & (e[:, None] <= fe[None, :])).any(axis=1)
+            elif base == "overlapping":
+                hit = ((s[:, None] < fe[None, :])
+                       & (fs[None, :] < e[:, None])).any(axis=1)
+            elif base == "before":
+                hit = (e[:, None] <= fs[None, :]).any(axis=1)
+            elif base == "after":
+                hit = (s[:, None] >= fe[None, :]).any(axis=1)
+            else:
+                raise ValueError(f"unknown intervals filter {fname!r}")
+            keep = ~hit if negative else hit
+            out.append((s[keep], e[keep]))
+        return ids, out
 
     def _phrase_prefix(self, text: str, max_expansions: int, boost: float,
                        field: str | None = None):
