@@ -113,7 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_intervals_fuzzy", "agg_terms_options", "agg_histogram_options",
         "agg_date_histogram_tz", "ft_multi_index", "ft_multi_index_boost",
         "ft_fuzzy_transpositions", "agg_significant_gnd",
-        "ft_intervals_filter",
+        "ft_intervals_filter", "ingest_user_agent", "ingest_geoip",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1240,6 +1240,41 @@ GROUP BY user_id ORDER BY user_id""",
         "ingest_extract": r"""
 SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
 FROM events ORDER BY event_id""",
+        # expected parse outputs of the 6 deterministic UA samples, keyed by
+        # the same user_id mod the pipeline uses to assign them
+        "ingest_user_agent": """
+WITH m AS (SELECT CAST(user_id % 6 AS INT) AS i FROM events),
+map AS (SELECT * FROM (VALUES
+  (0,'Chrome','96','Windows 10','Other'),
+  (1,'Safari','15','Mac OS X 10.15','Mac'),
+  (2,'Safari','15','iOS 15.0','iPhone'),
+  (3,'Firefox','95','Linux','Other'),
+  (4,'curl','7','Other','Other'),
+  (5,'Other',NULL,'Other','Other'))
+  AS t(i, ua_name, ua_major, ua_os, ua_device))
+SELECT ua_name, ua_major, ua_os, ua_device, count(*) AS doc_count
+FROM m JOIN map USING (i)
+GROUP BY 1, 2, 3, 4 ORDER BY ua_name""",
+        # the embedded synthetic range table keyed by the first octet the
+        # pipeline assigns from user_id; octet 9 has no DB range -> nulls
+        "ingest_geoip": """
+WITH m AS (SELECT CAST(user_id % 9 AS INT) AS i FROM events),
+map AS (SELECT * FROM (VALUES
+  (0,'Oceania','AU','Sydney',-33.8688,151.2093),
+  (1,'North America','US','New York',40.7128,-74.006),
+  (2,'Europe','RU','Moscow',55.7558,37.6173),
+  (3,'Europe','DE','Berlin',52.52,13.405),
+  (4,'Asia','CN','Beijing',39.9042,116.4074),
+  (5,'Asia','JP','Tokyo',35.6762,139.6503),
+  (6,'South America','BR','Sao Paulo',-23.5505,-46.6333),
+  (7,'Africa','ZA','Johannesburg',-26.2041,28.0473),
+  (8,NULL,NULL,NULL,NULL,NULL))
+  AS t(i, geo_continent_name, geo_country_iso_code, geo_city_name,
+       lat, lon))
+SELECT geo_continent_name, geo_country_iso_code, geo_city_name,
+       count(*) AS doc_count, lat, lon
+FROM m JOIN map USING (i)
+GROUP BY 1, 2, 3, lat, lon ORDER BY geo_city_name NULLS LAST""",
         # data..query with <=1 gap token; the gap token, when present, must
         # not be exactly 'agg' (RE2 has no lookahead: token != 'agg' spelled
         # as len!=3 or a per-position character mismatch)

@@ -429,3 +429,187 @@ def append(col: str, values):
         return _put(t, col, rebuilt)
 
     return f
+
+
+# -- user_agent (modules/ingest-user-agent) ----------------------------------
+# UserAgentProcessor.java + UserAgentParser.java: ordered regex bank (first
+# match wins, mirroring the uap-core regexes.yml evaluation order the
+# reference ships), classic (non-ECS) field layout: name/major/minor/patch,
+# os/os_name/os_major/os_minor, device.
+
+_UA_BROWSERS = [
+    # (name, pattern) — Edge/Opera before Chrome, Chrome before Safari,
+    # because Chromium UAs carry the Safari and Chrome tokens too
+    ("Edge", r"Edge?/(\d+)(?:\.(\d+))?(?:\.(\d+))?"),
+    ("Opera", r"OPR/(\d+)\.(\d+)(?:\.(\d+))?"),
+    ("Chrome", r"Chrome/(\d+)\.(\d+)(?:\.(\d+))?"),
+    ("Firefox", r"Firefox/(\d+)\.(\d+)(?:\.(\d+))?"),
+    ("Safari", r"Version/(\d+)\.(\d+)(?:\.(\d+))?(?:\.\d+)? .*Safari/"),
+    ("IE", r"MSIE (\d+)\.(\d+)"),
+    ("IE", r"Trident/.*rv:(\d+)\.(\d+)"),
+    ("curl", r"curl/(\d+)\.(\d+)(?:\.(\d+))?"),
+]
+
+_UA_OSES = [
+    # Windows NT minor-version names per the uap-core mapping
+    ("Windows", r"Windows NT 10\.0", "10", None),
+    ("Windows", r"Windows NT 6\.3", "8", "1"),
+    ("Windows", r"Windows NT 6\.2", "8", None),
+    ("Windows", r"Windows NT 6\.1", "7", None),
+    ("iOS", r"(?:iPhone )?OS (\d+)_(\d+) like Mac OS X", None, None),
+    ("Mac OS X", r"Mac OS X (\d+)[_.](\d+)", None, None),
+    ("Android", r"Android (\d+)(?:\.(\d+))?", None, None),
+    ("Linux", r"Linux", None, None),
+]
+
+_UA_DEVICES = [("iPhone", "iPhone"), ("iPad", "iPad"), ("Mac", "Macintosh")]
+
+
+def _parse_user_agent(ua: str) -> dict:
+    import re
+
+    out = {"name": "Other", "major": None, "minor": None, "patch": None,
+           "os": "Other", "os_name": "Other", "os_major": None,
+           "os_minor": None, "device": "Other"}
+    for name, pat in _UA_BROWSERS:
+        m = re.search(pat, ua)
+        if m:
+            g = m.groups()
+            out["name"] = name
+            out["major"] = g[0] if g else None
+            out["minor"] = g[1] if len(g) > 1 else None
+            out["patch"] = g[2] if len(g) > 2 else None
+            break
+    for name, pat, fix_major, fix_minor in _UA_OSES:
+        m = re.search(pat, ua)
+        if m:
+            g = m.groups()
+            major = fix_major if fix_major is not None else \
+                (g[0] if g else None)
+            minor = fix_minor if fix_minor is not None else \
+                (g[1] if len(g) > 1 else None)
+            out["os_name"] = name
+            out["os_major"] = major
+            out["os_minor"] = minor
+            full = name
+            if major:
+                full += f" {major}"
+                if minor:
+                    full += f".{minor}"
+            out["os"] = full
+            break
+    for dev, token in _UA_DEVICES:
+        if token in ua:
+            out["device"] = dev
+            break
+    return out
+
+
+def user_agent(col: str, out_prefix: str = "ua_",
+               properties: list[str] | None = None,
+               ignore_missing: bool = False):
+    """`user_agent` processor (UserAgentProcessor.java): parse a UA string
+    into name/major/minor/patch + os fields + device. `properties` limits
+    the emitted fields (Property enum); null input raises unless
+    ignore_missing (UserAgentProcessor.java execute())."""
+    fields = properties or ["name", "major", "minor", "patch", "os",
+                            "os_name", "os_major", "os_minor", "device"]
+
+    def f(t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in fields}
+        for s in t[col].to_pylist():
+            if s is None:
+                if not ignore_missing:
+                    raise ValueError(
+                        f"field [{col}] is null, cannot parse user-agent.")
+                d = {}
+            else:
+                d = _parse_user_agent(s)
+            for k in fields:
+                cols[k].append(d.get(k))
+        for k in fields:
+            t = _put(t, out_prefix + k, pa.array(cols[k], pa.string()))
+        return t
+
+    return f
+
+
+# -- geoip (modules/ingest-geoip) ---------------------------------------------
+# GeoIpProcessor.java resolves IPs against a MaxMind database; that binary
+# database is not redistributable, so the lookup table here is a DETERMINISTIC
+# SYNTHETIC stand-in with the same shape (sorted non-overlapping uint32
+# ranges -> city/country/continent/location rows). The machinery — CIDR
+# parsing, uint32 conversion, vectorized searchsorted range lookup,
+# ignore_missing — is the real implementation; swap _GEOIP_DB for a parsed
+# GeoLite CSV to go live.
+
+def _ip_to_u32(ip: str) -> int:
+    a, b, c, d = (int(x) for x in ip.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def _cidr_range(cidr: str) -> tuple[int, int]:
+    base, bits = cidr.split("/")
+    lo = _ip_to_u32(base)
+    span = 1 << (32 - int(bits))
+    return lo, lo + span - 1
+
+
+# (cidr, continent_name, country_iso_code, city_name, lat, lon)
+_GEOIP_DB = [
+    ("1.0.0.0/8", "Oceania", "AU", "Sydney", -33.8688, 151.2093),
+    ("24.0.0.0/8", "North America", "US", "New York", 40.7128, -74.006),
+    ("46.0.0.0/8", "Europe", "RU", "Moscow", 55.7558, 37.6173),
+    ("81.0.0.0/8", "Europe", "DE", "Berlin", 52.52, 13.405),
+    ("101.0.0.0/8", "Asia", "CN", "Beijing", 39.9042, 116.4074),
+    ("133.0.0.0/8", "Asia", "JP", "Tokyo", 35.6762, 139.6503),
+    ("177.0.0.0/8", "South America", "BR", "Sao Paulo", -23.5505, -46.6333),
+    ("196.0.0.0/8", "Africa", "ZA", "Johannesburg", -26.2041, 28.0473),
+]
+
+
+def geoip(col: str, out_prefix: str = "geo_",
+          properties: list[str] | None = None, ignore_missing: bool = False):
+    """`geoip` processor (GeoIpProcessor.java): map an IP column to
+    continent_name / country_iso_code / city_name / location via a sorted
+    range table, vectorized with searchsorted. Unmatched IPs yield nulls
+    (the reference omits the target field when the DB has no record)."""
+    import numpy as np
+
+    fields = properties or ["continent_name", "country_iso_code",
+                            "city_name", "lat", "lon"]
+    ranges = sorted((_cidr_range(c), cont, iso, city, la, lo)
+                    for c, cont, iso, city, la, lo in _GEOIP_DB)
+    starts = np.array([r[0][0] for r in ranges], np.uint32)
+    ends = np.array([r[0][1] for r in ranges], np.uint32)
+    meta = [(r[1], r[2], r[3], r[4], r[5]) for r in ranges]
+
+    def f(t: pa.Table) -> pa.Table:
+        ips = t[col].to_pylist()
+        u32 = np.zeros(len(ips), np.uint32)
+        valid = np.zeros(len(ips), bool)
+        for i, s in enumerate(ips):
+            if s is None:
+                if not ignore_missing:
+                    raise ValueError(
+                        f"field [{col}] is null, cannot extract geoip.")
+                continue
+            u32[i] = _ip_to_u32(s)
+            valid[i] = True
+        idx = np.searchsorted(starts, u32, side="right") - 1
+        ok = valid & (idx >= 0)
+        safe = np.maximum(idx, 0)
+        ok &= u32 <= ends[safe]
+        cols: dict[str, list] = {k: [] for k in fields}
+        for i in range(len(ips)):
+            row = meta[safe[i]] if ok[i] else (None,) * 5
+            named = dict(zip(("continent_name", "country_iso_code",
+                              "city_name", "lat", "lon"), row))
+            for k in fields:
+                cols[k].append(named[k])
+        for k in fields:
+            typ = pa.float64() if k in ("lat", "lon") else pa.string()
+            t = _put(t, out_prefix + k, pa.array(cols[k], typ))
+        return t
+
+    return f

@@ -4246,3 +4246,79 @@ def ft_intervals_filter(sf_dir: str):
                                     "filter": {"not_containing": {
                                         "match": {"query": "agg"}}}}}},
                        with_score=False)
+
+
+_UA_SAMPLES = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/96.0.4664.110 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/15.1 Safari/605.1.15",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 15_0 like Mac OS X) "
+    "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/15.0 Mobile/15E148 "
+    "Safari/604.1",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:95.0) Gecko/20100101 Firefox/95.0",
+    "curl/7.68.0",
+    "SomethingUnknown/1.0",
+]
+
+
+def ingest_user_agent(sf_dir: str):
+    """`user_agent` processor (modules/ingest-user-agent,
+    UserAgentProcessor.java): deterministic UA strings assigned per event
+    (user_id mod len(samples)), parsed in a map_batches stage, then counted
+    by (browser name, major, os, device)."""
+    from ..functions import ingest as I
+
+    ds = _ds(sf_dir, "events", ["event_id", "user_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        idx = t["user_id"].to_numpy() % len(_UA_SAMPLES)
+        return t.append_column(
+            "ua", pa.array([_UA_SAMPLES[i] for i in idx], pa.string()))
+
+    pipe = I.pipeline(I.user_agent("ua"))
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .map_batches(pipe, batch_format="pyarrow")
+           .to_pandas())
+    g = (out.groupby(["ua_name", "ua_major", "ua_os", "ua_device"],
+                     dropna=False)
+         .size().reset_index(name="doc_count"))
+    for c in ("ua_name", "ua_major", "ua_os", "ua_device"):
+        g[c] = g[c].astype(object).where(g[c].notna(), None)
+    return (g.sort_values("ua_name").reset_index(drop=True)
+            [["ua_name", "ua_major", "ua_os", "ua_device", "doc_count"]])
+
+
+def ingest_geoip(sf_dir: str):
+    """`geoip` processor (modules/ingest-geoip, GeoIpProcessor.java):
+    deterministic per-event IPs (first octet walks the embedded range table
+    plus a miss octet, low bits from event_id), resolved via the sorted
+    uint32 range lookup, counted per city."""
+    from ..functions import ingest as I
+
+    octets = [1, 24, 46, 81, 101, 133, 177, 196, 9]  # 9 -> no DB range
+
+    ds = _ds(sf_dir, "events", ["event_id", "user_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        ips = [f"{octets[u % len(octets)]}.{(e >> 8) & 255}.{e & 255}.7"
+               for u, e in zip(uid, eid)]
+        return t.append_column("ip", pa.array(ips, pa.string()))
+
+    pipe = I.pipeline(I.geoip("ip"))
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .map_batches(pipe, batch_format="pyarrow")
+           .to_pandas())
+    g = (out.groupby(["geo_continent_name", "geo_country_iso_code",
+                      "geo_city_name"], dropna=False)
+         .agg(doc_count=("geo_city_name", "size"),
+              lat=("geo_lat", "first"), lon=("geo_lon", "first"))
+         .reset_index())
+    for c in ("geo_continent_name", "geo_country_iso_code", "geo_city_name"):
+        g[c] = g[c].astype(object).where(g[c].notna(), None)
+    g["lat"] = g["lat"].astype(np.float64)
+    g["lon"] = g["lon"].astype(np.float64)
+    return (g.sort_values("geo_city_name", na_position="last")
+            .reset_index(drop=True))

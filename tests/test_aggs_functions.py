@@ -669,3 +669,49 @@ def test_histogram_options_offset_and_empty_fill(ray_session):
     assert (out["doc_count"].to_numpy() == 0).any()  # empty buckets real
     # doc totals preserved by the fill
     assert int(out["doc_count"].sum()) == ds.count()
+
+
+def test_ingest_user_agent():
+    from elasticsearch_ray.functions.ingest import user_agent
+
+    t = pa.table({"ua": [
+        "Mozilla/5.0 (Windows NT 6.1; Win64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/96.0.4664.110 Safari/537.36",
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:95.0) "
+        "Gecko/20100101 Firefox/95.0",
+        "Mozilla/5.0 (iPad; CPU OS 15_0 like Mac OS X) AppleWebKit/605.1.15 "
+        "(KHTML, like Gecko) Version/15.0 Mobile/15E148 Safari/604.1",
+        "Mozilla/5.0 (Windows NT 10.0; WOW64; Trident/7.0; rv:11.0) "
+        "like Gecko",
+        "Opera/something OPR/82.0.4227.23",
+        None,
+    ]})
+    out = user_agent("ua", ignore_missing=True)(t)
+    assert out["ua_name"].to_pylist() == \
+        ["Chrome", "Firefox", "Safari", "IE", "Opera", None]
+    assert out["ua_major"].to_pylist() == ["96", "95", "15", "11", "82", None]
+    assert out["ua_os"].to_pylist() == \
+        ["Windows 7", "Windows 10", "iOS 15.0", "Windows 10", "Other", None]
+    assert out["ua_device"].to_pylist() == \
+        ["Other", "Other", "iPad", "Other", "Other", None]
+    # null without ignore_missing raises, per UserAgentProcessor.execute()
+    with pytest.raises(ValueError):
+        user_agent("ua")(t)
+    # properties subset limits emitted fields
+    narrow = user_agent("ua", properties=["name"], ignore_missing=True)(t)
+    assert "ua_name" in narrow.column_names
+    assert "ua_os" not in narrow.column_names
+
+
+def test_ingest_geoip():
+    from elasticsearch_ray.functions.ingest import geoip
+
+    t = pa.table({"ip": ["1.255.0.1", "24.0.0.0", "9.1.1.1", None]})
+    out = geoip("ip", ignore_missing=True)(t)
+    assert out["geo_city_name"].to_pylist() == ["Sydney", "New York",
+                                                None, None]
+    assert out["geo_country_iso_code"].to_pylist() == ["AU", "US",
+                                                       None, None]
+    assert out["geo_lat"].to_pylist()[:2] == [-33.8688, 40.7128]
+    with pytest.raises(ValueError):
+        geoip("ip")(t)
