@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_date_histogram_tz", "ft_multi_index", "ft_multi_index_boost",
         "ft_fuzzy_transpositions", "agg_significant_gnd",
         "ft_intervals_filter", "ingest_user_agent", "ingest_geoip",
+        "scaled_float_range", "rank_features_query", "mapper_size",
+        "mapper_murmur3", "token_count_field",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1240,6 +1242,38 @@ GROUP BY user_id ORDER BY user_id""",
         "ingest_extract": r"""
 SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
 FROM events ORDER BY event_id""",
+        # stored long = floor(value*100 + 0.5) (Math.round); bounds 10001 /
+        # 16000 are round(ceil(nextUp(100.005*100))) / round(floor(160.004*100))
+        "scaled_float_range": """
+SELECT event_id, FLOOR(value * 100 + 0.5) / 100.0 AS scaled_value
+FROM events
+WHERE FLOOR(value * 100 + 0.5) BETWEEN 10001 AND 16000
+ORDER BY event_id""",
+        "rank_features_query": r"""
+WITH f AS (
+  SELECT event_id,
+         CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 7 + 1
+              AS DOUBLE) AS urgency
+  FROM events)
+SELECT event_id, ROUND(urgency / (urgency + 3.0), 6) AS score
+FROM f WHERE urgency >= 5 ORDER BY event_id""",
+        "mapper_size": """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size
+FROM documents WHERE octet_length(encode(text)) >= 400
+ORDER BY doc_id""",
+        # the 128-bit murmur3 hash is injective at corpus cardinality, so
+        # distinct-hash count == distinct-value count
+        "mapper_murmur3": """
+SELECT CAST(count(DISTINCT lang) AS BIGINT) AS lang_cardinality
+FROM documents""",
+        "token_count_field": r"""
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS token_count
+  FROM documents)
+SELECT doc_id, CAST(token_count AS BIGINT) AS token_count
+FROM c WHERE token_count >= 70 ORDER BY doc_id""",
         # expected parse outputs of the 6 deterministic UA samples, keyed by
         # the same user_id mod the pipeline uses to assign them
         "ingest_user_agent": """

@@ -154,3 +154,66 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text", window: int = 16) -> 
         hashes = (data[idx].astype(np.uint64) * powers[None, :]).sum(axis=1) & MOD_MASK
         out[i] = hashes.min()
     return t.append_column("fingerprint", pa.array(out, pa.uint64()))
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """MurmurHash3 x64_128 (Austin Appleby's public-domain algorithm; the
+    variant behind the reference's common/hash/MurmurHash3.java used by
+    plugins/mapper-murmur3). Returns (h1, h2) as unsigned 64-bit ints."""
+    c1 = 0x87C37B91114253D5
+    c2 = 0x4CF5AD432745937F
+    mask = (1 << 64) - 1
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & mask
+
+    def fmix(k: int) -> int:
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & mask
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & mask
+        k ^= k >> 33
+        return k
+
+    length = len(data)
+    h1 = h2 = seed
+    nblocks = length // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16:i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8:i * 16 + 16], "little")
+        k1 = (k1 * c1) & mask
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & mask
+        h1 ^= k1
+        h1 = rotl(h1, 27)
+        h1 = (h1 + h2) & mask
+        h1 = (h1 * 5 + 0x52DCE729) & mask
+        k2 = (k2 * c2) & mask
+        k2 = rotl(k2, 33)
+        k2 = (k2 * c1) & mask
+        h2 ^= k2
+        h2 = rotl(h2, 31)
+        h2 = (h2 + h1) & mask
+        h2 = (h2 * 5 + 0x38495AB5) & mask
+    tail = data[nblocks * 16:]
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:], "little")
+        k2 = (k2 * c2) & mask
+        k2 = rotl(k2, 33)
+        k2 = (k2 * c1) & mask
+        h2 ^= k2
+    if tail:
+        k1 = int.from_bytes(tail[:8], "little")
+        k1 = (k1 * c1) & mask
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & mask
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & mask
+    h2 = (h2 + h1) & mask
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & mask
+    h2 = (h2 + h1) & mask
+    return h1, h2

@@ -4322,3 +4322,119 @@ def ingest_geoip(sf_dir: str):
     g["lon"] = g["lon"].astype(np.float64)
     return (g.sort_values("geo_city_name", na_position="last")
             .reset_index(drop=True))
+
+
+def scaled_float_range(sf_dir: str):
+    """scaled_float field type (modules/mapper-extras,
+    ScaledFloatFieldMapper.java): values indexed as
+    long = Math.round(value * scaling_factor) (= floor(x + 0.5)); range
+    bounds translate to lo = round(ceil(scale(lower))) (Math.nextUp first
+    when exclusive) and hi = round(floor(scale(upper))) (nextDown when
+    exclusive); display value = stored / scaling_factor."""
+    SCALING = 100.0
+    lower, upper = 100.005, 160.004  # gt lower, lte upper
+    lo = int(np.round(np.ceil(np.nextafter(lower * SCALING, np.inf))))
+    hi = int(np.round(np.floor(upper * SCALING)))
+
+    ds = _ds(sf_dir, "events", ["event_id", "value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        stored = np.floor(v * SCALING + 0.5).astype(np.int64)
+        m = (stored >= lo) & (stored <= hi)
+        return pa.table({"event_id": t["event_id"].to_numpy()[m],
+                         "scaled_value": stored[m] / SCALING})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def rank_features_query(sf_dir: str):
+    """rank_features field (modules/mapper-extras,
+    RankFeaturesFieldMapper.java): one field holding a feature->positive
+    value map; rank_feature queries address features.<name> and score
+    saturation(x) = x / (x + pivot) (RankFeatureQueryBuilder with an
+    explicit pivot, required against rank_features fields). Features here
+    derive deterministically from the props JSON payload."""
+    import json
+
+    PIVOT = 3.0
+
+    ds = _ds(sf_dir, "events", ["event_id", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = np.array([json.loads(s)["k"] for s in t["props"].to_pylist()],
+                      np.int64)
+        urgency = (ks % 7 + 1).astype(np.float64)
+        score = urgency / (urgency + PIVOT)
+        m = urgency >= 5  # features are sparse: only high-urgency docs carry it
+        return pa.table({"event_id": t["event_id"].to_numpy()[m],
+                         "score": round_half_away(score[m], 6)})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def mapper_size(sf_dir: str):
+    """_size metafield (plugins/mapper-size, SizeFieldMapper): byte length
+    of the document source — here the UTF-8 octet length of the text
+    payload — indexed as a long and range-queryable."""
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        size = pc.binary_length(pc.cast(t["text"], pa.binary())).to_numpy()
+        m = size >= 400
+        return pa.table({"doc_id": t["doc_id"].to_numpy()[m],
+                         "size": size[m].astype(np.int64)})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def mapper_murmur3(sf_dir: str):
+    """murmur3 metafield (plugins/mapper-murmur3, Murmur3FieldMapper):
+    index-time MurmurHash3 x64_128 .h1 of the field's UTF-8 bytes, used to
+    back cardinality aggs without re-hashing at query time. Hashes are
+    computed once per DISTINCT value (dictionary-encode then hash) — the
+    scale path for the low-cardinality columns this mapper targets. The
+    oracle checks exact distinct parity (the 128-bit hash is
+    collision-free at any realistic cardinality)."""
+    from ..functions.text import murmur3_x64_128
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(t["lang"].combine_chunks())
+        uniq = [murmur3_x64_128(s.encode())[0]
+                for s in enc.dictionary.to_pylist()]
+        hashes = np.array(uniq, np.uint64)[enc.indices.to_numpy()]
+        return pa.table({"hash": hashes})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"lang_cardinality": [np.int64(out["hash"].nunique())]})
+
+
+def token_count_field(sf_dir: str):
+    """token_count field type (modules/mapper-extras,
+    TokenCountFieldMapper.java): index-time analyzer token count stored as
+    an integer field; here counted with the documents analyzer and
+    range-queried."""
+    from ..analyzer import get_analyzer
+
+    analyze = get_analyzer("simple").tokenize  # the documents-index analyzer
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        counts = np.array([len(analyze(x)) for x in t["text"].to_pylist()],
+                          np.int64)
+        m = counts >= 70
+        return pa.table({"doc_id": t["doc_id"].to_numpy()[m],
+                         "token_count": counts[m]})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -715,3 +715,25 @@ def test_ingest_geoip():
     assert out["geo_lat"].to_pylist()[:2] == [-33.8688, 40.7128]
     with pytest.raises(ValueError):
         geoip("ip")(t)
+
+
+def test_murmur3_x64_128_vectors():
+    from elasticsearch_ray.functions.text import murmur3_x64_128
+
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    # published mmh3 reference vector for 'foo', seed 0
+    h1, h2 = murmur3_x64_128(b"foo")
+    assert (signed(h1), signed(h2)) == \
+        (-2129773440516405919, 9128664383759220103)
+    assert murmur3_x64_128(b"") == (0, 0)
+    # exercise every tail-length branch + the block loop; distinct inputs
+    # must produce distinct h1 (the long the mapper stores)
+    seen = set()
+    for n in range(0, 40):
+        h1, _ = murmur3_x64_128(bytes(range(n)) * 2)
+        assert h1 not in seen
+        seen.add(h1)
+    # stability across calls
+    assert murmur3_x64_128(b"x" * 17) == murmur3_x64_128(b"x" * 17)
