@@ -115,7 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_fuzzy_transpositions", "agg_significant_gnd",
         "ft_intervals_filter", "ingest_user_agent", "ingest_geoip",
         "scaled_float_range", "rank_features_query", "mapper_size",
-        "mapper_murmur3", "token_count_field",
+        "mapper_murmur3", "token_count_field", "annotated_text_analyze",
+        "annotated_text_terms",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1242,6 +1243,17 @@ GROUP BY user_id ORDER BY user_id""",
         "ingest_extract": r"""
 SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
 FROM events ORDER BY event_id""",
+        # hand-derived token stream of the plugin's javadoc example:
+        # annotation values injected verbatim at the wrapped text's first
+        # token position
+        "annotated_text_analyze": """
+SELECT * FROM (VALUES
+  ('new', 0), ('mayor', 1), ('is', 2), ('john', 3), ('person', 3),
+  ('John Smith', 3), ('smith', 4), ('today', 5))
+AS t(token, position)""",
+        "annotated_text_terms": """
+SELECT 'lang-' || lang AS token, count(*) AS doc_count
+FROM documents GROUP BY lang ORDER BY token""",
         # stored long = floor(value*100 + 0.5) (Math.round); bounds 10001 /
         # 16000 are round(ceil(nextUp(100.005*100))) / round(floor(160.004*100))
         "scaled_float_range": """

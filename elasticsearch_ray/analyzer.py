@@ -242,6 +242,58 @@ def analyze_snowball(text: str) -> list[str]:
     return analyze_english(text)
 
 
+ANNOTATION_RE = re.compile(r"\[([^\]\[]*)\]\(([^\)\(]*)\)")
+
+
+def parse_annotated(text: str) -> tuple[str, list[tuple[int, int, str]]]:
+    """annotated_text markdown parse (plugins/mapper-annotated-text,
+    AnnotatedTextFieldMapper.AnnotatedText.parse): `[wrapped](v1&v2)` ->
+    plain text + (start_offset, end_offset, url-decoded value) annotations.
+    key=value pairs raise, mirroring the reference's parse exception."""
+    from urllib.parse import unquote
+
+    plain: list[str] = []
+    length = 0
+    last = 0
+    anns: list[tuple[int, int, str]] = []
+    for m in ANNOTATION_RE.finditer(text):
+        seg = text[last:m.start()]
+        plain.append(seg)
+        length += len(seg)
+        start, end = length, length + len(m.group(1))
+        plain.append(m.group(1))
+        length = end
+        last = m.end()
+        for pair in m.group(2).split("&"):
+            if "=" in pair:
+                raise ValueError(
+                    "key=value pairs are not supported in annotations")
+            value = unquote(pair)
+            if value:
+                anns.append((start, end, value))
+    plain.append(text[last:])
+    return "".join(plain), anns
+
+
+def analyze_annotated_positions(text: str) -> list[tuple[str, int]]:
+    """annotated_text token stream: the plain text analyzed with the default
+    analyzer, plus each annotation value injected VERBATIM (keyword, not
+    analyzed) at the position of the first token of its wrapped text
+    (AnnotationsInjector emits the value with positionIncrement 0)."""
+    plain, anns = parse_annotated(text)
+    toks = analyze_simple(plain)
+    out = list(zip(toks, range(len(toks))))
+    for start, _end, value in anns:
+        pos = len(analyze_simple(plain[:start]))
+        out.append((value, min(pos, max(len(toks) - 1, 0))))
+    out.sort(key=lambda tp: (tp[1],))
+    return out
+
+
+def analyze_annotated(text: str) -> list[str]:
+    return [t for t, _ in analyze_annotated_positions(text)]
+
+
 def analyze_fingerprint(text: str) -> list[str]:
     """`fingerprint` analyzer (FingerprintAnalyzerProvider): lowercase,
     asciifold, dedupe, sort, join into one token (filters.fingerprint_analyze)."""
@@ -273,6 +325,8 @@ REGISTRY: dict[str, Analyzer] = {
     "standard_html_strip": Analyzer("standard_html_strip",
                                     analyze_standard_html_strip),
     "fingerprint": Analyzer("fingerprint", analyze_fingerprint),
+    "annotated_text": Analyzer("annotated_text", analyze_annotated,
+                               analyze_annotated_positions),
 }
 
 

@@ -4438,3 +4438,47 @@ def token_count_field(sf_dir: str):
 
     out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def annotated_text_analyze(sf_dir: str):
+    """annotated_text field type (plugins/mapper-annotated-text,
+    AnnotatedTextFieldMapper.java): markdown-style `[wrapped](value)`
+    annotations; values are URL-decoded and injected verbatim at the
+    position of the wrapped text's first token. Fixed-string analysis of
+    the reference's own javadoc example."""
+    from ..analyzer import analyze_annotated_positions
+
+    toks = analyze_annotated_positions(
+        "New mayor is [John Smith](person&John%20Smith) today")
+    return pd.DataFrame({"token": [t for t, _ in toks],
+                         "position": pd.array([p for _, p in toks],
+                                              dtype="int64")})
+
+
+def annotated_text_terms(sf_dir: str):
+    """annotated_text over the corpus: every doc annotated with its lang
+    (`[lang](lang-xx) text`); injected annotation tokens counted per value
+    through the standard analysis chain — the entity-aggregation use case
+    the plugin exists for."""
+    from collections import Counter
+
+    from ..analyzer import get_analyzer
+
+    ann = get_analyzer("annotated_text")
+
+    ds = _ds(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for tok, _pos in ann.positions(f"[{lang}](lang-{lang}) {text}"):
+                if tok.startswith("lang-"):
+                    c[tok] += 1
+        items = sorted(c.items())
+        return pa.table({"token": [k for k, _ in items],
+                         "doc_count": np.array([v for _, v in items],
+                                               np.int64)})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = out.groupby("token", as_index=False)["doc_count"].sum()
+    return out.sort_values("token").reset_index(drop=True)

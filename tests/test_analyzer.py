@@ -96,3 +96,28 @@ def test_prebuilt_analyzer_registry_complete():
         "<b>Bold</b> move the <i>text</i>") == ["bold", "move", "text"]
     assert get_analyzer("fingerprint")("The QUICK the brown") == \
         ["brown quick the"]
+
+
+def test_annotated_text_parse_and_inject():
+    from elasticsearch_ray.analyzer import (
+        analyze_annotated_positions,
+        parse_annotated,
+    )
+
+    plain, anns = parse_annotated(
+        "New mayor is [John Smith](person&John%20Smith) today")
+    assert plain == "New mayor is John Smith today"
+    assert anns == [(13, 23, "person"), (13, 23, "John Smith")]
+    toks = analyze_annotated_positions(
+        "New mayor is [John Smith](person&John%20Smith) today")
+    # injected values share the wrapped text's first token position
+    assert ("person", 3) in toks and ("John Smith", 3) in toks
+    assert ("john", 3) in toks and ("smith", 4) in toks
+    # key=value annotations raise, per AnnotatedText.parse
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_annotated("[x](type=person)")
+    # multiple annotations, empty values skipped
+    _, a2 = parse_annotated("[a](v1) mid [b](&v2&)")
+    assert [v for _, _, v in a2] == ["v1", "v2"]
