@@ -116,7 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_intervals_filter", "ingest_user_agent", "ingest_geoip",
         "scaled_float_range", "rank_features_query", "mapper_size",
         "mapper_murmur3", "token_count_field", "annotated_text_analyze",
-        "annotated_text_terms",
+        "annotated_text_terms", "phonetic_soundex", "phonetic_metaphone",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1243,6 +1243,39 @@ GROUP BY user_id ORDER BY user_id""",
         "ingest_extract": r"""
 SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
 FROM events ORDER BY event_id""",
+        # commons-codec soundex re-derived in SQL: letters-only uppercase,
+        # H/W deleted after the first letter, translate to digit codes,
+        # adjacent equal codes collapsed (indexed list_filter), zeros out,
+        # pad to letter+3
+        "phonetic_soundex": """
+WITH s AS (SELECT n_name,
+             regexp_replace(upper(n_name), '[^A-Z]', '', 'g') AS az
+           FROM nation),
+s2 AS (SELECT n_name, substr(az, 1, 1) AS first,
+         regexp_split_to_array(
+           translate(substr(az, 1, 1) ||
+                     regexp_replace(substr(az, 2), '[HW]', '', 'g'),
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     '01230120022455012623010202'), '') AS cl
+       FROM s WHERE az <> ''),
+s3 AS (SELECT n_name, first,
+         list_filter(cl, (c, i) -> i > 1 AND c <> cl[i-1]) AS kept
+       FROM s2)
+SELECT n_name,
+       substr(first ||
+              COALESCE(array_to_string(
+                list_filter(kept, c -> c <> '0'), ''), '') || '000',
+              1, 4) AS code
+FROM s3 ORDER BY n_name""",
+        "phonetic_metaphone": """
+SELECT * FROM (VALUES
+  ('testing', 'TSTN'), ('The', '0'), ('quick', 'KK'), ('brown', 'BRN'),
+  ('fox', 'FKS'), ('jumped', 'JMPT'), ('over', 'OFR'), ('lazy', 'LS'),
+  ('dogs', 'TKS'), ('howl', 'HL'), ('Knight', 'NT'), ('phone', 'FN'),
+  ('school', 'SKL'), ('gnome', 'NM'), ('judge', 'JJ'),
+  ('metaphone', 'MTFN'), ('Thompson', '0MPS'), ('science', 'SNS'),
+  ('exhaust', 'EKSH'), ('shallow', 'XL'))
+AS t(word, code)""",
         # hand-derived token stream of the plugin's javadoc example:
         # annotation values injected verbatim at the wrapped text's first
         # token position

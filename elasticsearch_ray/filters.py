@@ -820,3 +820,177 @@ def make_simple_pattern_split_tokenizer(pattern: str, lowercase: bool = True):
         return [t for t in rx.split(text) if t]
 
     return tokenize
+
+
+# -- phonetic encoders (plugins/analysis-phonetic) ----------------------------
+# PhoneticTokenFilterFactory registers commons-codec encoders behind the
+# `phonetic` token filter (encoder: soundex/metaphone/...). Implemented from
+# the published algorithms: Russell/Odell soundex with the commons-codec H/W
+# rule, and Lawrence Philips' 1990 metaphone.
+
+_SOUNDEX_MAP = dict(zip("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                        "01230120022455012623010202"))
+
+
+def soundex(term: str) -> str:
+    """American soundex, commons-codec semantics: first letter kept; H and W
+    deleted outright (consonants separated only by H/W collapse together);
+    adjacent equal codes collapse (including into the first letter's code);
+    vowels separate; padded/truncated to letter + 3 digits."""
+    letters = [c for c in term.upper() if c.isalpha()]
+    if not letters:
+        return ""
+    first = letters[0]
+    # delete H/W after the first letter (they never separate codes)
+    rest = [c for c in letters[1:] if c not in "HW"]
+    codes = [_SOUNDEX_MAP.get(first, "0")]
+    for c in rest:
+        codes.append(_SOUNDEX_MAP.get(c, "0"))
+    # collapse adjacent equal codes, then drop the first letter's slot
+    out = []
+    for i, d in enumerate(codes):
+        if i and d != codes[i - 1]:
+            out.append(d)
+    digits = "".join(d for d in out if d != "0")
+    return (first + digits + "000")[:4]
+
+
+_PH_VOWELS = "AEIOU"
+
+
+def metaphone(term: str, max_len: int = 4) -> str:
+    """Classic metaphone (Lawrence Philips, Computer Language 7(12), 1990),
+    commons-codec rule set: 16 consonant transformations over the
+    uppercased word, initial-letter exceptions (AE/GN/KN/PN/WR drop the
+    first letter, X -> S, WH -> W), vowels kept only when initial."""
+    word = "".join(c for c in term.upper() if c.isalpha())
+    if not word:
+        return ""
+    # initial exceptions
+    if word[:2] in ("AE", "GN", "KN", "PN", "WR"):
+        word = word[1:]
+    elif word[:1] == "X":
+        word = "S" + word[1:]
+    elif word[:2] == "WH":
+        word = "W" + word[2:]
+    n = len(word)
+    out = []
+
+    def ch(i):
+        return word[i] if 0 <= i < n else ""
+
+    def vow(i):
+        return 0 <= i < n and word[i] in _PH_VOWELS
+
+    i = 0
+    while i < n and len(out) < max_len:
+        c = word[i]
+        # dedup doubled letters except C
+        if c != "C" and i > 0 and ch(i - 1) == c:
+            i += 1
+            continue
+        if c in _PH_VOWELS:
+            if i == 0:
+                out.append(c)
+        elif c == "B":
+            if not (i == n - 1 and ch(i - 1) == "M"):
+                out.append("B")
+        elif c == "C":
+            if ch(i + 1) == "I" and ch(i + 2) == "A":      # -cia-
+                out.append("X")
+            elif ch(i + 1) == "H":
+                # -sch- hard, else ch -> X
+                out.append("K" if ch(i - 1) == "S" else "X")
+            elif ch(i + 1) in "IEY":
+                if ch(i - 1) != "S":                        # -sci/sce/scy- drop
+                    out.append("S")
+            else:
+                out.append("K")
+        elif c == "D":
+            if ch(i + 1) == "G" and ch(i + 2) in "EIY":    # -dge- -> J
+                out.append("J")
+                i += 2
+            else:
+                out.append("T")
+        elif c == "G":
+            # silent: -gh- with no vowel after the h (night, laugh), -gn-
+            silent = (ch(i + 1) == "H" and not vow(i + 2)) or \
+                     ch(i + 1) == "N"
+            if ch(i + 1) == "H" and vow(i + 2):
+                out.append("K")
+                i += 1
+            elif not silent:
+                if ch(i + 1) in "EIY":
+                    out.append("J")
+                else:
+                    out.append("K")
+        elif c == "H":
+            if vow(i - 1) and not vow(i + 1):
+                pass                                        # silent
+            elif i > 0 and ch(i - 1) in "CSPTG":
+                pass                                        # part of digraph
+            else:
+                out.append("H")
+        elif c in "FJLMNR":
+            out.append(c)
+        elif c == "K":
+            if ch(i - 1) != "C":
+                out.append("K")
+        elif c == "P":
+            if ch(i + 1) == "H":
+                out.append("F")
+                i += 1
+            else:
+                out.append("P")
+        elif c == "Q":
+            out.append("K")
+        elif c == "S":
+            if ch(i + 1) == "H":
+                out.append("X")
+                i += 1
+            elif ch(i + 1) == "I" and ch(i + 2) in "OA":   # -sio-/-sia-
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "T":
+            if ch(i + 1) == "H":
+                out.append("0")                             # theta
+                i += 1
+            elif ch(i + 1) == "I" and ch(i + 2) in "OA":   # -tio-/-tia-
+                out.append("X")
+            else:
+                out.append("T")
+        elif c == "V":
+            out.append("F")
+        elif c == "W":
+            if vow(i + 1):
+                out.append("W")
+        elif c == "X":
+            out.append("K")
+            if len(out) < max_len:
+                out.append("S")
+        elif c == "Y":
+            if vow(i + 1):
+                out.append("Y")
+        elif c == "Z":
+            out.append("S")
+        i += 1
+    return "".join(out[:max_len])
+
+
+def make_phonetic_filter(encoder: str = "metaphone", replace: bool = True):
+    """`phonetic` token filter (PhoneticTokenFilterFactory): encode each
+    token; replace=false keeps the original token alongside the code."""
+    enc = {"soundex": soundex, "metaphone": metaphone}[encoder]
+
+    def f(tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            code = enc(t)
+            if not replace and code != t:
+                out.append(t)
+            if code:
+                out.append(code)
+        return out
+
+    return f

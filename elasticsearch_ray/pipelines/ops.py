@@ -4482,3 +4482,37 @@ def annotated_text_terms(sf_dir: str):
     out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = out.groupby("token", as_index=False)["doc_count"].sum()
     return out.sort_values("token").reset_index(drop=True)
+
+
+def phonetic_soundex(sf_dir: str):
+    """`phonetic` token filter, soundex encoder (plugins/analysis-phonetic,
+    PhoneticTokenFilterFactory + commons-codec Soundex): code every nation
+    name; the oracle re-derives soundex in SQL (translate + adjacent-code
+    collapse via an indexed list_filter)."""
+    from ..filters import soundex
+
+    ds = _ds(sf_dir, "nation", ["n_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        names = t["n_name"].to_pylist()
+        return pa.table({"n_name": names,
+                         "code": [soundex(x) for x in names]})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+_METAPHONE_WORDS = [
+    "testing", "The", "quick", "brown", "fox", "jumped", "over", "lazy",
+    "dogs", "howl", "Knight", "phone", "school", "gnome", "judge",
+    "metaphone", "Thompson", "science", "exhaust", "shallow",
+]
+
+
+def phonetic_metaphone(sf_dir: str):
+    """`phonetic` token filter, metaphone encoder (Lawrence Philips 1990
+    algorithm): fixed word list -> codes, pinned by a literal oracle."""
+    from ..filters import metaphone
+
+    return pd.DataFrame({"word": _METAPHONE_WORDS,
+                         "code": [metaphone(w) for w in _METAPHONE_WORDS]})

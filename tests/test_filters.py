@@ -246,3 +246,32 @@ def test_round3d_tokenizer_batch():
         ["123", "456", "789"]
     assert make_simple_pattern_split_tokenizer("_")("an_underscored_phrase") \
         == ["an", "underscored", "phrase"]
+
+
+def test_soundex_published_vectors():
+    from elasticsearch_ray.filters import soundex
+
+    # commons-codec SoundexTest vectors (incl. the H/W rule cases)
+    for w, want in [("Robert", "R163"), ("Rupert", "R163"),
+                    ("Ashcraft", "A261"), ("Ashcroft", "A261"),
+                    ("Tymczak", "T522"), ("Pfister", "P236"),
+                    ("Honeyman", "H555"), ("Testing", "T235"),
+                    ("", ""), ("123", "")]:
+        assert soundex(w) == want, w
+
+
+def test_metaphone_rules():
+    from elasticsearch_ray.filters import metaphone, make_phonetic_filter
+
+    for w, want in [("testing", "TSTN"), ("The", "0"), ("quick", "KK"),
+                    ("lazy", "LS"), ("dogs", "TKS"), ("howl", "HL"),
+                    ("Knight", "NT"), ("phone", "FN"), ("school", "SKL"),
+                    ("gnome", "NM"), ("Xavier", "SFR"), ("what", "WT"),
+                    ("shallow", "XL"), ("science", "SNS")]:
+        assert metaphone(w) == want, w
+    # homophones collapse
+    assert metaphone("Smith") == metaphone("Smyth")
+    # filter forms: replace vs inject
+    assert make_phonetic_filter("soundex")(["Robert"]) == ["R163"]
+    assert make_phonetic_filter("soundex", replace=False)(["Robert"]) == \
+        ["Robert", "R163"]
