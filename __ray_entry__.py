@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scaled_float_range", "rank_features_query", "mapper_size",
         "mapper_murmur3", "token_count_field", "annotated_text_analyze",
         "annotated_text_terms", "phonetic_soundex", "phonetic_metaphone",
+        "icu_analyze",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1243,6 +1244,17 @@ GROUP BY user_id ORDER BY user_id""",
         "ingest_extract": r"""
 SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
 FROM events ORDER BY event_id""",
+        "icu_analyze": """
+SELECT * FROM (VALUES
+  ('ＦＵＬＬｗｉｄｔｈ', 'fullwidth', 'fullwidth'),
+  ('ﬁle', 'file', 'file'),
+  ('Åström', 'åström', 'astrom'),
+  ('ÉLÉGANT', 'élégant', 'elegant'),
+  ('Straße', 'strasse', 'strasse'),
+  ('Ⅻ', 'xii', 'xii'),
+  ('①', '1', '1'),
+  ('Ｑｕéｒｙ', 'quéry', 'query'))
+AS t(word, nfkc_cf, folded)""",
         # commons-codec soundex re-derived in SQL: letters-only uppercase,
         # H/W deleted after the first letter, translate to digit codes,
         # adjacent equal codes collapsed (indexed list_filter), zeros out,

@@ -994,3 +994,29 @@ def make_phonetic_filter(encoder: str = "metaphone", replace: bool = True):
         return out
 
     return f
+
+
+# -- ICU filters (plugins/analysis-icu) ---------------------------------------
+
+def icu_normalizer(text: str) -> str:
+    """`icu_normalizer` char/token filter (IcuNormalizerTokenFilterFactory,
+    default mode nfkc_cf): NFKC compatibility normalization + Unicode case
+    folding, via the stdlib unicodedata analog of ICU's Normalizer2."""
+    return unicodedata.normalize("NFKC", text).casefold()
+
+
+def icu_folding(text: str) -> str:
+    """`icu_folding` token filter (IcuFoldingTokenFilterFactory): foldings
+    from UTR #30 — accent removal (NFKD + strip combining marks), case
+    folding, and compatibility forms."""
+    decomposed = unicodedata.normalize("NFKD", text)
+    stripped = "".join(c for c in decomposed if not unicodedata.combining(c))
+    return unicodedata.normalize("NFKC", stripped).casefold()
+
+
+def icu_folding_filter(tokens: list[str]) -> list[str]:
+    return [icu_folding(t) for t in tokens]
+
+
+def icu_normalizer_filter(tokens: list[str]) -> list[str]:
+    return [icu_normalizer(t) for t in tokens]

@@ -4516,3 +4516,18 @@ def phonetic_metaphone(sf_dir: str):
 
     return pd.DataFrame({"word": _METAPHONE_WORDS,
                          "code": [metaphone(w) for w in _METAPHONE_WORDS]})
+
+
+def icu_analyze(sf_dir: str):
+    """ICU analysis chain (plugins/analysis-icu): icu_normalizer (nfkc_cf)
+    and icu_folding over a fixed multilingual sample, pinned by a literal
+    oracle — fullwidth forms, ligatures, accents, sharp-s, roman numerals."""
+    from ..filters import icu_folding, icu_normalizer
+
+    words = ["ＦＵＬＬｗｉｄｔｈ", "ﬁle", "Åström", "ÉLÉGANT", "Straße",
+             "Ⅻ", "①", "Ｑｕéｒｙ"]
+    return pd.DataFrame({
+        "word": words,
+        "nfkc_cf": [icu_normalizer(w) for w in words],
+        "folded": [icu_folding(w) for w in words],
+    })

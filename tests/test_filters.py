@@ -275,3 +275,18 @@ def test_metaphone_rules():
     assert make_phonetic_filter("soundex")(["Robert"]) == ["R163"]
     assert make_phonetic_filter("soundex", replace=False)(["Robert"]) == \
         ["Robert", "R163"]
+
+
+def test_icu_filters():
+    from elasticsearch_ray.filters import (
+        icu_folding,
+        icu_folding_filter,
+        icu_normalizer,
+    )
+
+    assert icu_normalizer("ＦＵＬＬｗｉｄｔｈ") == "fullwidth"
+    assert icu_normalizer("Straße") == "strasse"
+    assert icu_normalizer("Åström") == "åström"  # nfkc_cf keeps accents
+    assert icu_folding("Åström") == "astrom"     # folding strips them
+    assert icu_folding("ﬁ") == "fi"
+    assert icu_folding_filter(["É", "①"]) == ["e", "1"]
