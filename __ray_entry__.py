@@ -117,7 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scaled_float_range", "rank_features_query", "mapper_size",
         "mapper_murmur3", "token_count_field", "annotated_text_analyze",
         "annotated_text_terms", "phonetic_soundex", "phonetic_metaphone",
-        "icu_analyze",
+        "icu_analyze", "ingest_attachment",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1244,6 +1244,17 @@ GROUP BY user_id ORDER BY user_id""",
         "ingest_extract": r"""
 SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
 FROM events ORDER BY event_id""",
+        # even docs plain (content = text), odd docs html (title = lang,
+        # body = text whitespace-normalized)
+        "ingest_attachment": """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'text/plain' ELSE 'text/html' END
+         AS attachment_content_type,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN length(text)
+                 ELSE length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+            END AS BIGINT) AS attachment_content_length,
+       CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS attachment_title
+FROM documents ORDER BY doc_id""",
         "icu_analyze": """
 SELECT * FROM (VALUES
   ('ＦＵＬＬｗｉｄｔｈ', 'fullwidth', 'fullwidth'),

@@ -613,3 +613,77 @@ def geoip(col: str, out_prefix: str = "geo_",
         return t
 
     return f
+
+
+# -- attachment (plugins/ingest-attachment) ------------------------------------
+# AttachmentProcessor.java runs Apache Tika over a base64 payload and emits
+# content / content_type / content_length / language / title. Tika is not
+# available here, so the extractors cover the text-bearing formats that need
+# no native parser — plain text and HTML (title + tag-stripped body) — and
+# raise a clearly-marked NotImplementedError for binary formats (pdf, docx),
+# mirroring the multimodal stub policy. Sniffing, base64 decode, property
+# selection, indexed_chars truncation and ignore_missing are the real
+# implementation.
+
+def _sniff_content_type(raw: bytes) -> str:
+    if raw[:5].lower() == b"<html" or b"<html" in raw[:256].lower():
+        return "text/html"
+    if raw[:4] == b"%PDF":
+        return "application/pdf"
+    if raw[:4] == b"PK\x03\x04":
+        return "application/zip"
+    return "text/plain"
+
+
+def attachment(col: str, out_prefix: str = "attachment_",
+               properties: list[str] | None = None,
+               indexed_chars: int = 100_000, ignore_missing: bool = False):
+    """`attachment` processor: decode base64, sniff the content type,
+    extract text content (+ html <title>), emit content_length."""
+    import base64
+    import re as _re
+
+    fields = properties or ["content", "content_type", "content_length",
+                            "title"]
+    title_re = _re.compile(rb"<title[^>]*>(.*?)</title>",
+                           _re.IGNORECASE | _re.DOTALL)
+    tag_re = _re.compile(rb"<[^>]*>")
+
+    def extract(b64: str) -> dict:
+        raw = base64.b64decode(b64)
+        ctype = _sniff_content_type(raw)
+        title = None
+        if ctype == "text/plain":
+            content = raw.decode("utf-8", "replace")
+        elif ctype == "text/html":
+            m = title_re.search(raw)
+            if m:
+                title = m.group(1).strip().decode("utf-8", "replace")
+            body = tag_re.sub(b" ", title_re.sub(b" ", raw))
+            content = " ".join(body.decode("utf-8", "replace").split())
+        else:
+            raise NotImplementedError(
+                f"attachment: no parser for {ctype} in this build "
+                "(reference delegates to Apache Tika)")
+        content = content[:indexed_chars]
+        return {"content": content, "content_type": ctype,
+                "content_length": len(content), "title": title}
+
+    def f(t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in fields}
+        for s in t[col].to_pylist():
+            if s is None:
+                if not ignore_missing:
+                    raise ValueError(
+                        f"field [{col}] is null, cannot parse.")
+                d = {}
+            else:
+                d = extract(s)
+            for k in fields:
+                cols[k].append(d.get(k))
+        for k in fields:
+            typ = pa.int64() if k == "content_length" else pa.string()
+            t = _put(t, out_prefix + k, pa.array(cols[k], typ))
+        return t
+
+    return f

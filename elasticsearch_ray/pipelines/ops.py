@@ -4531,3 +4531,38 @@ def icu_analyze(sf_dir: str):
         "nfkc_cf": [icu_normalizer(w) for w in words],
         "folded": [icu_folding(w) for w in words],
     })
+
+
+def ingest_attachment(sf_dir: str):
+    """`attachment` processor (plugins/ingest-attachment,
+    AttachmentProcessor.java; Tika replaced by plain/html extractors):
+    even docs shipped as base64 plain text, odd docs as base64 HTML with
+    the lang in <title>; content/content_type/content_length/title
+    re-derived by the oracle from the raw text."""
+    import base64
+
+    from ..functions import ingest as I
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        b64s = []
+        for did, lang, text in zip(t["doc_id"].to_pylist(),
+                                   t["lang"].to_pylist(),
+                                   t["text"].to_pylist()):
+            if did % 2 == 0:
+                raw = text.encode()
+            else:
+                raw = (f"<html><head><title>{lang}</title></head>"
+                       f"<body>{text}</body></html>").encode()
+            b64s.append(base64.b64encode(raw).decode())
+        return t.append_column("data", pa.array(b64s, pa.string()))
+
+    pipe = I.pipeline(I.attachment("data"))
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .map_batches(pipe, batch_format="pyarrow")
+           .select_columns(["doc_id", "attachment_content_type",
+                            "attachment_content_length",
+                            "attachment_title"])
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -737,3 +737,33 @@ def test_murmur3_x64_128_vectors():
         seen.add(h1)
     # stability across calls
     assert murmur3_x64_128(b"x" * 17) == murmur3_x64_128(b"x" * 17)
+
+
+def test_ingest_attachment():
+    import base64
+
+    from elasticsearch_ray.functions.ingest import attachment
+
+    t = pa.table({"data": [
+        base64.b64encode(b"plain text body").decode(),
+        base64.b64encode(
+            b"<html><head><title>My Doc</title></head>"
+            b"<body>Hello <b>World</b></body></html>").decode(),
+        base64.b64encode(b"%PDF-1.4 fake").decode(),
+        None,
+    ]})
+    ok = attachment("data", ignore_missing=True)(t.slice(0, 2))
+    assert ok["attachment_content_type"].to_pylist() == \
+        ["text/plain", "text/html"]
+    assert ok["attachment_content"].to_pylist()[1] == "Hello World"
+    assert ok["attachment_title"].to_pylist() == [None, "My Doc"]
+    assert ok["attachment_content_length"].to_pylist() == [15, 11]
+    # binary formats raise the documented Tika-less stub error
+    with pytest.raises(NotImplementedError):
+        attachment("data")(t.slice(2, 1))
+    # null handling mirrors the processor contract
+    with pytest.raises(ValueError):
+        attachment("data")(t.slice(3, 1))
+    out = attachment("data", ignore_missing=True,
+                     indexed_chars=5)(t.slice(0, 1))
+    assert out["attachment_content"].to_pylist() == ["plain"]
