@@ -117,7 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scaled_float_range", "rank_features_query", "mapper_size",
         "mapper_murmur3", "token_count_field", "annotated_text_analyze",
         "annotated_text_terms", "phonetic_soundex", "phonetic_metaphone",
-        "icu_analyze", "ingest_attachment",
+        "icu_analyze", "ingest_attachment", "tasks_api",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1244,6 +1244,11 @@ GROUP BY user_id ORDER BY user_id""",
         "ingest_extract": r"""
 SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
 FROM events ORDER BY event_id""",
+        "tasks_api": """
+SELECT 'indices:data/write/update/byquery' AS action,
+       true AS completed, false AS cancelled,
+       count(*) AS total, count(*) AS updated
+FROM documents""",
         # even docs plain (content = text), odd docs html (title = lang,
         # body = text whitespace-normalized)
         "ingest_attachment": """

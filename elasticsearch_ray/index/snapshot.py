@@ -99,3 +99,31 @@ def delete_snapshot(repo_dir: str, name: str) -> list[str]:
             shutil.rmtree(os.path.join(seg_root, sid), ignore_errors=True)
             removed.append(sid)
     return removed
+
+
+class ReadOnlyRepository:
+    """URL repository (modules/repository-url, URLRepository.java): a
+    READ-ONLY view of an existing repository addressed by `file://` URL (the
+    only scheme reachable in this build; http(s) would stream the same JSON
+    manifest + segment files). list/restore work; create/delete raise, like
+    the reference's UnsupportedOperationException on url repos."""
+
+    def __init__(self, url: str):
+        if url.startswith("file://"):
+            self.root = url[len("file://"):]
+        elif "://" in url:
+            raise ValueError(f"unsupported url repository scheme: {url!r}")
+        else:
+            self.root = url
+
+    def list(self) -> list[dict]:
+        return list_snapshots(self.root)
+
+    def restore(self, name: str, dest_dir: str) -> list[str]:
+        return restore_snapshot(self.root, name, dest_dir)
+
+    def create(self, *a, **kw):
+        raise PermissionError("url repository is read-only")
+
+    def delete(self, *a, **kw):
+        raise PermissionError("url repository is read-only")

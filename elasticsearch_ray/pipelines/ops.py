@@ -4566,3 +4566,30 @@ def ingest_attachment(sf_dir: str):
                             "attachment_title"])
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def tasks_api(sf_dir: str):
+    """_tasks API (tasks/TaskManager.java + BulkByScrollTask status): an
+    update_by_query-style job registered as a cancellable task, counters
+    updated at each batch checkpoint, then listed via `GET _tasks`."""
+    from ..tasks import TaskManager
+
+    mgr = TaskManager()
+    tid = mgr.start("indices:data/write/update/byquery",
+                    "update-by-query over documents")
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang"])
+    for batch in ds.iter_batches(batch_size=128, batch_format="pyarrow"):
+        mgr.check_cancelled(tid)
+        mgr.update(tid, total=len(batch), updated=len(batch), batches=1)
+    rec = mgr.finish(tid)
+    listed = mgr.list("indices:data/write/*")
+    assert len(listed) == 1 and listed[0]["id"] == tid
+    st = rec["status"]
+    return pd.DataFrame({
+        "action": [rec["action"]],
+        "completed": [bool(rec["completed"])],
+        "cancelled": [bool(rec["cancelled"])],
+        "total": pd.array([st["total"]], dtype="int64"),
+        "updated": pd.array([st["updated"]], dtype="int64"),
+    })

@@ -129,3 +129,32 @@ def test_snapshot_repository_incremental(dirs, tmp_path):
     assert delete_snapshot(repo, "snap1") == []  # snap2 still references all
     removed = delete_snapshot(repo, "snap2")
     assert sorted(removed) == sorted(m1["segments"])  # GC after last ref
+
+
+def test_url_repository_read_only(dirs, tmp_path):
+    """repository-url: file:// read-only view — list/restore identical to the
+    backing repo, create/delete refused."""
+    import pytest
+
+    from elasticsearch_ray.index.snapshot import (
+        ReadOnlyRepository,
+        create_snapshot,
+    )
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    _, idx = dirs
+    repo = str(tmp_path / "repo")
+    create_snapshot(idx, repo, "snap1")
+    url = ReadOnlyRepository(f"file://{repo}")
+    assert [s["name"] for s in url.list()] == ["snap1"]
+    dest = str(tmp_path / "restored_url")
+    url.restore("snap1", dest)
+    q = {"kind": "match", "text": "data query", "k": 10}
+    assert list(IndexSearcher(idx).search(q)[0]) == \
+        list(IndexSearcher(dest).search(q)[0])
+    with pytest.raises(PermissionError):
+        url.create(idx, "snap2")
+    with pytest.raises(PermissionError):
+        url.delete("snap1")
+    with pytest.raises(ValueError):
+        ReadOnlyRepository("s3://bucket/path")
