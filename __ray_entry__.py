@@ -117,7 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scaled_float_range", "rank_features_query", "mapper_size",
         "mapper_murmur3", "token_count_field", "annotated_text_analyze",
         "annotated_text_terms", "phonetic_soundex", "phonetic_metaphone",
-        "icu_analyze", "ingest_attachment", "tasks_api",
+        "icu_analyze", "ingest_attachment", "tasks_api", "script_expression",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1852,6 +1852,17 @@ SELECT term, fg_df, bg_df,
 FROM counts CROSS JOIN fg_n CROSS JOIN bg_n
 WHERE fg_df >= 5
 ORDER BY score DESC, term LIMIT 10""",
+        "script_expression": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id,
+       ROUND(CASE WHEN d.n_chars > 300 THEN ({_SCORE}) * 2
+                  ELSE ({_SCORE}) / 2 END, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+ORDER BY doc_id""",
         "ft_script_score": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),

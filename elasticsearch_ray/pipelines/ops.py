@@ -4593,3 +4593,16 @@ def tasks_api(sf_dir: str):
         "total": pd.array([st["total"]], dtype="int64"),
         "updated": pd.array([st["updated"]], dtype="int64"),
     })
+
+
+def script_expression(sf_dir: str):
+    """lang-expression (modules/lang-expression,
+    ExpressionScriptEngine.java): Lucene-expression syntax — doc['f'].value
+    references, && / ||, and the ternary operator — compiled onto the
+    sandboxed AST evaluator (scripting.compile_expression)."""
+    return all_matches(sf_dir, {
+        "kind": "script_score",
+        "query": {"kind": "term", "term": "data"},
+        "script": {"lang": "expression",
+                   "source": "doc['n_chars'].value > 300 ? _score * 2"
+                             " : _score / 2"}})

@@ -148,7 +148,10 @@ def resolve_script(spec: Any) -> str:
         return spec
     if isinstance(spec, Mapping):
         if "source" in spec:
-            return spec["source"]
+            src = spec["source"]
+            if spec.get("lang") == "expression":
+                src = compile_expression(src)
+            return src
         if "id" in spec:
             src = _STORED.get(spec["id"])
             if src is None:
@@ -186,3 +189,81 @@ def safe_eval_expr(expr: str, env: Mapping[str, Any]) -> Any:
     except SyntaxError as e:
         raise ScriptError(f"invalid expression: {e}") from e
     return _eval_node(tree, env)
+
+
+def _find_top(s: str, ch: str, start: int = 0) -> int:
+    depth = 0
+    for i in range(start, len(s)):
+        c = s[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == ch and depth == 0:
+            return i
+    return -1
+
+
+def _rewrite_parens(s: str) -> str:
+    """Rewrite ternaries inside each top-level parenthesized group."""
+    out = []
+    i = 0
+    while i < len(s):
+        if s[i] == "(":
+            depth = 1
+            j = i + 1
+            while j < len(s) and depth:
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                j += 1
+            out.append("(" + _rewrite_ternary(s[i + 1:j - 1]) + ")")
+            i = j
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_ternary(s: str) -> str:
+    """Right-associative `c ? a : b` -> `where((c), (a), (b))`."""
+    q = _find_top(s, "?")
+    if q < 0:
+        return _rewrite_parens(s) if "?" in s else s
+    # matching ':' at top level, skipping nested ternaries in the then-branch
+    depth = 0
+    nested = 0
+    c_idx = -1
+    for i in range(q + 1, len(s)):
+        c = s[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "?" and depth == 0:
+            nested += 1
+        elif c == ":" and depth == 0:
+            if nested == 0:
+                c_idx = i
+                break
+            nested -= 1
+    if c_idx < 0:
+        raise ScriptError(f"unbalanced ternary in expression: {s!r}")
+    cond = _rewrite_ternary(s[:q])
+    then = _rewrite_ternary(s[q + 1:c_idx])
+    other = _rewrite_ternary(s[c_idx + 1:])
+    return f"where(({cond}), ({then}), ({other}))"
+
+
+def compile_expression(source: str) -> str:
+    """Lucene-expression syntax (modules/lang-expression,
+    ExpressionScriptEngine.java) -> the sandbox dialect: `doc['f'].value`
+    becomes a bare field name, `&&`/`||` become the vectorized `&`/`|`,
+    the ternary becomes a `where(...)` call."""
+    import re
+
+    src = re.sub(r"doc\[\s*['\"]([A-Za-z_][\w.]*)['\"]\s*\]\.value",
+                 r"\1", source)
+    src = src.replace("&&", "&").replace("||", "|")
+    return _rewrite_ternary(src)

@@ -1204,7 +1204,9 @@ class IndexSearcher:
             src = resolve_script(q["script"])
             ids = self._all_doc_ids()
             env: dict = {"log": np.log, "log1p": np.log1p, "sqrt": np.sqrt,
-                         "exp": np.exp, "abs": np.abs}
+                         "exp": np.exp, "abs": np.abs, "ln": np.log,
+                         "where": np.where, "min": np.minimum,
+                         "max": np.maximum}
             for name in set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", src)):
                 if name not in env and name in self._meta_tables[0].column_names:
                     env[name] = self._meta_values(name, ids).astype(np.float64)
@@ -1223,7 +1225,9 @@ class IndexSearcher:
             src = resolve_script(q["script"])
             env = {"_score": sc, "log": np.log, "log1p": np.log1p,
                    "sqrt": np.sqrt, "exp": np.exp, "abs": np.abs,
-                   "minimum": np.minimum, "maximum": np.maximum}
+                   "minimum": np.minimum, "maximum": np.maximum,
+                   "ln": np.log, "where": np.where,
+                   "min": np.minimum, "max": np.maximum}
             import re as _re
 
             for name in set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", src)):

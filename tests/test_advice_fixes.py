@@ -215,3 +215,32 @@ def test_sort_list_sliced_and_null():
     t2 = pa.table({"v": base})
     out2 = sort_list("v", order="descending")(t2)
     assert out2["v"].to_pylist() == [[9.0, 1.0], [5.0, 4.0, 3.0], None, [2.0]]
+
+
+def test_compile_expression_forms():
+    from elasticsearch_ray.scripting import ScriptError, compile_expression
+
+    assert compile_expression("doc['n'].value + 1") == "n + 1"
+    assert compile_expression("a && b || c") == "a & b | c"
+    out = compile_expression("x > 1 ? 2 : 3")
+    assert out.startswith("where(") and "2" in out and "3" in out
+    # nested, parenthesized, right-associative all compile to where() chains
+    for src in ["a>1 ? (b>0 ? 2 : 3) : 4", "(x>1 ? 2 : 3)+1",
+                "a?1:b?2:3"]:
+        assert "?" not in compile_expression(src)
+    import pytest
+
+    with pytest.raises(ScriptError):
+        compile_expression("a ? 1")  # unbalanced ternary
+
+
+def test_expression_lang_script_evaluates():
+    import numpy as np
+
+    from elasticsearch_ray.scripting import resolve_script, safe_eval_expr
+
+    src = resolve_script({"lang": "expression",
+                          "source": "doc['v'].value > 2 ? 10 : 20"})
+    out = safe_eval_expr(src, {"v": np.array([1.0, 3.0]),
+                               "where": np.where})
+    assert out.tolist() == [20, 10]
