@@ -131,13 +131,17 @@ def extended_stats(ds, key: str, value: str):
 
 
 def value_count_distinct(ds, key: str, value: str):
-    """exact `cardinality` per key: two-phase distinct-then-count (the exact
-    path; the HLL++ sketch in hll.py is the approximate path)."""
+    """exact `cardinality` per key: batch-local distinct (combiner — cuts
+    the shuffle to unique pairs per block) -> global pair groupby -> count
+    per key. The HLL++ sketch in hll.py is the approximate path."""
     from ray.data.aggregate import Count
 
-    pairs = ds.select_columns([key, value]).groupby([key, value]).aggregate(
-        Count(alias_name="_c")
-    )
+    def local_distinct(t):
+        return t.group_by([key, value]).aggregate([])
+
+    pairs = (ds.select_columns([key, value])
+             .map_batches(local_distinct, batch_format="pyarrow")
+             .groupby([key, value]).aggregate(Count(alias_name="_c")))
     out = pairs.groupby(key).aggregate(Count(alias_name="distinct_count")).to_pandas()
     return out.sort_values(key).reset_index(drop=True)
 
