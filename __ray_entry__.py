@@ -117,7 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scaled_float_range", "rank_features_query", "mapper_size",
         "mapper_murmur3", "token_count_field", "annotated_text_analyze",
         "annotated_text_terms", "phonetic_soundex", "phonetic_metaphone",
-        "icu_analyze", "ingest_attachment", "tasks_api", "script_expression",
+        "icu_analyze", "ingest_attachment", "tasks_api", "script_expression", "dedup_decontaminate",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1244,6 +1244,21 @@ GROUP BY user_id ORDER BY user_id""",
         "ingest_extract": r"""
 SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
 FROM events ORDER BY event_id""",
+        "dedup_decontaminate": """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+  FROM tl, UNNEST(range(1, len(toks) - 2)) AS t(i)
+  WHERE len(toks) >= 4),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+SELECT doc_id, count(DISTINCT g) AS overlap_grams
+FROM grams JOIN bench USING (g)
+WHERE doc_id % 50 <> 0
+GROUP BY doc_id ORDER BY doc_id""",
         "tasks_api": """
 SELECT 'indices:data/write/update/byquery' AS action,
        true AS completed, false AS cancelled,

@@ -749,3 +749,50 @@ def embedding_dedup_lsh(ds, *, threshold: float = 0.95, n_planes: int = 8,
     return (pd.concat(parts, ignore_index=True)
             .drop_duplicates(subset=["doc_a", "doc_b"])
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+# -- benchmark decontamination -------------------------------------------------
+
+_WORD_RE = None
+
+
+def _word_ngrams(text: str, n: int) -> set[str]:
+    global _WORD_RE
+    if _WORD_RE is None:
+        import re
+
+        _WORD_RE = re.compile(r"[a-z0-9]+")
+    toks = _WORD_RE.findall(text.lower())
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def decontaminate(ds, benchmark_texts: list[str], *, n: int = 13,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Training-set decontamination by word-n-gram overlap (the GPT-3 /
+    Llama method: any document sharing an n-gram of ~13 tokens with an
+    evaluation benchmark is flagged). The benchmark side is SMALL by
+    construction, so its n-gram set is broadcast once via ray.put and every
+    map_batches task reads the same object-store copy — no shuffle, one
+    streaming pass over the corpus. Returns flagged docs with their
+    distinct overlapping-gram counts."""
+    import ray
+
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        bench |= _word_ngrams(t, n)
+    bench_ref = ray.put(bench)
+
+    def flag(t: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        ids, counts = [], []
+        for did, text in zip(t[id_col].to_pylist(),
+                             t[text_col].to_pylist()):
+            k = len(_word_ngrams(text, n) & b)
+            if k:
+                ids.append(did)
+                counts.append(k)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "overlap_grams": pa.array(counts, pa.int64())})
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)

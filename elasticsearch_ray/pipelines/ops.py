@@ -4606,3 +4606,25 @@ def script_expression(sf_dir: str):
         "script": {"lang": "expression",
                    "source": "doc['n_chars'].value > 300 ? _score * 2"
                              " : _score / 2"}})
+
+
+def dedup_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix C / Llama style): docs with
+    doc_id % 50 == 0 act as the held-out benchmark; every OTHER doc sharing
+    a 4-token word n-gram with the benchmark is flagged with its distinct
+    overlapping-gram count. Benchmark grams are broadcast via ray.put; the
+    corpus side is one streaming pass."""
+    from ..functions.dedup import decontaminate
+
+    def split(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % 50 == 0) == keep_bench
+            return t.filter(pa.array(m))
+
+        return f
+
+    bench = (_ds(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(split(True), batch_format="pyarrow").to_pandas())
+    ds = (_ds(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(split(False), batch_format="pyarrow"))
+    return decontaminate(ds, bench["text"].tolist(), n=4)

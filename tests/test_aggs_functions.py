@@ -767,3 +767,23 @@ def test_ingest_attachment():
     out = attachment("data", ignore_missing=True,
                      indexed_chars=5)(t.slice(0, 1))
     assert out["attachment_content"].to_pylist() == ["plain"]
+
+
+def test_decontaminate_flags_planted_overlap(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.dedup import decontaminate
+
+    bench = ["the quick brown fox jumps over the lazy dog tonight"]
+    rows = [
+        {"doc_id": 1, "text": "completely unrelated content about rivers"},
+        # contains a 13-token window only when n is small; plant a 5-gram
+        {"doc_id": 2, "text": "intro quick brown fox jumps over outro"},
+        {"doc_id": 3, "text": "quick brown fox but then it diverges"},
+    ]
+    out = decontaminate(rd.from_items(rows), bench, n=5)
+    assert out.doc_id.tolist() == [2]
+    assert out.overlap_grams.tolist() == [1]
+    # n=3 also catches doc 3's shorter overlap
+    out3 = decontaminate(rd.from_items(rows), bench, n=3)
+    assert out3.doc_id.tolist() == [2, 3]
