@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mapper_murmur3", "token_count_field", "annotated_text_analyze",
         "annotated_text_terms", "phonetic_soundex", "phonetic_metaphone",
         "icu_analyze", "ingest_attachment", "tasks_api", "script_expression", "dedup_decontaminate",
+        "phrase_suggest_collate",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -2347,6 +2348,36 @@ seq AS (
   LEFT JOIN big b01 ON b01.t1 = c0.term AND b01.t2 = c1.term
   LEFT JOIN big b12 ON b12.t1 = c1.term AND b12.t2 = c2.term)
 SELECT w0 || ' ' || w1 || ' ' || w2 AS phrase, ROUND(score, 4) AS score
+FROM seq ORDER BY score DESC, phrase LIMIT 3""",
+        "phrase_suggest_collate": f"""
+WITH {_PTOK},
+uni AS (SELECT term, count(*) AS cnt FROM ptok GROUP BY term),
+big AS (SELECT a.term AS t1, b.term AS t2, count(*) AS cnt
+        FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+tri AS (SELECT DISTINCT a.term AS t1, b.term AS t2, c.term AS t3
+        FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN ptok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+v AS (SELECT count(*) AS v FROM uni),
+tt AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM uni),
+c0 AS (SELECT term, cnt FROM uni WHERE levenshtein(term, 'data') <= 1
+       ORDER BY cnt DESC, term LIMIT 5),
+c1 AS (SELECT term, cnt FROM uni WHERE levenshtein(term, 'sow') <= 1
+       ORDER BY cnt DESC, term LIMIT 5),
+c2 AS (SELECT term, cnt FROM uni WHERE levenshtein(term, 'qery') <= 1
+       ORDER BY cnt DESC, term LIMIT 5),
+seq AS (
+  SELECT c0.term AS w0, c1.term AS w1, c2.term AS w2,
+         ln((c0.cnt + 1.0) / (tt.t + v.v))
+         + ln((COALESCE(b01.cnt, 0) + 1.0) / (c0.cnt + v.v))
+         + ln((COALESCE(b12.cnt, 0) + 1.0) / (c1.cnt + v.v)) AS score
+  FROM c0 CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN v CROSS JOIN tt
+  LEFT JOIN big b01 ON b01.t1 = c0.term AND b01.t2 = c1.term
+  LEFT JOIN big b12 ON b12.t1 = c1.term AND b12.t2 = c2.term)
+SELECT w0 || ' ' || w1 || ' ' || w2 AS phrase, ROUND(score, 4) AS score,
+       EXISTS (SELECT 1 FROM tri
+               WHERE tri.t1 = w0 AND tri.t2 = w1 AND tri.t3 = w2)
+         AS collate_match
 FROM seq ORDER BY score DESC, phrase LIMIT 3""",
         "ft_wrapper": f"""
 WITH {_TOK},

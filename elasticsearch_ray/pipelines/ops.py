@@ -4628,3 +4628,19 @@ def dedup_decontaminate(sf_dir: str):
     ds = (_ds(sf_dir, "documents", ["doc_id", "text"])
           .map_batches(split(False), batch_format="pyarrow"))
     return decontaminate(ds, bench["text"].tolist(), n=4)
+
+
+def phrase_suggest_collate(sf_dir: str):
+    """phrase suggester `collate` (PhraseSuggestionBuilder#collateQuery,
+    search/suggest/phrase/PhraseSuggester.java): each surviving correction
+    is executed as a match_phrase query against the index; prune=true keeps
+    every suggestion and annotates collate_match."""
+    df = phrase_suggest(sf_dir)
+    s = documents_searcher(sf_dir)
+    flags = []
+    for p in df["phrase"]:
+        ids, _ = s._eval({"kind": "match_phrase", "text": str(p)})
+        flags.append(bool(ids.size))
+    out = df.copy()
+    out["collate_match"] = flags
+    return out
