@@ -118,7 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mapper_murmur3", "token_count_field", "annotated_text_analyze",
         "annotated_text_terms", "phonetic_soundex", "phonetic_metaphone",
         "icu_analyze", "ingest_attachment", "tasks_api", "script_expression", "dedup_decontaminate",
-        "phrase_suggest_collate",
+        "phrase_suggest_collate", "text_repetition",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1245,6 +1245,31 @@ GROUP BY user_id ORDER BY user_id""",
         "ingest_extract": r"""
 SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
 FROM events ORDER BY event_id""",
+        "text_repetition": """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+g2 AS (
+  SELECT doc_id, count(*) AS total, count(DISTINCT g) AS uniq
+  FROM (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+        FROM tl, UNNEST(range(1, len(toks))) AS t(i)
+        WHERE len(toks) >= 2) GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, count(*) AS total, count(DISTINCT g) AS uniq
+  FROM (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+        FROM tl, UNNEST(range(1, len(toks) - 1)) AS t(i)
+        WHERE len(toks) >= 3) GROUP BY doc_id),
+r AS (
+  SELECT tl.doc_id,
+         ROUND(COALESCE((g2.total - g2.uniq) / CAST(g2.total AS DOUBLE), 0),
+               6) AS dup_2gram_frac,
+         ROUND(COALESCE((g3.total - g3.uniq) / CAST(g3.total AS DOUBLE), 0),
+               6) AS dup_3gram_frac
+  FROM tl LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id))
+SELECT doc_id, dup_2gram_frac, dup_3gram_frac
+FROM r WHERE dup_2gram_frac >= 0.05 ORDER BY doc_id""",
         "dedup_decontaminate": """
 WITH tl AS (
   SELECT doc_id,

@@ -217,3 +217,30 @@ def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
     h1 = (h1 + h2) & mask
     h2 = (h2 + h1) & mask
     return h1, h2
+
+
+def repetition_ratios_batch(t: pa.Table, text_col: str = "text",
+                            ns: tuple[int, ...] = (2, 3)) -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): for each n,
+    the fraction of word n-gram occurrences that are duplicates of an
+    already-seen n-gram in the same document. 0 = no repetition, -> 1 for
+    degenerate boilerplate. Vectorized per doc with numpy unique."""
+    import re
+
+    word_re = re.compile(r"[a-z0-9]+")
+    cols: dict[str, list] = {f"dup_{n}gram_frac": [] for n in ns}
+    for text in t[text_col].to_pylist():
+        toks = word_re.findall(text.lower())
+        for n in ns:
+            total = max(len(toks) - n + 1, 0)
+            if total == 0:
+                cols[f"dup_{n}gram_frac"].append(0.0)
+                continue
+            grams = np.array([" ".join(toks[i:i + n])
+                              for i in range(total)], dtype=object)
+            n_unique = np.unique(grams).size
+            cols[f"dup_{n}gram_frac"].append((total - n_unique) / total)
+    out = t.select([c for c in t.column_names if c != text_col])
+    for k, v in cols.items():
+        out = out.append_column(k, pa.array(v, pa.float64()))
+    return out

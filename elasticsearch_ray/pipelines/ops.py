@@ -4644,3 +4644,18 @@ def phrase_suggest_collate(sf_dir: str):
     out = df.copy()
     out["collate_match"] = flags
     return out
+
+
+def text_repetition(sf_dir: str):
+    """Gopher-rule repetition filter (Rae et al. 2021): per-doc duplicate
+    bigram/trigram occurrence fractions; docs above 0.3 duplicate-bigram
+    fraction are the boilerplate candidates a 100 TB pipeline drops."""
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = (ds.map_batches(T.repetition_ratios_batch, batch_format="pyarrow")
+           .to_pandas())
+    out["dup_2gram_frac"] = round_half_away(
+        out["dup_2gram_frac"].to_numpy(), 6)
+    out["dup_3gram_frac"] = round_half_away(
+        out["dup_3gram_frac"].to_numpy(), 6)
+    out = out[out.dup_2gram_frac >= 0.05]
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -787,3 +787,18 @@ def test_decontaminate_flags_planted_overlap(ray_session):
     # n=3 also catches doc 3's shorter overlap
     out3 = decontaminate(rd.from_items(rows), bench, n=3)
     assert out3.doc_id.tolist() == [2, 3]
+
+
+def test_repetition_ratios():
+    from elasticsearch_ray.functions.text import repetition_ratios_batch
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["spam spam spam spam",
+                           "all words here are entirely distinct tokens",
+                           "x"]})
+    out = repetition_ratios_batch(t)
+    # "spam spam" x3 occurrences, 1 unique -> 2/3 duplicated
+    assert abs(out["dup_2gram_frac"].to_pylist()[0] - 2 / 3) < 1e-12
+    assert out["dup_2gram_frac"].to_pylist()[1] == 0.0
+    assert out["dup_2gram_frac"].to_pylist()[2] == 0.0  # too short -> 0
+    assert out["dup_3gram_frac"].to_pylist()[0] == 0.5
