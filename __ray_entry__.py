@@ -118,7 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mapper_murmur3", "token_count_field", "annotated_text_analyze",
         "annotated_text_terms", "phonetic_soundex", "phonetic_metaphone",
         "icu_analyze", "ingest_attachment", "tasks_api", "script_expression", "dedup_decontaminate",
-        "phrase_suggest_collate", "text_repetition",
+        "phrase_suggest_collate", "text_repetition", "search_shards",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1994,6 +1994,10 @@ GROUP BY 1 ORDER BY weight DESC, input LIMIT 5""",
         # documents.parquet is a single row group at every sf, so the live
         # view is exactly one flush segment spanning all docs — the oracle
         # recomputes its doc range, count, and indexed-token total.
+        "search_shards": """
+SELECT CAST(0 AS BIGINT) AS shard, MIN(doc_id) AS doc_id_min,
+       MAX(doc_id) AS doc_id_max, COUNT(*) AS doc_count
+FROM documents""",
         "cat_segments": """
 WITH tok AS (
   SELECT doc_id, t AS term FROM (

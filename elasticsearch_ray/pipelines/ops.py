@@ -4659,3 +4659,31 @@ def text_repetition(sf_dir: str):
         out["dup_3gram_frac"].to_numpy(), 6)
     out = out[out.dup_2gram_frac >= 0.05]
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def search_shards(sf_dir: str):
+    """_search_shards API (action/admin/cluster/shards/
+    ClusterSearchShardsAction): the routing plan a coordinator would use —
+    which segment partition each searcher "shard" serves, with its doc
+    range and count. Derived from the same round-robin assignment
+    DistributedSearcher makes over the committed manifests; the oracle
+    re-derives doc counts from the raw table (one flush segment per
+    fragment at this corpus size -> shard 0 of 2 holds it)."""
+    from ..index.manifest import committed_segments, live_segments
+    from .fulltext import documents_index
+
+    live = live_segments(committed_segments(documents_index(sf_dir)))
+    seg_ids = sorted(live)
+    num = max(1, min(2, len(seg_ids)))
+    rows = []
+    for i, sid in enumerate(seg_ids):
+        m = live[sid]
+        rows.append((i % num, int(m.doc_id_min), int(m.doc_id_max),
+                     int(m.doc_count)))
+    rows.sort()
+    return pd.DataFrame({
+        "shard": pd.array([r[0] for r in rows], dtype="int64"),
+        "doc_id_min": pd.array([r[1] for r in rows], dtype="int64"),
+        "doc_id_max": pd.array([r[2] for r in rows], dtype="int64"),
+        "doc_count": pd.array([r[3] for r in rows], dtype="int64"),
+    })
