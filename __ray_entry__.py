@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "annotated_text_terms", "phonetic_soundex", "phonetic_metaphone",
         "icu_analyze", "ingest_attachment", "tasks_api", "script_expression", "dedup_decontaminate",
         "phrase_suggest_collate", "text_repetition", "search_shards",
+        "agg_composite_date_histogram", "agg_significant_script",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -2167,6 +2168,32 @@ SELECT term, fg_df, bg_df,
              ELSE 0 END, 6) AS chi2
 FROM x WHERE fg_df >= 5
 ORDER BY chi2 DESC, term LIMIT 10""",
+        "agg_composite_date_histogram": """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS doc_count
+  FROM events GROUP BY 1, 2),
+o AS (SELECT day, event_type, doc_count,
+             row_number() OVER (ORDER BY day, event_type) AS rn FROM b)
+SELECT day, event_type, doc_count FROM o
+WHERE rn > 10 ORDER BY day, event_type LIMIT 10""",
+        "agg_significant_script": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+fg_n AS (SELECT count(*) AS n FROM documents WHERE lang = 'zh'),
+bg_n AS (SELECT count(*) AS n FROM documents),
+counts AS (
+  SELECT term,
+         count(*) FILTER (WHERE d.lang = 'zh') AS fg_df,
+         count(*) AS bg_df
+  FROM tok JOIN documents d USING (doc_id) GROUP BY term)
+SELECT term, fg_df, bg_df,
+       ROUND(CAST(fg_df AS DOUBLE) / fg_n.n
+             - CAST(bg_df AS DOUBLE) / bg_n.n, 6) AS score
+FROM counts CROSS JOIN fg_n CROSS JOIN bg_n
+WHERE fg_df >= 5
+ORDER BY score DESC, term LIMIT 10""",
         "agg_significant_gnd": """
 WITH tok AS (
   SELECT DISTINCT doc_id, t AS term FROM (

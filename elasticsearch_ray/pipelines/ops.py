@@ -4687,3 +4687,45 @@ def search_shards(sf_dir: str):
         "doc_id_max": pd.array([r[2] for r in rows], dtype="int64"),
         "doc_count": pd.array([r[3] for r in rows], dtype="int64"),
     })
+
+
+def agg_composite_date_histogram(sf_dir: str):
+    """composite agg with a date_histogram source paired with a terms source
+    (CompositeAggregationBuilder sources,
+    DateHistogramValuesSourceBuilder): day-truncated ts x event_type, key
+    order, after-cursor pagination (page 2 of size 10)."""
+    import pyarrow.compute as pc
+
+    ds = _ds(sf_dir, "events", ["ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day"),
+                         "event_type": t["event_type"]})
+
+    d2 = ds.map_batches(derive, batch_format="pyarrow")
+    page1 = A.composite_agg(d2, ["day", "event_type"], size=10)
+    after = (page1["day"].iloc[-1], page1["event_type"].iloc[-1])
+    page2 = A.composite_agg(d2, ["day", "event_type"], size=10, after=after)
+    return page2
+
+
+def agg_significant_script(sf_dir: str):
+    """significant_terms with script_heuristic (significant/heuristics/
+    ScriptHeuristic.java): the score expression runs in the sandboxed
+    evaluator over the reference's four exposed variables (_subset_freq,
+    _subset_size, _superset_freq, _superset_size) — here the 'absolute
+    rate difference' heuristic."""
+    from ..scripting import safe_eval_expr
+
+    red, fg_n, bg_n = _significant_dfs(sf_dir)
+    env = {"_subset_freq": red.fg_df.to_numpy().astype(np.float64),
+           "_superset_freq": red.bg_df.to_numpy().astype(np.float64),
+           "_subset_size": float(fg_n), "_superset_size": float(bg_n)}
+    score = safe_eval_expr(
+        "_subset_freq / _subset_size - _superset_freq / _superset_size", env)
+    red = red.copy()
+    red["score"] = round_half_away(np.asarray(score, np.float64), 6)
+    red = red[red.fg_df >= 5]
+    red = red.sort_values(["score", "term"],
+                          ascending=[False, True]).head(10)
+    return red.reset_index(drop=True)[["term", "fg_df", "bg_df", "score"]]
