@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "icu_analyze", "ingest_attachment", "tasks_api", "script_expression", "dedup_decontaminate",
         "phrase_suggest_collate", "text_repetition", "search_shards",
         "agg_composite_date_histogram", "agg_significant_script",
+        "forcemerge_api",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1995,6 +1996,18 @@ GROUP BY 1 ORDER BY weight DESC, input LIMIT 5""",
         # documents.parquet is a single row group at every sf, so the live
         # view is exactly one flush segment spanning all docs — the oracle
         # recomputes its doc range, count, and indexed-token total.
+        "forcemerge_api": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+dlen AS (SELECT doc_id, count(*) AS toks FROM tok GROUP BY doc_id)
+SELECT CAST(4 AS BIGINT) AS segments_before,
+       CAST(1 AS BIGINT) AS segments_after,
+       COUNT(*) AS doc_count,
+       CAST((SELECT SUM(toks) FROM dlen) AS BIGINT) AS tokens,
+       true AS term_docs_stable
+FROM documents""",
         "search_shards": """
 SELECT CAST(0 AS BIGINT) AS shard, MIN(doc_id) AS doc_id_min,
        MAX(doc_id) AS doc_id_max, COUNT(*) AS doc_count

@@ -4729,3 +4729,38 @@ def agg_significant_script(sf_dir: str):
     red = red.sort_values(["score", "term"],
                           ascending=[False, True]).head(10)
     return red.reset_index(drop=True)[["term", "fg_df", "bg_df", "score"]]
+
+
+def forcemerge_api(sf_dir: str):
+    """_forcemerge API (rest/action/admin/indices/RestForceMergeAction ->
+    force_merge): the live index is split into 4 segments (resize
+    machinery), force-merged back to max_num_segments=1, and verified —
+    one live segment whose recorded doc/token totals equal a from-scratch
+    recount, and a term query's doc count unchanged across the cycle."""
+    import shutil
+
+    from ..index.manifest import committed_segments, live_segments
+    from ..index.merge import force_merge
+    from ..index.reshape import split_index
+    from ..search.engine import IndexSearcher
+    from .fulltext import documents_index
+
+    src = documents_index(sf_dir)
+    work = "/tmp/esray_cache/forcemerge_idx"
+    shutil.rmtree(work, ignore_errors=True)
+    split_index(src, work, parts=4)
+    before = len(live_segments(committed_segments(work)))
+    n_before = int(IndexSearcher(work)._eval(
+        {"kind": "term", "term": "data"})[0].size)
+    force_merge(work, max_num_segments=1)
+    live = live_segments(committed_segments(work))
+    n_after = int(IndexSearcher(work)._eval(
+        {"kind": "term", "term": "data"})[0].size)
+    m = next(iter(live.values()))
+    return pd.DataFrame({
+        "segments_before": pd.array([before], dtype="int64"),
+        "segments_after": pd.array([len(live)], dtype="int64"),
+        "doc_count": pd.array([int(m.doc_count)], dtype="int64"),
+        "tokens": pd.array([int(m.sum_doc_len)], dtype="int64"),
+        "term_docs_stable": [bool(n_before == n_after)],
+    })
