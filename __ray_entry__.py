@@ -120,7 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "icu_analyze", "ingest_attachment", "tasks_api", "script_expression", "dedup_decontaminate",
         "phrase_suggest_collate", "text_repetition", "search_shards",
         "agg_composite_date_histogram", "agg_significant_script",
-        "forcemerge_api",
+        "forcemerge_api", "bulk_actions", "source_orc_roundtrip",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1996,6 +1996,22 @@ GROUP BY 1 ORDER BY weight DESC, input LIMIT 5""",
         # documents.parquet is a single row group at every sf, so the live
         # view is exactly one flush segment spanning all docs — the oracle
         # recomputes its doc range, count, and indexed-token total.
+        # per-id op order is update(%10) -> delete(%25) -> create(%40):
+        # ids on the lcm 200 get delete-then-create = successful re-create
+        # with the new source; a create on a live doc is a version conflict
+        "bulk_actions": """
+SELECT doc_id,
+       CASE WHEN doc_id % 200 = 0 THEN 'xx'
+            WHEN doc_id % 10 = 0 THEN upper(lang) ELSE lang END AS lang,
+       CAST(CASE WHEN doc_id % 200 = 0 THEN -1 ELSE n_chars END
+            AS BIGINT) AS n_chars,
+       CAST(CASE WHEN doc_id % 40 = 0 AND doc_id % 25 <> 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS errors
+FROM documents WHERE doc_id % 25 <> 0 OR doc_id % 200 = 0
+ORDER BY doc_id""",
+        "source_orc_roundtrip": """
+SELECT count(*) AS doc_count, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS langs FROM documents""",
         "forcemerge_api": """
 WITH tok AS (
   SELECT doc_id, t AS term FROM (

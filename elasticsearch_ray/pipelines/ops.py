@@ -4764,3 +4764,76 @@ def forcemerge_api(sf_dir: str):
         "tokens": pd.array([int(m.sum_doc_len)], dtype="int64"),
         "term_docs_stable": [bool(n_before == n_after)],
     })
+
+
+def bulk_actions(sf_dir: str):
+    """_bulk wire format (action/bulk/BulkRequestParser.java): a
+    deterministic action stream over documents — index all, then partial
+    update (lang -> upper) for doc_id % 10 == 0, delete doc_id % 25 == 0,
+    and a conflicting create (must fail, state unchanged) for
+    doc_id % 40 == 0 — applied with per-id seq ordering and compared
+    against the SQL-computed final state."""
+    import json
+
+    from ..sources.bulk import apply_bulk, parse_bulk
+
+    docs = (_ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+            .to_pandas().sort_values("doc_id"))
+    lines = []
+    for r in docs.itertuples():
+        lines.append(json.dumps({"index": {"_id": int(r.doc_id)}}))
+        lines.append(json.dumps({"lang": r.lang, "n_chars": int(r.n_chars)}))
+    for r in docs.itertuples():
+        did = int(r.doc_id)
+        if did % 10 == 0:
+            lines.append(json.dumps({"update": {"_id": did}}))
+            lines.append(json.dumps({"doc": {"lang": r.lang.upper()}}))
+        if did % 25 == 0:
+            lines.append(json.dumps({"delete": {"_id": did}}))
+        if did % 40 == 0:
+            lines.append(json.dumps({"create": {"_id": did}}))
+            lines.append(json.dumps({"lang": "xx", "n_chars": -1}))
+    out = apply_bulk(parse_bulk(lines))
+    parsed = out["doc"].map(json.loads)
+    return pd.DataFrame({
+        "doc_id": out["_id"].astype(np.int64),
+        "lang": [d["lang"] for d in parsed],
+        "n_chars": pd.array([d["n_chars"] for d in parsed], dtype="int64"),
+        "errors": out["errors"].astype(np.int64),
+    })
+
+
+def source_orc_roundtrip(sf_dir: str):
+    """ORC source (the reference reads any bulk payload; Ray-side: write the
+    corpus as ORC, read back with pyarrow.orc inside map_batches over file
+    fragments, verify count/chars/langs parity with the parquet original."""
+    import pyarrow.orc as paorc
+
+    dest = "/tmp/esray_cache/orc_roundtrip"
+    import shutil
+
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    df = (_ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+          .to_pandas().sort_values("doc_id"))
+    # two files -> two read fragments
+    half = len(df) // 2
+    for i, part in enumerate((df.iloc[:half], df.iloc[half:])):
+        paorc.write_table(pa.Table.from_pandas(part.reset_index(drop=True)),
+                          os.path.join(dest, f"part-{i}.orc"))
+    import ray.data as rd
+
+    files = sorted(os.path.join(dest, f) for f in os.listdir(dest))
+
+    def read_file(batch: pa.Table) -> pa.Table:
+        tabs = [paorc.read_table(p) for p in batch["path"].to_pylist()]
+        return pa.concat_tables(tabs)
+
+    back = (rd.from_items([{"path": p} for p in files])
+            .map_batches(read_file, batch_format="pyarrow"))
+    agg = back.to_pandas()
+    return pd.DataFrame({
+        "doc_count": pd.array([len(agg)], dtype="int64"),
+        "total_chars": pd.array([int(agg.n_chars.sum())], dtype="int64"),
+        "langs": pd.array([agg.lang.nunique()], dtype="int64"),
+    })

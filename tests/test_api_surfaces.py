@@ -351,3 +351,37 @@ def test_fuzzy_transpositions_vs_plain(ray_session):
     assert ids_t.size >= ids_data.size
     assert np.isin(ids_data, ids_t).all()
     assert not np.isin(ids_data, ids_p).all() or ids_p.size == 0
+
+
+def test_bulk_wire_format(ray_session):
+    """_bulk NDJSON action stream: per-id seq ordering, create-conflict,
+    update-missing, delete-then-create semantics
+    (BulkRequestParser + TransportShardBulkAction)."""
+    import json
+
+    from elasticsearch_ray.sources.bulk import apply_bulk, parse_bulk
+
+    lines = [
+        json.dumps({"index": {"_id": 1}}), json.dumps({"v": 1}),
+        json.dumps({"create": {"_id": 1}}), json.dumps({"v": 99}),  # conflict
+        json.dumps({"update": {"_id": 1}}), json.dumps({"doc": {"w": 2}}),
+        json.dumps({"index": {"_id": 2}}), json.dumps({"v": 5}),
+        json.dumps({"delete": {"_id": 2}}),
+        json.dumps({"create": {"_id": 2}}), json.dumps({"v": 6}),  # re-create
+        json.dumps({"update": {"_id": 3}}), json.dumps({"doc": {"v": 7}}),  # missing
+        json.dumps({"delete": {"_id": 4}}),  # missing
+    ]
+    recs = parse_bulk(lines)
+    assert [r["op"] for r in recs][:3] == ["index", "create", "update"]
+    out = apply_bulk(recs)
+    state = {int(i): (json.loads(d), int(e))
+             for i, d, e in zip(out["_id"], out["doc"], out["errors"])}
+    assert state[1] == ({"v": 1, "w": 2}, 1)  # create conflicted, update ok
+    assert state[2] == ({"v": 6}, 0)          # delete then create succeeds
+    assert 3 not in state and 4 not in state  # missing-doc ops leave nothing
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_bulk([json.dumps({"noop": {"_id": 9}})])
+    with pytest.raises(ValueError):
+        parse_bulk([json.dumps({"index": {"_id": 9}})])  # missing source
