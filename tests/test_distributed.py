@@ -130,3 +130,32 @@ def test_searcher_actor_failover(index_dir):
     after_ids, after_sc = dist.search(q)
     assert list(before_ids) == list(after_ids)
     np.testing.assert_allclose(before_sc, after_sc, rtol=1e-12)
+
+
+def test_distributed_round3_kinds(index_dir):
+    """Round-3-continuation kinds are partition-invariant too: intervals
+    with a filter rule (per-partition interval geometry, constant-score
+    union) and expression-language script_score."""
+    glob = IndexSearcher(index_dir)
+    dist = DistributedSearcher(index_dir, num_searchers=3)
+    queries = [
+        {"kind": "intervals",
+         "rule": {"match": {"query": "def tree", "max_gaps": 2,
+                            "ordered": True,
+                            "filter": {"not_containing":
+                                       {"match": {"query": "node"}}}}},
+         "k": 10},
+        {"kind": "intervals",
+         "rule": {"match": {"query": "def", "filter":
+                            {"before": {"match": {"query": "tree"}}}}},
+         "k": 10},
+        {"kind": "script_score", "query": {"kind": "term", "term": "def"},
+         "script": {"lang": "expression",
+                    "source": "_score > 1 ? _score * 2 : _score"}, "k": 10},
+    ]
+    for q in queries:
+        g_ids, g_sc = glob.search(q)
+        d_ids, d_sc = dist.search(q)
+        assert list(g_ids) == list(d_ids), f"doc order mismatch: {q}"
+        np.testing.assert_allclose(
+            np.asarray(g_sc, np.float64), d_sc, rtol=1e-7, err_msg=str(q))
