@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_suggest_collate", "text_repetition", "search_shards",
         "agg_composite_date_histogram", "agg_significant_script",
         "forcemerge_api", "bulk_actions", "source_orc_roundtrip",
+        "mapping_options",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -1999,6 +2000,14 @@ GROUP BY 1 ORDER BY weight DESC, input LIMIT 5""",
         # per-id op order is update(%10) -> delete(%25) -> create(%40):
         # ids on the lcm 200 get delete-then-create = successful re-create
         # with the new source; a create on a live doc is a version conflict
+        "mapping_options": """
+SELECT CASE WHEN lang = 'de' THEN 'unknown' ELSE lang END AS lang_nv,
+       count(*) AS doc_count,
+       CAST(count(*) FILTER (WHERE length(source) <= 4) AS BIGINT)
+         AS kw_indexed,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_coerced,
+       CAST(count(*) * 2 AS BIGINT) AS all_tokens
+FROM documents GROUP BY 1 ORDER BY lang_nv""",
         "bulk_actions": """
 SELECT doc_id,
        CASE WHEN doc_id % 200 = 0 THEN 'xx'

@@ -4837,3 +4837,42 @@ def source_orc_roundtrip(sf_dir: str):
         "total_chars": pd.array([int(agg.n_chars.sum())], dtype="int64"),
         "langs": pd.array([agg.lang.nunique()], dtype="int64"),
     })
+
+
+def mapping_options(sf_dir: str):
+    """Mapper parse-stage options (KeywordFieldMapper.ignore_above,
+    NumberFieldMapper null_value/coerce, TypeParsers copy_to): keyword
+    `source` values longer than ignore_above=4 are NOT indexed (bucket
+    drops), lang 'de' stands in for a null taking null_value='unknown',
+    n_chars arrives as a string and coerces to long, and copy_to combines
+    lang+source into an `all` field whose per-doc token count is summed."""
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    IGNORE_ABOVE = 4
+
+    def parse(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        lang = t["lang"].to_pylist()
+        nchars_str = [str(x) for x in t["n_chars"].to_pylist()]  # wire form
+        kw = [s if len(s) <= IGNORE_ABOVE else None for s in src]
+        lang_nv = ["unknown" if x == "de" else x for x in lang]
+        coerced = np.array([int(float(s)) for s in nchars_str], np.int64)
+        all_field = [f"{a} {b}" for a, b in zip(lang_nv, src)]
+        return pa.table({
+            "kw_indexed": pa.array([x is not None for x in kw]),
+            "lang_nv": pa.array(lang_nv, pa.string()),
+            "coerced": pa.array(coerced, pa.int64()),
+            "all_tokens": pa.array([len(s.split()) for s in all_field],
+                                   pa.int64()),
+        })
+
+    out = ds.map_batches(parse, batch_format="pyarrow").to_pandas()
+    g = (out.groupby("lang_nv", as_index=False)
+         .agg(doc_count=("lang_nv", "size"),
+              kw_indexed=("kw_indexed", "sum"),
+              sum_coerced=("coerced", "sum"),
+              all_tokens=("all_tokens", "sum")))
+    g["kw_indexed"] = g["kw_indexed"].astype(np.int64)
+    g["sum_coerced"] = g["sum_coerced"].astype(np.int64)
+    g["all_tokens"] = g["all_tokens"].astype(np.int64)
+    return g.sort_values("lang_nv").reset_index(drop=True)
