@@ -121,7 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_suggest_collate", "text_repetition", "search_shards",
         "agg_composite_date_histogram", "agg_significant_script",
         "forcemerge_api", "bulk_actions", "source_orc_roundtrip",
-        "mapping_options",
+        "mapping_options", "training_mix", "sequence_packing",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -2000,6 +2000,35 @@ GROUP BY 1 ORDER BY weight DESC, input LIMIT 5""",
         # per-id op order is update(%10) -> delete(%25) -> create(%40):
         # ids on the lcm 200 get delete-then-create = successful re-create
         # with the new source; a create on a live doc is a version conflict
+        "training_mix": """
+WITH w AS (SELECT * FROM (VALUES ('en', 100), ('fr', 50), ('de', 25),
+                                 ('es', 50), ('zh', 75)) AS t(lang, pct))
+SELECT lang, count(*) AS kept
+FROM documents JOIN w USING (lang)
+WHERE doc_id % 100 < pct
+GROUP BY lang ORDER BY lang""",
+        "sequence_packing": """
+WITH tl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS tokens
+  FROM documents),
+c AS (SELECT doc_id, tokens,
+             SUM(tokens) OVER (ORDER BY doc_id) AS cum
+      FROM tl),
+spans AS (SELECT doc_id,
+                 (cum - tokens) // 2048 AS first,
+                 GREATEST((cum - tokens) // 2048, (cum - 1) // 2048) AS last
+          FROM c),
+chunks AS (SELECT unnest(range(0, CAST((SELECT ((MAX(cum) - 1) // 2048) + 1
+                                  FROM c) AS BIGINT))) AS chunk),
+tot AS (SELECT MAX(cum) AS total, ((MAX(cum) - 1) // 2048) + 1 AS n FROM c)
+SELECT chunk,
+       (SELECT count(*) FROM spans
+        WHERE spans.first <= chunk AND chunk <= spans.last) AS n_docs,
+       CAST(CASE WHEN chunk = tot.n - 1 THEN tot.total - (tot.n - 1) * 2048
+                 ELSE 2048 END AS BIGINT) AS tokens
+FROM chunks CROSS JOIN tot ORDER BY chunk""",
         "mapping_options": """
 SELECT CASE WHEN lang = 'de' THEN 'unknown' ELSE lang END AS lang_nv,
        count(*) AS doc_count,

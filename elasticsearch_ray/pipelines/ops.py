@@ -4876,3 +4876,70 @@ def mapping_options(sf_dir: str):
     g["sum_coerced"] = g["sum_coerced"].astype(np.int64)
     g["all_tokens"] = g["all_tokens"].astype(np.int64)
     return g.sort_values("lang_nv").reset_index(drop=True)
+
+
+def training_mix(sf_dir: str):
+    """Training-data mixing: per-language sampling weights (the data-mixture
+    step of LLM corpus assembly) applied deterministically — doc kept when
+    doc_id mod 100 < weight*100. One map_batches pass, no shuffle; the
+    mixture report is a tiny groupby."""
+    weights = {"en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.5, "zh": 0.75}
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_pylist()
+        did = t["doc_id"].to_numpy()
+        w = np.array([weights.get(x, 0.0) for x in lang])
+        m = (did % 100) < np.round(w * 100).astype(np.int64)
+        return t.filter(pa.array(m))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    g = (out.groupby("lang", as_index=False)
+         .agg(kept=("doc_id", "size")))
+    g["kept"] = g["kept"].astype(np.int64)
+    return g.sort_values("lang").reset_index(drop=True)
+
+
+def sequence_packing(sf_dir: str):
+    """Sequence packing (concat-then-chunk, the standard LLM pretraining
+    batch-assembly op): token streams concatenated in doc_id order and cut
+    into fixed 2048-token sequences; reports per-chunk how many documents
+    it touches and its token count. Per-doc token offsets come from one
+    distributed count pass + a cumulative sum over the (tiny) per-doc
+    count table."""
+    BUDGET = 2048
+
+    from ..analyzer import get_analyzer
+
+    analyze = get_analyzer("simple").tokenize
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tokens": pa.array([len(analyze(x))
+                                for x in t["text"].to_pylist()], pa.int64()),
+        })
+
+    per_doc = (ds.map_batches(count, batch_format="pyarrow")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    cum = per_doc.tokens.cumsum().to_numpy()
+    start = cum - per_doc.tokens.to_numpy()
+    # chunks this doc overlaps: floor(start/B) .. floor((cum-1)/B)
+    first = start // BUDGET
+    last = np.maximum(first, (cum - 1) // BUDGET)
+    n_chunks = int(last.max()) + 1 if len(per_doc) else 0
+    docs_per_chunk = np.zeros(n_chunks, np.int64)
+    for f, l in zip(first, last):
+        docs_per_chunk[f:l + 1] += 1
+    total = int(cum[-1]) if len(per_doc) else 0
+    tokens_per_chunk = np.full(n_chunks, BUDGET, np.int64)
+    if n_chunks:
+        tokens_per_chunk[-1] = total - (n_chunks - 1) * BUDGET
+    return pd.DataFrame({
+        "chunk": pd.array(np.arange(n_chunks), dtype="int64"),
+        "n_docs": pd.array(docs_per_chunk, dtype="int64"),
+        "tokens": pd.array(tokens_per_chunk, dtype="int64"),
+    })
