@@ -4905,10 +4905,19 @@ def sequence_packing(sf_dir: str):
     """Sequence packing (concat-then-chunk, the standard LLM pretraining
     batch-assembly op): token streams concatenated in doc_id order and cut
     into fixed 2048-token sequences; reports per-chunk how many documents
-    it touches and its token count. Per-doc token offsets come from one
-    distributed count pass + a cumulative sum over the (tiny) per-doc
-    count table."""
+    it touches and its token count.
+
+    Scale shape — a distributed prefix sum, NOT a driver cumsum: pass A
+    reduces each block of the (doc_id, tokens) table to (first_doc_id,
+    block_total); the driver prefix-sums only the per-BLOCK totals (K
+    values); pass B recomputes in-block cumsums, adds its block's offset,
+    and emits per-chunk partial doc counts that a tiny groupby reduces.
+    Blocks are doc_id-disjoint (the corpus files are doc_id-sorted), and
+    both passes use batch_size=None over the same materialized per-doc
+    table so block boundaries match."""
     BUDGET = 2048
+
+    from ray.data.aggregate import Sum
 
     from ..analyzer import get_analyzer
 
@@ -4923,23 +4932,47 @@ def sequence_packing(sf_dir: str):
                                 for x in t["text"].to_pylist()], pa.int64()),
         })
 
-    per_doc = (ds.map_batches(count, batch_format="pyarrow")
-               .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    cum = per_doc.tokens.cumsum().to_numpy()
-    start = cum - per_doc.tokens.to_numpy()
-    # chunks this doc overlaps: floor(start/B) .. floor((cum-1)/B)
-    first = start // BUDGET
-    last = np.maximum(first, (cum - 1) // BUDGET)
-    n_chunks = int(last.max()) + 1 if len(per_doc) else 0
-    docs_per_chunk = np.zeros(n_chunks, np.int64)
-    for f, l in zip(first, last):
-        docs_per_chunk[f:l + 1] += 1
-    total = int(cum[-1]) if len(per_doc) else 0
+    per_doc = ds.map_batches(count, batch_format="pyarrow").materialize()
+
+    def block_total(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "first_doc": pa.array([int(t["doc_id"][0].as_py())], pa.int64()),
+            "total": pa.array([int(np.sum(t["tokens"].to_numpy()))],
+                              pa.int64()),
+        })
+
+    blocks = (per_doc.map_batches(block_total, batch_format="pyarrow",
+                                  batch_size=None)
+              .to_pandas().sort_values("first_doc"))
+    totals = blocks.total.to_numpy()
+    offsets = {int(fd): int(o) for fd, o in
+               zip(blocks.first_doc, np.cumsum(totals) - totals)}
+    grand_total = int(totals.sum())
+
+    def chunk_partials(t: pa.Table) -> pa.Table:
+        toks = t["tokens"].to_numpy()
+        base = offsets[int(t["doc_id"][0].as_py())]
+        cum = base + np.cumsum(toks)
+        start = cum - toks
+        first = start // BUDGET
+        last = np.maximum(first, (cum - 1) // BUDGET)
+        lo, hi = int(first.min()), int(last.max())
+        local = np.zeros(hi - lo + 1, np.int64)
+        for fi, la in zip(first, last):
+            local[fi - lo:la - lo + 1] += 1
+        return pa.table({"chunk": pa.array(np.arange(lo, hi + 1), pa.int64()),
+                         "n_docs": pa.array(local, pa.int64())})
+
+    red = (per_doc.map_batches(chunk_partials, batch_format="pyarrow",
+                               batch_size=None)
+           .groupby("chunk").aggregate(Sum("n_docs", alias_name="n_docs"))
+           .to_pandas().sort_values("chunk").reset_index(drop=True))
+    n_chunks = len(red)
     tokens_per_chunk = np.full(n_chunks, BUDGET, np.int64)
     if n_chunks:
-        tokens_per_chunk[-1] = total - (n_chunks - 1) * BUDGET
+        tokens_per_chunk[-1] = grand_total - (n_chunks - 1) * BUDGET
     return pd.DataFrame({
-        "chunk": pd.array(np.arange(n_chunks), dtype="int64"),
-        "n_docs": pd.array(docs_per_chunk, dtype="int64"),
+        "chunk": red.chunk.astype(np.int64),
+        "n_docs": red.n_docs.astype(np.int64),
         "tokens": pd.array(tokens_per_chunk, dtype="int64"),
     })
