@@ -4276,15 +4276,28 @@ def ingest_user_agent(sf_dir: str):
         return t.append_column(
             "ua", pa.array([_UA_SAMPLES[i] for i in idx], pa.string()))
 
+    from ray.data.aggregate import Sum
+
     pipe = I.pipeline(I.user_agent("ua"))
-    out = (ds.map_batches(assign, batch_format="pyarrow")
-           .map_batches(pipe, batch_format="pyarrow")
-           .to_pandas())
-    g = (out.groupby(["ua_name", "ua_major", "ua_os", "ua_device"],
-                     dropna=False)
-         .size().reset_index(name="doc_count"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        # partial counts per batch; the shuffle carries one row per distinct
+        # UA shape per block, not per event
+        df = t.select(["ua_name", "ua_major", "ua_os", "ua_device"]) \
+            .to_pandas()
+        g = (df.groupby(list(df.columns), dropna=False)
+             .size().reset_index(name="doc_count"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (ds.map_batches(assign, batch_format="pyarrow")
+         .map_batches(pipe, batch_format="pyarrow")
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["ua_name", "ua_major", "ua_os", "ua_device"])
+         .aggregate(Sum("doc_count", alias_name="doc_count"))
+         .to_pandas())
     for c in ("ua_name", "ua_major", "ua_os", "ua_device"):
         g[c] = g[c].astype(object).where(g[c].notna(), None)
+    g["doc_count"] = g["doc_count"].astype(np.int64)
     return (g.sort_values("ua_name").reset_index(drop=True)
             [["ua_name", "ua_major", "ua_os", "ua_device", "doc_count"]])
 
@@ -4307,15 +4320,31 @@ def ingest_geoip(sf_dir: str):
                for u, e in zip(uid, eid)]
         return t.append_column("ip", pa.array(ips, pa.string()))
 
+    from ray.data.aggregate import Sum
+
     pipe = I.pipeline(I.geoip("ip"))
-    out = (ds.map_batches(assign, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["geo_continent_name", "geo_country_iso_code",
+                       "geo_city_name", "geo_lat", "geo_lon"]).to_pandas()
+        g = (df.groupby(["geo_continent_name", "geo_country_iso_code",
+                         "geo_city_name"], dropna=False)
+             .agg(doc_count=("geo_city_name", "size"),
+                  geo_lat=("geo_lat", "first"),
+                  geo_lon=("geo_lon", "first"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    red = (ds.map_batches(assign, batch_format="pyarrow")
            .map_batches(pipe, batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow")
            .to_pandas())
-    g = (out.groupby(["geo_continent_name", "geo_country_iso_code",
+    g = (red.groupby(["geo_continent_name", "geo_country_iso_code",
                       "geo_city_name"], dropna=False)
-         .agg(doc_count=("geo_city_name", "size"),
+         .agg(doc_count=("doc_count", "sum"),
               lat=("geo_lat", "first"), lon=("geo_lon", "first"))
          .reset_index())
+    g["doc_count"] = g["doc_count"].astype(np.int64)
     for c in ("geo_continent_name", "geo_country_iso_code", "geo_city_name"):
         g[c] = g[c].astype(object).where(g[c].notna(), None)
     g["lat"] = g["lat"].astype(np.float64)
@@ -4866,12 +4895,15 @@ def mapping_options(sf_dir: str):
                                    pa.int64()),
         })
 
-    out = ds.map_batches(parse, batch_format="pyarrow").to_pandas()
-    g = (out.groupby("lang_nv", as_index=False)
-         .agg(doc_count=("lang_nv", "size"),
-              kw_indexed=("kw_indexed", "sum"),
-              sum_coerced=("coerced", "sum"),
-              all_tokens=("all_tokens", "sum")))
+    from ray.data.aggregate import Count, Sum
+
+    g = (ds.map_batches(parse, batch_format="pyarrow")
+         .groupby("lang_nv")
+         .aggregate(Count(alias_name="doc_count"),
+                    Sum("kw_indexed", alias_name="kw_indexed"),
+                    Sum("coerced", alias_name="sum_coerced"),
+                    Sum("all_tokens", alias_name="all_tokens"))
+         .to_pandas())
     g["kw_indexed"] = g["kw_indexed"].astype(np.int64)
     g["sum_coerced"] = g["sum_coerced"].astype(np.int64)
     g["all_tokens"] = g["all_tokens"].astype(np.int64)
@@ -4894,9 +4926,11 @@ def training_mix(sf_dir: str):
         m = (did % 100) < np.round(w * 100).astype(np.int64)
         return t.filter(pa.array(m))
 
-    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
-    g = (out.groupby("lang", as_index=False)
-         .agg(kept=("doc_id", "size")))
+    from ray.data.aggregate import Count
+
+    g = (ds.map_batches(keep, batch_format="pyarrow")
+         .groupby("lang").aggregate(Count(alias_name="kept"))
+         .to_pandas())
     g["kept"] = g["kept"].astype(np.int64)
     return g.sort_values("lang").reset_index(drop=True)
 
