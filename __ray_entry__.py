@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_composite_date_histogram", "agg_significant_script",
         "forcemerge_api", "bulk_actions", "source_orc_roundtrip",
         "mapping_options", "training_mix", "sequence_packing",
+        "agg_date_histogram_quarter",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -2000,6 +2001,10 @@ GROUP BY 1 ORDER BY weight DESC, input LIMIT 5""",
         # per-id op order is update(%10) -> delete(%25) -> create(%40):
         # ids on the lcm 200 get delete-then-create = successful re-create
         # with the new source; a create on a live doc is a version conflict
+        "agg_date_histogram_quarter": """
+SELECT date_trunc('quarter', ts) AS bucket, count(*) AS doc_count,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1 ORDER BY bucket""",
         "training_mix": """
 WITH w AS (SELECT * FROM (VALUES ('en', 100), ('fr', 50), ('de', 25),
                                  ('es', 50), ('zh', 75)) AS t(lang, pct))

@@ -41,7 +41,11 @@ def date_histogram(ds, ts_col: str, interval: str = "day", value: str | None = N
     (+ optional sum)."""
     from ray.data.aggregate import Count, Sum
 
-    unit = {"day": "day", "hour": "hour", "month": "month", "week": "week"}[interval]
+    # DateHistogramInterval calendar units (search/aggregations/bucket/
+    # histogram/DateHistogramInterval.java)
+    unit = {"second": "second", "minute": "minute", "hour": "hour",
+            "day": "day", "week": "week", "month": "month",
+            "quarter": "quarter", "year": "year"}[interval]
 
     def bucketize(t: pa.Table) -> pa.Table:
         # int64 epoch-us keys through the shuffle (datetime keys trip Ray's

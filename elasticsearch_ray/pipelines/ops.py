@@ -5010,3 +5010,12 @@ def sequence_packing(sf_dir: str):
         "n_docs": red.n_docs.astype(np.int64),
         "tokens": pd.array(tokens_per_chunk, dtype="int64"),
     })
+
+
+def agg_date_histogram_quarter(sf_dir: str):
+    """date_histogram calendar_interval=quarter
+    (DateHistogramInterval.QUARTER; ISO quarters via Rounding analog)."""
+    out = A.date_histogram(_ds(sf_dir, "events", ["ts", "value"]),
+                           "ts", interval="quarter", value="value")
+    out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 2)
+    return out
