@@ -101,3 +101,28 @@ def searcher(tmp_path_factory, ray_session):
 def test_intervals_filter(searcher, name, query, expected):
     ids, _ = searcher._eval(query)
     assert sorted(ids.tolist()) == expected
+
+
+CASES_SOURCES = [
+    # any_of union of two single-term sources, filtered to those positions
+    # contained by an (alpha gamma) window
+    ("any_of_contained_by",
+     iv({"any_of": {"terms": [{"match": {"query": "beta"}},
+                              {"match": {"query": "delta"}}],
+                    "filter": {"contained_by": m("alpha gamma",
+                                                 max_gaps=1)}}}),
+     [0, 4]),
+    # prefix source (expands to gamma) with a before-filter: gamma intervals
+    # that end before some alpha position
+    ("prefix_before",
+     iv({"prefix": {"prefix": "gam",
+                    "filter": {"before": m("alpha")}}}),
+     [3, 4]),
+]
+
+
+@pytest.mark.parametrize("name,query,expected", CASES_SOURCES,
+                         ids=[c[0] for c in CASES_SOURCES])
+def test_intervals_filter_sources(searcher, name, query, expected):
+    ids, _ = searcher._eval(query)
+    assert sorted(ids.tolist()) == expected
