@@ -122,7 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_composite_date_histogram", "agg_significant_script",
         "forcemerge_api", "bulk_actions", "source_orc_roundtrip",
         "mapping_options", "training_mix", "sequence_packing",
-        "agg_date_histogram_quarter",
+        "agg_date_histogram_quarter", "redact_pii",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -2001,6 +2001,39 @@ GROUP BY 1 ORDER BY weight DESC, input LIMIT 5""",
         # per-id op order is update(%10) -> delete(%25) -> create(%40):
         # ids on the lcm 200 get delete-then-create = successful re-create
         # with the new source; a create on a live doc is a version conflict
+        # replay the engine's sequential redaction chain: count+replace email,
+        # then phone on the email-redacted text, then ipv4
+        "redact_pii": """
+WITH t0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+                THEN text || ' contact user' || doc_id || '@example.com now'
+              WHEN doc_id % 3 = 1
+                THEN text || ' call +1 (555) 010-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                     ' today'
+              ELSE text || ' node 10.' || (doc_id % 256) || '.0.1 up'
+         END AS x
+  FROM documents),
+t1 AS (SELECT doc_id,
+              len(regexp_extract_all(x,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n1,
+              regexp_replace(x,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '[PII:email]', 'g') AS x
+       FROM t0),
+t2 AS (SELECT doc_id, n1,
+              len(regexp_extract_all(x,
+                  '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) AS n2,
+              regexp_replace(x, '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]',
+                  '[PII:phone]', 'g') AS x
+       FROM t1),
+t3 AS (SELECT doc_id, n1, n2,
+              len(regexp_extract_all(x,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n3
+       FROM t2)
+SELECT doc_id, CAST(n1 + n2 + n3 AS BIGINT) AS n_redactions
+FROM t3 ORDER BY doc_id""",
         "agg_date_histogram_quarter": """
 SELECT date_trunc('quarter', ts) AS bucket, count(*) AS doc_count,
        ROUND(SUM(value), 2) AS sum_value

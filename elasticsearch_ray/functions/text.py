@@ -244,3 +244,31 @@ def repetition_ratios_batch(t: pa.Table, text_col: str = "text",
     for k, v in cols.items():
         out = out.append_column(k, pa.array(v, pa.float64()))
     return out
+
+
+PII_PATTERNS = {
+    # RE2-safe patterns (no lookaround) so engine (pyarrow RE2) and any
+    # SQL oracle (DuckDB RE2) apply byte-identical semantics
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii_batch(t: pa.Table, text_col: str = "text",
+                     kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
+                     token: str = "[PII:{kind}]") -> pa.Table:
+    """PII redaction (training-data scrubbing): each pattern class replaced
+    with a typed placeholder, fully vectorized via Arrow's RE2 kernel; adds
+    a per-doc redaction count column."""
+    import pyarrow.compute as pc
+
+    col = t[text_col]
+    n_red = np.zeros(len(t), np.int64)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        n_red += pc.count_substring_regex(col, pat).to_numpy()
+        col = pc.replace_substring_regex(col, pattern=pat,
+                                         replacement=token.format(kind=kind))
+    out = t.set_column(t.schema.get_field_index(text_col), text_col, col)
+    return out.append_column("n_redactions", pa.array(n_red, pa.int64()))

@@ -5019,3 +5019,32 @@ def agg_date_histogram_quarter(sf_dir: str):
                            "ts", interval="quarter", value="value")
     out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 2)
     return out
+
+
+def redact_pii(sf_dir: str):
+    """PII redaction (training-data scrubbing): a deterministic contact
+    line (email / phone / IPv4 by doc_id mod 3) is appended to each doc,
+    then the RE2 redaction chain runs vectorized (Arrow kernels); the
+    oracle replays the SAME sequential regex chain in DuckDB (both engines
+    are RE2, so semantics are byte-identical)."""
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        out = []
+        for did, x in zip(ids, texts):
+            if did % 3 == 0:
+                x = f"{x} contact user{did}@example.com now"
+            elif did % 3 == 1:
+                x = f"{x} call +1 (555) 010-{did % 10000:04d} today"
+            else:
+                x = f"{x} node 10.{did % 256}.0.1 up"
+            out.append(x)
+        return pa.table({"doc_id": ids, "text": pa.array(out, pa.string())})
+
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .map_batches(T.redact_pii_batch, batch_format="pyarrow")
+           .select_columns(["doc_id", "n_redactions"])
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

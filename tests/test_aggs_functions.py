@@ -802,3 +802,21 @@ def test_repetition_ratios():
     assert out["dup_2gram_frac"].to_pylist()[1] == 0.0
     assert out["dup_2gram_frac"].to_pylist()[2] == 0.0  # too short -> 0
     assert out["dup_3gram_frac"].to_pylist()[0] == 0.5
+
+
+def test_redact_pii():
+    from elasticsearch_ray.functions.text import redact_pii_batch
+
+    t = pa.table({"text": [
+        "mail a@b.co and c.d+x@e-f.org now",
+        "call +1 (555) 010-9999 or 555 123 4567 x",
+        "host 192.168.0.1 and 10.0.0.255",
+        "clean text with no pii at all",
+    ]})
+    out = redact_pii_batch(t)
+    texts = out["text"].to_pylist()
+    assert texts[0].count("[PII:email]") == 2
+    assert texts[1].count("[PII:phone]") == 2
+    assert texts[2].count("[PII:ipv4]") == 2
+    assert out["n_redactions"].to_pylist() == [2, 2, 2, 0]
+    assert "a@b.co" not in texts[0] and "192.168.0.1" not in texts[2]
