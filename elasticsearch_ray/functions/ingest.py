@@ -626,7 +626,7 @@ def geoip(col: str, out_prefix: str = "geo_",
 # implementation.
 
 def _sniff_content_type(raw: bytes) -> str:
-    if raw[:5].lower() == b"<html" or b"<html" in raw[:256].lower():
+    if b"<html" in raw[:256].lower():
         return "text/html"
     if raw[:4] == b"%PDF":
         return "application/pdf"

@@ -10,6 +10,8 @@ hash fingerprint are verified by rows-only checks + unit tests.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 from ..analyzer import ENGLISH_STOP_WORDS
@@ -224,27 +226,24 @@ def repetition_ratios_batch(t: pa.Table, text_col: str = "text",
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1): for each n,
     the fraction of word n-gram occurrences that are duplicates of an
     already-seen n-gram in the same document. 0 = no repetition, -> 1 for
-    degenerate boilerplate. Vectorized per doc with numpy unique."""
-    import re
-
-    word_re = re.compile(r"[a-z0-9]+")
+    degenerate boilerplate."""
     cols: dict[str, list] = {f"dup_{n}gram_frac": [] for n in ns}
     for text in t[text_col].to_pylist():
-        toks = word_re.findall(text.lower())
+        toks = WORD_RE.findall(text.lower())
         for n in ns:
             total = max(len(toks) - n + 1, 0)
             if total == 0:
                 cols[f"dup_{n}gram_frac"].append(0.0)
                 continue
-            grams = np.array([" ".join(toks[i:i + n])
-                              for i in range(total)], dtype=object)
-            n_unique = np.unique(grams).size
+            n_unique = len({tuple(toks[i:i + n]) for i in range(total)})
             cols[f"dup_{n}gram_frac"].append((total - n_unique) / total)
     out = t.select([c for c in t.column_names if c != text_col])
     for k, v in cols.items():
         out = out.append_column(k, pa.array(v, pa.float64()))
     return out
 
+
+WORD_RE = re.compile(r"[a-z0-9]+")
 
 PII_PATTERNS = {
     # RE2-safe patterns (no lookaround) so engine (pyarrow RE2) and any

@@ -4774,8 +4774,10 @@ def forcemerge_api(sf_dir: str):
     from ..search.engine import IndexSearcher
     from .fulltext import documents_index
 
+    import tempfile
+
     src = documents_index(sf_dir)
-    work = "/tmp/esray_cache/forcemerge_idx"
+    work = tempfile.mkdtemp(prefix="esray_forcemerge_")
     shutil.rmtree(work, ignore_errors=True)
     split_index(src, work, parts=4)
     before = len(live_segments(committed_segments(work)))
@@ -4838,11 +4840,9 @@ def source_orc_roundtrip(sf_dir: str):
     fragments, verify count/chars/langs parity with the parquet original."""
     import pyarrow.orc as paorc
 
-    dest = "/tmp/esray_cache/orc_roundtrip"
-    import shutil
+    import tempfile
 
-    shutil.rmtree(dest, ignore_errors=True)
-    os.makedirs(dest, exist_ok=True)
+    dest = tempfile.mkdtemp(prefix="esray_orc_")
     df = (_ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
           .to_pandas().sort_values("doc_id"))
     # two files -> two read fragments

@@ -265,5 +265,8 @@ def compile_expression(source: str) -> str:
 
     src = re.sub(r"doc\[\s*['\"]([A-Za-z_][\w.]*)['\"]\s*\]\.value",
                  r"\1", source)
-    src = src.replace("&&", "&").replace("||", "|")
+    # 'and'/'or', NOT '&'/'|': the bitwise forms bind tighter than
+    # comparisons in the sandbox AST, mis-grouping `a > 1 && b > 2`; the
+    # BoolOp handler vectorizes and/or over arrays
+    src = src.replace("&&", " and ").replace("||", " or ")
     return _rewrite_ternary(src)

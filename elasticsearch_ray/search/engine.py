@@ -1207,8 +1207,10 @@ class IndexSearcher:
                          "exp": np.exp, "abs": np.abs, "ln": np.log,
                          "where": np.where, "min": np.minimum,
                          "max": np.maximum}
+            called = set(_re.findall(r"([a-zA-Z_][a-zA-Z0-9_]*)\s*\(", src))
             for name in set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", src)):
-                if name not in env and name in self._meta_tables[0].column_names:
+                if name in self._meta_tables[0].column_names and \
+                        (name not in env or name not in called):
                     env[name] = self._meta_values(name, ids).astype(np.float64)
             mask = np.asarray(safe_eval_expr(src, env), bool)
             ids = ids[mask]
@@ -1230,8 +1232,10 @@ class IndexSearcher:
                    "min": np.minimum, "max": np.maximum}
             import re as _re
 
+            called = set(_re.findall(r"([a-zA-Z_][a-zA-Z0-9_]*)\s*\(", src))
             for name in set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", src)):
-                if name not in env and name in self._meta_tables[0].column_names:
+                if name in self._meta_tables[0].column_names and \
+                        (name not in env or name not in called):
                     env[name] = self._meta_values(name, ids).astype(np.float64)
             out = safe_eval_expr(src, env)
             return ids, np.asarray(out, np.float64) * boost
@@ -1401,9 +1405,18 @@ class IndexSearcher:
             # a constant-score union of sub-interval matches; prefix and
             # wildcard rules expand against the sorted dictionary
             rule = q["rule"]
-            rspec = rule[next(iter(rule))]
-            if isinstance(rspec, dict) and "filter" in rspec:
-                # filter rule needs interval geometry -> spans path
+
+            def _has_filter(node):
+                if isinstance(node, dict):
+                    return "filter" in node or \
+                        any(_has_filter(v) for v in node.values())
+                if isinstance(node, list):
+                    return any(_has_filter(v) for v in node)
+                return False
+
+            if _has_filter(rule):
+                # filter rules (at any nesting depth) need interval
+                # geometry -> spans path
                 ids, spans = self._intervals_spans(rule, field)
                 keep = np.fromiter(
                     (sp[0].size > 0 for sp in spans), bool, ids.size) \
@@ -1439,7 +1452,7 @@ class IndexSearcher:
                        if parts else np.empty(0, np.int64))
                 return ids, np.full(ids.size, boost, np.float64)
             if "match" in rule:
-                terms = self._analyzer_for(None)(rule["match"]["query"])
+                terms = self._analyzer_for(field)(rule["match"]["query"])
                 return self._span_near(
                     terms, int(rule["match"].get("max_gaps", 0)),
                     bool(rule["match"].get("ordered", True)), boost,

@@ -221,7 +221,17 @@ def test_compile_expression_forms():
     from elasticsearch_ray.scripting import ScriptError, compile_expression
 
     assert compile_expression("doc['n'].value + 1") == "n + 1"
-    assert compile_expression("a && b || c") == "a & b | c"
+    assert compile_expression("a && b || c") == "a  and  b  or  c"
+    # && / || compile to BoolOp and/or, which the sandbox vectorizes —
+    # NOT '&'/'|', whose precedence would mis-group comparisons
+    import numpy as np
+
+    from elasticsearch_ray.scripting import safe_eval_expr
+
+    src = compile_expression("doc['a'].value > 1 && doc['b'].value > 2")
+    got = safe_eval_expr(src, {"a": np.array([2.0, 0.0]),
+                               "b": np.array([3.0, 3.0])})
+    assert got.tolist() == [True, False]
     out = compile_expression("x > 1 ? 2 : 3")
     assert out.startswith("where(") and "2" in out and "3" in out
     # nested, parenthesized, right-associative all compile to where() chains

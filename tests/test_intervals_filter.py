@@ -126,3 +126,16 @@ CASES_SOURCES = [
 def test_intervals_filter_sources(searcher, name, query, expected):
     ids, _ = searcher._eval(query)
     assert sorted(ids.tolist()) == expected
+
+
+def test_nested_filter_routes_to_spans_path(searcher):
+    """A filter nested inside an any_of SUB-source must route to the
+    interval-geometry path (the legacy path can't evaluate dict
+    sub-sources) — regression for the routing check that only looked at
+    the top level."""
+    q = iv({"any_of": {"terms": [
+        {"match": {"query": "beta",
+                   "filter": {"contained_by": m("alpha gamma",
+                                                max_gaps=1)}}}]}})
+    ids, _ = searcher._eval(q)
+    assert sorted(ids.tolist()) == [0]
