@@ -1549,7 +1549,13 @@ class IndexSearcher:
         if kind == "span_near":
             terms = q["terms"]
             if len(terms) != 2:
-                raise ValueError("span_near inside span algebra supports 2 clauses")
+                # n-clause form: span_near slop == intervals max_gaps for
+                # term clauses ((max-min+1)-k <= slop), so reuse the
+                # minimal-interval evaluator; the 2-clause fast path below
+                # keeps its exhaustive pair enumeration unchanged
+                return self._terms_intervals(
+                    terms, int(q.get("slop", 0)),
+                    bool(q.get("in_order", True)), field)
             slop = int(q.get("slop", 0))
             in_order = bool(q.get("in_order", True))
             t1, t2 = (self._get_term(t, field) for t in terms)

@@ -139,3 +139,21 @@ def test_nested_filter_routes_to_spans_path(searcher):
                                                 max_gaps=1)}}}]}})
     ids, _ = searcher._eval(q)
     assert sorted(ids.tolist()) == [0]
+
+
+def test_span_near_three_clauses_in_algebra(searcher):
+    """n-clause span_near inside the span algebra (SpanNearQueryBuilder
+    allows any clause count): 3-term near wrapped in span_first / span_or."""
+    near3 = {"kind": "span_near", "terms": ["alpha", "beta", "gamma"],
+             "slop": 0, "in_order": True}
+    # doc 0 = alpha beta gamma: the only contiguous ordered triple
+    ids, _ = searcher._eval({"kind": "span_first",
+                             "match": near3, "end": 3})
+    assert sorted(ids.tolist()) == [0]
+    # slop 0 via span_or: still only the contiguous doc 0
+    ids2, _ = searcher._eval({"kind": "span_or", "clauses": [near3]})
+    assert sorted(ids2.tolist()) == [0]
+    # slop 1 admits doc 2 (alpha@0 beta@1 gamma@3: width 4, gaps 1)
+    near_s1 = dict(near3, slop=1)
+    ids3, _ = searcher._eval({"kind": "span_or", "clauses": [near_s1]})
+    assert sorted(ids3.tolist()) == [0, 2]
