@@ -122,7 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_composite_date_histogram", "agg_significant_script",
         "forcemerge_api", "bulk_actions", "source_orc_roundtrip",
         "mapping_options", "training_mix", "sequence_packing",
-        "agg_date_histogram_quarter", "redact_pii",
+        "agg_date_histogram_quarter", "redact_pii", "keyword_normalizer",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -2038,6 +2038,9 @@ FROM t3 ORDER BY doc_id""",
 SELECT date_trunc('quarter', ts) AS bucket, count(*) AS doc_count,
        ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY 1 ORDER BY bucket""",
+        "keyword_normalizer": """
+SELECT lower(source) AS source_norm, count(*) AS doc_count
+FROM documents GROUP BY 1 ORDER BY source_norm""",
         "training_mix": """
 WITH w AS (SELECT * FROM (VALUES ('en', 100), ('fr', 50), ('de', 25),
                                  ('es', 50), ('zh', 75)) AS t(lang, pct))

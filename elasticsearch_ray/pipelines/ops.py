@@ -5048,3 +5048,29 @@ def redact_pii(sf_dir: str):
            .select_columns(["doc_id", "n_redactions"])
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def keyword_normalizer(sf_dir: str):
+    """keyword `normalizer` (index/analysis normalizers; KeywordFieldMapper
+    normalizer option): keyword values pass through a tokenless filter
+    chain — lowercase + asciifolding — at index AND query time, so
+    differently-cased writes land in one bucket. Odd doc_ids are
+    upper-cased on ingest to exercise it."""
+    from ..filters import asciifolding
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "source"])
+
+    def ingest_and_normalize(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        raw = [s.upper() if d % 2 else s
+               for d, s in zip(did, t["source"].to_pylist())]
+        norm = [asciifolding(s).lower() for s in raw]
+        return pa.table({"source_norm": pa.array(norm, pa.string())})
+
+    from ray.data.aggregate import Count
+
+    g = (ds.map_batches(ingest_and_normalize, batch_format="pyarrow")
+         .groupby("source_norm").aggregate(Count(alias_name="doc_count"))
+         .to_pandas())
+    g["doc_count"] = g["doc_count"].astype(np.int64)
+    return g.sort_values("source_norm").reset_index(drop=True)
