@@ -96,6 +96,8 @@ class BruteForceBM25:
             return out
         if kind == "match_all":
             return {d: boost for d in self.doc_len}
+        if kind == "intervals":
+            return self._intervals(q["rule"], boost)
         if kind == "bool":
             return self._bool(q, boost)
         raise ValueError(kind)
@@ -159,6 +161,73 @@ class BruteForceBM25:
                     s += m[d]
             out[d] = s * boost
         return out
+
+    # ---- intervals (brute force: enumerate every position tuple) ----
+
+    def _interval_set(self, rule) -> dict[int, list[tuple[int, int]]]:
+        import itertools
+
+        (rk, spec), = ((k, v) for k, v in rule.items() if k != "filter")
+        assert rk == "match", rk
+        terms = self.an(spec["query"])
+        max_gaps = int(spec.get("max_gaps", 0))
+        ordered = bool(spec.get("ordered", True))
+        k = len(terms)
+        plists = [self.pos.get(t, {}) for t in terms]
+        docs = set(plists[0]) if plists else set()
+        for pl in plists[1:]:
+            docs &= set(pl)
+        out: dict[int, list[tuple[int, int]]] = {}
+        for d in docs:
+            cands = []
+            for combo in itertools.product(*(pl[d] for pl in plists)):
+                if len(set(combo)) != k:
+                    continue
+                if ordered and list(combo) != sorted(combo):
+                    continue
+                s, e = min(combo), max(combo) + 1
+                if (e - s) - k <= max_gaps:
+                    cands.append((s, e))
+            # minimal-interval prune
+            cs = set(cands)
+            kept = [a for a in cs
+                    if not any(b != a and a[0] <= b[0] and b[1] <= a[1]
+                               for b in cs)]
+            if kept:
+                out[d] = sorted(kept)
+        flt = spec.get("filter")
+        if flt:
+            (fk, fsrc), = flt.items()
+            fivs = self._interval_set(fsrc)
+            neg = fk.startswith("not_")
+            base = fk[4:] if neg else fk
+            res: dict[int, list[tuple[int, int]]] = {}
+            for d, ivs in out.items():
+                fl = fivs.get(d, [])
+
+                def hit(iv):
+                    s, e = iv
+                    for fs, fe in fl:
+                        if base == "containing" and s <= fs and fe <= e:
+                            return True
+                        if base == "contained_by" and fs <= s and e <= fe:
+                            return True
+                        if base == "overlapping" and s < fe and fs < e:
+                            return True
+                        if base == "before" and e <= fs:
+                            return True
+                        if base == "after" and s >= fe:
+                            return True
+                    return False
+
+                kept2 = [iv for iv in ivs if hit(iv) != neg]
+                if kept2:
+                    res[d] = kept2
+            out = res
+        return out
+
+    def _intervals(self, rule, boost: float) -> dict[int, float]:
+        return {d: boost for d in self._interval_set(rule)}
 
     def search(self, q) -> tuple[list[int], list[float]]:
         k = int(q.get("k", 10))

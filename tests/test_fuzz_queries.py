@@ -65,8 +65,21 @@ def _phrase_from_doc(rng, oracle, texts, max_len=3):
 def _rand_leaf(rng, pools, oracle, texts):
     rare, mid, common = pools
     pick = lambda pool: pool[int(rng.integers(len(pool)))] if pool else "query"
-    kind = int(rng.integers(6))
+    kind = int(rng.integers(7))
     boost = float(rng.choice([1.0, 1.0, 0.5, 2.0, 3.7]))
+    if kind == 6:  # intervals: ordered/unordered match, optional filter
+        # draw the two terms from a real doc window so they co-occur
+        w = _phrase_from_doc(rng, oracle, texts).split()
+        terms = [w[0], w[-1]] if len(w) >= 2 else [w[0], pick(mid)]
+        spec = {"query": " ".join(terms),
+                "max_gaps": int(rng.integers(0, 4)),
+                "ordered": bool(rng.integers(0, 2))}
+        if rng.random() < 0.4:
+            fk = str(rng.choice(["not_containing", "containing",
+                                 "overlapping", "before", "after"]))
+            spec["filter"] = {fk: {"match": {"query": pick(common)}}}
+        return {"kind": "intervals", "rule": {"match": spec},
+                "boost": boost}
     if kind == 0:
         return {"kind": "term", "term": pick(mid), "boost": boost}
     if kind == 1:  # term that may not exist
