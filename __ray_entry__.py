@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forcemerge_api", "bulk_actions", "source_orc_roundtrip",
         "mapping_options", "training_mix", "sequence_packing",
         "agg_date_histogram_quarter", "redact_pii", "keyword_normalizer",
+        "cat_aliases",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -2038,6 +2039,12 @@ FROM t3 ORDER BY doc_id""",
 SELECT date_trunc('quarter', ts) AS bucket, count(*) AS doc_count,
        ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY 1 ORDER BY bucket""",
+        "cat_aliases": """
+SELECT * FROM (VALUES
+  ('initial', 'logs-write', 'logs-000001'),
+  ('initial', 'metrics-write', 'metrics-000007'),
+  ('after_delete', 'logs-write', 'logs-000001'))
+AS t(phase, alias, index_name)""",
         "keyword_normalizer": """
 SELECT lower(source) AS source_norm, count(*) AS doc_count
 FROM documents GROUP BY 1 ORDER BY source_norm""",

@@ -314,3 +314,26 @@ def rollover(base_dir: str, alias: str, *, max_docs: int | None = None,
             json.dump(new_state, f)
         os.replace(p + ".tmp", p)
     return resp
+
+
+def list_aliases(base_dir: str) -> list[dict]:
+    """`GET _aliases` / `_cat/aliases`: every alias-state JSON under the
+    base dir, sorted by alias name."""
+    if not os.path.isdir(base_dir):
+        return []
+    out = []
+    for f in sorted(os.listdir(base_dir)):
+        if f.endswith(".alias.json"):
+            with open(os.path.join(base_dir, f)) as fh:
+                out.append(json.load(fh))
+    return sorted(out, key=lambda s: s["alias"])
+
+
+def delete_alias(base_dir: str, alias: str) -> bool:
+    """`DELETE /{index}/_alias/{name}`: drop the alias state; False when it
+    did not exist."""
+    p = _alias_path(base_dir, alias)
+    if not os.path.isfile(p):
+        return False
+    os.remove(p)
+    return True

@@ -5074,3 +5074,28 @@ def keyword_normalizer(sf_dir: str):
          .to_pandas())
     g["doc_count"] = g["doc_count"].astype(np.int64)
     return g.sort_values("source_norm").reset_index(drop=True)
+
+
+def cat_aliases(sf_dir: str):
+    """_aliases / _cat/aliases (rest/action/cat/RestAliasAction +
+    TransportGetAliasesAction): create two aliases over scratch index
+    names, list them, delete one, list again — the full alias CRUD cycle
+    with a literal oracle."""
+    import tempfile
+
+    from ..index.reshape import create_alias, delete_alias, list_aliases
+
+    base = tempfile.mkdtemp(prefix="esray_aliases_")
+    create_alias(base, "logs-write", "logs-000001")
+    create_alias(base, "metrics-write", "metrics-000007")
+    first = [(s["alias"], s["index"]) for s in list_aliases(base)]
+    assert delete_alias(base, "metrics-write") is True
+    assert delete_alias(base, "metrics-write") is False
+    second = [(s["alias"], s["index"]) for s in list_aliases(base)]
+    rows = [("initial", a, i) for a, i in first] + \
+           [("after_delete", a, i) for a, i in second]
+    return pd.DataFrame({
+        "phase": [r[0] for r in rows],
+        "alias": [r[1] for r in rows],
+        "index_name": [r[2] for r in rows],
+    })
