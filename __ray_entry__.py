@@ -123,7 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forcemerge_api", "bulk_actions", "source_orc_roundtrip",
         "mapping_options", "training_mix", "sequence_packing",
         "agg_date_histogram_quarter", "redact_pii", "keyword_normalizer",
-        "cat_aliases",
+        "cat_aliases", "snapshot_restore_renamed",
         # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
         "ft_rescore", "agg_rare_terms", "agg_significant_terms",
         "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
@@ -2039,6 +2039,14 @@ FROM t3 ORDER BY doc_id""",
 SELECT date_trunc('quarter', ts) AS bucket, count(*) AS doc_count,
        ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY 1 ORDER BY bucket""",
+        # restored-under-rename copy must answer the term query with the
+        # same count as the live index; count re-derived from raw text
+        "snapshot_restore_renamed": """
+SELECT 'restored-snap' AS index_name,
+       CAST(count(*) FILTER (WHERE regexp_matches(lower(text),
+              '(^|[^a-z0-9])data([^a-z0-9]|$)')) AS BIGINT) AS doc_count,
+       true AS matches_live
+FROM documents""",
         "cat_aliases": """
 SELECT * FROM (VALUES
   ('initial', 'logs-write', 'logs-000001'),

@@ -127,3 +127,17 @@ class ReadOnlyRepository:
 
     def delete(self, *a, **kw):
         raise PermissionError("url repository is read-only")
+
+
+def restore_snapshot_renamed(repo_dir: str, name: str, dest_base: str,
+                             rename_pattern: str,
+                             rename_replacement: str) -> str:
+    """RestoreSnapshotRequest rename_pattern/rename_replacement: restore
+    under a rewritten index name (regex substitution, like the reference's
+    restore-into-new-index flow). Returns the restored index path."""
+    import re
+
+    new_name = re.sub(rename_pattern, rename_replacement, name)
+    dest = os.path.join(dest_base, new_name)
+    restore_snapshot(repo_dir, name, dest)
+    return dest

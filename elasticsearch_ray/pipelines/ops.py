@@ -5099,3 +5099,30 @@ def cat_aliases(sf_dir: str):
         "alias": [r[1] for r in rows],
         "index_name": [r[2] for r in rows],
     })
+
+
+def snapshot_restore_renamed(sf_dir: str):
+    """snapshot restore with rename_pattern / rename_replacement
+    (RestoreSnapshotRequest, action/admin/cluster/snapshots/restore):
+    snapshot the documents index, restore it under a rewritten name, and
+    verify the restored copy answers a term query identically."""
+    import tempfile
+
+    from ..index.snapshot import create_snapshot, restore_snapshot_renamed
+    from ..search.engine import IndexSearcher
+    from .fulltext import documents_index, documents_searcher
+
+    repo = tempfile.mkdtemp(prefix="esray_snaprepo_")
+    base = tempfile.mkdtemp(prefix="esray_snaprestore_")
+    create_snapshot(documents_index(sf_dir), repo, "docs-snap")
+    dest = restore_snapshot_renamed(repo, "docs-snap", base,
+                                    r"^docs-(.*)$", r"restored-\1")
+    restored_n = int(IndexSearcher(dest)._eval(
+        {"kind": "term", "term": "data"})[0].size)
+    live_n = int(documents_searcher(sf_dir)._eval(
+        {"kind": "term", "term": "data"})[0].size)
+    return pd.DataFrame({
+        "index_name": [os.path.basename(dest)],
+        "doc_count": pd.array([restored_n], dtype="int64"),
+        "matches_live": [bool(restored_n == live_n)],
+    })
