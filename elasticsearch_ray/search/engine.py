@@ -1506,23 +1506,37 @@ class IndexSearcher:
                     keep[ci] = bool(np.any(ok & (span <= window)))
             else:
                 # unordered: per-term prefix counts over the merged sorted
-                # position list; window [m[i], m[i]+window] covers all terms
-                # iff every per-term prefix count increases inside it
-                parts = [pos_maps[ti][ci] for ti in range(n_t)]
+                # position list; window [m[i], m[i]+window] covers the query
+                # iff every DISTINCT term's count inside it reaches that
+                # term's multiplicity (a repeated term needs as many
+                # distinct positions as it repeats — Lucene spans never let
+                # one position satisfy two clauses)
+                uniq_i = {}
+                for t in terms:
+                    uniq_i.setdefault(t, len(uniq_i))
+                n_u = len(uniq_i)
+                need = np.zeros(n_u, dtype=np.int32)
+                for t in terms:
+                    need[uniq_i[t]] += 1
+                parts = []
+                for t, ui in uniq_i.items():
+                    ti = terms.index(t)
+                    parts.append(pos_maps[ti][ci])
                 lens = [p.size for p in parts]
                 m = np.concatenate(parts)
-                labels = np.repeat(np.arange(n_t), lens)
+                labels = np.repeat(np.arange(n_u), lens)
                 order = np.argsort(m, kind="stable")
                 m, labels = m[order], labels[order]
                 ends = np.searchsorted(m, m + window, side="right")
                 # prefix[l, i] = count of label l in m[:i]
-                prefix = np.zeros((n_t, m.size + 1), dtype=np.int32)
-                for ti in range(n_t):
-                    np.cumsum((labels == ti).astype(np.int32), out=prefix[ti, 1:])
+                prefix = np.zeros((n_u, m.size + 1), dtype=np.int32)
+                for ui in range(n_u):
+                    np.cumsum((labels == ui).astype(np.int32),
+                              out=prefix[ui, 1:])
                 idx = np.arange(m.size)
                 covered = np.ones(m.size, dtype=bool)
-                for ti in range(n_t):
-                    covered &= prefix[ti, ends] > prefix[ti, idx]
+                for ui in range(n_u):
+                    covered &= prefix[ui, ends] - prefix[ui, idx] >= need[ui]
                 keep[ci] = bool(covered.any())
         ids = cand[keep]
         return ids, np.full(ids.size, boost, np.float64)
@@ -1727,21 +1741,31 @@ class IndexSearcher:
                 s, e = lists[0][ok], cur[ok] + 1
             else:
                 # two-pointer minimal covering windows over merged positions
-                pos = np.concatenate(lists)
+                # of the DISTINCT terms; a repeated term must be covered by
+                # as many distinct positions as its multiplicity
+                uniq: dict[str, int] = {}
+                for t in terms:
+                    uniq.setdefault(t, len(uniq))
+                n_u = len(uniq)
+                need = np.zeros(n_u, np.int64)
+                for t in terms:
+                    need[uniq[t]] += 1
+                ulists = [lists[terms.index(t)] for t in uniq]
+                pos = np.concatenate(ulists)
                 lab = np.concatenate(
-                    [np.full(l.size, i) for i, l in enumerate(lists)])
+                    [np.full(l.size, i) for i, l in enumerate(ulists)])
                 o = np.argsort(pos, kind="stable")
                 pos, lab = pos[o], lab[o]
-                count = np.zeros(k, np.int64)
+                count = np.zeros(n_u, np.int64)
                 have = 0
                 left = 0
                 ss, es = [], []
                 for right in range(pos.size):
-                    if count[lab[right]] == 0:
-                        have += 1
                     count[lab[right]] += 1
-                    while have == k:
-                        if count[lab[left]] > 1:
+                    if count[lab[right]] == need[lab[right]]:
+                        have += 1
+                    while have == n_u:
+                        if count[lab[left]] > need[lab[left]]:
                             count[lab[left]] -= 1
                             left += 1
                         else:

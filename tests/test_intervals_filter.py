@@ -157,3 +157,16 @@ def test_span_near_three_clauses_in_algebra(searcher):
     near_s1 = dict(near3, slop=1)
     ids3, _ = searcher._eval({"kind": "span_or", "clauses": [near_s1]})
     assert sorted(ids3.tolist()) == [0, 2]
+
+
+def test_unordered_duplicate_term_needs_distinct_positions(searcher):
+    """Fuzz-found: unordered intervals with a repeated term must cover each
+    repetition with a DISTINCT position (doc 6 = alpha alpha gamma)."""
+    q = iv(m("alpha alpha", ordered=False, max_gaps=0))
+    ids, _ = searcher._eval(q)
+    assert sorted(ids.tolist()) == [6]
+    # spans path (vacuous filter) agrees
+    q2 = iv(m("alpha alpha", ordered=False, max_gaps=0,
+              filter={"not_containing": m("zzz")}))
+    ids2, _ = searcher._eval(q2)
+    assert sorted(ids2.tolist()) == [6]
