@@ -143,13 +143,6 @@ class TermPostings:
         self._block_cache[g] = (ids, tfs)
         return ids, tfs
 
-    @property
-    def pos_rows(self) -> list:
-        out = []
-        for r in self.rows:
-            tfs = varbyte_decode(r["tf_bytes"], r["df"]).astype(np.int64)
-            out.append((r, tfs))
-        return out
 
 
 # Separator between a non-default field name and its term in the unified term
@@ -708,6 +701,7 @@ class IndexSearcher:
             self._meta_tables.append(mt)
         self._docmeta: pa.Table | None = None
         self._term_cache: dict[str, TermPostings | None] = {}
+        self._pos_cache_total = 0  # searcher-wide cached-position budget
         self._cache_cap = cache_terms
         # per-field norms/lengths for extra indexed fields (docmeta columns
         # len_<f> / normb_<f> written by the tokenize stage) — the per-field
@@ -786,7 +780,10 @@ class IndexSearcher:
                 rows.append(seg.row(int(i)))
         tp = TermPostings(key, rows) if rows else None
         if len(self._term_cache) >= self._cache_cap:
-            self._term_cache.pop(next(iter(self._term_cache)))
+            evicted = self._term_cache.pop(next(iter(self._term_cache)))
+            if evicted is not None:
+                # release the evicted term's share of the position budget
+                self._pos_cache_total -= evicted._pos_cache_elems
         self._term_cache[key] = tp
         return tp
 
@@ -995,6 +992,11 @@ class IndexSearcher:
                 # disjunction fast path would return docs matching any 1 term
                 terms = self._analyzer_for(None)(query["text"])
                 if not terms:
+                    if query.get("zero_terms_query", "none") == "all":
+                        # MatchQuery.ZeroTermsQuery.ALL — same rewrite the
+                        # exhaustive path applies
+                        return self.search({**query, "kind": "match_all"},
+                                           use_wand=False)
                     return np.empty(0, np.int64), np.empty(0, np.float64)
             if terms is not None:
                 # Collector routing, re-measured at 400k docs (round 3,
@@ -1074,8 +1076,14 @@ class IndexSearcher:
             # doc-values term filter on a docmeta column (the ES analog of a
             # `term` query on a keyword field; unscored, for filter/must use)
             return self._meta_term(q["field"], q["value"])
+        if kind == "terms" and "terms" in q:
+            # TermsQueryBuilder (non-lookup form): constant-score union of
+            # the values — the filter-context semantics the reference gives
+            # a terms query
+            return self._constant_union(
+                [str(t) for t in q["terms"]], boost, field)
         if kind == "ids":
-            wanted = np.array(sorted(q["values"]), dtype=np.int64)
+            wanted = np.unique(np.asarray(list(q["values"]), dtype=np.int64))
             wanted = wanted[(wanted >= 0) & (wanted <= self.max_doc)]
             mask = self._has_doc[wanted]  # only docs this searcher holds
             return wanted[mask], np.full(int(mask.sum()), boost, np.float64)
@@ -1377,7 +1385,7 @@ class IndexSearcher:
             # frequency at cutoff_frequency * N; docs must match >= 1
             # low-frequency term, high-frequency terms only contribute score
             # to those docs (the stopword-free scoring trick)
-            terms = self._analyzer_for(None)(q["text"])
+            terms = self._analyzer_for(field)(q["text"])
             if not terms:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             cutoff = float(q.get("cutoff_frequency", 0.01))
@@ -1441,11 +1449,12 @@ class IndexSearcher:
                 spec = rule["all_of"]
                 return self._span_near(
                     spec["terms"], int(spec.get("max_gaps", 0)),
-                    bool(spec.get("ordered", True)), boost,
+                    bool(spec.get("ordered", True)), boost, field,
                 )
             if "any_of" in rule:
                 parts = [
-                    self._span_near(t if isinstance(t, list) else [t], 0, True, boost)
+                    self._span_near(t if isinstance(t, list) else [t],
+                                    0, True, boost, field)
                     for t in rule["any_of"]["terms"]
                 ]
                 ids = (np.unique(np.concatenate([p[0] for p in parts]))
@@ -1455,7 +1464,7 @@ class IndexSearcher:
                 terms = self._analyzer_for(field)(rule["match"]["query"])
                 return self._span_near(
                     terms, int(rule["match"].get("max_gaps", 0)),
-                    bool(rule["match"].get("ordered", True)), boost,
+                    bool(rule["match"].get("ordered", True)), boost, field,
                 )
             raise ValueError(f"unknown intervals rule {rule!r}")
         raise ValueError(f"unknown query kind {kind!r}")
@@ -2122,22 +2131,28 @@ class IndexSearcher:
 
     def _disjunction(self, terms: list[str], boost: float = 1.0,
                      field: str | None = None):
+        # a REPEATED analyzed token contributes one clause per occurrence,
+        # exactly like the reference's MatchQuery building duplicate
+        # TermQuery clauses (scores accumulate per clause)
+        scored: dict[str, tuple] = {}
         parts = []
-        for t in dict.fromkeys(terms):  # unique, order-preserving
-            tp = self._get_term(t, field)
-            if tp is not None:
-                parts.append((tp.doc_ids, self._term_scores(tp, boost, field)))
+        for t in terms:
+            if t not in scored:
+                tp = self._get_term(t, field)
+                scored[t] = None if tp is None else                     (tp.doc_ids, self._term_scores(tp, boost, field))
+            if scored[t] is not None:
+                parts.append(scored[t])
         return self._accumulate(parts)
 
     def _conjunction(self, terms: list[str], boost: float = 1.0,
                      field: str | None = None):
-        tps = []
+        by_term: dict[str, object] = {}
         for t in dict.fromkeys(terms):
             tp = self._get_term(t, field)
             if tp is None:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
-            tps.append(tp)
-        tps.sort(key=lambda tp: tp.df)
+            by_term[t] = tp
+        tps = sorted(by_term.values(), key=lambda tp: tp.df)
         cand = tps[0].doc_ids
         for tp in tps[1:]:
             idx = np.searchsorted(tp.doc_ids, cand)
@@ -2146,7 +2161,8 @@ class IndexSearcher:
             if cand.size == 0:
                 return cand, np.empty(0, np.float64)
         total = np.zeros(cand.size, np.float64)
-        for tp in tps:
+        for t in terms:  # one score contribution PER OCCURRENCE
+            tp = by_term[t]
             sc = self._term_scores(tp, field=field)
             idx = np.searchsorted(tp.doc_ids, cand)
             total += sc[idx].astype(np.float64) * 1.0
@@ -2432,36 +2448,41 @@ class IndexSearcher:
             sc = self.bm25.score_tf(freqs, None, doc_lens[cand], avgdl, w)
         return cand, sc.astype(np.float64)
 
+    def _decoded_pos_row(self, tp: TermPostings, ri: int, r: dict):
+        """(row_ids, total_positions, starts, cuts) for one postings row,
+        decoded once and cached. The element budget is SEARCHER-wide
+        (~16M positions ~= 512 MB across all cached terms, released when a
+        term is evicted from the term cache); tf_bytes are only decoded on
+        a cache miss — hits carry cuts/starts already."""
+        cached = tp._pos_cache.get(ri)
+        if cached is not None:
+            return cached
+        row_tfs = varbyte_decode(r["tf_bytes"], r["df"]).astype(np.int64)
+        deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
+        row_ids = np.cumsum(deltas) - 1
+        flat = varbyte_decode(r["pos_bytes"]).astype(np.int64)
+        cuts = np.cumsum(row_tfs)
+        total = np.cumsum(flat)
+        if row_tfs.size > 1:
+            corr_vals = np.concatenate([[0], total[cuts[:-1] - 1]])
+            total = total - np.repeat(corr_vals, row_tfs)
+        starts = np.concatenate([[0], cuts[:-1]])
+        if self._pos_cache_total < 16_000_000:
+            tp._pos_cache[ri] = (row_ids, total, starts, cuts)
+            tp._pos_cache_elems += total.size
+            self._pos_cache_total += total.size
+        return row_ids, total, starts, cuts
+
     def _positions_pairs(self, tp: TermPostings, cand: np.ndarray):
         """Flattened (cand_index, position) pairs for all candidates at once —
         no per-candidate Python loop or array-of-arrays. Used by the phrase
         verifier over large candidate sets; spans use _positions_for."""
         ci_parts: list[np.ndarray] = []
         pos_parts: list[np.ndarray] = []
-        for ri, (r, row_tfs) in enumerate(tp.pos_rows):
+        for ri, r in enumerate(tp.rows):
             if not r["pos_bytes"]:
                 continue
-            cached = tp._pos_cache.get(ri)
-            if cached is None:
-                deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
-                row_ids = np.cumsum(deltas) - 1
-                flat = varbyte_decode(r["pos_bytes"]).astype(np.int64)
-                cuts = np.cumsum(row_tfs)
-                total = np.cumsum(flat)
-                if row_tfs.size > 1:
-                    corr_vals = np.concatenate([[0], total[cuts[:-1] - 1]])
-                    total = total - np.repeat(corr_vals, row_tfs)
-                starts = np.concatenate([[0], cuts[:-1]])
-                # element-count budget, not a row cap: a hot salted term
-                # spans O(segments x chunks) rows, and a 64-row cap
-                # thrashed at 400k docs (every phrase query re-decoded
-                # ~200 ms of positions). ~16M cached positions = ~512 MB
-                # worst case across all terms of one searcher.
-                if tp._pos_cache_elems < 16_000_000:
-                    tp._pos_cache[ri] = (row_ids, total, starts, cuts)
-                    tp._pos_cache_elems += total.size
-            else:
-                row_ids, total, starts, cuts = cached
+            row_ids, total, starts, cuts = self._decoded_pos_row(tp, ri, r)
             idx = np.searchsorted(row_ids, cand)
             safe = np.minimum(idx, row_ids.size - 1)
             hit = np.flatnonzero(row_ids[safe] == cand)
@@ -2487,30 +2508,10 @@ class IndexSearcher:
         Fully vectorized: varbyte-decode the row's position stream once,
         absolutize with a segmented cumsum, slice only the candidate docs."""
         out = [np.empty(0, np.int64)] * cand.size
-        for ri, (r, row_tfs) in enumerate(tp.pos_rows):
+        for ri, r in enumerate(tp.rows):
             if not r["pos_bytes"]:
                 continue
-            cached = tp._pos_cache.get(ri)
-            if cached is None:
-                deltas = varbyte_decode(r["doc_bytes"], r["df"]).astype(np.int64)
-                row_ids = np.cumsum(deltas) - 1
-                flat = varbyte_decode(r["pos_bytes"]).astype(np.int64)
-                cuts = np.cumsum(row_tfs)
-                total = np.cumsum(flat)
-                if row_tfs.size > 1:
-                    corr_vals = np.concatenate([[0], total[cuts[:-1] - 1]])
-                    total = total - np.repeat(corr_vals, row_tfs)
-                starts = np.concatenate([[0], cuts[:-1]])
-                # element-count budget, not a row cap: a hot salted term
-                # spans O(segments x chunks) rows, and a 64-row cap
-                # thrashed at 400k docs (every phrase query re-decoded
-                # ~200 ms of positions). ~16M cached positions = ~512 MB
-                # worst case across all terms of one searcher.
-                if tp._pos_cache_elems < 16_000_000:
-                    tp._pos_cache[ri] = (row_ids, total, starts, cuts)
-                    tp._pos_cache_elems += total.size
-            else:
-                row_ids, total, starts, cuts = cached
+            row_ids, total, starts, cuts = self._decoded_pos_row(tp, ri, r)
             idx = np.searchsorted(row_ids, cand)
             safe = np.minimum(idx, row_ids.size - 1)
             hit = np.flatnonzero(row_ids[safe] == cand)  # each cand hits <=1 row

@@ -64,8 +64,11 @@ class SearcherStage:
                 "score": pa.array(scores, pa.float64()),
             }
         )
-        if self.fetch_columns and len(out):
-            meta = self.searcher.fetch(np.array(docs, np.int64), self.fetch_columns)
+        if self.fetch_columns:
+            # always append, even for a zero-hit batch — blocks must carry
+            # one stable schema or downstream unification fails
+            meta = self.searcher.fetch(np.array(docs, np.int64),
+                                       self.fetch_columns)
             for c in self.fetch_columns:
                 if c != "doc_id":
                     out = out.append_column(c, meta[c])

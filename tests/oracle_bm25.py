@@ -72,7 +72,9 @@ class BruteForceBM25:
             terms = self.an(q["text"])
             if not terms:
                 return {}
-            per = [self._term_scores(t, boost) for t in dict.fromkeys(terms)]
+            # one clause per analyzed-token OCCURRENCE (duplicates score
+            # once per repetition, like MatchQuery's duplicate clauses)
+            per = [self._term_scores(t, boost) for t in terms]
             if q.get("operator", "or") == "or":
                 out: dict[int, float] = {}
                 for m in per:
