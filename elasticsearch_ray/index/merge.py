@@ -47,7 +47,8 @@ SEGMENTS_PER_TIER = 10  # MergePolicyConfig.java:150 (segments_per_tier default)
 MAX_MERGE_AT_ONCE = 10  # MergePolicyConfig.java:123 (max_merge_at_once default)
 
 
-def _merge_rows_table(table: pa.Table, norm_bytes: np.ndarray) -> pa.Table:
+def _merge_rows_table(table: pa.Table, norm_bytes: np.ndarray,
+                      base: int = 0) -> pa.Table:
     """Re-encode the union of postings rows: concat per (term, chunk).
 
     Vectorized end to end by reusing the build path's bulk encoder
@@ -132,7 +133,8 @@ def _merge_rows_table(table: pa.Table, norm_bytes: np.ndarray) -> pa.Table:
         "chunk": pc.take(m["chunk"], pa.array(rep)),
         "doc_id": pa.array(doc_ids),
         "tf": pa.array(tfs_flat.astype(np.int32)),
-        "norm_len": pa.array(DECODE_TABLE[norm_bytes[doc_ids]].astype(np.int32)),
+        "norm_len": pa.array(
+            DECODE_TABLE[norm_bytes[doc_ids - base]].astype(np.int32)),
     }
     if pos_flat_abs is not None:
         offsets = np.zeros(doc_ids.size + 1, dtype=np.int64)
@@ -151,8 +153,12 @@ def merge_segments(
     *,
     max_merge_at_once: int = MAX_MERGE_AT_ONCE,
     num_buckets: int | None = None,
+    max_merged_docs: int | None = None,
 ) -> str | None:
-    """Merge a group of live segments into one; returns new segment id."""
+    """Merge a group of live segments into one; returns new segment id.
+    `max_merged_docs` is the MergePolicyConfig max-merged-segment analog:
+    candidate windows whose combined doc_count exceeds it are skipped
+    (narrower windows are then considered)."""
     import ray
     import ray.data as rd
 
@@ -178,10 +184,14 @@ def merge_segments(
             for i in range(len(by_range) - w + 1):
                 window = by_range[i : i + w]
                 docs = sum(m.doc_count for _, m in window)
+                if max_merged_docs is not None and docs > max_merged_docs:
+                    continue  # over the max-merged-segment budget
                 if best_docs is None or docs < best_docs:
                     best, best_docs = [k for k, _ in window], docs
             if best is not None:
                 break
+        if best is None:
+            return None  # every window exceeds max_merged_docs
         segment_ids = best
     else:
         # explicit group must be consecutive among live segments
@@ -199,6 +209,11 @@ def merge_segments(
     if segment_ids is None or len(segment_ids) < 2:
         return None
     group = {sid: segs[sid] for sid in segment_ids}
+    flags = {(m.analyzer, m.index_positions) for m in group.values()}
+    if len(flags) > 1:
+        raise ValueError(
+            "cannot merge segments with mixed analyzer/index_positions "
+            f"settings: {sorted(flags)}")
     gen = max(m.generation for m in group.values()) + 1
     lo = min(m.doc_id_min for m in group.values())
     new_id = f"seg_{lo:012d}_g{gen}"
@@ -221,9 +236,12 @@ def merge_segments(
         for sid in segment_ids
     ]
     max_doc = max(m.doc_id_max for m in group.values())
-    norm_bytes = np.zeros(max_doc + 1, dtype=np.uint8)
+    # dense ONLY over the group's own doc range (O(group docs), offset by
+    # lo) — never O(global max doc id), which at 10^12 docs would be TBs
+    norm_bytes = np.zeros(max_doc - lo + 1, dtype=np.uint8)
     for mt in metas:
-        norm_bytes[mt["doc_id"].to_numpy()] = mt["norm_byte"].to_numpy().astype(np.uint8)
+        norm_bytes[mt["doc_id"].to_numpy() - lo] = \
+            mt["norm_byte"].to_numpy().astype(np.uint8)
     norm_ref = ray.put(norm_bytes)
 
     from ..sources.reader import list_parquet_files
@@ -246,7 +264,7 @@ def merge_segments(
 
     def merge_bucket(t: pa.Table) -> pa.Table:
         nb = ray.get(norm_ref)
-        return _merge_rows_table(t.drop_columns(["bucket"]), nb)
+        return _merge_rows_table(t.drop_columns(["bucket"]), nb, base=lo)
 
     merged = (
         ds.map_batches(add_bucket, batch_format="pyarrow")

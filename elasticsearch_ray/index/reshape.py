@@ -90,6 +90,9 @@ def shrink_index(src: str, dst: str, factor: int) -> list[str]:
     out = []
     for i in range(0, len(live), factor):
         group = [sid for sid, _ in live[i:i + factor]]
+        cur = live_segments(committed_segments(dst))
+        if not all(s in cur for s in group):
+            continue  # resume: this group was already merged by a prior run
         out.append(merge_segments(dst, group))
     gc_merged(dst)
     return out
@@ -148,8 +151,9 @@ def _split_segment(index_dir: str, sid: str, manifest: SegmentManifest,
     pt = pads.dataset(
         list_parquet_files(os.path.join(index_dir, sid, "postings"))).to_table()
     dec = _decode_rows(pt)
-    norm_full = np.zeros(hi, dtype=np.uint8)
-    norm_full[mdoc] = meta["norm_byte"].to_numpy().astype(np.uint8)
+    # dense norms over THIS segment's doc range only (offset by lo)
+    norm_full = np.zeros(hi - lo, dtype=np.uint8)
+    norm_full[mdoc - lo] = meta["norm_byte"].to_numpy().astype(np.uint8)
     terms_rep = pc.take(pt["term"], pa.array(dec["row"]))
     chunks_rep = pc.take(pt["chunk"], pa.array(dec["row"]))
     tf_off = np.zeros(dec["doc_id"].size + 1, dtype=np.int64)
@@ -162,6 +166,12 @@ def _split_segment(index_dir: str, sid: str, manifest: SegmentManifest,
         n_docs = int(msel.sum())
         if n_docs == 0:
             continue
+        part_lo = int(mdoc[msel].min())
+        new_id = f"seg_{part_lo:012d}"
+        if os.path.isfile(os.path.join(dst, new_id, "manifest.json")):
+            # resume BEFORE the expensive filter/re-encode, not after
+            out.append((new_id, committed_segments(dst)[new_id]))
+            continue
         part_meta = meta.filter(pa.array(msel))
         sel = (dec["doc_id"] >= plo) & (dec["doc_id"] < phi)
         idx = np.flatnonzero(sel)
@@ -171,7 +181,8 @@ def _split_segment(index_dir: str, sid: str, manifest: SegmentManifest,
             "doc_id": pa.array(dec["doc_id"][idx]),
             "tf": pa.array(dec["tf"][idx].astype(np.int32)),
             "norm_len": pa.array(
-                DECODE_TABLE[norm_full[dec["doc_id"][idx]]].astype(np.int32)),
+                DECODE_TABLE[norm_full[dec["doc_id"][idx] - lo]].astype(
+                    np.int32)),
         }
         if "positions" in dec:
             starts, ends = tf_off[idx], tf_off[idx + 1]
@@ -186,11 +197,6 @@ def _split_segment(index_dir: str, sid: str, manifest: SegmentManifest,
                 pa.array(dec["positions"][gather].astype(np.int32)))
         encoded = encode_bucket(pa.table(cols))
 
-        part_lo = int(mdoc[msel].min())
-        new_id = f"seg_{part_lo:012d}"
-        if os.path.isfile(os.path.join(dst, new_id, "manifest.json")):
-            out.append((new_id, committed_segments(dst)[new_id]))
-            continue  # resume: this part already committed
         tmp = tmp_segment_dir(dst, new_id)
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(os.path.join(tmp, "docmeta"), exist_ok=True)

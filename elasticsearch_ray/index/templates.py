@@ -94,7 +94,16 @@ def create_index(input_path: str, out_dir: str, index_name: str,
     build_kw = {k: v for k, v in settings.items()
                 if k in ("analyzer", "index_positions", "docs_per_partition",
                          "num_buckets", "hot_terms", "hot_df_ratio",
-                         "salt_chunks")}
+                         "salt_chunks", "content_column", "meta_columns",
+                         "extra_content_columns")}
+    if "hot_terms" in build_kw and build_kw["hot_terms"] is not None:
+        # JSON persistence round-trips sets as lists; both build engines
+        # need a hashable frozenset
+        build_kw["hot_terms"] = frozenset(build_kw["hot_terms"])
+    for k in ("meta_columns", "extra_content_columns"):
+        if k in build_kw and build_kw[k] is not None:
+            build_kw[k] = tuple(tuple(c) if isinstance(c, list) else c
+                                for c in build_kw[k])
     if engine == "tasks":
         from .fast_build import build_index_tasks as build
     else:

@@ -48,9 +48,21 @@ def _binary_column(buf: np.ndarray, byte_starts: np.ndarray, byte_ends: np.ndarr
     byte_starts/byte_ends index into buf and are contiguous per construction
     (ends[i] == starts[i+1]), so offsets = [starts, ends[-1]]."""
     n = byte_starts.size
+    total = int(byte_ends[-1]) if n else 0
+    if total > np.iinfo(np.int32).max:
+        # 32-bit Arrow binary offsets would silently wrap past 2 GiB; use
+        # 64-bit offsets (large_binary) for oversized merged buckets
+        offsets64 = np.empty(n + 1, dtype=np.int64)
+        offsets64[:n] = byte_starts
+        offsets64[n] = total
+        return pa.Array.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offsets64.tobytes()),
+             pa.py_buffer(buf.tobytes())],
+        )
     offsets = np.empty(n + 1, dtype=np.int32)
     offsets[:n] = byte_starts
-    offsets[n] = byte_ends[-1] if n else 0
+    offsets[n] = total
     return pa.Array.from_buffers(
         pa.binary(), n,
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],

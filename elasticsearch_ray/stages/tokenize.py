@@ -119,6 +119,10 @@ class TokenizeFragments:
 
         nb, cr, hot = self.num_buckets, self.chunk_range, self.hot_terms
         bcache = self._bucket_cache
+        if len(bcache) > 2_000_000:
+            # bound worker-lifetime memory: the cache is a pure speedup,
+            # dropping it costs one crc32 per re-seen term
+            bcache.clear()
         # token_streams: per-doc (terms, positions) parallel lists
         # (Analyzer.positions_split) — flattened with C-speed list.extend,
         # no per-token Python iteration or tuple unpacking
@@ -202,6 +206,8 @@ class TokenizeFragments:
 
         streams = []
         for di, text in enumerate(contents):
+            if text is None:
+                text = ""  # a null source doc indexes as empty, not a crash
             pair = an.positions_split(text)
             doc_lens[di] = len(pair[0])
             shas.append(hashlib.sha256(text.encode()).hexdigest())
@@ -320,7 +326,7 @@ def sample_hot_terms(
         t = pq.ParquetFile(f.path).read_row_group(f.row_group, columns=[content_column])
         for text in t[content_column].to_pylist()[: max(1, sample_docs // 8)]:
             seen += 1
-            for term in set(an(text)):
+            for term in set(an(text or "")):
                 df[term] = df.get(term, 0) + 1
             if seen >= sample_docs:
                 break

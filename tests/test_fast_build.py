@@ -156,3 +156,29 @@ def test_fuzz_random_killpoint_resume(corpus_dir, tmp_path, ray_session):
             shutil.rmtree(os.path.join(d, str(rng.choice(done))))
         build_index_tasks(corpus_dir, d, **kw)  # resume
         assert _postings_key_set(d) == want, f"trial {trial} kill_at={kill_at}"
+
+
+def test_build_with_null_content(tmp_path, ray_session):
+    """A null in the content column indexes as an empty doc (and a null
+    extra-field value stays null) instead of crashing the build."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    src = str(tmp_path / "nulls.parquet")
+    pq.write_table(pa.table({
+        "repo": ["r"] * 3,
+        "path": ["a.py", "b.py", "c.py"],
+        "commit": ["c"] * 3,
+        "lang": ["py"] * 3,
+        "content": ["alpha beta", None, "alpha"],
+    }), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, analyzer="code", num_buckets=2,
+                hot_terms=frozenset())
+    s = IndexSearcher(idx)
+    ids, _ = s._eval({"kind": "term", "term": "alpha"})
+    assert sorted(ids.tolist()) == [0, 2]
+    assert s.doc_lens[1] == 0

@@ -158,3 +158,74 @@ def test_url_repository_read_only(dirs, tmp_path):
         url.delete("snap1")
     with pytest.raises(ValueError):
         ReadOnlyRepository("s3://bucket/path")
+
+
+def test_merge_rejects_mixed_flags(dirs, tmp_path):
+    """Segments with different analyzer/index_positions settings must not
+    merge (the codec would mis-attribute position streams)."""
+    import json
+
+    import pytest
+
+    from elasticsearch_ray.index.merge import merge_segments
+    from elasticsearch_ray.index.reshape import clone_index, split_index
+
+    _, idx = dirs
+    work = str(tmp_path / "mixed")
+    split_index(idx, work, parts=2)
+    # forge one manifest's flag
+    import os
+
+    from elasticsearch_ray.index.manifest import committed_segments, live_segments
+
+    live = live_segments(committed_segments(work))
+    sid = sorted(live)[0]
+    mp = os.path.join(work, sid, "manifest.json")
+    m = json.load(open(mp))
+    m["index_positions"] = not m["index_positions"]
+    json.dump(m, open(mp, "w"))
+    with pytest.raises(ValueError, match="mixed analyzer/index_positions"):
+        merge_segments(work, sorted(live))
+
+
+def test_merge_max_merged_docs_gate(dirs, tmp_path):
+    """max_merged_docs (MergePolicyConfig max-merged-segment analog): when
+    the widest window exceeds the budget, a narrower one merges instead;
+    when every window exceeds it, nothing merges."""
+    from elasticsearch_ray.index.manifest import committed_segments, live_segments
+    from elasticsearch_ray.index.merge import merge_segments
+    from elasticsearch_ray.index.reshape import split_index
+
+    _, idx = dirs
+    work = str(tmp_path / "gated")
+    split_index(idx, work, parts=4)
+    live = live_segments(committed_segments(work))
+    total = sum(m.doc_count for m in live.values())
+    assert merge_segments(work, max_merged_docs=0) is None
+    # budget that admits pairs but not the full window
+    pair_budget = total - 1
+    new = merge_segments(work, max_merged_docs=pair_budget)
+    assert new is not None
+    merged = committed_segments(work)[new]
+    assert merged.doc_count <= pair_budget
+
+
+def test_shrink_resume_skips_merged_groups(dirs, tmp_path):
+    """Re-running shrink_index over a completed shrink is a no-op instead of
+    a KeyError (resume contract)."""
+    from elasticsearch_ray.index.manifest import committed_segments, live_segments
+    from elasticsearch_ray.index.reshape import shrink_index, split_index
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    _, idx = dirs
+    work = str(tmp_path / "shr")
+    split_index(idx, work, parts=4)
+    n_live = len(live_segments(committed_segments(work)))
+    dst = str(tmp_path / "shr_out")
+    first = shrink_index(work, dst, 2)
+    assert len(first) == n_live // 2
+    again = shrink_index(work, dst, 2)  # must not raise
+    assert again == [] or all(a is not None for a in again)
+    q = {"kind": "match", "text": "data query", "k": 10}
+    assert list(IndexSearcher(idx).search(q)[0]) == \
+        list(IndexSearcher(dst).search(q)[0])
