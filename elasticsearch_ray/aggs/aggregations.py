@@ -48,10 +48,12 @@ def date_histogram(ds, ts_col: str, interval: str = "day", value: str | None = N
             "quarter": "quarter", "year": "year"}[interval]
 
     def bucketize(t: pa.Table) -> pa.Table:
-        # int64 epoch-us keys through the shuffle (datetime keys trip Ray's
-        # numpy datetime precision coercion warning per worker); restored to
-        # timestamps on the reduced table below
-        b = pc.cast(pc.floor_temporal(t[ts_col], unit=unit), pa.int64())
+        # int64 epoch keys through the shuffle (datetime keys trip Ray's
+        # numpy datetime precision coercion warning per worker); normalized
+        # to MICROSECONDS here so the restore below is unit-correct for
+        # second/milli/nano source columns too
+        floored = pc.floor_temporal(t[ts_col], unit=unit)
+        b = pc.cast(pc.cast(floored, pa.timestamp("us")), pa.int64())
         return t.append_column("bucket", b)
 
     aggs = [Count(alias_name="doc_count")]
@@ -74,9 +76,9 @@ def histogram(ds, col: str, width: float):
     from ray.data.aggregate import Count
 
     def bucketize(t: pa.Table) -> pa.Table:
-        v = t[col].to_numpy()
-        b = np.floor(v / width) * width
-        return t.append_column("bucket", pa.array(b))
+        v = np.asarray(t[col].to_numpy(zero_copy_only=False), np.float64)
+        b = np.floor(v[~np.isnan(v)] / width) * width
+        return pa.table({"bucket": pa.array(b)})
 
     out = (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -386,12 +388,16 @@ def histogram_options(ds, col: str, width: float, *, offset: float = 0.0,
     from ray.data.aggregate import Count
 
     def bucketize(t: pa.Table) -> pa.Table:
-        v = t[col].to_numpy()
+        v = np.asarray(t[col].to_numpy(zero_copy_only=False), np.float64)
+        v = v[~np.isnan(v)]  # docs missing the field fall out, like the ref
         n = np.floor((v - offset) / width).astype(np.int64)
         return pa.table({"n": pa.array(n)})
 
     out = (ds.map_batches(bucketize, batch_format="pyarrow")
            .groupby("n").aggregate(Count(alias_name="doc_count")).to_pandas())
+    if len(out) == 0:
+        return pd.DataFrame({"bucket": pd.array([], dtype="float64"),
+                             "doc_count": pd.array([], dtype="int64")})
     if min_doc_count == 0:
         lo, hi = int(out["n"].min()), int(out["n"].max())
         if extended_bounds is not None:
@@ -422,7 +428,10 @@ def date_histogram_tz(ds, ts_col: str, *, interval: str = "day",
     off = offset_minutes * 60_000_000
 
     def bucketize(t: pa.Table) -> pa.Table:
-        v = pc.cast(t[ts_col], pa.int64()).to_numpy()
+        # normalize to epoch-us first: the tz/offset arithmetic below is in
+        # microseconds regardless of the column's native unit
+        v = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                    pa.int64()).to_numpy()
         b = (v - off + tz) // us * us - tz + off
         return pa.table({"bucket": pa.array(b)})
 

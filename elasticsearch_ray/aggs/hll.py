@@ -32,6 +32,10 @@ def hash64(values: np.ndarray) -> np.ndarray:
     if values.dtype.kind in "iu":
         return _splitmix64(values.astype(np.uint64))
     if values.dtype.kind == "f":
+        # view() only reinterprets 8-byte floats; narrower floats must be
+        # widened first or pairs of values would fuse into one hash
+        if values.dtype.itemsize != 8:
+            values = values.astype(np.float64)
         return _splitmix64(values.view(np.uint64))
     # strings/objects: FNV-1a 64 per value (vectorized over chars is overkill
     # for grouping keys; loop is fine off the hot path)
@@ -111,8 +115,18 @@ def hll_aggregate_fn(column: str, alias: str = "cardinality", p: int = 14):
 
         sk = HllSketch.from_bytes(state)
         col = block[column] if isinstance(block, (pa.Table,)) else block[column]
-        vals = np.asarray(col)
-        sk.add(vals)
+        if isinstance(col, (pa.Array, pa.ChunkedArray)):
+            col = col.drop_null()  # cardinality ignores missing values
+            vals = np.asarray(col)
+        else:
+            vals = np.asarray(col)
+            if vals.dtype.kind == "f":
+                vals = vals[~np.isnan(vals)]
+            elif vals.dtype.kind == "O":
+                vals = np.array([v for v in vals if v is not None],
+                                dtype=object)
+        if vals.size:
+            sk.add(vals)
         return sk.to_bytes()
 
     return AggregateFn(

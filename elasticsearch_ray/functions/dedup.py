@@ -562,6 +562,11 @@ def simhash_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
     in-bucket hamming verification is an XOR + byte-popcount-LUT matrix (no
     per-pair Python). The driver only sees the emitted pairs (bounded by the
     duplicate count), deduplicated across quarters at the end."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_pairs guarantees completeness only for max_hamming <= 3 "
+            "(4-quarter pigeonhole: any <=3-bit difference leaves one "
+            "quarter identical); use minhash for looser thresholds")
 
     def explode(t: pa.Table) -> pa.Table:
         hs = np.array([simhash64(s) for s in t[text_col].to_pylist()], dtype=np.uint64)

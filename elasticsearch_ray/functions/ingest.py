@@ -246,7 +246,12 @@ def grok(col: str, pattern: str, out_prefix: str = "",
 
 def kv(col: str, field_split: str = " ", value_split: str = "=",
        out_prefix: str = "", include: list[str] | None = None):
-    """`kv` processor: parse key=value pairs into columns."""
+    """`kv` processor: parse key=value pairs into columns.
+
+    Pass `include` whenever this runs as a distributed map_batches stage:
+    without it the output keys are discovered per batch, so blocks whose
+    rows carry different keys get different schemas and Ray Data's schema
+    unification fails. (With include the schema is fixed up front.)"""
 
     def f(t: pa.Table) -> pa.Table:
         keys = include
@@ -384,9 +389,18 @@ def sort_list(col: str, order: str = "ascending"):
         offsets, flat_arr, mask = _normalized_list(t[col])
         flat = flat_arr.to_numpy(zero_copy_only=False)
         seg = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
-        # lexsort: stable sort by value within each list segment
-        key = flat if order == "ascending" else -flat
-        idx = np.lexsort((key, seg))
+        # stable sort by value within each list segment; descending via
+        # rank reversal (unary minus would crash on string lists)
+        asc = np.lexsort((flat, seg))
+        if order == "ascending":
+            idx = asc
+        else:
+            # reverse each segment's ascending run
+            counts = np.diff(offsets)
+            starts = np.repeat(offsets[:-1], counts)
+            ends = np.repeat(offsets[1:], counts)
+            within = np.arange(flat.size) - starts
+            idx = asc[(ends - 1 - starts - within) + starts]
         rebuilt = _rebuild_list(offsets, pa.array(flat[idx]), mask)
         return _put(t, col, rebuilt)
 

@@ -106,11 +106,17 @@ def knn_lsh(ds, queries: np.ndarray, k: int = 10, *, dim: int | None = None,
     qbits = (Q @ stage.planes.T) > 0
     qbuckets = (qbits.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
     probes: dict[int, list[int]] = {}
+    import itertools
+
     for qi, b in enumerate(qbuckets):
         cand = {int(b)}
-        if probe_hamming >= 1:
-            for j in range(n_planes):
-                cand.add(int(b) ^ (1 << j))
+        # all buckets within probe_hamming bit flips (multi-probe LSH)
+        for r in range(1, probe_hamming + 1):
+            for bits in itertools.combinations(range(n_planes), r):
+                flip = 0
+                for j in bits:
+                    flip |= 1 << j
+                cand.add(int(b) ^ flip)
         probes[qi] = sorted(cand)
     wanted = sorted({b for bs in probes.values() for b in bs})
 

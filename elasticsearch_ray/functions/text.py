@@ -21,10 +21,9 @@ from ..utils import round_half_away
 # rank-order trigram profiles a la Cavnar & Trenkle). Profiles here are seeded
 # from each language's most common function words.
 def _round4(x: float) -> float:
-    """round-half-away-from-zero at 4 decimals (DuckDB ROUND semantics)."""
-    import math
-
-    return math.floor(abs(x) * 1e4 + 0.5) / 1e4 * (1 if x >= 0 else -1)
+    """round-half-away-from-zero at 4 decimals (delegates to the shared
+    utils.round_half_away so the semantics stay in ONE place)."""
+    return float(round_half_away(np.float64(x), 4))
 
 
 _LANG_PROFILES = {
@@ -138,6 +137,9 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text", window: int = 16) -> 
     out = np.zeros(len(texts), np.uint64)
     B = np.uint64(1000003)
     MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # window-constant rolling-hash powers, computed once per batch
+    powers = np.array([pow(1000003, window - 1 - j, 1 << 64)
+                       for j in range(window)], dtype=np.uint64)
     for i, s in enumerate(texts):
         data = np.frombuffer(" ".join(s.lower().split()).encode(), dtype=np.uint8)
         if data.size == 0:
@@ -149,8 +151,6 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text", window: int = 16) -> 
             out[i] = h
             continue
         # vectorized rolling hash over all windows
-        powers = np.array([pow(1000003, window - 1 - j, 1 << 64) for j in range(window)],
-                          dtype=np.uint64)
         n_win = data.size - window + 1
         idx = np.arange(window)[None, :] + np.arange(n_win)[:, None]
         hashes = (data[idx].astype(np.uint64) * powers[None, :]).sum(axis=1) & MOD_MASK

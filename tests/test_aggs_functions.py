@@ -820,3 +820,60 @@ def test_redact_pii():
     assert texts[2].count("[PII:ipv4]") == 2
     assert out["n_redactions"].to_pylist() == [2, 2, 2, 0]
     assert "a@b.co" not in texts[0] and "192.168.0.1" not in texts[2]
+
+
+def test_hll_float32_and_nulls():
+    from elasticsearch_ray.aggs.hll import HllSketch, hash64
+
+    v32 = np.arange(1001, dtype=np.float32)  # odd length would crash view()
+    h = hash64(v32)
+    assert h.size == v32.size
+    s = HllSketch()
+    s.add(v32)
+    assert abs(s.estimate() - 1001) / 1001 < 0.05
+
+
+def test_histogram_ignores_nulls(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.aggs.aggregations import histogram
+
+    ds = rd.from_items([{"v": 1.0}, {"v": None}, {"v": 11.0}, {"v": None}])
+    out = histogram(ds, "v", width=10.0)
+    assert out["bucket"].tolist() == [0.0, 10.0]
+    assert out["doc_count"].tolist() == [1, 1]
+
+
+def test_knn_lsh_probe_hamming_two(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.similarity import knn_brute_force, knn_lsh
+
+    rng = np.random.default_rng(9)
+    V = rng.standard_normal((300, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": V[i].tolist()} for i in range(300)]
+    Q = V[:4] + rng.standard_normal((4, 16)).astype(np.float32) * 0.05
+    exact = knn_brute_force(rd.from_items(rows), Q, k=5)
+    r1 = knn_lsh(rd.from_items(rows), Q, k=5, n_planes=10, probe_hamming=1)
+    r2 = knn_lsh(rd.from_items(rows), Q, k=5, n_planes=10, probe_hamming=2)
+
+    def recall(approx):
+        hits = 0
+        for qi in range(4):
+            e = set(exact[exact.query_id == qi].vec_id)
+            a = set(approx[approx.query_id == qi].vec_id)
+            hits += len(e & a)
+        return hits / (4 * 5)
+
+    # wider probing must never lose recall
+    assert recall(r2) >= recall(r1)
+
+
+def test_simhash_max_hamming_validated(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.dedup import simhash_pairs
+
+    with pytest.raises(ValueError, match="max_hamming <= 3"):
+        simhash_pairs(rd.from_items([{"doc_id": 1, "text": "x"}]),
+                      max_hamming=4)
