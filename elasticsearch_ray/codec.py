@@ -35,6 +35,10 @@ def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndar
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, np.uint8), np.empty(0, np.int64)
+    if v.size and int(v.max()) >= (1 << 63):
+        raise ValueError(
+            "varbyte_encode supports values < 2**63 (9-byte cap); got "
+            f"{int(v.max())}")
     nbytes = np.ones(v.shape, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += v >= np.uint64(t)
@@ -132,6 +136,7 @@ def encode_postings(
     bounds[-1] = n
 
     doc_chunks: list[bytes] = []
+    doc_off = tf_off = pos_off = 0
     tf_chunks: list[bytes] = []
     pos_chunks: list[bytes] = []
     skip_doc_off = np.zeros(n_blocks, dtype=np.int32)
@@ -153,25 +158,27 @@ def encode_postings(
         deltas = np.empty(ids.size, dtype=np.int64)
         deltas[0] = ids[0] - base
         np.subtract(ids[1:], ids[:-1], out=deltas[1:])
-        skip_doc_off[bi] = sum(len(c) for c in doc_chunks)
-        skip_tf_off[bi] = sum(len(c) for c in tf_chunks)
+        skip_doc_off[bi] = doc_off
+        skip_tf_off[bi] = tf_off
         doc_chunks.append(varbyte_encode(deltas.astype(np.uint64)))
         tf_chunks.append(varbyte_encode(block_tfs.astype(np.uint64)))
+        doc_off += len(doc_chunks[-1])
+        tf_off += len(tf_chunks[-1])
         skip_last_doc[bi] = ids[-1]
         skip_max_tf[bi] = int(block_tfs.max())
         skip_min_norm[bi] = int(norms[start:end].min()) if norms is not None else 0
         if positions is not None:
-            skip_pos_off[bi] = sum(len(c) for c in pos_chunks)
+            skip_pos_off[bi] = pos_off
             p = np.asarray(positions[pos_cuts[start] : pos_cuts[end]], dtype=np.int64)
             # per-doc delta: first position raw, then gaps — reset at doc starts
             pd = np.empty_like(p)
             if p.size:
                 pd[0] = p[0]
                 np.subtract(p[1:], p[:-1], out=pd[1:])
-                doc_starts = (pos_cuts[start:end] - pos_cuts[start])[1:]
                 starts_in = pos_cuts[start + 1 : end] - pos_cuts[start]
                 pd[starts_in] = p[starts_in]
             pos_chunks.append(varbyte_encode(pd.astype(np.uint64)))
+            pos_off += len(pos_chunks[-1])
         start = end
 
     return EncodedPostings(

@@ -39,9 +39,12 @@ _CJK_RANGES = (
 # one text = alternating CJK runs and non-CJK word runs
 _CJK_RUN_RE = re.compile(f"([{_CJK_RANGES}]+)|([^\\W_]+)", re.UNICODE)
 
+# Lucene CJKAnalyzer.getDefaultStopSet verbatim (note: 's', 't', 'www'
+# included; 'an' absent — it differs from the standard English set)
 _ENGLISH_STOP = frozenset(
-    """a an and are as at be but by for if in into is it no not of on or such
-    that the their then there these they this to was will with""".split()
+    """a and are as at be but by for if in into is it no not of on or s such
+    t that the their then there these they this to was will with
+    www""".split()
 )
 
 

@@ -123,8 +123,16 @@ def greek_stem(word: str) -> str:
 # =========================== Hindi (light) ===========================
 
 _HI_NUKTA = {
-    "क़": "क", "ख़": "ख", "ग़": "ग", "ज़": "ज", "ड़": "ड", "ढ़": "ढ",
-    "फ़": "फ", "य़": "य", "ऩ": "न", "ऱ": "र",
+    # BOTH Unicode forms of each nukta consonant map to the base
+    # (HindiNormalizer): decomposed base+U+093C pairs AND the precomposed
+    # codepoints U+0958-U+095F / U+0929 / U+0931 / U+0934
+    **{chr(b) + "\u093c": chr(b) for b in
+       (0x0915, 0x0916, 0x0917, 0x091C, 0x0921, 0x0922, 0x092B, 0x092F,
+        0x0928, 0x0930, 0x0933)},
+    "\u0958": "\u0915", "\u0959": "\u0916", "\u095a": "\u0917",
+    "\u095b": "\u091c", "\u095c": "\u0921", "\u095d": "\u0922",
+    "\u095e": "\u092b", "\u095f": "\u092f", "\u0929": "\u0928",
+    "\u0931": "\u0930", "\u0934": "\u0933",
 }
 
 
@@ -347,16 +355,21 @@ def basque_stem(word: str) -> str:
 
 # =========================== Bengali (light) ===========================
 
-_BN_NUKTA = {"ড়": "ড", "ঢ়": "ঢ", "য়": "য", "র়": "র"}
+_BN_NUKTA = {
+    # decomposed base+U+09BC pairs AND precomposed U+09DC/U+09DD/U+09DF
+    **{chr(b) + "\u09bc": chr(b) for b in (0x09A1, 0x09A2, 0x09AF, 0x09B0)},
+    "\u09dc": "\u09a1", "\u09dd": "\u09a2", "\u09df": "\u09af",
+}
 
 
 def bengali_normalize(word: str) -> str:
     """BengaliNormalizer analog: ZWJ/ZWNJ removal, nukta-consonant
     decomposition to base forms, chandrabindu -> anusvara, khanda-ta ->
     ta."""
-    w = word.replace("‌", "").replace("‍", "").replace("়", "")
+    w = word.replace("‌", "").replace("‍", "")
     for k, v in _BN_NUKTA.items():
         w = w.replace(k, v)
+    w = w.replace("\u09bc", "")
     return w.replace("ঁ", "ং").replace("ৎ", "ত")
 
 

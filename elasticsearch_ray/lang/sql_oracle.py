@@ -1370,11 +1370,20 @@ def _fi_passes():
 
 
 _SPECS: dict[str, dict] = {
-    "french": dict(pre=_pre_default, passes=_fr_passes),
+    "french": dict(
+        pre=lambda t: (f"lower(regexp_replace({t}, "
+                       "'(?i)\\b(jusqu|quoiqu|lorsqu|puisqu|qu"
+                       "|l|m|t|n|s|j|d|c)[''\u2019]', ' ', 'g'))"),
+        passes=_fr_passes),
     "romanian": dict(pre=_pre_default, passes=_ro_passes),
     "finnish": dict(pre=_pre_default, passes=_fi_passes),
     "spanish": dict(pre=_pre_default, passes=_es_passes),
-    "italian": dict(pre=_pre_default, passes=_it_passes),
+    "italian": dict(
+        pre=lambda t: (f"lower(regexp_replace({t}, "
+                       "'(?i)\\b(all|dall|dell|nell|sull|coll|pell"
+                       "|agl|dagl|degl|negl|sugl|gl|un"
+                       "|c|l|m|t|s|v|d)[''\u2019]', ' ', 'g'))"),
+        passes=_it_passes),
     "portuguese": dict(pre=_pre_default, passes=_pt_passes),
     # brazilian = Portuguese Snowball stem + its own stop set (the
     # documented substitute for the reference's RSLP BrazilianStemmer)

@@ -170,6 +170,10 @@ def highlight(sf_dir: str, query_text: str, k: int = 5, frag_chars: int = 60) ->
     match docs with the first query-term occurrence wrapped in <em> tags."""
     s = documents_searcher(sf_dir)
     ids, sc = s.search({"kind": "match", "text": query_text, "k": k})
+    if ids.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "highlight": pa.array([], pa.string())})
     terms = set(s.analyzer(query_text))
     # fetch phase: row-group-pruned point reads for the k hits only
     from ..sources.reader import fetch_rows_by_doc_id
@@ -213,6 +217,10 @@ def highlight_with_options(sf_dir: str, term: str = "merge", k: int = 3,
 
     s = documents_searcher(sf_dir)
     ids, sc = s.search({"kind": "term", "term": term, "k": k})
+    if ids.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_matches": pa.array([], pa.int64()),
+                         "highlight": pa.array([], pa.string())})
     src = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
                                ids, columns=["doc_id", "text"])
     all_ids = src["doc_id"].to_numpy()
@@ -248,6 +256,10 @@ def highlight_fvh(sf_dir: str, term: str = "data", k: int = 5) -> pa.Table:
 
     s = documents_searcher(sf_dir)
     ids, sc = s.search({"kind": "term", "term": term, "k": k})
+    if ids.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_hits": pa.array([], pa.int64()),
+                         "highlight": pa.array([], pa.string())})
     tp = s._get_term(term)
     pos_lists = s._positions_for(tp, ids)  # token positions per hit doc
     src = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),

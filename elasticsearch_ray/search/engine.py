@@ -941,6 +941,8 @@ class IndexSearcher:
         """ES tie-break: score desc, then doc_id asc; float32 comparison in
         lucene mode (final collected score is float)."""
         s = scores.astype(np.float32) if self.bm25.mode == "lucene" else scores
+        if k <= 0:  # size=0 (count-only) is legal in the reference
+            return np.empty(0, doc_ids.dtype), np.empty(0, np.float64)
         if doc_ids.size > k:
             thresh = np.partition(s, s.size - k)[s.size - k]  # kth largest
             keep = np.flatnonzero(s >= thresh)  # >= keeps boundary ties

@@ -33,6 +33,8 @@ def block_max_topk(searcher, terms: list[str], k: int, boost: float = 1.0):
     """Top-k scored disjunction over `terms` using block-max skipping.
 
     Returns (doc_ids, scores) like IndexSearcher._topk output."""
+    if k <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     bm25 = searcher.bm25
     f32 = bm25.mode == "lucene"
     tps, weights, ubs = [], [], []
@@ -165,6 +167,8 @@ def term_impact_topk(searcher, term: str, k: int, boost: float = 1.0,
     BASELINE.md round-3). Probe cost on fallback is ~40 block decodes.
     Early stop is tie-safe: block_upper_bound carries a strict relative
     pad, so any undecoded doc scores strictly below its block's bound."""
+    if k <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     bm25 = searcher.bm25
     f32 = bm25.mode == "lucene"
     empty = (np.empty(0, np.int64), np.empty(0, np.float32 if f32 else np.float64))

@@ -6,6 +6,11 @@ actions on DIFFERENT ids are independent; actions on the SAME id apply in
 stream order. That maps exactly onto a groupby(_id).map_groups(apply in seq
 order) — the only ordering the engine must preserve is within an id group.
 
+The output is FINAL-STATE oriented (one row per live doc): ids whose
+last action deletes them produce no row, so per-op failures on such ids
+are not reported — the reference's per-op response items would carry
+them; this table is the index-state view.
+
 Op semantics (TransportShardBulkAction):
 - index:  upsert (create or replace)
 - create: insert; FAILS (recorded, state unchanged) if the id already exists

@@ -27,6 +27,7 @@ _EXTS = [("py", "python"), ("java", "java"), ("go", "go"), ("rs", "rust"), ("js"
 _SUBWORDS = None
 _VOCAB = None
 _ZIPF_P = None
+_VOCAB_SEED = None  # cache is per seed, rebuilt when the seed changes
 
 
 def _base_subwords(rng: np.random.Generator) -> list[str]:
@@ -47,9 +48,10 @@ def _base_subwords(rng: np.random.Generator) -> list[str]:
 
 def _build_vocab(seed: int = 42) -> tuple[list[str], np.ndarray]:
     """~5k identifiers in mixed styles + Zipf probabilities."""
-    global _SUBWORDS, _VOCAB, _ZIPF_P
-    if _VOCAB is not None:
+    global _SUBWORDS, _VOCAB, _ZIPF_P, _VOCAB_SEED
+    if _VOCAB is not None and _VOCAB_SEED == seed:
         return _VOCAB, _ZIPF_P
+    _VOCAB_SEED = seed
     rng = np.random.default_rng(seed)
     subs = _base_subwords(rng)
     vocab: list[str] = []
@@ -162,6 +164,11 @@ def write_corpus(
     if os.path.exists(marker) and open(marker).read() == tag:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    for old_part in os.listdir(out_dir):
+        # stale parts from a previous (different-tag) corpus must not leak
+        # into readers that glob the directory
+        if old_part.startswith("part-") and old_part.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, old_part))
 
     def _write_one(fi: int, lo: int, hi: int) -> None:
         chunks = []
