@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
+        "embed_kmeans",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -268,6 +269,41 @@ g AS (SELECT user_id,
         "geo_shape_linestring": f"WITH {base}\n{sel.format(line_pred)}",
         "geo_shape_multipolygon": f"WITH {base}\n{sel.format(multi_pred)}",
     }
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Lloyd k-means unrolled as chained CTEs: c0 = embeddings of ids 0..k-1;
+    each iteration assigns every vector to its nearest centroid
+    (list_distance, ties -> lowest cluster id) and recomputes centroids as
+    per-dimension means (empty clusters keep the previous centroid); the
+    final SELECT is the assignment under the post-iteration centroids —
+    exactly functions/clustering.kmeans(k, iters)."""
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"a{i} AS (SELECT e.vec_id, (SELECT c{p}.cluster FROM c{p} "
+            f"ORDER BY list_distance(e.v, c{p}.c), c{p}.cluster LIMIT 1) "
+            f"AS cluster FROM e)")
+        parts.append(
+            f"m{i} AS (SELECT a{i}.cluster AS cluster, "
+            f"generate_subscripts(e.v, 1) AS dim, unnest(e.v) AS val "
+            f"FROM a{i} JOIN e USING (vec_id))")
+        parts.append(
+            f"g{i} AS (SELECT cluster, list(mv ORDER BY dim) AS c FROM "
+            f"(SELECT cluster, dim, avg(val) AS mv FROM m{i} "
+            f"GROUP BY cluster, dim) GROUP BY cluster)")
+        parts.append(
+            f"c{i} AS (SELECT c{p}.cluster, coalesce(g{i}.c, c{p}.c) AS c "
+            f"FROM c{p} LEFT JOIN g{i} USING (cluster))")
+    final = (f"SELECT e.vec_id, (SELECT c{iters}.cluster FROM c{iters} "
+             f"ORDER BY list_distance(e.v, c{iters}.c), c{iters}.cluster "
+             f"LIMIT 1) AS cluster FROM e ORDER BY e.vec_id")
+    return ",\n".join(parts) + "\n" + final
+
 
 def _minhash_oracle_sql(num_perm: int = 32, bands: int = 8,
                         bound: int = 600, threshold: float = 0.8) -> str:
@@ -591,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
     out = _geo_shape_oracle_sqls()
     out["agg_cardinality_hll"] = _hll_oracle_sql()
     out["agg_percentiles_hdr"] = _hdr_oracle_sql()
+    out["embed_kmeans"] = _kmeans_oracle_sql()
     out["dedup_minhash_exact"] = _minhash_oracle_sql()
     out["dedup_simhash_exact"] = _simhash_oracle_sql()
     out["knn_lsh_exact"] = _knn_lsh_oracle_sql()

@@ -1,0 +1,114 @@
+"""Distributed k-means (Lloyd) over an embedding column (`list<float>`).
+
+The domain-clustering primitive of training-data pipelines: cluster a corpus
+by embedding, then sample/weight per cluster (data mixing), route near-dup
+search (this is exactly the coarse-quantizer training step of the IVF index
+in functions/similarity.py), or audit corpus composition.
+
+Shape (the part that must hold at 100 TB):
+  - every Lloyd iteration is ONE streaming pass over the Dataset — centroids
+    are broadcast once per iteration via `ray.put`, each `map_batches` task
+    assigns its batch with a vectorized argmin over squared distances and
+    emits exactly k partial rows (cluster, count, per-dimension sums);
+  - the partials are reduced by a tiny `groupby("cluster").sum(...)` — the
+    driver only ever sees k rows per iteration, never the data;
+  - the final assignment is one more streaming `map_batches` returning
+    (id, cluster) — consumable as a Dataset (write_parquet / further stages).
+
+Determinism: init = the embeddings of the k smallest ids (a pushed-down row
+filter, no sort); assignment ties break to the lowest cluster id (np.argmin);
+all arithmetic in float64 so the DuckDB oracle twin (unrolled-iteration CTEs
+with list_distance) reproduces assignments exactly.
+
+Reference analog: Elasticsearch has no clustering, but the reference's own
+scale story for ANN (and this engine's IVF stage) requires exactly this
+trainer; SURVEY.md lists clustering under the LLM-pipeline operator set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _stack(t: pa.Table, vec_col: str) -> np.ndarray:
+    return np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def _assign(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    # squared euclidean via the expansion trick; argmin ties -> lowest cluster
+    d2 = (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + (C * C).sum(axis=1)
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 3, *, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> np.ndarray:
+    """Lloyd's algorithm; returns the (k, dim) float64 centroid matrix.
+
+    One streaming pass per iteration; driver state is k×(dim+1) floats.
+    Empty clusters keep their previous centroid (same rule in the oracle).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    seed = (ds.map_batches(lambda t: t.filter(pc.less(t[id_col], k)),
+                           batch_format="pyarrow")
+              .select_columns([id_col, vec_col]).take_all())
+    seed.sort(key=lambda r: r[id_col])
+    if len(seed) != k:
+        raise ValueError(f"need ids 0..{k-1} present for deterministic init, got {len(seed)}")
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seed])
+    dim = C.shape[1]
+    s_cols = [f"s{j}" for j in range(dim)]
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partials(t: pa.Table) -> pa.Table:
+            Cm = ray.get(c_ref)
+            V = _stack(t, vec_col)
+            a = _assign(V, Cm)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, a, V)
+            cols = {"cluster": pa.array(np.arange(k), pa.int64()),
+                    "n": pa.array(counts, pa.int64())}
+            for j, name in enumerate(s_cols):
+                cols[name] = pa.array(sums[:, j], pa.float64())
+            return pa.table(cols)
+
+        red = (ds.select_columns([vec_col])
+                 .map_batches(partials, batch_format="pyarrow", batch_size=4096)
+                 .groupby("cluster").sum(["n"] + s_cols))
+        rows = red.take_all()  # exactly k tiny rows
+        newC = C.copy()
+        for r in rows:
+            c = int(r["cluster"])
+            n = int(r["sum(n)"])
+            if n > 0:
+                newC[c] = np.array([r[f"sum({s})"] for s in s_cols]) / n
+        C = newC
+    return C
+
+
+def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Streaming assignment: Dataset of (id_col, cluster)."""
+    import ray
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_ref = ray.put(C)
+
+    def fn(t: pa.Table) -> pa.Table:
+        a = _assign(_stack(t, vec_col), ray.get(c_ref))
+        return pa.table({id_col: t[id_col], "cluster": pa.array(a, pa.int64())})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        fn, batch_format="pyarrow", batch_size=4096)
+
+
+def kmeans(ds, k: int = 8, iters: int = 3, *, vec_col: str = "embedding",
+           id_col: str = "vec_id"):
+    """fit + assign; returns (centroids, assignment Dataset)."""
+    C = kmeans_fit(ds, k, iters, vec_col=vec_col, id_col=id_col)
+    return C, kmeans_assign(ds, C, vec_col=vec_col, id_col=id_col)

@@ -5126,3 +5126,19 @@ def snapshot_restore_renamed(sf_dir: str):
         "doc_count": pd.array([restored_n], dtype="int64"),
         "matches_live": [bool(restored_n == live_n)],
     })
+
+
+def embed_kmeans(sf_dir: str):
+    """Distributed k-means (Lloyd, k=8, 3 update iterations) over the
+    embeddings table — the domain-clustering step of a training-data mixing
+    pipeline and the coarse-quantizer trainer of the IVF ANN index. Each
+    iteration is one streaming map_batches pass emitting k partial rows per
+    batch, reduced by a tiny groupby; the driver only ever holds k centroids.
+    Oracle: the same Lloyd iterations unrolled as chained DuckDB CTEs
+    (list_distance + per-dim avg), assignments compared exactly."""
+    from ..functions import clustering as CL
+
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assign = CL.kmeans(ds, k=8, iters=3)
+    out = assign.to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
