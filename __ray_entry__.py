@@ -89,7 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
-        "embed_kmeans",
+        "embed_kmeans", "dedup_paragraph",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1085,6 +1085,19 @@ SELECT doc_id, lang AS old_lang, upper(lang) AS new_lang FROM documents
 WHERE doc_id < 50 ORDER BY doc_id""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
+        # CCNet-style paragraph dedup: 3-word chunks, keep the globally
+        # first occurrence by (doc_id, chunk_index), reassemble
+        "dedup_paragraph": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (SELECT doc_id, i AS ci, array_to_string(ws[(i*3+1):(i*3+3)], ' ') AS chunk
+       FROM w, unnest(generate_series(0, CAST(ceil(len(ws)/3.0) AS BIGINT) - 1)) AS u(i)),
+r AS (SELECT doc_id, ci, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn FROM ch)
+SELECT doc_id,
+       coalesce(string_agg(chunk, ' ' ORDER BY ci) FILTER (WHERE rn = 1), '') AS text_dedup,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       count(*) AS n_total
+FROM r GROUP BY doc_id ORDER BY doc_id""",
         # brute-force O(n^2) formulation of the prefix-filtered exact
         # n-gram-Jaccard self-join (doc_id < 600 bound keeps it tractable;
         # normalization mirrors _shingles: lower + whitespace collapse)

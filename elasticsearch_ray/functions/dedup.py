@@ -801,3 +801,76 @@ def decontaminate(ds, benchmark_texts: list[str], *, n: int = 13,
 
     out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+# ---------------- paragraph-level dedup (CCNet-style) ----------------
+
+
+def paragraph_dedup(ds, *, chunk_words: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """CCNet-style paragraph dedup: split every document into fixed-width
+    word chunks ("paragraphs" of the newline-free synthetic corpus), drop
+    every occurrence of a chunk except the globally first one (ordered by
+    (doc_id, chunk_index)), and reassemble the surviving text per document.
+
+    Shape at scale: explode (one map_batches pass, rows ~= corpus words /
+    chunk_words) -> groupby(chunk) keep-first flag (ONE all-to-all on the
+    chunk text, the same exchange CCNet's hash-sharded paragraph table does)
+    -> groupby(doc) reassemble. The driver never sees the corpus; output is
+    a Dataset of (doc_id, text_dedup, n_kept, n_total).
+
+    CCNet reference: Wenzek et al. 2020 ("CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data") — paragraph-hash dedup. The
+    split here mirrors the oracle exactly: `text.split(' ')` (single-space,
+    no normalization), chunk i = words[i*cw:(i+1)*cw].
+
+    Both shuffles are BUCKETED (the index build's exchange pattern): rows
+    route by hash(chunk) % B — so each group handed to map_groups is a whole
+    bucket, processed vectorized in pandas — never one Python call per chunk
+    or per document. B bounds group count independent of corpus size.
+    """
+    import zlib
+
+    num_buckets = 64
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, cis, chunks, cb = [], [], [], []
+        for did, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            ws = (s or "").split(" ")
+            n = (len(ws) + chunk_words - 1) // chunk_words
+            for i in range(n):
+                c = " ".join(ws[i * chunk_words:(i + 1) * chunk_words])
+                ids.append(did)
+                cis.append(i)
+                chunks.append(c)
+                cb.append(zlib.crc32(c.encode()) % num_buckets)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "ci": pa.array(cis, pa.int64()),
+                         "chunk": pa.array(chunks, pa.string()),
+                         "cbucket": pa.array(cb, pa.int64())})
+
+    def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # whole hash bucket: all occurrences of each chunk are here
+        g = g.sort_values(["chunk", id_col, "ci"], kind="stable")
+        g["keep"] = ~g["chunk"].duplicated(keep="first")
+        g["dbucket"] = g[id_col] % num_buckets
+        return g
+
+    def reassemble_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "ci"], kind="stable")
+        kept = g[g["keep"]]
+        n_total = g.groupby(id_col).size()
+        agg = kept.groupby(id_col)["chunk"].agg(" ".join)
+        n_kept = kept.groupby(id_col).size()
+        return pd.DataFrame({
+            id_col: n_total.index.to_numpy(),
+            "text_dedup": agg.reindex(n_total.index, fill_value="").to_numpy(),
+            "n_kept": n_kept.reindex(n_total.index, fill_value=0)
+                            .to_numpy().astype("int64"),
+            "n_total": n_total.to_numpy().astype("int64"),
+        })
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("cbucket").map_groups(flag_bucket, batch_format="pandas")
+              .groupby("dbucket").map_groups(reassemble_bucket,
+                                             batch_format="pandas"))

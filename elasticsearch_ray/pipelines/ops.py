@@ -5142,3 +5142,16 @@ def embed_kmeans(sf_dir: str):
     _, assign = CL.kmeans(ds, k=8, iters=3)
     out = assign.to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def dedup_paragraph(sf_dir: str):
+    """CCNet-style paragraph dedup (Wenzek et al. 2020): documents split
+    into 3-word chunks (the synthetic corpus is newline-free; 3 words gives
+    a ~19% duplicate-chunk rate at sf0.01), every repeated chunk dropped
+    except the globally first occurrence by (doc_id, chunk_index), text
+    reassembled per doc. Exact oracle: the same split/window/rank pipeline
+    in DuckDB (string_split + row_number over chunk)."""
+    out = D.paragraph_dedup(_ds(sf_dir, "documents", ["doc_id", "text"]),
+                            chunk_words=3)
+    df = out.to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,58 @@
+"""paragraph_dedup (functions/dedup.py): planted duplicate paragraphs,
+keep-first ordering, and partition invariance."""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from elasticsearch_ray.functions.dedup import paragraph_dedup
+
+
+def _run(df: pd.DataFrame, chunk_words: int, parts: int = 3) -> pd.DataFrame:
+    ds = rd.from_pandas(df).repartition(parts)
+    out = paragraph_dedup(ds, chunk_words=chunk_words).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_planted_duplicate_paragraph_removed():
+    dup = "alpha beta gamma delta"  # one 4-word chunk
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"{dup} one two three four",
+                 f"zero zero zero zero {dup}",
+                 "unique words only here"],
+    })
+    out = _run(df, chunk_words=4)
+    # doc 1 owns the first occurrence (doc order), doc 2 loses its copy
+    assert out.loc[0, "text_dedup"] == f"{dup} one two three four"
+    assert out.loc[1, "text_dedup"] == "zero zero zero zero"
+    assert out.loc[1, "n_kept"] == 1 and out.loc[1, "n_total"] == 2
+    assert out.loc[2, "n_kept"] == out.loc[2, "n_total"] == 1
+
+
+def test_keep_first_within_doc():
+    # same chunk twice inside ONE doc: second occurrence dropped
+    df = pd.DataFrame({"doc_id": [7],
+                       "text": ["a b a b c d"]})
+    out = _run(df, chunk_words=2)
+    assert out.loc[0, "text_dedup"] == "a b c d"
+    assert out.loc[0, "n_kept"] == 2 and out.loc[0, "n_total"] == 3
+
+
+def test_partition_invariance():
+    rows = []
+    words = ["w%d" % (i % 9) for i in range(200)]
+    for d in range(20):
+        rows.append({"doc_id": d, "text": " ".join(words[d:d + 30])})
+    df = pd.DataFrame(rows)
+    outs = [_run(df, chunk_words=3, parts=p) for p in (1, 6)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_empty_text():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["", "x y"]})
+    out = _run(df, chunk_words=2)
+    # "" splits to [''] -> one empty chunk, kept (it is globally first)
+    assert out.loc[0, "n_total"] == 1
+    assert out.loc[1, "text_dedup"] == "x y"
