@@ -89,7 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
-        "embed_kmeans", "dedup_paragraph",
+        "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1085,6 +1085,43 @@ SELECT doc_id, lang AS old_lang, upper(lang) AS new_lang FROM documents
 WHERE doc_id < 50 ORDER BY doc_id""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
+        # URL canonicalization + dedup: synthesis and canonical rules
+        # mirrored from functions/text.canonicalize_url
+        "url_canonical_dedup": r"""
+WITH u AS (
+  SELECT doc_id,
+    'HTTPS://WWW.' || source || '.Example.COM:443/Docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+    CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1#frag'
+         WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '/' END AS url
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)) AS sh,
+    substr(url, length(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)) + 1) AS rest
+  FROM u),
+c2 AS (
+  SELECT doc_id,
+    CASE WHEN sh2 LIKE 'http://%' THEN regexp_replace(sh2, ':80$', '')
+         WHEN sh2 LIKE 'https://%' THEN regexp_replace(sh2, ':443$', '')
+         ELSE sh2 END AS sh3,
+    regexp_replace(rest, '#.*$', '') AS rest2
+  FROM (SELECT doc_id, regexp_replace(sh, '^(https?://)www\.', '\1') AS sh2, rest FROM c)),
+p AS (
+  SELECT doc_id, sh3,
+    regexp_replace(CASE WHEN instr(rest2, '?') > 0
+                        THEN substr(rest2, 1, instr(rest2, '?') - 1)
+                        ELSE rest2 END, '/+$', '') AS path,
+    CASE WHEN instr(rest2, '?') > 0 THEN substr(rest2, instr(rest2, '?') + 1)
+         ELSE '' END AS q
+  FROM c2),
+pp AS (
+  SELECT doc_id, sh3, path,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)='))), '&') AS qq
+  FROM p)
+SELECT sh3 || path || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS canonical_url,
+       min(doc_id) AS first_doc, count(*) AS n
+FROM pp GROUP BY 1 ORDER BY 1""",
         # CCNet-style paragraph dedup: 3-word chunks, keep the globally
         # first occurrence by (doc_id, chunk_index), reassemble
         "dedup_paragraph": """

@@ -271,3 +271,48 @@ def redact_pii_batch(t: pa.Table, text_col: str = "text",
                                          replacement=token.format(kind=kind))
     out = t.set_column(t.schema.get_field_index(text_col), text_col, col)
     return out.append_column("n_redactions", pa.array(n_red, pa.int64()))
+
+
+# ---------------- URL canonicalization (crawl dedup primitive) ----------------
+
+_TRACKING_PARAM = re.compile(r"^(utm_[^=]*|gclid|fbclid|ref)=")
+_SCHEME_HOST = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)")
+
+
+def canonicalize_url(u: str) -> str:
+    """Deterministic URL canonical form (the dedup key of a crawl pipeline):
+    scheme+host lowercased, leading `www.` stripped, default port stripped
+    (:80 for http, :443 for https), fragment dropped, tracking params
+    (utm_*, gclid, fbclid, ref) dropped, remaining query params sorted
+    bytewise, trailing slashes stripped from the path. Path/query case is
+    preserved. The DuckDB oracle re-derives exactly these rules."""
+    m = _SCHEME_HOST.match(u or "")
+    if not m:
+        return u or ""
+    sh = m.group(1).lower()
+    scheme, host = sh.split("://", 1)
+    if host.startswith("www."):
+        host = host[4:]
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    rest = u[m.end():]
+    rest = rest.split("#", 1)[0]
+    if "?" in rest:
+        path, query = rest.split("?", 1)
+    else:
+        path, query = rest, ""
+    path = path.rstrip("/")
+    params = sorted(p for p in query.split("&")
+                    if p and not _TRACKING_PARAM.match(p))
+    out = f"{scheme}://{host}{path}"
+    if params:
+        out += "?" + "&".join(params)
+    return out
+
+
+def canonicalize_url_batch(t: pa.Table, url_col: str = "url",
+                           out_col: str = "canonical_url") -> pa.Table:
+    vals = [canonicalize_url(u) for u in t[url_col].to_pylist()]
+    return t.append_column(out_col, pa.array(vals, pa.string()))

@@ -5155,3 +5155,40 @@ def dedup_paragraph(sf_dir: str):
                             chunk_words=3)
     df = out.to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def url_canonical_dedup(sf_dir: str):
+    """Crawl-pipeline URL dedup: synthesize a deterministic URL per document
+    (uppercase scheme/host noise, default port, www, tracking params,
+    unsorted query, fragment, trailing slash — all the variants a crawler
+    sees), canonicalize (functions/text.canonicalize_url), and dedup by the
+    canonical form (groupby: first doc + count). Oracle: the same synthesis
+    + canonicalization rules in DuckDB string/list functions."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "source"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        urls = []
+        for d, s in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            base = f"HTTPS://WWW.{s}.Example.COM:443/Docs/{d % 50}"
+            r = d % 3
+            if r == 0:
+                u = base + "/?utm_source=feed&b=2&a=1#frag"
+            elif r == 1:
+                u = base + "?a=1&b=2"
+            else:
+                u = base + "/"
+            urls.append(u)
+        return t.append_column("url", pa.array(urls, pa.string()))
+
+    out = (ds.map_batches(mk, batch_format="pyarrow")
+             .map_batches(lambda t: T.canonicalize_url_batch(t),
+                          batch_format="pyarrow")
+             .groupby("canonical_url")
+             .aggregate(Min("doc_id", alias_name="first_doc"),
+                        Count(alias_name="n"))
+             .to_pandas())
+    out["first_doc"] = out["first_doc"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("canonical_url").reset_index(drop=True)

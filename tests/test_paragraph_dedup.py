@@ -56,3 +56,14 @@ def test_empty_text():
     # "" splits to [''] -> one empty chunk, kept (it is globally first)
     assert out.loc[0, "n_total"] == 1
     assert out.loc[1, "text_dedup"] == "x y"
+
+
+def test_canonicalize_url_rules():
+    from elasticsearch_ray.functions.text import canonicalize_url as c
+    assert c("HTTPS://WWW.Ex.COM:443/A/?utm_source=x&b=2&a=1#f") == "https://ex.com/A?a=1&b=2"
+    assert c("http://ex.com:80/") == "http://ex.com"
+    assert c("http://ex.com:8080/p/") == "http://ex.com:8080/p"
+    assert c("https://ex.com/p?gclid=1&fbclid=2&ref=z") == "https://ex.com/p"
+    assert c("https://ex.com/p?z=1&a=2") == "https://ex.com/p?a=2&z=1"
+    assert c("not a url") == "not a url"
+    assert c("") == ""
