@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
+        "dedup_substring",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1122,6 +1123,32 @@ pp AS (
 SELECT sh3 || path || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS canonical_url,
        min(doc_id) AS first_doc, count(*) AS n
 FROM pp GROUP BY 1 ORDER BY 1""",
+        # ExactSubstr-style span dedup: 8-word grams, duplicate occurrences
+        # (row_number > 1 over (doc_id, start) order) mark spans; covered
+        # word indexes are cut via ANTI JOIN and the text re-joined
+        "dedup_substring": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+wn AS (SELECT doc_id, len(ws) AS n_words FROM w),
+g AS (SELECT doc_id, i AS s, array_to_string(ws[(i+1):(i+8)], ' ') AS gram
+      FROM w, unnest(generate_series(0, len(ws) - 8)) AS u(i)
+      WHERE len(ws) >= 8),
+r AS (SELECT doc_id, s,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn
+      FROM g),
+cov AS (SELECT DISTINCT doc_id, s + j AS widx
+        FROM (SELECT doc_id, s FROM r WHERE rn > 1),
+             unnest(generate_series(0, 7)) AS v(j)),
+words AS (SELECT doc_id, i AS widx, ws[i+1] AS word
+          FROM w, unnest(generate_series(0, len(ws) - 1)) AS u(i)),
+kept AS (SELECT * FROM words ANTI JOIN cov USING (doc_id, widx)),
+k AS (SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS text_clean,
+             count(*) AS nk
+      FROM kept GROUP BY doc_id)
+SELECT wn.doc_id,
+       coalesce(k.text_clean, '') AS text_clean,
+       CAST(wn.n_words - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
+       wn.n_words
+FROM wn LEFT JOIN k USING (doc_id) ORDER BY wn.doc_id""",
         # CCNet-style paragraph dedup: 3-word chunks, keep the globally
         # first occurrence by (doc_id, chunk_index), reassemble
         "dedup_paragraph": """

@@ -874,3 +874,86 @@ def paragraph_dedup(ds, *, chunk_words: int = 8, text_col: str = "text",
               .groupby("cbucket").map_groups(flag_bucket, batch_format="pandas")
               .groupby("dbucket").map_groups(reassemble_bucket,
                                              batch_format="pandas"))
+
+
+# ---------------- substring-span dedup (Lee et al. 2022 style) ----------------
+
+
+def substring_dedup(ds, *, gram_words: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Exact duplicated-substring removal at word granularity ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022 — the
+    suffix-array ExactSubstr method, re-expressed as a distributed n-gram
+    exchange): every word `gram_words`-gram that occurred earlier anywhere in
+    the corpus (global order by (doc_id, start)) marks its span; per doc the
+    union of duplicate spans is cut out and the surviving words re-joined.
+
+    Shape: explode overlapping grams (one pass) -> groupby(crc32(gram) % 64)
+    flags duplicates vectorized per bucket and emits ONLY (doc_id, start)
+    rows (tiny at real dup rates) -> union with one row per doc carrying its
+    text -> groupby(doc_id % 64) rebuilds per bucket. Text crosses the wire
+    once; the gram exchange carries grams, not documents.
+
+    Returns Dataset of (doc_id, text_clean, n_removed, n_words)."""
+    import zlib
+
+    B = 64
+    n = gram_words
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, ss, grams, gb = [], [], [], []
+        for did, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            ws = (s or "").split(" ")
+            for i in range(len(ws) - n + 1):
+                g = " ".join(ws[i:i + n])
+                ids.append(did)
+                ss.append(i)
+                grams.append(g)
+                gb.append(zlib.crc32(g.encode()) % B)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "s": pa.array(ss, pa.int64()),
+                         "gram": pa.array(grams, pa.string()),
+                         "gbucket": pa.array(gb, pa.int64())})
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["gram", id_col, "s"], kind="stable")
+        dup = g["gram"].duplicated(keep="first")
+        out = g.loc[dup, [id_col, "s"]].copy()
+        out["dbucket"] = out[id_col] % B
+        out["text"] = ""
+        return out[[id_col, "dbucket", "s", "text"]]
+
+    def docrows(t: pa.Table) -> pa.Table:
+        did = t[id_col].to_numpy()
+        return pa.table({id_col: pa.array(did, pa.int64()),
+                         "dbucket": pa.array(did % B, pa.int64()),
+                         "s": pa.array(np.full(len(did), -1), pa.int64()),
+                         "text": t[text_col].cast(pa.string())})
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {id_col: [], "text_clean": [], "n_removed": [], "n_words": []}
+        for did, grp in g.groupby(id_col, sort=True):
+            base = grp.loc[grp["s"] < 0, "text"]
+            text = base.iloc[0] if len(base) else ""
+            ws = (text or "").split(" ")
+            cov = np.zeros(len(ws), dtype=bool)
+            for st in grp.loc[grp["s"] >= 0, "s"].to_numpy():
+                cov[st:st + n] = True
+            rows[id_col].append(did)
+            rows["text_clean"].append(" ".join(np.array(ws, dtype=object)[~cov]))
+            rows["n_removed"].append(int(cov.sum()))
+            rows["n_words"].append(len(ws))
+        return pd.DataFrame({
+            id_col: pd.array(rows[id_col], dtype="int64"),
+            "text_clean": rows["text_clean"],
+            "n_removed": pd.array(rows["n_removed"], dtype="int64"),
+            "n_words": pd.array(rows["n_words"], dtype="int64"),
+        })
+
+    dups = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("gbucket").map_groups(flag, batch_format="pandas")
+              # normalize to Arrow blocks so union with `docs` type-matches
+              .map_batches(lambda t: t, batch_format="pyarrow"))
+    docs = ds.map_batches(docrows, batch_format="pyarrow")
+    return (docs.union(dups)
+                .groupby("dbucket").map_groups(rebuild, batch_format="pandas"))

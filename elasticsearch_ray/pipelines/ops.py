@@ -5192,3 +5192,14 @@ def url_canonical_dedup(sf_dir: str):
     out["first_doc"] = out["first_doc"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out.sort_values("canonical_url").reset_index(drop=True)
+
+
+def dedup_substring(sf_dir: str):
+    """Exact duplicated-substring removal (Lee et al. 2022 ExactSubstr, word
+    granularity, 8-word grams): any 8-gram seen earlier in the corpus (global
+    (doc_id, start) order) marks its span; per doc the union of duplicate
+    spans is cut out. Oracle: the same gram/row_number/coverage pipeline as
+    DuckDB SQL with an ANTI JOIN on covered word indexes."""
+    out = D.substring_dedup(_ds(sf_dir, "documents", ["doc_id", "text"]),
+                            gram_words=8)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

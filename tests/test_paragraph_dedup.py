@@ -67,3 +67,49 @@ def test_canonicalize_url_rules():
     assert c("https://ex.com/p?z=1&a=2") == "https://ex.com/p?a=2&z=1"
     assert c("not a url") == "not a url"
     assert c("") == ""
+
+
+def test_substring_dedup_planted_span():
+    from elasticsearch_ray.functions.dedup import substring_dedup
+    span = "s1 s2 s3 s4"  # 4-gram planted in two docs
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"a b {span} c d",
+                 f"x {span} y z w",
+                 "p q r s t u v w"],
+    })
+    out = (substring_dedup(rd.from_pandas(df).repartition(2), gram_words=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "n_removed"] == 0              # first occurrence kept
+    assert out.loc[1, "text_clean"] == "x y z w"     # span cut from doc 2
+    assert out.loc[1, "n_removed"] == 4
+    assert out.loc[2, "n_removed"] == 0
+
+
+def test_substring_dedup_overlapping_spans_merge():
+    from elasticsearch_ray.functions.dedup import substring_dedup
+    # doc 2 repeats a 6-word window of doc 1 -> three overlapping dup 4-grams
+    # covering one 6-word span, removed once (union, not triple-removal)
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["m1 m2 m3 m4 m5 m6",
+                 "h1 m1 m2 m3 m4 m5 m6 h2"],
+    })
+    out = (substring_dedup(rd.from_pandas(df), gram_words=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[1, "text_clean"] == "h1 h2"
+    assert out.loc[1, "n_removed"] == 6
+    assert out.loc[0, "n_removed"] == 0
+
+
+def test_substring_dedup_partition_invariance():
+    from elasticsearch_ray.functions.dedup import substring_dedup
+    words = ["t%d" % (i % 11) for i in range(120)]
+    df = pd.DataFrame({"doc_id": range(12),
+                       "text": [" ".join(words[i:i + 40]) for i in range(12)]})
+    outs = []
+    for p in (1, 5):
+        o = (substring_dedup(rd.from_pandas(df).repartition(p), gram_words=5)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
