@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
-        "dedup_substring",
+        "dedup_substring", "embed_cluster_sample",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -629,6 +629,10 @@ def oracle_sql() -> dict[str, str]:
     out["agg_cardinality_hll"] = _hll_oracle_sql()
     out["agg_percentiles_hdr"] = _hdr_oracle_sql()
     out["embed_kmeans"] = _kmeans_oracle_sql()
+    out["embed_cluster_sample"] = (
+        "SELECT vec_id, cluster FROM ("
+        + _kmeans_oracle_sql().rsplit("ORDER BY", 1)[0]
+        + ") WHERE vec_id % 10 < 3 + cluster % 5 ORDER BY vec_id")
     out["dedup_minhash_exact"] = _minhash_oracle_sql()
     out["dedup_simhash_exact"] = _simhash_oracle_sql()
     out["knn_lsh_exact"] = _knn_lsh_oracle_sql()

@@ -5203,3 +5203,23 @@ def dedup_substring(sf_dir: str):
     out = D.substring_dedup(_ds(sf_dir, "documents", ["doc_id", "text"]),
                             gram_words=8)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def embed_cluster_sample(sf_dir: str):
+    """Cluster-balanced sampling (the data-mixing step after domain
+    clustering): k-means assignment (k=8, 3 iters) then a deterministic
+    per-cluster rate — keep vec_id where vec_id % 10 < 3 + (cluster % 5).
+    One streaming filter pass after assignment; oracle composes the
+    unrolled k-means CTEs with the same modular predicate."""
+    from ..functions import clustering as CL
+
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assign = CL.kmeans(ds, k=8, iters=3)
+
+    def sample(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy()
+        cl = t["cluster"].to_numpy()
+        return t.filter(pa.array((vid % 10) < (3 + cl % 5)))
+
+    out = assign.map_batches(sample, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
