@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
-        "dedup_substring", "embed_cluster_sample",
+        "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1127,6 +1127,11 @@ pp AS (
 SELECT sh3 || path || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS canonical_url,
        min(doc_id) AS first_doc, count(*) AS n
 FROM pp GROUP BY 1 ORDER BY 1""",
+        "join_orders_customer": """
+SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
         # ExactSubstr-style span dedup: 8-word grams, duplicate occurrences
         # (row_number > 1 over (doc_id, start) order) mark spans; covered
         # word indexes are cut via ANTI JOIN and the text re-joined

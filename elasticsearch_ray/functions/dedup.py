@@ -36,14 +36,31 @@ def _content_hash_batch(t: pa.Table, text_col: str) -> pa.Table:
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: md5(text) groupby, keep the min-id row per group.
     Returns the deduplicated Dataset (hash + shuffle + first — SURVEY.md §2.8
-    mapping of `_id` upsert/collapse semantics)."""
+    mapping of `_id` upsert/collapse semantics).
+
+    The shuffle key is a BUCKET of the hash (crc-folded, 64 buckets), not the
+    hash itself, so map_groups is called once per bucket and keep-first runs
+    vectorized in pandas over the whole bucket — not once per distinct
+    document (group-call overhead dominated at 5k+ groups)."""
+    import zlib
+
+    B = 64
+
+    def hash_and_bucket(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode()).hexdigest()
+             for s in t[text_col].to_pylist()]
+        hb = [zlib.crc32(x.encode()) % B for x in h]
+        return (t.append_column("content_hash", pa.array(h, pa.string()))
+                 .append_column("hbucket", pa.array(hb, pa.int64())))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+        g = g.sort_values(["content_hash", id_col], kind="stable")
+        return (g[~g["content_hash"].duplicated(keep="first")]
+                .drop(columns=["hbucket"]))
 
     return (
-        ds.map_batches(lambda t: _content_hash_batch(t, text_col), batch_format="pyarrow")
-        .groupby("content_hash")
+        ds.map_batches(hash_and_bucket, batch_format="pyarrow")
+        .groupby("hbucket")
         .map_groups(keep_first, batch_format="pandas")
     )
 

@@ -5223,3 +5223,24 @@ def embed_cluster_sample(sf_dir: str):
 
     out = assign.map_batches(sample, batch_format="pyarrow").to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def join_orders_customer(sf_dir: str):
+    """Distributed hash join (Ray Data native Dataset.join, both sides
+    shuffled by key — the large×large case where broadcast doesn't apply)
+    orders ⋈ customer on custkey, then revenue per market segment. Column
+    pruning at the read on both sides; the post-join aggregate reduces to 5
+    rows. Revenue rounded to 2 decimals on both sides (fp sum order)."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _ds(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _ds(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = orders.join(cust, join_type="inner", num_partitions=16,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    out = (j.groupby("c_mktsegment")
+            .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                       Count(alias_name="n_orders"))
+            .to_pandas())
+    out["revenue"] = round_half_away(out["revenue"], 2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
