@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
+        "events_sessionize", "asof_join_events_orders",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1127,6 +1128,33 @@ pp AS (
 SELECT sh3 || path || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS canonical_url,
        min(doc_id) AS first_doc, count(*) AS n
 FROM pp GROUP BY 1 ORDER BY 1""",
+        # sessionization: lag + running-sum session index, session aggregate
+        "events_sessionize": """
+WITH o AS (SELECT user_id, event_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk FROM o),
+s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                AS session_idx
+      FROM f)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+        # as-of join: latest order at-or-before the synthetic as-of time,
+        # ties on date -> larger o_orderkey; inner semantics
+        "asof_join_events_orders": """
+WITH e AS (SELECT event_id, user_id,
+                  TIMESTAMP '1995-01-01' + to_days(CAST(event_id % 2000 AS INTEGER)) AS as_of_ts
+           FROM events),
+m AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.as_of_ts)
+SELECT event_id, user_id, o_orderkey, o_orderdate
+FROM m WHERE rn = 1 ORDER BY event_id""",
         "join_orders_customer": """
 SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue,
        COUNT(*) AS n_orders

@@ -5244,3 +5244,43 @@ def join_orders_customer(sf_dir: str):
     out["revenue"] = round_half_away(out["revenue"], 2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def events_sessionize(sf_dir: str):
+    """Sessionization (gaps-and-islands): per user, a new session when the
+    gap to the previous event exceeds 30 minutes (order (ts, event_id)).
+    One bucketed exchange (user_id % 64), vectorized shift/cumsum per
+    bucket. Oracle: lag + windowed running sum in SQL."""
+    from ..functions import temporal as TP
+
+    ds = _ds(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = TP.sessionize(ds, gap_minutes=30).to_pandas()
+    return (out.sort_values(["user_id", "session_idx"])
+               .reset_index(drop=True)
+               [["user_id", "session_idx", "n_events", "start_ts", "end_ts"]])
+
+
+def asof_join_events_orders(sf_dir: str):
+    """As-of join: each event (at a synthetic as-of time spread across the
+    order-date range: 1995-01-01 + (event_id % 2000) days) matched to the
+    latest order of the same customer at-or-before that time; date ties
+    break to the larger o_orderkey. Per-bucket pandas.merge_asof — a
+    sorted merge, not a key-pair blowup. Inner semantics."""
+    from ..functions import temporal as TP
+
+    ev = _ds(sf_dir, "events", ["event_id", "user_id"])
+
+    def add_asof(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        ts = (np.datetime64("1995-01-01") +
+              (eid % 2000).astype("timedelta64[D]")).astype("datetime64[us]")
+        return t.append_column("as_of_ts", pa.array(ts))
+
+    ev = ev.map_batches(add_asof, batch_format="pyarrow")
+    orders = _ds(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    out = TP.asof_join(ev, orders,
+                       left_key="user_id", right_key="o_custkey",
+                       left_time="as_of_ts", right_time="o_orderdate",
+                       left_id="event_id", right_payload="o_orderkey")
+    return (out.to_pandas().sort_values("event_id").reset_index(drop=True)
+            [["event_id", "user_id", "o_orderkey", "o_orderdate"]])
