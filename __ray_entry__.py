@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
+        "range_join_events_windows", "sliding_window_counts",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1128,6 +1129,21 @@ pp AS (
 SELECT sh3 || path || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS canonical_url,
        min(doc_id) AS first_doc, count(*) AS n
 FROM pp GROUP BY 1 ORDER BY 1""",
+        "range_join_events_windows": """
+WITH w AS (SELECT i AS window_id,
+                  TIMESTAMP '2024-01-01' + to_hours(33 * i) AS ws,
+                  TIMESTAMP '2024-01-01' + to_hours(33 * i + 72) AS we
+           FROM unnest(generate_series(0, 19)) AS u(i))
+SELECT w.window_id, e.event_type, count(*) AS n
+FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        "sliding_window_counts": """
+WITH w AS (SELECT TIMESTAMP '2024-01-01' + to_minutes(15 * i) AS window_start
+           FROM unnest(generate_series(0, 3100)) AS u(i))
+SELECT w.window_start, count(*) AS n, ROUND(SUM(e.value), 4) AS value_sum
+FROM events e
+JOIN w ON e.ts >= w.window_start AND e.ts < w.window_start + INTERVAL 1 HOUR
+GROUP BY 1 ORDER BY 1""",
         # sessionization: lag + running-sum session index, session aggregate
         "events_sessionize": """
 WITH o AS (SELECT user_id, event_id, ts,

@@ -5284,3 +5284,80 @@ def asof_join_events_orders(sf_dir: str):
                        left_id="event_id", right_payload="o_orderkey")
     return (out.to_pandas().sort_values("event_id").reset_index(drop=True)
             [["event_id", "user_id", "o_orderkey", "o_orderdate"]])
+
+
+def range_join_events_windows(sf_dir: str):
+    """Range join: events joined to a SMALL interval table (20 deterministic
+    3-day campaign windows over Jan 2024, window w = [start0 + 33h*w,
+    +3 days)) — the broadcast-side range-join shape: the window table rides
+    to every task via ray.put, per batch np.searchsorted buckets event
+    timestamps against window starts, membership checked vectorized, then a
+    tiny groupby. Oracle: plain BETWEEN join in SQL."""
+    import ray
+    from ray.data.aggregate import Count
+
+    starts = (np.datetime64("2024-01-01T00:00:00") +
+              np.arange(20) * np.timedelta64(33, "h")).astype("datetime64[us]")
+    ends = (starts + np.timedelta64(72, "h")).astype("datetime64[us]")
+    w_ref = ray.put((starts.astype("int64"), ends.astype("int64")))
+
+    ds = _ds(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        s64, e64 = ray.get(w_ref)
+        ts = t["ts"].cast(pa.timestamp("us")).to_numpy().astype("int64")
+        # windows overlap (33h step < 72h len), so test all 20 per event —
+        # 20 is the broadcast-side bound; vectorized (n_events, 20) mask
+        m = (ts[:, None] >= s64[None, :]) & (ts[:, None] < e64[None, :])
+        ei, wi = np.nonzero(m)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)[ei]
+        return pa.table({
+            "window_id": pa.array(wi.astype("int64")),
+            "event_type": pa.array(et, pa.string()),
+        })
+
+    out = (ds.map_batches(explode_windows, batch_format="pyarrow")
+             .groupby(["window_id", "event_type"])
+             .aggregate(Count(alias_name="n"))
+             .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["window_id", "event_type"])
+               .reset_index(drop=True))
+
+
+def sliding_window_counts(sf_dir: str):
+    """Sliding-window aggregate (1-hour window, 15-minute step): each event
+    belongs to up to 4 windows; explode event->windows inside map_batches
+    (vectorized integer arithmetic), then groupby(window_start) counts with
+    value sums. Oracle: generate_series window table joined on BETWEEN."""
+    from ray.data.aggregate import Count, Sum
+
+    step = np.timedelta64(15 * 60, "s")
+    width_steps = 4  # 1h / 15min
+
+    ds = _ds(sf_dir, "events", ["ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.timestamp("us")).to_numpy()
+        val = t["value"].to_numpy()
+        sidx = (ts - np.datetime64("2024-01-01T00:00:00")) // step
+        rows_ts, rows_val = [], []
+        for k in range(width_steps):
+            w = sidx - k
+            keep = w >= 0
+            rows_ts.append((np.datetime64("2024-01-01T00:00:00") +
+                            w[keep] * step).astype("datetime64[us]"))
+            rows_val.append(val[keep])
+        return pa.table({
+            "window_start": pa.array(np.concatenate(rows_ts)),
+            "value": pa.array(np.concatenate(rows_val), pa.float64()),
+        })
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("window_start")
+             .aggregate(Count(alias_name="n"),
+                        Sum("value", alias_name="value_sum"))
+             .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["value_sum"] = round_half_away(out["value_sum"], 4)
+    return out.sort_values("window_start").reset_index(drop=True)
