@@ -897,7 +897,7 @@ def paragraph_dedup(ds, *, chunk_words: int = 8, text_col: str = "text",
 
 
 def substring_dedup(ds, *, gram_words: int = 8, text_col: str = "text",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id", hash_grams: bool = False):
     """Exact duplicated-substring removal at word granularity ("Deduplicating
     Training Data Makes Language Models Better", Lee et al. 2022 — the
     suffix-array ExactSubstr method, re-expressed as a distributed n-gram
@@ -911,6 +911,13 @@ def substring_dedup(ds, *, gram_words: int = 8, text_col: str = "text",
     text -> groupby(doc_id % 64) rebuilds per bucket. Text crosses the wire
     once; the gram exchange carries grams, not documents.
 
+    `hash_grams=True` is the 100-TB path: the gram exchange ships a 64-bit
+    murmur3 of each gram (8 bytes/row) instead of the gram text —
+    gram_words× less exchange volume; collision probability ~n²/2^64
+    (≈6×10^-4 even at 10^9 distinct grams), each collision at worst drops
+    one n-gram span that wasn't a true duplicate. The exact-text mode is
+    the oracle twin; both are parity-tested on the synthetic corpus.
+
     Returns Dataset of (doc_id, text_clean, n_removed, n_words)."""
     import zlib
 
@@ -918,6 +925,8 @@ def substring_dedup(ds, *, gram_words: int = 8, text_col: str = "text",
     n = gram_words
 
     def explode(t: pa.Table) -> pa.Table:
+        from .text import murmur3_x64_128
+
         ids, ss, grams, gb = [], [], [], []
         for did, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             ws = (s or "").split(" ")
@@ -925,11 +934,18 @@ def substring_dedup(ds, *, gram_words: int = 8, text_col: str = "text",
                 g = " ".join(ws[i:i + n])
                 ids.append(did)
                 ss.append(i)
-                grams.append(g)
-                gb.append(zlib.crc32(g.encode()) % B)
+                if hash_grams:
+                    h = murmur3_x64_128(g.encode())[0]
+                    grams.append(h - (1 << 64 if h >= 1 << 63 else 0))
+                    gb.append(h % B)
+                else:
+                    grams.append(g)
+                    gb.append(zlib.crc32(g.encode()) % B)
+        gram_arr = (pa.array(grams, pa.int64()) if hash_grams
+                    else pa.array(grams, pa.string()))
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "s": pa.array(ss, pa.int64()),
-                         "gram": pa.array(grams, pa.string()),
+                         "gram": gram_arr,
                          "gbucket": pa.array(gb, pa.int64())})
 
     def flag(g: pd.DataFrame) -> pd.DataFrame:

@@ -80,3 +80,15 @@ def test_fuzz_substring_dedup():
                    .to_pandas().sort_values("doc_id").reset_index(drop=True))
             want = _brute_substring(df, n)
             pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_substring_dedup_hash_mode_parity():
+    # 64-bit gram hashing must match exact-text mode on real-shaped corpora
+    for seed in (9, 41):
+        df = _corpus(seed, n_docs=40, vocab=6)
+        a = (substring_dedup(rd.from_pandas(df).repartition(3), gram_words=3)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (substring_dedup(rd.from_pandas(df).repartition(3), gram_words=3,
+                             hash_grams=True)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
