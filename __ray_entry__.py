@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
         "range_join_events_windows", "sliding_window_counts",
+        "rank_eval_metrics",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -820,6 +821,34 @@ top2 AS (SELECT tf.doc_id AS doc_id
 p2 AS (SELECT 'q_merge' AS query, ROUND(count(*)/5.0, 4) AS precision_at_5
        FROM top2 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term='merge'))
 SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY query""",
+        "rank_eval_metrics": f"""
+WITH {_TOK},
+t1 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('data','query') GROUP BY doc_id, term),
+d1 AS (SELECT term, count(*) AS df FROM t1 GROUP BY term),
+scored AS (SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS sc
+           FROM t1 tf JOIN d1 df USING (term)
+           JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+           GROUP BY tf.doc_id, dl.dl, st.n, st.sumdl),
+ranked AS (SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS pos
+           FROM scored ORDER BY sc DESC, doc_id LIMIT 5),
+rel AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+j AS (SELECT pos, CASE WHEN ranked.doc_id IN (SELECT doc_id FROM rel)
+                       THEN 1.0 ELSE 0.0 END AS r FROM ranked),
+idcg AS (SELECT SUM(1.0 / log2(i + 1)) AS v
+         FROM unnest(generate_series(1, (SELECT LEAST(count(*), 5) FROM rel)))
+              AS u(i)),
+e AS (SELECT pos, 0.5 * r AS p,
+             exp(coalesce(SUM(ln(1 - 0.5 * r)) OVER
+                 (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0)) AS prodprev
+      FROM j)
+SELECT 'q_data' AS query,
+       ROUND(coalesce(1.0 / (SELECT MIN(pos) FROM j WHERE r > 0), 0), 4) AS mrr,
+       ROUND((SELECT SUM(r / log2(pos + 1)) FROM j), 4) AS dcg_at_5,
+       ROUND((SELECT SUM(r / log2(pos + 1)) FROM j) /
+             (SELECT v FROM idcg), 4) AS ndcg_at_5,
+       ROUND((SELECT SUM(p * prodprev / pos) FROM e), 4) AS err_at_5""",
         "agg_extended_stats_bucket": """
 WITH h AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
            FROM events GROUP BY 1)

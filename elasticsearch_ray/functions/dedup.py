@@ -986,7 +986,10 @@ def substring_dedup(ds, *, gram_words: int = 8, text_col: str = "text",
     dups = (ds.map_batches(explode, batch_format="pyarrow")
               .groupby("gbucket").map_groups(flag, batch_format="pandas")
               # normalize to Arrow blocks so union with `docs` type-matches
-              .map_batches(lambda t: t, batch_format="pyarrow"))
+              # (and strip pandas-conversion schema metadata — it makes the
+              # schema unhashable and triggers Ray's dedup warning)
+              .map_batches(lambda t: t.replace_schema_metadata(None),
+                           batch_format="pyarrow"))
     docs = ds.map_batches(docrows, batch_format="pyarrow")
     return (docs.union(dups)
                 .groupby("dbucket").map_groups(rebuild, batch_format="pandas"))

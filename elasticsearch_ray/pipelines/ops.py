@@ -5361,3 +5361,31 @@ def sliding_window_counts(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     out["value_sum"] = round_half_away(out["value_sum"], 4)
     return out.sort_values("window_start").reset_index(drop=True)
+
+
+def rank_eval_metrics(sf_dir: str):
+    """_rank_eval's remaining metrics (modules/rank-eval: MeanReciprocalRank,
+    DiscountedCumulativeGain (+normalized), ExpectedReciprocalRank) for one
+    request: match 'data query' top-5, binary relevance = doc contains
+    'data' (grade 1, max grade 1 -> ERR p = (2^g-1)/2^1 = 0.5)."""
+    s = documents_searcher(sf_dir)
+    ids, _ = s.search({"kind": "match", "text": "data query", "k": 5})
+    rel_ids, _ = s._eval({"kind": "term", "term": "data"})
+    rel = set(rel_ids.tolist())
+    r = np.array([1.0 if d in rel else 0.0 for d in ids.tolist()])
+    pos = np.arange(1, r.size + 1, dtype=np.float64)
+    mrr = float(1.0 / pos[r > 0][0]) if (r > 0).any() else 0.0
+    dcg = float((r / np.log2(pos + 1)).sum())
+    R = min(len(rel), 5)
+    idcg = float((1.0 / np.log2(np.arange(1, R + 1) + 1)).sum()) if R else 0.0
+    ndcg = dcg / idcg if idcg else 0.0
+    p = 0.5 * r
+    prodprev = np.cumprod(np.concatenate([[1.0], (1.0 - p)[:-1]]))
+    err = float(np.sum(p * prodprev / pos))
+    return pd.DataFrame({
+        "query": ["q_data"],
+        "mrr": [float(round_half_away(mrr, 4))],
+        "dcg_at_5": [float(round_half_away(dcg, 4))],
+        "ndcg_at_5": [float(round_half_away(ndcg, 4))],
+        "err_at_5": [float(round_half_away(err, 4))],
+    })
