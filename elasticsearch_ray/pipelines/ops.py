@@ -5389,3 +5389,26 @@ def rank_eval_metrics(sf_dir: str):
         "ndcg_at_5": [float(round_half_away(ndcg, 4))],
         "err_at_5": [float(round_half_away(err, 4))],
     })
+
+
+def dedup_components(sf_dir: str):
+    """Connected components over near-dup pairs (the clustering step after
+    pair generation): exact n-gram Jaccard pairs (same bounded config as
+    dedup_ngram_jaccard) -> distributed min-label propagation
+    (functions/graph.py: two hash joins + groupby-min per round, SUM(label)
+    as the convergence scalar). Oracle: the same pairs in SQL + a recursive
+    CTE reachability closure taking MIN over reached labels."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.graph import connected_components
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"],
+             flt=pc.field("doc_id") < 600)
+    pairs = D.ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=5)
+    cc = connected_components(rd.from_pandas(pairs),
+                              a_col="doc_a", b_col="doc_b")
+    out = cc.to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

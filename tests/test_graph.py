@@ -1,0 +1,78 @@
+"""Connected components over edge Datasets (functions/graph.py) — the
+clustering step after near-dup pair generation. Oracle: a tiny driver-side
+union-find over the same edges."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from elasticsearch_ray.functions.graph import connected_components
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min vertex id in the component
+    comp: dict[int, list[int]] = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members + [root])
+            for root, members in comp.items() for v in members}
+
+
+def _run(edges: list[tuple[int, int]], **kw) -> dict[int, int]:
+    kw.setdefault("num_buckets", 8)
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    out = connected_components(rd.from_pandas(df), **kw).to_pandas()
+    return dict(zip(out["doc_id"].astype(int), out["component"].astype(int)))
+
+
+def test_two_components_and_chain():
+    edges = [(1, 2), (2, 3), (10, 11), (3, 4)]
+    got = _run(edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges():
+    # a path graph needs several label-propagation rounds
+    edges = [(i, i + 1) for i in range(12)]
+    got = _run(edges)
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_random_graph_matches_union_find():
+    rng = np.random.default_rng(7)
+    edges = [tuple(sorted((int(rng.integers(0, 90)),
+                           int(rng.integers(0, 90)))))
+             for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _uf_components(edges)
+    got = _run(edges)
+    assert got == want
+
+
+def test_partition_invariance():
+    rng = np.random.default_rng(11)
+    edges = [(int(rng.integers(0, 60)), int(rng.integers(0, 60)))
+             for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    one = connected_components(rd.from_pandas(df), num_buckets=8).to_pandas()
+    many = connected_components(
+        rd.from_pandas(df).repartition(7), num_buckets=8).to_pandas()
+    one = one.sort_values("doc_id").reset_index(drop=True)
+    many = many.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)
