@@ -93,7 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
         "range_join_events_windows", "sliding_window_counts",
-        "rank_eval_metrics", "dedup_components",
+        "rank_eval_metrics", "dedup_components", "dedup_keep_one",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1181,6 +1181,34 @@ reach(v, r) AS (SELECT v, v FROM verts
                 UNION
                 SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v)
 SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v ORDER BY v""",
+        # keep-one-per-cluster: drop every vertex whose component label is
+        # not itself; all non-edge docs are trivially kept
+        "dedup_keep_one": r"""
+WITH RECURSIVE
+s AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 600),
+g AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS gram
+      FROM s, unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)
+      WHERE length(t) >= 5),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT da, db FROM inter
+          JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+          WHERE i*1.0/(sa.n + sb.n - i) >= 0.5),
+edges AS (SELECT da AS a, db AS b FROM pairs
+          UNION SELECT db, da FROM pairs),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(v, r) AS (SELECT v, v FROM verts
+                UNION
+                SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v),
+comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+SELECT d.doc_id, length(d.text) AS n_chars
+FROM documents d
+LEFT JOIN comp ON comp.v = d.doc_id
+WHERE d.doc_id < 600 AND (comp.v IS NULL OR comp.component = d.doc_id)
+ORDER BY d.doc_id""",
         "range_join_events_windows": """
 WITH w AS (SELECT i AS window_id,
                   TIMESTAMP '2024-01-01' + to_hours(33 * i) AS ws,

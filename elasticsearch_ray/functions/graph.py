@@ -31,7 +31,6 @@ every iteration."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -67,16 +66,19 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
                          "u": np.full(v.shape, -1, dtype=np.int64),
                          "l": t["l"]})
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g[g["u"] == -1]
-        nbr = g[g["u"] != -1]
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        l = g["l"].to_numpy()
+        is_lab = u == -1
+        lv, ll = v[is_lab], l[is_lab]
+        order = np.argsort(lv, kind="stable")
+        lv, ll = lv[order], ll[order]
+        nv, nu = v[~is_lab], u[~is_lab]
         # every adjacency source vertex has a seeded label
-        lut = pd.Series(lab["l"].to_numpy(), index=lab["v"].to_numpy())
-        out_v = np.concatenate([nbr["u"].to_numpy(), lab["v"].to_numpy()])
-        out_l = np.concatenate([lut.reindex(nbr["v"].to_numpy()).to_numpy(),
-                                lab["l"].to_numpy()])
-        return pd.DataFrame({"v": out_v.astype(np.int64),
-                             "l": out_l.astype(np.int64)})
+        nl = ll[np.searchsorted(lv, nv)]
+        return pa.table({"v": np.concatenate([nu, lv]).astype(np.int64),
+                         "l": np.concatenate([nl, ll]).astype(np.int64)})
 
     def tag_lookup(t: pa.Table) -> pa.Table:
         # label rows parked in their own vertex's bucket, serving lookups
@@ -91,19 +93,23 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
         return pa.table({"bkt": lv % num_buckets, "v": t["v"], "u": lv,
                          "l": np.full(lv.shape, -1, dtype=np.int64)})
 
-    def per_bucket_jump(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g[g["u"] == -1]
-        q = g[g["u"] != -1]
-        lut = pd.Series(lab["l"].to_numpy(), index=lab["v"].to_numpy())
-        return pd.DataFrame({
-            "v": q["v"].to_numpy().astype(np.int64),
-            "l": lut.reindex(q["u"].to_numpy()).to_numpy().astype(np.int64)})
+    def per_bucket_jump(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        l = g["l"].to_numpy()
+        is_lab = u == -1
+        lv, ll = v[is_lab], l[is_lab]
+        order = np.argsort(lv, kind="stable")
+        lv, ll = lv[order], ll[order]
+        qv, qu = v[~is_lab], u[~is_lab]
+        return pa.table({"v": qv.astype(np.int64),
+                         "l": ll[np.searchsorted(lv, qu)].astype(np.int64)})
 
     prev_sum = None
     for _ in range(max_iters):
         tagged = labels.map_batches(tag_labels, batch_format="pyarrow")
         msgs = adj.union(tagged).groupby("bkt").map_groups(
-            per_bucket, batch_format="pandas")
+            per_bucket, batch_format="pyarrow")
         mins = msgs.groupby("v").min("l").map_batches(
             lambda t: pa.table({"v": t["v"], "l": t["min(l)"]}),
             batch_format="pyarrow").materialize()  # consumed twice below
@@ -113,7 +119,7 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
                       .union(mins.map_batches(tag_query,
                                               batch_format="pyarrow"))
                       .groupby("bkt").map_groups(per_bucket_jump,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
                       .materialize())
         s = new_labels.sum("l")  # one scalar to the driver
         labels = new_labels
@@ -124,3 +130,72 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["v"], "component": t["l"]}),
         batch_format="pyarrow")
+
+
+def anti_join_ids(ds, ids, *, id_col: str = "doc_id",
+                  ids_col: str = "doc_id", num_buckets: int = 32):
+    """Distributed anti-join: keep `ds` rows whose `id_col` does NOT appear
+    in the `ids` Dataset's `ids_col`. ONE bucketed exchange on the corpus
+    (the scale-canonical shape when the drop list is too big to broadcast —
+    at web dup rates the drop list is ~40% of the corpus). The drop side
+    ships as bare int64 rows padded with typed nulls so both sides union
+    into one exchange; payload columns shuffle exactly once."""
+    import pyarrow.compute as pc
+
+    # need a true Arrow schema to type the null padding; pandas-block
+    # datasets (from_pandas) report Python/numpy types, so coerce through
+    # a no-op pyarrow map_batches before probing
+    base = getattr(ds.schema(), "base_schema", None)
+    if not isinstance(base, pa.Schema):
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        base = ds.schema().base_schema
+    names = list(base.names)
+    types = dict(zip(base.names, base.types))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        v = t[id_col].cast(pa.int64()).to_numpy()
+        cols = {n: t[n] for n in names}
+        cols["bkt"] = pa.array(v % num_buckets)
+        cols["__drop"] = pa.array(np.zeros(len(v), dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_drop(t: pa.Table) -> pa.Table:
+        v = t[ids_col].cast(pa.int64()).to_numpy()
+        cols = {n: (pa.array(v, types[n]) if n == id_col
+                    else pa.nulls(len(v), types[n])) for n in names}
+        cols["bkt"] = pa.array(v % num_buckets)
+        cols["__drop"] = pa.array(np.ones(len(v), dtype=np.int8))
+        return pa.table(cols)
+
+    left = ds.map_batches(tag_left, batch_format="pyarrow")
+    right = ids.map_batches(tag_drop, batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        is_drop = pc.equal(g["__drop"], pa.scalar(1, pa.int8()))
+        drop_ids = g.filter(is_drop)[id_col]
+        keep = g.filter(pc.invert(is_drop))
+        mask = pc.invert(pc.is_in(keep[id_col], value_set=drop_ids.combine_chunks()))
+        return (keep.filter(mask).drop_columns(["bkt", "__drop"])
+                .replace_schema_metadata(None))
+
+    return (left.union(right).groupby("bkt")
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def dedup_keep_representatives(ds, pairs, *, id_col: str = "doc_id",
+                               a_col: str = "doc_a", b_col: str = "doc_b",
+                               num_buckets: int = 32):
+    """End-to-end keep-one-per-cluster: duplicate pairs -> connected
+    components (distributed, above) -> drop every non-representative member
+    (component != doc_id) from the corpus with one anti-join exchange. The
+    driver never sees pairs, components, or texts."""
+    comps = connected_components(pairs, a_col=a_col, b_col=b_col,
+                                 num_buckets=num_buckets)
+    def _drops(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        dup = pc.not_equal(t["doc_id"], t["component"])
+        return pa.table({"doc_id": t["doc_id"].filter(dup)})
+
+    drops = comps.map_batches(_drops, batch_format="pyarrow")
+    return anti_join_ids(ds, drops, id_col=id_col, ids_col="doc_id",
+                         num_buckets=num_buckets)

@@ -5412,3 +5412,27 @@ def dedup_components(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype("int64")
     out["component"] = out["component"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_keep_one(sf_dir: str):
+    """Full near-dedup pipeline: exact n-gram Jaccard pairs -> distributed
+    connected components -> anti-join exchange dropping every
+    non-representative cluster member (functions/graph.py). The corpus
+    shuffles once; the driver sees only the final kept rows. Oracle: the
+    recursive-CTE component closure, then documents minus non-representative
+    members."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.graph import dedup_keep_representatives
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"],
+             flt=pc.field("doc_id") < 600)
+    pairs = D.ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=5)
+    kept = dedup_keep_representatives(ds, rd.from_pandas(pairs))
+    out = kept.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_chars": pc.utf8_length(t["text"]).cast(pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -8,7 +8,9 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from elasticsearch_ray.functions.graph import connected_components
+from elasticsearch_ray.functions.graph import (anti_join_ids,
+                                               connected_components,
+                                               dedup_keep_representatives)
 
 
 def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
@@ -76,3 +78,35 @@ def test_partition_invariance():
     one = one.sort_values("doc_id").reset_index(drop=True)
     many = many.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_anti_join_ids():
+    corpus = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                           "text": [f"t{i}" for i in range(20)]})
+    drops = pd.DataFrame({"doc_id": np.array([3, 7, 7, 19], dtype=np.int64)})
+    out = anti_join_ids(rd.from_pandas(corpus), rd.from_pandas(drops),
+                        num_buckets=8).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    want = corpus[~corpus.doc_id.isin([3, 7, 19])].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_anti_join_empty_drop_list():
+    corpus = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                           "text": list("abcde")})
+    drops = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+    out = anti_join_ids(rd.from_pandas(corpus), rd.from_pandas(drops),
+                        num_buckets=4).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(5))
+
+
+def test_dedup_keep_representatives():
+    # clusters {0,1,2} and {5,6}; 3,4 isolated -> keep 0, 3, 4, 5
+    corpus = pd.DataFrame({"doc_id": np.arange(7, dtype=np.int64),
+                           "text": [f"t{i}" for i in range(7)]})
+    pairs = pd.DataFrame({"doc_a": np.array([0, 1, 5], dtype=np.int64),
+                          "doc_b": np.array([1, 2, 6], dtype=np.int64)})
+    out = dedup_keep_representatives(
+        rd.from_pandas(corpus), rd.from_pandas(pairs),
+        num_buckets=8).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 3, 4, 5]
