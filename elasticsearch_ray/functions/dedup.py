@@ -246,16 +246,16 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / union if union else 1.0
 
 
-def minhash_verified_pairs(ds, *, threshold: float = 0.8, num_perm: int = 128,
-                           bands: int = 32, shingle_k: int = 5,
-                           text_col: str = "text", id_col: str = "doc_id",
-                           concurrency=2) -> pd.DataFrame:
+def minhash_verified_pairs_ds(ds, *, threshold: float = 0.8,
+                              num_perm: int = 128, bands: int = 32,
+                              shingle_k: int = 5, text_col: str = "text",
+                              id_col: str = "doc_id", concurrency=2):
     """LSH candidates Jaccard-verified INSIDE the bucket groups: texts ride
     the (band, band_hash) shuffle with the signatures, each bucket computes
     its pairwise exact n-gram Jaccard in map_groups, and only pairs >=
-    threshold leave the cluster. The driver sees verified pairs only (bounded
-    by the true duplicate count), never candidate texts — the scale fix for
-    web-corpus dup rates."""
+    threshold leave the cluster. Returns a DATASET of distinct verified
+    (doc_a, doc_b) pairs — nothing touches the driver; feed it to
+    graph.connected_components for clustering."""
     _empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                            "doc_b": pd.Series([], dtype=np.int64)})
 
@@ -334,44 +334,55 @@ def minhash_verified_pairs(ds, *, threshold: float = 0.8, num_perm: int = 128,
                            aggregator_ray_remote_args=agg_args)
     verified = joined.groupby(["band", "band_hash"]).map_groups(
         verify, batch_format="pandas")
-    df = verified.to_pandas()
+    # a pair verifies in every shared bucket — distinct dataset-side so
+    # downstream consumers (connected components) never need the driver
+    distinct = verified.groupby(["doc_a", "doc_b"]).count().map_batches(
+        lambda t: pa.table({"doc_a": t["doc_a"].cast(pa.int64()),
+                            "doc_b": t["doc_b"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    return distinct
+
+
+def minhash_verified_pairs(ds, *, threshold: float = 0.8, num_perm: int = 128,
+                           bands: int = 32, shingle_k: int = 5,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           concurrency=2) -> pd.DataFrame:
+    """Driver-side frame of `minhash_verified_pairs_ds` (pairs are bounded
+    by the true duplicate count, so collecting them is safe; the texts and
+    candidates never leave the cluster)."""
+    df = minhash_verified_pairs_ds(
+        ds, threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, text_col=text_col, id_col=id_col,
+        concurrency=concurrency).to_pandas()
     if df.empty:
-        return _empty
-    return (
-        df.drop_duplicates()  # a pair verifies in every shared bucket
-        .astype({"doc_a": np.int64, "doc_b": np.int64})
-        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    )
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64)})
+    return (df.astype({"doc_a": np.int64, "doc_b": np.int64})
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
 def minhash_dedup(ds, *, threshold: float = 0.8, num_perm: int = 128, bands: int = 32,
                   shingle_k: int = 5, text_col: str = "text", id_col: str = "doc_id",
                   concurrency=2) -> pd.DataFrame:
     """Full near-dedup: in-bucket-verified pairs -> keep-min-id per connected
-    component (union-find over the verified pairs only; that set is bounded
-    by the true duplicate count, so driver-side union-find is safe).
-    Returns frame (doc_id, kept) for every doc in a duplicate group."""
-    verified = minhash_verified_pairs(
+    component, clustered by the distributed min-label/pointer-jumping pass
+    (functions/graph.py) — pairs, labels and texts all stay dataset-side;
+    only the final (doc_id, kept) frame (bounded by the true duplicate
+    count) reaches the driver. Returns a row for every doc in a duplicate
+    group."""
+    from .graph import connected_components
+
+    pairs = minhash_verified_pairs_ds(
         ds, threshold=threshold, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, text_col=text_col, id_col=id_col,
-        concurrency=concurrency)
-    if verified.empty:
+        concurrency=concurrency).materialize()
+    if pairs.count() == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                              "kept": pd.Series([], dtype=np.int64)})
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(verified.doc_a, verified.doc_b):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    rows = sorted((d, find(d)) for d in parent)
-    return pd.DataFrame({"doc_id": [r[0] for r in rows], "kept": [r[1] for r in rows]})
+    comps = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    out = comps.to_pandas().astype({"doc_id": np.int64, "component": np.int64})
+    out = out.rename(columns={"component": "kept"})
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ---------------- exact n-gram Jaccard (prefix-filtered all-pairs) --------
