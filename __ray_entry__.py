@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize", "asof_join_events_orders",
         "range_join_events_windows", "sliding_window_counts",
         "rank_eval_metrics", "dedup_components", "dedup_keep_one",
+        "lm_perplexity", "dsir_weights",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1209,6 +1210,50 @@ FROM documents d
 LEFT JOIN comp ON comp.v = d.doc_id
 WHERE d.doc_id < 600 AND (comp.v IS NULL OR comp.component = d.doc_id)
 ORDER BY d.doc_id""",
+        # add-alpha unigram LM perplexity: exp(-avg ln p(w)), trained on
+        # the src1-src3 slice, alpha = 0.5, OOV mass alpha/(N+alpha(V+1))
+        "lm_perplexity": r"""
+WITH rtok AS (
+  SELECT w FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents WHERE source IN ('src1','src2','src3')) WHERE w <> ''),
+cnt AS (SELECT w, count(*)::DOUBLE AS c FROM rtok GROUP BY w),
+tot AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM cnt),
+dtok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents) WHERE w <> ''),
+lp AS (SELECT d.doc_id,
+              ln((coalesce(c.c, 0) + 0.5) / (t.n + 0.5 * (t.v + 1))) AS lp
+       FROM dtok d CROSS JOIN tot t LEFT JOIN cnt c ON c.w = d.w)
+SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
+FROM lp GROUP BY doc_id ORDER BY doc_id""",
+        # DSIR: mean per-token log likelihood ratio target/source
+        "dsir_weights": r"""
+WITH ttok AS (
+  SELECT w FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents WHERE source IN ('src1','src2','src3')) WHERE w <> ''),
+tcnt AS (SELECT w, count(*)::DOUBLE AS c FROM ttok GROUP BY w),
+ttot AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM tcnt),
+stok AS (
+  SELECT w FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents) WHERE w <> ''),
+scnt AS (SELECT w, count(*)::DOUBLE AS c FROM stok GROUP BY w),
+stot AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM scnt),
+dtok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents) WHERE w <> ''),
+lr AS (SELECT d.doc_id,
+              ln((coalesce(tc.c, 0) + 0.5) / (tt.n + 0.5 * (tt.v + 1)))
+            - ln((coalesce(sc.c, 0) + 0.5) / (st.n + 0.5 * (st.v + 1))) AS r
+       FROM dtok d CROSS JOIN ttot tt CROSS JOIN stot st
+       LEFT JOIN tcnt tc ON tc.w = d.w
+       LEFT JOIN scnt sc ON sc.w = d.w)
+SELECT doc_id, round(avg(r), 4) AS weight
+FROM lr GROUP BY doc_id ORDER BY doc_id""",
         "range_join_events_windows": """
 WITH w AS (SELECT i AS window_id,
                   TIMESTAMP '2024-01-01' + to_hours(33 * i) AS ws,

@@ -1,0 +1,186 @@
+"""Unigram-LM corpus scoring for training-data curation:
+
+- CCNet-style perplexity quality filtering (Wenzek et al. 2020, public —
+  production CCNet scores with a wiki-trained KenLM 5-gram; here the model
+  is an add-alpha unigram LM so the whole pipeline is deterministic and
+  DuckDB-oracle-checkable. The scorer stage takes the model as plain
+  arrays, so swapping in a heavier LM is a one-class change).
+- DSIR importance weighting (Xie et al. 2023, public): per-document
+  likelihood ratio between a target-domain LM and the raw-corpus LM,
+  used to importance-resample a raw corpus toward a target domain.
+
+Shapes at scale: LM training is one token-explode map_batches with
+per-batch pre-aggregation (each batch emits (token, count) partials, so
+the exchange carries per-batch vocab rows, not one row per token
+occurrence) into a groupby-sum. The fitted model is vocabulary-bounded
+and broadcast once via ray.put (the IVF-centroid pattern); scoring is a
+stateless map_batches with one np.searchsorted per batch + segment means
+via np.add.reduceat — no Python loop over tokens. For unbounded web
+vocabularies pass `num_hash_buckets` to hash tokens into a fixed-size
+feature space (exactly DSIR's hashed n-gram trick); the gates use the
+raw-token mode, which SQL can mirror."""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WS = re.compile(r"\s+")
+
+
+class UnigramLM(NamedTuple):
+    vocab: np.ndarray      # sorted token array (str or uint64 buckets)
+    logp: np.ndarray       # float64, aligned with vocab
+    oov_logp: float
+
+
+def _tokens(text: str) -> list[str]:
+    return [w for w in _WS.split(text.lower()) if w]
+
+
+def _hash_tokens(tok: np.ndarray, num_buckets: int) -> np.ndarray:
+    # deterministic vectorized string hash (pandas siphash, fixed key);
+    # hash_object_array needs object dtype, not numpy unicode
+    if tok.dtype != object:
+        tok = tok.astype(object)
+    return (pd.util.hash_array(tok, categorize=False) % num_buckets)
+
+
+def unigram_counts(ds, *, text_col: str = "text",
+                   num_hash_buckets: int | None = None):
+    """Distributed token counts: (token, c) Dataset. Pre-aggregates within
+    each batch so the exchange ships per-batch vocabularies."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = np.concatenate(
+            [np.asarray(_tokens(x), dtype=object)
+             for x in t[text_col].to_pylist()] or
+            [np.empty(0, dtype=object)])
+        if num_hash_buckets is not None:
+            key = _hash_tokens(toks, num_hash_buckets)
+            uniq, cnt = np.unique(key, return_counts=True)
+            return pa.table({"token": pa.array(uniq, pa.uint64()),
+                             "c": pa.array(cnt, pa.int64())})
+        uniq, cnt = np.unique(toks.astype(str), return_counts=True)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "c": pa.array(cnt, pa.int64())})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("token").sum("c"))
+
+
+def fit_unigram_lm(ds, *, text_col: str = "text", alpha: float = 0.5,
+                   num_hash_buckets: int | None = None) -> UnigramLM:
+    """Add-alpha-smoothed unigram LM over `ds` (the model is
+    vocabulary-bounded — the only thing that ever reaches the driver)."""
+    counts = unigram_counts(ds, text_col=text_col,
+                            num_hash_buckets=num_hash_buckets).to_pandas()
+    counts = counts.rename(columns={"sum(c)": "c"})
+    vocab = counts["token"].to_numpy()
+    order = np.argsort(vocab, kind="stable")
+    vocab = vocab[order]
+    c = counts["c"].to_numpy().astype(np.float64)[order]
+    n = float(c.sum())
+    v = float(len(vocab))
+    denom = n + alpha * (v + 1.0)
+    return UnigramLM(vocab=vocab, logp=np.log((c + alpha) / denom),
+                     oov_logp=float(np.log(alpha / denom)))
+
+
+class _ScoreStage:
+    """Actor-pool scorer: the model rides the object store once per actor
+    (ray.put'd refs in fn_constructor_kwargs); per batch, ONE flattened
+    lookup + segment means."""
+
+    def __init__(self, models, text_col: str, id_col: str, out_cols,
+                 num_hash_buckets: int | None):
+        import ray
+        self.models = [ray.get(m) if not isinstance(m, UnigramLM) else m
+                       for m in models]
+        self.text_col = text_col
+        self.id_col = id_col
+        self.out_cols = out_cols
+        self.num_hash_buckets = num_hash_buckets
+
+    def _mean_logp(self, model: UnigramLM, flat: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+        if self.num_hash_buckets is not None:
+            flat = _hash_tokens(flat, self.num_hash_buckets)
+        pos = np.searchsorted(model.vocab, flat)
+        pos_c = np.clip(pos, 0, len(model.vocab) - 1)
+        hit = (pos < len(model.vocab)) & (model.vocab[pos_c] == flat)
+        lp = np.where(hit, model.logp[pos_c], model.oov_logp)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        sums = np.add.reduceat(lp, starts) if len(lp) else np.zeros(0)
+        return sums / lens
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks = [np.asarray(_tokens(x), dtype=object)
+                for x in t[self.text_col].to_pylist()]
+        lens = np.array([s.size for s in toks], dtype=np.int64)
+        keep = lens > 0  # token-less docs have no defined perplexity
+        toks = [s for s, k in zip(toks, keep) if k]
+        lens = lens[keep]
+        ids = t[self.id_col].to_numpy()[keep]
+        if not len(ids):
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             **{c: pa.array([], pa.float64())
+                                for c in self.out_cols}})
+        flat = np.concatenate(toks).astype(str)
+        means = [self._mean_logp(m, flat, lens) for m in self.models]
+        cols = {self.id_col: pa.array(ids.astype(np.int64))}
+        for name, val in zip(self.out_cols, self._finish(means)):
+            cols[name] = pa.array(val.astype(np.float64))
+        return pa.table(cols)
+
+    def _finish(self, means):  # override per op
+        raise NotImplementedError
+
+
+class _PplStage(_ScoreStage):
+    def _finish(self, means):
+        return [np.exp(-means[0])]
+
+
+class _DsirStage(_ScoreStage):
+    def _finish(self, means):
+        return [means[0] - means[1]]
+
+
+def perplexity(ds, model: UnigramLM, *, text_col: str = "text",
+               id_col: str = "doc_id", concurrency=2,
+               num_hash_buckets: int | None = None):
+    """(id, ppl) Dataset: ppl = exp(-mean token log-prob) under `model`.
+    Docs with no tokens are dropped (no defined perplexity)."""
+    import ray
+
+    ref = ray.put(model)
+    return ds.map_batches(
+        _PplStage,
+        fn_constructor_kwargs=dict(models=[ref], text_col=text_col,
+                                   id_col=id_col, out_cols=["ppl"],
+                                   num_hash_buckets=num_hash_buckets),
+        batch_format="pyarrow", batch_size=512, concurrency=concurrency)
+
+
+def importance_weights(ds, target: UnigramLM, source: UnigramLM, *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       concurrency=2, num_hash_buckets: int | None = None):
+    """DSIR: (id, weight) Dataset, weight = mean_w [ln p_target(w) -
+    ln p_source(w)] — the per-token log likelihood ratio. Resample the
+    corpus by keeping the top-weight slice (or Gumbel-top-k for sampling
+    without replacement, per the paper)."""
+    import ray
+
+    refs = [ray.put(target), ray.put(source)]
+    return ds.map_batches(
+        _DsirStage,
+        fn_constructor_kwargs=dict(models=refs, text_col=text_col,
+                                   id_col=id_col, out_cols=["weight"],
+                                   num_hash_buckets=num_hash_buckets),
+        batch_format="pyarrow", batch_size=512, concurrency=concurrency)

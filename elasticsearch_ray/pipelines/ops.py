@@ -5436,3 +5436,44 @@ def dedup_keep_one(sf_dir: str):
             "n_chars": pc.utf8_length(t["text"]).cast(pa.int64())}),
         batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): fit an
+    add-alpha unigram LM on the reference slice (sources src1-src3),
+    score every document's perplexity with a broadcast-model actor stage
+    (functions/lm.py). Oracle: the same counts/smoothing/ln re-derived in
+    SQL over exploded tokens."""
+    import pyarrow.compute as pc
+
+    from ..functions import lm as LM
+
+    ref = _ds(sf_dir, "documents", ["text", "source"],
+              flt=pc.field("source").isin(["src1", "src2", "src3"]))
+    model = LM.fit_unigram_lm(ref, alpha=0.5)
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = LM.perplexity(docs, model).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["ppl"] = round_half_away(out["ppl"], 4)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): per-doc mean token
+    log-likelihood ratio between the target-domain LM (sources src1-src3)
+    and the raw-corpus LM (all documents). Positive weight = more
+    target-like; resampling keeps the top-weight slice."""
+    import pyarrow.compute as pc
+
+    from ..functions import lm as LM
+
+    target_ds = _ds(sf_dir, "documents", ["text", "source"],
+                    flt=pc.field("source").isin(["src1", "src2", "src3"]))
+    all_ds = _ds(sf_dir, "documents", ["text"])
+    target = LM.fit_unigram_lm(target_ds, alpha=0.5)
+    source = LM.fit_unigram_lm(all_ds, alpha=0.5)
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = LM.importance_weights(docs, target, source).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["weight"] = round_half_away(out["weight"], 4)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,100 @@
+"""Unigram-LM scoring (functions/lm.py): perplexity + DSIR weights vs a
+driver-side reference implementation, hashed-feature mode, empty docs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from elasticsearch_ray.functions import lm as LM
+
+
+def _ref_model(texts, alpha=0.5):
+    from collections import Counter
+    c = Counter(w for t in texts for w in t.lower().split())
+    n = sum(c.values())
+    v = len(c)
+    denom = n + alpha * (v + 1)
+    return c, n, v, denom, alpha
+
+
+def _ref_ppl(text, model):
+    c, n, v, denom, alpha = model
+    toks = text.lower().split()
+    if not toks:
+        return None
+    lps = [math.log((c.get(w, 0) + alpha) / denom) for w in toks]
+    return math.exp(-sum(lps) / len(lps))
+
+
+TRAIN = ["the quick brown fox", "the lazy dog sleeps", "quick dog runs"]
+SCORE = ["the quick dog", "unseen words entirely", "the the the", ""]
+
+
+def test_perplexity_matches_reference():
+    train = rd.from_pandas(pd.DataFrame({"text": TRAIN}))
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64), "text": SCORE}))
+    model = LM.fit_unigram_lm(train)
+    out = LM.perplexity(docs, model).to_pandas().set_index("doc_id")["ppl"]
+    ref = _ref_model(TRAIN)
+    for i, text in enumerate(SCORE):
+        want = _ref_ppl(text, ref)
+        if want is None:
+            assert i not in out.index  # token-less doc dropped
+        else:
+            assert abs(out[i] - want) < 1e-9
+
+
+def test_in_domain_text_scores_lower():
+    train = rd.from_pandas(pd.DataFrame({"text": TRAIN}))
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([0, 1], dtype=np.int64),
+         "text": ["the quick dog", "zzz qqq vvv"]}))
+    model = LM.fit_unigram_lm(train)
+    out = LM.perplexity(docs, model).to_pandas().set_index("doc_id")["ppl"]
+    assert out[0] < out[1]
+
+
+def test_dsir_weights_match_reference():
+    target_texts = ["alpha beta gamma", "beta gamma delta"]
+    source_texts = target_texts + ["noise words here", "more noise tokens"]
+    target = LM.fit_unigram_lm(
+        rd.from_pandas(pd.DataFrame({"text": target_texts})))
+    source = LM.fit_unigram_lm(
+        rd.from_pandas(pd.DataFrame({"text": source_texts})))
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([0, 1], dtype=np.int64),
+         "text": ["alpha beta", "noise tokens"]}))
+    out = (LM.importance_weights(docs, target, source)
+           .to_pandas().set_index("doc_id")["weight"])
+    rt, rs = _ref_model(target_texts), _ref_model(source_texts)
+
+    def ref_weight(text):
+        toks = text.lower().split()
+        lr = [math.log((rt[0].get(w, 0) + 0.5) / rt[3])
+              - math.log((rs[0].get(w, 0) + 0.5) / rs[3]) for w in toks]
+        return sum(lr) / len(lr)
+
+    assert abs(out[0] - ref_weight("alpha beta")) < 1e-9
+    assert abs(out[1] - ref_weight("noise tokens")) < 1e-9
+    # target-like doc weighs higher than out-of-domain doc
+    assert out[0] > out[1]
+
+
+def test_hashed_mode_consistent():
+    # with enough buckets to avoid collisions on a tiny vocab, hashed
+    # scoring equals raw scoring
+    train = rd.from_pandas(pd.DataFrame({"text": TRAIN}))
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(3, dtype=np.int64), "text": SCORE[:3]}))
+    raw = LM.fit_unigram_lm(train)
+    hashed = LM.fit_unigram_lm(train, num_hash_buckets=1 << 20)
+    out_raw = (LM.perplexity(docs, raw)
+               .to_pandas().set_index("doc_id")["ppl"])
+    out_hash = (LM.perplexity(docs, hashed, num_hash_buckets=1 << 20)
+                .to_pandas().set_index("doc_id")["ppl"])
+    assert np.allclose(out_raw.sort_index(), out_hash.sort_index())
