@@ -94,7 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize", "asof_join_events_orders",
         "range_join_events_windows", "sliding_window_counts",
         "rank_eval_metrics", "dedup_components", "dedup_keep_one",
-        "lm_perplexity", "dsir_weights",
+        "lm_perplexity", "dsir_weights", "lm_perplexity_bigram",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1226,6 +1226,37 @@ dtok AS (
 lp AS (SELECT d.doc_id,
               ln((coalesce(c.c, 0) + 0.5) / (t.n + 0.5 * (t.v + 1))) AS lp
        FROM dtok d CROSS JOIN tot t LEFT JOIN cnt c ON c.w = d.w)
+SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
+FROM lp GROUP BY doc_id ORDER BY doc_id""",
+        # Jelinek-Mercer interpolated bigram LM: p(w|prev) =
+        # 0.7*c(prev,w)/ctx(prev) + (1-0.7)*p_uni(w); first token unigram
+        "lm_perplexity_bigram": r"""
+WITH d AS (SELECT doc_id, source,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '') AS arr
+           FROM documents),
+rt AS (SELECT arr[i] AS w, CASE WHEN i > 1 THEN arr[i-1] END AS prev
+       FROM d, unnest(generate_series(1, len(arr))) AS t(i)
+       WHERE source IN ('src1','src2','src3')),
+ucnt AS (SELECT w, count(*)::DOUBLE AS c FROM rt GROUP BY w),
+utot AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM ucnt),
+bcnt AS (SELECT prev, w, count(*)::DOUBLE AS c FROM rt
+         WHERE prev IS NOT NULL GROUP BY prev, w),
+ctx AS (SELECT prev, sum(c) AS c FROM bcnt GROUP BY prev),
+st AS (SELECT doc_id, arr[i] AS w,
+              CASE WHEN i > 1 THEN arr[i-1] END AS prev
+       FROM d, unnest(generate_series(1, len(arr))) AS t(i)),
+lp AS (SELECT s.doc_id,
+              CASE WHEN s.prev IS NULL
+                   THEN ln((coalesce(u.c, 0) + 0.5) / (t.n + 0.5*(t.v+1)))
+                   ELSE ln(0.7 * coalesce(b.c / cx.c, 0)
+                         + (1 - 0.7) * (coalesce(u.c, 0) + 0.5)
+                           / (t.n + 0.5*(t.v+1)))
+              END AS lp
+       FROM st s CROSS JOIN utot t
+       LEFT JOIN ucnt u ON u.w = s.w
+       LEFT JOIN bcnt b ON b.prev = s.prev AND b.w = s.w
+       LEFT JOIN ctx cx ON cx.prev = s.prev)
 SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
 FROM lp GROUP BY doc_id ORDER BY doc_id""",
         # DSIR: mean per-token log likelihood ratio target/source

@@ -184,3 +184,126 @@ def importance_weights(ds, target: UnigramLM, source: UnigramLM, *,
                                    id_col=id_col, out_cols=["weight"],
                                    num_hash_buckets=num_hash_buckets),
         batch_format="pyarrow", batch_size=512, concurrency=concurrency)
+
+
+class BigramLM(NamedTuple):
+    """Jelinek-Mercer interpolated bigram LM: p(w|prev) = lam * c(prev,w)/
+    ctx(prev) + (1-lam) * p_uni(w), first token scored by the unigram.
+    ctx(prev) = number of bigrams starting with prev (token occurrences
+    minus doc-final positions) — NOT the unigram count."""
+
+    vocab: np.ndarray       # sorted tokens
+    uni_p: np.ndarray       # smoothed unigram probs aligned with vocab
+    oov_p: float
+    ctx: np.ndarray         # context counts aligned with vocab (float64)
+    bigram_keys: np.ndarray  # sorted "prev\x1fw" strings
+    bigram_c: np.ndarray    # counts aligned with bigram_keys
+    lam: float
+
+
+def bigram_counts(ds, *, text_col: str = "text"):
+    """Distributed (prev, w) pair counts, pre-aggregated per batch."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        keys = []
+        for x in t[text_col].to_pylist():
+            toks = _tokens(x)
+            keys.extend(a + "\x1f" + b for a, b in zip(toks, toks[1:]))
+        uniq, cnt = np.unique(np.asarray(keys, dtype=object).astype(str),
+                              return_counts=True) if keys else (
+            np.empty(0, dtype=str), np.empty(0, np.int64))
+        return pa.table({"key": pa.array(uniq.astype(object), pa.string()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("key").sum("c"))
+
+
+def fit_bigram_lm(ds, *, text_col: str = "text", alpha: float = 0.5,
+                  lam: float = 0.7) -> BigramLM:
+    uni = fit_unigram_lm(ds, text_col=text_col, alpha=alpha)
+    bg = bigram_counts(ds, text_col=text_col).to_pandas()
+    bg = bg.rename(columns={"sum(c)": "c"})
+    keys = bg["key"].to_numpy().astype(str)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    c = bg["c"].to_numpy().astype(np.float64)[order]
+    # context counts: sum of bigram counts per first token
+    prev = np.asarray([k.split("\x1f", 1)[0] for k in keys], dtype=str)
+    ctx = np.zeros(len(uni.vocab), np.float64)
+    pos = np.searchsorted(uni.vocab.astype(str), prev)
+    np.add.at(ctx, pos, c)  # every bigram's prev is in-vocab by construction
+    return BigramLM(vocab=uni.vocab, uni_p=np.exp(uni.logp),
+                    oov_p=float(np.exp(uni.oov_logp)), ctx=ctx,
+                    bigram_keys=keys, bigram_c=c, lam=lam)
+
+
+class _BigramPplStage:
+    """Actor-pool scorer for the interpolated bigram LM — one flattened
+    vocab lookup + one flattened bigram-key lookup per batch."""
+
+    def __init__(self, model, text_col: str, id_col: str):
+        import ray
+        self.m = ray.get(model) if not isinstance(model, BigramLM) else model
+        self.text_col = text_col
+        self.id_col = id_col
+        self._vocab = self.m.vocab.astype(str)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = self.m
+        toks = [np.asarray(_tokens(x), dtype=str)
+                for x in t[self.text_col].to_pylist()]
+        lens = np.array([s.size for s in toks], dtype=np.int64)
+        keep = lens > 0
+        toks = [s for s, k in zip(toks, keep) if k]
+        lens = lens[keep]
+        ids = t[self.id_col].to_numpy()[keep]
+        if not len(ids):
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "ppl": pa.array([], pa.float64())})
+        flat = np.concatenate(toks)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        # unigram prob for every token
+        pos = np.searchsorted(self._vocab, flat)
+        pos_c = np.clip(pos, 0, len(self._vocab) - 1)
+        hit = (pos < len(self._vocab)) & (self._vocab[pos_c] == flat)
+        pu = np.where(hit, m.uni_p[pos_c], m.oov_p)
+        ctx = np.where(hit, m.ctx[pos_c], 0.0)
+        # bigram prob for every non-first position
+        first = np.zeros(len(flat), dtype=bool)
+        first[starts] = True
+        prev_pu_ctx = np.empty_like(ctx)
+        prev_pu_ctx[1:] = ctx[:-1]
+        prev_pu_ctx[starts] = 0.0
+        prev_tok = np.empty_like(flat)
+        prev_tok[1:] = flat[:-1]
+        prev_tok[starts] = ""
+        keys = np.char.add(np.char.add(prev_tok, "\x1f"), flat)
+        bpos = np.searchsorted(m.bigram_keys, keys)
+        bpos_c = np.clip(bpos, 0, max(len(m.bigram_keys) - 1, 0))
+        if len(m.bigram_keys):
+            bhit = (bpos < len(m.bigram_keys)) & (m.bigram_keys[bpos_c] == keys)
+            bc = np.where(bhit, m.bigram_c[bpos_c], 0.0)
+        else:
+            bc = np.zeros(len(flat))
+        bg = np.where(prev_pu_ctx > 0, bc / np.maximum(prev_pu_ctx, 1.0), 0.0)
+        p = np.where(first, pu, m.lam * bg + (1.0 - m.lam) * pu)
+        lp = np.log(p)
+        sums = np.add.reduceat(lp, starts)
+        ppl = np.exp(-sums / lens)
+        return pa.table({self.id_col: pa.array(ids.astype(np.int64)),
+                         "ppl": pa.array(ppl.astype(np.float64))})
+
+
+def bigram_perplexity(ds, model: BigramLM, *, text_col: str = "text",
+                      id_col: str = "doc_id", concurrency=2):
+    """(id, ppl) under the interpolated bigram LM; token-less docs drop."""
+    import ray
+
+    ref = ray.put(model)
+    return ds.map_batches(
+        _BigramPplStage,
+        fn_constructor_kwargs=dict(model=ref, text_col=text_col,
+                                   id_col=id_col),
+        batch_format="pyarrow", batch_size=512, concurrency=concurrency)

@@ -5477,3 +5477,23 @@ def dsir_weights(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype("int64")
     out["weight"] = round_half_away(out["weight"], 4)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lm_perplexity_bigram(sf_dir: str):
+    """Interpolated bigram-LM perplexity (the KenLM-direction upgrade of
+    lm_perplexity): p(w|prev) = 0.7*c(prev,w)/ctx(prev) + 0.3*p_uni(w),
+    first token scored by the unigram. Trained on sources src1-src3,
+    scored over the whole corpus; one flattened bigram-key lookup per
+    batch (functions/lm.py)."""
+    import pyarrow.compute as pc
+
+    from ..functions import lm as LM
+
+    ref = _ds(sf_dir, "documents", ["text", "source"],
+              flt=pc.field("source").isin(["src1", "src2", "src3"]))
+    model = LM.fit_bigram_lm(ref, alpha=0.5, lam=0.7)
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = LM.bigram_perplexity(docs, model).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["ppl"] = round_half_away(out["ppl"], 4)
+    return out.sort_values("doc_id").reset_index(drop=True)

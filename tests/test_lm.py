@@ -98,3 +98,53 @@ def test_hashed_mode_consistent():
     out_hash = (LM.perplexity(docs, hashed, num_hash_buckets=1 << 20)
                 .to_pandas().set_index("doc_id")["ppl"])
     assert np.allclose(out_raw.sort_index(), out_hash.sort_index())
+
+
+def test_bigram_perplexity_matches_reference():
+    train = rd.from_pandas(pd.DataFrame({"text": TRAIN}))
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64), "text": SCORE}))
+    model = LM.fit_bigram_lm(train, alpha=0.5, lam=0.7)
+    out = (LM.bigram_perplexity(docs, model)
+           .to_pandas().set_index("doc_id")["ppl"])
+
+    # driver reference
+    from collections import Counter
+    uni = Counter(w for t in TRAIN for w in t.lower().split())
+    n, v = sum(uni.values()), len(uni)
+    denom = n + 0.5 * (v + 1)
+    big = Counter()
+    ctx = Counter()
+    for t in TRAIN:
+        ws = t.lower().split()
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+            ctx[a] += 1
+
+    def pu(w):
+        return (uni.get(w, 0) + 0.5) / denom
+
+    for i, text in enumerate(SCORE):
+        ws = text.lower().split()
+        if not ws:
+            assert i not in out.index
+            continue
+        lps = [math.log(pu(ws[0]))]
+        for a, b in zip(ws, ws[1:]):
+            bg = big.get((a, b), 0) / ctx[a] if ctx.get(a) else 0.0
+            lps.append(math.log(0.7 * bg + (1 - 0.7) * pu(b)))
+        want = math.exp(-sum(lps) / len(lps))
+        assert abs(out[i] - want) < 1e-9
+
+
+def test_bigram_beats_unigram_on_in_domain_order():
+    # a doc using training word ORDER should score lower under the bigram
+    # model than a scrambled version of the same tokens
+    train = rd.from_pandas(pd.DataFrame({"text": TRAIN * 3}))
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([0, 1], dtype=np.int64),
+         "text": ["the quick brown fox", "fox the brown quick"]}))
+    model = LM.fit_bigram_lm(train, alpha=0.5, lam=0.7)
+    out = (LM.bigram_perplexity(docs, model)
+           .to_pandas().set_index("doc_id")["ppl"])
+    assert out[0] < out[1]
