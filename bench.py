@@ -147,7 +147,8 @@ def run_bench() -> dict:
     # builds/queries: the first pass pays actor-pool spin-up and any
     # noisy-neighbor stall, the min is the repeatable number
     op_names = ("agg_terms", "agg_date_histogram", "agg_cardinality",
-                "dedup_exact", "knn_bruteforce", "text_quality", "top_terms")
+                "dedup_exact", "knn_bruteforce", "text_quality", "top_terms",
+                "lm_perplexity")
     for name in op_names:
         best = float("inf")
         for _ in range(2):
@@ -157,7 +158,7 @@ def run_bench() -> dict:
         timings[name] = round(best, 3)
 
     total = timings["index_build"] + timings["query_total"] + sum(
-        timings[k] for k in timings if k.startswith(("agg_", "dedup_", "knn_", "text_", "top_"))
+        timings[k] for k in timings if k.startswith(("agg_", "dedup_", "knn_", "text_", "top_", "lm_"))
     )
     out = {
         "metric": "index-build + BM25 query + operator suite wall time",
