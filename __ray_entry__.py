@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events_windows", "sliding_window_counts",
         "rank_eval_metrics", "dedup_components", "dedup_keep_one",
         "lm_perplexity", "dsir_weights", "lm_perplexity_bigram",
+        "dsir_resample",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1285,6 +1286,42 @@ lr AS (SELECT d.doc_id,
        LEFT JOIN scnt sc ON sc.w = d.w)
 SELECT doc_id, round(avg(r), 4) AS weight
 FROM lr GROUP BY doc_id ORDER BY doc_id""",
+        # Gumbel-top-k resample: key = weight - ln(-ln(u)), u the
+        # md5(doc_id)-derived uniform (first 13 hex digits / 2^52) — both
+        # sides draw the identical sample
+        "dsir_resample": r"""
+WITH ttok AS (
+  SELECT w FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents WHERE source IN ('src1','src2','src3')) WHERE w <> ''),
+tcnt AS (SELECT w, count(*)::DOUBLE AS c FROM ttok GROUP BY w),
+ttot AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM tcnt),
+stok AS (
+  SELECT w FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents) WHERE w <> ''),
+scnt AS (SELECT w, count(*)::DOUBLE AS c FROM stok GROUP BY w),
+stot AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM scnt),
+dtok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents) WHERE w <> ''),
+lr AS (SELECT d.doc_id,
+              ln((coalesce(tc.c, 0) + 0.5) / (tt.n + 0.5 * (tt.v + 1))) AS lt,
+              ln((coalesce(sc.c, 0) + 0.5) / (st.n + 0.5 * (st.v + 1))) AS ls
+       FROM dtok d CROSS JOIN ttot tt CROSS JOIN stot st
+       LEFT JOIN tcnt tc ON tc.w = d.w
+       LEFT JOIN scnt sc ON sc.w = d.w),
+w AS (SELECT doc_id, sum(lt)/count(*) - sum(ls)/count(*) AS weight
+      FROM lr GROUP BY doc_id),
+g AS (SELECT doc_id, weight,
+             weight - ln(-ln(
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                    AS UBIGINT) / 4503599627370496.0)) AS gkey
+      FROM w),
+top AS (SELECT * FROM g ORDER BY gkey DESC, doc_id LIMIT 100)
+SELECT doc_id, round(weight, 4) AS weight, round(gkey, 4) AS gkey
+FROM top ORDER BY doc_id""",
         "range_join_events_windows": """
 WITH w AS (SELECT i AS window_id,
                   TIMESTAMP '2024-01-01' + to_hours(33 * i) AS ws,

@@ -5497,3 +5497,45 @@ def lm_perplexity_bigram(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype("int64")
     out["ppl"] = round_half_away(out["ppl"], 4)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dsir_resample(sf_dir: str):
+    """DSIR resampling step (Xie et al. 2023 §2: Gumbel-top-k draws k docs
+    without replacement with probability ∝ exp(weight)): key = weight
+    - ln(-ln(u)), u a deterministic md5(doc_id)-derived uniform so the
+    Ray pipeline and the SQL oracle draw the SAME sample. Per-batch
+    partial top-k + driver merge (the ANN pattern) — no global sort."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..functions import lm as LM
+
+    target_ds = _ds(sf_dir, "documents", ["text", "source"],
+                    flt=pc.field("source").isin(["src1", "src2", "src3"]))
+    all_ds = _ds(sf_dir, "documents", ["text"])
+    target = LM.fit_unigram_lm(target_ds, alpha=0.5)
+    source = LM.fit_unigram_lm(all_ds, alpha=0.5)
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+    k = 100
+
+    def gumbel_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        w = t["weight"].to_numpy()
+        u = np.array([int(hashlib.md5(str(int(i)).encode())
+                          .hexdigest()[:13], 16) for i in ids],
+                     dtype=np.float64) / float(1 << 52)
+        key = w - np.log(-np.log(u))
+        top = np.argsort(-key, kind="stable")[:k]
+        return pa.table({"doc_id": pa.array(ids[top].astype(np.int64)),
+                         "weight": pa.array(w[top]),
+                         "gkey": pa.array(key[top])})
+
+    parts = (LM.importance_weights(docs, target, source)
+             .map_batches(gumbel_topk, batch_format="pyarrow")
+             .to_pandas())
+    top = parts.sort_values(["gkey", "doc_id"],
+                            ascending=[False, True]).head(k)
+    top["weight"] = round_half_away(top["weight"], 4)
+    top["gkey"] = round_half_away(top["gkey"], 4)
+    return top.sort_values("doc_id").reset_index(drop=True)
