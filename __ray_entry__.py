@@ -95,7 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events_windows", "sliding_window_counts",
         "rank_eval_metrics", "dedup_components", "dedup_keep_one",
         "lm_perplexity", "dsir_weights", "lm_perplexity_bigram",
-        "dsir_resample",
+        "dsir_resample", "nb_domain_classify",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1286,6 +1286,42 @@ lr AS (SELECT d.doc_id,
        LEFT JOIN scnt sc ON sc.w = d.w)
 SELECT doc_id, round(avg(r), 4) AS weight
 FROM lr GROUP BY doc_id ORDER BY doc_id""",
+        # two-class multinomial NB: log_odds = ln(nA/nB) + sum_w lp ratio;
+        # fp-order mirrors the Ray side ((mean_a - mean_b) * len)
+        "nb_domain_classify": r"""
+WITH atok AS (
+  SELECT w FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents WHERE source IN ('src1','src2')) WHERE w <> ''),
+acnt AS (SELECT w, count(*)::DOUBLE AS c FROM atok GROUP BY w),
+atot AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM acnt),
+btok AS (
+  SELECT w FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents WHERE source IN ('src3','src4')) WHERE w <> ''),
+bcnt AS (SELECT w, count(*)::DOUBLE AS c FROM btok GROUP BY w),
+btot AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM bcnt),
+prior AS (SELECT ln((SELECT count(*) FROM documents
+                     WHERE source IN ('src1','src2')) * 1.0 /
+                    (SELECT count(*) FROM documents
+                     WHERE source IN ('src3','src4'))) AS p),
+dtok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents) WHERE w <> ''),
+lp AS (SELECT d.doc_id,
+              ln((coalesce(ac.c, 0) + 0.5) / (att.n + 0.5*(att.v+1))) AS la,
+              ln((coalesce(bc.c, 0) + 0.5) / (btt.n + 0.5*(btt.v+1))) AS lb
+       FROM dtok d CROSS JOIN atot att CROSS JOIN btot btt
+       LEFT JOIN acnt ac ON ac.w = d.w
+       LEFT JOIN bcnt bc ON bc.w = d.w),
+odds AS (SELECT doc_id,
+                (SELECT p FROM prior)
+              + (sum(la)/count(*) - sum(lb)/count(*)) * count(*) AS lo
+         FROM lp GROUP BY doc_id)
+SELECT doc_id, round(lo, 4) AS log_odds,
+       CASE WHEN lo > 0 THEN 'a' ELSE 'b' END AS pred
+FROM odds ORDER BY doc_id""",
         # Gumbel-top-k resample: key = weight - ln(-ln(u)), u the
         # md5(doc_id)-derived uniform (first 13 hex digits / 2^52) — both
         # sides draw the identical sample

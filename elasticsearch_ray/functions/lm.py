@@ -134,21 +134,23 @@ class _ScoreStage:
         flat = np.concatenate(toks).astype(str)
         means = [self._mean_logp(m, flat, lens) for m in self.models]
         cols = {self.id_col: pa.array(ids.astype(np.int64))}
-        for name, val in zip(self.out_cols, self._finish(means)):
-            cols[name] = pa.array(val.astype(np.float64))
+        for name, val in zip(self.out_cols, self._finish(means, lens)):
+            cols[name] = (pa.array(val.astype(np.float64))
+                          if val.dtype != object else
+                          pa.array(val, pa.string()))
         return pa.table(cols)
 
-    def _finish(self, means):  # override per op
+    def _finish(self, means, lens):  # override per op
         raise NotImplementedError
 
 
 class _PplStage(_ScoreStage):
-    def _finish(self, means):
+    def _finish(self, means, lens):
         return [np.exp(-means[0])]
 
 
 class _DsirStage(_ScoreStage):
-    def _finish(self, means):
+    def _finish(self, means, lens):
         return [means[0] - means[1]]
 
 
@@ -306,4 +308,44 @@ def bigram_perplexity(ds, model: BigramLM, *, text_col: str = "text",
         _BigramPplStage,
         fn_constructor_kwargs=dict(model=ref, text_col=text_col,
                                    id_col=id_col),
+        batch_format="pyarrow", batch_size=512, concurrency=concurrency)
+
+
+class _NbStage(_ScoreStage):
+    """Two-class multinomial Naive Bayes: log_odds = ln(prior_a/prior_b)
+    + sum_w [ln p_a(w) - ln p_b(w)]."""
+
+    def __init__(self, models, text_col, id_col, out_cols,
+                 num_hash_buckets, log_prior_diff=0.0, labels=("a", "b")):
+        super().__init__(models, text_col, id_col, out_cols,
+                         num_hash_buckets)
+        self.log_prior_diff = float(log_prior_diff)
+        self.labels = labels
+
+    def _finish(self, means, lens):
+        log_odds = self.log_prior_diff + (means[0] - means[1]) * lens
+        pred = np.where(log_odds > 0, self.labels[0],
+                        self.labels[1]).astype(object)
+        return [log_odds, pred]
+
+
+def nb_classify(ds, class_a: UnigramLM, class_b: UnigramLM, *,
+                log_prior_diff: float = 0.0, labels=("a", "b"),
+                text_col: str = "text", id_col: str = "doc_id",
+                concurrency=2, num_hash_buckets: int | None = None):
+    """Two-class multinomial Naive Bayes scoring — the deterministic,
+    oracle-checkable analog of the fastText/logistic quality classifiers
+    real pipelines gate on (GPT-3 WebText filter, CCNet head/middle/tail).
+    Returns (id, log_odds, pred); positive log_odds = class_a."""
+    import ray
+
+    refs = [ray.put(class_a), ray.put(class_b)]
+    return ds.map_batches(
+        _NbStage,
+        fn_constructor_kwargs=dict(models=refs, text_col=text_col,
+                                   id_col=id_col,
+                                   out_cols=["log_odds", "pred"],
+                                   num_hash_buckets=num_hash_buckets,
+                                   log_prior_diff=log_prior_diff,
+                                   labels=labels),
         batch_format="pyarrow", batch_size=512, concurrency=concurrency)

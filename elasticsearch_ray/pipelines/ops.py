@@ -5539,3 +5539,29 @@ def dsir_resample(sf_dir: str):
     top["weight"] = round_half_away(top["weight"], 4)
     top["gkey"] = round_half_away(top["gkey"], 4)
     return top.sort_values("doc_id").reset_index(drop=True)
+
+
+def nb_domain_classify(sf_dir: str):
+    """Domain classifier gate (the quality-classifier stage of real
+    training pipelines, deterministic NB analog): class A = sources
+    src1+src2, class B = src3+src4, multinomial NB with add-0.5 token
+    models and ln(nA/nB) prior, scored over the whole corpus."""
+    import pyarrow.compute as pc
+
+    from ..functions import lm as LM
+
+    a_ds = _ds(sf_dir, "documents", ["text", "source"],
+               flt=pc.field("source").isin(["src1", "src2"]))
+    b_ds = _ds(sf_dir, "documents", ["text", "source"],
+               flt=pc.field("source").isin(["src3", "src4"]))
+    lm_a = LM.fit_unigram_lm(a_ds, alpha=0.5)
+    lm_b = LM.fit_unigram_lm(b_ds, alpha=0.5)
+    n_a, n_b = a_ds.count(), b_ds.count()
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = LM.nb_classify(docs, lm_a, lm_b,
+                         log_prior_diff=float(np.log(n_a / n_b)),
+                         labels=("a", "b")).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["log_odds"] = round_half_away(out["log_odds"], 4)
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "log_odds", "pred"]])

@@ -148,3 +148,29 @@ def test_bigram_beats_unigram_on_in_domain_order():
     out = (LM.bigram_perplexity(docs, model)
            .to_pandas().set_index("doc_id")["ppl"])
     assert out[0] < out[1]
+
+
+def test_nb_classify_matches_reference():
+    a_texts = ["alpha beta gamma", "beta gamma delta", "alpha gamma"]
+    b_texts = ["noise words here", "more noise tokens"]
+    lm_a = LM.fit_unigram_lm(rd.from_pandas(pd.DataFrame({"text": a_texts})))
+    lm_b = LM.fit_unigram_lm(rd.from_pandas(pd.DataFrame({"text": b_texts})))
+    prior = math.log(len(a_texts) / len(b_texts))
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([0, 1], dtype=np.int64),
+         "text": ["alpha beta gamma", "noise tokens here"]}))
+    out = (LM.nb_classify(docs, lm_a, lm_b, log_prior_diff=prior)
+           .to_pandas().set_index("doc_id"))
+    ra, rb = _ref_model(a_texts), _ref_model(b_texts)
+
+    def ref_odds(text):
+        ws = text.lower().split()
+        s = prior
+        for w in ws:
+            s += (math.log((ra[0].get(w, 0) + 0.5) / ra[3])
+                  - math.log((rb[0].get(w, 0) + 0.5) / rb[3]))
+        return s
+
+    assert abs(out.loc[0, "log_odds"] - ref_odds("alpha beta gamma")) < 1e-9
+    assert abs(out.loc[1, "log_odds"] - ref_odds("noise tokens here")) < 1e-9
+    assert out.loc[0, "pred"] == "a" and out.loc[1, "pred"] == "b"
