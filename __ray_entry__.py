@@ -95,7 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events_windows", "sliding_window_counts",
         "rank_eval_metrics", "dedup_components", "dedup_keep_one",
         "lm_perplexity", "dsir_weights", "lm_perplexity_bigram",
-        "dsir_resample", "nb_domain_classify",
+        "dsir_resample", "nb_domain_classify", "tfidf_keywords",
+        "pmi_collocations",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1286,6 +1287,41 @@ lr AS (SELECT d.doc_id,
        LEFT JOIN scnt sc ON sc.w = d.w)
 SELECT doc_id, round(avg(r), 4) AS weight
 FROM lr GROUP BY doc_id ORDER BY doc_id""",
+        # per-doc top-3 tokens by tf*ln(N/df), ties by term
+        "tfidf_keywords": r"""
+WITH dt AS (
+  SELECT doc_id, w AS term, count(*)::DOUBLE AS tf FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents) WHERE w <> '' GROUP BY doc_id, w),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM dt GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+sc AS (SELECT dt.doc_id, dt.term,
+              dt.tf * ln((SELECT n FROM n) / df.df) AS score
+       FROM dt JOIN df USING (term)),
+rk AS (SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term) AS r FROM sc)
+SELECT doc_id, term, round(score, 4) AS score
+FROM rk WHERE r <= 3 ORDER BY doc_id, score DESC, term""",
+        # Church & Hanks PMI collocations, c(ab) >= 5, top-50
+        "pmi_collocations": r"""
+WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '') AS arr FROM documents),
+t AS (SELECT arr[i] AS w, CASE WHEN i > 1 THEN arr[i-1] END AS prev
+      FROM d, unnest(generate_series(1, len(arr))) AS u(i)),
+uni AS (SELECT w, count(*)::DOUBLE AS c FROM t GROUP BY w),
+n AS (SELECT sum(c) AS n FROM uni),
+big AS (SELECT prev AS w1, w AS w2, count(*)::DOUBLE AS c FROM t
+        WHERE prev IS NOT NULL GROUP BY 1, 2),
+nb AS (SELECT sum(c) AS nb FROM big),
+s AS (SELECT w1 || ' ' || w2 AS bigram, big.c::BIGINT AS n_ab,
+             ln((big.c / (SELECT nb FROM nb)) /
+                ((u1.c / (SELECT n FROM n)) * (u2.c / (SELECT n FROM n))))
+               AS pmi
+      FROM big JOIN uni u1 ON u1.w = big.w1
+               JOIN uni u2 ON u2.w = big.w2
+      WHERE big.c >= 5),
+top AS (SELECT * FROM s ORDER BY pmi DESC, bigram LIMIT 50)
+SELECT bigram, n_ab, round(pmi, 4) AS pmi FROM top ORDER BY bigram""",
         # two-class multinomial NB: log_odds = ln(nA/nB) + sum_w lp ratio;
         # fp-order mirrors the Ray side ((mean_a - mean_b) * len)
         "nb_domain_classify": r"""

@@ -5565,3 +5565,96 @@ def nb_domain_classify(sf_dir: str):
     out["log_odds"] = round_half_away(out["log_odds"], 4)
     return (out.sort_values("doc_id").reset_index(drop=True)
             [["doc_id", "log_odds", "pred"]])
+
+
+def tfidf_keywords(sf_dir: str):
+    """Per-document keyword extraction: top-3 tokens by tf·idf
+    (idf = ln(N/df)), ties broken by term. Distributed (doc, token, tf)
+    explode with per-batch aggregation; df is vocabulary-bounded and
+    broadcast back into a scoring stage (the LM-model pattern). Oracle:
+    the same tf/df/ln arithmetic + row_number window in SQL."""
+    from ..functions import lm as LM
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = LM._tokens(x)
+            if not toks:
+                continue
+            uniq, cnt = np.unique(np.asarray(toks, dtype=str),
+                                  return_counts=True)
+            ids.append(np.full(len(uniq), i, dtype=np.int64))
+            terms.append(uniq)
+            tfs.append(cnt.astype(np.int64))
+        if not ids:
+            return pa.table({"bkt": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        did = np.concatenate(ids)
+        return pa.table({"bkt": did % 64, "doc_id": did,
+                         "term": pa.array(np.concatenate(terms)),
+                         "tf": np.concatenate(tfs)})
+
+    doc_terms = docs.map_batches(explode_tf,
+                                 batch_format="pyarrow").materialize()
+    n_docs = float(docs.count())
+    df = doc_terms.groupby("term").count().to_pandas()
+    vocab = df["term"].to_numpy().astype(str)
+    order = np.argsort(vocab, kind="stable")
+    vocab = vocab[order]
+    idf = np.log(n_docs / df["count()"].to_numpy().astype(np.float64)[order])
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        terms = d["term"].to_numpy().astype(str)
+        pos = np.searchsorted(vocab, terms)
+        d["score"] = d["tf"].to_numpy() * idf[pos]
+        d = d.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="stable")
+        d = d.groupby("doc_id").head(3)
+        return pa.Table.from_pandas(d[["doc_id", "term", "score"]],
+                                    preserve_index=False)
+
+    # one bucketed exchange (doc_id % 64) so every doc's term rows land
+    # in one group regardless of block splitting; per-bucket top-3 is
+    # vectorized sort + groupby-head
+    out = (doc_terms.groupby("bkt")
+           .map_groups(score_topk, batch_format="pyarrow").to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = round_half_away(out["score"], 4)
+    return (out.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True], kind="stable")
+            .reset_index(drop=True))
+
+
+def pmi_collocations(sf_dir: str):
+    """Collocation extraction (Church & Hanks 1990 PMI): top-50 bigrams
+    with c(ab) >= 5 by ln((c(ab)/NB) / ((c(a)/N)·(c(b)/N))), ties by
+    bigram. Counting is the distributed part; scoring runs on the
+    vocabulary-bounded count tables."""
+    from ..functions import lm as LM
+
+    docs = _ds(sf_dir, "documents", ["text"])
+    uni = LM.unigram_counts(docs).to_pandas().rename(
+        columns={"sum(c)": "c"})
+    big = LM.bigram_counts(docs).to_pandas().rename(columns={"sum(c)": "c"})
+    n = float(uni["c"].sum())
+    nb = float(big["c"].sum())
+    big = big[big["c"] >= 5].copy()
+    parts = big["key"].str.split("\x1f", n=1, expand=True)
+    big["w1"], big["w2"] = parts[0], parts[1]
+    cu = dict(zip(uni["token"].astype(str), uni["c"].astype(np.float64)))
+    ca = big["w1"].map(cu).to_numpy(dtype=np.float64)
+    cb = big["w2"].map(cu).to_numpy(dtype=np.float64)
+    cab = big["c"].to_numpy(dtype=np.float64)
+    big["pmi"] = np.log((cab / nb) / ((ca / n) * (cb / n)))
+    big["bigram"] = big["w1"] + " " + big["w2"]
+    top = (big.sort_values(["pmi", "bigram"], ascending=[False, True],
+                           kind="stable").head(50))
+    top["n_ab"] = top["c"].astype("int64")
+    top["pmi"] = round_half_away(top["pmi"], 4)
+    return (top[["bigram", "n_ab", "pmi"]]
+            .sort_values("bigram").reset_index(drop=True))
