@@ -96,7 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval_metrics", "dedup_components", "dedup_keep_one",
         "lm_perplexity", "dsir_weights", "lm_perplexity_bigram",
         "dsir_resample", "nb_domain_classify", "tfidf_keywords",
-        "pmi_collocations",
+        "pmi_collocations", "doc_chunks",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
@@ -1287,6 +1287,21 @@ lr AS (SELECT d.doc_id,
        LEFT JOIN scnt sc ON sc.w = d.w)
 SELECT doc_id, round(avg(r), 4) AS weight
 FROM lr GROUP BY doc_id ORDER BY doc_id""",
+        # 64-token windows, stride 48; last partial window kept; DuckDB
+        # list slicing is 1-based inclusive and clamps at the end
+        "doc_chunks": r"""
+WITH d AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '') AS arr
+           FROM documents WHERE doc_id < 200),
+base AS (SELECT doc_id, arr, len(arr) AS l FROM d WHERE len(arr) > 0),
+ks AS (SELECT doc_id, arr, l, k
+       FROM base, unnest(generate_series(0,
+            greatest(0, CAST(ceil((l - 64) / 48.0) AS BIGINT)))) AS t(k))
+SELECT doc_id, k AS chunk_idx,
+       len(arr[k*48+1 : k*48+64])::BIGINT AS n_tokens,
+       array_to_string(arr[k*48+1 : k*48+64], ' ') AS chunk
+FROM ks ORDER BY doc_id, chunk_idx""",
         # per-doc top-3 tokens by tf*ln(N/df), ties by term
         "tfidf_keywords": r"""
 WITH dt AS (

@@ -5658,3 +5658,41 @@ def pmi_collocations(sf_dir: str):
     top["pmi"] = round_half_away(top["pmi"], 4)
     return (top[["bigram", "n_ab", "pmi"]]
             .sort_values("bigram").reset_index(drop=True))
+
+
+def doc_chunks(sf_dir: str):
+    """Fixed-token-window chunking with stride (LLM pre-training prep):
+    window=64 tokens, stride=48 (16-token overlap); the final partial
+    window is kept iff it starts before the text ends. Pure map —
+    vectorized per batch, no exchange. Output (doc_id, chunk_idx,
+    n_tokens, chunk)."""
+    from ..functions import lm as LM
+
+    import pyarrow.compute as pc
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"],
+               flt=pc.field("doc_id") < 200)
+    window, stride = 64, 48
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids, idxs, ns, chunks = [], [], [], []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = LM._tokens(x)
+            if not toks:
+                continue
+            for k, s in enumerate(range(0, len(toks), stride)):
+                piece = toks[s:s + window]
+                ids.append(i)
+                idxs.append(k)
+                ns.append(len(piece))
+                chunks.append(" ".join(piece))
+                if s + window >= len(toks):
+                    break
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "chunk_idx": pa.array(idxs, pa.int64()),
+                         "n_tokens": pa.array(ns, pa.int64()),
+                         "chunk": pa.array(chunks, pa.string())})
+
+    out = docs.map_batches(chunk, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
