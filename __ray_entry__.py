@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
+        "bpe_pair_counts", "bpe_train_merges",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -1232,6 +1233,23 @@ SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
 FROM lp GROUP BY doc_id ORDER BY doc_id""",
         # Jelinek-Mercer interpolated bigram LM: p(w|prev) =
         # 0.7*c(prev,w)/ctx(prev) + (1-0.7)*p_uni(w); first token unigram
+        # BPE iteration-0: weighted adjacent-symbol pairs over the
+        # char+'</w>' vocabulary of the distinct-word frequency table
+        "bpe_pair_counts": r"""
+WITH wrd AS (
+  SELECT w, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents) GROUP BY w),
+pr AS (
+  SELECT substr(w, i, 1) AS left_sym,
+         CASE WHEN i < length(w) THEN substr(w, i + 1, 1)
+              ELSE '</w>' END AS right_sym,
+         freq
+  FROM wrd, unnest(generate_series(1, length(w))) AS t(i))
+SELECT left_sym, right_sym, sum(freq)::BIGINT AS c
+FROM pr GROUP BY left_sym, right_sym
+ORDER BY c DESC, left_sym, right_sym LIMIT 20""",
         "lm_perplexity_bigram": r"""
 WITH d AS (SELECT doc_id, source,
                   list_filter(regexp_split_to_array(lower(text), '\s+'),

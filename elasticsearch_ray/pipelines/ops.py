@@ -5696,3 +5696,34 @@ def doc_chunks(sf_dir: str):
     out = docs.map_batches(chunk, batch_format="pyarrow").to_pandas()
     return (out.sort_values(["doc_id", "chunk_idx"])
             .reset_index(drop=True))
+
+
+def bpe_pair_counts(sf_dir: str):
+    """BPE training, iteration-0 statistics: top-20 weighted adjacent-symbol
+    pairs over the initial character vocabulary (chars + '</w>' end marker)
+    of the distinct-word frequency table (functions/bpe.py; Sennrich et al.
+    2016). Exchange ships per-batch-distinct pairs only."""
+    from ..functions import bpe as BPE
+
+    docs = _ds(sf_dir, "documents", ["text"])
+    out = (BPE.pair_counts(BPE.word_counts(docs)).to_pandas()
+           .sort_values(["c", "left_sym", "right_sym"],
+                        ascending=[False, True, True], kind="stable")
+           .head(20).reset_index(drop=True))
+    out["c"] = out["c"].astype("int64")
+    return out[["left_sym", "right_sym", "c"]]
+
+
+def bpe_train_merges(sf_dir: str):
+    """Distributed BPE merge learning (k=8): each iteration is a pair-count
+    exchange over the vocabulary-bounded word table + per-batch partial
+    argmax + vectorized merge application — the corpus is read once.
+    No SQL oracle (iterative); differential-tested against the serial
+    Sennrich twin in tests/test_bpe.py."""
+    from ..functions import bpe as BPE
+
+    docs = _ds(sf_dir, "documents", ["text"])
+    out = BPE.train_bpe(docs, 8)
+    out["rank"] = out["rank"].astype("int64")
+    out["c"] = out["c"].astype("int64")
+    return out
