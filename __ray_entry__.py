@@ -89,7 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
-        "bpe_pair_counts", "bpe_train_merges",
+        "bpe_pair_counts", "bpe_train_merges", "lm_ngram_counts",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -1233,6 +1233,18 @@ SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
 FROM lp GROUP BY doc_id ORDER BY doc_id""",
         # Jelinek-Mercer interpolated bigram LM: p(w|prev) =
         # 0.7*c(prev,w)/ctx(prev) + (1-0.7)*p_uni(w); first token unigram
+        # KenLM-style trigram count table with BOS/EOS and min_count=2
+        "lm_ngram_counts": r"""
+WITH d AS (
+  SELECT list_concat(['<s>'],
+           list_concat(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> ''), ['</s>'])) AS arr
+  FROM documents),
+tg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2, arr[i + 2] AS w3
+       FROM d, unnest(generate_series(1, len(arr) - 2)) AS t(i))
+SELECT w1, w2, w3, count(*)::BIGINT AS c
+FROM tg GROUP BY w1, w2, w3 HAVING count(*) >= 2
+ORDER BY c DESC, w1, w2, w3 LIMIT 50""",
         # BPE iteration-0: weighted adjacent-symbol pairs over the
         # char+'</w>' vocabulary of the distinct-word frequency table
         "bpe_pair_counts": r"""

@@ -349,3 +349,45 @@ def nb_classify(ds, class_a: UnigramLM, class_b: UnigramLM, *,
                                    log_prior_diff=log_prior_diff,
                                    labels=labels),
         batch_format="pyarrow", batch_size=512, concurrency=concurrency)
+
+
+def ngram_counts(ds, *, n: int = 3, text_col: str = "text",
+                 bos: str = "<s>", eos: str = "</s>", min_count: int = 1):
+    """KenLM-direction n-gram counting (the lmplz counting phase, public):
+    per-doc token streams get BOS/EOS markers, every order-n window is
+    counted. One explode pass with per-batch pre-aggregation (each batch
+    ships its distinct n-grams) into a groupby-sum over the w1..wn key;
+    `min_count` pruning happens after the reduce, exactly like count-file
+    pruning. Returns a Dataset of (w1..wn, c)."""
+    cols = [f"w{i + 1}" for i in range(n)]
+
+    def explode(t: pa.Table) -> pa.Table:
+        seqs = [[bos] + _tokens(x) + [eos] for x in t[text_col].to_pylist()]
+        flat = np.concatenate(
+            [np.asarray(s, dtype=object) for s in seqs] or
+            [np.empty(0, dtype=object)]).astype(str)
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        # valid window starts: i .. i+n-1 inside one doc
+        starts = np.flatnonzero(
+            np.arange(len(flat)) + n <= np.repeat(offs[1:], lens))
+        if len(starts) == 0:
+            return pa.table({**{c: pa.array([], pa.string()) for c in cols},
+                             "c": pa.array([], pa.int64())})
+        key = flat[starts]
+        for j in range(1, n):
+            key = np.char.add(np.char.add(key, "\x1f"), flat[starts + j])
+        uniq, cnt = np.unique(key, return_counts=True)
+        parts = np.array([u.split("\x1f") for u in uniq.tolist()], dtype=object)
+        return pa.table({**{c: pa.array(parts[:, i].astype(str), pa.string())
+                            for i, c in enumerate(cols)},
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby(cols).sum("c").rename_columns({"sum(c)": "c"}))
+    if min_count > 1:
+        import pyarrow.compute as pc
+        out = out.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["c"], min_count)),
+            batch_format="pyarrow")
+    return out

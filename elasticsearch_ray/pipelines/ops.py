@@ -5727,3 +5727,18 @@ def bpe_train_merges(sf_dir: str):
     out["rank"] = out["rank"].astype("int64")
     out["c"] = out["c"].astype("int64")
     return out
+
+
+def lm_ngram_counts(sf_dir: str):
+    """Order-3 n-gram count table with BOS/EOS markers and min_count=2
+    pruning (the KenLM lmplz counting phase; functions/lm.py). Top-50 by
+    (c desc, trigram asc)."""
+    from ..functions import lm as LM
+
+    docs = _ds(sf_dir, "documents", ["text"])
+    out = (LM.ngram_counts(docs, n=3, min_count=2).to_pandas()
+           .sort_values(["c", "w1", "w2", "w3"],
+                        ascending=[False, True, True, True], kind="stable")
+           .head(50).reset_index(drop=True))
+    out["c"] = out["c"].astype("int64")
+    return out[["w1", "w2", "w3", "c"]]

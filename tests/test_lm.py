@@ -174,3 +174,34 @@ def test_nb_classify_matches_reference():
     assert abs(out.loc[0, "log_odds"] - ref_odds("alpha beta gamma")) < 1e-9
     assert abs(out.loc[1, "log_odds"] - ref_odds("noise tokens here")) < 1e-9
     assert out.loc[0, "pred"] == "a" and out.loc[1, "pred"] == "b"
+
+
+def test_ngram_counts_hand_vector():
+    import pyarrow as pa
+    import ray
+
+    from elasticsearch_ray.functions import lm as LM
+
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(["a b a b", "a b"], pa.string())}))
+    got = {(r["w1"], r["w2"]): r["c"]
+           for r in LM.ngram_counts(ds, n=2).take_all()}
+    assert got == {("<s>", "a"): 2, ("a", "b"): 3, ("b", "a"): 1,
+                   ("b", "</s>"): 2}
+    tri = {(r["w1"], r["w2"], r["w3"]): r["c"]
+           for r in LM.ngram_counts(ds, n=3, min_count=2).take_all()}
+    assert tri == {("<s>", "a", "b"): 2, ("a", "b", "</s>"): 2}
+
+
+def test_ngram_counts_empty_and_partitioned():
+    import pyarrow as pa
+    import ray
+
+    from elasticsearch_ray.functions import lm as LM
+
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(["", "x", ""], pa.string())})).repartition(3)
+    got = {(r["w1"], r["w2"]): r["c"]
+           for r in LM.ngram_counts(ds, n=2).take_all()}
+    # empty docs still contribute the (<s>, </s>) bigram
+    assert got == {("<s>", "</s>"): 2, ("<s>", "x"): 1, ("x", "</s>"): 1}
