@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "bpe_train_merges", "lm_ngram_counts",
+        "dedup_semantic",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -311,6 +312,37 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
              f"ORDER BY list_distance(e.v, c{iters}.c), c{iters}.cluster "
              f"LIMIT 1) AS cluster FROM e ORDER BY e.vec_id")
     return ",\n".join(parts) + "\n" + final
+
+
+def _semantic_dedup_oracle_sql(k: int = 8, iters: int = 3,
+                               tau: float = 0.42) -> str:
+    """SemDeDup twin: the unrolled-Lloyd assignment CTEs + an intra-cluster
+    cosine self-join at `tau` + the recursive min-label component closure;
+    kept rows are non-members plus each component's own-label
+    representative."""
+    km = _kmeans_oracle_sql(k, iters)
+    body, final = km.rsplit("\nSELECT ", 1)
+    asg = ("SELECT " + final).replace(" ORDER BY e.vec_id", "")
+    sql = body.replace("WITH e AS", "WITH RECURSIVE\ne AS", 1)
+    sql += f""",
+asg AS ({asg}),
+prs AS (SELECT a.vec_id AS da, b.vec_id AS db
+        FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.v, eb.v) >= {tau}),
+edges AS (SELECT da AS a, db AS b FROM prs UNION SELECT db, da FROM prs),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(v, r) AS (SELECT v, v FROM verts
+                UNION
+                SELECT eg.b, reach.r FROM reach JOIN edges eg ON eg.a = reach.v),
+comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+SELECT a.vec_id, a.cluster FROM asg a
+LEFT JOIN comp ON comp.v = a.vec_id
+WHERE comp.v IS NULL OR comp.component = a.vec_id
+ORDER BY a.vec_id"""
+    return sql
 
 
 def _minhash_oracle_sql(num_perm: int = 32, bands: int = 8,
@@ -636,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
     out["agg_cardinality_hll"] = _hll_oracle_sql()
     out["agg_percentiles_hdr"] = _hdr_oracle_sql()
     out["embed_kmeans"] = _kmeans_oracle_sql()
+    out["dedup_semantic"] = _semantic_dedup_oracle_sql()
     out["embed_cluster_sample"] = (
         "SELECT vec_id, cluster FROM ("
         + _kmeans_oracle_sql().rsplit("ORDER BY", 1)[0]

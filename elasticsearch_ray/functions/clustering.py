@@ -112,3 +112,60 @@ def kmeans(ds, k: int = 8, iters: int = 3, *, vec_col: str = "embedding",
     """fit + assign; returns (centroids, assignment Dataset)."""
     C = kmeans_fit(ds, k, iters, vec_col=vec_col, id_col=id_col)
     return C, kmeans_assign(ds, C, vec_col=vec_col, id_col=id_col)
+
+
+def semantic_dedup(ds, *, k: int = 8, iters: int = 3, tau: float = 0.5,
+                   vec_col: str = "embedding", id_col: str = "vec_id"):
+    """SemDeDup (Abbas et al. 2023, public): k-means the embedding space,
+    generate near-dup pairs ONLY within clusters (intra-cluster cosine >=
+    tau), resolve duplicate groups with distributed connected components,
+    keep each group's lowest-id representative.
+
+    Scale shape: the O(n^2) cosine join of the naive path collapses to
+    sum over clusters of O(|c|^2) — with k sized so |c| ~ n/k is
+    batch-bounded; clusters too big for one group must be sub-bucketed
+    (the LSH trick in dedup.embedding_dedup_lsh composes here unchanged).
+    Pairs (bounded by the duplicate count) are the only materialized
+    intermediate; components + anti-join are the same bucketed exchanges
+    as dedup_keep_one. Returns a Dataset of kept (id, cluster)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from .dedup import _norm_block
+    from .graph import anti_join_ids, connected_components
+
+    C = kmeans_fit(ds, k, iters, vec_col=vec_col, id_col=id_col)
+    c_ref = ray.put(C)
+
+    def tag(t: pa.Table) -> pa.Table:
+        a = _assign(_stack(t, vec_col), ray.get(c_ref))
+        return (_norm_block(t, id_col, vec_col, np.float64)
+                .append_column("cluster", pa.array(a, pa.int64())))
+
+    tagged = (ds.select_columns([id_col, vec_col])
+              .map_batches(tag, batch_format="pyarrow", batch_size=4096))
+
+    def pairs_fn(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        V = np.stack(g[vec_col].to_numpy())
+        S = V @ V.T
+        ii, jj = np.nonzero(np.triu(S >= tau, k=1))
+        return pd.DataFrame({
+            "doc_a": np.minimum(ids[ii], ids[jj]).astype(np.int64),
+            "doc_b": np.maximum(ids[ii], ids[jj]).astype(np.int64)})
+
+    pairs = tagged.groupby("cluster").map_groups(pairs_fn).materialize()
+    assign = tagged.select_columns([id_col, "cluster"])
+    if pairs.count() == 0:
+        return assign
+    comps = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    drops = comps.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"].filter(
+                pc.not_equal(t["doc_id"], t["component"]))}),
+        batch_format="pyarrow")
+    return anti_join_ids(assign, drops, id_col=id_col, ids_col="doc_id")

@@ -5742,3 +5742,19 @@ def lm_ngram_counts(sf_dir: str):
            .head(50).reset_index(drop=True))
     out["c"] = out["c"].astype("int64")
     return out[["w1", "w2", "w3", "c"]]
+
+
+def dedup_semantic(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means (k=8, 3 iters) over the
+    embeddings table, within-cluster cosine pairs at tau=0.42, connected
+    components, keep each duplicate group's min-id representative
+    (functions/clustering.semantic_dedup). Oracle: the unrolled-Lloyd
+    kmeans CTE + intra-cluster cosine self-join + recursive component
+    closure."""
+    from ..functions.clustering import semantic_dedup
+
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup(ds, k=8, iters=3, tau=0.42).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -102,3 +102,45 @@ def test_kmeans_fit_requires_seed_ids():
                        "embedding": list(np.zeros((5, 3), dtype=np.float32))})
     with pytest.raises(ValueError):
         CL.kmeans_fit(rd.from_pandas(df), k=4, iters=1)
+
+
+def test_semantic_dedup_planted():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from elasticsearch_ray.functions.clustering import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    # plant near-dups: 40 clones base[5]; 41 and 42 both clone base[3]
+    vecs = np.vstack([base,
+                      base[5] + 1e-4 * rng.randn(16),
+                      base[3] + 1e-4 * rng.randn(16),
+                      base[3] - 1e-4 * rng.randn(16)])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64()))}))
+    kept = semantic_dedup(ds, k=4, iters=2, tau=0.95).to_pandas()
+    ids = set(kept["vec_id"])
+    # representatives (min id per group) survive; clones die
+    assert 3 in ids and 5 in ids
+    assert not {40, 41, 42} & ids
+    assert len(ids) == 40
+
+
+def test_semantic_dedup_no_pairs():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from elasticsearch_ray.functions.clustering import semantic_dedup
+
+    V = np.eye(8)  # orthogonal: zero cosine everywhere
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(8), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float64()))}))
+    kept = semantic_dedup(ds, k=4, iters=1, tau=0.5).to_pandas()
+    assert sorted(kept["vec_id"]) == list(range(8))
