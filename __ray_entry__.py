@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "bpe_train_merges", "lm_ngram_counts",
-        "dedup_semantic",
+        "dedup_semantic", "lm_perplexity_kn",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -1266,6 +1266,34 @@ SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
 FROM lp GROUP BY doc_id ORDER BY doc_id""",
         # Jelinek-Mercer interpolated bigram LM: p(w|prev) =
         # 0.7*c(prev,w)/ctx(prev) + (1-0.7)*p_uni(w); first token unigram
+        # interpolated Kneser-Ney bigram perplexity with BOS/EOS,
+        # D=0.75, add-0.5-smoothed continuation distribution
+        "lm_perplexity_kn": r"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_concat(['<s>'], list_concat(
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> ''), ['</s>'])) AS arr
+  FROM documents),
+bg AS (SELECT arr[i] AS v, arr[i + 1] AS w, count(*)::DOUBLE AS c
+       FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+       WHERE source IN ('src1','src2','src3') GROUP BY v, w),
+cx AS (SELECT v, sum(c) AS cv, count(*)::DOUBLE AS n1f FROM bg GROUP BY v),
+bwd AS (SELECT w, count(*)::DOUBLE AS n1b FROM bg GROUP BY w),
+tot AS (SELECT count(*)::DOUBLE AS t, count(DISTINCT w)::DOUBLE AS vc FROM bg),
+st AS (SELECT doc_id, arr[i] AS v, arr[i + 1] AS w
+       FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)),
+sp AS (SELECT s.doc_id, s.v, s.w,
+              (coalesce(bw.n1b, 0) + 0.5) / (tt.t + 0.5 * (tt.vc + 1)) AS pc
+       FROM st s CROSS JOIN tot tt LEFT JOIN bwd bw ON bw.w = s.w),
+lp AS (SELECT sp.doc_id,
+              ln(CASE WHEN cx.v IS NULL THEN sp.pc
+                 ELSE greatest(coalesce(b.c, 0) - 0.75, 0) / cx.cv
+                      + 0.75 * cx.n1f / cx.cv * sp.pc END) AS lp
+       FROM sp LEFT JOIN cx ON cx.v = sp.v
+       LEFT JOIN bg b ON b.v = sp.v AND b.w = sp.w)
+SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
+FROM lp GROUP BY doc_id ORDER BY doc_id""",
         # KenLM-style trigram count table with BOS/EOS and min_count=2
         "lm_ngram_counts": r"""
 WITH d AS (

@@ -391,3 +391,110 @@ def ngram_counts(ds, *, n: int = 3, text_col: str = "text",
             lambda t: t.filter(pc.greater_equal(t["c"], min_count)),
             batch_format="pyarrow")
     return out
+
+
+class KNBigramLM(NamedTuple):
+    """Interpolated Kneser-Ney bigram LM (Chen & Goodman 1999, public —
+    the smoothing KenLM implements): p(w|v) = max(c(v,w)-D, 0)/c(v)
+    + D*N1+(v,.)/c(v) * p_cont(w), with the continuation distribution
+    p_cont(w) = (N1+(.,w) + alpha)/(T + alpha*(Vc+1)) add-alpha smoothed
+    so OOV tokens keep nonzero mass; unseen contexts back off fully to
+    p_cont. Sequences carry BOS/EOS markers."""
+
+    ctx_vocab: np.ndarray    # sorted context tokens v
+    ctx_c: np.ndarray        # c(v) totals, float64
+    ctx_n1f: np.ndarray      # N1+(v,.) distinct continuations, float64
+    bigram_keys: np.ndarray  # sorted "v\x1fw"
+    bigram_c: np.ndarray     # float64
+    w_vocab: np.ndarray      # sorted continuation tokens w
+    w_n1b: np.ndarray        # N1+(.,w), float64
+    T: float                 # distinct bigram types
+    Vc: float                # distinct continuation vocabulary size
+    D: float
+    alpha: float
+    bos: str
+    eos: str
+
+
+def fit_kn_bigram(ds, *, text_col: str = "text", D: float = 0.75,
+                  alpha: float = 0.5, bos: str = "<s>",
+                  eos: str = "</s>") -> KNBigramLM:
+    """Fit from the distributed bigram count table (ngram_counts n=2 with
+    BOS/EOS); only the vocabulary-bounded count tables reach the driver."""
+    bg = ngram_counts(ds, n=2, text_col=text_col, bos=bos, eos=eos).to_pandas()
+    v = bg["w1"].to_numpy().astype(str)
+    w = bg["w2"].to_numpy().astype(str)
+    c = bg["c"].to_numpy().astype(np.float64)
+    keys = np.char.add(np.char.add(v, "\x1f"), w)
+    order = np.argsort(keys, kind="stable")
+    keys, c_sorted = keys[order], c[order]
+    ctx_vocab, ctx_inv = np.unique(v, return_inverse=True)
+    ctx_c = np.bincount(ctx_inv, weights=c)
+    ctx_n1f = np.bincount(ctx_inv).astype(np.float64)
+    w_vocab, w_inv = np.unique(w, return_inverse=True)
+    w_n1b = np.bincount(w_inv).astype(np.float64)
+    return KNBigramLM(ctx_vocab=ctx_vocab, ctx_c=ctx_c, ctx_n1f=ctx_n1f,
+                      bigram_keys=keys, bigram_c=c_sorted,
+                      w_vocab=w_vocab, w_n1b=w_n1b,
+                      T=float(len(keys)), Vc=float(len(w_vocab)),
+                      D=D, alpha=alpha, bos=bos, eos=eos)
+
+
+class _KNPplStage:
+    """Actor-pool KN scorer: model broadcast once per actor; per batch one
+    flattened searchsorted per lookup table, segment means via reduceat."""
+
+    def __init__(self, model, text_col: str, id_col: str):
+        import ray
+        self.m = ray.get(model) if not isinstance(model, KNBigramLM) else model
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = self.m
+        seqs = [np.asarray([m.bos] + _tokens(x) + [m.eos], dtype=str)
+                for x in t[self.text_col].to_pylist()]
+        npos = np.array([s.size - 1 for s in seqs], dtype=np.int64)
+        ids = t[self.id_col].to_numpy()
+        vv = np.concatenate([s[:-1] for s in seqs])
+        ww = np.concatenate([s[1:] for s in seqs])
+        ends = np.cumsum(npos)
+        starts = ends - npos
+        # continuation prob for every w
+        wp = np.searchsorted(m.w_vocab, ww)
+        wp_c = np.clip(wp, 0, max(len(m.w_vocab) - 1, 0))
+        whit = (wp < len(m.w_vocab)) & (m.w_vocab[wp_c] == ww)
+        n1b = np.where(whit, m.w_n1b[wp_c], 0.0)
+        pc_ = (n1b + m.alpha) / (m.T + m.alpha * (m.Vc + 1.0))
+        # context stats for every v
+        vp = np.searchsorted(m.ctx_vocab, vv)
+        vp_c = np.clip(vp, 0, max(len(m.ctx_vocab) - 1, 0))
+        vhit = (vp < len(m.ctx_vocab)) & (m.ctx_vocab[vp_c] == vv)
+        cv = np.where(vhit, m.ctx_c[vp_c], 1.0)   # dummy 1 to avoid /0
+        n1f = np.where(vhit, m.ctx_n1f[vp_c], 0.0)
+        # bigram counts
+        keys = np.char.add(np.char.add(vv, "\x1f"), ww)
+        bp = np.searchsorted(m.bigram_keys, keys)
+        bp_c = np.clip(bp, 0, max(len(m.bigram_keys) - 1, 0))
+        bhit = (bp < len(m.bigram_keys)) & (m.bigram_keys[bp_c] == keys)
+        bc = np.where(bhit, m.bigram_c[bp_c], 0.0)
+        p = np.where(vhit,
+                     np.maximum(bc - m.D, 0.0) / cv + m.D * n1f / cv * pc_,
+                     pc_)
+        lp = np.log(p)
+        ppl = np.exp(-np.add.reduceat(lp, starts) / npos)
+        return pa.table({self.id_col: pa.array(ids.astype(np.int64)),
+                         "ppl": pa.array(ppl.astype(np.float64))})
+
+
+def kn_perplexity(ds, model: KNBigramLM, *, text_col: str = "text",
+                  id_col: str = "doc_id", concurrency=2):
+    """(id, ppl) under the interpolated Kneser-Ney bigram LM."""
+    import ray
+
+    ref = ray.put(model)
+    return ds.map_batches(
+        _KNPplStage,
+        fn_constructor_kwargs=dict(model=ref, text_col=text_col,
+                                   id_col=id_col),
+        batch_format="pyarrow", batch_size=512, concurrency=concurrency)

@@ -5758,3 +5758,23 @@ def dedup_semantic(sf_dir: str):
     out["vec_id"] = out["vec_id"].astype("int64")
     out["cluster"] = out["cluster"].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def lm_perplexity_kn(sf_dir: str):
+    """Interpolated Kneser-Ney bigram perplexity (Chen & Goodman 1999 — the
+    smoothing KenLM implements), trained on sources src1-src3 with BOS/EOS
+    markers, scored over the whole corpus (functions/lm.py:fit_kn_bigram).
+    D=0.75; the continuation distribution is add-0.5 smoothed so OOV mass
+    is nonzero and the DuckDB oracle can mirror it exactly."""
+    import pyarrow.compute as pc
+
+    from ..functions import lm as LM
+
+    ref = _ds(sf_dir, "documents", ["text", "source"],
+              flt=pc.field("source").isin(["src1", "src2", "src3"]))
+    model = LM.fit_kn_bigram(ref, D=0.75, alpha=0.5)
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = LM.kn_perplexity(docs, model).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["ppl"] = round_half_away(out["ppl"], 4)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -205,3 +205,38 @@ def test_ngram_counts_empty_and_partitioned():
            for r in LM.ngram_counts(ds, n=2).take_all()}
     # empty docs still contribute the (<s>, </s>) bigram
     assert got == {("<s>", "</s>"): 2, ("<s>", "x"): 1, ("x", "</s>"): 1}
+
+
+def test_kn_bigram_hand_vector():
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from elasticsearch_ray.functions import lm as LM
+
+    ref = ["a b", "a b", "a c"]
+    # bigrams with BOS/EOS: (<s>,a)x3 (a,b)x2 (a,c)x1 (b,</s>)x2 (c,</s>)x1
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(ref, pa.string())}))
+    m = LM.fit_kn_bigram(ds, D=0.75, alpha=0.5)
+    assert m.T == 5 and m.Vc == 4  # types; continuations {a,b,c,</s>}
+    def pcont(n1b):
+        return (n1b + 0.5) / (m.T + 0.5 * (m.Vc + 1))
+    # score "a b": positions (<s>,a) (a,b) (b,</s>)
+    # c(<s>)=3, N1f(<s>)=1; c(a)=3, N1f(a)=2; c(b)=2, N1f(b)=1
+    p1 = max(3 - 0.75, 0) / 3 + 0.75 * 1 / 3 * pcont(1)   # (<s>,a), N1b(a)=1
+    p2 = max(2 - 0.75, 0) / 3 + 0.75 * 2 / 3 * pcont(1)   # (a,b),  N1b(b)=1
+    p3 = max(2 - 0.75, 0) / 2 + 0.75 * 1 / 2 * pcont(2)   # (b,</s>), N1b=2
+    want = math.exp(-(math.log(p1) + math.log(p2) + math.log(p3)) / 3)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b", "zzz"], pa.string())}))
+    out = (LM.kn_perplexity(docs, m).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert abs(out["ppl"][0] - want) < 1e-12
+    # OOV doc "zzz": (<s>, zzz) context IS seen -> backoff term only;
+    # (zzz, </s>) context unseen -> pure continuation prob
+    p_oov = 0.75 * 1 / 3 * pcont(0)   # max(0-D,0)/3 + D*N1f(<s>)/3 * pcont
+    p_eos = pcont(2)                  # N1b(</s>) = 2
+    want1 = math.exp(-(math.log(p_oov) + math.log(p_eos)) / 2)
+    assert abs(out["ppl"][1] - want1) < 1e-12
