@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "bpe_train_merges", "lm_ngram_counts",
-        "dedup_semantic", "lm_perplexity_kn",
+        "dedup_semantic", "lm_perplexity_kn", "gopher_quality",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -1266,6 +1266,49 @@ SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
 FROM lp GROUP BY doc_id ORDER BY doc_id""",
         # Jelinek-Mercer interpolated bigram LM: p(w|prev) =
         # 0.7*c(prev,w)/ctx(prev) + (1-0.7)*p_uni(w); first token unigram
+        # Gopher Table-A1 quality rules; kept = conjunction as int
+        "gopher_quality": r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    CASE WHEN len(toks) = 0 THEN 0
+         ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+              / len(toks) END AS mwl,
+    CASE WHEN len(toks) = 0 THEN 0
+         ELSE ((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+              )::DOUBLE / len(toks) END AS sym,
+    CASE WHEN len(toks) = 0 THEN 0
+         ELSE len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+              / len(toks) END AS awf,
+    CASE WHEN len(toks) = 0 THEN 0
+         ELSE len(list_filter(toks, x -> list_contains(
+              ['the','be','to','of','and','that','have','with'],
+              lower(x)))) END AS stop_hits,
+    len(list_filter(lines, l -> regexp_matches(ltrim(l, ' ' || chr(9)),
+        '^[-*•]')))::DOUBLE / len(lines) AS bullet,
+    len(list_filter(lines, l ->
+        rtrim(l, ' ' || chr(9)) LIKE '%...'
+        OR rtrim(l, ' ' || chr(9)) LIKE '%…'))::DOUBLE
+        / len(lines) AS ellip
+  FROM base)
+SELECT doc_id, n_words,
+  ROUND(mwl, 4) AS mean_word_len,
+  ROUND(sym, 4) AS symbol_ratio,
+  ROUND(awf, 4) AS alpha_word_frac,
+  stop_hits,
+  ROUND(bullet, 4) AS bullet_frac,
+  ROUND(ellip, 4) AS ellipsis_frac,
+  CASE WHEN n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        AND sym <= 0.1 AND bullet <= 0.9 AND ellip <= 0.3
+        AND awf >= 0.8 AND stop_hits >= 2
+       THEN 1 ELSE 0 END AS kept
+FROM m ORDER BY doc_id""",
         # interpolated Kneser-Ney bigram perplexity with BOS/EOS,
         # D=0.75, add-0.5-smoothed continuation distribution
         "lm_perplexity_kn": r"""

@@ -316,3 +316,59 @@ def canonicalize_url_batch(t: pa.Table, url_col: str = "url",
                            out_col: str = "canonical_url") -> pa.Table:
     vals = [canonicalize_url(u) for u in t[url_col].to_pylist()]
     return t.append_column(out_col, pa.array(vals, pa.string()))
+
+
+_GOPHER_STOPS = frozenset(
+    ["the", "be", "to", "of", "and", "that", "have", "with"])
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def gopher_flags_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """The Gopher quality-rule set (Rae et al. 2021, Table A1, public):
+    word-count bounds, mean-word-length band, symbol-to-word ratio
+    ('#' + '...'), bullet-start / ellipsis-end line fractions,
+    alphabetic-word fraction, and the >=2-hit function-word test; `kept`
+    is the conjunction (50 <= words <= 100k, 3 <= mwl <= 10, sym <= 0.1,
+    bullets <= 0.9, ellipsis <= 0.3, alpha >= 0.8, stops >= 2). Every
+    metric is deliberately SQL-expressible for the DuckDB oracle."""
+    texts = t[text_col].to_pylist()
+    n = len(texts)
+    nw = np.zeros(n, np.int64)
+    mwl = np.zeros(n, np.float64)
+    sym = np.zeros(n, np.float64)
+    awf = np.zeros(n, np.float64)
+    stops = np.zeros(n, np.int64)
+    bullet = np.zeros(n, np.float64)
+    ellip = np.zeros(n, np.float64)
+    for i, s in enumerate(texts):
+        toks = s.split()
+        lines = s.split("\n")
+        bullet[i] = (sum(1 for l in lines
+                         if l.lstrip(" \t").startswith(("-", "*", "•")))
+                     / len(lines))
+        ellip[i] = (sum(1 for l in lines
+                        if l.rstrip(" \t").endswith(("...", "…")))
+                    / len(lines))
+        if not toks:
+            continue
+        nw[i] = len(toks)
+        mwl[i] = sum(len(w) for w in toks) / len(toks)
+        sym[i] = (s.count("#") + s.count("...")) / len(toks)
+        awf[i] = sum(1 for w in toks if _ALPHA_RE.search(w)) / len(toks)
+        stops[i] = sum(1 for w in toks if w.lower() in _GOPHER_STOPS)
+    kept = ((nw >= 50) & (nw <= 100_000) & (mwl >= 3.0) & (mwl <= 10.0)
+            & (sym <= 0.1) & (bullet <= 0.9) & (ellip <= 0.3)
+            & (awf >= 0.8) & (stops >= 2))
+    out = t
+    for name, arr in [
+        ("n_words", nw),
+        ("mean_word_len", round_half_away(mwl, 4)),
+        ("symbol_ratio", round_half_away(sym, 4)),
+        ("alpha_word_frac", round_half_away(awf, 4)),
+        ("stop_hits", stops),
+        ("bullet_frac", round_half_away(bullet, 4)),
+        ("ellipsis_frac", round_half_away(ellip, 4)),
+        ("kept", kept.astype(np.int64)),
+    ]:
+        out = out.append_column(name, pa.array(arr))
+    return out

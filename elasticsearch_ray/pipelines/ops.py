@@ -5778,3 +5778,16 @@ def lm_perplexity_kn(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype("int64")
     out["ppl"] = round_half_away(out["ppl"], 4)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def gopher_quality(sf_dir: str):
+    """Gopher rule-set document filter (Rae et al. 2021):
+    functions/text.gopher_flags_batch over the documents table; returns
+    every doc's rule metrics plus the kept conjunction. Thresholds are
+    Gopher's published Table A1 values."""
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = (ds.map_batches(T.gopher_flags_batch, batch_format="pyarrow")
+           .drop_columns(["text"]).to_pandas())
+    for c in ("doc_id", "n_words", "stop_hits", "kept"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -877,3 +877,35 @@ def test_simhash_max_hamming_validated(ray_session):
     with pytest.raises(ValueError, match="max_hamming <= 3"):
         simhash_pairs(rd.from_items([{"doc_id": 1, "text": "x"}]),
                       max_hamming=4)
+
+
+def test_gopher_flags():
+    import pyarrow as pa
+
+    from elasticsearch_ray.functions.text import gopher_flags_batch
+
+    good = ("the data " + "pipeline builds index shards with care "
+            "and that should have weight ") * 4  # >50 words, sane ratios
+    bullets = "- one\n- two\n- three\n* four"
+    dots = "first line...\nsecond...\nthird is fine"
+    symbols = "## " * 30 + "the of and that"
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array([good, bullets, dots, symbols])})
+    out = gopher_flags_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[0, "kept"] == 1
+    assert out.loc[1, "bullet_frac"] == 1.0 and out.loc[1, "kept"] == 0
+    assert abs(out.loc[2, "ellipsis_frac"] - 0.6667) < 1e-9
+    assert out.loc[3, "symbol_ratio"] > 0.1 and out.loc[3, "kept"] == 0
+    # word-count lower bound
+    assert out.loc[1, "n_words"] < 50
+
+
+def test_gopher_empty_doc():
+    import pyarrow as pa
+
+    from elasticsearch_ray.functions.text import gopher_flags_batch
+
+    out = gopher_flags_batch(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([""], pa.string())})).to_pandas()
+    assert out["kept"][0] == 0 and out["n_words"][0] == 0
