@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "bpe_train_merges", "lm_ngram_counts",
-        "dedup_semantic", "lm_perplexity_kn", "gopher_quality",
+        "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -1266,6 +1266,40 @@ SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
 FROM lp GROUP BY doc_id ORDER BY doc_id""",
         # Jelinek-Mercer interpolated bigram LM: p(w|prev) =
         # 0.7*c(prev,w)/ctx(prev) + (1-0.7)*p_uni(w); first token unigram
+        # C4 line/page rules over deterministically synthesized pages
+        "c4_filter": r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+ln AS (
+  SELECT doc_id, i AS line_idx,
+         CASE WHEN doc_id % 7 = 0 AND i = 1 THEN 'javascript ' ELSE '' END
+         || array_to_string(list_slice(toks, (i - 1) * 8 + 1, i * 8), ' ')
+         || CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END AS line
+  FROM base,
+       unnest(generate_series(1, CAST(ceil(len(toks) / 8.0) AS BIGINT)))
+         AS t(i)
+  WHERE len(toks) > 0),
+keptl AS (
+  SELECT doc_id, line_idx, line FROM ln
+  WHERE regexp_matches(line, '[.!?"]\s*$')
+    AND len(list_filter(regexp_split_to_array(line, '\s+'),
+                        x -> x <> '')) >= 3
+    AND NOT contains(lower(line), 'javascript')),
+pg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY line_idx) AS cleaned
+  FROM keptl GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(pg.n_kept, 0) AS n_kept_lines,
+       coalesce(pg.cleaned, '') AS cleaned,
+       CASE WHEN coalesce(pg.n_kept, 0) >= 3
+             AND NOT contains(coalesce(pg.cleaned, ''), '{')
+             AND NOT contains(lower(coalesce(pg.cleaned, '')), 'lorem ipsum')
+            THEN 1 ELSE 0 END::BIGINT AS kept
+FROM base b LEFT JOIN pg USING (doc_id) ORDER BY b.doc_id""",
         # Gopher Table-A1 quality rules; kept = conjunction as int
         "gopher_quality": r"""
 WITH base AS (

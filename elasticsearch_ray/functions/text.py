@@ -372,3 +372,33 @@ def gopher_flags_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     ]:
         out = out.append_column(name, pa.array(arr))
     return out
+
+
+_C4_TERMINAL_RE = re.compile(r'[.!?"]\s*$')
+
+
+def c4_filter_batch(t: pa.Table, text_col: str = "page",
+                    id_col: str = "doc_id") -> pa.Table:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, public): keep only lines
+    that end in terminal punctuation, have >= 3 words, and don't mention
+    'javascript'; drop the whole page if fewer than 3 lines survive or the
+    cleaned text contains '{' or 'lorem ipsum'. Emits (id, n_kept_lines,
+    cleaned, kept)."""
+    ids = t[id_col].to_pylist()
+    out_n, out_clean, out_kept = [], [], []
+    for s in t[text_col].to_pylist():
+        kept_lines = [
+            l for l in s.split("\n")
+            if _C4_TERMINAL_RE.search(l) and len(l.split()) >= 3
+            and "javascript" not in l.lower()]
+        cleaned = "\n".join(kept_lines)
+        low = cleaned.lower()
+        ok = (len(kept_lines) >= 3 and "{" not in cleaned
+              and "lorem ipsum" not in low)
+        out_n.append(len(kept_lines))
+        out_clean.append(cleaned)
+        out_kept.append(1 if ok else 0)
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "n_kept_lines": pa.array(out_n, pa.int64()),
+                     "cleaned": pa.array(out_clean, pa.string()),
+                     "kept": pa.array(out_kept, pa.int64())})

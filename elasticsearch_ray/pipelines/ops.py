@@ -5791,3 +5791,34 @@ def gopher_quality(sf_dir: str):
     for c in ("doc_id", "n_words", "stop_hits", "kept"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def c4_filter(sf_dir: str):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over deterministic
+    synthetic multi-line pages (the corpus is newline-free, so pages are
+    synthesized like url_canonical_dedup synthesizes URLs: 8-word lines,
+    every (doc_id+line)%3==0 line missing its terminal '.', line 1 of
+    every 7th doc poisoned with 'javascript'); the filter itself
+    (functions/text.c4_filter_batch) is the real line/page rule set."""
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk_page(t: pa.Table) -> pa.Table:
+        pages = []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = [w for w in s.lower().split() if w]
+            lines = []
+            for i in range(1, -(-len(toks) // 8) + 1):
+                line = " ".join(toks[(i - 1) * 8:i * 8])
+                if (d + i) % 3 != 0:
+                    line += "."
+                if d % 7 == 0 and i == 1:
+                    line = "javascript " + line
+                lines.append(line)
+            pages.append("\n".join(lines))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "page": pa.array(pages, pa.string())})
+
+    out = (ds.map_batches(mk_page, batch_format="pyarrow")
+           .map_batches(T.c4_filter_batch, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

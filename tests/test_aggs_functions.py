@@ -909,3 +909,29 @@ def test_gopher_empty_doc():
         "doc_id": pa.array([0], pa.int64()),
         "text": pa.array([""], pa.string())})).to_pandas()
     assert out["kept"][0] == 0 and out["n_words"][0] == 0
+
+
+def test_c4_filter_rules():
+    import pyarrow as pa
+
+    from elasticsearch_ray.functions.text import c4_filter_batch
+
+    page_ok = "one two three.\nfour five six!\nseven eight nine?"
+    page_js = "one two three.\nthe javascript line here.\nfour five six.\nseven eight nine."
+    page_short = "just one line here."
+    page_brace = "one two three.\nfour { five six.\nseven eight nine.\nmore words here."
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "page": pa.array([page_ok, page_js, page_short,
+                                    page_brace])})
+    out = c4_filter_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[0, "kept"] == 1 and out.loc[0, "n_kept_lines"] == 3
+    # javascript line dropped, 3 survive -> kept
+    assert out.loc[1, "n_kept_lines"] == 3 and out.loc[1, "kept"] == 1
+    assert "javascript" not in out.loc[1, "cleaned"]
+    assert out.loc[2, "kept"] == 0
+    # '{' in cleaned text kills the page even with >=3 lines
+    assert out.loc[3, "n_kept_lines"] == 4 and out.loc[3, "kept"] == 0
+    # two-word line fails the >=3-words rule
+    t2 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "page": pa.array(["too short."])})
+    assert c4_filter_batch(t2).to_pandas()["n_kept_lines"][0] == 0
