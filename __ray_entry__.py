@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "bpe_train_merges", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
+        "gopher_repetition",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -1266,6 +1267,52 @@ SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
 FROM lp GROUP BY doc_id ORDER BY doc_id""",
         # Jelinek-Mercer interpolated bigram LM: p(w|prev) =
         # 0.7*c(prev,w)/ctx(prev) + (1-0.7)*p_uni(w); first token unigram
+        # Gopher char-level repetition: top-2/3/4-gram + duplicated-5-gram
+        # character fractions over [a-z0-9]+ words
+        "gopher_repetition": r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+tot AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS total
+  FROM d),
+grams AS (
+  SELECT doc_id, n, i,
+         array_to_string(list_slice(toks, i, i + n - 1), ' ') AS g,
+         list_sum(list_transform(list_slice(toks, i, i + n - 1),
+                                 x -> length(x))) AS chars
+  FROM d, unnest([2, 3, 4, 5]) AS nn(n),
+       unnest(generate_series(1, len(toks) - n + 1)) AS u(i)
+  WHERE len(toks) >= n),
+cnt AS (
+  SELECT doc_id, n, g, count(*) AS c, min(chars) AS chars
+  FROM grams GROUP BY doc_id, n, g),
+top AS (
+  SELECT doc_id, n, c * chars AS covered
+  FROM cnt QUALIFY row_number() OVER (
+       PARTITION BY doc_id, n ORDER BY c DESC, g) = 1),
+dup AS (
+  SELECT doc_id, n, sum(c * chars) AS covered
+  FROM cnt WHERE c > 1 GROUP BY doc_id, n)
+SELECT t.doc_id,
+  ROUND(coalesce((SELECT covered FROM top WHERE top.doc_id = t.doc_id
+                  AND top.n = 2), 0)::DOUBLE / greatest(t.total, 1)
+        * CASE WHEN t.total = 0 THEN 0 ELSE 1 END, 6)
+    AS top_2gram_char_frac,
+  ROUND(coalesce((SELECT covered FROM top WHERE top.doc_id = t.doc_id
+                  AND top.n = 3), 0)::DOUBLE / greatest(t.total, 1)
+        * CASE WHEN t.total = 0 THEN 0 ELSE 1 END, 6)
+    AS top_3gram_char_frac,
+  ROUND(coalesce((SELECT covered FROM top WHERE top.doc_id = t.doc_id
+                  AND top.n = 4), 0)::DOUBLE / greatest(t.total, 1)
+        * CASE WHEN t.total = 0 THEN 0 ELSE 1 END, 6)
+    AS top_4gram_char_frac,
+  ROUND(coalesce((SELECT covered FROM dup WHERE dup.doc_id = t.doc_id
+                  AND dup.n = 5), 0)::DOUBLE / greatest(t.total, 1)
+        * CASE WHEN t.total = 0 THEN 0 ELSE 1 END, 6)
+    AS dup_5gram_char_frac
+FROM tot t ORDER BY t.doc_id""",
         # C4 line/page rules over deterministically synthesized pages
         "c4_filter": r"""
 WITH base AS (

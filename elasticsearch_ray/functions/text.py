@@ -402,3 +402,51 @@ def c4_filter_batch(t: pa.Table, text_col: str = "page",
                      "n_kept_lines": pa.array(out_n, pa.int64()),
                      "cleaned": pa.array(out_clean, pa.string()),
                      "kept": pa.array(out_kept, pa.int64())})
+
+
+def ngram_char_fraction_batch(t: pa.Table, text_col: str = "text",
+                              top_ns: tuple[int, ...] = (2, 3, 4),
+                              dup_ns: tuple[int, ...] = (5,)) -> pa.Table:
+    """The character-level repetition rules completing Gopher Table A1
+    (Rae et al. 2021): for n in `top_ns`, the fraction of (non-space word)
+    characters covered by occurrences of the single most frequent word
+    n-gram; for n in `dup_ns`, the fraction covered by all n-grams that
+    occur more than once. chars(gram) = sum of its word lengths; the
+    denominator is the doc's total word characters. Ties for the top gram
+    break to the lexicographically smallest (deterministic, SQL-parity)."""
+    from collections import Counter
+
+    cols: dict[str, list] = {f"top_{n}gram_char_frac": [] for n in top_ns}
+    cols.update({f"dup_{n}gram_char_frac": [] for n in dup_ns})
+    for text in t[text_col].to_pylist():
+        toks = WORD_RE.findall(text.lower())
+        total = sum(len(w) for w in toks)
+        wl = np.array([len(w) for w in toks], dtype=np.int64)
+        for n in (*top_ns, *dup_ns):
+            name_top = f"top_{n}gram_char_frac"
+            name_dup = f"dup_{n}gram_char_frac"
+            m = len(toks) - n + 1
+            if m <= 0 or total == 0:
+                if n in top_ns:
+                    cols[name_top].append(0.0)
+                if n in dup_ns:
+                    cols[name_dup].append(0.0)
+                continue
+            grams = Counter()
+            chars = {}
+            for i in range(m):
+                g = " ".join(toks[i:i + n])
+                grams[g] += 1
+                if g not in chars:
+                    chars[g] = int(wl[i:i + n].sum())
+            if n in top_ns:
+                g, c = min(grams.items(), key=lambda kv: (-kv[1], kv[0]))
+                cols[name_top].append(c * chars[g] / total)
+            if n in dup_ns:
+                dup = sum(c * chars[g] for g, c in grams.items() if c > 1)
+                cols[name_dup].append(dup / total)
+    out = t.select([c for c in t.column_names if c != text_col])
+    for k, v in cols.items():
+        out = out.append_column(k, pa.array(round_half_away(
+            np.asarray(v, dtype=np.float64), 6), pa.float64()))
+    return out

@@ -5822,3 +5822,15 @@ def c4_filter(sf_dir: str):
            .map_batches(T.c4_filter_batch, batch_format="pyarrow")
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def gopher_repetition(sf_dir: str):
+    """Gopher Table-A1 character-level repetition rules: fraction of word
+    characters in the most common 2/3/4-gram and in duplicated 5-grams
+    (functions/text.ngram_char_fraction_batch). Complements
+    text_repetition's occurrence-level duplicate fractions."""
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = (ds.map_batches(T.ngram_char_fraction_batch,
+                          batch_format="pyarrow").to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

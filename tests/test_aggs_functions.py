@@ -935,3 +935,22 @@ def test_c4_filter_rules():
     t2 = pa.table({"doc_id": pa.array([0], pa.int64()),
                    "page": pa.array(["too short."])})
     assert c4_filter_batch(t2).to_pandas()["n_kept_lines"][0] == 0
+
+
+def test_ngram_char_fractions():
+    import pyarrow as pa
+
+    from elasticsearch_ray.functions.text import ngram_char_fraction_batch
+
+    # "a b a b c": top 2-gram "a b" x2, chars=2, total=5 -> 0.8
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array([
+                      "a b a b c",
+                      "the quick brown fox jumps the quick brown fox jumps",
+                      ""])})
+    out = (ngram_char_fraction_batch(t).to_pandas().set_index("doc_id"))
+    assert out.loc[0, "top_2gram_char_frac"] == 0.8
+    # doc 1: the repeated 5-gram covers all 10 gram slots x chars
+    assert out.loc[1, "dup_5gram_char_frac"] > 0.9
+    assert out.loc[2, "top_2gram_char_frac"] == 0.0
+    assert out.loc[2, "dup_5gram_char_frac"] == 0.0
