@@ -91,7 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "bpe_train_merges", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
-        "gopher_repetition",
+        "gopher_repetition", "text_entropy", "training_mix_temperature",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -1267,6 +1267,47 @@ SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
 FROM lp GROUP BY doc_id ORDER BY doc_id""",
         # Jelinek-Mercer interpolated bigram LM: p(w|prev) =
         # 0.7*c(prev,w)/ctx(prev) + (1-0.7)*p_uni(w); first token unigram
+        # per-doc char/word Shannon entropy in nats
+        "text_entropy": r"""
+WITH ch AS (
+  SELECT doc_id, substr(text, i, 1) AS c
+  FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+cc AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY doc_id, c),
+ct AS (SELECT doc_id, sum(n) AS L FROM cc GROUP BY doc_id),
+ce AS (SELECT cc.doc_id, -sum((n / L) * ln(n / L)) AS h
+       FROM cc JOIN ct USING (doc_id) GROUP BY cc.doc_id),
+wd AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents),
+wc AS (SELECT doc_id, w, count(*)::DOUBLE AS n FROM wd GROUP BY doc_id, w),
+wt AS (SELECT doc_id, sum(n) AS L FROM wc GROUP BY doc_id),
+we AS (SELECT wc.doc_id, -sum((n / L) * ln(n / L)) AS h
+       FROM wc JOIN wt USING (doc_id) GROUP BY wc.doc_id)
+SELECT d.doc_id,
+       ROUND(coalesce(ce.h, 0), 6) AS char_entropy,
+       ROUND(coalesce(we.h, 0), 6) AS word_entropy
+FROM documents d
+LEFT JOIN ce ON ce.doc_id = d.doc_id
+LEFT JOIN we ON we.doc_id = d.doc_id
+ORDER BY d.doc_id""",
+        # temperature-scaled mixture sampling: q_l ~ p_l^0.7, 50% budget,
+        # keep rate rounded to 6 decimals before the doc_id-mod test
+        "training_mix_temperature": r"""
+WITH cnt AS (SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY lang),
+tot AS (SELECT sum(c) AS total FROM cnt),
+qs AS (SELECT lang, c, pow(c / total, 0.7) AS q0 FROM cnt CROSS JOIN tot),
+qn AS (SELECT sum(q0) AS qsum FROM qs),
+rt AS (SELECT lang, c,
+              ROUND(least(1.0, 0.5 * total * (q0 / qsum) / c), 6) AS rate
+       FROM qs CROSS JOIN qn CROSS JOIN tot),
+kept AS (SELECT d.lang, count(*)::BIGINT AS kept
+         FROM documents d JOIN rt ON rt.lang = d.lang
+         WHERE (d.doc_id * 2654435761) % 10000 < ROUND(rt.rate * 10000)
+         GROUP BY d.lang)
+SELECT rt.lang, rt.c::BIGINT AS c, rt.rate, coalesce(kept.kept, 0) AS kept
+FROM rt LEFT JOIN kept ON kept.lang = rt.lang
+ORDER BY rt.lang""",
         # Gopher char-level repetition: top-2/3/4-gram + duplicated-5-gram
         # character fractions over [a-z0-9]+ words
         "gopher_repetition": r"""

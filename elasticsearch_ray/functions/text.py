@@ -450,3 +450,32 @@ def ngram_char_fraction_batch(t: pa.Table, text_col: str = "text",
         out = out.append_column(k, pa.array(round_half_away(
             np.asarray(v, dtype=np.float64), 6), pa.float64()))
     return out
+
+
+def entropy_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Shannon entropy quality signals (a standard web-curation heuristic:
+    near-zero char entropy = degenerate/boilerplate text, abnormally high =
+    binary junk): per-doc character entropy over the raw text and word
+    entropy over whitespace tokens, in nats. SQL-expressible exactly."""
+    ce, we = [], []
+    for s in t[text_col].to_pylist():
+        if s:
+            _, cnt = np.unique(np.frombuffer(s.encode("utf-32-le"),
+                                             dtype=np.uint32), return_counts=True)
+            p = cnt / cnt.sum()
+            ce.append(float(-(p * np.log(p)).sum()))
+        else:
+            ce.append(0.0)
+        toks = s.split()
+        if toks:
+            _, cnt = np.unique(np.asarray(toks, dtype=object).astype(str),
+                               return_counts=True)
+            p = cnt / cnt.sum()
+            we.append(float(-(p * np.log(p)).sum()))
+        else:
+            we.append(0.0)
+    out = t.select([c for c in t.column_names if c != text_col])
+    out = out.append_column("char_entropy", pa.array(
+        round_half_away(np.asarray(ce), 6), pa.float64()))
+    return out.append_column("word_entropy", pa.array(
+        round_half_away(np.asarray(we), 6), pa.float64()))

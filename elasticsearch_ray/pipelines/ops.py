@@ -5834,3 +5834,49 @@ def gopher_repetition(sf_dir: str):
                           batch_format="pyarrow").to_pandas())
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def text_entropy(sf_dir: str):
+    """Per-doc character/word Shannon entropy (functions/text.entropy_batch)
+    — the degenerate-text detector of a curation pipeline."""
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(T.entropy_batch, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def training_mix_temperature(sf_dir: str):
+    """Temperature-scaled mixture sampling (the multilingual data-mixing
+    rule, e.g. mT5: q_l proportional to p_l^T with T=0.7): per-language corpus
+    shares are counted distributed, the temperature-rescaled target share
+    becomes a per-language keep rate (capped at 1) against a 50%% global
+    budget, applied deterministically via a Knuth-hash draw
+    ((doc_id*2654435761) mod 10000) so small-id corpora still spread.
+    Rates are rounded to 6 decimals BEFORE the draw test so the SQL
+    oracle's pow() agrees bit-for-bit at the keep boundary."""
+    from ray.data.aggregate import Count
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang"])
+    cnt = (ds.groupby("lang").aggregate(Count(alias_name="c")).to_pandas())
+    c = cnt["c"].to_numpy().astype(np.float64)
+    total = c.sum()
+    q = (c / total) ** 0.7
+    q = q / q.sum()
+    rate = round_half_away(np.minimum(1.0, 0.5 * total * q / c), 6)
+    rates = dict(zip(cnt["lang"], rate))
+
+    def keep(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_pylist()
+        did = t["doc_id"].to_numpy()
+        r = np.array([rates.get(x, 0.0) for x in lang])
+        m = ((did * 2654435761) % 10000) < np.round(r * 10000).astype(np.int64)
+        return t.filter(pa.array(m))
+
+    g = (ds.map_batches(keep, batch_format="pyarrow")
+         .groupby("lang").aggregate(Count(alias_name="kept")).to_pandas())
+    g = g.merge(cnt, on="lang")
+    g["kept"] = g["kept"].astype(np.int64)
+    g["c"] = g["c"].astype(np.int64)
+    g["rate"] = [rates[x] for x in g["lang"]]
+    return (g[["lang", "c", "rate", "kept"]]
+            .sort_values("lang").reset_index(drop=True))
