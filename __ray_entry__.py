@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts", "bpe_train_merges", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
         "gopher_repetition", "text_entropy", "training_mix_temperature",
+        "decontaminate_bloom",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -3749,4 +3750,7 @@ agg AS (SELECT qsid, SUM(n) AS matches
 SELECT s.t AS query, CAST(COALESCE(agg.matches, 0) AS BIGINT) AS matches
 FROM sent s LEFT JOIN agg ON agg.qsid = s.sid
 WHERE s.sid >= 10 ORDER BY s.sid"""
+    # the Bloom-prefiltered path is flag-identical to the exact path by
+    # construction (false positives die in verify): same oracle
+    out["decontaminate_bloom"] = out["dedup_decontaminate"]
     return out

@@ -1004,3 +1004,80 @@ def substring_dedup(ds, *, gram_words: int = 8, text_col: str = "text",
     docs = ds.map_batches(docrows, batch_format="pyarrow")
     return (docs.union(dups)
                 .groupby("dbucket").map_groups(rebuild, batch_format="pandas"))
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter over strings with vectorized membership
+    (pandas siphash + double hashing; Kirsch-Mitzenmacher, public). The
+    broadcast artifact of the scale decontamination path: bits/8 bytes
+    regardless of benchmark size."""
+
+    def __init__(self, items, *, bits_pow: int = 22, k: int = 4):
+        self.m = 1 << bits_pow
+        self.k = k
+        self.bits = np.zeros(self.m, dtype=bool)
+        if len(items):
+            arr = np.asarray(list(items), dtype=object)
+            h1 = pd.util.hash_array(arr, categorize=False)
+            h2 = pd.util.hash_array(arr, hash_key="fedcba9876543210",
+                                    categorize=False) | 1
+            for j in range(k):
+                self.bits[(h1 + j * h2) % self.m] = True
+
+    def contains(self, arr: np.ndarray) -> np.ndarray:
+        """Vectorized membership test (no false negatives)."""
+        if arr.dtype != object:
+            arr = arr.astype(object)
+        if not len(arr):
+            return np.zeros(0, dtype=bool)
+        h1 = pd.util.hash_array(arr, categorize=False)
+        h2 = pd.util.hash_array(arr, hash_key="fedcba9876543210",
+                                categorize=False) | 1
+        out = np.ones(len(arr), dtype=bool)
+        for j in range(self.k):
+            out &= self.bits[(h1 + j * h2) % self.m]
+        return out
+
+
+def decontaminate_bloom(ds, benchmark_texts: list[str], *, n: int = 13,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bits_pow: int = 22, k: int = 4):
+    """Decontamination with a broadcast Bloom prefilter — the 100-TB shape:
+    the benchmark n-gram set rides as a fixed-size bit array (2^bits_pow
+    bits) read from the object store by every task; only grams that pass
+    the filter are verified against the exact set, so the per-doc exact
+    work is proportional to the (tiny) candidate rate, not the gram count.
+    At even larger benchmark sizes the verify phase becomes a join of
+    candidate grams against the partitioned benchmark gram table; the flag
+    output here is IDENTICAL to `decontaminate` (false positives die in
+    verify), so the same SQL oracle checks both."""
+    import ray
+
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        bench |= _word_ngrams(t, n)
+    bloom = BloomFilter(bench, bits_pow=bits_pow, k=k)
+    bloom_ref = ray.put(bloom)
+    bench_ref = ray.put(bench)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        exact = None
+        ids, counts = [], []
+        for did, text in zip(t[id_col].to_pylist(),
+                             t[text_col].to_pylist()):
+            grams = np.asarray(list(_word_ngrams(text, n)), dtype=object)
+            cand = grams[bl.contains(grams)]
+            if not len(cand):
+                continue
+            if exact is None:
+                exact = ray.get(bench_ref)
+            hits = sum(1 for g in cand if g in exact)
+            if hits:
+                ids.append(did)
+                counts.append(hits)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "overlap_grams": pa.array(counts, pa.int64())})
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -5880,3 +5880,25 @@ def training_mix_temperature(sf_dir: str):
     g["rate"] = [rates[x] for x in g["lang"]]
     return (g[["lang", "c", "rate", "kept"]]
             .sort_values("lang").reset_index(drop=True))
+
+
+def decontaminate_bloom(sf_dir: str):
+    """Bloom-prefiltered benchmark decontamination: identical semantics to
+    dedup_decontaminate (same 4-gram overlap, same doc_id%%50 benchmark
+    split) but the corpus pass consults a broadcast fixed-size Bloom filter
+    first and only verifies the surviving grams exactly — the shape that
+    holds when the benchmark gram set is too hot to probe per gram."""
+    from ..functions.dedup import decontaminate_bloom as _db
+
+    def split(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % 50 == 0) == keep_bench
+            return t.filter(pa.array(m))
+
+        return f
+
+    bench = (_ds(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(split(True), batch_format="pyarrow").to_pandas())
+    ds = (_ds(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(split(False), batch_format="pyarrow"))
+    return _db(ds, bench["text"].tolist(), n=4)

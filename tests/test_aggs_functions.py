@@ -954,3 +954,41 @@ def test_ngram_char_fractions():
     assert out.loc[1, "dup_5gram_char_frac"] > 0.9
     assert out.loc[2, "top_2gram_char_frac"] == 0.0
     assert out.loc[2, "dup_5gram_char_frac"] == 0.0
+
+
+def test_bloom_filter_no_false_negatives():
+    import numpy as np
+
+    from elasticsearch_ray.functions.dedup import BloomFilter
+
+    items = [f"gram number {i} here" for i in range(5000)]
+    bl = BloomFilter(items, bits_pow=18, k=4)
+    arr = np.asarray(items, dtype=object)
+    assert bl.contains(arr).all()
+    # false-positive rate on fresh strings stays small at this sizing
+    probe = np.asarray([f"unseen {i} probe" for i in range(5000)],
+                       dtype=object)
+    assert bl.contains(probe).mean() < 0.02
+    assert not BloomFilter([], bits_pow=10).contains(probe).any()
+
+
+def test_decontaminate_bloom_matches_exact(ray_session):
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    bench = ["the held out benchmark question about rayon scheduling",
+             "another eval prompt with exact numeric answer forty two"]
+    rows = [{"doc_id": i,
+             "text": f"doc {i} filler words " + "alpha beta gamma " * 5}
+            for i in range(20)]
+    rows[7]["text"] += " benchmark question about rayon scheduling indeed"
+    rows[13]["text"] += " exact numeric answer forty two"
+    ds = rd.from_items(rows)
+    a = decontaminate(ds, bench, n=4)
+    b = decontaminate_bloom(rd.from_items(rows), bench, n=4, bits_pow=16)
+    assert a.equals(b)
+    assert set(a["doc_id"]) == {7, 13}
