@@ -92,7 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts", "bpe_train_merges", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
         "gopher_repetition", "text_entropy", "training_mix_temperature",
-        "decontaminate_bloom",
+        "decontaminate_bloom", "bpe_token_counts",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",

@@ -5902,3 +5902,22 @@ def decontaminate_bloom(sf_dir: str):
     ds = (_ds(sf_dir, "documents", ["doc_id", "text"])
           .map_batches(split(False), batch_format="pyarrow"))
     return _db(ds, bench["text"].tolist(), n=4)
+
+
+def bpe_token_counts(sf_dir: str):
+    """BPE encode step: per-doc subword counts under the 8 merges learned
+    by bpe_train_merges — actor-pool stage with ranks broadcast per actor
+    and a persistent distinct-word cache (functions/bpe.EncodeStage). No
+    SQL oracle (depends on the learned merge list); the encoder is
+    differential-tested in tests/test_bpe.py."""
+    from ..functions import bpe as BPE
+
+    docs = _ds(sf_dir, "documents", ["text"])
+    merges_df = BPE.train_bpe(docs, 8)
+    merges = list(zip(merges_df["left_sym"], merges_df["right_sym"]))
+    out = (BPE.encode_token_counts(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), merges, concurrency=2)
+        .select_columns(["doc_id", "bpe_subwords"]).to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["bpe_subwords"] = out["bpe_subwords"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
