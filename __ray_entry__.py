@@ -92,7 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts", "bpe_train_merges", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
         "gopher_repetition", "text_entropy", "training_mix_temperature",
-        "decontaminate_bloom", "bpe_token_counts",
+        "decontaminate_bloom", "bpe_token_counts", "ft_span_gap",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -2139,6 +2139,11 @@ GROUP BY 1, 2, 3, lat, lon ORDER BY geo_city_name NULLS LAST""",
 SELECT doc_id FROM documents
 WHERE regexp_matches(lower(text),
   '(^|[^a-z0-9])data[^a-z0-9]+(([a-z0-9]{1,2}|[a-z0-9]{4,}|[b-z0-9][a-z0-9]{2}|[a-z0-9][a-fh-z0-9][a-z0-9]|[a-z0-9]{2}[a-fh-z0-9])[^a-z0-9]+)?query([^a-z0-9]|$)')
+ORDER BY doc_id""",
+        "ft_span_gap": """
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text),
+  '(^|[^a-z0-9])data([^a-z0-9]+[a-z0-9]+){1,2}[^a-z0-9]+query([^a-z0-9]|$)')
 ORDER BY doc_id""",
         "ft_span_near": """
 SELECT doc_id FROM documents

@@ -5921,3 +5921,13 @@ def bpe_token_counts(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype("int64")
     out["bpe_subwords"] = out["bpe_subwords"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ft_span_gap(sf_dir: str):
+    """span_near with a span_gap clause (SpanNearQueryBuilder.SpanGapQuery-
+    Builder): 'data', a mandatory 1-position gap, then 'query', slop 1,
+    in_order — i.e. 1 to 2 intervening tokens, never adjacency."""
+    return all_matches(sf_dir, {"kind": "span_near",
+                                "terms": ["data", {"gap": 1}, "query"],
+                                "slop": 1, "in_order": True},
+                       with_score=False)

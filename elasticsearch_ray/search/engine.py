@@ -877,7 +877,8 @@ class IndexSearcher:
         elif kind == "more_like_this":
             out.update(fk + t for t in an(q["like"]))
         elif kind == "span_near":
-            out.update(fk + t for t in q.get("terms", []))
+            out.update(fk + t for t in q.get("terms", [])
+                       if not isinstance(t, dict))
         elif kind == "multi_match":
             for fspec in q["fields"]:
                 mf = fspec.split("^", 1)[0]
@@ -1471,12 +1472,33 @@ class IndexSearcher:
             raise ValueError(f"unknown intervals rule {rule!r}")
         raise ValueError(f"unknown query kind {kind!r}")
 
-    def _span_near(self, terms: list[str], slop: int, in_order: bool, boost: float,
+    def _span_near(self, terms: list, slop: int, in_order: bool, boost: float,
                    field: str | None = None):
         """span_near (SpanNearQueryBuilder): terms within `slop` intervening
         positions, optionally in order. Constant-scored here (span scoring in
         Lucene is sloppy-freq-based; the doc-set semantics are what the
-        compound queries need)."""
+        compound queries need).
+
+        Clause entries may be `{"gap": N}` (SpanGapQueryBuilder, only legal
+        with in_order=true exactly like the reference's validation): a gap
+        forces N extra positions between its neighboring terms. Leading /
+        trailing gaps widen the emitted span but cannot change doc-set
+        membership, so they are absorbed here."""
+        gaps: list[int] = []
+        pure: list[str] = []
+        pending = 0
+        for t in terms:
+            if isinstance(t, dict) and "gap" in t:
+                pending += int(t["gap"])
+                continue
+            gaps.append(pending)
+            pending = 0
+            pure.append(t)
+        if (pending or any(gaps)) and not in_order:
+            raise ValueError("span_gap requires in_order=true")
+        gaps = gaps[1:] if gaps else []  # leading gap cancels for doc-sets
+        gaps += [0] * (max(len(pure) - 1 - len(gaps), 0))
+        terms = pure
         tps = []
         for t in terms:
             tp = self._get_term(t, field)
@@ -1491,7 +1513,7 @@ class IndexSearcher:
         if cand.size == 0:
             return cand, np.empty(0, np.float64)
         pos_maps = [self._positions_for(tp, cand) for tp in tps]
-        window = slop + len(terms) - 1  # max span width in positions
+        window = slop + len(terms) - 1 + sum(gaps)  # max start-to-start span
         n_t = len(terms)
         keep = np.zeros(cand.size, dtype=bool)
         for ci in range(cand.size):
@@ -1507,7 +1529,10 @@ class IndexSearcher:
                     if nxt_pos.size == 0:
                         ok[:] = False
                         break
-                    j = np.searchsorted(nxt_pos, cur, side="right")
+                    # gap between term ti-1 and ti forces that many extra
+                    # intervening positions: next > cur + gap
+                    j = np.searchsorted(nxt_pos, cur + gaps[ti - 1],
+                                        side="right")
                     ok &= j < nxt_pos.size
                     cur = nxt_pos[np.minimum(j, nxt_pos.size - 1)]
                 if n_t == 1:
