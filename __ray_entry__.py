@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
         "gopher_repetition", "text_entropy", "training_mix_temperature",
         "decontaminate_bloom", "bpe_token_counts", "ft_span_gap",
+        "ft_fetch_metadata",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -3602,6 +3603,15 @@ SELECT * FROM (
   UNION ALL
   SELECT 'dup', CAST(LEAST(n, 100) AS BIGINT),
          CASE WHEN n > 100 THEN 'gte' ELSE 'eq' END FROM cu)""",
+        "ft_fetch_metadata": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'query' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+sc AS (SELECT tf.doc_id AS doc_id, {_SCORE} AS raw
+       FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT doc_id, ROUND(raw, 4) AS score, 1::BIGINT AS "_version",
+       doc_id AS "_seq_no", 1::BIGINT AS "_primary_term"
+FROM sc ORDER BY raw DESC, doc_id LIMIT 5""",
         "ft_docvalue_fields": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'query' GROUP BY doc_id),

@@ -5931,3 +5931,21 @@ def ft_span_gap(sf_dir: str):
                                 "terms": ["data", {"gap": 1}, "query"],
                                 "slop": 1, "in_order": True},
                        with_score=False)
+
+
+def ft_fetch_metadata(sf_dir: str):
+    """version + seq_no/primary_term fetch subphases (FetchVersionPhase,
+    SeqNoPrimaryTermPhase): per-hit _version/_seq_no/_primary_term for the
+    top-5 'query' term hits. In this batch engine a committed build is one
+    generation: _version = 1, _seq_no = doc_id (deterministic ingest
+    order), _primary_term = 1 — the same values a freshly-bulk-indexed
+    reference shard reports."""
+    s = documents_searcher(sf_dir)
+    ids, scores = s.search({"kind": "term", "term": "query", "k": 5})
+    return pd.DataFrame({
+        "doc_id": ids.astype(np.int64),
+        "score": round_half_away(scores.astype(np.float64), 4),
+        "_version": np.ones(len(ids), dtype=np.int64),
+        "_seq_no": ids.astype(np.int64),
+        "_primary_term": np.ones(len(ids), dtype=np.int64),
+    })
