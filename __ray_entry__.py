@@ -93,7 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
         "gopher_repetition", "text_entropy", "training_mix_temperature",
         "decontaminate_bloom", "bpe_token_counts", "ft_span_gap",
-        "ft_fetch_metadata",
+        "ft_fetch_metadata", "corpus_split", "corpus_diversity",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -1269,6 +1269,34 @@ SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
 FROM lp GROUP BY doc_id ORDER BY doc_id""",
         # Jelinek-Mercer interpolated bigram LM: p(w|prev) =
         # 0.7*c(prev,w)/ctx(prev) + (1-0.7)*p_uni(w); first token unigram
+        # hash-stratified train/valid/test split report
+        "corpus_split": r"""
+WITH b AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+       lang, count(*)::BIGINT AS n
+FROM b GROUP BY 1, 2 ORDER BY split, lang""",
+        # distinct-n diversity per source slice, n = 1..3
+        "corpus_diversity": r"""
+WITH d AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT source, n, array_to_string(list_slice(toks, i, i + n - 1), ' ') AS gram
+  FROM d, unnest([1, 2, 3]) AS nn(n),
+       unnest(generate_series(1, len(toks) - n + 1)) AS u(i)
+  WHERE len(toks) >= n)
+SELECT source, n,
+       count(DISTINCT gram)::BIGINT AS types,
+       count(*)::BIGINT AS occ,
+       ROUND(count(DISTINCT gram)::DOUBLE / count(*), 6) AS distinct_ratio
+FROM g GROUP BY source, n ORDER BY source, n""",
         # per-doc char/word Shannon entropy in nats
         "text_entropy": r"""
 WITH ch AS (

@@ -5949,3 +5949,78 @@ def ft_fetch_metadata(sf_dir: str):
         "_seq_no": ids.astype(np.int64),
         "_primary_term": np.ones(len(ids), dtype=np.int64),
     })
+
+
+def corpus_split(sf_dir: str):
+    """Deterministic stratified train/valid/test split (the split step every
+    training corpus goes through): bucket = md5(doc_id) first 8 hex digits
+    mod 100 -> train <90, valid <95, else test. Hash-based so the split is
+    stable under repartitioning/resume; one map_batches pass + a tiny
+    groupby report of (split, lang, n)."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = np.array([int(hashlib.md5(str(int(i)).encode())
+                          .hexdigest()[:8], 16) % 100
+                      for i in t["doc_id"].to_pylist()], dtype=np.int64)
+        split = np.where(b < 90, "train", np.where(b < 95, "valid", "test"))
+        return pa.table({"split": pa.array(split.astype(str), pa.string()),
+                         "lang": t["lang"]})
+
+    g = (ds.map_batches(tag, batch_format="pyarrow")
+         .groupby(["split", "lang"]).aggregate(Count(alias_name="n"))
+         .to_pandas())
+    g["n"] = g["n"].astype(np.int64)
+    return g.sort_values(["split", "lang"]).reset_index(drop=True)
+
+
+def corpus_diversity(sf_dir: str):
+    """Distinct-n diversity (corpus analysis: distinct n-gram types / total
+    n-gram occurrences per source slice, n=1..3 — the repetitiveness
+    metric of generation/corpus QA). Per-batch partial (source, gram)
+    pre-aggregation feeding two tiny groupbys; the ratio math happens on
+    the k-row reduced table."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _ds(sf_dir, "documents", ["text", "source"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        srcs, ns, grams = [], [], []
+        for s, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            toks = [w for w in x.lower().split() if w]
+            for n in (1, 2, 3):
+                for i in range(len(toks) - n + 1):
+                    srcs.append(s)
+                    ns.append(n)
+                    grams.append(" ".join(toks[i:i + n]))
+        tb = pa.table({"source": pa.array(srcs, pa.string()),
+                       "n": pa.array(ns, pa.int64()),
+                       "gram": pa.array(grams, pa.string())})
+        # in-batch pre-aggregation: ship distinct (source, n, gram) + count
+        import pyarrow.compute as pc
+        return tb.group_by(["source", "n", "gram"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["source", "n", "gram", "c"])
+
+    partial = (ds.map_batches(explode, batch_format="pyarrow")
+               .groupby(["source", "n", "gram"]).sum("c"))
+    red = (partial.map_batches(
+        lambda t: pa.table({
+            "source": t["source"], "n": t["n"],
+            "types": pa.array(np.ones(t.num_rows, np.int64)),
+            "occ": t["sum(c)"].cast(pa.int64())}),
+        batch_format="pyarrow")
+        .groupby(["source", "n"])
+        .aggregate(Sum(on="types", alias_name="types"),
+                   Sum(on="occ", alias_name="occ"))
+        .to_pandas())
+    red["types"] = red["types"].astype(np.int64)
+    red["occ"] = red["occ"].astype(np.int64)
+    red["distinct_ratio"] = round_half_away(
+        red["types"].to_numpy() / red["occ"].to_numpy(), 6)
+    return (red[["source", "n", "types", "occ", "distinct_ratio"]]
+            .sort_values(["source", "n"]).reset_index(drop=True))
