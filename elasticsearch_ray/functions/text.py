@@ -479,3 +479,49 @@ def entropy_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
         round_half_away(np.asarray(ce), 6), pa.float64()))
     return out.append_column("word_entropy", pa.array(
         round_half_away(np.asarray(we), 6), pa.float64()))
+
+
+def cdc_chunks_batch(t: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id", window: int = 16,
+                     modulus: int = 64) -> pa.Table:
+    """Content-defined chunking (the Karp-Rabin/gear CDC idea of LBFS and
+    storage dedup, public): over the whitespace-normalized lowercase text,
+    a `window`-gram whose polynomial hash (same 1000003^j mod 2^64 recipe
+    as fingerprint_batch) is divisible by `modulus` ends a chunk; the tail
+    forms the final chunk. Boundaries depend only on local content, so
+    insertions shift chunk ids without re-chunking the rest of the doc —
+    the property batch dedup of near-identical crawls relies on.
+    Production CDC adds min/max chunk bounds; omitted here so the rule is
+    position-independent and the SQL oracle can mirror it exactly.
+    Emits (id, chunk_idx, start [1-based], length, chunk)."""
+    ids_out, idxs, starts, lens, chunks = [], [], [], [], []
+    powers = np.array([pow(1000003, window - 1 - j, 1 << 64)
+                       for j in range(window)], dtype=np.uint64)
+    mod = np.uint64(modulus)
+    for did, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+        s = " ".join(s.lower().split())
+        data = np.frombuffer(s.encode(), dtype=np.uint8)
+        n = data.size
+        if n == 0:
+            continue
+        cuts = []
+        if n >= window:
+            idx = (np.arange(window)[None, :]
+                   + np.arange(n - window + 1)[:, None])
+            h = (data[idx].astype(np.uint64) * powers[None, :]).sum(axis=1)
+            cuts = (np.flatnonzero(h % mod == 0) + window).tolist()
+        if not cuts or cuts[-1] != n:
+            cuts.append(n)
+        prev = 0
+        for k, c in enumerate(cuts):
+            ids_out.append(did)
+            idxs.append(k)
+            starts.append(prev + 1)
+            lens.append(c - prev)
+            chunks.append(s[prev:c])
+            prev = c
+    return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                     "chunk_idx": pa.array(idxs, pa.int64()),
+                     "start": pa.array(starts, pa.int64()),
+                     "length": pa.array(lens, pa.int64()),
+                     "chunk": pa.array(chunks, pa.string())})

@@ -6024,3 +6024,18 @@ def corpus_diversity(sf_dir: str):
         red["types"].to_numpy() / red["occ"].to_numpy(), 6)
     return (red[["source", "n", "types", "occ", "distinct_ratio"]]
             .sort_values(["source", "n"]).reset_index(drop=True))
+
+
+def cdc_chunks(sf_dir: str):
+    """Content-defined chunking over the first 200 docs
+    (functions/text.cdc_chunks_batch): Karp-Rabin window hashes, cut when
+    h %% 64 == 0 — the insertion-stable chunking that storage/crawl dedup
+    builds on."""
+    import pyarrow.compute as pc
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"],
+             flt=pc.field("doc_id") < 200)
+    out = (ds.map_batches(T.cdc_chunks_batch, batch_format="pyarrow")
+           .to_pandas())
+    return (out.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))

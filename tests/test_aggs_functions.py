@@ -992,3 +992,36 @@ def test_decontaminate_bloom_matches_exact(ray_session):
     b = decontaminate_bloom(rd.from_items(rows), bench, n=4, bits_pow=16)
     assert a.equals(b)
     assert set(a["doc_id"]) == {7, 13}
+
+
+def test_cdc_insertion_stability():
+    import pyarrow as pa
+
+    from elasticsearch_ray.functions.text import cdc_chunks_batch
+
+    base = ("rolling hash chunk boundaries depend only on local content "
+            "so a prefix insertion shifts but does not rewrite them ") * 6
+    edited = "INSERTED PREFIX WORDS " + base
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array([base, edited])})
+    out = cdc_chunks_batch(t).to_pandas()
+    a = set(out[out.doc_id == 0]["chunk"])
+    b = set(out[out.doc_id == 1]["chunk"])
+    # most of the original chunks survive the prefix edit verbatim
+    assert len(a & b) >= len(a) - 2
+    # chunks reassemble the normalized text exactly, in order
+    joined = "".join(out[out.doc_id == 0].sort_values("chunk_idx")["chunk"])
+    assert joined == " ".join(base.lower().split())
+
+
+def test_cdc_short_and_empty_docs():
+    import pyarrow as pa
+
+    from elasticsearch_ray.functions.text import cdc_chunks_batch
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["", "tiny"])})
+    out = cdc_chunks_batch(t).to_pandas()
+    # empty doc emits nothing; sub-window doc is one whole chunk
+    assert list(out["doc_id"]) == [1]
+    assert out["chunk"][0] == "tiny" and out["length"][0] == 4
