@@ -93,7 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
         "gopher_repetition", "text_entropy", "training_mix_temperature",
         "decontaminate_bloom", "bpe_token_counts", "ft_span_gap",
-        "ft_fetch_metadata", "corpus_split", "corpus_diversity", "cdc_chunks",
+        "ft_fetch_metadata", "corpus_split", "corpus_diversity", "cdc_chunks", "dedup_cdc", "embed_score",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -2612,6 +2612,61 @@ SELECT ch.doc_id, chunk_idx, prev + 1 AS start,
          AS chunk
 FROM ch JOIN norm USING (doc_id)
 ORDER BY ch.doc_id, chunk_idx""",
+        "dedup_cdc": """
+-- content-defined chunking: 16-byte Karp-Rabin window hashes mod 2^64
+-- over whitespace-normalized lowercase text; a window divisible by 64
+-- cuts a chunk at its end; the tail is the final chunk
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents WHERE doc_id < 200),
+cps AS (
+  SELECT doc_id, i, unicode(substr(s, i, 1))::HUGEINT AS cp, length(s) AS n
+  FROM norm, unnest(generate_series(1, length(s))) AS t(i)),
+pw(j, p) AS (VALUES (0, 6397295411589846571::HUGEINT), (1, 5600660903763878393::HUGEINT), (2, 14911146631531166995::HUGEINT), (3, 15642640937032856817::HUGEINT), (4, 2455841760392682171::HUGEINT), (5, 5231796974404119081::HUGEINT), (6, 3634980586811902243::HUGEINT), (7, 1460077494926286753::HUGEINT), (8, 12924618581234127435::HUGEINT), (9, 10923514805226455897::HUGEINT), (10, 14453212906556403763::HUGEINT), (11, 14003818205314896721::HUGEINT), (12, 1000009000027000027::HUGEINT), (13, 1000006000009::HUGEINT), (14, 1000003::HUGEINT), (15, 1::HUGEINT)),
+wh AS (
+  SELECT a.doc_id, a.i AS pos,
+         SUM(b.cp * pw.p) % 18446744073709551616::HUGEINT AS h
+  FROM cps a
+  JOIN cps b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 15
+  JOIN pw ON pw.j = b.i - a.i
+  WHERE a.i <= a.n - 15
+  GROUP BY a.doc_id, a.i),
+cuts AS (SELECT doc_id, pos + 15 AS cut_end FROM wh WHERE h % 64 = 0),
+bounds AS (
+  SELECT doc_id, cut_end FROM cuts
+  UNION ALL
+  SELECT n.doc_id, length(n.s) FROM norm n
+  WHERE length(n.s) > 0
+    AND NOT EXISTS (SELECT 1 FROM cuts c
+                    WHERE c.doc_id = n.doc_id AND c.cut_end = length(n.s))),
+ch AS (
+  SELECT doc_id, cut_end,
+         lag(cut_end, 1, 0) OVER (PARTITION BY doc_id ORDER BY cut_end)
+           AS prev,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cut_end) - 1
+           AS chunk_idx
+  FROM bounds),
+ck AS (
+  SELECT DISTINCT ch.doc_id,
+         substr(norm.s, CAST(prev + 1 AS INT), CAST(cut_end - prev AS INT))
+           AS chunk
+  FROM ch JOIN norm USING (doc_id)
+  WHERE cut_end - prev >= 24)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS shared_chunks
+FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY doc_a, doc_b""",
+        "embed_score": """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+w0 AS (SELECT v AS w FROM e WHERE vec_id = 0),
+nm AS (SELECT sqrt(list_sum(list_transform(w, y -> y * y))) AS nrm FROM w0),
+wv AS (SELECT list_transform(w, y -> y / nrm) AS w FROM w0 CROSS JOIN nm)
+SELECT e.vec_id,
+       ROUND(1.0 / (1.0 + exp(-list_inner_product(e.v, wv.w))), 6) AS score
+FROM e CROSS JOIN wv ORDER BY e.vec_id""",
         "text_fingerprint": """
 -- winnowed Karp-Rabin document fingerprint re-derived in SQL: 16-byte
 -- polynomial window hashes mod 2^64 over the whitespace-normalized

@@ -6039,3 +6039,74 @@ def cdc_chunks(sf_dir: str):
            .to_pandas())
     return (out.sort_values(["doc_id", "chunk_idx"])
             .reset_index(drop=True))
+
+
+def dedup_cdc(sf_dir: str):
+    """CDC-chunk crawl dedup: docs sharing >= 3 distinct CDC chunks of
+    >= 24 chars are near-dup candidates (the storage-dedup route to crawl
+    dedup: chunk once, join on chunk hash — insertion-stable, so shifted
+    copies still collide). Pair generation is a groupby-chunk exchange;
+    tiny chunks are dropped first so the join key space stays content-
+    bearing."""
+    import pyarrow.compute as pc
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"],
+             flt=pc.field("doc_id") < 200)
+    chunks = (ds.map_batches(T.cdc_chunks_batch, batch_format="pyarrow")
+              .map_batches(
+                  lambda t: t.filter(
+                      pc.greater_equal(t["length"], 24)).select(
+                      ["doc_id", "chunk"]),
+                  batch_format="pyarrow"))
+
+    def pairs(g):
+        ids = np.unique(g["doc_id"].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        ii, jj = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"doc_a": ids[ii].astype(np.int64),
+                             "doc_b": ids[jj].astype(np.int64)})
+
+    cand = chunks.groupby("chunk").map_groups(pairs).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "shared_chunks": pd.Series([], dtype=np.int64)})
+    out = (cand.groupby(["doc_a", "doc_b"]).size().rename("shared_chunks")
+           .reset_index())
+    out = out[out["shared_chunks"] >= 3]
+    out["shared_chunks"] = out["shared_chunks"].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def embed_score(sf_dir: str):
+    """Broadcast linear-classifier inference over the embeddings table (the
+    batched model-scoring stage of a curation pipeline): weights = the
+    unit-normalized embedding of vec_id 0 (deterministic, data-derived),
+    score = sigmoid(w . v), computed as one matmul per batch against the
+    ray.put weight vector. Returns every vec's score rounded to 6."""
+    import ray
+
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    w0 = (ds.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)),
+        batch_format="pyarrow").take_all())
+    w = np.asarray(w0[0]["embedding"], dtype=np.float64)
+    w = w / np.linalg.norm(w)
+    w_ref = ray.put(w)
+
+    def score(t: pa.Table) -> pa.Table:
+        W = ray.get(w_ref)
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t["embedding"].to_pylist()])
+        s = 1.0 / (1.0 + np.exp(-(V @ W)))
+        return pa.table({"vec_id": t["vec_id"].cast(pa.int64()),
+                         "score": pa.array(round_half_away(s, 6),
+                                           pa.float64())})
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         batch_size=2048).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
