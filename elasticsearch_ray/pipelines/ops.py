@@ -5905,15 +5905,15 @@ def decontaminate_bloom(sf_dir: str):
 
 
 def bpe_token_counts(sf_dir: str):
-    """BPE encode step: per-doc subword counts under the 8 merges learned
-    by bpe_train_merges — actor-pool stage with ranks broadcast per actor
+    """BPE encode step: per-doc subword counts under 4 learned merges
+    (same trainer as bpe_train_merges, shorter for gate latency) — actor-pool stage with ranks broadcast per actor
     and a persistent distinct-word cache (functions/bpe.EncodeStage). No
     SQL oracle (depends on the learned merge list); the encoder is
     differential-tested in tests/test_bpe.py."""
     from ..functions import bpe as BPE
 
     docs = _ds(sf_dir, "documents", ["text"])
-    merges_df = BPE.train_bpe(docs, 8)
+    merges_df = BPE.train_bpe(docs, 4)
     merges = list(zip(merges_df["left_sym"], merges_df["right_sym"]))
     out = (BPE.encode_token_counts(
         _ds(sf_dir, "documents", ["doc_id", "text"]), merges, concurrency=2)
