@@ -104,3 +104,22 @@ def test_encode_counts():
     none = (bpe.encode_token_counts(_docs_ds(["ab cd"]), [])
             .to_pandas())
     assert none["bpe_subwords"].iloc[0] == 6
+
+
+def test_train_fuzz_vs_twin():
+    """Randomized corpora: the distributed trainer must equal the serial
+    Sennrich twin merge-for-merge (ties, overlaps, multi-partition)."""
+    import numpy as np
+
+    rng = np.random.RandomState(4242)
+    vocab = ["ab", "abc", "aab", "ba", "bb", "a", "b", "cab", "abab",
+             "xyz", "xy", "yz"]
+    for trial in range(5):
+        n_docs = int(rng.randint(3, 12))
+        texts = [" ".join(rng.choice(vocab, size=rng.randint(1, 30)))
+                 for _ in range(n_docs)]
+        k = int(rng.randint(1, 10))
+        ds = _docs_ds(texts).repartition(int(rng.randint(1, 5)))
+        got = list(bpe.train_bpe(ds, k).itertuples(index=False, name=None))
+        want = bpe.train_bpe_local(_local_word_freq(texts), k)
+        assert got == want, f"trial {trial}: {got} != {want}"
