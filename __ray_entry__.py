@@ -326,17 +326,20 @@ def _semantic_dedup_oracle_sql(k: int = 8, iters: int = 3,
     km = _kmeans_oracle_sql(k, iters)
     body, final = km.rsplit("\nSELECT ", 1)
     asg = ("SELECT " + final).replace(" ORDER BY e.vec_id", "")
-    sql = body.replace("WITH e AS", "WITH RECURSIVE\ne AS", 1)
+    # MATERIALIZED hints matter: inlined, the recursive closure re-evaluates
+    # the whole kmeans unroll per step (same lesson as the MinHash oracle)
+    sql = body.replace("WITH e AS", "WITH RECURSIVE\ne AS MATERIALIZED", 1)
     sql += f""",
-asg AS ({asg}),
-prs AS (SELECT a.vec_id AS da, b.vec_id AS db
+asg AS MATERIALIZED ({asg}),
+prs AS MATERIALIZED (SELECT a.vec_id AS da, b.vec_id AS db
         FROM asg a JOIN asg b
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         JOIN e ea ON ea.vec_id = a.vec_id
         JOIN e eb ON eb.vec_id = b.vec_id
         WHERE list_cosine_similarity(ea.v, eb.v) >= {tau}),
-edges AS (SELECT da AS a, db AS b FROM prs UNION SELECT db, da FROM prs),
-verts AS (SELECT DISTINCT a AS v FROM edges),
+edges AS MATERIALIZED (SELECT da AS a, db AS b FROM prs
+                        UNION SELECT db, da FROM prs),
+verts AS MATERIALIZED (SELECT DISTINCT a AS v FROM edges),
 reach(v, r) AS (SELECT v, v FROM verts
                 UNION
                 SELECT eg.b, reach.r FROM reach JOIN edges eg ON eg.a = reach.v),
