@@ -89,10 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
-        "bpe_pair_counts", "bpe_train_merges", "lm_ngram_counts",
+        "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
         "gopher_repetition", "text_entropy", "training_mix_temperature",
-        "decontaminate_bloom", "bpe_token_counts", "ft_span_gap",
+        "decontaminate_bloom", "ft_span_gap",
         "ft_fetch_metadata", "corpus_split", "corpus_diversity", "cdc_chunks", "dedup_cdc", "embed_score",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
         "ft_count", "agg_significant_mi", "agg_significant_percentage",
         "lang_stop_tokenize", "ft_completion_weighted", "ft_completion_fuzzy",
+        "bpe_train_merges", "bpe_token_counts",
         "geo_shape_polygon_points", "geo_shape_within", "geo_shape_disjoint",
         "geo_shape_linestring", "ft_highlight_fvh",
         "ft_type", "msearch", "field_caps", "rank_eval",
