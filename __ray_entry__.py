@@ -93,7 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
         "gopher_repetition", "text_entropy", "training_mix_temperature",
         "decontaminate_bloom", "ft_span_gap",
-        "ft_fetch_metadata", "corpus_split", "corpus_diversity", "cdc_chunks", "dedup_cdc", "embed_score",
+        "ft_fetch_metadata", "corpus_split", "corpus_diversity", "cdc_chunks", "dedup_cdc", "embed_score", "graph_pagerank",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -2661,6 +2661,58 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
 ORDER BY doc_a, doc_b""",
+        "graph_pagerank": """
+-- fixed-point PageRank: ranks are int64 multiples of 2^-40, every sum is
+-- an integer sum (order-invariant), so Ray combiners and SQL scan order
+-- agree bit-for-bit
+WITH nt AS (SELECT count(*) AS total FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (7 * doc_id + 3) % total AS dst
+  FROM documents CROSS JOIN nt
+  UNION ALL
+  SELECT doc_id, (13 * doc_id + 5) % total FROM documents CROSS JOIN nt
+  UNION ALL
+  SELECT doc_id, doc_id // 2 FROM documents WHERE doc_id % 3 = 0),
+e AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),
+v AS MATERIALIZED (
+  SELECT DISTINCT x AS v FROM (SELECT src AS x FROM e UNION SELECT dst FROM e)),
+nn AS (SELECT count(*)::DOUBLE AS n, count(*)::BIGINT AS ni FROM v),
+dg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src),
+r0 AS (SELECT v.v, 1099511627776::BIGINT // nn.ni AS rq FROM v CROSS JOIN nn),
+dang1 AS (SELECT coalesce(sum(rq), 0)::BIGINT AS dm
+         FROM r0 LEFT JOIN dg ON dg.src = r0.v WHERE dg.src IS NULL),
+c1 AS (SELECT e.dst AS v, sum(r0.rq // dg.d)::BIGINT AS c
+       FROM e JOIN r0 ON r0.v = e.src JOIN dg ON dg.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT v.v,
+              CAST(floor((1 - 0.85) * 1099511627776 / nn.n) AS BIGINT)
+              + CAST(floor(0.85 * (coalesce(c1.c, 0)
+                                   + dang1.dm // nn.ni)) AS BIGINT) AS rq
+       FROM v CROSS JOIN nn CROSS JOIN dang1
+       LEFT JOIN c1 ON c1.v = v.v),
+dang2 AS (SELECT coalesce(sum(rq), 0)::BIGINT AS dm
+         FROM r1 LEFT JOIN dg ON dg.src = r1.v WHERE dg.src IS NULL),
+c2 AS (SELECT e.dst AS v, sum(r1.rq // dg.d)::BIGINT AS c
+       FROM e JOIN r1 ON r1.v = e.src JOIN dg ON dg.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT v.v,
+              CAST(floor((1 - 0.85) * 1099511627776 / nn.n) AS BIGINT)
+              + CAST(floor(0.85 * (coalesce(c2.c, 0)
+                                   + dang2.dm // nn.ni)) AS BIGINT) AS rq
+       FROM v CROSS JOIN nn CROSS JOIN dang2
+       LEFT JOIN c2 ON c2.v = v.v),
+dang3 AS (SELECT coalesce(sum(rq), 0)::BIGINT AS dm
+         FROM r2 LEFT JOIN dg ON dg.src = r2.v WHERE dg.src IS NULL),
+c3 AS (SELECT e.dst AS v, sum(r2.rq // dg.d)::BIGINT AS c
+       FROM e JOIN r2 ON r2.v = e.src JOIN dg ON dg.src = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT v.v,
+              CAST(floor((1 - 0.85) * 1099511627776 / nn.n) AS BIGINT)
+              + CAST(floor(0.85 * (coalesce(c3.c, 0)
+                                   + dang3.dm // nn.ni)) AS BIGINT) AS rq
+       FROM v CROSS JOIN nn CROSS JOIN dang3
+       LEFT JOIN c3 ON c3.v = v.v)
+SELECT v, ROUND(rq / 1099511627776.0, 6) AS rank FROM r3 ORDER BY v""",
         "embed_score": """
 WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

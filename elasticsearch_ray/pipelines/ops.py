@@ -6110,3 +6110,31 @@ def embed_score(sf_dir: str):
     out = ds.map_batches(score, batch_format="pyarrow",
                          batch_size=2048).to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def graph_pagerank(sf_dir: str):
+    """Distributed PageRank (3 unrolled iterations, damping 0.85) over a
+    deterministic synthetic link graph on the documents table (i ->
+    (7i+3)%%N, i -> (13i+5)%%N, and i -> i//2 for i%%3==0, self-loops
+    dropped — synthesized identically in the SQL oracle, the
+    url_canonical_dedup precedent). Each iteration is two hash-join
+    exchanges + a groupby-sum (functions/graph.pagerank)."""
+    from ..functions.graph import pagerank
+
+    docs = _ds(sf_dir, "documents", ["doc_id"])
+    total = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].cast(pa.int64()).to_numpy()
+        src = np.concatenate([i, i, i[i % 3 == 0]])
+        dst = np.concatenate([(7 * i + 3) % total, (13 * i + 5) % total,
+                              i[i % 3 == 0] // 2])
+        m = src != dst
+        return pa.table({"src": pa.array(src[m], pa.int64()),
+                         "dst": pa.array(dst[m], pa.int64())})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    out = pagerank(edges, iters=3, damping=0.85, num_buckets=8).to_pandas()
+    out["v"] = out["v"].astype("int64")
+    out["rank"] = round_half_away(out["r"].to_numpy(), 6)
+    return (out[["v", "rank"]].sort_values("v").reset_index(drop=True))

@@ -110,3 +110,39 @@ def test_dedup_keep_representatives():
         rd.from_pandas(corpus), rd.from_pandas(pairs),
         num_buckets=8).to_pandas()
     assert sorted(out["doc_id"]) == [0, 3, 4, 5]
+
+
+def test_pagerank_fixed_point_matches_serial(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (4, 0), (5, 6)]
+    # 6 is dangling (no out-edges)
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64())}))
+    out = (pagerank(ds, iters=3, num_buckets=4).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+
+    # serial twin in the same fixed-point arithmetic
+    S = 1 << 40
+    verts = sorted({x for e in edges for x in e})
+    n = len(verts)
+    deg = {v: sum(1 for a, _ in edges if a == v) for v in verts}
+    R = {v: S // n for v in verts}
+    base = int(np.floor((1 - 0.85) * S / float(n)))
+    for _ in range(3):
+        dm = sum(R[v] for v in verts if deg[v] == 0)
+        C = {v: 0 for v in verts}
+        for a, b in edges:
+            C[b] += R[a] // deg[a]
+        R = {v: base + int(np.floor(0.85 * (C[v] + dm // n)))
+             for v in verts}
+    want = np.array([R[v] / S for v in verts])
+    assert np.array_equal(out["r"].to_numpy(), want)
+    # leaf feeders rank below every cycle member; mass is conserved
+    assert out.loc[out["v"] == 3, "r"].iloc[0] < out["r"].max()
+    assert abs(out["r"].sum() - 1.0) < 1e-6
