@@ -93,7 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
         "gopher_repetition", "text_entropy", "training_mix_temperature",
         "decontaminate_bloom", "ft_span_gap",
-        "ft_fetch_metadata", "corpus_split", "corpus_diversity", "cdc_chunks", "dedup_cdc", "embed_score", "graph_pagerank",
+        "ft_fetch_metadata", "corpus_split", "corpus_diversity", "cdc_chunks", "dedup_cdc", "embed_score", "graph_pagerank", "text_normalize",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -1273,6 +1273,31 @@ SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
 FROM lp GROUP BY doc_id ORDER BY doc_id""",
         # Jelinek-Mercer interpolated bigram LM: p(w|prev) =
         # 0.7*c(prev,w)/ctx(prev) + (1-0.7)*p_uni(w); first token unigram
+        # NFC normalization over synthesized combining-mark variants
+        "text_normalize": r"""
+WITH w AS (
+  SELECT doc_id, i, toks[i] AS raw
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+       unnest(generate_series(1, len(toks))) AS u(i)),
+sy AS (
+  SELECT doc_id, i,
+         CASE WHEN doc_id % 2 = 1 AND (i - 1) % 3 = 0
+              THEN regexp_replace(raw, 'e', 'e' || chr(769))
+              ELSE raw END AS v
+  FROM w),
+nm AS (SELECT doc_id, i, v, nfc_normalize(v) AS nv FROM sy),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN nv <> v THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+         (sum(length(nv)) + count(*) - 1)::BIGINT AS norm_len
+  FROM nm GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.n_changed, 0) AS n_changed,
+       coalesce(agg.norm_len, 0) AS norm_len
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+ORDER BY d.doc_id""",
         # hash-stratified train/valid/test split report
         "corpus_split": r"""
 WITH b AS (

@@ -6153,3 +6153,42 @@ def graph_pagerank(sf_dir: str):
     out["v"] = out["v"].astype("int64")
     out["rank"] = round_half_away(out["r"].to_numpy(), 6)
     return (out[["v", "rank"]].sort_values("v").reset_index(drop=True))
+
+
+def text_normalize(sf_dir: str):
+    """Unicode normalization pass (the NFC step of multilingual corpus
+    prep): deterministic non-NFC variants are synthesized per doc (every
+    3rd word of odd docs gets a combining-acute 'e', the
+    url_canonical_dedup synthesis precedent), then normalized with NFC +
+    whitespace collapse + casefold. Output: per-doc n_changed (words whose
+    NFC form differs from the raw variant) and the normalized text's
+    length — engine unicodedata.normalize vs DuckDB nfc_normalize."""
+    import unicodedata
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth_and_norm(t: pa.Table) -> pa.Table:
+        ids, changed, lens = [], [], []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = s.lower().split()
+            if d % 2 == 1:
+                words = [w.replace("e", "é", 1)
+                         if i % 3 == 0 else w
+                         for i, w in enumerate(words)]
+            n_changed = 0
+            out = []
+            for w in words:
+                nw = unicodedata.normalize("NFC", w)
+                if nw != w:
+                    n_changed += 1
+                out.append(nw)
+            norm = " ".join(out)
+            ids.append(d)
+            changed.append(n_changed)
+            lens.append(len(norm))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_changed": pa.array(changed, pa.int64()),
+                         "norm_len": pa.array(lens, pa.int64())})
+
+    out = ds.map_batches(synth_and_norm, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
