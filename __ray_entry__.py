@@ -93,7 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
         "gopher_repetition", "text_entropy", "training_mix_temperature",
         "decontaminate_bloom", "ft_span_gap",
-        "ft_fetch_metadata", "corpus_split", "corpus_diversity", "cdc_chunks", "dedup_cdc", "embed_score", "graph_pagerank", "text_normalize",
+        "ft_fetch_metadata", "corpus_split", "corpus_diversity", "cdc_chunks", "dedup_cdc", "embed_score", "graph_pagerank", "text_normalize", "graph_hits",
         "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
         "dedup_substring", "embed_cluster_sample", "join_orders_customer",
         "events_sessionize", "asof_join_events_orders",
@@ -1273,6 +1273,55 @@ SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
 FROM lp GROUP BY doc_id ORDER BY doc_id""",
         # Jelinek-Mercer interpolated bigram LM: p(w|prev) =
         # 0.7*c(prev,w)/ctx(prev) + (1-0.7)*p_uni(w); first token unigram
+        "graph_hits": """
+-- fixed-point HITS: integer sums + max-normalization each half-step
+WITH nt AS (SELECT count(*) AS total FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (7 * doc_id + 3) % total AS dst
+  FROM documents CROSS JOIN nt
+  UNION ALL
+  SELECT doc_id, (13 * doc_id + 5) % total FROM documents CROSS JOIN nt
+  UNION ALL
+  SELECT doc_id, doc_id // 2 FROM documents WHERE doc_id % 3 = 0),
+e AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),
+vv AS MATERIALIZED (
+  SELECT DISTINCT x AS v FROM (SELECT src AS x FROM e UNION SELECT dst FROM e)),
+h0 AS (SELECT v, 1048576::BIGINT AS s FROM vv),
+a1r AS (
+  SELECT vv.v, coalesce(x.s, 0)::BIGINT AS s
+  FROM vv LEFT JOIN (
+    SELECT e.dst AS v, sum(h0.s)::BIGINT AS s
+    FROM e JOIN h0 ON h0.v = e.src
+    GROUP BY e.dst) x ON x.v = vv.v),
+a1m AS (SELECT greatest(max(s), 1) AS mx FROM a1r),
+a1 AS (SELECT v, s * 1048576 // mx AS s FROM a1r CROSS JOIN a1m),
+h1r AS (
+  SELECT vv.v, coalesce(x.s, 0)::BIGINT AS s
+  FROM vv LEFT JOIN (
+    SELECT e.src AS v, sum(a1.s)::BIGINT AS s
+    FROM e JOIN a1 ON a1.v = e.dst
+    GROUP BY e.src) x ON x.v = vv.v),
+h1m AS (SELECT greatest(max(s), 1) AS mx FROM h1r),
+h1 AS (SELECT v, s * 1048576 // mx AS s FROM h1r CROSS JOIN h1m),
+a2r AS (
+  SELECT vv.v, coalesce(x.s, 0)::BIGINT AS s
+  FROM vv LEFT JOIN (
+    SELECT e.dst AS v, sum(h1.s)::BIGINT AS s
+    FROM e JOIN h1 ON h1.v = e.src
+    GROUP BY e.dst) x ON x.v = vv.v),
+a2m AS (SELECT greatest(max(s), 1) AS mx FROM a2r),
+a2 AS (SELECT v, s * 1048576 // mx AS s FROM a2r CROSS JOIN a2m),
+h2r AS (
+  SELECT vv.v, coalesce(x.s, 0)::BIGINT AS s
+  FROM vv LEFT JOIN (
+    SELECT e.src AS v, sum(a2.s)::BIGINT AS s
+    FROM e JOIN a2 ON a2.v = e.dst
+    GROUP BY e.src) x ON x.v = vv.v),
+h2m AS (SELECT greatest(max(s), 1) AS mx FROM h2r),
+h2 AS (SELECT v, s * 1048576 // mx AS s FROM h2r CROSS JOIN h2m)
+SELECT vv.v, h2.s / 1048576.0 AS hub, a2.s / 1048576.0 AS authority
+FROM vv JOIN h2 ON h2.v = vv.v JOIN a2 ON a2.v = vv.v
+ORDER BY vv.v""",
         # NFC normalization over synthesized combining-mark variants
         "text_normalize": r"""
 WITH w AS (

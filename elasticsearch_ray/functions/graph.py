@@ -318,3 +318,108 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
             "v": t["v"],
             "r": pa.array(t["rq"].to_numpy().astype(np.float64) / S)}),
         batch_format="pyarrow")
+
+
+def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
+         iters: int = 2, num_buckets: int = 16, scale_bits: int = 20):
+    """HITS hubs/authorities (Kleinberg 1999, public) in fixed-point:
+    scores are int64 multiples of 2^-scale_bits normalized by the current
+    MAX each half-step, so every exchange sums integers (order-invariant,
+    bit-identical to the SQL twin) and values stay < 2^40.
+
+    Per iteration: authority(v) = sum of hub(u) over u->v (one bucketed
+    co-group routed by src), max-normalize (driver scalar); hub(v) = sum
+    of authority(w) over v->w (second co-group routed by dst),
+    max-normalize. Returns Dataset (v, hub, authority) as floats of the
+    final fixed-point scores."""
+    import pandas as pd
+    import pyarrow as pa
+
+    S = 1 << scale_bits
+
+    def route(t: pa.Table, key: str) -> pa.Table:
+        k = t[key].cast(pa.int64()).to_numpy()
+        return pa.table({"bkt": pa.array(k % num_buckets, pa.int64()),
+                         "src": t[src_col].cast(pa.int64()),
+                         "dst": t[dst_col].cast(pa.int64()),
+                         "s": pa.array(np.full(k.size, -1), pa.int64())})
+
+    ed_src = edges.map_batches(lambda t: route(t, src_col),
+                               batch_format="pyarrow") \
+        .repartition(num_buckets).materialize()
+    ed_dst = edges.map_batches(lambda t: route(t, dst_col),
+                               batch_format="pyarrow") \
+        .repartition(num_buckets).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([t["src"].to_numpy(),
+                                      t["dst"].to_numpy()]))
+        return pa.table({"v": pa.array(v, pa.int64())})
+
+    verts = (ed_src.map_batches(endpoints, batch_format="pyarrow")
+             .groupby("v").count()
+             .map_batches(lambda t: t.select(["v"]),
+                          batch_format="pyarrow").materialize())
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["v"],
+                         "s": pa.array(np.full(t.num_rows, S, np.int64))})
+
+    hub = verts.map_batches(seed, batch_format="pyarrow").materialize()
+    auth = hub
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy()
+        return pa.table({"bkt": pa.array(v % num_buckets, pa.int64()),
+                         "src": pa.array(v, pa.int64()),
+                         "dst": pa.array(np.full(v.size, -1), pa.int64()),
+                         "s": t["s"]})
+
+    def push(g: pd.DataFrame, out_key: str) -> pd.DataFrame:
+        sc = g[g["dst"] == -1]
+        eg = g[g["dst"] != -1]
+        smap = dict(zip(sc["src"], sc["s"]))
+        tgt = eg["dst"] if out_key == "dst" else eg["src"]
+        lookup = eg["src"] if out_key == "dst" else eg["dst"]
+        return pd.DataFrame({
+            "v": tgt.to_numpy(dtype=np.int64),
+            "s": lookup.map(smap).to_numpy(dtype=np.int64)})
+
+    def half_step(scores, ed, out_key):
+        # scores routed by their own vertex = the co-group's lookup side
+        agg = (scores.map_batches(score_rows, batch_format="pyarrow")
+               .union(ed).groupby("bkt")
+               .map_groups(lambda g, k=out_key: push(g, k))
+               .map_batches(lambda t: t, batch_format="pyarrow")
+               .union(verts.map_batches(
+                   lambda t: pa.table({
+                       "v": t["v"],
+                       "s": pa.array(np.zeros(t.num_rows, np.int64))}),
+                   batch_format="pyarrow"))
+               .groupby("v").sum("s")
+               .map_batches(lambda t: pa.table({
+                   "v": t["v"].cast(pa.int64()),
+                   "s": t["sum(s)"].cast(pa.int64())}),
+                   batch_format="pyarrow").materialize())
+        mx = int(agg.max("s") or 1) or 1
+        return agg.map_batches(
+            lambda t, mx=mx: pa.table({
+                "v": t["v"],
+                "s": pa.array(t["s"].to_numpy() * S // mx)}),
+            batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        # hubs routed by v == edge src bucket: authority(dst) += hub(src)
+        auth = half_step(hub, ed_src, "dst")
+        # auths routed by v == edge dst bucket: hub(src) += authority(dst)
+        hub = half_step(auth, ed_dst, "src")
+
+    hub_t = hub.map_batches(
+        lambda t: pa.table({"v": t["v"], "hub": pa.array(
+            t["s"].to_numpy().astype(np.float64) / S)}),
+        batch_format="pyarrow").to_pandas()
+    auth_t = auth.map_batches(
+        lambda t: pa.table({"v": t["v"], "authority": pa.array(
+            t["s"].to_numpy().astype(np.float64) / S)}),
+        batch_format="pyarrow").to_pandas()
+    return hub_t.merge(auth_t, on="v").sort_values("v").reset_index(drop=True)

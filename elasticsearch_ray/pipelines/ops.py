@@ -6192,3 +6192,28 @@ def text_normalize(sf_dir: str):
 
     out = ds.map_batches(synth_and_norm, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def graph_hits(sf_dir: str):
+    """HITS hubs/authorities (2 iterations, fixed-point max-normalized —
+    functions/graph.hits) over the same deterministic synthetic link graph
+    as graph_pagerank. Scores are exact multiples of 2^-20, so the float
+    output compares bit-exactly against the unrolled SQL twin."""
+    from ..functions.graph import hits
+
+    docs = _ds(sf_dir, "documents", ["doc_id"])
+    total = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].cast(pa.int64()).to_numpy()
+        src = np.concatenate([i, i, i[i % 3 == 0]])
+        dst = np.concatenate([(7 * i + 3) % total, (13 * i + 5) % total,
+                              i[i % 3 == 0] // 2])
+        m = src != dst
+        return pa.table({"src": pa.array(src[m], pa.int64()),
+                         "dst": pa.array(dst[m], pa.int64())})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    out = hits(edges, iters=2, num_buckets=8)
+    out["v"] = out["v"].astype("int64")
+    return out

@@ -146,3 +146,35 @@ def test_pagerank_fixed_point_matches_serial(ray_session):
     # leaf feeders rank below every cycle member; mass is conserved
     assert out.loc[out["v"] == 3, "r"].iloc[0] < out["r"].max()
     assert abs(out["r"].sum() - 1.0) < 1e-6
+
+
+def test_hits_fixed_point_matches_serial(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.graph import hits
+
+    edges = [(0, 2), (1, 2), (3, 2), (2, 4), (0, 4), (4, 0)]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64())}))
+    out = hits(ds, iters=2, num_buckets=4)
+
+    S = 1 << 20
+    verts = sorted({x for e in edges for x in e})
+    h = {v: S for v in verts}
+    a = {}
+    for _ in range(2):
+        a = {v: sum(h[s] for s, d in edges if d == v) for v in verts}
+        mx = max(max(a.values()), 1)
+        a = {v: x * S // mx for v, x in a.items()}
+        h = {v: sum(a[d] for s, d in edges if s == v) for v in verts}
+        mx = max(max(h.values()), 1)
+        h = {v: x * S // mx for v, x in h.items()}
+    want_h = np.array([h[v] / S for v in verts])
+    want_a = np.array([a[v] / S for v in verts])
+    assert np.array_equal(out["hub"].to_numpy(), want_h)
+    assert np.array_equal(out["authority"].to_numpy(), want_a)
+    # node 2 collects three hubs -> top authority
+    assert out.loc[out["v"] == 2, "authority"].iloc[0] == 1.0
