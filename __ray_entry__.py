@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
+        "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
+        "ft_routed_term",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1581,6 +1584,90 @@ FROM tg GROUP BY w1, w2, w3 HAVING count(*) >= 2
 ORDER BY c DESC, w1, w2, w3 LIMIT 50""",
         # BPE iteration-0: weighted adjacent-symbol pairs over the
         # char+'</w>' vocabulary of the distinct-word frequency table
+        # int8 scalar quantization: symmetric signed grid scaled by the
+        # global max|component|, half-up snap, integer dot-product top-5
+        # (max_inner_product ranking) for query vecs 0/1/2 — every value
+        # integer, so the comparison is exact (no float rounding).
+        "knn_scalar_quantized": """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+mabs AS (SELECT MAX(abs(embedding[i]::DOUBLE)) AS m
+         FROM embeddings CROSS JOIN dims),
+qv AS (SELECT vec_id, i,
+         CAST(LEAST(127, GREATEST(-127, FLOOR(
+           embedding[i]::DOUBLE / m * 127 + 0.5))) AS BIGINT) AS q
+       FROM embeddings CROSS JOIN dims CROSS JOIN mabs),
+dots AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                SUM(a.q * b.q)::BIGINT AS qdot
+         FROM qv a JOIN qv b USING (i) WHERE a.vec_id IN (0, 1, 2)
+         GROUP BY 1, 2)
+SELECT query_id, vec_id, qdot FROM dots
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY qdot DESC, vec_id) <= 5
+ORDER BY query_id, vec_id""",
+        # RRF hybrid: BM25 top-50 (ranked on the 4dp-rounded score, ties by
+        # doc_id) fused with cosine top-50 for query vec 0 (ranked on the
+        # 6dp-rounded cosine), score = sum 1/(60+rank), top-10.
+        "ft_rrf_hybrid": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['slow','merge','batch']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS raw
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id),
+lex50 AS (SELECT doc_id, ROUND(raw, 4) AS s FROM scored
+          ORDER BY raw DESC, doc_id LIMIT 50),
+lexr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+         FROM lex50),
+knn50 AS (SELECT v.vec_id AS doc_id,
+                 ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              v.embedding::DOUBLE[]), 6) AS c
+          FROM embeddings q CROSS JOIN embeddings v WHERE q.vec_id = 0
+          ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                          v.embedding::DOUBLE[]) DESC, v.vec_id
+          LIMIT 50),
+knnr AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+         FROM knn50),
+fused AS (
+  SELECT COALESCE(l.doc_id, k.doc_id) AS doc_id,
+         COALESCE(1.0 / (60 + l.r), 0) + COALESCE(1.0 / (60 + k.r), 0) AS rrf
+  FROM lexr l FULL OUTER JOIN knnr k USING (doc_id))
+SELECT doc_id, ROUND(rrf, 6) AS rrf_score FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 10""",
+        # exact integer covariance numerators n*Sxy - Sx*Sy on the
+        # floor(v*1e4 + 0.5) grid, upper triangle of the 64x64 matrix.
+        "embed_covariance": """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+x AS (SELECT vec_id, i,
+             CAST(FLOOR(embedding[i]::DOUBLE * 10000 + 0.5) AS BIGINT) AS v
+      FROM embeddings CROSS JOIN dims),
+st AS (SELECT count(*) AS n FROM embeddings),
+sx AS (SELECT i, SUM(v) AS s FROM x GROUP BY i),
+sxy AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sp
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2)
+SELECT sxy.i AS i, sxy.j AS j,
+       CAST(st.n * sxy.sp - sa.s * sb.s AS BIGINT) AS cov_num
+FROM sxy JOIN sx sa ON sa.i = sxy.i JOIN sx sb ON sb.i = sxy.j CROSS JOIN st
+ORDER BY i, j""",
+        # routing: golden (source, shard) map from the reference's exact
+        # murmur3_x86_32-over-UTF-16LE hash (validated against
+        # Murmur3HashFunctionTests.java vectors), floorMod 4; routed term
+        # query over shard(src3) = 2 only.
+        "ft_routed_term": f"""
+WITH {_TOK},
+smap(source, shard) AS (VALUES
+  ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),
+  ('src5', 1), ('src6', 3), ('src7', 3), ('src8', 1), ('src9', 1),
+  ('src10', 2), ('src11', 1), ('src12', 1), ('src13', 3), ('src14', 0),
+  ('src15', 1), ('src16', 3), ('src17', 2), ('src18', 2), ('src19', 3)),
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data')
+SELECT d.doc_id, d.source, CAST(m.shard AS BIGINT) AS shard
+FROM documents d JOIN smap m USING (source) JOIN hits USING (doc_id)
+WHERE m.shard = 2
+ORDER BY d.doc_id""",
         "bpe_pair_counts": r"""
 WITH wrd AS (
   SELECT w, count(*)::BIGINT AS freq FROM (

@@ -169,3 +169,57 @@ def semantic_dedup(ds, *, k: int = 8, iters: int = 3, tau: float = 0.5,
                 pc.not_equal(t["doc_id"], t["component"]))}),
         batch_format="pyarrow")
     return anti_join_ids(assign, drops, id_col=id_col, ids_col="doc_id")
+
+
+def embedding_second_moments(ds, *, vec_col: str = "embedding",
+                             scale: int = 10_000) -> "pd.DataFrame":
+    """Distributed EXACT second moments for PCA / whitening: embeddings are
+    snapped to an integer grid (floor(v*scale + 0.5)), each batch emits one
+    (count, sum-vector, sum-of-products matrix) partial — all int64 — and
+    the driver folds them in arbitrary-precision Python ints. Output is the
+    upper triangle of the population-covariance NUMERATOR
+    ``n*S_xy - S_x*S_y`` per dimension pair (i <= j, 1-based): integers, so
+    the distributed fold is bit-identical under any partitioning, unlike a
+    float covariance whose summation order drifts. The eigen step that
+    turns this into PCA axes runs on the driver over the tiny d x d matrix
+    (see tests/test_session3.py) — only the moment accumulation touches
+    the data and it is one streaming pass."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        V = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        X = np.floor(V * scale + 0.5).astype(np.int64)
+        sxy = X.T @ X  # (d, d) int64
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "sx": pa.array([X.sum(axis=0).tolist()], pa.list_(pa.int64())),
+            "sxy": pa.array([sxy.reshape(-1).tolist()], pa.list_(pa.int64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    n = int(parts["n"].sum())
+    d = len(parts["sx"].iloc[0])
+    sx = [0] * d
+    sxy = [[0] * d for _ in range(d)]
+    for _, row in parts.iterrows():
+        rx = row["sx"]
+        rxy = row["sxy"]
+        for i in range(d):
+            sx[i] += int(rx[i])
+            base = i * d
+            ri = sxy[i]
+            for j in range(d):
+                ri[j] += int(rxy[base + j])
+    rows_i, rows_j, nums = [], [], []
+    for i in range(d):
+        for j in range(i, d):
+            rows_i.append(i + 1)
+            rows_j.append(j + 1)
+            nums.append(n * sxy[i][j] - sx[i] * sx[j])
+    return pd.DataFrame({
+        "i": pd.array(rows_i, dtype="int64"),
+        "j": pd.array(rows_j, dtype="int64"),
+        "cov_num": pd.array(nums, dtype="int64"),
+    })

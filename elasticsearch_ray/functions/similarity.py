@@ -246,3 +246,104 @@ def _bucketed_topk(sub_ds, Qn: np.ndarray, probes: dict[int, list[int]],
     df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return df
+
+
+# ---------------- int8 scalar quantization (vector scale path) --------------
+
+
+def embedding_max_abs(ds, *, vec_col: str = "embedding") -> float:
+    """Global max absolute component over an embedding column: each batch
+    reduces to ONE scalar, the driver folds the tiny partials. Max is
+    order-independent, so the distributed fold is exact regardless of
+    block boundaries."""
+    def partial(t: pa.Table) -> pa.Table:
+        V = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table({"m": pa.array([float(np.abs(V).max())], pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    return float(parts["m"].max())
+
+
+def _quantize(V: np.ndarray, scale: float, qmax: int) -> np.ndarray:
+    """floor(v / scale * qmax + 0.5) clamped to [-qmax, qmax] — a SYMMETRIC
+    signed grid (like Lucene ScalarQuantizer's confidence-interval grid with
+    a symmetric interval), computed identically in IEEE double by numpy and
+    the DuckDB oracle. Symmetry keeps the integer dot product proportional
+    to the float dot product (no per-vector offset term), so ranking by the
+    int64 dot IS max-inner-product ranking on the grid."""
+    q = np.floor(V.astype(np.float64) / (scale if scale != 0 else 1.0)
+                 * qmax + 0.5)
+    return np.clip(q, -qmax, qmax).astype(np.int64)
+
+
+def knn_scalar_quantized(ds, queries: np.ndarray, k: int = 5, *, bits: int = 8,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> pd.DataFrame:
+    """Scalar-quantized top-k (the int8 vector-search scale path, after
+    Lucene's ScalarQuantizer / the ES dense_vector int8 index option, in
+    `max_inner_product` similarity mode): a symmetric signed-int8 grid
+    scaled by the global max |component|, candidates ranked by INTEGER dot
+    product — 4 bytes/dim shrinks to 1, and the per-batch kernel is an
+    int64 matmul.
+
+    Two passes, both streaming: (1) `embedding_max_abs` folds per-batch
+    scalar partials, (2) the quantized query matrix + grid scale are
+    broadcast once via ray.put and every batch emits a per-batch partial
+    top-k; the driver merges (num_batches x num_queries x k) rows. Integer
+    scores make the result exactly reproducible across any partitioning."""
+    import ray
+
+    qmax = (1 << (bits - 1)) - 1
+    m = embedding_max_abs(ds, vec_col=vec_col)
+    Qq = _quantize(np.asarray(queries, dtype=np.float64), m, qmax)
+    b_ref = ray.put((m, Qq))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        m_, Qm = ray.get(b_ref)
+        ids = t[id_col].to_numpy()
+        V = np.stack(t[vec_col].to_numpy(zero_copy_only=False))
+        Vq = _quantize(V, m_, qmax)
+        S = Qm @ Vq.T  # int64 (nq, batch)
+        kk = min(k, S.shape[1])
+        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        out = {"query_id": [], id_col: [], "qdot": []}
+        for qi in range(S.shape[0]):
+            for c in top[qi]:
+                out["query_id"].append(qi)
+                out[id_col].append(int(ids[c]))
+                out["qdot"].append(int(S[qi, c]))
+        return pa.table({
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            id_col: pa.array(out[id_col], pa.int64()),
+            "qdot": pa.array(out["qdot"], pa.int64()),
+        })
+
+    df = ds.map_batches(partial_topk, batch_format="pyarrow",
+                        batch_size=4096).to_pandas()
+    df = df.sort_values(["query_id", "qdot", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df
+
+
+# ---------------- reciprocal rank fusion ------------------------------------
+
+
+def rrf_fuse(rankings: list[pd.DataFrame], *, id_col: str, k: int = 10,
+             rank_constant: int = 60) -> pd.DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Buettcher 2009 — the
+    published hybrid-retrieval combiner): score(d) = sum over result lists
+    of 1/(rank_constant + rank_d). Each input frame carries (id_col, rank)
+    with rank starting at 1; fusion itself is O(sum of list lengths) on the
+    driver — the retrievers it combines are the distributed stages."""
+    acc: dict[int, float] = {}
+    for fr in rankings:
+        for i, r in zip(fr[id_col].to_numpy(), fr["rank"].to_numpy()):
+            acc[int(i)] = acc.get(int(i), 0.0) + 1.0 / (rank_constant + int(r))
+    rows = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame({
+        id_col: pd.array([r[0] for r in rows], dtype="int64"),
+        "rrf_score": [float(round_half_away(r[1], 6)) for r in rows],
+    })

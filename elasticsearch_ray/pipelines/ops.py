@@ -6217,3 +6217,114 @@ def graph_hits(sf_dir: str):
     out = hits(edges, iters=2, num_buckets=8)
     out["v"] = out["v"].astype("int64")
     return out
+
+
+# ---------------- round 3 session 3: vector scale path + routing ------------
+
+
+def _query_vectors(sf_dir: str, qids: list[int]) -> np.ndarray:
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    vecs = {int(i): v for i, v in
+            zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+            if int(i) in set(qids)}
+    return np.array([vecs[q] for q in qids], dtype=np.float64)
+
+
+def knn_scalar_quantized(sf_dir: str):
+    """int8-style scalar-quantized vector search (Lucene ScalarQuantizer
+    lineage; the ES dense_vector int8 option in max_inner_product mode):
+    global max|component| (exact distributed fold) -> symmetric signed-int8
+    grid -> INTEGER dot-product top-k. The integer scores are
+    partition-invariant, so this gate's hash is exact, unlike float cosine
+    which needs rounding; the symmetric grid keeps the integer dot
+    proportional to the float dot (recall test: 15/15 overlap with exact).
+    Pass 1 reduces each batch to one scalar; pass 2 broadcasts the
+    quantized queries via ray.put and merges per-batch partial top-k on
+    the driver."""
+    Q = _query_vectors(sf_dir, [0, 1, 2])
+    out = S.knn_scalar_quantized(_ds(sf_dir, "embeddings"), Q, k=5)
+    return out[["query_id", "vec_id", "qdot"]]
+
+
+def ft_rrf_hybrid(sf_dir: str):
+    """Reciprocal rank fusion of a BM25 leg and a cosine-kNN leg (hybrid
+    retrieval; RRF per Cormack et al. 2009, the combiner ES exposes as
+    `rank.rrf`). Both legs are the existing distributed retrievers (WAND
+    top-k over the inverted index; brute-force cosine with broadcast
+    queries); fusion touches only the two 50-row result lists. Ranks are
+    assigned on the ROUNDED scores (4dp BM25 / 6dp cosine, ties by id) so
+    rank order is reproducible against the SQL oracle's double arithmetic.
+    The doc_id and vec_id spaces are aligned by construction of the
+    synthetic corpus (both dense from 0)."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s.search({"kind": "match", "text": "slow merge batch", "k": 50})
+    lex = pd.DataFrame({"doc_id": ids.astype(np.int64),
+                        "s": round_half_away(sc.astype(np.float64), 4)})
+    lex = lex.sort_values(["s", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    lex["rank"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+
+    Q = _query_vectors(sf_dir, [0])
+    knn = S.knn_brute_force(_ds(sf_dir, "embeddings"), Q, k=50,
+                            dtype=np.float64)
+    knn = knn.rename(columns={"vec_id": "doc_id"})
+    knn = knn.sort_values(["cosine", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    knn["rank"] = np.arange(1, len(knn) + 1, dtype=np.int64)
+
+    return S.rrf_fuse([lex[["doc_id", "rank"]], knn[["doc_id", "rank"]]],
+                      id_col="doc_id", k=10)
+
+
+def embed_covariance(sf_dir: str):
+    """Exact distributed second moments over the embedding table (the
+    accumulation pass of PCA/whitening for embedding-space curation):
+    integer-grid sums folded in one streaming pass — see
+    functions/clustering.embedding_second_moments. The gate emits the
+    2080-row upper triangle of the covariance numerator, bit-identical
+    under any partitioning."""
+    from ..functions.clustering import embedding_second_moments
+
+    return embedding_second_moments(_ds(sf_dir, "embeddings"))
+
+
+def ft_routed_term(sf_dir: str):
+    """Routed search (cluster/routing/Murmur3HashFunction.java:34-48 +
+    OperationRouting floorMod): routing='src3' selects shard
+    hash(routing) % 4, and the query runs against ONLY the docs whose own
+    routing key co-locates there. The hash is the reference's exact
+    murmur3_x86_32 over UTF-16LE code units (validated against
+    Murmur3HashFunctionTests.java:28-34 vectors). At scale the shard is a
+    partition of the index layout (scan pruning); here the index is
+    doc_id-partitioned so the shard filter is applied at the scan, before
+    tokenization, keeping the routed path 1/N of the work."""
+    import re
+
+    from ..index.routing import assign_shards, shard_for
+
+    n_shards = 4
+    sh = shard_for("src3", n_shards)
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def routed_match(t: pa.Table) -> pa.Table:
+        shards = assign_shards(
+            np.asarray(t["source"].to_pylist(), dtype=object), n_shards)
+        keep = shards == sh
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy()
+        srcs = t["source"].to_pylist()
+        out_ids, out_src = [], []
+        for idx in np.flatnonzero(keep):
+            toks = pat.split(texts[idx].lower())
+            if "data" in toks:
+                out_ids.append(int(ids[idx]))
+                out_src.append(srcs[idx])
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "source": pa.array(out_src, pa.string()),
+                         "shard": pa.array([sh] * len(out_ids), pa.int64())})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "source", "text"])
+           .map_batches(routed_match, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,232 @@
+"""Round-3 session-3 operators: routing hash, scalar-quantized kNN, RRF,
+exact distributed second moments (PCA accumulation)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------- murmur3 routing ----------------
+
+
+def test_murmur3_reference_vectors():
+    # the exact known vectors from Murmur3HashFunctionTests.java:28-34
+    from elasticsearch_ray.index.routing import routing_hash
+
+    def signed(x):
+        return x - (1 << 32) if x >= (1 << 31) else x
+
+    vectors = {
+        "hell": 0x5A0CB7C3,
+        "hello": 0xD7C31989,
+        "hello w": 0x22AB2984,
+        "hello wo": 0xDF0CA123,
+        "hello wor": 0xE7744D61,
+        "The quick brown fox jumps over the lazy dog": 0xE07DB09C,
+        "The quick brown fox jumps over the lazy cog": 0x4E63D2AD,
+    }
+    for s, exp in vectors.items():
+        assert routing_hash(s) == signed(exp)
+
+
+def test_shard_for_floormod_negative_hash():
+    from elasticsearch_ray.index.routing import routing_hash, shard_for
+
+    # "hello" hashes negative; Java floorMod keeps the shard in [0, n)
+    assert routing_hash("hello") < 0
+    for n in (1, 2, 3, 5, 7):
+        assert 0 <= shard_for("hello", n) < n
+
+
+def test_assign_shards_vectorized_matches_scalar():
+    from elasticsearch_ray.index.routing import assign_shards, shard_for
+
+    keys = np.array([f"src{i % 20}" for i in range(200)], dtype=object)
+    got = assign_shards(keys, 4)
+    exp = np.array([shard_for(str(k), 4) for k in keys])
+    assert (got == exp).all()
+
+
+def test_routed_search_equals_filtered_search():
+    # routing=src3 -> shard 2 -> exactly the docs of the shard-2 sources
+    # that contain the term; cross-check with a serial scan
+    import re
+
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.index.routing import shard_for
+    from elasticsearch_ray.pipelines.ops import ft_routed_term
+
+    out = ft_routed_term(SF)
+    sh = shard_for("src3", 4)
+    assert (out["shard"] == sh).all()
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "source", "text"])
+    pat = re.compile(r"[^a-z0-9]+")
+    exp = sorted(
+        int(i) for i, s, x in zip(t["doc_id"].to_pylist(),
+                                  t["source"].to_pylist(),
+                                  t["text"].to_pylist())
+        if shard_for(s, 4) == sh and "data" in pat.split(x.lower()))
+    assert out["doc_id"].tolist() == exp
+    # the routed subset is strictly smaller than the full term result
+    full = sum(1 for x in t["text"].to_pylist()
+               if "data" in pat.split(x.lower()))
+    assert 0 < len(out) < full
+
+
+# ---------------- scalar-quantized kNN ----------------
+
+
+def _embeddings():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    V = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    return ids, V
+
+
+def test_scalar_quantized_matches_serial_twin():
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.similarity import knn_scalar_quantized
+
+    ids, V = _embeddings()
+    Q = V[:3]
+    out = knn_scalar_quantized(
+        rd.read_parquet(f"{SF}/embeddings.parquet"), Q, k=5)
+
+    # serial twin: same grid, same integer dots
+    m = np.abs(V).max()
+    Xq = np.clip(np.floor(V / m * 127 + 0.5), -127, 127).astype(np.int64)
+    Qq = np.clip(np.floor(Q / m * 127 + 0.5), -127, 127).astype(np.int64)
+    S = Qq @ Xq.T
+    for qi in range(3):
+        order = sorted(zip(-S[qi], ids))[:5]
+        exp_ids = [int(i) for _, i in order]
+        exp_dots = [int(-d) for d, _ in order]
+        sub = out[out["query_id"] == qi]
+        assert sub["vec_id"].tolist() == sorted(
+            exp_ids, key=lambda x: (-S[qi][list(ids).index(x)], x))
+        assert sorted(sub["qdot"].tolist(), reverse=True) == sorted(
+            exp_dots, reverse=True)
+
+
+def test_scalar_quantized_recall_vs_exact():
+    # symmetric int8 quantization keeps top-1 = the query itself and high
+    # top-5 overlap with exact cosine (unit-scale synthetic embeddings)
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.similarity import (knn_brute_force,
+                                                        knn_scalar_quantized)
+
+    ids, V = _embeddings()
+    Q = V[:3]
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    qout = knn_scalar_quantized(ds, Q, k=5)
+    eout = knn_brute_force(ds, Q, k=5, dtype=np.float64)
+    overlap = 0
+    for qi in range(3):
+        qs = set(qout[qout["query_id"] == qi]["vec_id"])
+        es = set(eout[eout["query_id"] == qi]["vec_id"])
+        assert qout[(qout["query_id"] == qi)
+                    & (qout["rank"] == 1)]["vec_id"].iloc[0] == qi
+        overlap += len(qs & es)
+    assert overlap >= 9  # >= 3/5 average overlap
+
+
+def test_quantize_grid_bounds():
+    from elasticsearch_ray.functions.similarity import _quantize
+
+    V = np.array([[0.0, -1.0], [1.0, 1.0], [0.5, 0.0]])
+    q = _quantize(V, float(np.abs(V).max()), 127)
+    assert q.min() >= -127 and q.max() <= 127
+    assert q[0, 1] == -127 and q[1, 0] == 127 and q[0, 0] == 0
+    # proportionality: quantized dot tracks the float dot's sign
+    assert np.sign(q[0] @ q[1]) == np.sign(V[0] @ V[1])
+    # all-zero input -> zero grid, no div-by-zero
+    Z = np.zeros((3, 4))
+    assert (_quantize(Z, 0.0, 127) == 0).all()
+
+
+# ---------------- RRF ----------------
+
+
+def test_rrf_fuse_manual():
+    from elasticsearch_ray.functions.similarity import rrf_fuse
+
+    a = pd.DataFrame({"id": [10, 20, 30], "rank": [1, 2, 3]})
+    b = pd.DataFrame({"id": [20, 40], "rank": [1, 2]})
+    out = rrf_fuse([a, b], id_col="id", k=10)
+    exp = {10: 1 / 61, 20: 1 / 62 + 1 / 61, 30: 1 / 63, 40: 1 / 62}
+    assert out["id"].tolist() == [20, 10, 40, 30]
+    for _, row in out.iterrows():
+        assert row["rrf_score"] == pytest.approx(exp[row["id"]], abs=5e-7)
+
+
+def test_rrf_hybrid_gate_members():
+    from elasticsearch_ray.pipelines.ops import ft_rrf_hybrid
+
+    out = ft_rrf_hybrid(SF)
+    assert len(out) == 10
+    # fused scores are bounded by 2/(60+1) and positive, strictly ordered
+    assert (out["rrf_score"] > 0).all()
+    assert (out["rrf_score"] <= 2 / 61 + 1e-12).all()
+    assert (np.diff(out["rrf_score"].to_numpy()) <= 1e-12).all()
+
+
+# ---------------- exact second moments / PCA ----------------
+
+
+def test_second_moments_match_numpy_exact():
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.clustering import embedding_second_moments
+
+    _, V = _embeddings()
+    X = np.floor(V * 10_000 + 0.5).astype(np.int64)
+    n = X.shape[0]
+    out = embedding_second_moments(rd.read_parquet(f"{SF}/embeddings.parquet"))
+    d = V.shape[1]
+    assert len(out) == d * (d + 1) // 2
+    sx = X.sum(axis=0)
+    # exact integer check on a sample of pairs
+    got = {(int(r.i), int(r.j)): int(r.cov_num) for r in out.itertuples()}
+    rng = np.random.default_rng(7)
+    for i, j in {(1, 1), (1, 64), (64, 64)} | {
+            tuple(sorted((int(a) + 1, int(b) + 1)))
+            for a, b in rng.integers(0, d, size=(20, 2))}:
+        exp = n * int(X[:, i - 1] @ X[:, j - 1]) - int(sx[i - 1]) * int(sx[j - 1])
+        assert got[(i, j)] == exp
+
+
+def test_pca_projection_from_moments():
+    # the driver-side eigen step over the tiny moment matrix reproduces
+    # numpy PCA axes (up to sign) on the snapped data
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.clustering import embedding_second_moments
+
+    _, V = _embeddings()
+    out = embedding_second_moments(rd.read_parquet(f"{SF}/embeddings.parquet"))
+    d = V.shape[1]
+    n = V.shape[0]
+    C = np.zeros((d, d))
+    for r in out.itertuples():
+        C[r.i - 1, r.j - 1] = C[r.j - 1, r.i - 1] = r.cov_num
+    C /= (n * n * 10_000.0 ** 2)
+    w, U = np.linalg.eigh(C)
+
+    X = np.floor(V * 10_000 + 0.5) / 10_000.0
+    Xc = X - X.mean(axis=0)
+    Cref = (Xc.T @ Xc) / n
+    wr, Ur = np.linalg.eigh(Cref)
+    assert np.allclose(w, wr, atol=1e-9)
+    # top component spans the same direction (sign-insensitive)
+    assert abs(abs(U[:, -1] @ Ur[:, -1]) - 1.0) < 1e-6
