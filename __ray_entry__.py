@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
-        "ft_routed_term",
+        "ft_routed_term", "knn_binary_quantized", "knn_pq",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1652,6 +1652,22 @@ SELECT sxy.i AS i, sxy.j AS j,
        CAST(st.n * sxy.sp - sa.s * sb.s AS BIGINT) AS cov_num
 FROM sxy JOIN sx sa ON sa.i = sxy.i JOIN sx sb ON sb.i = sxy.j CROSS JOIN st
 ORDER BY i, j""",
+        # 1-bit binary quantization: sign bits, rank by bit agreement —
+        # all integers, exact comparison. knn_pq is rows-only (iterative
+        # k-means training), covered by bit-exact twin tests.
+        "knn_binary_quantized": """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+b AS (SELECT vec_id, i,
+             CASE WHEN embedding[i]::DOUBLE > 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings CROSS JOIN dims),
+agrees AS (SELECT a.vec_id AS query_id, v.vec_id AS vec_id,
+                  SUM(CASE WHEN a.bit = v.bit THEN 1 ELSE 0 END)::BIGINT AS agree
+           FROM b a JOIN b v USING (i) WHERE a.vec_id IN (0, 1, 2)
+           GROUP BY 1, 2)
+SELECT query_id, vec_id, agree FROM agrees
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY agree DESC, vec_id) <= 5
+ORDER BY query_id, vec_id""",
         # routing: golden (source, shard) map from the reference's exact
         # murmur3_x86_32-over-UTF-16LE hash (validated against
         # Murmur3HashFunctionTests.java vectors), floorMod 4; routed term

@@ -251,6 +251,30 @@ def _bucketed_topk(sub_ds, Qn: np.ndarray, probes: dict[int, list[int]],
 # ---------------- int8 scalar quantization (vector scale path) --------------
 
 
+def _partial_topk_table(S: np.ndarray, ids: np.ndarray, k: int,
+                        id_col: str, score_name: str) -> pa.Table:
+    """Per-batch partial top-k that KEEPS TIES at the k boundary: integer
+    scores tie often, and argpartition alone would drop an arbitrary tied
+    candidate before the driver's deterministic (score desc, id asc) merge
+    — the kept set must be a superset of every possible global top-k."""
+    out_q: list[int] = []
+    out_i: list[int] = []
+    out_s: list[int] = []
+    kk = min(k, S.shape[1])
+    for qi in range(S.shape[0]):
+        row = S[qi]
+        thresh = np.partition(row, -kk)[-kk]
+        keep = np.flatnonzero(row >= thresh)
+        out_q.extend([qi] * len(keep))
+        out_i.extend(int(ids[c]) for c in keep)
+        out_s.extend(int(row[c]) for c in keep)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        id_col: pa.array(out_i, pa.int64()),
+        score_name: pa.array(out_s, pa.int64()),
+    })
+
+
 def embedding_max_abs(ds, *, vec_col: str = "embedding") -> float:
     """Global max absolute component over an embedding column: each batch
     reduces to ONE scalar, the driver folds the tiny partials. Max is
@@ -305,19 +329,7 @@ def knn_scalar_quantized(ds, queries: np.ndarray, k: int = 5, *, bits: int = 8,
         V = np.stack(t[vec_col].to_numpy(zero_copy_only=False))
         Vq = _quantize(V, m_, qmax)
         S = Qm @ Vq.T  # int64 (nq, batch)
-        kk = min(k, S.shape[1])
-        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-        out = {"query_id": [], id_col: [], "qdot": []}
-        for qi in range(S.shape[0]):
-            for c in top[qi]:
-                out["query_id"].append(qi)
-                out[id_col].append(int(ids[c]))
-                out["qdot"].append(int(S[qi, c]))
-        return pa.table({
-            "query_id": pa.array(out["query_id"], pa.int64()),
-            id_col: pa.array(out[id_col], pa.int64()),
-            "qdot": pa.array(out["qdot"], pa.int64()),
-        })
+        return _partial_topk_table(S, ids, k, id_col, "qdot")
 
     df = ds.map_batches(partial_topk, batch_format="pyarrow",
                         batch_size=4096).to_pandas()
@@ -347,3 +359,131 @@ def rrf_fuse(rankings: list[pd.DataFrame], *, id_col: str, k: int = 10,
         id_col: pd.array([r[0] for r in rows], dtype="int64"),
         "rrf_score": [float(round_half_away(r[1], 6)) for r in rows],
     })
+
+
+# ---------------- binary quantization (1-bit vector scale path) -------------
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def knn_binary_quantized(ds, queries: np.ndarray, k: int = 5, *,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> pd.DataFrame:
+    """1-bit binary quantization (the BBQ-style extreme of the quantization
+    ladder: 32x smaller than float32): each component collapses to its sign
+    bit, candidates ranked by BIT AGREEMENT = dims - hamming(q, v). Bits
+    pack into uint64 words; the per-batch kernel is XOR + byte-popcount-LUT
+    (same kernel as the SimHash dedup stage). Integer scores are exactly
+    reproducible under any partitioning, and the only broadcast is the
+    packed query matrix. One streaming pass, no training."""
+    import ray
+
+    Qb = np.asarray(queries, dtype=np.float64) > 0
+    dims = Qb.shape[1]
+    q_ref = ray.put(np.packbits(Qb, axis=1))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        Qp = ray.get(q_ref)
+        ids = t[id_col].to_numpy()
+        V = np.stack(t[vec_col].to_numpy(zero_copy_only=False))
+        Vp = np.packbits(V.astype(np.float64) > 0, axis=1)
+        # hamming via XOR outer product: (nq, batch, bytes)
+        x = Qp[:, None, :] ^ Vp[None, :, :]
+        ham = _POP8[x].sum(axis=2).astype(np.int64)
+        S = dims - ham  # bit agreement
+        return _partial_topk_table(S, ids, k, id_col, "agree")
+
+    df = ds.map_batches(partial_topk, batch_format="pyarrow",
+                        batch_size=4096).to_pandas()
+    df = df.sort_values(["query_id", "agree", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df
+
+
+# ---------------- product quantization (PQ, the memory scale path) ----------
+
+
+def train_pq(ds, *, m_subspaces: int = 8, k_centroids: int = 16,
+             iters: int = 3, sample_cap: int = 4096,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             grid: int = 10_000) -> np.ndarray:
+    """Train PQ codebooks (Jegou et al. 2011, 'Product Quantization for
+    Nearest Neighbor Search'): split dims into m subspaces, k-means each on
+    a BOUNDED deterministic sample (Knuth-hash draw on the id column, like
+    the IVF trainer), fixed iterations, deterministic stride init. The
+    returned codebooks are SNAPPED to an integer grid (floor(c*grid + 0.5))
+    so downstream code assignment and ADC scoring are all-integer —
+    bit-identical under any partitioning. Codebook size is tiny
+    (m * k * dim/m floats) and ships by value."""
+    def take_sample(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        keep = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(4) == 0
+        return t.filter(pa.array(keep))
+
+    sample = ds.map_batches(take_sample, batch_format="pyarrow").to_pandas()
+    V = np.stack(sample[vec_col].to_numpy())[:sample_cap].astype(np.float64)
+    d = V.shape[1]
+    assert d % m_subspaces == 0, "dims must divide into subspaces"
+    sub = d // m_subspaces
+    books = np.zeros((m_subspaces, k_centroids, sub))
+    for mi in range(m_subspaces):
+        X = V[:, mi * sub:(mi + 1) * sub]
+        # deterministic stride init over the sample
+        idx = (np.arange(k_centroids) * max(1, len(X) // k_centroids)) % len(X)
+        C = X[idx].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(k_centroids):
+                mask = assign == ci
+                if mask.any():
+                    C[ci] = X[mask].mean(axis=0)
+        books[mi] = C
+    return np.floor(books * grid + 0.5).astype(np.int64)
+
+
+def knn_pq(ds, queries: np.ndarray, codebooks: np.ndarray, k: int = 5, *,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           grid: int = 10_000) -> pd.DataFrame:
+    """PQ asymmetric-distance top-k: each batch snaps its vectors to the integer
+    grid, assigns each subspace to its nearest (squared-L2, ties lowest
+    code) centroid — m uint8 codes replace dim floats — then scores every
+    query via ADC table lookups: dot(q, v) ~ sum_m table[m, code_m] where
+    table = integer query-subvector x codebook dots. All arithmetic int64,
+    so the gate result is partition-invariant; the codebooks + query tables
+    are one small ray.put broadcast."""
+    import ray
+
+    Qi = np.floor(np.asarray(queries, dtype=np.float64) * grid + 0.5).astype(np.int64)
+    m_sub, k_cent, sub = codebooks.shape
+    # ADC tables: (nq, m, k) integer dots
+    tables = np.einsum("qmd,mkd->qmk", Qi.reshape(Qi.shape[0], m_sub, sub),
+                       codebooks)
+    b_ref = ray.put((codebooks, tables))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        books, tabs = ray.get(b_ref)
+        ids = t[id_col].to_numpy()
+        V = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Vi = np.floor(V * grid + 0.5).astype(np.int64)
+        n = Vi.shape[0]
+        codes = np.zeros((n, m_sub), dtype=np.int64)
+        for mi in range(m_sub):
+            X = Vi[:, mi * sub:(mi + 1) * sub]
+            d2 = ((X[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = d2.argmin(axis=1)  # argmin takes lowest index tie
+        # ADC: S[q, v] = sum_m tabs[q, m, codes[v, m]]
+        S = np.zeros((tabs.shape[0], n), dtype=np.int64)
+        for mi in range(m_sub):
+            S += tabs[:, mi, :][:, codes[:, mi]]
+        return _partial_topk_table(S, ids, k, id_col, "adc")
+
+    df = ds.map_batches(partial_topk, batch_format="pyarrow",
+                        batch_size=4096).to_pandas()
+    df = df.sort_values(["query_id", "adc", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df

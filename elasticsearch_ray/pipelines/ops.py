@@ -6328,3 +6328,29 @@ def ft_routed_term(sf_dir: str):
     out = (_ds(sf_dir, "documents", ["doc_id", "source", "text"])
            .map_batches(routed_match, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def knn_binary_quantized(sf_dir: str):
+    """1-bit binary quantization (BBQ-style, 32x compression): sign-bit
+    packing + XOR/popcount bit-agreement ranking — see
+    functions/similarity.knn_binary_quantized. Integer scores, exact
+    oracle; one streaming pass, the packed query matrix is the only
+    broadcast."""
+    Q = _query_vectors(sf_dir, [0, 1, 2])
+    out = S.knn_binary_quantized(_ds(sf_dir, "embeddings"), Q, k=5)
+    return out[["query_id", "vec_id", "agree"]]
+
+
+def knn_pq(sf_dir: str):
+    """Product quantization ANN (Jegou et al. 2011; the memory scale path:
+    m=8 uint8 codes replace 64 floats, 32x compression): codebooks trained
+    on a bounded Knuth-hash sample, snapped to an integer grid so code
+    assignment and ADC scoring are all-integer and partition-invariant
+    (differential twin test in tests/test_session3.py). Training is
+    genuinely iterative (k-means per subspace), so no SQL oracle —
+    rows-only gate; the serial twin + recall tests carry correctness."""
+    Q = _query_vectors(sf_dir, [0, 1, 2])
+    ds = _ds(sf_dir, "embeddings")
+    books = S.train_pq(ds, m_subspaces=8, k_centroids=16, iters=3)
+    out = S.knn_pq(ds, Q, books, k=5)
+    return out[["query_id", "vec_id", "adc"]]

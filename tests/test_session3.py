@@ -230,3 +230,95 @@ def test_pca_projection_from_moments():
     assert np.allclose(w, wr, atol=1e-9)
     # top component spans the same direction (sign-insensitive)
     assert abs(abs(U[:, -1] @ Ur[:, -1]) - 1.0) < 1e-6
+
+
+# ---------------- binary quantization ----------------
+
+
+def test_binary_quantized_matches_serial_twin():
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.similarity import knn_binary_quantized
+
+    ids, V = _embeddings()
+    Q = V[:3]
+    out = knn_binary_quantized(
+        rd.read_parquet(f"{SF}/embeddings.parquet"), Q, k=5)
+    B = V > 0
+    Qb = Q > 0
+    for qi in range(3):
+        agree = (Qb[qi][None, :] == B).sum(axis=1)
+        order = sorted(zip(-agree, ids))[:5]
+        sub = out[out["query_id"] == qi].sort_values("rank")
+        assert sub["vec_id"].tolist() == [int(i) for _, i in order]
+        assert sub["agree"].tolist() == [int(-a) for a, _ in order]
+        # the query itself agrees on every bit
+        assert sub.iloc[0]["vec_id"] == qi and sub.iloc[0]["agree"] == V.shape[1]
+
+
+# ---------------- product quantization ----------------
+
+
+def test_pq_matches_serial_twin():
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.similarity import knn_pq, train_pq
+
+    ids, V = _embeddings()
+    Q = V[:3]
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    books = train_pq(ds, m_subspaces=8, k_centroids=16, iters=3)
+    out = knn_pq(ds, Q, books, k=5)
+
+    # serial twin: snap, assign, ADC — must match bit-exactly
+    grid = 10_000
+    Vi = np.floor(V * grid + 0.5).astype(np.int64)
+    Qi = np.floor(Q * grid + 0.5).astype(np.int64)
+    m_sub, k_cent, sub = books.shape
+    codes = np.zeros((V.shape[0], m_sub), dtype=np.int64)
+    for mi in range(m_sub):
+        X = Vi[:, mi * sub:(mi + 1) * sub]
+        d2 = ((X[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+        codes[:, mi] = d2.argmin(axis=1)
+    tables = np.einsum("qmd,mkd->qmk", Qi.reshape(3, m_sub, sub), books)
+    S = np.zeros((3, V.shape[0]), dtype=np.int64)
+    for mi in range(m_sub):
+        S += tables[:, mi, :][:, codes[:, mi]]
+    for qi in range(3):
+        order = sorted(zip(-S[qi], ids))[:5]
+        sub_df = out[out["query_id"] == qi].sort_values("rank")
+        assert sub_df["vec_id"].tolist() == [int(i) for _, i in order]
+        assert sub_df["adc"].tolist() == [int(-s) for s, _ in order]
+
+
+def test_pq_recall_vs_exact_dot():
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.similarity import knn_pq, train_pq
+
+    ids, V = _embeddings()
+    Q = V[:3]
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    books = train_pq(ds)
+    out = knn_pq(ds, Q, books, k=10)
+    Se = Q @ V.T
+    overlap = 0
+    for qi in range(3):
+        top_e = set(ids[np.argsort(-Se[qi], kind="stable")[:10]].tolist())
+        top_q = set(out[out["query_id"] == qi]["vec_id"].tolist())
+        overlap += len(top_e & top_q)
+    # PQ with m=8 sub x 16 centroids is lossy; expect meaningful overlap
+    assert overlap >= 12
+
+
+def test_pq_codebook_shape_and_grid():
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.similarity import train_pq
+
+    books = train_pq(rd.read_parquet(f"{SF}/embeddings.parquet"),
+                     m_subspaces=8, k_centroids=16, iters=2)
+    assert books.shape == (8, 16, 8)
+    assert books.dtype == np.int64
+    # snapped centroids stay within the quantized component range
+    assert np.abs(books).max() <= 10_000
