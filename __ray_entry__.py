@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized", "knn_pq",
+        "knn_sq_indexed",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -4124,4 +4125,7 @@ WHERE s.sid >= 10 ORDER BY s.sid"""
     # the Bloom-prefiltered path is flag-identical to the exact path by
     # construction (false positives die in verify): same oracle
     out["decontaminate_bloom"] = out["dedup_decontaminate"]
+    # the persisted int8 index must reproduce the on-the-fly quantized
+    # search bit-for-bit: same oracle
+    out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     return out

@@ -6354,3 +6354,23 @@ def knn_pq(sf_dir: str):
     books = S.train_pq(ds, m_subspaces=8, k_centroids=16, iters=3)
     out = S.knn_pq(ds, Q, books, k=5)
     return out[["query_id", "vec_id", "adc"]]
+
+
+def knn_sq_indexed(sf_dir: str):
+    """Persisted quantized vector index (index/vector.py): build int8 codes
+    + manifest once (build-or-reuse, atomic commit), then serve the same
+    three queries FROM THE CODES. Shares knn_scalar_quantized's exact
+    oracle — the persisted path must reproduce the on-the-fly path
+    bit-for-bit, proving the index round-trip loses nothing."""
+    import hashlib
+
+    from ..index.vector import build_vector_index, search_vector_index
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}:sq8:v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp/esray_cache", f"vecidx_{tag}")
+    build_vector_index(_ds(sf_dir, "embeddings"), out)
+    Q = _query_vectors(sf_dir, [0, 1, 2])
+    res = search_vector_index(out, Q, k=5)
+    return res[["query_id", "vec_id", "qdot"]]

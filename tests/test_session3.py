@@ -322,3 +322,28 @@ def test_pq_codebook_shape_and_grid():
     assert books.dtype == np.int64
     # snapped centroids stay within the quantized component range
     assert np.abs(books).max() <= 10_000
+
+
+# ---------------- persisted quantized vector index ----------------
+
+
+def test_vector_index_roundtrip_matches_online(tmp_path):
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.similarity import knn_scalar_quantized
+    from elasticsearch_ray.index.vector import (build_vector_index,
+                                                search_vector_index)
+
+    _, V = _embeddings()
+    Q = V[:3]
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    out_dir = str(tmp_path / "vecidx")
+    man = build_vector_index(ds, out_dir)
+    assert man["dims"] == V.shape[1] and man["bits"] == 8
+    got = search_vector_index(out_dir, Q, k=5)
+    exp = knn_scalar_quantized(ds, Q, k=5)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True))
+    # build-or-reuse: a second build call is a manifest read, not a rebuild
+    man2 = build_vector_index(ds, out_dir)
+    assert man2 == man
