@@ -91,7 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized", "knn_pq",
-        "knn_sq_indexed",
+        "knn_sq_indexed", "classifier_train_gd",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1685,6 +1685,52 @@ SELECT d.doc_id, d.source, CAST(m.shard AS BIGINT) AS shard
 FROM documents d JOIN smap m USING (source) JOIN hits USING (doc_id)
 WHERE m.shard = 2
 ORDER BY d.doc_id""",
+        # full-batch logistic GD, 2 unrolled iterations: rational sigmoid
+        # (no exp -> no libm ulp drift), per-doc integer gradient snap,
+        # lr=0.5 (exact power-of-two step); weights snapped to the grid.
+        "classifier_train_gd": """
+WITH f AS (
+  SELECT
+    CASE WHEN length(text) = 0 THEN 0
+         ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+              / length(text) END AS x1,
+    CASE WHEN length(text) = 0 THEN 0
+         ELSE (length(text) - length(replace(text, ' ', '')))::DOUBLE
+              / length(text) END AS x2,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n FROM f),
+g1 AS (SELECT
+  SUM(CAST(FLOOR((0.5 - y) * 1.0 * 1000000000.0 + 0.5) AS BIGINT)) AS g0,
+  SUM(CAST(FLOOR((0.5 - y) * x1 * 1000000000.0 + 0.5) AS BIGINT)) AS g1,
+  SUM(CAST(FLOOR((0.5 - y) * x2 * 1000000000.0 + 0.5) AS BIGINT)) AS g2
+  FROM f),
+w1 AS (SELECT
+  0 - 0.5 * (g0::DOUBLE / (n * 1000000000.0)) AS w0,
+  0 - 0.5 * (g1::DOUBLE / (n * 1000000000.0)) AS w1,
+  0 - 0.5 * (g2::DOUBLE / (n * 1000000000.0)) AS w2
+  FROM g1 CROSS JOIN st),
+p2 AS (SELECT y, x1, x2,
+  0.5 + (w0 + x1 * w1 + x2 * w2)
+      / (2 * (1 + abs(w0 + x1 * w1 + x2 * w2))) AS p
+  FROM f CROSS JOIN w1),
+g2 AS (SELECT
+  SUM(CAST(FLOOR((p - y) * 1.0 * 1000000000.0 + 0.5) AS BIGINT)) AS g0,
+  SUM(CAST(FLOOR((p - y) * x1 * 1000000000.0 + 0.5) AS BIGINT)) AS g1,
+  SUM(CAST(FLOOR((p - y) * x2 * 1000000000.0 + 0.5) AS BIGINT)) AS g2
+  FROM p2),
+wf AS (SELECT
+  w1.w0 - 0.5 * (g2.g0::DOUBLE / (n * 1000000000.0)) AS w0,
+  w1.w1 - 0.5 * (g2.g1::DOUBLE / (n * 1000000000.0)) AS w1,
+  w1.w2 - 0.5 * (g2.g2::DOUBLE / (n * 1000000000.0)) AS w2
+  FROM w1 CROSS JOIN g2 CROSS JOIN st)
+SELECT j, w_num FROM (
+  SELECT unnest([0, 1, 2]) AS j,
+         unnest([CAST(FLOOR(w0 * 1000000000.0 + 0.5) AS BIGINT),
+                 CAST(FLOOR(w1 * 1000000000.0 + 0.5) AS BIGINT),
+                 CAST(FLOOR(w2 * 1000000000.0 + 0.5) AS BIGINT)]) AS w_num
+  FROM wf)
+ORDER BY j""",
         "bpe_pair_counts": r"""
 WITH wrd AS (
   SELECT w, count(*)::BIGINT AS freq FROM (

@@ -6374,3 +6374,14 @@ def knn_sq_indexed(sf_dir: str):
     Q = _query_vectors(sf_dir, [0, 1, 2])
     res = search_vector_index(out, Q, k=5)
     return res[["query_id", "vec_id", "qdot"]]
+
+
+def classifier_train_gd(sf_dir: str):
+    """Distributed quality-classifier TRAINING (functions/train.py):
+    full-batch logistic GD on SQL-expressible features (bias, alpha_ratio,
+    space_ratio; label = lang=='en'), 2 streaming passes, integer gradient
+    exchange (fixed-point snap per doc) so the fold is order-invariant and
+    the final weights compare EXACTLY against the unrolled SQL twin."""
+    from ..functions.train import train_logreg_gd
+
+    return train_logreg_gd(_ds(sf_dir, "documents", ["text", "lang"]))

@@ -347,3 +347,46 @@ def test_vector_index_roundtrip_matches_online(tmp_path):
     # build-or-reuse: a second build call is a manifest read, not a rebuild
     man2 = build_vector_index(ds, out_dir)
     assert man2 == man
+
+
+# ---------------- distributed classifier training ----------------
+
+
+def test_logreg_gd_partition_invariant():
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.train import train_logreg_gd
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["text", "lang"])
+    w_a = train_logreg_gd(ds)
+    w_b = train_logreg_gd(ds.repartition(7))
+    pd.testing.assert_frame_equal(w_a, w_b)  # bit-identical weights
+
+
+def test_logreg_gd_moves_toward_labels():
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.train import train_logreg_gd
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["text", "lang"])
+    out = train_logreg_gd(ds, iters=3)
+    w = out["w_num"].to_numpy() / 1e9
+    # 'en' is a minority label (~44%), so the bias moves negative;
+    # 3 iterations from 0 must have moved every weight
+    assert w[0] < 0
+    assert (out["w_num"] != 0).all()
+
+
+def test_quantized_search_partition_invariant():
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.similarity import (knn_binary_quantized,
+                                                        knn_scalar_quantized)
+
+    _, V = _embeddings()
+    Q = V[:3]
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    for fn in (knn_scalar_quantized, knn_binary_quantized):
+        a = fn(ds, Q, k=5).reset_index(drop=True)
+        b = fn(ds.repartition(5), Q, k=5).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
