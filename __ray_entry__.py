@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized", "knn_pq",
         "knn_sq_indexed", "classifier_train_gd",
+        "cat_count", "ft_get_source", "ft_render_template",
+        "msearch_template", "ingest_simulate", "cat_templates",
+        "cat_snapshots",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1685,6 +1688,62 @@ SELECT d.doc_id, d.source, CAST(m.shard AS BIGINT) AS shard
 FROM documents d JOIN smap m USING (source) JOIN hits USING (doc_id)
 WHERE m.shard = 2
 ORDER BY d.doc_id""",
+        "cat_count": """
+SELECT * FROM (
+  SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents
+  UNION ALL SELECT 'events', count(*)::BIGINT FROM events
+  UNION ALL SELECT 'orders', count(*)::BIGINT FROM orders)
+ORDER BY index_name""",
+        "ft_get_source": """
+WITH w(doc_id) AS (VALUES (3), (7), (999999999))
+SELECT w.doc_id::BIGINT AS doc_id,
+       CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END::BIGINT AS found,
+       COALESCE(length(d.text), -1)::BIGINT AS src_len
+FROM w LEFT JOIN documents d ON d.doc_id = w.doc_id
+ORDER BY w.doc_id""",
+        # template rendering is deterministic string substitution over
+        # constants: golden expected rows
+        "ft_render_template": """
+SELECT * FROM (VALUES
+  (0::BIGINT, 'term', 'data'),
+  (1::BIGINT, 'match', 'slow merge'),
+  (2::BIGINT, 'range_num', '120')) t(tpl_id, kind, value)
+ORDER BY tpl_id""",
+        "msearch_template": f"""
+WITH {_TOK},
+q1 AS (
+  SELECT 0 AS request_id, tf.doc_id AS doc_id, {_SCORE} AS raw
+  FROM (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id) tf
+  CROSS JOIN (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'data') df
+  CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+  ORDER BY raw DESC, doc_id LIMIT 3),
+q2t AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('slow', 'merge') GROUP BY doc_id, term),
+q2df AS (SELECT term, count(*) AS df FROM q2t GROUP BY term),
+q2 AS (
+  SELECT 1 AS request_id, tf.doc_id AS doc_id, SUM({_SCORE}) AS raw
+  FROM q2t tf JOIN q2df df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id ORDER BY raw DESC, doc_id LIMIT 3)
+SELECT request_id::BIGINT AS request_id, doc_id, ROUND(raw, 4) AS score
+FROM (SELECT * FROM q1 UNION ALL SELECT * FROM q2)
+ORDER BY request_id, score DESC, doc_id""",
+        "ingest_simulate": """
+SELECT doc_id, 'sim' AS tag, upper(lang) AS lang,
+       regexp_replace(source, 'src', 'S', 'g') AS source
+FROM documents WHERE doc_id < 5 ORDER BY doc_id""",
+        "cat_templates": """
+SELECT * FROM (VALUES
+  ('logs', 'logs-*', 0::BIGINT),
+  ('logs-special', 'logs-special-*', 5::BIGINT))
+  t(name, patterns, template_order)
+ORDER BY name""",
+        # the documents index tiers to a single live segment at test SFs;
+        # docs re-derived from the raw table
+        "cat_snapshots": """
+SELECT s.snapshot, 1::BIGINT AS n_segments, st.docs
+FROM (VALUES ('snap_a'), ('snap_b')) s(snapshot)
+CROSS JOIN (SELECT count(*)::BIGINT AS docs FROM documents) st
+ORDER BY s.snapshot""",
         # full-batch logistic GD, 2 unrolled iterations: rational sigmoid
         # (no exp -> no libm ulp drift), per-doc integer gradient snap,
         # lr=0.5 (exact power-of-two step); weights snapped to the grid.

@@ -6385,3 +6385,149 @@ def classifier_train_gd(sf_dir: str):
     from ..functions.train import train_logreg_gd
 
     return train_logreg_gd(_ds(sf_dir, "documents", ["text", "lang"]))
+
+
+# ---------------- round 3 session 3: remaining REST-surface gates -----------
+
+
+def cat_count(sf_dir: str):
+    """_cat/count (rest/action/cat/RestCountAction): live doc totals per
+    index, read from committed manifests for the indexed table and from the
+    dataset row counts for the raw tables — all streaming count()s."""
+    from ..index.manifest import index_stats
+    from .fulltext import documents_index
+
+    st = index_stats(documents_index(sf_dir))
+    rows = [("documents", int(st.doc_count))]
+    for tbl in ("events", "orders"):
+        rows.append((tbl, int(_ds(sf_dir, tbl).count())))
+    return pd.DataFrame({
+        "index_name": [r[0] for r in rows],
+        "docs": pd.array([r[1] for r in rows], dtype="int64"),
+    })
+
+
+def ft_get_source(sf_dir: str):
+    """GET _source / HEAD _source (RestGetSourceAction: the fetch phase
+    without metadata, 404/exists semantics for missing ids): point reads by
+    doc_id with found flag and the source length."""
+    import pyarrow.compute as pc
+
+    wanted = [3, 7, 999_999_999]
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"],
+             flt=pc.field("doc_id").isin(wanted))
+    got = {int(r["doc_id"]): len(r["text"]) for r in ds.take_all()}
+    return pd.DataFrame({
+        "doc_id": pd.array(wanted, dtype="int64"),
+        "found": pd.array([1 if d in got else 0 for d in wanted],
+                          dtype="int64"),
+        "src_len": pd.array([got.get(d, -1) for d in wanted], dtype="int64"),
+    })
+
+
+def ft_render_template(sf_dir: str):
+    """_render/template (RestRenderSearchTemplateAction): rendering only —
+    the rendered query structures for fixed (template, params) pairs,
+    flattened to (tpl_id, kind, field, value)."""
+    tpls = [
+        ('{"kind": "term", "term": "{{t}}"}', {"t": "data"}),
+        ('{"kind": "match", "text": "{{a}} {{b}}"}',
+         {"a": "slow", "b": "merge"}),
+        ('{"kind": "range_num", "field": "n_chars", "gte": {{lo}}}',
+         {"lo": 120}),
+    ]
+    rows = []
+    for i, (src, params) in enumerate(tpls):
+        q = render_search_template(src, params)
+        val = q.get("term") or q.get("text") or str(q.get("gte"))
+        rows.append((i, q["kind"], val))
+    return pd.DataFrame({
+        "tpl_id": pd.array([r[0] for r in rows], dtype="int64"),
+        "kind": [r[1] for r in rows],
+        "value": [r[2] for r in rows],
+    })
+
+
+def msearch_template(sf_dir: str):
+    """_msearch/template (RestMultiSearchTemplateAction): a batch of
+    templated searches — render each (source, params) pair, execute
+    against the same loaded searcher, concatenate per-request top-3."""
+    s = documents_searcher(sf_dir)
+    reqs = [
+        ('{"kind": "term", "term": "{{t}}", "k": 3}', {"t": "data"}),
+        ('{"kind": "match", "text": "{{q}}", "k": 3}', {"q": "slow merge"}),
+    ]
+    rows = []
+    for rid, (src, params) in enumerate(reqs):
+        ids, sc = s.search(render_search_template(src, params))
+        for d, v in zip(ids.tolist(), sc.tolist()):
+            rows.append((rid, d, float(round_half_away(v, 4))))
+    return pd.DataFrame({
+        "request_id": pd.array([r[0] for r in rows], dtype="int64"),
+        "doc_id": pd.array([r[1] for r in rows], dtype="int64"),
+        "score": [r[2] for r in rows],
+    })
+
+
+def ingest_simulate(sf_dir: str):
+    """_ingest/pipeline/_simulate (RestSimulatePipelineAction): run a
+    composed pipeline (set -> uppercase -> gsub) over sample docs and
+    return the transformed fields — the simulate surface is the pipeline
+    interpreter on an inline doc batch."""
+    import pyarrow.compute as pc
+
+    from ..functions import ingest as I
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang", "source"],
+             flt=pc.field("doc_id") < 5)
+    pipe = I.pipeline(I.set_value("tag", "sim"), I.uppercase("lang"),
+                      I.gsub("source", "src", "S"))
+    out = (ds.map_batches(pipe, batch_format="pyarrow")
+           .select_columns(["doc_id", "tag", "lang", "source"]).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def cat_templates(sf_dir: str):
+    """_cat/templates (RestCatTemplatesAction): registered template rows
+    (name, comma-joined patterns, order)."""
+    from ..index import templates as TP
+
+    TP.put_template("logs", ["logs-*"], {"number_of_shards": 2}, order=0)
+    TP.put_template("logs-special", ["logs-special-*"],
+                    {"number_of_shards": 4}, order=5)
+    rows = sorted((TP.get_template(n)["name"],
+                   ",".join(TP.get_template(n)["patterns"]),
+                   TP.get_template(n)["order"])
+                  for n in ("logs", "logs-special"))
+    return pd.DataFrame({
+        "name": [r[0] for r in rows],
+        "patterns": [r[1] for r in rows],
+        "template_order": pd.array([r[2] for r in rows], dtype="int64"),
+    })
+
+
+def cat_snapshots(sf_dir: str):
+    """_cat/snapshots (RestSnapshotAction): snapshot rows from the
+    repository's committed manifests; docs re-derived from the snapshotted
+    index's own manifests (so the row proves the repo points at real,
+    restorable segments)."""
+    import hashlib
+    import shutil
+
+    from ..index.manifest import index_stats
+    from ..index.snapshot import create_snapshot, list_snapshots
+    from .fulltext import documents_index
+
+    idx = documents_index(sf_dir)
+    tag = hashlib.sha1(idx.encode()).hexdigest()[:12]
+    repo = os.path.join("/tmp/esray_cache", f"catsnaps_{tag}")
+    shutil.rmtree(repo, ignore_errors=True)
+    create_snapshot(idx, repo, "snap_a")
+    create_snapshot(idx, repo, "snap_b")
+    docs = int(index_stats(idx).doc_count)
+    rows = [(m["name"], len(m["segments"]), docs) for m in list_snapshots(repo)]
+    return pd.DataFrame({
+        "snapshot": [r[0] for r in rows],
+        "n_segments": pd.array([r[1] for r in rows], dtype="int64"),
+        "docs": pd.array([r[2] for r in rows], dtype="int64"),
+    })
