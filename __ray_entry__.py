@@ -94,7 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_sq_indexed", "classifier_train_gd",
         "cat_count", "ft_get_source", "ft_render_template",
         "msearch_template", "ingest_simulate", "cat_templates",
-        "cat_snapshots",
+        "cat_snapshots", "ft_clear_scroll", "indices_close_open",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -674,6 +674,14 @@ u AS (SELECT idx, doc_id, raw * 1.5 AS raw FROM en_sc
       UNION ALL SELECT idx, doc_id, raw * 0.7 FROM ot_sc)
 SELECT idx AS "index", doc_id, ROUND(raw, 4) AS score FROM u
 ORDER BY raw DESC, idx, doc_id LIMIT 10""",
+        # close/open lifecycle: phase 1 loses the closed index's hits
+        "indices_close_open": ctes + """,
+c AS (SELECT (SELECT count(*) FROM en_sc) AS en,
+             (SELECT count(*) FROM ot_sc) AS ot)
+SELECT p.phase::BIGINT AS phase,
+       (CASE WHEN p.phase = 1 THEN en ELSE en + ot END)::BIGINT AS hits
+FROM c CROSS JOIN (VALUES (0), (1), (2)) p(phase)
+ORDER BY p.phase""",
     }
 
 
@@ -1688,6 +1696,18 @@ SELECT d.doc_id, d.source, CAST(m.shard AS BIGINT) AS shard
 FROM documents d JOIN smap m USING (source) JOIN hits USING (doc_id)
 WHERE m.shard = 2
 ORDER BY d.doc_id""",
+        # scroll lifecycle: two 15-row pages over (o_totalprice desc, key
+        # asc), then the cleared context must be gone (golden (2,-1,-1))
+        "ft_clear_scroll": """
+WITH r AS (SELECT o_orderkey,
+                  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+SELECT * FROM (
+  SELECT 0::BIGINT AS page, 15::BIGINT AS n,
+         (SELECT o_orderkey FROM r WHERE rn = 15)::BIGINT AS last_key
+  UNION ALL SELECT 1, 15, (SELECT o_orderkey FROM r WHERE rn = 30)
+  UNION ALL SELECT 2, -1, -1)
+ORDER BY page""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

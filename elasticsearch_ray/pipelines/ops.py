@@ -6531,3 +6531,57 @@ def cat_snapshots(sf_dir: str):
         "n_segments": pd.array([r[1] for r in rows], dtype="int64"),
         "docs": pd.array([r[2] for r in rows], dtype="int64"),
     })
+
+
+def ft_clear_scroll(sf_dir: str):
+    """_search/scroll lifecycle + DELETE _search/scroll
+    (ClearScrollController; SearchContextMissingException on reuse): open a
+    scroll context, take two pages, clear, and prove the third access
+    fails — rows are (page, n, last_key) with the post-clear attempt as
+    (2, -1, -1)."""
+    from ..search.scroll import ScrollRegistry, SearchContextMissing
+
+    reg = ScrollRegistry()
+    sid = reg.open(sf_dir)
+    rows = []
+    for p in range(2):
+        page = reg.scroll(sid)
+        rows.append((p, len(page), int(page["o_orderkey"].iloc[-1])))
+    assert reg.clear(sid) and not reg.clear(sid)
+    try:
+        reg.scroll(sid)
+        rows.append((2, -2, -2))  # must not happen
+    except SearchContextMissing:
+        rows.append((2, -1, -1))
+    return pd.DataFrame({
+        "page": pd.array([r[0] for r in rows], dtype="int64"),
+        "n": pd.array([r[1] for r in rows], dtype="int64"),
+        "last_key": pd.array([r[2] for r in rows], dtype="int64"),
+    })
+
+
+def indices_close_open(sf_dir: str):
+    """indices.close / indices.open (Transport{Close,Open}IndexAction +
+    IndicesOptions.strictExpandOpen): a closed index drops out of wildcard
+    resolution (docs-* term search loses its hits) and rejoins after
+    reopen; phases are (0 open, 1 docs-other closed, 2 reopened)."""
+    m = _multi_index_searcher(sf_dir)
+    q = {"kind": "term", "term": "data"}
+    rows = [(0, len(m.search_all("docs-*", q)))]
+    m.close_index("docs-other")
+    try:
+        rows.append((1, len(m.search_all("docs-*", q))))
+        from ..search.multi import IndexClosedException
+
+        try:
+            m.search_all("docs-other", q)
+            raise AssertionError("closed index served a search")
+        except IndexClosedException:
+            pass
+    finally:
+        m.open_index("docs-other")
+    rows.append((2, len(m.search_all("docs-*", q))))
+    return pd.DataFrame({
+        "phase": pd.array([r[0] for r in rows], dtype="int64"),
+        "hits": pd.array([r[1] for r in rows], dtype="int64"),
+    })

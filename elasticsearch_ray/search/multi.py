@@ -29,20 +29,46 @@ import pyarrow as pa
 from .engine import IndexSearcher
 
 
+class IndexClosedException(Exception):
+    """Addressing a closed index concretely (indices/IndexClosedException)."""
+
+
 class MultiIndexSearcher:
     def __init__(self, indices: dict[str, IndexSearcher]):
         self.indices = dict(indices)
+        self._closed: set[str] = set()
+
+    def close_index(self, name: str) -> None:
+        """indices.close (TransportCloseIndexAction): the index keeps its
+        data but stops serving; wildcard resolution skips it (the default
+        expand_wildcards=open) and concrete addressing raises."""
+        if name not in self.indices:
+            raise KeyError(f"no such index: {name}")
+        self._closed.add(name)
+
+    def open_index(self, name: str) -> None:
+        """indices.open (TransportOpenIndexAction)."""
+        if name not in self.indices:
+            raise KeyError(f"no such index: {name}")
+        self._closed.discard(name)
 
     def resolve(self, expression: str) -> list[str]:
         """Comma-separated names/wildcards -> sorted concrete index names
-        (IndexNameExpressionResolver.WildcardExpressionResolver analog)."""
+        (IndexNameExpressionResolver.WildcardExpressionResolver analog).
+        Closed indices: silently skipped by wildcards, raised on concrete
+        names (IndicesOptions.strictExpandOpen, the search default)."""
         out: set[str] = set()
         for pat in expression.split(","):
             pat = pat.strip()
-            hits = fnmatch.filter(self.indices, pat)
-            if not hits and "*" not in pat and "?" not in pat:
+            if "*" in pat or "?" in pat:
+                out.update(h for h in fnmatch.filter(self.indices, pat)
+                           if h not in self._closed)
+                continue
+            if pat not in self.indices:
                 raise KeyError(f"no such index: {pat}")
-            out.update(hits)
+            if pat in self._closed:
+                raise IndexClosedException(f"closed: {pat}")
+            out.add(pat)
         return sorted(out)
 
     def search_all(self, expression: str, query: dict,

@@ -390,3 +390,51 @@ def test_quantized_search_partition_invariant():
         a = fn(ds, Q, k=5).reset_index(drop=True)
         b = fn(ds.repartition(5), Q, k=5).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------- scroll contexts + index lifecycle ----------------
+
+
+def test_scroll_registry_lifecycle():
+    from elasticsearch_ray.search.scroll import (ScrollRegistry,
+                                                 SearchContextMissing)
+
+    reg = ScrollRegistry()
+    sid = reg.open(SF, page_size=7)
+    p0 = reg.scroll(sid)
+    p1 = reg.scroll(sid)
+    assert len(p0) == 7 and len(p1) == 7
+    # strictly descending price pages, no overlap
+    assert p0["o_totalprice"].iloc[-1] >= p1["o_totalprice"].iloc[0]
+    assert set(p0["o_orderkey"]) & set(p1["o_orderkey"]) == set()
+    assert reg.clear(sid) is True
+    assert reg.clear(sid) is False
+    with pytest.raises(SearchContextMissing):
+        reg.scroll(sid)
+    # two scrolls are independent contexts
+    s1, s2 = reg.open(SF, page_size=3), reg.open(SF, page_size=3)
+    assert s1 != s2
+    a = reg.scroll(s1)
+    reg.scroll(s1)
+    b = reg.scroll(s2)  # fresh cursor
+    assert a["o_orderkey"].tolist() == b["o_orderkey"].tolist()
+
+
+def test_close_open_index_semantics():
+    from elasticsearch_ray.pipelines.ops import _multi_index_searcher
+    from elasticsearch_ray.search.multi import IndexClosedException
+
+    m = _multi_index_searcher(SF)
+    q = {"kind": "term", "term": "data"}
+    full = len(m.search_all("docs-*", q))
+    m.close_index("docs-other")
+    try:
+        part = len(m.search_all("docs-*", q))
+        assert 0 < part < full
+        with pytest.raises(IndexClosedException):
+            m.search_all("docs-other", q)
+        with pytest.raises(KeyError):
+            m.close_index("nope")
+    finally:
+        m.open_index("docs-other")
+    assert len(m.search_all("docs-*", q)) == full
