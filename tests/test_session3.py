@@ -438,3 +438,42 @@ def test_close_open_index_semantics():
     finally:
         m.open_index("docs-other")
     assert len(m.search_all("docs-*", q)) == full
+
+
+# ---------------- randomized vector-ladder fuzz ----------------
+
+
+def test_fuzz_vector_ladder_partition_invariance():
+    """Random vectors / dims / k / partitioning: every quantized search
+    must produce identical frames regardless of block boundaries, and the
+    scalar-quantized path must equal its serial twin exactly."""
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.similarity import (knn_binary_quantized,
+                                                        knn_scalar_quantized)
+
+    rng = np.random.default_rng(20260819)
+    for case in range(4):
+        n = int(rng.integers(50, 400))
+        dim = int(rng.choice([8, 16, 32]))
+        k = int(rng.integers(2, 8))
+        V = rng.standard_normal((n, dim)) * rng.uniform(0.1, 3.0)
+        ids = rng.permutation(n).astype(np.int64)
+        tbl = pd.DataFrame({"vec_id": ids, "embedding": list(V)})
+        ds = rd.from_pandas(tbl)
+        Q = V[:2]
+        for fn in (knn_scalar_quantized, knn_binary_quantized):
+            a = fn(ds, Q, k=k).reset_index(drop=True)
+            b = fn(ds.repartition(int(rng.integers(2, 9))), Q,
+                   k=k).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
+        # serial twin for the scalar path
+        m = float(np.abs(V).max())
+        Xq = np.clip(np.floor(V / m * 127 + 0.5), -127, 127).astype(np.int64)
+        Qq = np.clip(np.floor(Q / m * 127 + 0.5), -127, 127).astype(np.int64)
+        S = Qq @ Xq.T
+        got = knn_scalar_quantized(ds, Q, k=k)
+        for qi in range(2):
+            order = sorted(zip(-S[qi], ids))[:k]
+            sub = got[got["query_id"] == qi].sort_values("rank")
+            assert sub["qdot"].tolist() == [int(-s) for s, _ in order]
