@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cat_count", "ft_get_source", "ft_render_template",
         "msearch_template", "ingest_simulate", "cat_templates",
         "cat_snapshots", "ft_clear_scroll", "indices_close_open",
+        "grok_patterns", "script_languages",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1708,6 +1709,19 @@ SELECT * FROM (
   UNION ALL SELECT 1, 15, (SELECT o_orderkey FROM r WHERE rn = 30)
   UNION ALL SELECT 2, -1, -1)
 ORDER BY page""",
+        "grok_patterns": r"""
+SELECT * FROM (VALUES
+  ('DATA', '.*?'), ('GREEDYDATA', '.*'), ('INT', '-?\d+'),
+  ('IP', '\d{1,3}(?:\.\d{1,3}){3}'),
+  ('NOTSPACE', '\S+'),
+  ('NUMBER', '-?\d+(?:\.\d+)?'),
+  ('WORD', '\w+')) t(name, pattern)
+ORDER BY name""",
+        "script_languages": """
+SELECT * FROM (VALUES
+  ('aggs', 'expr'), ('field', 'expr'), ('filter', 'expr'),
+  ('ingest', 'expr'), ('score', 'expr')) t(context, lang)
+ORDER BY context""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

@@ -6585,3 +6585,22 @@ def indices_close_open(sf_dir: str):
         "phase": pd.array([r[0] for r in rows], dtype="int64"),
         "hits": pd.array([r[1] for r in rows], dtype="int64"),
     })
+
+
+def grok_patterns(sf_dir: str):
+    """_ingest/processor/grok (RestGrokProcessorGetAction): the built-in
+    pattern bank the grok processor resolves %{NAME} references against."""
+    from ..functions.ingest import GROK_PATTERNS
+
+    items = sorted(GROK_PATTERNS.items())
+    return pd.DataFrame({"name": [k for k, _ in items],
+                         "pattern": [v for _, v in items]})
+
+
+def script_languages(sf_dir: str):
+    """GET _script_language / _script_context (GetScriptLanguageAction /
+    GetScriptContextAction): the registered script language and the
+    contexts the engine executes it in (scripting.safe_eval_expr is the
+    Painless-sandbox analog — see scripting.py)."""
+    ctxs = ["aggs", "field", "filter", "ingest", "score"]
+    return pd.DataFrame({"context": ctxs, "lang": ["expr"] * len(ctxs)})
