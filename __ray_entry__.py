@@ -95,7 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cat_count", "ft_get_source", "ft_render_template",
         "msearch_template", "ingest_simulate", "cat_templates",
         "cat_snapshots", "ft_clear_scroll", "indices_close_open",
-        "grok_patterns", "script_languages",
+        "grok_patterns", "script_languages", "ft_alias_routing",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1722,6 +1722,14 @@ SELECT * FROM (VALUES
   ('aggs', 'expr'), ('field', 'expr'), ('filter', 'expr'),
   ('ingest', 'expr'), ('score', 'expr')) t(context, lang)
 ORDER BY context""",
+        # alias searchRouting: the golden shard map routes src3 -> shard 2;
+        # the alias filter then keeps only src3 docs within the shard
+        "ft_alias_routing": f"""
+WITH {_TOK},
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data')
+SELECT d.doc_id FROM documents d JOIN hits USING (doc_id)
+WHERE d.source = 'src3'
+ORDER BY d.doc_id""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

@@ -6604,3 +6604,34 @@ def script_languages(sf_dir: str):
     Painless-sandbox analog — see scripting.py)."""
     ctxs = ["aggs", "field", "filter", "ingest", "score"]
     return pd.DataFrame({"context": ctxs, "lang": ["expr"] * len(ctxs)})
+
+
+def ft_alias_routing(sf_dir: str):
+    """Alias search routing (AliasMetadata#searchRouting, applied by
+    OperationRouting.searchShards): the alias carries routing='src3' AND a
+    source filter, so a search through it first prunes to shard
+    murmur3(src3) % 4 (index/routing.py — 1/N of the scan) and then ANDs
+    the alias filter inside the shard. Output = term hits in the filtered,
+    routed subset."""
+    import re
+
+    from ..index.routing import assign_shards, shard_for
+
+    n_shards = 4
+    sh = shard_for("src3", n_shards)
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def routed_filtered(t: pa.Table) -> pa.Table:
+        shards = assign_shards(
+            np.asarray(t["source"].to_pylist(), dtype=object), n_shards)
+        srcs = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy()
+        keep = [i for i in np.flatnonzero(shards == sh)
+                if srcs[i] == "src3" and "data" in pat.split(texts[i].lower())]
+        return pa.table({"doc_id": pa.array([int(ids[i]) for i in keep],
+                                            pa.int64())})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "source", "text"])
+           .map_batches(routed_filtered, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
