@@ -1775,8 +1775,8 @@ SELECT doc_id, 'sim' AS tag, upper(lang) AS lang,
 FROM documents WHERE doc_id < 5 ORDER BY doc_id""",
         "cat_templates": """
 SELECT * FROM (VALUES
-  ('logs', 'logs-*', 0::BIGINT),
-  ('logs-special', 'logs-special-*', 5::BIGINT))
+  ('catdemo', 'catdemo-*', 0::BIGINT),
+  ('catdemo-special', 'catdemo-special-*', 5::BIGINT))
   t(name, patterns, template_order)
 ORDER BY name""",
         # the documents index tiers to a single live segment at test SFs;

@@ -188,6 +188,10 @@ def embedding_second_moments(ds, *, vec_col: str = "embedding",
     import pyarrow as pa
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.list_(pa.int64())),
+                             "sxy": pa.array([], pa.list_(pa.int64()))})
         V = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
         X = np.floor(V * scale + 0.5).astype(np.int64)
         sxy = X.T @ X  # (d, d) int64

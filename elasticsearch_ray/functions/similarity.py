@@ -261,6 +261,12 @@ def _partial_topk_table(S: np.ndarray, ids: np.ndarray, k: int,
     out_i: list[int] = []
     out_s: list[int] = []
     kk = min(k, S.shape[1])
+    if kk == 0:  # empty block (repartition can produce them)
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            score_name: pa.array([], pa.int64()),
+        })
     for qi in range(S.shape[0]):
         row = S[qi]
         thresh = np.partition(row, -kk)[-kk]
@@ -281,6 +287,8 @@ def embedding_max_abs(ds, *, vec_col: str = "embedding") -> float:
     order-independent, so the distributed fold is exact regardless of
     block boundaries."""
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.float64())})
         V = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
         return pa.table({"m": pa.array([float(np.abs(V).max())], pa.float64())})
 
@@ -325,6 +333,10 @@ def knn_scalar_quantized(ds, queries: np.ndarray, k: int = 5, *, bits: int = 8,
 
     def partial_topk(t: pa.Table) -> pa.Table:
         m_, Qm = ray.get(b_ref)
+        if t.num_rows == 0:
+            return _partial_topk_table(
+                np.zeros((1, 0), np.int64), np.zeros(0, np.int64), k,
+                id_col, "qdot")
         ids = t[id_col].to_numpy()
         V = np.stack(t[vec_col].to_numpy(zero_copy_only=False))
         Vq = _quantize(V, m_, qmax)
@@ -384,6 +396,10 @@ def knn_binary_quantized(ds, queries: np.ndarray, k: int = 5, *,
 
     def partial_topk(t: pa.Table) -> pa.Table:
         Qp = ray.get(q_ref)
+        if t.num_rows == 0:
+            return _partial_topk_table(
+                np.zeros((1, 0), np.int64), np.zeros(0, np.int64), k,
+                id_col, "agree")
         ids = t[id_col].to_numpy()
         V = np.stack(t[vec_col].to_numpy(zero_copy_only=False))
         Vp = np.packbits(V.astype(np.float64) > 0, axis=1)
@@ -422,7 +438,11 @@ def train_pq(ds, *, m_subspaces: int = 8, k_centroids: int = 16,
         keep = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(4) == 0
         return t.filter(pa.array(keep))
 
-    sample = ds.map_batches(take_sample, batch_format="pyarrow").to_pandas()
+    # sort the sample by id: Ray's streaming executor does not preserve
+    # block order (preserve_order=False default), and codebook training
+    # must be deterministic for the differential twin / reproducible builds
+    sample = (ds.map_batches(take_sample, batch_format="pyarrow")
+              .to_pandas().sort_values(id_col).reset_index(drop=True))
     V = np.stack(sample[vec_col].to_numpy())[:sample_cap].astype(np.float64)
     d = V.shape[1]
     assert d % m_subspaces == 0, "dims must divide into subspaces"
@@ -465,6 +485,10 @@ def knn_pq(ds, queries: np.ndarray, codebooks: np.ndarray, k: int = 5, *,
 
     def partial_topk(t: pa.Table) -> pa.Table:
         books, tabs = ray.get(b_ref)
+        if t.num_rows == 0:
+            return _partial_topk_table(
+                np.zeros((1, 0), np.int64), np.zeros(0, np.int64), k,
+                id_col, "adc")
         ids = t[id_col].to_numpy()
         V = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
         Vi = np.floor(V * grid + 0.5).astype(np.int64)

@@ -64,6 +64,11 @@ def train_logreg_gd(ds, *, iters: int = 2, lr: float = 0.5,
 
         def partial(t: pa.Table) -> pa.Table:
             wv = ray.get(w_ref)
+            if t.num_rows == 0:
+                return pa.table({"n": pa.array([0], pa.int64()),
+                                 "g0": pa.array([0], pa.int64()),
+                                 "g1": pa.array([0], pa.int64()),
+                                 "g2": pa.array([0], pa.int64())})
             X, y = _features(t, text_col, label_col, pos_label)
             z = wv[0] + X[:, 1] * wv[1] + X[:, 2] * wv[2]
             p = 0.5 + z / (2 * (1 + np.abs(z)))

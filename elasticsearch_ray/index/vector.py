@@ -44,6 +44,9 @@ def build_vector_index(ds, out_dir: str, *, bits: int = 8,
     m = embedding_max_abs(ds, vec_col=vec_col)
 
     def quantize_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.list_(pa.int8()))})
         V = np.stack(t[vec_col].to_numpy(zero_copy_only=False))
         Vq = _quantize(V, m, qmax).astype(np.int8)
         return pa.table({
@@ -91,6 +94,10 @@ def search_vector_index(index_dir: str, queries: np.ndarray,
 
     def partial(t: pa.Table) -> pa.Table:
         Qm = ray.get(q_ref)
+        if t.num_rows == 0:
+            return _partial_topk_table(
+                np.zeros((1, 0), np.int64), np.zeros(0, np.int64), k,
+                id_col, "qdot")
         ids = t[id_col].to_numpy()
         Vq = np.stack(t["codes"].to_numpy(zero_copy_only=False)).astype(np.int64)
         S = Qm @ Vq.T

@@ -6492,13 +6492,14 @@ def cat_templates(sf_dir: str):
     (name, comma-joined patterns, order)."""
     from ..index import templates as TP
 
-    TP.put_template("logs", ["logs-*"], {"number_of_shards": 2}, order=0)
-    TP.put_template("logs-special", ["logs-special-*"],
+    TP.put_template("catdemo", ["catdemo-*"], {"number_of_shards": 2},
+                    order=0)
+    TP.put_template("catdemo-special", ["catdemo-special-*"],
                     {"number_of_shards": 4}, order=5)
     rows = sorted((TP.get_template(n)["name"],
                    ",".join(TP.get_template(n)["patterns"]),
                    TP.get_template(n)["order"])
-                  for n in ("logs", "logs-special"))
+                  for n in ("catdemo", "catdemo-special"))
     return pd.DataFrame({
         "name": [r[0] for r in rows],
         "patterns": [r[1] for r in rows],
