@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msearch_template", "ingest_simulate", "cat_templates",
         "cat_snapshots", "ft_clear_scroll", "indices_close_open",
         "grok_patterns", "script_languages", "ft_alias_routing",
+        "ft_sort_nested_mode",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1730,6 +1731,12 @@ hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data')
 SELECT d.doc_id FROM documents d JOIN hits USING (doc_id)
 WHERE d.source = 'src3'
 ORDER BY d.doc_id""",
+        "ft_sort_nested_mode": """
+SELECT l_orderkey AS o_orderkey, MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+FROM lineitem GROUP BY 1
+ORDER BY min_price, o_orderkey LIMIT 15""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

@@ -6636,3 +6636,37 @@ def ft_alias_routing(sf_dir: str):
     out = (_ds(sf_dir, "documents", ["doc_id", "source", "text"])
            .map_batches(routed_filtered, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ft_sort_nested_mode(sf_dir: str):
+    """Nested sort with sort modes (FieldSortBuilder#sortMode + nested sort
+    path, SearchModule.java:604): parents (orders) ranked by an aggregate
+    over their nested children (lineitems) — mode=min drives the order,
+    max/sum returned alongside. The child rollup is one distributed
+    groupby(parent) aggregate; sum is exact integer cents so the gate
+    hash never drifts with fold order."""
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["l_extendedprice"], 100.0),
+                                    0.5)), pa.int64())
+        t = t.append_column("price_cents", c)
+        # batch-local combine (the pre-aggregation pattern): the exchange
+        # carries one row per (block, parent), not per child. min/max/sum
+        # are mergeable, so the fold is exact in any order; at 100 TB the
+        # final fold is a groupby over the already-tiny partials.
+        return t.group_by("l_orderkey").aggregate(
+            [("l_extendedprice", "min"), ("l_extendedprice", "max"),
+             ("price_cents", "sum")])
+
+    parts = (_ds(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    g = (parts.groupby("l_orderkey", as_index=False)
+         .agg(min_price=("l_extendedprice_min", "min"),
+              max_price=("l_extendedprice_max", "max"),
+              sum_cents=("price_cents_sum", "sum")))
+    g = g.rename(columns={"l_orderkey": "o_orderkey"})
+    g = g.sort_values(["min_price", "o_orderkey"]).head(15).reset_index(drop=True)
+    g["o_orderkey"] = g["o_orderkey"].astype("int64")
+    g["sum_cents"] = g["sum_cents"].astype("int64")
+    return g[["o_orderkey", "min_price", "max_price", "sum_cents"]]
