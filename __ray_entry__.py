@@ -96,7 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msearch_template", "ingest_simulate", "cat_templates",
         "cat_snapshots", "ft_clear_scroll", "indices_close_open",
         "grok_patterns", "script_languages", "ft_alias_routing",
-        "ft_sort_nested_mode",
+        "ft_sort_nested_mode", "exists_apis",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1737,6 +1737,16 @@ SELECT l_orderkey AS o_orderkey, MIN(l_extendedprice) AS min_price,
        SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_cents
 FROM lineitem GROUP BY 1
 ORDER BY min_price, o_orderkey LIMIT 15""",
+        "exists_apis": """
+SELECT kind, name, exists FROM (VALUES
+  ('index', 'documents', 1::BIGINT), ('index', 'nope', 0),
+  ('alias', 'docs-read', 1), ('alias', 'docs-write', 0),
+  ('template', 'existsdemo', 1), ('template', 'missing-tpl', 0),
+  ('doc', '3', (SELECT count(*) FROM documents WHERE doc_id = 3)::BIGINT),
+  ('doc', '999999999',
+   (SELECT count(*) FROM documents WHERE doc_id = 999999999)::BIGINT))
+  t(kind, name, exists)
+ORDER BY kind, name""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

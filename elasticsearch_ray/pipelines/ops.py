@@ -6670,3 +6670,52 @@ def ft_sort_nested_mode(sf_dir: str):
     g["o_orderkey"] = g["o_orderkey"].astype("int64")
     g["sum_cents"] = g["sum_cents"].astype("int64")
     return g[["o_orderkey", "min_price", "max_price", "sum_cents"]]
+
+
+def exists_apis(sf_dir: str):
+    """HEAD existence surface (indices.exists / exists_alias /
+    exists_template / document exists — the Rest*ExistsAction family):
+    one row per (kind, name) probe against the real registries — the
+    committed index directory, the alias state file, the template
+    registry, and a doc_id point read."""
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ..index import templates as TP
+    from ..index.reshape import create_alias, delete_alias
+    from .fulltext import documents_index
+
+    idx = documents_index(sf_dir)
+    base = os.path.join("/tmp/esray_cache",
+                        "exists_" + hashlib.sha1(idx.encode()).hexdigest()[:12])
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    create_alias(base, "docs-read", "documents")
+    TP.put_template("existsdemo", ["existsdemo-*"], {"x": 1})
+
+    def doc_exists(did: int) -> bool:
+        return (_ds(sf_dir, "documents", ["doc_id"],
+                    flt=pc.field("doc_id") == did).count() > 0)
+
+    def alias_exists(a: str) -> bool:
+        return os.path.exists(os.path.join(base, f"{a}.alias.json"))
+
+    rows = [
+        ("index", "documents", int(os.path.isdir(idx))),
+        ("index", "nope", 0),
+        ("alias", "docs-read", int(alias_exists("docs-read"))),
+        ("alias", "docs-write", int(alias_exists("docs-write"))),
+        ("template", "existsdemo", int(TP.get_template("existsdemo") is not None)),
+        ("template", "missing-tpl", int(TP.get_template("missing-tpl") is not None)),
+        ("doc", "3", int(doc_exists(3))),
+        ("doc", "999999999", int(doc_exists(999_999_999))),
+    ]
+    delete_alias(base, "docs-read")
+    TP.delete_template("existsdemo")
+    return pd.DataFrame({
+        "kind": [r[0] for r in rows],
+        "name": [r[1] for r in rows],
+        "exists": pd.array([r[2] for r in rows], dtype="int64"),
+    })
