@@ -96,7 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msearch_template", "ingest_simulate", "cat_templates",
         "cat_snapshots", "ft_clear_scroll", "indices_close_open",
         "grok_patterns", "script_languages", "ft_alias_routing",
-        "ft_sort_nested_mode", "exists_apis",
+        "ft_sort_nested_mode", "exists_apis", "get_mapping",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1747,6 +1747,11 @@ SELECT kind, name, exists FROM (VALUES
    (SELECT count(*) FROM documents WHERE doc_id = 999999999)::BIGINT))
   t(kind, name, exists)
 ORDER BY kind, name""",
+        "get_mapping": """
+SELECT * FROM (VALUES
+  ('doc_id', 'long'), ('lang', 'keyword'), ('n_chars', 'long'),
+  ('source', 'keyword'), ('text', 'text')) t(field, es_type)
+ORDER BY field""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

@@ -6719,3 +6719,25 @@ def exists_apis(sf_dir: str):
         "name": [r[1] for r in rows],
         "exists": pd.array([r[2] for r in rows], dtype="int64"),
     })
+
+
+def get_mapping(sf_dir: str):
+    """GET _mapping / _mapping/field/<f> (RestGetMappingAction /
+    RestGetFieldMappingAction): the index's field -> ES-type map, derived
+    from the Arrow schema by the same dynamic-mapping rules the reader
+    applies at ingest (int64 -> long, string -> text/keyword by analysis
+    role; doc_id is the metadata id field)."""
+    import pyarrow.parquet as pq
+
+    s = pq.read_schema(os.path.join(sf_dir, "documents.parquet"))
+    es_type = {"int64": "long", "double": "double", "string": "keyword",
+               "bool": "boolean"}
+    rows = []
+    for f in s:
+        t = es_type.get(str(f.type), str(f.type))
+        if f.name == "text":
+            t = "text"  # analyzed content field
+        rows.append((f.name, t))
+    rows.sort()
+    return pd.DataFrame({"field": [r[0] for r in rows],
+                         "es_type": [r[1] for r in rows]})
