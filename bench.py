@@ -147,8 +147,9 @@ def run_bench() -> dict:
     # builds/queries: the first pass pays actor-pool spin-up and any
     # noisy-neighbor stall, the min is the repeatable number
     op_names = ("agg_terms", "agg_date_histogram", "agg_cardinality",
-                "dedup_exact", "knn_bruteforce", "text_quality", "top_terms",
-                "lm_perplexity")
+                "dedup_exact", "knn_bruteforce", "knn_scalar_quantized",
+                "text_quality", "top_terms", "lm_perplexity",
+                "classifier_train_gd")
     for name in op_names:
         best = float("inf")
         for _ in range(2):
