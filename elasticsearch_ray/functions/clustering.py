@@ -222,6 +222,13 @@ def embedding_second_moments(ds, *, vec_col: str = "embedding",
             rows_i.append(i + 1)
             rows_j.append(j + 1)
             nums.append(n * sxy[i][j] - sx[i] * sx[j])
+    # the python-int FOLD is exact at any size, but the int64 OUTPUT bounds
+    # n: cov_num ~ n^2 * (scale*x)^2 passes 2^63 around a few million rows
+    # at scale=1e4 — fail loudly rather than wrap, and advise the knob
+    if nums and max(abs(v) for v in nums) >= (1 << 63):
+        raise OverflowError(
+            "covariance numerator exceeds int64 — lower `scale` (the grid "
+            "is exact at any resolution) or shard the moment pass")
     return pd.DataFrame({
         "i": pd.array(rows_i, dtype="int64"),
         "j": pd.array(rows_j, dtype="int64"),

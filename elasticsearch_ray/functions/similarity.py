@@ -433,10 +433,18 @@ def train_pq(ds, *, m_subspaces: int = 8, k_centroids: int = 16,
     so downstream code assignment and ADC scoring are all-integer —
     bit-identical under any partitioning. Codebook size is tiny
     (m * k * dim/m floats) and ships by value."""
+    # size the draw to the dataset: expected ~sample_cap survivors, so the
+    # driver collect is BOUNDED at any corpus size (n // m keeps it O(cap))
+    n_rows = ds.count()
+    m = np.uint64(max(1, n_rows // sample_cap))
+
     def take_sample(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy()
-        keep = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(4) == 0
-        return t.filter(pa.array(keep))
+        # multiplicative hash, HIGH bits: the Knuth constant is 1 (mod 4),
+        # so taking the product mod a small power of two degenerates to a
+        # stride sample (ids % m) — shift the mixed bits down first
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(16)
+        return t.filter(pa.array(h % m == 0))
 
     # sort the sample by id: Ray's streaming executor does not preserve
     # block order (preserve_order=False default), and codebook training

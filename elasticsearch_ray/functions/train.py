@@ -38,7 +38,11 @@ def _features(t: pa.Table, text_col: str, label_col: str,
         L = len(s)
         if L == 0:
             continue
-        X[i, 1] = sum(1 for c in s if c.isalpha()) / L
+        # ASCII letter range EXACTLY (not str.isalpha(), which is Unicode-
+        # aware): the SQL twin counts [a-zA-Z], and one accented letter
+        # would silently desync the fixed-point gradient snap
+        a = sum(1 for c in s if "a" <= c <= "z" or "A" <= c <= "Z")
+        X[i, 1] = a / L
         X[i, 2] = s.count(" ") / L
     y = (np.asarray(t[label_col].to_pylist()) == pos_label).astype(np.float64)
     return X, y

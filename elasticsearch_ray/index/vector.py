@@ -38,7 +38,14 @@ def build_vector_index(ds, out_dir: str, *, bits: int = 8,
     man_path = os.path.join(out_dir, MANIFEST)
     if os.path.exists(man_path):
         with open(man_path) as f:
-            return json.load(f)
+            man = json.load(f)
+        if man.get("bits") != bits or man.get("id_col") != id_col:
+            raise ValueError(
+                f"committed index at {out_dir} was built with "
+                f"bits={man.get('bits')}, id_col={man.get('id_col')!r}; "
+                f"requested bits={bits}, id_col={id_col!r} — use a new "
+                "out_dir or delete the old index")
+        return man
 
     qmax = (1 << (bits - 1)) - 1
     m = embedding_max_abs(ds, vec_col=vec_col)

@@ -6226,9 +6226,10 @@ def _query_vectors(sf_dir: str, qids: list[int]) -> np.ndarray:
     import pyarrow.dataset as pads
 
     t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    want = set(qids)
     vecs = {int(i): v for i, v in
             zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
-            if int(i) in set(qids)}
+            if int(i) in want}
     return np.array([vecs[q] for q in qids], dtype=np.float64)
 
 
@@ -6566,7 +6567,12 @@ def indices_close_open(sf_dir: str):
     IndicesOptions.strictExpandOpen): a closed index drops out of wildcard
     resolution (docs-* term search loses its hits) and rejoins after
     reopen; phases are (0 open, 1 docs-other closed, 2 reopened)."""
-    m = _multi_index_searcher(sf_dir)
+    from ..search.multi import MultiIndexSearcher
+
+    # PRIVATE searcher over the same loaded per-index engines: mutating the
+    # module-cached singleton's closed-set would drop docs-other for any
+    # other gate running in this process mid-close
+    m = MultiIndexSearcher(_multi_index_searcher(sf_dir).indices)
     q = {"kind": "term", "term": "data"}
     rows = [(0, len(m.search_all("docs-*", q)))]
     m.close_index("docs-other")

@@ -33,14 +33,19 @@ class _ScrollCtx:
 class ScrollRegistry:
     def __init__(self):
         self._ctx: dict[str, _ScrollCtx] = {}
+        # monotonic nonce: len(self._ctx) would REUSE a live scroll's id
+        # after an older one is cleared (open a, open b, clear a, open c
+        # -> c would clobber b's context)
+        self._n = 0
 
     def open(self, sf_dir: str, *, table: str = "orders",
              key_col: str = "o_orderkey", sort_col: str = "o_totalprice",
              page_size: int = 15) -> str:
         ctx = _ScrollCtx(sf_dir, table, key_col, sort_col, page_size)
+        self._n += 1
         sid = hashlib.sha1(
-            f"{sf_dir}:{table}:{sort_col}:{len(self._ctx)}".encode()
-        ).hexdigest()[:24]
+            f"{sf_dir}:{table}:{key_col}:{sort_col}:{page_size}:{self._n}"
+            .encode()).hexdigest()[:24]
         self._ctx[sid] = ctx
         return sid
 
