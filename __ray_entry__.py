@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cat_snapshots", "ft_clear_scroll", "indices_close_open",
         "grok_patterns", "script_languages", "ft_alias_routing",
         "ft_sort_nested_mode", "exists_apis", "get_mapping",
+        "training_mix_budget",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1752,6 +1753,15 @@ SELECT * FROM (VALUES
   ('doc_id', 'long'), ('lang', 'keyword'), ('n_chars', 'long'),
   ('source', 'keyword'), ('text', 'text')) t(field, es_type)
 ORDER BY field""",
+        "training_mix_budget": """
+WITH c AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS tokens
+  FROM documents),
+w AS (SELECT doc_id, source, tokens,
+             SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM c)
+SELECT doc_id, source, tokens FROM w WHERE cum <= 400 ORDER BY doc_id""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

@@ -6747,3 +6747,38 @@ def get_mapping(sf_dir: str):
     rows.sort()
     return pd.DataFrame({"field": [r[0] for r in rows],
                          "es_type": [r[1] for r in rows]})
+
+
+def training_mix_budget(sf_dir: str):
+    """Token-budget mixture sampling (the 'sample each source until its
+    token budget is spent' step of training-data mixing, e.g. The Pile /
+    LLaMA data prep): whitespace token counts per doc, cumulative sum per
+    source in doc_id order, keep while the running total stays within the
+    per-source budget. One groupby(source).map_groups pass — each group
+    sorts only its own docs, and the exchange carries (doc_id, source,
+    tokens), never text."""
+    budget = 400
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        import re
+
+        ws = re.compile(r"\s+")
+        toks = [len([w for w in ws.split(s) if w]) for s in
+                t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "tokens": pa.array(toks, pa.int64())})
+
+    def keep_within_budget(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        cum = g["tokens"].cumsum()
+        return g[cum <= budget]
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "source", "text"])
+           .map_batches(count_tokens, batch_format="pyarrow")
+           .groupby("source")
+           .map_groups(keep_within_budget, batch_format="pandas")
+           .to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["tokens"] = out["tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "source", "tokens"]]
