@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
-        "ft_routed_term", "knn_binary_quantized", "knn_pq",
+        "ft_routed_term", "knn_binary_quantized",
         "knn_sq_indexed", "classifier_train_gd",
         "cat_count", "ft_get_source", "ft_render_template",
         "msearch_template", "ingest_simulate", "cat_templates",
@@ -109,7 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize", "asof_join_events_orders",
         "range_join_events_windows", "sliding_window_counts",
         "rank_eval_metrics", "dedup_components", "dedup_keep_one",
-        "lm_perplexity", "dsir_weights", "lm_perplexity_bigram",
+        "lm_perplexity", "dsir_weights", "lm_perplexity_bigram", "knn_pq",
         "dsir_resample", "nb_domain_classify", "tfidf_keywords",
         "pmi_collocations", "doc_chunks",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
