@@ -97,7 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cat_snapshots", "ft_clear_scroll", "indices_close_open",
         "grok_patterns", "script_languages", "ft_alias_routing",
         "ft_sort_nested_mode", "exists_apis", "get_mapping",
-        "training_mix_budget",
+        "training_mix_budget", "ft_rank_feature_log_sigmoid",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1762,6 +1762,12 @@ w AS (SELECT doc_id, source, tokens,
              SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
       FROM c)
 SELECT doc_id, source, tokens FROM w WHERE cum <= 400 ORDER BY doc_id""",
+        "ft_rank_feature_log_sigmoid": """
+SELECT doc_id,
+       ROUND(ln(2.0 + n_chars), 4) AS s_log,
+       ROUND(pow(n_chars, 0.6) / (pow(n_chars, 0.6) + pow(200.0, 0.6)), 4)
+         AS s_sigmoid
+FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

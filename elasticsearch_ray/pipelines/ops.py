@@ -6782,3 +6782,24 @@ def training_mix_budget(sf_dir: str):
     out["tokens"] = out["tokens"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "source", "tokens"]]
+
+
+def ft_rank_feature_log_sigmoid(sf_dir: str):
+    """rank_feature's remaining score functions (RankFeatureQueryBuilder:
+    log with scaling_factor, sigmoid with pivot+exponent; saturation is
+    gated separately): both evaluated over the n_chars feature for
+    doc_id < 20."""
+    s = documents_searcher(sf_dir)
+    ids_l, sc_l = s._eval({"kind": "rank_feature", "field": "n_chars",
+                           "function": "log", "scaling_factor": 2.0})
+    ids_s, sc_s = s._eval({"kind": "rank_feature", "field": "n_chars",
+                           "function": "sigmoid", "pivot": 200.0,
+                           "exponent": 0.6})
+    lmap = dict(zip(ids_l.tolist(), sc_l.tolist()))
+    smap = dict(zip(ids_s.tolist(), sc_s.tolist()))
+    keep = sorted(d for d in lmap if d < 20)
+    return pd.DataFrame({
+        "doc_id": pd.array(keep, dtype="int64"),
+        "s_log": [float(round_half_away(lmap[d], 4)) for d in keep],
+        "s_sigmoid": [float(round_half_away(smap[d], 4)) for d in keep],
+    })
