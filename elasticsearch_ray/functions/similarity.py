@@ -519,3 +519,82 @@ def knn_pq(ds, queries: np.ndarray, codebooks: np.ndarray, k: int = 5, *,
     df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return df
+
+
+def knn_ivf_pq(ds, queries: np.ndarray, k: int = 5, *, n_centroids: int = 16,
+               nprobe: int = 4, seed: int = 7, m_subspaces: int = 8,
+               k_centroids: int = 16, pq_iters: int = 3,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               grid: int = 10_000) -> pd.DataFrame:
+    """IVF-PQ (the composed production ANN shape, Jegou 2011 §IV): a coarse
+    k-means quantizer routes vectors into inverted lists (IvfIndexStage),
+    each query probes only its `nprobe` nearest lists, and candidates are
+    scored by the integer ADC dot against broadcast PQ codebooks — the
+    scan touches m bytes per probed vector instead of 4*dim. Both trainers
+    run on bounded samples; the per-batch kernel masks out rows whose list
+    the query does not probe, so one pass serves every query."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    sample = ds.limit(2048).to_pandas()
+    Vs = np.stack(sample[vec_col].to_numpy()).astype(np.float32)
+    C = _kmeans(Vs, min(n_centroids, Vs.shape[0]), seed=seed)
+    stage = IvfIndexStage(C, vec_col)
+    assigned = ds.map_batches(stage, batch_format="pyarrow")
+
+    Q = np.asarray(queries, dtype=np.float64)
+    dq = ((Q.astype(np.float32)[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(dq, axis=1)[:, :nprobe]
+    wanted = pa.array(sorted(set(probes.flatten().tolist())), pa.int64())
+    sub = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["centroid"], value_set=wanted)),
+        batch_format="pyarrow",
+    ).select_columns([id_col, vec_col, "centroid"])
+
+    books = train_pq(ds, m_subspaces=m_subspaces, k_centroids=k_centroids,
+                     iters=pq_iters, vec_col=vec_col, id_col=id_col,
+                     grid=grid)
+    m_sub, k_cent, sub_d = books.shape
+    Qi = np.floor(Q * grid + 0.5).astype(np.int64)
+    tables = np.einsum("qmd,mkd->qmk", Qi.reshape(Qi.shape[0], m_sub, sub_d),
+                       books)
+    probe_sets = [set(int(b) for b in probes[qi]) for qi in range(Q.shape[0])]
+    b_ref = ray.put((books, tables, probe_sets))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        books_, tabs, psets = ray.get(b_ref)
+        if t.num_rows == 0:
+            return _partial_topk_table(np.zeros((1, 0), np.int64),
+                                       np.zeros(0, np.int64), k, id_col,
+                                       "adc")
+        ids = t[id_col].to_numpy()
+        cents = t["centroid"].to_numpy()
+        V = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Vi = np.floor(V * grid + 0.5).astype(np.int64)
+        n = Vi.shape[0]
+        codes = np.zeros((n, m_sub), dtype=np.int64)
+        for mi in range(m_sub):
+            X = Vi[:, mi * sub_d:(mi + 1) * sub_d]
+            d2 = ((X[:, None, :] - books_[mi][None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = d2.argmin(axis=1)
+        S = np.zeros((len(psets), n), dtype=np.int64)
+        for mi in range(m_sub):
+            S += tabs[:, mi, :][:, codes[:, mi]]
+        # mask rows whose inverted list this query does not probe
+        LOW = np.int64(-(1 << 62))
+        for qi, ps in enumerate(psets):
+            mask = np.array([int(c) not in ps for c in cents])
+            S[qi, mask] = LOW
+        out = _partial_topk_table(S, ids, k, id_col, "adc")
+        import pyarrow.compute as _pc
+
+        return out.filter(_pc.greater(out["adc"], LOW))
+
+    df = sub.map_batches(partial_topk, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
+    df = df.sort_values(["query_id", "adc", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df

@@ -6803,3 +6803,14 @@ def ft_rank_feature_log_sigmoid(sf_dir: str):
         "s_log": [float(round_half_away(lmap[d], 4)) for d in keep],
         "s_sigmoid": [float(round_half_away(smap[d], 4)) for d in keep],
     })
+
+
+def knn_ivf_pq(sf_dir: str):
+    """IVF-PQ composed ANN (coarse inverted lists + integer-ADC rerank —
+    functions/similarity.knn_ivf_pq): the production shape at 10^12
+    vectors, probing nprobe/16 of the lists and reading m=8 bytes per
+    probed vector. Rows-only (both trainers are iterative k-means); the
+    recall and determinism tests carry correctness."""
+    Q = _query_vectors(sf_dir, [0, 1, 2])
+    out = S.knn_ivf_pq(_ds(sf_dir, "embeddings"), Q, k=5)
+    return out[["query_id", "vec_id", "adc"]]

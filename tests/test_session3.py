@@ -477,3 +477,45 @@ def test_fuzz_vector_ladder_partition_invariance():
             order = sorted(zip(-S[qi], ids))[:k]
             sub = got[got["query_id"] == qi].sort_values("rank")
             assert sub["qdot"].tolist() == [int(-s) for s, _ in order]
+
+
+def test_ivf_pq_recall_and_determinism():
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.similarity import knn_ivf_pq
+
+    ids, V = _embeddings()
+    Q = V[:3]
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    a = knn_ivf_pq(ds, Q, k=10).reset_index(drop=True)
+    b = knn_ivf_pq(ds.repartition(6), Q, k=10).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # list routing + ADC deterministic
+    Se = Q @ V.T
+    overlap = 0
+    for qi in range(3):
+        top_e = set(ids[np.argsort(-Se[qi], kind="stable")[:10]].tolist())
+        overlap += len(top_e & set(a[a["query_id"] == qi]["vec_id"]))
+    assert overlap >= 9  # nprobe=4/16 lists + PQ loss: meaningful recall
+
+
+def test_vector_index_stale_tmp_resume(tmp_path):
+    import ray.data as rd
+
+    from elasticsearch_ray.index.vector import (build_vector_index,
+                                                search_vector_index)
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    out_dir = str(tmp_path / "vecidx")
+    # simulate a crashed earlier build: stale tmp with garbage
+    import os
+    os.makedirs(out_dir + ".tmp/codes", exist_ok=True)
+    with open(out_dir + ".tmp/garbage", "w") as f:
+        f.write("partial")
+    man = build_vector_index(ds, out_dir)
+    assert man["bits"] == 8 and not os.path.exists(out_dir + ".tmp")
+    _, V = _embeddings()
+    got = search_vector_index(out_dir, V[:1], k=3)
+    assert got["vec_id"].iloc[0] == 0  # self top-1
+    # arg-mismatch reuse must fail loudly, not serve the wrong grid
+    with pytest.raises(ValueError):
+        build_vector_index(ds, out_dir, bits=4)

@@ -82,8 +82,43 @@ def main() -> int:
             if got != want:
                 fails += 1
                 print(f"SPAN MISMATCH seed={seed} #{qi}: {q}")
+        # vector-ladder sweep: random vectors/dims/k, repartition
+        # invariance + scalar-quantized serial-twin equality per seed
+        import pandas as pd
+        import ray.data as rd
+
+        from elasticsearch_ray.functions.similarity import (
+            knn_binary_quantized, knn_scalar_quantized)
+
+        for vi in range(4):
+            nv = int(rng.integers(50, 300))
+            dim = int(rng.choice([8, 16, 32]))
+            kk = int(rng.integers(2, 7))
+            V = rng.standard_normal((nv, dim)) * rng.uniform(0.1, 3.0)
+            ids_v = rng.permutation(nv).astype(np.int64)
+            dsv = rd.from_pandas(pd.DataFrame({"vec_id": ids_v,
+                                               "embedding": list(V)}))
+            Q = V[:2]
+            for fn in (knn_scalar_quantized, knn_binary_quantized):
+                a = fn(dsv, Q, k=kk).reset_index(drop=True)
+                b = fn(dsv.repartition(int(rng.integers(2, 8))), Q,
+                       k=kk).reset_index(drop=True)
+                if not a.equals(b):
+                    fails += 1
+                    print(f"VECTOR INVARIANCE MISMATCH seed={seed} #{vi}")
+            m = float(np.abs(V).max())
+            Xq = np.clip(np.floor(V / m * 127 + 0.5), -127, 127).astype(np.int64)
+            Qq = np.clip(np.floor(Q / m * 127 + 0.5), -127, 127).astype(np.int64)
+            S = Qq @ Xq.T
+            got = knn_scalar_quantized(dsv, Q, k=kk)
+            for qi2 in range(2):
+                order = sorted(zip(-S[qi2], ids_v))[:kk]
+                sub = got[got["query_id"] == qi2].sort_values("rank")
+                if sub["qdot"].tolist() != [int(-s) for s, _ in order]:
+                    fails += 1
+                    print(f"VECTOR TWIN MISMATCH seed={seed} #{vi}")
         print(f"seed {seed}: done (cumulative fails: {fails})")
-    print(f"TOTAL: {len(seeds) * 160} cases, {fails} failures")
+    print(f"TOTAL: {len(seeds) * 176} cases, {fails} failures")
     ray.shutdown()
     return 1 if fails else 0
 
