@@ -519,3 +519,64 @@ def test_vector_index_stale_tmp_resume(tmp_path):
     # arg-mismatch reuse must fail loudly, not serve the wrong grid
     with pytest.raises(ValueError):
         build_vector_index(ds, out_dir, bits=4)
+
+
+# ---------------- hypothesis properties (pure kernels) ----------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(-100, 100, allow_nan=False), min_size=1,
+                max_size=40))
+def test_quantize_bounds_and_monotone(vals):
+    from elasticsearch_ray.functions.similarity import _quantize
+
+    V = np.array(vals)[None, :]
+    m = float(np.abs(V).max())
+    q = _quantize(V, m, 127)[0]
+    assert q.min() >= -127 and q.max() <= 127
+    order = np.argsort(V[0], kind="stable")
+    assert (np.diff(q[order]) >= 0).all()  # monotone in the input
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 8), st.integers(1, 30), st.integers(0, 2 ** 31))
+def test_partial_topk_keeps_every_global_topk(k, n, seed):
+    from elasticsearch_ray.functions.similarity import _partial_topk_table
+
+    rng = np.random.default_rng(seed)
+    S = rng.integers(-5, 6, size=(2, n)).astype(np.int64)  # many ties
+    ids = rng.permutation(n).astype(np.int64)
+    out = _partial_topk_table(S, ids, k, "vec_id", "s")
+    df = out.to_pandas()
+    for qi in range(2):
+        kept = set(df[df["query_id"] == qi]["vec_id"])
+        # global top-k under (score desc, id asc) MUST be a subset
+        order = sorted(zip(-S[qi], ids))[:min(k, n)]
+        assert {int(i) for _, i in order} <= kept
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2 ** 31))
+def test_rrf_fuse_list_order_invariant(seed):
+    from elasticsearch_ray.functions.similarity import rrf_fuse
+
+    rng = np.random.default_rng(seed)
+    a = pd.DataFrame({"id": rng.permutation(20)[:8],
+                      "rank": np.arange(1, 9)})
+    b = pd.DataFrame({"id": rng.permutation(30)[:5],
+                      "rank": np.arange(1, 6)})
+    x = rrf_fuse([a, b], id_col="id", k=10)
+    y = rrf_fuse([b, a], id_col="id", k=10)
+    pd.testing.assert_frame_equal(x, y)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(min_size=0, max_size=40), st.integers(1, 16))
+def test_shard_for_range_any_string(s, n):
+    from elasticsearch_ray.index.routing import shard_for
+
+    assert 0 <= shard_for(s, n) < n
