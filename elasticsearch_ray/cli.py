@@ -73,6 +73,35 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_vector_build(args) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .index.vector import build_vector_index
+
+    t0 = time.time()
+    ds = rd.read_parquet(args.input)
+    man = build_vector_index(ds, args.out, bits=args.bits,
+                             vec_col=args.vec_col, id_col=args.id_col)
+    print(json.dumps({**man, "seconds": round(time.time() - t0, 2)}))
+    return 0
+
+
+def cmd_vector_search(args) -> int:
+    _init_ray(args.num_cpus)
+    import numpy as np
+
+    from .index.vector import search_vector_index
+
+    q = np.array(json.loads(args.query), dtype=float)
+    if q.ndim == 1:
+        q = q[None, :]
+    out = search_vector_index(args.index, q, k=args.k)
+    print(json.dumps({"total": len(out),
+                      "hits": out.to_dict(orient="records")}))
+    return 0
+
+
 def cmd_merge(args) -> int:
     _init_ray(args.num_cpus)
     from .index.merge import force_merge, gc_merged
@@ -193,6 +222,26 @@ def main(argv=None) -> int:
     ro.add_argument("--max-size-bytes", type=int, default=None)
     ro.add_argument("--dry-run", action="store_true")
     ro.set_defaults(fn=cmd_rollover)
+
+    vb = sub.add_parser("vector-build", help="build (or reuse) a persisted "
+                        "int8 quantized vector index from a parquet "
+                        "embedding table")
+    vb.add_argument("--input", required=True)
+    vb.add_argument("--out", required=True)
+    vb.add_argument("--bits", type=int, default=8)
+    vb.add_argument("--vec-col", default="embedding")
+    vb.add_argument("--id-col", default="vec_id")
+    vb.add_argument("--num-cpus", type=int, default=None)
+    vb.set_defaults(fn=cmd_vector_build)
+
+    vs = sub.add_parser("vector-search", help="integer-dot top-k over a "
+                        "persisted vector index")
+    vs.add_argument("--index", required=True)
+    vs.add_argument("--query", required=True,
+                    help="JSON vector or list of vectors")
+    vs.add_argument("--k", type=int, default=5)
+    vs.add_argument("--num-cpus", type=int, default=None)
+    vs.set_defaults(fn=cmd_vector_search)
 
     args = p.parse_args(argv)
     if getattr(args, "cmd", None) == "snapshot":
