@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grok_patterns", "script_languages", "ft_alias_routing",
         "ft_sort_nested_mode", "exists_apis", "get_mapping",
         "training_mix_budget", "ft_rank_feature_log_sigmoid",
+        "corpus_diff",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1768,6 +1769,25 @@ SELECT doc_id,
        ROUND(pow(n_chars, 0.6) / (pow(n_chars, 0.6) + pow(200.0, 0.6)), 4)
          AS s_sigmoid
 FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
+        "corpus_diff": """
+WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2marker'
+                  ELSE text END) AS h2
+  FROM documents WHERE doc_id % 31 <> 0
+  UNION ALL
+  SELECT (SELECT count(*) FROM documents) + 1000 + i AS doc_id,
+         md5('new doc ' || i::VARCHAR) AS h2
+  FROM (SELECT unnest(range(0, 10)) AS i)),
+j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+SELECT status, count(*)::BIGINT AS n FROM (
+  SELECT CASE WHEN h1 IS NULL THEN 'added'
+              WHEN h2 IS NULL THEN 'removed'
+              WHEN h1 = h2 THEN 'same' ELSE 'changed' END AS status
+  FROM j)
+GROUP BY status ORDER BY status""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

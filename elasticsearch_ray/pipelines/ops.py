@@ -6814,3 +6814,60 @@ def knn_ivf_pq(sf_dir: str):
     Q = _query_vectors(sf_dir, [0, 1, 2])
     out = S.knn_ivf_pq(_ds(sf_dir, "embeddings"), Q, k=5)
     return out[["query_id", "vec_id", "adc"]]
+
+
+def corpus_diff(sf_dir: str):
+    """Corpus snapshot diffing (the incremental-crawl delta step: which
+    docs were added / removed / changed between two snapshots): v2 is
+    synthesized deterministically from v1 (drop doc_id % 31 == 0, append a
+    marker to text of doc_id % 17 == 0, add 10 fresh ids past the max),
+    both sides reduce to (doc_id, md5) per batch — the exchange carries
+    32-byte digests, never text — and a full-outer hash join classifies
+    each id. At 100 TB this is two content-hash scans + one join on
+    digests."""
+    import hashlib
+
+    def hash_v1(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "h1": pa.array([hashlib.md5(s.encode()).hexdigest()
+                            for s in t["text"].to_pylist()], pa.string()),
+        })
+
+    def synth_v2(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        out_ids, out_h = [], []
+        for i, s in zip(ids.tolist(), texts):
+            if i % 31 == 0:
+                continue  # removed in v2
+            if i % 17 == 0:
+                s = s + " v2marker"
+            out_ids.append(int(i))
+            out_h.append(hashlib.md5(s.encode()).hexdigest())
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "h2": pa.array(out_h, pa.string())})
+
+    base = _ds(sf_dir, "documents", ["doc_id", "text"])
+    v1 = base.map_batches(hash_v1, batch_format="pyarrow")
+    v2 = base.map_batches(synth_v2, batch_format="pyarrow")
+    n_docs = base.count()
+    import ray.data as rd
+
+    extra = rd.from_items([{"doc_id": int(n_docs + 1000 + i),
+                            "h2": hashlib.md5(f"new doc {i}".encode()).hexdigest()}
+                           for i in range(10)])
+    v2 = v2.union(extra)
+    j = v1.join(v2, join_type="full_outer", num_partitions=8,
+                on=("doc_id",))
+    df = j.to_pandas()
+    h1 = df["h1"] if "h1" in df else df.iloc[:, 1]
+    h2 = df["h2"] if "h2" in df else df.iloc[:, 2]
+    status = np.where(h1.isna(), "added",
+                      np.where(h2.isna(), "removed",
+                               np.where(h1 == h2, "same", "changed")))
+    out = pd.DataFrame({"status": status})
+    res = (out.groupby("status", as_index=False).size()
+           .rename(columns={"size": "n"}))
+    res["n"] = res["n"].astype("int64")
+    return res.sort_values("status").reset_index(drop=True)
