@@ -98,7 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grok_patterns", "script_languages", "ft_alias_routing",
         "ft_sort_nested_mode", "exists_apis", "get_mapping",
         "training_mix_budget", "ft_rank_feature_log_sigmoid",
-        "corpus_diff",
+        "corpus_diff", "corpus_datacard", "corpus_sample_bottomk",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1788,6 +1788,16 @@ SELECT status, count(*)::BIGINT AS n FROM (
               WHEN h1 = h2 THEN 'same' ELSE 'changed' END AS status
   FROM j)
 GROUP BY status ORDER BY status""",
+        "corpus_datacard": """
+SELECT source,
+       count(*)::BIGINT AS docs,
+       SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')))::BIGINT AS tokens,
+       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en_docs
+FROM documents GROUP BY source ORDER BY source""",
+        "corpus_sample_bottomk": """
+SELECT doc_id, md5(doc_id::VARCHAR) AS priority
+FROM documents ORDER BY priority, doc_id LIMIT 20""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

@@ -6871,3 +6871,54 @@ def corpus_diff(sf_dir: str):
            .rename(columns={"size": "n"}))
     res["n"] = res["n"].astype("int64")
     return res.sort_values("status").reset_index(drop=True)
+
+
+def corpus_datacard(sf_dir: str):
+    """Per-source data card (the governance summary every training-data
+    release ships: volume, token counts, language mix): one combined
+    per-batch partial (docs, ws-token sum, en-doc count per source) folded
+    into 20 rows — counts only in the exchange."""
+    def partial(t: pa.Table) -> pa.Table:
+        import re
+
+        ws = re.compile(r"\s+")
+        srcs = t["source"].to_pylist()
+        toks = [len([w for w in ws.split(s) if w])
+                for s in t["text"].to_pylist()]
+        en = [1 if v == "en" else 0 for v in t["lang"].to_pylist()]
+        df = pd.DataFrame({"source": srcs, "tokens": toks, "en": en})
+        g = df.groupby("source", as_index=False).agg(
+            docs=("tokens", "size"), tokens=("tokens", "sum"),
+            en_docs=("en", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (_ds(sf_dir, "documents", ["source", "text", "lang"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    out = parts.groupby("source", as_index=False).sum()
+    for c in ("docs", "tokens", "en_docs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def corpus_sample_bottomk(sf_dir: str):
+    """Distributed uniform sampling without replacement via bottom-k hash
+    priorities (the classic mergeable-sample trick: priority = md5 of the
+    id, keep the k smallest — per-batch partial bottom-k, tiny driver
+    merge; identical sample under ANY partitioning, unlike reservoir
+    state)."""
+    import hashlib
+
+    k = 20
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        pri = [hashlib.md5(str(int(i)).encode()).hexdigest()
+               for i in ids.tolist()]
+        df = pd.DataFrame({"doc_id": ids.astype(np.int64), "priority": pri})
+        df = df.sort_values(["priority", "doc_id"]).head(min(k, len(df)))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (_ds(sf_dir, "documents", ["doc_id"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    out = parts.sort_values(["priority", "doc_id"]).head(k)
+    return out.reset_index(drop=True)[["doc_id", "priority"]]
