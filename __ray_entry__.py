@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_sort_nested_mode", "exists_apis", "get_mapping",
         "training_mix_budget", "ft_rank_feature_log_sigmoid",
         "corpus_diff", "corpus_datacard", "corpus_sample_bottomk",
+        "corpus_sample_weighted",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1798,6 +1799,15 @@ FROM documents GROUP BY source ORDER BY source""",
         "corpus_sample_bottomk": """
 SELECT doc_id, md5(doc_id::VARCHAR) AS priority
 FROM documents ORDER BY priority, doc_id LIMIT 20""",
+        "corpus_sample_weighted": """
+WITH u AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS DOUBLE)
+           / 4503599627370496.0 AS uu,
+         GREATEST(n_chars::DOUBLE, 1.0) AS w
+  FROM documents)
+SELECT doc_id, ROUND(-ln(uu) / w, 10) AS key_r
+FROM u ORDER BY -ln(uu) / w, doc_id LIMIT 20""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

@@ -6922,3 +6922,32 @@ def corpus_sample_bottomk(sf_dir: str):
              .map_batches(partial, batch_format="pyarrow").to_pandas())
     out = parts.sort_values(["priority", "doc_id"]).head(k)
     return out.reset_index(drop=True)[["doc_id", "priority"]]
+
+
+def corpus_sample_weighted(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential races: key = -ln(u)/w, keep the k smallest — the
+    quality-weighted data-selection primitive): u is a hash-derived
+    uniform (first 13 md5 hex digits / 2^52), w = n_chars, so the draw is
+    deterministic, mergeable, and partition-invariant like the uniform
+    bottom-k. Keys rounded to 10 dp for the cross-engine comparison."""
+    import hashlib
+
+    k = 20
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        w = t["n_chars"].to_numpy().astype(np.float64)
+        u = np.array([int(hashlib.md5(str(int(i)).encode()).hexdigest()[:13],
+                          16) for i in ids.tolist()], dtype=np.float64)
+        u = u / float(1 << 52)
+        key = -np.log(u) / np.maximum(w, 1.0)
+        df = pd.DataFrame({"doc_id": ids.astype(np.int64), "k_": key})
+        df = df.sort_values(["k_", "doc_id"]).head(min(k, len(df)))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    out = parts.sort_values(["k_", "doc_id"]).head(k).reset_index(drop=True)
+    out["key_r"] = round_half_away(out["k_"], 10)
+    return out[["doc_id", "key_r"]]
