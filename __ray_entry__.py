@@ -99,7 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_sort_nested_mode", "exists_apis", "get_mapping",
         "training_mix_budget", "ft_rank_feature_log_sigmoid",
         "corpus_diff", "corpus_datacard", "corpus_sample_bottomk",
-        "corpus_sample_weighted",
+        "corpus_sample_weighted", "corpus_quantile_filter",
         # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
         "bpe_pair_counts", "lm_ngram_counts",
         "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
@@ -1808,6 +1808,18 @@ WITH u AS (
   FROM documents)
 SELECT doc_id, ROUND(-ln(uu) / w, 10) AS key_r
 FROM u ORDER BY -ln(uu) / w, doc_id LIMIT 20""",
+        "corpus_quantile_filter": """
+WITH vc AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+r AS (SELECT n_chars, SUM(c) OVER (ORDER BY n_chars) AS cum FROM vc),
+st AS (SELECT count(*)::DOUBLE AS n FROM documents),
+q AS (SELECT
+  (SELECT MIN(n_chars) FROM r CROSS JOIN st WHERE cum >= CEIL(0.25 * n)) AS p25,
+  (SELECT MIN(n_chars) FROM r CROSS JOIN st WHERE cum >= CEIL(0.5 * n)) AS p50,
+  (SELECT MIN(n_chars) FROM r CROSS JOIN st WHERE cum >= CEIL(0.75 * n)) AS p75)
+SELECT p25::BIGINT AS p25, p50::BIGINT AS p50, p75::BIGINT AS p75,
+       (SELECT count(*) FROM documents CROSS JOIN q
+        WHERE n_chars BETWEEN p25 AND p75)::BIGINT AS kept
+FROM q""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

@@ -6951,3 +6951,38 @@ def corpus_sample_weighted(sf_dir: str):
     out = parts.sort_values(["k_", "doc_id"]).head(k).reset_index(drop=True)
     out["key_r"] = round_half_away(out["k_"], 10)
     return out[["doc_id", "key_r"]]
+
+
+def corpus_quantile_filter(sf_dir: str):
+    """Quantile-band filtering (keep docs inside the [p25, p75] length
+    band — the 'trim the tails' curation step): EXACT distributed
+    quantiles over an integer signal via a value-count exchange (groupby
+    n_chars -> counts; the driver cumsums the tiny distinct-value table —
+    never the rows) with the explicit rank rule `smallest v whose running
+    count >= ceil(q*n)`, then one pruned filter pass counts the band."""
+    from ray.data.aggregate import Count
+
+    vc = (_ds(sf_dir, "documents", ["n_chars"])
+          .groupby("n_chars").aggregate(Count(alias_name="c")).to_pandas()
+          .sort_values("n_chars").reset_index(drop=True))
+    n = int(vc["c"].sum())
+    cum = vc["c"].cumsum()
+
+    def q_at(q: float) -> int:
+        import math
+
+        need = math.ceil(q * n)
+        return int(vc["n_chars"][int((cum >= need).idxmax())])
+
+    p25, p50, p75 = q_at(0.25), q_at(0.5), q_at(0.75)
+    import pyarrow.compute as pc
+
+    kept = _ds(sf_dir, "documents", ["doc_id", "n_chars"],
+               flt=(pc.field("n_chars") >= p25)
+               & (pc.field("n_chars") <= p75)).count()
+    return pd.DataFrame({
+        "p25": pd.array([p25], dtype="int64"),
+        "p50": pd.array([p50], dtype="int64"),
+        "p75": pd.array([p75], dtype="int64"),
+        "kept": pd.array([int(kept)], dtype="int64"),
+    })
