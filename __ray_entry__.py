@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-4 ops (driver-unchecked, oracle-bearing) ---
+        "agg_multi_terms", "agg_top_metrics", "agg_boxplot", "agg_rate",
+        "agg_string_stats", "agg_normalize", "agg_cumulative_cardinality",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -1820,6 +1823,65 @@ SELECT p25::BIGINT AS p25, p50::BIGINT AS p50, p75::BIGINT AS p75,
        (SELECT count(*) FROM documents CROSS JOIN q
         WHERE n_chars BETWEEN p25 AND p75)::BIGINT AS kept
 FROM q""",
+        "agg_multi_terms": """
+SELECT lang, source, count(*)::BIGINT AS doc_count,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY 1, 2
+ORDER BY doc_count DESC, lang, source LIMIT 10""",
+        "agg_top_metrics": """
+SELECT lang, doc_id AS top_doc, n_chars AS top_n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn = 1 ORDER BY lang""",
+        "agg_boxplot": """
+WITH vc AS (SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, n_chars,
+             SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+      FROM vc),
+st AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1)
+SELECT r.lang,
+       MIN(r.n_chars)::BIGINT AS mn,
+       MIN(CASE WHEN cum >= CEIL(0.25 * n) THEN r.n_chars END)::BIGINT AS q1,
+       MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN r.n_chars END)::BIGINT AS q2,
+       MIN(CASE WHEN cum >= CEIL(0.75 * n) THEN r.n_chars END)::BIGINT AS q3,
+       MAX(r.n_chars)::BIGINT AS mx
+FROM r JOIN st USING (lang) GROUP BY r.lang ORDER BY r.lang""",
+        "agg_rate": """
+SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count,
+       count(*)::DOUBLE / 24.0 AS rate_per_hour
+FROM events GROUP BY 1 ORDER BY 1""",
+        "agg_string_stats": """
+WITH ch AS (SELECT unnest(regexp_split_to_array(text, '')) AS c
+            FROM documents),
+cc AS (SELECT c, count(*)::DOUBLE AS cnt FROM ch GROUP BY c),
+n AS (SELECT sum(cnt) AS tot FROM cc)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS cnt,
+       (SELECT min(length(text)) FROM documents)::BIGINT AS min_len,
+       (SELECT max(length(text)) FROM documents)::BIGINT AS max_len,
+       ROUND((SELECT sum(length(text)) FROM documents)::DOUBLE
+             / (SELECT count(*) FROM documents), 6) AS avg_len,
+       ROUND(log2(tot) - (SELECT sum(cnt * log2(cnt)) FROM cc) / tot, 6)
+         AS entropy
+FROM n""",
+        "agg_normalize": """
+WITH h AS (SELECT date_trunc('day', ts) AS bucket,
+                  count(*)::BIGINT AS doc_count
+           FROM events GROUP BY 1),
+st AS (SELECT min(doc_count)::DOUBLE AS lo, max(doc_count)::DOUBLE AS hi,
+              sum(doc_count)::DOUBLE AS tot FROM h)
+SELECT bucket, doc_count,
+       ROUND((doc_count::DOUBLE - lo) / (hi - lo), 6) AS rescale_0_1,
+       ROUND(doc_count::DOUBLE / tot * 100.0, 6) AS percent_of_sum
+FROM h CROSS JOIN st ORDER BY bucket""",
+        "agg_cumulative_cardinality": """
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS fd
+           FROM events GROUP BY 1),
+h AS (SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count
+      FROM events GROUP BY 1)
+SELECT bucket, doc_count,
+       (SELECT count(*) FROM f WHERE fd <= bucket)::BIGINT AS cum_users
+FROM h ORDER BY bucket""",
         "cat_count": """
 SELECT * FROM (
   SELECT 'documents' AS index_name, count(*)::BIGINT AS docs FROM documents

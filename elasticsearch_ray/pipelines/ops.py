@@ -6986,3 +6986,192 @@ def corpus_quantile_filter(sf_dir: str):
         "p75": pd.array([p75], dtype="int64"),
         "kept": pd.array([int(kept)], dtype="int64"),
     })
+
+
+# ------- round-3 session-4: analytics aggregation batch -------
+
+
+def agg_multi_terms(sf_dir: str):
+    """multi_terms agg (MultiTermsAggregationBuilder, server 7.12+):
+    buckets keyed on the (lang, source) term TUPLE with a sum sub-metric,
+    ordered by doc_count desc then key asc, size=10. Scale shape:
+    per-batch partial groupby (combiner) -> driver merges the tiny
+    (langs x sources) partial table; the row stream is never shuffled."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["lang", "source"], as_index=False).agg(
+            dc=("n_chars", "size"), sc=("n_chars", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (_ds(sf_dir, "documents", ["lang", "source", "n_chars"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    out = parts.groupby(["lang", "source"], as_index=False).sum()
+    out["doc_count"] = out["dc"].astype("int64")
+    out["sum_chars"] = out["sc"].astype("int64")
+    out = out.sort_values(["doc_count", "lang", "source"],
+                          ascending=[False, True, True]).head(10)
+    cols = ["lang", "source", "doc_count", "sum_chars"]
+    return out.reset_index(drop=True)[cols]
+
+
+def agg_top_metrics(sf_dir: str):
+    """top_metrics agg (x-pack analytics TopMetricsAggregationBuilder):
+    per lang bucket, the metric row of the single top document under
+    sort n_chars desc (tie: doc_id asc). Scale shape: per-batch partial
+    top-1 per key (vectorized sort + head), driver merges
+    (blocks x langs) candidate rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True])
+        g = df.groupby("lang", as_index=False).head(1)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (_ds(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    out = (parts.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True])
+           .groupby("lang", as_index=False).head(1)
+           .sort_values("lang").reset_index(drop=True))
+    out = out.rename(columns={"doc_id": "top_doc",
+                              "n_chars": "top_n_chars"})
+    return out[["lang", "top_doc", "top_n_chars"]]
+
+
+def agg_boxplot(sf_dir: str):
+    """boxplot agg (x-pack analytics BoxplotAggregationBuilder): min / q1 /
+    q2 / q3 / max of n_chars per lang. The reference computes t-digest
+    approximations; over an integer-valued field this engine computes
+    EXACT quantiles via the value-count exchange (groupby (lang, n_chars)
+    -> counts; the driver cumsums the tiny distinct-value table, never
+    the rows), rank rule `smallest v with running count >= ceil(q*n)`."""
+    from ray.data.aggregate import Count
+
+    vc = (_ds(sf_dir, "documents", ["lang", "n_chars"])
+          .groupby(["lang", "n_chars"]).aggregate(Count(alias_name="c"))
+          .to_pandas().sort_values(["lang", "n_chars"])
+          .reset_index(drop=True))
+    rows = []
+    import math
+
+    for lang, g in vc.groupby("lang"):
+        n = int(g["c"].sum())
+        cum = g["c"].cumsum().to_numpy()
+        vals = g["n_chars"].to_numpy()
+
+        def q_at(q: float) -> int:
+            return int(vals[int(np.argmax(cum >= math.ceil(q * n)))])
+
+        rows.append({"lang": lang, "mn": int(vals[0]),
+                     "q1": q_at(0.25), "q2": q_at(0.5), "q3": q_at(0.75),
+                     "mx": int(vals[-1])})
+    out = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    for c in ("mn", "q1", "q2", "q3", "mx"):
+        out[c] = out[c].astype("int64")
+    return out[["lang", "mn", "q1", "q2", "q3", "mx"]]
+
+
+def agg_rate(sf_dir: str):
+    """rate agg (x-pack analytics RateAggregationBuilder) inside a daily
+    date_histogram with rate unit=hour: bucket doc_count / 24 (the
+    reference divides the bucket value by the bucket length expressed in
+    the rate unit). One exact double division per reduced bucket row;
+    the exchange is date_histogram's partial-count combine."""
+    out = A.date_histogram(_ds(sf_dir, "events", ["ts"]), "ts", "day")
+    out = out.sort_values("bucket").reset_index(drop=True)
+    out["rate_per_hour"] = out["doc_count"].to_numpy().astype(
+        np.float64) / 24.0
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out[["bucket", "doc_count", "rate_per_hour"]]
+
+
+def agg_string_stats(sf_dir: str):
+    """string_stats agg (x-pack analytics StringStatsAggregationBuilder,
+    show_distribution semantics): count, min/max/avg length and Shannon
+    entropy (log2) of the character distribution over documents.text.
+    Scale shape: per-batch partials (count, min, max, sum_len, char
+    Counter) -> driver merges alphabet-sized dicts; entropy from merged
+    counts as H = log2(N) - sum(c*log2 c)/N."""
+    from collections import Counter
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        lens = np.array([len(s) for s in texts], dtype=np.int64)
+        cc = Counter()
+        for s in texts:
+            cc.update(s)
+        chars = sorted(cc)
+        return pa.table({
+            "cnt": pa.array([len(texts)], pa.int64()),
+            "min_len": pa.array([int(lens.min())], pa.int64()),
+            "max_len": pa.array([int(lens.max())], pa.int64()),
+            "sum_len": pa.array([int(lens.sum())], pa.int64()),
+            "chars": pa.array([chars]),
+            "ccounts": pa.array([[int(cc[c]) for c in chars]]),
+        })
+
+    parts = (_ds(sf_dir, "documents", ["text"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    merged = Counter()
+    for chars, counts in zip(parts["chars"], parts["ccounts"]):
+        for ch, c in zip(chars, counts):
+            merged[ch] += int(c)
+    tot = float(sum(merged.values()))
+    cs = np.array([float(merged[c]) for c in sorted(merged)])
+    entropy = np.log2(tot) - float((cs * np.log2(cs)).sum()) / tot
+    cnt = int(parts["cnt"].sum())
+    return pd.DataFrame({
+        "cnt": pd.array([cnt], dtype="int64"),
+        "min_len": pd.array([int(parts["min_len"].min())], dtype="int64"),
+        "max_len": pd.array([int(parts["max_len"].max())], dtype="int64"),
+        "avg_len": [float(round_half_away(
+            float(parts["sum_len"].sum()) / cnt, 6))],
+        "entropy": [float(round_half_away(entropy, 6))],
+    })
+
+
+def agg_normalize(sf_dir: str):
+    """normalize pipeline agg (x-pack NormalizePipelineAggregationBuilder):
+    rescale_0_1 and percent_of_sum over the daily date_histogram
+    doc_counts — post-processing on the already-reduced bucket table
+    (integer counts; one exact double op per bucket, same literal
+    expression as the SQL twin so the doubles are bit-identical)."""
+    out = A.date_histogram(_ds(sf_dir, "events", ["ts"]), "ts", "day")
+    out = out.sort_values("bucket").reset_index(drop=True)
+    c = out["doc_count"].to_numpy().astype(np.float64)
+    lo, hi, tot = c.min(), c.max(), c.sum()
+    out["rescale_0_1"] = round_half_away((c - lo) / (hi - lo), 6)
+    out["percent_of_sum"] = round_half_away(c / tot * 100.0, 6)
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out[["bucket", "doc_count", "rescale_0_1", "percent_of_sum"]]
+
+
+def agg_cumulative_cardinality(sf_dir: str):
+    """cumulative_cardinality pipeline agg (x-pack
+    CumulativeCardinalityPipelineAggregationBuilder): cumulative distinct
+    user_ids per daily bucket. EXACT distributed shape (the reference
+    merges HLL sketches): groupby(user_id).min(first day) — the exchange
+    carries ONE row per distinct user, not per event — then a tiny
+    per-day first-seen count + running sum on the reduced table."""
+    from ray.data.aggregate import Min
+
+    def day_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                            pa.timestamp("us")), pa.int64())
+        return t.append_column("day", d)
+
+    first = (_ds(sf_dir, "events", ["ts", "user_id"])
+             .map_batches(day_key, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("day", alias_name="fd"))
+             .to_pandas())
+    hist = A.date_histogram(_ds(sf_dir, "events", ["ts"]), "ts", "day")
+    hist = hist.sort_values("bucket").reset_index(drop=True)
+    new_per_day = first.groupby("fd").size()
+    day_us = hist["bucket"].astype("datetime64[us]").astype("int64")
+    cum = np.cumsum([int(new_per_day.get(int(d), 0)) for d in day_us])
+    hist["cum_users"] = pd.array(cum, dtype="int64")
+    hist["doc_count"] = hist["doc_count"].astype("int64")
+    return hist[["bucket", "doc_count", "cum_users"]]

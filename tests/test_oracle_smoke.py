@@ -26,6 +26,9 @@ SMOKE = [
     "ft_analyze_french", "ft_analyze_hungarian", "ft_analyze_stemmer",
     "ft_post_filter", "ft_track_total_hits", "ft_sort_script",
     "ft_sort_missing_last", "ft_scroll_sliced", "ft_pit",
+    # session-4 analytics aggs
+    "agg_multi_terms", "agg_top_metrics", "agg_boxplot", "agg_rate",
+    "agg_string_stats", "agg_normalize", "agg_cumulative_cardinality",
 ]
 
 
