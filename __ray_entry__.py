@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_multi_terms", "agg_top_metrics", "agg_boxplot", "agg_rate",
         "agg_string_stats", "agg_normalize", "agg_cumulative_cardinality",
         "cat_shards", "cluster_health", "indices_stats", "ft_stored_fields",
+        "training_pack_sequences", "eql_sequence", "transform_pivot",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -1875,6 +1876,39 @@ SELECT bucket, doc_count,
        ROUND((doc_count::DOUBLE - lo) / (hi - lo), 6) AS rescale_0_1,
        ROUND(doc_count::DOUBLE / tot * 100.0, 6) AS percent_of_sum
 FROM h CROSS JOIN st ORDER BY bucket""",
+        "training_pack_sequences": """
+WITH d AS (SELECT doc_id,
+  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS ntok
+  FROM documents),
+c AS (SELECT doc_id, ntok,
+  COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM d)
+SELECT doc_id, s::BIGINT AS start_tok,
+       (s // 256)::BIGINT AS seq_first,
+       ((s + ntok - 1) // 256)::BIGINT AS seq_last
+FROM c ORDER BY doc_id""",
+        "eql_sequence": """
+WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+m AS (SELECT a.user_id, a.ts,
+             min(b.ts) AS fst
+      FROM a JOIN b ON b.user_id = a.user_id
+                   AND b.ts > a.ts
+                   AND b.ts <= a.ts + INTERVAL 10 MINUTE
+      GROUP BY a.user_id, a.ts)
+SELECT user_id, count(*)::BIGINT AS seqs FROM m
+GROUP BY user_id ORDER BY user_id""",
+        "transform_pivot": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id""",
         "cat_shards": f"""
 WITH {_TOK},
 smap(source, shard) AS (VALUES

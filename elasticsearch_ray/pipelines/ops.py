@@ -7287,3 +7287,126 @@ def ft_stored_fields(sf_dir: str):
         "lang": f["lang"],
         "source": f["source"],
     })
+
+
+# ------- round-3 session-4: training-data pipeline batch -------
+
+
+def training_pack_sequences(sf_dir: str):
+    """Sequence packing (concat-and-chunk: docs tokenized, concatenated in
+    doc_id order, cut into fixed L=256-token training sequences — the
+    standard LM pretraining packer). EXACT distributed prefix sum: pass 1
+    groups doc token counts into doc_id ranges (exchange carries ONE row
+    per bucket), the driver cumsums the tiny bucket table into start
+    offsets; pass 2 re-scans, sorts each batch's docs per bucket and adds
+    the broadcast bucket offset — no global sort, no driver row loop.
+    Emits per-doc (start_tok, first/last sequence id)."""
+    import re
+
+    L = 256
+    bucket_rows = 1000  # doc_ids per prefix bucket
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def ntok(t: pa.Table) -> pa.Table:
+        toks = np.array(
+            [sum(1 for w in pat.split(s.lower()) if w)
+             for s in t["text"].to_pylist()], dtype=np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "ntok": pa.array(toks),
+            "bucket": pa.array(t["doc_id"].to_numpy() // bucket_rows),
+        })
+
+    counted = (_ds(sf_dir, "documents", ["doc_id", "text"])
+               .map_batches(ntok, batch_format="pyarrow"))
+    # pass 1: bucket totals (tiny exchange), driver cumsum -> offsets
+    from ray.data.aggregate import Sum
+
+    bt = (counted.groupby("bucket").aggregate(Sum("ntok", alias_name="s"))
+          .to_pandas().sort_values("bucket").reset_index(drop=True))
+    offs = {int(b): int(o) for b, o in zip(
+        bt["bucket"], np.concatenate([[0], bt["s"].cumsum().to_numpy()[:-1]]))}
+    # pass 2: per-bucket intra prefix + broadcast bucket offset
+    def place(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        b = int(df["bucket"].iloc[0])
+        start = offs[b] + np.concatenate(
+            [[0], df["ntok"].cumsum().to_numpy()[:-1]])
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "start_tok": start.astype(np.int64),
+            "seq_first": (start // L).astype(np.int64),
+            "seq_last": ((start + df["ntok"].to_numpy() - 1) // L
+                         ).astype(np.int64),
+        })
+
+    out = (counted.groupby("bucket").map_groups(place, batch_format="pandas")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return out[["doc_id", "start_tok", "seq_first", "seq_last"]]
+
+
+def eql_sequence(sf_dir: str):
+    """EQL sequence matching (x-pack eql: `sequence by user_id with
+    maxspan=10m [click] [purchase]`): per click event, the earliest
+    same-user purchase in (ts, ts+10m] completes a sequence; emit per-user
+    sequence counts. Scale shape: events co-partition by user via ONE
+    groupby(user_id).map_groups; inside a group both sides are sorted
+    arrays and the step join is a vectorized searchsorted — no pairwise
+    blowup, no driver loop."""
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        u = int(df["user_id"].iloc[0])
+        a = np.sort(df.loc[df["event_type"] == "click", "ts"]
+                    .to_numpy().astype("datetime64[us]").astype(np.int64))
+        b = np.sort(df.loc[df["event_type"] == "purchase", "ts"]
+                    .to_numpy().astype("datetime64[us]").astype(np.int64))
+        if a.size == 0 or b.size == 0:
+            return pd.DataFrame({"user_id": [], "seqs": []})
+        span = 10 * 60 * 1_000_000
+        nxt = np.searchsorted(b, a, side="right")  # first purchase > click
+        ok = (nxt < b.size) & (b[np.minimum(nxt, b.size - 1)] <= a + span)
+        n = int(ok.sum())
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "seqs": []})
+        return pd.DataFrame({"user_id": [u], "seqs": [n]})
+
+    out = (_ds(sf_dir, "events", ["user_id", "event_type", "ts"])
+           .groupby("user_id").map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    out["seqs"] = out["seqs"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def transform_pivot(sf_dir: str):
+    """_transform pivot (x-pack transforms TransformConfig#pivot): group_by
+    user_id with per-event-type count columns + last activity timestamp,
+    materialized as a dest-index-shaped table. Scale shape: per-batch
+    partial crosstab (user x type counts, vectorized), then ONE
+    groupby(user_id) over the partials — the exchange carries pivoted
+    count rows, never raw events."""
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for ty in types:
+            if ty not in ct.columns:
+                ct[ty] = 0
+        ct = ct[types].rename(columns={t_: f"n_{t_}" for t_ in types})
+        ct["last_ts"] = df.groupby("user_id")["ts_us"].max()
+        return pa.Table.from_pandas(ct.reset_index(), preserve_index=False)
+
+    from ray.data.aggregate import Max, Sum
+
+    aggs = [Sum(f"n_{t_}", alias_name=f"n_{t_}") for t_ in types]
+    aggs.append(Max("last_ts", alias_name="last_ts"))
+    out = (_ds(sf_dir, "events", ["user_id", "event_type", "ts"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id").aggregate(*aggs).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    for c in out.columns:
+        if c != "last_ts":
+            out[c] = out[c].astype("int64")
+    out["last_ts"] = pd.to_datetime(out["last_ts"], unit="us")
+    return out[["user_id"] + [f"n_{t_}" for t_ in types] + ["last_ts"]]

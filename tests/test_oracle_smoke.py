@@ -31,6 +31,8 @@ SMOKE = [
     "agg_string_stats", "agg_normalize", "agg_cumulative_cardinality",
     # session-4 REST surface
     "cat_shards", "cluster_health", "indices_stats", "ft_stored_fields",
+    # session-4 training-data ops
+    "training_pack_sequences", "eql_sequence", "transform_pivot",
 ]
 
 
