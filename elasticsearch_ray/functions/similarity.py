@@ -598,3 +598,164 @@ def knn_ivf_pq(ds, queries: np.ndarray, k: int = 5, *, n_centroids: int = 16,
     df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return df
+
+
+# ---------------- HNSW (per-segment graphs, the reference's kNN engine) ----
+
+
+def _hash_u01(ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-id uniform in (0,1) (Knuth multiplicative hash) —
+    replaces the RNG in HNSW level assignment so builds are reproducible
+    and partition-invariant."""
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    return (h.astype(np.float64) + 0.5) / float(1 << 32)
+
+
+class _HnswSegment:
+    """One segment's HNSW graph (Malkov & Yashunin 2016, the structure
+    behind Lucene's Lucene90HnswVectorsFormat / ES dense_vector kNN):
+    hierarchical layers, greedy descent above the base layer, beam search
+    (efConstruction / efSearch) at each target layer, M-degree neighbor
+    lists pruned by similarity. Cosine on pre-normalized vectors."""
+
+    def __init__(self, ids: np.ndarray, V: np.ndarray, *, M: int = 8,
+                 ef_construction: int = 64):
+        self.ids = ids
+        self.V = V  # normalized (n, d)
+        self.M = M
+        self.m0 = 2 * M
+        n = len(ids)
+        mL = 1.0 / np.log(M)
+        self.levels = np.floor(-np.log(_hash_u01(ids)) * mL).astype(np.int64)
+        self.max_level = int(self.levels.max()) if n else 0
+        # adjacency per layer: list of dict node -> np.ndarray of neighbors
+        self.adj: list[dict[int, list[int]]] = [
+            {} for _ in range(self.max_level + 1)]
+        self.entry = 0
+        order = np.argsort(ids)  # deterministic insertion order
+        first = True
+        for i in order:
+            self._insert(int(i), ef_construction, first)
+            first = False
+
+    def _beam(self, q: np.ndarray, entry: int, ef: int, layer: int,
+              allowed_max_level: int | None = None) -> list[int]:
+        """Best-first beam search on one layer; returns candidate nodes
+        sorted by similarity desc (at most ef)."""
+        import heapq
+
+        sims = {entry: float(self.V[entry] @ q)}
+        visited = {entry}
+        cand = [(-sims[entry], entry)]          # max-heap by sim
+        best: list[tuple[float, int]] = [(sims[entry], entry)]  # min-heap
+        while cand:
+            negs, u = heapq.heappop(cand)
+            if -negs < best[0][0] and len(best) >= ef:
+                break
+            for v in self.adj[layer].get(u, ()):
+                if v in visited:
+                    continue
+                visited.add(v)
+                s = float(self.V[v] @ q)
+                sims[v] = s
+                if len(best) < ef or s > best[0][0]:
+                    heapq.heappush(cand, (-s, v))
+                    heapq.heappush(best, (s, v))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return [v for _, v in sorted(best, key=lambda t: (-t[0],
+                                                          self.ids[t[1]]))]
+
+    def _insert(self, i: int, ef: int, first: bool) -> None:
+        if first:
+            for lv in range(int(self.levels[i]) + 1):
+                self.adj[lv][i] = []
+            self.entry = i
+            self.entry_level = int(self.levels[i])
+            return
+        q = self.V[i]
+        lv_i = int(self.levels[i])
+        ep = self.entry
+        # greedy descent through layers above the node's top level
+        for lv in range(self.entry_level, lv_i, -1):
+            ep = self._beam(q, ep, 1, lv)[0]
+        for lv in range(min(lv_i, self.entry_level), -1, -1):
+            cands = self._beam(q, ep, ef, lv)
+            mmax = self.m0 if lv == 0 else self.M
+            nbrs = cands[:self.M]
+            self.adj[lv][i] = list(nbrs)
+            for v in nbrs:
+                lst = self.adj[lv].setdefault(v, [])
+                lst.append(i)
+                if len(lst) > mmax:
+                    # prune to the mmax most similar (diversity heuristic
+                    # simplified to plain top-by-sim, as Lucene's
+                    # NeighborArray does on overflow)
+                    s = self.V[lst] @ self.V[v]
+                    keep = np.argsort(-s, kind="stable")[:mmax]
+                    self.adj[lv][v] = [lst[j] for j in keep]
+            ep = cands[0]
+        if lv_i > self.entry_level:
+            for lv in range(self.entry_level + 1, lv_i + 1):
+                self.adj[lv][i] = []
+            self.entry = i
+            self.entry_level = lv_i
+
+    def search(self, q: np.ndarray, k: int, ef_search: int = 50):
+        ep = self.entry
+        for lv in range(self.entry_level, 0, -1):
+            ep = self._beam(q, ep, 1, lv)[0]
+        found = self._beam(q, ep, max(ef_search, k), 0)[:k]
+        sims = self.V[found] @ q
+        return self.ids[found], sims
+
+
+def knn_hnsw(ds, queries: np.ndarray, k: int = 5, *, seg_rows: int = 1000,
+             M: int = 8, ef_construction: int = 64, ef_search: int = 50,
+             vec_col: str = "embedding", id_col: str = "vec_id"
+             ) -> pd.DataFrame:
+    """Approximate kNN through per-segment HNSW graphs — the reference's
+    exact architecture (each Lucene segment holds its own HNSW; the shard
+    searches every segment graph and merges top-k, see
+    KnnVectorQuery / Lucene90HnswVectorsReader). Scale shape: vectors
+    co-partition into bounded segments via ONE groupby; each group builds
+    its graph and answers the broadcast query matrix; the driver merges
+    (segments x queries x k) candidate rows. Graph build cost is bounded
+    per segment (seg_rows), never global."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(Q)
+
+    def seg_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "seg", pa.array(t[id_col].to_numpy() // seg_rows))
+
+    def build_and_search(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        Qm = _ray.get(q_ref)
+        ids = df[id_col].to_numpy().astype(np.int64)
+        V = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        g = _HnswSegment(ids, V, M=M, ef_construction=ef_construction)
+        rows = {"query_id": [], id_col: [], "cosine": []}
+        for qi in range(Qm.shape[0]):
+            got_ids, sims = g.search(Qm[qi], k, ef_search)
+            rows["query_id"].extend([qi] * len(got_ids))
+            rows[id_col].extend(got_ids.tolist())
+            rows["cosine"].extend(sims.tolist())
+        return pd.DataFrame(rows)
+
+    parts = (ds.map_batches(seg_key, batch_format="pyarrow")
+             .groupby("seg").map_groups(build_and_search,
+                                        batch_format="pandas")
+             .to_pandas())
+    parts = parts.sort_values(["query_id", "cosine", id_col],
+                              ascending=[True, False, True])
+    out = parts.groupby("query_id", as_index=False).head(k)
+    out = out.reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["cosine"] = round_half_away(out["cosine"], 6)
+    out["query_id"] = out["query_id"].astype("int64")
+    out[id_col] = out[id_col].astype("int64")
+    return out[["query_id", id_col, "cosine", "rank"]]

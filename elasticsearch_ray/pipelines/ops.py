@@ -7410,3 +7410,17 @@ def transform_pivot(sf_dir: str):
             out[c] = out[c].astype("int64")
     out["last_ts"] = pd.to_datetime(out["last_ts"], unit="us")
     return out[["user_id"] + [f"n_{t_}" for t_ in types] + ["last_ts"]]
+
+
+def knn_hnsw(sf_dir: str):
+    """kNN via per-segment HNSW graphs (the reference's dense_vector kNN
+    engine shape: one graph per Lucene segment, searched independently,
+    top-k merged across segments — KnnVectorQuery /
+    Lucene90HnswVectorsFormat). Rows-only: beam search is approximate by
+    design; pinned by the recall>=0.9-vs-brute-force and
+    partition-invariance tests."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    Q = np.array(t["embedding"].to_pylist()[:5])
+    return S.knn_hnsw(_ds(sf_dir, "embeddings"), Q, k=5)

@@ -1,0 +1,99 @@
+"""Round-3 session-4 operators: per-segment HNSW kNN, sequence packing,
+EQL sequences, transform pivot."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.01"
+
+
+def _queries(n=5):
+    import os
+
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(SF, "embeddings.parquet")).to_table()
+    return np.array(t["embedding"].to_pylist()[:n])
+
+
+def test_hnsw_recall_vs_bruteforce(ray_session):
+    from elasticsearch_ray.functions import similarity as S
+    from elasticsearch_ray.pipelines.ops import _ds
+
+    Q = _queries()
+    bf = S.knn_brute_force(_ds(SF, "embeddings"), Q, k=10, dtype=np.float64)
+    hn = S.knn_hnsw(_ds(SF, "embeddings"), Q, k=10)
+    recalls = []
+    for qi in range(len(Q)):
+        b = set(bf[bf.query_id == qi].vec_id)
+        h = set(hn[hn.query_id == qi].vec_id)
+        recalls.append(len(b & h) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+    # top-1 of each query vector is itself (cosine 1.0)
+    top1 = hn[hn["rank"] == 1]
+    assert (top1["vec_id"].to_numpy() == np.arange(len(Q))).all()
+
+
+def test_hnsw_partition_invariant(ray_session):
+    from elasticsearch_ray.functions import similarity as S
+    from elasticsearch_ray.pipelines.ops import _ds
+
+    Q = _queries(3)
+    a = S.knn_hnsw(_ds(SF, "embeddings"), Q, k=5)
+    b = S.knn_hnsw(_ds(SF, "embeddings").repartition(7), Q, k=5)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hnsw_graph_degree_bounded():
+    from elasticsearch_ray.functions.similarity import _HnswSegment, _normalize
+
+    rng_ids = np.arange(300, dtype=np.int64)
+    V = _normalize(np.array(
+        [[np.sin(i * 0.7 + j) for j in range(16)] for i in range(300)]))
+    g = _HnswSegment(rng_ids, V, M=8)
+    for lv, layer in enumerate(g.adj):
+        mmax = g.m0 if lv == 0 else g.M
+        for node, nbrs in layer.items():
+            assert len(nbrs) <= mmax
+
+
+def test_pack_sequences_serial_twin(ray_session):
+    import re
+
+    import duckdb
+
+    from elasticsearch_ray.pipelines.ops import training_pack_sequences
+
+    got = training_pack_sequences(SF)
+    pat = re.compile(r"[^a-z0-9]+")
+    df = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "ORDER BY doc_id").df()
+    ntok = df["text"].map(
+        lambda s: sum(1 for w in pat.split(s.lower()) if w)).to_numpy()
+    start = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    assert (got["start_tok"].to_numpy() == start).all()
+    assert (got["seq_first"].to_numpy() == start // 256).all()
+    assert (got["seq_last"].to_numpy() == (start + ntok - 1) // 256).all()
+
+
+def test_eql_sequence_brute_twin(ray_session):
+    import duckdb
+
+    from elasticsearch_ray.pipelines.ops import eql_sequence
+
+    got = eql_sequence(SF)
+    ev = duckdb.sql(
+        f"SELECT user_id, event_type, ts FROM "
+        f"read_parquet('{SF}/events.parquet')").df()
+    span = np.timedelta64(10 * 60, "s")
+    exp = {}
+    for u, g in ev.groupby("user_id"):
+        a = np.sort(g.loc[g.event_type == "click", "ts"].to_numpy())
+        b = np.sort(g.loc[g.event_type == "purchase", "ts"].to_numpy())
+        n = sum(1 for t in a if ((b > t) & (b <= t + span)).any())
+        if n:
+            exp[int(u)] = n
+    assert dict(zip(got["user_id"], got["seqs"])) == exp
