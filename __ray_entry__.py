@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_string_stats", "agg_normalize", "agg_cumulative_cardinality",
         "cat_shards", "cluster_health", "indices_stats", "ft_stored_fields",
         "training_pack_sequences", "eql_sequence", "transform_pivot",
+        "knn_filtered", "knn_l2", "data_stream_rollover", "ingest_enrich",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -1876,6 +1877,43 @@ SELECT bucket, doc_count,
        ROUND((doc_count::DOUBLE - lo) / (hi - lo), 6) AS rescale_0_1,
        ROUND(doc_count::DOUBLE / tot * 100.0, 6) AS percent_of_sum
 FROM h CROSS JOIN st ORDER BY bucket""",
+        "knn_filtered": """
+SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    v.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings q CROSS JOIN embeddings v
+WHERE q.vec_id IN (0, 1, 2) AND v.label = 1
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                        v.embedding::DOUBLE[]) DESC,
+                 v.vec_id) <= 5
+ORDER BY query_id, vec_id""",
+        "knn_l2": """
+SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+       ROUND(list_distance(q.embedding::DOUBLE[],
+                           v.embedding::DOUBLE[]), 6) AS dist
+FROM embeddings q CROSS JOIN embeddings v
+WHERE q.vec_id IN (0, 1, 2)
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_distance(q.embedding::DOUBLE[],
+                               v.embedding::DOUBLE[]) ASC,
+                 v.vec_id) <= 5
+ORDER BY query_id, dist, vec_id""",
+        "data_stream_rollover": """
+WITH r AS (SELECT event_id,
+                  row_number() OVER (ORDER BY event_id) - 1 AS rk
+           FROM events),
+g AS (SELECT event_id, rk // 4000 + 1 AS gen FROM r)
+SELECT printf('.ds-events-%06d', gen) AS backing_index,
+       count(*)::BIGINT AS docs, min(event_id)::BIGINT AS min_id,
+       max(event_id)::BIGINT AS max_id
+FROM g GROUP BY gen ORDER BY gen""",
+        "ingest_enrich": """
+SELECT e.event_type,
+       COALESCE(c.c_mktsegment, '_missing_') AS mktsegment,
+       count(*)::BIGINT AS n
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "training_pack_sequences": """
 WITH d AS (SELECT doc_id,
   len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

@@ -759,3 +759,48 @@ def knn_hnsw(ds, queries: np.ndarray, k: int = 5, *, seg_rows: int = 1000,
     out["query_id"] = out["query_id"].astype("int64")
     out[id_col] = out[id_col].astype("int64")
     return out[["query_id", id_col, "cosine", "rank"]]
+
+
+def knn_l2(ds, queries: np.ndarray, k: int = 5, *,
+           vec_col: str = "embedding", id_col: str = "vec_id"
+           ) -> pd.DataFrame:
+    """Exact kNN under euclidean distance (dense_vector
+    similarity=l2_norm — DenseVectorFieldMapper.VectorSimilarity.L2_NORM).
+    Same broadcast-queries / per-batch-partial-top-k shape as the cosine
+    path; candidates ranked by distance asc, vec_id asc."""
+    import ray
+
+    Q = np.asarray(queries, dtype=np.float64)
+    q_ref = ray.put(Q)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        ids = t[id_col].to_numpy()
+        V = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64)
+        # (nq, batch) squared distances via the norm expansion
+        d2 = (np.sum(Qm * Qm, axis=1)[:, None]
+              - 2.0 * (Qm @ V.T) + np.sum(V * V, axis=1)[None, :])
+        nq = d2.shape[0]
+        kk = min(k, d2.shape[1])
+        top = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        qids, vids, dist = [], [], []
+        for qi in range(nq):
+            for c in top[qi]:
+                qids.append(qi)
+                vids.append(int(ids[c]))
+                # sqrt of the directly-accumulated sum of squares (matches
+                # the SQL twin's list_distance evaluation order)
+                dist.append(float(np.sqrt(
+                    ((Qm[qi] - V[c]) ** 2).sum())))
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         id_col: pa.array(vids, pa.int64()),
+                         "dist": pa.array(dist, pa.float64())})
+
+    df = (ds.map_batches(partial_topk, batch_format="pyarrow",
+                         batch_size=4096).to_pandas())
+    df = df.sort_values(["query_id", "dist", id_col],
+                        ascending=[True, True, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["dist"] = round_half_away(df["dist"], 6)
+    return df

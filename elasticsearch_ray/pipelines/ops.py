@@ -7424,3 +7424,113 @@ def knn_hnsw(sf_dir: str):
     t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
     Q = np.array(t["embedding"].to_pylist()[:5])
     return S.knn_hnsw(_ds(sf_dir, "embeddings"), Q, k=5)
+
+
+def knn_filtered(sf_dir: str):
+    """Filtered kNN (KnnSearchBuilder#filter: the filter restricts the
+    candidate set BEFORE vector search, not post-hoc): label = 1 is
+    pushed into the parquet read itself (row-group pruning), so
+    non-qualifying vectors never enter the scan — the exact-path analog
+    of ES filtering during HNSW traversal."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    Q = np.array(t["embedding"].to_pylist()[:3])
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding", "label"],
+             flt=pc.field("label") == 1)
+    out = S.knn_brute_force(ds, Q, k=5, dtype=np.float64)
+    return out[["query_id", "vec_id", "cosine"]]
+
+
+def knn_l2(sf_dir: str):
+    """dense_vector similarity=l2_norm (VectorSimilarity.L2_NORM): exact
+    euclidean top-k, distance asc with vec_id tie-break."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    Q = np.array(t["embedding"].to_pylist()[:3])
+    out = S.knn_l2(_ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                   Q, k=5)
+    return out[["query_id", "vec_id", "dist"]]
+
+
+def data_stream_rollover(sf_dir: str):
+    """Data streams + rollover (cluster/metadata/DataStream.java,
+    TransportRolloverAction max_docs condition): events append to the
+    write index, which rolls every 4000 docs; backing indices are named
+    .ds-events-NNNNNN by generation. EXACT distributed ranking via the
+    prefix-count exchange (bucket doc counts -> driver cumsum -> broadcast
+    offsets; per-bucket map_groups assigns ranks) — no global sort."""
+    from ray.data.aggregate import Count
+
+    max_docs = 4000
+    bucket_rows = 5000
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pa.array(t["event_id"].to_numpy() // bucket_rows))
+
+    ks = (_ds(sf_dir, "events", ["event_id"])
+          .map_batches(keyed, batch_format="pyarrow"))
+    bt = (ks.groupby("bucket").aggregate(Count(alias_name="c"))
+          .to_pandas().sort_values("bucket").reset_index(drop=True))
+    offs = {int(b): int(o) for b, o in zip(
+        bt["bucket"], np.concatenate([[0], bt["c"].cumsum().to_numpy()[:-1]]))}
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("event_id").reset_index(drop=True)
+        rank = offs[int(df["bucket"].iloc[0])] + np.arange(len(df))
+        gen = rank // max_docs + 1
+        return pd.DataFrame({"event_id": df["event_id"], "gen": gen})
+
+    placed = (ks.groupby("bucket").map_groups(assign, batch_format="pandas")
+              .to_pandas())
+    g = placed.groupby("gen").agg(
+        docs=("event_id", "size"), min_id=("event_id", "min"),
+        max_id=("event_id", "max")).reset_index()
+    g["backing_index"] = g["gen"].map(lambda x: f".ds-events-{int(x):06d}")
+    for c in ("docs", "min_id", "max_id"):
+        g[c] = g[c].astype("int64")
+    g = g.sort_values("gen").reset_index(drop=True)
+    return g[["backing_index", "docs", "min_id", "max_id"]]
+
+
+def ingest_enrich(sf_dir: str):
+    """enrich processor (x-pack enrich, match policy: EnrichProcessorFactory
+    + the enrich lookup index): events gain the matching customer's
+    mktsegment by user_id. The enrich index is the SMALL side — broadcast
+    once via ray.put, probed per batch with a vectorized searchsorted —
+    never a shuffle join; output is the enriched stream rolled up to
+    (event_type, mktsegment) counts."""
+    import ray
+
+    import pyarrow.dataset as pads
+
+    cust = (pads.dataset(os.path.join(sf_dir, "customer.parquet"))
+            .to_table(columns=["c_custkey", "c_mktsegment"]).to_pandas()
+            .sort_values("c_custkey"))
+    keys = cust["c_custkey"].to_numpy()
+    segs = cust["c_mktsegment"].to_numpy()
+    side = ray.put((keys, segs))
+
+    def enrich(t: pa.Table) -> pa.Table:
+        k, s = ray.get(side)
+        u = t["user_id"].to_numpy()
+        pos = np.searchsorted(k, u)
+        pos_c = np.minimum(pos, len(k) - 1)
+        hit = k[pos_c] == u
+        seg = np.where(hit, s[pos_c], "_missing_")
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "mktsegment": seg})
+        g = df.groupby(["event_type", "mktsegment"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    parts = (_ds(sf_dir, "events", ["user_id", "event_type"])
+             .map_batches(enrich, batch_format="pyarrow").to_pandas())
+    out = (parts.groupby(["event_type", "mktsegment"], as_index=False)
+           .sum().sort_values(["event_type", "mktsegment"])
+           .reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "mktsegment", "n"]]

@@ -33,6 +33,8 @@ SMOKE = [
     "cat_shards", "cluster_health", "indices_stats", "ft_stored_fields",
     # session-4 training-data ops
     "training_pack_sequences", "eql_sequence", "transform_pivot",
+    # session-4 vector + stream ops
+    "knn_filtered", "knn_l2", "data_stream_rollover", "ingest_enrich",
 ]
 
 
