@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cat_shards", "cluster_health", "indices_stats", "ft_stored_fields",
         "training_pack_sequences", "eql_sequence", "transform_pivot",
         "knn_filtered", "knn_l2", "data_stream_rollover", "ingest_enrich",
+        "sql_query", "training_shuffle", "agg_geo_line",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -1877,6 +1878,33 @@ SELECT bucket, doc_count,
        ROUND((doc_count::DOUBLE - lo) / (hi - lo), 6) AS rescale_0_1,
        ROUND(doc_count::DOUBLE / tot * 100.0, 6) AS percent_of_sum
 FROM h CROSS JOIN st ORDER BY bucket""",
+        "sql_query": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = 'en' AND n_chars >= 400
+ORDER BY n_chars DESC, doc_id LIMIT 20""",
+        "training_shuffle": """
+WITH e(epoch) AS (VALUES (1), (2)),
+h AS (SELECT epoch, doc_id,
+             ((doc_id + epoch * 40503) * 2654435761) % 4294967296 AS hh
+      FROM documents CROSS JOIN e),
+r AS (SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch
+                                ORDER BY hh, doc_id) AS pos
+      FROM h)
+SELECT epoch::BIGINT AS epoch, pos::BIGINT AS pos, doc_id
+FROM r WHERE pos <= 15 ORDER BY epoch, pos""",
+        "agg_geo_line": """
+WITH r AS (SELECT user_id, event_id, ts,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+p AS (SELECT user_id, rn,
+             ((event_id * 104729) % 360) - 180 + 0.5 AS lon,
+             ((event_id * 7919) % 180) - 90 + 0.5 AS lat
+      FROM r WHERE rn <= 5)
+SELECT user_id, count(*)::BIGINT AS n_points,
+       string_agg(printf('%.1f,%.1f', lon, lat), ' ' ORDER BY rn) AS line
+FROM p GROUP BY user_id ORDER BY user_id""",
         "knn_filtered": """
 SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
        ROUND(list_cosine_similarity(q.embedding::DOUBLE[],

@@ -7534,3 +7534,69 @@ def ingest_enrich(sf_dir: str):
            .reset_index(drop=True))
     out["n"] = out["n"].astype("int64")
     return out[["event_type", "mktsegment", "n"]]
+
+
+def sql_query(sf_dir: str):
+    """_sql API (x-pack sql RestSqlQueryAction: SQL compiled to a pushed-
+    down physical plan): the translator (functions/sql.py) plans SELECT /
+    WHERE / ORDER BY / LIMIT onto the Dataset API — projection + predicate
+    land in the parquet read itself, the sort is the Dataset's
+    range-partitioned distributed sort, the limit streams. Oracle = the
+    same SQL string run by DuckDB verbatim."""
+    from ..functions.sql import run_sql
+
+    sql = ("SELECT doc_id, lang, n_chars FROM documents "
+           "WHERE lang = 'en' AND n_chars >= 400 "
+           "ORDER BY n_chars DESC, doc_id LIMIT 20")
+    return run_sql(sql, sf_dir, ds_factory=_ds)
+
+
+def training_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle (the reproducible analog of
+    ds.random_shuffle for training-data epochs): global order = Knuth
+    multiplicative hash of (doc_id, epoch-seed), realized by the Dataset's
+    DISTRIBUTED range-partitioned sort — no driver materialization; emits
+    the first 15 docs of epochs 1 and 2 with their positions. Different
+    epochs produce different permutations; reruns are bit-identical."""
+    frames = []
+    for epoch in (1, 2):
+        def hashed(t: pa.Table, _e=epoch) -> pa.Table:
+            ids = t["doc_id"].to_numpy().astype(np.uint64)
+            h = ((ids + np.uint64(_e) * np.uint64(40503))
+                 * np.uint64(2654435761)) % np.uint64(1 << 32)
+            return t.append_column("h", pa.array(h.astype(np.int64)))
+
+        head = (_ds(sf_dir, "documents", ["doc_id"])
+                .map_batches(hashed, batch_format="pyarrow")
+                .sort(key=["h", "doc_id"]).limit(15).to_pandas())
+        head["epoch"] = epoch
+        head["pos"] = np.arange(1, len(head) + 1)
+        frames.append(head)
+    out = pd.concat(frames, ignore_index=True)
+    for c in ("doc_id", "epoch", "pos"):
+        out[c] = out[c].astype("int64")
+    return out[["epoch", "pos", "doc_id"]]
+
+
+def agg_geo_line(sf_dir: str):
+    """geo_line agg (x-pack spatial GeoLineAggregationBuilder: per bucket,
+    the track of points ordered by a sort field): per-user path over the
+    first 5 events by (ts, event_id), points synthesized deterministically
+    from event_id (same rule as the sort-geo oracle family). ONE
+    groupby(user).map_groups; each group sorts locally and joins its own
+    track string — the exchange carries events once."""
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"]).head(5)
+        eid = df["event_id"].to_numpy()
+        lat = ((eid * 7919) % 180) - 90 + 0.5
+        lon = ((eid * 104729) % 360) - 180 + 0.5
+        pts = " ".join(f"{lo:.1f},{la:.1f}" for lo, la in zip(lon, lat))
+        return pd.DataFrame({"user_id": [int(df["user_id"].iloc[0])],
+                             "n_points": [len(df)], "line": [pts]})
+
+    out = (_ds(sf_dir, "events", ["user_id", "event_id", "ts"])
+           .groupby("user_id").map_groups(per_user, batch_format="pandas")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_points"] = out["n_points"].astype("int64")
+    return out[["user_id", "n_points", "line"]]

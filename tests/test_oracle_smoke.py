@@ -35,6 +35,7 @@ SMOKE = [
     "training_pack_sequences", "eql_sequence", "transform_pivot",
     # session-4 vector + stream ops
     "knn_filtered", "knn_l2", "data_stream_rollover", "ingest_enrich",
+    "sql_query", "training_shuffle", "agg_geo_line",
 ]
 
 

@@ -97,3 +97,29 @@ def test_eql_sequence_brute_twin(ray_session):
         if n:
             exp[int(u)] = n
     assert dict(zip(got["user_id"], got["seqs"])) == exp
+
+
+def test_sql_parser_errors_and_ops():
+    import pytest as _pt
+
+    from elasticsearch_ray.functions.sql import SqlParseError, parse_sql
+
+    p = parse_sql("SELECT a FROM t WHERE x <> 'y' AND z < 3.5 LIMIT 2")
+    assert p["preds"] == [("x", "<>", "y"), ("z", "<", 3.5)]
+    assert p["limit"] == 2 and p["order"] == []
+    with _pt.raises(SqlParseError):
+        parse_sql("SELECT * FROM t JOIN u ON 1=1")
+    with _pt.raises(SqlParseError):
+        parse_sql("SELECT a FROM t WHERE x LIKE 'y%'")
+
+
+def test_training_shuffle_epochs_differ(ray_session):
+    from elasticsearch_ray.pipelines.ops import training_shuffle
+
+    out = training_shuffle(SF)
+    e1 = out[out.epoch == 1]["doc_id"].tolist()
+    e2 = out[out.epoch == 2]["doc_id"].tolist()
+    assert e1 != e2 and len(e1) == len(e2) == 15
+    # rerun is bit-identical
+    again = training_shuffle(SF)
+    pd.testing.assert_frame_equal(out, again)
