@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_pack_sequences", "eql_sequence", "transform_pivot",
         "knn_filtered", "knn_l2", "data_stream_rollover", "ingest_enrich",
         "sql_query", "training_shuffle", "agg_geo_line",
+        "agg_t_test", "ft_runtime_field", "ft_sparse_vector",
+        "agg_moving_percentiles",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -1878,6 +1880,60 @@ SELECT bucket, doc_count,
        ROUND((doc_count::DOUBLE - lo) / (hi - lo), 6) AS rescale_0_1,
        ROUND(doc_count::DOUBLE / tot * 100.0, 6) AS percent_of_sum
 FROM h CROSS JOIN st ORDER BY bucket""",
+        "agg_t_test": """
+WITH p AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+                  count(*)::DOUBLE AS n, sum(n_chars)::DOUBLE AS s,
+                  sum(n_chars * n_chars)::DOUBLE AS ss
+           FROM documents GROUP BY 1),
+d AS (SELECT en, n, s / n AS mean,
+             (ss - n * (s / n) * (s / n)) / (n - 1.0) AS var
+      FROM p)
+SELECT (SELECT n::BIGINT FROM d WHERE en = 1) AS n_en,
+       (SELECT n::BIGINT FROM d WHERE en = 0) AS n_other,
+       (SELECT ROUND(mean, 6) FROM d WHERE en = 1) AS mean_en,
+       (SELECT ROUND(mean, 6) FROM d WHERE en = 0) AS mean_other,
+       ROUND(((SELECT mean FROM d WHERE en = 1)
+              - (SELECT mean FROM d WHERE en = 0))
+             / sqrt((SELECT var / n FROM d WHERE en = 1)
+                    + (SELECT var / n FROM d WHERE en = 0)), 6) AS t_stat""",
+        "ft_runtime_field": """
+WITH d AS (SELECT doc_id, n_chars,
+  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS ntok
+  FROM documents),
+c AS (SELECT doc_id,
+             n_chars::DOUBLE / GREATEST(ntok, 1)::DOUBLE AS raw
+      FROM d)
+SELECT doc_id, ROUND(raw, 6) AS cpt FROM c
+WHERE raw >= 5.8 ORDER BY ROUND(raw, 6) DESC, doc_id LIMIT 20""",
+        "ft_sparse_vector": f"""
+WITH {_TOK},
+w(term, wt) AS (VALUES ('data', 3.0), ('query', 2.0), ('merge', 1.5),
+                       ('slow', 1.0)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('data', 'query', 'merge', 'slow')
+       GROUP BY 1, 2)
+SELECT doc_id, ROUND(SUM(wt * tf), 4) AS score
+FROM tf JOIN w USING (term) GROUP BY doc_id
+ORDER BY SUM(wt * tf) DESC, doc_id LIMIT 15""",
+        "agg_moving_percentiles": """
+WITH vc AS (SELECT date_trunc('day', ts) AS day, floor(value)::BIGINT AS v,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM vc),
+win AS (SELECT d.day AS bucket, vc.v, vc.c
+        FROM days d JOIN vc
+          ON vc.day BETWEEN d.day - INTERVAL 6 DAY AND d.day),
+g AS (SELECT bucket, v, sum(c) AS c FROM win GROUP BY 1, 2),
+r AS (SELECT bucket, v, c,
+             SUM(c) OVER (PARTITION BY bucket ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY bucket) AS n
+      FROM g)
+SELECT bucket, any_value(n)::BIGINT AS n,
+       (MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+        + MIN(CASE WHEN cum >= (n + 2) // 2 THEN v END)) / 2.0
+         AS moving_median
+FROM r GROUP BY bucket ORDER BY bucket""",
         "sql_query": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE lang = 'en' AND n_chars >= 400

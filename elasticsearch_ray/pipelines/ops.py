@@ -7600,3 +7600,150 @@ def agg_geo_line(sf_dir: str):
     out["user_id"] = out["user_id"].astype("int64")
     out["n_points"] = out["n_points"].astype("int64")
     return out[["user_id", "n_points", "line"]]
+
+
+def agg_t_test(sf_dir: str):
+    """t_test agg (x-pack analytics TTestAggregationBuilder, type=
+    heteroscedastic / Welch): n_chars of lang='en' vs the rest. Per-batch
+    integer partials (n, sum, sum-of-squares per side) merge exactly on
+    the driver; mean/variance/t are derived from the integer sums with
+    the same literal expressions as the SQL twin, so the doubles agree
+    bit-for-bit before the 6 dp snap."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["en"] = (df["lang"] == "en").astype(np.int64)
+        x = df["n_chars"].to_numpy().astype(object)  # python ints, no ovf
+        g = df.assign(s=x, ss=x * x).groupby("en", as_index=False).agg(
+            n=("s", "size"), s=("s", "sum"), ss=("ss", "sum"))
+        g["s"] = g["s"].astype(np.int64)
+        g["ss"] = g["ss"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (_ds(sf_dir, "documents", ["lang", "n_chars"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    m = parts.groupby("en").sum()
+
+    def side(e):
+        n = float(m.loc[e, "n"])
+        mean = m.loc[e, "s"] / n
+        var = (m.loc[e, "ss"] - n * mean * mean) / (n - 1.0)
+        return n, mean, var
+
+    n1, m1, v1 = side(1)
+    n0, m0, v0 = side(0)
+    t_stat = (m1 - m0) / np.sqrt(v1 / n1 + v0 / n0)
+    return pd.DataFrame({
+        "n_en": pd.array([int(n1)], dtype="int64"),
+        "n_other": pd.array([int(n0)], dtype="int64"),
+        "mean_en": [float(round_half_away(m1, 6))],
+        "mean_other": [float(round_half_away(m0, 6))],
+        "t_stat": [float(round_half_away(t_stat, 6))],
+    })
+
+
+def ft_runtime_field(sf_dir: str):
+    """Runtime fields (mapper/RuntimeField + search-request
+    runtime_mappings, 7.11 server): `cpt = n_chars / ntok` is computed at
+    QUERY time by the sandboxed script evaluator (scripting.safe_eval_expr
+    — no stored column), then range-filtered (cpt >= 5.8) and sorted on.
+    Vectorized per batch: the script env binds whole numpy columns."""
+    import re
+
+    from ..scripting import safe_eval_expr
+
+    pat = re.compile(r"[^a-z0-9]+")
+    src = "n_chars / ntok"
+
+    def runtime(t: pa.Table) -> pa.Table:
+        ntok = np.array(
+            [max(1, sum(1 for w in pat.split(s.lower()) if w))
+             for s in t["text"].to_pylist()], dtype=np.float64)
+        env = {"n_chars": t["n_chars"].to_numpy().astype(np.float64),
+               "ntok": ntok}
+        cpt = np.asarray(safe_eval_expr(src, env), np.float64)
+        keep = cpt >= 5.8
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy()[keep]),
+            "cpt": pa.array(round_half_away(cpt[keep], 6)),
+        })
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+           .map_batches(runtime, batch_format="pyarrow").to_pandas())
+    out = out.sort_values(["cpt", "doc_id"],
+                          ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)[["doc_id", "cpt"]]
+
+
+def ft_sparse_vector(sf_dir: str):
+    """sparse_vector / text_expansion-style query (the ELSER retrieval
+    shape; rank_features scoring with query-side weights): score =
+    sum over query terms of weight * tf(term, doc). Vectorized per batch
+    from the token stream; query weights broadcast in the closure."""
+    import re
+
+    w = {"data": 3.0, "query": 2.0, "merge": 1.5, "slow": 1.0}
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy()
+        sc = np.zeros(len(texts))
+        for i, s in enumerate(texts):
+            toks = [x for x in pat.split(s.lower()) if x]
+            acc = 0.0
+            for term, wt in w.items():
+                c = toks.count(term)
+                if c:
+                    acc += wt * c
+            sc[i] = acc
+        keep = sc > 0
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "score": pa.array(sc[keep])})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(score, batch_format="pyarrow").to_pandas())
+    out = out.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).head(15)
+    out["score"] = round_half_away(out["score"], 4)
+    return out.reset_index(drop=True)[["doc_id", "score"]]
+
+
+def agg_moving_percentiles(sf_dir: str):
+    """moving_percentiles pipeline agg (x-pack: sliding-window percentile
+    merge over a date_histogram): the 7-day moving median of daily event
+    VALUES distributions — windows merge per-day value-count partials
+    (the exact analog of merging the reference's t-digests), never raw
+    rows. Daily integer value-counts come from ONE groupby; the driver
+    slides over the tiny (day x distinct-value) table."""
+    from ray.data.aggregate import Count
+
+    def day_val(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                            pa.timestamp("us")), pa.int64())
+        v = pc.cast(pc.floor(t["value"]), pa.int64())
+        return pa.table({"day": d, "v": v})
+
+    vc = (_ds(sf_dir, "events", ["ts", "value"])
+          .map_batches(day_val, batch_format="pyarrow")
+          .groupby(["day", "v"]).aggregate(Count(alias_name="c"))
+          .to_pandas().sort_values(["day", "v"]).reset_index(drop=True))
+    days = sorted(vc["day"].unique())
+    rows = []
+    for i, d in enumerate(days):
+        lo = days[max(0, i - 6)]
+        win = vc[(vc["day"] >= lo) & (vc["day"] <= d)]
+        g = win.groupby("v", as_index=False)["c"].sum().sort_values("v")
+        n = int(g["c"].sum())
+        cum = g["c"].cumsum().to_numpy()
+        vals = g["v"].to_numpy()
+        # exact median: avg of the two middle order statistics
+        k1, k2 = (n + 1) // 2, (n + 2) // 2
+        med = (float(vals[int(np.argmax(cum >= k1))])
+               + float(vals[int(np.argmax(cum >= k2))])) / 2.0
+        rows.append({"bucket": pd.Timestamp(d, unit="us"), "n": n,
+                     "moving_median": med})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    return out[["bucket", "n", "moving_median"]]

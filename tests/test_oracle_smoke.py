@@ -36,6 +36,8 @@ SMOKE = [
     # session-4 vector + stream ops
     "knn_filtered", "knn_l2", "data_stream_rollover", "ingest_enrich",
     "sql_query", "training_shuffle", "agg_geo_line",
+    "agg_t_test", "ft_runtime_field", "ft_sparse_vector",
+    "agg_moving_percentiles",
 ]
 
 
