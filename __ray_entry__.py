@@ -96,7 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered", "knn_l2", "data_stream_rollover", "ingest_enrich",
         "sql_query", "training_shuffle", "agg_geo_line",
         "agg_t_test", "ft_runtime_field", "ft_sparse_vector",
-        "agg_moving_percentiles",
+        "agg_moving_percentiles", "ccs_search", "ccs_clusters",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -679,6 +679,17 @@ def _multi_index_oracle_sqls() -> dict[str, str]:
     ctes = ("WITH " + part("en", "lang = 'en'", "docs-en") + ","
             + part("ot", "lang <> 'en'", "docs-other"))
     return {
+        "ccs_search": ctes + """,
+u AS (SELECT 'docs-en' AS idx, doc_id, raw FROM en_sc
+      UNION ALL SELECT 'remote1:docs-en', doc_id, raw FROM en_sc
+      UNION ALL SELECT 'remote1:docs-other', doc_id, raw FROM ot_sc)
+SELECT idx AS "index", doc_id, ROUND(raw, 4) AS score FROM u
+ORDER BY idx, doc_id""",
+        "ccs_clusters": ctes + """,
+c AS (SELECT (SELECT count(*) FROM en_sc) AS en,
+             (SELECT count(*) FROM ot_sc) AS ot)
+SELECT 3::BIGINT AS total, 2::BIGINT AS successful, 1::BIGINT AS skipped,
+       (en + en + ot)::BIGINT AS hits FROM c""",
         "ft_multi_index": ctes + """,
 u AS (SELECT * FROM en_sc UNION ALL SELECT * FROM ot_sc)
 SELECT idx AS "index", doc_id, ROUND(raw, 4) AS score FROM u

@@ -7747,3 +7747,43 @@ def agg_moving_percentiles(sf_dir: str):
     out = pd.DataFrame(rows)
     out["n"] = out["n"].astype("int64")
     return out[["bucket", "n", "moving_median"]]
+
+
+def _ccs_searcher(sf_dir: str):
+    from ..search.multi import CrossClusterSearcher
+
+    m = _multi_index_searcher(sf_dir)
+    return CrossClusterSearcher(
+        {"(local)": m, "remote1": m, "remote2": None},
+        skip_unavailable={"remote2"})
+
+
+def ccs_search(sf_dir: str):
+    """Cross-cluster search (TransportSearchAction CCS +
+    RemoteClusterService): `docs-en,remote1:docs-*,remote2:docs-*` — the
+    local hit set plus remote1's two indices under cluster-qualified
+    names; remote2 is down and registered skip_unavailable so the search
+    succeeds without it. Every index scores with its own stats."""
+    hits, _ = _ccs_searcher(sf_dir).search_all(
+        "docs-en,remote1:docs-*,remote2:docs-*",
+        {"kind": "term", "term": "data"})
+    sc = round_half_away(hits["score"].to_numpy(), 4)
+    out = pd.DataFrame({"index": hits["index"].to_pylist(),
+                        "doc_id": hits["doc_id"].to_numpy(),
+                        "score": sc})
+    return out.sort_values(["index", "doc_id"]).reset_index(drop=True)
+
+
+def ccs_clusters(sf_dir: str):
+    """The `_clusters` response section of the same CCS request
+    (SearchResponse.Clusters): total / successful / skipped plus the
+    cross-cluster hit count."""
+    hits, summary = _ccs_searcher(sf_dir).search_all(
+        "docs-en,remote1:docs-*,remote2:docs-*",
+        {"kind": "term", "term": "data"})
+    return pd.DataFrame({
+        "total": pd.array([summary["total"]], dtype="int64"),
+        "successful": pd.array([summary["successful"]], dtype="int64"),
+        "skipped": pd.array([summary["skipped"]], dtype="int64"),
+        "hits": pd.array([len(hits)], dtype="int64"),
+    })

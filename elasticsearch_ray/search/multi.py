@@ -108,3 +108,63 @@ class MultiIndexSearcher:
             "doc_id": pa.array(ids[order]),
             "score": pa.array(sc[order]),
         })
+
+
+class RemoteClusterUnavailable(RuntimeError):
+    """ConnectTransportException analog: the remote cluster cannot serve."""
+
+
+class CrossClusterSearcher:
+    """Cross-cluster search (TransportSearchAction CCS resolution +
+    RemoteClusterService / ClusterAware index expressions): targets like
+    `cluster_alias:pattern` fan the query out to remote registries, hits
+    come back under cluster-qualified index names, and the `_clusters`
+    response section counts total/successful/skipped. A remote marked
+    unavailable is skipped (and counted) when its alias is registered
+    skip_unavailable=true (RemoteClusterService#SKIP_UNAVAILABLE), else
+    the whole search fails — the reference's exact semantics."""
+
+    def __init__(self, clusters: dict[str, "MultiIndexSearcher | None"],
+                 *, local: str = "(local)",
+                 skip_unavailable: set[str] | frozenset[str] = frozenset()):
+        self.clusters = dict(clusters)
+        self.local = local
+        self.skip_unavailable = set(skip_unavailable)
+
+    def search_all(self, expression: str, query: dict):
+        """Returns (hits_table, clusters_summary). Hits carry
+        cluster-qualified index names for remotes, bare names for the
+        local cluster, ordered (index, doc_id)."""
+        targets: dict[str, list[str]] = {}
+        for pat in expression.split(","):
+            pat = pat.strip()
+            alias, _, rest = pat.partition(":")
+            if not rest:
+                alias, rest = self.local, pat
+            if alias not in self.clusters:
+                raise KeyError(f"no such remote cluster: {alias}")
+            targets.setdefault(alias, []).append(rest)
+        total = len(targets)
+        successful = skipped = 0
+        tables = []
+        for alias in sorted(targets):
+            reg = self.clusters[alias]
+            if reg is None:
+                if alias in self.skip_unavailable:
+                    skipped += 1
+                    continue
+                raise RemoteClusterUnavailable(alias)
+            t = reg.search_all(",".join(targets[alias]), query)
+            if alias != self.local:
+                import pyarrow.compute as pc
+
+                qual = pc.binary_join_element_wise(
+                    pa.array([alias] * len(t)), t["index"], ":")
+                t = t.set_column(t.schema.get_field_index("index"),
+                                 "index", qual)
+            tables.append(t)
+            successful += 1
+        hits = pa.concat_tables(tables) if tables else None
+        summary = {"total": total, "successful": successful,
+                   "skipped": skipped}
+        return hits, summary

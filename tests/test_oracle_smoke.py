@@ -37,7 +37,7 @@ SMOKE = [
     "knn_filtered", "knn_l2", "data_stream_rollover", "ingest_enrich",
     "sql_query", "training_shuffle", "agg_geo_line",
     "agg_t_test", "ft_runtime_field", "ft_sparse_vector",
-    "agg_moving_percentiles",
+    "agg_moving_percentiles", "ccs_search", "ccs_clusters",
 ]
 
 

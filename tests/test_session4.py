@@ -123,3 +123,26 @@ def test_training_shuffle_epochs_differ(ray_session):
     # rerun is bit-identical
     again = training_shuffle(SF)
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_ccs_unavailable_raises_without_skip(ray_session):
+    import pytest as _pt
+
+    from elasticsearch_ray.pipelines.ops import _multi_index_searcher
+    from elasticsearch_ray.search.multi import (CrossClusterSearcher,
+                                                RemoteClusterUnavailable)
+
+    m = _multi_index_searcher(SF)
+    ccs = CrossClusterSearcher({"(local)": m, "r": None})
+    with _pt.raises(RemoteClusterUnavailable):
+        ccs.search_all("docs-en,r:docs-*", {"kind": "term", "term": "data"})
+    # unknown alias
+    with _pt.raises(KeyError):
+        ccs.search_all("nope:docs-*", {"kind": "term", "term": "data"})
+
+
+def test_ccs_summary_counts(ray_session):
+    from elasticsearch_ray.pipelines.ops import ccs_clusters
+
+    row = ccs_clusters(SF).iloc[0]
+    assert (row.total, row.successful, row.skipped) == (3, 2, 1)
