@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_query", "training_shuffle", "agg_geo_line",
         "agg_t_test", "ft_runtime_field", "ft_sparse_vector",
         "agg_moving_percentiles", "ccs_search", "ccs_clusters",
+        "async_search", "ft_analyze_offsets",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -120,7 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize", "asof_join_events_orders",
         "range_join_events_windows", "sliding_window_counts",
         "rank_eval_metrics", "dedup_components", "dedup_keep_one",
-        "lm_perplexity", "dsir_weights", "lm_perplexity_bigram", "knn_pq", "knn_ivf_pq", "knn_hnsw",
+        "lm_perplexity", "dsir_weights", "lm_perplexity_bigram", "knn_pq", "knn_ivf_pq", "knn_hnsw", "agg_variable_width_histogram",
         "dsir_resample", "nb_domain_classify", "tfidf_keywords",
         "pmi_collocations", "doc_chunks",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
@@ -1891,6 +1892,36 @@ SELECT bucket, doc_count,
        ROUND((doc_count::DOUBLE - lo) / (hi - lo), 6) AS rescale_0_1,
        ROUND(doc_count::DOUBLE / tot * 100.0, 6) AS percent_of_sum
 FROM h CROSS JOIN st ORDER BY bucket""",
+        "async_search": f"""
+WITH {_TOK},
+h AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+b AS (SELECT (max(doc_id) + 2) // 2 AS bound FROM h),
+c AS (SELECT
+  (SELECT count(*) FROM h CROSS JOIN b WHERE doc_id < bound) AS h1,
+  (SELECT count(*) FROM h) AS total)
+SELECT phase::BIGINT AS phase, is_running::BIGINT AS is_running,
+       hits::BIGINT AS hits, found::BIGINT AS found
+FROM (SELECT 1 AS phase, 1 AS is_running, (SELECT h1 FROM c) AS hits, 1 AS found
+      UNION ALL
+      SELECT 2, 0, (SELECT total FROM c), 1
+      UNION ALL
+      SELECT 3, 0, -1, 0)
+ORDER BY phase""",
+        "ft_analyze_offsets": """
+WITH d AS (SELECT lower(text) AS s FROM documents WHERE doc_id = 0),
+t AS (SELECT unnest(regexp_extract_all(s, '[a-z0-9]+')) AS token,
+             generate_subscripts(regexp_extract_all(s, '[a-z0-9]+'), 1) - 1
+               AS position
+      FROM d),
+o AS (SELECT position, token,
+             COALESCE(SUM(length(token) + 1) OVER (ORDER BY position
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM t)
+SELECT position::BIGINT AS position, token,
+       start_offset::BIGINT AS start_offset,
+       (start_offset + length(token))::BIGINT AS end_offset
+FROM o WHERE position < 10 ORDER BY position""",
         "agg_t_test": """
 WITH p AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
                   count(*)::DOUBLE AS n, sum(n_chars)::DOUBLE AS s,

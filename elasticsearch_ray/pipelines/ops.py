@@ -7787,3 +7787,105 @@ def ccs_clusters(sf_dir: str):
         "skipped": pd.array([summary["skipped"]], dtype="int64"),
         "hits": pd.array([len(hits)], dtype="int64"),
     })
+
+
+def async_search(sf_dir: str):
+    """_async_search lifecycle (x-pack RestSubmitAsyncSearchAction /
+    GetAsyncSearchAction / DeleteAsyncSearchAction): submit returns an id;
+    poll 1 sees the first shard's partial hits with is_running=1; poll 2
+    completes; delete then 404s. Shards are doc_id ranges — on a cluster
+    each chunk is one search actor's response arriving."""
+    from ..search.async_search import AsyncSearchMissing, AsyncSearchRegistry
+
+    reg = AsyncSearchRegistry(n_shards=2)
+    s = documents_searcher(sf_dir)
+    sid = reg.submit(s, {"kind": "term", "term": "data"})
+    rows = []
+    for phase in (1, 2):
+        r = reg.get(sid)
+        rows.append({"phase": phase, "is_running": int(r["is_running"]),
+                     "hits": r["hits"], "found": 1})
+    reg.delete(sid)
+    try:
+        reg.get(sid)
+        found = 1
+    except AsyncSearchMissing:
+        found = 0
+    rows.append({"phase": 3, "is_running": 0, "hits": -1, "found": found})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[["phase", "is_running", "hits", "found"]]
+
+
+def agg_variable_width_histogram(sf_dir: str):
+    """variable_width_histogram agg (server
+    VariableWidthHistogramAggregationBuilder, 7.9: per-shard clustering
+    merged to `buckets` centroids): the engine computes it from the EXACT
+    value-count exchange (groupby n_chars -> counts; the clustering runs
+    on the tiny distinct-value table, weighted by counts) with
+    deterministic quantile seeding + Lloyd iterations — partition-
+    invariant by construction, unlike the reference's collection-order-
+    sensitive shard caches (documented divergence). Rows-only gate
+    (iterative); pinned by the serial-twin test."""
+    from ray.data.aggregate import Count
+
+    k = 6
+    vc = (_ds(sf_dir, "documents", ["n_chars"])
+          .groupby("n_chars").aggregate(Count(alias_name="c")).to_pandas()
+          .sort_values("n_chars").reset_index(drop=True))
+    vals = vc["n_chars"].to_numpy().astype(np.float64)
+    wts = vc["c"].to_numpy().astype(np.float64)
+    n = wts.sum()
+    cum = np.cumsum(wts)
+    # quantile seeds (deterministic)
+    seeds = [float(vals[int(np.argmax(cum >= np.ceil((i + 0.5) / k * n)))])
+             for i in range(k)]
+    cent = np.array(seeds)
+    for _ in range(10):
+        a = np.argmin(np.abs(vals[:, None] - cent[None, :]), axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cent[j] = (vals[m] * wts[m]).sum() / wts[m].sum()
+    a = np.argmin(np.abs(vals[:, None] - cent[None, :]), axis=1)
+    rows = []
+    for j in range(k):
+        m = a == j
+        if not m.any():
+            continue
+        rows.append({
+            "b_min": int(vals[m].min()), "b_max": int(vals[m].max()),
+            "doc_count": int(wts[m].sum()),
+            "centroid": float(round_half_away(
+                (vals[m] * wts[m]).sum() / wts[m].sum(), 4)),
+        })
+    out = pd.DataFrame(rows).sort_values("b_min").reset_index(drop=True)
+    for c in ("b_min", "b_max", "doc_count"):
+        out[c] = out[c].astype("int64")
+    return out[["b_min", "b_max", "doc_count", "centroid"]]
+
+
+def ft_analyze_offsets(sf_dir: str):
+    """_analyze with explain=true (RestAnalyzeAction + AnalyzeResponse
+    token detail: start_offset / end_offset / position, the offsets the
+    highlighters consume): the first 10 tokens of doc 0's text through an
+    offset-tracking tokenizer pass (regex finditer — real character
+    offsets, not recomputed from lengths)."""
+    import re
+
+    import pyarrow.compute as pc
+
+    t = (_ds(sf_dir, "documents", ["doc_id", "text"],
+             flt=pc.field("doc_id") == 0).take_all())
+    text = t[0]["text"]
+    rows = []
+    for pos, m in enumerate(re.finditer(r"[a-z0-9]+", text.lower())):
+        if pos >= 10:
+            break
+        rows.append({"position": pos, "token": m.group(),
+                     "start_offset": m.start(), "end_offset": m.end()})
+    out = pd.DataFrame(rows)
+    for c in ("position", "start_offset", "end_offset"):
+        out[c] = out[c].astype("int64")
+    return out[["position", "token", "start_offset", "end_offset"]]

@@ -38,6 +38,7 @@ SMOKE = [
     "sql_query", "training_shuffle", "agg_geo_line",
     "agg_t_test", "ft_runtime_field", "ft_sparse_vector",
     "agg_moving_percentiles", "ccs_search", "ccs_clusters",
+    "async_search", "ft_analyze_offsets",
 ]
 
 

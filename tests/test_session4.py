@@ -146,3 +146,61 @@ def test_ccs_summary_counts(ray_session):
 
     row = ccs_clusters(SF).iloc[0]
     assert (row.total, row.successful, row.skipped) == (3, 2, 1)
+
+
+def test_async_search_lifecycle(ray_session):
+    import pytest as _pt
+
+    from elasticsearch_ray.pipelines.ops import documents_searcher
+    from elasticsearch_ray.search.async_search import (AsyncSearchMissing,
+                                                       AsyncSearchRegistry)
+
+    reg = AsyncSearchRegistry(n_shards=3)
+    s = documents_searcher(SF)
+    sid = reg.submit(s, {"kind": "term", "term": "data"})
+    seen = []
+    for _ in range(3):
+        r = reg.get(sid)
+        seen.append(r["hits"])
+    assert not reg.get(sid)["is_running"]
+    assert seen == sorted(seen)  # partial hits only accumulate
+    reg.delete(sid)
+    with _pt.raises(AsyncSearchMissing):
+        reg.delete(sid)
+
+
+def test_variable_width_histogram_serial_twin(ray_session):
+    import duckdb
+
+    from elasticsearch_ray.pipelines.ops import agg_variable_width_histogram
+
+    got = agg_variable_width_histogram(SF)
+    vals = duckdb.sql(
+        f"SELECT n_chars FROM read_parquet('{SF}/documents.parquet')"
+    ).df()["n_chars"].to_numpy().astype(np.float64)
+    # serial twin: same quantile seeding + Lloyd on raw values
+    k = 6
+    sv = np.sort(vals)
+    n = len(sv)
+    cent = np.array([sv[min(n - 1, int(np.ceil((i + 0.5) / k * n)) - 1)]
+                     for i in range(k)], dtype=np.float64)
+    uniq, cnt = np.unique(vals, return_counts=True)
+    cum = np.cumsum(cnt)
+    cent = np.array([uniq[int(np.argmax(cum >= np.ceil((i + 0.5) / k * n)))]
+                     for i in range(k)], dtype=np.float64)
+    for _ in range(10):
+        a = np.argmin(np.abs(vals[:, None] - cent[None, :]), axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cent[j] = vals[m].mean()
+    a = np.argmin(np.abs(vals[:, None] - cent[None, :]), axis=1)
+    exp = []
+    for j in range(k):
+        m = a == j
+        if m.any():
+            exp.append((int(vals[m].min()), int(vals[m].max()),
+                        int(m.sum())))
+    exp.sort()
+    assert [tuple(r) for r in
+            got[["b_min", "b_max", "doc_count"]].to_numpy()] == exp
