@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_t_test", "ft_runtime_field", "ft_sparse_vector",
         "agg_moving_percentiles", "ccs_search", "ccs_clusters",
         "async_search", "ft_analyze_offsets",
+        "decontaminate_exact", "reindex_sliced", "ft_hybrid_linear",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -1892,6 +1893,42 @@ SELECT bucket, doc_count,
        ROUND((doc_count::DOUBLE - lo) / (hi - lo), 6) AS rescale_0_1,
        ROUND(doc_count::DOUBLE / tot * 100.0, 6) AS percent_of_sum
 FROM h CROSS JOIN st ORDER BY bucket""",
+        "decontaminate_exact": f"""
+WITH {_PTOK},
+g AS (SELECT doc_id,
+             term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+             || ' ' || lead(term, 3) OVER w AS gram
+      FROM ptok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(term, 3) OVER w IS NOT NULL),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5)
+SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_overlap
+FROM g JOIN b USING (gram) WHERE g.doc_id >= 5
+GROUP BY g.doc_id ORDER BY g.doc_id""",
+        "reindex_sliced": """
+SELECT (doc_id % 4)::BIGINT AS slice, count(*)::BIGINT AS docs,
+       sum(doc_id)::BIGINT AS id_sum
+FROM documents GROUP BY 1 ORDER BY 1""",
+        "ft_hybrid_linear": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data'
+       GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+bm AS (SELECT tf.doc_id AS doc_id, {_SCORE} AS raw
+       FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+cs AS (SELECT e.vec_id AS doc_id,
+              list_cosine_similarity(e.embedding::DOUBLE[], qv.v) AS c
+       FROM embeddings e CROSS JOIN qv),
+j AS (SELECT bm.doc_id, bm.raw, cs.c FROM bm JOIN cs USING (doc_id)),
+mm AS (SELECT min(raw) AS lo_b, max(raw) AS hi_b,
+              min(c) AS lo_c, max(c) AS hi_c FROM j)
+SELECT doc_id,
+       ROUND(0.7 * ((raw - lo_b) / (hi_b - lo_b))
+             + 0.3 * ((c - lo_c) / (hi_c - lo_c)), 4) AS score
+FROM j CROSS JOIN mm
+ORDER BY ROUND(0.7 * ((raw - lo_b) / (hi_b - lo_b))
+               + 0.3 * ((c - lo_c) / (hi_c - lo_c)), 4) DESC, doc_id
+LIMIT 15""",
         "async_search": f"""
 WITH {_TOK},
 h AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),

@@ -7889,3 +7889,118 @@ def ft_analyze_offsets(sf_dir: str):
     for c in ("position", "start_offset", "end_offset"):
         out[c] = out[c].astype("int64")
     return out[["position", "token", "start_offset", "end_offset"]]
+
+
+def decontaminate_exact(sf_dir: str):
+    """Exact n-gram decontamination (the benchmark-overlap scrub: flag any
+    training doc sharing a word 4-gram with the eval set — the exact
+    counterpart of decontaminate_bloom): the eval set (docs 0-4) is tiny,
+    so its 8-gram hash set broadcasts via ray.put and each batch probes it
+    vectorized; the exchange carries only flagged (doc_id, n_overlap)
+    rows. GPT-3-appendix-style exact matching, no false positives."""
+    import re
+
+    import pyarrow.compute as pc
+    import ray
+
+    n = 4
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def grams(text: str) -> set:
+        toks = [t for t in pat.split(text.lower()) if t]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    bench = (_ds(sf_dir, "documents", ["doc_id", "text"],
+                 flt=pc.field("doc_id") < 5).take_all())
+    bench_grams = set()
+    for r in bench:
+        bench_grams |= grams(r["text"])
+    side = ray.put(bench_grams)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bg = ray.get(side)
+        ids = t["doc_id"].to_numpy()
+        out_ids, out_n = [], []
+        for i, s in enumerate(t["text"].to_pylist()):
+            if ids[i] < 5:
+                continue  # the eval set itself is not scrubbed
+            k = len(grams(s) & bg)
+            if k:
+                out_ids.append(int(ids[i]))
+                out_n.append(k)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "n_overlap": pa.array(out_n, pa.int64())})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(flag, batch_format="pyarrow").to_pandas())
+    if out.empty:
+        out = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                            "n_overlap": pd.array([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def reindex_sliced(sf_dir: str):
+    """Sliced reindex (modules/reindex + SliceBuilder: slices=4 partitions
+    the source so workers copy disjoint id sets in parallel): per-slice
+    doc count and id checksum of the copy — the resumable-output unit at
+    scale (one output dir per slice). Slice assignment is vectorized per
+    batch; the exchange carries 4 partial rows per block."""
+    n_slices = 4
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        df = pd.DataFrame({"slice": (ids % n_slices).astype(np.int64),
+                           "doc_id": ids})
+        g = df.groupby("slice", as_index=False).agg(
+            docs=("doc_id", "size"), id_sum=("doc_id", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (_ds(sf_dir, "documents", ["doc_id"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    out = (parts.groupby("slice", as_index=False).sum()
+           .sort_values("slice").reset_index(drop=True))
+    for c in ("slice", "docs", "id_sum"):
+        out[c] = out[c].astype("int64")
+    return out[["slice", "docs", "id_sum"]]
+
+
+def ft_hybrid_linear(sf_dir: str):
+    """Linear-combination hybrid retrieval (the 8.x `linear` retriever /
+    compound retriever tree: score = w_text * minmax(bm25) + w_vec *
+    minmax(cosine) over the joint candidate set): BM25 side from the
+    actor-served index, vector side a broadcast-query cosine scan;
+    min-max bounds come from the joined candidates (docs holding both a
+    hit and an embedding), exactly as the reference normalizer defines
+    them."""
+    import pyarrow.dataset as pads
+    import ray
+
+    s = documents_searcher(sf_dir)
+    ids, sc = s._eval({"kind": "term", "term": "data"})
+    bm = pd.DataFrame({"doc_id": ids.astype(np.int64),
+                       "bm25": sc.astype(np.float64)})
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    q = np.asarray(t["embedding"].to_pylist()[0], np.float64)
+    q = q / np.sqrt((q * q).sum())
+    q_ref = ray.put(q)
+
+    def cos(tb: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        V = np.stack(tb["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64)
+        Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
+        return pa.table({"doc_id": tb["vec_id"],
+                         "cosine": pa.array(Vn @ qv, pa.float64())})
+
+    ve = (_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+          .map_batches(cos, batch_format="pyarrow").to_pandas())
+    j = bm.merge(ve, on="doc_id", how="inner")
+    for col in ("bm25", "cosine"):
+        lo, hi = j[col].min(), j[col].max()
+        j[f"n_{col}"] = (j[col] - lo) / (hi - lo)
+    j["score"] = round_half_away(
+        0.7 * j["n_bm25"] + 0.3 * j["n_cosine"], 4)
+    j = j.sort_values(["score", "doc_id"],
+                      ascending=[False, True]).head(15)
+    return j.reset_index(drop=True)[["doc_id", "score"]]

@@ -39,6 +39,7 @@ SMOKE = [
     "agg_t_test", "ft_runtime_field", "ft_sparse_vector",
     "agg_moving_percentiles", "ccs_search", "ccs_clusters",
     "async_search", "ft_analyze_offsets",
+    "decontaminate_exact", "reindex_sliced", "ft_hybrid_linear",
 ]
 
 
