@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_moving_percentiles", "ccs_search", "ccs_clusters",
         "async_search", "ft_analyze_offsets",
         "decontaminate_exact", "reindex_sliced", "ft_hybrid_linear",
+        "agg_ip_prefix", "agg_frequent_item_sets", "events_retention",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -1893,6 +1894,32 @@ SELECT bucket, doc_count,
        ROUND((doc_count::DOUBLE - lo) / (hi - lo), 6) AS rescale_0_1,
        ROUND(doc_count::DOUBLE / tot * 100.0, 6) AS percent_of_sum
 FROM h CROSS JOIN st ORDER BY bucket""",
+        "agg_ip_prefix": """
+SELECT printf('10.%d.0.0/16',
+              (((event_id * 2654435761) % 4294967296) // 65536) % 8)
+         AS prefix,
+       count(*)::BIGINT AS doc_count
+FROM events GROUP BY 1 ORDER BY 1""",
+        "agg_frequent_item_sets": """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS item_a, b.event_type AS item_b,
+       count(*)::BIGINT AS support
+FROM ut a JOIN ut b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY support DESC, item_a, item_b""",
+        "events_retention": """
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+           FROM events GROUP BY 1),
+r AS (SELECT f.user_id, f.cohort,
+             CASE WHEN EXISTS (SELECT 1 FROM events e
+                               WHERE e.user_id = f.user_id
+                                 AND date_trunc('day', e.ts)
+                                     = f.cohort + INTERVAL 7 DAY)
+                  THEN 1 ELSE 0 END AS ret
+      FROM f)
+SELECT cohort, count(*)::BIGINT AS cohort_size,
+       sum(ret)::BIGINT AS retained
+FROM r GROUP BY cohort ORDER BY cohort""",
         "decontaminate_exact": f"""
 WITH {_PTOK},
 g AS (SELECT doc_id,

@@ -8004,3 +8004,95 @@ def ft_hybrid_linear(sf_dir: str):
     j = j.sort_values(["score", "doc_id"],
                       ascending=[False, True]).head(15)
     return j.reset_index(drop=True)[["doc_id", "score"]]
+
+
+def agg_ip_prefix(sf_dir: str):
+    """ip_prefix agg (server 8.x IpPrefixAggregationBuilder,
+    prefix_length=16): events carry a synthetic IPv4 whose second octet
+    is a Knuth hash of event_id mod 8 (the corpus has no ip column; same
+    synthesis style as the geo family); buckets are /16 networks.
+    Vectorized per-batch prefix keys -> tiny groupby."""
+    def prefix(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy().astype(np.uint64)
+        hi = ((e * np.uint64(2654435761)) % np.uint64(1 << 32)
+              >> np.uint64(16)) % np.uint64(8)
+        return pa.table({"prefix": pa.array(
+            [f"10.{int(h)}.0.0/16" for h in hi])})
+
+    from ray.data.aggregate import Count
+
+    out = (_ds(sf_dir, "events", ["event_id"])
+           .map_batches(prefix, batch_format="pyarrow")
+           .groupby("prefix").aggregate(Count(alias_name="doc_count"))
+           .to_pandas().sort_values("prefix").reset_index(drop=True))
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out[["prefix", "doc_count"]]
+
+
+def agg_frequent_item_sets(sf_dir: str):
+    """frequent_item_sets agg (x-pack ml FrequentItemSetsAggregationBuilder,
+    eclat/apriori over per-entity item baskets): support of every
+    event_type PAIR across user baskets. Scale shape: per-user 5-bit type
+    bitmask folded inside ONE groupby (bit_or of per-batch partial masks);
+    the exchange then carries at most 2^5 (mask, n_users) histogram rows,
+    and pair supports expand from that tiny histogram on the driver —
+    never a pairwise self-join of the raw stream."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    bit = {t_: 1 << i for i, t_ in enumerate(types)}
+
+    def mask(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["m"] = df["event_type"].map(bit).astype(np.int64)
+        g = df.groupby("user_id", as_index=False)["m"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import AggregateFn
+
+    # bit_or fold of the per-batch partial masks, one row per user
+    per_user = (_ds(sf_dir, "events", ["user_id", "event_type"])
+                .map_batches(mask, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(AggregateFn(
+                    init=lambda k: 0,
+                    accumulate_row=lambda a, r: a | int(r["m"]),
+                    merge=lambda a, b: a | b,
+                    name="basket")).to_pandas())
+    hist = per_user.groupby("basket").size()
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            need = bit[a] | bit[b]
+            sup = int(sum(n for m, n in hist.items()
+                          if (int(m) & need) == need))
+            rows.append({"item_a": a, "item_b": b, "support": sup})
+    out = pd.DataFrame(rows).sort_values(
+        ["support", "item_a", "item_b"],
+        ascending=[False, True, True]).reset_index(drop=True)
+    out["support"] = out["support"].astype("int64")
+    return out[["item_a", "item_b", "support"]]
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention (the product-analytics rollup a training-data
+    events pipeline feeds): users cohorted by first-activity day; retained
+    = the user has any event exactly 7 days later. Scale shape: ONE
+    groupby(user).map_groups computes (first_day, retained@7) per user —
+    the exchange carries one row per user — then a tiny per-cohort
+    rollup."""
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(df["ts"].to_numpy().astype("datetime64[D]"))
+        first = days.min()
+        ret = int((days == first + np.timedelta64(7, "D")).any())
+        return pd.DataFrame({"cohort": [first], "retained": [ret]})
+
+    per = (_ds(sf_dir, "events", ["user_id", "ts"])
+           .groupby("user_id").map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    g = per.groupby("cohort", as_index=False).agg(
+        cohort_size=("retained", "size"), retained=("retained", "sum"))
+    g["cohort"] = g["cohort"].astype("datetime64[us]")
+    for c in ("cohort_size", "retained"):
+        g[c] = g[c].astype("int64")
+    return g.sort_values("cohort").reset_index(drop=True)[
+        ["cohort", "cohort_size", "retained"]]

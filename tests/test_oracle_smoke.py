@@ -40,6 +40,7 @@ SMOKE = [
     "agg_moving_percentiles", "ccs_search", "ccs_clusters",
     "async_search", "ft_analyze_offsets",
     "decontaminate_exact", "reindex_sliced", "ft_hybrid_linear",
+    "agg_ip_prefix", "agg_frequent_item_sets", "events_retention",
 ]
 
 
