@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "async_search", "ft_analyze_offsets",
         "decontaminate_exact", "reindex_sliced", "ft_hybrid_linear",
         "agg_ip_prefix", "agg_frequent_item_sets", "events_retention",
+        "rollup_search", "agg_random_sampler",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -123,7 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize", "asof_join_events_orders",
         "range_join_events_windows", "sliding_window_counts",
         "rank_eval_metrics", "dedup_components", "dedup_keep_one",
-        "lm_perplexity", "dsir_weights", "lm_perplexity_bigram", "knn_pq", "knn_ivf_pq", "knn_hnsw", "agg_variable_width_histogram",
+        "lm_perplexity", "dsir_weights", "lm_perplexity_bigram", "knn_pq", "knn_ivf_pq", "knn_hnsw", "agg_variable_width_histogram", "knn_rescore",
         "dsir_resample", "nb_domain_classify", "tfidf_keywords",
         "pmi_collocations", "doc_chunks",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
@@ -1894,6 +1895,17 @@ SELECT bucket, doc_count,
        ROUND((doc_count::DOUBLE - lo) / (hi - lo), 6) AS rescale_0_1,
        ROUND(doc_count::DOUBLE / tot * 100.0, 6) AS percent_of_sum
 FROM h CROSS JOIN st ORDER BY bucket""",
+        "rollup_search": """
+SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1""",
+        "agg_random_sampler": """
+WITH s AS (SELECT lang FROM documents
+           WHERE ((doc_id * 2654435761) % 4294967296) % 8 = 0)
+SELECT lang, count(*)::BIGINT AS sampled,
+       (count(*) * 8)::BIGINT AS scaled_count
+FROM s GROUP BY lang ORDER BY lang""",
         "agg_ip_prefix": """
 SELECT printf('10.%d.0.0/16',
               (((event_id * 2654435761) % 4294967296) // 65536) % 8)

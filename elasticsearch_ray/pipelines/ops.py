@@ -8096,3 +8096,102 @@ def events_retention(sf_dir: str):
         g[c] = g[c].astype("int64")
     return g.sort_values("cohort").reset_index(drop=True)[
         ["cohort", "cohort_size", "retained"]]
+
+
+def rollup_search(sf_dir: str):
+    """Rollup (x-pack rollup RollupJobConfig + RollupSearchAction): a
+    rollup job pre-aggregates events into (day, event_type) docs carrying
+    count + sum(value) — built with ONE distributed groupby over partial
+    combiners — and rollup_search answers a date_histogram+sum query FROM
+    the rollup index, never touching raw events again. The oracle runs
+    the same query on the raw table, proving rollup equivalence (the
+    reference's RollupResponseTranslator contract). value sums are
+    cent-snapped integers so the rollup fold is order-invariant."""
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                            pa.timestamp("us")), pa.int64())
+        df = pd.DataFrame({
+            "day": d.to_numpy(),
+            "event_type": t["event_type"].to_pylist(),
+            "cents": np.rint(t["value"].to_numpy() * 100).astype(np.int64),
+        })
+        g = df.groupby(["day", "event_type"], as_index=False).agg(
+            doc_count=("cents", "size"), cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rollup = (_ds(sf_dir, "events", ["ts", "event_type", "value"])
+              .map_batches(partial, batch_format="pyarrow").to_pandas()
+              .groupby(["day", "event_type"], as_index=False).sum())
+    # rollup_search: daily totals for event_type='purchase' FROM the rollup
+    q = rollup[rollup["event_type"] == "purchase"].sort_values("day")
+    return pd.DataFrame({
+        "bucket": pd.to_datetime(q["day"], unit="us"),
+        "doc_count": q["doc_count"].astype("int64").to_numpy(),
+        "sum_cents": q["cents"].astype("int64").to_numpy(),
+    }).reset_index(drop=True)
+
+
+def agg_random_sampler(sf_dir: str):
+    """random_sampler agg (server 8.2 RandomSamplerAggregationBuilder:
+    probability-sampled sub-aggregation with count scale-back): p = 1/8
+    via the deterministic Knuth-hash draw (the engine's reproducible
+    substitute for the reference's per-shard RNG, documented divergence),
+    sub-agg = per-lang counts, reported scaled by 1/p. Sampling happens
+    inside the scan — non-sampled rows never leave the read stage."""
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        keep = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+                % np.uint64(8)) == 0
+        return pa.table({"lang": pa.array(
+            np.asarray(t["lang"].to_pylist(), dtype=object)[keep])})
+
+    from ray.data.aggregate import Count
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "lang"])
+           .map_batches(sample, batch_format="pyarrow")
+           .groupby("lang").aggregate(Count(alias_name="sampled"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    out["sampled"] = out["sampled"].astype("int64")
+    out["scaled_count"] = (out["sampled"] * 8).astype("int64")
+    return out[["lang", "sampled", "scaled_count"]]
+
+
+def knn_rescore(sf_dir: str):
+    """kNN oversample + rescore (8.x dense_vector rescore_vector
+    oversample: quantized search retrieves k*oversample candidates, exact
+    float vectors rescore the top-k): int8 candidates come from the
+    quantized path, the float rerank touches ONLY the oversampled
+    candidate ids (a point-read of oversample*k vectors per query).
+    Rows-only (quantized recall is approximate by design); pinned by the
+    recall-vs-bruteforce test."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    k, oversample = 5, 4
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    Q = np.array(t["embedding"].to_pylist()[:3])
+    cand = S.knn_scalar_quantized(
+        _ds(sf_dir, "embeddings", ["vec_id", "embedding"]), Q,
+        k=k * oversample)
+    rows = []
+    for qi in range(len(Q)):
+        ids = cand[cand["query_id"] == qi]["vec_id"].to_numpy()
+        sub = (_ds(sf_dir, "embeddings", ["vec_id", "embedding"],
+                   flt=pc.field("vec_id").isin(ids.tolist())).take_all())
+        V = np.array([r["embedding"] for r in sub], dtype=np.float64)
+        vids = np.array([r["vec_id"] for r in sub], dtype=np.int64)
+        Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
+        q = Q[qi].astype(np.float64)
+        q = q / np.sqrt((q * q).sum())
+        cs = Vn @ q
+        order = np.lexsort((vids, -cs))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append({"query_id": qi, "vec_id": int(vids[j]),
+                         "cosine": float(round_half_away(cs[j], 6)),
+                         "rank": rank})
+    out = pd.DataFrame(rows)
+    for c in ("query_id", "vec_id", "rank"):
+        out[c] = out[c].astype("int64")
+    return out[["query_id", "vec_id", "cosine", "rank"]]

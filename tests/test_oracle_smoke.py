@@ -41,6 +41,7 @@ SMOKE = [
     "async_search", "ft_analyze_offsets",
     "decontaminate_exact", "reindex_sliced", "ft_hybrid_linear",
     "agg_ip_prefix", "agg_frequent_item_sets", "events_retention",
+    "rollup_search", "agg_random_sampler",
 ]
 
 

@@ -233,3 +233,21 @@ def test_percolator_thousand_queries_sublinear():
     for doc_id, qid in zip(df.doc_id, df.query_id):
         toks = set(docs[int(doc_id)].split())
         assert set(qmap[int(qid)]["terms"]) <= toks
+
+
+def test_knn_rescore_recall(ray_session):
+    from elasticsearch_ray.functions import similarity as S
+    from elasticsearch_ray.pipelines.ops import _ds, knn_rescore
+
+    got = knn_rescore(SF)
+    Q = _queries(3)
+    bf = S.knn_brute_force(_ds(SF, "embeddings"), Q, k=5, dtype=np.float64)
+    hits = 0
+    for qi in range(3):
+        b = set(bf[bf.query_id == qi].vec_id)
+        g = set(got[got.query_id == qi].vec_id)
+        hits += len(b & g)
+    assert hits >= 12  # recall >= 0.8 after oversample+rescore
+    # rescored cosines are exact float64 — top-1 is the query itself
+    assert (got[got["rank"] == 1]["vec_id"].to_numpy()
+            == np.arange(3)).all()
