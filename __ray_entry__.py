@@ -124,7 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize", "asof_join_events_orders",
         "range_join_events_windows", "sliding_window_counts",
         "rank_eval_metrics", "dedup_components", "dedup_keep_one",
-        "lm_perplexity", "dsir_weights", "lm_perplexity_bigram", "knn_pq", "knn_ivf_pq", "knn_hnsw", "agg_variable_width_histogram", "knn_rescore",
+        "lm_perplexity", "dsir_weights", "lm_perplexity_bigram", "knn_pq", "knn_ivf_pq", "knn_hnsw", "agg_variable_width_histogram", "knn_rescore", "semantic_search",
         "dsir_resample", "nb_domain_classify", "tfidf_keywords",
         "pmi_collocations", "doc_chunks",
         "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",

@@ -8195,3 +8195,16 @@ def knn_rescore(sf_dir: str):
     for c in ("query_id", "vec_id", "rank"):
         out[c] = out[c].astype("int64")
     return out[["query_id", "vec_id", "cosine", "rank"]]
+
+
+def semantic_search(sf_dir: str):
+    """semantic_text / inference-at-ingest + kNN serve (the reference's
+    semantic field pipeline with a STUB deterministic encoder — feature
+    hashing — standing in for the model; the actor-pool plumbing, batch
+    schema and broadcast-query top-k merge are the real pattern).
+    Rows-only (the stub embedder has no SQL twin); pinned by the
+    self-retrieval and determinism tests."""
+    from ..functions.inference import semantic_search as _ss
+
+    return _ss(_ds(sf_dir, "documents", ["doc_id", "text"]),
+               "slow merge batch window", k=10)

@@ -251,3 +251,25 @@ def test_knn_rescore_recall(ray_session):
     # rescored cosines are exact float64 — top-1 is the query itself
     assert (got[got["rank"] == 1]["vec_id"].to_numpy()
             == np.arange(3)).all()
+
+
+def test_semantic_search_stub_pipeline(ray_session):
+    from elasticsearch_ray.functions.inference import (TextEmbedStage,
+                                                       _hash_tokens)
+    from elasticsearch_ray.pipelines.ops import semantic_search
+
+    out = semantic_search(SF)
+    assert len(out) == 10 and list(out.columns) == ["rank", "doc_id",
+                                                    "cosine"]
+    assert out["cosine"].is_monotonic_decreasing
+    again = semantic_search(SF)
+    pd.testing.assert_frame_equal(out, again)  # stub model: deterministic
+    # the actor stage embeds unit vectors
+    import pyarrow as pa_
+
+    t = TextEmbedStage(dim=32)(pa_.table(
+        {"doc_id": [1], "text": ["alpha beta gamma"]}))
+    v = np.array(t["embedding"].to_pylist()[0])
+    assert abs((v * v).sum() - 1.0) < 1e-6
+    assert np.allclose(v, _hash_tokens(["alpha", "beta", "gamma"], 32),
+                       atol=1e-7)
