@@ -117,8 +117,64 @@ def main() -> int:
                 if sub["qdot"].tolist() != [int(-s) for s, _ in order]:
                     fails += 1
                     print(f"VECTOR TWIN MISMATCH seed={seed} #{vi}")
+        # --- session-4 families ---
+        from elasticsearch_ray.functions.similarity import knn_hnsw
+        import ray.data as rd
+
+        for hi in range(2):
+            nv, dim = int(rng.integers(120, 320)), int(rng.integers(8, 24))
+            V = rng.normal(size=(nv, dim)).astype(np.float64)
+            dsv = rd.from_pandas(pd.DataFrame(
+                {"vec_id": np.arange(nv, dtype=np.int64),
+                 "embedding": list(V)}))
+            Q = V[:2]
+            a = knn_hnsw(dsv, Q, k=5, seg_rows=max(32, nv // 3))
+            b = knn_hnsw(dsv.repartition(int(rng.integers(2, 7))), Q, k=5,
+                         seg_rows=max(32, nv // 3))
+            if not a.equals(b):
+                fails += 1
+                print(f"HNSW INVARIANCE MISMATCH seed={seed} #{hi}")
+            if not (a[a["rank"] == 1]["vec_id"].to_numpy()
+                    == np.arange(2)).all():
+                fails += 1
+                print(f"HNSW TOP1 MISMATCH seed={seed} #{hi}")
+        for pi in range(3):
+            # two-pass prefix-sum twin: bucketed offsets == serial cumsum
+            nn = int(rng.integers(50, 400))
+            ntok = rng.integers(1, 50, size=nn).astype(np.int64)
+            ids = np.arange(nn, dtype=np.int64)
+            bsz = int(rng.integers(7, 60))
+            bucket = ids // bsz
+            btot = {int(b): int(ntok[bucket == b].sum())
+                    for b in np.unique(bucket)}
+            offs, acc = {}, 0
+            for b in sorted(btot):
+                offs[b] = acc
+                acc += btot[b]
+            start = np.empty(nn, dtype=np.int64)
+            for b in np.unique(bucket):
+                m = bucket == b
+                start[m] = offs[int(b)] + np.concatenate(
+                    [[0], np.cumsum(ntok[m])[:-1]])
+            serial = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+            if not (start == serial).all():
+                fails += 1
+                print(f"PREFIX-SUM TWIN MISMATCH seed={seed} #{pi}")
+        for ei in range(3):
+            # eql searchsorted step-join twin vs brute per-event scan
+            na, nb = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+            a_ts = np.sort(rng.integers(0, 10_000, size=na))
+            b_ts = np.sort(rng.integers(0, 10_000, size=nb))
+            span = int(rng.integers(1, 2_000))
+            nxt = np.searchsorted(b_ts, a_ts, side="right")
+            ok = (nxt < nb) & (b_ts[np.minimum(nxt, nb - 1)] <= a_ts + span)
+            brute = sum(1 for t in a_ts
+                        if ((b_ts > t) & (b_ts <= t + span)).any())
+            if int(ok.sum()) != brute:
+                fails += 1
+                print(f"EQL TWIN MISMATCH seed={seed} #{ei}")
         print(f"seed {seed}: done (cumulative fails: {fails})")
-    print(f"TOTAL: {len(seeds) * 176} cases, {fails} failures")
+    print(f"TOTAL: {len(seeds) * 184} cases, {fails} failures")
     ray.shutdown()
     return 1 if fails else 0
 
