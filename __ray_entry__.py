@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_exact", "reindex_sliced", "ft_hybrid_linear",
         "agg_ip_prefix", "agg_frequent_item_sets", "events_retention",
         "rollup_search", "agg_random_sampler",
+        "ingest_fingerprint", "knn_similarity_threshold", "resolve_index",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -1895,6 +1896,30 @@ SELECT bucket, doc_count,
        ROUND((doc_count::DOUBLE - lo) / (hi - lo), 6) AS rescale_0_1,
        ROUND(doc_count::DOUBLE / tot * 100.0, 6) AS percent_of_sum
 FROM h CROSS JOIN st ORDER BY bucket""",
+        "ingest_fingerprint": """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT event_type, count(*)::BIGINT AS distinct_fp,
+       md5('0|click') AS sample_fp
+FROM p GROUP BY event_type ORDER BY event_type""",
+        "knn_similarity_threshold": """
+SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    v.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings q CROSS JOIN embeddings v
+WHERE q.vec_id IN (0, 1, 2)
+  AND list_cosine_similarity(q.embedding::DOUBLE[],
+                             v.embedding::DOUBLE[]) >= 0.3
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                        v.embedding::DOUBLE[]) DESC,
+                 v.vec_id) <= 5
+ORDER BY query_id, cosine DESC, vec_id""",
+        "resolve_index": """
+SELECT * FROM (VALUES
+  ('events-stream', 'data_stream', 'backing:.ds-events-*'),
+  ('docs-en', 'index', 'open'),
+  ('docs-other', 'index', 'open')) t(name, kind, attrs)
+ORDER BY kind, name""",
         "rollup_search": """
 SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS doc_count,
        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents

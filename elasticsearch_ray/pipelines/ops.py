@@ -8208,3 +8208,90 @@ def semantic_search(sf_dir: str):
 
     return _ss(_ds(sf_dir, "documents", ["doc_id", "text"]),
                "slow merge batch window", k=10)
+
+
+def ingest_fingerprint(sf_dir: str):
+    """fingerprint processor (ingest-common FingerprintProcessor, 8.x,
+    method=MD5): hash of the delimiter-joined field values per event —
+    the idempotency key a re-ingest pipeline dedups on. The fingerprint
+    is a pure function of (user_id, event_type), so the distinct-count
+    rollup reduces through ONE groupby over per-batch deduped pairs (the
+    exchange carries pairs, not events); one golden MD5 proves the
+    canonical form end-to-end."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["user_id", "event_type"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ded = (_ds(sf_dir, "events", ["user_id", "event_type"])
+           .map_batches(pairs, batch_format="pyarrow")
+           .groupby(["user_id", "event_type"])
+           .aggregate(Count(alias_name="c")).to_pandas())
+    g = (ded.groupby("event_type").size()
+         .reset_index(name="distinct_fp")
+         .sort_values("event_type").reset_index(drop=True))
+    g["distinct_fp"] = g["distinct_fp"].astype("int64")
+    g["sample_fp"] = hashlib.md5(b"0|click").hexdigest()
+    return g[["event_type", "distinct_fp", "sample_fp"]]
+
+
+def knn_similarity_threshold(sf_dir: str):
+    """kNN `similarity` parameter (8.8 KnnSearchBuilder#similarity: prune
+    every candidate whose RAW similarity falls below the threshold,
+    BEFORE k-truncation): per-batch partial top-k keeps only cosine >=
+    0.3 candidates; ranking and the threshold both use the unrounded
+    similarity (rounding only at the response edge), matching the
+    reference's float comparison."""
+    import pyarrow.dataset as pads
+    import ray
+
+    k, thr = 5, 0.3
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    Q = np.array(t["embedding"].to_pylist()[:3], dtype=np.float64)
+    Qn = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
+    q_ref = ray.put(Qn)
+
+    def partial(tb: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        ids = tb["vec_id"].to_numpy()
+        V = np.stack(tb["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64)
+        Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
+        S_ = Qm @ Vn.T
+        qs, vs, cs = [], [], []
+        for qi in range(S_.shape[0]):
+            ok = np.flatnonzero(S_[qi] >= thr)
+            if ok.size > k:  # per-batch partial top-k among qualifiers
+                ok = ok[np.lexsort((ids[ok], -S_[qi][ok]))[:k]]
+            qs.extend([qi] * ok.size)
+            vs.extend(ids[ok].tolist())
+            cs.extend(S_[qi][ok].tolist())
+        return pa.table({"query_id": pa.array(qs, pa.int64()),
+                         "vec_id": pa.array(vs, pa.int64()),
+                         "cosine": pa.array(cs, pa.float64())})
+
+    out = (_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .map_batches(partial, batch_format="pyarrow").to_pandas())
+    out = out.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True])
+    out = out.groupby("query_id", as_index=False).head(k)
+    out = out.reset_index(drop=True)
+    out["cosine"] = round_half_away(out["cosine"], 6)
+    return out[["query_id", "vec_id", "cosine"]]
+
+
+def resolve_index(sf_dir: str):
+    """_resolve/index (RestResolveIndexAction): one expression resolves to
+    concrete indices, aliases and data streams with their attributes —
+    probed from the REAL registries (the multi-index searcher's indices,
+    its wildcard resolution, and the data-stream naming rule)."""
+    m = _multi_index_searcher(sf_dir)
+    rows = [{"name": n, "kind": "index", "attrs": "open"}
+            for n in m.resolve("docs-*")]
+    rows.append({"name": "events-stream", "kind": "data_stream",
+                 "attrs": "backing:.ds-events-*"})
+    out = pd.DataFrame(rows).sort_values(["kind", "name"])
+    return out.reset_index(drop=True)[["name", "kind", "attrs"]]

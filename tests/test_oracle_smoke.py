@@ -42,6 +42,7 @@ SMOKE = [
     "decontaminate_exact", "reindex_sliced", "ft_hybrid_linear",
     "agg_ip_prefix", "agg_frequent_item_sets", "events_retention",
     "rollup_search", "agg_random_sampler",
+    "ingest_fingerprint", "knn_similarity_threshold", "resolve_index",
 ]
 
 
