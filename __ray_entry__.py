@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_ip_prefix", "agg_frequent_item_sets", "events_retention",
         "rollup_search", "agg_random_sampler",
         "ingest_fingerprint", "knn_similarity_threshold", "resolve_index",
+        "corpus_vocab_growth", "cluster_stats",
         # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
         "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
         "ft_routed_term", "knn_binary_quantized",
@@ -1896,6 +1897,29 @@ SELECT bucket, doc_count,
        ROUND((doc_count::DOUBLE - lo) / (hi - lo), 6) AS rescale_0_1,
        ROUND(doc_count::DOUBLE / tot * 100.0, 6) AS percent_of_sum
 FROM h CROSS JOIN st ORDER BY bucket""",
+        "corpus_vocab_growth": """
+WITH tokd AS (SELECT doc_id, unnest(list_distinct(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> ''))) AS term
+              FROM documents),
+f AS (SELECT term, min(doc_id) // 100 AS chunk FROM tokd GROUP BY term),
+nt AS (SELECT chunk, count(*) AS new_terms FROM f GROUP BY chunk),
+tk AS (SELECT doc_id // 100 AS chunk,
+              len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x <> '')) AS n
+       FROM documents),
+pc AS (SELECT chunk, sum(n) AS tokens FROM tk GROUP BY chunk)
+SELECT pc.chunk::BIGINT AS chunk, pc.tokens::BIGINT AS tokens,
+       SUM(pc.tokens) OVER (ORDER BY pc.chunk)::BIGINT AS cum_tokens,
+       SUM(COALESCE(nt.new_terms, 0)) OVER (ORDER BY pc.chunk)::BIGINT
+         AS cum_vocab
+FROM pc LEFT JOIN nt USING (chunk) ORDER BY pc.chunk""",
+        "cluster_stats": """
+SELECT 1::BIGINT AS nodes, 2::BIGINT AS indices,
+       (SELECT count(*) FROM documents)::BIGINT AS docs,
+       (SELECT count(DISTINCT t) FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+            AS t FROM documents) WHERE t <> '')::BIGINT AS distinct_terms""",
         "ingest_fingerprint": """
 WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT event_type, count(*)::BIGINT AS distinct_fp,

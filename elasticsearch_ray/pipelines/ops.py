@@ -8295,3 +8295,86 @@ def resolve_index(sf_dir: str):
                  "attrs": "backing:.ds-events-*"})
     out = pd.DataFrame(rows).sort_values(["kind", "name"])
     return out.reset_index(drop=True)[["name", "kind", "attrs"]]
+
+
+def corpus_vocab_growth(sf_dir: str):
+    """Vocabulary-growth curve (Heaps'-law corpus statistic — the scaling
+    diagnostic for tokenizer/vocab sizing on a training corpus):
+    cumulative distinct terms and cumulative tokens per 100-doc chunk.
+    EXACT distributed shape: groupby(term).min(doc_id) — the exchange
+    carries ONE row per distinct term (first occurrence), never the
+    token stream — then the tiny per-chunk rollup cumsums on the driver."""
+    import re
+
+    from ray.data.aggregate import Min, Sum
+
+    chunk_rows = 100
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        ntok = []
+        for d, s in zip(t["doc_id"].to_numpy(), t["text"].to_pylist()):
+            toks = [w for w in pat.split(s.lower()) if w]
+            ntok.append(len(toks))
+            for w in set(toks):
+                ids.append(int(d))
+                terms.append(w)
+        return pa.table({"term": pa.array(terms),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    first = (_ds(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(explode, batch_format="pyarrow")
+             .groupby("term").aggregate(Min("doc_id", alias_name="fd"))
+             .to_pandas())
+    first["chunk"] = first["fd"] // chunk_rows
+    new_terms = first.groupby("chunk").size()
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = np.array([sum(1 for w in pat.split(s.lower()) if w)
+                      for s in t["text"].to_pylist()], dtype=np.int64)
+        return pa.table({"chunk": pa.array(
+            t["doc_id"].to_numpy() // chunk_rows), "n": pa.array(n)})
+
+    per_chunk = (_ds(sf_dir, "documents", ["doc_id", "text"])
+                 .map_batches(toks, batch_format="pyarrow")
+                 .groupby("chunk").aggregate(Sum("n", alias_name="tokens"))
+                 .to_pandas().sort_values("chunk").reset_index(drop=True))
+    per_chunk["cum_tokens"] = per_chunk["tokens"].cumsum()
+    per_chunk["cum_vocab"] = np.cumsum(
+        [int(new_terms.get(int(c), 0)) for c in per_chunk["chunk"]])
+    for c in ("chunk", "tokens", "cum_tokens", "cum_vocab"):
+        per_chunk[c] = per_chunk[c].astype("int64")
+    return per_chunk[["chunk", "tokens", "cum_tokens", "cum_vocab"]]
+
+
+def cluster_stats(sf_dir: str):
+    """_cluster/stats (RestClusterStatsAction): indices count from the
+    real multi-index registry, total docs and the distinct-term count of
+    the main documents index (recomputed distributed: the term exchange
+    carries one row per term), single-node topology constants."""
+    import re
+
+    m = _multi_index_searcher(sf_dir)
+    n_indices = len(m.resolve("docs-*"))
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def uniq(t: pa.Table) -> pa.Table:
+        s = set()
+        for x in t["text"].to_pylist():
+            s.update(w for w in pat.split(x.lower()) if w)
+        return pa.table({"term": pa.array(sorted(s))})
+
+    from ray.data.aggregate import Count
+
+    vocab = (_ds(sf_dir, "documents", ["text"])
+             .map_batches(uniq, batch_format="pyarrow")
+             .groupby("term").aggregate(Count(alias_name="c"))
+             .count())
+    docs = _ds(sf_dir, "documents", ["doc_id"]).count()
+    return pd.DataFrame({
+        "nodes": pd.array([1], dtype="int64"),
+        "indices": pd.array([n_indices], dtype="int64"),
+        "docs": pd.array([int(docs)], dtype="int64"),
+        "distinct_terms": pd.array([int(vocab)], dtype="int64"),
+    })

@@ -43,6 +43,7 @@ SMOKE = [
     "agg_ip_prefix", "agg_frequent_item_sets", "events_retention",
     "rollup_search", "agg_random_sampler",
     "ingest_fingerprint", "knn_similarity_threshold", "resolve_index",
+    "corpus_vocab_growth", "cluster_stats",
 ]
 
 
