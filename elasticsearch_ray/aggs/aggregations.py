@@ -138,17 +138,28 @@ def extended_stats(ds, key: str, value: str):
 
 def value_count_distinct(ds, key: str, value: str):
     """exact `cardinality` per key: batch-local distinct (combiner — cuts
-    the shuffle to unique pairs per block) -> global pair groupby -> count
-    per key. The HLL++ sketch in hll.py is the approximate path."""
+    the shuffle to unique pairs per block) -> ONE global pair groupby ->
+    per-block partial key counts folded on the driver. The post-groupby
+    blocks hold disjoint (key, value) pairs, so a map-side count per key
+    is exact and the second all-to-all the old version paid is gone —
+    the driver folds at most keys x blocks tiny rows. The HLL++ sketch
+    in hll.py is the approximate path."""
     from ray.data.aggregate import Count
 
     def local_distinct(t):
         return t.group_by([key, value]).aggregate([])
 
-    pairs = (ds.select_columns([key, value])
+    def key_counts(t):
+        return t.group_by([key]).aggregate([([value], "count")])
+
+    parts = (ds.select_columns([key, value])
              .map_batches(local_distinct, batch_format="pyarrow")
-             .groupby([key, value]).aggregate(Count(alias_name="_c")))
-    out = pairs.groupby(key).aggregate(Count(alias_name="distinct_count")).to_pandas()
+             .groupby([key, value]).aggregate(Count(alias_name="_c"))
+             .map_batches(key_counts, batch_format="pyarrow")
+             .to_pandas())
+    out = (parts.groupby(key, as_index=False)[f"{value}_count"].sum()
+           .rename(columns={f"{value}_count": "distinct_count"}))
+    out["distinct_count"] = out["distinct_count"].astype("int64")
     return out.sort_values(key).reset_index(drop=True)
 
 

@@ -203,7 +203,9 @@ def agg_extended_stats(sf_dir: str):
 
 
 def agg_cardinality(sf_dir: str):
-    return A.value_count_distinct(_ds(sf_dir, "events"), "event_type", "user_id")
+    return A.value_count_distinct(
+        _ds(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id")
 
 
 def agg_cardinality_hll(sf_dir: str):
