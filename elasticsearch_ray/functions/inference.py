@@ -67,6 +67,9 @@ def semantic_search(ds, query_text: str, k: int = 10, *,
 
     def partial_topk(t: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
+        if len(t) == 0:  # zero-row block
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         V = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
             np.float64)
         s = V @ qv

@@ -776,6 +776,10 @@ def knn_l2(ds, queries: np.ndarray, k: int = 5, *,
     def partial_topk(t: pa.Table) -> pa.Table:
         Qm = ray.get(q_ref)
         ids = t[id_col].to_numpy()
+        if ids.size == 0:  # zero-row block
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.float64())})
         V = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(
             np.float64)
         # (nq, batch) squared distances via the norm expansion

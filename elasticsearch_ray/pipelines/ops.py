@@ -7099,6 +7099,13 @@ def agg_string_stats(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
+        if not texts:  # zero-row block (possible after repartition)
+            return pa.table({"cnt": pa.array([], pa.int64()),
+                             "min_len": pa.array([], pa.int64()),
+                             "max_len": pa.array([], pa.int64()),
+                             "sum_len": pa.array([], pa.int64()),
+                             "chars": pa.array([], pa.list_(pa.string())),
+                             "ccounts": pa.array([], pa.list_(pa.int64()))})
         lens = np.array([len(s) for s in texts], dtype=np.int64)
         cc = Counter()
         for s in texts:
@@ -7989,6 +7996,9 @@ def ft_hybrid_linear(sf_dir: str):
 
     def cos(tb: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
+        if len(tb) == 0:  # zero-row block
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         V = np.stack(tb["embedding"].to_numpy(zero_copy_only=False)).astype(
             np.float64)
         Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
@@ -8259,6 +8269,10 @@ def knn_similarity_threshold(sf_dir: str):
     def partial(tb: pa.Table) -> pa.Table:
         Qm = ray.get(q_ref)
         ids = tb["vec_id"].to_numpy()
+        if ids.size == 0:  # zero-row block
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         V = np.stack(tb["embedding"].to_numpy(zero_copy_only=False)).astype(
             np.float64)
         Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]

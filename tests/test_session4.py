@@ -273,3 +273,26 @@ def test_semantic_search_stub_pipeline(ray_session):
     assert abs((v * v).sum() - 1.0) < 1e-6
     assert np.allclose(v, _hash_tokens(["alpha", "beta", "gamma"], 32),
                        atol=1e-7)
+
+
+def test_session4_partials_zero_row_blocks(ray_session):
+    # repartition far above the row count forces empty blocks through
+    # every session-4 vectorized partial
+    import ray.data as rd
+
+    from elasticsearch_ray.functions import similarity as S
+    from elasticsearch_ray.functions.inference import semantic_search as ss
+    from elasticsearch_ray.pipelines.ops import (_ds, agg_string_stats,
+                                                 knn_similarity_threshold)
+
+    Q = _queries(2)
+    small = _ds(SF, "embeddings", ["vec_id", "embedding"]).limit(40)
+    out = S.knn_l2(small.repartition(64), Q, k=3)
+    assert len(out) == 6
+    r = agg_string_stats(SF)
+    assert int(r["cnt"].iloc[0]) > 0
+    t = knn_similarity_threshold(SF)
+    assert len(t) > 0
+    docs = _ds(SF, "documents", ["doc_id", "text"]).limit(30)
+    sem = ss(docs.repartition(64), "data query", k=5)
+    assert len(sem) == 5
