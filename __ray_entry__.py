@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
+        "ft_pinned", "ft_combined_fields", "agg_categorize_text",
+        "agg_change_point", "search_mvt", "ilm_explain", "graph_explore",
+        "ft_version_field", "agg_time_series", "flattened_query",
         # --- round-3 session-4 ops (driver-unchecked, oracle-bearing) ---
         "agg_multi_terms", "agg_top_metrics", "agg_boxplot", "agg_rate",
         "agg_string_stats", "agg_normalize", "agg_cumulative_cardinality",
@@ -732,6 +736,124 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "ft_pinned": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+sc AS (SELECT tf.doc_id AS doc_id, {_SCORE} AS s
+       FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id),
+pin AS (SELECT unnest([3, 11, 41]) AS doc_id)
+SELECT COALESCE(sc.doc_id, pin.doc_id) AS doc_id,
+       CAST(CASE WHEN pin.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS pinned,
+       ROUND(COALESCE(sc.s, 0.0), 4) AS score
+FROM sc FULL OUTER JOIN pin ON sc.doc_id = pin.doc_id
+ORDER BY 1""",
+        "ft_combined_fields": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text || ' ' || source),
+                                        '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT count(*) FROM tok) AS sumdl),
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id,
+       ROUND(ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * 2.2 * tf.tf /
+             (tf.tf + 1.2*(0.25 + 0.75 * dl.dl * st.n / st.sumdl)), 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "agg_categorize_text": """
+WITH m AS (
+  SELECT regexp_replace(
+           event_type || ' user ' || CAST(user_id AS VARCHAR) || ' took '
+           || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) || ' ms',
+           '[0-9]+', '#', 'g') AS category
+  FROM events)
+SELECT category, count(*) AS doc_count FROM m GROUP BY 1
+ORDER BY doc_count DESC, category LIMIT 10""",
+        "agg_change_point": """
+WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS c
+           FROM events GROUP BY 1),
+m AS (SELECT SUM(c) * 1.0 / count(*) AS mean FROM d),
+s AS (SELECT day,
+             SUM(c - mean) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cu,
+             count(*) OVER () AS n_days
+      FROM d CROSS JOIN m)
+SELECT day AS change_day, ROUND(abs(cu), 4) AS stat,
+       CAST(n_days AS BIGINT) AS n_days
+FROM s ORDER BY abs(cu) DESC, day LIMIT 1""",
+        "search_mvt": f"""
+WITH {_GEO},
+t AS (SELECT lat, lon,
+        '3/' || LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 8) AS BIGINT), 0), 7)
+        || '/' ||
+        LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat))
+             * tan(radians(lat)) + 1.0)) / pi()) / 2.0 * 8) AS BIGINT), 0), 7) AS cell
+      FROM g)
+SELECT cell, count(*) AS doc_count,
+       ROUND(SUM(lat) / count(*), 4) AS avg_lat,
+       ROUND(SUM(lon) / count(*), 4) AS avg_lon
+FROM t GROUP BY cell ORDER BY cell""",
+        "ilm_explain": """
+WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS docs
+           FROM events GROUP BY 1),
+mx AS (SELECT max(day) AS mday FROM d),
+a AS (SELECT SUM(docs) * 1.0 / count(*) AS avg_docs FROM d)
+SELECT 'events-' || strftime(day, '%Y.%m.%d') AS index_name,
+       date_diff('day', day, mday) AS age_days,
+       CASE WHEN date_diff('day', day, mday) <= 2 THEN 'hot'
+            WHEN date_diff('day', day, mday) <= 7 THEN 'warm'
+            WHEN date_diff('day', day, mday) <= 14 THEN 'cold'
+            ELSE 'delete' END AS phase,
+       docs,
+       CAST(CASE WHEN docs > avg_docs THEN 1 ELSE 0 END AS BIGINT) AS rollover
+FROM d CROSS JOIN mx CROSS JOIN a ORDER BY day""",
+        "graph_explore": f"""
+WITH {_TOK},
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+seed AS (SELECT doc_id FROM dt WHERE term = 'data'),
+ov AS (SELECT dt.term, count(*) AS overlap
+       FROM dt JOIN seed USING (doc_id) WHERE dt.term <> 'data'
+       GROUP BY dt.term),
+dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term)
+SELECT ov.term AS term, ov.overlap AS overlap, dfq.df AS df,
+       ROUND(ov.overlap * 1.0 / dfq.df, 4) AS weight
+FROM ov JOIN dfq USING (term)
+ORDER BY overlap DESC, term LIMIT 8""",
+        "ft_version_field": """
+WITH v AS (
+  SELECT p_partkey,
+         p_size % 5 AS major, p_partkey % 12 AS minor, p_partkey % 23 AS patch,
+         CAST(p_partkey % 4 = 0 AS INT) AS pre, p_partkey % 3 AS rc
+  FROM part),
+s AS (
+  SELECT p_partkey, major, minor, patch, 1 - pre AS rel, rc,
+         CAST(major AS VARCHAR) || '.' || CAST(minor AS VARCHAR) || '.'
+         || CAST(patch AS VARCHAR)
+         || CASE WHEN pre = 1 THEN '-rc' || CAST(rc AS VARCHAR) ELSE '' END
+           AS version
+  FROM v
+  ORDER BY major DESC, minor DESC, patch DESC, rel DESC, rc DESC, p_partkey
+  LIMIT 20)
+SELECT CAST(row_number() OVER (
+         ORDER BY major DESC, minor DESC, patch DESC, rel DESC, rc DESC,
+                  p_partkey) AS BIGINT) AS rank,
+       p_partkey, version
+FROM s ORDER BY rank""",
+        "agg_time_series": """
+SELECT event_type, CAST(user_id % 4 AS BIGINT) AS host,
+       date_trunc('day', ts) AS day,
+       count(*) AS doc_count, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2, 3 ORDER BY event_type, host, day""",
+        "flattened_query": """
+WITH k AS (SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, count(*) AS doc_count, max(k) AS max_k
+FROM k WHERE k >= 90 GROUP BY event_type ORDER BY event_type""",
         "ft_zero_terms": """
 SELECT doc_id, 1.0 AS score FROM documents ORDER BY doc_id""",
         "ft_multi_match_phrase": r"""

@@ -8394,3 +8394,340 @@ def cluster_stats(sf_dir: str):
         "docs": pd.array([int(docs)], dtype="int64"),
         "distinct_terms": pd.array([int(vocab)], dtype="int64"),
     })
+
+
+# ---------------- round-3 session-5: search/agg surface batch ----------------
+
+
+def ft_pinned(sf_dir: str):
+    """pinned query (x-pack search-business-rules PinnedQueryBuilder):
+    the result set is the union of the pinned ids and the organic query's
+    matches; pinned docs are flagged and always retained even when the
+    organic query misses them. Organic = term 'merge' under exact64 BM25.
+    Scale shape: one engine scan for the organic side; the pinned-id list
+    is a tiny driver-side constant merged into the match table."""
+    ids_pinned = np.array([3, 11, 41], dtype=np.int64)
+    organic = all_matches(sf_dir, {"kind": "term", "term": "merge"}).to_pandas()
+    extra = np.setdiff1d(ids_pinned, organic["doc_id"].to_numpy())
+    out = pd.concat([organic,
+                     pd.DataFrame({"doc_id": extra, "score": 0.0})],
+                    ignore_index=True)
+    out["pinned"] = np.isin(out["doc_id"].to_numpy(), ids_pinned).astype("int64")
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "pinned", "score"]])
+
+
+def ft_combined_fields(sf_dir: str):
+    """combined_fields query (CombinedFieldQuery, Lucene 8.9 / ES 7.13):
+    term-centric BM25 over (text, source) as ONE combined field — tf is
+    summed across fields, dl is the combined length, df counts docs where
+    the term appears in EITHER field. Scale shape: pass 1 exchanges 3
+    scalar partials (n, sum_dl, df) per batch; pass 2 scores matching
+    docs vectorized with the broadcast stats. No shuffle."""
+    import re
+
+    pat = re.compile(r"[^a-z0-9]+")
+    term = "data"
+
+    def tok_counts(t: pa.Table):
+        texts = t["text"].to_pylist()
+        srcs = t["source"].to_pylist()
+        tf = np.empty(len(texts), dtype=np.int64)
+        dl = np.empty(len(texts), dtype=np.int64)
+        for i, (a, b) in enumerate(zip(texts, srcs)):
+            toks = [w for w in pat.split((a + " " + b).lower()) if w]
+            dl[i] = len(toks)
+            tf[i] = sum(1 for w in toks if w == term)
+        return tf, dl
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        tf, dl = tok_counts(t)
+        return pa.table({"n": pa.array([len(tf)], pa.int64()),
+                         "sumdl": pa.array([int(dl.sum())], pa.int64()),
+                         "df": pa.array([int((tf > 0).sum())], pa.int64())})
+
+    cols = ["doc_id", "text", "source"]
+    st = (_ds(sf_dir, "documents", cols)
+          .map_batches(stats_partial, batch_format="pyarrow").to_pandas().sum())
+    n, sumdl, df = float(st["n"]), float(st["sumdl"]), float(st["df"])
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def score(t: pa.Table) -> pa.Table:
+        tf, dl = tok_counts(t)
+        m = tf > 0
+        tfm = tf[m].astype(np.float64)
+        s = (idf * 2.2 * tfm
+             / (tfm + 1.2 * (0.25 + 0.75 * dl[m] * n / sumdl)))
+        return pa.table({"doc_id": t["doc_id"].to_numpy()[m],
+                         "score": pa.array(s)})
+
+    from ..utils import round_half_away as rha
+
+    out = (_ds(sf_dir, "documents", cols)
+           .map_batches(score, batch_format="pyarrow").to_pandas())
+    out["score"] = rha(out["score"].to_numpy(), 4)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def agg_categorize_text(sf_dir: str):
+    """categorize_text agg (x-pack ml CategorizeTextAggregationBuilder):
+    log messages are grouped by their token pattern with numeric tokens
+    wildcarded. Messages are synthesized deterministically from events;
+    category = digits -> '#'. Scale shape: per-batch vectorized regex +
+    partial groupby, tiny (categories) final merge."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        msg = (df["event_type"] + " user " + df["user_id"].astype(str)
+               + " took " + np.floor(df["value"]).astype("int64").astype(str)
+               + " ms")
+        cat = msg.str.replace(r"[0-9]+", "#", regex=True)
+        g = cat.groupby(cat).size()
+        return pa.table({"category": g.index.to_numpy(),
+                         "doc_count": g.to_numpy().astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    out = (_ds(sf_dir, "events", ["event_type", "user_id", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("category").aggregate(Sum("doc_count", alias_name="doc_count"))
+           .to_pandas())
+    return (out.sort_values(["doc_count", "category"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def agg_change_point(sf_dir: str):
+    """change_point agg (x-pack ml ChangePointAggregationBuilder, simplified
+    to the CUSUM mean-shift statistic): over the daily event-count series,
+    the change point is the day with the max |cumsum(c - mean)|. Scale
+    shape: per-batch partial (day, count) groupby -> tiny day table on the
+    driver; the series itself is bucket-cardinality, not row-cardinality."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = df["ts"].dt.floor("D")
+        g = day.groupby(day).size()
+        return pa.table({"day": g.index.to_numpy(),
+                         "c": g.to_numpy().astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    d = (_ds(sf_dir, "events", ["ts"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("c", alias_name="c")).to_pandas()
+         .sort_values("day").reset_index(drop=True))
+    mean = float(d["c"].sum()) / len(d)
+    cu = np.cumsum(d["c"].to_numpy().astype(np.float64) - mean)
+    i = int(np.argmax(np.abs(cu)))
+    return pd.DataFrame({
+        "change_day": [d["day"].iloc[i]],
+        "stat": [float(round_half_away(np.array([abs(cu[i])]), 4)[0])],
+        "n_days": pd.array([len(d)], dtype="int64"),
+    })
+
+
+def search_mvt(sf_dir: str):
+    """_mvt vector-tile search (RestVectorTileAction): per web-mercator
+    tile at zoom 3, the hits layer's doc_count plus centroid-style
+    aggs (avg lat/lon). Same GeoTileUtils cell math as geotile_grid.
+    Scale shape: map_batches tile-id + groupby Sum/Count — one shuffle
+    of (cells) cardinality."""
+    from ray.data.aggregate import Count, Sum
+
+    z, n = 3, 8
+
+    def tile(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        x = np.clip(np.floor((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+        latr = np.radians(np.clip(lat, -85.05112878, 85.05112878))
+        y = np.clip(np.floor(
+            (1.0 - np.arcsinh(np.tan(latr)) / np.pi) / 2.0 * n).astype(np.int64),
+            0, n - 1)
+        cell = [f"{z}/{xi}/{yi}" for xi, yi in zip(x, y)]
+        return pa.table({"cell": pa.array(cell, pa.string()),
+                         "lat": t["lat"], "lon": t["lon"]})
+
+    out = (_users_geo(sf_dir).map_batches(tile, batch_format="pyarrow")
+           .groupby("cell")
+           .aggregate(Count(alias_name="doc_count"),
+                      Sum("lat", alias_name="slat"),
+                      Sum("lon", alias_name="slon"))
+           .to_pandas())
+    out["avg_lat"] = round_half_away(
+        (out["slat"] / out["doc_count"]).to_numpy(), 4)
+    out["avg_lon"] = round_half_away(
+        (out["slon"] / out["doc_count"]).to_numpy(), 4)
+    return (out.sort_values("cell").reset_index(drop=True)
+            [["cell", "doc_count", "avg_lat", "avg_lon"]])
+
+
+def ilm_explain(sf_dir: str):
+    """ILM explain (x-pack ilm TransportExplainLifecycleAction): one
+    time-partitioned index per event day; phase from index age vs the
+    policy's min_age thresholds (hot<=2d, warm<=7d, cold<=14d, delete),
+    rollover flag when docs exceed the day-average. Scale shape: partial
+    per-batch day counts; the index table is day-cardinality."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = df["ts"].dt.floor("D")
+        g = day.groupby(day).size()
+        return pa.table({"day": g.index.to_numpy(),
+                         "docs": g.to_numpy().astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    d = (_ds(sf_dir, "events", ["ts"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("docs", alias_name="docs")).to_pandas()
+         .sort_values("day").reset_index(drop=True))
+    mx = d["day"].max()
+    age = (mx - d["day"]).dt.days.to_numpy()
+    phase = np.where(age <= 2, "hot",
+                     np.where(age <= 7, "warm",
+                              np.where(age <= 14, "cold", "delete")))
+    avg = float(d["docs"].sum()) / len(d)
+    return pd.DataFrame({
+        "index_name": "events-" + d["day"].dt.strftime("%Y.%m.%d"),
+        "age_days": pd.array(age, dtype="int64"),
+        "phase": phase,
+        "docs": d["docs"].astype("int64"),
+        "rollover": pd.array((d["docs"].to_numpy() > avg).astype("int64"),
+                             dtype="int64"),
+    })
+
+
+def graph_explore(sf_dir: str):
+    """Graph explore API (x-pack graph TransportGraphExploreAction):
+    seed term 'data' -> vertices are the co-occurring terms ranked by the
+    number of seed docs they appear in (doc-distinct), with the overlap/df
+    affinity weight. Scale shape: per-batch doc-distinct term pairs ->
+    partial counts -> (vocab)-cardinality groupby; the seed-doc test is
+    evaluated inside the batch, never joined."""
+    import re
+
+    pat = re.compile(r"[^a-z0-9]+")
+    seed = "data"
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        tot: Counter = Counter()
+        ov: Counter = Counter()
+        for s in t["text"].to_pylist():
+            terms = set(w for w in pat.split(s.lower()) if w)
+            tot.update(terms)
+            if seed in terms:
+                ov.update(terms)
+        keys = sorted(tot)
+        return pa.table({
+            "term": pa.array(keys),
+            "df": pa.array([tot[k] for k in keys], pa.int64()),
+            "overlap": pa.array([ov.get(k, 0) for k in keys], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    out = (_ds(sf_dir, "documents", ["text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("overlap", alias_name="overlap"))
+           .to_pandas())
+    out = out[(out["term"] != seed) & (out["overlap"] > 0)]
+    out["weight"] = round_half_away(
+        (out["overlap"] / out["df"]).to_numpy().astype(np.float64), 4)
+    out = (out.sort_values(["overlap", "term"], ascending=[False, True])
+           .head(8).reset_index(drop=True))
+    return out[["term", "overlap", "df", "weight"]]
+
+
+def ft_version_field(sf_dir: str):
+    """version field type (x-pack VersionStringFieldMapper): semver-aware
+    ordering — numeric components compare numerically and a release sorts
+    ABOVE its prereleases. Versions derived deterministically from part;
+    top 20 by version desc (tie p_partkey asc). Scale shape: per-batch
+    partial top-k on the decomposed sort key, driver merges (blocks x 20)."""
+    def keyed(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy()
+        sz = t["p_size"].to_numpy().astype(np.int64)
+        major = sz % 5
+        minor = pk % 12
+        patch = pk % 23
+        pre = (pk % 4 == 0).astype(np.int64)  # 1 -> '-rc<pk%3>' prerelease
+        rc = pk % 3
+        ver = np.char.add(
+            np.char.add(np.char.add(major.astype(str), "."),
+                        np.char.add(minor.astype(str), ".")),
+            patch.astype(str))
+        ver = np.where(pre == 1,
+                       np.char.add(np.char.add(ver, "-rc"), rc.astype(str)),
+                       ver)
+        df = pd.DataFrame({"p_partkey": pk, "version": ver, "major": major,
+                           "minor": minor, "patch": patch,
+                           "rel": 1 - pre, "rc": rc})
+        df = df.sort_values(["major", "minor", "patch", "rel", "rc", "p_partkey"],
+                            ascending=[False, False, False, False, False, True])
+        return pa.Table.from_pandas(df.head(20), preserve_index=False)
+
+    out = (_ds(sf_dir, "part", ["p_partkey", "p_size"])
+           .map_batches(keyed, batch_format="pyarrow").to_pandas())
+    out = out.sort_values(["major", "minor", "patch", "rel", "rc", "p_partkey"],
+                          ascending=[False, False, False, False, False, True]).head(20)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.reset_index(drop=True)[["rank", "p_partkey", "version"]]
+
+
+def agg_time_series(sf_dir: str):
+    """time_series agg (TSDB TimeSeriesAggregationBuilder): buckets keyed
+    on the dimension tuple (event_type, host) x daily downsample window,
+    with count + sum(value). Scale shape: per-batch partial groupby on
+    the (dims x days) key — the canonical TSDB downsample combiner."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["host"] = (df["user_id"] % 4).astype("int64")
+        df["day"] = df["ts"].dt.floor("D")
+        g = df.groupby(["event_type", "host", "day"], as_index=False).agg(
+            doc_count=("value", "size"), sv=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (_ds(sf_dir, "events", ["event_type", "user_id", "ts", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "host", "day"])
+           .aggregate(Sum("doc_count", alias_name="doc_count"),
+                      Sum("sv", alias_name="sv"))
+           .to_pandas())
+    out["sum_value"] = round_half_away(out["sv"].to_numpy(), 4)
+    return (out.sort_values(["event_type", "host", "day"])
+            .reset_index(drop=True)
+            [["event_type", "host", "day", "doc_count", "sum_value"]])
+
+
+def flattened_query(sf_dir: str):
+    """flattened field type (server FlattenedFieldMapper): query into an
+    arbitrary-keyed JSON object column without pre-mapping — filter
+    props.k >= 90, then count + max(k) per event_type. Scale shape:
+    vectorized regex extraction per batch, partial groupby, tiny merge."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        k = df["props"].str.extract(r'"k":\s*(\d+)')[0].astype("int64")
+        df = df[k >= 90].assign(k=k[k >= 90])
+        if df.empty:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "doc_count": pa.array([], pa.int64()),
+                             "max_k": pa.array([], pa.int64())})
+        g = df.groupby("event_type", as_index=False).agg(
+            doc_count=("k", "size"), max_k=("k", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Sum
+
+    out = (_ds(sf_dir, "events", ["event_type", "props"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("doc_count", alias_name="doc_count"),
+                      Max("max_k", alias_name="max_k"))
+           .to_pandas())
+    out["doc_count"] = out["doc_count"].astype("int64")
+    out["max_k"] = out["max_k"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

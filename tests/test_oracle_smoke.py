@@ -26,6 +26,10 @@ SMOKE = [
     "ft_analyze_french", "ft_analyze_hungarian", "ft_analyze_stemmer",
     "ft_post_filter", "ft_track_total_hits", "ft_sort_script",
     "ft_sort_missing_last", "ft_scroll_sliced", "ft_pit",
+    # session-5 search/agg surface
+    "ft_pinned", "ft_combined_fields", "agg_categorize_text",
+    "agg_change_point", "search_mvt", "ilm_explain", "graph_explore",
+    "ft_version_field", "agg_time_series", "flattened_query",
     # session-4 analytics aggs
     "agg_multi_terms", "agg_top_metrics", "agg_boxplot", "agg_rate",
     "agg_string_stats", "agg_normalize", "agg_cumulative_cardinality",
