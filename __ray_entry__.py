@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
+        "esql_query", "agg_aggregate_metric", "agg_histogram_field",
+        "ingest_append_tags", "curriculum_order", "contamination_report",
+        "knn_max_inner_product",
         "ft_pinned", "ft_combined_fields", "agg_categorize_text",
         "agg_change_point", "search_mvt", "ilm_explain", "graph_explore",
         "ft_version_field", "agg_time_series", "flattened_query",
@@ -736,6 +739,80 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "esql_query": """
+SELECT event_type,
+       count(*) AS cnt, ROUND(SUM(value * 2), 2) AS sv, MAX(value) AS mx
+FROM events
+WHERE value >= 10 AND event_type <> 'error'
+GROUP BY event_type ORDER BY event_type""",
+        "agg_aggregate_metric": """
+WITH r AS (SELECT user_id, min(value) AS mn, max(value) AS mx,
+                  SUM(value) AS s, count(*) AS c
+           FROM events GROUP BY 1)
+SELECT ROUND(min(mn), 4) AS min_value, ROUND(max(mx), 4) AS max_value,
+       ROUND(SUM(s), 2) AS sum_value, SUM(c)::BIGINT AS value_count,
+       ROUND(SUM(s) / SUM(c), 4) AS avg_value
+FROM r""",
+        "agg_histogram_field": """
+WITH h AS (SELECT event_type, floor(value / 10.0) * 10.0 + 5.0 AS center,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2),
+cm AS (SELECT event_type, center, c,
+              SUM(c) OVER (PARTITION BY event_type ORDER BY center
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+              SUM(c) OVER (PARTITION BY event_type) AS total
+       FROM h)
+SELECT event_type,
+       min(CASE WHEN cum * 100 >= 50 * total THEN center END) AS p50,
+       min(CASE WHEN cum * 100 >= 90 * total THEN center END) AS p90,
+       CAST(min(total) AS BIGINT) AS total
+FROM cm GROUP BY event_type ORDER BY event_type""",
+        "ingest_append_tags": """
+SELECT doc_id, source || ',archived,v1' AS tags
+FROM documents ORDER BY doc_id""",
+        "curriculum_order": """
+WITH k AS (SELECT doc_id,
+                  LEAST(n_chars // 100, 9) AS bucket,
+                  (doc_id * 2654435761) % 4294967296 AS draw
+           FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY bucket, draw, doc_id) AS BIGINT)
+         AS pos,
+       doc_id, bucket::BIGINT AS bucket
+FROM k ORDER BY bucket, draw, doc_id LIMIT 30""",
+        "contamination_report": r"""
+WITH ptok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents)),
+g4 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+         || ' ' || lead(term, 3) OVER w AS g
+  FROM ptok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(term, 3) OVER w IS NOT NULL),
+bench AS (SELECT DISTINCT g FROM g4 WHERE doc_id < 5),
+cont AS (SELECT DISTINCT doc_id FROM g4 WHERE g IN (SELECT g FROM bench))
+SELECT d.source AS source, count(*) AS docs,
+       SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS contaminated,
+       ROUND(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS rate
+FROM documents d LEFT JOIN cont ON cont.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source""",
+        "knn_max_inner_product": """
+SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+       ROUND(list_inner_product(q.embedding::DOUBLE[],
+                                v.embedding::DOUBLE[]), 6) AS score
+FROM embeddings q CROSS JOIN embeddings v
+WHERE q.vec_id IN (0, 1, 2)
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_inner_product(q.embedding::DOUBLE[],
+                                    v.embedding::DOUBLE[]) DESC,
+                 v.vec_id) <= 5
+ORDER BY query_id, score DESC, vec_id""",
         "ft_pinned": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),

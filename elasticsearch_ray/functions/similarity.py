@@ -808,3 +808,47 @@ def knn_l2(ds, queries: np.ndarray, k: int = 5, *,
     df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     df["dist"] = round_half_away(df["dist"], 6)
     return df
+
+
+def knn_dot(ds, queries: np.ndarray, k: int = 5, *,
+            vec_col: str = "embedding", id_col: str = "vec_id"
+            ) -> pd.DataFrame:
+    """Exact kNN under max inner product (dense_vector
+    similarity=max_inner_product — VectorSimilarity.MAXIMUM_INNER_PRODUCT).
+    Broadcast queries / per-batch partial top-k; ranked score desc, id asc."""
+    import ray
+
+    Q = np.asarray(queries, dtype=np.float64)
+    q_ref = ray.put(Q)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        ids = t[id_col].to_numpy()
+        if ids.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        V = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64)
+        S = Qm @ V.T
+        kk = min(k, S.shape[1])
+        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        qids, vids, sc = [], [], []
+        for qi in range(S.shape[0]):
+            for c in top[qi]:
+                qids.append(qi)
+                vids.append(int(ids[c]))
+                # per-candidate re-evaluation in index order (matches the
+                # SQL twin's list_inner_product accumulation)
+                sc.append(float((Qm[qi] * V[c]).sum()))
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         id_col: pa.array(vids, pa.int64()),
+                         "score": pa.array(sc, pa.float64())})
+
+    df = (ds.map_batches(partial_topk, batch_format="pyarrow",
+                         batch_size=4096).to_pandas())
+    df = df.sort_values(["query_id", "score", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["score"] = round_half_away(df["score"], 6)
+    return df

@@ -8731,3 +8731,201 @@ def flattened_query(sf_dir: str):
     out["doc_count"] = out["doc_count"].astype("int64")
     out["max_k"] = out["max_k"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------- round-3 session-5: ES|QL, field types, training batch ----
+
+
+def esql_query(sf_dir: str):
+    """_query API / ES|QL (x-pack esql, 8.11): piped query language lowered
+    onto Ray Data — FROM events | WHERE | EVAL | STATS..BY | SORT. Scale
+    shape: pruned read, vectorized pc predicate + arithmetic, per-batch
+    partial STATS combiner, group-cardinality driver merge."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | WHERE value >= 10 AND event_type != "error"
+        | EVAL v2 = value * 2
+        | STATS cnt = COUNT(*), sv = SUM(v2), mx = MAX(value) BY event_type
+        | SORT event_type
+    ''')
+    out["sv"] = round_half_away(out["sv"].to_numpy(), 2)
+    return out
+
+
+def agg_aggregate_metric(sf_dir: str):
+    """aggregate_metric_double field type (AggregateDoubleMetricFieldMapper):
+    pre-aggregated rollup rows (min/max/sum/value_count per user) queried
+    by a metric agg that combines the sub-metrics — min of mins, max of
+    maxes, sum of sums, total value_count, and avg = sum/value_count.
+    Scale shape: per-batch partial per-user rollup, (users) groupby, then
+    a scalar combine; the raw rows are touched exactly once."""
+    def rollup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("user_id", as_index=False).agg(
+            mn=("value", "min"), mx=("value", "max"),
+            s=("value", "sum"), c=("value", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    r = (_ds(sf_dir, "events", ["user_id", "value"])
+         .map_batches(rollup, batch_format="pyarrow")
+         .groupby("user_id")
+         .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"),
+                    Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+         .to_pandas())
+    total_c = int(r["c"].sum())
+    total_s = float(r["s"].sum())
+    return pd.DataFrame({
+        "min_value": [round_half_away(np.array([r["mn"].min()]), 4)[0]],
+        "max_value": [round_half_away(np.array([r["mx"].max()]), 4)[0]],
+        "sum_value": [round_half_away(np.array([total_s]), 2)[0]],
+        "value_count": pd.array([total_c], dtype="int64"),
+        "avg_value": [round_half_away(np.array([total_s / total_c]), 4)[0]],
+    })
+
+
+def agg_histogram_field(sf_dir: str):
+    """histogram field type (HistogramFieldMapper) + percentiles over it:
+    pre-binned (center, count) histogram rows per event_type; the
+    percentile is the smallest bin center whose cumulative count crosses
+    the rank — integer arithmetic only (cum*100 >= p*total), no float
+    boundary. Scale shape: per-batch partial (type, bin) counts, a
+    (types x bins) groupby, per-type vectorized cumsum on the driver."""
+    def binned(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["center"] = (np.floor(df["value"].to_numpy() / 10.0) * 10.0 + 5.0)
+        g = df.groupby(["event_type", "center"], as_index=False).agg(
+            c=("value", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    h = (_ds(sf_dir, "events", ["event_type", "value"])
+         .map_batches(binned, batch_format="pyarrow")
+         .groupby(["event_type", "center"])
+         .aggregate(Sum("c", alias_name="c"))
+         .to_pandas().sort_values(["event_type", "center"]))
+    rows = []
+    for et, g in h.groupby("event_type"):
+        cum = g["c"].cumsum().to_numpy()
+        total = int(cum[-1])
+        centers = g["center"].to_numpy()
+        p50 = centers[np.argmax(cum * 100 >= 50 * total)]
+        p90 = centers[np.argmax(cum * 100 >= 90 * total)]
+        rows.append({"event_type": et, "p50": float(p50), "p90": float(p90),
+                     "total": total})
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    out["total"] = out["total"].astype("int64")
+    return out
+
+
+def ingest_append_tags(sf_dir: str):
+    """append processor (AppendProcessor — the last of the 28
+    ingest-common processors): promote the scalar source field to a list
+    and append literal tags, duplicates allowed; output the joined tag
+    list per doc."""
+    from ..functions import ingest as I
+
+    pipe = I.pipeline(
+        I.rename("source", "tags"),
+        I.append("tags", ["archived", "v1"]),
+    )
+
+    def join(t: pa.Table) -> pa.Table:
+        tags = [",".join(x) for x in t["tags"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "tags": pa.array(tags, pa.string())})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "source"])
+           .map_batches(pipe, batch_format="pyarrow")
+           .map_batches(join, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def curriculum_order(sf_dir: str):
+    """Curriculum-learning ordering for LLM training: docs are staged by a
+    difficulty bucket (length decile, capped) and deterministically
+    hash-shuffled within each stage (Knuth multiplicative draw) so every
+    epoch sees easy->hard without a global sort. Output: first 30
+    positions. Scale shape: per-batch partial top-30 on the composite
+    key — driver merges (blocks x 30) candidate rows only."""
+    def keyed(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["bucket"] = np.minimum(df["n_chars"] // 100, 9).astype("int64")
+        df["draw"] = ((df["doc_id"] * 2654435761) % 4294967296).astype("int64")
+        df = df.sort_values(["bucket", "draw", "doc_id"]).head(30)
+        return pa.Table.from_pandas(
+            df[["doc_id", "bucket", "draw"]], preserve_index=False)
+
+    parts = (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+             .map_batches(keyed, batch_format="pyarrow").to_pandas())
+    out = (parts.sort_values(["bucket", "draw", "doc_id"]).head(30)
+           .reset_index(drop=True))
+    out["pos"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["pos", "doc_id", "bucket"]]
+
+
+def contamination_report(sf_dir: str):
+    """Benchmark-contamination report (the aggregate view over the exact
+    4-gram decontamination pass): per source, how many docs share at
+    least one 4-gram with the benchmark set (docs 0-4). Scale shape: the
+    benchmark n-gram set is built once from a point-read and broadcast
+    via ray.put; membership is tested inside map_batches; only (source)
+    partial counts leave the tasks."""
+    import ray
+    import pyarrow.dataset as pads
+
+    bench_ds = _ds(sf_dir, "documents", ["doc_id", "text"],
+                   flt=(pads.field("doc_id") < 5))
+    import re
+
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def grams(s: str) -> set:
+        toks = [w for w in pat.split(s.lower()) if w]
+        return {" ".join(toks[i:i + 4]) for i in range(len(toks) - 3)}
+
+    bench: set = set()
+    for b in bench_ds.iter_batches(batch_format="pyarrow"):
+        for s in b["text"].to_pylist():
+            bench |= grams(s)
+    bref = ray.put(bench)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        src = t["source"].to_pylist()
+        hit = np.array([bool(grams(s) & bs) for s in t["text"].to_pylist()])
+        df = pd.DataFrame({"source": src, "hit": hit.astype(np.int64)})
+        g = df.groupby("source", as_index=False).agg(
+            docs=("hit", "size"), contaminated=("hit", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (_ds(sf_dir, "documents", ["text", "source"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("docs", alias_name="docs"),
+                      Sum("contaminated", alias_name="contaminated"))
+           .to_pandas())
+    out["rate"] = round_half_away(
+        (out["contaminated"] / out["docs"]).to_numpy().astype(np.float64), 4)
+    out["docs"] = out["docs"].astype("int64")
+    out["contaminated"] = out["contaminated"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def knn_max_inner_product(sf_dir: str):
+    """dense_vector similarity=max_inner_product
+    (VectorSimilarity.MAXIMUM_INNER_PRODUCT, 8.7): exact top-k by raw dot
+    product desc, vec_id tie-break."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    Q = np.array(t["embedding"].to_pylist()[:3])
+    out = S.knn_dot(_ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                    Q, k=5)
+    return out[["query_id", "vec_id", "score"]]

@@ -26,6 +26,10 @@ SMOKE = [
     "ft_analyze_french", "ft_analyze_hungarian", "ft_analyze_stemmer",
     "ft_post_filter", "ft_track_total_hits", "ft_sort_script",
     "ft_sort_missing_last", "ft_scroll_sliced", "ft_pit",
+    # session-5 ES|QL + field types + training batch
+    "esql_query", "agg_aggregate_metric", "agg_histogram_field",
+    "ingest_append_tags", "curriculum_order", "contamination_report",
+    "knn_max_inner_product",
     # session-5 search/agg surface
     "ft_pinned", "ft_combined_fields", "agg_categorize_text",
     "agg_change_point", "search_mvt", "ilm_explain", "graph_explore",
