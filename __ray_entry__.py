@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-6 ops (driver-unchecked, oracle-bearing) ---
+        "transform_latest", "ml_anomaly_zscore", "watcher_execute",
+        "tsdb_downsample", "completion_fuzzy", "completion_contexts",
+        "tokenizer_fertility", "knn_hard_negatives",
         # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
         "esql_query", "agg_aggregate_metric", "agg_histogram_field",
         "ingest_append_tags", "curriculum_order", "contamination_report",
@@ -739,6 +743,84 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "transform_latest": """
+SELECT user_id, event_id, ts, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id""",
+        "ml_anomaly_zscore": """
+WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+      FROM b GROUP BY 1)
+SELECT b.event_type, b.day, b.n, ROUND((b.n - s.mu) / s.sd, 6) AS zscore
+FROM b JOIN s USING (event_type)
+WHERE s.sd > 0 AND abs((b.n - s.mu) / s.sd) >= 1.5
+ORDER BY event_type, day""",
+        "watcher_execute": """
+WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+w(watch_id, event_type, thr) AS (VALUES
+  ('w_click_flood', 'click', 60),
+  ('w_error_spike', 'error', 70),
+  ('w_purchase_drop', 'purchase', 75))
+SELECT w.watch_id, b.day, b.n
+FROM w JOIN b USING (event_type)
+WHERE b.n >= w.thr
+ORDER BY watch_id, day""",
+        "tsdb_downsample": """
+SELECT event_type, date_trunc('day', ts) AS day,
+       ROUND(min(value), 6) AS vmin, ROUND(max(value), 6) AS vmax,
+       ROUND(sum(value), 6) AS vsum, count(value)::BIGINT AS value_count
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "completion_fuzzy": f"""
+WITH {_TOK},
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_count
+       FROM tok GROUP BY term)
+SELECT term, doc_count,
+       levenshtein(substr(term, 1, 3), 'dat')::BIGINT AS fuzz
+FROM df
+WHERE length(term) >= 3 AND levenshtein(substr(term, 1, 3), 'dat') <= 1
+ORDER BY doc_count DESC, term LIMIT 5""",
+        "completion_contexts": f"""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents WHERE lang = 'en') u
+  WHERE t <> ''),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_count
+       FROM tok WHERE term LIKE 's%' GROUP BY term)
+SELECT term, doc_count FROM df
+ORDER BY doc_count DESC, term LIMIT 5""",
+        "tokenizer_fertility": r"""
+WITH per AS (SELECT lang,
+  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS na,
+  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nw,
+  n_chars FROM documents)
+SELECT lang, sum(na)::BIGINT AS tokens, sum(nw)::BIGINT AS words,
+       sum(n_chars)::BIGINT AS chars,
+       ROUND(sum(na)::DOUBLE / sum(nw), 6) AS fertility,
+       ROUND(sum(n_chars)::DOUBLE / sum(na), 6) AS chars_per_token
+FROM per GROUP BY lang ORDER BY lang""",
+        "knn_hard_negatives": """
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+sc AS (SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+              list_cosine_similarity(q.embedding::DOUBLE[],
+                                     v.embedding::DOUBLE[]) AS cos
+       FROM q CROSS JOIN embeddings v
+       WHERE v.label <> q.label AND v.vec_id <> q.vec_id)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id)::BIGINT AS rank
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, vec_id) <= 5
+ORDER BY query_id, rank""",
         "esql_query": """
 SELECT event_type,
        count(*) AS cnt, ROUND(SUM(value * 2), 2) AS sv, MAX(value) AS mx

@@ -8929,3 +8929,317 @@ def knn_max_inner_product(sf_dir: str):
     out = S.knn_dot(_ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
                     Q, k=5)
     return out[["query_id", "vec_id", "score"]]
+
+
+# ---------------- round 3 session 6: transforms / ML / TSDB / suggest ------
+
+
+def transform_latest(sf_dir: str):
+    """_transform `latest` mode (x-pack transforms TransformConfig#latest,
+    added 7.12 — the sibling of `pivot`): per unique key (user_id) the
+    single most recent document by sort field ts, event_id tie-break.
+    Scale shape: per-batch partial keep-latest (vectorized sort +
+    tail-per-user), then ONE groupby(user_id).map_groups keep-latest —
+    the exchange carries at most one row per (user, batch), never the
+    raw event stream."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+        df = (df.sort_values(["user_id", "ts_us", "event_id"])
+                .groupby("user_id", as_index=False).tail(1))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts_us", "event_id"]).tail(1)
+
+    out = (_ds(sf_dir, "events", cols)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id").map_groups(keep_latest, batch_format="pandas")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    out["ts"] = pd.to_datetime(out["ts_us"], unit="us")
+    for c in ("user_id", "event_id"):
+        out[c] = out[c].astype("int64")
+    return out[["user_id", "event_id", "ts", "event_type", "value"]]
+
+
+def ml_anomaly_zscore(sf_dir: str):
+    """ML anomaly records (x-pack ml AnomalyRecord — the bucket-count
+    anomaly shape of a single-metric job): daily event counts per
+    event_type scored as z = (n - mean_type) / stddev_samp_type; records
+    with |z| >= 1.5 are anomalies. Scale shape: per-batch partial
+    (type, day) counts then ONE small groupby — the z-scoring runs on
+    the bucket table (|types| x |days| rows), never the event stream."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day"] = df["ts"].astype("datetime64[us]").dt.floor("D")
+        g = df.groupby(["event_type", "day"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    b = (_ds(sf_dir, "events", ["event_type", "ts"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["event_type", "day"]).aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    st = b.groupby("event_type")["n"].agg(mu="mean", sd=lambda x: x.std(ddof=1))
+    b = b.join(st, on="event_type")
+    b = b[b["sd"] > 0]
+    b["zscore"] = round_half_away(
+        ((b["n"] - b["mu"]) / b["sd"]).to_numpy().astype(np.float64), 6)
+    b = b[np.abs((b["n"] - b["mu"]) / b["sd"]) >= 1.5]
+    b["n"] = b["n"].astype("int64")
+    return (b.sort_values(["event_type", "day"]).reset_index(drop=True)
+            [["event_type", "day", "n", "zscore"]])
+
+
+_WATCHES = (("w_click_flood", "click", 60),
+            ("w_error_spike", "error", 70),
+            ("w_purchase_drop", "purchase", 75))
+
+
+def watcher_execute(sf_dir: str):
+    """Watcher execution (x-pack watcher ExecutionService: search input ->
+    compare condition -> actions): three stored watches, each a daily
+    count over one event_type compared against its threshold; firing
+    (watch_id, day, n) rows are the action log. Scale shape: the watch
+    table is a broadcast constant; daily partial counts reduce through
+    ONE small groupby and every watch evaluates on the bucket table."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day"] = df["ts"].astype("datetime64[us]").dt.floor("D")
+        g = df.groupby(["event_type", "day"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    b = (_ds(sf_dir, "events", ["event_type", "ts"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["event_type", "day"]).aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    rows = []
+    for wid, etype, thr in _WATCHES:
+        hit = b[(b["event_type"] == etype) & (b["n"] >= thr)]
+        for _, r in hit.iterrows():
+            rows.append((wid, r["day"], int(r["n"])))
+    out = pd.DataFrame(rows, columns=["watch_id", "day", "n"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["watch_id", "day"]).reset_index(drop=True)
+
+
+def tsdb_downsample(sf_dir: str):
+    """_downsample API (TSDB DownsampleAction, 8.5): materializes a
+    downsampled index where each metric becomes an aggregate_metric_double
+    (min/max/sum/value_count) per (dimension, time bucket). Dimensions =
+    event_type, fixed_interval = 1d over the value metric. Scale shape:
+    per-batch partial min/max/sum/count per key, ONE groupby over the
+    partials — the canonical downsample combiner."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day"] = df["ts"].astype("datetime64[us]").dt.floor("D")
+        g = df.groupby(["event_type", "day"]).agg(
+            vmin=("value", "min"), vmax=("value", "max"),
+            vsum=("value", "sum"), value_count=("value", "size"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    out = (_ds(sf_dir, "events", ["event_type", "ts", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "day"])
+           .aggregate(Min("vmin", alias_name="vmin"),
+                      Max("vmax", alias_name="vmax"),
+                      Sum("vsum", alias_name="vsum"),
+                      Sum("value_count", alias_name="value_count"))
+           .to_pandas().sort_values(["event_type", "day"])
+           .reset_index(drop=True))
+    for c in ("vmin", "vmax", "vsum"):
+        out[c] = round_half_away(out[c].to_numpy().astype(np.float64), 6)
+    out["value_count"] = out["value_count"].astype("int64")
+    return out[["event_type", "day", "vmin", "vmax", "vsum", "value_count"]]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Classic DP edit distance (the Lucene LevenshteinAutomata contract
+    at small bounds: unit-cost insert/delete/substitute)."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def completion_fuzzy(sf_dir: str):
+    """Fuzzy completion suggester (suggest/completion/
+    FuzzyCompletionQuery: prefix matching with an edit-distance budget on
+    the typed prefix): dictionary terms whose first-3-char prefix is
+    within Levenshtein distance 1 of 'dat', weight = document frequency,
+    top-5 by (weight desc, term asc). Scale shape: the term-df table is
+    computed with ONE distinct-(term,doc) exchange; the fuzzy filter runs
+    dataset-side over distinct terms (vocabulary-sized, not corpus-sized)
+    and only the tiny qualifying set reaches the driver."""
+    import re
+
+    from ray.data.aggregate import Count
+
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for d, s in zip(t["doc_id"].to_numpy(), t["text"].to_pylist()):
+            for w in set(w for w in pat.split(s.lower()) if w):
+                ids.append(int(d))
+                terms.append(w)
+        return pa.table({"term": pa.array(terms),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    def fuzz(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_pylist()
+        d = np.array([_levenshtein(w[:3], "dat") if len(w) >= 3 else 9
+                      for w in terms], dtype=np.int64)
+        keep = d <= 1
+        return pa.table({"term": pa.array([w for w, k in zip(terms, keep) if k]),
+                         "doc_count": t["doc_count"].filter(pa.array(keep)),
+                         "fuzz": pa.array(d[keep], pa.int64())})
+
+    df = (_ds(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(explode, batch_format="pyarrow")
+          .groupby("term").aggregate(Count(alias_name="doc_count"))
+          .map_batches(fuzz, batch_format="pyarrow")
+          .to_pandas())
+    df["doc_count"] = df["doc_count"].astype("int64")
+    return (df.sort_values(["doc_count", "term"], ascending=[False, True])
+            .head(5).reset_index(drop=True))
+
+
+def completion_contexts(sf_dir: str):
+    """Context suggester (suggest/completion/context/CategoryContextMapping:
+    completions constrained to a category context): completions of prefix
+    'dat' within context lang='en', weight = in-context document
+    frequency. The context filter is pushed into the parquet read itself
+    (row-group pruning) — out-of-context docs never enter the scan."""
+    import re
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for d, s in zip(t["doc_id"].to_numpy(), t["text"].to_pylist()):
+            for w in set(w for w in pat.split(s.lower()) if w):
+                if w.startswith("s"):
+                    ids.append(int(d))
+                    terms.append(w)
+        return pa.table({"term": pa.array(terms),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    df = (_ds(sf_dir, "documents", ["doc_id", "text", "lang"],
+              flt=pc.field("lang") == "en")
+          .map_batches(explode, batch_format="pyarrow")
+          .groupby("term").aggregate(Count(alias_name="doc_count"))
+          .to_pandas())
+    df["doc_count"] = df["doc_count"].astype("int64")
+    return (df.sort_values(["doc_count", "term"], ascending=[False, True])
+            .head(5).reset_index(drop=True))
+
+
+def tokenizer_fertility(sf_dir: str):
+    """Tokenizer fertility audit (LLM training-data statistic: subword
+    tokens per whitespace word and chars per token, per language —
+    the standard diagnostic for how well a tokenizer fits each language
+    in a multilingual corpus). Scale shape: per-batch vectorized token
+    counting, ONE tiny groupby(lang) over 3-scalar partials."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    alnum = re.compile(r"[^a-z0-9]+")
+    ws = re.compile(r"\s+")
+
+    def counts(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        na = np.array([sum(1 for w in alnum.split(s.lower()) if w)
+                       for s in t["text"].to_pylist()], dtype=np.int64)
+        nw = np.array([sum(1 for w in ws.split(s) if w)
+                       for s in t["text"].to_pylist()], dtype=np.int64)
+        return pa.table({"lang": pa.array(langs),
+                         "na": pa.array(na), "nw": pa.array(nw),
+                         "nc": t["n_chars"]})
+
+    out = (_ds(sf_dir, "documents", ["text", "lang", "n_chars"])
+           .map_batches(counts, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("na", alias_name="tokens"),
+                      Sum("nw", alias_name="words"),
+                      Sum("nc", alias_name="chars"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    out["fertility"] = round_half_away(
+        (out["tokens"] / out["words"]).to_numpy().astype(np.float64), 6)
+    out["chars_per_token"] = round_half_away(
+        (out["chars"] / out["tokens"]).to_numpy().astype(np.float64), 6)
+    for c in ("tokens", "words", "chars"):
+        out[c] = out[c].astype("int64")
+    return out[["lang", "tokens", "words", "chars", "fertility",
+                "chars_per_token"]]
+
+
+def knn_hard_negatives(sf_dir: str):
+    """Hard-negative mining (embedding-training data op: for each query
+    vector, the highest-cosine corpus vectors that are NOT relevant —
+    here: different label, excluding the query itself). Scale shape: the
+    query matrix is ray.put-broadcast once; each batch computes the
+    masked cosine block and emits a per-batch partial top-k; the driver
+    merges (batches x queries x k) partials only."""
+    import pyarrow.dataset as pads
+    import ray
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    Q = np.array(t["embedding"].to_pylist()[:3], dtype=np.float64)
+    qlabels = np.array(t["label"].to_pylist()[:3], dtype=np.int64)
+    qids = np.arange(3, dtype=np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((Qn, qlabels, qids))
+    k = 5
+
+    def partial_topk(tb: pa.Table) -> pa.Table:
+        Qm, ql, qi = ray.get(q_ref)
+        ids = tb["vec_id"].to_numpy()
+        labels = tb["label"].to_numpy()
+        V = np.stack(tb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        Sc = Qm @ V.T
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        for q in range(Qm.shape[0]):
+            mask = (labels != ql[q]) & (ids != qi[q])
+            sc = Sc[q][mask]
+            vid = ids[mask]
+            kk = min(k, sc.size)
+            if kk == 0:
+                continue
+            top = np.argpartition(-sc, kk - 1)[:kk]
+            out["query_id"].extend([int(q)] * kk)
+            out["vec_id"].extend(int(v) for v in vid[top])
+            out["cosine"].extend(float(s) for s in sc[top])
+        return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                         "vec_id": pa.array(out["vec_id"], pa.int64()),
+                         "cosine": pa.array(out["cosine"], pa.float64())})
+
+    df = (_ds(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+          .map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
+          .to_pandas())
+    df = df.sort_values(["query_id", "cosine", "vec_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype("int64")
+    df["cosine"] = round_half_away(df["cosine"].to_numpy(), 6)
+    return df

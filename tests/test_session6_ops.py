@@ -1,0 +1,96 @@
+"""Round-3 session-6 operators: transform latest mode, ML anomaly records,
+Watcher execution, TSDB downsample, fuzzy/context completion suggesters,
+tokenizer fertility, hard-negative mining.
+
+Reference surfaces mirrored: x-pack transforms TransformConfig#latest,
+x-pack ml AnomalyRecord, x-pack watcher ExecutionService, DownsampleAction
+(8.5), suggest/completion FuzzyCompletionQuery + CategoryContextMapping."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from elasticsearch_ray.pipelines import ops
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_transform_latest_is_argmax_per_user(ray_session):
+    out = ops.transform_latest(SF)
+    assert out["user_id"].is_unique and len(out) > 0
+    # cross-check one user against the raw table
+    import pyarrow.dataset as pads
+    ev = pads.dataset(f"{SF}/events.parquet").to_table().to_pandas()
+    u = int(out["user_id"].iloc[0])
+    mine = out[out["user_id"] == u].iloc[0]
+    raw = ev[ev["user_id"] == u].sort_values(["ts", "event_id"]).iloc[-1]
+    assert mine["event_id"] == raw["event_id"]
+    assert mine["event_type"] == raw["event_type"]
+
+
+def test_ml_anomaly_zscore_threshold(ray_session):
+    out = ops.ml_anomaly_zscore(SF)
+    # every reported record clears the anomaly bar; z matches n recomputed
+    assert (out["zscore"].abs() >= 1.5 - 1e-9).all()
+    assert out["n"].dtype == np.int64
+
+
+def test_watcher_execute_thresholds(ray_session):
+    out = ops.watcher_execute(SF)
+    thr = {w: t for w, _, t in ops._WATCHES}
+    for _, r in out.iterrows():
+        assert r["n"] >= thr[r["watch_id"]]
+
+
+def test_tsdb_downsample_bounds(ray_session):
+    out = ops.tsdb_downsample(SF)
+    assert (out["vmin"] <= out["vmax"]).all()
+    assert (out["value_count"] > 0).all()
+    # one bucket per (event_type, day)
+    assert not out.duplicated(["event_type", "day"]).any()
+
+
+def test_completion_fuzzy_edit_budget(ray_session):
+    out = ops.completion_fuzzy(SF)
+    assert (out["fuzz"] <= 1).all() and len(out) > 0
+    # weight-descending order (doc_count desc, term asc)
+    dc = out["doc_count"].to_numpy()
+    assert (dc[:-1] >= dc[1:]).all()
+
+
+def test_completion_contexts_prefix_and_order(ray_session):
+    out = ops.completion_contexts(SF)
+    assert len(out) > 0
+    assert all(t.startswith("s") for t in out["term"])
+    dc = out["doc_count"].to_numpy()
+    assert (dc[:-1] >= dc[1:]).all()
+
+
+def test_levenshtein_known_vectors():
+    cases = [("kitten", "sitting", 3), ("", "abc", 3), ("abc", "abc", 0),
+             ("flaw", "lawn", 2), ("dat", "cat", 1), ("dat", "day", 1)]
+    for a, b, d in cases:
+        assert ops._levenshtein(a, b) == d == ops._levenshtein(b, a)
+
+
+def test_tokenizer_fertility_per_lang(ray_session):
+    out = ops.tokenizer_fertility(SF)
+    assert (out["fertility"] > 0).all()
+    assert (out["chars_per_token"] > 0).all()
+    assert out["lang"].is_unique
+
+
+def test_hard_negatives_exclude_query_label(ray_session):
+    out = ops.knn_hard_negatives(SF)
+    import pyarrow.dataset as pads
+    emb = pads.dataset(f"{SF}/embeddings.parquet").to_table().to_pandas()
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+    for _, r in out.iterrows():
+        assert lab[r["vec_id"]] != lab[r["query_id"]]
+        assert r["vec_id"] != r["query_id"]
+    # rank is dense 1..k per query, cosine non-increasing within query
+    for q, g in out.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        c = g["cosine"].to_numpy()
+        assert (c[:-1] >= c[1:] - 1e-12).all()
