@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_latest", "ml_anomaly_zscore", "watcher_execute",
         "tsdb_downsample", "completion_fuzzy", "completion_contexts",
         "tokenizer_fertility", "knn_hard_negatives",
+        "esql_dissect", "esql_mv_expand", "esql_lookup_join", "esql_topk",
         # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
         "esql_query", "agg_aggregate_metric", "agg_histogram_field",
         "ingest_append_tags", "curriculum_order", "contamination_report",
@@ -743,6 +744,22 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "esql_dissect": r"""
+SELECT event_type, count(*)::BIGINT AS n,
+       max(CAST(regexp_extract(props, '\{"k": (\d+)\}', 1) AS BIGINT)) AS mx
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "esql_mv_expand": """
+SELECT t AS toks, count(*)::BIGINT AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+GROUP BY 1 ORDER BY n DESC, toks LIMIT 10""",
+        "esql_lookup_join": """
+SELECT n_name, count(*)::BIGINT AS cnt
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1""",
+        "esql_topk": """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'purchase'
+ORDER BY value DESC, event_id LIMIT 10""",
         "transform_latest": """
 SELECT user_id, event_id, ts, event_type, value FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id

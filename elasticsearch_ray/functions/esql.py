@@ -13,6 +13,15 @@ parser that lowers each stage onto the idiomatic Ray Data shape:
                     cardinality)
 - SORT / LIMIT / KEEP -> applied to the reduced result
 
+- DISSECT        -> pc.extract_regex (pattern compiled from the %{name}
+                    dissect grammar) appended per batch
+- MV_EXPAND      -> vectorized list explode (list_parent_indices + take)
+- LOOKUP JOIN    -> the 8.18 lookup-index join: the small side is read once,
+                    ray.put-broadcast, and merged inside map_batches (never
+                    a shuffle join)
+- row-mode SORT/LIMIT (no STATS) -> per-batch partial top-k on the sort
+                    key; the driver merges (batches x limit) partials only
+
 Only literal comparisons, AND conjunctions and binary arithmetic are
 supported — enough to run the reference's documented example pipelines.
 """
@@ -75,7 +84,28 @@ def _where_fn(body: str):
 def _eval_fn(body: str):
     name, _, expr = body.partition("=")
     name = name.strip()
-    m = re.fullmatch(r"([\w.]+)\s*([+\-*/])\s*([\w.\"]+)", expr.strip())
+    expr = expr.strip()
+
+    fm = re.fullmatch(r"SPLIT\(\s*([\w.]+)\s*,\s*\"([^\"]*)\"\s*\)", expr,
+                      flags=re.I)
+    if fm:
+        col, sep = fm.groups()
+
+        def f_split(t: pa.Table) -> pa.Table:
+            return t.append_column(name, pc.split_pattern(t[col], sep))
+
+        return f_split
+
+    fm = re.fullmatch(r"TO_INTEGER\(\s*([\w.]+)\s*\)", expr, flags=re.I)
+    if fm:
+        col = fm.group(1)
+
+        def f_cast(t: pa.Table) -> pa.Table:
+            return t.append_column(name, pc.cast(t[col], pa.int64()))
+
+        return f_cast
+
+    m = re.fullmatch(r"([\w.]+)\s*([+\-*/])\s*([\w.\"]+)", expr)
     if not m:
         raise ValueError(f"unsupported EVAL expression: {expr!r}")
     lhs, op, rhs = m.groups()
@@ -86,6 +116,71 @@ def _eval_fn(body: str):
         a = t[lhs]
         b = t[rhs] if rhs in t.column_names else _lit(rhs)
         return t.append_column(name, opf(a, b))
+
+    return f
+
+
+def _dissect_fn(body: str):
+    """DISSECT <col> <pattern> — the dissect grammar's %{name} keys become
+    named regex captures; literal text between keys must match exactly
+    (x-pack esql Dissect command / ingest-common DissectProcessor)."""
+    col, _, pattern = body.partition(" ")
+    pattern = pattern.strip()
+    if pattern.startswith('"') and pattern.endswith('"'):
+        pattern = pattern[1:-1]
+    rx = ""
+    pos = 0
+    for m in re.finditer(r"%\{(\w+)\}", pattern):
+        rx += re.escape(pattern[pos:m.start()]) + f"(?P<{m.group(1)}>.*?)"
+        pos = m.end()
+    rx += re.escape(pattern[pos:])
+    rx = "^" + rx + "$"
+
+    def f(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t[col], rx)
+        for field in st.type:
+            t = t.append_column(field.name, pc.struct_field(st, field.name))
+        return t
+
+    return f
+
+
+def _mv_expand_fn(col: str):
+    def f(t: pa.Table) -> pa.Table:
+        lst = t[col].combine_chunks()
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        parents = pc.list_parent_indices(lst)
+        flat = pc.list_flatten(lst)
+        others = t.remove_column(t.column_names.index(col)).take(parents)
+        return others.append_column(col, flat)
+
+    return f
+
+
+def _lookup_join_stage(sf_dir: str, body: str):
+    """LOOKUP JOIN <table> ON <left_key> == <right_key> (ES|QL 8.18
+    lookup-mode index join): the lookup side is small by contract — read
+    once on the driver, ray.put-broadcast, merged per batch."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    m = re.fullmatch(r"(\w+)\s+ON\s+([\w.]+)\s*==\s*([\w.]+)", body.strip(),
+                     flags=re.I)
+    if not m:
+        raise ValueError(f"unsupported LOOKUP JOIN: {body!r}")
+    table, lkey, rkey = m.groups()
+    small = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    small_df = small.to_pandas().set_index(rkey)
+    ref = ray.put(small_df)
+
+    def f(t: pa.Table) -> pa.Table:
+        sd = ray.get(ref)
+        df = t.to_pandas()
+        joined = df.join(sd, on=lkey, how="left")
+        return pa.Table.from_pandas(joined, preserve_index=False)
 
     return f
 
@@ -135,6 +230,15 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             ds = ds.map_batches(_where_fn(body), batch_format="pyarrow")
         elif cmd == "EVAL" and stats_specs is None:
             ds = ds.map_batches(_eval_fn(body), batch_format="pyarrow")
+        elif cmd == "DISSECT" and stats_specs is None:
+            ds = ds.map_batches(_dissect_fn(body), batch_format="pyarrow")
+        elif cmd == "MV_EXPAND" and stats_specs is None:
+            ds = ds.map_batches(_mv_expand_fn(body.strip()),
+                                batch_format="pyarrow")
+        elif cmd == "LOOKUP" and stats_specs is None:
+            jb = re.sub(r"^JOIN\s+", "", body.strip(), flags=re.I)
+            ds = ds.map_batches(_lookup_join_stage(sf_dir, jb),
+                                batch_format="pyarrow")
         elif cmd == "STATS":
             stats_specs, by = _parse_stats(body)
         elif cmd in ("SORT", "LIMIT", "KEEP", "WHERE"):
@@ -143,7 +247,7 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             raise ValueError(f"unsupported ES|QL command: {cmd}")
 
     if stats_specs is None:
-        raise ValueError("only STATS-terminated pipelines are supported")
+        return _run_row_mode(ds, post)
     specs, by = stats_specs, by or []
 
     def partial(t: pa.Table) -> pa.Table:
@@ -218,4 +322,47 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             f = {"==": _op.eq, "!=": _op.ne, ">": _op.gt, ">=": _op.ge,
                  "<": _op.lt, "<=": _op.le}[op]
             out = out[f(out[col], lit)]
+    return out.reset_index(drop=True)
+
+
+def _run_row_mode(ds, post: list[tuple[str, str]]) -> pd.DataFrame:
+    """Row-returning pipelines (no STATS): require LIMIT so the result is
+    bounded; with SORT the scale shape is per-batch partial top-k (each
+    batch emits at most `limit` rows), driver merge of (batches x limit)."""
+    sort_keys: list[str] = []
+    sort_asc: list[bool] = []
+    limit = None
+    keep = None
+    for cmd, body in post:
+        if cmd == "SORT":
+            for item in body.split(","):
+                toks = item.split()
+                sort_keys.append(toks[0])
+                sort_asc.append(not (len(toks) > 1 and
+                                     toks[1].upper() == "DESC"))
+        elif cmd == "LIMIT":
+            limit = int(body)
+        elif cmd == "KEEP":
+            keep = [c.strip() for c in body.split(",")]
+        else:
+            raise ValueError(f"unsupported row-mode command: {cmd}")
+    if limit is None:
+        raise ValueError("row-mode ES|QL pipelines require LIMIT")
+
+    if sort_keys:
+        n = limit
+
+        def partial_topk(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df = df.sort_values(sort_keys, ascending=sort_asc,
+                                kind="mergesort").head(n)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+        out = parts.sort_values(sort_keys, ascending=sort_asc,
+                                kind="mergesort").head(limit)
+    else:
+        out = ds.limit(limit).to_pandas()
+    if keep:
+        out = out[keep]
     return out.reset_index(drop=True)

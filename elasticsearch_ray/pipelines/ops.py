@@ -9243,3 +9243,66 @@ def knn_hard_negatives(sf_dir: str):
     df["rank"] = (df.groupby("query_id").cumcount() + 1).astype("int64")
     df["cosine"] = round_half_away(df["cosine"].to_numpy(), 6)
     return df
+
+
+def esql_dissect(sf_dir: str):
+    """ES|QL DISSECT command (x-pack esql Dissect / DissectProcessor
+    pattern grammar): parse the numeric payload out of the JSON-ish props
+    string with a %{key} pattern, cast, and aggregate. The dissect runs
+    as a vectorized pc.extract_regex per batch."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events
+        | DISSECT props {"k": %{kv}}
+        | EVAL k = TO_INTEGER(kv)
+        | STATS n = COUNT(*), mx = MAX(k) BY event_type
+        | SORT event_type
+    ''')
+
+
+def esql_mv_expand(sf_dir: str):
+    """ES|QL MV_EXPAND command (multivalue explode): SPLIT the text into a
+    token list per row, explode it (vectorized list_parent_indices +
+    take), and count tokens — top-10 by frequency."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents
+        | EVAL toks = SPLIT(text, " ")
+        | MV_EXPAND toks
+        | STATS n = COUNT(*) BY toks
+        | SORT n DESC, toks
+        | LIMIT 10
+    ''')
+
+
+def esql_lookup_join(sf_dir: str):
+    """ES|QL LOOKUP JOIN (8.18 lookup-mode index join): enrich customer
+    rows with the nation dimension — the small side is ray.put-broadcast
+    and merged inside map_batches, never a shuffle join — then count
+    customers per nation name."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM customer
+        | LOOKUP JOIN nation ON c_nationkey == n_nationkey
+        | STATS cnt = COUNT(*) BY n_name
+        | SORT n_name
+    ''')
+
+
+def esql_topk(sf_dir: str):
+    """ES|QL row-mode pipeline (no STATS — the FROM|WHERE|SORT|LIMIT|KEEP
+    shape): top-10 purchase events by value. Scale shape: per-batch
+    partial top-k on the sort key; the driver merges (batches x 10)
+    candidate rows only."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events
+        | WHERE event_type == "purchase"
+        | SORT value DESC, event_id
+        | LIMIT 10
+        | KEEP event_id, user_id, value
+    ''')

@@ -4,6 +4,7 @@ partials, and parser rejection of unsupported commands."""
 
 from __future__ import annotations
 
+import duckdb
 import pandas as pd
 import pytest
 
@@ -51,3 +52,63 @@ def test_parser_rejects_unknown():
         esql.parse("WHERE x > 1")
     with pytest.raises(ValueError):
         esql.run(SF, "FROM events | FROBNICATE x")
+
+
+def test_dissect_extracts_and_casts(ray_session):
+    out = esql.run(SF, '''
+        FROM events
+        | DISSECT props {"k": %{kv}}
+        | EVAL k = TO_INTEGER(kv)
+        | STATS mx = MAX(k), mn = MIN(k) BY event_type
+        | SORT event_type
+    ''')
+    assert (out["mx"] >= out["mn"]).all() and len(out) > 0
+
+
+def test_mv_expand_token_counts_match_split(ray_session):
+    out = esql.run(SF, '''
+        FROM documents
+        | EVAL toks = SPLIT(text, " ")
+        | MV_EXPAND toks
+        | STATS n = COUNT(*) BY toks
+        | SORT n DESC, toks
+        | LIMIT 5
+    ''')
+    want = duckdb.sql(f"""
+        SELECT unnest(string_split(text, ' ')) AS t
+        FROM read_parquet('{SF}/documents.parquet')""").df()
+    top = want.groupby("t").size().sort_values(ascending=False)
+    assert int(out["n"].iloc[0]) == int(top.iloc[0])
+
+
+def test_lookup_join_broadcasts_dimension(ray_session):
+    out = esql.run(SF, '''
+        FROM customer
+        | LOOKUP JOIN nation ON c_nationkey == n_nationkey
+        | STATS cnt = COUNT(*) BY n_name
+        | SORT n_name
+    ''')
+    ncust = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchone()[0]
+    assert out["cnt"].sum() == ncust
+
+
+def test_row_mode_topk_matches_sql(ray_session):
+    out = esql.run(SF, '''
+        FROM events
+        | WHERE event_type == "purchase"
+        | SORT value DESC, event_id
+        | LIMIT 5
+        | KEEP event_id, value
+    ''')
+    want = duckdb.sql(f"""
+        SELECT event_id, value FROM read_parquet('{SF}/events.parquet')
+        WHERE event_type = 'purchase'
+        ORDER BY value DESC, event_id LIMIT 5""").df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_row_mode_requires_limit(ray_session):
+    with pytest.raises(ValueError):
+        esql.run(SF, "FROM events | WHERE value > 5")
