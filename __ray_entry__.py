@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tsdb_downsample", "completion_fuzzy", "completion_contexts",
         "tokenizer_fertility", "knn_hard_negatives",
         "esql_dissect", "esql_mv_expand", "esql_lookup_join", "esql_topk",
+        "searchable_snapshot_query", "ccr_follow", "slm_retention",
+        "allocation_explain",
         # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
         "esql_query", "agg_aggregate_metric", "agg_histogram_field",
         "ingest_append_tags", "curriculum_order", "contamination_report",
@@ -744,6 +746,45 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "searchable_snapshot_query": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge'
+       GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "ccr_follow": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'sort'
+       GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "slm_retention": """
+WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+m AS (SELECT max(day) AS mxd FROM d),
+s AS (SELECT day, date_diff('day', day, mxd) AS age,
+             row_number() OVER (ORDER BY day DESC) AS rn
+      FROM d CROSS JOIN m)
+SELECT day, age::BIGINT AS age_days,
+       (rn <= 10 AND (age <= 7 OR rn <= 5)) AS retained
+FROM s ORDER BY day""",
+        "allocation_explain": """
+WITH smap(source, shard) AS (VALUES
+  ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),
+  ('src5', 1), ('src6', 3), ('src7', 3), ('src8', 1), ('src9', 1),
+  ('src10', 2), ('src11', 1), ('src12', 1), ('src13', 3), ('src14', 0),
+  ('src15', 1), ('src16', 3), ('src17', 2), ('src18', 2), ('src19', 3)),
+sd AS (SELECT CAST(m.shard AS BIGINT) AS shard, count(*)::BIGINT AS docs
+       FROM documents d JOIN smap m USING (source) GROUP BY 1),
+r AS (SELECT shard, docs,
+             row_number() OVER (ORDER BY docs DESC, shard) - 1 AS rk
+      FROM sd)
+SELECT shard, docs, 'node-' || CAST(rk % 3 AS VARCHAR) AS node,
+       'YES' AS decision
+FROM r ORDER BY shard""",
         "esql_dissect": r"""
 SELECT event_type, count(*)::BIGINT AS n,
        max(CAST(regexp_extract(props, '\{"k": (\d+)\}', 1) AS BIGINT)) AS mx

@@ -141,3 +141,21 @@ def restore_snapshot_renamed(repo_dir: str, name: str, dest_base: str,
     dest = os.path.join(dest_base, new_name)
     restore_snapshot(repo_dir, name, dest)
     return dest
+
+
+def mount_snapshot(repo_dir: str, name: str, mount_dir: str) -> list[str]:
+    """Searchable-snapshot mount (x-pack searchable-snapshots
+    MountSearchableSnapshotAction, 7.10): serve an index DIRECTLY from the
+    repository without a restore copy. Each snapshot segment is symlinked
+    into the mount directory — zero bytes copied; the searcher reads
+    repository blobs lazily exactly as it would a restored index."""
+    with open(_snap_path(repo_dir, name)) as f:
+        manifest = json.load(f)
+    os.makedirs(mount_dir, exist_ok=True)
+    for sid in manifest["segments"]:
+        dst = os.path.join(mount_dir, sid)
+        if os.path.islink(dst) or os.path.isdir(dst):
+            continue
+        os.symlink(os.path.abspath(os.path.join(repo_dir, "segments", sid)),
+                   dst, target_is_directory=True)
+    return manifest["segments"]

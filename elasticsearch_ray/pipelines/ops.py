@@ -9306,3 +9306,114 @@ def esql_topk(sf_dir: str):
         | LIMIT 10
         | KEEP event_id, user_id, value
     ''')
+
+
+# ---------------- round 3 session 6: snapshots-as-service / CCR / SLM ------
+
+
+def _mounted_searcher(sf_dir: str):
+    """Build-or-reuse: snapshot the documents index into a /tmp repository
+    and MOUNT it (symlinked segments, zero copy)."""
+    import hashlib
+
+    from ..index import snapshot as SN
+    from ..search.engine import IndexSearcher
+    from .fulltext import B, K1, documents_index
+
+    idx = documents_index(sf_dir)
+    tag = hashlib.sha1(f"{idx}:mount:v1".encode()).hexdigest()[:12]
+    repo = os.path.join("/tmp/esray_cache", f"snaprepo_{tag}")
+    mount = os.path.join("/tmp/esray_cache", f"mount_{tag}")
+    if not os.path.isfile(os.path.join(repo, "snapshots", "nightly.json")):
+        SN.create_snapshot(idx, repo, "nightly")
+    SN.mount_snapshot(repo, "nightly", mount)
+    return IndexSearcher(mount, score_mode="exact64", k1=K1, b=B,
+                         main_field="text",
+                         field_analyzers={"text_2gram": "shingle2"})
+
+
+def searchable_snapshot_query(sf_dir: str):
+    """Searchable snapshots (x-pack searchable-snapshots
+    MountSearchableSnapshotAction, 7.10): the index is served DIRECTLY
+    from the snapshot repository — mount symlinks segment blobs (no
+    restore copy) and the searcher lazy-loads postings from them. BM25
+    scores must be identical to the live index's."""
+    s = _mounted_searcher(sf_dir)
+    ids, sc = s._eval({"kind": "term", "term": "merge"})
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away(sc[order].astype(np.float64), 4)})
+
+
+def ccr_follow(sf_dir: str):
+    """CCR follower (x-pack ccr ShardFollowNodeTask): pull-based segment
+    replication — the follower copies only segment ids absent from its
+    local store and prunes merged-away ones; a second poll against an
+    unchanged leader is a no-op. The query runs ON THE FOLLOWER and must
+    score identically to the leader."""
+    import hashlib
+
+    from ..index.ccr import follow
+    from ..search.engine import IndexSearcher
+    from .fulltext import B, K1, documents_index
+
+    leader = documents_index(sf_dir)
+    tag = hashlib.sha1(f"{leader}:ccr:v1".encode()).hexdigest()[:12]
+    follower = os.path.join("/tmp/esray_cache", f"ccr_{tag}")
+    follow(leader, follower)
+    again = follow(leader, follower)
+    if again["copied"] or again["pruned"]:
+        raise RuntimeError("ccr follow cycle is not idempotent")
+    s = IndexSearcher(follower, score_mode="exact64", k1=K1, b=B,
+                      main_field="text",
+                      field_analyzers={"text_2gram": "shingle2"})
+    ids, sc = s._eval({"kind": "term", "term": "sort"})
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away(sc[order].astype(np.float64), 4)})
+
+
+def slm_retention(sf_dir: str):
+    """SLM retention (x-pack slm SnapshotRetentionTask /
+    SnapshotRetentionConfiguration): one nightly snapshot per distinct
+    event day; retention = expire_after 7d, min_count 5, max_count 10 —
+    a snapshot is retained iff rank_by_recency <= max_count AND
+    (age <= expire_after OR rank_by_recency <= min_count). Scale shape:
+    the distinct-day exchange carries one row per day; policy evaluation
+    runs on that tiny table."""
+    from ray.data.aggregate import Count
+
+    def days(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        d = df["ts"].astype("datetime64[us]").dt.floor("D")
+        return pa.table({"day": pa.Array.from_pandas(d.drop_duplicates())})
+
+    d = (_ds(sf_dir, "events", ["ts"])
+         .map_batches(days, batch_format="pyarrow")
+         .groupby("day").aggregate(Count(alias_name="_n"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    mx = d["day"].max()
+    d["age_days"] = ((mx - d["day"]).dt.days).astype("int64")
+    d["rn"] = np.arange(len(d) - 1, -1, -1, dtype=np.int64) + 1  # 1 = newest
+    d["retained"] = (d["rn"] <= 10) & ((d["age_days"] <= 7) | (d["rn"] <= 5))
+    return d[["day", "age_days", "retained"]]
+
+
+def allocation_explain(sf_dir: str):
+    """_cluster/allocation/explain (ClusterAllocationExplainAction /
+    BalancedShardsAllocator weight function): the 4 routed shards are
+    placed on 3 nodes by size-rank round-robin (the deterministic
+    balanced layout); each row explains shard -> node with its weight
+    (doc count). Scale shape: per-shard doc counts reduce through the
+    cat_shards partial exchange; placement runs on the 4-row table."""
+    shards = cat_shards(sf_dir)[["shard", "docs"]]
+    shards = shards.sort_values(["docs", "shard"],
+                                ascending=[False, True]).reset_index(drop=True)
+    shards["node"] = ["node-" + str(i % 3) for i in range(len(shards))]
+    shards["decision"] = "YES"
+    out = shards.sort_values("shard").reset_index(drop=True)
+    out["shard"] = out["shard"].astype("int64")
+    out["docs"] = out["docs"].astype("int64")
+    return out[["shard", "docs", "node", "decision"]]

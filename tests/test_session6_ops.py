@@ -94,3 +94,77 @@ def test_hard_negatives_exclude_query_label(ray_session):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         c = g["cosine"].to_numpy()
         assert (c[:-1] >= c[1:] - 1e-12).all()
+
+
+def test_searchable_snapshot_mount_is_zero_copy(ray_session):
+    import os
+
+    out = ops.searchable_snapshot_query(SF)
+    live = ops.ft_term(SF).to_pandas()  # live-index 'data' results exist
+    assert len(out) > 0 and len(live) > 0
+    # the mount directory must contain ONLY symlinks into the repo
+    from elasticsearch_ray.pipelines.fulltext import documents_index
+    import hashlib
+    idx = documents_index(SF)
+    tag = hashlib.sha1(f"{idx}:mount:v1".encode()).hexdigest()[:12]
+    mount = f"/tmp/esray_cache/mount_{tag}"
+    entries = [e for e in os.listdir(mount) if not e.startswith(".")]
+    assert entries and all(os.path.islink(os.path.join(mount, e))
+                           for e in entries)
+
+
+def test_searchable_snapshot_scores_equal_live(ray_session):
+    s = ops._mounted_searcher(SF)
+    from elasticsearch_ray.pipelines.fulltext import documents_searcher
+    live = documents_searcher(SF)
+    for q in ({"kind": "term", "term": "data"},
+              {"kind": "match", "text": "data query"}):
+        ids_m, sc_m = s._eval(q)
+        ids_l, sc_l = live._eval(q)
+        om, ol = np.argsort(ids_m), np.argsort(ids_l)
+        assert (ids_m[om] == ids_l[ol]).all()
+        assert np.allclose(sc_m[om], sc_l[ol])
+
+
+def test_ccr_follow_idempotent_and_score_parity(ray_session):
+    out = ops.ccr_follow(SF)  # raises if the second cycle copies anything
+    live = ops.ft_term(SF).to_pandas()
+    assert len(out) > 0 and len(live) > 0
+
+
+def test_ccr_prunes_merged_away_segments(tmp_path, ray_session):
+    import os
+
+    from elasticsearch_ray.index.ccr import follow
+    from elasticsearch_ray.pipelines.fulltext import documents_index
+
+    leader = documents_index(SF)
+    fol = str(tmp_path / "follower")
+    r1 = follow(leader, fol)
+    assert r1["copied"] and not r1["pruned"]
+    # plant a stale segment on the follower: next cycle must prune it
+    stale = os.path.join(fol, "seg-stale")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "manifest.json"), "w") as f:
+        f.write(open(os.path.join(fol, r1["copied"][0],
+                                  "manifest.json")).read())
+    r2 = follow(leader, fol)
+    assert r2["pruned"] == ["seg-stale"] and not r2["copied"]
+
+
+def test_slm_retention_policy_shape(ray_session):
+    out = ops.slm_retention(SF)
+    kept = out[out["retained"]]
+    assert len(kept) <= 10
+    # newest snapshot always retained; oldest beyond window not retained
+    assert bool(out.iloc[-1]["retained"])
+    if len(out) > 10:
+        assert not bool(out.iloc[0]["retained"])
+
+
+def test_allocation_explain_balanced(ray_session):
+    out = ops.allocation_explain(SF)
+    assert set(out["node"]) <= {"node-0", "node-1", "node-2"}
+    # 4 shards over 3 nodes: no node holds more than 2
+    assert out["node"].value_counts().max() <= 2
+    assert (out["decision"] == "YES").all()
