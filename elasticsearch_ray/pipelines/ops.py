@@ -8093,7 +8093,10 @@ def events_retention(sf_dir: str):
     the exchange carries one row per user — then a tiny per-cohort
     rollup."""
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        days = np.unique(df["ts"].to_numpy().astype("datetime64[D]"))
+        # floor to day but KEEP [us] precision: a datetime64[D] array would
+        # force Arrow's lossy 'D'->'s' conversion warning on every group
+        days = np.unique(df["ts"].to_numpy().astype("datetime64[D]")
+                         .astype("datetime64[us]"))
         first = days.min()
         ret = int((days == first + np.timedelta64(7, "D")).any())
         return pd.DataFrame({"cohort": [first], "retained": [ret]})
