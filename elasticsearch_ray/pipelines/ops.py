@@ -8978,15 +8978,19 @@ def ml_anomaly_zscore(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["day"] = df["ts"].astype("datetime64[us]").dt.floor("D")
-        g = df.groupby(["event_type", "day"], as_index=False).size()
+        # int64 epoch-day key: cheaper to shuffle than a timestamp and
+        # avoids Ray's lossy datetime re-coercion in the aggregate path
+        df["day_i"] = (df["ts"].astype("datetime64[us]").astype(np.int64)
+                       // 86_400_000_000)
+        g = df.groupby(["event_type", "day_i"], as_index=False).size()
         return pa.Table.from_pandas(
             g.rename(columns={"size": "n"}), preserve_index=False)
 
     b = (_ds(sf_dir, "events", ["event_type", "ts"])
          .map_batches(partial, batch_format="pyarrow")
-         .groupby(["event_type", "day"]).aggregate(Sum("n", alias_name="n"))
+         .groupby(["event_type", "day_i"]).aggregate(Sum("n", alias_name="n"))
          .to_pandas())
+    b["day"] = pd.to_datetime(b["day_i"] * 86_400_000_000, unit="us")
     st = b.groupby("event_type")["n"].agg(mu="mean", sd=lambda x: x.std(ddof=1))
     b = b.join(st, on="event_type")
     b = b[b["sd"] > 0]
@@ -9014,15 +9018,19 @@ def watcher_execute(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["day"] = df["ts"].astype("datetime64[us]").dt.floor("D")
-        g = df.groupby(["event_type", "day"], as_index=False).size()
+        # int64 epoch-day key: cheaper to shuffle than a timestamp and
+        # avoids Ray's lossy datetime re-coercion in the aggregate path
+        df["day_i"] = (df["ts"].astype("datetime64[us]").astype(np.int64)
+                       // 86_400_000_000)
+        g = df.groupby(["event_type", "day_i"], as_index=False).size()
         return pa.Table.from_pandas(
             g.rename(columns={"size": "n"}), preserve_index=False)
 
     b = (_ds(sf_dir, "events", ["event_type", "ts"])
          .map_batches(partial, batch_format="pyarrow")
-         .groupby(["event_type", "day"]).aggregate(Sum("n", alias_name="n"))
+         .groupby(["event_type", "day_i"]).aggregate(Sum("n", alias_name="n"))
          .to_pandas())
+    b["day"] = pd.to_datetime(b["day_i"] * 86_400_000_000, unit="us")
     rows = []
     for wid, etype, thr in _WATCHES:
         hit = b[(b["event_type"] == etype) & (b["n"] >= thr)]
@@ -9044,21 +9052,23 @@ def tsdb_downsample(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["day"] = df["ts"].astype("datetime64[us]").dt.floor("D")
-        g = df.groupby(["event_type", "day"]).agg(
+        df["day_i"] = (df["ts"].astype("datetime64[us]").astype(np.int64)
+                       // 86_400_000_000)
+        g = df.groupby(["event_type", "day_i"]).agg(
             vmin=("value", "min"), vmax=("value", "max"),
             vsum=("value", "sum"), value_count=("value", "size"))
         return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
     out = (_ds(sf_dir, "events", ["event_type", "ts", "value"])
            .map_batches(partial, batch_format="pyarrow")
-           .groupby(["event_type", "day"])
+           .groupby(["event_type", "day_i"])
            .aggregate(Min("vmin", alias_name="vmin"),
                       Max("vmax", alias_name="vmax"),
                       Sum("vsum", alias_name="vsum"),
                       Sum("value_count", alias_name="value_count"))
-           .to_pandas().sort_values(["event_type", "day"])
-           .reset_index(drop=True))
+           .to_pandas())
+    out["day"] = pd.to_datetime(out["day_i"] * 86_400_000_000, unit="us")
+    out = out.sort_values(["event_type", "day"]).reset_index(drop=True)
     for c in ("vmin", "vmax", "vsum"):
         out[c] = round_half_away(out[c].to_numpy().astype(np.float64), 6)
     out["value_count"] = out["value_count"].astype("int64")
@@ -9389,14 +9399,16 @@ def slm_retention(sf_dir: str):
     from ray.data.aggregate import Count
 
     def days(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        d = df["ts"].astype("datetime64[us]").dt.floor("D")
-        return pa.table({"day": pa.Array.from_pandas(d.drop_duplicates())})
+        di = np.unique(t["ts"].to_numpy().astype("datetime64[D]")
+                       .astype(np.int64))
+        return pa.table({"day_i": pa.array(di, pa.int64())})
 
     d = (_ds(sf_dir, "events", ["ts"])
          .map_batches(days, batch_format="pyarrow")
-         .groupby("day").aggregate(Count(alias_name="_n"))
-         .to_pandas().sort_values("day").reset_index(drop=True))
+         .groupby("day_i").aggregate(Count(alias_name="_n"))
+         .to_pandas())
+    d["day"] = pd.to_datetime(d["day_i"] * 86_400_000_000, unit="us")
+    d = d.sort_values("day").reset_index(drop=True)
     mx = d["day"].max()
     d["age_days"] = ((mx - d["day"]).dt.days).astype("int64")
     d["rn"] = np.arange(len(d) - 1, -1, -1, dtype=np.int64) + 1  # 1 = newest
