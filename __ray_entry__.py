@@ -94,7 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility", "knn_hard_negatives",
         "esql_dissect", "esql_mv_expand", "esql_lookup_join", "esql_topk",
         "searchable_snapshot_query", "ccr_follow", "slm_retention",
-        "allocation_explain",
+        "allocation_explain", "dedup_weighted_sampling",
+        "training_span_corruption",
         # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
         "esql_query", "agg_aggregate_metric", "agg_histogram_field",
         "ingest_append_tags", "curriculum_order", "contamination_report",
@@ -746,6 +747,23 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "dedup_weighted_sampling": """
+SELECT source, count(*)::BIGINT AS docs, ROUND(SUM(1.0 / c), 6) AS eff_docs
+FROM (SELECT source, count(*) OVER (PARTITION BY text) AS c FROM documents)
+GROUP BY source ORDER BY source""",
+        "training_span_corruption": f"""
+WITH {_PTOK},
+m AS (SELECT doc_id, pos,
+             CASE WHEN (doc_id * 1000003 + pos * 7919) % 100 < 15
+                  THEN 1 ELSE 0 END AS msk,
+             CASE WHEN (doc_id * 1000003 + pos * 7919) % 100 < 15
+                   AND (pos = 0 OR
+                        (doc_id * 1000003 + (pos - 1) * 7919) % 100 >= 15)
+                  THEN 1 ELSE 0 END AS span_start
+      FROM ptok)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, SUM(msk)::BIGINT AS n_masked,
+       SUM(span_start)::BIGINT AS n_spans
+FROM m GROUP BY doc_id ORDER BY doc_id""",
         "searchable_snapshot_query": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge'

@@ -9432,3 +9432,75 @@ def allocation_explain(sf_dir: str):
     out["shard"] = out["shard"].astype("int64")
     out["docs"] = out["docs"].astype("int64")
     return out[["shard", "docs", "node", "decision"]]
+
+
+# ---------------- round 3 session 6: LLM training-data batch C ------------
+
+
+def dedup_weighted_sampling(sf_dir: str):
+    """Duplicate-cluster-aware sampling weights (the soft alternative to
+    hard dedup used in LLM corpus mixing: each doc is down-weighted by
+    1/cluster_size so a document duplicated k times contributes one
+    document's worth of probability mass). Cluster key = exact content
+    hash. Scale shape: ONE hash groupby; the per-source weight partials
+    are emitted inside map_groups (one row per (cluster, source)), then a
+    tiny groupby(source) rollup — the raw text never shuffles twice."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    def key(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode()).hexdigest()
+             for s in t["text"].to_pylist()]
+        return pa.table({"h": pa.array(h), "source": t["source"]})
+
+    def weights(g: pd.DataFrame) -> pd.DataFrame:
+        w = 1.0 / len(g)
+        out = g.groupby("source", as_index=False).size()
+        out["eff"] = out["size"] * w
+        return out[["source", "size", "eff"]]
+
+    out = (_ds(sf_dir, "documents", ["text", "source"])
+           .map_batches(key, batch_format="pyarrow")
+           .groupby("h").map_groups(weights, batch_format="pandas")
+           .groupby("source")
+           .aggregate(Sum("size", alias_name="docs"),
+                      Sum("eff", alias_name="eff_docs"))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    out["docs"] = out["docs"].astype("int64")
+    out["eff_docs"] = round_half_away(
+        out["eff_docs"].to_numpy().astype(np.float64), 6)
+    return out[["source", "docs", "eff_docs"]]
+
+
+def training_span_corruption(sf_dir: str):
+    """T5-style span-corruption statistics (Raffel et al. 2020: mask ~15%
+    of tokens in contiguous spans; the (input, target) pair construction
+    is driven by these counts): deterministic positional mask
+    ((doc_id*1000003 + pos*7919) mod 100 < 15), per-doc token count,
+    masked count, and span count (runs of consecutive masked positions).
+    Scale shape: fully vectorized per batch; one row per doc leaves the
+    map stage."""
+    import re
+
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        n_tok, n_mask, n_spans = [], [], []
+        for d, s in zip(ids, t["text"].to_pylist()):
+            n = sum(1 for w in pat.split(s.lower()) if w)
+            pos = np.arange(n, dtype=np.int64)
+            m = (int(d) * 1000003 + pos * 7919) % 100 < 15
+            n_tok.append(n)
+            n_mask.append(int(m.sum()))
+            n_spans.append(int((m & ~np.concatenate(([False], m[:-1]))).sum()))
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "n_masked": pa.array(n_mask, pa.int64()),
+                         "n_spans": pa.array(n_spans, pa.int64())})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(stats, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return out

@@ -168,3 +168,24 @@ def test_allocation_explain_balanced(ray_session):
     # 4 shards over 3 nodes: no node holds more than 2
     assert out["node"].value_counts().max() <= 2
     assert (out["decision"] == "YES").all()
+
+
+def test_dedup_weighted_sampling_mass_conservation(ray_session):
+    out = ops.dedup_weighted_sampling(SF)
+    # total effective mass equals the number of DISTINCT texts
+    import duckdb
+    nd = duckdb.sql(
+        f"SELECT count(DISTINCT text) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert abs(out["eff_docs"].sum() - nd) < 1e-3
+    assert (out["eff_docs"] <= out["docs"] + 1e-9).all()
+
+
+def test_span_corruption_mask_rate_and_spans(ray_session):
+    out = ops.training_span_corruption(SF)
+    # ~15% mask rate corpus-wide (deterministic hash, generous band)
+    rate = out["n_masked"].sum() / out["n_tokens"].sum()
+    assert 0.10 < rate < 0.20
+    # spans never exceed masked tokens; both bounded by tokens
+    assert (out["n_spans"] <= out["n_masked"]).all()
+    assert (out["n_masked"] <= out["n_tokens"]).all()
