@@ -95,7 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_dissect", "esql_mv_expand", "esql_lookup_join", "esql_topk",
         "searchable_snapshot_query", "ccr_follow", "slm_retention",
         "allocation_explain", "dedup_weighted_sampling",
-        "training_span_corruption",
+        "training_span_corruption", "ft_frozen_search",
+        "tokenizer_vocab_coverage",
         # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
         "esql_query", "agg_aggregate_metric", "agg_histogram_field",
         "ingest_append_tags", "curriculum_order", "contamination_report",
@@ -747,6 +748,25 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "ft_frozen_search": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'query'
+       GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "tokenizer_vocab_coverage": f"""
+WITH {_TOK},
+tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+v AS (SELECT term FROM tc ORDER BY c DESC, term LIMIT 10),
+per AS (SELECT d.lang, t.term FROM tok t JOIN documents d USING (doc_id))
+SELECT lang, count(*)::BIGINT AS tokens,
+       SUM(CASE WHEN term NOT IN (SELECT term FROM v)
+                THEN 1 ELSE 0 END)::BIGINT AS oov,
+       ROUND(SUM(CASE WHEN term NOT IN (SELECT term FROM v)
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS oov_rate
+FROM per GROUP BY lang ORDER BY lang""",
         "dedup_weighted_sampling": """
 SELECT source, count(*)::BIGINT AS docs, ROUND(SUM(1.0 / c), 6) AS eff_docs
 FROM (SELECT source, count(*) OVER (PARTITION BY text) AS c FROM documents)

@@ -9504,3 +9504,74 @@ def training_span_corruption(sf_dir: str):
            .map_batches(stats, batch_format="pyarrow")
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     return out
+
+
+def ft_frozen_search(sf_dir: str):
+    """Frozen-index search (7.x _freeze API / FrozenEngine: shard data
+    stays OFF-HEAP and is loaded lazily per query instead of resident in
+    memory). Served here by forcing the searcher's disk-resident term
+    dictionary + row-group LRU path (lazy=True) that normally engages
+    above 256 MB — results must be identical to the resident searcher."""
+    from ..search.engine import IndexSearcher
+    from .fulltext import B, K1, documents_index
+
+    s = IndexSearcher(documents_index(sf_dir), score_mode="exact64", k1=K1,
+                      b=B, main_field="text", lazy=True,
+                      field_analyzers={"text_2gram": "shingle2"})
+    ids, sc = s._eval({"kind": "term", "term": "query"})
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away(sc[order].astype(np.float64), 4)})
+
+
+def tokenizer_vocab_coverage(sf_dir: str):
+    """Vocabulary-coverage / OOV-rate audit (the LLM-tokenizer diagnostic:
+    with a fixed top-N vocabulary, what fraction of each language's
+    tokens fall out-of-vocabulary). N=10 at test scale. Scale shape: the
+    term-count exchange carries one row per distinct term; the selected
+    vocab is ray.put-broadcast and per-batch OOV counting is a set probe,
+    so the token stream never shuffles."""
+    import re
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def explode(t: pa.Table) -> pa.Table:
+        terms = []
+        for s in t["text"].to_pylist():
+            terms.extend(w for w in pat.split(s.lower()) if w)
+        return pa.table({"term": pa.array(terms)})
+
+    tc = (_ds(sf_dir, "documents", ["text"])
+          .map_batches(explode, batch_format="pyarrow")
+          .groupby("term").aggregate(Count(alias_name="c"))
+          .to_pandas())
+    vocab = set(tc.sort_values(["c", "term"], ascending=[False, True])
+                  .head(10)["term"])
+    vref = ray.put(vocab)
+
+    def oov(t: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        langs, toks, oovs = [], [], []
+        for lang, s in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            ws = [w for w in pat.split(s.lower()) if w]
+            langs.append(lang)
+            toks.append(len(ws))
+            oovs.append(sum(1 for w in ws if w not in v))
+        return pa.table({"lang": pa.array(langs),
+                         "tokens": pa.array(toks, pa.int64()),
+                         "oov": pa.array(oovs, pa.int64())})
+
+    out = (_ds(sf_dir, "documents", ["text", "lang"])
+           .map_batches(oov, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("tokens", alias_name="tokens"),
+                                      Sum("oov", alias_name="oov"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    out["tokens"] = out["tokens"].astype("int64")
+    out["oov"] = out["oov"].astype("int64")
+    out["oov_rate"] = round_half_away(
+        (out["oov"] / out["tokens"]).to_numpy().astype(np.float64), 6)
+    return out[["lang", "tokens", "oov", "oov_rate"]]

@@ -189,3 +189,20 @@ def test_span_corruption_mask_rate_and_spans(ray_session):
     # spans never exceed masked tokens; both bounded by tokens
     assert (out["n_spans"] <= out["n_masked"]).all()
     assert (out["n_masked"] <= out["n_tokens"]).all()
+
+
+def test_frozen_search_equals_resident(ray_session):
+    frozen = ops.ft_frozen_search(SF)
+    live = ops.ft_term(SF).to_pandas()  # different term; compare via engine
+    from elasticsearch_ray.pipelines.fulltext import documents_searcher
+    s = documents_searcher(SF)
+    ids, sc = s._eval({"kind": "term", "term": "query"})
+    order = np.argsort(ids)
+    assert (frozen["doc_id"].to_numpy() == ids[order]).all()
+    assert np.allclose(frozen["score"], np.round(sc[order], 4), atol=1e-4)
+
+
+def test_vocab_coverage_bounds(ray_session):
+    out = ops.tokenizer_vocab_coverage(SF)
+    assert ((out["oov"] >= 0) & (out["oov"] <= out["tokens"])).all()
+    assert ((out["oov_rate"] >= 0) & (out["oov_rate"] <= 1)).all()
