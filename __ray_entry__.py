@@ -96,7 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "searchable_snapshot_query", "ccr_follow", "slm_retention",
         "allocation_explain", "dedup_weighted_sampling",
         "training_span_corruption", "ft_frozen_search",
-        "tokenizer_vocab_coverage",
+        "tokenizer_vocab_coverage", "sql_group_query",
         # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
         "esql_query", "agg_aggregate_metric", "agg_histogram_field",
         "ingest_append_tags", "curriculum_order", "contamination_report",
@@ -748,6 +748,11 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "sql_group_query": """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv,
+       ROUND(MAX(value), 6) AS mx
+FROM events WHERE value >= 5
+GROUP BY event_type HAVING COUNT(*) >= 10 ORDER BY event_type""",
         "ft_frozen_search": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'query'

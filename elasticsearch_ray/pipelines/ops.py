@@ -9575,3 +9575,20 @@ def tokenizer_vocab_coverage(sf_dir: str):
     out["oov_rate"] = round_half_away(
         (out["oov"] / out["tokens"]).to_numpy().astype(np.float64), 6)
     return out[["lang", "tokens", "oov", "oov_rate"]]
+
+
+def sql_group_query(sf_dir: str):
+    """_sql API with GROUP BY / HAVING (x-pack sql Aggregate plan:
+    composite-agg-backed grouping with post-agg HAVING filters): the
+    translator lowers aggregates onto a per-batch partial combiner — only
+    the group-cardinality table reaches the driver. Oracle = the same
+    SQL (sums rounded on both sides)."""
+    from ..functions.sql import run_sql
+
+    sql = ("SELECT event_type, COUNT(*) AS n, SUM(value) AS sv, "
+           "MAX(value) AS mx FROM events WHERE value >= 5 "
+           "GROUP BY event_type HAVING n >= 10 ORDER BY event_type")
+    out = run_sql(sql, sf_dir, ds_factory=_ds)
+    out["sv"] = round_half_away(out["sv"].to_numpy().astype(np.float64), 2)
+    out["mx"] = round_half_away(out["mx"].to_numpy().astype(np.float64), 6)
+    return out.reset_index(drop=True)

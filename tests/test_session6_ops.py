@@ -206,3 +206,40 @@ def test_vocab_coverage_bounds(ray_session):
     out = ops.tokenizer_vocab_coverage(SF)
     assert ((out["oov"] >= 0) & (out["oov"] <= out["tokens"])).all()
     assert ((out["oov_rate"] >= 0) & (out["oov_rate"] <= 1)).all()
+
+
+def test_sql_group_by_having_matches_duckdb(ray_session):
+    import duckdb
+
+    from elasticsearch_ray.functions.sql import run_sql
+    from elasticsearch_ray.pipelines.ops import _ds
+
+    sql = ("SELECT lang, COUNT(*) AS n, AVG(n_chars) AS ac, "
+           "MIN(n_chars) AS mn FROM documents "
+           "GROUP BY lang HAVING n >= 1 ORDER BY lang")
+    out = run_sql(sql, SF, ds_factory=_ds)
+    want = duckdb.sql(
+        "SELECT lang, COUNT(*) AS n, AVG(n_chars) AS ac, MIN(n_chars) AS mn "
+        f"FROM read_parquet('{SF}/documents.parquet') "
+        "GROUP BY lang HAVING COUNT(*) >= 1 ORDER BY lang").df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False, atol=1e-9)
+
+
+def test_sql_global_aggregate_no_group(ray_session):
+    from elasticsearch_ray.functions.sql import run_sql
+    from elasticsearch_ray.pipelines.ops import _ds
+
+    out = run_sql("SELECT COUNT(*) AS n, MAX(value) AS mx FROM events",
+                  SF, ds_factory=_ds)
+    assert len(out) == 1 and out["n"].iloc[0] > 0
+
+
+def test_sql_rejects_ungrouped_column():
+    from elasticsearch_ray.functions.sql import SqlParseError, parse_sql
+    import pytest as _pytest
+
+    with _pytest.raises(SqlParseError):
+        parse_sql("SELECT lang, COUNT(*) AS n FROM documents")
+    with _pytest.raises(SqlParseError):
+        parse_sql("SELECT lang, source, COUNT(*) AS n FROM documents "
+                  "GROUP BY lang")
