@@ -96,7 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "searchable_snapshot_query", "ccr_follow", "slm_retention",
         "allocation_explain", "dedup_weighted_sampling",
         "training_span_corruption", "ft_frozen_search",
-        "tokenizer_vocab_coverage", "sql_group_query",
+        "tokenizer_vocab_coverage", "sql_group_query", "mget",
+        "index_disk_usage",
         # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
         "esql_query", "agg_aggregate_metric", "agg_histogram_field",
         "ingest_append_tags", "curriculum_order", "contamination_report",
@@ -748,6 +749,22 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "mget": """
+WITH w(idx, id) AS (VALUES
+  ('documents', 1), ('documents', 5), ('documents', 424242),
+  ('events', 2), ('events', 8), ('events', 999999999)),
+d AS (SELECT doc_id AS id, length(text) AS src_len FROM documents),
+e AS (SELECT event_id AS id, length(event_type) AS src_len FROM events)
+SELECT w.idx, w.id::BIGINT AS id,
+       (CASE WHEN w.idx = 'documents' THEN d.id IS NOT NULL
+             ELSE e.id IS NOT NULL END)::INT::BIGINT AS found,
+       COALESCE(CASE WHEN w.idx = 'documents' THEN d.src_len
+                     ELSE COALESCE(e.src_len, 0) END,
+                CASE WHEN w.idx = 'documents' THEN -1 ELSE 0 END)::BIGINT
+         AS src_len
+FROM w LEFT JOIN d ON w.idx = 'documents' AND w.id = d.id
+       LEFT JOIN e ON w.idx = 'events' AND w.id = e.id
+ORDER BY CASE w.idx WHEN 'documents' THEN 0 ELSE 1 END, w.id""",
         "sql_group_query": """
 SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv,
        ROUND(MAX(value), 6) AS mx

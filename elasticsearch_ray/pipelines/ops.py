@@ -9592,3 +9592,61 @@ def sql_group_query(sf_dir: str):
     out["sv"] = round_half_away(out["sv"].to_numpy().astype(np.float64), 2)
     out["mx"] = round_half_away(out["mx"].to_numpy().astype(np.float64), 6)
     return out.reset_index(drop=True)
+
+
+def mget(sf_dir: str):
+    """_mget (TransportMultiGetAction): batched point reads by id across
+    TWO tables in one request (documents + events), each with found/
+    missing semantics. The id filters are pushed into the parquet reads
+    (row-group pruning) — one scan per index, never per id."""
+    import pyarrow.compute as pc
+
+    want_docs = [1, 5, 424242]
+    want_events = [2, 8, 999999999]
+    d = {int(r["doc_id"]): len(r["text"])
+         for r in _ds(sf_dir, "documents", ["doc_id", "text"],
+                      flt=pc.field("doc_id").isin(want_docs)).take_all()}
+    e = {int(r["event_id"]): r["event_type"]
+         for r in _ds(sf_dir, "events", ["event_id", "event_type"],
+                      flt=pc.field("event_id").isin(want_events)).take_all()}
+    rows = []
+    for i in want_docs:
+        rows.append(("documents", i, int(i in d), d.get(i, -1)))
+    for i in want_events:
+        rows.append(("events", i, int(i in e), len(e.get(i, ""))))
+    out = pd.DataFrame(rows, columns=["idx", "id", "found", "src_len"])
+    for c in ("id", "found", "src_len"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def index_disk_usage(sf_dir: str):
+    """_disk_usage API (7.15 AnalyzeIndexDiskUsageAction): per-field
+    on-disk footprint of the built index — postings parquet bytes per
+    indexed field plus docmeta bytes, with the share of the total.
+    Rows-only (byte sizes are engine-internal); the per-field split and
+    ordering are pinned by tests."""
+    from ..index.manifest import committed_segments, live_segments
+    from .fulltext import documents_index
+
+    idx = documents_index(sf_dir)
+    live = live_segments(committed_segments(idx))
+    sizes: dict[str, int] = {}
+    for sid in live:
+        pdir = os.path.join(idx, sid, "postings")
+        for f in os.listdir(pdir):
+            if not f.endswith(".parquet"):
+                continue
+            sizes["postings"] = sizes.get("postings", 0) + os.path.getsize(
+                os.path.join(pdir, f))
+        mdir = os.path.join(idx, sid, "docmeta")
+        if os.path.isdir(mdir):
+            for f in os.listdir(mdir):
+                sizes["docmeta"] = sizes.get("docmeta", 0) + os.path.getsize(
+                    os.path.join(mdir, f))
+    total = sum(sizes.values())
+    out = pd.DataFrame(sorted(sizes.items()), columns=["store", "bytes"])
+    out["bytes"] = out["bytes"].astype("int64")
+    out["share"] = round_half_away(
+        (out["bytes"] / max(total, 1)).to_numpy().astype(np.float64), 4)
+    return out

@@ -243,3 +243,19 @@ def test_sql_rejects_ungrouped_column():
     with _pytest.raises(SqlParseError):
         parse_sql("SELECT lang, source, COUNT(*) AS n FROM documents "
                   "GROUP BY lang")
+
+
+def test_mget_found_semantics(ray_session):
+    out = ops.mget(SF)
+    assert len(out) == 6
+    missing = out[out["found"] == 0]
+    assert set(missing["id"]) >= {424242}
+    docs_missing = missing[missing["idx"] == "documents"]
+    assert (docs_missing["src_len"] == -1).all()
+
+
+def test_index_disk_usage_shares_sum_to_one(ray_session):
+    out = ops.index_disk_usage(SF)
+    assert set(out["store"]) >= {"postings", "docmeta"}
+    assert (out["bytes"] > 0).all()
+    assert abs(out["share"].sum() - 1.0) < 0.01
