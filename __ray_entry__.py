@@ -97,7 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allocation_explain", "dedup_weighted_sampling",
         "training_span_corruption", "ft_frozen_search",
         "tokenizer_vocab_coverage", "sql_group_query", "mget",
-        "index_disk_usage",
+        "index_disk_usage", "curation_funnel",
         # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
         "esql_query", "agg_aggregate_metric", "agg_histogram_field",
         "ingest_append_tags", "curriculum_order", "contamination_report",
@@ -749,6 +749,37 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "curation_funnel": rf"""
+WITH q AS (
+  SELECT doc_id,
+    CASE WHEN length(text)=0 THEN 0
+         ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) END AS alpha,
+    CASE WHEN length(text)=0 THEN 0
+         ELSE (length(text) - length(replace(text, ' ', '')))::DOUBLE / length(text) END AS space,
+    CASE WHEN len(toks)=0 THEN 0
+         ELSE len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))::DOUBLE / len(toks) END AS stopr,
+    CASE WHEN len(toks)=0 THEN 0
+         ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END AS mtl
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents)),
+scored AS (
+  SELECT doc_id,
+    ROUND(LEAST(GREATEST(0.4*alpha + 0.2*LEAST(space*6, 1) + 0.2*(1 - stopr)
+                + 0.2*LEAST(mtl/8, 1), 0), 1), 4) AS quality
+  FROM q),
+base AS (SELECT d.doc_id, d.text, d.lang, s.quality
+         FROM documents d JOIN scored s USING (doc_id)),
+surv AS (SELECT * FROM base WHERE lang = 'en' AND quality >= 0.5)
+SELECT 0::BIGINT AS stage_idx, 'all' AS stage, count(*)::BIGINT AS docs
+  FROM base
+UNION ALL
+SELECT 1, 'lang', count(*) FROM base WHERE lang = 'en'
+UNION ALL
+SELECT 2, 'quality', count(*) FROM surv
+UNION ALL
+SELECT 3, 'exact_dedup', count(DISTINCT text) FROM surv
+ORDER BY stage_idx""",
         "mget": """
 WITH w(idx, id) AS (VALUES
   ('documents', 1), ('documents', 5), ('documents', 424242),

@@ -9650,3 +9650,64 @@ def index_disk_usage(sf_dir: str):
     out["share"] = round_half_away(
         (out["bytes"] / max(total, 1)).to_numpy().astype(np.float64), 4)
     return out
+
+
+def curation_funnel(sf_dir: str):
+    """End-to-end pretraining-corpus curation funnel (the pipeline an LLM
+    data team actually runs): language filter -> quality filter -> exact
+    dedup, with per-stage survivor counts, and the surviving corpus
+    written as source-partitioned parquet (the resumable-output layout).
+    Scale shape: ONE streaming pass computes lang+quality flags per batch
+    (vectorized); only the qualifying (content-hash, doc_id) pairs enter
+    the single dedup exchange — the driver sees stage counters and the
+    write is a Dataset sink, never a collect."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min, Sum
+
+    def flags(t: pa.Table) -> pa.Table:
+        q = T.quality_score_batch(t)
+        lang_ok = pc.equal(t["lang"], "en")
+        q_ok = pc.and_(lang_ok, pc.greater_equal(q["quality"], 0.5))
+        h = [hashlib.md5(s.encode()).hexdigest() if ok else ""
+             for s, ok in zip(t["text"].to_pylist(), q_ok.to_pylist())]
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "lang_ok": pc.cast(lang_ok, pa.int64()),
+            "q_ok": pc.cast(q_ok, pa.int64()),
+            "h": pa.array(h)})
+
+    import pyarrow.compute as pc
+
+    flagged = (_ds(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+               .map_batches(flags, batch_format="pyarrow"))
+    totals = flagged.aggregate(Count(alias_name="all"),
+                               Sum("lang_ok", alias_name="lang"),
+                               Sum("q_ok", alias_name="quality"))
+    # the dedup exchange output (one (hash, doc_id) row per surviving doc)
+    # is materialized ONCE — reused for both the count and the join-back,
+    # kept in the object store (spillable), never collected to the driver
+    keep = (flagged
+            .filter(expr="q_ok == 1")
+            .groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+            .select_columns(["doc_id"]).materialize())
+    n_survivors = keep.count()
+
+    # resumable sink: survivors joined back (distributed hash join),
+    # written partitioned by source
+    out_dir = "/tmp/esray_cache/curated_corpus"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    (_ds(sf_dir, "documents", ["doc_id", "text", "source"])
+     .join(keep, join_type="inner", num_partitions=8, on=("doc_id",))
+     .write_parquet(out_dir, partition_cols=["source"]))
+
+    rows = [(0, "all", int(totals["all"])),
+            (1, "lang", int(totals["lang"])),
+            (2, "quality", int(totals["quality"])),
+            (3, "exact_dedup", int(n_survivors))]
+    out = pd.DataFrame(rows, columns=["stage_idx", "stage", "docs"])
+    for c in ("stage_idx", "docs"):
+        out[c] = out[c].astype("int64")
+    return out

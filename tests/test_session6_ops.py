@@ -259,3 +259,19 @@ def test_index_disk_usage_shares_sum_to_one(ray_session):
     assert set(out["store"]) >= {"postings", "docmeta"}
     assert (out["bytes"] > 0).all()
     assert abs(out["share"].sum() - 1.0) < 0.01
+
+
+def test_curation_funnel_monotone_and_sink(ray_session):
+    import os
+
+    out = ops.curation_funnel(SF)
+    docs = out.sort_values("stage_idx")["docs"].to_numpy()
+    # each stage can only shrink the corpus
+    assert (docs[:-1] >= docs[1:]).all() and docs[-1] > 0
+    # the sink is source-partitioned parquet and holds exactly the survivors
+    root = "/tmp/esray_cache/curated_corpus"
+    parts = [d for d in os.listdir(root) if d.startswith("source=")]
+    assert len(parts) > 1
+    import pyarrow.dataset as pads
+    n = pads.dataset(root, partitioning="hive").count_rows()
+    assert n == docs[-1]
