@@ -147,9 +147,7 @@ def _dissect_fn(body: str):
 
 def _mv_expand_fn(col: str):
     def f(t: pa.Table) -> pa.Table:
-        lst = t[col].combine_chunks()
-        if isinstance(lst, pa.ChunkedArray):
-            lst = lst.combine_chunks()
+        lst = t[col]
         parents = pc.list_parent_indices(lst)
         flat = pc.list_flatten(lst)
         others = t.remove_column(t.column_names.index(col)).take(parents)

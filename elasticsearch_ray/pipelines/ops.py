@@ -9111,7 +9111,7 @@ def completion_fuzzy(sf_dir: str):
             for w in set(w for w in pat.split(s.lower()) if w):
                 ids.append(int(d))
                 terms.append(w)
-        return pa.table({"term": pa.array(terms),
+        return pa.table({"term": pa.array(terms, pa.string()),
                          "doc_id": pa.array(ids, pa.int64())})
 
     def fuzz(t: pa.Table) -> pa.Table:
@@ -9119,9 +9119,12 @@ def completion_fuzzy(sf_dir: str):
         d = np.array([_levenshtein(w[:3], "dat") if len(w) >= 3 else 9
                       for w in terms], dtype=np.int64)
         keep = d <= 1
-        return pa.table({"term": pa.array([w for w, k in zip(terms, keep) if k]),
-                         "doc_count": t["doc_count"].filter(pa.array(keep)),
-                         "fuzz": pa.array(d[keep], pa.int64())})
+        return pa.table({
+            "term": pa.array([w for w, k in zip(terms, keep) if k],
+                             pa.string()),
+            "doc_count": t["doc_count"].filter(
+                pa.array(keep, pa.bool_())),
+            "fuzz": pa.array(d[keep], pa.int64())})
 
     df = (_ds(sf_dir, "documents", ["doc_id", "text"])
           .map_batches(explode, batch_format="pyarrow")
@@ -9153,7 +9156,7 @@ def completion_contexts(sf_dir: str):
                 if w.startswith("s"):
                     ids.append(int(d))
                     terms.append(w)
-        return pa.table({"term": pa.array(terms),
+        return pa.table({"term": pa.array(terms, pa.string()),
                          "doc_id": pa.array(ids, pa.int64())})
 
     df = (_ds(sf_dir, "documents", ["doc_id", "text", "lang"],
@@ -9185,7 +9188,7 @@ def tokenizer_fertility(sf_dir: str):
                        for s in t["text"].to_pylist()], dtype=np.int64)
         nw = np.array([sum(1 for w in ws.split(s) if w)
                        for s in t["text"].to_pylist()], dtype=np.int64)
-        return pa.table({"lang": pa.array(langs),
+        return pa.table({"lang": pa.array(langs, pa.string()),
                          "na": pa.array(na), "nw": pa.array(nw),
                          "nc": t["n_chars"]})
 
@@ -9543,7 +9546,7 @@ def tokenizer_vocab_coverage(sf_dir: str):
         terms = []
         for s in t["text"].to_pylist():
             terms.extend(w for w in pat.split(s.lower()) if w)
-        return pa.table({"term": pa.array(terms)})
+        return pa.table({"term": pa.array(terms, pa.string())})
 
     tc = (_ds(sf_dir, "documents", ["text"])
           .map_batches(explode, batch_format="pyarrow")
@@ -9561,7 +9564,7 @@ def tokenizer_vocab_coverage(sf_dir: str):
             langs.append(lang)
             toks.append(len(ws))
             oovs.append(sum(1 for w in ws if w not in v))
-        return pa.table({"lang": pa.array(langs),
+        return pa.table({"lang": pa.array(langs, pa.string()),
                          "tokens": pa.array(toks, pa.int64()),
                          "oov": pa.array(oovs, pa.int64())})
 
@@ -9675,7 +9678,7 @@ def curation_funnel(sf_dir: str):
             "doc_id": t["doc_id"], "source": t["source"],
             "lang_ok": pc.cast(lang_ok, pa.int64()),
             "q_ok": pc.cast(q_ok, pa.int64()),
-            "h": pa.array(h)})
+            "h": pa.array(h, pa.string())})
 
     import pyarrow.compute as pc
 
