@@ -97,7 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allocation_explain", "dedup_weighted_sampling",
         "training_span_corruption", "ft_frozen_search",
         "tokenizer_vocab_coverage", "sql_group_query", "mget",
-        "index_disk_usage", "curation_funnel",
+        "index_disk_usage", "curation_funnel", "esql_grok",
+        "knn_recall_report",
         # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
         "esql_query", "agg_aggregate_metric", "agg_histogram_field",
         "ingest_append_tags", "curriculum_order", "contamination_report",
@@ -749,6 +750,10 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "esql_grok": r"""
+SELECT event_type, count(*)::BIGINT AS n,
+       SUM(CAST(regexp_extract(props, '(-?\d+)', 1) AS BIGINT))::BIGINT AS s
+FROM events GROUP BY event_type ORDER BY event_type""",
         "curation_funnel": rf"""
 WITH q AS (
   SELECT doc_id,

@@ -230,6 +230,8 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             ds = ds.map_batches(_eval_fn(body), batch_format="pyarrow")
         elif cmd == "DISSECT" and stats_specs is None:
             ds = ds.map_batches(_dissect_fn(body), batch_format="pyarrow")
+        elif cmd == "GROK" and stats_specs is None:
+            ds = ds.map_batches(_grok_fn(body), batch_format="pyarrow")
         elif cmd == "MV_EXPAND" and stats_specs is None:
             ds = ds.map_batches(_mv_expand_fn(body.strip()),
                                 batch_format="pyarrow")
@@ -364,3 +366,28 @@ def _run_row_mode(ds, post: list[tuple[str, str]]) -> pd.DataFrame:
     if keep:
         out = out[keep]
     return out.reset_index(drop=True)
+
+
+def _grok_fn(body: str):
+    """GROK <col> <pattern> — %{SYNTAX:name} captures over the ingest
+    grok pattern bank (x-pack esql Grok command shares the processor's
+    bank), vectorized as pc.extract_regex per batch."""
+    from .ingest import GROK_PATTERNS
+
+    col, _, pattern = body.partition(" ")
+    pattern = pattern.strip()
+    if pattern.startswith('"') and pattern.endswith('"'):
+        pattern = pattern[1:-1]
+
+    def sub(m):
+        return f"(?P<{m.group(2)}>{GROK_PATTERNS[m.group(1)]})"
+
+    rx = re.sub(r"%\{(\w+):(\w+)\}", sub, pattern)
+
+    def f(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t[col], rx)
+        for field in st.type:
+            t = t.append_column(field.name, pc.struct_field(st, field.name))
+        return t
+
+    return f

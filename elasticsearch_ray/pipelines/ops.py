@@ -9714,3 +9714,48 @@ def curation_funnel(sf_dir: str):
     for c in ("stage_idx", "docs"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def esql_grok(sf_dir: str):
+    """ES|QL GROK command (x-pack esql Grok — shares the ingest
+    processor's pattern bank): pull the numeric payload out of props with
+    %{INT:kv}, cast and aggregate per event_type."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events
+        | GROK props "%{INT:kv}"
+        | EVAL k = TO_INTEGER(kv)
+        | STATS n = COUNT(*), s = SUM(k) BY event_type
+        | SORT event_type
+    ''')
+
+
+def knn_recall_report(sf_dir: str):
+    """ANN recall evaluation report (the eval harness a vector-search
+    rollout runs: recall@k of each approximate index family against the
+    exact scan, on the same queries). Rows-only: HNSW/IVF/LSH are
+    approximate by design; the per-family recall floors are pinned by
+    tests. All four paths run as broadcast-query partial-top-k Dataset
+    passes."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    Q = np.array(t["embedding"].to_pylist()[:5])
+    k = 10
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = S.knn_brute_force(ds, Q, k=k, dtype=np.float64)
+    truth = {q: set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+
+    rows = []
+    for fam, fn in (("lsh", lambda: S.knn_lsh(ds, Q, k=k)),
+                    ("ivf", lambda: S.knn_ivf(ds, Q, k=k)),
+                    ("hnsw", lambda: S.knn_hnsw(
+                        _ds(sf_dir, "embeddings"), Q, k=k))):
+        got = fn()
+        hits = sum(len(set(g["vec_id"]) & truth[q])
+                   for q, g in got.groupby("query_id"))
+        total = sum(len(truth[q]) for q in truth)
+        rows.append((fam, round_half_away(np.float64(hits) / total, 4)))
+    out = pd.DataFrame(rows, columns=["family", "recall_at_k"])
+    return out.sort_values("family").reset_index(drop=True)

@@ -275,3 +275,26 @@ def test_curation_funnel_monotone_and_sink(ray_session):
     import pyarrow.dataset as pads
     n = pads.dataset(root, partitioning="hive").count_rows()
     assert n == docs[-1]
+
+
+def test_esql_grok_sum_matches_json_payload(ray_session):
+    import duckdb
+
+    out = ops.esql_grok(SF)
+    want = duckdb.sql(f"""
+        SELECT event_type, SUM(CAST(regexp_extract(props, '(-?\\d+)', 1)
+                                    AS BIGINT)) AS s
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY 1 ORDER BY 1""").df()
+    assert (out["s"].to_numpy() == want["s"].to_numpy()).all()
+
+
+def test_knn_recall_report_floors(ray_session):
+    out = ops.knn_recall_report(SF)
+    rec = dict(zip(out["family"], out["recall_at_k"]))
+    assert rec["hnsw"] >= 0.8
+    assert rec["ivf"] >= 0.5
+    # single-probe LSH on the 100-vector fixture is the weakest family;
+    # its real recall behavior is pinned in test_similarity's sweeps
+    assert rec["lsh"] >= 0.1
+    assert all(0 <= v <= 1 for v in rec.values())
