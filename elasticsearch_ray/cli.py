@@ -47,6 +47,8 @@ def cmd_build(args) -> int:
         index_positions=not args.no_positions,
         docs_per_partition=args.docs_per_partition,
         num_buckets=args.num_buckets,
+        content_column=args.content_column,
+        meta_columns=tuple(c for c in args.meta_columns.split(",") if c),
     )
     print(json.dumps({
         "doc_count": stats.doc_count, "sum_doc_len": stats.sum_doc_len,
@@ -132,6 +134,22 @@ def cmd_snapshot(args) -> int:
     return 0
 
 
+def cmd_mount(args) -> int:
+    from .index.snapshot import mount_snapshot
+
+    segs = mount_snapshot(args.repo, args.name, args.dest)
+    print(json.dumps({"mounted_segments": segs, "mount_dir": args.dest}))
+    return 0
+
+
+def cmd_follow(args) -> int:
+    from .index.ccr import follow
+
+    out = follow(args.leader, args.follower)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_reshape(args) -> int:
     from .index.reshape import clone_index, shrink_index, split_index
 
@@ -169,6 +187,12 @@ def main(argv=None) -> int:
     b.add_argument("--input", required=True)
     b.add_argument("--out", required=True)
     b.add_argument("--analyzer", default="code")
+    b.add_argument("--content-column", default="content",
+                   help="text column to index (BASELINE corpus: content; "
+                        "driver documents table: text)")
+    b.add_argument("--meta-columns", default="repo,path,commit,lang",
+                   help="comma-separated stored metadata columns "
+                        "(documents table: lang,source,n_chars)")
     b.add_argument("--engine", choices=["tasks", "dataset"], default="tasks")
     b.add_argument("--docs-per-partition", type=int, default=250_000)
     b.add_argument("--num-buckets", type=int, default=32)
@@ -200,6 +224,19 @@ def main(argv=None) -> int:
     sn.add_argument("--index", default=None, help="source index (create)")
     sn.add_argument("--dest", default=None, help="restore destination")
     sn.set_defaults(fn=cmd_snapshot)
+
+    mo = sub.add_parser("mount", help="mount a snapshot as a searchable "
+                        "index (symlinked segments, zero copy)")
+    mo.add_argument("--repo", required=True)
+    mo.add_argument("--name", required=True)
+    mo.add_argument("--dest", required=True)
+    mo.set_defaults(fn=cmd_mount)
+
+    fo = sub.add_parser("follow", help="CCR follow cycle: pull missing "
+                        "segments from a leader index")
+    fo.add_argument("--leader", required=True)
+    fo.add_argument("--follower", required=True)
+    fo.set_defaults(fn=cmd_follow)
 
     rs = sub.add_parser("reshape", help="clone/shrink/split an index "
                         "(_clone/_shrink/_split resize analogs)")
