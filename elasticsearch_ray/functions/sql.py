@@ -90,6 +90,10 @@ def parse_sql(sql: str) -> dict:
                           re.IGNORECASE)
             if not om:
                 raise SqlParseError(f"unsupported ORDER BY: {part!r}")
+            # a repeated key is a no-op after its first appearance (and
+            # Ray's sort rejects duplicate key columns) — keep the first
+            if any(o[0] == om.group(1) for o in order):
+                continue
             order.append((om.group(1),
                           (om.group(2) or "ASC").upper() == "DESC"))
     return {"cols": cols, "plain": plain, "aggs": aggs, "group": group,

@@ -1,0 +1,63 @@
+"""Differential fuzz: random _sql translator plans vs DuckDB.
+
+Random projections/predicates/GROUP BY/HAVING/ORDER/LIMIT over the events
+table; the translator's Dataset plan must match DuckDB running the same
+statement. Complements test_fuzz_esql (the pipe-language twin)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from elasticsearch_ray.functions.sql import run_sql
+from elasticsearch_ray.pipelines.ops import _ds
+
+SF = "/root/testdata/sf0.001"
+EV = f"read_parquet('{SF}/events.parquet')"
+
+
+def _agg_case(rng: np.random.Generator) -> str:
+    parts = ["SELECT event_type"]
+    aggs = []
+    for fn in rng.choice(["COUNT", "SUM", "AVG", "MIN", "MAX"],
+                         size=rng.integers(1, 4), replace=False):
+        src = "*" if fn == "COUNT" else rng.choice(["value", "user_id"])
+        aggs.append(f"{fn}({src}) AS a_{fn.lower()}")
+    sql = f"SELECT event_type, {', '.join(aggs)} FROM events"
+    if rng.random() < 0.6:
+        sql += f" WHERE value >= {int(rng.integers(0, 60))}"
+    sql += " GROUP BY event_type"
+    if rng.random() < 0.4 and any(a.startswith("COUNT") for a in aggs):
+        sql += " HAVING a_count >= 1"
+    sql += " ORDER BY event_type"
+    if rng.random() < 0.3:
+        sql += f" LIMIT {int(rng.integers(1, 6))}"
+    return sql
+
+
+def _row_case(rng: np.random.Generator) -> str:
+    cols = ["event_id", "user_id", "value"]
+    sql = f"SELECT {', '.join(cols)} FROM events"
+    sql += f" WHERE value >= {int(rng.integers(0, 80))}"
+    key = rng.choice(["value", "event_id", "user_id"])
+    sql += f" ORDER BY {key} DESC, event_id LIMIT {int(rng.integers(1, 20))}"
+    return sql
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_sql_random_plans_match_duckdb(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    for i in range(10):
+        sql = _agg_case(rng) if i % 2 == 0 else _row_case(rng)
+        got = run_sql(sql, SF, ds_factory=_ds)
+        # DuckDB can't reference the HAVING alias; inline it
+        dsql = sql.replace("HAVING a_count >= 1", "HAVING COUNT(*) >= 1")
+        dsql = dsql.replace("FROM events", f"FROM {EV}")
+        want = duckdb.sql(dsql).df()
+        cols = sorted(want.columns)
+        pd.testing.assert_frame_equal(
+            got[cols].reset_index(drop=True),
+            want[cols].reset_index(drop=True),
+            check_dtype=False, atol=1e-9, rtol=1e-12, obj=f"sql {sql!r}")
