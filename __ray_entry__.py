@@ -98,7 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_span_corruption", "ft_frozen_search",
         "tokenizer_vocab_coverage", "sql_group_query", "mget",
         "index_disk_usage", "curation_funnel", "esql_grok",
-        "knn_recall_report",
+        "knn_recall_report", "search_shards_nodes", "indices_segments",
         # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
         "esql_query", "agg_aggregate_metric", "agg_histogram_field",
         "ingest_append_tags", "curriculum_order", "contamination_report",
@@ -750,6 +750,25 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "search_shards_nodes": """
+WITH smap(source, shard) AS (VALUES
+  ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),
+  ('src5', 1), ('src6', 3), ('src7', 3), ('src8', 1), ('src9', 1),
+  ('src10', 2), ('src11', 1), ('src12', 1), ('src13', 3), ('src14', 0),
+  ('src15', 1), ('src16', 3), ('src17', 2), ('src18', 2), ('src19', 3)),
+sd AS (SELECT CAST(m.shard AS BIGINT) AS shard, count(*)::BIGINT AS docs
+       FROM documents d JOIN smap m USING (source) GROUP BY 1),
+r AS (SELECT shard, 'node-' || CAST((row_number() OVER
+             (ORDER BY docs DESC, shard) - 1) % 3 AS VARCHAR) AS node
+      FROM sd)
+SELECT w.source AS routing, CAST(m.shard AS BIGINT) AS shard, r.node
+FROM (VALUES ('src0'), ('src5'), ('src9'), ('src13'), ('src17')) w(source)
+JOIN smap m USING (source) JOIN r ON r.shard = m.shard
+ORDER BY routing""",
+        "indices_segments": """
+SELECT (doc_id // 2500)::BIGINT AS generation, count(*)::BIGINT AS doc_count,
+       1::BIGINT AS committed
+FROM documents GROUP BY 1 ORDER BY 1""",
         "esql_grok": r"""
 SELECT event_type, count(*)::BIGINT AS n,
        SUM(CAST(regexp_extract(props, '(-?\d+)', 1) AS BIGINT))::BIGINT AS s

@@ -9759,3 +9759,41 @@ def knn_recall_report(sf_dir: str):
         rows.append((fam, round_half_away(np.float64(hits) / total, 4)))
     out = pd.DataFrame(rows, columns=["family", "recall_at_k"])
     return out.sort_values("family").reset_index(drop=True)
+
+
+def search_shards_nodes(sf_dir: str):
+    """_search_shards with node resolution (RestSearchShardsAction: which
+    shard — and with the balanced layout, which node — a routed search
+    hits without running it; complements the doc-range search_shards op).
+    Five routing keys through the real murmur3 OperationRouting hash
+    + the allocation_explain node placement."""
+    from ..index.routing import assign_shards
+
+    keys = ["src0", "src5", "src9", "src13", "src17"]
+    shards = assign_shards(np.asarray(keys, dtype=object), 4)
+    placement = allocation_explain(sf_dir)[["shard", "node"]]
+    node_of = dict(zip(placement["shard"], placement["node"]))
+    out = pd.DataFrame({
+        "routing": keys,
+        "shard": shards.astype(np.int64),
+        "node": [node_of[int(s)] for s in shards]})
+    return out.sort_values("routing").reset_index(drop=True)
+
+
+def indices_segments(sf_dir: str):
+    """_segments API (RestIndicesSegmentsAction): per-segment metadata of
+    the live documents index — doc count, committed flag, generation.
+    The build partitions by doc_id range (docs_per_partition=2500), so
+    the oracle re-derives each segment's doc count from the raw table."""
+    from ..index.manifest import committed_segments, live_segments
+    from .fulltext import documents_index
+
+    idx = documents_index(sf_dir)
+    live = live_segments(committed_segments(idx))
+    rows = []
+    for gen, (sid, m) in enumerate(sorted(live.items())):
+        rows.append((gen, m.doc_count, 1))
+    out = pd.DataFrame(rows, columns=["generation", "doc_count", "committed"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

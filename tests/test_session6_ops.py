@@ -298,3 +298,20 @@ def test_knn_recall_report_floors(ray_session):
     # its real recall behavior is pinned in test_similarity's sweeps
     assert rec["lsh"] >= 0.1
     assert all(0 <= v <= 1 for v in rec.values())
+
+
+def test_search_shards_nodes_consistent_with_allocation(ray_session):
+    out = ops.search_shards_nodes(SF)
+    alloc = ops.allocation_explain(SF)
+    node_of = dict(zip(alloc["shard"], alloc["node"]))
+    for _, r in out.iterrows():
+        assert node_of[r["shard"]] == r["node"]
+
+
+def test_indices_segments_counts_sum_to_corpus(ray_session):
+    import pyarrow.dataset as pads
+
+    out = ops.indices_segments(SF)
+    n = pads.dataset(f"{SF}/documents.parquet").count_rows()
+    assert out["doc_count"].sum() == n
+    assert (out["committed"] == 1).all()
