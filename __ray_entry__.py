@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_vocab_coverage", "sql_group_query", "mget",
         "index_disk_usage", "curation_funnel", "esql_grok",
         "knn_recall_report", "search_shards_nodes", "indices_segments",
+        "source_dup_matrix",
         # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
         "esql_query", "agg_aggregate_metric", "agg_histogram_field",
         "ingest_append_tags", "curriculum_order", "contamination_report",
@@ -750,6 +751,17 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "source_dup_matrix": r"""
+WITH f AS (SELECT doc_id, source,
+                  array_to_string(list_slice(list_filter(
+                      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> ''), 1, 5), ' ') AS h
+           FROM documents)
+SELECT LEAST(a.source, b.source) AS src_a,
+       GREATEST(a.source, b.source) AS src_b,
+       count(*)::BIGINT AS dup_pairs
+FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "search_shards_nodes": """
 WITH smap(source, shard) AS (VALUES
   ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),

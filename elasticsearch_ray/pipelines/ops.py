@@ -9797,3 +9797,52 @@ def indices_segments(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def source_dup_matrix(sf_dir: str):
+    """Cross-source near-duplication matrix (the dedup diagnostic a
+    multi-source training corpus needs: how many candidate-duplicate
+    pairs each pair of sources shares — e.g. crawl snapshots duplicating
+    each other). Blocking key = leading-5-token fingerprint (the cheap
+    prefix-blocking stage of a near-dup pipeline). Scale shape: ONE
+    fingerprint groupby; each cluster emits its source-pair combination
+    counts inside map_groups (computed from the cluster's source
+    histogram), then a tiny (src_a, src_b) rollup — the n^2 pair
+    expansion never happens row-wise."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def key(t: pa.Table) -> pa.Table:
+        h = [" ".join([w for w in pat.split(s.lower()) if w][:5])
+             for s in t["text"].to_pylist()]
+        return pa.table({"h": pa.array(h, pa.string()), "source": t["source"]})
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"src_a": pd.Series([], dtype=object),
+                                 "src_b": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        cnt = g["source"].value_counts().sort_index()
+        srcs = cnt.index.to_numpy()
+        c = cnt.to_numpy()
+        rows_a, rows_b, rows_n = [], [], []
+        for i in range(len(srcs)):
+            if c[i] >= 2:
+                rows_a.append(srcs[i]); rows_b.append(srcs[i])
+                rows_n.append(int(c[i] * (c[i] - 1) // 2))
+            for j_ in range(i + 1, len(srcs)):
+                rows_a.append(srcs[i]); rows_b.append(srcs[j_])
+                rows_n.append(int(c[i] * c[j_]))
+        return pd.DataFrame({"src_a": rows_a, "src_b": rows_b,
+                             "n": pd.array(rows_n, dtype=np.int64)})
+
+    out = (_ds(sf_dir, "documents", ["text", "source"])
+           .map_batches(key, batch_format="pyarrow")
+           .groupby("h").map_groups(pair_counts, batch_format="pandas")
+           .groupby(["src_a", "src_b"]).aggregate(Sum("n", alias_name="dup_pairs"))
+           .to_pandas().sort_values(["src_a", "src_b"]).reset_index(drop=True))
+    out["dup_pairs"] = out["dup_pairs"].astype("int64")
+    return out

@@ -315,3 +315,10 @@ def test_indices_segments_counts_sum_to_corpus(ray_session):
     n = pads.dataset(f"{SF}/documents.parquet").count_rows()
     assert out["doc_count"].sum() == n
     assert (out["committed"] == 1).all()
+
+
+def test_source_dup_matrix_symmetric_canonical(ray_session):
+    out = ops.source_dup_matrix(SF)
+    # canonical ordering: src_a <= src_b, counts positive
+    assert (out["src_a"] <= out["src_b"]).all()
+    assert (out["dup_pairs"] > 0).all()
