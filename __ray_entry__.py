@@ -2281,7 +2281,7 @@ SELECT status, count(*)::BIGINT AS n FROM (
               WHEN h1 = h2 THEN 'same' ELSE 'changed' END AS status
   FROM j)
 GROUP BY status ORDER BY status""",
-        "corpus_datacard": """
+        "corpus_datacard": r"""
 SELECT source,
        count(*)::BIGINT AS docs,
        SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
