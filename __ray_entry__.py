@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-7 ops ---
+        "esql_count_distinct", "esql_rename_drop",
         # --- round-3 session-6 ops (driver-unchecked, oracle-bearing) ---
         "transform_latest", "ml_anomaly_zscore", "watcher_execute",
         "tsdb_downsample", "completion_fuzzy", "completion_contexts",
@@ -781,6 +783,15 @@ ORDER BY routing""",
 SELECT (doc_id // 2500)::BIGINT AS generation, count(*)::BIGINT AS doc_count,
        1::BIGINT AS committed
 FROM documents GROUP BY 1 ORDER BY 1""",
+        "esql_count_distinct": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS users,
+       count(*)::BIGINT AS cnt, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "esql_rename_drop": """
+SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+       MAX(o_totalprice) AS mx
+FROM orders WHERE o_totalprice > 50000
+GROUP BY 1 ORDER BY 1""",
         "esql_grok": r"""
 SELECT event_type, count(*)::BIGINT AS n,
        SUM(CAST(regexp_extract(props, '(-?\d+)', 1) AS BIGINT))::BIGINT AS s

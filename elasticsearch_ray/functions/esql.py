@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 
 _CMP = {"==": "equal", "!=": "not_equal", ">=": "greater_equal",
         "<=": "less_equal", ">": "greater", "<": "less"}
-_AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT"}
 
 
 def _lit(tok: str):
@@ -235,6 +235,25 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
         elif cmd == "MV_EXPAND" and stats_specs is None:
             ds = ds.map_batches(_mv_expand_fn(body.strip()),
                                 batch_format="pyarrow")
+        elif cmd == "RENAME" and stats_specs is None:
+            rm = re.fullmatch(r"([\w.]+)\s+AS\s+([\w.]+)", body.strip(),
+                              flags=re.I)
+            if not rm:
+                raise ValueError(f"unsupported RENAME: {body!r}")
+            old, new = rm.groups()
+
+            def _rename(t: pa.Table, _o=old, _n=new) -> pa.Table:
+                return t.rename_columns(
+                    [_n if c == _o else c for c in t.column_names])
+
+            ds = ds.map_batches(_rename, batch_format="pyarrow")
+        elif cmd == "DROP" and stats_specs is None:
+            drop_cols = [c.strip() for c in body.split(",")]
+
+            def _drop(t: pa.Table, _d=tuple(drop_cols)) -> pa.Table:
+                return t.select([c for c in t.column_names if c not in _d])
+
+            ds = ds.map_batches(_drop, batch_format="pyarrow")
         elif cmd == "LOOKUP" and stats_specs is None:
             jb = re.sub(r"^JOIN\s+", "", body.strip(), flags=re.I)
             ds = ds.map_batches(_lookup_join_stage(sf_dir, jb),
@@ -249,6 +268,38 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
     if stats_specs is None:
         return _run_row_mode(ds, post)
     specs, by = stats_specs, by or []
+
+    # COUNT_DISTINCT runs as its own exact two-level exchange: per-batch
+    # distinct (by, col) pairs (combiner) -> ONE global pair groupby ->
+    # per-key pair counts; merged into the regular-agg result on `by`
+    alias_order = [a for a, _, _ in specs]
+    cdist = [(a, c) for a, f, c in specs if f == "COUNT_DISTINCT"]
+    specs = [s for s in specs if s[1] != "COUNT_DISTINCT"]
+    cd_frames: list[pd.DataFrame] = []
+    if cdist:
+        from ray.data.aggregate import Count
+
+        for alias, col in cdist:
+            keys = by + [col]
+
+            def local_distinct(t: pa.Table, _k=tuple(keys)) -> pa.Table:
+                return t.select(list(_k)).group_by(list(_k)).aggregate([])
+
+            pairs = (ds.map_batches(local_distinct, batch_format="pyarrow")
+                     .groupby(keys).aggregate(Count(alias_name="_c"))
+                     .to_pandas())
+            if by:
+                r = pairs.groupby(by, as_index=False).size().rename(
+                    columns={"size": alias})
+            else:
+                r = pd.DataFrame({alias: [len(pairs)]})
+            r[alias] = r[alias].astype("int64")
+            cd_frames.append(r)
+    if not specs:
+        out = cd_frames[0]
+        for r in cd_frames[1:]:
+            out = out.merge(r, on=by) if by else pd.concat([out, r], axis=1)
+        return _apply_post(out[by + alias_order], post)
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -301,6 +352,14 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
         elif fn == "MAX":
             out[alias] = merged[f"__mx_{alias}"]
 
+    for r in cd_frames:
+        out = out.merge(r, on=by) if by else pd.concat([out, r], axis=1)
+    out = out[by + alias_order]
+    return _apply_post(out, post)
+
+
+def _apply_post(out: pd.DataFrame, post: list[tuple[str, str]]) -> pd.DataFrame:
+    """SORT/LIMIT/KEEP/WHERE over the already-reduced (driver-small) frame."""
     for cmd, body in post:
         if cmd == "SORT":
             keys, asc = [], []

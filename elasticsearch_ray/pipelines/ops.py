@@ -9846,3 +9846,38 @@ def source_dup_matrix(sf_dir: str):
            .to_pandas().sort_values(["src_a", "src_b"]).reset_index(drop=True))
     out["dup_pairs"] = out["dup_pairs"].astype("int64")
     return out
+
+
+def esql_count_distinct(sf_dir: str):
+    """ES|QL STATS COUNT_DISTINCT (x-pack esql CountDistinct — reference
+    uses HLL++; this gate runs the EXACT two-level path so the DuckDB
+    oracle matches bit-for-bit: per-batch local distinct (by,col) pairs
+    as the combiner, ONE global pair groupby, per-key pair counts merged
+    with the regular SUM/COUNT partials on the group key). The sketched
+    path is agg_cardinality_hll."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | STATS users = COUNT_DISTINCT(user_id), cnt = COUNT(*),
+                total = SUM(value) BY event_type
+        | SORT event_type
+    ''')
+    out["total"] = round_half_away(out["total"].to_numpy(), 2)
+    return out
+
+
+def esql_rename_drop(sf_dir: str):
+    """ES|QL RENAME .. AS / DROP commands (x-pack esql Rename/Drop): pure
+    per-batch schema projections — zero-copy Arrow rename_columns/select,
+    no data movement; column pruning at the read still applies."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM orders
+        | RENAME o_orderstatus AS status
+        | DROP o_comment, o_clerk
+        | WHERE o_totalprice > 50000
+        | STATS n = COUNT(*), mx = MAX(o_totalprice) BY status
+        | SORT status
+    ''')

@@ -112,3 +112,39 @@ def test_row_mode_topk_matches_sql(ray_session):
 def test_row_mode_requires_limit(ray_session):
     with pytest.raises(ValueError):
         esql.run(SF, "FROM events | WHERE value > 5")
+
+
+def test_count_distinct_exact_and_mixed(ray_session):
+    out = esql.run(SF, '''
+        FROM events
+        | STATS u = COUNT_DISTINCT(user_id), c = COUNT(*) BY event_type
+        | SORT event_type
+    ''')
+    want = duckdb.sql(f"""
+        SELECT event_type, count(DISTINCT user_id) AS u, count(*) AS c
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY 1 ORDER BY 1""").df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_count_distinct_global_no_by(ray_session):
+    out = esql.run(SF, "FROM events | STATS u = COUNT_DISTINCT(user_id)")
+    want = duckdb.sql(f"""
+        SELECT count(DISTINCT user_id) AS u
+        FROM read_parquet('{SF}/events.parquet')""").df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_rename_and_drop_commands(ray_session):
+    out = esql.run(SF, '''
+        FROM events
+        | RENAME event_type AS kind
+        | DROP ts, props
+        | STATS c = COUNT(*) BY kind
+        | SORT kind
+    ''')
+    want = duckdb.sql(f"""
+        SELECT event_type AS kind, count(*) AS c
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY 1 ORDER BY 1""").df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
