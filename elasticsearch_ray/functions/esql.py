@@ -64,58 +64,43 @@ def parse(query: str) -> list[tuple[str, str]]:
 
 
 def _where_fn(body: str):
-    conds = []
-    for clause in re.split(r"\s+AND\s+", body, flags=re.I):
-        m = re.fullmatch(r"([\w.]+)\s*(==|!=|>=|<=|>|<)\s*(.+)", clause.strip())
-        if not m:
-            raise ValueError(f"unsupported WHERE clause: {clause!r}")
-        conds.append((m.group(1), _CMP[m.group(2)], _lit(m.group(3))))
+    """WHERE body -> vectorized batch filter via the full scalar-expression
+    engine (esql_expr): comparisons, AND/OR/NOT, IN, LIKE/RLIKE, IS NULL,
+    arithmetic and scalar functions all lower to pyarrow.compute kernels."""
+    from .esql_expr import compile_predicate
 
-    def f(t: pa.Table) -> pa.Table:
-        mask = None
-        for col, op, lit in conds:
-            m = getattr(pc, op)(t[col], lit)
-            mask = m if mask is None else pc.and_(mask, m)
-        return t.filter(mask)
-
-    return f
+    return compile_predicate(body)
 
 
 def _eval_fn(body: str):
-    name, _, expr = body.partition("=")
-    name = name.strip()
-    expr = expr.strip()
+    """EVAL name = expr -> per-batch appended column via esql_expr.
+    Multiple comma-separated assignments run left-to-right so later
+    expressions can reference earlier ones (EsqlParser evalCommand)."""
+    from .esql_expr import compile_eval, parse_expr  # noqa: F401
 
-    fm = re.fullmatch(r"SPLIT\(\s*([\w.]+)\s*,\s*\"([^\"]*)\"\s*\)", expr,
-                      flags=re.I)
-    if fm:
-        col, sep = fm.groups()
-
-        def f_split(t: pa.Table) -> pa.Table:
-            return t.append_column(name, pc.split_pattern(t[col], sep))
-
-        return f_split
-
-    fm = re.fullmatch(r"TO_INTEGER\(\s*([\w.]+)\s*\)", expr, flags=re.I)
-    if fm:
-        col = fm.group(1)
-
-        def f_cast(t: pa.Table) -> pa.Table:
-            return t.append_column(name, pc.cast(t[col], pa.int64()))
-
-        return f_cast
-
-    m = re.fullmatch(r"([\w.]+)\s*([+\-*/])\s*([\w.\"]+)", expr)
-    if not m:
-        raise ValueError(f"unsupported EVAL expression: {expr!r}")
-    lhs, op, rhs = m.groups()
-    opf = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
-           "/": pc.divide}[op]
+    assigns: list[tuple[str, str]] = []
+    depth, start = 0, 0
+    parts: list[str] = []
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    parts.append(body[start:])
+    for part in parts:
+        name, eq, expr = part.partition("=")
+        if not eq:
+            raise ValueError(f"unsupported EVAL assignment: {part!r}")
+        assigns.append((name.strip(), expr.strip()))
+    fns = [compile_eval(n, e) for n, e in assigns]
 
     def f(t: pa.Table) -> pa.Table:
-        a = t[lhs]
-        b = t[rhs] if rhs in t.column_names else _lit(rhs)
-        return t.append_column(name, opf(a, b))
+        for fn in fns:
+            t = fn(t)
+        return t
 
     return f
 
@@ -372,15 +357,11 @@ def _apply_post(out: pd.DataFrame, post: list[tuple[str, str]]) -> pd.DataFrame:
             out = out.head(int(body))
         elif cmd == "KEEP":
             out = out[[c.strip() for c in body.split(",")]]
-        elif cmd == "WHERE":  # post-STATS HAVING-style filter
-            m = re.fullmatch(r"([\w.]+)\s*(==|!=|>=|<=|>|<)\s*(.+)",
-                             body.strip())
-            col, op, lit = m.group(1), m.group(2), _lit(m.group(3))
-            import operator as _op
+        elif cmd == "WHERE":  # post-STATS HAVING-style filter (driver-small)
+            from .esql_expr import compile_predicate
 
-            f = {"==": _op.eq, "!=": _op.ne, ">": _op.gt, ">=": _op.ge,
-                 "<": _op.lt, "<=": _op.le}[op]
-            out = out[f(out[col], lit)]
+            t = pa.Table.from_pandas(out, preserve_index=False)
+            out = compile_predicate(body)(t).to_pandas()
     return out.reset_index(drop=True)
 
 
