@@ -89,7 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 session-7 ops ---
-        "esql_stats_extended", "esql_enrich", "esql_values_agg",
+        "esql_bucket", "esql_stats_extended", "esql_enrich",
+        "esql_values_agg",
         "esql_expression", "esql_count_distinct", "esql_rename_drop",
         # --- round-3 session-6 ops (driver-unchecked, oracle-bearing) ---
         "transform_latest", "ml_anomaly_zscore", "watcher_execute",
@@ -784,6 +785,11 @@ ORDER BY routing""",
 SELECT (doc_id // 2500)::BIGINT AS generation, count(*)::BIGINT AS doc_count,
        1::BIGINT AS committed
 FROM documents GROUP BY 1 ORDER BY 1""",
+        "esql_bucket": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+       floor(value/100)*100 AS b,
+       count(*)::BIGINT AS n, ROUND(SUM(value), 2) AS s
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "esql_stats_extended": """
 SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.5) AS med,

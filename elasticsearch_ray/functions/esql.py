@@ -80,18 +80,7 @@ def _eval_fn(body: str):
     from .esql_expr import compile_eval, parse_expr  # noqa: F401
 
     assigns: list[tuple[str, str]] = []
-    depth, start = 0, 0
-    parts: list[str] = []
-    for i, ch in enumerate(body):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append(body[start:i])
-            start = i + 1
-    parts.append(body[start:])
-    for part in parts:
+    for part in _split_top(body):
         name, eq, expr = part.partition("=")
         if not eq:
             raise ValueError(f"unsupported EVAL assignment: {part!r}")
@@ -201,24 +190,58 @@ def _enrich_stage(sf_dir: str, body: str):
     return f
 
 
-def _parse_stats(body: str) -> tuple[list[tuple], list[str]]:
-    """-> ([(alias, FN, col, arg2|None), ...], by). arg2 is PERCENTILE's
-    rank or WEIGHTED_AVG's weight column."""
-    aggs_part, _, by_part = body.partition(" BY ")
-    by = [c.strip() for c in by_part.split(",") if c.strip()]
-    specs = []
-    # split on top-level commas only (two-arg calls contain commas)
-    items, depth, start = [], 0, 0
-    for i, ch in enumerate(aggs_part):
+def _split_top(s: str) -> list[str]:
+    """Split on commas outside parentheses (function args keep theirs)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch == "," and depth == 0:
-            items.append(aggs_part[start:i])
+            parts.append(s[start:i])
             start = i + 1
-    items.append(aggs_part[start:])
-    for item in items:
+    parts.append(s[start:])
+    return [p for p in (x.strip() for x in parts) if p]
+
+
+def _rewrite_bucket(expr: str) -> str:
+    """BUCKET(col, span) (x-pack esql Bucket function, 8.14 grouping
+    form) -> plain scalar expression: `1 <calendar-unit>` spans become
+    DATE_TRUNC, numeric widths become FLOOR(col / w) * w."""
+    m = re.fullmatch(r"BUCKET\(\s*([\w.]+)\s*,\s*(\d+)\s+(\w+?)s?\s*\)",
+                     expr, flags=re.I)
+    if m:
+        col, n, unit = m.groups()
+        if int(n) != 1:
+            raise ValueError("BUCKET supports 1-unit calendar spans")
+        return f'DATE_TRUNC("{unit.lower()}", {col})'
+    m = re.fullmatch(r"BUCKET\(\s*([\w.]+)\s*,\s*(\d+(?:\.\d+)?)\s*\)",
+                     expr, flags=re.I)
+    if m:
+        col, w = m.groups()
+        return f"FLOOR({col} / {w}) * {w}"
+    return expr
+
+
+def _parse_stats(body: str) -> tuple[list[tuple], list[str], list]:
+    """-> ([(alias, FN, col, arg2|None), ...], by, by_evals). arg2 is
+    PERCENTILE's rank or WEIGHTED_AVG's weight column; by_evals are
+    compiled `BY alias = expr` grouping stages (Bucket et al.)."""
+    aggs_part, _, by_part = body.partition(" BY ")
+    by, by_evals = [], []
+    for item in _split_top(by_part):
+        name, eq, expr = item.partition("=")
+        if eq:
+            from .esql_expr import compile_eval
+
+            by.append(name.strip())
+            by_evals.append(compile_eval(name.strip(),
+                                         _rewrite_bucket(expr.strip())))
+        else:
+            by.append(item)
+    specs = []
+    for item in _split_top(aggs_part):
         alias, _, call = item.partition("=")
         m = re.fullmatch(
             r"(\w+)\(\s*(\*|[\w.]+)\s*(?:,\s*([\w.]+)\s*)?\)", call.strip())
@@ -226,7 +249,7 @@ def _parse_stats(body: str) -> tuple[list[tuple], list[str]]:
             raise ValueError(f"unsupported STATS agg: {item!r}")
         specs.append((alias.strip(), m.group(1).upper(), m.group(2),
                       m.group(3)))
-    return specs, by
+    return specs, by, by_evals
 
 
 def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
@@ -295,7 +318,9 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             ds = ds.map_batches(_lookup_join_stage(sf_dir, jb),
                                 batch_format="pyarrow")
         elif cmd == "STATS":
-            stats_specs, by = _parse_stats(body)
+            stats_specs, by, by_evals = _parse_stats(body)
+            for bev in by_evals:
+                ds = ds.map_batches(bev, batch_format="pyarrow")
         elif cmd in ("SORT", "LIMIT", "KEEP", "WHERE"):
             post.append((cmd, body))
         else:

@@ -18,7 +18,7 @@ Supported grammar:
   boolean         NOT, AND, OR (usual precedence), parentheses
   predicates      x IN (a, b, c) / NOT IN, x LIKE "wild*card?",
                   x RLIKE "regex", x IS NULL / IS NOT NULL
-  functions       ABS ROUND SQRT POW LOG10 MOD GREATEST LEAST
+  functions       ABS ROUND SQRT FLOOR CEIL POW LOG10 MOD GREATEST LEAST
                   LENGTH TO_UPPER TO_LOWER TRIM LTRIM RTRIM CONCAT
                   SUBSTRING LEFT RIGHT REPLACE STARTS_WITH ENDS_WITH
                   LOCATE SPLIT REVERSE
@@ -318,6 +318,10 @@ def _call(name: str, args, t: pa.Table):
         return pc.abs(a[0])
     if name == "SQRT":
         return pc.sqrt(a[0])
+    if name == "FLOOR":
+        return pc.floor(a[0])
+    if name == "CEIL":
+        return pc.ceil(a[0])
     if name == "LOG10":
         return pc.log10(a[0])
     if name == "POW":

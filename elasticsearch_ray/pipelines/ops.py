@@ -9848,6 +9848,26 @@ def source_dup_matrix(sf_dir: str):
     return out
 
 
+def esql_bucket(sf_dir: str):
+    """ES|QL BUCKET grouping function (x-pack esql Bucket, the 8.14
+    STATS-BY histogram form): calendar spans lower to DATE_TRUNC
+    (pc.floor_temporal per batch), numeric widths to FLOOR(col/w)*w —
+    grouping stays a per-batch combiner + tiny driver merge, no
+    row-cardinality shuffle. Day keys are emitted as strings so the
+    oracle hash is precision-independent."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | STATS n = COUNT(*), s = SUM(value)
+          BY d = BUCKET(ts, 1 day), b = BUCKET(value, 100)
+        | SORT d, b
+    ''')
+    out["d"] = out["d"].dt.strftime("%Y-%m-%d")
+    out["s"] = round_half_away(out["s"].to_numpy(), 2)
+    return out
+
+
 def esql_stats_extended(sf_dir: str):
     """ES|QL extended STATS family (x-pack esql Median / Percentile /
     StdDev / WeightedAvg — the reference sketches MEDIAN/PERCENTILE with

@@ -205,3 +205,22 @@ def test_values_multivalue(ray_session):
         | SORT o_orderpriority
     """)
     assert all(isinstance(v, list) and v == sorted(v) for v in out["kinds"])
+
+
+def test_bucket_grouping(ray_session):
+    """BUCKET calendar + numeric grouping vs DuckDB."""
+    import duckdb
+
+    out = esql.run(SF, """
+        FROM events
+        | STATS n = COUNT(*) BY d = BUCKET(ts, 1 day), b = BUCKET(value, 50)
+        | SORT d, b
+    """)
+    out["d"] = out["d"].dt.strftime("%Y-%m-%d")
+    want = duckdb.sql(f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') d,
+               floor(value/50)*50 b, count(*) n
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want, check_dtype=False)
