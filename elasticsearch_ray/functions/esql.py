@@ -265,6 +265,19 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
     used: set[str] = set()
     for cmd, body in stages[1:]:
         used.update(re.findall(r"[A-Za-z_][\w.]*", body))
+    # scan-time predicate pushdown: a leading WHERE whose expression has a
+    # pyarrow.dataset equivalent filters at the parquet scanner (row-group
+    # statistics pruning — the BKD/PointRangeQuery skip analog), not in a
+    # downstream map_batches stage
+    pushed_where = None
+    if reader is None and len(stages) > 1 and stages[1][0] == "WHERE":
+        from .esql_expr import to_dataset_filter
+
+        expr = to_dataset_filter(stages[1][1])
+        if expr is not None:
+            pushed_where = stages[1]
+            stages = [stages[0]] + stages[2:]
+
     if reader is not None:
         ds = reader(table)
     else:
@@ -275,7 +288,8 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
         cols = [c for c in schema.names if c in used] or schema.names
         ds = rd.read_parquet(
             path, columns=cols,
-            schema=pa.schema([schema.field(c) for c in cols]))
+            schema=pa.schema([schema.field(c) for c in cols]),
+            **({"filter": expr} if pushed_where is not None else {}))
 
     stats_specs = by = None
     post: list[tuple[str, str]] = []

@@ -432,6 +432,60 @@ def _call(name: str, args, t: pa.Table):
     raise ValueError(f"unsupported ES|QL function {name}")
 
 
+def to_dataset_filter(src: str):
+    """Lower a WHERE AST to a pyarrow.dataset expression for scan-time
+    pushdown (parquet row-group statistics pruning — the analog of the
+    reference's PointRangeQuery/BKD skip at the Lucene segment level).
+    Returns None when any node has no dataset-expression equivalent
+    (functions, LIKE, arithmetic on columns, ...) — the caller then
+    falls back to the per-batch kernel filter."""
+    import pyarrow.dataset as pads
+
+    def lower(node):
+        kind = node[0]
+        if kind == "cmp":
+            left, right = _operand(node[2]), _operand(node[3])
+            if left is None or right is None:
+                return None
+            op = node[1]
+            return {"==": left.__eq__, "!=": left.__ne__,
+                    ">": left.__gt__, ">=": left.__ge__,
+                    "<": left.__lt__, "<=": left.__le__}[op](right)
+        if kind == "and":
+            a, b = lower(node[1]), lower(node[2])
+            return a & b if a is not None and b is not None else None
+        if kind == "or":
+            a, b = lower(node[1]), lower(node[2])
+            return a | b if a is not None and b is not None else None
+        if kind == "not":
+            a = lower(node[1])
+            return ~a if a is not None else None
+        if kind == "in":
+            if node[1][0] != "col":
+                return None
+            expr = pads.field(node[1][1]).isin(
+                [_scalar_value(x) for x in node[2]])
+            return ~expr if node[3] else expr
+        if kind == "isnull":
+            if node[1][0] != "col":
+                return None
+            expr = pads.field(node[1][1]).is_null()
+            return ~expr if node[2] else expr
+        return None
+
+    def _operand(node):
+        if node[0] == "col":
+            return pads.field(node[1])
+        if _is_scalar(node):
+            return pads.scalar(_scalar_value(node))
+        return None
+
+    try:
+        return lower(parse_expr(src))
+    except Exception:
+        return None
+
+
 def compile_predicate(src: str):
     """WHERE body -> (pa.Table -> pa.Table) batch filter."""
     ast = parse_expr(src)
