@@ -89,8 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
         # --- round-3 session-7 ops ---
-        "esql_bucket", "esql_stats_extended", "esql_enrich",
-        "esql_values_agg",
+        "ccnet_buckets", "esql_bucket", "esql_stats_extended",
+        "esql_enrich", "esql_values_agg",
         "esql_expression", "esql_count_distinct", "esql_rename_drop",
         # --- round-3 session-6 ops (driver-unchecked, oracle-bearing) ---
         "transform_latest", "ml_anomaly_zscore", "watcher_execute",
@@ -785,6 +785,38 @@ ORDER BY routing""",
 SELECT (doc_id // 2500)::BIGINT AS generation, count(*)::BIGINT AS doc_count,
        1::BIGINT AS committed
 FROM documents GROUP BY 1 ORDER BY 1""",
+        "ccnet_buckets": r"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_concat(['<s>'], list_concat(
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> ''), ['</s>'])) AS arr
+  FROM documents),
+bg AS (SELECT arr[i] AS v, arr[i + 1] AS w, count(*)::DOUBLE AS c
+       FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+       WHERE source IN ('src1','src2','src3') GROUP BY v, w),
+cx AS (SELECT v, sum(c) AS cv, count(*)::DOUBLE AS n1f FROM bg GROUP BY v),
+bwd AS (SELECT w, count(*)::DOUBLE AS n1b FROM bg GROUP BY w),
+tot AS (SELECT count(*)::DOUBLE AS t, count(DISTINCT w)::DOUBLE AS vc FROM bg),
+st AS (SELECT doc_id, arr[i] AS v, arr[i + 1] AS w
+       FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)),
+sp AS (SELECT s.doc_id, s.v, s.w,
+              (coalesce(bw.n1b, 0) + 0.5) / (tt.t + 0.5 * (tt.vc + 1)) AS pc
+       FROM st s CROSS JOIN tot tt LEFT JOIN bwd bw ON bw.w = s.w),
+lp AS (SELECT sp.doc_id,
+              ln(CASE WHEN cx.v IS NULL THEN sp.pc
+                 ELSE greatest(coalesce(b.c, 0) - 0.75, 0) / cx.cv
+                      + 0.75 * cx.n1f / cx.cv * sp.pc END) AS lp
+       FROM sp LEFT JOIN cx ON cx.v = sp.v
+       LEFT JOIN bg b ON b.v = sp.v AND b.w = sp.w),
+px AS (SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
+       FROM lp GROUP BY doc_id)
+SELECT px.doc_id, d2.source, px.ppl,
+       CASE ntile(3) OVER (PARTITION BY d2.source
+                           ORDER BY px.ppl, px.doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM px JOIN (SELECT doc_id, source FROM documents) d2 USING (doc_id)
+ORDER BY px.doc_id""",
         "esql_bucket": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
        floor(value/100)*100 AS b,

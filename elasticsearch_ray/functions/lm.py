@@ -444,11 +444,13 @@ class _KNPplStage:
     """Actor-pool KN scorer: model broadcast once per actor; per batch one
     flattened searchsorted per lookup table, segment means via reduceat."""
 
-    def __init__(self, model, text_col: str, id_col: str):
+    def __init__(self, model, text_col: str, id_col: str,
+                 keep_cols: tuple = ()):
         import ray
         self.m = ray.get(model) if not isinstance(model, KNBigramLM) else model
         self.text_col = text_col
         self.id_col = id_col
+        self.keep_cols = keep_cols
 
     def __call__(self, t: pa.Table) -> pa.Table:
         m = self.m
@@ -483,18 +485,24 @@ class _KNPplStage:
                      pc_)
         lp = np.log(p)
         ppl = np.exp(-np.add.reduceat(lp, starts) / npos)
-        return pa.table({self.id_col: pa.array(ids.astype(np.int64)),
-                         "ppl": pa.array(ppl.astype(np.float64))})
+        out = {self.id_col: pa.array(ids.astype(np.int64)),
+               "ppl": pa.array(ppl.astype(np.float64))}
+        for c in self.keep_cols:
+            out[c] = t[c]
+        return pa.table(out)
 
 
 def kn_perplexity(ds, model: KNBigramLM, *, text_col: str = "text",
-                  id_col: str = "doc_id", concurrency=2):
-    """(id, ppl) under the interpolated Kneser-Ney bigram LM."""
+                  id_col: str = "doc_id", concurrency=2, keep_cols=()):
+    """(id, ppl[, keep_cols]) under the interpolated Kneser-Ney bigram
+    LM; keep_cols are carried through so downstream grouping needs no
+    join back against the text table."""
     import ray
 
     ref = ray.put(model)
     return ds.map_batches(
         _KNPplStage,
         fn_constructor_kwargs=dict(model=ref, text_col=text_col,
-                                   id_col=id_col),
+                                   id_col=id_col,
+                                   keep_cols=tuple(keep_cols)),
         batch_format="pyarrow", batch_size=512, concurrency=concurrency)

@@ -5797,6 +5797,43 @@ def lm_perplexity_kn(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020: score each
+    document with a KenLM-style LM, split each language partition into
+    head/middle/tail perplexity terciles; CCNet keeps head+middle for
+    training). Partition key here is `source` (the corpus's language
+    analog). Shape: the scored exchange carries (doc_id, source, ppl)
+    scalars only — text never shuffles; tercile assignment is a
+    per-partition map_groups over that metadata table. Tie order is
+    (rounded ppl, doc_id), matching the oracle's ntile(3) ordering."""
+    import pyarrow.compute as pc
+
+    from ..functions import lm as LM
+
+    ref = _ds(sf_dir, "documents", ["text", "source"],
+              flt=pc.field("source").isin(["src1", "src2", "src3"]))
+    model = LM.fit_kn_bigram(ref, D=0.75, alpha=0.5)
+    docs = _ds(sf_dir, "documents", ["doc_id", "text", "source"])
+    scored = LM.kn_perplexity(docs, model, keep_cols=("source",))
+
+    def terciles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["ppl"] = round_half_away(g["ppl"].to_numpy(), 4)
+        g = g.sort_values(["ppl", "doc_id"], kind="mergesort")
+        n = len(g)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if i < extra else 0) for i in range(3)]
+        g["bucket"] = np.repeat(
+            np.array(["head", "middle", "tail"]), sizes)
+        return g
+
+    out = (scored.groupby("source")
+           .map_groups(terciles, batch_format="pandas").to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out[["doc_id", "source", "ppl", "bucket"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def gopher_quality(sf_dir: str):
     """Gopher rule-set document filter (Rae et al. 2021):
     functions/text.gopher_flags_batch over the documents table; returns
