@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-8 ops ---
+        "esql_mv_functions", "esql_scalar_functions",
         # --- round-3 session-7 ops ---
         "ccnet_buckets", "esql_bucket", "esql_stats_extended",
         "esql_enrich", "esql_values_agg",
@@ -817,6 +819,25 @@ SELECT px.doc_id, d2.source, px.ppl,
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM px JOIN (SELECT doc_id, source FROM documents) d2 USING (doc_id)
 ORDER BY px.doc_id""",
+        "esql_mv_functions": """
+SELECT doc_id,
+  len(str_split(text,' '))::BIGINT AS nw,
+  str_split(text,' ')[1] AS first_w,
+  str_split(text,' ')[-1] AS last_w,
+  len(list_distinct(str_split(text,' ')))::BIGINT AS uniq_w,
+  array_to_string(list_sort(str_split(text,' '))[1:3], '|') AS head3
+FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+        "esql_scalar_functions": """
+SELECT o_orderkey,
+  round(ln(o_totalprice), 4) AS lp,
+  round(cbrt(o_totalprice), 4) AS r3,
+  round(sqrt(o_totalprice*o_totalprice + o_custkey*o_custkey), 4) AS h,
+  sign(o_totalprice - 100000)::DOUBLE AS sg,
+  strftime(o_orderdate, '%Y-%m-%d') AS d,
+  (8*length(o_orderstatus))::BIGINT AS bl,
+  to_base64(o_orderpriority::BLOB) AS b64,
+  datediff('day', TIMESTAMP '1995-01-01', o_orderdate)::BIGINT AS days
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
         "esql_bucket": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
        floor(value/100)*100 AS b,

@@ -52,8 +52,27 @@ def _lit(tok: str):
 
 def parse(query: str) -> list[tuple[str, str]]:
     """Split an ES|QL string into (COMMAND, body) stages."""
+    # split on | at top level only — a | inside a "string literal"
+    # (e.g. MV_CONCAT(x, "|")) is part of the expression
+    segs, buf, inq, esc = [], [], False, False
+    for ch in query:
+        if esc:
+            buf.append(ch)
+            esc = False
+        elif ch == "\\" and inq:
+            buf.append(ch)
+            esc = True
+        elif ch == '"':
+            buf.append(ch)
+            inq = not inq
+        elif ch == "|" and not inq:
+            segs.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    segs.append("".join(buf))
     stages = []
-    for seg in query.split("|"):
+    for seg in segs:
         seg = seg.strip()
         if not seg:
             continue

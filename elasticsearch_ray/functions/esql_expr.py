@@ -19,18 +19,28 @@ Supported grammar:
   predicates      x IN (a, b, c) / NOT IN, x LIKE "wild*card?",
                   x RLIKE "regex", x IS NULL / IS NOT NULL
   functions       ABS ROUND SQRT FLOOR CEIL POW LOG10 MOD GREATEST LEAST
+                  EXP LOG SIN COS TAN ASIN ACOS ATAN ATAN2 SIGNUM CBRT
+                  E PI TAU HYPOT
                   LENGTH TO_UPPER TO_LOWER TRIM LTRIM RTRIM CONCAT
                   SUBSTRING LEFT RIGHT REPLACE STARTS_WITH ENDS_WITH
-                  LOCATE SPLIT REVERSE
+                  LOCATE SPLIT REVERSE REPEAT SPACE
+                  BIT_LENGTH BYTE_LENGTH TO_BASE64 FROM_BASE64
                   TO_INTEGER TO_DOUBLE TO_STRING TO_LONG
-                  DATE_TRUNC DATE_EXTRACT
+                  DATE_TRUNC DATE_EXTRACT DATE_DIFF DATE_FORMAT DATE_PARSE
                   CASE COALESCE
+  multivalue      MV_COUNT MV_MIN MV_MAX MV_SUM MV_AVG MV_MEDIAN
+                  MV_FIRST MV_LAST MV_CONCAT MV_DEDUPE MV_SORT MV_SLICE
+                  MV_APPEND
 """
 
 from __future__ import annotations
 
+import base64
+import math
 import re
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -429,7 +439,208 @@ def _call(name: str, args, t: pa.Table):
         for v in arrs[1:]:
             out = pc.coalesce(out, v)
         return out
+    if name == "EXP":
+        return pc.exp(a[0])
+    if name == "LOG":
+        # LOG(x) natural log; LOG(base, x) two-arg (esql Log function)
+        if len(a) == 1:
+            return pc.ln(a[0])
+        return pc.divide(pc.ln(pc.cast(a[1], pa.float64())),
+                         math.log(float(a[0])) if not isinstance(
+                             a[0], (pa.Array, pa.ChunkedArray))
+                         else pc.ln(pc.cast(a[0], pa.float64())))
+    if name in ("SIN", "COS", "TAN", "ASIN", "ACOS", "ATAN"):
+        return getattr(pc, name.lower())(pc.cast(a[0], pa.float64()))
+    if name == "ATAN2":
+        n = len(t)
+        y = a[0] if isinstance(a[0], (pa.Array, pa.ChunkedArray)) \
+            else _as_array(float(a[0]), n)
+        x = a[1] if isinstance(a[1], (pa.Array, pa.ChunkedArray)) \
+            else _as_array(float(a[1]), n)
+        return pc.atan2(pc.cast(y, pa.float64()), pc.cast(x, pa.float64()))
+    if name == "SIGNUM":
+        return pc.cast(pc.sign(a[0]), pa.float64())
+    if name == "CBRT":
+        v = arr0().combine_chunks() if isinstance(
+            arr0(), pa.ChunkedArray) else arr0()
+        return pa.array(np.cbrt(np.asarray(pc.cast(v, pa.float64()))),
+                        pa.float64(), from_pandas=True)
+    if name == "HYPOT":
+        ax = np.asarray(pc.cast(a[0], pa.float64()).combine_chunks()
+                        if isinstance(a[0], pa.ChunkedArray)
+                        else pc.cast(a[0], pa.float64()))
+        ay = np.asarray(pc.cast(a[1], pa.float64()).combine_chunks()
+                        if isinstance(a[1], pa.ChunkedArray)
+                        else pc.cast(a[1], pa.float64()))
+        return pa.array(np.hypot(ax, ay), pa.float64(), from_pandas=True)
+    if name == "E":
+        return math.e
+    if name == "PI":
+        return math.pi
+    if name == "TAU":
+        return math.tau
+    if name == "REPEAT":
+        return pc.binary_repeat(a[0], int(a[1]))
+    if name == "SPACE":
+        reps = a[0] if isinstance(a[0], (pa.Array, pa.ChunkedArray)) \
+            else int(a[0])
+        return pc.binary_repeat(_as_array(" ", len(t)), reps)
+    if name == "BIT_LENGTH":
+        return pc.multiply(pc.binary_length(a[0]), 8)
+    if name == "BYTE_LENGTH":
+        return pc.binary_length(a[0])
+    if name == "TO_BASE64":
+        # no arrow base64 kernel: per-value codec (3-byte block coding
+        # can't be expressed as a batch string kernel)
+        vals = a[0].to_pylist()
+        return pa.array([None if v is None else
+                         base64.b64encode(v.encode()).decode("ascii")
+                         for v in vals], pa.string())
+    if name == "FROM_BASE64":
+        vals = a[0].to_pylist()
+        return pa.array([None if v is None else
+                         base64.b64decode(v).decode("utf-8", "replace")
+                         for v in vals], pa.string())
+    if name == "DATE_DIFF":
+        # elapsed WHOLE units between start and end (Java
+        # ChronoUnit.between — NOT DuckDB's boundary-crossing date_diff)
+        unit = (a[0] if isinstance(a[0], str) else str(a[0])).lower()
+        micros = {"second": 10**6, "minute": 60 * 10**6,
+                  "hour": 3600 * 10**6, "day": 86400 * 10**6,
+                  "week": 7 * 86400 * 10**6}[unit.rstrip("s")]
+        start, end = a[1], a[2]
+        d = pc.cast(pc.cast(pc.subtract(
+            pc.cast(end, pa.timestamp("us")),
+            pc.cast(start, pa.timestamp("us"))),
+            pa.duration("us")), pa.int64())
+        # arrow int64 divide truncates toward zero (C semantics) — exactly
+        # ChronoUnit.between's whole-elapsed-units behavior
+        return pc.divide(d, micros)
+    if name == "DATE_FORMAT":
+        fmt = a[0] if isinstance(a[0], str) else str(a[0])
+        # whole-second precision: arrow %S renders fractional digits on
+        # sub-second units, Java "ss" never does
+        val = pc.cast(a[1], pa.timestamp("s"), safe=False)
+        return pc.strftime(val, format=_java_strftime(fmt))
+    if name == "DATE_PARSE":
+        fmt = a[0] if isinstance(a[0], str) else str(a[0])
+        val = a[1] if isinstance(a[1], (pa.Array, pa.ChunkedArray)) \
+            else _as_array(a[1], len(t))
+        return pc.strptime(val, format=_java_strftime(fmt), unit="us")
+    if name.startswith("MV_"):
+        return _mv_call(name, a, t)
     raise ValueError(f"unsupported ES|QL function {name}")
+
+
+def _java_strftime(fmt: str) -> str:
+    """Java DateTimeFormatter pattern subset -> strftime (the esql
+    DATE_FORMAT/DATE_PARSE surface uses Java patterns)."""
+    out = fmt
+    for j, s in (("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
+                 ("HH", "%H"), ("mm", "%M"), ("ss", "%S")):
+        out = out.replace(j, s)
+    return out
+
+
+def _list_parts(arr):
+    """list column -> (lengths int64 w/ null->0, flat values array,
+    offsets int64). Rebuilt from list_value_length/list_flatten so
+    sliced or null-bearing ListArrays can't misalign (same hazard the
+    ingest foreach fix covers)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lens = pc.list_value_length(arr)
+    valid = pc.is_valid(arr)
+    lens = pc.if_else(valid, lens, 0)
+    ln = np.asarray(pc.cast(lens, pa.int64()))
+    flat = pc.list_flatten(arr)
+    off = np.concatenate([[0], np.cumsum(ln)])
+    return ln, flat, off, np.asarray(valid)
+
+
+def _mv_call(name: str, a, t: pa.Table):
+    """Multivalue (list-typed) esql functions, all segment-vectorized:
+    per-list reductions via np.add/min/max.reduceat over the flattened
+    value buffer; sort/dedupe via one factorize + lexsort over
+    (row, code) pairs — no Python loop over rows."""
+    arr = a[0]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if name == "MV_COUNT":
+        return pc.cast(pc.list_value_length(arr), pa.int64())
+    if name == "MV_CONCAT":
+        if not pa.types.is_string(arr.type.value_type):
+            arr = pc.cast(arr, pa.list_(pa.string()))
+        return pc.binary_join(arr, a[1])
+    if name == "MV_SLICE":
+        start = int(a[1])
+        stop = int(a[2]) + 1 if len(a) > 2 else None  # end inclusive
+        return pc.list_slice(arr, start, stop)
+    if name == "MV_APPEND":
+        other = a[1]
+        if isinstance(other, pa.ChunkedArray):
+            other = other.combine_chunks()
+        l1, f1, o1, v1 = _list_parts(arr)
+        l2, f2, o2, v2 = _list_parts(other)
+        rows = np.concatenate([np.repeat(np.arange(len(l1)), l1),
+                               np.repeat(np.arange(len(l2)), l2)])
+        order = np.argsort(rows, kind="stable")  # arr values first per row
+        flat = pa.concat_arrays([f1.cast(f2.type) if f1.type != f2.type
+                                 else f1, f2]).take(pa.array(order))
+        offs = np.concatenate([[0], np.cumsum(l1 + l2)])
+        return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat)
+    ln, flat, off, valid = _list_parts(arr)
+    n = len(ln)
+    nz = ln > 0
+    starts = off[:-1][nz]
+    if name in ("MV_SUM", "MV_AVG", "MV_MIN", "MV_MAX", "MV_MEDIAN"):
+        v = np.asarray(pc.cast(flat, pa.float64()))
+        out = np.full(n, np.nan)
+        if starts.size:
+            if name == "MV_SUM":
+                out[nz] = np.add.reduceat(v, starts)
+            elif name == "MV_AVG":
+                out[nz] = np.add.reduceat(v, starts) / ln[nz]
+            elif name == "MV_MIN":
+                out[nz] = np.minimum.reduceat(v, starts)
+            elif name == "MV_MAX":
+                out[nz] = np.maximum.reduceat(v, starts)
+            else:  # MV_MEDIAN: per-segment sorted interpolation
+                rows = np.repeat(np.arange(n), ln)
+                o = np.lexsort((v, rows))
+                sv = v[o]
+                h = (ln[nz] - 1) / 2.0
+                lo = starts + np.floor(h).astype(np.int64)
+                hi = starts + np.ceil(h).astype(np.int64)
+                out[nz] = (sv[lo] + sv[hi]) / 2.0
+        return pa.array(out, pa.float64(), from_pandas=True)
+    if name in ("MV_FIRST", "MV_LAST"):
+        idx = np.where(nz, off[:-1] if name == "MV_FIRST" else off[1:] - 1,
+                       0).astype(np.int64)
+        taken = flat.take(pa.array(idx, pa.int64())) if len(flat) else \
+            pa.nulls(n, arr.type.value_type)
+        mask = pa.array(nz & valid)
+        return pc.if_else(mask, taken, pa.nulls(n, taken.type))
+    if name in ("MV_SORT", "MV_DEDUPE"):
+        desc = len(a) > 1 and str(a[1]).upper() == "DESC"
+        codes, uniq = pd.factorize(np.asarray(flat.to_pandas()), sort=True)
+        rows = np.repeat(np.arange(n), ln)
+        key = -codes if desc else codes
+        o = np.lexsort((key, rows))
+        sc, sr = codes[o], rows[o]
+        if name == "MV_DEDUPE":
+            keep = np.ones(len(sc), bool)
+            if len(sc) > 1:
+                keep[1:] = (sc[1:] != sc[:-1]) | (sr[1:] != sr[:-1])
+            sc, sr = sc[keep], sr[keep]
+            ln = np.bincount(sr, minlength=n).astype(np.int64)
+        vals = pa.array(uniq[sc], type=arr.type.value_type)
+        offs = np.concatenate([[0], np.cumsum(ln)])
+        out = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+        # null input rows stay null (the length trick maps them to [])
+        return pc.if_else(pa.array(valid), out,
+                          pa.nulls(n, out.type)) if not valid.all() else out
+    raise ValueError(f"unsupported ES|QL multivalue function {name}")
 
 
 def to_dataset_filter(src: str):

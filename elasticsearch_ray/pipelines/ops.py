@@ -10012,3 +10012,56 @@ def esql_rename_drop(sf_dir: str):
         | STATS n = COUNT(*), mx = MAX(o_totalprice) BY status
         | SORT status
     ''')
+
+
+def esql_mv_functions(sf_dir: str):
+    """ES|QL multivalue function family (x-pack esql MvCount/MvFirst/
+    MvLast/MvDedupe/MvSort/MvSlice/MvConcat — AbstractMultivalueFunction
+    subclasses): SPLIT builds the per-row token list, every MV_* lowers
+    to segment-vectorized reduceat / one lexsort over (row, code) pairs —
+    no Python loop over rows (functions/esql_expr.py:_mv_call)."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents
+        | WHERE doc_id < 200
+        | EVAL words = SPLIT(text, " ")
+        | EVAL nw = MV_COUNT(words),
+               first_w = MV_FIRST(words),
+               last_w = MV_LAST(words),
+               uniq_w = MV_COUNT(MV_DEDUPE(words)),
+               head3 = MV_CONCAT(MV_SLICE(MV_SORT(words), 0, 2), "|")
+        | KEEP doc_id, nw, first_w, last_w, uniq_w, head3
+        | SORT doc_id
+        | LIMIT 500
+    ''')
+
+
+def esql_scalar_functions(sf_dir: str):
+    """ES|QL scalar math/string/date function surface (x-pack esql
+    EsqlFunctionRegistry: Exp/Log/Cbrt/Hypot/Signum, BitLength/ToBase64,
+    DateFormat/DateDiff): each call is ONE pyarrow.compute or numpy
+    kernel per batch. DATE_DIFF implements Java ChronoUnit.between
+    (whole elapsed units, trunc toward zero) — the oracle uses epoch
+    arithmetic, not DuckDB's boundary-crossing date_diff."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM orders
+        | WHERE o_orderkey < 500
+        | EVAL lp = LOG(o_totalprice),
+               r3 = CBRT(o_totalprice),
+               h = HYPOT(o_totalprice, o_custkey),
+               sg = SIGNUM(o_totalprice - 100000),
+               d = DATE_FORMAT("yyyy-MM-dd", o_orderdate),
+               bl = BIT_LENGTH(o_orderstatus),
+               b64 = TO_BASE64(o_orderpriority),
+               days = DATE_DIFF("day",
+                   DATE_PARSE("yyyy-MM-dd", "1995-01-01"), o_orderdate)
+        | KEEP o_orderkey, lp, r3, h, sg, d, bl, b64, days
+        | SORT o_orderkey
+        | LIMIT 1000
+    ''')
+    for c in ("lp", "r3", "h"):
+        out[c] = round_half_away(out[c], 4)
+    return out

@@ -116,3 +116,95 @@ def test_expression_grammar_vs_duckdb(ray_session, eq, sql):
     out = out[sorted(out.columns)]
     want = want[sorted(want.columns)]
     pd.testing.assert_frame_equal(out, want, check_dtype=False, atol=1e-9)
+
+
+# ---------------------------------------------------------------- mv + scalar
+def _ev(expr, t):
+    from elasticsearch_ray.functions.esql_expr import evaluate, parse_expr
+
+    r = evaluate(parse_expr(expr), t)
+    return r.to_pylist() if hasattr(r, "to_pylist") else r
+
+
+@pytest.fixture()
+def mv_table():
+    import pyarrow as pa
+
+    return pa.table({
+        "x": pa.array([1.0, 4.0, 9.0, None]),
+        "y": pa.array([2.0, 3.0, -4.0, 5.0]),
+        "s": pa.array(["abc", "hello", None, "zz"]),
+        "lst": pa.array([[3, 1, 2, 1], [], None, [9]],
+                        pa.list_(pa.int64())),
+        "lst2": pa.array([[10], [20, 30], [40], None],
+                         pa.list_(pa.int64())),
+        "ts": pa.array([0, 90061000, 86400000, 172800000],
+                       pa.timestamp("ms")),
+    })
+
+
+def test_mv_reductions(mv_table):
+    assert _ev("MV_COUNT(lst)", mv_table) == [4, 0, None, 1]
+    assert _ev("MV_SUM(lst)", mv_table) == [7.0, None, None, 9.0]
+    assert _ev("MV_AVG(lst)", mv_table) == [1.75, None, None, 9.0]
+    assert _ev("MV_MIN(lst)", mv_table) == [1.0, None, None, 9.0]
+    assert _ev("MV_MAX(lst)", mv_table) == [3.0, None, None, 9.0]
+    assert _ev("MV_MEDIAN(lst)", mv_table) == [1.5, None, None, 9.0]
+    assert _ev("MV_FIRST(lst)", mv_table) == [3, None, None, 9]
+    assert _ev("MV_LAST(lst)", mv_table) == [1, None, None, 9]
+
+
+def test_mv_sort_dedupe_slice_append(mv_table):
+    assert _ev("MV_SORT(lst)", mv_table) == [[1, 1, 2, 3], [], None, [9]]
+    assert _ev('MV_SORT(lst, "DESC")', mv_table) == \
+        [[3, 2, 1, 1], [], None, [9]]
+    assert _ev("MV_DEDUPE(lst)", mv_table) == [[1, 2, 3], [], None, [9]]
+    assert _ev("MV_SLICE(lst, 0, 1)", mv_table) == [[3, 1], [], None, [9]]
+    assert _ev("MV_APPEND(lst, lst2)", mv_table) == \
+        [[3, 1, 2, 1, 10], [20, 30], [40], [9]]
+    assert _ev('MV_CONCAT(lst, "-")', mv_table) == \
+        ["3-1-2-1", "", None, "9"]
+
+
+def test_scalar_math_null_propagation(mv_table):
+    import math
+
+    cb = _ev("CBRT(x)", mv_table)
+    assert cb[0] == 1.0 and cb[3] is None
+    hy = _ev("HYPOT(x, y)", mv_table)
+    assert hy[1] == 5.0 and hy[3] is None
+    assert _ev("SIGNUM(y)", mv_table) == [1.0, 1.0, -1.0, 1.0]
+    assert abs(_ev("LOG(2, x)", mv_table)[1] - 2.0) < 1e-12
+    assert _ev("PI()", mv_table) == math.pi
+
+
+def test_string_and_base64(mv_table):
+    assert _ev("REPEAT(s, 2)", mv_table) == \
+        ["abcabc", "hellohello", None, "zzzz"]
+    assert _ev("BIT_LENGTH(s)", mv_table) == [24, 40, None, 16]
+    assert _ev("TO_BASE64(s)", mv_table) == \
+        ["YWJj", "aGVsbG8=", None, "eno="]
+    assert _ev("FROM_BASE64(TO_BASE64(s))", mv_table) == \
+        ["abc", "hello", None, "zz"]
+
+
+def test_date_diff_format_parse(mv_table):
+    # ChronoUnit.between semantics: whole elapsed units, trunc toward 0
+    assert _ev('DATE_DIFF("hour", ts, ts)', mv_table) == [0, 0, 0, 0]
+    got = _ev('DATE_FORMAT("yyyy-MM-dd HH:mm:ss", ts)', mv_table)
+    assert got[1] == "1970-01-02 01:01:01"
+    import datetime
+
+    parsed = _ev('DATE_PARSE("yyyy-MM-dd", "2024-03-05")', mv_table)
+    assert parsed[0] == datetime.datetime(2024, 3, 5)
+
+
+def test_date_diff_negative_truncates_toward_zero():
+    import pyarrow as pa
+
+    t = pa.table({
+        "a": pa.array([0, 0], pa.timestamp("ms")),
+        # +36h and -36h: whole days elapsed = 1 and -1 (not 2/-2)
+        "b": pa.array([129600000, -129600000], pa.timestamp("ms")),
+    })
+    assert _ev('DATE_DIFF("day", a, b)', t) == [1, -1]
