@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 session-8 ops ---
         "esql_mv_functions", "esql_scalar_functions",
+        "esql_inlinestats", "esql_sample", "esql_row",
         # --- round-3 session-7 ops ---
         "ccnet_buckets", "esql_bucket", "esql_stats_extended",
         "esql_enrich", "esql_values_agg",
@@ -819,6 +820,23 @@ SELECT px.doc_id, d2.source, px.ppl,
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM px JOIN (SELECT doc_id, source FROM documents) d2 USING (doc_id)
 ORDER BY px.doc_id""",
+        "esql_inlinestats": """
+WITH w AS (
+  SELECT o_orderpriority, o_totalprice,
+         AVG(o_totalprice) OVER (PARTITION BY o_orderpriority) AS avg_price
+  FROM orders)
+SELECT o_orderpriority, count(*)::BIGINT AS n, MIN(o_totalprice) AS mn
+FROM w WHERE o_totalprice > avg_price
+GROUP BY 1 ORDER BY 1""",
+        "esql_sample": """
+SELECT o_orderstatus, count(*)::BIGINT AS n, max(o_totalprice) AS mx
+FROM orders
+WHERE ((o_orderkey * 2654435761 + 7 * 40503) % 4294967296)
+      < 0.125 * 4294967296
+GROUP BY 1 ORDER BY 1""",
+        "esql_row": """
+SELECT 1::BIGINT AS a, 'two' AS b, pi() AS c,
+       1 + pi() AS d, 'TWO' AS e""",
         "esql_mv_functions": """
 SELECT doc_id,
   len(str_split(text,' '))::BIGINT AS nw,

@@ -78,8 +78,8 @@ def parse(query: str) -> list[tuple[str, str]]:
             continue
         cmd, _, body = seg.partition(" ")
         stages.append((cmd.upper(), body.strip()))
-    if not stages or stages[0][0] != "FROM":
-        raise ValueError("ES|QL query must start with FROM")
+    if not stages or stages[0][0] not in ("FROM", "ROW"):
+        raise ValueError("ES|QL query must start with FROM or ROW")
     return stages
 
 
@@ -278,6 +278,31 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
     import ray.data as rd
 
     stages = parse(query)
+    if stages[0][0] == "ROW":
+        # ROW command: a single literal row as the source (x-pack esql
+        # RowExec) — each assignment evaluated against a 1-row dummy
+        from .esql_expr import evaluate, parse_expr
+
+        dummy = pa.table({"__r": pa.array([0])})
+        cols = {}
+        for item in _split_top(stages[0][1]):
+            name, _, expr = item.partition("=")
+            v = evaluate(parse_expr(expr.strip()), dummy)
+            cols[name.strip()] = v if isinstance(
+                v, (pa.Array, pa.ChunkedArray)) else pa.array([v])
+        ds = rd.from_arrow(pa.table(cols))
+        stats_specs = by = None
+        post: list[tuple[str, str]] = []
+        for cmd, body in stages[1:]:
+            if cmd == "EVAL":
+                ds = ds.map_batches(_eval_fn(body), batch_format="pyarrow")
+            elif cmd == "STATS":
+                stats_specs, by, _ = _parse_stats(body)
+            else:
+                post.append((cmd, body))
+        if stats_specs is not None:
+            return _apply_post(_stats_table(ds, stats_specs, by or []), post)
+        return _apply_post(ds.to_pandas(), post)
     table = stages[0][1].split()[0]
 
     # column pruning: every identifier later stages reference
@@ -305,6 +330,12 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
         path = os.path.join(sf_dir, f"{table}.parquet")
         schema = pq.read_schema(path).remove_metadata()
         cols = [c for c in schema.names if c in used] or schema.names
+        if any(cmd == "SAMPLE" for cmd, _ in stages[1:]):
+            # SAMPLE hashes the first integer column — keep it readable
+            key = next((c for c in schema.names
+                        if pa.types.is_integer(schema.field(c).type)), None)
+            if key and key not in cols:
+                cols = [key] + cols
         ds = rd.read_parquet(
             path, columns=cols,
             schema=pa.schema([schema.field(c) for c in cols]),
@@ -350,6 +381,20 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             jb = re.sub(r"^JOIN\s+", "", body.strip(), flags=re.I)
             ds = ds.map_batches(_lookup_join_stage(sf_dir, jb),
                                 batch_format="pyarrow")
+        elif cmd == "SAMPLE" and stats_specs is None:
+            ds = ds.map_batches(_sample_fn(body), batch_format="pyarrow")
+        elif cmd == "INLINESTATS" and stats_specs is None:
+            # ES|QL INLINESTATS (8.16 preview): aggregate, then join the
+            # group table back onto every row. Two streaming passes over
+            # the input; the group table is driver-small by contract and
+            # ray.put-broadcast into the second pass — never a shuffle
+            # join (x-pack esql InlineStats plan = aggregate + hash join).
+            ispecs, iby, iby_evals = _parse_stats(body)
+            for bev in iby_evals:
+                ds = ds.map_batches(bev, batch_format="pyarrow")
+            frame = _stats_table(ds, ispecs, iby or [])
+            ds = ds.map_batches(_inline_join_fn(frame, iby or []),
+                                batch_format="pyarrow")
         elif cmd == "STATS":
             stats_specs, by, by_evals = _parse_stats(body)
             for bev in by_evals:
@@ -361,8 +406,65 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
 
     if stats_specs is None:
         return _run_row_mode(ds, post)
-    specs, by = stats_specs, by or []
+    out = _stats_table(ds, stats_specs, by or [])
+    return _apply_post(out, post)
 
+
+def _sample_fn(body: str):
+    """SAMPLE <probability> [<seed>] (x-pack esql Sample command, 8.18).
+
+    The reference samples with a per-row RNG; this engine derives the keep
+    decision from a Knuth multiplicative hash of the row's first int64
+    column so the sample is DETERMINISTIC, partition-invariant, and
+    oracle-expressible in SQL: keep iff
+    ((key*2654435761 + seed*40503) % 2^32) < p * 2^32."""
+    parts = body.split()
+    prob = float(parts[0])
+    seed = int(parts[1]) if len(parts) > 1 else 0
+    threshold = int(prob * 4294967296)
+
+    def f(t: pa.Table) -> pa.Table:
+        key = None
+        for i, typ in enumerate(t.schema.types):
+            if pa.types.is_integer(typ):
+                key = t.column(i)
+                break
+        if key is None:
+            raise ValueError("SAMPLE needs an integer column as hash key")
+        k = np.asarray(pc.cast(key, pa.int64())).astype(np.uint64)
+        h = (k * np.uint64(2654435761) + np.uint64(seed * 40503)) \
+            % np.uint64(4294967296)
+        return t.filter(pa.array(h < np.uint64(threshold)))
+
+    return f
+
+
+def _inline_join_fn(frame: pd.DataFrame, by: list[str]):
+    """Per-batch merge of the broadcast INLINESTATS group table."""
+    import ray
+
+    ref = ray.put(frame)
+
+    def f(t: pa.Table) -> pa.Table:
+        fr = ray.get(ref)
+        df = t.to_pandas()
+        if by:
+            joined = df.merge(fr, on=by, how="left")
+        else:
+            joined = df.assign(**{c: fr[c].iloc[0] for c in fr.columns})
+        # empty batches must keep the group table's dtypes, not object
+        for c in fr.columns:
+            if c not in by:
+                joined[c] = joined[c].astype(fr[c].dtype)
+        return pa.Table.from_pandas(joined, preserve_index=False)
+
+    return f
+
+
+def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
+    """Reduce a dataset to its STATS group table (driver-small: bounded by
+    group cardinality, never row count). Shared by STATS (terminal) and
+    INLINESTATS (joined back onto the row stream)."""
     # COUNT_DISTINCT / MEDIAN / PERCENTILE / VALUES run as an exact
     # two-level pair exchange: per-batch (by, col) -> local count combiner
     # -> ONE global pair groupby -> per-key pair counts; the driver then
@@ -427,7 +529,7 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
         out = pair_frames[0]
         for r in pair_frames[1:]:
             out = out.merge(r, on=by) if by else pd.concat([out, r], axis=1)
-        return _apply_post(out[by + alias_order], post)
+        return out[by + alias_order]
 
     # STD_DEV / WEIGHTED_AVG accumulate on a 1e2 fixed-point grid
     # (int64 cents) so the partial fold is order-invariant and the final
@@ -511,8 +613,7 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
 
     for r in pair_frames:
         out = out.merge(r, on=by) if by else pd.concat([out, r], axis=1)
-    out = out[by + alias_order]
-    return _apply_post(out, post)
+    return out[by + alias_order]
 
 
 def _apply_post(out: pd.DataFrame, post: list[tuple[str, str]]) -> pd.DataFrame:

@@ -10065,3 +10065,48 @@ def esql_scalar_functions(sf_dir: str):
     for c in ("lp", "r3", "h"):
         out[c] = round_half_away(out[c], 4)
     return out
+
+
+def esql_inlinestats(sf_dir: str):
+    """ES|QL INLINESTATS (x-pack esql InlineStats, 8.16 preview):
+    aggregate, then join the group table back onto every row — here
+    'orders priced above their priority class average'. Ray shape: the
+    STATS combiner reduces to a group-cardinality table, ray.put
+    broadcasts it, the second streaming pass merges per batch (never a
+    shuffle join); the row stream is then re-aggregated."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM orders
+        | INLINESTATS avg_price = AVG(o_totalprice) BY o_orderpriority
+        | WHERE o_totalprice > avg_price
+        | STATS n = COUNT(*), mn = MIN(o_totalprice) BY o_orderpriority
+        | SORT o_orderpriority
+    ''')
+
+
+def esql_sample(sf_dir: str):
+    """ES|QL SAMPLE command (x-pack esql Sample, 8.18): probability
+    sampling pushed into a per-batch filter. The reference uses a
+    per-row RNG; this engine derives keep/drop from a Knuth
+    multiplicative hash of the first integer column so the sample is
+    deterministic, partition-invariant and oracle-expressible."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM orders
+        | SAMPLE 0.125 7
+        | STATS n = COUNT(*), mx = MAX(o_totalprice) BY o_orderstatus
+        | SORT o_orderstatus
+    ''')
+
+
+def esql_row(sf_dir: str):
+    """ES|QL ROW command (x-pack esql RowExec): literal single-row
+    source, evaluated through the same expression engine as EVAL."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        ROW a = 1, b = "two", c = PI()
+        | EVAL d = a + c, e = TO_UPPER(b)
+    ''')

@@ -224,3 +224,63 @@ def test_bucket_grouping(ray_session):
         GROUP BY 1, 2 ORDER BY 1, 2""").df()
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_inlinestats_join_back(ray_session):
+    """INLINESTATS = window aggregate joined back onto rows."""
+    import duckdb
+
+    out = esql.run(SF, """
+        FROM orders
+        | INLINESTATS avg_price = AVG(o_totalprice) BY o_orderstatus
+        | WHERE o_totalprice > avg_price
+        | STATS n = COUNT(*) BY o_orderstatus
+        | SORT o_orderstatus
+    """)
+    want = duckdb.sql(f"""
+        WITH w AS (SELECT o_orderstatus, o_totalprice,
+                     AVG(o_totalprice) OVER (PARTITION BY o_orderstatus) a
+                   FROM read_parquet('{SF}/orders.parquet'))
+        SELECT o_orderstatus, count(*) n FROM w
+        WHERE o_totalprice > a GROUP BY 1 ORDER BY 1""").df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_inlinestats_no_by(ray_session):
+    out = esql.run(SF, """
+        FROM orders
+        | INLINESTATS m = MAX(o_totalprice)
+        | WHERE o_totalprice == m
+        | KEEP o_orderkey, o_totalprice, m
+        | SORT o_orderkey
+        | LIMIT 5
+    """)
+    assert len(out) >= 1
+    assert (out["o_totalprice"] == out["m"]).all()
+
+
+def test_sample_deterministic_and_invariant(ray_session):
+    a = esql.run(SF, """
+        FROM orders | SAMPLE 0.25 3
+        | STATS n = COUNT(*) | SORT n
+    """)
+    b = esql.run(SF, """
+        FROM orders | SAMPLE 0.25 3
+        | STATS n = COUNT(*) | SORT n
+    """)
+    assert a["n"].iloc[0] == b["n"].iloc[0]
+    total = esql.run(SF, "FROM orders | STATS n = COUNT(*)")["n"].iloc[0]
+    frac = a["n"].iloc[0] / total
+    assert 0.15 < frac < 0.35  # hash-uniformity sanity band
+    # different seed -> different sample (with overwhelming probability)
+    c = esql.run(SF, """
+        FROM orders | SAMPLE 0.25 4
+        | STATS n = COUNT(*) | SORT n
+    """)
+    assert 0.15 < c["n"].iloc[0] / total < 0.35
+
+
+def test_row_literal_source(ray_session):
+    out = esql.run(SF, 'ROW a = 1, b = "two" | EVAL c = a * 10')
+    assert out.to_dict("records") == [{"a": 1, "b": "two", "c": 10}]
