@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 session-8 ops ---
         "esql_mv_functions", "esql_scalar_functions",
         "esql_inlinestats", "esql_sample", "esql_row",
+        "esql_fork", "esql_categorize",
         # --- round-3 session-7 ops ---
         "ccnet_buckets", "esql_bucket", "esql_stats_extended",
         "esql_enrich", "esql_values_agg",
@@ -820,6 +821,22 @@ SELECT px.doc_id, d2.source, px.ppl,
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM px JOIN (SELECT doc_id, source FROM documents) d2 USING (doc_id)
 ORDER BY px.doc_id""",
+        "esql_fork": """
+SELECT * FROM (
+  SELECT 'fork1' AS _fork, event_type, count(*)::BIGINT AS n
+  FROM events WHERE value > 100 GROUP BY 2
+  UNION ALL
+  SELECT 'fork2' AS _fork, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 2)
+ORDER BY _fork, event_type""",
+        "esql_categorize": """
+WITH m AS (
+  SELECT regexp_replace(
+           event_type || ' took ' || trunc(value)::BIGINT::VARCHAR || ' ms',
+           '[0-9]+', '#', 'g') AS cat
+  FROM events)
+SELECT cat, count(*)::BIGINT AS n FROM m
+GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 5""",
         "esql_inlinestats": """
 WITH w AS (
   SELECT o_orderpriority, o_totalprice,

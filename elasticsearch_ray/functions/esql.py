@@ -53,8 +53,9 @@ def _lit(tok: str):
 def parse(query: str) -> list[tuple[str, str]]:
     """Split an ES|QL string into (COMMAND, body) stages."""
     # split on | at top level only — a | inside a "string literal"
-    # (e.g. MV_CONCAT(x, "|")) is part of the expression
-    segs, buf, inq, esc = [], [], False, False
+    # (e.g. MV_CONCAT(x, "|")) or inside parentheses (FORK branches)
+    # is part of the stage body
+    segs, buf, inq, esc, depth = [], [], False, False, 0
     for ch in query:
         if esc:
             buf.append(ch)
@@ -65,7 +66,10 @@ def parse(query: str) -> list[tuple[str, str]]:
         elif ch == '"':
             buf.append(ch)
             inq = not inq
-        elif ch == "|" and not inq:
+        elif not inq and ch in "()":
+            depth += 1 if ch == "(" else -1
+            buf.append(ch)
+        elif ch == "|" and not inq and depth == 0:
             segs.append("".join(buf))
             buf = []
         else:
@@ -81,6 +85,29 @@ def parse(query: str) -> list[tuple[str, str]]:
     if not stages or stages[0][0] not in ("FROM", "ROW"):
         raise ValueError("ES|QL query must start with FROM or ROW")
     return stages
+
+
+def _fork_branches(body: str) -> list[str]:
+    """Split a FORK body into its top-level ( .. ) branch pipelines."""
+    out, buf, inq, depth = [], [], False, 0
+    for ch in body:
+        if ch == '"':
+            inq = not inq
+            buf.append(ch)
+        elif not inq and ch == "(":
+            depth += 1
+            if depth > 1:
+                buf.append(ch)
+        elif not inq and ch == ")":
+            depth -= 1
+            if depth == 0:
+                out.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return out
 
 
 def _where_fn(body: str):
@@ -278,6 +305,27 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
     import ray.data as rd
 
     stages = parse(query)
+    fork_at = next((i for i, (c, _) in enumerate(stages) if c == "FORK"),
+                   None)
+    if fork_at is not None:
+        # FORK (x-pack esql Fork, 8.19): run each parenthesized branch as
+        # its own sub-pipeline over the shared prefix, tag with _fork, and
+        # union the (driver-small) branch results. Each branch is a
+        # separate streaming pass — the reference plans N sub-plans the
+        # same way; the prefix's scan pruning/pushdown reapplies per
+        # branch.
+        prefix = " | ".join(f"{c} {b}".strip() for c, b in stages[:fork_at])
+        branches = _fork_branches(stages[fork_at][1])
+        if len(branches) < 2:
+            raise ValueError("FORK needs at least two ( .. ) branches")
+        frames = []
+        for i, br in enumerate(branches, start=1):
+            sub = run(sf_dir, prefix + (" | " + br if br.strip() else ""),
+                      reader=reader)
+            sub.insert(0, "_fork", f"fork{i}")
+            frames.append(sub)
+        out = pd.concat(frames, ignore_index=True)
+        return _apply_post(out, stages[fork_at + 1:])
     if stages[0][0] == "ROW":
         # ROW command: a single literal row as the source (x-pack esql
         # RowExec) — each assignment evaluated against a 1-row dummy

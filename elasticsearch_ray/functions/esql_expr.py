@@ -527,6 +527,10 @@ def _call(name: str, args, t: pa.Table):
         val = a[1] if isinstance(a[1], (pa.Array, pa.ChunkedArray)) \
             else _as_array(a[1], len(t))
         return pc.strptime(val, format=_java_strftime(fmt), unit="us")
+    if name == "CATEGORIZE":
+        # esql Categorize grouping function (8.16) — numeric-token
+        # wildcarding, same convention as the categorize_text agg
+        return pc.replace_substring_regex(a[0], "[0-9]+", "#")
     if name.startswith("MV_"):
         return _mv_call(name, a, t)
     raise ValueError(f"unsupported ES|QL function {name}")

@@ -10110,3 +10110,36 @@ def esql_row(sf_dir: str):
         ROW a = 1, b = "two", c = PI()
         | EVAL d = a + c, e = TO_UPPER(b)
     ''')
+
+
+def esql_fork(sf_dir: str):
+    """ES|QL FORK command (x-pack esql Fork, 8.19): two branch pipelines
+    over the shared scan — filtered and unfiltered per-type counts —
+    tagged _fork and unioned. Each branch is its own streaming pass with
+    the prefix's scan pruning reapplied (the reference plans N sub-plans
+    the same way)."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events
+        | FORK ( WHERE value > 100 | STATS n = COUNT(*) BY event_type )
+               ( STATS n = COUNT(*) BY event_type )
+        | SORT _fork, event_type
+    ''')
+
+
+def esql_categorize(sf_dir: str):
+    """ES|QL CATEGORIZE grouping function (8.16, ml TokenListCategorizer
+    analog): numeric-token wildcarding of a synthesized log message, then
+    STATS BY the category — one vectorized regex kernel per batch + the
+    partial-STATS combiner."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events
+        | EVAL msg = CONCAT(event_type, " took ",
+                            TO_STRING(TO_INTEGER(value)), " ms")
+        | STATS n = COUNT(*) BY cat = CATEGORIZE(msg)
+        | SORT n DESC, cat
+        | LIMIT 5
+    ''')

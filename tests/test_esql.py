@@ -284,3 +284,32 @@ def test_sample_deterministic_and_invariant(ray_session):
 def test_row_literal_source(ray_session):
     out = esql.run(SF, 'ROW a = 1, b = "two" | EVAL c = a * 10')
     assert out.to_dict("records") == [{"a": 1, "b": "two", "c": 10}]
+
+
+def test_fork_branches_union(ray_session):
+    import duckdb
+
+    out = esql.run(SF, """
+        FROM events
+        | FORK ( WHERE value > 50 | STATS n = COUNT(*) BY event_type )
+               ( STATS m = MAX(value) BY event_type )
+        | SORT _fork, event_type
+    """)
+    assert set(out["_fork"]) == {"fork1", "fork2"}
+    # branch 2 carries m, branch 1 carries n (union of schemas)
+    f1 = out[out["_fork"] == "fork1"]
+    want = duckdb.sql(f"""
+        SELECT count(*) n FROM read_parquet('{SF}/events.parquet')
+        WHERE value > 50 GROUP BY event_type ORDER BY event_type""").df()
+    assert f1["n"].astype("int64").tolist() == want["n"].astype("int64").tolist()
+
+
+def test_categorize_by(ray_session):
+    out = esql.run(SF, """
+        FROM events
+        | EVAL msg = CONCAT(event_type, " #", TO_STRING(user_id))
+        | STATS n = COUNT(*) BY cat = CATEGORIZE(msg)
+        | SORT cat
+    """)
+    assert all(c.endswith("##") or "#" in c for c in out["cat"])
+    assert out["n"].sum() > 0
