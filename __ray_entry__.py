@@ -91,7 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 session-8 ops ---
         "esql_mv_functions", "esql_scalar_functions",
         "esql_inlinestats", "esql_sample", "esql_row",
-        "esql_fork", "esql_categorize",
+        "esql_fork", "esql_categorize", "esql_rerank", "esql_completion",
         # --- round-3 session-7 ops ---
         "ccnet_buckets", "esql_bucket", "esql_stats_extended",
         "esql_enrich", "esql_values_agg",
@@ -821,6 +821,19 @@ SELECT px.doc_id, d2.source, px.ppl,
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM px JOIN (SELECT doc_id, source FROM documents) d2 USING (doc_id)
 ORDER BY px.doc_id""",
+        "esql_rerank": """
+WITH s AS (
+  SELECT doc_id,
+    len(list_intersect(
+          list_distinct(regexp_split_to_array(lower(text), '[^a-z0-9]+')),
+          ['the','data','batch','query']))::BIGINT AS _score
+  FROM documents)
+SELECT doc_id, _score FROM s ORDER BY _score DESC, doc_id LIMIT 10""",
+        "esql_completion": """
+SELECT doc_id,
+  'OK: ' || array_to_string((str_split('summarize: ' || text, ' '))[1:5],
+                            ' ') AS summary
+FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
         "esql_fork": """
 SELECT * FROM (
   SELECT 'fork1' AS _fork, event_type, count(*)::BIGINT AS n

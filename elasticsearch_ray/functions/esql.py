@@ -429,6 +429,10 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             jb = re.sub(r"^JOIN\s+", "", body.strip(), flags=re.I)
             ds = ds.map_batches(_lookup_join_stage(sf_dir, jb),
                                 batch_format="pyarrow")
+        elif cmd == "RERANK" and stats_specs is None:
+            ds = ds.map_batches(_rerank_fn(body), batch_format="pyarrow")
+        elif cmd == "COMPLETION" and stats_specs is None:
+            ds = ds.map_batches(_completion_fn(body), batch_format="pyarrow")
         elif cmd == "SAMPLE" and stats_specs is None:
             ds = ds.map_batches(_sample_fn(body), batch_format="pyarrow")
         elif cmd == "INLINESTATS" and stats_specs is None:
@@ -456,6 +460,102 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
         return _run_row_mode(ds, post)
     out = _stats_table(ds, stats_specs, by or [])
     return _apply_post(out, post)
+
+
+def _rerank_fn(body: str):
+    """RERANK "query" ON <field> [WITH <inference_id>] (x-pack esql
+    Rerank, 8.18): appends _score from the reranking model. No real
+    encoder ships in this container, so the inference ids are
+    DETERMINISTIC MOCKS (the reference's own yaml tests run against mock
+    inference services the same way):
+
+      overlap (default) — |distinct query tokens ∩ distinct field
+        tokens|, fully vectorized (split -> is_in -> unique (row,code)
+        pairs) and oracle-expressible in SQL;
+      hash-cosine — cosine between FNV feature-hash embeddings
+        (functions/inference.py stub model).
+
+    At scale the mock is replaced by an actor-pool model stage; the
+    batch plumbing (broadcast query, per-batch vectorized scoring) is
+    the real pattern."""
+    m = re.fullmatch(
+        r'"((?:[^"\\]|\\.)*)"\s+ON\s+([\w.]+)(?:\s+WITH\s+([\w-]+))?',
+        body.strip(), flags=re.I)
+    if not m:
+        raise ValueError(f"unsupported RERANK: {body!r}")
+    qtext, field, inf_id = m.group(1), m.group(2), m.group(3) or "overlap"
+    qtoks = [w for w in re.split(r"[^a-z0-9]+", qtext.lower()) if w]
+
+    if inf_id == "hash-cosine":
+        from .inference import _hash_tokens
+
+        qv = _hash_tokens(qtoks, 32)
+
+        def f(t: pa.Table) -> pa.Table:
+            texts = t[field].to_pylist()
+            pat = re.compile(r"[^a-z0-9]+")
+            scores = np.array([
+                float(np.dot(_hash_tokens(
+                    [w for w in pat.split((s or "").lower()) if w], 32), qv))
+                for s in texts])
+            return t.append_column("_score", pa.array(scores, pa.float64()))
+
+        return f
+
+    qset = pa.array(sorted(set(qtoks)), pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t[field])
+        toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        rows = pc.list_parent_indices(toks)
+        hit = pc.and_(pc.is_in(flat, value_set=qset),
+                      pc.not_equal(flat, ""))
+        r = np.asarray(rows)[np.asarray(hit)]
+        # distinct matched tokens per row: unique (row, token-code) pairs
+        codes = pd.factorize(np.asarray(flat.to_pandas())[np.asarray(hit)])[0]
+        uniq = np.unique(np.stack([r, codes], axis=1), axis=0) \
+            if len(r) else np.empty((0, 2), np.int64)
+        score = np.bincount(uniq[:, 0].astype(np.int64),
+                            minlength=len(t)).astype(np.int64)
+        return t.append_column("_score", pa.array(score, pa.int64()))
+
+    return f
+
+
+def _completion_fn(body: str):
+    """COMPLETION <target> = <prompt expr> [WITH <inference_id>]
+    (x-pack esql Completion, 8.19): appends the model completion of the
+    prompt. The only inference id in this container is the DETERMINISTIC
+    MOCK `echo-5` — 'OK: ' + the prompt's first five whitespace tokens —
+    mirroring the reference's mock-service yaml tests; the plumbing
+    (prompt expr evaluated per batch, completion appended) is real."""
+    m = re.fullmatch(r"([\w.]+)\s*=\s*(.+?)(?:\s+WITH\s+([\w-]+))?",
+                     body.strip(), flags=re.I | re.S)
+    if not m:
+        raise ValueError(f"unsupported COMPLETION: {body!r}")
+    target, expr, inf_id = m.group(1), m.group(2), m.group(3) or "echo-5"
+    if inf_id != "echo-5":
+        raise ValueError(f"unknown inference id {inf_id!r} (mock: echo-5)")
+    from .esql_expr import parse_expr
+
+    ast = parse_expr(expr)
+
+    def f(t: pa.Table) -> pa.Table:
+        from .esql_expr import evaluate
+
+        prompt = evaluate(ast, t)
+        if not isinstance(prompt, (pa.Array, pa.ChunkedArray)):
+            prompt = pa.array([str(prompt)] * len(t))
+        toks = pc.split_pattern(prompt, " ")
+        head = pc.list_slice(toks, 0, 5)
+        out = pc.binary_join_element_wise(
+            pa.array(["OK:"] * len(t)), pc.binary_join(head, " "), " ")
+        return t.append_column(target, out)
+
+    return f
 
 
 def _sample_fn(body: str):

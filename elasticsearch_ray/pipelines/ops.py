@@ -10143,3 +10143,40 @@ def esql_categorize(sf_dir: str):
         | SORT n DESC, cat
         | LIMIT 5
     ''')
+
+
+def esql_rerank(sf_dir: str):
+    """ES|QL RERANK command (x-pack esql Rerank, 8.18): appends a model
+    relevance _score per row. The inference id here is the deterministic
+    lexical-overlap MOCK (the reference's yaml tests run against mock
+    inference services the same way); scoring is fully vectorized —
+    split -> is_in(query set) -> unique (row, token) pairs -> bincount.
+    At 100 TB the mock swaps for an actor-pool cross-encoder stage with
+    identical batch plumbing."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents
+        | RERANK "the data batch query" ON text
+        | SORT _score DESC, doc_id
+        | KEEP doc_id, _score
+        | LIMIT 10
+    ''')
+
+
+def esql_completion(sf_dir: str):
+    """ES|QL COMPLETION command (x-pack esql Completion, 8.19): appends
+    the model completion of a per-row prompt expression. Only the
+    deterministic echo-5 MOCK ships in this container (no real LLM);
+    the plumbing — prompt expr evaluated per batch, completion column
+    appended via arrow list kernels — is the real pattern."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents
+        | WHERE doc_id < 100
+        | COMPLETION summary = CONCAT("summarize: ", text) WITH echo-5
+        | KEEP doc_id, summary
+        | SORT doc_id
+        | LIMIT 100
+    ''')

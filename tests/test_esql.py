@@ -313,3 +313,36 @@ def test_categorize_by(ray_session):
     """)
     assert all(c.endswith("##") or "#" in c for c in out["cat"])
     assert out["n"].sum() > 0
+
+
+def test_rerank_overlap_and_cosine(ray_session):
+    out = esql.run(SF, """
+        FROM documents
+        | RERANK "data batch spark" ON text
+        | SORT _score DESC, doc_id
+        | KEEP doc_id, _score
+        | LIMIT 5
+    """)
+    assert (out["_score"].iloc[0] >= out["_score"]).all()
+    assert out["_score"].iloc[0] <= 3  # at most |query token set|
+    cos = esql.run(SF, """
+        FROM documents
+        | RERANK "data batch spark" ON text WITH hash-cosine
+        | SORT _score DESC, doc_id
+        | KEEP doc_id, _score
+        | LIMIT 5
+    """)
+    assert ((cos["_score"] <= 1.0) & (cos["_score"] >= -1.0)).all()
+
+
+def test_completion_echo_mock(ray_session):
+    out = esql.run(SF, """
+        FROM documents
+        | WHERE doc_id < 5
+        | COMPLETION c = text WITH echo-5
+        | KEEP doc_id, c
+        | SORT doc_id
+        | LIMIT 5
+    """)
+    assert all(c.startswith("OK: ") for c in out["c"])
+    assert all(len(c[4:].split(" ")) <= 5 for c in out["c"])
