@@ -78,3 +78,77 @@ def test_esql_random_pipelines_match_duckdb(ray_session, seed):
             want[cols].reset_index(drop=True),
             check_dtype=False, atol=1e-9, rtol=1e-12,
             obj=f"esql {q!r}")
+
+
+DOC = f"read_parquet('{SF}/documents.parquet')"
+
+# (esql expr, duckdb expr) pairs over events/documents — every new scalar
+# and multivalue function family member with a SQL twin
+_SCALAR_PAIRS = [
+    ("ABS(value - 50)", "abs(value - 50)"),
+    ("ROUND(SQRT(value), 4)", "round(sqrt(value), 4)"),
+    ("ROUND(CBRT(value), 6)", "round(cbrt(value), 6)"),
+    ("ROUND(EXP(value / 100), 6)", "round(exp(value / 100), 6)"),
+    ("ROUND(LOG(value + 1), 6)", "round(ln(value + 1), 6)"),
+    ("ROUND(HYPOT(value, value), 4)",
+     "round(sqrt(2 * value * value), 4)"),
+    ("SIGNUM(value - 40)", "sign(value - 40)::DOUBLE"),
+    ("GREATEST(value, 50.0)", "greatest(value, 50.0)"),
+    ("REPEAT(event_type, 2)", "repeat(event_type, 2)"),
+    ("BIT_LENGTH(event_type)", "(8 * length(event_type))::BIGINT"),
+    ("TO_BASE64(event_type)", "to_base64(event_type::BLOB)"),
+    ("SUBSTRING(event_type, 2, 3)", "substring(event_type, 2, 3)"),
+]
+
+_MV_PAIRS = [
+    ('MV_COUNT(SPLIT(text, " "))',
+     "len(str_split(text, ' '))::BIGINT"),
+    ('MV_FIRST(MV_SORT(SPLIT(text, " ")))',
+     "list_sort(str_split(text, ' '))[1]"),
+    ('MV_LAST(MV_SORT(SPLIT(text, " ")))',
+     "list_sort(str_split(text, ' '))[-1]"),
+    ('MV_COUNT(MV_DEDUPE(SPLIT(text, " ")))',
+     "len(list_distinct(str_split(text, ' ')))::BIGINT"),
+    ('MV_CONCAT(MV_SLICE(MV_SORT(SPLIT(text, " ")), 0, 1), ",")',
+     "array_to_string(list_sort(str_split(text, ' '))[1:2], ',')"),
+]
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_esql_function_fuzz_vs_duckdb(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(8):
+        pairs = [(_SCALAR_PAIRS[i])
+                 for i in rng.choice(len(_SCALAR_PAIRS), size=3,
+                                     replace=False)]
+        thr = int(rng.integers(0, 60))
+        evals = ", ".join(f"c{i} = {e}" for i, (e, _) in enumerate(pairs))
+        cols = ", ".join(f"c{i}" for i in range(len(pairs)))
+        q = (f"FROM events | WHERE value > {thr} | EVAL {evals}"
+             f" | KEEP event_id, {cols} | SORT event_id | LIMIT 150")
+        sqle = ", ".join(f"{s} AS c{i}" for i, (_, s) in enumerate(pairs))
+        sql = (f"SELECT event_id, {sqle} FROM {EV} WHERE value > {thr} "
+               f"ORDER BY event_id LIMIT 150")
+        got, want = esql.run(SF, q), duckdb.sql(sql).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False, atol=1e-9, obj=f"esql {q!r}")
+
+
+def test_esql_mv_fuzz_vs_duckdb(ray_session):
+    rng = np.random.default_rng(23)
+    for _ in range(5):
+        pairs = [(_MV_PAIRS[i])
+                 for i in rng.choice(len(_MV_PAIRS), size=2, replace=False)]
+        lo = int(rng.integers(0, 300))
+        evals = ", ".join(f"m{i} = {e}" for i, (e, _) in enumerate(pairs))
+        cols = ", ".join(f"m{i}" for i in range(len(pairs)))
+        q = (f"FROM documents | WHERE doc_id >= {lo} | EVAL {evals}"
+             f" | KEEP doc_id, {cols} | SORT doc_id | LIMIT 120")
+        sqle = ", ".join(f"{s} AS m{i}" for i, (_, s) in enumerate(pairs))
+        sql = (f"SELECT doc_id, {sqle} FROM {DOC} WHERE doc_id >= {lo} "
+               f"ORDER BY doc_id LIMIT 120")
+        got, want = esql.run(SF, q), duckdb.sql(sql).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False, atol=1e-9, obj=f"esql {q!r}")
