@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-10 ops ---
+        "esql_stats_where", "esql_change_point", "esql_ip_functions",
         # --- round-3 session-8 ops ---
         "esql_mv_functions", "esql_scalar_functions",
         "esql_inlinestats", "esql_sample", "esql_row",
@@ -759,6 +761,27 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "esql_stats_where": """
+SELECT event_type, COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS errs,
+       ROUND(AVG(value) FILTER (WHERE value > 50), 4) AS hi_avg,
+       ROUND(SUM(value) FILTER (WHERE value <= 50), 2) AS lo_sum
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "esql_change_point": """
+WITH d AS (SELECT date_trunc('day', ts) AS day, COUNT(*) AS c
+           FROM events GROUP BY 1),
+s AS (SELECT day, c,
+      SUM(c) OVER (ORDER BY day)
+        - ROW_NUMBER() OVER (ORDER BY day) * (AVG(c) OVER ()) AS cu,
+      COUNT(*) OVER () AS n, ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM d)
+SELECT strftime(day, '%Y-%m-%d') AS day, c, 'step_change' AS type
+FROM s WHERE rn < n ORDER BY ABS(cu) DESC, day LIMIT 1""",
+        "esql_ip_functions": """
+WITH e AS (SELECT (user_id * 2654435761) % 4294967296 AS v FROM events),
+f AS (SELECT v FROM e WHERE v < 536870912)
+SELECT CAST(v // 16777216 AS VARCHAR) || '.0.0.0' AS net, COUNT(*) AS n
+FROM f GROUP BY 1 ORDER BY net LIMIT 100""",
         "source_dup_matrix": r"""
 WITH f AS (SELECT doc_id, source,
                   array_to_string(list_slice(list_filter(

@@ -28,6 +28,7 @@ supported — enough to run the reference's documented example pipelines.
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -289,12 +290,16 @@ def _parse_stats(body: str) -> tuple[list[tuple], list[str], list]:
     specs = []
     for item in _split_top(aggs_part):
         alias, _, call = item.partition("=")
+        # per-aggregate filter clause: `alias = FN(col) WHERE pred`
+        # (esql FilteredExpression, 8.16) — the predicate masks the rows
+        # feeding THIS aggregate only; groups still form over all rows
+        call, _, where_src = call.strip().partition(" WHERE ")
         m = re.fullmatch(
             r"(\w+)\(\s*(\*|[\w.]+)\s*(?:,\s*([\w.]+)\s*)?\)", call.strip())
         if not m or m.group(1).upper() not in _AGGS:
             raise ValueError(f"unsupported STATS agg: {item!r}")
         specs.append((alias.strip(), m.group(1).upper(), m.group(2),
-                      m.group(3)))
+                      m.group(3), where_src.strip() or None))
     return specs, by, by_evals
 
 
@@ -451,7 +456,12 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             stats_specs, by, by_evals = _parse_stats(body)
             for bev in by_evals:
                 ds = ds.map_batches(bev, batch_format="pyarrow")
-        elif cmd in ("SORT", "LIMIT", "KEEP", "WHERE"):
+        elif cmd in ("SORT", "LIMIT", "KEEP", "WHERE", "CHANGE_POINT"):
+            if cmd == "CHANGE_POINT" and stats_specs is None:
+                raise ValueError(
+                    "CHANGE_POINT requires a preceding STATS (the command "
+                    "is bounded to a reduced series; x-pack esql caps it "
+                    "at 1,000 input rows for the same reason)")
             post.append((cmd, body))
         else:
             raise ValueError(f"unsupported ES|QL command: {cmd}")
@@ -621,15 +631,22 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
     # — PercentilesAggregationBuilder; the sketched analog is
     # aggs/tdigest.py. This exact path exists so the DuckDB oracle matches
     # bit-for-bit, same trade as esql COUNT_DISTINCT vs agg_cardinality.)
+    from .esql_expr import compile_predicate
+
     alias_order = [a for a, *_ in specs]
+    # one compiled mask per distinct per-agg WHERE source (8.16 filtered
+    # aggregates); compiled once here, applied per batch inside the partials
+    preds = {w: compile_predicate(w) for *_, w in specs if w}
     pair_fns = ("COUNT_DISTINCT", "MEDIAN", "PERCENTILE", "VALUES")
     pair_specs = [s for s in specs if s[1] in pair_fns]
     specs = [s for s in specs if s[1] not in pair_fns]
     pair_frames: list[pd.DataFrame] = []
-    for alias, fn, col, arg2 in pair_specs:
+    for alias, fn, col, arg2, where in pair_specs:
         keys = by + [col]
 
-        def local_pairs(t: pa.Table, _k=tuple(keys)) -> pa.Table:
+        def local_pairs(t: pa.Table, _k=tuple(keys), _w=where) -> pa.Table:
+            if _w is not None:
+                t = preds[_w](t)
             g = (t.select(list(_k)).group_by(list(_k))
                  .aggregate([([], "count_all")]))
             return g.rename_columns(
@@ -687,9 +704,19 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
         df = t.to_pandas()
         if df.empty:
             return pa.table({})
-        g = df.groupby(by) if by else df.assign(__g=0).groupby("__g")
-        out = {}
-        for alias, fn, col, arg2 in specs:
+        frames = {None: df}
+        for w, p in preds.items():
+            frames[w] = p(t).to_pandas()
+
+        def grp(d):
+            return d.groupby(by) if by else d.assign(__g=0).groupby("__g")
+
+        groups = {w: grp(d) for w, d in frames.items()}
+        # group presence comes from ALL rows: a group whose per-agg
+        # filters match nothing must still appear (with 0/null values)
+        out = {"__all__": groups[None].size()}
+        for alias, fn, col, arg2, where in specs:
+            df_s, g = frames[where], groups[where]
             if fn == "COUNT":
                 out[f"__c_{alias}"] = g.size()
             elif fn in ("SUM", "AVG"):
@@ -700,17 +727,17 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
             elif fn == "MAX":
                 out[f"__mx_{alias}"] = g[col].max()
             elif fn == "STD_DEV":
-                cents = np.round(df[col].to_numpy() * 100).astype(np.int64)
-                d2 = df.assign(__v=cents, __v2=cents * cents)
-                g2 = d2.groupby(by) if by else d2.assign(__g=0).groupby("__g")
+                cents = np.round(df_s[col].to_numpy() * 100).astype(np.int64)
+                d2 = df_s.assign(__v=cents, __v2=cents * cents)
+                g2 = grp(d2)
                 out[f"__c_{alias}"] = g2.size()
                 out[f"__s_{alias}"] = g2["__v"].sum()
                 out[f"__q_{alias}"] = g2["__v2"].sum()
             elif fn == "WEIGHTED_AVG":
-                cv = np.round(df[col].to_numpy() * 100).astype(np.int64)
-                cw = np.round(df[arg2].to_numpy() * 100).astype(np.int64)
-                d2 = df.assign(__vw=cv * cw, __w=cw)
-                g2 = d2.groupby(by) if by else d2.assign(__g=0).groupby("__g")
+                cv = np.round(df_s[col].to_numpy() * 100).astype(np.int64)
+                cw = np.round(df_s[arg2].to_numpy() * 100).astype(np.int64)
+                d2 = df_s.assign(__vw=cv * cw, __w=cw)
+                g2 = grp(d2)
                 out[f"__s_{alias}"] = g2["__vw"].sum()
                 out[f"__w_{alias}"] = g2["__w"].sum()
         res = pd.DataFrame(out).reset_index()
@@ -719,15 +746,32 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
         return pa.Table.from_pandas(res, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # an all-empty partial stream loses its schema in to_pandas() (0x0
+    # frame) — e.g. every per-agg filter matched nothing; re-materialize
+    # the expected partial columns so the merge below stays well-typed
+    _prefixes = {"COUNT": ("__c",), "SUM": ("__s", "__c"),
+                 "AVG": ("__s", "__c"), "MIN": ("__mn",), "MAX": ("__mx",),
+                 "STD_DEV": ("__c", "__s", "__q"),
+                 "WEIGHTED_AVG": ("__s", "__w")}
+    for alias, fn, *_ in specs:
+        for p in _prefixes[fn]:
+            if f"{p}_{alias}" not in parts.columns:
+                parts[f"{p}_{alias}"] = np.nan
+    for k in by:
+        if k not in parts.columns:
+            parts[k] = pd.Series([], dtype=object)
     if by:
         merged = parts.groupby(by, as_index=False).sum(min_count=1)
     else:
-        agg = {c: ("min" if c.startswith("__mn") else
-                   "max" if c.startswith("__mx") else "sum")
-               for c in parts.columns}
-        merged = pd.DataFrame([{c: parts[c].agg(f) for c, f in agg.items()}])
+        # min_count=1 keeps an all-null partial column null (a filtered
+        # aggregate whose mask matched no rows) instead of summing to 0
+        merged = pd.DataFrame([{
+            c: (parts[c].min() if c.startswith("__mn") else
+                parts[c].max() if c.startswith("__mx") else
+                parts[c].sum(min_count=1))
+            for c in parts.columns}])
     # min/max partials merge by min/max, not sum
-    for alias, fn, _, _ in specs:
+    for alias, fn, *_ in specs:
         if fn == "MIN" and by:
             merged[f"__mn_{alias}"] = (
                 parts.groupby(by)[f"__mn_{alias}"].min().to_numpy())
@@ -736,9 +780,10 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
                 parts.groupby(by)[f"__mx_{alias}"].max().to_numpy())
 
     out = merged[by].copy() if by else pd.DataFrame(index=[0])
-    for alias, fn, _, _ in specs:
+    for alias, fn, *_ in specs:
         if fn == "COUNT":
-            out[alias] = merged[f"__c_{alias}"].astype("int64")
+            # a filtered COUNT over a group with no qualifying rows is 0
+            out[alias] = merged[f"__c_{alias}"].fillna(0).astype("int64")
         elif fn == "SUM":
             out[alias] = merged[f"__s_{alias}"]
         elif fn == "AVG":
@@ -783,7 +828,43 @@ def _apply_post(out: pd.DataFrame, post: list[tuple[str, str]]) -> pd.DataFrame:
 
             t = pa.Table.from_pandas(out, preserve_index=False)
             out = compile_predicate(body)(t).to_pandas()
+        elif cmd == "CHANGE_POINT":
+            out = _change_point(out, body)
     return out.reset_index(drop=True)
+
+
+def _change_point(out: pd.DataFrame, body: str) -> pd.DataFrame:
+    """CHANGE_POINT <value> ON <key> [AS <type_col>, <pvalue_col>] (x-pack
+    esql ChangePoint command, 8.18). Simplified to the CUSUM mean-shift
+    statistic (same kernel as the change_point agg, ops.py
+    agg_change_point): the change row is argmax |cumsum(v - mean)| over
+    the key-ordered series; `type` is 'step_change' and `pvalue` a
+    two-sided z-test between the two segments. The input is the reduced
+    STATS table — driver-small by contract (the reference caps the
+    command at 1,000 rows for the same reason)."""
+    m = re.fullmatch(r"([\w.]+)\s+ON\s+([\w.]+)"
+                     r"(?:\s+AS\s+([\w.]+)\s*,\s*([\w.]+))?", body.strip(),
+                     flags=re.I)
+    if not m:
+        raise ValueError(f"unsupported CHANGE_POINT: {body!r}")
+    val, key, tcol, pcol = m.groups()
+    tcol, pcol = tcol or "type", pcol or "pvalue"
+    out = out.sort_values(key).reset_index(drop=True)
+    v = out[val].to_numpy().astype(np.float64)
+    cu = np.cumsum(v - v.mean())
+    # cu[-1] == 0 by construction; argmax over the interior splits the
+    # series into two non-empty segments
+    i = int(np.argmax(np.abs(cu[:-1])))
+    before, after = v[:i + 1], v[i + 1:]
+    se = np.sqrt(before.var(ddof=1) / len(before) +
+                 after.var(ddof=1) / len(after)) or 1.0
+    z = abs(float(after.mean() - before.mean()) / se)
+    pv = float(math.erfc(z / math.sqrt(2.0)))
+    out[tcol] = pd.Series([None] * len(out), dtype=object)
+    out.loc[i, tcol] = "step_change"
+    out[pcol] = np.nan
+    out.loc[i, pcol] = pv
+    return out
 
 
 def _run_row_mode(ds, post: list[tuple[str, str]]) -> pd.DataFrame:

@@ -531,9 +531,79 @@ def _call(name: str, args, t: pa.Table):
         # esql Categorize grouping function (8.16) — numeric-token
         # wildcarding, same convention as the categorize_text agg
         return pc.replace_substring_regex(a[0], "[0-9]+", "#")
+    if name == "TO_DATETIME":
+        # string -> ISO parse; number -> epoch MILLIS (esql ToDatetime
+        # semantics: numeric input is millis-since-epoch)
+        v = a[0]
+        typ = v.type if isinstance(v, (pa.Array, pa.ChunkedArray)) else None
+        if typ is not None and pa.types.is_string(typ):
+            return pc.strptime(v, format="%Y-%m-%dT%H:%M:%S", unit="us")
+        ms = pc.cast(v, pa.int64()) if typ is not None else int(v)
+        return pc.cast(pc.multiply(ms, 1000), pa.timestamp("us"))
+    if name == "TO_BOOLEAN":
+        v = a[0]
+        typ = v.type if isinstance(v, (pa.Array, pa.ChunkedArray)) else None
+        if typ is not None and pa.types.is_string(typ):
+            return pc.equal(pc.utf8_lower(v), "true")
+        if typ is not None:
+            return pc.not_equal(pc.cast(v, pa.float64()), 0.0)
+        return bool(v)
+    if name == "TO_VERSION":
+        return pc.cast(a[0], pa.string()) if isinstance(
+            a[0], (pa.Array, pa.ChunkedArray)) else str(a[0])
+    if name == "TO_IP":
+        # validation-only at this layer: dotted-quad strings pass through
+        # canonically (IpFieldMapper stores the packed form; our columnar
+        # carrier is the canonical string)
+        _ipv4_to_u32(a[0])
+        return a[0]
+    if name == "CIDR_MATCH":
+        # CIDR_MATCH(ip, "block", ...) — true when ip falls in ANY block
+        # (esql CIDRMatch, same contract as the `terms` CIDR filter on an
+        # ip field). Fully vectorized: one u32 parse + per-block shift-eq.
+        v = _ipv4_to_u32(a[0])
+        out = None
+        for block in a[1:]:
+            net, _, plen = str(block).partition("/")
+            p = int(plen) if plen else 32
+            shift = np.uint32(32 - p)
+            netv = _ipv4_to_u32(pa.array([net]))[0] >> shift
+            hit = (v >> shift) == netv if p else np.ones(len(v), bool)
+            out = hit if out is None else (out | hit)
+        return pa.array(out)
+    if name == "IP_PREFIX":
+        # IP_PREFIX(ip, v4len, v6len) -> network address at that prefix
+        # (esql IpPrefix, 8.14); v6 inputs are out of scope (v4 corpus).
+        v = _ipv4_to_u32(a[0])
+        p = int(a[1])
+        masked = (v >> np.uint32(32 - p)) << np.uint32(32 - p) \
+            if p else np.zeros(len(v), np.uint32)
+        parts = [pc.cast(pa.array(((masked >> s) & 0xFF).astype(np.int64)),
+                         pa.string()) for s in (24, 16, 8, 0)]
+        return pc.binary_join_element_wise(
+            parts[0], parts[1], parts[2], parts[3], ".")
     if name.startswith("MV_"):
         return _mv_call(name, a, t)
     raise ValueError(f"unsupported ES|QL function {name}")
+
+
+def _ipv4_to_u32(arr) -> np.ndarray:
+    """Dotted-quad string array -> uint32 vector (no per-row Python: one
+    split kernel, one flat int cast, one stride-4 dot)."""
+    if isinstance(arr, str):
+        arr = pa.array([arr])
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    parts = pc.split_pattern(arr, ".")
+    if parts.null_count or not np.all(
+            np.asarray(pc.list_value_length(parts)) == 4):
+        raise ValueError("TO_IP: malformed IPv4 literal in input")
+    flat = np.asarray(pc.cast(parts.flatten(), pa.int64()))
+    if flat.min() < 0 or flat.max() > 255:
+        raise ValueError("TO_IP: octet out of range")
+    o = flat.reshape(-1, 4).astype(np.uint32)
+    return (o[:, 0] << np.uint32(24)) | (o[:, 1] << np.uint32(16)) \
+        | (o[:, 2] << np.uint32(8)) | o[:, 3]
 
 
 def _java_strftime(fmt: str) -> str:

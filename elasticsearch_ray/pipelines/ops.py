@@ -10180,3 +10180,69 @@ def esql_completion(sf_dir: str):
         | SORT doc_id
         | LIMIT 100
     ''')
+
+
+def esql_stats_where(sf_dir: str):
+    """ES|QL per-aggregate WHERE filter (x-pack esql FilteredExpression,
+    8.16): each aggregate takes its own row mask; groups still form over
+    ALL rows, so a group whose filter matches nothing reports COUNT 0 /
+    null. The masks compile once (esql_expr.compile_predicate) and apply
+    inside the per-batch partial combiner — the exchange stays the tiny
+    group-cardinality table."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | STATS n = COUNT(*),
+                errs = COUNT(*) WHERE event_type == "error",
+                hi_avg = AVG(value) WHERE value > 50,
+                lo_sum = SUM(value) WHERE value <= 50
+          BY event_type
+        | SORT event_type
+    ''')
+    out["hi_avg"] = round_half_away(out["hi_avg"].to_numpy(), 4)
+    out["lo_sum"] = round_half_away(out["lo_sum"].to_numpy(), 2)
+    return out
+
+
+def esql_change_point(sf_dir: str):
+    """ES|QL CHANGE_POINT command (x-pack esql ChangePoint, 8.18,
+    simplified to the CUSUM mean-shift statistic — same kernel as
+    agg_change_point): runs over the reduced STATS series (driver-small
+    by contract; the reference caps the command at 1,000 rows). The
+    engine also emits a two-sided z-test pvalue; the gate keeps the
+    deterministic columns."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | STATS c = COUNT(*) BY day = BUCKET(ts, 1 day)
+        | CHANGE_POINT c ON day
+        | WHERE type IS NOT NULL
+        | KEEP day, c, type
+    ''')
+    out["day"] = out["day"].dt.strftime("%Y-%m-%d")
+    return out
+
+
+def esql_ip_functions(sf_dir: str):
+    """ES|QL IP function family (x-pack esql CIDRMatch / IpPrefix /
+    ToIP): synthesizes the per-user IPv4 used by ip_cidr_filter with
+    pure ES|QL arithmetic, filters to 0.0.0.0/3 via CIDR_MATCH and
+    aggregates per /8 network from IP_PREFIX. The u32 parse is one
+    split kernel + one stride-4 dot per batch — no per-row Python."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events
+        | EVAL v = MOD(user_id * 2654435761, 4294967296)
+        | EVAL ip = CONCAT(TO_STRING(v / 16777216), ".",
+                           TO_STRING(MOD(v / 65536, 256)), ".",
+                           TO_STRING(MOD(v / 256, 256)), ".",
+                           TO_STRING(MOD(v, 256)))
+        | WHERE CIDR_MATCH(TO_IP(ip), "0.0.0.0/3")
+        | EVAL net = IP_PREFIX(ip, 8, 0)
+        | STATS n = COUNT(*) BY net
+        | SORT net
+        | LIMIT 100
+    ''')

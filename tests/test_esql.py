@@ -346,3 +346,79 @@ def test_completion_echo_mock(ray_session):
     """)
     assert all(c.startswith("OK: ") for c in out["c"])
     assert all(len(c[4:].split(" ")) <= 5 for c in out["c"])
+
+
+def test_stats_where_filtered_aggregates(ray_session):
+    """Per-aggregate WHERE (FilteredExpression, 8.16): masks apply per
+    aggregate, groups form over ALL rows, no-match groups give 0/null."""
+    out = esql.run(SF, '''
+        FROM events
+        | STATS n = COUNT(*),
+                none = COUNT(*) WHERE value > 1000000,
+                s = SUM(value) WHERE value > 1000000
+          BY event_type
+        | SORT event_type
+    ''')
+    assert (out["none"] == 0).all()
+    assert out["s"].isna().all()
+    assert (out["n"] > 0).all()
+
+
+def test_stats_where_no_by_null_sum(ray_session):
+    out = esql.run(SF, '''
+        FROM events
+        | STATS s = SUM(value) WHERE value > 1000000,
+                c = COUNT(*) WHERE value > 1000000
+    ''')
+    assert out["s"].isna().all()
+    assert int(out["c"].iloc[0]) == 0
+
+
+def test_change_point_planted_step(ray_session):
+    """CUSUM mean-shift finds the boundary of a planted step series and
+    the z-test pvalue is tiny for a clean shift."""
+    from elasticsearch_ray.functions.esql import _change_point
+
+    df = pd.DataFrame({"k": range(20),
+                       "v": [10.0] * 10 + [50.0] * 10})
+    # tiny jitter keeps segment variance nonzero without moving the argmax
+    df.loc[3, "v"] += 0.5
+    df.loc[15, "v"] -= 0.5
+    out = _change_point(df, "v ON k")
+    hit = out[out["type"].notna()]
+    assert len(hit) == 1
+    assert int(hit["k"].iloc[0]) == 9  # last point of the low segment
+    assert float(hit["pvalue"].iloc[0]) < 1e-6
+
+
+def test_change_point_requires_stats(ray_session):
+    with pytest.raises(ValueError, match="CHANGE_POINT requires"):
+        esql.run(SF, "FROM events | CHANGE_POINT value ON ts | LIMIT 5")
+
+
+def test_ip_function_family(ray_session):
+    """CIDR_MATCH boundary inclusion, IP_PREFIX masking, TO_IP checks."""
+    import pyarrow as pa
+
+    from elasticsearch_ray.functions.esql_expr import evaluate, parse_expr
+
+    t = pa.table({"ip": ["10.0.0.0", "10.255.255.255", "11.0.0.0",
+                         "192.168.1.130", "0.0.0.0"]})
+    got = evaluate(parse_expr('CIDR_MATCH(ip, "10.0.0.0/8")'), t).to_pylist()
+    assert got == [True, True, False, False, False]
+    got = evaluate(parse_expr('CIDR_MATCH(ip, "10.0.0.0/8", '
+                              '"192.168.1.128/25")'), t).to_pylist()
+    assert got == [True, True, False, True, False]
+    pfx = evaluate(parse_expr("IP_PREFIX(ip, 25, 0)"), t).to_pylist()
+    assert pfx == ["10.0.0.0", "10.255.255.128", "11.0.0.0",
+                   "192.168.1.128", "0.0.0.0"]
+    # /32 and /0 edges
+    assert evaluate(parse_expr("IP_PREFIX(ip, 32, 0)"), t).to_pylist() \
+        == t["ip"].to_pylist()
+    assert set(evaluate(parse_expr("IP_PREFIX(ip, 0, 0)"), t).to_pylist()) \
+        == {"0.0.0.0"}
+    with pytest.raises(ValueError, match="TO_IP"):
+        evaluate(parse_expr("TO_IP(ip)"),
+                 pa.table({"ip": ["300.1.2.3"]}))
+    with pytest.raises(ValueError, match="TO_IP"):
+        evaluate(parse_expr("TO_IP(ip)"), pa.table({"ip": ["1.2.3"]}))

@@ -39,8 +39,16 @@ def _case(rng: np.random.Generator):
                          size=rng.integers(1, 4), replace=False):
         alias = f"a_{fn.lower()}"
         src = "*" if fn == "COUNT" else col
-        aggs.append(f"{alias} = {fn}({src})")
-        sql_aggs.append(f"{fn}({'*' if fn == 'COUNT' else col}) AS {alias}")
+        filt = sql_filt = ""
+        if rng.random() < 0.4:
+            # per-aggregate WHERE (esql FilteredExpression, 8.16) — the
+            # SQL twin is the standard FILTER clause
+            fthr = int(rng.integers(0, 100))
+            filt = f" WHERE value < {fthr}"
+            sql_filt = f" FILTER (WHERE value < {fthr})"
+        aggs.append(f"{alias} = {fn}({src}){filt}")
+        sql_aggs.append(
+            f"{fn}({'*' if fn == 'COUNT' else col}){sql_filt} AS {alias}")
     by = rng.random() < 0.7
 
     q = "FROM events"
@@ -98,6 +106,8 @@ _SCALAR_PAIRS = [
     ("BIT_LENGTH(event_type)", "(8 * length(event_type))::BIGINT"),
     ("TO_BASE64(event_type)", "to_base64(event_type::BLOB)"),
     ("SUBSTRING(event_type, 2, 3)", "substring(event_type, 2, 3)"),
+    ("TO_BOOLEAN(value - 50)", "(value - 50) <> 0"),
+    ("TO_VERSION(event_type)", "event_type"),
 ]
 
 _MV_PAIRS = [
