@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
+        "nodes_stats", "esql_ts_rate",
         # --- round-3 session-8 ops ---
         "esql_mv_functions", "esql_scalar_functions",
         "esql_inlinestats", "esql_sample", "esql_row",
@@ -761,6 +762,22 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "esql_ts_rate": """
+WITH x AS (SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  ts, CAST(round(value*100) AS BIGINT) AS cents
+           FROM events),
+y AS (SELECT *, lag(cents) OVER (PARTITION BY user_id, day ORDER BY ts) AS pc
+      FROM x),
+g AS (SELECT user_id, day,
+             SUM(CASE WHEN pc IS NULL THEN 0
+                      WHEN cents >= pc THEN cents - pc ELSE cents END) AS inc,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
+             COUNT(*) AS n
+      FROM y GROUP BY 1, 2)
+SELECT user_id, day,
+       CASE WHEN n < 2 OR span_us = 0 THEN NULL
+            ELSE (inc / 100.0) / (span_us / 1000000.0) END AS r
+FROM g ORDER BY user_id, day LIMIT 60""",
         "esql_stats_where": """
 SELECT event_type, COUNT(*) AS n,
        COUNT(*) FILTER (WHERE event_type = 'error') AS errs,
@@ -1072,6 +1089,20 @@ s AS (SELECT day, date_diff('day', day, mxd) AS age,
 SELECT day, age::BIGINT AS age_days,
        (rn <= 10 AND (age <= 7 OR rn <= 5)) AS retained
 FROM s ORDER BY day""",
+        "nodes_stats": """
+WITH smap(source, shard) AS (VALUES
+  ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),
+  ('src5', 1), ('src6', 3), ('src7', 3), ('src8', 1), ('src9', 1),
+  ('src10', 2), ('src11', 1), ('src12', 1), ('src13', 3), ('src14', 0),
+  ('src15', 1), ('src16', 3), ('src17', 2), ('src18', 2), ('src19', 3)),
+sd AS (SELECT CAST(m.shard AS BIGINT) AS shard, count(*)::BIGINT AS docs
+       FROM documents d JOIN smap m USING (source) GROUP BY 1),
+r AS (SELECT shard, docs,
+             row_number() OVER (ORDER BY docs DESC, shard) - 1 AS rk
+      FROM sd)
+SELECT 'node-' || CAST(rk % 3 AS VARCHAR) AS node,
+       count(*)::BIGINT AS shards, SUM(docs)::BIGINT AS docs
+FROM r GROUP BY 1 ORDER BY node""",
         "allocation_explain": """
 WITH smap(source, shard) AS (VALUES
   ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),

@@ -39,7 +39,8 @@ import pyarrow.compute as pc
 _CMP = {"==": "equal", "!=": "not_equal", ">=": "greater_equal",
         "<=": "less_equal", ">": "greater", "<": "less"}
 _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
-         "MEDIAN", "PERCENTILE", "STD_DEV", "WEIGHTED_AVG", "VALUES"}
+         "MEDIAN", "PERCENTILE", "STD_DEV", "WEIGHTED_AVG", "VALUES",
+         "RATE"}
 
 
 def _lit(tok: str):
@@ -83,8 +84,8 @@ def parse(query: str) -> list[tuple[str, str]]:
             continue
         cmd, _, body = seg.partition(" ")
         stages.append((cmd.upper(), body.strip()))
-    if not stages or stages[0][0] not in ("FROM", "ROW"):
-        raise ValueError("ES|QL query must start with FROM or ROW")
+    if not stages or stages[0][0] not in ("FROM", "ROW", "TS"):
+        raise ValueError("ES|QL query must start with FROM, TS or ROW")
     return stages
 
 
@@ -362,6 +363,8 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
     used: set[str] = set()
     for cmd, body in stages[1:]:
         used.update(re.findall(r"[A-Za-z_][\w.]*", body))
+    if any("RATE(" in body.upper() for _, body in stages[1:]):
+        used.add("ts")  # RATE orders samples by the implicit ts column
     # scan-time predicate pushdown: a leading WHERE whose expression has a
     # pyarrow.dataset equivalent filters at the parquet scanner (row-group
     # statistics pruning — the BKD/PointRangeQuery skip analog), not in a
@@ -639,8 +642,46 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
     preds = {w: compile_predicate(w) for *_, w in specs if w}
     pair_fns = ("COUNT_DISTINCT", "MEDIAN", "PERCENTILE", "VALUES")
     pair_specs = [s for s in specs if s[1] in pair_fns]
-    specs = [s for s in specs if s[1] not in pair_fns]
+    rate_specs = [s for s in specs if s[1] == "RATE"]
+    specs = [s for s in specs if s[1] not in pair_fns and s[1] != "RATE"]
     pair_frames: list[pd.DataFrame] = []
+    # RATE(counter[, tscol]) (esql Rate aggregate under the TS command,
+    # 8.13 time-series mode): Prometheus-style counter rate — sum of
+    # positive increments (a reset contributes the new value) over the
+    # observed span. Needs every sample of a (dims, bucket) series
+    # co-located and time-ordered, so this is the one STATS path that
+    # shuffles rows: ONE groupby(by) keyed by the (small) dim columns,
+    # increments computed inside map_groups. Group size is bounded by
+    # samples-per-series-per-bucket (the reference co-locates by _tsid
+    # the same way). Increments accumulate in integer cents so the sum
+    # is order-invariant and bit-identical to the SQL oracle.
+    for alias, fn, col, arg2, where in rate_specs:
+        if not by:
+            raise ValueError("RATE requires BY dimensions (a time series)")
+        tscol = arg2 or "ts"
+
+        def rate_group(g: pd.DataFrame, _c=col, _t=tscol,
+                       _a=alias) -> pd.DataFrame:
+            g = g.sort_values(_t)
+            cents = np.round(
+                g[_c].to_numpy(np.float64) * 100).astype(np.int64)
+            ts = g[_t].to_numpy().astype("datetime64[us]").astype(np.int64)
+            if len(g) < 2 or ts[-1] == ts[0]:
+                r = np.nan
+            else:
+                d = np.diff(cents)
+                inc = int(np.where(d >= 0, d, cents[1:]).sum())
+                r = (inc / 100.0) / ((ts[-1] - ts[0]) / 1e6)
+            return pd.DataFrame({**{k: [g[k].iloc[0]] for k in by},
+                                 _a: [r]})
+
+        sub = ds
+        if where is not None:
+            sub = sub.map_batches(lambda t, _w=where: preds[_w](t),
+                                  batch_format="pyarrow")
+        pair_frames.append(
+            sub.groupby(by).map_groups(rate_group, batch_format="pandas")
+            .to_pandas())
     for alias, fn, col, arg2, where in pair_specs:
         keys = by + [col]
 

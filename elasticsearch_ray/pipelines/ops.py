@@ -10246,3 +10246,35 @@ def esql_ip_functions(sf_dir: str):
         | SORT net
         | LIMIT 100
     ''')
+
+
+def nodes_stats(sf_dir: str):
+    """_nodes/stats indices-level rollup (RestNodesStatsAction): per-node
+    shard count and resident doc total under the balanced allocation.
+    Scale shape: per-shard doc counts reduce through the cat_shards
+    partial exchange; the node rollup runs on the 4-row shard table."""
+    pl = allocation_explain(sf_dir)
+    out = (pl.groupby("node", as_index=False)
+             .agg(shards=("shard", "size"), docs=("docs", "sum")))
+    for c in ("shards", "docs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def esql_ts_rate(sf_dir: str):
+    """ES|QL TS command + RATE aggregate (x-pack esql time-series mode,
+    8.13: TimeSeriesAggregate / Rate): Prometheus-style counter rate per
+    (user_id, day) series — sum of positive increments (resets contribute
+    the new value) over the observed span. The one STATS path that
+    shuffles rows: ONE groupby over the dim columns co-locates each
+    series (the reference co-locates by _tsid the same way); increments
+    accumulate in integer cents so the result is bit-identical to SQL."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        TS events
+        | STATS r = RATE(value)
+          BY user_id, day = DATE_FORMAT("yyyy-MM-dd", DATE_TRUNC("day", ts))
+        | SORT user_id, day
+        | LIMIT 60
+    ''')

@@ -422,3 +422,42 @@ def test_ip_function_family(ray_session):
                  pa.table({"ip": ["300.1.2.3"]}))
     with pytest.raises(ValueError, match="TO_IP"):
         evaluate(parse_expr("TO_IP(ip)"), pa.table({"ip": ["1.2.3"]}))
+
+
+def test_ts_rate_counter_semantics(ray_session):
+    """RATE: positive increments sum, resets contribute the new value,
+    single-sample / zero-span series give null."""
+    import duckdb
+
+    out = esql.run(SF, '''
+        TS events
+        | STATS r = RATE(value)
+          BY user_id, day = DATE_FORMAT("yyyy-MM-dd", DATE_TRUNC("day", ts))
+        | SORT user_id, day
+        | LIMIT 40
+    ''')
+    want = duckdb.sql(f"""
+        WITH x AS (SELECT user_id,
+                          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                          ts, CAST(round(value*100) AS BIGINT) AS cents
+                   FROM read_parquet('{SF}/events.parquet')),
+        y AS (SELECT *, lag(cents) OVER
+                  (PARTITION BY user_id, day ORDER BY ts) AS pc FROM x),
+        g AS (SELECT user_id, day,
+                     SUM(CASE WHEN pc IS NULL THEN 0
+                              WHEN cents >= pc THEN cents - pc
+                              ELSE cents END) AS inc,
+                     epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
+                     COUNT(*) AS n
+              FROM y GROUP BY 1, 2)
+        SELECT user_id, day,
+               CASE WHEN n < 2 OR span_us = 0 THEN NULL
+                    ELSE (inc / 100.0) / (span_us / 1000000.0) END AS r
+        FROM g ORDER BY user_id, day LIMIT 40""").df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_ts_rate_requires_by(ray_session):
+    with pytest.raises(ValueError, match="RATE requires BY"):
+        esql.run(SF, "TS events | STATS r = RATE(value)")
