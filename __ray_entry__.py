@@ -2452,7 +2452,7 @@ SELECT * FROM (VALUES
   ('doc_id', 'long'), ('lang', 'keyword'), ('n_chars', 'long'),
   ('source', 'keyword'), ('text', 'text')) t(field, es_type)
 ORDER BY field""",
-        "training_mix_budget": """
+        "training_mix_budget": r"""
 WITH c AS (
   SELECT doc_id, source,
          len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS tokens
