@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
-        "nodes_stats", "esql_ts_rate",
+        "nodes_stats", "esql_ts_rate", "esql_rrf",
         # --- round-3 session-8 ops ---
         "esql_mv_functions", "esql_scalar_functions",
         "esql_inlinestats", "esql_sample", "esql_row",
@@ -762,6 +762,22 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "esql_rrf": """
+WITH s1 AS (SELECT doc_id, len(list_intersect(
+              list_distinct(regexp_split_to_array(lower(text), '[^a-z0-9]+')),
+              ['the','data','batch','query']))::BIGINT AS sc
+            FROM documents),
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS rnk
+       FROM s1 ORDER BY sc DESC, doc_id LIMIT 20),
+s2 AS (SELECT doc_id, len(list_intersect(
+              list_distinct(regexp_split_to_array(lower(text), '[^a-z0-9]+')),
+              ['error','value','count']))::BIGINT AS sc
+            FROM documents),
+r2 AS (SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS rnk
+       FROM s2 ORDER BY sc DESC, doc_id LIMIT 20),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT doc_id, SUM(1.0/(60 + rnk)) AS _score
+FROM u GROUP BY doc_id ORDER BY _score DESC, doc_id LIMIT 10""",
         "esql_ts_rate": """
 WITH x AS (SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                   ts, CAST(round(value*100) AS BIGINT) AS cents

@@ -871,7 +871,34 @@ def _apply_post(out: pd.DataFrame, post: list[tuple[str, str]]) -> pd.DataFrame:
             out = compile_predicate(body)(t).to_pandas()
         elif cmd == "CHANGE_POINT":
             out = _change_point(out, body)
+        elif cmd in ("RRF", "FUSE"):
+            out = _rrf(out, body)
     return out.reset_index(drop=True)
+
+
+def _rrf(out: pd.DataFrame, body: str) -> pd.DataFrame:
+    """RRF / FUSE (x-pack esql Fuse command, 8.19 experimental —
+    RrfScoreEval): reciprocal-rank fusion of FORK branch results.
+    Each branch's hits are ranked by (_score desc, key asc); the fused
+    score is sum over branches of 1/(rank_constant + rank). Runs on the
+    concatenated branch frames — driver-small by the FORK contract
+    (every branch is a reduced/LIMITed pipeline).
+    Syntax: RRF [ON <key>] [WITH <rank_constant>]."""
+    m = re.fullmatch(r"(?:ON\s+([\w.]+))?\s*(?:WITH\s+(\d+))?",
+                     body.strip(), flags=re.I)
+    if not m or "_fork" not in out.columns:
+        raise ValueError("RRF requires FORK branches and an optional "
+                         "'ON key WITH k' body")
+    key = m.group(1) or "doc_id"
+    k0 = int(m.group(2) or 60)
+    d = out.sort_values(["_fork", "_score", key],
+                        ascending=[True, False, True]).reset_index(drop=True)
+    d["_rank"] = d.groupby("_fork").cumcount() + 1
+    fused = (d.assign(_rrf=1.0 / (k0 + d["_rank"]))
+             .groupby(key, as_index=False)["_rrf"].sum()
+             .rename(columns={"_rrf": "_score"}))
+    return (fused.sort_values(["_score", key], ascending=[False, True])
+            .reset_index(drop=True))
 
 
 def _change_point(out: pd.DataFrame, body: str) -> pd.DataFrame:

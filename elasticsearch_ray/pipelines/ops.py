@@ -10278,3 +10278,24 @@ def esql_ts_rate(sf_dir: str):
         | SORT user_id, day
         | LIMIT 60
     ''')
+
+
+def esql_rrf(sf_dir: str):
+    """ES|QL RRF/FUSE command (x-pack esql Fuse, 8.19 experimental —
+    RrfScoreEval): reciprocal-rank fusion of two FORK RERANK branches.
+    Each branch is its own streaming pass ending in a LIMITed top-k, so
+    the fusion input is driver-small by construction; fused score =
+    sum over branches of 1/(60 + rank)."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents
+        | FORK ( RERANK "the data batch query" ON text
+                 | SORT _score DESC, doc_id | KEEP doc_id, _score
+                 | LIMIT 20 )
+               ( RERANK "error value count" ON text
+                 | SORT _score DESC, doc_id | KEEP doc_id, _score
+                 | LIMIT 20 )
+        | RRF
+        | LIMIT 10
+    ''')

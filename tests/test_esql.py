@@ -461,3 +461,30 @@ def test_ts_rate_counter_semantics(ray_session):
 def test_ts_rate_requires_by(ray_session):
     with pytest.raises(ValueError, match="RATE requires BY"):
         esql.run(SF, "TS events | STATS r = RATE(value)")
+
+
+def test_rrf_fusion(ray_session):
+    """RRF: per-branch rank by (_score desc, key), fused = sum 1/(60+r);
+    a doc in both branches outranks singles of similar rank."""
+    from elasticsearch_ray.functions.esql import _rrf
+
+    frame = pd.DataFrame({
+        "_fork": ["fork1", "fork1", "fork2", "fork2"],
+        "doc_id": [1, 2, 2, 3],
+        "_score": [9.0, 5.0, 7.0, 6.0],
+    })
+    out = _rrf(frame, "")
+    assert out["doc_id"].tolist() == [2, 1, 3]
+    got2 = out.loc[out.doc_id == 2, "_score"].iloc[0]
+    assert abs(got2 - (1 / 62 + 1 / 61)) < 1e-12
+    # custom key and rank constant
+    out = _rrf(frame, "ON doc_id WITH 10")
+    assert abs(out.loc[out.doc_id == 2, "_score"].iloc[0]
+               - (1 / 12 + 1 / 11)) < 1e-12
+
+
+def test_rrf_requires_fork(ray_session):
+    from elasticsearch_ray.functions.esql import _rrf
+
+    with pytest.raises(ValueError, match="RRF requires FORK"):
+        _rrf(pd.DataFrame({"doc_id": [1], "_score": [1.0]}), "")
