@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-11 ops ---
+        "esql_match", "esql_match_operator", "esql_match_phrase",
+        "esql_qstr", "esql_kql", "esql_score_topk",
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
         "nodes_stats", "esql_ts_rate", "esql_rrf",
@@ -1149,6 +1152,62 @@ GROUP BY 1 ORDER BY 1""",
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase'
 ORDER BY value DESC, event_id LIMIT 10""",
+        "esql_match": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query','window']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS "_score"
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+GROUP BY tf.doc_id ORDER BY doc_id""",
+        "esql_match_operator": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS "_score"
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+GROUP BY tf.doc_id HAVING count(*) = 2 ORDER BY doc_id""",
+        "esql_match_phrase": """
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text), '(^|[^a-z0-9])data[^a-z0-9]+query([^a-z0-9]|$)')
+ORDER BY doc_id""",
+        "esql_qstr": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, any_value(d.n_chars)::BIGINT AS n_chars,
+       ROUND(SUM({_SCORE}), 4) AS "_score"
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+JOIN documents d ON d.doc_id = tf.doc_id
+WHERE tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')
+  AND d.n_chars > 150
+GROUP BY tf.doc_id HAVING count(*) = 2 ORDER BY doc_id""",
+        "esql_kql": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS "_score"
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+WHERE tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')
+GROUP BY tf.doc_id ORDER BY doc_id""",
+        "esql_score_topk": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query','window']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS s
+       FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN st GROUP BY tf.doc_id)
+SELECT doc_id, s AS "_score" FROM sc
+ORDER BY s DESC, doc_id LIMIT 10""",
         "transform_latest": """
 SELECT user_id, event_id, ts, event_type, value FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id

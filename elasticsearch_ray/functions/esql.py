@@ -253,6 +253,259 @@ def _split_top(s: str) -> list[str]:
     return [p for p in (x.strip() for x in parts) if p]
 
 
+# ---------------- full-text functions (MATCH / QSTR / KQL, 8.16-8.18) ----
+
+_FT_RX = re.compile(r"\b(MATCH_PHRASE|MATCH|QSTR|KQL)\s*\(", re.I)
+
+
+def _split_logical(s: str, op: str) -> list[str]:
+    """Split `s` on the word `op` (AND / OR, case-insensitive) at top level
+    only — never inside quotes or parentheses."""
+    rx = re.compile(rf"\b{op}\b", re.I)
+    parts, depth, inq, start, i = [], 0, False, 0, 0
+    while i < len(s):
+        ch = s[i]
+        if ch == '"':
+            inq = not inq
+        elif not inq and ch == "(":
+            depth += 1
+        elif not inq and ch == ")":
+            depth -= 1
+        elif not inq and depth == 0:
+            m = rx.match(s, i)
+            if m and (i == 0 or not s[i - 1].isalnum()):
+                parts.append(s[start:i])
+                i = m.end()
+                start = i
+                continue
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _balanced(s: str) -> bool:
+    """True when a leading '(' pairs with the string's final ')' — i.e. the
+    whole expression is one parenthesized group."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and i != len(s) - 1:
+                return False
+    return depth == 0
+
+
+def _unq(s: str) -> str:
+    s = s.strip()
+    return s[1:-1] if s.startswith('"') and s.endswith('"') else s
+
+
+def _ft_call(name: str, argstr: str) -> dict:
+    """Lower one full-text function call to an engine query dict
+    (x-pack/plugin/esql fulltext functions: Match.java, QueryString.java,
+    Kql.java — each `translate()`s to the corresponding Lucene query)."""
+    args = _split_top(argstr)
+    if name == "QSTR":
+        from ..search.engine import parse_query_string
+
+        return parse_query_string(_unq(args[0]))
+    if name == "KQL":
+        return _kql_to_query(_unq(args[0]))
+    field, text = args[0].strip(), _unq(args[1])
+    opts: dict[str, str] = {}
+    if len(args) > 2:  # MATCH(field, query, {"operator": "AND", ...})
+        # _split_top is paren-aware, not brace-aware: rejoin the map literal
+        for om in re.finditer(r'"(\w+)"\s*:\s*"?([^,}"]+)"?',
+                              ",".join(args[2:])):
+            opts[om.group(1)] = om.group(2).strip()
+    if name == "MATCH":
+        q: dict = {"kind": "match", "field": field, "text": text}
+        if "operator" in opts:
+            q["operator"] = opts["operator"].lower()
+        if "minimum_should_match" in opts:
+            q["minimum_should_match"] = int(opts["minimum_should_match"])
+        if "boost" in opts:
+            q["boost"] = float(opts["boost"])
+        return q
+    if name == "MATCH_PHRASE":
+        q = {"kind": "match_phrase", "field": field, "text": text}
+        if "slop" in opts:
+            q["slop"] = int(opts["slop"])
+        if "boost" in opts:
+            q["boost"] = float(opts["boost"])
+        return q
+    raise ValueError(f"unsupported full-text function: {name}")
+
+
+def _kql_to_query(s: str) -> dict:
+    """Tiny KQL -> query-dict compiler (x-pack kql plugin, KqlParser.g4
+    subset): and/or/not (case-insensitive), parentheses, `field:value`,
+    `field:"phrase"`, wildcard values, bare terms on the default field."""
+    toks = re.findall(r'"[^"]*"|\(|\)|:|[^\s():]+', s)
+
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        node = parse_and()
+        should = [node]
+        while peek() is not None and peek().lower() == "or":
+            take()
+            should.append(parse_and())
+        if len(should) == 1:
+            return node
+        return {"kind": "bool", "should": should}
+
+    def parse_and():
+        # NOT children fold into the SAME bool's must_not (KqlParser builds
+        # one boolean query; a nested pure-negative bool would add Lucene's
+        # constant match_all score, which the reference's shape avoids)
+        nodes = [parse_not()]
+        while peek() is not None and peek().lower() == "and":
+            take()
+            nodes.append(parse_not())
+        if len(nodes) == 1 and not nodes[0][0]:
+            return nodes[0][1]
+        must = [n for neg, n in nodes if not neg]
+        must_not = [n for neg, n in nodes if neg]
+        q: dict = {"kind": "bool"}
+        if must:
+            q["must"] = must
+        if must_not:
+            q["must_not"] = must_not
+        return q
+
+    def parse_not():
+        if peek() is not None and peek().lower() == "not":
+            take()
+            neg, node = parse_not()
+            return (not neg, node)
+        return (False, parse_primary())
+
+    def value_query(field, v):
+        if v.startswith('"'):
+            return {"kind": "match_phrase", "text": v[1:-1],
+                    **({"field": field} if field else {})}
+        if "*" in v:
+            return {"kind": "wildcard", "pattern": v.lower(),
+                    **({"field": field} if field else {})}
+        return {"kind": "match", "text": v, "operator": "and",
+                **({"field": field} if field else {})}
+
+    def parse_primary():
+        t = take()
+        if t == "(":
+            node = parse_or()
+            if peek() == ")":
+                take()
+            return node
+        if peek() == ":":
+            take()
+            return value_query(t, take())
+        return value_query(None, t)
+
+    node = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing KQL tokens: {toks[pos:]}")
+    return node
+
+
+def _contains_ft(s: str) -> bool:
+    return _FT_RX.search(s) is not None
+
+
+def _ft_node_to_query(s: str) -> dict:
+    """Lower a WHERE subexpression that contains full-text calls into one
+    engine query dict. AND -> bool.must, OR -> bool.should, NOT ->
+    bool.must_not; a scalar predicate nested under OR/NOT is rejected the
+    same way the reference rejects non-pushable full-text plans
+    (EsqlCapabilities FULL_TEXT_FUNCTIONS must translate to Lucene)."""
+    s = s.strip()
+    ors = _split_logical(s, "OR")
+    if len(ors) > 1:
+        return {"kind": "bool", "should": [_ft_node_to_query(x) for x in ors]}
+    ands = _split_logical(s, "AND")
+    if len(ands) > 1:
+        return {"kind": "bool", "must": [_ft_node_to_query(x) for x in ands]}
+    if re.match(r"NOT\b", s, re.I):
+        return {"kind": "bool",
+                "must_not": [_ft_node_to_query(s[3:].strip())]}
+    if s.startswith("(") and s.endswith(")") and _balanced(s):
+        return _ft_node_to_query(s[1:-1])
+    m = re.fullmatch(r"(MATCH_PHRASE|MATCH|QSTR|KQL)\s*\((.*)\)", s,
+                     re.I | re.S)
+    if m:
+        return _ft_call(m.group(1).upper(), m.group(2))
+    raise ValueError(
+        f"predicate {s!r} is combined with a full-text function by OR/NOT "
+        "and is not pushable to the index (the reference requires "
+        "full-text functions to translate to a Lucene query)")
+
+
+def _parse_ft_where(body: str) -> tuple[dict, str | None]:
+    """Split a WHERE body into (index query dict, residual scalar predicate).
+    Top-level AND conjuncts that contain no full-text call stay behind as a
+    normal vectorized row filter; everything else is lowered to the engine."""
+    conj = _split_logical(body, "AND")
+    ft_parts = [c for c in conj if _contains_ft(c)]
+    scalar_parts = [c for c in conj if not _contains_ft(c)]
+    if not ft_parts:
+        raise ValueError("no full-text function in WHERE")
+    if len(ft_parts) == 1:
+        q = _ft_node_to_query(ft_parts[0])
+    else:
+        q = {"kind": "bool", "must": [_ft_node_to_query(c) for c in ft_parts]}
+    residual = " AND ".join(scalar_parts) if scalar_parts else None
+    return q, residual
+
+
+def _ft_filter_fn(sf_dir: str, table: str, qdict: dict, want_score: bool):
+    """Execute the pushed-down query once against the cached documents
+    index (the reference runs the translated Lucene query per shard) and
+    return a vectorized per-batch filter over the row stream. The matched
+    (doc_id, _score) set is query-result-sized — far smaller than the
+    corpus — and rides into each map task with the serialized closure
+    (one object-store copy per worker at real scale; the 100-TB shape is
+    the same broadcast-small-side pattern as terms-lookup)."""
+    if table != "documents":
+        raise ValueError(
+            "full-text functions need an indexed source; only `documents` "
+            "has a search index in this harness")
+    from ..pipelines.fulltext import documents_searcher
+
+    ids, sc = documents_searcher(sf_dir)._eval(qdict)
+    order = np.argsort(ids)
+    ids_s = ids[order]
+    sc_s = sc[order].astype(np.float64)
+
+    def f(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        if ids_s.size == 0:
+            out = t.slice(0, 0)
+            if want_score:
+                out = out.append_column("_score", pa.array([], pa.float64()))
+            return out
+        pos = np.minimum(np.searchsorted(ids_s, d), ids_s.size - 1)
+        mask = ids_s[pos] == d
+        out = t.filter(pa.array(mask))
+        if want_score:
+            out = out.append_column(
+                "_score", pa.array(sc_s[pos[mask]], pa.float64()))
+        return out
+
+    return f
+
+
 def _rewrite_bucket(expr: str) -> str:
     """BUCKET(col, span) (x-pack esql Bucket function, 8.14 grouping
     form) -> plain scalar expression: `1 <calendar-unit>` spans become
@@ -358,6 +611,25 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             return _apply_post(_stats_table(ds, stats_specs, by or []), post)
         return _apply_post(ds.to_pandas(), post)
     table = stages[0][1].split()[0]
+    # FROM <table> METADATA _score (EsqlParser metadata option): expose the
+    # pushed-down query's relevance score as a `_score` column
+    want_score = re.search(r"\bMETADATA\b[\s\S]*\b_score\b", stages[0][1],
+                           re.I) is not None
+
+    # full-text pushdown: a WHERE directly after FROM whose predicate holds
+    # MATCH/MATCH_PHRASE/QSTR/KQL runs ONCE against the search index (the
+    # reference translates these functions to Lucene queries executed per
+    # shard); the row stream is then filtered by the matched doc-id set.
+    # Non-full-text AND-conjuncts stay behind as a vectorized row filter.
+    ft_stage = None
+    if len(stages) > 1 and stages[1][0] == "WHERE" and _contains_ft(
+            stages[1][1]):
+        qdict, residual = _parse_ft_where(stages[1][1])
+        stages = ([stages[0]] +
+                  ([("WHERE", residual)] if residual else []) + stages[2:])
+        ft_stage = _ft_filter_fn(sf_dir, table, qdict, want_score)
+    elif want_score:
+        raise ValueError("METADATA _score requires a full-text WHERE")
 
     # column pruning: every identifier later stages reference
     used: set[str] = set()
@@ -365,6 +637,8 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
         used.update(re.findall(r"[A-Za-z_][\w.]*", body))
     if any("RATE(" in body.upper() for _, body in stages[1:]):
         used.add("ts")  # RATE orders samples by the implicit ts column
+    if ft_stage is not None:
+        used.add("doc_id")  # the pushed query's join key
     # scan-time predicate pushdown: a leading WHERE whose expression has a
     # pyarrow.dataset equivalent filters at the parquet scanner (row-group
     # statistics pruning — the BKD/PointRangeQuery skip analog), not in a
@@ -396,6 +670,9 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             path, columns=cols,
             schema=pa.schema([schema.field(c) for c in cols]),
             **({"filter": expr} if pushed_where is not None else {}))
+
+    if ft_stage is not None:
+        ds = ds.map_batches(ft_stage, batch_format="pyarrow")
 
     stats_specs = by = None
     post: list[tuple[str, str]] = []

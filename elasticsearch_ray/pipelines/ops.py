@@ -10299,3 +10299,106 @@ def esql_rrf(sf_dir: str):
         | RRF
         | LIMIT 10
     ''')
+
+
+# ---------------- round 3 session 11: ES|QL full-text retrieval ----------
+
+
+def esql_match(sf_dir: str):
+    """ES|QL MATCH function + METADATA _score (x-pack esql fulltext
+    Match.java, 8.16): the WHERE is pushed down to ONE index query (the
+    reference translates MATCH to a Lucene MatchQuery per shard); the row
+    stream is then filtered by the matched doc-id set with scores attached
+    as the `_score` metadata column. Scale shape: matched-set broadcast
+    (terms-lookup pattern), pruned read of doc_id only."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents METADATA _score
+        | WHERE MATCH(text, "data query window")
+        | EVAL _score = ROUND(_score, 4)
+        | SORT doc_id
+        | LIMIT 1000000
+        | KEEP doc_id, _score
+    ''')
+
+
+def esql_match_operator(sf_dir: str):
+    """MATCH with the 8.18 options map — {"operator": "AND"} conjunction
+    semantics (Match.java options -> MatchQueryBuilder.operator)."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents METADATA _score
+        | WHERE MATCH(text, "data query", {"operator": "AND"})
+        | EVAL _score = ROUND(_score, 4)
+        | SORT doc_id
+        | LIMIT 1000000
+        | KEEP doc_id, _score
+    ''')
+
+
+def esql_match_phrase(sf_dir: str):
+    """MATCH_PHRASE function (8.18, MatchPhrase.java): exact adjacent
+    positions, pushed to the index's positional postings."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents
+        | WHERE MATCH_PHRASE(text, "data query")
+        | SORT doc_id
+        | LIMIT 1000000
+        | KEEP doc_id
+    ''')
+
+
+def esql_qstr(sf_dir: str):
+    """QSTR function (QueryString.java, 8.16): full Lucene query_string
+    grammar pushed to the index, combined with a residual scalar predicate
+    — the non-full-text AND conjunct stays behind as a vectorized row
+    filter exactly like the reference keeps non-pushable filters in the
+    compute engine."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents METADATA _score
+        | WHERE QSTR("data AND query AND NOT vector") AND n_chars > 150
+        | EVAL _score = ROUND(_score, 4)
+        | SORT doc_id
+        | LIMIT 1000000
+        | KEEP doc_id, n_chars, _score
+    ''')
+
+
+def esql_kql(sf_dir: str):
+    """KQL function (x-pack kql plugin via esql Kql.java, 8.18): kibana
+    query language — and/or/not, field:value — compiled to the engine's
+    bool/match queries. must_not clauses do not score (bool semantics), so
+    _score here is the BM25 of the positive term only."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents METADATA _score
+        | WHERE KQL("data and not window")
+        | EVAL _score = ROUND(_score, 4)
+        | SORT doc_id
+        | LIMIT 1000000
+        | KEEP doc_id, _score
+    ''')
+
+
+def esql_score_topk(sf_dir: str):
+    """Relevance-ranked ES|QL retrieval: SORT _score DESC over the pushed
+    MATCH — the reference's `FROM idx METADATA _score | WHERE match(...)
+    | SORT _score DESC` canonical example. Row-mode partial top-k per
+    batch; the driver merges (batches x 10) candidates."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents METADATA _score
+        | WHERE MATCH(text, "data query window")
+        | EVAL _score = ROUND(_score, 4)
+        | SORT _score DESC, doc_id
+        | LIMIT 10
+        | KEEP doc_id, _score
+    ''')

@@ -1,0 +1,121 @@
+"""ES|QL full-text functions (x-pack esql fulltext: Match.java,
+MatchPhrase.java, QueryString.java, Kql.java; 8.16-8.18) — MATCH / QSTR /
+KQL / MATCH_PHRASE pushed down to the search index, METADATA _score
+exposure, residual scalar predicates, and the KQL mini-parser."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from elasticsearch_ray.functions import esql
+from elasticsearch_ray.functions.esql import (_kql_to_query, _parse_ft_where)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------- parser-level (no ray needed) ----------------
+
+
+def test_kql_and_not_folds_into_one_bool():
+    q = _kql_to_query("data and not window")
+    assert q["kind"] == "bool"
+    assert [c["text"] for c in q["must"]] == ["data"]
+    assert [c["text"] for c in q["must_not"]] == ["window"]
+
+
+def test_kql_field_phrase_and_wildcard():
+    q = _kql_to_query('source:src3 and text:"batch query" and da*')
+    must = q["must"]
+    assert must[0] == {"kind": "match", "text": "src3", "operator": "and",
+                       "field": "source"}
+    assert must[1]["kind"] == "match_phrase" and must[1]["field"] == "text"
+    assert must[2] == {"kind": "wildcard", "pattern": "da*"}
+
+
+def test_kql_or_precedence():
+    q = _kql_to_query("a or b and c")
+    assert q["kind"] == "bool" and len(q["should"]) == 2
+    assert q["should"][1]["kind"] == "bool"  # (b AND c)
+
+
+def test_ft_where_splits_residual_scalar():
+    q, residual = _parse_ft_where(
+        'MATCH(text, "data query") AND n_chars > 150')
+    assert q == {"kind": "match", "field": "text", "text": "data query"}
+    assert residual == "n_chars > 150"
+
+
+def test_ft_where_options_map():
+    q, _ = _parse_ft_where(
+        'MATCH(text, "data query", {"operator": "AND", '
+        '"minimum_should_match": 2})')
+    assert q["operator"] == "and" and q["minimum_should_match"] == 2
+
+
+def test_ft_where_or_combination_of_ft_calls():
+    q, residual = _parse_ft_where(
+        'MATCH(text, "data") OR MATCH_PHRASE(text, "batch query")')
+    assert residual is None
+    assert q["kind"] == "bool" and len(q["should"]) == 2
+
+
+def test_scalar_under_or_with_ft_rejected():
+    with pytest.raises(ValueError, match="pushable"):
+        _parse_ft_where('MATCH(text, "data") OR n_chars > 10')
+
+
+# ---------------- end-to-end vs the engine ----------------
+
+
+def test_match_score_equals_engine(ray_session):
+    from elasticsearch_ray.pipelines.fulltext import documents_searcher
+
+    out = esql.run(SF, """
+        FROM documents METADATA _score
+        | WHERE MATCH(text, "data query window")
+        | SORT doc_id
+        | LIMIT 100000
+        | KEEP doc_id, _score
+    """)
+    ids, sc = documents_searcher(SF)._eval(
+        {"kind": "match", "text": "data query window", "field": "text"})
+    order = np.argsort(ids)
+    assert np.array_equal(out["doc_id"].to_numpy(), ids[order])
+    np.testing.assert_allclose(out["_score"].to_numpy(), sc[order],
+                               rtol=1e-12)
+
+
+def test_metadata_score_without_ft_where_rejected(ray_session):
+    with pytest.raises(ValueError, match="METADATA _score"):
+        esql.run(SF, """
+            FROM documents METADATA _score
+            | WHERE n_chars > 10
+            | SORT doc_id | LIMIT 5 | KEEP doc_id
+        """)
+
+
+def test_qstr_residual_filter_applied(ray_session):
+    out = esql.run(SF, """
+        FROM documents
+        | WHERE QSTR("data AND query") AND n_chars > 150
+        | SORT doc_id | LIMIT 100000 | KEEP doc_id, n_chars
+    """)
+    assert (out["n_chars"] > 150).all()
+    # residual dropped some rows vs the unfiltered run
+    full = esql.run(SF, """
+        FROM documents
+        | WHERE QSTR("data AND query")
+        | SORT doc_id | LIMIT 100000 | KEEP doc_id
+    """)
+    assert 0 < len(out) < len(full)
+    assert set(out["doc_id"]) <= set(full["doc_id"])
+
+
+def test_ft_on_unindexed_table_rejected(ray_session):
+    with pytest.raises(ValueError, match="indexed source"):
+        esql.run(SF, """
+            FROM events
+            | WHERE MATCH(event_type, "purchase")
+            | SORT event_id | LIMIT 5 | KEEP event_id
+        """)
