@@ -24,6 +24,16 @@ _STOP_SQL = (
     "'there','these','they','this','to','was','will','with']"
 )
 
+# deterministic 64-dim query vector for the esql vector gates (must equal
+# elasticsearch_ray.pipelines.ops._ESQL_QVEC)
+_QVEC = (
+    "0.362,0.674,0.896,0.996,0.961,0.797,0.524,0.181,-0.187,-0.53,-0.801,"
+    "-0.963,-0.995,-0.893,-0.669,-0.355,0.007,0.368,0.679,0.899,0.996,0.959,"
+    "0.792,0.518,0.174,-0.194,-0.536,-0.805,-0.965,-0.995,-0.89,-0.664,"
+    "-0.349,0.014,0.374,0.684,0.902,0.997,0.957,0.788,0.512,0.167,-0.201,"
+    "-0.541,-0.809,-0.967,-0.994,-0.886,-0.659,-0.342,0.02,0.381,0.689,"
+    "0.905,0.998,0.955,0.784,0.507,0.16,-0.207,-0.547,-0.813,-0.968,-0.993")
+
 # synthetic per-user geo coordinates (one row per user)
 _GEO = """
 g AS (SELECT user_id,
@@ -91,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
+        "esql_knn", "esql_vector_functions",
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
         "nodes_stats", "esql_ts_rate", "esql_rrf",
@@ -1152,6 +1163,29 @@ GROUP BY 1 ORDER BY 1""",
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase'
 ORDER BY value DESC, event_id LIMIT 10""",
+        "esql_knn": f"""
+WITH qv AS (SELECT [{_QVEC}]::DOUBLE[] AS q)
+SELECT vec_id,
+       ROUND((1 + list_cosine_similarity(embedding, q)) / 2, 4) AS "_score"
+FROM embeddings, qv
+ORDER BY list_cosine_similarity(embedding, q) DESC, vec_id
+LIMIT 10""",
+        "esql_vector_functions": f"""
+WITH qv AS (SELECT [{_QVEC}]::DOUBLE[] AS q),
+per AS (
+  SELECT label,
+         list_cosine_similarity(embedding, q) AS cos,
+         list_inner_product(embedding, q) AS dot,
+         (SELECT sum(abs(x.v - q[x.i]))
+          FROM (SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i) x) AS l1,
+         list_distance(embedding, q) AS l2,
+         sqrt(list_inner_product(embedding, embedding)) AS mag
+  FROM embeddings, qv)
+SELECT label, ROUND(avg(cos), 4) AS avg_cos, ROUND(avg(dot), 4) AS avg_dot,
+       ROUND(avg(l1), 4) AS avg_l1, ROUND(avg(l2), 4) AS avg_l2,
+       ROUND(avg(mag), 4) AS avg_mag
+FROM per GROUP BY label ORDER BY label""",
         "esql_match": f"""
 WITH {_TOK},
 q AS (SELECT unnest(['data','query','window']) AS term),

@@ -469,6 +469,91 @@ def _parse_ft_where(body: str) -> tuple[dict, str | None]:
     return q, residual
 
 
+def _matched_set_filter(ids: np.ndarray, sc: np.ndarray, id_col: str,
+                        want_score: bool):
+    """Vectorized per-batch filter by a (sorted) matched-id set, optionally
+    attaching the pushed-down query's `_score` metadata column."""
+    order = np.argsort(ids)
+    ids_s = ids[order]
+    sc_s = sc[order].astype(np.float64)
+
+    def f(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        if ids_s.size == 0:
+            out = t.slice(0, 0)
+            if want_score:
+                out = out.append_column("_score", pa.array([], pa.float64()))
+            return out
+        pos = np.minimum(np.searchsorted(ids_s, d), ids_s.size - 1)
+        mask = ids_s[pos] == d
+        out = t.filter(pa.array(mask))
+        if want_score:
+            out = out.append_column(
+                "_score", pa.array(sc_s[pos[mask]], pa.float64()))
+        return out
+
+    return f
+
+
+_KNN_RX = re.compile(r"\bKNN\s*\(", re.I)
+
+
+def _knn_filter_fn(sf_dir: str, table: str, call_text: str,
+                   want_score: bool):
+    """KNN function pushdown (x-pack esql vector Knn.java, 8.19
+    experimental): WHERE KNN(field, [query...], {"k": n}) runs ONE exact
+    cosine top-k pass over the vector column — per-batch float64 partial
+    top-k (the HNSW per-segment search analog), driver merge of
+    (batches x k) candidates only — then filters the row stream by the
+    matched id set. _score uses the dense_vector cosine convention
+    (1 + cos) / 2."""
+    m = re.fullmatch(
+        r"KNN\s*\(\s*([\w.]+)\s*,\s*\[([^\]]*)\]\s*(?:,\s*\{(.*)\})?\s*\)",
+        call_text.strip(), re.I | re.S)
+    if not m:
+        raise ValueError(f"unsupported KNN call: {call_text!r}")
+    field = m.group(1)
+    q = np.asarray([float(x) for x in m.group(2).split(",")], np.float64)
+    k = 10
+    if m.group(3):
+        km = re.search(r'"k"\s*:\s*(\d+)', m.group(3))
+        if km:
+            k = int(km.group(1))
+    if table != "embeddings":
+        raise ValueError("KNN needs a dense_vector source; only "
+                         "`embeddings` carries one in this harness")
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = pq.read_schema(path).remove_metadata()
+    cols = ["vec_id", field]
+    ds = rd.read_parquet(path, columns=cols,
+                         schema=pa.schema([schema.field(c) for c in cols]))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        from .esql_expr import _vec_matrix
+
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        V = _vec_matrix(t[field])
+        num = V @ q
+        den = np.sqrt((V * V).sum(axis=1)) * np.sqrt((q * q).sum())
+        cos = num / den
+        kk = min(k, cos.size)
+        top = np.argpartition(-cos, kk - 1)[:kk] if kk else np.arange(0)
+        return pa.table({"vec_id": pa.array(ids[top], pa.int64()),
+                         "cos": pa.array(cos[top], pa.float64())})
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["cos", "vec_id"],
+                              ascending=[False, True]).head(k)
+    ids = parts["vec_id"].to_numpy(np.int64)
+    sc = (1.0 + parts["cos"].to_numpy(np.float64)) / 2.0
+    return _matched_set_filter(ids, sc, "vec_id", want_score)
+
+
 def _ft_filter_fn(sf_dir: str, table: str, qdict: dict, want_score: bool):
     """Execute the pushed-down query once against the cached documents
     index (the reference runs the translated Lucene query per shard) and
@@ -484,26 +569,7 @@ def _ft_filter_fn(sf_dir: str, table: str, qdict: dict, want_score: bool):
     from ..pipelines.fulltext import documents_searcher
 
     ids, sc = documents_searcher(sf_dir)._eval(qdict)
-    order = np.argsort(ids)
-    ids_s = ids[order]
-    sc_s = sc[order].astype(np.float64)
-
-    def f(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
-        if ids_s.size == 0:
-            out = t.slice(0, 0)
-            if want_score:
-                out = out.append_column("_score", pa.array([], pa.float64()))
-            return out
-        pos = np.minimum(np.searchsorted(ids_s, d), ids_s.size - 1)
-        mask = ids_s[pos] == d
-        out = t.filter(pa.array(mask))
-        if want_score:
-            out = out.append_column(
-                "_score", pa.array(sc_s[pos[mask]], pa.float64()))
-        return out
-
-    return f
+    return _matched_set_filter(ids, sc, "doc_id", want_score)
 
 
 def _rewrite_bucket(expr: str) -> str:
@@ -622,14 +688,28 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
     # shard); the row stream is then filtered by the matched doc-id set.
     # Non-full-text AND-conjuncts stay behind as a vectorized row filter.
     ft_stage = None
+    ft_id_col = "doc_id"
     if len(stages) > 1 and stages[1][0] == "WHERE" and _contains_ft(
             stages[1][1]):
         qdict, residual = _parse_ft_where(stages[1][1])
         stages = ([stages[0]] +
                   ([("WHERE", residual)] if residual else []) + stages[2:])
         ft_stage = _ft_filter_fn(sf_dir, table, qdict, want_score)
+    elif len(stages) > 1 and stages[1][0] == "WHERE" and _KNN_RX.search(
+            stages[1][1]):
+        conj = _split_logical(stages[1][1], "AND")
+        knn_parts = [c for c in conj if _KNN_RX.search(c)]
+        if len(knn_parts) != 1:
+            raise ValueError("exactly one KNN() conjunct is supported")
+        residual_parts = [c for c in conj if not _KNN_RX.search(c)]
+        residual = " AND ".join(residual_parts) if residual_parts else None
+        stages = ([stages[0]] +
+                  ([("WHERE", residual)] if residual else []) + stages[2:])
+        ft_stage = _knn_filter_fn(sf_dir, table, knn_parts[0], want_score)
+        ft_id_col = "vec_id"
     elif want_score:
-        raise ValueError("METADATA _score requires a full-text WHERE")
+        raise ValueError(
+            "METADATA _score requires a full-text or KNN WHERE")
 
     # column pruning: every identifier later stages reference
     used: set[str] = set()
@@ -638,7 +718,7 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
     if any("RATE(" in body.upper() for _, body in stages[1:]):
         used.add("ts")  # RATE orders samples by the implicit ts column
     if ft_stage is not None:
-        used.add("doc_id")  # the pushed query's join key
+        used.add(ft_id_col)  # the pushed query's join key
     # scan-time predicate pushdown: a leading WHERE whose expression has a
     # pyarrow.dataset equivalent filters at the parquet scanner (row-group
     # statistics pruning — the BKD/PointRangeQuery skip analog), not in a

@@ -48,7 +48,7 @@ _TOKEN_RX = re.compile(r"""
     (?P<ws>\s+)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<num>\d+\.\d+|\d+|\.\d+)
-  | (?P<op>==|!=|>=|<=|[><+\-*/(),])
+  | (?P<op>==|!=|>=|<=|[><+\-*/(),\[\]])
   | (?P<name>[A-Za-z_][\w.]*)
 """, re.X)
 
@@ -194,6 +194,16 @@ class _Parser:
             node = self.or_expr()
             self.expect(")")
             return node
+        if v == "[":
+            # dense-vector literal [1.0, 2.0, ...] (esql vector functions)
+            items = []
+            if self.peek()[1] != "]":
+                items.append(self.additive())
+                while self.peek()[1] == ",":
+                    self.next()
+                    items.append(self.additive())
+            self.expect("]")
+            return ("vlit", items)
         if k == "num":
             return ("lit", float(v) if "." in v else int(v))
         if k == "str":
@@ -310,9 +320,31 @@ def evaluate(node, t: pa.Table):
     if kind == "isnull":
         arr = evaluate(node[1], t)
         return pc.is_valid(arr) if node[2] else pc.is_null(arr)
+    if kind == "vlit":
+        vals = [evaluate(x, t) for x in node[1]]
+        if any(isinstance(v, (pa.Array, pa.ChunkedArray)) for v in vals):
+            raise ValueError("vector literal elements must be constants")
+        return np.asarray(vals, np.float64)
     if kind == "call":
         return _call(node[1], node[2], t)
     raise ValueError(f"bad AST node {kind}")
+
+
+def _vec_matrix(v) -> np.ndarray:
+    """list<float> / fixed_size_list column -> (n, d) float64 matrix.
+    Requires constant per-row length (the dense_vector `dims` contract)."""
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    if isinstance(v, np.ndarray):  # already a literal query vector
+        return v.reshape(1, -1)
+    lens = pc.list_value_length(v).to_numpy(zero_copy_only=False)
+    if lens.size == 0:
+        return np.empty((0, 0), np.float64)
+    d = int(lens[0])
+    if not (lens == d).all():
+        raise ValueError("vector column has ragged lengths")
+    flat = v.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(-1, d)
 
 
 def _call(name: str, args, t: pa.Table):
@@ -584,6 +616,29 @@ def _call(name: str, args, t: pa.Table):
             parts[0], parts[1], parts[2], parts[3], ".")
     if name.startswith("MV_"):
         return _mv_call(name, a, t)
+    if name.startswith("V_"):
+        # dense-vector similarity functions (x-pack esql vector family,
+        # 8.19 experimental: VectorSimilarityFunction analogs) — one
+        # (n, d) float64 matmul-style kernel per batch, no per-row Python
+        A = _vec_matrix(a[0])
+        if name == "V_MAGNITUDE":
+            return pa.array(np.sqrt((A * A).sum(axis=1)))
+        B = _vec_matrix(a[1] if isinstance(a[1], (pa.Array, pa.ChunkedArray,
+                                                  np.ndarray))
+                        else np.asarray(a[1], np.float64))
+        if name == "V_COSINE":
+            num = (A * B).sum(axis=1)
+            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            return pa.array(num / den)
+        if name == "V_DOT_PRODUCT":
+            return pa.array((A * B).sum(axis=1))
+        if name == "V_L1_NORM":
+            return pa.array(np.abs(A - B).sum(axis=1))
+        if name == "V_L2_NORM":
+            return pa.array(np.sqrt(((A - B) ** 2).sum(axis=1)))
+        if name == "V_HAMMING":
+            return pa.array((A != B).sum(axis=1).astype(np.float64))
+        raise ValueError(f"unsupported vector function {name}")
     raise ValueError(f"unsupported ES|QL function {name}")
 
 

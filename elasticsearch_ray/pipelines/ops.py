@@ -10402,3 +10402,56 @@ def esql_score_topk(sf_dir: str):
         | LIMIT 10
         | KEEP doc_id, _score
     ''')
+
+
+# deterministic 64-dim query vector shared by the esql vector gates
+_ESQL_QVEC = (
+    "0.362,0.674,0.896,0.996,0.961,0.797,0.524,0.181,-0.187,-0.53,-0.801,"
+    "-0.963,-0.995,-0.893,-0.669,-0.355,0.007,0.368,0.679,0.899,0.996,0.959,"
+    "0.792,0.518,0.174,-0.194,-0.536,-0.805,-0.965,-0.995,-0.89,-0.664,"
+    "-0.349,0.014,0.374,0.684,0.902,0.997,0.957,0.788,0.512,0.167,-0.201,"
+    "-0.541,-0.809,-0.967,-0.994,-0.886,-0.659,-0.342,0.02,0.381,0.689,"
+    "0.905,0.998,0.955,0.784,0.507,0.16,-0.207,-0.547,-0.813,-0.968,-0.993")
+
+
+def esql_knn(sf_dir: str):
+    """ES|QL KNN function (x-pack esql vector Knn.java, 8.19 experimental):
+    WHERE KNN(field, query_vector, {"k": n}) + METADATA _score. One exact
+    float64 cosine top-k pass (per-batch partial top-k, driver merges
+    batches x k candidate rows), then the row stream is filtered by the
+    matched vec_id set; _score = (1 + cosine)/2, the dense_vector cosine
+    score convention."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, f'''
+        FROM embeddings METADATA _score
+        | WHERE KNN(embedding, [{_ESQL_QVEC}], {{"k": 10}})
+        | EVAL _score = ROUND(_score, 4)
+        | SORT _score DESC, vec_id
+        | LIMIT 10
+        | KEEP vec_id, _score
+    ''')
+
+
+def esql_vector_functions(sf_dir: str):
+    """ES|QL dense-vector scalar functions (8.19 experimental vector family:
+    V_COSINE / V_DOT_PRODUCT / V_L1_NORM / V_L2_NORM / V_MAGNITUDE): one
+    (n, d) float64 matrix kernel per batch — no per-row Python. Aggregated
+    to per-label means so the oracle compares the whole table without a
+    row-cardinality result."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, f'''
+        FROM embeddings
+        | EVAL cos = V_COSINE(embedding, [{_ESQL_QVEC}]),
+               dot = V_DOT_PRODUCT(embedding, [{_ESQL_QVEC}]),
+               l1 = V_L1_NORM(embedding, [{_ESQL_QVEC}]),
+               l2 = V_L2_NORM(embedding, [{_ESQL_QVEC}]),
+               mag = V_MAGNITUDE(embedding)
+        | STATS avg_cos = AVG(cos), avg_dot = AVG(dot), avg_l1 = AVG(l1),
+                avg_l2 = AVG(l2), avg_mag = AVG(mag) BY label
+        | SORT label
+    ''')
+    for c in ("avg_cos", "avg_dot", "avg_l1", "avg_l2", "avg_mag"):
+        out[c] = round_half_away(out[c].to_numpy(), 4)
+    return out

@@ -119,3 +119,67 @@ def test_ft_on_unindexed_table_rejected(ray_session):
             | WHERE MATCH(event_type, "purchase")
             | SORT event_id | LIMIT 5 | KEEP event_id
         """)
+
+
+# ---------------- vector family (KNN + V_* scalars) ----------------
+
+
+def test_vector_scalars_match_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    V = np.asarray(tbl["embedding"].combine_chunks().flatten(),
+                   dtype=np.float64).reshape(len(tbl), -1)
+    q = np.sin((np.arange(64) + 1) * 0.37).round(3)
+    qs = ", ".join(str(x) for x in q)
+    out = esql.run(SF, f"""
+        FROM embeddings
+        | EVAL cos = V_COSINE(embedding, [{qs}]),
+               l1 = V_L1_NORM(embedding, [{qs}]),
+               mag = V_MAGNITUDE(embedding)
+        | SORT vec_id
+        | LIMIT 100000
+        | KEEP vec_id, cos, l1, mag
+    """)
+    want_cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    np.testing.assert_allclose(out["cos"].to_numpy(), want_cos, rtol=1e-12)
+    np.testing.assert_allclose(out["l1"].to_numpy(),
+                               np.abs(V - q).sum(axis=1), rtol=1e-12)
+    np.testing.assert_allclose(out["mag"].to_numpy(),
+                               np.linalg.norm(V, axis=1), rtol=1e-12)
+
+
+def test_knn_topk_matches_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    V = np.asarray(tbl["embedding"].combine_chunks().flatten(),
+                   dtype=np.float64).reshape(len(tbl), -1)
+    ids = tbl["vec_id"].to_numpy()
+    q = np.sin((np.arange(64) + 1) * 0.37).round(3)
+    qs = ", ".join(str(x) for x in q)
+    out = esql.run(SF, f"""
+        FROM embeddings METADATA _score
+        | WHERE KNN(embedding, [{qs}], {{"k": 7}})
+        | SORT _score DESC, vec_id
+        | LIMIT 7
+        | KEEP vec_id, _score
+    """)
+    cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:7]
+    assert list(out["vec_id"]) == list(ids[order])
+    np.testing.assert_allclose(out["_score"].to_numpy(),
+                               (1 + cos[order]) / 2, rtol=1e-12)
+
+
+def test_knn_residual_conjunct(ray_session):
+    q = np.sin((np.arange(64) + 1) * 0.37).round(3)
+    qs = ", ".join(str(x) for x in q)
+    out = esql.run(SF, f"""
+        FROM embeddings
+        | WHERE KNN(embedding, [{qs}], {{"k": 50}}) AND label == 1
+        | SORT vec_id | LIMIT 100 | KEEP vec_id, label
+    """)
+    assert (out["label"] == 1).all() and 0 < len(out) <= 50
