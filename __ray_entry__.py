@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
         "esql_knn", "esql_vector_functions",
+        "eql_head_pipe", "eql_sequence_three", "eql_until",
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
         "nodes_stats", "esql_ts_rate", "esql_rrf",
@@ -1163,6 +1164,40 @@ GROUP BY 1 ORDER BY 1""",
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase'
 ORDER BY value DESC, event_id LIMIT 10""",
+        "eql_head_pipe": """
+SELECT event_id, ts, event_type, value FROM events
+WHERE event_type = 'purchase' AND value > 40
+ORDER BY ts, event_id LIMIT 5""",
+        "eql_sequence_three": """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+s2 AS (SELECT c.user_id, c.ts AS t1,
+         (SELECT min(v.ts) FROM events v
+          WHERE v.user_id = c.user_id AND v.event_type = 'view'
+            AND v.ts > c.ts) AS t2
+       FROM c),
+s3 AS (SELECT user_id, t1, t2,
+         (SELECT min(p.ts) FROM events p
+          WHERE p.user_id = s2.user_id AND p.event_type = 'purchase'
+            AND p.ts > s2.t2) AS t3
+       FROM s2 WHERE t2 IS NOT NULL)
+SELECT user_id, count(*)::BIGINT AS seqs
+FROM s3
+WHERE t3 IS NOT NULL AND epoch_us(t3) - epoch_us(t1) <= 172800000000::BIGINT
+GROUP BY user_id ORDER BY user_id""",
+        "eql_until": """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+s2 AS (SELECT c.user_id, c.ts AS t1,
+         (SELECT min(p.ts) FROM events p
+          WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            AND p.ts > c.ts) AS t2
+       FROM c)
+SELECT user_id, count(*)::BIGINT AS seqs
+FROM s2
+WHERE t2 IS NOT NULL AND epoch_us(t2) - epoch_us(t1) <= 172800000000::BIGINT
+  AND NOT EXISTS (SELECT 1 FROM events e
+                  WHERE e.user_id = s2.user_id AND e.event_type = 'error'
+                    AND e.ts > s2.t1 AND e.ts <= s2.t2)
+GROUP BY user_id ORDER BY user_id""",
         "esql_knn": f"""
 WITH qv AS (SELECT [{_QVEC}]::DOUBLE[] AS q)
 SELECT vec_id,

@@ -1,0 +1,258 @@
+"""EQL (Event Query Language) executor over Ray Data.
+
+Reference surface: x-pack/plugin/eql — EqlParser grammar (single-event
+`<category> where <condition>` queries, `sequence by ... with maxspan=...
+[ step ]+ until [ step ]`, and the head/tail/count pipes). From-scratch
+parser; each form lowers onto the idiomatic Ray Data shape:
+
+- single-event query  -> pruned read + vectorized predicate (the ES|QL
+  expression engine's pyarrow lowering) + timestamp-ordered head/tail
+  (per-batch partial top-k, driver merges batches x n candidates)
+- sequence            -> ONE groupby(join key).map_groups; inside a group
+  every step is a sorted int64 timestamp array and the step chain is a
+  vectorized searchsorted cascade — no pairwise blowup, no driver loop.
+  `until` events break a pending chain the same way the reference's
+  state machine drops a sequence when the until event fires between the
+  first and last step (TumblingWindow/SequenceMatcher semantics).
+- pipes               -> applied to the (already bounded) result
+
+Event categories map onto the harness's events table: a leading
+`<category> where` means `event_type == "<category>" AND`; `any where`
+places no category constraint.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SPAN_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
+            "d": 86_400_000_000}
+
+_STEP_RX = re.compile(r"\[\s*(\w+)\s+where\s+(.*?)\s*\]", re.S)
+_SEQ_RX = re.compile(
+    r"^sequence(?:\s+by\s+([\w.]+))?(?:\s+with\s+maxspan\s*=\s*(\d+)"
+    r"([smhd]))?\s*(.*)$", re.I | re.S)
+_SINGLE_RX = re.compile(r"^(\w+)\s+where\s+(.*)$", re.S)
+
+
+def _split_pipes(q: str) -> tuple[str, list[tuple[str, str]]]:
+    """Split `query | pipe args | ...` at top level (not inside quotes or
+    [] step brackets)."""
+    segs, buf, inq, depth = [], [], False, 0
+    for ch in q:
+        if ch == '"':
+            inq = not inq
+            buf.append(ch)
+        elif not inq and ch in "[]":
+            depth += 1 if ch == "[" else -1
+            buf.append(ch)
+        elif ch == "|" and not inq and depth == 0:
+            segs.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    segs.append("".join(buf))
+    head = segs[0].strip()
+    pipes = []
+    for seg in segs[1:]:
+        name, _, arg = seg.strip().partition(" ")
+        pipes.append((name.lower(), arg.strip()))
+    return head, pipes
+
+
+def _category_predicate(category: str, cond: str) -> str:
+    if category.lower() == "any":
+        return cond
+    return f'event_type == "{category}" AND ({cond})'
+
+
+def parse(query: str) -> dict:
+    """-> {"kind": "event", "predicate", "pipes"} or
+    {"kind": "sequence", "by", "maxspan_us", "steps", "until", "pipes"}."""
+    head, pipes = _split_pipes(query.strip())
+    m = _SEQ_RX.match(head)
+    if m:
+        by, n, unit, body = m.groups()
+        until = None
+        um = re.search(r"\buntil\b(.*)$", body, re.I | re.S)
+        if um:
+            body = body[:um.start()]
+            usteps = _STEP_RX.findall(um.group(1))
+            if len(usteps) != 1:
+                raise ValueError("until takes exactly one [ step ]")
+            until = _category_predicate(*usteps[0])
+        steps = [_category_predicate(c, p) for c, p in
+                 _STEP_RX.findall(body)]
+        if len(steps) < 2:
+            raise ValueError("sequence needs at least two [ step ]s")
+        return {"kind": "sequence", "by": by or None,
+                "maxspan_us": int(n) * _SPAN_US[unit] if n else None,
+                "steps": steps, "until": until, "pipes": pipes}
+    m = _SINGLE_RX.match(head)
+    if m:
+        return {"kind": "event",
+                "predicate": _category_predicate(m.group(1), m.group(2)),
+                "pipes": pipes}
+    raise ValueError(f"unsupported EQL query: {head[:60]!r}")
+
+
+def _used_columns(plan: dict) -> set[str]:
+    out = {"event_id", "ts", "event_type"}
+    texts = plan.get("steps", []) + [plan.get("predicate", ""),
+                                     plan.get("until") or ""]
+    for s in texts:
+        out.update(re.findall(r"[A-Za-z_][\w.]*", s))
+    if plan.get("by"):
+        out.add(plan["by"])
+    return out
+
+
+def run(sf_dir: str, query: str, table: str = "events") -> pd.DataFrame:
+    """Execute an EQL query; returns a bounded pandas result."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .esql_expr import compile_predicate
+
+    plan = parse(query)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = pq.read_schema(path).remove_metadata()
+    cols = [c for c in schema.names if c in _used_columns(plan)]
+    ds = rd.read_parquet(path, columns=cols,
+                         schema=pa.schema([schema.field(c) for c in cols]))
+
+    if plan["kind"] == "event":
+        pred = compile_predicate(plan["predicate"])
+        ds = ds.map_batches(pred, batch_format="pyarrow")
+        return _apply_pipes_event(ds, plan["pipes"])
+
+    # sequence: tag each row with its step index (vectorized masks evaluated
+    # via the ES|QL expression ASTs), then ONE shuffle co-partitions a join
+    # key's events; the in-group chain is a searchsorted cascade over
+    # sorted int64 timestamps.
+    from .esql_expr import evaluate, parse_expr
+
+    by = plan["by"]
+    span = plan["maxspan_us"]
+    nsteps = len(plan["steps"])
+    step_asts = [parse_expr(s) for s in plan["steps"]]
+    until_ast = parse_expr(plan["until"]) if plan["until"] else None
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        key = t[by].to_numpy(zero_copy_only=False) if by \
+            else np.zeros(len(t), np.int64)
+        keys, tss, steps = [], [], []
+        for i, ast in enumerate(step_asts):
+            m = np.asarray(evaluate(ast, t).to_numpy(zero_copy_only=False),
+                           bool)
+            keys.append(key[m])
+            tss.append(ts[m])
+            steps.append(np.full(int(m.sum()), i, np.int8))
+        if until_ast is not None:
+            m = np.asarray(
+                evaluate(until_ast, t).to_numpy(zero_copy_only=False), bool)
+            keys.append(key[m])
+            tss.append(ts[m])
+            steps.append(np.full(int(m.sum()), -1, np.int8))
+        return pa.table({
+            "k": pa.array(np.concatenate(keys) if keys else
+                          np.empty(0, np.int64), pa.int64()),
+            "ts": pa.array(np.concatenate(tss) if tss else
+                           np.empty(0, np.int64), pa.int64()),
+            "step": pa.array(np.concatenate(steps) if steps else
+                             np.empty(0, np.int8), pa.int8()),
+        })
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        k = int(df["k"].iloc[0])
+        arrs = [np.sort(df.loc[df["step"] == i, "ts"].to_numpy())
+                for i in range(nsteps)]
+        unt = np.sort(df.loc[df["step"] == -1, "ts"].to_numpy())
+        if any(a.size == 0 for a in arrs):
+            return pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                                 "seqs": pd.Series([], dtype=np.int64)})
+        # chain: for each step-1 anchor, the earliest strictly-later event
+        # of each following step (the reference matcher is first-match)
+        cur = arrs[0].copy()
+        first = arrs[0]
+        ok = np.ones(cur.size, bool)
+        for nxt in arrs[1:]:
+            pos = np.searchsorted(nxt, cur, side="right")
+            hit = pos < nxt.size
+            ok &= hit
+            cur = np.where(hit, nxt[np.minimum(pos, nxt.size - 1)], cur)
+        if span is not None:
+            ok &= (cur - first) <= span
+        if unt.size:
+            # drop chains with an until event in (first, last]
+            u_in = (np.searchsorted(unt, cur, side="right") -
+                    np.searchsorted(unt, first, side="right")) > 0
+            ok &= ~u_in
+        n = int(ok.sum())
+        if n == 0:
+            return pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                                 "seqs": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"k": [k], "seqs": [n]})
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("k").map_groups(per_key, batch_format="pandas")
+             .to_pandas())
+    if "k" not in out.columns:  # zero sequences anywhere -> typed empty
+        out = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                            "seqs": pd.Series([], dtype=np.int64)})
+    out["k"] = out["k"].astype(np.int64)
+    out["seqs"] = out["seqs"].astype(np.int64)
+    name = by or "key"
+    out = out.rename(columns={"k": name})
+    out = out.sort_values(name).reset_index(drop=True)
+    return _apply_pipes_frame(out, plan["pipes"])
+
+
+def _apply_pipes_event(ds, pipes: list[tuple[str, str]]) -> pd.DataFrame:
+    """head/tail/count over a (ts, event_id)-ordered event stream.
+    head n  -> per-batch partial top-n ascending; driver merge
+    tail n  -> per-batch partial top-n descending; driver merge"""
+    if not pipes:
+        pipes = [("head", "10")]  # the reference's default size
+    (name, arg), rest = pipes[0], pipes[1:]
+    if name == "count":
+        n = ds.count()
+        return pd.DataFrame({"count": pd.Series([n], dtype=np.int64)})
+    if name not in ("head", "tail"):
+        raise ValueError(f"unsupported EQL pipe: {name}")
+    n = int(arg or 10)
+    asc = name == "head"
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["ts", "event_id"], ascending=asc, kind="mergesort").head(n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["ts", "event_id"], ascending=asc,
+                          kind="mergesort").head(n)
+    out = out.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    return _apply_pipes_frame(out, rest)
+
+
+def _apply_pipes_frame(out: pd.DataFrame,
+                       pipes: list[tuple[str, str]]) -> pd.DataFrame:
+    for name, arg in pipes:
+        if name == "count":
+            out = pd.DataFrame(
+                {"count": pd.Series([len(out)], dtype=np.int64)})
+        elif name == "head":
+            out = out.head(int(arg or 10)).reset_index(drop=True)
+        elif name == "tail":
+            out = out.tail(int(arg or 10)).reset_index(drop=True)
+        else:
+            raise ValueError(f"unsupported EQL pipe: {name}")
+    return out

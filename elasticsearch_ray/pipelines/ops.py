@@ -10455,3 +10455,39 @@ def esql_vector_functions(sf_dir: str):
     for c in ("avg_cos", "avg_dot", "avg_l1", "avg_l2", "avg_mag"):
         out[c] = round_half_away(out[c].to_numpy(), 4)
     return out
+
+
+def eql_head_pipe(sf_dir: str):
+    """EQL single-event query with head pipe (x-pack eql EqlParser: `<cat>
+    where <cond> | head n`): pruned read, vectorized predicate, per-batch
+    partial top-n on (ts, event_id), driver merges batches x n rows."""
+    from ..functions import eql
+
+    return eql.run(sf_dir, 'purchase where value > 40 | head 5')
+
+
+def eql_sequence_three(sf_dir: str):
+    """EQL 3-step sequence (`sequence by user_id with maxspan=2d [click]
+    [view] [purchase]`): first-match chain per anchor — for each click the
+    earliest later view, then the earliest later purchase, valid when the
+    whole chain fits in maxspan. One groupby co-partitions each user's
+    events; the chain is a vectorized searchsorted cascade."""
+    from ..functions import eql
+
+    return eql.run(sf_dir, '''
+      sequence by user_id with maxspan=2d
+        [ click where true ] [ view where true ] [ purchase where true ]
+    ''')
+
+
+def eql_until(sf_dir: str):
+    """EQL sequence with until (SequenceMatcher until semantics): a chain
+    is dropped when the until event fires between its first and last
+    step."""
+    from ..functions import eql
+
+    return eql.run(sf_dir, '''
+      sequence by user_id with maxspan=2d
+        [ click where true ] [ purchase where true ]
+      until [ error where true ]
+    ''')
