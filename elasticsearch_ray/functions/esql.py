@@ -238,6 +238,61 @@ def _enrich_stage(sf_dir: str, body: str):
     return f
 
 
+def _parse_sort_specs(body: str) -> list[tuple[str, bool, str]]:
+    """SORT body -> [(key, ascending, na_position)]. ES|QL treats null as
+    larger than any value (EsqlParser orderExpression default), so nulls
+    land last ascending / first descending unless NULLS FIRST/LAST says
+    otherwise."""
+    specs = []
+    for item in body.split(","):
+        toks = item.split()
+        key = toks[0]
+        asc = True
+        na = None
+        i = 1
+        while i < len(toks):
+            u = toks[i].upper()
+            if u in ("ASC", "DESC"):
+                asc = u == "ASC"
+            elif u == "NULLS" and i + 1 < len(toks):
+                i += 1
+                na = "first" if toks[i].upper() == "FIRST" else "last"
+            i += 1
+        if na is None:
+            na = "last" if asc else "first"
+        specs.append((key, asc, na))
+    return specs
+
+
+def _sort_frame(df: pd.DataFrame,
+                specs: list[tuple[str, bool, str]]) -> pd.DataFrame:
+    """Stable multi-key sort honouring a per-key na_position (pandas takes
+    only one na_position per call, so sort per key from last to first)."""
+    for key, asc, na in reversed(specs):
+        df = df.sort_values(key, ascending=asc, na_position=na,
+                            kind="mergesort")
+    return df
+
+
+def _expand_cols(items: list[str], columns: list[str],
+                 keep_order: bool = True) -> list[str]:
+    """KEEP/DROP projection with qualified-name wildcards (EsqlParser
+    qualifiedNamePattern): `user*` expands in current column order."""
+    import fnmatch
+
+    out: list[str] = []
+    for p in items:
+        if "*" in p:
+            out.extend(c for c in columns
+                       if fnmatch.fnmatch(c, p) and c not in out)
+        else:
+            if p not in columns:
+                raise KeyError(f"unknown column {p!r}")
+            if p not in out:
+                out.append(p)
+    return out
+
+
 def _split_top(s: str) -> list[str]:
     """Split on commas outside parentheses (function args keep theirs)."""
     parts, depth, start = [], 0, 0
@@ -719,6 +774,11 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
         used.add("ts")  # RATE orders samples by the implicit ts column
     if ft_stage is not None:
         used.add(ft_id_col)  # the pushed query's join key
+    # KEEP/DROP wildcards: a pattern like `user*` must keep matching schema
+    # columns readable even though the bare identifier isn't a column name
+    wild_pats = {p.strip() for cmd, body in stages[1:]
+                 if cmd in ("KEEP", "DROP")
+                 for p in body.split(",") if "*" in p}
     # scan-time predicate pushdown: a leading WHERE whose expression has a
     # pyarrow.dataset equivalent filters at the parquet scanner (row-group
     # statistics pruning — the BKD/PointRangeQuery skip analog), not in a
@@ -739,6 +799,21 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
 
         path = os.path.join(sf_dir, f"{table}.parquet")
         schema = pq.read_schema(path).remove_metadata()
+        if wild_pats:
+            import fnmatch
+
+            used.update(c for c in schema.names
+                        for p in wild_pats if fnmatch.fnmatch(c, p))
+        drop_pats = {p.strip() for cmd, body in stages[1:] if cmd == "DROP"
+                     for p in body.split(",")}
+        if drop_pats:
+            # DROP is subtractive: every non-dropped column flows through
+            # to the result, so it must be read even if nothing names it
+            import fnmatch
+
+            used.update(c for c in schema.names
+                        if not any(fnmatch.fnmatch(c, p)
+                                   for p in drop_pats))
         cols = [c for c in schema.names if c in used] or schema.names
         if any(cmd == "SAMPLE" for cmd, _ in stages[1:]):
             # SAMPLE hashes the first integer column — keep it readable
@@ -784,7 +859,12 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             drop_cols = [c.strip() for c in body.split(",")]
 
             def _drop(t: pa.Table, _d=tuple(drop_cols)) -> pa.Table:
-                return t.select([c for c in t.column_names if c not in _d])
+                import fnmatch
+
+                gone = {c for c in t.column_names
+                        for p in _d if fnmatch.fnmatch(c, p)}
+                return t.select(
+                    [c for c in t.column_names if c not in gone])
 
             ds = ds.map_batches(_drop, batch_format="pyarrow")
         elif cmd == "ENRICH" and stats_specs is None:
@@ -1211,16 +1291,12 @@ def _apply_post(out: pd.DataFrame, post: list[tuple[str, str]]) -> pd.DataFrame:
     """SORT/LIMIT/KEEP/WHERE over the already-reduced (driver-small) frame."""
     for cmd, body in post:
         if cmd == "SORT":
-            keys, asc = [], []
-            for item in body.split(","):
-                toks = item.split()
-                keys.append(toks[0])
-                asc.append(not (len(toks) > 1 and toks[1].upper() == "DESC"))
-            out = out.sort_values(keys, ascending=asc)
+            out = _sort_frame(out, _parse_sort_specs(body))
         elif cmd == "LIMIT":
             out = out.head(int(body))
         elif cmd == "KEEP":
-            out = out[[c.strip() for c in body.split(",")]]
+            out = out[_expand_cols([c.strip() for c in body.split(",")],
+                                   list(out.columns))]
         elif cmd == "WHERE":  # post-STATS HAVING-style filter (driver-small)
             from .esql_expr import compile_predicate
 
@@ -1293,20 +1369,17 @@ def _change_point(out: pd.DataFrame, body: str) -> pd.DataFrame:
 
 
 def _run_row_mode(ds, post: list[tuple[str, str]]) -> pd.DataFrame:
-    """Row-returning pipelines (no STATS): require LIMIT so the result is
-    bounded; with SORT the scale shape is per-batch partial top-k (each
-    batch emits at most `limit` rows), driver merge of (batches x limit)."""
-    sort_keys: list[str] = []
-    sort_asc: list[bool] = []
+    """Row-returning pipelines (no STATS): bounded by LIMIT — or by the
+    reference's implicit result-truncation default of 1000 rows
+    (esql.query.result_truncation_default_size) when no LIMIT is given.
+    With SORT the scale shape is per-batch partial top-k (each batch
+    emits at most `limit` rows), driver merge of (batches x limit)."""
+    specs: list[tuple[str, bool, str]] = []
     limit = None
     keep = None
     for cmd, body in post:
         if cmd == "SORT":
-            for item in body.split(","):
-                toks = item.split()
-                sort_keys.append(toks[0])
-                sort_asc.append(not (len(toks) > 1 and
-                                     toks[1].upper() == "DESC"))
+            specs.extend(_parse_sort_specs(body))
         elif cmd == "LIMIT":
             limit = int(body)
         elif cmd == "KEEP":
@@ -1314,24 +1387,21 @@ def _run_row_mode(ds, post: list[tuple[str, str]]) -> pd.DataFrame:
         else:
             raise ValueError(f"unsupported row-mode command: {cmd}")
     if limit is None:
-        raise ValueError("row-mode ES|QL pipelines require LIMIT")
+        limit = 1000  # implicit truncation, EsqlPlugin QUERY_RESULT_TRUNCATION
 
-    if sort_keys:
+    if specs:
         n = limit
 
         def partial_topk(t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            df = df.sort_values(sort_keys, ascending=sort_asc,
-                                kind="mergesort").head(n)
+            df = _sort_frame(t.to_pandas(), specs).head(n)
             return pa.Table.from_pandas(df, preserve_index=False)
 
         parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-        out = parts.sort_values(sort_keys, ascending=sort_asc,
-                                kind="mergesort").head(limit)
+        out = _sort_frame(parts, specs).head(limit)
     else:
         out = ds.limit(limit).to_pandas()
     if keep:
-        out = out[keep]
+        out = out[_expand_cols(keep, list(out.columns))]
     return out.reset_index(drop=True)
 
 

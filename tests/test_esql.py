@@ -109,9 +109,11 @@ def test_row_mode_topk_matches_sql(ray_session):
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
 
 
-def test_row_mode_requires_limit(ray_session):
-    with pytest.raises(ValueError):
-        esql.run(SF, "FROM events | WHERE value > 5")
+def test_row_mode_implicit_limit_1000(ray_session):
+    # no LIMIT -> the reference's implicit result-truncation default of
+    # 1000 rows (EsqlPlugin QUERY_RESULT_TRUNCATION_DEFAULT_SIZE)
+    out = esql.run(SF, "FROM events | WHERE value >= 0")
+    assert len(out) == 1000
 
 
 def test_count_distinct_exact_and_mixed(ray_session):
@@ -488,3 +490,25 @@ def test_rrf_requires_fork(ray_session):
 
     with pytest.raises(ValueError, match="RRF requires FORK"):
         _rrf(pd.DataFrame({"doc_id": [1], "_score": [1.0]}), "")
+
+
+def test_sort_nulls_default_and_override(ray_session):
+    # ES|QL treats null as larger than any value: DESC -> nulls first
+    q = '''
+        FROM events
+        | EVAL v = CASE(event_type == "error", NULL, value)
+        | SORT v DESC{nulls}, event_id
+        | LIMIT 5 | KEEP event_id, v
+    '''
+    first = esql.run(SF, q.format(nulls=""))
+    assert first["v"].isna().all()
+    last = esql.run(SF, q.format(nulls=" NULLS LAST"))
+    assert last["v"].notna().all()
+
+
+def test_keep_drop_wildcards(ray_session):
+    out = esql.run(SF, "FROM events | KEEP event*, user* | LIMIT 3")
+    assert list(out.columns) == ["event_id", "event_type", "user_id"]
+    out2 = esql.run(SF, "FROM events | DROP prop*, ts | LIMIT 3")
+    assert list(out2.columns) == ["event_id", "user_id", "event_type",
+                                  "value"]
