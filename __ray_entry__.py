@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_qstr", "esql_kql", "esql_score_topk",
         "esql_knn", "esql_vector_functions",
         "eql_head_pipe", "eql_sequence_three", "eql_until",
+        "esql_over_time", "esql_like_list",
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
         "nodes_stats", "esql_ts_rate", "esql_rrf",
@@ -1164,6 +1165,22 @@ GROUP BY 1 ORDER BY 1""",
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase'
 ORDER BY value DESC, event_id LIMIT 10""",
+        "esql_like_list": """
+SELECT event_type, count(*)::BIGINT AS n FROM events
+WHERE (event_type LIKE 'c%' OR event_type LIKE 'p%')
+  AND (regexp_matches(props, '1') OR regexp_matches(props, '7'))
+GROUP BY event_type ORDER BY event_type""",
+        "esql_over_time": """
+WITH i AS (
+  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         sum(round(value*100)) AS cents, count(value) AS cnt,
+         max(round(value*100)) AS mxc,
+         arg_max(round(value*100), ts) AS lastc
+  FROM events GROUP BY 1, 2)
+SELECT day, ROUND(sum(cents/100.0/cnt), 4) AS s,
+       ROUND(max(mxc)/100.0, 4) AS mx, sum(cnt)::BIGINT AS c,
+       ROUND(avg(lastc/100.0), 4) AS l
+FROM i GROUP BY day ORDER BY day LIMIT 40""",
         "eql_head_pipe": """
 SELECT event_id, ts, event_type, value FROM events
 WHERE event_type = 'purchase' AND value > 40

@@ -669,6 +669,23 @@ def _parse_stats(body: str) -> tuple[list[tuple], list[str], list]:
         # (esql FilteredExpression, 8.16) — the predicate masks the rows
         # feeding THIS aggregate only; groups still form over all rows
         call, _, where_src = call.strip().partition(" WHERE ")
+        # nested time-series form OUTER(INNER_OVER_TIME(col)) (8.19 TS
+        # aggregates): inner per-series (per _tsid, per bucket) reduce,
+        # outer across series within the BY group
+        m2 = re.fullmatch(
+            r"(\w+)\(\s*(\w+)_OVER_TIME\(\s*([\w.]+)\s*\)\s*\)",
+            call.strip(), re.I)
+        if m2:
+            outer, inner = m2.group(1).upper(), m2.group(2).upper()
+            if outer not in ("AVG", "SUM", "MIN", "MAX") or inner not in (
+                    "AVG", "SUM", "MIN", "MAX", "COUNT", "LAST", "FIRST"):
+                raise ValueError(f"unsupported OVER_TIME agg: {item!r}")
+            if where_src.strip():
+                raise ValueError("per-agg WHERE is not supported with "
+                                 "OVER_TIME aggregates")
+            specs.append((alias.strip(), "OVER_TIME", m2.group(3),
+                          (outer, inner), None))
+            continue
         m = re.fullmatch(
             r"(\w+)\(\s*(\*|[\w.]+)\s*(?:,\s*([\w.]+)\s*)?\)", call.strip())
         if not m or m.group(1).upper() not in _AGGS:
@@ -772,6 +789,8 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
         used.update(re.findall(r"[A-Za-z_][\w.]*", body))
     if any("RATE(" in body.upper() for _, body in stages[1:]):
         used.add("ts")  # RATE orders samples by the implicit ts column
+    if any("_OVER_TIME(" in body.upper() for _, body in stages[1:]):
+        used.update(("ts", "user_id"))  # implicit series dims (_tsid)
     if ft_stage is not None:
         used.add(ft_id_col)  # the pushed query's join key
     # KEEP/DROP wildcards: a pattern like `user*` must keep matching schema
@@ -1059,6 +1078,97 @@ def _inline_join_fn(frame: pd.DataFrame, by: list[str]):
     return f
 
 
+def _over_time_table(ds, ot_specs, by: list[str]) -> pd.DataFrame:
+    """Nested TS aggregates OUTER(INNER_OVER_TIME(col)) (x-pack esql 8.19
+    time-series functions): the inner reduce runs per series — the _tsid
+    analog here is the events table's dimension column `user_id` plus the
+    BY keys — and the outer combines series within each BY group.
+
+    Scale shape: per-batch partial per-series combiner (sum/count/min/max
+    in integer cents; LAST/FIRST carry their timestamp), driver merges a
+    table bounded by series-cardinality x batches — never row cardinality.
+    No shuffle: the exchange is the partial frames themselves."""
+    skeys = (["user_id"] if "user_id" not in by else []) + by
+    need_ts = any(s[3][1] in ("LAST", "FIRST") for s in ot_specs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if need_ts:
+            df["_ts_us"] = df["ts"].astype(
+                "datetime64[us]").astype(np.int64)
+            df = df.sort_values("_ts_us", kind="mergesort")
+        aggmap: dict[str, tuple] = {}
+        for alias, _, col, (outer, inner), _w in ot_specs:
+            df[f"_c_{alias}"] = np.round(
+                df[col].to_numpy(np.float64) * 100)
+            if inner == "AVG":
+                aggmap[f"_s_{alias}"] = (f"_c_{alias}", "sum")
+                aggmap[f"_n_{alias}"] = (col, "count")
+            elif inner == "SUM":
+                aggmap[f"_s_{alias}"] = (f"_c_{alias}", "sum")
+            elif inner == "COUNT":
+                aggmap[f"_n_{alias}"] = (col, "count")
+            elif inner == "MIN":
+                aggmap[f"_mn_{alias}"] = (f"_c_{alias}", "min")
+            elif inner == "MAX":
+                aggmap[f"_mx_{alias}"] = (f"_c_{alias}", "max")
+            else:  # LAST / FIRST: value at the extreme timestamp
+                pos = "last" if inner == "LAST" else "first"
+                aggmap[f"_v_{alias}"] = (f"_c_{alias}", pos)
+                aggmap[f"_t_{alias}"] = (
+                    "_ts_us", "max" if inner == "LAST" else "min")
+        g = df.groupby(skeys, as_index=False).agg(**aggmap)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    aggmap2: dict[str, tuple] = {}
+    for alias, _, col, (outer, inner), _w in ot_specs:
+        if inner in ("AVG", "SUM"):
+            aggmap2[f"_s_{alias}"] = (f"_s_{alias}", "sum")
+        if inner in ("AVG", "COUNT"):
+            aggmap2[f"_n_{alias}"] = (f"_n_{alias}", "sum")
+        if inner == "MIN":
+            aggmap2[f"_mn_{alias}"] = (f"_mn_{alias}", "min")
+        if inner == "MAX":
+            aggmap2[f"_mx_{alias}"] = (f"_mx_{alias}", "max")
+    merged = parts.groupby(skeys, as_index=False).agg(**aggmap2) \
+        if aggmap2 else parts[skeys].drop_duplicates().reset_index(drop=True)
+    for alias, _, col, (outer, inner), _w in ot_specs:
+        if inner in ("LAST", "FIRST"):
+            fn = "idxmax" if inner == "LAST" else "idxmin"
+            idx = getattr(parts.groupby(skeys)[f"_t_{alias}"], fn)()
+            sub = parts.loc[idx, skeys + [f"_v_{alias}"]]
+            merged = merged.merge(sub, on=skeys)
+    series = merged[skeys].copy()
+    for alias, _, col, (outer, inner), _w in ot_specs:
+        if inner == "AVG":
+            series[alias] = (merged[f"_s_{alias}"] / 100.0
+                             / merged[f"_n_{alias}"])
+        elif inner == "SUM":
+            series[alias] = merged[f"_s_{alias}"] / 100.0
+        elif inner == "COUNT":
+            series[alias] = merged[f"_n_{alias}"].astype("int64")
+        elif inner == "MIN":
+            series[alias] = merged[f"_mn_{alias}"] / 100.0
+        elif inner == "MAX":
+            series[alias] = merged[f"_mx_{alias}"] / 100.0
+        else:
+            series[alias] = merged[f"_v_{alias}"] / 100.0
+    outer_map = {"AVG": "mean", "SUM": "sum", "MIN": "min", "MAX": "max"}
+    cols = {alias: outer_map[s[3][0]] for s in ot_specs
+            for alias in [s[0]]}
+    if by:
+        out = series.groupby(by, as_index=False).agg(
+            **{a: (a, f) for a, f in cols.items()})
+    else:
+        out = pd.DataFrame([{a: getattr(series[a], f)()
+                             for a, f in cols.items()}])
+    for alias, _, col, (outer, inner), _w in ot_specs:
+        if inner == "COUNT" and outer == "SUM":
+            out[alias] = out[alias].astype("int64")
+    return out
+
+
 def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
     """Reduce a dataset to its STATS group table (driver-small: bounded by
     group cardinality, never row count). Shared by STATS (terminal) and
@@ -1080,8 +1190,12 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
     pair_fns = ("COUNT_DISTINCT", "MEDIAN", "PERCENTILE", "VALUES")
     pair_specs = [s for s in specs if s[1] in pair_fns]
     rate_specs = [s for s in specs if s[1] == "RATE"]
-    specs = [s for s in specs if s[1] not in pair_fns and s[1] != "RATE"]
+    ot_specs = [s for s in specs if s[1] == "OVER_TIME"]
+    specs = [s for s in specs
+             if s[1] not in pair_fns and s[1] not in ("RATE", "OVER_TIME")]
     pair_frames: list[pd.DataFrame] = []
+    if ot_specs:
+        pair_frames.append(_over_time_table(ds, ot_specs, by))
     # RATE(counter[, tscol]) (esql Rate aggregate under the TS command,
     # 8.13 time-series mode): Prometheus-style counter rate — sum of
     # positive increments (a reset contributes the new value) over the

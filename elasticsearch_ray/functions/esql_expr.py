@@ -154,6 +154,22 @@ class _Parser:
             return ("in", node, lits, negated)
         if k in ("LIKE", "RLIKE"):
             self.next()
+            if self.peek()[1] == "(":
+                # pattern list (8.16): col LIKE ("a*", "b*") — any-match
+                self.next()
+                pats = []
+                while True:
+                    pk, pv = self.next()
+                    if pk != "str":
+                        raise ValueError(
+                            "LIKE/RLIKE patterns must be string literals")
+                    pats.append(_unquote(pv))
+                    if self.peek()[1] == ",":
+                        self.next()
+                        continue
+                    break
+                self.expect(")")
+                return (k.lower(), node, pats, negated)
             pk, pv = self.next()
             if pk != "str":
                 raise ValueError("LIKE/RLIKE pattern must be a string literal")
@@ -311,11 +327,15 @@ def evaluate(node, t: pa.Table):
         return pc.invert(mask) if node[3] else mask
     if kind == "like":
         arr = evaluate(node[1], t)
-        mask = pc.match_substring_regex(arr, _wild_to_regex(node[2]))
+        pats = node[2] if isinstance(node[2], list) else [node[2]]
+        rx = "|".join(_wild_to_regex(p) for p in pats)
+        mask = pc.match_substring_regex(arr, rx)
         return pc.invert(mask) if node[3] else mask
     if kind == "rlike":
         arr = evaluate(node[1], t)
-        mask = pc.match_substring_regex(arr, "^(?:" + node[2] + ")$")
+        pats = node[2] if isinstance(node[2], list) else [node[2]]
+        rx = "^(?:" + "|".join(f"(?:{p})" for p in pats) + ")$"
+        mask = pc.match_substring_regex(arr, rx)
         return pc.invert(mask) if node[3] else mask
     if kind == "isnull":
         arr = evaluate(node[1], t)

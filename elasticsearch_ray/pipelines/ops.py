@@ -10491,3 +10491,37 @@ def eql_until(sf_dir: str):
         [ click where true ] [ purchase where true ]
       until [ error where true ]
     ''')
+
+
+def esql_over_time(sf_dir: str):
+    """ES|QL nested time-series aggregates OUTER(INNER_OVER_TIME(col))
+    (8.19 TS functions): inner per-series reduce (the _tsid analog =
+    user_id + BY keys) in integer cents, outer combine across series.
+    Scale shape: per-batch partial per-series combiner, driver merges a
+    series-cardinality table — never rows, never a shuffle."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        TS events
+        | STATS s = SUM(AVG_OVER_TIME(value)), mx = MAX(MAX_OVER_TIME(value)),
+                c = SUM(COUNT_OVER_TIME(value)), l = AVG(LAST_OVER_TIME(value))
+          BY day = DATE_FORMAT("yyyy-MM-dd", DATE_TRUNC("day", ts))
+        | SORT day
+        | LIMIT 40
+    ''')
+    for c in ("s", "mx", "l"):
+        out[c] = round_half_away(out[c].to_numpy(), 4)
+    return out
+
+
+def esql_like_list(sf_dir: str):
+    """LIKE/RLIKE pattern lists (8.16 WildcardLike list form): any-match
+    semantics compiled to ONE alternation regex per batch."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events
+        | WHERE event_type LIKE ("c*", "p*") AND props RLIKE (".*1.*", ".*7.*")
+        | STATS n = COUNT(*) BY event_type
+        | SORT event_type
+    ''')

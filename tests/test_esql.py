@@ -512,3 +512,49 @@ def test_keep_drop_wildcards(ray_session):
     out2 = esql.run(SF, "FROM events | DROP prop*, ts | LIMIT 3")
     assert list(out2.columns) == ["event_id", "user_id", "event_type",
                                   "value"]
+
+
+def test_over_time_nested_aggregates(ray_session):
+    """OUTER(INNER_OVER_TIME(col)) == two-level SQL group (series = the
+    user_id dimension + BY bucket), bit-identical in integer cents."""
+    out = esql.run(SF, '''
+        TS events
+        | STATS s = SUM(AVG_OVER_TIME(value)), mn = MIN(MIN_OVER_TIME(value)),
+                f = AVG(FIRST_OVER_TIME(value))
+          BY day = DATE_FORMAT("yyyy-MM-dd", DATE_TRUNC("day", ts))
+        | SORT day
+    ''')
+    want = duckdb.sql(f"""
+        WITH i AS (
+          SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                 sum(round(value*100)) AS cents, count(value) AS cnt,
+                 min(round(value*100)) AS mnc,
+                 arg_min(round(value*100), ts) AS firstc
+          FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2)
+        SELECT day, sum(cents/100.0/cnt) AS s, min(mnc)/100.0 AS mn,
+               avg(firstc/100.0) AS f
+        FROM i GROUP BY day ORDER BY day""").df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False, atol=1e-9)
+
+
+def test_over_time_rejects_unknown_combo():
+    from elasticsearch_ray.functions.esql import _parse_stats
+
+    with pytest.raises(ValueError, match="OVER_TIME"):
+        _parse_stats("x = MEDIAN(AVG_OVER_TIME(value)) BY user_id")
+
+
+def test_like_rlike_pattern_lists(ray_session):
+    out = esql.run(SF, '''
+        FROM events
+        | WHERE event_type LIKE ("c*", "v*") AND NOT props RLIKE (".*9.*")
+        | STATS n = COUNT(*) BY event_type
+        | SORT event_type
+    ''')
+    want = duckdb.sql(f"""
+        SELECT event_type, count(*) AS n
+        FROM read_parquet('{SF}/events.parquet')
+        WHERE (event_type LIKE 'c%' OR event_type LIKE 'v%')
+          AND NOT regexp_matches(props, '9')
+        GROUP BY 1 ORDER BY 1""").df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
