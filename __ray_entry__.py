@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_knn", "esql_vector_functions",
         "eql_head_pipe", "eql_sequence_three", "eql_until",
         "esql_over_time", "esql_like_list",
+        "sql_fulltext_score", "sql_fulltext_agg",
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
         "nodes_stats", "esql_ts_rate", "esql_rrf",
@@ -1165,6 +1166,25 @@ GROUP BY 1 ORDER BY 1""",
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase'
 ORDER BY value DESC, event_id LIMIT 10""",
+        "sql_fulltext_score": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','query','window']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS score
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+JOIN documents d ON d.doc_id = tf.doc_id
+WHERE d.n_chars > 150
+GROUP BY tf.doc_id ORDER BY doc_id""",
+        "sql_fulltext_agg": f"""
+WITH {_TOK},
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')
+SELECT d.lang AS lang, count(*)::BIGINT AS n
+FROM documents d JOIN hit USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM neg)
+GROUP BY d.lang ORDER BY d.lang""",
         "esql_like_list": """
 SELECT event_type, count(*)::BIGINT AS n FROM events
 WHERE (event_type LIKE 'c%' OR event_type LIKE 'p%')

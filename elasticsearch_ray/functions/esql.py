@@ -525,9 +525,9 @@ def _parse_ft_where(body: str) -> tuple[dict, str | None]:
 
 
 def _matched_set_filter(ids: np.ndarray, sc: np.ndarray, id_col: str,
-                        want_score: bool):
+                        want_score: bool, score_col: str = "_score"):
     """Vectorized per-batch filter by a (sorted) matched-id set, optionally
-    attaching the pushed-down query's `_score` metadata column."""
+    attaching the pushed-down query's relevance score column."""
     order = np.argsort(ids)
     ids_s = ids[order]
     sc_s = sc[order].astype(np.float64)
@@ -537,14 +537,15 @@ def _matched_set_filter(ids: np.ndarray, sc: np.ndarray, id_col: str,
         if ids_s.size == 0:
             out = t.slice(0, 0)
             if want_score:
-                out = out.append_column("_score", pa.array([], pa.float64()))
+                out = out.append_column(score_col,
+                                        pa.array([], pa.float64()))
             return out
         pos = np.minimum(np.searchsorted(ids_s, d), ids_s.size - 1)
         mask = ids_s[pos] == d
         out = t.filter(pa.array(mask))
         if want_score:
             out = out.append_column(
-                "_score", pa.array(sc_s[pos[mask]], pa.float64()))
+                score_col, pa.array(sc_s[pos[mask]], pa.float64()))
         return out
 
     return f

@@ -28,6 +28,29 @@ class SqlParseError(ValueError):
 
 _OPS = {"=", "!=", "<>", "<", "<=", ">", ">="}
 
+_AND_RX = re.compile(r"(?i)\s+AND\s+")
+
+
+def _split_and(s: str) -> list[str]:
+    """Split WHERE conjuncts on AND outside 'string literals' (a QUERY()
+    argument may itself contain AND)."""
+    parts, buf, inq, i = [], [], False, 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            inq = not inq
+        if not inq:
+            m = _AND_RX.match(s, i)
+            if m and buf:
+                parts.append("".join(buf))
+                buf = []
+                i = m.end()
+                continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
 
 def parse_sql(sql: str) -> dict:
     s = sql.strip().rstrip(";")
@@ -43,7 +66,14 @@ def parse_sql(sql: str) -> dict:
     cols = [c.strip() for c in m.group("cols").split(",")]
     aggs = []  # (alias, FN, src_col)
     plain = []
+    score_alias = None
     for c in cols:
+        sm = re.fullmatch(r"(?i)SCORE\(\s*\)\s+AS\s+(\w+)", c)
+        if sm:
+            # SCORE() projection (x-pack sql Score function): the pushed
+            # full-text predicate's relevance
+            score_alias = sm.group(1)
+            continue
         am = re.fullmatch(
             r"(?i)(COUNT|SUM|AVG|MIN|MAX)\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)", c)
         if am:
@@ -72,8 +102,27 @@ def parse_sql(sql: str) -> dict:
                   float(hm.group(3)) if "." in hm.group(3)
                   else int(hm.group(3)))
     preds = []
+    ft = []  # full-text conjuncts -> engine query dicts
     if m.group("where"):
-        for clause in re.split(r"(?i)\s+AND\s+", m.group("where")):
+        for clause in _split_and(m.group("where")):
+            fm = re.match(r"(?i)^\s*MATCH\(\s*(\w+)\s*,\s*'([^']*)'"
+                          r"(?:\s*,\s*'([^']*)')?\s*\)\s*$", clause)
+            if fm:
+                # MATCH(field, 'query'[, 'operator=and;...']) (x-pack sql
+                # fulltext MatchQueryPredicate)
+                q = {"kind": "match", "field": fm.group(1),
+                     "text": fm.group(2)}
+                om = re.search(r"(?i)operator\s*=\s*(\w+)",
+                               fm.group(3) or "")
+                if om:
+                    q["operator"] = om.group(1).lower()
+                ft.append(q)
+                continue
+            qm = re.match(r"(?i)^\s*QUERY\(\s*'([^']*)'\s*\)\s*$", clause)
+            if qm:
+                # QUERY('lucene query string') (StringQueryPredicate)
+                ft.append(("__query_string__", qm.group(1)))
+                continue
             pm = re.match(
                 r"^\s*(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*"
                 r"('(?:[^']*)'|[-\d.]+)\s*$", clause)
@@ -83,6 +132,8 @@ def parse_sql(sql: str) -> dict:
             val = lit[1:-1] if lit.startswith("'") else (
                 float(lit) if "." in lit else int(lit))
             preds.append((col, op, val))
+    if score_alias is not None and not ft:
+        raise SqlParseError("SCORE() needs a MATCH()/QUERY() predicate")
     order = []
     if m.group("order"):
         for part in m.group("order").split(","):
@@ -96,8 +147,13 @@ def parse_sql(sql: str) -> dict:
                 continue
             order.append((om.group(1),
                           (om.group(2) or "ASC").upper() == "DESC"))
-    return {"cols": cols, "plain": plain, "aggs": aggs, "group": group,
-            "having": having, "table": m.group("table"), "preds": preds,
+    names = []
+    for c in cols:
+        am = re.search(r"(?i)\s+AS\s+(\w+)\s*$", c)
+        names.append(am.group(1) if am else c)
+    return {"cols": cols, "names": names, "plain": plain, "aggs": aggs,
+            "group": group, "having": having, "table": m.group("table"),
+            "preds": preds, "ft": ft, "score_alias": score_alias,
             "order": order,
             "limit": int(m.group("limit")) if m.group("limit") else None}
 
@@ -108,14 +164,17 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
     import pyarrow.compute as pc
 
     plan = parse_sql(sql)
+    score = plan["score_alias"]
     if plan["aggs"]:
         need = list(dict.fromkeys(
             plan["group"] + [a[2] for a in plan["aggs"] if a[2] != "*"]
             + [p[0] for p in plan["preds"]]))
     else:
         need = list(dict.fromkeys(
-            plan["cols"] + [p[0] for p in plan["preds"]]
-            + [o[0] for o in plan["order"]]))
+            plan["plain"] + [p[0] for p in plan["preds"]]
+            + [o[0] for o in plan["order"] if o[0] != score]))
+    if plan["ft"] and "doc_id" not in need:
+        need = ["doc_id"] + need
     flt = None
     for col, op, val in plan["preds"]:
         f = pc.field(col)
@@ -123,6 +182,32 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
              "<=": f <= val, ">": f > val, ">=": f >= val}[op]
         flt = e if flt is None else flt & e
     ds = ds_factory(sf_dir, plan["table"], need, flt)
+    if plan["ft"]:
+        # full-text predicates push to ONE index query (the reference
+        # compiles MATCH/QUERY to Lucene QueryDSL); the row stream is then
+        # filtered by the matched doc-id set — same broadcast-small-side
+        # shape as the ES|QL MATCH pushdown
+        if plan["table"] != "documents":
+            raise SqlParseError("MATCH()/QUERY() need the indexed "
+                                "`documents` table")
+        from ..pipelines.fulltext import documents_searcher
+        from .esql import _matched_set_filter
+
+        clauses = []
+        for c in plan["ft"]:
+            if isinstance(c, tuple):
+                from ..search.engine import parse_query_string
+
+                clauses.append(parse_query_string(c[1]))
+            else:
+                clauses.append(c)
+        q = clauses[0] if len(clauses) == 1 else {"kind": "bool",
+                                                  "must": clauses}
+        ids, sc = documents_searcher(sf_dir)._eval(q)
+        ds = ds.map_batches(
+            _matched_set_filter(ids, sc, "doc_id", score is not None,
+                                score_col=score or "_score"),
+            batch_format="pyarrow")
     if plan["aggs"]:
         return _run_agg(ds, plan)
     if plan["order"]:
@@ -131,11 +216,11 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
     if plan["limit"] is not None:
         ds = ds.limit(plan["limit"])
     out = ds.to_pandas()
-    if out.empty and not set(plan["cols"]) <= set(out.columns):
+    if out.empty and not set(plan["names"]) <= set(out.columns):
         import pandas as pd
 
-        return pd.DataFrame({c: [] for c in plan["cols"]})
-    return out[plan["cols"]]
+        return pd.DataFrame({c: [] for c in plan["names"]})
+    return out[plan["names"]]
 
 
 def _run_agg(ds, plan: dict):

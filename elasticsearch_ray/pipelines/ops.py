@@ -10525,3 +10525,31 @@ def esql_like_list(sf_dir: str):
         | STATS n = COUNT(*) BY event_type
         | SORT event_type
     ''')
+
+
+def sql_fulltext_score(sf_dir: str):
+    """_sql full-text predicates (x-pack sql fulltext MatchQueryPredicate +
+    Score function): MATCH(field, 'query') compiles to ONE pushed index
+    query; SCORE() projects the relevance onto the surviving rows. The
+    scalar conjunct stays a scan-level filter."""
+    from ..functions.sql import run_sql
+
+    out = run_sql(
+        "SELECT doc_id, SCORE() AS score FROM documents "
+        "WHERE MATCH(text, 'data query window') AND n_chars > 150 "
+        "ORDER BY doc_id LIMIT 100000", sf_dir, ds_factory=_ds)
+    out = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    out["score"] = round_half_away(out["score"].to_numpy(np.float64), 4)
+    return out
+
+
+def sql_fulltext_agg(sf_dir: str):
+    """_sql QUERY('lucene string') predicate (StringQueryPredicate) feeding
+    a GROUP BY plan: the matched-id filter runs before the per-batch
+    partial combiners, so the exchange stays group-cardinality."""
+    from ..functions.sql import run_sql
+
+    return run_sql(
+        "SELECT lang, COUNT(*) AS n FROM documents "
+        "WHERE QUERY('data AND NOT window') GROUP BY lang ORDER BY lang",
+        sf_dir, ds_factory=_ds)

@@ -183,3 +183,55 @@ def test_knn_residual_conjunct(ray_session):
         | SORT vec_id | LIMIT 100 | KEEP vec_id, label
     """)
     assert (out["label"] == 1).all() and 0 < len(out) <= 50
+
+
+# ---------------- SQL translator full-text predicates ----------------
+
+
+def test_sql_match_score_equals_engine(ray_session):
+    from elasticsearch_ray.functions.sql import run_sql
+    from elasticsearch_ray.pipelines.fulltext import documents_searcher
+    from elasticsearch_ray.pipelines.ops import _ds
+
+    out = run_sql(
+        "SELECT doc_id, SCORE() AS score FROM documents "
+        "WHERE MATCH(text, 'data query') ORDER BY doc_id LIMIT 100000",
+        SF, ds_factory=_ds)
+    ids, sc = documents_searcher(SF)._eval(
+        {"kind": "match", "field": "text", "text": "data query"})
+    order = np.argsort(ids)
+    assert np.array_equal(out["doc_id"].to_numpy(), ids[order])
+    np.testing.assert_allclose(out["score"].to_numpy(), sc[order],
+                               rtol=1e-12)
+
+
+def test_sql_match_operator_option(ray_session):
+    from elasticsearch_ray.functions.sql import run_sql
+    from elasticsearch_ray.pipelines.ops import _ds
+
+    both = run_sql("SELECT doc_id FROM documents "
+                   "WHERE MATCH(text, 'data query', 'operator=and') "
+                   "ORDER BY doc_id LIMIT 100000", SF, ds_factory=_ds)
+    either = run_sql("SELECT doc_id FROM documents "
+                     "WHERE MATCH(text, 'data query') "
+                     "ORDER BY doc_id LIMIT 100000", SF, ds_factory=_ds)
+    assert 0 < len(both) < len(either)
+    assert set(both["doc_id"]) <= set(either["doc_id"])
+
+
+def test_sql_score_requires_fulltext():
+    from elasticsearch_ray.functions.sql import SqlParseError, parse_sql
+
+    with pytest.raises(SqlParseError, match="SCORE"):
+        parse_sql("SELECT doc_id, SCORE() AS s FROM documents "
+                  "WHERE n_chars > 10")
+
+
+def test_sql_query_string_and_split_respects_quotes():
+    from elasticsearch_ray.functions.sql import parse_sql
+
+    p = parse_sql("SELECT lang, COUNT(*) AS n FROM documents "
+                  "WHERE QUERY('data AND NOT window') AND n_chars > 5 "
+                  "GROUP BY lang")
+    assert p["ft"] == [("__query_string__", "data AND NOT window")]
+    assert p["preds"] == [("n_chars", ">", 5)]
