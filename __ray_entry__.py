@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eql_head_pipe", "eql_sequence_three", "eql_until",
         "esql_over_time", "esql_like_list",
         "sql_fulltext_score", "sql_fulltext_agg",
+        "ingest_uri_parts", "ingest_registered_domain",
+        "ingest_network_direction", "ingest_community_id",
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
         "nodes_stats", "esql_ts_rate", "esql_rrf",
@@ -1166,6 +1168,33 @@ GROUP BY 1 ORDER BY 1""",
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase'
 ORDER BY value DESC, event_id LIMIT 10""",
+        "ingest_uri_parts": """
+SELECT doc_id, 'https' AS url_scheme,
+       CASE WHEN doc_id % 5 = 0 THEN 'u' END AS url_user_info,
+       source || '.example.co.uk' AS url_domain,
+       CASE WHEN doc_id % 3 = 0 THEN 8080 END::BIGINT AS url_port,
+       '/files/doc' || doc_id || '.html' AS url_path,
+       'lang=' || lang AS url_query,
+       'html' AS url_extension
+FROM documents ORDER BY doc_id""",
+        "ingest_registered_domain": """
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN source || '.co.uk'
+       WHEN 1 THEN source || '.github.io'
+       WHEN 2 THEN source || '.com' ELSE source || '.org'
+  END AS registered_domain,
+  CASE doc_id % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'a.b'
+       WHEN 2 THEN NULL ELSE 'cdn' END AS subdomain,
+  CASE doc_id % 4 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'github.io'
+       WHEN 2 THEN 'com' ELSE 'org' END AS top_level_domain
+FROM documents ORDER BY doc_id""",
+        "ingest_network_direction": """
+SELECT direction, count(*)::BIGINT AS n FROM (
+  SELECT CASE WHEN user_id % 3 = 0 AND event_id % 2 = 0 THEN 'internal'
+              WHEN user_id % 3 = 0 THEN 'outbound'
+              WHEN event_id % 2 = 0 THEN 'inbound'
+              ELSE 'external' END AS direction
+  FROM events) GROUP BY direction ORDER BY direction""",
         "sql_fulltext_score": f"""
 WITH {_TOK},
 q AS (SELECT unnest(['data','query','window']) AS term),

@@ -701,3 +701,122 @@ def attachment(col: str, out_prefix: str = "attachment_",
         return t
 
     return f
+
+
+def uri_parts(col: str, out_prefix: str = "url_"):
+    """`uri_parts` processor (ingest-common UriPartsProcessor, 7.12):
+    scheme/user_info/domain/port/path/query/fragment/extension via ONE
+    pc.extract_regex pass per batch."""
+    rx = (r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?:(?P<user_info>[^@/]+)@)?"
+          r"(?P<domain>[^:/?#]+)(?::(?P<port>\d+))?(?P<path>/[^?#]*)?"
+          r"(?:\?(?P<query>[^#]*))?(?:#(?P<fragment>.*))?$")
+
+    def f(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t[col], rx)
+        for name in ("scheme", "user_info", "domain", "port", "path",
+                     "query", "fragment"):
+            v = pc.struct_field(st, name)
+            # an absent optional group captures "" — normalize to null
+            v = pc.if_else(pc.equal(v, ""), pa.scalar(None, pa.string()), v)
+            if name == "port":
+                v = pc.cast(v, pa.int64())
+            t = _put(t, out_prefix + name, v)
+        ext = pc.extract_regex(t[out_prefix + "path"],
+                               r"\.(?P<extension>[A-Za-z0-9]+)$")
+        t = _put(t, out_prefix + "extension",
+                 pc.struct_field(ext, "extension"))
+        return t
+
+    return f
+
+
+# ordered longest-suffix-first subset of the public suffix list — the
+# reference bundles Mozilla's full PSL (RegisteredDomainProcessor, 7.13)
+_PSL = ("co.uk", "org.uk", "com.au", "co.jp", "github.io", "com", "org",
+        "net", "io", "gov", "edu", "uk")
+
+
+def registered_domain(col: str, out_prefix: str = ""):
+    """`registered_domain` processor (RegisteredDomainProcessor): eTLD,
+    registered domain and subdomain — one alternation-regex pass."""
+    alt = "|".join(p.replace(".", r"\.") for p in _PSL)
+    # lazy subdomain -> the public suffix match is longest (co.uk beats uk,
+    # github.io beats io), which is the PSL longest-match rule
+    rx = (r"^(?:(?P<subdomain>.+?)\.)?"
+          rf"(?P<registered_domain>[^.]+\.(?:{alt}))$")
+    tld_rx = rf"\.(?P<top_level_domain>{alt})$"
+
+    def _nz(v):
+        return pc.if_else(pc.equal(v, ""), pa.scalar(None, pa.string()), v)
+
+    def f(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t[col], rx)
+        t = _put(t, out_prefix + "registered_domain",
+                 _nz(pc.struct_field(st, "registered_domain")))
+        t = _put(t, out_prefix + "subdomain",
+                 _nz(pc.struct_field(st, "subdomain")))
+        tl = pc.extract_regex(t[col], tld_rx)
+        t = _put(t, out_prefix + "top_level_domain",
+                 _nz(pc.struct_field(tl, "top_level_domain")))
+        return t
+
+    return f
+
+
+def community_id(src_col: str, dst_col: str, sport_col: str, dport_col: str,
+                 proto: int = 6, seed: int = 0, out: str = "community_id"):
+    """`community_id` processor (CommunityIdProcessor, 7.12): the
+    Corelight community-id v1 flow hash — sha1 over (seed, ordered
+    endpoint tuple, proto), base64, '1:' prefix. Byte assembly is
+    vectorized; the sha1 itself is per-flow (same as the reference)."""
+    import base64
+    import hashlib
+    import socket
+    import struct
+
+    def one(src: str, dst: str, sp: int, dp: int) -> str:
+        a = socket.inet_aton(src)
+        b = socket.inet_aton(dst)
+        if (a, sp) > (b, dp):
+            a, b, sp, dp = b, a, dp, sp
+        payload = (struct.pack("!H", seed) + a + b +
+                   struct.pack("!BBHH", proto, 0, sp, dp))
+        return "1:" + base64.b64encode(
+            hashlib.sha1(payload).digest()).decode()
+
+    def f(t: pa.Table) -> pa.Table:
+        vals = [one(s, d, int(sp), int(dp)) for s, d, sp, dp in zip(
+            t[src_col].to_pylist(), t[dst_col].to_pylist(),
+            t[sport_col].to_pylist(), t[dport_col].to_pylist())]
+        return _put(t, out, pa.array(vals, pa.string()))
+
+    return f
+
+
+def network_direction(src_col: str, dst_col: str,
+                      internal_networks: tuple[str, ...] = (
+                          "10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"),
+                      out: str = "direction"):
+    """`network_direction` processor (NetworkDirectionProcessor, 7.13):
+    inbound/outbound/internal/external from CIDR membership of both
+    endpoints — vectorized u32 range tests."""
+    import numpy as np
+
+    ranges = [_cidr_range(c) for c in internal_networks]
+
+    def is_internal(ips) -> "np.ndarray":
+        u = np.array([_ip_to_u32(ip) for ip in ips], np.uint32)
+        m = np.zeros(len(ips), bool)
+        for lo, hi in ranges:
+            m |= (u >= lo) & (u <= hi)
+        return m
+
+    def f(t: pa.Table) -> pa.Table:
+        s = is_internal(t[src_col].to_pylist())
+        d = is_internal(t[dst_col].to_pylist())
+        vals = np.where(s & d, "internal",
+                        np.where(s, "outbound",
+                                 np.where(d, "inbound", "external")))
+        return _put(t, out, pa.array(vals.tolist(), pa.string()))
+
+    return f

@@ -10553,3 +10553,136 @@ def sql_fulltext_agg(sf_dir: str):
         "SELECT lang, COUNT(*) AS n FROM documents "
         "WHERE QUERY('data AND NOT window') GROUP BY lang ORDER BY lang",
         sf_dir, ds_factory=_ds)
+
+
+# ------------- ingest plugin processors (7.12-7.13 additions) -------------
+
+
+def ingest_uri_parts(sf_dir: str):
+    """uri_parts processor (UriPartsProcessor, ingest-common 7.12): one
+    pc.extract_regex pass splits scheme/user_info/domain/port/path/query/
+    fragment/extension. URIs synthesized deterministically from document
+    fields (port present for doc_id%3==0, user info for doc_id%5==0) so the
+    oracle can state the expected parse as CASE arms."""
+    from ..functions import ingest as I
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        userinfo = pa.array(np.where(d % 5 == 0, "u@", "").tolist(),
+                            pa.string())
+        port = pa.array(np.where(d % 3 == 0, ":8080", "").tolist(),
+                        pa.string())
+        uri = pc.binary_join_element_wise(
+            "https://", userinfo, t["source"], ".example.co.uk", port,
+            "/files/doc", pc.cast(t["doc_id"], pa.string()),
+            ".html?lang=", t["lang"], "")
+        return t.append_column("uri", uri)
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "source", "lang"])
+           .map_batches(build, batch_format="pyarrow")
+           .map_batches(I.uri_parts("uri"), batch_format="pyarrow")
+           .to_pandas())
+    out = out[["doc_id", "url_scheme", "url_user_info", "url_domain",
+               "url_port", "url_path", "url_query", "url_extension"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ingest_registered_domain(sf_dir: str):
+    """registered_domain processor (RegisteredDomainProcessor, 7.13):
+    eTLD / registered domain / subdomain with PSL longest-match, one
+    alternation regex per batch."""
+    from ..functions import ingest as I
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        m = t["doc_id"].to_numpy(zero_copy_only=False) % 4
+        src = t["source"].to_pylist()
+        host = [f"www.{s}.co.uk" if k == 0 else
+                f"a.b.{s}.github.io" if k == 1 else
+                f"{s}.com" if k == 2 else f"cdn.{s}.org"
+                for s, k in zip(src, m)]
+        return t.append_column("host", pa.array(host, pa.string()))
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "source"])
+           .map_batches(build, batch_format="pyarrow")
+           .map_batches(I.registered_domain("host"), batch_format="pyarrow")
+           .to_pandas())
+    out = out[["doc_id", "registered_domain", "subdomain",
+               "top_level_domain"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ingest_network_direction(sf_dir: str):
+    """network_direction processor (NetworkDirectionProcessor, 7.13):
+    vectorized u32 CIDR membership of both endpoints -> inbound/outbound/
+    internal/external; aggregated to direction counts."""
+    from ..functions import ingest as I
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        src = np.where(u % 3 == 0,
+                       np.char.add(np.char.add("10.", (u % 200).astype(str)),
+                                   ".0.1"),
+                       np.char.add("203.0.113.", (u % 250).astype(str)))
+        dst = np.where(e % 2 == 0,
+                       np.char.add(np.char.add("192.168.",
+                                               (e % 250).astype(str)), ".9"),
+                       np.full(len(e), "8.8.8.8"))
+        t = t.append_column("src", pa.array(src.tolist(), pa.string()))
+        return t.append_column("dst", pa.array(dst.tolist(), pa.string()))
+
+    ds = (_ds(sf_dir, "events", ["event_id", "user_id"])
+          .map_batches(build, batch_format="pyarrow")
+          .map_batches(I.network_direction("src", "dst"),
+                       batch_format="pyarrow"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.select(["direction"]).group_by(["direction"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["direction", "n"]))
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("direction").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("direction").reset_index(drop=True)
+
+
+def ingest_community_id(sf_dir: str):
+    """community_id processor (CommunityIdProcessor, 7.12): Corelight
+    community-id v1 flow hash (sha1 not SQL-expressible in DuckDB ->
+    rows-only gate; the spec's published vector is pytest-checked)."""
+    from ..functions import ingest as I
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        t = t.append_column("src", pa.array(
+            ["10.0.%d.%d" % (x % 200, x % 250 + 1) for x in u], pa.string()))
+        t = t.append_column("dst", pa.array(
+            ["192.168.%d.%d" % (x % 200, x % 250 + 1) for x in e],
+            pa.string()))
+        t = t.append_column("sp", pa.array((u % 50000 + 1024).tolist(),
+                                           pa.int64()))
+        return t.append_column("dp", pa.array((e % 1000 + 80).tolist(),
+                                              pa.int64()))
+
+    out = (_ds(sf_dir, "events", ["event_id", "user_id"])
+           .map_batches(build, batch_format="pyarrow")
+           .map_batches(I.community_id("src", "dst", "sp", "dp"),
+                        batch_format="pyarrow")
+           .to_pandas())
+    out = out[["event_id", "community_id"]]
+    return out.sort_values("event_id").reset_index(drop=True)
