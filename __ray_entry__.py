@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_fulltext_score", "sql_fulltext_agg",
         "ingest_uri_parts", "ingest_registered_domain",
         "ingest_network_direction", "ingest_community_id",
+        "retriever_rrf_tree", "retriever_linear", "retriever_rerank",
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
         "nodes_stats", "esql_ts_rate", "esql_rrf",
@@ -1168,6 +1169,70 @@ GROUP BY 1 ORDER BY 1""",
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase'
 ORDER BY value DESC, event_id LIMIT 10""",
+        "retriever_rrf_tree": f"""
+WITH {_TOK},
+qa AS (SELECT unnest(['slow','merge','batch']) AS term),
+tfa AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM qa) GROUP BY doc_id, term),
+dfa AS (SELECT term, count(*) AS df FROM tfa GROUP BY term),
+sa AS (SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS s
+       FROM tfa tf JOIN dfa df USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st GROUP BY tf.doc_id),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+       FROM sa QUALIFY r <= 50),
+qb AS (SELECT unnest(['data']) AS term),
+tfb AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM qb) GROUP BY doc_id, term),
+dfb AS (SELECT term, count(*) AS df FROM tfb GROUP BY term),
+sb AS (SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS s
+       FROM tfb tf JOIN dfb df USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st GROUP BY tf.doc_id),
+rb AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+       FROM sb QUALIFY r <= 50)
+SELECT doc_id, ROUND(SUM(1.0 / (60.0 + r)), 4) AS "_score"
+FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+GROUP BY doc_id ORDER BY SUM(1.0 / (60.0 + r)) DESC, doc_id LIMIT 5""",
+        "retriever_linear": f"""
+WITH {_TOK},
+qv AS (SELECT [{_QVEC}]::DOUBLE[] AS q),
+qa AS (SELECT unnest(['data','query']) AS term),
+tfa AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM qa) GROUP BY doc_id, term),
+dfa AS (SELECT term, count(*) AS df FROM tfa GROUP BY term),
+sa AS (SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS s
+       FROM tfa tf JOIN dfa df USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st GROUP BY tf.doc_id),
+la AS (SELECT doc_id, s FROM sa ORDER BY s DESC, doc_id LIMIT 50),
+na AS (SELECT doc_id, CASE WHEN mx = mn THEN 0.0
+                           ELSE (s - mn) / (mx - mn) END AS v
+       FROM la, (SELECT max(s) AS mx, min(s) AS mn FROM la)),
+kb AS (SELECT vec_id AS doc_id,
+              ROUND((1 + list_cosine_similarity(embedding, q)) / 2, 6) AS s
+       FROM embeddings, qv
+       ORDER BY list_cosine_similarity(embedding, q) DESC, vec_id LIMIT 50),
+nb AS (SELECT doc_id, CASE WHEN mx = mn THEN 0.0
+                           ELSE (s - mn) / (mx - mn) END AS v
+       FROM kb, (SELECT max(s) AS mx, min(s) AS mn FROM kb))
+SELECT doc_id, ROUND(SUM(v), 4) AS "_score"
+FROM (SELECT doc_id, 0.7 * v AS v FROM na
+      UNION ALL SELECT doc_id, 0.3 * v FROM nb)
+GROUP BY doc_id ORDER BY SUM(v) DESC, doc_id LIMIT 5""",
+        "retriever_rerank": f"""
+WITH {_TOK},
+qa AS (SELECT unnest(['data','query','window']) AS term),
+tfa AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM qa) GROUP BY doc_id, term),
+dfa AS (SELECT term, count(*) AS df FROM tfa GROUP BY term),
+sa AS (SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS s
+       FROM tfa tf JOIN dfa df USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st GROUP BY tf.doc_id),
+w AS (SELECT doc_id FROM sa ORDER BY s DESC, doc_id LIMIT 20)
+SELECT w.doc_id AS doc_id,
+       CAST(count(DISTINCT t.term) AS DOUBLE) AS "_score"
+FROM w LEFT JOIN tok t ON t.doc_id = w.doc_id
+  AND t.term IN ('the', 'data', 'batch', 'query', 'window')
+GROUP BY w.doc_id
+ORDER BY count(DISTINCT t.term) DESC, doc_id LIMIT 5""",
         "ingest_uri_parts": """
 SELECT doc_id, 'https' AS url_scheme,
        CASE WHEN doc_id % 5 = 0 THEN 'u' END AS url_user_info,

@@ -10686,3 +10686,53 @@ def ingest_community_id(sf_dir: str):
            .to_pandas())
     out = out[["event_id", "community_id"]]
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ------------- retrievers framework (8.16 _search retriever tree) ---------
+
+
+def retriever_rrf_tree(sf_dir: str):
+    """retriever tree: rrf of two standard retrievers (RRFRetrieverBuilder
+    over StandardRetrieverBuilder children). Leaves run once on the index;
+    fusion touches the two rank_window_size lists only."""
+    from ..search.retriever import execute_retriever
+
+    return execute_retriever(sf_dir, {"rrf": {
+        "rank_constant": 60, "rank_window_size": 50,
+        "retrievers": [
+            {"standard": {"query": {"kind": "match",
+                                    "text": "slow merge batch"}}},
+            {"standard": {"query": {"kind": "term", "term": "data"}}},
+        ]}}, k=5)
+
+
+def retriever_linear(sf_dir: str):
+    """retriever tree: linear fuse (LinearRetrieverBuilder, 8.18) of a BM25
+    leg and a kNN leg, minmax-normalized over each 50-row window, weights
+    0.7/0.3. doc_id/vec_id spaces align by corpus construction."""
+    from ..search.retriever import execute_retriever
+
+    qv = [float(x) for x in _ESQL_QVEC.split(",")]
+    return execute_retriever(sf_dir, {"linear": {
+        "rank_window_size": 50,
+        "retrievers": [
+            {"retriever": {"standard": {"query": {
+                "kind": "match", "text": "data query"}}},
+             "weight": 0.7, "normalizer": "minmax"},
+            {"retriever": {"knn": {"query_vector": qv, "k": 50}},
+             "weight": 0.3, "normalizer": "minmax"},
+        ]}}, k=5)
+
+
+def retriever_rerank(sf_dir: str):
+    """retriever tree: text_similarity_reranker (8.15) over a standard
+    child — the top-20 window rescored by the deterministic overlap mock
+    (|distinct query tokens ∩ doc tokens|), texts fetched through one
+    doc-id-filtered pruned read."""
+    from ..search.retriever import execute_retriever
+
+    return execute_retriever(sf_dir, {"text_similarity_reranker": {
+        "retriever": {"standard": {"query": {
+            "kind": "match", "text": "data query window"}}},
+        "inference_text": "the data batch query window",
+        "rank_window_size": 20}}, k=5)
