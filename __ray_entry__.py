@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_uri_parts", "ingest_registered_domain",
         "ingest_network_direction", "ingest_community_id",
         "retriever_rrf_tree", "retriever_linear", "retriever_rerank",
+        "esql_top", "esql_fuse_linear",
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
         "nodes_stats", "esql_ts_rate", "esql_rrf",
@@ -1169,6 +1170,31 @@ GROUP BY 1 ORDER BY 1""",
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase'
 ORDER BY value DESC, event_id LIMIT 10""",
+        "esql_top": """
+SELECT event_type, array_to_string(list_slice(
+  list(round(value*100)::BIGINT ORDER BY round(value*100)::BIGINT DESC),
+  1, 3), ',') AS t
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "esql_fuse_linear": """
+WITH s1 AS (SELECT doc_id, len(list_intersect(
+              list_distinct(regexp_split_to_array(lower(text), '[^a-z0-9]+')),
+              ['the','data','batch','query']))::BIGINT AS sc
+            FROM documents),
+r1 AS (SELECT doc_id, sc FROM s1 ORDER BY sc DESC, doc_id LIMIT 20),
+n1 AS (SELECT doc_id, CASE WHEN mx = mn THEN 0.0
+                           ELSE (sc - mn) / (mx - mn) END AS v
+       FROM r1, (SELECT max(sc) AS mx, min(sc) AS mn FROM r1)),
+s2 AS (SELECT doc_id, len(list_intersect(
+              list_distinct(regexp_split_to_array(lower(text), '[^a-z0-9]+')),
+              ['error','value','count']))::BIGINT AS sc
+            FROM documents),
+r2 AS (SELECT doc_id, sc FROM s2 ORDER BY sc DESC, doc_id LIMIT 20),
+n2 AS (SELECT doc_id, CASE WHEN mx = mn THEN 0.0
+                           ELSE (sc - mn) / (mx - mn) END AS v
+       FROM r2, (SELECT max(sc) AS mx, min(sc) AS mn FROM r2))
+SELECT doc_id, SUM(v) AS _score
+FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+GROUP BY doc_id ORDER BY _score DESC, doc_id LIMIT 10""",
         "retriever_rrf_tree": f"""
 WITH {_TOK},
 qa AS (SELECT unnest(['slow','merge','batch']) AS term),

@@ -687,6 +687,15 @@ def _parse_stats(body: str) -> tuple[list[tuple], list[str], list]:
             specs.append((alias.strip(), "OVER_TIME", m2.group(3),
                           (outer, inner), None))
             continue
+        m3 = re.fullmatch(
+            r'(?i)TOP\(\s*([\w.]+)\s*,\s*(\d+)\s*,\s*"(asc|desc)"\s*\)',
+            call.strip())
+        if m3:
+            # TOP(col, k, order) (8.16 Top aggregate): multivalue top-k
+            specs.append((alias.strip(), "TOP", m3.group(1),
+                          (int(m3.group(2)), m3.group(3).lower()),
+                          where_src.strip() or None))
+            continue
         m = re.fullmatch(
             r"(\w+)\(\s*(\*|[\w.]+)\s*(?:,\s*([\w.]+)\s*)?\)", call.strip())
         if not m or m.group(1).upper() not in _AGGS:
@@ -1192,11 +1201,37 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
     pair_specs = [s for s in specs if s[1] in pair_fns]
     rate_specs = [s for s in specs if s[1] == "RATE"]
     ot_specs = [s for s in specs if s[1] == "OVER_TIME"]
-    specs = [s for s in specs
-             if s[1] not in pair_fns and s[1] not in ("RATE", "OVER_TIME")]
+    top_specs = [s for s in specs if s[1] == "TOP"]
+    specs = [s for s in specs if s[1] not in pair_fns
+             and s[1] not in ("RATE", "OVER_TIME", "TOP")]
     pair_frames: list[pd.DataFrame] = []
     if ot_specs:
         pair_frames.append(_over_time_table(ds, ot_specs, by))
+    # TOP(col, k, order) (Top.java, 8.16): per-batch partial top-k per
+    # group (each batch emits at most k rows per group), driver merges
+    # (batches x groups x k) rows and re-takes the top k as a list
+    for alias, fn, col, (kk, order), where in top_specs:
+        asc = order == "asc"
+
+        def local_top(t: pa.Table, _c=col, _k=kk, _a=asc,
+                      _w=where) -> pa.Table:
+            if _w is not None:
+                t = preds[_w](t)
+            df = t.select((by + [_c]) if by else [_c]).to_pandas()
+            df = df.sort_values(_c, ascending=_a, kind="mergesort")
+            g = df.groupby(by).head(_k) if by else df.head(_k)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = (ds.map_batches(local_top, batch_format="pyarrow")
+                 .to_pandas())
+        parts = parts.sort_values(col, ascending=asc, kind="mergesort")
+        if by:
+            top = parts.groupby(by).head(kk)
+            r = (top.groupby(by)[col].agg(list).rename(alias)
+                 .reset_index())
+        else:
+            r = pd.DataFrame({alias: [parts.head(kk)[col].tolist()]})
+        pair_frames.append(r)
     # RATE(counter[, tscol]) (esql Rate aggregate under the TS command,
     # 8.13 time-series mode): Prometheus-style counter rate — sum of
     # positive increments (a reset contributes the new value) over the
@@ -1286,7 +1321,12 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
     if not specs:
         out = pair_frames[0]
         for r in pair_frames[1:]:
-            out = out.merge(r, on=by) if by else pd.concat([out, r], axis=1)
+            # outer: a filtered aggregate must not drop groups the other
+            # aggregates saw (FilteredExpression group-presence semantics)
+            out = out.merge(r, on=by, how="outer") if by \
+                else pd.concat([out, r], axis=1)
+        if by:
+            out = out.sort_values(by).reset_index(drop=True)
         return out[by + alias_order]
 
     # STD_DEV / WEIGHTED_AVG accumulate on a 1e2 fixed-point grid
@@ -1398,7 +1438,11 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
             out[alias] = s / (100.0 * w)
 
     for r in pair_frames:
-        out = out.merge(r, on=by) if by else pd.concat([out, r], axis=1)
+        # left merge: group presence comes from ALL rows (a filtered
+        # aggregate whose mask matched nothing in a group yields null
+        # there, it does not drop the group — FilteredExpression semantics)
+        out = out.merge(r, on=by, how="left") if by \
+            else pd.concat([out, r], axis=1)
     return out[by + alias_order]
 
 
@@ -1431,20 +1475,35 @@ def _rrf(out: pd.DataFrame, body: str) -> pd.DataFrame:
     score is sum over branches of 1/(rank_constant + rank). Runs on the
     concatenated branch frames — driver-small by the FORK contract
     (every branch is a reduced/LIMITed pipeline).
-    Syntax: RRF [ON <key>] [WITH <rank_constant>]."""
-    m = re.fullmatch(r"(?:ON\s+([\w.]+))?\s*(?:WITH\s+(\d+))?",
-                     body.strip(), flags=re.I)
+    Syntax: RRF|FUSE [rrf|linear] [ON <key>] [WITH <rank_constant>].
+    The 8.19 `linear` method minmax-normalizes each branch's scores over
+    its (LIMITed) window and sums, instead of rank-reciprocal fusion."""
+    m = re.fullmatch(
+        r"(?:(rrf|linear)\b)?\s*(?:ON\s+([\w.]+))?\s*(?:WITH\s+(\d+))?",
+        body.strip(), flags=re.I)
     if not m or "_fork" not in out.columns:
-        raise ValueError("RRF requires FORK branches and an optional "
-                         "'ON key WITH k' body")
-    key = m.group(1) or "doc_id"
-    k0 = int(m.group(2) or 60)
-    d = out.sort_values(["_fork", "_score", key],
-                        ascending=[True, False, True]).reset_index(drop=True)
-    d["_rank"] = d.groupby("_fork").cumcount() + 1
-    fused = (d.assign(_rrf=1.0 / (k0 + d["_rank"]))
-             .groupby(key, as_index=False)["_rrf"].sum()
-             .rename(columns={"_rrf": "_score"}))
+        raise ValueError("RRF/FUSE requires FORK branches and an optional "
+                         "'[method] ON key WITH k' body")
+    method = (m.group(1) or "rrf").lower()
+    key = m.group(2) or "doc_id"
+    k0 = int(m.group(3) or 60)
+    if method == "linear":
+        def norm(g: pd.Series) -> pd.Series:
+            lo, hi = g.min(), g.max()
+            return g * 0.0 if hi == lo else (g - lo) / (hi - lo)
+
+        d = out.copy()
+        d["_v"] = d.groupby("_fork")["_score"].transform(norm)
+        fused = (d.groupby(key, as_index=False)["_v"].sum()
+                 .rename(columns={"_v": "_score"}))
+    else:
+        d = out.sort_values(["_fork", "_score", key],
+                            ascending=[True, False, True]
+                            ).reset_index(drop=True)
+        d["_rank"] = d.groupby("_fork").cumcount() + 1
+        fused = (d.assign(_rrf=1.0 / (k0 + d["_rank"]))
+                 .groupby(key, as_index=False)["_rrf"].sum()
+                 .rename(columns={"_rrf": "_score"}))
     return (fused.sort_values(["_score", key], ascending=[False, True])
             .reset_index(drop=True))
 

@@ -10736,3 +10736,38 @@ def retriever_rerank(sf_dir: str):
             "kind": "match", "text": "data query window"}}},
         "inference_text": "the data batch query window",
         "rank_window_size": 20}}, k=5)
+
+
+def esql_top(sf_dir: str):
+    """ES|QL TOP(col, k, order) aggregate (Top.java, 8.16): multivalue
+    top-k per group. Per-batch partial top-k per group; the driver merges
+    (batches x groups x k) rows. Integer cents so the joined-list oracle
+    string is formatting-stable."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | EVAL v = TO_INTEGER(ROUND(value * 100, 0))
+        | STATS t = TOP(v, 3, "desc") BY event_type
+        | SORT event_type
+    ''')
+    out["t"] = out["t"].map(lambda xs: ",".join(str(int(x)) for x in xs))
+    return out
+
+
+def esql_fuse_linear(sf_dir: str):
+    """FUSE linear method (8.19): per-branch minmax normalization over the
+    LIMITed FORK windows, summed — the score-based alternative to RRF."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents
+        | FORK ( RERANK "the data batch query" ON text
+                 | SORT _score DESC, doc_id | KEEP doc_id, _score
+                 | LIMIT 20 )
+               ( RERANK "error value count" ON text
+                 | SORT _score DESC, doc_id | KEEP doc_id, _score
+                 | LIMIT 20 )
+        | FUSE linear
+        | LIMIT 10
+    ''')

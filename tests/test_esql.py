@@ -488,7 +488,7 @@ def test_rrf_fusion(ray_session):
 def test_rrf_requires_fork(ray_session):
     from elasticsearch_ray.functions.esql import _rrf
 
-    with pytest.raises(ValueError, match="RRF requires FORK"):
+    with pytest.raises(ValueError, match="requires FORK"):
         _rrf(pd.DataFrame({"doc_id": [1], "_score": [1.0]}), "")
 
 
@@ -558,3 +558,41 @@ def test_like_rlike_pattern_lists(ray_session):
           AND NOT regexp_matches(props, '9')
         GROUP BY 1 ORDER BY 1""").df()
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_top_aggregate_asc_and_filtered(ray_session):
+    out = esql.run(SF, '''
+        FROM events
+        | EVAL v = TO_INTEGER(ROUND(value * 100, 0))
+        | STATS lo = TOP(v, 2, "asc"),
+                hi = TOP(v, 2, "desc") WHERE event_type == "purchase"
+          BY event_type
+        | SORT event_type
+    ''')
+    want = duckdb.sql(f"""
+        SELECT event_type,
+          list_slice(list(round(value*100)::BIGINT
+                          ORDER BY round(value*100)::BIGINT), 1, 2) AS lo
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY 1 ORDER BY 1""").df()
+    assert [list(map(int, x)) for x in out["lo"]] == \
+        [list(map(int, x)) for x in want["lo"]]
+    # the filtered TOP only has values for the purchase group
+    mask = out["event_type"] == "purchase"
+    assert all(isinstance(x, list) and len(x) == 2 for x in out.loc[mask, "hi"])
+
+
+def test_fuse_linear_vs_rrf_methods(ray_session):
+    q = '''
+        FROM documents
+        | FORK ( RERANK "the data batch" ON text
+                 | SORT _score DESC, doc_id | KEEP doc_id, _score | LIMIT 10 )
+               ( RERANK "error count" ON text
+                 | SORT _score DESC, doc_id | KEEP doc_id, _score | LIMIT 10 )
+        | FUSE {m}
+        | LIMIT 5
+    '''
+    lin = esql.run(SF, q.format(m="linear"))
+    rrf = esql.run(SF, q.format(m="rrf"))
+    assert list(lin.columns) == list(rrf.columns) == ["doc_id", "_score"]
+    assert (lin["_score"] <= 2.0).all()  # two minmax-normalized branches
