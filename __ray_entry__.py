@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_network_direction", "ingest_community_id",
         "retriever_rrf_tree", "retriever_linear", "retriever_rerank",
         "esql_top", "esql_fuse_linear",
+        "text_structure_delimited", "text_structure_ndjson",
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
         "nodes_stats", "esql_ts_rate", "esql_rrf",
@@ -1170,6 +1171,14 @@ GROUP BY 1 ORDER BY 1""",
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase'
 ORDER BY value DESC, event_id LIMIT 10""",
+        "text_structure_delimited": """
+SELECT * FROM (VALUES ('event_id','long'),('event_type','keyword'),
+  ('ts','date'),('user_id','long'),('value','double')) t(field, es_type)
+ORDER BY field""",
+        "text_structure_ndjson": """
+SELECT * FROM (VALUES ('doc_id','long'),('lang','keyword'),
+  ('n_chars','long'),('source','keyword'),('text','text')) t(field, es_type)
+ORDER BY field""",
         "esql_top": """
 SELECT event_type, array_to_string(list_slice(
   list(round(value*100)::BIGINT ORDER BY round(value*100)::BIGINT DESC),

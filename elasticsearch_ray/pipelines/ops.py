@@ -10771,3 +10771,48 @@ def esql_fuse_linear(sf_dir: str):
         | FUSE linear
         | LIMIT 10
     ''')
+
+
+def text_structure_delimited(sf_dir: str):
+    """_text_structure/find_structure (x-pack text-structure, 7.13) on a
+    delimited sample: delimiter + header detection and per-column ES type
+    inference over a bounded sample (the reference's lines_to_sample cap);
+    the result configures the CSV fragment reader that then streams the
+    full corpus."""
+    from ..sources.structure import find_structure
+
+    df = (_ds(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type", "value"])
+          .limit(200).to_pandas())
+    lines = ["event_id,ts,user_id,event_type,value"]
+    for r in df.itertuples(index=False):
+        ts = pd.Timestamp(r.ts).isoformat()
+        lines.append(f"{r.event_id},{ts},{r.user_id},{r.event_type},"
+                     f"{r.value}")
+    st = find_structure(lines)
+    assert st["format"] == "delimited" and st["has_header_row"]
+    items = sorted(st["mappings"].items())
+    return pd.DataFrame({"field": [k for k, _ in items],
+                         "es_type": [v for _, v in items]})
+
+
+def text_structure_ndjson(sf_dir: str):
+    """find_structure on an NDJSON sample: every line parses as a JSON
+    object; field union + type inference (dates, longs, keyword-vs-text
+    prose heuristic)."""
+    import json
+
+    from ..sources.structure import find_structure
+
+    df = (_ds(sf_dir, "documents",
+              ["doc_id", "lang", "source", "n_chars", "text"])
+          .limit(200).to_pandas())
+    lines = [json.dumps({
+        "doc_id": int(r.doc_id), "lang": r.lang, "source": r.source,
+        "n_chars": int(r.n_chars), "text": r.text}, sort_keys=True)
+        for r in df.itertuples(index=False)]
+    st = find_structure(lines)
+    assert st["format"] == "ndjson"
+    items = sorted(st["mappings"].items())
+    return pd.DataFrame({"field": [k for k, _ in items],
+                         "es_type": [v for _, v in items]})
