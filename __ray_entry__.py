@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retriever_rrf_tree", "retriever_linear", "retriever_rerank",
         "esql_top", "esql_fuse_linear",
         "text_structure_delimited", "text_structure_ndjson",
+        "esql_multi_index",
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
         "nodes_stats", "esql_ts_rate", "esql_rrf",
@@ -1171,6 +1172,11 @@ GROUP BY 1 ORDER BY 1""",
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase'
 ORDER BY value DESC, event_id LIMIT 10""",
+        "esql_multi_index": """
+SELECT _index, event_type, count(*)::BIGINT AS c FROM (
+  SELECT 'events' AS _index, event_type FROM events
+  UNION ALL SELECT 'remote:events' AS _index, event_type FROM events)
+GROUP BY _index, event_type ORDER BY _index, event_type""",
         "text_structure_delimited": """
 SELECT * FROM (VALUES ('event_id','long'),('event_type','keyword'),
   ('ts','date'),('user_id','long'),('value','double')) t(field, es_type)

@@ -758,11 +758,21 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
         if stats_specs is not None:
             return _apply_post(_stats_table(ds, stats_specs, by or []), post)
         return _apply_post(ds.to_pandas(), post)
-    table = stages[0][1].split()[0]
+    from_spec = stages[0][1].split()[0]
+    # FROM accepts comma-separated index patterns with optional cluster
+    # prefixes (EsqlParser indexPattern: `events,remote:events,logs-*`);
+    # each resolves to a parquet table in sf_dir (a `cluster:` prefix is
+    # the cross-cluster qualifier — same data plane in this harness)
+    patterns = [p.strip() for p in from_spec.split(",") if p.strip()]
+    table = patterns[0].rpartition(":")[2]
     # FROM <table> METADATA _score (EsqlParser metadata option): expose the
     # pushed-down query's relevance score as a `_score` column
     want_score = re.search(r"\bMETADATA\b[\s\S]*\b_score\b", stages[0][1],
                            re.I) is not None
+    want_index = re.search(r"\bMETADATA\b[\s\S]*\b_index\b", stages[0][1],
+                           re.I) is not None
+    if want_score and len(patterns) > 1:
+        raise ValueError("METADATA _score needs a single indexed source")
 
     # full-text pushdown: a WHERE directly after FROM whose predicate holds
     # MATCH/MATCH_PHRASE/QSTR/KQL runs ONCE against the search index (the
@@ -824,9 +834,25 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
     if reader is not None:
         ds = reader(table)
     else:
+        import fnmatch as _fn
         import pyarrow.parquet as pq
 
-        path = os.path.join(sf_dir, f"{table}.parquet")
+        # resolve patterns -> [(qualified name, file name)]
+        resolved: list[tuple[str, str]] = []
+        for pat in patterns:
+            cluster, _, name = pat.rpartition(":")
+            if "*" in name:
+                names = sorted(
+                    f[:-8] for f in os.listdir(sf_dir)
+                    if f.endswith(".parquet")
+                    and _fn.fnmatch(f[:-8], name))
+            else:
+                names = [name]
+            for n in names:
+                resolved.append((f"{cluster}:{n}" if cluster else n, n))
+        if not resolved:
+            raise ValueError(f"no indices match {from_spec!r}")
+        path = os.path.join(sf_dir, f"{resolved[0][1]}.parquet")
         schema = pq.read_schema(path).remove_metadata()
         if wild_pats:
             import fnmatch
@@ -850,10 +876,21 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
                         if pa.types.is_integer(schema.field(c).type)), None)
             if key and key not in cols:
                 cols = [key] + cols
-        ds = rd.read_parquet(
-            path, columns=cols,
-            schema=pa.schema([schema.field(c) for c in cols]),
-            **({"filter": expr} if pushed_where is not None else {}))
+        sub_schema = pa.schema([schema.field(c) for c in cols])
+        kw = {"filter": expr} if pushed_where is not None else {}
+        parts_ds = []
+        for qual, name in resolved:
+            d = rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                                columns=cols, schema=sub_schema, **kw)
+            if want_index:
+                def _tag(t: pa.Table, _q=qual) -> pa.Table:
+                    return t.append_column(
+                        "_index", pa.array([_q] * len(t), pa.string()))
+
+                d = d.map_batches(_tag, batch_format="pyarrow")
+            parts_ds.append(d)
+        ds = parts_ds[0] if len(parts_ds) == 1 else \
+            parts_ds[0].union(*parts_ds[1:])
 
     if ft_stage is not None:
         ds = ds.map_batches(ft_stage, batch_format="pyarrow")

@@ -10816,3 +10816,18 @@ def text_structure_ndjson(sf_dir: str):
     items = sorted(st["mappings"].items())
     return pd.DataFrame({"field": [k for k, _ in items],
                          "es_type": [v for _, v in items]})
+
+
+def esql_multi_index(sf_dir: str):
+    """ES|QL multi-index / cross-cluster FROM (EsqlParser indexPattern:
+    `events,remote:events`) with METADATA _index: each pattern resolves to
+    its own pruned read, per-source _index tag appended per batch, and the
+    union streams through the shared STATS combiner — no materialization
+    at the union point."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events,remote:events METADATA _index
+        | STATS c = COUNT(*) BY _index, event_type
+        | SORT _index, event_type
+    ''')

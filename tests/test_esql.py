@@ -596,3 +596,24 @@ def test_fuse_linear_vs_rrf_methods(ray_session):
     rrf = esql.run(SF, q.format(m="rrf"))
     assert list(lin.columns) == list(rrf.columns) == ["doc_id", "_score"]
     assert (lin["_score"] <= 2.0).all()  # two minmax-normalized branches
+
+
+def test_multi_index_wildcard_and_tag(ray_session):
+    out = esql.run(SF, '''
+        FROM nation,remote:nation METADATA _index
+        | STATS c = COUNT(*) BY _index
+        | SORT _index
+    ''')
+    assert list(out["_index"]) == ["nation", "remote:nation"]
+    assert out["c"].iloc[0] == out["c"].iloc[1] == 25
+    wild = esql.run(SF, "FROM region* | STATS c = COUNT(*)")
+    assert wild["c"].iloc[0] == 5
+
+
+def test_metadata_score_rejects_multi_index(ray_session):
+    with pytest.raises(ValueError, match="single indexed source"):
+        esql.run(SF, '''
+            FROM documents,remote:documents METADATA _score
+            | WHERE MATCH(text, "data")
+            | SORT doc_id | LIMIT 5 | KEEP doc_id
+        ''')
