@@ -110,7 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retriever_rrf_tree", "retriever_linear", "retriever_rerank",
         "esql_top", "esql_fuse_linear",
         "text_structure_delimited", "text_structure_ndjson",
-        "esql_multi_index",
+        "esql_multi_index", "esql_stats_expression",
         # --- round-3 session-10 ops ---
         "esql_stats_where", "esql_change_point", "esql_ip_functions",
         "nodes_stats", "esql_ts_rate", "esql_rrf",
@@ -1172,6 +1172,13 @@ GROUP BY 1 ORDER BY 1""",
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase'
 ORDER BY value DESC, event_id LIMIT 10""",
+        "esql_stats_expression": """
+SELECT l_returnflag,
+       ROUND(SUM(ROUND(l_extendedprice * 100)::BIGINT
+                 * ROUND((1 - l_discount) * 100)::BIGINT) / 10000.0,
+             2) AS rev,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
         "esql_multi_index": """
 SELECT _index, event_type, count(*)::BIGINT AS c FROM (
   SELECT 'events' AS _index, event_type FROM events

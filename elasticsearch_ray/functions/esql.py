@@ -698,10 +698,25 @@ def _parse_stats(body: str) -> tuple[list[tuple], list[str], list]:
             continue
         m = re.fullmatch(
             r"(\w+)\(\s*(\*|[\w.]+)\s*(?:,\s*([\w.]+)\s*)?\)", call.strip())
-        if not m or m.group(1).upper() not in _AGGS:
-            raise ValueError(f"unsupported STATS agg: {item!r}")
-        specs.append((alias.strip(), m.group(1).upper(), m.group(2),
-                      m.group(3), where_src.strip() or None))
+        if m and m.group(1).upper() in _AGGS:
+            specs.append((alias.strip(), m.group(1).upper(), m.group(2),
+                          m.group(3), where_src.strip() or None))
+            continue
+        # expression argument (EsqlParser allows any expression inside a
+        # single-arg aggregate, e.g. SUM(price * (1 - discount))): lower
+        # to a hidden EVAL column computed per batch before the combiner
+        me = re.fullmatch(r"(\w+)\(\s*(.+)\s*\)", call.strip(), re.S)
+        if me and me.group(1).upper() in _AGGS and me.group(1).upper() in (
+                "SUM", "AVG", "MIN", "MAX", "COUNT", "MEDIAN",
+                "COUNT_DISTINCT", "VALUES", "STD_DEV"):
+            from .esql_expr import compile_eval
+
+            hidden = f"__sarg{len(by_evals)}"
+            by_evals.append(compile_eval(hidden, me.group(2)))
+            specs.append((alias.strip(), me.group(1).upper(), hidden,
+                          None, where_src.strip() or None))
+            continue
+        raise ValueError(f"unsupported STATS agg: {item!r}")
     return specs, by, by_evals
 
 

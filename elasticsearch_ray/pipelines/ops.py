@@ -10831,3 +10831,23 @@ def esql_multi_index(sf_dir: str):
         | STATS c = COUNT(*) BY _index, event_type
         | SORT _index, event_type
     ''')
+
+
+def esql_stats_expression(sf_dir: str):
+    """Expression arguments inside STATS aggregates (EsqlParser allows any
+    scalar expression, e.g. the TPC-H Q1 revenue term): lowered to a
+    hidden per-batch EVAL column before the partial combiner — one extra
+    vectorized kernel pass, no change to the exchange. Integer-cents
+    products keep the fold bit-identical to the oracle."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM lineitem
+        | STATS rev = SUM(ROUND(l_extendedprice * 100, 0)
+                          * ROUND((1 - l_discount) * 100, 0)),
+                n = COUNT(*)
+          BY l_returnflag
+        | SORT l_returnflag
+    ''')
+    out["rev"] = round_half_away(out["rev"].to_numpy(np.float64) / 1e4, 2)
+    return out

@@ -617,3 +617,19 @@ def test_metadata_score_rejects_multi_index(ray_session):
             | WHERE MATCH(text, "data")
             | SORT doc_id | LIMIT 5 | KEEP doc_id
         ''')
+
+
+def test_stats_expression_arguments(ray_session):
+    out = esql.run(SF, '''
+        FROM events
+        | STATS s = SUM(value * 2 + 1), m = MAX(value * value),
+                c = COUNT_DISTINCT(user_id + 0)
+        BY event_type
+        | SORT event_type
+    ''')
+    want = duckdb.sql(f"""
+        SELECT event_type, sum(value * 2 + 1) s, max(value * value) m,
+               count(DISTINCT user_id + 0) c
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY 1 ORDER BY 1""").df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False, atol=1e-6)
