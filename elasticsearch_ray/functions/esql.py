@@ -1642,15 +1642,28 @@ def _grok_fn(body: str):
     if pattern.startswith('"') and pattern.endswith('"'):
         pattern = pattern[1:-1]
 
+    types: dict[str, str] = {}
+
     def sub(m):
+        if m.group(3):
+            types[m.group(2)] = m.group(3)
         return f"(?P<{m.group(2)}>{GROK_PATTERNS[m.group(1)]})"
 
-    rx = re.sub(r"%\{(\w+):(\w+)\}", sub, pattern)
+    rx = re.sub(r"%\{(\w+):(\w+)(?::(int|long|float|double|boolean))?\}",
+                sub, pattern)
 
     def f(t: pa.Table) -> pa.Table:
         st = pc.extract_regex(t[col], rx)
         for field in st.type:
-            t = t.append_column(field.name, pc.struct_field(st, field.name))
+            v = pc.struct_field(st, field.name)
+            typ = types.get(field.name)
+            if typ in ("int", "long"):
+                v = pc.cast(v, pa.int64())
+            elif typ in ("float", "double"):
+                v = pc.cast(v, pa.float64())
+            elif typ == "boolean":
+                v = pc.equal(pc.utf8_lower(v), "true")
+            t = t.append_column(field.name, v)
         return t
 
     return f

@@ -218,18 +218,25 @@ GROK_PATTERNS = {
 
 def grok(col: str, pattern: str, out_prefix: str = "",
          patterns: dict[str, str] | None = None):
-    """`grok` processor: %{SYNTAX:name} named captures over a pattern bank."""
+    """`grok` processor: %{SYNTAX:name} named captures over a pattern
+    bank; the %{SYNTAX:name:int|float} type suffix converts the capture
+    (Grok.java's semantic conversion)."""
     import re
 
     bank = {**GROK_PATTERNS, **(patterns or {})}
     names: list[str] = []
+    types: dict[str, str] = {}
 
     def sub(m):
-        syntax, name = m.group(1), m.group(2)
+        syntax, name, typ = m.group(1), m.group(2), m.group(3)
         names.append(name)
+        if typ:
+            types[name] = typ
         return f"(?P<{name}>{bank[syntax]})"
 
-    regex = re.compile(re.sub(r"%\{(\w+):(\w+)\}", sub, pattern))
+    regex = re.compile(
+        re.sub(r"%\{(\w+):(\w+)(?::(int|long|float|double|boolean))?\}",
+               sub, pattern))
 
     def f(t: pa.Table) -> pa.Table:
         cols = {k: [] for k in names}
@@ -238,7 +245,19 @@ def grok(col: str, pattern: str, out_prefix: str = "",
             for k in names:
                 cols[k].append(m.group(k) if m else None)
         for k in names:
-            t = _put(t, out_prefix + k, pa.array(cols[k], pa.string()))
+            typ = types.get(k)
+            if typ in ("int", "long"):
+                arr = pa.array([int(v) if v is not None else None
+                                for v in cols[k]], pa.int64())
+            elif typ in ("float", "double"):
+                arr = pa.array([float(v) if v is not None else None
+                                for v in cols[k]], pa.float64())
+            elif typ == "boolean":
+                arr = pa.array([v.lower() == "true" if v is not None
+                                else None for v in cols[k]], pa.bool_())
+            else:
+                arr = pa.array(cols[k], pa.string())
+            t = _put(t, out_prefix + k, arr)
         return t
 
     return f

@@ -633,3 +633,13 @@ def test_stats_expression_arguments(ray_session):
         FROM read_parquet('{SF}/events.parquet')
         GROUP BY 1 ORDER BY 1""").df()
     pd.testing.assert_frame_equal(out, want, check_dtype=False, atol=1e-6)
+
+
+def test_grok_type_suffix(ray_session):
+    out = esql.run(SF, '''
+        FROM events
+        | GROK props "%{INT:kv:int}"
+        | STATS mx = MAX(kv), s = SUM(kv) BY event_type
+        | SORT event_type
+    ''')
+    assert out["mx"].dtype.kind in "if" and (out["mx"] >= 0).all()
