@@ -162,3 +162,37 @@ def test_esql_mv_fuzz_vs_duckdb(ray_session):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True),
             check_dtype=False, atol=1e-9, obj=f"esql {q!r}")
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_esql_fuzz_expression_aggs_and_like_lists(ray_session, seed):
+    """Session-11 grammar: expression arguments inside aggregates and
+    LIKE/RLIKE pattern lists, randomized against DuckDB."""
+    rng = np.random.default_rng(seed)
+    exprs = [("value * 2 + 1", "value * 2 + 1"),
+             ("value * value", "value * value"),
+             ("ABS(value - 50)", "abs(value - 50)")]
+    for _ in range(8):
+        pats = rng.choice(["c*", "v*", "p*", "e*", "s*"],
+                          size=rng.integers(1, 3), replace=False)
+        like = "(" + ", ".join(f'"{p}"' for p in pats) + ")"
+        sql_like = " OR ".join(
+            f"event_type LIKE '{p.replace('*', '%')}'" for p in pats)
+        aggs, sql_aggs = [], []
+        for i, fn in enumerate(rng.choice(["SUM", "AVG", "MIN", "MAX"],
+                                          size=rng.integers(1, 3),
+                                          replace=False)):
+            e, se = exprs[int(rng.integers(0, len(exprs)))]
+            aggs.append(f"a{i} = {fn}({e})")
+            sql_aggs.append(f"{fn.lower()}({se}) AS a{i}")
+        q = (f"FROM events | WHERE event_type LIKE {like} "
+             f"| STATS {', '.join(aggs)} BY event_type | SORT event_type")
+        sql = (f"SELECT event_type, {', '.join(sql_aggs)} FROM {EV} "
+               f"WHERE {sql_like} GROUP BY event_type ORDER BY event_type")
+        got = esql.run(SF, q)
+        want = duckdb.sql(sql).df()
+        cols = sorted(want.columns)
+        pd.testing.assert_frame_equal(
+            got[cols].reset_index(drop=True),
+            want[cols].reset_index(drop=True),
+            check_dtype=False, atol=1e-9, rtol=1e-12, obj=f"esql {q!r}")
