@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-12 ops ---
+        "agg_bucket_correlation", "agg_bucket_count_ks_test",
+        "agg_inference_regression",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -785,6 +788,42 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "agg_bucket_correlation": """
+WITH b AS (SELECT date_trunc('day', ts) AS day, count(*) AS c,
+                  sum(floor(value)::BIGINT) AS s
+           FROM events GROUP BY 1),
+t AS (SELECT count(*)::DOUBLE AS n,
+             sum(c)::DOUBLE AS sx, sum(s)::DOUBLE AS sy,
+             sum(c * c)::DOUBLE AS sxx, sum(s * s)::DOUBLE AS syy,
+             sum(c * s)::DOUBLE AS sxy
+      FROM b)
+SELECT (SELECT count(*) FROM b) AS n_buckets,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS correlation
+FROM t""",
+        "agg_bucket_count_ks_test": """
+WITH b AS (SELECT date_trunc('day', ts) AS day, count(*) AS c
+           FROM events GROUP BY 1),
+r AS (SELECT c,
+             SUM(c) OVER (ORDER BY day)::DOUBLE
+               / (SELECT sum(c) FROM b)::DOUBLE AS ecdf,
+             row_number() OVER (ORDER BY day)::DOUBLE
+               / (SELECT count(*) FROM b)::DOUBLE AS unif
+      FROM b)
+SELECT (SELECT count(*) FROM b) AS n_buckets,
+       ROUND(MAX(ABS(ecdf - unif)), 6) AS d_two_sided,
+       ROUND(MAX(unif - ecdf), 6) AS d_less,
+       ROUND(MAX(ecdf - unif), 6) AS d_greater
+FROM r""",
+        "agg_inference_regression": """
+WITH b AS (SELECT source, count(*) AS doc_count, sum(n_chars) AS s
+           FROM documents GROUP BY 1)
+SELECT source, doc_count,
+       ROUND(s::DOUBLE / doc_count::DOUBLE, 6) AS avg_chars,
+       ROUND(12.5 + 0.75 * (s::DOUBLE / doc_count::DOUBLE)
+             - 3.25 * ln(doc_count::DOUBLE), 6) AS predicted
+FROM b ORDER BY source""",
         "esql_rrf": """
 WITH s1 AS (SELECT doc_id, len(list_intersect(
               list_distinct(regexp_split_to_array(lower(text), '[^a-z0-9]+')),

@@ -10851,3 +10851,112 @@ def esql_stats_expression(sf_dir: str):
     ''')
     out["rev"] = round_half_away(out["rev"].to_numpy(np.float64) / 1e4, 2)
     return out
+
+
+def agg_bucket_correlation(sf_dir: str):
+    """bucket_correlation pipeline agg (x-pack ML
+    BucketCorrelationAggregationBuilder, 7.14, function=count_correlation):
+    Pearson r between the per-day doc_count curve of a date_histogram and
+    an indicator metric curve (here: per-day sum of floor(value), an
+    integer so the partial sums are order-invariant). Day bucketing +
+    integer partials happen per batch; ONE bucket-cardinality groupby is
+    the only exchange; the driver derives r from exact integer sums with
+    the same literal double expression as the SQL twin.
+    Ref: x-pack/plugin/ml/src/main/java/org/elasticsearch/xpack/ml/
+    aggs/correlation/BucketCorrelationAggregationBuilder.java."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                            pa.timestamp("us")), pa.int64())
+        vf = pc.cast(pc.floor(t["value"]), pa.int64())
+        return pa.table({"bucket": b, "vf": vf})
+
+    g = (_ds(sf_dir, "events", ["ts", "value"])
+         .map_batches(bucketize, batch_format="pyarrow")
+         .groupby("bucket")
+         .aggregate(Count(alias_name="doc_count"),
+                    Sum("vf", alias_name="s"))
+         .to_pandas())
+    # exact integer moments (python ints: no overflow, no fp order issues)
+    xs = [int(v) for v in g["doc_count"]]
+    ys = [int(v) for v in g["s"]]
+    n = float(len(xs))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxx = float(sum(x * x for x in xs))
+    syy = float(sum(y * y for y in ys))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    r = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy))
+    return pd.DataFrame({
+        "n_buckets": pd.array([len(xs)], dtype="int64"),
+        "correlation": [float(round_half_away(r, 6))],
+    })
+
+
+def agg_bucket_count_ks_test(sf_dir: str):
+    """bucket_count_ks_test pipeline agg (x-pack ML
+    BucketCountKSTestAggregationBuilder, 7.14): Kolmogorov-Smirnov
+    statistics of the per-day doc_count distribution against the uniform
+    fractions, alternatives two_sided / less / greater (the reference
+    compares a sibling agg's bucket counts against caller-supplied
+    `fractions`; uniform is its documented default). The empirical CDF
+    comes from ONE day-bucket groupby; statistics are derived on the
+    bucket-cardinality table with the same double expressions as SQL.
+    Ref: x-pack/plugin/ml/.../aggs/kstest/
+    BucketCountKSTestAggregationBuilder.java."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                            pa.timestamp("us")), pa.int64())
+        return pa.table({"bucket": b})
+
+    g = (_ds(sf_dir, "events", ["ts"])
+         .map_batches(bucketize, batch_format="pyarrow")
+         .groupby("bucket")
+         .aggregate(Count(alias_name="doc_count"))
+         .to_pandas().sort_values("bucket").reset_index(drop=True))
+    c = g["doc_count"].to_numpy(np.int64)
+    n = len(c)
+    total = float(c.sum())
+    ecdf = np.cumsum(c).astype(np.float64) / total
+    unif = np.arange(1, n + 1, dtype=np.float64) / float(n)
+    return pd.DataFrame({
+        "n_buckets": pd.array([n], dtype="int64"),
+        "d_two_sided": [float(round_half_away(np.abs(ecdf - unif).max(), 6))],
+        "d_less": [float(round_half_away((unif - ecdf).max(), 6))],
+        "d_greater": [float(round_half_away((ecdf - unif).max(), 6))],
+    })
+
+
+def agg_inference_regression(sf_dir: str):
+    """inference pipeline agg (x-pack ml InferencePipelineAggregationBuilder,
+    7.9): run a pretrained regression model over each bucket's metrics.
+    Buckets = terms(source) with doc_count + sum(n_chars) partials (ONE
+    group-cardinality exchange); the "model" is a fixed linear regression
+    (the reference ships the model in cluster state and broadcasts it to
+    each node — here the coefficients live in the task closure) applied
+    to [avg_chars, log(doc_count)]. Derived doubles use the same literal
+    expressions as the SQL twin. Ref: x-pack/plugin/ml/.../inference/
+    aggs/InferencePipelineAggregationBuilder.java."""
+    from ray.data.aggregate import Count, Sum
+
+    # regression weights: intercept, per-feature coefficients
+    B0, B1, B2 = 12.5, 0.75, -3.25
+
+    g = (_ds(sf_dir, "documents", ["source", "n_chars"])
+         .groupby("source")
+         .aggregate(Count(alias_name="doc_count"),
+                    Sum("n_chars", alias_name="s"))
+         .to_pandas().sort_values("source").reset_index(drop=True))
+    avg = g["s"].to_numpy(np.float64) / g["doc_count"].to_numpy(np.float64)
+    pred = B0 + B1 * avg + B2 * np.log(g["doc_count"].to_numpy(np.float64))
+    return pd.DataFrame({
+        "source": g["source"],
+        "doc_count": g["doc_count"].astype("int64"),
+        "avg_chars": round_half_away(avg, 6),
+        "predicted": round_half_away(pred, 6),
+    })

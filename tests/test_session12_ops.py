@@ -1,0 +1,60 @@
+"""Round-3 session-12 operators: the last three x-pack analytics/ML
+pipeline aggs (bucket_correlation, bucket_count_ks_test, inference) —
+completing the x-pack aggregation surface.
+
+Reference: x-pack/plugin/ml/.../aggs/correlation/
+BucketCorrelationAggregationBuilder.java, aggs/kstest/
+BucketCountKSTestAggregationBuilder.java, .../inference/aggs/
+InferencePipelineAggregationBuilder.java."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from elasticsearch_ray.pipelines import ops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(name: str):
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con.execute(E.oracle_sql()[name]).df()
+
+
+def test_bucket_correlation_matches_oracle(ray_session):
+    got = ops.agg_bucket_correlation(SF).reset_index(drop=True)
+    exp = _oracle("agg_bucket_correlation")
+    assert int(got["n_buckets"][0]) == int(exp["n_buckets"][0])
+    assert got["correlation"][0] == exp["correlation"][0]
+    assert -1.0 <= got["correlation"][0] <= 1.0
+
+
+def test_ks_test_matches_oracle_and_bounds(ray_session):
+    got = ops.agg_bucket_count_ks_test(SF).reset_index(drop=True)
+    exp = _oracle("agg_bucket_count_ks_test")
+    for c in ("d_two_sided", "d_less", "d_greater"):
+        assert got[c][0] == exp[c][0]
+        assert 0.0 <= got[c][0] <= 1.0
+    # two-sided dominates each one-sided statistic
+    assert got["d_two_sided"][0] >= max(got["d_less"][0],
+                                        got["d_greater"][0]) - 1e-12
+
+
+def test_inference_regression_matches_oracle(ray_session):
+    got = ops.agg_inference_regression(SF).reset_index(drop=True)
+    exp = _oracle("agg_inference_regression")
+    assert list(got["source"]) == list(exp["source"])
+    np.testing.assert_array_equal(got["doc_count"], exp["doc_count"])
+    np.testing.assert_array_equal(got["avg_chars"], exp["avg_chars"])
+    np.testing.assert_array_equal(got["predicted"], exp["predicted"])
+    # the linear model is what it says it is
+    manual = (12.5 + 0.75 * got["avg_chars"].to_numpy()
+              - 3.25 * np.log(got["doc_count"].to_numpy(np.float64)))
+    np.testing.assert_allclose(got["predicted"], manual, atol=5e-7)
