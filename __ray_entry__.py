@@ -100,7 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 session-12 ops ---
         "agg_bucket_correlation", "agg_bucket_count_ks_test",
-        "agg_inference_regression",
+        "agg_inference_regression", "painless_execute",
+        "reload_search_analyzers", "esql_show_info",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -816,6 +817,26 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "painless_execute": """
+WITH d AS (SELECT n_chars FROM documents WHERE doc_id = 7)
+SELECT * FROM (
+  SELECT 'painless_test' AS context, 32.0 AS value
+  UNION ALL
+  SELECT 'filter',
+         CASE WHEN (SELECT n_chars FROM d) > 120 THEN 1.0 ELSE 0.0 END
+  UNION ALL
+  SELECT 'score', ROUND(ln(2.0 + (SELECT n_chars FROM d)) * 1.5, 6)
+) ORDER BY context""",
+        "reload_search_analyzers": f"""
+WITH {_TOK},
+dt AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT * FROM (
+  SELECT DISTINCT 'before' AS phase, doc_id FROM dt WHERE term = 'fast'
+  UNION ALL
+  SELECT DISTINCT 'after', doc_id FROM dt WHERE term IN ('fast', 'slow')
+) ORDER BY phase, doc_id""",
+        "esql_show_info": """
+SELECT '0.1.0' AS version, 'esray000' AS hash""",
         "agg_inference_regression": """
 WITH b AS (SELECT source, count(*) AS doc_count, sum(n_chars) AS s
            FROM documents GROUP BY 1)

@@ -84,8 +84,8 @@ def parse(query: str) -> list[tuple[str, str]]:
             continue
         cmd, _, body = seg.partition(" ")
         stages.append((cmd.upper(), body.strip()))
-    if not stages or stages[0][0] not in ("FROM", "ROW", "TS"):
-        raise ValueError("ES|QL query must start with FROM, TS or ROW")
+    if not stages or stages[0][0] not in ("FROM", "ROW", "TS", "SHOW"):
+        raise ValueError("ES|QL query must start with FROM, TS, ROW or SHOW")
     return stages
 
 
@@ -727,6 +727,18 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
     import ray.data as rd
 
     stages = parse(query)
+    if stages[0][0] == "SHOW":
+        # SHOW INFO (EsqlParser showCommand, the only SHOW form): one
+        # constant row of build metadata — version / date / hash
+        # (x-pack/plugin/esql/.../plan/logical/show/ShowInfo.java)
+        if stages[0][1].strip().upper() != "INFO":
+            raise ValueError("SHOW supports only INFO")
+        from .. import __version__
+
+        out = pd.DataFrame({"version": [__version__],
+                            "date": ["2026-08-19T00:00:00Z"],
+                            "hash": ["esray000"]})
+        return _apply_post(out, stages[1:])
     fork_at = next((i for i, (c, _) in enumerate(stages) if c == "FORK"),
                    None)
     if fork_at is not None:

@@ -10960,3 +10960,75 @@ def agg_inference_regression(sf_dir: str):
         "avg_chars": round_half_away(avg, 6),
         "predicted": round_half_away(pred, 6),
     })
+
+
+def painless_execute(sf_dir: str):
+    """_scripts/painless/_execute API (x-pack painless
+    PainlessExecuteAction, 6.3+; contexts painless_test / filter /
+    score): each context runs the sandboxed AST-whitelist evaluator
+    (scripting.safe_eval_expr — the Painless-sandbox analog; attribute
+    access and subscripts rejected outright) against the request params
+    and, for filter/score contexts, a single test document supplied via
+    ContextSetup — fetched here with a doc_id-filtered row-group point
+    read, never a scan. One row per context; filter returns 0/1."""
+    import pyarrow.dataset as pds
+
+    from ..scripting import safe_eval_expr
+
+    doc = (_ds(sf_dir, "documents", ["doc_id", "n_chars"],
+               flt=(pds.field("doc_id") == 7)).to_pandas())
+    n_chars = float(doc["n_chars"][0])
+
+    test_v = float(safe_eval_expr("a * b + 2", {"a": 10.0, "b": 3.0}))
+    filt_v = 1.0 if bool(safe_eval_expr("n_chars > 120",
+                                        {"n_chars": n_chars})) else 0.0
+    score_v = float(round_half_away(
+        safe_eval_expr("log(2.0 + n_chars) * 1.5",
+                       {"n_chars": n_chars, "log": np.log}), 6))
+    out = pd.DataFrame({
+        "context": ["painless_test", "filter", "score"],
+        "value": [test_v, filt_v, score_v],
+    })
+    return out.sort_values("context").reset_index(drop=True)
+
+
+def reload_search_analyzers(sf_dir: str):
+    """_reload_search_analyzers API (7.3, x-pack core
+    ReloadAnalyzersAction + `updateable: true` synonym token filters):
+    index-time tokens are untouched; the reload swaps only the SEARCH
+    analyzer's synonym set, changing query expansion for subsequent
+    searches (the reference re-reads the synonyms file on each node and
+    rebuilds the SynonymGraphFilter). Phase `before`: query `fast` with
+    the v1 search analyzer (no synonyms). Phase `after`: the reloaded
+    v2 set installs the equivalence group `fast, slow`, so the analyzed
+    query expands to the should-OR of the group — exactly the multi-term
+    graph the reference's reloaded filter emits. One engine query per
+    phase (match-membership, score-free so the oracle is token algebra);
+    results are per-phase (phase, doc_id) rows."""
+    from .fulltext import all_matches
+
+    synonyms_v1: dict[str, list[str]] = {}
+    synonyms_v2 = {"fast": ["fast", "slow"]}  # the reloaded synonyms file
+
+    def q_for(syn: dict[str, list[str]]) -> dict:
+        toks = syn.get("fast", ["fast"])
+        if len(toks) == 1:
+            return {"kind": "term", "term": toks[0]}
+        return {"kind": "bool",
+                "should": [{"kind": "term", "term": t} for t in toks]}
+
+    frames = []
+    for phase, syn in (("before", synonyms_v1), ("after", synonyms_v2)):
+        t = all_matches(sf_dir, q_for(syn), with_score=False)
+        frames.append(pd.DataFrame({
+            "phase": phase, "doc_id": t["doc_id"].to_numpy()}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["phase", "doc_id"]).reset_index(drop=True)
+
+
+def esql_show_info(sf_dir: str):
+    """ES|QL SHOW INFO (EsqlParser showCommand -> ShowInfo plan node):
+    constant build-metadata row, composable with downstream commands."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, "SHOW INFO | KEEP version, hash")

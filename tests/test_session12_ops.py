@@ -58,3 +58,36 @@ def test_inference_regression_matches_oracle(ray_session):
     manual = (12.5 + 0.75 * got["avg_chars"].to_numpy()
               - 3.25 * np.log(got["doc_count"].to_numpy(np.float64)))
     np.testing.assert_allclose(got["predicted"], manual, atol=5e-7)
+
+
+def test_painless_execute_contexts(ray_session):
+    got = ops.painless_execute(SF).reset_index(drop=True)
+    assert list(got["context"]) == ["filter", "painless_test", "score"]
+    assert got.loc[got["context"] == "painless_test", "value"].iloc[0] == 32.0
+    assert got.loc[got["context"] == "filter", "value"].iloc[0] in (0.0, 1.0)
+
+
+def test_painless_execute_rejects_attribute_access(ray_session):
+    import pytest
+
+    from elasticsearch_ray.scripting import ScriptError, safe_eval_expr
+
+    with pytest.raises(ScriptError):
+        safe_eval_expr("().__class__", {})
+
+
+def test_reload_search_analyzers_expands_query(ray_session):
+    got = ops.reload_search_analyzers(SF)
+    before = set(got.loc[got["phase"] == "before", "doc_id"])
+    after = set(got.loc[got["phase"] == "after", "doc_id"])
+    # reload only widens the query expansion: before ⊆ after
+    assert before <= after
+    exp = _oracle("reload_search_analyzers")
+    assert got.reset_index(drop=True).equals(
+        exp[["phase", "doc_id"]].reset_index(drop=True))
+
+
+def test_esql_show_info(ray_session):
+    got = ops.esql_show_info(SF)
+    assert list(got.columns) == ["version", "hash"]
+    assert got["version"][0] == "0.1.0"
