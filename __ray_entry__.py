@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_bucket_correlation", "agg_bucket_count_ks_test",
         "agg_inference_regression", "painless_execute",
         "reload_search_analyzers", "esql_show_info",
+        "shape_cartesian_points", "shape_cartesian_disjoint",
+        "ingest_circle",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -365,6 +367,39 @@ g AS (SELECT user_id,
         "geo_shape_disjoint": f"WITH {base}\n{sel.format(disjoint_pred)}",
         "geo_shape_linestring": f"WITH {base}\n{sel.format(line_pred)}",
         "geo_shape_multipolygon": f"WITH {base}\n{sel.format(multi_pred)}",
+    }
+
+
+def _shape_cartesian_oracle_sqls() -> dict[str, str]:
+    """Planar `shape`-query oracles (x-pack spatial): the convex query
+    quadrilateral's half-planes are inlined as arithmetic — an independent
+    half-plane formulation vs the crossing-number / separating-axis
+    kernels on the Ray side."""
+    quad = [(100.0, 100.0), (800.0, 200.0), (700.0, 800.0), (150.0, 700.0)]
+    edges = []
+    for i in range(len(quad)):
+        (x1, y1), (x2, y2) = quad[i], quad[(i + 1) % len(quad)]
+        a, b = (y2 - y1), -(x2 - x1)
+        c = a * x1 + b * y1
+        edges.append((a, b, c))
+    base = """
+g AS (SELECT p_partkey,
+             ((p_partkey * 7919) % 1000) + 0.5 AS x,
+             ((p_partkey * 104729) % 1000) + 0.5 AS y,
+             CAST(5 + (p_partkey % 7) AS DOUBLE) AS h
+      FROM part)"""
+    pt_pred = " AND ".join(
+        f"(({a})*x + ({b})*y <= ({c}) + 1e-9)" for a, b, c in edges)
+    sep_terms = ["(800 < x - h)", "(100 > x + h)",
+                 "(800 < y - h)", "(100 > y + h)"]
+    sep_terms += [
+        f"(({a})*x + ({b})*y - ({abs(a)+abs(b)})*h > ({c}) + 1e-9)"
+        for a, b, c in edges]
+    sel = "SELECT p_partkey, x, y FROM g WHERE {} ORDER BY p_partkey"
+    return {
+        "shape_cartesian_points": f"WITH {base}\n{sel.format(pt_pred)}",
+        "shape_cartesian_disjoint":
+            f"WITH {base}\n{sel.format(' OR '.join(sep_terms))}",
     }
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
@@ -775,6 +810,7 @@ ORDER BY p.phase""",
 
 def oracle_sql() -> dict[str, str]:
     out = _geo_shape_oracle_sqls()
+    out.update(_shape_cartesian_oracle_sqls())
     out["agg_cardinality_hll"] = _hll_oracle_sql()
     out["agg_percentiles_hdr"] = _hdr_oracle_sql()
     out["embed_kmeans"] = _kmeans_oracle_sql()
@@ -817,6 +853,22 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "ingest_circle": """
+WITH c AS (SELECT s_suppkey,
+                  ((s_suppkey * 13) % 200) - 100 + 0.5 AS cx,
+                  ((s_suppkey * 29) % 200) - 100 + 0.5 AS cy,
+                  CAST(5 + (s_suppkey % 5) AS DOUBLE) AS r
+           FROM supplier),
+n AS (SELECT *, GREATEST(4, LEAST(1000,
+           CAST(ceil(pi() / acos(1 - 1.0 / r)) AS BIGINT))) AS n_sides
+      FROM c),
+v AS (SELECT s_suppkey, n_sides, cx, cy, r,
+             unnest(generate_series(0, n_sides - 1)) AS vertex
+      FROM n)
+SELECT s_suppkey, n_sides, vertex,
+       ROUND(cx + r * cos(2 * pi() * vertex / n_sides), 6) AS vx,
+       ROUND(cy + r * sin(2 * pi() * vertex / n_sides), 6) AS vy
+FROM v ORDER BY s_suppkey, vertex""",
         "painless_execute": """
 WITH d AS (SELECT n_chars FROM documents WHERE doc_id = 7)
 SELECT * FROM (

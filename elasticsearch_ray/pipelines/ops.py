@@ -11032,3 +11032,107 @@ def esql_show_info(sf_dir: str):
     from ..functions import esql
 
     return esql.run(sf_dir, "SHOW INFO | KEEP version, hash")
+
+
+# ---------------- x-pack spatial: cartesian `shape` field + queries and the
+# circle ingest processor (ShapeQueryBuilder, SpatialUtils) -----------------
+
+# planar (x, y) query quadrilateral, CCW convex — raw cartesian units, not
+# lon/lat (the `shape` field type is unbounded planar geometry)
+_SHAPE_CART_WKT = ("POLYGON ((100 100, 800 200, 700 800, 150 700, 100 100))")
+
+
+def _cart_points(t: pa.Table) -> pa.Table:
+    """deterministic synthetic planar coordinates derived from p_partkey
+    (the indexed `shape` docs — POINT geometry in cartesian space)."""
+    k = t["p_partkey"].to_numpy()
+    x = ((k * 7919) % 1000).astype(np.float64) + 0.5
+    y = ((k * 104729) % 1000).astype(np.float64) + 0.5
+    return (t.append_column("x", pa.array(x))
+            .append_column("y", pa.array(y)))
+
+
+def shape_cartesian_points(sf_dir: str):
+    """`shape` query, INTERSECTS relation over cartesian POINTs (x-pack
+    spatial ShapeQueryBuilder + ShapeFieldMapper, 7.4 — the planar twin of
+    geo_shape; same WKT grammar, unprojected x/y math). Vectorized
+    crossing-number point-in-polygon per batch; the oracle re-derives the
+    convex query's half-planes as inline arithmetic."""
+    from ..geo import parse_wkt, points_in_polygon
+
+    _, geom = parse_wkt(_SHAPE_CART_WKT)
+
+    def filt(t: pa.Table) -> pa.Table:
+        g = _cart_points(t)
+        keep = points_in_polygon(geom, g["x"].to_numpy(), g["y"].to_numpy())
+        return g.select(["p_partkey", "x", "y"]).filter(pa.array(keep))
+
+    out = (_ds(sf_dir, "part", ["p_partkey"])
+           .map_batches(filt, batch_format="pyarrow").to_pandas())
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def shape_cartesian_disjoint(sf_dir: str):
+    """`shape` query, DISJOINT relation over cartesian BOXes (per-part
+    axis-aligned envelope, half-size 5 + p_partkey % 7 planar units):
+    separating-axis test against the convex quadrilateral, vectorized per
+    batch — identical kernel family to the geo_shape path but in raw
+    planar units (no degree clamping)."""
+    from ..geo import boxes_intersect_convex, parse_wkt
+
+    _, geom = parse_wkt(_SHAPE_CART_WKT)
+
+    def filt(t: pa.Table) -> pa.Table:
+        g = _cart_points(t)
+        k = g["p_partkey"].to_numpy()
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        half = (5 + (k % 7)).astype(np.float64)
+        blo = np.stack([x - half, y - half], axis=1)
+        bhi = np.stack([x + half, y + half], axis=1)
+        keep = ~boxes_intersect_convex(geom[0], blo, bhi)
+        return g.select(["p_partkey", "x", "y"]).filter(pa.array(keep))
+
+    out = (_ds(sf_dir, "part", ["p_partkey"])
+           .map_batches(filt, batch_format="pyarrow").to_pandas())
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def ingest_circle(sf_dir: str):
+    """circle ingest processor (x-pack spatial CircleProcessor, 7.4 —
+    SpatialUtils.createRegularShapePolygon): approximates each CIRCLE as a
+    regular polygon whose side count is derived from the configured
+    error_distance: n = clamp(ceil(pi / acos(1 - err / radius)), 4, 1000),
+    vertices at center + r * (cos, sin)(2*pi*i/n). Circles are synthetic
+    per-supplier (center from s_suppkey, radius 5 + s_suppkey % 5, err=1);
+    the whole explode is one vectorized repeat/tile pass per batch — one
+    output row per vertex, exactly what the reference writes into the
+    shape field."""
+    def explode(t: pa.Table) -> pa.Table:
+        k = t["s_suppkey"].to_numpy()
+        cx = ((k * 13) % 200).astype(np.float64) - 100 + 0.5
+        cy = ((k * 29) % 200).astype(np.float64) - 100 + 0.5
+        r = (5 + (k % 5)).astype(np.float64)
+        err = 1.0
+        n = np.ceil(np.pi / np.arccos(1.0 - err / r)).astype(np.int64)
+        n = np.clip(n, 4, 1000)
+        reps = n.astype(np.int64)
+        kk = np.repeat(k, reps)
+        cxx = np.repeat(cx, reps)
+        cyy = np.repeat(cy, reps)
+        rr = np.repeat(r, reps)
+        nn = np.repeat(n, reps)
+        idx = np.concatenate([np.arange(m) for m in reps]) if len(reps) \
+            else np.empty(0, np.int64)
+        theta = 2 * np.pi * idx / nn
+        return pa.table({
+            "s_suppkey": pa.array(kk, pa.int64()),
+            "n_sides": pa.array(nn, pa.int64()),
+            "vertex": pa.array(idx.astype(np.int64), pa.int64()),
+            "vx": pa.array(round_half_away(cxx + rr * np.cos(theta), 6)),
+            "vy": pa.array(round_half_away(cyy + rr * np.sin(theta), 6)),
+        })
+
+    out = (_ds(sf_dir, "supplier", ["s_suppkey"])
+           .map_batches(explode, batch_format="pyarrow").to_pandas())
+    return out.sort_values(["s_suppkey", "vertex"]).reset_index(drop=True)

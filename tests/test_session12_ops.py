@@ -91,3 +91,44 @@ def test_esql_show_info(ray_session):
     got = ops.esql_show_info(SF)
     assert list(got.columns) == ["version", "hash"]
     assert got["version"][0] == "0.1.0"
+
+
+def test_shape_cartesian_points_oracle(ray_session):
+    got = ops.shape_cartesian_points(SF).reset_index(drop=True)
+    exp = _oracle("shape_cartesian_points")
+    assert got[["p_partkey", "x", "y"]].equals(exp[["p_partkey", "x", "y"]])
+    # every surviving point really satisfies the quad's half-planes
+    quad = [(100.0, 100.0), (800.0, 200.0), (700.0, 800.0), (150.0, 700.0)]
+    for i in range(4):
+        (x1, y1), (x2, y2) = quad[i], quad[(i + 1) % 4]
+        a, b = y2 - y1, -(x2 - x1)
+        c = a * x1 + b * y1
+        assert (a * got["x"] + b * got["y"] <= c + 1e-9).all()
+
+
+def test_shape_cartesian_disjoint_excludes_intersecting(ray_session):
+    pts = set(ops.shape_cartesian_points(SF)["p_partkey"])
+    dis = set(ops.shape_cartesian_disjoint(SF)["p_partkey"])
+    # a part whose point is inside cannot have a disjoint box around it
+    assert not (pts & dis)
+    exp = _oracle("shape_cartesian_disjoint")
+    assert sorted(dis) == list(exp["p_partkey"])
+
+
+def test_ingest_circle_geometry(ray_session):
+    got = ops.ingest_circle(SF)
+    exp = _oracle("ingest_circle")
+    assert got[["s_suppkey", "n_sides", "vertex", "vx", "vy"]].equals(
+        exp[["s_suppkey", "n_sides", "vertex", "vx", "vy"]])
+    # per circle: n_sides vertices, all at distance r from the center,
+    # and n_sides respects the error-distance formula clamp
+    for key, g in got.groupby("s_suppkey"):
+        n = int(g["n_sides"].iloc[0])
+        assert len(g) == n
+        r = 5 + key % 5
+        cx = ((key * 13) % 200) - 100 + 0.5
+        cy = ((key * 29) % 200) - 100 + 0.5
+        d = np.hypot(g["vx"] - cx, g["vy"] - cy)
+        np.testing.assert_allclose(d, r, atol=1e-5)
+        assert n == max(4, min(1000, int(np.ceil(
+            np.pi / np.arccos(1 - 1.0 / r)))))
