@@ -103,7 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_inference_regression", "painless_execute",
         "reload_search_analyzers", "esql_show_info",
         "shape_cartesian_points", "shape_cartesian_disjoint",
-        "ingest_circle",
+        "ingest_circle", "eql_sample", "indices_resize",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -853,6 +853,39 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "indices_resize": """
+WITH h(source, hv) AS (VALUES
+  ('src0', -1164416664), ('src1', 706699432), ('src2', 332406938),
+  ('src3', 1484881694), ('src4', 1035695491), ('src5', 1886931161),
+  ('src6', 800076671), ('src7', 400197407), ('src8', 1531411777),
+  ('src9', -1466533903), ('src10', 909986450), ('src11', 640363681),
+  ('src12', 984838713), ('src13', -862322557), ('src14', -924893696),
+  ('src15', 1485394773), ('src16', -1198424005), ('src17', -122829918),
+  ('src18', 1096668294), ('src19', -721911169)),
+r AS (SELECT ((hv % 12) + 12) % 12 AS fm, d.source
+      FROM documents d JOIN h USING (source))
+SELECT fm // 4 AS shard_3, fm // 2 AS shard_6,
+       count(*) AS doc_count
+FROM r GROUP BY 1, 2 ORDER BY shard_3, shard_6""",
+        "eql_sample": """
+WITH t AS (
+  SELECT user_id, event_id, ts, 0 AS step FROM events
+  WHERE event_type = 'click' AND value > 80
+  UNION ALL
+  SELECT user_id, event_id, ts, 1 FROM events
+  WHERE event_type = 'error' AND value < 20
+  UNION ALL
+  SELECT user_id, event_id, ts, 2 FROM events
+  WHERE event_type = 'signup'
+),
+fk AS (SELECT user_id FROM t GROUP BY user_id
+       HAVING count(DISTINCT step) = 3),
+r AS (SELECT user_id, step, event_id,
+             row_number() OVER (PARTITION BY user_id, step
+                                ORDER BY ts, event_id) AS rn
+      FROM t WHERE user_id IN (SELECT user_id FROM fk))
+SELECT user_id, step, event_id FROM r WHERE rn = 1
+ORDER BY user_id, step""",
         "ingest_circle": """
 WITH c AS (SELECT s_suppkey,
                   ((s_suppkey * 13) % 200) - 100 + 0.5 AS cx,

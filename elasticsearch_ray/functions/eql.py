@@ -37,6 +37,7 @@ _SEQ_RX = re.compile(
     r"^sequence(?:\s+by\s+([\w.]+))?(?:\s+with\s+maxspan\s*=\s*(\d+)"
     r"([smhd]))?\s*(.*)$", re.I | re.S)
 _SINGLE_RX = re.compile(r"^(\w+)\s+where\s+(.*)$", re.S)
+_SAMPLE_RX = re.compile(r"^sample\s+by\s+([\w.]+)\s*(.*)$", re.I | re.S)
 
 
 def _split_pipes(q: str) -> tuple[str, list[tuple[str, str]]]:
@@ -92,6 +93,14 @@ def parse(query: str) -> dict:
         return {"kind": "sequence", "by": by or None,
                 "maxspan_us": int(n) * _SPAN_US[unit] if n else None,
                 "steps": steps, "until": until, "pipes": pipes}
+    m = _SAMPLE_RX.match(head)
+    if m:
+        by, body = m.groups()
+        steps = [_category_predicate(c, p) for c, p in
+                 _STEP_RX.findall(body)]
+        if len(steps) < 2:
+            raise ValueError("sample needs at least two [ step ]s")
+        return {"kind": "sample", "by": by, "steps": steps, "pipes": pipes}
     m = _SINGLE_RX.match(head)
     if m:
         return {"kind": "event",
@@ -131,6 +140,68 @@ def run(sf_dir: str, query: str, table: str = "events") -> pd.DataFrame:
         pred = compile_predicate(plan["predicate"])
         ds = ds.map_batches(pred, batch_format="pyarrow")
         return _apply_pipes_event(ds, plan["pipes"])
+
+    if plan["kind"] == "sample":
+        # sample (x-pack eql SampleIterator, 8.6): join-key groups holding
+        # at least one event per filter, event ORDER IRRELEVANT (unlike
+        # sequence). The reference returns a bounded number of samples,
+        # one event per filter each; here every qualifying key is returned
+        # (the boundary-free-oracle convention used by all_matches), with
+        # the deterministic representative per filter = earliest
+        # (ts, event_id). Step masks are tagged per batch; ONE groupby
+        # co-partitions each key; the per-group pick is a vectorized
+        # idxmin per step.
+        from .esql_expr import evaluate, parse_expr
+
+        by = plan["by"]
+        nsteps = len(plan["steps"])
+        step_asts = [parse_expr(s) for s in plan["steps"]]
+
+        def tag_s(t: pa.Table) -> pa.Table:
+            ts = t["ts"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype(np.int64)
+            key = t[by].to_numpy(zero_copy_only=False)
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            keys, tss, eids, steps = [], [], [], []
+            for i, ast in enumerate(step_asts):
+                m = np.asarray(
+                    evaluate(ast, t).to_numpy(zero_copy_only=False), bool)
+                keys.append(key[m])
+                tss.append(ts[m])
+                eids.append(eid[m])
+                steps.append(np.full(int(m.sum()), i, np.int8))
+            cat = (lambda xs, dt: np.concatenate(xs) if xs else
+                   np.empty(0, dt))
+            return pa.table({
+                "k": pa.array(cat(keys, np.int64), pa.int64()),
+                "ts": pa.array(cat(tss, np.int64), pa.int64()),
+                "event_id": pa.array(cat(eids, np.int64), pa.int64()),
+                "step": pa.array(cat(steps, np.int8), pa.int8()),
+            })
+
+        def per_key_s(df: pd.DataFrame) -> pd.DataFrame:
+            if df["step"].nunique() < nsteps:
+                return pd.DataFrame({
+                    "k": pd.Series([], dtype=np.int64),
+                    "step": pd.Series([], dtype=np.int64),
+                    "event_id": pd.Series([], dtype=np.int64)})
+            d = df.sort_values(["step", "ts", "event_id"]) \
+                  .groupby("step", as_index=False).first()
+            return pd.DataFrame({
+                "k": d["k"].astype(np.int64),
+                "step": d["step"].astype(np.int64),
+                "event_id": d["event_id"].astype(np.int64)})
+
+        out = (ds.map_batches(tag_s, batch_format="pyarrow")
+                 .groupby("k").map_groups(per_key_s, batch_format="pandas")
+                 .to_pandas())
+        if "k" not in out.columns:
+            out = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                                "step": pd.Series([], dtype=np.int64),
+                                "event_id": pd.Series([], dtype=np.int64)})
+        out = out.rename(columns={"k": by})
+        out = out.sort_values([by, "step"]).reset_index(drop=True)
+        return _apply_pipes_frame(out, plan["pipes"])
 
     # sequence: tag each row with its step index (vectorized masks evaluated
     # via the ES|QL expression ASTs), then ONE shuffle co-partitions a join

@@ -11136,3 +11136,58 @@ def ingest_circle(sf_dir: str):
     out = (_ds(sf_dir, "supplier", ["s_suppkey"])
            .map_batches(explode, batch_format="pyarrow").to_pandas())
     return out.sort_values(["s_suppkey", "vertex"]).reset_index(drop=True)
+
+
+def eql_sample(sf_dir: str):
+    """EQL `sample by` (x-pack eql SampleIterator, 8.6): unordered join —
+    every user with at least one qualifying event per filter, one
+    deterministic representative event per filter (earliest ts, event_id).
+    Order-irrelevant by spec, so no searchsorted chain — just step masks,
+    ONE key groupby, and a per-group vectorized first-pick."""
+    from ..functions import eql
+
+    return eql.run(sf_dir, '''
+      sample by user_id
+        [ click where value > 80 ] [ error where value < 20 ]
+        [ signup where true ]
+    ''')
+
+
+def indices_resize(sf_dir: str):
+    """_split / _shrink resize API (server/.../admin/indices/shrink/
+    ResizeRequest, TransportResizeAction + OperationRouting
+    .generateShardId): an index carries routing_num_shards R (here 12, a
+    multiple of every shard count it can resize to); with S shards a doc
+    routes to floorMod(murmur3(routing), R) // (R // S). _split 3 -> 6
+    re-derives the SAME formula with S=6, which guarantees each parent
+    shard p fans out to exactly children {2p, 2p+1} — no data movement
+    decisions, pure hash arithmetic (that is why the reference implements
+    split as hard-links + per-shard delete-by-routing). Routing key =
+    documents.source; per batch the 20 distinct keys are hashed once and
+    gathered; ONE (shard3, shard6)-cardinality groupby is the only
+    exchange. The row-wise shard6 // 2 == shard3 invariant doubles as the
+    shrink (6 -> 3) mapping."""
+    from ray.data.aggregate import Count
+
+    from ..index.routing import routing_hash
+
+    R = 12
+
+    def route(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        h = np.array([routing_hash(str(u)) for u in uniq], np.int64)[inv]
+        fm = ((h % R) + R) % R
+        return pa.table({
+            "shard_3": pa.array(fm // (R // 3), pa.int64()),
+            "shard_6": pa.array(fm // (R // 6), pa.int64()),
+        })
+
+    out = (_ds(sf_dir, "documents", ["source"])
+           .map_batches(route, batch_format="pyarrow")
+           .groupby(["shard_3", "shard_6"])
+           .aggregate(Count(alias_name="doc_count"))
+           .to_pandas())
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return (out.sort_values(["shard_3", "shard_6"])
+            .reset_index(drop=True)[["shard_3", "shard_6", "doc_count"]])

@@ -132,3 +132,59 @@ def test_ingest_circle_geometry(ray_session):
         np.testing.assert_allclose(d, r, atol=1e-5)
         assert n == max(4, min(1000, int(np.ceil(
             np.pi / np.arccos(1 - 1.0 / r)))))
+
+
+def test_eql_sample_semantics(ray_session):
+    got = ops.eql_sample(SF)
+    exp = _oracle("eql_sample")
+    assert got.reset_index(drop=True).astype("int64").equals(
+        exp.astype("int64").reset_index(drop=True))
+    # every qualifying user contributes exactly one event per filter,
+    # and order between filters is irrelevant (steps 0..2 all present)
+    for uid, g in got.groupby("user_id"):
+        assert sorted(g["step"]) == [0, 1, 2]
+
+
+def test_eql_sample_order_irrelevant_vs_sequence():
+    # sample must accept keys whose step events are out of time order —
+    # build a tiny in-memory case where the sequence would fail
+    import pyarrow as pa
+    import ray
+
+    from elasticsearch_ray.functions import eql
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([3_000_000, 2_000_000, 1_000_000],
+                       pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "event_type": pa.array(["click", "view", "purchase"]),
+        "value": pa.array([1.0, 1.0, 1.0]),
+    })
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = eql.run(d, "sample by user_id [ click where true ] "
+                     "[ view where true ] [ purchase where true ]")
+    assert list(out["user_id"]) == [7, 7, 7]
+    seq = eql.run(d, "sequence by user_id [ click where true ] "
+                     "[ view where true ] [ purchase where true ]")
+    assert len(seq) == 0  # time-ordered join finds nothing
+
+
+def test_indices_resize_split_invariant(ray_session):
+    got = ops.indices_resize(SF)
+    # ES resize guarantee: child shard // factor == parent shard
+    assert (got["shard_6"] // 2 == got["shard_3"]).all()
+    # shrink(6 -> 3) reverses split: summing children equals the parent
+    parents = got.groupby("shard_3")["doc_count"].sum()
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert parents.sum() == n
+    exp = _oracle("indices_resize")
+    assert got.astype("int64").equals(exp.astype("int64"))
