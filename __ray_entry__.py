@@ -103,7 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_inference_regression", "painless_execute",
         "reload_search_analyzers", "esql_show_info",
         "shape_cartesian_points", "shape_cartesian_disjoint",
-        "ingest_circle", "eql_sample", "indices_resize",
+        "ingest_circle", "eql_sample", "indices_resize", "sql_pivot",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -853,6 +853,13 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "sql_pivot": """
+SELECT lang,
+       ROUND(avg(CASE WHEN source = 'src0' THEN n_chars END), 6) AS src0,
+       ROUND(avg(CASE WHEN source = 'src1' THEN n_chars END), 6) AS src1,
+       ROUND(avg(CASE WHEN source = 'src2' THEN n_chars END), 6) AS src2,
+       ROUND(avg(CASE WHEN source = 'src3' THEN n_chars END), 6) AS src3
+FROM documents GROUP BY lang ORDER BY lang""",
         "indices_resize": """
 WITH h(source, hv) AS (VALUES
   ('src0', -1164416664), ('src1', 706699432), ('src2', 332406938),

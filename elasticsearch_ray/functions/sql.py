@@ -158,11 +158,64 @@ def parse_sql(sql: str) -> dict:
             "limit": int(m.group("limit")) if m.group("limit") else None}
 
 
+_PIVOT_RX = re.compile(
+    r"(?is)^SELECT\s+\*\s+FROM\s+\(\s*(?P<inner>SELECT\s+.+?)\s*\)\s+"
+    r"PIVOT\s*\(\s*(?P<fn>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<val>\w+)\s*\)"
+    r"\s+FOR\s+(?P<piv>\w+)\s+IN\s*\(\s*(?P<vals>[^)]*?)\s*\)\s*\)"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>\w+))?\s*;?\s*$")
+
+
+def _run_pivot(m: re.Match, sf_dir: str, ds_factory):
+    """PIVOT clause (x-pack sql 7.5, plan/logical/Pivot.java): rotate one
+    grouping column's IN-listed values into output columns. Lowered to the
+    ordinary distributed GROUP BY (row keys + pivot column) — per-batch
+    partial combiner, group-cardinality exchange — then the rotation is a
+    driver-side reshape of the already-reduced long table (never of raw
+    rows). Combinations absent from the data yield NULL (0 for COUNT),
+    matching the reference's QlSqlIT pivot semantics."""
+    import pandas as pd
+
+    inner = parse_sql(m.group("inner"))
+    if inner["aggs"] or inner["group"]:
+        raise SqlParseError("PIVOT inner query must be a plain projection")
+    fn, val, piv = m.group("fn").upper(), m.group("val"), m.group("piv")
+    if piv not in inner["plain"] or (val not in inner["plain"]
+                                     and fn != "COUNT"):
+        raise SqlParseError("PIVOT value/key must appear in the inner "
+                            "projection")
+    rowkeys = [c for c in inner["plain"] if c not in (piv, val)]
+    if not rowkeys:
+        raise SqlParseError("PIVOT needs at least one pass-through column")
+    where = ""
+    if inner["preds"]:
+        where = " WHERE " + " AND ".join(
+            f"{c} {op} {v!r}" if isinstance(v, str) else f"{c} {op} {v}"
+            for c, op, v in inner["preds"])
+    agg_sql = (f"SELECT {', '.join(rowkeys)}, {piv}, {fn}({val}) AS __v "
+               f"FROM {inner['table']}{where} "
+               f"GROUP BY {', '.join(rowkeys + [piv])}")
+    long = run_sql(agg_sql, sf_dir, ds_factory=ds_factory)
+    vals = [v.strip().strip("'") for v in m.group("vals").split(",")]
+    long = long[long[piv].isin(vals)]
+    wide = (long.pivot(index=rowkeys, columns=piv, values="__v")
+            .reindex(columns=vals))
+    if fn == "COUNT":
+        wide = wide.fillna(0).astype("int64")
+    wide = wide.reset_index()
+    wide.columns.name = None
+    order = m.group("order") or rowkeys[0]
+    return (wide.sort_values(order).reset_index(drop=True)
+            [rowkeys + vals])
+
+
 def run_sql(sql: str, sf_dir: str, *, ds_factory):
     """Execute a parsed plan: ds_factory(sf_dir, table, columns, flt) must
     return a Dataset (the ops._ds reader — injected to avoid a cycle)."""
     import pyarrow.compute as pc
 
+    pm = _PIVOT_RX.match(sql.strip())
+    if pm:
+        return _run_pivot(pm, sf_dir, ds_factory)
     plan = parse_sql(sql)
     score = plan["score_alias"]
     if plan["aggs"]:

@@ -11191,3 +11191,21 @@ def indices_resize(sf_dir: str):
     out["doc_count"] = out["doc_count"].astype(np.int64)
     return (out.sort_values(["shard_3", "shard_6"])
             .reset_index(drop=True)[["shard_3", "shard_6", "doc_count"]])
+
+
+def sql_pivot(sf_dir: str):
+    """_sql PIVOT clause (x-pack sql 7.5, ql plan/logical/Pivot): rotate
+    the IN-listed source values into columns of per-lang average doc
+    length. Distributed GROUP BY (lang, source) partial combiner; the
+    rotation itself reshapes only the reduced group table on the driver.
+    avg derives from integer (sum, count) partials, so it matches the
+    oracle's CASE-filtered avg bit-for-bit before the 6 dp snap."""
+    from ..functions.sql import run_sql
+
+    sql = ("SELECT * FROM (SELECT lang, source, n_chars FROM documents) "
+           "PIVOT (AVG(n_chars) FOR source IN "
+           "('src0', 'src1', 'src2', 'src3')) ORDER BY lang")
+    out = run_sql(sql, sf_dir, ds_factory=_ds)
+    for c in ("src0", "src1", "src2", "src3"):
+        out[c] = round_half_away(out[c].to_numpy(np.float64), 6)
+    return out

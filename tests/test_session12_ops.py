@@ -188,3 +188,26 @@ def test_indices_resize_split_invariant(ray_session):
     assert parents.sum() == n
     exp = _oracle("indices_resize")
     assert got.astype("int64").equals(exp.astype("int64"))
+
+
+def test_sql_pivot_matches_oracle(ray_session):
+    got = ops.sql_pivot(SF).reset_index(drop=True)
+    exp = _oracle("sql_pivot")
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        np.testing.assert_array_equal(
+            got[c].to_numpy(), exp[c].to_numpy(),
+            err_msg=f"pivot column {c}")
+
+
+def test_sql_pivot_count_missing_is_zero(ray_session):
+    from elasticsearch_ray.pipelines.ops import _ds
+    from elasticsearch_ray.functions.sql import run_sql
+
+    out = run_sql(
+        "SELECT * FROM (SELECT lang, source, n_chars FROM documents "
+        "WHERE lang = 'en') PIVOT (COUNT(n_chars) FOR source IN "
+        "('src0', 'nosuch'))", SF, ds_factory=_ds)
+    assert list(out.columns) == ["lang", "src0", "nosuch"]
+    assert (out["nosuch"] == 0).all()
+    assert out["src0"].dtype == np.int64
