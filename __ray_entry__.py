@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reload_search_analyzers", "esql_show_info",
         "shape_cartesian_points", "shape_cartesian_disjoint",
         "ingest_circle", "eql_sample", "indices_resize", "sql_pivot",
+        "esql_mv_functions2", "esql_mv_zip",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -853,6 +854,35 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "esql_mv_functions2": """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, list_sort(v) AS l, len(v) AS n, v FROM e),
+p AS (SELECT vec_id, l, n, v,
+             (n - 1) * (90.0 / 100.0) AS h90,
+             (n - 1) * (50.0 / 100.0) AS h50
+      FROM s),
+q AS (SELECT vec_id, v,
+             l[CAST(floor(h90) AS BIGINT) + 1]
+               + (l[LEAST(CAST(floor(h90) AS BIGINT) + 1, n - 1) + 1]
+                  - l[CAST(floor(h90) AS BIGINT) + 1])
+                 * (h90 - floor(h90)) AS p90,
+             l[CAST(floor(h50) AS BIGINT) + 1]
+               + (l[LEAST(CAST(floor(h50) AS BIGINT) + 1, n - 1) + 1]
+                  - l[CAST(floor(h50) AS BIGINT) + 1])
+                 * (h50 - floor(h50)) AS med
+      FROM p),
+d AS (SELECT vec_id, sum(val / pow(idx, 1.5)) AS decay
+      FROM (SELECT vec_id, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS idx
+            FROM e)
+      GROUP BY vec_id)
+SELECT q.vec_id, ROUND(q.p90, 6) AS p90, ROUND(q.med, 6) AS med,
+       ROUND(d.decay, 6) AS decay
+FROM q JOIN d USING (vec_id) ORDER BY vec_id LIMIT 2000""",
+        "esql_mv_zip": """
+SELECT 'x+p|y+q|z' AS zipped, 'p+x|q+y|z' AS rev""",
         "sql_pivot": """
 SELECT lang,
        ROUND(avg(CASE WHEN source = 'src0' THEN n_chars END), 6) AS src0,

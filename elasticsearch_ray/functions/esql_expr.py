@@ -789,6 +789,69 @@ def _mv_call(name: str, a, t: pa.Table):
         # null input rows stay null (the length trick maps them to [])
         return pc.if_else(pa.array(valid), out,
                           pa.nulls(n, out.type)) if not valid.all() else out
+    if name == "MV_PERCENTILE":
+        # MvPercentile (8.14): exact per-row linear interpolation on the
+        # sorted values (NOT the t-digest the PERCENTILE agg uses)
+        p = float(a[1])
+        v = np.asarray(pc.cast(flat, pa.float64()))
+        out = np.full(n, np.nan)
+        if starts.size:
+            rows = np.repeat(np.arange(n), ln)
+            o = np.lexsort((v, rows))
+            sv = v[o]
+            h = (ln[nz] - 1) * (p / 100.0)
+            lo = np.floor(h).astype(np.int64)
+            hi = np.minimum(lo + 1, ln[nz] - 1)
+            frac = h - lo
+            out[nz] = (sv[starts + lo]
+                       + (sv[starts + hi] - sv[starts + lo]) * frac)
+        return pa.array(out, pa.float64(), from_pandas=True)
+    if name == "MV_PSERIES_WEIGHTED_SUM":
+        # MvPSeriesWeightedSum (8.15): sum of value_i / (i+1)^p in list
+        # order (i 0-based) — the relevance decay used by semantic rerank
+        p = float(a[1])
+        v = np.asarray(pc.cast(flat, pa.float64()))
+        out = np.full(n, np.nan)
+        if starts.size:
+            pos = np.arange(len(v)) - np.repeat(off[:-1], ln)
+            # divide by (i+1)^p (not multiply by the inverse) so the
+            # doubles match the SQL twin's `val / pow(i, p)` bit-for-bit
+            out[nz] = np.add.reduceat(v / np.power(pos + 1.0, p), starts)
+        return pa.array(out, pa.float64(), from_pandas=True)
+    if name == "MV_ZIP":
+        # MvZip (8.14): element-wise join of two lists with a delimiter;
+        # the longer list's unpaired tail passes through un-joined
+        # (binary_join_element_wise null_handling='skip' gives exactly
+        # that pass-through)
+        other = a[1]
+        if isinstance(other, pa.ChunkedArray):
+            other = other.combine_chunks()
+        delim = str(a[2]) if len(a) > 2 else ","
+        l2, f2, o2, v2 = _list_parts(other)
+        ml = np.maximum(ln, l2)
+        rows = np.repeat(np.arange(n), ml)
+        tot = int(ml.sum())
+        j = np.arange(tot) - np.repeat(np.concatenate([[0],
+                                                       np.cumsum(ml)])[:-1],
+                                       ml)
+        def gather(fl, lens, offs):
+            if len(fl) == 0:
+                return pa.nulls(tot, pa.string())
+            inside = j < lens[rows]
+            idx = np.where(inside, offs[:-1][rows] + j, 0)
+            g = pc.cast(fl, pa.string()).take(pa.array(idx, pa.int64()))
+            return pc.if_else(pa.array(inside), g,
+                              pa.nulls(tot, pa.string()))
+        joined = pc.binary_join_element_wise(
+            gather(flat, ln, off), gather(f2, l2, o2), delim,
+            null_handling="skip")
+        offs = np.concatenate([[0], np.cumsum(ml)])
+        out = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), joined)
+        both_null = ~(valid | v2)
+        if both_null.any():
+            out = pc.if_else(pa.array(~both_null), out,
+                             pa.nulls(n, out.type))
+        return out
     raise ValueError(f"unsupported ES|QL multivalue function {name}")
 
 

@@ -11209,3 +11209,39 @@ def sql_pivot(sf_dir: str):
     for c in ("src0", "src1", "src2", "src3"):
         out[c] = round_half_away(out[c].to_numpy(np.float64), 6)
     return out
+
+
+def esql_mv_functions2(sf_dir: str):
+    """ES|QL 8.14-8.15 multivalue additions (x-pack esql MvPercentile /
+    MvPSeriesWeightedSum): MV_PERCENTILE is exact per-row linear
+    interpolation on the sorted list (one lexsort — NOT the agg's
+    t-digest), MV_PSERIES_WEIGHTED_SUM is the rank-decay sum
+    value_i/(i+1)^p in list order (one reduceat). Both run over the
+    embeddings list<float> column, segment-vectorized."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM embeddings
+        | EVAL p90 = ROUND(MV_PERCENTILE(embedding, 90.0), 6),
+               med = ROUND(MV_PERCENTILE(embedding, 50.0), 6),
+               decay = ROUND(MV_PSERIES_WEIGHTED_SUM(embedding, 1.5), 6)
+        | KEEP vec_id, p90, med, decay
+        | SORT vec_id
+        | LIMIT 2000
+    ''')
+
+
+def esql_mv_zip(sf_dir: str):
+    """ES|QL MV_ZIP (x-pack esql MvZip, 8.14): element-wise join of two
+    lists with a delimiter; the longer list's unpaired tail passes
+    through (binary_join_element_wise null_handling=skip). ROW-source
+    conformance pipeline — the reference documents exactly this
+    tail-pass-through shape."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        ROW a = SPLIT("x y z", " "), b = SPLIT("p q", " ")
+        | EVAL zipped = MV_CONCAT(MV_ZIP(a, b, "+"), "|"),
+               rev = MV_CONCAT(MV_ZIP(b, a, "+"), "|")
+        | KEEP zipped, rev
+    ''')

@@ -211,3 +211,22 @@ def test_sql_pivot_count_missing_is_zero(ray_session):
     assert list(out.columns) == ["lang", "src0", "nosuch"]
     assert (out["nosuch"] == 0).all()
     assert out["src0"].dtype == np.int64
+
+
+def test_mv_percentile_and_pseries(ray_session):
+    got = ops.esql_mv_functions2(SF).reset_index(drop=True)
+    exp = _oracle("esql_mv_functions2")
+    for c in ("p90", "med", "decay"):
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())
+    # med is the true median of each embedding
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    v0 = np.asarray(emb["embedding"][0].as_py(), np.float64)
+    assert abs(got["med"][0] - round(float(np.median(v0)), 6)) <= 1e-6
+
+
+def test_mv_zip_tail_passthrough(ray_session):
+    got = ops.esql_mv_zip(SF)
+    assert got["zipped"][0] == "x+p|y+q|z"
+    assert got["rev"][0] == "p+x|q+y|z"
