@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shape_cartesian_points", "shape_cartesian_disjoint",
         "ingest_circle", "eql_sample", "indices_resize", "sql_pivot",
         "esql_mv_functions2", "esql_mv_zip",
+        "corpus_kl_drift", "corpus_zipf_slope",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -854,6 +855,38 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "corpus_kl_drift": """
+WITH tok2 AS (
+  SELECT source, t AS term FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u
+  WHERE t <> ''),
+c AS (SELECT source, term, count(*) AS c FROM tok2 GROUP BY 1, 2),
+s AS (SELECT source, sum(c) AS n FROM c GROUP BY 1),
+g AS (SELECT term, sum(c) AS gc FROM c GROUP BY 1),
+tot AS (SELECT sum(c) AS bn FROM c)
+SELECT c.source,
+       ROUND(SUM((c.c::DOUBLE / s.n::DOUBLE)
+                 * ln((c.c::DOUBLE / s.n::DOUBLE)
+                      / (g.gc::DOUBLE / tot.bn::DOUBLE))), 6) AS kl
+FROM c JOIN s USING (source) JOIN g USING (term) CROSS JOIN tot
+GROUP BY c.source ORDER BY c.source""",
+        "corpus_zipf_slope": f"""
+WITH {_TOK},
+tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1
+       ORDER BY cnt DESC, term LIMIT 100),
+r AS (SELECT ln(row_number() OVER (ORDER BY cnt DESC, term)::DOUBLE) AS x,
+             ln(cnt::DOUBLE) AS y
+      FROM tc),
+t AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+             * (sx / n), 6) AS intercept
+FROM t""",
         "esql_mv_functions2": """
 WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -11245,3 +11245,79 @@ def esql_mv_zip(sf_dir: str):
                rev = MV_CONCAT(MV_ZIP(b, a, "+"), "|")
         | KEEP zipped, rev
     ''')
+
+
+def corpus_kl_drift(sf_dir: str):
+    """Per-source distribution drift (LLM corpus diagnostics; the
+    KL-divergence drift monitor of CCNet/RedPajama-style curation):
+    KL(P_source || P_corpus) over unigram term distributions. Per-batch
+    (source, term) counts via one findall + explode (C-level), ONE
+    (source x term)-cardinality groupby is the only exchange, and the
+    per-source reduction uses the same literal double expressions as the
+    SQL twin."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+")
+        ex = (df[["source"]].join(toks.rename("term"))
+              .explode("term").dropna())
+        g = ex.groupby(["source", "term"]).size().rename("cnt")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    c = (_ds(sf_dir, "documents", ["source", "text"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["source", "term"])
+         .aggregate(Sum("cnt", alias_name="cnt"))
+         .to_pandas())
+    n_src = c.groupby("source")["cnt"].transform("sum").to_numpy(np.float64)
+    gc = c.groupby("term")["cnt"].transform("sum").to_numpy(np.float64)
+    big_n = float(c["cnt"].sum())
+    p = c["cnt"].to_numpy(np.float64) / n_src
+    q = gc / big_n
+    c["contrib"] = p * np.log(p / q)
+    out = (c.groupby("source", as_index=False)["contrib"].sum()
+           .rename(columns={"contrib": "kl"}))
+    out["kl"] = round_half_away(out["kl"].to_numpy(np.float64), 6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def corpus_zipf_slope(sf_dir: str):
+    """Zipf-law fit of the corpus unigram distribution (LLM corpus
+    diagnostics — natural text tracks slope ~ -1; strong deviation flags
+    boilerplate or synthetic content): least-squares slope/intercept of
+    ln(freq) on ln(rank) over the top-100 terms. Term counts come from
+    per-batch partials + ONE term groupby; the fit runs on the 100-row
+    driver table with the same literal expressions as the SQL twin."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_simple
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for s in t["text"].to_pylist():
+            cnt.update(analyze_simple(s))
+        return pa.table({"term": list(cnt.keys()),
+                         "cnt": pa.array(list(cnt.values()), pa.int64())})
+
+    tc = (_ds(sf_dir, "documents", ["text"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("term")
+          .aggregate(Sum("cnt", alias_name="cnt"))
+          .to_pandas()
+          .sort_values(["cnt", "term"], ascending=[False, True]).head(100))
+    k = len(tc)
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(tc["cnt"].to_numpy(np.float64))
+    n = float(k)
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = sy / n - slope * (sx / n)
+    return pd.DataFrame({
+        "n_terms": pd.array([k], dtype="int64"),
+        "slope": [float(round_half_away(slope, 6))],
+        "intercept": [float(round_half_away(intercept, 6))],
+    })

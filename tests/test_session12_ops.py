@@ -230,3 +230,20 @@ def test_mv_zip_tail_passthrough(ray_session):
     got = ops.esql_mv_zip(SF)
     assert got["zipped"][0] == "x+p|y+q|z"
     assert got["rev"][0] == "p+x|q+y|z"
+
+
+def test_corpus_kl_drift_properties(ray_session):
+    got = ops.corpus_kl_drift(SF)
+    exp = _oracle("corpus_kl_drift")
+    np.testing.assert_array_equal(got["kl"].to_numpy(),
+                                  exp["kl"].to_numpy())
+    # KL is non-negative and finite for every source
+    assert (got["kl"] >= 0).all() and np.isfinite(got["kl"]).all()
+
+
+def test_corpus_zipf_slope_is_negative(ray_session):
+    got = ops.corpus_zipf_slope(SF)
+    exp = _oracle("corpus_zipf_slope")
+    assert got["slope"][0] == exp["slope"][0]
+    assert got["intercept"][0] == exp["intercept"][0]
+    assert got["slope"][0] < 0  # frequency decays with rank
