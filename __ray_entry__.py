@@ -105,7 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shape_cartesian_points", "shape_cartesian_disjoint",
         "ingest_circle", "eql_sample", "indices_resize", "sql_pivot",
         "esql_mv_functions2", "esql_mv_zip",
-        "corpus_kl_drift", "corpus_zipf_slope",
+        "corpus_kl_drift", "corpus_zipf_slope", "ingest_inference",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -855,6 +855,24 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "ingest_inference": f"""
+WITH {_TOK},
+tf AS (SELECT d.doc_id,
+              count(*) FILTER (term = 'data') AS tf_data,
+              count(*) FILTER (term = 'error') AS tf_error,
+              count(*) FILTER (term = 'fast') AS tf_fast,
+              count(*) FILTER (term = 'slow') AS tf_slow
+       FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id
+       GROUP BY d.doc_id),
+z AS (SELECT doc_id,
+             -0.25 + 0.8 * tf_data + -1.2 * tf_error
+                   + 0.5 * tf_fast + -0.7 * tf_slow AS z
+      FROM tf),
+s AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) AS score FROM z)
+SELECT doc_id, ROUND(score, 6) AS ml_score,
+       CASE WHEN score >= 0.5 THEN 'positive' ELSE 'negative' END
+         AS ml_class
+FROM s ORDER BY doc_id""",
         "corpus_kl_drift": """
 WITH tok2 AS (
   SELECT source, t AS term FROM (

@@ -11321,3 +11321,42 @@ def corpus_zipf_slope(sf_dir: str):
         "slope": [float(round_half_away(slope, 6))],
         "intercept": [float(round_half_away(intercept, 6))],
     })
+
+
+def ingest_inference(sf_dir: str):
+    """inference ingest processor (x-pack ml InferenceProcessor, 7.5:
+    runs a trained model from cluster state on each doc, writing
+    ml.inference.* fields): here the model is a fixed logistic-regression
+    text classifier over term-frequency features — the same shape the
+    reference's TargetMeanEncoding+LogisticRegression InferenceDefinition
+    executes. The model (weights) ships in the task closure (the
+    reference broadcasts it in cluster state); per batch ONE
+    findall+explode builds the tf features and the sigmoid is one numpy
+    kernel. Emits doc_id, ml_score, ml_class — no shuffle at all."""
+    W = {"data": 0.8, "error": -1.2, "fast": 0.5, "slow": -0.7}
+    B0 = -0.25
+
+    def infer(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+")
+        ex = (df[["doc_id"]].join(toks.rename("term"))
+              .explode("term").dropna())
+        ex = ex[ex["term"].isin(W)]
+        tf = (ex.groupby(["doc_id", "term"]).size().unstack(fill_value=0)
+              .reindex(columns=list(W), fill_value=0)
+              .reindex(df["doc_id"], fill_value=0))
+        z = (B0 + W["data"] * tf["data"].to_numpy(np.float64)
+             + W["error"] * tf["error"].to_numpy(np.float64)
+             + W["fast"] * tf["fast"].to_numpy(np.float64)
+             + W["slow"] * tf["slow"].to_numpy(np.float64))
+        score = 1.0 / (1.0 + np.exp(-z))
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "ml_score": pa.array(round_half_away(score, 6)),
+            "ml_class": pa.array(np.where(score >= 0.5, "positive",
+                                          "negative")),
+        })
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(infer, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

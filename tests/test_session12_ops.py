@@ -247,3 +247,15 @@ def test_corpus_zipf_slope_is_negative(ray_session):
     assert got["slope"][0] == exp["slope"][0]
     assert got["intercept"][0] == exp["intercept"][0]
     assert got["slope"][0] < 0  # frequency decays with rank
+
+
+def test_ingest_inference_logistic(ray_session):
+    got = ops.ingest_inference(SF)
+    exp = _oracle("ingest_inference")
+    np.testing.assert_array_equal(got["ml_score"].to_numpy(),
+                                  exp["ml_score"].to_numpy())
+    assert list(got["ml_class"]) == list(exp["ml_class"])
+    # scores are valid probabilities; class is the 0.5 threshold
+    assert ((got["ml_score"] >= 0) & (got["ml_score"] <= 1)).all()
+    assert ((got["ml_score"] >= 0.5) ==
+            (got["ml_class"] == "positive")).all()
