@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_circle", "eql_sample", "indices_resize", "sql_pivot",
         "esql_mv_functions2", "esql_mv_zip",
         "corpus_kl_drift", "corpus_zipf_slope", "ingest_inference",
+        "cluster_reroute", "transform_continuous", "field_usage_stats",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -855,6 +856,38 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "cluster_reroute": """
+WITH smap(source, shard) AS (VALUES
+  ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),
+  ('src5', 1), ('src6', 3), ('src7', 3), ('src8', 1), ('src9', 1),
+  ('src10', 2), ('src11', 1), ('src12', 1), ('src13', 3), ('src14', 0),
+  ('src15', 1), ('src16', 3), ('src17', 2), ('src18', 2), ('src19', 3)),
+sd AS (SELECT CAST(m.shard AS BIGINT) AS shard, count(*)::BIGINT AS docs
+       FROM documents d JOIN smap m USING (source) GROUP BY 1),
+r AS (SELECT shard, docs,
+             row_number() OVER (ORDER BY docs DESC, shard) - 1 AS rk
+      FROM sd)
+SELECT shard, docs,
+       CASE WHEN shard = 2 THEN 'node-2'
+            WHEN shard = 3 THEN 'node-0'
+            ELSE 'node-' || CAST(rk % 3 AS VARCHAR) END AS node,
+       shard IN (2, 3) AS moved
+FROM r ORDER BY shard""",
+        "transform_continuous": """
+SELECT event_type, count(*)::BIGINT AS doc_count,
+       ROUND(sum(CAST(round(value * 100.0, 0) AS BIGINT)) / 100.0, 2)
+         AS sum_value
+FROM events WHERE ts <= TIMESTAMP '2024-01-27'
+GROUP BY event_type ORDER BY event_type""",
+        "field_usage_stats": """
+SELECT * FROM (VALUES
+  ('lang', 'doc_values', CAST(4 AS BIGINT)),
+  ('n_chars', 'points', 4),
+  ('text', 'norms', 16),
+  ('text', 'positions', 4),
+  ('text', 'postings', 16),
+  ('text', 'terms', 16)) AS t(field, section, count)
+ORDER BY field, section""",
         "ingest_inference": f"""
 WITH {_TOK},
 tf AS (SELECT d.doc_id,

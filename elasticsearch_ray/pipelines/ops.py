@@ -11360,3 +11360,114 @@ def ingest_inference(sf_dir: str):
     out = (_ds(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(infer, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def cluster_reroute(sf_dir: str):
+    """_cluster/reroute with explicit move commands
+    (TransportClusterRerouteAction + AllocationCommands: `move` relocates
+    a started shard to a named node, overriding the balancer until the
+    next rebalance): applies `move shard 2 -> node-2` and `move shard 3
+    -> node-0` on top of the deterministic balanced layout
+    (allocation_explain). The layout table is shard-cardinality (the
+    per-shard doc counts reduce through the same partial exchange);
+    commands rewrite rows on the driver exactly like the reference's
+    RoutingNodes mutation."""
+    moves = {2: "node-2", 3: "node-0"}
+    out = allocation_explain(sf_dir)[["shard", "docs", "node"]].copy()
+    out["moved"] = out["shard"].isin(moves)
+    out["node"] = [moves.get(int(s), n)
+                   for s, n in zip(out["shard"], out["node"])]
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+def transform_continuous(sf_dir: str):
+    """Continuous transform with checkpoints (x-pack transform
+    TransformCheckpoint + TransformIndexer sync on a time field): the
+    first checkpoint materializes the aggregate over ts <= T1; the
+    incremental run reads ONLY the (T1, T2] slice (scan-time pushdown =
+    the reference's checkpoint range query on the sync field) and merges
+    its partials into the stored state — never recomputing the full
+    window. Gate returns the post-increment state, which must equal the
+    full recompute over ts <= T2 (the oracle). Sums in integer cents so
+    the merge is order-invariant."""
+    import pyarrow.dataset as pds
+    from ray.data.aggregate import Count, Sum
+
+    T1 = pd.Timestamp("2024-01-20")
+    T2 = pd.Timestamp("2024-01-27")
+
+    def agg_slice(flt):
+        def cents(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            v = pc.cast(pc.round(pc.multiply(t["value"], 100.0), 0),
+                        pa.int64())
+            return pa.table({"event_type": t["event_type"], "vc": v})
+
+        return (_ds(sf_dir, "events", ["event_type", "ts", "value"],
+                    flt=flt)
+                .map_batches(cents, batch_format="pyarrow")
+                .groupby("event_type")
+                .aggregate(Count(alias_name="doc_count"),
+                           Sum("vc", alias_name="vc"))
+                .to_pandas())
+
+    f = pds.field("ts")
+    state = agg_slice(f <= T1)                       # checkpoint 1
+    delta = agg_slice((f > T1) & (f <= T2))          # incremental slice
+    merged = (pd.concat([state, delta], ignore_index=True)
+              .groupby("event_type", as_index=False).sum())
+    merged["doc_count"] = merged["doc_count"].astype("int64")
+    merged["sum_value"] = round_half_away(
+        merged["vc"].to_numpy(np.float64) / 100.0, 2)
+    return (merged.sort_values("event_type").reset_index(drop=True)
+            [["event_type", "doc_count", "sum_value"]])
+
+
+def field_usage_stats(sf_dir: str):
+    """_field_usage_stats API (RestFieldUsageStatsAction, 7.15: per-shard
+    counters of which fields a query touched, by section — terms,
+    postings, norms): the tracker walks each executed query's plan the
+    way ShardFieldUsageTracker wraps the reader. Here the fixed 5-query
+    workload is walked structurally (field -> sections it must read:
+    scored text clauses touch terms+postings+norms, phrase/span add
+    positions, metadata filters touch doc_values) and counts are
+    per-shard (x4, the routed layout). Driver-small by construction."""
+    workload = [
+        {"kind": "term", "term": "data"},
+        {"kind": "match", "text": "slow merge"},
+        {"kind": "phrase", "phrase": ["fast", "table"]},
+        {"kind": "bool", "must": [{"kind": "term", "term": "data"}],
+         "filter": [{"kind": "meta_term", "field": "lang", "value": "en"}]},
+        {"kind": "range", "field": "n_chars", "gte": 100},
+    ]
+    shards = 4
+    counts: dict[tuple[str, str], int] = {}
+
+    def touch(field, *sections):
+        for s in sections:
+            counts[(field, s)] = counts.get((field, s), 0) + shards
+
+    def walk(q):
+        k = q["kind"]
+        if k in ("term", "match"):
+            touch(q.get("field", "text"), "terms", "postings", "norms")
+        elif k == "phrase":
+            touch(q.get("field", "text"), "terms", "postings", "norms",
+                  "positions")
+        elif k == "meta_term":
+            touch(q["field"], "doc_values")
+        elif k == "range":
+            touch(q["field"], "points")
+        elif k == "bool":
+            for part in ("must", "should", "must_not", "filter"):
+                for c in q.get(part, []):
+                    walk(c)
+
+    for q in workload:
+        walk(q)
+    out = pd.DataFrame(
+        [(f, s, c) for (f, s), c in counts.items()],
+        columns=["field", "section", "count"])
+    out["count"] = out["count"].astype("int64")
+    return out.sort_values(["field", "section"]).reset_index(drop=True)

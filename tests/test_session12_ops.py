@@ -259,3 +259,32 @@ def test_ingest_inference_logistic(ray_session):
     assert ((got["ml_score"] >= 0) & (got["ml_score"] <= 1)).all()
     assert ((got["ml_score"] >= 0.5) ==
             (got["ml_class"] == "positive")).all()
+
+
+def test_cluster_reroute_moves_only_commanded(ray_session):
+    base = ops.allocation_explain(SF)
+    got = ops.cluster_reroute(SF)
+    for _, r in got.iterrows():
+        orig = base.loc[base["shard"] == r["shard"], "node"].iloc[0]
+        if r["moved"]:
+            assert r["shard"] in (2, 3)
+            assert r["node"] == {2: "node-2", 3: "node-0"}[r["shard"]]
+        else:
+            assert r["node"] == orig
+
+
+def test_transform_continuous_equals_full_recompute(ray_session):
+    got = ops.transform_continuous(SF).reset_index(drop=True)
+    exp = _oracle("transform_continuous")
+    assert list(got["event_type"]) == list(exp["event_type"])
+    np.testing.assert_array_equal(got["doc_count"], exp["doc_count"])
+    np.testing.assert_array_equal(got["sum_value"], exp["sum_value"])
+
+
+def test_field_usage_sections(ray_session):
+    got = ops.field_usage_stats(SF)
+    # phrase queries touch positions; pure filters never touch norms
+    sec = dict(zip(zip(got["field"], got["section"]), got["count"]))
+    assert sec[("text", "positions")] < sec[("text", "postings")]
+    assert ("lang", "norms") not in sec
+    assert ("n_chars", "points") in sec
