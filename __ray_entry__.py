@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_mv_functions2", "esql_mv_zip",
         "corpus_kl_drift", "corpus_zipf_slope", "ingest_inference",
         "cluster_reroute", "transform_continuous", "field_usage_stats",
+        "rank_vectors_maxsim",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -856,6 +857,19 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "rank_vectors_maxsim": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+toks AS (SELECT vec_id, u.t,
+                list_slice(v, u.t * 16 + 1, u.t * 16 + 16) AS tv
+         FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS t) u),
+q AS (SELECT vec_id AS qid, t AS qt, tv AS qv FROM toks
+      WHERE vec_id IN (0, 1)),
+cos AS (SELECT d.vec_id, q.qid, q.qt,
+               max(list_cosine_similarity(d.tv, q.qv)) AS m
+        FROM toks d CROSS JOIN q GROUP BY 1, 2, 3),
+sc AS (SELECT vec_id, sum(m) AS score FROM cos GROUP BY 1)
+SELECT vec_id, ROUND(score, 6) AS score FROM sc
+ORDER BY score DESC, vec_id LIMIT 20""",
         "cluster_reroute": """
 WITH smap(source, shard) AS (VALUES
   ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),

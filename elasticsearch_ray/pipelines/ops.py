@@ -11471,3 +11471,49 @@ def field_usage_stats(sf_dir: str):
         columns=["field", "section", "count"])
     out["count"] = out["count"].astype("int64")
     return out.sort_values(["field", "section"]).reset_index(drop=True)
+
+
+def rank_vectors_maxsim(sf_dir: str):
+    """rank_vectors field + maxSimDotProduct scoring (8.18 x-pack
+    rank-vectors; the ColBERT late-interaction shape): each doc holds
+    MULTIPLE token vectors — here the 64-dim embedding reshaped to 4
+    token vectors x 16 dims (deterministic synthetic multi-vector, the
+    plumbing is what parity targets) — and the score against a
+    multi-vector query is sum over query vectors of the MAX cosine over
+    the doc's token vectors. Query = vec 0 and vec 1 reshaped the same
+    way, broadcast once via the task closure; per batch ONE (n,4,16) x
+    (16, 2*4) matmul + segmented max — no per-row Python. Top-20 by
+    (score desc, vec_id)."""
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "in", [0, 1])])
+    qm = np.asarray(
+        [r.as_py() for r in qtab.sort_by("vec_id")["embedding"]],
+        np.float64).reshape(2, 4, 16)
+    qnorm = np.sqrt((qm * qm).sum(axis=2))  # (2, 4)
+
+    def score(t: pa.Table) -> pa.Table:
+        emb = np.asarray(
+            [r for r in t["embedding"].to_pylist()], np.float64)
+        if emb.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        d = emb.reshape(-1, 4, 16)
+        dnorm = np.sqrt((d * d).sum(axis=2))  # (n, 4)
+        # cos[i, dt, q, qt] = dot / (|d| * |q|), then maxSim = sum_q max_dt
+        dots = np.einsum("idk,qtk->idqt", d, qm)
+        cos = dots / (dnorm[:, :, None, None] * qnorm[None, None, :, :])
+        s = cos.max(axis=1).sum(axis=(1, 2))
+        return pa.table({
+            "vec_id": pa.array(t["vec_id"].to_numpy(), pa.int64()),
+            "score": pa.array(s, pa.float64()),
+        })
+
+    out = (_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .map_batches(score, batch_format="pyarrow").to_pandas())
+    out = out.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(20)
+    out["score"] = round_half_away(out["score"].to_numpy(np.float64), 6)
+    return out.reset_index(drop=True)

@@ -288,3 +288,14 @@ def test_field_usage_sections(ray_session):
     assert sec[("text", "positions")] < sec[("text", "postings")]
     assert ("lang", "norms") not in sec
     assert ("n_chars", "points") in sec
+
+
+def test_rank_vectors_maxsim(ray_session):
+    got = ops.rank_vectors_maxsim(SF).reset_index(drop=True)
+    exp = _oracle("rank_vectors_maxsim")
+    np.testing.assert_array_equal(got["vec_id"], exp["vec_id"])
+    np.testing.assert_array_equal(got["score"], exp["score"])
+    # the two query vectors score highest against themselves; the score
+    # sums max-cos over 2 queries x 4 query tokens, so it is bounded by 8
+    assert set(got["vec_id"].head(2)) == {0, 1}
+    assert (got["score"] <= 8.0 + 1e-9).all()
