@@ -107,7 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_mv_functions2", "esql_mv_zip",
         "corpus_kl_drift", "corpus_zipf_slope", "ingest_inference",
         "cluster_reroute", "transform_continuous", "field_usage_stats",
-        "rank_vectors_maxsim",
+        "rank_vectors_maxsim", "percolate_ranges",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -857,6 +857,25 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "percolate_ranges": """
+WITH tokp AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+m10 AS (SELECT d.doc_id, 10 AS query_id
+        FROM documents d JOIN tokp USING (doc_id)
+        WHERE tokp.term = 'data' AND d.n_chars <= 150),
+m11 AS (SELECT doc_id, 11 AS query_id FROM documents
+        WHERE n_chars >= 400),
+m12 AS (SELECT d.doc_id, 12 AS query_id
+        FROM documents d JOIN tokp ON d.doc_id = tokp.doc_id
+        WHERE tokp.term IN ('merge', 'window', 'batch')
+          AND d.n_chars BETWEEN 200 AND 380
+        GROUP BY d.doc_id HAVING count(*) >= 2)
+SELECT * FROM (SELECT * FROM m10 UNION ALL SELECT * FROM m11
+               UNION ALL SELECT * FROM m12)
+ORDER BY doc_id, query_id""",
         "rank_vectors_maxsim": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 toks AS (SELECT vec_id, u.t,

@@ -43,9 +43,20 @@ class Percolator:
         self.text_col, self.id_col = text_col, id_col
         gate_t, gate_q, req_t, req_q = [], [], [], []
         msm: dict[int, int] = {}
+        # range extractions (QueryAnalyzer range handling: a stored range
+        # clause becomes a numeric extraction verified against the doc's
+        # field value; conjunctive with the query's term clauses). Queries
+        # with ONLY ranges gate on the range itself.
+        self.ranges: dict[int, list[tuple[str, float | None, float | None]]] = {}
+        self.pure_range: list[int] = []
         for qid, spec in queries:
-            terms = list(dict.fromkeys(spec["terms"]))
+            for r in spec.get("ranges", []):
+                self.ranges.setdefault(qid, []).append(
+                    (r["field"], r.get("gte"), r.get("lte")))
+            terms = list(dict.fromkeys(spec.get("terms", [])))
             if not terms:
+                if qid in self.ranges:
+                    self.pure_range.append(qid)
                 continue
             k = int(spec.get("minimum_should_match", len(terms)))
             k = max(1, min(k, len(terms)))
@@ -85,7 +96,7 @@ class Percolator:
         cand = (doc_terms.merge(self.gate, on="term")[["i", "query_id"]]
                 .drop_duplicates())
         self.candidate_pairs += len(cand)
-        if cand.empty:
+        if cand.empty and not self.pure_range:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "query_id": pa.array([], pa.int64())})
         hits = (doc_terms.merge(self.required, on="term")
@@ -94,9 +105,35 @@ class Percolator:
         cand["matched"] = cand["matched"].fillna(0).astype(np.int64)
         need = cand["query_id"].map(self.msm).astype(np.int64)
         ok = cand[cand["matched"] >= need]
+        oi = ok["i"].to_numpy()
+        oq = ok["query_id"].to_numpy()
+        if self.ranges:
+            # verify range extractions: vectorized per stored range, one
+            # boolean column per range-bearing query
+            rk: dict[int, np.ndarray] = {}
+            for qid, rs in self.ranges.items():
+                m = np.ones(len(ids), bool)
+                for f, lo, hi in rs:
+                    v = t[f].to_numpy(zero_copy_only=False)
+                    if lo is not None:
+                        m &= v >= lo
+                    if hi is not None:
+                        m &= v <= hi
+                rk[qid] = m
+            keep = np.array([qid not in rk or rk[qid][i]
+                             for i, qid in zip(oi, oq)], bool) \
+                if len(oi) else np.empty(0, bool)
+            oi, oq = oi[keep], oq[keep]
+            for qid in self.pure_range:
+                hit_i = np.flatnonzero(rk[qid])
+                self.candidate_pairs += hit_i.size
+                oi = np.concatenate([oi, hit_i])
+                oq = np.concatenate([oq, np.full(hit_i.size, qid,
+                                                 oq.dtype if oq.size
+                                                 else np.int64)])
         return pa.table({
-            "doc_id": pa.array(ids[ok["i"].to_numpy()], pa.int64()),
-            "query_id": pa.array(ok["query_id"].to_numpy(), pa.int64()),
+            "doc_id": pa.array(ids[oi.astype(np.int64)], pa.int64()),
+            "query_id": pa.array(oq.astype(np.int64), pa.int64()),
         })
 
 

@@ -11517,3 +11517,26 @@ def rank_vectors_maxsim(sf_dir: str):
                           ascending=[False, True]).head(20)
     out["score"] = round_half_away(out["score"].to_numpy(np.float64), 6)
     return out.reset_index(drop=True)
+
+
+def percolate_ranges(sf_dir: str):
+    """percolator with range extractions (QueryAnalyzer's range handling:
+    a stored range clause becomes a numeric extraction verified against
+    the doc's field value, conjunctive with the query's term clauses;
+    pure-range stored queries gate on the range itself). Three stored
+    queries: term+range conjunction, pure range, msm-disjunction+range.
+    Cost stays candidate-bounded — ranges verify as one vectorized
+    compare per stored range per batch."""
+    from ..functions.percolate import percolate_dataset
+
+    queries = [
+        (10, {"terms": ["data"],
+              "ranges": [{"field": "n_chars", "lte": 150}]}),
+        (11, {"ranges": [{"field": "n_chars", "gte": 400}]}),
+        (12, {"terms": ["merge", "window", "batch"],
+              "minimum_should_match": 2,
+              "ranges": [{"field": "n_chars", "gte": 200,
+                          "lte": 380}]}),
+    ]
+    return percolate_dataset(
+        _ds(sf_dir, "documents", ["doc_id", "text", "n_chars"]), queries)

@@ -299,3 +299,35 @@ def test_rank_vectors_maxsim(ray_session):
     # sums max-cos over 2 queries x 4 query tokens, so it is bounded by 8
     assert set(got["vec_id"].head(2)) == {0, 1}
     assert (got["score"] <= 8.0 + 1e-9).all()
+
+
+def test_percolate_ranges_semantics(ray_session):
+    got = ops.percolate_ranges(SF)
+    exp = _oracle("percolate_ranges")
+    assert got.reset_index(drop=True).astype("int64").equals(
+        exp.astype("int64").reset_index(drop=True))
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM "
+        f"read_parquet('{SF}/documents.parquet')").df().set_index("doc_id")
+    # every q11 hit is a pure-range hit: n_chars >= 400 and no term needed
+    q11 = got.loc[got["query_id"] == 11, "doc_id"]
+    assert (docs.loc[q11, "n_chars"] >= 400).all()
+    # q10 hits satisfy BOTH the term and the range
+    q10 = got.loc[got["query_id"] == 10, "doc_id"]
+    assert (docs.loc[q10, "n_chars"] <= 150).all()
+
+
+def test_percolator_range_only_query_no_terms():
+    import pyarrow as pa
+
+    from elasticsearch_ray.functions.percolate import Percolator
+
+    p = Percolator([(5, {"ranges": [{"field": "x", "gte": 10}]})])
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a", "b", "c"]),
+                  "x": pa.array([5, 10, 50], pa.int64())})
+    out = p(t).to_pandas()
+    assert list(out["doc_id"]) == [2, 3]
+    assert (out["query_id"] == 5).all()
