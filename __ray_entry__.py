@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_kl_drift", "corpus_zipf_slope", "ingest_inference",
         "cluster_reroute", "transform_continuous", "field_usage_stats",
         "rank_vectors_maxsim", "percolate_ranges",
+        "geo_shape_indexed_polygons",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -857,6 +858,33 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "geo_shape_indexed_polygons": """
+WITH c AS (SELECT s_suppkey,
+                  ((s_suppkey * 13) % 200) - 100 + 0.5 AS cx,
+                  ((s_suppkey * 29) % 200) - 100 + 0.5 AS cy,
+                  CAST(5 + (s_suppkey % 5) AS DOUBLE) AS r
+           FROM supplier),
+n AS (SELECT *, GREATEST(4, LEAST(1000,
+           CAST(ceil(pi() / acos(1 - 1.0 / r)) AS BIGINT))) AS ns
+      FROM c),
+v AS (SELECT s_suppkey, ns, unnest(generate_series(0, ns - 1)) AS vertex,
+             cx, cy, r FROM n),
+vv AS (SELECT s_suppkey, ns, vertex,
+              cx + r * cos(2 * pi() * vertex / ns) AS vx,
+              cy + r * sin(2 * pi() * vertex / ns) AS vy
+       FROM v),
+p(pid, px, py) AS (VALUES (0, -61.5, -17.5), (1, -0.5, -70.5),
+                          (2, 93.5, -29.5)),
+e AS (SELECT a.s_suppkey, p.pid,
+             (b.vx - a.vx) * (p.py - a.vy)
+               - (b.vy - a.vy) * (p.px - a.vx) AS cr
+      FROM vv a
+      JOIN vv b ON a.s_suppkey = b.s_suppkey
+                AND b.vertex = (a.vertex + 1) % a.ns
+      CROSS JOIN p)
+SELECT pid, s_suppkey FROM e
+GROUP BY pid, s_suppkey HAVING min(cr) >= -1e-9
+ORDER BY pid, s_suppkey""",
         "percolate_ranges": """
 WITH tokp AS (
   SELECT DISTINCT doc_id, t AS term FROM (

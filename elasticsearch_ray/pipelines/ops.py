@@ -11540,3 +11540,55 @@ def percolate_ranges(sf_dir: str):
     ]
     return percolate_dataset(
         _ds(sf_dir, "documents", ["doc_id", "text", "n_chars"]), queries)
+
+
+def geo_shape_indexed_polygons(sf_dir: str):
+    """geo_shape with INDEXED polygon docs (GeoShapeFieldMapper stores the
+    tessellated shape; this is the reverse of the query-polygon gates
+    where docs were points/boxes): each supplier's stored shape is its
+    circle-processor regular n-gon; the query is a 3-point set, relation
+    INTERSECTS (point containment). Whole-batch vectorized: vertices for
+    every doc at once, edge cross-products via one roll-within-group
+    gather, per-doc all-edges test via minimum.reduceat — a point is
+    inside the CCW convex n-gon iff every edge cross >= 0."""
+    pts = [(0, -61.5, -17.5), (1, -0.5, -70.5), (2, 93.5, -29.5)]
+
+    def filt(t: pa.Table) -> pa.Table:
+        k = t["s_suppkey"].to_numpy()
+        cx = ((k * 13) % 200).astype(np.float64) - 100 + 0.5
+        cy = ((k * 29) % 200).astype(np.float64) - 100 + 0.5
+        r = (5 + (k % 5)).astype(np.float64)
+        n = np.clip(np.ceil(np.pi / np.arccos(1.0 - 1.0 / r)), 4,
+                    1000).astype(np.int64)
+        reps = n
+        kk = np.repeat(k, reps)
+        idx = (np.concatenate([np.arange(m) for m in reps])
+               if len(reps) else np.empty(0, np.int64))
+        nn = np.repeat(n, reps)
+        theta = 2 * np.pi * idx / nn
+        vx = np.repeat(cx, reps) + np.repeat(r, reps) * np.cos(theta)
+        vy = np.repeat(cy, reps) + np.repeat(r, reps) * np.sin(theta)
+        # next vertex within each polygon (roll-within-group)
+        offs = np.concatenate([[0], np.cumsum(reps)])
+        nxt = np.arange(len(idx)) + 1
+        if len(reps):
+            nxt[offs[1:] - 1] = offs[:-1]  # wrap each group's last -> first
+        starts = offs[:-1]
+        out_pid, out_key = [], []
+        for pid, px, py in pts:
+            cr = ((vx[nxt] - vx) * (py - vy)
+                  - (vy[nxt] - vy) * (px - vx))
+            if starts.size:
+                inside = np.minimum.reduceat(cr, starts) >= -1e-9
+            else:
+                inside = np.zeros(0, bool)
+            out_pid.append(np.full(int(inside.sum()), pid, np.int64))
+            out_key.append(k[inside])
+        return pa.table({
+            "pid": pa.array(np.concatenate(out_pid), pa.int64()),
+            "s_suppkey": pa.array(np.concatenate(out_key), pa.int64()),
+        })
+
+    out = (_ds(sf_dir, "supplier", ["s_suppkey"])
+           .map_batches(filt, batch_format="pyarrow").to_pandas())
+    return out.sort_values(["pid", "s_suppkey"]).reset_index(drop=True)

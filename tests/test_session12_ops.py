@@ -331,3 +331,21 @@ def test_percolator_range_only_query_no_terms():
     out = p(t).to_pandas()
     assert list(out["doc_id"]) == [2, 3]
     assert (out["query_id"] == 5).all()
+
+
+def test_geo_shape_indexed_polygons(ray_session):
+    got = ops.geo_shape_indexed_polygons(SF)
+    exp = _oracle("geo_shape_indexed_polygons")
+    assert got.reset_index(drop=True).astype("int64").equals(
+        exp.astype("int64").reset_index(drop=True))
+    assert len(got) > 0
+    # every hit's true circle really contains its query point with the
+    # polygon-approximation margin (n-gon lies inside the circle)
+    pts = {0: (-61.5, -17.5), 1: (-0.5, -70.5), 2: (93.5, -29.5)}
+    for _, r in got.iterrows():
+        k = int(r["s_suppkey"])
+        cx = ((k * 13) % 200) - 100 + 0.5
+        cy = ((k * 29) % 200) - 100 + 0.5
+        rad = 5 + k % 5
+        px, py = pts[int(r["pid"])]
+        assert np.hypot(px - cx, py - cy) <= rad
