@@ -108,7 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_kl_drift", "corpus_zipf_slope", "ingest_inference",
         "cluster_reroute", "transform_continuous", "field_usage_stats",
         "rank_vectors_maxsim", "percolate_ranges",
-        "geo_shape_indexed_polygons",
+        "geo_shape_indexed_polygons", "semantic_chunked_search",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -858,6 +858,22 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "semantic_chunked_search": """
+WITH toks AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS a
+  FROM documents),
+w AS (SELECT doc_id, unnest(generate_series(0, len(a) - 1, 10)) AS s, a
+      FROM toks),
+c AS (SELECT doc_id, s,
+             len(list_intersect(
+                 list_distinct(list_slice(a, s + 1,
+                                          LEAST(s + 20, len(a)))),
+                 ['slow', 'merge', 'batch', 'window'])) AS cov
+      FROM w),
+b AS (SELECT doc_id, max(cov) AS score FROM c GROUP BY doc_id)
+SELECT doc_id, score::BIGINT AS score FROM b WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 15""",
         "geo_shape_indexed_polygons": """
 WITH c AS (SELECT s_suppkey,
                   ((s_suppkey * 13) % 200) - 100 + 0.5 AS cx,

@@ -11592,3 +11592,52 @@ def geo_shape_indexed_polygons(sf_dir: str):
     out = (_ds(sf_dir, "supplier", ["s_suppkey"])
            .map_batches(filt, batch_format="pyarrow").to_pandas())
     return out.sort_values(["pid", "s_suppkey"]).reset_index(drop=True)
+
+
+def semantic_chunked_search(sf_dir: str):
+    """semantic_text CHUNKING semantics (8.15 x-pack inference
+    SemanticTextField + ChunkedInference: long docs are split into
+    overlapping word windows — here 20 tokens, stride 10 — each chunk is
+    scored against the query independently, and the DOC's score is the
+    MAX over its chunks). The scorer is the query-term-coverage count
+    (exactly SQL-expressible, so the chunk plumbing gets an exact oracle
+    — the embedding variant of the same plumbing is the rows-only
+    semantic_search op). Vectorized: tokens explode once with positions;
+    each token lands in <= 2 windows (20/10 overlap) via pure integer
+    arithmetic; per-(doc, window) distinct-coverage is ONE groupby
+    nunique; the per-doc max folds on the same frame."""
+    W, S = 20, 10
+    qterms = ["slow", "merge", "batch", "window"]
+
+    def score(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+")
+        ex = df[["doc_id"]].join(toks.rename("term")).explode("term")
+        ex = ex.dropna().reset_index(drop=True)
+        ex["pos"] = ex.groupby("doc_id").cumcount()
+        ex = ex[ex["term"].isin(qterms)]
+        w0 = ex["pos"] // S
+        frames = []
+        for shift in (0, 1):
+            e = ex.copy()
+            e["w"] = w0 - shift
+            e = e[(e["w"] >= 0) & (e["pos"] - e["w"] * S < W)]
+            frames.append(e)
+        both = pd.concat(frames, ignore_index=True)
+        if both.empty:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        cov = (both.groupby(["doc_id", "w"])["term"].nunique()
+               .reset_index(name="cov"))
+        best = cov.groupby("doc_id", as_index=False)["cov"].max()
+        return pa.table({
+            "doc_id": pa.array(best["doc_id"].to_numpy(), pa.int64()),
+            "score": pa.array(best["cov"].to_numpy(), pa.int64()),
+        })
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(score, batch_format="pyarrow").to_pandas())
+    out = out[out["score"] > 0]
+    out = out.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).head(15)
+    return out.reset_index(drop=True)

@@ -349,3 +349,22 @@ def test_geo_shape_indexed_polygons(ray_session):
         rad = 5 + k % 5
         px, py = pts[int(r["pid"])]
         assert np.hypot(px - cx, py - cy) <= rad
+
+
+def test_semantic_chunked_search(ray_session):
+    got = ops.semantic_chunked_search(SF).reset_index(drop=True)
+    exp = _oracle("semantic_chunked_search")
+    assert got.astype("int64").equals(exp.astype("int64"))
+    # chunk-max never exceeds whole-doc coverage, and is at most |query|
+    assert (got["score"] <= 4).all() and (got["score"] >= 1).all()
+    import duckdb
+
+    whole = duckdb.sql(f"""
+        SELECT doc_id, len(list_intersect(list_distinct(
+            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '')),
+            ['slow','merge','batch','window'])) AS c
+        FROM read_parquet('{SF}/documents.parquet')""").df() \
+        .set_index("doc_id")["c"]
+    for _, r in got.iterrows():
+        assert r["score"] <= whole[r["doc_id"]]
