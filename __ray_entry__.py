@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_reroute", "transform_continuous", "field_usage_stats",
         "rank_vectors_maxsim", "percolate_ranges",
         "geo_shape_indexed_polygons", "semantic_chunked_search",
+        "autoscaling_capacity", "ft_constant_keyword",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -858,6 +859,35 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "autoscaling_capacity": """
+WITH smap(source, shard) AS (VALUES
+  ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),
+  ('src5', 1), ('src6', 3), ('src7', 3), ('src8', 1), ('src9', 1),
+  ('src10', 2), ('src11', 1), ('src12', 1), ('src13', 3), ('src14', 0),
+  ('src15', 1), ('src16', 3), ('src17', 2), ('src18', 2), ('src19', 3)),
+sd AS (SELECT CAST(m.shard AS BIGINT) AS shard, count(*)::BIGINT AS docs
+       FROM documents d JOIN smap m USING (source) GROUP BY 1),
+r AS (SELECT shard, docs,
+             row_number() OVER (ORDER BY docs DESC, shard) - 1 AS rk
+      FROM sd),
+pn AS (SELECT 'node-' || CAST(rk % 3 AS VARCHAR) AS node,
+              sum(docs)::BIGINT AS node_docs
+       FROM r GROUP BY 1),
+req AS (SELECT node, node_docs,
+               CAST(node_docs::DOUBLE * 8 * 1.25 AS BIGINT)
+                 AS required_bytes
+        FROM pn)
+SELECT * FROM (
+  SELECT node, node_docs, required_bytes FROM req
+  UNION ALL
+  SELECT '__total__', sum(node_docs)::BIGINT,
+         sum(required_bytes)::BIGINT FROM req
+) ORDER BY node""",
+        "ft_constant_keyword": """
+SELECT 'code-corpus' AS query_value,
+       (SELECT count(*) FROM documents)::BIGINT AS hits
+UNION ALL
+SELECT 'web-corpus', 0""",
         "semantic_chunked_search": """
 WITH toks AS (SELECT doc_id,
     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

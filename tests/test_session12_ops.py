@@ -368,3 +368,24 @@ def test_semantic_chunked_search(ray_session):
         .set_index("doc_id")["c"]
     for _, r in got.iterrows():
         assert r["score"] <= whole[r["doc_id"]]
+
+
+def test_autoscaling_capacity(ray_session):
+    got = ops.autoscaling_capacity(SF)
+    exp = _oracle("autoscaling_capacity")
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+    tot = got[got["node"] == "__total__"].iloc[0]
+    nodes = got[got["node"] != "__total__"]
+    assert tot["node_docs"] == nodes["node_docs"].sum()
+    # headroom: required bytes = docs * 8 * 1.25 exactly
+    assert (nodes["required_bytes"] == nodes["node_docs"] * 10).all()
+
+
+def test_ft_constant_keyword_short_circuit(ray_session):
+    import duckdb
+
+    got = ops.ft_constant_keyword(SF)
+    n = duckdb.sql(f"SELECT count(*) FROM "
+                   f"read_parquet('{SF}/documents.parquet')").fetchone()[0]
+    assert got.loc[got["query_value"] == "code-corpus", "hits"].iloc[0] == n
+    assert got.loc[got["query_value"] == "web-corpus", "hits"].iloc[0] == 0
