@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_vectors_maxsim", "percolate_ranges",
         "geo_shape_indexed_polygons", "semantic_chunked_search",
         "autoscaling_capacity", "ft_constant_keyword",
+        "ft_analyze_polish", "ft_analyze_ukrainian",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",

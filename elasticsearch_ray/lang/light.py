@@ -525,3 +525,48 @@ LIGHT_STEMMERS = {
     "irish": irish_stem,
     "lithuanian": lithuanian_stem,
 }
+
+
+# =========================== Polish (light) ===========================
+# The reference ships Polish via the stempel plugin (statistical Egothor
+# stemmer trained on a dictionary — plugins/analysis-stempel); this is the
+# documented substitute: Savoy's CLEF-family light Polish stemmer shape
+# (condensed rule list — case/plural endings then diminutive suffixes).
+
+_PL_CASE = ("owie", "ach", "ami", "iej", "ego", "emu", "ymi", "imi",
+            "ych", "ich", "owi", "om", "ów", "ym", "im", "ej",
+            "ą", "ę", "y", "i", "e", "a", "o", "u")
+_PL_DIM = ("ek", "ik")
+
+
+def polish_stem(word: str) -> str:
+    """Light Polish stemmer (condensed CLEF-family rule list): longest
+    case/plural ending with a 3-char stem guard, then diminutives."""
+    w = word.lower()
+    w = _strip_longest(w, _PL_CASE, 3)
+    w = _strip_longest(w, _PL_DIM, 3)
+    return w
+
+
+# =========================== Ukrainian (light) ===========================
+# The reference's ukrainian plugin lemmatizes via a morfologik dictionary
+# (plugins/analysis-ukrainian); documented substitute: reflexive-particle
+# removal then a longest case-ending strip (condensed rule list).
+
+_UK_REFLEX = ("ся", "сь")
+_UK_CASE = ("ами", "ові", "ого", "ому", "ими", "ях", "ям", "ах", "ею",
+            "ою", "ій", "ий", "их", "іх", "ів",
+            "ї", "ю", "я", "і", "и", "а", "о", "у", "е", "ь")
+
+
+def ukrainian_stem(word: str) -> str:
+    """Light Ukrainian stemmer (condensed rule list): strip the reflexive
+    particle, then the longest case ending, 3-char stem guard."""
+    w = word.lower()
+    w = _strip_longest(w, _UK_REFLEX, 3)
+    w = _strip_longest(w, _UK_CASE, 3)
+    return w
+
+
+LIGHT_STEMMERS["polish"] = polish_stem
+LIGHT_STEMMERS["ukrainian"] = ukrainian_stem

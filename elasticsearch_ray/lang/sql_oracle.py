@@ -40,7 +40,7 @@ from .light import (_BG_ARTICLES, _BG_PLURAL, _BN_NUKTA, _BN_SUFFIXES,
                     _HU_CASE, _HU_PLURAL, _HU_POSS, _HY_SUFFIXES, _HY_VOWELS,
                     _ID_PARTICLES, _ID_POSSESSIVE, _ID_PREFIX1, _ID_PREFIX2,
                     _ID_SUFFIX, _LT_SUFFIXES, _LV_SUFFIXES, _LV_VOWELS,
-                    _TR_SUFFIXES)
+                    _TR_SUFFIXES, _PL_CASE, _PL_DIM, _UK_REFLEX, _UK_CASE)
 from .stopwords import STOP_SETS
 
 __all__ = ["lang_oracle_sql", "SQL_ORACLE_LANGS"]
@@ -1436,6 +1436,14 @@ _SPECS: dict[str, dict] = {
     "lithuanian": dict(
         pre=_pre_default,
         passes=lambda: [("strip", _strip_pass("p1", "tok0", _LT_SUFFIXES, 3))]),
+    "polish": dict(
+        pre=_pre_default,
+        passes=lambda: [("strip", _strip_pass("p1", "tok0", _PL_CASE, 3)),
+                        ("strip", _strip_pass("p2", "p1", _PL_DIM, 3))]),
+    "ukrainian": dict(
+        pre=_pre_default,
+        passes=lambda: [("strip", _strip_pass("p1", "tok0", _UK_REFLEX, 3)),
+                        ("strip", _strip_pass("p2", "p1", _UK_CASE, 3))]),
 }
 
 SQL_ORACLE_LANGS = tuple(_SPECS) + ("chinese", "thai")

@@ -322,6 +322,17 @@ apie nuo iki be už prieš tarp bus būti gali galima turi
     # with the ENGLISH stop set (ChineseAnalyzerProvider.java — the old
     # ChineseAnalyzer was retired upstream); reuse the english list.
     "chinese": STOP_SETS["english"],
+    # stempel plugin Polish stop set (representative subset of the
+    # plugin's polish_stop.txt)
+    "polish": frozenset("""
+i w na z do się nie jest to że o a jak po za od ale czy dla przez
+był była było być są tym tego też już tylko może przy ich jego jej
+""".split()),
+    # ukrainian plugin stop set (representative subset)
+    "ukrainian": frozenset("""
+і в у на з до та що як але не є це був була було бути по за від
+цей ця це ті його її їх же ж бо коли або
+""".split()),
     "thai": frozenset("""
 ที่ การ เป็น ใน ของ และ มี ได้ ว่า ให้ จะ ไม่ ก็ แล้ว ไป มา กับ นี้
 นั้น อยู่ อย่าง คือ จาก โดย หรือ เมื่อ ถ้า แต่ ต้อง ตาม ทั้ง กว่า จึง

@@ -2685,6 +2685,8 @@ _LANG_SAMPLES = {
     "portuguese": "As meninas falavam rapidamente sobre as nacionalidades",
     "dutch": "De kinderen speelden in de mooie huizen van de mogelijkheden",
     "russian": "Дети играли в красивых домах около важности книгами",
+    "polish": "Dzieci bawiły się w pięknych domach wielkich miast",
+    "ukrainian": "Діти гралися у гарних будинках великих міст",
 }
 
 
@@ -11695,3 +11697,17 @@ def ft_constant_keyword(sf_dir: str):
         "hits": pd.array([count_for("code-corpus"),
                           count_for("web-corpus")], dtype="int64"),
     })
+
+
+def ft_analyze_polish(sf_dir: str):
+    """Polish analyzer (plugins/analysis-stempel PolishAnalyzer — the
+    statistical Egothor stemmer; documented substitute = the CLEF-family
+    light Polish chain in lang/light.py, exact-oracled in SQL)."""
+    return _lang_analyze("polish")
+
+
+def ft_analyze_ukrainian(sf_dir: str):
+    """Ukrainian analyzer (plugins/analysis-ukrainian
+    UkrainianMorfologikAnalyzer — dictionary lemmatization; documented
+    substitute = reflexive + case-ending light chain, exact-oracled)."""
+    return _lang_analyze("ukrainian")

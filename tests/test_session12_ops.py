@@ -389,3 +389,18 @@ def test_ft_constant_keyword_short_circuit(ray_session):
                    f"read_parquet('{SF}/documents.parquet')").fetchone()[0]
     assert got.loc[got["query_value"] == "code-corpus", "hits"].iloc[0] == n
     assert got.loc[got["query_value"] == "web-corpus", "hits"].iloc[0] == 0
+
+
+def test_polish_ukrainian_analyzers(ray_session):
+    from elasticsearch_ray.analyzer import get_analyzer
+
+    # golden vectors pin the condensed rule lists
+    assert get_analyzer("polish")("pięknych domach wielkich") == \
+        ["piękn", "dom", "wielk"]
+    assert get_analyzer("polish")("domek kotek") == ["dom", "kot"]
+    assert get_analyzer("ukrainian")("гралися будинках") == \
+        ["грал", "будинк"]
+    for name in ("ft_analyze_polish", "ft_analyze_ukrainian"):
+        got = getattr(ops, name)(SF).reset_index(drop=True)
+        exp = _oracle(name)
+        assert list(got["token"]) == list(exp["token"]), name
