@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_shape_indexed_polygons", "semantic_chunked_search",
         "autoscaling_capacity", "ft_constant_keyword",
         "ft_analyze_polish", "ft_analyze_ukrainian",
+        "ft_analyze_korean", "ft_analyze_japanese",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",

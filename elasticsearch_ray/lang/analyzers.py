@@ -123,3 +123,8 @@ def register_language_analyzers(register) -> None:
 
     register("chinese", analyze_chinese, analyze_chinese_positions)
     register("thai", analyze_thai, analyze_thai_positions)
+    # "japanese" is the kuromoji substitute: script-run tokenization +
+    # hiragana particle stops (lang/extra.py)
+    from .extra import analyze_japanese, analyze_japanese_positions
+
+    register("japanese", analyze_japanese, analyze_japanese_positions)

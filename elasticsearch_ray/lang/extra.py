@@ -162,3 +162,34 @@ def analyze_thai_positions(text: str) -> list[tuple[str, int]]:
 
 def analyze_thai(text: str) -> list[str]:
     return [t for t, _ in analyze_thai_positions(text)]
+
+
+# =========================== Japanese (script-run) ===========================
+# The reference ships Japanese via the kuromoji plugin (Viterbi dictionary
+# segmentation — plugins/analysis-kuromoji); documented substitute:
+# script-run tokenization (Han unigrams like the standard tokenizer,
+# katakana/hiragana maximal runs, standard words elsewhere) + a hiragana
+# particle stop set.
+
+_JA_RUN_RE = re.compile(
+    r"([一-鿿㐀-䶿]+)|([ァ-ヺー]+|[ぁ-ゖ]+|[^\W_]+)", re.UNICODE)
+
+
+def analyze_japanese_positions(text: str) -> list[tuple[str, int]]:
+    stop = STOP_SETS["japanese"]
+    out, pos = [], 0
+    for m in _JA_RUN_RE.finditer(text.lower()):
+        if m.group(1) is not None:
+            for ch in m.group(1):
+                out.append((ch, pos))
+                pos += 1
+            continue
+        t = m.group(0)
+        if t not in stop:
+            out.append((t, pos))
+        pos += 1
+    return out
+
+
+def analyze_japanese(text: str) -> list[str]:
+    return [t for t, _ in analyze_japanese_positions(text)]

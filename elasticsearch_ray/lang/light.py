@@ -570,3 +570,24 @@ def ukrainian_stem(word: str) -> str:
 
 LIGHT_STEMMERS["polish"] = polish_stem
 LIGHT_STEMMERS["ukrainian"] = ukrainian_stem
+
+
+# =========================== Korean (light) ===========================
+# The reference ships Korean via the nori plugin (mecab-ko dictionary
+# decompounding — plugins/analysis-nori); documented substitute: Hangul
+# words are space-separated eojeol, so stripping the attached particle
+# (josa) / verb-ending suffix recovers the content stem.
+
+_KO_PARTICLES = ("들은", "들이", "에서", "으로", "에게", "까지", "부터",
+                 "처럼", "았다", "었다", "들", "은", "는", "이", "가",
+                 "을", "를", "의", "에", "와", "과", "도", "로", "만",
+                 "다")
+
+
+def korean_stem(word: str) -> str:
+    """Light Korean stemmer (condensed josa/ending rule list): strip the
+    longest attached particle or verb ending, 1-syllable stem guard."""
+    return _strip_longest(word.lower(), _KO_PARTICLES, 1)
+
+
+LIGHT_STEMMERS["korean"] = korean_stem

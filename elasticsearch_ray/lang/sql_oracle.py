@@ -40,7 +40,8 @@ from .light import (_BG_ARTICLES, _BG_PLURAL, _BN_NUKTA, _BN_SUFFIXES,
                     _HU_CASE, _HU_PLURAL, _HU_POSS, _HY_SUFFIXES, _HY_VOWELS,
                     _ID_PARTICLES, _ID_POSSESSIVE, _ID_PREFIX1, _ID_PREFIX2,
                     _ID_SUFFIX, _LT_SUFFIXES, _LV_SUFFIXES, _LV_VOWELS,
-                    _TR_SUFFIXES, _PL_CASE, _PL_DIM, _UK_REFLEX, _UK_CASE)
+                    _TR_SUFFIXES, _PL_CASE, _PL_DIM, _UK_REFLEX, _UK_CASE,
+                    _KO_PARTICLES)
 from .stopwords import STOP_SETS
 
 __all__ = ["lang_oracle_sql", "SQL_ORACLE_LANGS"]
@@ -1444,9 +1445,13 @@ _SPECS: dict[str, dict] = {
         pre=_pre_default,
         passes=lambda: [("strip", _strip_pass("p1", "tok0", _UK_REFLEX, 3)),
                         ("strip", _strip_pass("p2", "p1", _UK_CASE, 3))]),
+    "korean": dict(
+        pre=_pre_default,
+        passes=lambda: [("strip", _strip_pass("p1", "tok0",
+                                              _KO_PARTICLES, 1))]),
 }
 
-SQL_ORACLE_LANGS = tuple(_SPECS) + ("chinese", "thai")
+SQL_ORACLE_LANGS = tuple(_SPECS) + ("chinese", "thai", "japanese")
 
 
 def stem_pipeline(lang: str):
@@ -1593,6 +1598,18 @@ def lang_oracle_sql(lang: str, text: str) -> str:
 WITH arr AS (
   SELECT list_filter(regexp_extract_all(lower('{_q(text)}'),
              '[一-鿿㐀-䶿]|[a-z0-9]+'),
+         x -> NOT list_contains({stops}, x)) AS a)
+SELECT CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS position,
+       unnest(a) AS token
+FROM arr ORDER BY position"""
+    if lang == "japanese":
+        # kuromoji substitute: Han unigrams, katakana/hiragana maximal
+        # runs, standard words elsewhere; hiragana particle stop set
+        stops = _strlist(sorted(STOP_SETS["japanese"]))
+        return f"""
+WITH arr AS (
+  SELECT list_filter(regexp_extract_all(lower('{_q(text)}'),
+             '[一-鿿㐀-䶿]|[ァ-ヺー]+|[ぁ-ゖ]+|[a-z0-9]+'),
          x -> NOT list_contains({stops}, x)) AS a)
 SELECT CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS position,
        unnest(a) AS token

@@ -333,6 +333,15 @@ był była było być są tym tego też już tylko może przy ich jego jej
 і в у на з до та що як але не є це був була було бути по за від
 цей ця це ті його її їх же ж бо коли або
 """.split()),
+    # kuromoji-substitute hiragana particle stop set
+    "japanese": frozenset("""
+の に は を た が で て と し れ さ ある いる も する から な こと
+として い や など なっ ない この ため その あっ よう また もの
+""".split()),
+    # nori-substitute Korean stop set (standalone function words)
+    "korean": frozenset("""
+그 이 저 것 수 때 및 또 또는 그리고 하지만 그러나 즉 딱 등 들
+""".split()),
     "thai": frozenset("""
 ที่ การ เป็น ใน ของ และ มี ได้ ว่า ให้ จะ ไม่ ก็ แล้ว ไป มา กับ นี้
 นั้น อยู่ อย่าง คือ จาก โดย หรือ เมื่อ ถ้า แต่ ต้อง ตาม ทั้ง กว่า จึง

@@ -2687,6 +2687,8 @@ _LANG_SAMPLES = {
     "russian": "Дети играли в красивых домах около важности книгами",
     "polish": "Dzieci bawiły się w pięknych domach wielkich miast",
     "ukrainian": "Діти гралися у гарних будинках великих міст",
+    "korean": "아이들은 아름다운 집에서 놀았다",
+    "japanese": "東京の新しい図書館でカタカナのテストを行いました",
 }
 
 
@@ -11711,3 +11713,18 @@ def ft_analyze_ukrainian(sf_dir: str):
     UkrainianMorfologikAnalyzer — dictionary lemmatization; documented
     substitute = reflexive + case-ending light chain, exact-oracled)."""
     return _lang_analyze("ukrainian")
+
+
+def ft_analyze_korean(sf_dir: str):
+    """Korean analyzer (plugins/analysis-nori NoriAnalyzer — mecab-ko
+    dictionary decompounding; documented substitute = eojeol tokenization
+    + longest josa/verb-ending strip, exact-oracled in SQL)."""
+    return _lang_analyze("korean")
+
+
+def ft_analyze_japanese(sf_dir: str):
+    """Japanese analyzer (plugins/analysis-kuromoji JapaneseAnalyzer —
+    Viterbi dictionary segmentation; documented substitute = script-run
+    tokenization with Han unigrams + hiragana particle stops,
+    exact-oracled in SQL)."""
+    return _lang_analyze("japanese")

@@ -404,3 +404,17 @@ def test_polish_ukrainian_analyzers(ray_session):
         got = getattr(ops, name)(SF).reset_index(drop=True)
         exp = _oracle(name)
         assert list(got["token"]) == list(exp["token"]), name
+
+
+def test_korean_japanese_analyzers(ray_session):
+    from elasticsearch_ray.analyzer import get_analyzer
+
+    # nori substitute: josa strip off eojeol
+    assert get_analyzer("korean")("아이들은 집에서") == ["아이", "집"]
+    # kuromoji substitute: Han unigrams, katakana run as one token,
+    # hiragana particles stopped
+    assert get_analyzer("japanese")("東京のテスト") == ["東", "京", "テスト"]
+    for name in ("ft_analyze_korean", "ft_analyze_japanese"):
+        got = getattr(ops, name)(SF).reset_index(drop=True)
+        exp = _oracle(name)
+        assert list(got["token"]) == list(exp["token"]), name
