@@ -111,7 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_shape_indexed_polygons", "semantic_chunked_search",
         "autoscaling_capacity", "ft_constant_keyword",
         "ft_analyze_polish", "ft_analyze_ukrainian",
-        "ft_analyze_korean", "ft_analyze_japanese",
+        "ft_analyze_korean", "ft_analyze_japanese", "esql_mv_mad",
+        "agg_geohex_grid",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -861,6 +862,45 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "agg_geohex_grid": """
+WITH g AS (SELECT ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+                  ((user_id * 104729) % 360) - 180 + 0.5 AS lon
+           FROM (SELECT DISTINCT user_id FROM events)),
+a AS (SELECT (sqrt(3) / 3.0 * lon - lat / 3.0) / 15.0 AS xq,
+             (2.0 / 3.0 * lat) / 15.0 AS zr
+      FROM g),
+b AS (SELECT xq, zr, -xq - zr AS yq,
+             floor(xq + 0.5) AS rx, floor(-xq - zr + 0.5) AS ry,
+             floor(zr + 0.5) AS rz
+      FROM a),
+c AS (SELECT CASE WHEN abs(rx - xq) > abs(ry - yq)
+                   AND abs(rx - xq) > abs(rz - zr)
+                  THEN -ry - rz ELSE rx END AS hq,
+             CASE WHEN NOT (abs(rx - xq) > abs(ry - yq)
+                            AND abs(rx - xq) > abs(rz - zr))
+                   AND NOT (abs(ry - yq) > abs(rz - zr))
+                  THEN -rx - ry ELSE rz END AS hr
+      FROM b)
+SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+       count(*)::BIGINT AS doc_count
+FROM c GROUP BY 1, 2 ORDER BY hq, hr""",
+        "esql_mv_mad": """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, list_sort(v) AS l, len(v) AS n, v FROM e),
+m AS (SELECT vec_id, v, n,
+             (l[CAST(floor((n - 1) / 2.0) AS BIGINT) + 1]
+              + l[CAST(ceil((n - 1) / 2.0) AS BIGINT) + 1]) / 2.0 AS med
+      FROM s),
+d AS (SELECT vec_id, n,
+             list_sort(list_transform(v, x -> abs(x - med))) AS dl
+      FROM m)
+SELECT vec_id,
+       ROUND((dl[CAST(floor((n - 1) / 2.0) AS BIGINT) + 1]
+              + dl[CAST(ceil((n - 1) / 2.0) AS BIGINT) + 1]) / 2.0, 6)
+         AS mad
+FROM d ORDER BY vec_id LIMIT 2000""",
         "autoscaling_capacity": """
 WITH smap(source, shard) AS (VALUES
   ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),

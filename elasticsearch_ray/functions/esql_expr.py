@@ -806,6 +806,24 @@ def _mv_call(name: str, a, t: pa.Table):
             out[nz] = (sv[starts + lo]
                        + (sv[starts + hi] - sv[starts + lo]) * frac)
         return pa.array(out, pa.float64(), from_pandas=True)
+    if name == "MV_MEDIAN_ABSOLUTE_DEVIATION":
+        # MvMedianAbsoluteDeviation (8.15): per-row median(|x - median(x)|)
+        # — two segment-vectorized median passes (lexsort + interpolation)
+        v = np.asarray(pc.cast(flat, pa.float64()))
+        out = np.full(n, np.nan)
+        if starts.size:
+            rows = np.repeat(np.arange(n), ln)
+            o = np.lexsort((v, rows))
+            sv = v[o]
+            h = (ln[nz] - 1) / 2.0
+            lo = starts + np.floor(h).astype(np.int64)
+            hi = starts + np.ceil(h).astype(np.int64)
+            med = (sv[lo] + sv[hi]) / 2.0
+            dev = np.abs(v - np.repeat(med, ln[nz]))
+            o2 = np.lexsort((dev, rows))
+            sd = dev[o2]
+            out[nz] = (sd[lo] + sd[hi]) / 2.0
+        return pa.array(out, pa.float64(), from_pandas=True)
     if name == "MV_PSERIES_WEIGHTED_SUM":
         # MvPSeriesWeightedSum (8.15): sum of value_i / (i+1)^p in list
         # order (i 0-based) — the relevance decay used by semantic rerank

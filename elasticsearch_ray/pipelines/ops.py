@@ -11728,3 +11728,62 @@ def ft_analyze_japanese(sf_dir: str):
     tokenization with Han unigrams + hiragana particle stops,
     exact-oracled in SQL)."""
     return _lang_analyze("japanese")
+
+
+def esql_mv_mad(sf_dir: str):
+    """ES|QL MV_MEDIAN_ABSOLUTE_DEVIATION (x-pack esql
+    MvMedianAbsoluteDeviation, 8.15): per-row median(|x - median(x)|)
+    over the embeddings list column — two segment-vectorized median
+    passes (lexsort + midpoint interpolation), no per-row Python."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM embeddings
+        | EVAL mad = ROUND(MV_MEDIAN_ABSOLUTE_DEVIATION(embedding), 6)
+        | KEEP vec_id, mad
+        | SORT vec_id
+        | LIMIT 2000
+    ''')
+
+
+def agg_geohex_grid(sf_dir: str):
+    """geohex_grid agg (x-pack spatial GeoHexGridAggregationBuilder, 8.1
+    — the reference bins into Uber H3 cells; documented substitute: flat
+    axial hex binning on the equirectangular plane with the standard
+    cube-rounding algorithm, 15-degree cell size — same grid-agg shape as
+    geohash_grid/geotile_grid which ARE the real algorithms). Per batch
+    one fused arithmetic kernel assigns (q, r) hex coords; ONE
+    hex-cardinality groupby is the only exchange. Ties in cube rounding
+    use floor(x + 0.5) in BOTH engines (numpy round() is half-even,
+    DuckDB's is half-away — the explicit floor sidesteps both)."""
+    from ray.data.aggregate import Count
+
+    S = 15.0
+    SQ3 = np.sqrt(3.0)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        g = _geo_cols(t)
+        x = g["lon"].to_numpy()
+        y = g["lat"].to_numpy()
+        xq = (SQ3 / 3.0 * x - y / 3.0) / S
+        zr = (2.0 / 3.0 * y) / S
+        yq = -xq - zr
+        rx = np.floor(xq + 0.5)
+        ry = np.floor(yq + 0.5)
+        rz = np.floor(zr + 0.5)
+        dx, dy, dz = np.abs(rx - xq), np.abs(ry - yq), np.abs(rz - zr)
+        fix_x = (dx > dy) & (dx > dz)
+        fix_z = (~fix_x) & (~(dy > dz))
+        hq = np.where(fix_x, -ry - rz, rx)
+        hr = np.where(fix_z, -rx - ry, rz)
+        return pa.table({"hq": pa.array(hq.astype(np.int64)),
+                         "hr": pa.array(hr.astype(np.int64))})
+
+    out = (_geo_shape_users(sf_dir)
+           .map_batches(bucketize, batch_format="pyarrow")
+           .groupby(["hq", "hr"])
+           .aggregate(Count(alias_name="doc_count"))
+           .to_pandas())
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return (out.sort_values(["hq", "hr"]).reset_index(drop=True)
+            [["hq", "hr", "doc_count"]])

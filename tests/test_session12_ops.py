@@ -418,3 +418,31 @@ def test_korean_japanese_analyzers(ray_session):
         got = getattr(ops, name)(SF).reset_index(drop=True)
         exp = _oracle(name)
         assert list(got["token"]) == list(exp["token"]), name
+
+
+def test_esql_mv_mad(ray_session):
+    got = ops.esql_mv_mad(SF).reset_index(drop=True)
+    exp = _oracle("esql_mv_mad")
+    np.testing.assert_array_equal(got["mad"].to_numpy(),
+                                  exp["mad"].to_numpy())
+    # cross-check one row against numpy's definition
+    import pyarrow.parquet as pq
+
+    v = np.asarray(pq.read_table(f"{SF}/embeddings.parquet")
+                   ["embedding"][0].as_py(), np.float64)
+    manual = np.median(np.abs(v - np.median(v)))
+    assert abs(got["mad"][0] - round(float(manual), 6)) <= 1e-6
+
+
+def test_agg_geohex_grid(ray_session):
+    got = ops.agg_geohex_grid(SF)
+    exp = _oracle("agg_geohex_grid")
+    assert got.astype("int64").reset_index(drop=True).equals(
+        exp.astype("int64").reset_index(drop=True))
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(DISTINCT user_id) FROM "
+                   f"read_parquet('{SF}/events.parquet')").fetchone()[0]
+    # hex cells partition the users: counts add up, no empty cells
+    assert got["doc_count"].sum() == n
+    assert (got["doc_count"] >= 1).all()
