@@ -112,7 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autoscaling_capacity", "ft_constant_keyword",
         "ft_analyze_polish", "ft_analyze_ukrainian",
         "ft_analyze_korean", "ft_analyze_japanese", "esql_mv_mad",
-        "agg_geohex_grid",
+        "agg_geohex_grid", "simulate_index_template",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -862,6 +862,14 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "simulate_index_template": """
+SELECT * FROM (VALUES
+  ('overlapping', 'template', 'logs-low'),
+  ('setting', 'analyzer', 'code'),
+  ('setting', 'index_positions', 'true'),
+  ('setting', 'number_of_shards', '4'),
+  ('winner', 'template', 'logs-code')) AS t(kind, key, value)
+ORDER BY kind, key, value""",
         "agg_geohex_grid": """
 WITH g AS (SELECT ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
                   ((user_id * 104729) % 360) - 180 + 0.5 AS lon

@@ -114,3 +114,46 @@ def create_index(input_path: str, out_dir: str, index_name: str,
         json.dump({"index": index_name, "settings": settings}, f, indent=1,
                   sort_keys=True)
     return stats, settings
+
+
+# ---- composable (V2) templates: _component_template / _index_template ----
+# (cluster/metadata/ComposableIndexTemplate.java +
+#  MetadataIndexTemplateService.java, 7.8: component templates merge in
+#  composed_of order, the index template's own payload wins last, and only
+#  the single HIGHEST-priority matching index template applies)
+
+_COMPONENTS: dict[str, dict] = {}
+_INDEX_TEMPLATES: dict[str, dict] = {}
+
+
+def put_component_template(name: str, settings: dict[str, Any]) -> None:
+    _COMPONENTS[name] = {"name": name, "settings": dict(settings)}
+
+
+def put_index_template(name: str, patterns: list[str],
+                       composed_of: list[str], priority: int = 0,
+                       settings: dict[str, Any] | None = None) -> None:
+    _INDEX_TEMPLATES[name] = {
+        "name": name, "patterns": list(patterns),
+        "composed_of": list(composed_of), "priority": int(priority),
+        "settings": dict(settings or {})}
+
+
+def simulate_index(index_name: str) -> dict:
+    """_index_template/_simulate_index analog: resolve the effective
+    settings for a hypothetical index plus the overlapping (losing)
+    templates the reference reports."""
+    matches = [t for t in _INDEX_TEMPLATES.values()
+               if any(fnmatch.fnmatch(index_name, p)
+                      for p in t["patterns"])]
+    if not matches:
+        return {"winner": None, "template": {}, "overlapping": []}
+    winner = max(matches, key=lambda t: (t["priority"], t["name"]))
+    merged: dict[str, Any] = {}
+    for c in winner["composed_of"]:
+        if c in _COMPONENTS:
+            merged.update(_COMPONENTS[c]["settings"])
+    merged.update(winner["settings"])
+    return {"winner": winner["name"], "template": merged,
+            "overlapping": sorted(t["name"] for t in matches
+                                  if t is not winner)}

@@ -11787,3 +11787,34 @@ def agg_geohex_grid(sf_dir: str):
     out["doc_count"] = out["doc_count"].astype("int64")
     return (out.sort_values(["hq", "hr"]).reset_index(drop=True)
             [["hq", "hr", "doc_count"]])
+
+
+def simulate_index_template(sf_dir: str):
+    """_index_template/_simulate_index API (7.9,
+    MetadataIndexTemplateService.simulateIndexTemplate): composable V2
+    templates — component templates merge in composed_of order, the
+    index template's own settings win last, and only the single
+    highest-priority matching template applies; losers are reported as
+    `overlapping`. Pure cluster-state arithmetic (driver-small by
+    definition in the reference too)."""
+    from ..index import templates as TP
+
+    TP.put_component_template("base-settings",
+                              {"number_of_shards": "2",
+                               "analyzer": "simple"})
+    TP.put_component_template("code-settings",
+                              {"analyzer": "code",
+                               "index_positions": "true"})
+    TP.put_index_template("logs-low", ["logs-*"],
+                          composed_of=["base-settings"], priority=10)
+    TP.put_index_template("logs-code", ["logs-code-*"],
+                          composed_of=["base-settings", "code-settings"],
+                          priority=50,
+                          settings={"number_of_shards": "4"})
+    sim = TP.simulate_index("logs-code-2024")
+    rows = [("winner", "template", sim["winner"])]
+    rows += [("setting", k, str(v))
+             for k, v in sorted(sim["template"].items())]
+    rows += [("overlapping", "template", n) for n in sim["overlapping"]]
+    return pd.DataFrame(rows, columns=["kind", "key", "value"]) \
+        .sort_values(["kind", "key", "value"]).reset_index(drop=True)

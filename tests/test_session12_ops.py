@@ -446,3 +446,21 @@ def test_agg_geohex_grid(ray_session):
     # hex cells partition the users: counts add up, no empty cells
     assert got["doc_count"].sum() == n
     assert (got["doc_count"] >= 1).all()
+
+
+def test_simulate_index_template(ray_session):
+    got = ops.simulate_index_template(SF).reset_index(drop=True)
+    exp = _oracle("simulate_index_template")
+    assert got.equals(exp)
+    from elasticsearch_ray.index import templates as TP
+
+    # highest priority wins; component order respected; own settings last
+    sim = TP.simulate_index("logs-code-x")
+    assert sim["winner"] == "logs-code"
+    assert sim["template"]["analyzer"] == "code"        # later component
+    assert sim["template"]["number_of_shards"] == "4"   # own settings win
+    assert sim["overlapping"] == ["logs-low"]
+    # an index matching only the low-priority template
+    sim2 = TP.simulate_index("logs-app")
+    assert sim2["winner"] == "logs-low"
+    assert sim2["template"]["number_of_shards"] == "2"
