@@ -112,7 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autoscaling_capacity", "ft_constant_keyword",
         "ft_analyze_polish", "ft_analyze_ukrainian",
         "ft_analyze_korean", "ft_analyze_japanese", "esql_mv_mad",
-        "agg_geohex_grid", "simulate_index_template",
+        "agg_geohex_grid", "simulate_index_template", "ltr_rescore",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -862,6 +862,29 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "ltr_rescore": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['slow','merge','batch']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS raw
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+  GROUP BY tf.doc_id),
+win AS (SELECT doc_id, raw FROM scored
+        ORDER BY raw DESC, doc_id LIMIT 20),
+fd AS (SELECT doc_id, count(*) FILTER (term = 'data') AS tf_data
+       FROM tok WHERE doc_id IN (SELECT doc_id FROM win)
+       GROUP BY doc_id),
+ltr AS (SELECT w.doc_id,
+               0.6 * w.raw - 0.01 * dl.dl + 0.35 * coalesce(fd.tf_data, 0)
+                 AS ltr
+        FROM win w JOIN dl ON dl.doc_id = w.doc_id
+        LEFT JOIN fd ON fd.doc_id = w.doc_id)
+SELECT doc_id, ROUND(ltr, 4) AS ltr FROM ltr
+ORDER BY ltr DESC, doc_id LIMIT 10""",
         "simulate_index_template": """
 SELECT * FROM (VALUES
   ('overlapping', 'template', 'logs-low'),

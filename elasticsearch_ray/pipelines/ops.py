@@ -11818,3 +11818,47 @@ def simulate_index_template(sf_dir: str):
     rows += [("overlapping", "template", n) for n in sim["overlapping"]]
     return pd.DataFrame(rows, columns=["kind", "key", "value"]) \
         .sort_values(["kind", "key", "value"]).reset_index(drop=True)
+
+
+def ltr_rescore(sf_dir: str):
+    """Learning-to-rank rescorer (x-pack 8.12 ltr
+    LearningToRankRescorerBuilder: first-pass top-k, per-candidate
+    feature extraction, model inference, window rerank): window = BM25
+    top-20 for `slow merge batch`; features = [bm25 score, doc length,
+    tf('data')] (the reference's query-feature extractors); model = fixed
+    linear weights (shipped in cluster state there, task closure here).
+    Features come from ONE doc_id-pruned read of just the window docs —
+    never a second full scan."""
+    import re
+
+    import pyarrow.compute as pc
+
+    from .fulltext import documents_searcher
+
+    s = documents_searcher(sf_dir)
+    ids, sc = s.search({"kind": "match", "text": "slow merge batch",
+                        "k": 20})
+    window = pd.DataFrame({"doc_id": ids.astype(np.int64),
+                           "bm25": sc.astype(np.float64)})
+    vals = pa.array(window["doc_id"].to_numpy())
+    tok = re.compile(r"[a-z0-9]+")
+
+    def feats(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["doc_id"], value_set=vals)
+        t = t.filter(keep)
+        toks = [tok.findall(x.lower()) for x in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy(), pa.int64()),
+            "dl": pa.array([len(ts) for ts in toks], pa.int64()),
+            "tf_data": pa.array([ts.count("data") for ts in toks],
+                                pa.int64()),
+        })
+
+    f = (_ds(sf_dir, "documents", ["doc_id", "text"])
+         .map_batches(feats, batch_format="pyarrow").to_pandas())
+    m = window.merge(f, on="doc_id")
+    m["ltr"] = (0.6 * m["bm25"] - 0.01 * m["dl"].astype(np.float64)
+                + 0.35 * m["tf_data"].astype(np.float64))
+    m = m.sort_values(["ltr", "doc_id"], ascending=[False, True]).head(10)
+    m["ltr"] = round_half_away(m["ltr"].to_numpy(np.float64), 4)
+    return m.reset_index(drop=True)[["doc_id", "ltr"]]

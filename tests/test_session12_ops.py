@@ -464,3 +464,17 @@ def test_simulate_index_template(ray_session):
     sim2 = TP.simulate_index("logs-app")
     assert sim2["winner"] == "logs-low"
     assert sim2["template"]["number_of_shards"] == "2"
+
+
+def test_ltr_rescore(ray_session):
+    got = ops.ltr_rescore(SF).reset_index(drop=True)
+    exp = _oracle("ltr_rescore")
+    np.testing.assert_array_equal(got["doc_id"], exp["doc_id"])
+    np.testing.assert_array_equal(got["ltr"], exp["ltr"])
+    # rescoring changes the order vs raw BM25 for at least one doc
+    from elasticsearch_ray.pipelines.fulltext import topk_matches
+
+    bm25 = topk_matches(SF, {"kind": "match", "text": "slow merge batch",
+                             "k": 10})
+    assert list(got["doc_id"]) != list(bm25["doc_id"].to_pylist()) or \
+        len(got) != len(bm25)
