@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_analyze_polish", "ft_analyze_ukrainian",
         "ft_analyze_korean", "ft_analyze_japanese", "esql_mv_mad",
         "agg_geohex_grid", "simulate_index_template", "ltr_rescore",
+        "eql_sequence_runs",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -862,6 +863,23 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "eql_sequence_runs": """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+s2 AS (SELECT c.user_id, c.ts AS t1,
+         (SELECT min(v.ts) FROM events v
+          WHERE v.user_id = c.user_id AND v.event_type = 'click'
+            AND v.ts > c.ts) AS t2
+       FROM c),
+s3 AS (SELECT user_id, t1, t2,
+         (SELECT min(p.ts) FROM events p
+          WHERE p.user_id = s2.user_id AND p.event_type = 'purchase'
+            AND p.ts > s2.t2) AS t3
+       FROM s2 WHERE t2 IS NOT NULL)
+SELECT user_id, count(*)::BIGINT AS seqs
+FROM s3
+WHERE t3 IS NOT NULL
+  AND epoch_us(t3) - epoch_us(t1) <= 172800000000::BIGINT
+GROUP BY user_id ORDER BY user_id""",
         "ltr_rescore": f"""
 WITH {_TOK},
 q AS (SELECT unnest(['slow','merge','batch']) AS term),

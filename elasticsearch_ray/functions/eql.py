@@ -33,6 +33,18 @@ _SPAN_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
             "d": 86_400_000_000}
 
 _STEP_RX = re.compile(r"\[\s*(\w+)\s+where\s+(.*?)\s*\]", re.S)
+# step with optional `with runs=N` repetition (SequenceMatcher runs, 8.0:
+# the step must match N consecutive times — expanded to N chain steps)
+_STEP_RUNS_RX = re.compile(
+    r"\[\s*(\w+)\s+where\s+(.*?)\s*\](?:\s+with\s+runs\s*=\s*(\d+))?",
+    re.S)
+
+
+def _expand_steps(body: str) -> list[str]:
+    out = []
+    for cat, pred, runs in _STEP_RUNS_RX.findall(body):
+        out.extend([_category_predicate(cat, pred)] * int(runs or 1))
+    return out
 _SEQ_RX = re.compile(
     r"^sequence(?:\s+by\s+([\w.]+))?(?:\s+with\s+maxspan\s*=\s*(\d+)"
     r"([smhd]))?\s*(.*)$", re.I | re.S)
@@ -86,8 +98,7 @@ def parse(query: str) -> dict:
             if len(usteps) != 1:
                 raise ValueError("until takes exactly one [ step ]")
             until = _category_predicate(*usteps[0])
-        steps = [_category_predicate(c, p) for c, p in
-                 _STEP_RX.findall(body)]
+        steps = _expand_steps(body)
         if len(steps) < 2:
             raise ValueError("sequence needs at least two [ step ]s")
         return {"kind": "sequence", "by": by or None,

@@ -11862,3 +11862,16 @@ def ltr_rescore(sf_dir: str):
     m = m.sort_values(["ltr", "doc_id"], ascending=[False, True]).head(10)
     m["ltr"] = round_half_away(m["ltr"].to_numpy(np.float64), 4)
     return m.reset_index(drop=True)[["doc_id", "ltr"]]
+
+
+def eql_sequence_runs(sf_dir: str):
+    """EQL `with runs=N` step repetition (SequenceMatcher runs, 8.0):
+    `[ click ] with runs=2 [ purchase ]` requires two chained clicks
+    before the purchase — expanded to N chain steps at parse time, the
+    searchsorted cascade unchanged."""
+    from ..functions import eql
+
+    return eql.run(sf_dir, '''
+      sequence by user_id with maxspan=2d
+        [ click where true ] with runs=2 [ purchase where true ]
+    ''')

@@ -478,3 +478,16 @@ def test_ltr_rescore(ray_session):
                              "k": 10})
     assert list(got["doc_id"]) != list(bm25["doc_id"].to_pylist()) or \
         len(got) != len(bm25)
+
+
+def test_eql_sequence_runs(ray_session):
+    got = ops.eql_sequence_runs(SF).reset_index(drop=True)
+    exp = _oracle("eql_sequence_runs")
+    assert got.astype("int64").equals(exp.astype("int64"))
+    # runs=2 is strictly harder than the plain 2-step chain
+    from elasticsearch_ray.functions import eql
+
+    plain = eql.run(SF, "sequence by user_id with maxspan=2d "
+                        "[ click where true ] [ purchase where true ]")
+    m = got.merge(plain, on="user_id", suffixes=("_runs", "_plain"))
+    assert (m["seqs_runs"] <= m["seqs_plain"]).all()
