@@ -113,7 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_analyze_polish", "ft_analyze_ukrainian",
         "ft_analyze_korean", "ft_analyze_japanese", "esql_mv_mad",
         "agg_geohex_grid", "simulate_index_template", "ltr_rescore",
-        "eql_sequence_runs",
+        "eql_sequence_runs", "corpus_ngram_novelty",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -863,6 +863,24 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "corpus_ngram_novelty": """
+WITH toks AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS a
+  FROM documents),
+g AS (SELECT doc_id,
+             array_to_string(list_slice(a, i, i + 7), ' ') AS gram
+      FROM (SELECT doc_id, a,
+                   unnest(generate_series(1, len(a) - 7)) AS i
+            FROM toks WHERE len(a) >= 8)),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+c AS (SELECT gram, count(*) AS nd FROM dg GROUP BY gram),
+p AS (SELECT doc_id, count(*)::BIGINT AS total,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS shared
+      FROM dg JOIN c USING (gram) GROUP BY doc_id)
+SELECT doc_id, total, shared,
+       ROUND(1.0 - shared::DOUBLE / total::DOUBLE, 6) AS novelty
+FROM p ORDER BY doc_id""",
         "eql_sequence_runs": """
 WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
 s2 AS (SELECT c.user_id, c.ts AS t1,

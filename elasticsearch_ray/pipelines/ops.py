@@ -11875,3 +11875,51 @@ def eql_sequence_runs(sf_dir: str):
       sequence by user_id with maxspan=2d
         [ click where true ] with runs=2 [ purchase where true ]
     ''')
+
+
+def corpus_ngram_novelty(sf_dir: str):
+    """Per-document n-gram novelty (LLM corpus diagnostics — the
+    complement of near-dup mass: the fraction of a doc's distinct word
+    8-grams that appear in NO other document; low novelty flags
+    boilerplate/template docs that survive exact dedup). Pipeline shape:
+    per-batch gram explode (one C-level rolling join per doc), distinct
+    (doc, gram) pairs, ONE gram groupby marks shared grams inside
+    map_groups, ONE doc groupby folds the per-doc counters — the raw
+    text never shuffles, only (doc_id, gram) pairs."""
+    N = 8
+
+    def grams(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+")
+        ids, gs = [], []
+        for did, ts in zip(df["doc_id"], toks):
+            if len(ts) >= N:
+                seen = {" ".join(ts[i:i + N]) for i in
+                        range(len(ts) - N + 1)}
+                ids.extend([did] * len(seen))
+                gs.extend(seen)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "gram": pa.array(gs, pa.string())})
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        shared = np.int64(1 if len(df) > 1 else 0)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                             "total": np.int64(1),
+                             "shared": shared})
+
+    from ray.data.aggregate import Sum
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(grams, batch_format="pyarrow")
+           .groupby("gram").map_groups(mark, batch_format="pandas")
+           .groupby("doc_id")
+           .aggregate(Sum("total", alias_name="total"),
+                      Sum("shared", alias_name="shared"))
+           .to_pandas())
+    out["total"] = out["total"].astype("int64")
+    out["shared"] = out["shared"].astype("int64")
+    out["novelty"] = round_half_away(
+        1.0 - out["shared"].to_numpy(np.float64)
+        / out["total"].to_numpy(np.float64), 6)
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "total", "shared", "novelty"]])

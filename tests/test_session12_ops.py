@@ -491,3 +491,13 @@ def test_eql_sequence_runs(ray_session):
                         "[ click where true ] [ purchase where true ]")
     m = got.merge(plain, on="user_id", suffixes=("_runs", "_plain"))
     assert (m["seqs_runs"] <= m["seqs_plain"]).all()
+
+
+def test_corpus_ngram_novelty(ray_session):
+    got = ops.corpus_ngram_novelty(SF).reset_index(drop=True)
+    exp = _oracle("corpus_ngram_novelty")
+    for c in ("doc_id", "total", "shared"):
+        np.testing.assert_array_equal(got[c], exp[c])
+    np.testing.assert_array_equal(got["novelty"], exp["novelty"])
+    assert ((got["novelty"] >= 0) & (got["novelty"] <= 1)).all()
+    assert (got["shared"] <= got["total"]).all()
