@@ -52,6 +52,24 @@ def _split_and(s: str) -> list[str]:
     return parts
 
 
+def _split_cols(s: str) -> list[str]:
+    """Split the projection list on top-level commas only (a scalar
+    expression like ROUND(x, 2) contains commas inside parens)."""
+    out, buf, depth, inq = [], [], 0, False
+    for ch in s:
+        if ch == "'":
+            inq = not inq
+        elif not inq and ch in "()":
+            depth += 1 if ch == "(" else -1
+        if ch == "," and depth == 0 and not inq:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf).strip())
+    return [c for c in out if c]
+
+
 def parse_sql(sql: str) -> dict:
     s = sql.strip().rstrip(";")
     m = re.match(
@@ -63,9 +81,10 @@ def parse_sql(sql: str) -> dict:
         r"(?:\s+LIMIT\s+(?P<limit>\d+))?$", s)
     if not m:
         raise SqlParseError(f"unsupported SQL: {sql!r}")
-    cols = [c.strip() for c in m.group("cols").split(",")]
+    cols = _split_cols(m.group("cols"))
     aggs = []  # (alias, FN, src_col)
     plain = []
+    scalars = []  # (alias, expression source)
     score_alias = None
     for c in cols:
         sm = re.fullmatch(r"(?i)SCORE\(\s*\)\s+AS\s+(\w+)", c)
@@ -81,8 +100,16 @@ def parse_sql(sql: str) -> dict:
         elif re.fullmatch(r"\w+", c):
             plain.append(c)
         else:
-            raise SqlParseError(
-                "projections must be columns or FN(col) AS alias")
+            # scalar-expression projection (x-pack sql scalar functions /
+            # arithmetic in SELECT — processor/definition ScalarFunction):
+            # `<expr> AS alias`, lowered per batch through the shared
+            # ES|QL expression engine (one pyarrow kernel per node)
+            em = re.match(r"(?is)^(.+?)\s+AS\s+(\w+)\s*$", c)
+            if not em:
+                raise SqlParseError(
+                    "projections must be columns, FN(col) AS alias, or "
+                    "<expr> AS alias")
+            scalars.append((em.group(2), em.group(1)))
     group = []
     if m.group("group"):
         group = [g.strip() for g in m.group("group").split(",")]
@@ -152,6 +179,7 @@ def parse_sql(sql: str) -> dict:
         am = re.search(r"(?i)\s+AS\s+(\w+)\s*$", c)
         names.append(am.group(1) if am else c)
     return {"cols": cols, "names": names, "plain": plain, "aggs": aggs,
+            "scalars": scalars,
             "group": group, "having": having, "table": m.group("table"),
             "preds": preds, "ft": ft, "score_alias": score_alias,
             "order": order,
@@ -223,9 +251,23 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
             plan["group"] + [a[2] for a in plan["aggs"] if a[2] != "*"]
             + [p[0] for p in plan["preds"]]))
     else:
+        scalar_ids: list[str] = []
+        if plan["scalars"]:
+            import os
+
+            import pyarrow.parquet as pq
+
+            schema_names = set(pq.read_schema(os.path.join(
+                sf_dir, f"{plan['table']}.parquet")).names)
+            for _, src_expr in plan["scalars"]:
+                scalar_ids += [t for t in re.findall(r"[A-Za-z_]\w*",
+                                                     src_expr)
+                               if t in schema_names]
+        scalar_names = {a for a, _ in plan["scalars"]}
         need = list(dict.fromkeys(
-            plan["plain"] + [p[0] for p in plan["preds"]]
-            + [o[0] for o in plan["order"] if o[0] != score]))
+            plan["plain"] + scalar_ids + [p[0] for p in plan["preds"]]
+            + [o[0] for o in plan["order"]
+               if o[0] != score and o[0] not in scalar_names]))
     if plan["ft"] and "doc_id" not in need:
         need = ["doc_id"] + need
     flt = None
@@ -262,7 +304,27 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
                                 score_col=score or "_score"),
             batch_format="pyarrow")
     if plan["aggs"]:
+        if plan["scalars"]:
+            raise SqlParseError("scalar projections cannot mix with "
+                                "aggregates")
         return _run_agg(ds, plan)
+    if plan["scalars"]:
+        import pyarrow as pa
+
+        from .esql_expr import evaluate, parse_expr
+
+        asts = [(alias, parse_expr(src_expr))
+                for alias, src_expr in plan["scalars"]]
+
+        def add_scalars(t: pa.Table) -> pa.Table:
+            for alias, ast in asts:
+                v = evaluate(ast, t)
+                if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                    v = pa.array([v] * len(t))
+                t = t.append_column(alias, v)
+            return t
+
+        ds = ds.map_batches(add_scalars, batch_format="pyarrow")
     if plan["order"]:
         ds = ds.sort(key=[o[0] for o in plan["order"]],
                      descending=[o[1] for o in plan["order"]])

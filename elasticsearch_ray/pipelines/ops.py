@@ -11923,3 +11923,19 @@ def corpus_ngram_novelty(sf_dir: str):
         / out["total"].to_numpy(np.float64), 6)
     return (out.sort_values("doc_id").reset_index(drop=True)
             [["doc_id", "total", "shared", "novelty"]])
+
+
+def sql_scalar_projection(sf_dir: str):
+    """_sql scalar functions / arithmetic in SELECT (x-pack sql
+    expression/function/scalar ScalarFunction processors): each
+    projection expression lowers per batch through the shared ES|QL
+    expression engine — one pyarrow kernel per AST node, computed inside
+    the same pruned streaming read as plain projections. Oracle = the
+    identical SQL string run by DuckDB verbatim."""
+    from ..functions.sql import run_sql
+
+    sql = ("SELECT doc_id, ROUND(n_chars / 7.0, 2) AS septile, "
+           "ABS(n_chars - 300) AS dist300 "
+           "FROM documents WHERE lang = 'en' "
+           "ORDER BY dist300, doc_id LIMIT 25")
+    return run_sql(sql, sf_dir, ds_factory=_ds)

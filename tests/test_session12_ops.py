@@ -501,3 +501,23 @@ def test_corpus_ngram_novelty(ray_session):
     np.testing.assert_array_equal(got["novelty"], exp["novelty"])
     assert ((got["novelty"] >= 0) & (got["novelty"] <= 1)).all()
     assert (got["shared"] <= got["total"]).all()
+
+
+def test_sql_scalar_projection(ray_session):
+    got = ops.sql_scalar_projection(SF).reset_index(drop=True)
+    exp = _oracle("sql_scalar_projection")
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        np.testing.assert_array_equal(got[c].to_numpy(),
+                                      exp[c].to_numpy(), err_msg=c)
+
+
+def test_sql_scalars_reject_mix_with_aggs(ray_session):
+    import pytest
+
+    from elasticsearch_ray.functions.sql import SqlParseError, run_sql
+    from elasticsearch_ray.pipelines.ops import _ds
+
+    with pytest.raises(SqlParseError):
+        run_sql("SELECT ABS(n_chars) AS a, COUNT(*) AS c FROM documents",
+                SF, ds_factory=_ds)
