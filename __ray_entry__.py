@@ -114,7 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_analyze_korean", "ft_analyze_japanese", "esql_mv_mad",
         "agg_geohex_grid", "simulate_index_template", "ltr_rescore",
         "eql_sequence_runs", "corpus_ngram_novelty",
-        "sql_scalar_projection",
+        "sql_scalar_projection", "sql_where_expression",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -864,6 +864,10 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "sql_where_expression": """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars % 7 = 3 AND lang = 'en'
+ORDER BY doc_id LIMIT 30""",
         "sql_scalar_projection": """
 SELECT doc_id, ROUND(n_chars / 7.0, 2) AS septile,
        ABS(n_chars - 300) AS dist300

@@ -48,7 +48,7 @@ _TOKEN_RX = re.compile(r"""
     (?P<ws>\s+)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<num>\d+\.\d+|\d+|\.\d+)
-  | (?P<op>==|!=|>=|<=|[><+\-*/(),\[\]])
+  | (?P<op>==|!=|>=|<=|[><+\-*/%(),\[\]])
   | (?P<name>[A-Za-z_][\w.]*)
 """, re.X)
 
@@ -193,7 +193,7 @@ class _Parser:
 
     def multiplicative(self):
         node = self.unary()
-        while self.peek()[1] in ("*", "/"):
+        while self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
             node = ("arith", op, node, self.unary())
         return node
@@ -257,8 +257,20 @@ def parse_expr(src: str):
 
 _CMP_KERNEL = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
                ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}
+# `%` is ES|QL Mod (EsqlBaseParser arithmeticBinary) — pyarrow has no
+# modulo kernel, so lower to a - floor-div(a, b) * b on the same types
+def _pc_mod(a, b):
+    q = pc.floor(pc.divide(pc.cast(a, pa.float64()),
+                           pc.cast(b, pa.float64())))
+    out = pc.subtract(pc.cast(a, pa.float64()), pc.multiply(q, pc.cast(b, pa.float64())))
+    at = a.type if isinstance(a, (pa.Array, pa.ChunkedArray)) else None
+    if at is not None and pa.types.is_integer(at):
+        return pc.cast(out, pa.int64())
+    return out
+
+
 _ARITH_KERNEL = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
-                 "/": pc.divide}
+                 "/": pc.divide, "%": _pc_mod}
 
 
 def _wild_to_regex(pat: str) -> str:

@@ -129,6 +129,7 @@ def parse_sql(sql: str) -> dict:
                   float(hm.group(3)) if "." in hm.group(3)
                   else int(hm.group(3)))
     preds = []
+    expr_preds = []  # expression conjuncts -> engine row filters
     ft = []  # full-text conjuncts -> engine query dicts
     if m.group("where"):
         for clause in _split_and(m.group("where")):
@@ -154,7 +155,16 @@ def parse_sql(sql: str) -> dict:
                 r"^\s*(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*"
                 r"('(?:[^']*)'|[-\d.]+)\s*$", clause)
             if not pm:
-                raise SqlParseError(f"unsupported predicate: {clause!r}")
+                # expression conjunct (x-pack sql WHERE supports scalar
+                # expressions): kept as a vectorized row filter evaluated
+                # by the shared expression engine after the pushed-down
+                # simple conjuncts prune the read. SQL `=` and single
+                # quotes are rewritten to the engine's `==` / double
+                # quotes.
+                e = re.sub(r"(?<![<>!=])=(?!=)", "==", clause.strip())
+                e = re.sub(r"'([^']*)'", r'"\1"', e)
+                expr_preds.append(e)
+                continue
             col, op, lit = pm.groups()
             val = lit[1:-1] if lit.startswith("'") else (
                 float(lit) if "." in lit else int(lit))
@@ -179,7 +189,7 @@ def parse_sql(sql: str) -> dict:
         am = re.search(r"(?i)\s+AS\s+(\w+)\s*$", c)
         names.append(am.group(1) if am else c)
     return {"cols": cols, "names": names, "plain": plain, "aggs": aggs,
-            "scalars": scalars,
+            "scalars": scalars, "expr_preds": expr_preds,
             "group": group, "having": having, "table": m.group("table"),
             "preds": preds, "ft": ft, "score_alias": score_alias,
             "order": order,
@@ -268,6 +278,16 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
             plan["plain"] + scalar_ids + [p[0] for p in plan["preds"]]
             + [o[0] for o in plan["order"]
                if o[0] != score and o[0] not in scalar_names]))
+    if plan.get("expr_preds"):
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        snames = set(_pq.read_schema(_os.path.join(
+            sf_dir, f"{plan['table']}.parquet")).names)
+        for e in plan["expr_preds"]:
+            need += [t for t in re.findall(r"[A-Za-z_]\w*", e)
+                     if t in snames and t not in need]
     if plan["ft"] and "doc_id" not in need:
         need = ["doc_id"] + need
     flt = None
@@ -303,6 +323,12 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
             _matched_set_filter(ids, sc, "doc_id", score is not None,
                                 score_col=score or "_score"),
             batch_format="pyarrow")
+    if plan.get("expr_preds"):
+        from .esql_expr import compile_predicate
+
+        for e in plan["expr_preds"]:
+            ds = ds.map_batches(compile_predicate(e),
+                                batch_format="pyarrow")
     if plan["aggs"]:
         if plan["scalars"]:
             raise SqlParseError("scalar projections cannot mix with "

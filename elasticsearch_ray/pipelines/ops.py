@@ -11939,3 +11939,18 @@ def sql_scalar_projection(sf_dir: str):
            "FROM documents WHERE lang = 'en' "
            "ORDER BY dist300, doc_id LIMIT 25")
     return run_sql(sql, sf_dir, ds_factory=_ds)
+
+
+def sql_where_expression(sf_dir: str):
+    """_sql scalar expressions in WHERE (x-pack sql planner: predicates
+    that are not field-op-literal compile to scalar processors executed
+    per hit): simple conjuncts still push into the parquet read; the
+    expression conjunct becomes ONE vectorized row filter (shared ES|QL
+    expression engine) on the pruned stream. Oracle = identical SQL
+    string in DuckDB."""
+    from ..functions.sql import run_sql
+
+    sql = ("SELECT doc_id, n_chars FROM documents "
+           "WHERE n_chars % 7 = 3 AND lang = 'en' "
+           "ORDER BY doc_id LIMIT 30")
+    return run_sql(sql, sf_dir, ds_factory=_ds)

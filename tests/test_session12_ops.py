@@ -521,3 +521,23 @@ def test_sql_scalars_reject_mix_with_aggs(ray_session):
     with pytest.raises(SqlParseError):
         run_sql("SELECT ABS(n_chars) AS a, COUNT(*) AS c FROM documents",
                 SF, ds_factory=_ds)
+
+
+def test_sql_where_expression(ray_session):
+    got = ops.sql_where_expression(SF).reset_index(drop=True)
+    exp = _oracle("sql_where_expression")
+    assert got.astype("int64").equals(exp.astype("int64"))
+    assert (got["n_chars"] % 7 == 3).all()
+
+
+def test_esql_modulo_operator(ray_session):
+    from elasticsearch_ray.functions import esql
+
+    out = esql.run(SF, "FROM documents | WHERE doc_id % 10 == 3 "
+                       "| STATS c = COUNT(*)")
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM "
+                   f"read_parquet('{SF}/documents.parquet') "
+                   f"WHERE doc_id % 10 = 3").fetchone()[0]
+    assert int(out["c"][0]) == n
