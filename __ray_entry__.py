@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_geohex_grid", "simulate_index_template", "ltr_rescore",
         "eql_sequence_runs", "corpus_ngram_novelty",
         "sql_scalar_projection", "sql_where_expression",
+        "sql_like_predicate",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -864,6 +865,9 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "sql_like_predicate": """
+SELECT doc_id, source FROM documents
+WHERE source LIKE 'src1%' ORDER BY doc_id LIMIT 20""",
         "sql_where_expression": """
 SELECT doc_id, n_chars FROM documents
 WHERE n_chars % 7 = 3 AND lang = 'en'

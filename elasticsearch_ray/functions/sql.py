@@ -163,6 +163,19 @@ def parse_sql(sql: str) -> dict:
                 # quotes.
                 e = re.sub(r"(?<![<>!=])=(?!=)", "==", clause.strip())
                 e = re.sub(r"'([^']*)'", r'"\1"', e)
+                # SQL LIKE wildcards -> the engine's (%% -> *, _ -> ?)
+                e = re.sub(
+                    r'(?i)(LIKE\s+)"([^"]*)"',
+                    lambda mm: mm.group(1) + '"'
+                    + mm.group(2).replace("%", "*").replace("_", "?")
+                    + '"', e)
+                from .esql_expr import parse_expr
+
+                try:
+                    parse_expr(e)
+                except ValueError as exc:
+                    raise SqlParseError(
+                        f"unsupported predicate: {clause!r}") from exc
                 expr_preds.append(e)
                 continue
             col, op, lit = pm.groups()

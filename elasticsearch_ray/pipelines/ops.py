@@ -11954,3 +11954,15 @@ def sql_where_expression(sf_dir: str):
            "WHERE n_chars % 7 = 3 AND lang = 'en' "
            "ORDER BY doc_id LIMIT 30")
     return run_sql(sql, sf_dir, ds_factory=_ds)
+
+
+def sql_like_predicate(sf_dir: str):
+    """_sql LIKE predicate (x-pack sql ql expression/predicate/regex
+    LikePattern: %% and _ wildcards): translated to the engine's
+    wildcard matcher (one compiled-regex kernel per batch) behind the
+    pushed simple conjuncts. Oracle = identical SQL in DuckDB."""
+    from ..functions.sql import run_sql
+
+    sql = ("SELECT doc_id, source FROM documents "
+           "WHERE source LIKE 'src1%' ORDER BY doc_id LIMIT 20")
+    return run_sql(sql, sf_dir, ds_factory=_ds)

@@ -541,3 +541,10 @@ def test_esql_modulo_operator(ray_session):
                    f"read_parquet('{SF}/documents.parquet') "
                    f"WHERE doc_id % 10 = 3").fetchone()[0]
     assert int(out["c"][0]) == n
+
+
+def test_sql_like_predicate(ray_session):
+    got = ops.sql_like_predicate(SF).reset_index(drop=True)
+    exp = _oracle("sql_like_predicate")
+    assert got.astype(str).equals(exp.astype(str))
+    assert got["source"].str.startswith("src1").all()

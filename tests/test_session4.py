@@ -109,8 +109,12 @@ def test_sql_parser_errors_and_ops():
     assert p["limit"] == 2 and p["order"] == []
     with _pt.raises(SqlParseError):
         parse_sql("SELECT * FROM t JOIN u ON 1=1")
+    # LIKE predicates are supported since session 12 (expression-conjunct
+    # fallback): SQL wildcards translate to the engine's (% -> *, _ -> ?)
+    p2 = parse_sql("SELECT a FROM t WHERE x LIKE 'y%'")
+    assert p2["expr_preds"] == ['x LIKE "y*"']
     with _pt.raises(SqlParseError):
-        parse_sql("SELECT a FROM t WHERE x LIKE 'y%'")
+        parse_sql("SELECT a FROM t WHERE x ~~~ 'y'")
 
 
 def test_training_shuffle_epochs_differ(ray_session):
