@@ -115,7 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_geohex_grid", "simulate_index_template", "ltr_rescore",
         "eql_sequence_runs", "corpus_ngram_novelty",
         "sql_scalar_projection", "sql_where_expression",
-        "sql_like_predicate",
+        "sql_like_predicate", "ingest_conditional",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -865,6 +865,12 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "ingest_conditional": """
+SELECT CASE WHEN n_chars > 300 THEN 'long'
+            WHEN lang = 'en' AND n_chars <= 300 THEN 'short_en'
+            ELSE 'other' END AS flag,
+       count(*)::BIGINT AS n
+FROM documents GROUP BY 1 ORDER BY flag""",
         "sql_like_predicate": """
 SELECT doc_id, source FROM documents
 WHERE source LIKE 'src1%' ORDER BY doc_id LIMIT 20""",

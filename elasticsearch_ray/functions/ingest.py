@@ -839,3 +839,52 @@ def network_direction(src_col: str, dst_col: str,
         return _put(t, out, pa.array(vals.tolist(), pa.string()))
 
     return f
+
+
+def when(predicate, processor):
+    """Per-processor `if` condition (ingest ConditionalProcessor, 6.5+:
+    every processor spec may carry an `if` script; the processor runs
+    only for documents where it evaluates true). `predicate` is a
+    vectorized `pa.Table -> bool mask`; matching rows run the processor,
+    the rest pass through untouched, and original row order is restored
+    — per-document semantics at batch cost."""
+    def f(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        mask = np.asarray(predicate(t), bool)
+        if mask.all():
+            return processor(t)
+        if not mask.any():
+            return t
+        idx = pa.array(np.arange(len(t)), pa.int64())
+        t2 = t.append_column("__row_idx", idx)
+        done = processor(t2.filter(pa.array(mask)))
+        rest = t2.filter(pa.array(~mask))
+        # schema union: columns the processor added are null on the
+        # untouched side; columns it removed are null on the done side
+        for c in done.column_names:
+            if c not in rest.column_names:
+                rest = rest.append_column(
+                    c, pa.nulls(len(rest), done.schema.field(c).type))
+        for c in rest.column_names:
+            if c not in done.column_names:
+                done = done.append_column(
+                    c, pa.nulls(len(done), rest.schema.field(c).type))
+        merged = pa.concat_tables([done.select(rest.column_names), rest])
+        merged = merged.sort_by("__row_idx")
+        return merged.drop_columns(["__row_idx"])
+
+    return f
+
+
+def ignore_failure(processor):
+    """`ignore_failure: true` (CompoundProcessor): an exception from the
+    wrapped processor leaves the batch unchanged instead of failing the
+    pipeline."""
+    def f(t: pa.Table) -> pa.Table:
+        try:
+            return processor(t)
+        except Exception:
+            return t
+
+    return f

@@ -11966,3 +11966,32 @@ def sql_like_predicate(sf_dir: str):
     sql = ("SELECT doc_id, source FROM documents "
            "WHERE source LIKE 'src1%' ORDER BY doc_id LIMIT 20")
     return run_sql(sql, sf_dir, ds_factory=_ds)
+
+
+def ingest_conditional(sf_dir: str):
+    """Per-processor `if` conditions (ingest ConditionalProcessor, 6.5):
+    a 3-processor pipeline where each `set` runs only for the documents
+    matching its condition — long docs, then short English docs, default
+    otherwise. The conditional split/merge keeps per-document semantics
+    with whole-batch vectorized kernels (functions/ingest.when)."""
+    import pyarrow.compute as pc
+
+    from ..functions import ingest as I
+
+    pipe = I.pipeline(
+        I.set_value("flag", "other"),
+        I.when(lambda t: pc.greater(t["n_chars"], 300).to_numpy(
+            zero_copy_only=False),
+            I.set_value("flag", "long")),
+        I.when(lambda t: pc.and_(
+            pc.equal(t["lang"], "en"),
+            pc.less_equal(t["n_chars"], 300)).to_numpy(
+            zero_copy_only=False),
+            I.set_value("flag", "short_en")),
+    )
+    out = (_ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+           .map_batches(pipe, batch_format="pyarrow").to_pandas())
+    g = (out.groupby("flag").size().reset_index(name="n")
+         .sort_values("flag").reset_index(drop=True))
+    g["n"] = g["n"].astype("int64")
+    return g

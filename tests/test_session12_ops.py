@@ -548,3 +548,32 @@ def test_sql_like_predicate(ray_session):
     exp = _oracle("sql_like_predicate")
     assert got.astype(str).equals(exp.astype(str))
     assert got["source"].str.startswith("src1").all()
+
+
+def test_ingest_conditional(ray_session):
+    got = ops.ingest_conditional(SF).reset_index(drop=True)
+    exp = _oracle("ingest_conditional")
+    assert got.astype(str).equals(exp.astype(str))
+
+
+def test_ingest_when_preserves_order_and_ignore_failure():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from elasticsearch_ray.functions import ingest as I
+
+    t = pa.table({"x": pa.array([1, 5, 2, 8], pa.int64()),
+                  "s": pa.array(["a", "b", "c", "d"])})
+    out = I.when(lambda tt: pc.greater(tt["x"], 3).to_numpy(),
+                 I.uppercase("s"))(t)
+    assert out["s"].to_pylist() == ["a", "B", "c", "D"]  # order preserved
+    assert out["x"].to_pylist() == [1, 5, 2, 8]
+    # a processor that adds a column: untouched rows get nulls
+    out2 = I.when(lambda tt: pc.greater(tt["x"], 3).to_numpy(),
+                  I.set_value("hit", "y"))(t)
+    assert out2["hit"].to_pylist() == [None, "y", None, "y"]
+
+    def boom(_):
+        raise RuntimeError("nope")
+
+    assert I.ignore_failure(boom)(t).equals(t)
