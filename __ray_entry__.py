@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eql_sequence_runs", "corpus_ngram_novelty",
         "sql_scalar_projection", "sql_where_expression",
         "sql_like_predicate", "ingest_conditional",
+        "sql_group_by_expression",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -865,6 +866,11 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "sql_group_by_expression": """
+SELECT FLOOR(n_chars / 100.0) AS bucket, COUNT(*) AS c,
+       AVG(n_chars) AS avg_chars
+FROM documents GROUP BY FLOOR(n_chars / 100.0)
+ORDER BY bucket""",
         "ingest_conditional": """
 SELECT CASE WHEN n_chars > 300 THEN 'long'
             WHEN lang = 'en' AND n_chars <= 300 THEN 'short_en'

@@ -112,9 +112,20 @@ def parse_sql(sql: str) -> dict:
             scalars.append((em.group(2), em.group(1)))
     group = []
     if m.group("group"):
-        group = [g.strip() for g in m.group("group").split(",")]
-        if any(not re.fullmatch(r"\w+", g) for g in group):
-            raise SqlParseError("GROUP BY takes plain columns")
+        for g in _split_cols(m.group("group")):
+            if re.fullmatch(r"\w+", g):
+                group.append(g)
+                continue
+            # GROUP BY <expr>: standard SQL requires the same expression
+            # in SELECT with an alias — group on that alias (the hidden
+            # EVAL column computed before the partial combiner)
+            alias = next((a for a, s in scalars
+                          if s.strip() == g.strip()), None)
+            if alias is None:
+                raise SqlParseError(
+                    "GROUP BY expression must appear in SELECT "
+                    "with an alias")
+            group.append(alias)
         if set(plain) - set(group):
             raise SqlParseError("non-aggregated projection outside GROUP BY")
     elif aggs and plain:
@@ -270,8 +281,23 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
     plan = parse_sql(sql)
     score = plan["score_alias"]
     if plan["aggs"]:
+        scalar_names = {a for a, _ in plan["scalars"]}
+        scalar_ids: list[str] = []
+        if plan["scalars"]:
+            import os
+
+            import pyarrow.parquet as pq
+
+            schema_names = set(pq.read_schema(os.path.join(
+                sf_dir, f"{plan['table']}.parquet")).names)
+            for _, src_expr in plan["scalars"]:
+                scalar_ids += [t for t in re.findall(r"[A-Za-z_]\w*",
+                                                     src_expr)
+                               if t in schema_names]
         need = list(dict.fromkeys(
-            plan["group"] + [a[2] for a in plan["aggs"] if a[2] != "*"]
+            [g for g in plan["group"] if g not in scalar_names]
+            + scalar_ids
+            + [a[2] for a in plan["aggs"] if a[2] != "*"]
             + [p[0] for p in plan["preds"]]))
     else:
         scalar_ids: list[str] = []
@@ -344,8 +370,28 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
                                 batch_format="pyarrow")
     if plan["aggs"]:
         if plan["scalars"]:
-            raise SqlParseError("scalar projections cannot mix with "
-                                "aggregates")
+            # scalar projections in an aggregate plan are legal exactly
+            # when each one is a GROUP BY key (SQL semantics): compute
+            # them as hidden EVAL columns BEFORE the partial combiner
+            if not {a for a, _ in plan["scalars"]} <= set(plan["group"]):
+                raise SqlParseError("scalar projections in an aggregate "
+                                    "query must be GROUP BY keys")
+            import pyarrow as pa
+
+            from .esql_expr import evaluate, parse_expr
+
+            asts = [(alias, parse_expr(src_expr))
+                    for alias, src_expr in plan["scalars"]]
+
+            def add_keys(t: pa.Table) -> pa.Table:
+                for alias, ast in asts:
+                    v = evaluate(ast, t)
+                    if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                        v = pa.array([v] * len(t))
+                    t = t.append_column(alias, v)
+                return t
+
+            ds = ds.map_batches(add_keys, batch_format="pyarrow")
         return _run_agg(ds, plan)
     if plan["scalars"]:
         import pyarrow as pa

@@ -11995,3 +11995,18 @@ def ingest_conditional(sf_dir: str):
          .sort_values("flag").reset_index(drop=True))
     g["n"] = g["n"].astype("int64")
     return g
+
+
+def sql_group_by_expression(sf_dir: str):
+    """_sql GROUP BY on a scalar expression (x-pack sql planner: grouping
+    keys may be scalar functions — the SQL face of a histogram agg): the
+    expression computes as a hidden EVAL column per batch BEFORE the
+    partial combiner, so the exchange stays group-cardinality. Oracle =
+    identical SQL in DuckDB."""
+    from ..functions.sql import run_sql
+
+    sql = ("SELECT FLOOR(n_chars / 100.0) AS bucket, COUNT(*) AS c, "
+           "AVG(n_chars) AS avg_chars "
+           "FROM documents GROUP BY FLOOR(n_chars / 100.0) "
+           "ORDER BY bucket")
+    return run_sql(sql, sf_dir, ds_factory=_ds)

@@ -577,3 +577,18 @@ def test_ingest_when_preserves_order_and_ignore_failure():
         raise RuntimeError("nope")
 
     assert I.ignore_failure(boom)(t).equals(t)
+
+
+def test_sql_group_by_expression(ray_session):
+    got = ops.sql_group_by_expression(SF).reset_index(drop=True)
+    exp = _oracle("sql_group_by_expression")
+    assert got.astype(str).equals(exp.astype(str))
+    import pytest
+
+    from elasticsearch_ray.functions.sql import SqlParseError, run_sql
+    from elasticsearch_ray.pipelines.ops import _ds
+
+    # a scalar projection that is NOT a group key stays rejected
+    with pytest.raises(SqlParseError):
+        run_sql("SELECT ABS(n_chars) AS a, COUNT(*) AS c FROM documents "
+                "GROUP BY lang", SF, ds_factory=_ds)
