@@ -61,3 +61,40 @@ def test_sql_random_plans_match_duckdb(ray_session, seed):
             got[cols].reset_index(drop=True),
             want[cols].reset_index(drop=True),
             check_dtype=False, atol=1e-9, rtol=1e-12, obj=f"sql {sql!r}")
+
+
+def _expr_case(rng: np.random.Generator) -> str:
+    """Scalar-expression surface (session 12): expression projections,
+    expression WHERE conjuncts, LIKE, GROUP BY expression keys."""
+    kind = rng.integers(0, 3)
+    if kind == 0:
+        a, b = int(rng.integers(2, 9)), int(rng.integers(1, 50))
+        sql = (f"SELECT event_id, ROUND(value / {a}.0, 2) AS v{a}, "
+               f"ABS(value - {b}) AS d{b} FROM events "
+               f"WHERE value >= {int(rng.integers(0, 50))} "
+               f"ORDER BY d{b}, event_id LIMIT {int(rng.integers(3, 15))}")
+    elif kind == 1:
+        m, r = int(rng.integers(2, 7)), int(rng.integers(0, 2))
+        sql = (f"SELECT event_id, user_id FROM events "
+               f"WHERE user_id % {m} = {r} AND value < 90 "
+               f"ORDER BY event_id LIMIT {int(rng.integers(5, 25))}")
+    else:
+        w = int(rng.integers(10, 40))
+        sql = (f"SELECT FLOOR(value / {w}.0) AS bucket, COUNT(*) AS c "
+               f"FROM events GROUP BY FLOOR(value / {w}.0) "
+               f"ORDER BY bucket")
+    return sql
+
+
+@pytest.mark.parametrize("seed", [23, 71])
+def test_sql_expression_plans_match_duckdb(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(8):
+        sql = _expr_case(rng)
+        got = run_sql(sql, SF, ds_factory=_ds)
+        want = duckdb.sql(sql.replace("FROM events", f"FROM {EV}")).df()
+        cols = sorted(want.columns)
+        pd.testing.assert_frame_equal(
+            got[cols].reset_index(drop=True),
+            want[cols].reset_index(drop=True),
+            check_dtype=False, atol=1e-9, rtol=1e-12, obj=f"sql {sql!r}")
