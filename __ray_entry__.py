@@ -116,7 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eql_sequence_runs", "corpus_ngram_novelty",
         "sql_scalar_projection", "sql_where_expression",
         "sql_like_predicate", "ingest_conditional",
-        "sql_group_by_expression",
+        "sql_group_by_expression", "eql_insensitive_match",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -866,6 +866,10 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "eql_insensitive_match": """
+SELECT event_id, ts, event_type, value FROM events
+WHERE lower(event_type) LIKE 'cli%' AND value > 95
+ORDER BY ts, event_id LIMIT 12""",
         "sql_group_by_expression": """
 SELECT FLOOR(n_chars / 100.0) AS bucket, COUNT(*) AS c,
        AVG(n_chars) AS avg_chars

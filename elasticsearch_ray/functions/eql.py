@@ -78,9 +78,22 @@ def _split_pipes(q: str) -> tuple[str, list[tuple[str, str]]]:
 
 
 def _category_predicate(category: str, cond: str) -> str:
+    cond = _rewrite_insensitive(cond)
     if category.lower() == "any":
         return cond
     return f'event_type == "{category}" AND ({cond})'
+
+
+_INSENSITIVE_RX = re.compile(r'([\w.]+)\s*:\s*"([^"]*)"')
+
+
+def _rewrite_insensitive(cond: str) -> str:
+    """EQL `field : "pattern"` operator (7.16: case-insensitive wildcard
+    string match) -> TO_LOWER(field) LIKE "lowered-pattern" in the
+    shared expression engine."""
+    return _INSENSITIVE_RX.sub(
+        lambda m: f'TO_LOWER({m.group(1)}) LIKE "{m.group(2).lower()}"',
+        cond)
 
 
 def parse(query: str) -> dict:

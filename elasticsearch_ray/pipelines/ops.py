@@ -12010,3 +12010,15 @@ def sql_group_by_expression(sf_dir: str):
            "FROM documents GROUP BY FLOOR(n_chars / 100.0) "
            "ORDER BY bucket")
     return run_sql(sql, sf_dir, ds_factory=_ds)
+
+
+def eql_insensitive_match(sf_dir: str):
+    """EQL `:` operator (x-pack eql 7.16: case-insensitive wildcard
+    string comparison — `field : "PaT*"`): rewritten to a lowered LIKE
+    in the shared expression engine (one compiled-regex kernel per
+    batch). Pipe-bounded result."""
+    from ..functions import eql
+
+    return eql.run(sf_dir, '''
+      any where event_type : "CLI*" and value > 95 | head 12
+    ''')

@@ -592,3 +592,15 @@ def test_sql_group_by_expression(ray_session):
     with pytest.raises(SqlParseError):
         run_sql("SELECT ABS(n_chars) AS a, COUNT(*) AS c FROM documents "
                 "GROUP BY lang", SF, ds_factory=_ds)
+
+
+def test_eql_insensitive_operator(ray_session):
+    got = ops.eql_insensitive_match(SF).reset_index(drop=True)
+    exp = _oracle("eql_insensitive_match")
+    assert list(got["event_id"]) == list(exp["event_id"])
+    assert got["event_type"].str.lower().str.startswith("cli").all()
+    # the rewrite itself
+    from elasticsearch_ray.functions.eql import _rewrite_insensitive
+
+    assert _rewrite_insensitive('x : "AbC*"') == 'TO_LOWER(x) LIKE "abc*"'
+    assert _rewrite_insensitive("x > 3") == "x > 3"
