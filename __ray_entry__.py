@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_scalar_projection", "sql_where_expression",
         "sql_like_predicate", "ingest_conditional",
         "sql_group_by_expression", "eql_insensitive_match",
+        "ft_analyze_multiplexer", "ft_analyze_condition",
+        "ft_analyze_predicate",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -866,6 +868,36 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "ft_analyze_multiplexer": """
+WITH arr AS (SELECT list_filter(regexp_split_to_array(
+    lower('Data query window level stats'), '[^a-z0-9]+'),
+    x -> x <> '') AS a),
+t AS (SELECT unnest(a) AS tok, generate_subscripts(a, 1) AS i FROM arr),
+e AS (SELECT i, 1 AS j, tok FROM t
+      UNION ALL
+      SELECT i, 2, reverse(tok) FROM t WHERE reverse(tok) <> tok)
+SELECT CAST(row_number() OVER (ORDER BY i, j) - 1 AS BIGINT) AS position,
+       tok AS token
+FROM e ORDER BY position""",
+        "ft_analyze_condition": """
+WITH arr AS (SELECT list_filter(regexp_split_to_array(
+    lower('Data query window level statistics'), '[^a-z0-9]+'),
+    x -> x <> '') AS a)
+SELECT position,
+       CASE WHEN length(t) > 5 THEN reverse(t) ELSE t END AS token
+FROM (SELECT CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS position,
+             unnest(a) AS t
+      FROM arr) ORDER BY position""",
+        "ft_analyze_predicate": """
+WITH arr AS (SELECT list_filter(regexp_split_to_array(
+    lower('Data query window level statistics go'), '[^a-z0-9]+'),
+    x -> x <> '') AS a),
+k AS (SELECT t, i FROM (SELECT unnest(a) AS t,
+                               generate_subscripts(a, 1) AS i FROM arr)
+      WHERE length(t) >= 5)
+SELECT CAST(row_number() OVER (ORDER BY i) - 1 AS BIGINT) AS position,
+       t AS token
+FROM k ORDER BY position""",
         "eql_insensitive_match": """
 SELECT event_id, ts, event_type, value FROM events
 WHERE lower(event_type) LIKE 'cli%' AND value > 95

@@ -1020,3 +1020,32 @@ def icu_folding_filter(tokens: list[str]) -> list[str]:
 
 def icu_normalizer_filter(tokens: list[str]) -> list[str]:
     return [icu_normalizer(t) for t in tokens]
+
+
+def multiplexer_filter(tokens: list[str], branches) -> list[str]:
+    """`multiplexer` token filter (MultiplexerTokenFilterFactory, 6.4):
+    each input token is emitted once per branch filter chain at the SAME
+    position, duplicates at a position removed. `branches` is a list of
+    callables token -> token (identity = the unfiltered branch)."""
+    out: list[str] = []
+    for t in tokens:
+        seen = []
+        for br in branches:
+            v = br(t)
+            if v and v not in seen:
+                seen.append(v)
+        out.extend(seen)
+    return out
+
+
+def condition_filter(tokens: list[str], predicate, inner) -> list[str]:
+    """`condition` token filter (ScriptedConditionTokenFilterFactory,
+    7.1: wraps a filter chain behind a token-level script predicate —
+    the inner filters apply only to tokens where it is true)."""
+    return [inner(t) if predicate(t) else t for t in tokens]
+
+
+def predicate_filter(tokens: list[str], predicate) -> list[str]:
+    """`predicate_token_filter` (7.1): keep only tokens whose script
+    predicate is true."""
+    return [t for t in tokens if predicate(t)]

@@ -12022,3 +12022,47 @@ def eql_insensitive_match(sf_dir: str):
     return eql.run(sf_dir, '''
       any where event_type : "CLI*" and value > 95 | head 12
     ''')
+
+
+def ft_analyze_multiplexer(sf_dir: str):
+    """multiplexer token filter (analysis-common
+    MultiplexerTokenFilterFactory, 6.4): each token emits once per
+    branch chain at the same position — here [identity, reverse],
+    position-deduped. Oracle re-derives both branches in SQL."""
+    from ..analyzer import analyze_simple
+    from ..filters import multiplexer_filter, reverse_filter
+
+    toks = analyze_simple("Data query window level stats")
+    out = multiplexer_filter(toks, [lambda t: t,
+                                    lambda t: reverse_filter([t])[0]])
+    return pd.DataFrame({"position": pd.array(range(len(out)),
+                                              dtype="int64"),
+                         "token": out})
+
+
+def ft_analyze_condition(sf_dir: str):
+    """condition token filter (ScriptedConditionTokenFilterFactory, 7.1):
+    the inner chain (reverse) applies only to tokens longer than 5
+    chars; shorter tokens pass through untouched."""
+    from ..analyzer import analyze_simple
+    from ..filters import condition_filter
+
+    toks = analyze_simple("Data query window level statistics")
+    out = condition_filter(toks, lambda t: len(t) > 5,
+                           lambda t: t[::-1])
+    return pd.DataFrame({"position": pd.array(range(len(out)),
+                                              dtype="int64"),
+                         "token": out})
+
+
+def ft_analyze_predicate(sf_dir: str):
+    """predicate_token_filter (7.1): keep only tokens whose script is
+    true (length >= 5 here)."""
+    from ..analyzer import analyze_simple
+    from ..filters import predicate_filter
+
+    toks = analyze_simple("Data query window level statistics go")
+    out = predicate_filter(toks, lambda t: len(t) >= 5)
+    return pd.DataFrame({"position": pd.array(range(len(out)),
+                                              dtype="int64"),
+                         "token": out})

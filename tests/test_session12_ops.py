@@ -604,3 +604,24 @@ def test_eql_insensitive_operator(ray_session):
 
     assert _rewrite_insensitive('x : "AbC*"') == 'TO_LOWER(x) LIKE "abc*"'
     assert _rewrite_insensitive("x > 3") == "x > 3"
+
+
+def test_analysis_wrapper_filters(ray_session):
+    from elasticsearch_ray.filters import (condition_filter,
+                                           multiplexer_filter,
+                                           predicate_filter)
+
+    # multiplexer dedupes same-position duplicates (palindromes)
+    assert multiplexer_filter(["level"], [lambda t: t,
+                                          lambda t: t[::-1]]) == ["level"]
+    assert multiplexer_filter(["ab"], [lambda t: t,
+                                       lambda t: t[::-1]]) == ["ab", "ba"]
+    assert condition_filter(["go", "window"], lambda t: len(t) > 5,
+                            lambda t: t.upper()) == ["go", "WINDOW"]
+    assert predicate_filter(["go", "window"],
+                            lambda t: len(t) >= 5) == ["window"]
+    for name in ("ft_analyze_multiplexer", "ft_analyze_condition",
+                 "ft_analyze_predicate"):
+        got = getattr(ops, name)(SF).reset_index(drop=True)
+        exp = _oracle(name)
+        assert got.astype(str).equals(exp.astype(str)), name
