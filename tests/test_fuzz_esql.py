@@ -108,6 +108,10 @@ _SCALAR_PAIRS = [
     ("SUBSTRING(event_type, 2, 3)", "substring(event_type, 2, 3)"),
     ("TO_BOOLEAN(value - 50)", "(value - 50) <> 0"),
     ("TO_VERSION(event_type)", "event_type"),
+    # `%` operator (floor-mod == trunc-mod for the non-negative operands
+    # generated here)
+    ("user_id % 7", "user_id % 7"),
+    ("ROUND(value % 9.5, 6)", "round(fmod(value, 9.5), 6)"),
 ]
 
 _MV_PAIRS = [
