@@ -118,7 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_like_predicate", "ingest_conditional",
         "sql_group_by_expression", "eql_insensitive_match",
         "ft_analyze_multiplexer", "ft_analyze_condition",
-        "ft_analyze_predicate",
+        "ft_analyze_predicate", "eql_sequence_by_multi",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -868,6 +868,17 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "eql_sequence_by_multi": """
+WITH a AS (SELECT user_id, event_type, ts FROM events WHERE value > 60),
+s AS (SELECT a.user_id, a.event_type, a.ts AS t1,
+        (SELECT min(b.ts) FROM events b
+         WHERE b.user_id = a.user_id AND b.event_type = a.event_type
+           AND b.value < 40 AND b.ts > a.ts) AS t2
+      FROM a)
+SELECT user_id, event_type, count(*)::BIGINT AS seqs
+FROM s WHERE t2 IS NOT NULL
+  AND epoch_us(t2) - epoch_us(t1) <= 172800000000::BIGINT
+GROUP BY user_id, event_type ORDER BY user_id, event_type""",
         "ft_analyze_multiplexer": """
 WITH arr AS (SELECT list_filter(regexp_split_to_array(
     lower('Data query window level stats'), '[^a-z0-9]+'),

@@ -46,7 +46,8 @@ def _expand_steps(body: str) -> list[str]:
         out.extend([_category_predicate(cat, pred)] * int(runs or 1))
     return out
 _SEQ_RX = re.compile(
-    r"^sequence(?:\s+by\s+([\w.]+))?(?:\s+with\s+maxspan\s*=\s*(\d+)"
+    r"^sequence(?:\s+by\s+([\w.]+(?:\s*,\s*[\w.]+)*))?"
+    r"(?:\s+with\s+maxspan\s*=\s*(\d+)"
     r"([smhd]))?\s*(.*)$", re.I | re.S)
 _SINGLE_RX = re.compile(r"^(\w+)\s+where\s+(.*)$", re.S)
 _SAMPLE_RX = re.compile(r"^sample\s+by\s+([\w.]+)\s*(.*)$", re.I | re.S)
@@ -140,7 +141,7 @@ def _used_columns(plan: dict) -> set[str]:
     for s in texts:
         out.update(re.findall(r"[A-Za-z_][\w.]*", s))
     if plan.get("by"):
-        out.add(plan["by"])
+        out.update(b.strip() for b in plan["by"].split(","))
     return out
 
 
@@ -238,6 +239,14 @@ def run(sf_dir: str, query: str, table: str = "events") -> pd.DataFrame:
     nsteps = len(plan["steps"])
     step_asts = [parse_expr(s) for s in plan["steps"]]
     until_ast = parse_expr(plan["until"]) if plan["until"] else None
+
+    bys = [b.strip() for b in by.split(",")] if by else []
+    if len(bys) >= 2:
+        # `sequence by k1, k2, ...` (EqlParser joinKeys): composite join
+        # key — same tag/chain shape, one key column per field through
+        # the SAME single groupby exchange
+        return _run_sequence_multi(ds, bys, span, nsteps, step_asts,
+                                   until_ast, plan["pipes"])
 
     def tag(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False) \
@@ -351,3 +360,85 @@ def _apply_pipes_frame(out: pd.DataFrame,
         else:
             raise ValueError(f"unsupported EQL pipe: {name}")
     return out
+
+
+def _run_sequence_multi(ds, bys, span, nsteps, step_asts, until_ast,
+                        pipes):
+    """Composite-join-key sequences (`sequence by a, b`): identical
+    searchsorted-cascade semantics per (a, b) group; the multi-column
+    groupby is still ONE exchange of tagged (keys, ts, step) rows."""
+    from .esql_expr import evaluate
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        masks = [np.asarray(
+            evaluate(ast, t).to_numpy(zero_copy_only=False), bool)
+            for ast in step_asts]
+        if until_ast is not None:
+            masks.append(np.asarray(
+                evaluate(until_ast, t).to_numpy(zero_copy_only=False),
+                bool))
+        cols: dict[str, pa.Array] = {}
+        for j, b in enumerate(bys):
+            typ = t.schema.field(b).type
+            parts = [t[b].filter(pa.array(m)) for m in masks]
+            cols[f"k{j}"] = (pa.concat_arrays(
+                [p.combine_chunks() if isinstance(p, pa.ChunkedArray)
+                 else p for p in parts]) if parts else
+                pa.array([], typ))
+        tss, steps = [], []
+        for i, m in enumerate(masks):
+            step_id = -1 if (until_ast is not None
+                             and i == len(masks) - 1) else i
+            tss.append(ts[m])
+            steps.append(np.full(int(m.sum()), step_id, np.int8))
+        cols["ts"] = pa.array(np.concatenate(tss) if tss else
+                              np.empty(0, np.int64), pa.int64())
+        cols["step"] = pa.array(np.concatenate(steps) if steps else
+                                np.empty(0, np.int8), pa.int8())
+        return pa.table(cols)
+
+    kcols = [f"k{j}" for j in range(len(bys))]
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        empty = {c: pd.Series([], dtype=df[c].dtype) for c in kcols}
+        empty["seqs"] = pd.Series([], dtype=np.int64)
+        arrs = [np.sort(df.loc[df["step"] == i, "ts"].to_numpy())
+                for i in range(nsteps)]
+        unt = np.sort(df.loc[df["step"] == -1, "ts"].to_numpy())
+        if any(a.size == 0 for a in arrs):
+            return pd.DataFrame(empty)
+        cur = arrs[0].copy()
+        first = arrs[0]
+        ok = np.ones(cur.size, bool)
+        for nxt in arrs[1:]:
+            pos = np.searchsorted(nxt, cur, side="right")
+            hit = pos < nxt.size
+            ok &= hit
+            cur = np.where(hit, nxt[np.minimum(pos, nxt.size - 1)], cur)
+        if span is not None:
+            ok &= (cur - first) <= span
+        if unt.size:
+            u_in = (np.searchsorted(unt, cur, side="right") -
+                    np.searchsorted(unt, first, side="right")) > 0
+            ok &= ~u_in
+        n = int(ok.sum())
+        if n == 0:
+            return pd.DataFrame(empty)
+        row = {c: [df[c].iloc[0]] for c in kcols}
+        row["seqs"] = [n]
+        return pd.DataFrame(row)
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby(kcols).map_groups(per_key, batch_format="pandas")
+             .to_pandas())
+    if "seqs" not in out.columns:
+        out = pd.DataFrame({**{b: pd.Series([], dtype=object)
+                               for b in bys},
+                            "seqs": pd.Series([], dtype=np.int64)})
+        return _apply_pipes_frame(out, pipes)
+    out["seqs"] = out["seqs"].astype(np.int64)
+    out = out.rename(columns=dict(zip(kcols, bys)))
+    out = out.sort_values(bys).reset_index(drop=True)
+    return _apply_pipes_frame(out, pipes)

@@ -12066,3 +12066,16 @@ def ft_analyze_predicate(sf_dir: str):
     return pd.DataFrame({"position": pd.array(range(len(out)),
                                               dtype="int64"),
                          "token": out})
+
+
+def eql_sequence_by_multi(sf_dir: str):
+    """EQL composite join keys (`sequence by user_id, event_type` —
+    EqlParser joinKeys accepts a key list): chains match only within the
+    same (user, type) pair. Same tag + searchsorted cascade; the
+    multi-column groupby stays ONE exchange."""
+    from ..functions import eql
+
+    return eql.run(sf_dir, '''
+      sequence by user_id, event_type with maxspan=2d
+        [ any where value > 60 ] [ any where value < 40 ]
+    ''')

@@ -625,3 +625,18 @@ def test_analysis_wrapper_filters(ray_session):
         got = getattr(ops, name)(SF).reset_index(drop=True)
         exp = _oracle(name)
         assert got.astype(str).equals(exp.astype(str)), name
+
+
+def test_eql_sequence_by_multi(ray_session):
+    got = ops.eql_sequence_by_multi(SF).reset_index(drop=True)
+    exp = _oracle("eql_sequence_by_multi")
+    assert list(got.columns) == list(exp.columns)
+    assert got.astype(str).equals(exp.astype(str))
+    # composite key partitions more finely than the single key: total
+    # chains can only go down vs `by user_id` alone
+    from elasticsearch_ray.functions import eql
+
+    single = eql.run(SF, "sequence by user_id with maxspan=2d "
+                         "[ any where value > 60 ] "
+                         "[ any where value < 40 ]")
+    assert got["seqs"].sum() <= single["seqs"].sum()
