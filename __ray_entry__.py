@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_group_by_expression", "eql_insensitive_match",
         "ft_analyze_multiplexer", "ft_analyze_condition",
         "ft_analyze_predicate", "eql_sequence_by_multi",
+        "agg_percentile_ranks_hdr",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -712,6 +713,51 @@ SELECT CAST(ROUND(CASE WHEN e <= 2.5 * {m} AND zeros > 0
 FROM est"""
 
 
+
+
+def _hdr_ranks_oracle_sql(scale: int = 3, sig: int = 3) -> str:
+    """percentile_ranks twin of _hdr_oracle_sql: same banker's-rounded
+    scaling and HdrHistogram index math in SQL; each query value's bucket
+    index is a precomputed constant (pure function of the literal)."""
+    import numpy as np
+
+    k = int(np.ceil(np.log2(2 * 10 ** sig)))
+    mask = (1 << k) - 1
+    sh = 1 << (k - 1)
+    pow2_rows = ",".join(f"({j},{1 << j}::BIGINT)" for j in range(63))
+    # query values and their equivalent bucket indices (HdrSketch._indices)
+    vals = [50.0, 100.0, 150.0]
+    from elasticsearch_ray.aggs.hdr import HdrSketch
+
+    s = HdrSketch(sig, scale)
+    idxs = [int(s._indices(np.array([np.int64(round(v * 10 ** scale))],
+                                    np.int64))[0]) for v in vals]
+    v_rows = ",".join(f"({v}, {i})" for v, i in zip(vals, idxs))
+
+    def bankers(e):
+        return (f"(CASE WHEN ({e}) - floor({e}) = 0.5 "
+                f"THEN CAST(floor({e}) AS BIGINT) + (CAST(floor({e}) AS BIGINT) % 2) "
+                f"ELSE CAST(floor(({e}) + 0.5) AS BIGINT) END)")
+
+    return f"""
+WITH x AS MATERIALIZED (
+  SELECT {bankers(f"value * {10 ** scale}")} AS s FROM events
+  WHERE value IS NOT NULL),
+pow2(j, p2) AS (VALUES {pow2_rows}),
+mb AS MATERIALIZED (
+  SELECT s, (SELECT MAX(j) FROM pow2
+             WHERE (GREATEST(s, 0) | {mask}) >= p2) AS msb
+  FROM x),
+ix AS MATERIALIZED (
+  SELECT (bucket + 1) * {sh} + ((GREATEST(s,0) >> bucket) - {sh}) AS idx
+  FROM (SELECT GREATEST(s, 0) AS s, msb - {k - 1} AS bucket FROM mb)),
+qv(value, qidx) AS (VALUES {v_rows})
+SELECT qv.value,
+       ROUND(100.0 * (SELECT count(*) FROM ix WHERE ix.idx <= qv.qidx)
+             / (SELECT count(*) FROM ix), 6) AS rank_pct
+FROM qv ORDER BY qv.value"""
+
+
 def _hdr_oracle_sql(scale: int = 3, sig: int = 3,
                     qs: tuple = (0.5, 0.9, 0.99)) -> str:
     """The HDR-histogram percentile sketch reproduced EXACTLY in SQL —
@@ -828,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_shape_cartesian_oracle_sqls())
     out["agg_cardinality_hll"] = _hll_oracle_sql()
     out["agg_percentiles_hdr"] = _hdr_oracle_sql()
+    out["agg_percentile_ranks_hdr"] = _hdr_ranks_oracle_sql()
     out["embed_kmeans"] = _kmeans_oracle_sql()
     out["dedup_semantic"] = _semantic_dedup_oracle_sql()
     out["embed_cluster_sample"] = (

@@ -86,6 +86,17 @@ class HdrSketch:
         index = int(np.searchsorted(cum, need, side="left"))
         return self._highest_equivalent(index) / 10 ** self.scale
 
+    def rank(self, value: float) -> float:
+        """percentile_ranks (HDRPercentileRanksAggregator /
+        HdrHistogram.getPercentileAtOrBelowValue): share of recorded
+        values at or below `value`'s equivalent bucket, as a percent."""
+        if self.total == 0:
+            return float("nan")
+        scaled = np.int64(np.round(value * 10 ** self.scale))
+        idx = int(self._indices(np.array([scaled], np.int64))[0])
+        cum = int(self.counts[: idx + 1].sum())
+        return 100.0 * cum / self.total
+
     # ---- serialization for the AggregateFn ----
 
     def to_bytes(self) -> bytes:
@@ -133,4 +144,39 @@ def hdr_aggregate_fn(value_col: str, qs: list[float],
         merge=merge,
         finalize=final,
         name="percentiles_hdr",
+    )
+
+
+
+def hdr_ranks_aggregate_fn(value_col: str, values: list[float],
+                           significant_digits: int = 3, scale: int = 3):
+    """percentile_ranks, HDR method (HDRPercentileRanksAggregator):
+    same mergeable bucket-count state; finalize walks the cumulative
+    counts at each query value's equivalent bucket."""
+    from ray.data.aggregate import AggregateFn
+
+    def make() -> bytes:
+        return HdrSketch(significant_digits, scale).to_bytes()
+
+    def acc_block(state: bytes, block) -> bytes:
+        s = HdrSketch.from_bytes(state, significant_digits, scale)
+        col = block.column(value_col)
+        s.add(col.to_numpy(zero_copy_only=False))
+        return s.to_bytes()
+
+    def merge(a: bytes, b: bytes) -> bytes:
+        return (HdrSketch.from_bytes(a, significant_digits, scale)
+                .merge(HdrSketch.from_bytes(b, significant_digits, scale))
+                .to_bytes())
+
+    def final(state: bytes):
+        s = HdrSketch.from_bytes(state, significant_digits, scale)
+        return [s.rank(v) for v in values]
+
+    return AggregateFn(
+        init=lambda _: make(),
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=final,
+        name="percentile_ranks_hdr",
     )

@@ -12079,3 +12079,23 @@ def eql_sequence_by_multi(sf_dir: str):
       sequence by user_id, event_type with maxspan=2d
         [ any where value > 60 ] [ any where value < 40 ]
     ''')
+
+
+def agg_percentile_ranks_hdr(sf_dir: str):
+    """percentile_ranks via the HDR-histogram method
+    (HDRPercentileRanksAggregator — the method=hdr twin of the t-digest
+    ranks agg): distributed mergeable bucket-count AggregateFn over
+    events.value; finalize reads the cumulative count at each query
+    value's equivalent bucket. Exact oracle: the HdrHistogram index math
+    reproduced in SQL (the agg_percentiles_hdr oracle's CTEs) with each
+    query value's bucket index precomputed as a constant (a pure
+    function of the literal, like the routing-hash constants)."""
+    from ..aggs.hdr import hdr_ranks_aggregate_fn
+
+    vals = [50.0, 100.0, 150.0]
+    res = _ds(sf_dir, "events", ["value"]).aggregate(
+        hdr_ranks_aggregate_fn("value", vals))
+    out = res["percentile_ranks_hdr"] if isinstance(res, dict) else res
+    return pd.DataFrame({
+        "value": vals,
+        "rank_pct": [float(round_half_away(v, 6)) for v in out]})

@@ -640,3 +640,19 @@ def test_eql_sequence_by_multi(ray_session):
                          "[ any where value > 60 ] "
                          "[ any where value < 40 ]")
     assert got["seqs"].sum() <= single["seqs"].sum()
+
+
+def test_agg_percentile_ranks_hdr(ray_session):
+    got = ops.agg_percentile_ranks_hdr(SF).reset_index(drop=True)
+    exp = _oracle("agg_percentile_ranks_hdr")
+    assert got.astype(str).equals(exp.astype(str))
+    # monotone in the query value, and close to the exact empirical rank
+    assert got["rank_pct"].is_monotonic_increasing
+    import duckdb
+
+    for _, r in got.iterrows():
+        exact = duckdb.sql(
+            f"SELECT 100.0 * count(*) FILTER (value <= {r['value']}) "
+            f"/ count(*) FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()[0]
+        assert abs(r["rank_pct"] - exact) < 0.5  # 3-sig-digit sketch
