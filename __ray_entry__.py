@@ -119,7 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_group_by_expression", "eql_insensitive_match",
         "ft_analyze_multiplexer", "ft_analyze_condition",
         "ft_analyze_predicate", "eql_sequence_by_multi",
-        "agg_percentile_ranks_hdr",
+        "agg_percentile_ranks_hdr", "sql_select_star",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -915,6 +915,9 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "sql_select_star": """
+SELECT * FROM supplier WHERE s_suppkey < 30
+ORDER BY s_suppkey LIMIT 25""",
         "eql_sequence_by_multi": """
 WITH a AS (SELECT user_id, event_type, ts FROM events WHERE value > 60),
 s AS (SELECT a.user_id, a.event_type, a.ts AS t1,

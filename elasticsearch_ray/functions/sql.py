@@ -97,6 +97,8 @@ def parse_sql(sql: str) -> dict:
             r"(?i)(COUNT|SUM|AVG|MIN|MAX)\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)", c)
         if am:
             aggs.append((am.group(3), am.group(1).upper(), am.group(2)))
+        elif c == "*":
+            plain.append("*")  # expanded to the table schema in run_sql
         elif re.fullmatch(r"\w+", c):
             plain.append(c)
         else:
@@ -300,6 +302,21 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
             + [a[2] for a in plan["aggs"] if a[2] != "*"]
             + [p[0] for p in plan["preds"]]))
     else:
+        if "*" in plan["plain"]:
+            # SELECT * (x-pack sql wildcard projection): expand to the
+            # table's schema order — the reference resolves it against
+            # the mapping the same way
+            import os
+
+            import pyarrow.parquet as pq
+
+            allcols = list(pq.read_schema(os.path.join(
+                sf_dir, f"{plan['table']}.parquet")).names)
+            plan["plain"] = allcols
+            plan["names"] = [c if c != "*" else None
+                             for c in plan["names"]]
+            plan["names"] = [n for n in plan["names"] if n is not None]
+            plan["names"] = allcols + plan["names"]
         scalar_ids: list[str] = []
         if plan["scalars"]:
             import os

@@ -12099,3 +12099,15 @@ def agg_percentile_ranks_hdr(sf_dir: str):
     return pd.DataFrame({
         "value": vals,
         "rank_pct": [float(round_half_away(v, 6)) for v in out]})
+
+
+def sql_select_star(sf_dir: str):
+    """_sql wildcard projection (`SELECT *` resolved against the mapping,
+    x-pack sql ql analyzer): expands to the table schema in order, still
+    a pruned read + pushed predicate + distributed sort. Oracle =
+    identical SQL in DuckDB."""
+    from ..functions.sql import run_sql
+
+    sql = ("SELECT * FROM supplier WHERE s_suppkey < 30 "
+           "ORDER BY s_suppkey LIMIT 25")
+    return run_sql(sql, sf_dir, ds_factory=_ds)

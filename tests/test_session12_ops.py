@@ -656,3 +656,10 @@ def test_agg_percentile_ranks_hdr(ray_session):
             f"/ count(*) FROM read_parquet('{SF}/events.parquet')"
         ).fetchone()[0]
         assert abs(r["rank_pct"] - exact) < 0.5  # 3-sig-digit sketch
+
+
+def test_sql_select_star(ray_session):
+    got = ops.sql_select_star(SF).reset_index(drop=True)
+    exp = _oracle("sql_select_star")
+    assert list(got.columns) == list(exp.columns)
+    assert got.astype(str).equals(exp.astype(str))
