@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_analyze_multiplexer", "ft_analyze_condition",
         "ft_analyze_predicate", "eql_sequence_by_multi",
         "agg_percentile_ranks_hdr", "sql_select_star",
+        "esql_chained_stats",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -915,6 +916,12 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "esql_chained_stats": """
+WITH p AS (SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY 1, 2)
+SELECT user_id, ROUND(avg(c), 6) AS avg_types,
+       count(*)::BIGINT AS n_pairs
+FROM p GROUP BY user_id ORDER BY user_id LIMIT 25""",
         "sql_select_star": """
 SELECT * FROM supplier WHERE s_suppkey < 30
 ORDER BY s_suppkey LIMIT 25""",

@@ -986,6 +986,16 @@ def run(sf_dir: str, query: str, *, reader=None) -> pd.DataFrame:
             ds = ds.map_batches(_inline_join_fn(frame, iby or []),
                                 batch_format="pyarrow")
         elif cmd == "STATS":
+            if stats_specs is not None:
+                # chained STATS (EsqlParser allows repeated aggregations:
+                # the second one runs over the first's reduced table,
+                # which is group-cardinality-small by contract) —
+                # materialize the intermediate frame, apply any pending
+                # post commands, and continue the pipeline from it
+                frame = _apply_post(
+                    _stats_table(ds, stats_specs, by or []), post)
+                post = []
+                ds = rd.from_pandas(frame)
             stats_specs, by, by_evals = _parse_stats(body)
             for bev in by_evals:
                 ds = ds.map_batches(bev, batch_format="pyarrow")

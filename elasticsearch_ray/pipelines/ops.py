@@ -12111,3 +12111,23 @@ def sql_select_star(sf_dir: str):
     sql = ("SELECT * FROM supplier WHERE s_suppkey < 30 "
            "ORDER BY s_suppkey LIMIT 25")
     return run_sql(sql, sf_dir, ds_factory=_ds)
+
+
+def esql_chained_stats(sf_dir: str):
+    """Chained STATS (EsqlParser: repeated aggregations — the second runs
+    over the first's reduced group table): per-(user, type) counts, then
+    per-user average and pair count. The intermediate table is
+    group-cardinality-small by contract, so the second pass is a
+    from_pandas dataset through the same combiner."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | STATS c = COUNT(*) BY user_id, event_type
+        | STATS avg_types = AVG(c), n_pairs = COUNT(*) BY user_id
+        | SORT user_id
+        | LIMIT 25
+    ''')
+    out["avg_types"] = round_half_away(
+        out["avg_types"].to_numpy(np.float64), 6)
+    return out

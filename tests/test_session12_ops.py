@@ -663,3 +663,24 @@ def test_sql_select_star(ray_session):
     exp = _oracle("sql_select_star")
     assert list(got.columns) == list(exp.columns)
     assert got.astype(str).equals(exp.astype(str))
+
+
+def test_esql_chained_stats(ray_session):
+    got = ops.esql_chained_stats(SF).reset_index(drop=True)
+    exp = _oracle("esql_chained_stats")
+    assert got.astype(str).equals(exp.astype(str))
+    # intermediate SORT/LIMIT between two STATS applies before the second
+    from elasticsearch_ray.functions import esql
+
+    out = esql.run(SF, "FROM events "
+                       "| STATS c = COUNT(*) BY event_type "
+                       "| SORT c DESC | LIMIT 2 "
+                       "| STATS total = SUM(c)")
+    import duckdb
+
+    want = duckdb.sql(f"""
+        WITH p AS (SELECT event_type, count(*) AS c
+                   FROM read_parquet('{SF}/events.parquet') GROUP BY 1
+                   ORDER BY c DESC LIMIT 2)
+        SELECT sum(c) FROM p""").fetchone()[0]
+    assert int(out["total"][0]) == int(want)
