@@ -120,7 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_analyze_multiplexer", "ft_analyze_condition",
         "ft_analyze_predicate", "eql_sequence_by_multi",
         "agg_percentile_ranks_hdr", "sql_select_star",
-        "esql_chained_stats",
+        "esql_chained_stats", "agg_filters_other_bucket",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -916,6 +916,15 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "agg_filters_other_bucket": """
+SELECT name, count(*)::BIGINT AS doc_count FROM (
+  SELECT CASE WHEN event_type = 'click' AND value >= 50
+              THEN 'big_clicks'
+              WHEN event_type = 'error' AND value < 50
+              THEN 'small_errors'
+              ELSE '_other_' END AS name
+  FROM events)
+GROUP BY name ORDER BY name""",
         "esql_chained_stats": """
 WITH p AS (SELECT user_id, event_type, count(*) AS c
            FROM events GROUP BY 1, 2)

@@ -12131,3 +12131,31 @@ def esql_chained_stats(sf_dir: str):
     out["avg_types"] = round_half_away(
         out["avg_types"].to_numpy(np.float64), 6)
     return out
+
+
+def agg_filters_other_bucket(sf_dir: str):
+    """filters agg with `other_bucket: true` + `other_bucket_key`
+    (FiltersAggregationBuilder): one extra bucket counts every doc that
+    matched NO named filter — computed in the SAME per-batch partial
+    pass (one boolean union, no second scan)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy()
+        clicks = (et == "click") & (v >= 50)
+        errors = (et == "error") & (v < 50)
+        other = ~(clicks | errors)
+        return pa.table({
+            "name": ["big_clicks", "small_errors", "_other_"],
+            "doc_count": pa.array([int(clicks.sum()), int(errors.sum()),
+                                   int(other.sum())], pa.int64()),
+        })
+
+    out = (_ds(sf_dir, "events", ["event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("name")
+           .aggregate(Sum("doc_count", alias_name="doc_count"))
+           .to_pandas())
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out.sort_values("name").reset_index(drop=True)

@@ -684,3 +684,15 @@ def test_esql_chained_stats(ray_session):
                    ORDER BY c DESC LIMIT 2)
         SELECT sum(c) FROM p""").fetchone()[0]
     assert int(out["total"][0]) == int(want)
+
+
+def test_agg_filters_other_bucket(ray_session):
+    got = ops.agg_filters_other_bucket(SF).reset_index(drop=True)
+    exp = _oracle("agg_filters_other_bucket")
+    assert got.astype(str).equals(exp.astype(str))
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM "
+                   f"read_parquet('{SF}/events.parquet')").fetchone()[0]
+    # named buckets + other partition the docs exactly
+    assert got["doc_count"].sum() == n
