@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_analyze_predicate", "eql_sequence_by_multi",
         "agg_percentile_ranks_hdr", "sql_select_star",
         "esql_chained_stats", "agg_filters_other_bucket",
+        "agg_terms_missing", "agg_date_histogram_bounds",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -916,6 +917,18 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "agg_terms_missing": """
+SELECT CASE WHEN doc_id % 7 = 0 THEN '(missing)' ELSE lang END AS key,
+       count(*)::BIGINT AS doc_count
+FROM documents GROUP BY 1 ORDER BY key""",
+        "agg_date_histogram_bounds": """
+WITH days AS (SELECT unnest(generate_series(
+                 TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-04',
+                 INTERVAL 1 DAY)) AS bucket),
+c AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS n
+      FROM events GROUP BY 1)
+SELECT d.bucket, coalesce(c.n, 0)::BIGINT AS doc_count
+FROM days d LEFT JOIN c USING (bucket) ORDER BY d.bucket""",
         "agg_filters_other_bucket": """
 SELECT name, count(*)::BIGINT AS doc_count FROM (
   SELECT CASE WHEN event_type = 'click' AND value >= 50

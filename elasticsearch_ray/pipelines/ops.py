@@ -12159,3 +12159,55 @@ def agg_filters_other_bucket(sf_dir: str):
            .to_pandas())
     out["doc_count"] = out["doc_count"].astype("int64")
     return out.sort_values("name").reset_index(drop=True)
+
+
+def agg_terms_missing(sf_dir: str):
+    """terms agg `missing` parameter (TermsAggregationBuilder: docs
+    lacking the field fall into an explicit bucket instead of being
+    dropped): the nullable column is produced upstream by a conditional
+    ingest step (lang nulled where doc_id %% 7 == 0 — the unmapped-doc
+    simulation), then the terms agg substitutes the `missing` key inside
+    the SAME bucketing kernel."""
+    from ray.data.aggregate import Count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = (t["doc_id"].to_numpy() % 7) == 0
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype(object)
+        lang[m] = "(missing)"
+        return pa.table({"key": pa.array(lang, pa.string())})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "lang"])
+           .map_batches(bucketize, batch_format="pyarrow")
+           .groupby("key")
+           .aggregate(Count(alias_name="doc_count"))
+           .to_pandas())
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out.sort_values("key").reset_index(drop=True)
+
+
+def agg_date_histogram_bounds(sf_dir: str):
+    """date_histogram with `min_doc_count: 0` + `extended_bounds`
+    (DateHistogramAggregationBuilder): empty day buckets materialize as
+    zero rows across the bounded range [2024-01-01, 2024-02-04] — the
+    observed counts reduce through the usual int64 epoch-day exchange
+    and the gap fill happens on the reduced bucket table (the reference
+    does the same in InternalDateHistogram.addEmptyBuckets)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                            pa.timestamp("us")), pa.int64())
+        return pa.table({"bucket": b})
+
+    g = (_ds(sf_dir, "events", ["ts"])
+         .map_batches(bucketize, batch_format="pyarrow")
+         .groupby("bucket")
+         .aggregate(Count(alias_name="doc_count"))
+         .to_pandas())
+    g["bucket"] = pd.to_datetime(g["bucket"], unit="us")
+    full = pd.DataFrame({"bucket": pd.date_range(
+        "2024-01-01", "2024-02-04", freq="D")})
+    out = full.merge(g, on="bucket", how="left")
+    out["doc_count"] = out["doc_count"].fillna(0).astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)

@@ -696,3 +696,19 @@ def test_agg_filters_other_bucket(ray_session):
                    f"read_parquet('{SF}/events.parquet')").fetchone()[0]
     # named buckets + other partition the docs exactly
     assert got["doc_count"].sum() == n
+
+
+def test_agg_terms_missing(ray_session):
+    got = ops.agg_terms_missing(SF).reset_index(drop=True)
+    exp = _oracle("agg_terms_missing")
+    assert got.astype(str).equals(exp.astype(str))
+    assert "(missing)" in set(got["key"])
+
+
+def test_agg_date_histogram_bounds(ray_session):
+    got = ops.agg_date_histogram_bounds(SF).reset_index(drop=True)
+    exp = _oracle("agg_date_histogram_bounds")
+    assert got.astype(str).equals(exp.astype(str))
+    # extended_bounds past the data's max(ts) materialize as zero rows
+    assert len(got) == 35
+    assert (got.tail(4)["doc_count"] == 0).all()
