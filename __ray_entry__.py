@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_percentile_ranks_hdr", "sql_select_star",
         "esql_chained_stats", "agg_filters_other_bucket",
         "agg_terms_missing", "agg_date_histogram_bounds",
+        "agg_significant_bg_filter",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -917,6 +918,29 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "agg_significant_bg_filter": """
+WITH bgdocs AS (SELECT doc_id, lang, text FROM documents
+                WHERE source IN ('src0','src1','src2','src3','src4',
+                                 'src5','src6','src7','src8','src9')),
+tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM bgdocs) u WHERE t <> ''),
+fg_n AS (SELECT count(*) AS n FROM bgdocs WHERE lang = 'zh'),
+bg_n AS (SELECT count(*) AS n FROM bgdocs),
+counts AS (
+  SELECT term,
+         count(*) FILTER (WHERE d.lang = 'zh') AS fg_df,
+         count(*) AS bg_df
+  FROM tok JOIN bgdocs d USING (doc_id) GROUP BY term)
+SELECT term, fg_df, bg_df,
+       ROUND((fg_df::DOUBLE / fg_n.n - bg_df::DOUBLE / bg_n.n)
+             * ((fg_df::DOUBLE / fg_n.n) / (bg_df::DOUBLE / bg_n.n)), 6)
+         AS score
+FROM counts CROSS JOIN fg_n CROSS JOIN bg_n
+WHERE fg_df >= 3
+ORDER BY score DESC, term LIMIT 10""",
         "agg_terms_missing": """
 SELECT CASE WHEN doc_id % 7 = 0 THEN '(missing)' ELSE lang END AS key,
        count(*)::BIGINT AS doc_count

@@ -12211,3 +12211,58 @@ def agg_date_histogram_bounds(sf_dir: str):
     out = full.merge(g, on="bucket", how="left")
     out["doc_count"] = out["doc_count"].fillna(0).astype("int64")
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def agg_significant_bg_filter(sf_dir: str):
+    """significant_terms with `background_filter`
+    (SignificantTermsAggregationBuilder.backgroundFilter): the background
+    set is restricted to a filter (source in src0..src9) instead of the
+    whole index, and the foreground is its lang='zh' subset — term
+    df partials for both sets come from ONE pass, same JLH scoring."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_simple
+
+    allowed = {f"src{i}" for i in range(10)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        fg, bg = Counter(), Counter()
+        for lang, src, s in zip(t["lang"].to_pylist(),
+                                t["source"].to_pylist(),
+                                t["text"].to_pylist()):
+            if src not in allowed:
+                continue
+            terms = set(analyze_simple(s))
+            bg.update(terms)
+            if lang == "zh":
+                fg.update(terms)
+        allt = sorted(bg)
+        return pa.table({
+            "term": pa.array(allt, pa.string()),
+            "fg_df": pa.array([fg.get(x, 0) for x in allt], pa.int64()),
+            "bg_df": pa.array([bg[x] for x in allt], pa.int64())})
+
+    red = (_ds(sf_dir, "documents", ["lang", "source", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("fg_df", alias_name="fg_df"),
+                      Sum("bg_df", alias_name="bg_df"))
+           .to_pandas())
+    import pyarrow.dataset as pads
+
+    meta = pads.dataset(os.path.join(sf_dir, "documents.parquet")) \
+        .to_table(columns=["lang", "source"]).to_pandas()
+    meta = meta[meta["source"].isin(allowed)]
+    fg_n = int((meta["lang"] == "zh").sum())
+    bg_n = len(meta)
+    red = red[red.fg_df >= 3].copy()
+    fgp = red.fg_df / fg_n
+    bgp = red.bg_df / bg_n
+    red["score"] = round_half_away((fgp - bgp) * (fgp / bgp), 6)
+    red["fg_df"] = red["fg_df"].astype("int64")
+    red["bg_df"] = red["bg_df"].astype("int64")
+    red = red.sort_values(["score", "term"],
+                          ascending=[False, True]).head(10)
+    return red[["term", "fg_df", "bg_df", "score"]].reset_index(drop=True)

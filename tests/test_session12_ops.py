@@ -712,3 +712,11 @@ def test_agg_date_histogram_bounds(ray_session):
     # extended_bounds past the data's max(ts) materialize as zero rows
     assert len(got) == 35
     assert (got.tail(4)["doc_count"] == 0).all()
+
+
+def test_agg_significant_bg_filter(ray_session):
+    got = ops.agg_significant_bg_filter(SF).reset_index(drop=True)
+    exp = _oracle("agg_significant_bg_filter")
+    assert got.astype(str).equals(exp.astype(str))
+    # foreground dfs can never exceed the filtered background dfs
+    assert (got["fg_df"] <= got["bg_df"]).all()
