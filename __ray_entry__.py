@@ -122,7 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_percentile_ranks_hdr", "sql_select_star",
         "esql_chained_stats", "agg_filters_other_bucket",
         "agg_terms_missing", "agg_date_histogram_bounds",
-        "agg_significant_bg_filter",
+        "agg_significant_bg_filter", "agg_composite_missing_bucket",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -918,6 +918,10 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "agg_composite_missing_bucket": """
+SELECT CASE WHEN doc_id % 7 = 0 THEN '__missing__' ELSE lang END AS lang,
+       source, count(*)::BIGINT AS doc_count
+FROM documents GROUP BY 1, 2 ORDER BY lang, source""",
         "agg_significant_bg_filter": """
 WITH bgdocs AS (SELECT doc_id, lang, text FROM documents
                 WHERE source IN ('src0','src1','src2','src3','src4',

@@ -12266,3 +12266,29 @@ def agg_significant_bg_filter(sf_dir: str):
     red = red.sort_values(["score", "term"],
                           ascending=[False, True]).head(10)
     return red[["term", "fg_df", "bg_df", "score"]].reset_index(drop=True)
+
+
+def agg_composite_missing_bucket(sf_dir: str):
+    """composite agg with `missing_bucket: true` on a source
+    (CompositeValuesSourceBuilder.missingBucket): docs lacking the key
+    appear under an explicit null bucket instead of being skipped. The
+    nullable key is produced upstream (lang nulled where doc_id %% 7 ==
+    0); the composite pairs reduce through the usual two-key groupby
+    with the null placeholder participating as an ordinary key."""
+    from ray.data.aggregate import Count
+
+    def keyize(t: pa.Table) -> pa.Table:
+        m = (t["doc_id"].to_numpy() % 7) == 0
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype(object)
+        lang[m] = "__missing__"
+        return pa.table({"lang": pa.array(lang, pa.string()),
+                         "source": t["source"]})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "lang", "source"])
+           .map_batches(keyize, batch_format="pyarrow")
+           .groupby(["lang", "source"])
+           .aggregate(Count(alias_name="doc_count"))
+           .to_pandas())
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return (out.sort_values(["lang", "source"]).reset_index(drop=True)
+            [["lang", "source", "doc_count"]])

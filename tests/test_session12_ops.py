@@ -720,3 +720,10 @@ def test_agg_significant_bg_filter(ray_session):
     assert got.astype(str).equals(exp.astype(str))
     # foreground dfs can never exceed the filtered background dfs
     assert (got["fg_df"] <= got["bg_df"]).all()
+
+
+def test_agg_composite_missing_bucket(ray_session):
+    got = ops.agg_composite_missing_bucket(SF).reset_index(drop=True)
+    exp = _oracle("agg_composite_missing_bucket")
+    assert got.astype(str).equals(exp.astype(str))
+    assert "__missing__" in set(got["lang"])
