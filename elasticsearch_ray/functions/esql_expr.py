@@ -13,13 +13,14 @@ AST node per batch, never a Python loop over rows.
 Supported grammar:
   literals        42, -3.5, "str", TRUE, FALSE, NULL
   columns         bare identifiers (dotted names allowed)
-  arithmetic      + - * / (MOD(a,b) as a function)
+  arithmetic      + - * / % (MOD(a,b) as a function)
   comparison      == != > >= < <=
   boolean         NOT, AND, OR (usual precedence), parentheses
   predicates      x IN (a, b, c) / NOT IN, x LIKE "wild*card?",
                   x RLIKE "regex", x IS NULL / IS NOT NULL
   functions       ABS ROUND SQRT FLOOR CEIL POW LOG10 MOD GREATEST LEAST
                   EXP LOG SIN COS TAN ASIN ACOS ATAN ATAN2 SIGNUM CBRT
+                  SINH COSH TANH TO_RADIANS TO_DEGREES
                   E PI TAU HYPOT
                   LENGTH TO_UPPER TO_LOWER TRIM LTRIM RTRIM CONCAT
                   SUBSTRING LEFT RIGHT REPLACE STARTS_WITH ENDS_WITH
@@ -30,7 +31,8 @@ Supported grammar:
                   CASE COALESCE
   multivalue      MV_COUNT MV_MIN MV_MAX MV_SUM MV_AVG MV_MEDIAN
                   MV_FIRST MV_LAST MV_CONCAT MV_DEDUPE MV_SORT MV_SLICE
-                  MV_APPEND
+                  MV_APPEND MV_ZIP MV_PERCENTILE
+                  MV_PSERIES_WEIGHTED_SUM MV_MEDIAN_ABSOLUTE_DEVIATION
 """
 
 from __future__ import annotations
@@ -515,6 +517,16 @@ def _call(name: str, args, t: pa.Table):
                          else pc.ln(pc.cast(a[0], pa.float64())))
     if name in ("SIN", "COS", "TAN", "ASIN", "ACOS", "ATAN"):
         return getattr(pc, name.lower())(pc.cast(a[0], pa.float64()))
+    if name in ("SINH", "COSH", "TANH"):
+        # Sinh/Cosh/Tanh (8.14) — no pyarrow kernel; one numpy ufunc
+        v = np.asarray(pc.cast(a[0], pa.float64()))
+        return pa.array(getattr(np, name.lower())(v), pa.float64(),
+                        from_pandas=True)
+    if name in ("TO_RADIANS", "TO_DEGREES"):
+        # ToRadians/ToDegrees: exact pi-ratio scaling, same literal as SQL
+        v = pc.cast(a[0], pa.float64())
+        k = (math.pi / 180.0) if name == "TO_RADIANS" else (180.0 / math.pi)
+        return pc.multiply(v, k)
     if name == "ATAN2":
         n = len(t)
         y = a[0] if isinstance(a[0], (pa.Array, pa.ChunkedArray)) \

@@ -112,6 +112,10 @@ _SCALAR_PAIRS = [
     # generated here)
     ("user_id % 7", "user_id % 7"),
     ("ROUND(value % 9.5, 6)", "round(fmod(value, 9.5), 6)"),
+    ("ROUND(SINH(value / 100), 6)", "round((exp(value / 100) - exp(-(value / 100))) / 2, 6)"),
+    ("ROUND(TANH(value / 100), 6)", "round((exp(2 * (value / 100)) - 1) / (exp(2 * (value / 100)) + 1), 6)"),
+    ("ROUND(TO_RADIANS(value), 6)", "round(radians(value), 6)"),
+    ("ROUND(TO_DEGREES(value / 60), 6)", "round(degrees(value / 60), 6)"),
 ]
 
 _MV_PAIRS = [
