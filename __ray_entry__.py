@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_chained_stats", "agg_filters_other_bucket",
         "agg_terms_missing", "agg_date_histogram_bounds",
         "agg_significant_bg_filter", "agg_composite_missing_bucket",
+        "ft_highlight_no_match",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -918,6 +919,28 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "ft_highlight_no_match": """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+h AS (SELECT doc_id, text,
+             len(regexp_extract_all(text, '\\bmerge\\b')) AS hits,
+             str_split(regexp_replace(text, '\\bmerge\\b',
+                                      '<em>merge</em>', 'g'), ' ') AS w,
+             str_split(text, ' ') AS pw
+      FROM d),
+c AS (SELECT doc_id, hits, w, pw,
+             (len(w) + 7) // 8 AS nch
+      FROM h),
+fr AS (SELECT doc_id, hits, pw,
+              list_filter(list_transform(generate_series(0, nch - 1),
+                  i -> array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ')),
+                  x -> contains(x, '<em>')) AS hitfrags
+       FROM c)
+SELECT doc_id, hits > 0 AS matched,
+       CASE WHEN hits > 0
+            THEN array_to_string(hitfrags[1 : LEAST(len(hitfrags), 2)],
+                                 ' ... ')
+            ELSE array_to_string(pw[1:8], ' ') END AS snippet
+FROM fr ORDER BY doc_id""",
         "agg_composite_missing_bucket": """
 SELECT CASE WHEN doc_id % 7 = 0 THEN '__missing__' ELSE lang END AS lang,
        source, count(*)::BIGINT AS doc_count

@@ -12292,3 +12292,38 @@ def agg_composite_missing_bucket(sf_dir: str):
     out["doc_count"] = out["doc_count"].astype("int64")
     return (out.sort_values(["lang", "source"]).reset_index(drop=True)
             [["lang", "source", "doc_count"]])
+
+
+def ft_highlight_no_match(sf_dir: str):
+    """Highlighter `no_match_size` (HighlightBuilder: when a field has no
+    query-term hit, return the leading slice of the field instead of an
+    empty highlight): a fixed doc-id window is fetched by point read;
+    docs containing 'merge' highlight normally (first 2 word-wise
+    fragments), docs without it fall back to the first 8 words — the
+    word-wise analog of the reference's char-budget no_match_size, kept
+    word-wise so SQL reproduces it exactly."""
+    import re
+
+    from ..sources.reader import fetch_rows_by_doc_id
+
+    ids = np.arange(10, dtype=np.int64)
+    src = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                               ids, columns=["doc_id", "text"])
+    rx = re.compile(r"\bmerge\b")
+    rows = []
+    for did, text in zip(src["doc_id"].to_pylist(),
+                         src["text"].to_pylist()):
+        hits = len(rx.findall(text))
+        if hits:
+            wrapped = rx.sub("<em>merge</em>", text)
+            words = wrapped.split(" ")
+            chunks = [" ".join(words[i:i + 8])
+                      for i in range(0, len(words), 8)]
+            snippet = " ... ".join(
+                [c for c in chunks if "<em>" in c][:2])
+        else:
+            snippet = " ".join(text.split(" ")[:8])
+        rows.append((did, hits > 0, snippet))
+    out = pd.DataFrame(rows, columns=["doc_id", "matched", "snippet"])
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

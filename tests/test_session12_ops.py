@@ -727,3 +727,14 @@ def test_agg_composite_missing_bucket(ray_session):
     exp = _oracle("agg_composite_missing_bucket")
     assert got.astype(str).equals(exp.astype(str))
     assert "__missing__" in set(got["lang"])
+
+
+def test_ft_highlight_no_match(ray_session):
+    got = ops.ft_highlight_no_match(SF).reset_index(drop=True)
+    exp = _oracle("ft_highlight_no_match")
+    assert got.astype(str).equals(exp.astype(str))
+    # non-matching docs still return a snippet (the no_match_size slice)
+    misses = got[~got["matched"]]
+    if len(misses):
+        assert (misses["snippet"].str.len() > 0).all()
+        assert not misses["snippet"].str.contains("<em>").any()
