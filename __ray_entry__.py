@@ -123,7 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_chained_stats", "agg_filters_other_bucket",
         "agg_terms_missing", "agg_date_histogram_bounds",
         "agg_significant_bg_filter", "agg_composite_missing_bucket",
-        "ft_highlight_no_match",
+        "ft_highlight_no_match", "agg_histogram_hard_bounds",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -919,6 +919,10 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "agg_histogram_hard_bounds": """
+SELECT floor(value / 20.0) * 20.0 AS bucket, count(*)::BIGINT AS doc_count
+FROM events WHERE value >= 20 AND value < 120
+GROUP BY 1 ORDER BY bucket""",
         "ft_highlight_no_match": """
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
 h AS (SELECT doc_id, text,

@@ -12327,3 +12327,30 @@ def ft_highlight_no_match(sf_dir: str):
     out = pd.DataFrame(rows, columns=["doc_id", "matched", "snippet"])
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def agg_histogram_hard_bounds(sf_dir: str):
+    """histogram agg `hard_bounds` (7.10,
+    HistogramAggregationBuilder.hardBounds: buckets are only created
+    inside the bound range — values outside contribute to no bucket):
+    width-20 histogram of events.value clipped to [20, 120). The bound
+    filter pushes into the parquet read itself (row-group pruning);
+    bucketing is the usual per-batch kernel + ONE bucket-cardinality
+    groupby."""
+    import pyarrow.dataset as pds
+    from ray.data.aggregate import Count
+
+    f = pds.field("value")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        b = np.floor(v / 20.0) * 20.0
+        return pa.table({"bucket": pa.array(b, pa.float64())})
+
+    out = (_ds(sf_dir, "events", ["value"], flt=(f >= 20) & (f < 120))
+           .map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Count(alias_name="doc_count"))
+           .to_pandas())
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)

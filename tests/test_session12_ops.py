@@ -738,3 +738,10 @@ def test_ft_highlight_no_match(ray_session):
     if len(misses):
         assert (misses["snippet"].str.len() > 0).all()
         assert not misses["snippet"].str.contains("<em>").any()
+
+
+def test_agg_histogram_hard_bounds(ray_session):
+    got = ops.agg_histogram_hard_bounds(SF).reset_index(drop=True)
+    exp = _oracle("agg_histogram_hard_bounds")
+    assert got.astype(str).equals(exp.astype(str))
+    assert got["bucket"].min() >= 20.0 and got["bucket"].max() < 120.0
