@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_terms_missing", "agg_date_histogram_bounds",
         "agg_significant_bg_filter", "agg_composite_missing_bucket",
         "ft_highlight_no_match", "agg_histogram_hard_bounds",
+        "range_date_math",
         # --- round-3 session-11 ops ---
         "esql_match", "esql_match_operator", "esql_match_phrase",
         "esql_qstr", "esql_kql", "esql_score_topk",
@@ -919,6 +920,13 @@ SELECT (SELECT count(*) FROM b) AS n_buckets,
        ROUND(MAX(unif - ecdf), 6) AS d_less,
        ROUND(MAX(ecdf - unif), 6) AS d_greater
 FROM r""",
+        "range_date_math": """
+SELECT event_type, count(*)::BIGINT AS doc_count
+FROM events
+WHERE ts >= date_trunc('day',
+        TIMESTAMP '2024-01-25 13:45:00' - INTERVAL 20 DAY)
+  AND ts < date_trunc('day', TIMESTAMP '2024-01-25 13:45:00')
+GROUP BY event_type ORDER BY event_type""",
         "agg_histogram_hard_bounds": """
 SELECT floor(value / 20.0) * 20.0 AS bucket, count(*)::BIGINT AS doc_count
 FROM events WHERE value >= 20 AND value < 120

@@ -12354,3 +12354,29 @@ def agg_histogram_hard_bounds(sf_dir: str):
            .to_pandas())
     out["doc_count"] = out["doc_count"].astype("int64")
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def range_date_math(sf_dir: str):
+    """range query with date-math bounds (JavaDateMathParser: `now-20d/d`
+    .. `now/d`, `now` injected for determinism the way the reference
+    resolves it from the request context): the parsed bounds push into
+    the parquet read as an ordinary timestamp filter (row-group
+    pruning), then ONE event_type groupby. The oracle re-derives the
+    same math with DuckDB interval/date_trunc arithmetic — two
+    independent date-math implementations."""
+    import pyarrow.dataset as pds
+    from ray.data.aggregate import Count
+
+    from ..datemath import parse_date_math
+
+    now = "2024-01-25T13:45:00"
+    lo = parse_date_math("now-20d/d", now)
+    hi = parse_date_math("now/d", now)
+    f = pds.field("ts")
+    out = (_ds(sf_dir, "events", ["event_type", "ts"],
+               flt=(f >= lo) & (f < hi))
+           .groupby("event_type")
+           .aggregate(Count(alias_name="doc_count"))
+           .to_pandas())
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -745,3 +745,26 @@ def test_agg_histogram_hard_bounds(ray_session):
     exp = _oracle("agg_histogram_hard_bounds")
     assert got.astype(str).equals(exp.astype(str))
     assert got["bucket"].min() >= 20.0 and got["bucket"].max() < 120.0
+
+
+def test_range_date_math(ray_session):
+    got = ops.range_date_math(SF).reset_index(drop=True)
+    exp = _oracle("range_date_math")
+    assert got.astype(str).equals(exp.astype(str))
+
+
+def test_date_math_parser_vectors():
+    from elasticsearch_ray.datemath import parse_date_math as pdm
+    import pandas as pd
+    import pytest
+
+    now = "2024-01-25T13:45:00"
+    assert pdm("now/d", now) == pd.Timestamp("2024-01-25")
+    assert pdm("now-20d/d", now) == pd.Timestamp("2024-01-05")
+    assert pdm("now-1M/M", now) == pd.Timestamp("2023-12-01")
+    assert pdm("now/w", now) == pd.Timestamp("2024-01-22")  # ISO Monday
+    assert pdm("2024-01-10||+2w/w", now) == pd.Timestamp("2024-01-22")
+    assert pdm("now+3h/h", now) == pd.Timestamp("2024-01-25 16:00:00")
+    assert pdm("2024-02-29||+1y/M", now) == pd.Timestamp("2025-02-01")
+    with pytest.raises(ValueError):
+        pdm("now-3q", now)  # unknown unit
