@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-13 ops ---
+        "esql_hash_functions", "esql_st_functions",
+        "esql_st_centroid", "esql_st_within_disjoint",
         # --- round-3 session-12 ops ---
         "agg_bucket_correlation", "agg_bucket_count_ks_test",
         "agg_inference_regression", "painless_execute",
@@ -892,6 +895,91 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "esql_hash_functions": """
+SELECT o_orderkey, md5(o_orderpriority) AS m, sha256(o_orderstatus) AS s,
+       md5(o_orderpriority || o_orderstatus) AS h
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""",
+        "esql_st_functions": """
+WITH e AS (SELECT event_id,
+        ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+        ((user_id * 104729) % 360) - 180 + 0.5 AS lon
+      FROM events WHERE event_id < 500),
+b AS (SELECT event_id,
+        least(CAST(floor((lon + 180.0) / 360.0 * 32) AS INTEGER), 31) AS lx,
+        least(CAST(floor((lat + 90.0) / 180.0 * 32) AS INTEGER), 31) AS ly
+      FROM e),
+ghv AS (SELECT event_id,
+        ((lx // 16) % 2) * 512 + ((ly // 16) % 2) * 256
+        + ((lx // 8) % 2) * 128 + ((ly // 8) % 2) * 64
+        + ((lx // 4) % 2) * 32 + ((ly // 4) % 2) * 16
+        + ((lx // 2) % 2) * 8 + ((ly // 2) % 2) * 4
+        + (lx % 2) * 2 + (ly % 2) AS v
+      FROM b),
+gt AS (SELECT event_id,
+        least(greatest(CAST(floor((lon + 180.0) / 360.0 * 8)
+                            AS BIGINT), 0), 7) AS tx,
+        least(greatest(CAST(floor((1.0 - ln(
+              tan(radians(greatest(least(lat, 85.05112878), -85.05112878)))
+              + sqrt(tan(radians(greatest(least(lat, 85.05112878),
+                                          -85.05112878)))
+                * tan(radians(greatest(least(lat, 85.05112878),
+                                       -85.05112878))) + 1.0)) / pi())
+              / 2.0 * 8) AS BIGINT), 0), 7) AS ty
+      FROM e),
+ha AS (SELECT event_id, (sqrt(3) / 3.0 * lon - lat / 3.0) / 15.0 AS xq,
+              (2.0 / 3.0 * lat) / 15.0 AS zr
+       FROM e),
+hb AS (SELECT event_id, xq, zr, -xq - zr AS yq,
+              floor(xq + 0.5) AS rx, floor(-xq - zr + 0.5) AS ry,
+              floor(zr + 0.5) AS rz
+       FROM ha),
+hc AS (SELECT event_id,
+        CASE WHEN abs(rx - xq) > abs(ry - yq)
+              AND abs(rx - xq) > abs(rz - zr)
+             THEN -ry - rz ELSE rx END AS hq,
+        CASE WHEN NOT (abs(rx - xq) > abs(ry - yq)
+                       AND abs(rx - xq) > abs(rz - zr))
+              AND NOT (abs(ry - yq) > abs(rz - zr))
+             THEN -rx - ry ELSE rz END AS hr
+       FROM hb)
+SELECT e.event_id, e.lon AS x, e.lat AS y,
+  ROUND(2.0 * 6371008.7714 * asin(sqrt(
+      sin(radians(0 - lat) / 2.0) * sin(radians(0 - lat) / 2.0)
+      + cos(radians(lat)) * cos(radians(0))
+        * (sin(radians(0 - lon) / 2.0) * sin(radians(0 - lon) / 2.0))
+    )), 2) AS d,
+  substr('0123456789bcdefghjkmnpqrstuvwxyz', (v // 32) + 1, 1) ||
+  substr('0123456789bcdefghjkmnpqrstuvwxyz', (v % 32) + 1, 1) AS gh,
+  '3/' || tx || '/' || ty AS gt,
+  CAST(hq AS BIGINT) || ':' || CAST(hr AS BIGINT) AS hx
+FROM e JOIN ghv USING (event_id) JOIN gt USING (event_id)
+       JOIN hc USING (event_id)
+ORDER BY event_id""",
+        "esql_st_centroid": """
+WITH e AS (SELECT event_type,
+        ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+        ((user_id * 104729) % 360) - 180 + 0.5 AS lon
+      FROM events),
+f AS (SELECT * FROM e
+      WHERE abs(lon) / 121.25 + abs(lat - 60) / 29.25 < 1)
+SELECT event_type, count(*)::BIGINT AS n,
+  ROUND(sum(CAST(round(lon * 100) AS BIGINT))::DOUBLE
+        / (100.0 * count(*)), 4) AS cx,
+  ROUND(sum(CAST(round(lat * 100) AS BIGINT))::DOUBLE
+        / (100.0 * count(*)), 4) AS cy
+FROM f GROUP BY 1 ORDER BY 1""",
+        "esql_st_within_disjoint": """
+WITH e AS (SELECT event_type,
+        ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+        ((user_id * 104729) % 360) - 180 + 0.5 AS lon
+      FROM events)
+SELECT event_type,
+  sum(CASE WHEN lon >= -121 AND lon <= 121
+            AND lat >= 31 AND lat <= 89 THEN 1 ELSE 0 END)::BIGINT AS nw,
+  sum(CASE WHEN NOT (lon >= -121 AND lon <= 121
+                     AND lat >= 31 AND lat <= 89)
+           THEN 1 ELSE 0 END)::BIGINT AS nd
+FROM e GROUP BY 1 ORDER BY 1""",
         "agg_bucket_correlation": """
 WITH b AS (SELECT date_trunc('day', ts) AS day, count(*) AS c,
                   sum(floor(value)::BIGINT) AS s

@@ -40,7 +40,7 @@ _CMP = {"==": "equal", "!=": "not_equal", ">=": "greater_equal",
         "<=": "less_equal", ">": "greater", "<": "less"}
 _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
          "MEDIAN", "PERCENTILE", "STD_DEV", "WEIGHTED_AVG", "VALUES",
-         "RATE"}
+         "RATE", "ST_CENTROID_AGG"}
 
 
 def _lit(tok: str):
@@ -1447,6 +1447,22 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
                 g2 = grp(d2)
                 out[f"__s_{alias}"] = g2["__vw"].sum()
                 out[f"__w_{alias}"] = g2["__w"].sum()
+            elif fn == "ST_CENTROID_AGG":
+                # SpatialCentroid (esql 8.12): arithmetic mean of the
+                # point coordinates. Partials accumulate on the 1e2
+                # fixed-point grid like STD_DEV (order-invariant int64
+                # sums; exact for <=2-decimal coordinates)
+                from .esql_expr import _wkt_xy
+
+                xs, ys = _wkt_xy(pa.array(df_s[col].astype(str)),
+                                 len(df_s))
+                d2 = df_s.assign(
+                    __x=np.round(xs * 100).astype(np.int64),
+                    __y=np.round(ys * 100).astype(np.int64))
+                g2 = grp(d2)
+                out[f"__c_{alias}"] = g2.size()
+                out[f"__x_{alias}"] = g2["__x"].sum()
+                out[f"__y_{alias}"] = g2["__y"].sum()
         res = pd.DataFrame(out).reset_index()
         if not by:
             res = res.drop(columns="__g")
@@ -1459,7 +1475,8 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
     _prefixes = {"COUNT": ("__c",), "SUM": ("__s", "__c"),
                  "AVG": ("__s", "__c"), "MIN": ("__mn",), "MAX": ("__mx",),
                  "STD_DEV": ("__c", "__s", "__q"),
-                 "WEIGHTED_AVG": ("__s", "__w")}
+                 "WEIGHTED_AVG": ("__s", "__w"),
+                 "ST_CENTROID_AGG": ("__c", "__x", "__y")}
     for alias, fn, *_ in specs:
         for p in _prefixes[fn]:
             if f"{p}_{alias}" not in parts.columns:
@@ -1510,6 +1527,15 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
             s = merged[f"__s_{alias}"].to_numpy().astype(np.float64)
             w = merged[f"__w_{alias}"].to_numpy().astype(np.float64)
             out[alias] = s / (100.0 * w)
+        elif fn == "ST_CENTROID_AGG":
+            n = merged[f"__c_{alias}"].to_numpy().astype(np.float64)
+            sx = merged[f"__x_{alias}"].to_numpy().astype(np.float64)
+            sy = merged[f"__y_{alias}"].to_numpy().astype(np.float64)
+            # rendered as WKT like the reference's point output; repr is
+            # shortest-roundtrip so ST_X/ST_Y recover the exact doubles
+            out[alias] = ["POINT (" + repr(x) + " " + repr(y) + ")"
+                          for x, y in zip(sx / (100.0 * n),
+                                          sy / (100.0 * n))]
 
     for r in pair_frames:
         # left merge: group presence comes from ALL rows (a filtered

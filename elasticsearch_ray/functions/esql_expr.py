@@ -26,6 +26,7 @@ Supported grammar:
                   SUBSTRING LEFT RIGHT REPLACE STARTS_WITH ENDS_WITH
                   LOCATE SPLIT REVERSE REPEAT SPACE
                   BIT_LENGTH BYTE_LENGTH TO_BASE64 FROM_BASE64
+                  MD5 SHA1 SHA256 HASH
                   TO_INTEGER TO_DOUBLE TO_STRING TO_LONG
                   DATE_TRUNC DATE_EXTRACT DATE_DIFF DATE_FORMAT DATE_PARSE
                   CASE COALESCE
@@ -572,6 +573,28 @@ def _call(name: str, args, t: pa.Table):
         return pa.array([None if v is None else
                          base64.b64encode(v.encode()).decode("ascii")
                          for v in vals], pa.string())
+    if name in ("TO_GEOPOINT", "TO_GEOSHAPE", "ST_X", "ST_Y", "ST_DISTANCE",
+                "ST_INTERSECTS", "ST_WITHIN", "ST_CONTAINS", "ST_DISJOINT",
+                "ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX"):
+        return _st_call(name, a, t)
+    if name in ("MD5", "SHA1", "SHA256") or name == "HASH":
+        # Md5/Sha1/Sha256 + Hash(alg, input) (esql 8.16,
+        # x-pack/plugin/esql .../function/scalar/string/Hash.java) —
+        # per-value digest: hashing is inherently per-row (each digest is
+        # C code); output is the lowercase hex string, like the reference
+        import hashlib
+        if name == "HASH":
+            alg = (a[0] if isinstance(a[0], str) else str(a[0])).lower()
+            col = a[1]
+        else:
+            alg, col = name.lower(), a[0]
+        if alg not in ("md5", "sha1", "sha256", "sha384", "sha512"):
+            raise ValueError(f"HASH: unsupported algorithm {alg!r}")
+        h = getattr(hashlib, alg)
+        vals = col.to_pylist() if isinstance(
+            col, (pa.Array, pa.ChunkedArray)) else [col]
+        return pa.array([None if v is None else h(v.encode()).hexdigest()
+                         for v in vals], pa.string())
     if name == "FROM_BASE64":
         vals = a[0].to_pylist()
         return pa.array([None if v is None else
@@ -684,6 +707,96 @@ def _call(name: str, args, t: pa.Table):
             return pa.array((A != B).sum(axis=1).astype(np.float64))
         raise ValueError(f"unsupported vector function {name}")
     raise ValueError(f"unsupported ES|QL function {name}")
+
+
+_WKT_POINT_RX = (r"^\s*POINT\s*\(\s*(?P<x>[-+0-9.eE]+)"
+                 r"\s+(?P<y>[-+0-9.eE]+)\s*\)\s*$")
+
+
+def _wkt_xy(v, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(x, y) float64 arrays from a WKT POINT column or scalar literal."""
+    if isinstance(v, str):
+        from ..geo import parse_wkt
+
+        kind, pt = parse_wkt(v)
+        if kind != "point":
+            raise ValueError(f"expected a POINT, got {kind}")
+        return (np.full(n, pt[0]), np.full(n, pt[1]))
+    ex = pc.extract_regex(pc.cast(v, pa.string()), _WKT_POINT_RX)
+    x = pc.cast(pc.struct_field(ex, "x"), pa.float64())
+    y = pc.cast(pc.struct_field(ex, "y"), pa.float64())
+    if pc.any(pc.and_(pc.is_null(x), pc.is_valid(v))).as_py():
+        raise ValueError("geo_point column contains non-POINT WKT")
+    return (np.asarray(x, np.float64), np.asarray(y, np.float64))
+
+
+# GeoUtils.EARTH_MEAN_RADIUS (server/src/main/java/org/elasticsearch/
+# common/geo/GeoUtils.java) — the radius behind ES|QL StDistance (geo)
+_EARTH_MEAN_RADIUS_M = 6371008.7714
+
+
+def _st_call(name: str, a, t: pa.Table):
+    """ES|QL spatial function family (8.12-8.16, x-pack/plugin/esql
+    .../expression/function/scalar/spatial/{StX,StY,StDistance,
+    StIntersects,StWithin,StContains,StDisjoint}.java and .../grid/
+    {StGeohash,StGeotile,StGeohex}.java). geo_point/geo_shape values are
+    carried as WKT strings (the columnar analog of the reference's
+    encoded-long points); every function lowers to one vectorized
+    extract + numpy kernel per batch. ST_GEOHEX uses the repo's
+    documented axial-hex H3 substitute (same kernel as geohex_grid)."""
+    from .. import geo
+
+    n = len(t)
+    if name in ("TO_GEOPOINT", "TO_GEOSHAPE"):
+        v = a[0]
+        if isinstance(v, str):
+            geo.parse_wkt(v)  # validate the literal
+            return v
+        if name == "TO_GEOPOINT":
+            _wkt_xy(v, n)  # validate every value parses as a point
+        return v
+    if name == "ST_X":
+        return pa.array(_wkt_xy(a[0], n)[0], pa.float64())
+    if name == "ST_Y":
+        return pa.array(_wkt_xy(a[0], n)[1], pa.float64())
+    if name == "ST_DISTANCE":
+        x1, y1 = _wkt_xy(a[0], n)
+        x2, y2 = _wkt_xy(a[1], n)
+        la1, la2 = np.radians(y1), np.radians(y2)
+        sa = np.sin(np.radians(y2 - y1) / 2.0)
+        so = np.sin(np.radians(x2 - x1) / 2.0)
+        # explicit products (not **2) so the SQL twin's sin(x)*sin(x)
+        # form is the literally identical double expression
+        h = sa * sa + np.cos(la1) * np.cos(la2) * (so * so)
+        d = 2.0 * _EARTH_MEAN_RADIUS_M * np.arcsin(np.sqrt(h))
+        return pa.array(d, pa.float64())
+    if name in ("ST_INTERSECTS", "ST_WITHIN", "ST_CONTAINS", "ST_DISJOINT"):
+        # point column vs shape literal (either argument order; for
+        # CONTAINS the containing shape is the literal side)
+        col, lit = (a[0], a[1]) if isinstance(a[1], str) else (a[1], a[0])
+        if not isinstance(lit, str):
+            raise ValueError(f"{name}: one argument must be a shape literal")
+        x, y = _wkt_xy(col, n)
+        kind, coords = geo.parse_wkt(lit)
+        if kind == "point":
+            inside = (x == coords[0]) & (y == coords[1])
+        elif kind == "envelope":
+            (x1, y1), (x2, y2) = coords
+            inside = (x >= x1) & (x <= x2) & (y >= y1) & (y <= y2)
+        elif kind == "polygon":
+            inside = geo.points_in_polygon(coords, x, y)
+        else:
+            raise ValueError(f"{name}: unsupported shape kind {kind}")
+        return pa.array(~inside if name == "ST_DISJOINT" else inside)
+    # grid functions: ST_GEOHASH(p, precision) / ST_GEOTILE(p, zoom) /
+    # ST_GEOHEX(p, resolution)
+    x, y = _wkt_xy(a[0], n)
+    k = int(a[1])
+    if name == "ST_GEOHASH":
+        return pa.array(geo.geohash_encode(y, x, k), pa.string())
+    if name == "ST_GEOTILE":
+        return pa.array(geo.geotile_cell(y, x, k), pa.string())
+    return pa.array(geo.geohex_cell(y, x, 15.0), pa.string())
 
 
 def _ipv4_to_u32(arr) -> np.ndarray:

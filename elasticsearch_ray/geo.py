@@ -22,7 +22,69 @@ __all__ = [
     "segments_intersect_boxes",
     "boxes_within_convex",
     "boxes_intersect_convex",
+    "geohash_encode",
+    "geotile_cell",
+    "geohex_cell",
 ]
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: np.ndarray, lon: np.ndarray, precision: int) -> list[str]:
+    """Vectorized geohash (public base32 bit-interleaving algorithm)."""
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lx = np.minimum((lon + 180.0) / 360.0 * (1 << lon_bits),
+                    (1 << lon_bits) - 1).astype(np.int64)
+    ly = np.minimum((lat + 90.0) / 180.0 * (1 << lat_bits),
+                    (1 << lat_bits) - 1).astype(np.int64)
+    bits = np.zeros(lat.shape, dtype=np.int64)
+    xi, yi = lon_bits - 1, lat_bits - 1
+    for b in range(nbits):
+        if b % 2 == 0:  # even bit (from MSB): longitude
+            bits = (bits << 1) | ((lx >> xi) & 1)
+            xi -= 1
+        else:
+            bits = (bits << 1) | ((ly >> yi) & 1)
+            yi -= 1
+    out = []
+    for v in bits:
+        s = "".join(_GEOHASH32[(int(v) >> (5 * (precision - 1 - i))) & 31]
+                    for i in range(precision))
+        out.append(s)
+    return out
+
+
+def geotile_cell(lat: np.ndarray, lon: np.ndarray, z: int) -> list[str]:
+    """Web-mercator z/x/y tile keys (GeoTileUtils.java formula)."""
+    n = 1 << z
+    x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    latr = np.radians(np.clip(lat, -85.05112878, 85.05112878))
+    y = np.floor((1.0 - np.arcsinh(np.tan(latr)) / np.pi) / 2.0 * n
+                 ).astype(np.int64)
+    return [f"{z}/{xi}/{yi}" for xi, yi in
+            zip(np.clip(x, 0, n - 1), np.clip(y, 0, n - 1))]
+
+
+def geohex_cell(lat: np.ndarray, lon: np.ndarray, size_deg: float = 15.0
+                ) -> list[str]:
+    """Axial hex cell ids on the equirectangular plane (documented H3
+    substitute, same cube-rounding kernel as the geohex_grid agg; ties
+    use floor(x+0.5) so numpy and SQL agree)."""
+    sq3 = np.sqrt(3.0)
+    xq = (sq3 / 3.0 * lon - lat / 3.0) / size_deg
+    zr = (2.0 / 3.0 * lat) / size_deg
+    yq = -xq - zr
+    rx = np.floor(xq + 0.5)
+    ry = np.floor(yq + 0.5)
+    rz = np.floor(zr + 0.5)
+    dx, dy, dz = np.abs(rx - xq), np.abs(ry - yq), np.abs(rz - zr)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = (~fix_x) & (~(dy > dz))
+    hq = np.where(fix_x, -ry - rz, rx).astype(np.int64)
+    hr = np.where(fix_z, -rx - ry, rz).astype(np.int64)
+    return [f"{q}:{r}" for q, r in zip(hq, hr)]
 
 
 def parse_wkt(wkt: str):

@@ -2003,31 +2003,9 @@ def agg_geotile_grid(sf_dir: str):
             .reset_index(drop=True))
 
 
-_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
-
-
-def geohash_encode(lat: np.ndarray, lon: np.ndarray, precision: int) -> list[str]:
-    """Vectorized geohash (public base32 bit-interleaving algorithm)."""
-    nbits = precision * 5
-    lon_bits = (nbits + 1) // 2
-    lat_bits = nbits // 2
-    lx = np.minimum((lon + 180.0) / 360.0 * (1 << lon_bits), (1 << lon_bits) - 1).astype(np.int64)
-    ly = np.minimum((lat + 90.0) / 180.0 * (1 << lat_bits), (1 << lat_bits) - 1).astype(np.int64)
-    bits = np.zeros(lat.shape, dtype=np.int64)
-    xi, yi = lon_bits - 1, lat_bits - 1
-    for b in range(nbits):
-        if b % 2 == 0:  # even bit (from MSB): longitude
-            bits = (bits << 1) | ((lx >> xi) & 1)
-            xi -= 1
-        else:
-            bits = (bits << 1) | ((ly >> yi) & 1)
-            yi -= 1
-    out = []
-    for v in bits:
-        s = "".join(_GEOHASH32[(int(v) >> (5 * (precision - 1 - i))) & 31]
-                    for i in range(precision))
-        out.append(s)
-    return out
+# geohash_encode moved to elasticsearch_ray.geo (shared with the ES|QL
+# ST_GEOHASH function); re-exported here for existing callers/tests
+from ..geo import geohash_encode  # noqa: E402
 
 
 def agg_geohash_grid(sf_dir: str):
@@ -12380,3 +12358,103 @@ def range_date_math(sf_dir: str):
            .to_pandas())
     out["doc_count"] = out["doc_count"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def esql_hash_functions(sf_dir: str):
+    """ES|QL hash function family (8.16, x-pack/plugin/esql
+    .../expression/function/scalar/string/{Md5,Sha1,Sha256,Hash}.java):
+    per-value digests rendered as lowercase hex. The read stays pruned
+    to the three consumed columns; digests run inside the streaming
+    scan (hashing is inherently per-row C code — same shape as the
+    reference's per-row evaluator)."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM orders
+        | WHERE o_orderkey < 300
+        | EVAL m = MD5(o_orderpriority),
+               s = SHA256(o_orderstatus),
+               h = HASH("md5", CONCAT(o_orderpriority, o_orderstatus))
+        | KEEP o_orderkey, m, s, h
+        | SORT o_orderkey
+        | LIMIT 1000
+    ''')
+
+
+_ST_POINT_EVAL = '''
+        | EVAL lat = ((user_id * 7919) % 180) - 90 + 0.5,
+               lon = ((user_id * 104729) % 360) - 180 + 0.5
+        | EVAL p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(lon), " ",
+                                      TO_STRING(lat), ")"))
+'''
+
+
+def esql_st_functions(sf_dir: str):
+    """ES|QL spatial scalar functions (8.12-8.16, x-pack/plugin/esql
+    .../function/scalar/spatial/{StX,StY,StDistance}.java and grid
+    functions StGeohash/StGeotile/StGeohex): points built in EVAL from
+    the synthetic per-user coordinates, then one vectorized WKT-extract
+    + numpy kernel per function per batch. ST_DISTANCE is haversine on
+    GeoUtils.EARTH_MEAN_RADIUS; ST_GEOHEX uses the repo's documented
+    axial-hex H3 substitute (same kernel as the geohex_grid agg)."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | WHERE event_id < 500
+    ''' + _ST_POINT_EVAL + '''
+        | EVAL x = ST_X(p), y = ST_Y(p),
+               d = ST_DISTANCE(p, TO_GEOPOINT("POINT (0 0)")),
+               gh = ST_GEOHASH(p, 2), gt = ST_GEOTILE(p, 3),
+               hx = ST_GEOHEX(p, 0)
+        | KEEP event_id, x, y, d, gh, gt, hx
+        | SORT event_id
+        | LIMIT 1000
+    ''')
+    out["d"] = round_half_away(out["d"], 2)
+    return out
+
+
+def esql_st_centroid(sf_dir: str):
+    """ES|QL ST_INTERSECTS predicate + ST_CENTROID_AGG (SpatialCentroid,
+    8.12): rows whose point falls in a diamond polygon (ray-crossing
+    point-in-polygon, exact for the synthetic half-degree grid), then
+    the centroid aggregate accumulates int64 fixed-point coordinate
+    sums per group — order-invariant partials, one group-cardinality
+    exchange. The WKT centroid is parsed back to coordinates for the
+    comparison (repr round-trips the exact doubles)."""
+    from ..functions import esql
+    from ..geo import parse_wkt
+
+    out = esql.run(sf_dir, '''
+        FROM events
+    ''' + _ST_POINT_EVAL + '''
+        | WHERE ST_INTERSECTS(p, TO_GEOSHAPE(
+              "POLYGON ((-121.25 60, 0 30.75, 121.25 60, 0 89.25, -121.25 60))"))
+        | STATS n = COUNT(*), c = ST_CENTROID_AGG(p) BY event_type
+        | SORT event_type
+    ''')
+    pts = [parse_wkt(s)[1] for s in out["c"]]
+    out["cx"] = round_half_away(
+        pd.Series([p[0] for p in pts], index=out.index), 4)
+    out["cy"] = round_half_away(
+        pd.Series([p[1] for p in pts], index=out.index), 4)
+    return out[["event_type", "n", "cx", "cy"]]
+
+
+def esql_st_within_disjoint(sf_dir: str):
+    """ES|QL ST_WITHIN / ST_DISJOINT against an ENVELOPE literal (the ES
+    WKT extension, minLon maxLon maxLat minLat), composed with per-
+    aggregate WHERE filters (FilteredExpression): both predicates are
+    one vectorized bounds check per batch; counts reduce through the
+    ordinary group-cardinality STATS exchange."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events
+    ''' + _ST_POINT_EVAL + '''
+        | EVAL w = ST_WITHIN(p, TO_GEOSHAPE("ENVELOPE (-121, 121, 89, 31)")),
+               dj = ST_DISJOINT(p, TO_GEOSHAPE("ENVELOPE (-121, 121, 89, 31)"))
+        | STATS nw = COUNT(*) WHERE w, nd = COUNT(*) WHERE dj BY event_type
+        | SORT event_type
+    ''')
