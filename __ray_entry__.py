@@ -100,7 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     names = [
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
-        "esql_st_centroid", "esql_st_within_disjoint",
+        "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
         # --- round-3 session-12 ops ---
         "agg_bucket_correlation", "agg_bucket_count_ks_test",
         "agg_inference_regression", "painless_execute",
@@ -968,6 +968,12 @@ SELECT event_type, count(*)::BIGINT AS n,
   ROUND(sum(CAST(round(lat * 100) AS BIGINT))::DOUBLE
         / (100.0 * count(*)), 4) AS cy
 FROM f GROUP BY 1 ORDER BY 1""",
+        "esql_inline_cast": """
+SELECT event_id, trunc(value)::BIGINT AS vi,
+       (event_id % 7)::DOUBLE AS di,
+       CASE WHEN value > 50 THEN 'true' ELSE 'false' END AS bs,
+       (event_id % 7)::VARCHAR AS ds
+FROM events WHERE event_id < 400 ORDER BY event_id""",
         "esql_st_within_disjoint": """
 WITH e AS (SELECT event_type,
         ((user_id * 7919) % 180) - 90 + 0.5 AS lat,

@@ -51,7 +51,7 @@ _TOKEN_RX = re.compile(r"""
     (?P<ws>\s+)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<num>\d+\.\d+|\d+|\.\d+)
-  | (?P<op>==|!=|>=|<=|[><+\-*/%(),\[\]])
+  | (?P<op>==|!=|>=|<=|::|[><+\-*/%(),\[\]])
   | (?P<name>[A-Za-z_][\w.]*)
 """, re.X)
 
@@ -205,7 +205,20 @@ class _Parser:
         if self.peek()[1] == "-":
             self.next()
             return ("neg", self.unary())
-        return self.primary()
+        return self.postfix()
+
+    def postfix(self):
+        # `expr::type` inline cast (esql 8.14, EsqlBaseParser
+        # primaryExpression CAST_OP dataType) — sugar for the TO_* call
+        node = self.primary()
+        while self.peek()[1] == "::":
+            self.next()
+            k, v = self.next()
+            fn = _CAST_FNS.get(v.lower()) if k == "name" else None
+            if fn is None:
+                raise ValueError(f"unsupported cast type {v!r}")
+            node = ("call", fn, [node])
+        return node
 
     def primary(self):
         k, v = self.next()
@@ -246,6 +259,18 @@ class _Parser:
                 return ("call", v.upper(), args)
             return ("col", v)
         raise ValueError(f"unexpected token {v!r}")
+
+
+# `::type` -> conversion function (EsqlDataTypeConverter: the cast
+# operator resolves to the same functions as the TO_* calls)
+_CAST_FNS = {
+    "long": "TO_LONG", "unsigned_long": "TO_LONG", "int": "TO_INTEGER",
+    "integer": "TO_INTEGER", "double": "TO_DOUBLE", "string": "TO_STRING",
+    "keyword": "TO_STRING", "text": "TO_STRING", "boolean": "TO_BOOLEAN",
+    "bool": "TO_BOOLEAN", "datetime": "TO_DATETIME", "date": "TO_DATETIME",
+    "ip": "TO_IP", "version": "TO_VERSION", "geo_point": "TO_GEOPOINT",
+    "geo_shape": "TO_GEOSHAPE",
+}
 
 
 def _unquote(s: str) -> str:

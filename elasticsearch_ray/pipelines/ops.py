@@ -12458,3 +12458,24 @@ def esql_st_within_disjoint(sf_dir: str):
         | STATS nw = COUNT(*) WHERE w, nd = COUNT(*) WHERE dj BY event_type
         | SORT event_type
     ''')
+
+
+def esql_inline_cast(sf_dir: str):
+    """ES|QL `::` inline cast operator (8.14, EsqlBaseParser
+    primaryExpression CAST_OP): postfix sugar resolving to the same
+    conversion functions as the TO_* calls (EsqlDataTypeConverter).
+    TO_LONG truncates toward zero (the oracle uses trunc(), not
+    DuckDB's half-even CAST)."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events
+        | WHERE event_id < 400
+        | EVAL vi = value::long,
+               di = (event_id % 7)::double,
+               bs = (value > 50)::string,
+               ds = (event_id % 7)::string
+        | KEEP event_id, vi, di, bs, ds
+        | SORT event_id
+        | LIMIT 1000
+    ''')

@@ -204,3 +204,43 @@ def test_esql_fuzz_expression_aggs_and_like_lists(ray_session, seed):
             got[cols].reset_index(drop=True),
             want[cols].reset_index(drop=True),
             check_dtype=False, atol=1e-9, rtol=1e-12, obj=f"esql {q!r}")
+
+
+def _hash_cast_case(rng: np.random.Generator):
+    """Row-mode pipelines over random hash/inline-cast EVAL expressions
+    (session-13 surface: MD5/SHA256/HASH + `::` casts) vs DuckDB."""
+    k = int(rng.integers(2, 9))
+    pool = [
+        ("m", "MD5(event_type)", "md5(event_type)"),
+        ("s", "SHA256(event_type)", "sha256(event_type)"),
+        ("h", f'HASH("md5", CONCAT(event_type, "{k}"))',
+         f"md5(event_type || '{k}')"),
+        ("ci", "value::long", "trunc(value)::BIGINT"),
+        ("cs", f"(event_id % {k})::string", f"(event_id % {k})::VARCHAR"),
+        ("cb", f"(value > {k * 10})::string",
+         f"CASE WHEN value > {k * 10} THEN 'true' ELSE 'false' END"),
+        ("cd", f"(event_id % {k})::double", f"(event_id % {k})::DOUBLE"),
+    ]
+    picks = rng.choice(len(pool), size=int(rng.integers(2, 5)),
+                       replace=False)
+    cols = [pool[i] for i in sorted(picks)]
+    thr = int(rng.integers(100, 900))
+    q = ("FROM events | WHERE event_id < " + str(thr)
+         + " | EVAL " + ", ".join(f"{a} = {e}" for a, e, _ in cols)
+         + " | KEEP event_id, " + ", ".join(a for a, _, _ in cols)
+         + " | SORT event_id | LIMIT 1000")
+    sql = ("SELECT event_id, "
+           + ", ".join(f"{s} AS {a}" for a, _, s in cols)
+           + f" FROM {EV} WHERE event_id < {thr} ORDER BY event_id"
+           + " LIMIT 1000")
+    return q, sql
+
+
+@pytest.mark.parametrize("seed", [17, 23, 29])
+def test_esql_hash_cast_fuzz(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(10):
+        q, sql = _hash_cast_case(rng)
+        got = esql.run(SF, q).reset_index(drop=True)
+        want = duckdb.sql(sql).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -148,3 +148,24 @@ def test_st_centroid_agg_partition_invariant(ray_session):
 
     repart = esql.run(SF, q, reader=reader)
     pd.testing.assert_frame_equal(base, repart)
+
+
+# --- ES|QL :: inline cast operator (8.14) ---
+
+
+def test_inline_cast_operator():
+    t = pa.table({"v": [105.7, -3.2], "i": [1, 2]})
+    assert _ev("v::long", t).to_pylist() == [105, -3]  # trunc toward zero
+    assert _ev("i::string", t).to_pylist() == ["1", "2"]
+    assert _ev("(v > 50)::string", t).to_pylist() == ["true", "false"]
+    assert _ev("v::long::double", t).to_pylist() == [105.0, -3.0]
+    # cast binds tighter than unary minus (EsqlBaseParser precedence)
+    assert _ev("-v::long", t).to_pylist() == [-105, 3]
+    with pytest.raises(ValueError, match="unsupported cast type"):
+        _ev("v::frobnicate", t)
+
+
+def test_esql_inline_cast_matches_oracle(ray_session):
+    got = ops.esql_inline_cast(SF).reset_index(drop=True)
+    exp = _oracle("esql_inline_cast")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
