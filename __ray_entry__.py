@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
+        "cat_allocation", "deprecation_info",
         # --- round-3 session-12 ops ---
         "agg_bucket_correlation", "agg_bucket_count_ks_test",
         "agg_inference_regression", "painless_execute",
@@ -968,6 +969,48 @@ SELECT event_type, count(*)::BIGINT AS n,
   ROUND(sum(CAST(round(lat * 100) AS BIGINT))::DOUBLE
         / (100.0 * count(*)), 4) AS cy
 FROM f GROUP BY 1 ORDER BY 1""",
+        "cat_allocation": """
+WITH smap(source, shard) AS (VALUES
+  ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),
+  ('src5', 1), ('src6', 3), ('src7', 3), ('src8', 1), ('src9', 1),
+  ('src10', 2), ('src11', 1), ('src12', 1), ('src13', 3), ('src14', 0),
+  ('src15', 1), ('src16', 3), ('src17', 2), ('src18', 2), ('src19', 3)),
+sd AS (SELECT CAST(m.shard AS BIGINT) AS shard, count(*)::BIGINT AS docs
+       FROM documents d JOIN smap m USING (source) GROUP BY 1),
+r AS (SELECT shard, docs,
+             row_number() OVER (ORDER BY docs DESC, shard) - 1 AS rk
+      FROM sd)
+SELECT 'node-' || CAST(rk % 3 AS VARCHAR) AS node,
+       count(*)::BIGINT AS shards, sum(docs)::BIGINT AS docs
+FROM r GROUP BY 1 ORDER BY 1""",
+        "deprecation_info": """
+WITH facts AS (
+  SELECT 'documents' AS idx, (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM (DESCRIBE documents)) AS ncols,
+         (SELECT count(*) FROM (DESCRIBE documents)
+          WHERE column_name = 'props') AS has_props
+  UNION ALL
+  SELECT 'events', (SELECT count(*) FROM events),
+         (SELECT count(*) FROM (DESCRIBE events)),
+         (SELECT count(*) FROM (DESCRIBE events)
+          WHERE column_name = 'props')
+  UNION ALL
+  SELECT 'orders', (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM (DESCRIBE orders)),
+         (SELECT count(*) FROM (DESCRIBE orders)
+          WHERE column_name = 'props')),
+checks AS (
+  SELECT idx, CASE WHEN n > 5000 THEN 'critical' ELSE 'warning' END AS level,
+         'index is oversized: re-split before upgrade' AS issue
+  FROM facts WHERE n > 500
+  UNION ALL
+  SELECT idx, 'info', 'mapping declares too many fields'
+  FROM facts WHERE ncols > 5
+  UNION ALL
+  SELECT idx, 'warning', 'dynamic JSON field is not mapped'
+  FROM facts WHERE has_props > 0)
+SELECT idx AS "index", level, issue FROM checks
+ORDER BY "index", level, issue""",
         "esql_inline_cast": """
 SELECT event_id, trunc(value)::BIGINT AS vi,
        (event_id % 7)::DOUBLE AS di,

@@ -12479,3 +12479,49 @@ def esql_inline_cast(sf_dir: str):
         | SORT event_id
         | LIMIT 1000
     ''')
+
+
+def cat_allocation(sf_dir: str):
+    """_cat/allocation (rest/action/cat/RestAllocationAction): per-node
+    rollup of the balanced shard layout — shard count and resident doc
+    total per node. Scale shape: the per-shard doc counts reduce through
+    the cat_shards partial exchange; the rollup runs on the 4-row
+    placement table (RoutingNodes is driver-small in the reference
+    too)."""
+    alloc = allocation_explain(sf_dir)
+    out = alloc.groupby("node", as_index=False).agg(
+        shards=("shard", "size"), docs=("docs", "sum"))
+    out["shards"] = out["shards"].astype("int64")
+    out["docs"] = out["docs"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def deprecation_info(sf_dir: str):
+    """_migration/deprecations (x-pack deprecation plugin,
+    DeprecationChecks.INDEX_SETTINGS_CHECKS shape: evaluate a fixed
+    battery of checks per index, emit (index, level, issue) rows for
+    the ones that fire). Checks here are computed from the real table
+    facts — row counts (metadata-only parquet count) and schema shape —
+    so the oracle re-derives every verdict from the same parquet:
+      - oversized index: rows > 5000 critical, > 500 warning
+      - too many fields: column count > 5
+      - unmapped dynamic JSON field: a `props` string column
+    Driver-small by definition (one row per fired check)."""
+    rows = []
+    for table in ("documents", "events", "orders"):
+        ds = _ds(sf_dir, table, None)
+        n = ds.count()
+        cols = ds.schema().names
+        if n > 5000:
+            rows.append((table, "critical",
+                         "index is oversized: re-split before upgrade"))
+        elif n > 500:
+            rows.append((table, "warning",
+                         "index is oversized: re-split before upgrade"))
+        if len(cols) > 5:
+            rows.append((table, "info", "mapping declares too many fields"))
+        if "props" in cols:
+            rows.append((table, "warning",
+                         "dynamic JSON field is not mapped"))
+    out = pd.DataFrame(rows, columns=["index", "level", "issue"])
+    return out.sort_values(["index", "level", "issue"]).reset_index(drop=True)

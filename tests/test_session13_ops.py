@@ -169,3 +169,22 @@ def test_esql_inline_cast_matches_oracle(ray_session):
     got = ops.esql_inline_cast(SF).reset_index(drop=True)
     exp = _oracle("esql_inline_cast")
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# --- _cat/allocation + _migration/deprecations ---
+
+
+def test_cat_allocation_matches_oracle(ray_session):
+    got = ops.cat_allocation(SF).reset_index(drop=True)
+    exp = _oracle("cat_allocation")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # every shard placed exactly once across nodes
+    assert int(got["shards"].sum()) == 4
+
+
+def test_deprecation_info_matches_oracle(ray_session):
+    got = ops.deprecation_info(SF).reset_index(drop=True)
+    exp = _oracle("deprecation_info")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # events carries the unmapped dynamic-json warning at every sf
+    assert (("events" == got["index"]) & (got["level"] == "warning")).any()
