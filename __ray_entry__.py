@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
         "cat_allocation", "deprecation_info",
+        "sql_show_tables", "sql_describe_table",
         # --- round-3 session-12 ops ---
         "agg_bucket_correlation", "agg_bucket_count_ks_test",
         "agg_inference_regression", "painless_execute",
@@ -969,6 +970,21 @@ SELECT event_type, count(*)::BIGINT AS n,
   ROUND(sum(CAST(round(lat * 100) AS BIGINT))::DOUBLE
         / (100.0 * count(*)), 4) AS cy
 FROM f GROUP BY 1 ORDER BY 1""",
+        "sql_show_tables": """
+SELECT table_name AS name, 'TABLE' AS type
+FROM information_schema.tables WHERE table_schema = 'main'
+ORDER BY name""",
+        "sql_describe_table": """
+SELECT column_name AS "column",
+       CASE WHEN column_type = 'BIGINT' THEN 'long'
+            WHEN column_type = 'INTEGER' THEN 'integer'
+            WHEN column_type = 'DOUBLE' THEN 'double'
+            WHEN column_type = 'FLOAT' THEN 'float'
+            WHEN column_type LIKE 'TIMESTAMP%' THEN 'datetime'
+            WHEN column_type = 'BOOLEAN' THEN 'boolean'
+            WHEN column_type LIKE '%[]' THEN 'dense_vector'
+            ELSE 'keyword' END AS mapping
+FROM (DESCRIBE orders)""",
         "cat_allocation": """
 WITH smap(source, shard) AS (VALUES
   ('src0', 0), ('src1', 0), ('src2', 2), ('src3', 2), ('src4', 3),

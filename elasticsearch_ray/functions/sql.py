@@ -272,11 +272,63 @@ def _run_pivot(m: re.Match, sf_dir: str, ds_factory):
             [rowkeys + vals])
 
 
+# arrow type -> ES mapping name (x-pack sql SysColumns reports the ES
+# field type alongside the SQL type)
+def _es_type(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "long"
+    if pa.types.is_int32(t):
+        return "integer"
+    if pa.types.is_floating(t):
+        return "double" if pa.types.is_float64(t) else "float"
+    if pa.types.is_timestamp(t):
+        return "datetime"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "dense_vector"
+    return "keyword"
+
+
+def _run_sys(sql: str, sf_dir: str):
+    """SHOW TABLES / SHOW COLUMNS / DESCRIBE (x-pack sql SysTables /
+    SysColumns commands): catalog queries answered from the parquet
+    store's metadata only — no data is read, like the reference's
+    cluster-state lookups."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    s = re.sub(r"\s+", " ", sql.strip()).rstrip(";")
+    if re.fullmatch(r"(?i)SHOW TABLES", s):
+        names = sorted(f[:-8] for f in os.listdir(sf_dir)
+                       if f.endswith(".parquet"))
+        return pd.DataFrame({"name": names, "type": ["TABLE"] * len(names)})
+    m = re.fullmatch(r"(?i)(?:DESCRIBE|DESC|SHOW COLUMNS (?:FROM|IN)) "
+                     r"(\w+)", s)
+    if m:
+        table = m.group(1).lower()
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if not os.path.exists(path):
+            raise SqlParseError(f"unknown table {table!r}")
+        schema = pq.read_schema(path)
+        return pd.DataFrame({
+            "column": list(schema.names),
+            "mapping": [_es_type(f.type) for f in schema]})
+    return None
+
+
 def run_sql(sql: str, sf_dir: str, *, ds_factory):
     """Execute a parsed plan: ds_factory(sf_dir, table, columns, flt) must
     return a Dataset (the ops._ds reader — injected to avoid a cycle)."""
     import pyarrow.compute as pc
 
+    sys_out = _run_sys(sql, sf_dir)
+    if sys_out is not None:
+        return sys_out
     pm = _PIVOT_RX.match(sql.strip())
     if pm:
         return _run_pivot(pm, sf_dir, ds_factory)

@@ -12525,3 +12525,23 @@ def deprecation_info(sf_dir: str):
                          "dynamic JSON field is not mapped"))
     out = pd.DataFrame(rows, columns=["index", "level", "issue"])
     return out.sort_values(["index", "level", "issue"]).reset_index(drop=True)
+
+
+def sql_show_tables(sf_dir: str):
+    """_sql SHOW TABLES (x-pack sql SysTables command, plan/logical/
+    command/sys/SysTables.java): the catalog listing, answered from the
+    parquet store metadata only — no table data is read (the reference
+    serves it from cluster state the same way)."""
+    from ..functions.sql import run_sql
+
+    return run_sql("SHOW TABLES", sf_dir, ds_factory=_ds)
+
+
+def sql_describe_table(sf_dir: str):
+    """_sql DESCRIBE / SHOW COLUMNS (x-pack sql SysColumns): column ->
+    ES mapping type from the parquet schema (metadata-only read); the
+    oracle derives the same verdicts from DESCRIBE with the identical
+    arrow-type -> ES-type mapping in CASE form."""
+    from ..functions.sql import run_sql
+
+    return run_sql("DESCRIBE orders", sf_dir, ds_factory=_ds)

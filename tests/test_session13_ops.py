@@ -188,3 +188,30 @@ def test_deprecation_info_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # events carries the unmapped dynamic-json warning at every sf
     assert (("events" == got["index"]) & (got["level"] == "warning")).any()
+
+
+# --- _sql SYS commands: SHOW TABLES / DESCRIBE ---
+
+
+def test_sql_sys_commands_match_oracle(ray_session):
+    for name in ("sql_show_tables", "sql_describe_table"):
+        got = getattr(ops, name)(SF).reset_index(drop=True)
+        exp = _oracle(name)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_sql_sys_grammar_forms():
+    from elasticsearch_ray.functions.sql import SqlParseError, run_sql
+
+    d1 = run_sql("DESCRIBE events", SF, ds_factory=None)
+    d2 = run_sql("SHOW COLUMNS FROM events", SF, ds_factory=None)
+    d3 = run_sql("desc events", SF, ds_factory=None)
+    pd.testing.assert_frame_equal(d1, d2)
+    pd.testing.assert_frame_equal(d1, d3)
+    assert "props" in list(d1["column"])
+    with pytest.raises(SqlParseError, match="unknown table"):
+        run_sql("DESCRIBE nosuch", SF, ds_factory=None)
+    # embeddings: list<float> maps to dense_vector, int32 to integer
+    de = run_sql("DESCRIBE embeddings", SF, ds_factory=None)
+    m = dict(zip(de["column"], de["mapping"]))
+    assert m["embedding"] == "dense_vector" and m["label"] == "integer"
