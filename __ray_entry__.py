@@ -102,7 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
         "cat_allocation", "deprecation_info",
-        "sql_show_tables", "sql_describe_table",
+        "sql_show_tables", "sql_describe_table", "esql_now_datemath",
         # --- round-3 session-12 ops ---
         "agg_bucket_correlation", "agg_bucket_count_ks_test",
         "agg_inference_regression", "painless_execute",
@@ -970,6 +970,12 @@ SELECT event_type, count(*)::BIGINT AS n,
   ROUND(sum(CAST(round(lat * 100) AS BIGINT))::DOUBLE
         / (100.0 * count(*)), 4) AS cy
 FROM f GROUP BY 1 ORDER BY 1""",
+        "esql_now_datemath": """
+SELECT event_type, count(*)::BIGINT AS n, ROUND(SUM(value), 2) AS s
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-25 13:45:00' - INTERVAL 20 DAY
+  AND ts <  TIMESTAMP '2024-01-25 13:45:00' - INTERVAL 5 DAY
+GROUP BY 1 ORDER BY 1""",
         "sql_show_tables": """
 SELECT table_name AS name, 'TABLE' AS type
 FROM information_schema.tables WHERE table_schema = 'main'

@@ -237,6 +237,17 @@ class _Parser:
             self.expect("]")
             return ("vlit", items)
         if k == "num":
+            # date-period/time-duration literal `<n> <unit>` (EsqlBaseParser
+            # qualifiedIntegerLiteral: `NOW() - 20 day`): fixed-width units
+            # only, like the date-math grammar
+            nk, nv = self.peek()
+            if nk == "name" and nv.lower().rstrip("s") in _DUR_UNITS:
+                self.next()
+                import datetime as _dt
+
+                n = float(v) if "." in v else int(v)
+                return ("lit", _dt.timedelta(
+                    seconds=n * _DUR_UNITS[nv.lower().rstrip("s")]))
             return ("lit", float(v) if "." in v else int(v))
         if k == "str":
             return ("lit", _unquote(v))
@@ -259,6 +270,15 @@ class _Parser:
                 return ("call", v.upper(), args)
             return ("col", v)
         raise ValueError(f"unexpected token {v!r}")
+
+
+_DUR_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+              "week": 7 * 86400}
+
+# deterministic request clock for NOW() (the reference resolves NOW()
+# from the request context; gates and oracles inject the same instant —
+# the same convention as the date-math range gate)
+ESQL_NOW = "2024-01-25T13:45:00"
 
 
 # `::type` -> conversion function (EsqlDataTypeConverter: the cast
@@ -598,6 +618,12 @@ def _call(name: str, args, t: pa.Table):
         return pa.array([None if v is None else
                          base64.b64encode(v.encode()).decode("ascii")
                          for v in vals], pa.string())
+    if name == "NOW":
+        # request-clock constant (x-pack esql scalar/date/Now.java);
+        # deterministic injection via ESQL_NOW, like the date-math gate
+        import datetime as _dt
+
+        return _dt.datetime.fromisoformat(ESQL_NOW)
     if name in ("TO_GEOPOINT", "TO_GEOSHAPE", "ST_X", "ST_Y", "ST_DISTANCE",
                 "ST_INTERSECTS", "ST_WITHIN", "ST_CONTAINS", "ST_DISJOINT",
                 "ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX"):

@@ -12545,3 +12545,23 @@ def sql_describe_table(sf_dir: str):
     from ..functions.sql import run_sql
 
     return run_sql("DESCRIBE orders", sf_dir, ds_factory=_ds)
+
+
+def esql_now_datemath(sf_dir: str):
+    """ES|QL NOW() + date-period arithmetic (scalar/date/Now.java and the
+    EsqlBaseParser qualifiedIntegerLiteral grammar: `NOW() - 20 day`).
+    NOW() resolves to the deterministic injected request clock (the same
+    convention as the date-math range gate); period literals are
+    fixed-width timedeltas folded into the comparison before the scan.
+    The oracle re-derives the window with DuckDB INTERVAL arithmetic —
+    two independent date-math implementations."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | WHERE ts >= NOW() - 20 day AND ts < NOW() - 5 day
+        | STATS n = COUNT(*), s = SUM(value) BY event_type
+        | SORT event_type
+    ''')
+    out["s"] = round_half_away(out["s"], 2)
+    return out

@@ -215,3 +215,31 @@ def test_sql_sys_grammar_forms():
     de = run_sql("DESCRIBE embeddings", SF, ds_factory=None)
     m = dict(zip(de["column"], de["mapping"]))
     assert m["embedding"] == "dense_vector" and m["label"] == "integer"
+
+
+# --- ES|QL NOW() + date-period literals ---
+
+
+def test_now_and_duration_literals():
+    import datetime as dt
+
+    t = pa.table({"ts": pa.array([dt.datetime(2024, 1, 10),
+                                  dt.datetime(2024, 1, 24)],
+                                 pa.timestamp("us"))})
+    def scalar(expr):
+        v = _ev(expr, t)
+        return v.as_py() if hasattr(v, "as_py") else v
+
+    assert scalar("NOW()") == dt.datetime(2024, 1, 25, 13, 45)
+    assert _ev("ts > NOW() - 2 day", t).to_pylist() == [False, True]
+    assert _ev("ts + 1 week", t).to_pylist() == [
+        dt.datetime(2024, 1, 17), dt.datetime(2024, 1, 31)]
+    # plural and singular unit spellings both parse
+    assert scalar("NOW() - 2 hours") == dt.datetime(2024, 1, 25, 11, 45)
+    assert scalar("NOW() - 90 minute") == dt.datetime(2024, 1, 25, 12, 15)
+
+
+def test_esql_now_datemath_matches_oracle(ray_session):
+    got = ops.esql_now_datemath(SF).reset_index(drop=True)
+    exp = _oracle("esql_now_datemath")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
