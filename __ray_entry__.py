@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-14 ops ---
+        "esql_scalb_round_to", "ft_weighted_tokens",
+        "ft_rule_query", "sql_cursor_page",
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
@@ -897,6 +900,55 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()
     out.update(_multi_index_oracle_sqls())
     out.update({
+        "esql_scalb_round_to": """
+SELECT event_id,
+       ROUND(value * power(2, 3), 6) AS s,
+       ROUND(CASE WHEN (50 - value) >= 0 THEN ABS(value)
+                  ELSE -ABS(value) END, 6) AS c,
+       CASE WHEN value >= 500 THEN 500.0 WHEN value >= 250 THEN 250.0
+            WHEN value >= 100 THEN 100.0 WHEN value >= 50 THEN 50.0
+            ELSE 0.0 END AS r
+FROM events WHERE event_id < 400 ORDER BY event_id""",
+        "ft_weighted_tokens": f"""
+WITH {_TOK},
+w(term, wt) AS (VALUES ('data', 0.9), ('merge', 0.5), ('slow', 0.1),
+                       ('dup', 0.3)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM w) GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+r AS (SELECT w.term, w.wt, df.df::DOUBLE / st.n AS ratio
+      FROM w JOIN df USING (term) CROSS JOIN st),
+kept AS (SELECT term, wt FROM r
+         WHERE ratio < 1.2 * (SELECT avg(ratio) FROM r)
+            OR wt > 0.4 * (SELECT max(wt) FROM w))
+SELECT tf.doc_id AS doc_id, ROUND(SUM(wt * {_SCORE}), 4) AS score
+FROM tf JOIN kept USING (term) JOIN df USING (term)
+     JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+GROUP BY tf.doc_id ORDER BY doc_id""",
+        "ft_rule_query": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data', 'merge']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+organic AS (SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS score
+            FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+                 CROSS JOIN st
+            GROUP BY tf.doc_id),
+org2 AS (SELECT doc_id, score FROM organic
+         WHERE doc_id NOT IN (7, 41, 23)
+         ORDER BY score DESC, doc_id LIMIT 12)
+SELECT rank, doc_id, pinned, score FROM (
+  SELECT 1::BIGINT AS rank, 7::BIGINT AS doc_id, 1::BIGINT AS pinned,
+         0.0 AS score
+  UNION ALL
+  SELECT 1 + row_number() OVER (ORDER BY score DESC, doc_id), doc_id,
+         0::BIGINT, score
+  FROM org2)
+ORDER BY rank""",
+        "sql_cursor_page": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 15""",
         "esql_hash_functions": """
 SELECT o_orderkey, md5(o_orderpriority) AS m, sha256(o_orderstatus) AS s,
        md5(o_orderpriority || o_orderstatus) AS h

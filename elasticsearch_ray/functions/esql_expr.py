@@ -21,7 +21,7 @@ Supported grammar:
   functions       ABS ROUND SQRT FLOOR CEIL POW LOG10 MOD GREATEST LEAST
                   EXP LOG SIN COS TAN ASIN ACOS ATAN ATAN2 SIGNUM CBRT
                   SINH COSH TANH TO_RADIANS TO_DEGREES
-                  E PI TAU HYPOT
+                  E PI TAU HYPOT SCALB COPY_SIGN ROUND_TO
                   LENGTH TO_UPPER TO_LOWER TRIM LTRIM RTRIM CONCAT
                   SUBSTRING LEFT RIGHT REPLACE STARTS_WITH ENDS_WITH
                   LOCATE SPLIT REVERSE REPEAT SPACE
@@ -595,6 +595,50 @@ def _call(name: str, args, t: pa.Table):
                         if isinstance(a[1], pa.ChunkedArray)
                         else pc.cast(a[1], pa.float64()))
         return pa.array(np.hypot(ax, ay), pa.float64(), from_pandas=True)
+    if name == "SCALB":
+        # Scalb (8.18 scalar/math/Scalb.java): d * 2^scaleFactor.
+        # Multiplying a double by a power of two is exact (exponent
+        # shift), so the SQL twin `d * power(2, k)` is bit-identical.
+        n = len(t)
+        d = np.asarray(pc.cast(
+            a[0] if isinstance(a[0], (pa.Array, pa.ChunkedArray))
+            else _as_array(a[0], n), pa.float64()).combine_chunks()
+            if isinstance(a[0], pa.ChunkedArray) else pc.cast(
+                a[0] if isinstance(a[0], (pa.Array, pa.ChunkedArray))
+                else _as_array(a[0], n), pa.float64()))
+        if isinstance(a[1], (pa.Array, pa.ChunkedArray)):
+            k = np.asarray(pc.cast(a[1], pa.int64()))
+            return pa.array(d * np.exp2(k.astype(np.float64)),
+                            pa.float64(), from_pandas=True)
+        return pa.array(d * math.pow(2.0, int(a[1])), pa.float64(),
+                        from_pandas=True)
+    if name == "COPY_SIGN":
+        # CopySign (8.18 scalar/math/CopySign.java): |mag| with sign's
+        # sign bit (Java Math.copySign == np.copysign).
+        n = len(t)
+        mag = np.asarray(pc.cast(
+            a[0] if isinstance(a[0], (pa.Array, pa.ChunkedArray))
+            else _as_array(a[0], n), pa.float64()))
+        sgn = np.asarray(pc.cast(
+            a[1] if isinstance(a[1], (pa.Array, pa.ChunkedArray))
+            else _as_array(a[1], n), pa.float64()))
+        return pa.array(np.copysign(mag, sgn), pa.float64(),
+                        from_pandas=True)
+    if name == "ROUND_TO":
+        # RoundTo (8.18 scalar/math/RoundTo.java): round DOWN to the
+        # greatest fixed point <= value; values below the smallest
+        # point take the smallest point. Vectorized via searchsorted
+        # over the sorted point list (the reference builds the same
+        # sorted-array binary search in RoundToDouble).
+        pts = np.array(sorted(float(x) for x in a[1:]), dtype=np.float64)
+        v = np.asarray(pc.cast(a[0], pa.float64()))
+        idx = np.searchsorted(pts, v, side="right") - 1
+        out = pts[np.clip(idx, 0, len(pts) - 1)]
+        mask = np.isnan(v)
+        if mask.any():
+            out = out.copy()
+            out[mask] = np.nan
+        return pa.array(out, pa.float64(), from_pandas=True)
     if name == "E":
         return math.e
     if name == "PI":

@@ -33,13 +33,16 @@ _AND_RX = re.compile(r"(?i)\s+AND\s+")
 
 def _split_and(s: str) -> list[str]:
     """Split WHERE conjuncts on AND outside 'string literals' (a QUERY()
-    argument may itself contain AND)."""
-    parts, buf, inq, i = [], [], False, 0
+    argument may itself contain AND) and outside parentheses (a keyset
+    predicate `a < x OR (a == x AND b > y)` keeps its inner AND)."""
+    parts, buf, inq, depth, i = [], [], False, 0, 0
     while i < len(s):
         ch = s[i]
         if ch == "'":
             inq = not inq
-        if not inq:
+        elif not inq and ch in "()":
+            depth += 1 if ch == "(" else -1
+        if not inq and depth == 0:
             m = _AND_RX.match(s, i)
             if m and buf:
                 parts.append("".join(buf))

@@ -12565,3 +12565,168 @@ def esql_now_datemath(sf_dir: str):
     ''')
     out["s"] = round_half_away(out["s"], 2)
     return out
+
+def esql_scalb_round_to(sf_dir: str):
+    """ES|QL SCALB / COPY_SIGN / ROUND_TO (8.18, x-pack/plugin/esql
+    .../expression/function/scalar/math/{Scalb,CopySign,RoundTo}.java).
+    SCALB multiplies by an exact power of two (exponent shift — the SQL
+    twin `v * power(2, k)` is bit-identical); COPY_SIGN is Math.copySign
+    (numpy copysign ufunc per batch); ROUND_TO rounds down to the
+    greatest fixed point <= value (values below the smallest point take
+    it), vectorized as one searchsorted over the sorted point list —
+    the same sorted-array binary search as the reference's
+    RoundToDouble. All three run inside the pruned streaming scan."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | WHERE event_id < 400
+        | EVAL s = SCALB(value, 3),
+               c = COPY_SIGN(value, 50 - value),
+               r = ROUND_TO(value, 0, 50, 100, 250, 500)
+        | KEEP event_id, s, c, r
+        | SORT event_id
+        | LIMIT 1000
+    ''')
+    out["s"] = round_half_away(out["s"], 6)
+    out["c"] = round_half_away(out["c"], 6)
+    return out
+
+
+def ft_weighted_tokens(sf_dir: str):
+    """weighted_tokens query with pruning config (x-pack 8.13
+    WeightedTokensQueryBuilder + core/ml/search/TokenPruningConfig /
+    WeightedTokensUtils.shouldKeepToken): a token survives pruning iff
+    its doc-frequency ratio df/N is below ratio_threshold x the average
+    freq ratio of the query's tokens (documented substitution for the
+    reference's field-level average), OR its weight exceeds
+    weight_threshold x the best query weight. Kept tokens score as
+    boosted term queries (boost = token weight, exact64 BM25), summed —
+    the same bool-should lowering the reference uses.
+    Scale shape: phase 1 exchanges one small df-partial per batch for
+    the 4 query tokens (no shuffle); phase 2 is the ordinary engine
+    scan. only_score_pruned_tokens=false."""
+    tokens = {"data": 0.9, "merge": 0.5, "slow": 0.1, "dup": 0.3}
+    ratio_threshold, weight_threshold = 1.2, 0.4
+
+    import re
+
+    pat = re.compile(r"[^a-z0-9]+")
+    terms = sorted(tokens)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        counts = {w: 0 for w in terms}
+        for s in texts:
+            toks = set(pat.split(s.lower()))
+            for w in terms:
+                if w in toks:
+                    counts[w] += 1
+        return pa.table({"term": pa.array(terms),
+                         "df": pa.array([counts[w] for w in terms],
+                                        pa.int64()),
+                         "n": pa.array([len(texts)] * len(terms),
+                                       pa.int64())})
+
+    parts = (_ds(sf_dir, "documents", ["text"])
+             .map_batches(df_partial, batch_format="pyarrow")
+             .to_pandas().groupby("term").sum())
+    n_docs = float(parts["n"].iloc[0])  # every term row sums to total docs
+    ratios = {w: float(parts.loc[w, "df"]) / n_docs for w in terms}
+    avg_ratio = sum(ratios.values()) / len(ratios)
+    best_w = max(tokens.values())
+    kept = [w for w in terms
+            if ratios[w] < ratio_threshold * avg_ratio
+            or tokens[w] > weight_threshold * best_w]
+    q = {"kind": "bool",
+         "should": [{"kind": "term", "term": w, "boost": tokens[w]}
+                    for w in kept]}
+    out = all_matches(sf_dir, q).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ft_rule_query(sf_dir: str):
+    """rule_query / query rules (x-pack 8.10 ent-search
+    QueryRulesetService + RuleQueryBuilder; rules carry criteria over
+    match metadata and pinned/excluded doc actions): the ruleset is a
+    tiny driver-side constant (cluster-state analog); matching rules'
+    pinned ids are force-included ranked first (in rule order), excluded
+    ids dropped, and the organic query (match OR 'data merge', exact64
+    BM25) fills the remainder. One engine scan — the rule application is
+    a vectorized driver merge of the reduced match table."""
+    ruleset = [
+        {"criteria": ("exact", "user_query", "data merge"),
+         "action": ("pinned", [7, 23])},
+        {"criteria": ("contains", "user_query", "merge"),
+         "action": ("excluded", [41, 23])},
+        {"criteria": ("prefix", "user_query", "slow"),
+         "action": ("pinned", [5])},
+    ]
+    match_criteria = {"user_query": "data merge"}
+
+    def rule_matches(rule) -> bool:
+        typ, key, val = rule["criteria"]
+        got = match_criteria.get(key, "")
+        return ((typ == "exact" and got == val)
+                or (typ == "contains" and val in got)
+                or (typ == "prefix" and got.startswith(val)))
+
+    pinned: list[int] = []
+    excluded: set[int] = set()
+    for rule in ruleset:
+        if rule_matches(rule):
+            what, ids = rule["action"]
+            if what == "pinned":
+                pinned += [i for i in ids if i not in pinned]
+            else:
+                excluded |= set(ids)
+    # pinned wins over excluded only if pinned earlier? reference:
+    # excluded removes docs even when another rule pinned them later;
+    # a doc both pinned and excluded is excluded (DocumentRule apply
+    # order: exclusions are filtered last).
+    pinned = [i for i in pinned if i not in excluded]
+
+    organic = all_matches(
+        sf_dir, {"kind": "match", "text": "data merge"}).to_pandas()
+    organic = organic[~organic["doc_id"].isin(excluded)
+                      & ~organic["doc_id"].isin(pinned)]
+    organic = organic.sort_values(["score", "doc_id"],
+                                  ascending=[False, True]).head(12)
+    pin_df = pd.DataFrame({
+        "doc_id": pd.array(pinned, dtype="int64"),
+        "score": [0.0] * len(pinned),
+        "rank": pd.array(range(1, len(pinned) + 1), dtype="int64"),
+    })
+    org = organic.reset_index(drop=True)
+    org["rank"] = pd.array(
+        range(len(pinned) + 1, len(pinned) + 1 + len(org)), dtype="int64")
+    out = pd.concat([pin_df, org[["doc_id", "score", "rank"]]],
+                    ignore_index=True)
+    out["pinned"] = (out["rank"] <= len(pinned)).astype("int64")
+    return out[["rank", "doc_id", "pinned", "score"]]
+
+
+def sql_cursor_page(sf_dir: str):
+    """_sql cursor pagination (x-pack sql RestSqlQueryAction fetch_size +
+    cursor continuation): page 1 runs with LIMIT fetch_size; the cursor
+    encodes the last row's sort keys (keyset — the distributed analog of
+    the reference's server-side scroll cursor: no state is held on any
+    node, the continuation is a pushed-down predicate). Page 2 re-enters
+    the translator with the keyset predicate `(price, key) < cursor`
+    lowered onto the pruned scan. Returns page 2; oracle = OFFSET page."""
+    from ..functions.sql import run_sql
+
+    fetch = 15
+    page1 = run_sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        f"ORDER BY o_totalprice DESC, o_orderkey LIMIT {fetch}",
+        sf_dir, ds_factory=_ds)
+    last_p = float(page1["o_totalprice"].iloc[-1])
+    last_k = int(page1["o_orderkey"].iloc[-1])
+    page2 = run_sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        f"WHERE o_totalprice < {last_p!r} OR "
+        f"(o_totalprice == {last_p!r} AND o_orderkey > {last_k}) "
+        f"ORDER BY o_totalprice DESC, o_orderkey LIMIT {fetch}",
+        sf_dir, ds_factory=_ds)
+    return page2.reset_index(drop=True)

@@ -1,0 +1,123 @@
+"""Round-3 session-14 operators.
+
+- ES|QL SCALB / COPY_SIGN / ROUND_TO (8.18): x-pack/plugin/esql/.../
+  expression/function/scalar/math/{Scalb,CopySign,RoundTo}.java.
+- weighted_tokens query + TokenPruningConfig (8.13): x-pack/plugin/core/
+  .../ml/search/WeightedTokensUtils.java shouldKeepToken.
+- rule_query / query rules (8.10): x-pack/plugin/ent-search/.../rules/
+  RuleQueryBuilder.java (pinned/excluded actions, criteria match).
+- _sql cursor pagination: x-pack/plugin/sql RestSqlQueryAction
+  fetch_size + cursor continuation (keyset analog).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from elasticsearch_ray.functions.esql_expr import evaluate, parse_expr
+from elasticsearch_ray.functions.sql import _split_and
+from elasticsearch_ray.pipelines import ops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ev(expr: str, t: pa.Table):
+    return evaluate(parse_expr(expr), t)
+
+
+def test_scalb_exact_power_of_two():
+    t = pa.table({"v": [1.5, -3.25, 0.0, 1e-3]})
+    out = _ev("SCALB(v, 4)", t).to_pylist()
+    assert out == [v * 16.0 for v in [1.5, -3.25, 0.0, 1e-3]]
+    # column scale factor, including negative exponents
+    t2 = pa.table({"v": [8.0, 8.0, 8.0], "k": [-3, 0, 10]})
+    assert _ev("SCALB(v, k)", t2).to_pylist() == [1.0, 8.0, 8192.0]
+
+
+def test_copy_sign_java_semantics():
+    t = pa.table({"m": [3.0, -3.0, 2.5, 0.0], "s": [-1.0, 5.0, 0.0, -2.0]})
+    out = _ev("COPY_SIGN(m, s)", t).to_pylist()
+    # sign of +0.0 is positive (Math.copySign)
+    assert out == [-3.0, 3.0, 2.5, -0.0]
+    assert math.copysign(1.0, out[3]) == -1.0
+
+
+def test_round_to_points():
+    t = pa.table({"v": [-7.0, 0.0, 49.9, 50.0, 99.0, 777.0]})
+    out = _ev("ROUND_TO(v, 0, 50, 100, 500)", t).to_pylist()
+    # below the smallest point -> smallest point; otherwise round down
+    assert out == [0.0, 0.0, 0.0, 50.0, 50.0, 500.0]
+    # single point: everything collapses onto it
+    assert _ev("ROUND_TO(v, 100)", t).to_pylist() == [100.0] * 6
+
+
+def test_round_to_unsorted_points_and_null():
+    t = pa.table({"v": [250.0, None, 10.0]})
+    out = _ev("ROUND_TO(v, 500, 0, 100)", t).to_pylist()
+    assert out[0] == 100.0 and out[2] == 0.0
+    assert out[1] is None or (isinstance(out[1], float) and math.isnan(out[1]))
+
+
+def test_split_and_paren_aware():
+    # keyset predicate: the inner AND must not split the OR branch
+    parts = _split_and("a < 5 OR (a == 5 AND b > 3)")
+    assert parts == ["a < 5 OR (a == 5 AND b > 3)"]
+    parts = _split_and("x = 1 AND (y = 2 AND z = 3) AND w = 4")
+    assert parts == ["x = 1", "(y = 2 AND z = 3)", "w = 4"]
+    # string literals still shield AND
+    parts = _split_and("q = 'a AND b' AND r = 2")
+    assert parts == ["q = 'a AND b'", "r = 2"]
+
+
+def test_weighted_tokens_pruning(ray_session):
+    out = ops.ft_weighted_tokens(SF)
+    # 'slow' must be pruned (high df ratio, weight 0.1 <= 0.4*0.9);
+    # docs containing ONLY 'slow' (of the query tokens) score nothing.
+    assert (out["score"] > 0).all()
+    # 'dup' survives via the freq-ratio branch: rare term, low weight.
+    # A doc with 'dup' but neither data nor merge must still match.
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    dup_only = con.execute("""
+        WITH tok AS (SELECT doc_id, t AS term FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+')) AS t FROM documents) u WHERE t <> '')
+        SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'
+        AND doc_id NOT IN (SELECT doc_id FROM tok
+                           WHERE term IN ('data', 'merge'))
+    """).df()
+    if len(dup_only):
+        assert set(dup_only["doc_id"]).issubset(set(out["doc_id"]))
+
+
+def test_rule_query_pin_exclude(ray_session):
+    out = ops.ft_rule_query(SF)
+    # doc 7 pinned at rank 1; 23 pinned-then-excluded -> absent;
+    # 41 excluded -> absent
+    assert out.iloc[0]["doc_id"] == 7 and out.iloc[0]["pinned"] == 1
+    assert 23 not in set(out["doc_id"]) and 41 not in set(out["doc_id"])
+    # organic portion is score-descending
+    org = out[out["pinned"] == 0]["score"].to_numpy()
+    assert (np.diff(org) <= 1e-12).all()
+
+
+def test_sql_cursor_page_keyset(ray_session):
+    from elasticsearch_ray.functions.sql import run_sql
+    from elasticsearch_ray.pipelines.ops import _ds
+
+    page2 = ops.sql_cursor_page(SF)
+    both = run_sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 30",
+        SF, ds_factory=_ds)
+    # keyset continuation == rows 15..29 of the single-shot ordering
+    expect = both.iloc[15:30].reset_index(drop=True)
+    pd.testing.assert_frame_equal(page2, expect)
