@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
+        "geo_grid_query", "ft_text_expansion", "ingest_reroute",
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
@@ -949,6 +950,65 @@ ORDER BY rank""",
         "sql_cursor_page": """
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 15""",
+        "geo_grid_query": """
+WITH e AS (SELECT event_id,
+        ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+        ((user_id * 104729) % 360) - 180 + 0.5 AS lon
+      FROM events),
+b AS (SELECT event_id,
+        least(CAST(floor((lon + 180.0) / 360.0 * 32) AS INTEGER), 31) AS lx,
+        least(CAST(floor((lat + 90.0) / 180.0 * 32) AS INTEGER), 31) AS ly
+      FROM e),
+ghv AS (SELECT event_id,
+        ((lx // 16) % 2) * 512 + ((ly // 16) % 2) * 256
+        + ((lx // 8) % 2) * 128 + ((ly // 8) % 2) * 64
+        + ((lx // 4) % 2) * 32 + ((ly // 4) % 2) * 16
+        + ((lx // 2) % 2) * 8 + ((ly // 2) % 2) * 4
+        + (lx % 2) * 2 + (ly % 2) AS v
+      FROM b),
+gh AS (SELECT event_id,
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (v // 32) + 1, 1) ||
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (v % 32) + 1, 1) AS cell
+       FROM ghv),
+gt AS (SELECT event_id,
+        least(greatest(CAST(floor((lon + 180.0) / 360.0 * 8)
+                            AS BIGINT), 0), 7) AS tx,
+        least(greatest(CAST(floor((1.0 - ln(
+              tan(radians(greatest(least(lat, 85.05112878), -85.05112878)))
+              + sqrt(tan(radians(greatest(least(lat, 85.05112878),
+                                          -85.05112878)))
+                * tan(radians(greatest(least(lat, 85.05112878),
+                                       -85.05112878))) + 1.0)) / pi())
+              / 2.0 * 8) AS BIGINT), 0), 7) AS ty
+      FROM e)
+SELECT grid, event_id FROM (
+  SELECT 'geohash:zj' AS grid, event_id FROM gh WHERE cell = 'zj'
+  UNION ALL
+  SELECT 'geotile:3/1/0', event_id FROM gt WHERE tx = 1 AND ty = 0)
+ORDER BY grid, event_id""",
+        "ft_text_expansion": f"""
+WITH {_TOK},
+v AS (SELECT term, row_number() OVER (ORDER BY term) AS rn
+      FROM (SELECT DISTINCT term FROM tok)),
+qt(term) AS (VALUES ('data'), ('merge')),
+expd AS (
+  SELECT term, 1.0 AS wt FROM qt
+  UNION ALL
+  SELECT v2.term, 0.3 FROM qt JOIN v ON v.term = qt.term
+       JOIN v v2 ON v2.rn IN (v.rn - 1, v.rn + 1)),
+w AS (SELECT term, SUM(wt) AS wt FROM expd GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM w) GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id, ROUND(SUM(wt * {_SCORE}), 4) AS score
+FROM tf JOIN w USING (term) JOIN df USING (term)
+     JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+GROUP BY tf.doc_id ORDER BY doc_id""",
+        "ingest_reroute": """
+SELECT CASE WHEN value >= 250 THEN 'metrics-high-default'
+            ELSE 'logs-' || event_type || '-default' END AS dest,
+       count(*)::BIGINT AS doc_count
+FROM events GROUP BY 1 ORDER BY dest""",
         "esql_hash_functions": """
 SELECT o_orderkey, md5(o_orderpriority) AS m, sha256(o_orderstatus) AS s,
        md5(o_orderpriority || o_orderstatus) AS h

@@ -12730,3 +12730,109 @@ def sql_cursor_page(sf_dir: str):
         f"ORDER BY o_totalprice DESC, o_orderkey LIMIT {fetch}",
         sf_dir, ds_factory=_ds)
     return page2.reset_index(drop=True)
+
+def geo_grid_query(sf_dir: str):
+    """geo_grid query (8.8 server/.../index/query/GeoGridQueryBuilder):
+    matches docs whose point falls inside ONE grid cell, addressed by a
+    geohash or geotile cell id — the query-side mirror of the geogrid
+    aggregations, reusing the exact same encode kernels (geo.py). Each
+    branch is a vectorized encode + equality filter inside the streaming
+    scan (the reference rewrites the cell to a bounding-box query; cell
+    equality over the encoded point is the same predicate). Both
+    branches run in one pass; no shuffle."""
+    gh_cell, gt_cell = "zj", "3/1/0"
+
+    def grid_match(t: pa.Table) -> pa.Table:
+        from ..geo import geotile_cell
+
+        uid = t["user_id"].to_numpy()
+        lat = (((uid * 7919) % 180) - 90 + 0.5).astype(np.float64)
+        lon = (((uid * 104729) % 360) - 180 + 0.5).astype(np.float64)
+        gh = np.asarray(geohash_encode(lat, lon, 2))
+        gt = np.asarray(geotile_cell(lat, lon, 3))
+        eid = t["event_id"].to_numpy()
+        out_id, out_grid = [], []
+        m = gh == gh_cell
+        out_id.append(eid[m])
+        out_grid.append(np.full(int(m.sum()), "geohash:" + gh_cell))
+        m = gt == gt_cell
+        out_id.append(eid[m])
+        out_grid.append(np.full(int(m.sum()), "geotile:" + gt_cell))
+        return pa.table({
+            "event_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "grid": pa.array(np.concatenate(out_grid).astype(str)),
+        })
+
+    out = (_ds(sf_dir, "events", ["event_id", "user_id"])
+           .map_batches(grid_match, batch_format="pyarrow").to_pandas())
+    return (out.sort_values(["grid", "event_id"])
+            .reset_index(drop=True)[["grid", "event_id"]])
+
+
+def ft_text_expansion(sf_dir: str):
+    """text_expansion query (x-pack 8.8 TextExpansionQueryBuilder): the
+    query text runs through an expansion model producing weighted tokens,
+    then scores like weighted_tokens/sparse_vector. The ELSER model is
+    substituted by a deterministic expansion (documented stand-in — no ML
+    runtime in this container): each query token expands to itself
+    (weight 1.0) plus its two lexicographic vocabulary neighbors (weight
+    0.3), duplicate expansions summing. The vocabulary is computed
+    distributed (per-batch distinct-term partials -> tiny driver union —
+    the analog of the model's fixed vocab). Kept tokens score as boosted
+    term queries under exact64 BM25, summed."""
+    import re
+
+    query_tokens = ["data", "merge"]
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        terms: set[str] = set()
+        for s in t["text"].to_pylist():
+            terms.update(w for w in pat.split(s.lower()) if w)
+        return pa.table({"term": pa.array(sorted(terms))})
+
+    vocab = sorted(set(
+        _ds(sf_dir, "documents", ["text"])
+        .map_batches(vocab_partial, batch_format="pyarrow")
+        .to_pandas()["term"]))
+    weights: dict[str, float] = {}
+    for qt in query_tokens:
+        weights[qt] = weights.get(qt, 0.0) + 1.0
+        if qt in vocab:
+            i = vocab.index(qt)
+            for j in (i - 1, i + 1):
+                if 0 <= j < len(vocab):
+                    weights[vocab[j]] = weights.get(vocab[j], 0.0) + 0.3
+    q = {"kind": "bool",
+         "should": [{"kind": "term", "term": w, "boost": b}
+                    for w, b in sorted(weights.items())]}
+    out = all_matches(sf_dir, q).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ingest_reroute(sf_dir: str):
+    """reroute ingest processor (8.8 modules/ingest-common
+    RerouteProcessor): rewrites the document's destination data stream
+    from (dataset, namespace) fields — high-value events (value >= 250) divert to the
+    metrics stream, everything else lands on logs-<event_type>-default.
+    The routing decision is one vectorized where per batch; the output
+    is the per-destination doc_count exchange (tiny combiner groupby)."""
+    from ray.data.aggregate import Count
+
+    def route(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        et = t["event_type"]
+        high = pc.greater_equal(t["value"], 250.0)
+        dest = pc.if_else(
+            high, pa.scalar("metrics-high-default"),
+            pc.binary_join_element_wise(
+                pa.array(["logs"] * len(t)), et,
+                pa.array(["default"] * len(t)), "-"))
+        return pa.table({"dest": dest})
+
+    out = (_ds(sf_dir, "events", ["event_type", "value"])
+           .map_batches(route, batch_format="pyarrow")
+           .groupby("dest").aggregate(Count(alias_name="doc_count"))
+           .to_pandas())
+    return out.sort_values("dest").reset_index(drop=True)

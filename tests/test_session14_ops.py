@@ -121,3 +121,51 @@ def test_sql_cursor_page_keyset(ray_session):
     # keyset continuation == rows 15..29 of the single-shot ordering
     expect = both.iloc[15:30].reset_index(drop=True)
     pd.testing.assert_frame_equal(page2, expect)
+
+
+def test_geo_grid_query_cell_membership(ray_session):
+    from elasticsearch_ray.geo import geohash_encode, geotile_cell
+
+    out = ops.geo_grid_query(SF)
+    assert set(out["grid"]) <= {"geohash:zj", "geotile:3/1/0"}
+    assert len(out) > 0
+    # every returned event's user coordinate really encodes to the cell
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    ev = con.execute("SELECT event_id, user_id FROM events").df()
+    uid = ev.set_index("event_id")["user_id"]
+    gh_rows = out[out["grid"] == "geohash:zj"]["event_id"]
+    u = uid.loc[gh_rows].to_numpy()
+    lat = (((u * 7919) % 180) - 90 + 0.5).astype(float)
+    lon = (((u * 104729) % 360) - 180 + 0.5).astype(float)
+    assert all(c == "zj" for c in geohash_encode(lat, lon, 2))
+    gt_rows = out[out["grid"] == "geotile:3/1/0"]["event_id"]
+    u = uid.loc[gt_rows].to_numpy()
+    lat = (((u * 7919) % 180) - 90 + 0.5).astype(float)
+    lon = (((u * 104729) % 360) - 180 + 0.5).astype(float)
+    assert all(c == "3/1/0" for c in geotile_cell(lat, lon, 3))
+
+
+def test_text_expansion_superset_of_plain_match(ray_session):
+    # expansion adds neighbor tokens -> matches a superset of the plain
+    # OR-match over the raw query tokens
+    from elasticsearch_ray.pipelines.fulltext import all_matches
+
+    exp = ops.ft_text_expansion(SF)
+    plain = all_matches(SF, {"kind": "match", "text": "data merge"}).to_pandas()
+    assert set(plain["doc_id"]).issubset(set(exp["doc_id"]))
+    assert len(exp) >= len(plain)
+
+
+def test_ingest_reroute_partition(ray_session):
+    out = ops.ingest_reroute(SF)
+    # metrics stream siphons value>=400; totals conserve the event count
+    import pyarrow.parquet as pq
+
+    total = pq.read_table(f"{SF}/events.parquet", columns=["event_id"]).num_rows
+    assert int(out["doc_count"].sum()) == total
+    assert "metrics-high-default" in set(out["dest"])
+    assert all(d.startswith(("logs-", "metrics-")) for d in out["dest"])
