@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
         "geo_grid_query", "ft_text_expansion", "ingest_reroute",
+        "esql_st_extent", "esql_st_envelope",
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
@@ -1009,6 +1010,30 @@ SELECT CASE WHEN value >= 250 THEN 'metrics-high-default'
             ELSE 'logs-' || event_type || '-default' END AS dest,
        count(*)::BIGINT AS doc_count
 FROM events GROUP BY 1 ORDER BY dest""",
+        "esql_st_extent": """
+WITH e AS (SELECT event_type,
+        ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+        ((user_id * 104729) % 360) - 180 + 0.5 AS lon FROM events),
+g AS (SELECT event_type, count(*)::BIGINT AS n,
+        min(lon) AS west, max(lon) AS east,
+        max(lat) AS north, min(lat) AS south
+      FROM e GROUP BY 1)
+SELECT event_type, n,
+  'BBOX (' || west::VARCHAR || ', ' || east::VARCHAR || ', '
+           || north::VARCHAR || ', ' || south::VARCHAR || ')' AS ext,
+  west, east, north, south
+FROM g ORDER BY event_type""",
+        "esql_st_envelope": """
+WITH e AS (SELECT event_id,
+        ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+        ((user_id * 104729) % 360) - 180 + 0.5 AS lon
+      FROM events WHERE event_id < 300)
+SELECT event_id,
+  'BBOX (' || lon::VARCHAR || ', ' || lon::VARCHAR || ', '
+           || lat::VARCHAR || ', ' || lat::VARCHAR || ')' AS env,
+  lon AS px, lat AS py,
+  10.0 AS qw, 50.0 AS qe, 40.0 AS qn, 5.0 AS qs
+FROM e ORDER BY event_id""",
         "esql_hash_functions": """
 SELECT o_orderkey, md5(o_orderpriority) AS m, sha256(o_orderstatus) AS s,
        md5(o_orderpriority || o_orderstatus) AS h

@@ -40,7 +40,7 @@ _CMP = {"==": "equal", "!=": "not_equal", ">=": "greater_equal",
         "<=": "less_equal", ">": "greater", "<": "less"}
 _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
          "MEDIAN", "PERCENTILE", "STD_DEV", "WEIGHTED_AVG", "VALUES",
-         "RATE", "ST_CENTROID_AGG"}
+         "RATE", "ST_CENTROID_AGG", "ST_EXTENT_AGG"}
 
 
 def _lit(tok: str):
@@ -1463,6 +1463,20 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
                 out[f"__c_{alias}"] = g2.size()
                 out[f"__x_{alias}"] = g2["__x"].sum()
                 out[f"__y_{alias}"] = g2["__y"].sum()
+            elif fn == "ST_EXTENT_AGG":
+                # SpatialExtent (esql 8.18): per-group bounding box of
+                # the points. min/max partials merge exactly (order-
+                # invariant) — no fixed-point grid needed.
+                from .esql_expr import _wkt_xy
+
+                xs, ys = _wkt_xy(pa.array(df_s[col].astype(str)),
+                                 len(df_s))
+                d2 = df_s.assign(__x=xs, __y=ys)
+                g2 = grp(d2)
+                out[f"__mnx_{alias}"] = g2["__x"].min()
+                out[f"__mxx_{alias}"] = g2["__x"].max()
+                out[f"__mny_{alias}"] = g2["__y"].min()
+                out[f"__mxy_{alias}"] = g2["__y"].max()
         res = pd.DataFrame(out).reset_index()
         if not by:
             res = res.drop(columns="__g")
@@ -1476,7 +1490,8 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
                  "AVG": ("__s", "__c"), "MIN": ("__mn",), "MAX": ("__mx",),
                  "STD_DEV": ("__c", "__s", "__q"),
                  "WEIGHTED_AVG": ("__s", "__w"),
-                 "ST_CENTROID_AGG": ("__c", "__x", "__y")}
+                 "ST_CENTROID_AGG": ("__c", "__x", "__y"),
+                 "ST_EXTENT_AGG": ("__mnx", "__mxx", "__mny", "__mxy")}
     for alias, fn, *_ in specs:
         for p in _prefixes[fn]:
             if f"{p}_{alias}" not in parts.columns:
@@ -1502,6 +1517,12 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
         if fn == "MAX" and by:
             merged[f"__mx_{alias}"] = (
                 parts.groupby(by)[f"__mx_{alias}"].max().to_numpy())
+        if fn == "ST_EXTENT_AGG" and by:
+            gg = parts.groupby(by)
+            merged[f"__mnx_{alias}"] = gg[f"__mnx_{alias}"].min().to_numpy()
+            merged[f"__mxx_{alias}"] = gg[f"__mxx_{alias}"].max().to_numpy()
+            merged[f"__mny_{alias}"] = gg[f"__mny_{alias}"].min().to_numpy()
+            merged[f"__mxy_{alias}"] = gg[f"__mxy_{alias}"].max().to_numpy()
 
     out = merged[by].copy() if by else pd.DataFrame(index=[0])
     for alias, fn, *_ in specs:
@@ -1536,6 +1557,14 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
             out[alias] = ["POINT (" + repr(x) + " " + repr(y) + ")"
                           for x, y in zip(sx / (100.0 * n),
                                           sy / (100.0 * n))]
+        elif fn == "ST_EXTENT_AGG":
+            # ES Rectangle WKT: BBOX (west, east, north, south)
+            out[alias] = [
+                f"BBOX ({w!r}, {e!r}, {nn!r}, {s_!r})"
+                for w, e, nn, s_ in zip(merged[f"__mnx_{alias}"],
+                                        merged[f"__mxx_{alias}"],
+                                        merged[f"__mxy_{alias}"],
+                                        merged[f"__mny_{alias}"])]
 
     for r in pair_frames:
         # left merge: group presence comes from ALL rows (a filtered

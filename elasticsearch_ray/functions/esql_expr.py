@@ -670,7 +670,8 @@ def _call(name: str, args, t: pa.Table):
         return _dt.datetime.fromisoformat(ESQL_NOW)
     if name in ("TO_GEOPOINT", "TO_GEOSHAPE", "ST_X", "ST_Y", "ST_DISTANCE",
                 "ST_INTERSECTS", "ST_WITHIN", "ST_CONTAINS", "ST_DISJOINT",
-                "ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX"):
+                "ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX",
+                "ST_ENVELOPE", "ST_XMIN", "ST_XMAX", "ST_YMIN", "ST_YMAX"):
         return _st_call(name, a, t)
     if name in ("MD5", "SHA1", "SHA256") or name == "HASH":
         # Md5/Sha1/Sha256 + Hash(alg, input) (esql 8.16,
@@ -854,6 +855,49 @@ def _st_call(name: str, a, t: pa.Table):
         return pa.array(_wkt_xy(a[0], n)[0], pa.float64())
     if name == "ST_Y":
         return pa.array(_wkt_xy(a[0], n)[1], pa.float64())
+    if name in ("ST_ENVELOPE", "ST_XMIN", "ST_XMAX", "ST_YMIN", "ST_YMAX"):
+        # StEnvelope / StXMin / StXMax / StYMin / StYMax (8.15-8.18,
+        # scalar/spatial/{StEnvelope,StXMin,...}.java). Envelopes render
+        # as the ES Rectangle WKT `BBOX (west, east, north, south)`.
+        # Inputs: a shape WKT literal (bbox over its vertices), a BBOX
+        # string (vectorized single-regex field extraction), or a POINT
+        # column (degenerate envelope).
+        v = a[0]
+        if isinstance(v, str) and not v.lstrip().upper().startswith("BBOX"):
+            kind, coords = geo.parse_wkt(v)
+            if kind == "polygon":  # list of rings; bbox of the outer ring
+                coords = coords[0]
+            # envelope is already normalized by parse_wkt to the two
+            # (minx, miny) / (maxx, maxy) corner points
+            pts = np.atleast_2d(np.asarray(coords, np.float64))
+            box = (pts[:, 0].min(), pts[:, 0].max(),
+                   pts[:, 1].max(), pts[:, 1].min())
+            if name == "ST_ENVELOPE":
+                return (f"BBOX ({box[0]!r}, {box[1]!r}, "
+                        f"{box[2]!r}, {box[3]!r})")
+            return {"ST_XMIN": box[0], "ST_XMAX": box[1],
+                    "ST_YMAX": box[2], "ST_YMIN": box[3]}[name]
+        sv = v if isinstance(v, str) else pc.cast(v, pa.string())
+        is_bbox = (sv.lstrip().upper().startswith("BBOX")
+                   if isinstance(sv, str)
+                   else pc.any(pc.starts_with(sv, "BBOX")).as_py())
+        if is_bbox:
+            ex = pc.extract_regex(
+                sv if not isinstance(sv, str) else pa.array([sv] * n),
+                r"^BBOX \((?P<w>[-+0-9.eE]+), (?P<e>[-+0-9.eE]+), "
+                r"(?P<nn>[-+0-9.eE]+), (?P<s>[-+0-9.eE]+)\)$")
+            f = {"ST_XMIN": "w", "ST_XMAX": "e",
+                 "ST_YMAX": "nn", "ST_YMIN": "s"}
+            if name == "ST_ENVELOPE":
+                return sv
+            return pc.cast(pc.struct_field(ex, f[name]), pa.float64())
+        x, y = _wkt_xy(v, n)
+        if name == "ST_ENVELOPE":
+            return pa.array(
+                [f"BBOX ({xi!r}, {xi!r}, {yi!r}, {yi!r})"
+                 for xi, yi in zip(x, y)], pa.string())
+        return pa.array(x if name in ("ST_XMIN", "ST_XMAX") else y,
+                        pa.float64())
     if name == "ST_DISTANCE":
         x1, y1 = _wkt_xy(a[0], n)
         x2, y2 = _wkt_xy(a[1], n)

@@ -12836,3 +12836,52 @@ def ingest_reroute(sf_dir: str):
            .groupby("dest").aggregate(Count(alias_name="doc_count"))
            .to_pandas())
     return out.sort_values("dest").reset_index(drop=True)
+
+def esql_st_extent(sf_dir: str):
+    """ES|QL ST_EXTENT_AGG (SpatialExtent, 8.18) in STATS: per-group
+    bounding box of the point column. Partials are per-batch min/max of
+    (x, y) — order-invariant, merged by one tiny group exchange; the
+    result renders as the ES Rectangle WKT `BBOX (west, east, north,
+    south)`. The new ST_XMIN/ST_XMAX/ST_YMIN/ST_YMAX scalars (8.18)
+    then recover the numeric fields from the BBOX strings on the
+    reduced frame (vectorized single-regex extraction — the same
+    evaluator batches use)."""
+    from ..functions import esql
+    from ..functions.esql_expr import evaluate, parse_expr
+
+    out = esql.run(sf_dir, '''
+        FROM events
+    ''' + _ST_POINT_EVAL + '''
+        | STATS n = COUNT(*), ext = ST_EXTENT_AGG(p) BY event_type
+        | SORT event_type
+    ''')
+    t = pa.table({"ext": pa.array(out["ext"].astype(str))})
+    for alias, fn in (("west", "ST_XMIN"), ("east", "ST_XMAX"),
+                      ("north", "ST_YMAX"), ("south", "ST_YMIN")):
+        out[alias] = np.asarray(evaluate(parse_expr(f"{fn}(ext)"), t))
+    return out
+
+
+def esql_st_envelope(sf_dir: str):
+    """ES|QL ST_ENVELOPE + ST_XMIN/ST_XMAX/ST_YMIN/ST_YMAX scalars
+    (8.15-8.18, scalar/spatial/{StEnvelope,StXMin,StXMax,StYMin,
+    StYMax}.java): a POINT column's envelope is the degenerate BBOX;
+    a POLYGON literal's envelope is the bbox over its vertices (folded
+    once at parse — constant per row, like the reference's foldable
+    spatial literals). All per-row work is one regex extract + string
+    join per batch."""
+    from ..functions import esql
+
+    poly = 'TO_GEOSHAPE("POLYGON ((10 20, 50 5, 30 40, 10 20))")'
+    out = esql.run(sf_dir, f'''
+        FROM events
+        | WHERE event_id < 300
+    ''' + _ST_POINT_EVAL + f'''
+        | EVAL env = ST_ENVELOPE(p)
+        | EVAL px = ST_XMIN(env), py = ST_YMAX(env),
+               qw = ST_XMIN({poly}), qe = ST_XMAX({poly}),
+               qn = ST_YMAX({poly}), qs = ST_YMIN({poly})
+        | KEEP event_id, env, px, py, qw, qe, qn, qs
+        | SORT event_id
+    ''')
+    return out

@@ -169,3 +169,44 @@ def test_ingest_reroute_partition(ray_session):
     assert int(out["doc_count"].sum()) == total
     assert "metrics-high-default" in set(out["dest"])
     assert all(d.startswith(("logs-", "metrics-")) for d in out["dest"])
+
+
+def test_st_envelope_scalar_units():
+    # polygon literal: bbox over the outer ring
+    assert _ev('ST_XMIN(TO_GEOSHAPE("POLYGON ((10 20, 50 5, 30 40, 10 20))"))',
+               pa.table({"x": [1]})) == 10.0
+    assert _ev('ST_YMAX(TO_GEOSHAPE("POLYGON ((10 20, 50 5, 30 40, 10 20))"))',
+               pa.table({"x": [1]})) == 40.0
+    # ENVELOPE literal (ES WKT extension: minLon maxLon maxLat minLat)
+    assert _ev('ST_XMAX(TO_GEOSHAPE("ENVELOPE (-10, 25, 60, -5)"))',
+               pa.table({"x": [1]})) == 25.0
+    assert _ev('ST_YMIN(TO_GEOSHAPE("ENVELOPE (-10, 25, 60, -5)"))',
+               pa.table({"x": [1]})) == -5.0
+    # point column -> degenerate envelope, fields recoverable
+    t = pa.table({"p": ["POINT (3.5 -7.25)", "POINT (-1.5 2.5)"]})
+    env = _ev("ST_ENVELOPE(p)", t).to_pylist()
+    assert env == ["BBOX (3.5, 3.5, -7.25, -7.25)",
+                   "BBOX (-1.5, -1.5, 2.5, 2.5)"]
+    t2 = pa.table({"b": env})
+    assert _ev("ST_XMIN(b)", t2).to_pylist() == [3.5, -1.5]
+    assert _ev("ST_YMAX(b)", t2).to_pylist() == [-7.25, 2.5]
+
+
+def test_st_extent_agg_partition_invariant(ray_session):
+    # the extent must not depend on block boundaries
+    from elasticsearch_ray.functions import esql
+
+    q = ('FROM events | EVAL lat = ((user_id * 7919) % 180) - 90 + 0.5, '
+         'lon = ((user_id * 104729) % 360) - 180 + 0.5 '
+         '| EVAL p = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(lon), " ", '
+         'TO_STRING(lat), ")")) '
+         '| STATS ext = ST_EXTENT_AGG(p) BY event_type | SORT event_type')
+    a = esql.run(SF, q)
+
+    def reader(table):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{SF}/{table}.parquet").repartition(7)
+
+    b = esql.run(SF, q, reader=reader)
+    pd.testing.assert_frame_equal(a, b)
