@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_rule_query", "sql_cursor_page",
         "geo_grid_query", "ft_text_expansion", "ingest_reroute",
         "esql_st_extent", "esql_st_envelope",
+        "ingest_geo_grid", "mtermvectors", "cat_recovery",
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
@@ -1023,6 +1024,73 @@ SELECT event_type, n,
            || north::VARCHAR || ', ' || south::VARCHAR || ')' AS ext,
   west, east, north, south
 FROM g ORDER BY event_type""",
+        "ingest_geo_grid": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+e AS (SELECT ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+             ((user_id * 104729) % 360) - 180 + 0.5 AS lon FROM u),
+b AS (SELECT DISTINCT
+        least(CAST(floor((lon + 180.0) / 360.0 * 32) AS INTEGER), 31) AS lx,
+        least(CAST(floor((lat + 90.0) / 180.0 * 32) AS INTEGER), 31) AS ly
+      FROM e),
+ghv AS (SELECT lx, ly,
+        ((lx // 16) % 2) * 512 + ((ly // 16) % 2) * 256
+        + ((lx // 8) % 2) * 128 + ((ly // 8) % 2) * 64
+        + ((lx // 4) % 2) * 32 + ((ly // 4) % 2) * 16
+        + ((lx // 2) % 2) * 8 + ((ly // 2) % 2) * 4
+        + (lx % 2) * 2 + (ly % 2) AS v
+      FROM b),
+gh AS (SELECT
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (v // 32) + 1, 1) ||
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (v % 32) + 1, 1) AS cell,
+        lx / 32.0 * 360.0 - 180.0 AS w,
+        (lx + 1) / 32.0 * 360.0 - 180.0 AS e,
+        ly / 32.0 * 180.0 - 90.0 AS s,
+        (ly + 1) / 32.0 * 180.0 - 90.0 AS n
+       FROM ghv),
+t AS (SELECT DISTINCT
+        least(greatest(CAST(floor((lon + 180.0) / 360.0 * 8)
+                            AS BIGINT), 0), 7) AS tx,
+        least(greatest(CAST(floor((1.0 - ln(
+              tan(radians(greatest(least(lat, 85.05112878), -85.05112878)))
+              + sqrt(tan(radians(greatest(least(lat, 85.05112878),
+                                          -85.05112878)))
+                * tan(radians(greatest(least(lat, 85.05112878),
+                                       -85.05112878))) + 1.0)) / pi())
+              / 2.0 * 8) AS BIGINT), 0), 7) AS ty
+      FROM e),
+gt AS (SELECT '3/' || tx || '/' || ty AS cell,
+        tx / 8.0 * 360.0 - 180.0 AS w,
+        (tx + 1) / 8.0 * 360.0 - 180.0 AS e,
+        ROUND(degrees(atan((exp(pi() * (1.0 - 2.0 * (ty + 1) / 8.0))
+                      - exp(-(pi() * (1.0 - 2.0 * (ty + 1) / 8.0))))
+                     / 2.0)), 10) AS s,
+        ROUND(degrees(atan((exp(pi() * (1.0 - 2.0 * ty / 8.0))
+                      - exp(-(pi() * (1.0 - 2.0 * ty / 8.0))))
+                     / 2.0)), 10) AS n
+       FROM t)
+SELECT cell,
+  'POLYGON ((' || w::VARCHAR || ' ' || s::VARCHAR || ', '
+               || e::VARCHAR || ' ' || s::VARCHAR || ', '
+               || e::VARCHAR || ' ' || n::VARCHAR || ', '
+               || w::VARCHAR || ' ' || n::VARCHAR || ', '
+               || w::VARCHAR || ' ' || s::VARCHAR || '))' AS shape
+FROM (SELECT * FROM gh UNION ALL SELECT * FROM gt)
+ORDER BY cell""",
+        "mtermvectors": f"""
+WITH {_TOK},
+sel AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE doc_id IN (11, 42, 77) GROUP BY 1, 2),
+stats AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+          FROM tok WHERE term IN (SELECT term FROM sel) GROUP BY term)
+SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df, ttf::BIGINT AS ttf
+FROM sel JOIN stats USING (term)
+ORDER BY doc_id, term""",
+        "cat_recovery": """
+SELECT MIN(doc_id) AS doc_id_min, MAX(doc_id) AS doc_id_max,
+       'done' AS stage, 'store' AS type,
+       COUNT(*) AS docs_recovered, '100.0%' AS files_percent
+FROM documents
+ORDER BY doc_id_min""",
         "esql_st_envelope": """
 WITH e AS (SELECT event_id,
         ((user_id * 7919) % 180) - 90 + 0.5 AS lat,

@@ -12885,3 +12885,145 @@ def esql_st_envelope(sf_dir: str):
         | SORT event_id
     ''')
     return out
+
+def ingest_geo_grid(sf_dir: str):
+    """geo_grid ingest processor (8.7 modules/ingest-common
+    GeoGridProcessor): converts a grid cell id (geohash or geotile)
+    into the cell's bounding geometry. Cells come from the per-user
+    synthetic coordinates (one encode pass — same kernels as the
+    geogrid aggs), are reduced to the distinct-cell table (tiny), and
+    each decodes to its envelope POLYGON WKT with vectorized integer
+    bit de-interleave (geohash) / inverse-mercator tile math (geotile).
+    sinh is written as (exp(t)-exp(-t))/2 in BOTH engines so the SQL
+    twin produces the literally identical doubles."""
+    from ray.data.aggregate import Count
+
+    def cells(t: pa.Table) -> pa.Table:
+        from ..geo import geotile_cell
+
+        uid = t["user_id"].to_numpy()
+        lat = (((uid * 7919) % 180) - 90 + 0.5).astype(np.float64)
+        lon = (((uid * 104729) % 360) - 180 + 0.5).astype(np.float64)
+        gh = np.asarray(geohash_encode(lat, lon, 2))
+        gt = np.asarray(geotile_cell(lat, lon, 3))
+        return pa.table({"cell": pa.array(np.concatenate([gh, gt]))})
+
+    distinct = (_ds(sf_dir, "events", ["user_id"])
+                .map_batches(cells, batch_format="pyarrow")
+                .groupby("cell").aggregate(Count(alias_name="n"))
+                .to_pandas())
+    cell = distinct["cell"].to_numpy()
+    is_tile = np.char.find(cell.astype(str), "/") >= 0
+
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    wkts = np.empty(len(cell), dtype=object)
+    # geohash precision-2: v = 10 bits, lon-first interleave over 32x32
+    gh = cell[~is_tile]
+    if len(gh):
+        v = np.array([b32.index(c[0]) * 32 + b32.index(c[1]) for c in gh],
+                     dtype=np.int64)
+        lx = (((v // 512) % 2) * 16 + ((v // 128) % 2) * 8
+              + ((v // 32) % 2) * 4 + ((v // 8) % 2) * 2 + (v // 2) % 2)
+        ly = (((v // 256) % 2) * 16 + ((v // 64) % 2) * 8
+              + ((v // 16) % 2) * 4 + ((v // 4) % 2) * 2 + v % 2)
+        w = lx / 32.0 * 360.0 - 180.0
+        e = (lx + 1) / 32.0 * 360.0 - 180.0
+        s = ly / 32.0 * 180.0 - 90.0
+        n = (ly + 1) / 32.0 * 180.0 - 90.0
+        wkts[~is_tile] = [
+            f"POLYGON (({wi!r} {si!r}, {ei!r} {si!r}, {ei!r} {ni!r}, "
+            f"{wi!r} {ni!r}, {wi!r} {si!r}))"
+            for wi, ei, si, ni in zip(w, e, s, n)]
+    gt = cell[is_tile]
+    if len(gt):
+        zxy = np.array([[int(p) for p in c.split("/")] for c in gt],
+                       dtype=np.float64)
+        z, x, y = zxy[:, 0], zxy[:, 1], zxy[:, 2]
+        npow = np.exp2(z)
+        w = x / npow * 360.0 - 180.0
+        e = (x + 1) / npow * 360.0 - 180.0
+        ty_n = np.pi * (1.0 - 2.0 * y / npow)
+        ty_s = np.pi * (1.0 - 2.0 * (y + 1) / npow)
+        # transcendental (exp/atan) results differ from DuckDB's libm in
+        # the last ulp — round to 10 dp before rendering (both engines)
+        n = np.round(np.degrees(
+            np.arctan((np.exp(ty_n) - np.exp(-ty_n)) / 2.0)), 10)
+        s = np.round(np.degrees(
+            np.arctan((np.exp(ty_s) - np.exp(-ty_s)) / 2.0)), 10)
+        wkts[is_tile] = [
+            f"POLYGON (({wi!r} {si!r}, {ei!r} {si!r}, {ei!r} {ni!r}, "
+            f"{wi!r} {ni!r}, {wi!r} {si!r}))"
+            for wi, ei, si, ni in zip(w, e, s, n)]
+    out = pd.DataFrame({"cell": cell.astype(str), "shape": wkts.astype(str)})
+    return out.sort_values("cell").reset_index(drop=True)
+
+
+def mtermvectors(sf_dir: str):
+    """_mtermvectors API (server rest/action/document
+    RestMultiTermVectorsAction) with field statistics: per-term tf for
+    EACH requested doc plus index-wide df and ttf (TermVectorsRequest
+    fieldStatistics). The requested docs fetch via row-group-pruned
+    point reads; df/ttf for their candidate terms come from one
+    map_batches partial exchange over the corpus (no shuffle)."""
+    import re
+    from collections import Counter
+
+    from ..sources.reader import fetch_rows_by_doc_id
+
+    doc_ids = [11, 42, 77]
+    t = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                             doc_ids, columns=["doc_id", "text"])
+    pat = re.compile(r"[^a-z0-9]+")
+    per_doc: dict[int, Counter] = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        per_doc[did] = Counter(w for w in pat.split(text.lower()) if w)
+    terms = sorted(set().union(*per_doc.values()))
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        df = Counter()
+        ttf = Counter()
+        for s in b["text"].to_pylist():
+            toks = [w for w in pat.split(s.lower()) if w]
+            c = Counter(toks)
+            for w in terms:
+                if w in c:
+                    df[w] += 1
+                    ttf[w] += c[w]
+        return pa.table({"term": pa.array(terms),
+                         "df": pa.array([df[w] for w in terms], pa.int64()),
+                         "ttf": pa.array([ttf[w] for w in terms], pa.int64())})
+
+    g = (_ds(sf_dir, "documents", ["text"])
+         .map_batches(stats_partial, batch_format="pyarrow")
+         .to_pandas().groupby("term").sum())
+    rows = [(did, w, int(per_doc[did][w]),
+             int(g.loc[w, "df"]), int(g.loc[w, "ttf"]))
+            for did in doc_ids for w in sorted(per_doc[did])]
+    out = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "df", "ttf"])
+    for c in ("doc_id", "tf", "df", "ttf"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+def cat_recovery(sf_dir: str):
+    """_cat/recovery (rest/action/cat/RestCatRecoveryAction,
+    indices/recovery/RecoveryState): one row per live segment of the
+    committed index — stage DONE, type STORE (a completed local store
+    recovery), docs recovered = the segment's doc_count from its
+    MANIFEST. The oracle recomputes each segment's doc count from the
+    raw table over the recorded doc ranges, verifying the lineage the
+    recovery listing reports."""
+    from ..index.manifest import committed_segments, live_segments
+    from .fulltext import documents_index
+
+    segs = live_segments(committed_segments(documents_index(sf_dir)))
+    rows = sorted((m.doc_id_min, m.doc_id_max, m.doc_count)
+                  for m in segs.values())
+    return pd.DataFrame({
+        "doc_id_min": pd.array([r[0] for r in rows], dtype="int64"),
+        "doc_id_max": pd.array([r[1] for r in rows], dtype="int64"),
+        "stage": ["done"] * len(rows),
+        "type": ["store"] * len(rows),
+        "docs_recovered": pd.array([r[2] for r in rows], dtype="int64"),
+        "files_percent": ["100.0%"] * len(rows),
+    })

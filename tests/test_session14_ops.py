@@ -210,3 +210,43 @@ def test_st_extent_agg_partition_invariant(ray_session):
 
     b = esql.run(SF, q, reader=reader)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_geo_grid_processor_roundtrip(ray_session):
+    # decoded cell bbox must contain every point that encoded to the cell
+    from elasticsearch_ray.geo import geohash_encode, parse_wkt
+
+    out = ops.ingest_geo_grid(SF)
+    by_cell = dict(zip(out["cell"], out["shape"]))
+    rng = np.arange(1, 200)
+    lat = (((rng * 7919) % 180) - 90 + 0.5).astype(float)
+    lon = (((rng * 104729) % 360) - 180 + 0.5).astype(float)
+    gh = geohash_encode(lat, lon, 2)
+    for la, lo, c in zip(lat, lon, gh):
+        if c not in by_cell:
+            continue
+        kind, rings = parse_wkt(by_cell[c])
+        pts = rings[0]
+        w, e = pts[:, 0].min(), pts[:, 0].max()
+        s, n = pts[:, 1].min(), pts[:, 1].max()
+        assert w <= lo <= e and s <= la <= n, (c, la, lo)
+
+
+def test_mtermvectors_field_statistics(ray_session):
+    out = ops.mtermvectors(SF)
+    assert set(out["doc_id"]) == {11, 42, 77}
+    # ttf >= df >= 1 and ttf >= tf for every row
+    assert (out["ttf"] >= out["df"]).all()
+    assert (out["ttf"] >= out["tf"]).all()
+    assert (out["df"] >= 1).all()
+    # stats are per-term constants: same term in two docs -> same df/ttf
+    g = out.groupby("term")[["df", "ttf"]].nunique()
+    assert (g == 1).all().all()
+
+
+def test_cat_recovery_matches_segments(ray_session):
+    rec = ops.cat_recovery(SF)
+    seg = ops.cat_segments(SF)
+    assert (rec["docs_recovered"].to_numpy()
+            == seg["doc_count"].to_numpy()).all()
+    assert (rec["stage"] == "done").all()
