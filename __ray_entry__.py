@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_grid_query", "ft_text_expansion", "ingest_reroute",
         "esql_st_extent", "esql_st_envelope",
         "ingest_geo_grid", "mtermvectors", "cat_recovery",
+        "esql_cartesian_distance", "esql_date_nanos",
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
@@ -1024,6 +1025,15 @@ SELECT event_type, n,
            || north::VARCHAR || ', ' || south::VARCHAR || ')' AS ext,
   west, east, north, south
 FROM g ORDER BY event_type""",
+        "esql_cartesian_distance": """
+SELECT event_id, value AS x, value / 2 AS y,
+       ROUND(sqrt((value - 100) * (value - 100)
+                + (value / 2 - 50) * (value / 2 - 50)), 6) AS d
+FROM events WHERE event_id < 400 ORDER BY event_id""",
+        "esql_date_nanos": """
+SELECT event_id, ts::TIMESTAMP_NS AS tn, (event_id * 3)::UBIGINT AS u,
+       (event_id * 3)::BIGINT AS back
+FROM events WHERE event_id < 300 ORDER BY event_id""",
         "ingest_geo_grid": """
 WITH u AS (SELECT DISTINCT user_id FROM events),
 e AS (SELECT ((user_id * 7919) % 180) - 90 + 0.5 AS lat,

@@ -671,8 +671,15 @@ def _call(name: str, args, t: pa.Table):
     if name in ("TO_GEOPOINT", "TO_GEOSHAPE", "ST_X", "ST_Y", "ST_DISTANCE",
                 "ST_INTERSECTS", "ST_WITHIN", "ST_CONTAINS", "ST_DISJOINT",
                 "ST_GEOHASH", "ST_GEOTILE", "ST_GEOHEX",
-                "ST_ENVELOPE", "ST_XMIN", "ST_XMAX", "ST_YMIN", "ST_YMAX"):
-        return _st_call(name, a, t)
+                "ST_ENVELOPE", "ST_XMIN", "ST_XMAX", "ST_YMIN", "ST_YMAX",
+                "TO_CARTESIANPOINT", "TO_CARTESIANSHAPE"):
+        # the reference dispatches ST_DISTANCE on the argument's spatial
+        # type (geo -> haversine, cartesian -> planar); this evaluator is
+        # type-erased, so cartesian-ness is detected syntactically: an
+        # inline TO_CARTESIANPOINT/TO_CARTESIANSHAPE in either arg subtree
+        cart = _subtree_has_call(args, ("TO_CARTESIANPOINT",
+                                        "TO_CARTESIANSHAPE"))
+        return _st_call(name, a, t, cartesian=cart)
     if name in ("MD5", "SHA1", "SHA256") or name == "HASH":
         # Md5/Sha1/Sha256 + Hash(alg, input) (esql 8.16,
         # x-pack/plugin/esql .../function/scalar/string/Hash.java) —
@@ -735,6 +742,30 @@ def _call(name: str, args, t: pa.Table):
             return pc.strptime(v, format="%Y-%m-%dT%H:%M:%S", unit="us")
         ms = pc.cast(v, pa.int64()) if typ is not None else int(v)
         return pc.cast(pc.multiply(ms, 1000), pa.timestamp("us"))
+    if name == "TO_DATE_NANOS":
+        # ToDateNanos (8.14, date_nanos support in ES|QL): datetime ->
+        # nanosecond-precision timestamp; numeric input is NANOS since
+        # epoch (unlike TO_DATETIME's millis); string -> ISO parse.
+        v = a[0]
+        typ = v.type if isinstance(v, (pa.Array, pa.ChunkedArray)) else None
+        if typ is not None and pa.types.is_timestamp(typ):
+            return pc.cast(v, pa.timestamp("ns"))
+        if typ is not None and pa.types.is_string(typ):
+            return pc.cast(pc.strptime(v, format="%Y-%m-%dT%H:%M:%S",
+                                       unit="us"), pa.timestamp("ns"))
+        ns = pc.cast(v, pa.int64()) if typ is not None else int(v)
+        return pc.cast(ns, pa.timestamp("ns"))
+    if name == "TO_UNSIGNED_LONG":
+        # ToUnsignedLong (esql unsigned_long support): u64 cast; an
+        # out-of-range value converts to null (ES|QL conversion-failure
+        # semantics: null result + response warning, not an error)
+        v = a[0]
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            iv = np.asarray(pc.cast(v, pa.int64()))
+            mask = (iv < 0) | np.asarray(pc.is_null(v))
+            return pa.array(iv.astype(np.uint64), pa.uint64(),
+                            mask=mask)
+        return None if int(v) < 0 else int(v)
     if name == "TO_BOOLEAN":
         v = a[0]
         typ = v.type if isinstance(v, (pa.Array, pa.ChunkedArray)) else None
@@ -831,7 +862,18 @@ def _wkt_xy(v, n: int) -> tuple[np.ndarray, np.ndarray]:
 _EARTH_MEAN_RADIUS_M = 6371008.7714
 
 
-def _st_call(name: str, a, t: pa.Table):
+def _subtree_has_call(node, names) -> bool:
+    """True if any ("call", NAME, ...) with NAME in names appears in the
+    AST subtree (args may be a list of nodes)."""
+    if isinstance(node, (list, tuple)):
+        if (len(node) >= 2 and node[0] == "call"
+                and isinstance(node[1], str) and node[1] in names):
+            return True
+        return any(_subtree_has_call(x, names) for x in node)
+    return False
+
+
+def _st_call(name: str, a, t: pa.Table, cartesian: bool = False):
     """ES|QL spatial function family (8.12-8.16, x-pack/plugin/esql
     .../expression/function/scalar/spatial/{StX,StY,StDistance,
     StIntersects,StWithin,StContains,StDisjoint}.java and .../grid/
@@ -843,12 +885,13 @@ def _st_call(name: str, a, t: pa.Table):
     from .. import geo
 
     n = len(t)
-    if name in ("TO_GEOPOINT", "TO_GEOSHAPE"):
+    if name in ("TO_GEOPOINT", "TO_GEOSHAPE",
+                "TO_CARTESIANPOINT", "TO_CARTESIANSHAPE"):
         v = a[0]
         if isinstance(v, str):
             geo.parse_wkt(v)  # validate the literal
             return v
-        if name == "TO_GEOPOINT":
+        if name in ("TO_GEOPOINT", "TO_CARTESIANPOINT"):
             _wkt_xy(v, n)  # validate every value parses as a point
         return v
     if name == "ST_X":
@@ -901,6 +944,11 @@ def _st_call(name: str, a, t: pa.Table):
     if name == "ST_DISTANCE":
         x1, y1 = _wkt_xy(a[0], n)
         x2, y2 = _wkt_xy(a[1], n)
+        if cartesian:
+            # StDistance over cartesian_point (8.14): planar euclidean.
+            # Explicit products so the SQL twin is double-identical.
+            dx, dy = x2 - x1, y2 - y1
+            return pa.array(np.sqrt(dx * dx + dy * dy), pa.float64())
         la1, la2 = np.radians(y1), np.radians(y2)
         sa = np.sin(np.radians(y2 - y1) / 2.0)
         so = np.sin(np.radians(x2 - x1) / 2.0)

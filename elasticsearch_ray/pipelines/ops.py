@@ -13027,3 +13027,46 @@ def cat_recovery(sf_dir: str):
         "docs_recovered": pd.array([r[2] for r in rows], dtype="int64"),
         "files_percent": ["100.0%"] * len(rows),
     })
+
+def esql_cartesian_distance(sf_dir: str):
+    """ES|QL cartesian spatial type (8.14: TO_CARTESIANPOINT conversion
+    + StDistance planar overload): point columns built per row, distance
+    to a fixed cartesian point is sqrt(dx*dx + dy*dy) — explicit
+    products so the SQL twin is the literally identical double
+    expression. The evaluator detects cartesian-ness syntactically (an
+    inline TO_CARTESIANPOINT in the arg subtree — the type-erased
+    columnar analog of the reference's type-dispatched overload)."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | WHERE event_id < 400
+        | EVAL p = TO_CARTESIANPOINT(CONCAT("POINT (", TO_STRING(value),
+                                            " ", TO_STRING(value / 2), ")")),
+               d = ST_DISTANCE(p, TO_CARTESIANPOINT("POINT (100 50)")),
+               x = ST_X(p), y = ST_Y(p)
+        | KEEP event_id, x, y, d
+        | SORT event_id
+    ''')
+    out["d"] = round_half_away(out["d"], 6)
+    return out
+
+
+def esql_date_nanos(sf_dir: str):
+    """ES|QL TO_DATE_NANOS / TO_UNSIGNED_LONG conversions (8.14 date_nanos
+    + unsigned_long type support): microsecond timestamps widen to the
+    nanosecond lane losslessly; numeric TO_DATE_NANOS input is
+    nanos-since-epoch (vs TO_DATETIME's millis); unsigned long is the
+    uint64 cast. All inside the pruned streaming scan."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | WHERE event_id < 300
+        | EVAL tn = TO_DATE_NANOS(ts),
+               u = TO_UNSIGNED_LONG(event_id * 3),
+               back = TO_LONG(u)
+        | KEEP event_id, tn, u, back
+        | SORT event_id
+    ''')
+    return out

@@ -250,3 +250,36 @@ def test_cat_recovery_matches_segments(ray_session):
     assert (rec["docs_recovered"].to_numpy()
             == seg["doc_count"].to_numpy()).all()
     assert (rec["stage"] == "done").all()
+
+
+def test_cartesian_vs_geo_distance_dispatch():
+    # same coordinates: cartesian is planar, geo is haversine
+    t = pa.table({"p": ["POINT (3 4)"]})
+    cart = _ev('ST_DISTANCE(TO_CARTESIANPOINT(p), '
+               'TO_CARTESIANPOINT("POINT (0 0)"))', t).to_pylist()[0]
+    assert cart == 5.0
+    geo = _ev('ST_DISTANCE(TO_GEOPOINT(p), TO_GEOPOINT("POINT (0 0)"))',
+              t).to_pylist()[0]
+    assert abs(geo - 556000) < 1500  # ~5 degrees of arc in meters
+
+
+def test_to_date_nanos_and_unsigned_long():
+    import datetime
+
+    t = pa.table({"ts": pa.array([datetime.datetime(2024, 1, 2, 3, 4, 5,
+                                                    123456)],
+                                 pa.timestamp("us")),
+                  "n": [1_700_000_000_000_000_000],
+                  "i": [-1]})
+    tn = _ev("TO_DATE_NANOS(ts)", t)
+    assert tn.type == pa.timestamp("ns")
+    assert tn.to_pylist()[0].microsecond == 123456
+    # numeric input is nanos-since-epoch
+    tn2 = _ev("TO_DATE_NANOS(n)", t).to_pylist()[0]
+    assert tn2.year == 2023 and tn2.month == 11
+    u = _ev("TO_UNSIGNED_LONG(i)", t)
+    assert u.type == pa.uint64()
+    # negative -> null (ES|QL conversion-failure semantics)
+    assert u.to_pylist() == [None]
+    ok = _ev("TO_UNSIGNED_LONG(n)", t)
+    assert ok.to_pylist() == [1_700_000_000_000_000_000]
