@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_st_extent", "esql_st_envelope",
         "ingest_geo_grid", "mtermvectors", "cat_recovery",
         "esql_cartesian_distance", "esql_date_nanos",
+        "ft_script_score_vectors",
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
@@ -1025,6 +1026,25 @@ SELECT event_type, n,
            || north::VARCHAR || ', ' || south::VARCHAR || ')' AS ext,
   west, east, north, south
 FROM g ORDER BY event_type""",
+        "ft_script_score_vectors": f"""
+WITH q AS (SELECT [{_QVEC}]::DOUBLE[] AS qv),
+z AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v, unnest(qv) AS qe
+      FROM embeddings, q),
+agg AS (SELECT vec_id,
+          SUM(ABS(v - qe)) AS l1,
+          SUM(CASE WHEN (v >= 0) <> (qe >= 0) THEN 1 ELSE 0 END)::BIGINT
+            AS hamming
+        FROM z GROUP BY vec_id),
+s AS (SELECT e.vec_id,
+        list_cosine_similarity(e.embedding::DOUBLE[], q.qv) + 1.0 AS score,
+        list_inner_product(e.embedding::DOUBLE[], q.qv) AS dot,
+        list_distance(e.embedding::DOUBLE[], q.qv) AS l2
+      FROM embeddings e, q)
+SELECT s.vec_id, ROUND(score, 6) AS score, ROUND(dot, 6) AS dot,
+       ROUND(l1, 6) AS l1, ROUND(l2, 6) AS l2, hamming
+FROM s JOIN agg USING (vec_id)
+QUALIFY row_number() OVER (ORDER BY score DESC, s.vec_id) <= 20
+ORDER BY score DESC, s.vec_id""",
         "esql_cartesian_distance": """
 SELECT event_id, value AS x, value / 2 AS y,
        ROUND(sqrt((value - 100) * (value - 100)

@@ -13070,3 +13070,44 @@ def esql_date_nanos(sf_dir: str):
         | SORT event_id
     ''')
     return out
+
+def ft_script_score_vectors(sf_dir: str):
+    """script_score dense_vector access functions (server/.../script/
+    VectorScoreScriptUtils.java: cosineSimilarity, dotProduct, l1norm,
+    l2norm, hamming): one vectorized pass over the embeddings table —
+    the broadcast query vector rides the task closure (ray.put analog),
+    each batch is one (n,d) float64 matmul / reduction, never a per-row
+    loop. hamming follows the 8.x bit_vectors semantics substitute:
+    sign-bit mismatch count between the query and the vector. The
+    canonical script `cosineSimilarity(q, 'embedding') + 1.0` ranks the
+    final top 20."""
+    qv = np.array([float(x) for x in _ESQL_QVEC.split(",")],
+                  dtype=np.float64)
+    qn = np.sqrt(np.dot(qv, qv))
+
+    def score(t: pa.Table) -> pa.Table:
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64)
+        dot = m @ qv
+        vn = np.sqrt(np.einsum("ij,ij->i", m, m))
+        cos = dot / (vn * qn)
+        diff = m - qv
+        l1 = np.abs(diff).sum(axis=1)
+        l2 = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+        ham = ((m >= 0) != (qv >= 0)).sum(axis=1)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "score": pa.array(cos + 1.0),
+            "dot": pa.array(dot),
+            "l1": pa.array(l1),
+            "l2": pa.array(l2),
+            "hamming": pa.array(ham.astype(np.int64)),
+        })
+
+    out = (_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .map_batches(score, batch_format="pyarrow").to_pandas())
+    out = out.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(20)
+    for c in ("score", "dot", "l1", "l2"):
+        out[c] = round_half_away(out[c].to_numpy(), 6)
+    return out.reset_index(drop=True)

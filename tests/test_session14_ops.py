@@ -283,3 +283,16 @@ def test_to_date_nanos_and_unsigned_long():
     assert u.to_pylist() == [None]
     ok = _ev("TO_UNSIGNED_LONG(n)", t)
     assert ok.to_pylist() == [1_700_000_000_000_000_000]
+
+
+def test_script_score_vector_functions(ray_session):
+    out = ops.ft_script_score_vectors(SF)
+    assert len(out) == 20
+    # score = cosine + 1 in [0, 2]; descending
+    assert ((out["score"] >= 0) & (out["score"] <= 2)).all()
+    assert (np.diff(out["score"].to_numpy()) <= 1e-12).all()
+    # hamming bounded by dims (64)
+    assert ((out["hamming"] >= 0) & (out["hamming"] <= 64)).all()
+    # l2^2 consistency spot check: l2 <= sqrt(l1 * max|diff|) is loose;
+    # instead verify l1 >= l2 (holds for any vector) and both positive
+    assert (out["l1"].to_numpy() >= out["l2"].to_numpy() - 1e-9).all()
