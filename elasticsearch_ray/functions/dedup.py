@@ -50,8 +50,20 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         h = [hashlib.md5(s.encode()).hexdigest()
              for s in t[text_col].to_pylist()]
         hb = [zlib.crc32(x.encode()) % B for x in h]
-        return (t.append_column("content_hash", pa.array(h, pa.string()))
-                 .append_column("hbucket", pa.array(hb, pa.int64())))
+        t = (t.append_column("content_hash", pa.array(h, pa.string()))
+              .append_column("hbucket", pa.array(hb, pa.int64())))
+        # pre-shuffle combiner: keep only the min-id row per hash WITHIN
+        # the batch — global min-id survives composition, and at web-corpus
+        # dup rates this cuts the all-to-all volume by the dup factor
+        # (the only rows that cross the wire are per-batch champions)
+        idx = pa.compute.sort_indices(
+            t, sort_keys=[("content_hash", "ascending"),
+                          (id_col, "ascending")])
+        t = t.take(idx)
+        hs = t["content_hash"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        return t.filter(pa.array(first))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["content_hash", id_col], kind="stable")
@@ -1081,3 +1093,74 @@ def decontaminate_bloom(ds, benchmark_texts: list[str], *, n: int = 13,
 
     out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)
+
+def _hash_champions(frag, text_col: str, id_col: str, columns, B: int):
+    """Per-fragment: hash, in-fragment min-id combine, route to B buckets
+    (num_returns exchange — one small champion table per bucket)."""
+    import zlib
+
+    from ..sources.reader import read_fragment
+
+    t = read_fragment(frag, columns=columns)
+    h = [hashlib.md5(s.encode()).hexdigest()
+         for s in t[text_col].to_pylist()]
+    t = t.append_column("content_hash", pa.array(h, pa.string()))
+    idx = pa.compute.sort_indices(
+        t, sort_keys=[("content_hash", "ascending"), (id_col, "ascending")])
+    t = t.take(idx)
+    hs = t["content_hash"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = hs[1:] != hs[:-1]
+    t = t.filter(pa.array(first))
+    hb = np.array([zlib.crc32(x.encode()) % B
+                   for x in t["content_hash"].to_pylist()], dtype=np.int64)
+    return tuple(t.filter(pa.array(hb == b)) for b in range(B))
+
+
+def _keep_first_bucket(id_col: str, *tables):
+    """One bucket: concat champion tables, keep the global min-id row
+    per hash."""
+    # num_returns=1 delivers the whole 1-tuple as the single object
+    tables = [x for t in tables
+              for x in (t if isinstance(t, tuple) else (t,))]
+    t = pa.concat_tables([x for x in tables if x.num_rows], promote_options="default") \
+        if any(x.num_rows for x in tables) else tables[0]
+    idx = pa.compute.sort_indices(
+        t, sort_keys=[("content_hash", "ascending"), (id_col, "ascending")])
+    t = t.take(idx)
+    hs = t["content_hash"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(hs), dtype=bool)
+    if len(hs):
+        first[1:] = hs[1:] != hs[:-1]
+    return t.filter(pa.array(first)).drop_columns(["content_hash"])
+
+
+def exact_dedup_tasks(path: str, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      columns: list[str] | None = None,
+                      num_buckets: int = 16):
+    """Task-exchange twin of exact_dedup (same keep-min-id semantics,
+    equivalence-tested): fragment-granular hash+combine tasks emit one
+    champion table per hash bucket via num_returns — the same exchange
+    idiom as index/fast_build.py, avoiding the Dataset Sort operator's
+    fixed all-to-all cost. Returns a ray.data.Dataset of the surviving
+    rows. Scale shape: wire volume = per-fragment champions only; each
+    bucket reduce is one task reading exactly its bucket's objects."""
+    import ray
+    import ray.data as rd
+
+    from ..sources.reader import plan_fragments
+
+    frags = plan_fragments(path)
+    B = num_buckets
+    hash_task = ray.remote(num_returns=B, num_cpus=1)(_hash_champions)
+    reduce_task = ray.remote(num_cpus=1)(_keep_first_bucket)
+    cols = columns if columns is None else list(dict.fromkeys(
+        [c for c in columns if c != id_col]))
+    per_frag = [hash_task.remote(f, text_col, id_col, cols, B)
+                for f in frags]
+    if B == 1:
+        per_frag = [[r] for r in per_frag]
+    buckets = [reduce_task.remote(id_col, *[row[b] for row in per_frag])
+               for b in range(B)]
+    return rd.from_arrow_refs(buckets)

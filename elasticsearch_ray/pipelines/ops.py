@@ -363,7 +363,13 @@ def update_old_new(sf_dir: str):
 
 
 def dedup_exact(sf_dir: str):
-    out = D.exact_dedup(_ds(sf_dir, "documents", ["doc_id", "text"]))
+    """Exact dedup via the task-exchange path (functions/dedup.py
+    exact_dedup_tasks — per-fragment hash+min-id combine, num_returns
+    bucket exchange; champions only cross the wire). The Dataset-groupby
+    twin D.exact_dedup is kept as the semantic reference and
+    equivalence-tested (test_dedup_task_twin_equivalence)."""
+    out = D.exact_dedup_tasks(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
     ids = out.select_columns(["doc_id"]).to_pandas()
     return ids.sort_values("doc_id").reset_index(drop=True)
 

@@ -296,3 +296,26 @@ def test_script_score_vector_functions(ray_session):
     # l2^2 consistency spot check: l2 <= sqrt(l1 * max|diff|) is loose;
     # instead verify l1 >= l2 (holds for any vector) and both positive
     assert (out["l1"].to_numpy() >= out["l2"].to_numpy() - 1e-9).all()
+
+
+def test_dedup_task_twin_equivalence(ray_session):
+    # the num_returns task-exchange path must keep exactly the same
+    # min-id-per-content-hash survivors as the Dataset-groupby twin
+    from elasticsearch_ray.functions.dedup import exact_dedup, exact_dedup_tasks
+    from elasticsearch_ray.pipelines.ops import _ds
+
+    a = sorted(exact_dedup(_ds(SF, "documents", ["doc_id", "text"]))
+               .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    b = sorted(exact_dedup_tasks(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"], num_buckets=5)
+               .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    assert a == b and len(a) > 0
+
+
+def test_dedup_tasks_single_bucket(ray_session):
+    from elasticsearch_ray.functions.dedup import exact_dedup_tasks
+
+    out = exact_dedup_tasks(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"], num_buckets=1)
+    df = out.to_pandas()
+    assert df["doc_id"].is_unique and len(df) > 0
