@@ -105,7 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_st_extent", "esql_st_envelope",
         "ingest_geo_grid", "mtermvectors", "cat_recovery",
         "esql_cartesian_distance", "esql_date_nanos",
-        "ft_script_score_vectors",
+        "ft_script_score_vectors", "ft_index_phrases", "wildcard_field_query",
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
@@ -1026,6 +1026,14 @@ SELECT event_type, n,
            || north::VARCHAR || ', ' || south::VARCHAR || ')' AS ext,
   west, east, north, south
 FROM g ORDER BY event_type""",
+        "ft_index_phrases": r"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text),
+      '(^|[^a-z0-9])data[^a-z0-9]+query([^a-z0-9]|$)')
+ORDER BY doc_id""",
+        "wildcard_field_query": """
+SELECT doc_id FROM documents WHERE text LIKE '%data%merge%'
+ORDER BY doc_id""",
         "ft_script_score_vectors": f"""
 WITH q AS (SELECT [{_QVEC}]::DOUBLE[] AS qv),
 z AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v, unnest(qv) AS qe

@@ -13117,3 +13117,49 @@ def ft_script_score_vectors(sf_dir: str):
     for c in ("score", "dot", "l1", "l2"):
         out[c] = round_half_away(out[c].to_numpy(), 6)
     return out.reset_index(drop=True)
+
+def ft_index_phrases(sf_dir: str):
+    """index_phrases mapping option (7.x TextFieldMapper
+    `index_phrases: true` — phrase queries served from a side field of
+    2-shingles as SINGLE terms, no position verification): the documents
+    index already carries the text_2gram shingle2 field; the phrase
+    "data query" is answered as ONE term lookup there. The gate compares
+    doc sets with the position-verified phrase oracle — proving the
+    shingle shortcut is doc-set-identical to the real phrase walk."""
+    s = documents_searcher(sf_dir)
+    ids, _ = s._eval({"kind": "term", "term": "data query",
+                      "field": "text_2gram"})
+    return pd.DataFrame({"doc_id": np.sort(ids).astype(np.int64)})
+
+
+def wildcard_field_query(sf_dir: str):
+    """wildcard field type (7.9 x-pack WildcardFieldMapper): values are
+    indexed as character 3-grams + a verification automaton — the query
+    `*data*merge*` first prunes candidates by REQUIRED-gram containment
+    (vectorized match_substring per gram, the columnar analog of the
+    3-gram index intersection), then only candidates pay the regex
+    verification. Counters prove the prefilter ran: the gate returns the
+    per-batch candidate and verified totals alongside the doc ids."""
+    import pyarrow.compute as pc
+
+    grams = ["dat", "ata", "mer", "erg", "rge"]  # required 3-grams
+
+    def match(t: pa.Table) -> pa.Table:
+        v = t["text"]
+        cand = None
+        for g in grams:
+            m = pc.match_substring(v, g)
+            cand = m if cand is None else pc.and_(cand, m)
+        cand_idx = np.flatnonzero(np.asarray(cand))
+        sub = v.take(pa.array(cand_idx))
+        ok = pc.match_like(sub, "%data%merge%")
+        keep = cand_idx[np.asarray(ok)]
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(keep)),
+            "n_candidates": pa.array([len(cand_idx)] * len(keep), pa.int64()),
+        })
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(match, batch_format="pyarrow").to_pandas())
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id"]]

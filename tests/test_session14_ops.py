@@ -319,3 +319,29 @@ def test_dedup_tasks_single_bucket(ray_session):
                             columns=["doc_id", "text"], num_buckets=1)
     df = out.to_pandas()
     assert df["doc_id"].is_unique and len(df) > 0
+
+
+def test_index_phrases_equals_position_phrase(ray_session):
+    # the 2-shingle single-term lookup must equal the position-verified
+    # phrase query doc set
+    from elasticsearch_ray.pipelines.fulltext import all_matches
+
+    fast = set(ops.ft_index_phrases(SF)["doc_id"])
+    slow = set(all_matches(SF, {"kind": "match_phrase", "text": "data query"},
+                           with_score=False)["doc_id"].to_pylist())
+    assert fast == slow and len(fast) > 0
+
+
+def test_wildcard_field_prefilter_is_superset(ray_session):
+    # every verified doc passed the gram prefilter; prefilter is a
+    # superset of the LIKE-verified set
+    import duckdb
+
+    out = set(ops.wildcard_field_query(SF)["doc_id"])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    cand = set(con.execute(
+        "SELECT doc_id FROM documents WHERE text LIKE '%dat%' AND "
+        "text LIKE '%erg%'").df()["doc_id"])
+    assert out.issubset(cand) and len(out) > 0
