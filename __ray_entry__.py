@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_geo_grid", "mtermvectors", "cat_recovery",
         "esql_cartesian_distance", "esql_date_nanos",
         "ft_script_score_vectors", "ft_index_phrases", "wildcard_field_query",
+        "esql_term_multimatch",
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
@@ -1026,6 +1027,30 @@ SELECT event_type, n,
            || north::VARCHAR || ', ' || south::VARCHAR || ')' AS ext,
   west, east, north, south
 FROM g ORDER BY event_type""",
+        "esql_term_multimatch": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data','src3']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ts AS (SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS s_text
+       FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN st
+       GROUP BY tf.doc_id),
+sdf AS (SELECT count(*) AS df FROM documents WHERE source = 'src3'),
+ss AS (SELECT d.doc_id AS doc_id,
+              ln(1 + ((SELECT count(*) FROM documents) - sdf.df + 0.5)
+                 / (sdf.df + 0.5)) AS s_src
+       FROM documents d CROSS JOIN sdf WHERE d.source = 'src3'),
+u AS (SELECT COALESCE(ts.doc_id, ss.doc_id) AS doc_id,
+             COALESCE(s_text, 0) AS a, COALESCE(s_src, 0) AS b
+      FROM ts FULL OUTER JOIN ss ON ts.doc_id = ss.doc_id)
+SELECT doc_id, ROUND(a + b, 4) AS _score,
+       (SELECT count(*) FROM documents
+        WHERE source = 'src3')::BIGINT AS term_src3_n
+FROM u
+QUALIFY row_number() OVER (ORDER BY ROUND(a + b, 4) DESC, doc_id) <= 12
+ORDER BY ROUND(a + b, 4) DESC, doc_id""",
         "ft_index_phrases": r"""
 SELECT doc_id FROM documents
 WHERE regexp_matches(lower(text),

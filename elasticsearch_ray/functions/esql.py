@@ -310,7 +310,7 @@ def _split_top(s: str) -> list[str]:
 
 # ---------------- full-text functions (MATCH / QSTR / KQL, 8.16-8.18) ----
 
-_FT_RX = re.compile(r"\b(MATCH_PHRASE|MATCH|QSTR|KQL)\s*\(", re.I)
+_FT_RX = re.compile(r"\b(MATCH_PHRASE|MULTI_MATCH|MATCH|QSTR|KQL|TERM)\s*\(", re.I)
 
 
 def _split_logical(s: str, op: str) -> list[str]:
@@ -390,6 +390,24 @@ def _ft_call(name: str, argstr: str) -> dict:
             q["slop"] = int(opts["slop"])
         if "boost" in opts:
             q["boost"] = float(opts["boost"])
+        return q
+    if name == "TERM":
+        # Term (8.17 fulltext/Term.java): exact term on one field, no
+        # analysis of the query side
+        return {"kind": "term", "field": field, "term": text}
+    if name == "MULTI_MATCH":
+        # MultiMatch (8.18 fulltext/MultiMatch.java): first arg is the
+        # query text, remaining bare args are fields
+        # fields are bare identifiers; map-literal pieces (brace-split by
+        # the paren-aware splitter) are consumed by the opts regex above
+        fields = [a.strip() for a in args[1:]
+                  if re.fullmatch(r"[\w.]+", a.strip())]
+        q = {"kind": "multi_match", "text": _unq(args[0]),
+             "fields": fields, "type": opts.get("type", "best_fields")}
+        if "tie_breaker" in opts:
+            q["tie_breaker"] = float(opts["tie_breaker"])
+        if "operator" in opts:
+            q["operator"] = opts["operator"].lower()
         return q
     raise ValueError(f"unsupported full-text function: {name}")
 
@@ -497,7 +515,7 @@ def _ft_node_to_query(s: str) -> dict:
                 "must_not": [_ft_node_to_query(s[3:].strip())]}
     if s.startswith("(") and s.endswith(")") and _balanced(s):
         return _ft_node_to_query(s[1:-1])
-    m = re.fullmatch(r"(MATCH_PHRASE|MATCH|QSTR|KQL)\s*\((.*)\)", s,
+    m = re.fullmatch(r"(MATCH_PHRASE|MULTI_MATCH|MATCH|QSTR|KQL|TERM)\s*\((.*)\)", s,
                      re.I | re.S)
     if m:
         return _ft_call(m.group(1).upper(), m.group(2))

@@ -13163,3 +13163,29 @@ def wildcard_field_query(sf_dir: str):
            .map_batches(match, batch_format="pyarrow").to_pandas())
     out = out.sort_values("doc_id").reset_index(drop=True)
     return out[["doc_id"]]
+
+def esql_term_multimatch(sf_dir: str):
+    """ES|QL TERM (8.17 fulltext/Term.java: exact unanalyzed term on one
+    field) and MULTI_MATCH (8.18 fulltext/MultiMatch.java: one query over
+    several fields) functions, both pushed down to ONE index query each
+    — the same translate() lowering as MATCH. Two sub-results in one
+    table: the TERM doc set and the MULTI_MATCH most_fields scored set."""
+    from ..functions import esql
+
+    t1 = esql.run(sf_dir, '''
+        FROM documents
+        | WHERE TERM(source, "src3")
+        | STATS n = COUNT(*)
+    ''')
+    t2 = esql.run(sf_dir, '''
+        FROM documents METADATA _score
+        | WHERE MULTI_MATCH("data src3", text, source,
+                            {"type": "most_fields"})
+        | EVAL _score = ROUND(_score, 4)
+        | SORT _score DESC, doc_id
+        | LIMIT 12
+        | KEEP doc_id, _score
+    ''')
+    t2 = t2.reset_index(drop=True)
+    t2["term_src3_n"] = int(t1["n"].iloc[0])
+    return t2

@@ -345,3 +345,24 @@ def test_wildcard_field_prefilter_is_superset(ray_session):
         "SELECT doc_id FROM documents WHERE text LIKE '%dat%' AND "
         "text LIKE '%erg%'").df()["doc_id"])
     assert out.issubset(cand) and len(out) > 0
+
+
+def test_esql_term_and_multimatch(ray_session):
+    from elasticsearch_ray.functions import esql
+
+    out = ops.esql_term_multimatch(SF)
+    assert len(out) == 12
+    assert (np.diff(out["_score"].to_numpy()) <= 1e-12).all()
+    # TERM is exact/unanalyzed: doc count equals the source equality count
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet("
+                   f"'{SF}/documents.parquet') WHERE source='src3'"
+                   ).fetchone()[0]
+    assert out["term_src3_n"].iloc[0] == n
+    # MULTI_MATCH best_fields with operator option parses too
+    r = esql.run(SF, 'FROM documents METADATA _score '
+                     '| WHERE MULTI_MATCH("data src3", text, source, '
+                     '{"type": "best_fields", "tie_breaker": 0.3}) '
+                     '| STATS n = COUNT(*)')
+    assert int(r["n"].iloc[0]) > 0
