@@ -106,7 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_geo_grid", "mtermvectors", "cat_recovery",
         "esql_cartesian_distance", "esql_date_nanos",
         "ft_script_score_vectors", "ft_index_phrases", "wildcard_field_query",
-        "esql_term_multimatch",
+        "esql_term_multimatch", "esql_stats_mad",
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
@@ -1027,6 +1027,13 @@ SELECT event_type, n,
            || north::VARCHAR || ', ' || south::VARCHAR || ')' AS ext,
   west, east, north, south
 FROM g ORDER BY event_type""",
+        "esql_stats_mad": """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+             FROM events GROUP BY 1)
+SELECT e.event_type, ROUND(any_value(m), 6) AS m,
+       ROUND(quantile_cont(abs(e.value - m), 0.5), 6) AS mad
+FROM events e JOIN med USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type""",
         "esql_term_multimatch": f"""
 WITH {_TOK},
 q AS (SELECT unnest(['data','src3']) AS term),

@@ -39,7 +39,8 @@ import pyarrow.compute as pc
 _CMP = {"==": "equal", "!=": "not_equal", ">=": "greater_equal",
         "<=": "less_equal", ">": "greater", "<": "less"}
 _AGGS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT",
-         "MEDIAN", "PERCENTILE", "STD_DEV", "WEIGHTED_AVG", "VALUES",
+         "MEDIAN", "PERCENTILE", "MEDIAN_ABSOLUTE_DEVIATION",
+         "STD_DEV", "WEIGHTED_AVG", "VALUES",
          "RATE", "ST_CENTROID_AGG", "ST_EXTENT_AGG"}
 
 
@@ -1289,7 +1290,8 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
     # one compiled mask per distinct per-agg WHERE source (8.16 filtered
     # aggregates); compiled once here, applied per batch inside the partials
     preds = {w: compile_predicate(w) for *_, w in specs if w}
-    pair_fns = ("COUNT_DISTINCT", "MEDIAN", "PERCENTILE", "VALUES")
+    pair_fns = ("COUNT_DISTINCT", "MEDIAN", "PERCENTILE", "VALUES",
+                "MEDIAN_ABSOLUTE_DEVIATION")
     pair_specs = [s for s in specs if s[1] in pair_fns]
     rate_specs = [s for s in specs if s[1] == "RATE"]
     ot_specs = [s for s in specs if s[1] == "OVER_TIME"]
@@ -1391,8 +1393,9 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
                      .agg(list).rename(alias).reset_index())
             else:
                 r = pd.DataFrame({alias: [sorted(pairs[col].tolist())]})
-        else:  # MEDIAN / PERCENTILE: weighted quantile_cont over pair counts
-            q = 0.5 if fn == "MEDIAN" else float(arg2) / 100.0
+        else:  # MEDIAN / PERCENTILE / MAD: weighted quantiles over pair counts
+            q = 0.5 if fn in ("MEDIAN", "MEDIAN_ABSOLUTE_DEVIATION") \
+                else float(arg2) / 100.0
 
             def wq(g: pd.DataFrame, _q=q) -> float:
                 o = np.argsort(g[col].to_numpy())
@@ -1403,6 +1406,17 @@ def _stats_table(ds, specs, by: list[str]) -> pd.DataFrame:
                 vlo = v[np.searchsorted(cum, lo, side="right")]
                 vhi = v[np.searchsorted(cum, hi, side="right")]
                 return vlo + (h - lo) * (vhi - vlo)
+
+            if fn == "MEDIAN_ABSOLUTE_DEVIATION":
+                # MedianAbsoluteDeviation (esql): median(|x - median(x)|),
+                # both passes over the SAME reduced pair-count table —
+                # exact twin of the reference's sketch-backed agg
+                def wq1(g: pd.DataFrame, _wq=wq) -> float:
+                    med = _wq(g)
+                    g2 = g.copy()
+                    g2[col] = (g2[col] - med).abs()
+                    return _wq(g2)
+                wq = wq1
 
             if by:
                 r = (pairs.groupby(by)[[col, "_c"]].apply(wq)

@@ -13189,3 +13189,22 @@ def esql_term_multimatch(sf_dir: str):
     t2 = t2.reset_index(drop=True)
     t2["term_src3_n"] = int(t1["n"].iloc[0])
     return t2
+
+def esql_stats_mad(sf_dir: str):
+    """ES|QL MEDIAN_ABSOLUTE_DEVIATION in STATS (x-pack esql
+    MedianAbsoluteDeviation agg): mad = median(|x - median(x)|), both
+    passes over the SAME reduced (group, value) pair-count table that
+    MEDIAN/PERCENTILE use — raw rows cross the exchange once. Exact
+    (the reference backs it with a t-digest sketch; the oracle is
+    DuckDB's continuous quantile over the same values)."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | STATS m = MEDIAN(value),
+                mad = MEDIAN_ABSOLUTE_DEVIATION(value) BY event_type
+        | SORT event_type
+    ''')
+    out["m"] = round_half_away(out["m"], 6)
+    out["mad"] = round_half_away(out["mad"], 6)
+    return out

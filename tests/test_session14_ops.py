@@ -366,3 +366,19 @@ def test_esql_term_and_multimatch(ray_session):
                      '{"type": "best_fields", "tie_breaker": 0.3}) '
                      '| STATS n = COUNT(*)')
     assert int(r["n"].iloc[0]) > 0
+
+
+def test_esql_stats_mad_partition_invariant(ray_session):
+    from elasticsearch_ray.functions import esql
+
+    q = ('FROM events | STATS mad = MEDIAN_ABSOLUTE_DEVIATION(value) '
+         'BY event_type | SORT event_type')
+    a = esql.run(SF, q)
+
+    def reader(table):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{SF}/{table}.parquet").repartition(9)
+
+    b = esql.run(SF, q, reader=reader)
+    pd.testing.assert_frame_equal(a, b)
