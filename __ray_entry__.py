@@ -106,7 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_geo_grid", "mtermvectors", "cat_recovery",
         "esql_cartesian_distance", "esql_date_nanos",
         "ft_script_score_vectors", "ft_index_phrases", "wildcard_field_query",
-        "esql_term_multimatch", "esql_stats_mad",
+        "esql_term_multimatch", "esql_stats_mad", "eql_unique_pipe",
+        "dls_filtered_search",
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
@@ -1027,6 +1028,25 @@ SELECT event_type, n,
            || north::VARCHAR || ', ' || south::VARCHAR || ')' AS ext,
   west, east, north, south
 FROM g ORDER BY event_type""",
+        "dls_filtered_search": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['data', 'merge']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS score
+       FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN st
+       GROUP BY tf.doc_id)
+SELECT sc.doc_id, sc.score FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+WHERE d.lang = 'en' ORDER BY sc.doc_id""",
+        "eql_unique_pipe": """
+WITH m AS (SELECT event_id, ts, user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events WHERE value > 100)
+SELECT event_id, ts, user_id, event_type, value
+FROM m WHERE rn = 1 ORDER BY ts, event_id LIMIT 15""",
         "esql_stats_mad": """
 WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
              FROM events GROUP BY 1)

@@ -2,7 +2,8 @@
 
 Reference surface: x-pack/plugin/eql — EqlParser grammar (single-event
 `<category> where <condition>` queries, `sequence by ... with maxspan=...
-[ step ]+ until [ step ]`, and the head/tail/count pipes). From-scratch
+[ step ]+ until [ step ]`, and the head/tail/count/unique/sort pipes).
+From-scratch
 parser; each form lowers onto the idiomatic Ray Data shape:
 
 - single-event query  -> pruned read + vectorized predicate (the ES|QL
@@ -142,6 +143,10 @@ def _used_columns(plan: dict) -> set[str]:
         out.update(re.findall(r"[A-Za-z_][\w.]*", s))
     if plan.get("by"):
         out.update(b.strip() for b in plan["by"].split(","))
+    # unique/sort pipe keys must survive the column-pruned read
+    for name, arg in plan.get("pipes", []):
+        if name in ("unique", "sort"):
+            out.update(k.strip() for k in arg.split(",") if k.strip())
     return out
 
 
@@ -330,6 +335,25 @@ def _apply_pipes_event(ds, pipes: list[tuple[str, str]]) -> pd.DataFrame:
     if name == "count":
         n = ds.count()
         return pd.DataFrame({"count": pd.Series([n], dtype=np.int64)})
+    if name == "unique":
+        # `| unique f1[, f2]` (EQL pipes: UniquePipe): keep the FIRST
+        # event (ts, event_id order) per distinct key combo. Distributed
+        # as a per-batch first-per-key combiner (only per-batch champions
+        # reach the driver) + one tiny final pass — min composes.
+        keys = [k.strip() for k in arg.split(",") if k.strip()]
+
+        def upart(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().sort_values(["ts", "event_id"],
+                                           kind="mergesort")
+            return pa.Table.from_pandas(
+                df.drop_duplicates(subset=keys, keep="first"),
+                preserve_index=False)
+
+        out = ds.map_batches(upart, batch_format="pyarrow").to_pandas()
+        out = (out.sort_values(["ts", "event_id"], kind="mergesort")
+               .drop_duplicates(subset=keys, keep="first")
+               .reset_index(drop=True))
+        return _apply_pipes_frame(out, rest)
     if name not in ("head", "tail"):
         raise ValueError(f"unsupported EQL pipe: {name}")
     n = int(arg or 10)
@@ -357,6 +381,14 @@ def _apply_pipes_frame(out: pd.DataFrame,
             out = out.head(int(arg or 10)).reset_index(drop=True)
         elif name == "tail":
             out = out.tail(int(arg or 10)).reset_index(drop=True)
+        elif name == "unique":
+            keys = [k.strip() for k in arg.split(",") if k.strip()]
+            out = (out.drop_duplicates(subset=keys, keep="first")
+                   .reset_index(drop=True))
+        elif name == "sort":
+            keys = [k.strip() for k in arg.split(",") if k.strip()]
+            out = out.sort_values(keys, kind="mergesort").reset_index(
+                drop=True)
         else:
             raise ValueError(f"unsupported EQL pipe: {name}")
     return out

@@ -13208,3 +13208,31 @@ def esql_stats_mad(sf_dir: str):
     out["m"] = round_half_away(out["m"], 6)
     out["mad"] = round_half_away(out["mad"], 6)
     return out
+
+def eql_unique_pipe(sf_dir: str):
+    """EQL `| unique` pipe (x-pack eql pipes UniquePipe): first event per
+    distinct key among the filter's matches, then `| head 15`. The
+    unique reduce is a per-batch first-per-key combiner (min (ts,
+    event_id) composes) — only per-batch champions reach the driver."""
+    from ..functions import eql
+
+    out = eql.run(sf_dir, 'any where value > 100 | unique user_id | head 15')
+    keep = [c for c in ("event_id", "ts", "user_id", "event_type", "value")
+            if c in out.columns]
+    out = out[keep].reset_index(drop=True)
+    return out
+
+def dls_filtered_search(sf_dir: str):
+    """Document-level security (x-pack security
+    SecurityIndexReaderWrapper: the role's query filter is intersected
+    with EVERY search as a non-scoring filter clause): role = `lang:en`
+    documents only; user query = match 'data merge'. Scores must equal
+    the unrestricted query's scores on the visible docs (filter context
+    contributes no score — BooleanClause.Occur.FILTER), which the
+    oracle asserts by re-deriving BM25 WITHOUT the filter and applying
+    the visibility predicate outside."""
+    return all_matches(sf_dir, {
+        "kind": "bool",
+        "must": [{"kind": "match", "text": "data merge"}],
+        "filter": [{"kind": "meta_term", "field": "lang", "value": "en"}],
+    }).to_pandas()

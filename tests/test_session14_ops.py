@@ -382,3 +382,27 @@ def test_esql_stats_mad_partition_invariant(ray_session):
 
     b = esql.run(SF, q, reader=reader)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_eql_unique_and_sort_pipes(ray_session):
+    from elasticsearch_ray.functions import eql
+
+    out = ops.eql_unique_pipe(SF)
+    assert out["user_id"].is_unique and len(out) == 15
+    # sort pipe on the bounded frame
+    srt = eql.run(SF, 'any where value > 100 | head 20 | sort value')
+    assert (np.diff(srt["value"].to_numpy()) >= 0).all()
+    # unique after head operates on the bounded frame
+    u2 = eql.run(SF, 'any where value > 100 | head 20 | unique event_type')
+    assert u2["event_type"].is_unique
+
+
+def test_dls_scores_equal_unrestricted(ray_session):
+    from elasticsearch_ray.pipelines.fulltext import all_matches
+
+    dls = ops.dls_filtered_search(SF).set_index("doc_id")["score"]
+    full = all_matches(SF, {"kind": "match", "text": "data merge"}
+                       ).to_pandas().set_index("doc_id")["score"]
+    # filter context: visible docs keep the unrestricted scores
+    assert set(dls.index).issubset(set(full.index))
+    assert (full.loc[dls.index] == dls).all()
