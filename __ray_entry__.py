@@ -107,7 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_cartesian_distance", "esql_date_nanos",
         "ft_script_score_vectors", "ft_index_phrases", "wildcard_field_query",
         "esql_term_multimatch", "esql_stats_mad", "eql_unique_pipe",
-        "dls_filtered_search",
+        "dls_filtered_search", "fls_field_security",
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
@@ -1028,6 +1028,8 @@ SELECT event_type, n,
            || north::VARCHAR || ', ' || south::VARCHAR || ')' AS ext,
   west, east, north, south
 FROM g ORDER BY event_type""",
+        "fls_field_security": """
+SELECT doc_id, lang FROM documents WHERE lang = 'en' ORDER BY doc_id""",
         "dls_filtered_search": f"""
 WITH {_TOK},
 q AS (SELECT unnest(['data', 'merge']) AS term),

@@ -13236,3 +13236,26 @@ def dls_filtered_search(sf_dir: str):
         "must": [{"kind": "match", "text": "data merge"}],
         "filter": [{"kind": "meta_term", "field": "lang", "value": "en"}],
     }).to_pandas()
+
+def fls_field_security(sf_dir: str):
+    """Field-level security (x-pack security FieldPermissions /
+    FieldSubsetReader: the role's field grant/except patterns restrict
+    which fields a fetch may return): role grants ["doc_id", "n_*"]
+    except ["n_chars"] over a DLS-visible slice (lang='en'). The grant
+    resolves against the mapping ONCE (driver-side constant, like the
+    role's automaton) and lands as the projection of the pruned read —
+    denied columns never leave storage."""
+    import fnmatch
+
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(os.path.join(sf_dir, "documents.parquet"))
+    grant, deny = ["doc_id", "lang", "n_*"], ["n_chars"]
+    allowed = [c for c in schema.names
+               if any(fnmatch.fnmatch(c, g) for g in grant)
+               and not any(fnmatch.fnmatch(c, d) for d in deny)]
+    import pyarrow.compute as pc
+
+    out = (_ds(sf_dir, "documents", allowed,
+               flt=pc.field("lang") == "en").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
