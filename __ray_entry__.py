@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_script_score_vectors", "ft_index_phrases", "wildcard_field_query",
         "esql_term_multimatch", "esql_stats_mad", "eql_unique_pipe",
         "dls_filtered_search", "fls_field_security",
+        "agg_composite_geotile",
         # --- round-3 session-13 ops ---
         "esql_hash_functions", "esql_st_functions",
         "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
@@ -1028,6 +1029,27 @@ SELECT event_type, n,
            || north::VARCHAR || ', ' || south::VARCHAR || ')' AS ext,
   west, east, north, south
 FROM g ORDER BY event_type""",
+        "agg_composite_geotile": """
+WITH e AS (SELECT event_type,
+        ((user_id * 7919) % 180) - 90 + 0.5 AS lat,
+        ((user_id * 104729) % 360) - 180 + 0.5 AS lon FROM events),
+tx AS (SELECT event_type,
+        least(greatest(CAST(floor((lon + 180.0) / 360.0 * 8)
+                            AS BIGINT), 0), 7) AS tx,
+        least(greatest(CAST(floor((1.0 - ln(
+              tan(radians(greatest(least(lat, 85.05112878), -85.05112878)))
+              + sqrt(tan(radians(greatest(least(lat, 85.05112878),
+                                          -85.05112878)))
+                * tan(radians(greatest(least(lat, 85.05112878),
+                                       -85.05112878))) + 1.0)) / pi())
+              / 2.0 * 8) AS BIGINT), 0), 7) AS ty
+      FROM e),
+g AS (SELECT '3/' || tx || '/' || ty AS tile, event_type,
+             count(*)::BIGINT AS doc_count
+      FROM tx GROUP BY 1, 2)
+SELECT tile, event_type, doc_count FROM g
+WHERE (tile, event_type) > ('3/2/3', 'error')
+ORDER BY tile, event_type LIMIT 20""",
         "fls_field_security": """
 SELECT doc_id, lang FROM documents WHERE lang = 'en' ORDER BY doc_id""",
         "dls_filtered_search": f"""

@@ -13259,3 +13259,37 @@ def fls_field_security(sf_dir: str):
     out = (_ds(sf_dir, "documents", allowed,
                flt=pc.field("lang") == "en").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+def agg_composite_geotile(sf_dir: str):
+    """composite agg with a geotile_grid source (bucket/composite/
+    GeoTileGridValuesSourceBuilder, 7.5): buckets keyed on (geotile
+    cell, event_type) in key order with an `after` cursor — the cell
+    key is computed per batch with the shared geotile kernel, then the
+    SAME vectorized composite pagination as the terms sources."""
+    from ray.data.aggregate import Count
+
+    def cell(t: pa.Table) -> pa.Table:
+        from ..geo import geotile_cell
+
+        uid = t["user_id"].to_numpy()
+        lat = (((uid * 7919) % 180) - 90 + 0.5).astype(np.float64)
+        lon = (((uid * 104729) % 360) - 180 + 0.5).astype(np.float64)
+        return pa.table({
+            "tile": pa.array(geotile_cell(lat, lon, 3), pa.string()),
+            "event_type": t["event_type"],
+        })
+
+    out = (_ds(sf_dir, "events", ["user_id", "event_type"])
+           .map_batches(cell, batch_format="pyarrow")
+           .groupby(["tile", "event_type"])
+           .aggregate(Count(alias_name="doc_count")).to_pandas())
+    out = out.sort_values(["tile", "event_type"]).reset_index(drop=True)
+    # after-cursor: strictly beyond ("3/2/3", "error"), page size 20
+    after = ("3/2/3", "error")
+    gt = np.zeros(len(out), bool)
+    eq = np.ones(len(out), bool)
+    for k, a in zip(("tile", "event_type"), after):
+        col = out[k].to_numpy()
+        gt |= eq & (col > a)
+        eq &= col == a
+    return out[gt].head(20).reset_index(drop=True)
