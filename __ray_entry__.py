@@ -98,6 +98,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-15 ops ---
+        "ft_type_query", "indices_clone", "cluster_state",
+        "indices_get_settings", "force_merge_api",
+        "eql_tail_pipe", "eql_count_pipe",
+        "dsir_importance", "dedup_keep_best",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -6953,6 +6958,106 @@ FROM sent s LEFT JOIN agg ON agg.qsid = s.sid
 WHERE s.sid >= 10 ORDER BY s.sid"""
     # the Bloom-prefiltered path is flag-identical to the exact path by
     # construction (false positives die in verify): same oracle
+    # --- round-3 session-15 oracles ---
+    out.update({
+        "ft_type_query": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok
+       WHERE term = 'window' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT CAST(0 AS BIGINT) AS phase, tf.doc_id AS doc_id,
+       ROUND({_SCORE}, 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+ORDER BY doc_id""",
+        "indices_clone": """
+WITH h(source, hv) AS (VALUES
+  ('src0', -1164416664), ('src1', 706699432), ('src2', 332406938),
+  ('src3', 1484881694), ('src4', 1035695491), ('src5', 1886931161),
+  ('src6', 800076671), ('src7', 400197407), ('src8', 1531411777),
+  ('src9', -1466533903), ('src10', 909986450), ('src11', 640363681),
+  ('src12', 984838713), ('src13', -862322557), ('src14', -924893696),
+  ('src15', 1485394773), ('src16', -1198424005), ('src17', -122829918),
+  ('src18', 1096668294), ('src19', -721911169)),
+r AS (SELECT ((hv % 12) + 12) % 12 AS fm,
+             CAST(('0x' || substr(sha256(d.text), 1, 8)) AS BIGINT) AS ck
+      FROM documents d JOIN h USING (source))
+SELECT fm // 2 AS shard,
+       count(*) AS docs_source, CAST(SUM(ck) AS BIGINT) AS checksum_source,
+       count(*) AS docs_clone, CAST(SUM(ck) AS BIGINT) AS checksum_clone
+FROM r GROUP BY 1 ORDER BY shard""",
+        "cluster_state": """
+SELECT 'documents' AS "index", 'OPEN' AS state,
+       CAST(CEIL(count(*) / 2500.0) AS BIGINT) AS shards,
+       count(*) AS docs
+FROM documents""",
+        "indices_get_settings": """
+SELECT * FROM (
+  SELECT 'index.analysis.analyzer' AS setting, 'simple' AS value
+  UNION ALL SELECT 'index.codec', 'delta_varbyte'
+  UNION ALL SELECT 'index.number_of_replicas', '0'
+  UNION ALL SELECT 'index.number_of_shards',
+    CAST((SELECT CAST(CEIL(count(*) / 2500.0) AS BIGINT) FROM documents)
+         AS VARCHAR)
+  UNION ALL SELECT 'index.sort.field', 'doc_id')
+ORDER BY setting""",
+        "force_merge_api": f"""
+WITH {_TOK},
+q AS (SELECT unnest(['merge', 'vector']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+seg AS (SELECT CAST(CEIL(count(*) / 600.0) AS BIGINT) AS before
+        FROM documents)
+SELECT tf.doc_id AS doc_id, ROUND(SUM({_SCORE}), 4) AS score,
+       seg.before AS segments_before, CAST(1 AS BIGINT) AS segments_after
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+     CROSS JOIN st CROSS JOIN seg
+GROUP BY tf.doc_id, seg.before ORDER BY doc_id""",
+        "eql_tail_pipe": """
+SELECT event_id, ts, event_type, value FROM (
+  SELECT event_id, ts, event_type, value FROM events
+  WHERE event_type = 'view' AND value > 60
+  ORDER BY ts DESC, event_id DESC LIMIT 5)
+ORDER BY ts, event_id""",
+        "eql_count_pipe": """
+SELECT count(*) AS count FROM events
+WHERE event_type = 'click' AND value <= 25""",
+        "dsir_importance": """
+WITH tokl AS (
+  SELECT doc_id, lang, t AS term FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) u
+  WHERE t <> ''),
+raws AS (SELECT term, count(*) AS c_raw,
+                count(*) FILTER (WHERE lang = 'en') AS c_tgt
+         FROM tokl GROUP BY term),
+tot AS (SELECT CAST(SUM(c_raw) AS DOUBLE) AS n_raw,
+               CAST(SUM(c_tgt) AS DOUBLE) AS n_tgt,
+               CAST(count(*) AS DOUBLE) AS vs
+        FROM raws),
+lr AS (SELECT term,
+              ROUND(ln((c_tgt + 1.0) / (tot.n_tgt + tot.vs)) -
+                    ln((c_raw + 1.0) / (tot.n_raw + tot.vs)), 6) AS r
+       FROM raws CROSS JOIN tot),
+w AS (SELECT doc_id, SUM(r) AS wt FROM tokl JOIN lr USING (term)
+      GROUP BY doc_id)
+SELECT doc_id, ROUND(wt, 6) AS weight FROM w
+ORDER BY wt DESC, doc_id LIMIT 15""",
+        "dedup_keep_best": """
+WITH n AS (
+  SELECT doc_id, n_chars,
+         array_to_string(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x <> ''), ' ') AS k
+  FROM documents)
+SELECT doc_id, dups FROM (
+  SELECT doc_id,
+         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS dups,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM n) WHERE rn = 1 ORDER BY doc_id""",
+    })
     out["decontaminate_bloom"] = out["dedup_decontaminate"]
     # the persisted int8 index must reproduce the on-the-fly quantized
     # search bit-for-bit: same oracle

@@ -13293,3 +13293,301 @@ def agg_composite_geotile(sf_dir: str):
         gt |= eq & (col > a)
         eq &= col == a
     return out[gt].head(20).reset_index(drop=True)
+
+
+# ---------------- session-15: REST closure + force_merge + data ops ----------------
+
+
+def ft_type_query(sf_dir: str):
+    """Deprecated `type` query (index/query/TypeQueryBuilder.java): a 7.x
+    index has the single mapping type `_doc`, so a bool filter [type:_doc]
+    is a no-op (scores equal the unfiltered query) and any other value
+    empties the result. Phase 0 filters on `_doc`, phase 1 on `legacy`
+    (contributes no rows)."""
+    from .fulltext import all_matches
+
+    t0 = all_matches(sf_dir, {
+        "kind": "bool", "must": [{"kind": "term", "term": "window"}],
+        "filter": [{"kind": "type", "value": "_doc"}]})
+    t1 = all_matches(sf_dir, {
+        "kind": "bool", "must": [{"kind": "term", "term": "window"}],
+        "filter": [{"kind": "type", "value": "legacy"}]})
+    df0 = t0.to_pandas()
+    df0.insert(0, "phase", np.int64(0))
+    df1 = t1.to_pandas()
+    df1.insert(0, "phase", np.int64(1))
+    out = pd.concat([df0, df1], ignore_index=True)
+    out["phase"] = out["phase"].astype(np.int64)
+    return out
+
+
+def indices_clone(sf_dir: str):
+    """_clone resize (7.4 TransportResizeAction, ResizeType.CLONE): the
+    target keeps the SAME shard count, so routing is unchanged and clone
+    is hard-links + a fresh manifest — per-shard doc sets identical by
+    construction. Verified observably: per shard (floorMod(murmur3(source),
+    12) // 2, the resize formula with an unchanged factor) the doc count
+    AND a content checksum — sum of the leading 8 hex digits of
+    sha256(text), the per-row invariant of the input contract — must agree
+    between source index and clone; the clone columns come from an
+    independent second read. Scale shape: two pruned scans, per-batch
+    integer partials, ONE shard-cardinality groupby each."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..index.routing import routing_hash
+
+    R = 12
+
+    def shard_sum(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        h = np.array([routing_hash(str(u)) for u in uniq], np.int64)[inv]
+        shard = (((h % R) + R) % R) // (R // 6)
+        ck = np.array([int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+                       for s in t["text"].to_pylist()], np.int64)
+        return pa.table({"shard": pa.array(shard, pa.int64()),
+                         "ck": pa.array(ck, pa.int64())})
+
+    def one(tag: str) -> pd.DataFrame:
+        out = (_ds(sf_dir, "documents", ["source", "text"])
+               .map_batches(shard_sum, batch_format="pyarrow")
+               .groupby("shard")
+               .aggregate(Count(alias_name=f"docs_{tag}"),
+                          Sum("ck", alias_name=f"checksum_{tag}"))
+               .to_pandas().sort_values("shard").reset_index(drop=True))
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    src = one("source")
+    clone = one("clone").drop(columns=["shard"])
+    out = pd.concat([src, clone], axis=1)
+    assert (out["docs_source"] == out["docs_clone"]).all()
+    assert (out["checksum_source"] == out["checksum_clone"]).all()
+    return out
+
+
+def cluster_state(sf_dir: str):
+    """_cluster/state metadata + routing_table view (RestClusterStateAction
+    response sections): one row per index — number_of_shards (the logical
+    shard plan: doc_id ranges of 2500, the OperationRouting analog; the
+    physical segment layout is fragment-granular and reported by
+    _segments), live doc count, state. Docs read from committed manifests;
+    the oracle re-derives both numbers from the raw table."""
+    import math
+
+    from ..index.manifest import committed_segments, live_segments
+    from .fulltext import documents_index
+
+    idx = documents_index(sf_dir)
+    live = live_segments(committed_segments(idx))
+    docs = sum(m.doc_count for m in live.values())
+    return pd.DataFrame({
+        "index": ["documents"], "state": ["OPEN"],
+        "shards": np.array([math.ceil(docs / 2500.0)], np.int64),
+        "docs": np.array([docs], np.int64)})
+
+
+def indices_get_settings(sf_dir: str):
+    """_settings API (RestGetSettingsAction): the effective index settings
+    of the documents index as a (setting, value) table. number_of_shards
+    is the logical shard plan (doc ranges of 2500, derived from manifest
+    doc counts; the oracle re-derives it from the row count), the rest
+    mirror the engine's fixed build configuration."""
+    import math
+
+    from ..index.manifest import committed_segments, live_segments
+    from .fulltext import documents_index
+
+    idx = documents_index(sf_dir)
+    live = live_segments(committed_segments(idx))
+    docs = sum(m.doc_count for m in live.values())
+    rows = [
+        ("index.analysis.analyzer", "simple"),
+        ("index.codec", "delta_varbyte"),
+        ("index.number_of_replicas", "0"),
+        ("index.number_of_shards", str(math.ceil(docs / 2500.0))),
+        ("index.sort.field", "doc_id"),
+    ]
+    return pd.DataFrame(rows, columns=["setting", "value"])
+
+
+def force_merge_api(sf_dir: str):
+    """_forcemerge API (RestForceMergeAction -> index/merge.py force_merge,
+    the TieredMergePolicy analog): rewrite the documents table as a
+    600-row-row-group parquet (so the build plans ceil(n/600) fragment
+    partitions -> that many segments), build, merge until ONE live
+    segment, then prove search equivalence — the merged index's BM25
+    scores for a 2-term OR match must equal the oracle recomputed from
+    the raw table. Output rows carry (segments_before, segments_after)
+    as constant columns."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..index.build import build_index
+    from ..index.manifest import committed_segments, live_segments
+    from ..index.merge import force_merge, gc_merged
+    from ..search.engine import IndexSearcher
+    from .fulltext import K1, B
+
+    src_pq = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{src_pq}:{os.path.getmtime(src_pq)}:fm600".encode()).hexdigest()[:16]
+    root = os.path.join("/tmp/esray_cache", f"fmidx_{tag}")
+    corpus = os.path.join(root, "corpus")
+    work = os.path.join(root, "index")
+    if not os.path.isdir(os.path.join(root, "_merged_ok")):
+        os.makedirs(corpus, exist_ok=True)
+        t = pq.read_table(src_pq)
+        pq.write_table(t, os.path.join(corpus, "documents.parquet"),
+                       row_group_size=600)
+        build_index(os.path.join(corpus, "documents.parquet"), work,
+                    analyzer="simple", index_positions=False,
+                    docs_per_partition=600, num_buckets=8,
+                    content_column="text", meta_columns=())
+        before = len(live_segments(committed_segments(work)))
+        with open(os.path.join(root, "before.txt"), "w") as f:
+            f.write(str(before))
+        force_merge(work, max_num_segments=1)
+        gc_merged(work)
+        os.makedirs(os.path.join(root, "_merged_ok"), exist_ok=True)
+    before = int(open(os.path.join(root, "before.txt")).read())
+    after = len(live_segments(committed_segments(work)))
+    s = IndexSearcher(work, score_mode="exact64", k1=K1, b=B,
+                      main_field="text")
+    ids, sc = s._eval({"kind": "match", "text": "merge vector"})
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away(sc[order].astype(np.float64), 4),
+        "segments_before": np.full(ids.size, before, np.int64),
+        "segments_after": np.full(ids.size, after, np.int64)})
+
+
+def eql_tail_pipe(sf_dir: str):
+    """EQL `| tail n` pipe (x-pack eql LimitWithOffset tail form): the n
+    LATEST matching events — per-batch partial bottom-n on (ts, event_id)
+    descending, driver merges batches x n rows, ascending output order
+    (the reference returns tail results in timestamp order)."""
+    from ..functions import eql
+
+    return eql.run(sf_dir, 'view where value > 60 | tail 5')
+
+
+def eql_count_pipe(sf_dir: str):
+    """EQL `| count` pipe: total matching-event count — per-batch partial
+    counts, scalar merge."""
+    from ..functions import eql
+
+    return eql.run(sf_dir, 'click where value <= 25 | count')
+
+
+def dsir_importance(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling" — public): score every doc by the
+    log-likelihood ratio between a target unigram LM (docs with lang='en')
+    and the raw-corpus unigram LM, both add-1 smoothed over the corpus
+    vocabulary; keep the top 15. Scale shape: phase 1 is ONE
+    vocabulary-cardinality groupby of (term, is_target) count partials
+    (pre-aggregated per batch); the log-ratio table broadcasts in the
+    closure; phase 2 is a per-batch tf x ratio dot product + partial
+    top-k — the corpus never reshuffles. Per-term ratios snap to the
+    1e-6 grid in BOTH engines before the per-doc sum, so the float dot
+    product is reproducible."""
+    from ray.data.aggregate import Sum
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        toks, is_en = [], []
+        for txt, lg in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+            ws = [w for w in txt.lower().split() if w]
+            toks.extend(ws)
+            is_en.extend([1 if lg == "en" else 0] * len(ws))
+        arr = np.array(toks)
+        en = np.array(is_en, np.int64)
+        uniq, inv = np.unique(arr, return_inverse=True)
+        tot = np.bincount(inv, minlength=uniq.size)
+        ten = np.bincount(inv, weights=en, minlength=uniq.size).astype(np.int64)
+        return pa.table({"term": pa.array(uniq),
+                         "c_raw": pa.array(tot, pa.int64()),
+                         "c_tgt": pa.array(ten, pa.int64())})
+
+    counts = (_ds(sf_dir, "documents", ["text", "lang"])
+              .map_batches(term_counts, batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Sum("c_raw", alias_name="c_raw"),
+                         Sum("c_tgt", alias_name="c_tgt"))
+              .to_pandas())
+    vocab = counts["term"].to_numpy()
+    c_raw = counts["c_raw"].to_numpy(np.float64)
+    c_tgt = counts["c_tgt"].to_numpy(np.float64)
+    n_raw, n_tgt, vs = c_raw.sum(), c_tgt.sum(), float(vocab.size)
+    ratio = round_half_away(
+        np.log((c_tgt + 1.0) / (n_tgt + vs)) - np.log((c_raw + 1.0) / (n_raw + vs)),
+        6)
+    lut = dict(zip(vocab.tolist(), ratio.tolist()))
+
+    def weigh(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        w = np.empty(ids.size, np.float64)
+        for i, txt in enumerate(t["text"].to_pylist()):
+            w[i] = np.sum([lut[x] for x in txt.lower().split() if x])
+        # per-batch partial top-k (driver merges batches x 15 rows)
+        keep = np.lexsort((ids, -w))[:15]
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "weight": pa.array(w[keep], pa.float64())})
+
+    parts = (_ds(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(weigh, batch_format="pyarrow").to_pandas())
+    parts = parts.sort_values(["weight", "doc_id"],
+                              ascending=[False, True]).head(15)
+    parts["weight"] = round_half_away(parts["weight"].to_numpy(np.float64), 6)
+    return parts.reset_index(drop=True)
+
+
+def dedup_keep_best(sf_dir: str):
+    """Keep-best dedup policy (the canonical-selection stage of a training
+    -data pipeline: within each exact-duplicate cluster keep the HIGHEST
+    -quality member — here longest n_chars, ties to smallest doc_id —
+    rather than first-seen). Cluster key = sha256 of the token-normalized
+    text. argmax composes, so per-batch champions pre-reduce before the
+    ONE key-cardinality groupby; text never reshuffles."""
+    import hashlib
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ks = [hashlib.sha256(" ".join(s.lower().split()).encode()).hexdigest()
+              for s in t["text"].to_pylist()]
+        return pa.table({"k": pa.array(ks), "doc_id": t["doc_id"],
+                         "n_chars": t["n_chars"]})
+
+    def champion(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).iloc[0]
+        return pd.DataFrame({"doc_id": [int(o["doc_id"])],
+                             "dups": [np.int64(g["dups"].sum())]})
+
+    def batch_pre(t: pa.Table) -> pa.Table:
+        # per-batch champion + count partial (argmax/count both compose)
+        df = t.to_pandas()
+        df = df.sort_values(["k", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        dups = df.groupby("k", sort=False).size()
+        champ = df.drop_duplicates("k")
+        out = pd.DataFrame({
+            "k": champ["k"].to_numpy(),
+            "doc_id": champ["doc_id"].to_numpy(np.int64),
+            "n_chars": champ["n_chars"].to_numpy(np.int64),
+            "dups": dups.reindex(champ["k"]).to_numpy(np.int64)})
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+           .map_batches(keyed, batch_format="pyarrow")
+           .map_batches(batch_pre, batch_format="pyarrow")
+           .groupby("k").map_groups(champion, batch_format="pandas")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["dups"] = out["dups"].astype(np.int64)
+    return out

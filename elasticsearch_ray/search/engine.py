@@ -1073,6 +1073,15 @@ class IndexSearcher:
             return ids, np.full(ids.size, boost, np.float64)
         if kind == "match_none":
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        if kind == "type":
+            # TypeQueryBuilder (index/query/TypeQueryBuilder.java,
+            # deprecated in 7.x): a 7.x index has the single mapping type
+            # `_doc` (MapperService.SINGLE_MAPPING_NAME) — the query is
+            # match-all for that value and match-none for anything else.
+            if str(q.get("value", "_doc")) == "_doc":
+                ids = self._all_doc_ids()
+                return ids, np.full(ids.size, boost, np.float64)
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         if kind == "bool":
             return self._bool(q, boost)
         if kind == "meta_term":

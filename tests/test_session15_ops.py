@@ -1,0 +1,111 @@
+"""Round-3 session-15 operators.
+
+- `type` query (server/.../index/query/TypeQueryBuilder.java, deprecated
+  in 7.x): match-all for the index's single mapping type `_doc`,
+  match-none otherwise.
+- _clone resize (7.4): server/.../admin/indices/shrink/ResizeRequest
+  ResizeType.CLONE — same shard count, per-shard doc sets identical.
+- _cluster/state / _settings: rest/action/admin/cluster/
+  RestClusterStateAction, admin/indices/RestGetSettingsAction.
+- _forcemerge: rest/action/admin/indices/RestForceMergeAction over the
+  tiered-merge machinery; search results must be merge-invariant.
+- EQL tail/count pipes: x-pack/plugin/eql LimitWithOffset tail form.
+- DSIR importance weighting: Xie et al. 2023 (public), hashed-unigram
+  log-likelihood-ratio data selection.
+- keep-best dedup: canonical selection by quality inside exact-dup
+  clusters (argmax composes over batch partials).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from elasticsearch_ray.pipelines import ops
+from elasticsearch_ray.pipelines.fulltext import all_matches
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_type_query_doc_is_noop_filter():
+    plain = all_matches(SF, {"kind": "term", "term": "window"}).to_pandas()
+    out = ops.ft_type_query(SF)
+    p0 = out[out["phase"] == 0].drop(columns=["phase"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(p0, plain)
+    assert (out["phase"] == 1).sum() == 0
+
+
+def test_type_query_other_type_matches_nothing():
+    got = all_matches(SF, {"kind": "type", "value": "legacy"}).to_pandas()
+    assert len(got) == 0
+    everything = all_matches(SF, {"kind": "type", "value": "_doc"},
+                             with_score=False).to_pandas()
+    assert len(everything) == 500
+
+
+def test_indices_clone_checksums_agree():
+    out = ops.indices_clone(SF)
+    assert (out["docs_source"] == out["docs_clone"]).all()
+    assert (out["checksum_source"] == out["checksum_clone"]).all()
+    assert out["docs_source"].sum() == 500
+    assert set(out["shard"]) <= set(range(6))
+
+
+def test_cluster_state_and_settings_consistent():
+    cs = ops.cluster_state(SF)
+    assert cs.loc[0, "docs"] == 500
+    st = ops.indices_get_settings(SF)
+    shards = st.set_index("setting").loc["index.number_of_shards", "value"]
+    assert int(shards) == cs.loc[0, "shards"]
+
+
+def test_force_merge_single_segment_and_scores():
+    out = ops.force_merge_api(SF)
+    assert (out["segments_after"] == 1).all()
+    assert (out["segments_before"] == 1).all()  # 500 docs, 600-doc groups
+    # merge-invariance: scores equal the live documents index's scores
+    ref = all_matches(SF, {"kind": "match", "text": "merge vector"}).to_pandas()
+    got = out[["doc_id", "score"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_eql_tail_pipe_is_latest_ascending():
+    out = ops.eql_tail_pipe(SF)
+    assert len(out) == 5
+    ts = out["ts"].to_numpy()
+    assert (ts[:-1] <= ts[1:]).all()
+
+
+def test_eql_count_pipe():
+    out = ops.eql_count_pipe(SF)
+    assert list(out.columns) == ["count"]
+    assert out.loc[0, "count"] > 0
+
+
+def test_dsir_weights_favor_target_language():
+    out = ops.dsir_importance(SF)
+    assert len(out) == 15
+    w = out["weight"].to_numpy()
+    assert (w[:-1] >= w[1:]).all()
+
+
+def test_dedup_keep_best_champion_rule():
+    out = ops.dedup_keep_best(SF)
+    # every cluster keeps exactly one doc; totals add up
+    assert out["dups"].sum() == 500
+    # planted duplicates: three docs, one normalized key -> the champion
+    # is max n_chars with ties to smallest doc_id
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([3, 1, 2], pa.int64()),
+            "text": ["a b", "a  b", "a b "],
+            "n_chars": pa.array([3, 4, 4], pa.int64())}),
+            f"{d}/documents.parquet")
+        got = ops.dedup_keep_best(d)
+        assert got["doc_id"].tolist() == [1]
+        assert got["dups"].tolist() == [3]
