@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indices_get_settings", "force_merge_api",
         "eql_tail_pipe", "eql_count_pipe",
         "dsir_importance", "dedup_keep_best",
+        "search_type_qtf", "ingest_on_failure",
+        "agg_terms_partitions", "sql_select_distinct",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7057,6 +7059,55 @@ SELECT doc_id, dups FROM (
          row_number() OVER (PARTITION BY k
                             ORDER BY n_chars DESC, doc_id) AS rn
   FROM n) WHERE rn = 1 ORDER BY doc_id""",
+        "search_type_qtf": """
+WITH base AS (SELECT doc_id, doc_id // 600 AS shard, text FROM documents),
+tok AS (SELECT doc_id, shard, t AS term FROM (
+  SELECT doc_id, shard,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+  FROM base) u
+  WHERE t <> ''),
+dl AS (SELECT doc_id, shard, count(*) AS dl FROM tok GROUP BY 1, 2),
+sh AS (SELECT shard, count(*) AS n FROM base GROUP BY 1),
+shl AS (SELECT shard, count(*) AS sumdl FROM tok GROUP BY 1),
+tf AS (SELECT doc_id, shard, count(*) AS tf FROM tok
+       WHERE term = 'data' GROUP BY 1, 2),
+dfl AS (SELECT shard, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT count(*) FROM tok) AS sumdl),
+dfg AS (SELECT count(*) AS df FROM tf),
+qtf AS (SELECT 'query_then_fetch' AS mode, tf.doc_id AS doc_id,
+          ROUND(ln(1 + (sh.n - dfl.df + 0.5)/(dfl.df + 0.5)) * 2.2 * tf.tf /
+                (tf.tf + 1.2*(0.25 + 0.75 * dl.dl * sh.n / shl.sumdl)),
+                4) AS score
+        FROM tf JOIN dfl USING (shard) JOIN sh USING (shard)
+             JOIN shl USING (shard)
+             JOIN dl ON dl.doc_id = tf.doc_id AND dl.shard = tf.shard),
+dfs AS (SELECT 'dfs' AS mode, tf.doc_id AS doc_id,
+          ROUND(ln(1 + (st.n - dfg.df + 0.5)/(dfg.df + 0.5)) * 2.2 * tf.tf /
+                (tf.tf + 1.2*(0.25 + 0.75 * dl.dl * st.n / st.sumdl)),
+                4) AS score
+        FROM tf CROSS JOIN dfg CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT mode, doc_id, score
+FROM (SELECT * FROM qtf UNION ALL SELECT * FROM dfs)
+ORDER BY mode DESC, doc_id""",
+        "ingest_on_failure": """
+SELECT event_id,
+       CASE WHEN value > 140 THEN 'failed' ELSE 'ok' END AS tag,
+       CASE WHEN value > 140 THEN 'fail condition met'
+            ELSE NULL END AS failure_reason
+FROM events ORDER BY event_id""",
+        "agg_terms_partitions": """
+WITH h(event_type, hv) AS (VALUES
+  ('click', -708214186), ('error', -1203016238), ('purchase', -129873871),
+  ('signup', 694001673), ('view', 1287439357))
+SELECT e.event_type, count(*) AS doc_count,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events e JOIN h USING (event_type)
+WHERE ((hv % 4) + 4) % 4 = 1
+GROUP BY 1 ORDER BY 1""",
+        "sql_select_distinct": """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+ORDER BY o_orderstatus, o_orderpriority""",
     })
     out["decontaminate_bloom"] = out["dedup_decontaminate"]
     # the persisted int8 index must reproduce the on-the-fly quantized

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -67,7 +68,9 @@ def join(col: str, sep: str, out: str | None = None):
 
 
 def set_value(col: str, value):
-    return lambda t: _put(t, col, pa.array([value] * len(t)))
+    # explicit type so a zero-row batch doesn't infer a null-typed column
+    typ = pa.scalar(value).type
+    return lambda t: _put(t, col, pa.array([value] * len(t), typ))
 
 
 def rename(src: str, dst: str):
@@ -886,5 +889,46 @@ def ignore_failure(processor):
             return processor(t)
         except Exception:
             return t
+
+    return f
+
+
+def on_failure(fail_pred, body, handlers):
+    """CompoundProcessor `on_failure` (server/src/main/java/org/
+    elasticsearch/ingest/CompoundProcessor.java:35 onFailureProcessors,
+    executeOnFailure): rows the body would fail are routed to the handler
+    chain instead of failing the pipeline; handlers see the failure via
+    `_ingest_on_failure_message` (the reference's on_failure_message
+    ingest metadata). Vectorized split/apply/merge preserving row order —
+    the failure condition is the `fail` processor's predicate, which is
+    exactly the reference's FailProcessorException path.
+
+    fail_pred: pa.Table -> BooleanArray (True = this row fails the body);
+    body / handlers: composed processor callables (see pipeline())."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = fail_pred(t)
+        if not isinstance(mask, (pa.Array, pa.ChunkedArray)):
+            mask = pa.array(mask)
+        order = pa.array(np.arange(len(t)), pa.int64())
+        t2 = t.append_column("__row", order)
+        ok = body(t2.filter(pc.invert(mask)))
+        bad = t2.filter(mask)
+        bad = _put(bad, "_ingest_on_failure_message",
+                   pa.array(["fail condition met"] * len(bad), pa.string()))
+        bad = handlers(bad)
+        # align schemas (a column only one branch added -> nulls elsewhere)
+        names = list(dict.fromkeys(ok.schema.names + bad.schema.names))
+        def widen(x: pa.Table) -> pa.Table:
+            for n in names:
+                if n not in x.schema.names:
+                    ref = ok if n in ok.schema.names else bad
+                    x = x.append_column(
+                        n, pa.nulls(len(x), ref.schema.field(n).type))
+            return x.select(names)
+        merged = pa.concat_tables([widen(ok), widen(bad)],
+                                  promote_options="permissive")
+        merged = merged.sort_by("__row")
+        return merged.drop_columns(["__row"])
 
     return f

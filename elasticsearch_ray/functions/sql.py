@@ -76,7 +76,7 @@ def _split_cols(s: str) -> list[str]:
 def parse_sql(sql: str) -> dict:
     s = sql.strip().rstrip(";")
     m = re.match(
-        r"(?is)^SELECT\s+(?P<cols>.+?)\s+FROM\s+(?P<table>\w+)"
+        r"(?is)^SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<cols>.+?)\s+FROM\s+(?P<table>\w+)"
         r"(?:\s+WHERE\s+(?P<where>.+?))?"
         r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
         r"(?:\s+HAVING\s+(?P<having>.+?))?"
@@ -221,7 +221,7 @@ def parse_sql(sql: str) -> dict:
             "scalars": scalars, "expr_preds": expr_preds,
             "group": group, "having": having, "table": m.group("table"),
             "preds": preds, "ft": ft, "score_alias": score_alias,
-            "order": order,
+            "order": order, "distinct": bool(m.group("distinct")),
             "limit": int(m.group("limit")) if m.group("limit") else None}
 
 
@@ -482,6 +482,23 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
             return t
 
         ds = ds.map_batches(add_scalars, batch_format="pyarrow")
+    if plan.get("distinct"):
+        # SELECT DISTINCT (x-pack sql Distinct over the projection):
+        # per-batch local dedup (a combiner — distinct composes), then ONE
+        # projection-cardinality groupby; ORDER BY / LIMIT apply after.
+        import pyarrow as pa
+
+        from ray.data.aggregate import Count as _Cnt
+
+        cols = list(plan["names"])
+
+        def local_distinct(t: pa.Table) -> pa.Table:
+            df = t.select(cols).to_pandas().drop_duplicates(cols)
+            return pa.Table.from_pandas(
+                df, preserve_index=False).replace_schema_metadata(None)
+
+        ds = (ds.map_batches(local_distinct, batch_format="pyarrow")
+                .groupby(cols).aggregate(_Cnt(alias_name="__dc")))
     if plan["order"]:
         ds = ds.sort(key=[o[0] for o in plan["order"]],
                      descending=[o[1] for o in plan["order"]])

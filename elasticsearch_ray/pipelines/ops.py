@@ -13591,3 +13591,134 @@ def dedup_keep_best(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["dups"] = out["dups"].astype(np.int64)
     return out
+
+
+def search_type_qtf(sf_dir: str):
+    """query_then_fetch vs dfs_query_then_fetch (action/search/SearchType
+    .java QUERY_THEN_FETCH default; TransportSearchAction DFS phase;
+    SURVEY §2.5): under query_then_fetch each shard scores with its LOCAL
+    term statistics (df, N, avgdl) — the rank drift vs global DFS stats is
+    the small-shard artifact the DFS mode exists to remove. The engine
+    builds a ceil(n/600)-shard index (600-row row groups), runs the same
+    term query once per shard with purely local stats (IndexSearcher over
+    segments=[sid] — exactly a shard-local searcher) and once globally;
+    output is (mode, doc_id, score) for both modes. Scale shape: per-shard
+    searches are independent actor work; the qtf mode is the zero-
+    coordination path, dfs adds the one tiny stats exchange."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..index.build import build_index
+    from ..index.manifest import committed_segments, live_segments
+    from ..search.engine import IndexSearcher
+    from .fulltext import K1, B
+
+    src_pq = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{src_pq}:{os.path.getmtime(src_pq)}:qtf600".encode()).hexdigest()[:16]
+    root = os.path.join("/tmp/esray_cache", f"qtfidx_{tag}")
+    corpus = os.path.join(root, "corpus")
+    work = os.path.join(root, "index")
+    if not os.path.isdir(os.path.join(root, "_built_ok")):
+        os.makedirs(corpus, exist_ok=True)
+        t = pq.read_table(src_pq)
+        pq.write_table(t, os.path.join(corpus, "documents.parquet"),
+                       row_group_size=600)
+        build_index(os.path.join(corpus, "documents.parquet"), work,
+                    analyzer="simple", index_positions=False,
+                    docs_per_partition=600, num_buckets=8,
+                    content_column="text", meta_columns=())
+        os.makedirs(os.path.join(root, "_built_ok"), exist_ok=True)
+    q = {"kind": "term", "term": "data"}
+    rows = []
+    for sid in sorted(live_segments(committed_segments(work))):
+        loc = IndexSearcher(work, segments=[sid], score_mode="exact64",
+                            k1=K1, b=B, main_field="text")
+        ids, sc = loc._eval(q)
+        rows.append((ids, sc))
+    ids_l = np.concatenate([r[0] for r in rows])
+    sc_l = np.concatenate([r[1] for r in rows])
+    glob = IndexSearcher(work, score_mode="exact64", k1=K1, b=B,
+                         main_field="text")
+    ids_g, sc_g = glob._eval(q)
+    out = pd.DataFrame({
+        "mode": ["query_then_fetch"] * ids_l.size + ["dfs"] * ids_g.size,
+        "doc_id": np.concatenate([ids_l, ids_g]).astype(np.int64),
+        "score": round_half_away(
+            np.concatenate([sc_l, sc_g]).astype(np.float64), 4)})
+    return (out.sort_values(["mode", "doc_id"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def ingest_on_failure(sf_dir: str):
+    """Ingest pipeline `on_failure` handlers (ingest/CompoundProcessor
+    .java onFailureProcessors): the body tags rows 'ok' but FAILS rows
+    with value > 140 (the `fail` processor); failed rows run the handler
+    chain instead — tag 'failed' + reason from the on_failure_message
+    metadata — and the pipeline itself never aborts. Vectorized
+    split/apply/merge, row order preserved."""
+    from ..functions import ingest as I
+    import pyarrow.compute as _pc
+
+    proc = I.on_failure(
+        lambda t: _pc.greater(t["value"], 140.0),
+        I.pipeline(I.set_value("tag", "ok")),
+        I.pipeline(
+            I.set_value("tag", "failed"),
+            I.rename("_ingest_on_failure_message", "failure_reason")),
+    )
+    out = (_ds(sf_dir, "events", ["event_id", "value"])
+           .map_batches(proc, batch_format="pyarrow")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    out["failure_reason"] = out["failure_reason"].astype(object).where(
+        out["failure_reason"].notna(), None)
+    return out[["event_id", "tag", "failure_reason"]]
+
+
+def agg_terms_partitions(sf_dir: str):
+    """terms agg include.partition / num_partitions (search/aggregations/
+    bucket/terms/IncludeExclude.java: floorMod(hash(term), num_partitions)
+    == partition — the scroll-all-terms pagination device). The reference
+    hashes BytesRef with a JVM-seeded murmur3 (unstable across restarts);
+    this engine substitutes the stable murmur3_x86_32(seed=0) routing hash
+    (index/routing.py, OperationRouting's own function) and documents the
+    substitution. Partition 1 of 4 over event_type; count + sum(value)
+    per surviving term; the partition filter applies BEFORE the exchange
+    (terms that miss the partition never shuffle)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..index.routing import routing_hash
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(et, return_inverse=True)
+        h = np.array([((routing_hash(str(u)) % 4) + 4) % 4 for u in uniq],
+                     np.int64)[inv]
+        keep = h == 1
+        return pa.table({"event_type": pa.array(et[keep]),
+                         "value": pa.array(
+                             t["value"].to_numpy()[keep], pa.float64())})
+
+    out = (_ds(sf_dir, "events", ["event_type", "value"])
+           .map_batches(part_filter, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="doc_count"),
+                      Sum("value", alias_name="sum_value"))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    out["sum_value"] = round_half_away(
+        out["sum_value"].to_numpy(np.float64), 6)
+    return out
+
+
+def sql_select_distinct(sf_dir: str):
+    """_sql SELECT DISTINCT (x-pack sql ql plan Distinct over the
+    projection): distributed distinct = per-batch local dedup combiner +
+    ONE projection-cardinality groupby; ORDER BY applies to the reduced
+    table. Oracle = the SQL itself, verbatim."""
+    from ..functions.sql import run_sql
+
+    return run_sql(
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders "
+        "ORDER BY o_orderstatus, o_orderpriority", sf_dir, ds_factory=_ds)

@@ -109,3 +109,32 @@ def test_dedup_keep_best_champion_rule():
         got = ops.dedup_keep_best(d)
         assert got["doc_id"].tolist() == [1]
         assert got["dups"].tolist() == [3]
+
+
+def test_qtf_local_stats_differ_from_dfs():
+    out = ops.search_type_qtf(SF)
+    modes = set(out["mode"])
+    assert modes == {"query_then_fetch", "dfs"}
+    q = out[out["mode"] == "query_then_fetch"].set_index("doc_id")["score"]
+    d = out[out["mode"] == "dfs"].set_index("doc_id")["score"]
+    # same doc sets (scoring mode never changes matching)
+    assert set(q.index) == set(d.index)
+
+
+def test_on_failure_routes_rows_not_pipeline():
+    out = ops.ingest_on_failure(SF)
+    assert len(out) == 1000  # no rows dropped, pipeline never aborted
+    failed = out[out["tag"] == "failed"]
+    assert (failed["failure_reason"] == "fail condition met").all()
+    ok = out[out["tag"] == "ok"]
+    assert ok["failure_reason"].isna().all()
+
+
+def test_terms_partitions_filter_before_shuffle():
+    out = ops.agg_terms_partitions(SF)
+    assert set(out["event_type"]) == {"purchase", "signup", "view"}
+
+
+def test_sql_distinct():
+    out = ops.sql_select_distinct(SF)
+    assert not out.duplicated(["o_orderstatus", "o_orderpriority"]).any()
