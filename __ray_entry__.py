@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance", "dedup_keep_best",
         "search_type_qtf", "ingest_on_failure",
         "agg_terms_partitions", "sql_select_distinct",
+        "ml_outlier_detection", "dedup_substring_runs",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7108,6 +7109,43 @@ GROUP BY 1 ORDER BY 1""",
         "sql_select_distinct": """
 SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
 ORDER BY o_orderstatus, o_orderpriority""",
+        "ml_outlier_detection": """
+WITH p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS d
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+k AS (SELECT ia AS vec_id, d,
+             row_number() OVER (PARTITION BY ia ORDER BY d, ib) AS rn
+      FROM p)
+SELECT vec_id, ROUND(d, 6) AS knn_dist FROM k WHERE rn = 5
+ORDER BY knn_dist DESC, vec_id LIMIT 10""",
+        "dedup_substring_runs": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS a
+  FROM documents),
+gpos AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a) - 7)) AS pos
+  FROM toks WHERE len(a) >= 8),
+grams AS (
+  SELECT doc_id, pos, array_to_string(a[pos:pos+7], ' ') AS gram
+  FROM gpos),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+occ AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+m AS (SELECT doc_id, pos, pos + 8 AS e,
+        CASE WHEN pos > COALESCE(max(pos + 8) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM occ),
+i AS (SELECT doc_id, pos, e,
+        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM m),
+u AS (SELECT doc_id, isl, max(e) - min(pos) AS covered
+      FROM i GROUP BY doc_id, isl)
+SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dup_tokens
+FROM u GROUP BY doc_id ORDER BY doc_id""",
     })
     out["decontaminate_bloom"] = out["dedup_decontaminate"]
     # the persisted int8 index must reproduce the on-the-fly quantized

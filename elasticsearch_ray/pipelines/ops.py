@@ -13722,3 +13722,136 @@ def sql_select_distinct(sf_dir: str):
     return run_sql(
         "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders "
         "ORDER BY o_orderstatus, o_orderpriority", sf_dir, ds_factory=_ds)
+
+
+def ml_outlier_detection(sf_dir: str):
+    """x-pack ML data-frame analytics `outlier_detection` (7.3,
+    x-pack/plugin/ml .../dataframe/analyses/OutlierDetection.java): the
+    distance-based kNN family — each point's outlier score derives from
+    its distance to the k-th (k=5) nearest neighbor; top-10 by score.
+    Scale shape: the vector table broadcasts once (ray.put); each batch
+    computes a (batch x N) squared-distance matrix by the norm expansion,
+    takes 8 > k candidates per row, recomputes exact sum-of-squares
+    distances for candidates only (the SQL twin's list_distance
+    evaluation), and emits one (vec_id, 5th-NN distance) row per point —
+    a per-batch partial; the driver sees N rows, merges top-10. The
+    reference caps the same computation with hash-based sampling above
+    ~64k points; the IVF/LSH bucketing in functions/similarity.py is this
+    engine's equivalent scale hatch."""
+    import pyarrow.dataset as pads
+
+    import ray
+
+    k = 5
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        columns=["vec_id", "embedding"])
+    ids_all = t["vec_id"].to_numpy()
+    E = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64)
+    e_ref = ray.put((ids_all, E, np.sum(E * E, axis=1)))
+
+    def knn_dist(b: pa.Table) -> pa.Table:
+        aids, Em, nrm = ray.get(e_ref)
+        ids = b["vec_id"].to_numpy()
+        if ids.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "knn_dist": pa.array([], pa.float64())})
+        V = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64)
+        d2 = (np.sum(V * V, axis=1)[:, None] - 2.0 * (V @ Em.T) + nrm[None, :])
+        # exclude self by id (not by position: batches are row subsets)
+        self_col = np.searchsorted(aids, ids)
+        d2[np.arange(ids.size), self_col] = np.inf
+        cand = np.argpartition(d2, 8, axis=1)[:, :8]
+        out = np.empty(ids.size, np.float64)
+        for i in range(ids.size):
+            # exact distances, ranked (d, neighbor_id) like the SQL twin
+            ds_ = np.sqrt(((V[i] - Em[cand[i]]) ** 2).sum(axis=1))
+            order = np.lexsort((aids[cand[i]], ds_))
+            out[i] = ds_[order][k - 1]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "knn_dist": pa.array(out, pa.float64())})
+
+    out = (_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .map_batches(knn_dist, batch_format="pyarrow")
+           .to_pandas())
+    out = out.sort_values(["knn_dist", "vec_id"],
+                          ascending=[False, True]).head(10)
+    out["knn_dist"] = round_half_away(out["knn_dist"].to_numpy(np.float64), 6)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def dedup_substring_runs(sf_dir: str):
+    """Exact duplicated-substring spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the suffix-array exact
+    substring pass, public): an 8-token window occurring >= 2 times in the
+    corpus marks its span as duplicated; per doc, the union length of all
+    duplicated spans (gaps-and-islands merge) is the number of tokens an
+    exact-substring dedup pass would cut. Scale shape: only (gram, doc,
+    pos) rows shuffle — ~1 row per token, the same volume as the index
+    build's posting explode — and BOTH groupbys are bucket-cardinality
+    (gram-hash buckets, doc buckets), each group processed by a fully
+    vectorized kernel (value_counts flagging; segmented-cummax interval
+    union). At 100 TB the gram column becomes a 64-bit hash (collision
+    odds ~2^-22 per the birthday bound); the string form keeps the
+    oracle exact."""
+    import zlib
+
+    W, BUCKETS = 8, 64
+
+    def grams(t: pa.Table) -> pa.Table:
+        gs, ds_, ps = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = [w for w in txt.lower().split() if w]
+            for i in range(len(ws) - W + 1):
+                gs.append(" ".join(ws[i:i + W]))
+                ds_.append(did)
+                ps.append(i)
+        gb = np.array([zlib.crc32(g.encode()) % BUCKETS for g in gs],
+                      np.int64)
+        return pa.table({"gbucket": pa.array(gb),
+                         "gram": pa.array(gs, pa.string()),
+                         "doc_id": pa.array(ds_, pa.int64()),
+                         "pos": pa.array(ps, pa.int64())})
+
+    def flag_dups(g: pd.DataFrame) -> pd.DataFrame:
+        # one gram-hash bucket: keep occurrences of grams seen >= 2 times
+        c = g.groupby("gram")["doc_id"].transform("size")
+        keep = g.loc[c >= 2, ["doc_id", "pos"]].copy()
+        keep["dbucket"] = keep["doc_id"].to_numpy(np.int64) % BUCKETS
+        return keep
+
+    def union_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one doc bucket: vectorized interval union over ALL its docs —
+        # segmented cummax via doc-offset keys, no per-doc Python loop
+        if len(g) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "dup_tokens": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["doc_id", "pos"])
+        d = g["doc_id"].to_numpy(np.int64)
+        p = g["pos"].to_numpy(np.int64)
+        e = p + W
+        off = int(e.max()) + W + 1
+        key = d * off + e
+        rm = np.maximum.accumulate(key)
+        brk = np.ones(d.size, bool)
+        if d.size > 1:
+            prev_end = rm[:-1] - d[1:] * off  # prior run-end in cur doc frame
+            brk[1:] = (d[1:] != d[:-1]) | (p[1:] > prev_end)
+        final = np.concatenate([brk[1:], [True]])
+        starts = p[brk]
+        ends = rm[final] - d[final] * off
+        res = pd.DataFrame({"doc_id": d[brk], "cov": ends - starts})
+        out = res.groupby("doc_id", as_index=False)["cov"].sum()
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(np.int64),
+                             "dup_tokens": out["cov"].to_numpy(np.int64)})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(grams, batch_format="pyarrow")
+           .groupby("gbucket").map_groups(flag_dups, batch_format="pandas")
+           .groupby("dbucket").map_groups(union_bucket, batch_format="pandas")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["dup_tokens"] = out["dup_tokens"].astype(np.int64)
+    return out[["doc_id", "dup_tokens"]]

@@ -138,3 +138,23 @@ def test_terms_partitions_filter_before_shuffle():
 def test_sql_distinct():
     out = ops.sql_select_distinct(SF)
     assert not out.duplicated(["o_orderstatus", "o_orderpriority"]).any()
+
+
+def test_outlier_scores_are_knn_distances():
+    out = ops.ml_outlier_detection(SF)
+    assert len(out) == 10
+    s = out["knn_dist"].to_numpy()
+    assert (s[:-1] >= s[1:]).all() and (s > 0).all()
+
+
+def test_substring_runs_union_is_bounded():
+    out = ops.dedup_substring_runs(SF)
+    assert (out["dup_tokens"] >= 8).all()  # at least one full window
+    # a doc's covered span can't exceed its token count
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ntok = {d: len(s.split()) for d, s in
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    assert all(row.dup_tokens <= ntok[row.doc_id]
+               for row in out.itertuples())
