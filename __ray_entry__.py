@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_type_qtf", "ingest_on_failure",
         "agg_terms_partitions", "sql_select_distinct",
         "ml_outlier_detection", "dedup_substring_runs",
+        "agg_moving_fn_holt_winters",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7146,6 +7147,39 @@ u AS (SELECT doc_id, isl, max(e) - min(pos) AS covered
       FROM i GROUP BY doc_id, isl)
 SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dup_tokens
 FROM u GROUP BY doc_id ORDER BY doc_id""",
+        "agg_moving_fn_holt_winters": """
+WITH RECURSIVE d AS (
+  SELECT row_number() OVER (ORDER BY b) AS i, CAST(c AS DOUBLE) AS v
+  FROM (SELECT date_trunc('day', ts) AS b, count(*) AS c
+        FROM events GROUP BY 1)),
+vs AS (SELECT list(v ORDER BY i) AS a, count(*) AS n FROM d),
+init AS (
+  SELECT a, n,
+    list_sum(a[1:7]) / 7.0 AS s0,
+    list_sum(list_transform(generate_series(1, 7),
+                            i -> (a[i+7] - a[i]) / 7.0)) / 7.0 AS b0
+  FROM vs),
+seas0 AS (
+  SELECT a, n, s0, b0,
+    CASE WHEN s0 = 0.0
+         THEN list_transform(generate_series(1, 7), i -> 0.0)
+         ELSE list_transform(generate_series(1, 7), i -> a[i] / s0)
+    END AS seas
+  FROM init),
+rec AS (
+  SELECT 7 AS i, s0 AS ls, b0 AS lb, seas, a, n FROM seas0
+  UNION ALL
+  SELECT i + 1,
+    0.3 * (a[i+1] - seas[i+1-7]) + 0.7 * (ls + lb),
+    0.1 * (0.3 * (a[i+1] - seas[i+1-7]) + 0.7 * (ls + lb) - ls)
+      + 0.9 * lb,
+    list_append(seas, 0.3 * (a[i+1] - (ls - lb)) + 0.7 * seas[i+1-7]),
+    a, n
+  FROM rec WHERE i < n)
+SELECT CAST(n AS BIGINT) AS buckets,
+       ROUND(ls + lb + seas[n - 7 + 1], 4) AS forecast,
+       ROUND(ls, 4) AS level, ROUND(lb, 4) AS trend
+FROM rec WHERE i = n""",
     })
     out["decontaminate_bloom"] = out["dedup_decontaminate"]
     # the persisted int8 index must reproduce the on-the-fly quantized

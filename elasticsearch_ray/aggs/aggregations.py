@@ -451,3 +451,40 @@ def date_histogram_tz(ds, ts_col: str, *, interval: str = "day",
            .to_pandas())
     out["bucket"] = pd.to_datetime(out["bucket"], unit="us")
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def holt_winters_forecast(values, alpha: float, beta: float, gamma: float,
+                          period: int):
+    """MovingFunctions.holtWinters (server/.../search/aggregations/pipeline/
+    MovingFunctions.java:240-321, additive mode): triple-exponential
+    smoothing with ES's exact seeding — level = mean of season 1, trend =
+    mean of per-period slopes divided by period AGAIN (the Java
+    `b += (vs[i+p]-vs[i])/p; b /= p` double division), initial seasonal =
+    vs[i]/s0 (a DIVISION even in additive mode), and the reference's
+    seasonal-update quirk `vs[i] - (last_s - last_b)` (minus, where
+    textbook HW uses the previous level+trend). Returns (one-step
+    forecast, final level, final trend) — forecast = s + b +
+    seasonal[n - period]."""
+    vs = [float(v) for v in values]
+    n = len(vs)
+    if n < 2 * period:
+        raise ValueError("holt_winters needs >= 2*period points")
+    s = 0.0
+    b = 0.0
+    for i in range(period):
+        s += vs[i]
+        b += (vs[i + period] - vs[i]) / period
+    s /= period
+    b /= period
+    last_s, last_b = s, b
+    seasonal = [0.0] * n
+    if s != 0.0:
+        for i in range(period):
+            seasonal[i] = vs[i] / s
+    for i in range(period, n):
+        s = alpha * (vs[i] - seasonal[i - period]) + (1.0 - alpha) * (last_s + last_b)
+        b = beta * (s - last_s) + (1.0 - beta) * last_b
+        seasonal[i] = (gamma * (vs[i] - (last_s - last_b))
+                       + (1.0 - gamma) * seasonal[i - period])
+        last_s, last_b = s, b
+    return s + b + seasonal[n - period], s, b

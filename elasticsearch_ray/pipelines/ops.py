@@ -13855,3 +13855,25 @@ def dedup_substring_runs(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["dup_tokens"] = out["dup_tokens"].astype(np.int64)
     return out[["doc_id", "dup_tokens"]]
+
+
+def agg_moving_fn_holt_winters(sf_dir: str):
+    """moving_fn holtWinters builtin (MovingFunctions.java:240-321; the
+    last of the MovingFunctions family — max/min/sum/avg/stdDev/
+    linearWeightedAvg/ewma/holt are registered ops already): additive
+    triple-exponential smoothing over the full day-bucket series
+    (alpha=.3, beta=.1, gamma=.3, period=7), emitting the one-step
+    forecast plus final level/trend. The bucket series reduces through
+    the ordinary date_histogram partial exchange (30 rows); the smoothing
+    recursion is inherently sequential and runs on the reduced table —
+    the oracle replays the identical recursion (including ES's
+    `last_s - last_b` seasonal-update quirk and double-divided trend
+    seed) as a recursive CTE carrying the seasonal LIST."""
+    base = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    v = base.sort_values("bucket")["doc_count"].to_numpy(np.float64)
+    f, lvl, tr = A.holt_winters_forecast(v, 0.3, 0.1, 0.3, 7)
+    return pd.DataFrame({
+        "buckets": np.array([v.size], np.int64),
+        "forecast": [round_half_away(np.array([f]), 4)[0]],
+        "level": [round_half_away(np.array([lvl]), 4)[0]],
+        "trend": [round_half_away(np.array([tr]), 4)[0]]})

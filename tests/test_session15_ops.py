@@ -158,3 +158,33 @@ def test_substring_runs_union_is_bounded():
             zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
     assert all(row.dup_tokens <= ntok[row.doc_id]
                for row in out.itertuples())
+
+
+def test_holt_winters_reference_quirks():
+    from elasticsearch_ray.aggs.aggregations import holt_winters_forecast
+    import pytest as _pytest
+
+    # too few points -> the reference's IllegalArgumentException analog
+    with _pytest.raises(ValueError):
+        holt_winters_forecast([1.0] * 13, 0.3, 0.1, 0.3, 7)
+    # hand-rolled replay of MovingFunctions.holtWinters for a small series
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    p = 2
+    s0 = (3.0 + 1.0) / 2
+    b0 = ((4.0 - 3.0) / 2 + (1.0 - 1.0) / 2) / 2
+    seas = [3.0 / s0, 1.0 / s0] + [0.0] * 6
+    ls, lb = s0, b0
+    for i in range(2, 8):
+        s = 0.3 * (vals[i] - seas[i - 2]) + 0.7 * (ls + lb)
+        b = 0.1 * (s - ls) + 0.9 * lb
+        seas[i] = 0.3 * (vals[i] - (ls - lb)) + 0.7 * seas[i - 2]
+        ls, lb = s, b
+    want = ls + lb + seas[8 - 2]
+    got, lvl, tr = holt_winters_forecast(vals, 0.3, 0.1, 0.3, 2)
+    assert got == want and lvl == ls and tr == lb
+
+
+def test_holt_winters_op_shape():
+    out = ops.agg_moving_fn_holt_winters(SF)
+    assert out.loc[0, "buckets"] == 30
+    assert np.isfinite(out.loc[0, "forecast"])
