@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_terms_partitions", "sql_select_distinct",
         "ml_outlier_detection", "dedup_substring_runs",
         "agg_moving_fn_holt_winters",
+        "ft_analyze_keyword_repeat", "dedup_substring_cut",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -6919,6 +6920,56 @@ tok0 AS (
 SELECT w AS stem, CAST(count(*) AS BIGINT) AS cnt
 FROM {_plast} GROUP BY w
 ORDER BY cnt DESC, stem LIMIT 10"""
+
+    # keyword_repeat + stemmer + remove_duplicates: original AND stem at
+    # each position; the position-keyed UNION is the per-position dedup
+    out["ft_analyze_keyword_repeat"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '' AND NOT list_contains({_estop}, x)) AS a
+  FROM documents),
+tok0 AS (
+  SELECT doc_id * 1000 + generate_subscripts(a, 1) AS position,
+         unnest(a) AS w
+  FROM toks),
+{_pjoin},
+pairs AS (
+  SELECT position, w AS token FROM tok0
+  UNION
+  SELECT position, w AS token FROM {_plast})
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY token
+ORDER BY cnt DESC, token LIMIT 10"""
+
+    out["dedup_substring_cut"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS a
+  FROM documents),
+gpos AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a) - 7)) AS pos
+  FROM toks WHERE len(a) >= 8),
+grams AS (
+  SELECT doc_id, pos, array_to_string(a[pos:pos+7], ' ') AS gram
+  FROM gpos),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+occ AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+cutpos AS (SELECT DISTINCT doc_id, cut FROM (
+  SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cut FROM occ)),
+tokn AS (SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS w
+         FROM toks),
+kept AS (SELECT t.doc_id, t.pos, t.w
+         FROM tokn t LEFT JOIN cutpos c
+              ON c.doc_id = t.doc_id AND c.cut = t.pos
+         WHERE c.doc_id IS NULL),
+aff AS (SELECT DISTINCT doc_id FROM occ)
+SELECT a.doc_id,
+       CAST(COALESCE(count(k.w), 0) AS BIGINT) AS kept_tokens,
+       COALESCE(string_agg(k.w, ' ' ORDER BY k.pos), '') AS clean_text
+FROM aff a LEFT JOIN kept k USING (doc_id)
+GROUP BY a.doc_id ORDER BY a.doc_id"""
 
     # stemmed index search: the german analyzer SQL pipeline runs over
     # BOTH the synthetic body sentences and the inflected query words;

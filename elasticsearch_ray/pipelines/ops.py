@@ -13877,3 +13877,130 @@ def agg_moving_fn_holt_winters(sf_dir: str):
         "forecast": [round_half_away(np.array([f]), 4)[0]],
         "level": [round_half_away(np.array([lvl]), 4)[0]],
         "trend": [round_half_away(np.array([tr]), 4)[0]]})
+
+
+def ft_analyze_keyword_repeat(sf_dir: str):
+    """keyword_repeat + stemmer + remove_duplicates chain (analysis-common
+    KeywordRepeatTokenFilter via CommonAnalysisPlugin.java:230-303 with
+    RemoveDuplicatesTokenFilter — the canonical index-both-forms setup
+    from the reference docs): every token emits the ORIGINAL and its
+    Porter stem at the same position; remove_duplicates collapses the
+    pair when stemming was a no-op. Output: top-10 indexed tokens by
+    count. The oracle replays the same chain with the Porter-in-SQL
+    pipeline (position-keyed UNION = per-position dedup)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import ENGLISH_STOP_WORDS, analyze_simple
+    from ..filters import porter_stem
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for s in t["text"].to_pylist():
+            for w in analyze_simple(s):
+                if w in ENGLISH_STOP_WORDS:
+                    continue
+                st = porter_stem(w)
+                c[w] += 1
+                if st != w:
+                    c[st] += 1
+        items = sorted(c)
+        return pa.table({"token": items,
+                         "cnt": pa.array([c[k] for k in items], pa.int64())})
+
+    out = (_ds(sf_dir, "documents", ["text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return (out.sort_values(["cnt", "token"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def dedup_substring_cut(sf_dir: str):
+    """The CUT phase of exact substring dedup (Lee et al. 2021: remove
+    every duplicated span, keep the remainder): tokens covered by a
+    duplicated 8-gram island (dedup_substring_runs' interval union) are
+    deleted and the survivors rejoin. Output: (doc_id, kept_tokens,
+    clean_text) for affected docs. Scale shape: the gram explode and
+    bucket flagging match dedup_substring_runs; the rebuild co-groups
+    duplicated positions WITH doc texts via a tagged union + ONE
+    doc-bucket groupby (the chunk-dedup reassembly shape) — the driver
+    never holds positions or texts."""
+    import zlib
+
+    W, BUCKETS = 8, 64
+
+    def grams(t: pa.Table) -> pa.Table:
+        gs, ds_, ps = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = [w for w in txt.lower().split() if w]
+            for i in range(len(ws) - W + 1):
+                gs.append(" ".join(ws[i:i + W]))
+                ds_.append(did)
+                ps.append(i)
+        gb = np.array([zlib.crc32(g.encode()) % BUCKETS for g in gs],
+                      np.int64)
+        return pa.table({"gbucket": pa.array(gb),
+                         "gram": pa.array(gs, pa.string()),
+                         "doc_id": pa.array(ds_, pa.int64()),
+                         "pos": pa.array(ps, pa.int64())})
+
+    def flag_dups(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("gram")["doc_id"].transform("size")
+        keep = g.loc[c >= 2, ["doc_id", "pos"]].copy()
+        keep["dbucket"] = keep["doc_id"].to_numpy(np.int64) % BUCKETS
+        return keep
+
+    # co-group duplicated positions WITH the doc texts by doc bucket
+    # (the dedup.py chunk-dedup shape: one tagged union + ONE bucket
+    # groupby; the driver never holds positions or texts)
+    occ = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(grams, batch_format="pyarrow")
+           .groupby("gbucket").map_groups(flag_dups, batch_format="pandas"))
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "pos": pa.array(np.full(d.size, -1), pa.int64()),
+                         "dbucket": pa.array(d % BUCKETS),
+                         "text": t["text"]})
+
+    def widen_occ(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "pos": t["pos"],
+                         "dbucket": t["dbucket"],
+                         "text": pa.nulls(len(t), pa.string())})
+
+    docs = (_ds(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(tag_docs, batch_format="pyarrow"))
+    both = occ.map_batches(widen_occ, batch_format="pyarrow").union(docs)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        cuts: dict[int, set] = {}
+        o = g[g["pos"] >= 0]
+        for did, p_ in zip(o["doc_id"].to_numpy(np.int64),
+                           o["pos"].to_numpy(np.int64)):
+            cuts.setdefault(int(did), set()).update(range(p_, p_ + W))
+        ids, kept, clean = [], [], []
+        d = g[g["pos"] < 0]
+        for did, txt in zip(d["doc_id"].to_numpy(np.int64),
+                            d["text"].tolist()):
+            cut = cuts.get(int(did))
+            if not cut:
+                continue
+            ws = [w for w in txt.lower().split() if w]
+            sur = [w for i, w in enumerate(ws) if i not in cut]
+            ids.append(int(did))
+            kept.append(len(sur))
+            clean.append(" ".join(sur))
+        return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                             "kept_tokens": pd.array(kept, dtype="int64"),
+                             "clean_text": pd.array(clean, dtype=object)})
+
+    out = (both.groupby("dbucket").map_groups(rebuild, batch_format="pandas")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["kept_tokens"] = out["kept_tokens"].astype(np.int64)
+    out["clean_text"] = out["clean_text"].astype(str)
+    return out

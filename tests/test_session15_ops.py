@@ -188,3 +188,24 @@ def test_holt_winters_op_shape():
     out = ops.agg_moving_fn_holt_winters(SF)
     assert out.loc[0, "buckets"] == 30
     assert np.isfinite(out.loc[0, "forecast"])
+
+
+def test_keyword_repeat_counts_dominate_plain_stems():
+    out = ops.ft_analyze_keyword_repeat(SF)
+    assert len(out) == 10 and (out["cnt"] > 0).all()
+
+
+def test_substring_cut_consistent_with_runs():
+    runs = ops.dedup_substring_runs(SF)
+    cut = ops.dedup_substring_cut(SF)
+    # same affected docs; kept + cut == total tokens
+    assert set(runs["doc_id"]) == set(cut["doc_id"])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ntok = {d: len(s.split()) for d, s in
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    m = runs.merge(cut, on="doc_id")
+    for row in m.itertuples():
+        assert row.kept_tokens + row.dup_tokens == ntok[row.doc_id]
+        assert len(row.clean_text.split()) == row.kept_tokens
