@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_outlier_detection", "dedup_substring_runs",
         "agg_moving_fn_holt_winters",
         "ft_analyze_keyword_repeat", "dedup_substring_cut",
+        "ft_suggest_collate", "agg_t_test_paired",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -6970,6 +6971,55 @@ SELECT a.doc_id,
        COALESCE(string_agg(k.w, ' ' ORDER BY k.pos), '') AS clean_text
 FROM aff a LEFT JOIN kept k USING (doc_id)
 GROUP BY a.doc_id ORDER BY a.doc_id"""
+
+    out["ft_suggest_collate"] = f"""
+WITH {_PTOK},
+uni AS (SELECT term, count(*) AS cnt FROM ptok GROUP BY term),
+big AS (SELECT a.term AS t1, b.term AS t2, count(*) AS cnt
+        FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+v AS (SELECT count(*) AS v FROM uni),
+tt AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM uni),
+c0 AS (SELECT term, cnt FROM uni WHERE levenshtein(term, 'data') <= 1
+       ORDER BY cnt DESC, term LIMIT 5),
+c1 AS (SELECT term, cnt FROM uni WHERE levenshtein(term, 'sow') <= 1
+       ORDER BY cnt DESC, term LIMIT 5),
+c2 AS (SELECT term, cnt FROM uni WHERE levenshtein(term, 'qery') <= 1
+       ORDER BY cnt DESC, term LIMIT 5),
+seq AS (
+  SELECT c0.term AS w0, c1.term AS w1, c2.term AS w2,
+         ln((c0.cnt + 1.0) / (tt.t + v.v))
+         + ln((COALESCE(b01.cnt, 0) + 1.0) / (c0.cnt + v.v))
+         + ln((COALESCE(b12.cnt, 0) + 1.0) / (c1.cnt + v.v)) AS score
+  FROM c0 CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN v CROSS JOIN tt
+  LEFT JOIN big b01 ON b01.t1 = c0.term AND b01.t2 = c1.term
+  LEFT JOIN big b12 ON b12.t1 = c1.term AND b12.t2 = c2.term),
+top AS (SELECT w0, w1, w2, w0 || ' ' || w1 || ' ' || w2 AS phrase,
+               ROUND(score, 4) AS score
+        FROM seq ORDER BY ROUND(score, 4) DESC, phrase LIMIT 10)
+SELECT phrase, score,
+       CAST(EXISTS (SELECT 1 FROM ptok a
+              JOIN ptok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN ptok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+              WHERE a.term = top.w0 AND b.term = top.w1
+                AND c.term = top.w2) AS BIGINT) AS collate_match
+FROM top ORDER BY score DESC, phrase"""
+
+    out["agg_t_test_paired"] = """
+WITH d AS (SELECT CAST(ROUND(value * 100) AS BIGINT)
+                  - CAST(regexp_extract(props, '(-?\\d+)', 1) AS BIGINT)
+                    * 100 AS d
+           FROM events),
+p AS (SELECT count(*)::DOUBLE AS n, sum(d)::DOUBLE AS s,
+             sum(d * d)::DOUBLE AS ss
+      FROM d),
+m AS (SELECT n, s / n AS mean,
+             (ss - n * (s / n) * (s / n)) / (n - 1.0) AS var
+      FROM p)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(mean / 100.0, 6) AS mean_diff,
+       ROUND(mean / sqrt(var / n), 6) AS t_stat
+FROM m"""
 
     # stemmed index search: the german analyzer SQL pipeline runs over
     # BOTH the synthetic body sentences and the inflected query words;

@@ -1870,6 +1870,76 @@ def phrase_suggest(sf_dir: str):
                          "score": [s for _, s in out]})
 
 
+def ft_suggest_collate(sf_dir: str):
+    """phrase suggester `collate` (search/suggest/phrase/PhraseSuggester
+    .java: each candidate correction is rendered into a collate query and
+    executed against the index; with prune=true suggestions are kept and
+    carry a collate_match flag instead of being dropped). Same candidate
+    lattice + bigram-LM scoring as phrase_suggest, top-10, each collated
+    with a match_phrase query. The collate probe is one tiny query per
+    suggestion against the already-loaded searcher — at scale this is the
+    suggester's query-then-prune round trip, not a corpus pass."""
+    from collections import Counter
+    import itertools
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_simple
+    from ..search.engine import levenshtein_vec
+    from .fulltext import documents_searcher
+
+    def partial(t: pa.Table):
+        uni, big = Counter(), Counter()
+        for s_ in t["text"].to_pylist():
+            toks = analyze_simple(s_)
+            uni.update(toks)
+            big.update(zip(toks, toks[1:]))
+        u = sorted(uni)
+        b = sorted(big)
+        yield pa.table({"kind_": ["u"] * len(u), "t1": u, "t2": [""] * len(u),
+                        "cnt": pa.array([uni[k] for k in u], pa.int64())})
+        yield pa.table({"kind_": ["b"] * len(b), "t1": [k[0] for k in b],
+                        "t2": [k[1] for k in b],
+                        "cnt": pa.array([big[k] for k in b], pa.int64())})
+
+    red = (
+        _ds(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind_", "t1", "t2"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    uni = {r.t1: int(r.cnt) for r in red[red.kind_ == "u"].itertuples()}
+    big = {(r.t1, r.t2): int(r.cnt) for r in red[red.kind_ == "b"].itertuples()}
+    V = len(uni)
+    T = float(sum(uni.values()))
+    vocab = np.array(sorted(uni), dtype=object)
+
+    def candidates(token: str) -> list[str]:
+        d = levenshtein_vec(token, vocab)
+        cand = [(str(w), uni[str(w)]) for w, dd in zip(vocab, d) if dd <= 1]
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        return [w for w, _ in cand[:5]]
+
+    slots = [candidates(t) for t in ("data", "sow", "qery")]
+    results = []
+    for seq in itertools.product(*slots):
+        score = np.log((uni[seq[0]] + 1.0) / (T + V))
+        for a, b in zip(seq, seq[1:]):
+            score += np.log((big.get((a, b), 0) + 1.0) / (uni[a] + V))
+        results.append((" ".join(seq), float(round_half_away(float(score), 4))))
+    results.sort(key=lambda x: (-x[1], x[0]))
+    s = documents_searcher(sf_dir)
+    phrases, scores, matched = [], [], []
+    for phrase, sc in results[:10]:
+        ids, _ = s._eval({"kind": "match_phrase", "text": phrase})
+        phrases.append(phrase)
+        scores.append(sc)
+        matched.append(np.int64(1 if ids.size else 0))
+    return pd.DataFrame({"phrase": phrases, "score": scores,
+                         "collate_match": pd.array(matched, dtype="int64")})
+
+
 def ft_highlight_unified(sf_dir: str):
     """unified-highlighter analog (subphase/highlight/UnifiedHighlighter):
     top-5 docs for the match, EVERY query-term occurrence wrapped in <em>,
@@ -13996,7 +14066,7 @@ def dedup_substring_cut(sf_dir: str):
             clean.append(" ".join(sur))
         return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
                              "kept_tokens": pd.array(kept, dtype="int64"),
-                             "clean_text": pd.array(clean, dtype=object)})
+                             "clean_text": pd.Series(clean, dtype="string")})
 
     out = (both.groupby("dbucket").map_groups(rebuild, batch_format="pandas")
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
@@ -14004,3 +14074,36 @@ def dedup_substring_cut(sf_dir: str):
     out["kept_tokens"] = out["kept_tokens"].astype(np.int64)
     out["clean_text"] = out["clean_text"].astype(str)
     return out
+
+
+def agg_t_test_paired(sf_dir: str):
+    """t_test agg, type=paired (x-pack analytics TTestAggregationBuilder
+    TTestType.PAIRED: per-document differences, t = mean(d) /
+    sqrt(var(d)/n) with the sample variance): value vs the props.k metric
+    of the same event. Differences scale to integer cents so the
+    per-batch (n, sum, sum-of-squares) partials merge exactly; mean/t
+    derive from the integer sums with the same literal expressions as
+    the SQL twin."""
+    import json
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+        k = np.array([json.loads(s)["k"] for s in t["props"].to_pylist()],
+                     np.int64) * 100
+        d = (v - k).astype(object)  # python ints: no overflow in d*d sums
+        return pa.table({"n": [np.int64(d.size)],
+                         "s": [np.int64(sum(d))],
+                         "ss": [np.int64(sum(d * d))]})
+
+    parts = (_ds(sf_dir, "events", ["value", "props"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    n = float(parts["n"].sum())
+    s = float(parts["s"].sum())
+    ss = float(parts["ss"].sum())
+    mean = s / n
+    var = (ss - n * mean * mean) / (n - 1.0)
+    t_stat = mean / np.sqrt(var / n)
+    return pd.DataFrame({
+        "n": np.array([int(n)], np.int64),
+        "mean_diff": [round_half_away(np.array([mean / 100.0]), 6)[0]],
+        "t_stat": [round_half_away(np.array([t_stat]), 6)[0]]})

@@ -209,3 +209,27 @@ def test_substring_cut_consistent_with_runs():
     for row in m.itertuples():
         assert row.kept_tokens + row.dup_tokens == ntok[row.doc_id]
         assert len(row.clean_text.split()) == row.kept_tokens
+
+
+def test_suggest_collate_flags_real_phrases():
+    out = ops.ft_suggest_collate(SF)
+    assert set(out.columns) == {"phrase", "score", "collate_match"}
+    assert set(out["collate_match"]) <= {0, 1}
+
+
+def test_t_test_paired_matches_scipy_form():
+    out = ops.agg_t_test_paired(SF)
+    # recompute directly from the raw table
+    import json
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["value", "props"])
+    v = np.rint(np.array(t["value"].to_pylist()) * 100)
+    k = np.array([json.loads(s)["k"] for s in t["props"].to_pylist()]) * 100
+    d = v - k
+    mean = d.mean()
+    var = d.var(ddof=1)
+    t_stat = mean / np.sqrt(var / d.size)
+    assert abs(out.loc[0, "t_stat"] - t_stat) < 1e-4
+    assert out.loc[0, "n"] == d.size
