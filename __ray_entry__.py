@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_moving_fn_holt_winters",
         "ft_analyze_keyword_repeat", "dedup_substring_cut",
         "ft_suggest_collate", "agg_t_test_paired",
+        "k_anonymity_suppress", "synthetic_source",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7020,6 +7021,24 @@ SELECT CAST(n AS BIGINT) AS n,
        ROUND(mean / 100.0, 6) AS mean_diff,
        ROUND(mean / sqrt(var / n), 6) AS t_stat
 FROM m"""
+
+    out["k_anonymity_suppress"] = """
+WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+             FROM customer GROUP BY 1, 2),
+kk AS (SELECT CEIL(1.0 * SUM(n) / count(*)) AS k FROM cls)
+SELECT c.c_custkey, CAST(cls.n AS BIGINT) AS class_size
+FROM customer c JOIN cls USING (c_nationkey, c_mktsegment) CROSS JOIN kk
+WHERE cls.n < kk.k ORDER BY c.c_custkey"""
+
+    out["synthetic_source"] = """
+SELECT o_orderkey,
+       '{"o_custkey":' || o_custkey
+       || ',"o_orderkey":' || o_orderkey
+       || ',"o_orderstatus":"' || o_orderstatus
+       || '","o_totalprice":' || printf('%.2f', o_totalprice)
+       || '}' AS synthetic
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"""
 
     # stemmed index search: the german analyzer SQL pipeline runs over
     # BOTH the synthetic body sentences and the inflected query words;

@@ -14107,3 +14107,89 @@ def agg_t_test_paired(sf_dir: str):
         "n": np.array([int(n)], np.int64),
         "mean_diff": [round_half_away(np.array([mean / 100.0]), 6)[0]],
         "t_stat": [round_half_away(np.array([t_stat]), 6)[0]]})
+
+
+def k_anonymity_suppress(sf_dir: str):
+    """k-anonymity suppression pass (the privacy gate of a training-data
+    pipeline; Sweeney 2002, public): customers whose quasi-identifier
+    tuple (c_nationkey, c_mktsegment) is shared by fewer than k rows are
+    suppression candidates; k = ceil(mean class size) so the gate is
+    meaningful at every scale. Count composes, so per-batch partials
+    pre-reduce before ONE QI-cardinality groupby; the flagged QI classes
+    broadcast back over a second scan to emit the suppression list —
+    rows never shuffle."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    import ray
+
+    qi = ["c_nationkey", "c_mktsegment"]
+    classes = (_ds(sf_dir, "customer", qi)
+               .groupby(qi).aggregate(Count(alias_name="n"))
+               .to_pandas())
+    total = int(classes["n"].sum())
+    k = math.ceil(total / len(classes))
+    small = classes[classes["n"] < k]
+    flag = {(int(r.c_nationkey), r.c_mktsegment): int(r.n)
+            for r in small.itertuples()}
+    f_ref = ray.put(flag)
+
+    def suppress(t: pa.Table) -> pa.Table:
+        fm = ray.get(f_ref)
+        nk = t["c_nationkey"].to_numpy()
+        seg = t["c_mktsegment"].to_pylist()
+        ck = t["c_custkey"].to_numpy()
+        keep = [i for i in range(len(ck))
+                if (int(nk[i]), seg[i]) in fm]
+        return pa.table({
+            "c_custkey": pa.array(ck[keep].astype(np.int64)),
+            "class_size": pa.array(
+                [fm[(int(nk[i]), seg[i])] for i in keep], pa.int64())})
+
+    out = (_ds(sf_dir, "customer", ["c_custkey"] + qi)
+           .map_batches(suppress, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                             "class_size": pd.Series([], dtype=np.int64)})
+    out = out.sort_values("c_custkey").reset_index(drop=True)
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    out["class_size"] = out["class_size"].astype(np.int64)
+    return out
+
+
+def synthetic_source(sf_dir: str):
+    """Synthetic _source (8.4 index.mapping.source.mode=synthetic,
+    SourceFieldMapper synthetic mode): _source is NOT stored; it is
+    reconstructed from doc values at fetch time, with leaf fields in
+    ALPHABETICAL order and normalized values — the reference documents
+    this as a lossy-but-canonical rebuild. Here: the 5 top-value orders
+    rebuilt as canonical JSON from the columnar row (the parquet columns
+    ARE the doc values); the oracle concatenates the same canonical
+    form in SQL."""
+    import pyarrow.compute as _pc
+
+    ds = _ds(sf_dir, "orders",
+             ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        idx = _pc.select_k_unstable(
+            t, 5, [("o_totalprice", "descending"), ("o_orderkey", "ascending")])
+        return t.take(idx)
+
+    top = (ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+           .sort_values(["o_totalprice", "o_orderkey"],
+                        ascending=[False, True]).head(5))
+
+    def render(r) -> str:
+        # alphabetical leaves, canonical JSON (2 dp prices are exact)
+        return ('{"o_custkey":%d,"o_orderkey":%d,"o_orderstatus":"%s",'
+                '"o_totalprice":%.2f}' % (
+                    r.o_custkey, r.o_orderkey, r.o_orderstatus,
+                    r.o_totalprice))
+
+    out = pd.DataFrame({
+        "o_orderkey": top["o_orderkey"].to_numpy(np.int64),
+        "synthetic": [render(r) for r in top.itertuples()]})
+    return out.reset_index(drop=True)

@@ -233,3 +233,27 @@ def test_t_test_paired_matches_scipy_form():
     t_stat = mean / np.sqrt(var / d.size)
     assert abs(out.loc[0, "t_stat"] - t_stat) < 1e-4
     assert out.loc[0, "n"] == d.size
+
+
+def test_k_anonymity_flags_small_classes():
+    out = ops.k_anonymity_suppress(SF)
+    assert len(out) == 54
+    # every flagged row's class is genuinely below the mean class size
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    cls = t.groupby(["c_nationkey", "c_mktsegment"]).size()
+    import math
+
+    k = math.ceil(cls.sum() / len(cls))
+    assert (out["class_size"] < k).all()
+
+
+def test_synthetic_source_is_canonical_json():
+    import json
+
+    out = ops.synthetic_source(SF)
+    assert len(out) == 5
+    for s in out["synthetic"]:
+        d = json.loads(s)
+        assert list(d.keys()) == sorted(d.keys())  # alphabetical leaves
