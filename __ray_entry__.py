@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_analyze_keyword_repeat", "dedup_substring_cut",
         "ft_suggest_collate", "agg_t_test_paired",
         "k_anonymity_suppress", "synthetic_source",
+        "snapshot_clone", "esql_enrich_range",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7029,6 +7030,24 @@ kk AS (SELECT CEIL(1.0 * SUM(n) / count(*)) AS k FROM cls)
 SELECT c.c_custkey, CAST(cls.n AS BIGINT) AS class_size
 FROM customer c JOIN cls USING (c_nationkey, c_mktsegment) CROSS JOIN kk
 WHERE cls.n < kk.k ORDER BY c.c_custkey"""
+
+    out["snapshot_clone"] = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok
+       WHERE term = 'stream' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score,
+       CAST(1 AS BIGINT) AS reused_blobs
+FROM tf CROSS JOIN df CROSS JOIN st JOIN dl ON dl.doc_id = tf.doc_id
+ORDER BY doc_id"""
+
+    out["esql_enrich_range"] = """
+WITH b(lo, hi, band) AS (VALUES
+  (0.0, 25.0, 'low'), (25.0, 75.0, 'mid'),
+  (75.0, 150.0, 'high'), (150.0, 1e18, 'extreme'))
+SELECT band, count(*) AS events, ROUND(SUM(value), 6) AS sum_value
+FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band ORDER BY band"""
 
     out["synthetic_source"] = """
 SELECT o_orderkey,

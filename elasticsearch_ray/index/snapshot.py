@@ -159,3 +159,21 @@ def mount_snapshot(repo_dir: str, name: str, mount_dir: str) -> list[str]:
         os.symlink(os.path.abspath(os.path.join(repo_dir, "segments", sid)),
                    dst, target_is_directory=True)
     return manifest["segments"]
+
+
+def clone_snapshot(repo_dir: str, src: str, dst: str) -> dict:
+    """_snapshot clone (8.0 TransportCloneSnapshotAction): a new snapshot
+    manifest referencing the SAME content-addressed segment blobs — no
+    data is re-copied; the clone is a metadata write. Deleting either
+    snapshot later only GCs blobs no other manifest references."""
+    if os.path.exists(_snap_path(repo_dir, dst)):
+        raise ValueError(f"snapshot {dst!r} already exists")
+    with open(_snap_path(repo_dir, src)) as f:
+        m = json.load(f)
+    manifest = {"name": dst, "segments": m["segments"],
+                "created": time.time(), "copied": [], "cloned_from": src}
+    tmp = _snap_path(repo_dir, dst) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _snap_path(repo_dir, dst))
+    return manifest

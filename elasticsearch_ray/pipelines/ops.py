@@ -14193,3 +14193,73 @@ def synthetic_source(sf_dir: str):
         "o_orderkey": top["o_orderkey"].to_numpy(np.int64),
         "synthetic": [render(r) for r in top.itertuples()]})
     return out.reset_index(drop=True)
+
+
+def snapshot_clone(sf_dir: str):
+    """_snapshot clone (8.0 TransportCloneSnapshotAction -> index/snapshot
+    .py clone_snapshot): clone references the SAME content-addressed
+    blobs (zero copy), and a restore from the CLONE must search
+    identically to the live index. Output: the term query's matches from
+    the restored clone plus a reused_blobs flag (1 = the clone copied
+    nothing). The oracle recomputes the query from the raw table."""
+    import hashlib
+    import shutil
+
+    from ..index.snapshot import (clone_snapshot, create_snapshot,
+                                  restore_snapshot)
+    from ..search.engine import IndexSearcher
+    from .fulltext import K1, B, documents_index
+
+    idx = documents_index(sf_dir)
+    tag = hashlib.sha1(idx.encode()).hexdigest()[:12]
+    root = os.path.join("/tmp/esray_cache", f"snapclone_{tag}")
+    repo = os.path.join(root, "repo")
+    dest = os.path.join(root, "restored")
+    if not os.path.isdir(os.path.join(root, "_ok")):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(repo, exist_ok=True)
+        create_snapshot(idx, repo, "src")
+        m = clone_snapshot(repo, "src", "clone")
+        assert m["copied"] == [] and m["cloned_from"] == "src"
+        restore_snapshot(repo, "clone", dest)
+        os.makedirs(os.path.join(root, "_ok"), exist_ok=True)
+    s = IndexSearcher(dest, score_mode="exact64", k1=K1, b=B,
+                      main_field="text",
+                      field_analyzers={"text_2gram": "shingle2"})
+    ids, sc = s._eval({"kind": "term", "term": "stream"})
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away(sc[order].astype(np.float64), 4),
+        "reused_blobs": np.full(ids.size, 1, np.int64)})
+
+
+def esql_enrich_range(sf_dir: str):
+    """ES|QL ENRICH with a range-type policy (enrich match_type=range,
+    x-pack enrich RangePolicy / EnrichPolicy.RANGE_TYPE): each event's
+    value matches the band whose [lo, hi) interval contains it; the
+    policy table broadcasts (the reference materializes the enrich index
+    to every node). Per batch: ONE searchsorted against the sorted band
+    bounds — no shuffle; then a band-cardinality count rollup."""
+    from ray.data.aggregate import Count, Sum
+
+    bands = [(0.0, 25.0, "low"), (25.0, 75.0, "mid"),
+             (75.0, 150.0, "high"), (150.0, 1e18, "extreme")]
+    lows = np.array([b[0] for b in bands])
+    names = np.array([b[2] for b in bands], dtype=object)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        band = names[np.searchsorted(lows, v, side="right") - 1]
+        return pa.table({"band": pa.array(band.astype(str)),
+                         "value": pa.array(v, pa.float64())})
+
+    out = (_ds(sf_dir, "events", ["value"])
+           .map_batches(enrich, batch_format="pyarrow")
+           .groupby("band")
+           .aggregate(Count(alias_name="events"),
+                      Sum("value", alias_name="sum_value"))
+           .to_pandas().sort_values("band").reset_index(drop=True))
+    out["events"] = out["events"].astype(np.int64)
+    out["sum_value"] = round_half_away(out["sum_value"].to_numpy(np.float64), 6)
+    return out

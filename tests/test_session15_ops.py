@@ -257,3 +257,32 @@ def test_synthetic_source_is_canonical_json():
     for s in out["synthetic"]:
         d = json.loads(s)
         assert list(d.keys()) == sorted(d.keys())  # alphabetical leaves
+
+
+def test_snapshot_clone_is_metadata_only():
+    import json
+    import tempfile
+
+    from elasticsearch_ray.index.snapshot import (clone_snapshot,
+                                                  create_snapshot,
+                                                  restore_snapshot)
+    from elasticsearch_ray.pipelines.fulltext import documents_index
+
+    idx = documents_index(SF)
+    with tempfile.TemporaryDirectory() as repo:
+        create_snapshot(idx, repo, "a")
+        m = clone_snapshot(repo, "a", "b")
+        assert m["copied"] == [] and m["cloned_from"] == "a"
+        with tempfile.TemporaryDirectory() as dest:
+            segs = restore_snapshot(repo, "b", dest)
+            assert segs
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            clone_snapshot(repo, "a", "b")  # clone name collision
+
+
+def test_enrich_range_partitions_all_events():
+    out = ops.esql_enrich_range(SF)
+    assert out["events"].sum() == 1000
+    assert set(out["band"]) <= {"low", "mid", "high", "extreme"}
