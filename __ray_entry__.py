@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_suggest_collate", "agg_t_test_paired",
         "k_anonymity_suppress", "synthetic_source",
         "snapshot_clone", "esql_enrich_range",
+        "ingest_dissect_modifiers",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7048,6 +7049,14 @@ WITH b(lo, hi, band) AS (VALUES
 SELECT band, count(*) AS events, ROUND(SUM(value), 6) AS sum_value
 FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY band ORDER BY band"""
+
+    out["ingest_dissect_modifiers"] = """
+SELECT o_orderkey,
+       split_part(o_orderpriority, '-', 2) || '_'
+         || split_part(o_orderpriority, '-', 1) AS p,
+       replace(split_part(o_orderpriority, '-', 2), ' ', '_') AS word,
+       CAST(o_orderkey AS VARCHAR) AS okey
+FROM orders ORDER BY o_orderkey"""
 
     out["synthetic_source"] = """
 SELECT o_orderkey,

@@ -932,3 +932,80 @@ def on_failure(fail_pred, body, handlers):
         return merged.drop_columns(["__row"])
 
     return f
+
+
+def dissect_advanced(col: str, pattern: str, out_prefix: str = "",
+                     append_separator: str = ""):
+    """`dissect` with the full DissectKey modifier set (libs/dissect/.../
+    DissectParser.java:95, DissectKey.Modifier): `%{+key}` appends
+    captures into one field (appearance order, or explicit `%{+key/n}`
+    order) joined by append_separator; `%{?key}` is a named skip;
+    `%{key->}` lets the following delimiter repeat (right padding).
+    The basic dissect() stays as the fast path."""
+    import re
+
+    parts = []          # regex parts
+    fields = []         # (group, target, order) for kept captures
+    gi = 0
+    last = 0
+    pad_prev = False
+    matches = list(re.finditer(r"%\{([^}]*)\}", pattern))
+    for i, m in enumerate(matches):
+        lit = pattern[last:m.start()]
+        if lit:
+            parts.append(f"(?:{re.escape(lit)})+" if pad_prev
+                         else re.escape(lit))
+        pad_prev = False
+        key = m.group(1)
+        if key.endswith("->"):
+            key = key[:-2]
+            pad_prev = True
+        order = None
+        if key.startswith("+"):
+            key = key[1:]
+            if "/" in key:
+                key, o = key.split("/", 1)
+                order = int(o)
+            target = key
+            kind = "append"
+        elif key.startswith("?"):
+            key = key[1:]
+            target = None
+            kind = "skip"
+        else:
+            target = key
+            kind = "plain"
+        group = f"g{gi}"
+        gi += 1
+        is_last = i == len(matches) - 1
+        parts.append(f"(?P<{group}>.*)" if is_last else f"(?P<{group}>.*?)")
+        if kind != "skip":
+            fields.append((group, target, order))
+        last = m.end()
+    tail = pattern[last:]
+    if tail:
+        parts.append(f"(?:{re.escape(tail)})+" if pad_prev
+                     else re.escape(tail))
+    rx = re.compile("^" + "".join(parts) + "$")
+    targets = list(dict.fromkeys(t for _, t, _ in fields))
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in targets}
+        for s in t[col].to_pylist():
+            m = rx.match(s) if s is not None else None
+            if m is None:
+                for k in targets:
+                    cols[k].append(None)
+                continue
+            per: dict[str, list] = {k: [] for k in targets}
+            for idx, (group, target, order) in enumerate(fields):
+                per[target].append(
+                    (order if order is not None else idx, m.group(group)))
+            for k in targets:
+                vals = [v for _, v in sorted(per[k], key=lambda x: x[0])]
+                cols[k].append(append_separator.join(vals))
+        for k in targets:
+            t = _put(t, out_prefix + k, pa.array(cols[k], pa.string()))
+        return t
+
+    return f

@@ -14263,3 +14263,39 @@ def esql_enrich_range(sf_dir: str):
     out["events"] = out["events"].astype(np.int64)
     out["sum_value"] = round_half_away(out["sum_value"].to_numpy(np.float64), 6)
     return out
+
+
+def ingest_dissect_modifiers(sf_dir: str):
+    """dissect modifiers (libs/dissect DissectKey.Modifier: `%{+key/n}`
+    ordered append, `%{?key}` named skip, `%{key->}` right-padding):
+    o_orderpriority '1-URGENT' parses under "%{+p/2}-%{+p/1}"
+    (append_separator '_') to 'URGENT_1'; a right-padded composite
+    string parses under "%{?num}-%{word->} %{okey}" where the repeated
+    space delimiter absorbs the padding and the leading digit is a named
+    skip. The oracle re-derives every field with independent string
+    arithmetic."""
+    from ..functions import ingest as I
+
+    def compose(t: pa.Table) -> pa.Table:
+        pr = t["o_orderpriority"].to_pylist()
+        ok = t["o_orderkey"].to_pylist()
+        # dissect splits at the FIRST delimiter hit (the reference does
+        # too), so spaces inside the value are underscored first
+        padded = ["%-17s%d" % (p.replace(" ", "_"), k)
+                  for p, k in zip(pr, ok)]
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "padded": pa.array(padded, pa.string())})
+
+    proc = I.pipeline(
+        I.dissect_advanced("o_orderpriority", "%{+p/2}-%{+p/1}",
+                           append_separator="_"),
+        I.dissect_advanced("padded", "%{?num}-%{word->} %{okey}"),
+    )
+    out = (_ds(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+           .map_batches(compose, batch_format="pyarrow")
+           .map_batches(proc, batch_format="pyarrow")
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    assert (out["okey"] == out["o_orderkey"].astype(str)).all()
+    return out[["o_orderkey", "p", "word", "okey"]]

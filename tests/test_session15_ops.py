@@ -286,3 +286,28 @@ def test_enrich_range_partitions_all_events():
     out = ops.esql_enrich_range(SF)
     assert out["events"].sum() == 1000
     assert set(out["band"]) <= {"low", "mid", "high", "extreme"}
+
+
+def test_dissect_modifiers_unit():
+    import pyarrow as pa
+
+    from elasticsearch_ray.functions import ingest as I
+
+    t = pa.table({"s": ["a-b-c", "x-y-z"]})
+    # ordered append: explicit /n order wins over appearance order
+    out = I.dissect_advanced("s", "%{+k/3}-%{+k/1}-%{+k/2}",
+                             append_separator=".")(t)
+    assert out["k"].to_pylist() == ["b.c.a", "y.z.x"]
+    # named skip + padding
+    t2 = pa.table({"s": ["INFO    msg here"]})
+    out2 = I.dissect_advanced("s", "%{level->} %{rest}")(t2)
+    assert out2["level"].to_pylist() == ["INFO"]
+    assert out2["rest"].to_pylist() == ["msg here"]
+    # non-matching row -> nulls
+    out3 = I.dissect_advanced("s", "%{a}|%{b}")(t)
+    assert out3["a"].to_pylist() == [None, None]
+
+
+def test_dissect_modifiers_op():
+    out = ops.ingest_dissect_modifiers(SF)
+    assert (out["okey"] == out["o_orderkey"].astype(str)).all()
