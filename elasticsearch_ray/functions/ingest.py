@@ -940,12 +940,16 @@ def dissect_advanced(col: str, pattern: str, out_prefix: str = "",
     DissectParser.java:95, DissectKey.Modifier): `%{+key}` appends
     captures into one field (appearance order, or explicit `%{+key/n}`
     order) joined by append_separator; `%{?key}` is a named skip;
-    `%{key->}` lets the following delimiter repeat (right padding).
-    The basic dissect() stays as the fast path."""
+    `%{key->}` lets the following delimiter repeat (right padding);
+    `%{*key}`/`%{&key}` reference pairs turn captured names into field
+    names (the kv-style dynamic columns of DissectMatch). The basic
+    dissect() stays as the fast path."""
     import re
 
     parts = []          # regex parts
     fields = []         # (group, target, order) for kept captures
+    refnames = []       # (group, ref key) for %{*key}
+    refvalues = []      # (group, ref key) for %{&key}
     gi = 0
     last = 0
     pad_prev = False
@@ -972,6 +976,14 @@ def dissect_advanced(col: str, pattern: str, out_prefix: str = "",
             key = key[1:]
             target = None
             kind = "skip"
+        elif key.startswith("*"):
+            key = key[1:]
+            target = key
+            kind = "refname"
+        elif key.startswith("&"):
+            key = key[1:]
+            target = key
+            kind = "refvalue"
         else:
             target = key
             kind = "plain"
@@ -979,7 +991,11 @@ def dissect_advanced(col: str, pattern: str, out_prefix: str = "",
         gi += 1
         is_last = i == len(matches) - 1
         parts.append(f"(?P<{group}>.*)" if is_last else f"(?P<{group}>.*?)")
-        if kind != "skip":
+        if kind == "refname":
+            refnames.append((group, target))
+        elif kind == "refvalue":
+            refvalues.append((group, target))
+        elif kind != "skip":
             fields.append((group, target, order))
         last = m.end()
     tail = pattern[last:]
@@ -988,14 +1004,21 @@ def dissect_advanced(col: str, pattern: str, out_prefix: str = "",
                      else re.escape(tail))
     rx = re.compile("^" + "".join(parts) + "$")
     targets = list(dict.fromkeys(t for _, t, _ in fields))
+    rn = dict(refnames)
+    rv = {k: g for g, k in refvalues}
 
     def f(t: pa.Table) -> pa.Table:
         cols = {k: [] for k in targets}
+        dyn: dict[str, list] = {}
+        n_done = 0
         for s in t[col].to_pylist():
             m = rx.match(s) if s is not None else None
             if m is None:
                 for k in targets:
                     cols[k].append(None)
+                for k in dyn:
+                    dyn[k].append(None)
+                n_done += 1
                 continue
             per: dict[str, list] = {k: [] for k in targets}
             for idx, (group, target, order) in enumerate(fields):
@@ -1004,8 +1027,21 @@ def dissect_advanced(col: str, pattern: str, out_prefix: str = "",
             for k in targets:
                 vals = [v for _, v in sorted(per[k], key=lambda x: x[0])]
                 cols[k].append(append_separator.join(vals))
+            # reference pairs: %{*k} capture names the column, %{&k} its value
+            for g, key in refnames:
+                name = m.group(g)
+                val = m.group(rv[key]) if key in rv else None
+                if name not in dyn:
+                    dyn[name] = [None] * n_done
+                dyn[name].append(val)
+            for k in dyn:
+                if len(dyn[k]) <= n_done:
+                    dyn[k].append(None)
+            n_done += 1
         for k in targets:
             t = _put(t, out_prefix + k, pa.array(cols[k], pa.string()))
+        for k in sorted(dyn):
+            t = _put(t, out_prefix + k, pa.array(dyn[k], pa.string()))
         return t
 
     return f

@@ -311,3 +311,19 @@ def test_dissect_modifiers_unit():
 def test_dissect_modifiers_op():
     out = ops.ingest_dissect_modifiers(SF)
     assert (out["okey"] == out["o_orderkey"].astype(str)).all()
+
+
+def test_dissect_reference_keys():
+    import pyarrow as pa
+
+    from elasticsearch_ray.functions import ingest as I
+
+    t = pa.table({"s": ["host=web1 port=9200", "host=db2 port=5432"]})
+    out = I.dissect_advanced("s", "%{*a}=%{&a} %{*b}=%{&b}")(t)
+    assert out["host"].to_pylist() == ["web1", "db2"]
+    assert out["port"].to_pylist() == ["9200", "5432"]
+    # heterogeneous keys: missing dynamic columns backfill with null
+    t2 = pa.table({"s": ["x=1", "y=2"]})
+    out2 = I.dissect_advanced("s", "%{*a}=%{&a}")(t2)
+    assert out2["x"].to_pylist() == ["1", None]
+    assert out2["y"].to_pylist() == [None, "2"]
