@@ -327,3 +327,61 @@ def test_dissect_reference_keys():
     out2 = I.dissect_advanced("s", "%{*a}=%{&a}")(t2)
     assert out2["x"].to_pylist() == ["1", None]
     assert out2["y"].to_pylist() == [None, "2"]
+
+
+def test_fuzz_dissect_roundtrip():
+    """Seeded fuzz: random layouts render -> dissect_advanced parses back."""
+    import random
+
+    import pyarrow as pa
+
+    from elasticsearch_ray.functions import ingest as I
+
+    rng = random.Random(150815)
+    seps = ["-", ":", "|", "/", ",", " "]
+    for _ in range(60):
+        nf = rng.randint(2, 5)
+        sep = rng.choice(seps)
+        names = [f"f{i}" for i in range(nf)]
+        pattern = sep.join("%{" + n + "}" for n in names)
+        rows = []
+        want = {n: [] for n in names}
+        for _r in range(8):
+            vals = ["".join(rng.choices("abcdefgh123", k=rng.randint(1, 6)))
+                    for _ in range(nf)]
+            rows.append(sep.join(vals))
+            for n, v in zip(names, vals):
+                want[n].append(v)
+        out = I.dissect_advanced("s", pattern)(pa.table({"s": rows}))
+        for n in names:
+            assert out[n].to_pylist() == want[n], (pattern, rows)
+
+
+def test_substring_dedup_planted_span():
+    """A 12-token span planted into k docs is flagged in every one."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    span = " ".join(rng.choices(vocab, k=12))
+    docs = []
+    for i in range(40):
+        body = " ".join(rng.choices(vocab, k=60))
+        if i % 8 == 0:  # plant into docs 0, 8, 16, 24, 32
+            body = body + " " + span
+        docs.append(body)
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": docs,
+            "n_chars": pa.array([len(s) for s in docs], pa.int64())}),
+            f"{d}/documents.parquet")
+        out = ops.dedup_substring_runs(d)
+        flagged = set(out["doc_id"])
+        assert {0, 8, 16, 24, 32} <= flagged
+        m = out.set_index("doc_id")["dup_tokens"]
+        assert all(m[i] >= 12 for i in (0, 8, 16, 24, 32))
