@@ -169,7 +169,7 @@ def run(sf_dir: str, query: str, table: str = "events") -> pd.DataFrame:
     if plan["kind"] == "event":
         pred = compile_predicate(plan["predicate"])
         ds = ds.map_batches(pred, batch_format="pyarrow")
-        return _apply_pipes_event(ds, plan["pipes"])
+        return _apply_pipes_event(ds, plan["pipes"], cols)
 
     if plan["kind"] == "sample":
         # sample (x-pack eql SampleIterator, 8.6): join-key groups holding
@@ -325,7 +325,17 @@ def run(sf_dir: str, query: str, table: str = "events") -> pd.DataFrame:
     return _apply_pipes_frame(out, plan["pipes"])
 
 
-def _apply_pipes_event(ds, pipes: list[tuple[str, str]]) -> pd.DataFrame:
+def _schema_safe(cols, out: pd.DataFrame) -> pd.DataFrame:
+    """A zero-match stream collapses to a columnless empty frame (the
+    empty-block schema problem); rebuild it with the read's column list
+    so downstream sorts/pipes keep working."""
+    if not (out.empty and len(out.columns) == 0):
+        return out
+    return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+
+
+def _apply_pipes_event(ds, pipes: list[tuple[str, str]],
+                       cols: list[str] | None = None) -> pd.DataFrame:
     """head/tail/count over a (ts, event_id)-ordered event stream.
     head n  -> per-batch partial top-n ascending; driver merge
     tail n  -> per-batch partial top-n descending; driver merge"""
@@ -349,7 +359,8 @@ def _apply_pipes_event(ds, pipes: list[tuple[str, str]]) -> pd.DataFrame:
                 df.drop_duplicates(subset=keys, keep="first"),
                 preserve_index=False)
 
-        out = ds.map_batches(upart, batch_format="pyarrow").to_pandas()
+        out = _schema_safe(cols or [], ds.map_batches(
+            upart, batch_format="pyarrow").to_pandas())
         out = (out.sort_values(["ts", "event_id"], kind="mergesort")
                .drop_duplicates(subset=keys, keep="first")
                .reset_index(drop=True))
@@ -364,7 +375,8 @@ def _apply_pipes_event(ds, pipes: list[tuple[str, str]]) -> pd.DataFrame:
             ["ts", "event_id"], ascending=asc, kind="mergesort").head(n)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = _schema_safe(cols or [], ds.map_batches(
+        partial, batch_format="pyarrow").to_pandas())
     out = out.sort_values(["ts", "event_id"], ascending=asc,
                           kind="mergesort").head(n)
     out = out.sort_values(["ts", "event_id"]).reset_index(drop=True)
