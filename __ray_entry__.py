@@ -111,7 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_suggest_collate", "agg_t_test_paired",
         "k_anonymity_suppress", "synthetic_source",
         "snapshot_clone", "esql_enrich_range",
-        "ingest_dissect_modifiers",
+        "ingest_dissect_modifiers", "ft_regexp_interval",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7057,6 +7057,11 @@ SELECT o_orderkey,
        replace(split_part(o_orderpriority, '-', 2), ' ', '_') AS word,
        CAST(o_orderkey AS VARCHAR) AS okey
 FROM orders ORDER BY o_orderkey"""
+
+    out["ft_regexp_interval"] = """
+SELECT doc_id FROM documents
+WHERE regexp_matches(source, '^src(12|11|10|5|6|7|8|9)$')
+ORDER BY doc_id"""
 
     out["synthetic_source"] = """
 SELECT o_orderkey,

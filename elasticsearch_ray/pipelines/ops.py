@@ -14299,3 +14299,14 @@ def ingest_dissect_modifiers(sf_dir: str):
     out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
     assert (out["okey"] == out["o_orderkey"].astype(str)).all()
     return out[["o_orderkey", "p", "word", "okey"]]
+
+
+def ft_regexp_interval(sf_dir: str):
+    """Lucene RegExp `<n-m>` numeric-interval class (RegexpQueryBuilder ->
+    org.apache.lucene.util.automaton.RegExp [Lucene 8.5, public
+    knowledge]): `src<5-12>` over the source field matches src5..src12
+    — the interval is NUMERIC, not lexicographic (src10 matches; src2
+    does not). Expansion runs over the field's term dictionary like any
+    multi-term query; constant-score filter context."""
+    return all_matches(sf_dir, {"kind": "regexp", "pattern": "src<5-12>",
+                                "field": "source"}, with_score=False)

@@ -2009,9 +2009,34 @@ class IndexSearcher:
         mask = _pc.match_substring_regex(pa.array(cands.astype(str)), rx)
         return [str(t) for t in cands[np.asarray(mask)]]
 
+    @staticmethod
+    def _lucene_regexp_translate(pattern: str) -> str:
+        """Lucene RegExp operator syntax (org.apache.lucene.util.automaton
+        .RegExp [Lucene 8.5, public knowledge], engaged by
+        RegexpQueryBuilder): `<n-m>` numeric-interval classes become an
+        explicit integer alternation (longest-first so fullmatch is
+        unambiguous) and `@` (ANYSTRING) becomes `.*`. The complement
+        (`~`) and intersection (`&`) operators are not supported —
+        documented engine limitation."""
+        import re as _re
+
+        def interval(m: "_re.Match") -> str:
+            lo, hi = int(m.group(1)), int(m.group(2))
+            if lo > hi:
+                lo, hi = hi, lo
+            if hi - lo > 4096:
+                raise ValueError("interval class too wide")
+            alts = sorted((str(v) for v in range(lo, hi + 1)),
+                          key=len, reverse=True)
+            return "(?:" + "|".join(alts) + ")"
+
+        out = _re.sub(r"<(\d+)-(\d+)>", interval, pattern)
+        return out.replace("@", ".*")
+
     def _expand_regexp(self, pattern: str, field: str | None = None) -> list[str]:
         import re as _re
 
+        pattern = self._lucene_regexp_translate(pattern)
         lit = self._literal_prefix(pattern, "*?+.[](){}|^$")
         cands = self._term_range(lit, lit + TERM_MAX, field) if lit else \
             self._term_range("", TERM_MAX, field)

@@ -385,3 +385,19 @@ def test_substring_dedup_planted_span():
         assert {0, 8, 16, 24, 32} <= flagged
         m = out.set_index("doc_id")["dup_tokens"]
         assert all(m[i] >= 12 for i in (0, 8, 16, 24, 32))
+
+
+def test_lucene_regexp_interval_translate():
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    tr = IndexSearcher._lucene_regexp_translate
+    import re
+
+    rx = re.compile("^" + tr("src<5-12>") + "$")
+    assert rx.match("src10") and rx.match("src5") and rx.match("src12")
+    assert not rx.match("src2") and not rx.match("src13")
+    assert tr("a@b") == "a.*b"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tr("<1-99999>")
