@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_suppress", "synthetic_source",
         "snapshot_clone", "esql_enrich_range",
         "ingest_dissect_modifiers", "ft_regexp_interval",
+        "ft_case_insensitive",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7062,6 +7063,15 @@ FROM orders ORDER BY o_orderkey"""
 SELECT doc_id FROM documents
 WHERE regexp_matches(source, '^src(12|11|10|5|6|7|8|9)$')
 ORDER BY doc_id"""
+
+    out["ft_case_insensitive"] = f"""
+WITH {_TOK},
+p0 AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+p1 AS (SELECT doc_id FROM documents WHERE source LIKE 'src1%')
+SELECT CAST(0 AS BIGINT) AS phase, doc_id FROM p0
+UNION ALL
+SELECT 1, doc_id FROM p1
+ORDER BY phase, doc_id"""
 
     out["synthetic_source"] = """
 SELECT o_orderkey,

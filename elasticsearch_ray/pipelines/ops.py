@@ -14310,3 +14310,29 @@ def ft_regexp_interval(sf_dir: str):
     multi-term query; constant-score filter context."""
     return all_matches(sf_dir, {"kind": "regexp", "pattern": "src<5-12>",
                                 "field": "source"}, with_score=False)
+
+
+def ft_case_insensitive(sf_dir: str):
+    """`case_insensitive` option on term-level queries (7.10,
+    TermQueryBuilder:64 / PrefixQueryBuilder / WildcardQueryBuilder /
+    RegexpQueryBuilder caseInsensitive -> AutomatonQueries): the query
+    value case-folds to meet the case-folded term dictionary. Phase 0:
+    term 'DATA' ci; phase 1: wildcard 'SRC1*' ci on source; phase 2:
+    the same term WITHOUT the option — no rows (the dictionary is
+    lowercase)."""
+    from .fulltext import all_matches
+
+    frames = []
+    specs = [
+        (0, {"kind": "term", "term": "DATA", "case_insensitive": True}),
+        (1, {"kind": "wildcard", "pattern": "SRC1*", "field": "source",
+             "case_insensitive": True}),
+        (2, {"kind": "term", "term": "DATA"}),
+    ]
+    for phase, q in specs:
+        t = all_matches(sf_dir, q, with_score=False).to_pandas()
+        t.insert(0, "phase", np.int64(phase))
+        frames.append(t)
+    out = pd.concat(frames, ignore_index=True)
+    out["phase"] = out["phase"].astype(np.int64)
+    return out

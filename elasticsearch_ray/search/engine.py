@@ -1036,6 +1036,15 @@ class IndexSearcher:
         kind = q["kind"]
         boost = float(q.get("boost", 1.0))
         field = self._norm_field(q.get("field"))
+        if q.get("case_insensitive"):
+            # 7.10 case_insensitive option on term-level queries
+            # (TermQueryBuilder/PrefixQueryBuilder/WildcardQueryBuilder/
+            # RegexpQueryBuilder caseInsensitive): the analyzed term
+            # dictionary is already case-folded, so the query value folds
+            # to meet it (AutomatonQueries.caseInsensitive* analog)
+            q = {**q, **{k: q[k].lower() for k in
+                         ("term", "prefix", "pattern", "value")
+                         if isinstance(q.get(k), str)}}
         if kind == "term":
             tp = self._get_term(q["term"], field)
             if tp is None:

@@ -401,3 +401,10 @@ def test_lucene_regexp_interval_translate():
 
     with _pytest.raises(ValueError):
         tr("<1-99999>")
+
+
+def test_case_insensitive_option():
+    out = ops.ft_case_insensitive(SF)
+    p0 = set(out[out["phase"] == 0]["doc_id"])
+    p2 = set(out[out["phase"] == 2]["doc_id"])
+    assert p0 and not p2  # folded query matches; unfolded 'DATA' does not
