@@ -112,7 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_suppress", "synthetic_source",
         "snapshot_clone", "esql_enrich_range",
         "ingest_dissect_modifiers", "ft_regexp_interval",
-        "ft_case_insensitive",
+        "ft_case_insensitive", "ft_mlt_unlike",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7072,6 +7072,24 @@ SELECT CAST(0 AS BIGINT) AS phase, doc_id FROM p0
 UNION ALL
 SELECT 1, doc_id FROM p1
 ORDER BY phase, doc_id"""
+
+    out["ft_mlt_unlike"] = f"""
+WITH {_TOK},
+src AS (SELECT term, count(*) AS tf42 FROM tok WHERE doc_id = 42
+        GROUP BY term),
+unl AS (SELECT DISTINCT term FROM tok WHERE doc_id = 7),
+q AS (SELECT term FROM src
+      WHERE tf42 >= 2 AND term NOT IN (SELECT term FROM unl)
+      ORDER BY tf42 DESC, term LIMIT 8),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS raw
+           FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN st
+           GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(raw, 4) AS score FROM scored
+WHERE doc_id <> 42 ORDER BY doc_id"""
 
     out["synthetic_source"] = """
 SELECT o_orderkey,

@@ -14336,3 +14336,20 @@ def ft_case_insensitive(sf_dir: str):
     out = pd.concat(frames, ignore_index=True)
     out["phase"] = out["phase"].astype(np.int64)
     return out
+
+
+def ft_mlt_unlike(sf_dir: str):
+    """more_like_this with `unlike` negative examples + min_term_freq
+    (MoreLikeThisQueryBuilder unlikeTexts / minTermFreq -> Lucene
+    XMoreLikeThis skip-terms): doc 42's terms with tf >= 2, minus every
+    term of the unlike doc 7, top-8 by (tf desc, term asc), BM25 OR.
+    The oracle re-derives the SELECTED TERM SET in SQL too, so the
+    choice logic (not just the scoring) is verified."""
+    from ..sources.reader import fetch_rows_by_doc_id
+
+    rows = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                                [7, 42], columns=["doc_id", "text"])
+    by_id = {r["doc_id"]: r["text"] for r in rows.to_pylist()}
+    return all_matches(sf_dir, {
+        "kind": "more_like_this", "like": by_id[42], "unlike": by_id[7],
+        "max_query_terms": 8, "min_term_freq": 2, "exclude_doc": 42})

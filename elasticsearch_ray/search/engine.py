@@ -1297,6 +1297,8 @@ class IndexSearcher:
             return self._more_like_this(
                 q["like"], int(q.get("max_query_terms", 5)),
                 q.get("exclude_doc"), boost,
+                unlike=q.get("unlike"),
+                min_term_freq=int(q.get("min_term_freq", 1)),
             )
         if kind == "span_near":
             return self._span_near(
@@ -2175,13 +2177,21 @@ class IndexSearcher:
         return arr[doc_ids]
 
     def _more_like_this(self, like_text: str, max_terms: int,
-                        exclude_doc: int | None, boost: float):
+                        exclude_doc: int | None, boost: float,
+                        unlike: str | None = None, min_term_freq: int = 1):
         """MoreLikeThisQueryBuilder essence ("like" text form): analyze the
         example text, keep its top `max_query_terms` terms by (tf desc, term
-        asc), OR them with BM25; optionally exclude the source doc itself."""
+        asc), OR them with BM25; optionally exclude the source doc itself.
+        `unlike` (MoreLikeThisQueryBuilder unlikeTexts -> XMoreLikeThis
+        skip terms) removes every term of the negative example BEFORE
+        selection; `min_term_freq` (default 2 in the reference, 1 here
+        for back-compat with existing ops) drops rare example terms."""
         from collections import Counter
 
         counts = Counter(self._analyzer_for(None)(like_text))
+        skip = set(self._analyzer_for(None)(unlike)) if unlike else set()
+        counts = {t: c for t, c in counts.items()
+                  if c >= min_term_freq and t not in skip}
         chosen = [t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_terms]]
         ids, sc = self._disjunction(chosen, boost)
         if exclude_doc is not None:

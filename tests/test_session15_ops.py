@@ -408,3 +408,20 @@ def test_case_insensitive_option():
     p0 = set(out[out["phase"] == 0]["doc_id"])
     p2 = set(out[out["phase"] == 2]["doc_id"])
     assert p0 and not p2  # folded query matches; unfolded 'DATA' does not
+
+
+def test_mlt_unlike_removes_negative_terms():
+    from elasticsearch_ray.pipelines.fulltext import documents_searcher
+    from elasticsearch_ray.sources.reader import fetch_rows_by_doc_id
+
+    rows = fetch_rows_by_doc_id(f"{SF}/documents.parquet", [7, 42],
+                                columns=["doc_id", "text"])
+    by_id = {r["doc_id"]: r["text"] for r in rows.to_pylist()}
+    s = documents_searcher(SF)
+    with_unlike, _ = s._eval({"kind": "more_like_this", "like": by_id[42],
+                              "unlike": by_id[7], "max_query_terms": 8,
+                              "min_term_freq": 2})
+    plain, _ = s._eval({"kind": "more_like_this", "like": by_id[42],
+                        "max_query_terms": 8, "min_term_freq": 2})
+    # negative example can only shrink (or shift) the matched set
+    assert set(with_unlike) != set(plain) or len(with_unlike) <= len(plain)
