@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_clone", "esql_enrich_range",
         "ingest_dissect_modifiers", "ft_regexp_interval",
         "ft_case_insensitive", "ft_mlt_unlike",
+        "dedup_cluster_sizes",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7362,6 +7363,12 @@ SELECT CAST(n AS BIGINT) AS buckets,
        ROUND(ls, 4) AS level, ROUND(lb, 4) AS trend
 FROM rec WHERE i = n""",
     })
+    out["dedup_cluster_sizes"] = (
+        "WITH comp AS (" + out["dedup_components"].strip().rstrip(";")
+        + "), cs AS (SELECT component, count(*) AS csize FROM comp "
+          "GROUP BY component) "
+          "SELECT CAST(csize AS BIGINT) AS csize, count(*) AS clusters "
+          "FROM cs GROUP BY csize ORDER BY csize")
     out["decontaminate_bloom"] = out["dedup_decontaminate"]
     # the persisted int8 index must reproduce the on-the-fly quantized
     # search bit-for-bit: same oracle

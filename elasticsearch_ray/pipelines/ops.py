@@ -14353,3 +14353,17 @@ def ft_mlt_unlike(sf_dir: str):
     return all_matches(sf_dir, {
         "kind": "more_like_this", "like": by_id[42], "unlike": by_id[7],
         "max_query_terms": 8, "min_term_freq": 2, "exclude_doc": 42})
+
+
+def dedup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size distribution (the dedup diagnostic a corpus
+    report needs: how many near-dup clusters of each size exist — the
+    heavy tail is where dedup pays). Reuses the connected-components
+    pipeline (distributed min-label propagation); the histogram is two
+    groupbys over the already-reduced (doc, component) table."""
+    cc = dedup_components(sf_dir)
+    sizes = cc.groupby("component").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({
+        "csize": hist.index.to_numpy(np.int64),
+        "clusters": hist.to_numpy(np.int64)})

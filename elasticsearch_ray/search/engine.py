@@ -2047,7 +2047,9 @@ class IndexSearcher:
     def _expand_regexp(self, pattern: str, field: str | None = None) -> list[str]:
         import re as _re
 
-        pattern = self._lucene_regexp_translate(pattern)
+        # class-qualified: tests drive this method on faux-searcher
+        # namespaces that bind only the functions they exercise
+        pattern = IndexSearcher._lucene_regexp_translate(pattern)
         lit = self._literal_prefix(pattern, "*?+.[](){}|^$")
         cands = self._term_range(lit, lit + TERM_MAX, field) if lit else \
             self._term_range("", TERM_MAX, field)

@@ -425,3 +425,9 @@ def test_mlt_unlike_removes_negative_terms():
                         "max_query_terms": 8, "min_term_freq": 2})
     # negative example can only shrink (or shift) the matched set
     assert set(with_unlike) != set(plain) or len(with_unlike) <= len(plain)
+
+
+def test_cluster_size_histogram_sums():
+    out = ops.dedup_cluster_sizes(SF)
+    comp = ops.dedup_components(SF)
+    assert (out["csize"] * out["clusters"]).sum() == len(comp)
