@@ -113,7 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_clone", "esql_enrich_range",
         "ingest_dissect_modifiers", "ft_regexp_interval",
         "ft_case_insensitive", "ft_mlt_unlike",
-        "dedup_cluster_sizes",
+        "dedup_cluster_sizes", "knn_matryoshka_overlap",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7091,6 +7091,27 @@ scored AS (SELECT tf.doc_id AS doc_id, SUM({_SCORE}) AS raw
            GROUP BY tf.doc_id)
 SELECT doc_id, ROUND(raw, 4) AS score FROM scored
 WHERE doc_id <> 42 ORDER BY doc_id"""
+
+    out["knn_matryoshka_overlap"] = """
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+f AS (SELECT q.qid, v.vec_id,
+        row_number() OVER (PARTITION BY q.qid ORDER BY
+          list_cosine_similarity(v.embedding::DOUBLE[],
+                                 q.embedding::DOUBLE[]) DESC,
+          v.vec_id) AS rn
+      FROM q CROSS JOIN embeddings v),
+t AS (SELECT q.qid, v.vec_id,
+        row_number() OVER (PARTITION BY q.qid ORDER BY
+          list_cosine_similarity(v.embedding[1:16]::DOUBLE[],
+                                 q.embedding[1:16]::DOUBLE[]) DESC,
+          v.vec_id) AS rn
+      FROM q CROSS JOIN embeddings v)
+SELECT f.qid AS query_id, CAST(count(*) AS BIGINT) AS overlap,
+       CAST(16 AS BIGINT) AS trunc_dim
+FROM f JOIN t ON f.qid = t.qid AND f.vec_id = t.vec_id
+WHERE f.rn <= 5 AND t.rn <= 5
+GROUP BY f.qid ORDER BY f.qid"""
 
     out["synthetic_source"] = """
 SELECT o_orderkey,

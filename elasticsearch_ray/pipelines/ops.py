@@ -14367,3 +14367,37 @@ def dedup_cluster_sizes(sf_dir: str):
     return pd.DataFrame({
         "csize": hist.index.to_numpy(np.int64),
         "clusters": hist.to_numpy(np.int64)})
+
+
+def knn_matryoshka_overlap(sf_dir: str):
+    """Matryoshka-truncation retrieval check (Kusupati et al. 2022, MRL —
+    public; the dense_vector dim-reduction question every embedding
+    pipeline asks): top-5 cosine neighbors under the FULL 64-d vectors vs
+    the first-16-dim truncation; output per query = |overlap|. Both
+    passes are the broadcast-queries / per-batch partial-top-k shape; the
+    truncation is a zero-copy list slice per batch."""
+    import pyarrow.dataset as pads
+
+    from ..functions import similarity as S_
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        columns=["vec_id", "embedding"])
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[:3]
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    full = S_.knn_brute_force(ds, Q, k=5, dtype=np.float64)
+
+    def trunc(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({"vec_id": b["vec_id"],
+                         "embedding": _pc.list_slice(b["embedding"], 0, 16)})
+
+    ds16 = ds.map_batches(trunc, batch_format="pyarrow")
+    part = S_.knn_brute_force(ds16, Q[:, :16], k=5, dtype=np.float64)
+    f = {int(q): set(g["vec_id"]) for q, g in full.groupby("query_id")}
+    p = {int(q): set(g["vec_id"]) for q, g in part.groupby("query_id")}
+    qids = sorted(f)
+    return pd.DataFrame({
+        "query_id": np.array(qids, np.int64),
+        "overlap": np.array([len(f[q] & p[q]) for q in qids], np.int64),
+        "trunc_dim": np.full(len(qids), 16, np.int64)})

@@ -431,3 +431,9 @@ def test_cluster_size_histogram_sums():
     out = ops.dedup_cluster_sizes(SF)
     comp = ops.dedup_components(SF)
     assert (out["csize"] * out["clusters"]).sum() == len(comp)
+
+
+def test_matryoshka_overlap_bounds():
+    out = ops.knn_matryoshka_overlap(SF)
+    assert len(out) == 3
+    assert ((out["overlap"] >= 1) & (out["overlap"] <= 5)).all()
