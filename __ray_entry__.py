@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_dissect_modifiers", "ft_regexp_interval",
         "ft_case_insensitive", "ft_mlt_unlike",
         "dedup_cluster_sizes", "knn_matryoshka_overlap",
+        "dedup_minhash_incremental",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -582,6 +583,55 @@ cc AS (
 SELECT node AS doc_id, lbl AS kept FROM cc ORDER BY doc_id"""
 
 
+def _minhash_incremental_oracle_sql(num_perm: int = 32, bands: int = 8,
+                                    bound: int = 600,
+                                    threshold: float = 0.8) -> str:
+    """Incremental (new-batch vs existing-corpus) MinHash dedup in SQL:
+    the signature/band prelude of _minhash_oracle_sql, with candidates
+    constrained to buckets holding BOTH a new (doc_id %% 10 == 0) and an
+    existing doc, and exact-Jaccard verification emitted per pair."""
+    from elasticsearch_ray.functions.dedup import _minhash_params
+
+    M = 1 << 64
+    P = [pow(1000003, 4 - j, M) for j in range(5)]
+    a, b = _minhash_params(num_perm)
+    rpb = num_perm // bands
+    perm_rows = ",".join(
+        f"({p},{int(a[p])}::HUGEINT,{int(b[p])}::HUGEINT)"
+        for p in range(num_perm))
+    return f"""
+WITH s AS MATERIALIZED (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+     FROM documents WHERE doc_id < {bound}),
+hd AS MATERIALIZED (SELECT DISTINCT doc_id,
+        CAST((ord(substr(t,i,1))::HUGEINT * {P[0]} + ord(substr(t,i+1,1))::HUGEINT * {P[1]}
+            + ord(substr(t,i+2,1))::HUGEINT * {P[2]} + ord(substr(t,i+3,1))::HUGEINT * {P[3]}
+            + ord(substr(t,i+4,1))::HUGEINT * {P[4]}) % {M} AS HUGEINT) AS sh
+      FROM s, unnest(generate_series(1, length(t)-4)) AS u(i)
+      WHERE length(t) >= 5),
+perms(p, pa, pb) AS (VALUES {perm_rows}),
+bands AS MATERIALIZED (
+  SELECT doc_id, p // {rpb} AS band, list(mh ORDER BY p) AS key FROM (
+    SELECT doc_id, p, MIN(CAST((sh * pa + pb) % {M} AS HUGEINT)) AS mh
+    FROM hd CROSS JOIN perms GROUP BY doc_id, p)
+  GROUP BY doc_id, p // {rpb}),
+cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+              AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+g AS MATERIALIZED (SELECT DISTINCT doc_id, substr(t, i, 5) AS gram
+      FROM s, unnest(generate_series(1, length(t)-4)) AS u(i) WHERE length(t) >= 5),
+sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+verified AS (
+  SELECT da, db, i*1.0/(sa.n + sb.n - i) AS j FROM (
+    SELECT c.da, c.db, count(*) AS i
+    FROM cand c JOIN g ga ON ga.doc_id = c.da JOIN g gb
+         ON gb.doc_id = c.db AND gb.gram = ga.gram
+    GROUP BY c.da, c.db)
+  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+  WHERE i*1.0/(sa.n + sb.n - i) >= {threshold})
+SELECT da AS new_doc, db AS dup_of, ROUND(j, 6) AS jaccard
+FROM verified ORDER BY new_doc, dup_of"""
+
+
 def _simhash_oracle_sql(bound: int = 600, max_hamming: int = 3) -> str:
     """SimHash + hamming-radius pairs in SQL: the mod-2^64 shingle rolling
     hash (shared prelude with the minhash oracle), per-bit sign-of-sums via
@@ -919,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         + _kmeans_oracle_sql().rsplit("ORDER BY", 1)[0]
         + ") WHERE vec_id % 10 < 3 + cluster % 5 ORDER BY vec_id")
     out["dedup_minhash_exact"] = _minhash_oracle_sql()
+    out["dedup_minhash_incremental"] = _minhash_incremental_oracle_sql()
     out["dedup_simhash_exact"] = _simhash_oracle_sql()
     out["knn_lsh_exact"] = _knn_lsh_oracle_sql()
     out["dedup_embedding_lsh_exact"] = _embedding_lsh_dedup_oracle_sql()

@@ -261,15 +261,19 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 def minhash_verified_pairs_ds(ds, *, threshold: float = 0.8,
                               num_perm: int = 128, bands: int = 32,
                               shingle_k: int = 5, text_col: str = "text",
-                              id_col: str = "doc_id", concurrency=2):
+                              id_col: str = "doc_id", concurrency=2,
+                              new_ids_pred=None, emit_jaccard: bool = False):
     """LSH candidates Jaccard-verified INSIDE the bucket groups: texts ride
     the (band, band_hash) shuffle with the signatures, each bucket computes
     its pairwise exact n-gram Jaccard in map_groups, and only pairs >=
     threshold leave the cluster. Returns a DATASET of distinct verified
     (doc_a, doc_b) pairs — nothing touches the driver; feed it to
     graph.connected_components for clustering."""
-    _empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                           "doc_b": pd.Series([], dtype=np.int64)})
+    _ecols = {"doc_a": pd.Series([], dtype=np.int64),
+              "doc_b": pd.Series([], dtype=np.int64)}
+    if emit_jaccard:
+        _ecols["jaccard"] = pd.Series([], dtype=np.float64)
+    _empty = pd.DataFrame(_ecols)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         sub = g.drop_duplicates(subset=id_col).sort_values(id_col)
@@ -277,16 +281,31 @@ def minhash_verified_pairs_ds(ds, *, threshold: float = 0.8,
             return _empty
         ids = sub[id_col].to_numpy()
         sets = [_shingles(t, shingle_k) for t in sub[text_col]]
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
-                union = sets[i].size + sets[j].size - inter
-                if (inter / union if union else 1.0) >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": np.asarray(out_a, np.int64),
-                             "doc_b": np.asarray(out_b, np.int64)})
+        # incremental mode: only NEW x EXISTING pairs are ever formed
+        # (the streaming-append dedup shape — new/existing derives from
+        # the id, so no flag column rides the shuffle)
+        if new_ids_pred is not None:
+            isnew = np.array([bool(new_ids_pred(int(x))) for x in ids])
+            cand_pairs = [(i, j) for i in range(len(ids))
+                          for j in range(len(ids))
+                          if isnew[i] and not isnew[j]]
+        else:
+            cand_pairs = [(i, j) for i in range(len(ids))
+                          for j in range(i + 1, len(ids))]
+        out_a, out_b, out_j = [], [], []
+        for i, j in cand_pairs:
+            inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
+            union = sets[i].size + sets[j].size - inter
+            jac = inter / union if union else 1.0
+            if jac >= threshold:
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+                out_j.append(jac)
+        out = {"doc_a": np.asarray(out_a, np.int64),
+               "doc_b": np.asarray(out_b, np.int64)}
+        if emit_jaccard:
+            out["jaccard"] = np.asarray(out_j, np.float64)
+        return pd.DataFrame(out)
 
     # Pass 1 — banded LSH rows WITHOUT text: (doc_id, band, band_hash)
     # ints only. Shuffling text for every (doc, band) row would move
@@ -348,6 +367,13 @@ def minhash_verified_pairs_ds(ds, *, threshold: float = 0.8,
         verify, batch_format="pandas")
     # a pair verifies in every shared bucket — distinct dataset-side so
     # downstream consumers (connected components) never need the driver
+    if emit_jaccard:
+        # a pair verifies (with the SAME jaccard) in every shared bucket;
+        # MIN is a no-op dedup that keeps the value
+        from ray.data.aggregate import Min
+
+        return verified.groupby(["doc_a", "doc_b"]).aggregate(
+            Min("jaccard", alias_name="jaccard"))
     distinct = verified.groupby(["doc_a", "doc_b"]).count().map_batches(
         lambda t: pa.table({"doc_a": t["doc_a"].cast(pa.int64()),
                             "doc_b": t["doc_b"].cast(pa.int64())}),

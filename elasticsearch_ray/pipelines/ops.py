@@ -14401,3 +14401,33 @@ def knn_matryoshka_overlap(sf_dir: str):
         "query_id": np.array(qids, np.int64),
         "overlap": np.array([len(f[q] & p[q]) for q in qids], np.int64),
         "trunc_dim": np.full(len(qids), 16, np.int64)})
+
+
+def dedup_minhash_incremental(sf_dir: str):
+    """Incremental near-dedup (the streaming-append shape a growing corpus
+    needs: check ONLY the new batch against the existing corpus): docs
+    with doc_id % 10 == 0 are the "new" batch; LSH buckets come from the
+    SAME banded pipeline, but verification forms only NEW x EXISTING
+    pairs inside the bucket groups (new x new and existing x existing are
+    never computed — at a steady append rate that is the entire cost
+    difference vs full re-dedup). Output: (new_doc, dup_of, jaccard).
+    Bounded (doc_id < 600, 32 perms / 8 bands) to keep the HUGEINT SQL
+    twin exact, like the sibling exact dedup gates."""
+    import pyarrow.compute as pc
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"],
+             flt=pc.field("doc_id") < 600)
+    pairs = D.minhash_verified_pairs_ds(
+        ds, threshold=0.8, num_perm=32, bands=8,
+        new_ids_pred=lambda i: i % 10 == 0, emit_jaccard=True)
+    out = pairs.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"new_doc": pd.Series([], dtype=np.int64),
+                             "dup_of": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+    out = out.rename(columns={"doc_a": "new_doc", "doc_b": "dup_of"})
+    out["new_doc"] = out["new_doc"].astype(np.int64)
+    out["dup_of"] = out["dup_of"].astype(np.int64)
+    out["jaccard"] = round_half_away(out["jaccard"].to_numpy(np.float64), 6)
+    return (out.sort_values(["new_doc", "dup_of"])
+            .reset_index(drop=True)[["new_doc", "dup_of", "jaccard"]])

@@ -437,3 +437,10 @@ def test_matryoshka_overlap_bounds():
     out = ops.knn_matryoshka_overlap(SF)
     assert len(out) == 3
     assert ((out["overlap"] >= 1) & (out["overlap"] <= 5)).all()
+
+
+def test_incremental_dedup_only_crosses_batches():
+    out = ops.dedup_minhash_incremental(SF)
+    assert (out["new_doc"] % 10 == 0).all()
+    assert (out["dup_of"] % 10 != 0).all()
+    assert (out["jaccard"] >= 0.8).all()
