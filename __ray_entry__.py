@@ -114,7 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_dissect_modifiers", "ft_regexp_interval",
         "ft_case_insensitive", "ft_mlt_unlike",
         "dedup_cluster_sizes", "knn_matryoshka_overlap",
-        "dedup_minhash_incremental",
+        "dedup_minhash_incremental", "agg_derivative_unit",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7163,6 +7163,15 @@ SELECT f.qid AS query_id, CAST(count(*) AS BIGINT) AS overlap,
 FROM f JOIN t ON f.qid = t.qid AND f.vec_id = t.vec_id
 WHERE f.rn <= 5 AND t.rn <= 5
 GROUP BY f.qid ORDER BY f.qid"""
+
+    out["agg_derivative_unit"] = """
+SELECT bucket, doc_count,
+       doc_count - COALESCE(lag(doc_count) OVER (ORDER BY bucket),
+                            doc_count) AS deriv,
+       ROUND((doc_count - COALESCE(lag(doc_count) OVER (ORDER BY bucket),
+                                   doc_count)) / 24.0, 6) AS per_hour
+FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+      FROM events GROUP BY 1) ORDER BY bucket"""
 
     out["synthetic_source"] = """
 SELECT o_orderkey,

@@ -14431,3 +14431,18 @@ def dedup_minhash_incremental(sf_dir: str):
     out["jaccard"] = round_half_away(out["jaccard"].to_numpy(np.float64), 6)
     return (out.sort_values(["new_doc", "dup_of"])
             .reset_index(drop=True)[["new_doc", "dup_of", "jaccard"]])
+
+
+def agg_derivative_unit(sf_dir: str):
+    """derivative `unit` option (DerivativePipelineAggregationBuilder
+    .unit -> DerivativePipelineAggregator normalizedValue: the delta
+    divided by (bucket_interval / unit)): day buckets with unit=1h emit
+    the per-hour rate alongside the raw delta. First bucket has no
+    derivative (null in the reference; surfaced as 0 raw / 0.0 rate,
+    matching the sibling agg_derivative's convention)."""
+    out = A.date_histogram(_ds(sf_dir, "events"), "ts", "day")
+    out = A.derivative(out, "doc_count")
+    out["deriv"] = out["deriv"].fillna(0).astype(np.int64)
+    out["per_hour"] = round_half_away(
+        out["deriv"].to_numpy(np.float64) / 24.0, 6)
+    return out[["bucket", "doc_count", "deriv", "per_hour"]]
