@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_case_insensitive", "ft_mlt_unlike",
         "dedup_cluster_sizes", "knn_matryoshka_overlap",
         "dedup_minhash_incremental", "agg_derivative_unit",
+        "agg_significant_text_dedup",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7450,6 +7451,35 @@ FROM rec WHERE i = n""",
           "GROUP BY component) "
           "SELECT CAST(csize AS BIGINT) AS csize, count(*) AS clusters "
           "FROM cs GROUP BY csize ORDER BY csize")
+    out["agg_significant_text_dedup"] = """
+WITH n AS (
+  SELECT doc_id, text,
+         array_to_string(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x <> ''), ' ') AS k
+  FROM documents),
+ch AS (SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+  FROM n) WHERE rn = 1),
+tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM ch) u WHERE t <> ''),
+fgdocs AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+fg_n AS (SELECT count(*) AS n FROM fgdocs),
+bg_n AS (SELECT count(*) AS n FROM ch),
+counts AS (
+  SELECT term,
+         count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM fgdocs)) AS fg_df,
+         count(*) AS bg_df
+  FROM tok GROUP BY term)
+SELECT term, fg_df, bg_df,
+       ROUND((fg_df::DOUBLE / fg_n.n - bg_df::DOUBLE / bg_n.n)
+             * ((fg_df::DOUBLE / fg_n.n) / (bg_df::DOUBLE / bg_n.n)), 6) AS score
+FROM counts CROSS JOIN fg_n CROSS JOIN bg_n
+WHERE fg_df >= 5
+ORDER BY score DESC, term LIMIT 10"""
     out["decontaminate_bloom"] = out["dedup_decontaminate"]
     # the persisted int8 index must reproduce the on-the-fly quantized
     # search bit-for-bit: same oracle

@@ -14446,3 +14446,73 @@ def agg_derivative_unit(sf_dir: str):
     out["per_hour"] = round_half_away(
         out["deriv"].to_numpy(np.float64) / 24.0, 6)
     return out[["bucket", "doc_count", "deriv", "per_hour"]]
+
+
+def agg_significant_text_dedup(sf_dir: str):
+    """significant_text `filter_duplicate_text` option
+    (SignificantTextAggregationBuilder.filterDuplicateText — the
+    near-dup-pollution guard the reference docs recommend for news-wire
+    corpora): exact-duplicate texts count ONCE before the significance
+    statistics. Stage 1 = keep-first exact dedup (per-batch champion
+    combiner, ONE key groupby — text rides the shuffle once); stage 2 =
+    the ordinary JLH partials over the surviving set."""
+    import hashlib
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import analyze_simple
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ks = [hashlib.sha256(" ".join(s.lower().split()).encode()).hexdigest()
+              for s in t["text"].to_pylist()]
+        return pa.table({"k": pa.array(ks), "doc_id": t["doc_id"],
+                         "text": t["text"]})
+
+    def batch_pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["k", "doc_id"])
+        return pa.Table.from_pandas(
+            df.drop_duplicates("k"),
+            preserve_index=False).replace_schema_metadata(None)
+
+    def champion(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.sort_values("doc_id").iloc[0]
+        return pd.DataFrame({"text": [o["text"]]})
+
+    champions = (_ds(sf_dir, "documents", ["doc_id", "text"])
+                 .map_batches(keyed, batch_format="pyarrow")
+                 .map_batches(batch_pre, batch_format="pyarrow")
+                 .groupby("k").map_groups(champion, batch_format="pandas"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        fg, bg = Counter(), Counter()
+        n = 0
+        for s in t["text"].to_pylist():
+            n += 1
+            terms = set(analyze_simple(s))
+            bg.update(terms)
+            if "data" in terms:
+                fg.update(terms)
+        allt = sorted(bg)
+        return pa.table({
+            "term": allt,
+            "fg_df": pa.array([fg.get(x, 0) for x in allt], pa.int64()),
+            "bg_df": pa.array([bg[x] for x in allt], pa.int64()),
+            "nn": pa.array([n] + [0] * (len(allt) - 1), pa.int64())
+            if allt else pa.array([], pa.int64())})
+
+    red = (champions.map_batches(partial, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("fg_df", alias_name="fg_df"),
+                      Sum("bg_df", alias_name="bg_df"),
+                      Sum("nn", alias_name="nn"))
+           .to_pandas())
+    bg_n = int(red["nn"].sum())
+    fg_n = int(red.loc[red.term == "data", "fg_df"].iloc[0])
+    red = red[red.fg_df >= 5].copy()
+    fgp = red.fg_df / fg_n
+    bgp = red.bg_df / bg_n
+    red["score"] = round_half_away(
+        ((fgp - bgp) * (fgp / bgp)).to_numpy(np.float64), 6)
+    red = red.sort_values(["score", "term"], ascending=[False, True]).head(10)
+    return red.reset_index(drop=True)[["term", "fg_df", "bg_df", "score"]]

@@ -444,3 +444,12 @@ def test_incremental_dedup_only_crosses_batches():
     assert (out["new_doc"] % 10 == 0).all()
     assert (out["dup_of"] % 10 != 0).all()
     assert (out["jaccard"] >= 0.8).all()
+
+
+def test_significant_text_dedup_vs_plain():
+    plain = ops.agg_significant_text(SF)
+    dd = ops.agg_significant_text_dedup(SF)
+    assert set(dd.columns) == set(plain.columns)
+    # deduped bg_df can never exceed the raw bg_df for a shared term
+    m = plain.merge(dd, on="term", suffixes=("_p", "_d"))
+    assert (m["bg_df_d"] <= m["bg_df_p"]).all()
