@@ -115,7 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_case_insensitive", "ft_mlt_unlike",
         "dedup_cluster_sizes", "knn_matryoshka_overlap",
         "dedup_minhash_incremental", "agg_derivative_unit",
-        "agg_significant_text_dedup",
+        "agg_significant_text_dedup", "percolate_existing_doc",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7480,6 +7480,20 @@ SELECT term, fg_df, bg_df,
 FROM counts CROSS JOIN fg_n CROSS JOIN bg_n
 WHERE fg_df >= 5
 ORDER BY score DESC, term LIMIT 10"""
+    out["percolate_existing_doc"] = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents WHERE doc_id IN (17, 42, 99)) u WHERE t <> ''),
+m0 AS (SELECT doc_id, 0 AS query_id FROM tok WHERE term IN ('data','query')
+       GROUP BY doc_id HAVING count(*) = 2),
+m1 AS (SELECT doc_id, 1 AS query_id FROM tok WHERE term = 'vector'),
+m2 AS (SELECT doc_id, 2 AS query_id FROM tok
+       WHERE term IN ('window','merge','batch')
+       GROUP BY doc_id HAVING count(*) = 3)
+SELECT * FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1
+               UNION ALL SELECT * FROM m2)
+ORDER BY doc_id, query_id"""
     out["decontaminate_bloom"] = out["dedup_decontaminate"]
     # the persisted int8 index must reproduce the on-the-fly quantized
     # search bit-for-bit: same oracle

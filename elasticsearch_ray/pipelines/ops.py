@@ -14516,3 +14516,21 @@ def agg_significant_text_dedup(sf_dir: str):
         ((fgp - bgp) * (fgp / bgp)).to_numpy(np.float64), 6)
     red = red.sort_values(["score", "term"], ascending=[False, True]).head(10)
     return red.reset_index(drop=True)[["term", "fg_df", "bg_df", "score"]]
+
+
+def percolate_existing_doc(sf_dir: str):
+    """percolate with an EXISTING indexed document (PercolateQueryBuilder's
+    index/id form — the reference fetches the doc, then percolates it like
+    an inline one): docs 17, 42 and 99 fetched by row-group-pruned point
+    read, run against the same stored-query set as the sibling percolate
+    op. Output: (doc_id, query_id) matches."""
+    import ray.data as rd
+
+    from ..functions.percolate import percolate_dataset
+    from ..sources.reader import fetch_rows_by_doc_id
+
+    rows = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                                [17, 42, 99], columns=["doc_id", "text"])
+    queries = [(qid, {"terms": terms}) for qid, terms in _PERCOLATE_QUERIES]
+    out = percolate_dataset(rd.from_arrow(rows), queries)
+    return out
