@@ -2108,7 +2108,7 @@ FROM (VALUES ('src0'), ('src5'), ('src9'), ('src13'), ('src17')) w(source)
 JOIN smap m USING (source) JOIN r ON r.shard = m.shard
 ORDER BY routing""",
         "indices_segments": """
-SELECT (doc_id // 2500)::BIGINT AS generation, count(*)::BIGINT AS doc_count,
+SELECT (doc_id // 600)::BIGINT AS generation, count(*)::BIGINT AS doc_count,
        1::BIGINT AS committed
 FROM documents GROUP BY 1 ORDER BY 1""",
         "ccnet_buckets": r"""

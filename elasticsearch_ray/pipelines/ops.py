@@ -9876,15 +9876,37 @@ def search_shards_nodes(sf_dir: str):
 
 
 def indices_segments(sf_dir: str):
-    """_segments API (RestIndicesSegmentsAction): per-segment metadata of
-    the live documents index — doc count, committed flag, generation.
-    The build partitions by doc_id range (docs_per_partition=2500), so
-    the oracle re-derives each segment's doc count from the raw table."""
-    from ..index.manifest import committed_segments, live_segments
-    from .fulltext import documents_index
+    """_segments API (RestIndicesSegmentsAction): per-segment metadata —
+    doc count, committed flag, generation. Reported over the 600-row-
+    row-group index (the same deterministic multi-segment layout the
+    force_merge and query_then_fetch gates use: the build plans one
+    fragment partition per 600-row group, so the segment layout is
+    ceil(n/600) regardless of the source parquet's row-group structure);
+    the oracle re-derives each segment's doc count from the row count."""
+    import hashlib
 
-    idx = documents_index(sf_dir)
-    live = live_segments(committed_segments(idx))
+    import pyarrow.parquet as pq
+
+    from ..index.build import build_index
+    from ..index.manifest import committed_segments, live_segments
+
+    src_pq = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha1(
+        f"{src_pq}:{os.path.getmtime(src_pq)}:qtf600".encode()).hexdigest()[:16]
+    root = os.path.join("/tmp/esray_cache", f"qtfidx_{tag}")
+    corpus = os.path.join(root, "corpus")
+    work = os.path.join(root, "index")
+    if not os.path.isdir(os.path.join(root, "_built_ok")):
+        os.makedirs(corpus, exist_ok=True)
+        t = pq.read_table(src_pq)
+        pq.write_table(t, os.path.join(corpus, "documents.parquet"),
+                       row_group_size=600)
+        build_index(os.path.join(corpus, "documents.parquet"), work,
+                    analyzer="simple", index_positions=False,
+                    docs_per_partition=600, num_buckets=8,
+                    content_column="text", meta_columns=())
+        os.makedirs(os.path.join(root, "_built_ok"), exist_ok=True)
+    live = live_segments(committed_segments(work))
     rows = []
     for gen, (sid, m) in enumerate(sorted(live.items())):
         rows.append((gen, m.doc_count, 1))
