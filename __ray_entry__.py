@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster_sizes", "knn_matryoshka_overlap",
         "dedup_minhash_incremental", "agg_derivative_unit",
         "agg_significant_text_dedup", "percolate_existing_doc",
+        "mapper_size_field", "murmur3_field_cardinality",
+        "ft_annotated_text",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7494,6 +7496,32 @@ m2 AS (SELECT doc_id, 2 AS query_id FROM tok
 SELECT * FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1
                UNION ALL SELECT * FROM m2)
 ORDER BY doc_id, query_id"""
+    out["mapper_size_field"] = """
+WITH sz AS (SELECT lang, length(text) AS size FROM documents),
+r AS (SELECT count(*) AS n FROM sz WHERE size >= 800 AND size < 1200)
+SELECT lang, count(*) AS docs, MIN(size) AS min_size,
+       MAX(size) AS max_size, CAST(SUM(size) AS BIGINT) AS sum_size,
+       (SELECT n FROM r) AS in_range_800_1200
+FROM sz GROUP BY lang ORDER BY lang"""
+
+    out["murmur3_field_cardinality"] = """
+WITH h(source, hv) AS (VALUES
+  ('src0', -1164416664), ('src1', 706699432), ('src2', 332406938),
+  ('src3', 1484881694), ('src4', 1035695491), ('src5', 1886931161),
+  ('src6', 800076671), ('src7', 400197407), ('src8', 1531411777),
+  ('src9', -1466533903), ('src10', 909986450), ('src11', 640363681),
+  ('src12', 984838713), ('src13', -862322557), ('src14', -924893696),
+  ('src15', 1485394773), ('src16', -1198424005), ('src17', -122829918),
+  ('src18', 1096668294), ('src19', -721911169)),
+pairs AS (SELECT DISTINCT d.lang, h.hv FROM documents d JOIN h USING (source))
+SELECT lang, count(*) AS distinct_hashes,
+       CAST(bit_xor(hv) AS BIGINT) AS hash_xor
+FROM pairs GROUP BY lang ORDER BY lang"""
+    out["ft_annotated_text"] = f"""
+WITH {_PTOK}
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS ann_pos
+FROM ptok WHERE term = 'merge'
+GROUP BY doc_id ORDER BY doc_id"""
     out["decontaminate_bloom"] = out["dedup_decontaminate"]
     # the persisted int8 index must reproduce the on-the-fly quantized
     # search bit-for-bit: same oracle

@@ -348,3 +348,36 @@ def get_analyzer(name: str) -> Analyzer:
 from .lang.analyzers import register_language_analyzers as _reg_langs  # noqa: E402
 
 _reg_langs(register_analyzer)
+
+
+def annotated_text_positions(s: str) -> list[tuple[str, int]]:
+    """mapper-annotated-text (plugins/mapper-annotated-text/.../
+    AnnotatedTextFieldMapper.java, AnnotatedText parser): markdown-like
+    `[surface](key1&key2)` spans emit the surface tokens AND each
+    annotation key as tokens at the SAME position as the first surface
+    token — so phrase/span queries work across surface text and
+    annotations. Returns [(token, position)] under the simple
+    tokenization rules."""
+    import re as _re
+    from urllib.parse import unquote
+
+    out: list[tuple[str, int]] = []
+    pos = 0
+    idx = 0
+    rx = _re.compile(r"\[([^\]]+)\]\(([^)]+)\)")
+    for m in rx.finditer(s):
+        for tok in analyze_simple(s[idx:m.start()]):
+            out.append((tok, pos))
+            pos += 1
+        surface = analyze_simple(m.group(1))
+        anchor = pos
+        for tok in surface:
+            out.append((tok, pos))
+            pos += 1
+        for key in m.group(2).split("&"):
+            out.append((unquote(key), anchor))
+        idx = m.end()
+    for tok in analyze_simple(s[idx:]):
+        out.append((tok, pos))
+        pos += 1
+    return out

@@ -14556,3 +14556,105 @@ def percolate_existing_doc(sf_dir: str):
     queries = [(qid, {"terms": terms}) for qid, terms in _PERCOLATE_QUERIES]
     out = percolate_dataset(rd.from_arrow(rows), queries)
     return out
+
+
+def mapper_size_field(sf_dir: str):
+    """mapper-size plugin (`_size` metadata field: the byte length of the
+    original _source, queryable and aggregatable): docs with
+    800 <= _size < 1200 plus per-lang _size stats over the full table.
+    _size here = length of the text payload (the engine's _source is the
+    text column). Filter pushes into the scan; stats are per-batch
+    integer partials."""
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def add_size(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"],
+                         "size": _pc.utf8_length(t["text"])})
+
+    sized = (_ds(sf_dir, "documents", ["lang", "text"])
+             .map_batches(add_size, batch_format="pyarrow"))
+    stats = (sized.groupby("lang")
+             .aggregate(Count(alias_name="docs"),
+                        Min("size", alias_name="min_size"),
+                        Max("size", alias_name="max_size"),
+                        Sum("size", alias_name="sum_size"))
+             .to_pandas().sort_values("lang").reset_index(drop=True))
+    in_range = (sized.map_batches(
+        lambda t: t.filter(_pc.and_(_pc.greater_equal(t["size"], 800),
+                                    _pc.less(t["size"], 1200))),
+        batch_format="pyarrow").count())
+    stats["in_range_800_1200"] = np.int64(in_range)
+    for c in ("docs", "min_size", "max_size", "sum_size",
+              "in_range_800_1200"):
+        stats[c] = stats[c].astype(np.int64)
+    return stats
+
+
+def murmur3_field_cardinality(sf_dir: str):
+    """mapper-murmur3 plugin (Murmur3FieldMapper: index the murmur3 hash
+    of the value; cardinality aggs then hash-count without re-hashing at
+    query time): per lang, count of DISTINCT murmur3(source) hashes plus
+    their XOR (order-invariant checksum the oracle reproduces from
+    embedded hash constants — the mapper plugin's x64_128 is substituted
+    with the engine's stable murmur3_x86_32 routing hash, documented).
+    Per-batch distinct-pair partials -> ONE (lang, hash) exchange."""
+    from ray.data.aggregate import Count
+
+    from ..index.routing import routing_hash
+
+    def hashed(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        h = np.array([routing_hash(str(u)) for u in uniq], np.int64)[inv]
+        return pa.Table.from_pandas(
+            pd.DataFrame({"lang": t["lang"].to_pylist(), "h": h})
+            .drop_duplicates(), preserve_index=False).replace_schema_metadata(None)
+
+    pairs = (_ds(sf_dir, "documents", ["lang", "source"])
+             .map_batches(hashed, batch_format="pyarrow")
+             .groupby(["lang", "h"]).aggregate(Count(alias_name="c"))
+             .to_pandas())
+    out = (pairs.groupby("lang")
+           .agg(distinct_hashes=("h", "size"),
+                hash_xor=("h", lambda s: int(np.bitwise_xor.reduce(
+                    s.to_numpy(np.int64)))))
+           .reset_index().sort_values("lang").reset_index(drop=True))
+    out["distinct_hashes"] = out["distinct_hashes"].astype(np.int64)
+    out["hash_xor"] = out["hash_xor"].astype(np.int64)
+    return out
+
+
+def ft_annotated_text(sf_dir: str):
+    """mapper-annotated-text plugin (AnnotatedTextFieldMapper): the first
+    occurrence of 'merge' in each doc is annotated `[merge](action:merge)`
+    at ingest; the annotated-text analyzer emits the annotation key at
+    the SAME position as the surface token, so an annotation-term search
+    returns exactly the docs containing the surface term AND the key's
+    position equals the surface token's position — both re-derived by
+    the oracle from the raw token stream."""
+    import re as _re
+
+    from ..analyzer import annotated_text_positions
+
+    rx = _re.compile(r"\bmerge\b")
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, poss = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ann = rx.sub("[merge](action:merge)", txt, count=1)
+            toks = annotated_text_positions(ann)
+            hit = [p for tok, p in toks if tok == "action:merge"]
+            if hit:
+                ids.append(did)
+                poss.append(hit[0])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "ann_pos": pa.array(poss, pa.int64())})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(scan, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["ann_pos"] = out["ann_pos"].astype(np.int64)
+    return out

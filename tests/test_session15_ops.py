@@ -453,3 +453,24 @@ def test_significant_text_dedup_vs_plain():
     # deduped bg_df can never exceed the raw bg_df for a shared term
     m = plain.merge(dd, on="term", suffixes=("_p", "_d"))
     assert (m["bg_df_d"] <= m["bg_df_p"]).all()
+
+
+def test_annotated_text_same_position_semantics():
+    from elasticsearch_ray.analyzer import annotated_text_positions
+
+    toks = annotated_text_positions("a [big data](concept:bd&topic:x) win")
+    d = {}
+    for t, p in toks:
+        d.setdefault(t, p)
+    # annotation keys anchor at the FIRST surface token's position
+    assert d["concept:bd"] == d["big"]
+    assert d["topic:x"] == d["big"]
+    assert d["data"] == d["big"] + 1
+    assert d["win"] == d["data"] + 1
+
+
+def test_mapper_size_and_murmur3_ops():
+    sz = ops.mapper_size_field(SF)
+    assert (sz["min_size"] <= sz["max_size"]).all()
+    mh = ops.murmur3_field_cardinality(SF)
+    assert (mh["distinct_hashes"] <= 20).all()
