@@ -98,3 +98,29 @@ def test_sql_expression_plans_match_duckdb(ray_session, seed):
             got[cols].reset_index(drop=True),
             want[cols].reset_index(drop=True),
             check_dtype=False, atol=1e-9, rtol=1e-12, obj=f"sql {sql!r}")
+
+
+def _distinct_case(rng: np.random.Generator) -> str:
+    cols = list(rng.choice(["event_type", "user_id"],
+                           size=int(rng.integers(1, 3)), replace=False))
+    sql = f"SELECT DISTINCT {', '.join(cols)} FROM events"
+    if rng.random() < 0.5:
+        sql += f" WHERE value >= {int(rng.integers(0, 120))}"
+    sql += f" ORDER BY {', '.join(cols)}"
+    if rng.random() < 0.5:
+        sql += f" LIMIT {int(rng.integers(2, 30))}"
+    return sql
+
+
+@pytest.mark.parametrize("seed", [23, 41])
+def test_sql_distinct_plans_match_duckdb(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(8):
+        sql = _distinct_case(rng)
+        got = run_sql(sql, SF, ds_factory=_ds)
+        want = duckdb.sql(sql.replace("FROM events", f"FROM {EV}")).df()
+        cols = sorted(want.columns)
+        pd.testing.assert_frame_equal(
+            got[cols].reset_index(drop=True),
+            want[cols].reset_index(drop=True),
+            check_dtype=False, obj=f"sql {sql!r}")
