@@ -381,3 +381,13 @@ def annotated_text_positions(s: str) -> list[tuple[str, int]]:
         out.append((tok, pos))
         pos += 1
     return out
+
+
+def _annotated_flat(s: str) -> list[str]:
+    return [t for t, _ in annotated_text_positions(s)]
+
+
+# registered post-definition: the annotated-text analyzer is a first-class
+# registry entry so index builds can use analyzer="annotated" directly
+REGISTRY["annotated"] = Analyzer(
+    "annotated", _annotated_flat, annotated_text_positions)

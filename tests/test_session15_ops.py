@@ -474,3 +474,33 @@ def test_mapper_size_and_murmur3_ops():
     assert (sz["min_size"] <= sz["max_size"]).all()
     mh = ops.murmur3_field_cardinality(SF)
     assert (mh["distinct_hashes"] <= 20).all()
+
+
+def test_annotated_analyzer_registered_and_indexable():
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.analyzer import get_analyzer
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    assert get_analyzer("annotated")("a [b c](k:1) d") == \
+        ["a", "b", "c", "k:1", "d"]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["plain words here",
+                     "see [big data](concept:bd) inside"]}),
+            f"{d}/c.parquet")
+        idx = f"{d}/idx"
+        build_index(f"{d}/c.parquet", idx, analyzer="annotated",
+                    index_positions=True, content_column="text",
+                    meta_columns=(), num_buckets=4)
+        s = IndexSearcher(idx, main_field="text", analyzer="annotated")
+        ids, _ = s._eval({"kind": "term", "term": "concept:bd"})
+        assert list(ids) == [1]
+        # same-position semantics: phrase across annotation + next token
+        ids2, _ = s._eval({"kind": "match_phrase", "text": "big data"})
+        assert list(ids2) == [1]
