@@ -117,7 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_incremental", "agg_derivative_unit",
         "agg_significant_text_dedup", "percolate_existing_doc",
         "mapper_size_field", "murmur3_field_cardinality",
-        "ft_annotated_text",
+        "ft_annotated_text", "text_structure_log",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7522,6 +7522,15 @@ WITH {_PTOK}
 SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS ann_pos
 FROM ptok WHERE term = 'merge'
 GROUP BY doc_id ORDER BY doc_id"""
+    out["text_structure_log"] = """
+SELECT * FROM (
+  SELECT 'format' AS property, 'semi_structured_text' AS value
+  UNION ALL SELECT 'grok_pattern',
+    '%{TIMESTAMP_ISO8601:timestamp} %{GREEDYDATA:message}'
+  UNION ALL SELECT 'num_lines_analyzed',
+    CAST(LEAST((SELECT count(*) FROM events), 200) AS VARCHAR)
+  UNION ALL SELECT 'timestamp_field', 'timestamp')
+ORDER BY property"""
     out["decontaminate_bloom"] = out["dedup_decontaminate"]
     # the persisted int8 index must reproduce the on-the-fly quantized
     # search bit-for-bit: same oracle

@@ -14658,3 +14658,27 @@ def ft_annotated_text(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["ann_pos"] = out["ann_pos"].astype(np.int64)
     return out
+
+
+def text_structure_log(sf_dir: str):
+    """find_structure on SEMI-STRUCTURED log text (x-pack text-structure's
+    third detection tier, after ndjson and delimited): ISO-timestamp-led
+    lines built from the events stream; detection must land on
+    semi_structured_text with the TIMESTAMP_ISO8601 grok candidate and a
+    timestamp field. Output: the structure verdicts as (property, value)
+    rows; num_lines_analyzed derives from the data (lines_to_sample cap
+    at 200), which the oracle recomputes."""
+    from ..sources.structure import find_structure
+
+    df = (_ds(sf_dir, "events", ["ts", "event_type", "value"])
+          .limit(200).to_pandas())
+    lines = [f"{pd.Timestamp(r.ts).isoformat()} {r.event_type} "
+             f"value={r.value}" for r in df.itertuples(index=False)]
+    st = find_structure(lines)
+    rows = [
+        ("format", st["format"]),
+        ("grok_pattern", st["grok_pattern"]),
+        ("num_lines_analyzed", str(st["num_lines_analyzed"])),
+        ("timestamp_field", st["timestamp_field"]),
+    ]
+    return pd.DataFrame(rows, columns=["property", "value"])
