@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_significant_text_dedup", "percolate_existing_doc",
         "mapper_size_field", "murmur3_field_cardinality",
         "ft_annotated_text", "text_structure_log",
+        "ft_render_template_sections",
         # --- round-3 session-14 ops ---
         "esql_scalb_round_to", "ft_weighted_tokens",
         "ft_rule_query", "sql_cursor_page",
@@ -7531,6 +7532,24 @@ SELECT * FROM (
     CAST(LEAST((SELECT count(*) FROM events), 200) AS VARCHAR)
   UNION ALL SELECT 'timestamp_field', 'timestamp')
 ORDER BY property"""
+    out["ft_render_template_sections"] = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok
+       WHERE term = 'data' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+scored AS (SELECT tf.doc_id AS doc_id, ROUND({_SCORE}, 4) AS score
+           FROM tf CROSS JOIN df CROSS JOIN st
+                JOIN dl ON dl.doc_id = tf.doc_id),
+nc AS (SELECT doc_id, n_chars FROM documents),
+p0 AS (SELECT 0 AS phase, s.doc_id, s.score FROM scored s
+       JOIN nc ON nc.doc_id = s.doc_id WHERE nc.n_chars >= 300),
+p1 AS (SELECT 1, doc_id, score FROM scored),
+p2 AS (SELECT 2, doc_id, 1.0 FROM (
+  SELECT DISTINCT doc_id FROM tok
+  WHERE term IN ('data', 'merge', 'window')))
+SELECT * FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+               UNION ALL SELECT * FROM p2)
+ORDER BY phase, doc_id"""
     out["decontaminate_bloom"] = out["dedup_decontaminate"]
     # the persisted int8 index must reproduce the on-the-fly quantized
     # search bit-for-bit: same oracle

@@ -3518,22 +3518,43 @@ _TEMPLATE_PARAM_RE = None
 
 
 def render_search_template(source: str, params: dict) -> dict:
-    """Mustache-lite renderer for the _search/template surface
-    (modules/lang-mustache): {{name}} placeholders are substituted from
-    params (strings verbatim inside their quotes, non-strings as JSON
-    literals), then the rendered source is parsed as a query dict."""
+    """Mustache renderer for the _search/template surface
+    (modules/lang-mustache CustomMustacheFactory): {{name}} placeholders
+    substitute from params (strings verbatim inside their quotes,
+    non-strings as JSON literals); {{#name}}...{{/name}} sections render
+    when truthy and ITERATE over list values binding {{.}} to each item;
+    {{^name}}...{{/name}} renders on falsy (inverted sections)."""
     import json
     import re as _re
 
-    global _TEMPLATE_PARAM_RE
-    if _TEMPLATE_PARAM_RE is None:
-        _TEMPLATE_PARAM_RE = _re.compile(r"\{\{(\w+)\}\}")
+    sec = _re.compile(r"\{\{([#^])([\w.]+)\}\}(.*?)\{\{/\2\}\}", _re.S)
+    ph = _re.compile(r"\{\{([\w.]+)\}\}")
 
-    def sub(m):
-        v = params[m.group(1)]
-        return v if isinstance(v, str) else json.dumps(v)
+    def render(src: str, env: dict) -> str:
+        def rsec(m):
+            kind, name, body = m.group(1), m.group(2), m.group(3)
+            v = env.get(name)
+            truthy = bool(v)
+            if kind == "#":
+                if not truthy:
+                    return ""
+                if isinstance(v, list):
+                    return "".join(render(body, {**env, ".": item})
+                                   for item in v)
+                return render(body, env)
+            return "" if truthy else render(body, env)
 
-    return json.loads(_TEMPLATE_PARAM_RE.sub(sub, source))
+        out = src
+        while sec.search(out):
+            out = sec.sub(rsec, out)
+
+        def sub(m):
+            v = env[m.group(1)]
+            return v if isinstance(v, str) else json.dumps(v)
+
+        return ph.sub(sub, out)
+
+    return json.loads(render(source, dict(params)))
 
 
 def ft_search_template(sf_dir: str):
@@ -14682,3 +14703,35 @@ def text_structure_log(sf_dir: str):
         ("timestamp_field", st["timestamp_field"]),
     ]
     return pd.DataFrame(rows, columns=["property", "value"])
+
+
+def ft_render_template_sections(sf_dir: str):
+    """Mustache sections in search templates (lang-mustache
+    CustomMustacheFactory: {{#x}} conditional/iteration, {{^x}}
+    inverted, {{.}} item binding — the reference docs' canonical
+    conditional-filter and terms-list idioms): the SAME template renders
+    with and without the optional range filter (phase 0/1), and a
+    {{#list}} section builds a terms query from a params LIST (phase 2).
+    Every rendered query then executes for real."""
+    from .fulltext import all_matches
+
+    tpl = ('{"kind": "bool", "must": [{"kind": "term", "term": "{{q}}"}]'
+           '{{#lo}}, "filter": [{"kind": "script", "script": '
+           '"n_chars >= {{lo}}"}]{{/lo}}}')
+    frames = []
+    for phase, params in ((0, {"q": "data", "lo": 300}),
+                          (1, {"q": "data", "lo": None})):
+        q = render_search_template(tpl, params)
+        t = all_matches(sf_dir, q).to_pandas()
+        t.insert(0, "phase", np.int64(phase))
+        frames.append(t)
+    terms_tpl = ('{"kind": "terms", "terms": '
+                 '[{{#vals}}"{{.}}",{{/vals}}"window"]}')
+    q2 = render_search_template(terms_tpl, {"vals": ["data", "merge"]})
+    t2 = all_matches(sf_dir, q2, with_score=False).to_pandas()
+    t2.insert(0, "phase", np.int64(2))
+    t2["score"] = 1.0
+    frames.append(t2)
+    out = pd.concat(frames, ignore_index=True)
+    out["phase"] = out["phase"].astype(np.int64)
+    return out

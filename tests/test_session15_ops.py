@@ -504,3 +504,17 @@ def test_annotated_analyzer_registered_and_indexable():
         # same-position semantics: phrase across annotation + next token
         ids2, _ = s._eval({"kind": "match_phrase", "text": "big data"})
         assert list(ids2) == [1]
+
+
+def test_mustache_sections_renderer():
+    from elasticsearch_ray.pipelines.ops import render_search_template as r
+
+    # iteration binds {{.}}; inverted sections render on falsy
+    q = r('{"kind":"terms","terms":[{{#v}}"{{.}}",{{/v}}"z"]}',
+          {"v": ["a", "b"]})
+    assert q["terms"] == ["a", "b", "z"]
+    q2 = r('{"kind":"term","term":"{{#x}}yes{{/x}}{{^x}}no{{/x}}"}',
+           {"x": None})
+    assert q2["term"] == "no"
+    # plain placeholders unchanged (back-compat)
+    assert r('{"kind":"term","term":"{{t}}"}', {"t": "d"})["term"] == "d"
