@@ -518,3 +518,35 @@ def test_mustache_sections_renderer():
     assert q2["term"] == "no"
     # plain placeholders unchanged (back-compat)
     assert r('{"kind":"term","term":"{{t}}"}', {"t": "d"})["term"] == "d"
+
+
+def test_fuzz_porter_python_vs_sql():
+    """Differential fuzz: random words (random letters + rule-exercising
+    suffixes) through the Python Porter stemmer AND the Porter-in-SQL
+    pipeline the oracles use — the two implementations must agree on
+    every word."""
+    import random
+
+    import duckdb
+
+    from elasticsearch_ray.filters import porter_stem
+    from elasticsearch_ray.lang.sql_oracle import porter_pipeline_ctes
+
+    rng = random.Random(424242)
+    sufs = ["", "s", "es", "ies", "ing", "ed", "ation", "ational", "izer",
+            "fulness", "ousness", "iviti", "alism", "ement", "ness", "ly",
+            "e", "ement", "ies", "sses"]
+    words = []
+    for _ in range(120):
+        stem = "".join(rng.choices("abcdefghijklmnopqrstuvwxyz",
+                                   k=rng.randint(2, 8)))
+        words.append(stem + rng.choice(sufs))
+    want = [porter_stem(w) for w in words]
+    ctes, last = porter_pipeline_ctes()
+    vals = ", ".join(f"({i}, '{w}')" for i, w in enumerate(words))
+    sql = (f"WITH tok0(position, w) AS (VALUES {vals}), "
+           + ",\n".join(ctes)
+           + f" SELECT w FROM {last} ORDER BY position")
+    got = [r[0] for r in duckdb.sql(sql).fetchall()]
+    mism = [(w, a, b) for w, a, b in zip(words, want, got) if a != b]
+    assert not mism, mism[:5]
