@@ -550,3 +550,57 @@ def test_fuzz_porter_python_vs_sql():
     got = [r[0] for r in duckdb.sql(sql).fetchall()]
     mism = [(w, a, b) for w, a, b in zip(words, want, got) if a != b]
     assert not mism, mism[:5]
+
+
+def test_fuzz_geo_kernels_vs_sql():
+    """Differential fuzz: 300 random coordinates through the Python
+    geohash (precision 2) and geotile (z=3) kernels vs the inline SQL
+    formulations the oracles use (10-bit interleave; web-mercator with
+    the 85.05112878 clamp)."""
+    import duckdb
+    import numpy as np
+
+    from elasticsearch_ray.geo import geohash_encode, geotile_cell
+
+    rng = np.random.default_rng(31337)
+    lat = rng.uniform(-89.9, 89.9, 300)
+    lon = rng.uniform(-179.9, 179.9, 300)
+    gh = geohash_encode(lat, lon, 2)
+    gt = geotile_cell(lat, lon, 3)
+    vals = ", ".join(f"({i}, {la!r}, {lo!r})"
+                     for i, (la, lo) in enumerate(zip(lat, lon)))
+    sql = f"""
+WITH e(i, lat, lon) AS (VALUES {vals}),
+b AS (SELECT i,
+        least(CAST(floor((lon + 180.0) / 360.0 * 32) AS INTEGER), 31) AS lx,
+        least(CAST(floor((lat + 90.0) / 180.0 * 32) AS INTEGER), 31) AS ly
+      FROM e),
+ghv AS (SELECT i,
+        ((lx // 16) % 2) * 512 + ((ly // 16) % 2) * 256
+        + ((lx // 8) % 2) * 128 + ((ly // 8) % 2) * 64
+        + ((lx // 4) % 2) * 32 + ((ly // 4) % 2) * 16
+        + ((lx // 2) % 2) * 8 + ((ly // 2) % 2) * 4
+        + (lx % 2) * 2 + (ly % 2) AS v
+      FROM b),
+gh AS (SELECT i,
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (v // 32) + 1, 1) ||
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (v % 32) + 1, 1) AS cell
+       FROM ghv),
+gt AS (SELECT i,
+        least(greatest(CAST(floor((lon + 180.0) / 360.0 * 8)
+                            AS BIGINT), 0), 7) AS tx,
+        least(greatest(CAST(floor((1.0 - ln(
+              tan(radians(greatest(least(lat, 85.05112878), -85.05112878)))
+              + sqrt(tan(radians(greatest(least(lat, 85.05112878),
+                                          -85.05112878)))
+                * tan(radians(greatest(least(lat, 85.05112878),
+                                       -85.05112878))) + 1.0)) / pi())
+              / 2.0 * 8) AS BIGINT), 0), 7) AS ty
+      FROM e)
+SELECT gh.cell, '3/' || gt.tx || '/' || gt.ty
+FROM gh JOIN gt USING (i) ORDER BY i"""
+    rows = duckdb.sql(sql).fetchall()
+    mism = [(i, gh[i], rows[i][0], gt[i], rows[i][1])
+            for i in range(300)
+            if gh[i] != rows[i][0] or gt[i] != rows[i][1]]
+    assert not mism, mism[:5]
