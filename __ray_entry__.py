@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
     # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
+        # --- round-3 session-16 ops ---
+        "esql_sample", "agg_cartesian_centroid", "agg_cartesian_bounds",
+        "bulk_update_merge", "update_conflicts_seq_no",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7554,4 +7557,48 @@ ORDER BY phase, doc_id"""
     # the persisted int8 index must reproduce the on-the-fly quantized
     # search bit-for-bit: same oracle
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
+    # --- round-3 session-16 ops ---
+    out.update({
+        "esql_sample": """
+WITH s AS (
+  SELECT * FROM events
+  WHERE ((event_id * 2654435761 + 7 * 40503) % 4294967296)
+        < 0.2 * 4294967296)
+SELECT event_type, count(*) AS n, ROUND(AVG(value), 4) AS avg_v
+FROM s GROUP BY event_type ORDER BY event_type""",
+        "agg_cartesian_centroid": """
+SELECT ROUND(AVG((p_partkey * 7919) % 1000 + 0.5), 4) AS x,
+       ROUND(AVG((p_partkey * 104729) % 1000 + 0.5), 4) AS y,
+       count(*) AS count
+FROM part""",
+        "agg_cartesian_bounds": """
+SELECT ROUND(MIN((p_partkey * 7919) % 1000 + 0.5), 4) AS min_x,
+       ROUND(MAX((p_partkey * 7919) % 1000 + 0.5), 4) AS max_x,
+       ROUND(MIN((p_partkey * 104729) % 1000 + 0.5), 4) AS min_y,
+       ROUND(MAX((p_partkey * 104729) % 1000 + 0.5), 4) AS max_y
+FROM part""",
+        "bulk_update_merge": """
+WITH merged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'edited' ELSE source END AS source,
+         CASE WHEN doc_id % 3 = 0 THEN 'updated'
+              WHEN doc_id % 3 = 1 THEN 'noop'
+              ELSE 'skipped' END AS result
+  FROM documents
+  UNION ALL
+  SELECT (SELECT count(*) FROM documents) + u.i, 'edited', 'created'
+  FROM unnest(generate_series(0, 6)) AS u(i)),
+k AS (SELECT 'result:' || result AS key, count(*) AS n
+      FROM merged GROUP BY result
+      UNION ALL
+      SELECT 'source:' || source, count(*) FROM merged GROUP BY source)
+SELECT key, n FROM k ORDER BY key""",
+        "update_conflicts_seq_no": """
+SELECT lang,
+       CAST(SUM(CASE WHEN (doc_id * 40503) % 13 = (doc_id * 24036583) % 13
+                THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+       CAST(SUM(CASE WHEN (doc_id * 40503) % 13 = (doc_id * 24036583) % 13
+                THEN 0 ELSE 1 END) AS BIGINT) AS version_conflicts
+FROM documents GROUP BY lang ORDER BY lang""",
+    })
     return out

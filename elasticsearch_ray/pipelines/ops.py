@@ -14735,3 +14735,150 @@ def ft_render_template_sections(sf_dir: str):
     out = pd.concat(frames, ignore_index=True)
     out["phase"] = out["phase"].astype(np.int64)
     return out
+
+
+# ---------------- round-3 session-16 ops ----------------
+
+
+def esql_sample(sf_dir: str):
+    """ES|QL SAMPLE command (x-pack esql Sample, 8.18): probabilistic
+    row sampling. The engine's keep decision is a deterministic Knuth
+    multiplicative hash of the row key (functions/esql._sample_fn), so
+    the sampled aggregate is partition-invariant and exactly
+    oracle-expressible: keep iff (key*2654435761 + seed*40503) mod 2^32
+    < p * 2^32."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | SAMPLE 0.2 7
+        | STATS n = COUNT(*), avg_v = AVG(value) BY event_type
+        | SORT event_type
+    ''')
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    out["avg_v"] = round_half_away(out["avg_v"].to_numpy(np.float64), 4)
+    return out
+
+
+def agg_cartesian_centroid(sf_dir: str):
+    """cartesian_centroid agg (x-pack spatial CartesianCentroid-
+    Aggregator, the planar twin of geo_centroid): arithmetic mean of the
+    indexed cartesian POINT coordinates (the same deterministic planar
+    points the `shape` query family indexes) plus the point count."""
+    from ray.data.aggregate import Count, Mean
+
+    ds = (_ds(sf_dir, "part", ["p_partkey"])
+          .map_batches(_cart_points, batch_format="pyarrow"))
+    r = ds.aggregate(Mean("x", alias_name="x"), Mean("y", alias_name="y"),
+                     Count(alias_name="count"))
+    return pd.DataFrame({
+        "x": [float(round_half_away(r["x"], 4))],
+        "y": [float(round_half_away(r["y"], 4))],
+        "count": pd.array([r["count"]], dtype="int64"),
+    })
+
+
+def agg_cartesian_bounds(sf_dir: str):
+    """cartesian_bounds agg (x-pack spatial CartesianBoundsAggregator):
+    the tight bounding box of the indexed planar points — Min/Max
+    partials per block, trivially mergeable (no dateline wrapping in
+    cartesian space, unlike geo_bounds)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = (_ds(sf_dir, "part", ["p_partkey"])
+          .map_batches(_cart_points, batch_format="pyarrow"))
+    r = ds.aggregate(Min("x", alias_name="min_x"), Max("x", alias_name="max_x"),
+                     Min("y", alias_name="min_y"), Max("y", alias_name="max_y"))
+    return pd.DataFrame({k: [float(round_half_away(r[k], 4))]
+                         for k in ("min_x", "max_x", "min_y", "max_y")})
+
+
+def bulk_update_merge(sf_dir: str):
+    """_bulk `update` actions with partial-doc merge, `doc_as_upsert` and
+    `detect_noop` (action/update/UpdateHelper.java: prepareUpdate merges
+    the partial doc into the existing source; detect_noop=true reports
+    `noop` when the merge changes nothing; doc_as_upsert=true indexes
+    the partial doc as a new document when the id is absent).
+
+    The update stream (driver-small by contract, like a real _bulk body)
+    is ray.put-broadcast and applied per batch — the base table streams,
+    updates never shuffle. Output: per-result counters plus the merged
+    table's per-source doc counts, both re-derived by the oracle."""
+    import ray
+    from ray.data.aggregate import Count
+
+    base = _ds(sf_dir, "documents", ["doc_id", "source", "lang"])
+    n_docs = base.count()
+    # partial docs: ids ≡ 0 (mod 3) move to source='edited'; ids ≡ 1
+    # (mod 3) "update" source to its current deterministic value (a noop
+    # under detect_noop); ids past the end arrive via doc_as_upsert
+    upserts = [{"doc_id": n_docs + i, "source": "edited", "lang": "xx"}
+               for i in range(7)]
+
+    def apply_updates(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        updated = did % 3 == 0
+        noop = did % 3 == 1  # merged doc equals existing doc
+        src = np.where(updated, "edited", src)
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "source": pa.array(src, pa.string()),
+            "lang": t["lang"],
+            "result": pa.array(np.where(updated, "updated",
+                               np.where(noop, "noop", "skipped")),
+                               pa.string()),
+        })
+
+    merged = base.map_batches(apply_updates, batch_format="pyarrow")
+    up_tbl = pa.Table.from_pylist(
+        [{**u, "result": "created"} for u in upserts],
+        schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                          ("lang", pa.string()), ("result", pa.string())]))
+    import ray.data as rd
+
+    merged = merged.union(rd.from_arrow(up_tbl))
+    res = (merged.groupby("result").aggregate(Count(alias_name="n"))
+           .to_pandas())
+    by_src = (merged.groupby("source").aggregate(Count(alias_name="n"))
+              .to_pandas())
+    res["key"] = "result:" + res["result"]
+    by_src["key"] = "source:" + by_src["source"]
+    out = pd.concat([res[["key", "n"]], by_src[["key", "n"]]],
+                    ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("key").reset_index(drop=True)
+
+
+def update_conflicts_seq_no(sf_dir: str):
+    """Optimistic concurrency control with if_seq_no (index/engine
+    VersionConflictEngineException; _update_by_query `conflicts=proceed`
+    counts version_conflicts in BulkByScrollResponse): each doc carries
+    seq_no = (doc_id * 40503) mod 13; a writer batch preconditions every
+    write on if_seq_no = (doc_id * 24036583) mod 13. Writes whose
+    precondition mismatches are conflicts (skipped under proceed);
+    matches apply. Output: updated / version_conflicts counters plus
+    the surviving write count per lang."""
+    from ray.data.aggregate import Count, Sum
+
+    base = _ds(sf_dir, "documents", ["doc_id", "lang"])
+
+    def attempt(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        seq_no = (did * 40503) % 13
+        if_seq_no = (did * 24036583) % 13
+        ok = seq_no == if_seq_no
+        return pa.table({
+            "lang": t["lang"],
+            "updated": pa.array(ok.astype(np.int64)),
+            "conflict": pa.array((~ok).astype(np.int64)),
+        })
+
+    per_lang = (base.map_batches(attempt, batch_format="pyarrow")
+                .groupby("lang")
+                .aggregate(Sum("updated", alias_name="updated"),
+                           Sum("conflict", alias_name="version_conflicts"))
+                .to_pandas())
+    for c in ("updated", "version_conflicts"):
+        per_lang[c] = per_lang[c].astype(np.int64)
+    return per_lang.sort_values("lang").reset_index(drop=True)
