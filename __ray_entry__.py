@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 session-16 ops ---
         "esql_sample", "agg_cartesian_centroid", "agg_cartesian_bounds",
         "bulk_update_merge", "update_conflicts_seq_no",
+        "ft_match_only_text", "ft_copy_to", "ft_position_increment_gap",
+        "mapping_dynamic_templates",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7559,6 +7561,59 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "ft_match_only_text": f"""
+WITH {_PTOK},
+p0 AS (SELECT DISTINCT doc_id FROM ptok WHERE term IN ('data', 'merge')),
+p1 AS (SELECT DISTINCT a.doc_id FROM ptok a
+       JOIN ptok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'data' AND b.term = 'query')
+SELECT phase, doc_id, 1.0 AS score FROM (
+  SELECT 0 AS phase, doc_id FROM p0
+  UNION ALL SELECT 1, doc_id FROM p1)
+ORDER BY phase, doc_id""",
+        "ft_copy_to": """
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(
+        lower(lang || ' ' || source), '[^a-z0-9]+')) AS t
+    FROM documents) u WHERE t <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT count(*) FROM tok) AS sumdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('en', 'src3') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id,
+       ROUND(SUM(ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * 2.2 * tf.tf /
+                 (tf.tf + 1.2*(0.25 + 0.75 * dl.dl * st.n / st.sumdl))),
+             4) AS score
+FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+GROUP BY tf.doc_id ORDER BY doc_id""",
+        "ft_position_increment_gap": """
+WITH c AS (SELECT
+    (SELECT count(*) FROM documents
+     WHERE source = 'src2' AND lang = 'en') AS cross_hits,
+    (SELECT count(*) FROM documents WHERE lang = 'en') AS within_hits)
+SELECT gap, phrase, hits FROM (
+  SELECT 0 AS gap, 'cross' AS phrase, cross_hits AS hits FROM c
+  UNION ALL SELECT 0, 'within', within_hits FROM c
+  UNION ALL SELECT 100, 'cross', 0 FROM c
+  UNION ALL SELECT 100, 'within', within_hits FROM c)
+ORDER BY gap, phrase""",
+        "mapping_dynamic_templates": r"""
+WITH f AS (SELECT * FROM events
+           WHERE event_id = (SELECT MIN(event_id) FROM events))
+SELECT field, type FROM (
+  SELECT 'clicks_count' AS field, 'long' AS type FROM f
+  UNION ALL SELECT 'event_type', 'text_keyword' FROM f
+  UNION ALL SELECT 'note', 'text_keyword' FROM f
+  UNION ALL SELECT 'ts_str',
+    CASE WHEN regexp_matches(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+              '^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2})?$')
+         THEN 'date' ELSE 'text_keyword' END FROM f
+  UNION ALL SELECT 'user_id', 'long' FROM f
+  UNION ALL SELECT 'value', 'double' FROM f)
+ORDER BY field""",
         "esql_sample": """
 WITH s AS (
   SELECT * FROM events

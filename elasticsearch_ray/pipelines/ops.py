@@ -14882,3 +14882,225 @@ def update_conflicts_seq_no(sf_dir: str):
     for c in ("updated", "version_conflicts"):
         per_lang[c] = per_lang[c].astype(np.int64)
     return per_lang.sort_values("lang").reset_index(drop=True)
+
+
+def ft_match_only_text(sf_dir: str):
+    """match_only_text field type (8.x MatchOnlyTextFieldMapper): text
+    indexed WITHOUT frequencies or positions — every query on the field
+    is constant-score (1.0), and positional queries re-derive positions
+    from _source at verification time (SourceConfirmedTextQuery).
+
+    Phase 0: match 'data merge' (OR) — doc set from the postings, score
+    pinned at 1.0. Phase 1: match_phrase 'data query' — candidates from
+    the docs-only postings (both terms present), adjacency then verified
+    by re-analyzing the stored text per batch, never from indexed
+    positions."""
+    import pyarrow.compute as pc
+
+    from ..analyzer import analyze_simple
+
+    s = documents_searcher(sf_dir)
+    ids0, _ = s._eval({"kind": "match", "text": "data merge"})
+    cand, _ = s._eval({"kind": "match", "text": "data query",
+                       "operator": "and"})
+    cand_list = np.sort(cand).astype(np.int64).tolist()
+
+    def verify(t: pa.Table) -> pa.Table:
+        keep = []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = analyze_simple(txt)
+            if any(a == "data" and b == "query"
+                   for a, b in zip(toks, toks[1:])):
+                keep.append(did)
+        return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+    phrase = (_ds(sf_dir, "documents", ["doc_id", "text"],
+                  flt=pc.field("doc_id").isin(cand_list))
+              .map_batches(verify, batch_format="pyarrow")
+              .to_pandas())
+    out = pd.concat([
+        pd.DataFrame({"phase": np.int64(0),
+                      "doc_id": np.sort(ids0).astype(np.int64)}),
+        pd.DataFrame({"phase": np.int64(1),
+                      "doc_id": np.sort(phrase["doc_id"].to_numpy())
+                      .astype(np.int64)}),
+    ], ignore_index=True)
+    out["score"] = 1.0
+    out["phase"] = out["phase"].astype(np.int64)
+    return out
+
+
+_COPY_TO_IDX: dict[str, object] = {}
+
+
+def _copy_to_searcher(sf_dir: str):
+    """Index whose `meta_all` field is the copy_to destination of `lang`
+    and `source` (FieldMapper.CopyTo: each source field's analyzed
+    tokens are appended to the destination field's stream, so dl / df /
+    avgdl all derive from the UNION of values)."""
+    if sf_dir in _COPY_TO_IDX:
+        return _COPY_TO_IDX[sf_dir]
+    import hashlib as _h
+
+    import duckdb as _duck
+
+    from ..index.build import build_index
+    from ..search.engine import IndexSearcher
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = _h.sha1(f"{src}:{os.path.getmtime(src)}:copyto:v1".encode()).hexdigest()[:16]
+    root = os.path.join("/tmp/esray_cache", f"copyto_{tag}")
+    os.makedirs(root, exist_ok=True)
+    sub = os.path.join(root, "derived.parquet")
+    if not os.path.exists(sub):
+        _duck.sql(
+            f"COPY (SELECT doc_id, lang || ' ' || source AS meta_all "
+            f"FROM read_parquet('{src}') ORDER BY doc_id) "
+            f"TO '{sub}' (FORMAT PARQUET)")
+    idx_dir = os.path.join(root, "idx")
+    build_index(sub, idx_dir, analyzer="simple", index_positions=True,
+                docs_per_partition=2500, num_buckets=8,
+                content_column="meta_all", meta_columns=())
+    _COPY_TO_IDX[sf_dir] = IndexSearcher(idx_dir, score_mode="exact64",
+                                         main_field="meta_all")
+    return _COPY_TO_IDX[sf_dir]
+
+
+def ft_copy_to(sf_dir: str):
+    """copy_to mapping (server/.../index/mapper/FieldMapper.java CopyTo):
+    `lang` and `source` both copy into `meta_all`; a match on the
+    destination field hits values from EITHER source field and scores
+    with the destination's own BM25 stats (dl = summed token counts,
+    avgdl over the combined stream) — re-derived exactly by the oracle
+    over lower(lang || ' ' || source)."""
+    s = _copy_to_searcher(sf_dir)
+    ids, sc = s._eval({"kind": "match", "text": "en src3"})
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away(sc[order].astype(np.float64), 4),
+    })
+
+
+def ft_position_increment_gap(sf_dir: str):
+    """position_increment_gap (TextFieldMapper#positionIncrementGap,
+    default 100): a multi-valued text field ['alpha <source>',
+    '<lang> beta'] assigns the second value's positions AFTER a gap, so
+    a match_phrase spanning the value boundary ('src2 en') matches at
+    gap=0 but NEVER at gap=100, while a phrase inside one value
+    ('en beta') matches at both. Positions are assigned by the real
+    analyzer chain per batch (value streams concatenated with the gap
+    offset), and adjacency is checked on those positions."""
+    from ray.data.aggregate import Count
+
+    from ..analyzer import analyze_simple
+
+    def phrase_hits(t: pa.Table) -> pa.Table:
+        rows_gap, rows_phrase = [], []
+        for src, lang in zip(t["source"].to_pylist(), t["lang"].to_pylist()):
+            values = [f"alpha {src}", f"{lang} beta"]
+            for gap in (0, 100):
+                pos, stream = 0, []
+                for i, v in enumerate(values):
+                    if i:
+                        pos += gap
+                    for tok in analyze_simple(v):
+                        stream.append((tok, pos))
+                        pos += 1
+                pmap = {}
+                for tok, p in stream:
+                    pmap.setdefault(tok, []).append(p)
+                for name, (t1, t2) in (("cross", ("src2", "en")),
+                                       ("within", ("en", "beta"))):
+                    hit = any(p + 1 in pmap.get(t2, ())
+                              for p in pmap.get(t1, ()))
+                    if hit:
+                        rows_gap.append(gap)
+                        rows_phrase.append(name)
+        return pa.table({"gap": pa.array(rows_gap, pa.int64()),
+                         "phrase": pa.array(rows_phrase, pa.string())})
+
+    out = (_ds(sf_dir, "documents", ["source", "lang"])
+           .map_batches(phrase_hits, batch_format="pyarrow")
+           .groupby(["gap", "phrase"]).aggregate(Count(alias_name="hits"))
+           .to_pandas())
+    out["hits"] = out["hits"].astype(np.int64)
+    # gap=100 cross-value phrase: zero matches -> emit the explicit zero
+    # row the reference's hit count would report
+    if not ((out["gap"] == 100) & (out["phrase"] == "cross")).any():
+        out = pd.concat([out, pd.DataFrame(
+            {"gap": [np.int64(100)], "phrase": ["cross"],
+             "hits": [np.int64(0)]})], ignore_index=True)
+    out["gap"] = out["gap"].astype(np.int64)
+    out["hits"] = out["hits"].astype(np.int64)
+    return out.sort_values(["gap", "phrase"]).reset_index(drop=True)
+
+
+def mapping_dynamic_templates(sf_dir: str):
+    """Dynamic mapping with dynamic_templates + date_detection
+    (index/mapper/RootObjectMapper.java DynamicTemplate; ObjectMapper
+    dynamic=true): the mapper sees a stream of raw JSON-ish docs (built
+    from events rows) and derives each new field's type from its FIRST
+    occurrence: long/double by JSON number shape, date_detection on
+    strings matching the ISO pattern, a `*_count` name template forcing
+    numeric strings to long, and plain strings to text-with-keyword.
+    The derived (field, type) mapping is the output; the oracle
+    re-derives every verdict from the same first-row values."""
+    import re as _re
+
+    iso_rx = _re.compile(r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2})?$")
+
+    def infer(t: pa.Table) -> pa.Table:
+        # each batch infers from ITS first row; the groupby-min below
+        # keeps the globally-first verdict (mapper update semantics:
+        # first writer wins, later conflicting writers are rejected)
+        r = {c: t[c][0].as_py() for c in t.column_names}
+        eid = r["event_id"]
+        doc = {
+            "event_type": str(r["event_type"]),
+            "value": float(r["value"]),
+            "user_id": int(r["user_id"]),
+            "ts_str": pd.Timestamp(r["ts"]).strftime("%Y-%m-%d %H:%M:%S"),
+            "clicks_count": str(int(r["value"] * 10)),
+            "note": f"free text {eid}",
+        }
+        rows = []
+        for field, v in doc.items():
+            if field.endswith("_count"):
+                typ = "long"  # dynamic_templates match="*_count" -> long
+            elif isinstance(v, bool):
+                typ = "boolean"
+            elif isinstance(v, int):
+                typ = "long"
+            elif isinstance(v, float):
+                typ = "double" if v != int(v) else "float_whole"
+            elif iso_rx.match(v):
+                typ = "date"  # date_detection
+            else:
+                typ = "text_keyword"
+            rows.append((field, typ, eid))
+        return pa.table({
+            "field": pa.array([x[0] for x in rows], pa.string()),
+            "type": pa.array([x[1] for x in rows], pa.string()),
+            "first_event": pa.array([x[2] for x in rows], pa.int64()),
+        })
+
+    from ray.data.aggregate import Min
+
+    out = (_ds(sf_dir, "events",
+               ["event_id", "ts", "event_type", "value", "user_id"])
+           .map_batches(infer, batch_size=4096, batch_format="pyarrow")
+           .groupby("field")
+           .aggregate(Min("first_event", alias_name="first_event"))
+           .to_pandas())
+    # resolve each field's verdict from the winning (earliest) doc
+    first = int(out["first_event"].min())
+    import pyarrow.compute as pc
+
+    t0 = (_ds(sf_dir, "events",
+              ["event_id", "ts", "event_type", "value", "user_id"],
+              flt=pc.field("event_id") == first)
+          .map_batches(infer, batch_format="pyarrow").to_pandas())
+    t0 = t0[["field", "type"]]
+    t0["type"] = t0["type"].replace({"float_whole": "double"})
+    return t0.sort_values("field").reset_index(drop=True)

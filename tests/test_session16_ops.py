@@ -75,3 +75,43 @@ def test_seq_no_conflicts_partition_invariant():
     did = np.arange(n_docs, dtype=np.int64)
     ok = ((did * 40503) % 13 == (did * 24036583) % 13).sum()
     assert int(out["updated"].sum()) == int(ok)
+
+
+def test_match_only_text_phrase_subset_of_and_match():
+    from elasticsearch_ray.pipelines.fulltext import all_matches
+
+    out = ops.ft_match_only_text(SF)
+    assert (out["score"] == 1.0).all()
+    p1 = set(out[out["phase"] == 1]["doc_id"])
+    # source-confirmed phrase docs must equal the positional engine's
+    # match_phrase doc set (two independent position sources)
+    engine = set(all_matches(
+        SF, {"kind": "match_phrase", "text": "data query"},
+        with_score=False)["doc_id"].to_pylist())
+    assert p1 == engine
+
+
+def test_copy_to_hits_union_of_source_fields():
+    import duckdb
+
+    out = ops.ft_copy_to(SF)
+    got = set(out["doc_id"])
+    want = set(duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE lang = 'en' OR source = 'src3'").df()["doc_id"])
+    assert got == want
+
+
+def test_position_increment_gap_blocks_cross_value_phrase():
+    out = ops.ft_position_increment_gap(SF).set_index(["gap", "phrase"])
+    assert out.loc[(100, "cross"), "hits"] == 0
+    assert out.loc[(0, "cross"), "hits"] > 0
+    assert out.loc[(0, "within"), "hits"] == out.loc[(100, "within"), "hits"]
+
+
+def test_dynamic_templates_types():
+    out = ops.mapping_dynamic_templates(SF).set_index("field")["type"]
+    assert out["ts_str"] == "date"
+    assert out["clicks_count"] == "long"
+    assert out["user_id"] == "long"
+    assert out["note"] == "text_keyword"
