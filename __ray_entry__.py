@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bulk_update_merge", "update_conflicts_seq_no",
         "ft_match_only_text", "ft_copy_to", "ft_position_increment_gap",
         "mapping_dynamic_templates",
+        "agg_histogram_min_doc_count", "agg_date_histogram_timezone",
+        "agg_terms_order_subagg", "ft_script_sort", "count_api",
+        "corpus_unimax_sample",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7561,6 +7564,62 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "agg_histogram_min_doc_count": """
+WITH base AS (SELECT floor(value/50.0)*50.0 AS bucket, count(*) AS doc_count
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+grid AS (SELECT i * 50.0 AS bucket
+         FROM unnest(generate_series(0, 29)) AS u(i))
+SELECT phase, bucket, doc_count FROM (
+  SELECT 0 AS phase, bucket, doc_count FROM base WHERE doc_count >= 20
+  UNION ALL
+  SELECT 1, g.bucket, coalesce(b.doc_count, 0)
+  FROM grid g LEFT JOIN base b USING (bucket))
+ORDER BY phase, bucket""",
+        "agg_date_histogram_timezone": """
+SELECT date_trunc('day', ts + INTERVAL 5 HOUR) - INTERVAL 5 HOUR AS bucket,
+       count(*) AS doc_count
+FROM events GROUP BY 1 ORDER BY 1""",
+        "agg_terms_order_subagg": """
+SELECT row_number() OVER (ORDER BY AVG(value) DESC, event_type) AS rank,
+       event_type, count(*) AS doc_count,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY event_type ORDER BY rank""",
+        "ft_script_sort": f"""
+WITH {_TOK},
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'data'),
+keyed AS (SELECT h.doc_id, d.n_chars % 7 + d.n_chars / 1000.0 AS key
+          FROM hits h JOIN documents d USING (doc_id))
+SELECT row_number() OVER (ORDER BY key, doc_id) AS rank, doc_id,
+       ROUND(key, 4) AS key
+FROM keyed ORDER BY key, doc_id LIMIT 25""",
+        "count_api": f"""
+WITH {_TOK}
+SELECT query, count FROM (
+  SELECT 'match_all' AS query,
+         (SELECT count(*) FROM documents) AS count
+  UNION ALL SELECT 'range_chars',
+         (SELECT count(*) FROM documents
+          WHERE n_chars >= 500 AND n_chars < 900)
+  UNION ALL SELECT 'term_data',
+         (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'data'))
+ORDER BY query""",
+        "corpus_unimax_sample": """
+WITH s AS (SELECT lang, count(*) AS size FROM documents GROUP BY lang),
+b AS (SELECT CAST(floor(SUM(size) * 0.9) AS BIGINT) AS budget FROM s),
+t AS (SELECT lang, size,
+             row_number() OVER (ORDER BY size, lang) AS i,
+             coalesce(SUM(size) OVER (ORDER BY size, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prefix,
+             count(*) OVER () AS k
+      FROM s),
+th AS (SELECT (budget - prefix) / (k - i + 1.0) AS theta
+       FROM t CROSS JOIN b
+       WHERE size >= (budget - prefix) / (k - i + 1.0)
+       ORDER BY i LIMIT 1)
+SELECT lang, size,
+       CAST(floor(LEAST(CAST(size AS DOUBLE), th.theta)) AS BIGINT) AS alloc
+FROM t CROSS JOIN th ORDER BY lang""",
         "ft_match_only_text": f"""
 WITH {_PTOK},
 p0 AS (SELECT DISTINCT doc_id FROM ptok WHERE term IN ('data', 'merge')),

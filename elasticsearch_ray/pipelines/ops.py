@@ -15104,3 +15104,159 @@ def mapping_dynamic_templates(sf_dir: str):
     t0 = t0[["field", "type"]]
     t0["type"] = t0["type"].replace({"float_whole": "double"})
     return t0.sort_values("field").reset_index(drop=True)
+
+
+def agg_histogram_min_doc_count(sf_dir: str):
+    """histogram `min_doc_count` + `extended_bounds` (bucket/histogram/
+    HistogramAggregationBuilder; BucketsAggregator#buildEmptyBuckets):
+    phase 0 prunes buckets under min_doc_count=20 AFTER the global
+    merge (a shard-local prune would be wrong — partial counts); phase 1
+    runs min_doc_count=0 with extended_bounds [0, 1450], materializing
+    every empty bucket in the padded range. Only the reduced bucket
+    table is padded/pruned — never the row stream."""
+    from ray.data.aggregate import Count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64)
+        b = np.floor(v[~np.isnan(v)] / 50.0) * 50.0
+        return pa.table({"bucket": pa.array(b)})
+
+    base = (_ds(sf_dir, "events", ["value"])
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Count(alias_name="doc_count"))
+            .to_pandas())
+    p0 = base[base["doc_count"] >= 20].copy()
+    p0.insert(0, "phase", np.int64(0))
+    grid = pd.DataFrame({"bucket": np.arange(0.0, 1450.0 + 1, 50.0)})
+    p1 = grid.merge(base, on="bucket", how="outer").fillna({"doc_count": 0})
+    p1.insert(0, "phase", np.int64(1))
+    out = pd.concat([p0, p1], ignore_index=True)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    out["phase"] = out["phase"].astype(np.int64)
+    return out.sort_values(["phase", "bucket"]).reset_index(drop=True)
+
+
+def agg_date_histogram_timezone(sf_dir: str):
+    """date_histogram `time_zone` (common/Rounding.java#timeZone; the
+    fixed-offset fast path): day buckets computed in UTC+05:00 — shift,
+    floor, shift back — so bucket keys stay UTC instants but the day
+    boundary falls at 19:00 UTC."""
+    from ray.data.aggregate import Count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        shift = pa.scalar(5 * 3600 * 1_000_000, pa.duration("us"))
+        ts = pc.cast(t["ts"], pa.timestamp("us"))
+        floored = pc.floor_temporal(pc.add(ts, shift), unit="day")
+        b = pc.cast(pc.subtract(floored, shift), pa.int64())
+        return pa.table({"bucket": b})
+
+    out = (_ds(sf_dir, "events", ["ts"])
+           .map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Count(alias_name="doc_count"))
+           .to_pandas())
+    out["bucket"] = pd.to_datetime(out["bucket"], unit="us")
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def agg_terms_order_subagg(sf_dir: str):
+    """terms agg ordered by a sub-aggregation (BucketOrder.aggregation:
+    `"order": {"avg_value": "desc"}`): the order key is the POST-merge
+    avg of each bucket's metric partials — ordering on any shard-local
+    avg would be wrong. Rank pinned as a column."""
+    from ray.data.aggregate import Count, Mean
+
+    out = (_ds(sf_dir, "events", ["event_type", "value"])
+           .groupby("event_type")
+           .aggregate(Count(alias_name="doc_count"),
+                      Mean("value", alias_name="avg_value"))
+           .to_pandas())
+    out = (out.sort_values(["avg_value", "event_type"],
+                           ascending=[False, True])
+           .reset_index(drop=True))
+    out.insert(0, "rank", pd.array(range(1, len(out) + 1), dtype="int64"))
+    out["avg_value"] = round_half_away(out["avg_value"], 4)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
+def ft_script_sort(sf_dir: str):
+    """script sort, type=number (ScriptSortBuilder; sort/ScriptSort):
+    hits of `term: data` ordered by the script value
+    `n_chars % 7 + n_chars / 1000` asc, doc_id tie-break, top 25 with
+    rank pinned. The script runs dataset-side over the pruned meta
+    columns of the hit set — sorting never touches text."""
+    import pyarrow.compute as pc
+
+    s = documents_searcher(sf_dir)
+    ids, _ = s._eval({"kind": "term", "term": "data"})
+    hit_list = np.sort(ids).astype(np.int64).tolist()
+
+    def script(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy().astype(np.float64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "key": pa.array(n % 7 + n / 1000.0)})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "n_chars"],
+               flt=pc.field("doc_id").isin(hit_list))
+           .map_batches(script, batch_format="pyarrow")
+           .to_pandas().sort_values(["key", "doc_id"])
+           .head(25).reset_index(drop=True))
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(out) + 1), dtype="int64"),
+        "doc_id": out["doc_id"].astype("int64"),
+        "key": round_half_away(out["key"].to_numpy(), 4),
+    })
+
+
+def count_api(sf_dir: str):
+    """_count API (rest/action/RestCountAction; TransportCountAction is
+    a size-0 search): match_all, a term query and a range filter each
+    return only their hit total — counts come from the per-partition
+    searcher doc sets, no fetch phase, no scoring pass."""
+    s = documents_searcher(sf_dir)
+    rows = []
+    for name, q in (("match_all", {"kind": "match_all"}),
+                    ("term_data", {"kind": "term", "term": "data"}),
+                    ("range_chars", {"kind": "script", "script":
+                                     "(n_chars >= 500) & (n_chars < 900)"})):
+        ids, _ = s._eval(q)
+        rows.append((name, int(ids.size)))
+    return pd.DataFrame(rows, columns=["query", "count"]).astype(
+        {"count": "int64"}).sort_values("query").reset_index(drop=True)
+
+
+def corpus_unimax_sample(sf_dir: str):
+    """UniMax language-balanced sampling (Chung et al. 2023, public):
+    per-language doc budgets via the waterfill threshold theta solving
+    sum(min(size_l, theta)) = B with B = 90% of the corpus — small
+    languages keep everything, large ones are capped at theta (epochs
+    bounded). Only the per-language size table (5 rows) reaches the
+    driver; the allocation math is closed-form on it."""
+    from ray.data.aggregate import Count
+
+    sizes = (_ds(sf_dir, "documents", ["lang"])
+             .groupby("lang").aggregate(Count(alias_name="size"))
+             .to_pandas().sort_values("lang").reset_index(drop=True))
+    total = int(sizes["size"].sum())
+    budget = int(total * 0.9)
+    sz = sizes["size"].to_numpy(np.float64)
+    order = np.argsort(sz, kind="stable")
+    s_sorted = sz[order]
+    k = len(s_sorted)
+    cum = np.cumsum(s_sorted)
+    theta = budget / k
+    for i in range(k):
+        # if every language from i up took theta_i, budget is exact
+        remaining = budget - (cum[i - 1] if i else 0.0)
+        theta_i = remaining / (k - i)
+        if s_sorted[i] >= theta_i:
+            theta = theta_i
+            break
+    alloc = np.minimum(sz, theta)
+    out = sizes.copy()
+    out["alloc"] = np.floor(alloc).astype(np.int64)
+    out["size"] = out["size"].astype(np.int64)
+    return out

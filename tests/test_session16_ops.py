@@ -115,3 +115,56 @@ def test_dynamic_templates_types():
     assert out["clicks_count"] == "long"
     assert out["user_id"] == "long"
     assert out["note"] == "text_keyword"
+
+
+def test_histogram_min_doc_count_and_extended_bounds():
+    out = ops.agg_histogram_min_doc_count(SF)
+    p0 = out[out["phase"] == 0]
+    p1 = out[out["phase"] == 1]
+    assert (p0["doc_count"] >= 20).all()
+    # extended bounds materialize the full padded grid
+    assert len(p1) == 30
+    assert (p1["doc_count"] == 0).any()
+
+
+def test_date_histogram_timezone_shifts_boundary():
+    out = ops.agg_date_histogram_timezone(SF)
+    # every bucket key sits at 19:00 UTC (day boundary in UTC+5)
+    hours = out["bucket"].dt.hour.unique()
+    assert list(hours) == [19]
+    base = ops.agg_date_histogram(SF)
+    assert out["doc_count"].sum() == base["doc_count"].sum()
+
+
+def test_terms_order_subagg_is_avg_ordered():
+    out = ops.agg_terms_order_subagg(SF)
+    assert (out["avg_value"].diff().dropna() <= 0).all()
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+
+
+def test_script_sort_keys_monotone():
+    out = ops.ft_script_sort(SF)
+    assert (out["key"].diff().dropna() >= 0).all()
+    assert len(out) == 25
+
+
+def test_count_api_matches_direct_counts():
+    out = ops.count_api(SF).set_index("query")["count"]
+    assert out["match_all"] == 500
+    from elasticsearch_ray.pipelines.fulltext import all_matches
+
+    term = all_matches(SF, {"kind": "term", "term": "data"},
+                       with_score=False)
+    assert out["term_data"] == len(term)
+
+
+def test_unimax_waterfill_invariants():
+    out = ops.corpus_unimax_sample(SF)
+    total = out["size"].sum()
+    # allocation never exceeds size, respects the budget, and caps only
+    # the largest language(s)
+    assert (out["alloc"] <= out["size"]).all()
+    assert out["alloc"].sum() <= int(total * 0.9)
+    capped = out[out["alloc"] < out["size"]]
+    if len(capped):
+        assert capped["size"].min() >= out[out["alloc"] == out["size"]]["size"].max()
