@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_histogram_min_doc_count", "agg_date_histogram_timezone",
         "agg_terms_order_subagg", "ft_script_sort", "count_api",
         "corpus_unimax_sample",
+        "ft_collapse_inner_hits", "text_readability",
+        "training_length_buckets", "dedup_url", "indices_stats",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7564,6 +7566,59 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "ft_collapse_inner_hits": """
+SELECT lang, inner_rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS inner_rank
+  FROM documents)
+WHERE inner_rank <= 3 ORDER BY lang, inner_rank""",
+        "text_readability": """
+WITH w AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS words,
+    len(regexp_extract_all(lower(text), '[.!?]+')) AS sents
+  FROM documents),
+c AS (SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(GREATEST(sents, 1) AS BIGINT) AS n_sentences,
+    CAST(coalesce(list_sum(list_transform(words,
+         x -> len(regexp_extract_all(x, '[aeiouy]+')))), 0) AS BIGINT)
+        AS n_syllables
+  FROM w)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (n_syllables / CAST(GREATEST(n_words, 1) AS DOUBLE)),
+             4) AS flesch
+FROM c ORDER BY doc_id""",
+        "training_length_buckets": r"""
+WITH n AS (SELECT GREATEST(CAST(len(list_filter(
+        regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT),
+        1) AS toks FROM documents),
+b AS (SELECT CAST(power(2, ceil(log2(toks))) AS BIGINT) AS bucket, toks
+      FROM n)
+SELECT bucket, count(*) AS doc_count,
+       CAST(SUM(toks) AS BIGINT) AS sum_toks,
+       ROUND(1.0 - SUM(toks) / CAST(count(*) * bucket AS DOUBLE), 4)
+           AS pad_waste
+FROM b GROUP BY bucket ORDER BY bucket""",
+        "dedup_url": """
+WITH c AS (SELECT doc_id,
+    'http://site' || (doc_id % 37) || '.example.com/page/' ||
+    (doc_id % 111) || '?id=' || (doc_id % 111) AS curl
+  FROM documents)
+SELECT curl, count(*) AS n_dups, MIN(doc_id) AS keeper
+FROM c GROUP BY curl ORDER BY curl""",
+        "indices_stats": f"""
+WITH {_TOK}
+SELECT stat, value FROM (
+  SELECT 'docs_count' AS stat,
+         (SELECT count(*) FROM documents) AS value
+  UNION ALL SELECT 'segments_count',
+         (SELECT CAST(ceil(count(*) / 600.0) AS BIGINT) FROM documents)
+  UNION ALL SELECT 'terms_count',
+         (SELECT count(DISTINCT term) FROM tok))
+ORDER BY stat""",
         "agg_histogram_min_doc_count": """
 WITH base AS (SELECT floor(value/50.0)*50.0 AS bucket, count(*) AS doc_count
               FROM events WHERE value IS NOT NULL GROUP BY 1),

@@ -15260,3 +15260,158 @@ def corpus_unimax_sample(sf_dir: str):
     out["alloc"] = np.floor(alloc).astype(np.int64)
     out["size"] = out["size"].astype(np.int64)
     return out
+
+
+def ft_collapse_inner_hits(sf_dir: str):
+    """Field collapse with inner_hits (search/collapse/
+    CollapseBuilder#setInnerHits): one collapsed hit per `lang` group
+    (best n_chars desc, doc_id asc) PLUS that group's top-3 inner hits
+    under the same sort. Per-group work happens inside map_groups —
+    group membership never leaves its partition."""
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(3)
+        g = g.assign(inner_rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = (ds.groupby("lang").map_groups(head, batch_format="pandas")
+           .to_pandas().sort_values(["lang", "inner_rank"])
+           .reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out[["lang", "inner_rank", "doc_id", "n_chars"]]
+
+
+def text_readability(sf_dir: str):
+    """Flesch reading-ease scoring (Flesch 1948, public formula:
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)) with the
+    standard vowel-group syllable heuristic — a per-doc quality signal a
+    curation pipeline thresholds on. Everything is one vectorized
+    map_batches pass; the oracle recomputes words, sentence breaks and
+    vowel groups with the same regexes in SQL."""
+    import re as _re
+
+    word_rx = _re.compile(r"[a-z0-9]+")
+    sent_rx = _re.compile(r"[.!?]+")
+    syl_rx = _re.compile(r"[aeiouy]+")
+
+    def score(t: pa.Table) -> pa.Table:
+        rows = []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            low = txt.lower()
+            words = word_rx.findall(low)
+            n_w = len(words)
+            n_s = max(1, len(sent_rx.findall(low)))
+            n_syl = sum(len(syl_rx.findall(w)) for w in words)
+            f = (206.835 - 1.015 * (n_w / n_s) - 84.6 * (n_syl / max(1, n_w)))
+            rows.append((did, n_w, n_s, n_syl, f))
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_words": pa.array([r[1] for r in rows], pa.int64()),
+            "n_sentences": pa.array([r[2] for r in rows], pa.int64()),
+            "n_syllables": pa.array([r[3] for r in rows], pa.int64()),
+            "flesch": pa.array([r[4] for r in rows], pa.float64()),
+        })
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(score, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["flesch"] = round_half_away(out["flesch"].to_numpy(), 4)
+    return out
+
+
+def training_length_buckets(sf_dir: str):
+    """Length-bucketed batching prep (the classic dynamic-batching /
+    bucketing stage in LLM training dataloaders): docs binned by
+    next-power-of-2 token count; per bucket, doc count and the padding
+    waste ratio a fixed-length batcher would pay (1 - sum(len)/
+    (count*bucket)). Partial (count, sum_len) pairs merge per bucket —
+    the token stream itself never shuffles."""
+    from ray.data.aggregate import Count, Sum
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_pylist()
+        n = np.array([len(x.split()) for x in txt], np.int64)
+        n = np.maximum(n, 1)
+        b = 2 ** np.ceil(np.log2(n)).astype(np.int64)
+        return pa.table({"bucket": pa.array(b), "toks": pa.array(n)})
+
+    out = (_ds(sf_dir, "documents", ["text"])
+           .map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Count(alias_name="doc_count"),
+                      Sum("toks", alias_name="sum_toks"))
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    out["sum_toks"] = out["sum_toks"].astype(np.int64)
+    out["pad_waste"] = round_half_away(
+        1.0 - out["sum_toks"] / (out["doc_count"] * out["bucket"]), 4)
+    out["bucket"] = out["bucket"].astype(np.int64)
+    return out
+
+
+def dedup_url(sf_dir: str):
+    """URL-canonicalization dedup (the CCNet/RefinedWeb first pass:
+    strip tracking params, lowercase the host, drop the trailing slash,
+    then exact-dedup on the canonical URL). URLs are synthesized
+    deterministically from doc_id; canonicalization is vectorized and
+    the dedup is ONE url-cardinality groupby — winner = min doc_id."""
+    from ray.data.aggregate import Count, Min
+
+    def canon(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        urls = [
+            f"HTTP://Site{d % 37}.example.com/page/{d % 111}/"
+            f"?utm_source=feed&id={d % 111}" if d % 2 else
+            f"http://site{d % 37}.example.com/page/{d % 111}?id={d % 111}"
+            for d in did
+        ]
+        out = []
+        for u in urls:
+            scheme, rest = u.split("://", 1)
+            host, _, pathq = rest.partition("/")
+            path, _, q = pathq.partition("?")
+            params = [p for p in q.split("&")
+                      if p and not p.startswith("utm_")]
+            path = path.rstrip("/")
+            out.append(scheme.lower() + "://" + host.lower() + "/" + path
+                       + ("?" + "&".join(sorted(params)) if params else ""))
+        return pa.table({"doc_id": pa.array(did, pa.int64()),
+                         "curl": pa.array(out, pa.string())})
+
+    g = (_ds(sf_dir, "documents", ["doc_id"])
+         .map_batches(canon, batch_format="pyarrow")
+         .groupby("curl")
+         .aggregate(Count(alias_name="n_dups"),
+                    Min("doc_id", alias_name="keeper"))
+         .to_pandas())
+    g = g.sort_values("curl").reset_index(drop=True)
+    g["n_dups"] = g["n_dups"].astype(np.int64)
+    g["keeper"] = g["keeper"].astype(np.int64)
+    return g
+
+
+def indices_stats(sf_dir: str):
+    """_stats API (rest/action/admin/indices/RestIndicesStatsAction:
+    docs + segments + terms sections): docs.count and the term
+    dictionary's distinct-term count measured from the live documents
+    index; segments.count measured from the deterministic 600-row-group
+    twin (the same multi-segment layout indices_segments reports, one
+    committed segment per 600-doc partition) so the count is
+    data-derivable at every scale."""
+    import pyarrow.parquet as pq
+
+    src_pq = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.read_metadata(src_pq).num_rows
+    n_segments = int(len(indices_segments(sf_dir)))
+    s = documents_searcher(sf_dir)
+    # distinct terms of the main text field (the dictionary range walk
+    # excludes field-qualified and subfield entries — the _stats `terms`
+    # section is per-field)
+    n_terms = int(np.unique(s._terms_with_prefix("")).size)
+    return pd.DataFrame({
+        "stat": ["docs_count", "segments_count", "terms_count"],
+        "value": pd.array([n_docs, n_segments, n_terms], dtype="int64"),
+    })

@@ -168,3 +168,45 @@ def test_unimax_waterfill_invariants():
     capped = out[out["alloc"] < out["size"]]
     if len(capped):
         assert capped["size"].min() >= out[out["alloc"] == out["size"]]["size"].max()
+
+
+def test_collapse_inner_hits_rank_and_groups():
+    out = ops.ft_collapse_inner_hits(SF)
+    assert set(out["inner_rank"]) == {1, 2, 3}
+    top = ops.agg_top_hits(SF)
+    # rank-1 rows reproduce the plain collapse (top_hits) result
+    r1 = out[out["inner_rank"] == 1][["lang", "doc_id", "n_chars"]]
+    assert r1.reset_index(drop=True).equals(top)
+
+
+def test_readability_formula_bounds():
+    out = ops.text_readability(SF)
+    assert len(out) == 500
+    # recompute one row by hand
+    r = out.iloc[0]
+    f = (206.835 - 1.015 * (r.n_words / r.n_sentences)
+         - 84.6 * (r.n_syllables / max(1, r.n_words)))
+    assert abs(f - r.flesch) < 1e-3
+
+
+def test_length_buckets_power_of_two_and_waste():
+    out = ops.training_length_buckets(SF)
+    b = out["bucket"].to_numpy()
+    assert ((b & (b - 1)) == 0).all()
+    assert ((out["pad_waste"] >= 0) & (out["pad_waste"] < 1)).all()
+    assert out["doc_count"].sum() == 500
+
+
+def test_dedup_url_collapses_tracking_variants():
+    out = ops.dedup_url(SF)
+    # 37*111 possible urls but only doc_id%111 * %37 combos realized via CRT
+    assert out["n_dups"].sum() == 500
+    # keeper is the min doc_id of its cluster: keepers are unique
+    assert out["keeper"].is_unique
+
+
+def test_indices_stats_consistent_with_segments():
+    st = ops.indices_stats(SF).set_index("stat")["value"]
+    seg = ops.indices_segments(SF)
+    assert st["segments_count"] == len(seg)
+    assert st["docs_count"] == seg["doc_count"].sum()
