@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_unimax_sample",
         "ft_collapse_inner_hits", "text_readability",
         "training_length_buckets", "dedup_url", "indices_stats",
+        "ft_bool_msm_forms", "ft_match_fuzziness",
+        "completion_skip_duplicates",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7566,6 +7568,53 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "ft_bool_msm_forms": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('data', 'merge', 'window', 'slow')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.term, {_SCORE} AS s
+       FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN st),
+agg AS (SELECT doc_id, count(*) AS matched, SUM(s) AS total FROM sc
+        GROUP BY doc_id),
+agg2 AS (SELECT doc_id,
+                count(*) FILTER (term IN ('data', 'merge')) AS matched2,
+                SUM(s) FILTER (term IN ('data', 'merge')) AS total2
+         FROM sc GROUP BY doc_id)
+SELECT phase, doc_id, ROUND(score, 4) AS score FROM (
+  SELECT 0 AS phase, doc_id, total AS score FROM agg WHERE matched >= 3
+  UNION ALL SELECT 1, doc_id, total FROM agg WHERE matched >= 2
+  UNION ALL SELECT 2, doc_id, total2 FROM agg2 WHERE matched2 >= 2)
+ORDER BY phase, doc_id""",
+        "ft_match_fuzziness": f"""
+WITH {_TOK},
+v AS (SELECT DISTINCT term FROM tok),
+d1 AS (SELECT DISTINCT doc_id FROM tok WHERE term IN
+       (SELECT term FROM v WHERE damerau_levenshtein(term, 'dtaa') <= 1)),
+d2 AS (SELECT DISTINCT doc_id FROM tok WHERE term IN
+       (SELECT term FROM v WHERE damerau_levenshtein(term, 'merg') <= 1))
+SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM (
+  SELECT doc_id, 1.0 AS s FROM d1
+  UNION ALL SELECT doc_id, 1.0 FROM d2)
+GROUP BY doc_id ORDER BY doc_id""",
+        "completion_skip_duplicates": f"""
+WITH {_TOK},
+w AS (SELECT tok.term AS input, d.source, count(*) AS weight
+      FROM tok JOIN documents d USING (doc_id)
+      WHERE tok.term LIKE 'da%' GROUP BY tok.term, d.source),
+r0 AS (SELECT input, weight,
+              row_number() OVER (ORDER BY weight DESC, input) AS rank
+       FROM w),
+best AS (SELECT input, MAX(weight) AS weight FROM w GROUP BY input),
+r1 AS (SELECT input, weight,
+              row_number() OVER (ORDER BY weight DESC, input) AS rank
+       FROM best)
+SELECT phase, rank, input, weight FROM (
+  SELECT 0 AS phase, rank, input, weight FROM r0 WHERE rank <= 5
+  UNION ALL SELECT 1, rank, input, weight FROM r1 WHERE rank <= 5)
+ORDER BY phase, rank""",
         "ft_collapse_inner_hits": """
 SELECT lang, inner_rank, doc_id, n_chars FROM (
   SELECT lang, doc_id, n_chars,

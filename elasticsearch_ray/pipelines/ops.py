@@ -15415,3 +15415,75 @@ def indices_stats(sf_dir: str):
         "stat": ["docs_count", "segments_count", "terms_count"],
         "value": pd.array([n_docs, n_segments, n_terms], dtype="int64"),
     })
+
+
+def ft_bool_msm_forms(sf_dir: str):
+    """bool minimum_should_match, full Lucene grammar (BoolQueryBuilder#
+    minimumShouldMatch -> Queries.calculateMinShouldMatch): phase 0 =
+    4 shoulds with '75%' (3 required), phase 1 = same shoulds with '-2'
+    (n-2 = 2 required), phase 2 = 2 shoulds with conditional '3<75%'
+    (n <= cond, so ALL required). Scores stay the sum of the matched
+    should clauses' BM25."""
+    s = documents_searcher(sf_dir)
+    four = [{"kind": "term", "term": t}
+            for t in ("data", "merge", "window", "slow")]
+    two = [{"kind": "term", "term": t} for t in ("data", "merge")]
+    frames = []
+    for phase, (clauses, msm) in enumerate(
+            ((four, "75%"), (four, "-2"), (two, "3<75%"))):
+        ids, sc = s._eval({"kind": "bool", "should": clauses,
+                           "minimum_should_match": msm})
+        order = np.argsort(ids)
+        frames.append(pd.DataFrame({
+            "phase": np.int64(phase),
+            "doc_id": ids[order].astype(np.int64),
+            "score": round_half_away(sc[order].astype(np.float64), 4),
+        }))
+    out = pd.concat(frames, ignore_index=True)
+    out["phase"] = out["phase"].astype(np.int64)
+    return out
+
+
+def ft_match_fuzziness(sf_dir: str):
+    """match with fuzziness (MatchQuery#setFuzziness): each analyzed
+    query term expands to dictionary terms within edit distance 1
+    (OSA, transpositions=true — the reference default) under the
+    CONSTANT_SCORE rewrite (FuzzyQueryBuilder#rewrite): every matched
+    clause contributes exactly 1.0, so a doc's score = number of query
+    terms fuzzily present. Query: 'dtaa merg' (both misspelled)."""
+    s = documents_searcher(sf_dir)
+    ids, sc = s._eval({"kind": "bool", "should": [
+        {"kind": "fuzzy", "term": "dtaa", "fuzziness": 1,
+         "transpositions": True},
+        {"kind": "fuzzy", "term": "merg", "fuzziness": 1,
+         "transpositions": True},
+    ]})
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away(sc[order].astype(np.float64), 4),
+    })
+
+
+def completion_skip_duplicates(sf_dir: str):
+    """completion suggester skip_duplicates (CompletionSuggestion-
+    Builder#skipDuplicates, 6.1): entries built at (token, source)
+    granularity so the same input text exists once per source; phase 0
+    returns the raw ranked entries (duplicates visible), phase 1 the
+    deduplicated top-5 (best-weight occurrence per text, size applied
+    after dedup)."""
+    from ..search.suggest import completion_from_dataset
+
+    sug = completion_from_dataset(
+        _ds(sf_dir, "documents", ["text", "source"]), text_col="text",
+        weight="tf", contexts_col="source")
+    frames = []
+    for phase, skip in ((0, False), (1, True)):
+        t = sug.suggest("da", size=5, skip_duplicates=skip)
+        t.insert(0, "rank", pd.array(range(1, len(t) + 1), dtype="int64"))
+        t.insert(0, "phase", np.int64(phase))
+        frames.append(t)
+    out = pd.concat(frames, ignore_index=True)
+    out["phase"] = out["phase"].astype(np.int64)
+    out["weight"] = out["weight"].astype(np.int64)
+    return out

@@ -2613,6 +2613,39 @@ class IndexSearcher:
             self._all_ids_cache = ids
         return ids
 
+    @staticmethod
+    def parse_min_should_match(spec, n_clauses: int) -> int:
+        """Lucene Queries.calculateMinShouldMatch spec (the
+        minimum_should_match grammar shared by bool/match/query_string):
+        int ("3"), negative ("-2" = n-2), percentage ("75%" =
+        trunc(n*0.75)), negative percentage ("-25%" = n - trunc(n*0.25))
+        and conditional chains ("2<75% 9<-3": the part with the largest
+        cond < n applies; if n <= every cond, all clauses are required).
+        Result clamped to [0, n]."""
+        n = int(n_clauses)
+
+        def calc(one: str) -> int:
+            one = one.strip()
+            if one.endswith("%"):
+                pct = float(one[:-1])
+                v = int(n * abs(pct) / 100.0)  # truncation, per Lucene
+                return n - v if pct < 0 else v
+            v = int(one)
+            return n + v if v < 0 else v
+
+        spec = str(spec).strip()
+        if "<" in spec:
+            result = n  # below every condition: all required
+            best_cond = -1
+            for part in spec.split():
+                cond_s, _, sub = part.partition("<")
+                cond = int(cond_s)
+                if n > cond and cond > best_cond:
+                    best_cond = cond
+                    result = calc(sub)
+            return max(0, min(n, result))
+        return max(0, min(n, calc(spec)))
+
     def _bool(self, q: dict, boost: float = 1.0):
         must = [self._eval(c) for c in q.get("must", [])]
         should = [self._eval(c) for c in q.get("should", [])]
@@ -2638,6 +2671,22 @@ class IndexSearcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         if pure_negative:
             return cand, np.full(cand.size, boost, np.float64)
+        msm_spec = q.get("minimum_should_match")
+        if should and msm_spec is not None and cand.size:
+            # BoolQueryBuilder#minimumShouldMatch: candidates must match
+            # at least msm of the should clauses (grammar above)
+            msm = self.parse_min_should_match(msm_spec, len(should))
+            if msm > 0:
+                cnt = np.zeros(cand.size, np.int64)
+                for ids, _ in should:
+                    if not ids.size:
+                        continue
+                    idx = np.searchsorted(ids, cand)
+                    idx = np.minimum(idx, ids.size - 1)
+                    cnt[ids[idx] == cand] += 1
+                cand = cand[cnt >= msm]
+                if cand.size == 0:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
         total = np.zeros(cand.size, np.float64)
         for ids, sc in must + should:  # filter clauses don't score
             idx = np.searchsorted(ids, cand)

@@ -41,7 +41,12 @@ class CompletionSuggester:
         return idx[order[:size]]
 
     def suggest(self, prefix: str, size: int = 5, fuzziness: int = 0,
-                context: str | None = None) -> pd.DataFrame:
+                context: str | None = None,
+                skip_duplicates: bool = False) -> pd.DataFrame:
+        """skip_duplicates (CompletionSuggestionBuilder#skipDuplicates,
+        6.1): when the same suggestion text exists as multiple entries
+        (e.g. per-context duplicates), only the best-ranked occurrence
+        is returned; `size` applies AFTER deduplication."""
         if fuzziness <= 0:
             lo = np.searchsorted(self.inputs, prefix, side="left")
             hi = np.searchsorted(self.inputs, prefix + TERM_MAX, side="left")
@@ -57,7 +62,20 @@ class CompletionSuggester:
             mask = np.fromiter(
                 (context in self.contexts[int(i)] for i in idx), bool, idx.size)
             idx = idx[mask]
-        top = self._rank(idx, size)
+        if skip_duplicates and idx.size:
+            ranked = self._rank(idx, idx.size)
+            seen: set = set()
+            kept = []
+            for i in ranked:
+                s = str(self.inputs[int(i)])
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(int(i))
+                if len(kept) == size:
+                    break
+            top = np.asarray(kept, dtype=np.int64)
+        else:
+            top = self._rank(idx, size)
         return pd.DataFrame({
             "input": [str(self.inputs[int(i)]) for i in top],
             "weight": self.weights[top].astype(np.int64)

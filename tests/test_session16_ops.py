@@ -210,3 +210,49 @@ def test_indices_stats_consistent_with_segments():
     seg = ops.indices_segments(SF)
     assert st["segments_count"] == len(seg)
     assert st["docs_count"] == seg["doc_count"].sum()
+
+
+def test_parse_min_should_match_grammar():
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    p = IndexSearcher.parse_min_should_match
+    assert p("3", 5) == 3
+    assert p("-2", 5) == 3
+    assert p("75%", 4) == 3
+    assert p("-25%", 4) == 3
+    assert p("75%", 5) == 3          # truncation, not rounding
+    assert p("3<75%", 2) == 2        # n <= cond -> all required
+    assert p("3<75%", 8) == 6
+    assert p("2<75% 9<-3", 12) == 9  # largest applicable cond wins
+    assert p("2<75% 9<-3", 5) == 3
+    assert p("10", 4) == 4           # clamped to n
+
+
+def test_bool_msm_phases_nest():
+    out = ops.ft_bool_msm_forms(SF)
+    p0 = set(out[out["phase"] == 0]["doc_id"])
+    p1 = set(out[out["phase"] == 1]["doc_id"])
+    assert p0 <= p1  # 3-of-4 is a subset of 2-of-4
+    # phase 2 = both of two terms = bool must equivalent
+    from elasticsearch_ray.pipelines.fulltext import all_matches
+
+    both = set(all_matches(SF, {"kind": "bool", "must": [
+        {"kind": "term", "term": "data"}, {"kind": "term", "term": "merge"},
+    ]}, with_score=False)["doc_id"].to_pylist())
+    assert set(out[out["phase"] == 2]["doc_id"]) == both
+
+
+def test_match_fuzziness_scores_are_clause_counts():
+    out = ops.ft_match_fuzziness(SF)
+    assert set(out["score"]) <= {1.0, 2.0}
+
+
+def test_completion_skip_duplicates_unique_inputs():
+    out = ops.completion_skip_duplicates(SF)
+    p1 = out[out["phase"] == 1]
+    assert p1["input"].is_unique
+    p0 = out[out["phase"] == 0]
+    # dedup keeps each text's best weight
+    for txt in p1["input"]:
+        assert p1[p1["input"] == txt]["weight"].iloc[0] == \
+            p0[p0["input"] == txt]["weight"].max()
