@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_length_buckets", "dedup_url", "indices_stats",
         "ft_bool_msm_forms", "ft_match_fuzziness",
         "completion_skip_duplicates",
+        "mapping_ignore_malformed", "date_multi_format",
+        "ft_index_prefixes", "agg_doc_count_field",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7568,6 +7570,41 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "mapping_ignore_malformed": """
+WITH m AS (SELECT doc_id, doc_id % 7 = 0 AS mal, doc_id % 1000 AS val
+           FROM documents)
+SELECT stat, value FROM (
+  SELECT 'ignored_true' AS stat,
+         (SELECT count(*) FROM m WHERE mal) AS value
+  UNION ALL SELECT 'indexed_false', (SELECT count(*) FROM m WHERE NOT mal)
+  UNION ALL SELECT 'indexed_true', (SELECT count(*) FROM m)
+  UNION ALL SELECT 'range_hits',
+         (SELECT count(*) FROM m WHERE NOT mal AND val >= 200 AND val < 600)
+  UNION ALL SELECT 'rejected_false', (SELECT count(*) FROM m WHERE mal))
+ORDER BY stat""",
+        "date_multi_format": """
+WITH w AS (SELECT CASE WHEN event_id % 2 = 0
+                       THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                       ELSE CAST(epoch_ms(ts) AS VARCHAR) END AS wire
+           FROM events),
+p AS (SELECT CASE WHEN regexp_matches(wire, '^[0-9]+$')
+                  THEN epoch_ms(CAST(wire AS BIGINT))
+                  ELSE strptime(wire, '%Y-%m-%d %H:%M:%S') END AS ts2
+      FROM w)
+SELECT date_trunc('day', ts2) AS bucket, count(*) AS doc_count
+FROM p GROUP BY 1 ORDER BY 1""",
+        "ft_index_prefixes": f"""
+WITH {_TOK}
+SELECT prefix, doc_id FROM (
+  SELECT 'da' AS prefix, doc_id FROM
+    (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'da%')
+  UNION ALL
+  SELECT 'd', doc_id FROM
+    (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'd%'))
+ORDER BY prefix, doc_id""",
+        "agg_doc_count_field": """
+SELECT lang, CAST(SUM(1 + doc_id % 3) AS BIGINT) AS doc_count
+FROM documents GROUP BY lang ORDER BY lang""",
         "ft_bool_msm_forms": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok

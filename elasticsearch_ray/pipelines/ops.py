@@ -15487,3 +15487,143 @@ def completion_skip_duplicates(sf_dir: str):
     out["phase"] = out["phase"].astype(np.int64)
     out["weight"] = out["weight"].astype(np.int64)
     return out
+
+
+def mapping_ignore_malformed(sf_dir: str):
+    """ignore_malformed (mapper/NumberFieldMapper#ignoreMalformed + the
+    `_ignored` meta field): a numeric field arrives as strings, some
+    unparseable (every doc_id % 7 == 0 gets 'N/A'). With
+    ignore_malformed=true the DOC still indexes but the field is
+    dropped and the field name lands in `_ignored`; with false the doc
+    is rejected. Output: per-mode indexed/rejected/ignored-field
+    counters plus the range-query hit count (malformed docs invisible
+    to it in mode true)."""
+    from ray.data.aggregate import Sum
+
+    def parse(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        raw = np.where(did % 7 == 0, "N/A",
+                       (did % 1000).astype(np.str_))
+        malformed = did % 7 == 0
+        val = np.where(malformed, -1, did % 1000).astype(np.int64)
+        in_range = (~malformed) & (val >= 200) & (val < 600)
+        return pa.table({
+            "indexed_true": pa.array(np.ones(did.size, np.int64)),
+            "ignored_true": pa.array(malformed.astype(np.int64)),
+            "indexed_false": pa.array((~malformed).astype(np.int64)),
+            "rejected_false": pa.array(malformed.astype(np.int64)),
+            "range_hits": pa.array(in_range.astype(np.int64)),
+        })
+
+    r = (_ds(sf_dir, "documents", ["doc_id"])
+         .map_batches(parse, batch_format="pyarrow")
+         .aggregate(*[Sum(c, alias_name=c) for c in
+                      ("indexed_true", "ignored_true", "indexed_false",
+                       "rejected_false", "range_hits")]))
+    out = pd.DataFrame({"stat": list(r), "value": list(r.values())})
+    out["value"] = out["value"].astype(np.int64)
+    return out.sort_values("stat").reset_index(drop=True)
+
+
+def date_multi_format(sf_dir: str):
+    """Multi-format date parsing (mapper/DateFieldMapper `format:
+    "yyyy-MM-dd HH:mm:ss||epoch_millis"`): each event's timestamp
+    arrives as EITHER an ISO string (even event_id) or an epoch-millis
+    digit string (odd); the parser tries formats left to right. Parsed
+    values bucket per day — identical regardless of wire format, which
+    the oracle reproduces with the same branch."""
+    from ray.data.aggregate import Count
+
+    def parse(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        ts = pd.to_datetime(t["ts"].to_pandas())
+        iso = ts.dt.strftime("%Y-%m-%d %H:%M:%S")
+        millis = (ts.astype("datetime64[ns]").astype(np.int64)
+                  // 1_000_000).astype(np.str_)
+        wire = np.where(eid % 2 == 0, iso, millis)
+        parsed = np.empty(eid.size, "datetime64[us]")
+        for i, w in enumerate(wire):
+            if w.isdigit():  # epoch_millis branch
+                parsed[i] = np.datetime64(int(w), "ms")
+            else:
+                parsed[i] = np.datetime64(w.replace(" ", "T"))
+        day = parsed.astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table({"bucket": pa.array(day.astype(np.int64))})
+
+    out = (_ds(sf_dir, "events", ["event_id", "ts"])
+           .map_batches(parse, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Count(alias_name="doc_count"))
+           .to_pandas())
+    out["bucket"] = pd.to_datetime(out["bucket"], unit="us")
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def ft_index_prefixes(sf_dir: str):
+    """index_prefixes (TextFieldMapper#indexPrefixes, min_chars=2
+    max_chars=5): the `text._index_prefix` subfield stores every token
+    prefix of length 2-5, so in-range prefix queries become a SINGLE
+    term lookup instead of a dictionary range expansion. Both paths are
+    computed — the subfield token stream dataset-side, the expansion
+    from the live dictionary — and must agree; the output ships the
+    subfield path's doc sets for 'da' (in range) and the expansion
+    fallback for 'd' (below min_chars)."""
+    from ray.data.aggregate import Count
+
+    from ..analyzer import analyze_simple
+
+    def prefix_terms(t: pa.Table) -> pa.Table:
+        ids, pfx = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            seen = set()
+            for tok in analyze_simple(txt):
+                for n in range(2, min(5, len(tok)) + 1):
+                    seen.add(tok[:n])
+            for p in seen:
+                ids.append(did)
+                pfx.append(p)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "prefix": pa.array(pfx, pa.string())})
+
+    def only_da(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["prefix"], "da"))
+
+    da = (_ds(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(prefix_terms, batch_format="pyarrow")
+          .map_batches(only_da, batch_format="pyarrow")
+          .to_pandas()["doc_id"].sort_values().reset_index(drop=True))
+    # cross-check against the dictionary-expansion path (must be equal)
+    s = documents_searcher(sf_dir)
+    exp_ids, _ = s._eval({"kind": "prefix", "prefix": "da"})
+    if set(da) != set(exp_ids.tolist()):
+        raise AssertionError("index_prefixes subfield diverged from "
+                             "dictionary expansion")
+    d_ids, _ = s._eval({"kind": "prefix", "prefix": "d"})  # fallback path
+    out = pd.concat([
+        pd.DataFrame({"prefix": "da", "doc_id": da.astype(np.int64)}),
+        pd.DataFrame({"prefix": "d",
+                      "doc_id": np.sort(d_ids).astype(np.int64)}),
+    ], ignore_index=True)
+    return out.sort_values(["prefix", "doc_id"]).reset_index(drop=True)
+
+
+def agg_doc_count_field(sf_dir: str):
+    """`_doc_count` meta field for pre-aggregated data (mapper/
+    DocCountFieldMapper, 7.11): each stored doc represents
+    1 + doc_id % 3 raw documents; bucket aggs SUM _doc_count instead of
+    counting rows, so rollup indices report true totals."""
+    from ray.data.aggregate import Sum
+
+    def weight(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        return pa.table({"lang": t["lang"],
+                         "dc": pa.array(1 + did % 3, pa.int64())})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "lang"])
+           .map_batches(weight, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("dc", alias_name="doc_count"))
+           .to_pandas())
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)

@@ -256,3 +256,32 @@ def test_completion_skip_duplicates_unique_inputs():
     for txt in p1["input"]:
         assert p1[p1["input"] == txt]["weight"].iloc[0] == \
             p0[p0["input"] == txt]["weight"].max()
+
+
+def test_ignore_malformed_counters():
+    out = ops.mapping_ignore_malformed(SF).set_index("stat")["value"]
+    assert out["indexed_true"] == 500
+    assert out["ignored_true"] == out["rejected_false"]
+    assert out["indexed_false"] + out["rejected_false"] == 500
+
+
+def test_date_multi_format_equals_plain_histogram():
+    multi = ops.date_multi_format(SF)
+    base = ops.agg_date_histogram(SF)
+    assert multi["doc_count"].sum() == base["doc_count"].sum()
+    # both formats parse back to identical day buckets
+    assert len(multi) == len(base)
+
+
+def test_index_prefixes_paths_agree():
+    out = ops.ft_index_prefixes(SF)
+    da = set(out[out["prefix"] == "da"]["doc_id"])
+    d = set(out[out["prefix"] == "d"]["doc_id"])
+    assert da <= d
+
+
+def test_doc_count_field_weighted_totals():
+    out = ops.agg_doc_count_field(SF)
+    # sum over langs = sum of (1 + doc_id % 3) over all 500 docs
+    did = np.arange(500)
+    assert out["doc_count"].sum() == (1 + did % 3).sum()
