@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "completion_skip_duplicates",
         "mapping_ignore_malformed", "date_multi_format",
         "ft_index_prefixes", "agg_doc_count_field",
+        "quality_ensemble", "analyze_api_explain",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -6981,6 +6982,28 @@ ORDER BY node, description""",
     _pctes, _plast = porter_pipeline_ctes()
     _pjoin = ",\n".join(_pctes)
     _estop = "[" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + "]"
+    # _analyze explain=true (session 16): per-stage attribution over the
+    # first 6 tokens; stemmer stage reuses the Porter CV-mask pipeline
+    out["analyze_api_explain"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_slice(list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> ''), 1, 6) AS a
+  FROM documents),
+t AS (SELECT doc_id, unnest(a) AS w,
+             generate_subscripts(a, 1) - 1 AS pos FROM base),
+tok0 AS (SELECT doc_id * 1000 + pos + 1 AS position, w FROM t
+         WHERE w NOT IN ('data', 'query')),
+{_pjoin}
+SELECT doc_id, stage, pos, token FROM (
+  SELECT doc_id, 'tokenizer' AS stage, pos, w AS token FROM t
+  UNION ALL
+  SELECT doc_id, 'stop', pos, w FROM t WHERE w NOT IN ('data', 'query')
+  UNION ALL
+  SELECT CAST(position // 1000 AS BIGINT),
+         'stemmer', CAST(position % 1000 - 1 AS BIGINT), w
+  FROM {_plast})
+ORDER BY doc_id, stage, pos"""
     out["ft_analyze_stemmer"] = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -7570,6 +7593,43 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "quality_ensemble": """
+WITH w AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS words,
+    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS chars
+  FROM documents),
+sig AS (SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_w,
+    CASE WHEN len(words) BETWEEN 20 AND 200 THEN 1 ELSE 0 END AS s_wc,
+    CASE WHEN len(list_filter(words, x -> list_contains(
+        ['the','and','of','to','a','in','is','for','with','data','query'],
+        x))) >= 2 THEN 1 ELSE 0 END AS s_stop,
+    CAST(coalesce(list_sum(list_transform(words,
+        x -> len(regexp_extract_all(x, '[aeiouy]+')))), 0) AS BIGINT)
+        AS n_syl
+  FROM w),
+ent AS (SELECT doc_id,
+    coalesce(-SUM(p * log2(p)), 0) AS e
+  FROM (SELECT doc_id,
+               count(*) / CAST(SUM(count(*)) OVER (PARTITION BY doc_id)
+                               AS DOUBLE) AS p
+        FROM (SELECT doc_id, unnest(regexp_extract_all(chars, '.')) AS c
+              FROM w) GROUP BY doc_id, c)
+  GROUP BY doc_id),
+j AS (SELECT s.doc_id, s.s_wc, s.s_stop,
+             CASE WHEN e.e >= 3.0 THEN 1 ELSE 0 END AS s_ent,
+             CASE WHEN 206.835 - 1.015 * s.n_w
+                  - 84.6 * (s.n_syl / CAST(GREATEST(s.n_w, 1) AS DOUBLE))
+                  >= -60.0 THEN 1 ELSE 0 END AS s_read
+      FROM sig s JOIN ent e USING (doc_id))
+SELECT doc_id, s_wc AS s_wordcount, s_stop AS s_stopword,
+       s_ent AS s_entropy, s_read AS s_readability,
+       ROUND(0.4 * s_wc + 0.3 * s_stop + 0.2 * s_ent + 0.1 * s_read, 4)
+           AS score,
+       CASE WHEN 0.4 * s_wc + 0.3 * s_stop + 0.2 * s_ent + 0.1 * s_read
+            >= 0.6 THEN 1 ELSE 0 END AS kept
+FROM j ORDER BY doc_id""",
         "mapping_ignore_malformed": """
 WITH m AS (SELECT doc_id, doc_id % 7 = 0 AS mal, doc_id % 1000 AS val
            FROM documents)

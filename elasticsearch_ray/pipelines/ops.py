@@ -15627,3 +15627,104 @@ def agg_doc_count_field(sf_dir: str):
            .to_pandas())
     out["doc_count"] = out["doc_count"].astype(np.int64)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def quality_ensemble(sf_dir: str):
+    """Quality-signal ensemble (the FineWeb/Dolma-style combination
+    stage: individual heuristics vote, a weighted score thresholds the
+    corpus): word-count band, stopword-hit, char-entropy and Flesch
+    signals computed in ONE map_batches pass (shared tokenization),
+    combined as score = 0.4*wc + 0.3*stop + 0.2*ent + 0.1*read; docs
+    with score >= 0.6 are kept. Output: per-doc signals + verdict."""
+    import re as _re
+
+    word_rx = _re.compile(r"[a-z0-9]+")
+    syl_rx = _re.compile(r"[aeiouy]+")
+    stops = {"the", "and", "of", "to", "a", "in", "is", "for", "with",
+             "data", "query"}
+
+    def score(t: pa.Table) -> pa.Table:
+        rows = []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            low = txt.lower()
+            words = word_rx.findall(low)
+            n_w = len(words)
+            s_wc = 1 if 20 <= n_w <= 200 else 0
+            s_stop = 1 if sum(1 for w in words if w in stops) >= 2 else 0
+            # char entropy over the lowercased alnum stream
+            chars = "".join(words)
+            if chars:
+                _, cnt = np.unique(np.frombuffer(
+                    chars.encode("latin-1", "replace"), np.uint8),
+                    return_counts=True)
+                p = cnt / cnt.sum()
+                ent = float(-(p * np.log2(p)).sum())
+            else:
+                ent = 0.0
+            s_ent = 1 if ent >= 3.0 else 0
+            n_syl = sum(len(syl_rx.findall(w)) for w in words)
+            flesch = (206.835 - 1.015 * n_w
+                      - 84.6 * (n_syl / max(1, n_w)))
+            s_read = 1 if flesch >= -60.0 else 0
+            sc = 0.4 * s_wc + 0.3 * s_stop + 0.2 * s_ent + 0.1 * s_read
+            rows.append((did, s_wc, s_stop, s_ent, s_read, sc,
+                         1 if sc >= 0.6 else 0))
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        return pa.table({
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "s_wordcount": pa.array(cols[1], pa.int64()),
+            "s_stopword": pa.array(cols[2], pa.int64()),
+            "s_entropy": pa.array(cols[3], pa.int64()),
+            "s_readability": pa.array(cols[4], pa.int64()),
+            "score": pa.array(
+                round_half_away(np.asarray(cols[5], np.float64), 4)),
+            "kept": pa.array(cols[6], pa.int64()),
+        })
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(score, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return out
+
+
+def analyze_api_explain(sf_dir: str):
+    """_analyze with explain=true (action/admin/indices/analyze/
+    TransportAnalyzeAction#detailAnalyze): per-STAGE token attribution —
+    the tokenizer's raw stream, then each filter's output, each row
+    tagged with the emitting stage. Chain: simple tokenizer ->
+    lowercase (already folded) -> stop (the engine's english stop set
+    member 'the'/'and' analog: {'data','query'} here so the effect is
+    corpus-visible) -> porter stem. Input strings are deterministic
+    per doc (first 6 tokens of text), so the oracle re-derives every
+    stage."""
+    from ..analyzer import analyze_simple
+    from ..filters import porter_stem
+
+    drop = {"data", "query"}
+
+    def stages(t: pa.Table) -> pa.Table:
+        rows = []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = analyze_simple(txt)[:6]
+            for pos, tok in enumerate(toks):
+                rows.append((did, "tokenizer", pos, tok))
+            kept = [(p, tok) for p, tok in enumerate(toks)
+                    if tok not in drop]
+            for pos, tok in kept:
+                rows.append((did, "stop", pos, tok))
+            for pos, tok in kept:
+                rows.append((did, "stemmer", pos, porter_stem(tok)))
+        cols = list(zip(*rows)) if rows else [[]] * 4
+        return pa.table({
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "stage": pa.array(cols[1], pa.string()),
+            "pos": pa.array(cols[2], pa.int64()),
+            "token": pa.array(cols[3], pa.string()),
+        })
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(stages, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["doc_id", "stage", "pos"])
+           .reset_index(drop=True))
+    return out

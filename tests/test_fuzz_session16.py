@@ -50,8 +50,8 @@ def test_fuzz_timezone_offsets(ray_session, con):
                .to_pandas().sort_values("bucket").reset_index(drop=True))
         got["bucket"] = pd.to_datetime(got["bucket"], unit="us")
         want = con.execute(
-            f"SELECT date_trunc('day', ts + INTERVAL {hours} HOUR) "
-            f"- INTERVAL {hours} HOUR AS bucket, count(*) AS n "
+            f"SELECT date_trunc('day', ts + ({hours}) * INTERVAL 1 HOUR) "
+            f"- ({hours}) * INTERVAL 1 HOUR AS bucket, count(*) AS n "
             f"FROM events GROUP BY 1 ORDER BY 1").fetchdf()
         assert got["bucket"].tolist() == want["bucket"].tolist(), hours
         assert got["n"].tolist() == want["n"].tolist(), hours
