@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mapping_ignore_malformed", "date_multi_format",
         "ft_index_prefixes", "agg_doc_count_field",
         "quality_ensemble", "analyze_api_explain",
+        "index_incremental_append",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7588,6 +7589,9 @@ SELECT * FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1
                UNION ALL SELECT * FROM p2)
 ORDER BY phase, doc_id"""
     out["decontaminate_bloom"] = out["dedup_decontaminate"]
+    # incremental append must equal the full rebuild, whose hits the
+    # ft_term oracle already derives from the raw corpus
+    out["index_incremental_append"] = out["ft_term"]
     # the persisted int8 index must reproduce the on-the-fly quantized
     # search bit-for-bit: same oracle
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]

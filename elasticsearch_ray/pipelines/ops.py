@@ -15728,3 +15728,72 @@ def analyze_api_explain(sf_dir: str):
            .sort_values(["doc_id", "stage", "pos"])
            .reset_index(drop=True))
     return out
+
+
+def index_incremental_append(sf_dir: str):
+    """Incremental index append via the manifest resume path (the
+    translog/checkpoint analog: `build_index([A])` then
+    `build_index([A, B])` into the SAME directory — committed segments
+    are skipped by id, only B's partitions build). The appended index
+    must be search-IDENTICAL to a from-scratch rebuild over A+B: global
+    BM25 stats (N, df, avgdl) pool across segments at load, so scores
+    cannot tell the histories apart. The op asserts that equality and
+    returns the appended index's hits (`term: data`), which the oracle
+    re-derives from the full corpus."""
+    import hashlib as _h
+
+    import pyarrow.parquet as pq
+
+    from ..index.build import build_index
+    from ..index.manifest import committed_segments
+    from ..search.engine import IndexSearcher
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    n = pq.read_metadata(src).num_rows
+    per_seg = 100
+    cut = (int(n * 0.6) // per_seg) * per_seg  # A ends on a segment boundary
+    tag = _h.sha1(f"{src}:{os.path.getmtime(src)}:append:v2".encode()).hexdigest()[:16]
+    root = os.path.join("/tmp/esray_cache", f"appendidx_{tag}")
+    os.makedirs(root, exist_ok=True)
+    a_pq = os.path.join(root, "a.parquet")
+    b_pq = os.path.join(root, "b.parquet")
+    if not os.path.exists(b_pq):
+        # pyarrow writer honors small row groups (DuckDB's COPY clamps
+        # row_group_size up to its 2048-row vector multiple)
+        full = pq.read_table(src)
+        ids = full["doc_id"].to_numpy()
+        pq.write_table(full.filter(pa.array(ids < cut)), a_pq,
+                       row_group_size=per_seg)
+        pq.write_table(full.filter(pa.array(ids >= cut)), b_pq,
+                       row_group_size=per_seg)
+    inc_dir = os.path.join(root, "idx_incremental")
+    full_dir = os.path.join(root, "idx_full")
+    kw = dict(analyzer="simple", index_positions=False,
+              docs_per_partition=per_seg, num_buckets=8,
+              content_column="text", meta_columns=())
+    import math
+
+    expected = math.ceil(n / per_seg)
+    build_index([a_pq], inc_dir, **kw)          # phase 1: base
+    n_base = len(committed_segments(inc_dir))
+    build_index([a_pq, b_pq], inc_dir, **kw)    # phase 2: append (resume)
+    n_after = len(committed_segments(inc_dir))
+    # on a cold cache phase 1 holds only A's segments and phase 2 must
+    # grow the set; on a warm cache both phases see the complete index
+    if n_after != expected or n_base > n_after:
+        raise AssertionError(
+            f"append produced {n_base}->{n_after} segments, "
+            f"expected final {expected}")
+    build_index([a_pq, b_pq], full_dir, **kw)   # independent full rebuild
+    s_inc = IndexSearcher(inc_dir, score_mode="exact64", main_field="text")
+    s_full = IndexSearcher(full_dir, score_mode="exact64", main_field="text")
+    ids_i, sc_i = s_inc._eval({"kind": "term", "term": "data"})
+    ids_f, sc_f = s_full._eval({"kind": "term", "term": "data"})
+    oi, of = np.argsort(ids_i), np.argsort(ids_f)
+    if not (np.array_equal(ids_i[oi], ids_f[of])
+            and np.allclose(sc_i[oi], sc_f[of], rtol=0, atol=0)):
+        raise AssertionError("appended index diverged from full rebuild")
+    return pd.DataFrame({
+        "doc_id": ids_i[oi].astype(np.int64),
+        "score": round_half_away(sc_i[oi].astype(np.float64), 4),
+    })

@@ -285,3 +285,14 @@ def test_doc_count_field_weighted_totals():
     # sum over langs = sum of (1 + doc_id % 3) over all 500 docs
     did = np.arange(500)
     assert out["doc_count"].sum() == (1 + did % 3).sum()
+
+
+def test_incremental_append_matches_rebuild():
+    # the op itself asserts segment growth AND score equality with a
+    # from-scratch rebuild; here we additionally pin the doc set to the
+    # plain term query through the standard documents index
+    from elasticsearch_ray.pipelines.fulltext import all_matches
+
+    out = ops.index_incremental_append(SF)
+    want = all_matches(SF, {"kind": "term", "term": "data"}).to_pandas()
+    assert set(out["doc_id"]) == set(want["doc_id"])
