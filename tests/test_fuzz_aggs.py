@@ -12,6 +12,10 @@ from __future__ import annotations
 
 import duckdb
 import numpy as np
+import os as _os
+
+# fresh-seed sweeps: GRAFT_SEED_OFFSET=N shifts every inline seed
+_SEED_OFF = int(_os.environ.get("GRAFT_SEED_OFFSET", "0"))
 import pandas as pd
 import pytest
 
@@ -47,7 +51,7 @@ def _cmp(got: pd.DataFrame, want: pd.DataFrame, sort_cols, msg):
 
 
 def test_fuzz_histogram_widths(events, con):
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(7 + _SEED_OFF)
     for _ in range(8):
         w = round(float(rng.uniform(2.5, 95.0)), 2)
         got = A.histogram(events, "value", w)
@@ -58,7 +62,7 @@ def test_fuzz_histogram_widths(events, con):
 
 
 def test_fuzz_terms_sizes_and_range_filters(events, con):
-    rng = np.random.default_rng(11)
+    rng = np.random.default_rng(11 + _SEED_OFF)
     import pyarrow.compute as pc
 
     for i in range(8):
@@ -84,7 +88,7 @@ def test_fuzz_terms_sizes_and_range_filters(events, con):
 
 
 def test_fuzz_date_histogram_intervals(events, con):
-    rng = np.random.default_rng(13)
+    rng = np.random.default_rng(13 + _SEED_OFF)
     for _ in range(6):
         interval = str(rng.choice(["hour", "day", "week", "month"]))
         with_sum = bool(rng.random() < 0.5)
@@ -102,7 +106,7 @@ def test_fuzz_date_histogram_intervals(events, con):
 
 
 def test_fuzz_composite_cursors(events, con):
-    rng = np.random.default_rng(17)
+    rng = np.random.default_rng(17 + _SEED_OFF)
     all_rows = con.execute(
         "SELECT event_type, user_id, count(*) AS doc_count FROM events "
         "GROUP BY 1,2 ORDER BY 1,2").fetchdf()
@@ -126,7 +130,7 @@ def test_fuzz_composite_cursors(events, con):
 
 
 def test_fuzz_stats_on_filtered_slices(events, con):
-    rng = np.random.default_rng(19)
+    rng = np.random.default_rng(19 + _SEED_OFF)
     import pyarrow.compute as pc
 
     for i in range(5):

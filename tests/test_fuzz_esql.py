@@ -13,6 +13,11 @@ import numpy as np
 import pandas as pd
 import pytest
 
+import os as _os
+
+# fresh-seed sweeps: GRAFT_SEED_OFFSET=N shifts every parameterized seed
+_SEED_OFF = int(_os.environ.get("GRAFT_SEED_OFFSET", "0"))
+
 from elasticsearch_ray.functions import esql
 
 SF = "/root/testdata/sf0.001"
@@ -71,7 +76,7 @@ def _case(rng: np.random.Generator):
     return q, sql, by
 
 
-@pytest.mark.parametrize("seed", [7, 11, 13])
+@pytest.mark.parametrize("seed", [s + _SEED_OFF for s in (7, 11, 13)])
 def test_esql_random_pipelines_match_duckdb(ray_session, seed):
     rng = np.random.default_rng(seed)
     for _ in range(12):
@@ -132,7 +137,7 @@ _MV_PAIRS = [
 ]
 
 
-@pytest.mark.parametrize("seed", [3, 19])
+@pytest.mark.parametrize("seed", [s + _SEED_OFF for s in (3, 19)])
 def test_esql_function_fuzz_vs_duckdb(ray_session, seed):
     rng = np.random.default_rng(seed)
     for _ in range(8):
@@ -172,7 +177,7 @@ def test_esql_mv_fuzz_vs_duckdb(ray_session):
             check_dtype=False, atol=1e-9, obj=f"esql {q!r}")
 
 
-@pytest.mark.parametrize("seed", [3, 19])
+@pytest.mark.parametrize("seed", [s + _SEED_OFF for s in (3, 19)])
 def test_esql_fuzz_expression_aggs_and_like_lists(ray_session, seed):
     """Session-11 grammar: expression arguments inside aggregates and
     LIKE/RLIKE pattern lists, randomized against DuckDB."""
@@ -236,7 +241,7 @@ def _hash_cast_case(rng: np.random.Generator):
     return q, sql
 
 
-@pytest.mark.parametrize("seed", [17, 23, 29])
+@pytest.mark.parametrize("seed", [s + _SEED_OFF for s in (17, 23, 29)])
 def test_esql_hash_cast_fuzz(ray_session, seed):
     rng = np.random.default_rng(seed)
     for _ in range(10):

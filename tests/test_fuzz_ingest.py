@@ -15,6 +15,10 @@ from __future__ import annotations
 
 import duckdb
 import numpy as np
+import os as _os
+
+# fresh-seed sweeps: GRAFT_SEED_OFFSET=N shifts every inline seed
+_SEED_OFF = int(_os.environ.get("GRAFT_SEED_OFFSET", "0"))
 import pytest
 
 from elasticsearch_ray.functions import ingest as I
@@ -63,7 +67,7 @@ def _rand_step(rng):
 
 
 def test_fuzz_ingest_chains(ray_session, con):
-    rng = np.random.default_rng(23)
+    rng = np.random.default_rng(23 + _SEED_OFF)
     for ci in range(12):
         steps, expr = [], "text"
         for _ in range(int(rng.integers(2, 5))):

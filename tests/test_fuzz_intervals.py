@@ -9,6 +9,10 @@ from __future__ import annotations
 import itertools
 
 import numpy as np
+import os as _os
+
+# fresh-seed sweeps: GRAFT_SEED_OFFSET=N shifts every inline seed
+_SEED_OFF = int(_os.environ.get("GRAFT_SEED_OFFSET", "0"))
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -72,7 +76,7 @@ def _brute_filter(src: list[tuple[int, int]], flt: list[tuple[int, int]],
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory, ray_session):
-    rng = np.random.default_rng(20260818)
+    rng = np.random.default_rng(20260818 + _SEED_OFF)
     docs = [" ".join(rng.choice(VOCAB, size=rng.integers(2, 14)))
             for _ in range(120)]
     d = tmp_path_factory.mktemp("ivfuzz")
@@ -97,7 +101,7 @@ FILTER_KINDS = ["containing", "not_containing", "contained_by",
 
 def test_fuzz_intervals_filter_vs_brute(corpus):
     docs, searcher = corpus
-    rng = np.random.default_rng(4242)
+    rng = np.random.default_rng(4242 + _SEED_OFF)
     toks_per_doc = [d.split() for d in docs]
     n_cases = 120
     for case in range(n_cases):

@@ -11,6 +11,11 @@ import numpy as np
 import pandas as pd
 import pytest
 
+import os as _os
+
+# fresh-seed sweeps: GRAFT_SEED_OFFSET=N shifts every parameterized seed
+_SEED_OFF = int(_os.environ.get("GRAFT_SEED_OFFSET", "0"))
+
 from elasticsearch_ray.functions.sql import run_sql
 from elasticsearch_ray.pipelines.ops import _ds
 
@@ -46,7 +51,7 @@ def _row_case(rng: np.random.Generator) -> str:
     return sql
 
 
-@pytest.mark.parametrize("seed", [3, 17])
+@pytest.mark.parametrize("seed", [s + _SEED_OFF for s in (3, 17)])
 def test_sql_random_plans_match_duckdb(ray_session, seed):
     rng = np.random.default_rng(seed)
     for i in range(10):
@@ -86,7 +91,7 @@ def _expr_case(rng: np.random.Generator) -> str:
     return sql
 
 
-@pytest.mark.parametrize("seed", [23, 71])
+@pytest.mark.parametrize("seed", [s + _SEED_OFF for s in (23, 71)])
 def test_sql_expression_plans_match_duckdb(ray_session, seed):
     rng = np.random.default_rng(seed)
     for _ in range(8):
@@ -112,7 +117,7 @@ def _distinct_case(rng: np.random.Generator) -> str:
     return sql
 
 
-@pytest.mark.parametrize("seed", [23, 41])
+@pytest.mark.parametrize("seed", [s + _SEED_OFF for s in (23, 41)])
 def test_sql_distinct_plans_match_duckdb(ray_session, seed):
     rng = np.random.default_rng(seed)
     for _ in range(8):
