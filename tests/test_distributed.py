@@ -159,3 +159,21 @@ def test_distributed_round3_kinds(index_dir):
         assert list(g_ids) == list(d_ids), f"doc order mismatch: {q}"
         np.testing.assert_allclose(
             np.asarray(g_sc, np.float64), d_sc, rtol=1e-7, err_msg=str(q))
+
+
+def test_bool_msm_distributed(index_dir):
+    """bool minimum_should_match (session 16) is partition-invariant:
+    every doc lives wholly in one partition, so per-partition
+    matched-should counting equals the global count."""
+    glob = IndexSearcher(index_dir)
+    dist = DistributedSearcher(index_dir, num_searchers=3)
+    for spec in ("2", "75%", "-1", "2<75%"):
+        q = {"kind": "bool",
+             "should": [{"kind": "term", "term": t}
+                        for t in ("def", "tree", "node", "return")],
+             "minimum_should_match": spec, "k": 10}
+        g_ids, g_sc = glob.search(q)
+        d_ids, d_sc = dist.search(q)
+        assert list(g_ids) == list(d_ids), spec
+        np.testing.assert_allclose(
+            np.asarray(g_sc, np.float64), d_sc, rtol=1e-7, err_msg=spec)
