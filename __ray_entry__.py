@@ -113,7 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mapping_ignore_malformed", "date_multi_format",
         "ft_index_prefixes", "agg_doc_count_field",
         "quality_ensemble", "analyze_api_explain",
-        "index_incremental_append",
+        "index_incremental_append", "corpus_shard_writer",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7597,6 +7597,13 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "corpus_shard_writer": """
+WITH r AS (SELECT doc_id,
+    CAST(((doc_id * 2654435761) % 4294967296) % 8 AS BIGINT) AS shard
+  FROM documents)
+SELECT shard, count(*) AS rows, MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM r GROUP BY shard ORDER BY shard""",
         "quality_ensemble": """
 WITH w AS (SELECT doc_id,
     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

@@ -159,7 +159,10 @@ def run_bench() -> dict:
         timings[name] = round(best, 3)
     # session-4 representatives: timed for the record, kept OUT of the
     # headline sum so `value` stays comparable across rounds
-    for name in ("knn_hnsw", "training_pack_sequences"):
+    for name in ("knn_hnsw", "training_pack_sequences",
+                 # session-16 representatives: minhash dedup family and an
+                 # end-to-end ES|QL pipeline (also OUT of the headline sum)
+                 "dedup_minhash", "esql_sample"):
         q0 = time.time()
         getattr(OPS, name)(sf_dir)
         timings[f"extra_{name}"] = round(time.time() - q0, 3)

@@ -15797,3 +15797,80 @@ def index_incremental_append(sf_dir: str):
         "doc_id": ids_i[oi].astype(np.int64),
         "score": round_half_away(sc_i[oi].astype(np.float64), 4),
     })
+
+
+def corpus_shard_writer(sf_dir: str):
+    """Resumable partitioned-parquet output (the task-spec sink shape:
+    one directory per key range + a manifest per shard so a failed run
+    skips finished partitions). Docs hash-route to 8 shards
+    (doc_id * 2654435761 mod 2^32 mod 8 — the same stable routing the
+    SAMPLE command uses); each shard writes docs sorted by doc_id and
+    commits a manifest (rows, doc_id span) ATOMICALLY (tmp + rename)
+    AFTER the data file. A second pass must resume: every committed
+    shard is skipped, zero rows rewritten. Output: per-shard rows +
+    min/max doc_id + resume-skip counts, all re-derived by the oracle
+    from the routing hash."""
+    import hashlib as _h
+    import json as _json
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = _h.sha1(f"{src}:{os.path.getmtime(src)}:shardw:v1".encode()).hexdigest()[:16]
+    root = os.path.join("/tmp/esray_cache", f"shardout_{tag}")
+    os.makedirs(root, exist_ok=True)
+    n_shards = 8
+
+    def route(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.uint64)
+        shard = ((did * np.uint64(2654435761)) % np.uint64(2 ** 32)) \
+            % np.uint64(n_shards)
+        return t.append_column("shard", pa.array(shard.astype(np.int64)))
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as _pq
+
+        shard = int(g["shard"].iloc[0])
+        sdir = os.path.join(root, f"shard={shard}")
+        man = os.path.join(sdir, "manifest.json")
+        if os.path.isfile(man):  # committed -> resume skips it
+            return pd.DataFrame({"shard": [shard], "rows": [0],
+                                 "skipped": [1]})
+        os.makedirs(sdir, exist_ok=True)
+        g = g.sort_values("doc_id")
+        _pq.write_table(pa.Table.from_pandas(
+            g[["doc_id", "lang", "source"]], preserve_index=False),
+            os.path.join(sdir, "data.parquet"))
+        tmp = man + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"rows": len(g),
+                        "min_doc": int(g["doc_id"].min()),
+                        "max_doc": int(g["doc_id"].max())}, f)
+        os.replace(tmp, man)  # atomic commit, data first
+        return pd.DataFrame({"shard": [shard], "rows": [len(g)],
+                             "skipped": [0]})
+
+    def run_pass():
+        return (_ds(sf_dir, "documents", ["doc_id", "lang", "source"])
+                .map_batches(route, batch_format="pyarrow")
+                .groupby("shard").map_groups(write_shard,
+                                             batch_format="pandas")
+                .to_pandas())
+
+    import json as _json2
+    import shutil as _sh
+
+    _sh.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    run_pass()                     # pass 1: cold write
+    second = run_pass()            # pass 2: must skip every shard
+    if int(second["skipped"].sum()) != n_shards or \
+            int(second["rows"].sum()) != 0:
+        raise AssertionError("resume pass rewrote committed shards")
+    rows = []
+    for shard in range(n_shards):
+        with open(os.path.join(root, f"shard={shard}",
+                               "manifest.json")) as f:
+            m = _json2.load(f)
+        rows.append((shard, m["rows"], m["min_doc"], m["max_doc"]))
+    out = pd.DataFrame(rows, columns=["shard", "rows", "min_doc",
+                                      "max_doc"])
+    return out.astype({c: "int64" for c in out.columns})

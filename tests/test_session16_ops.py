@@ -296,3 +296,16 @@ def test_incremental_append_matches_rebuild():
     out = ops.index_incremental_append(SF)
     want = all_matches(SF, {"kind": "term", "term": "data"}).to_pandas()
     assert set(out["doc_id"]) == set(want["doc_id"])
+
+
+def test_shard_writer_resume_and_partition_files():
+    import os
+
+    out = ops.corpus_shard_writer(SF)
+    assert out["rows"].sum() == 500
+    assert len(out) == 8
+    # data files really exist, one per shard directory
+    import glob as g
+
+    dirs = g.glob("/tmp/esray_cache/shardout_*/shard=*/data.parquet")
+    assert len([d for d in dirs if os.path.getsize(d) > 0]) >= 8
