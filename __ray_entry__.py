@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_index_prefixes", "agg_doc_count_field",
         "quality_ensemble", "analyze_api_explain",
         "index_incremental_append", "corpus_shard_writer",
+        "ft_norms_disabled",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7597,6 +7598,16 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "ft_norms_disabled": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('data', 'merge') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id AS doc_id,
+       ROUND(SUM(ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * 2.2
+                 * tf.tf / (tf.tf + 1.2)), 4) AS score
+FROM tf JOIN df USING (term) CROSS JOIN st
+GROUP BY tf.doc_id ORDER BY doc_id""",
         "corpus_shard_writer": """
 WITH r AS (SELECT doc_id,
     CAST(((doc_id * 2654435761) % 4294967296) % 8 AS BIGINT) AS shard

@@ -15874,3 +15874,31 @@ def corpus_shard_writer(sf_dir: str):
     out = pd.DataFrame(rows, columns=["shard", "rows", "min_doc",
                                       "max_doc"])
     return out.astype({c: "int64" for c in out.columns})
+
+
+def ft_norms_disabled(sf_dir: str):
+    """`norms: false` mapping option (TextFieldMapper#omitNorms;
+    Lucene BM25Similarity with no norms): the length-normalization
+    component collapses to 1, so score = idf * (k1+1) * tf / (tf + k1)
+    — long and short docs score identically for equal tf. Implemented
+    through the engine's similarity extension point (the same hook the
+    DFR/IB/scripted providers use) over the live index; match OR of
+    'data merge'."""
+    from ..search.altsim import make_similarity
+    from ..search.engine import IndexSearcher
+    from .fulltext import documents_index
+
+    def bm25_no_norms(tf, dl, df, ttf, n, sum_dl, avgdl):
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * 2.2 * tf / (tf + 1.2)
+
+    s = IndexSearcher(documents_index(sf_dir), score_mode="exact64",
+                      main_field="text",
+                      similarity=make_similarity("scripted",
+                                                 script=bm25_no_norms))
+    ids, sc = s._eval({"kind": "match", "text": "data merge"})
+    order = np.argsort(ids)
+    return pd.DataFrame({
+        "doc_id": ids[order].astype(np.int64),
+        "score": round_half_away(sc[order].astype(np.float64), 4),
+    })

@@ -309,3 +309,15 @@ def test_shard_writer_resume_and_partition_files():
 
     dirs = g.glob("/tmp/esray_cache/shardout_*/shard=*/data.parquet")
     assert len([d for d in dirs if os.path.getsize(d) > 0]) >= 8
+
+
+def test_norms_disabled_length_independent():
+    out = ops.ft_norms_disabled(SF)
+    from elasticsearch_ray.pipelines.fulltext import all_matches
+
+    base = all_matches(SF, {"kind": "match", "text": "data merge"}).to_pandas()
+    # same doc set as normed BM25, different scores
+    assert set(out["doc_id"]) == set(base["doc_id"])
+    assert not np.allclose(
+        out.sort_values("doc_id")["score"].to_numpy(),
+        base.sort_values("doc_id")["score"].to_numpy())
