@@ -114,7 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_index_prefixes", "agg_doc_count_field",
         "quality_ensemble", "analyze_api_explain",
         "index_incremental_append", "corpus_shard_writer",
-        "ft_norms_disabled",
+        "ft_norms_disabled", "enrich_geo_match",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7598,6 +7598,16 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "enrich_geo_match": f"""
+WITH {_GEO},
+z AS (SELECT user_id, lat,
+             CASE WHEN lat >= 0 AND lon >= 0 THEN 'north_east'
+                  WHEN lat >= 0 THEN 'north_west'
+                  WHEN lon >= 0 THEN 'south_east'
+                  ELSE 'south_west' END AS zone
+      FROM g)
+SELECT zone, count(*) AS n_users, ROUND(AVG(lat), 4) AS avg_lat
+FROM z GROUP BY zone ORDER BY zone""",
         "ft_norms_disabled": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok

@@ -15902,3 +15902,47 @@ def ft_norms_disabled(sf_dir: str):
         "doc_id": ids[order].astype(np.int64),
         "score": round_half_away(sc[order].astype(np.float64), 4),
     })
+
+
+def enrich_geo_match(sf_dir: str):
+    """ENRICH policy match_type=geo_match (x-pack enrich
+    GeoMatchProcessor / esql ENRICH with a geo_match policy): each
+    user's point is matched against a broadcast table of 4 indexed
+    zone polygons (point-in-shape, first match wins in zone order) and
+    enriched with the zone name; unmatched points keep zone 'none'.
+    The zone table ships once (4 quadrant boxes as real polygons
+    through the vectorized crossing-number kernel); the per-user
+    stream never shuffles. Output: user count + mean lat per zone."""
+    from ray.data.aggregate import Count, Mean
+
+    from ..geo import parse_wkt, points_in_polygon
+
+    zones = [
+        ("north_east", "POLYGON ((0 0, 180 0, 180 90, 0 90, 0 0))"),
+        ("north_west", "POLYGON ((-180 0, 0 0, 0 90, -180 90, -180 0))"),
+        ("south_east", "POLYGON ((0 -90, 180 -90, 180 0, 0 0, 0 -90))"),
+        ("south_west", "POLYGON ((-180 -90, 0 -90, 0 0, -180 0, -180 -90))"),
+    ]
+    geoms = [(name, parse_wkt(wkt)[1]) for name, wkt in zones]
+
+    def enrich(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        zone = np.full(lat.size, "none", dtype=object)
+        unset = np.ones(lat.size, bool)
+        for name, geom in geoms:  # first match wins
+            hit = points_in_polygon(geom, lon, lat) & unset
+            zone[hit] = name
+            unset &= ~hit
+        return pa.table({"zone": pa.array(zone, pa.string()),
+                         "lat": t["lat"]})
+
+    out = (_users_geo(sf_dir)
+           .map_batches(enrich, batch_format="pyarrow")
+           .groupby("zone")
+           .aggregate(Count(alias_name="n_users"),
+                      Mean("lat", alias_name="avg_lat"))
+           .to_pandas())
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["avg_lat"] = round_half_away(out["avg_lat"], 4)
+    return out.sort_values("zone").reset_index(drop=True)

@@ -321,3 +321,15 @@ def test_norms_disabled_length_independent():
     assert not np.allclose(
         out.sort_values("doc_id")["score"].to_numpy(),
         base.sort_values("doc_id")["score"].to_numpy())
+
+
+def test_enrich_geo_match_partitions_all_users():
+    out = ops.enrich_geo_match(SF)
+    import duckdb
+
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{SF}/events.parquet')").fetchone()[0]
+    assert out["n_users"].sum() == n_users
+    assert set(out["zone"]) <= {"north_east", "north_west",
+                                "south_east", "south_west"}
