@@ -114,7 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_index_prefixes", "agg_doc_count_field",
         "quality_ensemble", "analyze_api_explain",
         "index_incremental_append", "corpus_shard_writer",
-        "ft_norms_disabled", "enrich_geo_match",
+        "ft_norms_disabled", "enrich_geo_match", "agg_t_test_unpaired",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7598,6 +7598,34 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "agg_t_test_unpaired": """
+WITH g AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE event_type IN ('click', 'error')),
+s AS (SELECT
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+    SUM(CASE WHEN event_type = 'click' THEN v ELSE 0 END) AS sa,
+    SUM(CASE WHEN event_type = 'click' THEN v * v ELSE 0 END) AS ssa,
+    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS nb,
+    SUM(CASE WHEN event_type = 'error' THEN v ELSE 0 END) AS sb,
+    SUM(CASE WHEN event_type = 'error' THEN v * v ELSE 0 END) AS ssb
+  FROM g),
+d AS (SELECT CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb,
+             sa / CAST(na AS DOUBLE) AS ma, sb / CAST(nb AS DOUBLE) AS mb,
+             (ssa - na * (sa / CAST(na AS DOUBLE))
+                       * (sa / CAST(na AS DOUBLE))) / (na - 1.0) AS va,
+             (ssb - nb * (sb / CAST(nb AS DOUBLE))
+                       * (sb / CAST(nb AS DOUBLE))) / (nb - 1.0) AS vb
+      FROM s)
+SELECT type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(t_stat, 6) AS t_stat FROM (
+  SELECT 'heteroscedastic' AS type, na, nb,
+         (ma - mb) / sqrt(va / na + vb / nb) AS t_stat FROM d
+  UNION ALL
+  SELECT 'homoscedastic', na, nb,
+         (ma - mb) / sqrt((((na - 1.0) * va + (nb - 1.0) * vb)
+                           / (na + nb - 2.0)) * (1.0/na + 1.0/nb)) FROM d)
+ORDER BY type""",
         "enrich_geo_match": f"""
 WITH {_GEO},
 z AS (SELECT user_id, lat,

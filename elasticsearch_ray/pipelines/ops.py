@@ -15946,3 +15946,42 @@ def enrich_geo_match(sf_dir: str):
     out["n_users"] = out["n_users"].astype(np.int64)
     out["avg_lat"] = round_half_away(out["avg_lat"], 4)
     return out.sort_values("zone").reset_index(drop=True)
+
+
+def agg_t_test_unpaired(sf_dir: str):
+    """t_test agg, unpaired types (x-pack analytics TTestType
+    HOMOSCEDASTIC pooled-variance and HETEROSCEDASTIC Welch): group A =
+    'click' events' values, group B = 'error' events'. Integer-cent
+    (n, sum, sum-of-squares) partials per group merge exactly across
+    batches; both statistics derive from the same six integers with
+    the literal expressions of the SQL twin."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        v = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+        out = {}
+        for g, name in ((et == "click", "a"), ((et == "error"), "b")):
+            d = v[g].astype(object)
+            out[f"n_{name}"] = [np.int64(d.size)]
+            out[f"s_{name}"] = [np.int64(sum(d))]
+            out[f"ss_{name}"] = [np.int64(sum(d * d))]
+        return pa.table(out)
+
+    parts = (_ds(sf_dir, "events", ["event_type", "value"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    na, sa, ssa = (float(parts[c].sum()) for c in ("n_a", "s_a", "ss_a"))
+    nb, sb, ssb = (float(parts[c].sum()) for c in ("n_b", "s_b", "ss_b"))
+    ma, mb = sa / na, sb / nb
+    va = (ssa - na * ma * ma) / (na - 1.0)
+    vb = (ssb - nb * mb * mb) / (nb - 1.0)
+    # pooled variance (homoscedastic)
+    sp2 = ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+    t_homo = (ma - mb) / np.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+    # Welch (heteroscedastic)
+    t_welch = (ma - mb) / np.sqrt(va / na + vb / nb)
+    return pd.DataFrame({
+        "type": ["heteroscedastic", "homoscedastic"],
+        "n_a": np.array([int(na)] * 2, np.int64),
+        "n_b": np.array([int(nb)] * 2, np.int64),
+        "t_stat": round_half_away(np.array([t_welch, t_homo]), 6),
+    })

@@ -333,3 +333,11 @@ def test_enrich_geo_match_partitions_all_users():
     assert out["n_users"].sum() == n_users
     assert set(out["zone"]) <= {"north_east", "north_west",
                                 "south_east", "south_west"}
+
+
+def test_t_test_unpaired_welch_vs_pooled():
+    out = ops.agg_t_test_unpaired(SF).set_index("type")
+    # equal-ish group sizes: Welch and pooled agree to first decimal
+    assert abs(out.loc["heteroscedastic", "t_stat"]
+               - out.loc["homoscedastic", "t_stat"]) < 0.1
+    assert out["n_a"].iloc[0] + out["n_b"].iloc[0] > 0
