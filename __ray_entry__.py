@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_ensemble", "analyze_api_explain",
         "index_incremental_append", "corpus_shard_writer",
         "ft_norms_disabled", "enrich_geo_match", "agg_t_test_unpaired",
+        "index_refresh_visibility", "training_shuffle_order",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7598,6 +7599,49 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "index_refresh_visibility": """
+WITH c AS (SELECT (CAST(floor(count(*) * 0.6) AS BIGINT) // 100) * 100
+               AS cut FROM documents),
+tokall AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+        AS t FROM documents) u WHERE t <> ''),
+p0 AS (SELECT doc_id, term FROM tokall CROSS JOIN c WHERE doc_id < cut),
+sc0 AS (
+  SELECT tf.doc_id, ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * 2.2 * tf.tf
+         / (tf.tf + 1.2*(0.25 + 0.75 * dl.dl * st.n / st.sumdl)) AS s
+  FROM (SELECT doc_id, count(*) AS tf FROM p0 WHERE term = 'data'
+        GROUP BY doc_id) tf
+  CROSS JOIN (SELECT count(DISTINCT doc_id) AS df FROM p0
+              WHERE term = 'data') df
+  JOIN (SELECT doc_id, count(*) AS dl FROM p0 GROUP BY doc_id) dl
+       ON dl.doc_id = tf.doc_id
+  CROSS JOIN (SELECT count(DISTINCT doc_id) AS n, count(*) AS sumdl
+              FROM p0) st),
+sc1 AS (
+  SELECT tf.doc_id, ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * 2.2 * tf.tf
+         / (tf.tf + 1.2*(0.25 + 0.75 * dl.dl * st.n / st.sumdl)) AS s
+  FROM (SELECT doc_id, count(*) AS tf FROM tokall WHERE term = 'data'
+        GROUP BY doc_id) tf
+  CROSS JOIN (SELECT count(DISTINCT doc_id) AS df FROM tokall
+              WHERE term = 'data') df
+  JOIN (SELECT doc_id, count(*) AS dl FROM tokall GROUP BY doc_id) dl
+       ON dl.doc_id = tf.doc_id
+  CROSS JOIN (SELECT (SELECT count(*) FROM documents) AS n,
+              count(*) AS sumdl FROM tokall) st)
+SELECT phase, doc_id, ROUND(s, 4) AS score FROM (
+  SELECT 0 AS phase, doc_id, s FROM sc0
+  UNION ALL SELECT 1, doc_id, s FROM sc1)
+ORDER BY phase, doc_id""",
+        "training_shuffle_order": """
+SELECT epoch, pos, doc_id FROM (
+  SELECT e.epoch,
+         row_number() OVER (PARTITION BY e.epoch ORDER BY
+             (doc_id * (2654435761 + 81006 * e.epoch)) % 4294967296,
+             doc_id) AS pos,
+         doc_id
+  FROM documents CROSS JOIN (VALUES (0), (1)) e(epoch))
+WHERE pos <= 15 ORDER BY epoch, pos""",
         "agg_t_test_unpaired": """
 WITH g AS (SELECT event_type,
                   CAST(round(value * 100) AS BIGINT) AS v

@@ -15985,3 +15985,88 @@ def agg_t_test_unpaired(sf_dir: str):
         "n_b": np.array([int(nb)] * 2, np.int64),
         "t_stat": round_half_away(np.array([t_welch, t_homo]), 6),
     })
+
+
+def index_refresh_visibility(sf_dir: str):
+    """_refresh semantics (index/engine: uncommitted writes are
+    invisible to search until refresh publishes them): the delta
+    segment's data sits complete on disk but UNCOMMITTED (a `.tmp-`
+    dir, no manifest visible to the reader) — phase 0 search sees only
+    the base segments AND scores with the base corpus's stats, exactly
+    a standalone base index. _refresh = the atomic tmp->final rename
+    (the manifest commit); phase 1 sees everything. The oracle
+    re-derives both phases' BM25 from the corpus split at the same
+    cut."""
+    import hashlib as _h
+    import shutil as _sh
+
+    import pyarrow.parquet as pq
+
+    from ..index.build import build_index
+    from ..index.manifest import committed_segments
+    from ..search.engine import IndexSearcher
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    n = pq.read_metadata(src).num_rows
+    per_seg = 100
+    cut = (int(n * 0.6) // per_seg) * per_seg
+    tag = _h.sha1(f"{src}:{os.path.getmtime(src)}:append:v2".encode()).hexdigest()[:16]
+    approot = os.path.join("/tmp/esray_cache", f"appendidx_{tag}")
+    # reuse the append fixture's A/B split + fully-built A+B index
+    index_incremental_append(sf_dir)
+    full_dir = os.path.join(approot, "idx_full")
+    rtag = _h.sha1(f"{src}:{os.path.getmtime(src)}:refresh:v1".encode()).hexdigest()[:16]
+    rdir = os.path.join("/tmp/esray_cache", f"refreshidx_{rtag}")
+    _sh.rmtree(rdir, ignore_errors=True)
+    os.makedirs(rdir)
+    for sid in committed_segments(full_dir):
+        offset = int(sid.split("_")[1])
+        dst = sid if offset < cut else f".tmp-{sid}"  # delta = uncommitted
+        _sh.copytree(os.path.join(full_dir, sid), os.path.join(rdir, dst))
+    frames = []
+    for phase in (0, 1):
+        if phase == 1:  # _refresh: atomic publish of every pending segment
+            for name in sorted(os.listdir(rdir)):
+                if name.startswith(".tmp-"):
+                    os.replace(os.path.join(rdir, name),
+                               os.path.join(rdir, name[len(".tmp-"):]))
+        s = IndexSearcher(rdir, score_mode="exact64", main_field="text")
+        ids, sc = s._eval({"kind": "term", "term": "data"})
+        order = np.argsort(ids)
+        frames.append(pd.DataFrame({
+            "phase": np.int64(phase),
+            "doc_id": ids[order].astype(np.int64),
+            "score": round_half_away(sc[order].astype(np.float64), 4),
+        }))
+    out = pd.concat(frames, ignore_index=True)
+    out["phase"] = out["phase"].astype(np.int64)
+    return out
+
+
+def training_shuffle_order(sf_dir: str):
+    """Deterministic training-order shuffle (the dataloader epoch
+    permutation — done WITHOUT random_shuffle's all-to-all: assign each
+    doc the stable key (doc_id * 2654435761 + epoch * 40503) mod 2^32
+    and range-sort on it; any worker can compute its slice
+    independently, and epoch reshuffles are just a new seed). Output:
+    the first 15 doc_ids of epochs 0 and 1."""
+    frames = []
+    for epoch in (0, 1):
+        def key(t: pa.Table, epoch=epoch) -> pa.Table:
+            did = t["doc_id"].to_numpy().astype(np.uint64)
+            m = np.uint64(2654435761 + 81006 * epoch)
+            k = (did * m) % np.uint64(2 ** 32)
+            return pa.table({"doc_id": pa.array(did.astype(np.int64)),
+                             "k": pa.array(k.astype(np.int64))})
+
+        out = (_ds(sf_dir, "documents", ["doc_id"])
+               .map_batches(key, batch_format="pyarrow")
+               .sort(["k", "doc_id"]).limit(15).to_pandas())
+        out.insert(0, "epoch", np.int64(epoch))
+        out.insert(1, "pos", pd.array(range(1, len(out) + 1),
+                                      dtype="int64"))
+        frames.append(out[["epoch", "pos", "doc_id"]])
+    out = pd.concat(frames, ignore_index=True)
+    out["epoch"] = out["epoch"].astype(np.int64)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out

@@ -341,3 +341,22 @@ def test_t_test_unpaired_welch_vs_pooled():
     assert abs(out.loc["heteroscedastic", "t_stat"]
                - out.loc["homoscedastic", "t_stat"]) < 0.1
     assert out["n_a"].iloc[0] + out["n_b"].iloc[0] > 0
+
+
+def test_refresh_visibility_phases():
+    out = ops.index_refresh_visibility(SF)
+    p0 = set(out[out["phase"] == 0]["doc_id"])
+    p1 = set(out[out["phase"] == 1]["doc_id"])
+    assert p0 < p1  # uncommitted delta invisible, then published
+    # phase 0 scores equal a standalone base index: every phase-0 doc
+    # is below the cut
+    assert max(p0) < 300 or max(p0) < max(p1)
+
+
+def test_training_shuffle_deterministic_and_epoch_varies():
+    a = ops.training_shuffle_order(SF)
+    b = ops.training_shuffle_order(SF)
+    assert a.equals(b)
+    e0 = a[a["epoch"] == 0]["doc_id"].tolist()
+    e1 = a[a["epoch"] == 1]["doc_id"].tolist()
+    assert e0 != e1  # epoch reshuffle changes the order
