@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_incremental_append", "corpus_shard_writer",
         "ft_norms_disabled", "enrich_geo_match", "agg_t_test_unpaired",
         "index_refresh_visibility", "training_shuffle_order",
+        "bulk_external_versioning", "bulk_script_update",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7599,6 +7600,29 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "bulk_external_versioning": """
+WITH w AS (SELECT doc_id,
+    1 + doc_id % 3 AS stored,
+    CASE WHEN 1 + doc_id % 3 < 2 THEN 2 ELSE 1 + doc_id % 3 END AS curA,
+    doc_id % 5 AS vB
+  FROM documents),
+f AS (SELECT doc_id,
+    CASE WHEN vB > curA THEN vB ELSE curA END AS final_version,
+    CASE WHEN stored < 2 THEN 0 ELSE 1 END AS conflictA,
+    CASE WHEN vB > curA THEN 0 ELSE 1 END AS conflictB
+  FROM w)
+SELECT final_version, count(*) AS docs,
+       CAST(SUM(conflictA) AS BIGINT) AS conflicts_a,
+       CAST(SUM(conflictB) AS BIGINT) AS conflicts_b,
+       count(*) AS create_conflicts
+FROM f GROUP BY final_version ORDER BY final_version""",
+        "bulk_script_update": """
+WITH c AS (SELECT lang,
+    doc_id % 10 + (doc_id % 4) + (doc_id % 7) + 5 AS counter
+  FROM documents)
+SELECT lang, CAST(SUM(counter) AS BIGINT) AS sum_counter,
+       CAST(MAX(counter) AS BIGINT) AS max_counter
+FROM c GROUP BY lang ORDER BY lang""",
         "index_refresh_visibility": """
 WITH c AS (SELECT (CAST(floor(count(*) * 0.6) AS BIGINT) // 100) * 100
                AS cut FROM documents),

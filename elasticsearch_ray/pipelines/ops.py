@@ -16070,3 +16070,78 @@ def training_shuffle_order(sf_dir: str):
     out["epoch"] = out["epoch"].astype(np.int64)
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out
+
+
+def bulk_external_versioning(sf_dir: str):
+    """version_type=external (index/VersionType.EXTERNAL: a write wins
+    iff its version is STRICTLY greater than the stored one; equal or
+    lower -> version conflict) plus op_type=create (put-if-absent).
+    Three write waves with deterministic versions arrive for every doc;
+    the surviving (version, source) per doc is the max-version wave,
+    and conflict counters tally the losers. One map_batches pass
+    computes all waves' outcomes — the waves are functions of doc_id,
+    so no shuffle; a real stream would groupby doc_id first."""
+    from ray.data.aggregate import Sum
+
+    def waves(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        # stored version after initial index = 1 + doc_id % 3
+        stored = 1 + did % 3
+        # wave A: version 2 -> wins where stored < 2
+        winsA = stored < 2
+        # wave B: version (doc_id % 5): mostly loses
+        vB = did % 5
+        cur = np.where(winsA, 2, stored)
+        winsB = vB > cur
+        cur = np.where(winsB, vB, cur)
+        # wave C: op_type=create -> conflict wherever the doc exists
+        create_conflict = np.ones(did.size, bool)
+        return pa.table({
+            "final_version": pa.array(cur),
+            "conflictA": pa.array((~winsA).astype(np.int64)),
+            "conflictB": pa.array((~winsB).astype(np.int64)),
+            "create_conflicts": pa.array(create_conflict.astype(np.int64)),
+        })
+
+    ds = (_ds(sf_dir, "documents", ["doc_id"])
+          .map_batches(waves, batch_format="pyarrow"))
+    from ray.data.aggregate import Count
+
+    per_v = (ds.groupby("final_version")
+             .aggregate(Count(alias_name="docs"),
+                        Sum("conflictA", alias_name="conflicts_a"),
+                        Sum("conflictB", alias_name="conflicts_b"),
+                        Sum("create_conflicts", alias_name="create_conflicts"))
+             .to_pandas())
+    for c in ("docs", "conflicts_a", "conflicts_b", "create_conflicts"):
+        per_v[c] = per_v[c].astype(np.int64)
+    per_v["final_version"] = per_v["final_version"].astype(np.int64)
+    return per_v.sort_values("final_version").reset_index(drop=True)
+
+
+def bulk_script_update(sf_dir: str):
+    """Scripted update merge (UpdateHelper + Painless
+    `ctx._source.counter += params.count`): many increment operations
+    target the same doc (3 per doc here, sizes doc_id%4, doc_id%7, 5);
+    the batch engine folds each doc's increments with ONE groupby-sum
+    and applies them to the base counter (doc_id % 10) in the same
+    pass — the reference would replay them serially through the
+    version loop. Output: per-lang sum and max of final counters."""
+    from ray.data.aggregate import Max, Sum
+
+    def apply(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        base = did % 10
+        incs = (did % 4) + (did % 7) + 5
+        return pa.table({"lang": t["lang"],
+                         "counter": pa.array(base + incs)})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "lang"])
+           .map_batches(apply, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("counter", alias_name="sum_counter"),
+                      Max("counter", alias_name="max_counter"))
+           .to_pandas())
+    out["sum_counter"] = out["sum_counter"].astype(np.int64)
+    out["max_counter"] = out["max_counter"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)

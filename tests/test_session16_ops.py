@@ -360,3 +360,19 @@ def test_training_shuffle_deterministic_and_epoch_varies():
     e0 = a[a["epoch"] == 0]["doc_id"].tolist()
     e1 = a[a["epoch"] == 1]["doc_id"].tolist()
     assert e0 != e1  # epoch reshuffle changes the order
+
+
+def test_external_versioning_totals():
+    out = ops.bulk_external_versioning(SF)
+    assert out["docs"].sum() == 500
+    # create always conflicts on existing docs
+    assert out["create_conflicts"].sum() == 500
+    # final version can only be one of the wave versions
+    assert set(out["final_version"]) <= {2, 3, 4}
+
+
+def test_script_update_counters():
+    out = ops.bulk_script_update(SF)
+    did = np.arange(500)
+    want = (did % 10 + did % 4 + did % 7 + 5).sum()
+    assert out["sum_counter"].sum() == want
