@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_norms_disabled", "enrich_geo_match", "agg_t_test_unpaired",
         "index_refresh_visibility", "training_shuffle_order",
         "bulk_external_versioning", "bulk_script_update",
+        "ingest_simulate_verbose", "reindex_script",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7600,6 +7601,23 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "ingest_simulate_verbose": """
+WITH d AS (SELECT doc_id, lang, source FROM documents WHERE doc_id < 5)
+SELECT step, processor, doc_id, tag, lang, source FROM (
+  SELECT 0 AS step, 'set' AS processor, doc_id, 'sim' AS tag,
+         lang, source FROM d
+  UNION ALL SELECT 1, 'uppercase', doc_id, 'sim', upper(lang), source
+  FROM d
+  UNION ALL SELECT 2, 'gsub', doc_id, 'sim', upper(lang),
+         replace(source, 'src', 'S') FROM d)
+ORDER BY step, doc_id""",
+        "reindex_script": """
+WITH k AS (SELECT upper(lang) AS lang FROM documents
+           WHERE n_chars >= 250)
+SELECT lang, count(*) AS created,
+       (SELECT count(*) FROM documents)
+       - (SELECT count(*) FROM k) AS noops_total
+FROM k GROUP BY lang ORDER BY lang""",
         "bulk_external_versioning": """
 WITH w AS (SELECT doc_id,
     1 + doc_id % 3 AS stored,

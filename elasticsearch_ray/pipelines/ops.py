@@ -16145,3 +16145,64 @@ def bulk_script_update(sf_dir: str):
     out["sum_counter"] = out["sum_counter"].astype(np.int64)
     out["max_counter"] = out["max_counter"].astype(np.int64)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def ingest_simulate_verbose(sf_dir: str):
+    """_simulate?verbose=true (SimulateExecutionService verbose mode:
+    one `processor_results` entry per processor with the doc state
+    AFTER that processor): the same set -> uppercase -> gsub pipeline,
+    but every stage's output fields are emitted with a processor index
+    — the per-stage trace the API returns. Stages run as separate
+    vectorized passes over the (tiny, by contract) sample batch."""
+    import pyarrow.compute as pc
+
+    from ..functions import ingest as I
+
+    ds0 = _ds(sf_dir, "documents", ["doc_id", "lang", "source"],
+              flt=pc.field("doc_id") < 5)
+    stages = [("set", I.pipeline(I.set_value("tag", "sim"))),
+              ("uppercase", I.pipeline(I.set_value("tag", "sim"),
+                                       I.uppercase("lang"))),
+              ("gsub", I.pipeline(I.set_value("tag", "sim"),
+                                  I.uppercase("lang"),
+                                  I.gsub("source", "src", "S")))]
+    frames = []
+    for idx, (pname, pipe) in enumerate(stages):
+        t = (ds0.map_batches(pipe, batch_format="pyarrow")
+             .select_columns(["doc_id", "tag", "lang", "source"])
+             .to_pandas())
+        t.insert(0, "processor", pname)
+        t.insert(0, "step", np.int64(idx))
+        frames.append(t)
+    out = pd.concat(frames, ignore_index=True)
+    out["step"] = out["step"].astype(np.int64)
+    return out.sort_values(["step", "doc_id"]).reset_index(drop=True)
+
+
+def reindex_script(sf_dir: str):
+    """_reindex with a script (ReindexRequest#setScript; the script can
+    rewrite the source, change _id routing, or mark the op `noop` to
+    drop the doc): docs reindex into a derived table where lang is
+    uppercased and short docs (n_chars < 250) become noops (dropped);
+    counters report created vs noops. One streaming pass; at scale the
+    sink is the partitioned writer."""
+    from ray.data.aggregate import Count
+
+    def transform(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(t["n_chars"], 250)
+        kept = t.filter(keep)
+        return pa.table({
+            "doc_id": kept["doc_id"],
+            "lang": pc.utf8_upper(kept["lang"]),
+        })
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+           .map_batches(transform, batch_format="pyarrow")
+           .groupby("lang").aggregate(Count(alias_name="created"))
+           .to_pandas())
+    out["created"] = out["created"].astype(np.int64)
+    total = _ds(sf_dir, "documents", ["doc_id"]).count()
+    out["noops_total"] = np.int64(total - out["created"].sum())
+    return out.sort_values("lang").reset_index(drop=True)

@@ -376,3 +376,20 @@ def test_script_update_counters():
     did = np.arange(500)
     want = (did % 10 + did % 4 + did % 7 + 5).sum()
     assert out["sum_counter"].sum() == want
+
+
+def test_simulate_verbose_stage_progression():
+    out = ops.ingest_simulate_verbose(SF)
+    s0 = out[out["step"] == 0]
+    s2 = out[out["step"] == 2]
+    # uppercase applied only from step 1; gsub only at step 2
+    assert (s0["lang"].str.islower()).all()
+    assert (s2["lang"].str.isupper()).all()
+    assert s2["source"].str.startswith("S").all()
+    assert not s0["source"].str.startswith("S").any()
+
+
+def test_reindex_script_noop_accounting():
+    out = ops.reindex_script(SF)
+    assert out["created"].sum() + out["noops_total"].iloc[0] == 500
+    assert out["lang"].str.isupper().all()
