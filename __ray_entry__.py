@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_refresh_visibility", "training_shuffle_order",
         "bulk_external_versioning", "bulk_script_update",
         "ingest_simulate_verbose", "reindex_script",
+        "termvectors_filtered",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7601,6 +7602,16 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "termvectors_filtered": f"""
+WITH {_TOK},
+doc AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = 42
+        GROUP BY term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, tf, df,
+       ROUND(tf * ln(1 + (st.n - df + 0.5)/(df + 0.5)), 4) AS weight
+FROM doc JOIN dfs USING (term) CROSS JOIN st
+WHERE tf >= 2 AND df >= 1
+ORDER BY tf * ln(1 + (st.n - df + 0.5)/(df + 0.5)) DESC, term LIMIT 5""",
         "ingest_simulate_verbose": """
 WITH d AS (SELECT doc_id, lang, source FROM documents WHERE doc_id < 5)
 SELECT step, processor, doc_id, tag, lang, source FROM (

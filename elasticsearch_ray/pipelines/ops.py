@@ -16206,3 +16206,41 @@ def reindex_script(sf_dir: str):
     total = _ds(sf_dir, "documents", ["doc_id"]).count()
     out["noops_total"] = np.int64(total - out["created"].sum())
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def termvectors_filtered(sf_dir: str):
+    """_termvectors with the `filter` section (TermVectorsRequest
+    FilterSettings: min_term_freq, min_doc_freq, max_num_terms — terms
+    pruned by doc-local tf AND corpus df, then capped to the top
+    max_num_terms by a tf*idf-style weight): doc 42's vector with
+    min_term_freq=2, min_doc_freq=1, max_num_terms=5, ranked by
+    tf * ln(1 + (N - df + 0.5)/(df + 0.5)) desc then term asc. The
+    corpus dfs come from the live dictionary; only the single fetched
+    doc is read."""
+    from collections import Counter
+
+    from ..analyzer import analyze_simple
+    from ..sources.reader import fetch_rows_by_doc_id
+
+    s = documents_searcher(sf_dir)
+    n_docs = s.n_docs
+    t = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                             [42], columns=["doc_id", "text"])
+    c = Counter(analyze_simple(t["text"][0].as_py()))
+    rows = []
+    for term, tf in c.items():
+        if tf < 2:
+            continue
+        df = int(s.global_df(term))
+        if df < 1:
+            continue
+        idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+        rows.append((term, tf, df, tf * idf))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:5]
+    return pd.DataFrame({
+        "term": [r[0] for r in rows],
+        "tf": pd.array([r[1] for r in rows], dtype="int64"),
+        "df": pd.array([r[2] for r in rows], dtype="int64"),
+        "weight": round_half_away(np.array([r[3] for r in rows]), 4),
+    })

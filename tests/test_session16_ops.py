@@ -393,3 +393,13 @@ def test_reindex_script_noop_accounting():
     out = ops.reindex_script(SF)
     assert out["created"].sum() + out["noops_total"].iloc[0] == 500
     assert out["lang"].str.isupper().all()
+
+
+def test_termvectors_filtered_subset_of_full_vector():
+    filt = ops.termvectors_filtered(SF)
+    full = ops.ft_termvectors(SF).set_index("term")["tf"]
+    assert len(filt) <= 5
+    for _, r in filt.iterrows():
+        assert full[r["term"]] == r["tf"]
+        assert r["tf"] >= 2
+    assert (filt["weight"].diff().dropna() <= 1e-12).all()
