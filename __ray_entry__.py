@@ -118,7 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_refresh_visibility", "training_shuffle_order",
         "bulk_external_versioning", "bulk_script_update",
         "ingest_simulate_verbose", "reindex_script",
-        "termvectors_filtered",
+        "termvectors_filtered", "corpus_datacard",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7602,6 +7602,27 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "corpus_datacard": """
+WITH g AS (SELECT source, lang, count(*) AS n, SUM(n_chars) AS chars
+           FROM documents GROUP BY source, lang),
+tot AS (SELECT source, SUM(n) AS docs, SUM(chars) AS chars
+        FROM g GROUP BY source),
+ent AS (SELECT g.source,
+               -SUM((g.n / CAST(t.docs AS DOUBLE))
+                    * log2(g.n / CAST(t.docs AS DOUBLE))) AS e
+        FROM g JOIN tot t USING (source) GROUP BY g.source),
+dom AS (SELECT source, lang, n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, lang) AS rk
+        FROM g)
+SELECT t.source, CAST(t.docs AS BIGINT) AS docs,
+       ROUND(t.chars / CAST(t.docs AS DOUBLE), 4) AS mean_chars,
+       ROUND(e.e, 4) AS lang_entropy,
+       d.lang AS top_lang,
+       ROUND(d.n / CAST(t.docs AS DOUBLE), 4) AS top_lang_share
+FROM tot t JOIN ent e USING (source)
+JOIN dom d ON d.source = t.source AND d.rk = 1
+ORDER BY t.source""",
         "termvectors_filtered": f"""
 WITH {_TOK},
 doc AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = 42

@@ -16244,3 +16244,37 @@ def termvectors_filtered(sf_dir: str):
         "df": pd.array([r[2] for r in rows], dtype="int64"),
         "weight": round_half_away(np.array([r[3] for r in rows]), 4),
     })
+
+
+def corpus_datacard(sf_dir: str):
+    """Data-card statistics (the per-source summary table a dataset
+    release documents — Datasheets for Datasets, Gebru et al. 2021):
+    per source, doc count, mean length, language-distribution entropy
+    and dominant language share. One groupby over (source, lang)
+    partials; the |sources| x |langs| reduced table computes entropy
+    driver-side."""
+    from ray.data.aggregate import Count, Sum
+
+    g = (_ds(sf_dir, "documents", ["source", "lang", "n_chars"])
+         .groupby(["source", "lang"])
+         .aggregate(Count(alias_name="n"),
+                    Sum("n_chars", alias_name="chars"))
+         .to_pandas())
+    rows = []
+    for src, part in g.groupby("source"):
+        n = part["n"].sum()
+        p = part["n"].to_numpy(np.float64) / n
+        ent = float(-(p * np.log2(p)).sum())
+        dom = part.sort_values(["n", "lang"],
+                               ascending=[False, True]).iloc[0]
+        rows.append((src, int(n),
+                     float(part["chars"].sum()) / n,
+                     ent, str(dom["lang"]),
+                     float(dom["n"]) / n))
+    out = pd.DataFrame(rows, columns=[
+        "source", "docs", "mean_chars", "lang_entropy", "top_lang",
+        "top_lang_share"])
+    for c in ("mean_chars", "lang_entropy", "top_lang_share"):
+        out[c] = round_half_away(out[c].to_numpy(), 4)
+    out["docs"] = out["docs"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)

@@ -403,3 +403,10 @@ def test_termvectors_filtered_subset_of_full_vector():
         assert full[r["term"]] == r["tf"]
         assert r["tf"] >= 2
     assert (filt["weight"].diff().dropna() <= 1e-12).all()
+
+
+def test_datacard_shares_and_totals():
+    out = ops.corpus_datacard(SF)
+    assert out["docs"].sum() == 500
+    assert ((out["top_lang_share"] > 0) & (out["top_lang_share"] <= 1)).all()
+    assert (out["lang_entropy"] >= 0).all()
