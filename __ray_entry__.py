@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bulk_external_versioning", "bulk_script_update",
         "ingest_simulate_verbose", "reindex_script",
         "termvectors_filtered", "corpus_datacard",
+        "ft_highlight_no_match_size",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7602,6 +7603,34 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "ft_highlight_no_match_size": r"""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+        AS t FROM documents) u WHERE t <> ''),
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+h3 AS (SELECT doc_id FROM hits ORDER BY doc_id LIMIT 3),
+m3 AS (SELECT doc_id FROM documents
+       WHERE doc_id < 200 AND doc_id NOT IN (SELECT doc_id FROM hits)
+       ORDER BY doc_id LIMIT 3),
+hw AS (SELECT h.doc_id,
+              list_filter(regexp_split_to_array(d.text, '\s+'),
+                          w -> w <> '') AS w
+       FROM h3 h JOIN documents d USING (doc_id)),
+hp AS (SELECT doc_id, w,
+              list_position(list_transform(w, x -> lower(x)), 'merge') AS p
+       FROM hw),
+hf AS (SELECT doc_id, 1 AS matched,
+              array_to_string(list_transform(w[p:p+5],
+                  x -> CASE WHEN lower(x) = 'merge'
+                       THEN '<em>' || x || '</em>' ELSE x END), ' ')
+                  AS fragment
+       FROM hp),
+mf AS (SELECT m.doc_id, 0 AS matched, substr(d.text, 1, 40) AS fragment
+       FROM m3 m JOIN documents d USING (doc_id))
+SELECT doc_id, matched, fragment FROM
+  (SELECT * FROM hf UNION ALL SELECT * FROM mf)
+ORDER BY doc_id""",
         "corpus_datacard": """
 WITH g AS (SELECT source, lang, count(*) AS n, SUM(n_chars) AS chars
            FROM documents GROUP BY source, lang),

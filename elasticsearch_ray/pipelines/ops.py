@@ -16278,3 +16278,46 @@ def corpus_datacard(sf_dir: str):
         out[c] = round_half_away(out[c].to_numpy(), 4)
     out["docs"] = out["docs"].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def ft_highlight_no_match_size(sf_dir: str):
+    """highlighter `no_match_size` (HighlightBuilder#noMatchSize: when a
+    field has no matching fragment, return the leading no_match_size
+    characters of the raw field instead of nothing): the first 3 docs
+    containing 'merge' get a real fragment (6 words from the first
+    occurrence, every occurrence tagged), the first 3 docs WITHOUT it
+    get the untagged 40-char head. Fetches are row-group-pruned point
+    reads for exactly those 6 docs."""
+    import pyarrow.compute as pc
+
+    s = documents_searcher(sf_dir)
+    ids, _ = s._eval({"kind": "term", "term": "merge"})
+    hit = set(np.sort(ids)[:3].tolist())
+    all_first = _ds(sf_dir, "documents", ["doc_id"],
+                    flt=pc.field("doc_id") < 200).to_pandas()
+    miss = [d for d in sorted(all_first["doc_id"])
+            if d not in set(ids.tolist())][:3]
+    from ..sources.reader import fetch_rows_by_doc_id
+
+    want = sorted(hit) + miss
+    src = fetch_rows_by_doc_id(os.path.join(sf_dir, "documents.parquet"),
+                               np.array(want, np.int64),
+                               columns=["doc_id", "text"])
+    texts = {src["doc_id"][i].as_py(): src["text"][i].as_py()
+             for i in range(len(src))}
+    rows = []
+    for d in want:
+        text = texts[d]
+        if d in hit:
+            words = text.split()
+            p = next(i for i, w in enumerate(words)
+                     if w.lower() == "merge")
+            frag = " ".join(f"<em>{w}</em>" if w.lower() == "merge" else w
+                            for w in words[p:p + 6])
+            rows.append((d, 1, frag))
+        else:
+            rows.append((d, 0, text[:40]))
+    out = pd.DataFrame(rows, columns=["doc_id", "matched", "fragment"])
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["matched"] = out["matched"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

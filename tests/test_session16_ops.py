@@ -410,3 +410,13 @@ def test_datacard_shares_and_totals():
     assert out["docs"].sum() == 500
     assert ((out["top_lang_share"] > 0) & (out["top_lang_share"] <= 1)).all()
     assert (out["lang_entropy"] >= 0).all()
+
+
+def test_no_match_size_fragments():
+    out = ops.ft_highlight_no_match_size(SF)
+    m = out[out["matched"] == 1]
+    u = out[out["matched"] == 0]
+    assert len(m) == 3 and len(u) == 3
+    assert m["fragment"].str.contains("<em>merge</em>").all()
+    assert (~u["fragment"].str.contains("<em>")).all()
+    assert (u["fragment"].str.len() <= 40).all()
