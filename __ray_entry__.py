@@ -119,7 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bulk_external_versioning", "bulk_script_update",
         "ingest_simulate_verbose", "reindex_script",
         "termvectors_filtered", "corpus_datacard",
-        "ft_highlight_no_match_size",
+        "ft_highlight_no_match_size", "knn_similarity_threshold",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -7603,6 +7603,17 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "knn_similarity_threshold": """
+SELECT query_id, vec_id, cosine FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+               v.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings q CROSS JOIN embeddings v
+  WHERE q.vec_id IN (0, 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+               v.embedding::DOUBLE[]) DESC, v.vec_id) <= 5)
+WHERE cosine >= 0.2 ORDER BY query_id, vec_id""",
         "ft_highlight_no_match_size": r"""
 WITH tok AS (
   SELECT doc_id, t AS term FROM (

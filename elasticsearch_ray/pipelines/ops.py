@@ -16321,3 +16321,24 @@ def ft_highlight_no_match_size(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["matched"] = out["matched"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def knn_similarity_threshold(sf_dir: str):
+    """knn `similarity` option (8.8 KnnSearchBuilder#similarity: hits
+    whose similarity falls below the threshold are dropped AFTER the
+    top-k gather — the caller gets fewer than k rather than weaker
+    matches): brute-force cosine top-5 per query, then the 0.2 cutoff.
+    Same broadcast-query partial-top-k path as knn_bruteforce; the
+    threshold applies to the merged result."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    qids = [0, 1, 2]
+    vecs = {int(i): v for i, v in
+            zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+            if int(i) in qids}
+    Q = np.array([vecs[q] for q in qids])
+    out = S.knn_brute_force(_ds(sf_dir, "embeddings"), Q, k=5,
+                            dtype=np.float64)
+    out = out[out["cosine"] >= 0.2].reset_index(drop=True)
+    return out[["query_id", "vec_id", "cosine"]]

@@ -420,3 +420,12 @@ def test_no_match_size_fragments():
     assert m["fragment"].str.contains("<em>merge</em>").all()
     assert (~u["fragment"].str.contains("<em>")).all()
     assert (u["fragment"].str.len() <= 40).all()
+
+
+def test_knn_similarity_threshold_subset():
+    filt = ops.knn_similarity_threshold(SF)
+    full = ops.knn_bruteforce(SF)
+    assert (filt["cosine"] >= 0.2).all()
+    assert len(filt) <= len(full)
+    merged = filt.merge(full, on=["query_id", "vec_id"], suffixes=("", "_f"))
+    assert len(merged) == len(filt)  # strictly a filtered subset
