@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_simulate_verbose", "reindex_script",
         "termvectors_filtered", "corpus_datacard",
         "ft_highlight_no_match_size", "knn_similarity_threshold",
+        "ft_rank_feature_negative",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -4187,6 +4188,17 @@ WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT event_type, count(*)::BIGINT AS distinct_fp,
        md5('0|click') AS sample_fp
 FROM p GROUP BY event_type ORDER BY event_type""",
+        "ft_rank_feature_negative": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data'
+       GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id,
+       ROUND({_SCORE} + 1.5 * 300.0 / (d.n_chars + 300.0), 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+ORDER BY doc_id""",
         "knn_similarity_threshold": """
 SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
        ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
@@ -7603,6 +7615,17 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "ft_rank_feature_negative": f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data'
+       GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id,
+       ROUND({_SCORE} + 1.5 * 300.0 / (d.n_chars + 300.0), 4) AS score
+FROM tf CROSS JOIN df CROSS JOIN st
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+ORDER BY doc_id""",
         "knn_similarity_threshold": """
 SELECT query_id, vec_id, cosine FROM (
   SELECT q.vec_id AS query_id, v.vec_id AS vec_id,

@@ -16342,3 +16342,17 @@ def knn_similarity_threshold(sf_dir: str):
                             dtype=np.float64)
     out = out[out["cosine"] >= 0.2].reset_index(drop=True)
     return out[["query_id", "vec_id", "cosine"]]
+
+
+def ft_rank_feature_negative(sf_dir: str):
+    """rank_feature with positive_score_impact=false
+    (RankFeatureFieldMapper: lower feature values score higher — the
+    saturation flips to pivot/(v+pivot); the canonical use is a
+    url_length-style penalty feature): term 'data' plus the inverted
+    n_chars feature."""
+    return all_matches(sf_dir, {
+        "kind": "bool",
+        "must": [{"kind": "term", "term": "data"}],
+        "should": [{"kind": "rank_feature", "field": "n_chars",
+                    "pivot": 300.0, "boost": 1.5,
+                    "positive_score_impact": False}]})

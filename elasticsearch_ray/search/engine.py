@@ -1284,7 +1284,13 @@ class IndexSearcher:
             fn = q.get("function", "saturation")
             if fn == "saturation":
                 pivot = float(q["pivot"])
-                sc = boost * v / (v + pivot)
+                if q.get("positive_score_impact", True):
+                    sc = boost * v / (v + pivot)
+                else:
+                    # RankFeatureFieldMapper positive_score_impact=false:
+                    # lower feature values score HIGHER (the query
+                    # saturates on the reciprocal)
+                    sc = boost * pivot / (v + pivot)
             elif fn == "log":
                 sc = boost * np.log(float(q.get("scaling_factor", 1.0)) + v)
             elif fn == "sigmoid":

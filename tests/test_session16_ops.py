@@ -429,3 +429,25 @@ def test_knn_similarity_threshold_subset():
     assert len(filt) <= len(full)
     merged = filt.merge(full, on=["query_id", "vec_id"], suffixes=("", "_f"))
     assert len(merged) == len(filt)  # strictly a filtered subset
+
+
+def test_rank_feature_negative_inverts_preference():
+    import duckdb
+    import pandas as pd
+
+    def frame(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    neg = frame(ops.ft_rank_feature_negative(SF))
+    pos = frame(ops.ft_rank_feature(SF))
+    chars = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM read_parquet('{SF}/documents.parquet')"
+    ).df().set_index("doc_id")["n_chars"]
+    df = neg.merge(pos, on="doc_id", suffixes=("_neg", "_pos"))
+    df["n"] = df["doc_id"].map(chars)
+    # among equal-tf docs the feature part moves opposite directions;
+    # check the correlation signs of the feature contribution
+    short = df[df["n"] < df["n"].median()]
+    long_ = df[df["n"] >= df["n"].median()]
+    assert (short["score_neg"] - short["score_pos"]).mean() > \
+           (long_["score_neg"] - long_["score_pos"]).mean()
