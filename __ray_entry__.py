@@ -120,7 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_simulate_verbose", "reindex_script",
         "termvectors_filtered", "corpus_datacard",
         "ft_highlight_no_match_size", "knn_similarity_threshold",
-        "ft_rank_feature_negative",
+        "ft_rank_feature_negative", "ft_regexp_ops",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -4188,6 +4188,19 @@ WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT event_type, count(*)::BIGINT AS distinct_fp,
        md5('0|click') AS sample_fp
 FROM p GROUP BY event_type ORDER BY event_type""",
+        "ft_regexp_ops": f"""
+WITH {_TOK},
+v AS (SELECT DISTINCT term FROM tok),
+e0 AS (SELECT term FROM v
+       WHERE regexp_matches(term, '^.*a.*$') AND term <> 'data'),
+e1 AS (SELECT term FROM v
+       WHERE regexp_matches(term, '^s.*$') AND regexp_matches(term, '^.*w$'))
+SELECT phase, doc_id FROM (
+  SELECT 0 AS phase, doc_id FROM
+    (SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM e0))
+  UNION ALL SELECT 1, doc_id FROM
+    (SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM e1)))
+ORDER BY phase, doc_id""",
         "ft_rank_feature_negative": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data'
@@ -7615,6 +7628,19 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "ft_regexp_ops": f"""
+WITH {_TOK},
+v AS (SELECT DISTINCT term FROM tok),
+e0 AS (SELECT term FROM v
+       WHERE regexp_matches(term, '^.*a.*$') AND term <> 'data'),
+e1 AS (SELECT term FROM v
+       WHERE regexp_matches(term, '^s.*$') AND regexp_matches(term, '^.*w$'))
+SELECT phase, doc_id FROM (
+  SELECT 0 AS phase, doc_id FROM
+    (SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM e0))
+  UNION ALL SELECT 1, doc_id FROM
+    (SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM e1)))
+ORDER BY phase, doc_id""",
         "ft_rank_feature_negative": f"""
 WITH {_TOK},
 tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'data'

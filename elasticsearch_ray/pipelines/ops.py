@@ -16356,3 +16356,22 @@ def ft_rank_feature_negative(sf_dir: str):
         "should": [{"kind": "rank_feature", "field": "n_chars",
                     "pivot": 300.0, "boost": 1.5,
                     "positive_score_impact": False}]})
+
+
+def ft_regexp_ops(sf_dir: str):
+    """Lucene RegExp COMPLEMENT and INTERSECTION operators
+    (automaton.RegExp COMPLEMENT/INTERSECTION flags, default-on in
+    RegexpQueryBuilder): phase 0 `.*a.*&~(data)` — terms containing
+    'a' EXCEPT 'data'; phase 1 `s.*&.*w` — terms that both start with
+    's' and end with 'w'. Constant-score doc unions of the expanded
+    term sets."""
+    s = documents_searcher(sf_dir)
+    frames = []
+    for phase, pat in ((0, ".*a.*&~(data)"), (1, "s.*&.*w")):
+        ids, _ = s._eval({"kind": "regexp", "pattern": pat})
+        frames.append(pd.DataFrame({
+            "phase": np.int64(phase),
+            "doc_id": np.sort(ids).astype(np.int64)}))
+    out = pd.concat(frames, ignore_index=True)
+    out["phase"] = out["phase"].astype(np.int64)
+    return out

@@ -2033,8 +2033,9 @@ class IndexSearcher:
         RegexpQueryBuilder): `<n-m>` numeric-interval classes become an
         explicit integer alternation (longest-first so fullmatch is
         unambiguous) and `@` (ANYSTRING) becomes `.*`. The complement
-        (`~`) and intersection (`&`) operators are not supported —
-        documented engine limitation."""
+        (`~`) and intersection (`&`) OPERATORS are handled one level up
+        in _split_lucene_conjuncts (they change match semantics, not
+        the regex text)."""
         import re as _re
 
         def interval(m: "_re.Match") -> str:
@@ -2050,8 +2051,70 @@ class IndexSearcher:
         out = _re.sub(r"<(\d+)-(\d+)>", interval, pattern)
         return out.replace("@", ".*")
 
+    @staticmethod
+    def _split_lucene_conjuncts(pattern: str) -> list[tuple[bool, str]]:
+        """Lucene RegExp INTERSECTION (`a&b`: a term must match every
+        conjunct) and COMPLEMENT (`~exp`: the conjunct matches iff exp
+        does NOT) — both default-enabled flags in the reference's
+        RegexpQueryBuilder. Split on top-level `&` (outside [] and ()),
+        then strip one leading `~` per conjunct as the negation flag.
+        Returns [(negated, sub_pattern), ...]."""
+        parts, buf, depth, in_cls = [], [], 0, False
+        i = 0
+        while i < len(pattern):
+            ch = pattern[i]
+            if ch == "\\" and i + 1 < len(pattern):
+                buf.append(pattern[i:i + 2])
+                i += 2
+                continue
+            if in_cls:
+                if ch == "]":
+                    in_cls = False
+            elif ch == "[":
+                in_cls = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "&" and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            buf.append(ch)
+            i += 1
+        parts.append("".join(buf))
+        out = []
+        for p in parts:
+            neg = p.startswith("~")
+            if neg:
+                p = p[1:]
+                if p.startswith("(") and p.endswith(")"):
+                    p = p[1:-1]
+            out.append((neg, p))
+        return out
+
     def _expand_regexp(self, pattern: str, field: str | None = None) -> list[str]:
         import re as _re
+
+        conjuncts = IndexSearcher._split_lucene_conjuncts(pattern)
+        if len(conjuncts) > 1 or conjuncts[0][0]:
+            # intersection/complement semantics: evaluate every conjunct
+            # over the dictionary range and AND the (possibly negated)
+            # full-match masks
+            cands = self._term_range("", TERM_MAX, field)
+            if cands.size == 0:
+                return []
+            import pyarrow.compute as _pc
+
+            mask = np.ones(cands.size, bool)
+            arr = pa.array(cands.astype(str))
+            for neg, sub in conjuncts:
+                sub_rx = IndexSearcher._lucene_regexp_translate(sub)
+                m = np.asarray(_pc.match_substring_regex(
+                    arr, f"^(?:{sub_rx})$"))
+                mask &= ~m if neg else m
+            return [str(t) for t in cands[mask]]
 
         # class-qualified: tests drive this method on faux-searcher
         # namespaces that bind only the functions they exercise

@@ -451,3 +451,17 @@ def test_rank_feature_negative_inverts_preference():
     long_ = df[df["n"] >= df["n"].median()]
     assert (short["score_neg"] - short["score_pos"]).mean() > \
            (long_["score_neg"] - long_["score_pos"]).mean()
+
+
+def test_regexp_complement_and_intersection():
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    conj = IndexSearcher._split_lucene_conjuncts
+    assert conj("abc") == [(False, "abc")]
+    assert conj(".*a.*&~(data)") == [(False, ".*a.*"), (True, "data")]
+    assert conj("s.*&.*w") == [(False, "s.*"), (False, ".*w")]
+    # & inside a class or group is literal/nested, not an operator
+    assert conj("[a&b]x") == [(False, "[a&b]x")]
+    assert conj("(a&b)x")[0][1] == "(a&b)x"
+    out = ops.ft_regexp_ops(SF)
+    assert set(out["phase"]) == {0, 1}
