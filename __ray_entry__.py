@@ -120,7 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_simulate_verbose", "reindex_script",
         "termvectors_filtered", "corpus_datacard",
         "ft_highlight_no_match_size", "knn_similarity_threshold",
-        "ft_rank_feature_negative", "ft_regexp_ops",
+        "ft_rank_feature_negative", "ft_regexp_ops", "ft_sqs_operators",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -4188,6 +4188,24 @@ WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT event_type, count(*)::BIGINT AS distinct_fp,
        md5('0|click') AS sample_fp
 FROM p GROUP BY event_type ORDER BY event_type""",
+        "ft_sqs_operators": f"""
+WITH {_TOK},
+v AS (SELECT DISTINCT term FROM tok),
+dm AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('data', 'merge')),
+dw AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),
+dc AS (SELECT DISTINCT doc_id FROM tok WHERE term IN
+       (SELECT term FROM v WHERE term LIKE 'cust%')),
+ds AS (SELECT DISTINCT doc_id FROM tok WHERE term IN
+       (SELECT term FROM v WHERE damerau_levenshtein(term, 'slow') <= 1)),
+du AS (SELECT DISTINCT doc_id FROM tok
+       WHERE term IN ('data', 'merge', 'window'))
+SELECT phase, doc_id FROM (
+  SELECT 0 AS phase, doc_id FROM dm WHERE doc_id IN (SELECT doc_id FROM dw)
+  UNION ALL
+  SELECT 1, doc_id FROM dc WHERE doc_id IN (SELECT doc_id FROM ds)
+  UNION ALL
+  SELECT 2, doc_id FROM du)
+ORDER BY phase, doc_id""",
         "ft_regexp_ops": f"""
 WITH {_TOK},
 v AS (SELECT DISTINCT term FROM tok),
@@ -7628,6 +7646,24 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "ft_sqs_operators": f"""
+WITH {_TOK},
+v AS (SELECT DISTINCT term FROM tok),
+dm AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('data', 'merge')),
+dw AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),
+dc AS (SELECT DISTINCT doc_id FROM tok WHERE term IN
+       (SELECT term FROM v WHERE term LIKE 'cust%')),
+ds AS (SELECT DISTINCT doc_id FROM tok WHERE term IN
+       (SELECT term FROM v WHERE damerau_levenshtein(term, 'slow') <= 1)),
+du AS (SELECT DISTINCT doc_id FROM tok
+       WHERE term IN ('data', 'merge', 'window'))
+SELECT phase, doc_id FROM (
+  SELECT 0 AS phase, doc_id FROM dm WHERE doc_id IN (SELECT doc_id FROM dw)
+  UNION ALL
+  SELECT 1, doc_id FROM dc WHERE doc_id IN (SELECT doc_id FROM ds)
+  UNION ALL
+  SELECT 2, doc_id FROM du)
+ORDER BY phase, doc_id""",
         "ft_regexp_ops": f"""
 WITH {_TOK},
 v AS (SELECT DISTINCT term FROM tok),

@@ -16375,3 +16375,31 @@ def ft_regexp_ops(sf_dir: str):
     out = pd.concat(frames, ignore_index=True)
     out["phase"] = out["phase"].astype(np.int64)
     return out
+
+
+def ft_sqs_operators(sf_dir: str):
+    """simple_query_string FULL operator grammar (Lucene
+    SimpleQueryParser; SimpleQueryStringBuilder#flags): phase 0 =
+    `(data | merge) + window` (grouped OR under an explicit AND),
+    phase 1 = `cust* + slow~1` (prefix clause AND fuzzy term), phase 2
+    = the SAME string as phase 0 parsed with flags=PHRASE|NOT — every
+    operator char degrades to literal text, so only the bare words
+    match (the reference's flag-degradation behavior). Doc sets only
+    (scores exercised by the existing flat-form gates)."""
+    s = documents_searcher(sf_dir)
+    frames = []
+    cases = [
+        (0, {"kind": "simple_query_string",
+             "query": "(data | merge) + window"}),
+        (1, {"kind": "simple_query_string", "query": "cust* + slow~1"}),
+        (2, {"kind": "simple_query_string",
+             "query": "(data | merge) + window", "flags": "PHRASE|NOT"}),
+    ]
+    for phase, q in cases:
+        ids, _ = s._eval(q)
+        frames.append(pd.DataFrame({
+            "phase": np.int64(phase),
+            "doc_id": np.sort(ids).astype(np.int64)}))
+    out = pd.concat(frames, ignore_index=True)
+    out["phase"] = out["phase"].astype(np.int64)
+    return out

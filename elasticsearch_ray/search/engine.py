@@ -311,24 +311,163 @@ def parse_query_string(s: str, default_field: str | None = None,
     return tree
 
 
-def parse_simple_query_string(s: str) -> dict:
-    """simple_query_string mini-parser (SimpleQueryStringBuilder subset):
-    whitespace-separated clauses, `-` prefix negates, quoted phrases; default
-    operator OR -> a bool(should/must_not) tree."""
-    import re
+def parse_simple_query_string(s: str, flags: str = "ALL",
+                              default_operator: str = "or") -> dict:
+    """simple_query_string parser (Lucene SimpleQueryParser operator set,
+    engaged by SimpleQueryStringBuilder): whitespace clauses joined by
+    the default operator, `+` explicit AND, `|` explicit OR (both
+    left-associative, equal precedence; same-operator chains flatten),
+    `-` clause negation, `"..."` phrases with `~N` slop, trailing `*`
+    prefix clauses, `~N` term fuzziness, `(...)` grouping. `flags`
+    (SimpleQueryStringFlag set, `|`-joined: AND OR NOT PHRASE PREFIX
+    FUZZY SLOP NEAR PRECEDENCE ALL NONE) disables operators — a
+    disabled operator's character is literal term text, exactly the
+    reference's degradation behavior."""
+    allowed = {f.strip().upper() for f in flags.split("|")} if flags else set()
 
-    parts = re.findall(r'-?"[^"]*"|\S+', s)
-    should, must_not = [], []
-    for p in parts:
-        neg = p.startswith("-")
-        if neg:
-            p = p[1:]
-        if p.startswith('"') and p.endswith('"') and len(p) >= 2:
-            q: dict = {"kind": "match_phrase", "text": p[1:-1]}
+    def has(f: str) -> bool:
+        return "ALL" in allowed or f in allowed or \
+            (f == "SLOP" and "NEAR" in allowed)
+
+    # ---- tokenize into (type, payload) ----
+    ops_chars = ""
+    if has("AND"):
+        ops_chars += "+"
+    if has("OR"):
+        ops_chars += "|"
+    group_chars = "()" if has("PRECEDENCE") else ""
+    toks: list[tuple] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch in ops_chars:
+            toks.append(("op", "and" if ch == "+" else "or"))
+            i += 1
+            continue
+        if ch in group_chars:
+            toks.append(("lp",) if ch == "(" else ("rp",))
+            i += 1
+            continue
+        if ch == "-" and has("NOT"):
+            toks.append(("neg",))
+            i += 1
+            continue
+        if ch == '"' and has("PHRASE"):
+            j = s.find('"', i + 1)
+            if j > i:
+                text = s[i + 1:j]
+                i = j + 1
+                slop = 0
+                if i < n and s[i] == "~" and has("SLOP"):
+                    k = i + 1
+                    while k < n and s[k].isdigit():
+                        k += 1
+                    if k > i + 1:
+                        slop = int(s[i + 1:k])
+                        i = k
+                q = {"kind": "match_phrase", "text": text}
+                if slop:
+                    q["slop"] = slop
+                toks.append(("clause", q))
+                continue
+        # term: runs until whitespace / an ACTIVE operator char
+        stop = set(ops_chars + group_chars)
+        if has("PHRASE"):
+            stop.add('"')
+        j = i
+        while j < n and not s[j].isspace() and s[j] not in stop:
+            j += 1
+        word = s[i:j]
+        i = j
+        fuzz = None
+        m = None
+        import re as _re
+
+        if has("FUZZY"):
+            m = _re.fullmatch(r"(.+?)~(\d+)", word)
+        if m:
+            word, fuzz = m.group(1), int(m.group(2))
+            q = {"kind": "fuzzy", "term": word.lower(),
+                 "fuzziness": fuzz, "transpositions": True}
+        elif word.endswith("*") and len(word) > 1 and has("PREFIX"):
+            q = {"kind": "prefix", "prefix": word[:-1].lower()}
         else:
-            q = {"kind": "match", "text": p}
-        (must_not if neg else should).append(q)
-    return {"kind": "bool", "should": should, "must_not": must_not}
+            q = {"kind": "match", "text": word}
+        toks.append(("clause", q))
+
+    # ---- parse: left-fold with parens ----
+    def parse_seq(pos: int, depth: int) -> tuple[dict | None, int]:
+        node: dict | None = None
+        node_op = None  # operator kind the current bool was built for
+        pending_op = None
+        pending_neg = False
+
+        def attach(q: dict, op: str, neg: bool):
+            nonlocal node, node_op
+            if node is None:
+                if neg:
+                    node = {"kind": "bool", "should": [], "must": [],
+                            "must_not": [q]}
+                    node_op = op
+                else:
+                    node = {"kind": "bool", "should": [q], "must": [],
+                            "must_not": []}
+                    node_op = op
+                return
+            bucket = "must" if op == "and" else "should"
+            if node_op != op and (node["must"] or len(node["should"]) > 1):
+                node = {"kind": "bool", "should": [node], "must": [],
+                        "must_not": []}
+            node_op = op
+            if neg:
+                node["must_not"].append(q)
+            elif op == "and":
+                # promote existing should singleton into the must group
+                if node["should"] and not node["must"]:
+                    node["must"] = node.pop("should")
+                    node["should"] = []
+                node["must"].append(q)
+            else:
+                if node["must"]:
+                    node = {"kind": "bool", "should": [node, q],
+                            "must": [], "must_not": []}
+                else:
+                    node[bucket].append(q)
+
+        while pos < len(toks):
+            t = toks[pos]
+            if t[0] == "rp":
+                if depth:
+                    pos += 1
+                    break
+                pos += 1  # stray ')' outside a group: ignore
+                continue
+            if t[0] == "op":
+                pending_op = t[1]
+                pos += 1
+                continue
+            if t[0] == "neg":
+                pending_neg = True
+                pos += 1
+                continue
+            if t[0] == "lp":
+                sub, pos = parse_seq(pos + 1, depth + 1)
+                if sub is not None:
+                    attach(sub, pending_op or default_operator, pending_neg)
+                pending_op, pending_neg = None, False
+                continue
+            attach(t[1], pending_op or default_operator, pending_neg)
+            pending_op, pending_neg = None, False
+            pos += 1
+        return node, pos
+
+    node, _ = parse_seq(0, 0)
+    if node is None:
+        return {"kind": "bool", "should": [], "must": [], "must_not": []}
+    return node
 
 
 def _sloppy_freq(lists: list[np.ndarray], slop: int) -> float:
@@ -900,7 +1039,9 @@ class IndexSearcher:
                 for sq in q.get(cl, []):
                     out |= self.collect_query_keys(sq, f)
         elif kind == "simple_query_string":
-            out |= self.collect_query_keys(parse_simple_query_string(q["query"]), f)
+            out |= self.collect_query_keys(parse_simple_query_string(
+                q["query"], flags=q.get("flags", "ALL"),
+                default_operator=q.get("default_operator", "or")), f)
         elif kind == "query_string":
             out |= self.collect_query_keys(
                 parse_query_string(q["query"], q.get("default_field")), f)
@@ -1335,7 +1476,9 @@ class IndexSearcher:
             ids, sc = self._accumulate(parts_bp)
             return ids, sc * boost
         if kind == "simple_query_string":
-            return self._eval(parse_simple_query_string(q["query"]))
+            return self._eval(parse_simple_query_string(
+                q["query"], flags=q.get("flags", "ALL"),
+                default_operator=q.get("default_operator", "or")))
         if kind == "query_string":
             # full grammar (QueryStringQueryBuilder.java): fields, AND/OR/NOT,
             # +/-, grouping, phrases, per-clause boosts, wildcard/fuzzy terms

@@ -465,3 +465,27 @@ def test_regexp_complement_and_intersection():
     assert conj("(a&b)x")[0][1] == "(a&b)x"
     out = ops.ft_regexp_ops(SF)
     assert set(out["phase"]) == {0, 1}
+
+
+def test_sqs_operator_grammar_shapes():
+    from elasticsearch_ray.search.engine import parse_simple_query_string as p
+
+    t = p("data + merge | slow")
+    # left-assoc equal precedence: (data AND merge) OR slow
+    assert t["should"][0]["must"][0]["text"] == "data"
+    assert t["should"][1]["text"] == "slow"
+    t2 = p("(data | merge) + window")
+    assert t2["must"][0]["should"][0]["text"] == "data"
+    # flags degradation: '+' literal
+    t3 = p("data + merge", flags="PHRASE|NOT")
+    assert [c.get("text") for c in t3["should"]] == ["data", "+", "merge"]
+    # legacy flat form unchanged
+    t4 = p("data merge -slow")
+    assert len(t4["should"]) == 2 and len(t4["must_not"]) == 1
+
+
+def test_sqs_operators_doc_sets_nest():
+    out = ops.ft_sqs_operators(SF)
+    p0 = set(out[out["phase"] == 0]["doc_id"])
+    p2 = set(out[out["phase"] == 2]["doc_id"])
+    assert p0 <= p2  # AND form is a subset of the degraded OR form
