@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "termvectors_filtered", "corpus_datacard",
         "ft_highlight_no_match_size", "knn_similarity_threshold",
         "ft_rank_feature_negative", "ft_regexp_ops", "ft_sqs_operators",
+        "agg_histogram_offset", "esql_mv_functions",
         # --- round-3 session-15 ops ---
         "ft_type_query", "indices_clone", "cluster_state",
         "indices_get_settings", "force_merge_api",
@@ -4188,6 +4189,18 @@ WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT event_type, count(*)::BIGINT AS distinct_fp,
        md5('0|click') AS sample_fp
 FROM p GROUP BY event_type ORDER BY event_type""",
+        "agg_histogram_offset": """
+SELECT floor((value - 13.5)/50.0)*50.0 + 13.5 AS bucket,
+       count(*) AS doc_count
+FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1""",
+        "esql_mv_functions": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS uniq,
+       list_sort(toks)[1] AS first,
+       list_sort(toks)[-1] AS last
+FROM t ORDER BY doc_id""",
         "ft_sqs_operators": f"""
 WITH {_TOK},
 v AS (SELECT DISTINCT term FROM tok),
@@ -7646,6 +7659,18 @@ ORDER BY phase, doc_id"""
     out["knn_sq_indexed"] = out["knn_scalar_quantized"]
     # --- round-3 session-16 ops ---
     out.update({
+        "agg_histogram_offset": """
+SELECT floor((value - 13.5)/50.0)*50.0 + 13.5 AS bucket,
+       count(*) AS doc_count
+FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1""",
+        "esql_mv_functions": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS uniq,
+       list_sort(toks)[1] AS first,
+       list_sort(toks)[-1] AS last
+FROM t ORDER BY doc_id""",
         "ft_sqs_operators": f"""
 WITH {_TOK},
 v AS (SELECT DISTINCT term FROM tok),

@@ -16403,3 +16403,50 @@ def ft_sqs_operators(sf_dir: str):
     out = pd.concat(frames, ignore_index=True)
     out["phase"] = out["phase"].astype(np.int64)
     return out
+
+
+def agg_histogram_offset(sf_dir: str):
+    """histogram `offset` option (HistogramAggregationBuilder#offset:
+    bucket boundaries shift by a constant — bucket = floor((v - offset)
+    / width) * width + offset): width 50, offset 13.5 over
+    events.value."""
+    from ray.data.aggregate import Count
+
+    w, off = 50.0, 13.5
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        v = v[~np.isnan(v)]
+        b = np.floor((v - off) / w) * w + off
+        return pa.table({"bucket": pa.array(b)})
+
+    out = (_ds(sf_dir, "events", ["value"])
+           .map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Count(alias_name="doc_count"))
+           .to_pandas())
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def esql_mv_functions(sf_dir: str):
+    """ES|QL multivalue function family gate (MV_SORT / MV_SLICE /
+    MV_SUM / MV_COUNT / MV_DEDUPE over a SPLIT-built list column): one
+    vectorized EVAL chain per batch; the oracle rebuilds the same list
+    ops with DuckDB list kernels."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM documents
+        | EVAL toks = SPLIT(text, " ")
+        | EVAL n = MV_COUNT(toks), uniq = MV_COUNT(MV_DEDUPE(toks))
+        | EVAL first = MV_FIRST(MV_SORT(toks)), last = MV_LAST(MV_SORT(toks))
+        | KEEP doc_id, n, uniq, first, last
+        | SORT doc_id
+        | LIMIT 100000
+    ''')
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    for c in ("n", "uniq"):
+        out[c] = out[c].astype(np.int64)
+    return out

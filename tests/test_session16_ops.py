@@ -489,3 +489,16 @@ def test_sqs_operators_doc_sets_nest():
     p0 = set(out[out["phase"] == 0]["doc_id"])
     p2 = set(out[out["phase"] == 2]["doc_id"])
     assert p0 <= p2  # AND form is a subset of the degraded OR form
+
+
+def test_histogram_offset_boundaries():
+    out = ops.agg_histogram_offset(SF)
+    # every bucket key is congruent to the offset mod width
+    assert np.allclose((out["bucket"] - 13.5) % 50.0, 0)
+    assert out["doc_count"].sum() == 1000
+
+
+def test_mv_functions_invariants():
+    out = ops.esql_mv_functions(SF)
+    assert (out["uniq"] <= out["n"]).all()
+    assert (out["first"] <= out["last"]).all()
