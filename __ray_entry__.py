@@ -7925,9 +7925,10 @@ FROM r GROUP BY shard ORDER BY shard""",
 WITH w AS (SELECT doc_id,
     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                 x -> x <> '') AS words,
-    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS chars
+    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS chars,
+    GREATEST(len(regexp_extract_all(lower(text), '[.!?]+')), 1) AS n_s
   FROM documents),
-sig AS (SELECT doc_id,
+sig AS (SELECT doc_id, n_s,
     CAST(len(words) AS BIGINT) AS n_w,
     CASE WHEN len(words) BETWEEN 20 AND 200 THEN 1 ELSE 0 END AS s_wc,
     CASE WHEN len(list_filter(words, x -> list_contains(
@@ -7947,7 +7948,8 @@ ent AS (SELECT doc_id,
   GROUP BY doc_id),
 j AS (SELECT s.doc_id, s.s_wc, s.s_stop,
              CASE WHEN e.e >= 3.0 THEN 1 ELSE 0 END AS s_ent,
-             CASE WHEN 206.835 - 1.015 * s.n_w
+             CASE WHEN 206.835
+                  - 1.015 * (s.n_w / CAST(s.n_s AS DOUBLE))
                   - 84.6 * (s.n_syl / CAST(GREATEST(s.n_w, 1) AS DOUBLE))
                   >= -60.0 THEN 1 ELSE 0 END AS s_read
       FROM sig s JOIN ent e USING (doc_id))

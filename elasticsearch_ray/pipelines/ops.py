@@ -15054,6 +15054,10 @@ def mapping_dynamic_templates(sf_dir: str):
         # each batch infers from ITS first row; the groupby-min below
         # keeps the globally-first verdict (mapper update semantics:
         # first writer wins, later conflicting writers are rejected)
+        if t.num_rows == 0:  # Ray may hand an empty block
+            return pa.table({"field": pa.array([], pa.string()),
+                             "type": pa.array([], pa.string()),
+                             "first_event": pa.array([], pa.int64())})
         r = {c: t[c][0].as_py() for c in t.column_names}
         eid = r["event_id"]
         doc = {
@@ -15640,6 +15644,7 @@ def quality_ensemble(sf_dir: str):
 
     word_rx = _re.compile(r"[a-z0-9]+")
     syl_rx = _re.compile(r"[aeiouy]+")
+    sent_rx = _re.compile(r"[.!?]+")
     stops = {"the", "and", "of", "to", "a", "in", "is", "for", "with",
              "data", "query"}
 
@@ -15649,6 +15654,7 @@ def quality_ensemble(sf_dir: str):
             low = txt.lower()
             words = word_rx.findall(low)
             n_w = len(words)
+            n_s = max(1, len(sent_rx.findall(low)))
             s_wc = 1 if 20 <= n_w <= 200 else 0
             s_stop = 1 if sum(1 for w in words if w in stops) >= 2 else 0
             # char entropy over the lowercased alnum stream
@@ -15663,7 +15669,7 @@ def quality_ensemble(sf_dir: str):
                 ent = 0.0
             s_ent = 1 if ent >= 3.0 else 0
             n_syl = sum(len(syl_rx.findall(w)) for w in words)
-            flesch = (206.835 - 1.015 * n_w
+            flesch = (206.835 - 1.015 * (n_w / n_s)
                       - 84.6 * (n_syl / max(1, n_w)))
             s_read = 1 if flesch >= -60.0 else 0
             sc = 0.4 * s_wc + 0.3 * s_stop + 0.2 * s_ent + 0.1 * s_read

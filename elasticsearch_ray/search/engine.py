@@ -357,6 +357,10 @@ def parse_simple_query_string(s: str, flags: str = "ALL",
             continue
         if ch == '"' and has("PHRASE"):
             j = s.find('"', i + 1)
+            if j == -1:
+                # Lenient like Lucene's SimpleQueryParser: an unterminated
+                # quote consumes the remainder of the input as the phrase.
+                j = n
             if j > i:
                 text = s[i + 1:j]
                 i = j + 1
@@ -2831,9 +2835,14 @@ class IndexSearcher:
         minimum_should_match grammar shared by bool/match/query_string):
         int ("3"), negative ("-2" = n-2), percentage ("75%" =
         trunc(n*0.75)), negative percentage ("-25%" = n - trunc(n*0.25))
-        and conditional chains ("2<75% 9<-3": the part with the largest
-        cond < n applies; if n <= every cond, all clauses are required).
-        Result clamped to [0, n]."""
+        and conditional chains ("2<75% 9<-3"). Chains follow Lucene's
+        sequential semantics: parts are evaluated left to right and the
+        scan RETURNS EARLY at the first part whose cond >= n (yielding
+        the result accumulated so far, initially n = all required); an
+        unsorted chain therefore differs from "largest cond < n".
+        Negative results clamp to 0; results above n are NOT clamped —
+        msm > n means no doc can satisfy the bool (Lucene leaves the
+        over-count in place and the BooleanQuery matches nothing)."""
         n = int(n_clauses)
 
         def calc(one: str) -> int:
@@ -2847,16 +2856,14 @@ class IndexSearcher:
 
         spec = str(spec).strip()
         if "<" in spec:
-            result = n  # below every condition: all required
-            best_cond = -1
+            result = n  # below the first condition: all required
             for part in spec.split():
                 cond_s, _, sub = part.partition("<")
-                cond = int(cond_s)
-                if n > cond and cond > best_cond:
-                    best_cond = cond
-                    result = calc(sub)
-            return max(0, min(n, result))
-        return max(0, min(n, calc(spec)))
+                if n <= int(cond_s):
+                    return max(0, result)
+                result = calc(sub)
+            return max(0, result)
+        return max(0, calc(spec))
 
     def _bool(self, q: dict, boost: float = 1.0):
         must = [self._eval(c) for c in q.get("must", [])]

@@ -26,27 +26,30 @@ TERMS = ["data", "merge", "window", "slow", "fast", "query", "table",
 
 
 def oracle_msm(spec: str, n: int) -> int:
-    """Independent spec reimplementation (Lucene Queries javadoc)."""
-    def one(s: str) -> int:
-        s = s.strip()
-        if s.endswith("%"):
-            p = float(s[:-1])
-            v = int(n * abs(p) / 100.0)
-            return n - v if p < 0 else v
-        v = int(s)
-        return n + v if v < 0 else v
-
+    """Independent spec reimplementation following the structure of
+    Lucene's Queries.calculateMinShouldMatch: the conditional chain is
+    scanned left-to-right and RETURNS EARLY at the first part whose
+    cond >= n; each passed part's sub-spec is evaluated by recursion
+    (this recursive shape is Lucene's, not the engine's single-pass
+    loop). Negative results floor at 0; over-counts (> n) are kept."""
     spec = spec.strip()
-    if "<" not in spec:
-        return max(0, min(n, one(spec)))
-    result = n
-    best = -1
-    for part in spec.split():
-        c, _, sub = part.partition("<")
-        c = int(c)
-        if n > c and c > best:
-            best, result = c, one(sub)
-    return max(0, min(n, result))
+    if "<" in spec:
+        result = n
+        for part in spec.split():
+            cond, sub = part.split("<", 1)
+            if n <= int(cond):
+                break
+            result = oracle_msm(sub, n)
+        return result if result > 0 else 0
+    if spec.endswith("%"):
+        p = float(spec[:-1])
+        v = int(abs(p) * n / 100.0)
+        result = (n - v) if p < 0 else v
+    else:
+        result = int(spec)
+        if result < 0:
+            result = n + result
+    return result if result > 0 else 0
 
 
 def random_spec(rng: random.Random) -> str:
@@ -57,8 +60,13 @@ def random_spec(rng: random.Random) -> str:
         return f"{rng.choice([-90, -75, -50, -25, 25, 50, 75, 90])}%"
     if kind == 2:
         return f"{rng.randrange(1, 5)}<{rng.choice(['50%', '75%', '-1', '2'])}"
-    return (f"{rng.randrange(1, 3)}<{rng.choice(['25%', '-2'])} "
-            f"{rng.randrange(3, 6)}<{rng.choice(['75%', '-1'])}")
+    # two-part chains, deliberately UNSORTED half the time — sequential
+    # early-return diverges from largest-cond-wins exactly there
+    c1, c2 = rng.randrange(1, 3), rng.randrange(3, 6)
+    if rng.random() < 0.5:
+        c1, c2 = c2, c1
+    return (f"{c1}<{rng.choice(['25%', '-2'])} "
+            f"{c2}<{rng.choice(['75%', '-1'])}")
 
 
 def test_grammar_fuzz():

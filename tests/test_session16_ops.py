@@ -223,9 +223,13 @@ def test_parse_min_should_match_grammar():
     assert p("75%", 5) == 3          # truncation, not rounding
     assert p("3<75%", 2) == 2        # n <= cond -> all required
     assert p("3<75%", 8) == 6
-    assert p("2<75% 9<-3", 12) == 9  # largest applicable cond wins
+    assert p("2<75% 9<-3", 12) == 9  # both conds pass, last part wins
     assert p("2<75% 9<-3", 5) == 3
-    assert p("10", 4) == 4           # clamped to n
+    # sequential early-return (Lucene Queries.calculateMinShouldMatch):
+    # an unsorted chain stops at the first cond >= n with the result so
+    # far, NOT at the largest cond < n
+    assert p("9<-3 2<75%", 5) == 5
+    assert p("10", 4) == 10          # over-count kept: matches nothing
 
 
 def test_bool_msm_phases_nest():
@@ -482,6 +486,14 @@ def test_sqs_operator_grammar_shapes():
     # legacy flat form unchanged
     t4 = p("data merge -slow")
     assert len(t4["should"]) == 2 and len(t4["must_not"]) == 1
+    # unterminated quote: Lucene-lenient — the rest of the input is the
+    # phrase; must terminate (regression: used to loop forever)
+    t5 = p('"abc')
+    assert t5["should"][0] == {"kind": "match_phrase", "text": "abc"}
+    t6 = p('foo "bar baz')
+    assert t6["should"][1]["text"] == "bar baz"
+    for fuzz in ['"', 'a"', '"a"b"', '+"x | -"', '"""', 'a "b" "c']:
+        p(fuzz)  # all must terminate without raising
 
 
 def test_sqs_operators_doc_sets_nest():
