@@ -94,270 +94,235 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from elasticsearch_ray.pipelines import ops
 
-    # Driver correctness window = first 50 entries. Round-3 rotation per
-    # VERDICT.md: lead with driver-unverified ops (oracle-bearing first);
-    # twice-green r01/r02 ops at the tail. New round-3 ops are prepended.
     names = [
-        # --- round-3 session-16 ops ---
+        # Driver correctness window = first 50 entries. Round-4
+        # rotation per VERDICT.md: the 5 duplicate names are removed
+        # (690 unique) and driver-NEVER-checked oracle-bearing ops
+        # lead, oldest sessions first; rows-only ops follow; the 100
+        # driver-verified (r01/r02/r03) ops sit at the tail.
+        # --- driver-unchecked, oracle-bearing (573) ---
+        "ft_function_score_functions", "ft_function_score_gauss",
+        "ft_sort_missing_last", "ft_sort_script", "ft_sort_geo_distance",
+        "ft_docvalue_fields", "ft_track_total_hits", "ft_terminate_after",
+        "ft_post_filter", "ft_completion_context", "ft_analyze_stemmer",
+        "agg_geohash_grid", "agg_scripted_metric", "ft_analyze_thai",
+        "ft_analyze_lithuanian", "ft_analyze_irish", "ft_analyze_galician",
+        "ft_analyze_estonian", "ft_analyze_chinese", "ft_analyze_catalan",
+        "ft_analyze_bengali", "ft_analyze_basque", "ft_analyze_armenian",
+        "ft_analyze_brazilian", "ft_analyze_sorani", "ft_analyze_indonesian",
+        "ft_analyze_latvian", "ft_analyze_bulgarian", "ft_analyze_czech",
+        "ft_analyze_hindi", "ft_analyze_greek", "ft_analyze_turkish",
+        "ft_analyze_hungarian", "ft_analyze_finnish", "ft_analyze_romanian",
+        "ft_analyze_arabic", "ft_analyze_danish", "ft_analyze_norwegian",
+        "ft_analyze_swedish", "lang_stemmed_index_search",
+        "ft_analyze_russian", "ft_analyze_dutch", "ft_analyze_portuguese",
+        "ft_analyze_italian", "ft_analyze_spanish", "ft_analyze_german",
+        "ft_analyze_french", "agg_percentiles_hdr", "ft_sim_scripted",
+        "ft_analyze_filter_chain", "ft_analyze_common_grams",
+        "ft_search_as_you_type", "index_sorted_pruning", "geo_shape_envelope",
+        "agg_significant_chi2", "ft_span_masked", "agg_diversified_sampler",
+        "mapping_infer", "range_field_intersects", "agg_moving_avg_holt",
+        "agg_moving_avg_ewma", "geo_polygon", "ft_span_multi",
+        "ft_script_query", "ingest_grok_kv", "ft_analyze_mapping",
+        "ip_cidr_filter", "ft_multi_match_cross", "ft_intervals_prefix",
+        "inner_hits", "ft_matched_queries", "ft_common_terms",
+        "ft_analyze_ascii", "ft_analyze_synonym", "ft_analyze_shingle",
+        "ft_analyze_edge_ngram", "agg_reverse_nested", "agg_nested",
+        "agg_ip_range", "agg_geo_distance", "agg_geotile_grid",
+        "agg_geo_centroid", "agg_geo_bounds", "ft_scroll", "parent_id",
+        "ft_wrapper", "phrase_suggest", "ft_highlight_unified",
+        "ft_span_within", "ft_span_not", "ft_span_first", "ft_span_or",
+        "ft_rank_feature", "ft_distance_feature", "ft_script_score",
+        "agg_significant_text", "agg_terms_shard_error", "agg_mad",
+        "agg_global", "agg_missing", "ft_query_string_adv",
+        "ft_multi_match_most", "ft_multi_match_best", "ft_exists",
+        "source_roundtrip", "quality_filter", "ingest_pipeline_demo",
+        "ft_intervals", "ft_match_bool_prefix", "agg_serial_diff",
+        "agg_moving_fn", "agg_bucket_script", "agg_percentiles_bucket",
+        "agg_stats_bucket", "ft_match_msm", "ft_termvectors", "ft_completion",
+        "reindex_docs", "update_by_query", "delete_by_query", "ft_analyze",
+        "percolate", "has_parent", "has_child", "range_orders_pruned",
+        "agg_auto_date_histogram", "agg_sampler", "geo_distance",
+        "geo_bounding_box", "nested_query", "agg_matrix_stats",
+        "agg_date_range", "agg_adjacency_matrix", "ft_query_string",
+        "ft_phrase_prefix", "ft_span_near", "ingest_extract", "terms_lookup",
+        "agg_filters", "agg_significant_terms", "agg_rare_terms",
+        "ft_rescore", "snapshot_restore_renamed", "cat_aliases",
+        "keyword_normalizer", "redact_pii", "agg_date_histogram_quarter",
+        "sequence_packing", "training_mix", "mapping_options",
+        "source_orc_roundtrip", "bulk_actions", "forcemerge_api",
+        "agg_significant_script", "agg_composite_date_histogram",
+        "search_shards", "text_repetition", "phrase_suggest_collate",
+        "dedup_decontaminate", "script_expression", "tasks_api",
+        "ingest_attachment", "icu_analyze", "phonetic_metaphone",
+        "phonetic_soundex", "annotated_text_terms", "annotated_text_analyze",
+        "token_count_field", "mapper_murmur3", "mapper_size",
+        "rank_features_query", "scaled_float_range", "ingest_geoip",
+        "ingest_user_agent", "ft_intervals_filter", "agg_significant_gnd",
+        "ft_fuzzy_transpositions", "ft_multi_index_boost", "ft_multi_index",
+        "agg_date_histogram_tz", "agg_histogram_options", "agg_terms_options",
+        "ft_intervals_fuzzy", "ft_multi_match_bool_prefix",
+        "ft_multi_match_phrase_prefix", "ft_multi_match_phrase",
+        "ft_zero_terms", "ft_completion_geo_context", "cat_segments",
+        "ft_search_analyzer", "ft_span_containing", "ft_fuzzy_options",
+        "ft_highlight_options", "geo_shape_multipolygon", "ft_stored_script",
+        "ft_suggest_modes", "agg_sibling_buckets", "agg_parent",
+        "agg_children", "ft_validate_query", "cat_indices", "ft_mget",
+        "ft_pit", "ft_scroll_sliced", "dedup_embedding_lsh_exact",
+        "knn_lsh_exact", "dedup_simhash_exact", "dedup_minhash_exact",
+        "dedup_ngram_jaccard", "ft_profile", "ft_alias_filter",
+        "ft_mtermvectors", "ft_search_template", "ft_script_fields",
+        "ft_source_filtering", "ft_indices_boost", "ft_min_score",
+        "ft_terms_enum", "ft_explain", "agg_bucket_sort",
+        "agg_bucket_selector", "agg_extended_stats_bucket", "rank_eval",
+        "field_caps", "msearch", "ft_type", "ft_highlight_fvh",
+        "geo_shape_linestring", "geo_shape_disjoint", "geo_shape_within",
+        "geo_shape_polygon_points", "ft_completion_fuzzy",
+        "ft_completion_weighted", "lang_stop_tokenize",
+        "agg_significant_percentage", "agg_significant_mi", "ft_count",
+        "ft_analyze_persian", "ft_analyze_cjk", "ft_sim_boolean", "ft_sim_ib",
+        "ft_sim_dfr", "ft_sim_lm_jelinek_mercer", "ft_sim_lm_dirichlet",
+        "doc_chunks", "pmi_collocations", "tfidf_keywords",
+        "nb_domain_classify", "dsir_resample", "lm_perplexity_bigram",
+        "dsir_weights", "lm_perplexity", "dedup_keep_one", "dedup_components",
+        "rank_eval_metrics", "sliding_window_counts",
+        "range_join_events_windows", "asof_join_events_orders",
+        "events_sessionize", "join_orders_customer", "embed_cluster_sample",
+        "dedup_substring", "url_canonical_dedup", "dedup_paragraph",
+        "embed_kmeans", "graph_hits", "text_normalize", "graph_pagerank",
+        "embed_score", "dedup_cdc", "cdc_chunks", "corpus_diversity",
+        "corpus_split", "ft_fetch_metadata", "ft_span_gap",
+        "decontaminate_bloom", "training_mix_temperature", "text_entropy",
+        "gopher_repetition", "c4_filter", "gopher_quality",
+        "lm_perplexity_kn", "dedup_semantic", "lm_ngram_counts",
+        "bpe_pair_counts", "corpus_quantile_filter", "corpus_sample_weighted",
+        "corpus_sample_bottomk", "corpus_diff", "ft_rank_feature_log_sigmoid",
+        "training_mix_budget", "get_mapping", "exists_apis",
+        "ft_sort_nested_mode", "ft_alias_routing", "script_languages",
+        "grok_patterns", "indices_close_open", "ft_clear_scroll",
+        "cat_snapshots", "cat_templates", "ingest_simulate",
+        "msearch_template", "ft_render_template", "ft_get_source",
+        "cat_count", "classifier_train_gd", "knn_sq_indexed",
+        "knn_binary_quantized", "ft_routed_term", "embed_covariance",
+        "ft_rrf_hybrid", "knn_scalar_quantized", "cluster_stats",
+        "corpus_vocab_growth", "resolve_index", "ingest_fingerprint",
+        "agg_random_sampler", "rollup_search", "events_retention",
+        "agg_frequent_item_sets", "agg_ip_prefix", "ft_hybrid_linear",
+        "reindex_sliced", "decontaminate_exact", "ft_analyze_offsets",
+        "async_search", "ccs_clusters", "ccs_search",
+        "agg_moving_percentiles", "ft_sparse_vector", "ft_runtime_field",
+        "agg_t_test", "agg_geo_line", "training_shuffle", "sql_query",
+        "ingest_enrich", "data_stream_rollover", "knn_l2", "knn_filtered",
+        "transform_pivot", "eql_sequence", "training_pack_sequences",
+        "ft_stored_fields", "cluster_health", "cat_shards",
+        "agg_cumulative_cardinality", "agg_normalize", "agg_string_stats",
+        "agg_rate", "agg_boxplot", "agg_top_metrics", "agg_multi_terms",
+        "flattened_query", "agg_time_series", "ft_version_field",
+        "graph_explore", "ilm_explain", "search_mvt", "agg_change_point",
+        "agg_categorize_text", "ft_combined_fields", "ft_pinned",
+        "knn_max_inner_product", "contamination_report", "curriculum_order",
+        "ingest_append_tags", "agg_histogram_field", "agg_aggregate_metric",
+        "esql_query", "source_dup_matrix", "indices_segments",
+        "search_shards_nodes", "esql_grok", "curation_funnel", "mget",
+        "sql_group_query", "tokenizer_vocab_coverage", "ft_frozen_search",
+        "training_span_corruption", "dedup_weighted_sampling",
+        "allocation_explain", "slm_retention", "ccr_follow",
+        "searchable_snapshot_query", "esql_topk", "esql_lookup_join",
+        "esql_mv_expand", "esql_dissect", "knn_hard_negatives",
+        "tokenizer_fertility", "completion_contexts", "completion_fuzzy",
+        "tsdb_downsample", "watcher_execute", "ml_anomaly_zscore",
+        "transform_latest", "esql_rename_drop", "esql_count_distinct",
+        "esql_expression", "esql_values_agg", "esql_enrich",
+        "esql_stats_extended", "esql_bucket", "ccnet_buckets",
+        "esql_completion", "esql_rerank", "esql_categorize", "esql_fork",
+        "esql_row", "esql_inlinestats", "esql_scalar_functions", "esql_rrf",
+        "esql_ts_rate", "nodes_stats", "esql_ip_functions",
+        "esql_change_point", "esql_stats_where", "esql_stats_expression",
+        "esql_multi_index", "text_structure_ndjson",
+        "text_structure_delimited", "esql_fuse_linear", "esql_top",
+        "retriever_rerank", "retriever_linear", "retriever_rrf_tree",
+        "ingest_network_direction", "ingest_registered_domain",
+        "ingest_uri_parts", "sql_fulltext_agg", "sql_fulltext_score",
+        "esql_like_list", "esql_over_time", "eql_until", "eql_sequence_three",
+        "eql_head_pipe", "esql_vector_functions", "esql_knn",
+        "esql_score_topk", "esql_kql", "esql_qstr", "esql_match_phrase",
+        "esql_match_operator", "esql_match", "range_date_math",
+        "agg_histogram_hard_bounds", "ft_highlight_no_match",
+        "agg_composite_missing_bucket", "agg_significant_bg_filter",
+        "agg_date_histogram_bounds", "agg_terms_missing",
+        "agg_filters_other_bucket", "esql_chained_stats", "sql_select_star",
+        "agg_percentile_ranks_hdr", "eql_sequence_by_multi",
+        "ft_analyze_predicate", "ft_analyze_condition",
+        "ft_analyze_multiplexer", "eql_insensitive_match",
+        "sql_group_by_expression", "ingest_conditional", "sql_like_predicate",
+        "sql_where_expression", "sql_scalar_projection",
+        "corpus_ngram_novelty", "eql_sequence_runs", "ltr_rescore",
+        "simulate_index_template", "agg_geohex_grid", "esql_mv_mad",
+        "ft_analyze_japanese", "ft_analyze_korean", "ft_analyze_ukrainian",
+        "ft_analyze_polish", "ft_constant_keyword", "autoscaling_capacity",
+        "semantic_chunked_search", "geo_shape_indexed_polygons",
+        "percolate_ranges", "rank_vectors_maxsim", "field_usage_stats",
+        "transform_continuous", "cluster_reroute", "ingest_inference",
+        "corpus_zipf_slope", "corpus_kl_drift", "esql_mv_zip",
+        "esql_mv_functions2", "sql_pivot", "indices_resize", "eql_sample",
+        "ingest_circle", "shape_cartesian_disjoint", "shape_cartesian_points",
+        "esql_show_info", "reload_search_analyzers", "painless_execute",
+        "agg_inference_regression", "agg_bucket_count_ks_test",
+        "agg_bucket_correlation", "esql_now_datemath", "sql_describe_table",
+        "sql_show_tables", "deprecation_info", "cat_allocation",
+        "esql_inline_cast", "esql_st_within_disjoint", "esql_st_centroid",
+        "esql_st_functions", "esql_hash_functions", "agg_composite_geotile",
+        "fls_field_security", "dls_filtered_search", "eql_unique_pipe",
+        "esql_stats_mad", "esql_term_multimatch", "wildcard_field_query",
+        "ft_index_phrases", "ft_script_score_vectors", "esql_date_nanos",
+        "esql_cartesian_distance", "cat_recovery", "mtermvectors",
+        "ingest_geo_grid", "esql_st_envelope", "esql_st_extent",
+        "ingest_reroute", "ft_text_expansion", "geo_grid_query",
+        "sql_cursor_page", "ft_rule_query", "ft_weighted_tokens",
+        "esql_scalb_round_to", "ft_render_template_sections",
+        "text_structure_log", "ft_annotated_text",
+        "murmur3_field_cardinality", "mapper_size_field",
+        "percolate_existing_doc", "agg_significant_text_dedup",
+        "agg_derivative_unit", "dedup_minhash_incremental",
+        "knn_matryoshka_overlap", "dedup_cluster_sizes", "ft_mlt_unlike",
+        "ft_case_insensitive", "ft_regexp_interval",
+        "ingest_dissect_modifiers", "esql_enrich_range", "snapshot_clone",
+        "synthetic_source", "k_anonymity_suppress", "agg_t_test_paired",
+        "ft_suggest_collate", "dedup_substring_cut",
+        "ft_analyze_keyword_repeat", "agg_moving_fn_holt_winters",
+        "dedup_substring_runs", "ml_outlier_detection", "sql_select_distinct",
+        "agg_terms_partitions", "ingest_on_failure", "search_type_qtf",
+        "dedup_keep_best", "dsir_importance", "eql_count_pipe",
+        "eql_tail_pipe", "force_merge_api", "indices_get_settings",
+        "cluster_state", "indices_clone",
+        # --- driver-unchecked, rows-only (17) ---
+        "ingest_community_id", "index_disk_usage", "knn_recall_report",
+        "knn_pq", "knn_ivf_pq", "knn_hnsw", "agg_variable_width_histogram",
+        "knn_rescore", "semantic_search", "bpe_train_merges",
+        "bpe_token_counts", "dedup_embedding_lsh", "agg_percentile_ranks",
+        "knn_ivf", "multimodal_image_resize", "multimodal_audio_features",
+        "multimodal_video_frames",
+        # --- driver-verified r01/r02/r03 (100) ---
         "esql_sample", "agg_cartesian_centroid", "agg_cartesian_bounds",
-        "bulk_update_merge", "update_conflicts_seq_no",
-        "ft_match_only_text", "ft_copy_to", "ft_position_increment_gap",
-        "mapping_dynamic_templates",
-        "agg_histogram_min_doc_count", "agg_date_histogram_timezone",
-        "agg_terms_order_subagg", "ft_script_sort", "count_api",
-        "corpus_unimax_sample",
+        "bulk_update_merge", "update_conflicts_seq_no", "ft_match_only_text",
+        "ft_copy_to", "ft_position_increment_gap",
+        "mapping_dynamic_templates", "agg_histogram_min_doc_count",
+        "agg_date_histogram_timezone", "agg_terms_order_subagg",
+        "ft_script_sort", "count_api", "corpus_unimax_sample",
         "ft_collapse_inner_hits", "text_readability",
         "training_length_buckets", "dedup_url", "indices_stats",
         "ft_bool_msm_forms", "ft_match_fuzziness",
-        "completion_skip_duplicates",
-        "mapping_ignore_malformed", "date_multi_format",
-        "ft_index_prefixes", "agg_doc_count_field",
-        "quality_ensemble", "analyze_api_explain",
-        "index_incremental_append", "corpus_shard_writer",
-        "ft_norms_disabled", "enrich_geo_match", "agg_t_test_unpaired",
-        "index_refresh_visibility", "training_shuffle_order",
-        "bulk_external_versioning", "bulk_script_update",
-        "ingest_simulate_verbose", "reindex_script",
+        "completion_skip_duplicates", "mapping_ignore_malformed",
+        "date_multi_format", "ft_index_prefixes", "agg_doc_count_field",
+        "quality_ensemble", "analyze_api_explain", "index_incremental_append",
+        "corpus_shard_writer", "ft_norms_disabled", "enrich_geo_match",
+        "agg_t_test_unpaired", "index_refresh_visibility",
+        "training_shuffle_order", "bulk_external_versioning",
+        "bulk_script_update", "ingest_simulate_verbose", "reindex_script",
         "termvectors_filtered", "corpus_datacard",
         "ft_highlight_no_match_size", "knn_similarity_threshold",
         "ft_rank_feature_negative", "ft_regexp_ops", "ft_sqs_operators",
-        "agg_histogram_offset", "esql_mv_functions",
-        # --- round-3 session-15 ops ---
-        "ft_type_query", "indices_clone", "cluster_state",
-        "indices_get_settings", "force_merge_api",
-        "eql_tail_pipe", "eql_count_pipe",
-        "dsir_importance", "dedup_keep_best",
-        "search_type_qtf", "ingest_on_failure",
-        "agg_terms_partitions", "sql_select_distinct",
-        "ml_outlier_detection", "dedup_substring_runs",
-        "agg_moving_fn_holt_winters",
-        "ft_analyze_keyword_repeat", "dedup_substring_cut",
-        "ft_suggest_collate", "agg_t_test_paired",
-        "k_anonymity_suppress", "synthetic_source",
-        "snapshot_clone", "esql_enrich_range",
-        "ingest_dissect_modifiers", "ft_regexp_interval",
-        "ft_case_insensitive", "ft_mlt_unlike",
-        "dedup_cluster_sizes", "knn_matryoshka_overlap",
-        "dedup_minhash_incremental", "agg_derivative_unit",
-        "agg_significant_text_dedup", "percolate_existing_doc",
-        "mapper_size_field", "murmur3_field_cardinality",
-        "ft_annotated_text", "text_structure_log",
-        "ft_render_template_sections",
-        # --- round-3 session-14 ops ---
-        "esql_scalb_round_to", "ft_weighted_tokens",
-        "ft_rule_query", "sql_cursor_page",
-        "geo_grid_query", "ft_text_expansion", "ingest_reroute",
-        "esql_st_extent", "esql_st_envelope",
-        "ingest_geo_grid", "mtermvectors", "cat_recovery",
-        "esql_cartesian_distance", "esql_date_nanos",
-        "ft_script_score_vectors", "ft_index_phrases", "wildcard_field_query",
-        "esql_term_multimatch", "esql_stats_mad", "eql_unique_pipe",
-        "dls_filtered_search", "fls_field_security",
-        "agg_composite_geotile",
-        # --- round-3 session-13 ops ---
-        "esql_hash_functions", "esql_st_functions",
-        "esql_st_centroid", "esql_st_within_disjoint", "esql_inline_cast",
-        "cat_allocation", "deprecation_info",
-        "sql_show_tables", "sql_describe_table", "esql_now_datemath",
-        # --- round-3 session-12 ops ---
-        "agg_bucket_correlation", "agg_bucket_count_ks_test",
-        "agg_inference_regression", "painless_execute",
-        "reload_search_analyzers", "esql_show_info",
-        "shape_cartesian_points", "shape_cartesian_disjoint",
-        "ingest_circle", "eql_sample", "indices_resize", "sql_pivot",
-        "esql_mv_functions2", "esql_mv_zip",
-        "corpus_kl_drift", "corpus_zipf_slope", "ingest_inference",
-        "cluster_reroute", "transform_continuous", "field_usage_stats",
-        "rank_vectors_maxsim", "percolate_ranges",
-        "geo_shape_indexed_polygons", "semantic_chunked_search",
-        "autoscaling_capacity", "ft_constant_keyword",
-        "ft_analyze_polish", "ft_analyze_ukrainian",
-        "ft_analyze_korean", "ft_analyze_japanese", "esql_mv_mad",
-        "agg_geohex_grid", "simulate_index_template", "ltr_rescore",
-        "eql_sequence_runs", "corpus_ngram_novelty",
-        "sql_scalar_projection", "sql_where_expression",
-        "sql_like_predicate", "ingest_conditional",
-        "sql_group_by_expression", "eql_insensitive_match",
-        "ft_analyze_multiplexer", "ft_analyze_condition",
-        "ft_analyze_predicate", "eql_sequence_by_multi",
-        "agg_percentile_ranks_hdr", "sql_select_star",
-        "esql_chained_stats", "agg_filters_other_bucket",
-        "agg_terms_missing", "agg_date_histogram_bounds",
-        "agg_significant_bg_filter", "agg_composite_missing_bucket",
-        "ft_highlight_no_match", "agg_histogram_hard_bounds",
-        "range_date_math",
-        # --- round-3 session-11 ops ---
-        "esql_match", "esql_match_operator", "esql_match_phrase",
-        "esql_qstr", "esql_kql", "esql_score_topk",
-        "esql_knn", "esql_vector_functions",
-        "eql_head_pipe", "eql_sequence_three", "eql_until",
-        "esql_over_time", "esql_like_list",
-        "sql_fulltext_score", "sql_fulltext_agg",
-        "ingest_uri_parts", "ingest_registered_domain",
-        "ingest_network_direction", "ingest_community_id",
-        "retriever_rrf_tree", "retriever_linear", "retriever_rerank",
-        "esql_top", "esql_fuse_linear",
-        "text_structure_delimited", "text_structure_ndjson",
-        "esql_multi_index", "esql_stats_expression",
-        # --- round-3 session-10 ops ---
-        "esql_stats_where", "esql_change_point", "esql_ip_functions",
-        "nodes_stats", "esql_ts_rate", "esql_rrf",
-        # --- round-3 session-8 ops ---
-        "esql_mv_functions", "esql_scalar_functions",
-        "esql_inlinestats", "esql_sample", "esql_row",
-        "esql_fork", "esql_categorize", "esql_rerank", "esql_completion",
-        # --- round-3 session-7 ops ---
-        "ccnet_buckets", "esql_bucket", "esql_stats_extended",
-        "esql_enrich", "esql_values_agg",
-        "esql_expression", "esql_count_distinct", "esql_rename_drop",
-        # --- round-3 session-6 ops (driver-unchecked, oracle-bearing) ---
-        "transform_latest", "ml_anomaly_zscore", "watcher_execute",
-        "tsdb_downsample", "completion_fuzzy", "completion_contexts",
-        "tokenizer_fertility", "knn_hard_negatives",
-        "esql_dissect", "esql_mv_expand", "esql_lookup_join", "esql_topk",
-        "searchable_snapshot_query", "ccr_follow", "slm_retention",
-        "allocation_explain", "dedup_weighted_sampling",
-        "training_span_corruption", "ft_frozen_search",
-        "tokenizer_vocab_coverage", "sql_group_query", "mget",
-        "index_disk_usage", "curation_funnel", "esql_grok",
-        "knn_recall_report", "search_shards_nodes", "indices_segments",
-        "source_dup_matrix",
-        # --- round-3 session-5 ops (driver-unchecked, oracle-bearing) ---
-        "esql_query", "agg_aggregate_metric", "agg_histogram_field",
-        "ingest_append_tags", "curriculum_order", "contamination_report",
-        "knn_max_inner_product",
-        "ft_pinned", "ft_combined_fields", "agg_categorize_text",
-        "agg_change_point", "search_mvt", "ilm_explain", "graph_explore",
-        "ft_version_field", "agg_time_series", "flattened_query",
-        # --- round-3 session-4 ops (driver-unchecked, oracle-bearing) ---
-        "agg_multi_terms", "agg_top_metrics", "agg_boxplot", "agg_rate",
-        "agg_string_stats", "agg_normalize", "agg_cumulative_cardinality",
-        "cat_shards", "cluster_health", "indices_stats", "ft_stored_fields",
-        "training_pack_sequences", "eql_sequence", "transform_pivot",
-        "knn_filtered", "knn_l2", "data_stream_rollover", "ingest_enrich",
-        "sql_query", "training_shuffle", "agg_geo_line",
-        "agg_t_test", "ft_runtime_field", "ft_sparse_vector",
-        "agg_moving_percentiles", "ccs_search", "ccs_clusters",
-        "async_search", "ft_analyze_offsets",
-        "decontaminate_exact", "reindex_sliced", "ft_hybrid_linear",
-        "agg_ip_prefix", "agg_frequent_item_sets", "events_retention",
-        "rollup_search", "agg_random_sampler",
-        "ingest_fingerprint", "knn_similarity_threshold", "resolve_index",
-        "corpus_vocab_growth", "cluster_stats",
-        # --- round-3 session-3 ops (driver-unchecked, oracle-bearing) ---
-        "knn_scalar_quantized", "ft_rrf_hybrid", "embed_covariance",
-        "ft_routed_term", "knn_binary_quantized",
-        "knn_sq_indexed", "classifier_train_gd",
-        "cat_count", "ft_get_source", "ft_render_template",
-        "msearch_template", "ingest_simulate", "cat_templates",
-        "cat_snapshots", "ft_clear_scroll", "indices_close_open",
-        "grok_patterns", "script_languages", "ft_alias_routing",
-        "ft_sort_nested_mode", "exists_apis", "get_mapping",
-        "training_mix_budget", "ft_rank_feature_log_sigmoid",
-        "corpus_diff", "corpus_datacard", "corpus_sample_bottomk",
-        "corpus_sample_weighted", "corpus_quantile_filter",
-        # --- round-3 new ops (driver-unchecked, oracle-bearing) ---
-        "bpe_pair_counts", "lm_ngram_counts",
-        "dedup_semantic", "lm_perplexity_kn", "gopher_quality", "c4_filter",
-        "gopher_repetition", "text_entropy", "training_mix_temperature",
-        "decontaminate_bloom", "ft_span_gap",
-        "ft_fetch_metadata", "corpus_split", "corpus_diversity", "cdc_chunks", "dedup_cdc", "embed_score", "graph_pagerank", "text_normalize", "graph_hits",
-        "embed_kmeans", "dedup_paragraph", "url_canonical_dedup",
-        "dedup_substring", "embed_cluster_sample", "join_orders_customer",
-        "events_sessionize", "asof_join_events_orders",
-        "range_join_events_windows", "sliding_window_counts",
-        "rank_eval_metrics", "dedup_components", "dedup_keep_one",
-        "lm_perplexity", "dsir_weights", "lm_perplexity_bigram", "knn_pq", "knn_ivf_pq", "knn_hnsw", "agg_variable_width_histogram", "knn_rescore", "semantic_search",
-        "dsir_resample", "nb_domain_classify", "tfidf_keywords",
-        "pmi_collocations", "doc_chunks",
-        "ft_sim_lm_dirichlet", "ft_sim_lm_jelinek_mercer", "ft_sim_dfr",
-        "ft_sim_ib", "ft_sim_boolean", "ft_analyze_cjk", "ft_analyze_persian",
-        "ft_count", "agg_significant_mi", "agg_significant_percentage",
-        "lang_stop_tokenize", "ft_completion_weighted", "ft_completion_fuzzy",
-        "bpe_train_merges", "bpe_token_counts",
-        "geo_shape_polygon_points", "geo_shape_within", "geo_shape_disjoint",
-        "geo_shape_linestring", "ft_highlight_fvh",
-        "ft_type", "msearch", "field_caps", "rank_eval",
-        "agg_extended_stats_bucket", "agg_bucket_selector", "agg_bucket_sort",
-        "ft_explain",
-        "ft_terms_enum", "ft_min_score", "ft_indices_boost",
-        "ft_source_filtering", "ft_script_fields", "ft_search_template",
-        "ft_mtermvectors", "ft_alias_filter", "ft_profile",
-        "dedup_ngram_jaccard", "dedup_minhash_exact", "dedup_simhash_exact",
-        "knn_lsh_exact", "dedup_embedding_lsh_exact",
-        "ft_scroll_sliced", "ft_pit", "ft_mget", "cat_indices",
-        "ft_validate_query", "agg_children", "agg_parent",
-        "agg_sibling_buckets", "ft_suggest_modes", "ft_stored_script",
-        "geo_shape_multipolygon", "ft_highlight_options", "ft_fuzzy_options",
-        "ft_span_containing", "ft_search_analyzer", "cat_segments",
-        "ft_completion_geo_context", "ft_zero_terms", "ft_multi_match_phrase",
-        "ft_multi_match_phrase_prefix", "ft_multi_match_bool_prefix",
-        "ft_intervals_fuzzy", "agg_terms_options", "agg_histogram_options",
-        "agg_date_histogram_tz", "ft_multi_index", "ft_multi_index_boost",
-        "ft_fuzzy_transpositions", "agg_significant_gnd",
-        "ft_intervals_filter", "ingest_user_agent", "ingest_geoip",
-        "scaled_float_range", "rank_features_query", "mapper_size",
-        "mapper_murmur3", "token_count_field", "annotated_text_analyze",
-        "annotated_text_terms", "phonetic_soundex", "phonetic_metaphone",
-        "icu_analyze", "ingest_attachment", "tasks_api", "script_expression", "dedup_decontaminate",
-        "phrase_suggest_collate", "text_repetition", "search_shards",
-        "agg_composite_date_histogram", "agg_significant_script",
-        "forcemerge_api", "bulk_actions", "source_orc_roundtrip",
-        "mapping_options", "training_mix", "sequence_packing",
-        "agg_date_histogram_quarter", "redact_pii", "keyword_normalizer",
-        "cat_aliases", "snapshot_restore_renamed",
-        # --- driver-unchecked, oracle-bearing (rounds 1b-2) ---
-        "ft_rescore", "agg_rare_terms", "agg_significant_terms",
-        "agg_filters", "terms_lookup", "ingest_extract", "ft_span_near",
-        "ft_phrase_prefix", "ft_query_string", "agg_adjacency_matrix",
-        "agg_date_range", "agg_matrix_stats", "nested_query",
-        "geo_bounding_box", "geo_distance", "agg_sampler",
-        "agg_auto_date_histogram", "range_orders_pruned", "has_child",
-        "has_parent", "percolate", "ft_analyze", "delete_by_query",
-        "update_by_query", "reindex_docs", "ft_completion", "ft_termvectors",
-        "ft_match_msm", "agg_stats_bucket", "agg_percentiles_bucket",
-        "agg_bucket_script", "agg_moving_fn", "agg_serial_diff",
-        "ft_match_bool_prefix", "ft_intervals", "ingest_pipeline_demo",
-        "quality_filter", "source_roundtrip", "ft_exists",
-        "ft_multi_match_best", "ft_multi_match_most", "ft_query_string_adv",
-        "agg_missing", "agg_global", "agg_mad", "agg_terms_shard_error",
-        "agg_significant_text", "ft_script_score", "ft_distance_feature",
-        "ft_rank_feature", "ft_span_or", "ft_span_first", "ft_span_not",
-        "ft_span_within", "ft_highlight_unified", "phrase_suggest",
-        "ft_wrapper", "parent_id", "ft_scroll", "agg_geo_bounds",
-        "agg_geo_centroid", "agg_geotile_grid", "agg_geo_distance",
-        "agg_ip_range", "agg_nested", "agg_reverse_nested",
-        "ft_analyze_edge_ngram", "ft_analyze_shingle", "ft_analyze_synonym",
-        "ft_analyze_ascii", "ft_common_terms", "ft_matched_queries",
-        "inner_hits", "ft_intervals_prefix", "ft_multi_match_cross",
-        "ip_cidr_filter", "ft_analyze_mapping", "ingest_grok_kv",
-        "ft_script_query", "ft_span_multi", "geo_polygon",
-        "agg_moving_avg_ewma", "agg_moving_avg_holt",
-        "range_field_intersects", "mapping_infer", "agg_diversified_sampler",
-        "ft_span_masked", "agg_significant_chi2", "geo_shape_envelope",
-        "index_sorted_pruning", "ft_search_as_you_type",
-        "ft_analyze_common_grams", "ft_analyze_filter_chain",
-        "ft_sim_scripted",
-        # --- driver-unchecked, rows-only (incl. round-3: stemmer vectors
-        # and HDR sketch have no offline SQL oracle) ---
-        "agg_percentiles_hdr",
-        "ft_analyze_french", "ft_analyze_german", "ft_analyze_spanish",
-        "ft_analyze_italian", "ft_analyze_portuguese", "ft_analyze_dutch",
-        "ft_analyze_russian", "lang_stemmed_index_search",
-        "ft_analyze_swedish", "ft_analyze_norwegian", "ft_analyze_danish",
-        "ft_analyze_arabic", "ft_analyze_romanian", "ft_analyze_finnish",
-        "ft_analyze_hungarian", "ft_analyze_turkish", "ft_analyze_greek",
-        "ft_analyze_hindi", "ft_analyze_czech", "ft_analyze_bulgarian",
-        "ft_analyze_latvian", "ft_analyze_indonesian", "ft_analyze_sorani",
-        "ft_analyze_brazilian", "ft_analyze_armenian", "ft_analyze_basque",
-        "ft_analyze_bengali", "ft_analyze_catalan", "ft_analyze_chinese",
-        "ft_analyze_estonian", "ft_analyze_galician", "ft_analyze_irish",
-        "ft_analyze_lithuanian", "ft_analyze_thai", "dedup_embedding_lsh",
-        "agg_percentile_ranks", "agg_scripted_metric", "knn_ivf",
-        "agg_geohash_grid", "ft_analyze_stemmer",
-        "multimodal_image_resize", "multimodal_audio_features",
-        "multimodal_video_frames",
-        # --- twice-green (r01+r02 driver-verified) ---
+        "agg_histogram_offset", "esql_mv_functions", "ft_type_query",
         "ft_term", "ft_match_or", "ft_match_and", "ft_phrase", "ft_prefix",
         "ft_bool", "ft_topk", "ft_ids", "ft_suggest", "ft_highlight",
         "agg_terms", "agg_date_histogram", "agg_histogram", "agg_stats",
@@ -371,10 +336,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_meta", "ft_fuzzy", "ft_wildcard", "ft_regexp",
         "ft_terms_set", "ft_dis_max", "ft_constant_score", "ft_boosting",
         "ft_function_score", "ft_more_like_this", "ft_paginate",
-        "ft_completion_context", "ft_post_filter", "ft_terminate_after",
-        "ft_track_total_hits", "ft_docvalue_fields",
-        "ft_sort_geo_distance", "ft_sort_script", "ft_sort_missing_last",
-        "ft_function_score_gauss", "ft_function_score_functions",
     ]
     return {n: getattr(ops, n) for n in names}
 
