@@ -259,130 +259,228 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 
 def minhash_verified_pairs_ds(ds, *, threshold: float = 0.8,
-                              num_perm: int = 128, bands: int = 32,
+                              num_perm: int = 128, bands: int = 16,
                               shingle_k: int = 5, text_col: str = "text",
                               id_col: str = "doc_id", concurrency=2,
                               new_ids_pred=None, emit_jaccard: bool = False):
-    """LSH candidates Jaccard-verified INSIDE the bucket groups: texts ride
-    the (band, band_hash) shuffle with the signatures, each bucket computes
-    its pairwise exact n-gram Jaccard in map_groups, and only pairs >=
-    threshold leave the cluster. Returns a DATASET of distinct verified
-    (doc_a, doc_b) pairs — nothing touches the driver; feed it to
-    graph.connected_components for clustering."""
-    _ecols = {"doc_a": pd.Series([], dtype=np.int64),
-              "doc_b": pd.Series([], dtype=np.int64)}
-    if emit_jaccard:
-        _ecols["jaccard"] = pd.Series([], dtype=np.float64)
-    _empty = pd.DataFrame(_ecols)
+    """Two-pass candidate->fetch MinHash near-dedup (SCALE.md's web-scale
+    prescription, default since round 4):
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        sub = g.drop_duplicates(subset=id_col).sort_values(id_col)
-        if len(sub) < 2:
-            return _empty
-        ids = sub[id_col].to_numpy()
-        sets = [_shingles(t, shingle_k) for t in sub[text_col]]
-        # incremental mode: only NEW x EXISTING pairs are ever formed
-        # (the streaming-append dedup shape — new/existing derives from
-        # the id, so no flag column rides the shuffle)
-        if new_ids_pred is not None:
-            isnew = np.array([bool(new_ids_pred(int(x))) for x in ids])
-            cand_pairs = [(i, j) for i in range(len(ids))
-                          for j in range(len(ids))
-                          if isnew[i] and not isnew[j]]
-        else:
-            cand_pairs = [(i, j) for i in range(len(ids))
-                          for j in range(i + 1, len(ids))]
-        out_a, out_b, out_j = [], [], []
-        for i, j in cand_pairs:
-            inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
-            union = sets[i].size + sets[j].size - inter
-            jac = inter / union if union else 1.0
-            if jac >= threshold:
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-                out_j.append(jac)
-        out = {"doc_a": np.asarray(out_a, np.int64),
-               "doc_b": np.asarray(out_b, np.int64)}
+      pass 1  int-only banded LSH rows (doc_id, band, band_hash) — texts
+              NEVER ride the bands x corpus exchange;
+      pass 2a buckets co-locate by a shard key = hash(band, band_hash)
+              and each shard emits its candidate pairs VECTORIZED (run-
+              length bucket detection + triu pair indices; Python touches
+              only the >=2-member buckets);
+      pass 2b pairs distinct dataset-side (a pair surfaces once per
+              shared bucket — dedup BEFORE fetching text, so each
+              candidate text ships once per pair, not once per bucket);
+      pass 3  two hash joins fetch text_a / text_b per distinct pair and
+              a flat map_batches computes exact n-gram Jaccard (per-batch
+              shingle cache — no per-bucket UDF, no groupby over texts).
+
+    Returns a DATASET of distinct verified (doc_a, doc_b) pairs — nothing
+    touches the driver; feed it to graph.connected_components. Exchange
+    volume: ints x bands for signatures + candidate texts x2 — the text
+    bytes are bounded by the LSH candidate rate, not the band count.
+    Skew note: a bucket of s identical docs emits s^2/2 candidate pairs
+    (inherent to pairwise LSH verification); exact-dup pre-pass or a
+    bucket cap is the standard mitigation for adversarial corpora."""
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "band_hash", id_col], kind="stable")
+        ids = g[id_col].to_numpy()
+        bnd = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        brk = np.flatnonzero(
+            np.r_[True, (bnd[1:] != bnd[:-1]) | (bh[1:] != bh[:-1])])
+        ends = np.r_[brk[1:], ids.size]
+        hot = np.flatnonzero(ends - brk >= 2)
+        out_a, out_b = [], []
+        for h in hot:
+            sub = np.unique(ids[brk[h]:ends[h]])
+            if sub.size < 2:
+                continue
+            if new_ids_pred is not None:
+                # incremental mode: only NEW x EXISTING pairs are formed
+                # (streaming-append dedup — new/existing derives from the
+                # id, so no flag column rides the shuffle)
+                isnew = np.array([bool(new_ids_pred(int(x))) for x in sub])
+                if isnew.any() and not isnew.all():
+                    nw, ex = sub[isnew], sub[~isnew]
+                    out_a.append(np.repeat(nw, ex.size))
+                    out_b.append(np.tile(ex, nw.size))
+            else:
+                iu = np.triu_indices(sub.size, 1)
+                out_a.append(sub[iu[0]])
+                out_b.append(sub[iu[1]])
+        if not out_a:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        out = pd.DataFrame({"doc_a": np.concatenate(out_a),
+                            "doc_b": np.concatenate(out_b)})
+        # intra-shard dedup shrinks the pair shuffle before the global
+        # one; emit clean Arrow (no pandas schema metadata — it breaks
+        # the hash-join aggregator's schema dedup downstream)
+        out = out.drop_duplicates()
+        return pa.table({"doc_a": pa.array(out["doc_a"].to_numpy(), pa.int64()),
+                         "doc_b": pa.array(out["doc_b"].to_numpy(), pa.int64())})
+
+    def verify_batch(t: pa.Table) -> pa.Table:
+        a_ids = t["doc_a"].to_numpy()
+        b_ids = t["doc_b"].to_numpy()
+        a_txt = t["_text_a"].to_pylist()
+        b_txt = t["_text_b"].to_pylist()
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(did: int, txt: str) -> np.ndarray:
+            s = cache.get(did)
+            if s is None:
+                s = cache[did] = _shingles(txt, shingle_k)
+            return s
+
+        jac = np.empty(a_ids.size, np.float64)
+        for i in range(a_ids.size):
+            sa, sb = sh(int(a_ids[i]), a_txt[i]), sh(int(b_ids[i]), b_txt[i])
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac[i] = inter / union if union else 1.0
+        keep = jac >= threshold
+        cols = {"doc_a": pa.array(a_ids[keep], pa.int64()),
+                "doc_b": pa.array(b_ids[keep], pa.int64())}
         if emit_jaccard:
-            out["jaccard"] = np.asarray(out_j, np.float64)
-        return pd.DataFrame(out)
+            cols["jaccard"] = pa.array(jac[keep], pa.float64())
+        return pa.table(cols)
 
-    # Pass 1 — banded LSH rows WITHOUT text: (doc_id, band, band_hash)
-    # ints only. Shuffling text for every (doc, band) row would move
-    # bands x corpus bytes through the exchange; almost all buckets are
-    # singletons, so that volume is wasted. batch_size bounds the
-    # signature kernel's working set.
-    # The int-only candidate rows materialize ONCE: `banded` feeds both
-    # the hot-bucket count and the semi-join below, and Ray Data does not
-    # common-subexpression-eliminate that diamond — left lazy, the one
-    # execution graph spawns TWO fixed MinHashStage actor pools (the
-    # signatures also compute twice), and on a small cluster the second
-    # pool's actors deadlock against the first pool + join aggregators
-    # (observed: 4/4 CPUs held, 2 actors pending forever on 4 CPUs).
-    # Size: docs x bands x ~20 B — the standard LSH candidate structure,
-    # object-store resident and spillable at corpus scale.
+    # Pass 1 — banded LSH rows WITHOUT text. batch_size bounds the
+    # signature kernel's working set. Plain TASK map (not an actor pool):
+    # the only per-worker state is the 128-int permutation table, cached
+    # module-level per worker process, so tasks parallelize elastically
+    # with no pool-startup latency. The int-only rows materialize ONCE
+    # (sized for the shard count below, and consumed by one exchange).
+    # Size: docs x bands x ~20 B — object-store resident and spillable.
+    _stage = MinHashStage(num_perm=num_perm, bands=bands,
+                          shingle_k=shingle_k, text_col=text_col,
+                          id_col=id_col, emit_text=False)
     banded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k, text_col=text_col,
-                                   id_col=id_col, emit_text=False),
+        lambda t, _s=_stage: _s(t),
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=concurrency,
     ).materialize()
-    # Pass 2 — hot buckets (>= 2 members) via a vectorized count (no
-    # per-group UDF), then two distributed hash joins: a semi-join keeps
-    # only hot (doc, band, band_hash) rows, and the text join ships each
-    # document's text once per HOT bucket membership only. Everything
-    # stays dataset-side; the driver never sees candidate texts.
-    counts = banded.groupby(["band", "band_hash"]).count()
 
-    def _hot_keys(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    # Pass 2a — shard key co-locates complete buckets; ~200k rows per
+    # shard keeps each map_groups call large enough to amortize overhead
+    # (the old per-bucket map_groups paid ~0.5 ms x n_buckets of pandas
+    # group plumbing) while bounding shard memory at corpus scale.
+    nshards = max(4 * max(int(concurrency), 1),
+                  banded.count() // 200_000 + 1)
 
-        t = t.filter(pc.field("count()") >= 2)
-        # groupby upcasts key dtypes; restore banded's exact types so the
-        # hash join sees matching key schemas
-        return pa.table({
-            "band": t["band"].cast(pa.int32()),
-            "band_hash": t["band_hash"].cast(pa.int64()),
-        })
+    def _shard(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy()
+        bd = t["band"].to_numpy().astype(np.int64)
+        s = ((bh * np.int64(0x9E3779B1) + bd) % nshards).astype(np.int64)
+        return t.append_column("shard", pa.array(np.abs(s)))
 
-    hot = counts.map_batches(_hot_keys, batch_format="pyarrow")
-    # fractional-CPU aggregators: the hash join spawns num_partitions
-    # aggregator actors, and full-CPU reservations deadlock against the
-    # map actors on small ray.init sessions (they'd also waste slots on a
-    # real cluster — aggregation is I/O-bound merge work)
-    nparts = max(4, int(concurrency) * 2)
-    agg_args = {"num_cpus": 0.25}
-    hot_rows = banded.join(hot, "inner", num_partitions=nparts,
-                           on=("band", "band_hash"),
-                           aggregator_ray_remote_args=agg_args)
-    texts = ds.map_batches(
-        lambda t: t.select([id_col, text_col]), batch_format="pyarrow")
-    joined = hot_rows.join(texts, "inner", num_partitions=nparts,
-                           on=(id_col,),
-                           aggregator_ray_remote_args=agg_args)
-    verified = joined.groupby(["band", "band_hash"]).map_groups(
-        verify, batch_format="pandas")
-    # a pair verifies in every shared bucket — distinct dataset-side so
-    # downstream consumers (connected components) never need the driver
-    if emit_jaccard:
-        # a pair verifies (with the SAME jaccard) in every shared bucket;
-        # MIN is a no-op dedup that keeps the value
-        from ray.data.aggregate import Min
+    pairs = (banded.map_batches(_shard, batch_format="pyarrow")
+             .groupby("shard")
+             .map_groups(emit_pairs, batch_format="pandas")).materialize()
+    if pairs.count() == 0:
+        cols = {"doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64())}
+        if emit_jaccard:
+            cols["jaccard"] = pa.array([], pa.float64())
+        import ray.data as _rd
 
-        return verified.groupby(["doc_a", "doc_b"]).aggregate(
-            Min("jaccard", alias_name="jaccard"))
-    distinct = verified.groupby(["doc_a", "doc_b"]).count().map_batches(
-        lambda t: pa.table({"doc_a": t["doc_a"].cast(pa.int64()),
-                            "doc_b": t["doc_b"].cast(pa.int64())}),
-        batch_format="pyarrow")
-    return distinct
+        return _rd.from_arrow(pa.table(cols))
+
+    # Pass 3 — fetch each side's text with the repo's bucketed-exchange
+    # join (union + groupby(bucket) + vectorized in-bucket lookup — the
+    # same idiom graph.py uses, deliberately NOT Dataset.join: the hash
+    # join's per-call aggregator-actor startup dominates at this size and
+    # its empty-partition finalize is fragile). The intra-shard dedup
+    # already removed ~all pair recurrences (a pair recurs only via
+    # buckets in DIFFERENT shards), so verifying pre-distinct costs
+    # ~nothing and the expensive global distinct runs on the small
+    # VERIFIED set. Exchange volume per side: every text once + the
+    # candidate pair rows — identical to a hash join's shuffle.
+    B = 64
+
+    def _fetch_side(pair_ds, key: str, out_col: str, carry: tuple = ()):
+        # carry = columns already on pair_ds (beyond the two keys) that
+        # must ride this exchange too — declared statically so the lazy
+        # pair_ds never needs a schema() call (which would execute it)
+        other = "doc_b" if key == "doc_a" else "doc_a"
+
+        def tag_text(t: pa.Table, _i=id_col, _t=text_col) -> pa.Table:
+            ids = t[_i].cast(pa.int64()).to_numpy()
+            n = ids.size
+            cols = {"tbkt": pa.array(ids % B), key: pa.array(ids),
+                    other: pa.array(np.full(n, -1, np.int64)),
+                    "_role": pa.array(np.zeros(n, np.int8)),
+                    out_col: t[_t].cast(pa.string())}
+            for c in carry:
+                cols[c] = pa.nulls(n, pa.string())
+            return pa.table(cols)
+
+        def tag_pair(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy()
+            cols = {"tbkt": pa.array(k % B), key: t[key], other: t[other],
+                    "_role": pa.array(np.ones(k.size, np.int8)),
+                    out_col: pa.nulls(k.size, pa.string())}
+            for c in carry:
+                cols[c] = t[c]
+            return pa.table(cols)
+
+        def merge(g: pa.Table) -> pa.Table:
+            role = g["_role"].to_numpy()
+            is_text = role == 0
+            tv = g[key].to_numpy()[is_text]
+            order = np.argsort(tv, kind="stable")
+            tv = tv[order]
+            tx = g[out_col].filter(pa.array(is_text)).take(
+                pa.array(order, pa.int64()))
+            p = g.filter(pa.array(~is_text))
+            idx = np.searchsorted(tv, p[key].to_numpy())
+            out = {c: p[c] for c in p.column_names
+                   if c not in ("tbkt", "_role", out_col)}
+            out[out_col] = tx.take(pa.array(idx, pa.int64()))
+            return pa.table(out)
+
+        tagged_t = ds.map_batches(tag_text, batch_format="pyarrow")
+        tagged_p = pair_ds.map_batches(tag_pair, batch_format="pyarrow")
+        return tagged_p.union(tagged_t).groupby("tbkt").map_groups(
+            merge, batch_format="pyarrow")
+
+    withtext = _fetch_side(_fetch_side(pairs, "doc_a", "_text_a"),
+                           "doc_b", "_text_b", carry=("_text_a",))
+    verified = withtext.map_batches(verify_batch, batch_format="pyarrow")
+
+    # Distinct on the verified set — bucketed exchange, NOT a direct
+    # groupby(doc_a, doc_b): Ray's sort-based groupby pays per-GROUP
+    # overhead (measured 8-30 s at ~250k distinct keys), while 64 hash
+    # buckets + a vectorized in-bucket drop_duplicates is O(fixed).
+    def _pbucket(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        s = np.abs((a * np.int64(0x9E3779B1) + b) % 64)
+        return t.append_column("pbucket", pa.array(s.astype(np.int64)))
+
+    def _dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop_duplicates(subset=["doc_a", "doc_b"])
+                .drop(columns=["pbucket"]))
+
+    # coalesce: the bucketed map_groups leaves ~64 tiny blocks, and a
+    # downstream iterative consumer (connected_components) pays per-block
+    # task fan-out in EVERY round's groupby (measured 170 s vs 3 s on
+    # identical 256-row edge sets) — repartition to a handful of blocks
+    distinct = (verified.map_batches(_pbucket, batch_format="pyarrow")
+                .groupby("pbucket")
+                .map_groups(_dedup_bucket, batch_format="pandas"))
+    return distinct.repartition(max(4, int(concurrency)))
 
 
 def minhash_verified_pairs(ds, *, threshold: float = 0.8, num_perm: int = 128,
-                           bands: int = 32, shingle_k: int = 5,
+                           bands: int = 16, shingle_k: int = 5,
                            text_col: str = "text", id_col: str = "doc_id",
                            concurrency=2) -> pd.DataFrame:
     """Driver-side frame of `minhash_verified_pairs_ds` (pairs are bounded
@@ -399,7 +497,7 @@ def minhash_verified_pairs(ds, *, threshold: float = 0.8, num_perm: int = 128,
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
-def minhash_dedup(ds, *, threshold: float = 0.8, num_perm: int = 128, bands: int = 32,
+def minhash_dedup(ds, *, threshold: float = 0.8, num_perm: int = 128, bands: int = 16,
                   shingle_k: int = 5, text_col: str = "text", id_col: str = "doc_id",
                   concurrency=2) -> pd.DataFrame:
     """Full near-dedup: in-bucket-verified pairs -> keep-min-id per connected

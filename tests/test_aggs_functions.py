@@ -135,7 +135,9 @@ def test_minhash_verified_pairs_match_driver_path(ray_session):
     ]
     texts = {r["doc_id"]: r["text"] for r in rows}
     threshold = 0.7
-    cand = minhash_lsh_pairs(rd.from_items(rows))
+    # same banding both paths (the verified path defaults to the
+    # threshold-matched b=16/r=8 since round 4)
+    cand = minhash_lsh_pairs(rd.from_items(rows), bands=16)
     driver_pairs = {
         (int(a), int(b)) for a, b in zip(cand.doc_a, cand.doc_b)
         if ngram_jaccard(texts[int(a)], texts[int(b)]) >= threshold
