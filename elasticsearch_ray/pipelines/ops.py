@@ -44,6 +44,24 @@ def _ds(sf_dir: str, table: str, columns=None, flt=None):
     return rd.read_parquet(path, columns=columns, schema=schema, **kw)
 
 
+def _qvecs(sf_dir: str, n: int = 3, *, ids=None,
+           columns=("vec_id", "embedding")) -> "pa.Table":
+    """Query-vector fixture rows from embeddings.parquet, PRUNED at the
+    read: column projection plus head(n) (first n rows in file order) or
+    a vec_id row filter — never a full-table load just to pick 3 query
+    vectors. Shared by every kNN gate that seeds its queries from the
+    corpus."""
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+    if ids is not None:
+        import pyarrow.compute as pc
+
+        return d.to_table(columns=list(columns),
+                          filter=pc.field("vec_id").isin(list(ids)))
+    return d.head(n, columns=list(columns))
+
+
 # ---------------- full-text search family ----------------
 
 
@@ -450,10 +468,9 @@ def dedup_embedding(sf_dir: str):
 def knn_bruteforce(sf_dir: str):
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
     qids = [0, 1, 2]
-    vecs = {int(i): v for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
-            if int(i) in qids}
+    t = _qvecs(sf_dir, ids=qids)
+    vecs = {int(i): v for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
     Q = np.array([vecs[q] for q in qids])
     out = S.knn_brute_force(_ds(sf_dir, "embeddings"), Q, k=5, dtype=np.float64)
     return out[["query_id", "vec_id", "cosine"]]
@@ -462,8 +479,8 @@ def knn_bruteforce(sf_dir: str):
 def knn_lsh(sf_dir: str):
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
-    Q = np.array(t["embedding"].to_pylist()[:3])
+    t = _qvecs(sf_dir, 3)
+    Q = np.array(t["embedding"].to_pylist())
     return S.knn_lsh(_ds(sf_dir, "embeddings"), Q, k=5, n_planes=6)
 
 
@@ -2362,8 +2379,8 @@ def knn_lsh_exact(sf_dir: str):
     rounding on dim-64 dots, so fp32/fp64 sign flips cannot occur."""
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
-    Q = np.array(t["embedding"].to_pylist()[:3])
+    t = _qvecs(sf_dir, 3)
+    Q = np.array(t["embedding"].to_pylist())
     return S.knn_lsh(_ds(sf_dir, "embeddings"), Q, k=5, n_planes=6,
                      dtype=np.float64)
 
@@ -2371,8 +2388,8 @@ def knn_lsh_exact(sf_dir: str):
 def knn_ivf(sf_dir: str):
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
-    Q = np.array(t["embedding"].to_pylist()[:3])
+    t = _qvecs(sf_dir, 3)
+    Q = np.array(t["embedding"].to_pylist())
     return S.knn_ivf(_ds(sf_dir, "embeddings"), Q, k=5)
 
 
@@ -6343,11 +6360,9 @@ def graph_hits(sf_dir: str):
 def _query_vectors(sf_dir: str, qids: list[int]) -> np.ndarray:
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
-    want = set(qids)
+    t = _qvecs(sf_dir, ids=sorted(set(qids)))
     vecs = {int(i): v for i, v in
-            zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
-            if int(i) in want}
+            zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
     return np.array([vecs[q] for q in qids], dtype=np.float64)
 
 
@@ -7546,8 +7561,8 @@ def knn_hnsw(sf_dir: str):
     partition-invariance tests."""
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
-    Q = np.array(t["embedding"].to_pylist()[:5])
+    t = _qvecs(sf_dir, 5)
+    Q = np.array(t["embedding"].to_pylist())
     return S.knn_hnsw(_ds(sf_dir, "embeddings"), Q, k=5)
 
 
@@ -7560,8 +7575,8 @@ def knn_filtered(sf_dir: str):
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
-    Q = np.array(t["embedding"].to_pylist()[:3])
+    t = _qvecs(sf_dir, 3)
+    Q = np.array(t["embedding"].to_pylist())
     ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding", "label"],
              flt=pc.field("label") == 1)
     out = S.knn_brute_force(ds, Q, k=5, dtype=np.float64)
@@ -7573,8 +7588,8 @@ def knn_l2(sf_dir: str):
     euclidean top-k, distance asc with vec_id tie-break."""
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
-    Q = np.array(t["embedding"].to_pylist()[:3])
+    t = _qvecs(sf_dir, 3)
+    Q = np.array(t["embedding"].to_pylist())
     out = S.knn_l2(_ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
                    Q, k=5)
     return out[["query_id", "vec_id", "dist"]]
@@ -8105,7 +8120,7 @@ def ft_hybrid_linear(sf_dir: str):
     bm = pd.DataFrame({"doc_id": ids.astype(np.int64),
                        "bm25": sc.astype(np.float64)})
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
+    t = _qvecs(sf_dir, 1)
     q = np.asarray(t["embedding"].to_pylist()[0], np.float64)
     q = q / np.sqrt((q * q).sum())
     q_ref = ray.put(q)
@@ -8301,8 +8316,8 @@ def knn_rescore(sf_dir: str):
     import pyarrow.dataset as pads
 
     k, oversample = 5, 4
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
-    Q = np.array(t["embedding"].to_pylist()[:3])
+    t = _qvecs(sf_dir, 3)
+    Q = np.array(t["embedding"].to_pylist())
     cand = S.knn_scalar_quantized(
         _ds(sf_dir, "embeddings", ["vec_id", "embedding"]), Q,
         k=k * oversample)
@@ -8380,8 +8395,8 @@ def knn_similarity_threshold(sf_dir: str):
     import ray
 
     k, thr = 5, 0.3
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
-    Q = np.array(t["embedding"].to_pylist()[:3], dtype=np.float64)
+    t = _qvecs(sf_dir, 3)
+    Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     Qn = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
     q_ref = ray.put(Qn)
 
@@ -9043,8 +9058,8 @@ def knn_max_inner_product(sf_dir: str):
     product desc, vec_id tie-break."""
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
-    Q = np.array(t["embedding"].to_pylist()[:3])
+    t = _qvecs(sf_dir, 3)
+    Q = np.array(t["embedding"].to_pylist())
     out = S.knn_dot(_ds(sf_dir, "embeddings", ["vec_id", "embedding"]),
                     Q, k=5)
     return out[["query_id", "vec_id", "score"]]
@@ -9335,9 +9350,9 @@ def knn_hard_negatives(sf_dir: str):
     import pyarrow.dataset as pads
     import ray
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
-    Q = np.array(t["embedding"].to_pylist()[:3], dtype=np.float64)
-    qlabels = np.array(t["label"].to_pylist()[:3], dtype=np.int64)
+    t = _qvecs(sf_dir, 3, columns=("vec_id", "embedding", "label"))
+    Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    qlabels = np.array(t["label"].to_pylist(), dtype=np.int64)
     qids = np.arange(3, dtype=np.int64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_ref = ray.put((Qn, qlabels, qids))
@@ -9856,8 +9871,8 @@ def knn_recall_report(sf_dir: str):
     passes."""
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
-    Q = np.array(t["embedding"].to_pylist()[:5])
+    t = _qvecs(sf_dir, 5)
+    Q = np.array(t["embedding"].to_pylist())
     k = 10
     ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
     exact = S.knn_brute_force(ds, Q, k=k, dtype=np.float64)
@@ -16338,11 +16353,10 @@ def knn_similarity_threshold(sf_dir: str):
     threshold applies to the merged result."""
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table()
     qids = [0, 1, 2]
+    t = _qvecs(sf_dir, ids=qids)
     vecs = {int(i): v for i, v in
-            zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
-            if int(i) in qids}
+            zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
     Q = np.array([vecs[q] for q in qids])
     out = S.knn_brute_force(_ds(sf_dir, "embeddings"), Q, k=5,
                             dtype=np.float64)
