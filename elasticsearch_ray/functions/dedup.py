@@ -234,6 +234,7 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, shingle_k: in
 
     sig = ds.map_batches(
         MinHashStage,
+        max_restarts=0,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
                                    text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
@@ -649,6 +650,7 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_k: int = 5,
 
     prefix = ds.map_batches(
         NgramPrefixStage,
+        max_restarts=0,
         fn_constructor_kwargs=dict(threshold=threshold, shingle_k=shingle_k,
                                    text_col=text_col, id_col=id_col,
                                    hot_grams=hot_grams),

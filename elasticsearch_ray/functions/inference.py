@@ -62,6 +62,7 @@ def semantic_search(ds, query_text: str, k: int = 10, *,
 
     embedded = ds.map_batches(TextEmbedStage, batch_size=256,
                               concurrency=concurrency,
+                              max_restarts=0,
                               fn_constructor_kwargs={"dim": dim},
                               batch_format="pyarrow")
 

@@ -164,6 +164,7 @@ def perplexity(ds, model: UnigramLM, *, text_col: str = "text",
     ref = ray.put(model)
     return ds.map_batches(
         _PplStage,
+        max_restarts=0,
         fn_constructor_kwargs=dict(models=[ref], text_col=text_col,
                                    id_col=id_col, out_cols=["ppl"],
                                    num_hash_buckets=num_hash_buckets),
@@ -182,6 +183,7 @@ def importance_weights(ds, target: UnigramLM, source: UnigramLM, *,
     refs = [ray.put(target), ray.put(source)]
     return ds.map_batches(
         _DsirStage,
+        max_restarts=0,
         fn_constructor_kwargs=dict(models=refs, text_col=text_col,
                                    id_col=id_col, out_cols=["weight"],
                                    num_hash_buckets=num_hash_buckets),
@@ -306,6 +308,7 @@ def bigram_perplexity(ds, model: BigramLM, *, text_col: str = "text",
     ref = ray.put(model)
     return ds.map_batches(
         _BigramPplStage,
+        max_restarts=0,
         fn_constructor_kwargs=dict(model=ref, text_col=text_col,
                                    id_col=id_col),
         batch_format="pyarrow", batch_size=512, concurrency=concurrency)
@@ -342,6 +345,7 @@ def nb_classify(ds, class_a: UnigramLM, class_b: UnigramLM, *,
     refs = [ray.put(class_a), ray.put(class_b)]
     return ds.map_batches(
         _NbStage,
+        max_restarts=0,
         fn_constructor_kwargs=dict(models=refs, text_col=text_col,
                                    id_col=id_col,
                                    out_cols=["log_odds", "pred"],
@@ -502,6 +506,7 @@ def kn_perplexity(ds, model: KNBigramLM, *, text_col: str = "text",
     ref = ray.put(model)
     return ds.map_batches(
         _KNPplStage,
+        max_restarts=0,
         fn_constructor_kwargs=dict(model=ref, text_col=text_col,
                                    id_col=id_col,
                                    keep_cols=tuple(keep_cols)),

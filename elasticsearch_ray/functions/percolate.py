@@ -143,6 +143,7 @@ def percolate_dataset(ds, queries, *, analyzer="simple", text_col="text",
     sorted for the gate. Stored-query maps build once per actor."""
     out = ds.map_batches(
         Percolator,
+        max_restarts=0,
         fn_constructor_kwargs=dict(queries=queries, analyzer=analyzer,
                                    text_col=text_col, id_col=id_col),
         batch_format="pyarrow",

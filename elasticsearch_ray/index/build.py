@@ -130,6 +130,7 @@ def build_index(
             # explicit actor pool (state amortized per actor)
             triples = items.map_batches(
                 TokenizeFragments,
+                max_restarts=0,
                 fn_constructor_kwargs=tokenize_kwargs,
                 batch_format="numpy",
                 batch_size=1,

@@ -632,6 +632,7 @@ def multimodal_video_frames(sf_dir: str):
 
     ds = _split2(rd.from_arrow(make_media_table(24, "video", seed=3)))
     frames = ds.map_batches(VideoFrameSampleStage,
+                            max_restarts=0,
                             fn_constructor_kwargs={"n_frames": 3},
                             batch_format="pyarrow", batch_size=8,
                             concurrency=(1, 2)).to_pandas()

@@ -102,6 +102,11 @@ def search_dataset(
         queries = queries_to_dataset(queries)
     return queries.map_batches(
         SearcherStage,
+        # actor restarts can't replay ctor kwargs once their object-store
+        # copies are GC'd (ray#53727) — disable restarts on pool stages
+        # whose state is rebuilt from durable inputs anyway; Ray Data's
+        # task-level retry still covers transient worker loss
+        max_restarts=0,
         fn_constructor_kwargs=dict(
             index_dir=index_dir,
             score_mode=score_mode,
