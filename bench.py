@@ -167,6 +167,38 @@ def run_bench() -> dict:
         getattr(OPS, name)(sf_dir)
         timings[f"extra_{name}"] = round(time.time() - q0, 3)
 
+    # --- 4x-corpus p99 regression guard (standing probe since round 4,
+    # VERDICT r03 #7): round 3's scale probe exposed a superlinear p99
+    # (block-at-a-time WAND on flat-impact disjunctions) only visible at
+    # 4x docs — keep the 400k number in every BENCH so that regression
+    # class can't silently return. OUT of the headline sum. sf0.1 only
+    # (the driver's per-round config; dev runs at sf0.01 stay fast).
+    if sf == "0.1":
+        n4 = n_docs * 4
+        corpus4 = f"/tmp/esray_bench/corpus_{n4}"
+        write_corpus(corpus4, n4, rows_per_file=8000, row_group_size=500)
+        idx4 = f"/tmp/esray_bench/idx_{n4}_{ncpu}"
+        shutil.rmtree(idx4, ignore_errors=True)
+        t0 = time.time()
+        build_index_tasks(corpus4, idx4, docs_per_partition=10_000,
+                          num_buckets=32)
+        timings["extra_index_build_400k"] = round(time.time() - t0, 3)
+        s4 = IndexSearcher(idx4)
+        for q in queries:
+            s4.search(q)
+        per4 = np.full((len(queries), n_passes), np.inf)
+        for p in range(n_passes):
+            for i, q in enumerate(queries):
+                q0 = time.time()
+                s4.search(q)
+                per4[i, p] = time.time() - q0
+        lat4 = per4.min(axis=1)
+        timings["query_p99_400k_ms"] = round(
+            float(np.percentile(lat4, 99) * 1e3), 3)
+        timings["query_p50_400k_ms"] = round(
+            float(np.percentile(lat4, 50) * 1e3), 3)
+        del s4
+
     total = timings["index_build"] + timings["query_total"] + sum(
         timings[k] for k in timings if k.startswith(("agg_", "dedup_", "knn_", "text_", "top_", "lm_"))
     )
