@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (690 unique) and driver-NEVER-checked oracle-bearing ops
         # lead, oldest sessions first; rows-only ops follow; the 100
         # driver-verified (r01/r02/r03) ops sit at the tail.
+        # --- round-4 new gates (driver-unchecked, oracle-bearing) ---
+        "esql_where_boolean", "esql_where_functions", "esql_eval_case",
+        "esql_where_in_like", "esql_eval_string", "esql_where_date",
         # --- driver-unchecked, oracle-bearing (573) ---
         "ft_function_score_functions", "ft_function_score_gauss",
         "ft_sort_missing_last", "ft_sort_script", "ft_sort_geo_distance",
@@ -947,6 +950,39 @@ ORDER BY p.phase""",
 
 def oracle_sql() -> dict[str, str]:
     out = _geo_shape_oracle_sqls()
+    # round-4 ES|QL grammar-depth gates
+    out["esql_where_boolean"] = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS s
+FROM events
+WHERE (event_type = 'click' OR event_type = 'view') AND NOT (value < 20)
+GROUP BY event_type ORDER BY event_type"""
+    out["esql_where_functions"] = """
+SELECT event_type, COUNT(*) AS n
+FROM events
+WHERE starts_with(event_type, 'c') OR length(event_type) = 4
+GROUP BY event_type ORDER BY event_type"""
+    out["esql_eval_case"] = """
+WITH e AS (SELECT CASE WHEN value < 25 THEN 'low'
+                       WHEN value < 75 THEN 'mid'
+                       ELSE 'high' END AS band, value FROM events)
+SELECT band, COUNT(*) AS n, ROUND(MAX(value), 2) AS m
+FROM e GROUP BY band ORDER BY band"""
+    out["esql_where_in_like"] = """
+SELECT lang, source, COUNT(*) AS n
+FROM documents
+WHERE lang IN ('en', 'de') AND text LIKE '%data%'
+      AND NOT regexp_full_match(source, 'src1.*')
+GROUP BY lang, source ORDER BY lang, source"""
+    out["esql_eval_string"] = """
+WITH e AS (SELECT substr(upper(source), 1, 4) AS s, length(text) AS lw
+           FROM documents)
+SELECT s, COUNT(*) AS n, MAX(lw) AS wmax
+FROM e GROUP BY s ORDER BY s"""
+    out["esql_where_date"] = """
+SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+FROM events
+WHERE extract(hour FROM ts) < 6 AND NOT (event_type = 'error')
+GROUP BY 1 ORDER BY 1"""
     out.update(_shape_cartesian_oracle_sqls())
     out["agg_cardinality_hll"] = _hll_oracle_sql()
     out["agg_percentiles_hdr"] = _hdr_oracle_sql()

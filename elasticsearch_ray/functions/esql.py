@@ -22,8 +22,12 @@ parser that lowers each stage onto the idiomatic Ray Data shape:
 - row-mode SORT/LIMIT (no STATS) -> per-batch partial top-k on the sort
                     key; the driver merges (batches x limit) partials only
 
-Only literal comparisons, AND conjunctions and binary arithmetic are
-supported — enough to run the reference's documented example pipelines.
+WHERE and EVAL route through the full scalar-expression engine
+(functions/esql_expr.py): comparisons, AND/OR/NOT with parentheses,
+IN / LIKE / RLIKE / IS NULL, arithmetic, and the scalar function
+registry (math, string, date, CASE/COALESCE, multivalue) — every
+expression compiles once to a pyarrow.compute closure and runs as
+vectorized kernels per batch.
 """
 
 from __future__ import annotations

@@ -16471,3 +16471,107 @@ def esql_mv_functions(sf_dir: str):
     for c in ("n", "uniq"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------- round-4 ES|QL grammar-depth gates ----------------
+
+
+def esql_where_boolean(sf_dir: str):
+    """ES|QL WHERE with a parenthesized boolean tree — OR, AND and NOT
+    composed (x-pack esql EsqlBaseParser.g4 booleanExpression:
+    logicalBinary / logicalNot / parenthesized): the whole predicate
+    lowers to one vectorized pyarrow.compute mask per batch via
+    esql_expr.compile_predicate; groups form over the filtered stream
+    with per-batch partial aggregation."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | WHERE (event_type == "click" OR event_type == "view")
+                AND NOT (value < 20)
+        | STATS n = COUNT(*), s = SUM(value) BY event_type
+        | SORT event_type
+    ''')
+    out["s"] = round_half_away(out["s"].to_numpy(np.float64), 2)
+    return out
+
+
+def esql_where_functions(sf_dir: str):
+    """ES|QL scalar FUNCTION CALLS inside WHERE (EsqlFunctionRegistry
+    STARTS_WITH / LENGTH lowered to pc.starts_with / pc.utf8_length),
+    disjunctively combined — the predicate compiles once and runs as
+    Arrow kernels per batch, never a row loop."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM events
+        | WHERE STARTS_WITH(event_type, "c") OR LENGTH(event_type) == 4
+        | STATS n = COUNT(*) BY event_type
+        | SORT event_type
+    ''')
+
+
+def esql_eval_case(sf_dir: str):
+    """ES|QL EVAL with CASE (x-pack esql Case function: odd-arity
+    condition/value chain with default) feeding STATS BY the derived
+    column — the classic banding pipeline; CASE lowers to chained
+    pc.if_else."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | EVAL band = CASE(value < 25, "low", value < 75, "mid", "high")
+        | STATS n = COUNT(*), m = MAX(value) BY band
+        | SORT band
+    ''')
+    out["m"] = round_half_away(out["m"].to_numpy(np.float64), 2)
+    return out
+
+
+def esql_where_in_like(sf_dir: str):
+    """ES|QL IN-list, LIKE wildcard (full-match, * / ? per WildcardLike)
+    and NOT .. RLIKE (anchored regex, RegexMatch) conjoined in one WHERE
+    — three predicate families from EsqlBaseParser regexBooleanExpression
+    in a single compiled mask."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents
+        | WHERE lang IN ("en", "de") AND text LIKE "*data*"
+                AND NOT source RLIKE "src1.*"
+        | STATS n = COUNT(*) BY lang, source
+        | SORT lang, source
+    ''')
+
+
+def esql_eval_string(sf_dir: str):
+    """ES|QL string-function EVAL chain: SUBSTRING(TO_UPPER(..)) (1-based
+    start + length, per the esql Substring function) and LENGTH, grouped
+    by the derived key — nested function-call lowering through the Pratt
+    parser."""
+    from ..functions import esql
+
+    return esql.run(sf_dir, '''
+        FROM documents
+        | EVAL s = SUBSTRING(TO_UPPER(source), 1, 4), lw = LENGTH(text)
+        | STATS n = COUNT(*), wmax = MAX(lw) BY s
+        | SORT s
+    ''')
+
+
+def esql_where_date(sf_dir: str):
+    """ES|QL date functions in predicates and EVAL: DATE_EXTRACT gating
+    rows (pc.hour) plus a NOT equality, then DATE_TRUNC bucketing — the
+    time-filtered daily-count pipeline every observability user writes
+    first."""
+    from ..functions import esql
+
+    out = esql.run(sf_dir, '''
+        FROM events
+        | WHERE DATE_EXTRACT("hour", ts) < 6 AND NOT (event_type == "error")
+        | EVAL day = DATE_TRUNC("day", ts)
+        | STATS n = COUNT(*) BY day
+        | SORT day
+    ''')
+    out["day"] = pd.to_datetime(out["day"])
+    return out
