@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 new gates (driver-unchecked, oracle-bearing) ---
         "esql_where_boolean", "esql_where_functions", "esql_eval_case",
         "esql_where_in_like", "esql_eval_string", "esql_where_date",
+        "painless_string_filter", "painless_ternary_score",
+        "painless_substring_field", "painless_params_filter",
         # --- driver-unchecked, oracle-bearing (573) ---
         "ft_function_score_functions", "ft_function_score_gauss",
         "ft_sort_missing_last", "ft_sort_script", "ft_sort_geo_distance",
@@ -983,6 +985,22 @@ SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
 FROM events
 WHERE extract(hour FROM ts) < 6 AND NOT (event_type = 'error')
 GROUP BY 1 ORDER BY 1"""
+    # round-4 Painless surface gates
+    out["painless_string_filter"] = """
+SELECT doc_id FROM documents
+WHERE contains(text, 'data') AND lang LIKE 'e%'
+ORDER BY doc_id"""
+    out["painless_ternary_score"] = """
+SELECT doc_id,
+       ROUND(CASE WHEN n_chars > 200 THEN n_chars * 0.1
+                  ELSE 1.0 + 1.5 END, 4) AS score
+FROM documents ORDER BY doc_id"""
+    out["painless_substring_field"] = """
+SELECT upper(substr(source, 1, 4)) AS key, COUNT(*) AS doc_count
+FROM documents GROUP BY 1 ORDER BY key"""
+    out["painless_params_filter"] = """
+SELECT doc_id, ROUND(n_chars * 2.0 + 10.0, 2) AS v
+FROM documents WHERE lang = 'en' ORDER BY doc_id"""
     out.update(_shape_cartesian_oracle_sqls())
     out["agg_cardinality_hll"] = _hll_oracle_sql()
     out["agg_percentiles_hdr"] = _hdr_oracle_sql()

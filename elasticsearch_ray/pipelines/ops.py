@@ -16575,3 +16575,115 @@ def esql_where_date(sf_dir: str):
     ''')
     out["day"] = pd.to_datetime(out["day"])
     return out
+
+
+# ---------------- round-4 Painless surface gates ----------------
+
+
+def _painless_batch_env(t: "pa.Table", params=None):
+    """Sandbox env for one Arrow batch: columns as numpy arrays (doc
+    values), the script params map, and the vectorized ternary kernel."""
+    env = {c: t[c].to_numpy(zero_copy_only=False) for c in t.column_names}
+    env["params"] = dict(params or {})
+    env["where"] = np.where
+    env["log"] = np.log
+    return env
+
+
+def painless_string_filter(sf_dir: str):
+    """Painless String methods in a script query (modules/lang-painless
+    java.lang.String whitelist: contains/startsWith — PainlessLookup
+    method resolution): `doc['text'].value.contains("data") &&
+    doc['lang'].value.startsWith("e")` compiled ONCE by
+    scripting.compile_painless (AST whitelist, attribute escape
+    rejected) and evaluated as vectorized pandas .str kernels per batch
+    — never a Python loop over rows."""
+    from ..scripting import compile_painless, safe_eval_expr
+
+    src = compile_painless(
+        "doc['text'].value.contains(\"data\") && "
+        "doc['lang'].value.startsWith(\"e\")")
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = safe_eval_expr(src, _painless_batch_env(t))
+        return pa.table({"doc_id": pa.array(
+            t["doc_id"].to_numpy()[keep], pa.int64())})
+
+    out = (_ds(sf_dir, "documents", ["doc_id", "text", "lang"])
+           .map_batches(f, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return out
+
+
+def painless_ternary_score(sf_dir: str):
+    """Painless ternary + params map in a script_score body
+    (ScriptScoreQuery; painless conditional `c ? a : b` and the
+    `params` map): `doc['n_chars'].value > params.cut ?
+    doc['n_chars'].value * 0.1 : 1.0 + params.base` — the ternary
+    lowers to a vectorized np.where, params resolve through the
+    AST-gated `params.<key>` path only."""
+    from ..scripting import compile_painless, safe_eval_expr
+
+    params = {"cut": 200, "base": 1.5}
+    src = compile_painless(
+        "doc['n_chars'].value > params.cut ? "
+        "doc['n_chars'].value * 0.1 : 1.0 + params.base")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_expr(src, _painless_batch_env(t, params))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "score": pa.array(
+                             round_half_away(np.asarray(v, np.float64), 4))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def painless_substring_field(sf_dir: str):
+    """Painless chained String methods in a script FIELD
+    (SearchSourceBuilder#scriptField; java.lang.String.substring with
+    Java begin-inclusive/end-exclusive semantics, then toUpperCase):
+    the derived key feeds a distributed terms aggregation — partial
+    counts per batch, tiny group-cardinality merge."""
+    from ray.data.aggregate import Count
+
+    from ..scripting import compile_painless, safe_eval_expr
+
+    src = compile_painless(
+        "doc['source'].value.substring(0, 4).toUpperCase()")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_expr(src, _painless_batch_env(t))
+        return pa.table({"key": pa.array(v, pa.string())})
+
+    out = (_ds(sf_dir, "documents", ["source"])
+           .map_batches(f, batch_format="pyarrow")
+           .groupby("key").aggregate(Count(alias_name="doc_count"))
+           .to_pandas().sort_values("key").reset_index(drop=True))
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
+def painless_params_filter(sf_dir: str):
+    """Painless `.equals(params.<key>)` — a String method whose ARGUMENT
+    comes from the params map (both surfaces composed), plus a numeric
+    affine transform: filter `doc['lang'].value.equals(params.lang)`,
+    emit `doc['n_chars'].value * params.w + params.b`."""
+    from ..scripting import compile_painless, safe_eval_expr
+
+    params = {"lang": "en", "w": 2.0, "b": 10.0}
+    keep_src = compile_painless("doc['lang'].value.equals(params.lang)")
+    val_src = compile_painless("doc['n_chars'].value * params.w + params.b")
+
+    def f(t: pa.Table) -> pa.Table:
+        env = _painless_batch_env(t, params)
+        keep = safe_eval_expr(keep_src, env)
+        v = np.asarray(safe_eval_expr(val_src, env), np.float64)[keep]
+        return pa.table({"doc_id": pa.array(
+            t["doc_id"].to_numpy()[keep], pa.int64()),
+            "v": pa.array(round_half_away(v, 2))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))

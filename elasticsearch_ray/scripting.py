@@ -58,9 +58,9 @@ def _eval_node(node: ast.AST, env: Mapping[str, Any]) -> Any:
     if isinstance(node, ast.Expression):
         return _eval_node(node.body, env)
     if isinstance(node, ast.Constant):
-        if isinstance(node.value, (int, float, bool)):
+        if isinstance(node.value, (int, float, bool, str)):
             return node.value
-        raise ScriptError(f"non-numeric constant {node.value!r}")
+        raise ScriptError(f"constant {node.value!r} not allowed")
     if isinstance(node, ast.Name):
         if node.id not in env:
             raise ScriptError(f"unknown name '{node.id}'")
@@ -106,6 +106,18 @@ def _eval_node(node: ast.AST, env: Mapping[str, Any]) -> Any:
             return np.where(test, body, orelse)
         return body if test else orelse
     if isinstance(node, ast.Call):
+        if isinstance(node.func, ast.Attribute):
+            # Painless String/Java method calls on values — the attr name
+            # must be in the explicit method whitelist; arbitrary
+            # attribute access stays rejected (sandbox escape vector)
+            if node.keywords:
+                raise ScriptError("keyword arguments not allowed")
+            attr = node.func.attr
+            if attr not in _STR_METHODS:
+                raise ScriptError(f"method '.{attr}()' not allowed")
+            recv = _eval_node(node.func.value, env)
+            args = [_eval_node(a, env) for a in node.args]
+            return _str_method(attr, recv, args)
         if not isinstance(node.func, ast.Name):
             raise ScriptError("only direct calls to whitelisted functions")
         if node.keywords:
@@ -114,7 +126,92 @@ def _eval_node(node: ast.AST, env: Mapping[str, Any]) -> Any:
         if fn is None or not callable(fn):
             raise ScriptError(f"unknown function '{node.func.id}'")
         return fn(*[_eval_node(a, env) for a in node.args])
+    if isinstance(node, ast.Attribute):
+        # ONLY `params.<key>` map access (Painless script params) — the
+        # receiver must literally be the name `params` bound to a plain
+        # mapping; everything else (object attributes, dunders) rejected
+        if (isinstance(node.value, ast.Name) and node.value.id == "params"
+                and isinstance(env.get("params"), Mapping)):
+            p = env["params"]
+            if node.attr not in p:
+                raise ScriptError(f"unknown param '{node.attr}'")
+            return p[node.attr]
+        raise ScriptError("attribute access not allowed")
     raise ScriptError(f"syntax {type(node).__name__} not allowed")
+
+
+# Painless String (java.lang.String + Painless augmentation) method
+# whitelist — each lowered to a vectorized pandas .str kernel when the
+# receiver is an array, plain Python when scalar.
+_STR_METHODS = frozenset({
+    "contains", "startsWith", "endsWith", "substring", "toLowerCase",
+    "toUpperCase", "trim", "length", "indexOf", "equals", "replace",
+    "isEmpty",
+})
+
+
+def _str_method(attr: str, recv: Any, args: list) -> Any:
+    import numpy as np
+
+    vec = isinstance(recv, np.ndarray)
+    if vec:
+        import pandas as pd
+
+        s = pd.Series(recv, copy=False).astype(str)
+        if attr == "contains":
+            return s.str.contains(args[0], regex=False).to_numpy()
+        if attr == "startsWith":
+            return s.str.startswith(args[0]).to_numpy()
+        if attr == "endsWith":
+            return s.str.endswith(args[0]).to_numpy()
+        if attr == "substring":
+            # Java semantics: begin inclusive, end exclusive
+            end = args[1] if len(args) > 1 else None
+            return s.str.slice(args[0], end).to_numpy(dtype=object)
+        if attr == "toLowerCase":
+            return s.str.lower().to_numpy(dtype=object)
+        if attr == "toUpperCase":
+            return s.str.upper().to_numpy(dtype=object)
+        if attr == "trim":
+            return s.str.strip().to_numpy(dtype=object)
+        if attr == "length":
+            return s.str.len().to_numpy(dtype=np.int64)
+        if attr == "indexOf":
+            return s.str.find(args[0]).to_numpy(dtype=np.int64)
+        if attr == "equals":
+            return (s == args[0]).to_numpy()
+        if attr == "replace":
+            return s.str.replace(args[0], args[1],
+                                 regex=False).to_numpy(dtype=object)
+        if attr == "isEmpty":
+            return (s.str.len() == 0).to_numpy()
+    else:
+        r = str(recv)
+        if attr == "contains":
+            return args[0] in r
+        if attr == "startsWith":
+            return r.startswith(args[0])
+        if attr == "endsWith":
+            return r.endswith(args[0])
+        if attr == "substring":
+            return r[args[0]:args[1]] if len(args) > 1 else r[args[0]:]
+        if attr == "toLowerCase":
+            return r.lower()
+        if attr == "toUpperCase":
+            return r.upper()
+        if attr == "trim":
+            return r.strip()
+        if attr == "length":
+            return len(r)
+        if attr == "indexOf":
+            return r.find(args[0])
+        if attr == "equals":
+            return r == args[0]
+        if attr == "replace":
+            return r.replace(args[0], args[1])
+        if attr == "isEmpty":
+            return len(r) == 0
+    raise ScriptError(f"method '.{attr}()' not allowed")
 
 
 # ---------------------------------------------------------------------------
@@ -254,6 +351,34 @@ def _rewrite_ternary(s: str) -> str:
     then = _rewrite_ternary(s[q + 1:c_idx])
     other = _rewrite_ternary(s[c_idx + 1:])
     return f"where(({cond}), ({then}), ({other}))"
+
+
+def compile_painless(source: str) -> str:
+    """Painless expression subset (modules/lang-painless) -> the sandbox
+    dialect. Covers the single-expression script bodies real users write
+    in script_score / script fields / script queries:
+
+      doc['f'].value              -> bare field name (doc-values access)
+      doc['f'].value.contains(..) -> whitelisted String method call
+      params.x                    -> params map access (AST-gated)
+      a ? b : c                   -> where((a), (b), (c)) (vectorized)
+      && || !                     -> and / or / not (vectorized BoolOp)
+
+    Statements (`def x = ...;`, loops, returns) are NOT supported — the
+    analog is expression-scoped by design; the sandbox architecture
+    (AST whitelist, no attribute escape) is the contract, the surface
+    grows method-by-method."""
+    import re
+
+    src = source.strip().rstrip(";")
+    if src.startswith("return "):
+        src = src[len("return "):]
+    src = re.sub(r"doc\[\s*['\"]([A-Za-z_][\w.]*)['\"]\s*\]\.value",
+                 r"\1", src)
+    src = src.replace("&&", " and ").replace("||", " or ")
+    # Painless `!cond` -> `not cond` (but leave `!=` alone)
+    src = re.sub(r"!(?!=)", " not ", src)
+    return _rewrite_ternary(src).strip()
 
 
 def compile_expression(source: str) -> str:

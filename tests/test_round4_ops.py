@@ -49,3 +49,45 @@ def test_esql_where_date_buckets(ray_session):
     # every bucket is a midnight timestamp
     assert (out["day"].dt.hour == 0).all()
     assert (out["n"] > 0).all()
+
+
+def test_painless_string_methods_vectorized():
+    from elasticsearch_ray.scripting import compile_painless, safe_eval_expr
+
+    env = {"s": np.array(["Abc def", " xy ", ""], dtype=object),
+           "params": {"q": "Abc"}, "where": np.where}
+    def run(src):
+        return safe_eval_expr(compile_painless(src), env)
+    assert list(run("doc['s'].value.contains('bc')")) == [True, False, False]
+    assert list(run("doc['s'].value.startsWith(params.q)")) == \
+        [True, False, False]
+    assert list(run("doc['s'].value.substring(0, 3)")) == ["Abc", " xy", ""]
+    assert list(run("doc['s'].value.trim().length()")) == [7, 2, 0]
+    assert list(run("doc['s'].value.isEmpty()")) == [False, False, True]
+    assert list(run("doc['s'].value.indexOf('def')")) == [4, -1, -1]
+    # ternary + boolean ops
+    assert list(run("doc['s'].value.contains('x') ? 1 : 0")) == [0, 1, 0]
+    assert list(run("!doc['s'].value.isEmpty() && "
+                    "doc['s'].value.length() > 4")) == [True, False, False]
+
+
+def test_painless_sandbox_rejects_escapes():
+    import pytest
+
+    from elasticsearch_ray.scripting import (
+        ScriptError, compile_painless, safe_eval_expr)
+
+    env = {"s": np.array(["a"], dtype=object), "params": {"k": 1}}
+    for bad in ["().__class__", "s.__class__", "s.join('x')",
+                "params.__class__", "__import__('os')",
+                "s.encode()", "getattr(s, 'upper')"]:
+        with pytest.raises(ScriptError):
+            safe_eval_expr(compile_painless(bad), env)
+
+
+def test_painless_gates_shapes(ray_session):
+    out = ops.painless_substring_field(SF)
+    assert (out["key"].str.startswith("SRC")).all()
+    sc = ops.painless_ternary_score(SF)
+    hi = sc[sc["score"] > 2.5]["score"]
+    assert (hi > 20).all()  # above the cut, score = n_chars/10 > 20
