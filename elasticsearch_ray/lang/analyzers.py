@@ -15,11 +15,10 @@ from .snowball import SNOWBALL_STEMMERS
 from .stopwords import STOP_SETS
 
 # full per-language stemmer registry: Snowball algorithms + published
-# light stemmers; brazilian shares the Portuguese Snowball stem (the
-# reference's BrazilianStemmer is a distinct RSLP-style algorithm — the
-# Snowball Portuguese one is the documented substitute here)
-STEMMERS = {**SNOWBALL_STEMMERS, **LIGHT_STEMMERS,
-            "brazilian": SNOWBALL_STEMMERS["portuguese"]}
+# light stemmers. brazilian is the RSLP algorithm (Orengo & Huyck 2001,
+# light.py) — the distinct rule-table stemmer the reference's
+# BrazilianStemmer implements, not the Snowball Portuguese one.
+STEMMERS = {**SNOWBALL_STEMMERS, **LIGHT_STEMMERS}
 
 # Unicode-aware standard-ish tokenizer: maximal runs of letters/digits
 # (underscore excluded) PLUS combining marks — Python's \w excludes

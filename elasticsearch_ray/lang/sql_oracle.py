@@ -34,6 +34,8 @@ from .snowball import (_AR_PREFIXES, _AR_SUFFIXES, _DA_STEP1, _DA_VOWELS,
                        _RU_PERFECTIVE_2, _RU_VERB_1, _RU_VERB_2, _RU_VOWELS,
                        _SV_S_END, _SV_STEP1, _SV_VOWELS)
 from .light import (_BG_ARTICLES, _BG_PLURAL, _BN_NUKTA, _BN_SUFFIXES,
+                    _BR_ADVERB, _BR_AUGMENT, _BR_FEMININE, _BR_NOUN,
+                    _BR_PLURAL, _BR_VERB, _BR_VOWEL,
                     _CA_SUFFIXES, _CKB_SUFFIXES, _CS_CASE_4, _CS_CASE_5,
                     _CS_VOWEL_END, _EL_SUFFIXES, _ET_SUFFIXES, _EU_SUFFIXES,
                     _GA_SUFFIXES, _GL_SUFFIXES, _HI_NUKTA, _HI_SUFFIXES,
@@ -1370,6 +1372,52 @@ def _fi_passes():
             ("case", t4), ("case", und)]
 
 
+def _rslp_case_expr(rules, col: str = "w") -> str:
+    """First-match-in-order RSLP rule table as one CASE over `col`:
+    suffix match + stem-length guard + full-word exception filter, then
+    suffix replacement — re-expressed in SQL from the same light.py
+    tables the Python stemmer reads (the algorithm recomputed, not the
+    Python path replayed)."""
+    parts = []
+    for suf, mn, rep, exc in rules:
+        cond = (f"ends_with({col}, '{_q(suf)}') "
+                f"AND length({col}) - {len(suf)} >= {mn}")
+        if exc:
+            cond += f" AND {col} NOT IN ({', '.join(chr(39) + _q(e) + chr(39) for e in exc)})"
+        then = f"substr({col}, 1, length({col}) - {len(suf)})"
+        if rep:
+            then += f" || '{_q(rep)}'"
+        parts.append(f"WHEN {cond} THEN {then}")
+    return "CASE " + " ".join(parts) + f" ELSE {col} END"
+
+
+def _br_passes():
+    """RSLP (Orengo & Huyck 2001) in SQL: plural (gated on final s),
+    feminine (gated on final a/ã), adverb, augmentative, then the
+    noun -> verb -> vowel first-success branch, then accent removal."""
+    plural = (f"CASE WHEN ends_with(w, 's') THEN {_rslp_case_expr(_BR_PLURAL)} "
+              "ELSE w END")
+    fem = (f"CASE WHEN ends_with(w, 'a') OR ends_with(w, 'ã') "
+           f"THEN {_rslp_case_expr(_BR_FEMININE)} ELSE w END")
+    accents = _replace_chain(
+        "w", zip("áâãàéêíóôõúüç", "aaaaeeiooouuc"))
+    return [
+        ("case", _case_pass("b1", "tok0", plural)),
+        ("case", _case_pass("b2", "b1", fem)),
+        ("case", _case_pass("b3", "b2", _rslp_case_expr(_BR_ADVERB))),
+        ("case", _case_pass("b4", "b3", _rslp_case_expr(_BR_AUGMENT))),
+        # noun result kept beside the input so the verb/vowel branch can
+        # test "did a noun rule fire" (w != pre)
+        ("case", f"b5 AS (SELECT position, w AS pre, "
+                 f"{_rslp_case_expr(_BR_NOUN)} AS w FROM b4)"),
+        ("case", f"b6 AS (SELECT position, pre, CASE WHEN w != pre THEN w "
+                 f"ELSE {_rslp_case_expr(_BR_VERB, 'pre')} END AS w FROM b5)"),
+        ("case", f"b7 AS (SELECT position, CASE WHEN w != pre THEN w "
+                 f"ELSE {_rslp_case_expr(_BR_VOWEL, 'pre')} END AS w FROM b6)"),
+        ("case", _case_pass("b8", "b7", accents)),
+    ]
+
+
 _SPECS: dict[str, dict] = {
     "french": dict(
         pre=lambda t: (f"lower(regexp_replace({t}, "
@@ -1385,10 +1433,11 @@ _SPECS: dict[str, dict] = {
                        "|agl|dagl|degl|negl|sugl|gl|un"
                        "|c|l|m|t|s|v|d)[''\u2019]', ' ', 'g'))"),
         passes=_it_passes),
+
     "portuguese": dict(pre=_pre_default, passes=_pt_passes),
-    # brazilian = Portuguese Snowball stem + its own stop set (the
-    # documented substitute for the reference's RSLP BrazilianStemmer)
-    "brazilian": dict(pre=_pre_default, passes=_pt_passes),
+    # brazilian = the RSLP algorithm (Orengo & Huyck 2001) — distinct
+    # from Snowball Portuguese, mirroring the reference's BrazilianStemmer
+    "brazilian": dict(pre=_pre_default, passes=_br_passes),
     "german": dict(pre=_pre_default, passes=_de_passes),
     "dutch": dict(pre=_pre_default, passes=_nl_passes),
     "russian": dict(pre=_pre_default, passes=_ru_passes),

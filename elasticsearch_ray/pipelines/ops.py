@@ -3660,7 +3660,10 @@ _LANG_SAMPLES.update({
     "latvian": "Bērni spēlējās skaistajās mājās ar iespējām",
     "indonesian": "Anak-anak bermain di rumah indah dengan kemungkinannya",
     "sorani": "منداڵەکان لە ماڵە جوانەکان یاری دەکەن",
-    "brazilian": "As crianças brincavam nas casas bonitas com as possibilidades",
+    # exercises RSLP plural (ões->ão), feminine (ora->or), adverb
+    # (-mente), diminutive (-inha/-inho) and verb (-avam) rule families
+    "brazilian": ("As organizadoras brincavam rapidamente nas casinhas "
+                  "bonitas com as possibilidades e corações"),
 })
 
 

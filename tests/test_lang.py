@@ -429,3 +429,31 @@ def test_irish_mutations_do_not_overfire():
     # plain words beginning t/n + vowel are NOT mutation-stripped
     assert stem("nead")[0] == "n"
     assert stem("tithe")[0] == "t"
+
+
+def test_rslp_brazilian_goldens():
+    """RSLP examples from the Orengo & Huyck 2001 rule families: plural,
+    feminine, adverb, augmentative/diminutive, noun, verb, vowel, and the
+    full-word exception lists."""
+    from elasticsearch_ray.lang.light import brazilian_stem as b
+
+    assert b("meninas") == "menin"        # plural s + vowel
+    assert b("balões") == "bal"           # ões->ão, then augment ão
+    assert b("bons") == "bom"             # ns->m
+    assert b("normais") == "norm"         # ais->al, then noun al
+    assert b("papéis") == "papel"         # éis->el
+    assert b("lápis") == "lapis"          # plural exception (accent strip)
+    assert b("chilena") == "chilen"       # feminine na->no + vowel
+    assert b("americana") == "americ"     # na->no, then noun ano
+    assert b("inglesa") == "ingl"         # esa->ês, noun ês
+    assert b("rapidamente") == "rapid"    # adverb mente + vowel
+    assert b("experimente") == "experim"  # -mente exception; noun ente
+    assert b("casinha") == "cas"          # feminine inha->inho, aug inho
+    assert b("caminho") == "caminh"       # augment exception + vowel
+    assert b("grandão") == "grand"        # augment ão
+    assert b("coração") == "coraca"       # ão exception, vowel+accents
+    assert b("possibilidades") == "possibil"  # plural + noun idade
+    assert b("organizadoras") == "organiz"    # plural, ora->or, noun ador
+    assert b("brincavam") == "brinc"      # verb avam
+    assert b("cantando") == "cant"        # verb ando
+    assert b("menino") == "menin"         # vowel removal
