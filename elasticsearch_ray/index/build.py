@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import time
 
+import pyarrow as pa
 import pyarrow.dataset as pads
 
 from ..sources.reader import Fragment, plan_fragments
@@ -85,9 +86,17 @@ def build_index(
     content_column: str = "content",
     meta_columns: tuple[str, ...] = ("repo", "path", "commit", "lang"),
     extra_content_columns: tuple[str, ...] = (),
+    store_offsets_column: str | None = None,
     verbose: bool = False,
 ) -> IndexStats:
-    """Build (or resume building) the inverted index at out_dir."""
+    """Build (or resume building) the inverted index at out_dir.
+
+    `store_offsets_column`: designate ONE highlight field whose per-token
+    CHARACTER OFFSETS are derived once at index time and stored as an
+    `offsets/` parquet sidecar (doc_id, starts, ends) — the term-vector
+    `with_offsets` analog (Lucene FieldType.storeTermVectorOffsets). The
+    fvh highlighter then maps stored positions to spans with a pruned
+    point read instead of re-tokenizing each hit doc at fetch time."""
     import ray.data as rd
 
     os.makedirs(out_dir, exist_ok=True)
@@ -167,7 +176,46 @@ def build_index(
                 f"[build] {seg_id}: {manifest.doc_count} docs, "
                 f"{manifest.term_count} terms, {manifest.build_seconds:.1f}s"
             )
+    if store_offsets_column is not None:
+        _write_offsets_sidecar(input_path, out_dir, store_offsets_column)
     return index_stats(out_dir)
+
+
+def _write_offsets_sidecar(input_path, out_dir: str, content_column: str,
+                           id_column: str = "doc_id") -> None:
+    """One extra column-pruned scan writing (doc_id, starts, ends) per doc
+    for the designated highlight field — `simple`-analyzer spans
+    ([a-z0-9]+ runs over the lowercased text, matching analyze_simple's
+    token stream position-for-position). Resumable: committed via marker
+    like the segments."""
+    import re
+
+    import ray.data as rd
+
+    off_dir = os.path.join(out_dir, "offsets")
+    marker = os.path.join(off_dir, "_COMMITTED")
+    if os.path.exists(marker):
+        return
+    rx = re.compile(r"[a-z0-9]+")
+
+    def spans(t: pa.Table) -> pa.Table:
+        starts, ends = [], []
+        for txt in t[content_column].to_pylist():
+            sp = [m.span() for m in rx.finditer(txt.lower())]
+            starts.append([a for a, _ in sp])
+            ends.append([b for _, b in sp])
+        return pa.table({
+            id_column: t[id_column].cast(pa.int64()),
+            "starts": pa.array(starts, pa.list_(pa.int32())),
+            "ends": pa.array(ends, pa.list_(pa.int32())),
+        })
+
+    os.makedirs(off_dir, exist_ok=True)
+    (rd.read_parquet(input_path, columns=[id_column, content_column])
+     .map_batches(spans, batch_format="pyarrow")
+     .write_parquet(off_dir))
+    with open(marker, "w") as f:
+        f.write("ok")
 
 
 def _summarize(

@@ -33,7 +33,7 @@ def documents_index(sf_dir: str) -> str:
     `text_2gram` is a shingle SUBFIELD of text (per-field analyzer — the
     search_as_you_type `_2gram` shape)."""
     src = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.sha1(f"{src}:{os.path.getmtime(src)}:simple:v3".encode()).hexdigest()[:16]
+    tag = hashlib.sha1(f"{src}:{os.path.getmtime(src)}:simple:v4".encode()).hexdigest()[:16]
     out = os.path.join("/tmp/esray_cache", f"docidx_{tag}")
     build_index(
         src,
@@ -45,6 +45,7 @@ def documents_index(sf_dir: str) -> str:
         content_column="text",
         meta_columns=("lang", "source", "n_chars"),
         extra_content_columns=("source", ("text_2gram", "text", "shingle2")),
+        store_offsets_column="text",  # fvh reads spans from this sidecar
     )
     return out
 
@@ -244,13 +245,16 @@ def highlight_with_options(sf_dir: str, term: str = "merge", k: int = 3,
 
 
 def highlight_fvh(sf_dir: str, term: str = "data", k: int = 5) -> pa.Table:
-    """fvh-style highlighter (FastVectorHighlighter.java): hit positions come
-    from the INDEX's stored positional postings — the doc is never
-    re-searched for terms. The fetch phase maps the stored token positions
-    of the k hit docs to character spans with one offsets pass (the
-    term-vector offsets analog; this index stores positions, not offsets)
-    and wraps them in <em> tags."""
-    import re
+    """fvh-style highlighter (FastVectorHighlighter.java): hit positions
+    come from the INDEX's stored positional postings and position->char
+    spans come from the index's stored OFFSETS sidecar (term-vector
+    `with_positions_offsets` — Lucene FieldType.storeTermVectorOffsets;
+    derived once at build time by build_index(store_offsets_column=...)).
+    The fetch phase is two pruned point reads (text + offsets for the k
+    hit docs); the doc is never re-searched or re-tokenized. Falls back
+    to a fetch-time tokenize only for indexes built without the sidecar
+    (plain highlighter semantics)."""
+    import pyarrow.dataset as pads
 
     from ..sources.reader import fetch_rows_by_doc_id
 
@@ -266,11 +270,32 @@ def highlight_fvh(sf_dir: str, term: str = "data", k: int = 5) -> pa.Table:
                                ids, columns=["doc_id", "text"])
     all_ids = src["doc_id"].to_numpy()
     idx = np.searchsorted(all_ids, ids)
-    token_re = re.compile(r"[a-z0-9]+")
+
+    off_dir = os.path.join(s.index_dir, "offsets")
+    span_map: dict[int, tuple] = {}
+    if os.path.exists(os.path.join(off_dir, "_COMMITTED")):
+        import pyarrow.compute as pc
+
+        off = pads.dataset(off_dir).to_table(
+            filter=pc.field("doc_id").isin([int(i) for i in ids]))
+        for did, st, en in zip(off["doc_id"].to_pylist(),
+                               off["starts"].to_pylist(),
+                               off["ends"].to_pylist()):
+            span_map[int(did)] = (st, en)
+
+    def doc_spans(did: int, text: str):
+        got = span_map.get(did)
+        if got is not None:
+            return list(zip(got[0], got[1]))
+        # no sidecar: plain-highlighter fallback (fetch-time tokenize)
+        import re
+
+        return [m.span() for m in re.finditer(r"[a-z0-9]+", text.lower())]
+
     out_hl, out_hits = [], []
-    for j, positions in zip(idx, pos_lists):
+    for did, j, positions in zip(ids, idx, pos_lists):
         text = src["text"][int(j)].as_py()
-        spans = [m.span() for m in token_re.finditer(text.lower())]
+        spans = doc_spans(int(did), text)
         chars = list(text)
         for p in sorted((int(p) for p in positions), reverse=True):
             if p < len(spans):

@@ -787,6 +787,7 @@ class IndexSearcher:
         # _term_scores; None = BM25 (the default). Positional weights keep
         # BM25 (see altsim module docstring for the parity scope).
         self.alt_sim = similarity
+        self.index_dir = index_dir
         self.main_field = main_field
         # alias field type (index/mapper/FieldAliasMapper.java): query-time
         # name indirection, resolved before any field lookup

@@ -91,3 +91,51 @@ def test_painless_gates_shapes(ray_session):
     sc = ops.painless_ternary_score(SF)
     hi = sc[sc["score"] > 2.5]["score"]
     assert (hi > 20).all()  # above the cut, score = n_chars/10 > 20
+
+
+def test_fvh_offsets_sidecar(ray_session, tmp_path):
+    """fvh reads spans from the index's offsets sidecar: build a tiny
+    index over docs including one LARGE doc, check the sidecar exists,
+    and that highlights wrap exactly the indexed-position occurrences
+    (offsets-sourced, not re-derived — the big doc's spans round-trip)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    big = ("filler words here . " * 5000) + "needle in the haystack " + \
+          ("more filler . " * 5000) + "needle again"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["no match here", big, "a needle doc"], pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, analyzer="simple", index_positions=True,
+                docs_per_partition=10, num_buckets=4,
+                content_column="text", meta_columns=(),
+                store_offsets_column="text")
+    assert os.path.exists(os.path.join(idx, "offsets", "_COMMITTED"))
+    off = pq.read_table(os.path.join(idx, "offsets"))
+    assert off.num_rows == 3
+    # the large doc's stored spans match its true token spans
+    import re
+
+    starts = off.filter(pa.compute.equal(off["doc_id"], 1))["starts"][0]
+    true_starts = [m.start() for m in re.finditer(r"[a-z0-9]+", big.lower())]
+    assert starts.as_py() == true_starts
+
+    s = IndexSearcher(idx, main_field="text", score_mode="exact64")
+    ids, _ = s.search({"kind": "term", "term": "needle", "k": 3})
+    assert set(int(i) for i in ids) == {1, 2}
+    # reproduce the fvh span mapping for the big doc from the SIDECAR
+    tp = s._get_term("needle")
+    pos = dict(zip((int(i) for i in ids), s._positions_for(tp, ids)))
+    ends = off.filter(pa.compute.equal(off["doc_id"], 1))["ends"][0].as_py()
+    for p in pos[1]:
+        a, b = true_starts[int(p)], ends[int(p)]
+        assert big[a:b].lower() == "needle"
