@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "esql_where_in_like", "esql_eval_string", "esql_where_date",
         "painless_string_filter", "painless_ternary_score",
         "painless_substring_field", "painless_params_filter",
+        "sql_where_or", "sql_where_boolean_tree", "sql_where_not_like",
+        "ml_anomaly_mean_value", "ml_datafeed_agg_preview",
+        "ml_estimate_model_memory",
         # --- driver-unchecked, oracle-bearing (573) ---
         "ft_function_score_functions", "ft_function_score_gauss",
         "ft_sort_missing_last", "ft_sort_script", "ft_sort_geo_distance",
@@ -1001,6 +1004,48 @@ FROM documents GROUP BY 1 ORDER BY key"""
     out["painless_params_filter"] = """
 SELECT doc_id, ROUND(n_chars * 2.0 + 10.0, 2) AS v
 FROM documents WHERE lang = 'en' ORDER BY doc_id"""
+    # round-4 SQL grammar gates: the oracle IS the same SQL text
+    out["sql_where_or"] = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE event_type = 'click' OR event_type = 'view'
+GROUP BY event_type ORDER BY event_type"""
+    out["sql_where_boolean_tree"] = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE NOT (value < 50) AND (event_type = 'error' OR value > 400)
+GROUP BY event_type ORDER BY event_type"""
+    out["sql_where_not_like"] = """
+SELECT doc_id FROM documents
+WHERE lang = 'en' AND NOT text LIKE '%data%'
+ORDER BY doc_id"""
+    # round-4 x-pack ML job-surface gates
+    out["ml_anomaly_mean_value"] = """
+WITH b AS (SELECT event_type,
+                  date_trunc('day', ts) AS day,
+                  AVG(value) AS mean_v
+           FROM events GROUP BY 1, 2),
+st AS (SELECT event_type, AVG(mean_v) AS mu, STDDEV_SAMP(mean_v) AS sd
+       FROM b GROUP BY 1),
+z AS (SELECT b.event_type, b.day, b.mean_v,
+             (b.mean_v - st.mu) / st.sd AS z
+      FROM b JOIN st USING (event_type)),
+r AS (SELECT event_type, day, mean_v,
+             (RANK() OVER (ORDER BY ABS(z)) - 1) * 100.0
+               / GREATEST((SELECT COUNT(*) FROM z) - 1, 1) AS record_score
+      FROM z)
+SELECT event_type, day, ROUND(mean_v, 4) AS mean_v,
+       ROUND(record_score, 4) AS record_score
+FROM r WHERE record_score >= 90.0
+ORDER BY event_type, day"""
+    out["ml_datafeed_agg_preview"] = """
+SELECT date_trunc('day', ts) AS time, COUNT(*) AS doc_count,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1 ORDER BY time LIMIT 5"""
+    out["ml_estimate_model_memory"] = """
+WITH c AS (SELECT COUNT(DISTINCT event_type) AS bf,
+                  COUNT(DISTINCT user_id) AS pf FROM events)
+SELECT bf AS by_field_cardinality, pf AS partition_field_cardinality,
+       10485760 + 65536 * bf + 32768 * pf AS model_memory_estimate_bytes
+FROM c"""
     out.update(_shape_cartesian_oracle_sqls())
     out["agg_cardinality_hll"] = _hll_oracle_sql()
     out["agg_percentiles_hdr"] = _hdr_oracle_sql()

@@ -4,7 +4,11 @@ column pruning + predicate pushdown at the read, a distributed sort and a
 limit. Grammar:
 
     SELECT col | FN(col|*) AS alias [, ...] FROM <table>
-    [WHERE col <op> literal [AND ...]]      op in = != <> < <= > >=
+    [WHERE pred [AND ...]]                  op in = != <> < <= > >=
+      pred: col <op> literal (pushed into the read), MATCH()/QUERY()
+      fulltext predicates, or any scalar boolean EXPRESSION the shared
+      engine compiles (OR / NOT / parentheses / IN / LIKE / functions)
+      — evaluated as one vectorized row filter after pushdown
     [GROUP BY col[, ...]]                   FN in COUNT SUM AVG MIN MAX
     [HAVING alias <op> literal]
     [ORDER BY col [ASC|DESC][, ...]]

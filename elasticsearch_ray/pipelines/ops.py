@@ -16690,3 +16690,154 @@ def painless_params_filter(sf_dir: str):
     return (_ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
             .map_batches(f, batch_format="pyarrow")
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------- round-4 SQL grammar-depth gates ----------------
+
+
+def _run_sql(sql: str, sf_dir: str):
+    from ..functions.sql import run_sql
+
+    return run_sql(sql, sf_dir, ds_factory=_ds)
+
+
+def sql_where_or(sf_dir: str):
+    """x-pack SQL WHERE with a top-level OR disjunction (sql/planner
+    BinaryLogic OR): the whole clause compiles through the shared
+    expression engine into one vectorized row filter; the oracle is the
+    IDENTICAL SQL text run by DuckDB."""
+    return _run_sql(
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE event_type = 'click' OR event_type = 'view' "
+        "GROUP BY event_type ORDER BY event_type", sf_dir)
+
+
+def sql_where_boolean_tree(sf_dir: str):
+    """SQL NOT + parenthesized boolean tree mixed with AND (sql Not /
+    parenthesized expression planning): NOT (value < 50) AND
+    (event_type = 'error' OR value > 400)."""
+    return _run_sql(
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE NOT (value < 50) AND (event_type = 'error' OR value > 400) "
+        "GROUP BY event_type ORDER BY event_type", sf_dir)
+
+
+def sql_where_not_like(sf_dir: str):
+    """SQL NOT .. LIKE with % wildcards conjoined with an equality —
+    the LIKE lowers to the engine's anchored wildcard regex; NOT
+    negates the compiled mask."""
+    out = _run_sql(
+        "SELECT doc_id FROM documents "
+        "WHERE lang = 'en' AND NOT text LIKE '%data%' "
+        "ORDER BY doc_id", sf_dir)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
+# ---------------- round-4 x-pack ML job-surface gates ----------------
+
+
+def ml_anomaly_mean_value(sf_dir: str):
+    """Metric-function anomaly job (x-pack ml Detector function `mean`
+    with a partition_field — job config bucket_span=1d): per
+    (event_type, day) bucket means stream as per-batch (sum, count)
+    partials; the z-scored bucket table then gets a RANK-normalized
+    0-100 record_score (the normalizer's percentile shape,
+    AnomalyRecord#recordScore) and records with score >= 90 are the
+    reported anomalies. Only the bucket table (types x days) ever
+    reaches the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day_i"] = (df["ts"].astype("datetime64[us]").astype(np.int64)
+                       // 86_400_000_000)
+        g = df.groupby(["event_type", "day_i"], as_index=False)["value"] \
+              .agg(s="sum", c="count")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    b = (_ds(sf_dir, "events", ["event_type", "ts", "value"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["event_type", "day_i"])
+         .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+         .to_pandas())
+    b["mean_v"] = b["s"] / b["c"]
+    st = b.groupby("event_type")["mean_v"].agg(
+        mu="mean", sd=lambda x: x.std(ddof=1))
+    b = b.join(st, on="event_type")
+    b["z"] = (b["mean_v"] - b["mu"]) / b["sd"]
+    # rank-normalized severity: |z| percentile within the job -> 0..100
+    b["record_score"] = b["z"].abs().rank(method="min").sub(1) \
+        .div(max(len(b) - 1, 1)).mul(100.0)
+    out = b[b["record_score"] >= 90.0].copy()
+    out["day"] = pd.to_datetime(out["day_i"] * 86_400_000_000, unit="us")
+    out["mean_v"] = round_half_away(out["mean_v"].to_numpy(np.float64), 4)
+    out["record_score"] = round_half_away(
+        out["record_score"].to_numpy(np.float64), 4)
+    return (out[["event_type", "day", "mean_v", "record_score"]]
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
+
+
+def ml_datafeed_agg_preview(sf_dir: str):
+    """Datafeed _preview with an aggregated body (x-pack ml
+    DatafeedConfig aggregations: date_histogram(1d) + avg(value) —
+    PreviewDatafeedAction returns the first flattened buckets the job
+    would consume): partial (sum, count) per batch, bucket merge, first
+    5 buckets by time."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day_i"] = (df["ts"].astype("datetime64[us]").astype(np.int64)
+                       // 86_400_000_000)
+        g = df.groupby("day_i", as_index=False)["value"] \
+              .agg(s="sum", c="count")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    b = (_ds(sf_dir, "events", ["ts", "value"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("day_i")
+         .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+         .to_pandas().sort_values("day_i").head(5))
+    out = pd.DataFrame({
+        "time": pd.to_datetime(b["day_i"] * 86_400_000_000, unit="us"),
+        "doc_count": b["c"].astype(np.int64),
+        "avg_value": round_half_away((b["s"] / b["c"]).to_numpy(np.float64),
+                                     4),
+    })
+    return out.reset_index(drop=True)
+
+
+def ml_estimate_model_memory(sf_dir: str):
+    """_ml/anomaly_detectors/_estimate_model_memory analog (x-pack ml
+    TransportEstimateModelMemoryAction): the estimate is a deterministic
+    formula over field cardinalities — base model size + per-by-field
+    cost x cardinality + per-partition cost x cardinality. Cardinalities
+    compute DISTRIBUTED (per-batch uniques -> one union groupby); the
+    formula itself is driver arithmetic on two scalars. Constants follow
+    the reference's documented shape (bytes per split field) — asserted
+    by the oracle re-deriving the same formula from SQL COUNT(DISTINCT)."""
+    from ray.data.aggregate import Count
+
+    def uniq(col):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({col: pc.unique(t[col])})
+        return f
+
+    card = {}
+    for col in ("event_type", "user_id"):
+        card[col] = (_ds(sf_dir, "events", [col])
+                     .map_batches(uniq(col), batch_format="pyarrow")
+                     .groupby(col).aggregate(Count(alias_name="c"))
+                     .count())
+    base = 10 * 1024 * 1024          # BASIC_REQUIREMENT 10 MB
+    by_cost = 64 * 1024              # bytes per by-field split
+    part_cost = 32 * 1024            # bytes per partition-field split
+    est = base + by_cost * card["event_type"] + part_cost * card["user_id"]
+    return pd.DataFrame({
+        "by_field_cardinality": [np.int64(card["event_type"])],
+        "partition_field_cardinality": [np.int64(card["user_id"])],
+        "model_memory_estimate_bytes": [np.int64(est)],
+    })

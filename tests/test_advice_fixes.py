@@ -44,14 +44,20 @@ def test_safe_eval_compare_and_bool():
     "(1).__class__",
     "[x for x in (1,)]",
     "__import__('os')",
-    "'abc'",
     "lambda: 1",
     "x[0]",
     "f'{x}'",
+    "b'abc'",
 ])
 def test_safe_eval_rejects_escapes(payload):
     with pytest.raises(ScriptError):
         safe_eval_expr(payload, {"x": np.array([1.0])})
+
+
+def test_safe_eval_allows_string_literals():
+    # round 4: str constants are data (Painless String-method arguments);
+    # bytes and every other constant kind stay rejected
+    assert safe_eval_expr("'abc'", {}) == "abc"
 
 
 def test_script_query_sandboxed(searcher_tiny):

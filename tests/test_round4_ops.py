@@ -139,3 +139,25 @@ def test_fvh_offsets_sidecar(ray_session, tmp_path):
     for p in pos[1]:
         a, b = true_starts[int(p)], ends[int(p)]
         assert big[a:b].lower() == "needle"
+
+
+def test_sql_boolean_grammar(ray_session):
+    out = ops.sql_where_or(SF)
+    assert set(out["event_type"]) <= {"click", "view"}
+    out2 = ops.sql_where_boolean_tree(SF)
+    # every surviving group satisfies NOT(value<50): error or high-value
+    assert set(out2["event_type"]) <= {"error", "click", "view", "purchase"}
+    out3 = ops.sql_where_not_like(SF)
+    assert (out3["doc_id"] >= 0).all()
+
+
+def test_ml_surface_gates(ray_session):
+    out = ops.ml_anomaly_mean_value(SF)
+    assert (out["record_score"] >= 90.0).all()
+    pv = ops.ml_datafeed_agg_preview(SF)
+    assert len(pv) <= 5 and pv["time"].is_monotonic_increasing
+    est = ops.ml_estimate_model_memory(SF)
+    row = est.iloc[0]
+    assert row["model_memory_estimate_bytes"] == (
+        10 * 1024 * 1024 + 65536 * row["by_field_cardinality"]
+        + 32768 * row["partition_field_cardinality"])
