@@ -290,9 +290,15 @@ def safe_eval_expr(expr: str, env: Mapping[str, Any]) -> Any:
 
 def _find_top(s: str, ch: str, start: int = 0) -> int:
     depth = 0
+    inq: str | None = None  # ' or " while inside a string literal
     for i in range(start, len(s)):
         c = s[i]
-        if c in "([":
+        if inq:
+            if c == inq and s[i - 1] != "\\":
+                inq = None
+        elif c in "'\"":
+            inq = c
+        elif c in "([":
             depth += 1
         elif c in ")]":
             depth -= 1
@@ -328,13 +334,20 @@ def _rewrite_ternary(s: str) -> str:
     q = _find_top(s, "?")
     if q < 0:
         return _rewrite_parens(s) if "?" in s else s
-    # matching ':' at top level, skipping nested ternaries in the then-branch
+    # matching ':' at top level, skipping nested ternaries in the
+    # then-branch and ? / : inside string literals
     depth = 0
     nested = 0
     c_idx = -1
+    inq: str | None = None
     for i in range(q + 1, len(s)):
         c = s[i]
-        if c in "([":
+        if inq:
+            if c == inq and s[i - 1] != "\\":
+                inq = None
+        elif c in "'\"":
+            inq = c
+        elif c in "([":
             depth += 1
         elif c in ")]":
             depth -= 1

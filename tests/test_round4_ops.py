@@ -161,3 +161,18 @@ def test_ml_surface_gates(ray_session):
     assert row["model_memory_estimate_bytes"] == (
         10 * 1024 * 1024 + 65536 * row["by_field_cardinality"]
         + 32768 * row["partition_field_cardinality"])
+
+
+def test_painless_ternary_quote_safety():
+    """? and : inside string literals must not confuse the ternary
+    rewriter (quote-aware _find_top)."""
+    from elasticsearch_ray.scripting import compile_painless, safe_eval_expr
+
+    env = {"s": np.array(["a?b", "c:d"], dtype=object), "params": {},
+           "where": np.where}
+    out = safe_eval_expr(
+        compile_painless("doc['s'].value.contains('?') ? 1 : 0"), env)
+    assert list(out) == [1, 0]
+    out = safe_eval_expr(
+        compile_painless("doc['s'].value.contains(':') ? 'y:n' : 'q?'"), env)
+    assert list(out) == ["q?", "y:n"]
