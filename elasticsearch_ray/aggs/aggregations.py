@@ -138,27 +138,43 @@ def extended_stats(ds, key: str, value: str):
 
 def value_count_distinct(ds, key: str, value: str):
     """exact `cardinality` per key: batch-local distinct (combiner — cuts
-    the shuffle to unique pairs per block) -> ONE global pair groupby ->
-    per-block partial key counts folded on the driver. The post-groupby
-    blocks hold disjoint (key, value) pairs, so a map-side count per key
-    is exact and the second all-to-all the old version paid is gone —
-    the driver folds at most keys x blocks tiny rows. The HLL++ sketch
+    the shuffle to unique pairs per block) -> ONE bucketed exchange on
+    hash(key, value) (NOT a groupby over the distinct pairs themselves —
+    Ray's sort-based groupby pays per-GROUP cost at pair cardinality;
+    see functions/exchange.py) -> in-bucket distinct + per-key partial
+    counts -> driver folds keys x buckets tiny rows. A pair lands in
+    exactly one bucket, so partial counts sum exactly. The HLL++ sketch
     in hll.py is the approximate path."""
-    from ray.data.aggregate import Count
+    import zlib
 
     def local_distinct(t):
         return t.group_by([key, value]).aggregate([])
 
-    def key_counts(t):
-        return t.group_by([key]).aggregate([([value], "count")])
+    def bucket(t: "pa.Table") -> "pa.Table":
+        n = t.num_rows
+        hb = np.zeros(n, np.uint64)
+        for col_name in (key, value):
+            col = t[col_name]
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                    col.type):
+                h = np.fromiter((zlib.crc32(x.encode())
+                                 for x in col.to_pylist()), np.uint64, n)
+            else:
+                h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            hb = hb * np.uint64(1000003) + h
+        return t.append_column("_xb", pa.array((hb % 64).astype(np.int64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates([key, value])
+        return (d.groupby(key, as_index=False).size()
+                .rename(columns={"size": "distinct_count"}))
 
     parts = (ds.select_columns([key, value])
              .map_batches(local_distinct, batch_format="pyarrow")
-             .groupby([key, value]).aggregate(Count(alias_name="_c"))
-             .map_batches(key_counts, batch_format="pyarrow")
+             .map_batches(bucket, batch_format="pyarrow")
+             .groupby("_xb").map_groups(merge, batch_format="pandas")
              .to_pandas())
-    out = (parts.groupby(key, as_index=False)[f"{value}_count"].sum()
-           .rename(columns={f"{value}_count": "distinct_count"}))
+    out = parts.groupby(key, as_index=False)["distinct_count"].sum()
     out["distinct_count"] = out["distinct_count"].astype("int64")
     return out.sort_values(key).reset_index(drop=True)
 

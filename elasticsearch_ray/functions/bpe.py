@@ -53,8 +53,10 @@ def word_counts(ds, *, text_col: str = "text"):
         return pa.table({"word": pa.array(uniq, pa.string()),
                          "freq": pa.array(cnt, pa.int64())})
 
-    return (ds.map_batches(explode, batch_format="pyarrow")
-            .groupby("word").sum("freq").rename_columns({"sum(freq)": "freq"}))
+    from .exchange import bucketed_sum
+
+    return bucketed_sum(ds.map_batches(explode, batch_format="pyarrow"),
+                        ["word"], "freq", out_name="freq")
 
 
 def _to_symbols(t: pa.Table) -> pa.Table:
@@ -107,10 +109,12 @@ def _pair_partials(t: pa.Table) -> pa.Table:
 def pair_counts(words_ds):
     """Weighted adjacent-symbol pair counts over the initial character
     vocabulary: Dataset of (left_sym, right_sym, c)."""
-    return (words_ds.map_batches(_to_symbols, batch_format="pyarrow")
-            .map_batches(_pair_partials, batch_format="pyarrow")
-            .groupby(["left_sym", "right_sym"]).sum("c")
-            .rename_columns({"sum(c)": "c"}))
+    from .exchange import bucketed_sum
+
+    return bucketed_sum(
+        words_ds.map_batches(_to_symbols, batch_format="pyarrow")
+        .map_batches(_pair_partials, batch_format="pyarrow"),
+        ["left_sym", "right_sym"], "c", out_name="c")
 
 
 def _top1(t: pa.Table) -> pa.Table:
@@ -165,9 +169,12 @@ def train_bpe(ds, num_merges: int, *, text_col: str = "text") -> pd.DataFrame:
              .materialize())
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(num_merges):
-        partials = (words.map_batches(_pair_partials, batch_format="pyarrow")
-                    .groupby(["left_sym", "right_sym"]).sum("c")
-                    .rename_columns({"sum(c)": "c"})
+        from .exchange import bucketed_sum
+
+        partials = (bucketed_sum(
+                        words.map_batches(_pair_partials,
+                                          batch_format="pyarrow"),
+                        ["left_sym", "right_sym"], "c", out_name="c")
                     .map_batches(_top1, batch_format="pyarrow")
                     .take_all())
         if not partials:

@@ -1,0 +1,58 @@
+"""Bucketed-exchange aggregation helper.
+
+Ray Data's sort-based `groupby(keys).sum(...)` pays per-GROUP plumbing
+cost, which dominates when group cardinality approaches row cardinality
+(vocabularies, n-gram keys, candidate pairs — measured in round 4:
+~250k distinct keys took 8-33 s where a 64-bucket exchange takes <1 s;
+see SCALE.md "Round-4"). `bucketed_sum` keeps the same exchange volume
+(one all-to-all of the pre-aggregated rows) but bounds the group count
+at `num_buckets`, doing the real aggregation vectorized in pandas inside
+each bucket. Output schema and values are identical to
+`groupby(keys).sum(val)`; row order (never guaranteed by either) may
+differ.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["bucketed_sum"]
+
+
+def bucketed_sum(ds, keys, val: str, *, out_name: str | None = None,
+                 num_buckets: int = 64):
+    """groupby(keys).sum(val) via a `num_buckets`-way hash exchange.
+
+    `keys`: list of key column names (string or integer columns).
+    `out_name`: output column for the sum (default `sum(<val>)`, matching
+    Ray's native name so call sites swap in without renames).
+    """
+    import zlib
+
+    keys = list(keys)
+    out_col = out_name or f"sum({val})"
+    nb = np.uint64(num_buckets)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        hb = np.zeros(n, np.uint64)
+        for k in keys:
+            col = t[k]
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                    col.type):
+                h = np.fromiter((zlib.crc32(x.encode())
+                                 for x in col.to_pylist()), np.uint64, n)
+            else:
+                h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            hb = hb * np.uint64(1000003) + h
+        return t.append_column("_xb", pa.array((hb % nb).astype(np.int64)))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(keys, as_index=False, sort=False)[val].sum()
+        return out.rename(columns={val: out_col})
+
+    return (ds.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("_xb")
+            .map_groups(_merge, batch_format="pandas"))

@@ -69,8 +69,13 @@ def unigram_counts(ds, *, text_col: str = "text",
         return pa.table({"token": pa.array(uniq, pa.string()),
                          "c": pa.array(cnt, pa.int64())})
 
-    return (ds.map_batches(explode, batch_format="pyarrow")
-            .groupby("token").sum("c"))
+    # bucketed exchange, NOT groupby(token): Ray's sort-based groupby
+    # pays per-GROUP overhead at vocabulary cardinality (see
+    # functions/exchange.py and SCALE.md Round-4)
+    from .exchange import bucketed_sum
+
+    return bucketed_sum(
+        ds.map_batches(explode, batch_format="pyarrow"), ["token"], "c")
 
 
 def fit_unigram_lm(ds, *, text_col: str = "text", alpha: float = 0.5,
@@ -219,8 +224,10 @@ def bigram_counts(ds, *, text_col: str = "text"):
         return pa.table({"key": pa.array(uniq.astype(object), pa.string()),
                          "c": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    return (ds.map_batches(explode, batch_format="pyarrow")
-            .groupby("key").sum("c"))
+    from .exchange import bucketed_sum
+
+    return bucketed_sum(
+        ds.map_batches(explode, batch_format="pyarrow"), ["key"], "c")
 
 
 def fit_bigram_lm(ds, *, text_col: str = "text", alpha: float = 0.5,
@@ -387,8 +394,10 @@ def ngram_counts(ds, *, n: int = 3, text_col: str = "text",
                             for i, c in enumerate(cols)},
                          "c": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    out = (ds.map_batches(explode, batch_format="pyarrow")
-           .groupby(cols).sum("c").rename_columns({"sum(c)": "c"}))
+    from .exchange import bucketed_sum
+
+    out = bucketed_sum(ds.map_batches(explode, batch_format="pyarrow"),
+                       cols, "c", out_name="c")
     if min_count > 1:
         import pyarrow.compute as pc
         out = out.map_batches(
