@@ -159,6 +159,29 @@ class _DsirStage(_ScoreStage):
         return [means[0] - means[1]]
 
 
+# per-worker-process stage cache for TASK-based scoring: tasks on the
+# same worker process reuse the constructed stage (model ray.get'd once
+# per process — plasma gets are zero-copy local anyway), so the scorer
+# runs as elastic tasks with no actor-pool spin-up latency while keeping
+# the one-deserialize-per-worker amortization the actor pool gave.
+_STAGE_CACHE: dict = {}
+
+
+def _task_stage(cls, refs, kwargs, *, ref_param: str = "models"):
+    key = (cls.__name__,
+           tuple(r.hex() if hasattr(r, "hex") else str(id(r)) for r in refs),
+           tuple(sorted((k, str(v)) for k, v in kwargs.items())))
+    ref_kw = {ref_param: refs if ref_param == "models" else refs[0]}
+
+    def f(t: pa.Table, _key=key) -> pa.Table:
+        st = _STAGE_CACHE.get(_key)
+        if st is None:
+            st = _STAGE_CACHE[_key] = cls(**ref_kw, **kwargs)
+        return st(t)
+
+    return f
+
+
 def perplexity(ds, model: UnigramLM, *, text_col: str = "text",
                id_col: str = "doc_id", concurrency=2,
                num_hash_buckets: int | None = None):
@@ -168,12 +191,11 @@ def perplexity(ds, model: UnigramLM, *, text_col: str = "text",
 
     ref = ray.put(model)
     return ds.map_batches(
-        _PplStage,
-        max_restarts=0,
-        fn_constructor_kwargs=dict(models=[ref], text_col=text_col,
-                                   id_col=id_col, out_cols=["ppl"],
-                                   num_hash_buckets=num_hash_buckets),
-        batch_format="pyarrow", batch_size=512, concurrency=concurrency)
+        _task_stage(_PplStage, [ref],
+                    dict(text_col=text_col, id_col=id_col,
+                         out_cols=["ppl"],
+                         num_hash_buckets=num_hash_buckets)),
+        batch_format="pyarrow", batch_size=512)
 
 
 def importance_weights(ds, target: UnigramLM, source: UnigramLM, *,
@@ -187,12 +209,11 @@ def importance_weights(ds, target: UnigramLM, source: UnigramLM, *,
 
     refs = [ray.put(target), ray.put(source)]
     return ds.map_batches(
-        _DsirStage,
-        max_restarts=0,
-        fn_constructor_kwargs=dict(models=refs, text_col=text_col,
-                                   id_col=id_col, out_cols=["weight"],
-                                   num_hash_buckets=num_hash_buckets),
-        batch_format="pyarrow", batch_size=512, concurrency=concurrency)
+        _task_stage(_DsirStage, refs,
+                    dict(text_col=text_col, id_col=id_col,
+                         out_cols=["weight"],
+                         num_hash_buckets=num_hash_buckets)),
+        batch_format="pyarrow", batch_size=512)
 
 
 class BigramLM(NamedTuple):
@@ -314,11 +335,10 @@ def bigram_perplexity(ds, model: BigramLM, *, text_col: str = "text",
 
     ref = ray.put(model)
     return ds.map_batches(
-        _BigramPplStage,
-        max_restarts=0,
-        fn_constructor_kwargs=dict(model=ref, text_col=text_col,
-                                   id_col=id_col),
-        batch_format="pyarrow", batch_size=512, concurrency=concurrency)
+        _task_stage(_BigramPplStage, [ref],
+                    dict(text_col=text_col, id_col=id_col),
+                    ref_param="model"),
+        batch_format="pyarrow", batch_size=512)
 
 
 class _NbStage(_ScoreStage):
@@ -351,15 +371,12 @@ def nb_classify(ds, class_a: UnigramLM, class_b: UnigramLM, *,
 
     refs = [ray.put(class_a), ray.put(class_b)]
     return ds.map_batches(
-        _NbStage,
-        max_restarts=0,
-        fn_constructor_kwargs=dict(models=refs, text_col=text_col,
-                                   id_col=id_col,
-                                   out_cols=["log_odds", "pred"],
-                                   num_hash_buckets=num_hash_buckets,
-                                   log_prior_diff=log_prior_diff,
-                                   labels=labels),
-        batch_format="pyarrow", batch_size=512, concurrency=concurrency)
+        _task_stage(_NbStage, refs,
+                    dict(text_col=text_col, id_col=id_col,
+                         out_cols=["log_odds", "pred"],
+                         num_hash_buckets=num_hash_buckets,
+                         log_prior_diff=log_prior_diff, labels=labels)),
+        batch_format="pyarrow", batch_size=512)
 
 
 def ngram_counts(ds, *, n: int = 3, text_col: str = "text",
@@ -514,9 +531,8 @@ def kn_perplexity(ds, model: KNBigramLM, *, text_col: str = "text",
 
     ref = ray.put(model)
     return ds.map_batches(
-        _KNPplStage,
-        max_restarts=0,
-        fn_constructor_kwargs=dict(model=ref, text_col=text_col,
-                                   id_col=id_col,
-                                   keep_cols=tuple(keep_cols)),
-        batch_format="pyarrow", batch_size=512, concurrency=concurrency)
+        _task_stage(_KNPplStage, [ref],
+                    dict(text_col=text_col, id_col=id_col,
+                         keep_cols=tuple(keep_cols)),
+                    ref_param="model"),
+        batch_format="pyarrow", batch_size=512)
