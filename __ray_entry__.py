@@ -107,7 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "painless_substring_field", "painless_params_filter",
         "sql_where_or", "sql_where_boolean_tree", "sql_where_not_like",
         "ml_anomaly_mean_value", "ml_datafeed_agg_preview",
-        "ml_estimate_model_memory",
+        "ml_estimate_model_memory", "painless_script_locals",
         # --- driver-unchecked, oracle-bearing (573) ---
         "ft_function_score_functions", "ft_function_score_gauss",
         "ft_sort_missing_last", "ft_sort_script", "ft_sort_geo_distance",
@@ -1017,6 +1017,11 @@ GROUP BY event_type ORDER BY event_type"""
 SELECT doc_id FROM documents
 WHERE lang = 'en' AND NOT text LIKE '%data%'
 ORDER BY doc_id"""
+    out["painless_script_locals"] = """
+SELECT doc_id,
+       ROUND((n_chars / 100.0) * 2.0
+             + CASE WHEN lang = 'en' THEN 0.5 ELSE 0.0 END, 4) AS score
+FROM documents ORDER BY doc_id"""
     # round-4 x-pack ML job-surface gates
     out["ml_anomaly_mean_value"] = """
 WITH b AS (SELECT event_type,

@@ -16841,3 +16841,36 @@ def ml_estimate_model_memory(sf_dir: str):
         "partition_field_cardinality": [np.int64(card["user_id"])],
         "model_memory_estimate_bytes": [np.int64(est)],
     })
+
+
+def painless_script_locals(sf_dir: str):
+    """Painless MULTI-STATEMENT script body with local variables
+    (modules/lang-painless statement grammar: `def` / typed
+    declarations, reassignment, trailing return): the classic
+    script_score users port —
+
+        def base = doc['n_chars'].value / 100.0;
+        double bonus = doc['lang'].value.equals("en") ? 0.5 : 0.0;
+        base = base * params.w;
+        return base + bonus
+
+    Statements compile once (scripting.compile_painless_script); locals
+    bind progressively per batch, all vectorized."""
+    from ..scripting import compile_painless_script, safe_eval_script
+
+    params = {"w": 2.0}
+    stmts = compile_painless_script(
+        "def base = doc['n_chars'].value / 100.0;"
+        "double bonus = doc['lang'].value.equals(\"en\") ? 0.5 : 0.0;"
+        "base = base * params.w;"
+        "return base + bonus")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_script(stmts, _painless_batch_env(t, params))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "score": pa.array(
+                             round_half_away(np.asarray(v, np.float64), 4))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))

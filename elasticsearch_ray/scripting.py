@@ -394,6 +394,100 @@ def compile_painless(source: str) -> str:
     return _rewrite_ternary(src).strip()
 
 
+def _split_statements(src: str) -> list[str]:
+    """Split on top-level ';' (quote- and paren-aware)."""
+    out, buf, depth = [], [], 0
+    inq: str | None = None
+    for ch in src:
+        if inq:
+            buf.append(ch)
+            if ch == inq and (len(buf) < 2 or buf[-2] != "\\"):
+                inq = None
+        elif ch in "'\"":
+            inq = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == ";" and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return [s for s in out if s]
+
+
+_DECL_RX = None  # compiled lazily in compile_painless_script
+
+
+def compile_painless_script(source: str) -> list[tuple[str | None, str]]:
+    """Painless STATEMENT subset -> [(local_name | None, expr_src), ...].
+
+    Covers the multi-statement script bodies real users write:
+
+      def base = doc['f'].value / 100.0;      # local declaration
+      double bonus = cond ? 0.5 : 0.0;        # typed declaration
+      base = base * 2;                        # reassignment
+      return base + bonus;                    # final return / bare expr
+
+    Each statement's right-hand side goes through the same expression
+    rewriting as compile_painless; evaluation binds locals progressively
+    (safe_eval_script). Loops / if-blocks / method-def are NOT supported
+    — the sandbox stays expression-scoped per statement."""
+    import re
+
+    global _DECL_RX
+    if _DECL_RX is None:
+        _DECL_RX = re.compile(
+            r"^(?:def|int|long|float|double|boolean|String)\s+"
+            r"([A-Za-z_]\w*)\s*=\s*(.+)$", re.S)
+    out: list[tuple[str | None, str]] = []
+    stmts = _split_statements(source)
+    for i, st in enumerate(stmts):
+        if st.startswith("return "):
+            if i != len(stmts) - 1:
+                raise ScriptError("return must be the final statement")
+            out.append((None, compile_painless(st[len("return "):])))
+            continue
+        m = _DECL_RX.match(st)
+        if m:
+            out.append((m.group(1), compile_painless(m.group(2))))
+            continue
+        am = re.match(r"^([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", st, re.S)
+        if am:
+            out.append((am.group(1), compile_painless(am.group(2))))
+            continue
+        if i == len(stmts) - 1:
+            out.append((None, compile_painless(st)))
+        else:
+            raise ScriptError(f"unsupported statement: {st!r}")
+    if not out or out[-1][0] is not None:
+        raise ScriptError("script must end in a return / expression")
+    return out
+
+
+def safe_eval_script(stmts: list[tuple[str | None, str]],
+                     env: Mapping[str, Any]) -> Any:
+    """Evaluate a compile_painless_script statement list: locals bind
+    progressively into a copy of env (never mutating the caller's), the
+    final expression's value is returned."""
+    scope = dict(env)
+    result = None
+    for name, expr in stmts:
+        val = safe_eval_expr(expr, scope)
+        if name is None:
+            result = val
+        else:
+            scope[name] = val
+    return result
+
+
 def compile_expression(source: str) -> str:
     """Lucene-expression syntax (modules/lang-expression,
     ExpressionScriptEngine.java) -> the sandbox dialect: `doc['f'].value`

@@ -176,3 +176,24 @@ def test_painless_ternary_quote_safety():
     out = safe_eval_expr(
         compile_painless("doc['s'].value.contains(':') ? 'y:n' : 'q?'"), env)
     assert list(out) == ["q?", "y:n"]
+
+
+def test_painless_multi_statement():
+    from elasticsearch_ray.scripting import (
+        ScriptError, compile_painless_script, safe_eval_script)
+    import pytest
+
+    env = {"v": np.array([10.0, 20.0]), "params": {"b": 1.0},
+           "where": np.where}
+    st = compile_painless_script(
+        "def x = doc['v'].value * 2; long y = 3; x = x + y; return x + params.b")
+    assert list(safe_eval_script(st, env)) == [24.0, 44.0]
+    # caller env never mutated by locals
+    assert "x" not in env and "y" not in env
+    with pytest.raises(ScriptError):
+        compile_painless_script("def x = 1; def y = 2;")  # no final expr
+    with pytest.raises(ScriptError):
+        compile_painless_script("while (true) {}; 1")
+    with pytest.raises(ScriptError):
+        safe_eval_script(compile_painless_script(
+            "def x = __import__('os'); return x"), env)
