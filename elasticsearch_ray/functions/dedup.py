@@ -500,15 +500,29 @@ def minhash_verified_pairs(ds, *, threshold: float = 0.8, num_perm: int = 128,
 
 def minhash_dedup(ds, *, threshold: float = 0.8, num_perm: int = 128, bands: int = 16,
                   shingle_k: int = 5, text_col: str = "text", id_col: str = "doc_id",
-                  concurrency=2) -> pd.DataFrame:
+                  concurrency=2, exact_prepass: bool = False) -> pd.DataFrame:
     """Full near-dedup: in-bucket-verified pairs -> keep-min-id per connected
     component, clustered by the distributed min-label/pointer-jumping pass
     (functions/graph.py) — pairs, labels and texts all stay dataset-side;
     only the final (doc_id, kept) frame (bounded by the true duplicate
     count) reaches the driver. Returns a row for every doc in a duplicate
-    group."""
+    group.
+
+    `exact_prepass=True` is the high-dup-rate scale path (SCALE.md
+    Round-4 probes): exact duplicates collapse to one min-id
+    representative per content hash BEFORE LSH, so a verbatim clique of
+    size s costs O(s) mapping rows instead of O(s^2) verified pairs; the
+    near-dedup then runs over representatives only and clusters expand
+    back through the (doc -> representative) mapping. Output-identical
+    to the direct path (identical texts have identical Jaccard to every
+    other doc, so representative pairs decide exactly the same merges)."""
     from .graph import connected_components
 
+    if exact_prepass:
+        return _minhash_dedup_prepass(
+            ds, threshold=threshold, num_perm=num_perm, bands=bands,
+            shingle_k=shingle_k, text_col=text_col, id_col=id_col,
+            concurrency=concurrency)
     pairs = minhash_verified_pairs_ds(
         ds, threshold=threshold, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, text_col=text_col, id_col=id_col,
@@ -520,6 +534,82 @@ def minhash_dedup(ds, *, threshold: float = 0.8, num_perm: int = 128, bands: int
     out = comps.to_pandas().astype({"doc_id": np.int64, "component": np.int64})
     out = out.rename(columns={"component": "kept"})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _minhash_dedup_prepass(ds, *, threshold, num_perm, bands, shingle_k,
+                           text_col, id_col, concurrency) -> pd.DataFrame:
+    """Exact-collapse + representative near-dedup (see minhash_dedup)."""
+    import zlib
+
+    from .graph import connected_components
+
+    B = 64
+
+    def hash_bucket(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode()).hexdigest()
+             for s in t[text_col].to_pylist()]
+        hb = [zlib.crc32(x.encode()) % B for x in h]
+        return pa.table({id_col: t[id_col].cast(pa.int64()),
+                         text_col: t[text_col],
+                         "content_hash": pa.array(h, pa.string()),
+                         "hbucket": pa.array(hb, pa.int64())})
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        # per exact group: rep = min id; every member maps to it and
+        # only the rep row keeps its text (the LSH input)
+        g = g.sort_values(["content_hash", id_col], kind="stable")
+        rep = g.groupby("content_hash")[id_col].transform("min")
+        size = g.groupby("content_hash")[id_col].transform("size")
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "rep": rep.to_numpy(),
+            "gsize": size.to_numpy(np.int64),
+            text_col: np.where(g[id_col].to_numpy() == rep.to_numpy(),
+                               g[text_col].to_numpy(), None),
+        })
+        return out
+
+    mapping = (ds.map_batches(hash_bucket, batch_format="pyarrow")
+               .groupby("hbucket")
+               .map_groups(collapse, batch_format="pandas")
+               .materialize())
+    reps = mapping.filter(lambda r: r[text_col] is not None).map_batches(
+        lambda t: pa.table({id_col: t["rep"].cast(pa.int64()),
+                            text_col: t[text_col].cast(pa.string())}),
+        batch_format="pyarrow")
+    pairs = minhash_verified_pairs_ds(
+        reps, threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, text_col=text_col, id_col=id_col,
+        concurrency=concurrency).materialize()
+    comp_map: dict[int, int] = {}
+    if pairs.count():
+        comps = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+        cdf = comps.to_pandas()
+        # dup-bounded by construction — safe to broadcast
+        comp_map = dict(zip(cdf["doc_id"].astype(np.int64),
+                            cdf["component"].astype(np.int64)))
+    import ray
+
+    cm_ref = ray.put(comp_map)
+
+    def expand(t: pa.Table) -> pa.Table:
+        cm = ray.get(cm_ref)
+        rep = t["rep"].to_numpy()
+        ids = t[id_col].to_numpy()
+        gsize = t["gsize"].to_numpy()
+        kept = np.array([cm.get(int(r), int(r)) for r in rep], np.int64)
+        keep = (gsize > 1) | np.array([int(r) in cm for r in rep])
+        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                         "kept": pa.array(kept[keep], pa.int64())})
+
+    out = (mapping.map_batches(expand, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                             "kept": pd.Series([], dtype=np.int64)})
+    out[id_col] = out[id_col].astype(np.int64)
+    out["kept"] = out["kept"].astype(np.int64)
+    return out.sort_values(id_col).reset_index(drop=True)
 
 
 # ---------------- exact n-gram Jaccard (prefix-filtered all-pairs) --------

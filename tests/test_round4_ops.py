@@ -197,3 +197,29 @@ def test_painless_multi_statement():
     with pytest.raises(ScriptError):
         safe_eval_script(compile_painless_script(
             "def x = __import__('os'); return x"), env)
+
+
+def test_minhash_exact_prepass_parity(ray_session):
+    """exact_prepass=True must produce the identical (doc_id, kept)
+    frame as the direct path — exact cliques collapse to reps and
+    expand back; near-dup merges ride representative pairs."""
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.dedup import minhash_dedup
+
+    base = "query scan filter merge batch window column vector " * 30
+    rows = [{"doc_id": i,
+             "text": f"unique doc {i} " + "y" * 13 + f" c{i*104729}"}
+            for i in range(20)]
+    rows += [{"doc_id": 100, "text": base},
+             {"doc_id": 101, "text": base + " tiny tail"},
+             {"doc_id": 200, "text": rows[5]["text"]},   # exact dup of 5
+             {"doc_id": 201, "text": rows[5]["text"]},   # 3-clique
+             {"doc_id": 300, "text": base}]              # exact dup of 100
+    ds = rd.from_items(rows)
+    direct = minhash_dedup(ds, threshold=0.7)
+    pre = minhash_dedup(ds, threshold=0.7, exact_prepass=True)
+    assert direct.equals(pre)
+    kept = dict(zip(pre["doc_id"], pre["kept"]))
+    assert kept[200] == kept[201] == kept[5] == 5
+    assert kept[300] == kept[101] == kept[100] == 100
