@@ -249,3 +249,54 @@ def test_esql_hash_cast_fuzz(ray_session, seed):
         got = esql.run(SF, q).reset_index(drop=True)
         want = duckdb.sql(sql).df()
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _gen_bool_tree(rng: np.random.Generator, depth: int = 0):
+    """Random boolean predicate tree -> (esql_src, sql_src)."""
+    if depth >= 2 or rng.random() < 0.4:
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            thr = int(rng.integers(0, 120))
+            op = rng.choice([">", ">=", "<", "<=", "==", "!="])
+            sop = {"==": "=", "!=": "<>"}.get(op, op)
+            return f"value {op} {thr}", f"value {sop} {thr}"
+        if kind == 1:
+            ty = rng.choice(["click", "view", "purchase", "error"])
+            return (f'event_type == "{ty}"', f"event_type = '{ty}'")
+        if kind == 2:
+            c = rng.choice(["c", "v", "p", "e"])
+            return (f'STARTS_WITH(event_type, "{c}")',
+                    f"starts_with(event_type, '{c}')")
+        n = int(rng.integers(4, 9))
+        return (f"LENGTH(event_type) == {n}",
+                f"length(event_type) = {n}")
+    a_e, a_s = _gen_bool_tree(rng, depth + 1)
+    b_e, b_s = _gen_bool_tree(rng, depth + 1)
+    form = rng.integers(0, 3)
+    if form == 0:
+        return f"({a_e} AND {b_e})", f"({a_s} AND {b_s})"
+    if form == 1:
+        return f"({a_e} OR {b_e})", f"({a_s} OR {b_s})"
+    return f"NOT ({a_e} OR {b_e})", f"NOT ({a_s} OR {b_s})"
+
+
+@pytest.mark.parametrize("seed", [_SEED_OFF + s for s in range(24)])
+def test_fuzz_boolean_where_trees(ray_session, seed):
+    """Round-4 grammar depth: random OR/NOT/parenthesized predicate trees
+    (with function-call leaves) vs DuckDB on the same events table."""
+    rng = np.random.default_rng(7_700_000 + seed)
+    pe, ps = _gen_bool_tree(rng)
+    q = (f"FROM events | WHERE {pe} "
+         f"| STATS n = COUNT(*), s = SUM(value) BY event_type "
+         f"| SORT event_type")
+    sql = (f"SELECT event_type, COUNT(*) AS n, SUM(value) AS s FROM {EV} "
+           f"WHERE {ps} GROUP BY event_type ORDER BY event_type")
+    mine = esql.run(SF, q).reset_index(drop=True)
+    want = duckdb.sql(sql).df().reset_index(drop=True)
+    assert len(mine) == len(want), (pe, len(mine), len(want))
+    if len(mine):
+        assert (mine["event_type"] == want["event_type"]).all(), pe
+        assert (mine["n"].astype("int64")
+                == want["n"].astype("int64")).all(), pe
+        assert np.allclose(mine["s"].astype(float),
+                           want["s"].astype(float)), pe

@@ -223,3 +223,56 @@ def test_minhash_exact_prepass_parity(ray_session):
     kept = dict(zip(pre["doc_id"], pre["kept"]))
     assert kept[200] == kept[201] == kept[5] == 5
     assert kept[300] == kept[101] == kept[100] == 100
+
+
+def test_painless_vectorized_vs_scalar_fuzz():
+    """Differential fuzz: every generated script must produce the same
+    values evaluated VECTORIZED (numpy array env) and per-row SCALAR
+    (python values env) — the two execution paths of _str_method and the
+    ternary kernel."""
+    import random
+
+    from elasticsearch_ray.scripting import compile_painless, safe_eval_expr
+
+    rng = random.Random(40404)
+    words = ["alpha Beta", "  gamma ", "", "Data lake", "x?y:z", "abc"]
+    nums = [0.0, 1.5, -2.0, 99.0, 7.25]
+
+    def gen_str_expr():
+        m = rng.choice([
+            "doc['s'].value.contains({q})",
+            "doc['s'].value.startsWith({q})",
+            "doc['s'].value.endsWith({q})",
+            "doc['s'].value.indexOf({q})",
+            "doc['s'].value.trim().length()",
+            "doc['s'].value.toUpperCase().equals({q})",
+            "doc['s'].value.substring(0, 3).toLowerCase()",
+            "doc['s'].value.replace({q}, \"_\").length()",
+            "doc['s'].value.isEmpty()",
+        ])
+        return m.format(q=rng.choice(['"a"', '"Data"', '" "', '"?"', '"z"']))
+
+    def gen_num_expr():
+        return rng.choice([
+            "doc['v'].value * 2 + 1",
+            "doc['v'].value > 1.0 ? doc['v'].value : -doc['v'].value",
+            "doc['v'].value >= 0 && doc['v'].value < 50",
+            "!(doc['v'].value == 1.5)",
+        ])
+
+    for _ in range(120):
+        src = rng.choice([gen_str_expr, gen_num_expr])()
+        compiled = compile_painless(src)
+        svals = [rng.choice(words) for _ in range(6)]
+        nvals = [rng.choice(nums) for _ in range(6)]
+        vec_env = {"s": np.array(svals, dtype=object),
+                   "v": np.array(nvals, np.float64),
+                   "params": {}, "where": np.where}
+        vec = safe_eval_expr(compiled, vec_env)
+        for i in range(6):
+            sc_env = {"s": svals[i], "v": nvals[i], "params": {},
+                      "where": lambda c, a, b: a if c else b}
+            got = safe_eval_expr(compiled, sc_env)
+            assert got == vec[i] or (
+                isinstance(got, float) and np.isclose(got, vec[i])), \
+                (src, i, got, vec[i])
