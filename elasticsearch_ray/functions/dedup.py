@@ -527,13 +527,53 @@ def minhash_dedup(ds, *, threshold: float = 0.8, num_perm: int = 128, bands: int
         ds, threshold=threshold, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, text_col=text_col, id_col=id_col,
         concurrency=concurrency).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                              "kept": pd.Series([], dtype=np.int64)})
-    comps = connected_components(pairs, a_col="doc_a", b_col="doc_b")
-    out = comps.to_pandas().astype({"doc_id": np.int64, "component": np.int64})
-    out = out.rename(columns={"component": "kept"})
+    # This API returns a driver frame, and verified pairs are bounded by
+    # the true duplicate count — the same magnitude as that output. So
+    # below a size gate the edges come to the driver and cluster by
+    # union-find (saves the label-propagation rounds' fixed exchange
+    # cost); above it the distributed pointer-jumping pass runs and only
+    # the final frame is collected. Dataset-consuming callers use
+    # graph.connected_components directly and always stay distributed.
+    if n_pairs <= 200_000:
+        df = pairs.to_pandas()
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        out = _unionfind_frame(a, b)
+    else:
+        comps = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+        out = comps.to_pandas().astype({"doc_id": np.int64,
+                                        "component": np.int64})
+        out = out.rename(columns={"component": "kept"})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _unionfind_frame(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """(doc_id, kept=min id of component) over edge arrays — path-halving
+    union-by-min on the driver (edge count already dup-bounded)."""
+    ids = np.unique(np.concatenate([a, b]))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    parent = np.arange(ids.size)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(idx[int(x)]), find(idx[int(y)])
+        if rx != ry:
+            # union by min label so the root IS the min id's slot
+            if ids[rx] < ids[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    kept = np.array([ids[find(i)] for i in range(ids.size)], np.int64)
+    return pd.DataFrame({"doc_id": ids.astype(np.int64), "kept": kept})
 
 
 def _minhash_dedup_prepass(ds, *, threshold, num_perm, bands, shingle_k,
