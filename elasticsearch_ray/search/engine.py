@@ -58,7 +58,7 @@ class TermPostings:
     __slots__ = (
         "term", "df", "rows", "block_last_doc", "block_max_tf", "block_min_norm",
         "_row_of_block", "_block_in_row", "_full", "_block_cache", "_pos_cache",
-        "_pos_cache_elems",
+        "_pos_cache_elems", "_pos_merged",
     )
 
     def __init__(self, term: str, rows: list[dict]):
@@ -2772,10 +2772,77 @@ class IndexSearcher:
             self._pos_cache_total += total.size
         return row_ids, total, starts, cuts
 
+    def _merged_positions(self, tp: TermPostings):
+        """One (ids, pos, starts, cuts) structure for ALL of a term's
+        postings rows: salted hot-term chunks and adjacent segments cover
+        disjoint ordered doc-id ranges, so the per-row arrays concatenate
+        into one globally sorted structure (SCALE.md §3 — the zero-cost
+        salted-group merge). Built once and cached on the TermPostings;
+        collapses the per-row candidate probe (rows x searchsorted(cand))
+        into ONE probe — the dominant steady-state cost for hot salted
+        terms (measured 180 rows for a Zipf-head term at 400k docs).
+        Returns None when rows overlap (defensive) or the position budget
+        is exhausted; callers fall back to the per-row loop."""
+        m = getattr(tp, "_pos_merged", None)
+        if m is not False and m is not None:
+            return m
+        if m is False:
+            return None
+        # budget gate: a term whose full position stream exceeds ~64M
+        # entries (≈1 GB merged) stays on the per-row path — its rows
+        # decode under the row-cache budget instead of pinning one giant
+        # array (only relevant for Zipf-head terms on very large
+        # single-searcher partitions; distributed searchers bound this
+        # by construction)
+        # varbyte positions are >=1 byte each, so byte length upper-bounds
+        # nothing but LOWER-bounds the entry count; use it as the estimate
+        est = sum(len(r["pos_bytes"] or b"") for r in tp.rows)
+        if est > 64_000_000:
+            tp._pos_merged = False
+            return None
+        parts = []
+        for ri, r in enumerate(tp.rows):
+            if not r["pos_bytes"]:
+                continue
+            parts.append(self._decoded_pos_row(tp, ri, r))
+        if not parts:
+            e = np.empty(0, np.int64)
+            tp._pos_merged = (e, e, e, e)
+            return tp._pos_merged
+        parts.sort(key=lambda p: int(p[0][0]) if p[0].size else -1)
+        ids = np.concatenate([p[0] for p in parts])
+        if ids.size > 1 and not (np.diff(ids) > 0).all():
+            tp._pos_merged = False  # overlapping rows: per-row fallback
+            return None
+        pos = np.concatenate([p[1] for p in parts])
+        off = np.cumsum([0] + [p[1].size for p in parts[:-1]])
+        starts = np.concatenate([p[2] + o for p, o in zip(parts, off)])
+        cuts = np.concatenate([p[3] + o for p, o in zip(parts, off)])
+        tp._pos_merged = (ids, pos, starts, cuts)
+        return tp._pos_merged
+
     def _positions_pairs(self, tp: TermPostings, cand: np.ndarray):
         """Flattened (cand_index, position) pairs for all candidates at once —
         no per-candidate Python loop or array-of-arrays. Used by the phrase
         verifier over large candidate sets; spans use _positions_for."""
+        merged = self._merged_positions(tp)
+        if merged is not None:
+            ids, pos, starts, cuts = merged
+            if ids.size == 0:
+                return (np.empty(0, np.int64), np.empty(0, np.int64))
+            idx = np.searchsorted(ids, cand)
+            safe = np.minimum(idx, ids.size - 1)
+            hit = np.flatnonzero(ids[safe] == cand)
+            if hit.size == 0:
+                return (np.empty(0, np.int64), np.empty(0, np.int64))
+            j = idx[hit]
+            lens = cuts[j] - starts[j]
+            tot = int(lens.sum())
+            if tot == 0:
+                return (np.empty(0, np.int64), np.empty(0, np.int64))
+            prefix = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            gidx = np.repeat(starts[j] - prefix, lens) + np.arange(tot)
+            return np.repeat(hit, lens), pos[gidx]
         ci_parts: list[np.ndarray] = []
         pos_parts: list[np.ndarray] = []
         for ri, r in enumerate(tp.rows):

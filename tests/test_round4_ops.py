@@ -276,3 +276,26 @@ def test_painless_vectorized_vs_scalar_fuzz():
             assert got == vec[i] or (
                 isinstance(got, float) and np.isclose(got, vec[i])), \
                 (src, i, got, vec[i])
+
+
+def test_merged_positions_parity(ray_session):
+    """The merged-positions fast path must agree with the per-row loop
+    (forced by resetting the merge cache to the fallback sentinel)."""
+    from elasticsearch_ray.pipelines.fulltext import documents_searcher
+
+    s = documents_searcher(SF)
+    for text in ("data query", "slow merge", "query window data"):
+        q = {"kind": "match_phrase", "text": text, "k": 10}
+        ids_fast, sc_fast = s.search(q)
+        # force per-row fallback on every involved term
+        for tok in text.split():
+            tp = s._get_term(tok)
+            if tp is not None:
+                tp._pos_merged = False
+        ids_slow, sc_slow = s.search(q)
+        for tok in text.split():
+            tp = s._get_term(tok)
+            if tp is not None:
+                del tp._pos_merged
+        assert list(ids_fast) == list(ids_slow)
+        assert np.allclose(sc_fast, sc_slow)
