@@ -2874,6 +2874,17 @@ class IndexSearcher:
         Fully vectorized: varbyte-decode the row's position stream once,
         absolutize with a segmented cumsum, slice only the candidate docs."""
         out = [np.empty(0, np.int64)] * cand.size
+        merged = self._merged_positions(tp)
+        if merged is not None:
+            ids, pos, starts, cuts = merged
+            if ids.size == 0:
+                return out
+            idx = np.searchsorted(ids, cand)
+            safe = np.minimum(idx, ids.size - 1)
+            for ci in np.flatnonzero(ids[safe] == cand):
+                j = idx[ci]
+                out[ci] = pos[starts[j]:cuts[j]]
+            return out
         for ri, r in enumerate(tp.rows):
             if not r["pos_bytes"]:
                 continue
