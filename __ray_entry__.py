@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_where_or", "sql_where_boolean_tree", "sql_where_not_like",
         "ml_anomaly_mean_value", "ml_datafeed_agg_preview",
         "ml_estimate_model_memory", "painless_script_locals",
+        "text_boilerplate_strip",
         # --- driver-unchecked, oracle-bearing (573) ---
         "ft_function_score_functions", "ft_function_score_gauss",
         "ft_sort_missing_last", "ft_sort_script", "ft_sort_geo_distance",
@@ -1017,6 +1018,22 @@ GROUP BY event_type ORDER BY event_type"""
 SELECT doc_id FROM documents
 WHERE lang = 'en' AND NOT text LIKE '%data%'
 ORDER BY doc_id"""
+    out["text_boilerplate_strip"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (SELECT doc_id, i AS ci,
+              array_to_string(ws[(i*3+1):(i*3+3)], ' ') AS chunk
+       FROM w, unnest(generate_series(0,
+              CAST(ceil(len(ws)/3.0) AS BIGINT) - 1)) AS u(i)),
+hot AS (SELECT chunk FROM (SELECT chunk, COUNT(DISTINCT doc_id) AS df
+                           FROM ch GROUP BY chunk) WHERE df >= 5)
+SELECT doc_id,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE chunk IN (SELECT chunk FROM hot))
+           AS n_removed,
+       coalesce(string_agg(chunk, ' ' ORDER BY ci)
+           FILTER (WHERE chunk NOT IN (SELECT chunk FROM hot)), '')
+           AS text_clean
+FROM ch GROUP BY doc_id ORDER BY doc_id"""
     out["painless_script_locals"] = """
 SELECT doc_id,
        ROUND((n_chars / 100.0) * 2.0

@@ -1420,3 +1420,79 @@ def exact_dedup_tasks(path: str, text_col: str = "text",
     buckets = [reduce_task.remote(id_col, *[row[b] for row in per_frag])
                for b in range(B)]
     return rd.from_arrow_refs(buckets)
+
+
+def boilerplate_strip(ds, *, chunk_words: int = 3, min_df: int = 5,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Cross-document BOILERPLATE removal (the C4/CCNet curation step:
+    navigation chrome / template lines recurring across many pages are
+    stripped from every document — distinct from paragraph_dedup's
+    keep-first semantics, which preserves one copy). A chunk whose
+    DISTINCT-document frequency reaches `min_df` is boilerplate and is
+    removed wherever it occurs.
+
+    Scale shape: chunk explode (same split convention as
+    paragraph_dedup) -> bucketed distinct-doc df count (hash(chunk) % B
+    exchange, vectorized in-bucket) -> the hot-chunk set is small BY
+    CONSTRUCTION (bounded by corpus_chunks / min_df) and broadcasts via
+    ray.put -> one stateless map_batches strips + reassembles per doc.
+    This is also the prescribed pre-pass for near-dedup on
+    template-heavy corpora (SCALE.md round-4 anti-pattern note).
+    Returns a Dataset of (doc_id, n_total, n_removed, text_clean)."""
+    import zlib
+
+    import ray
+
+    num_buckets = 64
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, chunks, cb = [], [], []
+        for did, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            ws = (s or "").split(" ")
+            n = (len(ws) + chunk_words - 1) // chunk_words
+            for i in range(n):
+                c = " ".join(ws[i * chunk_words:(i + 1) * chunk_words])
+                ids.append(did)
+                chunks.append(c)
+                cb.append(zlib.crc32(c.encode()) % num_buckets)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "chunk": pa.array(chunks, pa.string()),
+                         "cbucket": pa.array(cb, pa.int64())})
+
+    def hot_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["chunk", id_col])
+        df_ = d.groupby("chunk", as_index=False).size()
+        hot = df_[df_["size"] >= min_df][["chunk"]]
+        return hot
+
+    hot_pd = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("cbucket")
+              .map_groups(hot_in_bucket, batch_format="pandas")
+              .to_pandas())
+    hot_set = frozenset(hot_pd["chunk"].tolist())
+    hot_ref = ray.put(hot_set)
+
+    def strip(t: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        ids_out, tot, rem, clean = [], [], [], []
+        for did, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            ws = (s or "").split(" ")
+            n = (len(ws) + chunk_words - 1) // chunk_words
+            kept = []
+            removed = 0
+            for i in range(n):
+                c = " ".join(ws[i * chunk_words:(i + 1) * chunk_words])
+                if c in hs:
+                    removed += 1
+                else:
+                    kept.append(c)
+            ids_out.append(did)
+            tot.append(n)
+            rem.append(removed)
+            clean.append(" ".join(kept))
+        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                         "n_total": pa.array(tot, pa.int64()),
+                         "n_removed": pa.array(rem, pa.int64()),
+                         "text_clean": pa.array(clean, pa.string())})
+
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -16874,3 +16874,19 @@ def painless_script_locals(sf_dir: str):
     return (_ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
             .map_batches(f, batch_format="pyarrow")
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def text_boilerplate_strip(sf_dir: str):
+    """Cross-document boilerplate removal (the C4 / CCNet curation step
+    — template chunks recurring across >= min_df distinct docs stripped
+    from EVERY doc; distinct from dedup_paragraph's keep-first): 3-word
+    chunks, min_df=5 at the gate corpus. Bucketed df-count exchange +
+    ray.put hot-set broadcast + stateless strip pass
+    (functions/dedup.py boilerplate_strip)."""
+    out = D.boilerplate_strip(
+        _ds(sf_dir, "documents", ["doc_id", "text"]),
+        chunk_words=3, min_df=5)
+    df = out.to_pandas()
+    for c in ("doc_id", "n_total", "n_removed"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)

@@ -299,3 +299,24 @@ def test_merged_positions_parity(ray_session):
                 del tp._pos_merged
         assert list(ids_fast) == list(ids_slow)
         assert np.allclose(sc_fast, sc_slow)
+
+
+def test_boilerplate_strip_semantics(ray_session):
+    """Boilerplate chunks (df >= min_df) vanish from EVERY doc; rare
+    chunks survive everywhere (distinct from keep-first dedup)."""
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.dedup import boilerplate_strip
+
+    bp = "copyright acme corp"
+    rows = [{"doc_id": i, "text": f"{bp} unique body {i} stuff {i*7}"}
+            for i in range(6)]
+    rows.append({"doc_id": 99, "text": "totally original document here"})
+    out = boilerplate_strip(rd.from_items(rows), chunk_words=3,
+                            min_df=5).to_pandas().sort_values("doc_id")
+    by = dict(zip(out["doc_id"], out["text_clean"]))
+    for i in range(6):
+        assert bp not in by[i]          # stripped everywhere
+        assert f"unique body {i}" in by[i]
+    assert by[99] == "totally original document here"
+    assert (out[out["doc_id"] < 6]["n_removed"] >= 1).all()
