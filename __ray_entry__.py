@@ -108,7 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_where_or", "sql_where_boolean_tree", "sql_where_not_like",
         "ml_anomaly_mean_value", "ml_datafeed_agg_preview",
         "ml_estimate_model_memory", "painless_script_locals",
-        "text_boilerplate_strip",
+        "text_boilerplate_strip", "index_dangling_recovery",
         # --- driver-unchecked, oracle-bearing (573) ---
         "ft_function_score_functions", "ft_function_score_gauss",
         "ft_sort_missing_last", "ft_sort_script", "ft_sort_geo_distance",

@@ -126,3 +126,102 @@ def write_build_log(out_dir: str, record: dict) -> None:
     record = {"ts": time.time(), **record}
     with open(os.path.join(out_dir, "build_log.jsonl"), "a") as f:
         f.write(json.dumps(record) + "\n")
+
+
+# ---- dangling segments (the _dangling_indices API analog:
+# TransportListDanglingIndicesAction / ImportDanglingIndexAction —
+# indices present on disk but absent from cluster state; here: segment
+# dirs with postings but NO manifest, e.g. a crashed build whose encode
+# finished but whose commit rename didn't run) ----
+
+
+def dangling_segments(out_dir: str) -> list[dict]:
+    """Segment-shaped dirs (postings present) lacking a manifest — both
+    orphaned .tmp- dirs and manifest-less final dirs. Returns
+    [{segment_id, path, state, postings_files}] sorted by id."""
+    out: list[dict] = []
+    if not os.path.isdir(out_dir):
+        return out
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        has_manifest = os.path.isfile(os.path.join(d, "manifest.json"))
+        pdir = os.path.join(d, "postings")
+        has_postings = os.path.isdir(pdir) and any(
+            f.endswith(".parquet") for f in os.listdir(pdir))
+        if has_manifest or not has_postings:
+            continue
+        seg_id = name[len(".tmp-"):] if name.startswith(".tmp-") else name
+        out.append({
+            "segment_id": seg_id,
+            "path": d,
+            "state": "tmp" if name.startswith(".tmp-") else "uncommitted",
+            "postings_files": sum(1 for f in os.listdir(pdir)
+                                  if f.endswith(".parquet")),
+        })
+    return out
+
+
+def import_dangling_segment(out_dir: str, segment_id: str,
+                            *, analyzer: str = "simple",
+                            index_positions: bool = True) -> SegmentManifest:
+    """Recover a dangling segment by re-deriving its manifest from the
+    on-disk docmeta/postings (the import path of the dangling-indices
+    API: accept the data as-is, rebuild only the metadata). Fragments
+    lineage is unrecoverable without the original plan, recorded as
+    empty with extra.recovered=True; doc/term stats recount from the
+    side-written files, then the segment commits atomically through the
+    normal rename path."""
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    cand = [tmp_segment_dir(out_dir, segment_id),
+            segment_dir(out_dir, segment_id)]
+    src = next((d for d in cand
+                if os.path.isdir(os.path.join(d, "postings"))
+                and not os.path.isfile(os.path.join(d, "manifest.json"))),
+               None)
+    if src is None:
+        raise FileNotFoundError(
+            f"no dangling segment {segment_id!r} under {out_dir}")
+    meta = pads.dataset(os.path.join(src, "docmeta")).to_table(
+        columns=["doc_id", "doc_len"])
+    post = pads.dataset(os.path.join(src, "postings")).to_table(
+        columns=["term"])
+    ids = meta["doc_id"].to_numpy()
+    manifest = SegmentManifest(
+        segment_id=segment_id,
+        fragments=[],
+        doc_count=len(meta),
+        sum_doc_len=int(meta["doc_len"].to_numpy().sum()),
+        term_count=int(pc.count_distinct(post["term"]).as_py())
+        if len(post) else 0,
+        doc_id_min=int(ids.min()) if ids.size else 0,
+        doc_id_max=int(ids.max()) if ids.size else 0,
+        analyzer=analyzer,
+        index_positions=index_positions,
+        build_seconds=0.0,
+        extra={"recovered": True},
+    )
+    if src == segment_dir(out_dir, segment_id):
+        # manifest-less FINAL dir: write the manifest in place atomically
+        with open(os.path.join(src, "manifest.json.tmp"), "w") as f:
+            f.write(manifest.to_json())
+        os.replace(os.path.join(src, "manifest.json.tmp"),
+                   os.path.join(src, "manifest.json"))
+        return manifest
+    commit_segment(out_dir, segment_id, manifest)
+    return manifest
+
+
+def delete_dangling_segment(out_dir: str, segment_id: str) -> bool:
+    """Drop a dangling segment's directory (the delete path of the API).
+    Refuses to touch a committed (manifest-bearing) segment."""
+    for d in (tmp_segment_dir(out_dir, segment_id),
+              segment_dir(out_dir, segment_id)):
+        if os.path.isdir(d) and not os.path.isfile(
+                os.path.join(d, "manifest.json")):
+            shutil.rmtree(d)
+            return True
+    return False

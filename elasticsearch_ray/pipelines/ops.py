@@ -16890,3 +16890,50 @@ def text_boilerplate_strip(sf_dir: str):
     for c in ("doc_id", "n_total", "n_removed"):
         df[c] = df[c].astype(np.int64)
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def index_dangling_recovery(sf_dir: str):
+    """_dangling_indices API analog over the segment store
+    (TransportListDanglingIndicesAction / ImportDanglingIndexAction —
+    disk-present, state-absent data recovered or dropped): builds the
+    documents index fresh in a scratch dir, simulates a crashed commit
+    by removing one segment's manifest, then lists -> imports ->
+    verifies search parity, and exercises the delete-refusal on the
+    recommitted segment. Emits one row per lifecycle phase."""
+    import shutil
+
+    from ..index.build import build_index
+    from ..index.manifest import (committed_segments, dangling_segments,
+                                  delete_dangling_segment,
+                                  import_dangling_segment)
+    from ..search.engine import IndexSearcher
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    scratch = os.path.join("/tmp/esray_cache",
+                           f"dangling_{os.path.getmtime(src):.0f}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    build_index(src, scratch, analyzer="simple", docs_per_partition=250,
+                num_buckets=8, content_column="text", meta_columns=())
+    segs = sorted(committed_segments(scratch))
+    ref = IndexSearcher(scratch, main_field="text", score_mode="exact64")
+    q = {"kind": "term", "term": "data", "k": 10_000}
+    ref_ids, _ = ref.search(q)
+
+    victim = segs[-1]
+    os.remove(os.path.join(scratch, victim, "manifest.json"))
+    listed = dangling_segments(scratch)
+    m = import_dangling_segment(scratch, victim)
+    after = IndexSearcher(scratch, main_field="text", score_mode="exact64")
+    ids2, _ = after.search(q)
+    parity = int(list(ids2) == list(ref_ids))
+    refused = int(not delete_dangling_segment(scratch, victim))
+    rows = [
+        ("committed_segments", np.int64(len(segs))),
+        ("dangling_listed", np.int64(len(listed))),
+        ("recovered_docs", np.int64(m.doc_count)),
+        ("search_parity", np.int64(parity)),
+        ("delete_refused_committed", np.int64(refused)),
+    ]
+    return pd.DataFrame({"stat": [r[0] for r in rows],
+                         "value": [r[1] for r in rows]}).sort_values(
+        "stat").reset_index(drop=True)

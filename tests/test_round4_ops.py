@@ -320,3 +320,57 @@ def test_boilerplate_strip_semantics(ray_session):
         assert f"unique body {i}" in by[i]
     assert by[99] == "totally original document here"
     assert (out[out["doc_id"] < 6]["n_removed"] >= 1).all()
+
+
+def test_dangling_segment_recovery(ray_session, tmp_path):
+    """_dangling_indices analog: a crashed build's manifest-less segment
+    is listed, imported with a recovered manifest, and the index then
+    searches with FULL parity vs the uncrashed build."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.index.build import build_index
+    from elasticsearch_ray.index.manifest import (
+        committed_segments, dangling_segments, delete_dangling_segment,
+        import_dangling_segment)
+    from elasticsearch_ray.search.engine import IndexSearcher
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array([f"alpha beta doc {i} token{i % 7}"
+                          for i in range(40)], pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src, row_group_size=20)  # 2 fragments -> 2 segs
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, analyzer="simple", docs_per_partition=20,
+                num_buckets=4, content_column="text", meta_columns=())
+    segs = sorted(committed_segments(idx))
+    assert len(segs) == 2
+    ref = IndexSearcher(idx, main_field="text", score_mode="exact64")
+    q = {"kind": "term", "term": "alpha", "k": 40}
+    ref_ids, ref_sc = ref.search(q)
+
+    # simulate the crash: drop one segment's manifest
+    victim = segs[1]
+    os.remove(os.path.join(idx, victim, "manifest.json"))
+    d = dangling_segments(idx)
+    assert [x["segment_id"] for x in d] == [victim]
+    assert d[0]["state"] == "uncommitted"
+
+    m = import_dangling_segment(idx, victim)
+    assert m.extra["recovered"] and m.doc_count == 20
+    assert not dangling_segments(idx)
+    s2 = IndexSearcher(idx, main_field="text", score_mode="exact64")
+    ids2, sc2 = s2.search(q)
+    assert list(ids2) == list(ref_ids)
+    assert np.allclose(sc2, ref_sc)
+
+    # delete path: refuses committed segments, removes dangling ones
+    assert not delete_dangling_segment(idx, victim)  # now committed
+    os.remove(os.path.join(idx, victim, "manifest.json"))
+    assert delete_dangling_segment(idx, victim)
+    assert victim not in committed_segments(idx)
