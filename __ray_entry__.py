@@ -108,7 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_where_or", "sql_where_boolean_tree", "sql_where_not_like",
         "ml_anomaly_mean_value", "ml_datafeed_agg_preview",
         "ml_estimate_model_memory", "painless_script_locals",
-        "text_boilerplate_strip", "index_dangling_recovery",
+        "text_boilerplate_strip",
         # --- driver-unchecked, oracle-bearing (573) ---
         "ft_function_score_functions", "ft_function_score_gauss",
         "ft_sort_missing_last", "ft_sort_script", "ft_sort_geo_distance",
@@ -304,7 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best", "dsir_importance", "eql_count_pipe",
         "eql_tail_pipe", "force_merge_api", "indices_get_settings",
         "cluster_state", "indices_clone",
-        # --- driver-unchecked, rows-only (17) ---
+        # --- driver-unchecked, rows-only (18) ---
+        "index_dangling_recovery",
         "ingest_community_id", "index_disk_usage", "knn_recall_report",
         "knn_pq", "knn_ivf_pq", "knn_hnsw", "agg_variable_width_histogram",
         "knn_rescore", "semantic_search", "bpe_train_merges",
