@@ -181,7 +181,8 @@ def parse_sql(sql: str) -> dict:
                 # simple conjuncts prune the read. SQL `=` and single
                 # quotes are rewritten to the engine's `==` / double
                 # quotes.
-                e = re.sub(r"(?<![<>!=])=(?!=)", "==", clause.strip())
+                e = clause.strip().replace("<>", "!=")
+                e = re.sub(r"(?<![<>!=])=(?!=)", "==", e)
                 e = re.sub(r"'([^']*)'", r'"\1"', e)
                 # SQL LIKE wildcards -> the engine's (%% -> *, _ -> ?)
                 e = re.sub(
@@ -401,8 +402,9 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
         snames = set(_pq.read_schema(_os.path.join(
             sf_dir, f"{plan['table']}.parquet")).names)
         for e in plan["expr_preds"]:
-            need += [t for t in re.findall(r"[A-Za-z_]\w*", e)
-                     if t in snames and t not in need]
+            for t in re.findall(r"[A-Za-z_]\w*", e):
+                if t in snames and t not in need:
+                    need.append(t)
     if plan["ft"] and "doc_id" not in need:
         need = ["doc_id"] + need
     flt = None
@@ -549,6 +551,25 @@ def _run_agg(ds, plan: dict):
         return pa.Table.from_pandas(res, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        # zero input rows: GROUP BY yields zero groups; a global
+        # aggregate still yields ONE row (COUNT = 0, other aggs NULL)
+        if group:
+            out = pd.DataFrame({g: pd.Series([], dtype=object)
+                                for g in group})
+            for alias, fn, _ in aggs:
+                out[alias] = pd.Series(
+                    [], dtype="int64" if fn == "COUNT" else "float64")
+        else:
+            out = pd.DataFrame(index=[0])
+            for alias, fn, _ in aggs:
+                out[alias] = 0 if fn == "COUNT" else float("nan")
+        if plan["having"] and len(out):
+            col, op, lit = plan["having"]
+            f = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, ">": _op.gt,
+                 ">=": _op.ge, "<": _op.lt, "<=": _op.le}[op]
+            out = out[f(out[col], lit)]
+        return out.reset_index(drop=True)
     if group:
         merged = parts.groupby(group, as_index=False).sum(min_count=1)
         for alias, fn, _ in aggs:

@@ -129,3 +129,39 @@ def test_sql_distinct_plans_match_duckdb(ray_session, seed):
             got[cols].reset_index(drop=True),
             want[cols].reset_index(drop=True),
             check_dtype=False, obj=f"sql {sql!r}")
+
+
+def _bool_pred(rng: np.random.Generator, depth: int = 0) -> str:
+    """Random boolean WHERE tree in plain SQL (valid for BOTH engines)."""
+    if depth >= 2 or rng.random() < 0.4:
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            op = rng.choice([">", ">=", "<", "<=", "=", "<>"])
+            return f"value {op} {int(rng.integers(0, 120))}"
+        if kind == 1:
+            ty = rng.choice(["click", "view", "purchase", "error"])
+            return f"event_type = '{ty}'"
+        return f"event_type LIKE '{rng.choice(['c%', '%w', '%rr%', 'v_ew'])}'"
+    a = _bool_pred(rng, depth + 1)
+    b = _bool_pred(rng, depth + 1)
+    form = rng.integers(0, 3)
+    if form == 0:
+        return f"({a} AND {b})"
+    if form == 1:
+        return f"({a} OR {b})"
+    return f"NOT ({a} OR {b})"
+
+
+@pytest.mark.parametrize("seed", [s + _SEED_OFF for s in range(16)])
+def test_sql_boolean_where_trees_match_duckdb(ray_session, seed):
+    """Round-4 grammar depth: random OR/NOT/LIKE predicate trees through
+    run_sql vs DuckDB on the same text."""
+    rng = np.random.default_rng(8_800_000 + seed)
+    sql = ("SELECT event_type, COUNT(*) AS n FROM events "
+           f"WHERE {_bool_pred(rng)} "
+           "GROUP BY event_type ORDER BY event_type")
+    got = run_sql(sql, SF, ds_factory=_ds)
+    want = duckdb.sql(sql.replace("FROM events", f"FROM {EV}")).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False, obj=f"sql {sql!r}")
