@@ -1736,12 +1736,29 @@ def _run_row_mode(ds, post: list[tuple[str, str]]) -> pd.DataFrame:
             return pa.Table.from_pandas(df, preserve_index=False)
 
         parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+        if any(sp[0] not in parts.columns for sp in specs):
+            # a fully-filtered stream reaches the driver with NO schema
+            # (Ray emits zero-row bundles schema-less); rebuild the typed
+            # empty frame from the plan's schema so SORT/KEEP still work
+            parts = _empty_frame(ds)
         out = _sort_frame(parts, specs).head(limit)
     else:
         out = ds.limit(limit).to_pandas()
+        if out.shape == (0, 0):
+            out = _empty_frame(ds)
     if keep:
         out = out[_expand_cols(keep, list(out.columns))]
     return out.reset_index(drop=True)
+
+
+def _empty_frame(ds) -> pd.DataFrame:
+    """Typed empty pandas frame matching a Dataset's schema (edge path
+    only — runs when a pipeline produced zero rows)."""
+    sch = ds.schema()
+    if sch is None:
+        return pd.DataFrame()
+    return pa.table({f.name: pa.array([], f.type)
+                     for f in sch.base_schema}).to_pandas()
 
 
 def _grok_fn(body: str):

@@ -374,3 +374,25 @@ def test_dangling_segment_recovery(ray_session, tmp_path):
     os.remove(os.path.join(idx, victim, "manifest.json"))
     assert delete_dangling_segment(idx, victim)
     assert victim not in committed_segments(idx)
+
+
+def test_empty_result_edges(ray_session):
+    """Zero-match WHERE must not crash any plan shape (round-4 fuzz
+    findings): SQL group/global aggregates, ES|QL STATS and row-mode."""
+    from elasticsearch_ray.functions import esql
+    from elasticsearch_ray.functions.sql import run_sql
+    from elasticsearch_ray.pipelines.ops import _ds
+
+    out = run_sql("SELECT event_type, COUNT(*) AS n FROM events "
+                  "WHERE value > 99999 GROUP BY event_type "
+                  "ORDER BY event_type", SF, ds_factory=_ds)
+    assert len(out) == 0 and list(out.columns) == ["event_type", "n"]
+    g = run_sql("SELECT COUNT(*) AS n, AVG(value) AS a FROM events "
+                "WHERE value > 99999", SF, ds_factory=_ds)
+    assert len(g) == 1 and int(g["n"][0]) == 0 and np.isnan(g["a"][0])
+    e = esql.run(SF, "FROM events | WHERE value > 99999 "
+                     "| STATS n = COUNT(*) BY event_type | SORT event_type")
+    assert len(e) == 0
+    r = esql.run(SF, "FROM events | WHERE value > 99999 "
+                     "| SORT value DESC | KEEP event_id, value | LIMIT 3")
+    assert len(r) == 0 and list(r.columns) == ["event_id", "value"]
