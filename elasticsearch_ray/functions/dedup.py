@@ -703,15 +703,17 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_k: int = 5,
                         text_col: str = "text", id_col: str = "doc_id",
                         concurrency=2) -> pd.DataFrame:
     """EXACT n-gram Jaccard all-pairs self-join: every pair with
-    J(k-gram sets) >= threshold, with the similarity value. Same distributed
-    shape as minhash_verified_pairs but with a lossless candidate generator
-    (prefix filtering) instead of probabilistic LSH banding:
+    J(k-gram sets) >= threshold, with the similarity value. A lossless
+    candidate generator (prefix filtering) instead of MinHash's
+    probabilistic banding, with both gram-cardinality exchanges bounded:
 
       prefix rows (int-only, materialized once — the DAG-diamond rule)
-        -> groupby(gram).count -> hot grams (>= 2 docs)
+        -> 64-bucket exchange detects hot grams (>= 2 docs) vectorized
         -> hash semi-join keeps hot prefix rows
         -> hash join ships each text once per HOT gram membership
-        -> groupby(gram).map_groups exact Jaccard verify
+        -> verify SHARDED by hash(gram) (complete groups per shard, the
+           group-matmul looped inside one worker call — Ray's per-group
+           plumbing never scales with hot-gram count)
 
     The driver sees verified pairs only. The gram order is
     frequency-refined: a bounded driver-side sample (same pattern as IVF
@@ -788,15 +790,24 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_k: int = 5,
         batch_size=512,
         concurrency=concurrency,
     ).materialize()
-    counts = prefix.groupby("gram").count()
+    # hot-gram detection through the 64-bucket exchange, NOT
+    # groupby(gram).count(): gram cardinality ~ corpus grams, and Ray's
+    # sort-based groupby pays per-GROUP cost there (functions/exchange.py)
+    def _gbucket(t: pa.Table) -> pa.Table:
+        g = t["gram"].to_numpy()
+        return t.append_column(
+            "gbkt", pa.array((g.astype(np.uint64) % 64).astype(np.int64)))
 
-    def _hot_keys(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def _hot_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["gram"].value_counts()
+        return pd.DataFrame({"gram": vc[vc >= 2].index.to_numpy(np.int64)})
 
-        t = t.filter(pc.field("count()") >= 2)
-        return pa.table({"gram": t["gram"].cast(pa.int64())})
-
-    hot = counts.map_batches(_hot_keys, batch_format="pyarrow")
+    hot = (prefix.map_batches(_gbucket, batch_format="pyarrow")
+           .groupby("gbkt").map_groups(_hot_in_bucket,
+                                       batch_format="pandas")
+           .map_batches(lambda t: pa.table(
+               {"gram": t["gram"].cast(pa.int64())}),
+               batch_format="pyarrow"))
     nparts = max(4, int(concurrency) * 2)
     agg_args = {"num_cpus": 0.25}
     hot_rows = prefix.join(hot, "inner", num_partitions=nparts,
@@ -805,7 +816,24 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_k: int = 5,
         lambda t: t.select([id_col, text_col]), batch_format="pyarrow")
     joined = hot_rows.join(texts, "inner", num_partitions=nparts,
                            on=(id_col,), aggregator_ray_remote_args=agg_args)
-    verified = joined.groupby("gram").map_groups(verify, batch_format="pandas")
+
+    # verify SHARDED by hash(gram): each shard holds complete gram groups
+    # and loops them inside ONE worker call (group-matmul per gram) —
+    # Ray's per-group map_groups plumbing never scales with hot-gram
+    # count (the minhash emit_pairs pattern)
+    def _vshard(t: pa.Table) -> pa.Table:
+        g = t["gram"].to_numpy()
+        s = ((g.astype(np.uint64) * np.uint64(0x9E3779B1)) % 32)
+        return t.append_column("vshard", pa.array(s.astype(np.int64)))
+
+    def verify_shard(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [verify(sub) for _, sub in g.groupby("gram", sort=False)]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else _empty
+
+    verified = (joined.map_batches(_vshard, batch_format="pyarrow")
+                .groupby("vshard")
+                .map_groups(verify_shard, batch_format="pandas"))
     df = verified.to_pandas()
     if df.empty:
         return _empty
