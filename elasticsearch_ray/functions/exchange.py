@@ -18,21 +18,21 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["bucketed_sum"]
+__all__ = ["bucketed_sum", "bucketed_agg"]
 
 
-def bucketed_sum(ds, keys, val: str, *, out_name: str | None = None,
-                 num_buckets: int = 64):
-    """groupby(keys).sum(val) via a `num_buckets`-way hash exchange.
+def bucketed_agg(ds, keys, val: str, how: str = "sum", *,
+                 out_name: str | None = None, num_buckets: int = 64):
+    """groupby(keys).<how>(val) via a `num_buckets`-way hash exchange.
 
     `keys`: list of key column names (string or integer columns).
-    `out_name`: output column for the sum (default `sum(<val>)`, matching
-    Ray's native name so call sites swap in without renames).
-    """
+    `how`: "sum" | "min" | "max" | "count" (count ignores val's values).
+    `out_name`: output column (default `<how>(<val>)`, matching Ray's
+    native names so call sites swap in without renames)."""
     import zlib
 
     keys = list(keys)
-    out_col = out_name or f"sum({val})"
+    out_col = out_name or f"{how}({val})"
     nb = np.uint64(num_buckets)
 
     def _bucket(t: pa.Table) -> pa.Table:
@@ -49,10 +49,24 @@ def bucketed_sum(ds, keys, val: str, *, out_name: str | None = None,
             hb = hb * np.uint64(1000003) + h
         return t.append_column("_xb", pa.array((hb % nb).astype(np.int64)))
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(keys, as_index=False, sort=False)[val].sum()
-        return out.rename(columns={val: out_col})
+    def _merge(g: pd.DataFrame) -> pa.Table:
+        gb = g.groupby(keys, as_index=False, sort=False)
+        if how == "count":
+            out = gb.size().rename(columns={"size": out_col})
+        else:
+            out = gb[val].agg(how).rename(columns={val: out_col})
+        # clean Arrow out (pandas schema metadata breaks downstream
+        # hash-shuffle schema dedup and spams warnings)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     return (ds.map_batches(_bucket, batch_format="pyarrow")
             .groupby("_xb")
             .map_groups(_merge, batch_format="pandas"))
+
+
+def bucketed_sum(ds, keys, val: str, *, out_name: str | None = None,
+                 num_buckets: int = 64):
+    """groupby(keys).sum(val) — see bucketed_agg."""
+    return bucketed_agg(ds, keys, val, "sum", out_name=out_name,
+                        num_buckets=num_buckets)

@@ -34,6 +34,16 @@ import numpy as np
 import pyarrow as pa
 
 
+def _vb_agg(ds, val: str, how: str, num_buckets: int = 64):
+    """groupby("v").<how>(val) through the bucketed exchange — vertex
+    cardinality ~ row cardinality, exactly the per-GROUP-cost regime
+    Ray's sort groupby mishandles (exchange.py; SCALE.md Round-4).
+    Output columns (v, <how>(<val>)) match Ray's native naming."""
+    from .exchange import bucketed_agg
+
+    return bucketed_agg(ds, ["v"], val, how, num_buckets=num_buckets)
+
+
 def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
                          max_iters: int = 10, num_buckets: int = 32):
     """Returns a Dataset of (doc_id, component) — component = min vertex id
@@ -54,8 +64,8 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
     def seed(t: pa.Table) -> pa.Table:
         return pa.table({"v": t["v"], "l": t["v"]})
 
-    labels = (adj.map_batches(seed, batch_format="pyarrow")
-              .groupby("v").min("l").materialize())
+    labels = _vb_agg(adj.map_batches(seed, batch_format="pyarrow"),
+                     "l", "min", num_buckets).materialize()
     labels = labels.map_batches(
         lambda t: pa.table({"v": t["v"], "l": t["min(l)"]}),
         batch_format="pyarrow").materialize()
@@ -110,7 +120,7 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
         tagged = labels.map_batches(tag_labels, batch_format="pyarrow")
         msgs = adj.union(tagged).groupby("bkt").map_groups(
             per_bucket, batch_format="pyarrow")
-        mins = msgs.groupby("v").min("l").map_batches(
+        mins = _vb_agg(msgs, "l", "min", num_buckets).map_batches(
             lambda t: pa.table({"v": t["v"], "l": t["min(l)"]}),
             batch_format="pyarrow").materialize()  # consumed twice below
         # pointer jump: l(v) <- l(l(v)); every l(v) is a vertex, so the
@@ -252,8 +262,8 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
                 np.ones(t.num_rows, np.int64),
                 np.zeros(t.num_rows, np.int64)]), pa.int64())})
 
-    vd = (ed.map_batches(endpoints, batch_format="pyarrow")
-          .groupby("v").sum("d").materialize())
+    vd = _vb_agg(ed.map_batches(endpoints, batch_format="pyarrow"),
+                 "d", "sum").materialize()
     n_int = vd.count()
     n = float(n_int)
     r0 = S // n_int
@@ -278,11 +288,11 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
                         rk["rq"] // np.maximum(rk["outdeg"], 1)))
         dang = int(rk.loc[rk["outdeg"] == 0, "rq"].sum())
         c = eg["src"].map(rmap).to_numpy(dtype=np.int64)
-        return pd.DataFrame({
-            "dst": np.concatenate([eg["dst"].to_numpy(),
-                                   [-1]]).astype(np.int64),
-            "c": np.concatenate([c, [dang]]).astype(np.int64),
-            "outdeg": np.full(len(eg) + 1, -1, np.int64)})
+        return pa.table({
+            "dst": pa.array(np.concatenate([eg["dst"].to_numpy(),
+                                            [-1]]).astype(np.int64)),
+            "c": pa.array(np.concatenate([c, [dang]]).astype(np.int64)),
+            "outdeg": pa.array(np.full(len(eg) + 1, -1, np.int64))})
 
     base = np.int64(np.floor((1 - damping) * S / n))
     for _ in range(iters):
@@ -299,12 +309,25 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
                                                        np.int64)),
                                 "outdeg": t["outdeg"]}),
             batch_format="pyarrow")
+        def _dst_bucket(t: pa.Table) -> pa.Table:
+            d = t["dst"].to_numpy()
+            return t.append_column(
+                "_db", pa.array((d % 64).astype(np.int64)))
+
+        def _merge_dst(g):
+            out = g.groupby("dst", as_index=False).agg(
+                c=("c", "sum"), outdeg=("outdeg", "max"))
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
+
+        # bucketed dst-cardinality merge (vertex count ~ row count:
+        # the per-GROUP-cost regime — see _vb_agg)
         agg = (ct.map_batches(
             lambda t: t.filter(pa.compute.not_equal(t["dst"], -1)),
             batch_format="pyarrow")
-            .union(seeds).groupby("dst")
-            .aggregate(Sum("c", alias_name="c"),
-                       Max("outdeg", alias_name="outdeg")))
+            .union(seeds)
+            .map_batches(_dst_bucket, batch_format="pyarrow")
+            .groupby("_db").map_groups(_merge_dst, batch_format="pandas"))
         ranks = agg.map_batches(
             lambda t, dm_div=dm_div: pa.table({
                 "v": t["dst"].cast(pa.int64()),
@@ -356,8 +379,9 @@ def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
                                       t["dst"].to_numpy()]))
         return pa.table({"v": pa.array(v, pa.int64())})
 
-    verts = (ed_src.map_batches(endpoints, batch_format="pyarrow")
-             .groupby("v").count()
+    verts = (_vb_agg(ed_src.map_batches(endpoints,
+                                        batch_format="pyarrow"),
+                     "v", "count")
              .map_batches(lambda t: t.select(["v"]),
                           batch_format="pyarrow").materialize())
 
@@ -381,22 +405,22 @@ def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
         smap = dict(zip(sc["src"], sc["s"]))
         tgt = eg["dst"] if out_key == "dst" else eg["src"]
         lookup = eg["src"] if out_key == "dst" else eg["dst"]
-        return pd.DataFrame({
-            "v": tgt.to_numpy(dtype=np.int64),
-            "s": lookup.map(smap).to_numpy(dtype=np.int64)})
+        return pa.table({
+            "v": pa.array(tgt.to_numpy(dtype=np.int64)),
+            "s": pa.array(lookup.map(smap).to_numpy(dtype=np.int64))})
 
     def half_step(scores, ed, out_key):
         # scores routed by their own vertex = the co-group's lookup side
-        agg = (scores.map_batches(score_rows, batch_format="pyarrow")
-               .union(ed).groupby("bkt")
-               .map_groups(lambda g, k=out_key: push(g, k))
-               .map_batches(lambda t: t, batch_format="pyarrow")
-               .union(verts.map_batches(
-                   lambda t: pa.table({
-                       "v": t["v"],
-                       "s": pa.array(np.zeros(t.num_rows, np.int64))}),
-                   batch_format="pyarrow"))
-               .groupby("v").sum("s")
+        pushed = (scores.map_batches(score_rows, batch_format="pyarrow")
+                  .union(ed).groupby("bkt")
+                  .map_groups(lambda g, k=out_key: push(g, k))
+                  .map_batches(lambda t: t, batch_format="pyarrow")
+                  .union(verts.map_batches(
+                      lambda t: pa.table({
+                          "v": t["v"],
+                          "s": pa.array(np.zeros(t.num_rows, np.int64))}),
+                      batch_format="pyarrow")))
+        agg = (_vb_agg(pushed, "s", "sum")
                .map_batches(lambda t: pa.table({
                    "v": t["v"].cast(pa.int64()),
                    "s": t["sum(s)"].cast(pa.int64())}),
