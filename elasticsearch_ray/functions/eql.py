@@ -222,9 +222,9 @@ def run(sf_dir: str, query: str, table: str = "events") -> pd.DataFrame:
                 "step": d["step"].astype(np.int64),
                 "event_id": d["event_id"].astype(np.int64)})
 
-        out = (ds.map_batches(tag_s, batch_format="pyarrow")
-                 .groupby("k").map_groups(per_key_s, batch_format="pandas")
-                 .to_pandas())
+        out = _sharded_per_key(
+            ds.map_batches(tag_s, batch_format="pyarrow"),
+            ["k"], per_key_s).to_pandas()
         if "k" not in out.columns:
             out = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
                                 "step": pd.Series([], dtype=np.int64),
@@ -311,9 +311,9 @@ def run(sf_dir: str, query: str, table: str = "events") -> pd.DataFrame:
                                  "seqs": pd.Series([], dtype=np.int64)})
         return pd.DataFrame({"k": [k], "seqs": [n]})
 
-    out = (ds.map_batches(tag, batch_format="pyarrow")
-             .groupby("k").map_groups(per_key, batch_format="pandas")
-             .to_pandas())
+    out = _sharded_per_key(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        ["k"], per_key).to_pandas()
     if "k" not in out.columns:  # zero sequences anywhere -> typed empty
         out = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
                             "seqs": pd.Series([], dtype=np.int64)})
@@ -323,6 +323,43 @@ def run(sf_dir: str, query: str, table: str = "events") -> pd.DataFrame:
     out = out.rename(columns={"k": name})
     out = out.sort_values(name).reset_index(drop=True)
     return _apply_pipes_frame(out, plan["pipes"])
+
+
+def _sharded_per_key(tagged, keycols, fn, num_shards: int = 64):
+    """groupby(keycols).map_groups(fn) with the per-key calls looped
+    INSIDE 64 hash shards: join-key cardinality ~ row cardinality (every
+    user is a key), which is the per-GROUP-cost regime Ray's sort-based
+    groupby mishandles (functions/exchange.py; SCALE.md Round-4). A
+    shard holds complete key groups, so fn sees exactly the frames it
+    saw before."""
+    import zlib
+
+    keycols = list(keycols)
+
+    def _shard(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        hb = np.zeros(n, np.uint64)
+        for kc in keycols:
+            col = t[kc]
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                    col.type):
+                h = np.fromiter((zlib.crc32(x.encode())
+                                 for x in col.to_pylist()), np.uint64, n)
+            else:
+                h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            hb = hb * np.uint64(1000003) + h
+        return t.append_column(
+            "_ks", pa.array((hb % num_shards).astype(np.int64)))
+
+    def _run(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [fn(sub) for _, sub in
+                g.drop(columns=["_ks"]).groupby(keycols, sort=False)]
+        outs = [o for o in outs if len(o)]
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame())
+
+    return (tagged.map_batches(_shard, batch_format="pyarrow")
+            .groupby("_ks").map_groups(_run, batch_format="pandas"))
 
 
 def _schema_safe(cols, out: pd.DataFrame) -> pd.DataFrame:
@@ -474,9 +511,9 @@ def _run_sequence_multi(ds, bys, span, nsteps, step_asts, until_ast,
         row["seqs"] = [n]
         return pd.DataFrame(row)
 
-    out = (ds.map_batches(tag, batch_format="pyarrow")
-             .groupby(kcols).map_groups(per_key, batch_format="pandas")
-             .to_pandas())
+    out = _sharded_per_key(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        kcols, per_key).to_pandas()
     if "seqs" not in out.columns:
         out = pd.DataFrame({**{b: pd.Series([], dtype=object)
                                for b in bys},
