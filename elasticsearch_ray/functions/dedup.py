@@ -240,7 +240,24 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, shingle_k: in
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    cand = sig.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    def _shard(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy()
+        bd = t["band"].to_numpy().astype(np.int64)
+        sh = np.abs((bh * np.int64(0x9E3779B1) + bd) % 64)
+        return t.append_column("lshard", pa.array(sh.astype(np.int64)))
+
+    def pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [pairs(sub) for _, sub in
+                g.groupby(["band", "band_hash"], sort=False)]
+        outs = [o for o in outs if len(o)]
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame({"doc_a": [], "doc_b": []}))
+
+    # bucket-sharded pair emission (bucket count ~ row count otherwise;
+    # functions/exchange.py / SCALE.md Round-4)
+    cand = (sig.map_batches(_shard, batch_format="pyarrow")
+            .groupby("lshard").map_groups(pairs_shard,
+                                          batch_format="pandas"))
     df = cand.to_pandas()
     if df.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),

@@ -494,8 +494,6 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
         # projection-cardinality groupby; ORDER BY / LIMIT apply after.
         import pyarrow as pa
 
-        from ray.data.aggregate import Count as _Cnt
-
         cols = list(plan["names"])
 
         def local_distinct(t: pa.Table) -> pa.Table:
@@ -503,8 +501,13 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
             return pa.Table.from_pandas(
                 df, preserve_index=False).replace_schema_metadata(None)
 
-        ds = (ds.map_batches(local_distinct, batch_format="pyarrow")
-                .groupby(cols).aggregate(_Cnt(alias_name="__dc")))
+        # bucketed distinct: projection cardinality can approach row
+        # cardinality (functions/exchange.py; SCALE.md Round-4)
+        from .exchange import bucketed_agg
+
+        ds = bucketed_agg(
+            ds.map_batches(local_distinct, batch_format="pyarrow"),
+            cols, cols[0], "count", out_name="__dc")
     if plan["order"]:
         ds = ds.sort(key=[o[0] for o in plan["order"]],
                      descending=[o[1] for o in plan["order"]])

@@ -118,9 +118,13 @@ def completion_from_dataset(ds, text_col: str = "text",
                          "ctx": [k[1] for k in items],
                          "w": pa.array([c[k] for k in items], pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["input", "ctx"]).aggregate(Sum("w", alias_name="weight"))
-           .to_pandas())
+    # bucketed exchange, not groupby(input, ctx): completion inputs are
+    # vocabulary-cardinality (functions/exchange.py; SCALE.md Round-4)
+    from ..functions.exchange import bucketed_sum
+
+    agg = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["input", "ctx"], "w",
+                       out_name="weight").to_pandas()
     if contexts_col is None:
         return CompletionSuggester(zip(agg["input"], agg["weight"]))
     return CompletionSuggester(
