@@ -186,7 +186,10 @@ def perplexity(ds, model: UnigramLM, *, text_col: str = "text",
                id_col: str = "doc_id", concurrency=2,
                num_hash_buckets: int | None = None):
     """(id, ppl) Dataset: ppl = exp(-mean token log-prob) under `model`.
-    Docs with no tokens are dropped (no defined perplexity)."""
+    Docs with no tokens are dropped (no defined perplexity).
+    `concurrency` is accepted for API compatibility; the scorer runs as
+    elastic TASKS with a per-worker-process model cache since round 4,
+    so no actor-pool sizing applies."""
     import ray
 
     ref = ray.put(model)
