@@ -266,4 +266,5 @@ def encode_token_counts(ds, merges: list[tuple[str, str]], *,
                         text_col: str = "text", concurrency: int = 4):
     """Per-doc BPE subword counts using a trained merge list."""
     return ds.map_batches(EncodeStage, fn_constructor_args=(merges, text_col),
+                          max_restarts=0,
                           batch_format="pyarrow", concurrency=concurrency)

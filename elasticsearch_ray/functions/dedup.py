@@ -280,7 +280,8 @@ def minhash_verified_pairs_ds(ds, *, threshold: float = 0.8,
                               num_perm: int = 128, bands: int = 16,
                               shingle_k: int = 5, text_col: str = "text",
                               id_col: str = "doc_id", concurrency=2,
-                              new_ids_pred=None, emit_jaccard: bool = False):
+                              new_ids_pred=None, new_ids_min=None,
+                              emit_jaccard: bool = False):
     """Two-pass candidate->fetch MinHash near-dedup (SCALE.md's web-scale
     prescription, default since round 4):
 
@@ -319,11 +320,22 @@ def minhash_verified_pairs_ds(ds, *, threshold: float = 0.8,
             sub = np.unique(ids[brk[h]:ends[h]])
             if sub.size < 2:
                 continue
-            if new_ids_pred is not None:
+            if new_ids_pred is not None or new_ids_min is not None:
                 # incremental mode: only NEW x EXISTING pairs are formed
                 # (streaming-append dedup — new/existing derives from the
                 # id, so no flag column rides the shuffle)
-                isnew = np.array([bool(new_ids_pred(int(x))) for x in sub])
+                if new_ids_min is not None:
+                    # append-only watermark: ids >= watermark are new
+                    isnew = sub >= new_ids_min
+                else:
+                    isnew = new_ids_pred(sub)
+                    if not (isinstance(isnew, np.ndarray)
+                            and isnew.shape == sub.shape):
+                        # predicate isn't numpy-vectorizable; scalar path
+                        isnew = np.array(
+                            [bool(new_ids_pred(int(x))) for x in sub])
+                    else:
+                        isnew = isnew.astype(bool)
                 if isnew.any() and not isnew.all():
                     nw, ex = sub[isnew], sub[~isnew]
                     out_a.append(np.repeat(nw, ex.size))

@@ -29,8 +29,6 @@ def bucketed_agg(ds, keys, val: str, how: str = "sum", *,
     `how`: "sum" | "min" | "max" | "count" (count ignores val's values).
     `out_name`: output column (default `<how>(<val>)`, matching Ray's
     native names so call sites swap in without renames)."""
-    import zlib
-
     keys = list(keys)
     out_col = out_name or f"{how}({val})"
     nb = np.uint64(num_buckets)
@@ -42,8 +40,9 @@ def bucketed_agg(ds, keys, val: str, how: str = "sum", *,
             col = t[k]
             if pa.types.is_string(col.type) or pa.types.is_large_string(
                     col.type):
-                h = np.fromiter((zlib.crc32(x.encode())
-                                 for x in col.to_pylist()), np.uint64, n)
+                # pd.util.hash_array is cython-vectorized over object
+                # arrays (SipHash in C) — no Python-level per-row loop.
+                h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
             else:
                 h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             hb = hb * np.uint64(1000003) + h

@@ -567,6 +567,7 @@ def multimodal_image_meta(sf_dir: str):
     ds = _split2(rd.from_arrow(media))
     out = ds.map_batches(
         ImageDecodeStage,
+        max_restarts=0,
         batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
     ).to_pandas()
     out["mean_pixel"] = round_half_away(out["mean_pixel"], 3)
@@ -593,9 +594,11 @@ def multimodal_image_resize(sf_dir: str):
     ds = _split2(rd.from_arrow(make_media_table(32, "image", seed=11)))
     resized = ds.map_batches(
         ImageResizeStage, fn_constructor_kwargs={"width": 32, "height": 24},
+        max_restarts=0,
         batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
     )
     meta = resized.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                               max_restarts=0,
                                batch_size=16, concurrency=(1, 2)).to_pandas()
     meta["mean_pixel"] = round_half_away(meta["mean_pixel"], 3)
     return meta.sort_values("id").reset_index(drop=True)
@@ -609,7 +612,7 @@ def multimodal_audio_features(sf_dir: str):
 
     ds = _split2(rd.from_arrow(make_media_table(48, "audio", seed=5)))
     out = ds.map_batches(AudioFeatureStage, fn_constructor_kwargs={"frame": 512},
-                         batch_format="pyarrow",
+                         max_restarts=0, batch_format="pyarrow",
                          batch_size=16, concurrency=(1, 2)).to_pandas()
     out["n_feats"] = out.features.map(len)
     out["energy"] = round_half_away(

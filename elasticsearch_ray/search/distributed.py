@@ -97,7 +97,10 @@ class DistributedSearcher:
         # restarted actor is immediately correct after __init__ reloads its
         # segment partition — max_restarts + task retries make a searcher
         # crash invisible to the coordinator (the reference's shard-failover
-        # analog, minus replica copies).
+        # analog, minus replica copies). max_restarts>0 is safe here because
+        # the ctor args are plain small values (a path string + segment-id
+        # list), never object-store refs — the ray#53727 restart-after-GC
+        # hazard needs large/ref ctor args, which this actor never takes.
         Actor = ray.remote(max_restarts=2, max_task_retries=2)(SearcherActor)
         self.actors = [
             Actor.remote(index_dir, segs, **kw) for segs in assign if segs
