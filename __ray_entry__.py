@@ -100,6 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (690 unique) and driver-NEVER-checked oracle-bearing ops
         # lead, oldest sessions first; rows-only ops follow; the 100
         # driver-verified (r01/r02/r03) ops sit at the tail.
+        # --- round-5 new gates (driver-unchecked, oracle-bearing) ---
+        "painless_if_block", "painless_early_return",
+        "painless_loop_harmonic", "painless_while_halving",
+        "painless_foreach_params",
         # --- round-4 new gates (driver-unchecked, oracle-bearing) ---
         "esql_where_boolean", "esql_where_functions", "esql_eval_case",
         "esql_where_in_like", "esql_eval_string", "esql_where_date",
@@ -1039,6 +1043,37 @@ FROM ch GROUP BY doc_id ORDER BY doc_id"""
 SELECT doc_id,
        ROUND((n_chars / 100.0) * 2.0
              + CASE WHEN lang = 'en' THEN 0.5 ELSE 0.0 END, 4) AS score
+FROM documents ORDER BY doc_id"""
+    # round-5 Painless CONTROL-FLOW gates (statement grammar: if/else
+    # blocks, while/for loops, for-each — scripting._exec_block)
+    out["painless_if_block"] = """
+SELECT doc_id,
+       ROUND(CASE WHEN n_chars >= 800.0 THEN n_chars * 0.5
+                  WHEN n_chars >= 300.0 THEN 10.0 + n_chars * 0.1
+                  ELSE 1.0 END + 0.25, 4) AS score
+FROM documents ORDER BY doc_id"""
+    out["painless_early_return"] = """
+SELECT doc_id,
+       ROUND(CASE WHEN lang = 'en' THEN n_chars * 2.0
+                  WHEN lang = 'de' THEN n_chars + 100.5
+                  ELSE n_chars * 0.5 END, 4) AS score
+FROM documents ORDER BY doc_id"""
+    out["painless_loop_harmonic"] = """
+SELECT doc_id,
+       ROUND(n_chars / 1.0 + n_chars / 2.0 + n_chars / 3.0
+             + n_chars / 4.0 + n_chars / 5.0, 4) AS score
+FROM documents ORDER BY doc_id"""
+    out["painless_while_halving"] = """
+WITH RECURSIVE h(doc_id, w, steps) AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE), 0 FROM documents
+  UNION ALL
+  SELECT doc_id, w / 2.0, steps + 1 FROM h WHERE w >= 10
+)
+SELECT doc_id, steps FROM h WHERE w < 10 ORDER BY doc_id"""
+    out["painless_foreach_params"] = """
+SELECT doc_id,
+       ROUND(((n_chars * 0.5) * 0.5 + n_chars * 0.25) * 0.5
+             + n_chars * 0.125, 4) AS score
 FROM documents ORDER BY doc_id"""
     # round-4 x-pack ML job-surface gates
     out["ml_anomaly_mean_value"] = """

@@ -16879,6 +16879,135 @@ def painless_script_locals(sf_dir: str):
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def painless_if_block(sf_dir: str):
+    """Painless `if` / `else if` / `else` STATEMENT BLOCKS
+    (modules/lang-painless PainlessParser.g4 statement grammar — the
+    round-4 exclusion, closed): branch bodies assign a local, the
+    vectorized interpreter runs both branches under per-row masks and
+    merges assignments (scripting._exec_block)."""
+    from ..scripting import compile_painless_script, safe_eval_script
+
+    params = {"hi": 800.0, "lo": 300.0}
+    stmts = compile_painless_script(
+        "def s = 0.0;"
+        "if (doc['n_chars'].value >= params.hi)"
+        "  { s = doc['n_chars'].value * 0.5; }"
+        "else if (doc['n_chars'].value >= params.lo)"
+        "  { s = 10.0 + doc['n_chars'].value * 0.1; }"
+        "else { s = 1.0; }"
+        "return s + 0.25;")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_script(stmts, _painless_batch_env(t, params))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "score": pa.array(
+                             round_half_away(np.asarray(v, np.float64), 4))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def painless_early_return(sf_dir: str):
+    """Painless EARLY RETURN inside branches: rows take different return
+    statements; the interpreter merges results under a returned-rows
+    mask and later statements only execute for not-yet-returned rows."""
+    from ..scripting import compile_painless_script, safe_eval_script
+
+    stmts = compile_painless_script(
+        "if (doc['lang'].value.equals(\"en\"))"
+        "  { return doc['n_chars'].value * 2.0; }"
+        "if (doc['lang'].value.equals(\"de\"))"
+        "  { return doc['n_chars'].value + 100.5; }"
+        "return doc['n_chars'].value * 0.5;")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_script(stmts, _painless_batch_env(t))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "score": pa.array(
+                             round_half_away(np.asarray(v, np.float64), 4))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def painless_loop_harmonic(sf_dir: str):
+    """Painless C-style `for` loop with compound assignment and `i++`
+    (the classic scripted_metric combine-script shape): fixed iteration
+    count from params, one vectorized numpy pass per iteration — never a
+    Python loop over rows."""
+    from ..scripting import compile_painless_script, safe_eval_script
+
+    params = {"n": 5}
+    stmts = compile_painless_script(
+        "def total = 0.0;"
+        "for (def i = 0; i < params.n; i++)"
+        "  { total += doc['n_chars'].value / (i + 1.0); }"
+        "return total;")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_script(stmts, _painless_batch_env(t, params))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "score": pa.array(
+                             round_half_away(np.asarray(v, np.float64), 4))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def painless_while_halving(sf_dir: str):
+    """Painless `while` loop with PER-ROW iteration counts: each doc
+    halves its value until < 10, counting steps. The vectorized
+    interpreter iterates with a shrinking active mask (rows whose
+    condition went false stop updating) — per-row loop trip counts with
+    one numpy pass per global iteration; capped at the Painless
+    loop-counter limit. Oracle: recursive CTE replaying the identical
+    float halvings."""
+    from ..scripting import compile_painless_script, safe_eval_script
+
+    stmts = compile_painless_script(
+        "def w = doc['n_chars'].value * 1.0;"
+        "def steps = 0;"
+        "while (w >= 10) { w = w / 2.0; steps += 1; }"
+        "return steps;")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_script(stmts, _painless_batch_env(t))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "steps": pa.array(np.asarray(v, np.int64))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def painless_foreach_params(sf_dir: str):
+    """Painless for-each over a params list (`for (w : params.weights)`)
+    — the scripted_metric reduce-script idiom of folding a list of
+    partial weights; each element binds scalar per iteration, the fold
+    body stays vectorized over rows."""
+    from ..scripting import compile_painless_script, safe_eval_script
+
+    params = {"weights": [0.5, 0.25, 0.125], "decay": 0.5}
+    stmts = compile_painless_script(
+        "def t = 0.0;"
+        "for (w : params.weights)"
+        "  { t = t * params.decay + doc['n_chars'].value * w; }"
+        "return t;")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_script(stmts, _painless_batch_env(t, params))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "score": pa.array(
+                             round_half_away(np.asarray(v, np.float64), 4))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def text_boilerplate_strip(sf_dir: str):
     """Cross-document boilerplate removal (the C4 / CCNet curation step
     — template chunks recurring across >= min_df distinct docs stripped

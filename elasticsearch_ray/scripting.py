@@ -391,6 +391,9 @@ def compile_painless(source: str) -> str:
     src = src.replace("&&", " and ").replace("||", " or ")
     # Painless `!cond` -> `not cond` (but leave `!=` alone)
     src = re.sub(r"!(?!=)", " not ", src)
+    # Painless boolean literals
+    src = re.sub(r"\btrue\b", "True", src)
+    src = re.sub(r"\bfalse\b", "False", src)
     return _rewrite_ternary(src).strip()
 
 
@@ -423,69 +426,379 @@ def _split_statements(src: str) -> list[str]:
     return [s for s in out if s]
 
 
-_DECL_RX = None  # compiled lazily in compile_painless_script
+_DECL_RX = None  # compiled lazily in _compile_simple_stmt
+
+# Painless caps loops via its loop counter (CompilerSettings.MAX_LOOP_COUNTER
+# default 1,000,000, modules/lang-painless); same bound per while-loop here.
+_MAX_LOOP_ITER = 1_000_000
 
 
-def compile_painless_script(source: str) -> list[tuple[str | None, str]]:
-    """Painless STATEMENT subset -> [(local_name | None, expr_src), ...].
+def _compile_expr(src: str):
+    """Painless expression -> parsed sandbox AST (whitelist enforced at
+    eval time by _eval_node)."""
+    py = compile_painless(src)
+    try:
+        return ast.parse(py, mode="eval")
+    except SyntaxError as e:
+        raise ScriptError(f"invalid expression {src!r}: {e}") from e
 
-    Covers the multi-statement script bodies real users write:
 
-      def base = doc['f'].value / 100.0;      # local declaration
-      double bonus = cond ? 0.5 : 0.0;        # typed declaration
-      base = base * 2;                        # reassignment
-      return base + bonus;                    # final return / bare expr
+def _word_at(s: str, i: int, w: str) -> bool:
+    j = i + len(w)
+    return (s.startswith(w, i)
+            and (j >= len(s) or not (s[j].isalnum() or s[j] == "_")))
 
-    Each statement's right-hand side goes through the same expression
-    rewriting as compile_painless; evaluation binds locals progressively
-    (safe_eval_script). Loops / if-blocks / method-def are NOT supported
-    — the sandbox stays expression-scoped per statement."""
+
+def _skip_ws(s: str, i: int) -> int:
+    while i < len(s) and s[i].isspace():
+        i += 1
+    return i
+
+
+def _match_delim(s: str, i: int, open_c: str, close_c: str) -> int:
+    """s[i] == open_c -> index of the matching close_c (quote-aware)."""
+    depth = 0
+    inq: str | None = None
+    for j in range(i, len(s)):
+        c = s[j]
+        if inq:
+            if c == inq and s[j - 1] != "\\":
+                inq = None
+        elif c in "'\"":
+            inq = c
+        elif c == open_c:
+            depth += 1
+        elif c == close_c:
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ScriptError(f"unbalanced '{open_c}' in script")
+
+
+def _find_stmt_end(s: str, i: int, end: int) -> int:
+    """Index of the statement-ending top-level ';' (quote/paren/brace
+    aware), or `end`."""
+    depth = 0
+    inq: str | None = None
+    for j in range(i, end):
+        c = s[j]
+        if inq:
+            if c == inq and s[j - 1] != "\\":
+                inq = None
+        elif c in "'\"":
+            inq = c
+        elif c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif c == ";" and depth == 0:
+            return j
+    return end
+
+
+def _compile_simple_stmt(st: str):
+    """One brace-free statement -> node. Nodes are tagged tuples:
+    ('decl',name,tree) ('assign',name,tree) ('return',tree) ('expr',tree)."""
     import re
 
     global _DECL_RX
     if _DECL_RX is None:
         _DECL_RX = re.compile(
             r"^(?:def|int|long|float|double|boolean|String)\s+"
-            r"([A-Za-z_]\w*)\s*=\s*(.+)$", re.S)
-    out: list[tuple[str | None, str]] = []
-    stmts = _split_statements(source)
-    for i, st in enumerate(stmts):
-        if st.startswith("return "):
-            if i != len(stmts) - 1:
-                raise ScriptError("return must be the final statement")
-            out.append((None, compile_painless(st[len("return "):])))
-            continue
-        m = _DECL_RX.match(st)
-        if m:
-            out.append((m.group(1), compile_painless(m.group(2))))
-            continue
-        am = re.match(r"^([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", st, re.S)
-        if am:
-            out.append((am.group(1), compile_painless(am.group(2))))
-            continue
-        if i == len(stmts) - 1:
-            out.append((None, compile_painless(st)))
-        else:
-            raise ScriptError(f"unsupported statement: {st!r}")
-    if not out or out[-1][0] is not None:
-        raise ScriptError("script must end in a return / expression")
-    return out
+            r"([A-Za-z_]\w*)\s*(?:=\s*(.+))?$", re.S)
+    st = st.strip()
+    if not st:
+        return None
+    if _word_at(st, 0, "return"):
+        return ("return", _compile_expr(st[len("return"):].strip() or "0"))
+    if _word_at(st, 0, "break") or _word_at(st, 0, "continue"):
+        raise ScriptError("break/continue not supported (bound the loop "
+                          "with its condition instead)")
+    m = _DECL_RX.match(st)
+    if m:
+        return ("decl", m.group(1), _compile_expr(m.group(2) or "0"))
+    m = re.match(r"^([A-Za-z_]\w*)\s*([+\-*/])=\s*(.+)$", st, re.S)
+    if m:  # compound assignment: x += e  ->  x = x + (e)
+        return ("assign", m.group(1),
+                _compile_expr(f"{m.group(1)} {m.group(2)} ({m.group(3)})"))
+    m = re.match(r"^([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", st, re.S)
+    if m:
+        return ("assign", m.group(1), _compile_expr(m.group(2)))
+    m = (re.match(r"^([A-Za-z_]\w*)\s*(\+\+|--)$", st)
+         or re.match(r"^(?:(\+\+|--)\s*)([A-Za-z_]\w*)$", st))
+    if m:  # i++ / ++i / i-- / --i
+        name = m.group(1) if m.group(1).isidentifier() else m.group(2)
+        op = m.group(2) if m.group(1).isidentifier() else m.group(1)
+        return ("assign", name, _compile_expr(f"{name} {op[0]} 1"))
+    return ("expr", _compile_expr(st))
 
 
-def safe_eval_script(stmts: list[tuple[str | None, str]],
-                     env: Mapping[str, Any]) -> Any:
-    """Evaluate a compile_painless_script statement list: locals bind
-    progressively into a copy of env (never mutating the caller's), the
-    final expression's value is returned."""
+def _parse_body(s: str, i: int, end: int):
+    """`{ ... }` block or a single statement -> (stmt_list, next_index)."""
+    i = _skip_ws(s, i)
+    if i < end and s[i] == "{":
+        k = _match_delim(s, i, "{", "}")
+        return _parse_stmt_list(s, i + 1, k), k + 1
+    node, i = _parse_stmt(s, i, end)
+    return ([node] if node else []), i
+
+
+def _parse_stmt(s: str, i: int, end: int):
+    """One statement (possibly compound) -> (node | None, next_index)."""
+    i = _skip_ws(s, i)
+    if i >= end:
+        return None, i
+    if s[i] == ";":
+        return None, i + 1
+    if s[i] == "{":  # bare block
+        k = _match_delim(s, i, "{", "}")
+        return ("block", _parse_stmt_list(s, i + 1, k)), k + 1
+    if _word_at(s, i, "if"):
+        j = _skip_ws(s, i + 2)
+        if j >= end or s[j] != "(":
+            raise ScriptError("expected '(' after if")
+        k = _match_delim(s, j, "(", ")")
+        cond = _compile_expr(s[j + 1:k])
+        then_b, i2 = _parse_body(s, k + 1, end)
+        i3 = _skip_ws(s, i2)
+        els: list = []
+        if i3 < end and _word_at(s, i3, "else"):
+            i4 = _skip_ws(s, i3 + 4)
+            if i4 < end and _word_at(s, i4, "if"):
+                node, i5 = _parse_stmt(s, i4, end)
+                els, i3 = [node], i5
+            else:
+                els, i3 = _parse_body(s, i4, end)
+        return ("if", cond, then_b, els), i3
+    if _word_at(s, i, "while"):
+        j = _skip_ws(s, i + 5)
+        if j >= end or s[j] != "(":
+            raise ScriptError("expected '(' after while")
+        k = _match_delim(s, j, "(", ")")
+        cond = _compile_expr(s[j + 1:k])
+        body, i2 = _parse_body(s, k + 1, end)
+        return ("while", cond, body), i2
+    if _word_at(s, i, "for"):
+        j = _skip_ws(s, i + 3)
+        if j >= end or s[j] != "(":
+            raise ScriptError("expected '(' after for")
+        k = _match_delim(s, j, "(", ")")
+        head = s[j + 1:k]
+        body, i2 = _parse_body(s, k + 1, end)
+        # for-each: `for (def x : iterable)` / `for (x : iterable)`
+        ci = _find_stmt_end(head, 0, len(head))
+        if ci == len(head) and ":" in head:
+            colon = _find_top(head, ":")
+            if colon < 0:
+                raise ScriptError(f"bad for-each head: {head!r}")
+            var = head[:colon].strip()
+            for kw in ("def", "int", "long", "float", "double", "String"):
+                if var.startswith(kw + " "):
+                    var = var[len(kw):].strip()
+            if not var.isidentifier():
+                raise ScriptError(f"bad for-each variable: {var!r}")
+            return ("foreach", var, _compile_expr(head[colon + 1:]), body), i2
+        parts = []
+        p = 0
+        while p <= len(head):
+            q = _find_stmt_end(head, p, len(head))
+            parts.append(head[p:q])
+            p = q + 1
+        if len(parts) != 3:
+            raise ScriptError(f"for header needs init;cond;update: {head!r}")
+        init = _compile_simple_stmt(parts[0])
+        cond = (_compile_expr(parts[1]) if parts[1].strip()
+                else _compile_expr("True"))
+        upd = _compile_simple_stmt(parts[2])
+        loop = ("while", cond, body + ([upd] if upd else []))
+        return ("block", ([init] if init else []) + [loop]), i2
+    j = _find_stmt_end(s, i, end)
+    return _compile_simple_stmt(s[i:j]), (j + 1 if j < end else end)
+
+
+def _parse_stmt_list(s: str, i: int, end: int) -> list:
+    out = []
+    while True:
+        i = _skip_ws(s, i)
+        if i >= end:
+            return out
+        node, i = _parse_stmt(s, i, end)
+        if node is not None:
+            out.append(node)
+
+
+def compile_painless_script(source: str) -> list:
+    """Painless STATEMENT subset -> statement tree (tagged tuples).
+
+    Covers the multi-statement script bodies real users write
+    (modules/lang-painless statement grammar, PainlessParser.g4):
+
+      def base = doc['f'].value / 100.0;        # local declaration
+      double bonus = cond ? 0.5 : 0.0;          # typed declaration
+      base = base * 2;  base += 1;  i++;        # (compound) reassignment
+      if (cond) { ... } else if (c2) { ... }    # branches, early return
+      while (v >= 10) { v = v / 2.0; }          # bounded loops
+      for (def i = 0; i < n; i++) { ... }       # C-style for
+      for (w : params.weights) { ... }          # for-each over a list
+      return base + bonus;                      # final / early return
+
+    Expressions go through the same sandbox rewriting as
+    compile_painless; break/continue and user-defined functions stay
+    rejected. Evaluation (safe_eval_script) is VECTORIZED with row
+    masks: an `if` runs both branches and merges assignments per-row;
+    a `while` iterates with a shrinking active mask until every row's
+    condition is false (per-row iteration counts, one numpy pass per
+    iteration), capped at the Painless loop-counter limit."""
+    stmts = _parse_stmt_list(source, 0, len(source))
+    if not stmts:
+        raise ScriptError("empty script")
+    if stmts[-1][0] == "expr":  # trailing bare expression acts as return
+        stmts[-1] = ("return", stmts[-1][1])
+    return stmts
+
+
+def _mand(a, b):
+    """Mask conjunction; None = all-active."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a & b
+
+
+def _mnot(m):
+    import numpy as np
+
+    if m is None:
+        return False
+    if isinstance(m, np.ndarray):
+        return ~m
+    return not m
+
+
+def _many(m) -> bool:
+    if m is None:
+        return True
+    if hasattr(m, "any"):
+        return bool(m.any())
+    return bool(m)
+
+
+def _mfull(m) -> bool:
+    if m is None:
+        return True
+    if hasattr(m, "all"):
+        return bool(m.all())
+    return bool(m)
+
+
+def _vmerge(mask, new, old):
+    """new where mask else old (scalar- and array-mask aware)."""
+    import numpy as np
+
+    if _mfull(mask):
+        return new
+    if isinstance(mask, np.ndarray):
+        if old is None:
+            old = new  # placeholder; uncovered rows guarded by caller
+        return np.where(mask, new, old)
+    return new if mask else old
+
+
+def _exec_block(stmts: list, scope: dict, mask, state: dict) -> None:
+    """Execute a statement block under `mask`; assignments to outer
+    names merge per-row, block-local declarations die at block end."""
+    import numpy as np
+
+    local_names: list[str] = []
+    try:
+        for st in stmts:
+            act = _mand(mask, _mnot(state["returned"])
+                        if state["returned"] is not None else None)
+            if not _many(act):
+                return
+            tag = st[0]
+            if tag == "decl":
+                _, name, tree = st
+                if name in scope:
+                    raise ScriptError(f"variable '{name}' already declared")
+                scope[name] = _eval_node(tree.body, scope)
+                local_names.append(name)
+            elif tag == "assign":
+                _, name, tree = st
+                if name not in scope:
+                    raise ScriptError(f"unknown variable '{name}'")
+                with np.errstate(all="ignore"):
+                    new = _eval_node(tree.body, scope)
+                scope[name] = _vmerge(act, new, scope[name])
+            elif tag == "return":
+                with np.errstate(all="ignore"):
+                    val = _eval_node(st[1].body, scope)
+                state["result"] = _vmerge(act, val, state["result"])
+                if act is None:
+                    state["returned"] = True
+                elif state["returned"] is None:
+                    state["returned"] = act
+                else:
+                    state["returned"] = state["returned"] | act
+            elif tag == "expr":
+                _eval_node(st[1].body, scope)
+            elif tag == "if":
+                _, cond, then_b, else_b = st
+                with np.errstate(all="ignore"):
+                    c = _eval_node(cond.body, scope)
+                mt = _mand(act, c)
+                if then_b and _many(mt):
+                    _exec_block(then_b, scope, mt, state)
+                me = _mand(act, _mnot(c))
+                if else_b and _many(me):
+                    _exec_block(else_b, scope, me, state)
+            elif tag == "while":
+                _, cond, body = st
+                iters = 0
+                while True:
+                    act = _mand(mask, _mnot(state["returned"])
+                                if state["returned"] is not None else None)
+                    with np.errstate(all="ignore"):
+                        c = _eval_node(cond.body, scope)
+                    m = _mand(act, c)
+                    if not _many(m):
+                        break
+                    _exec_block(body, scope, m, state)
+                    iters += 1
+                    if iters > _MAX_LOOP_ITER:
+                        raise ScriptError("loop iteration limit exceeded")
+            elif tag == "foreach":
+                _, name, itree, body = st
+                items = _eval_node(itree.body, scope)
+                if not isinstance(items, (list, tuple)):
+                    raise ScriptError("for-each needs a list value")
+                if name in scope:
+                    raise ScriptError(f"variable '{name}' already declared")
+                local_names.append(name)
+                for item in items:
+                    scope[name] = item
+                    _exec_block(body, scope, act, state)
+            elif tag == "block":
+                _exec_block(st[1], scope, act, state)
+            else:  # pragma: no cover
+                raise ScriptError(f"unknown statement tag {tag!r}")
+    finally:
+        for n in local_names:
+            scope.pop(n, None)
+
+
+def safe_eval_script(stmts: list, env: Mapping[str, Any]) -> Any:
+    """Evaluate a compile_painless_script tree: locals bind into a copy
+    of env (never mutating the caller's); returns the script's value.
+    Every row must reach a `return` (vectorized early returns merge
+    per-row under the active mask)."""
     scope = dict(env)
-    result = None
-    for name, expr in stmts:
-        val = safe_eval_expr(expr, scope)
-        if name is None:
-            result = val
-        else:
-            scope[name] = val
-    return result
+    state = {"result": None, "returned": None}
+    _exec_block(stmts, scope, None, state)
+    if state["returned"] is None or not _mfull(state["returned"]):
+        raise ScriptError("script did not return a value for every row")
+    return state["result"]
 
 
 def compile_expression(source: str) -> str:

@@ -191,12 +191,78 @@ def test_painless_multi_statement():
     # caller env never mutated by locals
     assert "x" not in env and "y" not in env
     with pytest.raises(ScriptError):
-        compile_painless_script("def x = 1; def y = 2;")  # no final expr
+        # no return reached for any row
+        safe_eval_script(
+            compile_painless_script("def x = 1; def y = 2;"), env)
     with pytest.raises(ScriptError):
-        compile_painless_script("while (true) {}; 1")
+        # loop-counter cap (Painless MAX_LOOP_COUNTER analog)
+        safe_eval_script(compile_painless_script("while (true) {} return 1"),
+                         env)
     with pytest.raises(ScriptError):
         safe_eval_script(compile_painless_script(
             "def x = __import__('os'); return x"), env)
+
+
+def test_painless_control_flow():
+    from elasticsearch_ray.scripting import (
+        ScriptError, compile_painless_script, safe_eval_script)
+    import pytest
+
+    env = {"v": np.array([10.0, 20.0, 7.0]), "params": {},
+           "where": np.where}
+
+    # vectorized early return: rows take different paths
+    st = compile_painless_script(
+        "if (doc['v'].value >= 15) { return doc['v'].value * 2.0; }"
+        "return doc['v'].value * 0.5;")
+    assert list(safe_eval_script(st, env)) == [5.0, 40.0, 3.5]
+
+    # else-if chain with assignment merge
+    st = compile_painless_script(
+        "def s = 0.0;"
+        "if (doc['v'].value >= 18) { s = 100.0; }"
+        "else if (doc['v'].value >= 9) { s = 50.0; }"
+        "else { s = 1.0; }"
+        "return s;")
+    assert list(safe_eval_script(st, env)) == [50.0, 100.0, 1.0]
+
+    # while with PER-ROW iteration counts (shrinking active mask)
+    st = compile_painless_script(
+        "def w = doc['v'].value; def n = 0;"
+        "while (w >= 3) { w = w / 2.0; n += 1; }"
+        "return n;")
+    assert list(safe_eval_script(st, env)) == [2, 3, 2]
+    # scalar env takes the same path (differential parity)
+    for x, exp in ((10.0, 2), (20.0, 3), (7.0, 2)):
+        assert safe_eval_script(
+            st, {"v": x, "params": {}, "where": np.where}) == exp
+
+    # C-style for + compound assignment + i++
+    st = compile_painless_script(
+        "def t = 0.0;"
+        "for (def i = 0; i < 3; i++) { t += doc['v'].value / (i + 1.0); }"
+        "return t;")
+    got = safe_eval_script(st, env)
+    exp = [sum(x / (i + 1.0) for i in range(3)) for x in (10.0, 20.0, 7.0)]
+    assert list(got) == exp
+
+    # for-each over a params list
+    st = compile_painless_script(
+        "def t = 0.0; for (w : params.ws) { t += w; } return t;")
+    assert safe_eval_script(
+        st, {"params": {"ws": [1.0, 2.5]}, "where": np.where}) == 3.5
+
+    # block scoping: loop variable dies at block end
+    with pytest.raises(ScriptError):
+        safe_eval_script(compile_painless_script(
+            "for (def i = 0; i < 2; i++) { def q = 1; } return i;"), env)
+    # break / continue rejected, escape still rejected inside blocks
+    with pytest.raises(ScriptError):
+        compile_painless_script(
+            "for (def i = 0; i < 9; i++) { break; } return 1;")
+    with pytest.raises(ScriptError):
+        safe_eval_script(compile_painless_script(
+            "if (true) { def z = ().__class__; } return 1;"), env)
 
 
 def test_minhash_exact_prepass_parity(ray_session):
@@ -275,6 +341,72 @@ def test_painless_vectorized_vs_scalar_fuzz():
             got = safe_eval_expr(compiled, sc_env)
             assert got == vec[i] or (
                 isinstance(got, float) and np.isclose(got, vec[i])), \
+                (src, i, got, vec[i])
+
+
+def test_painless_statement_tree_fuzz():
+    """Differential fuzz over random STATEMENT TREES (declarations,
+    if/else chains, bounded while/for loops, compound assignment): the
+    vectorized masked interpreter (array env) must equal per-row scalar
+    interpretation (python-value env) on every generated script."""
+    import random
+
+    from elasticsearch_ray.scripting import (
+        compile_painless_script, safe_eval_script)
+
+    rng = random.Random(50505)
+    nums = [0.0, 1.5, -2.0, 99.0, 7.25, 40.0, 12.5]
+
+    def gen_expr(names):
+        base = rng.choice(
+            ["doc['v'].value", "doc['v'].value * 0.5 + 1"]
+            + [n for n in names] * 2)
+        op = rng.choice([" + 1.5", " * 2.0", " - 0.25", ""])
+        return base + op
+
+    def gen_cond(names):
+        lhs = rng.choice(["doc['v'].value"] + list(names))
+        return f"{lhs} {rng.choice(['>=', '<', '>'])} " \
+               f"{rng.choice(['1.0', '10.0', '40.0'])}"
+
+    def gen_script():
+        parts = ["def a = doc['v'].value; def b = 0.0;"]
+        names = ["a", "b"]
+        for _ in range(rng.randrange(1, 4)):
+            kind = rng.randrange(4)
+            if kind == 0:
+                parts.append(
+                    f"if ({gen_cond(names)}) {{ b = {gen_expr(names)}; }}"
+                    f" else {{ b = {gen_expr(names)}; }}")
+            elif kind == 1:
+                parts.append(
+                    f"if ({gen_cond(names)}) {{ a = {gen_expr(names)}; }}")
+            elif kind == 2:
+                # convergent loop: halve until below a bound
+                parts.append(
+                    "while (a > 2.0) { a = a / 2.0; b += 1.0; }")
+            else:
+                parts.append(
+                    f"for (def i = 0; i < {rng.randrange(1, 4)}; i++)"
+                    f" {{ b += {gen_expr(['a'])}; }}")
+        parts.append("return a + b;")
+        return " ".join(parts)
+
+    for _ in range(80):
+        src = gen_script()
+        st = compile_painless_script(src)
+        vals = [rng.choice(nums) for _ in range(5)]
+        vec = safe_eval_script(
+            st, {"v": np.array(vals, np.float64), "params": {},
+                 "where": np.where})
+        # a condition independent of doc values may legally collapse the
+        # result to one scalar for every row — broadcast for comparison
+        vec = np.broadcast_to(np.asarray(vec, np.float64), (len(vals),))
+        for i, x in enumerate(vals):
+            got = safe_eval_script(
+                st, {"v": x, "params": {},
+                     "where": lambda c, a, b: a if c else b})
+            assert np.isclose(float(got), float(vec[i])), \
                 (src, i, got, vec[i])
 
 
