@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "painless_if_block", "painless_early_return",
         "painless_loop_harmonic", "painless_while_halving",
         "painless_foreach_params",
+        "sql_subquery_from", "sql_subquery_agg_outer",
+        "sql_subquery_nested", "sql_interval_arith", "sql_extract_group",
         # --- round-4 new gates (driver-unchecked, oracle-bearing) ---
         "esql_where_boolean", "esql_where_functions", "esql_eval_case",
         "esql_where_in_like", "esql_eval_string", "esql_where_date",
@@ -1075,6 +1077,30 @@ SELECT doc_id,
        ROUND(((n_chars * 0.5) * 0.5 + n_chars * 0.25) * 0.5
              + n_chars * 0.125, 4) AS score
 FROM documents ORDER BY doc_id"""
+    # round-5 SQL subquery / datetime gates: oracle IS the same SQL text
+    out["sql_subquery_from"] = """
+SELECT event_type, n FROM (
+  SELECT event_type, COUNT(*) AS n FROM events
+  GROUP BY event_type) t
+WHERE n > 100 ORDER BY event_type"""
+    out["sql_subquery_agg_outer"] = """
+SELECT lang, COUNT(*) AS n, MAX(n_chars) AS mx FROM (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE doc_id < 400)
+GROUP BY lang ORDER BY lang"""
+    out["sql_subquery_nested"] = """
+SELECT lang, mx FROM (
+  SELECT lang, MAX(n_chars) AS mx FROM (
+    SELECT lang, n_chars FROM documents WHERE doc_id < 400)
+  GROUP BY lang)
+WHERE mx > 500 ORDER BY lang"""
+    out["sql_interval_arith"] = """
+SELECT event_id, ts + INTERVAL 2 HOUR AS ts2,
+       ts - INTERVAL '30' MINUTE AS ts3
+FROM events WHERE event_id < 50 ORDER BY event_id"""
+    out["sql_extract_group"] = """
+SELECT EXTRACT(hour FROM ts) AS h, COUNT(*) AS n FROM events
+GROUP BY h ORDER BY h"""
     # round-4 x-pack ML job-surface gates
     out["ml_anomaly_mean_value"] = """
 WITH b AS (SELECT event_type,

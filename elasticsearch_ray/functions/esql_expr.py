@@ -523,6 +523,24 @@ def _call(name: str, args, t: pa.Table):
                "hour": pc.hour, "minute": pc.minute, "second": pc.second,
                "day_of_week": pc.day_of_week, "day_of_year": pc.day_of_year}
         return pc.cast(fns[unit](a[1]), pa.int64())
+    if name == "INTERVAL":
+        # fixed-width INTERVAL literal (x-pack sql INTERVAL arithmetic,
+        # expression/literal/interval) -> an Arrow duration scalar;
+        # `ts + INTERVAL n UNIT` then rides the ordinary pc.add /
+        # pc.subtract kernels. Calendar units (MONTH/YEAR) have no fixed
+        # width and are rejected, matching the engine's duration model.
+        unit = (a[0] if isinstance(a[0], str) else str(a[0])).lower()
+        unit = unit[:-1] if unit.endswith("s") else unit
+        scale = {"second": 1_000_000, "minute": 60_000_000,
+                 "hour": 3_600_000_000, "day": 86_400_000_000,
+                 "week": 604_800_000_000}
+        if unit not in scale:
+            raise ValueError(f"INTERVAL unit {unit!r} not supported "
+                             "(fixed-width second..week only)")
+        return pa.scalar(int(a[1]) * scale[unit], pa.duration("us"))
+    if name == "DATE_ADD":
+        # DATE_ADD('unit', n, ts) (x-pack sql DateAdd function)
+        return pc.add(a[2], _call("INTERVAL", args[:2], t))
     if name == "CASE":
         # CASE(c1, v1, c2, v2, ..., [default]) -> chained if_else
         n = len(t)

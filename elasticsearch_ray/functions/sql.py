@@ -35,6 +35,72 @@ _OPS = {"=", "!=", "<>", "<", "<=", ">", ">="}
 _AND_RX = re.compile(r"(?i)\s+AND\s+")
 
 
+def _rewrite_scalar_sql(e: str, *, pred: bool) -> str:
+    """SQL scalar-expression surface -> the shared engine's dialect:
+    EXTRACT(u FROM x) -> DATE_EXTRACT, INTERVAL n UNIT -> a duration
+    literal call, single -> double quotes; predicates additionally map
+    `=`/`<>` and LIKE wildcards (x-pack sql scalar/datetime functions)."""
+    e = e.strip()
+    if pred:
+        e = e.replace("<>", "!=")
+        e = re.sub(r"(?<![<>!=])=(?!=)", "==", e)
+    e = re.sub(r"(?i)\bEXTRACT\(\s*(\w+)\s+FROM\s+",
+               lambda m: f'DATE_EXTRACT("{m.group(1).lower()}", ', e)
+    e = re.sub(r"(?i)\bINTERVAL\s+'?(\d+)'?\s+(\w+)",
+               lambda m: f'INTERVAL("{m.group(2).lower()}", {m.group(1)})',
+               e)
+    e = re.sub(r"'([^']*)'", r'"\1"', e)
+    if pred:
+        e = re.sub(
+            r'(?i)(LIKE\s+)"([^"]*)"',
+            lambda mm: mm.group(1) + '"'
+            + mm.group(2).replace("%", "*").replace("_", "?")
+            + '"', e)
+    return e
+
+
+def _match_paren(s: str, i: int) -> int:
+    """s[i] == '(' -> index of the matching ')' (quote-aware)."""
+    depth = 0
+    inq = False
+    for j in range(i, len(s)):
+        c = s[j]
+        if c == "'":
+            inq = not inq
+        elif not inq and c == "(":
+            depth += 1
+        elif not inq and c == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise SqlParseError(f"unbalanced parentheses in {s!r}")
+
+
+def _extract_from_subquery(s: str):
+    """`SELECT ... FROM (SELECT ...) [AS] [alias] ...` ->
+    (outer_sql_with___subq_placeholder, inner_sql), or None. PIVOT's
+    derived table is left to its own planner."""
+    s = s.strip().rstrip(";")
+    m = re.search(r"(?is)\bFROM\s*\(", s)
+    if not m:
+        return None
+    o = s.index("(", m.start())
+    c = _match_paren(s, o)
+    inner = s[o + 1:c].strip()
+    if not re.match(r"(?is)^SELECT\b", inner):
+        return None
+    rest = s[c + 1:].lstrip()
+    if re.match(r"(?is)^PIVOT\b", rest):
+        return None
+    am = re.match(r"(?is)^(?:AS\s+)?(\w+)\s*", rest)
+    if am and am.group(1).upper() not in (
+            "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "PIVOT"):
+        rest = rest[am.end():]  # derived-table alias: single-table scope,
+        # so the alias never qualifies columns here — drop it
+    outer = s[:m.start()] + " FROM __subq " + rest
+    return outer, inner
+
+
 def _split_and(s: str) -> list[str]:
     """Split WHERE conjuncts on AND outside 'string literals' (a QUERY()
     argument may itself contain AND) and outside parentheses (a keyset
@@ -118,7 +184,8 @@ def parse_sql(sql: str) -> dict:
                 raise SqlParseError(
                     "projections must be columns, FN(col) AS alias, or "
                     "<expr> AS alias")
-            scalars.append((em.group(2), em.group(1)))
+            scalars.append((em.group(2),
+                            _rewrite_scalar_sql(em.group(1), pred=False)))
     group = []
     if m.group("group"):
         for g in _split_cols(m.group("group")):
@@ -128,8 +195,9 @@ def parse_sql(sql: str) -> dict:
             # GROUP BY <expr>: standard SQL requires the same expression
             # in SELECT with an alias — group on that alias (the hidden
             # EVAL column computed before the partial combiner)
-            alias = next((a for a, s in scalars
-                          if s.strip() == g.strip()), None)
+            alias = next(
+                (a for a, s in scalars
+                 if s.strip() == _rewrite_scalar_sql(g, pred=False)), None)
             if alias is None:
                 raise SqlParseError(
                     "GROUP BY expression must appear in SELECT "
@@ -181,15 +249,7 @@ def parse_sql(sql: str) -> dict:
                 # simple conjuncts prune the read. SQL `=` and single
                 # quotes are rewritten to the engine's `==` / double
                 # quotes.
-                e = clause.strip().replace("<>", "!=")
-                e = re.sub(r"(?<![<>!=])=(?!=)", "==", e)
-                e = re.sub(r"'([^']*)'", r'"\1"', e)
-                # SQL LIKE wildcards -> the engine's (%% -> *, _ -> ?)
-                e = re.sub(
-                    r'(?i)(LIKE\s+)"([^"]*)"',
-                    lambda mm: mm.group(1) + '"'
-                    + mm.group(2).replace("%", "*").replace("_", "?")
-                    + '"', e)
+                e = _rewrite_scalar_sql(clause, pred=True)
                 from .esql_expr import parse_expr
 
                 try:
@@ -329,9 +389,16 @@ def _run_sys(sql: str, sf_dir: str):
     return None
 
 
-def run_sql(sql: str, sf_dir: str, *, ds_factory):
+def run_sql(sql: str, sf_dir: str, *, ds_factory, _subq=None,
+            _return_ds: bool = False):
     """Execute a parsed plan: ds_factory(sf_dir, table, columns, flt) must
-    return a Dataset (the ops._ds reader — injected to avoid a cycle)."""
+    return a Dataset (the ops._ds reader — injected to avoid a cycle).
+
+    `_subq`: (dataset, column_names) bound to the `__subq` placeholder
+    table — how a FROM-subquery's result streams into its outer query
+    without ever materializing on the driver. `_return_ds`: internal —
+    return (Dataset, names) instead of pandas for non-aggregate plans,
+    so a subquery's rows stay distributed."""
     import pyarrow.compute as pc
 
     sys_out = _run_sys(sql, sf_dir)
@@ -340,18 +407,41 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
     pm = _PIVOT_RX.match(sql.strip())
     if pm:
         return _run_pivot(pm, sf_dir, ds_factory)
+    if _subq is None:
+        sub = _extract_from_subquery(sql)
+        if sub is not None:
+            # derived table (x-pack sql subquery-in-FROM, rest tests
+            # SELECT-in-FROM): plan the inner query first; a plain inner
+            # stays a streaming Dataset, an aggregate inner is already
+            # group-cardinality-small when it reaches from_pandas
+            outer_sql, inner_sql = sub
+            inner = run_sql(inner_sql, sf_dir, ds_factory=ds_factory,
+                            _return_ds=True)
+            if isinstance(inner, tuple):
+                ids_, names_ = inner
+            else:
+                import ray.data as rd
+
+                ids_, names_ = rd.from_pandas(inner), list(inner.columns)
+            return run_sql(outer_sql, sf_dir, ds_factory=ds_factory,
+                           _subq=(ids_, names_), _return_ds=_return_ds)
     plan = parse_sql(sql)
+
+    def _schema_names() -> list:
+        if _subq is not None and plan["table"] == "__subq":
+            return list(_subq[1])
+        import os
+
+        import pyarrow.parquet as pq
+
+        return list(pq.read_schema(os.path.join(
+            sf_dir, f"{plan['table']}.parquet")).names)
     score = plan["score_alias"]
     if plan["aggs"]:
         scalar_names = {a for a, _ in plan["scalars"]}
         scalar_ids: list[str] = []
         if plan["scalars"]:
-            import os
-
-            import pyarrow.parquet as pq
-
-            schema_names = set(pq.read_schema(os.path.join(
-                sf_dir, f"{plan['table']}.parquet")).names)
+            schema_names = set(_schema_names())
             for _, src_expr in plan["scalars"]:
                 scalar_ids += [t for t in re.findall(r"[A-Za-z_]\w*",
                                                      src_expr)
@@ -366,12 +456,7 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
             # SELECT * (x-pack sql wildcard projection): expand to the
             # table's schema order — the reference resolves it against
             # the mapping the same way
-            import os
-
-            import pyarrow.parquet as pq
-
-            allcols = list(pq.read_schema(os.path.join(
-                sf_dir, f"{plan['table']}.parquet")).names)
+            allcols = _schema_names()
             plan["plain"] = allcols
             plan["names"] = [c if c != "*" else None
                              for c in plan["names"]]
@@ -379,12 +464,7 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
             plan["names"] = allcols + plan["names"]
         scalar_ids: list[str] = []
         if plan["scalars"]:
-            import os
-
-            import pyarrow.parquet as pq
-
-            schema_names = set(pq.read_schema(os.path.join(
-                sf_dir, f"{plan['table']}.parquet")).names)
+            schema_names = set(_schema_names())
             for _, src_expr in plan["scalars"]:
                 scalar_ids += [t for t in re.findall(r"[A-Za-z_]\w*",
                                                      src_expr)
@@ -395,12 +475,7 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
             + [o[0] for o in plan["order"]
                if o[0] != score and o[0] not in scalar_names]))
     if plan.get("expr_preds"):
-        import os as _os
-
-        import pyarrow.parquet as _pq
-
-        snames = set(_pq.read_schema(_os.path.join(
-            sf_dir, f"{plan['table']}.parquet")).names)
+        snames = set(_schema_names())
         for e in plan["expr_preds"]:
             for t in re.findall(r"[A-Za-z_]\w*", e):
                 if t in snames and t not in need:
@@ -413,7 +488,16 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
         e = {"=": f == val, "!=": f != val, "<>": f != val, "<": f < val,
              "<=": f <= val, ">": f > val, ">=": f >= val}[op]
         flt = e if flt is None else flt & e
-    ds = ds_factory(sf_dir, plan["table"], need, flt)
+    if _subq is not None and plan["table"] == "__subq":
+        ds = _subq[0]
+        if flt is not None:
+            ds = ds.map_batches(lambda t, f=flt: t.filter(f),
+                                batch_format="pyarrow")
+        keep = [c for c in need if c in _subq[1]]
+        if keep and set(keep) != set(_subq[1]):
+            ds = ds.select_columns(keep)
+    else:
+        ds = ds_factory(sf_dir, plan["table"], need, flt)
     if plan["ft"]:
         # full-text predicates push to ONE index query (the reference
         # compiles MATCH/QUERY to Lucene QueryDSL); the row stream is then
@@ -513,6 +597,8 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory):
                      descending=[o[1] for o in plan["order"]])
     if plan["limit"] is not None:
         ds = ds.limit(plan["limit"])
+    if _return_ds:
+        return ds.select_columns(plan["names"]), list(plan["names"])
     out = ds.to_pandas()
     if out.empty and not set(plan["names"]) <= set(out.columns):
         import pandas as pd

@@ -16737,6 +16737,72 @@ def sql_where_not_like(sf_dir: str):
     return out
 
 
+def sql_subquery_from(sf_dir: str):
+    """SQL derived table — SELECT-in-FROM (x-pack sql subquery support,
+    rest tests SELECT-in-FROM): the inner aggregate plans first (partial
+    combiner + group exchange), its group-cardinality result streams into
+    the outer WHERE/ORDER as the `__subq` dataset — never a driver-side
+    join. Oracle: the identical SQL text in DuckDB."""
+    out = _run_sql(
+        "SELECT event_type, n FROM ("
+        "  SELECT event_type, COUNT(*) AS n FROM events"
+        "  GROUP BY event_type) t "
+        "WHERE n > 100 ORDER BY event_type", sf_dir)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def sql_subquery_agg_outer(sf_dir: str):
+    """Aggregate OVER a streaming subquery: the inner plain projection
+    stays a pruned, pushed-down Dataset (never to_pandas); the outer
+    GROUP BY consumes it as a batch stream."""
+    out = _run_sql(
+        "SELECT lang, COUNT(*) AS n, MAX(n_chars) AS mx FROM ("
+        "  SELECT doc_id, lang, n_chars FROM documents"
+        "  WHERE doc_id < 400) "
+        "GROUP BY lang ORDER BY lang", sf_dir)
+    for c in ("n", "mx"):
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def sql_subquery_nested(sf_dir: str):
+    """TWO levels of SELECT-in-FROM (subquery recursion): innermost
+    pruned projection -> middle GROUP BY -> outer HAVING-style filter."""
+    out = _run_sql(
+        "SELECT lang, mx FROM ("
+        "  SELECT lang, MAX(n_chars) AS mx FROM ("
+        "    SELECT lang, n_chars FROM documents WHERE doc_id < 400)"
+        "  GROUP BY lang) "
+        "WHERE mx > 500 ORDER BY lang", sf_dir)
+    out["mx"] = out["mx"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def sql_interval_arith(sf_dir: str):
+    """INTERVAL arithmetic on timestamps (x-pack sql literal/interval):
+    `ts + INTERVAL 2 HOUR` lowers to one Arrow duration-add kernel
+    (functions/esql_expr INTERVAL -> pc.add); fixed-width units only."""
+    out = _run_sql(
+        "SELECT event_id, ts + INTERVAL 2 HOUR AS ts2, "
+        "ts - INTERVAL '30' MINUTE AS ts3 "
+        "FROM events WHERE event_id < 50 ORDER BY event_id", sf_dir)
+    out["event_id"] = out["event_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def sql_extract_group(sf_dir: str):
+    """EXTRACT(unit FROM ts) as a GROUP BY key (x-pack sql datetime
+    functions): the SQL form rewrites to the engine's DATE_EXTRACT and
+    is computed as a hidden EVAL column before the partial combiner."""
+    out = _run_sql(
+        "SELECT EXTRACT(hour FROM ts) AS h, COUNT(*) AS n FROM events "
+        "GROUP BY h ORDER BY h", sf_dir)
+    for c in ("h", "n"):
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 # ---------------- round-4 x-pack ML job-surface gates ----------------
 
 
