@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "painless_foreach_params",
         "sql_subquery_from", "sql_subquery_agg_outer",
         "sql_subquery_nested", "sql_interval_arith", "sql_extract_group",
+        "ml_detector_min_max", "ml_detector_count", "ml_detector_rare",
+        "ml_bucket_anomaly_score",
         # --- round-4 new gates (driver-unchecked, oracle-bearing) ---
         "esql_where_boolean", "esql_where_functions", "esql_eval_case",
         "esql_where_in_like", "esql_eval_string", "esql_where_date",
@@ -1101,6 +1103,78 @@ FROM events WHERE event_id < 50 ORDER BY event_id"""
     out["sql_extract_group"] = """
 SELECT EXTRACT(hour FROM ts) AS h, COUNT(*) AS n FROM events
 GROUP BY h ORDER BY h"""
+    # round-5 x-pack ML detector-breadth gates
+    out["ml_detector_min_max"] = """
+WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  MIN(value) AS mn, MAX(value) AS mx
+           FROM events GROUP BY 1, 2),
+r AS (
+  SELECT 'min' AS detector, event_type, day, mn AS actual,
+         (mn - AVG(mn) OVER (PARTITION BY event_type))
+           / STDDEV_SAMP(mn) OVER (PARTITION BY event_type) AS z
+  FROM b
+  UNION ALL
+  SELECT 'max', event_type, day, mx,
+         (mx - AVG(mx) OVER (PARTITION BY event_type))
+           / STDDEV_SAMP(mx) OVER (PARTITION BY event_type)
+  FROM b),
+s AS (SELECT detector, event_type, day, actual,
+             (RANK() OVER (ORDER BY ABS(z)) - 1) * 100.0
+               / GREATEST((SELECT COUNT(*) FROM r) - 1, 1) AS record_score
+      FROM r)
+SELECT detector, event_type, day, ROUND(actual, 4) AS actual,
+       ROUND(record_score, 4) AS record_score
+FROM s WHERE record_score >= 90.0
+ORDER BY detector, event_type, day"""
+    out["ml_detector_count"] = """
+WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+z AS (SELECT event_type, day, c,
+             (c - AVG(c) OVER (PARTITION BY event_type))
+               / STDDEV_SAMP(c) OVER (PARTITION BY event_type) AS z
+      FROM b),
+s AS (SELECT event_type, day, c,
+             (RANK() OVER (ORDER BY ABS(z)) - 1) * 100.0
+               / GREATEST((SELECT COUNT(*) FROM z) - 1, 1) AS record_score
+      FROM z)
+SELECT event_type, day, CAST(c AS BIGINT) AS actual,
+       ROUND(record_score, 4) AS record_score
+FROM s WHERE record_score >= 90.0 ORDER BY event_type, day"""
+    out["ml_detector_rare"] = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt FROM events
+           WHERE user_id < 200 GROUP BY 1, 2),
+m AS (SELECT user_id, event_type, cnt,
+             MAX(cnt) OVER (PARTITION BY user_id) AS mx,
+             COUNT(*) OVER (PARTITION BY user_id) AS nt
+      FROM c)
+SELECT user_id, event_type, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(100.0 * (1.0 - cnt / CAST(mx AS DOUBLE)), 4) AS record_score
+FROM m
+WHERE 100.0 * (1.0 - cnt / CAST(mx AS DOUBLE)) >= 70.0 AND nt >= 3
+ORDER BY user_id, event_type"""
+    out["ml_bucket_anomaly_score"] = """
+WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  SUM(value) / COUNT(value) AS mean_v
+           FROM events GROUP BY 1, 2),
+z AS (SELECT event_type, day,
+             ABS((mean_v - AVG(mean_v) OVER (PARTITION BY event_type))
+               / STDDEV_SAMP(mean_v) OVER (PARTITION BY event_type)) AS z
+      FROM b),
+r AS (SELECT event_type, day, z,
+             (RANK() OVER (ORDER BY z) - 1) * 100.0
+               / GREATEST((SELECT COUNT(*) FROM z) - 1, 1) AS record_score
+      FROM z),
+d AS (SELECT day, MAX(z) AS max_z,
+             COUNT(*) FILTER (WHERE record_score >= 75.0) AS n_high
+      FROM r GROUP BY day),
+s AS (SELECT day, n_high,
+             (RANK() OVER (ORDER BY max_z) - 1) * 100.0
+               / GREATEST((SELECT COUNT(*) FROM d) - 1, 1) AS anomaly_score
+      FROM d)
+SELECT day, ROUND(anomaly_score, 4) AS anomaly_score,
+       CAST(n_high AS BIGINT) AS n_high
+FROM s WHERE anomaly_score >= 85.0 ORDER BY day"""
     # round-4 x-pack ML job-surface gates
     out["ml_anomaly_mean_value"] = """
 WITH b AS (SELECT event_type,

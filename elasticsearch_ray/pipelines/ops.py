@@ -16912,6 +16912,142 @@ def ml_estimate_model_memory(sf_dir: str):
     })
 
 
+def _ml_day_buckets(sf_dir: str, aggs: dict):
+    """(event_type, day) bucket table via per-batch partial combiners —
+    the datafeed aggregation shape every detector gate shares; only the
+    types x days bucket table reaches the driver."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = {"s": ("value", "sum"), "c": ("value", "count"),
+            "mn": ("value", "min"), "mx": ("value", "max")}
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day_i"] = (df["ts"].astype("datetime64[us]").astype(np.int64)
+                       // 86_400_000_000)
+        g = df.groupby(["event_type", "day_i"])["value"]
+        out = {k: g.agg(how) for k, (_, how) in cols.items() if k in aggs}
+        return pa.Table.from_pandas(pd.DataFrame(out).reset_index(),
+                                    preserve_index=False)
+
+    merge = [Sum(k, alias_name=k) if k in ("s", "c")
+             else (Min(k, alias_name=k) if k == "mn"
+                   else Max(k, alias_name=k))
+             for k in aggs]
+    return (_ds(sf_dir, "events", ["event_type", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "day_i"])
+            .aggregate(*merge)
+            .to_pandas())
+
+
+def _ml_rank_score(z_abs: "pd.Series") -> "pd.Series":
+    """Rank-normalized 0-100 severity (the normalizer's percentile
+    shape, AnomalyRecord#recordScore — shared by the detector gates)."""
+    return (z_abs.rank(method="min").sub(1)
+            .div(max(len(z_abs) - 1, 1)).mul(100.0))
+
+
+def ml_detector_min_max(sf_dir: str):
+    """x-pack ml `min`/`max` metric detectors in ONE job (Detector
+    function min/max, ml/job/config/DetectorFunction): per-bucket
+    extrema stream as partial combiners; each detector's buckets are
+    z-scored per event_type, and BOTH detectors' records normalize in
+    one job-wide rank pool. Records with score >= 90 are reported."""
+    b = _ml_day_buckets(sf_dir, {"mn", "mx"})
+    recs = []
+    for det, col in (("min", "mn"), ("max", "mx")):
+        d = b[["event_type", "day_i", col]].rename(columns={col: "actual"})
+        st = d.groupby("event_type")["actual"].agg(
+            mu="mean", sd=lambda x: x.std(ddof=1))
+        d = d.join(st, on="event_type")
+        d["z"] = (d["actual"] - d["mu"]) / d["sd"]
+        d["detector"] = det
+        recs.append(d)
+    r = pd.concat(recs, ignore_index=True)
+    r["record_score"] = _ml_rank_score(r["z"].abs())
+    out = r[r["record_score"] >= 90.0].copy()
+    out["day"] = pd.to_datetime(out["day_i"] * 86_400_000_000, unit="us")
+    out["actual"] = round_half_away(out["actual"].to_numpy(np.float64), 4)
+    out["record_score"] = round_half_away(
+        out["record_score"].to_numpy(np.float64), 4)
+    return (out[["detector", "event_type", "day", "actual", "record_score"]]
+            .sort_values(["detector", "event_type", "day"])
+            .reset_index(drop=True))
+
+
+def ml_detector_count(sf_dir: str):
+    """x-pack ml `count` detector (event-rate anomaly, Detector function
+    count): per-bucket event counts partial-combined, z-scored per
+    event_type, rank-normalized; score >= 90 reported."""
+    b = _ml_day_buckets(sf_dir, {"c"})
+    st = b.groupby("event_type")["c"].agg(
+        mu="mean", sd=lambda x: x.std(ddof=1))
+    b = b.join(st, on="event_type")
+    b["z"] = (b["c"] - b["mu"]) / b["sd"]
+    b["record_score"] = _ml_rank_score(b["z"].abs())
+    out = b[b["record_score"] >= 90.0].copy()
+    out["day"] = pd.to_datetime(out["day_i"] * 86_400_000_000, unit="us")
+    out["actual"] = out["c"].astype(np.int64)
+    out["record_score"] = round_half_away(
+        out["record_score"].to_numpy(np.float64), 4)
+    return (out[["event_type", "day", "actual", "record_score"]]
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
+
+
+def ml_detector_rare(sf_dir: str):
+    """x-pack ml `rare by event_type partition user_id` detector
+    (RareFunction): a (user, event_type) combination is anomalous when
+    its count is far below the user's modal event count. Counts ride the
+    bucketed exchange (pair cardinality ~ users x types); severity =
+    100 * (1 - cnt / max_cnt_for_user), reported when >= 70 and the
+    user has >= 3 distinct event types."""
+    import pyarrow.compute as pc
+
+    from ..functions.exchange import bucketed_agg
+
+    ds = _ds(sf_dir, "events", ["user_id", "event_type"],
+             flt=pc.field("user_id") < 200)
+    cnt = bucketed_agg(ds, ["user_id", "event_type"], "event_type",
+                       "count", out_name="cnt").to_pandas()
+    g = cnt.groupby("user_id")["cnt"]
+    cnt = cnt.join(g.agg(mx="max", nt="size"), on="user_id")
+    cnt["record_score"] = 100.0 * (1.0 - cnt["cnt"] / cnt["mx"])
+    out = cnt[(cnt["record_score"] >= 70.0) & (cnt["nt"] >= 3)].copy()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["record_score"] = round_half_away(
+        out["record_score"].to_numpy(np.float64), 4)
+    return (out[["user_id", "event_type", "cnt", "record_score"]]
+            .sort_values(["user_id", "event_type"]).reset_index(drop=True))
+
+
+def ml_bucket_anomaly_score(sf_dir: str):
+    """x-pack ml BUCKET-level normalization (BucketNormalizable /
+    GetBucketsAction): record z-scores per (event_type, day) roll up to
+    one anomaly_score per day bucket = the rank-normalized MAX |z| of
+    the bucket's records; buckets with score >= 85 are reported with
+    their record count above the 75 threshold."""
+    b = _ml_day_buckets(sf_dir, {"s", "c"})
+    b["mean_v"] = b["s"] / b["c"]
+    st = b.groupby("event_type")["mean_v"].agg(
+        mu="mean", sd=lambda x: x.std(ddof=1))
+    b = b.join(st, on="event_type")
+    b["z"] = ((b["mean_v"] - b["mu"]) / b["sd"]).abs()
+    b["record_score"] = _ml_rank_score(b["z"])
+    day = b.groupby("day_i").agg(
+        max_z=("z", "max"),
+        n_high=("record_score", lambda s: int((s >= 75.0).sum())))
+    day["anomaly_score"] = _ml_rank_score(day["max_z"])
+    out = day[day["anomaly_score"] >= 85.0].reset_index()
+    out["day"] = pd.to_datetime(out["day_i"] * 86_400_000_000, unit="us")
+    out["n_high"] = out["n_high"].astype(np.int64)
+    out["anomaly_score"] = round_half_away(
+        out["anomaly_score"].to_numpy(np.float64), 4)
+    return (out[["day", "anomaly_score", "n_high"]]
+            .sort_values("day").reset_index(drop=True))
+
+
 def painless_script_locals(sf_dir: str):
     """Painless MULTI-STATEMENT script body with local variables
     (modules/lang-painless statement grammar: `def` / typed
