@@ -95,50 +95,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from elasticsearch_ray.pipelines import ops
 
     names = [
-        # Driver correctness window = first 50 entries. Round-4
-        # rotation per VERDICT.md: the 5 duplicate names are removed
-        # (690 unique) and driver-NEVER-checked oracle-bearing ops
-        # lead, oldest sessions first; rows-only ops follow; the 100
-        # driver-verified (r01/r02/r03) ops sit at the tail.
-        # --- round-5 new gates (driver-unchecked, oracle-bearing) ---
+        # Driver correctness window = first 50 entries. Round-5
+        # rotation per VERDICT.md: 14 new round-5 gates + eql_sample
+        # (advice #9) + the next never-driver-checked oracle-bearing
+        # ops, oldest sessions first; rows-only ops follow; the 150
+        # driver-verified (r01-r04) ops sit at the tail. Registry: 723
+        # unique (700 exact-oracle, 23 rows-only).
         "painless_if_block", "painless_early_return",
         "painless_loop_harmonic", "painless_while_halving",
-        "painless_foreach_params",
-        "sql_subquery_from", "sql_subquery_agg_outer",
-        "sql_subquery_nested", "sql_interval_arith", "sql_extract_group",
-        "ml_detector_min_max", "ml_detector_count", "ml_detector_rare",
-        "ml_bucket_anomaly_score",
-        # --- round-4 new gates (driver-unchecked, oracle-bearing) ---
-        "esql_where_boolean", "esql_where_functions", "esql_eval_case",
-        "esql_where_in_like", "esql_eval_string", "esql_where_date",
-        "painless_string_filter", "painless_ternary_score",
-        "painless_substring_field", "painless_params_filter",
-        "sql_where_or", "sql_where_boolean_tree", "sql_where_not_like",
-        "ml_anomaly_mean_value", "ml_datafeed_agg_preview",
-        "ml_estimate_model_memory", "painless_script_locals",
-        "text_boilerplate_strip",
-        # --- driver-unchecked, oracle-bearing (573) ---
-        "ft_function_score_functions", "ft_function_score_gauss",
-        "ft_sort_missing_last", "ft_sort_script", "ft_sort_geo_distance",
-        "ft_docvalue_fields", "ft_track_total_hits", "ft_terminate_after",
-        "ft_post_filter", "ft_completion_context", "ft_analyze_stemmer",
-        "agg_geohash_grid", "agg_scripted_metric", "ft_analyze_thai",
-        "ft_analyze_lithuanian", "ft_analyze_irish", "ft_analyze_galician",
-        "ft_analyze_estonian", "ft_analyze_chinese", "ft_analyze_catalan",
-        "ft_analyze_bengali", "ft_analyze_basque", "ft_analyze_armenian",
-        "ft_analyze_brazilian", "ft_analyze_sorani", "ft_analyze_indonesian",
-        "ft_analyze_latvian", "ft_analyze_bulgarian", "ft_analyze_czech",
-        "ft_analyze_hindi", "ft_analyze_greek", "ft_analyze_turkish",
-        "ft_analyze_hungarian", "ft_analyze_finnish", "ft_analyze_romanian",
-        "ft_analyze_arabic", "ft_analyze_danish", "ft_analyze_norwegian",
-        "ft_analyze_swedish", "lang_stemmed_index_search",
-        "ft_analyze_russian", "ft_analyze_dutch", "ft_analyze_portuguese",
-        "ft_analyze_italian", "ft_analyze_spanish", "ft_analyze_german",
-        "ft_analyze_french", "agg_percentiles_hdr", "ft_sim_scripted",
-        "ft_analyze_filter_chain", "ft_analyze_common_grams",
-        "ft_search_as_you_type", "index_sorted_pruning", "geo_shape_envelope",
-        "agg_significant_chi2", "ft_span_masked", "agg_diversified_sampler",
-        "mapping_infer", "range_field_intersects", "agg_moving_avg_holt",
+        "painless_foreach_params", "sql_subquery_from",
+        "sql_subquery_agg_outer", "sql_subquery_nested",
+        "sql_interval_arith", "sql_extract_group", "ml_detector_min_max",
+        "ml_detector_count", "ml_detector_rare", "ml_bucket_anomaly_score",
+        "eql_sample", "ft_analyze_hungarian", "ft_analyze_finnish",
+        "ft_analyze_romanian", "ft_analyze_arabic", "ft_analyze_danish",
+        "ft_analyze_norwegian", "ft_analyze_swedish",
+        "lang_stemmed_index_search", "ft_analyze_russian",
+        "ft_analyze_dutch", "ft_analyze_portuguese", "ft_analyze_italian",
+        "ft_analyze_spanish", "ft_analyze_german", "ft_analyze_french",
+        "agg_percentiles_hdr", "ft_sim_scripted", "ft_analyze_filter_chain",
+        "ft_analyze_common_grams", "ft_search_as_you_type",
+        "index_sorted_pruning", "geo_shape_envelope", "agg_significant_chi2",
+        "ft_span_masked", "agg_diversified_sampler", "mapping_infer",
+        "range_field_intersects", "agg_moving_avg_holt",
         "agg_moving_avg_ewma", "geo_polygon", "ft_span_multi",
         "ft_script_query", "ingest_grok_kv", "ft_analyze_mapping",
         "ip_cidr_filter", "ft_multi_match_cross", "ft_intervals_prefix",
@@ -156,52 +135,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_roundtrip", "quality_filter", "ingest_pipeline_demo",
         "ft_intervals", "ft_match_bool_prefix", "agg_serial_diff",
         "agg_moving_fn", "agg_bucket_script", "agg_percentiles_bucket",
-        "agg_stats_bucket", "ft_match_msm", "ft_termvectors", "ft_completion",
-        "reindex_docs", "update_by_query", "delete_by_query", "ft_analyze",
-        "percolate", "has_parent", "has_child", "range_orders_pruned",
-        "agg_auto_date_histogram", "agg_sampler", "geo_distance",
-        "geo_bounding_box", "nested_query", "agg_matrix_stats",
-        "agg_date_range", "agg_adjacency_matrix", "ft_query_string",
-        "ft_phrase_prefix", "ft_span_near", "ingest_extract", "terms_lookup",
-        "agg_filters", "agg_significant_terms", "agg_rare_terms",
-        "ft_rescore", "snapshot_restore_renamed", "cat_aliases",
-        "keyword_normalizer", "redact_pii", "agg_date_histogram_quarter",
-        "sequence_packing", "training_mix", "mapping_options",
-        "source_orc_roundtrip", "bulk_actions", "forcemerge_api",
-        "agg_significant_script", "agg_composite_date_histogram",
-        "search_shards", "text_repetition", "phrase_suggest_collate",
-        "dedup_decontaminate", "script_expression", "tasks_api",
-        "ingest_attachment", "icu_analyze", "phonetic_metaphone",
-        "phonetic_soundex", "annotated_text_terms", "annotated_text_analyze",
-        "token_count_field", "mapper_murmur3", "mapper_size",
-        "rank_features_query", "scaled_float_range", "ingest_geoip",
-        "ingest_user_agent", "ft_intervals_filter", "agg_significant_gnd",
-        "ft_fuzzy_transpositions", "ft_multi_index_boost", "ft_multi_index",
-        "agg_date_histogram_tz", "agg_histogram_options", "agg_terms_options",
-        "ft_intervals_fuzzy", "ft_multi_match_bool_prefix",
-        "ft_multi_match_phrase_prefix", "ft_multi_match_phrase",
-        "ft_zero_terms", "ft_completion_geo_context", "cat_segments",
-        "ft_search_analyzer", "ft_span_containing", "ft_fuzzy_options",
-        "ft_highlight_options", "geo_shape_multipolygon", "ft_stored_script",
-        "ft_suggest_modes", "agg_sibling_buckets", "agg_parent",
-        "agg_children", "ft_validate_query", "cat_indices", "ft_mget",
-        "ft_pit", "ft_scroll_sliced", "dedup_embedding_lsh_exact",
-        "knn_lsh_exact", "dedup_simhash_exact", "dedup_minhash_exact",
-        "dedup_ngram_jaccard", "ft_profile", "ft_alias_filter",
-        "ft_mtermvectors", "ft_search_template", "ft_script_fields",
-        "ft_source_filtering", "ft_indices_boost", "ft_min_score",
-        "ft_terms_enum", "ft_explain", "agg_bucket_sort",
-        "agg_bucket_selector", "agg_extended_stats_bucket", "rank_eval",
-        "field_caps", "msearch", "ft_type", "ft_highlight_fvh",
-        "geo_shape_linestring", "geo_shape_disjoint", "geo_shape_within",
-        "geo_shape_polygon_points", "ft_completion_fuzzy",
-        "ft_completion_weighted", "lang_stop_tokenize",
-        "agg_significant_percentage", "agg_significant_mi", "ft_count",
-        "ft_analyze_persian", "ft_analyze_cjk", "ft_sim_boolean", "ft_sim_ib",
-        "ft_sim_dfr", "ft_sim_lm_jelinek_mercer", "ft_sim_lm_dirichlet",
-        "doc_chunks", "pmi_collocations", "tfidf_keywords",
-        "nb_domain_classify", "dsir_resample", "lm_perplexity_bigram",
-        "dsir_weights", "lm_perplexity", "dedup_keep_one", "dedup_components",
+        "agg_stats_bucket", "ft_match_msm", "ft_termvectors",
+        "ft_completion", "reindex_docs", "update_by_query",
+        "delete_by_query", "ft_analyze", "percolate", "has_parent",
+        "has_child", "range_orders_pruned", "agg_auto_date_histogram",
+        "agg_sampler", "geo_distance", "geo_bounding_box", "nested_query",
+        "agg_matrix_stats", "agg_date_range", "agg_adjacency_matrix",
+        "ft_query_string", "ft_phrase_prefix", "ft_span_near",
+        "ingest_extract", "terms_lookup", "agg_filters",
+        "agg_significant_terms", "agg_rare_terms", "ft_rescore",
+        "snapshot_restore_renamed", "cat_aliases", "keyword_normalizer",
+        "redact_pii", "agg_date_histogram_quarter", "sequence_packing",
+        "training_mix", "mapping_options", "source_orc_roundtrip",
+        "bulk_actions", "forcemerge_api", "agg_significant_script",
+        "agg_composite_date_histogram", "search_shards", "text_repetition",
+        "phrase_suggest_collate", "dedup_decontaminate", "script_expression",
+        "tasks_api", "ingest_attachment", "icu_analyze",
+        "phonetic_metaphone", "phonetic_soundex", "annotated_text_terms",
+        "annotated_text_analyze", "token_count_field", "mapper_murmur3",
+        "mapper_size", "rank_features_query", "scaled_float_range",
+        "ingest_geoip", "ingest_user_agent", "ft_intervals_filter",
+        "agg_significant_gnd", "ft_fuzzy_transpositions",
+        "ft_multi_index_boost", "ft_multi_index", "agg_date_histogram_tz",
+        "agg_histogram_options", "agg_terms_options", "ft_intervals_fuzzy",
+        "ft_multi_match_bool_prefix", "ft_multi_match_phrase_prefix",
+        "ft_multi_match_phrase", "ft_zero_terms",
+        "ft_completion_geo_context", "cat_segments", "ft_search_analyzer",
+        "ft_span_containing", "ft_fuzzy_options", "ft_highlight_options",
+        "geo_shape_multipolygon", "ft_stored_script", "ft_suggest_modes",
+        "agg_sibling_buckets", "agg_parent", "agg_children",
+        "ft_validate_query", "cat_indices", "ft_mget", "ft_pit",
+        "ft_scroll_sliced", "dedup_embedding_lsh_exact", "knn_lsh_exact",
+        "dedup_simhash_exact", "dedup_minhash_exact", "dedup_ngram_jaccard",
+        "ft_profile", "ft_alias_filter", "ft_mtermvectors",
+        "ft_search_template", "ft_script_fields", "ft_source_filtering",
+        "ft_indices_boost", "ft_min_score", "ft_terms_enum", "ft_explain",
+        "agg_bucket_sort", "agg_bucket_selector",
+        "agg_extended_stats_bucket", "rank_eval", "field_caps", "msearch",
+        "ft_type", "ft_highlight_fvh", "geo_shape_linestring",
+        "geo_shape_disjoint", "geo_shape_within", "geo_shape_polygon_points",
+        "ft_completion_fuzzy", "ft_completion_weighted",
+        "lang_stop_tokenize", "agg_significant_percentage",
+        "agg_significant_mi", "ft_count", "ft_analyze_persian",
+        "ft_analyze_cjk", "ft_sim_boolean", "ft_sim_ib", "ft_sim_dfr",
+        "ft_sim_lm_jelinek_mercer", "ft_sim_lm_dirichlet", "doc_chunks",
+        "pmi_collocations", "tfidf_keywords", "nb_domain_classify",
+        "dsir_resample", "lm_perplexity_bigram", "dsir_weights",
+        "lm_perplexity", "dedup_keep_one", "dedup_components",
         "rank_eval_metrics", "sliding_window_counts",
         "range_join_events_windows", "asof_join_events_orders",
         "events_sessionize", "join_orders_customer", "embed_cluster_sample",
@@ -212,21 +192,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_bloom", "training_mix_temperature", "text_entropy",
         "gopher_repetition", "c4_filter", "gopher_quality",
         "lm_perplexity_kn", "dedup_semantic", "lm_ngram_counts",
-        "bpe_pair_counts", "corpus_quantile_filter", "corpus_sample_weighted",
-        "corpus_sample_bottomk", "corpus_diff", "ft_rank_feature_log_sigmoid",
-        "training_mix_budget", "get_mapping", "exists_apis",
-        "ft_sort_nested_mode", "ft_alias_routing", "script_languages",
-        "grok_patterns", "indices_close_open", "ft_clear_scroll",
-        "cat_snapshots", "cat_templates", "ingest_simulate",
-        "msearch_template", "ft_render_template", "ft_get_source",
-        "cat_count", "classifier_train_gd", "knn_sq_indexed",
-        "knn_binary_quantized", "ft_routed_term", "embed_covariance",
-        "ft_rrf_hybrid", "knn_scalar_quantized", "cluster_stats",
-        "corpus_vocab_growth", "resolve_index", "ingest_fingerprint",
-        "agg_random_sampler", "rollup_search", "events_retention",
-        "agg_frequent_item_sets", "agg_ip_prefix", "ft_hybrid_linear",
-        "reindex_sliced", "decontaminate_exact", "ft_analyze_offsets",
-        "async_search", "ccs_clusters", "ccs_search",
+        "bpe_pair_counts", "corpus_quantile_filter",
+        "corpus_sample_weighted", "corpus_sample_bottomk", "corpus_diff",
+        "ft_rank_feature_log_sigmoid", "training_mix_budget", "get_mapping",
+        "exists_apis", "ft_sort_nested_mode", "ft_alias_routing",
+        "script_languages", "grok_patterns", "indices_close_open",
+        "ft_clear_scroll", "cat_snapshots", "cat_templates",
+        "ingest_simulate", "msearch_template", "ft_render_template",
+        "ft_get_source", "cat_count", "classifier_train_gd",
+        "knn_sq_indexed", "knn_binary_quantized", "ft_routed_term",
+        "embed_covariance", "ft_rrf_hybrid", "knn_scalar_quantized",
+        "cluster_stats", "corpus_vocab_growth", "resolve_index",
+        "ingest_fingerprint", "agg_random_sampler", "rollup_search",
+        "events_retention", "agg_frequent_item_sets", "agg_ip_prefix",
+        "ft_hybrid_linear", "reindex_sliced", "decontaminate_exact",
+        "ft_analyze_offsets", "async_search", "ccs_clusters", "ccs_search",
         "agg_moving_percentiles", "ft_sparse_vector", "ft_runtime_field",
         "agg_t_test", "agg_geo_line", "training_shuffle", "sql_query",
         "ingest_enrich", "data_stream_rollover", "knn_l2", "knn_filtered",
@@ -260,30 +240,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retriever_rerank", "retriever_linear", "retriever_rrf_tree",
         "ingest_network_direction", "ingest_registered_domain",
         "ingest_uri_parts", "sql_fulltext_agg", "sql_fulltext_score",
-        "esql_like_list", "esql_over_time", "eql_until", "eql_sequence_three",
-        "eql_head_pipe", "esql_vector_functions", "esql_knn",
-        "esql_score_topk", "esql_kql", "esql_qstr", "esql_match_phrase",
-        "esql_match_operator", "esql_match", "range_date_math",
-        "agg_histogram_hard_bounds", "ft_highlight_no_match",
-        "agg_composite_missing_bucket", "agg_significant_bg_filter",
-        "agg_date_histogram_bounds", "agg_terms_missing",
-        "agg_filters_other_bucket", "esql_chained_stats", "sql_select_star",
-        "agg_percentile_ranks_hdr", "eql_sequence_by_multi",
-        "ft_analyze_predicate", "ft_analyze_condition",
-        "ft_analyze_multiplexer", "eql_insensitive_match",
-        "sql_group_by_expression", "ingest_conditional", "sql_like_predicate",
-        "sql_where_expression", "sql_scalar_projection",
-        "corpus_ngram_novelty", "eql_sequence_runs", "ltr_rescore",
-        "simulate_index_template", "agg_geohex_grid", "esql_mv_mad",
-        "ft_analyze_japanese", "ft_analyze_korean", "ft_analyze_ukrainian",
-        "ft_analyze_polish", "ft_constant_keyword", "autoscaling_capacity",
-        "semantic_chunked_search", "geo_shape_indexed_polygons",
-        "percolate_ranges", "rank_vectors_maxsim", "field_usage_stats",
-        "transform_continuous", "cluster_reroute", "ingest_inference",
-        "corpus_zipf_slope", "corpus_kl_drift", "esql_mv_zip",
-        "esql_mv_functions2", "sql_pivot", "indices_resize", "eql_sample",
-        "ingest_circle", "shape_cartesian_disjoint", "shape_cartesian_points",
-        "esql_show_info", "reload_search_analyzers", "painless_execute",
+        "esql_like_list", "esql_over_time", "eql_until",
+        "eql_sequence_three", "eql_head_pipe", "esql_vector_functions",
+        "esql_knn", "esql_score_topk", "esql_kql", "esql_qstr",
+        "esql_match_phrase", "esql_match_operator", "esql_match",
+        "range_date_math", "agg_histogram_hard_bounds",
+        "ft_highlight_no_match", "agg_composite_missing_bucket",
+        "agg_significant_bg_filter", "agg_date_histogram_bounds",
+        "agg_terms_missing", "agg_filters_other_bucket",
+        "esql_chained_stats", "sql_select_star", "agg_percentile_ranks_hdr",
+        "eql_sequence_by_multi", "ft_analyze_predicate",
+        "ft_analyze_condition", "ft_analyze_multiplexer",
+        "eql_insensitive_match", "sql_group_by_expression",
+        "ingest_conditional", "sql_like_predicate", "sql_where_expression",
+        "sql_scalar_projection", "corpus_ngram_novelty", "eql_sequence_runs",
+        "ltr_rescore", "simulate_index_template", "agg_geohex_grid",
+        "esql_mv_mad", "ft_analyze_japanese", "ft_analyze_korean",
+        "ft_analyze_ukrainian", "ft_analyze_polish", "ft_constant_keyword",
+        "autoscaling_capacity", "semantic_chunked_search",
+        "geo_shape_indexed_polygons", "percolate_ranges",
+        "rank_vectors_maxsim", "field_usage_stats", "transform_continuous",
+        "cluster_reroute", "ingest_inference", "corpus_zipf_slope",
+        "corpus_kl_drift", "esql_mv_zip", "esql_mv_functions2", "sql_pivot",
+        "indices_resize", "ingest_circle", "shape_cartesian_disjoint",
+        "shape_cartesian_points", "esql_show_info",
+        "reload_search_analyzers", "painless_execute",
         "agg_inference_regression", "agg_bucket_count_ks_test",
         "agg_bucket_correlation", "esql_now_datemath", "sql_describe_table",
         "sql_show_tables", "deprecation_info", "cat_allocation",
@@ -307,20 +288,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synthetic_source", "k_anonymity_suppress", "agg_t_test_paired",
         "ft_suggest_collate", "dedup_substring_cut",
         "ft_analyze_keyword_repeat", "agg_moving_fn_holt_winters",
-        "dedup_substring_runs", "ml_outlier_detection", "sql_select_distinct",
-        "agg_terms_partitions", "ingest_on_failure", "search_type_qtf",
-        "dedup_keep_best", "dsir_importance", "eql_count_pipe",
-        "eql_tail_pipe", "force_merge_api", "indices_get_settings",
-        "cluster_state", "indices_clone",
-        # --- driver-unchecked, rows-only (18) ---
-        "index_dangling_recovery",
-        "ingest_community_id", "index_disk_usage", "knn_recall_report",
-        "knn_pq", "knn_ivf_pq", "knn_hnsw", "agg_variable_width_histogram",
-        "knn_rescore", "semantic_search", "bpe_train_merges",
-        "bpe_token_counts", "dedup_embedding_lsh", "agg_percentile_ranks",
-        "knn_ivf", "multimodal_image_resize", "multimodal_audio_features",
-        "multimodal_video_frames",
-        # --- driver-verified r01/r02/r03 (100) ---
+        "dedup_substring_runs", "ml_outlier_detection",
+        "sql_select_distinct", "agg_terms_partitions", "ingest_on_failure",
+        "search_type_qtf", "dedup_keep_best", "dsir_importance",
+        "eql_count_pipe", "eql_tail_pipe", "force_merge_api",
+        "indices_get_settings", "cluster_state", "indices_clone",
+        "index_dangling_recovery", "ingest_community_id", "index_disk_usage",
+        "knn_recall_report", "knn_pq", "knn_ivf_pq", "knn_hnsw",
+        "agg_variable_width_histogram", "knn_rescore", "semantic_search",
+        "bpe_train_merges", "bpe_token_counts", "dedup_embedding_lsh",
+        "agg_percentile_ranks", "knn_ivf", "multimodal_image_resize",
+        "multimodal_audio_features", "multimodal_video_frames",
+        "agg_percentiles", "dedup_minhash", "dedup_simhash", "knn_lsh",
+        "multimodal_image_meta", "esql_where_boolean",
+        "esql_where_functions", "esql_eval_case", "esql_where_in_like",
+        "esql_eval_string", "esql_where_date", "painless_string_filter",
+        "painless_ternary_score", "painless_substring_field",
+        "painless_params_filter", "sql_where_or", "sql_where_boolean_tree",
+        "sql_where_not_like", "ml_anomaly_mean_value",
+        "ml_datafeed_agg_preview", "ml_estimate_model_memory",
+        "painless_script_locals", "text_boilerplate_strip",
+        "ft_function_score_functions", "ft_function_score_gauss",
+        "ft_sort_missing_last", "ft_sort_script", "ft_sort_geo_distance",
+        "ft_docvalue_fields", "ft_track_total_hits", "ft_terminate_after",
+        "ft_post_filter", "ft_completion_context", "ft_analyze_stemmer",
+        "agg_geohash_grid", "agg_scripted_metric", "ft_analyze_thai",
+        "ft_analyze_lithuanian", "ft_analyze_irish", "ft_analyze_galician",
+        "ft_analyze_estonian", "ft_analyze_chinese", "ft_analyze_catalan",
+        "ft_analyze_bengali", "ft_analyze_basque", "ft_analyze_armenian",
+        "ft_analyze_brazilian", "ft_analyze_sorani", "ft_analyze_indonesian",
+        "ft_analyze_latvian", "ft_analyze_bulgarian", "ft_analyze_czech",
+        "ft_analyze_hindi", "ft_analyze_greek", "ft_analyze_turkish",
         "esql_sample", "agg_cartesian_centroid", "agg_cartesian_bounds",
         "bulk_update_merge", "update_conflicts_seq_no", "ft_match_only_text",
         "ft_copy_to", "ft_position_increment_gap",
@@ -332,28 +330,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bool_msm_forms", "ft_match_fuzziness",
         "completion_skip_duplicates", "mapping_ignore_malformed",
         "date_multi_format", "ft_index_prefixes", "agg_doc_count_field",
-        "quality_ensemble", "analyze_api_explain", "index_incremental_append",
-        "corpus_shard_writer", "ft_norms_disabled", "enrich_geo_match",
-        "agg_t_test_unpaired", "index_refresh_visibility",
-        "training_shuffle_order", "bulk_external_versioning",
-        "bulk_script_update", "ingest_simulate_verbose", "reindex_script",
-        "termvectors_filtered", "corpus_datacard",
-        "ft_highlight_no_match_size", "knn_similarity_threshold",
-        "ft_rank_feature_negative", "ft_regexp_ops", "ft_sqs_operators",
-        "agg_histogram_offset", "esql_mv_functions", "ft_type_query",
-        "ft_term", "ft_match_or", "ft_match_and", "ft_phrase", "ft_prefix",
-        "ft_bool", "ft_topk", "ft_ids", "ft_suggest", "ft_highlight",
-        "agg_terms", "agg_date_histogram", "agg_histogram", "agg_stats",
+        "quality_ensemble", "analyze_api_explain",
+        "index_incremental_append", "corpus_shard_writer",
+        "ft_norms_disabled", "enrich_geo_match", "agg_t_test_unpaired",
+        "index_refresh_visibility", "training_shuffle_order",
+        "bulk_external_versioning", "bulk_script_update",
+        "ingest_simulate_verbose", "reindex_script", "termvectors_filtered",
+        "corpus_datacard", "ft_highlight_no_match_size",
+        "knn_similarity_threshold", "ft_rank_feature_negative",
+        "ft_regexp_ops", "ft_sqs_operators", "agg_histogram_offset",
+        "esql_mv_functions", "ft_type_query", "ft_term", "ft_match_or",
+        "ft_match_and", "ft_phrase", "ft_prefix", "ft_bool", "ft_topk",
+        "ft_ids", "ft_suggest", "ft_highlight", "agg_terms",
+        "agg_date_histogram", "agg_histogram", "agg_stats",
         "agg_extended_stats", "agg_cardinality", "agg_cardinality_hll",
-        "agg_percentiles", "agg_composite", "agg_top_hits", "agg_cumsum",
-        "agg_derivative", "agg_moving_avg", "agg_weighted_avg",
-        "agg_user_window", "range_agg", "search_after_orders",
-        "update_old_new", "dedup_exact", "dedup_minhash", "dedup_simhash",
-        "dedup_embedding", "knn_bruteforce", "knn_lsh", "text_token_count",
+        "agg_composite", "agg_top_hits", "agg_cumsum", "agg_derivative",
+        "agg_moving_avg", "agg_weighted_avg", "agg_user_window", "range_agg",
+        "search_after_orders", "update_old_new", "dedup_exact",
+        "dedup_embedding", "knn_bruteforce", "text_token_count",
         "text_quality", "text_lang_id", "text_fingerprint", "top_terms",
-        "multimodal_image_meta", "ft_fuzzy", "ft_wildcard", "ft_regexp",
-        "ft_terms_set", "ft_dis_max", "ft_constant_score", "ft_boosting",
-        "ft_function_score", "ft_more_like_this", "ft_paginate",
+        "ft_fuzzy", "ft_wildcard", "ft_regexp", "ft_terms_set", "ft_dis_max",
+        "ft_constant_score", "ft_boosting", "ft_function_score",
+        "ft_more_like_this", "ft_paginate"
     ]
     return {n: getattr(ops, n) for n in names}
 
