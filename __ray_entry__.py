@@ -103,7 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unique (700 exact-oracle, 23 rows-only).
         "painless_if_block", "painless_early_return",
         "painless_loop_harmonic", "painless_while_halving",
-        "painless_foreach_params", "sql_subquery_from",
+        "painless_foreach_params", "painless_math_methods",
+        "sql_subquery_from",
         "sql_subquery_agg_outer", "sql_subquery_nested",
         "sql_interval_arith", "sql_extract_group", "ml_detector_min_max",
         "ml_detector_count", "ml_detector_rare", "ml_bucket_anomaly_score",
@@ -1076,6 +1077,11 @@ SELECT doc_id, steps FROM h WHERE w < 10 ORDER BY doc_id"""
 SELECT doc_id,
        ROUND(((n_chars * 0.5) * 0.5 + n_chars * 0.25) * 0.5
              + n_chars * 0.125, 4) AS score
+FROM documents ORDER BY doc_id"""
+    out["painless_math_methods"] = """
+SELECT doc_id,
+       ROUND(SQRT(GREATEST(n_chars - 400.0, 0.0))
+             + LN(n_chars + 1.0) * 2.0, 4) AS score
 FROM documents ORDER BY doc_id"""
     # round-5 SQL subquery / datetime gates: oracle IS the same SQL text
     out["sql_subquery_from"] = """

@@ -17210,6 +17210,29 @@ def painless_foreach_params(sf_dir: str):
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def painless_math_methods(sf_dir: str):
+    """java.lang.Math statics in Painless (PainlessLookup whitelist:
+    Math.max/abs/sqrt/log...): each call lowers to one numpy kernel,
+    vectorized over the batch; Math.round keeps Java's floor(x+0.5)
+    half-up semantics."""
+    from ..scripting import compile_painless_script, safe_eval_script
+
+    stmts = compile_painless_script(
+        "def a = Math.max(doc['n_chars'].value - 400.0, 0.0);"
+        "def b = Math.log(doc['n_chars'].value + 1.0);"
+        "return Math.sqrt(a) + b * 2.0;")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_script(stmts, _painless_batch_env(t))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "score": pa.array(
+                             round_half_away(np.asarray(v, np.float64), 4))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def text_boilerplate_strip(sf_dir: str):
     """Cross-document boilerplate removal (the C4 / CCNet curation step
     — template chunks recurring across >= min_df distinct docs stripped

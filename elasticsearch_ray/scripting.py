@@ -113,6 +113,15 @@ def _eval_node(node: ast.AST, env: Mapping[str, Any]) -> Any:
             if node.keywords:
                 raise ScriptError("keyword arguments not allowed")
             attr = node.func.attr
+            if (isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "Math"):
+                # java.lang.Math statics (Painless whitelist: Math.max /
+                # abs / log / pow ...) -> numpy kernels, vectorized over
+                # arrays and exact on scalars
+                fn = _MATH_FNS.get(attr)
+                if fn is None:
+                    raise ScriptError(f"Math.{attr}() not allowed")
+                return fn(*[_eval_node(a, env) for a in node.args])
             if attr not in _STR_METHODS:
                 raise ScriptError(f"method '.{attr}()' not allowed")
             recv = _eval_node(node.func.value, env)
@@ -138,6 +147,24 @@ def _eval_node(node: ast.AST, env: Mapping[str, Any]) -> Any:
             return p[node.attr]
         raise ScriptError("attribute access not allowed")
     raise ScriptError(f"syntax {type(node).__name__} not allowed")
+
+
+def _mk_math_fns():
+    import numpy as np
+
+    return {
+        "max": np.maximum, "min": np.minimum, "abs": np.abs,
+        "pow": np.power, "sqrt": np.sqrt, "log": np.log,
+        "log10": np.log10, "exp": np.exp, "floor": np.floor,
+        "ceil": np.ceil,
+        # Java Math.round = floor(x + 0.5) (half-up), NOT banker's
+        "round": lambda x: np.floor(np.asarray(x, np.float64) + 0.5)
+        .astype(np.int64) if hasattr(x, "dtype") or isinstance(x, float)
+        else int(np.floor(x + 0.5)),
+    }
+
+
+_MATH_FNS = _mk_math_fns()
 
 
 # Painless String (java.lang.String + Painless augmentation) method

@@ -256,6 +256,18 @@ def test_painless_control_flow():
     with pytest.raises(ScriptError):
         safe_eval_script(compile_painless_script(
             "for (def i = 0; i < 2; i++) { def q = 1; } return i;"), env)
+    # java.lang.Math statics: vectorized numpy kernels, Java half-up round
+    st = compile_painless_script(
+        "return Math.sqrt(Math.abs(doc['v'].value)) "
+        "+ Math.round(Math.max(doc['v'].value, 0.5));")
+    got = safe_eval_script(st, env)
+    exp = [np.sqrt(abs(x)) + np.floor(max(x, 0.5) + 0.5)
+           for x in (10.0, 20.0, 7.0)]
+    assert np.allclose(np.asarray(got, np.float64), exp)
+    with pytest.raises(ScriptError):
+        safe_eval_script(
+            compile_painless_script("return Math.getClass();"), env)
+
     # break / continue rejected, escape still rejected inside blocks
     with pytest.raises(ScriptError):
         compile_painless_script(
