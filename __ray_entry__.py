@@ -106,7 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "painless_foreach_params", "painless_math_methods",
         "sql_subquery_from",
         "sql_subquery_agg_outer", "sql_subquery_nested",
-        "sql_interval_arith", "sql_extract_group", "ml_detector_min_max",
+        "sql_interval_arith", "sql_extract_group", "sql_subquery_topn",
+        "sql_date_trunc_group", "ml_detector_min_max",
         "ml_detector_count", "ml_detector_rare", "ml_bucket_anomaly_score",
         "eql_sample", "ft_analyze_hungarian", "ft_analyze_finnish",
         "ft_analyze_romanian", "ft_analyze_arabic", "ft_analyze_danish",
@@ -1107,6 +1108,14 @@ FROM events WHERE event_id < 50 ORDER BY event_id"""
     out["sql_extract_group"] = """
 SELECT EXTRACT(hour FROM ts) AS h, COUNT(*) AS n FROM events
 GROUP BY h ORDER BY h"""
+    out["sql_subquery_topn"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(MIN(o_totalprice), 2) AS mn,
+       ROUND(MAX(o_totalprice), 2) AS mx FROM (
+  SELECT o_orderkey, o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)"""
+    out["sql_date_trunc_group"] = """
+SELECT DATE_TRUNC('week', ts) AS wk, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY wk ORDER BY wk"""
     # round-5 x-pack ML detector-breadth gates
     out["ml_detector_min_max"] = """
 WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,

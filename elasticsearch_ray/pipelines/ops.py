@@ -16803,6 +16803,34 @@ def sql_extract_group(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def sql_subquery_topn(sf_dir: str):
+    """Aggregate over a top-N derived table (the classic
+    `FROM (ORDER BY … LIMIT n)` shape): the inner sort+limit run as the
+    distributed Dataset sort with a limit (only n rows survive the
+    exchange); the outer aggregate consumes the n-row stream.
+    Secondary sort key makes the boundary deterministic under ties."""
+    out = _run_sql(
+        "SELECT COUNT(*) AS n, MIN(o_totalprice) AS mn, "
+        "MAX(o_totalprice) AS mx FROM ("
+        "  SELECT o_orderkey, o_totalprice FROM orders"
+        "  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)", sf_dir)
+    out["n"] = out["n"].astype(np.int64)
+    for c in ("mn", "mx"):
+        out[c] = round_half_away(out[c].to_numpy(np.float64), 2)
+    return out.reset_index(drop=True)
+
+
+def sql_date_trunc_group(sf_dir: str):
+    """DATE_TRUNC('week', ts) as a SQL GROUP BY key (datetime scalar
+    function in the single-quote SQL surface; lowers to one
+    pc.floor_temporal kernel before the partial combiner)."""
+    out = _run_sql(
+        "SELECT DATE_TRUNC('week', ts) AS wk, COUNT(*) AS n FROM events "
+        "GROUP BY wk ORDER BY wk", sf_dir)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 # ---------------- round-4 x-pack ML job-surface gates ----------------
 
 
