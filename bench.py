@@ -99,7 +99,13 @@ def run_bench() -> dict:
             # n_docs//4 at 400k docs (BASELINE.md), and bounded per-task
             # memory is the 100-TB-correct shape anyway
             docs_per_partition=10_000,
-            num_buckets=32,
+            # 16 buckets, not 32: halves the per-partition object count
+            # (tok num_returns x tasks + encode tasks); measured round-5
+            # at 16 CPUs: 4.27 -> 3.67 s (+16%), neutral at 4 CPUs
+            # (13.5 s both) — scheduler overhead, not compute, was the
+            # difference. Per-bucket encode memory stays bounded by the
+            # constant partition size either way.
+            num_buckets=16,
         )
         attempts.append(time.time() - t0)
     t_build = min(attempts)
@@ -181,7 +187,7 @@ def run_bench() -> dict:
         shutil.rmtree(idx4, ignore_errors=True)
         t0 = time.time()
         build_index_tasks(corpus4, idx4, docs_per_partition=10_000,
-                          num_buckets=32)
+                          num_buckets=16)
         timings["extra_index_build_400k"] = round(time.time() - t0, 3)
         s4 = IndexSearcher(idx4)
         for q in queries:
