@@ -107,7 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_subquery_from",
         "sql_subquery_agg_outer", "sql_subquery_nested",
         "sql_interval_arith", "sql_extract_group", "sql_subquery_topn",
-        "sql_date_trunc_group", "ml_detector_min_max",
+        "sql_date_trunc_group", "ilm_phase_actions", "ml_detector_min_max",
         "ml_detector_count", "ml_detector_rare", "ml_bucket_anomaly_score",
         "eql_sample", "ft_analyze_hungarian", "ft_analyze_finnish",
         "ft_analyze_romanian", "ft_analyze_arabic", "ft_analyze_danish",
@@ -1116,6 +1116,34 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(MIN(o_totalprice), 2) AS mn,
     out["sql_date_trunc_group"] = """
 SELECT DATE_TRUNC('week', ts) AS wk, CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY wk ORDER BY wk"""
+    # round-5 ILM phase state machine (ordered action lists, one action
+    # per day of phase age, complete past the list)
+    out["ilm_phase_actions"] = """
+WITH b AS (SELECT date_trunc('day', ts) AS day FROM events),
+d AS (SELECT day FROM b GROUP BY day),
+a AS (SELECT day,
+             date_diff('day', day, (SELECT MAX(day) FROM d)) AS age
+      FROM d)
+SELECT 'events-' || strftime(day, '%Y.%m.%d') AS index_name,
+       CAST(age AS BIGINT) AS age_days,
+       CASE WHEN age >= 15 THEN 'delete' WHEN age >= 8 THEN 'cold'
+            WHEN age >= 3 THEN 'warm' ELSE 'hot' END AS phase,
+       CASE WHEN age >= 15 THEN
+              CASE age - 15 WHEN 0 THEN 'wait_for_snapshot'
+                            WHEN 1 THEN 'delete' ELSE 'complete' END
+            WHEN age >= 8 THEN
+              CASE age - 8 WHEN 0 THEN 'freeze' ELSE 'complete' END
+            WHEN age >= 3 THEN
+              CASE age - 3 WHEN 0 THEN 'readonly' WHEN 1 THEN 'shrink'
+                           WHEN 2 THEN 'forcemerge' ELSE 'complete' END
+            ELSE CASE age WHEN 0 THEN 'rollover' ELSE 'complete' END
+       END AS action,
+       CASE WHEN (age >= 15 AND age - 15 <= 1)
+              OR (age >= 8 AND age < 15 AND age = 8)
+              OR (age >= 3 AND age < 8 AND age - 3 <= 2)
+              OR (age < 3 AND age = 0)
+            THEN 'in_progress' ELSE 'complete' END AS step
+FROM a ORDER BY day"""
     # round-5 x-pack ML detector-breadth gates
     out["ml_detector_min_max"] = """
 WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,

@@ -8736,6 +8736,43 @@ def ilm_explain(sf_dir: str):
     })
 
 
+def ilm_phase_actions(sf_dir: str):
+    """ILM phase STATE MACHINE explain (x-pack ilm LifecyclePolicy /
+    TransportExplainLifecycleAction — beyond ilm_explain's phase
+    classification): each phase runs an ORDERED action list (hot:
+    rollover; warm: readonly -> shrink -> forcemerge; cold: freeze;
+    delete: wait_for_snapshot -> delete) and explain reports the
+    in-flight (phase, action, step) per index, `complete` past the
+    list (PhaseCompleteStep). Actions are real index ops — see
+    index/ilm.py execute_phase + tests/test_ilm.py search-parity.
+    Day-cardinality index table via per-batch partial counts."""
+    from ..index.ilm import explain_index
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        day = df["ts"].dt.floor("D")
+        g = day.groupby(day).size()
+        return pa.table({"day": g.index.to_numpy(),
+                         "docs": g.to_numpy().astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    d = (_ds(sf_dir, "events", ["ts"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("docs", alias_name="docs"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    mx = d["day"].max()
+    age = (mx - d["day"]).dt.days.to_numpy()
+    ex = [explain_index(int(a)) for a in age]  # day-cardinality frame
+    return pd.DataFrame({
+        "index_name": "events-" + d["day"].dt.strftime("%Y.%m.%d"),
+        "age_days": pd.array(age, dtype="int64"),
+        "phase": [e["phase"] for e in ex],
+        "action": [e["action"] for e in ex],
+        "step": [e["step"] for e in ex],
+    })
+
+
 def graph_explore(sf_dir: str):
     """Graph explore API (x-pack graph TransportGraphExploreAction):
     seed term 'data' -> vertices are the co-occurring terms ranked by the
