@@ -157,6 +157,26 @@ FIELD_SEP = "\x1f"
 TERM_MAX = chr(0x10FFFF)
 
 
+def _eval_script_src(src: str, env: dict):
+    """script / script_score source evaluation: single expressions take
+    the fast expression path; sources with statements (`;`, `def`/
+    `if`/`for`/`while` heads — the Painless statement grammar) compile
+    through the vectorized masked statement interpreter
+    (scripting.compile_painless_script), so a script_score with locals,
+    branches or a bounded loop works inside a query tree."""
+    import re as _re
+
+    from elasticsearch_ray.scripting import (
+        compile_painless_script,
+        safe_eval_expr,
+        safe_eval_script,
+    )
+
+    if ";" in src or _re.match(r"\s*(def|if|for|while)\b", src):
+        return safe_eval_script(compile_painless_script(src), env)
+    return safe_eval_expr(src, env)
+
+
 class QueryParseError(ValueError):
     """Malformed query_string input (the ParseException analog of Lucene's
     classic QueryParser, surfaced by _validate/query)."""
@@ -1387,7 +1407,7 @@ class IndexSearcher:
                 if name in self._meta_tables[0].column_names and \
                         (name not in env or name not in called):
                     env[name] = self._meta_values(name, ids).astype(np.float64)
-            mask = np.asarray(safe_eval_expr(src, env), bool)
+            mask = np.asarray(_eval_script_src(src, env), bool)
             ids = ids[mask]
             return ids, np.full(ids.size, boost, np.float64)
         if kind == "script_score":
@@ -1412,7 +1432,7 @@ class IndexSearcher:
                 if name in self._meta_tables[0].column_names and \
                         (name not in env or name not in called):
                     env[name] = self._meta_values(name, ids).astype(np.float64)
-            out = safe_eval_expr(src, env)
+            out = _eval_script_src(src, env)
             return ids, np.asarray(out, np.float64) * boost
         if kind == "distance_feature":
             # DistanceFeatureQueryBuilder (numeric/date form):

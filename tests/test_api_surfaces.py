@@ -385,3 +385,34 @@ def test_bulk_wire_format(ray_session):
         parse_bulk([json.dumps({"noop": {"_id": 9}})])
     with pytest.raises(ValueError):
         parse_bulk([json.dumps({"index": {"_id": 9}})])  # missing source
+
+
+def test_script_score_multi_statement(ray_session):
+    """script_score with a STATEMENT body (locals + if/else + while)
+    inside a query tree: routed through the vectorized masked
+    interpreter; verified against the same arithmetic applied to the
+    single-expression path's components."""
+    s = ops.documents_searcher(SF)
+    base = {"kind": "term", "term": "data"}
+    ids0, sc0 = s._eval(base)
+    q = {"kind": "script_score", "query": base, "script": (
+        "def b = _score * 2.0;"
+        "if (n_chars > 100) { b = b + 1.0; } else { b = b - 1.0; }"
+        "def h = n_chars * 1.0; def steps = 0;"
+        "while (h >= 50) { h = h / 2.0; steps += 1; }"
+        "return b + steps * 0.125;")}
+    ids, sc = s._eval(q)
+    assert list(ids) == list(ids0)
+    nch = s._meta_values("n_chars", ids0).astype(np.float64)
+    exp = np.where(nch > 100, sc0 * 2.0 + 1.0, sc0 * 2.0 - 1.0)
+    steps = np.zeros_like(nch)
+    h = nch.copy()
+    while (h >= 50).any():
+        m = h >= 50
+        h[m] /= 2.0
+        steps[m] += 1
+    assert np.allclose(sc, exp + steps * 0.125)
+    # single-expression scripts still take the fast path unchanged
+    ids1, sc1 = s._eval({"kind": "script_score", "query": base,
+                         "script": "_score * 2.0"})
+    assert np.allclose(sc1, sc0 * 2.0)
