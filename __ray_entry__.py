@@ -353,7 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality", "text_lang_id", "text_fingerprint", "top_terms",
         "ft_fuzzy", "ft_wildcard", "ft_regexp", "ft_terms_set", "ft_dis_max",
         "ft_constant_score", "ft_boosting", "ft_function_score",
-        "ft_more_like_this", "ft_paginate"
+        "ft_more_like_this", "ft_paginate",
+        "training_unigram_tokenizer",
     ]
     return {n: getattr(ops, n) for n in names}
 

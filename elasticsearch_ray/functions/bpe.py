@@ -268,3 +268,180 @@ def encode_token_counts(ds, merges: list[tuple[str, str]], *,
     return ds.map_batches(EncodeStage, fn_constructor_args=(merges, text_col),
                           max_restarts=0,
                           batch_format="pyarrow", concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, "Subword Regularization" — the
+# SentencePiece unigram trainer; public). The OTHER mainstream subword
+# trainer next to BPE: start from an over-complete candidate vocabulary,
+# EM-fit piece probabilities under Viterbi segmentation, prune to size.
+#
+# Scale shape (mirrors the BPE trainer above): everything runs over the
+# DISTINCT-WORD frequency table (vocabulary-bounded), never the corpus.
+# Each EM iteration is one map_batches over that word table with the
+# current model broadcast via ray.put (per-batch Viterbi over
+# batch-distinct words, piece-count partials) -> one bucketed-exchange
+# sum at piece cardinality -> a vocab-sized table on the driver. The
+# corpus itself is touched exactly once (word_counts).
+
+
+def _viterbi_segment(word: str, logp: dict, max_len: int) -> list[str]:
+    """Best segmentation of `word` under piece log-probs (standard
+    Viterbi over character positions; unknown single chars get a large
+    penalty so every word stays segmentable)."""
+    n = len(word)
+    best = [0.0] + [-1e18] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j > 1:
+                    continue
+                lp = -1e9  # unknown char fallback
+            sc = best[j] + lp
+            if sc > best[i]:
+                best[i] = sc
+                back[i] = j
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def fit_unigram_tokenizer(ds, *, vocab_size: int = 200, max_piece_len: int = 6,
+                          em_iters: int = 3, seed_multiple: int = 4,
+                          text_col: str = "text",
+                          prune_fraction: float = 0.25) -> dict:
+    """Train a unigram-LM subword vocabulary; returns {piece: logprob}.
+
+    1. seed: substring counts of the distinct-word table (one
+       map_batches explode, bucketed-exchange sum at substring
+       cardinality), top `seed_multiple x vocab_size` by freq x len,
+       plus every single character (closure guarantee);
+    2. EM x `em_iters`: E-step = per-batch Viterbi piece counts with
+       the model broadcast once per iteration (ray.put); M-step =
+       normalize; then prune the lowest-probability multi-char pieces
+       (at most `prune_fraction` per round) until `vocab_size` remains.
+    Deterministic: no sampling anywhere; ties break lexicographically.
+    """
+    import math
+
+    import ray
+
+    from .exchange import bucketed_sum
+
+    words = word_counts(ds, text_col=text_col).materialize()
+
+    # --- seed candidates: all substrings up to max_piece_len ---
+    def explode_subs(t: pa.Table) -> pa.Table:
+        ws = t["word"].to_pylist()
+        fs = t["freq"].to_numpy()
+        agg: dict = {}
+        for w, f in zip(ws, fs):
+            f = int(f)
+            n = len(w)
+            for i in range(n):
+                for L in range(1, min(max_piece_len, n - i) + 1):
+                    p = w[i:i + L]
+                    agg[p] = agg.get(p, 0) + f
+        if not agg:
+            return pa.table({"piece": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"piece": pa.array(list(agg.keys()), pa.string()),
+                         "cnt": pa.array(list(agg.values()), pa.int64())})
+
+    subs = bucketed_sum(words.map_batches(explode_subs,
+                                          batch_format="pyarrow"),
+                        ["piece"], "cnt", out_name="cnt").to_pandas()
+    subs["score"] = subs["cnt"] * subs["piece"].str.len()
+    chars = subs[subs["piece"].str.len() == 1]
+    multi = (subs[subs["piece"].str.len() > 1]
+             .sort_values(["score", "piece"], ascending=[False, True])
+             .head(seed_multiple * vocab_size))
+    vocab = pd.concat([chars, multi])
+    total = float(vocab["cnt"].sum())
+    logp = {p: math.log(c / total)
+            for p, c in zip(vocab["piece"], vocab["cnt"])}
+
+    # --- EM + prune rounds over the word table ---
+    for _ in range(em_iters):
+        model_ref = ray.put((dict(logp), max_piece_len))
+
+        def estep(t: pa.Table, ref=model_ref) -> pa.Table:
+            lp, ml = ray.get(ref)
+            agg: dict = {}
+            for w, f in zip(t["word"].to_pylist(), t["freq"].to_numpy()):
+                for piece in _viterbi_segment(w, lp, ml):
+                    agg[piece] = agg.get(piece, 0) + int(f)
+            if not agg:
+                return pa.table({"piece": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({"piece": pa.array(list(agg.keys()), pa.string()),
+                             "cnt": pa.array(list(agg.values()), pa.int64())})
+
+        counts = bucketed_sum(words.map_batches(estep,
+                                                batch_format="pyarrow"),
+                              ["piece"], "cnt", out_name="cnt").to_pandas()
+        total = float(counts["cnt"].sum())
+        used = {p: math.log(c / total)
+                for p, c in zip(counts["piece"], counts["cnt"])}
+        # unused pieces die; chars always survive with a floor prob
+        floor = math.log(0.5 / total)
+        logp = {p: used.get(p, floor if len(p) == 1 else None)
+                for p in logp}
+        logp = {p: v for p, v in logp.items() if v is not None}
+        # prune lowest multi-char pieces toward vocab_size
+        n_multi = sum(1 for p in logp if len(p) > 1)
+        n_chars = len(logp) - n_multi
+        target_multi = max(0, vocab_size - n_chars)
+        if n_multi > target_multi:
+            drop = min(n_multi - target_multi,
+                       max(1, int(n_multi * prune_fraction)))
+            ranked = sorted((p for p in logp if len(p) > 1),
+                            key=lambda p: (logp[p], p))
+            for p in ranked[:drop]:
+                del logp[p]
+    return logp
+
+
+class UnigramEncodeStage:
+    """Actor-pool encode: model loads once per actor; per batch only the
+    batch-DISTINCT words run Viterbi (word-level cache, like the BPE
+    EncodeStage)."""
+
+    def __init__(self, logp: dict, max_piece_len: int = 6,
+                 text_col: str = "text"):
+        self.logp = logp
+        self.ml = max_piece_len
+        self.text_col = text_col
+        self.cache: dict = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .lm import _tokens
+
+        counts = []
+        for text in t[self.text_col].to_pylist():
+            n = 0
+            for w in _tokens(text):
+                c = self.cache.get(w)
+                if c is None:
+                    c = self.cache[w] = len(
+                        _viterbi_segment(w, self.logp, self.ml))
+                n += c
+            counts.append(n)
+        return t.append_column("unigram_subwords",
+                               pa.array(counts, pa.int64()))
+
+
+def unigram_encode_counts(ds, logp: dict, *, max_piece_len: int = 6,
+                          text_col: str = "text", concurrency: int = 4):
+    """Per-doc unigram-LM subword counts with a trained vocabulary."""
+    return ds.map_batches(
+        UnigramEncodeStage,
+        fn_constructor_args=(logp, max_piece_len, text_col),
+        max_restarts=0, batch_format="pyarrow", concurrency=concurrency)

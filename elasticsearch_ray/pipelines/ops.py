@@ -17275,6 +17275,29 @@ def painless_foreach_params(sf_dir: str):
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def training_unigram_tokenizer(sf_dir: str):
+    """SentencePiece-style UNIGRAM-LM tokenizer training + encoding
+    (Kudo 2018 — the other mainstream subword trainer next to BPE):
+    substring-seeded vocabulary, EM-fit piece probabilities under
+    per-batch Viterbi (model broadcast once per iteration, piece-count
+    partials on the bucketed exchange at piece cardinality), prune to
+    size; encoding via the actor-pool stage with a distinct-word cache.
+    Rows-only: EM + Viterbi are not SQL-expressible; determinism and
+    segmentation quality are pytest-asserted (tests/test_round4_ops)."""
+    import pyarrow.compute as pc
+
+    from ..functions.bpe import fit_unigram_tokenizer, unigram_encode_counts
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"],
+             flt=pc.field("doc_id") < 300)
+    logp = fit_unigram_tokenizer(ds, vocab_size=150, em_iters=2)
+    out = unigram_encode_counts(ds, logp, concurrency=2).to_pandas()
+    out = out[["doc_id", "unigram_subwords"]]
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["unigram_subwords"] = out["unigram_subwords"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def painless_math_methods(sf_dir: str):
     """java.lang.Math statics in Painless (PainlessLookup whitelist:
     Math.max/abs/sqrt/log...): each call lowers to one numpy kernel,

@@ -540,3 +540,37 @@ def test_empty_result_edges(ray_session):
     r = esql.run(SF, "FROM events | WHERE value > 99999 "
                      "| SORT value DESC | KEEP event_id, value | LIMIT 3")
     assert len(r) == 0 and list(r.columns) == ["event_id", "value"]
+
+
+def test_unigram_tokenizer_trainer(ray_session):
+    """Unigram-LM trainer (Kudo 2018): on a corpus with clear morphology
+    the learned vocabulary contains the stems and suffixes, Viterbi
+    segmentation splits words on them, and training is deterministic."""
+    import pandas as pd
+    import ray.data as rd
+
+    from elasticsearch_ray.functions.bpe import (
+        _viterbi_segment,
+        fit_unigram_tokenizer,
+        unigram_encode_counts,
+    )
+
+    rows = [{"doc_id": i,
+             "text": "low lower lowest slow slower slowest "
+                     "new newer newest fast faster fastest"}
+            for i in range(8)]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    logp = fit_unigram_tokenizer(ds, vocab_size=40, em_iters=3)
+    pieces = set(logp)
+    # stems survive as whole pieces
+    assert {"low", "slow", "new", "fast"} <= pieces
+    # an UNSEEN compound segments into the learned stems (true Viterbi)
+    assert _viterbi_segment("slowfast", logp, 6) == ["slow", "fast"]
+    assert "".join(_viterbi_segment("lowest", logp, 6)) == "lowest"
+    # deterministic across runs
+    logp2 = fit_unigram_tokenizer(ds, vocab_size=40, em_iters=3)
+    assert logp == logp2
+    out = unigram_encode_counts(ds, logp, concurrency=2).to_pandas()
+    assert (out["unigram_subwords"] > 12).all()  # 12 words, some split
+    # unknown characters never crash segmentation
+    assert "".join(_viterbi_segment("zq9", logp, 6)) == "zq9"
