@@ -104,7 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "painless_if_block", "painless_early_return",
         "painless_loop_harmonic", "painless_while_halving",
         "painless_foreach_params", "painless_math_methods",
-        "sql_subquery_from",
+        "agg_scripted_metric_painless", "sql_subquery_from",
         "sql_subquery_agg_outer", "sql_subquery_nested",
         "sql_interval_arith", "sql_extract_group", "sql_subquery_topn",
         "sql_date_trunc_group", "ilm_phase_actions", "ml_detector_min_max",
@@ -1080,6 +1080,8 @@ SELECT doc_id,
        ROUND(((n_chars * 0.5) * 0.5 + n_chars * 0.25) * 0.5
              + n_chars * 0.125, 4) AS score
 FROM documents ORDER BY doc_id"""
+    out["agg_scripted_metric_painless"] = """
+SELECT ROUND(SUM(value * value) / COUNT(*), 4) AS mean_sq FROM events"""
     out["painless_math_methods"] = """
 SELECT doc_id,
        ROUND(SQRT(GREATEST(n_chars - 400.0, 0.0))

@@ -2374,6 +2374,43 @@ def agg_scripted_metric(sf_dir: str):
     return pd.DataFrame({"geo_mean_1p": [float(round_half_away(np.exp(r["logsum"] / r["n"]), 4))]})
 
 
+def agg_scripted_metric_painless(sf_dir: str):
+    """scripted_metric with REAL Painless scripts end-to-end
+    (ScriptedMetricAggregator map/combine/reduce): the map script is a
+    per-doc Painless expression evaluated VECTORIZED per batch; combine
+    folds each batch's contributions to (sum, n) partials; the reduce
+    script is a genuine multi-statement Painless body with for-each
+    loops over the shard-state lists (`params.states_*`), executed by
+    the round-5 statement interpreter. Computes mean of squares."""
+    from ..scripting import (
+        compile_painless,
+        compile_painless_script,
+        safe_eval_expr,
+        safe_eval_script,
+    )
+
+    map_src = compile_painless("doc['value'].value * doc['value'].value")
+    reduce_stmts = compile_painless_script(
+        "def total = 0.0; def n = 0.0;"
+        "for (s : params.states_sum) { total += s; }"
+        "for (c : params.states_n) { n += c; }"
+        "return total / n;")
+
+    def partial(t: pa.Table) -> pa.Table:
+        contrib = safe_eval_expr(map_src, _painless_batch_env(t))
+        return pa.table({"s": pa.array([float(np.sum(contrib))]),
+                         "n": pa.array([float(len(t))])})
+
+    parts = (_ds(sf_dir, "events", ["value"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    val = safe_eval_script(reduce_stmts, {
+        "params": {"states_sum": [float(x) for x in parts["s"]],
+                   "states_n": [float(x) for x in parts["n"]]},
+        "where": np.where})
+    return pd.DataFrame({
+        "mean_sq": [float(round_half_away(np.float64(val), 4))]})
+
+
 def knn_lsh_exact(sf_dir: str):
     """knn_lsh with an EXACT DuckDB oracle: the hyperplane signature, the
     hamming-1 probe set and the in-bucket cosine top-k are re-derived in SQL
