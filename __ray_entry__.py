@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "painless_if_block", "painless_early_return",
         "painless_loop_harmonic", "painless_while_halving",
         "painless_foreach_params", "painless_math_methods",
+        "painless_user_function", "painless_loop_break",
+        "painless_continue_sum",
         "agg_scripted_metric_painless", "sql_subquery_from",
         "sql_subquery_agg_outer", "sql_subquery_nested",
         "sql_interval_arith", "sql_extract_group", "sql_subquery_topn",
@@ -1079,6 +1081,25 @@ SELECT doc_id, steps FROM h WHERE w < 10 ORDER BY doc_id"""
 SELECT doc_id,
        ROUND(((n_chars * 0.5) * 0.5 + n_chars * 0.25) * 0.5
              + n_chars * 0.125, 4) AS score
+FROM documents ORDER BY doc_id"""
+    out["painless_user_function"] = """
+SELECT doc_id,
+       ROUND(CASE WHEN n_chars > 500.0 THEN n_chars * 0.5
+                  ELSE CAST(n_chars AS DOUBLE) END + 1.0, 4) AS score
+FROM documents ORDER BY doc_id"""
+    out["painless_loop_break"] = """
+WITH RECURSIVE h(doc_id, n, p) AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE), CAST(1.0 AS DOUBLE)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, n, p * 2.0 FROM h WHERE p < n
+)
+SELECT doc_id, CAST(p AS BIGINT) AS pow2 FROM h WHERE p >= n
+ORDER BY doc_id"""
+    out["painless_continue_sum"] = """
+SELECT doc_id,
+       ROUND(n_chars / 2.0 + n_chars / 3.0 + n_chars / 5.0
+             + n_chars / 6.0 + n_chars / 8.0, 4) AS score
 FROM documents ORDER BY doc_id"""
     out["agg_scripted_metric_painless"] = """
 SELECT ROUND(SUM(value * value) / COUNT(*), 4) AS mean_sq FROM events"""

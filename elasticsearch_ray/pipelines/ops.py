@@ -17358,6 +17358,81 @@ def painless_math_methods(sf_dir: str):
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def painless_user_function(sf_dir: str):
+    """Painless USER-DEFINED FUNCTION (PainlessParser.g4 `function` —
+    the last statement-grammar exclusion, closed in round 5): typed
+    header + params, body sees only its params/locals (no script-local
+    leakage, tested), early returns via the same per-row masks, calls
+    dispatch through the sandbox's whitelisted-callable path."""
+    from ..scripting import compile_painless_script, safe_eval_script
+
+    stmts = compile_painless_script(
+        "double boost(double x) {"
+        "  if (x > 500.0) { return x * 0.5; }"
+        "  return x; }"
+        "return boost(doc['n_chars'].value) + 1.0;")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_script(stmts, _painless_batch_env(t))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "score": pa.array(
+                             round_half_away(np.asarray(v, np.float64), 4))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def painless_loop_break(sf_dir: str):
+    """Painless `break` with PER-ROW semantics: `while (true)` doubling
+    until the row's bound is reached — each row exits the loop at its
+    own iteration (rows accumulate into the loop's broken mask and stop
+    updating; the loop runs until every row has broken). Oracle:
+    recursive CTE replaying the identical doublings."""
+    from ..scripting import compile_painless_script, safe_eval_script
+
+    stmts = compile_painless_script(
+        "def p = 1.0;"
+        "while (true) {"
+        "  if (p >= doc['n_chars'].value) { break; }"
+        "  p = p * 2.0; }"
+        "return p;")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_script(stmts, _painless_batch_env(t))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "pow2": pa.array(np.asarray(v, np.int64))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def painless_continue_sum(sf_dir: str):
+    """Painless `continue` in a C-style for loop: skipped iterations
+    (i % 3 == 0) contribute nothing but the update expression still
+    runs (continue jumps to the update, C semantics — the vectorized
+    interpreter executes the update under the continued-rows mask)."""
+    from ..scripting import compile_painless_script, safe_eval_script
+
+    stmts = compile_painless_script(
+        "def t = 0.0;"
+        "for (def i = 0; i < 8; i++) {"
+        "  if (i % 3 == 0) { continue; }"
+        "  t += doc['n_chars'].value / (i + 1.0); }"
+        "return t;")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_script(stmts, _painless_batch_env(t))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "score": pa.array(
+                             round_half_away(np.asarray(v, np.float64), 4))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def text_boilerplate_strip(sf_dir: str):
     """Cross-document boilerplate removal (the C4 / CCNet curation step
     — template chunks recurring across >= min_df distinct docs stripped

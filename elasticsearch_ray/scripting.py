@@ -523,9 +523,10 @@ def _find_stmt_end(s: str, i: int, end: int) -> int:
     return end
 
 
-def _compile_simple_stmt(st: str):
+def _compile_simple_stmt(st: str, in_loop: bool = False):
     """One brace-free statement -> node. Nodes are tagged tuples:
-    ('decl',name,tree) ('assign',name,tree) ('return',tree) ('expr',tree)."""
+    ('decl',name,tree) ('assign',name,tree) ('return',tree) ('expr',tree)
+    ('break',) ('continue',) — the loop controls only inside loop bodies."""
     import re
 
     global _DECL_RX
@@ -539,8 +540,11 @@ def _compile_simple_stmt(st: str):
     if _word_at(st, 0, "return"):
         return ("return", _compile_expr(st[len("return"):].strip() or "0"))
     if _word_at(st, 0, "break") or _word_at(st, 0, "continue"):
-        raise ScriptError("break/continue not supported (bound the loop "
-                          "with its condition instead)")
+        if not in_loop:
+            raise ScriptError(f"'{st.split()[0]}' outside a loop")
+        if st not in ("break", "continue"):
+            raise ScriptError(f"unsupported statement: {st!r}")
+        return (st,)
     m = _DECL_RX.match(st)
     if m:
         return ("decl", m.group(1), _compile_expr(m.group(2) or "0"))
@@ -560,18 +564,23 @@ def _compile_simple_stmt(st: str):
     return ("expr", _compile_expr(st))
 
 
-def _parse_body(s: str, i: int, end: int):
+def _parse_body(s: str, i: int, end: int, in_loop: bool = False):
     """`{ ... }` block or a single statement -> (stmt_list, next_index)."""
     i = _skip_ws(s, i)
     if i < end and s[i] == "{":
         k = _match_delim(s, i, "{", "}")
-        return _parse_stmt_list(s, i + 1, k), k + 1
-    node, i = _parse_stmt(s, i, end)
+        return _parse_stmt_list(s, i + 1, k, in_loop), k + 1
+    node, i = _parse_stmt(s, i, end, in_loop)
     return ([node] if node else []), i
 
 
-def _parse_stmt(s: str, i: int, end: int):
+_FUNCDEF_RX = None  # compiled lazily in _parse_stmt
+
+
+def _parse_stmt(s: str, i: int, end: int, in_loop: bool = False):
     """One statement (possibly compound) -> (node | None, next_index)."""
+    import re
+
     i = _skip_ws(s, i)
     if i >= end:
         return None, i
@@ -579,23 +588,44 @@ def _parse_stmt(s: str, i: int, end: int):
         return None, i + 1
     if s[i] == "{":  # bare block
         k = _match_delim(s, i, "{", "}")
-        return ("block", _parse_stmt_list(s, i + 1, k)), k + 1
+        return ("block", _parse_stmt_list(s, i + 1, k, in_loop)), k + 1
+    global _FUNCDEF_RX
+    if _FUNCDEF_RX is None:
+        _FUNCDEF_RX = re.compile(
+            r"(?:def|int|long|float|double|boolean|String|void)\s+"
+            r"([A-Za-z_]\w*)\s*\(")
+    fm = _FUNCDEF_RX.match(s, i)
+    if fm and fm.end() <= end:
+        # user-defined function (PainlessParser.g4 `function`): typed
+        # header, typed params, braced body; only params/locals in scope
+        po = fm.end() - 1
+        pc = _match_delim(s, po, "(", ")")
+        params = [p.strip().split()[-1]
+                  for p in s[po + 1:pc].split(",") if p.strip()]
+        if len(set(params)) != len(params):
+            raise ScriptError("duplicate function parameter")
+        j = _skip_ws(s, pc + 1)
+        if j >= end or s[j] != "{":
+            raise ScriptError("expected '{' after function header")
+        k = _match_delim(s, j, "{", "}")
+        body = _parse_stmt_list(s, j + 1, k, in_loop=False)
+        return ("funcdef", fm.group(1), params, body), k + 1
     if _word_at(s, i, "if"):
         j = _skip_ws(s, i + 2)
         if j >= end or s[j] != "(":
             raise ScriptError("expected '(' after if")
         k = _match_delim(s, j, "(", ")")
         cond = _compile_expr(s[j + 1:k])
-        then_b, i2 = _parse_body(s, k + 1, end)
+        then_b, i2 = _parse_body(s, k + 1, end, in_loop)
         i3 = _skip_ws(s, i2)
         els: list = []
         if i3 < end and _word_at(s, i3, "else"):
             i4 = _skip_ws(s, i3 + 4)
             if i4 < end and _word_at(s, i4, "if"):
-                node, i5 = _parse_stmt(s, i4, end)
+                node, i5 = _parse_stmt(s, i4, end, in_loop)
                 els, i3 = [node], i5
             else:
-                els, i3 = _parse_body(s, i4, end)
+                els, i3 = _parse_body(s, i4, end, in_loop)
         return ("if", cond, then_b, els), i3
     if _word_at(s, i, "while"):
         j = _skip_ws(s, i + 5)
@@ -603,7 +633,7 @@ def _parse_stmt(s: str, i: int, end: int):
             raise ScriptError("expected '(' after while")
         k = _match_delim(s, j, "(", ")")
         cond = _compile_expr(s[j + 1:k])
-        body, i2 = _parse_body(s, k + 1, end)
+        body, i2 = _parse_body(s, k + 1, end, in_loop=True)
         return ("while", cond, body), i2
     if _word_at(s, i, "for"):
         j = _skip_ws(s, i + 3)
@@ -611,7 +641,7 @@ def _parse_stmt(s: str, i: int, end: int):
             raise ScriptError("expected '(' after for")
         k = _match_delim(s, j, "(", ")")
         head = s[j + 1:k]
-        body, i2 = _parse_body(s, k + 1, end)
+        body, i2 = _parse_body(s, k + 1, end, in_loop=True)
         # for-each: `for (def x : iterable)` / `for (x : iterable)`
         ci = _find_stmt_end(head, 0, len(head))
         if ci == len(head) and ":" in head:
@@ -637,19 +667,23 @@ def _parse_stmt(s: str, i: int, end: int):
         cond = (_compile_expr(parts[1]) if parts[1].strip()
                 else _compile_expr("True"))
         upd = _compile_simple_stmt(parts[2])
-        loop = ("while", cond, body + ([upd] if upd else []))
+        # the update rides OUTSIDE the body so `continue` still reaches
+        # it (C semantics: continue jumps to the update expression)
+        loop = ("while", cond, body, [upd] if upd else [])
         return ("block", ([init] if init else []) + [loop]), i2
     j = _find_stmt_end(s, i, end)
-    return _compile_simple_stmt(s[i:j]), (j + 1 if j < end else end)
+    return (_compile_simple_stmt(s[i:j], in_loop),
+            (j + 1 if j < end else end))
 
 
-def _parse_stmt_list(s: str, i: int, end: int) -> list:
+def _parse_stmt_list(s: str, i: int, end: int,
+                     in_loop: bool = False) -> list:
     out = []
     while True:
         i = _skip_ws(s, i)
         if i >= end:
             return out
-        node, i = _parse_stmt(s, i, end)
+        node, i = _parse_stmt(s, i, end, in_loop)
         if node is not None:
             out.append(node)
 
@@ -669,13 +703,18 @@ def compile_painless_script(source: str) -> list:
       for (w : params.weights) { ... }          # for-each over a list
       return base + bonus;                      # final / early return
 
+      double f(double x) { return x * 2.0; }    # user functions
+      break; continue;                            # per-row loop control
+
     Expressions go through the same sandbox rewriting as
-    compile_painless; break/continue and user-defined functions stay
-    rejected. Evaluation (safe_eval_script) is VECTORIZED with row
-    masks: an `if` runs both branches and merges assignments per-row;
-    a `while` iterates with a shrinking active mask until every row's
-    condition is false (per-row iteration counts, one numpy pass per
-    iteration), capped at the Painless loop-counter limit."""
+    compile_painless. Evaluation (safe_eval_script) is VECTORIZED with
+    row masks: an `if` runs both branches and merges assignments
+    per-row; a `while` iterates with a shrinking active mask until
+    every row's condition is false (per-row iteration counts, one
+    numpy pass per iteration), capped at the Painless loop-counter
+    limit; `break`/`continue` accumulate per-row into the innermost
+    loop's control masks; user functions see only their params +
+    whitelisted callables (no script locals), recursion-capped."""
     stmts = _parse_stmt_list(source, 0, len(source))
     if not stmts:
         raise ScriptError("empty script")
@@ -732,9 +771,67 @@ def _vmerge(mask, new, old):
     return new if mask else old
 
 
-def _exec_block(stmts: list, scope: dict, mask, state: dict) -> None:
+def _mor(a, b):
+    """Mask disjunction; None = no rows."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if a is True or b is True:
+        return True
+    return a | b
+
+
+def _mminus(act, m):
+    """act & ~m, where m None = nothing masked off."""
+    if m is None:
+        return act
+    return _mand(act, _mnot(m))
+
+
+_FN_DEPTH = 0
+_MAX_FN_DEPTH = 64
+
+
+def _make_user_fn(name: str, params: list, body: list, defscope: dict):
+    """Painless user-defined function -> a sandbox callable: only its
+    params, locals, and the defining scope's CALLABLES + params map are
+    visible (Painless functions cannot read script locals); early
+    returns use the same per-row mask machinery; recursion capped."""
+
+    def fn(*args):
+        global _FN_DEPTH
+        if len(args) != len(params):
+            raise ScriptError(
+                f"{name}() takes {len(params)} argument(s), got {len(args)}")
+        if _FN_DEPTH >= _MAX_FN_DEPTH:
+            raise ScriptError(f"recursion limit in function '{name}'")
+        # callables resolve at CALL time so self- and forward references
+        # between script functions work (Painless hoists functions)
+        sc = {k: v for k, v in defscope.items()
+              if (callable(v) and not hasattr(v, "dtype")) or k == "params"}
+        sc.update(zip(params, args))
+        st = {"result": None, "returned": None}
+        _FN_DEPTH += 1
+        try:
+            _exec_block(body, sc, None, st)
+        finally:
+            _FN_DEPTH -= 1
+        if st["returned"] is None or not _mfull(st["returned"]):
+            raise ScriptError(
+                f"function '{name}' did not return a value for every row")
+        return st["result"]
+
+    return fn
+
+
+def _exec_block(stmts: list, scope: dict, mask, state: dict,
+                loop: dict | None = None) -> None:
     """Execute a statement block under `mask`; assignments to outer
-    names merge per-row, block-local declarations die at block end."""
+    names merge per-row, block-local declarations die at block end.
+    `loop` is the innermost enclosing loop's control context — rows
+    that hit `break`/`continue` accumulate into its masks and stop
+    executing subsequent statements of the body."""
     import numpy as np
 
     local_names: list[str] = []
@@ -742,6 +839,9 @@ def _exec_block(stmts: list, scope: dict, mask, state: dict) -> None:
         for st in stmts:
             act = _mand(mask, _mnot(state["returned"])
                         if state["returned"] is not None else None)
+            if loop is not None:
+                act = _mminus(act, loop["broken"])
+                act = _mminus(act, loop["continued"])
             if not _many(act):
                 return
             tag = st[0]
@@ -770,28 +870,51 @@ def _exec_block(stmts: list, scope: dict, mask, state: dict) -> None:
                     state["returned"] = state["returned"] | act
             elif tag == "expr":
                 _eval_node(st[1].body, scope)
+            elif tag == "break":
+                loop["broken"] = _mor(loop["broken"], act)
+            elif tag == "continue":
+                loop["continued"] = _mor(loop["continued"], act)
+            elif tag == "funcdef":
+                _, name, params, body = st
+                if name in scope:
+                    raise ScriptError(f"'{name}' already declared")
+                scope[name] = _make_user_fn(name, params, body, scope)
+                local_names.append(name)
             elif tag == "if":
                 _, cond, then_b, else_b = st
                 with np.errstate(all="ignore"):
                     c = _eval_node(cond.body, scope)
                 mt = _mand(act, c)
                 if then_b and _many(mt):
-                    _exec_block(then_b, scope, mt, state)
+                    _exec_block(then_b, scope, mt, state, loop)
                 me = _mand(act, _mnot(c))
                 if else_b and _many(me):
-                    _exec_block(else_b, scope, me, state)
+                    _exec_block(else_b, scope, me, state, loop)
             elif tag == "while":
-                _, cond, body = st
+                cond, body = st[1], st[2]
+                upd = st[3] if len(st) > 3 else []
+                ctx = {"broken": None, "continued": None}
                 iters = 0
+                base = act  # outer break/continue can't change mid-loop
                 while True:
-                    act = _mand(mask, _mnot(state["returned"])
-                                if state["returned"] is not None else None)
+                    a = _mand(base, _mnot(state["returned"])
+                              if state["returned"] is not None else None)
+                    a = _mminus(a, ctx["broken"])
                     with np.errstate(all="ignore"):
                         c = _eval_node(cond.body, scope)
-                    m = _mand(act, c)
+                    m = _mand(a, c)
                     if not _many(m):
                         break
-                    _exec_block(body, scope, m, state)
+                    ctx["continued"] = None  # continue skips ONE iteration
+                    _exec_block(body, scope, m, state, ctx)
+                    if upd:
+                        # C for-loop update: runs for CONTINUED rows too,
+                        # not for broken/returned ones
+                        u = _mand(m, _mnot(state["returned"])
+                                  if state["returned"] is not None else None)
+                        u = _mminus(u, ctx["broken"])
+                        if _many(u):
+                            _exec_block(upd, scope, u, state)
                     iters += 1
                     if iters > _MAX_LOOP_ITER:
                         raise ScriptError("loop iteration limit exceeded")
@@ -803,11 +926,19 @@ def _exec_block(stmts: list, scope: dict, mask, state: dict) -> None:
                 if name in scope:
                     raise ScriptError(f"variable '{name}' already declared")
                 local_names.append(name)
+                ctx = {"broken": None, "continued": None}
+                base = act
                 for item in items:
+                    a = _mand(base, _mnot(state["returned"])
+                              if state["returned"] is not None else None)
+                    a = _mminus(a, ctx["broken"])
+                    if not _many(a):
+                        break
+                    ctx["continued"] = None
                     scope[name] = item
-                    _exec_block(body, scope, act, state)
+                    _exec_block(body, scope, a, state, ctx)
             elif tag == "block":
-                _exec_block(st[1], scope, act, state)
+                _exec_block(st[1], scope, act, state, loop)
             else:  # pragma: no cover
                 raise ScriptError(f"unknown statement tag {tag!r}")
     finally:

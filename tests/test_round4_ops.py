@@ -268,10 +268,37 @@ def test_painless_control_flow():
         safe_eval_script(
             compile_painless_script("return Math.getClass();"), env)
 
-    # break / continue rejected, escape still rejected inside blocks
+    # break / continue: per-row loop control (round-5 completion)
+    st = compile_painless_script(
+        "def p = 1.0;"
+        "while (true) { if (p >= doc['v'].value) { break; } p = p * 2.0; }"
+        "return p;")
+    assert list(safe_eval_script(st, env)) == [16.0, 32.0, 8.0]
+    st = compile_painless_script(
+        "def t = 0.0;"
+        "for (def i = 0; i < 6; i++) {"
+        " if (i % 2 == 0) { continue; } t += i; }"
+        "return t;")
+    assert safe_eval_script(
+        st, {"params": {}, "where": np.where}) == 9.0
     with pytest.raises(ScriptError):
-        compile_painless_script(
-            "for (def i = 0; i < 9; i++) { break; } return 1;")
+        compile_painless_script("break; return 1;")  # outside a loop
+
+    # user-defined functions: recursion capped, no script-local leakage
+    st = compile_painless_script(
+        "def fact(def n) { if (n <= 1) { return 1.0; }"
+        " return n * fact(n - 1); }"
+        "return fact(5) + doc['v'].value;")
+    assert list(safe_eval_script(st, env)) == [130.0, 140.0, 127.0]
+    with pytest.raises(ScriptError):
+        safe_eval_script(compile_painless_script(
+            "def secret = 1; def leak(def x) { return secret; }"
+            "return leak(1);"), env)
+    with pytest.raises(ScriptError):  # unbounded recursion
+        safe_eval_script(compile_painless_script(
+            "def f(def x) { return f(x); } return f(1);"), env)
+
+    # escape still rejected inside blocks
     with pytest.raises(ScriptError):
         safe_eval_script(compile_painless_script(
             "if (true) { def z = ().__class__; } return 1;"), env)
@@ -385,7 +412,7 @@ def test_painless_statement_tree_fuzz():
         parts = ["def a = doc['v'].value; def b = 0.0;"]
         names = ["a", "b"]
         for _ in range(rng.randrange(1, 4)):
-            kind = rng.randrange(4)
+            kind = rng.randrange(6)
             if kind == 0:
                 parts.append(
                     f"if ({gen_cond(names)}) {{ b = {gen_expr(names)}; }}"
@@ -397,10 +424,21 @@ def test_painless_statement_tree_fuzz():
                 # convergent loop: halve until below a bound
                 parts.append(
                     "while (a > 2.0) { a = a / 2.0; b += 1.0; }")
-            else:
+            elif kind == 3:
                 parts.append(
                     f"for (def i = 0; i < {rng.randrange(1, 4)}; i++)"
                     f" {{ b += {gen_expr(['a'])}; }}")
+            elif kind == 4:
+                # while(true) + per-row data-dependent break
+                bound = rng.choice(["3.0", "5.0", "8.0"])
+                parts.append(
+                    "while (true) { b += 1.0;"
+                    f" if (b >= {bound}) {{ break; }} }}")
+            else:
+                # continue skips even iterations; update must still run
+                parts.append(
+                    "for (def i = 0; i < 5; i++)"
+                    " { if (i % 2 == 0) { continue; } b += 0.25; }")
         parts.append("return a + b;")
         return " ".join(parts)
 
