@@ -297,6 +297,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_type_qtf", "dedup_keep_best", "dsir_importance",
         "eql_count_pipe", "eql_tail_pipe", "force_merge_api",
         "indices_get_settings", "cluster_state", "indices_clone",
+        # --- rows-only ops (no SQL-expressible oracle; driver does the
+        # weaker rows-only check — kept OUT of the head-50 window).
+        # Reasons: knn_* (ANN approximation — LSH/IVF/PQ/HNSW recall is
+        # probabilistic; recall quality is pytest-asserted vs brute
+        # force), dedup_minhash/simhash/embedding_lsh (sketch banding),
+        # agg_percentiles/percentile_ranks/variable_width_histogram
+        # (T-Digest / HDR / adaptive-bin sketches), bpe_* +
+        # training_unigram_tokenizer (iterative trainers — EM/merge
+        # loops not SQL-expressible; determinism pytest-asserted),
+        # multimodal_* (binary codec outputs), semantic_search /
+        # knn_recall_report (model-scored), index_dangling_recovery /
+        # index_disk_usage / ingest_community_id (filesystem-state /
+        # hash-format outputs verified by round-trip tests).
         "index_dangling_recovery", "ingest_community_id", "index_disk_usage",
         "knn_recall_report", "knn_pq", "knn_ivf_pq", "knn_hnsw",
         "agg_variable_width_histogram", "knn_rescore", "semantic_search",
