@@ -105,7 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "painless_loop_harmonic", "painless_while_halving",
         "painless_foreach_params", "painless_math_methods",
         "painless_user_function", "painless_loop_break",
-        "painless_continue_sum",
+        "painless_continue_sum", "painless_collections",
         "agg_scripted_metric_painless", "sql_subquery_from",
         "sql_subquery_agg_outer", "sql_subquery_nested",
         "sql_interval_arith", "sql_extract_group", "sql_subquery_topn",
@@ -1094,6 +1094,9 @@ SELECT doc_id, steps FROM h WHERE w < 10 ORDER BY doc_id"""
 SELECT doc_id,
        ROUND(((n_chars * 0.5) * 0.5 + n_chars * 0.25) * 0.5
              + n_chars * 0.125, 4) AS score
+FROM documents ORDER BY doc_id"""
+    out["painless_collections"] = """
+SELECT doc_id, ROUND(n_chars * 1.0 + 3, 4) AS score
 FROM documents ORDER BY doc_id"""
     out["painless_user_function"] = """
 SELECT doc_id,

@@ -17433,6 +17433,32 @@ def painless_continue_sum(sf_dir: str):
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def painless_collections(sf_dir: str):
+    """Painless List/Map mutation (java.util whitelist: `new
+    ArrayList()` / `new HashMap()`, add/get/size/put — the
+    scripted_metric state idiom): collections are per-SCRIPT scalar
+    values built by loops; the doc-value arithmetic stays vectorized."""
+    from ..scripting import compile_painless_script, safe_eval_script
+
+    params = {"ws": [0.25, 0.5, 1.0]}
+    stmts = compile_painless_script(
+        "def l = new ArrayList();"
+        "for (w : params.ws) { l.add(w * 2.0); }"
+        "def m = new HashMap();"
+        "m.put('n', l.size());"
+        "return doc['n_chars'].value * l.get(1) + m.get('n');")
+
+    def f(t: pa.Table) -> pa.Table:
+        v = safe_eval_script(stmts, _painless_batch_env(t, params))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "score": pa.array(
+                             round_half_away(np.asarray(v, np.float64), 4))})
+
+    return (_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(f, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def text_boilerplate_strip(sf_dir: str):
     """Cross-document boilerplate removal (the C4 / CCNet curation step
     — template chunks recurring across >= min_df distinct docs stripped

@@ -122,6 +122,15 @@ def _eval_node(node: ast.AST, env: Mapping[str, Any]) -> Any:
                 if fn is None:
                     raise ScriptError(f"Math.{attr}() not allowed")
                 return fn(*[_eval_node(a, env) for a in node.args])
+            if attr in _COLLECTION_METHODS:
+                # java.util List/Map methods on sandbox-created
+                # collections (new ArrayList()/HashMap() — Painless
+                # whitelist): dispatch by receiver type, mutation via
+                # the explicit table only
+                recv = _eval_node(node.func.value, env)
+                if isinstance(recv, (list, dict)):
+                    args = [_eval_node(a, env) for a in node.args]
+                    return _collection_method(attr, recv, args)
             if attr not in _STR_METHODS:
                 raise ScriptError(f"method '.{attr}()' not allowed")
             recv = _eval_node(node.func.value, env)
@@ -132,6 +141,8 @@ def _eval_node(node: ast.AST, env: Mapping[str, Any]) -> Any:
         if node.keywords:
             raise ScriptError("keyword arguments not allowed")
         fn = env.get(node.func.id)
+        if fn is None:
+            fn = _CTORS.get(node.func.id)  # new ArrayList()/HashMap()
         if fn is None or not callable(fn):
             raise ScriptError(f"unknown function '{node.func.id}'")
         return fn(*[_eval_node(a, env) for a in node.args])
@@ -165,6 +176,72 @@ def _mk_math_fns():
 
 
 _MATH_FNS = _mk_math_fns()
+
+
+# java.util collection constructors (`new ArrayList()` / `new HashMap()`
+# rewrite to plain calls in compile_painless) and the List/Map method
+# whitelist (PainlessLookup java.util entries). Mutation happens only
+# through this table — attribute access stays rejected. Collections are
+# per-SCRIPT scalar values (scripted_metric states, reduce lists); doc
+# values never become per-row lists.
+_CTORS = {"ArrayList": list, "HashMap": dict}
+
+_COLLECTION_METHODS = frozenset({
+    "add", "get", "size", "isEmpty", "contains", "indexOf", "remove",
+    "put", "containsKey", "containsValue", "getOrDefault", "keySet",
+    "values",
+})
+
+
+def _collection_method(attr: str, recv, args: list):
+    if isinstance(recv, list):
+        if attr == "add":
+            recv.append(args[0])
+            return True
+        if attr == "get":
+            i = int(args[0])
+            if not 0 <= i < len(recv):
+                raise ScriptError(f"list index {i} out of bounds")
+            return recv[i]
+        if attr == "size":
+            return len(recv)
+        if attr == "isEmpty":
+            return len(recv) == 0
+        if attr == "contains":
+            return args[0] in recv
+        if attr == "indexOf":
+            return recv.index(args[0]) if args[0] in recv else -1
+        if attr == "remove":
+            i = int(args[0])
+            if not 0 <= i < len(recv):
+                raise ScriptError(f"list index {i} out of bounds")
+            return recv.pop(i)
+    else:  # dict
+        if attr == "put":
+            old = recv.get(args[0])
+            recv[args[0]] = args[1]
+            return old
+        if attr == "get":
+            return recv.get(args[0])
+        if attr == "getOrDefault":
+            return recv.get(args[0], args[1])
+        if attr == "containsKey":
+            return args[0] in recv
+        if attr == "containsValue":
+            return args[0] in recv.values()
+        if attr == "size":
+            return len(recv)
+        if attr == "isEmpty":
+            return len(recv) == 0
+        if attr == "remove":
+            return recv.pop(args[0], None)
+        if attr == "keySet":
+            return list(recv.keys())
+        if attr == "values":
+            return list(recv.values())
+    raise ScriptError(
+        f"method '.{attr}()' not allowed on "
+        f"{'List' if isinstance(recv, list) else 'Map'}")
 
 
 # Painless String (java.lang.String + Painless augmentation) method
@@ -421,6 +498,9 @@ def compile_painless(source: str) -> str:
     # Painless boolean literals
     src = re.sub(r"\btrue\b", "True", src)
     src = re.sub(r"\bfalse\b", "False", src)
+    # `new ArrayList()` / `new HashMap()` -> plain constructor calls
+    # (resolved via the _CTORS whitelist at eval time)
+    src = re.sub(r"\bnew\s+([A-Za-z_]\w*)\s*\(", r"\1(", src)
     return _rewrite_ternary(src).strip()
 
 

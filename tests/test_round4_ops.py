@@ -612,3 +612,34 @@ def test_unigram_tokenizer_trainer(ray_session):
     assert (out["unigram_subwords"] > 12).all()  # 12 words, some split
     # unknown characters never crash segmentation
     assert "".join(_viterbi_segment("zq9", logp, 6)) == "zq9"
+
+
+def test_painless_collections():
+    """java.util List/Map whitelist: new ArrayList()/HashMap(),
+    add/get/size/put/containsKey; escapes and unlisted methods still
+    rejected; for-each iterates script-built lists."""
+    import pytest
+
+    from elasticsearch_ray.scripting import (
+        ScriptError, compile_painless_script, safe_eval_script)
+
+    env = {"v": np.array([10.0, 20.0]), "params": {"ws": [1.0, 2.0]},
+           "where": np.where}
+    st = compile_painless_script(
+        "def l = new ArrayList();"
+        "for (w : params.ws) { l.add(w * 2.0); }"
+        "def m = new HashMap(); m.put('k', l.size());"
+        "def t = 0.0; for (x : l) { t += x; }"
+        "return doc['v'].value + t + m.get('k');")
+    assert list(safe_eval_script(st, env)) == [18.0, 28.0]  # 6 + 2
+    assert safe_eval_script(compile_painless_script(
+        "def m = new HashMap(); m.put('a', 1);"
+        "return m.containsKey('a') ? m.getOrDefault('a', 0) : -1;"),
+        {"params": {}, "where": np.where}) == 1
+    for bad in ["def l = new ArrayList(); return l.__class__;",
+                "def l = new Object(); return 1;",
+                "def l = new ArrayList(); l.append(1); return 1;",
+                "def l = new ArrayList(); return l.get(5);"]:
+        with pytest.raises(ScriptError):
+            safe_eval_script(compile_painless_script(bad),
+                             {"params": {}, "where": np.where})
