@@ -16,10 +16,79 @@ import pandas as pd
 from .engine import TERM_MAX, levenshtein_vec
 
 
+class _TrieNode:
+    __slots__ = ("children", "entries", "maxw")
+
+    def __init__(self):
+        self.children: dict = {}
+        self.entries: list = []  # entry indices terminating here
+        self.maxw = -1
+
+
+class _WeightedPrefixAutomaton:
+    """The FST analog proper (NRTSuggester / WFSTCompletionLookup):
+    a character trie whose every node caches the MAX entry weight in
+    its subtree (the weighted-arc bound), so top-N retrieval is a
+    BEST-FIRST traversal popping at most O(N * depth) nodes instead of
+    scoring every completion under the prefix. Result order is exactly
+    the reference's (weight desc, input asc) — heap keys (-bound,
+    path) make a node pop before any terminal it could beat, and a
+    prefix sorts before its extensions, so lexicographic ties resolve
+    identically to the exhaustive sort."""
+
+    def __init__(self, inputs, weights):
+        self.root = _TrieNode()
+        for idx, (inp, w) in enumerate(zip(inputs, weights)):
+            node = self.root
+            node.maxw = max(node.maxw, int(w))
+            for ch in str(inp):
+                nxt = node.children.get(ch)
+                if nxt is None:
+                    nxt = node.children[ch] = _TrieNode()
+                node = nxt
+                node.maxw = max(node.maxw, int(w))
+            node.entries.append(idx)
+        self.weights = weights
+        self.inputs = inputs
+
+    def top(self, prefix: str, want):
+        """Yield entry indices under `prefix` in (weight desc, input
+        asc, entry-index asc) order; `want(idx)` -> bool filters
+        (contexts / duplicates) without disturbing the bound."""
+        import heapq
+
+        node = self.root
+        for ch in prefix:
+            node = node.children.get(ch)
+            if node is None:
+                return
+        out = []
+        counter = 0
+        heap = [(-node.maxw, prefix, 1, counter, node)]
+        while heap:
+            negw, path, tag, _, payload = heapq.heappop(heap)
+            if tag == 0:  # terminal entry — final by heap ordering
+                if want(payload):
+                    out.append(payload)
+                    yield payload
+                continue
+            n: _TrieNode = payload
+            for idx in n.entries:
+                counter += 1
+                heapq.heappush(
+                    heap, (-int(self.weights[idx]), path, 0, idx, idx))
+            for ch, child in n.children.items():
+                counter += 1
+                heapq.heappush(
+                    heap, (-child.maxw, path + ch, 1, counter, child))
+
+
 class CompletionSuggester:
     """entries: iterable of (input, weight) or (input, weight, contexts)
     where contexts is an iterable of category strings (CategoryContextMapping
-    analog)."""
+    analog). Exact-prefix lookups run on the weighted prefix automaton
+    (_WeightedPrefixAutomaton — the FST analog, built lazily); fuzzy
+    prefixes use the sorted-array edit-distance scan."""
 
     def __init__(self, entries):
         rows = []
@@ -31,6 +100,12 @@ class CompletionSuggester:
         self.inputs = np.array([r[0] for r in rows], dtype=object)
         self.weights = np.array([r[1] for r in rows], dtype=np.int64)
         self.contexts = [r[2] for r in rows]
+        self._fst: _WeightedPrefixAutomaton | None = None
+
+    def _automaton(self) -> _WeightedPrefixAutomaton:
+        if self._fst is None:
+            self._fst = _WeightedPrefixAutomaton(self.inputs, self.weights)
+        return self._fst
 
     def _rank(self, idx: np.ndarray, size: int) -> np.ndarray:
         """top-`size` of candidate indices by (weight desc, input asc) —
@@ -42,11 +117,43 @@ class CompletionSuggester:
 
     def suggest(self, prefix: str, size: int = 5, fuzziness: int = 0,
                 context: str | None = None,
-                skip_duplicates: bool = False) -> pd.DataFrame:
+                skip_duplicates: bool = False,
+                _force_array: bool = False) -> pd.DataFrame:
         """skip_duplicates (CompletionSuggestionBuilder#skipDuplicates,
         6.1): when the same suggestion text exists as multiple entries
         (e.g. per-context duplicates), only the best-ranked occurrence
-        is returned; `size` applies AFTER deduplication."""
+        is returned; `size` applies AFTER deduplication.
+
+        `_force_array`: bypass the automaton and run the exhaustive
+        sorted-array path (the parity test compares the two)."""
+        if fuzziness <= 0 and not _force_array:
+            # FST path: best-first over the weighted automaton, stopping
+            # after `size` accepted results — never scores the whole
+            # prefix range
+            fst = self._automaton()
+            seen: set = set()
+
+            def want(idx: int) -> bool:
+                if context is not None and context not in self.contexts[idx]:
+                    return False
+                if skip_duplicates:
+                    s = str(self.inputs[idx])
+                    if s in seen:
+                        return False
+                    seen.add(s)
+                return True
+
+            top_l: list[int] = []
+            for idx in fst.top(prefix, want):
+                top_l.append(int(idx))
+                if len(top_l) == size:
+                    break
+            top = np.asarray(top_l, dtype=np.int64)
+            return pd.DataFrame({
+                "input": [str(self.inputs[int(i)]) for i in top],
+                "weight": self.weights[top].astype(np.int64)
+                if top.size else pd.Series([], dtype=np.int64),
+            })
         if fuzziness <= 0:
             lo = np.searchsorted(self.inputs, prefix, side="left")
             hi = np.searchsorted(self.inputs, prefix + TERM_MAX, side="left")

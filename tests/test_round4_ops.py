@@ -643,3 +643,36 @@ def test_painless_collections():
         with pytest.raises(ScriptError):
             safe_eval_script(compile_painless_script(bad),
                              {"params": {}, "where": np.where})
+
+
+def test_completion_automaton_parity():
+    """The weighted prefix automaton (FST analog — best-first with
+    per-node max-weight bounds) must return EXACTLY the sorted-array
+    path's results for random corpora, prefixes, sizes, contexts and
+    skip_duplicates — including weight ties resolved by input order."""
+    import random
+
+    from elasticsearch_ray.search.suggest import CompletionSuggester
+
+    rng = random.Random(777)
+    words = ["app", "apple", "apply", "applet", "ban", "band", "banana",
+             "bat", "batch", "cat", "cater", "scan", "scatter", "scale"]
+    for trial in range(30):
+        entries = []
+        for _ in range(rng.randrange(5, 40)):
+            w = rng.choice(words) + rng.choice(["", "s", "er", "ing"])
+            ctx = rng.choice([None, ["a"], ["b"], ["a", "b"]])
+            entries.append((w, rng.randrange(1, 6), ctx))
+        s = CompletionSuggester(entries)
+        for _ in range(12):
+            prefix = rng.choice(["a", "ap", "app", "b", "ba", "c", "sc",
+                                 "z", ""])[:rng.randrange(1, 4)]
+            size = rng.randrange(1, 6)
+            ctx = rng.choice([None, "a", "b"])
+            dup = rng.random() < 0.5
+            fst = s.suggest(prefix, size=size, context=ctx,
+                            skip_duplicates=dup)
+            arr = s.suggest(prefix, size=size, context=ctx,
+                            skip_duplicates=dup, _force_array=True)
+            assert fst.to_dict("records") == arr.to_dict("records"), (
+                trial, prefix, size, ctx, dup)
