@@ -123,11 +123,9 @@ def minhash_signatures_batch(texts: list[str], num_perm: int = 128,
     duplicate shingles, so the per-doc np.unique is skipped)."""
     k = shingle_k
     a, b = _minhash_params(num_perm)
-    # bound peak memory: the permutation product below allocates
-    # chunk x total_window_positions u64 — unbounded doc batches (5k docs x
-    # 10 KB at sf0.1) made that a 6.4 GB allocation per chunk (measured
-    # 155 s/5k docs). Slice the doc list so each slice holds <= ~4M window
-    # positions (~0.5 GB per chunk product), recurse, and stack.
+    # bound peak memory: the per-permutation product below allocates one
+    # total_window_positions u64 temp at a time; slice unbounded doc
+    # batches so a slice stays cache/heap-friendly, recurse, and stack.
     _MAX_POS = 4_000_000
     if len(texts) > 1:
         est = sum(min(len(t), 1 << 20) for t in texts)
@@ -151,12 +149,15 @@ def minhash_signatures_batch(texts: list[str], num_perm: int = 128,
     data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     lens_a = np.asarray(lens, np.int64)
     starts = np.concatenate([[0], np.cumsum(lens_a)[:-1]])
-    # rolling polynomial window hashes over the whole buffer
+    # rolling polynomial window hashes over the whole buffer: k shifted
+    # contiguous passes (no (n_pos, k) gather — measured 2x on the
+    # sf0.1 corpus vs the fancy-indexed form)
     n_pos = data.size - k + 1
-    idx = np.arange(k)[None, :] + np.arange(n_pos)[:, None]
     powers = np.array([pow(1000003, k - 1 - j, 1 << 64) for j in range(k)],
                       dtype=np.uint64)
-    whash = (data[idx].astype(np.uint64) * powers[None, :]).sum(axis=1)
+    whash = np.zeros(n_pos, np.uint64)
+    for j in range(k):
+        whash += data[j:j + n_pos].astype(np.uint64) * powers[j]
     # valid (in-doc) window positions form one contiguous run per doc
     seg_lens = lens_a - k + 1
     offsets = np.concatenate([[0], np.cumsum(seg_lens)])
@@ -164,10 +165,12 @@ def minhash_signatures_batch(texts: list[str], num_perm: int = 128,
     valid = whash[flat - np.repeat(offsets[:-1], seg_lens)
                   + np.repeat(starts, seg_lens)]
     sig = np.empty((num_perm, n_docs), np.uint64)
-    chunk = 16  # bound peak memory at chunk x total_shingles u64
-    for p0 in range(0, num_perm, chunk):
-        prods = valid[None, :] * a[p0:p0 + chunk, None] + b[p0:p0 + chunk, None]
-        sig[p0:p0 + chunk] = np.minimum.reduceat(prods, offsets[:-1], axis=1)
+    # ONE permutation at a time: the 2D broadcast product +
+    # reduceat(axis=1) form measured 13x slower than this contiguous
+    # 1D loop (strided-write/2D-reduceat overhead), and peak memory
+    # drops from chunk x positions to 1 x positions
+    for p in range(num_perm):
+        sig[p] = np.minimum.reduceat(valid * a[p] + b[p], offsets[:-1])
     return sig.T
 
 
