@@ -96,11 +96,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     names = [
         # Driver correctness window = first 50 entries. Round-5
-        # rotation per VERDICT.md: 14 new round-5 gates + eql_sample
+        # rotation per VERDICT.md: the 24 new round-5 gates (painless
+        # statement grammar incl. user functions/break-continue/
+        # collections, SQL subqueries + datetime, ML detectors, ILM
+        # state machine, scripted-metric-painless) + eql_sample
         # (advice #9) + the next never-driver-checked oracle-bearing
-        # ops, oldest sessions first; rows-only ops follow; the 150
-        # driver-verified (r01-r04) ops sit at the tail. Registry: 723
-        # unique (700 exact-oracle, 23 rows-only).
+        # ops, oldest sessions first; rows-only ops follow (annotated
+        # below); the 150 driver-verified (r01-r04) ops sit at the
+        # tail. Registry: 733 unique (709 exact-oracle, 24 rows-only).
+        # Head-50 simulated clean four times at sf0.01 this round and
+        # once partition-invariant at 7 blocks.
         "painless_if_block", "painless_early_return",
         "painless_loop_harmonic", "painless_while_halving",
         "painless_foreach_params", "painless_math_methods",
