@@ -114,7 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_scripted_metric_painless", "sql_subquery_from",
         "sql_subquery_agg_outer", "sql_subquery_nested",
         "sql_interval_arith", "sql_extract_group", "sql_subquery_topn",
-        "sql_date_trunc_group", "ilm_phase_actions", "ml_detector_min_max",
+        "sql_having_tree", "sql_date_trunc_group", "ilm_phase_actions", "ml_detector_min_max",
         "ml_detector_count", "ml_detector_rare", "ml_bucket_anomaly_score",
         "eql_sample", "ft_analyze_hungarian", "ft_analyze_finnish",
         "ft_analyze_romanian", "ft_analyze_arabic", "ft_analyze_danish",
@@ -1158,6 +1158,12 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(MIN(o_totalprice), 2) AS mn,
        ROUND(MAX(o_totalprice), 2) AS mx FROM (
   SELECT o_orderkey, o_totalprice FROM orders
   ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)"""
+    out["sql_having_tree"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(value), 2) AS mx FROM events
+GROUP BY event_type
+HAVING COUNT(*) > 1900 AND (MAX(value) > 490 OR event_type = 'error')
+ORDER BY event_type"""
     out["sql_date_trunc_group"] = """
 SELECT DATE_TRUNC('week', ts) AS wk, CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY wk ORDER BY wk"""

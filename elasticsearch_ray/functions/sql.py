@@ -211,11 +211,24 @@ def parse_sql(sql: str) -> dict:
     if m.group("having"):
         hm = re.match(r"^\s*(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*([-\d.]+)\s*$",
                       m.group("having"))
-        if not hm:
-            raise SqlParseError(f"unsupported HAVING: {m.group('having')!r}")
-        having = (hm.group(1), hm.group(2),
-                  float(hm.group(3)) if "." in hm.group(3)
-                  else int(hm.group(3)))
+        if hm:
+            having = (hm.group(1), hm.group(2),
+                      float(hm.group(3)) if "." in hm.group(3)
+                      else int(hm.group(3)))
+        else:
+            # boolean HAVING tree over aggregate aliases (x-pack sql
+            # Having -> post-aggregation Filter): compiled through the
+            # shared expression engine and evaluated on the reduced
+            # group table (group-cardinality rows on the driver)
+            e = _rewrite_scalar_sql(m.group("having"), pred=True)
+            from .esql_expr import parse_expr
+
+            try:
+                parse_expr(e)
+            except ValueError as exc:
+                raise SqlParseError(
+                    f"unsupported HAVING: {m.group('having')!r}") from exc
+            having = ("__expr__", e, None)
     preds = []
     expr_preds = []  # expression conjuncts -> engine row filters
     ft = []  # full-text conjuncts -> engine query dicts
@@ -607,6 +620,28 @@ def run_sql(sql: str, sf_dir: str, *, ds_factory, _subq=None,
     return out[plan["names"]]
 
 
+def _apply_having(out, having):
+    """HAVING on the reduced group table: simple (col, op, lit) tuples
+    inline; ('__expr__', src, None) evaluates a compiled boolean tree
+    via the shared expression engine over the (small) result frame."""
+    import operator as _op
+
+    col, op, lit = having
+    if col == "__expr__":
+        import pyarrow as pa
+
+        from .esql_expr import evaluate, parse_expr
+
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        mask = evaluate(parse_expr(op), t)
+        import numpy as np
+
+        return out[np.asarray(mask)]
+    f = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, ">": _op.gt,
+         ">=": _op.ge, "<": _op.lt, "<=": _op.le}[op]
+    return out[f(out[col], lit)]
+
+
 def _run_agg(ds, plan: dict):
     """GROUP BY plan: per-batch partial combiner (SUM/COUNT carry sums and
     counts, MIN/MAX carry extrema), driver merge on the group-cardinality
@@ -654,10 +689,7 @@ def _run_agg(ds, plan: dict):
             for alias, fn, _ in aggs:
                 out[alias] = 0 if fn == "COUNT" else float("nan")
         if plan["having"] and len(out):
-            col, op, lit = plan["having"]
-            f = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, ">": _op.gt,
-                 ">=": _op.ge, "<": _op.lt, "<=": _op.le}[op]
-            out = out[f(out[col], lit)]
+            out = _apply_having(out, plan["having"])
         return out.reset_index(drop=True)
     if group:
         merged = parts.groupby(group, as_index=False).sum(min_count=1)
@@ -688,10 +720,7 @@ def _run_agg(ds, plan: dict):
             out[alias] = merged[f"__mx_{alias}"]
 
     if plan["having"]:
-        col, op, lit = plan["having"]
-        f = {"=": _op.eq, "!=": _op.ne, "<>": _op.ne, ">": _op.gt,
-             ">=": _op.ge, "<": _op.lt, "<=": _op.le}[op]
-        out = out[f(out[col], lit)]
+        out = _apply_having(out, plan["having"])
     if plan["order"]:
         out = out.sort_values([o[0] for o in plan["order"]],
                               ascending=[not o[1] for o in plan["order"]])

@@ -16894,6 +16894,21 @@ def sql_subquery_topn(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def sql_having_tree(sf_dir: str):
+    """Boolean HAVING tree over aggregate aliases (x-pack sql Having ->
+    post-aggregation Filter): AND/OR/parens compile through the shared
+    expression engine and evaluate on the reduced group table —
+    group-cardinality rows, never raw rows."""
+    out = _run_sql(
+        "SELECT event_type, COUNT(*) AS n, MAX(value) AS mx FROM events "
+        "GROUP BY event_type "
+        "HAVING n > 1900 AND (mx > 490 OR event_type = 'error') "
+        "ORDER BY event_type", sf_dir)
+    out["n"] = out["n"].astype(np.int64)
+    out["mx"] = round_half_away(out["mx"].to_numpy(np.float64), 2)
+    return out.reset_index(drop=True)
+
+
 def sql_date_trunc_group(sf_dir: str):
     """DATE_TRUNC('week', ts) as a SQL GROUP BY key (datetime scalar
     function in the single-quote SQL surface; lowers to one
