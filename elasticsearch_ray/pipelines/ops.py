@@ -1418,6 +1418,12 @@ def geo_shape_envelope(sf_dir: str):
     lat [-10,10] x lon [-20,20]; rectangles intersect iff both interval
     pairs overlap."""
     def filt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            # zero-row blocks from the groupby can arrive schema-less
+            # (only visible at tiny scales with more blocks than users)
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "lat": pa.array([], pa.float64()),
+                             "lon": pa.array([], pa.float64())})
         g = _geo_cols(t)
         lat = g["lat"].to_numpy()
         lon = g["lon"].to_numpy()
@@ -1428,6 +1434,12 @@ def geo_shape_envelope(sf_dir: str):
     users = _ds(sf_dir, "events", ["user_id"]).groupby("user_id").map_groups(
         lambda g: g.head(1), batch_format="pandas")
     out = users.map_batches(filt, batch_format="pyarrow").to_pandas()
+    if out.empty and "user_id" not in out.columns:
+        # an all-empty dataset loses its schema through to_pandas —
+        # only reachable when NO user matches (tiny scales)
+        out = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                            "lat": pd.Series([], dtype=np.float64),
+                            "lon": pd.Series([], dtype=np.float64)})
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -1582,6 +1594,12 @@ def geo_polygon(sf_dir: str):
     users = _ds(sf_dir, "events", ["user_id"]).groupby("user_id").map_groups(
         lambda g: g.head(1), batch_format="pandas")
     out = users.map_batches(filt, batch_format="pyarrow").to_pandas()
+    if out.empty and "user_id" not in out.columns:
+        # an all-empty dataset loses its schema through to_pandas —
+        # only reachable when NO user matches (tiny scales)
+        out = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                            "lat": pd.Series([], dtype=np.float64),
+                            "lon": pd.Series([], dtype=np.float64)})
     return out.sort_values("user_id").reset_index(drop=True)
 
 
